@@ -1,0 +1,339 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.Tables._
+
+/** Relational query surface: the set-at-a-time semantics the reference
+  * delegates to PostgreSQL (terra_bonobo_nodes/sql.py:7-82, terra.py:27-68)
+  * re-expressed as single Catalyst plans.
+  *
+  * Numeric discipline for oracle parity: any accumulated value (sum/avg)
+  * is computed over DECIMAL, never DOUBLE, so the result is independent of
+  * accumulation order and hash-matches DuckDB exactly. Per-row double
+  * arithmetic (products, comparisons) is IEEE-deterministic and safe.
+  */
+object Relational {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+  private def out(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+
+  /** TPC-H Q1-style pricing summary (SURVEY §2.5 A1 relational analogue). */
+  def aggPricing(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        out(sum(dec($"l_quantity"))).as("sum_qty"),
+        out(sum(dec($"l_extendedprice"))).as("sum_base_price"),
+        out(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val aggPricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_disc_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Projection + predicate filter (FilterAttributes/FilterByProperties,
+    * common.py:178-211): prune to 4 columns, filter, per-row arithmetic. */
+  def filterProject(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .filter($"l_quantity" > 45 && $"l_discount" >= 0.05)
+      .select($"l_orderkey", $"l_linenumber",
+        ($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val filterProjectSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice * (1 - l_discount) AS revenue
+      |FROM lineitem
+      |WHERE l_quantity > 45 AND l_discount >= 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Enrichment join: fact ⋈ two broadcast dims (the ExtractFeatures →
+    * per-row-SQL pattern of terra.py:196-211 decorrelated into one plan). */
+  def joinEnrich(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = lineitem(s, d)
+    val o = orders(s, d)
+    val c = customer(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy($"c_mktsegment")
+      .agg(
+        out(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"),
+        countDistinct($"o_orderkey").as("n_orders"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val joinEnrichSql: String =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS revenue,
+      |  COUNT(*) AS n_lines,
+      |  COUNT(DISTINCT o_orderkey) AS n_orders
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Per-group top-k via window (ClosestFeatures ORDER BY…LIMIT k,
+    * terra.py:313-325, as a relational plan): top-2 lines per order. */
+  def topkWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_orderkey")
+      .orderBy($"l_extendedprice".desc, $"l_linenumber".asc)
+    lineitem(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 2)
+      .select($"l_orderkey", $"rk", $"l_linenumber", $"l_extendedprice")
+      .orderBy($"l_orderkey", $"rk")
+  }
+
+  val topkWindowSql: String =
+    """SELECT l_orderkey, rk, l_linenumber, l_extendedprice FROM (
+      |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |      ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rk
+      |  FROM lineitem) t
+      |WHERE rk <= 2
+      |ORDER BY l_orderkey, rk""".stripMargin
+
+  /** Decorrelated EXISTS (AttributeFromSQL per-row subquery, sql.py:41-82,
+    * as a semi join): orders having a high-quantity line. */
+  def semiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hot = lineitem(s, d).filter($"l_quantity" >= 48).select($"l_orderkey")
+    val o = orders(s, d)
+    o.join(hot, o("o_orderkey") === hot("l_orderkey"), "left_semi")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  val semiJoinSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** NOT EXISTS as anti join. */
+  def antiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hot = lineitem(s, d).filter($"l_quantity" >= 48).select($"l_orderkey")
+    val o = orders(s, d)
+    o.join(hot, o("o_orderkey") === hot("l_orderkey"), "left_anti")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), out(sum(dec($"o_totalprice"))).as("total"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val antiJoinSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total
+      |FROM orders
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** Stream fan-in = relational UNION (Bonobo graph fan-in, SURVEY §2.7). */
+  def unionAll(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val a = customer(s, d).select($"c_custkey".as("key"), $"c_name".as("name"),
+      lit("customer").as("side"))
+    val b = supplier(s, d).select($"s_suppkey".cast("long").as("key"),
+      $"s_name".as("name"), lit("supplier").as("side"))
+    a.unionByName(b)
+      .groupBy($"side")
+      .agg(count(lit(1)).as("n"), max($"key").as("max_key"))
+      .orderBy($"side")
+  }
+
+  val unionAllSql: String =
+    """SELECT side, COUNT(*) AS n, MAX(key) AS max_key FROM (
+      |  SELECT c_custkey AS key, c_name AS name, 'customer' AS side FROM customer
+      |  UNION ALL
+      |  SELECT CAST(s_suppkey AS BIGINT) AS key, s_name AS name, 'supplier' AS side FROM supplier) t
+      |GROUP BY side
+      |ORDER BY side""".stripMargin
+
+  /** Distinct array-agg (ArrayAgg(distinct), common.py:254): per order the
+    * sorted set of return flags. */
+  def distinctCollect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .groupBy($"l_orderkey")
+      .agg(array_sort(collect_set($"l_returnflag")).as("flags"),
+        countDistinct($"l_returnflag").as("n_flags"))
+      .orderBy($"l_orderkey")
+  }
+
+  val distinctCollectSql: String =
+    """SELECT l_orderkey,
+      |  list_sort(list(DISTINCT l_returnflag)) AS flags,
+      |  COUNT(DISTINCT l_returnflag) AS n_flags
+      |FROM lineitem
+      |GROUP BY l_orderkey
+      |ORDER BY l_orderkey""".stripMargin
+
+  /** Scalar-function battery (SURVEY §2.8: string/math/date surface). */
+  def scalarFuncs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    part(s, d).select(
+      $"p_partkey",
+      upper($"p_brand").as("brand_up"),
+      length($"p_name").as("name_len"),
+      substring($"p_type", 1, 5).as("type5"),
+      concat($"p_brand", lit("-"), $"p_size".cast("string")).as("brand_size"),
+      size(split($"p_name", " ")).as("n_words"),
+      ($"p_size" % 7).as("size_mod"),
+      when($"p_retailprice" > 1500, lit("premium")).otherwise(lit("standard")).as("tier"))
+      .orderBy($"p_partkey")
+  }
+
+  val scalarFuncsSql: String =
+    """SELECT p_partkey,
+      |  UPPER(p_brand) AS brand_up,
+      |  LENGTH(p_name) AS name_len,
+      |  SUBSTR(p_type, 1, 5) AS type5,
+      |  p_brand || '-' || CAST(p_size AS VARCHAR) AS brand_size,
+      |  LENGTH(p_name) - LENGTH(REPLACE(p_name, ' ', '')) + 1 AS n_words,
+      |  p_size % 7 AS size_mod,
+      |  CASE WHEN p_retailprice > 1500 THEN 'premium' ELSE 'standard' END AS tier
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Date/time surface: hourly event rollup (events table), matching the
+    * Structured-Streaming tumbling-window semantics in batch form. */
+  def eventsHourly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), out(sum(dec($"value"))).as("total_value"))
+      .orderBy($"hour", $"event_type")
+  }
+
+  val eventsHourlySql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour, event_type""".stripMargin
+
+  /** JSONB-style property extraction (Cast(KeyTextTransform(...)),
+    * common.py:258-260): pull numeric key out of the events props JSON. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_type")
+      .agg(sum($"k").as("sum_k"), count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  val jsonExtractSql: String =
+    """SELECT event_type,
+      |  SUM(CAST(regexp_extract(props, '-?\d+') AS BIGINT)) AS sum_k,
+      |  COUNT(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Ordered running aggregate per key (the order-dependent state of
+    * IsochroneSubstraction, common.py:519-532, in relational form). */
+  def runningSum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("running_value", out(sum(dec($"value")).over(w)))
+      .select($"event_id", $"user_id", $"running_value")
+      .orderBy($"event_id")
+  }
+
+  val runningSumSql: String =
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS running_value
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** Correlated set-returning subquery decorrelated (AttributeFromSQL,
+    * sql.py:41-82): per order, stats over its lineitems via one join. */
+  def correlatedAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = lineitem(s, d)
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        out(sum(dec($"l_quantity"))).as("qty"),
+        max($"l_shipdate").as("last_ship"))
+    val o = orders(s, d)
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left")
+      .select($"o_orderkey",
+        coalesce($"n_lines", lit(0L)).as("n_lines"),
+        coalesce($"qty", lit(0).cast("decimal(38,6)")).as("qty"),
+        $"last_ship")
+      .orderBy($"o_orderkey")
+  }
+
+  val correlatedAggSql: String =
+    """SELECT o_orderkey,
+      |  COALESCE(t.n_lines, 0) AS n_lines,
+      |  COALESCE(t.qty, CAST(0 AS DECIMAL(38,6))) AS qty,
+      |  t.last_ship
+      |FROM orders LEFT JOIN (
+      |  SELECT l_orderkey, COUNT(*) AS n_lines,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS qty,
+      |    MAX(l_shipdate) AS last_ship
+      |  FROM lineitem GROUP BY l_orderkey) t
+      |ON o_orderkey = t.l_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_pricing" -> (aggPricing _),
+    "q_filter_project" -> (filterProject _),
+    "q_join_enrich" -> (joinEnrich _),
+    "q_topk_window" -> (topkWindow _),
+    "q_semi_join" -> (semiJoin _),
+    "q_anti_join" -> (antiJoin _),
+    "q_union_all" -> (unionAll _),
+    "q_distinct_collect" -> (distinctCollect _),
+    "q_scalar_funcs" -> (scalarFuncs _),
+    "q_events_hourly" -> (eventsHourly _),
+    "q_json_extract" -> (jsonExtract _),
+    "q_running_sum" -> (runningSum _),
+    "q_correlated_agg" -> (correlatedAgg _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_pricing" -> aggPricingSql,
+    "q_filter_project" -> filterProjectSql,
+    "q_join_enrich" -> joinEnrichSql,
+    "q_topk_window" -> topkWindowSql,
+    "q_semi_join" -> semiJoinSql,
+    "q_anti_join" -> antiJoinSql,
+    "q_union_all" -> unionAllSql,
+    "q_distinct_collect" -> distinctCollectSql,
+    "q_scalar_funcs" -> scalarFuncsSql,
+    "q_events_hourly" -> eventsHourlySql,
+    "q_json_extract" -> jsonExtractSql,
+    "q_running_sum" -> runningSumSql,
+    "q_correlated_agg" -> correlatedAggSql,
+  )
+}

@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check_oracle.py <sfDir> <outDir>
+
+Loads outDir/oracle_sql.json, registers each parquet table in sfDir as a
+DuckDB view, runs each oracle SQL, loads the corresponding Spark result
+parquet from outDir/<name>/, sorts columns by name, and compares values
+(row counts, schema-ish, cell equality with small float tolerance).
+"""
+import json
+import math
+import sys
+import glob
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm_cell(x)) for k, x in v.items()))
+    try:
+        import decimal
+        if isinstance(v, decimal.Decimal):
+            return ("dec", str(v.normalize()))
+    except Exception:
+        pass
+    import datetime
+    if isinstance(v, datetime.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    return v
+
+
+def frame(con, sql):
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    cols_sorted = [cols[i] for i in order]
+    data = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return cols_sorted, data
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            ocols, odata = frame(con, sql)
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark result parquet")
+            n_fail += 1
+            continue
+        try:
+            scols, sdata = frame(
+                duckdb.connect(),
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        except Exception as e:
+            print(f"FAIL {name}: spark result read error: {e}")
+            n_fail += 1
+            continue
+        if ocols != scols:
+            print(f"FAIL {name}: columns differ oracle={ocols} spark={scols}")
+            n_fail += 1
+            continue
+        if len(odata) != len(sdata):
+            print(f"FAIL {name}: rowcount oracle={len(odata)} spark={len(sdata)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (a, b) in enumerate(zip(odata, sdata)):
+            if a != b:
+                ok = len(a) == len(b) and all(
+                    (x == y) or (isinstance(x, float) and isinstance(y, float)
+                                 and math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9))
+                    for x, y in zip(a, b))
+                if not ok:
+                    bad = (i, a, b)
+                    break
+        if bad:
+            print(f"FAIL {name}: row {bad[0]} oracle={bad[1]} spark={bad[2]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(odata)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
