@@ -1,0 +1,305 @@
+package graft.geom
+
+/** Scalar geometry algorithms backing the st_* functions (SURVEY.md §2.3).
+  * Planar (cartesian) semantics throughout, matching GEOS operating on raw
+  * coordinates regardless of CRS — the reference relies on exactly that
+  * (e.g. `geom.centroid` common.py:385, `geom.simplify` terra.py:469,
+  * `distance` on transformed coords terra.py:320).
+  */
+object Algos {
+
+  // ---- measures ----
+
+  /** Signed ring area (shoelace); CCW positive. */
+  def signedRingArea(ring: Seq[Coord]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = ring.length
+    while (i < n - 1) {
+      val a = ring(i); val b = ring(i + 1)
+      s += a.x * b.y - b.x * a.y
+      i += 1
+    }
+    s / 2.0
+  }
+
+  def area(g: Geom): Double = g match {
+    case p: Polygon =>
+      if (p.rings.isEmpty) 0.0
+      else math.abs(signedRingArea(p.shell)) - p.holes.map(h => math.abs(signedRingArea(h))).sum
+    case MultiPolygon(ps, _)       => ps.map(area).sum
+    case GeometryCollection(gs, _) => gs.map(area).sum
+    case _                         => 0.0
+  }
+
+  def length(g: Geom): Double = g match {
+    case LineString(ps, _) =>
+      (1 until ps.length).map(i => dist(ps(i - 1), ps(i))).sum
+    case MultiLineString(ls, _)    => ls.map(length).sum
+    case p: Polygon                => p.rings.map(r => length(LineString(r))).sum
+    case MultiPolygon(ps, _)       => ps.map(length).sum
+    case GeometryCollection(gs, _) => gs.map(length).sum
+    case _                         => 0.0
+  }
+
+  def dist(a: Coord, b: Coord): Double = math.hypot(a.x - b.x, a.y - b.y)
+
+  // ---- centroid (GEOS/PostGIS semantics: highest-dimension part wins) ----
+
+  def centroid(g: Geom): Point = {
+    val polys: Seq[Polygon] = collect(g) { case p: Polygon => p }
+    if (polys.nonEmpty && polys.exists(area(_) > 0)) {
+      var ax = 0.0; var ay = 0.0; var aw = 0.0
+      polys.foreach { p =>
+        p.rings.zipWithIndex.foreach { case (ring, idx) =>
+          val sgn = if (idx == 0) 1.0 else -1.0
+          var i = 0
+          while (i < ring.length - 1) {
+            val a = ring(i); val b = ring(i + 1)
+            val cross = a.x * b.y - b.x * a.y
+            ax += sgn * cross * (a.x + b.x)
+            ay += sgn * cross * (a.y + b.y)
+            aw += sgn * cross
+            i += 1
+          }
+        }
+      }
+      if (aw != 0.0) return Point(ax / (3 * aw), ay / (3 * aw)).withSrid(g.srid).asInstanceOf[Point]
+    }
+    val lines: Seq[LineString] = collect(g) { case l: LineString => l }
+    if (lines.nonEmpty && lines.exists(length(_) > 0)) {
+      var cx = 0.0; var cy = 0.0; var w = 0.0
+      lines.foreach { l =>
+        var i = 0
+        while (i < l.points.length - 1) {
+          val a = l.points(i); val b = l.points(i + 1)
+          val d = dist(a, b)
+          cx += d * (a.x + b.x) / 2; cy += d * (a.y + b.y) / 2; w += d
+          i += 1
+        }
+      }
+      if (w != 0.0) return Point(cx / w, cy / w).withSrid(g.srid).asInstanceOf[Point]
+    }
+    val cs = g.coords.map(_.to2D)
+    // drop duplicate closing vertices for point-average fallback
+    val pts = g match {
+      case _: Point | _: MultiPoint => cs
+      case _ => cs.distinct
+    }
+    if (pts.isEmpty) Point.empty(g.srid)
+    else Point(pts.map(_.x).sum / pts.length, pts.map(_.y).sum / pts.length)
+      .withSrid(g.srid).asInstanceOf[Point]
+  }
+
+  private def collect[T](g: Geom)(pf: PartialFunction[Geom, T]): Seq[T] = g match {
+    case MultiPoint(ps, _)         => ps.flatMap(collect(_)(pf))
+    case MultiLineString(ls, _)    => ls.flatMap(collect(_)(pf))
+    case MultiPolygon(pls, _)      => pls.flatMap(collect(_)(pf))
+    case GeometryCollection(gs, _) => gs.flatMap(collect(_)(pf))
+    case other                     => pf.lift(other).toSeq
+  }
+
+  // ---- transforms that are pure coordinate maps ----
+
+  /** Strip Z (Geometry3Dto2D, common.py:389-408). */
+  def force2D(g: Geom): Geom = g.mapCoords(_.to2D)
+
+  /** PostGIS ST_SnapToGrid(geom, size) with origin 0: round to grid
+    * (terra.py:57 — the cluster key). */
+  def snapToGrid(g: Geom, size: Double): Geom =
+    if (size <= 0) g
+    else g.mapCoords(c => Coord(math.floor(c.x / size + 0.5) * size,
+                                math.floor(c.y / size + 0.5) * size,
+                                c.z))
+
+  // ---- simplify (Douglas-Peucker, GEOS geom.simplify semantics) ----
+
+  def simplify(g: Geom, tolerance: Double): Geom = g match {
+    case l: LineString => LineString(dp(l.points, tolerance), l.srid)
+    case p: Polygon =>
+      val rings = p.rings.map(r => simplifyRing(r, tolerance)).filter(_.length >= 4)
+      if (rings.isEmpty || p.rings.isEmpty) p
+      else Polygon(if (rings.headOption.exists(_.length >= 4)) rings else p.rings, p.srid)
+    case MultiLineString(ls, s) => MultiLineString(ls.map(l => simplify(l, tolerance).asInstanceOf[LineString]), s)
+    case MultiPolygon(ps, s)    => MultiPolygon(ps.map(p => simplify(p, tolerance).asInstanceOf[Polygon]), s)
+    case GeometryCollection(gs, s) => GeometryCollection(gs.map(simplify(_, tolerance)), s)
+    case other => other
+  }
+
+  private def simplifyRing(ring: IndexedSeq[Coord], tol: Double): IndexedSeq[Coord] = {
+    if (ring.length <= 4) return ring
+    val open = dp(ring.dropRight(1), tol)
+    if (open.length < 3) ring else open :+ open.head
+  }
+
+  /** Douglas-Peucker on an open polyline. */
+  def dp(points: IndexedSeq[Coord], tol: Double): IndexedSeq[Coord] = {
+    if (points.length <= 2) return points
+    val keep = new Array[Boolean](points.length)
+    keep(0) = true; keep(points.length - 1) = true
+    def rec(lo: Int, hi: Int): Unit = {
+      if (hi <= lo + 1) return
+      var maxD = -1.0; var maxI = -1
+      var i = lo + 1
+      while (i < hi) {
+        val d = pointSegDist(points(i), points(lo), points(hi))
+        if (d > maxD) { maxD = d; maxI = i }
+        i += 1
+      }
+      if (maxD > tol) { keep(maxI) = true; rec(lo, maxI); rec(maxI, hi) }
+    }
+    rec(0, points.length - 1)
+    points.indices.collect { case i if keep(i) => points(i) }.toVector
+  }
+
+  /** Distance from point p to segment [a,b]. */
+  def pointSegDist(p: Coord, a: Coord, b: Coord): Double = {
+    val dx = b.x - a.x; val dy = b.y - a.y
+    val l2 = dx * dx + dy * dy
+    if (l2 == 0) return dist(p, a)
+    val t = math.max(0.0, math.min(1.0, ((p.x - a.x) * dx + (p.y - a.y) * dy) / l2))
+    dist(p, Coord(a.x + t * dx, a.y + t * dy))
+  }
+
+  // ---- predicates ----
+
+  /** Ray-cast point-in-ring; boundary counts as inside. */
+  def pointInRing(p: Coord, ring: Seq[Coord]): Boolean = {
+    var inside = false
+    var i = 0
+    val n = ring.length
+    while (i < n - 1) {
+      val a = ring(i); val b = ring(i + 1)
+      if (pointSegDist(p, a, b) < 1e-12) return true
+      if ((a.y > p.y) != (b.y > p.y)) {
+        val xInt = a.x + (p.y - a.y) * (b.x - a.x) / (b.y - a.y)
+        if (p.x < xInt) inside = !inside
+      }
+      i += 1
+    }
+    inside
+  }
+
+  def pointInPolygon(p: Coord, poly: Polygon): Boolean =
+    poly.rings.nonEmpty && pointInRing(p, poly.shell) &&
+      !poly.holes.exists(h => pointInRing(p, h) && !onRingBoundary(p, h))
+
+  private def onRingBoundary(p: Coord, ring: Seq[Coord]): Boolean = {
+    var i = 0
+    while (i < ring.length - 1) {
+      if (pointSegDist(p, ring(i), ring(i + 1)) < 1e-12) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Do segments [a,b] and [c,d] intersect (incl. endpoints/collinear overlap)? */
+  def segIntersects(a: Coord, b: Coord, c: Coord, d: Coord): Boolean = {
+    def orient(p: Coord, q: Coord, r: Coord): Double =
+      (q.x - p.x) * (r.y - p.y) - (q.y - p.y) * (r.x - p.x)
+    def onSeg(p: Coord, q: Coord, r: Coord): Boolean =
+      math.min(p.x, r.x) - 1e-12 <= q.x && q.x <= math.max(p.x, r.x) + 1e-12 &&
+      math.min(p.y, r.y) - 1e-12 <= q.y && q.y <= math.max(p.y, r.y) + 1e-12
+    val o1 = orient(a, b, c); val o2 = orient(a, b, d)
+    val o3 = orient(c, d, a); val o4 = orient(c, d, b)
+    if (((o1 > 0 && o2 < 0) || (o1 < 0 && o2 > 0)) &&
+        ((o3 > 0 && o4 < 0) || (o3 < 0 && o4 > 0))) return true
+    (math.abs(o1) < 1e-12 && onSeg(a, c, b)) ||
+    (math.abs(o2) < 1e-12 && onSeg(a, d, b)) ||
+    (math.abs(o3) < 1e-12 && onSeg(c, a, d)) ||
+    (math.abs(o4) < 1e-12 && onSeg(c, b, d))
+  }
+
+  private def segments(g: Geom): Seq[(Coord, Coord)] = g match {
+    case LineString(ps, _) => (1 until ps.length).map(i => (ps(i - 1), ps(i)))
+    case p: Polygon        => p.rings.flatMap(r => (1 until r.length).map(i => (r(i - 1), r(i))))
+    case MultiLineString(ls, _)    => ls.flatMap(segments)
+    case MultiPolygon(ps, _)       => ps.flatMap(segments)
+    case GeometryCollection(gs, _) => gs.flatMap(segments)
+    case _ => Seq.empty
+  }
+
+  private def polygons(g: Geom): Seq[Polygon] = collect(g) { case p: Polygon => p }
+
+  /** ST_Intersects (BooleanIntersect predicate, terra.py:233-237). */
+  def intersects(g1: Geom, g2: Geom): Boolean = {
+    if (g1.isEmpty || g2.isEmpty) return false
+    (BBox.of(g1), BBox.of(g2)) match {
+      case (Some(b1), Some(b2)) if !b1.expand(1e-12).intersects(b2) => return false
+      case _ =>
+    }
+    val pts1 = collect(g1) { case p: Point => p }.flatMap(_.coord)
+    val pts2 = collect(g2) { case p: Point => p }.flatMap(_.coord)
+    val segs1 = segments(g1); val segs2 = segments(g2)
+    val polys1 = polygons(g1); val polys2 = polygons(g2)
+    // point vs anything
+    if (pts1.exists(p => pts2.exists(q => dist(p, q) < 1e-12) ||
+        segs2.exists { case (a, b) => pointSegDist(p, a, b) < 1e-12 } ||
+        polys2.exists(pointInPolygon(p, _)))) return true
+    if (pts2.exists(p => segs1.exists { case (a, b) => pointSegDist(p, a, b) < 1e-12 } ||
+        polys1.exists(pointInPolygon(p, _)))) return true
+    // edge crossings
+    if (segs1.exists { case (a, b) => segs2.exists { case (c, d) => segIntersects(a, b, c, d) } })
+      return true
+    // containment (no edge crossing): any vertex of one inside a polygon of the other
+    if (polys2.nonEmpty && g1.coords.headOption.exists(c => polys2.exists(pointInPolygon(c.to2D, _))))
+      return true
+    if (polys1.nonEmpty && g2.coords.headOption.exists(c => polys1.exists(pointInPolygon(c.to2D, _))))
+      return true
+    false
+  }
+
+  /** Min cartesian distance (ClosestFeatures metric, terra.py:320). */
+  def distance(g1: Geom, g2: Geom): Double = {
+    if (g1.isEmpty || g2.isEmpty) return Double.NaN
+    if (intersects(g1, g2)) return 0.0
+    val pts1 = g1.coords.map(_.to2D); val pts2 = g2.coords.map(_.to2D)
+    val segs1 = segments(g1); val segs2 = segments(g2)
+    var best = Double.MaxValue
+    pts1.foreach { p =>
+      if (segs2.isEmpty) pts2.foreach(q => best = math.min(best, dist(p, q)))
+      else segs2.foreach { case (a, b) => best = math.min(best, pointSegDist(p, a, b)) }
+    }
+    pts2.foreach { p =>
+      if (segs1.isEmpty) () // covered above
+      else segs1.foreach { case (a, b) => best = math.min(best, pointSegDist(p, a, b)) }
+    }
+    best
+  }
+
+  // ---- subdivide (SubdivideGeom, terra.py:71-104) ----
+
+  /** ST_Subdivide-style recursive bbox halving until each part has at most
+    * `maxVertices` vertices. Parts are clipped with [[Clip.intersection]]. */
+  def subdivide(g: Geom, maxVertices: Int = 256): Seq[Geom] = {
+    val maxV = math.max(8, maxVertices)
+    def nVertices(x: Geom): Int = x.coords.length
+    def rec(x: Geom, depth: Int): Seq[Geom] = {
+      if (x.isEmpty) return Seq.empty
+      if (nVertices(x) <= maxV || depth > 24) return Seq(x)
+      BBox.of(x) match {
+        case None => Seq(x)
+        case Some(b) =>
+          val (r1, r2) =
+            if (b.maxX - b.minX >= b.maxY - b.minY) {
+              val mid = (b.minX + b.maxX) / 2
+              (BBox(b.minX, b.minY, mid, b.maxY), BBox(mid, b.minY, b.maxX, b.maxY))
+            } else {
+              val mid = (b.minY + b.maxY) / 2
+              (BBox(b.minX, b.minY, b.maxX, mid), BBox(b.minX, mid, b.maxX, b.maxY))
+            }
+          def clipTo(bb: BBox): Seq[Geom] = {
+            val rect = Polygon(Vector(Vector(
+              Coord(bb.minX, bb.minY), Coord(bb.maxX, bb.minY),
+              Coord(bb.maxX, bb.maxY), Coord(bb.minX, bb.maxY),
+              Coord(bb.minX, bb.minY))), x.srid)
+            val part = Clip.intersection(x, rect)
+            if (part.isEmpty) Seq.empty else rec(part, depth + 1)
+          }
+          val out = clipTo(r1) ++ clipTo(r2)
+          if (out.isEmpty) Seq(x) else out
+      }
+    }
+    rec(g, 0)
+  }
+}

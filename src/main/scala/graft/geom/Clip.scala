@@ -1,0 +1,396 @@
+package graft.geom
+
+import scala.collection.mutable
+
+/** Polygon boolean operations: intersection / union / difference.
+  *
+  * Backs the reference's `Intersection(...)` + `Union` aggregate
+  * (terra.py:269-271, terra.py:547, common.py:562-564) and
+  * `geom.difference` ring-subtraction (common.py:529). Implemented as a
+  * classic overlay-by-edge-classification: split each polygon's boundary at
+  * every crossing with the other, classify fragments (IN / OUT / ON) by
+  * midpoint, select per operation, stitch into rings (leftmost-turn walk),
+  * and reassemble shells + holes by containment. Not a GEOS port — scoped
+  * to the valid, modest-vertex-count geometries the reference exercises.
+  */
+object Clip {
+
+  private val EPS = 1e-9
+
+  // ---------- public API (geometry dispatch) ----------
+
+  def intersection(a: Geom, b: Geom): Geom = {
+    if (a.isEmpty || b.isEmpty) return Polygon(Vector.empty, a.srid)
+    (flatten(a), flatten(b)) match {
+      case (as, bs) =>
+        val out = mutable.ArrayBuffer.empty[Geom]
+        for (x <- as; y <- bs) out ++= pairIntersection(x, y)
+        assemble(out.toSeq, a.srid)
+    }
+  }
+
+  def union(a: Geom, b: Geom): Geom = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val polysA = flatten(a).collect { case p: Polygon => p }
+    val polysB = flatten(b).collect { case p: Polygon => p }
+    if (polysA.isEmpty || polysB.isEmpty) {
+      // non-areal union = collect
+      return assemble(flatten(a) ++ flatten(b), a.srid)
+    }
+    // fold: union of two multipolygon sets via overlay
+    val rings = overlay(polysA, polysB, Op.Union)
+    ringsToGeom(rings, a.srid)
+  }
+
+  def difference(a: Geom, b: Geom): Geom = {
+    if (a.isEmpty) return a
+    if (b.isEmpty) return a
+    val polysA = flatten(a).collect { case p: Polygon => p }
+    val polysB = flatten(b).collect { case p: Polygon => p }
+    if (polysB.isEmpty) return a
+    if (polysA.isEmpty) {
+      // line/point minus polygon: keep parts outside
+      val keep = flatten(a).filterNot {
+        case Point(Some(c), _) => polysB.exists(Algos.pointInPolygon(c, _))
+        case g => g.coords.forall(c => polysB.exists(Algos.pointInPolygon(c.to2D, _)))
+      }
+      return assemble(keep, a.srid)
+    }
+    val rings = overlay(polysA, polysB, Op.Difference)
+    ringsToGeom(rings, a.srid)
+  }
+
+  // ---------- helpers ----------
+
+  private def flatten(g: Geom): Seq[Geom] = g match {
+    case MultiPoint(ps, _)         => ps.filter(!_.isEmpty)
+    case MultiLineString(ls, _)    => ls.filter(_.points.nonEmpty)
+    case MultiPolygon(ps, _)       => ps.filter(_.rings.nonEmpty)
+    case GeometryCollection(gs, _) => gs.flatMap(flatten)
+    case other                     => if (other.isEmpty) Seq.empty else Seq(other)
+  }
+
+  private def pairIntersection(x: Geom, y: Geom): Seq[Geom] = (x, y) match {
+    case (p: Point, g) => if (contains(g, p)) Seq(p) else Seq.empty
+    case (g, p: Point) => if (contains(g, p)) Seq(p) else Seq.empty
+    case (l: LineString, p: Polygon) => clipLine(l, p)
+    case (p: Polygon, l: LineString) => clipLine(l, p)
+    case (a: Polygon, b: Polygon) => ringsToGeom(overlay(Seq(a), Seq(b), Op.Intersection), a.srid) match {
+      case g if g.isEmpty => Seq.empty
+      case g => flatten(g)
+    }
+    case (a: LineString, b: LineString) =>
+      // shared points only (degenerate); rarely needed
+      val pts = for {
+        i <- 1 until a.points.length; j <- 1 until b.points.length
+        if Algos.segIntersects(a.points(i - 1), a.points(i), b.points(j - 1), b.points(j))
+        p <- segSegPoint(a.points(i - 1), a.points(i), b.points(j - 1), b.points(j))
+      } yield Point(Some(p))
+      pts.distinct
+    case _ => Seq.empty
+  }
+
+  private def contains(g: Geom, p: Point): Boolean = p.coord.exists { c =>
+    g match {
+      case poly: Polygon => Algos.pointInPolygon(c.to2D, poly)
+      case l: LineString =>
+        (1 until l.points.length).exists(i => Algos.pointSegDist(c.to2D, l.points(i - 1), l.points(i)) < EPS)
+      case q: Point => q.coord.exists(Algos.dist(_, c) < EPS)
+      case _ => false
+    }
+  }
+
+  /** Clip a polyline to a polygon: keep sub-segments inside. */
+  private def clipLine(l: LineString, poly: Polygon): Seq[Geom] = {
+    val out = mutable.ArrayBuffer.empty[Vector[Coord]]
+    var cur = mutable.ArrayBuffer.empty[Coord]
+    val polyEdges = edgesOf(poly)
+    (1 until l.points.length).foreach { i =>
+      val a = l.points(i - 1).to2D; val b = l.points(i).to2D
+      // split [a,b] at crossings with polygon boundary
+      val ts = mutable.SortedSet(0.0, 1.0)
+      polyEdges.foreach { case (c, d) =>
+        segSegParams(a, b, c, d).foreach(t => if (t > EPS && t < 1 - EPS) ts += t)
+      }
+      val pts = ts.toIndexedSeq.map(t => Coord(a.x + t * (b.x - a.x), a.y + t * (b.y - a.y)))
+      (1 until pts.length).foreach { k =>
+        val m = Coord((pts(k - 1).x + pts(k).x) / 2, (pts(k - 1).y + pts(k).y) / 2)
+        if (Algos.pointInPolygon(m, poly)) {
+          if (cur.isEmpty) { cur += pts(k - 1); cur += pts(k) }
+          else if (Algos.dist(cur.last, pts(k - 1)) < EPS) cur += pts(k)
+          else { out += cur.toVector; cur = mutable.ArrayBuffer(pts(k - 1), pts(k)) }
+        } else if (cur.nonEmpty) { out += cur.toVector; cur = mutable.ArrayBuffer.empty }
+      }
+    }
+    if (cur.nonEmpty) out += cur.toVector
+    out.toSeq.filter(_.length >= 2).map(v => LineString(v, l.srid))
+  }
+
+  // ---------- polygon overlay core ----------
+
+  private object Op extends Enumeration { val Intersection, Union, Difference = Value }
+
+  private final case class Frag(pts: Vector[Coord]) {
+    def start: Coord = pts.head
+    def end: Coord = pts.last
+    def mid: Coord = {
+      // midpoint of the longest constituent segment (robust for collinear chains)
+      var bi = 0; var bd = -1.0
+      (1 until pts.length).foreach { i =>
+        val d = Algos.dist(pts(i - 1), pts(i)); if (d > bd) { bd = d; bi = i }
+      }
+      Coord((pts(bi - 1).x + pts(bi).x) / 2, (pts(bi - 1).y + pts(bi).y) / 2)
+    }
+    def reversed: Frag = Frag(pts.reverse)
+    def key: (Long, Long, Long, Long) = (q(start.x), q(start.y), q(end.x), q(end.y))
+  }
+
+  private def q(d: Double): Long = math.round(d / (EPS * 100))
+
+  private def edgesOf(p: Polygon): Seq[(Coord, Coord)] =
+    p.rings.flatMap(r => (1 until r.length).map(i => (r(i - 1).to2D, r(i).to2D)))
+
+  /** Normalize: shell CCW, holes CW, drop repeated vertices, ensure closed. */
+  private def normalize(p: Polygon): Polygon = {
+    val rings = p.rings.zipWithIndex.flatMap { case (r0, idx) =>
+      var r = r0.map(_.to2D)
+      if (r.length >= 2 && Algos.dist(r.head, r.last) > EPS) r = r :+ r.head
+      // drop consecutive dupes
+      val cleaned = r.foldLeft(Vector.empty[Coord]) { (acc, c) =>
+        if (acc.nonEmpty && Algos.dist(acc.last, c) < EPS) acc else acc :+ c
+      }
+      if (cleaned.length < 4) None
+      else {
+        val ccw = Algos.signedRingArea(cleaned) > 0
+        val want = idx == 0
+        Some(if (ccw == want) cleaned else cleaned.reverse)
+      }
+    }
+    Polygon(rings, p.srid)
+  }
+
+  /** Split every ring of `subject` at crossings with `others`' edges → directed fragments. */
+  private def fragments(subject: Seq[Polygon], others: Seq[Polygon]): Seq[Frag] = {
+    val otherEdges = others.flatMap(edgesOf)
+    val frags = mutable.ArrayBuffer.empty[Frag]
+    subject.foreach { poly =>
+      poly.rings.foreach { ring =>
+        // collect split points along the ring (param = index + t)
+        val splits = mutable.SortedSet.empty[Double]
+        (1 until ring.length).foreach { i =>
+          val a = ring(i - 1); val b = ring(i)
+          splits += (i - 1).toDouble
+          otherEdges.foreach { case (c, d) =>
+            segSegParams(a, b, c, d).foreach { t =>
+              if (t > EPS && t < 1 - EPS) splits += (i - 1) + t
+            }
+          }
+        }
+        splits += (ring.length - 1).toDouble
+        val params = splits.toIndexedSeq
+        def at(p: Double): Coord = {
+          val i = math.min(p.toInt, ring.length - 2)
+          val t = p - i
+          val a = ring(i); val b = ring(i + 1)
+          Coord(a.x + t * (b.x - a.x), a.y + t * (b.y - a.y))
+        }
+        // one fragment per split interval (merging zero-length)
+        (1 until params.length).foreach { k =>
+          val p0 = at(params(k - 1)); val p1 = at(params(k))
+          if (Algos.dist(p0, p1) > EPS) frags += Frag(Vector(p0, p1))
+        }
+      }
+    }
+    frags.toSeq
+  }
+
+  /** All intersection params t on [a,b] against [c,d] (proper + touch + collinear ends). */
+  private def segSegParams(a: Coord, b: Coord, c: Coord, d: Coord): Seq[Double] = {
+    val r = (b.x - a.x, b.y - a.y)
+    val s = (d.x - c.x, d.y - c.y)
+    val denom = r._1 * s._2 - r._2 * s._1
+    val qp = (c.x - a.x, c.y - a.y)
+    if (math.abs(denom) > EPS) {
+      val t = (qp._1 * s._2 - qp._2 * s._1) / denom
+      val u = (qp._1 * r._2 - qp._2 * r._1) / denom
+      if (t >= -EPS && t <= 1 + EPS && u >= -EPS && u <= 1 + EPS) Seq(t) else Seq.empty
+    } else {
+      // parallel: collinear? project c,d onto [a,b]
+      val cross = qp._1 * r._2 - qp._2 * r._1
+      if (math.abs(cross) > EPS) Seq.empty
+      else {
+        val len2 = r._1 * r._1 + r._2 * r._2
+        if (len2 < EPS) Seq.empty
+        else Seq(
+          ((c.x - a.x) * r._1 + (c.y - a.y) * r._2) / len2,
+          ((d.x - a.x) * r._1 + (d.y - a.y) * r._2) / len2
+        ).filter(t => t >= -EPS && t <= 1 + EPS)
+      }
+    }
+  }
+
+  private def segSegPoint(a: Coord, b: Coord, c: Coord, d: Coord): Option[Coord] = {
+    val ts = segSegParams(a, b, c, d)
+    ts.headOption.map(t => Coord(a.x + t * (b.x - a.x), a.y + t * (b.y - a.y)))
+  }
+
+  private sealed trait Loc
+  private case object In extends Loc
+  private case object Out extends Loc
+  private case object On extends Loc
+
+  private def locate(c: Coord, polys: Seq[Polygon]): Loc = {
+    val onB = polys.exists(p => edgesOf(p).exists { case (a, b) => Algos.pointSegDist(c, a, b) < EPS * 10 })
+    if (onB) On
+    else if (polys.exists(p => Algos.pointInPolygon(c, p))) In
+    else Out
+  }
+
+  /** Core overlay: returns the selected, stitched rings. */
+  private def overlay(rawA: Seq[Polygon], rawB: Seq[Polygon], op: Op.Value): Seq[Vector[Coord]] = {
+    val as = rawA.map(normalize).filter(_.rings.nonEmpty)
+    val bs = rawB.map(normalize).filter(_.rings.nonEmpty)
+    if (as.isEmpty) return op match {
+      case Op.Union => bs.flatMap(_.rings.map(_.toVector))
+      case _        => Seq.empty
+    }
+    if (bs.isEmpty) return op match {
+      case Op.Intersection => Seq.empty
+      case _               => as.flatMap(_.rings.map(_.toVector))
+    }
+    val fragsA = fragments(as, bs)
+    val fragsB = fragments(bs, as)
+    val bKeys = fragsB.map(_.key).toSet
+    val bRevKeys = fragsB.map(_.reversed.key).toSet
+
+    val selected = mutable.ArrayBuffer.empty[Frag]
+    val seen = mutable.Set.empty[(Long, Long, Long, Long)]
+    def add(f: Frag): Unit = if (!seen.contains(f.key)) { seen += f.key; selected += f }
+
+    fragsA.foreach { f =>
+      locate(f.mid, bs) match {
+        case In  => if (op == Op.Intersection) add(f)
+        case Out => if (op == Op.Union || op == Op.Difference) add(f)
+        case On  =>
+          val same = bKeys.contains(f.key) ||
+            (!bRevKeys.contains(f.key) && sameDirectionOnB(f, fragsB))
+          op match {
+            case Op.Intersection | Op.Union => if (same) add(f)
+            case Op.Difference              => if (!same) add(f)
+          }
+      }
+    }
+    fragsB.foreach { f =>
+      locate(f.mid, as) match {
+        case In =>
+          if (op == Op.Intersection) add(f)
+          else if (op == Op.Difference) add(f.reversed)
+        case Out => if (op == Op.Union) add(f)
+        case On  => // boundary-on-boundary contributed by A side already
+      }
+    }
+    stitch(selected.toSeq)
+  }
+
+  private def sameDirectionOnB(f: Frag, fragsB: Seq[Frag]): Boolean = {
+    val m = f.mid
+    val dir = (f.end.x - f.start.x, f.end.y - f.start.y)
+    fragsB.exists { g =>
+      Algos.pointSegDist(m, g.start, g.end) < EPS * 10 && {
+        val gd = (g.end.x - g.start.x, g.end.y - g.start.y)
+        dir._1 * gd._1 + dir._2 * gd._2 > 0
+      }
+    }
+  }
+
+  /** Stitch directed fragments into closed rings; at junctions take the
+    * leftmost turn (keeps interior on the left for CCW shells). */
+  private def stitch(frags: Seq[Frag]): Seq[Vector[Coord]] = {
+    val byStart = mutable.Map.empty[(Long, Long), mutable.ArrayBuffer[Frag]]
+    frags.foreach { f =>
+      byStart.getOrElseUpdate((q(f.start.x), q(f.start.y)), mutable.ArrayBuffer.empty) += f
+    }
+    val used = mutable.Set.empty[Frag]
+    val rings = mutable.ArrayBuffer.empty[Vector[Coord]]
+    frags.foreach { f0 =>
+      if (!used.contains(f0)) {
+        val ring = mutable.ArrayBuffer.empty[Coord]
+        var cur = f0
+        var ok = true
+        val loopGuard = frags.length + 2
+        var steps = 0
+        used += cur
+        ring ++= cur.pts.dropRight(1)
+        while (ok && steps < loopGuard && Algos.dist(cur.end, f0.start) > EPS) {
+          val cands = byStart.getOrElse((q(cur.end.x), q(cur.end.y)), mutable.ArrayBuffer.empty)
+            .filterNot(used.contains)
+          if (cands.isEmpty) ok = false
+          else {
+            val inDir = math.atan2(cur.end.y - cur.pts(cur.pts.length - 2).y,
+                                   cur.end.x - cur.pts(cur.pts.length - 2).x)
+            val next = cands.minBy { c =>
+              val outDir = math.atan2(c.pts(1).y - c.start.y, c.pts(1).x - c.start.x)
+              // leftmost turn = smallest clockwise angle from reversed incoming
+              val a = (inDir + math.Pi - outDir) % (2 * math.Pi)
+              val a2 = if (a <= 0) a + 2 * math.Pi else a
+              a2
+            }
+            used += next
+            ring ++= next.pts.dropRight(1)
+            cur = next
+          }
+          steps += 1
+        }
+        if (ok && Algos.dist(cur.end, f0.start) <= EPS && ring.length >= 3) {
+          rings += (ring.toVector :+ ring.head)
+        }
+      }
+    }
+    rings.toSeq.filter(r => math.abs(Algos.signedRingArea(r)) > EPS)
+  }
+
+  /** Assemble stitched rings into Polygon/MultiPolygon (shells CCW, holes CW). */
+  private def ringsToGeom(rings: Seq[Vector[Coord]], srid: Int): Geom = {
+    if (rings.isEmpty) return Polygon(Vector.empty, srid)
+    val shells = rings.filter(Algos.signedRingArea(_) > 0)
+    val holes = rings.filter(Algos.signedRingArea(_) < 0)
+    if (shells.isEmpty) return Polygon(Vector.empty, srid)
+    val polys = shells.map(s => (s, mutable.ArrayBuffer.empty[Vector[Coord]]))
+    holes.foreach { h =>
+      val inside = polys.filter { case (s, _) => Algos.pointInRing(h.head, s) }
+      if (inside.nonEmpty) {
+        val target = inside.minBy { case (s, _) => math.abs(Algos.signedRingArea(s)) }
+        target._2 += h
+      }
+    }
+    val out = polys.map { case (s, hs) => Polygon((s +: hs.toVector).toVector, srid) }
+    if (out.length == 1) out.head else MultiPolygon(out.toVector, srid)
+  }
+
+  private def assemble(parts: Seq[Geom], srid: Int): Geom = {
+    val nonEmpty = parts.filter(!_.isEmpty)
+    nonEmpty match {
+      case Seq()  => Polygon(Vector.empty, srid)
+      case Seq(g) => g.withSrid(srid)
+      case many =>
+        val points = many.collect { case p: Point => p }
+        val lines = many.collect { case l: LineString => l }
+        val polys = many.collect { case p: Polygon => p }
+        if (polys.length == many.length) MultiPolygon(polys.toVector, srid)
+        else if (lines.length == many.length) MultiLineString(lines.toVector, srid)
+        else if (points.length == many.length) MultiPoint(points.toVector, srid)
+        else GeometryCollection(many.toVector, srid)
+    }
+  }
+
+  /** GEOS MakeValid-lite (buffer(0) analogue, common.py:308-311): normalize
+    * ring orientation/closure and drop degenerate rings. */
+  def makeValid(g: Geom): Geom = g match {
+    case p: Polygon      => normalize(p)
+    case MultiPolygon(ps, s) =>
+      val ok = ps.map(normalize).filter(_.rings.nonEmpty)
+      if (ok.length == 1) ok.head.withSrid(s) else MultiPolygon(ok, s)
+    case other => other
+  }
+}

@@ -1,0 +1,96 @@
+package graft.geom
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import scala.jdk.CollectionConverters._
+
+/** GeoJSON codec (RFC 7946 geometry objects).
+  *
+  * Mirrors the reference's geometry↔GeoJSON hops: `GEOSGeometry(json.dumps
+  * (feature['geometry']))` on read (common.py:102) and
+  * `json.loads(geom.geojson)` on write (common.py:365). Jackson comes from
+  * the Spark classpath — no extra dependency.
+  */
+object GeoJson {
+
+  private val mapper = new ObjectMapper()
+
+  def write(g: Geom): String = toNode(g).toString
+
+  def toNode(g: Geom): ObjectNode = {
+    val o = mapper.createObjectNode()
+    g match {
+      case Point(co, _) =>
+        o.put("type", "Point")
+        o.set[ObjectNode]("coordinates", co.map(coordArr).getOrElse(mapper.createArrayNode()))
+      case LineString(ps, _) =>
+        o.put("type", "LineString")
+        o.set[ObjectNode]("coordinates", arr(ps.map(coordArr)))
+      case Polygon(rings, _) =>
+        o.put("type", "Polygon")
+        o.set[ObjectNode]("coordinates", arr(rings.map(r => arr(r.map(coordArr)))))
+      case MultiPoint(ps, _) =>
+        o.put("type", "MultiPoint")
+        o.set[ObjectNode]("coordinates", arr(ps.flatMap(_.coord).map(coordArr)))
+      case MultiLineString(ls, _) =>
+        o.put("type", "MultiLineString")
+        o.set[ObjectNode]("coordinates", arr(ls.map(l => arr(l.points.map(coordArr)))))
+      case MultiPolygon(pls, _) =>
+        o.put("type", "MultiPolygon")
+        o.set[ObjectNode]("coordinates",
+          arr(pls.map(p => arr(p.rings.map(r => arr(r.map(coordArr)))))))
+      case GeometryCollection(gs, _) =>
+        o.put("type", "GeometryCollection")
+        val a = mapper.createArrayNode()
+        gs.foreach(sub => a.add(toNode(sub)))
+        o.set[ObjectNode]("geometries", a)
+    }
+    o
+  }
+
+  private def coordArr(c: Coord): ArrayNode = {
+    val a = mapper.createArrayNode()
+    a.add(c.x); a.add(c.y)
+    if (c.is3D) a.add(c.z)
+    a
+  }
+
+  private def arr(ns: Seq[JsonNode]): ArrayNode = {
+    val a = mapper.createArrayNode()
+    ns.foreach(a.add)
+    a
+  }
+
+  def parse(json: String): Geom = fromNode(mapper.readTree(json))
+
+  def parseOpt(json: String): Option[Geom] =
+    try Some(parse(json)) catch { case _: Exception => None }
+
+  def fromNode(n: JsonNode): Geom = {
+    def coord(a: JsonNode): Coord = {
+      val x = a.get(0).asDouble(); val y = a.get(1).asDouble()
+      if (a.size() > 2) Coord(x, y, a.get(2).asDouble()) else Coord(x, y)
+    }
+    def coordsOf(a: JsonNode): IndexedSeq[Coord] =
+      a.elements().asScala.map(coord).toVector
+    n.get("type").asText() match {
+      case "Point" =>
+        val c = n.get("coordinates")
+        if (c == null || c.size() == 0) Point.empty() else Point(Some(coord(c)))
+      case "LineString" => LineString(coordsOf(n.get("coordinates")))
+      case "Polygon" =>
+        Polygon(n.get("coordinates").elements().asScala.map(coordsOf).toVector)
+      case "MultiPoint" =>
+        MultiPoint(coordsOf(n.get("coordinates")).map(c => Point(Some(c))))
+      case "MultiLineString" =>
+        MultiLineString(n.get("coordinates").elements().asScala.map(r => LineString(coordsOf(r))).toVector)
+      case "MultiPolygon" =>
+        MultiPolygon(n.get("coordinates").elements().asScala
+          .map(p => Polygon(p.elements().asScala.map(coordsOf).toVector)).toVector)
+      case "GeometryCollection" =>
+        GeometryCollection(n.get("geometries").elements().asScala.map(fromNode).toVector)
+      case "Feature" => fromNode(n.get("geometry"))
+      case other => throw new IllegalArgumentException(s"unknown GeoJSON type: $other")
+    }
+  }
+}

@@ -1,0 +1,115 @@
+package graft.geom
+
+/** Geometry value model for the engine.
+  *
+  * The reference flows GDAL/GEOS `GEOSGeometry` values through records
+  * (terra_bonobo_nodes/common.py:14, common.py:102); our engine has no
+  * external geometry dependency (offline build), so this is a minimal
+  * hand-written kernel scoped to what SURVEY.md §2.3–2.5 needs: the seven
+  * simple-feature types, 2D/3D coordinates, an SRID tag, and the scalar
+  * algorithms in [[Algos]] / [[Clip]] / [[Proj]].
+  *
+  * On-wire encoding between Spark rows is WKB (`BinaryType`) via [[Wkb]];
+  * WKT ([[Wkt]]) and GeoJSON ([[GeoJson]]) are the human-facing codecs.
+  * Coordinates are `(x, y[, z])` doubles; SRID rides on the value like
+  * PostGIS EWKB (reference pins SRID 4326,
+  * test_terra_bonobo_nodes/settings.py:128).
+  */
+final case class Coord(x: Double, y: Double, z: Double = Double.NaN) {
+  def is3D: Boolean = !z.isNaN
+  def to2D: Coord = if (is3D) Coord(x, y) else this
+}
+
+sealed trait Geom {
+  def srid: Int
+  def withSrid(s: Int): Geom
+  /** All coordinates, flattened (for bbox / force2D / grid math). */
+  def coords: Seq[Coord]
+  def isEmpty: Boolean = coords.isEmpty
+  def is3D: Boolean = coords.exists(_.is3D)
+  /** Geometry type name as in WKT. */
+  def typeName: String = this match {
+    case _: Point              => "POINT"
+    case _: LineString         => "LINESTRING"
+    case _: Polygon            => "POLYGON"
+    case _: MultiPoint         => "MULTIPOINT"
+    case _: MultiLineString    => "MULTILINESTRING"
+    case _: MultiPolygon       => "MULTIPOLYGON"
+    case _: GeometryCollection => "GEOMETRYCOLLECTION"
+  }
+  def mapCoords(f: Coord => Coord): Geom
+}
+
+/** Empty point = `POINT EMPTY` (the reference's missing-geom default,
+  * terra.py:170): encoded as a Point with NaN ordinates. */
+final case class Point(coord: Option[Coord], srid: Int = 0) extends Geom {
+  def withSrid(s: Int): Point = copy(srid = s)
+  def coords: Seq[Coord] = coord.toSeq
+  def mapCoords(f: Coord => Coord): Point = Point(coord.map(f), srid)
+  def x: Double = coord.map(_.x).getOrElse(Double.NaN)
+  def y: Double = coord.map(_.y).getOrElse(Double.NaN)
+}
+object Point {
+  def apply(x: Double, y: Double): Point = Point(Some(Coord(x, y)))
+  def apply(x: Double, y: Double, srid: Int): Point = Point(Some(Coord(x, y)), srid)
+  def xyz(x: Double, y: Double, z: Double, srid: Int = 0): Point =
+    Point(Some(Coord(x, y, z)), srid)
+  def empty(srid: Int = 0): Point = Point(None, srid)
+}
+
+final case class LineString(points: IndexedSeq[Coord], srid: Int = 0) extends Geom {
+  def withSrid(s: Int): LineString = copy(srid = s)
+  def coords: Seq[Coord] = points
+  def mapCoords(f: Coord => Coord): LineString = LineString(points.map(f), srid)
+}
+
+/** First ring = shell, rest = holes. Rings are closed (first == last). */
+final case class Polygon(rings: IndexedSeq[IndexedSeq[Coord]], srid: Int = 0) extends Geom {
+  def withSrid(s: Int): Polygon = copy(srid = s)
+  def coords: Seq[Coord] = rings.flatten
+  def shell: IndexedSeq[Coord] = if (rings.isEmpty) IndexedSeq.empty else rings.head
+  def holes: IndexedSeq[IndexedSeq[Coord]] = if (rings.isEmpty) IndexedSeq.empty else rings.tail
+  def mapCoords(f: Coord => Coord): Polygon = Polygon(rings.map(_.map(f)), srid)
+}
+
+final case class MultiPoint(points: IndexedSeq[Point], srid: Int = 0) extends Geom {
+  def withSrid(s: Int): MultiPoint = copy(srid = s)
+  def coords: Seq[Coord] = points.flatMap(_.coords)
+  def mapCoords(f: Coord => Coord): MultiPoint = MultiPoint(points.map(_.mapCoords(f)), srid)
+}
+
+final case class MultiLineString(lines: IndexedSeq[LineString], srid: Int = 0) extends Geom {
+  def withSrid(s: Int): MultiLineString = copy(srid = s)
+  def coords: Seq[Coord] = lines.flatMap(_.coords)
+  def mapCoords(f: Coord => Coord): MultiLineString = MultiLineString(lines.map(_.mapCoords(f)), srid)
+}
+
+final case class MultiPolygon(polygons: IndexedSeq[Polygon], srid: Int = 0) extends Geom {
+  def withSrid(s: Int): MultiPolygon = copy(srid = s)
+  def coords: Seq[Coord] = polygons.flatMap(_.coords)
+  def mapCoords(f: Coord => Coord): MultiPolygon = MultiPolygon(polygons.map(_.mapCoords(f)), srid)
+}
+
+final case class GeometryCollection(geoms: IndexedSeq[Geom], srid: Int = 0) extends Geom {
+  def withSrid(s: Int): GeometryCollection = copy(srid = s)
+  def coords: Seq[Coord] = geoms.flatMap(_.coords)
+  def mapCoords(f: Coord => Coord): GeometryCollection =
+    GeometryCollection(geoms.map(_.mapCoords(f)), srid)
+}
+
+/** Axis-aligned bounding box (used by predicates and the grid spatial join). */
+final case class BBox(minX: Double, minY: Double, maxX: Double, maxY: Double) {
+  def intersects(o: BBox): Boolean =
+    minX <= o.maxX && o.minX <= maxX && minY <= o.maxY && o.minY <= maxY
+  def expand(d: Double): BBox = BBox(minX - d, minY - d, maxX + d, maxY + d)
+  def union(o: BBox): BBox =
+    BBox(math.min(minX, o.minX), math.min(minY, o.minY),
+         math.max(maxX, o.maxX), math.max(maxY, o.maxY))
+}
+object BBox {
+  def of(g: Geom): Option[BBox] = {
+    val cs = g.coords
+    if (cs.isEmpty) None
+    else Some(BBox(cs.map(_.x).min, cs.map(_.y).min, cs.map(_.x).max, cs.map(_.y).max))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.geom
+
+/** CRS transforms (TransformGeom, terra.py:474-494; grid clustering's
+  * `ST_Transform(geom, srid)`, terra.py:57).
+  *
+  * Scoped to the projections the reference exercises: EPSG:4326 (WGS84
+  * lon/lat) ↔ EPSG:3857 (spherical web-mercator) and ↔ EPSG:2154
+  * (RGF93 / Lambert-93 — Lambert Conformal Conic 2SP on GRS80, the pair
+  * exercised in test_terra.py:344). Formulas are the published EPSG
+  * guidance-note ones; no external projection library (offline build).
+  */
+object Proj {
+
+  private val A_SPHERE = 6378137.0                    // web-mercator sphere radius
+  private val A_GRS80 = 6378137.0                     // GRS80 semi-major
+  private val F_GRS80 = 1.0 / 298.257222101
+  private val E2_GRS80 = F_GRS80 * (2 - F_GRS80)
+  private val E_GRS80 = math.sqrt(E2_GRS80)
+
+  def transform(g: Geom, fromSrid0: Int, toSrid: Int): Geom = {
+    val fromSrid = if (fromSrid0 != 0) fromSrid0 else g.srid
+    if (fromSrid == toSrid) return g.withSrid(toSrid)
+    val f: Coord => Coord = (fromSrid, toSrid) match {
+      case (4326, 3857) => c => to3857(c)
+      case (3857, 4326) => c => from3857(c)
+      case (4326, 2154) => c => lcc93Forward(c)
+      case (2154, 4326) => c => lcc93Inverse(c)
+      case (3857, 2154) => c => lcc93Forward(from3857(c))
+      case (2154, 3857) => c => to3857(lcc93Inverse(c))
+      case _ => throw new IllegalArgumentException(
+        s"unsupported CRS transform $fromSrid -> $toSrid (supported: 4326, 3857, 2154)")
+    }
+    g.mapCoords(f).withSrid(toSrid)
+  }
+
+  /** Transform with the current SRID of the geometry as source. */
+  def transform(g: Geom, toSrid: Int): Geom = transform(g, g.srid, toSrid)
+
+  // ---- EPSG:3857 spherical mercator ----
+
+  private def to3857(c: Coord): Coord = {
+    val x = math.toRadians(c.x) * A_SPHERE
+    val lat = math.max(-89.9999, math.min(89.9999, c.y))
+    val y = math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2)) * A_SPHERE
+    Coord(x, y, c.z)
+  }
+
+  private def from3857(c: Coord): Coord = {
+    val lon = math.toDegrees(c.x / A_SPHERE)
+    val lat = math.toDegrees(2 * math.atan(math.exp(c.y / A_SPHERE)) - math.Pi / 2)
+    Coord(lon, lat, c.z)
+  }
+
+  // ---- EPSG:2154 Lambert-93 (LCC 2SP, GRS80) ----
+  // Parameters: lat1=44N, lat2=49N, lat0=46.5N, lon0=3E, FE=700000, FN=6600000.
+
+  private val lat1 = math.toRadians(44.0)
+  private val lat2 = math.toRadians(49.0)
+  private val lat0 = math.toRadians(46.5)
+  private val lon0 = math.toRadians(3.0)
+  private val fe = 700000.0
+  private val fn = 6600000.0
+
+  private def mFn(lat: Double): Double =
+    math.cos(lat) / math.sqrt(1 - E2_GRS80 * math.sin(lat) * math.sin(lat))
+
+  private def tFn(lat: Double): Double = {
+    val es = E_GRS80 * math.sin(lat)
+    math.tan(math.Pi / 4 - lat / 2) / math.pow((1 - es) / (1 + es), E_GRS80 / 2)
+  }
+
+  private val n93 = (math.log(mFn(lat1)) - math.log(mFn(lat2))) /
+                    (math.log(tFn(lat1)) - math.log(tFn(lat2)))
+  private val f93 = mFn(lat1) / (n93 * math.pow(tFn(lat1), n93))
+  private val rho0 = A_GRS80 * f93 * math.pow(tFn(lat0), n93)
+
+  private def lcc93Forward(c: Coord): Coord = {
+    val lon = math.toRadians(c.x); val lat = math.toRadians(c.y)
+    val rho = A_GRS80 * f93 * math.pow(tFn(lat), n93)
+    val theta = n93 * (lon - lon0)
+    Coord(fe + rho * math.sin(theta), fn + rho0 - rho * math.cos(theta), c.z)
+  }
+
+  private def lcc93Inverse(c: Coord): Coord = {
+    val dx = c.x - fe; val dy = rho0 - (c.y - fn)
+    val rho = math.signum(n93) * math.hypot(dx, dy)
+    val theta = math.atan2(dx, dy)
+    val lon = theta / n93 + lon0
+    val t = math.pow(rho / (A_GRS80 * f93), 1 / n93)
+    // iterate latitude
+    var lat = math.Pi / 2 - 2 * math.atan(t)
+    var i = 0
+    while (i < 10) {
+      val es = E_GRS80 * math.sin(lat)
+      val next = math.Pi / 2 - 2 * math.atan(t * math.pow((1 - es) / (1 + es), E_GRS80 / 2))
+      if (math.abs(next - lat) < 1e-12) i = 10
+      lat = next
+      i += 1
+    }
+    Coord(math.toDegrees(lon), math.toDegrees(lat), c.z)
+  }
+}

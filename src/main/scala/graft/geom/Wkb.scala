@@ -1,0 +1,135 @@
+package graft.geom
+
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.collection.mutable.ArrayBuffer
+
+/** WKB / EWKB codec — the engine's on-wire geometry encoding
+  * (`BinaryType` columns, SURVEY.md §7).
+  *
+  * Writes little-endian EWKB: when `srid != 0` the PostGIS SRID flag
+  * (0x20000000) is set and the SRID follows the type word; the Z flag is
+  * 0x80000000. Reader accepts both endiannesses and both the ISO
+  * (type + 1000) and PostGIS-flag Z conventions, so hex WKB accepted by the
+  * reference's `GEOSGeometry(str)` (common.py:307) round-trips.
+  */
+object Wkb {
+
+  private val SRID_FLAG = 0x20000000
+  private val Z_FLAG = 0x80000000
+
+  def write(g: Geom): Array[Byte] = {
+    val out = new ArrayBuffer[Byte](64)
+    writeGeom(g, out, writeSrid = g.srid != 0)
+    out.toArray
+  }
+
+  private def typeCode(g: Geom): Int = g match {
+    case _: Point              => 1
+    case _: LineString         => 2
+    case _: Polygon            => 3
+    case _: MultiPoint         => 4
+    case _: MultiLineString    => 5
+    case _: MultiPolygon       => 6
+    case _: GeometryCollection => 7
+  }
+
+  private def putInt(out: ArrayBuffer[Byte], v: Int): Unit = {
+    out += (v & 0xff).toByte
+    out += ((v >>> 8) & 0xff).toByte
+    out += ((v >>> 16) & 0xff).toByte
+    out += ((v >>> 24) & 0xff).toByte
+  }
+
+  private def putDouble(out: ArrayBuffer[Byte], d: Double): Unit = {
+    val v = java.lang.Double.doubleToLongBits(d)
+    var i = 0
+    while (i < 8) { out += ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+  }
+
+  private def writeGeom(g: Geom, out: ArrayBuffer[Byte], writeSrid: Boolean): Unit = {
+    out += 1 // little-endian
+    val z = g.is3D
+    var t = typeCode(g)
+    if (z) t |= Z_FLAG
+    if (writeSrid) t |= SRID_FLAG
+    putInt(out, t)
+    if (writeSrid) putInt(out, g.srid)
+    def coord(c: Coord): Unit = {
+      putDouble(out, c.x); putDouble(out, c.y)
+      if (z) putDouble(out, if (c.is3D) c.z else 0.0)
+    }
+    g match {
+      case Point(co, _) =>
+        co match {
+          case Some(c) => coord(c)
+          case None    => // POINT EMPTY = NaN NaN (PostGIS convention)
+            putDouble(out, Double.NaN); putDouble(out, Double.NaN)
+            if (z) putDouble(out, Double.NaN)
+        }
+      case LineString(ps, _) =>
+        putInt(out, ps.length); ps.foreach(coord)
+      case Polygon(rings, _) =>
+        putInt(out, rings.length)
+        rings.foreach { r => putInt(out, r.length); r.foreach(coord) }
+      case MultiPoint(ps, _) =>
+        putInt(out, ps.length); ps.foreach(p => writeGeom(p, out, writeSrid = false))
+      case MultiLineString(ls, _) =>
+        putInt(out, ls.length); ls.foreach(l => writeGeom(l, out, writeSrid = false))
+      case MultiPolygon(pls, _) =>
+        putInt(out, pls.length); pls.foreach(p => writeGeom(p, out, writeSrid = false))
+      case GeometryCollection(gs, _) =>
+        putInt(out, gs.length); gs.foreach(sub => writeGeom(sub, out, writeSrid = false))
+    }
+  }
+
+  def read(bytes: Array[Byte]): Geom = {
+    val buf = ByteBuffer.wrap(bytes)
+    readGeom(buf, 0)
+  }
+
+  def readOpt(bytes: Array[Byte]): Option[Geom] =
+    if (bytes == null) None
+    else try Some(read(bytes)) catch { case _: Exception => None }
+
+  private def readGeom(buf: ByteBuffer, inheritSrid: Int): Geom = {
+    val order = buf.get()
+    buf.order(if (order == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    var t = buf.getInt()
+    val hasSrid = (t & SRID_FLAG) != 0
+    var z = (t & Z_FLAG.toInt) != 0
+    t &= 0x0fffffff
+    if (t >= 1000 && t < 2000) { z = true; t -= 1000 } // ISO Z convention
+    val srid = if (hasSrid) buf.getInt() else inheritSrid
+    def coord(): Coord = {
+      val x = buf.getDouble(); val y = buf.getDouble()
+      if (z) Coord(x, y, buf.getDouble()) else Coord(x, y)
+    }
+    def n(): Int = buf.getInt()
+    val g: Geom = t match {
+      case 1 =>
+        val c = coord()
+        if (c.x.isNaN && c.y.isNaN) Point.empty() else Point(Some(c))
+      case 2 => LineString(Vector.fill(n())(coord()))
+      case 3 => Polygon(Vector.fill(n())(Vector.fill(n())(coord())))
+      case 4 => MultiPoint(Vector.fill(n())(readGeom(buf, srid).asInstanceOf[Point]))
+      case 5 => MultiLineString(Vector.fill(n())(readGeom(buf, srid).asInstanceOf[LineString]))
+      case 6 => MultiPolygon(Vector.fill(n())(readGeom(buf, srid).asInstanceOf[Polygon]))
+      case 7 => GeometryCollection(Vector.fill(n())(readGeom(buf, srid)))
+      case other => throw new IllegalArgumentException(s"unknown WKB type code: $other")
+    }
+    g.withSrid(srid)
+  }
+
+  def writeHex(g: Geom): String = write(g).map(b => f"$b%02X").mkString
+
+  def parseHex(hex: String): Geom = {
+    require(hex.length % 2 == 0, "odd-length hex WKB")
+    val bytes = new Array[Byte](hex.length / 2)
+    var i = 0
+    while (i < bytes.length) {
+      bytes(i) = Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    read(bytes)
+  }
+}

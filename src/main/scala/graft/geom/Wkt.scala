@@ -1,0 +1,197 @@
+package graft.geom
+
+/** WKT / EWKT codec.
+  *
+  * Accepts what the reference's `GEOSGeometry(str)` constructor accepts for
+  * text input (common.py:307): plain WKT (`POINT (1 2)`), EWKT with an SRID
+  * prefix (`SRID=4326;POINT (1 2)`), `EMPTY` sub-geometries, and Z ordinates.
+  * Writer emits uppercase WKT with a single space after the type name,
+  * matching PostGIS `ST_AsText` formatting (the grid-cluster identifier in
+  * terra.py:57 is `ST_AsText` output).
+  */
+object Wkt {
+
+  def write(g: Geom): String = g match {
+    case Point(None, _)       => "POINT EMPTY"
+    case Point(Some(c), _)    => s"POINT (${coord(c)})"
+    case LineString(ps, _)    => if (ps.isEmpty) "LINESTRING EMPTY" else s"LINESTRING ${ring(ps)}"
+    case p: Polygon           => if (p.rings.isEmpty) "POLYGON EMPTY"
+                                 else s"POLYGON (${p.rings.map(ring).mkString(", ")})"
+    case MultiPoint(ps, _)    => if (ps.isEmpty) "MULTIPOINT EMPTY"
+                                 else s"MULTIPOINT (${ps.map(p => p.coord.map(coord).map(c => s"($c)").getOrElse("EMPTY")).mkString(", ")})"
+    case MultiLineString(ls, _) => if (ls.isEmpty) "MULTILINESTRING EMPTY"
+                                 else s"MULTILINESTRING (${ls.map(l => ring(l.points)).mkString(", ")})"
+    case MultiPolygon(ps, _)  => if (ps.isEmpty) "MULTIPOLYGON EMPTY"
+                                 else s"MULTIPOLYGON (${ps.map(p => s"(${p.rings.map(ring).mkString(", ")})").mkString(", ")})"
+    case GeometryCollection(gs, _) => if (gs.isEmpty) "GEOMETRYCOLLECTION EMPTY"
+                                 else s"GEOMETRYCOLLECTION (${gs.map(write).mkString(", ")})"
+  }
+
+  /** EWKT: `SRID=4326;POINT (1 2)` — PostGIS `ewkt` property
+    * (common.py:452 logs `geom.ewkt`). */
+  def writeEwkt(g: Geom): String =
+    if (g.srid != 0) s"SRID=${g.srid};${write(g)}" else write(g)
+
+  private def num(d: Double): String =
+    if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
+
+  private def coord(c: Coord): String =
+    if (c.is3D) s"${num(c.x)} ${num(c.y)} ${num(c.z)}" else s"${num(c.x)} ${num(c.y)}"
+
+  private def ring(ps: Seq[Coord]): String = s"(${ps.map(coord).mkString(", ")})"
+
+  // ---- parser ----
+
+  def parse(s: String): Geom = {
+    val t = s.trim
+    val (srid, body) =
+      if (t.toUpperCase.startsWith("SRID=")) {
+        val i = t.indexOf(';')
+        require(i > 0, s"bad EWKT: $s")
+        (t.substring(5, i).trim.toInt, t.substring(i + 1).trim)
+      } else (0, t)
+    val p = new P(body)
+    val g = p.geometry()
+    p.skipWs()
+    require(p.eof, s"trailing content in WKT: $s")
+    g.withSrid(srid)
+  }
+
+  def parseOpt(s: String): Option[Geom] =
+    try Some(parse(s)) catch { case _: Exception => None }
+
+  private final class P(s: String) {
+    private var i = 0
+    def eof: Boolean = i >= s.length
+    def skipWs(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    private def word(): String = {
+      skipWs()
+      val start = i
+      while (i < s.length && (s.charAt(i).isLetter || s.charAt(i).isDigit)) i += 1
+      s.substring(start, i).toUpperCase
+    }
+    private def peekEmpty(): Boolean = {
+      skipWs()
+      if (s.regionMatches(true, i, "EMPTY", 0, 5)) { i += 5; true } else false
+    }
+    private def expect(c: Char): Unit = {
+      skipWs()
+      require(i < s.length && s.charAt(i) == c, s"expected '$c' at $i in: $s")
+      i += 1
+    }
+    private def tryChar(c: Char): Boolean = {
+      skipWs()
+      if (i < s.length && s.charAt(i) == c) { i += 1; true } else false
+    }
+    private def number(): Double = {
+      skipWs()
+      val start = i
+      while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1
+      require(i > start, s"expected number at $start in: $s")
+      s.substring(start, i).toDouble
+    }
+    private def coordTuple(dims: Int): Coord = {
+      val x = number(); val y = number()
+      if (dims == 3) Coord(x, y, number())
+      else {
+        // tolerate Z even when the type tag didn't announce it
+        skipWs()
+        if (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '-' || s.charAt(i) == '+'))
+          Coord(x, y, number())
+        else Coord(x, y)
+      }
+    }
+    private def coordSeq(dims: Int): IndexedSeq[Coord] = {
+      expect('(')
+      val buf = Vector.newBuilder[Coord]
+      buf += coordTuple(dims)
+      while (tryChar(',')) buf += coordTuple(dims)
+      expect(')')
+      buf.result()
+    }
+    def geometry(): Geom = {
+      val w = word()
+      val (name, dims) =
+        if (w.endsWith("Z")) (w.dropRight(1), 3)
+        else {
+          // allow "POINT Z (…)" with separated Z token
+          val save = i
+          val nxt = word()
+          if (nxt == "Z") (w, 3) else { i = save; (w, 2) }
+        }
+      name match {
+        case "POINT" =>
+          if (peekEmpty()) Point.empty()
+          else { expect('('); val c = coordTuple(dims); expect(')'); Point(Some(c)) }
+        case "LINESTRING" =>
+          if (peekEmpty()) LineString(Vector.empty) else LineString(coordSeq(dims))
+        case "POLYGON" =>
+          if (peekEmpty()) Polygon(Vector.empty)
+          else {
+            expect('(')
+            val rings = Vector.newBuilder[IndexedSeq[Coord]]
+            rings += coordSeq(dims)
+            while (tryChar(',')) rings += coordSeq(dims)
+            expect(')')
+            Polygon(rings.result())
+          }
+        case "MULTIPOINT" =>
+          if (peekEmpty()) MultiPoint(Vector.empty)
+          else {
+            expect('(')
+            val pts = Vector.newBuilder[Point]
+            def one(): Unit = {
+              skipWs()
+              if (s.regionMatches(true, i, "EMPTY", 0, 5)) { i += 5; pts += Point.empty() }
+              else if (tryChar('(')) { pts += Point(Some(coordTuple(dims))); expect(')') }
+              else pts += Point(Some(coordTuple(dims))) // bare-coordinate form
+            }
+            one()
+            while (tryChar(',')) one()
+            expect(')')
+            MultiPoint(pts.result())
+          }
+        case "MULTILINESTRING" =>
+          if (peekEmpty()) MultiLineString(Vector.empty)
+          else {
+            expect('(')
+            val ls = Vector.newBuilder[LineString]
+            ls += LineString(coordSeq(dims))
+            while (tryChar(',')) ls += LineString(coordSeq(dims))
+            expect(')')
+            MultiLineString(ls.result())
+          }
+        case "MULTIPOLYGON" =>
+          if (peekEmpty()) MultiPolygon(Vector.empty)
+          else {
+            expect('(')
+            val ps = Vector.newBuilder[Polygon]
+            def poly(): Polygon = {
+              expect('(')
+              val rings = Vector.newBuilder[IndexedSeq[Coord]]
+              rings += coordSeq(dims)
+              while (tryChar(',')) rings += coordSeq(dims)
+              expect(')')
+              Polygon(rings.result())
+            }
+            ps += poly()
+            while (tryChar(',')) ps += poly()
+            expect(')')
+            MultiPolygon(ps.result())
+          }
+        case "GEOMETRYCOLLECTION" =>
+          if (peekEmpty()) GeometryCollection(Vector.empty)
+          else {
+            expect('(')
+            val gs = Vector.newBuilder[Geom]
+            gs += geometry()
+            while (tryChar(',')) gs += geometry()
+            expect(')')
+            GeometryCollection(gs.result())
+          }
+        case other => throw new IllegalArgumentException(s"unknown WKT type: $other")
+      }
+    }
+  }
+}

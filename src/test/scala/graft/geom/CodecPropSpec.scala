@@ -1,0 +1,84 @@
+package graft.geom
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests: WKT and WKB codecs are exact inverses over generated
+  * geometries (SURVEY.md §5 "ScalaCheck property tests for geometry codecs").
+  * Generators driven directly with deterministic seeds (no
+  * scalatestplus bridge in the offline dependency cache).
+  */
+class CodecPropSpec extends AnyFunSuite {
+
+  /** Deterministic sample stream from a ScalaCheck generator. */
+  private def forAll[T](gen: Gen[T], n: Int = 200)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  private val ord: Gen[Double] =
+    Gen.chooseNum(-1000000.0, 1000000.0).map(d => math.rint(d * 1000) / 1000)
+
+  private val coordGen: Gen[Coord] = for { x <- ord; y <- ord } yield Coord(x, y)
+
+  private val pointGen: Gen[Point] = coordGen.map(c => Point(Some(c)))
+
+  private val lineGen: Gen[LineString] =
+    Gen.chooseNum(2, 12).flatMap(n => Gen.listOfN(n, coordGen)).map(cs => LineString(cs.toVector))
+
+  private val ringGen: Gen[IndexedSeq[Coord]] =
+    Gen.chooseNum(3, 8).flatMap(n => Gen.listOfN(n, coordGen))
+      .map(cs => (cs :+ cs.head).toVector)
+
+  private val polyGen: Gen[Polygon] =
+    Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, ringGen)).map(rs => Polygon(rs.toVector))
+
+  private val geomGen: Gen[Geom] = for {
+    srid <- Gen.oneOf(0, 4326, 2154, 3857)
+    g <- Gen.oneOf[Geom](
+      pointGen, lineGen, polyGen,
+      Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, pointGen)).map(ps => MultiPoint(ps.toVector)),
+      Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, lineGen)).map(ls => MultiLineString(ls.toVector)),
+      Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, polyGen)).map(ps => MultiPolygon(ps.toVector)))
+  } yield g.withSrid(srid)
+
+  test("WKB round-trip is exact for any geometry") {
+    forAll(geomGen) { g =>
+      val back = Wkb.read(Wkb.write(g))
+      // byte-level comparison: exact and NaN-safe (Z is NaN for 2D coords)
+      assert(Wkb.write(back).sameElements(Wkb.write(g)) && back.srid == g.srid)
+    }
+  }
+
+  test("WKT round-trip preserves structure and coordinates") {
+    forAll(geomGen) { g =>
+      val back = Wkt.parse(Wkt.writeEwkt(g))
+      assert(Wkt.writeEwkt(back) == Wkt.writeEwkt(g))
+      assert(back.srid == g.srid)
+    }
+  }
+
+  test("GeoJSON round-trip preserves structure (srid not carried by GeoJSON)") {
+    forAll(geomGen) { g =>
+      val back = GeoJson.parse(GeoJson.write(g))
+      assert(Wkt.write(back) == Wkt.write(g))
+    }
+  }
+
+  test("projection round-trip 4326<->3857 and 4326<->2154 within tolerance") {
+    val lonLat: Gen[Coord] = for {
+      lon <- Gen.chooseNum(-10.0, 15.0)
+      lat <- Gen.chooseNum(35.0, 60.0)
+    } yield Coord(math.rint(lon * 1e6) / 1e6, math.rint(lat * 1e6) / 1e6)
+    forAll(lonLat) { c =>
+      val p = Point(Some(c), 4326)
+      val m = Proj.transform(p, 3857)
+      val back = Proj.transform(m, 4326).asInstanceOf[Point]
+      assert(math.abs(back.x - c.x) < 1e-9 && math.abs(back.y - c.y) < 1e-9)
+      val l = Proj.transform(p, 2154)
+      val back2 = Proj.transform(l, 4326).asInstanceOf[Point]
+      assert(math.abs(back2.x - c.x) < 1e-7 && math.abs(back2.y - c.y) < 1e-7)
+    }
+  }
+}

@@ -1,0 +1,249 @@
+package graft.geom
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GeomKernelSpec extends AnyFunSuite {
+
+  private def poly(pts: (Double, Double)*): Polygon =
+    Polygon(Vector(pts.toVector.map { case (x, y) => Coord(x, y) }))
+
+  private val unitSquare = poly((0, 0), (10, 0), (10, 10), (0, 10), (0, 0))
+
+  // ---- codecs ----
+
+  test("WKT round-trip for all types") {
+    val wkts = Seq(
+      "POINT (1 2)",
+      "POINT EMPTY",
+      "LINESTRING (0 0, 1 1, 2 0)",
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+      "MULTIPOINT ((1 1), (2 2))",
+      "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))",
+      "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))")
+    wkts.foreach { w => assert(Wkt.write(Wkt.parse(w)) == w, s"round-trip of $w") }
+  }
+
+  test("EWKT srid parse/write") {
+    val g = Wkt.parse("SRID=4326;POINT (3 46.5)")
+    assert(g.srid == 4326)
+    assert(Wkt.writeEwkt(g) == "SRID=4326;POINT (3 46.5)")
+  }
+
+  test("WKT 3D and bare multipoint forms") {
+    val g = Wkt.parse("POINT Z (1 2 3)")
+    assert(g.is3D)
+    val mp = Wkt.parse("MULTIPOINT (1 1, 2 2)")
+    assert(mp.asInstanceOf[MultiPoint].points.length == 2)
+  }
+
+  test("WKB round-trip incl. srid and Z") {
+    val gs = Seq[Geom](
+      Point(1.5, -2.5).withSrid(4326),
+      Point.empty(4326),
+      LineString(Vector(Coord(0, 0), Coord(1, 1)), 2154),
+      unitSquare.withSrid(4326),
+      Point.xyz(1, 2, 3, 4326),
+      MultiPolygon(Vector(unitSquare), 4326),
+      GeometryCollection(Vector(Point(1, 2), LineString(Vector(Coord(0, 0), Coord(1, 1)))), 4326))
+    gs.foreach { g =>
+      val back = Wkb.read(Wkb.write(g))
+      assert(Wkt.write(back) == Wkt.write(g), s"wkb round-trip of ${Wkt.write(g)}")
+      assert(back.srid == g.srid, s"srid of ${Wkt.write(g)}")
+    }
+  }
+
+  test("hex WKB parse (PostGIS-style EWKB)") {
+    // SRID=4326;POINT(1 2), little-endian, emitted by our own writer
+    val hex = Wkb.writeHex(Point(1, 2, 4326))
+    val g = Wkb.parseHex(hex)
+    assert(Wkt.writeEwkt(g) == "SRID=4326;POINT (1 2)")
+  }
+
+  test("GeoJSON round-trip") {
+    val gs = Seq[Geom](Point(1, 2), LineString(Vector(Coord(0, 0), Coord(1, 1))),
+      unitSquare, MultiPolygon(Vector(unitSquare)))
+    gs.foreach { g =>
+      assert(Wkt.write(GeoJson.parse(GeoJson.write(g))) == Wkt.write(g))
+    }
+    assert(GeoJson.write(Point(1, 2)) == """{"type":"Point","coordinates":[1.0,2.0]}""")
+  }
+
+  // ---- measures ----
+
+  test("area: square, hole, multipolygon") {
+    assert(Algos.area(unitSquare) == 100.0)
+    val withHole = Polygon(Vector(
+      unitSquare.shell,
+      Vector(Coord(2, 2), Coord(4, 2), Coord(4, 4), Coord(2, 4), Coord(2, 2))))
+    assert(Algos.area(withHole) == 96.0)
+    assert(Algos.area(MultiPolygon(Vector(unitSquare, withHole))) == 196.0)
+    assert(Algos.area(Point(1, 2)) == 0.0)
+  }
+
+  test("length and distance") {
+    assert(Algos.length(LineString(Vector(Coord(0, 0), Coord(3, 4)))) == 5.0)
+    assert(Algos.distance(Point(0, 0), Point(3, 4)) == 5.0)
+    assert(Algos.distance(Point(5, 5), unitSquare) == 0.0) // inside
+    assert(math.abs(Algos.distance(Point(15, 5), unitSquare) - 5.0) < 1e-12)
+  }
+
+  test("centroid: polygon, line, points") {
+    val c = Algos.centroid(unitSquare)
+    assert(math.abs(c.x - 5) < 1e-9 && math.abs(c.y - 5) < 1e-9)
+    val lc = Algos.centroid(LineString(Vector(Coord(0, 0), Coord(10, 0))))
+    assert(math.abs(lc.x - 5) < 1e-9 && math.abs(lc.y) < 1e-9)
+    val pc = Algos.centroid(MultiPoint(Vector(Point(0, 0), Point(2, 2))))
+    assert(math.abs(pc.x - 1) < 1e-9 && math.abs(pc.y - 1) < 1e-9)
+  }
+
+  // ---- transforms / simplify ----
+
+  test("force2D strips Z preserving srid") {
+    val g = Point.xyz(1, 2, 3, 4326)
+    val g2 = Algos.force2D(g)
+    assert(!g2.is3D && g2.srid == 4326)
+    assert(Wkt.write(g2) == "POINT (1 2)")
+  }
+
+  test("snapToGrid rounds to cell centers") {
+    val g = Algos.snapToGrid(Point(12.3, 17.8), 5.0)
+    assert(Wkt.write(g) == "POINT (10 20)")
+  }
+
+  test("simplify: collinear point dropped, shape kept under tolerance") {
+    val l = LineString(Vector(Coord(0, 0), Coord(5, 0.001), Coord(10, 0)))
+    val s = Algos.simplify(l, 0.01).asInstanceOf[LineString]
+    assert(s.points.length == 2)
+    val s2 = Algos.simplify(l, 0.00001).asInstanceOf[LineString]
+    assert(s2.points.length == 3)
+  }
+
+  test("subdivide splits high-vertex geometries and covers the area") {
+    val n = 100
+    val circle = Polygon(Vector(
+      (0 to n).map { i =>
+        val a = 2 * math.Pi * i / n
+        Coord(50 + 40 * math.cos(a), 50 + 40 * math.sin(a))
+      }.toVector))
+    val parts = Algos.subdivide(circle, 32)
+    assert(parts.length > 1)
+    val total = parts.map(Algos.area).sum
+    assert(math.abs(total - Algos.area(circle)) < 1e-6 * Algos.area(circle))
+  }
+
+  // ---- predicates ----
+
+  test("intersects: point/polygon, polygon/polygon, disjoint") {
+    assert(Algos.intersects(Point(5, 5), unitSquare))
+    assert(!Algos.intersects(Point(15, 15), unitSquare))
+    val shifted = poly((5, 5), (15, 5), (15, 15), (5, 15), (5, 5))
+    assert(Algos.intersects(unitSquare, shifted))
+    val far = poly((20, 20), (30, 20), (30, 30), (20, 30), (20, 20))
+    assert(!Algos.intersects(unitSquare, far))
+    // containment without edge crossing
+    val inner = poly((4, 4), (6, 4), (6, 6), (4, 6), (4, 4))
+    assert(Algos.intersects(unitSquare, inner))
+    assert(Algos.intersects(inner, unitSquare))
+  }
+
+  // ---- boolean ops ----
+
+  test("intersection of overlapping squares") {
+    val b = poly((5, 5), (15, 5), (15, 15), (5, 15), (5, 5))
+    val inter = Clip.intersection(unitSquare, b)
+    assert(math.abs(Algos.area(inter) - 25.0) < 1e-9)
+    val bb = BBox.of(inter).get
+    assert(bb == BBox(5, 5, 10, 10))
+  }
+
+  test("intersection disjoint is empty") {
+    val far = poly((20, 20), (30, 20), (30, 30), (20, 30), (20, 20))
+    assert(Clip.intersection(unitSquare, far).isEmpty)
+  }
+
+  test("intersection contained returns inner") {
+    val inner = poly((2, 2), (4, 2), (4, 4), (2, 4), (2, 2))
+    val inter = Clip.intersection(unitSquare, inner)
+    assert(math.abs(Algos.area(inter) - 4.0) < 1e-9)
+  }
+
+  test("union of overlapping squares") {
+    val b = poly((5, 5), (15, 5), (15, 15), (5, 15), (5, 5))
+    val u = Clip.union(unitSquare, b)
+    assert(math.abs(Algos.area(u) - 175.0) < 1e-9) // 100+100-25
+  }
+
+  test("union disjoint gives multipolygon of both") {
+    val far = poly((20, 20), (30, 20), (30, 30), (20, 30), (20, 20))
+    val u = Clip.union(unitSquare, far)
+    assert(math.abs(Algos.area(u) - 200.0) < 1e-9)
+  }
+
+  test("difference removes overlap; empty subtrahend is identity") {
+    val b = poly((5, 5), (15, 5), (15, 15), (5, 15), (5, 5))
+    val d = Clip.difference(unitSquare, b)
+    assert(math.abs(Algos.area(d) - 75.0) < 1e-9)
+    val d2 = Clip.difference(unitSquare, Point.empty())
+    assert(Algos.area(d2) == 100.0)
+  }
+
+  test("difference fully-covering subtrahend is empty") {
+    val big = poly((-5, -5), (15, -5), (15, 15), (-5, 15), (-5, -5))
+    assert(Clip.difference(unitSquare, big).isEmpty)
+  }
+
+  test("difference punching a hole") {
+    val inner = poly((2, 2), (4, 2), (4, 4), (2, 4), (2, 2))
+    val d = Clip.difference(unitSquare, inner)
+    assert(math.abs(Algos.area(d) - 96.0) < 1e-9)
+  }
+
+  test("isochrone ring differencing (A3 semantics)") {
+    // nested "isochrones": 30x30, 20x20, 10x10 centered at 15,15
+    def sq(r: Double) = poly((15 - r, 15 - r), (15 + r, 15 - r), (15 + r, 15 + r), (15 - r, 15 + r), (15 - r, 15 - r))
+    val outer = sq(15); val mid = sq(10); val innerG = sq(5)
+    val ring1 = Clip.difference(mid, innerG)
+    val ring2 = Clip.difference(outer, mid)
+    assert(math.abs(Algos.area(ring1) - (400.0 - 100.0)) < 1e-9)
+    assert(math.abs(Algos.area(ring2) - (900.0 - 400.0)) < 1e-9)
+  }
+
+  test("line clipped to polygon") {
+    val l = LineString(Vector(Coord(-5, 5), Coord(15, 5)))
+    val inter = Clip.intersection(l, unitSquare)
+    assert(math.abs(Algos.length(inter) - 10.0) < 1e-9)
+  }
+
+  // ---- projections ----
+
+  test("web mercator round-trip and known point") {
+    val p = Coord(2.2945, 48.8584) // Paris-ish lon/lat
+    val m = Proj.transform(Point(Some(p), 4326), 3857).asInstanceOf[Point]
+    assert(math.abs(m.x - 2.2945 * 20037508.342789244 / 180) < 0.01) // x = lon * (pi*a)/180
+    val back = Proj.transform(m, 4326).asInstanceOf[Point]
+    assert(math.abs(back.x - p.x) < 1e-9 && math.abs(back.y - p.y) < 1e-9)
+  }
+
+  test("Lambert-93 known point and round-trip") {
+    // IGN reference: lon=3E lat=46.5N is the projection origin -> (700000, 6600000)
+    val origin = Proj.transform(Point(3.0, 46.5, 4326), 2154).asInstanceOf[Point]
+    assert(math.abs(origin.x - 700000.0) < 0.01, s"x=${origin.x}")
+    assert(math.abs(origin.y - 6600000.0) < 0.01, s"y=${origin.y}")
+    val p = Point(2.2945, 48.8584, 4326)
+    val l = Proj.transform(p, 2154).asInstanceOf[Point]
+    val back = Proj.transform(l, 4326).asInstanceOf[Point]
+    assert(math.abs(back.x - p.x) < 1e-7 && math.abs(back.y - p.y) < 1e-7)
+    // Eiffel Tower in Lambert-93: (648237.3, 6862271.7) (public IGN figure)
+    assert(math.abs(l.x - 648237.3) < 10, s"x=${l.x}")
+    assert(math.abs(l.y - 6862271.7) < 10, s"y=${l.y}")
+  }
+
+  test("makeValid normalizes orientation and closes rings") {
+    val openCw = Polygon(Vector(Vector(Coord(0, 0), Coord(0, 10), Coord(10, 10), Coord(10, 0))))
+    val v = Clip.makeValid(openCw).asInstanceOf[Polygon]
+    assert(v.shell.head == v.shell.last)
+    assert(Algos.signedRingArea(v.shell) > 0)
+  }
+}
