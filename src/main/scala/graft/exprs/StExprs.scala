@@ -1,0 +1,341 @@
+package graft.exprs
+
+import graft.geom._
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the st_* geometry function surface
+  * (SURVEY.md §2.3, §4 "custom physical/planner work" item 1).
+  *
+  * Geometry wire format is EWKB in `BinaryType` ([[graft.geom.Wkb]]).
+  * Null semantics: SQL-standard null-in/null-out; unparsable input → null
+  * (operators that must raise, e.g. AttributesToPointGeometry's cast error
+  * contract (common.py:339, test_common.py:376-384), enforce that at the
+  * operator layer). All expressions are `CodegenFallback`: they sit inside
+  * whole-stage-codegen'd plans as leaf calls; the arithmetic-heavy kernel
+  * work happens in [[graft.geom]] on plain JVM doubles.
+  */
+object StExprs {
+  @inline def geomOf(in: Any): Option[Geom] = Wkb.readOpt(in.asInstanceOf[Array[Byte]])
+  @inline def wkb(g: Geom): Array[Byte] = Wkb.write(g)
+  @inline def dbl(d: Double): java.lang.Double = java.lang.Double.valueOf(d)
+}
+
+import StExprs._
+
+// ---------- constructors ----------
+
+/** st_geomfromtext(wkt[, srid]) — WKT/EWKT → geometry. */
+case class StGeomFromText(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  def this(child: Expression) = this(child, Literal(0))
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(s: Any, srid: Any): Any =
+    Wkt.parseOpt(s.asInstanceOf[UTF8String].toString)
+      .map(g => wkb(if (srid.asInstanceOf[Int] != 0) g.withSrid(srid.asInstanceOf[Int]) else g))
+      .orNull
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_geomfromtext"
+}
+
+/** st_geomfromgeojson(json[, srid]) — GeoJSON geometry/feature → geometry. */
+case class StGeomFromGeoJson(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  def this(child: Expression) = this(child, Literal(4326))
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(s: Any, srid: Any): Any =
+    GeoJson.parseOpt(s.asInstanceOf[UTF8String].toString)
+      .map(g => wkb(g.withSrid(srid.asInstanceOf[Int]))).orNull
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_geomfromgeojson"
+}
+
+/** st_point(x, y[, srid]) — point constructor (AttributesToPointGeometry,
+  * common.py:315-342). */
+case class StPoint(children: Seq[Expression]) extends Expression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val x = children(0).eval(input); val y = children(1).eval(input)
+    if (x == null || y == null) return null
+    val srid = if (children.length > 2) children(2).eval(input).asInstanceOf[Int] else 4326
+    wkb(Point(Some(Coord(x.asInstanceOf[Double], y.asInstanceOf[Double])), srid))
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(children = c)
+  override def prettyName: String = "st_point"
+}
+
+// ---------- writers ----------
+
+case class StAsText(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(in: Any): Any =
+    geomOf(in).map(g => UTF8String.fromString(Wkt.write(g))).orNull
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_astext"
+}
+
+case class StAsEwkt(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(in: Any): Any =
+    geomOf(in).map(g => UTF8String.fromString(Wkt.writeEwkt(g))).orNull
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_asewkt"
+}
+
+/** st_asgeojson(geom) — GeometryToJson (common.py:345-366). */
+case class StAsGeoJson(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(in: Any): Any =
+    geomOf(in).map(g => UTF8String.fromString(GeoJson.write(g))).orNull
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_asgeojson"
+}
+
+// ---------- accessors ----------
+
+case class StX(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(in: Any): Any = geomOf(in) match {
+    case Some(p: Point) if p.coord.isDefined => dbl(p.x)
+    case _ => null
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_x"
+}
+
+case class StY(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(in: Any): Any = geomOf(in) match {
+    case Some(p: Point) if p.coord.isDefined => dbl(p.y)
+    case _ => null
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_y"
+}
+
+case class StSrid(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(in: Any): Any =
+    geomOf(in).map(g => Integer.valueOf(g.srid)).orNull
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_srid"
+}
+
+case class StSetSrid(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(in: Any, srid: Any): Any =
+    geomOf(in).map(g => wkb(g.withSrid(srid.asInstanceOf[Int]))).orNull
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_setsrid"
+}
+
+case class StIsEmpty(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(in: Any): Any =
+    geomOf(in).map(g => java.lang.Boolean.valueOf(g.isEmpty)).orNull
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_isempty"
+}
+
+case class StGeometryType(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(in: Any): Any =
+    geomOf(in).map(g => UTF8String.fromString("ST_" + g.typeName.toLowerCase.capitalize)).orNull
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_geometrytype"
+}
+
+// ---------- measures ----------
+
+case class StArea(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(in: Any): Any = geomOf(in).map(g => dbl(Algos.area(g))).orNull
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_area"
+}
+
+case class StLength(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(in: Any): Any = geomOf(in).map(g => dbl(Algos.length(g))).orNull
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_length"
+}
+
+case class StDistance(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    (geomOf(a), geomOf(b)) match {
+      case (Some(g1), Some(g2)) =>
+        val d = Algos.distance(g1, g2)
+        if (d.isNaN) null else dbl(d)
+      case _ => null
+    }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_distance"
+}
+
+// ---------- unary transforms ----------
+
+case class StCentroid(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(in: Any): Any = geomOf(in).map(g => wkb(Algos.centroid(g))).orNull
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_centroid"
+}
+
+case class StForce2D(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(in: Any): Any = geomOf(in).map(g => wkb(Algos.force2D(g))).orNull
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_force2d"
+}
+
+case class StMakeValid(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(in: Any): Any = geomOf(in).map(g => wkb(Clip.makeValid(g))).orNull
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_makevalid"
+}
+
+/** st_simplify(geom, tolerance) — Douglas-Peucker (SimplifyGeom,
+  * terra.py:450-471; GeometryToJson factor, common.py:361). */
+case class StSimplify(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(in: Any, tol: Any): Any =
+    geomOf(in).map(g => wkb(Algos.simplify(g, tol.asInstanceOf[Double]))).orNull
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_simplify"
+}
+
+/** st_snaptogrid(geom, size) — the LayerClusters grid key (terra.py:57). */
+case class StSnapToGrid(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(in: Any, size: Any): Any =
+    geomOf(in).map(g => wkb(Algos.snapToGrid(g, size.asInstanceOf[Double]))).orNull
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_snaptogrid"
+}
+
+/** st_transform(geom, toSrid) — CRS reprojection (TransformGeom,
+  * terra.py:474-494). Source CRS = the geometry's own SRID. */
+case class StTransform(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(in: Any, srid: Any): Any =
+    geomOf(in).flatMap { g =>
+      try Some(wkb(Proj.transform(g, srid.asInstanceOf[Int]))) catch { case _: Exception => None }
+    }.orNull
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_transform"
+}
+
+/** st_subdivide(geom, maxVertices) → array<geometry> (SubdivideGeom,
+  * terra.py:71-104; use with posexplode for the 1→N child-id contract). */
+case class StSubdivide(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullSafeEval(in: Any, maxV: Any): Any =
+    geomOf(in).map { g =>
+      new GenericArrayData(Algos.subdivide(g, maxV.asInstanceOf[Int]).map(wkb).toArray[Any])
+    }.orNull
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_subdivide"
+}
+
+// ---------- binary predicates / overlay ----------
+
+case class StIntersects(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    (geomOf(a), geomOf(b)) match {
+      case (Some(g1), Some(g2)) => java.lang.Boolean.valueOf(Algos.intersects(g1, g2))
+      case _ => null
+    }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_intersects"
+}
+
+case class StIntersection(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    (geomOf(a), geomOf(b)) match {
+      case (Some(g1), Some(g2)) => wkb(Clip.intersection(g1, g2).withSrid(g1.srid))
+      case _ => null
+    }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_intersection"
+}
+
+case class StUnion(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    (geomOf(a), geomOf(b)) match {
+      case (Some(g1), Some(g2)) => wkb(Clip.union(g1, g2).withSrid(g1.srid))
+      case _ => null
+    }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_union"
+}
+
+case class StDifference(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    (geomOf(a), geomOf(b)) match {
+      case (Some(g1), Some(g2)) => wkb(Clip.difference(g1, g2).withSrid(g1.srid))
+      case _ => null
+    }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_difference"
+}
+
+// ---------- grid-join support ----------
+
+/** st_gridcells(geom, size) → array<struct<gx:long, gy:long>>: the grid
+  * cells overlapped by the geometry's bbox. Blocking key for the
+  * grid-bucket spatial join (SURVEY.md §4 item 3): both sides explode on
+  * cells, equi-join on (gx, gy), then the exact predicate prunes. */
+case class StGridCells(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    ArrayType(StructType(Seq(StructField("gx", LongType, false),
+                             StructField("gy", LongType, false))), containsNull = false)
+  override def nullSafeEval(in: Any, size: Any): Any = {
+    val cell = size.asInstanceOf[Double]
+    if (cell <= 0) return null
+    geomOf(in).flatMap(BBox.of).map { b =>
+      val x0 = math.floor(b.minX / cell).toLong; val x1 = math.floor(b.maxX / cell).toLong
+      val y0 = math.floor(b.minY / cell).toLong; val y1 = math.floor(b.maxY / cell).toLong
+      val rows = for (gx <- x0 to x1; gy <- y0 to y1)
+        yield org.apache.spark.sql.catalyst.InternalRow(gx, gy)
+      new GenericArrayData(rows.toArray[Any])
+    }.orNull
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_gridcells"
+}

@@ -1,0 +1,79 @@
+package graft.functions
+
+import graft.geom._
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** Geometric aggregates (SURVEY.md §4 item 2).
+  *
+  * `st_union_agg` matches the reference's `Union` aggregate
+  * (terra.py:271, common.py:562-564): incremental cascaded union — the
+  * buffer is a bounded list of WKB geometries merged eagerly once it grows
+  * past a threshold, so executor memory stays O(result), not O(inputs), at
+  * 100 TB group sizes.
+  *
+  * `st_collect_agg` matches `Collect(geom)` (common.py:253): gather into a
+  * MultiPoint/MultiLineString/MultiPolygon when homogeneous, else a
+  * GeometryCollection — PostGIS `ST_Collect` semantics.
+  */
+object GeomAggregates {
+
+  private val MERGE_THRESHOLD = 16
+
+  private def unionAll(gs: Seq[Geom]): Geom =
+    gs.filter(!_.isEmpty) match {
+      case Seq()  => Point.empty()
+      case nonEmpty =>
+        // balanced cascaded union: better complexity than linear fold
+        var level = nonEmpty.toIndexedSeq
+        while (level.length > 1) {
+          level = level.grouped(2).map {
+            case Seq(a, b) => Clip.union(a, b)
+            case Seq(a)    => a
+          }.toIndexedSeq
+        }
+        level.head
+    }
+
+  /** Buffer = list of WKB blobs, compacted by cascaded union when large. */
+  class UnionAgg extends Aggregator[Array[Byte], List[Array[Byte]], Array[Byte]] {
+    def zero: List[Array[Byte]] = Nil
+    def reduce(buf: List[Array[Byte]], in: Array[Byte]): List[Array[Byte]] = {
+      if (in == null) buf
+      else compact(in :: buf)
+    }
+    def merge(a: List[Array[Byte]], b: List[Array[Byte]]): List[Array[Byte]] =
+      compact(a ++ b)
+    private def compact(l: List[Array[Byte]]): List[Array[Byte]] =
+      if (l.length < MERGE_THRESHOLD) l
+      else List(Wkb.write(unionAll(l.flatMap(Wkb.readOpt(_)))))
+    def finish(buf: List[Array[Byte]]): Array[Byte] =
+      Wkb.write(unionAll(buf.flatMap(Wkb.readOpt(_))))
+    def bufferEncoder: Encoder[List[Array[Byte]]] = Encoders.kryo[List[Array[Byte]]]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  class CollectAgg extends Aggregator[Array[Byte], List[Array[Byte]], Array[Byte]] {
+    def zero: List[Array[Byte]] = Nil
+    def reduce(buf: List[Array[Byte]], in: Array[Byte]): List[Array[Byte]] =
+      if (in == null) buf else in :: buf
+    def merge(a: List[Array[Byte]], b: List[Array[Byte]]): List[Array[Byte]] = a ++ b
+    def finish(buf: List[Array[Byte]]): Array[Byte] = {
+      val gs = buf.reverse.flatMap(Wkb.readOpt(_)).filter(!_.isEmpty)
+      val srid = gs.headOption.map(_.srid).getOrElse(0)
+      val out: Geom = gs match {
+        case Nil => GeometryCollection(Vector.empty)
+        case all if all.forall(_.isInstanceOf[Point]) =>
+          MultiPoint(all.map(_.asInstanceOf[Point]).toVector)
+        case all if all.forall(_.isInstanceOf[LineString]) =>
+          MultiLineString(all.map(_.asInstanceOf[LineString]).toVector)
+        case all if all.forall(_.isInstanceOf[Polygon]) =>
+          MultiPolygon(all.map(_.asInstanceOf[Polygon]).toVector)
+        case all => GeometryCollection(all.toVector)
+      }
+      Wkb.write(out.withSrid(srid))
+    }
+    def bufferEncoder: Encoder[List[Array[Byte]]] = Encoders.kryo[List[Array[Byte]]]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+}

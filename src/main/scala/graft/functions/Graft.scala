@@ -1,0 +1,113 @@
+package graft.functions
+
+import graft.exprs._
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.functions.{call_function, lit, udaf}
+
+/** Function registry for the engine's native expressions + aggregates.
+  *
+  * Two registration paths:
+  *  - `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  *    `.withExtensions`) at session build — the canonical Spark way;
+  *  - [[Graft.init]] on an already-built session (the driver hands
+  *    `SparkEntry` a plain session) — idempotent, also registers the UDAFs.
+  */
+object Graft {
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "st_geomfromtext" -> { args: Seq[Expression] =>
+      if (args.length >= 2) StGeomFromText(args(0), args(1)) else new StGeomFromText(args(0)) },
+    "st_geomfromgeojson" -> { args: Seq[Expression] =>
+      if (args.length >= 2) StGeomFromGeoJson(args(0), args(1)) else new StGeomFromGeoJson(args(0)) },
+    "st_point" -> { args: Seq[Expression] => StPoint(args) },
+    "st_astext" -> { args: Seq[Expression] => StAsText(args(0)) },
+    "st_asewkt" -> { args: Seq[Expression] => StAsEwkt(args(0)) },
+    "st_asgeojson" -> { args: Seq[Expression] => StAsGeoJson(args(0)) },
+    "st_x" -> { args: Seq[Expression] => StX(args(0)) },
+    "st_y" -> { args: Seq[Expression] => StY(args(0)) },
+    "st_srid" -> { args: Seq[Expression] => StSrid(args(0)) },
+    "st_setsrid" -> { args: Seq[Expression] => StSetSrid(args(0), args(1)) },
+    "st_isempty" -> { args: Seq[Expression] => StIsEmpty(args(0)) },
+    "st_geometrytype" -> { args: Seq[Expression] => StGeometryType(args(0)) },
+    "st_area" -> { args: Seq[Expression] => StArea(args(0)) },
+    "st_length" -> { args: Seq[Expression] => StLength(args(0)) },
+    "st_distance" -> { args: Seq[Expression] => StDistance(args(0), args(1)) },
+    "st_centroid" -> { args: Seq[Expression] => StCentroid(args(0)) },
+    "st_force2d" -> { args: Seq[Expression] => StForce2D(args(0)) },
+    "st_makevalid" -> { args: Seq[Expression] => StMakeValid(args(0)) },
+    "st_simplify" -> { args: Seq[Expression] => StSimplify(args(0), args(1)) },
+    "st_snaptogrid" -> { args: Seq[Expression] => StSnapToGrid(args(0), args(1)) },
+    "st_transform" -> { args: Seq[Expression] => StTransform(args(0), args(1)) },
+    "st_subdivide" -> { args: Seq[Expression] =>
+      StSubdivide(args(0), if (args.length >= 2) args(1) else Literal(256)) },
+    "st_intersects" -> { args: Seq[Expression] => StIntersects(args(0), args(1)) },
+    "st_intersection" -> { args: Seq[Expression] => StIntersection(args(0), args(1)) },
+    "st_union" -> { args: Seq[Expression] => StUnion(args(0), args(1)) },
+    "st_difference" -> { args: Seq[Expression] => StDifference(args(0), args(1)) },
+    "st_gridcells" -> { args: Seq[Expression] => StGridCells(args(0), args(1)) },
+  )
+
+  @volatile private var initialized: Set[SparkSession] = Set.empty
+
+  /** Register every st_* expression + the geometric UDAFs on `spark`.
+    * Idempotent per session. */
+  def init(spark: SparkSession): Unit = synchronized {
+    if (initialized.contains(spark)) return
+    builders.foreach { case (name, b) =>
+      org.apache.spark.sql.graftshim.Shim.registerFunction(spark, name, b)
+    }
+    spark.udf.register("st_union_agg", udaf(new GeomAggregates.UnionAgg))
+    spark.udf.register("st_collect_agg", udaf(new GeomAggregates.CollectAgg))
+    initialized += spark
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    Graft.builders.foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name), new ExpressionInfo("graft", name), b))
+    }
+  }
+}
+
+/** Column-level API mirroring `org.apache.spark.sql.functions` style:
+  * `import graft.functions.st._` then `st_area($"geom")`. Requires
+  * [[Graft.init]] (or the extensions config) on the session first.
+  */
+object st {
+  def st_geomfromtext(wkt: Column): Column = call_function("st_geomfromtext", wkt)
+  def st_geomfromtext(wkt: Column, srid: Int): Column = call_function("st_geomfromtext", wkt, lit(srid))
+  def st_geomfromgeojson(json: Column): Column = call_function("st_geomfromgeojson", json)
+  def st_point(x: Column, y: Column): Column = call_function("st_point", x, y)
+  def st_point(x: Column, y: Column, srid: Int): Column = call_function("st_point", x, y, lit(srid))
+  def st_astext(g: Column): Column = call_function("st_astext", g)
+  def st_asewkt(g: Column): Column = call_function("st_asewkt", g)
+  def st_asgeojson(g: Column): Column = call_function("st_asgeojson", g)
+  def st_x(g: Column): Column = call_function("st_x", g)
+  def st_y(g: Column): Column = call_function("st_y", g)
+  def st_srid(g: Column): Column = call_function("st_srid", g)
+  def st_setsrid(g: Column, srid: Int): Column = call_function("st_setsrid", g, lit(srid))
+  def st_isempty(g: Column): Column = call_function("st_isempty", g)
+  def st_geometrytype(g: Column): Column = call_function("st_geometrytype", g)
+  def st_area(g: Column): Column = call_function("st_area", g)
+  def st_length(g: Column): Column = call_function("st_length", g)
+  def st_distance(a: Column, b: Column): Column = call_function("st_distance", a, b)
+  def st_centroid(g: Column): Column = call_function("st_centroid", g)
+  def st_force2d(g: Column): Column = call_function("st_force2d", g)
+  def st_makevalid(g: Column): Column = call_function("st_makevalid", g)
+  def st_simplify(g: Column, tol: Column): Column = call_function("st_simplify", g, tol)
+  def st_snaptogrid(g: Column, size: Column): Column = call_function("st_snaptogrid", g, size)
+  def st_transform(g: Column, srid: Int): Column = call_function("st_transform", g, lit(srid))
+  def st_subdivide(g: Column, maxVertices: Int): Column = call_function("st_subdivide", g, lit(maxVertices))
+  def st_intersects(a: Column, b: Column): Column = call_function("st_intersects", a, b)
+  def st_intersection(a: Column, b: Column): Column = call_function("st_intersection", a, b)
+  def st_union(a: Column, b: Column): Column = call_function("st_union", a, b)
+  def st_difference(a: Column, b: Column): Column = call_function("st_difference", a, b)
+  def st_gridcells(g: Column, size: Column): Column = call_function("st_gridcells", g, size)
+  def st_union_agg(g: Column): Column = call_function("st_union_agg", g)
+  def st_collect_agg(g: Column): Column = call_function("st_collect_agg", g)
+}

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Graft, st => S}
+import graft.util.Tables._
+
+/** Geometry query surface (SURVEY.md §2.3–§2.5, E2/E3 pipelines) over the
+  * driver testdata. Points are derived deterministically from table keys
+  * (cx = key % 100, cy = key*7 % 100) so every geometric result is
+  * reproducible in the DuckDB oracle with plain arithmetic — the Spark side
+  * runs the real st_* expression pipeline, the oracle re-derives the same
+  * values with floor/sqrt/avg math.
+  */
+object Geo {
+
+  private def pt(key: Column, srid: Int = 4326): Column =
+    S.st_point((key % 100).cast("double"), ((key * 7) % 100).cast("double"), srid)
+
+  /** S10 grid clustering (LayerClusters, terra.py:27-68): snap customer
+    * points to a 7.5-unit grid, count + distinct-collect member ids. */
+  def gridCluster(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    customer(s, d)
+      .withColumn("geom", pt($"c_custkey"))
+      .withColumn("cell", S.st_snaptogrid($"geom", lit(7.5)))
+      .groupBy(S.st_x($"cell").as("gx"), S.st_y($"cell").as("gy"))
+      .agg(count(lit(1)).as("n_points"),
+        array_sort(collect_set($"c_custkey")).as("ids"))
+      .select($"gx", $"gy", $"n_points", size($"ids").as("n_ids"))
+      .orderBy($"gx", $"gy")
+  }
+
+  val gridClusterSql: String =
+    """SELECT floor((c_custkey % 100) / 7.5 + 0.5) * 7.5 AS gx,
+      |       floor(((c_custkey * 7) % 100) / 7.5 + 0.5) * 7.5 AS gy,
+      |       COUNT(*) AS n_points,
+      |       COUNT(DISTINCT c_custkey) AS n_ids
+      |FROM customer
+      |GROUP BY 1, 2
+      |ORDER BY gx, gy""".stripMargin
+
+  /** A1 collect + centroid (CollectAndSum → GeometryToCentroid,
+    * common.py:235-266, common.py:369-386): centroid of the point-collect
+    * per market segment. */
+  def centroidPerSegment(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    customer(s, d)
+      .withColumn("geom", pt($"c_custkey"))
+      .groupBy($"c_mktsegment")
+      .agg(S.st_centroid(S.st_collect_agg($"geom")).as("ctr"),
+        count(lit(1)).as("n"))
+      .select($"c_mktsegment", S.st_x($"ctr").as("cx"), S.st_y($"ctr").as("cy"), $"n")
+      .orderBy($"c_mktsegment")
+  }
+
+  val centroidPerSegmentSql: String =
+    """SELECT c_mktsegment,
+      |       AVG(CAST(c_custkey % 100 AS DOUBLE)) AS cx,
+      |       AVG(CAST((c_custkey * 7) % 100 AS DOUBLE)) AS cy,
+      |       COUNT(*) AS n
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** J3 kNN distance (ClosestFeatures, terra.py:282-331): distance from
+    * each customer point to its nearest supplier point (k=1), via a
+    * broadcast of the small side — the Spark-native decorrelation of the
+    * reference's per-row `ORDER BY distance LIMIT 1` SQL. */
+  def knnNearestSupplier(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val c = customer(s, d).select($"c_custkey", pt($"c_custkey").as("cgeom"))
+    val sup = supplier(s, d).select($"s_suppkey", pt($"s_suppkey").as("sgeom"))
+    c.join(broadcast(sup))
+      .groupBy($"c_custkey")
+      .agg(min(S.st_distance($"cgeom", $"sgeom")).as("nearest_dist"))
+      .orderBy($"c_custkey")
+  }
+
+  val knnNearestSupplierSql: String =
+    """SELECT c_custkey,
+      |       MIN(sqrt(power(CAST(c_custkey % 100 AS DOUBLE) - CAST(s_suppkey % 100 AS DOUBLE), 2)
+      |              + power(CAST((c_custkey * 7) % 100 AS DOUBLE) - CAST((s_suppkey * 7) % 100 AS DOUBLE), 2))) AS nearest_dist
+      |FROM customer CROSS JOIN supplier
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** J1 BooleanIntersect (terra.py:214-242): flag each customer point that
+    * intersects ANY zone polygon of the broadcast zone layer (zones =
+    * 15x15 rects derived from nation rows). Left rows are never dropped;
+    * no match → false (the reference's error/default contract). */
+  def zoneFlag(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val zones = nation(s, d).select(
+      $"n_nationkey",
+      S.st_geomfromtext(format_string(
+        "POLYGON ((%1$s %2$s, %3$s %2$s, %3$s %4$s, %1$s %4$s, %1$s %2$s))",
+        ($"n_nationkey" * 3) % 80, ($"n_nationkey" * 11) % 80,
+        (($"n_nationkey" * 3) % 80) + 15, (($"n_nationkey" * 11) % 80) + 15)).as("zone"))
+    val c = customer(s, d).select($"c_custkey", pt($"c_custkey").as("cgeom"))
+    c.join(broadcast(zones), S.st_intersects($"cgeom", $"zone"), "left")
+      .groupBy($"c_custkey")
+      .agg((count($"n_nationkey") > 0).as("in_zone"))
+      .orderBy($"c_custkey")
+  }
+
+  val zoneFlagSql: String =
+    """SELECT c_custkey,
+      |       EXISTS (SELECT 1 FROM nation
+      |               WHERE CAST(c_custkey % 100 AS DOUBLE) >= (n_nationkey * 3) % 80
+      |                 AND CAST(c_custkey % 100 AS DOUBLE) <= (n_nationkey * 3) % 80 + 15
+      |                 AND CAST((c_custkey * 7) % 100 AS DOUBLE) >= (n_nationkey * 11) % 80
+      |                 AND CAST((c_custkey * 7) % 100 AS DOUBLE) <= (n_nationkey * 11) % 80 + 15) AS in_zone
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  /** A2/J2 union-aggregate area (UnionOnProperty common.py:535-564,
+    * IntersectionPercentByArea terra.py:245-279): union the 10x10 rects
+    * around supplier points per nation, area of the merged zone.
+    * No plain-SQL oracle for polygon union area → rows-only check; exact
+    * semantics covered by GeomKernelSpec/StFunctionsSpec. */
+  def unionAreaPerNation(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    supplier(s, d)
+      .withColumn("rect", S.st_geomfromtext(format_string(
+        "POLYGON ((%1$s %2$s, %3$s %2$s, %3$s %4$s, %1$s %4$s, %1$s %2$s))",
+        ($"s_suppkey" % 100), (($"s_suppkey" * 7) % 100),
+        ($"s_suppkey" % 100) + 10, (($"s_suppkey" * 7) % 100) + 10)))
+      .groupBy($"s_nationkey")
+      .agg(S.st_area(S.st_union_agg($"rect")).as("zone_area"),
+        count(lit(1)).as("n_rects"))
+      .orderBy($"s_nationkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geo_grid_cluster" -> (gridCluster _),
+    "q_geo_centroid" -> (centroidPerSegment _),
+    "q_geo_knn" -> (knnNearestSupplier _),
+    "q_geo_zone_flag" -> (zoneFlag _),
+    "q_geo_union_area" -> (unionAreaPerNation _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_geo_grid_cluster" -> gridClusterSql,
+    "q_geo_centroid" -> centroidPerSegmentSql,
+    "q_geo_knn" -> knnNearestSupplierSql,
+    "q_geo_zone_flag" -> zoneFlagSql,
+  )
+}

@@ -1,0 +1,25 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.ClassicConversions._
+
+/** Bridge into `private[sql]` session internals, placed under
+  * `org.apache.spark.sql` as Spark extension libraries conventionally do:
+  * lets [[graft.functions.Graft.init]] register native Catalyst function
+  * builders on a session we did not build (the driver hands
+  * `SparkEntry.entry` a plain session, so `spark.sql.extensions` config is
+  * not guaranteed).
+  */
+object Shim {
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val ident = FunctionIdentifier(name)
+    val info = new ExpressionInfo("graft", name)
+    registry.registerFunction(ident, info, builder)
+  }
+}

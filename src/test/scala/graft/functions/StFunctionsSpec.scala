@@ -1,0 +1,118 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.geom._
+import org.apache.spark.sql.functions._
+import graft.functions.st._
+
+class StFunctionsSpec extends SparkTestBase {
+
+  import scala.jdk.CollectionConverters._
+
+  private def wktDf(wkts: String*) = {
+    import spark.implicits._
+    wkts.toSeq.toDF("wkt").withColumn("geom", st_geomfromtext($"wkt"))
+  }
+
+  test("constructors, writers, accessors through Column API") {
+    import spark.implicits._
+    val df = Seq((1.5, 2.5)).toDF("x", "y")
+      .withColumn("geom", st_point($"x", $"y", 4326))
+      .select(
+        st_astext($"geom").as("wkt"),
+        st_asewkt($"geom").as("ewkt"),
+        st_x($"geom").as("px"),
+        st_y($"geom").as("py"),
+        st.st_srid($"geom").as("srid"),
+        st_asgeojson($"geom").as("gj"))
+    val r = df.collect()(0)
+    assert(r.getString(0) == "POINT (1.5 2.5)")
+    assert(r.getString(1) == "SRID=4326;POINT (1.5 2.5)")
+    assert(r.getDouble(2) == 1.5 && r.getDouble(3) == 2.5)
+    assert(r.getInt(4) == 4326)
+    assert(r.getString(5) == """{"type":"Point","coordinates":[1.5,2.5]}""")
+  }
+
+  test("measures and predicates") {
+    val df = wktDf("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+      .select(
+        st_area(col("geom")).as("a"),
+        st_length(col("geom")).as("l"),
+        st_astext(st_centroid(col("geom"))).as("c"),
+        st_isempty(col("geom")).as("e"),
+        st_geometrytype(col("geom")).as("t"))
+    val r = df.collect()(0)
+    assert(r.getDouble(0) == 100.0)
+    assert(r.getDouble(1) == 40.0)
+    assert(r.getString(2) == "POINT (5 5)")
+    assert(!r.getBoolean(3))
+    assert(r.getString(4) == "ST_Polygon")
+  }
+
+  test("overlay functions via SQL strings (registered in FunctionRegistry)") {
+    Graft.init(spark)
+    val r = spark.sql(
+      """SELECT st_area(st_intersection(
+        |  st_geomfromtext('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'),
+        |  st_geomfromtext('POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))'))) AS a""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(math.abs(r - 25.0) < 1e-9)
+  }
+
+  test("st_transform 4326 -> 2154 known point") {
+    val df = wktDf("SRID=4326;POINT (3 46.5)")
+      .select(st_astext(st_transform(col("geom"), 2154)).as("t"))
+    val wkt = df.collect()(0).getString(0)
+    val p = Wkt.parse(wkt).asInstanceOf[Point]
+    assert(math.abs(p.x - 700000.0) < 0.01 && math.abs(p.y - 6600000.0) < 0.01)
+  }
+
+  test("st_subdivide explodes into covering parts") {
+    val n = 64
+    val circleWkt = "POLYGON ((" + (0 to n).map { i =>
+      val a = 2 * math.Pi * i / n
+      s"${50 + 40 * math.cos(a)} ${50 + 40 * math.sin(a)}"
+    }.mkString(", ") + "))"
+    val df = wktDf(circleWkt)
+      .select(posexplode(st_subdivide(col("geom"), 20)).as(Seq("i", "part")))
+      .select(st_area(col("part")).as("a"))
+    val areas = df.collect().map(_.getDouble(0))
+    assert(areas.length > 1)
+    val circle = Wkt.parse(circleWkt)
+    assert(math.abs(areas.sum - Algos.area(circle)) < 1e-6 * Algos.area(circle))
+  }
+
+  test("st_union_agg and st_collect_agg") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+      ("a", "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"),
+      ("b", "POINT (1 1)"),
+      ("b", "POINT (2 2)")).toDF("k", "wkt")
+      .withColumn("geom", st_geomfromtext($"wkt"))
+    val out = df.groupBy($"k").agg(
+      st_area(st_union_agg($"geom")).as("ua"),
+      st_astext(st_collect_agg($"geom")).as("coll"))
+      .orderBy($"k").collect()
+    assert(math.abs(out(0).getDouble(1) - 175.0) < 1e-9)
+    assert(out(1).getString(2) == "MULTIPOINT ((2 2), (1 1))" ||
+           out(1).getString(2) == "MULTIPOINT ((1 1), (2 2))")
+  }
+
+  test("st_gridcells covers the bbox cells") {
+    val df = wktDf("POLYGON ((1 1, 19 1, 19 19, 1 19, 1 1))")
+      .select(explode(st_gridcells(col("geom"), lit(10.0))).as("cell"))
+      .select("cell.gx", "cell.gy")
+    val cells = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cells == Set((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L)))
+  }
+
+  test("null and garbage inputs yield null, not errors") {
+    import spark.implicits._
+    val df = Seq("not wkt").toDF("wkt")
+      .select(st_geomfromtext($"wkt").as("g"))
+      .select(st_area($"g").as("a"), st_astext($"g").as("t"))
+    val r = df.collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+}
