@@ -315,19 +315,26 @@ case class StDifference(left: Expression, right: Expression)
 
 // ---------- grid-join support ----------
 
-/** st_gridcells(geom, size) → array<struct<gx:long, gy:long>>: the grid
-  * cells overlapped by the geometry's bbox. Blocking key for the
+/** st_gridcells(geom, size[, expand]) → array<struct<gx:long, gy:long>>:
+  * the grid cells overlapped by the geometry's bbox (optionally expanded
+  * by a margin — the bounded-radius kNN blocking). Blocking key for the
   * grid-bucket spatial join (SURVEY.md §4 item 3): both sides explode on
   * cells, equi-join on (gx, gy), then the exact predicate prunes. */
-case class StGridCells(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+case class StGridCells(children: Seq[Expression]) extends Expression with CodegenFallback {
   override def dataType: DataType =
     ArrayType(StructType(Seq(StructField("gx", LongType, false),
                              StructField("gy", LongType, false))), containsNull = false)
-  override def nullSafeEval(in: Any, size: Any): Any = {
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val in = children(0).eval(input); val size = children(1).eval(input)
+    if (in == null || size == null) return null
     val cell = size.asInstanceOf[Double]
     if (cell <= 0) return null
-    geomOf(in).flatMap(BBox.of).map { b =>
+    val expand = if (children.length > 2) {
+      val e = children(2).eval(input)
+      if (e == null) 0.0 else e.asInstanceOf[Double]
+    } else 0.0
+    geomOf(in).flatMap(BBox.of).map(_.expand(expand)).map { b =>
       val x0 = math.floor(b.minX / cell).toLong; val x1 = math.floor(b.maxX / cell).toLong
       val y0 = math.floor(b.minY / cell).toLong; val y1 = math.floor(b.maxY / cell).toLong
       val rows = for (gx <- x0 to x1; gy <- y0 to y1)
@@ -335,7 +342,30 @@ case class StGridCells(left: Expression, right: Expression)
       new GenericArrayData(rows.toArray[Any])
     }.orNull
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(children = c)
   override def prettyName: String = "st_gridcells"
+}
+
+/** st_bbox_intersects(a, b[, expand]) — cheap bbox-overlap prefilter for
+  * the broadcast nested-loop spatial join path (a's bbox expanded by the
+  * margin). */
+case class StBboxIntersects(children: Seq[Expression]) extends Expression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = children(0).eval(input); val b = children(1).eval(input)
+    if (a == null || b == null) return null
+    val expand = if (children.length > 2) {
+      val e = children(2).eval(input)
+      if (e == null) 0.0 else e.asInstanceOf[Double]
+    } else 0.0
+    (geomOf(a).flatMap(BBox.of), geomOf(b).flatMap(BBox.of)) match {
+      case (Some(b1), Some(b2)) => java.lang.Boolean.valueOf(b1.expand(expand).intersects(b2))
+      case _ => java.lang.Boolean.FALSE
+    }
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(children = c)
+  override def prettyName: String = "st_bbox_intersects"
 }

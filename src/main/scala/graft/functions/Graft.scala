@@ -45,7 +45,8 @@ object Graft {
     "st_intersection" -> { args: Seq[Expression] => StIntersection(args(0), args(1)) },
     "st_union" -> { args: Seq[Expression] => StUnion(args(0), args(1)) },
     "st_difference" -> { args: Seq[Expression] => StDifference(args(0), args(1)) },
-    "st_gridcells" -> { args: Seq[Expression] => StGridCells(args(0), args(1)) },
+    "st_gridcells" -> { args: Seq[Expression] => StGridCells(args) },
+    "st_bbox_intersects" -> { args: Seq[Expression] => StBboxIntersects(args) },
   )
 
   @volatile private var initialized: Set[SparkSession] = Set.empty
@@ -108,6 +109,10 @@ object st {
   def st_union(a: Column, b: Column): Column = call_function("st_union", a, b)
   def st_difference(a: Column, b: Column): Column = call_function("st_difference", a, b)
   def st_gridcells(g: Column, size: Column): Column = call_function("st_gridcells", g, size)
+  def st_gridcells_expanded(g: Column, size: Column, expand: Column): Column =
+    call_function("st_gridcells", g, size, expand)
+  def st_intersects_bbox(a: Column, b: Column, expand: Column): Column =
+    call_function("st_bbox_intersects", a, b, expand)
   def st_union_agg(g: Column): Column = call_function("st_union_agg", g)
   def st_collect_agg(g: Column): Column = call_function("st_collect_agg", g)
 }

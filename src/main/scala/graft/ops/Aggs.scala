@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{st => S}
+
+/** Stateful / aggregate operators (SURVEY.md §2.5). Bonobo's
+  * buffer-until-END `ContextProcessor` pattern (common.py:550-555) is
+  * exactly a blocking hash aggregate in Spark — `groupBy().agg()` gives the
+  * end-of-stream flush for free; partial aggregation (map-side combine)
+  * replaces the reference's driver-side accumulation dict.
+  */
+object Aggs {
+
+  /** A1 `CollectAndSum` (common.py:235-266): per group —
+    * geometric collect, distinct id array, point count, and sums of
+    * JSON-extracted numeric properties
+    * (`Sum(Cast(KeyTextTransform(field,'properties') AS float))`). */
+  case class CollectAndSum(groupBy: Seq[String],
+                           geom: String = "geom",
+                           idCol: String = Op.identifierCol,
+                           propsJson: String = "properties",
+                           sumFields: Seq[String] = Nil) extends Op {
+    def apply(df: DataFrame): DataFrame = {
+      val sums = sumFields.map(f =>
+        sum(get_json_object(col(propsJson), s"$$.$f").cast("double")).as(s"sum_$f"))
+      val aggs = Seq(
+        S.st_collect_agg(col(geom)).as(geom),
+        collect_set(col(idCol)).as("ids"),
+        count(col(idCol)).as("point_count")) ++ sums
+      df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
+  /** A2 `UnionOnProperty` (common.py:535-564): group by a property, emit
+    * `(level, geometric union)` at end of stream — a blocking
+    * `groupBy(property).agg(st_union_agg)`. */
+  case class UnionOnProperty(property: String, geom: String = "geom") extends Op {
+    def apply(df: DataFrame): DataFrame =
+      df.groupBy(col(property).as("level"))
+        .agg(S.st_union_agg(col(geom)).as(geom))
+  }
+
+  /** A3 `IsochroneSubstraction` (common.py:519-532): ordered stateful map —
+    * each row's geometry minus the previous row's, state seeded with
+    * `POINT EMPTY`. Order-dependent, non-commutative (nested isochrone
+    * rings) → window `lag` over an explicit order, exactly the
+    * "order-dependent state" note in SURVEY.md §2.12. */
+  case class IsochroneSubstraction(partitionBy: Seq[String],
+                                   orderBy: Seq[String],
+                                   geom: String = "geom") extends Op {
+    def apply(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy.map(col): _*)
+      val prev = lag(col(geom), 1).over(w)
+      df.withColumn(geom,
+        when(prev.isNull, col(geom)).otherwise(S.st_difference(col(geom), prev)))
+    }
+  }
+
+  /** A4 `AccessibilityRatioByTime` (terra.py:412-447): over
+    * `times: array<array<double>>` (point × mode) and per-mode
+    * `time_limits`, the fraction of points reachable under at least one
+    * mode's limit. Null cells (failed routings, terra.py:391) never count.
+    * Pure higher-order-function arithmetic — no UDF, stays in codegen. */
+  case class AccessibilityRatioByTime(timeLimits: Seq[Double],
+                                      times: String = "times",
+                                      dest: String = "accessibility") extends Op {
+    def apply(df: DataFrame): DataFrame = {
+      val limits = array(timeLimits.map(lit): _*)
+      val reachable = filter(col(times), row =>
+        exists(zip_with(row, limits, (t, l) => t.isNotNull && t <= l), x => x))
+      val ratio = size(reachable).cast("double") / size(col(times)).cast("double")
+      // falsy times → property absent (reference passthrough): null here
+      df.withColumn(dest,
+        when(col(times).isNull || size(col(times)) === 0, lit(null).cast("double"))
+          .otherwise(ratio))
+    }
+  }
+}

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.geom.{GeoJson, Wkb, Point => GPoint}
+
+/** External-compute enrichment operators (SURVEY.md §2.10). The remote
+  * service sits behind a serializable client factory so executors build
+  * one client per partition (`mapPartitions`, the idiomatic Spark
+  * enrichment shape) and tests inject a deterministic fake. The service
+  * computation itself (GraphHopper) is out of scope to reimplement —
+  * SURVEY.md: "the node surface must exist".
+  */
+object Enrich {
+
+  /** Routing/isochrone service abstraction (GraphHopper surface:
+    * common.py:490-516, terra.py:364-394). Implementations must be
+    * Serializable (shipped to executors). */
+  trait RouteService extends Serializable {
+    /** One polygon per bucket: (geojson polygon, bucket index). Failures →
+      * empty (the reference logs and emits nothing, common.py:507-513). */
+    def isochrone(lon: Double, lat: Double, timeLimit: Int, buckets: Int,
+                  vehicle: String, reverseFlow: Boolean): Seq[(String, Int)]
+    /** Seconds (or meters when weighting=distance) from point to point;
+      * None on request failure → null cell (terra.py:389-391). */
+    def route(fromLon: Double, fromLat: Double, toLon: Double, toLat: Double,
+              vehicle: String): Option[Double]
+  }
+
+  /** X1 `IsochroneCalculation` (common.py:459-516): flat-map each row into
+    * one row per isochrone bucket polygon; `bucket` column carries the
+    * index. JSON/service failure → row contributes nothing (0..N flatMap).
+    */
+  case class IsochroneCalculation(service: RouteService,
+                                  timeLimit: Int = 600, buckets: Int = 3,
+                                  vehicle: String = "car",
+                                  reverseFlow: Boolean = false,
+                                  geom: String = "geom") extends Op {
+    def apply(df: DataFrame): DataFrame = {
+      val schema = StructType(df.schema.fields.filter(_.name != geom) ++
+        Seq(StructField(geom, BinaryType), StructField("bucket", IntegerType)))
+      val keepIdx = df.schema.fields.zipWithIndex.filter(_._1.name != geom).map(_._2)
+      val geomIdx = df.schema.fieldIndex(geom)
+      val enc = Encoders.row(schema)
+      df.mapPartitions { rows =>
+        rows.flatMap { row =>
+          val center = Option(row.get(geomIdx))
+            .flatMap(b => Wkb.readOpt(b.asInstanceOf[Array[Byte]]))
+            .collect { case p: GPoint if p.coord.isDefined => p }
+          center.toSeq.flatMap { p =>
+            try {
+              service.isochrone(p.x, p.y, timeLimit, buckets, vehicle, reverseFlow)
+                .flatMap { case (gj, bucket) =>
+                  GeoJson.parseOpt(gj).map { g =>
+                    Row.fromSeq(keepIdx.map(row.get).toSeq :+ Wkb.write(g.withSrid(4326)) :+ bucket)
+                  }
+                }
+            } catch { case _: Exception => Seq.empty } // log-and-skip contract
+          }
+        }
+      }(enc)
+    }
+  }
+
+  /** X2 `TransitTimeOneToMany` (terra.py:334-394): per row, route from
+    * each point in `points` (array of WKB points) to the row's geometry
+    * centroid per vehicle → `times[i][j]` matrix with null cells on
+    * failure. Pops `points` (reference: `properties.pop(self.points)`,
+    * terra.py:367). */
+  case class TransitTimeOneToMany(service: RouteService,
+                                  vehicles: Seq[String] = Seq("car"),
+                                  points: String = "points",
+                                  geom: String = "geom",
+                                  times: String = "times") extends Op {
+    def apply(df: DataFrame): DataFrame = {
+      val outFields = df.schema.fields.filter(_.name != points) :+
+        StructField(times, ArrayType(ArrayType(DoubleType, containsNull = true)))
+      val schema = StructType(outFields)
+      val keepIdx = df.schema.fields.zipWithIndex.filter(_._1.name != points).map(_._2)
+      val pointsIdx = df.schema.fieldIndex(points)
+      val geomIdx = df.schema.fieldIndex(geom)
+      val enc = Encoders.row(schema)
+      df.mapPartitions { rows =>
+        rows.map { row =>
+          val dest = Option(row.get(geomIdx))
+            .flatMap(b => Wkb.readOpt(b.asInstanceOf[Array[Byte]]))
+            .map(graft.geom.Algos.centroid)
+          val pts = Option(row.get(pointsIdx))
+            .map(_.asInstanceOf[scala.collection.Seq[Array[Byte]]].toSeq)
+            .getOrElse(Seq.empty)
+            .flatMap(Wkb.readOpt(_)).collect { case p: GPoint if p.coord.isDefined => p }
+          val matrix: Seq[Seq[java.lang.Double]] = pts.map { p =>
+            vehicles.map { v =>
+              dest.flatMap(d =>
+                try service.route(p.x, p.y, d.x, d.y, v)
+                catch { case _: Exception => None })
+                .map(java.lang.Double.valueOf).orNull
+            }
+          }
+          Row.fromSeq(keepIdx.map(row.get).toSeq :+ matrix)
+        }
+      }(enc)
+    }
+  }
+
+  /** X3 `TransitTimeOneToOne` (terra.py:397-409): X2 then scalar-extract
+    * `times[0][0]`; empty → null. */
+  case class TransitTimeOneToOne(service: RouteService,
+                                 vehicle: String = "car",
+                                 points: String = "points",
+                                 geom: String = "geom",
+                                 time: String = "time") extends Op {
+    def apply(df: DataFrame): DataFrame =
+      TransitTimeOneToMany(service, Seq(vehicle), points, geom, "__times")(df)
+        .withColumn(time, element_at(element_at(col("__times"), 1), 1))
+        .drop("__times")
+  }
+}

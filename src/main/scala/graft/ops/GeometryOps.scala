@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{st => S}
+
+/** Geometry scalar operators (SURVEY.md §2.3) — thin op wrappers over the
+  * native st_* expressions. All require [[graft.functions.Graft.init]] on
+  * the session (query entry points call it).
+  */
+object GeometryOps {
+
+  /** G1 `AttributeToGeometry` (common.py:286-312): parse a string property
+    * (GeoJSON / WKT / EWKT / hex WKB — the `GEOSGeometry(str)` surface)
+    * into the geometry column; polygons get `buffer(0)` validity
+    * normalization → st_makevalid, lines get `simplify(0)` vertex dedupe.
+    */
+  case class AttributeToGeometry(attribute: String, geom: String = "geom") extends Op {
+    def apply(df: DataFrame): DataFrame = {
+      val src = col(attribute)
+      val parsed = when(src.startsWith("{"), S.st_geomfromgeojson(src))
+        .otherwise(S.st_geomfromtext(src))
+      df.withColumn(geom,
+          S.st_makevalid(S.st_simplify(parsed, lit(0.0))))
+        .drop(attribute)
+    }
+  }
+
+  /** G2 `AttributesToPointGeometry` (common.py:315-342): pop string attrs
+    * x,y → point. Non-castable values must RAISE, not null out
+    * (test_common.py:376-384) → strict ANSI cast via `to_number`-style
+    * assertion: a null cast result on a non-null input raises. */
+  case class AttributesToPointGeometry(x: String, y: String,
+                                       geom: String = "geom",
+                                       srid: Int = 4326) extends Op {
+    def apply(df: DataFrame): DataFrame = {
+      // try_cast probes castability without tripping ANSI-mode errors, so
+      // the raised message is the reference's own contract, not Spark's.
+      def strict(c: Column, name: String): Column =
+        when(c.isNotNull && c.try_cast("double").isNull,
+          raise_error(concat(lit(s"Fails to cast $name value '"), c, lit("' to double"))))
+          .otherwise(c.try_cast("double"))
+      df.withColumn(geom, S.st_point(strict(col(x), x), strict(col(y), y), srid))
+        .drop(x, y)
+    }
+  }
+
+  /** G3 `GeometryToJson` (common.py:345-366): geometry → GeoJSON string
+    * with optional Douglas-Peucker simplification factor. */
+  case class GeometryToJson(geom: String = "geom", dest: String = "geojson",
+                            simplificationFactor: Double = 0.0) extends Op {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(dest, S.st_asgeojson(S.st_simplify(col(geom), lit(simplificationFactor))))
+  }
+
+  /** G4 `GeometryToCentroid` (common.py:369-386). */
+  case class GeometryToCentroid(geom: String = "geom", dest: String = "centroid") extends Op {
+    def apply(df: DataFrame): DataFrame = df.withColumn(dest, S.st_centroid(col(geom)))
+  }
+
+  /** G5 `Geometry3Dto2D` (common.py:389-408): strip Z, preserve SRID. */
+  case class Geometry3Dto2D(geom: String = "geom") extends Op {
+    def apply(df: DataFrame): DataFrame = df.withColumn(geom, S.st_force2d(col(geom)))
+  }
+
+  /** G6 `SimplifyGeom` (terra.py:450-471). */
+  case class SimplifyGeom(tolerance: Double, geomIn: String = "geom",
+                          geomOut: String = "geom") extends Op {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(geomOut, S.st_simplify(col(geomIn), lit(tolerance)))
+  }
+
+  /** G7 `TransformGeom` (terra.py:474-494): CRS reprojection. */
+  case class TransformGeom(toSrid: Int, geomIn: String = "geom",
+                           geomOut: String = "geom") extends Op {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(geomOut, S.st_transform(col(geomIn), toSrid))
+  }
+
+  /** G8 `SubdivideGeom` (terra.py:71-104): flat-map 1→N with child ids
+    * `"{identifier}-{i}"` via posexplode — the reference's exact id scheme
+    * (terra.py:103). `buffer(0)` pre-normalization → st_makevalid. */
+  case class SubdivideGeom(maxVertices: Int = 256, geom: String = "geom") extends Op {
+    def apply(df: DataFrame): DataFrame = {
+      val others = df.columns.filter(c => c != geom && c != Op.identifierCol)
+      df.select(
+          (col(Op.identifierCol) +: others.map(col)) :+
+            posexplode(S.st_subdivide(S.st_makevalid(col(geom)), maxVertices)).as(Seq("pos", geom)): _*)
+        .withColumn(Op.identifierCol,
+          concat(col(Op.identifierCol), lit("-"), col("pos")))
+        .drop("pos")
+    }
+  }
+}

@@ -1,0 +1,27 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** An operator is a pure `DataFrame => DataFrame` (SURVEY.md §7 "every op
+  * is a pure function object mirroring the reference's option surface").
+  * A Bonobo graph (a chain of terra_bonobo_nodes node classes) becomes
+  * `Pipeline(op1, op2, ...)` — ONE Catalyst plan, not N thread-connected
+  * stages: the reference's per-edge thread boundaries (SURVEY.md §3)
+  * disappear into whole-stage codegen.
+  *
+  * Identifier convention: the reference's `(identifier, record)` tuple
+  * (common.py:122-123) maps to a DataFrame with an `identifier` column
+  * alongside the record's columns.
+  */
+trait Op extends (DataFrame => DataFrame) { self =>
+  def andThen(next: Op): Op = (df: DataFrame) => next(self(df))
+}
+
+object Op {
+  val identifierCol = "identifier"
+}
+
+/** Compose ops left-to-right, Bonobo-graph style. */
+case class Pipeline(ops: Op*) extends Op {
+  def apply(df: DataFrame): DataFrame = ops.foldLeft(df)((d, op) => op(d))
+}

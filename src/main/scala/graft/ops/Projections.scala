@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MapType
+
+/** Projection / filter / per-record scalar operators (SURVEY.md §2.2).
+  * Each mirrors one reference node's semantics; the physical side is a
+  * plain Catalyst projection or filter (column pruning + predicate
+  * pushdown come free, SURVEY.md §4).
+  */
+object Projections {
+
+  /** P1 `IdentifierFromProperty` (common.py:109-123): promote a property
+    * to the identifier. The property is NOT removed from the record
+    * (regression contract: test_common.py:130-133, CHANGES.md "Do not drop
+    * original data"). */
+  case class IdentifierFromProperty(property: String) extends Op {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(Op.identifierCol, col(property).cast("string"))
+  }
+
+  /** P2 `GenerateIdentifier` (common.py:126-151): identifier from a
+    * generator expression, default `uuid4` → `uuid()`. A non-Column
+    * generator is a user error at construction, matching the reference's
+    * `ValueError` on non-callable/bad-arity generators. */
+  case class GenerateIdentifier(generator: Column = expr("uuid()")) extends Op {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(Op.identifierCol, generator.cast("string"))
+  }
+
+  /** P3 `ExcludeAttributes` (common.py:157-175): drop listed properties if
+    * present. Works on top-level columns; for a MapType properties column
+    * use [[excludeMapKeys]]. */
+  case class ExcludeAttributes(excluded: Seq[String]) extends Op {
+    def apply(df: DataFrame): DataFrame = df.drop(excluded: _*)
+  }
+
+  /** Map-column variant of P3: `map_filter` keeps non-excluded keys. */
+  def excludeMapKeys(m: Column, excluded: Seq[String]): Column =
+    map_filter(m, (k, _) => !k.isin(excluded.map(lit(_)): _*))
+
+  /** P4 `FilterAttributes` (common.py:178-193): keep only whitelisted
+    * properties (plus the identifier, which is pipeline infrastructure). */
+  case class FilterAttributes(included: Seq[String]) extends Op {
+    def apply(df: DataFrame): DataFrame = {
+      val keep = df.columns.filter(c => included.contains(c) || c == Op.identifierCol)
+      df.select(keep.map(col): _*)
+    }
+  }
+
+  /** Map-column variant of P4. */
+  def filterMapKeys(m: Column, included: Seq[String]): Column =
+    map_filter(m, (k, _) => k.isin(included.map(lit(_)): _*))
+
+  /** P5 `FilterByProperties` (common.py:196-211): predicate filter over
+    * (identifier, record). */
+  case class FilterByProperties(keep: Column) extends Op {
+    def apply(df: DataFrame): DataFrame = df.filter(keep)
+  }
+
+  /** P6/A5 `MinArrayAttribute` (common.py:214-229): replace an
+    * array-valued property with its minimum. */
+  case class MinArrayAttribute(attribute: String) extends Op {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(attribute, array_min(col(attribute)))
+  }
+
+  /** P7 `MapProperties` (common.py:269-283): arbitrary record transform —
+    * the user supplies named column expressions (the declarative form) via
+    * `withColumns`; a row-level lambda escape hatch stays available through
+    * `Dataset.map` at the call site. */
+  case class MapProperties(mods: Map[String, Column]) extends Op {
+    def apply(df: DataFrame): DataFrame = df.withColumns(mods)
+  }
+
+  /** P8 `Ogr2ogrGeojson2Geojson` (osm.py:99-119): parse the hstore-style
+    * `other_tags` string `'"k"=>"v","k2"=>"v2"'` into a map and merge its
+    * pairs into the record's `tags` map column, dropping `other_tags`.
+    * Absent/null column → row passes through unchanged (reference
+    * contract); malformed strings yield null entries visible to the user
+    * rather than silently dropped rows. */
+  case class OtherTagsToMap(otherTags: String = "other_tags",
+                            tagsCol: String = "tags") extends Op {
+    def apply(df: DataFrame): DataFrame = {
+      if (!df.columns.contains(otherTags)) return df
+      val parsed = parseHstore(col(otherTags))
+      val merged =
+        if (df.columns.contains(tagsCol)) map_concat_safe(col(tagsCol), parsed)
+        else parsed
+      df.withColumn(tagsCol, merged).drop(otherTags)
+    }
+  }
+
+  /** `'"k"=>"v","k2"=>"v2"'` → map<string,string>. Null-safe. */
+  def parseHstore(c: Column): Column = {
+    // strip outer quotes of each pair: "k"=>"v" split on "," between pairs
+    val stripped = regexp_replace(c, "^\"|\"$", "")
+    when(c.isNull, lit(null).cast(MapType(org.apache.spark.sql.types.StringType,
+                                          org.apache.spark.sql.types.StringType)))
+      .otherwise(str_to_map(stripped, lit("\",\""), lit("\"=>\"")))
+  }
+
+  private def map_concat_safe(a: Column, b: Column): Column =
+    when(a.isNull, b).when(b.isNull, a).otherwise(map_concat(a, b))
+
+  /** P9 `CopyOnPipelineSplit` (common.py:414-423): defensive deep-copy for
+    * graph splits. Spark plans are immutable → identity; `.cache()` when
+    * both branches re-read an expensive upstream. */
+  case class CopyOnPipelineSplit(cache: Boolean = false) extends Op {
+    def apply(df: DataFrame): DataFrame = if (cache) df.cache() else df
+  }
+
+  /** P10 `DropIdentifier` (common.py:426-436). */
+  case object DropIdentifier extends Op {
+    def apply(df: DataFrame): DataFrame = df.drop(Op.identifierCol)
+  }
+
+  /** P11 `DjangoLog` (common.py:439-456): passthrough observation. Uses
+    * `observe` + count so the log is plan-integrated, not a second job. */
+  case class LogRows(name: String = "graft_log") extends Op {
+    def apply(df: DataFrame): DataFrame = df.observe(name, count(lit(1)).as("rows"))
+  }
+}

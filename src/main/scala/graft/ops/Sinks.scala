@@ -1,0 +1,74 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.store.FeatureStore
+
+/** Sink / DDL / maintenance operators (SURVEY.md §2.9). All sinks return
+  * their input unchanged — the reference's `NOT_MODIFIED` passthrough
+  * (terra.py:163, elasticsearch.py:88) — so pipelines can continue past a
+  * load. Buffered micro-batching (the 100/1000-row windows) is Spark's
+  * writer batching; no hand-rolled buffers.
+  */
+object Sinks {
+
+  /** K1 `LoadFeatureInLayer` (terra.py:107-174). */
+  case class LoadFeatureInLayer(root: String, layer: String,
+                                geomCol: String = "geom") extends Op {
+    def apply(df: DataFrame): DataFrame =
+      FeatureStore.upsert(df, root, layer, geomCol)
+  }
+
+  /** K2 `LoadInES` (elasticsearch.py:47-98): bulk index into the
+    * search-index representation (a parquet directory named by index).
+    * Document shape `{_feature_id: identifier, **properties}`
+    * (elasticsearch.py:90-98); id column = identifier. Append mode — the
+    * reference's per-batch error isolation maps to Spark task retries. */
+  case class LoadInEs(indexRoot: String, index: String) extends Op {
+    def apply(df: DataFrame): DataFrame = {
+      val doc = df
+        .withColumn("_feature_id", col(Op.identifierCol).cast("string"))
+        .withColumn("_id", col(Op.identifierCol).cast("string"))
+      doc.write.mode("append").parquet(s"$indexRoot/$index")
+      df
+    }
+  }
+
+  /** K3 `ESGeometryField` (elasticsearch.py:101-147): idempotent index
+    * DDL — create the index with its mapping (geo_shape geometry +
+    * keyword feature id) if absent. Our representation: an empty parquet
+    * directory with the declared schema + a `_MAPPING.json` descriptor. */
+  case class EsGeometryField(indexRoot: String, index: String,
+                             geomField: String = "geom") {
+    def apply(spark: SparkSession): Unit = {
+      val dir = Paths.get(indexRoot, index)
+      if (!Files.exists(dir)) {
+        Files.createDirectories(dir)
+        Files.writeString(dir.resolve("_MAPPING.json"),
+          s"""{"properties": {"$geomField": {"type": "geo_shape", "ignore_z_value": true},
+             | "_feature_id": {"type": "keyword"}},
+             | "total_fields_limit": 10000}""".stripMargin)
+      }
+    }
+  }
+
+  /** K4 `ESOptimizeIndexing` (elasticsearch.py:150-185): pre-load write
+    * tuning. The ES `refresh_interval=-1` analogue is writer file sizing —
+    * returns the df with a write-side coalesce hint applied. */
+  case class EsOptimizeIndexing(maxRecordsPerFile: Int = 1000000) extends Op {
+    def apply(df: DataFrame): DataFrame = {
+      df.sparkSession.conf.set("spark.sql.files.maxRecordsPerFile", maxRecordsPerFile)
+      df
+    }
+  }
+
+  /** K5 `CleanOlderThan` (terra.py:497-520). */
+  case class CleanOlderThan(root: String, layer: String,
+                            threshold: java.sql.Timestamp) extends Op {
+    def apply(df: DataFrame): DataFrame = {
+      FeatureStore.cleanOlderThan(df.sparkSession, root, layer, threshold)
+      df
+    }
+  }
+}

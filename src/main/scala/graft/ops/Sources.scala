@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.geom.{GeoJson, Wkb}
+
+/** Source operators (SURVEY.md §2.1). Finite-input Bonobo generators map
+  * to batch reads; every reader keeps schema-on-read dynamic (the
+  * reference's records are open dicts) while exposing typed columns where
+  * the format defines them.
+  */
+object Sources {
+
+  /** S1 `CsvDictReader` (common.py:29-67): CSV with full dialect options.
+    * Header row = field names; all values read as strings (the reference
+    * yields all-str dicts — typing is a downstream op's job). Operates on
+    * a file path or an in-flight Dataset[String]. */
+  case class CsvOptions(delimiter: String = ",", quote: String = "\"",
+                        escape: String = "\\", header: Boolean = true,
+                        encoding: String = "UTF-8")
+
+  def csvRead(spark: SparkSession, path: String, opts: CsvOptions = CsvOptions()): DataFrame =
+    spark.read
+      .option("header", opts.header).option("sep", opts.delimiter)
+      .option("quote", opts.quote).option("escape", opts.escape)
+      .option("encoding", opts.encoding)
+      .option("inferSchema", false) // all-str contract (common.py:65-67)
+      .csv(path)
+
+  def csvParse(lines: Dataset[String], opts: CsvOptions = CsvOptions()): DataFrame =
+    lines.sparkSession.read
+      .option("header", opts.header).option("sep", opts.delimiter)
+      .option("quote", opts.quote).option("escape", opts.escape)
+      .option("inferSchema", false)
+      .csv(lines)
+
+  /** S2 `GeojsonReader` (common.py:70-103): FeatureCollection text → one
+    * row per feature: `properties` as a JSON string (open schema, like the
+    * reference's dict), `geom` as WKB. CRS must be in the whitelist
+    * (CRS84 / EPSG:4326) or the read fails — the reference raises
+    * `ValueError` (common.py:84-91). */
+  val geojsonCrsWhitelist: Set[String] =
+    Set("urn:ogc:def:crs:OGC:1.3:CRS84", "EPSG:4326")
+
+  def geojsonFeatures(docs: Dataset[String], geomCol: String = "geom"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = docs.flatMap { text =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(text)
+      val crs = Option(root.get("crs")).flatMap(c => Option(c.get("properties")))
+        .flatMap(p => Option(p.get("name"))).map(_.asText())
+      crs.foreach { name =>
+        if (!geojsonCrsWhitelist.contains(name))
+          throw new IllegalArgumentException(s"Projection $name not supported")
+      }
+      val feats = Option(root.get("features")).toSeq
+        .flatMap(f => scala.jdk.CollectionConverters.IteratorHasAsScala(f.elements()).asScala)
+      feats.map { f =>
+        val props = Option(f.get("properties")).map(_.toString).getOrElse("{}")
+        val geom = Option(f.get("geometry"))
+          .map(g => Wkb.write(GeoJson.fromNode(g).withSrid(4326)))
+          .orNull
+        (props, geom)
+      }
+    }.toDF("properties", geomCol)
+    rows
+  }
+
+  /** S3 `SQLExtract` (sql.py:7-38): arbitrary SQL over the session
+    * catalog; DECIMAL columns coerced to double at the source (the
+    * reference's `Decimal→float`, sql.py:33-34); identifier = named
+    * column, kept in the record. */
+  case class SqlExtract(query: String, identifier: Option[String] = None) {
+    def apply(spark: SparkSession): DataFrame = {
+      val raw = spark.sql(query)
+      val coerced = raw.schema.fields.foldLeft(raw) { (df, f) =>
+        f.dataType match {
+          case _: DecimalType => df.withColumn(f.name, col(f.name).cast("double"))
+          case _ => df
+        }
+      }
+      identifier.map(idc => coerced.withColumn(Op.identifierCol, col(idc).cast("string")))
+        .getOrElse(coerced)
+    }
+  }
+
+  /** S4 `AttributeFromSQL` (sql.py:41-82): per-row correlated
+    * set-returning subquery, decorrelated into a left join +
+    * `collect_list(struct(*))` — the result-rows-as-list-of-dicts column.
+    * `joinKey` plays the reference's `%s`-bound identifier. */
+  case class AttributeFromSql(table: DataFrame, tableKey: String,
+                              property: String,
+                              leftKey: String = Op.identifierCol) extends Op {
+    def apply(df: DataFrame): DataFrame = {
+      val valueCols = table.columns.filter(_ != tableKey)
+      val grouped = table
+        .groupBy(col(tableKey).cast("string").as("__joinkey"))
+        .agg(collect_list(struct(valueCols.map(col): _*)).as(property))
+      df.join(grouped, col(leftKey).cast("string") === col("__joinkey"), "left")
+        .drop("__joinkey")
+    }
+  }
+
+  /** S5 `ESExtract` (elasticsearch.py:12-44): indexed-store scan with the
+    * query body as a pushed-down predicate. Our index representation is a
+    * parquet directory; the predicate reaches the scan via Catalyst
+    * pushdown (SURVEY.md §4). */
+  case class EsExtract(indexPath: String, query: Option[Column] = None,
+                       idCol: String = "_id") {
+    def apply(spark: SparkSession): DataFrame = {
+      val scan = spark.read.parquet(indexPath)
+      val filtered = query.map(scan.filter).getOrElse(scan)
+      if (filtered.columns.contains(idCol))
+        filtered.withColumn(Op.identifierCol, col(idCol).cast("string"))
+      else filtered
+    }
+  }
+
+  /** S7 `PyfilesExtract` (pyfiles.py:9-52): versioned file store read —
+    * `namespace/filename/version` path convention, `latest` resolved as
+    * the max version directory; missing file → error (reference raises
+    * `RuntimeError`). Binary payload via binaryFile. */
+  case class PyfilesExtract(root: String, namespace: String, filename: String,
+                            version: String = "latest") {
+    def apply(spark: SparkSession): DataFrame = {
+      val base = new java.io.File(s"$root/$namespace")
+      val ver =
+        if (version != "latest") version
+        else Option(base.listFiles()).map(_.filter(_.isDirectory).map(_.getName))
+          .filter(_.nonEmpty)
+          .map(_.sortBy(v => v.split('.').map(s => f"${s.toIntOption.getOrElse(0)}%09d").mkString).last)
+          .getOrElse(throw new RuntimeException(s"Fail to fetch file $namespace/$filename"))
+      val path = s"$root/$namespace/$ver/$filename"
+      if (!new java.io.File(path).exists())
+        throw new RuntimeException(s"Fail to fetch file $namespace/$filename version $ver")
+      spark.read.format("binaryFile").load(path)
+        .select(col("path"), col("content"))
+    }
+  }
+
+  /** S8 `ZipReader` (archive.py:7-24): zip bytes → one row per entry
+    * `(entry_name, entry_bytes)`, optionally whitelisted. A 1→N generator
+    * over a binary column (UDTF-style, SURVEY.md §2.11). */
+  def zipEntries(df: DataFrame, bytesCol: String = "content",
+                 contentPaths: Option[Seq[String]] = None): DataFrame = {
+    val spark = df.sparkSession
+    val keep = contentPaths.map(_.toSet)
+    val enc = Encoders.tuple(Encoders.STRING, Encoders.BINARY)
+    val entries = df.select(col(bytesCol)).as[Array[Byte]](Encoders.BINARY)
+      .flatMap { bytes =>
+        val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+        Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+          .filter(e => !e.isDirectory && keep.forall(_.contains(e.getName)))
+          .map { e => (e.getName, zin.readAllBytes()) }
+          .toVector
+      }(enc)
+    entries.toDF("name", "content")
+  }
+
+  /** S6 `OverpassExtract` (osm.py:14-39): external OverpassQL fetch —
+    * driver-side ingestion through a pluggable fetcher (the HTTP client
+    * is injected, mockable; non-OK → error, matching the reference's
+    * `RuntimeError` on failed responses). */
+  case class OverpassExtract(fetch: String => String, query: String) {
+    def apply(spark: SparkSession): Dataset[String] = {
+      import spark.implicits._
+      val body = fetch(query) // fetch failures propagate (RuntimeError contract)
+      spark.createDataset(Seq(body))
+    }
+  }
+}

@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{st => S}
+
+/** Spatial joins (SURVEY.md §2.4) — the reference runs one PostGIS query
+  * per input row (terra.py:233-237, 264-274, 313-325: the N+1 pattern
+  * called out in BASELINE.md); here each becomes ONE set-at-a-time join.
+  *
+  * Physical strategy (SURVEY.md §4 item 3): grid-bucket equi-join — both
+  * sides explode the grid cells overlapped by their bbox
+  * (`st_gridcells`), equi-join on the cell key (hash-partitioned, scales
+  * out), dedupe candidate pairs, then the exact geometric predicate
+  * filters. `broadcast = true` short-circuits to a broadcast
+  * nested-loop join for small layers (dimension-table case). Left rows
+  * are NEVER dropped: all four ops re-join matches back left-outer with
+  * error/default semantics (`False` / `0.0` / missing property)
+  * matching the reference's error contracts.
+  */
+object SpatialJoins {
+
+  /** Candidate pairs from the grid blocking stage: left row id × right
+    * row. Pairs are deduped (a pair can share several cells). */
+  private def candidates(left: DataFrame, right: DataFrame,
+                         leftGeom: String, rightGeom: String,
+                         cellSize: Double, broadcastRight: Boolean,
+                         expandLeftBy: Double = 0.0): DataFrame = {
+    if (broadcastRight) {
+      left.join(broadcast(right), S.st_intersects_bbox(col(leftGeom), col(rightGeom), lit(expandLeftBy)))
+    } else {
+      val lc = left.withColumn("__cell",
+        explode(S.st_gridcells_expanded(col(leftGeom), lit(cellSize), lit(expandLeftBy))))
+      val rc = right.withColumn("__cell", explode(S.st_gridcells(col(rightGeom), lit(cellSize))))
+      lc.join(rc, lc("__cell") === rc("__cell"))
+        .drop("__cell")
+    }
+  }
+
+  /** J1 `BooleanIntersect` (terra.py:214-242): per left row, does ANY
+    * layer feature intersect its geometry? Errors/no-match → false. */
+  case class BooleanIntersect(layer: DataFrame, property: String,
+                              geom: String = "geom", layerGeom: String = "geom",
+                              cellSize: Double = 1.0,
+                              broadcastLayer: Boolean = true) extends Op {
+    def apply(df: DataFrame): DataFrame = {
+      val withId = df.withColumn("__rowid", monotonically_increasing_id())
+      val layerG = layer.select(col(layerGeom).as("__lgeom"))
+      val pairs = candidates(withId, layerG, geom, "__lgeom", cellSize, broadcastLayer)
+        .filter(S.st_intersects(col(geom), col("__lgeom")))
+        .select(col("__rowid")).distinct()
+        .withColumn(property, lit(true))
+      withId.join(pairs, Seq("__rowid"), "left")
+        .withColumn(property, coalesce(col(property), lit(false)))
+        .drop("__rowid")
+    }
+  }
+
+  /** J2 `IntersectionPercentByArea` (terra.py:245-279): area of the
+    * unioned intersection with the layer, as a fraction of the row
+    * geometry's area; no intersection / zero area → 0.0. */
+  case class IntersectionPercentByArea(layer: DataFrame, property: String = "intersection_percent",
+                                       geom: String = "geom", layerGeom: String = "geom",
+                                       cellSize: Double = 1.0,
+                                       broadcastLayer: Boolean = true) extends Op {
+    def apply(df: DataFrame): DataFrame = {
+      val withId = df.withColumn("__rowid", monotonically_increasing_id())
+      val layerG = layer.select(col(layerGeom).as("__lgeom"))
+      val zones = candidates(withId.select(col("__rowid"), col(geom)), layerG,
+          geom, "__lgeom", cellSize, broadcastLayer)
+        .filter(S.st_intersects(col(geom), col("__lgeom")))
+        .groupBy(col("__rowid"))
+        .agg(S.st_union_agg(S.st_makevalid(S.st_intersection(col("__lgeom"), col(geom))))
+          .as("__zone"))
+      withId.join(zones, Seq("__rowid"), "left")
+        .withColumn(property,
+          coalesce(S.st_area(col("__zone")) / S.st_area(col(geom)), lit(0.0)))
+        .drop("__rowid", "__zone")
+    }
+  }
+
+  /** J4 `IntersectionGeom` (terra.py:523-557): same join, but store the
+    * unioned intersection geometry; no match → empty geometry. */
+  case class IntersectionGeom(layer: DataFrame, geomDest: String,
+                              geom: String = "geom", layerGeom: String = "geom",
+                              cellSize: Double = 1.0,
+                              broadcastLayer: Boolean = true) extends Op {
+    def apply(df: DataFrame): DataFrame = {
+      val withId = df.withColumn("__rowid", monotonically_increasing_id())
+      val layerG = layer.select(col(layerGeom).as("__lgeom"))
+      val zones = candidates(withId.select(col("__rowid"), col(geom)), layerG,
+          geom, "__lgeom", cellSize, broadcastLayer)
+        .filter(S.st_intersects(col(geom), col("__lgeom")))
+        .groupBy(col("__rowid"))
+        .agg(S.st_union_agg(S.st_makevalid(S.st_intersection(col("__lgeom"), col(geom))))
+          .as(geomDest))
+      withId.join(zones, Seq("__rowid"), "left")
+        .withColumn(geomDest,
+          coalesce(col(geomDest), S.st_geomfromtext(lit("POINT EMPTY"))))
+        .drop("__rowid")
+    }
+  }
+
+  /** J3 `ClosestFeatures` (terra.py:282-331): kNN join — the k nearest
+    * layer features (by distance to the row geometry's centroid), optional
+    * max distance and property-equality pre-filter, appended as an array
+    * of geometries sorted by distance. The reference's per-row
+    * `ORDER BY distance LIMIT k` becomes window top-k over candidate
+    * pairs. With `maxDistance` set and `broadcastLayer=false`, blocking
+    * uses grid cells of `maxDistance` with the left bbox expanded by it —
+    * a bounded-radius kNN that scales without a cross join. */
+  case class ClosestFeatures(layer: DataFrame, k: Int = 1,
+                             maxDistance: Option[Double] = None,
+                             propertyFilter: Map[String, String] = Map.empty,
+                             closests: String = "closests",
+                             geom: String = "geom", layerGeom: String = "geom",
+                             broadcastLayer: Boolean = true) extends Op {
+    def apply(df: DataFrame): DataFrame = {
+      val filtered = propertyFilter.foldLeft(layer) { case (l, (key, v)) =>
+        l.filter(col(key) === lit(v))
+      }.filter(!S.st_isempty(col(layerGeom)))
+      val layerG = filtered.select(col(layerGeom).as("__lgeom"))
+      val withId = df.withColumn("__rowid", monotonically_increasing_id())
+      val leftSlim = withId.select(col("__rowid"), S.st_centroid(col(geom)).as("__ctr"))
+      val cell = maxDistance.getOrElse(1.0)
+      val pairs = candidates(leftSlim, layerG, "__ctr", "__lgeom", cell,
+          broadcastLayer, expandLeftBy = maxDistance.getOrElse(0.0))
+        .withColumn("__dist", S.st_distance(col("__ctr"), col("__lgeom")))
+      val bounded = maxDistance.map(d => pairs.filter(col("__dist") < d)).getOrElse(pairs)
+      val w = Window.partitionBy(col("__rowid")).orderBy(col("__dist"))
+      val topk = bounded
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k)
+        .groupBy(col("__rowid"))
+        .agg(sort_array(collect_list(struct(col("__dist"), col("__lgeom")))).as("__sorted"))
+        .select(col("__rowid"), transform(col("__sorted"), x => x("__lgeom")).as(closests))
+      // AttributeError passthrough contract: unmatched rows keep no property
+      withId.join(topk, Seq("__rowid"), "left").drop("__rowid", "__ctr")
+    }
+  }
+}

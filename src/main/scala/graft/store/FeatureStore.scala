@@ -1,0 +1,133 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.{st => S}
+import graft.ops.Op
+
+/** Parquet-backed feature store — the engine-native replacement for the
+  * reference's django-geostore `Feature(layer, identifier, geom,
+  * properties)` model (terra.py:19, terra.py:169-174).
+  *
+  * Layout: `root/<layer>/v<epoch>-<salt>/part-*.parquet` + a `_LATEST`
+  * pointer file. Writers produce a NEW immutable version directory and
+  * atomically swap the pointer (ATOMIC_MOVE of a temp pointer), so readers
+  * never observe a half-written layer — the directory-swap transactionality
+  * called out in SURVEY.md §7 hard-part (3). Old versions are pruned after
+  * the swap; a crashed writer leaves only unreferenced garbage.
+  *
+  * Schema: `identifier: string, geom: binary (EWKB), properties: string
+  * (JSON), updated_at: timestamp` — mirroring geostore's JSONB properties
+  * and SRID-4326 geometry (settings.py:128).
+  */
+object FeatureStore {
+
+  val schema: StructType = StructType(Seq(
+    StructField("identifier", StringType, nullable = false),
+    StructField("geom", BinaryType, nullable = true),
+    StructField("properties", StringType, nullable = true),
+    StructField("updated_at", TimestampType, nullable = true)))
+
+  private def layerDir(root: String, layer: String): Path = Paths.get(root, layer)
+
+  private def latestVersion(root: String, layer: String): Option[String] = {
+    val ptr = layerDir(root, layer).resolve("_LATEST")
+    if (Files.exists(ptr)) Some(Files.readString(ptr).trim) else None
+  }
+
+  private def currentPath(root: String, layer: String): Option[String] =
+    latestVersion(root, layer).map(v => layerDir(root, layer).resolve(v).toString)
+
+  /** S9 `ExtractFeatures` (terra.py:177-211): scan a layer; identifier from
+    * `idField`; extra model fields merged in. Returns empty-but-typed when
+    * the layer doesn't exist yet. */
+  def scan(spark: SparkSession, root: String, layer: String,
+           idField: String = "identifier"): DataFrame =
+    currentPath(root, layer) match {
+      case Some(p) =>
+        val df = spark.read.parquet(p)
+        if (idField == "identifier") df
+        else df.withColumn("identifier", get_json_object(col("properties"), s"$$.$idField"))
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
+  /** Swap in `df` as the new content of the layer. */
+  private def writeVersion(df: DataFrame, root: String, layer: String): Unit = {
+    val dir = layerDir(root, layer)
+    Files.createDirectories(dir)
+    val version = s"v${System.currentTimeMillis()}-${java.util.UUID.randomUUID.toString.take(8)}"
+    val target = dir.resolve(version)
+    df.write.mode("overwrite").parquet(target.toString)
+    val tmpPtr = dir.resolve(s"_LATEST.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    Files.writeString(tmpPtr, version)
+    Files.move(tmpPtr, dir.resolve("_LATEST"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    // prune unreferenced versions (best-effort; readers of old versions
+    // already hold their file handles)
+    Option(dir.toFile.listFiles()).foreach(_.foreach { f =>
+      if (f.isDirectory && f.getName.startsWith("v") && f.getName != version)
+        deleteRec(f.toPath)
+    })
+  }
+
+  private def deleteRec(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Option(p.toFile.listFiles()).foreach(_.foreach(f => deleteRec(f.toPath)))
+    Files.deleteIfExists(p)
+  }
+
+  /** K1 `LoadFeatureInLayer` (terra.py:107-174): upsert — the reference's
+    * per-100-row `DELETE WHERE identifier IN (...)` + `bulk_create`
+    * transaction becomes ONE anti-join + union + swap. Missing/null geom →
+    * `POINT EMPTY` (terra.py:165-174). Passthrough: returns the input
+    * (NOT_MODIFIED contract, terra.py:163). */
+  def upsert(df: DataFrame, root: String, layer: String,
+             geomCol: String = "geom", propertiesCol: String = "properties"): DataFrame = {
+    val spark = df.sparkSession
+    graft.functions.Graft.init(spark)
+    val emptyPoint = graft.geom.Wkb.write(graft.geom.Point.empty(4326))
+    val incoming = df.select(
+      col(Op.identifierCol).cast("string").as("identifier"),
+      (if (df.columns.contains(geomCol)) coalesce(col(geomCol), lit(emptyPoint))
+       else lit(emptyPoint)).as("geom"),
+      (if (df.columns.contains(propertiesCol)) col(propertiesCol).cast("string")
+       else to_json(struct(df.columns.filter(c => c != geomCol && c != Op.identifierCol)
+         .map(col): _*))).as("properties"),
+      current_timestamp().as("updated_at"))
+    val existing = scan(spark, root, layer)
+    val kept = existing.join(incoming.select("identifier"), Seq("identifier"), "left_anti")
+    writeVersion(kept.unionByName(incoming), root, layer)
+    df
+  }
+
+  /** K5 `CleanOlderThan` (terra.py:497-520): retention — drop features
+    * last updated before `threshold`. An anti-filter rewrite + swap. */
+  def cleanOlderThan(spark: SparkSession, root: String, layer: String,
+                     threshold: java.sql.Timestamp): Long = {
+    val existing = scan(spark, root, layer)
+    val kept = existing.filter(col("updated_at") >= lit(threshold) || col("updated_at").isNull)
+    val removed = existing.count() - kept.count()
+    writeVersion(kept, root, layer)
+    removed
+  }
+
+  /** S10 `LayerClusters` (terra.py:27-68): grid clustering over one or
+    * more layers — `GROUP BY ST_SnapToGrid(ST_Transform(geom, srid),
+    * dist)`, yielding the cluster key WKT + member ids, one Catalyst plan
+    * instead of raw SQL + per-cluster re-query (the reference's
+    * `array_agg` + member fetch, terra.py:54-68). */
+  def layerClusters(spark: SparkSession, root: String, layers: Seq[String],
+                    distance: Double, srid: Int = 3857): DataFrame = {
+    graft.functions.Graft.init(spark)
+    val all = layers.map(scan(spark, root, _)).reduce(_ unionByName _)
+    all
+      .withColumn("__cell", S.st_snaptogrid(S.st_transform(col("geom"), srid), lit(distance)))
+      .groupBy(S.st_astext(col("__cell")).as("cluster_id"))
+      .agg(collect_list(col("identifier")).as("ids"),
+        count(lit(1)).as("point_count"),
+        S.st_collect_agg(col("geom")).as("geom"))
+  }
+}

@@ -1,0 +1,214 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.functions.{Graft, st => S}
+import graft.geom._
+import org.apache.spark.sql.functions._
+
+/** Operator contracts mirroring the reference's unit tests
+  * (test_terra_bonobo_nodes/tests/test_common.py, test_terra.py). */
+class OpsSpec extends SparkTestBase {
+
+  override def beforeAll(): Unit = { super.beforeAll(); Graft.init(spark) }
+
+  test("P1 IdentifierFromProperty promotes but does not drop (test_common.py:130-133)") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("b", 2)).toDF("name", "v")
+    val out = Projections.IdentifierFromProperty("name")(df)
+    assert(out.columns.toSet == Set("name", "v", "identifier"))
+    assert(out.filter($"identifier" === $"name").count() == 2)
+  }
+
+  test("P2 GenerateIdentifier defaults to uuid") {
+    import spark.implicits._
+    val out = Projections.GenerateIdentifier()(Seq(1, 2, 3).toDF("v"))
+    val ids = out.select("identifier").collect().map(_.getString(0))
+    assert(ids.distinct.length == 3)
+    assert(ids.forall(_.matches("[0-9a-f-]{36}")))
+  }
+
+  test("P3/P4 exclude and filter attributes") {
+    import spark.implicits._
+    val df = Seq((1, "x", true)).toDF("a", "b", "c")
+      .withColumn("identifier", lit("id1"))
+    assert(Projections.ExcludeAttributes(Seq("b"))(df).columns.toSet == Set("a", "c", "identifier"))
+    assert(Projections.FilterAttributes(Seq("a"))(df).columns.toSet == Set("a", "identifier"))
+  }
+
+  test("P6 MinArrayAttribute replaces array with min (common.py:214-229)") {
+    import spark.implicits._
+    val df = Seq(Seq(5, 2, 9)).toDF("times")
+    assert(Projections.MinArrayAttribute("times")(df).collect()(0).getInt(0) == 2)
+  }
+
+  test("P8 other_tags hstore parse and merge (osm.py:99-119)") {
+    import spark.implicits._
+    val df = Seq(
+      ("r1", """"amenity"=>"school","capacity"=>"120""""),
+      ("r2", null)).toDF("id", "other_tags")
+    val out = Projections.OtherTagsToMap()(df).orderBy("id")
+    val rows = out.collect()
+    val m = rows(0).getMap[String, String](out.columns.indexOf("tags"))
+    assert(m("amenity") == "school" && m("capacity") == "120")
+    assert(rows(1).isNullAt(out.columns.indexOf("tags"))) // null passthrough
+    assert(!out.columns.contains("other_tags"))
+  }
+
+  test("G2 AttributesToPointGeometry: builds point, raises on bad cast (test_common.py:376-384)") {
+    import spark.implicits._
+    val ok = Seq(("1.5", "2.5")).toDF("x", "y")
+    val out = GeometryOps.AttributesToPointGeometry("x", "y")(ok)
+      .select(S.st_astext(col("geom"))).collect()(0).getString(0)
+    assert(out == "POINT (1.5 2.5)")
+    val bad = Seq(("abc", "2.5")).toDF("x", "y")
+    val e = intercept[Exception] {
+      GeometryOps.AttributesToPointGeometry("x", "y")(bad).collect()
+    }
+    assert(e.getMessage.contains("Fails to cast") ||
+           e.getCause != null && e.getCause.getMessage.contains("Fails to cast"))
+  }
+
+  test("G1 AttributeToGeometry accepts WKT and GeoJSON strings") {
+    import spark.implicits._
+    val df = Seq(
+      "POINT (1 2)",
+      """{"type":"Point","coordinates":[3,4]}""").toDF("g")
+    val out = GeometryOps.AttributeToGeometry("g")(df)
+      .select(S.st_astext(col("geom"))).collect().map(_.getString(0)).toSet
+    assert(out == Set("POINT (1 2)", "POINT (3 4)"))
+  }
+
+  test("G8 SubdivideGeom derives child ids {id}-{i} (terra.py:103)") {
+    import spark.implicits._
+    val n = 64
+    val circleWkt = "POLYGON ((" + (0 to n).map { i =>
+      val a = 2 * math.Pi * i / n
+      s"${50 + 40 * math.cos(a)} ${50 + 40 * math.sin(a)}"
+    }.mkString(", ") + "))"
+    val df = Seq(("f1", circleWkt)).toDF("identifier", "wkt")
+      .withColumn("geom", S.st_geomfromtext($"wkt"))
+    val out = GeometryOps.SubdivideGeom(maxVertices = 20)(df)
+    val ids = out.select("identifier").collect().map(_.getString(0))
+    assert(ids.length > 1)
+    assert(ids.forall(_.matches("f1-\\d+")))
+  }
+
+  test("A1 CollectAndSum: collect, distinct ids, count, json sums (common.py:235-266)") {
+    import spark.implicits._
+    val df = Seq(
+      ("c1", "a", "POINT (0 0)", """{"pop": 10}"""),
+      ("c1", "a", "POINT (2 2)", """{"pop": 5}"""),
+      ("c2", "b", "POINT (5 5)", """{"pop": 7}""")).toDF("cluster", "identifier", "wkt", "properties")
+      .withColumn("geom", S.st_geomfromtext($"wkt")).drop("wkt")
+    val out = Aggs.CollectAndSum(Seq("cluster"), sumFields = Seq("pop"))(df).orderBy("cluster")
+    val rows = out.collect()
+    assert(rows(0).getAs[Long]("point_count") == 2)
+    assert(rows(0).getAs[Double]("sum_pop") == 15.0)
+    val collected = Wkb.read(rows(0).getAs[Array[Byte]]("geom"))
+    assert(collected.isInstanceOf[MultiPoint])
+  }
+
+  test("A2 UnionOnProperty groups and unions (common.py:535-564)") {
+    import spark.implicits._
+    val df = Seq(
+      ("z1", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+      ("z1", "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"),
+      ("z2", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")).toDF("level", "wkt")
+      .withColumn("geom", S.st_geomfromtext($"wkt")).drop("wkt")
+    val out = Aggs.UnionOnProperty("level")(df).orderBy("level")
+      .select($"level", S.st_area($"geom").as("a")).collect()
+    assert(math.abs(out(0).getDouble(1) - 175.0) < 1e-9)
+    assert(math.abs(out(1).getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("A3 IsochroneSubstraction: ring differencing in order (common.py:519-532)") {
+    import spark.implicits._
+    def sq(r: Int) = s"POLYGON ((${15 - r} ${15 - r}, ${15 + r} ${15 - r}, ${15 + r} ${15 + r}, ${15 - r} ${15 + r}, ${15 - r} ${15 - r}))"
+    val df = Seq(("p1", 1, sq(5)), ("p1", 2, sq(10)), ("p1", 3, sq(15)))
+      .toDF("identifier", "bucket", "wkt")
+      .withColumn("geom", S.st_geomfromtext($"wkt")).drop("wkt")
+    val out = Aggs.IsochroneSubstraction(Seq("identifier"), Seq("bucket"))(df)
+      .orderBy("bucket").select(S.st_area($"geom")).collect().map(_.getDouble(0))
+    assert(out(0) == 100.0)           // innermost unchanged
+    assert(out(1) == 400.0 - 100.0)   // ring
+    assert(out(2) == 900.0 - 400.0)   // ring
+  }
+
+  test("A4 AccessibilityRatioByTime with null cells (terra.py:412-447)") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Seq(Seq[java.lang.Double](100.0, null), Seq[java.lang.Double](700.0, 800.0))),
+      ("b", Seq.empty[Seq[java.lang.Double]])).toDF("identifier", "times")
+    val out = Aggs.AccessibilityRatioByTime(Seq(600.0, 600.0))(df).orderBy("identifier").collect()
+    assert(out(0).getDouble(out(0).fieldIndex("accessibility")) == 0.5)
+    assert(out(1).isNullAt(out(1).fieldIndex("accessibility"))) // falsy → absent
+  }
+
+  private def zonesDf = {
+    import spark.implicits._
+    Seq(
+      ("z1", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+      ("z2", "POLYGON ((20 20, 30 20, 30 30, 20 30, 20 20))")).toDF("zid", "wkt")
+      .withColumn("geom", S.st_geomfromtext($"wkt")).drop("wkt")
+  }
+
+  private def pointsDf = {
+    import spark.implicits._
+    Seq(("p1", 5.0, 5.0), ("p2", 25.0, 25.0), ("p3", 50.0, 50.0))
+      .toDF("identifier", "x", "y")
+      .withColumn("geom", S.st_point($"x", $"y"))
+  }
+
+  test("J1 BooleanIntersect: broadcast and grid paths agree (terra.py:214-242)") {
+    for (bc <- Seq(true, false)) {
+      val out = SpatialJoins.BooleanIntersect(zonesDf, "hit", cellSize = 10.0,
+        broadcastLayer = bc)(pointsDf)
+        .orderBy("identifier").select("identifier", "hit").collect()
+      assert(out.map(r => (r.getString(0), r.getBoolean(1))).toSeq ==
+        Seq(("p1", true), ("p2", true), ("p3", false)), s"broadcast=$bc")
+    }
+  }
+
+  test("J2 IntersectionPercentByArea with no-match -> 0.0 (terra.py:245-279)") {
+    import spark.implicits._
+    val rects = Seq(
+      ("r1", "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"),   // half in z1
+      ("r2", "POLYGON ((40 40, 50 40, 50 50, 40 50, 40 40))")) // outside
+      .toDF("identifier", "wkt")
+      .withColumn("geom", S.st_geomfromtext($"wkt")).drop("wkt")
+    for (bc <- Seq(true, false)) {
+      val out = SpatialJoins.IntersectionPercentByArea(zonesDf, "pct", cellSize = 10.0,
+        broadcastLayer = bc)(rects)
+        .orderBy("identifier").select("identifier", "pct").collect()
+      assert(math.abs(out(0).getDouble(1) - 0.25) < 1e-9, s"broadcast=$bc")
+      assert(out(1).getDouble(1) == 0.0, s"broadcast=$bc")
+    }
+  }
+
+  test("J3 ClosestFeatures top-k by distance with max distance (terra.py:282-331)") {
+    import spark.implicits._
+    val layer = Seq(("s1", 6.0, 5.0), ("s2", 8.0, 5.0), ("s3", 80.0, 80.0))
+      .toDF("sid", "x", "y").withColumn("geom", S.st_point($"x", $"y"))
+    val out = SpatialJoins.ClosestFeatures(layer, k = 2, maxDistance = Some(10.0))(pointsDf)
+      .orderBy("identifier")
+    val rows = out.collect()
+    val i = out.columns.indexOf("closests")
+    val p1 = rows(0).getSeq[Array[Byte]](i).map(b => Wkt.write(Wkb.read(b)))
+    assert(p1 == Seq("POINT (6 5)", "POINT (8 5)")) // sorted by distance
+    assert(rows(1).isNullAt(i) && rows(2).isNullAt(i)) // passthrough, no property
+  }
+
+  test("J4 IntersectionGeom stores unioned clip, empty when none (terra.py:523-557)") {
+    import spark.implicits._
+    val rects = Seq(("r1", "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"),
+      ("r2", "POLYGON ((40 40, 50 40, 50 50, 40 50, 40 40))"))
+      .toDF("identifier", "wkt")
+      .withColumn("geom", S.st_geomfromtext($"wkt")).drop("wkt")
+    val out = SpatialJoins.IntersectionGeom(zonesDf, "clip", cellSize = 10.0)(rects)
+      .orderBy("identifier")
+      .select($"identifier", S.st_area($"clip").as("a"), S.st_isempty($"clip").as("e"))
+      .collect()
+    assert(math.abs(out(0).getDouble(1) - 25.0) < 1e-9)
+    assert(out(1).getBoolean(2)) // POINT EMPTY default (terra.py:170 analogue)
+  }
+}

@@ -1,0 +1,196 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.functions.{Graft, st => S}
+import graft.geom._
+import graft.store.FeatureStore
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SourcesSinksSpec extends SparkTestBase {
+
+  override def beforeAll(): Unit = { super.beforeAll(); Graft.init(spark) }
+
+  test("S1 CsvDictReader: dialect options, all-string values (common.py:29-67)") {
+    import spark.implicits._
+    val lines = Seq("a;b;c", "1;x;2.5", "2;y;3.5").toDS()
+    val df = Sources.csvParse(lines, Sources.CsvOptions(delimiter = ";"))
+    assert(df.columns.toSeq == Seq("a", "b", "c"))
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+    assert(df.count() == 2)
+  }
+
+  test("S2 GeojsonReader: features with geom, CRS whitelist raise (common.py:70-103)") {
+    import spark.implicits._
+    val fc =
+      """{"type":"FeatureCollection",
+        | "crs":{"type":"name","properties":{"name":"EPSG:4326"}},
+        | "features":[
+        |  {"type":"Feature","properties":{"name":"a","pop":5},
+        |   "geometry":{"type":"Point","coordinates":[1,2]}},
+        |  {"type":"Feature","properties":{"name":"b"},
+        |   "geometry":{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,1],[0,0]]]}}
+        | ]}""".stripMargin
+    val df = Sources.geojsonFeatures(Seq(fc).toDS())
+    val rows = df.select(get_json_object($"properties", "$.name").as("name"),
+      S.st_astext($"geom").as("wkt")).orderBy("name").collect()
+    assert(rows(0).getString(1) == "POINT (1 2)")
+    assert(rows(1).getString(1).startsWith("POLYGON"))
+    val badCrs = fc.replace("EPSG:4326", "EPSG:2154")
+    val e = intercept[Exception] {
+      Sources.geojsonFeatures(Seq(badCrs).toDS()).collect()
+    }
+    assert(e.getMessage.contains("not supported") ||
+      Option(e.getCause).exists(_.getMessage.contains("not supported")))
+  }
+
+  test("S3 SqlExtract: decimal coerced to double, identifier kept (sql.py:7-38)") {
+    spark.sql("SELECT CAST(1.5 AS DECIMAL(10,2)) AS price, 'k1' AS pk")
+      .createOrReplaceTempView("t_sqlextract")
+    val df = Sources.SqlExtract("SELECT * FROM t_sqlextract", Some("pk"))(spark)
+    assert(df.schema("price").dataType.typeName == "double")
+    val r = df.collect()(0)
+    assert(r.getAs[String]("identifier") == "k1" && r.getAs[String]("pk") == "k1")
+  }
+
+  test("S4 AttributeFromSql: correlated subquery as list-of-structs (sql.py:41-82)") {
+    import spark.implicits._
+    val left = Seq("o1", "o2", "o3").toDF("identifier")
+    val detail = Seq(("o1", 10, "x"), ("o1", 20, "y"), ("o2", 30, "z"))
+      .toDF("okey", "qty", "tag")
+    val out = Sources.AttributeFromSql(detail, "okey", "lines")(left).orderBy("identifier")
+    val rows = out.collect()
+    assert(rows(0).getSeq[org.apache.spark.sql.Row](1).length == 2)
+    assert(rows(1).getSeq[org.apache.spark.sql.Row](1).length == 1)
+    assert(rows(2).isNullAt(1)) // no matches -> null list (left join)
+  }
+
+  test("S8 ZipReader: entries with whitelist (archive.py:7-24)") {
+    import spark.implicits._
+    val baos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(baos)
+    for ((name, content) <- Seq("a.txt" -> "hello", "b.txt" -> "world", "dir/c.txt" -> "nested")) {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes)
+      zos.closeEntry()
+    }
+    zos.close()
+    val df = Seq(baos.toByteArray).toDF("content")
+    val all = Sources.zipEntries(df).orderBy("name").collect()
+    assert(all.map(_.getString(0)).toSeq == Seq("a.txt", "b.txt", "dir/c.txt"))
+    assert(new String(all(0).getAs[Array[Byte]](1)) == "hello")
+    val some = Sources.zipEntries(df, contentPaths = Some(Seq("b.txt"))).collect()
+    assert(some.map(_.getString(0)).toSeq == Seq("b.txt"))
+  }
+
+  test("S7 PyfilesExtract: latest version resolution, missing raises (pyfiles.py:9-52)") {
+    val root = Files.createTempDirectory("pyfiles").toString
+    for (v <- Seq("1.0", "2.0", "10.0")) {
+      val d = java.nio.file.Paths.get(root, "ns", v)
+      Files.createDirectories(d)
+      Files.writeString(d.resolve("data.csv"), s"version $v")
+    }
+    val df = Sources.PyfilesExtract(root, "ns", "data.csv")(spark)
+    val content = new String(df.collect()(0).getAs[Array[Byte]]("content"))
+    assert(content == "version 10.0") // numeric, not lexicographic, latest
+    intercept[RuntimeException] {
+      Sources.PyfilesExtract(root, "ns", "missing.csv")(spark).collect()
+    }
+  }
+
+  test("K1/S9 FeatureStore upsert + scan: insert, update, preserve others (terra.py:107-174)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("fstore").toString
+    val batch1 = Seq(("f1", "POINT (1 1)", """{"v":1}"""), ("f2", "POINT (2 2)", """{"v":2}"""))
+      .toDF("identifier", "wkt", "properties")
+      .withColumn("geom", S.st_geomfromtext($"wkt")).drop("wkt")
+    FeatureStore.upsert(batch1, root, "layer1")
+    assert(FeatureStore.scan(spark, root, "layer1").count() == 2)
+    // upsert f2 (update) + f3 (insert); f1 must survive
+    val batch2 = Seq(("f2", "POINT (20 20)", """{"v":22}"""), ("f3", "POINT (3 3)", """{"v":3}"""))
+      .toDF("identifier", "wkt", "properties")
+      .withColumn("geom", S.st_geomfromtext($"wkt")).drop("wkt")
+    FeatureStore.upsert(batch2, root, "layer1")
+    val out = FeatureStore.scan(spark, root, "layer1").orderBy("identifier")
+    val rows = out.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("f1", "f2", "f3"))
+    val f2wkt = Wkt.write(Wkb.read(rows(1).getAs[Array[Byte]]("geom")))
+    assert(f2wkt == "POINT (20 20)")
+    // missing geom -> POINT EMPTY (terra.py:170)
+    val batch3 = Seq(("f4", """{"v":4}""")).toDF("identifier", "properties")
+    FeatureStore.upsert(batch3, root, "layer1")
+    val f4 = FeatureStore.scan(spark, root, "layer1").filter($"identifier" === "f4").collect()(0)
+    assert(Wkb.read(f4.getAs[Array[Byte]]("geom")).isEmpty)
+  }
+
+  test("K5 CleanOlderThan removes stale features (terra.py:497-520)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("fstore2").toString
+    val batch = Seq(("f1", """{"v":1}""")).toDF("identifier", "properties")
+    FeatureStore.upsert(batch, root, "layerR")
+    // everything written "now" survives a past threshold
+    val past = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    assert(FeatureStore.cleanOlderThan(spark, root, "layerR", past) == 0)
+    val future = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
+    assert(FeatureStore.cleanOlderThan(spark, root, "layerR", future) == 1)
+    assert(FeatureStore.scan(spark, root, "layerR").count() == 0)
+  }
+
+  test("S10 layerClusters groups by snapped grid cell (terra.py:27-68)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("fstore3").toString
+    // two tight clusters far apart (in 4326, transformed to 3857 for grid)
+    val pts = Seq(("a1", 1.0, 1.0), ("a2", 1.001, 1.001), ("b1", 5.0, 5.0))
+      .toDF("identifier", "x", "y")
+      .withColumn("geom", S.st_point($"x", $"y", 4326))
+      .withColumn("properties", lit("{}"))
+    FeatureStore.upsert(pts, root, "layerC")
+    val clusters = FeatureStore.layerClusters(spark, root, Seq("layerC"), 10000.0)
+    val rows = clusters.orderBy(desc("point_count")).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("point_count") == 2)
+    assert(rows(0).getSeq[String](rows(0).fieldIndex("ids")).toSet == Set("a1", "a2"))
+  }
+
+  private object FakeRoutes extends Enrich.RouteService {
+    def isochrone(lon: Double, lat: Double, timeLimit: Int, buckets: Int,
+                  vehicle: String, reverse: Boolean): Seq[(String, Int)] =
+      (0 until buckets).map { b =>
+        val r = (b + 1) * 0.01
+        val ring = (0 to 8).map { i =>
+          val a = 2 * math.Pi * i / 8
+          s"[${lon + r * math.cos(a)},${lat + r * math.sin(a)}]"
+        }.mkString(",")
+        (s"""{"type":"Polygon","coordinates":[[$ring]]}""", b)
+      }
+    def route(fl: Double, fa: Double, tl: Double, ta: Double, v: String): Option[Double] =
+      if (v == "broken") None else Some(math.hypot(tl - fl, ta - fa) * 1000)
+  }
+
+  test("X1 IsochroneCalculation flat-maps one row per bucket (common.py:459-516)") {
+    import spark.implicits._
+    val df = Seq(("p1", 2.0, 45.0)).toDF("identifier", "x", "y")
+      .withColumn("geom", S.st_point($"x", $"y", 4326)).drop("x", "y")
+    val out = Enrich.IsochroneCalculation(FakeRoutes, buckets = 3)(df)
+    val rows = out.orderBy("bucket").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Int]("bucket")).toSeq == Seq(0, 1, 2))
+    assert(rows.forall(r => Wkb.read(r.getAs[Array[Byte]]("geom")).isInstanceOf[Polygon]))
+  }
+
+  test("X2/X3 TransitTime matrix with null cells and scalar extract (terra.py:334-409)") {
+    import spark.implicits._
+    val pts = Seq(Wkb.write(Point(0.0, 0.0)), Wkb.write(Point(3.0, 4.0)))
+    val df = Seq(("p1", pts)).toDF("identifier", "points")
+      .withColumn("geom", S.st_point(lit(0.0), lit(0.0)))
+    val out = Enrich.TransitTimeOneToMany(FakeRoutes, vehicles = Seq("car", "broken"))(df)
+    assert(!out.columns.contains("points")) // popped (terra.py:367)
+    val times = out.collect()(0).getSeq[scala.collection.Seq[java.lang.Double]](
+      out.columns.indexOf("times"))
+    assert(times.length == 2)
+    assert(times(0)(0) == 0.0 && times(0)(1) == null)      // broken vehicle -> null
+    assert(math.abs(times(1)(0) - 5000.0) < 1e-9)
+    val one = Enrich.TransitTimeOneToOne(FakeRoutes)(df).collect()(0)
+    assert(one.getAs[Double]("time") == 0.0)
+  }
+}
