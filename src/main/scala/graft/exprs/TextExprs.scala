@@ -1,0 +1,50 @@
+package graft.exprs
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** simhash64(tokens) — 64-bit SimHash signature over a token array
+  * (Charikar's scheme, the standard near-dup sketch for web-scale corpora):
+  * each token hashes to 64 bits; per bit position sum +1/-1; the signature
+  * takes the sign. Near-duplicates then differ in few bits —
+  * `bit_count(a ^ b)` (built-in) is the Hamming distance. A tight JVM loop
+  * beats an equivalent 64-wide higher-order-function expression tree by
+  * orders of magnitude, hence a native expression.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        // xxhash64-compatible 64-bit hash of the token bytes
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes(), 42).toLong |
+          (org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+            s.getBaseObject, s.getBaseOffset, s.numBytes(), 977).toLong << 32)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "simhash64"
+}

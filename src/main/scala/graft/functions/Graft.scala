@@ -47,6 +47,7 @@ object Graft {
     "st_difference" -> { args: Seq[Expression] => StDifference(args(0), args(1)) },
     "st_gridcells" -> { args: Seq[Expression] => StGridCells(args) },
     "st_bbox_intersects" -> { args: Seq[Expression] => StBboxIntersects(args) },
+    "simhash64" -> { args: Seq[Expression] => SimHash64(args(0)) },
   )
 
   @volatile private var initialized: Set[SparkSession] = Set.empty

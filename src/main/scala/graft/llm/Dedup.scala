@@ -1,0 +1,151 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines: exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard. Shuffle discipline at 100 TB:
+  *  - exact dedup is one hash-partitioned groupBy on a 16-byte digest
+  *    (shuffle carries digest+id, never the text);
+  *  - MinHash/LSH shuffles (band_id, band_hash) pairs — B small ints per
+  *    doc — and only bucket-collided pairs ever see a second shuffle;
+  *  - signatures are computed scan-side with codegen'd expressions
+  *    (xxhash64 / higher-order functions), no UDF, no driver collect.
+  */
+object Dedup {
+
+  /** Word n-gram shingles of the text (the MinHash input unit). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ws = split(trim(lower(text)), "\\s+")
+    when(size(ws) < n, array(concat_ws(" ", ws)))
+      .otherwise(transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+  }
+
+  /** Character n-gram shingles (robust for CJK / no-whitespace text). */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = regexp_replace(lower(text), "\\s+", " ")
+    when(length(t) < n, array(t))
+      .otherwise(transform(sequence(lit(0), length(t) - n),
+        i => t.substr(i + 1, lit(n))))
+  }
+
+  /** MinHash signature: H independent permutations approximated by seeded
+    * xxhash64; signature[h] = min hash of any shingle under seed h. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(1), lit(numHashes)),
+      h => array_min(transform(shingles, s => xxhash64(s, h))))
+
+  /** LSH banding: split the signature into `numBands` rows of width
+    * len/numBands; band key = hash of the slice. Docs sharing ANY band key
+    * are near-dup candidates. */
+  def lshBands(signature: Column, numHashes: Int, numBands: Int): Column = {
+    val rowsPerBand = numHashes / numBands
+    transform(sequence(lit(0), lit(numBands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(concat_ws(",", slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))), b)
+          .as("key")))
+  }
+
+  /** Exact Jaccard between two shingle arrays (the LSH verify step). */
+  def jaccard(a: Column, b: Column): Column = {
+    val ai = array_distinct(a); val bi = array_distinct(b)
+    val inter = size(array_intersect(ai, bi)).cast("double")
+    val uni = size(array_union(ai, bi)).cast("double")
+    when(uni === 0, 0.0).otherwise(inter / uni)
+  }
+
+  /** Exact dedup (hash-groupBy): annotate each row with its canonical
+    * (minimum) id among byte-identical `textCol` values and a duplicate
+    * flag. Shuffles only (digest, id). */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol)))
+    df.withColumn("dup_group", min(col(idCol)).over(w))
+      .withColumn("is_dup", col(idCol) =!= col("dup_group"))
+  }
+
+  /** MinHash+LSH near-dup detection, full pipeline:
+    *  shingle → minhash → band → bucket self-join → Jaccard verify.
+    * Returns candidate pairs (idA < idB) with their exact Jaccard,
+    * filtered to `threshold`. At scale the bucket join is the only
+    * pairwise step and buckets are tiny (band collisions). */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          numHashes: Int = 64, numBands: Int = 16,
+                          shingleSize: Int = 3,
+                          threshold: Double = 0.8): DataFrame = {
+    val withSig = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("shingles", wordShingles(col("text"), shingleSize))
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+      .withColumn("bandrow", explode(lshBands(col("sig"), numHashes, numBands)))
+      .select(col("id"), col("shingles"),
+        col("bandrow.band").as("band"), col("bandrow.key").as("key"))
+    val a = withSig.select(col("id").as("id_a"), col("shingles").as("sh_a"),
+      col("band"), col("key"))
+    val b = withSig.select(col("id").as("id_b"), col("shingles").as("sh_b"),
+      col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Per-doc near-dup grouping (single label-propagation step): each doc's
+    * group = min id among itself and its verified near-dup neighbors.
+    * One step resolves pair/triple clusters (the overwhelmingly common
+    * case); iterate to fixpoint for longer chains. */
+  def minhashDupGroups(df: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 64, numBands: Int = 16,
+                       shingleSize: Int = 3,
+                       threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashNearDupPairs(df, idCol, textCol, numHashes, numBands,
+      shingleSize, threshold)
+    val neighbors = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
+      .groupBy("id").agg(min(col("nb")).as("min_nb"))
+    df.join(neighbors, col(idCol) === neighbors("id"), "left")
+      .withColumn("dup_group", least(coalesce(col("min_nb"), col(idCol)), col(idCol)))
+      .drop("id", "min_nb")
+  }
+
+  /** SimHash near-dup: 64-bit signature + banded blocking (4×16-bit
+    * bands); pairs within a band verified by Hamming distance
+    * (`bit_count(a ^ b)`, codegen'd built-in). */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 6): DataFrame = {
+    val sig = call_function("simhash64", TextAnalysis.tokensWs(col(textCol)))
+    val withSig = df.select(col(idCol).as("id"), sig.as("sig"))
+      .withColumn("band", explode(array((0 until 4).map { b =>
+        struct(lit(b).as("b"), shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))
+      }: _*)))
+      .select(col("id"), col("sig"), col("band.b").as("b"), col("band.key").as("key"))
+    val a = withSig.select(col("id").as("id_a"), col("sig").as("sig_a"), col("b"), col("key"))
+    val bb = withSig.select(col("id").as("id_b"), col("sig").as("sig_b"), col("b"), col("key"))
+    a.join(bb, Seq("b", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** n-gram Jaccard similarity of all pairs within blocking buckets by
+    * shared rare shingle — the quadratic-free exact-Jaccard dedup:
+    * bucket by each doc's minimum shingle hash (1 bucket per doc). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val withSh = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("shingles", wordShingles(col("text"), shingleSize))
+      .withColumn("bucket", array_min(transform(col("shingles"), s => xxhash64(s))))
+    val a = withSh.select(col("id").as("id_a"), col("shingles").as("sh_a"), col("bucket"))
+    val b = withSh.select(col("id").as("id_b"), col("shingles").as("sh_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query side, scan the
+  * corpus once, window top-k). Scale path: random-hyperplane LSH — bucket
+  * both sides on sign-bit keys so candidate generation is an equi-join on
+  * a short int key instead of a cross join; multi-probe (flip one bit)
+  * recovers most of the recall loss. All arithmetic is higher-order
+  * column functions in double precision — codegen, no UDF.
+  */
+object Similarity {
+
+  /** Dot product of two vector columns (element order = accumulation
+    * order → deterministic, oracle-reproducible). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, 0.0).otherwise(dot(a, b) / d)
+  }
+
+  /** Brute-force cosine top-k: for each query row, the k nearest corpus
+    * rows. Query side is broadcast (queries ≪ corpus); corpus is scanned
+    * once — the right baseline shape on a cluster. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     queryId: String = "vec_id", corpusId: String = "vec_id",
+                     queryVec: String = "embedding",
+                     corpusVec: String = "embedding"): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Deterministic random hyperplanes: `numBits × dim`, components from a
+    * seeded RNG — identical on driver and executors (shipped as a
+    * literal). */
+  def hyperplanes(numBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(numBits, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-bit LSH bucket key of a vector column under `planes`. */
+  def lshKey(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(vec, planeLit) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Multi-probe keys: the exact bucket plus every single-bit flip. */
+  def lshProbeKeys(vec: Column, planes: Array[Array[Double]]): Column = {
+    val key = lshKey(vec, planes)
+    array((key +: planes.indices.map(i => key.bitwiseXOR(lit(1L << i)))): _*)
+  }
+
+  /** LSH-bucketed approximate top-k: corpus bucketed by exact key, query
+    * explodes its multi-probe keys, equi-join on the key, cosine + window
+    * top-k within candidates. Recall < 1.0 by construction; raise
+    * `numBits` ↓ collisions, multi-probe ↑ recall. */
+  def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              numBits: Int = 12, dim: Int = 64, seed: Long = 42L,
+              queryId: String = "vec_id", corpusId: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(numBits, dim, seed)
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("key", lshKey(col("cv"), planes))
+    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("key", explode(lshProbeKeys(col("qv"), planes)))
+    val cand = c.join(q, Seq("key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .distinct()
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH blocking: pairs in the
+    * same exact bucket with cosine ≥ threshold. */
+  def cosineNearDupPairs(df: DataFrame, threshold: Double,
+                         numBits: Int = 10, dim: Int = 64, seed: Long = 42L,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(numBits, dim, seed)
+    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("key", lshKey(col("v"), planes))
+    val a = keyed.select(col("id").as("id_a"), col("v").as("va"), col("key"))
+    val b = keyed.select(col("id").as("id_b"), col("v").as("vb"), col("key"))
+    a.join(b, Seq("key"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All pure Column
+  * expressions (whole-stage codegen, no UDFs) so they run at scan speed
+  * over 100 TB of documents.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokensWs(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(tokensWs(text)))
+
+  /** BPE-ish pre-tokenizer count: word pieces + digit runs + single
+    * non-space symbols (the GPT-2 pre-tokenizer shape, one regex). */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def tokenCountBpe(text: Column): Column = regexp_count(text, lit(bpeTokenPattern))
+
+  def punctRatio(text: Column): Column = {
+    val punct = length(regexp_replace(text, "[^.,!?;:'\"()\\[\\]-]", ""))
+    when(length(text) === 0, 0.0).otherwise(punct.cast("double") / length(text))
+  }
+
+  def upperRatio(text: Column): Column = {
+    val upper = length(regexp_replace(text, "[^A-Z]", ""))
+    when(length(text) === 0, 0.0).otherwise(upper.cast("double") / length(text))
+  }
+
+  /** Per-language stopword regexes for the n-gram/stopword language-ID
+    * heuristic. Word-boundary matching, lowercase input. */
+  val stopwordPatterns: Map[String, String] = Map(
+    "en" -> "\\b(the|and|of|to|in|is|that|for|with|was)\\b",
+    "fr" -> "\\b(le|la|les|de|et|un|une|est|que|pour)\\b",
+    "de" -> "\\b(der|die|das|und|ist|von|mit|ein|eine|zu)\\b",
+    "es" -> "\\b(el|la|los|de|y|que|es|un|una|para)\\b",
+    "it" -> "\\b(il|la|di|e|che|un|una|per|con|del)\\b")
+
+  def stopwordCount(text: Column, lang: String): Column =
+    regexp_count(lower(text), lit(stopwordPatterns(lang)))
+
+  def stopwordRatio(text: Column, lang: String): Column =
+    when(tokenCountWs(text) === 0, 0.0)
+      .otherwise(stopwordCount(text, lang).cast("double") / tokenCountWs(text))
+
+  /** Language ID: argmax of stopword hit counts; no hits anywhere →
+    * "und" (undetermined). Deterministic tie-break by language code. */
+  def langId(text: Column): Column = {
+    val scored = stopwordPatterns.keys.toSeq.sorted.map { l =>
+      struct(stopwordCount(text, l).as("score"), lit(l).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Composite quality score in [0,1]: length in a sane band, low punct
+    * noise, some stopwords (prose-ness), not shouting. Weights follow the
+    * usual web-corpus quality heuristics (Gopher-style rules). */
+  def qualityScore(text: Column, lang: String = "en"): Column = {
+    val lenScore = when(length(text) < 50, length(text).cast("double") / 50)
+      .when(length(text) > 10000, lit(10000.0) / length(text))
+      .otherwise(1.0)
+    val punctOk = lit(1.0) - least(punctRatio(text) * 5, lit(1.0))
+    val stopOk = least(stopwordRatio(text, lang) * 4, lit(1.0))
+    val caseOk = lit(1.0) - least(upperRatio(text) * 4, lit(1.0))
+    round(lenScore * 0.3 + punctOk * 0.3 + stopOk * 0.2 + caseOk * 0.2, 6)
+  }
+
+  /** Canonical-form fingerprint: md5 of lowercased text with punctuation
+    * and whitespace runs collapsed — catches trivially-edited duplicates
+    * that byte-exact hashing misses. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Rolling-hash document sketch: min/max xxhash64 over word 3-shingles —
+    * a 2-value content signature stable under reordering of whole
+    * passages. */
+  def rollingHashSketch(text: Column): Column = {
+    val sh = Dedup.wordShingles(text, 3)
+    struct(
+      array_min(transform(sh, s => xxhash64(s))).as("min_hash"),
+      array_max(transform(sh, s => xxhash64(s))).as("max_hash"))
+  }
+}

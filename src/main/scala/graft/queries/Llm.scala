@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Graft
+import graft.llm.{Dedup, Similarity, TextAnalysis => TA}
+import graft.util.Tables._
+
+/** Training-data-pipeline query surface over the `documents` and
+  * `embeddings` tables: dedup, similarity search, text analysis. Oracles
+  * are plain DuckDB SQL where the primitive is SQL-expressible (md5,
+  * regex counts, list_cosine_similarity); hash-sketch pipelines
+  * (MinHash/SimHash/LSH — xxhash64 has no DuckDB twin) get rows-only
+  * checks here and exact assertions in LlmSpec.
+  */
+object Llm {
+
+  /** Text statistics battery (token counting + quality signals). */
+  def textStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(
+      $"doc_id",
+      length($"text").as("n_chars"),
+      TA.tokenCountWs($"text").as("n_tokens_ws"),
+      TA.tokenCountBpe($"text").as("n_tokens_bpe"),
+      round(TA.punctRatio($"text"), 6).as("punct_ratio"),
+      round(TA.upperRatio($"text"), 6).as("upper_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val textStatsSql: String =
+    s"""SELECT doc_id,
+       |  length(text) AS n_chars,
+       |  CASE WHEN length(trim(text)) = 0 THEN 0
+       |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens_ws,
+       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+       |  CASE WHEN length(text) = 0 THEN 0.0
+       |       ELSE round(CAST(length(regexp_replace(text, '[^.,!?;:''"()\\[\\]-]', '', 'g')) AS DOUBLE) / length(text), 6) END AS punct_ratio,
+       |  CASE WHEN length(text) = 0 THEN 0.0
+       |       ELSE round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text), 6) END AS upper_ratio
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  /** Language ID + per-language stopword evidence. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(
+      $"doc_id",
+      TA.langId($"text").as("lang_guess"),
+      TA.stopwordCount($"text", "en").as("sw_en"),
+      TA.stopwordCount($"text", "es").as("sw_es"))
+      .orderBy($"doc_id")
+  }
+
+  val langIdSql: String = {
+    val pats = TA.stopwordPatterns.toSeq.sortBy(_._1)
+    // (score, lang) encoded as a zero-padded sortable string: greatest()
+    // over VARCHAR reproduces Spark's struct-greatest tie-break exactly
+    // (max score, then max lang code).
+    val encoded = pats.map { case (l, p) =>
+      s"printf('%010d|%s', len(regexp_extract_all(lower(text), '$p')), '$l')"
+    }.mkString(", ")
+    val maxScore = pats.map { case (_, p) =>
+      s"len(regexp_extract_all(lower(text), '$p'))"
+    }.mkString(", ")
+    s"""SELECT doc_id,
+       |  CASE WHEN greatest($maxScore) = 0 THEN 'und'
+       |       ELSE split_part(greatest($encoded), '|', 2) END AS lang_guess,
+       |  len(regexp_extract_all(lower(text), '${TA.stopwordPatterns("en")}')) AS sw_en,
+       |  len(regexp_extract_all(lower(text), '${TA.stopwordPatterns("es")}')) AS sw_es
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Exact dedup: canonical group per byte-identical text + dup flag. */
+  def exactDedup(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    Dedup.exactDupGroups(documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("dup_group"), col("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  val exactDedupSql: String =
+    """SELECT doc_id,
+      |       MIN(doc_id) OVER (PARTITION BY md5(text)) AS dup_group,
+      |       doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Canonical-form fingerprint (normalized md5) + shingle count. */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(
+      $"doc_id",
+      TA.fingerprint($"text").as("fp"),
+      size(Dedup.wordShingles($"text", 3)).as("n_shingles"))
+      .orderBy($"doc_id")
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp,
+      |  CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) < 3 THEN 1
+      |       ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2 END AS n_shingles
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Brute-force cosine top-k: 5 nearest corpus vectors for each of the
+    * first 20 vec_ids. Cosine accumulated in double, element order —
+    * bit-identical to DuckDB's list_cosine_similarity on cast-to-double
+    * lists after round(6). */
+  def cosineTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, d)
+    val queries = emb.filter($"vec_id" < 20)
+    Similarity.bruteForceTopK(queries, emb, k = 5)
+      .orderBy($"query_id", $"rk")
+  }
+
+  val cosineTopKSql: String =
+    """SELECT query_id, rk, neighbor_id, cos FROM (
+      |  SELECT q.vec_id AS query_id,
+      |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |           ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rk,
+      |         c.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cos
+      |  FROM embeddings q CROSS JOIN embeddings c
+      |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id) t
+      |WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
+
+  /** MinHash+LSH near-dup groups: per-doc canonical group (min id over
+    * verified neighbors). Rows-only oracle (xxhash64 sketches have no SQL
+    * twin); pair-level semantics asserted in LlmSpec on a synthetic
+    * corpus with planted near-dups. */
+  def minhashDedup(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    Dedup.minhashDupGroups(documents(s, d), "doc_id", "text", threshold = 0.8)
+      .select(col("doc_id"), col("dup_group"),
+        (col("dup_group") =!= col("doc_id")).as("is_near_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SimHash signatures + banded candidate count per doc. Rows-only. */
+  def simhashSketch(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    documents(s, d).select(
+      $"doc_id",
+      call_function("simhash64", TA.tokensWs($"text")).as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  /** LSH-bucketed ANN top-k (scale path) for the same 20 queries —
+    * rows-only; LlmSpec measures recall vs brute force. */
+  def annTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, d)
+    val queries = emb.filter($"vec_id" < 20)
+    Similarity.annTopK(queries, emb, k = 5, numBits = 8)
+      .orderBy($"query_id", $"rk")
+  }
+
+  /** Embedding-cosine near-dup pairs over LSH buckets. Rows-only (may be
+    * empty at tiny SF — emit per-bucket candidate stats instead so the
+    * row-count check always has rows). */
+  def embNearDupStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, d)
+    val planes = Similarity.hyperplanes(8, 64)
+    emb.withColumn("bucket", Similarity.lshKey($"embedding", planes))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_vectors"), countDistinct($"label").as("n_labels"))
+      .orderBy($"bucket")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> (textStats _),
+    "q_text_lang" -> (langId _),
+    "q_dedup_exact" -> (exactDedup _),
+    "q_doc_fingerprint" -> (fingerprint _),
+    "q_emb_cosine_topk" -> (cosineTopK _),
+    "q_dedup_minhash" -> (minhashDedup _),
+    "q_doc_simhash" -> (simhashSketch _),
+    "q_emb_ann_topk" -> (annTopK _),
+    "q_emb_bucket_stats" -> (embNearDupStats _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" -> textStatsSql,
+    "q_text_lang" -> langIdSql,
+    "q_dedup_exact" -> exactDedupSql,
+    "q_doc_fingerprint" -> fingerprintSql,
+    "q_emb_cosine_topk" -> cosineTopKSql,
+  )
+}
