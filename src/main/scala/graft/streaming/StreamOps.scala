@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.geom.{Clip, Geom, Point, Wkb}
+import graft.store.FeatureStore
+
+/** Structured Streaming surface (SURVEY.md §2.12). Bonobo's streaming
+  * constructs map as:
+  *  - END-sentinel flush (terra.py:128-134, elasticsearch.py:66-72) →
+  *    batch `groupBy` for finite inputs; for unbounded inputs,
+  *    `flatMapGroupsWithState` with processing-time timeout emits a
+  *    group's accumulated value when its stream goes quiet — the
+  *    incremental analogue of flush-at-END;
+  *  - buffered micro-batch sinks (window_length=100 etc.) →
+  *    `foreachBatch` with an idempotent upsert;
+  *  - no watermarks/event-time exist in the reference, but a 100 TB
+  *    engine needs them: [[windowedAgg]] is the standard
+  *    watermark + tumbling-window rollup.
+  */
+object StreamOps {
+
+  /** File-based stream over a directory of parquet (the events table
+    * shape). `maxFilesPerTrigger` bounds micro-batch size — the streaming
+    * analogue of the reference's page-size knobs. */
+  def readEventStream(spark: SparkSession, dir: String,
+                      schemaFrom: String,
+                      maxFilesPerTrigger: Int = 4): DataFrame = {
+    val schema = spark.read.parquet(schemaFrom).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+  }
+
+  /** Watermarked tumbling-window aggregate (count + sum per event_type). */
+  def windowedAgg(events: DataFrame,
+                  tsCol: String = "ts",
+                  watermark: String = "10 minutes",
+                  windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Streaming `UnionOnProperty` (common.py:535-564): accumulate the
+    * geometric union per key in state; when the key sees no input for
+    * `quietMs` of processing time, emit `(key, union)` and clear — the
+    * incremental END-flush. Exactly the reference's
+    * `ValueHolder[dict] → context.send` teardown, with the teardown
+    * condition generalized to "stream went quiet" since an unbounded
+    * stream has no END. */
+  def unionOnPropertyStream(rows: Dataset[(String, Array[Byte])],
+                            quietMs: Long = 1000L): Dataset[(String, Array[Byte])] = {
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val enc: Encoder[(String, Array[Byte])] =
+      Encoders.tuple(Encoders.STRING, Encoders.BINARY)
+    implicit val stateEnc: Encoder[Array[Byte]] = Encoders.BINARY
+    rows.groupByKey((r: (String, Array[Byte])) => r._1)
+      .flatMapGroupsWithState[Array[Byte], (String, Array[Byte])](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (key, it, state: GroupState[Array[Byte]]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(b => (key, b)).iterator
+            state.remove()
+            out
+          } else {
+            val incoming = it.map(_._2).flatMap(Wkb.readOpt(_)).toSeq
+            if (incoming.nonEmpty) {
+              val prior = state.getOption.flatMap(Wkb.readOpt(_)).getOrElse(Point.empty())
+              val merged = incoming.foldLeft(prior: Geom)(Clip.union)
+              state.update(Wkb.write(merged))
+            }
+            state.setTimeoutDuration(quietMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** K1 as a streaming sink: per micro-batch idempotent upsert into the
+    * feature store (foreachBatch; replays of a batch converge to the same
+    * store state because upsert is keyed on identifier). */
+  def upsertSink(df: DataFrame, root: String, layer: String,
+                 checkpoint: String,
+                 trigger: Trigger = Trigger.ProcessingTime(1000)): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) FeatureStore.upsert(batch.toDF(), root, layer)
+        ()
+      }
+      .start()
+}

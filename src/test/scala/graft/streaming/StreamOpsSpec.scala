@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.functions.{st => S}
+import graft.geom.Wkb
+import graft.store.FeatureStore
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamOpsSpec extends SparkTestBase {
+
+  test("windowed agg with watermark over MemoryStream") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamOps.windowedAgg(events, windowLen = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("winagg")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2026-01-01 10:05:00"), "click", 1.0),
+        (Timestamp.valueOf("2026-01-01 10:45:00"), "click", 2.0),
+        (Timestamp.valueOf("2026-01-01 11:05:00"), "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n, total_value FROM winagg ORDER BY total_value")
+        .collect()
+      assert(rows.length == 2)
+      assert(rows(0).getLong(1) == 2 && rows(0).getDouble(2) == 3.0)
+      assert(rows(1).getLong(1) == 1 && rows(1).getDouble(2) == 4.0)
+    } finally q.stop()
+  }
+
+  test("streaming UnionOnProperty emits union after quiet timeout (END-flush analogue)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Array[Byte])]
+    val out = StreamOps.unionOnPropertyStream(input.toDS(), quietMs = 200L)
+    // NOTE: ProcessingTimeTimeout schedules no-data batches every trigger,
+    // so the query is never idle — processAllAvailable would block forever.
+    // Poll the memory sink with a deadline instead.
+    val q = out.toDF("level", "geom").writeStream.format("memory")
+      .queryName("unions").outputMode("append")
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      def rect(x0: Double) = Wkb.write(graft.geom.Polygon(Vector(Vector(
+        graft.geom.Coord(x0, 0), graft.geom.Coord(x0 + 10, 0),
+        graft.geom.Coord(x0 + 10, 10), graft.geom.Coord(x0, 10), graft.geom.Coord(x0, 0)))))
+      input.addData(("z1", rect(0)), ("z1", rect(5)))
+      val deadline = System.currentTimeMillis() + 30000
+      var rows = Array.empty[org.apache.spark.sql.Row]
+      while (rows.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        rows = spark.sql("SELECT level, geom FROM unions WHERE level = 'z1'").collect()
+      }
+      assert(rows.length == 1, "union emitted after quiet timeout")
+      val area = graft.geom.Algos.area(Wkb.read(rows(0).getAs[Array[Byte]]("geom")))
+      assert(math.abs(area - 150.0) < 1e-9) // 10x10 + 10x10 overlapping 5 -> 150
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert sink lands rows in the feature store") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val root = Files.createTempDirectory("fstream").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val input = MemoryStream[(String, Double, Double)]
+    val df = input.toDF().toDF("identifier", "x", "y")
+      .withColumn("geom", S.st_point(col("x"), col("y")))
+      .withColumn("properties", to_json(struct(col("x"), col("y"))))
+      .drop("x", "y")
+    val q = StreamOps.upsertSink(df, root, "streamlayer", ckpt,
+      Trigger.ProcessingTime(10))
+    try {
+      input.addData(("s1", 1.0, 1.0), ("s2", 2.0, 2.0))
+      q.processAllAvailable()
+      assert(FeatureStore.scan(spark, root, "streamlayer").count() == 2)
+      input.addData(("s2", 20.0, 20.0), ("s3", 3.0, 3.0)) // update + insert
+      q.processAllAvailable()
+      val rows = FeatureStore.scan(spark, root, "streamlayer")
+        .orderBy("identifier").collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("s1", "s2", "s3"))
+      val s2 = Wkb.read(rows(1).getAs[Array[Byte]]("geom")).asInstanceOf[graft.geom.Point]
+      assert(s2.x == 20.0)
+    } finally q.stop()
+  }
+}
