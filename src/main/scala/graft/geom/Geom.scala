@@ -18,6 +18,17 @@ package graft.geom
 final case class Coord(x: Double, y: Double, z: Double = Double.NaN) {
   def is3D: Boolean = !z.isNaN
   def to2D: Coord = if (is3D) Coord(x, y) else this
+  // NaN-aware equality: the default case-class equals makes every 2D coord
+  // (z = NaN) unequal to itself — a closed ring's first and last vertex
+  // would never compare equal.
+  override def equals(o: Any): Boolean = o match {
+    case Coord(ox, oy, oz) =>
+      x == ox && y == oy && (z == oz || (z.isNaN && oz.isNaN))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(Double.box(x), Double.box(y),
+      Double.box(if (z.isNaN) 0.0 else z))
 }
 
 sealed trait Geom {

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import graft.geom._
+import scala.jdk.CollectionConverters._
+
+/** X4 `OsmXMLtoGeojson` (osm.py:42-96) — native replacement for the
+  * reference's `ogr2ogr -f GeoJSON ... {points|lines|multilinestrings|
+  * multipolygons}` subprocess: parse OSM XML and assemble features per
+  * ogr2ogr's layer model. Tag dictionaries surface as a map column (the
+  * `other_tags` hstore merge is [[Projections.OtherTagsToMap]]'s job when
+  * round-tripping ogr2ogr-shaped data).
+  *
+  * Layers: `points` = tagged nodes; `lines` = open ways;
+  * `multipolygons` = closed ways (area semantics). Relations are out of
+  * scope for the minimal parser (the reference's tests exercise nodes and
+  * ways, test_osm.py:67-84).
+  */
+object Osm {
+
+  final case class OsmFeature(osm_id: String, layer: String,
+                              geom: Array[Byte], tags: Map[String, String])
+
+  def xmlToFeatures(xml: Dataset[String]): DataFrame = {
+    val spark = xml.sparkSession
+    import spark.implicits._
+    xml.flatMap(parseDoc _).toDF()
+  }
+
+  def parseDoc(text: String): Seq[OsmFeature] = {
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    val doc = dbf.newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(text.getBytes("UTF-8")))
+    val root = doc.getDocumentElement
+
+    def elems(parent: org.w3c.dom.Element, name: String): Seq[org.w3c.dom.Element] = {
+      val nl = parent.getElementsByTagName(name)
+      (0 until nl.getLength).map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
+    }
+    def tagsOf(e: org.w3c.dom.Element): Map[String, String] =
+      elems(e, "tag").map(t => t.getAttribute("k") -> t.getAttribute("v")).toMap
+
+    val nodes = elems(root, "node").map { n =>
+      val id = n.getAttribute("id")
+      id -> (n.getAttribute("lon").toDouble, n.getAttribute("lat").toDouble, tagsOf(n))
+    }.toMap
+
+    val pointFeatures = nodes.collect {
+      case (id, (lon, lat, tags)) if tags.nonEmpty =>
+        OsmFeature(id, "points", Wkb.write(Point(lon, lat, 4326)), tags)
+    }.toSeq
+
+    val wayFeatures = elems(root, "way").flatMap { w =>
+      val id = w.getAttribute("id")
+      val refs = elems(w, "nd").map(_.getAttribute("ref"))
+      val coords = refs.flatMap(nodes.get).map { case (lon, lat, _) => Coord(lon, lat) }
+      val tags = tagsOf(w)
+      if (coords.length < 2) None
+      else if (coords.length >= 4 && coords.head == coords.last && isArea(tags))
+        Some(OsmFeature(id, "multipolygons",
+          Wkb.write(Polygon(Vector(coords.toVector), 4326)), tags))
+      else
+        Some(OsmFeature(id, "lines",
+          Wkb.write(LineString(coords.toVector, 4326)), tags))
+    }
+
+    pointFeatures ++ wayFeatures
+  }
+
+  /** ogr2ogr's area heuristic (closed way + area-ish tag). */
+  private def isArea(tags: Map[String, String]): Boolean =
+    tags.contains("building") || tags.contains("landuse") || tags.contains("natural") ||
+      tags.get("area").contains("yes") || tags.contains("amenity") || tags.contains("leisure")
+}

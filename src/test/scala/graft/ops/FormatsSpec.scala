@@ -1,0 +1,161 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.geom._
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** X4/X5: OSM XML and shapefile parsing against spec-built fixtures. */
+class FormatsSpec extends SparkTestBase {
+
+  test("X4 OSM XML: tagged nodes -> points, open ways -> lines, closed tagged ways -> polygons") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<osm version="0.6">
+        | <node id="1" lat="48.0" lon="2.0"><tag k="amenity" v="school"/></node>
+        | <node id="2" lat="48.1" lon="2.1"/>
+        | <node id="3" lat="48.2" lon="2.2"/>
+        | <node id="4" lat="48.2" lon="2.0"/>
+        | <way id="10"><nd ref="2"/><nd ref="3"/><tag k="highway" v="residential"/></way>
+        | <way id="11"><nd ref="2"/><nd ref="3"/><nd ref="4"/><nd ref="2"/>
+        |   <tag k="building" v="yes"/></way>
+        |</osm>""".stripMargin
+    val feats = Osm.parseDoc(xml)
+    val byLayer = feats.groupBy(_.layer)
+    assert(byLayer("points").map(_.osm_id) == Seq("1"))
+    assert(byLayer("lines").map(_.osm_id) == Seq("10"))
+    assert(byLayer("multipolygons").map(_.osm_id) == Seq("11"))
+    assert(byLayer("points").head.tags("amenity") == "school")
+    val line = Wkb.read(byLayer("lines").head.geom).asInstanceOf[LineString]
+    assert(line.points.length == 2)
+    val poly = Wkb.read(byLayer("multipolygons").head.geom).asInstanceOf[Polygon]
+    assert(poly.shell.length == 4)
+    // distributed path
+    import spark.implicits._
+    val df = Osm.xmlToFeatures(Seq(xml).toDS())
+    assert(df.count() == 3)
+  }
+
+  /** Build a minimal spec-conformant shapefile: one Point record. */
+  private def buildPointShp(x: Double, y: Double): Array[Byte] = {
+    val contentLen = 4 + 16 // type + xy, bytes
+    val fileLen = 100 + 8 + contentLen
+    val b = ByteBuffer.allocate(fileLen)
+    b.order(ByteOrder.BIG_ENDIAN)
+    b.putInt(0, 9994)
+    b.putInt(24, fileLen / 2)
+    b.order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(32, 1000) // version
+    b.putInt(36, 1)    // shape type: point
+    b.order(ByteOrder.BIG_ENDIAN)
+    b.putInt(100, 1)                 // record number
+    b.putInt(104, contentLen / 2)    // content length in words
+    b.order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(108, 1)                 // shape type
+    b.putDouble(112, x); b.putDouble(120, y)
+    b.array()
+  }
+
+  /** One polygon record (CW shell = ESRI outer ring). */
+  private def buildPolygonShp(ring: Seq[(Double, Double)]): Array[Byte] = {
+    val n = ring.length
+    val contentLen = 4 + 32 + 4 + 4 + 4 + 16 * n
+    val fileLen = 100 + 8 + contentLen
+    val b = ByteBuffer.allocate(fileLen)
+    b.order(ByteOrder.BIG_ENDIAN)
+    b.putInt(0, 9994); b.putInt(24, fileLen / 2)
+    b.order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(32, 1000); b.putInt(36, 5)
+    b.order(ByteOrder.BIG_ENDIAN)
+    b.putInt(100, 1); b.putInt(104, contentLen / 2)
+    b.order(ByteOrder.LITTLE_ENDIAN)
+    val s = 108
+    b.putInt(s, 5)
+    // bbox (ignored by parser)
+    b.putInt(s + 36, 1) // numParts
+    b.putInt(s + 40, n) // numPoints
+    b.putInt(s + 44, 0) // part 0 start
+    ring.zipWithIndex.foreach { case ((px, py), i) =>
+      b.putDouble(s + 48 + 16 * i, px); b.putDouble(s + 56 + 16 * i, py)
+    }
+    b.array()
+  }
+
+  private def buildDbf(records: Seq[(String, Double)]): Array[Byte] = {
+    val fields = Seq(("NAME", 'C', 10), ("VAL", 'N', 12))
+    val headerSize = 32 + 32 * fields.length + 1
+    val recordSize = 1 + fields.map(_._3).sum
+    val total = headerSize + recordSize * records.length + 1
+    val b = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0, 0x03.toByte)
+    b.putInt(4, records.length)
+    b.putShort(8, headerSize.toShort)
+    b.putShort(10, recordSize.toShort)
+    fields.zipWithIndex.foreach { case ((name, typ, len), i) =>
+      val off = 32 + 32 * i
+      name.getBytes("ASCII").zipWithIndex.foreach { case (c, j) => b.put(off + j, c) }
+      b.put(off + 11, typ.toByte)
+      b.put(off + 16, len.toByte)
+    }
+    b.put(32 + 32 * fields.length, 0x0d.toByte)
+    records.zipWithIndex.foreach { case ((name, v), r) =>
+      var off = headerSize + r * recordSize
+      b.put(off, ' '.toByte); off += 1
+      val nb = name.padTo(10, ' ').getBytes("ASCII")
+      nb.zipWithIndex.foreach { case (c, j) => b.put(off + j, c) }
+      off += 10
+      val vs = f"$v%12.2f".getBytes("ASCII")
+      vs.zipWithIndex.foreach { case (c, j) => b.put(off + j, c) }
+    }
+    b.array()
+  }
+
+  private def zip(entries: (String, Array[Byte])*): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(baos)
+    entries.foreach { case (n, bytes) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(n))
+      zos.write(bytes); zos.closeEntry()
+    }
+    zos.close(); baos.toByteArray
+  }
+
+  test("X5 shapefile: point + dbf attributes, WGS84 prj") {
+    val prj = """GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984"]]""".getBytes("UTF-8")
+    val z = zip("layer.shp" -> buildPointShp(2.5, 48.5),
+      "layer.dbf" -> buildDbf(Seq(("school", 42.0))),
+      "layer.prj" -> prj)
+    val feats = Shapefile.parseZip(z)
+    assert(feats.length == 1)
+    val p = Wkb.read(feats.head.geom).asInstanceOf[Point]
+    assert(p.x == 2.5 && p.y == 48.5 && p.srid == 4326)
+    assert(feats.head.properties.contains("\"NAME\": \"school\""))
+    assert(feats.head.properties.contains("\"VAL\": 42"))
+  }
+
+  test("X5 shapefile: Lambert-93 polygon reprojected to 4326 (the -t_srs contract)") {
+    // square around the Lambert-93 origin (700000, 6600000) = lon 3, lat 46.5
+    val ring = Seq((699000.0, 6601000.0), (701000.0, 6601000.0),
+      (701000.0, 6599000.0), (699000.0, 6599000.0), (699000.0, 6601000.0)) // CW (ESRI)
+    val prj = """PROJCS["RGF93_Lambert_93",GEOGCS["GCS_RGF_1993"]]""".getBytes("UTF-8")
+    val z = zip("l.shp" -> buildPolygonShp(ring), "l.prj" -> prj)
+    val feats = Shapefile.parseZip(z)
+    val poly = Wkb.read(feats.head.geom).asInstanceOf[Polygon]
+    assert(poly.srid == 4326)
+    val c = Algos.centroid(poly)
+    assert(math.abs(c.x - 3.0) < 0.05 && math.abs(c.y - 46.5) < 0.05, s"(${c.x}, ${c.y})")
+  }
+
+  test("X5 unsupported CRS raises, missing .shp raises") {
+    intercept[IllegalArgumentException](Shapefile.sridOfPrj("PROJCS[\"Albers\"]"))
+    intercept[IllegalArgumentException](Shapefile.parseZip(zip("a.txt" -> "x".getBytes)))
+  }
+
+  test("X5 distributed explode over binary column") {
+    import spark.implicits._
+    val z = zip("layer.shp" -> buildPointShp(1.0, 2.0))
+    val df = Seq(z).toDF("content")
+    val out = Shapefile.zipToFeatures(df)
+    assert(out.columns.toSet == Set("fid", "geom", "properties"))
+    assert(out.count() == 1)
+  }
+}
