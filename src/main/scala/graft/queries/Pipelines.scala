@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Graft, st => S}
+import graft.ops._
+import graft.util.Tables._
+
+/** End-to-end pipelines composed from the actual Op objects — the
+  * reference's dominant entry-point shapes (SURVEY.md §3) run as single
+  * Catalyst plans and verified against plain-SQL oracles.
+  */
+object Pipelines {
+
+  /** E2 — spatial aggregation pipeline (S10 → A1): identifier promotion,
+    * point construction from string attributes (strict-cast contract),
+    * snap-to-grid clustering, CollectAndSum with a JSON-extracted sum —
+    * every stage the real operator, one plan, zero per-cluster
+    * round-trips (vs terra.py:54-68's N+1). */
+  def e2Cluster(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val src = customer(s, d)
+      .withColumn("x", ($"c_custkey" % 100).cast("string"))
+      .withColumn("y", (($"c_custkey" * 7) % 100).cast("string"))
+      .withColumn("properties", to_json(struct($"c_acctbal".as("bal"))))
+    val pipeline = Pipeline(
+      Projections.IdentifierFromProperty("c_custkey"),
+      GeometryOps.AttributesToPointGeometry("x", "y"),
+      Projections.FilterAttributes(Seq("geom", "properties")))
+    val prepared = pipeline(src)
+      .withColumn("cell", S.st_snaptogrid($"geom", lit(10.0)))
+      .withColumn("gx", S.st_x($"cell")).withColumn("gy", S.st_y($"cell"))
+    Aggs.CollectAndSum(Seq("gx", "gy"), sumFields = Seq("bal"))(prepared)
+      .select($"gx", $"gy", $"point_count", size($"ids").as("n_ids"),
+        round($"sum_bal", 4).as("sum_bal"))
+      .orderBy($"gx", $"gy")
+  }
+
+  val e2ClusterSql: String =
+    """SELECT floor((c_custkey % 100) / 10.0 + 0.5) * 10.0 AS gx,
+      |       floor(((c_custkey * 7) % 100) / 10.0 + 0.5) * 10.0 AS gy,
+      |       COUNT(*) AS point_count,
+      |       COUNT(DISTINCT c_custkey) AS n_ids,
+      |       round(SUM(c_acctbal), 4) AS sum_bal
+      |FROM customer
+      |GROUP BY 1, 2
+      |ORDER BY gx, gy""".stripMargin
+
+  /** E3 — per-feature enrichment pipeline (S9 → J3): kNN against the
+    * supplier layer through the ClosestFeatures op (bounded radius,
+    * k=3), then per-row fan-out stats. The reference issues one SQL query
+    * per row here (terra.py:313-325); this is one join. */
+  def e3Enrich(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val layer = supplier(s, d)
+      .select($"s_suppkey", S.st_point(($"s_suppkey" % 100).cast("double"),
+        (($"s_suppkey" * 7) % 100).cast("double")).as("geom"))
+    val src = customer(s, d)
+      .withColumn(Op.identifierCol, $"c_custkey".cast("string"))
+      .withColumn("geom", S.st_point(($"c_custkey" % 100).cast("double"),
+        (($"c_custkey" * 7) % 100).cast("double")))
+    val out = SpatialJoins.ClosestFeatures(layer, k = 3, maxDistance = Some(15.0))(src)
+    out.select($"c_custkey",
+        coalesce(size($"closests"), lit(0)).as("n_close"),
+        round(S.st_distance($"geom", element_at($"closests", 1)), 6).as("nearest_dist"))
+      .orderBy($"c_custkey")
+  }
+
+  val e3EnrichSql: String =
+    """WITH dists AS (
+      |  SELECT c_custkey,
+      |         sqrt(power(CAST(c_custkey % 100 AS DOUBLE) - CAST(s_suppkey % 100 AS DOUBLE), 2)
+      |            + power(CAST((c_custkey * 7) % 100 AS DOUBLE) - CAST((s_suppkey * 7) % 100 AS DOUBLE), 2)) AS d
+      |  FROM customer CROSS JOIN supplier),
+      |ranked AS (
+      |  SELECT c_custkey, d,
+      |         ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY d) AS rk
+      |  FROM dists WHERE d < 15.0)
+      |SELECT c.c_custkey,
+      |       COALESCE(t.n_close, 0) AS n_close,
+      |       t.nearest_dist
+      |FROM customer c LEFT JOIN (
+      |  SELECT c_custkey, CAST(COUNT(*) AS INT) AS n_close,
+      |         round(MIN(d), 6) AS nearest_dist
+      |  FROM ranked WHERE rk <= 3 GROUP BY c_custkey) t
+      |ON c.c_custkey = t.c_custkey
+      |ORDER BY c.c_custkey""".stripMargin
+
+  /** E1 — ingestion pipeline (S2 → P1 → G5/G3): GeoJSON FeatureCollection
+    * text (built from the region table, in-plan) → feature rows → geometry
+    * round-trip to GeoJSON. Verifies the reader + writer codec path
+    * against re-derivable values. */
+  def e1Ingest(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    // one FeatureCollection per region, built in-plan (no driver collect)
+    val fc = region(s, d).select($"r_regionkey",
+      format_string(
+        """{"type":"FeatureCollection","features":[{"type":"Feature","properties":{"rk":%s},"geometry":{"type":"Point","coordinates":[%s,%s]}}]}""",
+        $"r_regionkey", $"r_regionkey" * 10, $"r_regionkey" * 5).as("doc"))
+    val feats = Sources.geojsonFeatures(fc.select($"doc").as[String])
+    Pipeline(
+      Projections.IdentifierFromProperty("properties"),
+      GeometryOps.GeometryToJson())(feats)
+      .select(get_json_object($"properties", "$.rk").cast("long").as("rk"),
+        S.st_x($"geom").as("x"), S.st_y($"geom").as("y"), $"geojson")
+      .orderBy($"rk")
+  }
+
+  val e1IngestSql: String =
+    """SELECT r_regionkey AS rk,
+      |       CAST(r_regionkey * 10 AS DOUBLE) AS x,
+      |       CAST(r_regionkey * 5 AS DOUBLE) AS y,
+      |       '{"type":"Point","coordinates":[' || CAST(CAST(r_regionkey * 10 AS DOUBLE) AS VARCHAR)
+      |         || ',' || CAST(CAST(r_regionkey * 5 AS DOUBLE) AS VARCHAR) || ']}' AS geojson
+      |FROM region
+      |ORDER BY rk""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_e1_ingest" -> (e1Ingest _),
+    "q_pipeline_e2_cluster" -> (e2Cluster _),
+    "q_pipeline_e3_enrich" -> (e3Enrich _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_pipeline_e1_ingest" -> e1IngestSql,
+    "q_pipeline_e2_cluster" -> e2ClusterSql,
+    "q_pipeline_e3_enrich" -> e3EnrichSql,
+  )
+}

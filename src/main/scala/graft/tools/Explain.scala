@@ -1,0 +1,33 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan inspection harness: `runMain graft.tools.Explain [queryName ...]`
+  * prints the formatted physical plan of each named query (all when no
+  * args) against sf0.001 — the loop for verifying pushdown, broadcast
+  * choice, and whole-stage-codegen coverage (the builder prompt's
+  * ".explain and iterate until it's the plan you'd want").
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val names = if (args.nonEmpty) args.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      graft.SparkEntry.queries.get(name) match {
+        case Some(fn) =>
+          println(s"\n======== $name ========")
+          try println(fn(spark, d).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+          catch { case e: Exception => println(s"failed: ${e.getMessage}") }
+        case None => println(s"unknown query: $name")
+      }
+    }
+    spark.stop()
+  }
+}
