@@ -173,13 +173,21 @@ case class StLength(child: Expression) extends UnaryExpression with CodegenFallb
 case class StDistance(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any =
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    // point-point fast path: no object graph, just two coordinate reads —
+    // this expression sits inside O(n·m) join loops (kNN)
+    val pa = WkbFast.pointXY(a.asInstanceOf[Array[Byte]])
+    if (pa != null) {
+      val pb = WkbFast.pointXY(b.asInstanceOf[Array[Byte]])
+      if (pb != null) return dbl(math.hypot(pa(0) - pb(0), pa(1) - pb(1)))
+    }
     (geomOf(a), geomOf(b)) match {
       case (Some(g1), Some(g2)) =>
         val d = Algos.distance(g1, g2)
         if (d.isNaN) null else dbl(d)
       case _ => null
     }
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "st_distance"
@@ -264,11 +272,20 @@ case class StSubdivide(left: Expression, right: Expression)
 case class StIntersects(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BooleanType
-  override def nullSafeEval(a: Any, b: Any): Any =
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    // bbox fast-reject without building the object graph: in a spatial
+    // join most candidate pairs are disjoint
+    val b1 = WkbFast.bbox(a.asInstanceOf[Array[Byte]])
+    val b2 = WkbFast.bbox(b.asInstanceOf[Array[Byte]])
+    if (b1 != null && b2 != null &&
+        (b1(0) > b2(2) + 1e-12 || b2(0) > b1(2) + 1e-12 ||
+         b1(1) > b2(3) + 1e-12 || b2(1) > b1(3) + 1e-12))
+      return java.lang.Boolean.FALSE
     (geomOf(a), geomOf(b)) match {
       case (Some(g1), Some(g2)) => java.lang.Boolean.valueOf(Algos.intersects(g1, g2))
       case _ => null
     }
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "st_intersects"
@@ -334,13 +351,15 @@ case class StGridCells(children: Seq[Expression]) extends Expression with Codege
       val e = children(2).eval(input)
       if (e == null) 0.0 else e.asInstanceOf[Double]
     } else 0.0
-    geomOf(in).flatMap(BBox.of).map(_.expand(expand)).map { b =>
-      val x0 = math.floor(b.minX / cell).toLong; val x1 = math.floor(b.maxX / cell).toLong
-      val y0 = math.floor(b.minY / cell).toLong; val y1 = math.floor(b.maxY / cell).toLong
-      val rows = for (gx <- x0 to x1; gy <- y0 to y1)
-        yield org.apache.spark.sql.catalyst.InternalRow(gx, gy)
-      new GenericArrayData(rows.toArray[Any])
-    }.orNull
+    val bb = WkbFast.bbox(in.asInstanceOf[Array[Byte]])
+    if (bb == null) return null
+    val x0 = math.floor((bb(0) - expand) / cell).toLong
+    val x1 = math.floor((bb(2) + expand) / cell).toLong
+    val y0 = math.floor((bb(1) - expand) / cell).toLong
+    val y1 = math.floor((bb(3) + expand) / cell).toLong
+    val rows = for (gx <- x0 to x1; gy <- y0 to y1)
+      yield org.apache.spark.sql.catalyst.InternalRow(gx, gy)
+    new GenericArrayData(rows.toArray[Any])
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(children = c)
@@ -360,10 +379,12 @@ case class StBboxIntersects(children: Seq[Expression]) extends Expression with C
       val e = children(2).eval(input)
       if (e == null) 0.0 else e.asInstanceOf[Double]
     } else 0.0
-    (geomOf(a).flatMap(BBox.of), geomOf(b).flatMap(BBox.of)) match {
-      case (Some(b1), Some(b2)) => java.lang.Boolean.valueOf(b1.expand(expand).intersects(b2))
-      case _ => java.lang.Boolean.FALSE
-    }
+    val b1 = WkbFast.bbox(a.asInstanceOf[Array[Byte]])
+    val b2 = WkbFast.bbox(b.asInstanceOf[Array[Byte]])
+    if (b1 == null || b2 == null) java.lang.Boolean.FALSE
+    else java.lang.Boolean.valueOf(
+      b1(0) - expand <= b2(2) && b2(0) <= b1(2) + expand &&
+      b1(1) - expand <= b2(3) && b2(1) <= b1(3) + expand)
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(children = c)

@@ -1,0 +1,103 @@
+package graft.geom
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Allocation-light WKB peeks for the expression hot paths.
+  *
+  * `st_distance` / `st_bbox_intersects` / `st_gridcells` sit inside joins
+  * that evaluate them O(|left|·|candidates|) times; building the full
+  * [[Geom]] object graph per call dominated the bench (the kNN queries).
+  * These helpers read coordinates straight off the byte array — no
+  * Vectors, no case classes — and fall back to `null` so callers revert
+  * to the exact path for exotic inputs.
+  */
+object WkbFast {
+
+  private val SRID_FLAG = 0x20000000
+  private val Z_FLAG = 0x80000000
+
+  /** If `b` encodes a non-empty WKB Point, return `Array(x, y)`, else null. */
+  def pointXY(b: Array[Byte]): Array[Double] = {
+    if (b == null || b.length < 21) return null
+    val buf = ByteBuffer.wrap(b)
+    buf.order(if (b(0) == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    var t = buf.getInt(1)
+    val hasSrid = (t & SRID_FLAG) != 0
+    t &= 0x0fffffff
+    if (t >= 1000 && t < 2000) t -= 1000
+    if (t != 1) return null
+    val off = if (hasSrid) 9 else 5
+    if (b.length < off + 16) return null
+    val x = buf.getDouble(off); val y = buf.getDouble(off + 8)
+    if (x.isNaN || y.isNaN) null else Array(x, y)
+  }
+
+  /** Bbox `Array(minX, minY, maxX, maxY)` of any WKB geometry, walking the
+    * bytes without building objects; null for empty/invalid. */
+  def bbox(b: Array[Byte]): Array[Double] = {
+    if (b == null || b.length < 5) return null
+    val buf = ByteBuffer.wrap(b)
+    val acc = Array(Double.MaxValue, Double.MaxValue, -Double.MaxValue, -Double.MaxValue)
+    try {
+      if (!walk(buf, 0, acc)) return null
+      if (acc(0) > acc(2)) null else acc
+    } catch { case _: Exception => null }
+  }
+
+  /** Walk one geometry at `pos`; accumulate bbox; return false on parse
+    * problems. Returns updated position via side channel impossible in
+    * Scala w/o allocation — we track with a mutable var by recursion. */
+  private def walk(buf: ByteBuffer, pos0: Int, acc: Array[Double]): Boolean = {
+    walkRec(buf, pos0, acc) >= 0
+  }
+
+  /** Returns position after the geometry, or -1 on failure. */
+  private def walkRec(buf: ByteBuffer, pos0: Int, acc: Array[Double]): Int = {
+    var pos = pos0
+    if (pos + 5 > buf.capacity()) return -1
+    buf.order(if (buf.get(pos) == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    var t = buf.getInt(pos + 1)
+    pos += 5
+    if ((t & SRID_FLAG) != 0) pos += 4
+    var z = (t & Z_FLAG.toInt) != 0
+    t &= 0x0fffffff
+    if (t >= 1000 && t < 2000) { z = true; t -= 1000 }
+    val dim = if (z) 3 else 2
+    def point(p: Int): Int = {
+      val x = buf.getDouble(p); val y = buf.getDouble(p + 8)
+      if (!x.isNaN && !y.isNaN) {
+        if (x < acc(0)) acc(0) = x
+        if (y < acc(1)) acc(1) = y
+        if (x > acc(2)) acc(2) = x
+        if (y > acc(3)) acc(3) = y
+      }
+      p + dim * 8
+    }
+    t match {
+      case 1 => point(pos)
+      case 2 =>
+        val n = buf.getInt(pos); var p = pos + 4
+        var i = 0; while (i < n) { p = point(p); i += 1 }
+        p
+      case 3 =>
+        val rings = buf.getInt(pos); var p = pos + 4
+        var r = 0
+        while (r < rings) {
+          val n = buf.getInt(p); p += 4
+          var i = 0; while (i < n) { p = point(p); i += 1 }
+          r += 1
+        }
+        p
+      case 4 | 5 | 6 | 7 =>
+        val n = buf.getInt(pos); var p = pos + 4
+        var i = 0
+        while (i < n) {
+          p = walkRec(buf, p, acc)
+          if (p < 0) return -1
+          i += 1
+        }
+        p
+      case _ => -1
+    }
+  }
+}

@@ -32,20 +32,25 @@ object Dedup {
   }
 
   /** MinHash signature: H independent permutations approximated by seeded
-    * xxhash64; signature[h] = min hash of any shingle under seed h. */
+    * xxHash64; signature[h] = min hash of any shingle under seed h.
+    * Native one-pass expression (see [[graft.exprs.MinHashSig]] for why
+    * the HOF formulation is ~4000× slower); requires
+    * [[graft.functions.Graft.init]] on the session. */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(1), lit(numHashes)),
-      h => array_min(transform(shingles, s => xxhash64(s, h))))
+    call_function("minhash_sig", shingles, lit(numHashes))
 
   /** LSH banding: split the signature into `numBands` rows of width
     * len/numBands; band key = hash of the slice. Docs sharing ANY band key
-    * are near-dup candidates. */
+    * are near-dup candidates. Built with plan-time literal offsets — a
+    * lambda (`transform(sequence...)`) version evaluated interpreted at
+    * ~2.8 ms/row; this shape stays in codegen. */
   def lshBands(signature: Column, numHashes: Int, numBands: Int): Column = {
     val rowsPerBand = numHashes / numBands
-    transform(sequence(lit(0), lit(numBands - 1)),
-      b => struct(b.as("band"),
-        xxhash64(concat_ws(",", slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))), b)
-          .as("key")))
+    array((0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",", slice(signature, b * rowsPerBand + 1, rowsPerBand)), lit(b))
+          .as("key"))
+    }: _*)
   }
 
   /** Exact Jaccard between two shingle arrays (the LSH verify step). */
@@ -65,30 +70,46 @@ object Dedup {
       .withColumn("is_dup", col(idCol) =!= col("dup_group"))
   }
 
+  /** Estimated Jaccard from two MinHash signatures: the fraction of equal
+    * components is an unbiased estimator of the true Jaccard — the
+    * standard verify step that never re-touches the shingle sets. */
+  def estJaccard(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / size(sigA)
+
   /** MinHash+LSH near-dup detection, full pipeline:
-    *  shingle → minhash → band → bucket self-join → Jaccard verify.
-    * Returns candidate pairs (idA < idB) with their exact Jaccard,
-    * filtered to `threshold`. At scale the bucket join is the only
-    * pairwise step and buckets are tiny (band collisions). */
+    *  shingle → minhash → band → bucket self-join → signature verify.
+    * Returns candidate pairs (idA < idB) with estimated Jaccard ≥
+    * `threshold`. Shuffle discipline: the bucket join and the pair dedup
+    * carry only (id, band, key) and the H-component signature — the
+    * shingle sets (≈ the text itself) never shuffle. Estimator std-err is
+    * ~sqrt(j(1-j)/H) (≈0.05 at H=64), the standard web-dedup tradeoff;
+    * [[ngramJaccardPairs]] is the exact-Jaccard alternative. */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           numHashes: Int = 64, numBands: Int = 16,
                           shingleSize: Int = 3,
                           threshold: Double = 0.8): DataFrame = {
     val withSig = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("shingles", wordShingles(col("text"), shingleSize))
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+      .withColumn("sig", minhashSignature(wordShingles(col("text"), shingleSize), numHashes))
+      .select(col("id"), col("sig"))
+      // Exchange barrier: without it CollapseProject inlines `sig` into the
+      // band explode and the 64-hash signature (and its shingle array) is
+      // recomputed per band row — a measured 30× blowup. One shuffle of
+      // (id, 64×long) is the cheap side of that trade at any scale.
+      .repartition(col("id"))
       .withColumn("bandrow", explode(lshBands(col("sig"), numHashes, numBands)))
-      .select(col("id"), col("shingles"),
+      .select(col("id"), col("sig"),
         col("bandrow.band").as("band"), col("bandrow.key").as("key"))
-    val a = withSig.select(col("id").as("id_a"), col("shingles").as("sh_a"),
+    val a = withSig.select(col("id").as("id_a"), col("sig").as("sig_a"),
       col("band"), col("key"))
-    val b = withSig.select(col("id").as("id_b"), col("shingles").as("sh_b"),
+    val b = withSig.select(col("id").as("id_b"), col("sig").as("sig_b"),
       col("band"), col("key"))
     a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
+      .withColumn("jaccard", estJaccard(col("sig_a"), col("sig_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

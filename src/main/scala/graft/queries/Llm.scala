@@ -90,10 +90,13 @@ object Llm {
   /** Canonical-form fingerprint (normalized md5) + shingle count. */
   def fingerprint(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // shingle COUNT is arithmetic on the token count — building the
+    // actual shingle array here cost 7s/5000 docs for a number
+    val nTokens = size(split(trim(lower($"text")), "\\s+"))
     documents(s, d).select(
       $"doc_id",
       TA.fingerprint($"text").as("fp"),
-      size(Dedup.wordShingles($"text", 3)).as("n_shingles"))
+      greatest(nTokens - 2, lit(1)).as("n_shingles"))
       .orderBy($"doc_id")
   }
 
