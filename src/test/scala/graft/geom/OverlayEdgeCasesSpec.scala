@@ -1,0 +1,77 @@
+package graft.geom
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-adjacency overlay cases: shared edges and corners are the
+  * COMMON case when unioning grid-aligned geometries (st_union_agg over
+  * snap-to-grid clusters), not an exotic one. */
+class OverlayEdgeCasesSpec extends AnyFunSuite {
+
+  private def poly(pts: (Double, Double)*): Polygon =
+    Polygon(Vector(pts.toVector.map { case (x, y) => Coord(x, y) }))
+
+  private val a = poly((0, 0), (10, 0), (10, 10), (0, 10), (0, 0))
+  private val right = poly((10, 0), (20, 0), (20, 10), (10, 10), (10, 0))
+  private val above = poly((0, 10), (10, 10), (10, 20), (0, 20), (0, 10))
+  private val corner = poly((10, 10), (20, 10), (20, 20), (10, 20), (10, 10))
+
+  test("union across a shared vertical edge merges, no sliver") {
+    val u = Clip.union(a, right)
+    assert(Algos.area(u) == 200.0)
+    assert(u.isInstanceOf[Polygon]) // one merged region, not a multipolygon
+  }
+
+  test("union across a shared horizontal edge merges") {
+    assert(Algos.area(Clip.union(a, above)) == 200.0)
+  }
+
+  test("intersection of edge-adjacent polygons is empty (area 0)") {
+    val i = Clip.intersection(a, right)
+    assert(Algos.area(i) == 0.0 && i.isEmpty)
+  }
+
+  test("difference with edge-adjacent polygon is identity area") {
+    assert(Algos.area(Clip.difference(a, right)) == 100.0)
+  }
+
+  test("corner-touching union keeps both areas") {
+    assert(Algos.area(Clip.union(a, corner)) == 200.0)
+  }
+
+  test("2x2 grid block union is one 20x20 region") {
+    val cells = Seq[Geom](a, right, above, corner)
+    val u = cells.reduce(Clip.union)
+    assert(Algos.area(u) == 400.0)
+  }
+
+  test("mixed overlapping + adjacent union") {
+    val mid = poly((5, 0), (15, 0), (15, 10), (5, 10), (5, 0))
+    val u = Clip.union(Clip.union(a, mid), right)
+    assert(Algos.area(u) == 200.0)
+  }
+
+  test("difference cutting a polygon into two parts") {
+    val strip = poly((4, -1), (6, -1), (6, 11), (4, 11), (4, -1))
+    val d = Clip.difference(a, strip)
+    assert(math.abs(Algos.area(d) - 80.0) < 1e-9)
+    d match {
+      case MultiPolygon(ps, _) => assert(ps.length == 2)
+      case other => fail(s"expected MultiPolygon, got ${other.typeName}")
+    }
+  }
+
+  test("intersection with a polygon that has a hole") {
+    val withHole = Polygon(Vector(
+      Vector(Coord(0, 0), Coord(20, 0), Coord(20, 20), Coord(0, 20), Coord(0, 0)),
+      Vector(Coord(5, 5), Coord(5, 15), Coord(15, 15), Coord(15, 5), Coord(5, 5)))) // CW hole
+    val probe = poly((3, 3), (12, 3), (12, 12), (3, 12), (3, 3))
+    val i = Clip.intersection(probe, withHole)
+    // probe (81) minus the part inside the hole ([5,12]x[5,12] = 49) = 32
+    assert(math.abs(Algos.area(i) - 32.0) < 1e-9)
+  }
+
+  test("repeated union of identical polygons is idempotent") {
+    val u = Clip.union(Clip.union(a, a), a)
+    assert(Algos.area(u) == 100.0)
+  }
+}
