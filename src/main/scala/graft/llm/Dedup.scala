@@ -132,6 +132,56 @@ object Dedup {
       .drop("id", "min_nb")
   }
 
+  /** Connected components over an undirected pair list by iterative label
+    * propagation (each node takes the min label in its neighborhood) until
+    * fixpoint or `maxIter`. Lineage is cut per round with localCheckpoint
+    * — without it the plan doubles each iteration. Returns
+    * (id, component). The standard dedup-cluster closure when chains
+    * longer than pair/triangle exist. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst_id"),
+          col("dst") === col("dst_id"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("nb_min"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nb_min"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      changed = updated.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") =!= col("old")).count()
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
+  /** MinHash dup groups closed under transitivity: label-propagated
+    * components over the verified near-dup pairs; docs with no neighbor
+    * keep their own id. */
+  def minhashDupGroupsConverged(df: DataFrame, idCol: String, textCol: String,
+                                numHashes: Int = 64, numBands: Int = 16,
+                                shingleSize: Int = 3,
+                                threshold: Double = 0.8,
+                                maxIter: Int = 10): DataFrame = {
+    val pairs = minhashNearDupPairs(df, idCol, textCol, numHashes, numBands,
+      shingleSize, threshold)
+    val comps = connectedComponents(pairs, maxIter)
+      .withColumnRenamed("id", "__cc_id")
+    df.join(comps, col(idCol) === col("__cc_id"), "left")
+      .withColumn("dup_group", coalesce(col("component"), col(idCol)))
+      .drop("__cc_id", "component")
+  }
+
   /** SimHash near-dup: 64-bit signature + banded blocking (4×16-bit
     * bands); pairs within a band verified by Hamming distance
     * (`bit_count(a ^ b)`, codegen'd built-in). */

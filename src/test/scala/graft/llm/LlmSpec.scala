@@ -46,6 +46,38 @@ class LlmSpec extends SparkTestBase {
     assert(out(2)._2 == 1L) // near-dup of 1
   }
 
+  test("connected components close transitive chains (A~B~C~D -> one group)") {
+    import spark.implicits._
+    // chain: each neighbor differs by one word from the previous — A and D
+    // are NOT direct near-dups, only transitively
+    val words = base.split(" ")
+    def variant(k: Int): String =
+      words.zipWithIndex.map { case (w, i) => if (i < k) s"v$i" else w }.mkString(" ")
+    val chain = Seq(
+      (1L, variant(0)), (2L, variant(2)), (3L, variant(4)), (4L, variant(6)))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(chain, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = Dedup.minhashDupGroupsConverged(chain, "doc_id", "text", threshold = 0.5)
+      .select("doc_id", "dup_group").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // whatever the direct pair structure, components must be closed:
+    // every doc reachable from 1 must carry group 1
+    val reachable = {
+      var acc = Set(1L); var grew = true
+      while (grew) {
+        val next = acc ++ pairs.collect { case (a, b) if acc(a) => b } ++
+          pairs.collect { case (a, b) if acc(b) => a }
+        grew = next != acc; acc = next
+      }
+      acc
+    }
+    out.foreach { case (id, g) =>
+      if (reachable(id)) assert(g == 1L, s"doc $id should be in component 1")
+    }
+    assert(reachable.size >= 3, s"chain should connect >=3 docs, pairs=$pairs")
+  }
+
   test("jaccard is exact on known shingle overlap") {
     import spark.implicits._
     val df = Seq(("a b c d", "b c d e")).toDF("t1", "t2")
