@@ -152,6 +152,21 @@ class SourcesSinksSpec extends SparkTestBase {
     assert(rows(0).getSeq[String](rows(0).fieldIndex("ids")).toSet == Set("a1", "a2"))
   }
 
+  test("K2/K3/S5 search-index round trip: DDL, bulk load, predicate scan (elasticsearch.py)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("esindex").toString
+    Sinks.EsGeometryField(root, "idx1")(spark)        // K3: create-if-absent
+    Sinks.EsGeometryField(root, "idx1")(spark)        // idempotent
+    assert(Files.exists(java.nio.file.Paths.get(root, "idx1", "_MAPPING.json")))
+    val df = Seq(("d1", "alpha", 5), ("d2", "beta", 9)).toDF("identifier", "name", "v")
+    Sinks.LoadInEs(root, "idx1")(df)                  // K2: bulk index
+    val scanned = Sources.EsExtract(s"$root/idx1", query = Some(col("v") > 6))(spark)
+    val rows = scanned.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("_feature_id") == "d2")
+    assert(rows(0).getAs[String]("identifier") == "d2") // id from _id column
+  }
+
   private object FakeRoutes extends Enrich.RouteService {
     def isochrone(lon: Double, lat: Double, timeLimit: Int, buckets: Int,
                   vehicle: String, reverse: Boolean): Seq[(String, Int)] =
