@@ -1,0 +1,37 @@
+package graft.exprs
+
+import graft.geom._
+
+/** Static runtime entry points for codegen'd geometry expressions: the
+  * generated Java calls these directly, so st_distance / st_intersects
+  * participate in whole-stage codegen with primitive in/out instead of
+  * the boxed `CodegenFallback` path (which dominated the kNN joins).
+  */
+object GeomRuntime {
+
+  /** Distance; NaN = null (empty/invalid input). */
+  def distance(a: Array[Byte], b: Array[Byte]): Double = {
+    val pa = WkbFast.pointXY(a)
+    if (pa != null) {
+      val pb = WkbFast.pointXY(b)
+      if (pb != null) return math.hypot(pa(0) - pb(0), pa(1) - pb(1))
+    }
+    (Wkb.readOpt(a), Wkb.readOpt(b)) match {
+      case (Some(g1), Some(g2)) => Algos.distance(g1, g2)
+      case _ => Double.NaN
+    }
+  }
+
+  /** 1 = intersects, 0 = disjoint, -1 = null (unparsable). */
+  def intersects(a: Array[Byte], b: Array[Byte]): Int = {
+    val b1 = WkbFast.bbox(a)
+    val b2 = WkbFast.bbox(b)
+    if (b1 != null && b2 != null &&
+        (b1(0) > b2(2) + 1e-12 || b2(0) > b1(2) + 1e-12 ||
+         b1(1) > b2(3) + 1e-12 || b2(1) > b1(3) + 1e-12)) return 0
+    (Wkb.readOpt(a), Wkb.readOpt(b)) match {
+      case (Some(g1), Some(g2)) => if (Algos.intersects(g1, g2)) 1 else 0
+      case _ => -1
+    }
+  }
+}

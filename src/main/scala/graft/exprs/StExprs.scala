@@ -170,24 +170,23 @@ case class StLength(child: Expression) extends UnaryExpression with CodegenFallb
   override def prettyName: String = "st_length"
 }
 
-case class StDistance(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+/** Fully codegen'd (doGenCode emits a static call into [[GeomRuntime]]):
+  * this expression sits inside O(n·m) join loops (kNN) where the
+  * CodegenFallback boxing path measurably dominated. */
+case class StDistance(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any = {
-    // point-point fast path: no object graph, just two coordinate reads —
-    // this expression sits inside O(n·m) join loops (kNN)
-    val pa = WkbFast.pointXY(a.asInstanceOf[Array[Byte]])
-    if (pa != null) {
-      val pb = WkbFast.pointXY(b.asInstanceOf[Array[Byte]])
-      if (pb != null) return dbl(math.hypot(pa(0) - pb(0), pa(1) - pb(1)))
-    }
-    (geomOf(a), geomOf(b)) match {
-      case (Some(g1), Some(g2)) =>
-        val d = Algos.distance(g1, g2)
-        if (d.isNaN) null else dbl(d)
-      case _ => null
-    }
+    val d = GeomRuntime.distance(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    if (d.isNaN) null else dbl(d)
   }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+       |${ev.value} = graft.exprs.GeomRuntime.distance($a, $b);
+       |if (Double.isNaN(${ev.value})) { ${ev.isNull} = true; }
+     """.stripMargin)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "st_distance"
@@ -269,22 +268,24 @@ case class StSubdivide(left: Expression, right: Expression)
 
 // ---------- binary predicates / overlay ----------
 
-case class StIntersects(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+/** Fully codegen'd; bbox fast-reject inside [[GeomRuntime.intersects]] —
+  * in a spatial join most candidate pairs are disjoint. */
+case class StIntersects(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = BooleanType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    // bbox fast-reject without building the object graph: in a spatial
-    // join most candidate pairs are disjoint
-    val b1 = WkbFast.bbox(a.asInstanceOf[Array[Byte]])
-    val b2 = WkbFast.bbox(b.asInstanceOf[Array[Byte]])
-    if (b1 != null && b2 != null &&
-        (b1(0) > b2(2) + 1e-12 || b2(0) > b1(2) + 1e-12 ||
-         b1(1) > b2(3) + 1e-12 || b2(1) > b1(3) + 1e-12))
-      return java.lang.Boolean.FALSE
-    (geomOf(a), geomOf(b)) match {
-      case (Some(g1), Some(g2)) => java.lang.Boolean.valueOf(Algos.intersects(g1, g2))
-      case _ => null
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GeomRuntime.intersects(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]]) match {
+      case -1 => null
+      case v  => java.lang.Boolean.valueOf(v == 1)
     }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val v = ctx.freshName("graftIntersects")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+       |int $v = graft.exprs.GeomRuntime.intersects($a, $b);
+       |if ($v == -1) { ${ev.isNull} = true; } else { ${ev.value} = ($v == 1); }
+     """.stripMargin)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
