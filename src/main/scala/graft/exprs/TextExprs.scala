@@ -32,11 +32,18 @@ case class MinHashSig(left: Expression, right: Expression)
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val s = arr.getUTF8String(i)
+        // hash the bytes ONCE; the h-th "permutation" is an affine mix of
+        // that base hash (the standard a·x+b minhash family) — 1 byte-pass
+        // + H multiply-adds instead of H byte-passes
+        val base = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
         var h = 0
         while (h < numHashes) {
-          val v = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-            s.getBaseObject, s.getBaseOffset, s.numBytes(), h + 1L)
-          if (v < mins(h)) mins(h) = v
+          // odd multipliers from a splitmix-style sequence; universal-ish
+          val a = -7046029254386353131L + 2654435769L * (2L * h + 1L)
+          val v = a * base + (h * -4417276706812531889L + 1L)
+          val mixed = java.lang.Long.rotateLeft(v, 31) * -8796714831421723037L
+          if (mixed < mins(h)) mins(h) = mixed
           h += 1
         }
       }

@@ -1,0 +1,77 @@
+package graft.geom
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property identities over random convex polygon pairs: the algebra the
+  * overlay must satisfy regardless of configuration —
+  *   area(A∩B) + area(A\B) = area(A)
+  *   area(A∪B) = area(A) + area(B) − area(A∩B)
+  *   A∩B ⊆ bbox(A) ∩ bbox(B)
+  * Convex inputs keep ground truth derivable from the identities alone
+  * (no oracle needed) while still generating every adjacency flavor:
+  * disjoint, overlapping, contained, vertex-touching.
+  */
+class OverlayPropSpec extends AnyFunSuite {
+
+  private def convexPolygon(rnd: java.util.Random, cx: Double, cy: Double,
+                            rMin: Double, rMax: Double, nMin: Int = 3, nMax: Int = 9): Polygon = {
+    val n = nMin + rnd.nextInt(nMax - nMin + 1)
+    // sorted angles + varying radius around a center = star-shaped; with
+    // radius spread kept modest it stays convex enough... make strictly
+    // convex: points on a circle with jittered radius can be concave, so
+    // use convex hull of random points instead
+    val pts = Vector.fill(n + 4)(Coord(
+      cx + (rnd.nextDouble() * 2 - 1) * rMax,
+      cy + (rnd.nextDouble() * 2 - 1) * rMax))
+    hull(pts)
+  }
+
+  /** Andrew's monotone chain convex hull → closed CCW ring. */
+  private def hull(pts: Seq[Coord]): Polygon = {
+    val sorted = pts.distinct.sortBy(c => (c.x, c.y))
+    if (sorted.length < 3) return Polygon(Vector.empty)
+    def cross(o: Coord, a: Coord, b: Coord): Double =
+      (a.x - o.x) * (b.y - o.y) - (a.y - o.y) * (b.x - o.x)
+    def half(ps: Seq[Coord]): Vector[Coord] = {
+      var acc = Vector.empty[Coord]
+      ps.foreach { p =>
+        while (acc.length >= 2 && cross(acc(acc.length - 2), acc.last, p) <= 0)
+          acc = acc.dropRight(1)
+        acc :+= p
+      }
+      acc.dropRight(1)
+    }
+    val ring = half(sorted) ++ half(sorted.reverse)
+    if (ring.length < 3) Polygon(Vector.empty)
+    else Polygon(Vector(ring :+ ring.head))
+  }
+
+  test("inclusion-exclusion and partition identities hold over 300 random pairs") {
+    val rnd = new java.util.Random(20260812L)
+    var tested = 0
+    (1 to 300).foreach { i =>
+      val a = convexPolygon(rnd, 0, 0, 2, 10)
+      // second polygon at varying offset: mixes disjoint/overlap/contained
+      val off = rnd.nextInt(3) match {
+        case 0 => 0.0   // heavy overlap
+        case 1 => 8.0   // partial
+        case _ => 30.0  // disjoint
+      }
+      val b = convexPolygon(rnd, off, off * (if (rnd.nextBoolean()) 1 else -1), 2, 10)
+      if (!a.isEmpty && !b.isEmpty) {
+        tested += 1
+        val areaA = Algos.area(a); val areaB = Algos.area(b)
+        val inter = Algos.area(Clip.intersection(a, b))
+        val uni = Algos.area(Clip.union(a, b))
+        val diff = Algos.area(Clip.difference(a, b))
+        val eps = 1e-6 * math.max(1.0, areaA + areaB)
+        assert(math.abs((inter + diff) - areaA) < eps,
+          s"[$i] partition: inter=$inter diff=$diff areaA=$areaA\nA=${Wkt.write(a)}\nB=${Wkt.write(b)}")
+        assert(math.abs(uni - (areaA + areaB - inter)) < eps,
+          s"[$i] inclusion-exclusion: uni=$uni areaA=$areaA areaB=$areaB inter=$inter\nA=${Wkt.write(a)}\nB=${Wkt.write(b)}")
+        assert(inter <= math.min(areaA, areaB) + eps, s"[$i] inter bigger than operand")
+      }
+    }
+    assert(tested > 250)
+  }
+}
