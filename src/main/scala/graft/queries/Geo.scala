@@ -137,7 +137,38 @@ object Geo {
       .orderBy($"s_nationkey")
   }
 
+  /** G8 subdivide with an exact oracle: a staircase polygon (top edge
+    * zigzagging between h and h+1) has exact area w·(h+0.5) and enough
+    * vertices to force bbox-halving subdivision; the query checks the
+    * parts partition the area (sum of part areas = closed form). Part
+    * COUNT is implementation-defined and deliberately not output. */
+  def subdivideConservation(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val w = ($"n_nationkey" + 1) * 4
+    val h = $"n_nationkey" + 2
+    val topEdge = concat_ws(", ",
+      transform(sequence(w, lit(0), lit(-1)),
+        x => concat(x, lit(" "), h + (x % 2))))
+    val wkt = concat(lit("POLYGON (("),
+      lit("0 0, "), concat(w, lit(" 0, ")), topEdge, lit(", 0 0))"))
+    nation(s, d)
+      .withColumn("rect", S.st_geomfromtext(wkt))
+      .select($"n_nationkey",
+        posexplode(S.st_subdivide($"rect", 16)).as(Seq("i", "part")))
+      .groupBy($"n_nationkey")
+      .agg(round(sum(S.st_area($"part")), 4).as("total_area"))
+      .orderBy($"n_nationkey")
+  }
+
+  val subdivideConservationSql: String =
+    """SELECT n_nationkey,
+      |       round(CAST((n_nationkey + 1) * 4 * (n_nationkey + 2 + 0.5) AS DOUBLE), 4) AS total_area
+      |FROM nation
+      |ORDER BY n_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geo_subdivide" -> (subdivideConservation _),
     "q_geo_grid_cluster" -> (gridCluster _),
     "q_geo_centroid" -> (centroidPerSegment _),
     "q_geo_knn" -> (knnNearestSupplier _),
@@ -146,6 +177,7 @@ object Geo {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_geo_subdivide" -> subdivideConservationSql,
     "q_geo_grid_cluster" -> gridClusterSql,
     "q_geo_centroid" -> centroidPerSegmentSql,
     "q_geo_knn" -> knnNearestSupplierSql,
