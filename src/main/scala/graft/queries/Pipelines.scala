@@ -118,13 +118,36 @@ object Pipelines {
       |FROM region
       |ORDER BY rk""".stripMargin
 
+  /** P8 `Ogr2ogrGeojson2Geojson` end-to-end (osm.py:99-119): hstore-style
+    * `other_tags` strings built in-plan from part rows, parsed by the
+    * OtherTagsToMap op, exploded to (key, value) rows — the ogr2ogr
+    * OSM-attribute round trip. */
+  def otherTags(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = part(s, d).select($"p_partkey",
+      concat(lit("\"brand\"=>\""), $"p_brand",
+        lit("\",\"container\"=>\""), $"p_type", lit("\"")).as("other_tags"))
+    val parsed = Projections.OtherTagsToMap()(src)
+    parsed.select($"p_partkey", explode($"tags").as(Seq("tag_key", "tag_value")))
+      .orderBy($"p_partkey", $"tag_key")
+  }
+
+  val otherTagsSql: String =
+    """SELECT p_partkey, tag_key, tag_value FROM (
+      |  SELECT p_partkey, 'brand' AS tag_key, p_brand AS tag_value FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'container' AS tag_key, p_type AS tag_value FROM part)
+      |ORDER BY p_partkey, tag_key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_other_tags" -> (otherTags _),
     "q_pipeline_e1_ingest" -> (e1Ingest _),
     "q_pipeline_e2_cluster" -> (e2Cluster _),
     "q_pipeline_e3_enrich" -> (e3Enrich _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pipeline_other_tags" -> otherTagsSql,
     "q_pipeline_e1_ingest" -> e1IngestSql,
     "q_pipeline_e2_cluster" -> e2ClusterSql,
     "q_pipeline_e3_enrich" -> e3EnrichSql,
