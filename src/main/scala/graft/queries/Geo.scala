@@ -167,8 +167,78 @@ object Geo {
       |FROM nation
       |ORDER BY n_nationkey""".stripMargin
 
+  /** J2 IntersectionPercentByArea with an exact oracle: zones are
+    * grid-aligned DISJOINT 16x16 rects (so the union of intersections =
+    * sum of pairwise intersections) and both rects are axis-aligned, so
+    * the oracle reduces to interval-overlap arithmetic. The Spark side
+    * runs the REAL op (grid-bucket join + st_intersection + st_union_agg
+    * + area ratio). */
+  def intersectPct(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val zones = nation(s, d).select(
+      S.st_geomfromtext(format_string(
+        "POLYGON ((%1$s %2$s, %3$s %2$s, %3$s %4$s, %1$s %4$s, %1$s %2$s))",
+        ($"n_nationkey" % 5) * 20, ($"n_nationkey" / 5).cast("long") * 20,
+        ($"n_nationkey" % 5) * 20 + 16, ($"n_nationkey" / 5).cast("long") * 20 + 16)).as("geom"))
+    val rects = customer(s, d)
+      .withColumn("cx", ($"c_custkey" % 90).cast("double"))
+      .withColumn("cy", (($"c_custkey" * 7) % 90).cast("double"))
+      .withColumn("geom", S.st_geomfromtext(format_string(
+        "POLYGON ((%1$s %2$s, %3$s %2$s, %3$s %4$s, %1$s %4$s, %1$s %2$s))",
+        $"cx", $"cy", $"cx" + 8, $"cy" + 8)))
+    graft.ops.SpatialJoins.IntersectionPercentByArea(zones, "pct", cellSize = 20.0,
+        broadcastLayer = true)(rects)
+      .select($"c_custkey", round($"pct", 6).as("pct"))
+      .orderBy($"c_custkey")
+  }
+
+  val intersectPctSql: String =
+    """WITH rect AS (
+      |  SELECT c_custkey,
+      |         CAST(c_custkey % 90 AS DOUBLE) AS x1, CAST((c_custkey * 7) % 90 AS DOUBLE) AS y1,
+      |         CAST(c_custkey % 90 AS DOUBLE) + 8 AS x2, CAST((c_custkey * 7) % 90 AS DOUBLE) + 8 AS y2
+      |  FROM customer),
+      |zone AS (
+      |  SELECT (n_nationkey % 5) * 20 AS zx1, (n_nationkey // 5) * 20 AS zy1,
+      |         (n_nationkey % 5) * 20 + 16 AS zx2, (n_nationkey // 5) * 20 + 16 AS zy2
+      |  FROM nation)
+      |SELECT c_custkey,
+      |       round(COALESCE(SUM(
+      |         greatest(0, least(x2, zx2) - greatest(x1, zx1)) *
+      |         greatest(0, least(y2, zy2) - greatest(y1, zy1))), 0) / 64.0, 6) AS pct
+      |FROM rect LEFT JOIN zone
+      |  ON least(x2, zx2) > greatest(x1, zx1) AND least(y2, zy2) > greatest(y1, zy1)
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** G7 transform with a closed-form oracle: web-mercator forward math is
+    * elementary (x = R·λ, y = R·ln tan(π/4 + φ/2)) — the Spark side runs
+    * st_transform through the projection kernel, DuckDB recomputes the
+    * formula. */
+  def transformMercator(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    customer(s, d)
+      .withColumn("geom", S.st_point((($"c_custkey" % 360) - 180).cast("double"),
+        (($"c_custkey" * 13) % 160 - 80).cast("double"), 4326))
+      .withColumn("m", S.st_transform($"geom", 3857))
+      .select($"c_custkey",
+        round(S.st_x($"m"), 6).as("mx"), round(S.st_y($"m"), 6).as("my"))
+      .orderBy($"c_custkey")
+  }
+
+  val transformMercatorSql: String =
+    """SELECT c_custkey,
+      |  round(radians(CAST(c_custkey % 360 AS DOUBLE) - 180) * 6378137.0, 6) AS mx,
+      |  round(ln(tan(pi() / 4 + radians(CAST((c_custkey * 13) % 160 - 80 AS DOUBLE)) / 2)) * 6378137.0, 6) AS my
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_geo_subdivide" -> (subdivideConservation _),
+    "q_geo_intersect_pct" -> (intersectPct _),
+    "q_geo_transform" -> (transformMercator _),
     "q_geo_grid_cluster" -> (gridCluster _),
     "q_geo_centroid" -> (centroidPerSegment _),
     "q_geo_knn" -> (knnNearestSupplier _),
@@ -178,6 +248,8 @@ object Geo {
 
   val oracles: Map[String, String] = Map(
     "q_geo_subdivide" -> subdivideConservationSql,
+    "q_geo_intersect_pct" -> intersectPctSql,
+    "q_geo_transform" -> transformMercatorSql,
     "q_geo_grid_cluster" -> gridClusterSql,
     "q_geo_centroid" -> centroidPerSegmentSql,
     "q_geo_knn" -> knnNearestSupplierSql,
