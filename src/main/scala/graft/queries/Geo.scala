@@ -235,7 +235,34 @@ object Geo {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** A2 UnionOnProperty with an exact oracle: each supplier contributes a
+    * 10x10 rect at one of 10 disjoint grid slots (s_suppkey % 10), so
+    * suppliers in the same slot contribute IDENTICAL rects (exercising
+    * union idempotence) and distinct slots never overlap — the group's
+    * union area is 100 × distinct slots. The op runs the real
+    * st_union_agg cascade. */
+  def unionOnPropertyExact(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val rects = supplier(s, d)
+      .withColumn("geom", S.st_geomfromtext(format_string(
+        "POLYGON ((%1$s 0, %2$s 0, %2$s 10, %1$s 10, %1$s 0))",
+        ($"s_suppkey" % 10) * 15, ($"s_suppkey" % 10) * 15 + 10)))
+      .withColumn("level", $"s_nationkey")
+    graft.ops.Aggs.UnionOnProperty("level")(rects)
+      .select($"level", round(S.st_area($"geom"), 6).as("zone_area"))
+      .orderBy($"level")
+  }
+
+  val unionOnPropertyExactSql: String =
+    """SELECT s_nationkey AS level,
+      |       round(CAST(COUNT(DISTINCT s_suppkey % 10) * 100 AS DOUBLE), 6) AS zone_area
+      |FROM supplier
+      |GROUP BY s_nationkey
+      |ORDER BY level""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geo_union_exact" -> (unionOnPropertyExact _),
     "q_geo_subdivide" -> (subdivideConservation _),
     "q_geo_intersect_pct" -> (intersectPct _),
     "q_geo_transform" -> (transformMercator _),
@@ -247,6 +274,7 @@ object Geo {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_geo_union_exact" -> unionOnPropertyExactSql,
     "q_geo_subdivide" -> subdivideConservationSql,
     "q_geo_intersect_pct" -> intersectPctSql,
     "q_geo_transform" -> transformMercatorSql,
