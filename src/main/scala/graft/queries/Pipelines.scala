@@ -139,7 +139,37 @@ object Pipelines {
       |  SELECT p_partkey, 'container' AS tag_key, p_type AS tag_value FROM part)
       |ORDER BY p_partkey, tag_key""".stripMargin
 
+  /** A4 `AccessibilityRatioByTime` (terra.py:412-447) with an exact
+    * oracle: the per-order times matrix (one row per lineitem, modes =
+    * [quantity, discount·1000]) is built in-plan with collect_list;
+    * the REAL op computes the reachable fraction (null cells from
+    * nullif never count); the oracle recomputes it as a conditional
+    * count. */
+  def accessibility(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val times = lineitem(s, d)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_list(struct($"l_linenumber",
+        array(nullif($"l_quantity", lit(49.0)), $"l_discount" * 1000).as("modes"))))
+        .as("rows"))
+      .select($"l_orderkey", transform($"rows", r => r("modes")).as("times"))
+    Aggs.AccessibilityRatioByTime(Seq(10.0, 30.0), dest = "ratio")(times)
+      .select($"l_orderkey", round($"ratio", 6).as("ratio"))
+      .orderBy($"l_orderkey")
+  }
+
+  val accessibilitySql: String =
+    """SELECT l_orderkey,
+      |  round(CAST(COUNT(*) FILTER (WHERE nullif(l_quantity, 49.0) <= 10.0
+      |                                 OR l_discount * 1000 <= 30.0) AS DOUBLE)
+      |        / COUNT(*), 6) AS ratio
+      |FROM lineitem
+      |GROUP BY l_orderkey
+      |ORDER BY l_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_accessibility" -> (accessibility _),
     "q_pipeline_other_tags" -> (otherTags _),
     "q_pipeline_e1_ingest" -> (e1Ingest _),
     "q_pipeline_e2_cluster" -> (e2Cluster _),
@@ -147,6 +177,7 @@ object Pipelines {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pipeline_accessibility" -> accessibilitySql,
     "q_pipeline_other_tags" -> otherTagsSql,
     "q_pipeline_e1_ingest" -> e1IngestSql,
     "q_pipeline_e2_cluster" -> e2ClusterSql,
