@@ -108,6 +108,26 @@ object Geo {
       .orderBy($"c_custkey")
   }
 
+  /** J1 through the GRID-BUCKET join path (broadcastLayer = false) — the
+    * shape that scales past broadcastable layers. Same oracle as
+    * [[zoneFlag]]: identical semantics, different physical strategy under
+    * the correctness gate. */
+  def zoneFlagGrid(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val zones = nation(s, d).select(
+      S.st_geomfromtext(format_string(
+        "POLYGON ((%1$s %2$s, %3$s %2$s, %3$s %4$s, %1$s %4$s, %1$s %2$s))",
+        ($"n_nationkey" * 3) % 80, ($"n_nationkey" * 11) % 80,
+        (($"n_nationkey" * 3) % 80) + 15, (($"n_nationkey" * 11) % 80) + 15)).as("geom"))
+    val c = customer(s, d)
+      .select($"c_custkey", pt($"c_custkey").as("geom"))
+    graft.ops.SpatialJoins.BooleanIntersect(zones, "in_zone", cellSize = 20.0,
+        broadcastLayer = false)(c)
+      .select($"c_custkey", $"in_zone")
+      .orderBy($"c_custkey")
+  }
+
   val zoneFlagSql: String =
     """SELECT c_custkey,
       |       EXISTS (SELECT 1 FROM nation
@@ -270,6 +290,7 @@ object Geo {
     "q_geo_centroid" -> (centroidPerSegment _),
     "q_geo_knn" -> (knnNearestSupplier _),
     "q_geo_zone_flag" -> (zoneFlag _),
+    "q_geo_zone_flag_grid" -> (zoneFlagGrid _),
     "q_geo_union_area" -> (unionAreaPerNation _),
   )
 
@@ -282,5 +303,6 @@ object Geo {
     "q_geo_centroid" -> centroidPerSegmentSql,
     "q_geo_knn" -> knnNearestSupplierSql,
     "q_geo_zone_flag" -> zoneFlagSql,
+    "q_geo_zone_flag_grid" -> zoneFlagSql,
   )
 }
