@@ -118,6 +118,28 @@ object Pipelines {
       |FROM region
       |ORDER BY rk""".stripMargin
 
+  /** E3 through the GRID kNN path: ClosestFeatures with
+    * broadcastLayer=false — candidate generation via cells of
+    * maxDistance with the left bbox expanded by it. Same oracle as
+    * [[e3Enrich]]. */
+  def e3EnrichGrid(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val layer = supplier(s, d)
+      .select(S.st_point(($"s_suppkey" % 100).cast("double"),
+        (($"s_suppkey" * 7) % 100).cast("double")).as("geom"))
+    val src = customer(s, d)
+      .withColumn(Op.identifierCol, $"c_custkey".cast("string"))
+      .withColumn("geom", S.st_point(($"c_custkey" % 100).cast("double"),
+        (($"c_custkey" * 7) % 100).cast("double")))
+    val out = SpatialJoins.ClosestFeatures(layer, k = 3, maxDistance = Some(15.0),
+      broadcastLayer = false)(src)
+    out.select($"c_custkey",
+        coalesce(size($"closests"), lit(0)).as("n_close"),
+        round(S.st_distance($"geom", element_at($"closests", 1)), 6).as("nearest_dist"))
+      .orderBy($"c_custkey")
+  }
+
   /** P8 `Ogr2ogrGeojson2Geojson` end-to-end (osm.py:99-119): hstore-style
     * `other_tags` strings built in-plan from part rows, parsed by the
     * OtherTagsToMap op, exploded to (key, value) rows — the ogr2ogr
@@ -174,6 +196,7 @@ object Pipelines {
     "q_pipeline_e1_ingest" -> (e1Ingest _),
     "q_pipeline_e2_cluster" -> (e2Cluster _),
     "q_pipeline_e3_enrich" -> (e3Enrich _),
+    "q_pipeline_e3_grid" -> (e3EnrichGrid _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -182,5 +205,6 @@ object Pipelines {
     "q_pipeline_e1_ingest" -> e1IngestSql,
     "q_pipeline_e2_cluster" -> e2ClusterSql,
     "q_pipeline_e3_enrich" -> e3EnrichSql,
+    "q_pipeline_e3_grid" -> e3EnrichSql,
   )
 }

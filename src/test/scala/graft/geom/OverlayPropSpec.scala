@@ -46,6 +46,37 @@ class OverlayPropSpec extends AnyFunSuite {
     else Polygon(Vector(ring :+ ring.head))
   }
 
+  /** Star-shaped (generally non-convex) polygon: angle-sorted vertices at
+    * varying radius around a center. Simple (non-self-intersecting) by
+    * construction. */
+  private def starPolygon(rnd: java.util.Random, cx: Double, cy: Double): Polygon = {
+    val n = 5 + rnd.nextInt(8)
+    val ring = (0 until n).map { i =>
+      val a = 2 * math.Pi * i / n + rnd.nextDouble() * 0.5 / n
+      val r = 2.0 + rnd.nextDouble() * 8.0
+      Coord(cx + r * math.cos(a), cy + r * math.sin(a))
+    }.toVector
+    Polygon(Vector(ring :+ ring.head))
+  }
+
+  test("identities hold for non-convex star polygon pairs (200 cases)") {
+    val rnd = new java.util.Random(77L)
+    (1 to 200).foreach { i =>
+      val a = starPolygon(rnd, 0, 0)
+      val off = Seq(0.0, 6.0, 25.0)(rnd.nextInt(3))
+      val b = starPolygon(rnd, off, off / 2)
+      val areaA = Algos.area(a); val areaB = Algos.area(b)
+      val inter = Algos.area(Clip.intersection(a, b))
+      val uni = Algos.area(Clip.union(a, b))
+      val diff = Algos.area(Clip.difference(a, b))
+      val eps = 1e-6 * math.max(1.0, areaA + areaB)
+      assert(math.abs((inter + diff) - areaA) < eps,
+        s"[$i] partition: inter=$inter diff=$diff areaA=$areaA\nA=${Wkt.write(a)}\nB=${Wkt.write(b)}")
+      assert(math.abs(uni - (areaA + areaB - inter)) < eps,
+        s"[$i] incl-excl: uni=$uni inter=$inter\nA=${Wkt.write(a)}\nB=${Wkt.write(b)}")
+    }
+  }
+
   test("inclusion-exclusion and partition identities hold over 300 random pairs") {
     val rnd = new java.util.Random(20260812L)
     var tested = 0
