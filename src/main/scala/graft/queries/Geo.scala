@@ -281,7 +281,73 @@ object Geo {
       |GROUP BY s_nationkey
       |ORDER BY level""".stripMargin
 
+  /** J4 IntersectionGeom with an exact oracle: the stored clip geometry's
+    * area against the same disjoint-grid-zone interval arithmetic as
+    * intersectPct; unmatched rows carry POINT EMPTY → area 0. */
+  def clipArea(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val zones = nation(s, d).select(
+      S.st_geomfromtext(format_string(
+        "POLYGON ((%1$s %2$s, %3$s %2$s, %3$s %4$s, %1$s %4$s, %1$s %2$s))",
+        ($"n_nationkey" % 5) * 20, ($"n_nationkey" / 5).cast("long") * 20,
+        ($"n_nationkey" % 5) * 20 + 16, ($"n_nationkey" / 5).cast("long") * 20 + 16)).as("geom"))
+    val rects = customer(s, d)
+      .withColumn("cx", ($"c_custkey" % 90).cast("double"))
+      .withColumn("cy", (($"c_custkey" * 7) % 90).cast("double"))
+      .withColumn("geom", S.st_geomfromtext(format_string(
+        "POLYGON ((%1$s %2$s, %3$s %2$s, %3$s %4$s, %1$s %4$s, %1$s %2$s))",
+        $"cx", $"cy", $"cx" + 8, $"cy" + 8)))
+    graft.ops.SpatialJoins.IntersectionGeom(zones, "clip", cellSize = 20.0)(rects)
+      .select($"c_custkey", round(S.st_area($"clip"), 6).as("clip_area"))
+      .orderBy($"c_custkey")
+  }
+
+  val clipAreaSql: String =
+    """WITH rect AS (
+      |  SELECT c_custkey,
+      |         CAST(c_custkey % 90 AS DOUBLE) AS x1, CAST((c_custkey * 7) % 90 AS DOUBLE) AS y1,
+      |         CAST(c_custkey % 90 AS DOUBLE) + 8 AS x2, CAST((c_custkey * 7) % 90 AS DOUBLE) + 8 AS y2
+      |  FROM customer),
+      |zone AS (
+      |  SELECT (n_nationkey % 5) * 20 AS zx1, (n_nationkey // 5) * 20 AS zy1,
+      |         (n_nationkey % 5) * 20 + 16 AS zx2, (n_nationkey // 5) * 20 + 16 AS zy2
+      |  FROM nation)
+      |SELECT c_custkey,
+      |       round(COALESCE(SUM(
+      |         greatest(0, least(x2, zx2) - greatest(x1, zx1)) *
+      |         greatest(0, least(y2, zy2) - greatest(y1, zy1))), 0), 6) AS clip_area
+      |FROM rect LEFT JOIN zone
+      |  ON least(x2, zx2) > greatest(x1, zx1) AND least(y2, zy2) > greatest(y1, zy1)
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** G1 AttributeToGeometry round trip: WKT strings built in-plan, parsed
+    * by the op (with its buffer(0)/simplify(0) normalization), coordinates
+    * re-extracted — oracle is the generating arithmetic. */
+  def parseRoundtrip(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val src = customer(s, d).select($"c_custkey",
+      format_string("POINT (%s %s)",
+        ($"c_custkey" % 100).cast("double"), (($"c_custkey" * 7) % 100).cast("double")).as("g"))
+    graft.ops.GeometryOps.AttributeToGeometry("g")(src)
+      .select($"c_custkey", S.st_x($"geom").as("px"), S.st_y($"geom").as("py"),
+        S.st_geometrytype($"geom").as("gtype"))
+      .orderBy($"c_custkey")
+  }
+
+  val parseRoundtripSql: String =
+    """SELECT c_custkey,
+      |       CAST(c_custkey % 100 AS DOUBLE) AS px,
+      |       CAST((c_custkey * 7) % 100 AS DOUBLE) AS py,
+      |       'ST_Point' AS gtype
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geo_clip_area" -> (clipArea _),
+    "q_geo_parse_roundtrip" -> (parseRoundtrip _),
     "q_geo_union_exact" -> (unionOnPropertyExact _),
     "q_geo_subdivide" -> (subdivideConservation _),
     "q_geo_intersect_pct" -> (intersectPct _),
@@ -295,6 +361,8 @@ object Geo {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_geo_clip_area" -> clipAreaSql,
+    "q_geo_parse_roundtrip" -> parseRoundtripSql,
     "q_geo_union_exact" -> unionOnPropertyExactSql,
     "q_geo_subdivide" -> subdivideConservationSql,
     "q_geo_intersect_pct" -> intersectPctSql,
