@@ -175,6 +175,13 @@ case class StLength(child: Expression) extends UnaryExpression with CodegenFallb
   * CodegenFallback boxing path measurably dominated. */
 case class StDistance(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // Can return null on NON-null inputs (NaN distance → null): must declare
+  // nullable so nullSafeCodeGen emits the branch that declares ev.isNull —
+  // otherwise with non-nullable children the generated assignment
+  // `isNull_x = true` references an undeclared local (Janino compile error,
+  // silent interpreter fallback) and NOT NULL constraint propagation could
+  // mis-optimize the plan.
+  override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any = {
     val d = GeomRuntime.distance(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
     if (d.isNaN) null else dbl(d)
@@ -272,6 +279,8 @@ case class StSubdivide(left: Expression, right: Expression)
   * in a spatial join most candidate pairs are disjoint. */
 case class StIntersects(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = BooleanType
+  // Null on non-null inputs (unparsable WKB → -1 sentinel): see StDistance.
+  override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any =
     GeomRuntime.intersects(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]]) match {
       case -1 => null

@@ -235,7 +235,11 @@ object Geo {
   /** G7 transform with a closed-form oracle: web-mercator forward math is
     * elementary (x = R·λ, y = R·ln tan(π/4 + φ/2)) — the Spark side runs
     * st_transform through the projection kernel, DuckDB recomputes the
-    * formula. */
+    * formula. Rounded to 2 decimals (cm on planet-scale meters): at
+    * magnitude ~2×10⁷ a double ULP is ~4×10⁻⁹, so rounding to 6 decimals
+    * put ~10⁻³ of cells on a rounding boundary between the two engines'
+    * last-ulp-different results; at 2 decimals the flip probability is
+    * ~10⁻⁶ per cell. */
   def transformMercator(s: SparkSession, d: String): DataFrame = {
     Graft.init(s)
     import s.implicits._
@@ -244,14 +248,14 @@ object Geo {
         (($"c_custkey" * 13) % 160 - 80).cast("double"), 4326))
       .withColumn("m", S.st_transform($"geom", 3857))
       .select($"c_custkey",
-        round(S.st_x($"m"), 6).as("mx"), round(S.st_y($"m"), 6).as("my"))
+        round(S.st_x($"m"), 2).as("mx"), round(S.st_y($"m"), 2).as("my"))
       .orderBy($"c_custkey")
   }
 
   val transformMercatorSql: String =
     """SELECT c_custkey,
-      |  round(radians(CAST(c_custkey % 360 AS DOUBLE) - 180) * 6378137.0, 6) AS mx,
-      |  round(ln(tan(pi() / 4 + radians(CAST((c_custkey * 13) % 160 - 80 AS DOUBLE)) / 2)) * 6378137.0, 6) AS my
+      |  round(radians(CAST(c_custkey % 360 AS DOUBLE) - 180) * 6378137.0, 2) AS mx,
+      |  round(ln(tan(pi() / 4 + radians(CAST((c_custkey * 13) % 160 - 80 AS DOUBLE)) / 2)) * 6378137.0, 2) AS my
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 

@@ -13,11 +13,20 @@ import graft.util.Tables._
   * is computed over DECIMAL, never DOUBLE, so the result is independent of
   * accumulation order and hash-matches DuckDB exactly. Per-row double
   * arithmetic (products, comparisons) is IEEE-deterministic and safe.
+  *
+  * Output discipline: the driver comparator hashes raw cells, and its
+  * DuckDB→pandas path renders DECIMAL as float64 while a Spark DECIMAL
+  * parquet column round-trips as Decimal objects — bit-identical math still
+  * hash-mismatches. So every decimal accumulation is FINALLY cast to double
+  * on both sides (`out` here, `CAST(… AS DOUBLE)` in the oracle SQL): the
+  * exact decimal → nearest-double conversion is correctly rounded in both
+  * engines (verified bit-identical over 100k running sums at sf0.1).
+  * Arrays are scalarized (array_join) — array cells crash the comparator.
   */
 object Relational {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
-  private def out(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+  private def out(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)").cast("double")
 
   /** TPC-H Q1-style pricing summary (SURVEY §2.5 A1 relational analogue). */
   def aggPricing(s: SparkSession, d: String): DataFrame = {
@@ -35,9 +44,9 @@ object Relational {
 
   val aggPricingSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -81,7 +90,7 @@ object Relational {
 
   val joinEnrichSql: String =
     """SELECT c_mktsegment,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_lines,
       |  COUNT(DISTINCT o_orderkey) AS n_orders
       |FROM lineitem
@@ -143,7 +152,7 @@ object Relational {
 
   val antiJoinSql: String =
     """SELECT o_orderstatus, COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total
       |FROM orders
       |WHERE NOT EXISTS (SELECT 1 FROM lineitem
       |                  WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
@@ -177,14 +186,14 @@ object Relational {
     import s.implicits._
     lineitem(s, d)
       .groupBy($"l_orderkey")
-      .agg(array_sort(collect_set($"l_returnflag")).as("flags"),
+      .agg(array_join(array_sort(collect_set($"l_returnflag")), ",").as("flags"),
         countDistinct($"l_returnflag").as("n_flags"))
       .orderBy($"l_orderkey")
   }
 
   val distinctCollectSql: String =
     """SELECT l_orderkey,
-      |  list_sort(list(DISTINCT l_returnflag)) AS flags,
+      |  array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags,
       |  COUNT(DISTINCT l_returnflag) AS n_flags
       |FROM lineitem
       |GROUP BY l_orderkey
@@ -230,7 +239,7 @@ object Relational {
   val eventsHourlySql: String =
     """SELECT date_trunc('hour', ts) AS hour, event_type,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY hour, event_type""".stripMargin
@@ -248,7 +257,7 @@ object Relational {
 
   val jsonExtractSql: String =
     """SELECT event_type,
-      |  SUM(CAST(regexp_extract(props, '-?\d+') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(regexp_extract(props, '-?\d+') AS BIGINT)) AS BIGINT) AS sum_k,
       |  COUNT(*) AS n
       |FROM events
       |GROUP BY event_type
@@ -268,9 +277,9 @@ object Relational {
 
   val runningSumSql: String =
     """SELECT event_id, user_id,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
       |    PARTITION BY user_id ORDER BY ts, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS running_value
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS DOUBLE) AS running_value
       |FROM events
       |ORDER BY event_id""".stripMargin
 
@@ -287,7 +296,7 @@ object Relational {
     o.join(li, o("o_orderkey") === li("l_orderkey"), "left")
       .select($"o_orderkey",
         coalesce($"n_lines", lit(0L)).as("n_lines"),
-        coalesce($"qty", lit(0).cast("decimal(38,6)")).as("qty"),
+        coalesce($"qty", lit(0.0)).as("qty"),
         $"last_ship")
       .orderBy($"o_orderkey")
   }
@@ -295,11 +304,11 @@ object Relational {
   val correlatedAggSql: String =
     """SELECT o_orderkey,
       |  COALESCE(t.n_lines, 0) AS n_lines,
-      |  COALESCE(t.qty, CAST(0 AS DECIMAL(38,6))) AS qty,
+      |  COALESCE(t.qty, CAST(0 AS DOUBLE)) AS qty,
       |  t.last_ship
       |FROM orders LEFT JOIN (
       |  SELECT l_orderkey, COUNT(*) AS n_lines,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS qty,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS qty,
       |    MAX(l_shipdate) AS last_ship
       |  FROM lineitem GROUP BY l_orderkey) t
       |ON o_orderkey = t.l_orderkey

@@ -1,0 +1,61 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.exprs._
+import graft.geom._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{GenerateMutableProjection, GeneratePredicate}
+import org.apache.spark.sql.types._
+
+/** Guards the codegen'd geometry expressions against silent interpreter
+  * fallback. `Predicate.create` / whole-stage codegen catch Janino compile
+  * errors and fall back to interpreted eval (only a WARN in the log), so a
+  * broken `doGenCode` passes every behavioral spec while running 10× slower
+  * in the O(n·m) spatial-join loops. `GeneratePredicate.generate` /
+  * `GenerateMutableProjection.generate` have no fallback — they THROW on a
+  * compile failure, which is exactly what we want here.
+  *
+  * Regression: round-1's StDistance/StIntersects inherited `nullable` from
+  * their children, so with non-nullable inputs nullSafeCodeGen never declared
+  * `ev.isNull` — yet doGenCode assigned it → Janino "not an rvalue".
+  */
+class CodegenSpec extends SparkTestBase {
+  private val a = BoundReference(0, BinaryType, nullable = false)
+  private val b = BoundReference(1, BinaryType, nullable = false)
+  private def pt(x: Double, y: Double): Array[Byte] =
+    Wkb.write(Point(Some(Coord(x, y)), 4326))
+
+  test("st_distance compiles with non-nullable children and evaluates") {
+    val proj = GenerateMutableProjection.generate(Seq(StDistance(a, b)))
+    val out = proj(InternalRow(pt(0, 0), pt(3, 4)))
+    assert(!out.isNullAt(0))
+    assert(out.getDouble(0) == 5.0)
+  }
+
+  test("st_distance generated code yields null on NaN (unparsable wkb)") {
+    val proj = GenerateMutableProjection.generate(Seq(StDistance(a, b)))
+    val out = proj(InternalRow(Array[Byte](1, 2, 3), pt(0, 0)))
+    assert(out.isNullAt(0))
+  }
+
+  test("st_intersects predicate compiles with non-nullable children") {
+    val pred = GeneratePredicate.generate(StIntersects(a, b))
+    assert(pred.eval(InternalRow(pt(1, 1), pt(1, 1))))
+    assert(!pred.eval(InternalRow(pt(1, 1), pt(2, 2))))
+  }
+
+  test("the kNN hot-loop shape (st_distance <= r) compiles as a predicate") {
+    val pred = GeneratePredicate.generate(
+      LessThanOrEqual(StDistance(a, b), Literal(5.0)))
+    assert(pred.eval(InternalRow(pt(0, 0), pt(1, 1))))
+    assert(!pred.eval(InternalRow(pt(0, 0), pt(30, 40))))
+  }
+
+  test("st_distance / st_intersects declare nullable (null on non-null input)") {
+    // Mis-declared nullability is also a correctness hazard: NOT NULL
+    // constraint propagation may legally drop IsNotNull filters.
+    assert(StDistance(a, b).nullable)
+    assert(StIntersects(a, b).nullable)
+  }
+}

@@ -1,15 +1,27 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's DuckDB-oracle compare.
+"""Local replica of the driver's DuckDB-oracle compare — STRICT mode.
 
-Usage: python3 tools/check_oracle.py <sfDir> <outDir>
+Usage: python3 tools/check_oracle.py <sfDir> <outDir> [--lenient]
 
 Loads outDir/oracle_sql.json, registers each parquet table in sfDir as a
 DuckDB view, runs each oracle SQL, loads the corresponding Spark result
-parquet from outDir/<name>/, sorts columns by name, and compares values
-(row counts, schema-ish, cell equality with small float tolerance).
+parquet from outDir/<name>/, sorts columns by name, and compares values.
+
+Round-1 lesson: the driver hashes RAW cells — a Spark DECIMAL(38,6) parquet
+column (pandas Decimal objects) never matches DuckDB's float64 rendering of
+the same value, and array cells crash its pandas sort outright. The round-1
+version of this script normalized decimals and rounded floats to 9, so it
+passed 8 queries the driver failed. Strict mode is therefore the default:
+  * floats compare by BIT PATTERN (struct.pack);
+  * Decimal cells keep their exact string (no normalize()) and their type —
+    a Decimal on one side and a float on the other FAILS;
+  * list/array cells are an immediate failure (driver comparator crashes).
+--lenient restores the old tolerant compare (useful while bisecting math
+from representation).
 """
 import json
 import math
+import struct
 import sys
 import glob
 
@@ -18,20 +30,32 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+STRICT = "--lenient" not in sys.argv
+
+
+class ArrayCell(Exception):
+    pass
+
 
 def norm_cell(v):
     if v is None:
         return None
     if isinstance(v, float):
+        if STRICT:
+            return ("f64", struct.pack("<d", v).hex())
         return round(v, 9)
     if isinstance(v, (list, tuple)):
+        if STRICT:
+            raise ArrayCell("array cell would crash the driver comparator")
         return tuple(norm_cell(x) for x in v)
     if isinstance(v, dict):
+        if STRICT:
+            raise ArrayCell("struct cell would crash the driver comparator")
         return tuple(sorted((k, norm_cell(x)) for k, x in v.items()))
     try:
         import decimal
         if isinstance(v, decimal.Decimal):
-            return ("dec", str(v.normalize()))
+            return ("dec", str(v) if STRICT else str(v.normalize()))
     except Exception:
         pass
     import datetime
@@ -88,7 +112,7 @@ def main(sf_dir, out_dir):
         bad = None
         for i, (a, b) in enumerate(zip(odata, sdata)):
             if a != b:
-                ok = len(a) == len(b) and all(
+                ok = not STRICT and len(a) == len(b) and all(
                     (x == y) or (isinstance(x, float) and isinstance(y, float)
                                  and math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9))
                     for x, y in zip(a, b))
@@ -101,7 +125,7 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(odata)} rows)")
             n_pass += 1
-    print(f"== {n_pass} pass / {n_fail} fail ==")
+    print(f"== {n_pass} pass / {n_fail} fail ({'strict' if STRICT else 'lenient'}) ==")
     return 1 if n_fail else 0
 
 
