@@ -1,34 +1,64 @@
 package graft
+import java.io.PrintStream
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every registered query against
-  * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line. Each query is fully
-  * materialized through the `noop` DataSourceV2 writer — `count()` would
-  * let Catalyst prune the very projections being measured. */
+  * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line on stdout and nothing else.
+  * Each query is fully materialized through the `noop` DataSourceV2
+  * writer — `count()` would let Catalyst prune the very projections being
+  * measured.
+  *
+  * Output hygiene: anything Spark (or a query) prints through System.out
+  * is rerouted to stderr for the duration of the run, so the JSON line is
+  * the first and only thing on this process's stdout. A query that throws
+  * is recorded in `"errors"` with its elapsed time kept out of the totals
+  * — a crash must never masquerade as a fast run.
+  */
 object Bench {
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c    => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup outside the measured loop
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+    val stdout = new PrintStream(new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
+    System.setOut(System.err) // Spark/third-party prints → stderr
+    Console.withOut(System.err) {
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      // JVM/codegen warmup outside the measured loop
+      try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+      val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val err: Option[String] =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          }
+        (name, (System.nanoTime() - t0) / 1e9, err)
+      }
+      val ok = results.filter(_._3.isEmpty)
+      val qs = ok.map { case (k, v, _) => jstr(k) + ":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val errs = results.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m) }
+        .mkString("{", ",", "}")
+      val total = ok.map(_._2).sum
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"ok":${ok.size},"failed":${results.size - ok.size},"sf":${jstr(sfDir)}}"""
+      stdout.println(line)      // the one stdout line the driver parses
+      System.err.println(line)  // human-readable copy alongside the logs
+      spark.stop()
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
   }
 }

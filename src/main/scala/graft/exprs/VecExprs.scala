@@ -1,0 +1,144 @@
+package graft.exprs
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** vec_dot(a, b) — dot product of two numeric vector columns
+  * (`array<float>` or `array<double>`), accumulated in double in element
+  * order (deterministic, oracle-reproducible — same order and precision as
+  * the `aggregate(zip_with(a, b, (x, y) -> x*y), 0.0, +)` formulation it
+  * replaces). That HOF tree is a CodegenFallback running boxed lambda
+  * evals per element; this is a whole-stage-codegen'd JVM loop. Null
+  * semantics match the HOF: mismatched lengths or a null element yield
+  * null (zip_with pads with null, null poisons the sum).
+  */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot needs array<float|double> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  @inline private def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  private lazy val leftFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val rightFloat = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += elem(a, i, leftFloat) * elem(b, i, rightFloat)
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getA = if (leftFloat) "getFloat" else "getDouble"
+    val getB = if (rightFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $a.$getA($i) * (double) $b.$getB($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_dot"
+}
+
+/** lsh_key(vec, planes) — random-hyperplane LSH bucket key: bit i of the
+  * result is set iff dot(vec, planes[i]) ≥ 0. `planes` must be a foldable
+  * `array<array<double>>` (the seeded hyperplanes, shipped as a literal).
+  * Replaces a per-plane `when(dot(...) >= 0, …)` HOF chain that ran
+  * numBits × dim boxed lambda evals per row; this is one JVM loop over a
+  * pre-flattened plane matrix. Per-plane accumulation stays in element
+  * order so bucket keys are bit-identical to the HOF formulation.
+  */
+case class LshKeyExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(FloatType | DoubleType, _) if right.foldable &&
+      right.dataType.isInstanceOf[ArrayType] => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "lsh_key needs (array<float|double>, foldable array<array<double>>)")
+  }
+
+  private lazy val vecFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // Flattened [numBits × dim] plane matrix, evaluated once per executor.
+  @transient private lazy val (flat, numBits, dim) = {
+    val pd = right.eval(null).asInstanceOf[ArrayData]
+    val nb = pd.numElements()
+    val d = if (nb == 0) 0 else pd.getArray(0).numElements()
+    val f = new Array[Double](nb * d)
+    var i = 0
+    while (i < nb) {
+      val row = pd.getArray(i)
+      var j = 0
+      while (j < d) { f(i * d + j) = row.getDouble(j); j += 1 }
+      i += 1
+    }
+    (f, nb, d)
+  }
+
+  override def nullSafeEval(v: Any, _p: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val n = math.min(vec.numElements(), dim)
+    val dv = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      dv(j) = if (vecFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
+      j += 1
+    }
+    var key = 0L
+    var i = 0
+    while (i < numBits) {
+      var acc = 0.0
+      val off = i * dim
+      var k = 0
+      while (k < n) { acc += dv(k) * flat(off + k); k += 1 }
+      if (acc >= 0) key |= (1L << i)
+      i += 1
+    }
+    java.lang.Long.valueOf(key)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "lsh_key"
+}

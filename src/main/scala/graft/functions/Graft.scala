@@ -49,20 +49,21 @@ object Graft {
     "st_bbox_intersects" -> { args: Seq[Expression] => StBboxIntersects(args) },
     "simhash64" -> { args: Seq[Expression] => SimHash64(args(0)) },
     "minhash_sig" -> { args: Seq[Expression] => MinHashSig(args(0), args(1)) },
+    "vec_dot" -> { args: Seq[Expression] => VecDot(args(0), args(1)) },
+    "lsh_key" -> { args: Seq[Expression] => LshKeyExpr(args(0), args(1)) },
   )
 
-  @volatile private var initialized: Set[SparkSession] = Set.empty
-
   /** Register every st_* expression + the geometric UDAFs on `spark`.
-    * Idempotent per session. */
+    * Idempotent per underlying FunctionRegistry (session clones share
+    * their parent's registry — a sentinel check in the shim prevents the
+    * per-sibling re-registration that spammed "function replaced" WARNs). */
   def init(spark: SparkSession): Unit = synchronized {
-    if (initialized.contains(spark)) return
-    builders.foreach { case (name, b) =>
-      org.apache.spark.sql.graftshim.Shim.registerFunction(spark, name, b)
-    }
+    val shim = org.apache.spark.sql.graftshim.Shim
+    if (shim.alreadyRegistered(spark)) return
+    builders.foreach { case (name, b) => shim.registerFunction(spark, name, b) }
     spark.udf.register("st_union_agg", udaf(new GeomAggregates.UnionAgg))
     spark.udf.register("st_collect_agg", udaf(new GeomAggregates.CollectAgg))
-    initialized += spark
+    shim.markRegistered(spark)
   }
 }
 

@@ -1,8 +1,12 @@
 package graft.llm
 
+import graft.exprs.{LshKeyExpr, VecDot}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -10,16 +14,19 @@ import org.apache.spark.sql.functions._
   * corpus once, window top-k). Scale path: random-hyperplane LSH — bucket
   * both sides on sign-bit keys so candidate generation is an equi-join on
   * a short int key instead of a cross join; multi-probe (flip one bit)
-  * recovers most of the recall loss. All arithmetic is higher-order
-  * column functions in double precision — codegen, no UDF.
+  * recovers most of the recall loss. The vector arithmetic is native
+  * Catalyst expressions ([[graft.exprs.VecDot]] with whole-stage codegen,
+  * [[graft.exprs.LshKeyExpr]]) in double precision — no UDF, no
+  * interpreted higher-order functions.
   */
 object Similarity {
 
   /** Dot product of two vector columns (element order = accumulation
-    * order → deterministic, oracle-reproducible). */
+    * order → deterministic, oracle-reproducible). Native codegen'd
+    * expression — the `aggregate(zip_with(...))` HOF it replaces ran
+    * interpreted, one boxed lambda eval per element. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    Shim.column(VecDot(Shim.expression(a), Shim.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -54,13 +61,14 @@ object Similarity {
     Array.fill(numBits, dim)(rnd.nextGaussian())
   }
 
-  /** Sign-bit LSH bucket key of a vector column under `planes`. */
+  /** Sign-bit LSH bucket key of a vector column under `planes`: one JVM
+    * loop over a flattened plane matrix (native expression) instead of
+    * numBits interpreted per-plane dot products. Per-plane accumulation
+    * order matches the per-plane `dot(...)` formulation bit-for-bit. */
   def lshKey(vec: Column, planes: Array[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
-      when(dot(vec, planeLit) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    val planesLit = Literal.create(planes.map(_.toSeq).toSeq,
+      ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false))
+    Shim.column(LshKeyExpr(Shim.expression(vec), planesLit))
   }
 
   /** Multi-probe keys: the exact bucket plus every single-bit flip. */

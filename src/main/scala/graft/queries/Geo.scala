@@ -247,15 +247,20 @@ object Geo {
       .withColumn("geom", S.st_point((($"c_custkey" % 360) - 180).cast("double"),
         (($"c_custkey" * 13) % 160 - 80).cast("double"), 4326))
       .withColumn("m", S.st_transform($"geom", 3857))
+      // `+ 0.0` normalizes IEEE signed zero: at lat=0 the mercator y is
+      // ~-7e-10, DuckDB's round keeps the sign (-0.0) while Spark's
+      // BigDecimal-based round yields +0.0 — the driver hashes raw f64
+      // bits, so both sides add 0.0 (IEEE: -0.0 + 0.0 = +0.0).
       .select($"c_custkey",
-        round(S.st_x($"m"), 2).as("mx"), round(S.st_y($"m"), 2).as("my"))
+        (round(S.st_x($"m"), 2) + lit(0.0)).as("mx"),
+        (round(S.st_y($"m"), 2) + lit(0.0)).as("my"))
       .orderBy($"c_custkey")
   }
 
   val transformMercatorSql: String =
     """SELECT c_custkey,
-      |  round(radians(CAST(c_custkey % 360 AS DOUBLE) - 180) * 6378137.0, 2) AS mx,
-      |  round(ln(tan(pi() / 4 + radians(CAST((c_custkey * 13) % 160 - 80 AS DOUBLE)) / 2)) * 6378137.0, 2) AS my
+      |  round(radians(CAST(c_custkey % 360 AS DOUBLE) - 180) * 6378137.0, 2) + 0.0 AS mx,
+      |  round(ln(tan(pi() / 4 + radians(CAST((c_custkey * 13) % 160 - 80 AS DOUBLE)) / 2)) * 6378137.0, 2) + 0.0 AS my
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 

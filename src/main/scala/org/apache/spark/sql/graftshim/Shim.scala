@@ -22,4 +22,26 @@ object Shim {
     val info = new ExpressionInfo("graft", name)
     registry.registerFunction(ident, info, builder)
   }
+
+  /** True once [[markRegistered]] ran against this session's registry.
+    * Session clones share the parent's FunctionRegistry, so keying on the
+    * registry (via a sentinel name only we register) — rather than the
+    * SparkSession identity — prevents re-registering every builder on each
+    * sibling session, which emitted a "function … replaced" WARN per name.
+    * A sentinel beats `functionExists` on real names: Spark 4.1 ships
+    * built-ins for some st_* names, which must still be overridden once. */
+  def alreadyRegistered(spark: SparkSession): Boolean =
+    spark.sessionState.functionRegistry.functionExists(FunctionIdentifier(SentinelName))
+  def markRegistered(spark: SparkSession): Unit =
+    registerFunction(spark, SentinelName, args => args.head)
+  private val SentinelName = "graft_registered_sentinel"
+
+  /** Column over a raw Catalyst expression (the `private[sql]` converter):
+    * lets graft build native-expression columns without a function-registry
+    * round-trip, so `graft.llm` works on sessions that never ran
+    * `Graft.init`. */
+  def column(e: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def expression(c: org.apache.spark.sql.Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

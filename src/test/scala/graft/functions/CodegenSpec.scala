@@ -52,6 +52,29 @@ class CodegenSpec extends SparkTestBase {
     assert(!pred.eval(InternalRow(pt(0, 0), pt(30, 40))))
   }
 
+  test("vec_dot compiles with non-nullable children and accumulates in element order") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val va = BoundReference(0, ArrayType(FloatType, containsNull = false), nullable = false)
+    val vb = BoundReference(1, ArrayType(FloatType, containsNull = false), nullable = false)
+    val proj = GenerateMutableProjection.generate(Seq(VecDot(va, vb)))
+    val out = proj(InternalRow(
+      ArrayData.toArrayData(Array(1.0f, 2.0f, 3.0f)),
+      ArrayData.toArrayData(Array(4.0f, 5.0f, 6.0f))))
+    assert(!out.isNullAt(0))
+    assert(out.getDouble(0) == 32.0)
+  }
+
+  test("vec_dot generated code yields null on length mismatch (zip_with semantics)") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val va = BoundReference(0, ArrayType(FloatType, containsNull = false), nullable = false)
+    val vb = BoundReference(1, ArrayType(FloatType, containsNull = false), nullable = false)
+    val proj = GenerateMutableProjection.generate(Seq(VecDot(va, vb)))
+    val out = proj(InternalRow(
+      ArrayData.toArrayData(Array(1.0f, 2.0f)),
+      ArrayData.toArrayData(Array(4.0f, 5.0f, 6.0f))))
+    assert(out.isNullAt(0))
+  }
+
   test("st_distance / st_intersects declare nullable (null on non-null input)") {
     // Mis-declared nullability is also a correctness hazard: NOT NULL
     // constraint propagation may legally drop IsNotNull filters.

@@ -111,6 +111,38 @@ class LlmSpec extends SparkTestBase {
     assert(out(1).getDouble(0) == 1.0)
   }
 
+  test("native lsh_key is bit-identical to the per-plane HOF formulation") {
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.util.Tables.embeddings(spark, d).limit(200)
+    val planes = Similarity.hyperplanes(numBits = 12, dim = 64)
+    // the formulation the native expression replaced
+    def hofKey(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      planes.zipWithIndex.map { case (p, i) =>
+        when(hofDot(vec, array(p.map(lit): _*)) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val diff = emb
+      .select(Similarity.lshKey(col("embedding"), planes).as("nk"),
+        hofKey(col("embedding")).as("hk"))
+      .filter(col("nk") =!= col("hk")).count()
+    assert(diff == 0L)
+  }
+
+  test("native dot matches HOF aggregate(zip_with) bit-for-bit on real embeddings") {
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.util.Tables.embeddings(spark, d).limit(200)
+    val pairs = emb.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(emb.select(col("embedding").as("b")).limit(5))
+    val hof = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    val diff = pairs.select(Similarity.dot(col("a"), col("b")).as("nd"), hof.as("hd"))
+      .filter(col("nd") =!= col("hd")).count()
+    assert(diff == 0L)
+  }
+
   test("ANN top-k achieves decent recall vs brute force on real embeddings") {
     val d = "/root/testdata/sf0.001"
     val emb = graft.util.Tables.embeddings(spark, d)
