@@ -15,14 +15,32 @@ import graft.functions.{st => S}
   * out), dedupe candidate pairs, then the exact geometric predicate
   * filters. `broadcast = true` short-circuits to a broadcast
   * nested-loop join for small layers (dimension-table case). Left rows
-  * are NEVER dropped: all four ops re-join matches back left-outer with
-  * error/default semantics (`False` / `0.0` / missing property)
-  * matching the reference's error contracts.
+  * are NEVER dropped: all four ops compute the match result per DISTINCT
+  * geometry value and join it back left-outer, with error/default
+  * semantics (`False` / `0.0` / missing property) matching the
+  * reference's error contracts.
+  *
+  * Why key on the geometry VALUE rather than a minted row id: the result
+  * of every op here is a pure function of the geometry, so grouping by
+  * the (binary) geometry column is exact — duplicate geometries share one
+  * computation, the match branch prunes the scan to a single column, and
+  * there is no `monotonically_increasing_id` whose per-branch re-
+  * evaluation could disagree downstream of a shuffle under AQE
+  * (nondeterministic ids + a self-join on them was the round-2 robustness
+  * finding). Null geometries never equi-join back → they keep the
+  * no-match default, matching the reference's error contract.
   */
 object SpatialJoins {
 
-  /** Candidate pairs from the grid blocking stage: left row id × right
-    * row. Pairs are deduped (a pair can share several cells). */
+  /** Distinct non-null geometry values of `df` — the slim compute side.
+    * Distinct also acts as an Exchange barrier: the expensive spatial work
+    * downstream is evaluated once per unique geometry, never re-inlined
+    * per input row. */
+  private def distinctGeoms(df: DataFrame, geom: String): DataFrame =
+    df.select(col(geom)).where(col(geom).isNotNull).distinct()
+
+  /** Candidate pairs from the grid blocking stage: left row × right
+    * row. Pairs are deduped downstream (a pair can share several cells). */
   private def candidates(left: DataFrame, right: DataFrame,
                          leftGeom: String, rightGeom: String,
                          cellSize: Double, broadcastRight: Boolean,
@@ -45,15 +63,14 @@ object SpatialJoins {
                               cellSize: Double = 1.0,
                               broadcastLayer: Boolean = true) extends Op {
     def apply(df: DataFrame): DataFrame = {
-      val withId = df.withColumn("__rowid", monotonically_increasing_id())
       val layerG = layer.select(col(layerGeom).as("__lgeom"))
-      val pairs = candidates(withId, layerG, geom, "__lgeom", cellSize, broadcastLayer)
+      val hits = candidates(distinctGeoms(df, geom), layerG, geom, "__lgeom",
+          cellSize, broadcastLayer)
         .filter(S.st_intersects(col(geom), col("__lgeom")))
-        .select(col("__rowid")).distinct()
+        .select(col(geom)).distinct()
         .withColumn(property, lit(true))
-      withId.join(pairs, Seq("__rowid"), "left")
+      df.join(hits, Seq(geom), "left")
         .withColumn(property, coalesce(col(property), lit(false)))
-        .drop("__rowid")
     }
   }
 
@@ -65,18 +82,17 @@ object SpatialJoins {
                                        cellSize: Double = 1.0,
                                        broadcastLayer: Boolean = true) extends Op {
     def apply(df: DataFrame): DataFrame = {
-      val withId = df.withColumn("__rowid", monotonically_increasing_id())
       val layerG = layer.select(col(layerGeom).as("__lgeom"))
-      val zones = candidates(withId.select(col("__rowid"), col(geom)), layerG,
-          geom, "__lgeom", cellSize, broadcastLayer)
+      val zones = candidates(distinctGeoms(df, geom), layerG, geom, "__lgeom",
+          cellSize, broadcastLayer)
         .filter(S.st_intersects(col(geom), col("__lgeom")))
-        .groupBy(col("__rowid"))
+        .groupBy(col(geom))
         .agg(S.st_union_agg(S.st_makevalid(S.st_intersection(col("__lgeom"), col(geom))))
           .as("__zone"))
-      withId.join(zones, Seq("__rowid"), "left")
+      df.join(zones, Seq(geom), "left")
         .withColumn(property,
           coalesce(S.st_area(col("__zone")) / S.st_area(col(geom)), lit(0.0)))
-        .drop("__rowid", "__zone")
+        .drop("__zone")
     }
   }
 
@@ -87,18 +103,16 @@ object SpatialJoins {
                               cellSize: Double = 1.0,
                               broadcastLayer: Boolean = true) extends Op {
     def apply(df: DataFrame): DataFrame = {
-      val withId = df.withColumn("__rowid", monotonically_increasing_id())
       val layerG = layer.select(col(layerGeom).as("__lgeom"))
-      val zones = candidates(withId.select(col("__rowid"), col(geom)), layerG,
-          geom, "__lgeom", cellSize, broadcastLayer)
+      val zones = candidates(distinctGeoms(df, geom), layerG, geom, "__lgeom",
+          cellSize, broadcastLayer)
         .filter(S.st_intersects(col(geom), col("__lgeom")))
-        .groupBy(col("__rowid"))
+        .groupBy(col(geom))
         .agg(S.st_union_agg(S.st_makevalid(S.st_intersection(col("__lgeom"), col(geom))))
           .as(geomDest))
-      withId.join(zones, Seq("__rowid"), "left")
+      df.join(zones, Seq(geom), "left")
         .withColumn(geomDest,
           coalesce(col(geomDest), S.st_geomfromtext(lit("POINT EMPTY"))))
-        .drop("__rowid")
     }
   }
 
@@ -107,36 +121,45 @@ object SpatialJoins {
     * max distance and property-equality pre-filter, appended as an array
     * of geometries sorted by distance. The reference's per-row
     * `ORDER BY distance LIMIT k` becomes window top-k over candidate
-    * pairs. With `maxDistance` set and `broadcastLayer=false`, blocking
-    * uses grid cells of `maxDistance` with the left bbox expanded by it —
-    * a bounded-radius kNN that scales without a cross join. */
+    * pairs.
+    *
+    * Path selection: with `maxDistance` set, blocking DEFAULTS to grid
+    * cells of `maxDistance` with the left bbox expanded by it — a
+    * bounded-radius kNN that scales regardless of layer size (a broadcast
+    * default here would fail outright, or degrade to an O(n·m) BNLJ, the
+    * moment the layer outgrows the broadcast threshold). Without
+    * `maxDistance` the search radius is unbounded and grid blocking would
+    * be incorrect (the true nearest neighbor can sit in a far cell), so
+    * the broadcast nested-loop is the default — pass `maxDistance` for
+    * the scale path. `broadcastLayer = Some(true|false)` overrides. */
   case class ClosestFeatures(layer: DataFrame, k: Int = 1,
                              maxDistance: Option[Double] = None,
                              propertyFilter: Map[String, String] = Map.empty,
                              closests: String = "closests",
                              geom: String = "geom", layerGeom: String = "geom",
-                             broadcastLayer: Boolean = true) extends Op {
+                             broadcastLayer: Option[Boolean] = None) extends Op {
     def apply(df: DataFrame): DataFrame = {
+      val useBroadcast = broadcastLayer.getOrElse(maxDistance.isEmpty)
       val filtered = propertyFilter.foldLeft(layer) { case (l, (key, v)) =>
         l.filter(col(key) === lit(v))
       }.filter(!S.st_isempty(col(layerGeom)))
       val layerG = filtered.select(col(layerGeom).as("__lgeom"))
-      val withId = df.withColumn("__rowid", monotonically_increasing_id())
-      val leftSlim = withId.select(col("__rowid"), S.st_centroid(col(geom)).as("__ctr"))
+      val ctrs = distinctGeoms(df, geom)
+        .withColumn("__ctr", S.st_centroid(col(geom)))
       val cell = maxDistance.getOrElse(1.0)
-      val pairs = candidates(leftSlim, layerG, "__ctr", "__lgeom", cell,
-          broadcastLayer, expandLeftBy = maxDistance.getOrElse(0.0))
+      val pairs = candidates(ctrs, layerG, "__ctr", "__lgeom", cell,
+          useBroadcast, expandLeftBy = maxDistance.getOrElse(0.0))
         .withColumn("__dist", S.st_distance(col("__ctr"), col("__lgeom")))
       val bounded = maxDistance.map(d => pairs.filter(col("__dist") < d)).getOrElse(pairs)
-      val w = Window.partitionBy(col("__rowid")).orderBy(col("__dist"))
+      val w = Window.partitionBy(col(geom)).orderBy(col("__dist"))
       val topk = bounded
         .withColumn("__rk", row_number().over(w))
         .filter(col("__rk") <= k)
-        .groupBy(col("__rowid"))
+        .groupBy(col(geom))
         .agg(sort_array(collect_list(struct(col("__dist"), col("__lgeom")))).as("__sorted"))
-        .select(col("__rowid"), transform(col("__sorted"), x => x("__lgeom")).as(closests))
+        .select(col(geom), transform(col("__sorted"), x => x("__lgeom")).as(closests))
       // AttributeError passthrough contract: unmatched rows keep no property
-      withId.join(topk, Seq("__rowid"), "left").drop("__rowid", "__ctr")
+      df.join(topk, Seq(geom), "left")
     }
   }
 }

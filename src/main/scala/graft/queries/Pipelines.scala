@@ -118,10 +118,11 @@ object Pipelines {
       |FROM region
       |ORDER BY rk""".stripMargin
 
-  /** E3 through the GRID kNN path: ClosestFeatures with
-    * broadcastLayer=false — candidate generation via cells of
-    * maxDistance with the left bbox expanded by it. Same oracle as
-    * [[e3Enrich]]. */
+  /** E3 through the explicitly-requested GRID kNN path (the default when
+    * `maxDistance` is set, pinned here with `Some(false)` so this query
+    * keeps gating the grid shape even if the default changes): candidate
+    * generation via cells of maxDistance with the left bbox expanded by
+    * it. Same oracle as [[e3Enrich]]. */
   def e3EnrichGrid(s: SparkSession, d: String): DataFrame = {
     Graft.init(s)
     import s.implicits._
@@ -133,7 +134,29 @@ object Pipelines {
       .withColumn("geom", S.st_point(($"c_custkey" % 100).cast("double"),
         (($"c_custkey" * 7) % 100).cast("double")))
     val out = SpatialJoins.ClosestFeatures(layer, k = 3, maxDistance = Some(15.0),
-      broadcastLayer = false)(src)
+      broadcastLayer = Some(false))(src)
+    out.select($"c_custkey",
+        coalesce(size($"closests"), lit(0)).as("n_close"),
+        round(S.st_distance($"geom", element_at($"closests", 1)), 6).as("nearest_dist"))
+      .orderBy($"c_custkey")
+  }
+
+  /** E3 through the explicit BROADCAST kNN path (`Some(true)`): the
+    * dimension-layer shape — keeps the broadcast nested-loop gated by the
+    * driver now that the bounded-radius default is grid. Same oracle as
+    * [[e3Enrich]]. */
+  def e3EnrichBroadcast(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val layer = supplier(s, d)
+      .select(S.st_point(($"s_suppkey" % 100).cast("double"),
+        (($"s_suppkey" * 7) % 100).cast("double")).as("geom"))
+    val src = customer(s, d)
+      .withColumn(Op.identifierCol, $"c_custkey".cast("string"))
+      .withColumn("geom", S.st_point(($"c_custkey" % 100).cast("double"),
+        (($"c_custkey" * 7) % 100).cast("double")))
+    val out = SpatialJoins.ClosestFeatures(layer, k = 3, maxDistance = Some(15.0),
+      broadcastLayer = Some(true))(src)
     out.select($"c_custkey",
         coalesce(size($"closests"), lit(0)).as("n_close"),
         round(S.st_distance($"geom", element_at($"closests", 1)), 6).as("nearest_dist"))
@@ -197,6 +220,7 @@ object Pipelines {
     "q_pipeline_e2_cluster" -> (e2Cluster _),
     "q_pipeline_e3_enrich" -> (e3Enrich _),
     "q_pipeline_e3_grid" -> (e3EnrichGrid _),
+    "q_pipeline_e3_broadcast" -> (e3EnrichBroadcast _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -206,5 +230,6 @@ object Pipelines {
     "q_pipeline_e2_cluster" -> e2ClusterSql,
     "q_pipeline_e3_enrich" -> e3EnrichSql,
     "q_pipeline_e3_grid" -> e3EnrichSql,
+    "q_pipeline_e3_broadcast" -> e3EnrichSql,
   )
 }

@@ -198,6 +198,41 @@ class OpsSpec extends SparkTestBase {
     assert(rows(1).isNullAt(i) && rows(2).isNullAt(i)) // passthrough, no property
   }
 
+  test("spatial joins are stable on shuffled input with duplicate rows (value-keyed rejoin)") {
+    import spark.implicits._
+    // Shuffled (repartitioned) input + duplicated rows: the old
+    // monotonically_increasing_id + self-rejoin could disagree between plan
+    // branches under AQE; the value-keyed rejoin must give every duplicate
+    // of a geometry the identical appended value, and the right values.
+    val shuffled = pointsDf.union(pointsDf).repartition(7, $"x")
+    val out = SpatialJoins.BooleanIntersect(zonesDf, "hit", cellSize = 10.0)(shuffled)
+      .groupBy($"identifier")
+      .agg(count(lit(1)).as("n"), countDistinct($"hit").as("nv"), first($"hit").as("hit"))
+      .orderBy($"identifier").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq ==
+      Seq(("p1", 2L, 1L, true), ("p2", 2L, 1L, true), ("p3", 2L, 1L, false)))
+
+    val knn = SpatialJoins.ClosestFeatures(zonesDf.select($"geom"), k = 1,
+        maxDistance = Some(50.0))(shuffled)
+      .groupBy($"identifier")
+      .agg(count(lit(1)).as("n"), countDistinct(S.st_astext(element_at($"closests", 1))).as("nv"))
+      .orderBy($"identifier").collect()
+    assert(knn.forall(r => r.getLong(1) == 2L && r.getLong(2) <= 1L))
+  }
+
+  test("J3 default path is grid when maxDistance is set, broadcast otherwise") {
+    val bounded = SpatialJoins.ClosestFeatures(zonesDf.select(col("geom")),
+      k = 1, maxDistance = Some(10.0))(pointsDf)
+    // grid blocking shows up as the exploded __cell equi-join, never a BNLJ
+    val boundedPlan = bounded.queryExecution.sparkPlan.toString
+    assert(!boundedPlan.contains("BroadcastNestedLoopJoin"), "bounded radius must use grid")
+    val unbounded = SpatialJoins.ClosestFeatures(zonesDf.select(col("geom")),
+      k = 1)(pointsDf)
+    val unboundedPlan = unbounded.queryExecution.sparkPlan.toString
+    assert(unboundedPlan.contains("BroadcastNestedLoopJoin"),
+      "unbounded kNN needs the broadcast nested-loop (grid would be incorrect)")
+  }
+
   test("J4 IntersectionGeom stores unioned clip, empty when none (terra.py:523-557)") {
     import spark.implicits._
     val rects = Seq(("r1", "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"),
