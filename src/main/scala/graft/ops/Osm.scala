@@ -12,9 +12,13 @@ import scala.jdk.CollectionConverters._
   * round-tripping ogr2ogr-shaped data).
   *
   * Layers: `points` = tagged nodes; `lines` = open ways;
-  * `multipolygons` = closed ways (area semantics). Relations are out of
-  * scope for the minimal parser (the reference's tests exercise nodes and
-  * ways, test_osm.py:67-84).
+  * `multipolygons` = closed ways (area semantics) PLUS assembled
+  * `type=multipolygon` relations — member ways stitched end-to-end into
+  * closed rings, `inner` rings assigned as holes of the `outer` ring that
+  * contains them, multiple outers → MultiPolygon (ogr2ogr's
+  * multipolygons layer, reference osm.py:66-83). Member ways keep their
+  * own `lines`/`multipolygons` feature when independently tagged, like
+  * ogr2ogr.
   */
 object Osm {
 
@@ -51,21 +55,76 @@ object Osm {
         OsmFeature(id, "points", Wkb.write(Point(lon, lat, 4326)), tags)
     }.toSeq
 
+    val ways: Map[String, Vector[Coord]] = elems(root, "way").map { w =>
+      val refs = elems(w, "nd").map(_.getAttribute("ref"))
+      w.getAttribute("id") ->
+        refs.flatMap(nodes.get).map { case (lon, lat, _) => Coord(lon, lat) }.toVector
+    }.toMap
+
     val wayFeatures = elems(root, "way").flatMap { w =>
       val id = w.getAttribute("id")
-      val refs = elems(w, "nd").map(_.getAttribute("ref"))
-      val coords = refs.flatMap(nodes.get).map { case (lon, lat, _) => Coord(lon, lat) }
+      val coords = ways(id)
       val tags = tagsOf(w)
       if (coords.length < 2) None
       else if (coords.length >= 4 && coords.head == coords.last && isArea(tags))
         Some(OsmFeature(id, "multipolygons",
-          Wkb.write(Polygon(Vector(coords.toVector), 4326)), tags))
+          Wkb.write(Polygon(Vector(coords), 4326)), tags))
       else
         Some(OsmFeature(id, "lines",
-          Wkb.write(LineString(coords.toVector, 4326)), tags))
+          Wkb.write(LineString(coords, 4326)), tags))
     }
 
-    pointFeatures ++ wayFeatures
+    val relationFeatures = elems(root, "relation").flatMap { r =>
+      val tags = tagsOf(r)
+      if (!tags.get("type").contains("multipolygon")) None
+      else {
+        val members = elems(r, "member").filter(_.getAttribute("type") == "way")
+        def coordsFor(role: String => Boolean): Seq[Vector[Coord]] =
+          members.filter(m => role(m.getAttribute("role")))
+            .flatMap(m => ways.get(m.getAttribute("ref")))
+            .filter(_.length >= 2)
+        // ogr2ogr treats empty/unknown roles as outer
+        val outers = stitchRings(coordsFor(role => role != "inner"))
+        val inners = stitchRings(coordsFor(_ == "inner"))
+        if (outers.isEmpty) None
+        else {
+          val polys = outers.map { o =>
+            val holes = inners.filter(i => i.headOption.exists(Algos.pointInRing(_, o)))
+            Polygon((o +: holes.toVector).toIndexedSeq, 4326)
+          }
+          val geom: Geom =
+            if (polys.length == 1) polys.head else MultiPolygon(polys.toVector, 4326)
+          Some(OsmFeature(r.getAttribute("id"), "multipolygons",
+            Wkb.write(geom), tags - "type"))
+        }
+      }
+    }
+
+    pointFeatures ++ wayFeatures ++ relationFeatures
+  }
+
+  /** Stitch member ways into closed rings: grow each ring by appending the
+    * next way that shares its current endpoint (reversed when joined
+    * tail-to-tail), emit when closed with ≥4 points — ogr2ogr's
+    * multipolygon ring assembly. Unclosable fragments are dropped. */
+  private[ops] def stitchRings(ways: Seq[Vector[Coord]]): Seq[Vector[Coord]] = {
+    val pool = scala.collection.mutable.ArrayBuffer.from(ways)
+    val rings = scala.collection.mutable.ArrayBuffer.empty[Vector[Coord]]
+    while (pool.nonEmpty) {
+      var cur = pool.remove(0)
+      var extended = true
+      while (cur.head != cur.last && extended) {
+        extended = false
+        val idx = pool.indexWhere(w => w.head == cur.last || w.last == cur.last)
+        if (idx >= 0) {
+          val w = pool.remove(idx)
+          cur = cur ++ (if (w.head == cur.last) w.tail else w.reverse.tail)
+          extended = true
+        }
+      }
+      if (cur.head == cur.last && cur.length >= 4) rings += cur
+    }
+    rings.toSeq
   }
 
   /** ogr2ogr's area heuristic (closed way + area-ish tag). */

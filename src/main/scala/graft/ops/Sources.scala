@@ -12,28 +12,63 @@ import graft.geom.{GeoJson, Wkb}
   */
 object Sources {
 
-  /** S1 `CsvDictReader` (common.py:29-67): CSV with full dialect options.
-    * Header row = field names; all values read as strings (the reference
-    * yields all-str dicts — typing is a downstream op's job). Operates on
-    * a file path or an in-flight Dataset[String]. */
+  /** S1 `CsvDictReader` (common.py:29-67): CSV with the full `csv.excel`
+    * dialect surface (common.py:41-48). Header row = field names; all
+    * values read as strings (the reference yields all-str dicts — typing
+    * is a downstream op's job). Operates on a file path or an in-flight
+    * Dataset[String].
+    *
+    * Dialect mapping onto Spark's univocity reader:
+    *  - `doublequote=true` (excel default): `""` inside a quoted field is
+    *    a literal quote → escape char = the quote char; `false` → the
+    *    explicit `escape` char applies.
+    *  - `skipInitialSpace` → `ignoreLeadingWhiteSpace`.
+    *  - `lineTerminator` → `lineSep`, only when non-default ("\n" keeps
+    *    Spark's universal \n / \r\n handling, matching csv.excel "\r\n"
+    *    reads).
+    *  - `quoting = "none"` (QUOTE_NONE) disables quote processing
+    *    entirely (quote char set to NUL); other modes ("minimal",
+    *    "all", "nonnumeric") only differ on WRITE — see [[csvWrite]].
+    */
   case class CsvOptions(delimiter: String = ",", quote: String = "\"",
                         escape: String = "\\", header: Boolean = true,
-                        encoding: String = "UTF-8")
+                        encoding: String = "UTF-8",
+                        doublequote: Boolean = true,
+                        skipInitialSpace: Boolean = false,
+                        lineTerminator: String = "\n",
+                        quoting: String = "minimal")
 
-  def csvRead(spark: SparkSession, path: String, opts: CsvOptions = CsvOptions()): DataFrame =
-    spark.read
+  private def csvReader(spark: SparkSession, opts: CsvOptions) = {
+    val r = spark.read
       .option("header", opts.header).option("sep", opts.delimiter)
-      .option("quote", opts.quote).option("escape", opts.escape)
+      .option("quote", if (opts.quoting == "none") "\u0000" else opts.quote)
+      .option("escape", if (opts.doublequote) opts.quote else opts.escape)
+      .option("ignoreLeadingWhiteSpace", opts.skipInitialSpace)
       .option("encoding", opts.encoding)
       .option("inferSchema", false) // all-str contract (common.py:65-67)
-      .csv(path)
+    if (opts.lineTerminator != "\n") r.option("lineSep", opts.lineTerminator) else r
+  }
+
+  def csvRead(spark: SparkSession, path: String, opts: CsvOptions = CsvOptions()): DataFrame =
+    csvReader(spark, opts).csv(path)
 
   def csvParse(lines: Dataset[String], opts: CsvOptions = CsvOptions()): DataFrame =
-    lines.sparkSession.read
+    csvReader(lines.sparkSession, opts).csv(lines)
+
+  /** Write-side dialect counterpart: `quoting = "all"` (QUOTE_ALL) forces
+    * quotes around every field; "minimal" quotes only when needed
+    * (univocity's default); "none" writes the quote char nowhere. */
+  def csvWrite(df: DataFrame, path: String, opts: CsvOptions = CsvOptions()): Unit =
+    df.write
       .option("header", opts.header).option("sep", opts.delimiter)
-      .option("quote", opts.quote).option("escape", opts.escape)
-      .option("inferSchema", false)
-      .csv(lines)
+      .option("quote", if (opts.quoting == "none") "\u0000" else opts.quote)
+      .option("escape", if (opts.doublequote) opts.quote else opts.escape)
+      .option("quoteAll", opts.quoting == "all")
+      .option("encoding", opts.encoding)
+      // Spark's CSV writer only accepts a single-char lineSep ("\r\n" is
+      // a read-side dialect nicety)
+      .option("lineSep", if (opts.lineTerminator.length == 1) opts.lineTerminator else "\n")
+      .mode("overwrite").csv(path)
 
   /** S2 `GeojsonReader` (common.py:70-103): FeatureCollection text → one
     * row per feature: `properties` as a JSON string (open schema, like the

@@ -354,7 +354,60 @@ object Geo {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** G5 Geometry3Dto2D (st_force2d, common.py:389-408): 3D point WKT built
+    * in-plan from customer keys, Z stripped, then re-serialized — the
+    * output WKT carries exactly two ordinates, which the oracle rebuilds
+    * as a string from the same integer arithmetic. */
+  def force2d(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    customer(s, d)
+      .withColumn("wkt3d", format_string("POINT Z (%s %s %s)",
+        ($"c_custkey" % 100).cast("long"), (($"c_custkey" * 3) % 100).cast("long"),
+        $"c_custkey".cast("long")))
+      .withColumn("g2", S.st_force2d(S.st_geomfromtext($"wkt3d")))
+      .select($"c_custkey", S.st_astext($"g2").as("wkt2d"), S.st_x($"g2").as("x2"))
+      .orderBy($"c_custkey")
+  }
+
+  val force2dSql: String =
+    """SELECT c_custkey,
+      |  'POINT (' || CAST(c_custkey % 100 AS BIGINT) || ' ' || CAST((c_custkey * 3) % 100 AS BIGINT) || ')' AS wkt2d,
+      |  CAST(c_custkey % 100 AS DOUBLE) AS x2
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  /** G6 SimplifyGeom (st_simplify Douglas-Peucker, terra.py:450-471) with
+    * a closed-form oracle: each supplier gets a one-step staircase
+    * `LINESTRING (0 0, 10 0, 10 h, 20 h)` with rise h = 1 + s%5 ∈ [1,5].
+    * Interior-vertex deviation from the full chord is 10h/√(400+h²) ∈
+    * [0.499, 2.43], so tolerance 0.2 retains all 4 vertices and tolerance
+    * 6.0 collapses to the 2 endpoints with length √(400+h²) — vertex
+    * counts and the collapsed length are exact SQL. */
+  def simplifyStaircase(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val src = supplier(s, d)
+      .withColumn("g", S.st_geomfromtext(format_string(
+        "LINESTRING (0 0, 10 0, 10 %1$s, 20 %1$s)", ($"s_suppkey" % 5 + 1).cast("long"))))
+    src.select($"s_suppkey",
+        size(split(S.st_astext(S.st_simplify($"g", lit(0.2))), ",")).as("n_low"),
+        size(split(S.st_astext(S.st_simplify($"g", lit(6.0))), ",")).as("n_high"),
+        round(S.st_length(S.st_simplify($"g", lit(6.0))), 6).as("len_high"))
+      .orderBy($"s_suppkey")
+  }
+
+  val simplifyStaircaseSql: String =
+    """SELECT s_suppkey,
+      |  CAST(4 AS INTEGER) AS n_low,
+      |  CAST(2 AS INTEGER) AS n_high,
+      |  round(sqrt(400.0 + CAST(s_suppkey % 5 + 1 AS DOUBLE) * CAST(s_suppkey % 5 + 1 AS DOUBLE)), 6) AS len_high
+      |FROM supplier
+      |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geo_force2d" -> (force2d _),
+    "q_geo_simplify" -> (simplifyStaircase _),
     "q_geo_clip_area" -> (clipArea _),
     "q_geo_parse_roundtrip" -> (parseRoundtrip _),
     "q_geo_union_exact" -> (unionOnPropertyExact _),
@@ -370,6 +423,8 @@ object Geo {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_geo_force2d" -> force2dSql,
+    "q_geo_simplify" -> simplifyStaircaseSql,
     "q_geo_clip_area" -> clipAreaSql,
     "q_geo_parse_roundtrip" -> parseRoundtripSql,
     "q_geo_union_exact" -> unionOnPropertyExactSql,

@@ -1,0 +1,100 @@
+package graft.queries
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{ZipEntry, ZipOutputStream}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Graft, st => S}
+import graft.ops.{Op, Sources}
+import graft.store.FeatureStore
+import graft.util.Tables._
+
+/** Driver-gated queries for the feature store (K1 upsert / K5 retention,
+  * terra.py:107-174, 497-520) and the zip→CSV source chain (S8→S1,
+  * archive.py:7-24 + common.py:29-67) — operators whose effects are
+  * side-effectful or file-shaped, reduced here to closed-form relational
+  * results the DuckDB oracle can re-derive from the base tables.
+  */
+object Store {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  /** K1+K5 lifecycle: upsert every supplier (v=1, t=2020), re-upsert every
+    * 3rd supplier (v=2, t=2021), retention-clean everything older than
+    * mid-2020, then scan. The surviving layer is exactly the re-upserted
+    * third with the replaced properties — closed-form from the supplier
+    * table. Runs against a fresh temp store root per invocation. */
+  def storeLifecycle(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-store-q").toString
+    val base = supplier(s, d).select(
+      $"s_suppkey".cast("string").as(Op.identifierCol),
+      S.st_point(($"s_suppkey" % 100).cast("double"),
+        (($"s_suppkey" * 7) % 100).cast("double")).as("geom"),
+      lit(1).as("v"))
+    FeatureStore.upsert(base, root, "suppliers",
+      updatedAt = Some(ts("2020-01-01 00:00:00")))
+    val second = base.filter($"identifier".cast("long") % 3 === 0)
+      .withColumn("v", lit(2))
+    FeatureStore.upsert(second, root, "suppliers",
+      updatedAt = Some(ts("2021-01-01 00:00:00")))
+    FeatureStore.cleanOlderThan(s, root, "suppliers", ts("2020-06-01 00:00:00"))
+    FeatureStore.scan(s, root, "suppliers")
+      .select($"identifier",
+        get_json_object($"properties", "$.v").cast("int").as("v"))
+      .orderBy($"identifier")
+  }
+
+  val storeLifecycleSql: String =
+    """SELECT CAST(s_suppkey AS VARCHAR) AS identifier, CAST(2 AS INTEGER) AS v
+      |FROM supplier
+      |WHERE s_suppkey % 3 = 0
+      |ORDER BY identifier""".stripMargin
+
+  /** S8→S1 chain: the region table serialized to CSV inside a zip archive
+    * (driver-side — region is 5 rows at every SF, mirroring the
+    * reference's in-memory archive source, archive.py:7-24), read back
+    * through ZipReader → CsvDictReader. The oracle is the region table
+    * itself. */
+  def zipCsvChain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = region(s, d).select($"r_regionkey".cast("long"), $"r_name")
+      .orderBy($"r_regionkey").collect()
+    val csv = "r_regionkey,r_name\n" +
+      rows.map(r => s"${r.getLong(0)},${r.getString(1)}").mkString("\n")
+    val baos = new ByteArrayOutputStream()
+    val zout = new ZipOutputStream(baos)
+    zout.putNextEntry(new ZipEntry("regions.csv"))
+    zout.write(csv.getBytes("UTF-8"))
+    zout.closeEntry()
+    // a decoy entry the contentPaths whitelist must skip (archive.py:16)
+    zout.putNextEntry(new ZipEntry("ignore.txt"))
+    zout.write("junk".getBytes("UTF-8"))
+    zout.closeEntry()
+    zout.close()
+    val zipDf = Seq(("regions.zip", baos.toByteArray)).toDF("path", "content")
+    val entries = Sources.zipEntries(zipDf, "content", Some(Seq("regions.csv")))
+    val lines = entries
+      .select(explode(split(decode($"content", "UTF-8"), "\n")).as("line"))
+      .as[String]
+    Sources.csvParse(lines)
+      .select($"r_regionkey".cast("long").as("r_regionkey"), $"r_name")
+      .orderBy($"r_regionkey")
+  }
+
+  val zipCsvChainSql: String =
+    """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+      |FROM region
+      |ORDER BY r_regionkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_store_lifecycle" -> (storeLifecycle _),
+    "q_zip_csv_chain" -> (zipCsvChain _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_store_lifecycle" -> storeLifecycleSql,
+    "q_zip_csv_chain" -> zipCsvChainSql,
+  )
+}

@@ -15,8 +15,9 @@ import graft.ops.Op
   * pointer file. Writers produce a NEW immutable version directory and
   * atomically swap the pointer (ATOMIC_MOVE of a temp pointer), so readers
   * never observe a half-written layer — the directory-swap transactionality
-  * called out in SURVEY.md §7 hard-part (3). Old versions are pruned after
-  * the swap; a crashed writer leaves only unreferenced garbage.
+  * called out in SURVEY.md §7 hard-part (3). All but the newest
+  * [[retainVersions]] versions are pruned after the swap; a crashed writer
+  * leaves only unreferenced garbage.
   *
   * Schema: `identifier: string, geom: binary (EWKB), properties: string
   * (JSON), updated_at: timestamp` — mirroring geostore's JSONB properties
@@ -54,6 +55,13 @@ object FeatureStore {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
+  /** Versions retained after a pointer swap (the new one included). >1 so
+    * a reader that resolved `_LATEST` just before a swap can still list
+    * and read its version directory — immediate pruning is only safe on
+    * stores where open file handles survive deletion (POSIX local disk),
+    * not on object stores. */
+  val retainVersions: Int = 2
+
   /** Swap in `df` as the new content of the layer. */
   private def writeVersion(df: DataFrame, root: String, layer: String): Unit = {
     val dir = layerDir(root, layer)
@@ -65,12 +73,14 @@ object FeatureStore {
     Files.writeString(tmpPtr, version)
     Files.move(tmpPtr, dir.resolve("_LATEST"), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    // prune unreferenced versions (best-effort; readers of old versions
-    // already hold their file handles)
-    Option(dir.toFile.listFiles()).foreach(_.foreach { f =>
-      if (f.isDirectory && f.getName.startsWith("v") && f.getName != version)
-        deleteRec(f.toPath)
-    })
+    // prune all but the newest `retainVersions` version dirs (best-effort;
+    // v<epochMillis>-<salt> names sort chronologically at fixed width)
+    Option(dir.toFile.listFiles()).foreach { files =>
+      files.filter(f => f.isDirectory && f.getName.startsWith("v"))
+        .sortBy(_.getName)(Ordering[String].reverse)
+        .drop(retainVersions)
+        .foreach(f => deleteRec(f.toPath))
+    }
   }
 
   private def deleteRec(p: Path): Unit = {
@@ -85,7 +95,8 @@ object FeatureStore {
     * `POINT EMPTY` (terra.py:165-174). Passthrough: returns the input
     * (NOT_MODIFIED contract, terra.py:163). */
   def upsert(df: DataFrame, root: String, layer: String,
-             geomCol: String = "geom", propertiesCol: String = "properties"): DataFrame = {
+             geomCol: String = "geom", propertiesCol: String = "properties",
+             updatedAt: Option[java.sql.Timestamp] = None): DataFrame = {
     val spark = df.sparkSession
     graft.functions.Graft.init(spark)
     val emptyPoint = graft.geom.Wkb.write(graft.geom.Point.empty(4326))
@@ -96,7 +107,9 @@ object FeatureStore {
       (if (df.columns.contains(propertiesCol)) col(propertiesCol).cast("string")
        else to_json(struct(df.columns.filter(c => c != geomCol && c != Op.identifierCol)
          .map(col): _*))).as("properties"),
-      current_timestamp().as("updated_at"))
+      // explicit timestamp for deterministic backfills/replays; wall clock
+      // otherwise (the reference's auto_now, terra.py:169)
+      updatedAt.map(ts => lit(ts)).getOrElse(current_timestamp()).as("updated_at"))
     val existing = scan(spark, root, layer)
     val kept = existing.join(incoming.select("identifier"), Seq("identifier"), "left_anti")
     writeVersion(kept.unionByName(incoming), root, layer)
@@ -104,14 +117,19 @@ object FeatureStore {
   }
 
   /** K5 `CleanOlderThan` (terra.py:497-520): retention — drop features
-    * last updated before `threshold`. An anti-filter rewrite + swap. */
+    * last updated before `threshold`. An anti-filter rewrite + swap; the
+    * removed count rides the write pass as `observe` metrics (no extra
+    * scans — round-2 ran two full counts just to return this number). */
   def cleanOlderThan(spark: SparkSession, root: String, layer: String,
                      threshold: java.sql.Timestamp): Long = {
-    val existing = scan(spark, root, layer)
-    val kept = existing.filter(col("updated_at") >= lit(threshold) || col("updated_at").isNull)
-    val removed = existing.count() - kept.count()
-    writeVersion(kept, root, layer)
-    removed
+    val total = new org.apache.spark.sql.Observation("clean_total")
+    val kept = new org.apache.spark.sql.Observation("clean_kept")
+    val existing = scan(spark, root, layer).observe(total, count(lit(1)).as("n"))
+    val filtered = existing
+      .filter(col("updated_at") >= lit(threshold) || col("updated_at").isNull)
+      .observe(kept, count(lit(1)).as("n"))
+    writeVersion(filtered, root, layer) // the one action; metrics fire here
+    total.get("n").asInstanceOf[Long] - kept.get("n").asInstanceOf[Long]
   }
 
   /** S10 `LayerClusters` (terra.py:27-68): grid clustering over one or

@@ -35,6 +35,58 @@ class FormatsSpec extends SparkTestBase {
     assert(df.count() == 3)
   }
 
+  test("X4 OSM relations: multipolygon from split outer ways + inner hole (osm.py:66-83)") {
+    // outer square (0,0)-(10,10) split across two open member ways, one
+    // reversed; inner square (2,2)-(4,4) as a closed hole way
+    val xml =
+      """<?xml version="1.0"?>
+        |<osm version="0.6">
+        | <node id="1" lat="0" lon="0"/> <node id="2" lat="0" lon="10"/>
+        | <node id="3" lat="10" lon="10"/> <node id="4" lat="10" lon="0"/>
+        | <node id="5" lat="2" lon="2"/> <node id="6" lat="2" lon="4"/>
+        | <node id="7" lat="4" lon="4"/> <node id="8" lat="4" lon="2"/>
+        | <way id="20"><nd ref="1"/><nd ref="2"/><nd ref="3"/></way>
+        | <way id="21"><nd ref="1"/><nd ref="4"/><nd ref="3"/></way>
+        | <way id="22"><nd ref="5"/><nd ref="6"/><nd ref="7"/><nd ref="8"/><nd ref="5"/></way>
+        | <relation id="30">
+        |   <member type="way" ref="20" role="outer"/>
+        |   <member type="way" ref="21" role="outer"/>
+        |   <member type="way" ref="22" role="inner"/>
+        |   <tag k="type" v="multipolygon"/><tag k="landuse" v="forest"/>
+        | </relation>
+        |</osm>""".stripMargin
+    val feats = Osm.parseDoc(xml)
+    val rel = feats.filter(f => f.layer == "multipolygons" && f.osm_id == "30")
+    assert(rel.length == 1)
+    assert(rel.head.tags == Map("landuse" -> "forest")) // type dropped
+    val poly = Wkb.read(rel.head.geom).asInstanceOf[Polygon]
+    assert(poly.rings.length == 2) // shell + hole
+    assert(math.abs(Algos.area(poly) - (100.0 - 4.0)) < 1e-9)
+  }
+
+  test("X4 OSM relations: two disjoint outers -> MultiPolygon") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<osm version="0.6">
+        | <node id="1" lat="0" lon="0"/> <node id="2" lat="0" lon="1"/>
+        | <node id="3" lat="1" lon="1"/> <node id="4" lat="1" lon="0"/>
+        | <node id="5" lat="0" lon="5"/> <node id="6" lat="0" lon="6"/>
+        | <node id="7" lat="1" lon="6"/> <node id="8" lat="1" lon="5"/>
+        | <way id="20"><nd ref="1"/><nd ref="2"/><nd ref="3"/><nd ref="4"/><nd ref="1"/></way>
+        | <way id="21"><nd ref="5"/><nd ref="6"/><nd ref="7"/><nd ref="8"/><nd ref="5"/></way>
+        | <relation id="31">
+        |   <member type="way" ref="20" role="outer"/>
+        |   <member type="way" ref="21" role="outer"/>
+        |   <tag k="type" v="multipolygon"/>
+        | </relation>
+        |</osm>""".stripMargin
+    val rel = Osm.parseDoc(xml).filter(_.osm_id == "31")
+    assert(rel.length == 1)
+    val mp = Wkb.read(rel.head.geom).asInstanceOf[MultiPolygon]
+    assert(mp.polygons.length == 2)
+    assert(math.abs(Algos.area(mp) - 2.0) < 1e-9)
+  }
+
   /** Build a minimal spec-conformant shapefile: one Point record. */
   private def buildPointShp(x: Double, y: Double): Array[Byte] = {
     val contentLen = 4 + 16 // type + xy, bytes

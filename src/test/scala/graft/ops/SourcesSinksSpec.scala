@@ -20,6 +20,42 @@ class SourcesSinksSpec extends SparkTestBase {
     assert(df.count() == 2)
   }
 
+  test("S1 CSV dialect: doublequote on/off (common.py:41-48)") {
+    import spark.implicits._
+    // excel default: "" inside a quoted field is a literal quote
+    val dq = Sources.csvParse(Seq("a,b", "\"x\"\"y\",2").toDS()).collect()
+    assert(dq(0).getString(0) == "x\"y" && dq(0).getString(1) == "2")
+    // doublequote=false: the explicit escapechar applies instead
+    val esc = Sources.csvParse(Seq("a,b", "\"x\\\"y\",2").toDS(),
+      Sources.CsvOptions(doublequote = false)).collect()
+    assert(esc(0).getString(0) == "x\"y")
+  }
+
+  test("S1 CSV dialect: skipinitialspace trims after the delimiter") {
+    import spark.implicits._
+    val on = Sources.csvParse(Seq("a,b", "1,  x").toDS(),
+      Sources.CsvOptions(skipInitialSpace = true)).collect()
+    assert(on(0).getString(1) == "x")
+    val off = Sources.csvParse(Seq("a,b", "1,  x").toDS()).collect()
+    assert(off(0).getString(1) == "  x")
+  }
+
+  test("S1 CSV dialect: quoting=none treats the quote char literally") {
+    import spark.implicits._
+    val out = Sources.csvParse(Seq("a,b", "\"q,r").toDS(),
+      Sources.CsvOptions(quoting = "none")).collect()
+    assert(out(0).getString(0) == "\"q" && out(0).getString(1) == "r")
+  }
+
+  test("S1 CSV dialect: custom lineterminator on file reads") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "cr.csv"), "a,b\r1,2\r3,4")
+    val out = Sources.csvRead(spark, s"$dir/cr.csv",
+      Sources.CsvOptions(lineTerminator = "\r")).orderBy("a").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("1", "2"), ("3", "4")))
+  }
+
   test("S2 GeojsonReader: features with geom, CRS whitelist raise (common.py:70-103)") {
     import spark.implicits._
     val fc =
