@@ -244,6 +244,38 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY hour, event_type""".stripMargin
 
+  /** The SAME hourly rollup computed through Structured Streaming — the
+    * events parquet consumed as a file-source stream
+    * (`Trigger.AvailableNow` drains everything then stops), tumbling
+    * per-hour groups in complete mode into a memory sink. Puts the
+    * streaming execution path (file source → stateful agg → sink) under
+    * the same DuckDB oracle as the batch form: a correct streaming engine
+    * must converge to the batch answer on a bounded input. */
+  def streamHourly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = graft.util.Tables.load(s, d, "events").schema
+    // events.parquet is a single file; the file-stream source only
+    // accepts directories (it pins basePath to the input path) — expose
+    // the file through a temp directory symlink
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(d, "events.parquet"))
+    val evs = s.readStream.schema(schema).parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(floor($"ts" / 1000L).cast("long")))
+    val agg = evs
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), out(sum(dec($"value"))).as("total_value"))
+    val name = "stream_hourly_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy($"hour", $"event_type")
+  }
+
   /** JSONB-style property extraction (Cast(KeyTextTransform(...)),
     * common.py:258-260): pull numeric key out of the events props JSON. */
   def jsonExtract(s: SparkSession, d: String): DataFrame = {
@@ -325,6 +357,7 @@ object Relational {
     "q_distinct_collect" -> (distinctCollect _),
     "q_scalar_funcs" -> (scalarFuncs _),
     "q_events_hourly" -> (eventsHourly _),
+    "q_stream_hourly" -> (streamHourly _),
     "q_json_extract" -> (jsonExtract _),
     "q_running_sum" -> (runningSum _),
     "q_correlated_agg" -> (correlatedAgg _),
@@ -341,6 +374,7 @@ object Relational {
     "q_distinct_collect" -> distinctCollectSql,
     "q_scalar_funcs" -> scalarFuncsSql,
     "q_events_hourly" -> eventsHourlySql,
+    "q_stream_hourly" -> eventsHourlySql,
     "q_json_extract" -> jsonExtractSql,
     "q_running_sum" -> runningSumSql,
     "q_correlated_agg" -> correlatedAggSql,

@@ -55,7 +55,20 @@ def norm_cell(v):
     try:
         import decimal
         if isinstance(v, decimal.Decimal):
-            return ("dec", str(v) if STRICT else str(v.normalize()))
+            if STRICT:
+                # Both sides of THIS harness read through duckdb, so a
+                # DECIMAL column yields Decimal on both and would "pass" —
+                # but the real driver reads the Spark side via parquet→
+                # pandas where DECIMAL becomes an object/float64 column and
+                # hash-mismatches the oracle. Flag any Decimal output as a
+                # failure here so the divergence can't slip through locally.
+                raise ArrayCell(
+                    "DECIMAL output cell: driver reads Spark parquet via "
+                    "pandas (float64/object) and would hash-mismatch — cast "
+                    "to DOUBLE on both sides")
+            return ("dec", str(v.normalize()))
+    except ArrayCell:
+        raise
     except Exception:
         pass
     import datetime
