@@ -140,9 +140,11 @@ object Geo {
 
   /** A2/J2 union-aggregate area (UnionOnProperty common.py:535-564,
     * IntersectionPercentByArea terra.py:245-279): union the 10x10 rects
-    * around supplier points per nation, area of the merged zone.
-    * No plain-SQL oracle for polygon union area → rows-only check; exact
-    * semantics covered by GeomKernelSpec/StFunctionsSpec. */
+    * around supplier points per nation, area of the merged zone. Exact
+    * oracle: the rects are integer-aligned, so the union area equals the
+    * COUNT of distinct unit cells any rect covers — the general polygon
+    * overlay must reproduce plain unit-cell counting (shoelace over
+    * integer vertices is exact in doubles, so no float slack). */
   def unionAreaPerNation(s: SparkSession, d: String): DataFrame = {
     Graft.init(s)
     import s.implicits._
@@ -152,10 +154,26 @@ object Geo {
         ($"s_suppkey" % 100), (($"s_suppkey" * 7) % 100),
         ($"s_suppkey" % 100) + 10, (($"s_suppkey" * 7) % 100) + 10)))
       .groupBy($"s_nationkey")
-      .agg(S.st_area(S.st_union_agg($"rect")).as("zone_area"),
+      .agg(round(S.st_area(S.st_union_agg($"rect")), 6).as("zone_area"),
         count(lit(1)).as("n_rects"))
       .orderBy($"s_nationkey")
   }
+
+  val unionAreaPerNationSql: String =
+    """WITH cells AS (
+      |  SELECT DISTINCT s_nationkey,
+      |    CAST(s_suppkey % 100 AS INTEGER) + dx.g AS cx,
+      |    CAST((s_suppkey * 7) % 100 AS INTEGER) + dy.g AS cy
+      |  FROM supplier, generate_series(0, 9) dx(g), generate_series(0, 9) dy(g)
+      |), areas AS (
+      |  SELECT s_nationkey, CAST(COUNT(*) AS DOUBLE) AS zone_area
+      |  FROM cells GROUP BY 1
+      |), counts AS (
+      |  SELECT s_nationkey, COUNT(*) AS n_rects FROM supplier GROUP BY 1
+      |)
+      |SELECT a.s_nationkey, round(a.zone_area, 6) AS zone_area, c.n_rects
+      |FROM areas a JOIN counts c USING (s_nationkey)
+      |ORDER BY s_nationkey""".stripMargin
 
   /** G8 subdivide with an exact oracle: a staircase polygon (top edge
     * zigzagging between h and h+1) has exact area w·(h+0.5) and enough
@@ -436,5 +454,6 @@ object Geo {
     "q_geo_knn" -> knnNearestSupplierSql,
     "q_geo_zone_flag" -> zoneFlagSql,
     "q_geo_zone_flag_grid" -> zoneFlagSql,
+    "q_geo_union_area" -> unionAreaPerNationSql,
   )
 }

@@ -184,10 +184,14 @@ object Relational {
     * sorted set of return flags. */
   def distinctCollect(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // n_flags = size of the set already being collected: a separate
+    // countDistinct would plan a second (Expand-based) distinct aggregate
+    // over the same input for a number the set carries for free
     lineitem(s, d)
       .groupBy($"l_orderkey")
-      .agg(array_join(array_sort(collect_set($"l_returnflag")), ",").as("flags"),
-        countDistinct($"l_returnflag").as("n_flags"))
+      .agg(array_sort(collect_set($"l_returnflag")).as("fl"))
+      .select($"l_orderkey", array_join($"fl", ",").as("flags"),
+        size($"fl").cast("long").as("n_flags"))
       .orderBy($"l_orderkey")
   }
 
