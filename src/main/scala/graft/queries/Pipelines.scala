@@ -213,7 +213,112 @@ object Pipelines {
       |GROUP BY l_orderkey
       |ORDER BY l_orderkey""".stripMargin
 
+  /** Deterministic [[Enrich.RouteService]]: travel time = euclidean
+    * distance × a per-vehicle factor, with a coordinate-derived failure
+    * case (round(d) ≡ 0 mod 9 → None → null cell, the reference's
+    * request-failure contract terra.py:389-391); isochrones are square
+    * buckets of side 2(b+1). Everything the oracle needs is plain
+    * arithmetic over the keys — the mapPartitions plumbing, row fan-out,
+    * null-cell and pop contracts are the real ops. */
+  object DetRoute extends Enrich.RouteService {
+    def isochrone(lon: Double, lat: Double, timeLimit: Int, buckets: Int,
+                  vehicle: String, reverseFlow: Boolean): Seq[(String, Int)] =
+      (0 until buckets).map { b =>
+        val r = b + 1.0
+        val gj = s"""{"type":"Polygon","coordinates":[[[${lon - r},${lat - r}],[${lon + r},${lat - r}],[${lon + r},${lat + r}],[${lon - r},${lat + r}],[${lon - r},${lat - r}]]]}"""
+        (gj, b)
+      }
+    def route(fromLon: Double, fromLat: Double, toLon: Double, toLat: Double,
+              vehicle: String): Option[Double] = {
+      val dx = toLon - fromLon; val dy = toLat - fromLat
+      val dist = math.sqrt(dx * dx + dy * dy) // matches SQL sqrt(power+power)
+      if (math.round(dist) % 9 == 0) None
+      else Some(dist * (if (vehicle == "bike") 25.0 else 10.0))
+    }
+  }
+
+  /** X2/X3 TransitTime through the deterministic service: each customer's
+    * single origin point sits (dx, dy) = (key%7+1, key·3%5+1) from its
+    * geometry, so the car/bike times (and the exact key set whose route
+    * "fails" to null: round(d)=9 ⇔ dx=7,dy=5 ⇔ key ≡ 13 mod 35) are
+    * closed-form SQL. */
+  def transitTime(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val src = customer(s, d).select(
+      $"c_custkey",
+      S.st_point(($"c_custkey" % 100).cast("double"),
+        (($"c_custkey" * 7) % 100).cast("double")).as("geom"),
+      array(S.st_point(($"c_custkey" % 100 + $"c_custkey" % 7 + 1).cast("double"),
+        (($"c_custkey" * 7) % 100 + ($"c_custkey" * 3) % 5 + 1).cast("double"))).as("points"))
+    val car = Enrich.TransitTimeOneToOne(DetRoute, vehicle = "car", time = "t_car")(
+      src.withColumn("points2", $"points"))
+    val both = Enrich.TransitTimeOneToOne(DetRoute, vehicle = "bike",
+      points = "points2", time = "t_bike")(car)
+    both.select($"c_custkey", round($"t_car", 6).as("t_car"),
+        round($"t_bike", 6).as("t_bike"))
+      .orderBy($"c_custkey")
+  }
+
+  val transitTimeSql: String =
+    """SELECT c_custkey,
+      |  CASE WHEN c_custkey % 35 = 13 THEN NULL ELSE
+      |    round(sqrt(power(CAST(c_custkey % 7 + 1 AS DOUBLE), 2)
+      |             + power(CAST((c_custkey * 3) % 5 + 1 AS DOUBLE), 2)) * 10.0, 6) END AS t_car,
+      |  CASE WHEN c_custkey % 35 = 13 THEN NULL ELSE
+      |    round(sqrt(power(CAST(c_custkey % 7 + 1 AS DOUBLE), 2)
+      |             + power(CAST((c_custkey * 3) % 5 + 1 AS DOUBLE), 2)) * 25.0, 6) END AS t_bike
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  /** X1 IsochroneCalculation through the deterministic service: each
+    * nation point fans out into 3 square bucket polygons of side 2(b+1) —
+    * the 1→N flatMap shape with exact areas 4/16/36. */
+  def isochrones(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val src = nation(s, d).select($"n_nationkey",
+      S.st_point(($"n_nationkey" % 50).cast("double"),
+        (($"n_nationkey" * 3) % 50).cast("double")).as("geom"))
+    Enrich.IsochroneCalculation(DetRoute, timeLimit = 600, buckets = 3)(src)
+      .select($"n_nationkey", $"bucket",
+        round(S.st_area($"geom"), 6).as("area"))
+      .orderBy($"n_nationkey", $"bucket")
+  }
+
+  val isochronesSql: String =
+    """SELECT n_nationkey, CAST(b.g AS INTEGER) AS bucket,
+      |  CAST(4 * (b.g + 1) * (b.g + 1) AS DOUBLE) AS area
+      |FROM nation, generate_series(0, 2) b(g)
+      |ORDER BY n_nationkey, bucket""".stripMargin
+
+  /** P2 (configurable generator) + P6 + P3 battery: deterministic
+    * identifier generation, array→min replacement, attribute exclusion —
+    * each the real Op, all closed-form. */
+  def projectionBattery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = part(s, d).select($"p_partkey",
+        array($"p_partkey" % 10, $"p_partkey" % 7, $"p_partkey" % 3).as("arr"))
+      .withColumn("junk", lit("drop-me"))
+    val out = Pipeline(
+      Projections.GenerateIdentifier(concat(lit("id-"), $"p_partkey")),
+      Projections.MinArrayAttribute("arr"),
+      Projections.ExcludeAttributes(Seq("junk")))(src)
+    out.select($"p_partkey", $"identifier", $"arr".as("arr_min"))
+      .orderBy($"p_partkey")
+  }
+
+  val projectionBatterySql: String =
+    """SELECT p_partkey,
+      |  'id-' || CAST(p_partkey AS VARCHAR) AS identifier,
+      |  LEAST(p_partkey % 10, p_partkey % 7, p_partkey % 3) AS arr_min
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_transit_time" -> (transitTime _),
+    "q_isochrones" -> (isochrones _),
+    "q_projection_battery" -> (projectionBattery _),
     "q_pipeline_accessibility" -> (accessibility _),
     "q_pipeline_other_tags" -> (otherTags _),
     "q_pipeline_e1_ingest" -> (e1Ingest _),
@@ -224,6 +329,9 @@ object Pipelines {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_transit_time" -> transitTimeSql,
+    "q_isochrones" -> isochronesSql,
+    "q_projection_battery" -> projectionBatterySql,
     "q_pipeline_accessibility" -> accessibilitySql,
     "q_pipeline_other_tags" -> otherTagsSql,
     "q_pipeline_e1_ingest" -> e1IngestSql,

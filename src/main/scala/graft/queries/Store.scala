@@ -88,13 +88,39 @@ object Store {
       |FROM region
       |ORDER BY r_regionkey""".stripMargin
 
+  /** S7→S1 chain: the region table written as versioned files under a
+    * pyfiles root (1.0 = junk, 2.0 = the real CSV), `latest` resolution
+    * must pick 2.0, content read back through the binary-file source and
+    * the CSV reader. Oracle = the region table. */
+  def pyfilesLatest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = region(s, d).select($"r_regionkey".cast("long"), $"r_name")
+      .orderBy($"r_regionkey").collect()
+    val csv = "r_regionkey,r_name\n" +
+      rows.map(r => s"${r.getLong(0)},${r.getString(1)}").mkString("\n")
+    val root = java.nio.file.Files.createTempDirectory("graft-pyfiles-q")
+    java.nio.file.Files.createDirectories(root.resolve("ns/1.0"))
+    java.nio.file.Files.createDirectories(root.resolve("ns/2.0"))
+    java.nio.file.Files.writeString(root.resolve("ns/1.0/data.csv"), "stale,junk\n1,x")
+    java.nio.file.Files.writeString(root.resolve("ns/2.0/data.csv"), csv)
+    val bin = Sources.PyfilesExtract(root.toString, "ns", "data.csv")(s)
+    val lines = bin
+      .select(explode(split(decode($"content", "UTF-8"), "\n")).as("line"))
+      .as[String]
+    Sources.csvParse(lines)
+      .select($"r_regionkey".cast("long").as("r_regionkey"), $"r_name")
+      .orderBy($"r_regionkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_store_lifecycle" -> (storeLifecycle _),
     "q_zip_csv_chain" -> (zipCsvChain _),
+    "q_pyfiles_latest" -> (pyfilesLatest _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_store_lifecycle" -> storeLifecycleSql,
     "q_zip_csv_chain" -> zipCsvChainSql,
+    "q_pyfiles_latest" -> zipCsvChainSql, // same closed form: the region table
   )
 }
