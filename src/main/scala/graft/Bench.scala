@@ -58,6 +58,9 @@ object Bench {
       val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"ok":${ok.size},"failed":${results.size - ok.size},"sf":${jstr(sfDir)}}"""
       stdout.println(line)      // the one stdout line the driver parses
       System.err.println(line)  // human-readable copy alongside the logs
+      // file fallback for parsers that don't line-scan stdout
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
+      catch { case e: Exception => System.err.println(s"[bench] bench_out.json write failed: $e") }
       spark.stop()
     }
   }
