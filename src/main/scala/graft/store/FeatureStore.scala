@@ -132,6 +132,42 @@ object FeatureStore {
     total.get("n").asInstanceOf[Long] - kept.get("n").asInstanceOf[Long]
   }
 
+  /** Bucketed layer variant: the layer is written as an
+    * identifier-bucketed, identifier-sorted catalog table (one table per
+    * version, `_LATEST` pointer file as in the path layout). Joins and
+    * upsert anti-joins on `identifier` between same-bucket-count layers
+    * then run WITHOUT an exchange on the scan side — at feature-store
+    * scale the repeated join key is always the identifier, so paying one
+    * bucketed write amortizes every later co-located join. Spark requires
+    * a catalog table for bucket metadata, hence `saveAsTable` +
+    * per-version table names (`<layer>_v<epoch>`). */
+  def writeBucketed(df: DataFrame, warehouseDir: String, layer: String,
+                    numBuckets: Int = 16): String = {
+    val spark = df.sparkSession
+    val version = s"${layer}_v${System.currentTimeMillis()}_${java.util.UUID.randomUUID.toString.take(4)}"
+    df.write.mode("overwrite")
+      .option("path", s"$warehouseDir/$layer/$version")
+      .bucketBy(numBuckets, "identifier").sortBy("identifier")
+      .saveAsTable(version)
+    val dir = Paths.get(warehouseDir, layer)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s"_LATEST.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    Files.writeString(tmp, version)
+    Files.move(tmp, dir.resolve("_LATEST"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    version
+  }
+
+  /** Scan the bucketed layer's latest version as a catalog table — the
+    * bucket metadata rides along, so `identifier` joins against other
+    * bucketed layers (same bucket count) plan shuffle-free. */
+  def scanBucketed(spark: SparkSession, warehouseDir: String, layer: String): DataFrame =
+    latestVersion(warehouseDir, layer) match {
+      case Some(v) => spark.table(v)
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
   /** S10 `LayerClusters` (terra.py:27-68): grid clustering over one or
     * more layers — `GROUP BY ST_SnapToGrid(ST_Transform(geom, srid),
     * dist)`, yielding the cluster key WKT + member ids, one Catalyst plan

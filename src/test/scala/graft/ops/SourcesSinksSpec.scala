@@ -172,6 +172,31 @@ class SourcesSinksSpec extends SparkTestBase {
     assert(FeatureStore.scan(spark, root, "layerR").count() == 0)
   }
 
+  test("bucketed layers: identifier join between two layers plans no Exchange") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("fstore-bkt").toString
+    def layerDf(tag: String) =
+      (1 to 100).map(i => (s"f$i", s"""{"$tag":$i}""")).toDF("identifier", "properties")
+    FeatureStore.writeBucketed(layerDf("a"), wh, "bktA", numBuckets = 4)
+    FeatureStore.writeBucketed(layerDf("b"), wh, "bktB", numBuckets = 4)
+    val a = FeatureStore.scanBucketed(spark, wh, "bktA")
+    val b = FeatureStore.scanBucketed(spark, wh, "bktB").withColumnRenamed("properties", "p2")
+    // disable broadcast so the assertion targets the bucketed shuffle-free
+    // sort-merge join, the shape that matters when both layers are huge
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = a.join(b.select($"identifier", $"p2"), Seq("identifier"))
+      assert(joined.count() == 100)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed identifier join must not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // version swap: a second write supersedes the first
+    FeatureStore.writeBucketed(layerDf("a2").limit(7), wh, "bktA", numBuckets = 4)
+    assert(FeatureStore.scanBucketed(spark, wh, "bktA").count() == 7)
+  }
+
   test("S10 layerClusters groups by snapped grid cell (terra.py:27-68)") {
     import spark.implicits._
     val root = Files.createTempDirectory("fstore3").toString
