@@ -78,13 +78,21 @@ object Relational {
     val li = lineitem(s, d)
     val o = orders(s, d)
     val c = customer(s, d)
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+    // Pre-aggregate lineitem per order key BEFORE the join: the join input
+    // shrinks from line- to order-cardinality, countDistinct(o_orderkey)
+    // degenerates to a plain count (each order appears once post-agg), and
+    // decimal addition is exact so the two-level sum is bit-identical to
+    // the single-level one. At fact⋈fact scale this halves the shuffle.
+    val liAgg = li.groupBy($"l_orderkey").agg(
+      sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")).as("rev"),
+      count(lit(1)).as("nl"))
+    liAgg.join(o, $"l_orderkey" === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy($"c_mktsegment")
       .agg(
-        out(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount"))).as("revenue"),
-        count(lit(1)).as("n_lines"),
-        countDistinct($"o_orderkey").as("n_orders"))
+        out(sum($"rev")).as("revenue"),
+        sum($"nl").as("n_lines"),
+        count(lit(1)).as("n_orders"))
       .orderBy($"c_mktsegment")
   }
 
