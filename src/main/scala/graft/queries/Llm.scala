@@ -264,9 +264,57 @@ object Llm {
       |FROM documents d LEFT JOIN mn ON mn.id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** The LSH hyperplanes are seeded doubles, so the oracle can recompute
+    * the bucket keys in PLAIN SQL by inlining the plane constants as
+    * literals (Double.toString round-trips exactly through DuckDB's
+    * parser) and taking sign bits of `list_inner_product` over
+    * double-cast embeddings — the same element-order double accumulation
+    * as the native [[graft.exprs.LshKeyExpr]]/[[graft.exprs.VecDot]]
+    * loops, verified bit-identical. */
+  private def bucketBitsSql(col: String): String =
+    Similarity.hyperplanes(8, 64).zipWithIndex.map { case (p, i) =>
+      val lit = "[" + p.map(_.toString).mkString(",") + "]"
+      s"(CASE WHEN list_inner_product($col::DOUBLE[], $lit::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  def embNearDupStatsSql: String =
+    s"""SELECT CAST(${bucketBitsSql("embedding")} AS BIGINT) AS bucket,
+       |  COUNT(*) AS n_vectors, COUNT(DISTINCT label) AS n_labels
+       |FROM embeddings
+       |GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  def annTopKSql: String = {
+    val probes = "[key" + (0 until 8).map(i => s", xor(key, ${1L << i})").mkString + "]"
+    s"""WITH emb AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    CAST(${bucketBitsSql("embedding")} AS BIGINT) AS key
+       |  FROM embeddings
+       |), probes AS (
+       |  SELECT vec_id AS query_id, v AS qv, unnest($probes) AS key
+       |  FROM emb WHERE vec_id < 20
+       |), cand AS (
+       |  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id, p.qv, c.v
+       |  FROM probes p JOIN emb c USING (key)
+       |  WHERE p.query_id <> c.vec_id
+       |), scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CASE WHEN sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v)) = 0 THEN 0.0
+       |         ELSE list_inner_product(qv, v) / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))) END AS cos
+       |  FROM cand
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, round(cos, 6) AS cos
+       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashDedupSql,
     "q_multimodal_pipeline" -> multimodalPipelineSql,
+    "q_emb_bucket_stats" -> embNearDupStatsSql,
+    "q_emb_ann_topk" -> annTopKSql,
     "q_text_stats" -> textStatsSql,
     "q_text_lang" -> langIdSql,
     "q_dedup_exact" -> exactDedupSql,
