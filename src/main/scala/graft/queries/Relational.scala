@@ -288,6 +288,57 @@ object Relational {
     s.table(name).orderBy($"hour", $"event_type")
   }
 
+  /** Append-mode watermark semantics under the oracle: the events table
+    * is split into two files (before/after Jan 16) so the 1-hour
+    * watermark actually advances between micro-batches
+    * (`maxFilesPerTrigger=1`); AvailableNow runs a final no-data batch
+    * that flushes every window finalized by the last watermark. The
+    * emitted set is therefore exactly the hourly windows with
+    * `window_end <= max(ts) - 1h` — closed-form SQL (append mode must
+    * emit each finalized window once and suppress the still-open tail;
+    * both directions break the row/hash match). */
+  def streamWatermark(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.util.Tables.events(s, d)
+    val split = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-wm")
+    val dataDir = dir.resolve("data")
+    java.nio.file.Files.createDirectories(dataDir)
+    def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+      val stage = dir.resolve(s"stage-$name").toString
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val tgt = dataDir.resolve(name).toFile
+      java.nio.file.Files.move(part.toPath, tgt.toPath)
+      tgt.setLastModified(mtime) // admission order: 00 then 01
+    }
+    writeOne(ev.filter($"ts" < lit(split)), "00.parquet", 1000000L)
+    writeOne(ev.filter($"ts" >= lit(split)), "01.parquet", 2000000L)
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
+    val agg = stream.withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), out(sum(dec($"value"))).as("total_value"))
+      .select($"window.start".as("hour"), $"event_type", $"n", $"total_value")
+    val name = "stream_wm_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy($"hour", $"event_type")
+  }
+
+  val streamWatermarkSql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
+      |FROM events
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+      |GROUP BY 1, 2
+      |ORDER BY hour, event_type""".stripMargin
+
   /** JSONB-style property extraction (Cast(KeyTextTransform(...)),
     * common.py:258-260): pull numeric key out of the events props JSON. */
   def jsonExtract(s: SparkSession, d: String): DataFrame = {
@@ -370,6 +421,7 @@ object Relational {
     "q_scalar_funcs" -> (scalarFuncs _),
     "q_events_hourly" -> (eventsHourly _),
     "q_stream_hourly" -> (streamHourly _),
+    "q_stream_watermark" -> (streamWatermark _),
     "q_json_extract" -> (jsonExtract _),
     "q_running_sum" -> (runningSum _),
     "q_correlated_agg" -> (correlatedAgg _),
@@ -387,6 +439,7 @@ object Relational {
     "q_scalar_funcs" -> scalarFuncsSql,
     "q_events_hourly" -> eventsHourlySql,
     "q_stream_hourly" -> eventsHourlySql,
+    "q_stream_watermark" -> streamWatermarkSql,
     "q_json_extract" -> jsonExtractSql,
     "q_running_sum" -> runningSumSql,
     "q_correlated_agg" -> correlatedAggSql,
