@@ -84,7 +84,7 @@ object GeometryOps {
     def apply(df: DataFrame): DataFrame = {
       val others = df.columns.filter(c => c != geom && c != Op.identifierCol)
       df.select(
-          (col(Op.identifierCol) +: others.map(col)) :+
+          (col(Op.identifierCol) +: others.toIndexedSeq.map(col)) :+
             posexplode(S.st_subdivide(S.st_makevalid(col(geom)), maxVertices)).as(Seq("pos", geom)): _*)
         .withColumn(Op.identifierCol,
           concat(col(Op.identifierCol), lit("-"), col("pos")))

@@ -45,7 +45,7 @@ object Projections {
   case class FilterAttributes(included: Seq[String]) extends Op {
     def apply(df: DataFrame): DataFrame = {
       val keep = df.columns.filter(c => included.contains(c) || c == Op.identifierCol)
-      df.select(keep.map(col): _*)
+      df.select(keep.toIndexedSeq.map(col): _*)
     }
   }
 

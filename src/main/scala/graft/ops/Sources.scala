@@ -132,7 +132,7 @@ object Sources {
       val valueCols = table.columns.filter(_ != tableKey)
       val grouped = table
         .groupBy(col(tableKey).cast("string").as("__joinkey"))
-        .agg(collect_list(struct(valueCols.map(col): _*)).as(property))
+        .agg(collect_list(struct(valueCols.toIndexedSeq.map(col): _*)).as(property))
       df.join(grouped, col(leftKey).cast("string") === col("__joinkey"), "left")
         .drop("__joinkey")
     }

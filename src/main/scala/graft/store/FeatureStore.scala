@@ -106,7 +106,7 @@ object FeatureStore {
        else lit(emptyPoint)).as("geom"),
       (if (df.columns.contains(propertiesCol)) col(propertiesCol).cast("string")
        else to_json(struct(df.columns.filter(c => c != geomCol && c != Op.identifierCol)
-         .map(col): _*))).as("properties"),
+         .toIndexedSeq.map(col): _*))).as("properties"),
       // explicit timestamp for deterministic backfills/replays; wall clock
       // otherwise (the reference's auto_now, terra.py:169)
       updatedAt.map(ts => lit(ts)).getOrElse(current_timestamp()).as("updated_at"))
