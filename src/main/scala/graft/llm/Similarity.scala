@@ -102,6 +102,51 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the second scale path next
+    * to LSH: a k-means coarse quantizer (`nlist` centroids, MLlib KMeans,
+    * seeded) partitions the corpus into cells; each query probes its
+    * `nprobe` nearest cells and ranks only those candidates. Candidate
+    * volume ≈ corpus × nprobe/nlist, tunable like an LSH band count, and
+    * clustered (real-world) embeddings concentrate matching vectors in
+    * few cells — where sign-bit LSH fragments them across hypercube
+    * corners. Corpus assignment is one model pass; probe selection
+    * evaluates ≤ nlist centroid distances per QUERY row (the small side
+    * by construction). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
+              queryId: String = "vec_id", corpusId: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("fv", array_to_vector(col("cv").cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(c)
+    val bucketed = model.transform(c).drop("fv")
+    val centroids = model.clusterCenters.map(_.toArray)
+    val probeCells = udf { (v: Seq[Float]) =>
+      centroids.zipWithIndex.map { case (ctr, i) =>
+        var d = 0.0; var j = 0
+        while (j < ctr.length && j < v.length) {
+          val diff = v(j) - ctr(j); d += diff * diff; j += 1
+        }
+        (d, i)
+      }.sortBy(_._1).take(nprobe).map(_._2)
+    }
+    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(probeCells(col("qv"))))
+    val cand = bucketed.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .distinct()
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH blocking: pairs in the
     * same exact bucket with cosine ≥ threshold. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,

@@ -173,6 +173,17 @@ object Llm {
       .orderBy($"query_id", $"rk")
   }
 
+  /** IVF ANN top-k (k-means coarse quantizer, nprobe cell probing) for
+    * the same 20 queries. Rows-only: the seeded k-means centroids have no
+    * SQL twin; recall vs brute force asserted in LlmSpec. */
+  def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, d)
+    val queries = emb.filter($"vec_id" < 20)
+    Similarity.ivfTopK(queries, emb, k = 5, nlist = 16, nprobe = 3)
+      .orderBy($"query_id", $"rk")
+  }
+
   /** Embedding-cosine near-dup pairs over LSH buckets. Rows-only (may be
     * empty at tiny SF — emit per-bucket candidate stats instead so the
     * row-count check always has rows). */
@@ -195,6 +206,7 @@ object Llm {
     "q_dedup_minhash" -> (minhashDedup _),
     "q_doc_simhash" -> (simhashSketch _),
     "q_emb_ann_topk" -> (annTopK _),
+    "q_emb_ivf_topk" -> (ivfTopK _),
     "q_emb_bucket_stats" -> (embNearDupStats _),
     "q_multimodal_pipeline" -> (multimodalPipeline _),
   )
