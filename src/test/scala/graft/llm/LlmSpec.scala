@@ -127,6 +127,24 @@ class LlmSpec extends SparkTestBase {
     assert(sdiff == 0L)
   }
 
+  test("minhash_words matches the composed pipeline on generated edge-case texts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = Seq("alpha", "Beta", "GAMMA", "δέλτα", "e", "42", "x-y", "ümlaut")
+    val texts = (1 to 60).map { _ =>
+      val n = rnd.nextInt(8) // 0..7 tokens incl. < shingle size
+      (1 to n).map(_ => words(rnd.nextInt(words.length)))
+        .mkString(if (rnd.nextBoolean()) " " else "   ") +
+        (if (rnd.nextBoolean()) "  " else "") // trailing whitespace
+    } :+ "" :+ "   " :+ "one two"
+    val fused = call_function("minhash_words", col("text"), lit(3), lit(64))
+    val composed = Dedup.minhashSignature(Dedup.wordShingles(col("text"), 3), 64)
+    val diff = texts.toDF("text")
+      .select(fused.as("f"), composed.as("c"))
+      .filter(col("f") =!= col("c")).count()
+    assert(diff == 0L)
+  }
+
   test("native lsh_key is bit-identical to the per-plane HOF formulation") {
     val d = "/root/testdata/sf0.001"
     val emb = graft.util.Tables.embeddings(spark, d).limit(200)

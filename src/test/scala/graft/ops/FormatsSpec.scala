@@ -87,6 +87,27 @@ class FormatsSpec extends SparkTestBase {
     assert(math.abs(Algos.area(mp) - 2.0) < 1e-9)
   }
 
+  test("X4 ring stitching reassembles arbitrarily segmented, reversed, shuffled rings") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 25) {
+      // a convex-ish ring of n points on a circle
+      val n = 4 + rnd.nextInt(12)
+      val ring = (0 until n).map { i =>
+        val a = 2 * math.Pi * i / n
+        Coord(math.round(math.cos(a) * 1000) / 10.0, math.round(math.sin(a) * 1000) / 10.0)
+      }.toVector :+ Coord(math.round(math.cos(0) * 1000) / 10.0, 0.0)
+      // cut into 1..4 segments at random positions, reverse some, shuffle
+      val cuts = (1 until ring.length - 1).filter(_ => rnd.nextBoolean()).take(3)
+      val bounds = (0 +: cuts :+ (ring.length - 1)).distinct.sorted
+      val segs = bounds.sliding(2).map { case Seq(a, b) => ring.slice(a, b + 1) }.toSeq
+      val mangled = rnd.shuffle(segs.map(s => if (rnd.nextBoolean()) s.reverse else s))
+      val out = Osm.stitchRings(mangled)
+      assert(out.length == 1, s"trial $trial: expected 1 ring, got ${out.length}")
+      assert(out.head.length == ring.length, s"trial $trial: vertex count")
+      assert(out.head.toSet == ring.toSet, s"trial $trial: vertex set")
+    }
+  }
+
   /** Build a minimal spec-conformant shapefile: one Point record. */
   private def buildPointShp(x: Double, y: Double): Array[Byte] = {
     val contentLen = 4 + 16 // type + xy, bytes
