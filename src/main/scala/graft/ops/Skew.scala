@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation utilities (SURVEY.md §4: "salting for skew"). AQE's
+  * skew-join split handles most sort-merge skew at runtime; salting is
+  * the explicit tool for the cases AQE can't reach — a hot key inside a
+  * single post-shuffle partition of an AGGREGATION, or a join whose skew
+  * only materializes after AQE already locked the plan shape.
+  *
+  * Correctness note: the salt value a row receives does not affect the
+  * RESULT of either utility (the replicated side covers every salt; the
+  * two-phase aggregate re-merges per key), only the distribution of work
+  * — so the salt can be cheap and need not be stable across retries.
+  */
+object Skew {
+
+  /** Equi-join where the LEFT side's key distribution is skewed: left
+    * rows are salted into `factor` sub-keys and the right side is
+    * replicated once per salt, turning one hot `(key)` bucket into
+    * `factor` schedulable `(key, salt)` buckets. Right-side rows are
+    * multiplied by `factor` — use for a moderate-size right side (when
+    * the right side is small enough, prefer `broadcast` instead; when
+    * both sides are huge and skewed, pre-aggregate first). */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 factor: Int, joinType: String = "inner"): DataFrame = {
+    require(factor > 0, "salt factor must be positive")
+    val salted = left.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(factor.toLong)).cast("int"))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Two-phase salted aggregation for hot grouping keys: partial
+    * aggregate on `(key, salt)` (spreads one hot key over `factor`
+    * reducers), then merge per key. The caller supplies the partial
+    * aggregates and how to merge them, e.g.
+    * {{{
+    * Skew.saltedAgg(df, Seq("k"), 8)(
+    *   partial = Seq(count(lit(1)).as("n"), sum($"v").as("s")),
+    *   merge   = Seq(sum($"n").as("n"), sum($"s").as("s")))
+    * }}} */
+  def saltedAgg(df: DataFrame, keys: Seq[String], factor: Int)
+               (partial: Seq[Column], merge: Seq[Column]): DataFrame = {
+    require(factor > 0, "salt factor must be positive")
+    val salted = df.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(factor.toLong)).cast("int"))
+    val keyCols = keys.map(col)
+    salted
+      .groupBy((keyCols :+ col("__salt")): _*)
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(keyCols: _*)
+      .agg(merge.head, merge.tail: _*)
+  }
+}

@@ -233,6 +233,29 @@ class OpsSpec extends SparkTestBase {
       "unbounded kNN needs the broadcast nested-loop (grid would be incorrect)")
   }
 
+  test("skew: salted join and salted agg match their unsalted results on a hot key") {
+    import spark.implicits._
+    // 90% of rows share one key — the shape that melts a single reducer
+    val left = ((1 to 900).map(i => ("hot", i)) ++ (1 to 100).map(i => (s"k$i", i)))
+      .toDF("k", "v")
+    val right = (Seq("hot") ++ (1 to 50).map(i => s"k$i")).map(k => (k, s"r-$k"))
+      .toDF("k", "payload")
+    val plain = left.join(right, Seq("k")).select($"k", $"v", $"payload")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).sorted
+    val salted = Skew.saltedJoin(left, right, "k", factor = 8)
+      .select($"k", $"v", $"payload")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).sorted
+    assert(salted.toSeq == plain.toSeq)
+
+    val plainAgg = left.groupBy($"k").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val saltedAgg = Skew.saltedAgg(left, Seq("k"), factor = 8)(
+        partial = Seq(count(lit(1)).as("n"), sum($"v").as("s")),
+        merge = Seq(sum($"n").as("n"), sum($"s").as("s")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(saltedAgg.toSeq == plainAgg.toSeq)
+  }
+
   test("J4 IntersectionGeom stores unioned clip, empty when none (terra.py:523-557)") {
     import spark.implicits._
     val rects = Seq(("r1", "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"),
