@@ -114,14 +114,21 @@ object Similarity {
     * by construction). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
+              trainSample: Int = 16384, trainIters: Int = 10,
               queryId: String = "vec_id", corpusId: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("fv", array_to_vector(col("cv").cast("array<double>")))
+    // standard IVF practice: train the coarse quantizer on a bounded
+    // sample with few iterations — quantizer quality only shifts the
+    // recall/candidate trade-off, never correctness, and full-corpus
+    // k-means|| would dominate the whole query's runtime
     val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(c)
+      .setMaxIter(trainIters).setInitMode("random")
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(c.limit(trainSample))
     val bucketed = model.transform(c).drop("fv")
     val centroids = model.clusterCenters.map(_.toArray)
     val probeCells = udf { (v: Seq[Float]) =>
