@@ -39,7 +39,10 @@ object Bench {
       // JVM/codegen warmup outside the measured loop
       try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
-      val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // local-iteration escape hatch: SPARK_GRAFT_ONLY=q_a,q_b runs a subset
+      val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+      val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+      val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val err: Option[String] =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }

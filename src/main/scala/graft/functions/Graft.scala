@@ -53,6 +53,9 @@ object Graft {
     "sig_match_frac" -> { args: Seq[Expression] => SigMatchFrac(args(0), args(1)) },
     "vec_dot" -> { args: Seq[Expression] => VecDot(args(0), args(1)) },
     "lsh_key" -> { args: Seq[Expression] => LshKeyExpr(args(0), args(1)) },
+    "text_stats" -> { args: Seq[Expression] => TextStats(args(0)) },
+    "stopword_scores" -> { args: Seq[Expression] => StopwordScores(args(0)) },
+    "canonical_text" -> { args: Seq[Expression] => CanonicalText(args(0)) },
   )
 
   /** Register every st_* expression + the geometric UDAFs on `spark`.

@@ -32,13 +32,13 @@ object TextAnalysis {
   }
 
   /** Per-language stopword regexes for the n-gram/stopword language-ID
-    * heuristic. Word-boundary matching, lowercase input. */
-  val stopwordPatterns: Map[String, String] = Map(
-    "en" -> "\\b(the|and|of|to|in|is|that|for|with|was)\\b",
-    "fr" -> "\\b(le|la|les|de|et|un|une|est|que|pour)\\b",
-    "de" -> "\\b(der|die|das|und|ist|von|mit|ein|eine|zu)\\b",
-    "es" -> "\\b(el|la|los|de|y|que|es|un|una|para)\\b",
-    "it" -> "\\b(il|la|di|e|che|un|una|per|con|del)\\b")
+    * heuristic. Word-boundary matching, lowercase input. Built from the
+    * same word lists the native [[graft.exprs.StopwordScores]] matches, so
+    * the regex and fused paths cannot drift. */
+  val stopwordPatterns: Map[String, String] =
+    graft.exprs.Stopwords.langs.map { case (l, ws) =>
+      l -> ("\\b(" + ws.mkString("|") + ")\\b")
+    }.toMap
 
   def stopwordCount(text: Column, lang: String): Column =
     regexp_count(lower(text), lit(stopwordPatterns(lang)))
@@ -75,6 +75,35 @@ object TextAnalysis {
     * that byte-exact hashing misses. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  // ---- fused single-pass variants (require Graft.init on the session) ----
+  // Bit-identical to the regex forms above (FusedTextSpec asserts parity);
+  // one string scan instead of one regex execution per metric.
+
+  /** All counting stats in one pass: struct<n_chars, n_tokens_ws,
+    * n_tokens_bpe, n_punct, n_upper> ([[graft.exprs.TextStats]]). Alias
+    * the struct ONCE and project fields from the alias — referencing a
+    * non-cheap expression more than once keeps CollapseProject from
+    * re-inlining it per field. */
+  def stats(text: Column): Column = call_function("text_stats", text)
+
+  /** Per-language stopword counts, array aligned with
+    * [[graft.exprs.Stopwords.sortedLangs]]. */
+  def stopwordScores(text: Column): Column = call_function("stopword_scores", text)
+
+  /** Language ID from a [[stopwordScores]] array — same argmax +
+    * tie-break + "und" contract as [[langId]]. */
+  def langIdFromScores(sw: Column): Column = {
+    val scored = graft.exprs.Stopwords.sortedLangs.zipWithIndex.map { case (l, i) =>
+      struct(sw.getItem(i).as("score"), lit(l).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Fingerprint canonical form in one pass ([[graft.exprs.CanonicalText]]);
+    * `md5(canonicalText(text))` == [[fingerprint]]. */
+  def canonicalText(text: Column): Column = call_function("canonical_text", text)
 
   /** Rolling-hash document sketch: min/max xxhash64 over word 3-shingles —
     * a 2-value content signature stable under reordering of whole

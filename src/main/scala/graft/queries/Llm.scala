@@ -17,16 +17,23 @@ import graft.util.Tables._
   */
 object Llm {
 
-  /** Text statistics battery (token counting + quality signals). */
+  /** Text statistics battery (token counting + quality signals). One
+    * fused [[graft.exprs.TextStats]] pass per document, aliased once so
+    * the five projections read fields off a single evaluation. */
   def textStats(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
     import s.implicits._
-    documents(s, d).select(
-      $"doc_id",
-      length($"text").as("n_chars"),
-      TA.tokenCountWs($"text").as("n_tokens_ws"),
-      TA.tokenCountBpe($"text").as("n_tokens_bpe"),
-      round(TA.punctRatio($"text"), 6).as("punct_ratio"),
-      round(TA.upperRatio($"text"), 6).as("upper_ratio"))
+    documents(s, d)
+      .select($"doc_id", TA.stats($"text").as("st"))
+      .select(
+        $"doc_id",
+        $"st.n_chars".as("n_chars"),
+        $"st.n_tokens_ws".as("n_tokens_ws"),
+        $"st.n_tokens_bpe".as("n_tokens_bpe"),
+        round(when($"st.n_chars" === 0, 0.0)
+          .otherwise($"st.n_punct".cast("double") / $"st.n_chars"), 6).as("punct_ratio"),
+        round(when($"st.n_chars" === 0, 0.0)
+          .otherwise($"st.n_upper".cast("double") / $"st.n_chars"), 6).as("upper_ratio"))
       .orderBy($"doc_id")
   }
 
@@ -43,14 +50,20 @@ object Llm {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
-  /** Language ID + per-language stopword evidence. */
+  /** Language ID + per-language stopword evidence. One fused
+    * [[graft.exprs.StopwordScores]] pass scores every language at once
+    * (vs one boundary-alternation regex execution per language). */
   def langId(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
     import s.implicits._
-    documents(s, d).select(
-      $"doc_id",
-      TA.langId($"text").as("lang_guess"),
-      TA.stopwordCount($"text", "en").as("sw_en"),
-      TA.stopwordCount($"text", "es").as("sw_es"))
+    val langs = graft.exprs.Stopwords.sortedLangs
+    documents(s, d)
+      .select($"doc_id", TA.stopwordScores($"text").as("sw"))
+      .select(
+        $"doc_id",
+        TA.langIdFromScores($"sw").as("lang_guess"),
+        $"sw".getItem(langs.indexOf("en")).as("sw_en"),
+        $"sw".getItem(langs.indexOf("es")).as("sw_es"))
       .orderBy($"doc_id")
   }
 
@@ -89,16 +102,20 @@ object Llm {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
-  /** Canonical-form fingerprint (normalized md5) + shingle count. */
+  /** Canonical-form fingerprint (normalized md5) + shingle count. The
+    * canonical form is one [[graft.exprs.CanonicalText]] pass (vs two
+    * whole-document regexp_replace executions); the shingle COUNT is
+    * arithmetic on the fused token count — building the actual shingle
+    * array here cost 7s/5000 docs for a number. (The token count differs
+    * from the old `size(split(trim(lower(text))))` only on blank text —
+    * 0 vs 1 — and `greatest(n-2, 1)` maps both to 1.) */
   def fingerprint(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
     import s.implicits._
-    // shingle COUNT is arithmetic on the token count — building the
-    // actual shingle array here cost 7s/5000 docs for a number
-    val nTokens = size(split(trim(lower($"text")), "\\s+"))
     documents(s, d).select(
       $"doc_id",
-      TA.fingerprint($"text").as("fp"),
-      greatest(nTokens - 2, lit(1)).as("n_shingles"))
+      md5(TA.canonicalText($"text")).as("fp"),
+      greatest(TA.stats($"text").getField("n_tokens_ws") - 2, lit(1)).as("n_shingles"))
       .orderBy($"doc_id")
   }
 

@@ -1,0 +1,104 @@
+package graft.llm
+
+import graft.SparkTestBase
+import graft.llm.{TextAnalysis => TA}
+import org.apache.spark.sql.functions._
+import org.scalatest.prop.TableDrivenPropertyChecks
+
+/** Parity between the fused single-pass text expressions
+  * ([[graft.exprs.TextStats]], [[graft.exprs.StopwordScores]],
+  * [[graft.exprs.CanonicalText]]) and the regex-built columns they
+  * replace. Any drift here would silently break the DuckDB oracles of
+  * q_text_stats / q_text_lang / q_doc_fingerprint, so the corpus cases
+  * deliberately cover the regex edge semantics: empty string, pure
+  * spaces, mixed whitespace with tabs/newlines at the edges (SQL trim
+  * strips 0x20 only; Java split with limit -1 keeps the resulting empty
+  * tokens), digit/letter run boundaries, punctuation classes, word
+  * boundaries around underscores and digits, and non-ASCII symbols.
+  */
+class FusedTextSpec extends SparkTestBase with TableDrivenPropertyChecks {
+  import testImplicits._
+
+  private lazy val testImplicits = spark.implicits
+
+  private val corpus = Seq(
+    "",
+    " ",
+    "   ",
+    "\t",
+    " \t ",
+    "a",
+    " a ",
+    "\ta b\n",
+    "a  b\t\tc",
+    "Hello, World! The quick brown fox.",
+    "the the the and of to",
+    "le la les de et the",
+    "der die das und ist",
+    "el la los de y",
+    "il la di e che",
+    "the_word is not the-word but the word",
+    "the1 the 1the the",
+    "UPPER lower MiXeD 123 a1b2",
+    "..!?;:'\"()[]-",
+    "a.b c.d (e) [f] -g-",
+    "multi\nline\ntext with trailing newline\n",
+    "  leading spaces and trailing  ",
+    "unicode: café naïve über straße",
+    "symbols: ☃ © ®",
+    "tab\tsep\tvals",
+    "1234 5678 90",
+    "Dr. Smith was born in 1970, in the U.S.A.")
+
+  private lazy val df = corpus.toDF("text").cache()
+
+  test("text_stats matches the regex battery field by field") {
+    val fused = df.select(TA.stats($"text").as("st"))
+      .select($"st.n_chars", $"st.n_tokens_ws", $"st.n_tokens_bpe",
+        $"st.n_punct", $"st.n_upper")
+      .collect().map(_.toSeq)
+    val regex = df.select(
+      length($"text"),
+      TA.tokenCountWs($"text"),
+      TA.tokenCountBpe($"text"),
+      length(regexp_replace($"text", "[^.,!?;:'\"()\\[\\]-]", "")),
+      length(regexp_replace($"text", "[^A-Z]", "")))
+      .collect().map(_.toSeq)
+    corpus.indices.foreach { i =>
+      assert(fused(i) == regex(i), s"case ${i}: '${corpus(i)}'")
+    }
+  }
+
+  test("stopword_scores matches regexp_count per language") {
+    val langs = graft.exprs.Stopwords.sortedLangs
+    val fused = df.select(TA.stopwordScores($"text").as("sw"))
+      .select(langs.indices.map(i => $"sw".getItem(i)): _*)
+      .collect().map(_.toSeq)
+    val regex = df.select(langs.map(l => TA.stopwordCount($"text", l)): _*)
+      .collect().map(_.toSeq)
+    corpus.indices.foreach { i =>
+      assert(fused(i) == regex(i), s"case ${i}: '${corpus(i)}'")
+    }
+  }
+
+  test("langIdFromScores matches langId") {
+    val fused = df.select(TA.langIdFromScores(TA.stopwordScores($"text")))
+      .collect().map(_.getString(0))
+    val regex = df.select(TA.langId($"text")).collect().map(_.getString(0))
+    assert(fused.toSeq == regex.toSeq)
+  }
+
+  test("md5(canonical_text) matches the regex fingerprint") {
+    val fused = df.select(md5(TA.canonicalText($"text"))).collect().map(_.getString(0))
+    val regex = df.select(TA.fingerprint($"text")).collect().map(_.getString(0))
+    assert(fused.toSeq == regex.toSeq)
+  }
+
+  test("fused stats evaluate once per row, not once per projected field") {
+    val plan = df.select($"text", TA.stats($"text").as("st"))
+      .select($"st.n_chars", $"st.n_tokens_ws", $"st.n_punct")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("text_stats", -1).length - 1 == 1,
+      s"text_stats should appear exactly once in the physical plan:\n$plan")
+  }
+}
