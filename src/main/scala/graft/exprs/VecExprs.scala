@@ -142,3 +142,86 @@ case class LshKeyExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
   override def prettyName: String = "lsh_key"
 }
+
+/** nearest_cells(vec, centroids, n) — indices of the `n` nearest
+  * centroids by squared Euclidean distance (ties broken by lower index),
+  * the IVF coarse-quantizer assignment/probe primitive. `centroids` must
+  * be a foldable `array<array<double>>` (trained on the driver, shipped
+  * as a literal — a handful of cells × a small dim, so the flattened
+  * matrix is KBs). One JVM loop per row: nlist × dim multiply-adds for
+  * corpus assignment (n=1) and query probing (n=nprobe) alike — no MLlib
+  * model pipeline, no UDF boxing.
+  */
+case class NearestCells(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = first.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = first.dataType match {
+    case ArrayType(FloatType | DoubleType, _) if second.foldable &&
+      second.dataType.isInstanceOf[ArrayType] && third.foldable &&
+      third.dataType == IntegerType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "nearest_cells needs (array<float|double>, foldable array<array<double>>, foldable int)")
+  }
+
+  private lazy val vecFloat = first.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val (flat, nlist, dim) = {
+    val cd = second.eval(null).asInstanceOf[ArrayData]
+    val nc = cd.numElements()
+    val d = if (nc == 0) 0 else cd.getArray(0).numElements()
+    val f = new Array[Double](nc * d)
+    var i = 0
+    while (i < nc) {
+      val row = cd.getArray(i)
+      var j = 0
+      while (j < d) { f(i * d + j) = row.getDouble(j); j += 1 }
+      i += 1
+    }
+    (f, nc, d)
+  }
+
+  override def nullSafeEval(v: Any, _c: Any, nIn: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val probes = math.min(nIn.asInstanceOf[Int], nlist)
+    val n = math.min(vec.numElements(), dim)
+    val dv = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      dv(j) = if (vecFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
+      j += 1
+    }
+    val dists = new Array[Double](nlist)
+    var i = 0
+    while (i < nlist) {
+      var acc = 0.0
+      val off = i * dim
+      var k = 0
+      while (k < n) { val diff = dv(k) - flat(off + k); acc += diff * diff; k += 1 }
+      dists(i) = acc
+      i += 1
+    }
+    // partial selection of the `probes` smallest (d, index) pairs
+    val out = new Array[Int](probes)
+    val taken = new Array[Boolean](nlist)
+    var p = 0
+    while (p < probes) {
+      var best = -1
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < nlist) {
+        if (!taken(c) && dists(c) < bestD) { bestD = dists(c); best = c }
+        c += 1
+      }
+      taken(best) = true
+      out(p) = best
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "nearest_cells"
+}

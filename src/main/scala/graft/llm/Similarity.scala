@@ -102,46 +102,91 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Top-`n` nearest cell indices of a vector column under a trained
+    * centroid matrix (squared Euclidean, ties by index) — one native JVM
+    * loop per row ([[graft.exprs.NearestCells]]). */
+  def nearestCells(vec: Column, centroids: Array[Array[Double]], n: Int): Column = {
+    val centroidsLit = Literal.create(centroids.map(_.toSeq).toSeq,
+      ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false))
+    Shim.column(graft.exprs.NearestCells(Shim.expression(vec), centroidsLit,
+      Literal(n)))
+  }
+
+  /** Deterministic driver-local Lloyd k-means for the IVF coarse
+    * quantizer: seeded distinct-index init, `iters` assignment/update
+    * rounds, empty cells keep their centroid. The training sample is
+    * bounded (`points` ≤ trainSample rows × a small dim), so this is
+    * nlist × dim × iters flops on the driver — microseconds, vs the ~3 s
+    * multi-job floor of an MLlib `KMeans.fit` pipeline at local[32]. On a
+    * cluster the same trade holds: the sample collect is one bounded
+    * job, and quantizer quality only shifts the recall/candidate-volume
+    * trade-off, never correctness. */
+  private[llm] def kmeansLocal(points: Array[Array[Float]], k: Int, iters: Int,
+                               seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "kmeansLocal: empty training sample")
+    val dim = points(0).length
+    val rnd = new java.util.Random(seed)
+    val init = scala.collection.mutable.LinkedHashSet.empty[Int]
+    val target = math.min(k, points.length)
+    while (init.size < target) init += rnd.nextInt(points.length)
+    var centroids = init.toArray.map(i => points(i).map(_.toDouble))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      points.foreach { p =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < centroids.length) {
+          val ctr = centroids(ci)
+          var d = 0.0
+          var j = 0
+          while (j < dim && j < p.length) {
+            val diff = p(j) - ctr(j); d += diff * diff; j += 1
+          }
+          if (d < bestD) { bestD = d; best = ci }
+          ci += 1
+        }
+        counts(best) += 1
+        val s = sums(best)
+        var j = 0
+        while (j < dim && j < p.length) { s(j) += p(j); j += 1 }
+      }
+      centroids = centroids.indices.map { ci =>
+        if (counts(ci) == 0) centroids(ci)
+        else sums(ci).map(_ / counts(ci))
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+
   /** IVF (inverted-file) approximate top-k — the second scale path next
-    * to LSH: a k-means coarse quantizer (`nlist` centroids, MLlib KMeans,
-    * seeded) partitions the corpus into cells; each query probes its
-    * `nprobe` nearest cells and ranks only those candidates. Candidate
-    * volume ≈ corpus × nprobe/nlist, tunable like an LSH band count, and
-    * clustered (real-world) embeddings concentrate matching vectors in
-    * few cells — where sign-bit LSH fragments them across hypercube
-    * corners. Corpus assignment is one model pass; probe selection
-    * evaluates ≤ nlist centroid distances per QUERY row (the small side
-    * by construction). */
+    * to LSH: a k-means coarse quantizer (`nlist` centroids, seeded,
+    * trained driver-local on a bounded sample) partitions the corpus into
+    * cells; each query probes its `nprobe` nearest cells and ranks only
+    * those candidates. Candidate volume ≈ corpus × nprobe/nlist, tunable
+    * like an LSH band count, and clustered (real-world) embeddings
+    * concentrate matching vectors in few cells — where sign-bit LSH
+    * fragments them across hypercube corners. Corpus assignment and probe
+    * selection are the same native [[graft.exprs.NearestCells]] loop
+    * (nlist × dim multiply-adds per row), with the centroid matrix
+    * shipped as a literal. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
               trainSample: Int = 16384, trainIters: Int = 10,
               queryId: String = "vec_id", corpusId: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("fv", array_to_vector(col("cv").cast("array<double>")))
-    // standard IVF practice: train the coarse quantizer on a bounded
-    // sample with few iterations — quantizer quality only shifts the
-    // recall/candidate trade-off, never correctness, and full-corpus
-    // k-means|| would dominate the whole query's runtime
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setMaxIter(trainIters).setInitMode("random")
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(c.limit(trainSample))
-    val bucketed = model.transform(c).drop("fv")
-    val centroids = model.clusterCenters.map(_.toArray)
-    val probeCells = udf { (v: Seq[Float]) =>
-      centroids.zipWithIndex.map { case (ctr, i) =>
-        var d = 0.0; var j = 0
-        while (j < ctr.length && j < v.length) {
-          val diff = v(j) - ctr(j); d += diff * diff; j += 1
-        }
-        (d, i)
-      }.sortBy(_._1).take(nprobe).map(_._2)
-    }
+    // bounded sample → driver k-means (standard IVF practice: quantizer
+    // trained on a sample with few iterations)
+    val sample = c.select(col("cv")).limit(trainSample).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centroids = kmeansLocal(sample, nlist, trainIters, seed)
+    val bucketed = c.withColumn("cell", nearestCells(col("cv"), centroids, 1).getItem(0))
     val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("cell", explode(probeCells(col("qv"))))
+      .withColumn("cell", explode(nearestCells(col("qv"), centroids, nprobe)))
     val cand = bucketed.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
