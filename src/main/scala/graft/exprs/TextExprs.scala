@@ -131,6 +131,60 @@ case class SigMatchFrac(left: Expression, right: Expression)
   override def prettyName: String = "sig_match_frac"
 }
 
+/** simhash_md5(text) — SimHash with an MD5-derived word hash, fused from
+  * raw text: space-trim, `\s+` tokenize, per token take the LOW 64 bits
+  * of the MD5 digest (little-endian over digest bytes 8..15 — exactly
+  * DuckDB's `md5_number_lower`), vote per bit position (+1 set / −1
+  * clear, one vote per token occurrence), sign → signature bit. Same
+  * sketch family as [[SimHash64]] but with a hash both engines can
+  * compute, which makes the raw signature DuckDB-oracle-checkable —
+  * xxhash/murmur have no DuckDB twin, so q_doc_simhash was rows-only
+  * before this. */
+case class SimHashMd5(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(in: Any): Any = {
+    val raw = in.asInstanceOf[UTF8String].toString
+    // SQL trim: strip 0x20 only (both engines)
+    var t0 = 0
+    var t1 = raw.length
+    while (t0 < t1 && raw.charAt(t0) == ' ') t0 += 1
+    while (t1 > t0 && raw.charAt(t1 - 1) == ' ') t1 -= 1
+    val toks = raw.substring(t0, t1).split("\\s+")
+    val md = SimHashMd5.digests.get()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var j = 0
+      while (j < 8) { h |= (d(8 + j).toLong & 0xFFL) << (8 * j); j += 1 }
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "simhash_md5"
+}
+
+object SimHashMd5 {
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+}
+
 case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def nullSafeEval(in: Any): Any = {

@@ -170,15 +170,41 @@ object Llm {
       .orderBy(col("doc_id"))
   }
 
-  /** SimHash signatures + banded candidate count per doc. Rows-only. */
+  /** SimHash signatures per doc — the md5-hash variant
+    * ([[graft.exprs.SimHashMd5]]), whose raw 64-bit signature DuckDB can
+    * recompute exactly (`md5_number_lower` = the same low-64 word hash),
+    * putting the sketch itself under the oracle. The xxhash-family
+    * [[graft.exprs.SimHash64]] powering [[graft.llm.Dedup.simhash]]
+    * remains spec-gated (no DuckDB twin for its word hash). */
   def simhashSketch(s: SparkSession, d: String): DataFrame = {
     Graft.init(s)
     import s.implicits._
     documents(s, d).select(
       $"doc_id",
-      call_function("simhash64", TA.tokensWs($"text")).as("simhash"))
+      call_function("simhash_md5", $"text").as("simhash"))
       .orderBy($"doc_id")
   }
+
+  /** Per-bit vote recomputation in SQL: token j's low-64 md5 bits via
+    * `md5_number_lower`, 64 generate_series bit lanes, sign of the vote
+    * sum, reassembled as a SIGNED BIGINT (bit 63 contributes −2^63). */
+  val simhashSketchSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |  FROM documents
+      |), votes AS (
+      |  SELECT doc_id, b,
+      |         SUM(CASE WHEN (md5_number_lower(w) >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bits
+      |  GROUP BY doc_id, b
+      |)
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN v > 0 THEN
+      |         CASE WHEN b = 63 THEN -9223372036854775808 ELSE (CAST(1 AS BIGINT) << b) END
+      |       ELSE 0 END) AS BIGINT) AS simhash
+      |FROM votes
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 
   /** LSH-bucketed ANN top-k (scale path) for the same 20 queries —
     * rows-only; LlmSpec measures recall vs brute force. */
@@ -340,6 +366,7 @@ object Llm {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_doc_simhash" -> simhashSketchSql,
     "q_dedup_minhash" -> minhashDedupSql,
     "q_multimodal_pipeline" -> multimodalPipelineSql,
     "q_emb_bucket_stats" -> embNearDupStatsSql,
