@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sessionization: split each user's event stream into sessions at
+  * inactivity gaps — the standard event-analytics / training-data
+  * windowing primitive (user journeys, conversation threads, log
+  * episodes). Batch form here; the incremental form is
+  * [[graft.streaming.StreamOps.sessionizeStream]] (flatMapGroupsWithState
+  * + event-time timeout) and both agree on the same closed-session
+  * semantics (SessionizeSpec + the q_sessionize / q_stream_sessions
+  * oracle pair).
+  *
+  * Scale shape: ONE shuffle on the user key; the gap detection and
+  * numbering are window functions over each user's partition (lag +
+  * running sum — state bounded by a user's own events), and the
+  * per-session rollup groups on (user, session_seq), which is
+  * co-partitioned with the window shuffle so AQE coalesces it without a
+  * second exchange of the full data. No driver-side state, no
+  * self-joins; skewed users can be pre-split with [[Skew]] utilities if a
+  * single user's history exceeds a partition.
+  */
+object Sessionize {
+
+  /** Per-event session assignment: `session_seq` is the 1-based session
+    * number within each user, incrementing whenever the gap to the
+    * user's previous event exceeds `gapUs` microseconds. Ordering (and
+    * tie-break on equal timestamps) is (`tsCol`, `tieCol`) — integer
+    * microsecond arithmetic so batch, streaming, and the DuckDB oracle
+    * agree exactly. */
+  def assign(df: DataFrame, gapUs: Long,
+             userCol: String = "user_id", tsCol: String = "ts",
+             tieCol: String = "event_id"): DataFrame = {
+    val order = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val prev = lag(col(tsCol), 1).over(order)
+    val brk = when(prev.isNull ||
+      unix_micros(col(tsCol)) - unix_micros(prev) > gapUs, 1).otherwise(0)
+    df.withColumn("__brk", brk)
+      .withColumn("session_seq",
+        sum(col("__brk")).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__brk")
+  }
+
+  /** Per-session rollup: bounds, event count, and a value sum
+    * accumulated through DECIMAL(18,4)→(38,6) so the result is
+    * order-independent and oracle-exact (same pattern as the relational
+    * aggregates). */
+  def sessions(df: DataFrame, gapUs: Long,
+               userCol: String = "user_id", tsCol: String = "ts",
+               tieCol: String = "event_id",
+               valueCol: String = "value"): DataFrame = {
+    val dec: Column = col(valueCol).cast("decimal(18,4)")
+    assign(df, gapUs, userCol, tsCol, tieCol)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(dec).cast("decimal(38,6)").cast("double").as("total_value"))
+  }
+}

@@ -78,6 +78,92 @@ object StreamOps {
       }
   }
 
+  /** One event row for [[sessionizeStream]] — `ts` keeps the watermarked
+    * TimestampType column (event-time timeout needs it in the plan). */
+  case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** Open-session state: bounds in epoch micros, value sum in
+    * DECIMAL(18,4) units (scaled long — exact, order-independent, same
+    * rounding as `CAST(value AS DECIMAL(18,4))`), and the 1-based session
+    * number. `open=false` is the post-timeout tombstone that preserves
+    * the sequence counter for a (theoretical) successor — on an unbounded
+    * stream you would derive session ids from the start timestamp
+    * instead of keeping tombstones. */
+  case class SessionState(seq: Long, startUs: Long, endUs: Long,
+                          n: Long, sumE4: Long, open: Boolean)
+
+  /** Emitted closed session; bounds in epoch micros (wrap with
+    * `timestamp_micros` downstream). */
+  case class SessionOut(user_id: Long, session_seq: Long, startUs: Long,
+                        endUs: Long, n_events: Long, total_value: Double)
+
+  private def decimalE4(value: Double): Long =
+    java.math.BigDecimal.valueOf(value)
+      .setScale(4, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+
+  private def emitSession(user: Long, st: SessionState): SessionOut = {
+    // DECIMAL(18,4) exact sum → DECIMAL(38,6) → double, the same final
+    // conversion the batch rollup and the DuckDB oracle perform
+    val total = new java.math.BigDecimal(java.math.BigInteger.valueOf(st.sumE4), 4)
+      .setScale(6).doubleValue()
+    SessionOut(user, st.seq, st.startUs, st.endUs, st.n, total)
+  }
+
+  /** Incremental gap sessionization — the streaming twin of
+    * [[graft.ops.Sessionize.sessions]]: per-user state holds the open
+    * session; an event within `gapUs` of the session end extends it, a
+    * later event closes it (emit) and opens the next; the event-time
+    * timeout (watermark passing session end + gap) closes a session no
+    * successor will ever extend. Emission therefore exactly covers (a)
+    * every non-final session of a user, plus (b) final sessions whose
+    * `end + gap` fell behind the last watermark — the closed-form set the
+    * q_stream_sessions oracle recomputes in SQL. Batch events arrive
+    * unordered: sort by (ts, event_id), the batch analogue's window
+    * order. */
+  def sessionizeStream(events: DataFrame, gapUs: Long,
+                       watermarkDelay: String = "1 hour"): Dataset[SessionOut] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val typed = events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[SessionEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.update(st.copy(open = false)) // tombstone keeps seq
+            if (st.open) Iterator.single(emitSession(user, st)) else Iterator.empty
+          } else {
+            def tsUs(e: SessionEvent): Long =
+              e.ts.toInstant.getEpochSecond * 1000000L + e.ts.toInstant.getNano / 1000L
+            val evs = it.toArray.sortBy(e => (tsUs(e), e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var st = state.getOption.orNull
+            evs.foreach { e =>
+              val us = tsUs(e)
+              val v = decimalE4(e.value)
+              if (st == null || !st.open) {
+                val seq = if (st == null) 1L else st.seq + 1
+                st = SessionState(seq, us, us, 1L, v, open = true)
+              } else if (us - st.endUs > gapUs) {
+                closed += emitSession(user, st)
+                st = SessionState(st.seq + 1, us, us, 1L, v, open = true)
+              } else {
+                st = st.copy(endUs = math.max(st.endUs, us), n = st.n + 1, sumE4 = st.sumE4 + v)
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              if (st.open) state.setTimeoutTimestamp((st.endUs + gapUs) / 1000L)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** K1 as a streaming sink: per micro-batch idempotent upsert into the
     * feature store (foreachBatch; replays of a batch converge to the same
     * store state because upsert is keyed on identifier). */

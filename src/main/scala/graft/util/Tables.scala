@@ -18,7 +18,11 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     import org.apache.spark.sql.functions._
-    raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+    // `div`, not `/`: Spark's `/` on longs is DOUBLE division, and at
+    // ~1.7e18 ns doubles are ~256 ns apart — floor(ts/1000.0) lands one
+    // microsecond high whenever the nearest double rounds up across the
+    // boundary. Integer division is the truncation DuckDB applies.
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")

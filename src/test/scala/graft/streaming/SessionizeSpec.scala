@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.ops.Sessionize
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Batch vs streaming sessionization agreement, with hand-placed events
+  * pinning the gap boundary semantics: a successor exactly `gap` after
+  * the session end EXTENDS the session (the break condition is strictly
+  * greater-than, both paths), one microsecond past closes it.
+  */
+class SessionizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val gapUs = 3600L * 1000000 // 1 hour
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // (user_id, event_id, ts, value)
+  private val batch1 = Seq(
+    (1L, 0L, ts("2026-01-01 10:00:00"), 1.5),
+    (1L, 1L, ts("2026-01-01 10:30:00"), 2.25),
+    // exactly gap after 10:30 — extends (break is strict >)
+    (1L, 2L, ts("2026-01-01 11:30:00"), 4.0),
+    // 1 µs past the gap from 11:30 — new session
+    (1L, 3L, Timestamp.from(ts("2026-01-01 12:30:00").toInstant.plusNanos(1000)), 8.0),
+    (2L, 4L, ts("2026-01-01 09:00:00"), 1.0))
+  private val batch2 = Seq(
+    // extends user 1's open session (within gap of 12:30:00.000001)
+    (1L, 5L, ts("2026-01-01 13:00:00"), 0.5),
+    // user 2: far future event closes the 09:00 session and advances the
+    // watermark far enough to time out every other session
+    (2L, 6L, ts("2026-01-03 00:00:00"), 2.0))
+
+  private def batchSessions = Sessionize.sessions(
+    (batch1 ++ batch2).toDF("user_id", "event_id", "ts", "value"), gapUs)
+
+  test("streaming sessions match the batch rollup on the emitted set") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Timestamp, Double)]
+    val sessions = StreamOps.sessionizeStream(
+      input.toDF().toDF("user_id", "event_id", "ts", "value"),
+      gapUs, watermarkDelay = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // one more batch so the watermark from batch2 (2026-01-03) drives
+      // the event-time timeouts
+      input.addData()
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        """SELECT user_id, session_seq, timestamp_micros(startUs) AS session_start,
+          |       timestamp_micros(endUs) AS session_end, n_events, total_value
+          |FROM sess ORDER BY user_id, session_seq""".stripMargin).collect()
+      // watermark (2026-01-03, delay 0) is past every end+gap except user
+      // 2's last session (end == max ts): emitted = all but that one
+      val expected = batchSessions
+        .filter(!($"user_id" === 2 && $"session_seq" === 2))
+        .withColumn("session_seq", $"session_seq".cast("long"))
+        .orderBy($"user_id", $"session_seq").collect()
+      assert(streamed.length == expected.length,
+        s"emitted ${streamed.length} vs expected ${expected.length}")
+      streamed.zip(expected).foreach { case (got, want) =>
+        assert(got == want, s"\n got: $got\nwant: $want")
+      }
+    } finally q.stop()
+  }
+
+  test("batch boundary: event exactly gap-after extends, gap+1us breaks") {
+    val sess = batchSessions.orderBy($"user_id", $"session_seq").collect()
+    // user 1: [10:00, 11:30] (3 events), [12:30:00.000001, 13:00] (2 events)
+    val u1 = sess.filter(_.getLong(0) == 1L)
+    assert(u1.length == 2)
+    assert(u1(0).getAs[Long]("n_events") == 3)
+    assert(u1(0).getAs[Timestamp]("session_end") == ts("2026-01-01 11:30:00"))
+    assert(u1(1).getAs[Long]("n_events") == 2)
+    assert(u1(1).getAs[Double]("total_value") == 8.5)
+  }
+}
