@@ -105,6 +105,25 @@ object TextAnalysis {
     * `md5(canonicalText(text))` == [[fingerprint]]. */
   def canonicalText(text: Column): Column = call_function("canonical_text", text)
 
+  /** [[qualityScore]] recomputed from one [[stats]] struct + one
+    * [[stopwordScores]] element — identical expression shape (and so
+    * bit-identical doubles), two string passes instead of seven regex
+    * executions. `sw` is the stopword count for the scoring language. */
+  def qualityScoreFused(st: Column, sw: Column): Column = {
+    val len = st.getField("n_chars")
+    val toks = st.getField("n_tokens_ws")
+    val punctRatio = when(len === 0, 0.0).otherwise(st.getField("n_punct").cast("double") / len)
+    val upperRatio = when(len === 0, 0.0).otherwise(st.getField("n_upper").cast("double") / len)
+    val swRatio = when(toks === 0, 0.0).otherwise(sw.cast("double") / toks)
+    val lenScore = when(len < 50, len.cast("double") / 50)
+      .when(len > 10000, lit(10000.0) / len)
+      .otherwise(1.0)
+    val punctOk = lit(1.0) - least(punctRatio * 5, lit(1.0))
+    val stopOk = least(swRatio * 4, lit(1.0))
+    val caseOk = lit(1.0) - least(upperRatio * 4, lit(1.0))
+    round(lenScore * 0.3 + punctOk * 0.3 + stopOk * 0.2 + caseOk * 0.2, 6)
+  }
+
   /** Rolling-hash document sketch: min/max xxhash64 over word 3-shingles —
     * a 2-value content signature stable under reordering of whole
     * passages. */

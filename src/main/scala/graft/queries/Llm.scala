@@ -87,6 +87,44 @@ object Llm {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Gopher-style composite quality score (length band, punctuation
+    * noise, stopword prose-ness, shouting) — the fused two-pass form;
+    * the oracle recomputes the identical expression tree over the regex
+    * counting fragments. */
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val idxEn = graft.exprs.Stopwords.sortedLangs.indexOf("en")
+    documents(s, d)
+      .select($"doc_id", TA.stats($"text").as("st"),
+        TA.stopwordScores($"text").getItem(idxEn).as("sw"))
+      .select($"doc_id", TA.qualityScoreFused($"st", $"sw").as("q_score"))
+      .orderBy($"doc_id")
+  }
+
+  val textQualitySql: String = {
+    val en = TA.stopwordPatterns("en")
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    length(text) AS len,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
+       |    length(regexp_replace(text, '[^.,!?;:''"()\\[\\]-]', '', 'g')) AS punct,
+       |    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS uppr,
+       |    len(regexp_extract_all(lower(text), '$en')) AS sw
+       |  FROM documents
+       |)
+       |SELECT doc_id, round(
+       |    (CASE WHEN len < 50 THEN CAST(len AS DOUBLE)/50
+       |          WHEN len > 10000 THEN 10000.0/len ELSE 1.0 END) * 0.3
+       |  + (1.0 - least((CASE WHEN len = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE)/len END) * 5, 1.0)) * 0.3
+       |  + least((CASE WHEN toks = 0 THEN 0.0 ELSE CAST(sw AS DOUBLE)/toks END) * 4, 1.0) * 0.2
+       |  + (1.0 - least((CASE WHEN len = 0 THEN 0.0 ELSE CAST(uppr AS DOUBLE)/len END) * 4, 1.0)) * 0.2,
+       |  6) AS q_score
+       |FROM c
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Exact dedup: canonical group per byte-identical text + dup flag. */
   def exactDedup(s: SparkSession, d: String): DataFrame = {
     Graft.init(s)
@@ -243,6 +281,7 @@ object Llm {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> (textStats _),
     "q_text_lang" -> (langId _),
+    "q_text_quality" -> (textQuality _),
     "q_dedup_exact" -> (exactDedup _),
     "q_doc_fingerprint" -> (fingerprint _),
     "q_emb_cosine_topk" -> (cosineTopK _),
@@ -373,6 +412,7 @@ object Llm {
     "q_emb_ann_topk" -> annTopKSql,
     "q_text_stats" -> textStatsSql,
     "q_text_lang" -> langIdSql,
+    "q_text_quality" -> textQualitySql,
     "q_dedup_exact" -> exactDedupSql,
     "q_doc_fingerprint" -> fingerprintSql,
     "q_emb_cosine_topk" -> cosineTopKSql,

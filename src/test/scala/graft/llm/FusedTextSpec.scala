@@ -94,6 +94,16 @@ class FusedTextSpec extends SparkTestBase with TableDrivenPropertyChecks {
     assert(fused.toSeq == regex.toSeq)
   }
 
+  test("qualityScoreFused matches the regex qualityScore bit-for-bit") {
+    val idxEn = graft.exprs.Stopwords.sortedLangs.indexOf("en")
+    val fused = df
+      .select(TA.stats($"text").as("st"), TA.stopwordScores($"text").getItem(idxEn).as("sw"))
+      .select(TA.qualityScoreFused($"st", $"sw"))
+      .collect().map(_.getDouble(0))
+    val regex = df.select(TA.qualityScore($"text")).collect().map(_.getDouble(0))
+    assert(fused.toSeq == regex.toSeq)
+  }
+
   test("fused stats evaluate once per row, not once per projected field") {
     val plan = df.select($"text", TA.stats($"text").as("st"))
       .select($"st.n_chars", $"st.n_tokens_ws", $"st.n_punct")
