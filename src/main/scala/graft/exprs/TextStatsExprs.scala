@@ -202,6 +202,72 @@ object StopwordScores {
     cp == '_' || Character.isLetterOrDigit(cp)
 }
 
+/** repetition_stats(text) — the Gopher-style repetition filter counters
+  * in one pass: duplicate-line count and top word-bigram frequency, the
+  * standard signals for machine-generated / boilerplate text in web
+  * corpora. Returns struct<n_lines, n_dup_lines, n_bigrams,
+  * top_bigram_n> (all ints):
+  *  - lines split on `\n` (regex split, limit -1 — trailing empty lines
+  *    count, as in `regexp_split_to_array`);
+  *  - `n_dup_lines` = n_lines − distinct lines;
+  *  - bigrams pair adjacent `\s+` tokens of the space-trimmed text
+  *    (joined with one space); `n_bigrams` = max(tokens−1, 0);
+  *  - `top_bigram_n` = the highest bigram multiplicity (0 when no
+  *    bigrams).
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = RepetitionStats.schema
+  override def nullSafeEval(in: Any): Any = {
+    val s = in.asInstanceOf[UTF8String].toString
+    // line stats
+    var nLines = 1
+    val lineCounts = new java.util.HashMap[String, Integer]()
+    var start = 0
+    var i = 0
+    var dup = 0
+    def addLine(l: String): Unit = {
+      val prev = lineCounts.get(l)
+      if (prev == null) lineCounts.put(l, 1) else { lineCounts.put(l, prev + 1); dup += 1 }
+    }
+    while (i < s.length) {
+      if (s.charAt(i) == '\n') { addLine(s.substring(start, i)); nLines += 1; start = i + 1 }
+      i += 1
+    }
+    addLine(s.substring(start))
+    // bigram stats over \s+ tokens of the space-trimmed text
+    var t0 = 0
+    var t1 = s.length
+    while (t0 < t1 && s.charAt(t0) == ' ') t0 += 1
+    while (t1 > t0 && s.charAt(t1 - 1) == ' ') t1 -= 1
+    val toks = s.substring(t0, t1).split("\\s+")
+    val nBigrams = math.max(toks.length - 1, 0)
+    var topBigram = 0
+    if (nBigrams > 0) {
+      val bigramCounts = new java.util.HashMap[String, Integer]()
+      var j = 0
+      while (j < toks.length - 1) {
+        val bg = toks(j) + " " + toks(j + 1)
+        val prev = bigramCounts.get(bg)
+        val n = if (prev == null) 1 else prev + 1
+        bigramCounts.put(bg, n)
+        if (n > topBigram) topBigram = n
+        j += 1
+      }
+    }
+    InternalRow(nLines, dup, nBigrams, topBigram)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "repetition_stats"
+}
+
+object RepetitionStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_dup_lines", IntegerType, nullable = false),
+    StructField("n_bigrams", IntegerType, nullable = false),
+    StructField("top_bigram_n", IntegerType, nullable = false)))
+}
+
 /** canonical_text(text) — the fingerprint canonical form in one pass:
   * lowercase (same `UTF8String.toLowerCase` as `lower()`), drop every
   * codepoint outside `[a-z0-9 ]`, collapse space runs to a single space.

@@ -57,6 +57,7 @@ object Graft {
     "text_stats" -> { args: Seq[Expression] => TextStats(args(0)) },
     "stopword_scores" -> { args: Seq[Expression] => StopwordScores(args(0)) },
     "canonical_text" -> { args: Seq[Expression] => CanonicalText(args(0)) },
+    "repetition_stats" -> { args: Seq[Expression] => RepetitionStats(args(0)) },
   )
 
   /** Register every st_* expression + the geometric UDAFs on `spark`.

@@ -125,6 +125,72 @@ object Llm {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Corpus vocabulary top-100: the classic distributed wordcount shape —
+    * explode words, hash-aggregate with map-side partial combine, global
+    * top-k via TakeOrdered (no full sort shuffle). Total order by
+    * (count desc, word) keeps the LIMIT deterministic. */
+  def vocabTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(explode(split(trim(lower($"text")), "\\s+")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"word")
+      .limit(100)
+  }
+
+  val vocabTopKSql: String =
+    """WITH words AS (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+      |  FROM documents
+      |)
+      |SELECT word, COUNT(*) AS n
+      |FROM words WHERE word <> ''
+      |GROUP BY word
+      |ORDER BY n DESC, word
+      |LIMIT 100""".stripMargin
+
+  /** Gopher repetition filters (duplicate lines, dominant bigram) via the
+    * fused [[graft.exprs.RepetitionStats]] pass; the oracle recomputes
+    * line distinct-counts and bigram multiplicities relationally. */
+  def textRepetition(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id", call_function("repetition_stats", $"text").as("rs"))
+      .select($"doc_id", $"rs.n_lines".as("n_lines"), $"rs.n_dup_lines".as("n_dup_lines"),
+        $"rs.n_bigrams".as("n_bigrams"), $"rs.top_bigram_n".as("top_bigram_n"))
+      .orderBy($"doc_id")
+  }
+
+  val textRepetitionSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |), lines AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, '\n')) AS line FROM base
+      |), lstat AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_lines,
+      |         CAST(COUNT(*) - COUNT(DISTINCT line) AS INTEGER) AS n_dup_lines
+      |  FROM lines GROUP BY 1
+      |), toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM base
+      |), bg AS (
+      |  SELECT doc_id, ws[u] || ' ' || ws[u+1] AS bigram
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS u
+      |        FROM toks WHERE len(ws) >= 2)
+      |), bstat AS (
+      |  SELECT doc_id, CAST(SUM(c) AS INTEGER) AS n_bigrams,
+      |         CAST(MAX(c) AS INTEGER) AS top_bigram_n
+      |  FROM (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+      |  GROUP BY doc_id
+      |)
+      |SELECT b.doc_id, l.n_lines, l.n_dup_lines,
+      |  COALESCE(bs.n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(bs.top_bigram_n, 0) AS top_bigram_n
+      |FROM base b JOIN lstat l USING (doc_id) LEFT JOIN bstat bs USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin
+
   /** Exact dedup: canonical group per byte-identical text + dup flag. */
   def exactDedup(s: SparkSession, d: String): DataFrame = {
     Graft.init(s)
@@ -282,6 +348,8 @@ object Llm {
     "q_text_stats" -> (textStats _),
     "q_text_lang" -> (langId _),
     "q_text_quality" -> (textQuality _),
+    "q_text_repetition" -> (textRepetition _),
+    "q_vocab_topk" -> (vocabTopK _),
     "q_dedup_exact" -> (exactDedup _),
     "q_doc_fingerprint" -> (fingerprint _),
     "q_emb_cosine_topk" -> (cosineTopK _),
@@ -413,6 +481,8 @@ object Llm {
     "q_text_stats" -> textStatsSql,
     "q_text_lang" -> langIdSql,
     "q_text_quality" -> textQualitySql,
+    "q_text_repetition" -> textRepetitionSql,
+    "q_vocab_topk" -> vocabTopKSql,
     "q_dedup_exact" -> exactDedupSql,
     "q_doc_fingerprint" -> fingerprintSql,
     "q_emb_cosine_topk" -> cosineTopKSql,

@@ -433,6 +433,26 @@ object Relational {
        |      < (SELECT max(epoch_us(ts)) FROM events) // 1000 - 3600000
        |ORDER BY user_id, session_seq""".stripMargin
 
+  /** Two-phase salted aggregation ([[graft.ops.Skew.saltedAgg]]) over the
+    * events table — driver-gates the skew utility: the salted partial →
+    * merge pipeline must produce EXACTLY the plain GROUP BY's rows
+    * (DECIMAL partials make the two-phase sum order-independent, so the
+    * salt cannot leak into the result). */
+  def skewAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Skew.saltedAgg(events(s, d), Seq("event_type"), factor = 8)(
+      partial = Seq(count(lit(1)).as("pn"), sum(dec($"value")).as("ps")),
+      merge = Seq(sum($"pn").as("n"), out(sum($"ps")).as("total_value")))
+      .orderBy($"event_type")
+  }
+
+  val skewAggSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Gap-based sessionization over the events table (8-hour inactivity
     * gap): lag → break flag → running sum → per-session rollup, one
     * shuffle on user_id ([[graft.ops.Sessionize]]). */
@@ -560,6 +580,7 @@ object Relational {
     "q_stream_watermark" -> (streamWatermark _),
     "q_sessionize" -> (sessionize _),
     "q_stream_sessions" -> (streamSessions _),
+    "q_skew_agg" -> (skewAgg _),
     "q_json_extract" -> (jsonExtract _),
     "q_running_sum" -> (runningSum _),
     "q_correlated_agg" -> (correlatedAgg _),
@@ -580,6 +601,7 @@ object Relational {
     "q_stream_watermark" -> streamWatermarkSql,
     "q_sessionize" -> sessionizeSql,
     "q_stream_sessions" -> streamSessionsSql,
+    "q_skew_agg" -> skewAggSql,
     "q_json_extract" -> jsonExtractSql,
     "q_running_sum" -> runningSumSql,
     "q_correlated_agg" -> correlatedAggSql,

@@ -104,6 +104,24 @@ class FusedTextSpec extends SparkTestBase with TableDrivenPropertyChecks {
     assert(fused.toSeq == regex.toSeq)
   }
 
+  test("repetition_stats matches a plain-Scala recomputation") {
+    val got = df.select(call_function("repetition_stats", $"text").as("rs"))
+      .select($"rs.n_lines", $"rs.n_dup_lines", $"rs.n_bigrams", $"rs.top_bigram_n")
+      .collect().map(_.toSeq)
+    corpus.zipWithIndex.foreach { case (text, i) =>
+      val lines = text.split("\n", -1)
+      val nDup = lines.length - lines.distinct.length
+      val toks = {
+        val t = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+        t.split("\\s+")
+      }
+      val bigrams = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val top = if (bigrams.isEmpty) 0 else bigrams.groupBy(identity).values.map(_.size).max
+      val want = Seq(lines.length, nDup, math.max(toks.length - 1, 0), top)
+      assert(got(i) == want, s"case $i: '$text'")
+    }
+  }
+
   test("fused stats evaluate once per row, not once per projected field") {
     val plan = df.select($"text", TA.stats($"text").as("st"))
       .select($"st.n_chars", $"st.n_tokens_ws", $"st.n_punct")
