@@ -70,6 +70,21 @@ object TextAnalysis {
     round(lenScore * 0.3 + punctOk * 0.3 + stopOk * 0.2 + caseOk * 0.2, 6)
   }
 
+  /** PII scrubbing patterns — deliberately restricted to constructs with
+    * identical semantics in Java regex and RE2/DuckDB (character classes
+    * and greedy counted repetition; no \b, no lookaround), so the
+    * redaction is oracle-checkable. */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern: String = "\\+?[0-9][0-9()\\s.-]{6,}[0-9]"
+
+  def countEmails(text: Column): Column = regexp_count(text, lit(emailPattern))
+  def countPhones(text: Column): Column = regexp_count(text, lit(phonePattern))
+
+  /** Redact emails then phone numbers (order matters: the email pass
+    * removes digit runs that could otherwise partially phone-match). */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"), phonePattern, "<PHONE>")
+
   /** Canonical-form fingerprint: md5 of lowercased text with punctuation
     * and whitespace runs collapsed — catches trivially-edited duplicates
     * that byte-exact hashing misses. */

@@ -191,6 +191,44 @@ object Llm {
       |FROM base b JOIN lstat l USING (doc_id) LEFT JOIN bstat bs USING (doc_id)
       |ORDER BY b.doc_id""".stripMargin
 
+  /** PII scrubbing over synthesized contact strings (the documents corpus
+    * carries no PII, so the text is built in-plan from the customer table
+    * — every row contains a real email and phone for the patterns to
+    * hit). Counts are taken BEFORE redaction; both engines run the
+    * string-identical patterns. */
+  def piiRedact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val text = concat(
+      lit("contact "), $"c_name", lit(" at user"), $"c_custkey",
+      lit("@example.com or +1 555-"),
+      lpad(($"c_custkey" % 10000).cast("string"), 4, "0"), lit(" now"))
+    customer(s, d)
+      .select($"c_custkey", text.as("text"))
+      .select(
+        $"c_custkey",
+        TA.countEmails($"text").as("n_emails"),
+        TA.countPhones($"text").as("n_phones"),
+        TA.redactPii($"text").as("redacted"))
+      .orderBy($"c_custkey")
+  }
+
+  val piiRedactSql: String = {
+    val em = TA.emailPattern
+    val ph = TA.phonePattern
+    s"""WITH t AS (
+       |  SELECT c_custkey,
+       |    'contact ' || c_name || ' at user' || c_custkey || '@example.com or +1 555-' ||
+       |    lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || ' now' AS text
+       |  FROM customer
+       |)
+       |SELECT c_custkey,
+       |  CAST(len(regexp_extract_all(text, '$em')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$ph')) AS INTEGER) AS n_phones,
+       |  regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g') AS redacted
+       |FROM t
+       |ORDER BY c_custkey""".stripMargin
+  }
+
   /** Exact dedup: canonical group per byte-identical text + dup flag. */
   def exactDedup(s: SparkSession, d: String): DataFrame = {
     Graft.init(s)
@@ -350,6 +388,7 @@ object Llm {
     "q_text_quality" -> (textQuality _),
     "q_text_repetition" -> (textRepetition _),
     "q_vocab_topk" -> (vocabTopK _),
+    "q_pii_redact" -> (piiRedact _),
     "q_dedup_exact" -> (exactDedup _),
     "q_doc_fingerprint" -> (fingerprint _),
     "q_emb_cosine_topk" -> (cosineTopK _),
@@ -483,6 +522,7 @@ object Llm {
     "q_text_quality" -> textQualitySql,
     "q_text_repetition" -> textRepetitionSql,
     "q_vocab_topk" -> vocabTopKSql,
+    "q_pii_redact" -> piiRedactSql,
     "q_dedup_exact" -> exactDedupSql,
     "q_doc_fingerprint" -> fingerprintSql,
     "q_emb_cosine_topk" -> cosineTopKSql,
