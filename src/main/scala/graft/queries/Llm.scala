@@ -7,13 +7,17 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
 import graft.util.Tables._
 
 /** Training-data-pipeline query surface over the `documents` and
-  * `embeddings` tables: dedup, similarity search, text analysis. Oracles
-  * are plain DuckDB SQL where the semantics are SQL-expressible (md5,
-  * regex counts, list_cosine_similarity, exact shingle Jaccard for the
-  * minhash grouping, frame/dim invariants for multimodal); the remaining
-  * raw-sketch outputs (SimHash bits, LSH bucket keys — xxhash64 has no
-  * DuckDB twin) get rows-only checks here and exact assertions in
-  * LlmSpec.
+  * `embeddings` tables: dedup, similarity search, text analysis, quality
+  * and repetition filters, PII scrubbing, vocabulary stats. Oracles are
+  * plain DuckDB SQL everywhere the semantics are SQL-expressible (md5 /
+  * md5_number_lower, regex counts, list_cosine_similarity, exact shingle
+  * Jaccard for the minhash grouping, frame/dim invariants for
+  * multimodal); the hot single-document passes run as fused native
+  * expressions (exprs.TextStats / StopwordScores / CanonicalText /
+  * RepetitionStats / SimHashMd5) whose bit-parity with the regex
+  * formulations is spec-pinned (FusedTextSpec). The one remaining
+  * rows-only query is the IVF ANN (data-dependent centroids have no SQL
+  * twin; recall is spec-gated against brute force).
   */
 object Llm {
 
