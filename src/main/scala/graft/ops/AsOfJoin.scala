@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** As-of join — for every left row, the right row with the greatest
+  * timestamp at-or-before the left timestamp within the same key (the
+  * time-series enrichment join Spark has no built-in operator for;
+  * DuckDB's `ASOF JOIN` is the oracle twin).
+  *
+  * Spark-first shape: instead of a range join (which Catalyst would plan
+  * as a broadcast/cartesian + filter, exploding candidate pairs) both
+  * sides are TAGGED and UNIONED, hash-partitioned ONCE on the key, and a
+  * running `last(payload, ignoreNulls)` window ordered by (ts, side,
+  * tie) carries the newest right payload into each left row: right rows
+  * sort before left rows at the same timestamp (non-strict `<=`), and
+  * the tie column makes equal-timestamp right rows deterministic (the
+  * greatest tie wins, i.e. dedup-keep-max). One shuffle, O(1) window
+  * state per row, left rows with no prior right row keep a null payload
+  * (left-join semantics). Skew: a hot key is one user's history — the
+  * same bound as any per-key window; pre-split with [[Skew]] if a single
+  * key outgrows a partition.
+  */
+object AsOfJoin {
+
+  /** @param left         left rows; ALL its columns are preserved
+    * @param right        right rows, pre-projected to `key`, `tsCol`,
+    *                     `rightTie` and the payload columns (alias any
+    *                     name that clashes with a left column first)
+    * @param key          equi-join key column (both sides)
+    * @param tsCol        event-time column (both sides)
+    * @param rightPayload payload columns carried from the right side
+    * @param rightTie     right-side tie-break column (greatest wins on
+    *                     equal timestamps) */
+  def latestAtOrBefore(left: DataFrame, right: DataFrame, key: String,
+                       tsCol: String, rightPayload: Seq[String],
+                       rightTie: String): DataFrame = {
+    val payloadType = StructType(right.select(rightPayload.map(col): _*).schema.fields)
+    val leftType = StructType(left.schema.fields)
+    val l = left.select(
+      col(key).as("__key"), col(tsCol).as("__ts"), lit(1).as("__side"),
+      lit(null).cast("long").as("__tie"),
+      struct(left.columns.map(col): _*).as("__left"),
+      lit(null).cast(payloadType).as("__asof"))
+    val r = right.select(
+      col(key).as("__key"), col(tsCol).as("__ts"), lit(0).as("__side"),
+      col(rightTie).cast("long").as("__tie"),
+      lit(null).cast(leftType).as("__left"),
+      struct(rightPayload.map(col): _*).as("__asof"))
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = l.unionByName(r)
+      .withColumn("__carry", last(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    out.select(
+      left.columns.map(c => col(s"__left.$c").as(c)) ++
+        rightPayload.map(p => col(s"__carry.$p").as(p)): _*)
+  }
+}

@@ -433,6 +433,37 @@ object Relational {
        |      < (SELECT max(epoch_us(ts)) FROM events) // 1000 - 3600000
        |ORDER BY user_id, session_seq""".stripMargin
 
+  /** As-of join on the events table: every `error` event enriched with
+    * the same user's latest `click` at-or-before it
+    * ([[graft.ops.AsOfJoin]] — union + running-last, one shuffle). The
+    * oracle is DuckDB's native ASOF LEFT JOIN. */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val errors = ev.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id".as("click_id"),
+        $"ts".as("click_ts"))
+    graft.ops.AsOfJoin.latestAtOrBefore(
+      errors, clicks, key = "user_id", tsCol = "ts",
+      rightPayload = Seq("click_id", "click_ts"), rightTie = "click_id")
+      .withColumn("gap_us", unix_micros($"ts") - unix_micros($"click_ts"))
+      .orderBy($"event_id")
+  }
+
+  val asofJoinSql: String =
+    """WITH errors AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+      |), clicks AS (
+      |  SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'
+      |)
+      |SELECT e.event_id, e.user_id, e.ts, c.click_id, c.ts AS click_ts,
+      |  epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+      |FROM errors e ASOF LEFT JOIN clicks c
+      |  ON e.user_id = c.user_id AND e.ts >= c.ts
+      |ORDER BY e.event_id""".stripMargin
+
   /** Two-phase salted aggregation ([[graft.ops.Skew.saltedAgg]]) over the
     * events table — driver-gates the skew utility: the salted partial →
     * merge pipeline must produce EXACTLY the plain GROUP BY's rows
@@ -581,6 +612,7 @@ object Relational {
     "q_sessionize" -> (sessionize _),
     "q_stream_sessions" -> (streamSessions _),
     "q_skew_agg" -> (skewAgg _),
+    "q_asof_join" -> (asofJoin _),
     "q_json_extract" -> (jsonExtract _),
     "q_running_sum" -> (runningSum _),
     "q_correlated_agg" -> (correlatedAgg _),
@@ -602,6 +634,7 @@ object Relational {
     "q_sessionize" -> sessionizeSql,
     "q_stream_sessions" -> streamSessionsSql,
     "q_skew_agg" -> skewAggSql,
+    "q_asof_join" -> asofJoinSql,
     "q_json_extract" -> jsonExtractSql,
     "q_running_sum" -> runningSumSql,
     "q_correlated_agg" -> correlatedAggSql,

@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkTestBase
+import java.sql.Timestamp
+
+/** AsOfJoin.latestAtOrBefore edge semantics: non-strict at-or-before
+  * (equal timestamps match), greatest-tie wins among equal-timestamp
+  * right rows, null payload when no right row precedes, and keys never
+  * bleed into each other.
+  */
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of picks latest at-or-before with max-tie on equal timestamps") {
+    val left = Seq(
+      (100L, 1L, ts("2026-01-01 00:00:09")), // before any right row → null
+      (101L, 1L, ts("2026-01-01 00:00:10")), // equal ts → row 2 (max tie)
+      (102L, 1L, ts("2026-01-01 00:00:15")), // after 12 → row 3
+      (103L, 2L, ts("2026-01-01 00:00:30"))  // other key: only row 9
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, 1L, ts("2026-01-01 00:00:10")),
+      (2L, 1L, ts("2026-01-01 00:00:10")), // same ts, larger tie
+      (3L, 1L, ts("2026-01-01 00:00:12")),
+      (9L, 2L, ts("2026-01-01 00:00:01"))
+    ).toDF("click_id", "user_id", "ts")
+      .select($"user_id", $"ts", $"click_id", $"ts".as("click_ts"))
+
+    val out = AsOfJoin.latestAtOrBefore(left, right, key = "user_id",
+      tsCol = "ts", rightPayload = Seq("click_id", "click_ts"), rightTie = "click_id")
+      .orderBy($"event_id")
+      .select($"event_id", $"click_id")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+
+    assert(out.toSeq == Seq((100L, -1L), (101L, 2L), (102L, 3L), (103L, 9L)))
+  }
+
+  test("left columns and row count are preserved (left-join semantics)") {
+    val left = Seq((1L, 7L, ts("2026-01-01 00:00:01"), "x"))
+      .toDF("event_id", "user_id", "ts", "extra")
+    val right = Seq((5L, 8L, ts("2026-01-01 00:00:00")))
+      .toDF("click_id", "user_id", "ts")
+      .select($"user_id", $"ts", $"click_id")
+    val out = AsOfJoin.latestAtOrBefore(left, right, "user_id", "ts", Seq("click_id"), "click_id")
+    assert(out.columns.toSeq == Seq("event_id", "user_id", "ts", "extra", "click_id"))
+    val rows = out.collect()
+    assert(rows.length == 1 && rows(0).isNullAt(4) && rows(0).getString(3) == "x")
+  }
+}
