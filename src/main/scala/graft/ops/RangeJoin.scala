@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join — match each point-in-time row to every
+  * interval containing it. Spark plans a raw `BETWEEN` join as a
+  * broadcast/cartesian nested loop with a post-filter: candidate pairs =
+  * |points| × |intervals|, which dies at scale. The scale shape is the
+  * same trick as the spatial grid join: quantize time into fixed buckets
+  * of roughly the typical interval length, explode each interval over
+  * the buckets it touches, hash the points into their single bucket, and
+  * EQUI-join on the bucket key before applying the exact containment
+  * predicate. Candidate volume is bounded by per-bucket density instead
+  * of the cross product; the join is a plain shuffle join (AQE skew
+  * handling applies); the explode factor is ≤ interval_len/bucket + 1.
+  *
+  * Pair uniqueness by construction: a point lives in exactly one bucket
+  * and an interval is exploded at most once per bucket, so no dedup pass
+  * is needed after the filter.
+  */
+object RangeJoin {
+
+  /** Half-open containment: `start <= point < end`. Callers pre-alias
+    * clashing column names (both inputs' columns survive the join).
+    * `bucketUs` should approximate the typical interval length. */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      pointTs: String, startTs: String, endTs: String,
+                      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    // CAST(.. AS TIMESTAMP) tolerates TIMESTAMP_NTZ inputs (unix_micros
+    // alone rejects them); with the session pinned to UTC the cast is
+    // value-preserving.
+    val p = points.withColumn("__bucket",
+      expr(s"unix_micros(CAST($pointTs AS TIMESTAMP)) div $bucketUs"))
+    val i = intervals.withColumn("__bucket",
+      explode(sequence(
+        expr(s"unix_micros(CAST($startTs AS TIMESTAMP)) div $bucketUs"),
+        expr(s"unix_micros(CAST($endTs AS TIMESTAMP)) div $bucketUs"))))
+    p.join(i, Seq("__bucket"))
+      .filter(col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
+      .drop("__bucket")
+  }
+}

@@ -464,6 +464,37 @@ object Relational {
       |  ON e.user_id = c.user_id AND e.ts >= c.ts
       |ORDER BY e.event_id""".stripMargin
 
+  /** Range join: each (sampled) lineitem shipment matched to every order
+    * whose 7-day window contains the ship date
+    * ([[graft.ops.RangeJoin]] — bucketed equi-join, never a nested
+    * loop), then rolled up per lineitem. */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val points = lineitem(s, d).filter($"l_partkey" < 40)
+      .select($"l_orderkey", $"l_linenumber", $"l_shipdate")
+    val intervals = orders(s, d).select(
+      $"o_orderkey", $"o_totalprice",
+      $"o_orderdate".as("win_start"),
+      ($"o_orderdate" + expr("INTERVAL 7 DAYS")).as("win_end"))
+    graft.ops.RangeJoin.pointInInterval(points, intervals,
+      pointTs = "l_shipdate", startTs = "win_start", endTs = "win_end",
+      bucketUs = 7L * 24 * 3600 * 1000000)
+      .groupBy($"l_orderkey", $"l_linenumber")
+      .agg(count(lit(1)).as("n_orders"),
+        out(sum(dec($"o_totalprice"))).as("total_price"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val rangeJoinSql: String =
+    """SELECT l.l_orderkey, l.l_linenumber, COUNT(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_price
+      |FROM lineitem l JOIN orders o
+      |  ON l.l_shipdate >= o.o_orderdate
+      | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+      |WHERE l.l_partkey < 40
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** Two-phase salted aggregation ([[graft.ops.Skew.saltedAgg]]) over the
     * events table — driver-gates the skew utility: the salted partial →
     * merge pipeline must produce EXACTLY the plain GROUP BY's rows
@@ -613,6 +644,7 @@ object Relational {
     "q_stream_sessions" -> (streamSessions _),
     "q_skew_agg" -> (skewAgg _),
     "q_asof_join" -> (asofJoin _),
+    "q_range_join" -> (rangeJoin _),
     "q_json_extract" -> (jsonExtract _),
     "q_running_sum" -> (runningSum _),
     "q_correlated_agg" -> (correlatedAgg _),
@@ -635,6 +667,7 @@ object Relational {
     "q_stream_sessions" -> streamSessionsSql,
     "q_skew_agg" -> skewAggSql,
     "q_asof_join" -> asofJoinSql,
+    "q_range_join" -> rangeJoinSql,
     "q_json_extract" -> jsonExtractSql,
     "q_running_sum" -> runningSumSql,
     "q_correlated_agg" -> correlatedAggSql,

@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkTestBase
+import java.sql.Timestamp
+
+/** RangeJoin.pointInInterval edges: half-open [start, end) boundaries,
+  * intervals spanning multiple buckets (the explode path), pair
+  * uniqueness, and no-match points dropping out (inner semantics).
+  */
+class RangeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val hourUs = 3600L * 1000000
+
+  test("half-open containment with multi-bucket intervals, unique pairs") {
+    val points = Seq(
+      (1L, ts("2026-01-01 10:00:00")), // == start → in
+      (2L, ts("2026-01-01 13:59:59")), // just inside
+      (3L, ts("2026-01-01 14:00:00")), // == end → OUT (half-open)
+      (4L, ts("2026-01-01 09:59:59")), // before → out
+      (5L, ts("2026-01-01 12:30:00"))  // mid, crosses bucket boundary
+    ).toDF("pid", "pt")
+    // one 4-hour interval with a 1-hour bucket → explodes over 5 buckets
+    val intervals = Seq(
+      (100L, ts("2026-01-01 10:00:00"), ts("2026-01-01 14:00:00"))
+    ).toDF("iid", "start", "end")
+
+    val out = RangeJoin.pointInInterval(points, intervals,
+      pointTs = "pt", startTs = "start", endTs = "end", bucketUs = hourUs)
+      .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+
+    assert(out.toSeq == Seq((1L, 100L), (2L, 100L), (5L, 100L)))
+  }
+
+  test("a point matches every covering interval exactly once") {
+    val points = Seq((1L, ts("2026-01-01 12:00:00"))).toDF("pid", "pt")
+    val intervals = Seq(
+      (10L, ts("2026-01-01 11:00:00"), ts("2026-01-01 13:00:00")),
+      (11L, ts("2026-01-01 00:00:00"), ts("2026-01-02 00:00:00")),
+      (12L, ts("2026-01-01 12:00:01"), ts("2026-01-01 13:00:00"))
+    ).toDF("iid", "start", "end")
+    val out = RangeJoin.pointInInterval(points, intervals, "pt", "start", "end", hourUs)
+      .select($"iid").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(10L, 11L))
+  }
+}
