@@ -71,25 +71,66 @@ object Llm {
       .orderBy($"doc_id")
   }
 
-  val langIdSql: String = {
+  /** DuckDB expression computing the language guess — (score, lang)
+    * encoded as a zero-padded sortable string so `greatest()` over
+    * VARCHAR reproduces Spark's struct-greatest tie-break exactly
+    * (max score, then max lang code). */
+  private val langGuessSqlExpr: String = {
     val pats = TA.stopwordPatterns.toSeq.sortBy(_._1)
-    // (score, lang) encoded as a zero-padded sortable string: greatest()
-    // over VARCHAR reproduces Spark's struct-greatest tie-break exactly
-    // (max score, then max lang code).
     val encoded = pats.map { case (l, p) =>
       s"printf('%010d|%s', len(regexp_extract_all(lower(text), '$p')), '$l')"
     }.mkString(", ")
     val maxScore = pats.map { case (_, p) =>
       s"len(regexp_extract_all(lower(text), '$p'))"
     }.mkString(", ")
+    s"""CASE WHEN greatest($maxScore) = 0 THEN 'und'
+       |       ELSE split_part(greatest($encoded), '|', 2) END""".stripMargin
+  }
+
+  val langIdSql: String =
     s"""SELECT doc_id,
-       |  CASE WHEN greatest($maxScore) = 0 THEN 'und'
-       |       ELSE split_part(greatest($encoded), '|', 2) END AS lang_guess,
+       |  $langGuessSqlExpr AS lang_guess,
        |  len(regexp_extract_all(lower(text), '${TA.stopwordPatterns("en")}')) AS sw_en,
        |  len(regexp_extract_all(lower(text), '${TA.stopwordPatterns("es")}')) AS sw_es
        |FROM documents
        |ORDER BY doc_id""".stripMargin
+
+  /** Corpus profile: per-language document counts and length quantiles —
+    * the data-profiling rollup a curation pipeline runs before filter
+    * tuning. Quantiles are exact `percentile` at DYADIC fractions
+    * (0.25/0.5/0.75/0.875) over integer lengths: the linear interpolation
+    * `lower + frac·(upper−lower)` is then exact binary arithmetic in both
+    * engines, so the result is hash-identical to DuckDB's
+    * `quantile_cont`. */
+  def docProfile(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    documents(s, d)
+      .select(TA.langIdFromScores(TA.stopwordScores($"text")).as("lang_guess"),
+        length($"text").as("n_chars"))
+      .groupBy($"lang_guess")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, 0.25D)").as("p25"),
+        expr("percentile(n_chars, 0.5D)").as("p50"),
+        expr("percentile(n_chars, 0.75D)").as("p75"),
+        expr("percentile(n_chars, 0.875D)").as("p875"))
+      .orderBy($"lang_guess")
   }
+
+  val docProfileSql: String =
+    s"""WITH l AS (
+       |  SELECT $langGuessSqlExpr AS lang_guess, length(text) AS n_chars
+       |  FROM documents
+       |)
+       |SELECT lang_guess, COUNT(*) AS n_docs,
+       |  quantile_cont(n_chars, 0.25) AS p25,
+       |  quantile_cont(n_chars, 0.5) AS p50,
+       |  quantile_cont(n_chars, 0.75) AS p75,
+       |  quantile_cont(n_chars, 0.875) AS p875
+       |FROM l
+       |GROUP BY lang_guess
+       |ORDER BY lang_guess""".stripMargin
 
   /** Gopher-style composite quality score (length band, punctuation
     * noise, stopword prose-ness, shouting) — the fused two-pass form;
@@ -393,6 +434,7 @@ object Llm {
     "q_text_repetition" -> (textRepetition _),
     "q_vocab_topk" -> (vocabTopK _),
     "q_pii_redact" -> (piiRedact _),
+    "q_doc_profile" -> (docProfile _),
     "q_dedup_exact" -> (exactDedup _),
     "q_doc_fingerprint" -> (fingerprint _),
     "q_emb_cosine_topk" -> (cosineTopK _),
@@ -527,6 +569,7 @@ object Llm {
     "q_text_repetition" -> textRepetitionSql,
     "q_vocab_topk" -> vocabTopKSql,
     "q_pii_redact" -> piiRedactSql,
+    "q_doc_profile" -> docProfileSql,
     "q_dedup_exact" -> exactDedupSql,
     "q_doc_fingerprint" -> fingerprintSql,
     "q_emb_cosine_topk" -> cosineTopKSql,
