@@ -144,13 +144,19 @@ case class LshKeyExpr(left: Expression, right: Expression)
 }
 
 /** nearest_cells(vec, centroids, n) — indices of the `n` nearest
-  * centroids by squared Euclidean distance (ties broken by lower index),
-  * the IVF coarse-quantizer assignment/probe primitive. `centroids` must
-  * be a foldable `array<array<double>>` (trained on the driver, shipped
-  * as a literal — a handful of cells × a small dim, so the flattened
-  * matrix is KBs). One JVM loop per row: nlist × dim multiply-adds for
-  * corpus assignment (n=1) and query probing (n=nprobe) alike — no MLlib
-  * model pipeline, no UDF boxing.
+  * centroids (ties broken by lower index), the IVF coarse-quantizer
+  * assignment/probe primitive. `centroids` must be a foldable
+  * `array<array<double>>` (trained on the driver, shipped as a literal —
+  * a handful of cells × a small dim, so the flattened matrix is KBs).
+  * One JVM loop per row: nlist × dim multiply-adds for corpus assignment
+  * (n=1) and query probing (n=nprobe) alike — no MLlib model pipeline,
+  * no UDF boxing.
+  *
+  * The ranking score is `c·c − 2·(v·c)` (= ‖v−c‖² minus the per-row
+  * constant ‖v‖², same argmin): both terms are plain element-order dot
+  * products, so DuckDB's `list_inner_product` over inlined centroid
+  * literals reproduces the scores BIT-IDENTICALLY — that is what lets
+  * the data-dependent IVF query carry an exact SQL oracle.
   */
 case class NearestCells(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with CodegenFallback {
@@ -167,19 +173,27 @@ case class NearestCells(first: Expression, second: Expression, third: Expression
 
   private lazy val vecFloat = first.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  @transient private lazy val (flat, nlist, dim) = {
+  @transient private lazy val (flat, ccNorm, nlist, dim) = {
     val cd = second.eval(null).asInstanceOf[ArrayData]
     val nc = cd.numElements()
     val d = if (nc == 0) 0 else cd.getArray(0).numElements()
     val f = new Array[Double](nc * d)
+    val cc = new Array[Double](nc)
     var i = 0
     while (i < nc) {
       val row = cd.getArray(i)
       var j = 0
-      while (j < d) { f(i * d + j) = row.getDouble(j); j += 1 }
+      var acc = 0.0
+      while (j < d) {
+        val x = row.getDouble(j)
+        f(i * d + j) = x
+        acc += x * x
+        j += 1
+      }
+      cc(i) = acc
       i += 1
     }
-    (f, nc, d)
+    (f, cc, nc, d)
   }
 
   override def nullSafeEval(v: Any, _c: Any, nIn: Any): Any = {
@@ -195,11 +209,11 @@ case class NearestCells(first: Expression, second: Expression, third: Expression
     val dists = new Array[Double](nlist)
     var i = 0
     while (i < nlist) {
-      var acc = 0.0
+      var dot = 0.0
       val off = i * dim
       var k = 0
-      while (k < n) { val diff = dv(k) - flat(off + k); acc += diff * diff; k += 1 }
-      dists(i) = acc
+      while (k < n) { dot += dv(k) * flat(off + k); k += 1 }
+      dists(i) = ccNorm(i) - 2.0 * dot
       i += 1
     }
     // partial selection of the `probes` smallest (d, index) pairs

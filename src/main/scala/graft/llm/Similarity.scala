@@ -162,6 +162,14 @@ object Similarity {
     centroids
   }
 
+  /** The coarse quantizer last trained by [[ivfTopK]] — recorded so the
+    * verification harness can inline the centroids as SQL literals and
+    * recompute the whole IVF query exactly in DuckDB (the centroids are
+    * data-dependent, so unlike the seeded LSH planes they cannot be
+    * static; `SparkEntry.oracleSql` is read AFTER the queries run). */
+  final case class IvfModel(centroids: Array[Array[Double]], nlist: Int, nprobe: Int, k: Int)
+  val lastIvfModel = new java.util.concurrent.atomic.AtomicReference[IvfModel]()
+
   /** IVF (inverted-file) approximate top-k — the second scale path next
     * to LSH: a k-means coarse quantizer (`nlist` centroids, seeded,
     * trained driver-local on a bounded sample) partitions the corpus into
@@ -184,6 +192,7 @@ object Similarity {
     val sample = c.select(col("cv")).limit(trainSample).collect()
       .map(_.getSeq[Float](0).toArray)
     val centroids = kmeansLocal(sample, nlist, trainIters, seed)
+    lastIvfModel.set(IvfModel(centroids, nlist, nprobe, k))
     val bucketed = c.withColumn("cell", nearestCells(col("cv"), centroids, 1).getItem(0))
     val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell", explode(nearestCells(col("qv"), centroids, nprobe)))

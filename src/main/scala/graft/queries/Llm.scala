@@ -557,7 +557,54 @@ object Llm {
        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  /** Exact SQL oracle for the IVF query, available once [[ivfTopK]] has
+    * trained its quantizer this JVM (Verify reads oracleSql AFTER running
+    * the queries): centroids inline as literals; the ranking score
+    * `cc − 2·list_inner_product(v, c)` is the same element-order double
+    * arithmetic as the native [[graft.exprs.NearestCells]] loop;
+    * `list_position(d, list_min(d))` reproduces the lowest-index
+    * tie-break for cell assignment and the sorted `[d, i]` pair list the
+    * probe order. */
+  def ivfTopKSql: Option[String] = Option(Similarity.lastIvfModel.get()).map { m =>
+    def vecLit(a: Array[Double]) = "[" + a.map(_.toString).mkString(",") + "]"
+    def sqNorm(c: Array[Double]) = {
+      var s = 0.0; var j = 0
+      while (j < c.length) { s += c(j) * c(j); j += 1 }
+      s
+    }
+    def dExpr(c: Array[Double]) = s"${sqNorm(c)} - 2*list_inner_product(v, ${vecLit(c)})"
+    val dArr = "[" + m.centroids.map(dExpr).mkString(", ") + "]"
+    val pairArr = "[" + m.centroids.zipWithIndex.map { case (c, i) =>
+      s"[${dExpr(c)}, $i.0]"
+    }.mkString(", ") + "]"
+    s"""WITH emb AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), cells AS (
+       |  SELECT vec_id, v, list_position($dArr, list_min($dArr)) - 1 AS cell FROM emb
+       |), probes AS (
+       |  SELECT vec_id AS query_id, v AS qv,
+       |    unnest(list_transform(list_sort($pairArr)[1:${m.nprobe}],
+       |           x -> CAST(x[2] AS INTEGER))) AS cell
+       |  FROM emb WHERE vec_id < 20
+       |), cand AS (
+       |  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id, p.qv, c.v
+       |  FROM probes p JOIN cells c USING (cell)
+       |  WHERE p.query_id <> c.vec_id
+       |), scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CASE WHEN sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v)) = 0 THEN 0.0
+       |         ELSE list_inner_product(qv, v) / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))) END AS cos
+       |  FROM cand
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, round(cos, 6) AS cos
+       |FROM ranked WHERE rk <= ${m.k} ORDER BY query_id, rk""".stripMargin
+  }
+
+  private val staticOracles: Map[String, String] = Map(
     "q_doc_simhash" -> simhashSketchSql,
     "q_dedup_minhash" -> minhashDedupSql,
     "q_multimodal_pipeline" -> multimodalPipelineSql,
@@ -574,4 +621,9 @@ object Llm {
     "q_doc_fingerprint" -> fingerprintSql,
     "q_emb_cosine_topk" -> cosineTopKSql,
   )
+
+  /** Static oracles plus the data-dependent IVF oracle when its
+    * quantizer has been trained this JVM. */
+  def oracles: Map[String, String] =
+    staticOracles ++ ivfTopKSql.map("q_emb_ivf_topk" -> _)
 }
