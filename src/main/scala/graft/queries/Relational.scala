@@ -318,7 +318,7 @@ object Relational {
     * behind an atomic rename + marker; re-staging on every call cost two
     * full scan+write jobs per bench repetition for identical bytes.
     * Shared by q_stream_watermark and q_stream_sessions. */
-  private def stagedEventsDir(s: SparkSession, d: String): java.nio.file.Path = {
+  private[graft] def stagedEventsDir(s: SparkSession, d: String): java.nio.file.Path = {
     import s.implicits._
     val ev = graft.util.Tables.events(s, d)
     val split = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")

@@ -122,6 +122,39 @@ class FusedTextSpec extends SparkTestBase with TableDrivenPropertyChecks {
     }
   }
 
+  test("fused expressions match regex forms on 300 random adversarial strings") {
+    // alphabet biased toward the edge cases: whitespace variants, word
+    // boundaries, stopwords, punctuation, digits, unicode
+    val atoms = Seq(
+      " ", "\t", "\n", "\u000B", "\f", "\r", "  ", "the", "la", "de", "e",
+      "und", "THE", "The", "a", "Z", "0", "42", "_", "the_", "café", "ß",
+      ".", ",", "!", "?", "(", ")", "[", "]", "-", "'", "\"", ":", ";",
+      "word", "x1y", "☃", "straße", "")
+    val rnd = new scala.util.Random(4242)
+    val randoms = (1 to 300).map { _ =>
+      (0 until rnd.nextInt(30)).map(_ => atoms(rnd.nextInt(atoms.length))).mkString
+    }
+    val rdf = randoms.toDF("text")
+    val langs = graft.exprs.Stopwords.sortedLangs
+    val fused = rdf.select(
+      TA.stats($"text").as("st"), TA.stopwordScores($"text").as("sw"),
+      md5(TA.canonicalText($"text")).as("fp"))
+      .select(Seq($"st.n_chars", $"st.n_tokens_ws", $"st.n_tokens_bpe",
+        $"st.n_punct", $"st.n_upper", $"fp") ++
+        langs.indices.map(i => $"sw".getItem(i)): _*)
+      .collect().map(_.toSeq)
+    val regex = rdf.select(Seq(
+      length($"text"), TA.tokenCountWs($"text"), TA.tokenCountBpe($"text"),
+      length(regexp_replace($"text", "[^.,!?;:'\"()\\[\\]-]", "")),
+      length(regexp_replace($"text", "[^A-Z]", "")),
+      TA.fingerprint($"text")) ++
+      langs.map(l => TA.stopwordCount($"text", l)): _*)
+      .collect().map(_.toSeq)
+    randoms.indices.foreach { i =>
+      assert(fused(i) == regex(i), s"random case $i: '${randoms(i)}'")
+    }
+  }
+
   test("fused stats evaluate once per row, not once per projected field") {
     val plan = df.select($"text", TA.stats($"text").as("st"))
       .select($"st.n_chars", $"st.n_tokens_ws", $"st.n_punct")
