@@ -357,6 +357,35 @@ object Llm {
       .orderBy(col("doc_id"))
   }
 
+  /** Transitive near-dup closure: connected components over the near-dup
+    * pair graph by iterative min-label propagation
+    * ([[graft.llm.Dedup.connectedComponents]], localCheckpoint per round)
+    * — chains A~B~C~D collapse to one group where the single-step
+    * grouping leaves fragments. The oracle computes the same closure with
+    * a RECURSIVE CTE (label reachability + MIN per node), over the same
+    * exact-Jaccard pair set as q_dedup_minhash. */
+  def dedupCc(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    Dedup.minhashDupGroupsConverged(documents(s, d), "doc_id", "text", threshold = 0.8)
+      .select(col("doc_id"), col("dup_group"),
+        (col("dup_group") =!= col("doc_id")).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupCcSql: String =
+    s"""WITH RECURSIVE $ndPairsCtes, nbrs AS (
+       |  SELECT id_a AS id, id_b AS nb FROM nd
+       |  UNION ALL SELECT id_b AS id, id_a AS nb FROM nd
+       |), reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT n.id, r.lbl FROM nbrs n JOIN reach r ON n.nb = r.id
+       |)
+       |SELECT id AS doc_id, MIN(lbl) AS dup_group, MIN(lbl) <> id AS is_dup
+       |FROM reach
+       |GROUP BY id
+       |ORDER BY doc_id""".stripMargin
+
   /** SimHash signatures per doc — the md5-hash variant
     * ([[graft.exprs.SimHashMd5]]), whose raw 64-bit signature DuckDB can
     * recompute exactly (`md5_number_lower` = the same low-64 word hash),
@@ -439,6 +468,7 @@ object Llm {
     "q_doc_fingerprint" -> (fingerprint _),
     "q_emb_cosine_topk" -> (cosineTopK _),
     "q_dedup_minhash" -> (minhashDedup _),
+    "q_dedup_cc" -> (dedupCc _),
     "q_doc_simhash" -> (simhashSketch _),
     "q_emb_ann_topk" -> (annTopK _),
     "q_emb_ivf_topk" -> (ivfTopK _),
@@ -483,8 +513,13 @@ object Llm {
       |FROM part
       |ORDER BY media_id""".stripMargin
 
-  val minhashDedupSql: String =
-    """WITH toks AS (
+  /** Shared oracle CTE chain computing the exact-Jaccard near-dup pair
+    * set `nd` (word-3-gram shingles of lower(trim(text)), pairwise
+    * Jaccard ≥ 0.8) — the SQL twin of `minhashNearDupPairs` on a
+    * bimodal-similarity corpus. */
+  // lazy: referenced by oracle vals declared both before and after this
+  private lazy val ndPairsCtes: String =
+    """toks AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
       |), sh AS (
       |  SELECT DISTINCT doc_id, array_to_string(ws[u:u+2], ' ') AS s
@@ -499,7 +534,11 @@ object Llm {
       |  SELECT id_a, id_b
       |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
-      |), nbrs AS (
+      |)""".stripMargin
+
+  val minhashDedupSql: String =
+    s"""WITH $ndPairsCtes, nbrs AS (""".stripMargin +
+    """
       |  SELECT id_a AS id, id_b AS nb FROM nd
       |  UNION ALL SELECT id_b AS id, id_a AS nb FROM nd
       |), mn AS (
@@ -607,6 +646,7 @@ object Llm {
   private val staticOracles: Map[String, String] = Map(
     "q_doc_simhash" -> simhashSketchSql,
     "q_dedup_minhash" -> minhashDedupSql,
+    "q_dedup_cc" -> dedupCcSql,
     "q_multimodal_pipeline" -> multimodalPipelineSql,
     "q_emb_bucket_stats" -> embNearDupStatsSql,
     "q_emb_ann_topk" -> annTopKSql,
