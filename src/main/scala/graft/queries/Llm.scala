@@ -357,6 +357,69 @@ object Llm {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming exact dedup — the incremental-ingestion form of
+    * [[exactDedup]]: the documents table consumed as a two-file stream
+    * (split by doc_id, cached staging like the events split) with
+    * `dropDuplicates` keeping first-seen fingerprint state across
+    * micro-batches; append mode emits one row per distinct fingerprint.
+    * Output is the fingerprint SET (per-key row choice within a batch is
+    * not deterministic, the key set is), which the oracle recomputes as
+    * SELECT DISTINCT md5(text). On an unbounded stream the same operator
+    * takes a watermark via `dropDuplicatesWithinWatermark` to bound
+    * state; the bounded form here proves the state semantics. */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val src = java.nio.file.Paths.get(d, "documents.parquet")
+    val fp = s"v1-${d.hashCode}-${java.nio.file.Files.size(src)}-" +
+      s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+    val base = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-stream-docs-$fp")
+    val dataDir = base.resolve("data")
+    if (!java.nio.file.Files.exists(base.resolve("_READY"))) {
+      val stageRoot = java.nio.file.Files.createTempDirectory("graft-stream-docs-stage")
+      val stageData = stageRoot.resolve("data")
+      java.nio.file.Files.createDirectories(stageData)
+      val half = docs.agg(max($"doc_id")).head.getLong(0) / 2
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val stage = stageRoot.resolve(s"stage-$name").toString
+        df.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val tgt = stageData.resolve(name).toFile
+        java.nio.file.Files.move(part.toPath, tgt.toPath)
+        tgt.setLastModified(mtime)
+      }
+      writeOne(docs.filter($"doc_id" <= half), "00.parquet", 1000000L)
+      writeOne(docs.filter($"doc_id" > half), "01.parquet", 2000000L)
+      java.nio.file.Files.writeString(stageRoot.resolve("_READY"), "ok")
+      try java.nio.file.Files.move(stageRoot, base,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException =>
+      }
+    }
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
+        .select(md5($"text").as("fp"))
+        .dropDuplicates("fp")
+      val name = "stream_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy($"fp")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  val streamDedupSql: String =
+    """SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp""".stripMargin
+
   /** Transitive near-dup closure: connected components over the near-dup
     * pair graph by iterative min-label propagation
     * ([[graft.llm.Dedup.connectedComponents]], localCheckpoint per round)
@@ -469,6 +532,7 @@ object Llm {
     "q_emb_cosine_topk" -> (cosineTopK _),
     "q_dedup_minhash" -> (minhashDedup _),
     "q_dedup_cc" -> (dedupCc _),
+    "q_stream_dedup" -> (streamDedup _),
     "q_doc_simhash" -> (simhashSketch _),
     "q_emb_ann_topk" -> (annTopK _),
     "q_emb_ivf_topk" -> (ivfTopK _),
@@ -647,6 +711,7 @@ object Llm {
     "q_doc_simhash" -> simhashSketchSql,
     "q_dedup_minhash" -> minhashDedupSql,
     "q_dedup_cc" -> dedupCcSql,
+    "q_stream_dedup" -> streamDedupSql,
     "q_multimodal_pipeline" -> multimodalPipelineSql,
     "q_emb_bucket_stats" -> embNearDupStatsSql,
     "q_emb_ann_topk" -> annTopKSql,
