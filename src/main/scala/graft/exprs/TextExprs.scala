@@ -179,10 +179,38 @@ case class SimHashMd5(child: Expression) extends UnaryExpression with CodegenFal
 }
 
 object SimHashMd5 {
-  private val digests = new ThreadLocal[java.security.MessageDigest] {
+  private[exprs] val digests = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+}
+
+/** md5_bucket(text, n) — stable unsigned bucket assignment in [0, n):
+  * the low 64 md5 bits (same little-endian bytes 8..15 as DuckDB's
+  * `md5_number_lower`) reduced with UNSIGNED modulo, so
+  * `md5_number_lower(text) % n` is the exact SQL twin. The deterministic
+  * train/val/test splitter for training-data pipelines: content-keyed
+  * (stable under reshuffling/reruns, unlike `rand(seed)` which depends
+  * on partitioning), uniform, and engine-portable.
+  */
+case class Md5Bucket(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(in: Any, nIn: Any): Any = {
+    val n = nIn.asInstanceOf[Int]
+    if (n <= 0) return null
+    val md = SimHashMd5.digests.get()
+    md.reset()
+    val s = in.asInstanceOf[UTF8String]
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var j = 0
+    while (j < 8) { h |= (d(8 + j).toLong & 0xFFL) << (8 * j); j += 1 }
+    java.lang.Long.remainderUnsigned(h, n.toLong).toInt
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "md5_bucket"
 }
 
 case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {

@@ -49,6 +49,7 @@ object Graft {
     "st_bbox_intersects" -> { args: Seq[Expression] => StBboxIntersects(args) },
     "simhash64" -> { args: Seq[Expression] => SimHash64(args(0)) },
     "simhash_md5" -> { args: Seq[Expression] => SimHashMd5(args(0)) },
+    "md5_bucket" -> { args: Seq[Expression] => Md5Bucket(args(0), args(1)) },
     "minhash_sig" -> { args: Seq[Expression] => MinHashSig(args(0), args(1)) },
     "minhash_words" -> { args: Seq[Expression] => MinHashWords(args(0), args(1), args(2)) },
     "sig_match_frac" -> { args: Seq[Expression] => SigMatchFrac(args(0), args(1)) },

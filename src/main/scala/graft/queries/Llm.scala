@@ -357,6 +357,34 @@ object Llm {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic train/val/test assignment: content-keyed md5 buckets
+    * (90/5/5 by unsigned mod 100 — [[graft.exprs.Md5Bucket]]), stable
+    * under reshuffling and reruns where `rand(seed)` is not, plus the
+    * per-split rollup a pipeline sanity-checks before training. */
+  def dataSplit(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val bucket = call_function("md5_bucket", $"text", lit(100))
+    documents(s, d)
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc"),
+        max($"doc_id").as("max_doc"))
+      .orderBy($"split")
+  }
+
+  val dataSplitSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, md5_number_lower(text) % 100 AS bucket FROM documents
+      |)
+      |SELECT CASE WHEN bucket < 90 THEN 'train'
+      |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM b
+      |GROUP BY 1
+      |ORDER BY split""".stripMargin
+
   /** Streaming exact dedup — the incremental-ingestion form of
     * [[exactDedup]]: the documents table consumed as a two-file stream
     * (split by doc_id, cached staging like the events split) with
@@ -533,6 +561,7 @@ object Llm {
     "q_dedup_minhash" -> (minhashDedup _),
     "q_dedup_cc" -> (dedupCc _),
     "q_stream_dedup" -> (streamDedup _),
+    "q_data_split" -> (dataSplit _),
     "q_doc_simhash" -> (simhashSketch _),
     "q_emb_ann_topk" -> (annTopK _),
     "q_emb_ivf_topk" -> (ivfTopK _),
@@ -712,6 +741,7 @@ object Llm {
     "q_dedup_minhash" -> minhashDedupSql,
     "q_dedup_cc" -> dedupCcSql,
     "q_stream_dedup" -> streamDedupSql,
+    "q_data_split" -> dataSplitSql,
     "q_multimodal_pipeline" -> multimodalPipelineSql,
     "q_emb_bucket_stats" -> embNearDupStatsSql,
     "q_emb_ann_topk" -> annTopKSql,
