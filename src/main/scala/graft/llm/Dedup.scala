@@ -163,13 +163,22 @@ object Dedup {
           col("dst") === col("dst_id"))
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("nb_min"))
+      // convergence check rides the materializing pass as an observe
+      // metric — one job per iteration instead of checkpoint + count
+      val obs = new org.apache.spark.sql.Observation()
       val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("__old"),
           least(col("component"), coalesce(col("nb_min"), col("component")))
             .as("component"))
+        .observe(obs, sum(when(col("component") =!= col("__old"), 1L)
+          .otherwise(0L)).as("changed"))
+        .select(col("id"), col("component"))
         .localCheckpoint()
-      changed = updated.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") =!= col("old")).count()
+      changed = obs.get("changed") match {
+        case null => 0L
+        case n: java.lang.Long => n.longValue()
+        case n: Number => n.longValue()
+      }
       labels = updated
       iter += 1
     }
