@@ -398,35 +398,10 @@ object Llm {
   def streamDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d)
-    val src = java.nio.file.Paths.get(d, "documents.parquet")
-    val fp = s"v1-${d.hashCode}-${java.nio.file.Files.size(src)}-" +
-      s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
-    val base = java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-stream-docs-$fp")
-    val dataDir = base.resolve("data")
-    if (!java.nio.file.Files.exists(base.resolve("_READY"))) {
-      val stageRoot = java.nio.file.Files.createTempDirectory("graft-stream-docs-stage")
-      val stageData = stageRoot.resolve("data")
-      java.nio.file.Files.createDirectories(stageData)
+    val dataDir = graft.util.Staging.twoFileSplit(s,
+      java.nio.file.Paths.get(d, "documents.parquet"), "graft-stream-docs", "v1") {
       val half = docs.agg(max($"doc_id")).head.getLong(0) / 2
-      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
-        val stage = stageRoot.resolve(s"stage-$name").toString
-        df.coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val tgt = stageData.resolve(name).toFile
-        java.nio.file.Files.move(part.toPath, tgt.toPath)
-        tgt.setLastModified(mtime)
-      }
-      writeOne(docs.filter($"doc_id" <= half), "00.parquet", 1000000L)
-      writeOne(docs.filter($"doc_id" > half), "01.parquet", 2000000L)
-      java.nio.file.Files.writeString(stageRoot.resolve("_READY"), "ok")
-      try java.nio.file.Files.move(stageRoot, base,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.DirectoryNotEmptyException =>
-      }
+      (docs.filter($"doc_id" <= half), docs.filter($"doc_id" > half))
     }
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")

@@ -313,45 +313,17 @@ object Relational {
     * emit each finalized window once and suppress the still-open tail;
     * both directions break the row/hash match). */
   /** Deterministic two-file staging of the events table (split at Jan 16
-    * so the watermark advances between micro-batches). A pure function of
-    * the source parquet — staged ONCE per (sf dir, source mtime/size)
-    * behind an atomic rename + marker; re-staging on every call cost two
-    * full scan+write jobs per bench repetition for identical bytes.
-    * Shared by q_stream_watermark and q_stream_sessions. */
+    * so the watermark advances between micro-batches) — see
+    * [[graft.util.Staging.twoFileSplit]]. Shared by q_stream_watermark
+    * and q_stream_sessions. Version v2: integer-div ns→us conversion. */
   private[graft] def stagedEventsDir(s: SparkSession, d: String): java.nio.file.Path = {
     import s.implicits._
-    val ev = graft.util.Tables.events(s, d)
     val split = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
-    val src = java.nio.file.Paths.get(d, "events.parquet")
-    val fp = s"v2-${d.hashCode}-${java.nio.file.Files.size(src)}-" +
-      s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}" // v2: integer-div ns→us
-    val base = java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-stream-wm-$fp")
-    val dataDir = base.resolve("data")
-    if (!java.nio.file.Files.exists(base.resolve("_READY"))) {
-      val stageRoot = java.nio.file.Files.createTempDirectory("graft-stream-wm-stage")
-      val stageData = stageRoot.resolve("data")
-      java.nio.file.Files.createDirectories(stageData)
-      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
-        val stage = stageRoot.resolve(s"stage-$name").toString
-        df.coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val tgt = stageData.resolve(name).toFile
-        java.nio.file.Files.move(part.toPath, tgt.toPath)
-        tgt.setLastModified(mtime) // admission order: 00 then 01
-      }
-      writeOne(ev.filter($"ts" < lit(split)), "00.parquet", 1000000L)
-      writeOne(ev.filter($"ts" >= lit(split)), "01.parquet", 2000000L)
-      java.nio.file.Files.writeString(stageRoot.resolve("_READY"), "ok")
-      try java.nio.file.Files.move(stageRoot, base,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { // lost the race to a concurrent stager — use the winner's
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.DirectoryNotEmptyException =>
-      }
+    graft.util.Staging.twoFileSplit(s, java.nio.file.Paths.get(d, "events.parquet"),
+      "graft-stream-wm", "v2") {
+      val ev = graft.util.Tables.events(s, d)
+      (ev.filter($"ts" < lit(split)), ev.filter($"ts" >= lit(split)))
     }
-    dataDir
   }
 
   def streamWatermark(s: SparkSession, d: String): DataFrame = {
