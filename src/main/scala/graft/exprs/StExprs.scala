@@ -376,6 +376,49 @@ case class StGridCells(children: Seq[Expression]) extends Expression with Codege
   override def prettyName: String = "st_gridcells"
 }
 
+/** st_zorder(geom, cellSize, bits) → Morton (Z-order) key of the
+  * geometry's representative point (the point itself, else the bbox
+  * center): quantize x/y to `bits`-bit cell indices (origin 0, clamped)
+  * and interleave their bits (x even positions, y odd). Writing data
+  * sorted by this key gives spatial LOCALITY in file layout — min/max
+  * statistics on the key then let bounding-box predicates skip whole
+  * parquet files/row-groups, the standard 100 TB technique for spatial
+  * scans (a linear sort stands in for a spatial index). Pure integer
+  * arithmetic, so a SQL oracle can reproduce keys exactly. */
+case class StZOrder(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(in: Any, sizeIn: Any, bitsIn: Any): Any = {
+    val cell = sizeIn.asInstanceOf[Double]
+    val bits = bitsIn.asInstanceOf[Int]
+    if (cell <= 0 || bits <= 0 || bits > 31) return null
+    val bytes = in.asInstanceOf[Array[Byte]]
+    val p = WkbFast.pointXY(bytes)
+    val (x, y) =
+      if (p != null) (p(0), p(1))
+      else {
+        val bb = WkbFast.bbox(bytes)
+        if (bb == null) return null
+        ((bb(0) + bb(2)) / 2, (bb(1) + bb(3)) / 2)
+      }
+    val max = (1L << bits) - 1
+    val ix = math.min(math.max(math.floor(x / cell).toLong, 0L), max)
+    val iy = math.min(math.max(math.floor(y / cell).toLong, 0L), max)
+    var key = 0L
+    var b = 0
+    while (b < bits) {
+      key |= ((ix >> b) & 1L) << (2 * b)
+      key |= ((iy >> b) & 1L) << (2 * b + 1)
+      b += 1
+    }
+    java.lang.Long.valueOf(key)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "st_zorder"
+}
+
 /** st_bbox_intersects(a, b[, expand]) — cheap bbox-overlap prefilter for
   * the broadcast nested-loop spatial join path (a's bbox expanded by the
   * margin). */

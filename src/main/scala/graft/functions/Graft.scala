@@ -47,6 +47,7 @@ object Graft {
     "st_difference" -> { args: Seq[Expression] => StDifference(args(0), args(1)) },
     "st_gridcells" -> { args: Seq[Expression] => StGridCells(args) },
     "st_bbox_intersects" -> { args: Seq[Expression] => StBboxIntersects(args) },
+    "st_zorder" -> { args: Seq[Expression] => StZOrder(args(0), args(1), args(2)) },
     "simhash64" -> { args: Seq[Expression] => SimHash64(args(0)) },
     "simhash_md5" -> { args: Seq[Expression] => SimHashMd5(args(0)) },
     "md5_bucket" -> { args: Seq[Expression] => Md5Bucket(args(0), args(1)) },

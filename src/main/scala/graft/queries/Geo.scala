@@ -423,7 +423,33 @@ object Geo {
       |FROM supplier
       |ORDER BY s_suppkey""".stripMargin
 
+  /** Z-order (Morton) keys over the customer points — the spatial-layout
+    * sort key ([[graft.exprs.StZOrder]]): writing files ordered by this
+    * key clusters spatially-near rows so key min/max statistics prune
+    * scans for bbox predicates. Pure integer bit-interleaving, so the
+    * oracle rebuilds the key arithmetically. */
+  def zorder(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    customer(s, d)
+      .select($"c_custkey",
+        call_function("st_zorder", pt($"c_custkey"), lit(1.0), lit(7)).as("zkey"))
+      .orderBy($"c_custkey")
+  }
+
+  val zorderSql: String = {
+    // full parens around every shift term: DuckDB binds + tighter than <<
+    val terms = (0 until 7).flatMap { b =>
+      Seq(s"((((c_custkey % 100) >> $b) & 1) << ${2 * b})",
+          s"(((((c_custkey * 7) % 100) >> $b) & 1) << ${2 * b + 1})")
+    }.mkString(" + ")
+    s"""SELECT c_custkey, CAST($terms AS BIGINT) AS zkey
+       |FROM customer
+       |ORDER BY c_custkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geo_zorder" -> (zorder _),
     "q_geo_force2d" -> (force2d _),
     "q_geo_simplify" -> (simplifyStaircase _),
     "q_geo_clip_area" -> (clipArea _),
@@ -441,6 +467,7 @@ object Geo {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_geo_zorder" -> zorderSql,
     "q_geo_force2d" -> force2dSql,
     "q_geo_simplify" -> simplifyStaircaseSql,
     "q_geo_clip_area" -> clipAreaSql,
