@@ -107,6 +107,22 @@ class StFunctionsSpec extends SparkTestBase {
     assert(cells == Set((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L)))
   }
 
+  test("st_zorder interleaves quantized coordinate bits") {
+    import spark.implicits._
+    // (3, 5): ix=3 (011), iy=5 (101) → key bits x at even, y at odd:
+    // b0: x1→1, y1→2; b1: x1→4, y0→0; b2: x0→0, y1→32 → 1+2+4+32 = 39
+    val keys = Seq(("POINT (3 5)", 39L), ("POINT (0 0)", 0L),
+      ("POINT (127 127)", (1L << 14) - 1), // all 7 bits set both axes
+      ("POINT (1000 -5)", // clamped to (127, 0)
+        (0 until 7).map(b => 1L << (2 * b)).sum),
+      ("POLYGON ((2 4, 4 4, 4 6, 2 6, 2 4))", 39L)) // bbox center (3, 5)
+      .toDF("wkt", "want")
+      .select(call_function("st_zorder",
+        call_function("st_geomfromtext", $"wkt"), lit(1.0), lit(7)).as("zkey"), $"want")
+      .collect()
+    keys.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("null and garbage inputs yield null, not errors") {
     import spark.implicits._
     val df = Seq("not wkt").toDF("wkt")
