@@ -22,6 +22,17 @@ object GeomRuntime {
     }
   }
 
+  /** Bbox overlap with margin; false on unparsable input (never null for
+    * non-null inputs — the cheap prefilter must stay a total function). */
+  def bboxIntersects(a: Array[Byte], b: Array[Byte], expand: Double): Boolean = {
+    val b1 = WkbFast.bbox(a)
+    if (b1 == null) return false
+    val b2 = WkbFast.bbox(b)
+    if (b2 == null) return false
+    b1(0) - expand <= b2(2) && b2(0) <= b1(2) + expand &&
+      b1(1) - expand <= b2(3) && b2(1) <= b1(3) + expand
+  }
+
   /** 1 = intersects, 0 = disjoint, -1 = null (unparsable). */
   def intersects(a: Array[Byte], b: Array[Byte]): Int = {
     val b1 = WkbFast.bbox(a)

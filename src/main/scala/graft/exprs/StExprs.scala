@@ -421,8 +421,11 @@ case class StZOrder(first: Expression, second: Expression, third: Expression)
 
 /** st_bbox_intersects(a, b[, expand]) — cheap bbox-overlap prefilter for
   * the broadcast nested-loop spatial join path (a's bbox expanded by the
-  * margin). */
-case class StBboxIntersects(children: Seq[Expression]) extends Expression with CodegenFallback {
+  * margin). Fully codegen'd (static [[GeomRuntime.bboxIntersects]] call):
+  * this is the JOIN CONDITION of the BNLJ path, evaluated once per
+  * candidate PAIR — a CodegenFallback here forced the whole generated
+  * join loop through interpreted boxed eval. */
+case class StBboxIntersects(children: Seq[Expression]) extends Expression {
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
@@ -432,12 +435,34 @@ case class StBboxIntersects(children: Seq[Expression]) extends Expression with C
       val e = children(2).eval(input)
       if (e == null) 0.0 else e.asInstanceOf[Double]
     } else 0.0
-    val b1 = WkbFast.bbox(a.asInstanceOf[Array[Byte]])
-    val b2 = WkbFast.bbox(b.asInstanceOf[Array[Byte]])
-    if (b1 == null || b2 == null) java.lang.Boolean.FALSE
-    else java.lang.Boolean.valueOf(
-      b1(0) - expand <= b2(2) && b2(0) <= b1(2) + expand &&
-      b1(1) - expand <= b2(3) && b2(1) <= b1(3) + expand)
+    java.lang.Boolean.valueOf(GeomRuntime.bboxIntersects(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]], expand))
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val aCode = children(0).genCode(ctx)
+    val bCode = children(1).genCode(ctx)
+    val eCode = if (children.length > 2) Some(children(2).genCode(ctx)) else None
+    val expand = ctx.freshName("expand")
+    val expandJava = eCode match {
+      case Some(e) => code"""
+        |${e.code}
+        |double $expand = ${e.isNull} ? 0.0 : ${e.value};"""
+      case None => code"double $expand = 0.0;"
+    }
+    ev.copy(code = code"""
+      |${aCode.code}
+      |${bCode.code}
+      |boolean ${ev.isNull} = ${aCode.isNull} || ${bCode.isNull};
+      |boolean ${ev.value} = false;
+      |if (!${ev.isNull}) {
+      |  $expandJava
+      |  ${ev.value} = graft.exprs.GeomRuntime.bboxIntersects(
+      |    ${aCode.value}, ${bCode.value}, $expand);
+      |}""")
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(children = c)

@@ -45,6 +45,16 @@ class CodegenSpec extends SparkTestBase {
     assert(!pred.eval(InternalRow(pt(1, 1), pt(2, 2))))
   }
 
+  test("st_bbox_intersects (the BNLJ join condition) compiles as a predicate") {
+    val pred = GeneratePredicate.generate(
+      StBboxIntersects(Seq(a, b, Literal(2.0))))
+    assert(pred.eval(InternalRow(pt(0, 0), pt(1, 1))))
+    assert(!pred.eval(InternalRow(pt(0, 0), pt(30, 40))))
+    val noMargin = GeneratePredicate.generate(StBboxIntersects(Seq(a, b)))
+    assert(!noMargin.eval(InternalRow(pt(0, 0), pt(1, 1))))
+    assert(noMargin.eval(InternalRow(pt(1, 1), pt(1, 1))))
+  }
+
   test("the kNN hot-loop shape (st_distance <= r) compiles as a predicate") {
     val pred = GeneratePredicate.generate(
       LessThanOrEqual(StDistance(a, b), Literal(5.0)))
