@@ -33,6 +33,32 @@ object GeomRuntime {
       b1(1) - expand <= b2(3) && b2(1) <= b1(3) + expand
   }
 
+  /** Grid cells overlapped by the geometry's bbox expanded by `expand`;
+    * null on unparsable input or non-positive cell size. */
+  def gridCells(in: Array[Byte], cell: Double, expand: Double)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (cell <= 0) return null
+    val bb = WkbFast.bbox(in)
+    if (bb == null) return null
+    val x0 = math.floor((bb(0) - expand) / cell).toLong
+    val x1 = math.floor((bb(2) + expand) / cell).toLong
+    val y0 = math.floor((bb(1) - expand) / cell).toLong
+    val y1 = math.floor((bb(3) + expand) / cell).toLong
+    val out = new Array[Any](((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
+    var i = 0
+    var gx = x0
+    while (gx <= x1) {
+      var gy = y0
+      while (gy <= y1) {
+        out(i) = org.apache.spark.sql.catalyst.InternalRow(gx, gy)
+        i += 1
+        gy += 1
+      }
+      gx += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** 1 = intersects, 0 = disjoint, -1 = null (unparsable). */
   def intersects(a: Array[Byte], b: Array[Byte]): Int = {
     val b1 = WkbFast.bbox(a)

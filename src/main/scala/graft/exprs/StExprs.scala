@@ -347,7 +347,7 @@ case class StDifference(left: Expression, right: Expression)
   * by a margin — the bounded-radius kNN blocking). Blocking key for the
   * grid-bucket spatial join (SURVEY.md §4 item 3): both sides explode on
   * cells, equi-join on (gx, gy), then the exact predicate prunes. */
-case class StGridCells(children: Seq[Expression]) extends Expression with CodegenFallback {
+case class StGridCells(children: Seq[Expression]) extends Expression {
   override def dataType: DataType =
     ArrayType(StructType(Seq(StructField("gx", LongType, false),
                              StructField("gy", LongType, false))), containsNull = false)
@@ -355,21 +355,41 @@ case class StGridCells(children: Seq[Expression]) extends Expression with Codege
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val in = children(0).eval(input); val size = children(1).eval(input)
     if (in == null || size == null) return null
-    val cell = size.asInstanceOf[Double]
-    if (cell <= 0) return null
     val expand = if (children.length > 2) {
       val e = children(2).eval(input)
       if (e == null) 0.0 else e.asInstanceOf[Double]
     } else 0.0
-    val bb = WkbFast.bbox(in.asInstanceOf[Array[Byte]])
-    if (bb == null) return null
-    val x0 = math.floor((bb(0) - expand) / cell).toLong
-    val x1 = math.floor((bb(2) + expand) / cell).toLong
-    val y0 = math.floor((bb(1) - expand) / cell).toLong
-    val y1 = math.floor((bb(3) + expand) / cell).toLong
-    val rows = for (gx <- x0 to x1; gy <- y0 to y1)
-      yield org.apache.spark.sql.catalyst.InternalRow(gx, gy)
-    new GenericArrayData(rows.toArray[Any])
+    GeomRuntime.gridCells(in.asInstanceOf[Array[Byte]],
+      size.asInstanceOf[Double], expand)
+  }
+  // codegen'd (static GeomRuntime.gridCells call) so the cell-explode
+  // stage of the grid joins stays inside whole-stage codegen
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val inCode = children(0).genCode(ctx)
+    val sizeCode = children(1).genCode(ctx)
+    val eCode = if (children.length > 2) Some(children(2).genCode(ctx)) else None
+    val expand = ctx.freshName("expand")
+    val expandJava = eCode match {
+      case Some(e) => code"""
+        |${e.code}
+        |double $expand = ${e.isNull} ? 0.0 : ${e.value};"""
+      case None => code"double $expand = 0.0;"
+    }
+    ev.copy(code = code"""
+      |${inCode.code}
+      |${sizeCode.code}
+      |boolean ${ev.isNull} = ${inCode.isNull} || ${sizeCode.isNull};
+      |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      |if (!${ev.isNull}) {
+      |  $expandJava
+      |  ${ev.value} = graft.exprs.GeomRuntime.gridCells(
+      |    ${inCode.value}, ${sizeCode.value}, $expand);
+      |  if (${ev.value} == null) { ${ev.isNull} = true; }
+      |}""")
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(children = c)

@@ -55,6 +55,18 @@ class CodegenSpec extends SparkTestBase {
     assert(noMargin.eval(InternalRow(pt(1, 1), pt(1, 1))))
   }
 
+  test("st_gridcells compiles in a projection (grid-join cell generation)") {
+    val proj = GenerateMutableProjection.generate(
+      Seq(StGridCells(Seq(a, Literal(10.0), Literal(2.0)))))
+    val out = proj(InternalRow(pt(11, 11), pt(0, 0)))
+    assert(!out.isNullAt(0))
+    // bbox (11,11) expanded by 2 → cells (0..1, 0..1)
+    assert(out.getArray(0).numElements() == 4)
+    val bad = GenerateMutableProjection.generate(
+      Seq(StGridCells(Seq(a, Literal(-1.0)))))
+    assert(bad(InternalRow(pt(1, 1), pt(0, 0))).isNullAt(0))
+  }
+
   test("the kNN hot-loop shape (st_distance <= r) compiles as a predicate") {
     val pred = GeneratePredicate.generate(
       LessThanOrEqual(StDistance(a, b), Literal(5.0)))
