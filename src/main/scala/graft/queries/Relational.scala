@@ -467,6 +467,41 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** The same gap sessionization through Spark's NATIVE `session_window`
+    * aggregate — one hash-aggregate with built-in session merging instead
+    * of two window passes. Verified against the lag-based closed form:
+    * the built-in breaks on strictly-greater-than gap exactly like
+    * [[graft.ops.Sessionize]] (an event exactly `gap` later merges), and
+    * its window end is last-event + gap. */
+  def sessionWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .groupBy($"user_id", session_window($"ts", "8 hours").as("w"))
+      .agg(count(lit(1)).as("n_events"), out(sum(dec($"value"))).as("total_value"))
+      .select($"user_id", $"w.start".as("session_start"), $"w.end".as("session_end"),
+        $"n_events", $"total_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val sessionWindowSql: String =
+    s"""WITH lagged AS (
+       |  SELECT user_id, event_id, ts, value,
+       |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM events
+       |), numbered AS (
+       |  SELECT user_id, ts, value,
+       |    SUM(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > ${Sessionize.gapUs} THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM lagged
+       |)
+       |SELECT user_id, MIN(ts) AS session_start,
+       |  MAX(ts) + INTERVAL 8 HOUR AS session_end,
+       |  COUNT(*) AS n_events,
+       |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
+       |FROM numbered
+       |GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_start""".stripMargin
+
   /** Two-phase salted aggregation ([[graft.ops.Skew.saltedAgg]]) over the
     * events table — driver-gates the skew utility: the salted partial →
     * merge pipeline must produce EXACTLY the plain GROUP BY's rows
@@ -613,6 +648,7 @@ object Relational {
     "q_stream_hourly" -> (streamHourly _),
     "q_stream_watermark" -> (streamWatermark _),
     "q_sessionize" -> (sessionize _),
+    "q_session_window" -> (sessionWindow _),
     "q_stream_sessions" -> (streamSessions _),
     "q_skew_agg" -> (skewAgg _),
     "q_asof_join" -> (asofJoin _),
@@ -636,6 +672,7 @@ object Relational {
     "q_stream_hourly" -> eventsHourlySql,
     "q_stream_watermark" -> streamWatermarkSql,
     "q_sessionize" -> sessionizeSql,
+    "q_session_window" -> sessionWindowSql,
     "q_stream_sessions" -> streamSessionsSql,
     "q_skew_agg" -> skewAggSql,
     "q_asof_join" -> asofJoinSql,
