@@ -403,9 +403,7 @@ object Llm {
       val half = docs.agg(max($"doc_id")).head.getLong(0) / 2
       (docs.filter($"doc_id" <= half), docs.filter($"doc_id" > half))
     }
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    graft.util.Staging.withStreamPartitions(s, 8) {
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
         .select(md5($"text").as("fp"))
@@ -417,7 +415,7 @@ object Llm {
         .start()
       q.awaitTermination()
       s.table(name).orderBy($"fp")
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
   }
 
   val streamDedupSql: String =

@@ -263,18 +263,8 @@ object Relational {
     * streaming execution path (file source → stateful agg → sink) under
     * the same DuckDB oracle as the batch form: a correct streaming engine
     * must converge to the batch answer on a bounded input. */
-  /** Run `body` with `spark.sql.shuffle.partitions` lowered for a
-    * bounded streaming query, restoring the session value after. The
-    * stateful operators in these micro-batch queries keep per-partition
-    * state files and commit them every batch — at a few thousand groups,
-    * 32 state partitions is pure per-task/per-file overhead (the batch
-    * queries keep the session's 32). */
-  private def withStreamPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
-  }
+  private def withStreamPartitions[T](s: SparkSession, n: Int)(body: => T): T =
+    graft.util.Staging.withStreamPartitions(s, n)(body)
 
   def streamHourly(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -15,6 +15,17 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   */
 object Staging {
 
+  /** Run `body` with `spark.sql.shuffle.partitions` lowered for a bounded
+    * streaming query, restoring the session value after: per-partition
+    * state-store commit files are a fixed per-batch cost, so state
+    * partitions should track state size, not scan parallelism. */
+  def withStreamPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Returns the data directory containing `00.parquet` (earlier mtime)
     * and `01.parquet`. `version` busts the cache when the split logic
     * changes; `halves` produces the two file contents from the source. */
