@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.SparkTestBase
+import java.sql.Timestamp
+
+/** Property tests for the time-series joins: on seeded random data the
+  * distributed shapes must equal brute-force reference computations —
+  * [[AsOfJoin.latestAtOrBefore]] vs an in-memory argmax scan, and
+  * [[RangeJoin.pointInInterval]] vs a filtered cross product. Random
+  * timestamps are drawn on a COARSE grid (whole seconds over a small
+  * range) precisely to generate equal-timestamp collisions, which is
+  * where the tie-break and boundary rules live.
+  */
+class JoinPropSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260812L)
+  private def ts(sec: Long): Timestamp = new Timestamp(1_700_000_000_000L + sec * 1000L)
+
+  test("as-of join equals the brute-force argmax on random collision-heavy data") {
+    val keys = 6
+    val left = (0 until 300).map(i =>
+      (i.toLong, rnd.nextInt(keys).toLong, ts(rnd.nextInt(50).toLong)))
+    val right = (0 until 300).map(i =>
+      (1000L + i, rnd.nextInt(keys).toLong, ts(rnd.nextInt(50).toLong)))
+
+    val ldf = left.toDF("event_id", "user_id", "ts")
+    val rdf = right.toDF("click_id", "user_id", "ts")
+      .select($"user_id", $"ts", $"click_id")
+    val got = AsOfJoin.latestAtOrBefore(ldf, rdf, "user_id", "ts",
+      Seq("click_id"), "click_id")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+
+    left.foreach { case (eid, u, t) =>
+      // brute force: max (ts, click_id) among same-key rights with ts <= t
+      val cands = right.filter(r => r._2 == u && !r._3.after(t))
+      val want =
+        if (cands.isEmpty) -1L
+        else cands.maxBy(r => (r._3.getTime, r._1))._1
+      assert(got(eid) == want, s"event $eid user $u ts $t")
+    }
+  }
+
+  test("range join equals the filtered cross product on random intervals") {
+    val points = (0 until 200).map(i => (i.toLong, ts(rnd.nextInt(100).toLong)))
+    val intervals = (0 until 80).map { i =>
+      val s = rnd.nextInt(100).toLong
+      (100L + i, ts(s), ts(s + 1 + rnd.nextInt(30).toLong))
+    }
+    val pdf = points.toDF("pid", "pt")
+    val idf = intervals.toDF("iid", "start", "end")
+    // bucket deliberately smaller than max interval → multi-bucket explode
+    val got = RangeJoin.pointInInterval(pdf, idf, "pt", "start", "end",
+      bucketUs = 7L * 1000000)
+      .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = (for {
+      (pid, pt) <- points
+      (iid, s, e) <- intervals
+      if !pt.before(s) && pt.before(e) // start <= pt < end
+    } yield (pid, iid)).sorted
+    assert(got.toSeq == want)
+    // pair uniqueness: no duplicates from the explode
+    assert(got.distinct.length == got.length)
+  }
+}
