@@ -385,6 +385,53 @@ object Llm {
       |GROUP BY 1
       |ORDER BY split""".stripMargin
 
+  /** Train/test decontamination: test-split documents with a NEAR-DUP of
+    * a train-split document (the leakage an eval suite must remove
+    * before benchmarking on held-out data — exact-hash matching misses
+    * trivially-edited leaks, so the matcher is the same MinHash+LSH pair
+    * generation as the dedup queries). Composes the deterministic
+    * md5_bucket split with the banded near-dup pairs; `leak_from` is the
+    * smallest offending train doc as evidence. The oracle recomputes the
+    * pair set with exact Jaccard (bimodal-similarity argument, as for
+    * q_dedup_minhash) and the split with md5_number_lower. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val docs = documents(s, d)
+    val bucket = call_function("md5_bucket", $"text", lit(100))
+    val split = docs.select($"doc_id",
+      when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"))
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+    val sym = pairs.select($"id_a".as("id"), $"id_b".as("other"))
+      .unionByName(pairs.select($"id_b".as("id"), $"id_a".as("other")))
+    val trainIds = split.filter($"split" === "train").select($"doc_id".as("other"))
+    val leaks = sym.join(trainIds, Seq("other"))
+      .groupBy($"id").agg(min($"other").as("leak_from"))
+    split.filter($"split" === "test")
+      .join(leaks, $"doc_id" === $"id")
+      .select($"doc_id", $"leak_from")
+      .orderBy($"doc_id")
+  }
+
+  def decontaminateSql: String =
+    s"""WITH $ndPairsCtes, split AS (
+       |  SELECT doc_id, CASE WHEN md5_number_lower(text) % 100 < 90 THEN 'train'
+       |                      WHEN md5_number_lower(text) % 100 < 95 THEN 'val'
+       |                      ELSE 'test' END AS s
+       |  FROM documents
+       |), sym AS (
+       |  SELECT id_a AS id, id_b AS other FROM nd
+       |  UNION ALL SELECT id_b AS id, id_a AS other FROM nd
+       |), leaks AS (
+       |  SELECT sym.id, MIN(sym.other) AS leak_from
+       |  FROM sym JOIN split tr ON tr.doc_id = sym.other AND tr.s = 'train'
+       |  GROUP BY sym.id
+       |)
+       |SELECT t.doc_id, l.leak_from
+       |FROM split t JOIN leaks l ON l.id = t.doc_id
+       |WHERE t.s = 'test'
+       |ORDER BY t.doc_id""".stripMargin
+
   /** Streaming exact dedup — the incremental-ingestion form of
     * [[exactDedup]]: the documents table consumed as a two-file stream
     * (split by doc_id, cached staging like the events split) with
@@ -535,6 +582,7 @@ object Llm {
     "q_dedup_cc" -> (dedupCc _),
     "q_stream_dedup" -> (streamDedup _),
     "q_data_split" -> (dataSplit _),
+    "q_decontaminate" -> (decontaminate _),
     "q_doc_simhash" -> (simhashSketch _),
     "q_emb_ann_topk" -> (annTopK _),
     "q_emb_ivf_topk" -> (ivfTopK _),
@@ -715,6 +763,7 @@ object Llm {
     "q_dedup_cc" -> dedupCcSql,
     "q_stream_dedup" -> streamDedupSql,
     "q_data_split" -> dataSplitSql,
+    "q_decontaminate" -> decontaminateSql,
     "q_multimodal_pipeline" -> multimodalPipelineSql,
     "q_emb_bucket_stats" -> embNearDupStatsSql,
     "q_emb_ann_topk" -> annTopKSql,

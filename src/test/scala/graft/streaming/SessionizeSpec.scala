@@ -73,6 +73,28 @@ class SessionizeSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("batch sessionize equals a brute-force reference on random collision-heavy data") {
+    val rnd = new scala.util.Random(99L)
+    val events = (0 until 400).map { i =>
+      (rnd.nextInt(8).toLong, i.toLong,
+        new Timestamp(1_700_000_000_000L + rnd.nextInt(60) * 1000L), 1.0)
+    }
+    val gap = 5L * 1000000 // 5 seconds in micros
+    val got = graft.ops.Sessionize.sessions(
+      events.toDF("user_id", "event_id", "ts", "value"), gap)
+      .select($"user_id", $"session_seq".cast("long"), $"n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val want = events.groupBy(_._1).toSeq.flatMap { case (u, evs) =>
+      val ordered = evs.sortBy(e => (e._3.getTime, e._2))
+      val seqs = ordered.scanLeft((0L, Long.MinValue)) { case ((seq, prevUs), e) =>
+        val us = e._3.getTime * 1000L
+        if (prevUs == Long.MinValue || us - prevUs > gap) (seq + 1, us) else (seq, us)
+      }.drop(1).map(_._1)
+      seqs.groupBy(identity).map { case (seq, g) => (u, seq, g.size.toLong) }
+    }.sorted
+    assert(got.toSeq == want)
+  }
+
   test("batch boundary: event exactly gap-after extends, gap+1us breaks") {
     val sess = batchSessions.orderBy($"user_id", $"session_seq").collect()
     // user 1: [10:00, 11:30] (3 events), [12:30:00.000001, 13:00] (2 events)
