@@ -184,6 +184,51 @@ object Pipelines {
       |  SELECT p_partkey, 'container' AS tag_key, p_type AS tag_value FROM part)
       |ORDER BY p_partkey, tag_key""".stripMargin
 
+  /** X4 `OsmXMLtoGeojson` under the oracle: OSM XML documents synthesized
+    * in-plan from nation rows (a tagged node, a closed building way, an
+    * open highway way per doc), parsed by the native
+    * [[graft.ops.Osm.parseDoc]] — layer assignment, way assembly, and
+    * coordinates all checked against closed-form per-layer expectations
+    * (area, centroid) recomputed arithmetically in SQL. */
+  def osmParse(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val xml = nation(s, d).select($"n_nationkey".cast("long"), format_string(
+      "<osm>" +
+        "<node id=\"1\" lon=\"%1$d\" lat=\"%2$d\"><tag k=\"name\" v=\"p\"/></node>" +
+        "<node id=\"2\" lon=\"%3$d\" lat=\"%2$d\"/>" +
+        "<node id=\"3\" lon=\"%3$d\" lat=\"%4$d\"/>" +
+        "<node id=\"4\" lon=\"%1$d\" lat=\"%4$d\"/>" +
+        "<way id=\"10\"><nd ref=\"1\"/><nd ref=\"2\"/><nd ref=\"3\"/><nd ref=\"4\"/><nd ref=\"1\"/>" +
+        "<tag k=\"building\" v=\"yes\"/></way>" +
+        "<way id=\"11\"><nd ref=\"1\"/><nd ref=\"3\"/><tag k=\"highway\" v=\"road\"/></way>" +
+        "</osm>",
+      $"n_nationkey" % 50, ($"n_nationkey" * 7) % 50,
+      $"n_nationkey" % 50 + 2, ($"n_nationkey" * 7) % 50 + 2))
+    val parsed = xml.as[(Long, String)].flatMap { case (k, x) =>
+      graft.ops.Osm.parseDoc(x).map(f => (k, f.layer, f.osm_id, f.geom, f.tags.size))
+    }.toDF("n_nationkey", "layer", "osm_id", "geom", "n_tags")
+    parsed.select($"n_nationkey", $"layer", $"osm_id",
+      round(S.st_area($"geom"), 6).as("area"),
+      round(S.st_x(S.st_centroid($"geom")), 6).as("cx"),
+      round(S.st_y(S.st_centroid($"geom")), 6).as("cy"),
+      $"n_tags")
+      .orderBy($"n_nationkey", $"layer", $"osm_id")
+  }
+
+  val osmParseSql: String =
+    """WITH shapes(layer, osm_id, area, dx, dy, n_tags) AS (
+      |  VALUES ('points', '1', 0.0, 0.0, 0.0, 1),
+      |         ('multipolygons', '10', 4.0, 1.0, 1.0, 1),
+      |         ('lines', '11', 0.0, 1.0, 1.0, 1)
+      |)
+      |SELECT n_nationkey, layer, osm_id, CAST(area AS DOUBLE) AS area,
+      |  CAST(n_nationkey % 50 AS DOUBLE) + CAST(dx AS DOUBLE) AS cx,
+      |  CAST((n_nationkey * 7) % 50 AS DOUBLE) + CAST(dy AS DOUBLE) AS cy,
+      |  n_tags
+      |FROM nation CROSS JOIN shapes
+      |ORDER BY n_nationkey, layer, osm_id""".stripMargin
+
   /** A4 `AccessibilityRatioByTime` (terra.py:412-447) with an exact
     * oracle: the per-order times matrix (one row per lineitem, modes =
     * [quantity, discount·1000]) is built in-plan with collect_list;
@@ -321,6 +366,7 @@ object Pipelines {
     "q_projection_battery" -> (projectionBattery _),
     "q_pipeline_accessibility" -> (accessibility _),
     "q_pipeline_other_tags" -> (otherTags _),
+    "q_osm_parse" -> (osmParse _),
     "q_pipeline_e1_ingest" -> (e1Ingest _),
     "q_pipeline_e2_cluster" -> (e2Cluster _),
     "q_pipeline_e3_enrich" -> (e3Enrich _),
@@ -334,6 +380,7 @@ object Pipelines {
     "q_projection_battery" -> projectionBatterySql,
     "q_pipeline_accessibility" -> accessibilitySql,
     "q_pipeline_other_tags" -> otherTagsSql,
+    "q_osm_parse" -> osmParseSql,
     "q_pipeline_e1_ingest" -> e1IngestSql,
     "q_pipeline_e2_cluster" -> e2ClusterSql,
     "q_pipeline_e3_enrich" -> e3EnrichSql,
