@@ -52,16 +52,22 @@ object Algos {
       var ax = 0.0; var ay = 0.0; var aw = 0.0
       polys.foreach { p =>
         p.rings.zipWithIndex.foreach { case (ring, idx) =>
-          val sgn = if (idx == 0) 1.0 else -1.0
+          var rx = 0.0; var ry = 0.0; var rw = 0.0
           var i = 0
           while (i < ring.length - 1) {
             val a = ring(i); val b = ring(i + 1)
             val cross = a.x * b.y - b.x * a.y
-            ax += sgn * cross * (a.x + b.x)
-            ay += sgn * cross * (a.y + b.y)
-            aw += sgn * cross
+            rx += cross * (a.x + b.x)
+            ry += cross * (a.y + b.y)
+            rw += cross
             i += 1
           }
+          // Orientation-independent: a ring's weight sign comes from its
+          // ROLE (shell +, hole −), not its winding — GeoJSON (CCW shells)
+          // and ESRI shapefiles (CW shells, CCW holes) both come out right.
+          val sgn = if (idx == 0) { if (rw < 0) -1.0 else 1.0 }
+                    else          { if (rw > 0) -1.0 else 1.0 }
+          ax += sgn * rx; ay += sgn * ry; aw += sgn * rw
         }
       }
       if (aw != 0.0) return Point(ax / (3 * aw), ay / (3 * aw)).withSrid(g.srid).asInstanceOf[Point]

@@ -128,6 +128,194 @@ object Shapefile {
     }
   }
 
+  /** Deterministic shapefile WRITER — the inverse of the parser above,
+    * used to drive X5 under the driver oracle with in-plan synthesized
+    * zips (the q_osm_parse pattern) and by FormatsSpec. Emits spec-valid
+    * .shp/.shx/.dbf/.prj so the reader is tested against independently
+    * constructed bytes, not its own output.
+    */
+  object Synth {
+
+    /** The four single-feature zips synthesized per key: a 4326 point,
+      * polyline and multipoint, and a 3857 polygon-with-hole (exercising
+      * the reprojection path). Coordinates are closed-form in the key. */
+    def zipsFor(k: Long): Seq[(String, Array[Byte])] = {
+      val x0 = (k % 50).toDouble
+      val y0 = ((k * 7) % 50).toDouble
+      val dbfRec = Seq(Seq(s"f$k", (k * 3).toString, if (k % 2 == 0) "T" else "F"))
+      val dbf = dbfBytes(Seq(("name", 'C', 10), ("val", 'N', 8), ("flag", 'L', 1)), dbfRec)
+      val point = zipOf("pt",
+        shpBytes(Seq(pointRecord(x0, y0)), 1, (x0, y0, x0, y0)), dbf, PRJ_4326)
+      val line = zipOf("ln",
+        shpBytes(Seq(polyRecord(3, Seq(Seq((x0, y0), (x0 + 3, y0 + 4))))), 3,
+          (x0, y0, x0 + 3, y0 + 4)), dbf, PRJ_4326)
+      val mpoint = zipOf("mp",
+        shpBytes(Seq(multiPointRecord(Seq((x0, y0), (x0 + 4, y0 + 6)))), 8,
+          (x0, y0, x0 + 4, y0 + 6)), dbf, PRJ_4326)
+      // 3857 meters; outer ring CW (ESRI shell winding), hole CCW
+      val mx = 200000.0 + (k % 50) * 20000.0
+      val my = 300000.0 + ((k * 7) % 50) * 20000.0
+      val outer = Seq((mx, my), (mx, my + 20000), (mx + 20000, my + 20000),
+        (mx + 20000, my), (mx, my))
+      val hole = Seq((mx + 5000, my + 5000), (mx + 15000, my + 5000),
+        (mx + 15000, my + 15000), (mx + 5000, my + 15000), (mx + 5000, my + 5000))
+      val poly = zipOf("pg",
+        shpBytes(Seq(polyRecord(5, Seq(outer, hole))), 5,
+          (mx, my, mx + 20000, my + 20000)), dbf, PRJ_3857)
+      Seq(("line", line), ("mpoint", mpoint), ("point", point), ("poly", poly))
+    }
+
+    val PRJ_4326: String =
+      """GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]"""
+    val PRJ_3857: String =
+      """PROJCS["WGS_1984_Web_Mercator_Auxiliary_Sphere",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],PROJECTION["Mercator_Auxiliary_Sphere"],UNIT["Meter",1.0]]"""
+
+    /** Zip the shapefile triplet (+ .shx for spec completeness). */
+    def zipOf(base: String, shp: Array[Byte], dbf: Array[Byte], prj: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      def put(name: String, bytes: Array[Byte]): Unit = {
+        zos.putNextEntry(new java.util.zip.ZipEntry(name))
+        zos.write(bytes); zos.closeEntry()
+      }
+      put(base + ".shp", shp)
+      put(base + ".shx", shxBytes(shp))
+      put(base + ".dbf", dbf)
+      put(base + ".prj", prj.getBytes("UTF-8"))
+      zos.close()
+      bos.toByteArray
+    }
+
+    def shpBytes(records: Seq[Array[Byte]], shapeType: Int,
+                 bbox: (Double, Double, Double, Double)): Array[Byte] = {
+      val total = 100 + records.map(8 + _.length).sum
+      val buf = ByteBuffer.allocate(total)
+      buf.order(ByteOrder.BIG_ENDIAN)
+      buf.putInt(0, 9994)
+      buf.putInt(24, total / 2) // file length in 16-bit words
+      buf.order(ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(28, 1000)
+      buf.putInt(32, shapeType)
+      buf.putDouble(36, bbox._1); buf.putDouble(44, bbox._2)
+      buf.putDouble(52, bbox._3); buf.putDouble(60, bbox._4)
+      var pos = 100
+      records.zipWithIndex.foreach { case (r, i) =>
+        buf.order(ByteOrder.BIG_ENDIAN)
+        buf.putInt(pos, i + 1)
+        buf.putInt(pos + 4, r.length / 2)
+        pos += 8
+        buf.position(pos); buf.put(r); pos += r.length
+      }
+      buf.array()
+    }
+
+    /** .shx index derived from a .shp: same 100-byte header shape, then
+      * (offset, content length) in 16-bit words per record. */
+    def shxBytes(shp: Array[Byte]): Array[Byte] = {
+      val src = ByteBuffer.wrap(shp).order(ByteOrder.BIG_ENDIAN)
+      val fileLen = src.getInt(24) * 2
+      val entries = Vector.newBuilder[(Int, Int)]
+      var pos = 100
+      while (pos + 8 <= fileLen) {
+        val len = src.getInt(pos + 4)
+        entries += ((pos / 2, len))
+        pos += 8 + len * 2
+      }
+      val es = entries.result()
+      val buf = ByteBuffer.allocate(100 + 8 * es.length).order(ByteOrder.BIG_ENDIAN)
+      buf.putInt(0, 9994)
+      buf.putInt(24, (100 + 8 * es.length) / 2)
+      buf.order(ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(28, 1000)
+      buf.putInt(32, src.order(ByteOrder.LITTLE_ENDIAN).getInt(32)) // same shape type as the .shp
+      src.order(ByteOrder.BIG_ENDIAN)
+      buf.order(ByteOrder.BIG_ENDIAN)
+      es.zipWithIndex.foreach { case ((off, len), i) =>
+        buf.putInt(100 + 8 * i, off)
+        buf.putInt(104 + 8 * i, len)
+      }
+      buf.array()
+    }
+
+    def pointRecord(x: Double, y: Double): Array[Byte] = {
+      val buf = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(0, 1); buf.putDouble(4, x); buf.putDouble(12, y)
+      buf.array()
+    }
+
+    def multiPointRecord(pts: Seq[(Double, Double)]): Array[Byte] = {
+      val buf = ByteBuffer.allocate(40 + 16 * pts.length).order(ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(0, 8)
+      putBbox(buf, 4, pts)
+      buf.putInt(36, pts.length)
+      pts.zipWithIndex.foreach { case ((x, y), i) =>
+        buf.putDouble(40 + 16 * i, x); buf.putDouble(48 + 16 * i, y)
+      }
+      buf.array()
+    }
+
+    /** PolyLine (3) / Polygon (5) record from explicit parts/rings. */
+    def polyRecord(shapeType: Int, parts: Seq[Seq[(Double, Double)]]): Array[Byte] = {
+      val nPts = parts.map(_.length).sum
+      val buf = ByteBuffer.allocate(44 + 4 * parts.length + 16 * nPts)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(0, shapeType)
+      putBbox(buf, 4, parts.flatten)
+      buf.putInt(36, parts.length)
+      buf.putInt(40, nPts)
+      var start = 0
+      parts.zipWithIndex.foreach { case (p, i) =>
+        buf.putInt(44 + 4 * i, start); start += p.length
+      }
+      val off = 44 + 4 * parts.length
+      parts.flatten.zipWithIndex.foreach { case ((x, y), i) =>
+        buf.putDouble(off + 16 * i, x); buf.putDouble(off + 8 + 16 * i, y)
+      }
+      buf.array()
+    }
+
+    private def putBbox(buf: ByteBuffer, off: Int, pts: Seq[(Double, Double)]): Unit = {
+      buf.putDouble(off, pts.map(_._1).min); buf.putDouble(off + 8, pts.map(_._2).min)
+      buf.putDouble(off + 16, pts.map(_._1).max); buf.putDouble(off + 24, pts.map(_._2).max)
+    }
+
+    /** dBASE III: fields as (name, type, length); record values as
+      * strings already rendered (numbers left-padded, text right-padded). */
+    def dbfBytes(fields: Seq[(String, Char, Int)], records: Seq[Seq[String]]): Array[Byte] = {
+      val headerSize = 32 + 32 * fields.length + 1
+      val recordSize = 1 + fields.map(_._3).sum
+      val buf = ByteBuffer.allocate(headerSize + recordSize * records.length + 1)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.put(0, 0x03.toByte)
+      buf.put(1, 26.toByte); buf.put(2, 8.toByte); buf.put(3, 12.toByte) // YY MM DD
+      buf.putInt(4, records.length)
+      buf.putShort(8, headerSize.toShort)
+      buf.putShort(10, recordSize.toShort)
+      fields.zipWithIndex.foreach { case ((name, typ, len), i) =>
+        val off = 32 + 32 * i
+        val nb = name.getBytes("ASCII").take(10)
+        buf.position(off); buf.put(nb)
+        buf.put(off + 11, typ.toByte)
+        buf.put(off + 16, len.toByte)
+      }
+      buf.put(32 + 32 * fields.length, 0x0d.toByte)
+      records.zipWithIndex.foreach { case (rec, r) =>
+        val base = headerSize + r * recordSize
+        buf.put(base, ' '.toByte)
+        var fo = base + 1
+        rec.zip(fields).foreach { case (v, (_, typ, len)) =>
+          val rendered =
+            if (typ == 'N' || typ == 'F') v.reverse.padTo(len, ' ').reverse.take(len)
+            else v.padTo(len, ' ').take(len)
+          buf.position(fo); buf.put(rendered.getBytes("ASCII"))
+          fo += len
+        }
+      }
+      buf.put(buf.capacity() - 1, 0x1a.toByte)
+      buf.array()
+    }
+  }
+
   // ---- .dbf (dBASE III header + fixed-width records) ----
 
   def parseDbf(bytes: Array[Byte]): Seq[String] = {

@@ -216,6 +216,78 @@ object Pipelines {
       .orderBy($"n_nationkey", $"layer", $"osm_id")
   }
 
+  /** X5 `ZipShapefileToGeojson` under the oracle (shapefile.py:11-50):
+    * four zipped shapefiles per nation key — a point, a polyline, a
+    * multipoint (EPSG:4326) and a polygon-with-hole in EPSG:3857 — are
+    * synthesized IN-PLAN from independently constructed spec bytes
+    * ([[graft.ops.Shapefile.Synth]]), parsed by the native reader,
+    * reprojected to 4326, and checked against the closed form: DBF
+    * attribute decoding (C/N/L fields), centroids, areas — the 3857 ring
+    * goes through the inverse spherical-mercator formula, which the SQL
+    * oracle recomputes with atan/exp. */
+  def shapefileParse(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val keys = nation(s, d).select($"n_nationkey".cast("long")).as[Long]
+    val feats = keys.flatMap { k =>
+      Shapefile.Synth.zipsFor(k).flatMap { case (kind, zip) =>
+        Shapefile.parseZip(zip).map(f => (k, kind, f.fid, f.geom, f.properties))
+      }
+    }.toDF("key", "kind", "fid", "geom", "props")
+    feats.select($"key", $"kind", $"fid",
+        get_json_object($"props", "$.name").as("name"),
+        get_json_object($"props", "$.val").cast("long").as("val"),
+        get_json_object($"props", "$.flag").cast("boolean").as("flag"),
+        round(S.st_area($"geom"), 6).as("area"),
+        round(S.st_x(S.st_centroid($"geom")), 6).as("cx"),
+        round(S.st_y(S.st_centroid($"geom")), 6).as("cy"))
+      .orderBy($"key", $"kind")
+  }
+
+  val shapefileParseSql: String =
+    """WITH base AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS key,
+      |         CAST(n_nationkey % 50 AS DOUBLE) AS x0,
+      |         CAST((n_nationkey * 7) % 50 AS DOUBLE) AS y0
+      |  FROM nation
+      |), merc AS (  -- inverse spherical mercator of the 3857 ring corners
+      |  SELECT key,
+      |    (((200000.0 + (key % 50) * 20000.0) / 6378137.0) * 180.0) / pi() AS lon0,
+      |    (((200000.0 + (key % 50) * 20000.0 + 20000.0) / 6378137.0) * 180.0) / pi() AS lon1,
+      |    (((200000.0 + (key % 50) * 20000.0 + 5000.0) / 6378137.0) * 180.0) / pi() AS hlon0,
+      |    (((200000.0 + (key % 50) * 20000.0 + 15000.0) / 6378137.0) * 180.0) / pi() AS hlon1,
+      |    ((2 * atan(exp((300000.0 + ((key * 7) % 50) * 20000.0) / 6378137.0)) - pi() / 2) * 180.0) / pi() AS lat0,
+      |    ((2 * atan(exp((300000.0 + ((key * 7) % 50) * 20000.0 + 20000.0) / 6378137.0)) - pi() / 2) * 180.0) / pi() AS lat1,
+      |    ((2 * atan(exp((300000.0 + ((key * 7) % 50) * 20000.0 + 5000.0) / 6378137.0)) - pi() / 2) * 180.0) / pi() AS hlat0,
+      |    ((2 * atan(exp((300000.0 + ((key * 7) % 50) * 20000.0 + 15000.0) / 6378137.0)) - pi() / 2) * 180.0) / pi() AS hlat1
+      |  FROM base
+      |), poly AS (  -- rectangle minus rectangular hole: closed-form area/centroid
+      |  SELECT key,
+      |    (lon1 - lon0) * (lat1 - lat0) AS ao,
+      |    (hlon1 - hlon0) * (hlat1 - hlat0) AS ah,
+      |    (lon0 + lon1) / 2 AS mxo, (lat0 + lat1) / 2 AS myo,
+      |    (hlon0 + hlon1) / 2 AS mxh, (hlat0 + hlat1) / 2 AS myh
+      |  FROM merc
+      |), rows0 AS (
+      |  SELECT b.key, 'point' AS kind, CAST(1 AS BIGINT) AS fid,
+      |    0.0 AS area, x0 AS cx, y0 AS cy FROM base b
+      |  UNION ALL
+      |  SELECT b.key, 'line', CAST(1 AS BIGINT), 0.0, x0 + 1.5, y0 + 2.0 FROM base b
+      |  UNION ALL
+      |  SELECT b.key, 'mpoint', CAST(1 AS BIGINT), 0.0, x0 + 2.0, y0 + 3.0 FROM base b
+      |  UNION ALL
+      |  SELECT p.key, 'poly', CAST(1 AS BIGINT), p.ao - p.ah,
+      |    (p.ao * p.mxo - p.ah * p.mxh) / (p.ao - p.ah),
+      |    (p.ao * p.myo - p.ah * p.myh) / (p.ao - p.ah) FROM poly p
+      |)
+      |SELECT key, kind, fid,
+      |  'f' || CAST(key AS VARCHAR) AS name,
+      |  CAST(key * 3 AS BIGINT) AS val,
+      |  (key % 2 = 0) AS flag,
+      |  round(area, 6) AS area, round(cx, 6) AS cx, round(cy, 6) AS cy
+      |FROM rows0
+      |ORDER BY key, kind""".stripMargin
+
   val osmParseSql: String =
     """WITH shapes(layer, osm_id, area, dx, dy, n_tags) AS (
       |  VALUES ('points', '1', 0.0, 0.0, 0.0, 1),
@@ -367,6 +439,7 @@ object Pipelines {
     "q_pipeline_accessibility" -> (accessibility _),
     "q_pipeline_other_tags" -> (otherTags _),
     "q_osm_parse" -> (osmParse _),
+    "q_shapefile_parse" -> (shapefileParse _),
     "q_pipeline_e1_ingest" -> (e1Ingest _),
     "q_pipeline_e2_cluster" -> (e2Cluster _),
     "q_pipeline_e3_enrich" -> (e3Enrich _),
@@ -381,6 +454,7 @@ object Pipelines {
     "q_pipeline_accessibility" -> accessibilitySql,
     "q_pipeline_other_tags" -> otherTagsSql,
     "q_osm_parse" -> osmParseSql,
+    "q_shapefile_parse" -> shapefileParseSql,
     "q_pipeline_e1_ingest" -> e1IngestSql,
     "q_pipeline_e2_cluster" -> e2ClusterSql,
     "q_pipeline_e3_enrich" -> e3EnrichSql,

@@ -78,6 +78,42 @@ class LlmSpec extends SparkTestBase {
     assert(reachable.size >= 3, s"chain should connect >=3 docs, pairs=$pairs")
   }
 
+  test("connected components merge a 60-hop chain (beyond any per-hop iteration budget)") {
+    import spark.implicits._
+    // worst case for label propagation: one long path, ids descending so
+    // the min label must travel the full diameter
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps.size == 60)
+    assert(comps.values.toSet == Set(1L), s"under-merged: ${comps.values.toSet}")
+  }
+
+  test("connected components match union-find on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val n = 200
+    val raw = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // reference union-find
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    raw.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = raw.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map(id => id -> {
+        var r = id.toInt; while (parent(r) != r) r = parent(r)
+        // path-compress to the true min of the set: find gives the root,
+        // and roots were always merged toward the min, so root == min
+        r.toLong
+      }).toMap
+    val comps = Dedup.connectedComponents(raw.toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps == expected)
+  }
+
   test("jaccard is exact on known shingle overlap") {
     import spark.implicits._
     val df = Seq(("a b c d", "b c d e")).toDF("t1", "t2")
