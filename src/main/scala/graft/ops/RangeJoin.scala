@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Range (interval) join — match each point-in-time row to every
@@ -11,34 +11,82 @@ import org.apache.spark.sql.functions._
   * of roughly the typical interval length, explode each interval over
   * the buckets it touches, hash the points into their single bucket, and
   * EQUI-join on the bucket key before applying the exact containment
-  * predicate. Candidate volume is bounded by per-bucket density instead
-  * of the cross product; the join is a plain shuffle join (AQE skew
-  * handling applies); the explode factor is ≤ interval_len/bucket + 1.
+  * predicate.
   *
-  * Pair uniqueness by construction: a point lives in exactly one bucket
-  * and an interval is exploded at most once per bucket, so no dedup pass
-  * is needed after the filter.
+  * A single bucket size makes the interval explode factor
+  * span/bucket + 1 — UNBOUNDED: one pathological months-long interval
+  * against a seconds-scale bucket emits millions of rows. So buckets
+  * come in geometric LEVELS (level l buckets are `coarseFactor^l` fine
+  * buckets wide) and each interval is exploded at the shallowest level
+  * where it spans ≤ `coarseFactor` buckets — at most `coarseFactor + 1`
+  * rows per interval regardless of span (the deepest level absorbs
+  * anything longer, `coarseFactor^(levels-1)`× reduced). Points emit one
+  * row per level (`levels` is small and STATIC — the plan never depends
+  * on the data). Candidate volume stays bounded by per-bucket density;
+  * the join is a plain shuffle join (AQE skew handling applies).
+  *
+  * Pair uniqueness by construction: an interval lives at exactly ONE
+  * level, a point has exactly one bucket per level, and an interval is
+  * exploded at most once per bucket — so no dedup pass is needed after
+  * the filter.
   */
 object RangeJoin {
 
   /** Half-open containment: `start <= point < end`. Callers pre-alias
     * clashing column names (both inputs' columns survive the join).
-    * `bucketUs` should approximate the typical interval length. */
+    * `bucketUs` should approximate the typical interval length;
+    * `levels`/`coarseFactor` bound the worst case: spans beyond
+    * `bucketUs · coarseFactor^levels` still join correctly but explode
+    * more than `coarseFactor + 1` rows each. The defaults (2 levels ×
+    * 4096) keep the bound out to ~194 days of span at 1-second buckets;
+    * pass `levels = 1` to recover the single-level plan (and skip the
+    * second point row) when the interval length is known-bounded. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       pointTs: String, startTs: String, endTs: String,
-                      bucketUs: Long): DataFrame = {
+                      bucketUs: Long, coarseFactor: Int = 4096,
+                      levels: Int = 2): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
+    require(levels >= 1 && levels <= 4, "levels must be in [1, 4]")
+    require(coarseFactor >= 2, "coarseFactor must be >= 2")
+    val widths: Seq[Long] = Iterator.iterate(bucketUs) { w =>
+      require(w <= Long.MaxValue / coarseFactor, "bucket width overflows a long")
+      w * coarseFactor
+    }.take(levels).toSeq
+
     // CAST(.. AS TIMESTAMP) tolerates TIMESTAMP_NTZ inputs (unix_micros
     // alone rejects them); with the session pinned to UTC the cast is
-    // value-preserving.
-    val p = points.withColumn("__bucket",
-      expr(s"unix_micros(CAST($pointTs AS TIMESTAMP)) div $bucketUs"))
-    val i = intervals.withColumn("__bucket",
-      explode(sequence(
-        expr(s"unix_micros(CAST($startTs AS TIMESTAMP)) div $bucketUs"),
-        expr(s"unix_micros(CAST($endTs AS TIMESTAMP)) div $bucketUs"))))
-    p.join(i, Seq("__bucket"))
+    // value-preserving. `div` (integral) — `/` on longs is DOUBLE
+    // division and rounds µs at ~1e18. Truncating division is monotonic
+    // non-decreasing, so a contained point's bucket always lies within
+    // its interval's exploded [start_bucket, end_bucket] range.
+    def bucketOf(tsCol: String, w: Long): Column =
+      expr(s"unix_micros(CAST($tsCol AS TIMESTAMP)) div ${w}L")
+
+    val p = points
+      .withColumn("__lb", explode(array(widths.zipWithIndex.map { case (w, l) =>
+        struct(lit(l).as("lvl"), bucketOf(pointTs, w).as("b"))
+      }: _*)))
+      .withColumn("__lvl", col("__lb.lvl")).withColumn("__bucket", col("__lb.b"))
+      .drop("__lb")
+
+    // shallowest level whose buckets the interval spans ≤ coarseFactor of;
+    // the deepest level absorbs anything longer
+    val spanFine = bucketOf(endTs, bucketUs) - bucketOf(startTs, bucketUs)
+    val lvlCol = widths.indices.init.foldRight(lit(levels - 1): Column) { (l, rest) =>
+      // fits in ≤ coarseFactor level-l buckets ⇔ fine span ≤ coarseFactor^(l+1)
+      when(spanFine <= coarseFactor.toLong * (widths(l) / bucketUs), lit(l))
+        .otherwise(rest)
+    }
+    def atLevel(f: Long => Column): Column =
+      widths.zipWithIndex.tail.foldLeft(f(widths.head)) { case (acc, (w, l)) =>
+        when(col("__lvl") === l, f(w)).otherwise(acc)
+      }
+    val i = intervals.withColumn("__lvl", lvlCol)
+      .withColumn("__bucket", explode(sequence(
+        atLevel(w => bucketOf(startTs, w)), atLevel(w => bucketOf(endTs, w)))))
+
+    p.join(i, Seq("__lvl", "__bucket"))
       .filter(col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
-      .drop("__bucket")
+      .drop("__lvl", "__bucket")
   }
 }

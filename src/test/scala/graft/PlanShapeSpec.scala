@@ -1,0 +1,95 @@
+package graft
+
+import graft.functions.Graft
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression guard: every registered query's physical plan is
+  * audited for the scale-killers — CartesianProduct,
+  * BroadcastNestedLoopJoin, and CodegenFallback expressions inside join
+  * conditions (interpreted per-pair evaluation in an O(n·m) loop). New
+  * queries land under this audit automatically; deliberate exceptions
+  * (the brute-force similarity baseline, unbounded-radius kNN) go on the
+  * explicit allow-list WITH the reason.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  /** Queries allowed a nested-loop/cartesian join, and why. */
+  private val allowNestedLoop: Map[String, String] = Map(
+    "q_emb_cosine_topk" -> "deliberate brute-force baseline (crossJoin by design)",
+    "q_emb_recall" -> "recall metric recomputes the brute-force baseline",
+    "q_geo_knn" -> "unbounded-radius kNN: broadcast NL is the correct plan",
+    "q_pipeline_e3_broadcast" -> "explicit broadcast-variant of the kNN pipeline",
+    "q_geo_zone_flag" -> "deliberate broadcast of a 25-row zone layer with codegen'd st_intersects; q_geo_zone_flag_grid gates the scale shape",
+    "q_geo_intersect_pct" -> "same broadcast-small-zones overlay shape (J2); grid join covers large layers",
+    "q_geo_clip_area" -> "same broadcast-small-zones overlay shape (J4); grid join covers large layers"
+  )
+
+  /** Streaming queries execute a full micro-batch run when invoked and
+    * return a sink read — their interesting plan is inside the stream,
+    * not the returned DataFrame; audited by their own specs. */
+  private def skip(name: String): Boolean = name.startsWith("q_stream")
+
+  private def offendingNodes(plan: SparkPlan): Seq[String] = plan.collect {
+    case _: CartesianProductExec => "CartesianProduct"
+    case _: BroadcastNestedLoopJoinExec => "BroadcastNestedLoopJoin"
+  }
+
+  private def fallbackJoinConds(plan: SparkPlan): Seq[String] = plan.collect {
+    case j: BaseJoinExec if j.condition.exists(
+      _.exists(e => e.isInstanceOf[CodegenFallback] &&
+        // ScalaUDF etc. also mix in CodegenFallback via non-codegen paths;
+        // flag anything — the allow-list is the escape hatch
+        !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal])) =>
+      s"${j.nodeName}(condition=${j.condition.get.sql.take(120)})"
+  }
+
+  test("no cartesian / nested-loop join outside the allow-list") {
+    Graft.init(spark)
+    val d = "/root/testdata/sf0.001"
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (skip(name)) Nil
+      else {
+        val nodes = offendingNodes(fn(spark, d).queryExecution.sparkPlan)
+        if (nodes.nonEmpty && !allowNestedLoop.contains(name))
+          Seq(s"$name: ${nodes.mkString(", ")}") else Nil
+      }
+    }
+    assert(bad.isEmpty, s"scale-killer joins outside allow-list:\n${bad.mkString("\n")}")
+  }
+
+  test("no CodegenFallback expression in any join condition") {
+    Graft.init(spark)
+    val d = "/root/testdata/sf0.001"
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (skip(name) || allowNestedLoop.contains(name)) Nil
+      else fallbackJoinConds(fn(spark, d).queryExecution.sparkPlan).map(n => s"$name: $n")
+    }
+    assert(bad.isEmpty, s"interpreted join conditions:\n${bad.mkString("\n")}")
+  }
+
+  test("the detector actually fires on an injected regression") {
+    import spark.implicits._
+    val a = Seq((1L, 2.0), (2L, 3.0)).toDF("id_a", "va")
+    val b = Seq((1L, 2.0), (2L, 3.0)).toDF("id_b", "vb")
+    // non-equi theta join → Spark must plan a nested-loop join
+    val theta: DataFrame = a.join(b, $"va" < $"vb")
+    assert(offendingNodes(theta.queryExecution.sparkPlan).nonEmpty,
+      "detector failed to flag a nested-loop join")
+    // interpreted predicate in the join condition → fallback detector
+    // fires: st_intersection is a CodegenFallback expression by design
+    // (overlay kernel), legitimate in per-pair AGGREGATE position but a
+    // regression inside a join condition
+    Graft.init(spark)
+    import graft.functions.{st => S}
+    val ga = a.withColumn("g", S.st_point($"va", $"va"))
+    val gb = b.withColumn("h", S.st_point($"vb", $"vb"))
+    val viaFallback = ga.join(gb,
+      S.st_area(call_function("st_intersection", $"g", $"h")) >= 0)
+    assert(fallbackJoinConds(viaFallback.queryExecution.sparkPlan).nonEmpty,
+      "detector failed to flag an interpreted join condition")
+  }
+}

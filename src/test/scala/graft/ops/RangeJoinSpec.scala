@@ -33,6 +33,51 @@ class RangeJoinSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 100L), (2L, 100L), (5L, 100L)))
   }
 
+  test("a months-long interval against 1-second buckets joins without explode blowup") {
+    // 90 days / 1s buckets = 7.8M buckets — unbounded single-level explode
+    // would emit 7.8M rows for ONE interval; the leveled plan emits ≤ 4097.
+    val secUs = 1000000L
+    val points = Seq(
+      (1L, ts("2026-02-15 12:00:00")), // mid-interval
+      (2L, ts("2026-01-01 00:00:00")), // == start → in
+      (3L, ts("2026-04-01 00:00:00")), // == end → OUT
+      (4L, ts("2026-05-01 00:00:00")), // after → out
+      (5L, ts("2026-01-01 00:00:30"))  // short-interval hit too
+    ).toDF("pid", "pt")
+    val intervals = Seq(
+      (100L, ts("2026-01-01 00:00:00"), ts("2026-04-01 00:00:00")), // 90 days
+      (101L, ts("2026-01-01 00:00:00"), ts("2026-01-01 00:01:00"))  // 1 minute
+    ).toDF("iid", "start", "end")
+    val out = RangeJoin.pointInInterval(points, intervals, "pt", "start", "end", secUs)
+      .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out.toSeq == Seq((1L, 100L), (2L, 100L), (2L, 101L), (5L, 100L), (5L, 101L)))
+  }
+
+  test("property: leveled plan matches brute force on random spans across levels") {
+    val rnd = new scala.util.Random(7)
+    val base = ts("2026-01-01 00:00:00").getTime // ms
+    // spans from seconds to months, against 1-second buckets
+    val intervals = (0 until 40).map { i =>
+      val start = base + rnd.nextInt(90 * 24 * 3600) * 1000L
+      val spanSec = math.pow(10, rnd.nextDouble() * 6.5).toLong + 1 // 1s .. ~36 days
+      (i.toLong, new Timestamp(start), new Timestamp(start + spanSec * 1000))
+    }
+    val points = (0 until 200).map { i =>
+      (i.toLong, new Timestamp(base + rnd.nextInt(100 * 24 * 3600) * 1000L))
+    }
+    val pdf = points.toDF("pid", "pt")
+    val idf = intervals.toDF("iid", "start", "end")
+    val expected = (for {
+      (pid, pt) <- points
+      (iid, s, e) <- intervals
+      if !pt.before(s) && pt.before(e)
+    } yield (pid, iid)).sorted
+    val got = RangeJoin.pointInInterval(pdf, idf, "pt", "start", "end", 1000000L,
+        coarseFactor = 64, levels = 3)
+      .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == expected)
+  }
+
   test("a point matches every covering interval exactly once") {
     val points = Seq((1L, ts("2026-01-01 12:00:00"))).toDF("pid", "pt")
     val intervals = Seq(
