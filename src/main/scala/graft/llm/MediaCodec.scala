@@ -1,0 +1,249 @@
+package graft.llm
+
+/** Honest decoders for three trivial container formats — BMP (24-bit
+  * uncompressed), binary PPM (P6), and WAV (PCM16) — replacing the
+  * hash-stub as [[Multimodal.MediaDecoder]]'s reference implementation.
+  * The formats are simple enough to parse byte-exactly with no codec
+  * library, which is the point: the decode step the brief allows us to
+  * stub is instead REAL for these formats, and only genuinely
+  * codec-bound formats (JPEG/MP3/H.264) stay behind the pluggable
+  * decoder seam.
+  *
+  * Reference behavior modeled: terra-bonobo-nodes feeds raw media
+  * payloads through per-row transforms (common.py's byte-stream
+  * handling); the decode-to-stats contract here is the Spark-side
+  * equivalent of what its Python nodes would do with PIL/wave.
+  */
+object MediaCodec {
+
+  /** Decoded media facts. Image formats fill width/height/channels and
+    * per-channel means; WAV fills sampleRate/nSamples and the sample
+    * mean in meanC0. Means are exact: integer sums accumulated in Long
+    * (lossless for any realistic payload), one double division at the
+    * end. */
+  final case class MediaInfo(
+      format: String,
+      width: Option[Int], height: Option[Int], channels: Option[Int],
+      sampleRate: Option[Int], nSamples: Option[Int],
+      meanC0: Option[Double], meanC1: Option[Double], meanC2: Option[Double])
+
+  /** Sniff the magic bytes and dispatch. Unknown/corrupt → None (the
+    * caller keeps the row with a null decode; filtering is policy). */
+  def decode(bytes: Array[Byte]): Option[MediaInfo] = {
+    if (bytes == null || bytes.length < 4) None
+    else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if (bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+    else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
+      decodeWav(bytes)
+    else None
+  }
+
+  // ---- little-endian readers --------------------------------------------
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  // ---- BMP: 24-bit BI_RGB, BITMAPINFOHEADER -----------------------------
+
+  /** Encode a 24-bit bottom-up BMP. `pixel(x, y)` returns (r, g, b) with
+    * y = 0 the TOP row (the encoder handles the bottom-up flip). */
+  def encodeBmp(w: Int, h: Int, pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3 // rows pad to 4-byte boundaries
+    val dataSize = stride * h
+    val out = new Array[Byte](54 + dataSize)
+    def put32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    put32(2, 54 + dataSize); put32(10, 54)
+    put32(14, 40); put32(18, w); put32(22, h)
+    out(26) = 1; out(28) = 24 // planes = 1, bpp = 24; compression stays 0
+    put32(34, dataSize); put32(38, 2835); put32(42, 2835)
+    var y = 0
+    while (y < h) {
+      val rowOff = 54 + (h - 1 - y) * stride // bottom-up storage
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pixel(x, y)
+        out(rowOff + x * 3) = b.toByte // pixel order is B,G,R
+        out(rowOff + x * 3 + 1) = g.toByte
+        out(rowOff + x * 3 + 2) = r.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def decodeBmp(b: Array[Byte]): Option[MediaInfo] = {
+    if (b.length < 54) return None
+    val dataOff = le32(b, 10)
+    val w = le32(b, 18)
+    val h = le32(b, 22) // positive = bottom-up (the only variant we emit)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
+    val hh = math.abs(h)
+    val stride = (w * 3 + 3) & ~3
+    if (dataOff + stride.toLong * hh > b.length) return None
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < hh) {
+      val rowOff = dataOff + y * stride
+      var x = 0
+      while (x < w) {
+        sb += u8(b, rowOff + x * 3)
+        sg += u8(b, rowOff + x * 3 + 1)
+        sr += u8(b, rowOff + x * 3 + 2)
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * hh
+    Some(MediaInfo("bmp", Some(w), Some(hh), Some(3), None, None,
+      Some(sr.toDouble / n), Some(sg.toDouble / n), Some(sb.toDouble / n)))
+  }
+
+  // ---- PPM: binary P6, maxval <= 255 ------------------------------------
+
+  /** Encode a binary PPM (P6), rows top-down, pixels R,G,B. */
+  def encodePpm(w: Int, h: Int, pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = header.length
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pixel(x, y)
+        out(i) = r.toByte; out(i + 1) = g.toByte; out(i + 2) = b.toByte
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def decodePpm(b: Array[Byte]): Option[MediaInfo] = {
+    // header = "P6" then 3 whitespace-delimited ints (w, h, maxval) with
+    // optional '#' comments, then ONE whitespace byte before pixel data
+    var i = 2
+    val vals = new Array[Int](3)
+    var v = 0
+    while (v < 3) {
+      while (i < b.length && (b(i) == ' ' || b(i) == '\t' || b(i) == '\n' || b(i) == '\r' || b(i) == '#')) {
+        if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 } else i += 1
+      }
+      var x = 0; var any = false
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') { x = x * 10 + (b(i) - '0'); i += 1; any = true }
+      if (!any) return None
+      vals(v) = x; v += 1
+    }
+    i += 1 // the single whitespace after maxval
+    val w = vals(0); val h = vals(1)
+    if (w <= 0 || h <= 0 || vals(2) != 255 || i + 3L * w * h > b.length) return None
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var p = 0
+    val n = w * h
+    while (p < n) {
+      sr += u8(b, i + p * 3); sg += u8(b, i + p * 3 + 1); sb += u8(b, i + p * 3 + 2)
+      p += 1
+    }
+    Some(MediaInfo("ppm", Some(w), Some(h), Some(3), None, None,
+      Some(sr.toDouble / n), Some(sg.toDouble / n), Some(sb.toDouble / n)))
+  }
+
+  // ---- WAV: RIFF/WAVE, PCM 16-bit ---------------------------------------
+
+  /** Encode a mono PCM16 WAV. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val out = new Array[Byte](44 + dataSize)
+    def put32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+    }
+    def put16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+    def tag(i: Int, s: String): Unit = { var j = 0; while (j < 4) { out(i + j) = s(j).toByte; j += 1 } }
+    tag(0, "RIFF"); put32(4, 36 + dataSize); tag(8, "WAVE")
+    tag(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, 1)
+    put32(24, sampleRate); put32(28, sampleRate * 2); put16(32, 2); put16(34, 16)
+    tag(36, "data"); put32(40, dataSize)
+    var i = 0
+    while (i < samples.length) { put16(44 + i * 2, samples(i) & 0xffff); i += 1 }
+    out
+  }
+
+  private def decodeWav(b: Array[Byte]): Option[MediaInfo] = {
+    if (b.length < 12 || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    // walk chunks: need fmt (PCM, 16-bit) before data
+    var i = 12
+    var channels = 0; var rate = 0; var bits = 0
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val size = le32(b, i + 4)
+      if (id == "fmt ") {
+        if (le16(b, i + 8) != 1) return None // PCM only
+        channels = le16(b, i + 10); rate = le32(b, i + 12); bits = le16(b, i + 22)
+      } else if (id == "data") {
+        if (channels < 1 || bits != 16 || i + 8 + size > b.length) return None
+        val frames = size / (2 * channels)
+        var s = 0L
+        var f = 0
+        while (f < frames) { // mean over channel 0 (mono in practice)
+          s += le16(b, i + 8 + f * 2 * channels).toShort
+          f += 1
+        }
+        return Some(MediaInfo("wav", None, None, Some(channels), Some(rate),
+          Some(frames), if (frames == 0) None else Some(s.toDouble / frames), None, None))
+      }
+      i += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** Honest [[Multimodal.MediaDecoder]]: the feature vector is the
+    * decoded facts laid out head-first (width, height, channels,
+    * sample_rate, n_samples, mean_c0..c2), zero-padded to `dim`;
+    * undecodable payloads are all-zero. Swaps in for StubDecoder with
+    * no plan change. */
+  object FormatDecoder extends Multimodal.MediaDecoder {
+    def features(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      decode(bytes).foreach { m =>
+        val vals = Array[Float](
+          m.width.getOrElse(0).toFloat, m.height.getOrElse(0).toFloat,
+          m.channels.getOrElse(0).toFloat, m.sampleRate.getOrElse(0).toFloat,
+          m.nSamples.getOrElse(0).toFloat, m.meanC0.getOrElse(0.0).toFloat,
+          m.meanC1.getOrElse(0.0).toFloat, m.meanC2.getOrElse(0.0).toFloat)
+        var i = 0
+        while (i < vals.length && i < dim) { out(i) = vals(i); i += 1 }
+      }
+      out
+    }
+  }
+
+  /** Deterministic payload synthesis for the driver gate: the pixel and
+    * sample formulas are plain integer arithmetic over (key, x, y) /
+    * (key, i), so a SQL oracle recomputes the decoded statistics in
+    * closed form (`q_media_decode`). BMP and PPM share one formula —
+    * the two encoders must agree through their different containers. */
+  object Synth {
+    def dims(k: Long): (Int, Int) = ((2 + k % 6).toInt, (1 + k % 5).toInt)
+    def nSamples(k: Long): Int = (16 + k % 16).toInt
+
+    private def pix(k: Long)(x: Int, y: Int): (Int, Int, Int) =
+      (((k + 3L * x + 7L * y) % 256).toInt,
+       ((2L * k + 5L * x + y) % 256).toInt,
+       ((3L * k + x + 2L * y) % 256).toInt)
+
+    def bmpFor(k: Long): Array[Byte] = { val (w, h) = dims(k); encodeBmp(w, h, pix(k)) }
+    def ppmFor(k: Long): Array[Byte] = { val (w, h) = dims(k); encodePpm(w, h, pix(k)) }
+    def wavFor(k: Long): Array[Byte] =
+      encodeWavPcm16(8000, Array.tabulate(nSamples(k))(i => ((k * 31 + i * 17) % 2048 - 1024).toShort))
+  }
+}

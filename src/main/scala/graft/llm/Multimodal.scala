@@ -85,6 +85,42 @@ object Multimodal {
     }(enc)
   }
 
+  /** Decoded-media struct produced by [[decode]]. */
+  val mediaInfoSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType), StructField("n_samples", IntegerType),
+    StructField("mean_c0", DoubleType), StructField("mean_c1", DoubleType),
+    StructField("mean_c2", DoubleType)))
+
+  /** Honest decode: binary payload → typed media facts via
+    * [[MediaCodec]] (BMP/PPM/WAV parsed for real; unknown formats and
+    * null payloads → null struct, row kept). Same partition-wise shape
+    * as [[extractFeatures]] — this is the op production points at a real
+    * codec library through; the three built-in formats need none. */
+  def decode(df: DataFrame, contentCol: String = "content",
+             outCol: String = "media"): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, mediaInfoSchema, nullable = true))
+    val idx = df.schema.fieldIndex(contentCol)
+    val enc = Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val info =
+          if (row.isNullAt(idx)) null
+          else MediaCodec.decode(row.getAs[Array[Byte]](idx)).map { m =>
+            // box the primitives: Row cells are nullable AnyRefs
+            Row(m.format, m.width.map(Int.box).orNull, m.height.map(Int.box).orNull,
+              m.channels.map(Int.box).orNull, m.sampleRate.map(Int.box).orNull,
+              m.nSamples.map(Int.box).orNull, m.meanC0.map(Double.box).orNull,
+              m.meanC1.map(Double.box).orNull, m.meanC2.map(Double.box).orNull)
+          }.orNull
+        Row.fromSeq(row.toSeq :+ info)
+      }
+    }(enc)
+  }
+
   /** Video frame sampling: one output row per sampled frame offset —
     * 1→N explode on the plan side, offsets from the decoder. */
   def sampleFrames(df: DataFrame, everyMs: Long = 1000L,

@@ -588,7 +588,84 @@ object Llm {
     "q_emb_ivf_topk" -> (ivfTopK _),
     "q_emb_bucket_stats" -> (embNearDupStats _),
     "q_multimodal_pipeline" -> (multimodalPipeline _),
+    "q_media_decode" -> (mediaDecode _),
   )
+
+  /** Honest media decode under the oracle: BMP / PPM / WAV payloads
+    * synthesized in-plan from part keys (pixel/sample values are integer
+    * formulas over the key), parsed by the REAL format decoders
+    * ([[graft.llm.MediaCodec]]) through the partition-wise
+    * [[Multimodal.decode]] plumbing. The oracle recomputes width,
+    * height, channel means and the PCM sample mean in closed form with
+    * generate_series — if a header field, stride pad, or byte order is
+    * wrong on either side of the codec, the hash breaks. Every 11th
+    * payload is truncated garbage → null decode, also checked. */
+  def mediaDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.MediaCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val media = keys.map { k =>
+      val bytes =
+        if (k % 11 == 0) Array[Byte]('X', 'X', 'X', 'X') // undecodable
+        else (k % 3).toInt match {
+          case 0 => MediaCodec.Synth.bmpFor(k)
+          case 1 => MediaCodec.Synth.ppmFor(k)
+          case _ => MediaCodec.Synth.wavFor(k)
+        }
+      (k, bytes)
+    }.toDF("media_id", "content")
+    Multimodal.decode(media)
+      .select($"media_id",
+        $"media.format".as("format"),
+        $"media.width".as("width"), $"media.height".as("height"),
+        $"media.channels".as("channels"),
+        $"media.sample_rate".as("sample_rate"), $"media.n_samples".as("n_samples"),
+        round($"media.mean_c0", 6).as("mean_c0"),
+        round($"media.mean_c1", 6).as("mean_c1"),
+        round($"media.mean_c2", 6).as("mean_c2"))
+      .orderBy($"media_id")
+  }
+
+  /** The decoded stats recomputed from the synthesis formulas (see
+    * MediaCodec.Synth): image pixels are ((k+3x+7y)%256, (2k+5x+y)%256,
+    * (3k+x+2y)%256) over a (2+k%6)×(1+k%5) raster, WAV samples are
+    * (k·31+i·17)%2048−1024 over 16+k%16 frames at 8 kHz. Sums of small
+    * ints are exact in double, so avg matches the decoder's
+    * sum-then-divide bit-for-bit. */
+  val mediaDecodeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |dims AS (
+      |  SELECT k, CAST(2 + k % 6 AS INTEGER) AS w, CAST(1 + k % 5 AS INTEGER) AS h,
+      |         CAST(16 + k % 16 AS INTEGER) AS n
+      |  FROM ks),
+      |img AS (
+      |  SELECT d.k,
+      |    avg(CAST((d.k + 3 * x.g + 7 * y.g) % 256 AS DOUBLE)) AS m0,
+      |    avg(CAST((2 * d.k + 5 * x.g + y.g) % 256 AS DOUBLE)) AS m1,
+      |    avg(CAST((3 * d.k + x.g + 2 * y.g) % 256 AS DOUBLE)) AS m2
+      |  FROM dims d, generate_series(0, 6) x(g), generate_series(0, 4) y(g)
+      |  WHERE x.g < d.w AND y.g < d.h AND d.k % 3 <> 2 AND d.k % 11 <> 0
+      |  GROUP BY d.k),
+      |wav AS (
+      |  SELECT d.k, avg(CAST((d.k * 31 + i.g * 17) % 2048 - 1024 AS DOUBLE)) AS m0
+      |  FROM dims d, generate_series(0, 30) i(g)
+      |  WHERE i.g < d.n AND d.k % 3 = 2 AND d.k % 11 <> 0
+      |  GROUP BY d.k)
+      |SELECT d.k AS media_id,
+      |  CASE WHEN d.k % 11 = 0 THEN NULL
+      |       WHEN d.k % 3 = 0 THEN 'bmp' WHEN d.k % 3 = 1 THEN 'ppm'
+      |       ELSE 'wav' END AS format,
+      |  CASE WHEN d.k % 11 <> 0 AND d.k % 3 <> 2 THEN d.w END AS width,
+      |  CASE WHEN d.k % 11 <> 0 AND d.k % 3 <> 2 THEN d.h END AS height,
+      |  CAST(CASE WHEN d.k % 11 = 0 THEN NULL
+      |            WHEN d.k % 3 = 2 THEN 1 ELSE 3 END AS INTEGER) AS channels,
+      |  CAST(CASE WHEN d.k % 11 <> 0 AND d.k % 3 = 2 THEN 8000 END AS INTEGER) AS sample_rate,
+      |  CASE WHEN d.k % 11 <> 0 AND d.k % 3 = 2 THEN d.n END AS n_samples,
+      |  round(COALESCE(img.m0, wav.m0), 6) AS mean_c0,
+      |  round(img.m1, 6) AS mean_c1,
+      |  round(img.m2, 6) AS mean_c2
+      |FROM dims d LEFT JOIN img ON img.k = d.k LEFT JOIN wav ON wav.k = d.k
+      |ORDER BY media_id""".stripMargin
 
   /** Multimodal plumbing end-to-end under the oracle: media rows
     * synthesized in-plan from the part table (kind cycles image/audio/
@@ -765,6 +842,7 @@ object Llm {
     "q_data_split" -> dataSplitSql,
     "q_decontaminate" -> decontaminateSql,
     "q_multimodal_pipeline" -> multimodalPipelineSql,
+    "q_media_decode" -> mediaDecodeSql,
     "q_emb_bucket_stats" -> embNearDupStatsSql,
     "q_emb_ann_topk" -> annTopKSql,
     "q_text_stats" -> textStatsSql,

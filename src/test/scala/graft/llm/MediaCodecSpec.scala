@@ -1,0 +1,93 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class MediaCodecSpec extends SparkTestBase {
+  import MediaCodec._
+
+  private def gradient(x: Int, y: Int): (Int, Int, Int) =
+    ((x * 40 + y) % 256, (y * 60 + x) % 256, (x + y * 3 + 200) % 256)
+
+  test("BMP round-trip: dimensions and exact channel means, stride padding included") {
+    // w = 2 → row = 6 bytes → 2 pad bytes: the decoder must honor stride
+    for ((w, h) <- Seq((2, 3), (3, 1), (4, 4), (5, 2), (1, 1))) {
+      val bytes = encodeBmp(w, h, gradient)
+      val Some(m) = decode(bytes)
+      assert(m.format == "bmp" && m.width.contains(w) && m.height.contains(h)
+        && m.channels.contains(3))
+      val pix = for { y <- 0 until h; x <- 0 until w } yield gradient(x, y)
+      assert(m.meanC0.get == pix.map(_._1).sum.toDouble / pix.size)
+      assert(m.meanC1.get == pix.map(_._2).sum.toDouble / pix.size)
+      assert(m.meanC2.get == pix.map(_._3).sum.toDouble / pix.size)
+    }
+  }
+
+  test("PPM and BMP containers agree on the same raster") {
+    val (w, h) = (5, 4)
+    val Some(a) = decode(encodeBmp(w, h, gradient))
+    val Some(b) = decode(encodePpm(w, h, gradient))
+    assert(b.format == "ppm")
+    assert((a.width, a.height, a.meanC0, a.meanC1, a.meanC2)
+      == (b.width, b.height, b.meanC0, b.meanC1, b.meanC2))
+  }
+
+  test("PPM comment lines in the header parse") {
+    val body = encodePpm(2, 2, gradient)
+    val withComment = ("P6\n# a comment\n2 2\n255\n").getBytes("US-ASCII") ++
+      body.drop("P6\n2 2\n255\n".length)
+    val Some(m) = decode(withComment)
+    assert(m.width.contains(2) && m.height.contains(2))
+  }
+
+  test("WAV PCM16 round-trip: rate, frame count, exact mean incl. negatives") {
+    val samples = Array[Short](-1024, 512, -3, 1000, 0, 17)
+    val Some(m) = decode(encodeWavPcm16(8000, samples))
+    assert(m.format == "wav" && m.sampleRate.contains(8000)
+      && m.nSamples.contains(6) && m.channels.contains(1))
+    assert(m.meanC0.get == samples.map(_.toInt).sum.toDouble / 6)
+    assert(m.width.isEmpty && m.meanC1.isEmpty)
+  }
+
+  test("corrupt payloads decode to None, not garbage") {
+    assert(decode(Array[Byte]('X', 'X', 'X', 'X')).isEmpty)
+    assert(decode("P6\n0 5\n255\n".getBytes("US-ASCII")).isEmpty) // zero width
+    assert(decode(encodeBmp(3, 3, gradient).take(30)).isEmpty)    // truncated
+    assert(decode(encodeWavPcm16(8000, Array[Short](1, 2)).take(40)).isEmpty)
+    assert(decode(null).isEmpty)
+  }
+
+  test("FormatDecoder features carry the decoded facts; undecodable → zeros") {
+    val f = FormatDecoder.features("image", encodeBmp(3, 2, gradient), 8)
+    assert(f(0) == 3f && f(1) == 2f && f(2) == 3f)
+    assert(FormatDecoder.features("image", Array[Byte](1, 2, 3, 4), 8).forall(_ == 0f))
+  }
+
+  test("Multimodal.decode keeps rows and nulls the struct for null/bad payloads") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", MediaCodec.Synth.bmpFor(4L)),
+      ("b", MediaCodec.Synth.wavFor(5L)),
+      ("c", null.asInstanceOf[Array[Byte]]),
+      ("d", Array[Byte](9, 9, 9, 9))
+    ).toDF("id", "content")
+    val out = Multimodal.decode(df).select($"id", $"media").orderBy($"id").collect()
+    assert(out.length == 4)
+    assert(!out(0).isNullAt(1) && out(0).getStruct(1).getString(0) == "bmp")
+    assert(!out(1).isNullAt(1) && out(1).getStruct(1).getString(0) == "wav")
+    assert(out(2).isNullAt(1) && out(3).isNullAt(1))
+  }
+
+  test("Synth formulas match the decoder (the oracle's closed form)") {
+    val k = 7L
+    val (w, h) = Synth.dims(k)
+    val Some(m) = decode(Synth.ppmFor(k))
+    assert(m.width.contains(w) && m.height.contains(h))
+    val exp = (for { y <- 0 until h; x <- 0 until w } yield (k + 3 * x + 7 * y) % 256)
+    assert(m.meanC0.get == exp.sum.toDouble / exp.size)
+    val Some(wv) = decode(Synth.wavFor(k))
+    val samples = (0 until Synth.nSamples(k)).map(i => (k * 31 + i * 17) % 2048 - 1024)
+    assert(wv.meanC0.get == samples.sum.toDouble / samples.size)
+  }
+}
