@@ -567,6 +567,33 @@ object Llm {
       .orderBy($"bucket")
   }
 
+  /** Recall@5 of BOTH approximate paths (LSH multi-probe, IVF) against
+    * the brute-force baseline, computed in-plan — the approximation the
+    * ANN queries accept, quantified and driver-gated. The oracle
+    * recomputes all three top-k sets in SQL (planes as static literals,
+    * trained centroids inlined via the dynamic-oracle hook) and the same
+    * hit counting, so the recall values are oracle-exact, not just
+    * asserted against a spec threshold. */
+  def embRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, d)
+    val qs = emb.filter($"vec_id" < 20)
+    val bf = Similarity.bruteForceTopK(qs, emb, k = 5)
+      .select($"query_id", $"neighbor_id")
+    val ann = Similarity.annTopK(qs, emb, k = 5, numBits = 8)
+      .select($"query_id", $"neighbor_id")
+    val ivf = Similarity.ivfTopK(qs, emb, k = 5, nlist = 16, nprobe = 3)
+      .select($"query_id", $"neighbor_id")
+    def recallOf(method: String, approx: DataFrame): DataFrame =
+      bf.join(approx.withColumn("__hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(sum(coalesce($"__hit", lit(0))).as("n_hits"),
+          count(lit(1)).as("n_total"))
+        .select(lit(method).as("method"), $"n_hits", $"n_total",
+          round($"n_hits".cast("double") / $"n_total", 6).as("recall"))
+    recallOf("ann", ann).unionAll(recallOf("ivf", ivf)).orderBy($"method")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> (textStats _),
     "q_text_lang" -> (langId _),
@@ -589,6 +616,7 @@ object Llm {
     "q_emb_bucket_stats" -> (embNearDupStats _),
     "q_multimodal_pipeline" -> (multimodalPipeline _),
     "q_media_decode" -> (mediaDecode _),
+    "q_emb_recall" -> (embRecall _),
   )
 
   /** Honest media decode under the oracle: BMP / PPM / WAV payloads
@@ -834,6 +862,85 @@ object Llm {
        |FROM ranked WHERE rk <= ${m.k} ORDER BY query_id, rk""".stripMargin
   }
 
+  /** The q_emb_recall oracle: brute-force, LSH, and IVF top-5 sets each
+    * recomputed exactly as their own gated oracles do (same plane
+    * literals, same inlined centroids, same ranking arithmetic), then the
+    * same left-join hit counting. Dynamic for the same reason as
+    * [[ivfTopKSql]]. */
+  def embRecallSql: Option[String] = Option(Similarity.lastIvfModel.get()).map { m =>
+    def cosSql(a: String, b: String): String =
+      s"CASE WHEN sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)) = 0 THEN 0.0 " +
+      s"ELSE list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))) END"
+    def vecLit(a: Array[Double]) = "[" + a.map(_.toString).mkString(",") + "]"
+    def sqNorm(c: Array[Double]) = {
+      var s = 0.0; var j = 0
+      while (j < c.length) { s += c(j) * c(j); j += 1 }
+      s
+    }
+    def dExpr(c: Array[Double]) = s"${sqNorm(c)} - 2*list_inner_product(v, ${vecLit(c)})"
+    val dArr = "[" + m.centroids.map(dExpr).mkString(", ") + "]"
+    val pairArr = "[" + m.centroids.zipWithIndex.map { case (c, i) =>
+      s"[${dExpr(c)}, $i.0]"
+    }.mkString(", ") + "]"
+    val probes = "[key" + (0 until 8).map(i => s", xor(key, ${1L << i})").mkString + "]"
+    s"""WITH emb AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    CAST(${bucketBitsSql("embedding")} AS BIGINT) AS key
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS query_id, v AS qv, key FROM emb WHERE vec_id < 20
+       |), bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, c.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cosSql("q.qv", "c.v")} DESC, c.vec_id) AS rk
+       |    FROM q CROSS JOIN emb c WHERE q.query_id <> c.vec_id) t
+       |  WHERE rk <= 5
+       |), aprobes AS (
+       |  SELECT query_id, qv, unnest($probes) AS key FROM q
+       |), acand AS (
+       |  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id, p.qv, c.v
+       |  FROM aprobes p JOIN emb c USING (key)
+       |  WHERE p.query_id <> c.vec_id
+       |), ann AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY ${cosSql("qv", "v")} DESC, neighbor_id) AS rk
+       |    FROM acand) t
+       |  WHERE rk <= 5
+       |), cells AS (
+       |  SELECT vec_id, v, list_position($dArr, list_min($dArr)) - 1 AS cell FROM emb
+       |), iprobes AS (
+       |  SELECT vec_id AS query_id, v AS qv,
+       |    unnest(list_transform(list_sort($pairArr)[1:${m.nprobe}],
+       |           x -> CAST(x[2] AS INTEGER))) AS cell
+       |  FROM emb WHERE vec_id < 20
+       |), icand AS (
+       |  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id, p.qv, c.v
+       |  FROM iprobes p JOIN cells c USING (cell)
+       |  WHERE p.query_id <> c.vec_id
+       |), ivf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY ${cosSql("qv", "v")} DESC, neighbor_id) AS rk
+       |    FROM icand) t
+       |  WHERE rk <= 5
+       |), res AS (
+       |  SELECT 'ann' AS method, COUNT(a.query_id) AS n_hits, COUNT(*) AS n_total
+       |  FROM bf b LEFT JOIN ann a
+       |    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+       |  UNION ALL
+       |  SELECT 'ivf', COUNT(i.query_id), COUNT(*)
+       |  FROM bf b LEFT JOIN ivf i
+       |    ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+       |)
+       |SELECT method, n_hits, n_total,
+       |  round(CAST(n_hits AS DOUBLE) / n_total, 6) AS recall
+       |FROM res ORDER BY method""".stripMargin
+  }
+
   private val staticOracles: Map[String, String] = Map(
     "q_doc_simhash" -> simhashSketchSql,
     "q_dedup_minhash" -> minhashDedupSql,
@@ -860,5 +967,6 @@ object Llm {
   /** Static oracles plus the data-dependent IVF oracle when its
     * quantizer has been trained this JVM. */
   def oracles: Map[String, String] =
-    staticOracles ++ ivfTopKSql.map("q_emb_ivf_topk" -> _)
+    staticOracles ++ ivfTopKSql.map("q_emb_ivf_topk" -> _) ++
+      embRecallSql.map("q_emb_recall" -> _)
 }
