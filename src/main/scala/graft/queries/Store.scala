@@ -5,7 +5,7 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Graft, st => S}
-import graft.ops.{Op, Sources}
+import graft.ops.{Op, Sinks, Sources}
 import graft.store.FeatureStore
 import graft.util.Tables._
 
@@ -112,14 +112,77 @@ object Store {
       .orderBy($"r_regionkey")
   }
 
+  /** S9 bucketed-store path under the oracle: two supplier-derived layers
+    * written through [[FeatureStore.writeBucketed]] (identifier-bucketed
+    * catalog tables + `_LATEST` pointer), scanned back via
+    * [[FeatureStore.scanBucketed]] and equi-joined on identifier — the
+    * join that plans WITHOUT an exchange on either scan side
+    * (SourcesSinksSpec pins the no-Exchange plan; this gates the VALUES
+    * through the write→pointer-swap→scan→join path). Oracle: the same
+    * join in closed form from the supplier table. */
+  def storeBucketed(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucketed-q").toString
+    val a = supplier(s, d).select($"s_suppkey".cast("string").as("identifier"),
+      ($"s_suppkey" % 10).cast("int").as("v"))
+    val b = supplier(s, d).filter($"s_suppkey" % 2 === 0)
+      .select($"s_suppkey".cast("string").as("identifier"),
+        ($"s_suppkey" % 7).cast("int").as("w"))
+    FeatureStore.writeBucketed(a, wh, "layer_a")
+    FeatureStore.writeBucketed(b, wh, "layer_b")
+    FeatureStore.scanBucketed(s, wh, "layer_a")
+      .join(FeatureStore.scanBucketed(s, wh, "layer_b"), Seq("identifier"))
+      .select($"identifier", $"v", $"w")
+      .orderBy($"identifier".cast("long"))
+  }
+
+  val storeBucketedSql: String =
+    """SELECT CAST(s_suppkey AS VARCHAR) AS identifier,
+      |  CAST(s_suppkey % 10 AS INTEGER) AS v,
+      |  CAST(s_suppkey % 7 AS INTEGER) AS w
+      |FROM supplier
+      |WHERE s_suppkey % 2 = 0
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** K2→S5 round trip under the oracle: index DDL (K3 EsGeometryField,
+    * idempotent `_MAPPING.json`), writer tuning (K4 EsOptimizeIndexing),
+    * bulk load of supplier docs with the `{_feature_id, _id, **fields}`
+    * shape (K2 LoadInEs, elasticsearch.py:90-98), then the indexed scan
+    * back with a pushed-down predicate (S5 EsExtract). Oracle: the
+    * filtered supplier table. */
+  def esRoundtrip(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val indexRoot = java.nio.file.Files.createTempDirectory("graft-es-q").toString
+    Sinks.EsGeometryField(indexRoot, "suppliers")(s)
+    val src = supplier(s, d).select(
+      $"s_suppkey".cast("string").as(Op.identifierCol),
+      $"s_name", $"s_acctbal")
+    Sinks.LoadInEs(indexRoot, "suppliers")(Sinks.EsOptimizeIndexing()(src))
+    Sources.EsExtract(s"$indexRoot/suppliers", query = Some(col("s_acctbal") > 0.0))(s)
+      .select($"identifier", $"s_name", $"s_acctbal")
+      .orderBy($"identifier".cast("long"))
+  }
+
+  val esRoundtripSql: String =
+    """SELECT CAST(s_suppkey AS VARCHAR) AS identifier, s_name, s_acctbal
+      |FROM supplier
+      |WHERE s_acctbal > 0.0
+      |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_store_lifecycle" -> (storeLifecycle _),
+    "q_store_bucketed" -> (storeBucketed _),
+    "q_es_roundtrip" -> (esRoundtrip _),
     "q_zip_csv_chain" -> (zipCsvChain _),
     "q_pyfiles_latest" -> (pyfilesLatest _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_store_lifecycle" -> storeLifecycleSql,
+    "q_store_bucketed" -> storeBucketedSql,
+    "q_es_roundtrip" -> esRoundtripSql,
     "q_zip_csv_chain" -> zipCsvChainSql,
     "q_pyfiles_latest" -> zipCsvChainSql, // same closed form: the region table
   )
