@@ -247,6 +247,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** EXACT n-gram Jaccard pairs: candidates are pairs sharing ANY
+    * shingle (necessary for jaccard > 0, so no true pair is missed —
+    * unlike the min-hash blocking of [[ngramJaccardPairs]], which trades
+    * ~(1−j) recall per pair for one bucket per doc). Shuffle discipline:
+    * candidate generation joins on the 8-byte shingle HASH carrying only
+    * (id, hash) — a hash collision can only add a candidate whose real
+    * jaccard is then computed and filtered, never flip a result — and
+    * the shingle arrays are fetched by id-join for the verify step, so
+    * text-sized data shuffles once per doc, not once per shared shingle.
+    * A common-shingle hot key (a boilerplate phrase) fans out
+    * quadratically in its bucket — cap it with a document-frequency
+    * filter (`maxDocFreq`) on the blocking token, the standard
+    * stopword-shingle guard; shingles above the cap can't produce a
+    * pair on their own but their mates still block through rarer ones. */
+  def ngramJaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
+                             shingleSize: Int = 3, threshold: Double = 0.5,
+                             maxDocFreq: Option[Long] = None): DataFrame = {
+    val withSh = df.select(col(idCol).as("id"),
+        array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
+    val tokens = withSh.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+    val blocked = maxDocFreq match {
+      case Some(cap) =>
+        val w = Window.partitionBy("h")
+        tokens.withColumn("__df", count(lit(1)).over(w))
+          .filter(col("__df") <= cap).drop("__df")
+      case None => tokens
+    }
+    val cand = blocked.as("x").join(blocked.as("y"),
+        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** n-gram Jaccard similarity of all pairs within blocking buckets by
     * shared rare shingle — the quadratic-free exact-Jaccard dedup:
     * bucket by each doc's minimum shingle hash (1 bucket per doc). */

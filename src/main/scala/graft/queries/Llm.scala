@@ -357,6 +357,19 @@ object Llm {
       .orderBy(col("doc_id"))
   }
 
+  /** EXACT n-gram Jaccard near-dup pairs (the verify-everything
+    * alternative to the MinHash estimate): shared-shingle-hash blocking +
+    * exact set Jaccard, so the oracle is the same computation in SQL —
+    * hash parity on the pair set AND the similarity values, not a
+    * bimodality argument. */
+  def dedupJaccard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.ngramJaccardPairsExact(documents(s, d), "doc_id", "text",
+        shingleSize = 3, threshold = 0.8)
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Deterministic train/val/test assignment: content-keyed md5 buckets
     * (90/5/5 by unsigned mod 100 — [[graft.exprs.Md5Bucket]]), stable
     * under reshuffling and reruns where `rand(seed)` is not, plus the
@@ -606,6 +619,7 @@ object Llm {
     "q_doc_fingerprint" -> (fingerprint _),
     "q_emb_cosine_topk" -> (cosineTopK _),
     "q_dedup_minhash" -> (minhashDedup _),
+    "q_dedup_jaccard" -> (dedupJaccard _),
     "q_dedup_cc" -> (dedupCc _),
     "q_stream_dedup" -> (streamDedup _),
     "q_data_split" -> (dataSplit _),
@@ -754,6 +768,19 @@ object Llm {
       |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
       |)""".stripMargin
+
+  /** q_dedup_jaccard oracle: the shared pair CTEs with the Jaccard value
+    * surfaced. `sa.n + sb.n - inter` is exactly Spark's
+    * `size(array_union)` on distinct shingle sets; both sides divide the
+    * same integers in double. */
+  lazy val dedupJaccardSql: String =
+    s"""WITH $ndPairsCtes
+       |SELECT p.id_a, p.id_b,
+       |  round(CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter), 6) AS jaccard
+       |FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a
+       |             JOIN sizes sb ON sb.doc_id = p.id_b
+       |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.8
+       |ORDER BY p.id_a, p.id_b""".stripMargin
 
   val minhashDedupSql: String =
     s"""WITH $ndPairsCtes, nbrs AS (""".stripMargin +
@@ -944,6 +971,7 @@ object Llm {
   private val staticOracles: Map[String, String] = Map(
     "q_doc_simhash" -> simhashSketchSql,
     "q_dedup_minhash" -> minhashDedupSql,
+    "q_dedup_jaccard" -> dedupJaccardSql,
     "q_dedup_cc" -> dedupCcSql,
     "q_stream_dedup" -> streamDedupSql,
     "q_data_split" -> dataSplitSql,

@@ -216,6 +216,53 @@ object Pipelines {
       .orderBy($"n_nationkey", $"layer", $"osm_id")
   }
 
+  /** S6 `OverpassExtract` → X4 chain under the oracle (osm.py:14-39):
+    * the pluggable fetcher stands in for the Overpass HTTP endpoint —
+    * it PARSES the OverpassQL bbox out of the query body (the
+    * request→response contract, not a canned string) and returns the
+    * OSM XML for that tile; the X4 parser then assembles features whose
+    * area/centroid the oracle states in closed form. The reference
+    * gates this node the same way (mocked HTTP in its tests) — the real
+    * endpoint is unreachable from any CI. */
+  def overpass(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val fetch: String => String = { q =>
+      val m = """\[bbox:(\d+),(\d+)""".r.findFirstMatchIn(q)
+        .getOrElse(throw new RuntimeException(s"Overpass query error: $q"))
+      val x0 = m.group(1).toInt; val y0 = m.group(2).toInt
+      val (x1, y1) = (x0 + 2, y0 + 2)
+      s"""<osm>
+         |<node id="1" lon="$x0" lat="$y0"><tag k="name" v="p"/></node>
+         |<node id="2" lon="$x1" lat="$y0"/>
+         |<node id="3" lon="$x1" lat="$y1"/>
+         |<node id="4" lon="$x0" lat="$y1"/>
+         |<way id="10"><nd ref="1"/><nd ref="2"/><nd ref="3"/><nd ref="4"/><nd ref="1"/>
+         |<tag k="building" v="yes"/></way>
+         |<way id="11"><nd ref="1"/><nd ref="3"/><tag k="highway" v="road"/></way>
+         |</osm>""".stripMargin
+    }
+    val body = Sources.OverpassExtract(fetch, "[bbox:3,7][out:xml];way[building];out;")(s)
+    val feats = body.flatMap { x =>
+      graft.ops.Osm.parseDoc(x).map(f => (f.layer, f.osm_id, f.geom, f.tags.size))
+    }.toDF("layer", "osm_id", "geom", "n_tags")
+    feats.select($"layer", $"osm_id",
+        round(S.st_area($"geom"), 6).as("area"),
+        round(S.st_x(S.st_centroid($"geom")), 6).as("cx"),
+        round(S.st_y(S.st_centroid($"geom")), 6).as("cy"),
+        $"n_tags")
+      .orderBy($"layer", $"osm_id")
+  }
+
+  val overpassSql: String =
+    """SELECT layer, osm_id, CAST(area AS DOUBLE) AS area,
+      |  CAST(cx AS DOUBLE) AS cx, CAST(cy AS DOUBLE) AS cy, n_tags
+      |FROM (VALUES
+      |  ('lines', '11', 0.0, 4.0, 8.0, 1),
+      |  ('multipolygons', '10', 4.0, 4.0, 8.0, 1),
+      |  ('points', '1', 0.0, 3.0, 7.0, 1)) AS t(layer, osm_id, area, cx, cy, n_tags)
+      |ORDER BY layer, osm_id""".stripMargin
+
   /** X5 `ZipShapefileToGeojson` under the oracle (shapefile.py:11-50):
     * four zipped shapefiles per nation key — a point, a polyline, a
     * multipoint (EPSG:4326) and a polygon-with-hole in EPSG:3857 — are
@@ -439,6 +486,7 @@ object Pipelines {
     "q_pipeline_accessibility" -> (accessibility _),
     "q_pipeline_other_tags" -> (otherTags _),
     "q_osm_parse" -> (osmParse _),
+    "q_overpass" -> (overpass _),
     "q_shapefile_parse" -> (shapefileParse _),
     "q_pipeline_e1_ingest" -> (e1Ingest _),
     "q_pipeline_e2_cluster" -> (e2Cluster _),
@@ -454,6 +502,7 @@ object Pipelines {
     "q_pipeline_accessibility" -> accessibilitySql,
     "q_pipeline_other_tags" -> otherTagsSql,
     "q_osm_parse" -> osmParseSql,
+    "q_overpass" -> overpassSql,
     "q_shapefile_parse" -> shapefileParseSql,
     "q_pipeline_e1_ingest" -> e1IngestSql,
     "q_pipeline_e2_cluster" -> e2ClusterSql,
