@@ -59,6 +59,29 @@ object GeomRuntime {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Canonical reference cell of a candidate pair: the grid cell holding
+    * the min-corner of bbox(a)⊕expand ∩ bbox(b). A pair whose bboxes
+    * overlap K cells appears K times out of the cell-explode equi-join;
+    * keeping only the copy whose joined cell equals this one de-dupes
+    * WITHOUT a shuffle-heavy `distinct` — the min-corner cell is always
+    * among the shared cells, and it is unique per pair. Null when either
+    * bbox is unparsable or the (expanded) bboxes are disjoint (such pairs
+    * can't satisfy the spatial predicate anyway). */
+  def refCell(a: Array[Byte], b: Array[Byte], cell: Double, expand: Double)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    if (cell <= 0) return null
+    val b1 = WkbFast.bbox(a)
+    if (b1 == null) return null
+    val b2 = WkbFast.bbox(b)
+    if (b2 == null) return null
+    val x0 = math.max(b1(0) - expand, b2(0))
+    val y0 = math.max(b1(1) - expand, b2(1))
+    if (x0 > math.min(b1(2) + expand, b2(2)) ||
+        y0 > math.min(b1(3) + expand, b2(3))) return null
+    org.apache.spark.sql.catalyst.InternalRow(
+      math.floor(x0 / cell).toLong, math.floor(y0 / cell).toLong)
+  }
+
   /** 1 = intersects, 0 = disjoint, -1 = null (unparsable). */
   def intersects(a: Array[Byte], b: Array[Byte]): Int = {
     val b1 = WkbFast.bbox(a)

@@ -416,6 +416,69 @@ case class StGridCells(children: Seq[Expression]) extends Expression {
   override def prettyName: String = "st_gridcells"
 }
 
+/** st_refcell(a, b, size[, expand]) → struct<gx,gy>: the canonical grid
+  * cell of a candidate pair — the cell containing the min-corner of
+  * bbox(a)⊕expand ∩ bbox(b). The grid-join dedup predicate: after the
+  * cell-explode equi-join, `joined_cell = st_refcell(a, b, size, expand)`
+  * keeps exactly one copy of every candidate pair (see
+  * [[GeomRuntime.refCell]]), replacing a per-pair `distinct` with a
+  * codegen'd scalar compare. Used by the auto spatial-join rewrite
+  * ([[graft.plans.SpatialJoinRule]]). */
+case class StRefCell(children: Seq[Expression]) extends Expression {
+  override def dataType: DataType =
+    StructType(Seq(StructField("gx", LongType, false),
+                   StructField("gy", LongType, false)))
+  override def nullable: Boolean = true
+  private def expandExpr: Option[Expression] =
+    if (children.length > 3) Some(children(3)) else None
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = children(0).eval(input); val b = children(1).eval(input)
+    val size = children(2).eval(input)
+    if (a == null || b == null || size == null) return null
+    val expand = expandExpr.map(_.eval(input)) match {
+      case Some(null) | None => 0.0
+      case Some(e) => e.asInstanceOf[Double]
+    }
+    GeomRuntime.refCell(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
+      size.asInstanceOf[Double], expand)
+  }
+  // codegen'd: this is the dedup predicate of every auto-rewritten spatial
+  // join, evaluated once per candidate pair — it must stay in the
+  // whole-stage-generated join loop
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val aCode = children(0).genCode(ctx)
+    val bCode = children(1).genCode(ctx)
+    val sCode = children(2).genCode(ctx)
+    val eCode = expandExpr.map(_.genCode(ctx))
+    val expand = ctx.freshName("expand")
+    val expandJava = eCode match {
+      case Some(e) => code"""
+        |${e.code}
+        |double $expand = ${e.isNull} ? 0.0 : ${e.value};"""
+      case None => code"double $expand = 0.0;"
+    }
+    ev.copy(code = code"""
+      |${aCode.code}
+      |${bCode.code}
+      |${sCode.code}
+      |boolean ${ev.isNull} = ${aCode.isNull} || ${bCode.isNull} || ${sCode.isNull};
+      |org.apache.spark.sql.catalyst.InternalRow ${ev.value} = null;
+      |if (!${ev.isNull}) {
+      |  $expandJava
+      |  ${ev.value} = graft.exprs.GeomRuntime.refCell(
+      |    ${aCode.value}, ${bCode.value}, ${sCode.value}, $expand);
+      |  if (${ev.value} == null) { ${ev.isNull} = true; }
+      |}""")
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(children = c)
+  override def prettyName: String = "st_refcell"
+}
+
 /** st_zorder(geom, cellSize, bits) → Morton (Z-order) key of the
   * geometry's representative point (the point itself, else the bbox
   * center): quantize x/y to `bits`-bit cell indices (origin 0, clamped)

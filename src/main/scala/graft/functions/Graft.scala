@@ -48,6 +48,7 @@ object Graft {
     "st_difference" -> { args: Seq[Expression] => StDifference(args(0), args(1)) },
     "st_gridcells" -> { args: Seq[Expression] => StGridCells(args) },
     "st_bbox_intersects" -> { args: Seq[Expression] => StBboxIntersects(args) },
+    "st_refcell" -> { args: Seq[Expression] => StRefCell(args) },
     "st_zorder" -> { args: Seq[Expression] => StZOrder(args(0), args(1), args(2)) },
     "simhash64" -> { args: Seq[Expression] => SimHash64(args(0)) },
     "simhash_md5" -> { args: Seq[Expression] => SimHashMd5(args(0)) },
@@ -68,6 +69,9 @@ object Graft {
     * their parent's registry — a sentinel check in the shim prevents the
     * per-sibling re-registration that spammed "function replaced" WARNs). */
   def init(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.SpatialJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.SpatialJoinRule
     val shim = org.apache.spark.sql.graftshim.Shim
     if (shim.alreadyRegistered(spark)) return
     builders.foreach { case (name, b) => shim.registerFunction(spark, name, b) }
@@ -85,6 +89,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     Graft.builders.foreach { case (name, b) =>
       ext.injectFunction((FunctionIdentifier(name), new ExpressionInfo("graft", name), b))
     }
+    ext.injectOptimizerRule(_ => graft.plans.SpatialJoinRule)
   }
 }
 

@@ -1,0 +1,144 @@
+package graft.plans
+
+import graft.exprs.{StDistance, StGridCells, StIntersects, StRefCell}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Auto spatial-join planning (SURVEY.md §4 item 3, as an OPTIMIZER RULE).
+  *
+  * A user writing the declarative form of a spatial join —
+  *
+  * {{{ points.join(zones, st_intersects($"geom", $"zone")) }}}
+  * {{{ a.join(b, st_distance($"ageom", $"bgeom") < 2.5) }}}
+  *
+  * — hands Spark a join with no equi-key, which the planner can only run
+  * as a BroadcastNestedLoopJoin or a CartesianProduct: O(n·m) pair
+  * evaluations, the scale-killer the reference hits with its one-PostGIS-
+  * query-per-row pattern (terra.py:233-237). This rule rewrites such joins
+  * into the grid-blocked equi-join shape that
+  * [[graft.ops.SpatialJoins]] builds by hand:
+  *
+  *  1. each side explodes the grid cells overlapped by its bbox
+  *     ([[StGridCells]]; the left side's bbox is expanded by the distance
+  *     bound for within-distance joins),
+  *  2. the join becomes an EQUI-join on the cell struct — hash-
+  *     partitioned, shuffle-parallel, AQE-skew-splittable,
+  *  3. a post-join filter keeps each candidate pair exactly ONCE — the
+  *     copy in the pair's canonical cell ([[StRefCell]] — the cell of the
+  *     min-corner of the two bboxes' intersection; no `distinct` needed —
+  *     and re-applies the exact spatial predicate plus any residual
+  *     conjuncts.
+  *
+  * The rewrite preserves inner-join semantics exactly: a row whose
+  * geometry is null/unparsable produces no cells (explode drops it), and
+  * the same row can never satisfy the spatial predicate either. Pairs
+  * whose bboxes don't meet share no cell and are never materialized.
+  *
+  * Fire conditions (all required — each is a semantic guard, not a
+  * heuristic): inner/cross join; a deterministic condition whose
+  * conjuncts contain `st_intersects(a, b)` or a `st_distance(a, b) < r`
+  * bound with `a`/`b` from opposite sides; NO extractable equi-key
+  * (otherwise Spark already has a hash join, and this is also what makes
+  * the rule idempotent — the rewritten join HAS an equi-key); no explicit
+  * join hint (a user's `broadcast()` is an instruction, not a suggestion).
+  *
+  * Session confs: `spark.graft.spatialJoin.enabled` (default true),
+  * `spark.graft.spatialJoin.cellSize` (grid cell size in coordinate
+  * units, default 1.0 — at 100 TB pick ≈ the median feature bbox so the
+  * per-cell fanout stays O(1)).
+  *
+  * Registered via `spark.experimental.extraOptimizations`
+  * ([[graft.functions.Graft.init]]) and
+  * [[graft.functions.GraftExtensions]] (`spark.sql.extensions`).
+  */
+object SpatialJoinRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val cellStruct = StructType(Seq(
+    StructField("gx", LongType, false), StructField("gy", LongType, false)))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString("spark.graft.spatialJoin.enabled", "true").toBoolean)
+      return plan
+    val cellSize =
+      conf.getConfString("spark.graft.spatialJoin.cellSize", "1.0").toDouble
+    plan.transformUp {
+      case j @ Join(_, _, jt, Some(cond), hint)
+          if (jt == Inner || jt == Cross) && hint == JoinHint.NONE &&
+            cond.deterministic && !hasEquiKey(j, cond) =>
+        findSpatialPredicate(j, cond) match {
+          case Some((a, b, expand)) => rewrite(j, a, b, expand, cellSize, cond)
+          case None => j
+        }
+    }
+  }
+
+  /** e1/e2 reference exactly one (distinct) side each — an equi-join key
+    * the planner can already hash on. */
+  private def oneSideEach(e1: Expression, e2: Expression, j: Join): Boolean = {
+    def sided(a: Expression, b: Expression) =
+      a.references.nonEmpty && a.references.subsetOf(j.left.outputSet) &&
+        b.references.nonEmpty && b.references.subsetOf(j.right.outputSet)
+    sided(e1, e2) || sided(e2, e1)
+  }
+
+  private def hasEquiKey(j: Join, cond: Expression): Boolean =
+    splitConjunctivePredicates(cond).exists {
+      case EqualTo(l, r) => oneSideEach(l, r, j)
+      case EqualNullSafe(l, r) => oneSideEach(l, r, j)
+      case _ => false
+    }
+
+  private object Bound {
+    def unapply(e: Expression): Option[Double] = e match {
+      case Literal(v: Double, DoubleType) => Some(v)
+      case Literal(v: Float, FloatType) => Some(v.toDouble)
+      case Literal(v: Int, IntegerType) => Some(v.toDouble)
+      case Literal(v: Long, LongType) => Some(v.toDouble)
+      case _ => None
+    }
+  }
+
+  /** First conjunct that is a supported spatial predicate with one side's
+    * geometry from each join side → (leftGeom, rightGeom, bboxExpand). */
+  private def findSpatialPredicate(j: Join, cond: Expression)
+      : Option[(Expression, Expression, Double)] = {
+    def orient(a: Expression, b: Expression, expand: Double)
+        : Option[(Expression, Expression, Double)] = {
+      def sided(x: Expression, set: AttributeSet) =
+        x.references.nonEmpty && x.references.subsetOf(set)
+      if (sided(a, j.left.outputSet) && sided(b, j.right.outputSet)) Some((a, b, expand))
+      else if (sided(b, j.left.outputSet) && sided(a, j.right.outputSet)) Some((b, a, expand))
+      else None
+    }
+    splitConjunctivePredicates(cond).iterator.map {
+      case StIntersects(a, b) => orient(a, b, 0.0)
+      case LessThan(StDistance(a, b), Bound(r)) if r >= 0 => orient(a, b, r)
+      case LessThanOrEqual(StDistance(a, b), Bound(r)) if r >= 0 => orient(a, b, r)
+      case GreaterThan(Bound(r), StDistance(a, b)) if r >= 0 => orient(a, b, r)
+      case GreaterThanOrEqual(Bound(r), StDistance(a, b)) if r >= 0 => orient(a, b, r)
+      case _ => None
+    }.collectFirst { case Some(hit) => hit }
+  }
+
+  private def rewrite(j: Join, a: Expression, b: Expression, expand: Double,
+                      cellSize: Double, cond: Expression): LogicalPlan = {
+    val lCell = AttributeReference("__gcell_l", cellStruct, nullable = false)()
+    val rCell = AttributeReference("__gcell_r", cellStruct, nullable = false)()
+    val lGen = Generate(
+      Explode(StGridCells(Seq(a, Literal(cellSize), Literal(expand)))),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(lCell), child = j.left)
+    val rGen = Generate(
+      Explode(StGridCells(Seq(b, Literal(cellSize)))),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(rCell), child = j.right)
+    val cellJoin =
+      Join(lGen, rGen, Inner, Some(EqualTo(lCell, rCell)), JoinHint.NONE)
+    val dedup =
+      EqualTo(lCell, StRefCell(Seq(a, b, Literal(cellSize), Literal(expand))))
+    Project(j.output, Filter(And(dedup, cond), cellJoin))
+  }
+}

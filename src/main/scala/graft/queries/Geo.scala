@@ -448,7 +448,63 @@ object Geo {
        |ORDER BY c_custkey""".stripMargin
   }
 
+  /** The auto spatial-join rule ([[graft.plans.SpatialJoinRule]]) under
+    * the oracle: the NAIVE declarative form — an inner join whose only
+    * condition is `st_intersects` — which stock Spark can only plan as a
+    * nested-loop O(n·m) join. The injected rule rewrites it to the
+    * grid-blocked equi-join (cell explode → hash join → canonical-cell
+    * dedup → exact predicate); PlanShapeSpec fails this query if the
+    * rewrite ever stops firing, and the oracle proves the rewrite exact
+    * (pair multiplicity included). */
+  def joinAuto(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val zones = nation(s, d).select(
+      $"n_nationkey",
+      S.st_geomfromtext(format_string(
+        "POLYGON ((%1$s %2$s, %3$s %2$s, %3$s %4$s, %1$s %4$s, %1$s %2$s))",
+        ($"n_nationkey" * 3) % 80, ($"n_nationkey" * 11) % 80,
+        (($"n_nationkey" * 3) % 80) + 15, (($"n_nationkey" * 11) % 80) + 15)).as("zone"))
+    customer(s, d).select($"c_custkey", pt($"c_custkey").as("cgeom"))
+      .join(zones, S.st_intersects($"cgeom", $"zone"))
+      .select($"c_custkey", $"n_nationkey")
+      .orderBy($"c_custkey", $"n_nationkey")
+  }
+
+  val joinAutoSql: String =
+    """SELECT c_custkey, n_nationkey
+      |FROM customer, nation
+      |WHERE CAST(c_custkey % 100 AS DOUBLE) >= (n_nationkey * 3) % 80
+      |  AND CAST(c_custkey % 100 AS DOUBLE) <= (n_nationkey * 3) % 80 + 15
+      |  AND CAST((c_custkey * 7) % 100 AS DOUBLE) >= (n_nationkey * 11) % 80
+      |  AND CAST((c_custkey * 7) % 100 AS DOUBLE) <= (n_nationkey * 11) % 80 + 15
+      |ORDER BY c_custkey, n_nationkey""".stripMargin
+
+  /** The within-distance form of the same rewrite: `st_distance(a,b) <
+    * 2.5` becomes a grid join with the LEFT side's cells expanded by the
+    * bound. Points sit on the integer lattice so squared distances are
+    * integers — 6.25 is never a boundary case, and the oracle compares
+    * dx²+dy² in exact integer arithmetic. */
+  def joinAutoDist(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val sup = supplier(s, d).select($"s_suppkey", pt($"s_suppkey").as("sgeom"))
+    customer(s, d).select($"c_custkey", pt($"c_custkey").as("cgeom"))
+      .join(sup, S.st_distance($"cgeom", $"sgeom") < lit(2.5))
+      .select($"c_custkey", $"s_suppkey")
+      .orderBy($"c_custkey", $"s_suppkey")
+  }
+
+  val joinAutoDistSql: String =
+    """SELECT c_custkey, s_suppkey
+      |FROM customer, supplier
+      |WHERE power(CAST(c_custkey % 100 AS DOUBLE) - (s_suppkey % 100), 2)
+      |    + power(CAST((c_custkey * 7) % 100 AS DOUBLE) - ((s_suppkey * 7) % 100), 2) < 6.25
+      |ORDER BY c_custkey, s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geo_join_auto" -> (joinAuto _),
+    "q_geo_join_auto_dist" -> (joinAutoDist _),
     "q_geo_zorder" -> (zorder _),
     "q_geo_force2d" -> (force2d _),
     "q_geo_simplify" -> (simplifyStaircase _),
@@ -467,6 +523,8 @@ object Geo {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_geo_join_auto" -> joinAutoSql,
+    "q_geo_join_auto_dist" -> joinAutoDistSql,
     "q_geo_zorder" -> zorderSql,
     "q_geo_force2d" -> force2dSql,
     "q_geo_simplify" -> simplifyStaircaseSql,

@@ -1,0 +1,125 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.functions.{st => S}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.functions._
+
+/** [[graft.plans.SpatialJoinRule]]: the naive declarative spatial join
+  * must (a) produce exactly the brute-force result, including the
+  * one-row-per-pair dedup across multi-cell candidates, and (b) plan as
+  * a shuffled equi-join, never a nested-loop/cartesian.
+  */
+class SpatialJoinRuleSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // sparkPlan, not executedPlan: under AQE the executed plan is an
+  // AdaptiveSparkPlanExec whose children are invisible to `collect`
+  private def nestedLoopNodes(df: DataFrame): Seq[String] =
+    df.queryExecution.sparkPlan.collect {
+      case _: CartesianProductExec => "CartesianProduct"
+      case _: BroadcastNestedLoopJoinExec => "BroadcastNestedLoopJoin"
+    }
+
+  /** Brute force with the rule off: same query, forced O(n·m) plan. */
+  private def withRuleOff[T](body: => T): T = {
+    spark.conf.set("spark.graft.spatialJoin.enabled", "false")
+    try body finally spark.conf.set("spark.graft.spatialJoin.enabled", "true")
+  }
+
+  // 40 points on a 20×20 area; 12 rects of 7×7 — each rect bbox spans
+  // several 1.0-size grid cells, so pair dedup is genuinely exercised
+  private def points: DataFrame =
+    spark.range(40).select($"id".as("pid"),
+      S.st_geomfromtext(format_string("POINT (%s %s)", $"id" % 20, ($"id" * 7) % 20)).as("pgeom"))
+
+  private def rects: DataFrame =
+    spark.range(12).select($"id".as("rid"),
+      S.st_geomfromtext(format_string(
+        "POLYGON ((%1$s %2$s, %3$s %2$s, %3$s %4$s, %1$s %4$s, %1$s %2$s))",
+        $"id" % 13, ($"id" * 5) % 13, ($"id" % 13) + 7, (($"id" * 5) % 13) + 7)).as("rgeom"))
+
+  test("naive st_intersects join: rewritten plan, brute-force-identical result") {
+    val naive = points.join(rects, S.st_intersects($"pgeom", $"rgeom"))
+      .select($"pid", $"rid")
+    assert(nestedLoopNodes(naive).isEmpty,
+      s"rule did not fire: ${naive.queryExecution.executedPlan}")
+    val got = naive.as[(Long, Long)].collect().sorted
+    val want = withRuleOff {
+      points.join(rects, S.st_intersects($"pgeom", $"rgeom"))
+        .select($"pid", $"rid").as[(Long, Long)].collect().sorted
+    }
+    assert(want.nonEmpty && got.toSeq == want.toSeq)
+    // pair-uniqueness: multi-cell candidates must not duplicate
+    assert(got.distinct.length == got.length)
+  }
+
+  test("within-distance join (st_distance < r) rewrites with bbox expansion") {
+    val a = points.select($"pid", $"pgeom")
+    val b = points.select($"pid".as("qid"), $"pgeom".as("qgeom"))
+    val naive = a.join(b, S.st_distance($"pgeom", $"qgeom") < 2.5)
+      .select($"pid", $"qid")
+    assert(nestedLoopNodes(naive).isEmpty,
+      s"rule did not fire: ${naive.queryExecution.executedPlan}")
+    val got = naive.as[(Long, Long)].collect().sorted
+    val want = withRuleOff {
+      a.join(b, S.st_distance($"pgeom", $"qgeom") < 2.5)
+        .select($"pid", $"qid").as[(Long, Long)].collect().sorted
+    }
+    assert(want.nonEmpty && got.toSeq == want.toSeq)
+    assert(got.distinct.length == got.length)
+  }
+
+  test("swapped operand order and extra residual conjuncts still rewrite") {
+    val naive = points.join(rects,
+        S.st_intersects($"rgeom", $"pgeom") && $"pid" =!= $"rid")
+      .select($"pid", $"rid")
+    assert(nestedLoopNodes(naive).isEmpty)
+    val want = withRuleOff {
+      points.join(rects, S.st_intersects($"rgeom", $"pgeom") && $"pid" =!= $"rid")
+        .select($"pid", $"rid").as[(Long, Long)].collect().sorted
+    }
+    assert(naive.as[(Long, Long)].collect().sorted.toSeq == want.toSeq)
+  }
+
+  test("null geometries drop from the inner join exactly as brute force") {
+    val pts = points.withColumn("pgeom",
+      when($"pid" % 5 === 0, lit(null).cast("binary")).otherwise($"pgeom"))
+    val naive = pts.join(rects, S.st_intersects($"pgeom", $"rgeom"))
+      .select($"pid", $"rid")
+    assert(nestedLoopNodes(naive).isEmpty)
+    val want = withRuleOff {
+      pts.join(rects, S.st_intersects($"pgeom", $"rgeom"))
+        .select($"pid", $"rid").as[(Long, Long)].collect().sorted
+    }
+    assert(naive.as[(Long, Long)].collect().sorted.toSeq == want.toSeq)
+    assert(!want.exists(_._1 % 5 == 0))
+  }
+
+  test("guards: broadcast hint and equi-key joins are left alone") {
+    val hinted = points.join(broadcast(rects), S.st_intersects($"pgeom", $"rgeom"))
+    assert(nestedLoopNodes(hinted).nonEmpty, "explicit broadcast() must win")
+    val equi = points.join(rects.withColumn("rid2", $"rid"),
+      $"pid" === $"rid2" && S.st_intersects($"pgeom", $"rgeom"))
+    assert(nestedLoopNodes(equi).isEmpty)
+    assert(equi.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }.isEmpty, "equi-key spatial join must keep its hash join, not explode cells")
+  }
+
+  test("cellSize conf steers the grid") {
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "5.0")
+    try {
+      val naive = points.join(rects, S.st_intersects($"pgeom", $"rgeom"))
+        .select($"pid", $"rid")
+      assert(nestedLoopNodes(naive).isEmpty)
+      val want = withRuleOff {
+        points.join(rects, S.st_intersects($"pgeom", $"rgeom"))
+          .select($"pid", $"rid").as[(Long, Long)].collect().sorted
+      }
+      assert(naive.as[(Long, Long)].collect().sorted.toSeq == want.toSeq)
+    } finally spark.conf.unset("spark.graft.spatialJoin.cellSize")
+  }
+}
