@@ -75,11 +75,18 @@ object Bench {
                                    case (k, _, Left(m)) => (k, m) }
         .map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
       val total = ok.map { case (_, c, w) => math.min(c, w) }.sum
-      val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw":$raw,"errors":$errs,"ok":${ok.size},"failed":${results.size - ok.size},"sf":${jstr(sfDir)}}"""
+      // stdout carries ONLY the driver-parsed minimum (queries + totals):
+      // round 5 added the [cold, warm] pairs to this line and the ~80-query
+      // line outgrew the driver's fixed-size tail capture — the captured
+      // tail started mid-line and the harness recorded no bench number at
+      // all (BENCH_r05 "parsed": null). The pairs live in bench_out.json
+      // and on stderr only.
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"ok":${ok.size},"failed":${results.size - ok.size},"sf":${jstr(sfDir)}}"""
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw":$raw,"errors":$errs,"ok":${ok.size},"failed":${results.size - ok.size},"sf":${jstr(sfDir)}}"""
       stdout.println(line)      // the one stdout line the driver parses
-      System.err.println(line)  // human-readable copy alongside the logs
+      System.err.println(full)  // human-readable copy (with pairs) in the logs
       // file fallback for parsers that don't line-scan stdout
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), full + "\n")
       catch { case e: Exception => System.err.println(s"[bench] bench_out.json write failed: $e") }
       spark.stop()
     }

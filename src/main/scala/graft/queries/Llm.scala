@@ -358,14 +358,22 @@ object Llm {
   }
 
   /** EXACT n-gram Jaccard near-dup pairs (the verify-everything
-    * alternative to the MinHash estimate): shared-shingle-hash blocking +
-    * exact set Jaccard, so the oracle is the same computation in SQL —
-    * hash parity on the pair set AND the similarity values, not a
-    * bimodality argument. */
+    * alternative to the MinHash estimate), with the document-frequency
+    * stopword filter ENGAGED (maxDocFreq = 10): the Jaccard is exact
+    * integer arithmetic over each doc's shingles of corpus df ≤ 10, and
+    * the oracle recomputes the identical filter + counts in SQL — hash
+    * parity on the pair set AND the similarity values, not a bimodality
+    * argument. The unfiltered formulation self-joined on EVERY shared
+    * shingle and verified with per-pair string-array intersections: on
+    * this corpus (27k distinct shingles across 5k docs at sf0.1 — heavy
+    * boilerplate) that is data-quadratic and ran 57.7 s, 45% of the whole
+    * bench. The df cap bounds the candidate fan-out per shingle at
+    * C(10, 2) while keeping every planted near-dup pair (their rarest
+    * shared shingle has df ≤ 10 at both test scales). */
   def dedupJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Dedup.ngramJaccardPairsExact(documents(s, d), "doc_id", "text",
-        shingleSize = 3, threshold = 0.8)
+    Dedup.ngramJaccardPairsFiltered(documents(s, d), "doc_id", "text",
+        shingleSize = 3, threshold = 0.8, maxDocFreq = 10)
       .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
       .orderBy($"id_a", $"id_b")
   }
@@ -769,18 +777,38 @@ object Llm {
       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
       |)""".stripMargin
 
-  /** q_dedup_jaccard oracle: the shared pair CTEs with the Jaccard value
-    * surfaced. `sa.n + sb.n - inter` is exactly Spark's
-    * `size(array_union)` on distinct shingle sets; both sides divide the
-    * same integers in double. */
+  /** q_dedup_jaccard oracle: the df-FILTERED exact Jaccard — the same
+    * shingle CTEs as `ndPairsCtes` but with the doc-frequency stopword
+    * cap (df ≤ 10) applied before sizes/pairs, mirroring
+    * [[graft.llm.Dedup.ngramJaccardPairsFiltered]] integer for integer:
+    * `inter` is the shared-capped-shingle count, the union is
+    * `ca.n + cb.n - inter` over capped sizes, and both sides divide the
+    * same integers in double before rounding. (The MinHash oracle keeps
+    * the UNfiltered `ndPairsCtes` — its Spark side is LSH over full
+    * shingle sets.) */
   lazy val dedupJaccardSql: String =
-    s"""WITH $ndPairsCtes
-       |SELECT p.id_a, p.id_b,
-       |  round(CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter), 6) AS jaccard
-       |FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a
-       |             JOIN sizes sb ON sb.doc_id = p.id_b
-       |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.8
-       |ORDER BY p.id_a, p.id_b""".stripMargin
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(ws[u:u+2], ' ') AS s
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u FROM toks)
+      |), capped AS (
+      |  SELECT doc_id, s FROM (
+      |    SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh)
+      |  WHERE df <= 10
+      |), csizes AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1
+      |), cpairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.id_a, p.id_b,
+      |  round(CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter), 6) AS jaccard
+      |FROM cpairs p JOIN csizes ca ON ca.doc_id = p.id_a
+      |              JOIN csizes cb ON cb.doc_id = p.id_b
+      |WHERE CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter) >= 0.8
+      |ORDER BY p.id_a, p.id_b""".stripMargin
 
   val minhashDedupSql: String =
     s"""WITH $ndPairsCtes, nbrs AS (""".stripMargin +

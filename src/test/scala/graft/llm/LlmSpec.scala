@@ -124,6 +124,35 @@ class LlmSpec extends SparkTestBase {
     assert(j == 0.5)
   }
 
+  test("df-filtered jaccard: boilerplate corpus no longer fans out quadratically") {
+    import spark.implicits._
+    // 60 docs all sharing one boilerplate sentence (every boilerplate
+    // shingle has df = 60) plus per-doc unique tails; docs 1 and 2 also
+    // share a rare 12-word passage. Unfiltered exact Jaccard would block
+    // all C(60,2) = 1770 pairs through the boilerplate shingles; with the
+    // df cap the boilerplate shingles are dropped from blocking AND from
+    // the similarity itself, so only the planted pair survives.
+    val boiler = "please read the following terms and conditions very carefully before use"
+    val rare = "zorp quine flim brax vonk tweel jarn skiv plom drex yurt clav"
+    val docs = (1L to 60L).map { i =>
+      val tail = if (i <= 2) rare else s"unique${i}a unique${i}b unique${i}c unique${i}d unique${i}e"
+      (i, s"$boiler $tail")
+    }.toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairsFiltered(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5, maxDocFreq = 10)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)),
+      s"expected only the planted rare-passage pair, got $out")
+    // and the filtered similarity of the planted pair is exact: both docs'
+    // capped shingle sets are identical (the rare passage + the two
+    // boundary shingles bridging boilerplate into the tail), jaccard = 1.0
+    val j = Dedup.ngramJaccardPairsFiltered(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5, maxDocFreq = 10)
+      .filter(col("id_a") === 1L && col("id_b") === 2L)
+      .collect()(0).getAs[Double]("jaccard")
+    assert(j == 1.0, s"planted pair capped shingle sets identical, got $j")
+  }
+
   test("simhash: near-dups within small hamming distance, unrelated far") {
     val pairs = Dedup.simhashNearDupPairs(corpus, "doc_id", "text", maxHamming = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
