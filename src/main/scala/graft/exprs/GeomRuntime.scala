@@ -33,18 +33,38 @@ object GeomRuntime {
       b1(1) - expand <= b2(3) && b2(1) <= b1(3) + expand
   }
 
+  /** Hard ceiling on the per-row cell explode (2²² = ~4.2M cells). A
+    * geometry whose bbox spans more cells than this — a continent-scale
+    * polygon against a meter-scale `cellSize` — would allocate an array
+    * per cell and, before this guard, could WRAP the Long→Int cast into a
+    * NegativeArraySizeException or a silently-truncated cell set (missed
+    * join matches). A loud, actionable error is the only per-row option:
+    * cells from a coarser grid wouldn't equi-join against the other
+    * side's cells, so a quiet fallback would be silently wrong. */
+  val MaxCellsPerRow: Long = 1L << 22
+
   /** Grid cells overlapped by the geometry's bbox expanded by `expand`;
-    * null on unparsable input or non-positive cell size. */
+    * null on unparsable input or non-positive/non-finite cell size. */
   def gridCells(in: Array[Byte], cell: Double, expand: Double)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
-    if (cell <= 0) return null
+    if (cell <= 0 || !java.lang.Double.isFinite(cell)) return null
     val bb = WkbFast.bbox(in)
     if (bb == null) return null
     val x0 = math.floor((bb(0) - expand) / cell).toLong
     val x1 = math.floor((bb(2) + expand) / cell).toLong
     val y0 = math.floor((bb(1) - expand) / cell).toLong
     val y1 = math.floor((bb(3) + expand) / cell).toLong
-    val out = new Array[Any](((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
+    val nCells = try
+      math.multiplyExact(x1 - x0 + 1, y1 - y0 + 1)
+    catch { case _: ArithmeticException => Long.MaxValue }
+    if (nCells > MaxCellsPerRow)
+      throw new IllegalArgumentException(
+        s"st_gridcells: geometry bbox [${bb(0)},${bb(1)},${bb(2)},${bb(3)}] " +
+        s"expanded by $expand spans $nCells cells of size $cell " +
+        s"(limit $MaxCellsPerRow). Increase the grid cell size " +
+        "(spark.graft.spatialJoin.cellSize for the auto spatial-join " +
+        "rewrite) to roughly the median feature bbox extent.")
+    val out = new Array[Any](nCells.toInt)
     var i = 0
     var gx = x0
     while (gx <= x1) {

@@ -375,12 +375,16 @@ case class StGridCells(children: Seq[Expression]) extends Expression {
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val in = children(0).eval(input); val size = children(1).eval(input)
     if (in == null || size == null) return null
+    // Number.doubleValue, not asInstanceOf[Double]: a SQL caller passing
+    // an integer literal would CCE on this interpreted path while the
+    // codegen path silently widens the primitive — the two modes must
+    // agree
     val expand = if (children.length > 2) {
       val e = children(2).eval(input)
-      if (e == null) 0.0 else e.asInstanceOf[Double]
+      if (e == null) 0.0 else e.asInstanceOf[Number].doubleValue()
     } else 0.0
     GeomRuntime.gridCells(in.asInstanceOf[Array[Byte]],
-      size.asInstanceOf[Double], expand)
+      size.asInstanceOf[Number].doubleValue(), expand)
   }
   // codegen'd (static GeomRuntime.gridCells call) so the cell-explode
   // stage of the grid joins stays inside whole-stage codegen
@@ -435,12 +439,14 @@ case class StRefCell(children: Seq[Expression]) extends Expression {
     val a = children(0).eval(input); val b = children(1).eval(input)
     val size = children(2).eval(input)
     if (a == null || b == null || size == null) return null
+    // Number.doubleValue (see StGridCells.eval): interpreted/codegen
+    // parity for SQL callers passing integer literals
     val expand = expandExpr.map(_.eval(input)) match {
       case Some(null) | None => 0.0
-      case Some(e) => e.asInstanceOf[Double]
+      case Some(e) => e.asInstanceOf[Number].doubleValue()
     }
     GeomRuntime.refCell(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
-      size.asInstanceOf[Double], expand)
+      size.asInstanceOf[Number].doubleValue(), expand)
   }
   // codegen'd: this is the dedup predicate of every auto-rewritten spatial
   // join, evaluated once per candidate pair — it must stay in the

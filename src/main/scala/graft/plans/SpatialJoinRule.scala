@@ -2,7 +2,7 @@ package graft.plans
 
 import graft.exprs.{StDistance, StGridCells, StIntersects, StRefCell}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -62,14 +62,33 @@ object SpatialJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString("spark.graft.spatialJoin.enabled", "true").toBoolean)
       return plan
-    val cellSize =
+    // a non-numeric / non-positive / non-finite cell size must mean "no
+    // rewrite", not a grid whose cell functions return null for every row
+    // (the explode would silently drop ALL rows where the un-rewritten
+    // plan returns correct results)
+    val cellSize = try
       conf.getConfString("spark.graft.spatialJoin.cellSize", "1.0").toDouble
+    catch { case _: NumberFormatException => Double.NaN }
+    if (!java.lang.Double.isFinite(cellSize) || cellSize <= 0) {
+      logWarning(s"spark.graft.spatialJoin.cellSize is not a positive " +
+        "finite number; skipping the spatial-join rewrite")
+      return plan
+    }
     plan.transformUp {
       case j @ Join(_, _, jt, Some(cond), hint)
           if (jt == Inner || jt == Cross) && hint == JoinHint.NONE &&
             cond.deterministic && !hasEquiKey(j, cond) =>
         findSpatialPredicate(j, cond) match {
           case Some((a, b, expand)) => rewrite(j, a, b, expand, cellSize, cond)
+          case None => j
+        }
+      case j @ Join(_, _, LeftOuter, Some(cond), hint)
+          if hint == JoinHint.NONE && cond.deterministic &&
+            !hasEquiKey(j, cond) && j.left.output.nonEmpty &&
+            j.left.output.forall(a => RowOrdering.isOrderable(a.dataType)) =>
+        findSpatialPredicate(j, cond) match {
+          case Some((a, b, expand)) =>
+            rewriteLeftOuter(j, a, b, expand, cellSize, cond)
           case None => j
         }
     }
@@ -124,7 +143,12 @@ object SpatialJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def rewrite(j: Join, a: Expression, b: Expression, expand: Double,
-                      cellSize: Double, cond: Expression): LogicalPlan = {
+                      cellSize: Double, cond: Expression): LogicalPlan =
+    rewriteInner(j, a, b, expand, cellSize, cond, j.output)
+
+  private def rewriteInner(j: Join, a: Expression, b: Expression,
+                           expand: Double, cellSize: Double, cond: Expression,
+                           output: Seq[Attribute]): LogicalPlan = {
     val lCell = AttributeReference("__gcell_l", cellStruct, nullable = false)()
     val rCell = AttributeReference("__gcell_r", cellStruct, nullable = false)()
     val lGen = Generate(
@@ -139,6 +163,55 @@ object SpatialJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       Join(lGen, rGen, Inner, Some(EqualTo(lCell, rCell)), JoinHint.NONE)
     val dedup =
       EqualTo(lCell, StRefCell(Seq(a, b, Literal(cellSize), Literal(expand))))
-    Project(j.output, Filter(And(dedup, cond), cellJoin))
+    Project(output, Filter(And(dedup, cond), cellJoin))
+  }
+
+  /** LeftOuter spatial join = the inner grid rewrite UNION the
+    * null-extension of left rows with no match — the reference's
+    * never-drop-the-left-row enrichment semantics (J1/J2/J4,
+    * terra.py:232-279) at grid-join cost instead of a
+    * BroadcastNestedLoopJoin.
+    *
+    * The unmatched set is `left ANTI JOIN distinct(matched left rows)`
+    * null-SAFE-equating every left column: left rows with identical
+    * values are interchangeable for matching (same geometry ⇒ same
+    * partners), so whole-row equality is exact — and per-row multiplicity
+    * is preserved because the anti join keeps each unmatched left row
+    * (the fire guard requires orderable left types, which excludes maps).
+    * The matched-set subtree duplicates the inner rewrite; its exchanges
+    * canonicalize identically to the union branch's, so ReuseExchange
+    * materializes the cell shuffles once — the second copy costs one
+    * extra join pass over reused shuffle output, not a second scan. The
+    * anti branch's output attrs are fresh (`newInstance`/`Alias`) —
+    * Union aligns positionally and exposes the FIRST branch's exprIds,
+    * which are exactly `j.output`'s. */
+  private def rewriteLeftOuter(j: Join, a: Expression, b: Expression,
+                               expand: Double, cellSize: Double,
+                               cond: Expression): LogicalPlan = {
+    val innerOut = j.left.output ++ j.right.output
+    val matchedBranch = rewriteInner(j, a, b, expand, cellSize, cond, innerOut)
+    // distinct matched left rows, freshly-aliased so the anti join's two
+    // sides share no exprIds
+    val matchedLeft = Project(j.left.output,
+      rewriteInner(j, a, b, expand, cellSize, cond, innerOut))
+    val fresh = j.left.output.map(attr => Alias(attr, attr.name)())
+    val matchedDistinct = Aggregate(
+      groupingExpressions = j.left.output,
+      aggregateExpressions = fresh,
+      child = matchedLeft)
+    val antiCond = j.left.output.zip(matchedDistinct.output)
+      .map { case (l, f) => EqualNullSafe(l, f) }
+      .reduce[Expression](And)
+    val unmatched =
+      Join(j.left, matchedDistinct, LeftAnti, Some(antiCond), JoinHint.NONE)
+    val nullExtended = Project(
+      j.left.output.map(attr => Alias(attr, attr.name)()) ++
+        j.right.output.map(attr =>
+          Alias(Literal(null, attr.dataType), attr.name)()),
+      unmatched)
+    // head branch carries j.output's exprIds (innerOut is left ++ right in
+    // j.output's order); Union widens right-side nullability to match
+    // LeftOuter's output contract
+    Union(Seq(matchedBranch, nullExtended))
   }
 }

@@ -480,6 +480,38 @@ object Geo {
       |  AND CAST((c_custkey * 7) % 100 AS DOUBLE) <= (n_nationkey * 11) % 80 + 15
       |ORDER BY c_custkey, n_nationkey""".stripMargin
 
+  /** The LEFT-OUTER form of the auto rewrite — the reference's
+    * never-drop-the-left-row enrichment default (terra.py:232-242): a
+    * customer point intersecting no zone must survive with a null zone
+    * key. [[graft.plans.SpatialJoinRule]] rewrites the declarative
+    * left-outer spatial join into grid inner join ∪ anti-join
+    * null-extension; the oracle is DuckDB's LEFT JOIN on the same
+    * closed-form predicate, so both the matched multiplicity AND the
+    * unmatched null rows are hash-gated. */
+  def joinAutoLeft(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val zones = nation(s, d).select(
+      $"n_nationkey",
+      S.st_geomfromtext(format_string(
+        "POLYGON ((%1$s %2$s, %3$s %2$s, %3$s %4$s, %1$s %4$s, %1$s %2$s))",
+        ($"n_nationkey" * 3) % 80, ($"n_nationkey" * 11) % 80,
+        (($"n_nationkey" * 3) % 80) + 15, (($"n_nationkey" * 11) % 80) + 15)).as("zone"))
+    customer(s, d).select($"c_custkey", pt($"c_custkey").as("cgeom"))
+      .join(zones, S.st_intersects($"cgeom", $"zone"), "left")
+      .select($"c_custkey", $"n_nationkey")
+      .orderBy($"c_custkey", $"n_nationkey")
+  }
+
+  val joinAutoLeftSql: String =
+    """SELECT c.c_custkey, n.n_nationkey
+      |FROM customer c LEFT JOIN nation n
+      |  ON CAST(c.c_custkey % 100 AS DOUBLE) >= (n.n_nationkey * 3) % 80
+      | AND CAST(c.c_custkey % 100 AS DOUBLE) <= (n.n_nationkey * 3) % 80 + 15
+      | AND CAST((c.c_custkey * 7) % 100 AS DOUBLE) >= (n.n_nationkey * 11) % 80
+      | AND CAST((c.c_custkey * 7) % 100 AS DOUBLE) <= (n.n_nationkey * 11) % 80 + 15
+      |ORDER BY c_custkey, n_nationkey""".stripMargin
+
   /** The within-distance form of the same rewrite: `st_distance(a,b) <
     * 2.5` becomes a grid join with the LEFT side's cells expanded by the
     * bound. Points sit on the integer lattice so squared distances are
@@ -504,6 +536,7 @@ object Geo {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_geo_join_auto" -> (joinAuto _),
+    "q_geo_join_auto_left" -> (joinAutoLeft _),
     "q_geo_join_auto_dist" -> (joinAutoDist _),
     "q_geo_zorder" -> (zorder _),
     "q_geo_force2d" -> (force2d _),
@@ -524,6 +557,7 @@ object Geo {
 
   val oracles: Map[String, String] = Map(
     "q_geo_join_auto" -> joinAutoSql,
+    "q_geo_join_auto_left" -> joinAutoLeftSql,
     "q_geo_join_auto_dist" -> joinAutoDistSql,
     "q_geo_zorder" -> zorderSql,
     "q_geo_force2d" -> force2dSql,

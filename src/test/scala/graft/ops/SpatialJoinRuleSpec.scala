@@ -109,6 +109,101 @@ class SpatialJoinRuleSpec extends SparkTestBase {
     }.isEmpty, "equi-key spatial join must keep its hash join, not explode cells")
   }
 
+  test("left-outer spatial join rewrites: unmatched left rows survive with nulls") {
+    val naive = points.join(rects, S.st_intersects($"pgeom", $"rgeom"), "left")
+      .select($"pid", $"rid")
+    assert(nestedLoopNodes(naive).isEmpty,
+      s"left-outer rule did not fire: ${naive.queryExecution.executedPlan}")
+    val got = naive.as[(Long, Option[Long])].collect().sorted
+    val want = withRuleOff {
+      points.join(rects, S.st_intersects($"pgeom", $"rgeom"), "left")
+        .select($"pid", $"rid").as[(Long, Option[Long])].collect().sorted
+    }
+    assert(want.nonEmpty && got.toSeq == want.toSeq)
+    // the fixture must actually exercise BOTH branches
+    assert(want.exists(_._2.isEmpty), "no unmatched left row in fixture")
+    assert(want.exists(_._2.nonEmpty), "no matched left row in fixture")
+  }
+
+  test("left-outer: null-geometry left rows null-extend (never drop)") {
+    val pts = points.withColumn("pgeom",
+      when($"pid" % 5 === 0, lit(null).cast("binary")).otherwise($"pgeom"))
+    val naive = pts.join(rects, S.st_intersects($"pgeom", $"rgeom"), "left")
+      .select($"pid", $"rid")
+    assert(nestedLoopNodes(naive).isEmpty)
+    val got = naive.as[(Long, Option[Long])].collect().sorted
+    val want = withRuleOff {
+      pts.join(rects, S.st_intersects($"pgeom", $"rgeom"), "left")
+        .select($"pid", $"rid").as[(Long, Option[Long])].collect().sorted
+    }
+    assert(got.toSeq == want.toSeq)
+    // every 5th point has a null geometry: present exactly once, rid null
+    assert(got.filter(_._1 % 5 == 0).forall(_._2.isEmpty))
+    assert(got.map(_._1).distinct.intersect(Seq(0L, 5L, 10L)).length == 3)
+  }
+
+  test("left-outer: duplicate left rows keep their multiplicity") {
+    val dup = points.unionByName(points.filter($"pid" < 4)) // pids 0-3 twice
+    val naive = dup.join(rects, S.st_intersects($"pgeom", $"rgeom"), "left")
+      .select($"pid", $"rid")
+    assert(nestedLoopNodes(naive).isEmpty)
+    val got = naive.as[(Long, Option[Long])].collect().sorted
+    val want = withRuleOff {
+      dup.join(rects, S.st_intersects($"pgeom", $"rgeom"), "left")
+        .select($"pid", $"rid").as[(Long, Option[Long])].collect().sorted
+    }
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("left-outer with residual conjunct keeps match-condition semantics") {
+    // residual applies to MATCHING (nulls where it fails), not filtering
+    val naive = points.join(rects,
+        S.st_intersects($"pgeom", $"rgeom") && $"rid" % 2 === 0, "left")
+      .select($"pid", $"rid")
+    assert(nestedLoopNodes(naive).isEmpty)
+    val got = naive.as[(Long, Option[Long])].collect().sorted
+    val want = withRuleOff {
+      points.join(rects, S.st_intersects($"pgeom", $"rgeom") && $"rid" % 2 === 0, "left")
+        .select($"pid", $"rid").as[(Long, Option[Long])].collect().sorted
+    }
+    assert(got.toSeq == want.toSeq)
+    assert(got.forall(_._2.forall(_ % 2 == 0)))
+  }
+
+  test("guards: non-positive or malformed cellSize skips the rewrite (correct result, no empty output)") {
+    for (bad <- Seq("0", "-1.5", "NaN", "not-a-number")) {
+      spark.conf.set("spark.graft.spatialJoin.cellSize", bad)
+      try {
+        val naive = points.join(rects, S.st_intersects($"pgeom", $"rgeom"))
+          .select($"pid", $"rid")
+        // rewrite must NOT fire (a grid with bad cell size would return
+        // null cells for every row and silently produce 0 rows)
+        assert(nestedLoopNodes(naive).nonEmpty, s"cellSize=$bad should skip rewrite")
+        val got = naive.as[(Long, Long)].collect().sorted
+        val want = withRuleOff {
+          points.join(rects, S.st_intersects($"pgeom", $"rgeom"))
+            .select($"pid", $"rid").as[(Long, Long)].collect().sorted
+        }
+        assert(got.nonEmpty && got.toSeq == want.toSeq)
+      } finally spark.conf.unset("spark.graft.spatialJoin.cellSize")
+    }
+  }
+
+  test("guards: continent-scale geometry vs tiny cells raises an actionable error, not a wrapped allocation") {
+    val world = Seq(1L).toDF("rid").select($"rid",
+      S.st_geomfromtext(lit("POLYGON ((0 0, 40000 0, 40000 40000, 0 40000, 0 0))")).as("rgeom"))
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "0.001")
+    try {
+      val naive = points.join(world, S.st_intersects($"pgeom", $"rgeom"))
+        .select($"pid", $"rid")
+      val e = intercept[Exception] { naive.collect() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(m => m.contains("st_gridcells") && m.contains("cellSize")),
+        s"expected the per-row cell-cap error, got: $e")
+    } finally spark.conf.unset("spark.graft.spatialJoin.cellSize")
+  }
+
   test("cellSize conf steers the grid") {
     spark.conf.set("spark.graft.spatialJoin.cellSize", "5.0")
     try {
