@@ -456,26 +456,40 @@ object Pipelines {
       |FROM nation, generate_series(0, 2) b(g)
       |ORDER BY n_nationkey, bucket""".stripMargin
 
-  /** P2 (configurable generator) + P6 + P3 battery: deterministic
-    * identifier generation, array→min replacement, attribute exclusion —
-    * each the real Op, all closed-form. */
+  /** P2 (configurable generator) + P9 + P11 + P10 + P6 + P3 battery:
+    * identifier generation, pipeline-split copy (identity by design —
+    * gated by the whole result passing through unchanged), the observed
+    * log sink (P11 `observe` rides the same plan; a drop/duplicate in its
+    * passthrough would break the oracle's row count and hashes), then
+    * DropIdentifier — gated STRUCTURALLY: `n_cols_after_drop` snapshots
+    * the schema width right after the drop, so a no-op drop shifts the
+    * value and hash-fails even though a later step regenerates the
+    * identifier — then array→min replacement and attribute exclusion. */
   def projectionBattery(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val src = part(s, d).select($"p_partkey",
         array($"p_partkey" % 10, $"p_partkey" % 7, $"p_partkey" % 3).as("arr"))
       .withColumn("junk", lit("drop-me"))
+    val afterDrop = Pipeline(
+      Projections.GenerateIdentifier(concat(lit("tmp-"), $"p_partkey")),
+      Projections.CopyOnPipelineSplit(),
+      Projections.LogRows("battery_log"),
+      Projections.DropIdentifier)(src)
+    val nColsAfterDrop = afterDrop.columns.length // p_partkey, arr, junk = 3
     val out = Pipeline(
       Projections.GenerateIdentifier(concat(lit("id-"), $"p_partkey")),
       Projections.MinArrayAttribute("arr"),
-      Projections.ExcludeAttributes(Seq("junk")))(src)
-    out.select($"p_partkey", $"identifier", $"arr".as("arr_min"))
+      Projections.ExcludeAttributes(Seq("junk")))(afterDrop)
+    out.select($"p_partkey", $"identifier", $"arr".as("arr_min"),
+        lit(nColsAfterDrop).as("n_cols_after_drop"))
       .orderBy($"p_partkey")
   }
 
   val projectionBatterySql: String =
     """SELECT p_partkey,
       |  'id-' || CAST(p_partkey AS VARCHAR) AS identifier,
-      |  LEAST(p_partkey % 10, p_partkey % 7, p_partkey % 3) AS arr_min
+      |  LEAST(p_partkey % 10, p_partkey % 7, p_partkey % 3) AS arr_min,
+      |  CAST(3 AS INTEGER) AS n_cols_after_drop
       |FROM part
       |ORDER BY p_partkey""".stripMargin
 

@@ -41,6 +41,29 @@ class OpsSpec extends SparkTestBase {
     assert(Projections.MinArrayAttribute("times")(df).collect()(0).getInt(0) == 2)
   }
 
+  test("P9/P10/P11 split copy, drop identifier, observed log (common.py:414-456)") {
+    import spark.implicits._
+    val df = Projections.GenerateIdentifier(lit("x"))(Seq(1, 2, 3).toDF("v"))
+    // P9: identity (Spark plans are immutable; cache is the opt-in)
+    val split = Projections.CopyOnPipelineSplit()(df)
+    assert(split.columns.sameElements(df.columns))
+    assert(split.orderBy("v").collect().sameElements(df.orderBy("v").collect()))
+    // P11: observe is a passthrough whose metric carries the row count
+    val logged = Projections.LogRows("ops_spec_log")(split)
+    // no orderBy ABOVE the observe: a global sort's range-partitioning
+    // sampling pass re-executes the child and double-counts the metric
+    assert(logged.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+    // observedMetrics are per-execution: read them off the Dataset that
+    // actually ran
+    val metrics = logged.queryExecution.observedMetrics
+    assert(metrics.contains("ops_spec_log") &&
+      metrics("ops_spec_log").getAs[Long]("rows") == 3L)
+    // P10: the identifier column is gone, everything else survives
+    val dropped = Projections.DropIdentifier(logged)
+    assert(dropped.columns.toSeq == Seq("v"))
+    assert(dropped.count() == 3)
+  }
+
   test("P8 other_tags hstore parse and merge (osm.py:99-119)") {
     import spark.implicits._
     val df = Seq(
