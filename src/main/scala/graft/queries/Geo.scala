@@ -534,7 +534,54 @@ object Geo {
       |    + power(CAST((c_custkey * 7) % 100 AS DOUBLE) - ((s_suppkey * 7) % 100), 2) < 6.25
       |ORDER BY c_custkey, s_suppkey""".stripMargin
 
+  /** Pathological skew through the auto rewrite: 80% of the points share
+    * ONE grid cell (coordinates in [0, 0.97)² at the default cellSize
+    * 1.0), so the canonical-cell dedup concentrates most candidate pairs
+    * in a single hash partition of the cell equi-join. Because the
+    * rewrite produces a PLAIN shuffle join, AQE's skew-join handling can
+    * split that partition at runtime — SpatialJoinRuleSpec proves
+    * `skew=true` appears in the adaptive plan under bench-realistic
+    * thresholds; this query gates the RESULT under the oracle and rides
+    * the bench so the skewed shape has a tracked cost. The 20% tail
+    * spreads over [10, 94]² to keep the non-hot partitions non-empty. */
+  def skewJoin(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val pts = customer(s, d).select($"c_custkey",
+      when($"c_custkey" % 5 =!= 0,
+        S.st_point(($"c_custkey" % 97).cast("double") / 100.0,
+          (($"c_custkey" * 7) % 97).cast("double") / 100.0))
+      .otherwise(
+        S.st_point((($"c_custkey" % 80) + 10).cast("double"),
+          ((($"c_custkey" * 11) % 80) + 10).cast("double"))).as("pgeom"))
+    val zones = nation(s, d).select(
+      $"n_nationkey",
+      S.st_geomfromtext(format_string(
+        "POLYGON ((%1$s %2$s, %3$s %2$s, %3$s %4$s, %1$s %4$s, %1$s %2$s))",
+        ($"n_nationkey" * 3) % 80, ($"n_nationkey" * 11) % 80,
+        (($"n_nationkey" * 3) % 80) + 15, (($"n_nationkey" * 11) % 80) + 15)).as("zone"))
+    pts.join(zones, S.st_intersects($"pgeom", $"zone"))
+      .select($"c_custkey", $"n_nationkey")
+      .orderBy($"c_custkey", $"n_nationkey")
+  }
+
+  val skewJoinSql: String =
+    """WITH p AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 5 <> 0 THEN CAST(c_custkey % 97 AS DOUBLE) / 100.0
+      |         ELSE CAST(c_custkey % 80 + 10 AS DOUBLE) END AS x,
+      |    CASE WHEN c_custkey % 5 <> 0 THEN CAST((c_custkey * 7) % 97 AS DOUBLE) / 100.0
+      |         ELSE CAST((c_custkey * 11) % 80 + 10 AS DOUBLE) END AS y
+      |  FROM customer
+      |)
+      |SELECT c_custkey, n_nationkey
+      |FROM p, nation
+      |WHERE x >= (n_nationkey * 3) % 80 AND x <= (n_nationkey * 3) % 80 + 15
+      |  AND y >= (n_nationkey * 11) % 80 AND y <= (n_nationkey * 11) % 80 + 15
+      |ORDER BY c_custkey, n_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geo_skew_join" -> (skewJoin _),
     "q_geo_join_auto" -> (joinAuto _),
     "q_geo_join_auto_left" -> (joinAutoLeft _),
     "q_geo_join_auto_dist" -> (joinAutoDist _),
@@ -556,6 +603,7 @@ object Geo {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_geo_skew_join" -> skewJoinSql,
     "q_geo_join_auto" -> joinAutoSql,
     "q_geo_join_auto_left" -> joinAutoLeftSql,
     "q_geo_join_auto_dist" -> joinAutoDistSql,

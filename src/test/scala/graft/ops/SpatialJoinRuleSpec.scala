@@ -204,6 +204,45 @@ class SpatialJoinRuleSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.spatialJoin.cellSize")
   }
 
+  test("AQE splits the hot-cell partition of a skewed rewritten join (skew=true in the adaptive plan)") {
+    // 80% of 40k points in ONE grid cell — the canonical-cell dedup
+    // concentrates those candidate pairs on a single hash partition. The
+    // rewrite is a plain shuffle join, so AQE's skew-join handling must
+    // engage; thresholds are lowered to make the tiny fixture's hot
+    // partition count as skewed, but the MECHANISM is exactly what a
+    // 100 TB hot cell relies on.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val skewed = spark.range(40000).select($"id".as("pid"),
+        when($"id" % 5 =!= 0,
+          S.st_point(($"id" % 97).cast("double") / 100.0, (($"id" * 7) % 97).cast("double") / 100.0))
+        .otherwise(S.st_point(($"id" % 80 + 10).cast("double"), (($"id" * 11) % 80 + 10).cast("double")))
+        .as("pgeom"))
+      val joined = skewed.join(rects, S.st_intersects($"pgeom", $"rgeom"))
+        .select($"pid", $"rid")
+      assert(nestedLoopNodes(joined).isEmpty, "rule must fire on the skewed join")
+      val rows = joined.collect()
+      val n = rows.length
+      assert(n > 30000, s"hot cell must dominate the output, got $n rows")
+      val adaptive = joined.queryExecution.executedPlan.toString
+      assert(adaptive.contains("skew=true"),
+        s"AQE skew-join did not engage:\n$adaptive")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("cellSize conf steers the grid") {
     spark.conf.set("spark.graft.spatialJoin.cellSize", "5.0")
     try {
