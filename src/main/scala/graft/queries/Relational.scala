@@ -457,6 +457,57 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Mixed-span range join: the interval set mixes FOUR decades of span —
+    * 30 s, 2 h, 3 d, 60 d by `o_orderkey % 4` — so the geometric
+    * level-assignment path of [[graft.ops.RangeJoin]] is driver-gated,
+    * not just spec'd: at bucketUs = 1 h with coarseFactor 32 and 3
+    * levels, the 30 s/2 h intervals live at level 0, the 3-day at level
+    * 1, and the 60-day at level 2 (a single-level plan would explode the
+    * 60-day intervals into 1 440 rows each; the level cap bounds every
+    * interval at ≤ 33). Points carry an intra-day second offset so the
+    * sub-hour intervals genuinely match or miss on seconds. */
+  def rangeJoinMixed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val points = lineitem(s, d).filter($"l_partkey" < 40)
+      .select($"l_orderkey", $"l_linenumber",
+        expr("CAST(l_shipdate AS TIMESTAMP) + make_interval(0,0,0,0,0,0, l_orderkey % 86400)")
+          .as("pts"))
+    val intervals = orders(s, d).select(
+      $"o_orderkey", $"o_totalprice",
+      expr("CAST(o_orderdate AS TIMESTAMP) + make_interval(0,0,0,0,0,0, o_orderkey % 86400)")
+        .as("win_start"))
+      .withColumn("win_end", expr(
+        """win_start + make_interval(0,0,0,0,0,0,
+          |  CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN 30 WHEN 1 THEN 7200
+          |       WHEN 2 THEN 259200 ELSE 5184000 END)""".stripMargin))
+    graft.ops.RangeJoin.pointInInterval(points, intervals,
+      pointTs = "pts", startTs = "win_start", endTs = "win_end",
+      bucketUs = 3600L * 1000000, coarseFactor = 32, levels = 3)
+      .groupBy($"l_orderkey", $"l_linenumber")
+      .agg(count(lit(1)).as("n_orders"),
+        out(sum(dec($"o_totalprice"))).as("total_price"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val rangeJoinMixedSql: String =
+    """WITH p AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(l_shipdate AS TIMESTAMP) + INTERVAL (l_orderkey % 86400) SECOND AS pts
+      |  FROM lineitem WHERE l_partkey < 40
+      |), iv AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL (o_orderkey % 86400) SECOND AS win_start,
+      |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL (o_orderkey % 86400) SECOND
+      |      + INTERVAL (CASE o_orderkey % 4 WHEN 0 THEN 30 WHEN 1 THEN 7200
+      |                  WHEN 2 THEN 259200 ELSE 5184000 END) SECOND AS win_end
+      |  FROM orders
+      |)
+      |SELECT p.l_orderkey, p.l_linenumber, COUNT(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(iv.o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_price
+      |FROM p JOIN iv ON p.pts >= iv.win_start AND p.pts < iv.win_end
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** The same gap sessionization through Spark's NATIVE `session_window`
     * aggregate — one hash-aggregate with built-in session merging instead
     * of two window passes. Verified against the lag-based closed form:
@@ -643,6 +694,7 @@ object Relational {
     "q_skew_agg" -> (skewAgg _),
     "q_asof_join" -> (asofJoin _),
     "q_range_join" -> (rangeJoin _),
+    "q_range_join_mixed" -> (rangeJoinMixed _),
     "q_json_extract" -> (jsonExtract _),
     "q_running_sum" -> (runningSum _),
     "q_correlated_agg" -> (correlatedAgg _),
@@ -667,6 +719,7 @@ object Relational {
     "q_skew_agg" -> skewAggSql,
     "q_asof_join" -> asofJoinSql,
     "q_range_join" -> rangeJoinSql,
+    "q_range_join_mixed" -> rangeJoinMixedSql,
     "q_json_extract" -> jsonExtractSql,
     "q_running_sum" -> runningSumSql,
     "q_correlated_agg" -> correlatedAggSql,
