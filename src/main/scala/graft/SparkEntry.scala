@@ -10,7 +10,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Geo.queries ++ Llm.queries ++ Pipelines.queries ++ Store.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * ORDERING CONTRACT: read this AFTER running `queries`, in the same
+    * JVM. q_emb_ivf_topk / q_emb_recall inline their trained IVF
+    * centroids (`graft.llm.Similarity.lastIvfModel`) — before the
+    * queries run those two entries are absent. `graft.Verify` enforces
+    * this with a require. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Geo.oracles ++ Llm.oracles ++ Pipelines.oracles ++ Store.oracles
 }

@@ -26,6 +26,19 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
+    // ORDERING CONTRACT (dynamic oracle): q_emb_ivf_topk / q_emb_recall
+    // train the IVF coarse quantizer as a side effect of RUNNING, and
+    // their oracle SQL inlines the trained centroids — so oracleSql must
+    // be read AFTER the queries execute, in the SAME JVM (see
+    // graft.llm.Similarity.lastIvfModel). If a future driver verifies
+    // oracle-first, in parallel, or per-query in fresh JVMs, fail loudly
+    // here instead of silently omitting the two oracles.
+    val needsIvfModel = Seq("q_emb_ivf_topk", "q_emb_recall")
+      .filter(n => SparkEntry.queries.contains(n) && only.forall(_.contains(n)))
+    if (needsIvfModel.nonEmpty)
+      require(graft.llm.Similarity.lastIvfModel.get() != null,
+        s"IVF model not trained but ${needsIvfModel.mkString("/")} selected — " +
+          "oracle SQL must be produced after the queries run in this JVM")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

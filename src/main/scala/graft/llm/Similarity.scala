@@ -166,7 +166,14 @@ object Similarity {
     * verification harness can inline the centroids as SQL literals and
     * recompute the whole IVF query exactly in DuckDB (the centroids are
     * data-dependent, so unlike the seeded LSH planes they cannot be
-    * static; `SparkEntry.oracleSql` is read AFTER the queries run). */
+    * static).
+    *
+    * ORDERING CONTRACT: `SparkEntry.oracleSql` must be read AFTER the
+    * queries run, in the same JVM — `graft.Verify` `require`s this model
+    * is populated when q_emb_ivf_topk / q_emb_recall are selected, so a
+    * driver change to oracle-first / parallel / per-query-JVM
+    * verification fails loudly instead of silently dropping the two
+    * dynamic oracles. */
   final case class IvfModel(centroids: Array[Array[Double]], nlist: Int, nprobe: Int, k: Int)
   val lastIvfModel = new java.util.concurrent.atomic.AtomicReference[IvfModel]()
 

@@ -271,6 +271,39 @@ class LlmSpec extends SparkTestBase {
     assert(recall >= 0.35, s"recall=$recall")
   }
 
+  test("clustered corpus: ann and ivf recall@5 >= 0.8 under the seeded planes/centroids") {
+    import spark.implicits._
+    // The sf corpora are near-uniform, where sub-linear candidate scans
+    // CAN'T have high recall (q_emb_recall gates those exact values). The
+    // quantizer-regression guard needs the opposite fixture: 50 tight
+    // clusters (sigma 0.02 around unit centers, seeded) where each
+    // query's true top-5 are its cluster mates — LSH puts near-collinear
+    // vectors in the same bucket (multi-probe covers single sign flips)
+    // and IVF concentrates each cluster in one cell, so recall@5 must be
+    // high; a broken sign/plane/centroid computation drops it sharply.
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = Array.fill(50)(unit(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val vecs = for (c <- 0 until 50; m <- 0 until 20) yield
+      ((c * 20 + m).toLong,
+        unit(centers(c).map(x => x + 0.02f * rnd.nextGaussian().toFloat)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val qs = emb.filter($"vec_id" % 20 === 0) // one query per cluster
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(qs, emb, 5))
+    val annRecall = pairs(Similarity.annTopK(qs, emb, 5, numBits = 8, dim = dim))
+      .intersect(exact).size.toDouble / exact.size
+    val ivfRecall = pairs(Similarity.ivfTopK(qs, emb, 5, nlist = 16, nprobe = 3))
+      .intersect(exact).size.toDouble / exact.size
+    assert(annRecall >= 0.8, s"ann recall@5 = $annRecall on the clustered corpus")
+    assert(ivfRecall >= 0.8, s"ivf recall@5 = $ivfRecall on the clustered corpus")
+  }
+
   test("language ID picks the stopword-dominant language") {
     import spark.implicits._
     val df = Seq(
