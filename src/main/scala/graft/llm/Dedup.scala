@@ -340,6 +340,83 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Fixed-width word segments of the text — the "line" unit for
+    * [[lineDedupCorpus]] when documents carry no newline structure
+    * (web-extracted single-line text): consecutive `n`-word windows,
+    * non-overlapping, last segment possibly short. Empty/whitespace-only
+    * text yields one empty segment, so every document owns ≥ 1 line. */
+  def wordChunks(text: Column, n: Int): Column = {
+    val ws = split(trim(lower(text)), "\\s+")
+    transform(
+      sequence(lit(0), floor((size(ws) - 1).cast("double") / n).cast("int")),
+      u => array_join(slice(ws, u * n + 1, lit(n)), " "))
+  }
+
+  /** Corpus-level exact line dedup — the boilerplate remover every
+    * web-scale training pipeline runs before document-level dedup
+    * (headers, cookie banners, nav text repeat across *pages* while the
+    * pages themselves stay distinct, so document-level dedup never sees
+    * them): drop every line whose corpus-wide occurrence count reaches
+    * `maxDf`, and reassemble each document from the survivors in
+    * original line order.
+    *
+    * 100 TB shape: the line census is ONE hash-partitioned groupBy where
+    * map-side partial aggregation collapses the (by definition highly
+    * repeated) boilerplate lines before they shuffle; the removal is a
+    * left-anti join of the exploded lines against that census output
+    * filtered to `count ≥ maxDf` — a set that is small precisely because
+    * each member repeats (AQE broadcasts it when it fits); reassembly
+    * shuffles (id, pos, line) once, grouped back on the id. Nothing is
+    * quadratic and no driver collect exists anywhere.
+    *
+    * Returns one row per INPUT document — a fully-boilerplate document
+    * survives with `kept_lines = 0` and an empty `clean_text` (dropping
+    * it is a downstream length-filter decision, not this operator's). */
+  def lineDedupCorpus(df: DataFrame, idCol: String, linesCol: Column,
+                      maxDf: Long): DataFrame = {
+    require(maxDf >= 2, "maxDf < 2 would drop every line")
+    val docs = df.select(col(idCol).as("id"), linesCol.as("lines"))
+    val lines = docs
+      .select(col("id"), posexplode(col("lines")).as(Seq("pos", "line")))
+    val boilerplate = lines.groupBy(col("line"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= maxDf)
+      .select(col("line"))
+    val kept = lines.join(boilerplate, Seq("line"), "left_anti")
+    val reassembled = kept.groupBy(col("id")).agg(
+      count(lit(1)).as("kept_lines"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("clean_text"))
+    docs.select(col("id"), size(col("lines")).cast("long").as("total_lines"))
+      .join(reassembled, Seq("id"), "left")
+      .select(col("id"), col("total_lines"),
+        coalesce(col("kept_lines"), lit(0L)).as("kept_lines"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Per-document duplicate-shingle fraction: of a document's DISTINCT
+    * word `n`-gram shingles, the share that occurs in at least
+    * `minDf` documents corpus-wide — the cheap linear scan quality
+    * pipelines use to RANK duplication (and route high scorers to the
+    * pairwise dedup) without ever forming a pair. One census groupBy on
+    * the shingle plus a join back; shuffles carry (shingle, id) tokens
+    * and counts only. */
+  def dupShingleFraction(df: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int = 3, minDf: Long = 2,
+                         flagAt: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(array_distinct(wordShingles(col(textCol), shingleSize))).as("s"))
+    val census = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+    val frac = col("n_dup").cast("double") / col("n_shingles")
+    sh.join(census, Seq("s"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") >= minDf, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("id"), col("n_shingles"), col("n_dup"),
+        round(frac, 6).as("dup_frac"), (frac >= flagAt).as("flagged"))
+  }
+
   /** n-gram Jaccard similarity of all pairs within blocking buckets by
     * shared rare shingle — the quadratic-free exact-Jaccard dedup:
     * bucket by each doc's minimum shingle hash (1 bucket per doc). */

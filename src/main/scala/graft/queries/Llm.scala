@@ -615,6 +615,105 @@ object Llm {
     recallOf("ann", ann).unionAll(recallOf("ivf", ivf)).orderBy($"method")
   }
 
+  /** Corpus-level line dedup ([[graft.llm.Dedup.lineDedupCorpus]]): the
+    * boilerplate remover, over 4-word segments as the line unit (the
+    * synthetic docs are single-line; the segmentation is
+    * [[graft.llm.Dedup.wordChunks]], mirrored slice-for-slice in the
+    * oracle) with the corpus-frequency threshold at 3. The oracle
+    * recomputes the census, the anti-join and the ordered reassembly in
+    * SQL — a wrong chunk boundary, a dropped survivor or a reassembly
+    * out of original order each break the text hash. */
+  def lineDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.lineDedupCorpus(documents(s, d), "doc_id",
+        Dedup.wordChunks($"text", 4), maxDf = 3)
+      .select($"id".as("doc_id"), $"total_lines", $"kept_lines", $"clean_text")
+      .orderBy($"doc_id")
+  }
+
+  val lineDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
+      |), lines AS (
+      |  SELECT doc_id, u AS pos, array_to_string(ws[u*4+1:u*4+4], ' ') AS line
+      |  FROM (SELECT doc_id, ws,
+      |          unnest(generate_series(0, CAST(floor((len(ws)-1)/4.0) AS BIGINT))) AS u
+      |        FROM toks)
+      |), bp AS (
+      |  SELECT line FROM lines GROUP BY 1 HAVING COUNT(*) >= 3
+      |), kept AS (
+      |  SELECT l.* FROM lines l ANTI JOIN bp USING (line)
+      |), re AS (
+      |  SELECT doc_id, COUNT(*) AS kept_lines,
+      |         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+      |  FROM kept GROUP BY 1
+      |)
+      |SELECT t.doc_id, t.total_lines,
+      |  COALESCE(r.kept_lines, 0) AS kept_lines,
+      |  COALESCE(r.clean_text, '') AS clean_text
+      |FROM (SELECT doc_id, COUNT(*) AS total_lines FROM lines GROUP BY 1) t
+      |LEFT JOIN re r USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-document duplicate-shingle fraction
+    * ([[graft.llm.Dedup.dupShingleFraction]]): the linear duplication
+    * score that ranks documents for the pairwise dedup queue. Same
+    * 3-gram shingle CTE as the Jaccard oracles; the fraction and the
+    * ≥ 0.5 flag are recomputed from the same integers on both sides. */
+  def dupFraction(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.dupShingleFraction(documents(s, d), "doc_id", "text",
+        shingleSize = 3, minDf = 2, flagAt = 0.5)
+      .select($"id".as("doc_id"), $"n_shingles", $"n_dup", $"dup_frac", $"flagged")
+      .orderBy($"doc_id")
+  }
+
+  val dupFractionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(ws[u:u+2], ' ') AS s
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u FROM toks)
+      |), d AS (
+      |  SELECT doc_id, COUNT(*) OVER (PARTITION BY s) AS df FROM sh
+      |)
+      |SELECT doc_id, COUNT(*) AS n_shingles,
+      |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  round(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_frac,
+      |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) >= 0.5 AS flagged
+      |FROM d GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic stratified (per-language) downsampling — the
+    * data-mixing primitive that rebalances a corpus before training
+    * (downsample the dominant languages, keep the rest whole). Built on
+    * the same content-keyed md5 bucket as q_data_split: stable under
+    * reshuffling/reruns where `sampleBy`'s `rand(seed)` is not, exactly
+    * mirrorable (`md5_number_lower(text) % 1000`), and a pure scan-side
+    * filter — zero shuffle at any scale. The bucket is kept in the
+    * output so the oracle gates the hash arithmetic itself, not just
+    * the surviving id set. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val keepPermille = typedLit(Map("en" -> 500, "fr" -> 250))
+    documents(s, d)
+      .withColumn("bucket", call_function("md5_bucket", $"text", lit(1000)))
+      .filter($"bucket" < coalesce(element_at(keepPermille, $"lang"), lit(1000)))
+      .select($"doc_id", $"lang", $"bucket")
+      .orderBy($"doc_id")
+  }
+
+  val stratifiedSampleSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |         CAST(md5_number_lower(text) % 1000 AS INTEGER) AS bucket
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang, bucket FROM b
+      |WHERE bucket < CASE lang WHEN 'en' THEN 500 WHEN 'fr' THEN 250 ELSE 1000 END
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> (textStats _),
     "q_text_lang" -> (langId _),
@@ -639,6 +738,9 @@ object Llm {
     "q_multimodal_pipeline" -> (multimodalPipeline _),
     "q_media_decode" -> (mediaDecode _),
     "q_emb_recall" -> (embRecall _),
+    "q_line_dedup" -> (lineDedup _),
+    "q_dup_fraction" -> (dupFraction _),
+    "q_stratified_sample" -> (stratifiedSample _),
   )
 
   /** Honest media decode under the oracle: BMP / PPM / WAV payloads
@@ -1018,6 +1120,9 @@ object Llm {
     "q_dedup_exact" -> exactDedupSql,
     "q_doc_fingerprint" -> fingerprintSql,
     "q_emb_cosine_topk" -> cosineTopKSql,
+    "q_line_dedup" -> lineDedupSql,
+    "q_dup_fraction" -> dupFractionSql,
+    "q_stratified_sample" -> stratifiedSampleSql,
   )
 
   /** Static oracles plus the data-dependent IVF oracle when its

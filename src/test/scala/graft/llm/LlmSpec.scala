@@ -347,4 +347,62 @@ class LlmSpec extends SparkTestBase {
     val out = Multimodal.sampleFrames(df, everyMs = 1000L)
     assert(out.select("frame_ms").collect().map(_.getLong(0)).toSeq == Seq(0L, 1000L, 2000L, 3000L))
   }
+
+  test("line dedup drops corpus-frequent lines, keeps order, keeps empty docs") {
+    import spark.implicits._
+    // three pages share the boilerplate line "cookie banner"; each keeps
+    // its unique payload; one page is ALL boilerplate and must survive
+    // with kept_lines = 0
+    val pages = Seq(
+      (1L, Seq("cookie banner", "alpha payload", "beta payload")),
+      (2L, Seq("gamma payload", "cookie banner")),
+      (3L, Seq("cookie banner")),
+      (4L, Seq("delta payload"))
+    ).toDF("doc_id", "lines")
+    val out = Dedup.lineDedupCorpus(pages, "doc_id", col("lines"), maxDf = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 3L, 2L, "alpha payload\nbeta payload"))) // order kept
+    assert(out(1) == ((2L, 2L, 1L, "gamma payload")))
+    assert(out(2) == ((3L, 1L, 0L, "")))                           // all boilerplate
+    assert(out(3) == ((4L, 1L, 1L, "delta payload")))
+    // below the threshold nothing is dropped
+    val loose = Dedup.lineDedupCorpus(pages, "doc_id", col("lines"), maxDf = 4)
+      .agg(sum(col("kept_lines"))).collect()(0).getLong(0)
+    assert(loose == 7L)
+  }
+
+  test("word chunks segment in fixed windows with a short tail") {
+    import spark.implicits._
+    val df = Seq("One two three four five six seven", "", "solo").toDF("text")
+    val out = df.select(Dedup.wordChunks(col("text"), 3)).collect()
+      .map(_.getSeq[String](0).toSeq)
+    assert(out(0) == Seq("one two three", "four five six", "seven"))
+    assert(out(1) == Seq(""))   // empty text still owns one (empty) line
+    assert(out(2) == Seq("solo"))
+  }
+
+  test("duplicate-shingle fraction matches brute force and flags dups") {
+    import spark.implicits._
+    val out = Dedup.dupShingleFraction(corpus, "doc_id", "text",
+        shingleSize = 3, minDf = 2, flagAt = 0.5)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    // brute force over the same corpus
+    def shingles(t: String): Set[String] = {
+      val ws = t.trim.toLowerCase.split("\\s+").toSeq
+      if (ws.length < 3) Set(ws.mkString(" "))
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val texts = Seq(1L -> base, 2L -> base, 3L -> base.replace("lazy", "sleepy"),
+      4L -> "completely different content about spark query engines and columnar execution at massive scale today")
+    val all = texts.map { case (id, t) => id -> shingles(t) }
+    for (((id, sh), i) <- all.zipWithIndex) {
+      assert(out(i)._1 == id)
+      assert(out(i)._2 == sh.size.toLong, s"n_shingles doc $id")
+      assert(out(i)._3 == sh.count(s => all.count(_._2.contains(s)) >= 2).toLong, s"n_dup doc $id")
+    }
+    assert(out(0)._4 && out(1)._4, "exact dups fully duplicated")
+    assert(!out(3)._4, "unrelated doc not flagged")
+  }
 }
