@@ -39,6 +39,12 @@ object Verify {
       require(graft.llm.Similarity.lastIvfModel.get() != null,
         s"IVF model not trained but ${needsIvfModel.mkString("/")} selected — " +
           "oracle SQL must be produced after the queries run in this JVM")
+    val needsPqModel = Seq("q_emb_pq_topk", "q_emb_recall")
+      .filter(n => SparkEntry.queries.contains(n) && only.forall(_.contains(n)))
+    if (needsPqModel.nonEmpty)
+      require(graft.llm.Similarity.lastPqModel.get() != null,
+        s"PQ model not trained but ${needsPqModel.mkString("/")} selected — " +
+          "oracle SQL must be produced after the queries run in this JVM")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

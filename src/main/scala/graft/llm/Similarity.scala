@@ -215,6 +215,124 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
   }
 
+  private def matLit(a: Array[Array[Double]]): Column =
+    Shim.column(Literal.create(a.map(_.toSeq).toSeq,
+      ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)))
+  private def vecLit(a: Array[Double]): Column =
+    Shim.column(Literal.create(a.toSeq, ArrayType(DoubleType, containsNull = false)))
+
+  /** The PQ model last trained by [[pqTopK]] — recorded for the dynamic
+    * oracle exactly like [[lastIvfModel]], and under the SAME ORDERING
+    * CONTRACT: oracle SQL is read after the queries run, in this JVM
+    * (`graft.Verify` `require`s the model when q_emb_pq_topk /
+    * q_emb_recall are selected). `codeNorms2(s)(j)` = ‖codebooks(s)(j)‖²,
+    * precomputed on the driver so BOTH sides of the oracle compare use
+    * the identical double. */
+  final case class PqModel(coarse: Array[Array[Double]],
+                           codebooks: Array[Array[Array[Double]]],
+                           codeNorms2: Array[Array[Double]],
+                           m: Int, ks: Int, subDim: Int,
+                           nlist: Int, nprobe: Int, k: Int,
+                           refineFactor: Int)
+  val lastPqModel = new java.util.concurrent.atomic.AtomicReference[PqModel]()
+
+  /** IVF-PQ approximate top-k — the memory-scale path next to LSH and
+    * plain IVF: the IVF coarse quantizer prunes candidates (probe
+    * `nprobe` of `nlist` cells) and product quantization compresses the
+    * SCORING — each corpus vector is stored as `m` byte-sized codes
+    * (nearest per-subspace centroid), and the candidate score is the
+    * asymmetric distance computation (ADC): the query stays exact, the
+    * corpus side is reconstructed per-subspace from the codebooks. With
+    * cosine semantics: `cos(q, x̂) = Σₛ ⟨q_s, cb_s[code_s]⟩ /
+    * (‖q‖·√Σₛ‖cb_s[code_s]‖²)` — the reconstruction norm comes from the
+    * driver-precomputed table, never from a vector rebuild.
+    *
+    * Why it matters at 100 TB: a 64-dim float corpus is 256 B/vector;
+    * `m = 4` codes are 4 B — the candidate join shuffles (id, cell,
+    * 4 codes) instead of the embedding, a 64× reduction on the one
+    * data-sized exchange the ANN queries have, and the scoring arithmetic
+    * per candidate drops from 64 multiply-adds to `m` subspace dots
+    * against a literal codebook (a table lookup in a real ADC kernel).
+    * Training is the same bounded driver-local k-means as [[ivfTopK]],
+    * once per subspace. Recall is gated alongside ann/ivf in
+    * q_emb_recall.
+    *
+    * `refineFactor > 0` adds the standard refine stage (IVFADC+R): the
+    * ADC ranking SHORTLISTS `refineFactor·k` per query, then only those
+    * rows fetch their exact vector (an id equi-join — `refineFactor·k`
+    * vectors per query, not a corpus scan) and the final top-k is exact
+    * cosine. This is what restores precision when intra-cluster
+    * distances sit below the quantization error — tight near-dup
+    * clusters collapse to one code word and pure ADC cannot order
+    * within them (the spec pins exactly this). Output column is `cos`
+    * (exact) when refining, `adc_cos` when not. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 4, ks: Int = 16, nlist: Int = 16, nprobe: Int = 3,
+             seed: Long = 42L, dim: Int = 64, refineFactor: Int = 0,
+             trainSample: Int = 16384, trainIters: Int = 10,
+             queryId: String = "vec_id", corpusId: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim does not divide into $m subspaces")
+    val subDim = dim / m
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"))
+    val sample = c.select(col("cv")).limit(trainSample).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val coarse = kmeansLocal(sample, nlist, trainIters, seed)
+    val codebooks = Array.tabulate(m) { s =>
+      kmeansLocal(sample.map(_.slice(s * subDim, (s + 1) * subDim)), ks,
+        trainIters, seed + s + 1)
+    }
+    val codeNorms2 = codebooks.map(_.map { cb =>
+      var t = 0.0; var j = 0
+      while (j < cb.length) { t += cb(j) * cb(j); j += 1 }
+      t
+    })
+    lastPqModel.set(PqModel(coarse, codebooks, codeNorms2, m, ks, subDim,
+      nlist, nprobe, k, refineFactor))
+    val codeCols = (0 until m).map { s =>
+      nearestCells(slice(col("cv"), s * subDim + 1, subDim), codebooks(s), 1)
+        .getItem(0).as(s"c$s")
+    }
+    val encoded = c.select(col("neighbor_id") +:
+      nearestCells(col("cv"), coarse, 1).getItem(0).as("cell") +: codeCols: _*)
+    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(nearestCells(col("qv"), coarse, nprobe)))
+    val cand = encoded.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(Seq(col("query_id"), col("neighbor_id"), col("qv")) ++
+        (0 until m).map(s => col(s"c$s")): _*)
+      .distinct()
+    val ip = (0 until m).map { s =>
+      dot(slice(col("qv"), s * subDim + 1, subDim),
+        element_at(matLit(codebooks(s)), col(s"c$s") + 1))
+    }.reduce(_ + _)
+    val cnorm2 = (0 until m).map { s =>
+      element_at(vecLit(codeNorms2(s)), col(s"c$s") + 1)
+    }.reduce(_ + _)
+    val den = sqrt(dot(col("qv"), col("qv"))) * sqrt(cnorm2)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cos").desc, col("neighbor_id"))
+    val adcRanked = cand
+      .withColumn("adc_cos", when(den === 0, 0.0).otherwise(ip / den))
+      .withColumn("rk", row_number().over(w))
+    if (refineFactor <= 0)
+      adcRanked.filter(col("rk") <= k)
+        .select(col("query_id"), col("rk"), col("neighbor_id"),
+          round(col("adc_cos"), 6).as("adc_cos"))
+    else {
+      val shortlist = adcRanked.filter(col("rk") <= k * refineFactor)
+        .select(col("query_id"), col("neighbor_id"), col("qv"))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      shortlist.join(c, Seq("neighbor_id"))
+        .withColumn("cos", cosine(col("qv"), col("cv")))
+        .withColumn("rk", row_number().over(w2))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("rk"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"))
+    }
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH blocking: pairs in the
     * same exact bucket with cosine ≥ threshold. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,

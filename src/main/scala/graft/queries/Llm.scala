@@ -588,13 +588,30 @@ object Llm {
       .orderBy($"bucket")
   }
 
-  /** Recall@5 of BOTH approximate paths (LSH multi-probe, IVF) against
-    * the brute-force baseline, computed in-plan — the approximation the
-    * ANN queries accept, quantified and driver-gated. The oracle
-    * recomputes all three top-k sets in SQL (planes as static literals,
-    * trained centroids inlined via the dynamic-oracle hook) and the same
-    * hit counting, so the recall values are oracle-exact, not just
-    * asserted against a spec threshold. */
+  /** IVF-PQ ANN top-k ([[graft.llm.Similarity.pqTopK]]) for the same 20
+    * queries: coarse cells prune candidates, product-quantization codes
+    * rank the candidates (asymmetric-distance cosine against the
+    * codebooks), and the 4k ADC shortlist is re-ranked with exact
+    * vectors (the refine stage). The oracle is dynamic like
+    * q_emb_ivf_topk — codebooks, coarse centroids and the precomputed
+    * reconstruction norms inline as SQL literals after training. */
+  def pqTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, d)
+    val queries = emb.filter($"vec_id" < 20)
+    Similarity.pqTopK(queries, emb, k = 5, m = 4, ks = 16, nlist = 16,
+        nprobe = 3, refineFactor = 4)
+      .orderBy($"query_id", $"rk")
+  }
+
+  /** Recall@5 of ALL THREE approximate paths (LSH multi-probe, IVF,
+    * IVF-PQ) against the brute-force baseline, computed in-plan — the
+    * approximation the ANN queries accept, quantified and driver-gated.
+    * The oracle recomputes every top-k set in SQL (planes as static
+    * literals, trained centroids/codebooks inlined via the
+    * dynamic-oracle hook) and the same hit counting, so the recall
+    * values are oracle-exact, not just asserted against a spec
+    * threshold. */
   def embRecall(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = embeddings(s, d)
@@ -605,6 +622,9 @@ object Llm {
       .select($"query_id", $"neighbor_id")
     val ivf = Similarity.ivfTopK(qs, emb, k = 5, nlist = 16, nprobe = 3)
       .select($"query_id", $"neighbor_id")
+    val pq = Similarity.pqTopK(qs, emb, k = 5, m = 4, ks = 16, nlist = 16,
+        nprobe = 3, refineFactor = 4)
+      .select($"query_id", $"neighbor_id")
     def recallOf(method: String, approx: DataFrame): DataFrame =
       bf.join(approx.withColumn("__hit", lit(1)),
           Seq("query_id", "neighbor_id"), "left")
@@ -612,7 +632,8 @@ object Llm {
           count(lit(1)).as("n_total"))
         .select(lit(method).as("method"), $"n_hits", $"n_total",
           round($"n_hits".cast("double") / $"n_total", 6).as("recall"))
-    recallOf("ann", ann).unionAll(recallOf("ivf", ivf)).orderBy($"method")
+    recallOf("ann", ann).unionAll(recallOf("ivf", ivf))
+      .unionAll(recallOf("pq", pq)).orderBy($"method")
   }
 
   /** Corpus-level line dedup ([[graft.llm.Dedup.lineDedupCorpus]]): the
@@ -734,6 +755,7 @@ object Llm {
     "q_doc_simhash" -> (simhashSketch _),
     "q_emb_ann_topk" -> (annTopK _),
     "q_emb_ivf_topk" -> (ivfTopK _),
+    "q_emb_pq_topk" -> (pqTopK _),
     "q_emb_bucket_stats" -> (embNearDupStats _),
     "q_multimodal_pipeline" -> (multimodalPipeline _),
     "q_media_decode" -> (mediaDecode _),
@@ -1019,12 +1041,123 @@ object Llm {
        |FROM ranked WHERE rk <= ${m.k} ORDER BY query_id, rk""".stripMargin
   }
 
-  /** The q_emb_recall oracle: brute-force, LSH, and IVF top-5 sets each
-    * recomputed exactly as their own gated oracles do (same plane
-    * literals, same inlined centroids, same ranking arithmetic), then the
-    * same left-join hit counting. Dynamic for the same reason as
-    * [[ivfTopKSql]]. */
-  def embRecallSql: Option[String] = Option(Similarity.lastIvfModel.get()).map { m =>
+  // ---- PQ oracle builders (shared by pqTopKSql and embRecallSql) ----
+
+  private def sqlVec(a: Array[Double]): String =
+    "[" + a.map(_.toString).mkString(",") + "]"
+  private def sqlSqNorm(c: Array[Double]): Double = {
+    var s = 0.0; var j = 0
+    while (j < c.length) { s += c(j) * c(j); j += 1 }
+    s
+  }
+  /** `‖c‖² − 2⟨v,c⟩` per centroid — same argmin/sort order as the native
+    * NearestCells Σ(v−c)² loop (the dropped ‖v‖² is constant per row). */
+  private def sqlCellDistArr(cs: Array[Array[Double]], v: String): String =
+    "[" + cs.map(c =>
+      s"${sqlSqNorm(c)} - 2*list_inner_product($v, ${sqlVec(c)})").mkString(", ") + "]"
+  private def sqlProbePairArr(cs: Array[Array[Double]], v: String): String =
+    "[" + cs.zipWithIndex.map { case (c, i) =>
+      s"[${sqlSqNorm(c)} - 2*list_inner_product($v, ${sqlVec(c)}), $i.0]"
+    }.mkString(", ") + "]"
+
+  /** Per-subspace code assignment of column `v` (0-based, first-min
+    * tie-break like NearestCells). */
+  private def pqCodeExpr(p: Similarity.PqModel, s: Int): String = {
+    val lo = s * p.subDim + 1; val hi = (s + 1) * p.subDim
+    val arr = sqlCellDistArr(p.codebooks(s), s"v[$lo:$hi]")
+    s"list_position($arr, list_min($arr)) - 1"
+  }
+
+  /** ADC cosine over columns `qv`, `c0..c{m-1}`: exact query side,
+    * codebook-reconstructed corpus side, reconstruction norm from the
+    * driver-precomputed table — the same doubles, added in the same
+    * left-to-right order, as the Spark expression in
+    * [[graft.llm.Similarity.pqTopK]]. */
+  private def pqAdcCosExpr(p: Similarity.PqModel): String = {
+    val ip = (0 until p.m).map { s =>
+      val lo = s * p.subDim + 1; val hi = (s + 1) * p.subDim
+      val cb = "[" + p.codebooks(s).map(sqlVec).mkString(", ") + "]"
+      s"list_inner_product(qv[$lo:$hi], ($cb)[c$s + 1])"
+    }.mkString(" + ")
+    val cn = (0 until p.m).map { s =>
+      s"(${sqlVec(p.codeNorms2(s))})[c$s + 1]::DOUBLE"
+    }.mkString(" + ")
+    val den = s"sqrt(list_inner_product(qv, qv)) * sqrt($cn)"
+    s"CASE WHEN $den = 0 THEN 0.0 ELSE ($ip) / ($den) END"
+  }
+
+  private def sqlCos(a: String, b: String): String =
+    s"CASE WHEN sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)) = 0 THEN 0.0 " +
+    s"ELSE list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))) END"
+
+  /** The PQ CTE chain (cells → codes → probes → cand → score), shared
+    * between the standalone q_emb_pq_topk oracle and the recall oracle;
+    * ends with `${pre}scored(query_id, neighbor_id, score)` where score
+    * is the ADC cosine, or (refineFactor > 0) the EXACT cosine over the
+    * ADC shortlist — mirroring [[graft.llm.Similarity.pqTopK]]'s refine
+    * stage. Names are prefixed so they can coexist with the IVF CTEs. */
+  private def pqCtes(p: Similarity.PqModel, pre: String): String = {
+    val dArr = sqlCellDistArr(p.coarse, "v")
+    val pairArr = sqlProbePairArr(p.coarse, "v")
+    val codeCols = (0 until p.m).map(s => s"${pqCodeExpr(p, s)} AS c$s").mkString(", ")
+    val cs = (0 until p.m).map(s => s"c.c$s").mkString(", ")
+    val base =
+      s"""${pre}cells AS (
+         |  SELECT vec_id, v, list_position($dArr, list_min($dArr)) - 1 AS cell FROM emb
+         |), ${pre}codes AS (
+         |  SELECT vec_id, cell, $codeCols FROM ${pre}cells
+         |), ${pre}probes AS (
+         |  SELECT vec_id AS query_id, v AS qv,
+         |    unnest(list_transform(list_sort($pairArr)[1:${p.nprobe}],
+         |           x -> CAST(x[2] AS INTEGER))) AS cell
+         |  FROM emb WHERE vec_id < 20
+         |), ${pre}cand AS (
+         |  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id, p.qv, $cs
+         |  FROM ${pre}probes p JOIN ${pre}codes c USING (cell)
+         |  WHERE p.query_id <> c.vec_id
+         |)""".stripMargin
+    if (p.refineFactor <= 0)
+      s"""$base, ${pre}scored AS (
+         |  SELECT query_id, neighbor_id, ${pqAdcCosExpr(p)} AS score FROM ${pre}cand
+         |)""".stripMargin
+    else
+      s"""$base, ${pre}adcranked AS (
+         |  SELECT query_id, neighbor_id, qv,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY ${pqAdcCosExpr(p)} DESC, neighbor_id) AS ark
+         |  FROM ${pre}cand
+         |), ${pre}scored AS (
+         |  SELECT s.query_id, s.neighbor_id, ${sqlCos("s.qv", "e.v")} AS score
+         |  FROM ${pre}adcranked s JOIN emb e ON e.vec_id = s.neighbor_id
+         |  WHERE s.ark <= ${p.k * p.refineFactor}
+         |)""".stripMargin
+  }
+
+  /** Exact SQL oracle for the IVF-PQ query — dynamic like [[ivfTopKSql]]
+    * (codebooks are data-dependent); available once [[pqTopK]] has
+    * trained this JVM. */
+  def pqTopKSql: Option[String] = Option(Similarity.lastPqModel.get()).map { p =>
+    val scoreName = if (p.refineFactor <= 0) "adc_cos" else "cos"
+    s"""WITH emb AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), ${pqCtes(p, "pq")}, ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+       |  FROM pqscored
+       |)
+       |SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, round(score, 6) AS $scoreName
+       |FROM ranked WHERE rk <= ${p.k} ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** The q_emb_recall oracle: brute-force, LSH, IVF, and IVF-PQ top-5
+    * sets each recomputed exactly as their own gated oracles do (same
+    * plane literals, same inlined centroids/codebooks, same ranking
+    * arithmetic), then the same left-join hit counting. Dynamic for the
+    * same reason as [[ivfTopKSql]]. */
+  def embRecallSql: Option[String] = for {
+    m <- Option(Similarity.lastIvfModel.get())
+    p <- Option(Similarity.lastPqModel.get())
+  } yield {
     def cosSql(a: String, b: String): String =
       s"CASE WHEN sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)) = 0 THEN 0.0 " +
       s"ELSE list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))) END"
@@ -1084,6 +1217,13 @@ object Llm {
        |        ORDER BY ${cosSql("qv", "v")} DESC, neighbor_id) AS rk
        |    FROM icand) t
        |  WHERE rk <= 5
+       |), ${pqCtes(p, "pq")}, pq AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, neighbor_id) AS rk
+       |    FROM pqscored) t
+       |  WHERE rk <= 5
        |), res AS (
        |  SELECT 'ann' AS method, COUNT(a.query_id) AS n_hits, COUNT(*) AS n_total
        |  FROM bf b LEFT JOIN ann a
@@ -1092,6 +1232,10 @@ object Llm {
        |  SELECT 'ivf', COUNT(i.query_id), COUNT(*)
        |  FROM bf b LEFT JOIN ivf i
        |    ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+       |  UNION ALL
+       |  SELECT 'pq', COUNT(pp.query_id), COUNT(*)
+       |  FROM bf b LEFT JOIN pq pp
+       |    ON pp.query_id = b.query_id AND pp.neighbor_id = b.neighbor_id
        |)
        |SELECT method, n_hits, n_total,
        |  round(CAST(n_hits AS DOUBLE) / n_total, 6) AS recall
@@ -1125,9 +1269,10 @@ object Llm {
     "q_stratified_sample" -> stratifiedSampleSql,
   )
 
-  /** Static oracles plus the data-dependent IVF oracle when its
-    * quantizer has been trained this JVM. */
+  /** Static oracles plus the data-dependent IVF/PQ oracles when their
+    * quantizers have been trained this JVM. */
   def oracles: Map[String, String] =
     staticOracles ++ ivfTopKSql.map("q_emb_ivf_topk" -> _) ++
+      pqTopKSql.map("q_emb_pq_topk" -> _) ++
       embRecallSql.map("q_emb_recall" -> _)
 }

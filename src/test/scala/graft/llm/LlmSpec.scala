@@ -300,8 +300,22 @@ class LlmSpec extends SparkTestBase {
       .intersect(exact).size.toDouble / exact.size
     val ivfRecall = pairs(Similarity.ivfTopK(qs, emb, 5, nlist = 16, nprobe = 3))
       .intersect(exact).size.toDouble / exact.size
+    val pqRecall = pairs(Similarity.pqTopK(qs, emb, 5, m = 4, ks = 16,
+        nlist = 16, nprobe = 3, dim = dim, refineFactor = 4))
+      .intersect(exact).size.toDouble / exact.size
     assert(annRecall >= 0.8, s"ann recall@5 = $annRecall on the clustered corpus")
     assert(ivfRecall >= 0.8, s"ivf recall@5 = $ivfRecall on the clustered corpus")
+    // Pure ADC CANNOT rank inside a tight cluster (sigma 0.02 sits far
+    // below the quantization error, so a whole cluster collapses onto
+    // one code word and ties break arbitrarily) — that is exactly what
+    // the refine stage exists for: the 20-wide ADC shortlist still
+    // contains the cluster, and exact re-ranking restores the order.
+    assert(pqRecall >= 0.8, s"refined pq recall@5 = $pqRecall on the clustered corpus")
+    val pqAdcRecall = pairs(Similarity.pqTopK(qs, emb, 5, m = 4, ks = 16,
+        nlist = 16, nprobe = 3, dim = dim))
+      .intersect(exact).size.toDouble / exact.size
+    assert(pqAdcRecall >= 0.15 && pqAdcRecall < pqRecall,
+      s"pure-ADC recall@5 = $pqAdcRecall should sit between random-in-cluster and refined")
   }
 
   test("language ID picks the stopword-dominant language") {
