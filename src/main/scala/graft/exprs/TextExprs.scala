@@ -152,6 +152,42 @@ case class ShingleHashes(left: Expression, right: Expression)
   override def prettyName: String = "shingle_hashes"
 }
 
+/** word_chunks(text, n) — fixed-width word segmentation fused into one
+  * JVM pass: lowercase, trim, `\s+` tokenize, emit consecutive `n`-word
+  * windows joined by single spaces (last window possibly short; empty
+  * text yields one empty segment). Byte-identical to the HOF form
+  * `transform(sequence(0, ⌊(size−1)/n⌋), u → array_join(slice(ws,
+  * u·n+1, n), ' '))`, which evaluates interpreted per element — on the
+  * line-dedup path that lambda chain dominated the whole query. */
+case class WordChunksExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(tIn: Any, nIn: Any): Any = {
+    val toks = tIn.asInstanceOf[UTF8String].toLowerCase.trim().toString.split("\\s+")
+    val n = nIn.asInstanceOf[Int]
+    val nChunks = math.max((toks.length + n - 1) / n, 1)
+    val out = new Array[Any](nChunks)
+    val sb = new java.lang.StringBuilder(64)
+    var u = 0
+    while (u < nChunks) {
+      sb.setLength(0)
+      var j = u * n
+      val end = math.min(j + n, toks.length)
+      while (j < end) {
+        if (j > u * n) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(u) = UTF8String.fromString(sb.toString)
+      u += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "word_chunks"
+}
+
 /** sig_match_frac(a, b) — fraction of equal positions between two long
   * signatures (the MinHash Jaccard estimator), one JVM loop instead of
   * the interpreted `aggregate(zip_with(...))` per candidate pair. Same

@@ -344,12 +344,14 @@ object Dedup {
     * [[lineDedupCorpus]] when documents carry no newline structure
     * (web-extracted single-line text): consecutive `n`-word windows,
     * non-overlapping, last segment possibly short. Empty/whitespace-only
-    * text yields one empty segment, so every document owns ≥ 1 line. */
+    * text yields one empty segment, so every document owns ≥ 1 line.
+    * Fused native pass ([[graft.exprs.WordChunksExpr]]) — the HOF
+    * formulation (`transform(sequence, slice+array_join)`) evaluated
+    * interpreted and dominated the line-dedup query. */
   def wordChunks(text: Column, n: Int): Column = {
-    val ws = split(trim(lower(text)), "\\s+")
-    transform(
-      sequence(lit(0), floor((size(ws) - 1).cast("double") / n).cast("int")),
-      u => array_join(slice(ws, u * n + 1, lit(n)), " "))
+    val sh = org.apache.spark.sql.graftshim.Shim
+    sh.column(graft.exprs.WordChunksExpr(sh.expression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(n)))
   }
 
   /** Corpus-level exact line dedup — the boilerplate remover every
@@ -399,17 +401,23 @@ object Dedup {
     * word `n`-gram shingles, the share that occurs in at least
     * `minDf` documents corpus-wide — the cheap linear scan quality
     * pipelines use to RANK duplication (and route high scorers to the
-    * pairwise dedup) without ever forming a pair. One census groupBy on
-    * the shingle plus a join back; shuffles carry (shingle, id) tokens
-    * and counts only. */
+    * pairwise dedup) without ever forming a pair. One census groupBy
+    * plus a join back, both on the fused 8-byte shingle HASH
+    * ([[graft.exprs.ShingleHashes]]) — shuffles carry (hash, id) and
+    * counts, never shingle strings; a collision merges two shingles
+    * corpus-wide with probability ~n²/2⁶⁵ (the
+    * [[ngramJaccardPairsFiltered]] argument). */
   def dupShingleFraction(df: DataFrame, idCol: String, textCol: String,
                          shingleSize: Int = 3, minDf: Long = 2,
                          flagAt: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(array_distinct(wordShingles(col(textCol), shingleSize))).as("s"))
-    val census = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+    val sh = org.apache.spark.sql.graftshim.Shim
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val tokens = df.select(col(idCol).as("id"),
+      explode(sh.column(graft.exprs.ShingleHashes(
+        sh.expression(col(textCol)), Literal(shingleSize)))).as("h"))
+    val census = tokens.groupBy(col("h")).agg(count(lit(1)).as("__df"))
     val frac = col("n_dup").cast("double") / col("n_shingles")
-    sh.join(census, Seq("s"))
+    tokens.join(census, Seq("h"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("__df") >= minDf, 1L).otherwise(0L)).as("n_dup"))
