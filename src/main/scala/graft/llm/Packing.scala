@@ -1,0 +1,65 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training pipelines: lay the corpus out as one
+  * token stream per SHARD and cut it into fixed `ctxSize`-token context
+  * windows (the concat-and-chunk packing every LLM pre-training run does
+  * before batching). The deliverable is the packing LAYOUT — which
+  * window(s) each document lands in and how full every window is — not
+  * the token ids themselves.
+  *
+  * Distribution model: packing is inherently sequential (each document's
+  * offset depends on every predecessor), so the stream is SHARDED first
+  * — the content-keyed bucket that also drives the train/val splits —
+  * and each shard packs independently: one shuffle on the shard key,
+  * then a per-shard running sum. That is how production packers
+  * parallelize (one packed output file per shard); a single global
+  * stream would serialize the whole corpus through one task at 100 TB.
+  * Shard count is a knob: scale it with the cluster, not the data.
+  *
+  * All arithmetic is integer (token counts, offsets, window ids), so the
+  * SQL oracle reproduces it exactly — no float accumulation anywhere.
+  */
+object Packing {
+
+  /** Per-window packing layout: for each (shard, bin) context window,
+    * how many documents touch it, how many tokens of it are filled
+    * (= `ctxSize` everywhere except each shard's tail window), and how
+    * many of its documents continue into the next window (the
+    * cross-boundary count that decides attention-mask plumbing).
+    *
+    * `tokensCol` is the per-document token count, `shardCol` the
+    * pre-assigned shard. Zero-token documents occupy no window and are
+    * dropped from the layout. */
+  def packedWindows(df: DataFrame, idCol: String, tokensCol: Column,
+                    shardCol: Column, ctxSize: Long): DataFrame = {
+    require(ctxSize > 0, "ctxSize must be positive")
+    val win = Window.partitionBy(col("shard")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val doc = df.select(col(idCol).as("id"), tokensCol.as("ntok"),
+        shardCol.as("shard"))
+      .filter(col("ntok") > 0)
+      .withColumn("end", sum(col("ntok")).over(win))
+      .withColumn("start", col("end") - col("ntok"))
+      // < 2^53 token offsets: the double floor is exact, and the oracle
+      // mirrors the same floor-of-double arithmetic
+      .withColumn("first_bin",
+        floor(col("start").cast("double") / ctxSize).cast("long"))
+      .withColumn("last_bin",
+        floor((col("end") - 1).cast("double") / ctxSize).cast("long"))
+    doc
+      .select(col("id"), col("shard"), col("start"), col("end"), col("last_bin"),
+        explode(sequence(col("first_bin"), col("last_bin"))).as("bin"))
+      .withColumn("tok_in_bin",
+        least(col("end"), (col("bin") + 1) * ctxSize) -
+          greatest(col("start"), col("bin") * ctxSize))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_in_bin")).as("n_tokens"),
+        sum(when(col("last_bin") > col("bin"), 1L).otherwise(0L))
+          .as("n_boundary_docs"))
+  }
+}

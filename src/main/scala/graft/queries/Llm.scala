@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Graft
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.llm.{Dedup, Multimodal, Packing, Similarity, TextAnalysis => TA}
 import graft.util.Tables._
 
 /** Training-data-pipeline query surface over the `documents` and
@@ -735,6 +735,50 @@ object Llm {
       |WHERE bucket < CASE lang WHEN 'en' THEN 500 WHEN 'fr' THEN 250 ELSE 1000 END
       |ORDER BY doc_id""".stripMargin
 
+  /** Sequence-packing layout ([[graft.llm.Packing.packedWindows]]):
+    * the corpus as 8 content-keyed shards, each concat-and-chunked into
+    * 512-token context windows; per window the doc count, fill level and
+    * boundary-crossing count. Pure integer arithmetic end to end, so the
+    * oracle (same running sum, same floor/least/greatest window math in
+    * SQL) is hash-exact. */
+  def packContexts(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val ntok = when(length(trim($"text")) === 0, 0L)
+      .otherwise(size(split(trim($"text"), "\\s+")).cast("long"))
+    Packing.packedWindows(documents(s, d), "doc_id", ntok,
+        call_function("md5_bucket", $"text", lit(8)), ctxSize = 512L)
+      .orderBy($"shard", $"bin")
+  }
+
+  val packContextsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(md5_number_lower(text) % 8 AS INTEGER) AS shard,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ntok
+      |  FROM documents
+      |), o AS (
+      |  SELECT doc_id, shard, ntok,
+      |    SUM(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+      |                    ROWS UNBOUNDED PRECEDING) AS e
+      |  FROM d WHERE ntok > 0
+      |), b AS (
+      |  SELECT shard, e - ntok AS s, e,
+      |    CAST(floor((e - ntok) / 512.0) AS BIGINT) AS first_bin,
+      |    CAST(floor((e - 1) / 512.0) AS BIGINT) AS last_bin
+      |  FROM o
+      |), x AS (
+      |  SELECT shard, s, e, last_bin,
+      |    unnest(generate_series(first_bin, last_bin)) AS bin
+      |  FROM b
+      |)
+      |SELECT shard, bin, COUNT(*) AS n_docs,
+      |  CAST(SUM(least(e, (bin+1)*512) - greatest(s, bin*512)) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN last_bin > bin THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs
+      |FROM x GROUP BY shard, bin
+      |ORDER BY shard, bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> (textStats _),
     "q_text_lang" -> (langId _),
@@ -763,6 +807,7 @@ object Llm {
     "q_line_dedup" -> (lineDedup _),
     "q_dup_fraction" -> (dupFraction _),
     "q_stratified_sample" -> (stratifiedSample _),
+    "q_pack_contexts" -> (packContexts _),
   )
 
   /** Honest media decode under the oracle: BMP / PPM / WAV payloads
@@ -1267,6 +1312,7 @@ object Llm {
     "q_line_dedup" -> lineDedupSql,
     "q_dup_fraction" -> dupFractionSql,
     "q_stratified_sample" -> stratifiedSampleSql,
+    "q_pack_contexts" -> packContextsSql,
   )
 
   /** Static oracles plus the data-dependent IVF/PQ oracles when their

@@ -362,6 +362,25 @@ class LlmSpec extends SparkTestBase {
     assert(out.select("frame_ms").collect().map(_.getLong(0)).toSeq == Seq(0L, 1000L, 2000L, 3000L))
   }
 
+  test("sequence packing lays out windows with exact fill and boundary counts") {
+    import spark.implicits._
+    // one shard, ctx 10: docs of 4+7+3+10 tokens -> offsets [0,4) [4,11)
+    // [11,14) [14,24): window 0 holds docs 1,2 (10 tokens, doc 2 crosses),
+    // window 1 holds docs 2,3,4 (10 tokens, doc 4 crosses), window 2 is
+    // the 4-token tail of doc 4
+    val docs = Seq((1L, 4L), (2L, 7L), (3L, 3L), (4L, 10L), (5L, 0L))
+      .toDF("doc_id", "ntok")
+    val out = Packing.packedWindows(docs, "doc_id", col("ntok"), lit(0), 10L)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 10L, 1L),   // bin, n_docs, n_tokens, n_boundary_docs
+      (1L, 3L, 10L, 1L),
+      (2L, 1L, 4L, 0L)))
+    // zero-token doc occupies no window
+    assert(!out.exists(_._2 > 4L))
+  }
+
   test("line dedup drops corpus-frequent lines, keeps order, keeps empty docs") {
     import spark.implicits._
     // three pages share the boilerplate line "cookie banner"; each keeps
