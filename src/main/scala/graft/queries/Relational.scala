@@ -605,6 +605,59 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY hour, event_type""".stripMargin
 
+  /** Stream-STREAM interval join (the canonical two-stream correlation:
+    * every error paired with the same user's clicks in the preceding 6
+    * hours), watermarked on both sides, over the same two-file staged
+    * split the other stream queries use. The emitted pair set equals the
+    * batch interval join EXACTLY — the oracle is the plain SQL join —
+    * because (a) inner stream-stream joins emit each pair in the
+    * micro-batch where both rows are present, and (b) no qualifying row
+    * is state-cleaned early: after batch 1 the global watermark is
+    * `max(batch-1 ts) − 1 h`, click state is kept down to `watermark −
+    * 6 h ≈ Jan 15 16:00`, and the earliest batch-2 error (ts ≥ Jan 16)
+    * only reaches back to Jan 15 18:00; batch-2 clicks can never pair
+    * with batch-1 errors at all (the join window points backward). A
+    * state-retention bug on either side drops pairs and breaks the
+    * row/hash match. */
+  def streamJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.util.Tables.events(s, d)
+    val dataDir = stagedEventsDir(s, d)
+    withStreamPartitions(s, 8) {
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
+      val clicks = stream.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val errors = stream.filter($"event_type" === "error")
+        .select($"user_id".as("err_user"), $"event_id".as("error_id"),
+          $"ts".as("error_ts"))
+        .withWatermark("error_ts", "1 hour")
+      val joined = errors.join(clicks,
+        $"user_id" === $"err_user" &&
+          $"click_ts" >= $"error_ts" - expr("INTERVAL 6 HOURS") &&
+          $"click_ts" <= $"error_ts")
+        .select($"err_user".as("user_id"), $"error_id", $"click_id",
+          (unix_micros($"error_ts") - unix_micros($"click_ts")).as("lag_us"))
+      val name = "stream_join_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy($"user_id", $"error_id", $"click_id")
+    }
+  }
+
+  val streamJoinSql: String =
+    """SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id,
+      |  epoch_us(e.ts) - epoch_us(c.ts) AS lag_us
+      |FROM events e JOIN events c
+      |  ON c.user_id = e.user_id
+      | AND e.event_type = 'error' AND c.event_type = 'click'
+      | AND c.ts BETWEEN e.ts - INTERVAL 6 HOUR AND e.ts
+      |ORDER BY e.user_id, error_id, click_id""".stripMargin
+
   /** JSONB-style property extraction (Cast(KeyTextTransform(...)),
     * common.py:258-260): pull numeric key out of the events props JSON. */
   def jsonExtract(s: SparkSession, d: String): DataFrame = {
@@ -691,6 +744,7 @@ object Relational {
     "q_sessionize" -> (sessionize _),
     "q_session_window" -> (sessionWindow _),
     "q_stream_sessions" -> (streamSessions _),
+    "q_stream_join" -> (streamJoin _),
     "q_skew_agg" -> (skewAgg _),
     "q_asof_join" -> (asofJoin _),
     "q_range_join" -> (rangeJoin _),
@@ -716,6 +770,7 @@ object Relational {
     "q_sessionize" -> sessionizeSql,
     "q_session_window" -> sessionWindowSql,
     "q_stream_sessions" -> streamSessionsSql,
+    "q_stream_join" -> streamJoinSql,
     "q_skew_agg" -> skewAggSql,
     "q_asof_join" -> asofJoinSql,
     "q_range_join" -> rangeJoinSql,

@@ -34,6 +34,39 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs across micro-batches, backward window only") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val clicksIn = MemoryStream[(Timestamp, Long, Long)]
+    val errorsIn = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = clicksIn.toDF().toDF("click_ts", "user_id", "click_id")
+      .withWatermark("click_ts", "1 hour")
+    val errors = errorsIn.toDF().toDF("error_ts", "err_user", "error_id")
+      .withWatermark("error_ts", "1 hour")
+    val joined = errors.join(clicks,
+      col("user_id") === col("err_user") &&
+        col("click_ts") >= col("error_ts") - expr("INTERVAL 6 HOURS") &&
+        col("click_ts") <= col("error_ts"))
+      .select(col("err_user"), col("error_id"), col("click_id"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      // batch 1: same-batch pair (click 10:00 → error 11:00)
+      clicksIn.addData((Timestamp.valueOf("2026-01-01 10:00:00"), 1L, 100L))
+      errorsIn.addData((Timestamp.valueOf("2026-01-01 11:00:00"), 1L, 200L))
+      q.processAllAvailable()
+      // batch 2: error 13:00 must still find the batch-1 click in state
+      // (cross-batch pair); click 20:00 pairs with nothing — the window
+      // points backward, so later clicks never match earlier errors
+      errorsIn.addData((Timestamp.valueOf("2026-01-01 13:00:00"), 1L, 201L))
+      clicksIn.addData((Timestamp.valueOf("2026-01-01 20:00:00"), 1L, 101L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT error_id, click_id FROM ssjoin ORDER BY error_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((200L, 100L), (201L, 100L)))
+    } finally q.stop()
+  }
+
   test("streaming UnionOnProperty emits union after quiet timeout (END-flush analogue)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
