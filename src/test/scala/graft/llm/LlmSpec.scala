@@ -362,6 +362,57 @@ class LlmSpec extends SparkTestBase {
     assert(out.select("frame_ms").collect().map(_.getLong(0)).toSeq == Seq(0L, 1000L, 2000L, 3000L))
   }
 
+  test("property: packing layout equals the brute-force stream walk on random sizes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    val ctx = 17L
+    val docs = (0 until 400).map(i =>
+      (i.toLong, rnd.nextInt(40).toLong, rnd.nextInt(5)))
+    val got = Packing.packedWindows(docs.toDF("doc_id", "ntok", "shard"),
+        "doc_id", col("ntok"), col("shard"), ctx)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // brute force: walk each shard's stream in doc_id order
+    val want = scala.collection.mutable.Map
+      .empty[(Int, Long), (Long, Long, Long)].withDefaultValue((0L, 0L, 0L))
+    for (shard <- 0 until 5) {
+      var off = 0L
+      for ((_, ntok, _) <- docs.filter(_._3 == shard).sortBy(_._1) if ntok > 0) {
+        val (s, e) = (off, off + ntok)
+        for (b <- s / ctx to (e - 1) / ctx) {
+          val tok = math.min(e, (b + 1) * ctx) - math.max(s, b * ctx)
+          val (d, t, x) = want((shard, b))
+          want((shard, b)) = (d + 1, t + tok, x + (if ((e - 1) / ctx > b) 1 else 0))
+        }
+        off = e
+      }
+    }
+    assert(got == want.toMap)
+  }
+
+  test("property: line dedup equals the brute-force census on a random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val vocabLines = Vector("header nav", "alpha", "beta", "gamma", "delta",
+      "footer text", "epsilon", "zeta")
+    val pages = (0 until 120).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(6))(vocabLines(rnd.nextInt(vocabLines.size))))
+    }
+    val maxDf = 40L
+    val got = Dedup.lineDedupCorpus(pages.toDF("doc_id", "lines"), "doc_id",
+        col("lines"), maxDf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val census = pages.flatMap(_._2).groupBy(identity).map { case (l, o) => l -> o.size }
+    val boiler = census.filter(_._2 >= maxDf).keySet
+    for ((id, lines) <- pages) {
+      val kept = lines.filterNot(boiler)
+      assert(got(id) == ((lines.size.toLong, kept.size.toLong, kept.mkString("\n"))),
+        s"doc $id")
+    }
+  }
+
   test("sequence packing lays out windows with exact fill and boundary counts") {
     import spark.implicits._
     // one shard, ctx 10: docs of 4+7+3+10 tokens -> offsets [0,4) [4,11)
