@@ -779,6 +779,106 @@ object Llm {
       |FROM x GROUP BY shard, bin
       |ORDER BY shard, bin""".stripMargin
 
+  /** Token-budget mixture sampling — the data-mixing computation behind
+    * per-source rebalancing: give every source the same token budget
+    * (1.4k here) and DERIVE its keep-rate as an integer per-mille
+    * `least(1000, ⌊budget·1000 / source_tokens⌋)`, then apply it with the
+    * content-keyed md5 bucket. Rates are computed from the data (one
+    * small per-source aggregate, broadcast back), not configured — the
+    * step q_stratified_sample hard-codes. All arithmetic integer or
+    * exact-double, so DuckDB reproduces rates and sampled sets
+    * hash-exactly; the sf corpus puts some sources under budget
+    * (permille 1000 — keep everything) and caps the rest, so both
+    * branches are driver-gated. */
+  def tokenBudgetMix(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val budget = 1400L
+    val ntok = when(length(trim($"text")) === 0, 0L)
+      .otherwise(size(split(trim($"text"), "\\s+")).cast("long"))
+    val docs = documents(s, d).select($"doc_id", $"source", ntok.as("ntok"),
+      call_function("md5_bucket", $"text", lit(1000)).as("bucket"))
+    val rates = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("total_tokens"))
+      .withColumn("permille", least(lit(1000L),
+        floor(lit((budget * 1000).toDouble) / $"total_tokens").cast("long")))
+    docs.join(rates, Seq("source"))
+      .groupBy($"source", $"n_docs", $"total_tokens", $"permille")
+      .agg(sum(when($"bucket" < $"permille", 1L).otherwise(0L)).as("n_sampled"),
+        sum(when($"bucket" < $"permille", $"ntok").otherwise(0L)).as("sampled_tokens"))
+      .orderBy($"source")
+  }
+
+  val tokenBudgetMixSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ntok,
+      |    CAST(md5_number_lower(text) % 1000 AS INTEGER) AS bucket
+      |  FROM documents
+      |), r AS (
+      |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+      |    least(1000, CAST(floor(1400000.0 / CAST(SUM(ntok) AS DOUBLE)) AS BIGINT)) AS permille
+      |  FROM d GROUP BY 1
+      |)
+      |SELECT d.source, r.n_docs, r.total_tokens, r.permille,
+      |  CAST(SUM(CASE WHEN d.bucket < r.permille THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  CAST(SUM(CASE WHEN d.bucket < r.permille THEN d.ntok ELSE 0 END) AS BIGINT) AS sampled_tokens
+      |FROM d JOIN r USING (source)
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY source""".stripMargin
+
+  /** Dedup representative selection — the final step of every dedup
+    * pipeline: per transitive near-dup group (the q_dedup_cc closure),
+    * KEEP the longest member (ties → smallest id) and record the group's
+    * size and total chars. The arg-max is a single struct-max aggregate
+    * (one shuffle, no window, no self-join); the oracle recomputes the
+    * closure with the recursive CTE and the keeper with a ROW_NUMBER
+    * arg-max over the same ordering. */
+  def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val docs = documents(s, d)
+    Dedup.minhashDupGroupsConverged(docs, "doc_id", "text", threshold = 0.8)
+      .select($"doc_id", $"dup_group")
+      .join(docs.select($"doc_id", $"n_chars"), Seq("doc_id"))
+      .groupBy($"dup_group")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct($"n_chars", (-$"doc_id").as("neg_id"), $"doc_id")).as("best"),
+        sum($"n_chars").as("group_chars"))
+      .select($"dup_group", $"n_members", $"best.doc_id".as("keeper_id"),
+        $"best.n_chars".as("keeper_chars"), $"group_chars")
+      .orderBy($"dup_group")
+  }
+
+  lazy val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE $ndPairsCtes, nbrs AS (
+       |  SELECT id_a AS id, id_b AS nb FROM nd
+       |  UNION ALL SELECT id_b AS id, id_a AS nb FROM nd
+       |), reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT n.id, r.lbl FROM nbrs n JOIN reach r ON n.nb = r.id
+       |), cc AS (
+       |  SELECT id AS doc_id, MIN(lbl) AS dup_group FROM reach GROUP BY id
+       |), j AS (
+       |  SELECT c.dup_group, dd.doc_id, dd.n_chars
+       |  FROM cc c JOIN documents dd USING (doc_id)
+       |), rk AS (
+       |  SELECT dup_group, doc_id, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY dup_group
+       |      ORDER BY n_chars DESC, doc_id) AS r
+       |  FROM j
+       |), g AS (
+       |  SELECT dup_group, COUNT(*) AS n_members,
+       |         CAST(SUM(n_chars) AS BIGINT) AS group_chars
+       |  FROM j GROUP BY 1
+       |)
+       |SELECT g.dup_group, g.n_members, k.doc_id AS keeper_id,
+       |  k.n_chars AS keeper_chars, g.group_chars
+       |FROM g JOIN rk k ON k.dup_group = g.dup_group AND k.r = 1
+       |ORDER BY g.dup_group""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> (textStats _),
     "q_text_lang" -> (langId _),
@@ -808,6 +908,8 @@ object Llm {
     "q_dup_fraction" -> (dupFraction _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_pack_contexts" -> (packContexts _),
+    "q_token_budget_mix" -> (tokenBudgetMix _),
+    "q_dedup_keep_best" -> (dedupKeepBest _),
   )
 
   /** Honest media decode under the oracle: BMP / PPM / WAV payloads
@@ -1313,6 +1415,8 @@ object Llm {
     "q_dup_fraction" -> dupFractionSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_pack_contexts" -> packContextsSql,
+    "q_token_budget_mix" -> tokenBudgetMixSql,
+    "q_dedup_keep_best" -> dedupKeepBestSql,
   )
 
   /** Static oracles plus the data-dependent IVF/PQ oracles when their
