@@ -658,6 +658,50 @@ object Relational {
       | AND c.ts BETWEEN e.ts - INTERVAL 6 HOUR AND e.ts
       |ORDER BY e.user_id, error_id, click_id""".stripMargin
 
+  /** Stream-STATIC enrichment (the other canonical streaming join): the
+    * event stream broadcast-joined per micro-batch against the
+    * customer→nation dimension (pre-joined once, no watermark needed on
+    * a static side), then the watermarked hourly rollup per nation in
+    * append mode. Same emitted-set closed form as q_stream_watermark:
+    * exactly the windows finalized by the last watermark. Gates that
+    * batch-side dimension state stays consistent across micro-batches
+    * AND that the join feeds event-time aggregation correctly. */
+  def streamEnrich(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.util.Tables.events(s, d)
+    val dim = customer(s, d).join(nation(s, d),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name")
+    val dataDir = stagedEventsDir(s, d)
+    withStreamPartitions(s, 8) {
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
+      val agg = stream.join(broadcast(dim), $"user_id" === $"c_custkey")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour"), $"n_name")
+        .agg(count(lit(1)).as("n"), out(sum(dec($"value"))).as("total_value"))
+        .select($"window.start".as("hour"), $"n_name", $"n", $"total_value")
+      val name = "stream_enrich_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy($"hour", $"n_name")
+    }
+  }
+
+  val streamEnrichSql: String =
+    """SELECT date_trunc('hour', e.ts) AS hour, n.n_name,
+      |  COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
+      |FROM events e
+      |JOIN customer c ON c.c_custkey = e.user_id
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |WHERE date_trunc('hour', e.ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+      |GROUP BY 1, 2
+      |ORDER BY hour, n_name""".stripMargin
+
   /** JSONB-style property extraction (Cast(KeyTextTransform(...)),
     * common.py:258-260): pull numeric key out of the events props JSON. */
   def jsonExtract(s: SparkSession, d: String): DataFrame = {
@@ -745,6 +789,7 @@ object Relational {
     "q_session_window" -> (sessionWindow _),
     "q_stream_sessions" -> (streamSessions _),
     "q_stream_join" -> (streamJoin _),
+    "q_stream_enrich" -> (streamEnrich _),
     "q_skew_agg" -> (skewAgg _),
     "q_asof_join" -> (asofJoin _),
     "q_range_join" -> (rangeJoin _),
@@ -771,6 +816,7 @@ object Relational {
     "q_session_window" -> sessionWindowSql,
     "q_stream_sessions" -> streamSessionsSql,
     "q_stream_join" -> streamJoinSql,
+    "q_stream_enrich" -> streamEnrichSql,
     "q_skew_agg" -> skewAggSql,
     "q_asof_join" -> asofJoinSql,
     "q_range_join" -> rangeJoinSql,
