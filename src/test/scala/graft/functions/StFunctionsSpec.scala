@@ -162,4 +162,18 @@ class StFunctionsSpec extends SparkTestBase {
     val r = df.collect()(0)
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
+
+  test("text/vector primitives are SQL-callable") {
+    val r = spark.sql(
+      """SELECT size(word_chunks('a b c d e', 2)) AS nchunks,
+        |       size(shingle_hashes('a b c d', 3)) AS nsh,
+        |       vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+        |       nearest_cells(array(CAST(0.9 AS FLOAT)),
+        |                     array(array(0.0D), array(1.0D)), 1)[0] AS cell
+        |""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 3)       // "a b", "c d", "e"
+    assert(r.getInt(1) == 2)       // "a b c", "b c d"
+    assert(r.getDouble(2) == 11.0)
+    assert(r.getInt(3) == 1)       // 0.9 nearer to centroid 1.0
+  }
 }
