@@ -879,6 +879,76 @@ object Llm {
        |FROM g JOIN rk k ON k.dup_group = g.dup_group AND k.r = 1
        |ORDER BY g.dup_group""".stripMargin
 
+  /** The whole training-data pipeline as ONE declarative plan —
+    * boilerplate line removal → minimum-length filter → exact dedup on
+    * the CLEANED text (two near-dups can clean to the same bytes, so the
+    * stages genuinely interact) → content-keyed split → per-split
+    * rollup. Each stage is the already-gated operator; composing them in
+    * one DataFrame chain is the point: a user's end-to-end corpus prep
+    * runs as a single Catalyst plan (shared scans, pipelined stages, no
+    * materialization between steps), and the oracle chains the same
+    * stage CTEs so the joints are hash-gated too. */
+  def pipelineCorpus(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val cleaned = Dedup.lineDedupCorpus(documents(s, d), "doc_id",
+        Dedup.wordChunks($"text", 4), maxDf = 3)
+      .select($"id".as("doc_id"), $"clean_text")
+    val ntok = when(length(trim($"clean_text")) === 0, 0L)
+      .otherwise(size(split(trim($"clean_text"), "\\s+")).cast("long"))
+    val filtered = cleaned.withColumn("ntok", ntok).filter($"ntok" >= 10)
+    val canon = Dedup.exactDupGroups(filtered, "doc_id", "clean_text")
+      .filter(!$"is_dup")
+    val bucket = call_function("md5_bucket", $"clean_text", lit(100))
+    canon
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("total_tokens"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      .orderBy($"split")
+  }
+
+  val pipelineCorpusSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
+      |), lines AS (
+      |  SELECT doc_id, u AS pos, array_to_string(ws[u*4+1:u*4+4], ' ') AS line
+      |  FROM (SELECT doc_id, ws,
+      |          unnest(generate_series(0, CAST(floor((len(ws)-1)/4.0) AS BIGINT))) AS u
+      |        FROM toks)
+      |), bp AS (
+      |  SELECT line FROM lines GROUP BY 1 HAVING COUNT(*) >= 3
+      |), kept AS (
+      |  SELECT l.* FROM lines l ANTI JOIN bp USING (line)
+      |), re AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+      |  FROM kept GROUP BY 1
+      |), cleaned AS (
+      |  SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text
+      |  FROM (SELECT DISTINCT doc_id FROM lines) t
+      |  LEFT JOIN re r USING (doc_id)
+      |), f AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, clean_text,
+      |      CAST(CASE WHEN length(trim(clean_text)) = 0 THEN 0
+      |           ELSE len(string_split_regex(trim(clean_text), '\s+')) END AS BIGINT) AS ntok
+      |    FROM cleaned)
+      |  WHERE ntok >= 10
+      |), canon AS (
+      |  SELECT doc_id, ntok, clean_text FROM (
+      |    SELECT f.*, MIN(doc_id) OVER (PARTITION BY md5(clean_text)) AS grp FROM f)
+      |  WHERE grp = doc_id
+      |)
+      |SELECT CASE WHEN md5_number_lower(clean_text) % 100 < 90 THEN 'train'
+      |            WHEN md5_number_lower(clean_text) % 100 < 95 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM canon
+      |GROUP BY 1
+      |ORDER BY split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> (textStats _),
     "q_text_lang" -> (langId _),
@@ -910,6 +980,7 @@ object Llm {
     "q_pack_contexts" -> (packContexts _),
     "q_token_budget_mix" -> (tokenBudgetMix _),
     "q_dedup_keep_best" -> (dedupKeepBest _),
+    "q_pipeline_corpus" -> (pipelineCorpus _),
   )
 
   /** Honest media decode under the oracle: BMP / PPM / WAV payloads
@@ -1417,6 +1488,7 @@ object Llm {
     "q_pack_contexts" -> packContextsSql,
     "q_token_budget_mix" -> tokenBudgetMixSql,
     "q_dedup_keep_best" -> dedupKeepBestSql,
+    "q_pipeline_corpus" -> pipelineCorpusSql,
   )
 
   /** Static oracles plus the data-dependent IVF/PQ oracles when their
