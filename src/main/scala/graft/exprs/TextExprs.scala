@@ -72,7 +72,7 @@ case class MinHashWords(first: Expression, second: Expression, third: Expression
     val trimmed = tIn.asInstanceOf[UTF8String].toLowerCase.trim()
     val n = nIn.asInstanceOf[Int]
     val numHashes = hIn.asInstanceOf[Int]
-    val toks = trimmed.toString.split("\\s+")
+    val toks = trimmed.toString.split("\\s+", -1)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     def update(shingle: String): Unit = {
       val s = UTF8String.fromString(shingle)
@@ -124,7 +124,7 @@ case class ShingleHashes(left: Expression, right: Expression)
   override def nullSafeEval(tIn: Any, nIn: Any): Any = {
     val trimmed = tIn.asInstanceOf[UTF8String].toLowerCase.trim()
     val n = nIn.asInstanceOf[Int]
-    val toks = trimmed.toString.split("\\s+")
+    val toks = trimmed.toString.split("\\s+", -1)
     val seen = new java.util.HashSet[java.lang.Long]()
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
     def add(shingle: String): Unit = {
@@ -163,7 +163,7 @@ case class WordChunksExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(tIn: Any, nIn: Any): Any = {
-    val toks = tIn.asInstanceOf[UTF8String].toLowerCase.trim().toString.split("\\s+")
+    val toks = tIn.asInstanceOf[UTF8String].toLowerCase.trim().toString.split("\\s+", -1)
     val n = nIn.asInstanceOf[Int]
     val nChunks = math.max((toks.length + n - 1) / n, 1)
     val out = new Array[Any](nChunks)
@@ -231,7 +231,7 @@ case class SimHashMd5(child: Expression) extends UnaryExpression with CodegenFal
     var t1 = raw.length
     while (t0 < t1 && raw.charAt(t0) == ' ') t0 += 1
     while (t1 > t0 && raw.charAt(t1 - 1) == ' ') t1 -= 1
-    val toks = raw.substring(t0, t1).split("\\s+")
+    val toks = raw.substring(t0, t1).split("\\s+", -1)
     val md = SimHashMd5.digests.get()
     val counts = new Array[Int](64)
     var i = 0

@@ -239,7 +239,7 @@ case class RepetitionStats(child: Expression) extends UnaryExpression with Codeg
     var t1 = s.length
     while (t0 < t1 && s.charAt(t0) == ' ') t0 += 1
     while (t1 > t0 && s.charAt(t1 - 1) == ' ') t1 -= 1
-    val toks = s.substring(t0, t1).split("\\s+")
+    val toks = s.substring(t0, t1).split("\\s+", -1)
     val nBigrams = math.max(toks.length - 1, 0)
     var topBigram = 0
     if (nBigrams > 0) {

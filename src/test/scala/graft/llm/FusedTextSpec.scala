@@ -113,7 +113,10 @@ class FusedTextSpec extends SparkTestBase with TableDrivenPropertyChecks {
       val nDup = lines.length - lines.distinct.length
       val toks = {
         val t = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
-        t.split("\\s+")
+        // limit -1: SQL split semantics (Spark split / DuckDB
+        // regexp_split_to_array keep the trailing empty token — the
+        // oracle's view, which the fused expression must share)
+        t.split("\\s+", -1)
       }
       val bigrams = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
       val top = if (bigrams.isEmpty) 0 else bigrams.groupBy(identity).values.map(_.size).max
@@ -152,6 +155,31 @@ class FusedTextSpec extends SparkTestBase with TableDrivenPropertyChecks {
       .collect().map(_.toSeq)
     randoms.indices.foreach { i =>
       assert(fused(i) == regex(i), s"random case $i: '${randoms(i)}'")
+    }
+  }
+
+  test("word_chunks matches the HOF formulation on random adversarial strings") {
+    // the fused WordChunksExpr replaced transform(sequence(0, ⌊(n−1)/w⌋),
+    // u → array_join(slice(ws, u·w+1, w), ' ')) — q_line_dedup's oracle
+    // mirrors THAT formulation, so drift here silently breaks its gate
+    val atoms = Seq(" ", "\t", "\n", "  ", "the", "a", "Z", "0", "_",
+      "café", ".", "word", "x1y", "☃", "")
+    val rnd = new scala.util.Random(777)
+    val randoms = (1 to 200).map { _ =>
+      (0 until rnd.nextInt(25)).map(_ => atoms(rnd.nextInt(atoms.length))).mkString
+    } ++ Seq("", " ", "one", "one two three four five")
+    val rdf = randoms.toDF("text")
+    for (w <- Seq(1, 3, 4)) {
+      val ws = split(trim(lower($"text")), "\\s+")
+      val hof = transform(
+        sequence(lit(0), floor((size(ws) - 1).cast("double") / w).cast("int")),
+        u => array_join(slice(ws, u * w + 1, lit(w)), " "))
+      val both = rdf.select(Dedup.wordChunks($"text", w).as("fused"), hof.as("ref"))
+        .collect()
+      both.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"width $w case $i: '${randoms(i)}'")
+      }
     }
   }
 
