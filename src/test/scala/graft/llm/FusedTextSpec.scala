@@ -183,6 +183,45 @@ class FusedTextSpec extends SparkTestBase with TableDrivenPropertyChecks {
     }
   }
 
+  test("minhash_words matches minhash_sig(wordShingles) on random adversarial strings") {
+    val atoms = Seq(" ", "\t", "\n", "  ", "the", "a", "Z", "0", "_",
+      "café", ".", "word", "x1y", "☃", "")
+    val rnd = new scala.util.Random(31337)
+    val randoms = (1 to 200).map { _ =>
+      (0 until rnd.nextInt(25)).map(_ => atoms(rnd.nextInt(atoms.length))).mkString
+    } ++ Seq("", " ", "\t", "one two")
+    val rdf = randoms.toDF("text")
+    val both = rdf.select(
+        call_function("minhash_words", $"text", lit(3), lit(16)).as("fused"),
+        call_function("minhash_sig", Dedup.wordShingles($"text", 3), lit(16)).as("composed"))
+      .collect()
+    both.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"case $i: '${randoms(i)}'")
+    }
+  }
+
+  test("shingle_hashes matches driver-hashed HOF shingle sets on adversarial strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val atoms = Seq(" ", "\t", "\n", "the", "a", "0", "café", "☃", "")
+    val rnd = new scala.util.Random(2024)
+    val randoms = (1 to 150).map { _ =>
+      (0 until rnd.nextInt(20)).map(_ => atoms(rnd.nextInt(atoms.length))).mkString
+    } ++ Seq("", " \t", "one two three four")
+    val rdf = randoms.toDF("text")
+    val fused = rdf.select(call_function("shingle_hashes", $"text", lit(3)))
+      .collect().map(_.getSeq[Long](0).toSet)
+    val hofShingles = rdf.select(array_distinct(Dedup.wordShingles($"text", 3)))
+      .collect().map(_.getSeq[String](0))
+    randoms.indices.foreach { i =>
+      val want = hofShingles(i).map { s =>
+        val u = UTF8String.fromString(s)
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+      }.toSet
+      assert(fused(i) == want, s"case $i: '${randoms(i)}'")
+    }
+  }
+
   test("fused stats evaluate once per row, not once per projected field") {
     val plan = df.select($"text", TA.stats($"text").as("st"))
       .select($"st.n_chars", $"st.n_tokens_ws", $"st.n_punct")
