@@ -879,6 +879,50 @@ object Llm {
        |FROM g JOIN rk k ON k.dup_group = g.dup_group AND k.r = 1
        |ORDER BY g.dup_group""".stripMargin
 
+  /** Character-shingle duplication profile over the zh-labeled subset —
+    * the CJK-robust twin of q_dup_fraction: whitespace-free scripts
+    * can't word-tokenize, so the shingle unit is the character 4-gram
+    * ([[graft.llm.Dedup.charShingles]], whitespace-normalized), gated
+    * here end-to-end (census, join-back, fraction, flag). Strings are
+    * used as census keys directly — the subset is bounded; a
+    * full-corpus run would hash them exactly as
+    * [[graft.llm.Dedup.dupShingleFraction]] does. */
+  def charDupFraction(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val zh = documents(s, d).filter($"lang" === "zh")
+    val sh = zh.select($"doc_id",
+      explode(array_distinct(Dedup.charShingles($"text", 4))).as("s"))
+    val census = sh.groupBy($"s").agg(count(lit(1)).as("__df"))
+    val frac = $"n_dup".cast("double") / $"n_shingles"
+    sh.join(census, Seq("s"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"__df" >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select($"doc_id", $"n_shingles", $"n_dup",
+        round(frac, 6).as("dup_frac"), (frac >= 0.5).as("flagged"))
+      .orderBy($"doc_id")
+  }
+
+  val charDupFractionSql: String =
+    """WITH zh AS (
+      |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+      |  FROM documents WHERE lang = 'zh'
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN length(t) < 4 THEN t ELSE substr(t, u, 4) END AS s
+      |  FROM (SELECT doc_id, t,
+      |          unnest(generate_series(1, greatest(length(t) - 3, 1))) AS u
+      |        FROM zh)
+      |), d AS (
+      |  SELECT doc_id, COUNT(*) OVER (PARTITION BY s) AS df FROM sh
+      |)
+      |SELECT doc_id, COUNT(*) AS n_shingles,
+      |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  round(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_frac,
+      |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) >= 0.5 AS flagged
+      |FROM d GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** The whole training-data pipeline as ONE declarative plan —
     * boilerplate line removal → minimum-length filter → exact dedup on
     * the CLEANED text (two near-dups can clean to the same bytes, so the
@@ -981,6 +1025,7 @@ object Llm {
     "q_token_budget_mix" -> (tokenBudgetMix _),
     "q_dedup_keep_best" -> (dedupKeepBest _),
     "q_pipeline_corpus" -> (pipelineCorpus _),
+    "q_char_dup_fraction" -> (charDupFraction _),
   )
 
   /** Honest media decode under the oracle: BMP / PPM / WAV payloads
@@ -1489,6 +1534,7 @@ object Llm {
     "q_token_budget_mix" -> tokenBudgetMixSql,
     "q_dedup_keep_best" -> dedupKeepBestSql,
     "q_pipeline_corpus" -> pipelineCorpusSql,
+    "q_char_dup_fraction" -> charDupFractionSql,
   )
 
   /** Static oracles plus the data-dependent IVF/PQ oracles when their

@@ -456,6 +456,18 @@ class LlmSpec extends SparkTestBase {
     assert(loose == 7L)
   }
 
+  test("char shingles window the normalized text, CJK included") {
+    import spark.implicits._
+    val out = Seq("天地人和世界", "a  b\tc", "ab", "")
+      .toDF("text")
+      .select(Dedup.charShingles(col("text"), 3))
+      .collect().map(_.getSeq[String](0).toSeq)
+    assert(out(0) == Seq("天地人", "地人和", "人和世", "和世界")) // no-whitespace script
+    assert(out(1) == Seq("a b", " b ", "b c"))                   // \s+ → single space
+    assert(out(2) == Seq("ab"))                                  // shorter than n
+    assert(out(3) == Seq(""))
+  }
+
   test("word chunks segment in fixed windows with a short tail") {
     import spark.implicits._
     val df = Seq("One two three four five six seven", "", "solo").toDF("text")
