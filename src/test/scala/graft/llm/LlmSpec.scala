@@ -124,6 +124,27 @@ class LlmSpec extends SparkTestBase {
     assert(j == 0.5)
   }
 
+  test("exact and min-bucket jaccard pair variants agree with brute force") {
+    def shingles(t: String): Set[String] =
+      t.trim.toLowerCase.split("\\s+", -1).toSeq.sliding(3).map(_.mkString(" ")).toSet
+    val texts = Seq(1L -> base, 2L -> base, 3L -> base.replace("lazy", "sleepy"),
+      4L -> "completely different content about spark query engines and columnar execution at massive scale today")
+    val sets = texts.map { case (id, t) => id -> shingles(t) }
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      j = (sa & sb).size.toDouble / (sa | sb).size if j >= 0.5
+    } yield (ia, ib)).toSet
+    val exact = Dedup.ngramJaccardPairsExact(corpus, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == want, "exact variant must equal brute force")
+    val bucketed = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.subsetOf(exact), "min-shingle blocking can only lose pairs")
+    assert(bucketed.contains((1L, 2L)), "identical docs share their min shingle")
+  }
+
   test("df-filtered jaccard: boilerplate corpus no longer fans out quadratically") {
     import spark.implicits._
     // 60 docs all sharing one boilerplate sentence (every boilerplate
