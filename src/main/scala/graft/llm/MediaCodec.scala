@@ -1,8 +1,9 @@
 package graft.llm
 
-/** Honest decoders for three trivial container formats — BMP (24-bit
-  * uncompressed), binary PPM (P6), and WAV (PCM16) — replacing the
-  * hash-stub as [[Multimodal.MediaDecoder]]'s reference implementation.
+/** Honest decoders for four trivial container formats — BMP (24-bit
+  * uncompressed), binary PPM (P6), binary PGM (P5 grayscale), and WAV
+  * (PCM16) — replacing the hash-stub as [[Multimodal.MediaDecoder]]'s
+  * reference implementation.
   * The formats are simple enough to parse byte-exactly with no codec
   * library, which is the point: the decode step the brief allows us to
   * stub is instead REAL for these formats, and only genuinely
@@ -32,7 +33,8 @@ object MediaCodec {
   def decode(bytes: Array[Byte]): Option[MediaInfo] = {
     if (bytes == null || bytes.length < 4) None
     else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
-    else if (bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+    else if (bytes(0) == 'P' && bytes(1) == '6') decodePnm(bytes, gray = false)
+    else if (bytes(0) == 'P' && bytes(1) == '5') decodePnm(bytes, gray = true)
     else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
       decodeWav(bytes)
     else None
@@ -128,8 +130,25 @@ object MediaCodec {
     out
   }
 
-  private def decodePpm(b: Array[Byte]): Option[MediaInfo] = {
-    // header = "P6" then 3 whitespace-delimited ints (w, h, maxval) with
+  /** Encode a binary PGM (P5), rows top-down, one gray byte per pixel. */
+  def encodePgm(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = header.length
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { out(i) = gray(x, y).toByte; i += 1; x += 1 }
+      y += 1
+    }
+    out
+  }
+
+  /** Shared binary-PNM parser: "P6" (RGB) and "P5" (grayscale) differ
+    * only in bytes-per-pixel and channel count. */
+  private def decodePnm(b: Array[Byte], gray: Boolean): Option[MediaInfo] = {
+    // header = magic then 3 whitespace-delimited ints (w, h, maxval) with
     // optional '#' comments, then ONE whitespace byte before pixel data
     var i = 2
     val vals = new Array[Int](3)
@@ -145,16 +164,25 @@ object MediaCodec {
     }
     i += 1 // the single whitespace after maxval
     val w = vals(0); val h = vals(1)
-    if (w <= 0 || h <= 0 || vals(2) != 255 || i + 3L * w * h > b.length) return None
-    var sr = 0L; var sg = 0L; var sb = 0L
-    var p = 0
+    val bypp = if (gray) 1 else 3
+    if (w <= 0 || h <= 0 || vals(2) != 255 || i + bypp.toLong * w * h > b.length) return None
     val n = w * h
-    while (p < n) {
-      sr += u8(b, i + p * 3); sg += u8(b, i + p * 3 + 1); sb += u8(b, i + p * 3 + 2)
-      p += 1
+    if (gray) {
+      var sg = 0L
+      var p = 0
+      while (p < n) { sg += u8(b, i + p); p += 1 }
+      Some(MediaInfo("pgm", Some(w), Some(h), Some(1), None, None,
+        Some(sg.toDouble / n), None, None))
+    } else {
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var p = 0
+      while (p < n) {
+        sr += u8(b, i + p * 3); sg += u8(b, i + p * 3 + 1); sb += u8(b, i + p * 3 + 2)
+        p += 1
+      }
+      Some(MediaInfo("ppm", Some(w), Some(h), Some(3), None, None,
+        Some(sr.toDouble / n), Some(sg.toDouble / n), Some(sb.toDouble / n)))
     }
-    Some(MediaInfo("ppm", Some(w), Some(h), Some(3), None, None,
-      Some(sr.toDouble / n), Some(sg.toDouble / n), Some(sb.toDouble / n)))
   }
 
   // ---- WAV: RIFF/WAVE, PCM 16-bit ---------------------------------------
@@ -243,6 +271,10 @@ object MediaCodec {
 
     def bmpFor(k: Long): Array[Byte] = { val (w, h) = dims(k); encodeBmp(w, h, pix(k)) }
     def ppmFor(k: Long): Array[Byte] = { val (w, h) = dims(k); encodePpm(w, h, pix(k)) }
+    def pgmFor(k: Long): Array[Byte] = {
+      val (w, h) = dims(k)
+      encodePgm(w, h, (x, y) => ((k + 5L * x + 3L * y) % 256).toInt)
+    }
     def wavFor(k: Long): Array[Byte] =
       encodeWavPcm16(8000, Array.tabulate(nSamples(k))(i => ((k * 31 + i * 17) % 2048 - 1024).toShort))
   }

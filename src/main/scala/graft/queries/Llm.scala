@@ -1028,9 +1028,9 @@ object Llm {
     "q_char_dup_fraction" -> (charDupFraction _),
   )
 
-  /** Honest media decode under the oracle: BMP / PPM / WAV payloads
-    * synthesized in-plan from part keys (pixel/sample values are integer
-    * formulas over the key), parsed by the REAL format decoders
+  /** Honest media decode under the oracle: BMP / PPM / WAV / PGM
+    * payloads synthesized in-plan from part keys (pixel/sample values
+    * are integer formulas over the key), parsed by the REAL format decoders
     * ([[graft.llm.MediaCodec]]) through the partition-wise
     * [[Multimodal.decode]] plumbing. The oracle recomputes width,
     * height, channel means and the PCM sample mean in closed form with
@@ -1044,10 +1044,11 @@ object Llm {
     val media = keys.map { k =>
       val bytes =
         if (k % 11 == 0) Array[Byte]('X', 'X', 'X', 'X') // undecodable
-        else (k % 3).toInt match {
+        else (k % 4).toInt match {
           case 0 => MediaCodec.Synth.bmpFor(k)
           case 1 => MediaCodec.Synth.ppmFor(k)
-          case _ => MediaCodec.Synth.wavFor(k)
+          case 2 => MediaCodec.Synth.wavFor(k)
+          case _ => MediaCodec.Synth.pgmFor(k)
         }
       (k, bytes)
     }.toDF("media_id", "content")
@@ -1081,27 +1082,34 @@ object Llm {
       |    avg(CAST((2 * d.k + 5 * x.g + y.g) % 256 AS DOUBLE)) AS m1,
       |    avg(CAST((3 * d.k + x.g + 2 * y.g) % 256 AS DOUBLE)) AS m2
       |  FROM dims d, generate_series(0, 6) x(g), generate_series(0, 4) y(g)
-      |  WHERE x.g < d.w AND y.g < d.h AND d.k % 3 <> 2 AND d.k % 11 <> 0
+      |  WHERE x.g < d.w AND y.g < d.h AND d.k % 4 IN (0, 1) AND d.k % 11 <> 0
+      |  GROUP BY d.k),
+      |pgm AS (
+      |  SELECT d.k, avg(CAST((d.k + 5 * x.g + 3 * y.g) % 256 AS DOUBLE)) AS m0
+      |  FROM dims d, generate_series(0, 6) x(g), generate_series(0, 4) y(g)
+      |  WHERE x.g < d.w AND y.g < d.h AND d.k % 4 = 3 AND d.k % 11 <> 0
       |  GROUP BY d.k),
       |wav AS (
       |  SELECT d.k, avg(CAST((d.k * 31 + i.g * 17) % 2048 - 1024 AS DOUBLE)) AS m0
       |  FROM dims d, generate_series(0, 30) i(g)
-      |  WHERE i.g < d.n AND d.k % 3 = 2 AND d.k % 11 <> 0
+      |  WHERE i.g < d.n AND d.k % 4 = 2 AND d.k % 11 <> 0
       |  GROUP BY d.k)
       |SELECT d.k AS media_id,
       |  CASE WHEN d.k % 11 = 0 THEN NULL
-      |       WHEN d.k % 3 = 0 THEN 'bmp' WHEN d.k % 3 = 1 THEN 'ppm'
-      |       ELSE 'wav' END AS format,
-      |  CASE WHEN d.k % 11 <> 0 AND d.k % 3 <> 2 THEN d.w END AS width,
-      |  CASE WHEN d.k % 11 <> 0 AND d.k % 3 <> 2 THEN d.h END AS height,
+      |       WHEN d.k % 4 = 0 THEN 'bmp' WHEN d.k % 4 = 1 THEN 'ppm'
+      |       WHEN d.k % 4 = 2 THEN 'wav' ELSE 'pgm' END AS format,
+      |  CASE WHEN d.k % 11 <> 0 AND d.k % 4 <> 2 THEN d.w END AS width,
+      |  CASE WHEN d.k % 11 <> 0 AND d.k % 4 <> 2 THEN d.h END AS height,
       |  CAST(CASE WHEN d.k % 11 = 0 THEN NULL
-      |            WHEN d.k % 3 = 2 THEN 1 ELSE 3 END AS INTEGER) AS channels,
-      |  CAST(CASE WHEN d.k % 11 <> 0 AND d.k % 3 = 2 THEN 8000 END AS INTEGER) AS sample_rate,
-      |  CASE WHEN d.k % 11 <> 0 AND d.k % 3 = 2 THEN d.n END AS n_samples,
-      |  round(COALESCE(img.m0, wav.m0), 6) AS mean_c0,
+      |            WHEN d.k % 4 IN (0, 1) THEN 3 ELSE 1 END AS INTEGER) AS channels,
+      |  CAST(CASE WHEN d.k % 11 <> 0 AND d.k % 4 = 2 THEN 8000 END AS INTEGER) AS sample_rate,
+      |  CASE WHEN d.k % 11 <> 0 AND d.k % 4 = 2 THEN d.n END AS n_samples,
+      |  round(COALESCE(img.m0, pgm.m0, wav.m0), 6) AS mean_c0,
       |  round(img.m1, 6) AS mean_c1,
       |  round(img.m2, 6) AS mean_c2
-      |FROM dims d LEFT JOIN img ON img.k = d.k LEFT JOIN wav ON wav.k = d.k
+      |FROM dims d LEFT JOIN img ON img.k = d.k
+      |           LEFT JOIN pgm ON pgm.k = d.k
+      |           LEFT JOIN wav ON wav.k = d.k
       |ORDER BY media_id""".stripMargin
 
   /** Multimodal plumbing end-to-end under the oracle: media rows

@@ -89,5 +89,25 @@ class MediaCodecSpec extends SparkTestBase {
     val Some(wv) = decode(Synth.wavFor(k))
     val samples = (0 until Synth.nSamples(k)).map(i => (k * 31 + i * 17) % 2048 - 1024)
     assert(wv.meanC0.get == samples.sum.toDouble / samples.size)
+    val Some(g) = decode(Synth.pgmFor(k))
+    assert(g.format == "pgm" && g.width.contains(w) && g.height.contains(h)
+      && g.channels.contains(1) && g.meanC1.isEmpty)
+    val gexp = (for { y <- 0 until h; x <- 0 until w } yield (k + 5 * x + 3 * y) % 256)
+    assert(g.meanC0.get == gexp.sum.toDouble / gexp.size)
+  }
+
+  test("PGM round-trip: dims, single channel, exact mean, comment headers, truncation") {
+    val bytes = MediaCodec.encodePgm(3, 2, (x, y) => 10 * y + x)
+    val Some(m) = decode(bytes)
+    assert(m.format == "pgm" && m.width.contains(3) && m.height.contains(2))
+    assert(m.channels.contains(1))
+    assert(m.meanC0.contains((0 + 1 + 2 + 10 + 11 + 12) / 6.0))
+    assert(m.meanC1.isEmpty && m.meanC2.isEmpty)
+    // comment line in the header parses like PPM's
+    val withComment = ("P5\n# gray\n3 2\n255\n").getBytes("US-ASCII") ++
+      bytes.drop("P5\n3 2\n255\n".length)
+    assert(decode(withComment).exists(_.meanC0 == m.meanC0))
+    // truncated payload must not decode
+    assert(decode(bytes.dropRight(1)).isEmpty)
   }
 }
