@@ -1026,6 +1026,7 @@ object Llm {
     "q_dedup_keep_best" -> (dedupKeepBest _),
     "q_pipeline_corpus" -> (pipelineCorpus _),
     "q_char_dup_fraction" -> (charDupFraction _),
+    "q_emb_near_dup" -> (embNearDup _),
   )
 
   /** Honest media decode under the oracle: BMP / PPM / WAV / PGM
@@ -1237,6 +1238,34 @@ object Llm {
        |  COUNT(*) AS n_vectors, COUNT(DISTINCT label) AS n_labels
        |FROM embeddings
        |GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** Embedding near-dup PAIRS through the LSH blocking
+    * ([[graft.llm.Similarity.cosineNearDupPairs]]) — the pair-emitting
+    * path itself under the oracle (q_emb_bucket_stats gates only the
+    * bucket keys): same-bucket pairs with cosine ≥ 0.3, the plane
+    * literals and the cosine arithmetic recomputed in SQL. */
+  def embNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Similarity.cosineNearDupPairs(embeddings(s, d), threshold = 0.3,
+        numBits = 8)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  def embNearDupSql: String = {
+    def cos(a: String, b: String): String =
+      s"CASE WHEN sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)) = 0 THEN 0.0 " +
+      s"ELSE list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))) END"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    CAST(${bucketBitsSql("embedding")} AS BIGINT) AS key
+       |  FROM embeddings
+       |)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(${cos("a.v", "b.v")}, 6) AS cos
+       |FROM e a JOIN e b ON a.key = b.key AND a.vec_id < b.vec_id
+       |WHERE ${cos("a.v", "b.v")} >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   def annTopKSql: String = {
     val probes = "[key" + (0 until 8).map(i => s", xor(key, ${1L << i})").mkString + "]"
@@ -1543,6 +1572,7 @@ object Llm {
     "q_dedup_keep_best" -> dedupKeepBestSql,
     "q_pipeline_corpus" -> pipelineCorpusSql,
     "q_char_dup_fraction" -> charDupFractionSql,
+    "q_emb_near_dup" -> embNearDupSql,
   )
 
   /** Static oracles plus the data-dependent IVF/PQ oracles when their
