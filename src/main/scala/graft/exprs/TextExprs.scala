@@ -152,6 +152,49 @@ case class ShingleHashes(left: Expression, right: Expression)
   override def prettyName: String = "shingle_hashes"
 }
 
+/** char_shingle_hashes(text, n) — fused normalize → character n-gram →
+  * 64-bit hash → DISTINCT in one JVM pass: the CJK-robust twin of
+  * [[ShingleHashes]] (whitespace-free scripts can't word-tokenize).
+  * Normalization matches `regexp_replace(lower(text), '\s+', ' ')` and
+  * windows advance per CODE POINT — the same character semantics as
+  * Spark's `substr`/DuckDB's `substr`, so astral-plane text shingles
+  * identically to the composed HOF form. Hash values are blocking /
+  * counting keys (seed-42 xxHash64 base, the [[ShingleHashes]]
+  * collision argument applies); the composed
+  * `explode(array_distinct(transform(sequence, substr)))` chain runs
+  * interpreted per window and dominated q_char_dup_fraction at sf0.1
+  * (3.4 s). */
+case class CharShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(tIn: Any, nIn: Any): Any = {
+    val n = nIn.asInstanceOf[Int]
+    val norm = tIn.asInstanceOf[UTF8String].toLowerCase.toString
+      .replaceAll("\\s+", " ")
+    val cps = norm.codePoints().toArray
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    def add(shingle: String): Unit = {
+      val s = UTF8String.fromString(shingle)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      if (seen.add(h)) out += h
+    }
+    if (cps.length < n) add(norm)
+    else {
+      var i = 0
+      while (i + n <= cps.length) {
+        add(new String(cps, i, n))
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "char_shingle_hashes"
+}
+
 /** word_chunks(text, n) — fixed-width word segmentation fused into one
   * JVM pass: lowercase, trim, `\s+` tokenize, emit consecutive `n`-word
   * windows joined by single spaces (last window possibly short; empty

@@ -59,6 +59,7 @@ object Graft {
     "vec_dot" -> { args: Seq[Expression] => VecDot(args(0), args(1)) },
     "lsh_key" -> { args: Seq[Expression] => LshKeyExpr(args(0), args(1)) },
     "shingle_hashes" -> { args: Seq[Expression] => ShingleHashes(args(0), args(1)) },
+    "char_shingle_hashes" -> { args: Seq[Expression] => CharShingleHashes(args(0), args(1)) },
     "word_chunks" -> { args: Seq[Expression] => WordChunksExpr(args(0), args(1)) },
     "nearest_cells" -> { args: Seq[Expression] => NearestCells(args(0), args(1), args(2)) },
     "text_stats" -> { args: Seq[Expression] => TextStats(args(0)) },

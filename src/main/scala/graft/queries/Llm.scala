@@ -889,12 +889,17 @@ object Llm {
     * [[graft.llm.Dedup.dupShingleFraction]] does. */
   def charDupFraction(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val sh = org.apache.spark.sql.graftshim.Shim
+    import org.apache.spark.sql.catalyst.expressions.Literal
     val zh = documents(s, d).filter($"lang" === "zh")
-    val sh = zh.select($"doc_id",
-      explode(array_distinct(Dedup.charShingles($"text", 4))).as("s"))
-    val census = sh.groupBy($"s").agg(count(lit(1)).as("__df"))
+    // fused normalize→window→hash→distinct pass; census and join-back on
+    // the 8-byte hash (the HOF substr chain ran interpreted at 3.4 s)
+    val tokens = zh.select($"doc_id",
+      explode(sh.column(graft.exprs.CharShingleHashes(
+        sh.expression($"text"), Literal(4)))).as("h"))
+    val census = tokens.groupBy($"h").agg(count(lit(1)).as("__df"))
     val frac = $"n_dup".cast("double") / $"n_shingles"
-    sh.join(census, Seq("s"))
+    tokens.join(census, Seq("h"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when($"__df" >= 2, 1L).otherwise(0L)).as("n_dup"))

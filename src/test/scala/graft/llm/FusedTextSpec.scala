@@ -222,6 +222,29 @@ class FusedTextSpec extends SparkTestBase with TableDrivenPropertyChecks {
     }
   }
 
+  test("char_shingle_hashes matches driver-hashed HOF char shingles, CJK/astral included") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val atoms = Seq(" ", "\t", "\n", "the", "天地", "人", "0", "café", "☃",
+      "🀄", "") // includes an astral-plane code point
+    val rnd = new scala.util.Random(99)
+    val randoms = (1 to 150).map { _ =>
+      (0 until rnd.nextInt(15)).map(_ => atoms(rnd.nextInt(atoms.length))).mkString
+    } ++ Seq("", " \t ", "天地人和世界", "ab")
+    val rdf = randoms.toDF("text")
+    val fused = rdf.select(call_function("char_shingle_hashes", $"text", lit(4)))
+      .collect().map(_.getSeq[Long](0).toSet)
+    val hof = rdf.select(array_distinct(Dedup.charShingles($"text", 4)))
+      .collect().map(_.getSeq[String](0))
+    randoms.indices.foreach { i =>
+      val want = hof(i).map { s =>
+        val u = UTF8String.fromString(s)
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+      }.toSet
+      assert(fused(i) == want, s"case $i: '${randoms(i)}'")
+    }
+  }
+
   test("fused stats evaluate once per row, not once per projected field") {
     val plan = df.select($"text", TA.stats($"text").as("st"))
       .select($"st.n_chars", $"st.n_tokens_ws", $"st.n_punct")
