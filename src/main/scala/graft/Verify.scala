@@ -39,7 +39,7 @@ object Verify {
       require(graft.llm.Similarity.lastIvfModel.get() != null,
         s"IVF model not trained but ${needsIvfModel.mkString("/")} selected — " +
           "oracle SQL must be produced after the queries run in this JVM")
-    val needsPqModel = Seq("q_emb_pq_topk", "q_emb_recall")
+    val needsPqModel = Seq("q_emb_pq_topk", "q_emb_index_persist", "q_emb_recall")
       .filter(n => SparkEntry.queries.contains(n) && only.forall(_.contains(n)))
     if (needsPqModel.nonEmpty)
       require(graft.llm.Similarity.lastPqModel.get() != null,

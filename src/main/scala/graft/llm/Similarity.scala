@@ -289,12 +289,36 @@ object Similarity {
     })
     lastPqModel.set(PqModel(coarse, codebooks, codeNorms2, m, ks, subDim,
       nlist, nprobe, k, refineFactor))
-    val codeCols = (0 until m).map { s =>
+    pqRank(encodePq(c, coarse, codebooks, subDim), queries, c,
+      coarse, codebooks, codeNorms2, subDim, m, k, nprobe, refineFactor,
+      queryId, vecCol)
+  }
+
+  /** Encode a corpus against trained PQ structures: coarse cell + one
+    * code column per subspace. This is the (id, cell, m codes) table a
+    * persisted index stores — 4 B of codes per 256 B vector. */
+  private def encodePq(c: DataFrame, coarse: Array[Array[Double]],
+                       codebooks: Array[Array[Array[Double]]],
+                       subDim: Int): DataFrame = {
+    val codeCols = codebooks.indices.map { s =>
       nearestCells(slice(col("cv"), s * subDim + 1, subDim), codebooks(s), 1)
         .getItem(0).as(s"c$s")
     }
-    val encoded = c.select(col("neighbor_id") +:
+    c.select(col("neighbor_id") +:
       nearestCells(col("cv"), coarse, 1).getItem(0).as("cell") +: codeCols: _*)
+  }
+
+  /** Probe + ADC rank + optional exact refine over an encoded corpus —
+    * shared by the in-memory [[pqTopK]] and the persisted-index
+    * [[pqTopKFromIndex]] paths (identical arithmetic, so both satisfy
+    * the same dynamic oracle). */
+  private def pqRank(encoded: DataFrame, queries: DataFrame, c: DataFrame,
+                     coarse: Array[Array[Double]],
+                     codebooks: Array[Array[Array[Double]]],
+                     codeNorms2: Array[Array[Double]],
+                     subDim: Int, m: Int, k: Int, nprobe: Int,
+                     refineFactor: Int,
+                     queryId: String, vecCol: String): DataFrame = {
     val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell", explode(nearestCells(col("qv"), coarse, nprobe)))
     val cand = encoded.join(q, Seq("cell"))
@@ -331,6 +355,72 @@ object Similarity {
         .select(col("query_id"), col("rk"), col("neighbor_id"),
           round(col("cos"), 6).as("cos"))
     }
+  }
+
+  /** Build and PERSIST an IVF-PQ index: a one-row `model` table (coarse
+    * centroids, per-subspace codebooks, reconstruction norms, dims) and
+    * the encoded `codes` table — the build-once / query-many split every
+    * production vector store has. The codes table is the 64×-compressed
+    * corpus; only the refine stage ever touches raw vectors again. */
+  def buildPqIndex(corpus: DataFrame, dir: String,
+                   m: Int = 4, ks: Int = 16, nlist: Int = 16,
+                   seed: Long = 42L, dim: Int = 64,
+                   trainSample: Int = 16384, trainIters: Int = 10,
+                   corpusId: String = "vec_id",
+                   vecCol: String = "embedding"): Unit = {
+    require(dim % m == 0, s"dim $dim does not divide into $m subspaces")
+    val subDim = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"))
+    val sample = c.select(col("cv")).limit(trainSample).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val coarse = kmeansLocal(sample, nlist, trainIters, seed)
+    val codebooks = Array.tabulate(m) { s =>
+      kmeansLocal(sample.map(_.slice(s * subDim, (s + 1) * subDim)), ks,
+        trainIters, seed + s + 1)
+    }
+    val codeNorms2 = codebooks.map(_.map { cb =>
+      var t = 0.0; var j = 0
+      while (j < cb.length) { t += cb(j) * cb(j); j += 1 }
+      t
+    })
+    Seq((m, ks, subDim, nlist,
+        coarse.map(_.toSeq).toSeq,
+        codebooks.map(_.map(_.toSeq).toSeq).toSeq,
+        codeNorms2.map(_.toSeq).toSeq))
+      .toDF("m", "ks", "sub_dim", "nlist", "coarse", "codebooks", "code_norms2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+    encodePq(c, coarse, codebooks, subDim)
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Query a PERSISTED IVF-PQ index: the model row is read back (one
+    * tiny driver read), the codes table scans instead of the raw
+    * embeddings, and the refine stage fetches exact vectors from
+    * `corpus` by id. Identical arithmetic to [[pqTopK]] — the trained
+    * structures round-trip through parquet bit-exactly — so the same
+    * dynamic oracle gates both paths. */
+  def pqTopKFromIndex(dir: String, queries: DataFrame, corpus: DataFrame,
+                      k: Int, nprobe: Int = 3, refineFactor: Int = 0,
+                      queryId: String = "vec_id",
+                      corpusId: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val mr = spark.read.parquet(s"$dir/model").head()
+    val m = mr.getAs[Int]("m"); val ks = mr.getAs[Int]("ks")
+    val subDim = mr.getAs[Int]("sub_dim"); val nlist = mr.getAs[Int]("nlist")
+    import scala.collection.{Seq => CSeq}
+    val coarse = mr.getAs[CSeq[CSeq[Double]]]("coarse").map(_.toArray).toArray
+    val codebooks = mr.getAs[CSeq[CSeq[CSeq[Double]]]]("codebooks")
+      .map(_.map(_.toArray).toArray).toArray
+    val codeNorms2 = mr.getAs[CSeq[CSeq[Double]]]("code_norms2").map(_.toArray).toArray
+    lastPqModel.set(PqModel(coarse, codebooks, codeNorms2, m, ks, subDim,
+      nlist, nprobe, k, refineFactor))
+    val encoded = spark.read.parquet(s"$dir/codes")
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"))
+    pqRank(encoded, queries, c, coarse, codebooks, codeNorms2, subDim, m, k,
+      nprobe, refineFactor, queryId, vecCol)
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH blocking: pairs in the

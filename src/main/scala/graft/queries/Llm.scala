@@ -604,6 +604,23 @@ object Llm {
       .orderBy($"query_id", $"rk")
   }
 
+  /** The persisted-index path: build the IVF-PQ index ONCE (model row +
+    * encoded codes table on disk), then answer the same 20 queries from
+    * the index — codes scan + probe join + ADC + exact refine — never
+    * rescanning raw embeddings except the refine id-join. Identical
+    * arithmetic to q_emb_pq_topk (the trained structures round-trip
+    * through parquet bit-exactly), so the same dynamic oracle gates the
+    * build→persist→load→query cycle end to end. */
+  def pqIndexPersist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-index").toString
+    Similarity.buildPqIndex(emb, dir, m = 4, ks = 16, nlist = 16)
+    Similarity.pqTopKFromIndex(dir, emb.filter($"vec_id" < 20), emb,
+        k = 5, nprobe = 3, refineFactor = 4)
+      .orderBy($"query_id", $"rk")
+  }
+
   /** Recall@5 of ALL THREE approximate paths (LSH multi-probe, IVF,
     * IVF-PQ) against the brute-force baseline, computed in-plan — the
     * approximation the ANN queries accept, quantified and driver-gated.
@@ -1019,6 +1036,7 @@ object Llm {
     "q_emb_ann_topk" -> (annTopK _),
     "q_emb_ivf_topk" -> (ivfTopK _),
     "q_emb_pq_topk" -> (pqTopK _),
+    "q_emb_index_persist" -> (pqIndexPersist _),
     "q_emb_bucket_stats" -> (embNearDupStats _),
     "q_multimodal_pipeline" -> (multimodalPipeline _),
     "q_media_decode" -> (mediaDecode _),
@@ -1585,5 +1603,6 @@ object Llm {
   def oracles: Map[String, String] =
     staticOracles ++ ivfTopKSql.map("q_emb_ivf_topk" -> _) ++
       pqTopKSql.map("q_emb_pq_topk" -> _) ++
+      pqTopKSql.map("q_emb_index_persist" -> _) ++
       embRecallSql.map("q_emb_recall" -> _)
 }

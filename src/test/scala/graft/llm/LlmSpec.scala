@@ -339,6 +339,27 @@ class LlmSpec extends SparkTestBase {
       s"pure-ADC recall@5 = $pqAdcRecall should sit between random-in-cluster and refined")
   }
 
+  test("persisted PQ index answers identically to the in-memory path") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.util.Tables.embeddings(spark, d)
+    val qs = emb.filter(col("vec_id") < 10)
+    val inMem = Similarity.pqTopK(qs, emb, 5, m = 4, ks = 16, nlist = 8,
+        nprobe = 2, refineFactor = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-spec").toString
+    Similarity.buildPqIndex(emb, dir, m = 4, ks = 16, nlist = 8)
+    val fromIdx = Similarity.pqTopKFromIndex(dir, qs, emb, 5, nprobe = 2,
+        refineFactor = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(fromIdx == inMem, "index round-trip must not change a single ranked row")
+    // the codes table really is the compressed corpus: one int cell +
+    // m int codes per id, no vector column
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.columns.toSet == Set("neighbor_id", "cell", "c0", "c1", "c2", "c3"))
+    assert(codes.count() == emb.count())
+  }
+
   test("language ID picks the stopword-dominant language") {
     import spark.implicits._
     val df = Seq(
