@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Graft
 import graft.llm.{Dedup, Multimodal, Packing, Similarity, TextAnalysis => TA}
@@ -945,6 +946,47 @@ object Llm {
       |FROM d GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Rank-based token-rarity scoring — the integer-exact stand-in for
+    * unigram-LM perplexity (whose `ln` differs between the JVM and
+    * DuckDB in the last ulp ~0.1% of the time, so a log-based score
+    * can't be hash-gated): every vocabulary word gets its frequency
+    * rank (1 = most common, ties broken lexicographically), and each
+    * document is scored by its mean and max token rank — rare-token-
+    * heavy docs rank high, boilerplate ranks low, the same signal a
+    * perplexity filter thresholds. Scale shape: the rank table is a
+    * vocab-sized sort (vocab ≪ corpus by Heaps' law) broadcast back
+    * onto the token stream; everything else is exact integer
+    * arithmetic with one final division. */
+  def tokenRarity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, d)
+      .select($"doc_id", explode(split(trim(lower($"text")), "\\s+")).as("w"))
+    val ranked = toks.groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number()
+        .over(Window.orderBy($"cnt".desc, $"w")).cast("long"))
+      .select($"w", $"rank")
+    toks.join(broadcast(ranked), Seq("w"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg($"rank"), 6).as("mean_rank"),
+        max($"rank").as("max_rank"))
+      .orderBy($"doc_id")
+  }
+
+  val tokenRaritySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |  FROM documents
+      |), ranked AS (
+      |  SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS BIGINT) AS rank
+      |  FROM toks GROUP BY w
+      |)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  round(avg(rank), 6) AS mean_rank, MAX(rank) AS max_rank
+      |FROM toks JOIN ranked USING (w)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** The whole training-data pipeline as ONE declarative plan —
     * boilerplate line removal → minimum-length filter → exact dedup on
     * the CLEANED text (two near-dups can clean to the same bytes, so the
@@ -1050,6 +1092,7 @@ object Llm {
     "q_pipeline_corpus" -> (pipelineCorpus _),
     "q_char_dup_fraction" -> (charDupFraction _),
     "q_emb_near_dup" -> (embNearDup _),
+    "q_token_rarity" -> (tokenRarity _),
   )
 
   /** Honest media decode under the oracle: BMP / PPM / WAV / PGM
@@ -1596,6 +1639,7 @@ object Llm {
     "q_pipeline_corpus" -> pipelineCorpusSql,
     "q_char_dup_fraction" -> charDupFractionSql,
     "q_emb_near_dup" -> embNearDupSql,
+    "q_token_rarity" -> tokenRaritySql,
   )
 
   /** Static oracles plus the data-dependent IVF/PQ oracles when their
