@@ -987,6 +987,56 @@ object Llm {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Bigram collocation mining — the corpus-analysis companion to
+    * q_vocab_topk: top bigrams by count with their LIFT
+    * `n_ab·N / (n_a·n_b)` (how much more often the pair co-occurs than
+    * independence predicts — PMI without the log, so the score stays a
+    * rational of exact integers and hash-gates cleanly where `ln`
+    * can't; see q_token_rarity). Adjacency comes from a per-document
+    * `lead` window (codegen'd, shuffled once on doc_id); the three
+    * count tables and the one-row total then join broadcast-sized. */
+  def collocations(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, d)
+      .select($"doc_id",
+        posexplode(split(trim(lower($"text")), "\\s+")).as(Seq("pos", "w")))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val nb = toks.withColumn("w2", lead($"w", 1).over(w))
+      .filter($"w2".isNotNull)
+      .groupBy($"w".as("w1"), $"w2")
+      .agg(count(lit(1)).as("n_ab"))
+    val uni = toks.groupBy($"w").agg(count(lit(1)).as("n"))
+    val tot = toks.agg(count(lit(1)).as("big_n"))
+    nb.crossJoin(tot)
+      .join(uni.select($"w".as("w1"), $"n".as("n1")), Seq("w1"))
+      .join(uni.select($"w".as("w2"), $"n".as("n2")), Seq("w2"))
+      .select($"w1", $"w2", $"n_ab",
+        round($"n_ab".cast("double") * $"big_n" / ($"n1" * $"n2"), 6).as("lift"))
+      .orderBy($"n_ab".desc, $"w1", $"w2")
+      .limit(20)
+  }
+
+  val collocationsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, u AS pos, ws[u] AS w
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS u
+      |        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      |              FROM documents))
+      |), nb AS (
+      |  SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n_ab
+      |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |  GROUP BY 1, 2
+      |), uni AS (
+      |  SELECT w, COUNT(*) AS n FROM toks GROUP BY 1
+      |), tot AS (SELECT COUNT(*) AS big_n FROM toks)
+      |SELECT nb.w1, nb.w2, nb.n_ab,
+      |  round(CAST(nb.n_ab AS DOUBLE) * tot.big_n / (u1.n * u2.n), 6) AS lift
+      |FROM nb, tot
+      |JOIN uni u1 ON u1.w = nb.w1
+      |JOIN uni u2 ON u2.w = nb.w2
+      |ORDER BY nb.n_ab DESC, nb.w1, nb.w2
+      |LIMIT 20""".stripMargin
+
   /** The whole training-data pipeline as ONE declarative plan —
     * boilerplate line removal → minimum-length filter → exact dedup on
     * the CLEANED text (two near-dups can clean to the same bytes, so the
@@ -1093,6 +1143,7 @@ object Llm {
     "q_char_dup_fraction" -> (charDupFraction _),
     "q_emb_near_dup" -> (embNearDup _),
     "q_token_rarity" -> (tokenRarity _),
+    "q_collocations" -> (collocations _),
   )
 
   /** Honest media decode under the oracle: BMP / PPM / WAV / PGM
@@ -1640,6 +1691,7 @@ object Llm {
     "q_char_dup_fraction" -> charDupFractionSql,
     "q_emb_near_dup" -> embNearDupSql,
     "q_token_rarity" -> tokenRaritySql,
+    "q_collocations" -> collocationsSql,
   )
 
   /** Static oracles plus the data-dependent IVF/PQ oracles when their
