@@ -946,6 +946,54 @@ object Llm {
       |FROM d GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Exact n-gram eval-contamination — the overlap check run before
+    * publishing any benchmark number: a TRAIN document is contaminated
+    * if it shares ANY word 8-gram with the held-out split (the method
+    * the GPT-3/PaLM reports used, at their n≈13 scale; 8 here because
+    * the synthetic docs are short). Complements q_decontaminate's
+    * near-dup matcher: exact n-gram overlap catches verbatim
+    * quote-level leaks that document-level similarity misses. Both
+    * sides shingle with the fused hash pass; the held-out shingle set
+    * is DISTINCT and small (the eval split is 5% of the corpus), so
+    * the probe is a broadcast semi-ish join on 8-byte keys, and the
+    * per-doc shared count is exact. */
+  def ngramContamination(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val sh = org.apache.spark.sql.graftshim.Shim
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val docs = documents(s, d)
+      .withColumn("bucket", call_function("md5_bucket", $"text", lit(100)))
+    def shingled(df: DataFrame) = df.select($"doc_id",
+      explode(sh.column(graft.exprs.ShingleHashes(
+        sh.expression($"text"), Literal(8)))).as("h"))
+    val trainSh = shingled(docs.filter($"bucket" < 90))
+    val evalSh = shingled(docs.filter($"bucket" >= 95)).select($"h").distinct()
+    trainSh.join(evalSh, Seq("h"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"doc_id")
+  }
+
+  val ngramContaminationSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, md5_number_lower(text) % 100 AS b,
+      |         string_split_regex(lower(trim(text)), '\s+') AS ws
+      |  FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, b, array_to_string(ws[u:u+7], ' ') AS s
+      |  FROM (SELECT doc_id, b, ws,
+      |          unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS u
+      |        FROM d)
+      |), ev AS (
+      |  SELECT DISTINCT s FROM sh WHERE b >= 95
+      |)
+      |SELECT doc_id, COUNT(*) AS n_shared
+      |FROM sh JOIN ev USING (s)
+      |WHERE b < 90
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Rank-based token-rarity scoring — the integer-exact stand-in for
     * unigram-LM perplexity (whose `ln` differs between the JVM and
     * DuckDB in the last ulp ~0.1% of the time, so a log-based score
@@ -1144,6 +1192,7 @@ object Llm {
     "q_emb_near_dup" -> (embNearDup _),
     "q_token_rarity" -> (tokenRarity _),
     "q_collocations" -> (collocations _),
+    "q_ngram_contamination" -> (ngramContamination _),
   )
 
   /** Honest media decode under the oracle: BMP / PPM / WAV / PGM
@@ -1692,6 +1741,7 @@ object Llm {
     "q_emb_near_dup" -> embNearDupSql,
     "q_token_rarity" -> tokenRaritySql,
     "q_collocations" -> collocationsSql,
+    "q_ngram_contamination" -> ngramContaminationSql,
   )
 
   /** Static oracles plus the data-dependent IVF/PQ oracles when their
