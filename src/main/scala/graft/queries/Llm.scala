@@ -946,6 +946,64 @@ object Llm {
       |FROM d GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-source quality pruning — the within-domain filter recent
+    * web-corpus pipelines apply (keep each source's best half instead of
+    * one global threshold, so a high-quality niche domain isn't wiped
+    * out by a strict global cut): rank documents inside their source by
+    * the fused quality score (already oracle-gated in q_text_quality;
+    * the rank orders the ROUNDED score with an id tie-break, so rank
+    * parity follows from score parity), keep rank ≤ ⌈n/2⌉. One shuffle
+    * on the source for the window; pure integer keep rule. */
+  def qualityPrune(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val idxEn = graft.exprs.Stopwords.sortedLangs.indexOf("en")
+    val scored = documents(s, d)
+      .select($"doc_id", $"source", TA.stats($"text").as("st"),
+        TA.stopwordScores($"text").getItem(idxEn).as("sw"))
+      .select($"doc_id", $"source", TA.qualityScoreFused($"st", $"sw").as("q_score"))
+    val w = Window.partitionBy($"source").orderBy($"q_score".desc, $"doc_id")
+    val n = Window.partitionBy($"source")
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_source", count(lit(1)).over(n))
+      .filter($"rk" * 2 <= $"n_source" + 1)
+      .select($"source", $"doc_id", $"q_score", $"rk")
+      .orderBy($"source", $"rk")
+  }
+
+  val qualityPruneSql: String = {
+    val en = TA.stopwordPatterns("en")
+    s"""WITH c AS (
+       |  SELECT doc_id, source,
+       |    length(text) AS len,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
+       |    length(regexp_replace(text, '[^.,!?;:''"()\\[\\]-]', '', 'g')) AS punct,
+       |    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS uppr,
+       |    len(regexp_extract_all(lower(text), '$en')) AS sw
+       |  FROM documents
+       |), scored AS (
+       |  SELECT doc_id, source, round(
+       |      (CASE WHEN len < 50 THEN CAST(len AS DOUBLE)/50
+       |            WHEN len > 10000 THEN 10000.0/len ELSE 1.0 END) * 0.3
+       |    + (1.0 - least((CASE WHEN len = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE)/len END) * 5, 1.0)) * 0.3
+       |    + least((CASE WHEN toks = 0 THEN 0.0 ELSE CAST(sw AS DOUBLE)/toks END) * 4, 1.0) * 0.2
+       |    + (1.0 - least((CASE WHEN len = 0 THEN 0.0 ELSE CAST(uppr AS DOUBLE)/len END) * 4, 1.0)) * 0.2,
+       |    6) AS q_score
+       |  FROM c
+       |), ranked AS (
+       |  SELECT source, doc_id, q_score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY q_score DESC, doc_id) AS BIGINT) AS rk,
+       |    COUNT(*) OVER (PARTITION BY source) AS n_source
+       |  FROM scored
+       |)
+       |SELECT source, doc_id, q_score, rk
+       |FROM ranked WHERE rk * 2 <= n_source + 1
+       |ORDER BY source, rk""".stripMargin
+  }
+
   /** Exact n-gram eval-contamination — the overlap check run before
     * publishing any benchmark number: a TRAIN document is contaminated
     * if it shares ANY word 8-gram with the held-out split (the method
@@ -1193,6 +1251,7 @@ object Llm {
     "q_token_rarity" -> (tokenRarity _),
     "q_collocations" -> (collocations _),
     "q_ngram_contamination" -> (ngramContamination _),
+    "q_quality_prune" -> (qualityPrune _),
   )
 
   /** Honest media decode under the oracle: BMP / PPM / WAV / PGM
@@ -1742,6 +1801,7 @@ object Llm {
     "q_token_rarity" -> tokenRaritySql,
     "q_collocations" -> collocationsSql,
     "q_ngram_contamination" -> ngramContaminationSql,
+    "q_quality_prune" -> qualityPruneSql,
   )
 
   /** Static oracles plus the data-dependent IVF/PQ oracles when their
