@@ -946,6 +946,69 @@ object Llm {
       |FROM d GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** One-row corpus data card — the summary block a dataset release
+    * ships: document/source/language counts, total tokens, exact-dup
+    * count, and mean quality. The quality mean accumulates in
+    * DECIMAL(18,6) (the per-doc scores are already 6-dp-rounded) so the
+    * corpus-wide average is partition-order-independent — the same
+    * determinism rule the relational sums follow — and every other cell
+    * is integer. */
+  def corpusSummary(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val idxEn = graft.exprs.Stopwords.sortedLangs.indexOf("en")
+    val ntok = when(length(trim($"text")) === 0, 0L)
+      .otherwise(size(split(trim($"text"), "\\s+")).cast("long"))
+    val dupW = Window.partitionBy(md5($"text"))
+    documents(s, d)
+      .select($"doc_id", $"source", $"lang", ntok.as("ntok"),
+        TA.stats($"text").as("st"),
+        TA.stopwordScores($"text").getItem(idxEn).as("sw"),
+        (min($"doc_id").over(dupW) =!= $"doc_id").as("is_dup"))
+      .withColumn("q_score", TA.qualityScoreFused($"st", $"sw"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"source").as("n_sources"),
+        countDistinct($"lang").as("n_langs"),
+        sum($"ntok").as("total_tokens"),
+        sum(when($"is_dup", 1L).otherwise(0L)).as("n_exact_dups"),
+        round(sum($"q_score".cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_quality"))
+  }
+
+  val corpusSummarySql: String = {
+    val en = TA.stopwordPatterns("en")
+    s"""WITH c AS (
+       |  SELECT doc_id, source, lang,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ntok,
+       |    length(text) AS len,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
+       |    length(regexp_replace(text, '[^.,!?;:''"()\\[\\]-]', '', 'g')) AS punct,
+       |    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS uppr,
+       |    len(regexp_extract_all(lower(text), '$en')) AS sw,
+       |    CASE WHEN MIN(doc_id) OVER (PARTITION BY md5(text)) <> doc_id
+       |         THEN 1 ELSE 0 END AS is_dup
+       |  FROM documents
+       |), scored AS (
+       |  SELECT *, round(
+       |      (CASE WHEN len < 50 THEN CAST(len AS DOUBLE)/50
+       |            WHEN len > 10000 THEN 10000.0/len ELSE 1.0 END) * 0.3
+       |    + (1.0 - least((CASE WHEN len = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE)/len END) * 5, 1.0)) * 0.3
+       |    + least((CASE WHEN toks = 0 THEN 0.0 ELSE CAST(sw AS DOUBLE)/toks END) * 4, 1.0) * 0.2
+       |    + (1.0 - least((CASE WHEN len = 0 THEN 0.0 ELSE CAST(uppr AS DOUBLE)/len END) * 4, 1.0)) * 0.2,
+       |    6) AS q_score
+       |  FROM c
+       |)
+       |SELECT COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT source) AS n_sources,
+       |  COUNT(DISTINCT lang) AS n_langs,
+       |  CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(is_dup) AS BIGINT) AS n_exact_dups,
+       |  round(CAST(SUM(CAST(q_score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_quality
+       |FROM scored""".stripMargin
+  }
+
   /** Per-source quality pruning — the within-domain filter recent
     * web-corpus pipelines apply (keep each source's best half instead of
     * one global threshold, so a high-quality niche domain isn't wiped
@@ -1252,6 +1315,7 @@ object Llm {
     "q_collocations" -> (collocations _),
     "q_ngram_contamination" -> (ngramContamination _),
     "q_quality_prune" -> (qualityPrune _),
+    "q_corpus_summary" -> (corpusSummary _),
   )
 
   /** Honest media decode under the oracle: BMP / PPM / WAV / PGM
@@ -1802,6 +1866,7 @@ object Llm {
     "q_collocations" -> collocationsSql,
     "q_ngram_contamination" -> ngramContaminationSql,
     "q_quality_prune" -> qualityPruneSql,
+    "q_corpus_summary" -> corpusSummarySql,
   )
 
   /** Static oracles plus the data-dependent IVF/PQ oracles when their
