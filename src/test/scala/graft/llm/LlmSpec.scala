@@ -360,6 +360,20 @@ class LlmSpec extends SparkTestBase {
     assert(codes.count() == emb.count())
   }
 
+  test("quality prune keeps exactly the top ceil(n/2) per source") {
+    val d = "/root/testdata/sf0.001"
+    val out = graft.queries.Llm.qualityPrune(spark, d)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = graft.util.Tables.documents(spark, d)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == totals.keySet, "every source survives pruning")
+    totals.foreach { case (src, n) =>
+      assert(out(src) == (n + 1) / 2, s"source $src: kept ${out(src)} of $n")
+    }
+  }
+
   test("language ID picks the stopword-dominant language") {
     import spark.implicits._
     val df = Seq(
