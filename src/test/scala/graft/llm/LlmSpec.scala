@@ -360,6 +360,22 @@ class LlmSpec extends SparkTestBase {
     assert(codes.count() == emb.count())
   }
 
+  test("keeper selection partitions exactly the CC closure's groups") {
+    val d = "/root/testdata/sf0.001"
+    val cc = graft.queries.Llm.dedupCc(spark, d)
+      .select("doc_id", "dup_group").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val groups = cc.groupBy(_._2).map { case (g, ms) => g -> ms.length }
+    val kb = graft.queries.Llm.dedupKeepBest(spark, d)
+      .select("dup_group", "n_members", "keeper_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(kb.map(_._1).toSet == groups.keySet, "same group ids")
+    kb.foreach { case (g, n, keeper) =>
+      assert(n == groups(g).toLong, s"group $g member count")
+      assert(cc.contains((keeper, g)), s"keeper $keeper belongs to group $g")
+    }
+  }
+
   test("quality prune keeps exactly the top ceil(n/2) per source") {
     val d = "/root/testdata/sf0.001"
     val out = graft.queries.Llm.qualityPrune(spark, d)
