@@ -25,6 +25,46 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Greedy NO-SPLIT packing — the other standard packing mode (used
+    * when attention must never cross document boundaries): documents
+    * are laid into windows whole, in id order per shard; a document
+    * that does not fit the remaining space opens a new window, and an
+    * oversize document gets a window of its own. This is inherently a
+    * sequential FOLD (each decision depends on the running fill), which
+    * no window function expresses — so it runs as the secondary-sort
+    * pattern: repartition by shard, sort within partitions by
+    * (shard, id), one STREAMING pass per partition (never materializes
+    * a shard in memory — the imperative escape hatch done scale-safe).
+    * Returns per (shard, bin): document count and fill. */
+  def packGreedyWindows(df: DataFrame, idCol: String, tokensCol: Column,
+                        shardCol: Column, ctxSize: Long): DataFrame = {
+    require(ctxSize > 0, "ctxSize must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docs = df.select(col(idCol).cast("long").as("id"),
+        tokensCol.cast("long").as("ntok"), shardCol.cast("int").as("shard"))
+      .filter(col("ntok") > 0)
+    docs.as[(Long, Long, Int)]
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("id"))
+      .mapPartitions { it =>
+        // a hash partition may hold several shards; the (shard, id) sort
+        // makes each shard a contiguous run, reset on the boundary
+        var curShard = Int.MinValue
+        var bin = 0L
+        var fill = 0L
+        it.map { case (id, ntok, shard) =>
+          if (shard != curShard) { curShard = shard; bin = 0L; fill = 0L }
+          if (fill > 0 && fill + ntok > ctxSize) { bin += 1; fill = 0L }
+          fill += ntok
+          (shard, bin, id, ntok)
+        }
+      }
+      .toDF("shard", "bin", "id", "ntok")
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+  }
+
   /** Per-window packing layout: for each (shard, bin) context window,
     * how many documents touch it, how many tokens of it are filled
     * (= `ctxSize` everywhere except each shard's tail window), and how

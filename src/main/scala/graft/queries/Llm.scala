@@ -1276,6 +1276,49 @@ object Llm {
       |GROUP BY 1
       |ORDER BY split""".stripMargin
 
+  /** Greedy no-split packing layout
+    * ([[graft.llm.Packing.packGreedyWindows]]): same shards and token
+    * counts as q_pack_contexts, but documents stay whole — the
+    * attention-isolation packing mode. The fold has no window-function
+    * form, so the oracle walks each shard with a RECURSIVE CTE carrying
+    * (bin, fill) state — the sequential semantics pinned step for
+    * step. */
+  def packGreedy(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val ntok = when(length(trim($"text")) === 0, 0L)
+      .otherwise(size(split(trim($"text"), "\\s+")).cast("long"))
+    Packing.packGreedyWindows(documents(s, d), "doc_id", ntok,
+        call_function("md5_bucket", $"text", lit(8)), ctxSize = 512L)
+      .orderBy($"shard", $"bin")
+  }
+
+  val packGreedySql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id,
+      |    CAST(md5_number_lower(text) % 8 AS INTEGER) AS shard,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ntok
+      |  FROM documents
+      |), o AS (
+      |  SELECT shard, doc_id, ntok,
+      |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS pos
+      |  FROM d WHERE ntok > 0
+      |), walk(shard, pos, bin, fill, ntok) AS (
+      |  SELECT shard, CAST(1 AS BIGINT), CAST(0 AS BIGINT), ntok, ntok
+      |  FROM o WHERE pos = 1
+      |  UNION ALL
+      |  SELECT o.shard, o.pos,
+      |    CASE WHEN w.fill + o.ntok > 512 THEN w.bin + 1 ELSE w.bin END,
+      |    CASE WHEN w.fill + o.ntok > 512 THEN o.ntok ELSE w.fill + o.ntok END,
+      |    o.ntok
+      |  FROM walk w JOIN o ON o.shard = w.shard AND o.pos = w.pos + 1
+      |)
+      |SELECT shard, bin, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens
+      |FROM walk
+      |GROUP BY shard, bin
+      |ORDER BY shard, bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> (textStats _),
     "q_text_lang" -> (langId _),
@@ -1306,6 +1349,7 @@ object Llm {
     "q_dup_fraction" -> (dupFraction _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_pack_contexts" -> (packContexts _),
+    "q_pack_greedy" -> (packGreedy _),
     "q_token_budget_mix" -> (tokenBudgetMix _),
     "q_dedup_keep_best" -> (dedupKeepBest _),
     "q_pipeline_corpus" -> (pipelineCorpus _),
@@ -1857,6 +1901,7 @@ object Llm {
     "q_dup_fraction" -> dupFractionSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_pack_contexts" -> packContextsSql,
+    "q_pack_greedy" -> packGreedySql,
     "q_token_budget_mix" -> tokenBudgetMixSql,
     "q_dedup_keep_best" -> dedupKeepBestSql,
     "q_pipeline_corpus" -> pipelineCorpusSql,

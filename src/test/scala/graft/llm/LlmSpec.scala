@@ -485,6 +485,34 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
+  test("property: greedy no-split packing equals the sequential fold on random sizes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(424242L)
+    val ctx = 19L
+    // include oversize docs (> ctx) — they must take a window alone
+    val docs = (0 until 300).map(i =>
+      (i.toLong, (1 + rnd.nextInt(30)).toLong, rnd.nextInt(4)))
+    val got = Packing.packGreedyWindows(docs.toDF("doc_id", "ntok", "shard"),
+        "doc_id", col("ntok"), col("shard"), ctx)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val want = scala.collection.mutable.Map.empty[(Int, Long), (Long, Long)]
+    for (shard <- 0 until 4) {
+      var bin = 0L; var fill = 0L
+      for ((_, ntok, _) <- docs.filter(_._3 == shard).sortBy(_._1)) {
+        if (fill > 0 && fill + ntok > ctx) { bin += 1; fill = 0 }
+        fill += ntok
+        val (nd, t) = want.getOrElse((shard, bin), (0L, 0L))
+        want((shard, bin)) = (nd + 1, t + ntok)
+      }
+    }
+    assert(got == want.toMap)
+    // no window exceeds ctx unless it holds a single oversize doc
+    got.foreach { case ((sh, b), (nd, t)) =>
+      assert(t <= ctx || nd == 1, s"window ($sh,$b) overfilled with $nd docs / $t tokens")
+    }
+  }
+
   test("sequence packing lays out windows with exact fill and boundary counts") {
     import spark.implicits._
     // one shard, ctx 10: docs of 4+7+3+10 tokens -> offsets [0,4) [4,11)
