@@ -1,0 +1,302 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.Dedup
+import graft.util.Tables._
+
+/** Web-corpus curation surface beyond the per-document analyses in
+  * [[Llm]]: URL extraction/normalization (crawl-frontier hygiene),
+  * BPE merge-pair mining (tokenizer induction), sketch-accuracy gates
+  * (the approximate aggregates a 100 TB profile actually runs, bounded
+  * against their exact twins), the cross-source duplicate-line graph
+  * (which domains plagiarize which), and a JSONL round-trip gate (the
+  * interchange format LLM corpora actually ship in).
+  *
+  * Reference scope note: the reference (terra-bonobo-nodes) has no
+  * corpus module — this file is part of the training-data-pipeline
+  * surface the build brief adds on top of SURVEY §2.
+  */
+object Corpus {
+
+  // ---------------------------------------------------------------- URLs
+
+  /** Deterministic in-plan URL weaving — the documents table carries no
+    * URLs, so (same pattern as q_pii_redact's synthesized contacts) each
+    * doc gets three URLs with the normalization hazards a crawler
+    * actually sees: uppercase scheme+host, an explicit default port, a
+    * `#fragment`, a query string, and trailing sentence punctuation. */
+  private def augmented(df: DataFrame): DataFrame =
+    df.withColumn("aug", concat(
+      col("text"),
+      lit(" Visit HTTPS://WWW."), col("source"), lit(".Example.COM:443/Docs/"),
+      col("doc_id"), lit("#sec1 or http://cdn."), col("source"),
+      lit(".example.net:80/a/"), col("doc_id"),
+      lit("?v=2 mirror https://files.example.org/"), col("source"),
+      lit("/"), col("doc_id"), lit(".")))
+
+  /** Fragment + trailing-sentence-punctuation strip (a raw regex match
+    * like `https://x.org/a#b).` → `https://x.org/a`). */
+  private[graft] def urlClean(u: Column): Column =
+    regexp_replace(regexp_replace(u, "#.*$", ""), "[.,)\\]]+$", "")
+
+  /** Canonical host of a CLEANED url: lowercased, scheme-default port
+    * stripped (`:443` under https, `:80` under http; any other port is
+    * significant and kept). */
+  private[graft] def urlHost(u2: Column): Column = {
+    val scheme = lower(regexp_extract(u2, "^([A-Za-z]+)://", 1))
+    val hostport = lower(regexp_extract(u2, "^[A-Za-z]+://([^/?#]+)", 1))
+    when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(hostport)
+  }
+
+  /** Full normalized form of a CLEANED url: lowercased scheme + canonical
+    * host + verbatim path/query (path case is significant per RFC 3986). */
+  private[graft] def urlNorm(u2: Column): Column =
+    concat(lower(regexp_extract(u2, "^([A-Za-z]+)://", 1)), lit("://"),
+      urlHost(u2), regexp_extract(u2, "^[A-Za-z]+://[^/?#]+(.*)$", 1))
+
+  /** URL extraction + normalization + domain census. Normalization =
+    * drop fragment, strip trailing sentence punctuation, lowercase
+    * scheme and host, strip the scheme's default port — the standard
+    * crawl-frontier canonicalization (RFC 3986 §6.2.2/§6.2.3) minus
+    * path dot-segments (none are synthesized). Scale shape: one scan,
+    * a generator over ≤3 matches/doc, one (host) hash aggregate —
+    * no join, no window; at 100 TB the census shuffles only
+    * (host, partial counts). */
+  def urlExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val u2 = urlClean($"u")
+    augmented(documents(s, d))
+      .select($"doc_id",
+        explode(regexp_extract_all($"aug", lit("https?://[^\\s]+"), lit(0))).as("u"))
+      .select($"doc_id", urlHost(u2).as("host"), urlNorm(u2).as("norm"))
+      .groupBy($"host")
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct($"doc_id").as("n_docs"),
+        min($"norm").as("first_url"))
+      .orderBy($"n_urls".desc, $"host")
+  }
+
+  val urlExtractSql: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    text || ' Visit HTTPS://WWW.' || source || '.Example.COM:443/Docs/' ||
+      |    doc_id || '#sec1 or http://cdn.' || source || '.example.net:80/a/' ||
+      |    doc_id || '?v=2 mirror https://files.example.org/' || source || '/' ||
+      |    doc_id || '.' AS aug
+      |  FROM documents
+      |), urls AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(aug, 'https?://[^\s]+')) AS u
+      |  FROM aug
+      |), norm AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(u2, '^([A-Za-z]+)://', 1)) AS scheme,
+      |    lower(regexp_extract(u2, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+      |    regexp_extract(u2, '^[A-Za-z]+://[^/?#]+(.*)$', 1) AS rest
+      |  FROM (SELECT doc_id,
+      |          regexp_replace(regexp_replace(u, '#.*$', ''), '[.,)\]]+$', '') AS u2
+      |        FROM urls)
+      |), canon AS (
+      |  SELECT doc_id,
+      |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+      |         WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+      |         ELSE hostport END AS host,
+      |    scheme, rest
+      |  FROM norm
+      |)
+      |SELECT host, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs,
+      |  MIN(scheme || '://' || host || rest) AS first_url
+      |FROM canon
+      |GROUP BY host
+      |ORDER BY n_urls DESC, host""".stripMargin
+
+  // ----------------------------------------------------- BPE merge mining
+
+  /** First-iteration BPE merge candidates: the corpus-wide census of
+    * adjacent character pairs inside alphabetic words — exactly the
+    * statistic byte-pair-encoding training computes to pick its next
+    * merge. Top 30 pairs by frequency, with how many distinct word
+    * types contain each pair. Scale shape: scan → generator (length-1
+    * pairs per word) → one hash aggregate on 2-char keys; the distinct
+    * word-type count shuffles (pair, word) once. No join. */
+  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = documents(s, d)
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("w"))
+      .filter($"w".rlike("^[a-z]{2,}$"))
+    words
+      .select($"w", explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy($"pair")
+      .agg(count(lit(1)).as("n_pairs"), count_distinct($"w").as("n_word_types"))
+      .orderBy($"n_pairs".desc, $"pair")
+      .limit(30)
+  }
+
+  val bpeMergesSql: String =
+    """WITH words AS (
+      |  SELECT w
+      |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |        FROM documents)
+      |  WHERE regexp_matches(w, '^[a-z]{2,}$')
+      |), pairs AS (
+      |  SELECT w, substring(w, CAST(i AS INTEGER), 2) AS pair
+      |  FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i FROM words)
+      |)
+      |SELECT pair, COUNT(*) AS n_pairs, COUNT(DISTINCT w) AS n_word_types
+      |FROM pairs
+      |GROUP BY pair
+      |ORDER BY n_pairs DESC, pair
+      |LIMIT 30""".stripMargin
+
+  // ------------------------------------------------- sketch-accuracy gate
+
+  /** The approximate aggregates a 100 TB corpus profile actually uses —
+    * HyperLogLog++ distinct vocabulary and a quantile sketch — gated
+    * against their exact twins IN the plan. The hash gate covers the
+    * exact columns and the bound booleans: if a Spark upgrade ever
+    * degrades either sketch past its bound, the boolean flips and the
+    * driver's hash compare fails loudly. (The sketch VALUES are not
+    * emitted — they are implementation-defined; the oracle recomputes
+    * the exact sides and asserts the bounds hold, the same
+    * recompute-the-expectation pattern as q_emb_recall.)
+    *
+    * Bounds: HLL++ at default rsd 5% is gated at 3σ = 15% relative
+    * error; the quantile sketch (accuracy 10k) must land within the
+    * exact [p45, p55] band. Both are deterministic for fixed data. */
+  def sketchBounds(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, d)
+      .select($"n_chars",
+        explode(split(lower(trim($"text")), "\\s+")).as("w"))
+    toks.agg(
+        count_distinct($"w").as("exact_distinct"),
+        approx_count_distinct($"w").as("hll"),
+        expr("percentile(n_chars, 0.5D)").as("median_chars"),
+        expr("approx_percentile(n_chars, 0.5D, 10000)").as("ap"),
+        expr("percentile(n_chars, 0.45D)").as("p45"),
+        expr("percentile(n_chars, 0.55D)").as("p55"))
+      .select(
+        $"exact_distinct",
+        (abs($"hll" - $"exact_distinct").cast("double") / $"exact_distinct" <= 0.15)
+          .as("hll_ok"),
+        $"median_chars",
+        ($"ap" >= $"p45" && $"ap" <= $"p55").as("quantile_ok"))
+  }
+
+  val sketchBoundsSql: String =
+    """WITH toks AS (
+      |  SELECT n_chars, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |  FROM documents
+      |)
+      |SELECT COUNT(DISTINCT w) AS exact_distinct,
+      |  TRUE AS hll_ok,
+      |  quantile_cont(n_chars, 0.5) AS median_chars,
+      |  TRUE AS quantile_ok
+      |FROM toks""".stripMargin
+
+  // ------------------------------------------- cross-source dup-line graph
+
+  /** Cross-source duplicate-line graph: an edge (a, b, n) counts the
+    * DISTINCT 4-word lines that appear in both source a and source b —
+    * the corpus-provenance view of boilerplate (which domains share
+    * templates / syndicate content). Line segmentation is the same
+    * fused [[graft.exprs.WordChunksExpr]] the line-dedup operator uses.
+    *
+    * Scale shape: the explode emits (source, line) which a DISTINCT
+    * collapses BEFORE the self-join, so per-line fan-out is bounded by
+    * the number of sources (each line yields ≤ C(n_sources, 2) pairs,
+    * never doc² pairs), and the hot all-sources boilerplate lines are
+    * additionally droppable via the same maxDf census guard the
+    * Jaccard pair-miner uses — at 20 sources the C(20,2)=190 ceiling
+    * makes that unnecessary here. One shuffle on line for the
+    * distinct+join, one on the (a, b) pair for the count. */
+  def sourceDupGraph(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Graft.init(s)
+    import s.implicits._
+    val lines = documents(s, d)
+      .select($"source", explode(Dedup.wordChunks($"text", 4)).as("line"))
+      .distinct()
+    lines.as("a")
+      .join(lines.as("b"),
+        $"a.line" === $"b.line" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"n_shared".desc, $"source_a", $"source_b")
+  }
+
+  val sourceDupGraphSql: String =
+    """WITH toks AS (
+      |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS ws
+      |  FROM documents
+      |), lines AS (
+      |  SELECT DISTINCT source, array_to_string(ws[u*4+1:u*4+4], ' ') AS line
+      |  FROM (SELECT source, ws,
+      |          unnest(generate_series(0, CAST(floor((len(ws)-1)/4.0) AS BIGINT))) AS u
+      |        FROM toks)
+      |)
+      |SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+      |FROM lines a JOIN lines b ON a.line = b.line AND a.source < b.source
+      |GROUP BY 1, 2
+      |ORDER BY n_shared DESC, source_a, source_b""".stripMargin
+
+  // ------------------------------------------------------ JSONL roundtrip
+
+  /** JSONL export → re-import → profile: corpora ship between tools as
+    * JSON-lines, so the gate is that a Spark JSONL round trip is
+    * LOSSLESS — the re-imported profile must hash-match the oracle's
+    * profile of the original parquet (newlines, quotes and control
+    * characters in `text` survive the JSON escaping; int64 ids and
+    * counts survive without float widening). The write is per-partition
+    * parallel (no coalesce): at 100 TB this is the standard
+    * many-files-per-partition export, and the re-read schema is pinned
+    * explicitly so nothing depends on sampled inference. */
+  def jsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl")
+      .resolve("documents").toString
+    documents(s, d).write.mode("overwrite").json(tmp)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    s.read.schema(schema).json(tmp)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        sum(length($"text")).as("sum_text_len"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"),
+        count_distinct($"lang").as("n_langs"))
+      .orderBy($"source")
+  }
+
+  val jsonlRoundtripSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  SUM(n_chars) AS sum_chars,
+      |  SUM(length(text)) AS sum_text_len,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+      |  COUNT(DISTINCT lang) AS n_langs
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_url_extract" -> (urlExtract _),
+    "q_bpe_merges" -> (bpeMerges _),
+    "q_sketch_bounds" -> (sketchBounds _),
+    "q_source_dup_graph" -> (sourceDupGraph _),
+    "q_jsonl_roundtrip" -> (jsonlRoundtrip _))
+
+  val oracles: Map[String, String] = Map(
+    "q_url_extract" -> urlExtractSql,
+    "q_bpe_merges" -> bpeMergesSql,
+    "q_sketch_bounds" -> sketchBoundsSql,
+    "q_source_dup_graph" -> sourceDupGraphSql,
+    "q_jsonl_roundtrip" -> jsonlRoundtripSql)
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Corpus
+
+/** Specs for the web-corpus curation surface (queries/Corpus.scala):
+  * URL normalization unit cases, JSONL round-trip under adversarial
+  * text, and a brute-force property check of the BPE pair census. */
+class CorpusSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("url normalization: scheme/host case, default ports, fragments, trailing punct") {
+    val cases = Seq(
+      // raw match                                  -> (host, normalized)
+      ("HTTPS://WWW.Ex.COM:443/Docs/7#sec1",
+        "www.ex.com", "https://www.ex.com/Docs/7"),
+      ("http://cdn.ex.net:80/a/7?v=2",
+        "cdn.ex.net", "http://cdn.ex.net/a/7?v=2"),
+      ("https://files.ex.org/x/7.",       // trailing sentence punct
+        "files.ex.org", "https://files.ex.org/x/7"),
+      ("https://ex.org:8443/p",           // non-default port survives
+        "ex.org:8443", "https://ex.org:8443/p"),
+      ("http://ex.org:443/p",             // :443 is NOT default for http
+        "ex.org:443", "http://ex.org:443/p"),
+      ("https://Ex.ORG/A/B#frag).",       // fragment then punct strip
+        "ex.org", "https://ex.org/A/B"),
+      ("http://ex.org",                   // no path at all
+        "ex.org", "http://ex.org"))
+    val got = cases.map(_._1).toDF("u")
+      .select(Corpus.urlHost(Corpus.urlClean($"u")).as("host"),
+        Corpus.urlNorm(Corpus.urlClean($"u")).as("norm"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq === cases.map(c => (c._2, c._3)))
+  }
+
+  test("jsonl roundtrip is lossless under newlines, quotes, control chars, unicode") {
+    val rows = Seq(
+      (1L, "line1\nline2\r\nline3", "en", "s0", 19L),
+      (2L, "quote \" backslash \\ slash /", "en", "s0", 27L),
+      (3L, "tab\there bell null-ish end", "fr", "s1", 26L),
+      (4L, "unicode é中😀 mixed", "zh", "s1", 16L),
+      (5L, "", "en", "s2", 0L))
+    val df = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_spec")
+      .resolve("d").toString
+    df.write.mode("overwrite").json(tmp)
+    val back = spark.read.schema(df.schema).json(tmp)
+    assert(back.orderBy("doc_id").collect().toSeq ===
+      df.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("bpe pair census matches brute force on random words") {
+    val rnd = new scala.util.Random(42)
+    val words = Seq.fill(300)(
+      (0 until (2 + rnd.nextInt(9))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    val expected = words
+      .flatMap(w => w.sliding(2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val text = words.mkString(" ")
+    val got = Seq((1L, text, "en", "s0", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_spec").toString
+    got.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val res = Corpus.bpeMerges(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // top-30 cut: every reported pair must carry its exact brute count
+    res.foreach { case (p, n) => assert(expected(p) === n, s"pair $p") }
+    assert(res.nonEmpty)
+  }
+
+  test("source dup graph counts distinct shared lines, a<b only") {
+    // s0 and s1 share exactly two distinct 4-word lines; the repeat of a
+    // shared line inside s1 must NOT inflate the count (distinct before
+    // join); s2 shares nothing.
+    val l1 = "alpha beta gamma delta"
+    val l2 = "eps zeta eta theta"
+    val docs = Seq(
+      (1L, s"$l1 $l2", "s0", ""),
+      (2L, s"$l1 $l2 $l1", "s1", ""),
+      (3L, "iota kappa lambda mu", "s2", "")).map {
+      case (id, t, src, _) => (id, t, "en", src, t.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_dupg_spec").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val res = Corpus.sourceDupGraph(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(res.toSeq === Seq(("s0", "s1", 2L)))
+  }
+}
