@@ -372,3 +372,46 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "simhash64"
 }
+
+/** bpe_pairs(text) — adjacent character pairs inside alphabetic words,
+  * each tagged with its containing word: the per-document unit of work
+  * of one BPE-training census iteration. Fuses lower+trim+`\s+`
+  * tokenize, the `^[a-z]{2,}$` word filter, and the length-1 sliding
+  * window into one pass — the composed form (split → rlike filter →
+  * `transform(sequence(...))` HOF → explode) runs the lambda
+  * interpreted per word and re-allocates per index. Output element:
+  * struct(pair: string, w: string). */
+case class BpePairs(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pair", StringType, nullable = false),
+      StructField("w", StringType, nullable = false))), containsNull = false)
+  override def nullSafeEval(tIn: Any): Any = {
+    val toks = tIn.asInstanceOf[UTF8String].toLowerCase.trim().toString
+      .split("\\s+", -1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < toks.length) {
+      val w = toks(i)
+      var alpha = w.length >= 2
+      var j = 0
+      while (alpha && j < w.length) {
+        val c = w.charAt(j)
+        if (c < 'a' || c > 'z') alpha = false
+        j += 1
+      }
+      if (alpha) {
+        val wu = UTF8String.fromString(w)
+        var k = 0
+        while (k < w.length - 1) {
+          out += org.apache.spark.sql.catalyst.InternalRow(
+            UTF8String.fromString(w.substring(k, k + 2)), wu)
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "bpe_pairs"
+}

@@ -118,17 +118,17 @@ object Corpus {
     * adjacent character pairs inside alphabetic words — exactly the
     * statistic byte-pair-encoding training computes to pick its next
     * merge. Top 30 pairs by frequency, with how many distinct word
-    * types contain each pair. Scale shape: scan → generator (length-1
-    * pairs per word) → one hash aggregate on 2-char keys; the distinct
-    * word-type count shuffles (pair, word) once. No join. */
+    * types contain each pair. Scale shape: scan → ONE fused generator
+    * ([[graft.exprs.BpePairs]]: tokenize + word filter + sliding window
+    * in a single JVM pass — CorpusSpec pins parity with the composed
+    * split/rlike/transform form) → one hash aggregate on 2-char keys;
+    * the distinct word-type count shuffles (pair, word) once. No join. */
   def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Graft.init(s)
     import s.implicits._
-    val words = documents(s, d)
-      .select(explode(split(lower(trim($"text")), "\\s+")).as("w"))
-      .filter($"w".rlike("^[a-z]{2,}$"))
-    words
-      .select($"w", explode(expr(
-        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+    documents(s, d)
+      .select(explode(call_function("bpe_pairs", $"text")).as("pw"))
+      .select($"pw.pair".as("pair"), $"pw.w".as("w"))
       .groupBy($"pair")
       .agg(count(lit(1)).as("n_pairs"), count_distinct($"w").as("n_word_types"))
       .orderBy($"n_pairs".desc, $"pair")

@@ -68,6 +68,30 @@ class CorpusSpec extends SparkTestBase {
     assert(res.nonEmpty)
   }
 
+  test("fused bpe_pairs matches the composed split/rlike/transform form") {
+    val rnd = new scala.util.Random(7)
+    // words over a wider alphabet incl. non-alpha junk, unicode, empties
+    val junk = Seq("a", "3cat", "dog7", "HeLLo", "déjà", "", "--", "zz")
+    val texts = (0 until 50).map { _ =>
+      (0 until rnd.nextInt(30)).map { _ =>
+        if (rnd.nextInt(4) == 0) junk(rnd.nextInt(junk.size))
+        else (0 until (1 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      }.mkString(sep = if (rnd.nextBoolean()) " " else "\t")
+    } :+ "  leading and trailing  " :+ ""
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val fused = df.select($"id",
+        explode(call_function("bpe_pairs", $"text")).as("pw"))
+      .select($"id", $"pw.pair".as("pair"), $"pw.w".as("w"))
+    val composed = df
+      .select($"id", explode(split(lower(trim($"text")), "\\s+")).as("w"))
+      .filter($"w".rlike("^[a-z]{2,}$"))
+      .select($"id", explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"), $"w")
+    val a = fused.groupBy("id", "pair", "w").count().orderBy("id", "pair", "w").collect().toSeq
+    val b = composed.groupBy("id", "pair", "w").count().orderBy("id", "pair", "w").collect().toSeq
+    assert(a === b)
+  }
+
   test("source dup graph counts distinct shared lines, a<b only") {
     // s0 and s1 share exactly two distinct 4-word lines; the repeat of a
     // shared line inside s1 must NOT inflate the count (distinct before
