@@ -284,6 +284,116 @@ object Corpus {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ------------------------------------------- grouping sets / pivot / ntile
+
+  /** Multi-dimensional corpus rollup via CUBE(lang, source): every
+    * (lang, source), per-lang, per-source, and grand-total row in ONE
+    * aggregate — Catalyst expands the grouping sets into a single
+    * Expand + hash aggregate (one scan, one shuffle), where the naive
+    * form is four scans and a union. `grouping_id` disambiguates a
+    * rolled-up NULL from a NULL data value (bit order per the SQL
+    * standard: first listed column = most significant). */
+  def cubeStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .cube($"lang", $"source")
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"gid", asc_nulls_first("lang"), asc_nulls_first("source"))
+  }
+
+  val cubeStatsSql: String =
+    """SELECT lang, source, GROUPING(lang, source) AS gid,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY CUBE (lang, source)
+      |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin
+
+  /** Long-to-wide pivot: per-source document counts with one column per
+    * language. The value list is pinned (the five corpus languages) so
+    * the plan is a single groupBy with conditional aggregates — no
+    * second pass to discover columns, which is also why it scales: a
+    * pivot with an unbounded value list would need a driver collect. */
+  def pivotLangs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val p = documents(s, d)
+      .groupBy($"source")
+      .pivot("lang", langs)
+      .agg(count(lit(1)))
+    p.select($"source" +: langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+      .orderBy($"source")
+  }
+
+  val pivotLangsSql: String =
+    """SELECT source,
+      |  CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+      |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+      |  CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+      |  CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+      |  CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  /** Per-language length quartiles via ntile(4) over a TOTAL order
+    * (n_chars, doc_id — the id tiebreak makes the assignment
+    * deterministic, which is what lets it hash-gate), then the
+    * per-quartile profile. The window shuffles once on lang; the
+    * rollup reuses the same partitioning. */
+  def ntileBuckets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"n_chars", $"doc_id")
+    documents(s, d)
+      .withColumn("q", ntile(4).over(w))
+      .groupBy($"lang", $"q")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+      .orderBy($"lang", $"q")
+  }
+
+  val ntileBucketsSql: String =
+    """SELECT lang, q, COUNT(*) AS n_docs,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM (SELECT lang, n_chars,
+      |        ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS q
+      |      FROM documents)
+      |GROUP BY lang, q
+      |ORDER BY lang, q""".stripMargin
+
+  // ------------------------------------------------ partitioned-write prune
+
+  /** Hive-style partitioned export + pruned re-read: write the corpus
+    * `partitionBy(lang)`, read it back filtered to two languages, and
+    * profile what was read. The gate proves the round trip preserves
+    * values through the partition-column encoding (lang leaves the file
+    * body and comes back from directory names); CorpusSpec separately
+    * asserts the physical scan carries the partition filter and lists
+    * ONLY the two matching directories — the layout every 100 TB corpus
+    * store relies on for partition elimination. */
+  def partitionedPrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part")
+      .resolve("docs_by_lang").toString
+    documents(s, d).write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    s.read.parquet(tmp)
+      .filter($"lang".isin("en", "fr"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      .orderBy($"lang", $"source")
+  }
+
+  val partitionedPruneSql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents
+      |WHERE lang IN ('en', 'fr')
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -291,12 +401,20 @@ object Corpus {
     "q_bpe_merges" -> (bpeMerges _),
     "q_sketch_bounds" -> (sketchBounds _),
     "q_source_dup_graph" -> (sourceDupGraph _),
-    "q_jsonl_roundtrip" -> (jsonlRoundtrip _))
+    "q_jsonl_roundtrip" -> (jsonlRoundtrip _),
+    "q_cube_stats" -> (cubeStats _),
+    "q_pivot_langs" -> (pivotLangs _),
+    "q_ntile_buckets" -> (ntileBuckets _),
+    "q_partitioned_prune" -> (partitionedPrune _))
 
   val oracles: Map[String, String] = Map(
     "q_url_extract" -> urlExtractSql,
     "q_bpe_merges" -> bpeMergesSql,
     "q_sketch_bounds" -> sketchBoundsSql,
     "q_source_dup_graph" -> sourceDupGraphSql,
-    "q_jsonl_roundtrip" -> jsonlRoundtripSql)
+    "q_jsonl_roundtrip" -> jsonlRoundtripSql,
+    "q_cube_stats" -> cubeStatsSql,
+    "q_pivot_langs" -> pivotLangsSql,
+    "q_ntile_buckets" -> ntileBucketsSql,
+    "q_partitioned_prune" -> partitionedPruneSql)
 }

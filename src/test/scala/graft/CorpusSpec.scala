@@ -92,6 +92,29 @@ class CorpusSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("partitioned write prunes: scan lists only matching lang directories") {
+    val rows = Seq(
+      (1L, "aa", "en", "s0", 2L), (2L, "bb", "fr", "s0", 2L),
+      (3L, "cc", "de", "s0", 2L), (4L, "dd", "zh", "s1", 2L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prune_spec")
+      .resolve("by_lang").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    val q = spark.read.parquet(tmp).filter($"lang".isin("en", "fr"))
+    val scans = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    // the lang predicate must land in partitionFilters (directory
+    // elimination), not dataFilters (post-scan row filtering)
+    assert(scans.forall(_.partitionFilters.exists(_.references.exists(_.name == "lang"))))
+    val listed = scans.flatMap(_.relation.location.listFiles(
+      scans.head.partitionFilters, Nil)).flatMap(_.files).map(_.getPath.toString)
+    assert(listed.nonEmpty)
+    assert(listed.forall(p => p.contains("lang=en") || p.contains("lang=fr")),
+      s"pruned listing leaked non-matching partitions: $listed")
+  }
+
   test("source dup graph counts distinct shared lines, a<b only") {
     // s0 and s1 share exactly two distinct 4-word lines; the repeat of a
     // shared line inside s1 must NOT inflate the count (distinct before
