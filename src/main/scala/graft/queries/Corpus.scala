@@ -284,6 +284,153 @@ object Corpus {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ------------------------------------------------ winnowing fingerprints
+
+  /** MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03): hash every overlapping 3-word shingle, slide a window
+    * of 4 consecutive positions, select each window's MINIMUM hash —
+    * the guarantee is every shared run of ≥ 6 words contributes at
+    * least one COMMON selected fingerprint, at ~1/w the storage of the
+    * full shingle set. Hash = low-64-bit md5 mod 2^30 (the registered
+    * `md5_bucket`, whose DuckDB twin `md5_number_lower % n` makes the
+    * selection bit-identical on both sides — collisions are harmless
+    * to the gate because both engines collide identically).
+    * Scale shape: generator → one window (shuffles on doc_id) →
+    * distinct + per-doc count; nothing corpus-global. */
+  def winnowFingerprints(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Graft.init(s)
+    import s.implicits._
+    val sh = documents(s, d)
+      .select($"doc_id", split(lower(trim($"text")), "\\s+").as("ws"))
+      .select($"doc_id", greatest(size($"ws") - 2, lit(1)).as("np"),
+        posexplode(expr(
+          "transform(sequence(1, greatest(size(ws) - 2, 1)), " +
+            "u -> array_join(slice(ws, u, 3), ' '))")).as(Seq("p", "sh")))
+      .select($"doc_id", $"np", ($"p" + 1).as("pos"),
+        call_function("md5_bucket", $"sh", lit(1 << 30)).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos").rowsBetween(0, 3)
+    sh.withColumn("minh", min($"h").over(w))
+      .filter($"pos" <= $"np" - 3)
+      .select($"doc_id", $"minh").distinct()
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_fps"),
+        min($"minh").as("min_fp"), max($"minh").as("max_fp"))
+      .orderBy($"doc_id")
+  }
+
+  val winnowFingerprintsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, greatest(len(ws) - 2, 1) AS np, u AS pos,
+      |    CAST(md5_number_lower(array_to_string(ws[u:u+2], ' ')) % 1073741824 AS INTEGER) AS h
+      |  FROM (SELECT doc_id, ws,
+      |          unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u
+      |        FROM t)
+      |), sel AS (
+      |  SELECT DISTINCT doc_id, minh
+      |  FROM (SELECT doc_id, np, pos,
+      |          MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh
+      |        FROM sh)
+      |  WHERE pos <= np - 3
+      |)
+      |SELECT doc_id, COUNT(*) AS n_fps, MIN(minh) AS min_fp, MAX(minh) AS max_fp
+      |FROM sel
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ frequency spectrum
+
+  /** Vocabulary frequency-of-frequencies (the Good-Turing input, and
+    * the standard Zipf sanity plot): for each occurrence count k, how
+    * many distinct words occur exactly k times. Two cheap aggregates —
+    * (word) then (k) — both map-side-combining; the second input is
+    * already vocabulary-sized. */
+  def freqSpectrum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("k"))
+      .groupBy($"k").agg(count(lit(1)).as("n_words"))
+      .orderBy($"k")
+      .limit(50)
+  }
+
+  val freqSpectrumSql: String =
+    """WITH wc AS (
+      |  SELECT w, COUNT(*) AS k
+      |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |        FROM documents)
+      |  GROUP BY w
+      |)
+      |SELECT k, COUNT(*) AS n_words
+      |FROM wc GROUP BY k ORDER BY k LIMIT 50""".stripMargin
+
+  // ----------------------------------------------------- incremental ingest
+
+  /** Batch-over-batch corpus append — the shape every RUNNING ingest
+    * has (yesterday's corpus is the base, today's crawl is the batch):
+    * canonicalize the batch internally (min doc_id per exact
+    * fingerprint), then anti-join the base's fingerprint set; report
+    * per-source admission stats. The base/batch split is content-keyed
+    * (`md5_bucket` 80/20) so the scenario is deterministic. Scale
+    * shape: both dedups shuffle on the md5 fingerprint only; the
+    * anti-join is a semi-join-shaped hash join, never row² — and at
+    * 100 TB the base side is a bucketed fingerprint TABLE, not a
+    * rescan (the pointer-swap store pattern of q_store_bucketed). */
+  def incrementalIngest(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Graft.init(s)
+    import s.implicits._
+    val docs = documents(s, d)
+      .withColumn("fp", md5($"text"))
+      .withColumn("b", call_function("md5_bucket", $"text", lit(10)))
+    val base = docs.filter($"b" < 8)
+    val batch = docs.filter($"b" >= 8)
+    val canon = batch
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"fp").orderBy($"doc_id")))
+      .filter($"rk" === 1)
+    val kept = canon.join(base.select($"fp").distinct(), Seq("fp"), "left_anti")
+    val perSrc = (df: DataFrame, c: String) =>
+      df.groupBy($"source").agg(count(lit(1)).as(c))
+    perSrc(batch, "n_candidates")
+      .join(perSrc(canon, "n_canon"), Seq("source"), "left")
+      .join(perSrc(kept, "n_kept"), Seq("source"), "left")
+      .select($"source", $"n_candidates",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        ($"n_candidates" - coalesce($"n_canon", lit(0L))).as("n_dup_in_batch"),
+        (coalesce($"n_canon", lit(0L)) - coalesce($"n_kept", lit(0L))).as("n_dup_vs_base"))
+      .orderBy($"source")
+  }
+
+  val incrementalIngestSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, source, md5(text) AS fp,
+      |         md5_number_lower(text) % 10 AS b
+      |  FROM documents
+      |), base AS (SELECT * FROM docs WHERE b < 8),
+      |batch AS (SELECT * FROM docs WHERE b >= 8),
+      |canon AS (
+      |  SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+      |    FROM batch)
+      |  WHERE rk = 1
+      |), kept AS (
+      |  SELECT c.* FROM canon c ANTI JOIN base USING (fp)
+      |)
+      |SELECT s.source,
+      |  (SELECT COUNT(*) FROM batch WHERE source = s.source) AS n_candidates,
+      |  (SELECT COUNT(*) FROM kept WHERE source = s.source) AS n_kept,
+      |  (SELECT COUNT(*) FROM batch WHERE source = s.source)
+      |    - (SELECT COUNT(*) FROM canon WHERE source = s.source) AS n_dup_in_batch,
+      |  (SELECT COUNT(*) FROM canon WHERE source = s.source)
+      |    - (SELECT COUNT(*) FROM kept WHERE source = s.source) AS n_dup_vs_base
+      |FROM (SELECT DISTINCT source FROM batch) s
+      |ORDER BY s.source""".stripMargin
+
   // ------------------------------------------- grouping sets / pivot / ntile
 
   /** Multi-dimensional corpus rollup via CUBE(lang, source): every
@@ -405,7 +552,10 @@ object Corpus {
     "q_cube_stats" -> (cubeStats _),
     "q_pivot_langs" -> (pivotLangs _),
     "q_ntile_buckets" -> (ntileBuckets _),
-    "q_partitioned_prune" -> (partitionedPrune _))
+    "q_partitioned_prune" -> (partitionedPrune _),
+    "q_winnow_fingerprints" -> (winnowFingerprints _),
+    "q_freq_spectrum" -> (freqSpectrum _),
+    "q_incremental_ingest" -> (incrementalIngest _))
 
   val oracles: Map[String, String] = Map(
     "q_url_extract" -> urlExtractSql,
@@ -416,5 +566,8 @@ object Corpus {
     "q_cube_stats" -> cubeStatsSql,
     "q_pivot_langs" -> pivotLangsSql,
     "q_ntile_buckets" -> ntileBucketsSql,
-    "q_partitioned_prune" -> partitionedPruneSql)
+    "q_partitioned_prune" -> partitionedPruneSql,
+    "q_winnow_fingerprints" -> winnowFingerprintsSql,
+    "q_freq_spectrum" -> freqSpectrumSql,
+    "q_incremental_ingest" -> incrementalIngestSql)
 }

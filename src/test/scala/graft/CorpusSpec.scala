@@ -115,6 +115,46 @@ class CorpusSpec extends SparkTestBase {
       s"pruned listing leaked non-matching partitions: $listed")
   }
 
+  test("winnowing guarantee: docs sharing a >=6-word run share a fingerprint") {
+    // two docs share an 8-word run embedded in otherwise-distinct text;
+    // winnowing (3-word shingles, window 4) must select at least one
+    // common hash from the shared run — the SIGMOD'03 detection bound
+    val run = "the quick brown fox jumps over the lazy"
+    val rnd = new scala.util.Random(11)
+    def noise(n: Int) =
+      (0 until n).map(_ => (0 until 5).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString).mkString(" ")
+    val docs = Seq(
+      (1L, s"${noise(12)} $run ${noise(9)}", "en", "s0"),
+      (2L, s"${noise(7)} $run ${noise(15)}", "en", "s1"),
+      (3L, noise(30), "en", "s2")).map { case (id, t, l, src) =>
+      (id, t, l, src, t.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_winnow_spec").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // re-derive the selected fingerprint SETS (the query returns counts)
+    val sel = Corpus.winnowFingerprints(spark, dir)
+    assert(sel.count() === 3)
+    val bySet = {
+      import org.apache.spark.sql.expressions.Window
+      val sh = spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", split(lower(trim($"text")), "\\s+").as("ws"))
+        .select($"doc_id", greatest(size($"ws") - 2, lit(1)).as("np"),
+          posexplode(expr(
+            "transform(sequence(1, greatest(size(ws) - 2, 1)), " +
+              "u -> array_join(slice(ws, u, 3), ' '))")).as(Seq("p", "sh")))
+        .select($"doc_id", $"np", ($"p" + 1).as("pos"),
+          call_function("md5_bucket", $"sh", lit(1 << 30)).as("h"))
+      val w = Window.partitionBy($"doc_id").orderBy($"pos").rowsBetween(0, 3)
+      sh.withColumn("minh", min($"h").over(w)).filter($"pos" <= $"np" - 3)
+        .select($"doc_id", $"minh").distinct().collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).toSet).toMap
+    }
+    assert((bySet(1L) intersect bySet(2L)).nonEmpty, "shared run undetected")
+    assert((bySet(1L) intersect bySet(3L)).isEmpty ||
+      (bySet(1L) intersect bySet(3L)).size < bySet(1L).size / 2)
+  }
+
   test("source dup graph counts distinct shared lines, a<b only") {
     // s0 and s1 share exactly two distinct 4-word lines; the repeat of a
     // shared line inside s1 must NOT inflate the count (distinct before
