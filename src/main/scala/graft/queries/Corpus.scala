@@ -509,6 +509,116 @@ object Corpus {
       |GROUP BY lang, q
       |ORDER BY lang, q""".stripMargin
 
+  // ---------------------------------------------------- exact centroids
+
+  /** Distributed per-label centroids over the embedding table — the
+    * k-means/class-prototype inner loop — made HASH-GATEABLE by fixing
+    * the accumulation order: per (label, dim) the float components are
+    * collected, sorted by vec_id, and left-folded in doubles
+    * (`aggregate(sort_array(...), 0D, _+_)`), which DuckDB mirrors
+    * bit-exactly with `list_reduce(list(v ORDER BY vec_id), ...)` —
+    * float→double widening is exact and both engines fold
+    * left-to-right, so even the division for the mean is IEEE-identical.
+    * This is the exactness-gate pattern, not the production shape: at
+    * 100 TB the same centroid runs as a plain two-level double
+    * `sum`/`count` (treeAggregate semantics, order-free up to 1e-13
+    * relative), which q_emb_ivf_topk's trained quantizer already
+    * exercises — here the point is proving the distributed arithmetic
+    * against the oracle with zero tolerance. */
+  def embCentroids(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    embeddings(s, d)
+      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("p", "v")))
+      .groupBy($"label", ($"p" + 1).as("idx"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("aggregate(sort_array(collect_list(struct(vec_id, v))), 0D," +
+          " (acc, x) -> acc + x.v)").as("sum_v"))
+      .select($"label", $"idx", $"n_vecs", $"sum_v",
+        ($"sum_v" / $"n_vecs").as("mean_v"))
+      .orderBy($"label", $"idx")
+  }
+
+  val embCentroidsSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, u AS idx, embedding[u]::DOUBLE AS v
+      |  FROM (SELECT vec_id, label, embedding,
+      |          unnest(generate_series(1, len(embedding))) AS u
+      |        FROM embeddings)
+      |), g AS (
+      |  SELECT label, idx, COUNT(*) AS n_vecs,
+      |    list_reduce(list(v ORDER BY vec_id), (a, b) -> a + b) AS sum_v
+      |  FROM e GROUP BY label, idx
+      |)
+      |SELECT label, CAST(idx AS BIGINT) AS idx, n_vecs, sum_v,
+      |  sum_v / n_vecs AS mean_v
+      |FROM g
+      |ORDER BY label, idx""".stripMargin
+
+  // -------------------------------------------------- table stats (ANALYZE)
+
+  /** ANALYZE-style column statistics for the documents table — the
+    * cost-based-optimizer input every warehouse collects: per column
+    * the row count, null count, exact NDV, and binary-collation
+    * min/max (rendered as strings so one schema fits all types). One
+    * aggregate computes every statistic in a single scan; the stack
+    * into long form is free. At 100 TB the NDVs would be the HLL
+    * sketch q_sketch_bounds gates; here they are exact. */
+  def tableStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"), count_distinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    }
+    val stacked = cols.map(c =>
+      s"struct('$c' as col, nn_$c as n_nonnull, nd_$c as n_distinct," +
+        s" mn_$c as min_val, mx_$c as max_val)").mkString("array(", ", ", ")")
+    documents(s, d)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select($"n_rows", explode(expr(stacked)).as("st"))
+      .select(($"st.col").as("col"), $"n_rows",
+        ($"n_rows" - $"st.n_nonnull").as("n_nulls"),
+        ($"st.n_distinct").as("n_distinct"),
+        ($"st.min_val").as("min_val"), ($"st.max_val").as("max_val"))
+      .orderBy($"col")
+  }
+
+  val tableStatsSql: String = Seq("doc_id", "lang", "n_chars", "source", "text")
+    .map(c =>
+      s"""SELECT '$c' AS col, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_val,
+         |  CAST(MAX($c) AS VARCHAR) AS max_val
+         |FROM documents""".stripMargin)
+    .mkString("", "\nUNION ALL\n", "\nORDER BY col")
+
+  // -------------------------------------------------------------- unpivot
+
+  /** Wide-to-long melt (the inverse of q_pivot_langs) via `stack` — one
+    * generator pass, no join: the wide per-source×lang count matrix
+    * back to (source, lang, n_docs) rows including explicit zeros,
+    * which is what makes the round trip information-preserving. */
+  def unpivotLong(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val wide = pivotLangs(s, d)
+    wide.select($"source", expr(
+        "stack(5, " + langs.map(l => s"'$l', $l").mkString(", ") + ") as (lang, n_docs)"))
+      .orderBy($"source", $"lang")
+  }
+
+  val unpivotLongSql: String =
+    """SELECT s.source, l.lang,
+      |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_docs
+      |FROM (SELECT DISTINCT source FROM documents) s
+      |CROSS JOIN (SELECT unnest(['de','en','es','fr','zh']) AS lang) l
+      |LEFT JOIN (SELECT source, lang, COUNT(*) AS n FROM documents
+      |           GROUP BY source, lang) c
+      |  ON c.source = s.source AND c.lang = l.lang
+      |ORDER BY s.source, l.lang""".stripMargin
+
   // ------------------------------------------------ partitioned-write prune
 
   /** Hive-style partitioned export + pruned re-read: write the corpus
@@ -555,7 +665,10 @@ object Corpus {
     "q_partitioned_prune" -> (partitionedPrune _),
     "q_winnow_fingerprints" -> (winnowFingerprints _),
     "q_freq_spectrum" -> (freqSpectrum _),
-    "q_incremental_ingest" -> (incrementalIngest _))
+    "q_incremental_ingest" -> (incrementalIngest _),
+    "q_emb_centroids" -> (embCentroids _),
+    "q_table_stats" -> (tableStats _),
+    "q_unpivot_long" -> (unpivotLong _))
 
   val oracles: Map[String, String] = Map(
     "q_url_extract" -> urlExtractSql,
@@ -569,5 +682,8 @@ object Corpus {
     "q_partitioned_prune" -> partitionedPruneSql,
     "q_winnow_fingerprints" -> winnowFingerprintsSql,
     "q_freq_spectrum" -> freqSpectrumSql,
-    "q_incremental_ingest" -> incrementalIngestSql)
+    "q_incremental_ingest" -> incrementalIngestSql,
+    "q_emb_centroids" -> embCentroidsSql,
+    "q_table_stats" -> tableStatsSql,
+    "q_unpivot_long" -> unpivotLongSql)
 }
