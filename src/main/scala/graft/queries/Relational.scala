@@ -543,6 +543,62 @@ object Relational {
        |GROUP BY user_id, session_seq
        |ORDER BY user_id, session_start""".stripMargin
 
+  /** Skew PROFILE of a join key — the diagnostic a 100 TB job runs
+    * before choosing salt factor / AQE skew thresholds: per-key row
+    * counts reduced to exact dyadic quantiles (interpolation-exact vs
+    * quantile_cont, same contract as q_doc_profile), the max, and the
+    * max/median ratio. Two aggregates, both map-side combining; the
+    * second input is key-cardinality-sized. */
+  def skewReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .groupBy($"l_suppkey").agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("n_keys"), sum($"cnt").as("n_rows"),
+        max($"cnt").as("max_cnt"),
+        expr("percentile(cnt, 0.5D)").as("p50"),
+        expr("percentile(cnt, 0.75D)").as("p75"),
+        expr("percentile(cnt, 0.875D)").as("p875"))
+      .withColumn("skew_ratio", $"max_cnt" / $"p50")
+  }
+
+  val skewReportSql: String =
+    """WITH c AS (
+      |  SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey
+      |)
+      |SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |  MAX(cnt) AS max_cnt,
+      |  quantile_cont(cnt, 0.5) AS p50,
+      |  quantile_cont(cnt, 0.75) AS p75,
+      |  quantile_cont(cnt, 0.875) AS p875,
+      |  MAX(cnt) / quantile_cont(cnt, 0.5) AS skew_ratio
+      |FROM c""".stripMargin
+
+  /** Exact heavy hitters: top 10 keys by frequency with their corpus
+    * share (share = two exact integers divided once — IEEE-identical
+    * on both engines). The TakeOrdered top-k never materializes the
+    * full key census on one node. */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = events(s, d).groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("cnt"))
+    counts.crossJoin(counts.agg(sum($"cnt").as("tot")))
+      .select($"event_type", $"user_id", $"cnt",
+        round($"cnt" / $"tot", 6).as("share"))
+      .orderBy($"cnt".desc, $"event_type", $"user_id")
+      .limit(10)
+  }
+
+  val heavyHittersSql: String =
+    """WITH c AS (
+      |  SELECT event_type, user_id, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM c)
+      |SELECT event_type, user_id, cnt,
+      |  round(CAST(cnt AS DOUBLE) / tot, 6) AS share
+      |FROM c, t
+      |ORDER BY cnt DESC, event_type, user_id
+      |LIMIT 10""".stripMargin
+
   /** Two-phase salted aggregation ([[graft.ops.Skew.saltedAgg]]) over the
     * events table — driver-gates the skew utility: the salted partial →
     * merge pipeline must produce EXACTLY the plain GROUP BY's rows
@@ -791,6 +847,8 @@ object Relational {
     "q_stream_join" -> (streamJoin _),
     "q_stream_enrich" -> (streamEnrich _),
     "q_skew_agg" -> (skewAgg _),
+    "q_skew_report" -> (skewReport _),
+    "q_heavy_hitters" -> (heavyHitters _),
     "q_asof_join" -> (asofJoin _),
     "q_range_join" -> (rangeJoin _),
     "q_range_join_mixed" -> (rangeJoinMixed _),
@@ -818,6 +876,8 @@ object Relational {
     "q_stream_join" -> streamJoinSql,
     "q_stream_enrich" -> streamEnrichSql,
     "q_skew_agg" -> skewAggSql,
+    "q_skew_report" -> skewReportSql,
+    "q_heavy_hitters" -> heavyHittersSql,
     "q_asof_join" -> asofJoinSql,
     "q_range_join" -> rangeJoinSql,
     "q_range_join_mixed" -> rangeJoinMixedSql,

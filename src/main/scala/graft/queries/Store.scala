@@ -171,7 +171,82 @@ object Store {
       |WHERE s_acctbal > 0.0
       |ORDER BY s_suppkey""".stripMargin
 
+  /** K1 as a STREAMING sink ([[graft.streaming.StreamOps.upsertSink]],
+    * previously spec-only): the corpus arrives as three update waves
+    * (content ranges of ceil(n/3) docs sharing identifiers across
+    * waves), each wave a separate staged file admitted as its own
+    * micro-batch (mtime-ordered, maxFilesPerTrigger=1, AvailableNow);
+    * foreachBatch upserts into a fresh feature store. Final store state
+    * = last-writer-wins per identifier, which the oracle re-derives as
+    * max-doc_id-per-slot — gating that replayed micro-batch upserts
+    * CONVERGE (the exactly-once-effect property idempotent sinks give
+    * at-least-once streams). Scale: each wave's upsert shuffles on
+    * identifier only; store versions are pointer-swapped, never
+    * rewritten in place. */
+  def streamUpsert(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    import java.nio.file.Files
+    val docs = documents(s, d)
+    val head = docs.agg(min($"doc_id"), count(lit(1))).head()
+    val mn = head.getLong(0)
+    val n = head.getLong(1)
+    val m = math.max((n + 2) / 3, 1L)
+    val waved = docs.select(
+      (($"doc_id" - mn) % m).cast("string").as(Op.identifierCol),
+      expr(s"(doc_id - $mn) div $m").cast("int").as("wave"),
+      $"doc_id", $"source", $"n_chars")
+    val stageRoot = Files.createTempDirectory("graft-stream-upsert")
+    val dataDir = stageRoot.resolve("data")
+    Files.createDirectories(dataDir)
+    val nWaves = ((n + m - 1) / m).toInt
+    (0 until nWaves).foreach { w =>
+      val stage = stageRoot.resolve(s"stage-$w").toString
+      waved.filter($"wave" === w).drop("wave").coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val tgt = dataDir.resolve(f"$w%02d.parquet").toFile
+      Files.move(part.toPath, tgt.toPath)
+      tgt.setLastModified(1000000L * (w + 1)) // admission order = wave order
+    }
+    val root = Files.createTempDirectory("graft-stream-upsert-store").toString
+    val ckpt = Files.createTempDirectory("graft-stream-upsert-ckpt").toString
+    val stream = s.readStream.schema(
+        org.apache.spark.sql.types.StructType(waved.drop("wave").schema))
+      .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
+    val q = graft.streaming.StreamOps.upsertSink(stream, root, "docs", ckpt,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    FeatureStore.scan(s, root, "docs")
+      .select(get_json_object($"properties", "$.source").as("source"),
+        get_json_object($"properties", "$.doc_id").cast("long").as("doc_id"),
+        get_json_object($"properties", "$.n_chars").cast("long").as("n_chars"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_features"), sum($"doc_id").as("sum_doc"),
+        sum($"n_chars").as("sum_chars"))
+      .orderBy($"source")
+  }
+
+  val streamUpsertSql: String =
+    """WITH p AS (
+      |  SELECT MIN(doc_id) AS mn,
+      |         GREATEST(CAST(CEIL(COUNT(*) / 3.0) AS BIGINT), 1) AS m
+      |  FROM documents
+      |), r AS (
+      |  SELECT d.source, d.doc_id, d.n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY (d.doc_id - p.mn) % p.m
+      |                       ORDER BY d.doc_id DESC) AS rk
+      |  FROM documents d, p
+      |)
+      |SELECT source, COUNT(*) AS n_features,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM r WHERE rk = 1
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_upsert" -> (streamUpsert _),
     "q_store_lifecycle" -> (storeLifecycle _),
     "q_store_bucketed" -> (storeBucketed _),
     "q_es_roundtrip" -> (esRoundtrip _),
@@ -180,6 +255,7 @@ object Store {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stream_upsert" -> streamUpsertSql,
     "q_store_lifecycle" -> storeLifecycleSql,
     "q_store_bucketed" -> storeBucketedSql,
     "q_es_roundtrip" -> esRoundtripSql,
