@@ -215,7 +215,7 @@ object MediaCodec {
       val id = new String(b, i, 4, "US-ASCII")
       val size = le32(b, i + 4)
       if (id == "fmt ") {
-        if (le16(b, i + 8) != 1) return None // PCM only
+        if (i + 24 > b.length || le16(b, i + 8) != 1) return None // PCM only
         channels = le16(b, i + 10); rate = le32(b, i + 12); bits = le16(b, i + 22)
       } else if (id == "data") {
         if (channels < 1 || bits != 16 || i + 8 + size > b.length) return None
@@ -232,6 +232,84 @@ object MediaCodec {
       i += 8 + size + (size & 1) // chunks are word-aligned
     }
     None
+  }
+
+  /** Raw PGM raster — (w, h, grays row-major). The aggregate-only
+    * `decode` suffices for profiling; perceptual hashing needs the
+    * pixels themselves. */
+  def pgmPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b == null || b.length < 2 || b(0) != 'P' || b(1) != '5') return None
+    var i = 2
+    val vals = new Array[Int](3)
+    var v = 0
+    while (v < 3) {
+      while (i < b.length && (b(i) == ' ' || b(i) == '\t' || b(i) == '\n' || b(i) == '\r' || b(i) == '#')) {
+        if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 } else i += 1
+      }
+      var x = 0; var any = false
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') { x = x * 10 + (b(i) - '0'); i += 1; any = true }
+      if (!any) return None
+      vals(v) = x; v += 1
+    }
+    i += 1
+    val w = vals(0); val h = vals(1)
+    if (w <= 0 || h <= 0 || vals(2) != 255 || i + w.toLong * h > b.length) return None
+    val px = new Array[Int](w * h)
+    var p = 0
+    while (p < w * h) { px(p) = u8(b, i + p); p += 1 }
+    Some((w, h, px))
+  }
+
+  /** Raw mono PCM16 samples — (sampleRate, samples). Channel 0 only,
+    * mirroring `decodeWav`. */
+  def wavSamples(b: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (b == null || b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var i = 12
+    var channels = 0; var bits = 0; var rate = 0
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val size = le32(b, i + 4)
+      if (id == "fmt ") {
+        if (i + 24 > b.length || le16(b, i + 8) != 1) return None
+        channels = le16(b, i + 10); rate = le32(b, i + 12); bits = le16(b, i + 22)
+      } else if (id == "data") {
+        if (channels < 1 || bits != 16 || i + 8 + size > b.length) return None
+        val frames = size / (2 * channels)
+        val out = new Array[Short](frames)
+        var f = 0
+        while (f < frames) { out(f) = le16(b, i + 8 + f * 2 * channels).toShort; f += 1 }
+        return Some((rate, out))
+      }
+      i += 8 + size + (size & 1)
+    }
+    None
+  }
+
+  /** 56-bit difference hash (dHash, the standard perceptual image
+    * fingerprint): nearest-neighbor resample to a 9-wide x 7-tall grid
+    * (sx = x*w/9, sy = y*h/7, integer floor), then bit (y*8+x) is set
+    * iff grid(x+1, y) > grid(x, y). 8 comparisons/row x 7 rows = 56
+    * bits, deliberately <= 62 so the hash stays a positive BIGINT in
+    * BOTH engines (the classic 9x8/64-bit variant would overflow the
+    * oracle's signed SUM). Integer-exact end to end, so the SQL twin
+    * reproduces it bit-for-bit from the synthesis formula. */
+  def dhash56(gray: Array[Int], w: Int, h: Int): Long = {
+    var hash = 0L
+    var y = 0
+    while (y < 7) {
+      val sy = y * h / 7
+      var x = 0
+      while (x < 8) {
+        val sx0 = x * w / 9
+        val sx1 = (x + 1) * w / 9
+        if (gray(sy * w + sx1) > gray(sy * w + sx0))
+          hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
   }
 
   /** Honest [[Multimodal.MediaDecoder]]: the feature vector is the

@@ -651,6 +651,145 @@ object Corpus {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  // -------------------------------------------- perceptual image dedup
+
+  /** Perceptual image near-dup detection — dHash over honestly decoded
+    * PGM bytes, then banded-LSH pairing: the image-side analogue of the
+    * SimHash text path. Images are synthesized in-plan (the
+    * q_media_decode pattern: exact integer pixel formulas the oracle
+    * replays), encoded to real PGM, decoded back through
+    * [[graft.llm.MediaCodec.pgmPixels]], resampled+hashed by
+    * [[graft.llm.MediaCodec.dhash56]] (56-bit so the oracle's signed
+    * SUM can rebuild it). Even keys are originals; odd keys replay the
+    * partner's image with one pixel perturbed — hamming stays small, so
+    * pairs survive the ≤6 cut. Banding = 4×14-bit equi-join (never
+    * all-pairs); the output is the hamming histogram of candidate
+    * pairs. Scale: per-image work is constant; the join shuffles
+    * (band, value) keys only. */
+  def imageDhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.MediaCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val hashes = keys.map { k =>
+      val base = k - (k % 2)
+      val w = (12 + base % 5).toInt
+      val h = (10 + base % 4).toInt
+      // base-keyed coefficients (not just base % 256) so unrelated
+      // images get unrelated gradients — a single shared linear pattern
+      // would make the whole corpus pairwise-near and the banded join
+      // quadratic, the exact failure mode the LSH is there to avoid
+      val cx = 11 + (base / 7) % 89
+      val cy = 13 + (base / 11) % 83
+      val bytes = MediaCodec.encodePgm(w, h, (x, y) => {
+        val g = (7 * base + cx * x + cy * y) % 256
+        val px = if (k % 2 == 1 && x == (base % w) && y == (base % h)) 9 else 0
+        ((g + px) % 256).toInt
+      })
+      val (pw, ph, pxs) = MediaCodec.pgmPixels(bytes).get
+      (k, MediaCodec.dhash56(pxs, pw, ph))
+    }.toDF("k", "dh")
+    val bands = hashes.select($"k", $"dh", posexplode(expr(
+      "transform(sequence(0, 3), b -> int(shiftright(dh, 14 * b) & 16383))"))
+      .as(Seq("band", "bv")))
+    bands.as("a")
+      .join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bv" === $"b.bv" && $"a.k" < $"b.k")
+      .select($"a.k".as("ka"), $"b.k".as("kb"), $"a.dh".as("ha"), $"b.dh".as("hb"))
+      .distinct()
+      .select(bit_count($"ha".bitwiseXOR($"hb")).as("hamming"))
+      .filter($"hamming" <= 6)
+      .groupBy($"hamming")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"hamming")
+  }
+
+  val imageDhashSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |img AS (
+      |  SELECT k, k - k % 2 AS base,
+      |    CAST(12 + (k - k % 2) % 5 AS BIGINT) AS w,
+      |    CAST(10 + (k - k % 2) % 4 AS BIGINT) AS h,
+      |    11 + ((k - k % 2) // 7) % 89 AS cx,
+      |    13 + ((k - k % 2) // 11) % 83 AS cy
+      |  FROM ks
+      |), hash AS (
+      |  SELECT i.k,
+      |    SUM(CASE WHEN
+      |      ((7*i.base + i.cx*(((x.g+1)*i.w)//9) + i.cy*((y.g*i.h)//7)) % 256
+      |        + CASE WHEN i.k % 2 = 1 AND (((x.g+1)*i.w)//9) = i.base % i.w
+      |                AND ((y.g*i.h)//7) = i.base % i.h THEN 9 ELSE 0 END) % 256
+      |      >
+      |      ((7*i.base + i.cx*((x.g*i.w)//9) + i.cy*((y.g*i.h)//7)) % 256
+      |        + CASE WHEN i.k % 2 = 1 AND ((x.g*i.w)//9) = i.base % i.w
+      |                AND ((y.g*i.h)//7) = i.base % i.h THEN 9 ELSE 0 END) % 256
+      |      THEN (CAST(1 AS BIGINT) << CAST(y.g*8 + x.g AS INTEGER)) ELSE 0 END) AS dh
+      |  FROM img i, generate_series(0, 6) y(g), generate_series(0, 7) x(g)
+      |  GROUP BY i.k
+      |), bands AS (
+      |  SELECT k, dh, b.g AS band,
+      |    CAST((dh >> CAST(14*b.g AS INTEGER)) & 16383 AS INTEGER) AS bv
+      |  FROM hash, generate_series(0, 3) b(g)
+      |), cand AS (
+      |  SELECT DISTINCT a.k AS ka, b.k AS kb, a.dh AS ha, b.dh AS hb
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.k < b.k
+      |)
+      |SELECT CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming,
+      |  COUNT(*) AS n_pairs
+      |FROM cand
+      |WHERE bit_count(xor(ha, hb)) <= 6
+      |GROUP BY 1
+      |ORDER BY hamming""".stripMargin
+
+  // ------------------------------------------------------- audio features
+
+  /** Audio quality profiling over honestly decoded WAV bytes — the
+    * audio-side curation filters (clipping, silence, loudness) every
+    * multimodal pipeline runs before training. Samples are synthesized
+    * by exact integer formulas (the q_media_decode pattern), encoded to
+    * real RIFF/PCM16, decoded back through
+    * [[graft.llm.MediaCodec.wavSamples]]; every reported feature is an
+    * integer (sum of squares in Long, threshold counts), so the oracle
+    * replays the formula with zero tolerance. */
+  def audioFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.MediaCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    keys.map { k =>
+      val n = (200 + k % 57).toInt
+      val bytes = MediaCodec.encodeWavPcm16(8000,
+        Array.tabulate(n)(i => ((k * 31 + i * 17) % 2048 - 1024).toShort))
+      val (_, xs) = MediaCodec.wavSamples(bytes).get
+      var sumSq = 0L; var clipped = 0L; var silent = 0L; var maxAbs = 0
+      xs.foreach { sh =>
+        val v = sh.toInt
+        sumSq += v.toLong * v
+        val a = math.abs(v)
+        if (a >= 1000) clipped += 1
+        if (a < 64) silent += 1
+        if (a > maxAbs) maxAbs = a
+      }
+      (k, xs.length.toLong, sumSq, clipped, silent, maxAbs)
+    }.toDF("media_id", "n_samples", "sum_sq", "n_clipped", "n_silent", "max_abs")
+      .orderBy($"media_id")
+  }
+
+  val audioFeaturesSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |sm AS (
+      |  SELECT ks.k, (ks.k*31 + i.g*17) % 2048 - 1024 AS v
+      |  FROM ks, generate_series(0, 256) i(g)
+      |  WHERE i.g < 200 + ks.k % 57
+      |)
+      |SELECT k AS media_id, COUNT(*) AS n_samples,
+      |  CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+      |  CAST(SUM(CASE WHEN abs(v) >= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+      |  CAST(SUM(CASE WHEN abs(v) < 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+      |  CAST(MAX(abs(v)) AS INTEGER) AS max_abs
+      |FROM sm
+      |GROUP BY k
+      |ORDER BY media_id""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -668,7 +807,9 @@ object Corpus {
     "q_incremental_ingest" -> (incrementalIngest _),
     "q_emb_centroids" -> (embCentroids _),
     "q_table_stats" -> (tableStats _),
-    "q_unpivot_long" -> (unpivotLong _))
+    "q_unpivot_long" -> (unpivotLong _),
+    "q_image_dhash" -> (imageDhash _),
+    "q_audio_features" -> (audioFeatures _))
 
   val oracles: Map[String, String] = Map(
     "q_url_extract" -> urlExtractSql,
@@ -685,5 +826,7 @@ object Corpus {
     "q_incremental_ingest" -> incrementalIngestSql,
     "q_emb_centroids" -> embCentroidsSql,
     "q_table_stats" -> tableStatsSql,
-    "q_unpivot_long" -> unpivotLongSql)
+    "q_unpivot_long" -> unpivotLongSql,
+    "q_image_dhash" -> imageDhashSql,
+    "q_audio_features" -> audioFeaturesSql)
 }

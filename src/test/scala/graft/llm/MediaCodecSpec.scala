@@ -110,4 +110,34 @@ class MediaCodecSpec extends SparkTestBase {
     // truncated payload must not decode
     assert(decode(bytes.dropRight(1)).isEmpty)
   }
+
+  test("pgmPixels returns the raster; wavSamples returns the samples") {
+    val bytes = MediaCodec.encodePgm(3, 2, (x, y) => 10 * y + x)
+    val Some((w, h, px)) = MediaCodec.pgmPixels(bytes)
+    assert(w == 3 && h == 2 && px.toSeq == Seq(0, 1, 2, 10, 11, 12))
+    assert(MediaCodec.pgmPixels(bytes.dropRight(1)).isEmpty)
+    val ss = Array.tabulate(9)(i => (i * 1000 - 4000).toShort)
+    val wav = MediaCodec.encodeWavPcm16(8000, ss)
+    val Some((rate, back)) = MediaCodec.wavSamples(wav)
+    assert(rate == 8000 && back.toSeq == ss.toSeq)
+    assert(MediaCodec.wavSamples(wav.take(20)).isEmpty)
+  }
+
+  test("dhash56: gradient direction, perturbation locality, 56-bit bound") {
+    // horizontally increasing image -> every comparison true -> all 56 bits
+    val w = 18; val h = 14
+    val inc = Array.tabulate(w * h)(p => (p % w) * 10)
+    val full = MediaCodec.dhash56(inc, w, h)
+    assert(full == (1L << 56) - 1 && full > 0)
+    // horizontally decreasing -> no bits
+    val dec = Array.tabulate(w * h)(p => 255 - (p % w) * 10)
+    assert(MediaCodec.dhash56(dec, w, h) == 0L)
+    // a single-pixel perturbation flips at most 2 bits (its left and
+    // right comparisons) -> hamming <= 2, the near-dup property
+    val base = Array.tabulate(w * h)(p => (p * 37 + p / w * 11) % 256)
+    val h0 = MediaCodec.dhash56(base, w, h)
+    val pert = base.clone(); pert(5 * w + 7) = (pert(5 * w + 7) + 120) % 256
+    val h1 = MediaCodec.dhash56(pert, w, h)
+    assert(java.lang.Long.bitCount(h0 ^ h1) <= 2)
+  }
 }
