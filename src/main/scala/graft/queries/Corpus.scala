@@ -741,6 +741,127 @@ object Corpus {
       |GROUP BY 1
       |ORDER BY hamming""".stripMargin
 
+  // ------------------------------------------------------ video near-dup
+
+  /** Video-level near-dup detection: each video is its SET of per-frame
+    * dHashes (frames honestly decoded from PGM bytes, hashed by
+    * [[graft.llm.MediaCodec.dhash56]]); two videos match when they
+    * share ≥2 frame hashes — the shot-level containment test real
+    * video dedup runs (a re-upload with a dropped intro still shares
+    * most frames). Odd keys replay the even partner's frames minus one,
+    * so every pair shares n_frames−1. The join is an equi-join on the
+    * 56-bit frame hash (never all-pairs); distinct-before-join caps
+    * fan-out at the number of videos containing a frame. Output is
+    * integer-only (shared/size counts), rebuilt exactly by the oracle
+    * from the synthesis formulas. */
+  def videoNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.MediaCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val frameHashes = keys.flatMap { k =>
+      val base = k - (k % 2)
+      val nf = (4 + base % 3).toInt
+      val cx = 11 + (base / 7) % 89
+      val cy = 13 + (base / 11) % 83
+      val drop = if (k % 2 == 1) (base % nf).toInt else -1
+      (0 until nf).filter(_ != drop).map { f =>
+        val bytes = MediaCodec.encodePgm(16, 12,
+          (x, y) => ((7 * base + cx * x + cy * y + 31 * f) % 256).toInt)
+        val (pw, ph, pxs) = MediaCodec.pgmPixels(bytes).get
+        (k, MediaCodec.dhash56(pxs, pw, ph))
+      }
+    }.toDF("k", "fh").distinct()
+    val sizes = frameHashes.groupBy($"k").agg(count(lit(1)).as("n"))
+    frameHashes.as("a")
+      .join(frameHashes.as("b"), $"a.fh" === $"b.fh" && $"a.k" < $"b.k")
+      .groupBy($"a.k".as("ka"), $"b.k".as("kb"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 2)
+      .join(sizes.select($"k".as("ka"), $"n".as("n_a")), Seq("ka"))
+      .join(sizes.select($"k".as("kb"), $"n".as("n_b")), Seq("kb"))
+      .select($"ka", $"kb", $"n_shared", $"n_a", $"n_b")
+      .orderBy($"ka", $"kb")
+  }
+
+  val videoNearDupSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |vids AS (
+      |  SELECT k, k - k % 2 AS base, 4 + (k - k % 2) % 3 AS nf,
+      |    11 + ((k - k % 2) // 7) % 89 AS cx,
+      |    13 + ((k - k % 2) // 11) % 83 AS cy
+      |  FROM ks
+      |), frames AS (
+      |  SELECT v.k, v.base, v.cx, v.cy, f.g AS f
+      |  FROM vids v, generate_series(0, 6) f(g)
+      |  WHERE f.g < v.nf AND NOT (v.k % 2 = 1 AND f.g = v.base % v.nf)
+      |), fh AS (
+      |  SELECT DISTINCT fr.k,
+      |    (SELECT SUM(CASE WHEN
+      |        (7*fr.base + fr.cx*(((x.g+1)*16)//9) + fr.cy*((y.g*12)//7) + 31*fr.f) % 256
+      |        > (7*fr.base + fr.cx*((x.g*16)//9) + fr.cy*((y.g*12)//7) + 31*fr.f) % 256
+      |      THEN (CAST(1 AS BIGINT) << CAST(y.g*8 + x.g AS INTEGER)) ELSE 0 END)
+      |     FROM generate_series(0, 6) y(g), generate_series(0, 7) x(g)) AS fh
+      |  FROM frames fr
+      |), sizes AS (SELECT k, COUNT(*) AS n FROM fh GROUP BY k),
+      |pairs AS (
+      |  SELECT a.k AS ka, b.k AS kb, COUNT(*) AS n_shared
+      |  FROM fh a JOIN fh b ON a.fh = b.fh AND a.k < b.k
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 2
+      |)
+      |SELECT p.ka, p.kb, p.n_shared, sa.n AS n_a, sb.n AS n_b
+      |FROM pairs p
+      |JOIN sizes sa ON sa.k = p.ka
+      |JOIN sizes sb ON sb.k = p.kb
+      |ORDER BY p.ka, p.kb""".stripMargin
+
+  // --------------------------------------------------------- RAG chunking
+
+  /** Overlapping sliding-window chunking (window 64 words, stride 48 —
+    * the RAG/embedding-prep layout, distinct from the disjoint
+    * `word_chunks` line segmentation): per document the chunk count,
+    * total chunk tokens (measuring the 16-word overlap duplication),
+    * and an md5-bucket checksum over every chunk's text so the gate
+    * covers the chunk CONTENT, not just the arithmetic. One generator
+    * per doc, no shuffle beyond the final per-doc rollup. */
+  def ragChunks(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Graft.init(s)
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id", split(lower(trim($"text")), "\\s+").as("ws"))
+      .select($"doc_id", size($"ws").as("n_words"),
+        explode(expr(
+          "transform(sequence(0, int(floor((size(ws) - 1) / 48))), " +
+            "i -> struct(size(slice(ws, i * 48 + 1, 64)) as n, " +
+            "array_join(slice(ws, i * 48 + 1, 64), ' ') as t))")).as("ch"))
+      .groupBy($"doc_id")
+      .agg(max($"n_words").cast("long").as("n_words"),
+        count(lit(1)).as("n_chunks"),
+        sum($"ch.n".cast("long")).as("total_chunk_tokens"),
+        sum(call_function("md5_bucket", $"ch.t", lit(1 << 30)).cast("long"))
+          .as("checksum"))
+      .orderBy($"doc_id")
+  }
+
+  val ragChunksSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      |  FROM documents
+      |), ch AS (
+      |  SELECT doc_id, len(ws) AS n_words,
+      |    len(ws[i.g*48+1:i.g*48+64]) AS n,
+      |    array_to_string(ws[i.g*48+1:i.g*48+64], ' ') AS t
+      |  FROM t, generate_series(0, 100000) i(g)
+      |  WHERE i.g <= (len(ws) - 1) // 48
+      |)
+      |SELECT doc_id, CAST(MAX(n_words) AS BIGINT) AS n_words,
+      |  COUNT(*) AS n_chunks,
+      |  CAST(SUM(n) AS BIGINT) AS total_chunk_tokens,
+      |  CAST(SUM(md5_number_lower(t) % 1073741824) AS BIGINT) AS checksum
+      |FROM ch
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------- audio features
 
   /** Audio quality profiling over honestly decoded WAV bytes — the
@@ -809,7 +930,9 @@ object Corpus {
     "q_table_stats" -> (tableStats _),
     "q_unpivot_long" -> (unpivotLong _),
     "q_image_dhash" -> (imageDhash _),
-    "q_audio_features" -> (audioFeatures _))
+    "q_audio_features" -> (audioFeatures _),
+    "q_video_neardup" -> (videoNearDup _),
+    "q_rag_chunks" -> (ragChunks _))
 
   val oracles: Map[String, String] = Map(
     "q_url_extract" -> urlExtractSql,
@@ -828,5 +951,7 @@ object Corpus {
     "q_table_stats" -> tableStatsSql,
     "q_unpivot_long" -> unpivotLongSql,
     "q_image_dhash" -> imageDhashSql,
-    "q_audio_features" -> audioFeaturesSql)
+    "q_audio_features" -> audioFeaturesSql,
+    "q_video_neardup" -> videoNearDupSql,
+    "q_rag_chunks" -> ragChunksSql)
 }

@@ -155,6 +155,31 @@ class CorpusSpec extends SparkTestBase {
       (bySet(1L) intersect bySet(3L)).size < bySet(1L).size / 2)
   }
 
+  test("rag chunking layout matches brute force (window 64, stride 48)") {
+    val rnd = new scala.util.Random(5)
+    val texts = Seq(0, 1, 47, 48, 49, 63, 64, 65, 112, 200).map { n =>
+      (0 until n).map(_ => "w" + rnd.nextInt(50)).mkString(" ")
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rag_spec").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Corpus.ragChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val ws = t.toLowerCase.trim.split("\\s+", -1)
+      val chunks = Iterator.from(0).map(_ * 48).takeWhile(_ < ws.length)
+        .map(s0 => ws.slice(s0, s0 + 64)).toSeq match {
+        case Seq() => Seq(ws.slice(0, 64)) // len-0 text still yields [""] → 1 chunk
+        case cs => cs
+      }
+      val (nw, nc, tct) = got(i.toLong)
+      assert(nw === ws.length.toLong, s"doc $i words")
+      assert(nc === chunks.size.toLong, s"doc $i chunks")
+      assert(tct === chunks.map(_.length).sum.toLong, s"doc $i tokens")
+    }
+  }
+
   test("source dup graph counts distinct shared lines, a<b only") {
     // s0 and s1 share exactly two distinct 4-word lines; the repeat of a
     // shared line inside s1 must NOT inflate the count (distinct before
