@@ -599,6 +599,92 @@ object Relational {
       |ORDER BY cnt DESC, event_type, user_id
       |LIMIT 10""".stripMargin
 
+  /** Ordered three-stage funnel (view → click → purchase within one
+    * hour of the first view) — the event-sequence analytic that needs
+    * ORDER inside each user's history, not just counts: each stage is
+    * a min-over-filtered-join anchored on the previous stage's
+    * timestamp. Three shuffles on user_id, every join key-equi; at
+    * 100 TB the three stage tables are per-user aggregates (users ≪
+    * events) and the joins broadcast or co-partition. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val views = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("tv"))
+    val clicks = ev.filter($"event_type" === "click")
+      .join(views, Seq("user_id"))
+      .filter($"ts" > $"tv" && $"ts" <= $"tv" + expr("INTERVAL 1 HOUR"))
+      .groupBy($"user_id").agg(min($"ts").as("tc"), min($"tv").as("tv2"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .join(clicks, Seq("user_id"))
+      .filter($"ts" > $"tc" && $"ts" <= $"tv2" + expr("INTERVAL 1 HOUR"))
+      .groupBy($"user_id").agg(min($"ts").as("tp"))
+    // one per-user frame + one aggregate (clicks ⊆ views, purchases ⊆
+    // clicks, so non-null counts ARE the stage counts) — three one-row
+    // aggregates cross-joined would plan as nested-loop joins
+    views
+      .join(clicks.select($"user_id", $"tc"), Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .agg(count($"tv").as("n_view_users"),
+        count($"tc").as("n_click_users"),
+        count($"tp").as("n_purchase_users"))
+  }
+
+  val funnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS tv FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS tc, MIN(v.tv) AS tv2
+      |  FROM events e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.tv
+      |    AND e.ts <= v.tv + INTERVAL 1 HOUR
+      |  GROUP BY e.user_id
+      |), p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS tp
+      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.tc
+      |    AND e.ts <= c.tv2 + INTERVAL 1 HOUR
+      |  GROUP BY e.user_id
+      |)
+      |SELECT (SELECT COUNT(*) FROM v) AS n_view_users,
+      |       (SELECT COUNT(*) FROM c) AS n_click_users,
+      |       (SELECT COUNT(*) FROM p) AS n_purchase_users""".stripMargin
+
+  /** Hourly cohort retention: users grouped by the hour of their FIRST
+    * event; per cohort, how many come back in hour +1 and hour +2 —
+    * the standard activation/retention matrix. One per-user aggregate,
+    * one key-equi join back to the event stream, conditional distinct
+    * counts. */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val cohort = ev.groupBy($"user_id")
+      .agg(date_trunc("hour", min($"ts")).as("cohort_hour"))
+    ev.join(cohort, Seq("user_id"))
+      .groupBy($"cohort_hour")
+      .agg(count_distinct($"user_id").as("n_users"),
+        count_distinct(when(date_trunc("hour", $"ts") ===
+          $"cohort_hour" + expr("INTERVAL 1 HOUR"), $"user_id")).as("ret_h1"),
+        count_distinct(when(date_trunc("hour", $"ts") ===
+          $"cohort_hour" + expr("INTERVAL 2 HOUR"), $"user_id")).as("ret_h2"))
+      .orderBy($"cohort_hour")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH c AS (
+      |  SELECT user_id, date_trunc('hour', MIN(ts)) AS cohort_hour
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT c.cohort_hour, COUNT(DISTINCT e.user_id) AS n_users,
+      |  COUNT(DISTINCT CASE WHEN date_trunc('hour', e.ts) =
+      |    c.cohort_hour + INTERVAL 1 HOUR THEN e.user_id END) AS ret_h1,
+      |  COUNT(DISTINCT CASE WHEN date_trunc('hour', e.ts) =
+      |    c.cohort_hour + INTERVAL 2 HOUR THEN e.user_id END) AS ret_h2
+      |FROM events e JOIN c ON c.user_id = e.user_id
+      |GROUP BY c.cohort_hour
+      |ORDER BY c.cohort_hour""".stripMargin
+
   /** Two-phase salted aggregation ([[graft.ops.Skew.saltedAgg]]) over the
     * events table — driver-gates the skew utility: the salted partial →
     * merge pipeline must produce EXACTLY the plain GROUP BY's rows
@@ -849,6 +935,8 @@ object Relational {
     "q_skew_agg" -> (skewAgg _),
     "q_skew_report" -> (skewReport _),
     "q_heavy_hitters" -> (heavyHitters _),
+    "q_funnel" -> (funnel _),
+    "q_cohort_retention" -> (cohortRetention _),
     "q_asof_join" -> (asofJoin _),
     "q_range_join" -> (rangeJoin _),
     "q_range_join_mixed" -> (rangeJoinMixed _),
@@ -878,6 +966,8 @@ object Relational {
     "q_skew_agg" -> skewAggSql,
     "q_skew_report" -> skewReportSql,
     "q_heavy_hitters" -> heavyHittersSql,
+    "q_funnel" -> funnelSql,
+    "q_cohort_retention" -> cohortRetentionSql,
     "q_asof_join" -> asofJoinSql,
     "q_range_join" -> rangeJoinSql,
     "q_range_join_mixed" -> rangeJoinMixedSql,
