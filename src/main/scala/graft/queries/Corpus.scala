@@ -72,6 +72,9 @@ object Corpus {
       .select($"doc_id",
         explode(regexp_extract_all($"aug", lit("https?://[^\\s]+"), lit(0))).as("u"))
       .select($"doc_id", urlHost(u2).as("host"), urlNorm(u2).as("norm"))
+      // a crawler discards scheme-only matches ("http://?x=y" has no
+      // authority); also what makes normalization idempotent (CorpusSpec)
+      .filter($"host" =!= "")
       .groupBy($"host")
       .agg(count(lit(1)).as("n_urls"),
         count_distinct($"doc_id").as("n_docs"),
@@ -105,6 +108,7 @@ object Corpus {
       |         ELSE hostport END AS host,
       |    scheme, rest
       |  FROM norm
+      |  WHERE hostport <> ''
       |)
       |SELECT host, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs,
       |  MIN(scheme || '://' || host || rest) AS first_url

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+
+/** Adaptive-execution behaviors the 100 TB story leans on, proven at
+  * runtime rather than asserted in prose: AQE re-plans a sort-merge
+  * join into a broadcast join once the built side's TRUE size is known,
+  * and coalesces undersized shuffle partitions. These are the two
+  * mechanisms that make "set shuffle.partitions for the big case and
+  * let AQE shrink the small case" a safe default. */
+class AqeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** QueryStageExec nodes are LEAVES of the adaptive plan tree (their
+    * materialized subtree hangs off `.plan`, not `.children`), so a
+    * plain `collect` never sees inside a finished stage — flatten
+    * through them explicitly. */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case q: QueryStageExec => p +: flatten(q.plan)
+    case _ => p +: p.children.flatMap(flatten)
+  }
+
+  private def adaptive(df: org.apache.spark.sql.DataFrame): AdaptiveSparkPlanExec = {
+    df.collect() // materialize so AQE finalizes every stage
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a
+      case p => fail(s"not an adaptive plan:\n${p.treeString.take(500)}")
+    }
+  }
+
+  test("AQE re-plans a static sort-merge join to broadcast at runtime") {
+    val statics = "spark.sql.autoBroadcastJoinThreshold"
+    val dynamic = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val prevS = spark.conf.get(statics, "10485760")
+    val prevD = spark.conf.getOption(dynamic)
+    try {
+      // static planning may NOT broadcast; adaptive re-planning may —
+      // so the initial plan must be SMJ and the final plan BHJ, which
+      // is exactly the runtime conversion being asserted
+      spark.conf.set(statics, "-1")
+      spark.conf.set(dynamic, "10485760")
+      val big = spark.range(0, 200000).selectExpr("id % 1000 as k", "id as v")
+      val small = spark.range(0, 40).selectExpr("id as k", "id * 10 as w")
+      val a = adaptive(big.join(small, Seq("k")))
+      assert(flatten(a.initialPlan).exists(_.isInstanceOf[SortMergeJoinExec]),
+        s"static plan should be SMJ:\n${a.initialPlan.treeString.take(1000)}")
+      assert(flatten(a.executedPlan).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"final plan should be BHJ:\n${a.executedPlan.treeString.take(1000)}")
+    } finally {
+      spark.conf.set(statics, prevS)
+      prevD match {
+        case Some(v) => spark.conf.set(dynamic, v)
+        case None => spark.conf.unset(dynamic)
+      }
+    }
+  }
+
+  test("AQE coalesces undersized shuffle partitions below the configured count") {
+    val df = spark.range(0, 1000).selectExpr("id % 7 as k")
+      .groupBy($"k").count()
+    val a = adaptive(df)
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val reads = flatten(a.executedPlan).collect { case r: AQEShuffleReadExec => r }
+    assert(reads.nonEmpty,
+      s"no AQE shuffle read in:\n${a.executedPlan.treeString.take(1000)}")
+    assert(reads.forall(_.partitionSpecs.size < shufflePartitions),
+      "tiny aggregate should coalesce below the static partition count")
+  }
+}

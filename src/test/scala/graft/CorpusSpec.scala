@@ -33,6 +33,29 @@ class CorpusSpec extends SparkTestBase {
     assert(got.toSeq === cases.map(c => (c._2, c._3)))
   }
 
+  test("url normalization is idempotent and total on fuzzed inputs") {
+    val rnd = new scala.util.Random(13)
+    val frags = Seq("http://", "HTTPS://", "a.B.c", ":443", ":80", ":8080",
+      "/P/q", "?x=Y", "#f", ".", ",", ")", "example.ORG", "://", "", "%20")
+    val urls = (0 until 300).map { _ =>
+      (0 until (1 + rnd.nextInt(5))).map(_ => frags(rnd.nextInt(frags.size))).mkString
+    } ++ Seq("https://ex.org:443/a#b.", "http://EX.org:80?q#f,")
+    val df = urls.toDF("u")
+      .select($"u", Corpus.urlHost(Corpus.urlClean($"u")).as("h"),
+        Corpus.urlNorm(Corpus.urlClean($"u")).as("n1"))
+      // the query discards authority-less matches (host = ""); the
+      // idempotence contract holds for everything it keeps
+      .filter($"h" =!= "")
+      .select($"u", $"n1", Corpus.urlNorm(Corpus.urlClean($"n1")).as("n2"))
+    // normalizing a normalized url must be a fixpoint (no port/fragment
+    // left to strip, case already folded), and must never throw
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"not idempotent on '${r.getString(0)}': '${r.getString(1)}' -> '${r.getString(2)}'")
+    }
+  }
+
   test("jsonl roundtrip is lossless under newlines, quotes, control chars, unicode") {
     val rows = Seq(
       (1L, "line1\nline2\r\nline3", "en", "s0", 19L),
