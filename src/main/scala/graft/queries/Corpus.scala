@@ -915,6 +915,142 @@ object Corpus {
       |GROUP BY k
       |ORDER BY media_id""".stripMargin
 
+  // ------------------------------------------------------- inverted index
+
+  /** Inverted-index build — the retrieval-side primitive (term →
+    * sorted posting list) a corpus this size serves search from. One
+    * shuffle on term; postings are sorted and serialized per term
+    * (string-joined because the driver comparator can't hash array
+    * cells), with the doc-id sum as an order-insensitive checksum. Top
+    * 100 terms by document frequency — at 100 TB the full index is a
+    * partitioned WRITE, not a query result; the query gates the
+    * construction. */
+  def invertedIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("w"))
+      .distinct()
+      .groupBy($"w")
+      .agg(count(lit(1)).as("df"),
+        array_join(sort_array(collect_list($"doc_id")), ",").as("postings"),
+        sum($"doc_id").as("sum_ids"))
+      .orderBy($"df".desc, $"w")
+      .limit(100)
+  }
+
+  val invertedIndexSql: String =
+    """WITH t AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |  FROM documents
+      |)
+      |SELECT w, COUNT(*) AS df,
+      |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      |FROM t
+      |GROUP BY w
+      |ORDER BY df DESC, w
+      |LIMIT 100""".stripMargin
+
+  /** Positional phrase search — "adjacent tokens" retrieval without a
+    * string scan: token positions join on pos+1 (the lead-window form;
+    * same adjacency the collocation miner uses), here for the corpus's
+    * most frequent bigram so the query is self-contained. Per matching
+    * doc the occurrence count and first position. The position join
+    * shuffles on doc_id once. */
+  def phraseSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, d)
+      .select($"doc_id",
+        posexplode(split(lower(trim($"text")), "\\s+")).as(Seq("pos", "w")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val bigrams = toks.withColumn("w2", lead($"w", 1).over(w))
+      .filter($"w2".isNotNull)
+    val top = bigrams.groupBy($"w", $"w2").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w", $"w2").limit(1)
+      .select($"w".as("pw"), $"w2".as("pw2"))
+    bigrams.join(broadcast(top), $"w" === $"pw" && $"w2" === $"pw2")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_occurrences"), min($"pos").as("first_pos"))
+      .orderBy($"doc_id")
+  }
+
+  val phraseSearchSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, u - 1 AS pos, ws[u] AS w
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS u
+      |        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      |              FROM documents))
+      |), bg AS (
+      |  SELECT a.doc_id, a.pos, a.w, b.w AS w2
+      |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |), top AS (
+      |  SELECT w, w2 FROM bg GROUP BY w, w2
+      |  ORDER BY COUNT(*) DESC, w, w2 LIMIT 1
+      |)
+      |SELECT bg.doc_id, COUNT(*) AS n_occurrences,
+      |  CAST(MIN(bg.pos) AS INTEGER) AS first_pos
+      |FROM bg JOIN top ON bg.w = top.w AND bg.w2 = top.w2
+      |GROUP BY bg.doc_id
+      |ORDER BY bg.doc_id""".stripMargin
+
+  // ------------------------------------------------------ triangle count
+
+  /** Oriented triangle counting over the near-dup graph (exact-Jaccard
+    * ≥0.8 edges, the q_dedup_jaccard/q_dedup_cc edge set): triangles ≈
+    * dense duplication clusters, the signal that a dup GROUP is a
+    * template farm rather than a chance pair. The a<b<c orientation is
+    * THE scale trick — each triangle is counted exactly once and the
+    * wedge join only extends forward, so the intermediate is wedges
+    * (low-degree-bounded), never paths². Two hash equi-joins on doc
+    * ids. */
+  def triangleCount(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Graft.init(s)
+    import s.implicits._
+    val e = Dedup.ngramJaccardPairsExact(documents(s, d), "doc_id", "text",
+        shingleSize = 3, threshold = 0.8)
+      .select($"id_a".as("a"), $"id_b".as("b"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), $"e1.b" === $"e2.a")
+      .join(e.as("e3"), $"e2.b" === $"e3.b" && $"e1.a" === $"e3.a")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("triangles").as("metric"), $"n")
+    // two (metric, n) rows rather than two one-row frames cross-joined —
+    // the latter plans as a nested-loop join (see q_funnel)
+    e.agg(count(lit(1)).as("n"))
+      .select(lit("edges").as("metric"), $"n")
+      .unionByName(tri)
+      .orderBy($"metric")
+  }
+
+  val triangleCountSql: String = {
+    // the shared nd-pair CTEs live in Llm; rebuilt here with identical text
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(ws[u:u+2], ' ') AS s
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u FROM toks)
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), nd AS (
+      |  SELECT id_a AS a, id_b AS b
+      |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+      |)
+      |SELECT 'edges' AS metric, COUNT(*) AS n FROM nd
+      |UNION ALL
+      |SELECT 'triangles' AS metric, COUNT(*) AS n
+      |FROM nd e1
+      |JOIN nd e2 ON e1.b = e2.a
+      |JOIN nd e3 ON e2.b = e3.b AND e1.a = e3.a
+      |ORDER BY metric""".stripMargin
+  }
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -936,7 +1072,10 @@ object Corpus {
     "q_image_dhash" -> (imageDhash _),
     "q_audio_features" -> (audioFeatures _),
     "q_video_neardup" -> (videoNearDup _),
-    "q_rag_chunks" -> (ragChunks _))
+    "q_rag_chunks" -> (ragChunks _),
+    "q_inverted_index" -> (invertedIndex _),
+    "q_phrase_search" -> (phraseSearch _),
+    "q_triangle_count" -> (triangleCount _))
 
   val oracles: Map[String, String] = Map(
     "q_url_extract" -> urlExtractSql,
@@ -957,5 +1096,8 @@ object Corpus {
     "q_image_dhash" -> imageDhashSql,
     "q_audio_features" -> audioFeaturesSql,
     "q_video_neardup" -> videoNearDupSql,
-    "q_rag_chunks" -> ragChunksSql)
+    "q_rag_chunks" -> ragChunksSql,
+    "q_inverted_index" -> invertedIndexSql,
+    "q_phrase_search" -> phraseSearchSql,
+    "q_triangle_count" -> triangleCountSql)
 }
