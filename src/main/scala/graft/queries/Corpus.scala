@@ -997,19 +997,23 @@ object Corpus {
 
   // ------------------------------------------------------ triangle count
 
-  /** Oriented triangle counting over the near-dup graph (exact-Jaccard
-    * ≥0.8 edges, the q_dedup_jaccard/q_dedup_cc edge set): triangles ≈
-    * dense duplication clusters, the signal that a dup GROUP is a
+  /** Oriented triangle counting over the near-dup graph (df-capped
+    * exact-Jaccard ≥0.8 edges, the q_dedup_jaccard edge set): triangles
+    * ≈ dense duplication clusters, the signal that a dup GROUP is a
     * template farm rather than a chance pair. The a<b<c orientation is
     * THE scale trick — each triangle is counted exactly once and the
     * wedge join only extends forward, so the intermediate is wedges
     * (low-degree-bounded), never paths². Two hash equi-joins on doc
-    * ids. */
+    * ids. Edge mining uses the FILTERED pair miner: the uncapped
+    * all-pairs-by-shingle join ran 41 s at sf0.1 (the round-5 lesson —
+    * boilerplate shingles quadratically dominate), the df≤10 cap runs
+    * in ~1 s with the identical edge set on this corpus (a pair of
+    * ≥0.8-Jaccard docs always shares rare shingles too). */
   def triangleCount(s: SparkSession, d: String): DataFrame = {
     graft.functions.Graft.init(s)
     import s.implicits._
-    val e = Dedup.ngramJaccardPairsExact(documents(s, d), "doc_id", "text",
-        shingleSize = 3, threshold = 0.8)
+    val e = Dedup.ngramJaccardPairsFiltered(documents(s, d), "doc_id", "text",
+        shingleSize = 3, threshold = 0.8, maxDocFreq = 10)
       .select($"id_a".as("a"), $"id_b".as("b"))
     val tri = e.as("e1")
       .join(e.as("e2"), $"e1.b" === $"e2.a")
@@ -1025,17 +1029,21 @@ object Corpus {
   }
 
   val triangleCountSql: String = {
-    // the shared nd-pair CTEs live in Llm; rebuilt here with identical text
+    // the df-capped jaccard CTEs, mirrored from the q_dedup_jaccard oracle
     """WITH toks AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
       |), sh AS (
       |  SELECT DISTINCT doc_id, array_to_string(ws[u:u+2], ' ') AS s
       |  FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u FROM toks)
+      |), capped AS (
+      |  SELECT doc_id, s FROM (
+      |    SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh)
+      |  WHERE df <= 10
       |), sizes AS (
-      |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+      |  SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1
       |), pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
       |), nd AS (
       |  SELECT id_a AS a, id_b AS b
