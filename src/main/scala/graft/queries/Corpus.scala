@@ -995,6 +995,99 @@ object Corpus {
       |GROUP BY bg.doc_id
       |ORDER BY bg.doc_id""".stripMargin
 
+  // --------------------------------------------------- schema evolution
+
+  /** Schema-evolution read: a corpus lake accumulates batches whose
+    * schemas DRIFT (new columns appear); the gate writes an early batch
+    * without `quality` and a later batch with it, re-reads with
+    * `mergeSchema`, and profiles — old rows must surface NULL quality,
+    * new rows their values, and the shared columns must be unharmed.
+    * At 100 TB this is why readers pin an explicit expected schema and
+    * treat merge as the migration tool, not the steady state (schema
+    * inference over a million files is a driver-side flood). */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Graft.init(s)
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_schema_evo")
+      .resolve("docs").toString
+    val docs = documents(s, d)
+      .withColumn("b", call_function("md5_bucket", $"text", lit(2)))
+    docs.filter($"b" === 0).select($"doc_id", $"source", $"n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/batch=0")
+    docs.filter($"b" === 1)
+      .select($"doc_id", $"source", $"n_chars",
+        (length($"text") % 100).cast("long").as("quality"))
+      .write.mode("overwrite").parquet(s"$tmp/batch=1")
+    s.read.option("mergeSchema", "true").parquet(tmp)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count($"quality").as("n_with_quality"),
+        sum($"quality").as("sum_quality"),
+        sum($"n_chars").as("sum_chars"))
+      .orderBy($"source")
+  }
+
+  val schemaEvolutionSql: String =
+    """WITH d AS (
+      |  SELECT source, n_chars, length(text) AS lt,
+      |         md5_number_lower(text) % 2 AS b
+      |  FROM documents
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_quality,
+      |  CAST(SUM(CASE WHEN b = 1 THEN lt % 100 END) AS BIGINT) AS sum_quality,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM d
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------- null-safe join
+
+  /** Null-key join semantics — the quiet correctness trap of every
+    * enrichment join: standard equality drops NULL keys, `<=>`
+    * (IS NOT DISTINCT FROM) matches them. The query synthesizes NULL
+    * keys deterministically (every 7th doc loses its source) and
+    * reports both join's row counts plus the null-matched volume, so a
+    * regression in either semantic flips an exact integer. Scale note:
+    * null-heavy keys are also a skew hazard — the null bucket all
+    * hashes to one partition, the same reason q_skew_agg salts. */
+  def nullsafeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+      .select($"doc_id",
+        when($"doc_id" % 7 === 0, lit(null)).otherwise($"source").as("src"))
+    val dim = documents(s, d).groupBy($"source").agg(count(lit(1)).as("sz"))
+      .select($"source".as("dsrc"), $"sz")
+      .unionByName(Seq((null.asInstanceOf[String], -1L)).toDF("dsrc", "sz"))
+    val eq = docs.join(dim, $"src" === $"dsrc")
+    val ns = docs.join(dim, $"src" <=> $"dsrc")
+    eq.agg(count(lit(1)).as("n")).select(lit("equal").as("semantics"), $"n")
+      .unionByName(ns.agg(count(lit(1)).as("n"))
+        .select(lit("null_safe").as("semantics"), $"n"))
+      .unionByName(ns.filter($"src".isNull).agg(count(lit(1)).as("n"))
+        .select(lit("null_matched").as("semantics"), $"n"))
+      .orderBy($"semantics")
+  }
+
+  val nullsafeJoinSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS src
+      |  FROM documents
+      |), dim AS (
+      |  SELECT source AS dsrc, COUNT(*) AS sz FROM documents GROUP BY source
+      |  UNION ALL SELECT NULL, -1
+      |)
+      |SELECT 'equal' AS semantics, COUNT(*) AS n
+      |FROM docs JOIN dim ON docs.src = dim.dsrc
+      |UNION ALL
+      |SELECT 'null_safe' AS semantics, COUNT(*) AS n
+      |FROM docs JOIN dim ON docs.src IS NOT DISTINCT FROM dim.dsrc
+      |UNION ALL
+      |SELECT 'null_matched' AS semantics, COUNT(*) AS n
+      |FROM docs JOIN dim ON docs.src IS NOT DISTINCT FROM dim.dsrc
+      |WHERE docs.src IS NULL
+      |ORDER BY semantics""".stripMargin
+
   // ------------------------------------------------------ triangle count
 
   /** Oriented triangle counting over the near-dup graph (df-capped
@@ -1083,7 +1176,9 @@ object Corpus {
     "q_rag_chunks" -> (ragChunks _),
     "q_inverted_index" -> (invertedIndex _),
     "q_phrase_search" -> (phraseSearch _),
-    "q_triangle_count" -> (triangleCount _))
+    "q_triangle_count" -> (triangleCount _),
+    "q_schema_evolution" -> (schemaEvolution _),
+    "q_nullsafe_join" -> (nullsafeJoin _))
 
   val oracles: Map[String, String] = Map(
     "q_url_extract" -> urlExtractSql,
@@ -1107,5 +1202,7 @@ object Corpus {
     "q_rag_chunks" -> ragChunksSql,
     "q_inverted_index" -> invertedIndexSql,
     "q_phrase_search" -> phraseSearchSql,
-    "q_triangle_count" -> triangleCountSql)
+    "q_triangle_count" -> triangleCountSql,
+    "q_schema_evolution" -> schemaEvolutionSql,
+    "q_nullsafe_join" -> nullsafeJoinSql)
 }
