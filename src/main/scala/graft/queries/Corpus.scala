@@ -1041,6 +1041,44 @@ object Corpus {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ------------------------------------------------ range-sorted layout
+
+  /** Range-partitioned + sorted file layout — the third storage layout
+    * next to bucketing (q_store_bucketed) and hive partitioning
+    * (q_partitioned_prune): `repartitionByRange(n_chars)` then
+    * `sortWithinPartitions` yields files whose n_chars ranges are
+    * DISJOINT, which is what parquet row-group min/max skipping needs
+    * to eliminate whole files on a range predicate. The gate re-reads
+    * with a range filter and profiles; CorpusSpec separately asserts
+    * the per-file min/max intervals do not overlap. RangePartitioner
+    * samples boundaries, so row COUNTS per file are not deterministic —
+    * the query's output deliberately aggregates over the filter, which
+    * is layout-independent. */
+  def rangeLayout(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_range_layout")
+      .resolve("docs").toString
+    documents(s, d)
+      .repartitionByRange(8, $"n_chars")
+      .sortWithinPartitions($"n_chars", $"doc_id")
+      .write.mode("overwrite").parquet(tmp)
+    s.read.parquet(tmp)
+      .filter($"n_chars" >= 500 && $"n_chars" < 2000)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+        min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+      .orderBy($"lang")
+  }
+
+  val rangeLayoutSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents
+      |WHERE n_chars >= 500 AND n_chars < 2000
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------- null-safe join
 
   /** Null-key join semantics — the quiet correctness trap of every
@@ -1178,7 +1216,8 @@ object Corpus {
     "q_phrase_search" -> (phraseSearch _),
     "q_triangle_count" -> (triangleCount _),
     "q_schema_evolution" -> (schemaEvolution _),
-    "q_nullsafe_join" -> (nullsafeJoin _))
+    "q_nullsafe_join" -> (nullsafeJoin _),
+    "q_range_layout" -> (rangeLayout _))
 
   val oracles: Map[String, String] = Map(
     "q_url_extract" -> urlExtractSql,
@@ -1204,5 +1243,6 @@ object Corpus {
     "q_phrase_search" -> phraseSearchSql,
     "q_triangle_count" -> triangleCountSql,
     "q_schema_evolution" -> schemaEvolutionSql,
-    "q_nullsafe_join" -> nullsafeJoinSql)
+    "q_nullsafe_join" -> nullsafeJoinSql,
+    "q_range_layout" -> rangeLayoutSql)
 }

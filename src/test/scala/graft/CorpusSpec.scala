@@ -203,6 +203,26 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("range-sorted layout: per-file n_chars intervals are disjoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_range_spec").toString
+    val rnd = new scala.util.Random(3)
+    (1 to 2000).map(i => (i.toLong, rnd.nextInt(10000).toLong))
+      .toDF("doc_id", "n_chars")
+      .repartitionByRange(6, $"n_chars")
+      .sortWithinPartitions($"n_chars", $"doc_id")
+      .write.mode("overwrite").parquet(dir)
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"n_chars").as("mn"), max($"n_chars").as("mx"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(perFile.size > 1)
+    perFile.sliding(2).foreach {
+      case Array((_, mxA), (mnB, _)) =>
+        assert(mxA <= mnB, s"file ranges overlap: $perFile")
+      case _ =>
+    }
+  }
+
   test("source dup graph counts distinct shared lines, a<b only") {
     // s0 and s1 share exactly two distinct 4-word lines; the repeat of a
     // shared line inside s1 must NOT inflate the count (distinct before
