@@ -245,7 +245,53 @@ object Store {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Time-travel read: the store's pointer-swap versioning retains the
+    * previous version (retainVersions = 2) precisely so a reader that
+    * resolved `_LATEST` mid-swap still has a consistent snapshot — this
+    * gate reads BOTH the latest version (via the pointer) and the
+    * previous one (via the chronologically-sorted version listing, the
+    * same order the pruner uses) after two upserts, and profiles each:
+    * the previous snapshot must show the pre-update state unchanged.
+    * The lake-format "time travel" contract, reduced to its mechanism. */
+  def storeTimeTravel(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-store-tt").toString
+    val base = supplier(s, d).select(
+      $"s_suppkey".cast("string").as(Op.identifierCol),
+      lit(1).as("v"))
+    FeatureStore.upsert(base, root, "suppliers",
+      updatedAt = Some(ts("2020-01-01 00:00:00")))
+    FeatureStore.upsert(
+      base.filter($"identifier".cast("long") % 3 === 0).withColumn("v", lit(2)),
+      root, "suppliers", updatedAt = Some(ts("2021-01-01 00:00:00")))
+    val layerDir = java.nio.file.Paths.get(root, "suppliers")
+    val versions = layerDir.toFile.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName).sorted
+    require(versions.length == 2, s"expected 2 retained versions, got ${versions.toSeq}")
+    def profile(tag: String, df: org.apache.spark.sql.DataFrame) = df
+      .select(get_json_object($"properties", "$.v").cast("int").as("v"))
+      .agg(count(lit(1)).as("n_features"),
+        sum(when($"v" === 2, 1L).otherwise(0L)).as("n_updated"))
+      .select(lit(tag).as("version"), $"n_features", $"n_updated")
+    profile("a_previous", s.read.parquet(layerDir.resolve(versions.head).toString))
+      .unionByName(profile("b_latest", FeatureStore.scan(s, root, "suppliers")))
+      .orderBy($"version")
+  }
+
+  val storeTimeTravelSql: String =
+    """SELECT 'a_previous' AS version, COUNT(*) AS n_features,
+      |  CAST(0 AS BIGINT) AS n_updated
+      |FROM supplier
+      |UNION ALL
+      |SELECT 'b_latest' AS version, COUNT(*) AS n_features,
+      |  CAST(SUM(CASE WHEN s_suppkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+      |FROM supplier
+      |ORDER BY version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_store_time_travel" -> (storeTimeTravel _),
     "q_stream_upsert" -> (streamUpsert _),
     "q_store_lifecycle" -> (storeLifecycle _),
     "q_store_bucketed" -> (storeBucketed _),
@@ -255,6 +301,7 @@ object Store {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_store_time_travel" -> storeTimeTravelSql,
     "q_stream_upsert" -> streamUpsertSql,
     "q_store_lifecycle" -> storeLifecycleSql,
     "q_store_bucketed" -> storeBucketedSql,
