@@ -599,6 +599,54 @@ object Relational {
       |ORDER BY cnt DESC, event_type, user_id
       |LIMIT 10""".stripMargin
 
+  /** Checkpoint recovery — the fault-tolerance contract proven by
+    * actually failing over: run the two-file event stream with a
+    * per-file trigger, STOP the query after the first committed batch,
+    * restart from the SAME checkpoint with AvailableNow, and profile
+    * the exactly-once parquet sink — the result must equal the plain
+    * batch aggregate over everything, with nothing lost (offsets
+    * resume) and nothing doubled (the sink's commit log dedupes
+    * replays). Wherever the stop lands, exactly-once makes the final
+    * state identical — that indifference IS the assertion. */
+  def streamRecovery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.util.Tables.events(s, d)
+    val dataDir = stagedEventsDir(s, d)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-recover-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-recover-ckpt").toString
+    withStreamPartitions(s, 8) {
+      def src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
+        .select($"event_type", $"value")
+      // run 1: per-file micro-batches; stop after >=1 commit ("crash")
+      val q1 = src.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+        .start()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (q1.recentProgress.forall(_.numInputRows == 0) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      q1.stop(); q1.awaitTermination()
+      // run 2: same checkpoint, drain the rest
+      val q2 = src.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+    }
+    s.read.parquet(outDir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), out(sum(dec($"value"))).as("total_value"))
+      .orderBy($"event_type")
+  }
+
+  val streamRecoverySql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Ordered three-stage funnel (view → click → purchase within one
     * hour of the first view) — the event-sequence analytic that needs
     * ORDER inside each user's history, not just counts: each stage is
@@ -937,6 +985,7 @@ object Relational {
     "q_heavy_hitters" -> (heavyHitters _),
     "q_funnel" -> (funnel _),
     "q_cohort_retention" -> (cohortRetention _),
+    "q_stream_recovery" -> (streamRecovery _),
     "q_asof_join" -> (asofJoin _),
     "q_range_join" -> (rangeJoin _),
     "q_range_join_mixed" -> (rangeJoinMixed _),
@@ -968,6 +1017,7 @@ object Relational {
     "q_heavy_hitters" -> heavyHittersSql,
     "q_funnel" -> funnelSql,
     "q_cohort_retention" -> cohortRetentionSql,
+    "q_stream_recovery" -> streamRecoverySql,
     "q_asof_join" -> asofJoinSql,
     "q_range_join" -> rangeJoinSql,
     "q_range_join_mixed" -> rangeJoinMixedSql,
