@@ -558,6 +558,109 @@ object Corpus {
       |FROM g
       |ORDER BY label, idx""".stripMargin
 
+  // ----------------------------------------------------- label outliers
+
+  /** Label-outlier mining (the cleanlab-style mislabel detector): each
+    * vector's squared distance to its OWN label's exact centroid; the
+    * 20 farthest are the candidate label errors. Every arithmetic step
+    * is order-pinned so the gate has zero tolerance: centroids come
+    * from the q_emb_centroids sorted fold, the per-dimension terms
+    * (v−c)² are IEEE-per-row, and their 64-term sum folds in dimension
+    * order (the same collect→sort→fold pattern, mirrored by
+    * list_reduce ORDER BY idx). Scale: one shuffle to build centroids
+    * (dims×labels rows), one broadcast join back, one per-vector fold —
+    * production would keep the plain double sum; this is the
+    * zero-tolerance gate for the same plan. */
+  def embOutliers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val parts = embeddings(s, d)
+      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("p", "v")))
+      .select($"vec_id", $"label", ($"p" + 1).as("idx"), $"v")
+    val cent = parts
+      .groupBy($"label", $"idx")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("aggregate(sort_array(collect_list(struct(vec_id, v))), 0D," +
+          " (acc, x) -> acc + x.v)").as("sum_v"))
+      .select($"label", $"idx", ($"sum_v" / $"n_vecs").as("c"))
+    parts.join(cent, Seq("label", "idx"))
+      .select($"vec_id", $"label", $"idx",
+        (($"v" - $"c") * ($"v" - $"c")).as("term"))
+      .groupBy($"vec_id", $"label")
+      .agg(expr("aggregate(sort_array(collect_list(struct(idx, term))), 0D," +
+        " (acc, x) -> acc + x.term)").as("dist2"))
+      .orderBy($"dist2".desc, $"vec_id")
+      .limit(20)
+  }
+
+  val embOutliersSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, u AS idx, embedding[u]::DOUBLE AS v
+      |  FROM (SELECT vec_id, label, embedding,
+      |          unnest(generate_series(1, len(embedding))) AS u
+      |        FROM embeddings)
+      |), cent AS (
+      |  SELECT label, idx,
+      |    list_reduce(list(v ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS c
+      |  FROM e GROUP BY label, idx
+      |), terms AS (
+      |  SELECT e.vec_id, e.label, e.idx, (e.v - cent.c) * (e.v - cent.c) AS term
+      |  FROM e JOIN cent ON cent.label = e.label AND cent.idx = e.idx
+      |)
+      |SELECT vec_id, label,
+      |  list_reduce(list(term ORDER BY idx), (a, b) -> a + b) AS dist2
+      |FROM terms
+      |GROUP BY vec_id, label
+      |ORDER BY dist2 DESC, vec_id
+      |LIMIT 20""".stripMargin
+
+  // -------------------------------------------------- distinctive terms
+
+  /** Per-source distinctive vocabulary — which words a domain OVERuses
+    * relative to the corpus, by exact-rational lift (`tf_src·N_corpus /
+    * (N_src·tf_corpus)`, the PMI-without-the-log trick q_collocations
+    * uses, so it hash-gates where log-based keyness can't). Top 3 per
+    * source by (lift, word) over words with corpus frequency ≥ 20 —
+    * the df floor keeps hapax noise out, and the per-group top-k is a
+    * rank window, never a sort of the full census. */
+  def topicTerms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, d)
+      .select($"source", explode(split(lower(trim($"text")), "\\s+")).as("w"))
+    val bySrc = toks.groupBy($"source", $"w").agg(count(lit(1)).as("nsw"))
+    val byW = toks.groupBy($"w").agg(count(lit(1)).as("nw")).filter($"nw" >= 20)
+    val bySrcTot = toks.groupBy($"source").agg(count(lit(1)).as("ns"))
+    val tot = toks.agg(count(lit(1)).as("n")).select($"n")
+    val lifted = bySrc.join(byW, Seq("w")).join(bySrcTot, Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select($"source", $"w", $"nsw", $"nw",
+        round($"nsw".cast("double") * $"n" / ($"ns" * $"nw"), 6).as("lift"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"lift".desc, $"w")
+    lifted.withColumn("r", row_number().over(rk)).filter($"r" <= 3)
+      .select($"source", $"r", $"w", $"nsw", $"nw", $"lift")
+      .orderBy($"source", $"r")
+  }
+
+  val topicTermsSql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |  FROM documents
+      |), bs AS (SELECT source, w, COUNT(*) AS nsw FROM toks GROUP BY 1, 2),
+      |bw AS (SELECT w, COUNT(*) AS nw FROM toks GROUP BY 1 HAVING COUNT(*) >= 20),
+      |bt AS (SELECT source, COUNT(*) AS ns FROM toks GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n FROM toks),
+      |lifted AS (
+      |  SELECT bs.source, bs.w, bs.nsw, bw.nw,
+      |    round(CAST(bs.nsw AS DOUBLE) * tot.n / (bt.ns * bw.nw), 6) AS lift
+      |  FROM bs JOIN bw USING (w) JOIN bt ON bt.source = bs.source, tot
+      |)
+      |SELECT source, r, w, nsw, nw, lift FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY lift DESC, w) AS INTEGER) AS r
+      |  FROM lifted)
+      |WHERE r <= 3
+      |ORDER BY source, r""".stripMargin
+
   // -------------------------------------------------- table stats (ANALYZE)
 
   /** ANALYZE-style column statistics for the documents table — the
@@ -1217,7 +1320,9 @@ object Corpus {
     "q_triangle_count" -> (triangleCount _),
     "q_schema_evolution" -> (schemaEvolution _),
     "q_nullsafe_join" -> (nullsafeJoin _),
-    "q_range_layout" -> (rangeLayout _))
+    "q_range_layout" -> (rangeLayout _),
+    "q_emb_outliers" -> (embOutliers _),
+    "q_topic_terms" -> (topicTerms _))
 
   val oracles: Map[String, String] = Map(
     "q_url_extract" -> urlExtractSql,
@@ -1244,5 +1349,7 @@ object Corpus {
     "q_triangle_count" -> triangleCountSql,
     "q_schema_evolution" -> schemaEvolutionSql,
     "q_nullsafe_join" -> nullsafeJoinSql,
-    "q_range_layout" -> rangeLayoutSql)
+    "q_range_layout" -> rangeLayoutSql,
+    "q_emb_outliers" -> embOutliersSql,
+    "q_topic_terms" -> topicTermsSql)
 }

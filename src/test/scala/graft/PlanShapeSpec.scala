@@ -27,7 +27,8 @@ class PlanShapeSpec extends SparkTestBase {
     "q_geo_intersect_pct" -> "same broadcast-small-zones overlay shape (J2); grid join covers large layers",
     "q_geo_clip_area" -> "same broadcast-small-zones overlay shape (J4); grid join covers large layers",
     "q_collocations" -> "ONE-ROW broadcast of the corpus token total (the scalar-subquery shape Spark itself plans as BNL); every data-sized join in the query is a hash equi-join",
-    "q_heavy_hitters" -> "ONE-ROW broadcast of the grand total for the share column (same scalar-subquery shape as q_collocations); the census itself is a single hash aggregate"
+    "q_heavy_hitters" -> "ONE-ROW broadcast of the grand total for the share column (same scalar-subquery shape as q_collocations); the census itself is a single hash aggregate",
+    "q_topic_terms" -> "ONE-ROW broadcast of the corpus token total for the lift denominator (same scalar-subquery shape as q_collocations); all data-sized joins are hash equi-joins"
   )
 
   /** Streaming queries execute a full micro-batch run when invoked and
