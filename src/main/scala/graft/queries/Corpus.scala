@@ -155,6 +155,56 @@ object Corpus {
       |ORDER BY n_pairs DESC, pair
       |LIMIT 30""".stripMargin
 
+  /** One full BPE TRAINING STEP: take the census winner (q_bpe_merges'
+    * top pair), apply the merge corpus-wide, and measure the effect —
+    * words touched, merge occurrences (left-to-right non-overlapping,
+    * the BPE greedy rule, which is exactly `replace` semantics in both
+    * engines), and the vocabulary before/after. The winning pair is
+    * resolved driver-side and inlined as a literal (the dynamic-oracle
+    * pattern of the IVF centroids — the oracle independently recomputes
+    * the same winner), keeping the apply pass free of one-row
+    * broadcast joins. The merge marker is uppercase, which cannot
+    * collide with the lowercase alphabet the words are drawn from. */
+  def bpeApply(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Graft.init(s)
+    import s.implicits._
+    val top = bpeMerges(s, d).limit(1).head().getString(0)
+    val words = documents(s, d)
+      .select(explode(call_function("bpe_pairs", $"text")).as("pw"))
+      .select($"pw.w".as("w")).distinct() // word TYPES (the BPE unit)
+      .select($"w", expr(s"replace(w, '$top', 'Ʒ')").as("m"))
+    words.agg(
+        lit(top).as("pair"),
+        count(lit(1)).as("vocab_before"),
+        count_distinct($"m").as("vocab_after"),
+        sum(when($"m" =!= $"w", 1L).otherwise(0L)).as("n_words_affected"),
+        sum(length($"w") - length($"m")).as("n_applied"))
+  }
+
+  val bpeApplySql: String =
+    """WITH words AS (
+      |  SELECT DISTINCT w
+      |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |        FROM documents)
+      |  WHERE regexp_matches(w, '^[a-z]{2,}$')
+      |), top AS (
+      |  SELECT pair FROM (
+      |    SELECT substring(w, CAST(i AS INTEGER), 2) AS pair
+      |    FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+      |          FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |                FROM documents)
+      |          WHERE regexp_matches(w, '^[a-z]{2,}$'))
+      |  ) GROUP BY pair ORDER BY COUNT(*) DESC, pair LIMIT 1
+      |), merged AS (
+      |  SELECT w, replace(w, (SELECT pair FROM top), 'Ʒ') AS m FROM words
+      |)
+      |SELECT (SELECT pair FROM top) AS pair,
+      |  COUNT(*) AS vocab_before,
+      |  COUNT(DISTINCT m) AS vocab_after,
+      |  CAST(SUM(CASE WHEN m <> w THEN 1 ELSE 0 END) AS BIGINT) AS n_words_affected,
+      |  CAST(SUM(length(w) - length(m)) AS BIGINT) AS n_applied
+      |FROM merged""".stripMargin
+
   // ------------------------------------------------- sketch-accuracy gate
 
   /** The approximate aggregates a 100 TB corpus profile actually uses —
@@ -1322,7 +1372,8 @@ object Corpus {
     "q_nullsafe_join" -> (nullsafeJoin _),
     "q_range_layout" -> (rangeLayout _),
     "q_emb_outliers" -> (embOutliers _),
-    "q_topic_terms" -> (topicTerms _))
+    "q_topic_terms" -> (topicTerms _),
+    "q_bpe_apply" -> (bpeApply _))
 
   val oracles: Map[String, String] = Map(
     "q_url_extract" -> urlExtractSql,
@@ -1351,5 +1402,6 @@ object Corpus {
     "q_nullsafe_join" -> nullsafeJoinSql,
     "q_range_layout" -> rangeLayoutSql,
     "q_emb_outliers" -> embOutliersSql,
-    "q_topic_terms" -> topicTermsSql)
+    "q_topic_terms" -> topicTermsSql,
+    "q_bpe_apply" -> bpeApplySql)
 }
