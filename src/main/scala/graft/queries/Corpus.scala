@@ -1343,6 +1343,88 @@ object Corpus {
       |ORDER BY metric""".stripMargin
   }
 
+  // ------------------------------------------------------- CSV roundtrip
+
+  /** CSV export → re-import gate, the sibling of q_jsonl_roundtrip for
+    * the OTHER interchange format corpora actually ship in — and the
+    * harder one: embedded newlines, quotes and delimiters must survive
+    * RFC-4180 quoting, and the reader must be in multiLine mode or
+    * quoted newlines shear rows apart. Schema pinned on re-read; the
+    * profile must equal the parquet-side oracle byte-for-byte. */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv")
+      .resolve("documents").toString
+    documents(s, d).write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true")
+      .csv(tmp)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    s.read.schema(schema)
+      .option("header", "true").option("multiLine", "true")
+      .csv(tmp)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length($"text")).as("sum_text_len"),
+        sum($"n_chars").as("sum_chars"),
+        count_distinct($"source").as("n_sources"))
+      .orderBy($"lang")
+  }
+
+  val csvRoundtripSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  SUM(length(text)) AS sum_text_len,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  COUNT(DISTINCT source) AS n_sources
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------- time-range window
+
+  /** Rolling one-hour event profile per user — the RANGE-frame window
+    * (frame bounded by a VALUE interval on the ordering key, not a row
+    * count) that powers rate limiting, rolling error budgets, and
+    * burst detection. The frame key is epoch microseconds so both
+    * engines bound the frame with the same integer arithmetic. Output:
+    * the corpus-wide maximum burst per event type (max over each
+    * event's trailing-hour count), plus how many events sat in a
+    * trailing hour with ≥ 20 same-type events. */
+  def rollingWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+      .select($"event_type", $"user_id", unix_micros($"ts").as("tus"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type", $"user_id").orderBy($"tus")
+      .rangeBetween(-3600L * 1000 * 1000, 0)
+    ev.withColumn("burst", count(lit(1)).over(w))
+      .groupBy($"event_type")
+      .agg(max($"burst").as("max_burst"),
+        sum(when($"burst" >= 20, 1L).otherwise(0L)).as("n_hot"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+
+  val rollingWindowSql: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id, epoch_us(ts) AS tus FROM events
+      |), b AS (
+      |  SELECT event_type,
+      |    COUNT(*) OVER (PARTITION BY event_type, user_id ORDER BY tus
+      |      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS burst
+      |  FROM e
+      |)
+      |SELECT event_type, MAX(burst) AS max_burst,
+      |  CAST(SUM(CASE WHEN burst >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+      |  COUNT(*) AS n_events
+      |FROM b
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1373,7 +1455,9 @@ object Corpus {
     "q_range_layout" -> (rangeLayout _),
     "q_emb_outliers" -> (embOutliers _),
     "q_topic_terms" -> (topicTerms _),
-    "q_bpe_apply" -> (bpeApply _))
+    "q_bpe_apply" -> (bpeApply _),
+    "q_csv_roundtrip" -> (csvRoundtrip _),
+    "q_rolling_window" -> (rollingWindow _))
 
   val oracles: Map[String, String] = Map(
     "q_url_extract" -> urlExtractSql,
@@ -1403,5 +1487,7 @@ object Corpus {
     "q_range_layout" -> rangeLayoutSql,
     "q_emb_outliers" -> embOutliersSql,
     "q_topic_terms" -> topicTermsSql,
-    "q_bpe_apply" -> bpeApplySql)
+    "q_bpe_apply" -> bpeApplySql,
+    "q_csv_roundtrip" -> csvRoundtripSql,
+    "q_rolling_window" -> rollingWindowSql)
 }
