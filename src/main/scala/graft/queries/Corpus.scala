@@ -1343,6 +1343,127 @@ object Corpus {
       |ORDER BY metric""".stripMargin
   }
 
+  // ---------------------------------------- LSH candidate exact verify
+
+  /** The verify stage every production LSH pipeline runs: banding
+    * proposes candidates, exact set intersection CONFIRMS them — here
+    * each MinHash candidate pair (est ≥ 0.8) is re-scored with the
+    * true shingle-set Jaccard (array_intersect on the two distinct
+    * shingle sets, integers only), and the 64-hash estimator must land
+    * within 0.25 of truth (the bound boolean is hash-gated, the
+    * recompute-the-expectation pattern of q_sketch_bounds). The oracle
+    * re-derives the same pair set from exact Jaccard — the
+    * LSH-candidates ≡ exact-threshold-pairs equivalence q_dedup_minhash
+    * already established on this corpus. Scale: exact verify touches
+    * CANDIDATES only (LSH-linear), never all pairs. */
+  def lshVerify(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Graft.init(s)
+    import s.implicits._
+    val docs = documents(s, d)
+    val cand = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select($"id_a", $"id_b", $"jaccard".as("est"))
+    val sets = docs.select($"doc_id",
+      array_distinct(Dedup.wordShingles($"text", 3)).as("sh"))
+    cand
+      .join(sets.select($"doc_id".as("id_a"), $"sh".as("sa")), Seq("id_a"))
+      .join(sets.select($"doc_id".as("id_b"), $"sh".as("sb")), Seq("id_b"))
+      .select($"id_a", $"id_b",
+        size(array_intersect($"sa", $"sb")).as("inter"),
+        (size($"sa") + size($"sb")).as("sz"), $"est")
+      .select($"id_a", $"id_b", $"inter",
+        round($"inter".cast("double") / ($"sz" - $"inter"), 6).as("exact_jaccard"),
+        (abs($"est" - $"inter".cast("double") / ($"sz" - $"inter")) <= 0.25)
+          .as("est_ok"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val lshVerifySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(ws[u:u+2], ' ') AS s
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u FROM toks)
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.id_a, p.id_b, CAST(p.inter AS INTEGER) AS inter,
+      |  round(CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter), 6) AS exact_jaccard,
+      |  TRUE AS est_ok
+      |FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a
+      |             JOIN sizes sb ON sb.doc_id = p.id_b
+      |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.8
+      |ORDER BY p.id_a, p.id_b""".stripMargin
+
+  // ------------------------------------------------- gaps and islands
+
+  /** Hourly gap filling + gaps-and-islands over the event stream: build
+    * each event type's full hourly spine (min..max hour), left-join
+    * the hourly counts, and characterize the ZERO hours as islands —
+    * count, total, and longest run — via the classic hour_index −
+    * row_number grouping. The spine generator is per type (never a
+    * global cross join); everything downstream is integer-exact. */
+  def gapFill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // integer div, not `/`: double division then cast truncates, and at
+    // ~1.7e15 micros a boundary hour can flip (the Tables.eventsTs lesson)
+    val ev = events(s, d)
+      .select($"event_type", expr("unix_micros(ts) div 3600000000").as("hr"))
+    val counts = ev.groupBy($"event_type", $"hr").agg(count(lit(1)).as("n"))
+    val spine = ev.groupBy($"event_type")
+      .agg(min($"hr").as("h0"), max($"hr").as("h1"))
+      .select($"event_type", explode(expr("sequence(h0, h1)")).as("hr"))
+    val filled = spine.join(counts, Seq("event_type", "hr"), "left")
+      .select($"event_type", $"hr", coalesce($"n", lit(0L)).as("n"))
+    val zeros = filled.filter($"n" === 0)
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"hr")))
+      .withColumn("grp", $"hr" - $"rn")
+    val runs = zeros.groupBy($"event_type", $"grp").agg(count(lit(1)).as("run"))
+    filled.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(when($"n" === 0, 1L).otherwise(0L)).as("n_gap_hours"))
+      .join(runs.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_gap_runs"), max($"run").as("max_gap_run")),
+        Seq("event_type"), "left")
+      .select($"event_type", $"n_hours", $"n_gap_hours",
+        coalesce($"n_gap_runs", lit(0L)).as("n_gap_runs"),
+        coalesce($"max_gap_run", lit(0L)).as("max_gap_run"))
+      .orderBy($"event_type")
+  }
+
+  val gapFillSql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr FROM events
+      |), c AS (
+      |  SELECT event_type, hr, COUNT(*) AS n FROM e GROUP BY 1, 2
+      |), spine AS (
+      |  SELECT event_type, unnest(generate_series(MIN(hr), MAX(hr))) AS hr
+      |  FROM e GROUP BY event_type
+      |), filled AS (
+      |  SELECT s.event_type, s.hr, COALESCE(c.n, 0) AS n
+      |  FROM spine s LEFT JOIN c ON c.event_type = s.event_type AND c.hr = s.hr
+      |), zeros AS (
+      |  SELECT event_type, hr,
+      |    hr - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS grp
+      |  FROM filled WHERE n = 0
+      |), runs AS (
+      |  SELECT event_type, grp, COUNT(*) AS run FROM zeros GROUP BY 1, 2
+      |)
+      |SELECT f.event_type, COUNT(*) AS n_hours,
+      |  CAST(SUM(CASE WHEN f.n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_hours,
+      |  CAST(COALESCE(r.n_gap_runs, 0) AS BIGINT) AS n_gap_runs,
+      |  CAST(COALESCE(r.max_gap_run, 0) AS BIGINT) AS max_gap_run
+      |FROM filled f
+      |LEFT JOIN (SELECT event_type, COUNT(*) AS n_gap_runs, MAX(run) AS max_gap_run
+      |           FROM runs GROUP BY event_type) r
+      |  ON r.event_type = f.event_type
+      |GROUP BY f.event_type, r.n_gap_runs, r.max_gap_run
+      |ORDER BY f.event_type""".stripMargin
+
   // ------------------------------------------------------- CSV roundtrip
 
   /** CSV export → re-import gate, the sibling of q_jsonl_roundtrip for
@@ -1457,7 +1578,9 @@ object Corpus {
     "q_topic_terms" -> (topicTerms _),
     "q_bpe_apply" -> (bpeApply _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
-    "q_rolling_window" -> (rollingWindow _))
+    "q_rolling_window" -> (rollingWindow _),
+    "q_lsh_verify" -> (lshVerify _),
+    "q_gap_fill" -> (gapFill _))
 
   val oracles: Map[String, String] = Map(
     "q_url_extract" -> urlExtractSql,
@@ -1489,5 +1612,7 @@ object Corpus {
     "q_topic_terms" -> topicTermsSql,
     "q_bpe_apply" -> bpeApplySql,
     "q_csv_roundtrip" -> csvRoundtripSql,
-    "q_rolling_window" -> rollingWindowSql)
+    "q_rolling_window" -> rollingWindowSql,
+    "q_lsh_verify" -> lshVerifySql,
+    "q_gap_fill" -> gapFillSql)
 }
