@@ -1398,6 +1398,46 @@ object Corpus {
       |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.8
       |ORDER BY p.id_a, p.id_b""".stripMargin
 
+  // ------------------------------------------- sufficient statistics
+
+  /** Distributed correlation via SUFFICIENT STATISTICS — n, Σx, Σy,
+    * Σxy, Σx², Σy² per language for (n_chars, token count): the
+    * map-side-combining integer form every distributed stats engine
+    * reduces to (corr/cov/regression are one driver-side formula away).
+    * The statistics are exact BIGINTs, so the gate has zero tolerance —
+    * where corr() itself (a double sqrt ratio) could never hash-gate.
+    * One aggregate, one shuffle of six longs per language. */
+  def corrStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val x = $"n_chars"
+    val y = when(length(trim($"text")) === 0, 0L)
+      .otherwise(size(split(trim($"text"), "\\s+")).cast("long"))
+    documents(s, d)
+      .select($"lang", x.as("x"), y.as("y"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("sum_x"), sum($"y").as("sum_y"),
+        sum($"x" * $"y").as("sum_xy"),
+        sum($"x" * $"x").as("sum_x2"), sum($"y" * $"y").as("sum_y2"))
+      .orderBy($"lang")
+  }
+
+  val corrStatsSql: String =
+    """WITH d AS (
+      |  SELECT lang, n_chars AS x,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS y
+      |  FROM documents
+      |)
+      |SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+      |  CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+      |  CAST(SUM(x * x) AS BIGINT) AS sum_x2,
+      |  CAST(SUM(y * y) AS BIGINT) AS sum_y2
+      |FROM d
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   // ------------------------------------------------- gaps and islands
 
   /** Hourly gap filling + gaps-and-islands over the event stream: build
@@ -1580,7 +1620,8 @@ object Corpus {
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_rolling_window" -> (rollingWindow _),
     "q_lsh_verify" -> (lshVerify _),
-    "q_gap_fill" -> (gapFill _))
+    "q_gap_fill" -> (gapFill _),
+    "q_corr_stats" -> (corrStats _))
 
   val oracles: Map[String, String] = Map(
     "q_url_extract" -> urlExtractSql,
@@ -1614,5 +1655,6 @@ object Corpus {
     "q_csv_roundtrip" -> csvRoundtripSql,
     "q_rolling_window" -> rollingWindowSql,
     "q_lsh_verify" -> lshVerifySql,
-    "q_gap_fill" -> gapFillSql)
+    "q_gap_fill" -> gapFillSql,
+    "q_corr_stats" -> corrStatsSql)
 }
