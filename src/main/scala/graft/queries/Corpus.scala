@@ -1362,8 +1362,13 @@ object Corpus {
     val docs = documents(s, d)
     val cand = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.8)
       .select($"id_a", $"id_b", $"jaccard".as("est"))
-    val sets = docs.select($"doc_id",
-      array_distinct(Dedup.wordShingles($"text", 3)).as("sh"))
+    // build shingle SETS only for docs that appear in a candidate pair —
+    // the interpreted shingling over the whole corpus dominated the query
+    // (4.4 s at sf0.1 for ~500 relevant docs out of 5000)
+    val candIds = cand.select($"id_a".as("doc_id"))
+      .unionByName(cand.select($"id_b".as("doc_id"))).distinct()
+    val sets = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select($"doc_id", array_distinct(Dedup.wordShingles($"text", 3)).as("sh"))
     cand
       .join(sets.select($"doc_id".as("id_a"), $"sh".as("sa")), Seq("id_a"))
       .join(sets.select($"doc_id".as("id_b"), $"sh".as("sb")), Seq("id_b"))
