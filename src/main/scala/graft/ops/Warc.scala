@@ -1,0 +1,167 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** WARC (Web ARChive, ISO 28500) reader/writer — the container format
+  * web-scale training corpora actually arrive in (Common Crawl ships
+  * ~64k WARC files of ~1 GB per monthly crawl). The reference has no
+  * crawl-archive ingestion (its closest analogue is the zipped-fixture
+  * reader, common.py:441); this is part of the training-data-pipeline
+  * surface the build brief adds.
+  *
+  * Scope: the WARC/1.0 and WARC/1.1 record grammar — a `WARC/1.x`
+  * version line, case-insensitive `Name: value` header lines terminated
+  * by an empty line, a `Content-Length`-delimited body, and the two-CRLF
+  * record separator. Bodies are NEVER scanned for delimiters: record
+  * boundaries come exclusively from Content-Length, so payloads
+  * containing blank lines or stray `WARC/1.0` strings round-trip intact
+  * (the classic naive-splitter bug). For `response` records the HTTP
+  * header block is stripped at the first CRLFCRLF to yield the payload,
+  * as a WET-style conversion would.
+  *
+  * Scale shape: one WARC file is parsed per task from its bytes —
+  * parallelism is per-file, matching how Common Crawl is laid out
+  * (thousands of ~1 GB members). `parse` is an iterator over offsets
+  * (no per-record copies of the whole buffer), so memory is
+  * O(largest record), not O(file).
+  */
+object Warc {
+
+  final case class WarcRecord(
+      recType: String,
+      targetUri: String,
+      warcDate: String,
+      contentLength: Long,
+      body: Array[Byte]) {
+
+    /** Record payload: for `response` records the bytes after the HTTP
+      * header block (first CRLFCRLF); otherwise the body verbatim. */
+    def payload: Array[Byte] =
+      if (recType == "response") {
+        val i = indexOfCrlfCrlf(body, 0, body.length)
+        if (i < 0) body else java.util.Arrays.copyOfRange(body, i + 4, body.length)
+      } else body
+  }
+
+  private val CRLF = "\r\n"
+
+  // ------------------------------------------------------------- writing
+
+  /** A `conversion` (WET-style extracted-text) record. */
+  def conversionRecord(uri: String, date: String, body: Array[Byte]): Array[Byte] =
+    record("conversion", date, body,
+      Seq("WARC-Target-URI" -> uri, "Content-Type" -> "text/plain"))
+
+  /** A `response` record: body = HTTP status/header block + CRLF + payload. */
+  def responseRecord(uri: String, date: String, httpHeaders: String,
+                     payload: Array[Byte]): Array[Byte] = {
+    val head = (httpHeaders + CRLF).getBytes(UTF_8)
+    val body = new Array[Byte](head.length + payload.length)
+    System.arraycopy(head, 0, body, 0, head.length)
+    System.arraycopy(payload, 0, body, head.length, payload.length)
+    record("response", date, body,
+      Seq("WARC-Target-URI" -> uri,
+        "Content-Type" -> "application/http; msgtype=response"))
+  }
+
+  /** The file-leading `warcinfo` record real crawls carry. */
+  def warcinfo(filename: String, date: String): Array[Byte] = {
+    val body = s"software: graft$CRLF".getBytes(UTF_8)
+    record("warcinfo", date, body,
+      Seq("WARC-Filename" -> filename,
+        "Content-Type" -> "application/warc-fields"))
+  }
+
+  private def record(recType: String, date: String, body: Array[Byte],
+                     extra: Seq[(String, String)]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("WARC/1.0").append(CRLF)
+    sb.append("WARC-Type: ").append(recType).append(CRLF)
+    sb.append("WARC-Date: ").append(date).append(CRLF)
+    sb.append("WARC-Record-ID: <urn:uuid:").append(
+      java.util.UUID.nameUUIDFromBytes(body)).append(">").append(CRLF)
+    extra.foreach { case (k, v) => sb.append(k).append(": ").append(v).append(CRLF) }
+    sb.append("Content-Length: ").append(body.length).append(CRLF)
+    sb.append(CRLF)
+    val head = sb.toString.getBytes(UTF_8)
+    val out = new Array[Byte](head.length + body.length + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(body, 0, out, head.length, body.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  /** Concatenate records into one WARC member. */
+  def buildFile(records: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(records.iterator.map(_.length).sum)
+    records.foreach(out.write)
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------- parsing
+
+  /** Parse one WARC member into its records, lazily. Malformed input
+    * (missing version line, no Content-Length, truncated body) raises —
+    * explicit rejection, not silent partial data. */
+  def parse(bytes: Array[Byte]): Iterator[WarcRecord] = new Iterator[WarcRecord] {
+    private var pos = 0
+    skipSeparators()
+
+    private def skipSeparators(): Unit =
+      while (pos + 1 < bytes.length && bytes(pos) == '\r' && bytes(pos + 1) == '\n')
+        pos += 2
+
+    override def hasNext: Boolean = pos < bytes.length
+
+    override def next(): WarcRecord = {
+      if (!hasNext) throw new NoSuchElementException
+      val headEnd = indexOfCrlfCrlf(bytes, pos, bytes.length)
+      if (headEnd < 0)
+        throw new IllegalArgumentException(
+          s"warc: unterminated header block at offset $pos")
+      val headerText = new String(bytes, pos, headEnd - pos, UTF_8)
+      val lines = headerText.split("\r\n", -1)
+      if (!lines(0).startsWith("WARC/"))
+        throw new IllegalArgumentException(
+          s"warc: expected version line at offset $pos, got '${lines(0).take(20)}'")
+      var recType = ""; var uri = ""; var date = ""; var len = -1L
+      lines.iterator.drop(1).foreach { ln =>
+        val c = ln.indexOf(':')
+        if (c > 0) {
+          val name = ln.substring(0, c).trim.toLowerCase
+          val value = ln.substring(c + 1).trim
+          name match {
+            case "warc-type" => recType = value
+            case "warc-target-uri" => uri = value
+            case "warc-date" => date = value
+            case "content-length" => len = value.toLong
+            case _ => ()
+          }
+        }
+      }
+      if (len < 0)
+        throw new IllegalArgumentException(
+          s"warc: record at offset $pos has no Content-Length")
+      val bodyStart = headEnd + 4
+      if (bodyStart + len > bytes.length)
+        throw new IllegalArgumentException(
+          s"warc: truncated body at offset $bodyStart (need $len bytes)")
+      val body = java.util.Arrays.copyOfRange(
+        bytes, bodyStart, bodyStart + len.toInt)
+      pos = bodyStart + len.toInt
+      skipSeparators()
+      WarcRecord(recType, uri, date, len, body)
+    }
+  }
+
+  private def indexOfCrlfCrlf(b: Array[Byte], from: Int, until: Int): Int = {
+    var i = from
+    while (i + 3 < until) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        return i
+      i += 1
+    }
+    -1
+  }
+}

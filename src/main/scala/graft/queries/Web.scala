@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** Crawl-archive ingestion and model-based curation — the front of a
+  * web-scale training pipeline: WARC members in, extracted/scored text
+  * out. Complements [[Corpus]] (which curates already-extracted text).
+  *
+  * Reference scope note: terra-bonobo-nodes has no crawl ingestion or
+  * classifier scoring; this file is training-data-pipeline surface the
+  * build brief adds beyond SURVEY §2.
+  */
+object Web {
+
+  // ------------------------------------------------------ WARC round trip
+
+  /** Fixed HTTP header block the synthesized `response` records carry
+    * (mirrored byte-for-byte in the oracle's content-length arithmetic). */
+  private val HttpHead =
+    "HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=UTF-8\r\n"
+
+  /** WARC ingestion gate. The documents table is woven into 8 synthetic
+    * WARC members executor-side (same in-plan-fixture pattern as
+    * q_shapefile_parse): even doc_ids as WET-style `conversion` records,
+    * odd as full HTTP `response` records (header block + payload), each
+    * member led by a `warcinfo` record. The members are then parsed back
+    * by [[graft.ops.Warc]] — Content-Length-delimited record scan, HTTP
+    * header strip on responses — and the oracle checks uri→doc_id,
+    * record type, WARC-Date, Content-Length arithmetic (payload bytes +
+    * HTTP head for responses) and byte-exact payload text against the
+    * closed form.
+    *
+    * Scale shape: building is a single shuffle to 8 member-groups (the
+    * fixture); REAL ingestion skips the build and flatMaps `Warc.parse`
+    * over `binaryFile` rows — per-member parallelism, which is exactly
+    * Common Crawl's layout (~64k × 1 GB members per crawl). */
+  def warcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select(
+        (pmod(col("doc_id"), lit(8))).cast("int").as("bucket"),
+        col("doc_id"), col("text"))
+      .as[(Int, Long, String)]
+    val members = docs.groupByKey(_._1).mapGroups { (b, it) =>
+      val rows = it.toSeq.sortBy(_._2)
+      val recs = rows.map { case (_, id, text) =>
+        val uri = s"https://example.org/doc/$id"
+        val date = f"2026-08-13T00:00:${id % 60}%02dZ"
+        val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (id % 2 == 0) graft.ops.Warc.conversionRecord(uri, date, payload)
+        else graft.ops.Warc.responseRecord(uri, date, HttpHead, payload)
+      }
+      graft.ops.Warc.buildFile(
+        graft.ops.Warc.warcinfo(f"synth-$b%05d.warc", "2026-08-13T00:00:00Z") +: recs)
+    }(Encoders.BINARY)
+    val parsed = members.flatMap { bytes =>
+      graft.ops.Warc.parse(bytes)
+        .filter(_.recType != "warcinfo")
+        .map(r => (r.targetUri, r.recType, r.warcDate, r.contentLength,
+          new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)))
+    }.toDF("uri", "rec_type", "warc_date", "content_length", "body")
+    parsed
+      .withColumn("doc_id", regexp_extract(col("uri"), "/doc/(\\d+)$", 1).cast("long"))
+      .select("doc_id", "rec_type", "warc_date", "content_length", "body")
+      .orderBy("doc_id")
+  }
+
+  val warcRoundtripSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'conversion' ELSE 'response' END AS rec_type,
+      |  '2026-08-13T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS warc_date,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN strlen(text)
+      |       ELSE strlen(text) + strlen('HTTP/1.1 200 OK' || chr(13) || chr(10)
+      |         || 'Content-Type: text/plain; charset=UTF-8' || chr(13) || chr(10)
+      |         || chr(13) || chr(10)) END AS BIGINT) AS content_length,
+      |  text AS body
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- maps
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_warc_roundtrip" -> (warcRoundtrip _))
+
+  val oracles: Map[String, String] = Map(
+    "q_warc_roundtrip" -> warcRoundtripSql)
+}

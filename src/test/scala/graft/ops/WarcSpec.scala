@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** WARC record grammar: Content-Length-delimited bodies, header
+  * case-insensitivity, HTTP payload strip, explicit malformed-input
+  * rejection. */
+class WarcSpec extends AnyFunSuite {
+
+  test("round trip: conversion + response records, payloads byte-exact") {
+    val a = Warc.conversionRecord("https://x.org/1", "2026-01-01T00:00:00Z",
+      "hello world".getBytes(UTF_8))
+    val b = Warc.responseRecord("https://x.org/2", "2026-01-01T00:00:01Z",
+      "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n",
+      "payload text".getBytes(UTF_8))
+    val file = Warc.buildFile(Seq(
+      Warc.warcinfo("t.warc", "2026-01-01T00:00:00Z"), a, b))
+    val recs = Warc.parse(file).toVector
+    assert(recs.map(_.recType) == Vector("warcinfo", "conversion", "response"))
+    assert(new String(recs(1).payload, UTF_8) == "hello world")
+    assert(recs(1).contentLength == 11L)
+    assert(new String(recs(2).payload, UTF_8) == "payload text")
+    assert(recs(2).targetUri == "https://x.org/2")
+    // response Content-Length covers HTTP head + blank line + payload
+    assert(recs(2).contentLength ==
+      "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n".length + 12L)
+  }
+
+  test("body containing CRLFCRLF and a fake version line does not split the record") {
+    val evil = "first part\r\n\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\nsecond part"
+    val rec = Warc.conversionRecord("https://x.org/evil", "2026-01-01T00:00:00Z",
+      evil.getBytes(UTF_8))
+    val tail = Warc.conversionRecord("https://x.org/next", "2026-01-01T00:00:00Z",
+      "tail".getBytes(UTF_8))
+    val recs = Warc.parse(Warc.buildFile(Seq(rec, tail))).toVector
+    assert(recs.length == 2)
+    assert(new String(recs(0).payload, UTF_8) == evil)
+    assert(recs(0).targetUri == "https://x.org/evil")
+    assert(new String(recs(1).payload, UTF_8) == "tail")
+  }
+
+  test("header names parse case-insensitively") {
+    val body = "abc".getBytes(UTF_8)
+    val raw = ("WARC/1.0\r\n" +
+      "warc-type: conversion\r\n" +
+      "WARC-TARGET-URI: https://x.org/ci\r\n" +
+      "content-length: 3\r\n" +
+      "\r\n").getBytes(UTF_8) ++ body ++ "\r\n\r\n".getBytes(UTF_8)
+    val recs = Warc.parse(raw).toVector
+    assert(recs.head.recType == "conversion")
+    assert(recs.head.targetUri == "https://x.org/ci")
+    assert(new String(recs.head.body, UTF_8) == "abc")
+  }
+
+  test("malformed input raises: bad version line, missing length, truncated body") {
+    val noVersion = "NOPE/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n".getBytes(UTF_8)
+    assertThrows[IllegalArgumentException](Warc.parse(noVersion).toVector)
+    val noLen = "WARC/1.0\r\nWARC-Type: conversion\r\n\r\nbody".getBytes(UTF_8)
+    assertThrows[IllegalArgumentException](Warc.parse(noLen).toVector)
+    val truncated =
+      "WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: 99\r\n\r\nshort".getBytes(UTF_8)
+    assertThrows[IllegalArgumentException](Warc.parse(truncated).toVector)
+  }
+}
