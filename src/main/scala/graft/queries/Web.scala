@@ -77,11 +77,55 @@ object Web {
       |  text AS body
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------- model-based quality filter
+
+  /** Fasttext-style hashed-linear quality classifier — the model-based
+    * filtering stage of CCNet/GPT-style curation: featurize each doc as
+    * hashed unigrams + adjacent bigrams, score with an integer weight
+    * per feature (here md5-derived — a stand-in for learned weights
+    * with identical plumbing), keep docs scoring >= 0. One fused
+    * scan-side expression ([[graft.exprs.HashedNgramScore]]), zero
+    * shuffle: at 100 TB this is embarrassingly parallel map work, and
+    * the integer weights make the gate hash-exact (float logits would
+    * hit the JVM-vs-DuckDB ulp trap). */
+  def qualityClassifier(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Graft.init(s)
+    val docs = documents(s, d)
+    docs.select(col("doc_id"),
+        call_function("hashed_ngram_score", col("text")).as("sc"))
+      .select(col("doc_id"),
+        col("sc.uni_score").as("uni_score"), col("sc.bi_score").as("bi_score"))
+      .withColumn("score", col("uni_score") + col("bi_score"))
+      .withColumn("keep", col("score") >= 0)
+      .orderBy("doc_id")
+  }
+
+  val qualityClassifierSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), uni AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CAST(md5_number_lower(t) % 2001 AS BIGINT) - 1000) AS BIGINT) AS uni_score
+      |  FROM toks, unnest(ws) AS u(t) GROUP BY doc_id
+      |), bi AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CAST(md5_number_lower(ws[i] || ' ' || ws[i+1]) % 2001 AS BIGINT) - 1000) AS BIGINT) AS bi_score
+      |  FROM toks, unnest(generate_series(1, len(ws) - 1)) AS g(i) GROUP BY doc_id
+      |)
+      |SELECT t.doc_id, u.uni_score, COALESCE(b.bi_score, 0) AS bi_score,
+      |  u.uni_score + COALESCE(b.bi_score, 0) AS score,
+      |  (u.uni_score + COALESCE(b.bi_score, 0)) >= 0 AS keep
+      |FROM toks t JOIN uni u ON t.doc_id = u.doc_id
+      |LEFT JOIN bi b ON t.doc_id = b.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_warc_roundtrip" -> (warcRoundtrip _))
+    "q_warc_roundtrip" -> (warcRoundtrip _),
+    "q_quality_classifier" -> (qualityClassifier _))
 
   val oracles: Map[String, String] = Map(
-    "q_warc_roundtrip" -> warcRoundtripSql)
+    "q_warc_roundtrip" -> warcRoundtripSql,
+    "q_quality_classifier" -> qualityClassifierSql)
 }

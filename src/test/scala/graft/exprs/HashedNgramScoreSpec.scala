@@ -1,0 +1,45 @@
+package graft.exprs
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HashedNgramScore: tokenization parity (split limit -1) and feature
+  * derivation parity with Md5Bucket (the md5_number_lower twin). */
+class HashedNgramScoreSpec extends AnyFunSuite {
+
+  private def score(text: String): (Long, Long) = {
+    val r = HashedNgramScore(org.apache.spark.sql.catalyst.expressions.Literal(
+      UTF8String.fromString(text), org.apache.spark.sql.types.StringType))
+      .eval(InternalRow.empty).asInstanceOf[InternalRow]
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def w(f: String): Long = {
+    val b = Md5Bucket(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        UTF8String.fromString(f), org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.catalyst.expressions.Literal(2001))
+      .eval(InternalRow.empty).asInstanceOf[Int]
+    b.toLong - 1000L
+  }
+
+  test("unigram + bigram sums match Md5Bucket-derived weights") {
+    val (uni, bi) = score("the quick fox")
+    assert(uni == w("the") + w("quick") + w("fox"))
+    assert(bi == w("the quick") + w("quick fox"))
+  }
+
+  test("consecutive and trailing spaces keep empty tokens (string_split parity)") {
+    val (uni, bi) = score("a  b ")
+    // tokens: ["a", "", "b", ""]
+    assert(uni == w("a") + w("") + w("b") + w(""))
+    assert(bi == w("a ") + w(" b") + w("b "))
+  }
+
+  test("single token: no bigrams") {
+    val (uni, bi) = score("solo")
+    assert(uni == w("solo"))
+    assert(bi == 0L)
+  }
+}
