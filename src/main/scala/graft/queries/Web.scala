@@ -119,13 +119,68 @@ object Web {
       |LEFT JOIN bi b ON t.doc_id = b.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  // ------------------------------------------------------------- PageRank
+
+  /** Integer PageRank over a deterministic synthetic link graph (doc i
+    * links to `(31·i + 7·j) mod N` for j = 1..1+i%3, self-loops rerouted
+    * to i+1 so outdeg >= 1): 5 iterations of [[graft.ops.Graph.pageRank]]
+    * gated against the oracle's 5 chained CTEs — every arithmetic step
+    * (integer `div` per edge, long sums, damped recombine) mirrored
+    * exactly. Gates the iterative join-agg machinery itself: a wrong
+    * dangling/no-inlink coalesce, a lost iteration, or float drift all
+    * hash-mismatch. */
+  def pageRank(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id").as("id"))
+    val n = docs.count()
+    val links = docs
+      .withColumn("j", explode(sequence(lit(1L), lit(1L) + pmod(col("id"), lit(3L)))))
+      .withColumn("raw", (col("id") * 31 + lit(7) * col("j")) % n)
+      .select(col("id").as("src"),
+        when(col("raw") === col("id"), (col("id") + 1) % n)
+          .otherwise(col("raw")).as("dst"))
+      .distinct()
+    graft.ops.Graph.pageRank(docs, links, iters = 5)
+      .select(col("id").as("doc_id"), col("rank"))
+      .orderBy("doc_id")
+  }
+
+  val pageRankSql: String = {
+    val iter = (k: Int) =>
+      s"""r$k AS (
+         |  SELECT nd.id,
+         |    (15 * ((1000000000000 // c.n))) // 100
+         |      + (85 * COALESCE(s.contrib, 0)) // 100 AS rank
+         |  FROM nodes nd CROSS JOIN cnt c
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(SUM(r.rank // o.deg) AS BIGINT) AS contrib
+         |    FROM edges e JOIN r${k - 1} r ON r.id = e.src
+         |    JOIN outdeg o ON o.src = e.src
+         |    GROUP BY e.dst) s ON s.id = nd.id
+         |)""".stripMargin
+    s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+       |cnt AS (SELECT COUNT(*) AS n FROM nodes),
+       |edges AS (
+       |  SELECT DISTINCT id AS src,
+       |    CASE WHEN (id * 31 + 7 * j) % c.n = id THEN (id + 1) % c.n
+       |         ELSE (id * 31 + 7 * j) % c.n END AS dst
+       |  FROM nodes CROSS JOIN cnt c
+       |  CROSS JOIN unnest(generate_series(1, 1 + id % 3)) AS g(j)
+       |),
+       |outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT id, (1000000000000 // c.n) AS rank FROM nodes CROSS JOIN cnt c),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT id AS doc_id, rank FROM r5 ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_warc_roundtrip" -> (warcRoundtrip _),
-    "q_quality_classifier" -> (qualityClassifier _))
+    "q_quality_classifier" -> (qualityClassifier _),
+    "q_pagerank" -> (pageRank _))
 
   val oracles: Map[String, String] = Map(
     "q_warc_roundtrip" -> warcRoundtripSql,
-    "q_quality_classifier" -> qualityClassifierSql)
+    "q_quality_classifier" -> qualityClassifierSql,
+    "q_pagerank" -> pageRankSql)
 }

@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** Integer PageRank against hand-computed fixed points. */
+class GraphSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+
+  private def ranksOf(nodeIds: Seq[Long], edgePairs: Seq[(Long, Long)],
+                      iters: Int, scale: Long): Map[Long, Long] = {
+    import spark.implicits._
+    val nodes = nodeIds.toDF("id")
+    val edges = edgePairs.toDF("src", "dst")
+    Graph.pageRank(nodes, edges, iters, scale)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("one iteration on a 4-edge triangle-plus graph matches hand arithmetic") {
+    // 0->1, 0->2, 1->2, 2->0; scale 1000, N=3: init=333, base=(15*333)/100=49
+    val r = ranksOf(Seq(0L, 1L, 2L), Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L)),
+      iters = 1, scale = 1000L)
+    assert(r(0L) == 49 + (85 * (333 / 1)) / 100)        // from 2 (deg 1)
+    assert(r(1L) == 49 + (85 * (333 / 2)) / 100)        // from 0 (deg 2)
+    assert(r(2L) == 49 + (85 * (333 / 2 + 333 / 1)) / 100) // from 0 and 1
+  }
+
+  test("dangling source contributes nothing; no-inlink node keeps base only") {
+    // 0->1; node 2 isolated, node 1 dangling
+    val r = ranksOf(Seq(0L, 1L, 2L), Seq((0L, 1L)), iters = 1, scale = 1000L)
+    assert(r(0L) == 49)                      // no in-links: base only
+    assert(r(2L) == 49)
+    assert(r(1L) == 49 + (85 * 333) / 100)   // full rank of 0
+  }
+
+  test("iterations converge toward the damped stationary distribution") {
+    // symmetric 2-cycle: exact fixed point rank = base + 85*rank/100
+    val r = ranksOf(Seq(0L, 1L), Seq((0L, 1L), (1L, 0L)),
+      iters = 30, scale = 1000000L)
+    // init 500000 is already stationary up to truncation: base=75000,
+    // rank' = 75000 + 85*rank/100 -> fixed point ~499997 (integer drift < den)
+    assert(math.abs(r(0L) - 500000L) <= 5L, s"got ${r(0L)}")
+    assert(r(0L) == r(1L))
+  }
+}
