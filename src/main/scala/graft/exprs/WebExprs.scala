@@ -1,0 +1,30 @@
+package graft.exprs
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** html_extract(html) — main-content extraction as a scan-side
+  * expression: struct(title, blocks array<string>) per
+  * [[graft.ops.Html]]'s boilerplate heuristics. */
+case class HtmlExtractExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = HtmlExtractExpr.schema
+  override def nullSafeEval(in: Any): Any = {
+    val ex = graft.ops.Html.extract(in.asInstanceOf[UTF8String].toString)
+    InternalRow(
+      UTF8String.fromString(ex.title),
+      new GenericArrayData(ex.blocks.map(b => UTF8String.fromString(b)).toArray[Any]))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "html_extract"
+}
+
+object HtmlExtractExpr {
+  val schema: DataType = StructType(Seq(
+    StructField("title", StringType, nullable = false),
+    StructField("blocks", ArrayType(StringType, containsNull = false), nullable = false)))
+}

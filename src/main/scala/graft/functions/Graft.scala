@@ -63,6 +63,7 @@ object Graft {
     "word_chunks" -> { args: Seq[Expression] => WordChunksExpr(args(0), args(1)) },
     "bpe_pairs" -> { args: Seq[Expression] => BpePairs(args(0)) },
     "hashed_ngram_score" -> { args: Seq[Expression] => HashedNgramScore(args(0)) },
+    "html_extract" -> { args: Seq[Expression] => HtmlExtractExpr(args(0)) },
     "nearest_cells" -> { args: Seq[Expression] => NearestCells(args(0), args(1), args(2)) },
     "text_stats" -> { args: Seq[Expression] => TextStats(args(0)) },
     "stopword_scores" -> { args: Seq[Expression] => StopwordScores(args(0)) },

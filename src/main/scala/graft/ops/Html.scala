@@ -1,0 +1,129 @@
+package graft.ops
+
+/** HTML main-content extraction — the step between crawl ingestion
+  * ([[Warc]]) and text curation ([[graft.queries.Corpus]]): strip
+  * markup, drop boilerplate, keep the article text. The reference has
+  * no HTML handling (its closest is ogr2ogr's hstore parse,
+  * projection.py:153); this is training-data-pipeline surface.
+  *
+  * Heuristics (the trafilatura/jusText family, deterministic subset):
+  *   - comments, `<script>`, `<style>` vanish wholesale;
+  *   - structural boilerplate containers (`<nav>`, `<header>`,
+  *     `<footer>`, `<aside>`) vanish wholesale;
+  *   - remaining text splits into blocks at block-level tags, inline
+  *     tags are stripped in place;
+  *   - a block whose text is majority link text (2·linkChars >
+  *     totalChars) is dropped — the share-bar/link-list signal;
+  *   - HTML entities decode (named core set + numeric dec/hex),
+  *     whitespace collapses, empty blocks drop.
+  *
+  * Pure per-row string work: at 100 TB this runs scan-side with zero
+  * shuffle, and the block model keeps memory O(document).
+  */
+object Html {
+
+  final case class Extracted(title: String, blocks: Seq[String])
+
+  private val Removals = Seq(
+    "(?is)<!--.*?-->",
+    "(?is)<script\\b[^>]*>.*?</script>",
+    "(?is)<style\\b[^>]*>.*?</style>",
+    "(?is)<nav\\b[^>]*>.*?</nav>",
+    "(?is)<header\\b[^>]*>.*?</header>",
+    "(?is)<footer\\b[^>]*>.*?</footer>",
+    "(?is)<aside\\b[^>]*>.*?</aside>").map(_.r)
+
+  private val TitleRe = "(?is)<title[^>]*>(.*?)</title>".r
+  private val BodyRe = "(?is)<body[^>]*>(.*)</body>".r
+  private val TagRe = "(?s)<[^>]*>".r
+
+  private val BlockTags = Set(
+    "p", "div", "br", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5", "h6",
+    "table", "tr", "td", "th", "article", "section", "blockquote", "pre",
+    "hr", "dl", "dt", "dd", "figure", "figcaption", "main", "body", "html")
+
+  def extract(html: String): Extracted = {
+    val title = TitleRe.findFirstMatchIn(html)
+      .map(m => collapse(decodeEntities(m.group(1)))).getOrElse("")
+    var cleaned = html
+    Removals.foreach(r => cleaned = r.replaceAllIn(cleaned, " "))
+    val body = BodyRe.findFirstMatchIn(cleaned).map(_.group(1)).getOrElse(cleaned)
+
+    val blocks = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var curLink = 0
+    var linkDepth = 0
+
+    def flush(): Unit = {
+      val text = collapse(decodeEntities(cur.toString))
+      if (text.nonEmpty && 2 * curLink <= cur.count(!_.isWhitespace))
+        blocks += text
+      cur.clear(); curLink = 0
+    }
+
+    var pos = 0
+    for (m <- TagRe.findAllMatchIn(body)) {
+      val run = body.substring(pos, m.start)
+      cur.append(run)
+      if (linkDepth > 0) curLink += run.count(!_.isWhitespace)
+      pos = m.end
+      val tag = m.matched
+      val name = tagName(tag)
+      if (name == "a") { if (tag.startsWith("</")) linkDepth = math.max(0, linkDepth - 1) else if (!tag.endsWith("/>")) linkDepth += 1 }
+      if (BlockTags.contains(name)) flush() else cur.append(' ')
+    }
+    val tail = body.substring(pos)
+    cur.append(tail)
+    if (linkDepth > 0) curLink += tail.count(!_.isWhitespace)
+    flush()
+    Extracted(title, blocks.result())
+  }
+
+  private def tagName(tag: String): String = {
+    var i = 1
+    if (i < tag.length && tag.charAt(i) == '/') i += 1
+    val start = i
+    while (i < tag.length && (tag.charAt(i).isLetterOrDigit)) i += 1
+    tag.substring(start, i).toLowerCase
+  }
+
+  /** Core named entities + numeric character references. */
+  private[ops] def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        val handled = if (semi > i && semi - i <= 10) {
+          val name = s.substring(i + 1, semi)
+          val rep: Option[String] = name match {
+            case "amp" => Some("&")
+            case "lt" => Some("<")
+            case "gt" => Some(">")
+            case "quot" => Some("\"")
+            case "apos" | "#39" => Some("'")
+            case "nbsp" => Some(" ")
+            case _ if name.startsWith("#x") || name.startsWith("#X") =>
+              try Some(new String(Character.toChars(Integer.parseInt(name.substring(2), 16))))
+              catch { case _: Exception => None }
+            case _ if name.startsWith("#") =>
+              try Some(new String(Character.toChars(Integer.parseInt(name.substring(1)))))
+              catch { case _: Exception => None }
+            case _ => None
+          }
+          rep match {
+            case Some(r) => out.append(r); i = semi + 1; true
+            case None => false
+          }
+        } else false
+        if (!handled) { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  private def collapse(s: String): String =
+    s.replaceAll("[\\s\\u00A0]+", " ").trim
+}

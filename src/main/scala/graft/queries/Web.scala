@@ -119,6 +119,44 @@ object Web {
       |LEFT JOIN bi b ON t.doc_id = b.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  // -------------------------------------------------- HTML main content
+
+  /** HTML boilerplate-removal gate. Each doc is wrapped executor-side in
+    * a realistic page — title, script (containing fake `<p>` markup),
+    * style, nav link-list, header, the article (the doc text plus a
+    * second paragraph full of entities), an all-links share bar, and a
+    * footer — then [[graft.exprs.HtmlExtractExpr]] must recover exactly
+    * the title and the two article paragraphs: containers and script
+    * vanish, the share bar dies by link-density, entities decode
+    * (named + numeric em-dash). The closed form reconstructs the
+    * expected text from the documents table. Scan-side map, no shuffle. */
+  def htmlExtract(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Graft.init(s)
+    val docs = documents(s, d)
+    val html = docs.select(col("doc_id"), concat(
+      lit("<!DOCTYPE html><html><head><title>Doc "), col("doc_id"),
+      lit("</title><script>if (1<2) { track(\"<p>not content</p>\"); }</script>" +
+        "<style>p { margin: 0 }</style></head><body>" +
+        "<nav><ul><li><a href=\"/\">Home</a></li><li><a href=\"/about\">About</a></li></ul></nav>" +
+        "<header><h1>Doc "), col("doc_id"), lit("</h1></header><article><p>"),
+      col("text"),
+      lit("</p><p>Cite &amp; more &lt;ref&gt; &#8212; end</p></article>" +
+        "<div class=\"share\"><a href=\"/x\">Share</a> <a href=\"/y\">Tweet</a></div>" +
+        "<footer>&copy; 2026 Example &middot; <a href=\"/tos\">Terms</a></footer>" +
+        "</body></html>")).as("html"))
+    html.select(col("doc_id"), call_function("html_extract", col("html")).as("ex"))
+      .select(col("doc_id"), col("ex.title").as("title"),
+        array_join(col("ex.blocks"), " ").as("main_text"),
+        size(col("ex.blocks")).as("n_blocks"))
+      .orderBy("doc_id")
+  }
+
+  val htmlExtractSql: String =
+    """SELECT doc_id, 'Doc ' || doc_id AS title,
+      |  text || ' Cite & more <ref> ' || chr(8212) || ' end' AS main_text,
+      |  2 AS n_blocks
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- PageRank
 
   /** Integer PageRank over a deterministic synthetic link graph (doc i
@@ -177,10 +215,12 @@ object Web {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_warc_roundtrip" -> (warcRoundtrip _),
     "q_quality_classifier" -> (qualityClassifier _),
-    "q_pagerank" -> (pageRank _))
+    "q_pagerank" -> (pageRank _),
+    "q_html_extract" -> (htmlExtract _))
 
   val oracles: Map[String, String] = Map(
     "q_warc_roundtrip" -> warcRoundtripSql,
     "q_quality_classifier" -> qualityClassifierSql,
-    "q_pagerank" -> pageRankSql)
+    "q_pagerank" -> pageRankSql,
+    "q_html_extract" -> htmlExtractSql)
 }

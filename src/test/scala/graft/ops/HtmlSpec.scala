@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HTML main-content extraction heuristics. */
+class HtmlSpec extends AnyFunSuite {
+
+  test("boilerplate containers, script/style, comments vanish; article survives") {
+    val ex = Html.extract(
+      """<html><head><title> My  Page </title>
+        |<script>if (a<b) { x("<p>fake</p>"); }</script>
+        |<style>p { color: red }</style></head>
+        |<body><!-- comment with <p>junk</p> -->
+        |<nav><a href="/">Home</a> <a href="/a">About</a></nav>
+        |<header><h1>Big Title</h1></header>
+        |<article><p>First para.</p><p>Second para.</p></article>
+        |<aside>related links</aside>
+        |<footer>legal</footer></body></html>""".stripMargin)
+    assert(ex.title == "My Page")
+    assert(ex.blocks == Seq("First para.", "Second para."))
+  }
+
+  test("majority-link-text blocks drop, mixed-text blocks survive") {
+    val ex = Html.extract(
+      """<body><div><a href="/x">Share</a> <a href="/y">Tweet</a></div>
+        |<div>Read the <a href="/doc">full document</a> for details here</div></body>""".stripMargin)
+    assert(ex.blocks == Seq("Read the full document for details here"))
+  }
+
+  test("entities decode: named, decimal, hex; inline tags strip in place") {
+    val ex = Html.extract(
+      "<body><p>Fish &amp; chips &lt;tag&gt; <b>bold</b> &#65;&#x42; caf&#233;</p></body>")
+    assert(ex.blocks == Seq("Fish & chips <tag> bold AB café"))
+  }
+
+  test("no body tag: whole fragment is scanned; unknown entities pass through") {
+    val ex = Html.extract("<p>a &unknown; b</p>")
+    assert(ex.blocks == Seq("a &unknown; b"))
+  }
+}
