@@ -130,20 +130,30 @@ object Web {
     * vanish, the share bar dies by link-density, entities decode
     * (named + numeric em-dash). The closed form reconstructs the
     * expected text from the documents table. Scan-side map, no shuffle. */
-  def htmlExtract(s: SparkSession, d: String): DataFrame = {
-    graft.functions.Graft.init(s)
-    val docs = documents(s, d)
-    val html = docs.select(col("doc_id"), concat(
-      lit("<!DOCTYPE html><html><head><title>Doc "), col("doc_id"),
+  /** The synthetic page every HTML gate wraps a doc in: title, script
+    * (with fake `<p>` markup inside a string), style, nav link-list,
+    * header, the article (doc text + an entity-laden second paragraph),
+    * an all-links share bar, a footer. Expected extraction closed form:
+    * title `Doc <id>`, main text `text + " Cite & more <ref> — end"`. */
+  private def pageHtml(docId: org.apache.spark.sql.Column,
+                       text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      lit("<!DOCTYPE html><html><head><title>Doc "), docId,
       lit("</title><script>if (1<2) { track(\"<p>not content</p>\"); }</script>" +
         "<style>p { margin: 0 }</style></head><body>" +
         "<nav><ul><li><a href=\"/\">Home</a></li><li><a href=\"/about\">About</a></li></ul></nav>" +
-        "<header><h1>Doc "), col("doc_id"), lit("</h1></header><article><p>"),
-      col("text"),
+        "<header><h1>Doc "), docId, lit("</h1></header><article><p>"),
+      text,
       lit("</p><p>Cite &amp; more &lt;ref&gt; &#8212; end</p></article>" +
         "<div class=\"share\"><a href=\"/x\">Share</a> <a href=\"/y\">Tweet</a></div>" +
         "<footer>&copy; 2026 Example &middot; <a href=\"/tos\">Terms</a></footer>" +
-        "</body></html>")).as("html"))
+        "</body></html>"))
+
+  def htmlExtract(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Graft.init(s)
+    val docs = documents(s, d)
+    val html = docs.select(col("doc_id"),
+      pageHtml(col("doc_id"), col("text")).as("html"))
     html.select(col("doc_id"), call_function("html_extract", col("html")).as("ex"))
       .select(col("doc_id"), col("ex.title").as("title"),
         array_join(col("ex.blocks"), " ").as("main_text"),
@@ -156,6 +166,77 @@ object Web {
       |  text || ' Cite & more <ref> ' || chr(8212) || ' end' AS main_text,
       |  2 AS n_blocks
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- end-to-end web pipeline
+
+  /** The whole front of a web-corpus pipeline as ONE Catalyst plan:
+    * WARC members (full HTTP response records whose payloads are the
+    * synthetic HTML pages) → record scan → HTTP header strip → HTML
+    * main-content extraction → hashed-ngram quality scoring → keep
+    * decision. Every stage is individually gated (q_warc_roundtrip,
+    * q_html_extract, q_quality_classifier); this gates their
+    * COMPOSITION — offsets surviving re-serialization, byte-exact
+    * payload handoff between stages, scoring over the extracted (not
+    * raw) text. Scale shape: after the synth fixture, the real path is
+    * binaryFile → flatMap parse → two scan-side expressions — per-file
+    * parallel, zero shuffle until a downstream dedup/agg. */
+  def pipelineWeb(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Graft.init(s)
+    import s.implicits._
+    val docs = documents(s, d)
+    val pages = docs.select(
+        pmod(col("doc_id"), lit(8)).cast("int").as("bucket"),
+        col("doc_id"), pageHtml(col("doc_id"), col("text")).as("html"))
+      .as[(Int, Long, String)]
+    val members = pages.groupByKey(_._1).mapGroups { (b, it) =>
+      val rows = it.toSeq.sortBy(_._2)
+      graft.ops.Warc.buildFile(
+        graft.ops.Warc.warcinfo(f"synth-$b%05d.warc", "2026-08-13T00:00:00Z") +:
+          rows.map { case (_, id, html) =>
+            graft.ops.Warc.responseRecord(
+              s"https://example.org/doc/$id", f"2026-08-13T00:00:${id % 60}%02dZ",
+              "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n",
+              html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          })
+    }(Encoders.BINARY)
+    val fetched = members.flatMap { bytes =>
+      graft.ops.Warc.parse(bytes)
+        .filter(_.recType == "response")
+        .map(r => (r.targetUri,
+          new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)))
+    }.toDF("uri", "html")
+    fetched
+      .withColumn("doc_id", regexp_extract(col("uri"), "/doc/(\\d+)$", 1).cast("long"))
+      .withColumn("ex", call_function("html_extract", col("html")))
+      .withColumn("main_text", array_join(col("ex.blocks"), " "))
+      .withColumn("sc", call_function("hashed_ngram_score", col("main_text")))
+      .select(col("doc_id"), col("ex.title").as("title"),
+        (col("sc.uni_score") + col("sc.bi_score")).as("score"))
+      .withColumn("keep", col("score") >= 0)
+      .orderBy("doc_id")
+  }
+
+  val pipelineWebSql: String =
+    """WITH pages AS (
+      |  SELECT doc_id, 'Doc ' || doc_id AS title,
+      |    text || ' Cite & more <ref> ' || chr(8212) || ' end' AS main_text
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, title, string_split(main_text, ' ') AS ws FROM pages
+      |), uni AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CAST(md5_number_lower(t) % 2001 AS BIGINT) - 1000) AS BIGINT) AS u
+      |  FROM toks, unnest(ws) AS un(t) GROUP BY doc_id
+      |), bi AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CAST(md5_number_lower(ws[i] || ' ' || ws[i+1]) % 2001 AS BIGINT) - 1000) AS BIGINT) AS b
+      |  FROM toks, unnest(generate_series(1, len(ws) - 1)) AS g(i) GROUP BY doc_id
+      |)
+      |SELECT t.doc_id, t.title, u.u + COALESCE(b.b, 0) AS score,
+      |  (u.u + COALESCE(b.b, 0)) >= 0 AS keep
+      |FROM toks t JOIN uni u ON t.doc_id = u.doc_id
+      |LEFT JOIN bi b ON t.doc_id = b.doc_id
+      |ORDER BY t.doc_id""".stripMargin
 
   // ------------------------------------------------------------- PageRank
 
@@ -216,11 +297,13 @@ object Web {
     "q_warc_roundtrip" -> (warcRoundtrip _),
     "q_quality_classifier" -> (qualityClassifier _),
     "q_pagerank" -> (pageRank _),
-    "q_html_extract" -> (htmlExtract _))
+    "q_html_extract" -> (htmlExtract _),
+    "q_pipeline_web" -> (pipelineWeb _))
 
   val oracles: Map[String, String] = Map(
     "q_warc_roundtrip" -> warcRoundtripSql,
     "q_quality_classifier" -> qualityClassifierSql,
     "q_pagerank" -> pageRankSql,
-    "q_html_extract" -> htmlExtractSql)
+    "q_html_extract" -> htmlExtractSql,
+    "q_pipeline_web" -> pipelineWebSql)
 }
