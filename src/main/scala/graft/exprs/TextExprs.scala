@@ -466,3 +466,22 @@ object HashedNgramScore {
     java.lang.Long.remainderUnsigned(h, 2001L) - 1000L
   }
 }
+
+/** nfc_normalize(s) — Unicode NFC canonical composition
+  * (java.text.Normalizer), the canonicalization that must precede any
+  * hash-keyed dedup: visually identical strings with different
+  * codepoint sequences ("e"+U+0301 vs U+00E9) otherwise land in
+  * different dedup buckets. Exact twin of DuckDB's `nfc_normalize`
+  * (both implement UAX #15 canonical composition). */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(in: Any): Any = {
+    val s = in.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) in
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "nfc_normalize"
+}

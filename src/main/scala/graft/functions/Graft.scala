@@ -64,6 +64,7 @@ object Graft {
     "bpe_pairs" -> { args: Seq[Expression] => BpePairs(args(0)) },
     "hashed_ngram_score" -> { args: Seq[Expression] => HashedNgramScore(args(0)) },
     "html_extract" -> { args: Seq[Expression] => HtmlExtractExpr(args(0)) },
+    "nfc_normalize" -> { args: Seq[Expression] => NfcNormalize(args(0)) },
     "nearest_cells" -> { args: Seq[Expression] => NearestCells(args(0), args(1), args(2)) },
     "text_stats" -> { args: Seq[Expression] => TextStats(args(0)) },
     "stopword_scores" -> { args: Seq[Expression] => StopwordScores(args(0)) },

@@ -121,15 +121,6 @@ object Web {
 
   // -------------------------------------------------- HTML main content
 
-  /** HTML boilerplate-removal gate. Each doc is wrapped executor-side in
-    * a realistic page — title, script (containing fake `<p>` markup),
-    * style, nav link-list, header, the article (the doc text plus a
-    * second paragraph full of entities), an all-links share bar, and a
-    * footer — then [[graft.exprs.HtmlExtractExpr]] must recover exactly
-    * the title and the two article paragraphs: containers and script
-    * vanish, the share bar dies by link-density, entities decode
-    * (named + numeric em-dash). The closed form reconstructs the
-    * expected text from the documents table. Scan-side map, no shuffle. */
   /** The synthetic page every HTML gate wraps a doc in: title, script
     * (with fake `<p>` markup inside a string), style, nav link-list,
     * header, the article (doc text + an entity-laden second paragraph),
@@ -149,6 +140,11 @@ object Web {
         "<footer>&copy; 2026 Example &middot; <a href=\"/tos\">Terms</a></footer>" +
         "</body></html>"))
 
+  /** HTML boilerplate-removal gate over the synthetic page: containers
+    * and script vanish, the share bar dies by link-density, entities
+    * decode (named + numeric em-dash), and the oracle reconstructs the
+    * expected title/main text from the documents table. Scan-side map,
+    * no shuffle. */
   def htmlExtract(s: SparkSession, d: String): DataFrame = {
     graft.functions.Graft.init(s)
     val docs = documents(s, d)
@@ -165,6 +161,39 @@ object Web {
     """SELECT doc_id, 'Doc ' || doc_id AS title,
       |  text || ' Cite & more <ref> ' || chr(8212) || ' end' AS main_text,
       |  2 AS n_blocks
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- NFC normalization
+
+  /** Unicode canonicalization gate — the step before any hash-keyed
+    * dedup (decomposed "e"+U+0301 and precomposed U+00E9 must collide).
+    * Each doc's prefix gets decomposed accents + a ligature + NBSP
+    * appended; [[graft.exprs.NfcNormalize]] must agree byte-for-byte
+    * with DuckDB's `nfc_normalize` (both UAX #15). Gates composition
+    * (combining marks fold in), stability (ASCII + already-composed
+    * text passes through), and that codepoint counts shrink exactly
+    * where composition happened. */
+  def nfcNormalize(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Graft.init(s)
+    val docs = documents(s, d)
+    val raw = concat(substring(col("text"), 1, 40),
+      lit(" e\u0301 o\u0308 \u00e9 \ufb01 x\u00a0y"))
+    docs.select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).as("pre_len"),
+        call_function("nfc_normalize", col("raw")).as("nfc_text"))
+      .withColumn("post_len", length(col("nfc_text")))
+      .orderBy("doc_id")
+  }
+
+  val nfcNormalizeSql: String =
+    """SELECT doc_id,
+      |  length(substr(text, 1, 40) || ' e' || chr(769) || ' o' || chr(776)
+      |    || ' ' || chr(233) || ' ' || chr(64257) || ' x' || chr(160) || 'y') AS pre_len,
+      |  nfc_normalize(substr(text, 1, 40) || ' e' || chr(769) || ' o' || chr(776)
+      |    || ' ' || chr(233) || ' ' || chr(64257) || ' x' || chr(160) || 'y') AS nfc_text,
+      |  length(nfc_normalize(substr(text, 1, 40) || ' e' || chr(769) || ' o' || chr(776)
+      |    || ' ' || chr(233) || ' ' || chr(64257) || ' x' || chr(160) || 'y')) AS post_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------- end-to-end web pipeline
@@ -298,12 +327,14 @@ object Web {
     "q_quality_classifier" -> (qualityClassifier _),
     "q_pagerank" -> (pageRank _),
     "q_html_extract" -> (htmlExtract _),
-    "q_pipeline_web" -> (pipelineWeb _))
+    "q_pipeline_web" -> (pipelineWeb _),
+    "q_nfc_normalize" -> (nfcNormalize _))
 
   val oracles: Map[String, String] = Map(
     "q_warc_roundtrip" -> warcRoundtripSql,
     "q_quality_classifier" -> qualityClassifierSql,
     "q_pagerank" -> pageRankSql,
     "q_html_extract" -> htmlExtractSql,
-    "q_pipeline_web" -> pipelineWebSql)
+    "q_pipeline_web" -> pipelineWebSql,
+    "q_nfc_normalize" -> nfcNormalizeSql)
 }
