@@ -163,6 +163,106 @@ object Web {
       |  2 AS n_blocks
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- repeated n-gram trim (in-doc)
+
+  /** Within-document repeated-span removal (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" in-doc
+    * variant): hash every overlapping 5-word gram, mark every gram
+    * position whose hash already occurred EARLIER in the same doc, drop
+    * all tokens covered by a repeated window, reassemble the survivors
+    * in order. First occurrences always survive, so text never empties.
+    * Hash = `md5_bucket` mod 2^30 (DuckDB twin `md5_number_lower % n`)
+    * — collisions are harmless to the gate because both engines collide
+    * identically. Reassembly uses the order-pinned sorted-struct fold
+    * (`array_sort(collect_list(struct(pos, tok)))`), not bare
+    * `collect_list`, which is partition-order-dependent.
+    * Scale shape: everything partitions by doc_id — gram window,
+    * first-occurrence window, anti-join, reassembly agg share one
+    * shuffle key; nothing corpus-global.
+    *
+    * The synthetic corpus has no natural repeated 5-grams (checked), so
+    * the fixture PLANTS them: each doc's first 10 words are appended
+    * twice — every window inside an appended copy re-hashes a window
+    * from the doc start, so the expected output trims both copies
+    * entirely (boundary-straddling windows hash novel, but their
+    * tokens are covered by the in-copy windows). */
+  def repeatTrim(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Graft.init(s)
+    import s.implicits._
+    val aug = documents(s, d).select($"doc_id", concat_ws(" ", $"text",
+      expr("array_join(slice(split(text, ' '), 1, 10), ' ')"),
+      expr("array_join(slice(split(text, ' '), 1, 10), ' ')")).as("text2"))
+    val toks = aug.select($"doc_id", split($"text2", " ").as("ws"))
+    val grams = toks
+      .select($"doc_id", size($"ws").cast("long").as("n"),
+        posexplode(expr(
+          "transform(sequence(1, greatest(size(ws) - 4, 1)), " +
+            "u -> array_join(slice(ws, u, 5), ' '))")).as(Seq("p", "g")))
+      .select($"doc_id", $"n", ($"p" + 1).as("pos"),
+        call_function("md5_bucket", $"g", lit(1 << 30)).as("h"))
+      .filter($"pos" <= $"n" - 4)
+    val firstW = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id", $"h")
+    val dupStarts = grams
+      .withColumn("fp", min($"pos").over(firstW))
+      .filter($"pos" > $"fp")
+      .select($"doc_id", $"pos")
+    val covered = dupStarts
+      .select($"doc_id", explode(sequence($"pos", $"pos" + 4)).as("tp"))
+      .distinct()
+    val tokPos = toks
+      .select($"doc_id", posexplode($"ws").as(Seq("tp0", "tok")))
+      .select($"doc_id", ($"tp0" + 1).as("tp"), $"tok")
+    val kept = tokPos.join(covered, Seq("doc_id", "tp"), "left_anti")
+    val totals = toks.select($"doc_id", size($"ws").cast("long").as("n_tokens"))
+    kept.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(tp, tok))), x -> x.tok)"),
+          " ").as("trimmed_text"))
+      .join(totals, "doc_id")
+      .select($"doc_id", $"n_tokens",
+        ($"n_tokens" - $"n_kept").as("n_dropped"), $"trimmed_text")
+      .orderBy("doc_id")
+  }
+
+  val repeatTrimSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text
+      |    || ' ' || array_to_string(string_split(text, ' ')[1:10], ' ')
+      |    || ' ' || array_to_string(string_split(text, ' ')[1:10], ' '), ' ') AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, u AS pos,
+      |    CAST(md5_number_lower(array_to_string(ws[u:u+4], ' ')) % 1073741824 AS INTEGER) AS h
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS u
+      |        FROM t)
+      |  WHERE u <= len(ws) - 4
+      |),
+      |dup AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos, MIN(pos) OVER (PARTITION BY doc_id, h) AS fp FROM g)
+      |  WHERE pos > fp
+      |),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, pos + i AS tp
+      |  FROM dup CROSS JOIN unnest(generate_series(0, 4)) AS s(i)
+      |),
+      |tok AS (
+      |  SELECT doc_id, u AS tp, ws[u] AS tok
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS u FROM t)
+      |),
+      |kept AS (
+      |  SELECT k.doc_id, k.tp, k.tok
+      |  FROM tok k LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.tp = k.tp
+      |  WHERE c.tp IS NULL
+      |)
+      |SELECT t.doc_id, len(t.ws) AS n_tokens,
+      |  CAST(len(t.ws) - COUNT(*) AS BIGINT) AS n_dropped,
+      |  array_to_string(list(k.tok ORDER BY k.tp), ' ') AS trimmed_text
+      |FROM t JOIN kept k ON k.doc_id = t.doc_id
+      |GROUP BY t.doc_id, len(t.ws)
+      |ORDER BY t.doc_id""".stripMargin
+
   // ------------------------------------------------- NFC normalization
 
   /** Unicode canonicalization gate — the step before any hash-keyed
@@ -328,7 +428,8 @@ object Web {
     "q_pagerank" -> (pageRank _),
     "q_html_extract" -> (htmlExtract _),
     "q_pipeline_web" -> (pipelineWeb _),
-    "q_nfc_normalize" -> (nfcNormalize _))
+    "q_nfc_normalize" -> (nfcNormalize _),
+    "q_repeat_trim" -> (repeatTrim _))
 
   val oracles: Map[String, String] = Map(
     "q_warc_roundtrip" -> warcRoundtripSql,
@@ -336,5 +437,6 @@ object Web {
     "q_pagerank" -> pageRankSql,
     "q_html_extract" -> htmlExtractSql,
     "q_pipeline_web" -> pipelineWebSql,
-    "q_nfc_normalize" -> nfcNormalizeSql)
+    "q_nfc_normalize" -> nfcNormalizeSql,
+    "q_repeat_trim" -> repeatTrimSql)
 }
