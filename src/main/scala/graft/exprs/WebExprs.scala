@@ -28,3 +28,20 @@ object HtmlExtractExpr {
     StructField("title", StringType, nullable = false),
     StructField("blocks", ArrayType(StringType, containsNull = false), nullable = false)))
 }
+
+/** robots_allowed(robots_body, path) — RFC 9309 fetch decision per
+  * [[graft.ops.Robots]] (`*` group, longest-match, Allow wins ties).
+  * Per-row parse is fine for a dimension-joined body column; a
+  * 100 TB-scale frontier parses each distinct robots body once in a
+  * broadcast dim instead (same operator, pre-parsed). */
+case class RobotsAllowed(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(bodyIn: Any, pathIn: Any): Any = {
+    val rules = graft.ops.Robots.parse(bodyIn.asInstanceOf[UTF8String].toString)
+    graft.ops.Robots.allowed(rules, pathIn.asInstanceOf[UTF8String].toString)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "robots_allowed"
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+/** robots.txt (RFC 9309) evaluation — crawl-frontier politeness: which
+  * URLs may be fetched at all. Training-data pipelines re-check robots
+  * at curation time (respect-robots filtering of already-crawled
+  * corpora), so this is a first-class curation operator, not just a
+  * crawler concern.
+  *
+  * Scope: the RFC 9309 core — `User-agent` group selection (`*` group
+  * here; agent-specific groups select by exact token match), `Allow` /
+  * `Disallow` path prefixes, LONGEST-match-wins precedence with Allow
+  * beating Disallow on ties, empty `Disallow:` meaning allow-all, and
+  * unknown directives ignored. `$`/`*` wildcards are out of scope
+  * (parsed rules containing them match literally) — documented
+  * simplification, same subset Common Crawl's fetcher enforced for
+  * years.
+  */
+object Robots {
+
+  final case class Rule(allow: Boolean, prefix: String)
+
+  /** Parse a robots.txt body into the rule list of the group matching
+    * `agent` (falling back to the `*` group). Directives outside any
+    * User-agent group are ignored, per RFC. */
+  def parse(body: String, agent: String = "*"): Seq[Rule] = {
+    val star = Vector.newBuilder[Rule]
+    val named = Vector.newBuilder[Rule]
+    var inStar = false
+    var inNamed = false
+    var sawNamed = false
+    body.split("\n", -1).foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val c = line.indexOf(':')
+      if (c > 0) {
+        val key = line.substring(0, c).trim.toLowerCase
+        val value = line.substring(c + 1).trim
+        key match {
+          case "user-agent" =>
+            inStar = value == "*"
+            inNamed = value.equalsIgnoreCase(agent)
+            if (inNamed) sawNamed = true
+          case "allow" | "disallow" =>
+            val rule = Rule(key == "allow", value)
+            // empty Disallow = allow everything; keep as zero-length
+            // allow rule so it participates in longest-match
+            val normalized = if (!rule.allow && rule.prefix.isEmpty) Rule(true, "") else rule
+            if (inStar) star += normalized
+            if (inNamed) named += normalized
+          case _ => () // crawl-delay, sitemap, unknown: ignored
+        }
+      }
+    }
+    if (sawNamed) named.result() else star.result()
+  }
+
+  /** RFC 9309 decision: longest matching prefix wins; Allow wins ties;
+    * no matching rule means allowed. */
+  def allowed(rules: Seq[Rule], path: String): Boolean = {
+    var bestLen = -1
+    var bestAllow = true
+    rules.foreach { r =>
+      if (path.startsWith(r.prefix)) {
+        val l = r.prefix.length
+        if (l > bestLen || (l == bestLen && r.allow && !bestAllow)) {
+          bestLen = l
+          bestAllow = r.allow
+        }
+      }
+    }
+    bestAllow
+  }
+}

@@ -163,6 +163,60 @@ object Web {
       |  2 AS n_blocks
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------- robots.txt politeness
+
+  /** Respect-robots filtering (RFC 9309): each source domain gets a
+    * robots.txt whose rules depend on the source index (even: Disallow
+    * /private/ with an Allow /private/ok carve-out, plus Disallow /tmp;
+    * odd: Disallow /tmp only, plus a decoy `evilbot` group that must
+    * NOT leak into the `*` group), each doc gets a path by doc_id%4
+    * (docs / private / private-ok / tmp). The robots dim is built and
+    * joined broadcast-small (one row per domain — the real shape: a
+    * frontier holds parsed robots per host), and
+    * [[graft.exprs.RobotsAllowed]] must reproduce the closed-form
+    * longest-match/Allow-tie decision: the /private/ok carve-out
+    * OVERRIDES the shorter Disallow, the decoy group changes nothing,
+    * comments and unknown directives are ignored. */
+  def robotsFilter(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Graft.init(s)
+    import s.implicits._
+    val docs = documents(s, d)
+    val robotsDim = docs.select($"source").distinct()
+      .withColumn("k", regexp_extract($"source", "(\\d+)$", 1).cast("int"))
+      .withColumn("robots",
+        when(pmod($"k", lit(2)) === 0, lit(
+          "# synthetic robots\nUser-agent: *\nDisallow: /private/\n" +
+            "Allow: /private/ok\nDisallow: /tmp\nCrawl-delay: 2\n"))
+          .otherwise(lit(
+            "User-agent: *\nDisallow: /tmp\n" +
+              "User-agent: evilbot\nDisallow: /\n")))
+      .select($"source", $"robots")
+    val urls = docs.select($"doc_id", $"source",
+      concat($"source", lit(".example.com")).as("host"),
+      when(pmod($"doc_id", lit(4)) === 0, concat(lit("/docs/"), $"doc_id"))
+        .when(pmod($"doc_id", lit(4)) === 1, concat(lit("/private/"), $"doc_id"))
+        .when(pmod($"doc_id", lit(4)) === 2, concat(lit("/private/ok"), $"doc_id"))
+        .otherwise(concat(lit("/tmp"), $"doc_id")).as("path"))
+    urls.join(broadcast(robotsDim), "source")
+      .select($"doc_id", $"host", $"path",
+        call_function("robots_allowed", $"robots", $"path").as("allowed"))
+      .orderBy("doc_id")
+  }
+
+  val robotsFilterSql: String =
+    """SELECT doc_id, source || '.example.com' AS host,
+      |  CASE doc_id % 4
+      |    WHEN 0 THEN '/docs/' || doc_id
+      |    WHEN 1 THEN '/private/' || doc_id
+      |    WHEN 2 THEN '/private/ok' || doc_id
+      |    ELSE '/tmp' || doc_id END AS path,
+      |  CASE doc_id % 4
+      |    WHEN 0 THEN true
+      |    WHEN 1 THEN CAST(regexp_extract(source, '(\d+)$', 1) AS INTEGER) % 2 = 1
+      |    WHEN 2 THEN true
+      |    ELSE false END AS allowed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ------------------------------------- repeated n-gram trim (in-doc)
 
   /** Within-document repeated-span removal (the Lee et al. 2022
@@ -429,7 +483,8 @@ object Web {
     "q_html_extract" -> (htmlExtract _),
     "q_pipeline_web" -> (pipelineWeb _),
     "q_nfc_normalize" -> (nfcNormalize _),
-    "q_repeat_trim" -> (repeatTrim _))
+    "q_repeat_trim" -> (repeatTrim _),
+    "q_robots_filter" -> (robotsFilter _))
 
   val oracles: Map[String, String] = Map(
     "q_warc_roundtrip" -> warcRoundtripSql,
@@ -438,5 +493,6 @@ object Web {
     "q_html_extract" -> htmlExtractSql,
     "q_pipeline_web" -> pipelineWebSql,
     "q_nfc_normalize" -> nfcNormalizeSql,
-    "q_repeat_trim" -> repeatTrimSql)
+    "q_repeat_trim" -> repeatTrimSql,
+    "q_robots_filter" -> robotsFilterSql)
 }

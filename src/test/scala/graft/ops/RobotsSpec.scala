@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RFC 9309 core semantics. */
+class RobotsSpec extends AnyFunSuite {
+  private val body =
+    """# comment
+      |User-agent: *
+      |Disallow: /private/
+      |Allow: /private/ok
+      |Disallow: /tmp   # trailing comment
+      |Crawl-delay: 2
+      |
+      |User-agent: specialbot
+      |Disallow: /
+      |""".stripMargin
+  private val star = Robots.parse(body)
+
+  test("longest match wins; Allow beats Disallow on ties") {
+    assert(!Robots.allowed(star, "/private/x"))
+    assert(Robots.allowed(star, "/private/ok123"))   // longer Allow overrides
+    assert(!Robots.allowed(star, "/tmp123"))         // prefix, not directory, match
+    assert(Robots.allowed(star, "/docs/1"))          // no rule: allowed
+    assert(Robots.allowed(star, "/"))
+  }
+
+  test("agent-specific group selected when present, star otherwise") {
+    val special = Robots.parse(body, agent = "specialbot")
+    assert(!Robots.allowed(special, "/anything"))
+    val other = Robots.parse(body, agent = "otherbot")
+    assert(!Robots.allowed(other, "/private/x")) // falls back to * group
+  }
+
+  test("empty Disallow means allow-all; unknown directives and comments ignored") {
+    val rules = Robots.parse("User-agent: *\nDisallow:\nSitemap: /s.xml\n")
+    assert(Robots.allowed(rules, "/anything"))
+    assert(rules.forall(_.allow))
+  }
+
+  test("tie between Allow and Disallow of equal length resolves to Allow regardless of order") {
+    val r1 = Robots.parse("User-agent: *\nDisallow: /a\nAllow: /a\n")
+    val r2 = Robots.parse("User-agent: *\nAllow: /a\nDisallow: /a\n")
+    assert(Robots.allowed(r1, "/a/x"))
+    assert(Robots.allowed(r2, "/a/x"))
+  }
+}
