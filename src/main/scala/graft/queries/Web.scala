@@ -36,13 +36,18 @@ object Web {
     * fixture); REAL ingestion skips the build and flatMaps `Warc.parse`
     * over `binaryFile` rows — per-member parallelism, which is exactly
     * Common Crawl's layout (~64k × 1 GB members per crawl). */
-  def warcRoundtrip(s: SparkSession, d: String): DataFrame = {
+  /** The 8 synthetic WARC members (bucket → bytes): even doc_ids as
+    * `conversion` records, odd as HTTP `response` records, a `warcinfo`
+    * lead per member. Shared by the batch round trip and the streaming
+    * ingest gate. */
+  private def warcMembers(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[(Int, Array[Byte])] = {
     import s.implicits._
     val docs = documents(s, d).select(
         (pmod(col("doc_id"), lit(8))).cast("int").as("bucket"),
         col("doc_id"), col("text"))
       .as[(Int, Long, String)]
-    val members = docs.groupByKey(_._1).mapGroups { (b, it) =>
+    docs.groupByKey(_._1).mapGroups { (b, it) =>
       val rows = it.toSeq.sortBy(_._2)
       val recs = rows.map { case (_, id, text) =>
         val uri = s"https://example.org/doc/$id"
@@ -51,9 +56,14 @@ object Web {
         if (id % 2 == 0) graft.ops.Warc.conversionRecord(uri, date, payload)
         else graft.ops.Warc.responseRecord(uri, date, HttpHead, payload)
       }
-      graft.ops.Warc.buildFile(
-        graft.ops.Warc.warcinfo(f"synth-$b%05d.warc", "2026-08-13T00:00:00Z") +: recs)
-    }(Encoders.BINARY)
+      (b, graft.ops.Warc.buildFile(
+        graft.ops.Warc.warcinfo(f"synth-$b%05d.warc", "2026-08-13T00:00:00Z") +: recs))
+    }
+  }
+
+  def warcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val members = warcMembers(s, d).map(_._2)(Encoders.BINARY)
     val parsed = members.flatMap { bytes =>
       graft.ops.Warc.parse(bytes)
         .filter(_.recType != "warcinfo")
@@ -76,6 +86,69 @@ object Web {
       |         || chr(13) || chr(10)) END AS BIGINT) AS content_length,
       |  text AS body
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- streaming ingest
+
+  /** Streaming WARC ingestion: the 8 members staged as real `.warc`
+    * files (cached once per source fingerprint), consumed by the
+    * `binaryFile` file-stream source 2 files per micro-batch, each
+    * batch flatMapping [[graft.ops.Warc.parse]] and feeding a running
+    * per-record-type aggregate (complete mode). Gates that a CUSTOM
+    * binary format composes with Structured Streaming's incremental
+    * execution — counts and byte totals must come out exactly as the
+    * batch closed form after 4 micro-batches of state updates. This is
+    * the live-crawl shape: members land in object storage, the stream
+    * tails the directory. */
+  def streamWarc(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Graft.init(s)
+    import s.implicits._
+    val dir = graft.util.Staging.fileSet(s,
+      java.nio.file.Paths.get(d, "documents.parquet"), "graft-warc", "v1") {
+      warcMembers(s, d).collect().sortBy(_._1)
+        .map { case (b, bytes) => (f"member-$b%04d.warc", bytes) }.toSeq
+    }
+    graft.util.Staging.withStreamPartitions(s, 8) {
+      val binSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType)))
+      val stream = s.readStream.format("binaryFile").schema(binSchema)
+        .option("maxFilesPerTrigger", 2).load(dir.toString)
+      val recs = stream.select($"content").as[Array[Byte]].flatMap { bytes =>
+        graft.ops.Warc.parse(bytes).map(r => (r.recType, r.contentLength))
+      }.toDF("rec_type", "content_length")
+      val agg = recs.groupBy($"rec_type")
+        .agg(count(lit(1)).as("n"), sum($"content_length").as("total_len"))
+      val name = "stream_warc_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy("rec_type")
+    }
+  }
+
+  val streamWarcSql: String =
+    """SELECT * FROM (
+      |  SELECT 'conversion' AS rec_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(strlen(text)) AS BIGINT) AS total_len
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 'response', CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(strlen(text) + strlen('HTTP/1.1 200 OK' || chr(13) || chr(10)
+      |      || 'Content-Type: text/plain; charset=UTF-8' || chr(13) || chr(10)
+      |      || chr(13) || chr(10))) AS BIGINT)
+      |  FROM documents WHERE doc_id % 2 = 1
+      |  UNION ALL
+      |  SELECT 'warcinfo', CAST(8 AS BIGINT),
+      |    CAST(8 * strlen('software: graft' || chr(13) || chr(10)) AS BIGINT)
+      |) ORDER BY rec_type""".stripMargin
 
   // -------------------------------------------- model-based quality filter
 
@@ -484,7 +557,8 @@ object Web {
     "q_pipeline_web" -> (pipelineWeb _),
     "q_nfc_normalize" -> (nfcNormalize _),
     "q_repeat_trim" -> (repeatTrim _),
-    "q_robots_filter" -> (robotsFilter _))
+    "q_robots_filter" -> (robotsFilter _),
+    "q_stream_warc" -> (streamWarc _))
 
   val oracles: Map[String, String] = Map(
     "q_warc_roundtrip" -> warcRoundtripSql,
@@ -494,5 +568,6 @@ object Web {
     "q_pipeline_web" -> pipelineWebSql,
     "q_nfc_normalize" -> nfcNormalizeSql,
     "q_repeat_trim" -> repeatTrimSql,
-    "q_robots_filter" -> robotsFilterSql)
+    "q_robots_filter" -> robotsFilterSql,
+    "q_stream_warc" -> streamWarcSql)
 }

@@ -61,4 +61,34 @@ object Staging {
     }
     dataDir
   }
+
+  /** Same cache-once contract as [[twoFileSplit]] for a set of raw
+    * binary files (e.g. WARC members): `files` yields (name, bytes)
+    * pairs; admission order for the file-stream source follows seq
+    * order via increasing mtimes. */
+  def fileSet(s: SparkSession, srcFile: Path, cachePrefix: String,
+              version: String)(files: => Seq[(String, Array[Byte])]): Path = {
+    val fp = s"$version-${srcFile.toString.hashCode}-${Files.size(srcFile)}-" +
+      s"${Files.getLastModifiedTime(srcFile).toMillis}"
+    val base = Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"$cachePrefix-$fp")
+    val dataDir = base.resolve("data")
+    if (!Files.exists(base.resolve("_READY"))) {
+      val stageRoot = Files.createTempDirectory(s"$cachePrefix-stage")
+      val stageData = stageRoot.resolve("data")
+      Files.createDirectories(stageData)
+      files.zipWithIndex.foreach { case ((name, bytes), i) =>
+        val tgt = stageData.resolve(name).toFile
+        Files.write(tgt.toPath, bytes)
+        tgt.setLastModified(1000000L * (i + 1))
+      }
+      Files.writeString(stageRoot.resolve("_READY"), "ok")
+      try Files.move(stageRoot, base, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException =>
+      }
+    }
+    dataDir
+  }
 }
