@@ -547,6 +547,132 @@ object Web {
        |SELECT id AS doc_id, rank FROM r5 ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------- curation funnel
+
+  /** The attrition report every curation run ships: how many docs
+    * survive each successive filter — length floor, language, model
+    * quality score (reusing [[graft.exprs.HashedNgramScore]]), exact
+    * dedup (first occurrence by doc_id per md5 fingerprint). Survivors
+    * are conjunctions (a doc dropped at stage k never reappears), so
+    * counts are monotone non-increasing — one pass computes the flags,
+    * ONE aggregate row carries all four sums, and `stack` unpivots it
+    * to stage rows with no join (the one-row-cross-join BNLJ trap).
+    * Scale: flags are scan-side; the dedup flag is the only shuffle
+    * (fingerprint window), shared with any downstream exact dedup.
+    * The corpus has no natural exact dups at small SF, so every 50th
+    * doc is re-appended under a shifted id — those copies share the
+    * original's flags and must die exactly at the dedup stage. */
+  def curationFunnel(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Graft.init(s)
+    import s.implicits._
+    val base = documents(s, d)
+    val corpus = base.unionByName(
+      base.filter(pmod($"doc_id", lit(50)) === 0)
+        .withColumn("doc_id", $"doc_id" + lit(1000000L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5($"text")).orderBy($"doc_id")
+    val flags = corpus
+      .withColumn("sc", call_function("hashed_ngram_score", $"text"))
+      .select($"doc_id", $"lang", $"n_chars",
+        ($"sc.uni_score" + $"sc.bi_score").as("score"),
+        (row_number().over(w) === 1).as("first_copy"))
+      .select(
+        ($"n_chars" >= 200).cast("long").as("f1"),
+        ($"lang" === "en").cast("long").as("f2"),
+        ($"score" >= 0).cast("long").as("f3"),
+        $"first_copy".cast("long").as("f4"))
+    flags.agg(
+        count(lit(1)).as("total"),
+        sum($"f1").as("s1"),
+        sum($"f1" * $"f2").as("s2"),
+        sum($"f1" * $"f2" * $"f3").as("s3"),
+        sum($"f1" * $"f2" * $"f3" * $"f4").as("s4"))
+      .select(expr(
+        "stack(4, 'l1_length', s1, total - s1, 'l2_lang', s2, s1 - s2, " +
+          "'l3_quality', s3, s2 - s3, 'l4_dedup', s4, s3 - s4) " +
+          "AS (stage, survivors, dropped)"))
+      .orderBy("stage")
+  }
+
+  val curationFunnelSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS f1,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS f2,
+      |    CASE WHEN uni + bi >= 0 THEN 1 ELSE 0 END AS f3,
+      |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+      |         THEN 1 ELSE 0 END AS f4
+      |  FROM (
+      |    SELECT doc_id, lang, n_chars, text,
+      |      (SELECT CAST(SUM(CAST(md5_number_lower(t) % 2001 AS BIGINT) - 1000) AS BIGINT)
+      |       FROM unnest(string_split(text, ' ')) AS un(t)) AS uni,
+      |      COALESCE((SELECT CAST(SUM(CAST(md5_number_lower(ws[i] || ' ' || ws[i+1]) % 2001 AS BIGINT) - 1000) AS BIGINT)
+      |       FROM (SELECT string_split(text, ' ') AS ws) w,
+      |            unnest(generate_series(1, len(w.ws) - 1)) AS g(i)), 0) AS bi
+      |    FROM (SELECT doc_id, lang, n_chars, text FROM documents
+      |          UNION ALL
+      |          SELECT doc_id + 1000000, lang, n_chars, text FROM documents
+      |          WHERE doc_id % 50 = 0))
+      |), a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+      |    CAST(SUM(f1) AS BIGINT) AS s1,
+      |    CAST(SUM(f1 * f2) AS BIGINT) AS s2,
+      |    CAST(SUM(f1 * f2 * f3) AS BIGINT) AS s3,
+      |    CAST(SUM(f1 * f2 * f3 * f4) AS BIGINT) AS s4
+      |  FROM f
+      |)
+      |SELECT stage, survivors, dropped FROM (
+      |  SELECT 'l1_length' AS stage, s1 AS survivors, total - s1 AS dropped FROM a
+      |  UNION ALL SELECT 'l2_lang', s2, s1 - s2 FROM a
+      |  UNION ALL SELECT 'l3_quality', s3, s2 - s3 FROM a
+      |  UNION ALL SELECT 'l4_dedup', s4, s3 - s4 FROM a
+      |) ORDER BY stage""".stripMargin
+
+  // ---------------------------------------------- compaction planning
+
+  /** Small-file compaction planning — the operational chore every
+    * 100 TB parquet lake runs nightly: greedily coalesce input files
+    * (in layout order) into target-size output bins, the same policy
+    * as Spark's `maxPartitionBytes` scan coalescing (a bin may
+    * overshoot by at most one file; a file never splits). Bin id is
+    * closed-form window arithmetic — `exclusive_prefix_sum(size) div
+    * target` — so the plan is deterministic and auditable. Each doc
+    * stands in for a file (size = n_chars, order = doc_id); output is
+    * the per-bin manifest: file count, bytes, id range, overshoot
+    * flag. One window + one aggregate, both on the ordering key. */
+  def compactionPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val target = 50000L
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"doc_id").rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    documents(s, d)
+      .select($"doc_id", $"n_chars")
+      .withColumn("prev_total", coalesce(sum($"n_chars").over(w), lit(0L)))
+      .withColumn("bin", expr(s"prev_total div $target"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_files"),
+        sum($"n_chars").as("total_bytes"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .withColumn("overshoot", $"total_bytes" > target)
+      .orderBy("bin")
+  }
+
+  val compactionPlanSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, n_chars,
+      |    COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_total
+      |  FROM documents
+      |)
+      |SELECT prev_total // 50000 AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n_files,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+      |  CAST(SUM(n_chars) AS BIGINT) > 50000 AS overshoot
+      |FROM p GROUP BY 1 ORDER BY bin""".stripMargin
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -558,7 +684,9 @@ object Web {
     "q_nfc_normalize" -> (nfcNormalize _),
     "q_repeat_trim" -> (repeatTrim _),
     "q_robots_filter" -> (robotsFilter _),
-    "q_stream_warc" -> (streamWarc _))
+    "q_stream_warc" -> (streamWarc _),
+    "q_curation_funnel" -> (curationFunnel _),
+    "q_compaction_plan" -> (compactionPlan _))
 
   val oracles: Map[String, String] = Map(
     "q_warc_roundtrip" -> warcRoundtripSql,
@@ -569,5 +697,7 @@ object Web {
     "q_nfc_normalize" -> nfcNormalizeSql,
     "q_repeat_trim" -> repeatTrimSql,
     "q_robots_filter" -> robotsFilterSql,
-    "q_stream_warc" -> streamWarcSql)
+    "q_stream_warc" -> streamWarcSql,
+    "q_curation_funnel" -> curationFunnelSql,
+    "q_compaction_plan" -> compactionPlanSql)
 }
