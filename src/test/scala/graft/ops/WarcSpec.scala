@@ -53,6 +53,37 @@ class WarcSpec extends AnyFunSuite {
     assert(new String(recs.head.body, UTF_8) == "abc")
   }
 
+  test("fuzz: 200 random mixed-record files round-trip byte-exactly") {
+    val rnd = new scala.util.Random(20260813L)
+    (0 until 200).foreach { trial =>
+      val n = 1 + rnd.nextInt(6)
+      val recs = (0 until n).map { i =>
+        // adversarial payloads: raw bytes incl. CR/LF runs, fake headers,
+        // empty bodies, high bytes
+        val body = new Array[Byte](rnd.nextInt(200))
+        rnd.nextBytes(body)
+        if (body.length > 8 && rnd.nextBoolean()) {
+          // plant a fake record boundary inside the payload
+          val fake = "\r\n\r\nWARC/1.0\r\n".getBytes(UTF_8)
+          System.arraycopy(fake, 0, body, 0, math.min(fake.length, body.length))
+        }
+        val uri = s"https://x.org/t$trial/r$i"
+        if (rnd.nextBoolean())
+          (uri, body, Warc.conversionRecord(uri, "2026-01-01T00:00:00Z", body))
+        else
+          (uri, body, Warc.responseRecord(uri, "2026-01-01T00:00:00Z",
+            "HTTP/1.1 200 OK\r\nX-H: v\r\n", body))
+      }
+      val parsed = Warc.parse(Warc.buildFile(recs.map(_._3))).toVector
+      assert(parsed.length == n, s"trial $trial")
+      parsed.zip(recs).foreach { case (got, (uri, body, _)) =>
+        assert(got.targetUri == uri, s"trial $trial")
+        assert(java.util.Arrays.equals(got.payload, body),
+          s"trial $trial: payload mismatch for $uri")
+      }
+    }
+  }
+
   test("malformed input raises: bad version line, missing length, truncated body") {
     val noVersion = "NOPE/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n".getBytes(UTF_8)
     assertThrows[IllegalArgumentException](Warc.parse(noVersion).toVector)
