@@ -547,6 +547,58 @@ object Web {
        |SELECT id AS doc_id, rank FROM r5 ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------- embedding compression
+
+  /** Scalar int8 quantization (the SQ8 of FAISS/vector stores, 4×
+    * smaller than float32): per-dim min/max over the corpus, code =
+    * clamp(floor((v-mn)·255/(mx-mn))), midpoint reconstruction, per-vec
+    * max reconstruction error. Complements the PQ path in
+    * [[graft.llm.Similarity]]. EXACTNESS NOTE: every float op here is a
+    * per-element IEEE op (sub/mul/div/floor/abs) or an order-independent
+    * MAX — no float SUMS — so Spark and DuckDB agree bit-for-bit with
+    * identical parenthesization; codes serialize dim-ordered via the
+    * sorted-struct fold (driver comparator rejects array cells).
+    * Scale: one 64-row stats dim broadcast back over the explode; the
+    * per-vec re-agg shuffles (vec_id, dim, code) once. */
+  def embSq8(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+      .select($"vec_id", posexplode($"embedding").as(Seq("dim0", "v")))
+      .select($"vec_id", ($"dim0" + 1).as("dim"), $"v".cast("double").as("vd"))
+    val st = e.groupBy($"dim").agg(min($"vd").as("mnd"), max($"vd").as("mxd"))
+    val c = e.join(broadcast(st), "dim")
+      .withColumn("code",
+        least(lit(255L), greatest(lit(0L),
+          floor((($"vd" - $"mnd") * 255.0) / ($"mxd" - $"mnd")))).cast("int"))
+      .withColumn("recon",
+        $"mnd" + (($"code" + lit(0.5)) * ($"mxd" - $"mnd")) / 255.0)
+    c.groupBy($"vec_id")
+      .agg(
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(dim, code))), " +
+            "x -> cast(x.code as string))"), ",").as("codes"),
+        max(abs($"vd" - $"recon")).as("max_err"))
+      .orderBy("vec_id")
+  }
+
+  val embSq8Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS vd
+      |  FROM embeddings
+      |), st AS (
+      |  SELECT dim, MIN(vd) AS mnd, MAX(vd) AS mxd FROM e GROUP BY dim
+      |), c AS (
+      |  SELECT e.vec_id, e.dim, e.vd, st.mnd, st.mxd,
+      |    CAST(LEAST(255, GREATEST(0,
+      |      FLOOR(((e.vd - st.mnd) * 255.0) / (st.mxd - st.mnd)))) AS INTEGER) AS code
+      |  FROM e JOIN st USING (dim)
+      |)
+      |SELECT vec_id,
+      |  string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim) AS codes,
+      |  MAX(ABS(vd - (mnd + ((code + 0.5) * (mxd - mnd)) / 255.0))) AS max_err
+      |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   // -------------------------------------------------- curation funnel
 
   /** The attrition report every curation run ships: how many docs
@@ -686,7 +738,8 @@ object Web {
     "q_robots_filter" -> (robotsFilter _),
     "q_stream_warc" -> (streamWarc _),
     "q_curation_funnel" -> (curationFunnel _),
-    "q_compaction_plan" -> (compactionPlan _))
+    "q_compaction_plan" -> (compactionPlan _),
+    "q_emb_sq8" -> (embSq8 _))
 
   val oracles: Map[String, String] = Map(
     "q_warc_roundtrip" -> warcRoundtripSql,
@@ -699,5 +752,6 @@ object Web {
     "q_robots_filter" -> robotsFilterSql,
     "q_stream_warc" -> streamWarcSql,
     "q_curation_funnel" -> curationFunnelSql,
-    "q_compaction_plan" -> compactionPlanSql)
+    "q_compaction_plan" -> compactionPlanSql,
+    "q_emb_sq8" -> embSq8Sql)
 }
