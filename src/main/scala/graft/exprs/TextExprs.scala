@@ -485,3 +485,50 @@ case class NfcNormalize(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "nfc_normalize"
 }
+
+/** gram_hashes(tokens, n, mod) — fused word-n-gram hasher: for each
+  * start position, join n consecutive tokens with one space and hash
+  * via the md5_bucket scheme (low-64 md5, unsigned mod). Replaces the
+  * interpreted `transform(sequence, u -> md5_bucket(array_join(
+  * slice(ws,u,n),' '), mod))` chain (the recurring HOF perf killer —
+  * per-gram slice allocations dominate the md5 itself). Emits
+  * max(len-n+1, 1) positions with CLAMPED tail slices, matching both
+  * the HOF form and DuckDB's `ws[u:u+n-1]` clamped-slice semantics on
+  * short inputs, so existing oracles keep their closed form. */
+case class GramHashes(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(wsIn: Any, nIn: Any, modIn: Any): Any = {
+    val arr = wsIn.asInstanceOf[ArrayData]
+    val n = nIn.asInstanceOf[Int]
+    val mod = modIn.asInstanceOf[Int]
+    val len = arr.numElements()
+    val count = math.max(len - n + 1, 1)
+    val md = SimHashMd5.digests.get()
+    val out = new Array[Any](count)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + n, len)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(arr.getUTF8String(j).toString)
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var k = 0
+      while (k < 8) { h |= (d(8 + k).toLong & 0xFFL) << (8 * k); k += 1 }
+      out(i) = java.lang.Long.remainderUnsigned(h, mod.toLong).toInt
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression): Expression =
+    copy(first = a, second = b, third = c)
+  override def prettyName: String = "gram_hashes"
+}

@@ -357,11 +357,9 @@ object Corpus {
     val sh = documents(s, d)
       .select($"doc_id", split(lower(trim($"text")), "\\s+").as("ws"))
       .select($"doc_id", greatest(size($"ws") - 2, lit(1)).as("np"),
-        posexplode(expr(
-          "transform(sequence(1, greatest(size(ws) - 2, 1)), " +
-            "u -> array_join(slice(ws, u, 3), ' '))")).as(Seq("p", "sh")))
-      .select($"doc_id", $"np", ($"p" + 1).as("pos"),
-        call_function("md5_bucket", $"sh", lit(1 << 30)).as("h"))
+        posexplode(call_function("gram_hashes", $"ws", lit(3), lit(1 << 30)))
+          .as(Seq("p", "h0")))
+      .select($"doc_id", $"np", ($"p" + 1).as("pos"), $"h0".as("h"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"pos").rowsBetween(0, 3)
     sh.withColumn("minh", min($"h").over(w))

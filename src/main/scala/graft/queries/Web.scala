@@ -322,11 +322,9 @@ object Web {
     val toks = aug.select($"doc_id", split($"text2", " ").as("ws"))
     val grams = toks
       .select($"doc_id", size($"ws").cast("long").as("n"),
-        posexplode(expr(
-          "transform(sequence(1, greatest(size(ws) - 4, 1)), " +
-            "u -> array_join(slice(ws, u, 5), ' '))")).as(Seq("p", "g")))
-      .select($"doc_id", $"n", ($"p" + 1).as("pos"),
-        call_function("md5_bucket", $"g", lit(1 << 30)).as("h"))
+        posexplode(call_function("gram_hashes", $"ws", lit(5), lit(1 << 30)))
+          .as(Seq("p", "h")))
+      .select($"doc_id", $"n", ($"p" + 1).as("pos"), $"h")
       .filter($"pos" <= $"n" - 4)
     val firstW = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id", $"h")
     val dupStarts = grams

@@ -252,4 +252,24 @@ class FusedTextSpec extends SparkTestBase with TableDrivenPropertyChecks {
     assert(plan.split("text_stats", -1).length - 1 == 1,
       s"text_stats should appear exactly once in the physical plan:\n$plan")
   }
+
+  test("gram_hashes equals the interpreted transform/slice/md5_bucket chain") {
+    val rnd = new scala.util.Random(42)
+    val words = Seq("a", "bb", "the", "word", "x9", "", "zz")
+    val randoms = (0 until 60).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+    } ++ Seq("", "a", "a b", "a b c", "a b c d e f")
+    val df = randoms.toDF("text").select(split($"text", " ").as("ws"))
+    Seq(2, 3, 5).foreach { n =>
+      val fused = df.select(call_function("gram_hashes", $"ws", lit(n), lit(1 << 30)))
+        .collect().map(_.getSeq[Int](0))
+      val hof = df.select(expr(
+        s"transform(sequence(1, greatest(size(ws) - ${n - 1}, 1)), " +
+          s"u -> md5_bucket(array_join(slice(ws, u, $n), ' '), ${1 << 30}))"))
+        .collect().map(_.getSeq[Int](0))
+      fused.indices.foreach { i =>
+        assert(fused(i) == hof(i), s"n=$n case $i: '${randoms(i)}'")
+      }
+    }
+  }
 }
