@@ -74,6 +74,44 @@ class PlanShapeSpec extends SparkTestBase {
     assert(bad.isEmpty, s"interpreted join conditions:\n${bad.mkString("\n")}")
   }
 
+  test("crawl front-end queries are genuinely map-only / broadcast-only") {
+    // Executable form of the SCALE.md claims: the scan→transform→score
+    // front of the web pipeline must contain NO shuffle exchange (the
+    // final presentation orderBy is exempt — it exists for the oracle's
+    // deterministic compare, and a real pipeline writes unordered).
+    Graft.init(spark)
+    val d = "/root/testdata/sf0.001"
+    def shufflesBelowSort(name: String): Seq[String] = {
+      val plan = SparkEntry.queries(name)(spark, d).queryExecution.sparkPlan
+      // strip the top presentation Sort (+ its required Exchange)
+      val body = plan.collectFirst {
+        case s: org.apache.spark.sql.execution.SortExec => s.child
+      }.getOrElse(plan)
+      val inner = body.collectFirst {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e.child
+      }.map(c => c.collect {
+        case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => x.nodeName
+      }).getOrElse(body.collect {
+        case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => x.nodeName
+      })
+      inner
+    }
+    // pure scan-side maps: zero shuffles below the presentation sort
+    Seq("q_quality_classifier", "q_html_extract", "q_nfc_normalize")
+      .foreach { q =>
+        assert(shufflesBelowSort(q).isEmpty,
+          s"$q claims map-only but shuffles: ${shufflesBelowSort(q)}")
+      }
+    // robots: the per-host dim must come in as a BROADCAST, and the
+    // probe side must not shuffle
+    val robots = SparkEntry.queries("q_robots_filter")(spark, d)
+      .queryExecution.sparkPlan
+    val bcasts = robots.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcasts.nonEmpty, "q_robots_filter lost its broadcast join")
+  }
+
   test("the detector actually fires on an injected regression") {
     import spark.implicits._
     val a = Seq((1L, 2.0), (2L, 3.0)).toDF("id_a", "va")
