@@ -532,3 +532,26 @@ case class GramHashes(first: Expression, second: Expression, third: Expression)
     copy(first = a, second = b, third = c)
   override def prettyName: String = "gram_hashes"
 }
+
+/** char_pairs(w) — adjacent 2-char substrings of a word (the BPE pair
+  * census generator), fused: replaces the interpreted
+  * `transform(sequence(1, length(w)-1), i -> substring(w, i, 2))`
+  * chain. BMP-safe (census symbols are ASCII + single-char merge
+  * markers). */
+case class CharPairs(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(in: Any): Any = {
+    val s = in.asInstanceOf[UTF8String].toString
+    val n = math.max(s.length - 1, 0)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = UTF8String.fromString(s.substring(i, i + 2))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "char_pairs"
+}

@@ -67,6 +67,7 @@ object Graft {
     "nfc_normalize" -> { args: Seq[Expression] => NfcNormalize(args(0)) },
     "robots_allowed" -> { args: Seq[Expression] => RobotsAllowed(args(0), args(1)) },
     "gram_hashes" -> { args: Seq[Expression] => GramHashes(args(0), args(1), args(2)) },
+    "char_pairs" -> { args: Seq[Expression] => CharPairs(args(0)) },
     "nearest_cells" -> { args: Seq[Expression] => NearestCells(args(0), args(1), args(2)) },
     "text_stats" -> { args: Seq[Expression] => TextStats(args(0)) },
     "stopword_scores" -> { args: Seq[Expression] => StopwordScores(args(0)) },

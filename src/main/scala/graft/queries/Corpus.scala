@@ -205,6 +205,93 @@ object Corpus {
       |  CAST(SUM(length(w) - length(m)) AS BIGINT) AS n_applied
       |FROM merged""".stripMargin
 
+  // ---------------------------------------------- multi-step BPE training
+
+  /** THREE chained BPE training steps — the real tokenizer-induction
+    * loop, not a single iteration: census the adjacent-pair counts over
+    * the current (token-weighted) corpus, merge the winner into a fresh
+    * single-char marker symbol, re-census over the MERGED corpus (so
+    * step 2 can — and does — select pairs containing step 1's marker),
+    * three times. Winners resolve driver-side (three 1-row collects,
+    * the bpe_apply pattern); the oracle is fully CLOSED FORM — it
+    * re-derives each winner with its own chained argmax CTEs, so a
+    * wrong tie-break, a census over the unmerged corpus, or a skipped
+    * step all hash-mismatch. Per-step stats are over word TYPES
+    * (vocab compression is the quantity BPE optimizes).
+    * Scale: each step is one pair-census shuffle (alphabet²-bounded
+    * keys, map-side combine) + one scan-side replace — the loop is
+    * k × the single-step cost, nothing accumulates. */
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Graft.init(s)
+    import s.implicits._
+    val markers = Seq("Ʒ", "Ƹ", "Ƽ") // Ʒ Ƹ Ƽ — outside [a-z]
+    // the loop's working set: 3 winner-collects + 3 stats rows + the
+    // census re-scans all replay from here — cache it once (at cluster
+    // scale: persist to disk-backed storage or checkpoint), each step's
+    // corpus is then cache + k cheap scan-side replaces
+    val toks0 = documents(s, d)
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("w"))
+      .filter($"w".rlike("^[a-z]{2,}$"))
+      .persist()
+    var toks = toks0
+    val steps = markers.zipWithIndex.map { case (mark, i) =>
+      val top = toks
+        .select(explode(call_function("char_pairs", $"w")).as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("c"))
+        .orderBy($"c".desc, $"pair").limit(1)
+        .head().getString(0)
+      val types = toks.select($"w").distinct()
+        .select($"w", expr(s"replace(w, '$top', '$mark')").as("m"))
+      val row = types.agg(
+        lit(i + 1).as("step"),
+        lit(top).as("pair"),
+        count(lit(1)).as("vocab_before"),
+        count_distinct($"m").as("vocab_after"),
+        sum(when($"m" =!= $"w", 1L).otherwise(0L)).as("n_word_types_affected"),
+        sum(length($"w") - length($"m")).as("n_applied"))
+      toks = toks.select(expr(s"replace(w, '$top', '$mark')").as("w"))
+      row
+    }
+    steps.reduce(_.unionByName(_)).orderBy("step")
+  }
+
+  val bpeTrainSql: String = {
+    def censusOver(src: String): String =
+      s"""SELECT substring(w, CAST(i AS INTEGER), 2) AS pair
+         |    FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i FROM $src)
+         |    GROUP BY pair ORDER BY COUNT(*) DESC, pair LIMIT 1""".stripMargin
+    def statsOver(src: String, top: String, mark: String, k: Int): String =
+      s"""SELECT $k AS step, (SELECT pair FROM $top) AS pair,
+         |  COUNT(*) AS vocab_before,
+         |  COUNT(DISTINCT replace(w, (SELECT pair FROM $top), '$mark')) AS vocab_after,
+         |  CAST(SUM(CASE WHEN replace(w, (SELECT pair FROM $top), '$mark') <> w
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_word_types_affected,
+         |  CAST(SUM(length(w) - length(replace(w, (SELECT pair FROM $top), '$mark'))) AS BIGINT) AS n_applied
+         |FROM (SELECT DISTINCT w FROM $src)""".stripMargin
+    s"""WITH toks0 AS (
+       |  SELECT w FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |                 FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]{2,}$$')
+       |), top1 AS (
+       |  ${censusOver("toks0")}
+       |), toks1 AS (
+       |  SELECT replace(w, (SELECT pair FROM top1), 'Ʒ') AS w FROM toks0
+       |), top2 AS (
+       |  ${censusOver("toks1")}
+       |), toks2 AS (
+       |  SELECT replace(w, (SELECT pair FROM top2), 'Ƹ') AS w FROM toks1
+       |), top3 AS (
+       |  ${censusOver("toks2")}
+       |)
+       |SELECT * FROM (
+       |  ${statsOver("toks0", "top1", "Ʒ", 1)}
+       |  UNION ALL
+       |  ${statsOver("toks1", "top2", "Ƹ", 2)}
+       |  UNION ALL
+       |  ${statsOver("toks2", "top3", "Ƽ", 3)}
+       |) ORDER BY step""".stripMargin
+  }
+
   // ------------------------------------------------- sketch-accuracy gate
 
   /** The approximate aggregates a 100 TB corpus profile actually uses —
@@ -1620,6 +1707,7 @@ object Corpus {
     "q_emb_outliers" -> (embOutliers _),
     "q_topic_terms" -> (topicTerms _),
     "q_bpe_apply" -> (bpeApply _),
+    "q_bpe_train" -> (bpeTrain _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_rolling_window" -> (rollingWindow _),
     "q_lsh_verify" -> (lshVerify _),
@@ -1655,6 +1743,7 @@ object Corpus {
     "q_emb_outliers" -> embOutliersSql,
     "q_topic_terms" -> topicTermsSql,
     "q_bpe_apply" -> bpeApplySql,
+    "q_bpe_train" -> bpeTrainSql,
     "q_csv_roundtrip" -> csvRoundtripSql,
     "q_rolling_window" -> rollingWindowSql,
     "q_lsh_verify" -> lshVerifySql,
