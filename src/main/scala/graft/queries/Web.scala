@@ -87,6 +87,29 @@ object Web {
       |  text AS body
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- DataSource V2 reader
+
+  /** The DSv2 connector gate: `spark.read.format("warc").load(dir)`
+    * over the staged members must reproduce the same closed form as
+    * the hand-wired round trip — schema inference, per-file partition
+    * planning, and the record iterator all behind Spark's standard
+    * source API (plus real column pruning, asserted in
+    * WarcSourceSpec). */
+  def warcSource(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = stagedWarcDir(s, d)
+    s.read.format("warc").load(dir.toString)
+      .filter($"rec_type" =!= "warcinfo")
+      .withColumn("doc_id",
+        regexp_extract($"target_uri", "/doc/(\\d+)$", 1).cast("long"))
+      .select($"doc_id", $"rec_type", $"warc_date", $"content_length",
+        $"payload".cast("string").as("body"))
+      .orderBy("doc_id")
+  }
+
+  // same closed form as the hand-wired round trip
+  val warcSourceSql: String = warcRoundtripSql
+
   // ------------------------------------------------- streaming ingest
 
   /** Streaming WARC ingestion: the 8 members staged as real `.warc`
@@ -99,14 +122,20 @@ object Web {
     * batch closed form after 4 micro-batches of state updates. This is
     * the live-crawl shape: members land in object storage, the stream
     * tails the directory. */
-  def streamWarc(s: SparkSession, d: String): DataFrame = {
-    graft.functions.Graft.init(s)
-    import s.implicits._
-    val dir = graft.util.Staging.fileSet(s,
+  /** The 8 members staged as real `.warc` files, cached once per
+    * source fingerprint; shared by the streaming gate and the DSv2
+    * connector gate. */
+  private def stagedWarcDir(s: SparkSession, d: String): java.nio.file.Path =
+    graft.util.Staging.fileSet(s,
       java.nio.file.Paths.get(d, "documents.parquet"), "graft-warc", "v1") {
       warcMembers(s, d).collect().sortBy(_._1)
         .map { case (b, bytes) => (f"member-$b%04d.warc", bytes) }.toSeq
     }
+
+  def streamWarc(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Graft.init(s)
+    import s.implicits._
+    val dir = stagedWarcDir(s, d)
     graft.util.Staging.withStreamPartitions(s, 8) {
       val binSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("path",
@@ -737,7 +766,8 @@ object Web {
     "q_stream_warc" -> (streamWarc _),
     "q_curation_funnel" -> (curationFunnel _),
     "q_compaction_plan" -> (compactionPlan _),
-    "q_emb_sq8" -> (embSq8 _))
+    "q_emb_sq8" -> (embSq8 _),
+    "q_warc_source" -> (warcSource _))
 
   val oracles: Map[String, String] = Map(
     "q_warc_roundtrip" -> warcRoundtripSql,
@@ -751,5 +781,6 @@ object Web {
     "q_stream_warc" -> streamWarcSql,
     "q_curation_funnel" -> curationFunnelSql,
     "q_compaction_plan" -> compactionPlanSql,
-    "q_emb_sq8" -> embSq8Sql)
+    "q_emb_sq8" -> embSq8Sql,
+    "q_warc_source" -> warcSourceSql)
 }

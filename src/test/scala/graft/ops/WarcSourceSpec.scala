@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkTestBase
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+/** The DSv2 `format("warc")` connector: read path, per-file partitions,
+  * and REAL column pruning (the payload must not reach the scan schema
+  * when unselected). */
+class WarcSourceSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+
+  private lazy val dir = {
+    val d = Files.createTempDirectory("warc-src-spec")
+    (0 until 3).foreach { i =>
+      val recs = (0 until 4).map { j =>
+        Warc.conversionRecord(s"https://x.org/$i/$j", "2026-01-01T00:00:00Z",
+          s"body $i $j".getBytes(UTF_8))
+      }
+      Files.write(d.resolve(f"m-$i%02d.warc"),
+        Warc.buildFile(Warc.warcinfo(s"m$i", "2026-01-01T00:00:00Z") +: recs))
+    }
+    Files.writeString(d.resolve("_marker"), "skip me") // must be ignored
+    d
+  }
+
+  test("reads all records across members; one partition per file") {
+    val df = spark.read.format("warc").load(dir.toString)
+    assert(df.count() == 15) // 3 × (1 warcinfo + 4 conversion)
+    assert(df.filter(col("rec_type") === "conversion").count() == 12)
+    assert(df.rdd.getNumPartitions == 3)
+    val uris = df.filter(col("rec_type") === "conversion")
+      .select("target_uri").collect().map(_.getString(0)).sorted
+    assert(uris.length == 12 && uris.head == "https://x.org/0/0")
+  }
+
+  test("payload bytes round-trip through the connector") {
+    val bodies = spark.read.format("warc").load(dir.toString)
+      .filter(col("rec_type") === "conversion")
+      .select(col("payload").cast("string")).collect().map(_.getString(0)).toSet
+    assert(bodies == (for (i <- 0 until 3; j <- 0 until 4) yield s"body $i $j").toSet)
+  }
+
+  test("column pruning reaches the scan: unselected payload leaves ReadSchema") {
+    val pruned = spark.read.format("warc").load(dir.toString)
+      .select("rec_type", "content_length")
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec in plan"))
+    val readSchema = scan.scan.readSchema().fieldNames.toSet
+    assert(readSchema == Set("rec_type", "content_length"),
+      s"scan should read only pruned columns, got $readSchema")
+  }
+}
