@@ -54,17 +54,37 @@ class WarcTable(path: String) extends Table with SupportsRead {
 }
 
 class WarcScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, Not}
   private var required: StructType = WarcSource.Schema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new WarcScan(path, required)
+  /** rec_type equality (and its negation) evaluates at the reader,
+    * before row materialization (UTF8String conversions + row alloc)
+    * — a WET pass over response-heavy members never surfaces the
+    * non-matching records. Everything else stays residual for Spark
+    * to evaluate. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("rec_type", _: String) => true
+      case Not(EqualTo("rec_type", _: String)) => true
+      case _ => false
+    }
+    filters.filterNot(pushed.contains) // residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new WarcScan(path, required, pushed)
 }
 
-class WarcScan(path: String, required: StructType) extends Scan with Batch {
+class WarcScan(path: String, required: StructType,
+               pushed: Array[org.apache.spark.sql.sources.Filter])
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"WarcScan path=$path, ReadSchema: ${required.simpleString}"
+    s"WarcScan path=$path, ReadSchema: ${required.simpleString}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -77,12 +97,20 @@ class WarcScan(path: String, required: StructType) extends Scan with Batch {
     files.map(st => WarcFilePartition(st.getPath.toString): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required)
+    new WarcReaderFactory(required, pushed)
 }
 
 case class WarcFilePartition(file: String) extends InputPartition
 
-class WarcReaderFactory(required: StructType) extends PartitionReaderFactory {
+class WarcReaderFactory(required: StructType,
+                        pushed: Array[org.apache.spark.sql.sources.Filter])
+    extends PartitionReaderFactory {
+  import org.apache.spark.sql.sources.{EqualTo, Not}
+  private def admits(recType: String): Boolean = pushed.forall {
+    case EqualTo("rec_type", v: String) => recType == v
+    case Not(EqualTo("rec_type", v: String)) => recType != v
+    case _ => true
+  }
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[WarcFilePartition].file
     new PartitionReader[InternalRow] {
@@ -105,8 +133,13 @@ class WarcReaderFactory(required: StructType) extends PartitionReaderFactory {
           case other => throw new IllegalArgumentException(s"unknown column $other")
         }
       }
-      override def next(): Boolean =
-        if (it.hasNext) { cur = it.next(); true } else false
+      override def next(): Boolean = {
+        while (it.hasNext) {
+          cur = it.next()
+          if (admits(cur.recType)) return true
+        }
+        false
+      }
       override def get(): InternalRow = InternalRow.fromSeq(
         scala.collection.immutable.ArraySeq.unsafeWrapArray(fill.map(_.apply())))
       override def close(): Unit = ()

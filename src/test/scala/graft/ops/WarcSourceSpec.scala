@@ -41,6 +41,24 @@ class WarcSourceSpec extends SparkTestBase {
     assert(bodies == (for (i <- 0 until 3; j <- 0 until 4) yield s"body $i $j").toSet)
   }
 
+  test("rec_type filters push to the reader and results stay correct") {
+    val df = spark.read.format("warc").load(dir.toString)
+      .filter(col("rec_type") === "conversion")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec in plan"))
+    assert(scan.scan.description().contains("EqualTo(rec_type,conversion)"),
+      s"filter not pushed: ${scan.scan.description()}")
+    assert(df.count() == 12)
+    val neg = spark.read.format("warc").load(dir.toString)
+      .filter(col("rec_type") =!= "warcinfo")
+    assert(neg.count() == 12)
+    // residual filters still apply: content_length is NOT pushed
+    val mixed = spark.read.format("warc").load(dir.toString)
+      .filter(col("rec_type") === "conversion" && col("content_length") > 0)
+    assert(mixed.count() == 12)
+  }
+
   test("column pruning reaches the scan: unselected payload leaves ReadSchema") {
     val pruned = spark.read.format("warc").load(dir.toString)
       .select("rec_type", "content_length")
