@@ -110,6 +110,43 @@ object Web {
   // same closed form as the hand-wired round trip
   val warcSourceSql: String = warcRoundtripSql
 
+  /** The write path of the connector: documents → WET members via
+    * `df.write.format("warc")` (one member per partition, temp-file +
+    * driver-rename commit), read back through the same source — the
+    * full sink→source round trip under Spark's standard API. A fresh
+    * UUID dir per run keeps append semantics honest. */
+  def warcWrite(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft-warc-write-" + java.util.UUID.randomUUID).toString
+    documents(s, d).select(
+        lit("").as("path"),                      // derived on read
+        lit("conversion").as("rec_type"),
+        concat(lit("https://example.org/doc/"), $"doc_id").as("target_uri"),
+        concat(lit("2026-08-13T00:00:"),
+          lpad(pmod($"doc_id", lit(60)).cast("string"), 2, "0"), lit("Z"))
+          .as("warc_date"),
+        lit(0L).as("content_length"),            // computed by the writer
+        encode($"text", "UTF-8").as("payload"))
+      .repartition(4)
+      .write.format("warc").mode("append").save(out)
+    s.read.format("warc").load(out)
+      .filter($"rec_type" === "conversion")
+      .withColumn("doc_id",
+        regexp_extract($"target_uri", "/doc/(\\d+)$", 1).cast("long"))
+      .select($"doc_id", $"warc_date", $"content_length",
+        $"payload".cast("string").as("body"))
+      .orderBy("doc_id")
+  }
+
+  val warcWriteSql: String =
+    """SELECT doc_id,
+      |  '2026-08-13T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS warc_date,
+      |  CAST(strlen(text) AS BIGINT) AS content_length,
+      |  text AS body
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- streaming ingest
 
   /** Streaming WARC ingestion: the 8 members staged as real `.warc`
@@ -767,7 +804,8 @@ object Web {
     "q_curation_funnel" -> (curationFunnel _),
     "q_compaction_plan" -> (compactionPlan _),
     "q_emb_sq8" -> (embSq8 _),
-    "q_warc_source" -> (warcSource _))
+    "q_warc_source" -> (warcSource _),
+    "q_warc_write" -> (warcWrite _))
 
   val oracles: Map[String, String] = Map(
     "q_warc_roundtrip" -> warcRoundtripSql,
@@ -782,5 +820,6 @@ object Web {
     "q_curation_funnel" -> curationFunnelSql,
     "q_compaction_plan" -> compactionPlanSql,
     "q_emb_sq8" -> embSq8Sql,
-    "q_warc_source" -> warcSourceSql)
+    "q_warc_source" -> warcSourceSql,
+    "q_warc_write" -> warcWriteSql)
 }

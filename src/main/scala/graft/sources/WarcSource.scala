@@ -43,14 +43,105 @@ object WarcSource {
     StructField("payload", BinaryType, nullable = false)))
 }
 
-class WarcTable(path: String) extends Table with SupportsRead {
+class WarcTable(path: String) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.write._
   require(path != null, "warc source requires a path: .format(\"warc\").load(dir)")
   override def name(): String = s"warc:$path"
   override def schema(): StructType = WarcSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(path)
+
+  /** WET-style writer: rows become `conversion` records, ONE member
+    * file per partition (so upstream `repartition(n)` IS the
+    * member-sizing control), each member led by a warcinfo record.
+    * Input is schema-symmetric with the read side (Spark validates v2
+    * appends against the table schema); the writer consumes
+    * target_uri/warc_date/payload and ignores the read-derived columns
+    * (path, rec_type, content_length). Tasks write `.tmp` members; the
+    * driver commit renames them into place — task retries/speculation
+    * never publish partial members. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val in = info.schema()
+    Seq("target_uri", "warc_date", "payload").foreach { c =>
+      require(in.fieldNames.contains(c),
+        s"warc writer requires column '$c' (got ${in.fieldNames.mkString(", ")})")
+    }
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new WarcBatchWrite(path, in)
+      }
+    }
+  }
+}
+
+class WarcBatchWrite(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new WarcWriterFactory(path, schema)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    messages.foreach {
+      case WarcCommitMessage(tmp, fin) if tmp.nonEmpty =>
+        val t = new org.apache.hadoop.fs.Path(tmp)
+        val f = new org.apache.hadoop.fs.Path(fin)
+        if (!fs.rename(t, f))
+          throw new java.io.IOException(s"warc commit: rename $tmp -> $fin failed")
+      case _ => ()
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    messages.foreach {
+      case WarcCommitMessage(tmp, _) if tmp.nonEmpty =>
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), false)
+      case _ => ()
+    }
+  }
+}
+
+case class WarcCommitMessage(tmpPath: String, finalPath: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class WarcWriterFactory(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  import org.apache.spark.sql.connector.write._
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val uriIdx = schema.fieldIndex("target_uri")
+    val dateIdx = schema.fieldIndex("warc_date")
+    val payloadIdx = schema.fieldIndex("payload")
+    new DataWriter[InternalRow] {
+      private val recs = Vector.newBuilder[Array[Byte]]
+      private var n = 0
+      override def write(row: InternalRow): Unit = {
+        recs += graft.ops.Warc.conversionRecord(
+          row.getUTF8String(uriIdx).toString,
+          row.getUTF8String(dateIdx).toString,
+          row.getBinary(payloadIdx))
+        n += 1
+      }
+      override def commit(): WriterCommitMessage = {
+        if (n == 0) return WarcCommitMessage("", "")
+        val name = f"part-$partitionId%05d-$taskId.warc"
+        val bytes = graft.ops.Warc.buildFile(
+          graft.ops.Warc.warcinfo(name, "2026-01-01T00:00:00Z") +: recs.result())
+        val dir = new org.apache.hadoop.fs.Path(path)
+        val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        fs.mkdirs(dir)
+        val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.$taskId.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(bytes) finally out.close()
+        WarcCommitMessage(tmp.toString, new org.apache.hadoop.fs.Path(dir, name).toString)
+      }
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class WarcScanBuilder(path: String)
