@@ -110,6 +110,33 @@ object Web {
   // same closed form as the hand-wired round trip
   val warcSourceSql: String = warcRoundtripSql
 
+  /** The SQL-first surface of the connector: standard DDL
+    * (`CREATE TEMPORARY VIEW ... USING warc OPTIONS (path ...)`) then a
+    * plain SELECT — a SQL user never touches the DataFrame API and
+    * still reads crawl archives with pruning + pushdown intact.
+    * (Direct `FROM warc.`dir`` syntax is reserved for v1 FileFormats.) */
+  def warcSql(s: SparkSession, d: String): DataFrame = {
+    val dir = stagedWarcDir(s, d)
+    s.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW warc_members
+         |USING warc OPTIONS (path '$dir')""".stripMargin)
+    s.sql(
+      """SELECT CAST(regexp_extract(target_uri, '/doc/(\\d+)$', 1) AS BIGINT) AS doc_id,
+        |  rec_type, content_length
+        |FROM warc_members
+        |WHERE rec_type <> 'warcinfo'
+        |ORDER BY doc_id""".stripMargin)
+  }
+
+  val warcSqlSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'conversion' ELSE 'response' END AS rec_type,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN strlen(text)
+      |       ELSE strlen(text) + strlen('HTTP/1.1 200 OK' || chr(13) || chr(10)
+      |         || 'Content-Type: text/plain; charset=UTF-8' || chr(13) || chr(10)
+      |         || chr(13) || chr(10)) END AS BIGINT) AS content_length
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** The write path of the connector: documents → WET members via
     * `df.write.format("warc")` (one member per partition, temp-file +
     * driver-rename commit), read back through the same source — the
@@ -805,7 +832,8 @@ object Web {
     "q_compaction_plan" -> (compactionPlan _),
     "q_emb_sq8" -> (embSq8 _),
     "q_warc_source" -> (warcSource _),
-    "q_warc_write" -> (warcWrite _))
+    "q_warc_write" -> (warcWrite _),
+    "q_warc_sql" -> (warcSql _))
 
   val oracles: Map[String, String] = Map(
     "q_warc_roundtrip" -> warcRoundtripSql,
@@ -821,5 +849,6 @@ object Web {
     "q_compaction_plan" -> compactionPlanSql,
     "q_emb_sq8" -> embSq8Sql,
     "q_warc_source" -> warcSourceSql,
-    "q_warc_write" -> warcWriteSql)
+    "q_warc_write" -> warcWriteSql,
+    "q_warc_sql" -> warcSqlSql)
 }
