@@ -110,6 +110,43 @@ object Web {
   // same closed form as the hand-wired round trip
   val warcSourceSql: String = warcRoundtripSql
 
+  /** Damage-tolerant ingestion: the members staged with member 3
+    * truncated by 100 bytes (torn-write shape — cuts into the final
+    * record's body). `mode=permissive` must salvage every intact
+    * record and drop ONLY the damaged tail — the closed form is "all
+    * docs except the largest doc_id in bucket 3" (records are
+    * doc_id-sorted within a member; min body 48 bytes + ~150-byte
+    * header keeps a 100-byte cut inside the last record). Failfast
+    * (the default) raising on the same dir is pinned in
+    * WarcSourceSpec. */
+  def warcPermissive(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = graft.util.Staging.fileSet(s,
+      java.nio.file.Paths.get(d, "documents.parquet"), "graft-warc-dmg", "v1") {
+      warcMembers(s, d).collect().sortBy(_._1).map { case (b, bytes) =>
+        val out = if (b == 3) bytes.take(bytes.length - 100) else bytes
+        (f"member-$b%04d.warc", out)
+      }.toSeq
+    }
+    s.read.format("warc").option("mode", "permissive").load(dir.toString)
+      .filter($"rec_type" =!= "warcinfo")
+      .withColumn("doc_id",
+        regexp_extract($"target_uri", "/doc/(\\d+)$", 1).cast("long"))
+      .select($"doc_id", $"rec_type", $"content_length")
+      .orderBy("doc_id")
+  }
+
+  val warcPermissiveSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'conversion' ELSE 'response' END AS rec_type,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN strlen(text)
+      |       ELSE strlen(text) + strlen('HTTP/1.1 200 OK' || chr(13) || chr(10)
+      |         || 'Content-Type: text/plain; charset=UTF-8' || chr(13) || chr(10)
+      |         || chr(13) || chr(10)) END AS BIGINT) AS content_length
+      |FROM documents
+      |WHERE doc_id <> (SELECT MAX(doc_id) FROM documents WHERE doc_id % 8 = 3)
+      |ORDER BY doc_id""".stripMargin
+
   /** The SQL-first surface of the connector: standard DDL
     * (`CREATE TEMPORARY VIEW ... USING warc OPTIONS (path ...)`) then a
     * plain SELECT — a SQL user never touches the DataFrame API and
@@ -833,7 +870,8 @@ object Web {
     "q_emb_sq8" -> (embSq8 _),
     "q_warc_source" -> (warcSource _),
     "q_warc_write" -> (warcWrite _),
-    "q_warc_sql" -> (warcSql _))
+    "q_warc_sql" -> (warcSql _),
+    "q_warc_permissive" -> (warcPermissive _))
 
   val oracles: Map[String, String] = Map(
     "q_warc_roundtrip" -> warcRoundtripSql,
@@ -850,5 +888,6 @@ object Web {
     "q_emb_sq8" -> embSq8Sql,
     "q_warc_source" -> warcSourceSql,
     "q_warc_write" -> warcWriteSql,
-    "q_warc_sql" -> warcSqlSql)
+    "q_warc_sql" -> warcSqlSql,
+    "q_warc_permissive" -> warcPermissiveSql)
 }

@@ -30,7 +30,8 @@ class WarcSource extends TableProvider with DataSourceRegister {
     WarcSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new WarcTable(properties.get("path"))
+    new WarcTable(properties.get("path"),
+      "permissive".equalsIgnoreCase(properties.getOrDefault("mode", "failfast")))
 }
 
 object WarcSource {
@@ -43,7 +44,7 @@ object WarcSource {
     StructField("payload", BinaryType, nullable = false)))
 }
 
-class WarcTable(path: String) extends Table
+class WarcTable(path: String, permissive: Boolean = false) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   import org.apache.spark.sql.connector.write._
   require(path != null, "warc source requires a path: .format(\"warc\").load(dir)")
@@ -52,7 +53,7 @@ class WarcTable(path: String) extends Table
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(path)
+    new WarcScanBuilder(path, permissive)
 
   /** WET-style writer: rows become `conversion` records, ONE member
     * file per partition (so upstream `repartition(n)` IS the
@@ -144,7 +145,7 @@ class WarcWriterFactory(path: String, schema: StructType)
   }
 }
 
-class WarcScanBuilder(path: String)
+class WarcScanBuilder(path: String, permissive: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   import org.apache.spark.sql.sources.{EqualTo, Filter, Not}
@@ -166,11 +167,12 @@ class WarcScanBuilder(path: String)
     filters.filterNot(pushed.contains) // residual
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new WarcScan(path, required, pushed)
+  override def build(): Scan = new WarcScan(path, required, pushed, permissive)
 }
 
 class WarcScan(path: String, required: StructType,
-               pushed: Array[org.apache.spark.sql.sources.Filter])
+               pushed: Array[org.apache.spark.sql.sources.Filter],
+               permissive: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
@@ -188,13 +190,20 @@ class WarcScan(path: String, required: StructType,
     files.map(st => WarcFilePartition(st.getPath.toString): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required, pushed)
+    new WarcReaderFactory(required, pushed, permissive)
 }
 
 case class WarcFilePartition(file: String) extends InputPartition
 
+/** `permissive` is the crawl-archive reality mode: a member damaged
+  * mid-stream (truncation, torn write) yields its intact record PREFIX
+  * instead of failing the task — record boundaries are length-chained,
+  * so everything before the damage is trustworthy and everything after
+  * is not recoverable anyway. Default stays failfast (corruption in
+  * curated local data is a bug, not weather). */
 class WarcReaderFactory(required: StructType,
-                        pushed: Array[org.apache.spark.sql.sources.Filter])
+                        pushed: Array[org.apache.spark.sql.sources.Filter],
+                        permissive: Boolean = false)
     extends PartitionReaderFactory {
   import org.apache.spark.sql.sources.{EqualTo, Not}
   private def admits(recType: String): Boolean = pushed.forall {
@@ -224,12 +233,20 @@ class WarcReaderFactory(required: StructType,
           case other => throw new IllegalArgumentException(s"unknown column $other")
         }
       }
+      private var dead = false
       override def next(): Boolean = {
-        while (it.hasNext) {
-          cur = it.next()
-          if (admits(cur.recType)) return true
+        if (dead) return false
+        try {
+          while (it.hasNext) {
+            cur = it.next()
+            if (admits(cur.recType)) return true
+          }
+          false
+        } catch {
+          case e: IllegalArgumentException if permissive =>
+            dead = true // salvage the intact prefix, drop the rest
+            false
         }
-        false
       }
       override def get(): InternalRow = InternalRow.fromSeq(
         scala.collection.immutable.ArraySeq.unsafeWrapArray(fill.map(_.apply())))

@@ -59,6 +59,27 @@ class WarcSourceSpec extends SparkTestBase {
     assert(mixed.count() == 12)
   }
 
+  test("permissive mode salvages the intact prefix of a damaged member; failfast raises") {
+    val d = Files.createTempDirectory("warc-dmg-spec")
+    val good = Warc.buildFile(Seq(
+      Warc.conversionRecord("https://x.org/ok1", "2026-01-01T00:00:00Z", "aaa".getBytes(UTF_8)),
+      Warc.conversionRecord("https://x.org/ok2", "2026-01-01T00:00:00Z", "bbb".getBytes(UTF_8))))
+    val damaged = Warc.buildFile(Seq(
+      Warc.conversionRecord("https://x.org/keep", "2026-01-01T00:00:00Z", "ccc".getBytes(UTF_8)),
+      Warc.conversionRecord("https://x.org/lost", "2026-01-01T00:00:00Z",
+        ("d" * 200).getBytes(UTF_8))))
+    Files.write(d.resolve("m-00.warc"), good)
+    Files.write(d.resolve("m-01.warc"), damaged.take(damaged.length - 150))
+    val got = spark.read.format("warc").option("mode", "permissive")
+      .load(d.toString).select("target_uri").collect().map(_.getString(0)).toSet
+    assert(got == Set("https://x.org/ok1", "https://x.org/ok2", "https://x.org/keep"))
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.format("warc").load(d.toString).count()
+    }
+    assert(ex.getMessage.contains("truncated") ||
+      Option(ex.getCause).exists(_.getMessage.contains("truncated")))
+  }
+
   test("column pruning reaches the scan: unselected payload leaves ReadSchema") {
     val pruned = spark.read.format("warc").load(dir.toString)
       .select("rec_type", "content_length")
