@@ -37,4 +37,25 @@ class HtmlSpec extends AnyFunSuite {
     val ex = Html.extract("<p>a &unknown; b</p>")
     assert(ex.blocks == Seq("a &unknown; b"))
   }
+
+  test("fuzz: 300 random tag soups never crash and keep output invariants") {
+    val rnd = new scala.util.Random(20260813L)
+    val frags = Array("<p>", "</p>", "<div class=x>", "</div>", "<a href=\"/x\">",
+      "</a>", "<b>", "</b>", "<script>", "</script>", "<style>", "</style>",
+      "<nav>", "</nav>", "<header>", "</header>", "<footer>", "</footer>",
+      "<!-- c -->", "<br/>", "<li>", "</li>", "<title>", "</title>", "<body>",
+      "</body>", "&amp;", "&lt;", "&#65;", "&bogus;", "&#xZZ;", "word", "two words",
+      "  ", "\n", "<", ">", "a<b", "x > y", "<p", "p>")
+    (0 until 300).foreach { trial =>
+      val html = (0 until (5 + rnd.nextInt(40)))
+        .map(_ => frags(rnd.nextInt(frags.length))).mkString(" ")
+      val ex = Html.extract(html) // must not throw
+      ex.blocks.foreach { b =>
+        assert(b.nonEmpty, s"trial $trial: empty block survived")
+        assert(b == b.trim, s"trial $trial: untrimmed block '$b'")
+        assert(!b.contains("  "), s"trial $trial: uncollapsed whitespace in '$b'")
+      }
+      assert(ex.title == ex.title.trim)
+    }
+  }
 }

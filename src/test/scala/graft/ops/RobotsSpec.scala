@@ -44,4 +44,23 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.allowed(r1, "/a/x"))
     assert(Robots.allowed(r2, "/a/x"))
   }
+
+  test("fuzz: decision equals an independent longest-match reference on random rule sets") {
+    // reference implemented differently on purpose: stable-sort all
+    // matching rules by (prefix length, allow) and take the maximum
+    def reference(rules: Seq[Robots.Rule], p: String): Boolean =
+      rules.filter(r => p.startsWith(r.prefix))
+        .sortBy(r => (r.prefix.length, r.allow))
+        .lastOption.forall(_.allow)
+    val rnd = new scala.util.Random(7L)
+    val segs = Array("/a", "/ab", "/abc", "/b", "/b/c", "/", "", "/tmp", "/tm")
+    (0 until 500).foreach { trial =>
+      val rules = (0 until rnd.nextInt(8)).map { _ =>
+        Robots.Rule(rnd.nextBoolean(), segs(rnd.nextInt(segs.length)))
+      }
+      val path = segs(rnd.nextInt(segs.length)) + (if (rnd.nextBoolean()) "/x" else "")
+      assert(Robots.allowed(rules, path) == reference(rules, path),
+        s"trial $trial: rules=$rules path=$path")
+    }
+  }
 }
