@@ -173,22 +173,41 @@ class WarcScanBuilder(path: String, permissive: Boolean = false)
 class WarcScan(path: String, required: StructType,
                pushed: Array[org.apache.spark.sql.sources.Filter],
                permissive: Boolean = false)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String =
     s"WarcScan path=$path, ReadSchema: ${required.simpleString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Size statistics from the file listing — what lets Catalyst's CBO
+    * treat a small archive as broadcast-able in joins instead of
+    * assuming worst case. Pruning payload off the read schema scales
+    * the estimate down (payload is ~all of a member's bytes). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val total: Long = listMembers().map(_.getLen).sum
+    private val scaled: Long =
+      if (required.fieldNames.contains("payload")) total
+      else math.max(total / 8, 1L) // headers ≈ 1/8 of member bytes
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(scaled)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
+
+  private def listMembers(): Seq[org.apache.hadoop.fs.FileStatus] = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val files = fs.listStatus(hPath).toSeq
+    fs.listStatus(hPath).toSeq
       .filter(st => st.isFile &&
         !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
       .sortBy(_.getPath.getName)
-    files.map(st => WarcFilePartition(st.getPath.toString): InputPartition).toArray
   }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    listMembers().map(st => WarcFilePartition(st.getPath.toString): InputPartition)
+      .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(required, pushed, permissive)
 }

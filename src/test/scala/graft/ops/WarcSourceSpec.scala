@@ -80,6 +80,21 @@ class WarcSourceSpec extends SparkTestBase {
       Option(ex.getCause).exists(_.getMessage.contains("truncated")))
   }
 
+  test("scan reports size statistics; pruning payload shrinks the estimate") {
+    val full = spark.read.format("warc").load(dir.toString)
+    val fullSize = full.queryExecution.optimizedPlan.stats.sizeInBytes
+    val actualBytes = Files.list(dir).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => p.getFileName.toString.endsWith(".warc"))
+      .map(Files.size).sum
+    assert(fullSize == BigInt(actualBytes),
+      s"full-scan estimate $fullSize != member bytes $actualBytes")
+    val pruned = spark.read.format("warc").load(dir.toString)
+      .select("rec_type", "content_length")
+    val prunedSize = pruned.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(prunedSize < fullSize,
+      s"pruned estimate $prunedSize should be below full $fullSize")
+  }
+
   test("column pruning reaches the scan: unselected payload leaves ReadSchema") {
     val pruned = spark.read.format("warc").load(dir.toString)
       .select("rec_type", "content_length")
