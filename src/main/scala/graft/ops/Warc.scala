@@ -155,6 +155,25 @@ object Warc {
     }
   }
 
+  /** Decompress a (possibly multi-member) gzip stream — Common Crawl
+    * gzips each record as an independent member and concatenates them,
+    * so a compliant reader must keep reading past member boundaries
+    * (GZIPInputStream does, when drained to stream end). */
+  def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes), 64 * 1024)
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** Gzip one buffer as a single member (used per record when writing
+    * `.warc.gz`, so members stay independently seekable). */
+  def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val out = new java.util.zip.GZIPOutputStream(bos, 64 * 1024)
+    out.write(bytes); out.close()
+    bos.toByteArray
+  }
+
   private def indexOfCrlfCrlf(b: Array[Byte], from: Int, until: Int): Int = {
     var i = from
     while (i + 3 < until) {

@@ -237,7 +237,9 @@ class WarcReaderFactory(required: StructType,
       private val fs = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
       private val bytes = {
         val in = fs.open(hPath)
-        try in.readAllBytes() finally in.close()
+        val raw = try in.readAllBytes() finally in.close()
+        // Common Crawl layout: .warc.gz = concatenated per-record gzip members
+        if (file.endsWith(".gz")) graft.ops.Warc.gunzip(raw) else raw
       }
       private val it = graft.ops.Warc.parse(bytes)
       private var cur: graft.ops.Warc.WarcRecord = _

@@ -80,6 +80,28 @@ class WarcSourceSpec extends SparkTestBase {
       Option(ex.getCause).exists(_.getMessage.contains("truncated")))
   }
 
+  test(".warc.gz members read transparently (concatenated per-record gzip)") {
+    val d = Files.createTempDirectory("warc-gz-spec")
+    val recs = (0 until 5).map { j =>
+      Warc.conversionRecord(s"https://x.org/gz/$j", "2026-01-01T00:00:00Z",
+        s"gz body $j".getBytes(UTF_8))
+    }
+    // Common Crawl shape: EACH record its own gzip member, concatenated
+    val memberwise = Warc.buildFile(
+      (Warc.warcinfo("g", "2026-01-01T00:00:00Z") +: recs).map(Warc.gzip))
+    Files.write(d.resolve("m-00.warc.gz"), memberwise)
+    // whole-file gzip must also read (some archives ship that way)
+    val whole = Warc.gzip(Warc.buildFile(
+      Warc.warcinfo("g2", "2026-01-01T00:00:00Z") +: recs.take(2)))
+    Files.write(d.resolve("m-01.warc.gz"), whole)
+    val df = spark.read.format("warc").load(d.toString)
+      .filter(col("rec_type") === "conversion")
+    assert(df.count() == 7)
+    val bodies = df.select(col("payload").cast("string"))
+      .collect().map(_.getString(0)).toSet
+    assert(bodies == (0 until 5).map(j => s"gz body $j").toSet)
+  }
+
   test("scan reports size statistics; pruning payload shrinks the estimate") {
     val full = spark.read.format("warc").load(dir.toString)
     val fullSize = full.queryExecution.optimizedPlan.stats.sizeInBytes
