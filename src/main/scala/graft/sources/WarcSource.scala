@@ -31,7 +31,8 @@ class WarcSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new WarcTable(properties.get("path"),
-      "permissive".equalsIgnoreCase(properties.getOrDefault("mode", "failfast")))
+      "permissive".equalsIgnoreCase(properties.getOrDefault("mode", "failfast")),
+      "gzip".equalsIgnoreCase(properties.getOrDefault("compression", "none")))
 }
 
 object WarcSource {
@@ -44,7 +45,8 @@ object WarcSource {
     StructField("payload", BinaryType, nullable = false)))
 }
 
-class WarcTable(path: String, permissive: Boolean = false) extends Table
+class WarcTable(path: String, permissive: Boolean = false,
+                gzipOut: Boolean = false) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   import org.apache.spark.sql.connector.write._
   require(path != null, "warc source requires a path: .format(\"warc\").load(dir)")
@@ -72,17 +74,17 @@ class WarcTable(path: String, permissive: Boolean = false) extends Table
     }
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new WarcBatchWrite(path, in)
+        override def toBatch: BatchWrite = new WarcBatchWrite(path, in, gzipOut)
       }
     }
   }
 }
 
-class WarcBatchWrite(path: String, schema: StructType)
+class WarcBatchWrite(path: String, schema: StructType, gzipOut: Boolean = false)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new WarcWriterFactory(path, schema)
+    new WarcWriterFactory(path, schema, gzipOut)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -109,7 +111,7 @@ class WarcBatchWrite(path: String, schema: StructType)
 case class WarcCommitMessage(tmpPath: String, finalPath: String)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
-class WarcWriterFactory(path: String, schema: StructType)
+class WarcWriterFactory(path: String, schema: StructType, gzipOut: Boolean = false)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   import org.apache.spark.sql.connector.write._
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
@@ -128,9 +130,12 @@ class WarcWriterFactory(path: String, schema: StructType)
       }
       override def commit(): WriterCommitMessage = {
         if (n == 0) return WarcCommitMessage("", "")
-        val name = f"part-$partitionId%05d-$taskId.warc"
+        val name = f"part-$partitionId%05d-$taskId.warc" + (if (gzipOut) ".gz" else "")
+        val raw = graft.ops.Warc.warcinfo(name, "2026-01-01T00:00:00Z") +: recs.result()
+        // .gz = one gzip member PER RECORD, concatenated (the Common
+        // Crawl layout — records stay independently decompressible)
         val bytes = graft.ops.Warc.buildFile(
-          graft.ops.Warc.warcinfo(name, "2026-01-01T00:00:00Z") +: recs.result())
+          if (gzipOut) raw.map(graft.ops.Warc.gzip) else raw)
         val dir = new org.apache.hadoop.fs.Path(path)
         val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
         fs.mkdirs(dir)

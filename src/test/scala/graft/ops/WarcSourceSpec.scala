@@ -102,6 +102,24 @@ class WarcSourceSpec extends SparkTestBase {
     assert(bodies == (0 until 5).map(j => s"gz body $j").toSet)
   }
 
+  test("compression=gzip writes .warc.gz members that read back byte-exactly") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("warc-gzw-spec").toString
+    (0 until 6).map(i => ("", "conversion", s"https://x.org/w/$i",
+        "2026-01-01T00:00:00Z", 0L, s"payload $i".getBytes(UTF_8)))
+      .toDF("path", "rec_type", "target_uri", "warc_date", "content_length", "payload")
+      .repartition(2)
+      .write.format("warc").option("compression", "gzip").mode("append").save(out)
+    val names = Files.list(java.nio.file.Paths.get(out)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .filterNot(_.startsWith(".")) // hadoop local-fs .crc sidecars
+    assert(names.nonEmpty && names.forall(_.endsWith(".warc.gz")), names.mkString(","))
+    val back = spark.read.format("warc").load(out)
+      .filter(col("rec_type") === "conversion")
+      .select(col("payload").cast("string")).collect().map(_.getString(0)).toSet
+    assert(back == (0 until 6).map(i => s"payload $i").toSet)
+  }
+
   test("scan reports size statistics; pruning payload shrinks the estimate") {
     val full = spark.read.format("warc").load(dir.toString)
     val fullSize = full.queryExecution.optimizedPlan.stats.sizeInBytes
