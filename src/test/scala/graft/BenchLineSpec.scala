@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver parses Bench's single stdout line from a 2000-byte tail
+  * capture (BENCH_r05 lost the whole round's number when the line
+  * outgrew it). These tests pin the packing invariant: whatever the
+  * query count or error volume, the line stays under the budget, stays
+  * valid JSON, and keeps the slowest queries.
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  // minimal JSON validity probe: balanced object braces outside strings
+  // plus a parse of the numeric fields we care about. (No JSON lib on the
+  // test classpath by design — the assertions below target the exact
+  // failure mode: a line the driver's json.loads would reject.)
+  private def checkShape(line: String): Unit = {
+    assert(line.startsWith("{") && line.endsWith("}"))
+    assert(!line.contains("\n"))
+    var depth = 0; var inStr = false; var esc = false
+    line.foreach { c =>
+      if (esc) esc = false
+      else if (inStr) { if (c == '\\') esc = true else if (c == '"') inStr = false }
+      else c match {
+        case '"' => inStr = true
+        case '{' => depth += 1
+        case '}' => depth -= 1; assert(depth >= 0)
+        case _ =>
+      }
+    }
+    assert(depth == 0 && !inStr)
+  }
+
+  test("200 queries with long names pack under the 2000-byte tail capture") {
+    val ok = (1 to 200).map(i => (f"q_some_rather_long_query_name_$i%03d", i / 100.0))
+    val line = Bench.stdoutLine(ok.map(_._2).sum, ok, Nil, "/root/testdata/sf0.1")
+    assert(line.length <= 2000, s"line is ${line.length} bytes")
+    checkShape(line)
+    // the slowest query must be on the line; the fastest sacrificed
+    assert(line.contains("q_some_rather_long_query_name_200"))
+    assert(!line.contains("q_some_rather_long_query_name_001\""))
+    assert(line.contains("\"omitted\":"))
+    assert(line.contains("\"ok\":200"))
+  }
+
+  test("small suites keep every query and report omitted 0") {
+    val ok = Seq(("q_a", 1.5), ("q_b", 0.5))
+    val line = Bench.stdoutLine(2.0, ok, Nil, "/tmp/sf")
+    assert(line.contains("\"q_a\":1.500") && line.contains("\"q_b\":0.500"))
+    assert(line.contains("\"omitted\":0"))
+    checkShape(line)
+  }
+
+  test("many long error messages cannot overflow the line") {
+    val errs = (1 to 50).map(i => (s"q_fail_$i", "x" * 200 + "\"quote\\slash\n"))
+    val line = Bench.stdoutLine(0.0, Nil, errs, "/tmp/sf")
+    assert(line.length <= 2000, s"line is ${line.length} bytes")
+    assert(line.contains("\"failed\":50"))
+    checkShape(line)
+  }
+}
