@@ -1,0 +1,127 @@
+package graft.exprs
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType}
+
+/** Minimal Bloom filter over 64-bit keys, sized at build time.
+  *
+  * The engine-level use is EVAL-SET PREFILTERING at corpus scale
+  * (reference: terra-bonobo-nodes has no analogue; the pattern is the
+  * standard decontamination sweep a training pipeline runs before
+  * publishing a benchmark number): the held-out/benchmark shingle set is
+  * small — megabytes — while the corpus is the 100 TB side, so a bitset
+  * built once from the small side and shipped to every task turns "join
+  * every doc's shingles against the eval set" into "probe a local bitset
+  * and only explode the (rare) docs that might overlap". False positives
+  * are removed by the exact verify join that follows; false negatives
+  * cannot occur, so the composed result is EXACT — the oracle for a
+  * bloom-prefiltered query is the plain exact SQL.
+  *
+  * Layout: m = next-power-of-two(n · bitsPerKey) bits in a byte array;
+  * k = round(bitsPerKey · ln 2) probes via Kirsch–Mitzenmacher double
+  * hashing (g_i = h1 + i·h2 with h2 forced odd), so one 64-bit key needs
+  * no rehashing per probe. At the default 10 bits/key, k = 7 and the
+  * false-positive rate is ~0.8%.
+  */
+object BloomUtil {
+  /** Smallest power of two ≥ `n·bitsPerKey` bits, floor 512 bits. */
+  def build(hashes: Array[Long], bitsPerKey: Int = 10): (Array[Byte], Int) = {
+    require(bitsPerKey >= 1, s"bitsPerKey must be >= 1, got $bitsPerKey")
+    val wantBits = math.max(512L, hashes.length.toLong * bitsPerKey)
+    require(wantBits <= (1L << 33),
+      s"bloom of ${hashes.length} keys x $bitsPerKey bits/key exceeds 1 GiB")
+    var mBits = 512L
+    while (mBits < wantBits) mBits <<= 1
+    val bits = new Array[Byte]((mBits >>> 3).toInt)
+    val k = math.max(1, math.round(bitsPerKey * math.log(2.0)).toInt)
+    var i = 0
+    while (i < hashes.length) { insert(bits, k, hashes(i)); i += 1 }
+    (bits, k)
+  }
+
+  private def mix(h: Long): Long = {
+    // Stafford variant 13 finalizer — decorrelates h2 from h1
+    var z = h
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def insert(bits: Array[Byte], k: Int, h: Long): Unit = {
+    val mask = (bits.length.toLong << 3) - 1 // m is a power of two
+    val h2 = mix(h) | 1L
+    var g = h
+    var i = 0
+    while (i < k) {
+      val bit = g & mask
+      bits((bit >>> 3).toInt) = (bits((bit >>> 3).toInt) | (1 << (bit & 7L).toInt)).toByte
+      g += h2
+      i += 1
+    }
+  }
+
+  /** Static and JVM-primitive so generated code can call it directly. */
+  def contains(bits: Array[Byte], k: Int, h: Long): Boolean = {
+    val mask = (bits.length.toLong << 3) - 1
+    val h2 = mix(h) | 1L
+    var g = h
+    var i = 0
+    while (i < k) {
+      val bit = g & mask
+      if ((bits((bit >>> 3).toInt) & (1 << (bit & 7L).toInt)) == 0) return false
+      g += h2
+      i += 1
+    }
+    true
+  }
+
+  /** Any member of `hashes` (catalyst ArrayData of longs) in the filter? */
+  def anyContained(bits: Array[Byte], k: Int,
+                   hashes: org.apache.spark.sql.catalyst.util.ArrayData): Boolean = {
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      if (contains(bits, k, hashes.getLong(i))) return true
+      i += 1
+    }
+    false
+  }
+}
+
+/** bloom_any(hashArray) — true iff ANY element of the long-array child
+  * is (possibly) in the broadcast bitset. Fused array-level form so the
+  * per-doc prefilter is ONE call, not an interpreted higher-order-lambda
+  * per shingle; the bitset rides to executors as a referenced object in
+  * generated code (one deserialization per task, like any literal).
+  */
+case class BloomAny(child: Expression, bits: Array[Byte], k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(in: Any): Any =
+    BloomUtil.anyContained(bits, k,
+      in.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bitsRef = ctx.addReferenceObj("bloomBits", bits, "byte[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.exprs.BloomUtil.anyContained($bitsRef, $k, $c);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "bloom_any"
+}
+
+/** bloom_contains(hash) — scalar probe; the element-level twin of
+  * [[BloomAny]] for callers that already exploded their keys. */
+case class BloomContains(child: Expression, bits: Array[Byte], k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(in: Any): Any =
+    BloomUtil.contains(bits, k, in.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bitsRef = ctx.addReferenceObj("bloomBits", bits, "byte[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.exprs.BloomUtil.contains($bitsRef, $k, $c);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "bloom_contains"
+}

@@ -1115,6 +1115,43 @@ object Llm {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Bloom-prefiltered eval-contamination — [[ngramContamination]]'s
+    * semantics at the shape a 100 TB sweep needs: the held-out shingle
+    * set is the SMALL side (a benchmark suite is megabytes even when the
+    * corpus is 100 TB), so its hashes are collected once (bounded,
+    * eval-split-sized — same contract as the IVF centroid sample),
+    * packed into a ~10-bits/key Bloom bitset, and shipped inside the
+    * [[graft.exprs.BloomAny]] expression. The corpus side then drops
+    * clean documents with one map-side bitset probe per doc — no
+    * explode, no shuffle, no join participation for the ~99% of docs a
+    * real corpus has clean — and only the survivors pay the exact
+    * explode + broadcast-join verification. Bloom false positives are
+    * eliminated by that verify; false negatives cannot occur; so the
+    * composed result is EXACT and the oracle is the same SQL as
+    * q_ngram_contamination. */
+  def contaminationBloom(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val sh = org.apache.spark.sql.graftshim.Shim
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val docs = documents(s, d)
+      .withColumn("bucket", call_function("md5_bucket", $"text", lit(100)))
+    def shingles(c: org.apache.spark.sql.Column) =
+      sh.column(graft.exprs.ShingleHashes(sh.expression(c), Literal(8)))
+    val evalSh = docs.filter($"bucket" >= 95)
+      .select(explode(shingles($"text")).as("h")).distinct()
+    val evalHashes = evalSh.as[Long].collect() // small by contract: the eval split
+    val (bits, k) = graft.exprs.BloomUtil.build(evalHashes, bitsPerKey = 10)
+    val pre = docs.filter($"bucket" < 90)
+      .withColumn("hs", shingles($"text"))
+      .filter(sh.column(graft.exprs.BloomAny(sh.expression($"hs"), bits, k)))
+    pre.select($"doc_id", explode($"hs").as("h"))
+      .join(broadcast(evalSh), Seq("h"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"doc_id")
+  }
+
   /** Rank-based token-rarity scoring — the integer-exact stand-in for
     * unigram-LM perplexity (whose `ln` differs between the JVM and
     * DuckDB in the last ulp ~0.1% of the time, so a log-based score
@@ -1358,6 +1395,7 @@ object Llm {
     "q_token_rarity" -> (tokenRarity _),
     "q_collocations" -> (collocations _),
     "q_ngram_contamination" -> (ngramContamination _),
+    "q_contamination_bloom" -> (contaminationBloom _),
     "q_quality_prune" -> (qualityPrune _),
     "q_corpus_summary" -> (corpusSummary _),
   )
@@ -1910,6 +1948,8 @@ object Llm {
     "q_token_rarity" -> tokenRaritySql,
     "q_collocations" -> collocationsSql,
     "q_ngram_contamination" -> ngramContaminationSql,
+    // bloom prefilter + exact verify ≡ the exact sweep (no false negatives)
+    "q_contamination_bloom" -> ngramContaminationSql,
     "q_quality_prune" -> qualityPruneSql,
     "q_corpus_summary" -> corpusSummarySql,
   )

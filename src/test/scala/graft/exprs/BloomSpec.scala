@@ -1,0 +1,55 @@
+package graft.exprs
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class BloomSpec extends SparkTestBase {
+
+  test("no false negatives: every inserted key probes true") {
+    val rnd = new scala.util.Random(42)
+    val keys = Array.fill(20000)(rnd.nextLong())
+    val (bits, k) = BloomUtil.build(keys, bitsPerKey = 10)
+    assert(keys.forall(BloomUtil.contains(bits, k, _)))
+  }
+
+  test("false-positive rate at 10 bits/key stays near the ~0.8% theory") {
+    val rnd = new scala.util.Random(7)
+    val keys = Array.fill(20000)(rnd.nextLong())
+    val inserted = keys.toSet
+    val (bits, k) = BloomUtil.build(keys, bitsPerKey = 10)
+    val probes = Array.fill(50000)(rnd.nextLong()).filterNot(inserted)
+    val fp = probes.count(BloomUtil.contains(bits, k, _)).toDouble / probes.length
+    assert(fp < 0.03, s"false-positive rate $fp")
+    assert(k == 7)
+  }
+
+  test("bloom_any: array probe agrees with per-element probes, codegen and interpreted") {
+    import spark.implicits._
+    val sh = org.apache.spark.sql.graftshim.Shim
+    val keys = Array(11L, 22L, 33L)
+    val (bits, k) = BloomUtil.build(keys, bitsPerKey = 16)
+    val df = Seq(
+      (1, Seq(99L, 22L)),   // hit via 22
+      (2, Seq(98L, 97L)),   // clean (assuming no FP at 16 bits/key on 2 probes)
+      (3, Seq.empty[Long])  // empty array -> false
+    ).toDF("id", "hs")
+    val flagged = df.withColumn("hit",
+        sh.column(BloomAny(sh.expression($"hs"), bits, k)))
+      .orderBy($"id").select($"hit").collect().map(_.getBoolean(0)).toSeq
+    assert(flagged.head, "array containing an inserted key must probe true")
+    assert(!flagged(2), "empty array must probe false")
+    // interpreted path agrees with whatever codegen produced
+    val interp = Seq(Seq(99L, 22L), Seq(98L, 97L), Seq.empty[Long])
+      .map(a => BloomUtil.anyContained(bits, k,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(a.toArray)))
+    assert(interp == flagged)
+  }
+
+  test("q_contamination_bloom equals q_ngram_contamination exactly") {
+    val d = "/root/testdata/sf0.001"
+    val exact = graft.queries.Llm.ngramContamination(spark, d).collect().toSeq
+    val bloom = graft.queries.Llm.contaminationBloom(spark, d).collect().toSeq
+    assert(exact.nonEmpty, "fixture must plant at least one contaminated doc")
+    assert(bloom == exact)
+  }
+}
