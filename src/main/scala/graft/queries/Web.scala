@@ -366,6 +366,66 @@ object Web {
       |  2 AS n_blocks
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Anchor-text link graph — the index-side view of the crawl: every
+    * page's outlinks (href + anchor text) extracted with the same
+    * one-regex-per-match pull the URL census uses, aggregated per TARGET
+    * into in-degree, distinct-source, and anchor-vocabulary features
+    * (what search/dedup stacks call the anchor-text index; also
+    * q_pagerank's edge-extraction front door). Fixture: each page gets
+    * 1–2 in-content refs with coprime-stride targets (7·id+1, and
+    * 13·id+2 on even ids only, mod 100) and two anchor phrasings, so
+    * in-degree, source counts, and anchor vocabulary all vary; nav/
+    * share/footer boilerplate links die by the `/doc/` prefix filter,
+    * not by special-casing. Scale shape: scan-side generate (≤ a few
+    * matches/doc), one (href) hash aggregate — shuffles only (href,
+    * partials); the anchor index at 100 TB is exactly this plan. */
+  def linkGraph(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val t1 = pmod($"doc_id" * 7 + 1, lit(100))
+    val t2 = pmod($"doc_id" * 13 + 2, lit(100))
+    val refs = concat(
+      lit("<div class=\"refs\"><a href=\"/doc/"), t1, lit("\">see "), t1,
+      lit("</a>"),
+      when($"doc_id" % 2 === 0,
+        concat(lit(" <a href=\"/doc/"), t2, lit("\">ref "), t2, lit("</a>")))
+        .otherwise(lit("")),
+      lit("</div>"))
+    val html = docs.select($"doc_id",
+      concat(pageHtml($"doc_id", $"text"), refs).as("html"))
+    val pat = "<a href=\"([^\"]*)\">([^<]*)</a>"
+    val links = html
+      .select($"doc_id", explode(regexp_extract_all($"html", lit(pat), lit(0))).as("m"))
+      .select($"doc_id",
+        regexp_extract($"m", pat, 1).as("href"),
+        regexp_extract($"m", pat, 2).as("anchor"))
+      .filter($"href".startsWith("/doc/"))
+    links.groupBy($"href")
+      .agg(count(lit(1)).as("in_degree"),
+        count_distinct($"doc_id").as("n_src_docs"),
+        count_distinct($"anchor").as("n_anchors"),
+        min($"anchor").as("top_anchor"))
+      .orderBy($"href")
+  }
+
+  val linkGraphSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, (doc_id * 7 + 1) % 100 AS t1, (doc_id * 13 + 2) % 100 AS t2
+      |  FROM documents
+      |), links AS (
+      |  SELECT doc_id, '/doc/' || t1 AS href, 'see ' || t1 AS anchor FROM t
+      |  UNION ALL
+      |  SELECT doc_id, '/doc/' || t2 AS href, 'ref ' || t2 AS anchor
+      |  FROM t WHERE doc_id % 2 = 0
+      |)
+      |SELECT href, CAST(COUNT(*) AS BIGINT) AS in_degree,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_src_docs,
+      |  CAST(COUNT(DISTINCT anchor) AS BIGINT) AS n_anchors,
+      |  MIN(anchor) AS top_anchor
+      |FROM links
+      |GROUP BY href
+      |ORDER BY href""".stripMargin
+
   // --------------------------------------------- robots.txt politeness
 
   /** Respect-robots filtering (RFC 9309): each source domain gets a
@@ -860,6 +920,7 @@ object Web {
     "q_quality_classifier" -> (qualityClassifier _),
     "q_pagerank" -> (pageRank _),
     "q_html_extract" -> (htmlExtract _),
+    "q_link_graph" -> (linkGraph _),
     "q_pipeline_web" -> (pipelineWeb _),
     "q_nfc_normalize" -> (nfcNormalize _),
     "q_repeat_trim" -> (repeatTrim _),
@@ -878,6 +939,7 @@ object Web {
     "q_quality_classifier" -> qualityClassifierSql,
     "q_pagerank" -> pageRankSql,
     "q_html_extract" -> htmlExtractSql,
+    "q_link_graph" -> linkGraphSql,
     "q_pipeline_web" -> pipelineWebSql,
     "q_nfc_normalize" -> nfcNormalizeSql,
     "q_repeat_trim" -> repeatTrimSql,

@@ -110,6 +110,22 @@ class PlanShapeSpec extends SparkTestBase {
       case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
     }
     assert(bcasts.nonEmpty, "q_robots_filter lost its broadcast join")
+    // link graph: scan-side generate + ONE (href) aggregate shuffle
+    val lg = shufflesBelowSort("q_link_graph")
+    assert(lg.size <= 1, s"q_link_graph claims one-shuffle but: $lg")
+    // bloom contamination: the bitset probe must run BEFORE the explode —
+    // a Filter mentioning bloom_any with no Generate beneath it (the
+    // whole point is that clean docs never reach the explode+join)
+    val bloomPlan = SparkEntry.queries("q_contamination_bloom")(spark, d)
+      .queryExecution.sparkPlan
+    val pre = bloomPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("bloom_any") => f
+    }
+    assert(pre.nonEmpty, "q_contamination_bloom lost its bloom_any prefilter")
+    assert(pre.forall(_.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }.isEmpty),
+      "the bloom prefilter must sit below the explode, not above it")
   }
 
   test("the detector actually fires on an injected regression") {
