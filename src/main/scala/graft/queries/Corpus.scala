@@ -1635,6 +1635,39 @@ object Corpus {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** ORC export → re-import gate — the THIRD interchange format, and the
+    * columnar one: unlike CSV/JSONL the round trip must preserve types
+    * without a schema re-pin (ORC files are self-describing), and the
+    * re-read must keep the scan-level smarts parquet readers get —
+    * FormatsSpec asserts the n_chars predicate lands in the ORC reader's
+    * PushedFilters and the unreferenced text column leaves ReadSchema.
+    * Compression is zstd, the codec a 100 TB archive tier actually uses.
+    * The oracle runs the same filtered profile on the parquet side. */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
+      .resolve("documents").toString
+    documents(s, d).write.mode("overwrite")
+      .option("compression", "zstd").orc(tmp)
+    s.read.orc(tmp)
+      .filter($"n_chars" >= 200)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        min($"doc_id").as("min_doc"),
+        max($"doc_id").as("max_doc"))
+      .orderBy($"source")
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents
+      |WHERE n_chars >= 200
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   // ------------------------------------------------- time-range window
 
   /** Rolling one-hour event profile per user — the RANGE-frame window
@@ -1709,6 +1742,7 @@ object Corpus {
     "q_bpe_apply" -> (bpeApply _),
     "q_bpe_train" -> (bpeTrain _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
+    "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_rolling_window" -> (rollingWindow _),
     "q_lsh_verify" -> (lshVerify _),
     "q_gap_fill" -> (gapFill _),
@@ -1745,6 +1779,7 @@ object Corpus {
     "q_bpe_apply" -> bpeApplySql,
     "q_bpe_train" -> bpeTrainSql,
     "q_csv_roundtrip" -> csvRoundtripSql,
+    "q_orc_roundtrip" -> orcRoundtripSql,
     "q_rolling_window" -> rollingWindowSql,
     "q_lsh_verify" -> lshVerifySql,
     "q_gap_fill" -> gapFillSql,

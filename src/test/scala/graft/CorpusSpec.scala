@@ -138,6 +138,22 @@ class CorpusSpec extends SparkTestBase {
       s"pruned listing leaked non-matching partitions: $listed")
   }
 
+  test("ORC re-read keeps pushdown and pruning: n_chars filter in the scan, text out of ReadSchema") {
+    val q = graft.queries.Corpus.orcRoundtrip(spark, "/root/testdata/sf0.001")
+    // sparkPlan, not executedPlan: the aggregate makes this query
+    // AQE-eligible and AdaptiveSparkPlanExec hides its subtree from collect
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "ORC read did not plan a file scan")
+    // the predicate must reach the ORC reader (row-group elimination at
+    // scale), and the untouched text column must be pruned from the scan
+    assert(scans.exists(_.metadata.get("PushedFilters").exists(_.contains("n_chars"))),
+      scans.map(_.metadata.get("PushedFilters")).mkString(","))
+    assert(scans.forall(!_.schema.fieldNames.contains("text")),
+      s"text not pruned: ${scans.map(_.schema.fieldNames.mkString("|"))}")
+  }
+
   test("winnowing guarantee: docs sharing a >=6-word run share a fingerprint") {
     // two docs share an 8-word run embedded in otherwise-distinct text;
     // winnowing (3-word shingles, window 4) must select at least one
