@@ -466,6 +466,79 @@ object Web {
       .orderBy("doc_id")
   }
 
+  /** Crawl-frontier scheduling — what turns a URL set into the next
+    * polite fetch batch: robots-DISALLOWED urls drop (same dim and
+    * [[graft.exprs.RobotsAllowed]] decision as q_robots_filter), the
+    * survivors rank per HOST by priority (doc length as the quality
+    * proxy, doc_id tiebreak), each host keeps a budget of 5 per cycle,
+    * and every kept url gets its politeness offset `(slot-1) ·
+    * crawl-delay` (the even-source robots declare `Crawl-delay: 2`;
+    * absent → 1 s default). Scale shape: the robots dim broadcasts (one
+    * row per host), ranking shuffles on host only, and the budget
+    * filter plans as a WindowGroupLimit — per-partition top-k
+    * short-circuit, no full sort of the frontier (PlanShapeSpec pins
+    * the node), which is what lets a 100 TB frontier schedule in one
+    * pass. */
+  def crawlFrontier(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Graft.init(s)
+    import s.implicits._
+    val docs = documents(s, d)
+    val robotsDim = docs.select($"source").distinct()
+      .withColumn("k", regexp_extract($"source", "(\\d+)$", 1).cast("int"))
+      .withColumn("robots",
+        when(pmod($"k", lit(2)) === 0, lit(
+          "# synthetic robots\nUser-agent: *\nDisallow: /private/\n" +
+            "Allow: /private/ok\nDisallow: /tmp\nCrawl-delay: 2\n"))
+          .otherwise(lit(
+            "User-agent: *\nDisallow: /tmp\n" +
+              "User-agent: evilbot\nDisallow: /\n")))
+      .select($"source", $"robots")
+    val urls = docs.select($"doc_id", $"source", $"n_chars",
+      concat($"source", lit(".example.com")).as("host"),
+      when(pmod($"doc_id", lit(4)) === 0, concat(lit("/docs/"), $"doc_id"))
+        .when(pmod($"doc_id", lit(4)) === 1, concat(lit("/private/"), $"doc_id"))
+        .when(pmod($"doc_id", lit(4)) === 2, concat(lit("/private/ok"), $"doc_id"))
+        .otherwise(concat(lit("/tmp"), $"doc_id")).as("path"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"host").orderBy($"n_chars".desc, $"doc_id")
+    urls.join(broadcast(robotsDim), "source")
+      .filter(call_function("robots_allowed", $"robots", $"path"))
+      .withColumn("delay", coalesce(
+        nullif(regexp_extract($"robots", "Crawl-delay: (\\d+)", 1), lit("")),
+        lit("1")).cast("long"))
+      .withColumn("slot", row_number().over(w).cast("long"))
+      .filter($"slot" <= 5)
+      .select($"host", $"slot", $"doc_id", $"path",
+        (($"slot" - 1) * $"delay").as("fetch_offset_s"))
+      .orderBy($"host", $"slot")
+  }
+
+  val crawlFrontierSql: String =
+    """WITH urls AS (
+      |  SELECT doc_id, n_chars, source || '.example.com' AS host,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN '/docs/' || doc_id
+      |      WHEN 1 THEN '/private/' || doc_id
+      |      WHEN 2 THEN '/private/ok' || doc_id
+      |      ELSE '/tmp' || doc_id END AS path,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN true
+      |      WHEN 1 THEN CAST(regexp_extract(source, '(\d+)$', 1) AS INTEGER) % 2 = 1
+      |      WHEN 2 THEN true
+      |      ELSE false END AS allowed,
+      |    CASE WHEN CAST(regexp_extract(source, '(\d+)$', 1) AS INTEGER) % 2 = 0
+      |         THEN 2 ELSE 1 END AS delay
+      |  FROM documents
+      |), ranked AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (
+      |      PARTITION BY host ORDER BY n_chars DESC, doc_id) AS BIGINT) AS slot
+      |  FROM urls WHERE allowed
+      |)
+      |SELECT host, slot, doc_id, path,
+      |  CAST((slot - 1) * delay AS BIGINT) AS fetch_offset_s
+      |FROM ranked WHERE slot <= 5
+      |ORDER BY host, slot""".stripMargin
+
   val robotsFilterSql: String =
     """SELECT doc_id, source || '.example.com' AS host,
       |  CASE doc_id % 4
@@ -921,6 +994,7 @@ object Web {
     "q_pagerank" -> (pageRank _),
     "q_html_extract" -> (htmlExtract _),
     "q_link_graph" -> (linkGraph _),
+    "q_crawl_frontier" -> (crawlFrontier _),
     "q_pipeline_web" -> (pipelineWeb _),
     "q_nfc_normalize" -> (nfcNormalize _),
     "q_repeat_trim" -> (repeatTrim _),
@@ -940,6 +1014,7 @@ object Web {
     "q_pagerank" -> pageRankSql,
     "q_html_extract" -> htmlExtractSql,
     "q_link_graph" -> linkGraphSql,
+    "q_crawl_frontier" -> crawlFrontierSql,
     "q_pipeline_web" -> pipelineWebSql,
     "q_nfc_normalize" -> nfcNormalizeSql,
     "q_repeat_trim" -> repeatTrimSql,

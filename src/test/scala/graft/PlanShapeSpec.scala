@@ -126,6 +126,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(pre.forall(_.collect {
       case g: org.apache.spark.sql.execution.GenerateExec => g }.isEmpty),
       "the bloom prefilter must sit below the explode, not above it")
+    // frontier: the per-host budget must plan as a WindowGroupLimit
+    // (top-k short-circuit inside each host partition), not a full
+    // ranking that the slot filter then decimates
+    val frontier = SparkEntry.queries("q_crawl_frontier")(spark, d)
+      .queryExecution.sparkPlan
+    assert(frontier.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }.nonEmpty, "q_crawl_frontier lost its WindowGroupLimit top-k")
   }
 
   test("the detector actually fires on an injected regression") {
