@@ -31,16 +31,23 @@ object HtmlExtractExpr {
 
 /** robots_allowed(robots_body, path) — RFC 9309 fetch decision per
   * [[graft.ops.Robots]] (`*` group, longest-match, Allow wins ties).
-  * Per-row parse is fine for a dimension-joined body column; a
-  * 100 TB-scale frontier parses each distinct robots body once in a
-  * broadcast dim instead (same operator, pre-parsed). */
+  * Fully codegen'd (static [[graft.ops.Robots.allowedUtf8]] call with a
+  * per-thread last-body parse memo), so it is legal in join conditions —
+  * the frontier's robots gate gets predicate-pushed into the broadcast
+  * host-dim join and must not de-codegen it (PlanShapeSpec audits every
+  * join condition for CodegenFallback). */
 case class RobotsAllowed(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = BooleanType
-  override def nullSafeEval(bodyIn: Any, pathIn: Any): Any = {
-    val rules = graft.ops.Robots.parse(bodyIn.asInstanceOf[UTF8String].toString)
-    graft.ops.Robots.allowed(rules, pathIn.asInstanceOf[UTF8String].toString)
-  }
+  override def nullSafeEval(bodyIn: Any, pathIn: Any): Any =
+    graft.ops.Robots.allowedUtf8(
+      bodyIn.asInstanceOf[UTF8String], pathIn.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, p) =>
+      s"${ev.value} = graft.ops.Robots.allowedUtf8($b, $p);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "robots_allowed"

@@ -55,6 +55,28 @@ object Robots {
 
   /** RFC 9309 decision: longest matching prefix wins; Allow wins ties;
     * no matching rule means allowed. */
+  /** Codegen entry point ([[graft.exprs.RobotsAllowed]]): parse + decide
+    * with a per-thread memo of the last body — a frontier joined against
+    * a broadcast host dim sees long runs of the same robots body, so the
+    * common case is one parse per (task, host), not per row. The memo
+    * key is CLONED: Spark may reuse the UTF8String's backing buffer
+    * across rows, so holding the original reference would corrupt the
+    * key. */
+  private val lastParsed =
+    new ThreadLocal[(org.apache.spark.unsafe.types.UTF8String, Seq[Rule])]
+  def allowedUtf8(body: org.apache.spark.unsafe.types.UTF8String,
+                  path: org.apache.spark.unsafe.types.UTF8String): Boolean = {
+    val memo = lastParsed.get()
+    val rules =
+      if (memo != null && memo._1.equals(body)) memo._2
+      else {
+        val r = parse(body.toString)
+        lastParsed.set((body.clone(), r))
+        r
+      }
+    allowed(rules, path.toString)
+  }
+
   def allowed(rules: Seq[Rule], path: String): Boolean = {
     var bestLen = -1
     var bestAllow = true

@@ -1668,6 +1668,50 @@ object Corpus {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Dynamic partition pruning gate — the join-driven partition
+    * elimination a partitioned 100 TB fact table lives on: the fact is
+    * the lang-partitioned export (same layout as q_partitioned_prune),
+    * the dim is the top-2 languages by census — a RUNTIME result, so no
+    * static filter can prune the fact's directories at plan time. The
+    * rank filter rides a non-join column (row_number), which is exactly
+    * the shape where Catalyst must inject a DynamicPruningExpression
+    * into the fact scan's partitionFilters (CorpusSpec pins it): the
+    * dim's broadcast result re-used as an IN-subquery over lang, so the
+    * fact reads 2 directories, not all of them. The oracle recomputes
+    * census → top-2 → join → profile over the parquet side. */
+  def dynamicPrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp")
+      .resolve("by_lang").toString
+    documents(s, d).write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    val fact = s.read.parquet(tmp)
+    val dim = documents(s, d)
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"n".desc, $"lang")))
+      .filter($"rk" <= 2)
+      .select($"lang")
+    fact.join(dim, "lang")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"lang")
+  }
+
+  val dynamicPruneSql: String =
+    """WITH census AS (
+      |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1
+      |), top2 AS (
+      |  SELECT lang FROM (
+      |    SELECT lang, ROW_NUMBER() OVER (ORDER BY n DESC, lang) AS rk
+      |    FROM census)
+      |  WHERE rk <= 2
+      |)
+      |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+      |FROM documents d JOIN top2 USING (lang)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   // ------------------------------------------------- time-range window
 
   /** Rolling one-hour event profile per user — the RANGE-frame window
@@ -1743,6 +1787,7 @@ object Corpus {
     "q_bpe_train" -> (bpeTrain _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
+    "q_dynamic_prune" -> (dynamicPrune _),
     "q_rolling_window" -> (rollingWindow _),
     "q_lsh_verify" -> (lshVerify _),
     "q_gap_fill" -> (gapFill _),
@@ -1780,6 +1825,7 @@ object Corpus {
     "q_bpe_train" -> bpeTrainSql,
     "q_csv_roundtrip" -> csvRoundtripSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
+    "q_dynamic_prune" -> dynamicPruneSql,
     "q_rolling_window" -> rollingWindowSql,
     "q_lsh_verify" -> lshVerifySql,
     "q_gap_fill" -> gapFillSql,

@@ -154,6 +154,21 @@ class CorpusSpec extends SparkTestBase {
       s"text not pruned: ${scans.map(_.schema.fieldNames.mkString("|"))}")
   }
 
+  test("dynamic partition pruning: the fact scan carries a DynamicPruningExpression") {
+    val q = graft.queries.Corpus.dynamicPrune(spark, "/root/testdata/sf0.001")
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.partitionSchema.fieldNames.contains("lang") => f
+    }
+    assert(scans.nonEmpty, "partitioned fact scan missing")
+    // at the sparkPlan stage the marker is DynamicPruningSubquery; after
+    // PlanDynamicPruningFilters it becomes DynamicPruningExpression —
+    // either proves the runtime prune was injected
+    assert(scans.exists(_.partitionFilters.exists(_.exists(
+      _.getClass.getSimpleName.startsWith("DynamicPruning")))),
+      s"no dynamic-pruning filter in ${scans.map(_.partitionFilters)}")
+  }
+
   test("winnowing guarantee: docs sharing a >=6-word run share a fingerprint") {
     // two docs share an 8-word run embedded in otherwise-distinct text;
     // winnowing (3-word shingles, window 4) must select at least one

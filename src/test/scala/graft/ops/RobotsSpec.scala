@@ -45,6 +45,28 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.allowed(r2, "/a/x"))
   }
 
+  test("allowedUtf8 memo: alternating distinct bodies never serve stale rules") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val bodyA = UTF8String.fromString("User-agent: *\nDisallow: /a\n")
+    val bodyB = UTF8String.fromString("User-agent: *\nDisallow: /b\n")
+    // interleave so every call is a memo miss for the OTHER body; a
+    // stale memo would flip a decision
+    (0 until 20).foreach { _ =>
+      assert(!Robots.allowedUtf8(bodyA, UTF8String.fromString("/a/x")))
+      assert(Robots.allowedUtf8(bodyA, UTF8String.fromString("/b/x")))
+      assert(!Robots.allowedUtf8(bodyB, UTF8String.fromString("/b/x")))
+      assert(Robots.allowedUtf8(bodyB, UTF8String.fromString("/a/x")))
+    }
+    // memo key must survive the caller's buffer being overwritten
+    val buf = "User-agent: *\nDisallow: /a\n".getBytes("UTF-8")
+    val reused = UTF8String.fromBytes(buf)
+    assert(!Robots.allowedUtf8(reused, UTF8String.fromString("/a/x")))
+    java.util.Arrays.fill(buf, 'z'.toByte) // caller reuses its buffer
+    assert(!Robots.allowedUtf8(
+      UTF8String.fromString("User-agent: *\nDisallow: /a\n"),
+      UTF8String.fromString("/a/x")))
+  }
+
   test("fuzz: decision equals an independent longest-match reference on random rule sets") {
     // reference implemented differently on purpose: stable-sort all
     // matching rules by (prefix length, allow) and take the maximum
