@@ -846,6 +846,54 @@ object Llm {
       |GROUP BY 1, 2, 3, 4
       |ORDER BY source""".stripMargin
 
+  /** Temperature-weighted mixture — the UNIGRAM-style source rebalance
+    * (α = 0.5) every multi-source training mix uses: small sources get
+    * up-weighted by sampling ∝ tokens^α instead of ∝ tokens. Exactness:
+    * `sqrt` is IEEE-correctly-rounded in both engines, the share
+    * denominator is a SORTED-BY-SOURCE left fold of the per-source
+    * weights (the q_emb_centroids order-pinning pattern — a plain SUM
+    * of doubles would be accumulation-order-dependent and ungateable),
+    * and each share/budget step is a single IEEE op. The one-row total
+    * joins back on a literal key — a broadcast hash join, not the
+    * one-row BNLJ trap. Scale: one source-level aggregate (sources ≪
+    * corpus), a driver-sized fold, broadcast back; the doc-level apply
+    * step is the md5-bucket filter q_token_budget_mix already gates. */
+  def mixtureWeights(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ntok = when(length(trim($"text")) === 0, 0L)
+      .otherwise(size(split(trim($"text"), "\\s+")).cast("long"))
+    val per = documents(s, d).select($"source", ntok.as("ntok"))
+      .groupBy($"source").agg(sum($"ntok").as("tokens"))
+      .withColumn("w_sqrt", sqrt($"tokens".cast("double")))
+      .withColumn("j", lit(1))
+    val total = per.agg(expr(
+      "aggregate(sort_array(collect_list(struct(source, w_sqrt))), 0D," +
+        " (acc, x) -> acc + x.w_sqrt)").as("w_total"))
+      .withColumn("j", lit(1))
+    per.join(broadcast(total), Seq("j"))
+      .withColumn("mix_share", $"w_sqrt" / $"w_total")
+      .select($"source", $"tokens", $"w_sqrt", $"mix_share",
+        floor(lit(1000000.0) * $"mix_share").cast("long").as("planned_tokens"))
+      .orderBy($"source")
+  }
+
+  val mixtureWeightsSql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY 1
+      |), w AS (
+      |  SELECT source, tokens, sqrt(CAST(tokens AS DOUBLE)) AS w_sqrt FROM t
+      |), tot AS (
+      |  SELECT list_reduce(list(w_sqrt ORDER BY source), (a, b) -> a + b) AS w_total
+      |  FROM w
+      |)
+      |SELECT source, tokens, w_sqrt, w_sqrt / w_total AS mix_share,
+      |  CAST(floor(1000000.0 * (w_sqrt / w_total)) AS BIGINT) AS planned_tokens
+      |FROM w, tot
+      |ORDER BY source""".stripMargin
+
   /** Dedup representative selection — the final step of every dedup
     * pipeline: per transitive near-dup group (the q_dedup_cc closure),
     * KEEP the longest member (ties → smallest id) and record the group's
@@ -1396,6 +1444,7 @@ object Llm {
     "q_collocations" -> (collocations _),
     "q_ngram_contamination" -> (ngramContamination _),
     "q_contamination_bloom" -> (contaminationBloom _),
+    "q_mixture_weights" -> (mixtureWeights _),
     "q_quality_prune" -> (qualityPrune _),
     "q_corpus_summary" -> (corpusSummary _),
   )
@@ -1950,6 +1999,7 @@ object Llm {
     "q_ngram_contamination" -> ngramContaminationSql,
     // bloom prefilter + exact verify ≡ the exact sweep (no false negatives)
     "q_contamination_bloom" -> ngramContaminationSql,
+    "q_mixture_weights" -> mixtureWeightsSql,
     "q_quality_prune" -> qualityPruneSql,
     "q_corpus_summary" -> corpusSummarySql,
   )
