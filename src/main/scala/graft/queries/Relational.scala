@@ -848,6 +848,80 @@ object Relational {
       | AND c.ts BETWEEN e.ts - INTERVAL 6 HOUR AND e.ts
       |ORDER BY e.user_id, error_id, click_id""".stripMargin
 
+  /** Stream-stream LEFT OUTER interval join — the semantics milestone
+    * past q_stream_join: unmatched errors must ALSO emit, and may do so
+    * only once the watermark proves no qualifying click can still
+    * arrive (condition `click_ts <= error_ts` ⇒ an error row is
+    * provably unmatched once the global watermark passes error_ts).
+    * The GLOBAL watermark is the MIN over both sides' watermark nodes —
+    * each computed from its own filtered sub-stream — so the flush
+    * boundary is `least(max click_ts, max error_ts) − 1 h`, NOT
+    * `max(ts) − 1 h` (the max error row itself can never flush: the
+    * watermark never passes it). The final no-data micro-batch (the
+    * watermark-commit batch the other stream gates already rely on)
+    * flushes exactly the unmatched errors behind that boundary; later
+    * unmatched errors stay in state and never emit — and the oracle
+    * says so. Null join
+    * columns are coalesced to −1 so row ordering is engine-portable
+    * (Spark sorts NULLS FIRST, DuckDB NULLS LAST). */
+  def streamJoinOuter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.util.Tables.events(s, d)
+    val dataDir = stagedEventsDir(s, d)
+    withStreamPartitions(s, 8) {
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
+      val clicks = stream.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val errors = stream.filter($"event_type" === "error")
+        .select($"user_id".as("err_user"), $"event_id".as("error_id"),
+          $"ts".as("error_ts"))
+        .withWatermark("error_ts", "1 hour")
+      val joined = errors.join(clicks,
+        $"user_id" === $"err_user" &&
+          $"click_ts" >= $"error_ts" - expr("INTERVAL 6 HOURS") &&
+          $"click_ts" <= $"error_ts", "leftOuter")
+        .select($"err_user".as("user_id"), $"error_id",
+          coalesce($"click_id", lit(-1L)).as("click_id"),
+          coalesce(unix_micros($"error_ts") - unix_micros($"click_ts"),
+            lit(-1L)).as("lag_us"))
+      val name = "stream_join_outer_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy($"user_id", $"error_id", $"click_id")
+    }
+  }
+
+  val streamJoinOuterSql: String =
+    """WITH matched AS (
+      |  SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id,
+      |    epoch_us(e.ts) - epoch_us(c.ts) AS lag_us
+      |  FROM events e JOIN events c
+      |    ON c.user_id = e.user_id
+      |   AND e.event_type = 'error' AND c.event_type = 'click'
+      |   AND c.ts BETWEEN e.ts - INTERVAL 6 HOUR AND e.ts
+      |), unmatched AS (
+      |  SELECT e.user_id, e.event_id AS error_id,
+      |    CAST(-1 AS BIGINT) AS click_id, CAST(-1 AS BIGINT) AS lag_us
+      |  FROM events e
+      |  WHERE e.event_type = 'error'
+      |    AND e.ts < (SELECT least(
+      |        max(ts) FILTER (WHERE event_type = 'click'),
+      |        max(ts) FILTER (WHERE event_type = 'error'))
+      |      FROM events) - INTERVAL 1 HOUR
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM events c
+      |      WHERE c.event_type = 'click' AND c.user_id = e.user_id
+      |        AND c.ts BETWEEN e.ts - INTERVAL 6 HOUR AND e.ts)
+      |)
+      |SELECT * FROM matched
+      |UNION ALL SELECT * FROM unmatched
+      |ORDER BY user_id, error_id, click_id""".stripMargin
+
   /** Stream-STATIC enrichment (the other canonical streaming join): the
     * event stream broadcast-joined per micro-batch against the
     * customer→nation dimension (pre-joined once, no watermark needed on
@@ -979,6 +1053,7 @@ object Relational {
     "q_session_window" -> (sessionWindow _),
     "q_stream_sessions" -> (streamSessions _),
     "q_stream_join" -> (streamJoin _),
+    "q_stream_join_outer" -> (streamJoinOuter _),
     "q_stream_enrich" -> (streamEnrich _),
     "q_skew_agg" -> (skewAgg _),
     "q_skew_report" -> (skewReport _),
@@ -1011,6 +1086,7 @@ object Relational {
     "q_session_window" -> sessionWindowSql,
     "q_stream_sessions" -> streamSessionsSql,
     "q_stream_join" -> streamJoinSql,
+    "q_stream_join_outer" -> streamJoinOuterSql,
     "q_stream_enrich" -> streamEnrichSql,
     "q_skew_agg" -> skewAggSql,
     "q_skew_report" -> skewReportSql,
