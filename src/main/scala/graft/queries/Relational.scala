@@ -848,6 +848,70 @@ object Relational {
       | AND c.ts BETWEEN e.ts - INTERVAL 6 HOUR AND e.ts
       |ORDER BY e.user_id, error_id, click_id""".stripMargin
 
+  /** Scoped session confs: set for planning+execution of `f`, restored
+    * after — callers must MATERIALIZE inside `f` (planning is lazy; a
+    * returned unexecuted DataFrame would compile later without the
+    * confs). */
+  private def withConfs[T](s: SparkSession, kv: (String, String)*)(f: => T): T = {
+    val old = kv.map { case (k, _) => k -> s.conf.getOption(k) }
+    kv.foreach { case (k, v) => s.conf.set(k, v) }
+    try f
+    finally old.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  private[graft] val runtimeFilterConfs = Seq(
+    // fire the injection at test scale: the application-side scan-size
+    // floor is sized for real clusters (10 GB default)
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    // force a shuffle join — against a broadcast join Spark rightly
+    // skips the bloom (the hash table IS the filter)
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  /** The join inside [[runtimeFilter]], built under whatever confs are
+    * active — split out so the plan-shape spec can compile it with the
+    * runtime-filter confs and pin `BloomFilterMightContain` on the
+    * fact side. */
+  private[graft] def runtimeFilterInner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = graft.util.Tables.lineitem(s, d)
+    val urgent = graft.util.Tables.orders(s, d)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey")
+    li.join(urgent, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"), out(sum(dec($"l_quantity"))).as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Runtime bloom-filter join — Spark's own InjectRuntimeFilter at
+    * work, the shuffle-join twin of q_contamination_bloom's hand-built
+    * prefilter: the urgent-orders side is selective, so the optimizer
+    * builds a bloom over its join keys and plants
+    * `might_contain(xxhash64(l_orderkey))` into the LINEITEM scan —
+    * at 100 TB that is the difference between shuffling every line item
+    * and shuffling only plausible matches. Materialized inside the conf
+    * scope (planning is lazy) and returned as a local relation — the
+    * result is a 3-row aggregate, the same bounded-collect contract as
+    * the store fixtures. The oracle is the plain join: the bloom only
+    * prunes rows the join would drop anyway. */
+  def runtimeFilter(s: SparkSession, d: String): DataFrame =
+    withConfs(s, runtimeFilterConfs: _*) {
+      val df = runtimeFilterInner(s, d)
+      s.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+    }
+
+  val runtimeFilterSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Stream-stream LEFT OUTER interval join — the semantics milestone
     * past q_stream_join: unmatched errors must ALSO emit, and may do so
     * only once the watermark proves no qualifying click can still
@@ -1054,6 +1118,7 @@ object Relational {
     "q_stream_sessions" -> (streamSessions _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_join_outer" -> (streamJoinOuter _),
+    "q_runtime_filter" -> (runtimeFilter _),
     "q_stream_enrich" -> (streamEnrich _),
     "q_skew_agg" -> (skewAgg _),
     "q_skew_report" -> (skewReport _),
@@ -1087,6 +1152,7 @@ object Relational {
     "q_stream_sessions" -> streamSessionsSql,
     "q_stream_join" -> streamJoinSql,
     "q_stream_join_outer" -> streamJoinOuterSql,
+    "q_runtime_filter" -> runtimeFilterSql,
     "q_stream_enrich" -> streamEnrichSql,
     "q_skew_agg" -> skewAggSql,
     "q_skew_report" -> skewReportSql,

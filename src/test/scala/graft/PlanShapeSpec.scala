@@ -134,6 +134,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(frontier.collect {
       case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
     }.nonEmpty, "q_crawl_frontier lost its WindowGroupLimit top-k")
+    // runtime filter: under the gated confs the optimizer must plant a
+    // bloom probe (might_contain) on the lineitem fact side
+    val rfConfs = graft.queries.Relational.runtimeFilterConfs
+    val oldVals = rfConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    rfConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val rf = graft.queries.Relational.runtimeFilterInner(spark, d)
+        .queryExecution.optimizedPlan
+      assert(rf.exists(_.expressions.exists(_.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain => true
+        case _ => false
+      })), "InjectRuntimeFilter planted no BloomFilterMightContain")
+    } finally oldVals.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("the detector actually fires on an injected regression") {
