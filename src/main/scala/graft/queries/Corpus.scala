@@ -1712,6 +1712,42 @@ object Corpus {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** Parquet FILE-level bloom filters — the storage-layer point-lookup
+    * accelerator (the third bloom tier after q_contamination_bloom's
+    * expression-level bitset and q_runtime_filter's optimizer-injected
+    * probe): the export writes a bloom over doc_id into every file's
+    * footer, and an equality-set read then skips whole row groups whose
+    * bloom proves the keys absent — at 100 TB this turns "scan the
+    * corpus for 3 documents" into footer reads plus the one-in-N groups
+    * that might hold them. CorpusSpec asserts the footer actually
+    * carries the bloom (offset recorded per column chunk); the query
+    * gates read-path correctness over the bloom-bearing files — blooms
+    * may only skip what the predicate drops anyway. */
+  def parquetBloom(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tmp = parquetBloomDir(s, d)
+    s.read.parquet(tmp)
+      .filter($"doc_id".isin(7L, 99L, 430L))
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** The bloom-bearing export (shared with the footer spec). */
+  private[graft] def parquetBloomDir(s: SparkSession, d: String): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pbloom")
+      .resolve("documents").toString
+    documents(s, d).write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#doc_id", "true")
+      .option("parquet.bloom.filter.expected.ndv#doc_id", "10000")
+      .parquet(tmp)
+    tmp
+  }
+
+  val parquetBloomSql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id IN (7, 99, 430)
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- time-range window
 
   /** Rolling one-hour event profile per user — the RANGE-frame window
@@ -1788,6 +1824,7 @@ object Corpus {
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_dynamic_prune" -> (dynamicPrune _),
+    "q_parquet_bloom" -> (parquetBloom _),
     "q_rolling_window" -> (rollingWindow _),
     "q_lsh_verify" -> (lshVerify _),
     "q_gap_fill" -> (gapFill _),
@@ -1826,6 +1863,7 @@ object Corpus {
     "q_csv_roundtrip" -> csvRoundtripSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_dynamic_prune" -> dynamicPruneSql,
+    "q_parquet_bloom" -> parquetBloomSql,
     "q_rolling_window" -> rollingWindowSql,
     "q_lsh_verify" -> lshVerifySql,
     "q_gap_fill" -> gapFillSql,

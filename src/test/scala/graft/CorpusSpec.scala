@@ -169,6 +169,33 @@ class CorpusSpec extends SparkTestBase {
       s"no dynamic-pruning filter in ${scans.map(_.partitionFilters)}")
   }
 
+  test("parquet bloom filter lands in the footer and contains every written doc_id") {
+    val dir = graft.queries.Corpus.parquetBloomDir(spark, "/root/testdata/sf0.001")
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString).filter(p => p.endsWith(".parquet") && !p.contains("/."))
+      .head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part),
+        new org.apache.hadoop.conf.Configuration()))
+    try {
+      val block = reader.getFooter.getBlocks.get(0)
+      val col = block.getColumns.toArray
+        .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
+        .find(_.getPath.toDotString == "doc_id").get
+      assert(col.getBloomFilterOffset >= 0, "no bloom filter offset recorded for doc_id")
+      val bloom = reader.readBloomFilter(col)
+      assert(bloom != null, "bloom filter unreadable")
+      // every doc_id actually in this file must probe positive (a bloom
+      // has no false negatives); doc_ids are read back via Spark
+      import spark.implicits._
+      val ids = spark.read.parquet(part).select($"doc_id").as[Long].collect()
+      assert(ids.nonEmpty)
+      assert(ids.forall(id => bloom.findHash(bloom.hash(id))),
+        "bloom filter missed a written key")
+    } finally reader.close()
+  }
+
   test("winnowing guarantee: docs sharing a >=6-word run share a fingerprint") {
     // two docs share an 8-word run embedded in otherwise-distinct text;
     // winnowing (3-word shingles, window 4) must select at least one
