@@ -44,7 +44,7 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       pointTs: String, startTs: String, endTs: String,
                       bucketUs: Long, coarseFactor: Int = 4096,
-                      levels: Int = 2): DataFrame = {
+                      levels: Int = 2, joinKeys: Seq[String] = Nil): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
     require(levels >= 1 && levels <= 4, "levels must be in [1, 4]")
     require(coarseFactor >= 2, "coarseFactor must be >= 2")
@@ -85,8 +85,34 @@ object RangeJoin {
       .withColumn("__bucket", explode(sequence(
         atLevel(w => bucketOf(startTs, w)), atLevel(w => bucketOf(endTs, w)))))
 
-    p.join(i, Seq("__lvl", "__bucket"))
+    p.join(i, joinKeys ++ Seq("__lvl", "__bucket"))
       .filter(col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
       .drop("__lvl", "__bucket")
+  }
+
+  /** Interval-INTERVAL overlap join on half-open intervals: emit each
+    * (a, b) pair with `a.start < b.end && b.start < a.end` (and equal
+    * `joinKeys`, when given). No new blocking machinery: two intervals
+    * overlap iff exactly one of
+    *   (1) `b.start <= a.start < b.end`  — b covers a's start, or
+    *   (2) `a.start <  b.start < a.end`  — a covers b's start (strict
+    *       on the left so pairs with equal starts emit ONCE, via (1)),
+    * and each case is a [[pointInInterval]] with one side's START as
+    * the point — so the overlap join inherits the geometric-level
+    * explode bound and emits every pair exactly once by construction,
+    * no dedup pass. Scale: both cases are plain shuffle equi-joins on
+    * (keys, level, bucket); candidate volume is per-bucket density, the
+    * same bound as the point join, and AQE skew handling applies. */
+  def intervalOverlap(a: DataFrame, b: DataFrame,
+                      aStart: String, aEnd: String,
+                      bStart: String, bEnd: String,
+                      bucketUs: Long, coarseFactor: Int = 4096,
+                      levels: Int = 2, joinKeys: Seq[String] = Nil): DataFrame = {
+    val case1 = pointInInterval(a, b, aStart, bStart, bEnd,
+      bucketUs, coarseFactor, levels, joinKeys)
+    val case2 = pointInInterval(b, a, bStart, aStart, aEnd,
+      bucketUs, coarseFactor, levels, joinKeys)
+      .filter(col(bStart) > col(aStart))
+    case1.unionByName(case2.select(case1.columns.map(col).toSeq: _*))
   }
 }

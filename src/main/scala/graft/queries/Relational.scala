@@ -848,6 +848,49 @@ object Relational {
       | AND c.ts BETWEEN e.ts - INTERVAL 6 HOUR AND e.ts
       |ORDER BY e.user_id, error_id, click_id""".stripMargin
 
+  /** Interval-interval overlap join ([[graft.ops.RangeJoin
+    * .intervalOverlap]]): per user, every 30-minute view window that
+    * overlaps a 2-hour error window — the incident-correlation shape
+    * (sessions × outages, jobs × maintenance windows). The operator
+    * reduces to TWO point-in-interval joins (whichever interval covers
+    * the other's start), so it inherits the geometric-level explode
+    * bound and emits each pair exactly once with no dedup pass; with
+    * the user_id equi-key the shuffle carries (user, level, bucket).
+    * The oracle is the plain overlap-predicate join. */
+  def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.util.Tables.events(s, d)
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"),
+        $"ts".as("v_start"), ($"ts" + expr("INTERVAL 30 MINUTES")).as("v_end"))
+    val e = ev.filter($"event_type" === "error")
+      .select($"user_id", $"event_id".as("error_id"),
+        $"ts".as("e_start"), ($"ts" + expr("INTERVAL 2 HOURS")).as("e_end"))
+    graft.ops.RangeJoin.intervalOverlap(v, e, "v_start", "v_end",
+        "e_start", "e_end", bucketUs = 1800L * 1000 * 1000,
+        joinKeys = Seq("user_id"))
+      .select($"user_id", $"view_id", $"error_id",
+        (unix_micros(least($"v_end", $"e_end")) -
+          unix_micros(greatest($"v_start", $"e_start"))).as("overlap_us"))
+      .orderBy($"user_id", $"view_id", $"error_id")
+  }
+
+  val intervalJoinSql: String =
+    """WITH v AS (
+      |  SELECT user_id, event_id AS view_id, ts AS v_start,
+      |         ts + INTERVAL 30 MINUTE AS v_end
+      |  FROM events WHERE event_type = 'view'
+      |), e AS (
+      |  SELECT user_id, event_id AS error_id, ts AS e_start,
+      |         ts + INTERVAL 2 HOUR AS e_end
+      |  FROM events WHERE event_type = 'error'
+      |)
+      |SELECT v.user_id AS user_id, view_id, error_id,
+      |  epoch_us(least(v_end, e_end)) - epoch_us(greatest(v_start, e_start)) AS overlap_us
+      |FROM v JOIN e ON v.user_id = e.user_id
+      |  AND v_start < e_end AND e_start < v_end
+      |ORDER BY v.user_id, view_id, error_id""".stripMargin
+
   /** Scoped session confs: set for planning+execution of `f`, restored
     * after — callers must MATERIALIZE inside `f` (planning is lazy; a
     * returned unexecuted DataFrame would compile later without the
@@ -1119,6 +1162,7 @@ object Relational {
     "q_stream_join" -> (streamJoin _),
     "q_stream_join_outer" -> (streamJoinOuter _),
     "q_runtime_filter" -> (runtimeFilter _),
+    "q_interval_join" -> (intervalJoin _),
     "q_stream_enrich" -> (streamEnrich _),
     "q_skew_agg" -> (skewAgg _),
     "q_skew_report" -> (skewReport _),
@@ -1153,6 +1197,7 @@ object Relational {
     "q_stream_join" -> streamJoinSql,
     "q_stream_join_outer" -> streamJoinOuterSql,
     "q_runtime_filter" -> runtimeFilterSql,
+    "q_interval_join" -> intervalJoinSql,
     "q_stream_enrich" -> streamEnrichSql,
     "q_skew_agg" -> skewAggSql,
     "q_skew_report" -> skewReportSql,

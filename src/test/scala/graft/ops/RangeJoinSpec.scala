@@ -78,6 +78,42 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got.toSeq == expected)
   }
 
+  test("interval overlap equals the brute-force predicate on random mixed-span intervals") {
+    val rnd = new scala.util.Random(97)
+    val base = ts("2026-01-01 00:00:00").getTime
+    // spans from seconds to ~40 days — both geometric levels engaged
+    def randIv(n: Int) = (0 until n).map { i =>
+      val s = base + rnd.nextInt(90 * 24 * 3600) * 1000L
+      val span = math.pow(10, 3 + rnd.nextDouble() * 6.5).toLong // 1s..~40d (ms)
+      (i.toLong, rnd.nextInt(3).toLong, new Timestamp(s), new Timestamp(s + span))
+    }
+    val as = randIv(120)
+    val bs = randIv(150)
+    val adf = as.toDF("aid", "k", "a_start", "a_end")
+    val bdf = bs.toDF("bid", "k", "b_start", "b_end")
+    val expected = (for {
+      (aid, ak, s1, e1) <- as
+      (bid, bk, s2, e2) <- bs
+      if ak == bk && s1.before(e2) && s2.before(e1)
+    } yield (aid, bid)).sorted
+    val got = RangeJoin.intervalOverlap(adf, bdf, "a_start", "a_end",
+        "b_start", "b_end", bucketUs = 60L * 1000000, coarseFactor = 64,
+        levels = 3, joinKeys = Seq("k"))
+      .select($"aid", $"bid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == expected)
+    assert(got.distinct.length == got.length, "duplicate pairs emitted")
+  }
+
+  test("equal-start intervals pair exactly once") {
+    val a = Seq((1L, ts("2026-01-01 10:00:00"), ts("2026-01-01 11:00:00")))
+      .toDF("aid", "a_start", "a_end")
+    val b = Seq((2L, ts("2026-01-01 10:00:00"), ts("2026-01-01 10:30:00")))
+      .toDF("bid", "b_start", "b_end")
+    val out = RangeJoin.intervalOverlap(a, b, "a_start", "a_end",
+      "b_start", "b_end", bucketUs = hourUs)
+    assert(out.count() == 1)
+  }
+
   test("a point matches every covering interval exactly once") {
     val points = Seq((1L, ts("2026-01-01 12:00:00"))).toDF("pid", "pt")
     val intervals = Seq(
