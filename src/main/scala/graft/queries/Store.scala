@@ -52,6 +52,41 @@ object Store {
       |WHERE s_suppkey % 3 = 0
       |ORDER BY identifier""".stripMargin
 
+  /** Governance deletion sweep ([[FeatureStore.deleteByIds]]): load every
+    * supplier, delete the opt-out list (every 7th), and prove BOTH the
+    * absence (the surviving row set is exactly the complement) and the
+    * audit count (the observe-metric deletion total, carried as a
+    * column the oracle recomputes). The layer survives as a new version
+    * — the previous version stays readable (q_store_time_travel's
+    * mechanism), which is what makes the sweep auditable. */
+  def storeDelete(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-store-del").toString
+    val base = supplier(s, d).select(
+      $"s_suppkey".cast("string").as(Op.identifierCol),
+      S.st_point(($"s_suppkey" % 100).cast("double"),
+        (($"s_suppkey" * 7) % 100).cast("double")).as("geom"),
+      lit(1).as("v"))
+    FeatureStore.upsert(base, root, "suppliers",
+      updatedAt = Some(ts("2020-01-01 00:00:00")))
+    val tombstones = supplier(s, d)
+      .filter($"s_suppkey" % 7 === 0)
+      .select($"s_suppkey".cast("string").as("identifier"))
+    val nDeleted = FeatureStore.deleteByIds(s, root, "suppliers", tombstones)
+    FeatureStore.scan(s, root, "suppliers")
+      .select($"identifier")
+      .withColumn("n_deleted", lit(nDeleted))
+      .orderBy($"identifier")
+  }
+
+  val storeDeleteSql: String =
+    """SELECT CAST(s_suppkey AS VARCHAR) AS identifier,
+      |  CAST((SELECT COUNT(*) FROM supplier WHERE s_suppkey % 7 = 0) AS BIGINT) AS n_deleted
+      |FROM supplier
+      |WHERE s_suppkey % 7 <> 0
+      |ORDER BY identifier""".stripMargin
+
   /** S8→S1 chain: the region table serialized to CSV inside a zip archive
     * (driver-side — region is 5 rows at every SF, mirroring the
     * reference's in-memory archive source, archive.py:7-24), read back
@@ -294,6 +329,7 @@ object Store {
     "q_store_time_travel" -> (storeTimeTravel _),
     "q_stream_upsert" -> (streamUpsert _),
     "q_store_lifecycle" -> (storeLifecycle _),
+    "q_store_delete" -> (storeDelete _),
     "q_store_bucketed" -> (storeBucketed _),
     "q_es_roundtrip" -> (esRoundtrip _),
     "q_zip_csv_chain" -> (zipCsvChain _),
@@ -304,6 +340,7 @@ object Store {
     "q_store_time_travel" -> storeTimeTravelSql,
     "q_stream_upsert" -> streamUpsertSql,
     "q_store_lifecycle" -> storeLifecycleSql,
+    "q_store_delete" -> storeDeleteSql,
     "q_store_bucketed" -> storeBucketedSql,
     "q_es_roundtrip" -> esRoundtripSql,
     "q_zip_csv_chain" -> zipCsvChainSql,

@@ -132,6 +132,29 @@ object FeatureStore {
     total.get("n").asInstanceOf[Long] - kept.get("n").asInstanceOf[Long]
   }
 
+  /** Targeted deletion — the governance sweep (opt-out and
+    * right-to-be-forgotten lists): drop EXACTLY the identifiers in
+    * `tombstones`, as an anti-join rewrite + version swap (same
+    * mechanics as [[cleanOlderThan]], but keyed by an external id list
+    * instead of age). The tombstone list is broadcast — opt-out lists
+    * are small against a corpus-scale layer, so the sweep is one
+    * map-side anti-join pass over the store, no shuffle of surviving
+    * rows. Removed count rides the write as observe metrics. */
+  def deleteByIds(spark: SparkSession, root: String, layer: String,
+                  tombstones: DataFrame): Long = {
+    val total = new org.apache.spark.sql.Observation("delete_total")
+    val kept = new org.apache.spark.sql.Observation("delete_kept")
+    val ids = tombstones
+      .select(col(tombstones.columns.head).cast("string").as("identifier"))
+      .distinct()
+    val existing = scan(spark, root, layer).observe(total, count(lit(1)).as("n"))
+    val remaining = existing
+      .join(broadcast(ids), Seq("identifier"), "left_anti")
+      .observe(kept, count(lit(1)).as("n"))
+    writeVersion(remaining, root, layer)
+    total.get("n").asInstanceOf[Long] - kept.get("n").asInstanceOf[Long]
+  }
+
   /** Bucketed layer variant: the layer is written as an
     * identifier-bucketed, identifier-sorted catalog table (one table per
     * version, `_LATEST` pointer file as in the path layout). Joins and
