@@ -848,6 +848,56 @@ object Relational {
       | AND c.ts BETWEEN e.ts - INTERVAL 6 HOUR AND e.ts
       |ORDER BY e.user_id, error_id, click_id""".stripMargin
 
+  /** Stream-static LEFT ANTI join — the blocklist filter every live
+    * ingestion front runs (opted-out users, banned hosts): events whose
+    * user sits in a static denylist dim (customers of nation 3) never
+    * reach the watermarked hourly rollup. Completes the streaming join
+    * triad with q_stream_join/_outer (stream-stream) and
+    * q_stream_enrich (stream-static inner); anti against a static side
+    * needs no state — it is a per-micro-batch broadcast probe. Emitted
+    * set = the finalized windows of the filtered stream, same closed
+    * form as q_stream_watermark. */
+  def streamAnti(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.util.Tables.events(s, d)
+    val deny = customer(s, d).filter($"c_nationkey" === 3)
+      .select($"c_custkey")
+    val dataDir = stagedEventsDir(s, d)
+    withStreamPartitions(s, 8) {
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
+      val agg = stream.join(broadcast(deny), $"user_id" === $"c_custkey", "left_anti")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), out(sum(dec($"value"))).as("total_value"))
+        .select($"window.start".as("hour"), $"event_type", $"n", $"total_value")
+      val name = "stream_anti_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy($"hour", $"event_type")
+    }
+  }
+
+  val streamAntiSql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
+      |FROM events e
+      |WHERE NOT EXISTS (
+      |    SELECT 1 FROM customer c
+      |    WHERE c.c_nationkey = 3 AND c.c_custkey = e.user_id)
+      |  AND date_trunc('hour', ts) + INTERVAL 1 HOUR
+      |      <= (SELECT max(ts) FROM events e2
+      |          WHERE NOT EXISTS (
+      |            SELECT 1 FROM customer c2
+      |            WHERE c2.c_nationkey = 3 AND c2.c_custkey = e2.user_id))
+      |         - INTERVAL 1 HOUR
+      |GROUP BY 1, 2
+      |ORDER BY hour, event_type""".stripMargin
+
   /** Interval-interval overlap join ([[graft.ops.RangeJoin
     * .intervalOverlap]]): per user, every 30-minute view window that
     * overlaps a 2-hour error window — the incident-correlation shape
@@ -1163,6 +1213,7 @@ object Relational {
     "q_stream_join_outer" -> (streamJoinOuter _),
     "q_runtime_filter" -> (runtimeFilter _),
     "q_interval_join" -> (intervalJoin _),
+    "q_stream_anti" -> (streamAnti _),
     "q_stream_enrich" -> (streamEnrich _),
     "q_skew_agg" -> (skewAgg _),
     "q_skew_report" -> (skewReport _),
@@ -1198,6 +1249,7 @@ object Relational {
     "q_stream_join_outer" -> streamJoinOuterSql,
     "q_runtime_filter" -> runtimeFilterSql,
     "q_interval_join" -> intervalJoinSql,
+    "q_stream_anti" -> streamAntiSql,
     "q_stream_enrich" -> streamEnrichSql,
     "q_skew_agg" -> skewAggSql,
     "q_skew_report" -> skewReportSql,
