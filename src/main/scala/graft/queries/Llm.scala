@@ -853,9 +853,11 @@ object Llm {
     * denominator is a SORTED-BY-SOURCE left fold of the per-source
     * weights (the q_emb_centroids order-pinning pattern — a plain SUM
     * of doubles would be accumulation-order-dependent and ungateable),
-    * and each share/budget step is a single IEEE op. The one-row total
-    * joins back on a literal key — a broadcast hash join, not the
-    * one-row BNLJ trap. Scale: one source-level aggregate (sources ≪
+    * and each share/budget step is a single IEEE op. The total comes
+    * from an unbounded-window fold over the 20-row source table — no
+    * join at all (a literal-key join back constant-folds into the
+    * one-row BNLJ the plan audit rejects). Scale: one source-level
+    * aggregate (sources ≪
     * corpus), a driver-sized fold, broadcast back; the doc-level apply
     * step is the md5-bucket filter q_token_budget_mix already gates. */
   def mixtureWeights(s: SparkSession, d: String): DataFrame = {
@@ -865,12 +867,13 @@ object Llm {
     val per = documents(s, d).select($"source", ntok.as("ntok"))
       .groupBy($"source").agg(sum($"ntok").as("tokens"))
       .withColumn("w_sqrt", sqrt($"tokens".cast("double")))
-      .withColumn("j", lit(1))
-    val total = per.agg(expr(
-      "aggregate(sort_array(collect_list(struct(source, w_sqrt))), 0D," +
-        " (acc, x) -> acc + x.w_sqrt)").as("w_total"))
-      .withColumn("j", lit(1))
-    per.join(broadcast(total), Seq("j"))
+    val everything = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    per
+      .withColumn("w_total", aggregate(
+        sort_array(collect_list(struct($"source", $"w_sqrt")).over(everything)),
+        lit(0.0), (acc, x) => acc + x("w_sqrt")))
       .withColumn("mix_share", $"w_sqrt" / $"w_total")
       .select($"source", $"tokens", $"w_sqrt", $"mix_share",
         floor(lit(1000000.0) * $"mix_share").cast("long").as("planned_tokens"))
