@@ -97,7 +97,12 @@ object RangeJoin {
     *   (1) `b.start <= a.start < b.end`  — b covers a's start, or
     *   (2) `a.start <  b.start < a.end`  — a covers b's start (strict
     *       on the left so pairs with equal starts emit ONCE, via (1)),
-    * and each case is a [[pointInInterval]] with one side's START as
+    * Inputs are assumed NON-EMPTY (`start < end`); a degenerate
+    * `[s, s)` still pairs wherever the symmetric predicate holds, the
+    * same answer a direct `a.start < b.end && b.start < a.end` join
+    * gives — callers wanting strict set-overlap semantics should drop
+    * empty intervals first. Each case is a [[pointInInterval]] with one
+    * side's START as
     * the point — so the overlap join inherits the geometric-level
     * explode bound and emits every pair exactly once by construction,
     * no dedup pass. Scale: both cases are plain shuffle equi-joins on

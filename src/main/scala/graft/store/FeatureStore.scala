@@ -136,7 +136,9 @@ object FeatureStore {
     * right-to-be-forgotten lists): drop EXACTLY the identifiers in
     * `tombstones`, as an anti-join rewrite + version swap (same
     * mechanics as [[cleanOlderThan]], but keyed by an external id list
-    * instead of age). The tombstone list is broadcast — opt-out lists
+    * instead of age). The tombstone ids are read from `tombstones`'
+    * FIRST column (cast to string — the layer's identifier type).
+    * The list is broadcast — opt-out lists
     * are small against a corpus-scale layer, so the sweep is one
     * map-side anti-join pass over the store, no shuffle of surviving
     * rows. Removed count rides the write as observe metrics. */
