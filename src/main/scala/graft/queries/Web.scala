@@ -755,6 +755,96 @@ object Web {
       |LEFT JOIN bi b ON t.doc_id = b.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** The capstone funnel — the whole crawl-to-corpus front as ONE plan:
+    * WARC response members → [[graft.ops.Warc.parse]] → HTML
+    * main-content extraction → hashed-n-gram quality score → keep
+    * filter → content-keyed train/val/test assignment → per-split
+    * release rollup. Every joint is individually gated elsewhere
+    * (q_warc_roundtrip, q_html_extract, q_quality_classifier,
+    * q_data_split); this query gates the COMPOSITION — schema drift,
+    * column loss, or a filter/order change at any joint shifts the
+    * rollup and hash-mismatches. Scale shape: member-parallel parse,
+    * scan-side extract+score (map-only to the keep filter), one final
+    * 3-group aggregate — the first exchange in the whole pipeline is
+    * the rollup itself. */
+  def pipelineCrawl(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Graft.init(s)
+    import s.implicits._
+    val docs = documents(s, d)
+    val pages = docs.select(
+        pmod(col("doc_id"), lit(8)).cast("int").as("bucket"),
+        col("doc_id"), pageHtml(col("doc_id"), col("text")).as("html"))
+      .as[(Int, Long, String)]
+    val members = pages.groupByKey(_._1).mapGroups { (b, it) =>
+      val rows = it.toSeq.sortBy(_._2)
+      graft.ops.Warc.buildFile(
+        graft.ops.Warc.warcinfo(f"synth-$b%05d.warc", "2026-08-13T00:00:00Z") +:
+          rows.map { case (_, id, html) =>
+            graft.ops.Warc.responseRecord(
+              s"https://example.org/doc/$id", f"2026-08-13T00:00:${id % 60}%02dZ",
+              "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n",
+              html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          })
+    }(Encoders.BINARY)
+    val extracted = members.flatMap { bytes =>
+      graft.ops.Warc.parse(bytes)
+        .filter(_.recType == "response")
+        .map(r => (r.targetUri,
+          new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)))
+    }.toDF("uri", "html")
+      .withColumn("doc_id", regexp_extract(col("uri"), "/doc/(\\d+)$", 1).cast("long"))
+      .withColumn("main_text",
+        array_join(call_function("html_extract", col("html")).getField("blocks"), " "))
+      .withColumn("sc", call_function("hashed_ngram_score", col("main_text")))
+      .withColumn("score", col("sc.uni_score") + col("sc.bi_score"))
+      .filter(col("score") >= 0)
+    val bucket = call_function("md5_bucket", col("main_text"), lit(100))
+    extracted
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .withColumn("ntok",
+        when(length(trim(col("main_text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("main_text")), "\\s+")).cast("long")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+        sum(col("score")).as("sum_score"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("split"))
+  }
+
+  val pipelineCrawlSql: String =
+    """WITH pages AS (
+      |  SELECT doc_id,
+      |    text || ' Cite & more <ref> ' || chr(8212) || ' end' AS main_text
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, main_text, string_split(main_text, ' ') AS ws FROM pages
+      |), uni AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CAST(md5_number_lower(t) % 2001 AS BIGINT) - 1000) AS BIGINT) AS u
+      |  FROM toks, unnest(ws) AS un(t) GROUP BY doc_id
+      |), bi AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CAST(md5_number_lower(ws[i] || ' ' || ws[i+1]) % 2001 AS BIGINT) - 1000) AS BIGINT) AS b
+      |  FROM toks, unnest(generate_series(1, len(ws) - 1)) AS g(i) GROUP BY doc_id
+      |), scored AS (
+      |  SELECT t.doc_id, t.main_text, u.u + COALESCE(b.b, 0) AS score,
+      |    CAST(CASE WHEN length(trim(t.main_text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(t.main_text), '\s+')) END AS BIGINT) AS ntok,
+      |    md5_number_lower(t.main_text) % 100 AS bucket
+      |  FROM toks t JOIN uni u ON t.doc_id = u.doc_id
+      |  LEFT JOIN bi b ON t.doc_id = b.doc_id
+      |)
+      |SELECT CASE WHEN bucket < 90 THEN 'train'
+      |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(score) AS BIGINT) AS sum_score,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM scored
+      |WHERE score >= 0
+      |GROUP BY 1
+      |ORDER BY split""".stripMargin
+
   // ------------------------------------------------------------- PageRank
 
   /** Integer PageRank over a deterministic synthetic link graph (doc i
@@ -995,6 +1085,7 @@ object Web {
     "q_html_extract" -> (htmlExtract _),
     "q_link_graph" -> (linkGraph _),
     "q_crawl_frontier" -> (crawlFrontier _),
+    "q_pipeline_crawl" -> (pipelineCrawl _),
     "q_pipeline_web" -> (pipelineWeb _),
     "q_nfc_normalize" -> (nfcNormalize _),
     "q_repeat_trim" -> (repeatTrim _),
@@ -1015,6 +1106,7 @@ object Web {
     "q_html_extract" -> htmlExtractSql,
     "q_link_graph" -> linkGraphSql,
     "q_crawl_frontier" -> crawlFrontierSql,
+    "q_pipeline_crawl" -> pipelineCrawlSql,
     "q_pipeline_web" -> pipelineWebSql,
     "q_nfc_normalize" -> nfcNormalizeSql,
     "q_repeat_trim" -> repeatTrimSql,
