@@ -152,6 +152,10 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("driver entry smoke: the flagship query returns rows") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
   test("the detector actually fires on an injected regression") {
     import spark.implicits._
     val a = Seq((1L, 2.0), (2L, 3.0)).toDF("id_a", "va")
