@@ -32,7 +32,13 @@ object Warc {
       targetUri: String,
       warcDate: String,
       contentLength: Long,
-      body: Array[Byte]) {
+      body: Array[Byte],
+      // byte position of the record's version line within the member and
+      // the record's full serialized size (headers + body + CRLFCRLF) —
+      // what a CDX index stores for ranged fetches; -1 when the record
+      // was built rather than parsed
+      offset: Long = -1L,
+      recLen: Long = -1L) {
 
     /** Record payload: for `response` records the bytes after the HTTP
       * header block (first CRLFCRLF); otherwise the body verbatim. */
@@ -116,6 +122,7 @@ object Warc {
 
     override def next(): WarcRecord = {
       if (!hasNext) throw new NoSuchElementException
+      val recStart = pos
       val headEnd = indexOfCrlfCrlf(bytes, pos, bytes.length)
       if (headEnd < 0)
         throw new IllegalArgumentException(
@@ -151,7 +158,8 @@ object Warc {
         bytes, bodyStart, bodyStart + len.toInt)
       pos = bodyStart + len.toInt
       skipSeparators()
-      WarcRecord(recType, uri, date, len, body)
+      WarcRecord(recType, uri, date, len, body,
+        offset = recStart, recLen = bodyStart + len + 4 - recStart)
     }
   }
 

@@ -845,6 +845,94 @@ object Web {
       |GROUP BY 1
       |ORDER BY split""".stripMargin
 
+  /** CDX offset index — how a crawl archive gets random access (Common
+    * Crawl's cdx-*.gz): for every response record, the member file it
+    * lives in, its byte OFFSET, and its serialized length, straight
+    * from [[graft.ops.Warc.parse]]'s offset iterator. The oracle is the
+    * strongest kind of byte-accounting gate: it REBUILDS each record's
+    * exact header block as a SQL string (the Record-ID is a name-UUID —
+    * always 36 chars — so a fixed placeholder preserves length), takes
+    * its byte length (`strlen`), and window-sums serialized lengths per member in
+    * doc order to reproduce every offset. Any drift in the writer's
+    * header layout, the parser's position arithmetic, or the
+    * member-assembly order breaks the hash. Scale: per-member parse
+    * (map-side), one presentation sort. */
+  def warcCdx(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Graft.init(s)
+    import s.implicits._
+    val docs = documents(s, d)
+    val pages = docs.select(
+        pmod(col("doc_id"), lit(8)).cast("int").as("bucket"),
+        col("doc_id"), pageHtml(col("doc_id"), col("text")).as("html"))
+      .as[(Int, Long, String)]
+    val members = pages.groupByKey(_._1).mapGroups { (b, it) =>
+      val rows = it.toSeq.sortBy(_._2)
+      (b, graft.ops.Warc.buildFile(
+        graft.ops.Warc.warcinfo(f"synth-$b%05d.warc", "2026-08-13T00:00:00Z") +:
+          rows.map { case (_, id, html) =>
+            graft.ops.Warc.responseRecord(
+              s"https://example.org/doc/$id", f"2026-08-13T00:00:${id % 60}%02dZ",
+              "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n",
+              html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }))
+    }(Encoders.tuple(Encoders.scalaInt, Encoders.BINARY))
+    members.flatMap { case (b, bytes) =>
+      graft.ops.Warc.parse(bytes)
+        .filter(_.recType == "response")
+        .map(r => (r.targetUri, f"synth-$b%05d.warc", r.offset, r.recLen))
+    }.toDF("uri", "filename", "offset", "rec_len")
+      .orderBy(col("uri"))
+  }
+
+  val warcCdxSql: String =
+    """WITH page AS (
+      |  SELECT doc_id, doc_id % 8 AS bucket,
+      |    '<!DOCTYPE html><html><head><title>Doc ' || doc_id ||
+      |    '</title><script>if (1<2) { track("<p>not content</p>"); }</script>' ||
+      |    '<style>p { margin: 0 }</style></head><body>' ||
+      |    '<nav><ul><li><a href="/">Home</a></li><li><a href="/about">About</a></li></ul></nav>' ||
+      |    '<header><h1>Doc ' || doc_id || '</h1></header><article><p>' || text ||
+      |    '</p><p>Cite &amp; more &lt;ref&gt; &#8212; end</p></article>' ||
+      |    '<div class="share"><a href="/x">Share</a> <a href="/y">Tweet</a></div>' ||
+      |    '<footer>&copy; 2026 Example &middot; <a href="/tos">Terms</a></footer>' ||
+      |    '</body></html>' AS html
+      |  FROM documents
+      |), rec AS (
+      |  SELECT doc_id, bucket,
+      |    'https://example.org/doc/' || doc_id AS uri,
+      |    strlen(e'HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n')
+      |      + strlen(html) AS body_len
+      |  FROM page
+      |), sized AS (
+      |  SELECT doc_id, bucket, uri,
+      |    strlen(
+      |      e'WARC/1.0\r\nWARC-Type: response\r\n' ||
+      |      'WARC-Date: 2026-08-13T00:00:' ||
+      |        lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || e'Z\r\n' ||
+      |      'WARC-Record-ID: <urn:uuid:' || repeat('x', 36) || e'>\r\n' ||
+      |      'WARC-Target-URI: ' || uri || e'\r\n' ||
+      |      e'Content-Type: application/http; msgtype=response\r\n' ||
+      |      'Content-Length: ' || CAST(body_len AS VARCHAR) || e'\r\n\r\n'
+      |    ) + body_len + 4 AS rec_len,
+      |    strlen(
+      |      e'WARC/1.0\r\nWARC-Type: warcinfo\r\n' ||
+      |      e'WARC-Date: 2026-08-13T00:00:00Z\r\n' ||
+      |      'WARC-Record-ID: <urn:uuid:' || repeat('x', 36) || e'>\r\n' ||
+      |      'WARC-Filename: synth-' || lpad(CAST(bucket AS VARCHAR), 5, '0') ||
+      |        e'.warc\r\n' ||
+      |      e'Content-Type: application/warc-fields\r\n' ||
+      |      e'Content-Length: 17\r\n\r\n'
+      |    ) + 17 + 4 AS winfo_len
+      |  FROM rec
+      |)
+      |SELECT uri, 'synth-' || lpad(CAST(bucket AS VARCHAR), 5, '0') || '.warc' AS filename,
+      |  CAST(winfo_len + COALESCE(SUM(rec_len) OVER (PARTITION BY bucket
+      |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS offset,
+      |  CAST(rec_len AS BIGINT) AS rec_len
+      |FROM sized
+      |ORDER BY uri""".stripMargin
+
   // ------------------------------------------------------------- PageRank
 
   /** Integer PageRank over a deterministic synthetic link graph (doc i
@@ -1086,6 +1174,7 @@ object Web {
     "q_link_graph" -> (linkGraph _),
     "q_crawl_frontier" -> (crawlFrontier _),
     "q_pipeline_crawl" -> (pipelineCrawl _),
+    "q_warc_cdx" -> (warcCdx _),
     "q_pipeline_web" -> (pipelineWeb _),
     "q_nfc_normalize" -> (nfcNormalize _),
     "q_repeat_trim" -> (repeatTrim _),
@@ -1107,6 +1196,7 @@ object Web {
     "q_link_graph" -> linkGraphSql,
     "q_crawl_frontier" -> crawlFrontierSql,
     "q_pipeline_crawl" -> pipelineCrawlSql,
+    "q_warc_cdx" -> warcCdxSql,
     "q_pipeline_web" -> pipelineWebSql,
     "q_nfc_normalize" -> nfcNormalizeSql,
     "q_repeat_trim" -> repeatTrimSql,
