@@ -2,7 +2,7 @@ package graft.plans
 
 import graft.exprs.{StDistance, StGridCells, StIntersects, StRefCell}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -89,6 +89,16 @@ object SpatialJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         findSpatialPredicate(j, cond) match {
           case Some((a, b, expand)) =>
             rewriteLeftOuter(j, a, b, expand, cellSize, cond)
+          case None => j
+        }
+      case j @ Join(_, _, jt, Some(cond), hint)
+          if (jt == LeftSemi || jt == LeftAnti) && hint == JoinHint.NONE &&
+            cond.deterministic && !hasEquiKey(j, cond) &&
+            j.left.output.nonEmpty &&
+            j.left.output.forall(a => RowOrdering.isOrderable(a.dataType)) =>
+        findSpatialPredicate(j, cond) match {
+          case Some((a, b, expand)) =>
+            rewriteSemiAnti(j, jt, a, b, expand, cellSize, cond)
           case None => j
         }
     }
@@ -213,5 +223,34 @@ object SpatialJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     // j.output's order); Union widens right-side nullability to match
     // LeftOuter's output contract
     Union(Seq(matchedBranch, nullExtended))
+  }
+
+  /** LeftSemi/LeftAnti spatial join — the shape `EXISTS`/`NOT EXISTS`
+    * spatial subqueries decorrelate to, which would otherwise plan as a
+    * BroadcastNestedLoopJoin: probe the left with a whole-row
+    * (semi|anti) join against the DISTINCT matched left rows of the
+    * inner grid rewrite. The same identity argument as
+    * [[rewriteLeftOuter]]: identical-valued left rows are
+    * interchangeable (same geometry ⇒ same partners), so null-safe
+    * whole-row equality is exact, and the outer semi/anti join
+    * preserves per-row multiplicity (a left row dropped from the grid
+    * explode by a null/unparsable geometry simply never matches —
+    * semi drops it, anti keeps it, exactly the un-rewritten
+    * null-condition semantics). Fire guard: orderable left types. */
+  private def rewriteSemiAnti(j: Join, jt: JoinType, a: Expression,
+                              b: Expression, expand: Double,
+                              cellSize: Double, cond: Expression): LogicalPlan = {
+    val innerOut = j.left.output ++ j.right.output
+    val matchedLeft = Project(j.left.output,
+      rewriteInner(j, a, b, expand, cellSize, cond, innerOut))
+    val fresh = j.left.output.map(attr => Alias(attr, attr.name)())
+    val matchedDistinct = Aggregate(
+      groupingExpressions = j.left.output,
+      aggregateExpressions = fresh,
+      child = matchedLeft)
+    val probeCond = j.left.output.zip(matchedDistinct.output)
+      .map { case (l, f) => EqualNullSafe(l, f) }
+      .reduce[Expression](And)
+    Join(j.left, matchedDistinct, jt, Some(probeCond), JoinHint.NONE)
   }
 }

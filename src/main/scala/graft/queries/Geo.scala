@@ -503,6 +503,61 @@ object Geo {
       .orderBy($"c_custkey", $"n_nationkey")
   }
 
+  /** Semi/anti forms of the auto rewrite — the declarative
+    * `EXISTS`/`NOT EXISTS` spatial filter (which customers sit in ANY
+    * zone / in NO zone). Without [[graft.plans.SpatialJoinRule]]'s
+    * semi/anti arm these plan as BroadcastNestedLoopJoin;
+    * SpatialJoinRuleSpec pins the rewrite and PlanShapeSpec keeps BNLJ
+    * out of the whole inventory. Oracle: the same predicate as
+    * EXISTS / NOT EXISTS in closed form. */
+  def joinAutoSemi(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val zones = nation(s, d).select(
+      $"n_nationkey",
+      S.st_geomfromtext(format_string(
+        "POLYGON ((%1$s %2$s, %3$s %2$s, %3$s %4$s, %1$s %4$s, %1$s %2$s))",
+        ($"n_nationkey" * 3) % 80, ($"n_nationkey" * 11) % 80,
+        (($"n_nationkey" * 3) % 80) + 15, (($"n_nationkey" * 11) % 80) + 15)).as("zone"))
+    customer(s, d).select($"c_custkey", pt($"c_custkey").as("cgeom"))
+      .join(zones, S.st_intersects($"cgeom", $"zone"), "leftsemi")
+      .select($"c_custkey")
+      .orderBy($"c_custkey")
+  }
+
+  def joinAutoAnti(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val zones = nation(s, d).select(
+      $"n_nationkey",
+      S.st_geomfromtext(format_string(
+        "POLYGON ((%1$s %2$s, %3$s %2$s, %3$s %4$s, %1$s %4$s, %1$s %2$s))",
+        ($"n_nationkey" * 3) % 80, ($"n_nationkey" * 11) % 80,
+        (($"n_nationkey" * 3) % 80) + 15, (($"n_nationkey" * 11) % 80) + 15)).as("zone"))
+    customer(s, d).select($"c_custkey", pt($"c_custkey").as("cgeom"))
+      .join(zones, S.st_intersects($"cgeom", $"zone"), "leftanti")
+      .select($"c_custkey")
+      .orderBy($"c_custkey")
+  }
+
+  private val autoZonePred =
+    """CAST(c.c_custkey % 100 AS DOUBLE) >= (n.n_nationkey * 3) % 80
+      | AND CAST(c.c_custkey % 100 AS DOUBLE) <= (n.n_nationkey * 3) % 80 + 15
+      | AND CAST((c.c_custkey * 7) % 100 AS DOUBLE) >= (n.n_nationkey * 11) % 80
+      | AND CAST((c.c_custkey * 7) % 100 AS DOUBLE) <= (n.n_nationkey * 11) % 80 + 15""".stripMargin
+
+  val joinAutoSemiSql: String =
+    s"""SELECT c.c_custkey
+       |FROM customer c
+       |WHERE EXISTS (SELECT 1 FROM nation n WHERE $autoZonePred)
+       |ORDER BY c_custkey""".stripMargin
+
+  val joinAutoAntiSql: String =
+    s"""SELECT c.c_custkey
+       |FROM customer c
+       |WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE $autoZonePred)
+       |ORDER BY c_custkey""".stripMargin
+
   val joinAutoLeftSql: String =
     """SELECT c.c_custkey, n.n_nationkey
       |FROM customer c LEFT JOIN nation n
@@ -584,6 +639,8 @@ object Geo {
     "q_geo_skew_join" -> (skewJoin _),
     "q_geo_join_auto" -> (joinAuto _),
     "q_geo_join_auto_left" -> (joinAutoLeft _),
+    "q_geo_join_auto_semi" -> (joinAutoSemi _),
+    "q_geo_join_auto_anti" -> (joinAutoAnti _),
     "q_geo_join_auto_dist" -> (joinAutoDist _),
     "q_geo_zorder" -> (zorder _),
     "q_geo_force2d" -> (force2d _),
@@ -606,6 +663,8 @@ object Geo {
     "q_geo_skew_join" -> skewJoinSql,
     "q_geo_join_auto" -> joinAutoSql,
     "q_geo_join_auto_left" -> joinAutoLeftSql,
+    "q_geo_join_auto_semi" -> joinAutoSemiSql,
+    "q_geo_join_auto_anti" -> joinAutoAntiSql,
     "q_geo_join_auto_dist" -> joinAutoDistSql,
     "q_geo_zorder" -> zorderSql,
     "q_geo_force2d" -> force2dSql,

@@ -256,4 +256,37 @@ class SpatialJoinRuleSpec extends SparkTestBase {
       assert(naive.as[(Long, Long)].collect().sorted.toSeq == want.toSeq)
     } finally spark.conf.unset("spark.graft.spatialJoin.cellSize")
   }
+
+  test("left-semi spatial join rewrites; multiplicity and both outcomes preserved") {
+    // duplicate some left rows so semi's keep-each-row semantics is tested
+    val pts = points.unionAll(points.filter($"pid" % 4 === 0))
+    val naive = pts.join(rects, S.st_intersects($"pgeom", $"rgeom"), "leftsemi")
+      .select($"pid")
+    assert(nestedLoopNodes(naive).isEmpty,
+      s"semi rule did not fire: ${naive.queryExecution.executedPlan}")
+    val got = naive.as[Long].collect().sorted
+    val want = withRuleOff {
+      pts.join(rects, S.st_intersects($"pgeom", $"rgeom"), "leftsemi")
+        .select($"pid").as[Long].collect().sorted
+    }
+    assert(want.nonEmpty && got.toSeq == want.toSeq)
+    assert(want.length > want.distinct.length, "fixture lost duplicate left rows")
+  }
+
+  test("left-anti spatial join rewrites; null-geometry left rows are KEPT") {
+    val pts = points.withColumn("pgeom",
+      when($"pid" % 5 === 0, lit(null).cast("binary")).otherwise($"pgeom"))
+    val naive = pts.join(rects, S.st_intersects($"pgeom", $"rgeom"), "leftanti")
+      .select($"pid")
+    assert(nestedLoopNodes(naive).isEmpty,
+      s"anti rule did not fire: ${naive.queryExecution.executedPlan}")
+    val got = naive.as[Long].collect().sorted
+    val want = withRuleOff {
+      pts.join(rects, S.st_intersects($"pgeom", $"rgeom"), "leftanti")
+        .select($"pid").as[Long].collect().sorted
+    }
+    assert(want.nonEmpty && got.toSeq == want.toSeq)
+    // null-geometry rows never match → anti must retain all of them
+    assert((0L until 40L by 5L).forall(got.contains), "anti dropped a null-geom row")
+  }
 }
