@@ -289,4 +289,49 @@ class SpatialJoinRuleSpec extends SparkTestBase {
     // null-geometry rows never match → anti must retain all of them
     assert((0L until 40L by 5L).forall(got.contains), "anti dropped a null-geom row")
   }
+
+  test("SQL EXISTS subquery decorrelates into the semi arm: no nested loop, exact result") {
+    points.createOrReplaceTempView("sjr_pts")
+    rects.createOrReplaceTempView("sjr_rects")
+    val q = spark.sql(
+      """SELECT pid FROM sjr_pts p
+        |WHERE EXISTS (SELECT 1 FROM sjr_rects r
+        |              WHERE st_intersects(p.pgeom, r.rgeom))""".stripMargin)
+    assert(nestedLoopNodes(q).isEmpty,
+      s"EXISTS did not reach the semi rewrite: ${q.queryExecution.executedPlan}")
+    val got = q.as[Long].collect().sorted
+    val want = withRuleOff {
+      spark.sql(
+        """SELECT pid FROM sjr_pts p
+          |WHERE EXISTS (SELECT 1 FROM sjr_rects r
+          |              WHERE st_intersects(p.pgeom, r.rgeom))""".stripMargin)
+        .as[Long].collect().sorted
+    }
+    assert(want.nonEmpty && got.toSeq == want.toSeq)
+  }
+
+  test("property: semi/anti rewrites match brute force on random geometry sets") {
+    val rnd = new scala.util.Random(31)
+    val rpts = (0 until 60).map(i =>
+      (i.toLong, s"POINT (${rnd.nextInt(30)} ${rnd.nextInt(30)})"))
+      .toDF("pid", "wkt")
+      .select($"pid", S.st_geomfromtext($"wkt").as("pgeom"))
+    val rrects = (0 until 15).map { i =>
+      val (x, y, w, h) = (rnd.nextInt(25), rnd.nextInt(25),
+        1 + rnd.nextInt(9), 1 + rnd.nextInt(9))
+      (i.toLong, s"POLYGON (($x $y, ${x + w} $y, ${x + w} ${y + h}, $x ${y + h}, $x $y))")
+    }.toDF("rid", "wkt")
+      .select($"rid", S.st_geomfromtext($"wkt").as("rgeom"))
+    for (jt <- Seq("leftsemi", "leftanti")) {
+      val naive = rpts.join(rrects, S.st_intersects($"pgeom", $"rgeom"), jt)
+        .select($"pid")
+      assert(nestedLoopNodes(naive).isEmpty, s"$jt did not rewrite")
+      val got = naive.as[Long].collect().sorted
+      val want = withRuleOff {
+        rpts.join(rrects, S.st_intersects($"pgeom", $"rgeom"), jt)
+          .select($"pid").as[Long].collect().sorted
+      }
+      assert(got.toSeq == want.toSeq, s"$jt mismatch")
+    }
+  }
 }
