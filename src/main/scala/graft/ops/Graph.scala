@@ -68,4 +68,42 @@ object Graph {
     }
     ranks
   }
+
+  /** Single-source BFS hop distance, FRONTIER-DELTA form: each round
+    * expands only the nodes first reached in the previous round (an
+    * anti-join against the visited set), not the whole distance table —
+    * at graph scale the frontier is a vanishing fraction of visited, so
+    * round k's join cost tracks the frontier size, the property that
+    * makes iterative BFS tractable on a big graph. First-reach order IS
+    * minimal hop count, so the delta form is exact. Early exit when the
+    * frontier drains (one bounded `isEmpty` action per round — the same
+    * driver-side loop control as the pageRank iteration count);
+    * `localCheckpoint` per round cuts the growing lineage.
+    *
+    * @param edges `src, dst: long`, directed
+    * @return `id, hops: long` for nodes reachable within `maxHops`
+    */
+  def bfsHops(edges: DataFrame, sourceId: Long, maxHops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val shuffle = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(math.min(shuffle, 32), col("src"))
+      .localCheckpoint()
+    var visited = Seq((sourceId, 0L)).toDF("id", "hops").localCheckpoint()
+    var frontier = visited
+    var k = 1L
+    while (k <= maxHops && !frontier.isEmpty) {
+      val next = frontier
+        .join(e, frontier("id") === e("src"))
+        .select(e("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .select(col("id"), lit(k).as("hops"))
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+      k += 1
+    }
+    visited
+  }
 }

@@ -958,6 +958,48 @@ object Web {
       .orderBy("doc_id")
   }
 
+  /** Single-source BFS over the same deterministic link graph as
+    * q_pagerank ([[graft.ops.Graph.bfsHops]], frontier-delta form): hop
+    * distance from doc 0, capped at 6. The oracle walks the graph with
+    * a recursive CTE (UNION dedups states, the `d < 6` guard bounds
+    * it) and takes MIN(d) per node — first-reach vs min-distance
+    * equivalence checked across engines, all-integer. */
+  def graphBfs(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id").as("id"))
+    val n = docs.count()
+    val links = docs
+      .withColumn("j", explode(sequence(lit(1L), lit(1L) + pmod(col("id"), lit(3L)))))
+      .withColumn("raw", (col("id") * 31 + lit(7) * col("j")) % n)
+      .select(col("id").as("src"),
+        when(col("raw") === col("id"), (col("id") + 1) % n)
+          .otherwise(col("raw")).as("dst"))
+      .distinct()
+    graft.ops.Graph.bfsHops(links, sourceId = 0L, maxHops = 6)
+      .select(col("id").as("doc_id"), col("hops"))
+      .orderBy("doc_id")
+  }
+
+  val graphBfsSql: String =
+    """WITH RECURSIVE nn AS (
+      |  SELECT COUNT(*) AS n FROM documents
+      |), e AS (
+      |  SELECT DISTINCT doc_id AS src,
+      |    CASE WHEN (doc_id * 31 + 7 * j) % nn.n = doc_id
+      |         THEN (doc_id + 1) % nn.n
+      |         ELSE (doc_id * 31 + 7 * j) % nn.n END AS dst
+      |  FROM documents, nn, unnest(generate_series(1, 1 + doc_id % 3)) AS g(j)
+      |), walk(id, dist) AS (
+      |  SELECT CAST(0 AS BIGINT), 0
+      |  UNION
+      |  SELECT e.dst, w.dist + 1
+      |  FROM walk w JOIN e ON e.src = w.id
+      |  WHERE w.dist < 6
+      |)
+      |SELECT id AS doc_id, CAST(MIN(dist) AS BIGINT) AS hops
+      |FROM walk
+      |GROUP BY id
+      |ORDER BY doc_id""".stripMargin
+
   val pageRankSql: String = {
     val iter = (k: Int) =>
       s"""r$k AS (
@@ -1175,6 +1217,7 @@ object Web {
     "q_crawl_frontier" -> (crawlFrontier _),
     "q_pipeline_crawl" -> (pipelineCrawl _),
     "q_warc_cdx" -> (warcCdx _),
+    "q_graph_bfs" -> (graphBfs _),
     "q_pipeline_web" -> (pipelineWeb _),
     "q_nfc_normalize" -> (nfcNormalize _),
     "q_repeat_trim" -> (repeatTrim _),
@@ -1197,6 +1240,7 @@ object Web {
     "q_crawl_frontier" -> crawlFrontierSql,
     "q_pipeline_crawl" -> pipelineCrawlSql,
     "q_warc_cdx" -> warcCdxSql,
+    "q_graph_bfs" -> graphBfsSql,
     "q_pipeline_web" -> pipelineWebSql,
     "q_nfc_normalize" -> nfcNormalizeSql,
     "q_repeat_trim" -> repeatTrimSql,

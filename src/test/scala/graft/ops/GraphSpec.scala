@@ -41,4 +41,20 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(r(0L) - 500000L) <= 5L, s"got ${r(0L)}")
     assert(r(0L) == r(1L))
   }
+
+  test("bfsHops: chain distances exact, unreachable absent, frontier drains early") {
+    import spark.implicits._
+    // 0→1→2→3 chain plus an unreachable island 10→11 and a shortcut 0→2
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L), (0L, 2L))
+      .toDF("src", "dst")
+    val got = Graph.bfsHops(edges, sourceId = 0L, maxHops = 10)
+      .as[(Long, Long)].collect().toMap
+    // shortcut wins: 2 is at hop 1, 3 at hop 2
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L))
+    // maxHops caps the walk even on a cycle
+    val ring = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val capped = Graph.bfsHops(ring, 0L, maxHops = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(capped == Map(0L -> 0L, 1L -> 1L))
+  }
 }
