@@ -35,11 +35,25 @@ object Bench {
   private[graft] val StdoutBudget = 1900 // hard cap 2000; slack for safety
   private[graft] def stdoutLine(total: Double, ok: Seq[(String, Double)],
                                 failed: Seq[(String, String)], sfDir: String): String = {
-    val errsShort = failed.take(8)
-      .map { case (k, m) => jstr(k) + ":" + jstr(m.take(40)) }
-      .mkString("{", ",", "}")
-    def mkLine(qPart: String, omitted: Int) =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qPart,"omitted":$omitted,"errors":$errsShort,"ok":${ok.size},"failed":${failed.size},"sf":${jstr(sfDir)}}"""
+    // The error block is budgeted on its ESCAPED length: a control-char-heavy
+    // message expands 6× under \u escaping, so 8 × 40 raw chars could alone
+    // blow the budget in an all-fail round. Messages are truncated on the raw
+    // string and re-escaped (never slicing mid-escape), shrinking message
+    // length then entry count until the zero-query base line fits.
+    def mkLineWith(qPart: String, omitted: Int, errPart: String) =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qPart,"omitted":$omitted,"errors":$errPart,"ok":${ok.size},"failed":${failed.size},"sf":${jstr(sfDir)}}"""
+    def errBlock(maxMsg: Int, maxEntries: Int): String =
+      failed.take(maxEntries)
+        .map { case (k, m) => jstr(k) + ":" + jstr(m.take(maxMsg)) }
+        .mkString("{", ",", "}")
+    var maxMsg = 40; var maxEntries = math.min(failed.size, 8)
+    var errsShort = errBlock(maxMsg, maxEntries)
+    while (mkLineWith("{}", ok.size, errsShort).length > StdoutBudget &&
+           (maxMsg > 10 || maxEntries > 0)) {
+      if (maxMsg > 10) maxMsg /= 2 else maxEntries -= 1
+      errsShort = errBlock(maxMsg, maxEntries)
+    }
+    def mkLine(qPart: String, omitted: Int) = mkLineWith(qPart, omitted, errsShort)
     val bySlow = ok.sortBy(-_._2).map { case (k, s) => jstr(k) + ":" + f"$s%.3f" }
     val kept = new scala.collection.mutable.ArrayBuffer[String]
     for (e <- bySlow)
@@ -106,12 +120,17 @@ object Bench {
         results.collect { case (k, Left(m), _) => (k, m)
                           case (k, _, Left(m)) => (k, m) }, sfDir)
       val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw":$raw,"errors":$errs,"ok":${ok.size},"failed":${results.size - ok.size},"sf":${jstr(sfDir)}}"""
-      stdout.println(line)      // the one stdout line the driver parses
+      // Output ORDER is load-bearing: the driver merges stdout+stderr and
+      // keeps only the last 2000 bytes. The full ~6 KB pairs line printed
+      // AFTER the bounded line evicted it from the tail in rounds 5 AND 6
+      // ("parsed": null). So: full copy + file fallback + spark.stop()
+      // first, and the bounded stdout JSON as the very LAST byte written.
       System.err.println(full)  // human-readable copy (with pairs) in the logs
       // file fallback for parsers that don't line-scan stdout
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), full + "\n")
       catch { case e: Exception => System.err.println(s"[bench] bench_out.json write failed: $e") }
-      spark.stop()
+      spark.stop()              // shutdown logging lands before the line too
+      stdout.println(line)      // the one stdout line the driver parses — LAST
     }
   }
 }

@@ -102,6 +102,172 @@ object GeomRuntime {
       math.floor(x0 / cell).toLong, math.floor(y0 / cell).toLong)
   }
 
+  // ------------------------------------------------------------------
+  // Tiered grid (oversize fallback of the auto spatial-join rewrite).
+  //
+  // A geometry whose bbox overflows MaxCellsPerRow fine cells cannot
+  // enumerate them — but capping with an ERROR turned an automatic
+  // optimizer rewrite into a crash on data the un-rewritten plan handles
+  // fine. The fallback adds a COARSE tier (cell × CoarseFactor) with two
+  // per-side "lanes" so oversized rows still rendezvous with normal rows
+  // through the same single equi-join:
+  //
+  //   left row  emits: fine cells (lvl 0) if small, else coarse cells on
+  //             lane 1 × every salt;  PLUS its coarse cells on lane 2 at
+  //             its own salt (the rendezvous copy).
+  //   right row emits: fine cells (lvl 0) if small, else coarse cells on
+  //             lane 2 × every salt;  PLUS coarse cells on lane 1 at its
+  //             own salt.
+  //
+  // Lane 1 left-side keys exist ONLY for oversized left rows, so when no
+  // row is oversized the extra lane copies match nothing and cost one
+  // shuffled copy per row — no spurious candidate pairs, no hot
+  // partition (the salt spreads each lane's rendezvous copies across
+  // LaneSalts hash buckets; an oversized row emits all salts so the
+  // probe's salt always meets it). [[refCellTiered]] picks one canonical
+  // key per candidate pair across all three levels, keeping dedup a
+  // single codegen'd compare. Only a bbox spanning more than
+  // MaxCoarseCellsPerRow COARSE cells (≈ 2^29 fine cells per axis at the
+  // default factor) still errors — beyond any coordinate system in use.
+  val CoarseFactor: Long = 1L << 24
+  val LaneSalts: Long = 64L
+  val MaxCoarseCellsPerRow: Long = 1024L
+
+  private def satCells(bb: Array[Double], cell: Double, expand: Double): Long = {
+    val x0 = math.floor((bb(0) - expand) / cell).toLong
+    val x1 = math.floor((bb(2) + expand) / cell).toLong
+    val y0 = math.floor((bb(1) - expand) / cell).toLong
+    val y1 = math.floor((bb(3) + expand) / cell).toLong
+    try math.multiplyExact(x1 - x0 + 1, y1 - y0 + 1)
+    catch { case _: ArithmeticException => Long.MaxValue }
+  }
+
+  /** Fine-cell count of the (expanded) bbox, saturated; 0 for unparsable
+    * input or non-positive cell. The rule's "is this row oversized"
+    * probe — MUST agree exactly with [[tieredCells]]'s branch. */
+  def cellCount(in: Array[Byte], cell: Double, expand: Double): Long = {
+    if (cell <= 0 || !java.lang.Double.isFinite(cell)) return 0L
+    val bb = WkbFast.bbox(in)
+    if (bb == null) return 0L
+    satCells(bb, cell, expand)
+  }
+
+  /** Deterministic per-row lane salt: hash of the (expanded) bbox's
+    * min-corner fine cell. Recomputable from the bare geometry, so
+    * [[refCellTiered]] can name the probe row's rendezvous copy. */
+  private def laneSalt(bb: Array[Double], cell: Double, expand: Double): Long =
+    java.lang.Math.floorMod(
+      math.floor((bb(0) - expand) / cell).toLong * 31L +
+        math.floor((bb(1) - expand) / cell).toLong, LaneSalts)
+
+  /** Tiered cell cover of one join side (see the lane scheme above).
+    * Rows: struct(lvl, gxs, gy) with `gxs = coarse_gx * LaneSalts + salt`
+    * for the coarse tiers (collision-free fold keeps the key a 3-field
+    * struct). Null on unparsable input → the Generate drops the row,
+    * exactly the inner-join null semantics. */
+  def tieredCells(in: Array[Byte], cell: Double, expand: Double,
+                  ownLane: Long, alwaysLane: Long)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (cell <= 0 || !java.lang.Double.isFinite(cell)) return null
+    val bb = WkbFast.bbox(in)
+    if (bb == null) return null
+    val fineCnt = satCells(bb, cell, expand)
+    val small = fineCnt <= MaxCellsPerRow
+    val coarse = cell * CoarseFactor
+    val cx0 = math.floor((bb(0) - expand) / coarse).toLong
+    val cx1 = math.floor((bb(2) + expand) / coarse).toLong
+    val cy0 = math.floor((bb(1) - expand) / coarse).toLong
+    val cy1 = math.floor((bb(3) + expand) / coarse).toLong
+    val coarseCnt = satCells(bb, coarse, expand)
+    if (coarseCnt > MaxCoarseCellsPerRow)
+      throw new IllegalArgumentException(
+        s"st_gridcells_tiered: geometry bbox [${bb(0)},${bb(1)},${bb(2)},${bb(3)}] " +
+        s"expanded by $expand spans $coarseCnt COARSE cells of size $coarse " +
+        s"(limit $MaxCoarseCellsPerRow) — beyond the oversize fallback. " +
+        "Increase the grid cell size (spark.graft.spatialJoin.cellSize).")
+    val salt = laneSalt(bb, cell, expand)
+    val nFine = if (small) fineCnt.toInt else 0
+    val nOwn = if (small) 0 else (coarseCnt * LaneSalts).toInt
+    val out = new Array[Any](nFine + nOwn + coarseCnt.toInt)
+    var i = 0
+    if (small) {
+      val x0 = math.floor((bb(0) - expand) / cell).toLong
+      val x1 = math.floor((bb(2) + expand) / cell).toLong
+      val y0 = math.floor((bb(1) - expand) / cell).toLong
+      val y1 = math.floor((bb(3) + expand) / cell).toLong
+      var gx = x0
+      while (gx <= x1) {
+        var gy = y0
+        while (gy <= y1) {
+          out(i) = org.apache.spark.sql.catalyst.InternalRow(0L, gx, gy)
+          i += 1; gy += 1
+        }
+        gx += 1
+      }
+    } else {
+      var cgx = cx0
+      while (cgx <= cx1) {
+        var cgy = cy0
+        while (cgy <= cy1) {
+          var s = 0L
+          while (s < LaneSalts) {
+            out(i) = org.apache.spark.sql.catalyst.InternalRow(
+              ownLane, cgx * LaneSalts + s, cgy)
+            i += 1; s += 1
+          }
+          cgy += 1
+        }
+        cgx += 1
+      }
+    }
+    var cgx = cx0
+    while (cgx <= cx1) {
+      var cgy = cy0
+      while (cgy <= cy1) {
+        out(i) = org.apache.spark.sql.catalyst.InternalRow(
+          alwaysLane, cgx * LaneSalts + salt, cgy)
+        i += 1; cgy += 1
+      }
+      cgx += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Canonical tiered key of a candidate pair: level 0 fine refcell when
+    * both sides are small; the coarse refcell on the oversized side's own
+    * lane (at the PROBE side's salt) otherwise. The min-corner cell of
+    * the expanded-bbox intersection is always among both sides' emitted
+    * cover, and unique per pair — so `joined_cell = refCellTiered(...)`
+    * keeps exactly one copy whatever mix of tiers matched. */
+  def refCellTiered(a: Array[Byte], b: Array[Byte], cell: Double,
+                    expand: Double): org.apache.spark.sql.catalyst.InternalRow = {
+    if (cell <= 0 || !java.lang.Double.isFinite(cell)) return null
+    val b1 = WkbFast.bbox(a)
+    if (b1 == null) return null
+    val b2 = WkbFast.bbox(b)
+    if (b2 == null) return null
+    val x0 = math.max(b1(0) - expand, b2(0))
+    val y0 = math.max(b1(1) - expand, b2(1))
+    if (x0 > math.min(b1(2) + expand, b2(2)) ||
+        y0 > math.min(b1(3) + expand, b2(3))) return null
+    val bigA = satCells(b1, cell, expand) > MaxCellsPerRow
+    val bigB = satCells(b2, cell, 0.0) > MaxCellsPerRow
+    if (!bigA && !bigB)
+      org.apache.spark.sql.catalyst.InternalRow(
+        0L, math.floor(x0 / cell).toLong, math.floor(y0 / cell).toLong)
+    else {
+      val coarse = cell * CoarseFactor
+      val cgx = math.floor(x0 / coarse).toLong
+      val cgy = math.floor(y0 / coarse).toLong
+      if (bigA)
+        org.apache.spark.sql.catalyst.InternalRow(
+          1L, cgx * LaneSalts + laneSalt(b2, cell, 0.0), cgy)
+      else
+        org.apache.spark.sql.catalyst.InternalRow(
+          2L, cgx * LaneSalts + laneSalt(b1, cell, expand), cgy)
+    }
+  }
+
   /** 1 = intersects, 0 = disjoint, -1 = null (unparsable). */
   def intersects(a: Array[Byte], b: Array[Byte]): Int = {
     val b1 = WkbFast.bbox(a)

@@ -485,6 +485,102 @@ case class StRefCell(children: Seq[Expression]) extends Expression {
   override def prettyName: String = "st_refcell"
 }
 
+/** st_gridcells_tiered(geom, cellSize, expand, ownLane, alwaysLane) →
+  * array<struct<lvl,gxs,gy>>: the tiered cell cover used by the auto
+  * spatial-join rewrite's oversize fallback (see
+  * [[GeomRuntime.tieredCells]] for the lane scheme). Internal — only
+  * [[graft.plans.SpatialJoinRule]] constructs it; codegen'd so the
+  * cell-explode stays in the whole-stage-generated pipeline. */
+case class StGridCellsTiered(children: Seq[Expression]) extends Expression {
+  override def dataType: DataType =
+    ArrayType(StructType(Seq(StructField("lvl", LongType, false),
+                             StructField("gxs", LongType, false),
+                             StructField("gy", LongType, false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val in = children(0).eval(input); val size = children(1).eval(input)
+    val e = children(2).eval(input)
+    if (in == null || size == null || e == null) return null
+    GeomRuntime.tieredCells(in.asInstanceOf[Array[Byte]],
+      size.asInstanceOf[Number].doubleValue(), e.asInstanceOf[Number].doubleValue(),
+      children(3).eval(input).asInstanceOf[Number].longValue(),
+      children(4).eval(input).asInstanceOf[Number].longValue())
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val inCode = children(0).genCode(ctx)
+    val sizeCode = children(1).genCode(ctx)
+    val eCode = children(2).genCode(ctx)
+    val ownCode = children(3).genCode(ctx)
+    val alwCode = children(4).genCode(ctx)
+    ev.copy(code = code"""
+      |${inCode.code}
+      |${sizeCode.code}
+      |${eCode.code}
+      |${ownCode.code}
+      |${alwCode.code}
+      |boolean ${ev.isNull} = ${inCode.isNull} || ${sizeCode.isNull} || ${eCode.isNull};
+      |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = graft.exprs.GeomRuntime.tieredCells(
+      |    ${inCode.value}, (double) ${sizeCode.value}, (double) ${eCode.value},
+      |    (long) ${ownCode.value}, (long) ${alwCode.value});
+      |  if (${ev.value} == null) { ${ev.isNull} = true; }
+      |}""")
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(children = c)
+  override def prettyName: String = "st_gridcells_tiered"
+}
+
+/** st_refcell_tiered(a, b, cellSize, expand) → struct<lvl,gxs,gy>: the
+  * canonical tiered key of a candidate pair ([[GeomRuntime.refCellTiered]]
+  * — the dedup predicate of the tiered grid join). Internal; codegen'd
+  * (evaluated once per candidate pair in the join loop). */
+case class StRefCellTiered(children: Seq[Expression]) extends Expression {
+  override def dataType: DataType =
+    StructType(Seq(StructField("lvl", LongType, false),
+                   StructField("gxs", LongType, false),
+                   StructField("gy", LongType, false)))
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = children(0).eval(input); val b = children(1).eval(input)
+    val size = children(2).eval(input); val e = children(3).eval(input)
+    if (a == null || b == null || size == null || e == null) return null
+    GeomRuntime.refCellTiered(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
+      size.asInstanceOf[Number].doubleValue(), e.asInstanceOf[Number].doubleValue())
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val aCode = children(0).genCode(ctx)
+    val bCode = children(1).genCode(ctx)
+    val sCode = children(2).genCode(ctx)
+    val eCode = children(3).genCode(ctx)
+    ev.copy(code = code"""
+      |${aCode.code}
+      |${bCode.code}
+      |${sCode.code}
+      |${eCode.code}
+      |boolean ${ev.isNull} = ${aCode.isNull} || ${bCode.isNull} ||
+      |  ${sCode.isNull} || ${eCode.isNull};
+      |org.apache.spark.sql.catalyst.InternalRow ${ev.value} = null;
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = graft.exprs.GeomRuntime.refCellTiered(
+      |    ${aCode.value}, ${bCode.value}, (double) ${sCode.value}, (double) ${eCode.value});
+      |  if (${ev.value} == null) { ${ev.isNull} = true; }
+      |}""")
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(children = c)
+  override def prettyName: String = "st_refcell_tiered"
+}
+
 /** st_zorder(geom, cellSize, bits) → Morton (Z-order) key of the
   * geometry's representative point (the point itself, else the bbox
   * center): quantize x/y to `bits`-bit cell indices (origin 0, clamped)

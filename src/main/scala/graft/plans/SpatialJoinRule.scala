@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.exprs.{StDistance, StGridCells, StIntersects, StRefCell}
+import graft.exprs.{StDistance, StGridCells, StGridCellsTiered, StIntersects, StRefCell, StRefCellTiered}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -56,8 +56,21 @@ import org.apache.spark.sql.types._
   */
 object SpatialJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
-  private val cellStruct = StructType(Seq(
+  private val legacyCellStruct = StructType(Seq(
     StructField("gx", LongType, false), StructField("gy", LongType, false)))
+  private val tieredCellStruct = StructType(Seq(
+    StructField("lvl", LongType, false), StructField("gxs", LongType, false),
+    StructField("gy", LongType, false)))
+
+  /** `spark.graft.spatialJoin.oversize`: "tiered" (default) routes rows
+    * whose bbox overflows [[graft.exprs.GeomRuntime.MaxCellsPerRow]]
+    * through the salted coarse tier ([[graft.exprs.GeomRuntime.tieredCells]])
+    * — an automatic rewrite must never crash on data the un-rewritten
+    * plan handles. "error" keeps the round-6 hard cap (zero rendezvous
+    * overhead: one fewer shuffled cell copy per row) for pipelines that
+    * guarantee bounded geometries. */
+  private def tieredMode: Boolean =
+    conf.getConfString("spark.graft.spatialJoin.oversize", "tiered") != "error"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString("spark.graft.spatialJoin.enabled", "true").toBoolean)
@@ -159,20 +172,32 @@ object SpatialJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def rewriteInner(j: Join, a: Expression, b: Expression,
                            expand: Double, cellSize: Double, cond: Expression,
                            output: Seq[Attribute]): LogicalPlan = {
-    val lCell = AttributeReference("__gcell_l", cellStruct, nullable = false)()
-    val rCell = AttributeReference("__gcell_r", cellStruct, nullable = false)()
+    val tiered = tieredMode
+    val struct = if (tiered) tieredCellStruct else legacyCellStruct
+    val lCell = AttributeReference("__gcell_l", struct, nullable = false)()
+    val rCell = AttributeReference("__gcell_r", struct, nullable = false)()
+    val lCells: Expression =
+      if (tiered) StGridCellsTiered(Seq(a, Literal(cellSize), Literal(expand),
+        Literal(1L), Literal(2L)))
+      else StGridCells(Seq(a, Literal(cellSize), Literal(expand)))
+    val rCells: Expression =
+      if (tiered) StGridCellsTiered(Seq(b, Literal(cellSize), Literal(0.0),
+        Literal(2L), Literal(1L)))
+      else StGridCells(Seq(b, Literal(cellSize)))
     val lGen = Generate(
-      Explode(StGridCells(Seq(a, Literal(cellSize), Literal(expand)))),
+      Explode(lCells),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(lCell), child = j.left)
     val rGen = Generate(
-      Explode(StGridCells(Seq(b, Literal(cellSize)))),
+      Explode(rCells),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(rCell), child = j.right)
     val cellJoin =
       Join(lGen, rGen, Inner, Some(EqualTo(lCell, rCell)), JoinHint.NONE)
-    val dedup =
-      EqualTo(lCell, StRefCell(Seq(a, b, Literal(cellSize), Literal(expand))))
+    val ref: Expression =
+      if (tiered) StRefCellTiered(Seq(a, b, Literal(cellSize), Literal(expand)))
+      else StRefCell(Seq(a, b, Literal(cellSize), Literal(expand)))
+    val dedup = EqualTo(lCell, ref)
     Project(output, Filter(And(dedup, cond), cellJoin))
   }
 

@@ -417,8 +417,8 @@ object Corpus {
 
   val jsonlRoundtripSql: String =
     """SELECT source, COUNT(*) AS n_docs,
-      |  SUM(n_chars) AS sum_chars,
-      |  SUM(length(text)) AS sum_text_len,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
       |  COUNT(DISTINCT lang) AS n_langs
       |FROM documents
@@ -1628,7 +1628,7 @@ object Corpus {
 
   val csvRoundtripSql: String =
     """SELECT lang, COUNT(*) AS n_docs,
-      |  SUM(length(text)) AS sum_text_len,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
       |  COUNT(DISTINCT source) AS n_sources
       |FROM documents

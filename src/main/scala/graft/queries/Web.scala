@@ -1199,7 +1199,7 @@ object Web {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_total
       |  FROM documents
       |)
-      |SELECT prev_total // 50000 AS bin,
+      |SELECT CAST(prev_total // 50000 AS BIGINT) AS bin,
       |  CAST(COUNT(*) AS BIGINT) AS n_files,
       |  CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,

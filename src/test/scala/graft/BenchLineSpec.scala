@@ -51,6 +51,16 @@ class BenchLineSpec extends AnyFunSuite {
     checkShape(line)
   }
 
+  test("control-char-heavy errors (6x escape expansion) stay under budget") {
+    // each raw char becomes \u00XX (6 bytes): 8 kept entries x 40 chars
+    // would be ~1.9KB of escapes alone before this guard existed
+    val errs = (1 to 10).map(i => (s"q_fail_$i", "\u0001\u0002\u0003\u0004" * 50))
+    val line = Bench.stdoutLine(0.0, Nil, errs, "/tmp/sf")
+    assert(line.length <= Bench.StdoutBudget, s"line is ${line.length} bytes")
+    assert(line.contains("\"failed\":10"))
+    checkShape(line)
+  }
+
   test("many long error messages cannot overflow the line") {
     val errs = (1 to 50).map(i => (s"q_fail_$i", "x" * 200 + "\"quote\\slash\n"))
     val line = Bench.stdoutLine(0.0, Nil, errs, "/tmp/sf")

@@ -189,10 +189,56 @@ class SpatialJoinRuleSpec extends SparkTestBase {
     }
   }
 
-  test("guards: continent-scale geometry vs tiny cells raises an actionable error, not a wrapped allocation") {
+  test("oversize fallback: continent-scale geometry vs tiny cells — no crash, brute-force-identical rows") {
+    // one world-sized rect (4×10^7 fine cells per axis at cellSize 0.001,
+    // far over MaxCellsPerRow) among normal rects: the tiered coarse lane
+    // must route it through the SAME single equi-join — no error, no
+    // nested loop, exact result including the normal×normal pairs
+    val world = Seq(99L).toDF("rid").select($"rid",
+      S.st_geomfromtext(lit("POLYGON ((-1 -1, 40000 -1, 40000 40000, -1 40000, -1 -1))")).as("rgeom"))
+    val layers = rects.unionByName(world)
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "0.001")
+    try {
+      val naive = points.join(layers, S.st_intersects($"pgeom", $"rgeom"))
+        .select($"pid", $"rid")
+      assert(nestedLoopNodes(naive).isEmpty,
+        s"rule must still fire with an oversized row: ${naive.queryExecution.executedPlan}")
+      val got = naive.as[(Long, Long)].collect().sorted
+      val want = withRuleOff {
+        points.join(layers, S.st_intersects($"pgeom", $"rgeom"))
+          .select($"pid", $"rid").as[(Long, Long)].collect().sorted
+      }
+      assert(want.nonEmpty && got.toSeq == want.toSeq)
+      assert(got.distinct.length == got.length, "oversize pair duplicated across tiers")
+      // the world rect must match EVERY point (both tiers genuinely joined)
+      assert(got.count(_._2 == 99L) == 40)
+    } finally spark.conf.unset("spark.graft.spatialJoin.cellSize")
+  }
+
+  test("oversize fallback: within-distance join with an oversized side stays exact") {
+    val world = Seq(99L).toDF("qid").select($"qid",
+      S.st_geomfromtext(lit("POLYGON ((-1 -1, 40000 -1, 40000 40000, -1 40000, -1 -1))")).as("qgeom"))
+    val b = points.select($"pid".as("qid"), $"pgeom".as("qgeom")).unionByName(world)
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "0.001")
+    try {
+      val naive = points.join(b, S.st_distance($"pgeom", $"qgeom") < 2.5)
+        .select($"pid", $"qid")
+      assert(nestedLoopNodes(naive).isEmpty)
+      val got = naive.as[(Long, Long)].collect().sorted
+      val want = withRuleOff {
+        points.join(b, S.st_distance($"pgeom", $"qgeom") < 2.5)
+          .select($"pid", $"qid").as[(Long, Long)].collect().sorted
+      }
+      assert(want.nonEmpty && got.toSeq == want.toSeq)
+      assert(got.distinct.length == got.length)
+    } finally spark.conf.unset("spark.graft.spatialJoin.cellSize")
+  }
+
+  test("oversize=error mode keeps the round-6 hard cap (actionable error)") {
     val world = Seq(1L).toDF("rid").select($"rid",
       S.st_geomfromtext(lit("POLYGON ((0 0, 40000 0, 40000 40000, 0 40000, 0 0))")).as("rgeom"))
     spark.conf.set("spark.graft.spatialJoin.cellSize", "0.001")
+    spark.conf.set("spark.graft.spatialJoin.oversize", "error")
     try {
       val naive = points.join(world, S.st_intersects($"pgeom", $"rgeom"))
         .select($"pid", $"rid")
@@ -201,6 +247,24 @@ class SpatialJoinRuleSpec extends SparkTestBase {
         if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
       assert(messages(e).exists(m => m.contains("st_gridcells") && m.contains("cellSize")),
         s"expected the per-row cell-cap error, got: $e")
+    } finally {
+      spark.conf.unset("spark.graft.spatialJoin.cellSize")
+      spark.conf.unset("spark.graft.spatialJoin.oversize")
+    }
+  }
+
+  test("beyond even the coarse tier (absurd coordinates) the error stays actionable") {
+    val absurd = Seq(1L).toDF("rid").select($"rid",
+      S.st_geomfromtext(lit("POLYGON ((0 0, 70000000000000 0, 70000000000000 70000000000000, 0 70000000000000, 0 0))")).as("rgeom"))
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "0.001")
+    try {
+      val naive = points.join(absurd, S.st_intersects($"pgeom", $"rgeom"))
+        .select($"pid", $"rid")
+      val e = intercept[Exception] { naive.collect() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(m => m.contains("cellSize")),
+        s"expected an actionable cell-cap error, got: $e")
     } finally spark.conf.unset("spark.graft.spatialJoin.cellSize")
   }
 
