@@ -22,6 +22,18 @@ object StExprs {
   @inline def geomOf(in: Any): Option[Geom] = Wkb.readOpt(in.asInstanceOf[Array[Byte]])
   @inline def wkb(g: Geom): Array[Byte] = Wkb.write(g)
   @inline def dbl(d: Double): java.lang.Double = java.lang.Double.valueOf(d)
+  // Numeric args coerce through these on EVERY interpreted eval path: SQL
+  // callers reach eval with Int/Long/Decimal (st_simplify(g, 0),
+  // st_point(1, 2.5)) while codegen'd paths widen silently in Java — an
+  // asInstanceOf[Double] diverges (CCE interpreted, fine codegen'd).
+  @inline def toD(v: Any): Double = v match {
+    case n: java.lang.Number => n.doubleValue()
+    case d: Decimal          => d.toDouble
+  }
+  @inline def toI(v: Any): Int = v match {
+    case n: java.lang.Number => n.intValue()
+    case d: Decimal          => d.toInt
+  }
 }
 
 import StExprs._
@@ -35,7 +47,7 @@ case class StGeomFromText(left: Expression, right: Expression)
   override def dataType: DataType = BinaryType
   override def nullSafeEval(s: Any, srid: Any): Any =
     Wkt.parseOpt(s.asInstanceOf[UTF8String].toString)
-      .map(g => wkb(if (srid.asInstanceOf[Int] != 0) g.withSrid(srid.asInstanceOf[Int]) else g))
+      .map(g => wkb(if (toI(srid) != 0) g.withSrid(toI(srid)) else g))
       .orNull
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -49,10 +61,48 @@ case class StGeomFromGeoJson(left: Expression, right: Expression)
   override def dataType: DataType = BinaryType
   override def nullSafeEval(s: Any, srid: Any): Any =
     GeoJson.parseOpt(s.asInstanceOf[UTF8String].toString)
-      .map(g => wkb(g.withSrid(srid.asInstanceOf[Int]))).orNull
+      .map(g => wkb(g.withSrid(toI(srid)))).orNull
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "st_geomfromgeojson"
+}
+
+/** st_geomfromwkbhex(hex) — hex-encoded (E)WKB string → geometry: the
+  * remaining input form of the reference's `GEOSGeometry(str)` surface
+  * (common.py:286-312 dispatches hex WKB at common.py:307). Null on
+  * non-hex or unparsable input, so a dispatcher can probe safely. */
+case class StGeomFromWkbHex(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true // null on non-hex/unparsable input
+  override def nullSafeEval(s: Any): Any = {
+    val str = s.asInstanceOf[UTF8String].toString
+    // minimum plausible WKB: 1 byte order + 4 type = 10 hex chars
+    if (str.length < 10 || str.length % 2 != 0) return null
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (!((c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+            (c >= 'A' && c <= 'F'))) return null
+      i += 1
+    }
+    try wkb(Wkb.parseHex(str)) catch { case _: Exception => null }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_geomfromwkbhex"
+}
+
+/** st_aswkbhex(geom) — geometry → uppercase hex (E)WKB string
+  * ([[Wkb.writeHex]]); the inverse of [[StGeomFromWkbHex]]. */
+case class StGeomAsWkbHex(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true // null on unparsable geometry bytes
+  override def nullSafeEval(b: Any): Any =
+    Wkb.readOpt(b.asInstanceOf[Array[Byte]])
+      .map(g => UTF8String.fromString(Wkb.writeHex(g))).orNull
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_aswkbhex"
 }
 
 /** st_point(x, y[, srid]) — point constructor (AttributesToPointGeometry,
@@ -63,8 +113,8 @@ case class StPoint(children: Seq[Expression]) extends Expression with CodegenFal
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val x = children(0).eval(input); val y = children(1).eval(input)
     if (x == null || y == null) return null
-    val srid = if (children.length > 2) children(2).eval(input).asInstanceOf[Int] else 4326
-    wkb(Point(Some(Coord(x.asInstanceOf[Double], y.asInstanceOf[Double])), srid))
+    val srid = if (children.length > 2) toI(children(2).eval(input)) else 4326
+    wkb(Point(Some(Coord(toD(x), toD(y))), srid))
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(children = c)
@@ -132,7 +182,7 @@ case class StSetSrid(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def nullSafeEval(in: Any, srid: Any): Any =
-    geomOf(in).map(g => wkb(g.withSrid(srid.asInstanceOf[Int]))).orNull
+    geomOf(in).map(g => wkb(g.withSrid(toI(srid)))).orNull
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "st_setsrid"
@@ -228,7 +278,7 @@ case class StSimplify(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def nullSafeEval(in: Any, tol: Any): Any =
-    geomOf(in).map(g => wkb(Algos.simplify(g, tol.asInstanceOf[Double]))).orNull
+    geomOf(in).map(g => wkb(Algos.simplify(g, toD(tol)))).orNull
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "st_simplify"
@@ -239,7 +289,7 @@ case class StSnapToGrid(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def nullSafeEval(in: Any, size: Any): Any =
-    geomOf(in).map(g => wkb(Algos.snapToGrid(g, size.asInstanceOf[Double]))).orNull
+    geomOf(in).map(g => wkb(Algos.snapToGrid(g, toD(size)))).orNull
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "st_snaptogrid"
@@ -252,7 +302,7 @@ case class StTransform(left: Expression, right: Expression)
   override def dataType: DataType = BinaryType
   override def nullSafeEval(in: Any, srid: Any): Any =
     geomOf(in).flatMap { g =>
-      try Some(wkb(Proj.transform(g, srid.asInstanceOf[Int]))) catch { case _: Exception => None }
+      try Some(wkb(Proj.transform(g, toI(srid)))) catch { case _: Exception => None }
     }.orNull
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -266,7 +316,7 @@ case class StSubdivide(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
   override def nullSafeEval(in: Any, maxV: Any): Any =
     geomOf(in).map { g =>
-      new GenericArrayData(Algos.subdivide(g, maxV.asInstanceOf[Int]).map(wkb).toArray[Any])
+      new GenericArrayData(Algos.subdivide(g, toI(maxV)).map(wkb).toArray[Any])
     }.orNull
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -400,7 +450,8 @@ case class StGridCells(children: Seq[Expression]) extends Expression {
     val expandJava = eCode match {
       case Some(e) => code"""
         |${e.code}
-        |double $expand = ${e.isNull} ? 0.0 : ${e.value};"""
+        |double $expand = 0.0;
+        |if (!${e.isNull}) { $expand = (double) (${e.value}); }"""
       case None => code"double $expand = 0.0;"
     }
     ev.copy(code = code"""
@@ -464,7 +515,8 @@ case class StRefCell(children: Seq[Expression]) extends Expression {
     val expandJava = eCode match {
       case Some(e) => code"""
         |${e.code}
-        |double $expand = ${e.isNull} ? 0.0 : ${e.value};"""
+        |double $expand = 0.0;
+        |if (!${e.isNull}) { $expand = (double) (${e.value}); }"""
       case None => code"double $expand = 0.0;"
     }
     ev.copy(code = code"""
@@ -595,8 +647,8 @@ case class StZOrder(first: Expression, second: Expression, third: Expression)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def nullSafeEval(in: Any, sizeIn: Any, bitsIn: Any): Any = {
-    val cell = sizeIn.asInstanceOf[Double]
-    val bits = bitsIn.asInstanceOf[Int]
+    val cell = toD(sizeIn)
+    val bits = toI(bitsIn)
     if (cell <= 0 || bits <= 0 || bits > 31) return null
     val bytes = in.asInstanceOf[Array[Byte]]
     val p = WkbFast.pointXY(bytes)
@@ -638,7 +690,7 @@ case class StBboxIntersects(children: Seq[Expression]) extends Expression {
     if (a == null || b == null) return null
     val expand = if (children.length > 2) {
       val e = children(2).eval(input)
-      if (e == null) 0.0 else e.asInstanceOf[Double]
+      if (e == null) 0.0 else toD(e)
     } else 0.0
     java.lang.Boolean.valueOf(GeomRuntime.bboxIntersects(
       a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]], expand))
@@ -655,7 +707,8 @@ case class StBboxIntersects(children: Seq[Expression]) extends Expression {
     val expandJava = eCode match {
       case Some(e) => code"""
         |${e.code}
-        |double $expand = ${e.isNull} ? 0.0 : ${e.value};"""
+        |double $expand = 0.0;
+        |if (!${e.isNull}) { $expand = (double) (${e.value}); }"""
       case None => code"double $expand = 0.0;"
     }
     ev.copy(code = code"""

@@ -20,6 +20,8 @@ object Graft {
       if (args.length >= 2) StGeomFromText(args(0), args(1)) else new StGeomFromText(args(0)) },
     "st_geomfromgeojson" -> { args: Seq[Expression] =>
       if (args.length >= 2) StGeomFromGeoJson(args(0), args(1)) else new StGeomFromGeoJson(args(0)) },
+    "st_geomfromwkbhex" -> { args: Seq[Expression] => StGeomFromWkbHex(args(0)) },
+    "st_aswkbhex" -> { args: Seq[Expression] => StGeomAsWkbHex(args(0)) },
     "st_point" -> { args: Seq[Expression] => StPoint(args) },
     "st_astext" -> { args: Seq[Expression] => StAsText(args(0)) },
     "st_asewkt" -> { args: Seq[Expression] => StAsEwkt(args(0)) },
@@ -112,6 +114,8 @@ object st {
   def st_geomfromtext(wkt: Column): Column = call_function("st_geomfromtext", wkt)
   def st_geomfromtext(wkt: Column, srid: Int): Column = call_function("st_geomfromtext", wkt, lit(srid))
   def st_geomfromgeojson(json: Column): Column = call_function("st_geomfromgeojson", json)
+  def st_geomfromwkbhex(hex: Column): Column = call_function("st_geomfromwkbhex", hex)
+  def st_aswkbhex(geom: Column): Column = call_function("st_aswkbhex", geom)
   def st_point(x: Column, y: Column): Column = call_function("st_point", x, y)
   def st_point(x: Column, y: Column, srid: Int): Column = call_function("st_point", x, y, lit(srid))
   def st_astext(g: Column): Column = call_function("st_astext", g)

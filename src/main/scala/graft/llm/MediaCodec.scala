@@ -214,6 +214,9 @@ object MediaCodec {
     while (i + 8 <= b.length) {
       val id = new String(b, i, 4, "US-ASCII")
       val size = le32(b, i + 4)
+      // untrusted le32: a negative size (e.g. -8 on an unknown chunk id)
+      // would zero or reverse the loop's forward progress — spin forever
+      if (size < 0) return None
       if (id == "fmt ") {
         if (i + 24 > b.length || le16(b, i + 8) != 1) return None // PCM only
         channels = le16(b, i + 10); rate = le32(b, i + 12); bits = le16(b, i + 22)
@@ -270,6 +273,7 @@ object MediaCodec {
     while (i + 8 <= b.length) {
       val id = new String(b, i, 4, "US-ASCII")
       val size = le32(b, i + 4)
+      if (size < 0) return None // see decodeWav: forward progress + no negative alloc
       if (id == "fmt ") {
         if (i + 24 > b.length || le16(b, i + 8) != 1) return None
         channels = le16(b, i + 10); rate = le32(b, i + 12); bits = le16(b, i + 22)

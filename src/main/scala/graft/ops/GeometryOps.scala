@@ -18,7 +18,11 @@ object GeometryOps {
   case class AttributeToGeometry(attribute: String, geom: String = "geom") extends Op {
     def apply(df: DataFrame): DataFrame = {
       val src = col(attribute)
+      // dispatch by prefix, mirroring GEOSGeometry(str): '{' → GeoJSON;
+      // a WKB byte-order marker ("00"/"01" — no WKT starts with a digit)
+      // → hex WKB; anything else → WKT/EWKT
       val parsed = when(src.startsWith("{"), S.st_geomfromgeojson(src))
+        .when(src.startsWith("00") || src.startsWith("01"), S.st_geomfromwkbhex(src))
         .otherwise(S.st_geomfromtext(src))
       df.withColumn(geom,
           S.st_makevalid(S.st_simplify(parsed, lit(0.0))))

@@ -40,11 +40,25 @@ object RangeJoin {
     * more than `coarseFactor + 1` rows each. The defaults (2 levels ×
     * 4096) keep the bound out to ~194 days of span at 1-second buckets;
     * pass `levels = 1` to recover the single-level plan (and skip the
-    * second point row) when the interval length is known-bounded. */
+    * second point row) when the interval length is known-bounded.
+    *
+    * `broadcastPoints`: when the point side (after its filters, ×
+    * `levels` rows each) fits the broadcast threshold, hint it — the
+    * interval side then never reaches an exchange: its explode pipelines
+    * straight into a broadcast hash join in ONE scan stage, and the
+    * containment filter drops non-candidates before anything is
+    * materialized. At scale this is the asymmetric-join shape (tiny
+    * filtered probe × huge interval table) where shuffling the exploded
+    * interval side — `coarseFactor + 1` rows per interval — would be the
+    * dominant cost. The hint must be applied to the EXPLODED point plan
+    * here, not by the caller: a `broadcast()` below the explode sits
+    * under a Generate node, which hint resolution does not reliably
+    * traverse. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       pointTs: String, startTs: String, endTs: String,
                       bucketUs: Long, coarseFactor: Int = 4096,
-                      levels: Int = 2, joinKeys: Seq[String] = Nil): DataFrame = {
+                      levels: Int = 2, joinKeys: Seq[String] = Nil,
+                      broadcastPoints: Boolean = false): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
     require(levels >= 1 && levels <= 4, "levels must be in [1, 4]")
     require(coarseFactor >= 2, "coarseFactor must be >= 2")
@@ -85,7 +99,8 @@ object RangeJoin {
       .withColumn("__bucket", explode(sequence(
         atLevel(w => bucketOf(startTs, w)), atLevel(w => bucketOf(endTs, w)))))
 
-    p.join(i, joinKeys ++ Seq("__lvl", "__bucket"))
+    (if (broadcastPoints) broadcast(p) else p)
+      .join(i, joinKeys ++ Seq("__lvl", "__bucket"))
       .filter(col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
       .drop("__lvl", "__bucket")
   }

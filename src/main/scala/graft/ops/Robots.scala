@@ -7,7 +7,9 @@ package graft.ops
   * crawler concern.
   *
   * Scope: the RFC 9309 core — `User-agent` group selection (`*` group
-  * here; agent-specific groups select by exact token match), `Allow` /
+  * here; agent-specific groups select by exact token match; consecutive
+  * `User-agent` lines form ONE group whose rules bind every named
+  * agent, §2.2.1), `Allow` /
   * `Disallow` path prefixes, LONGEST-match-wins precedence with Allow
   * beating Disallow on ties, empty `Disallow:` meaning allow-all, and
   * unknown directives ignored. `$`/`*` wildcards are out of scope
@@ -28,6 +30,11 @@ object Robots {
     var inStar = false
     var inNamed = false
     var sawNamed = false
+    // RFC 9309 §2.2.1 group formation: CONSECUTIVE User-agent lines name
+    // one group ("User-agent: *" then "User-agent: foo" then rules ⇒ the
+    // rules belong to BOTH agents). Membership flags OR across a UA run
+    // and reset only when a UA line starts a NEW group after rule lines.
+    var inUaRun = false
     body.split("\n", -1).foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
       val c = line.indexOf(':')
@@ -36,10 +43,12 @@ object Robots {
         val value = line.substring(c + 1).trim
         key match {
           case "user-agent" =>
-            inStar = value == "*"
-            inNamed = value.equalsIgnoreCase(agent)
-            if (inNamed) sawNamed = true
+            if (!inUaRun) { inStar = false; inNamed = false }
+            inUaRun = true
+            if (value == "*") inStar = true
+            if (value.equalsIgnoreCase(agent)) { inNamed = true; sawNamed = true }
           case "allow" | "disallow" =>
+            inUaRun = false
             val rule = Rule(key == "allow", value)
             // empty Disallow = allow everything; keep as zero-length
             // allow rule so it participates in longest-match

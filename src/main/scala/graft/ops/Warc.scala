@@ -173,6 +173,25 @@ object Warc {
     try in.readAllBytes() finally in.close()
   }
 
+  /** Permissive decompression: drain complete gzip members and stop at
+    * the first torn one (truncated tail, damaged header/CRC), returning
+    * everything decoded so far — the compressed twin of the intact-
+    * record-prefix salvage contract. GZIPInputStream finishes each whole
+    * member before touching the next, so the returned prefix is exactly
+    * the complete members. */
+  def gunzipSalvage(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(math.max(bytes.length, 64))
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes), 64 * 1024)
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+    } catch { case _: java.io.IOException => () /* torn member: keep prefix */ }
+    bos.toByteArray
+  }
+
   /** Gzip one buffer as a single member (used per record when writing
     * `.warc.gz`, so members stay independently seekable). */
   def gzip(bytes: Array[Byte]): Array[Byte] = {

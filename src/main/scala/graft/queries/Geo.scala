@@ -349,15 +349,19 @@ object Geo {
       |GROUP BY c_custkey
       |ORDER BY c_custkey""".stripMargin
 
-  /** G1 AttributeToGeometry round trip: WKT strings built in-plan, parsed
-    * by the op (with its buffer(0)/simplify(0) normalization), coordinates
-    * re-extracted — oracle is the generating arithmetic. */
+  /** G1 AttributeToGeometry round trip: WKT strings built in-plan —
+    * every 3rd row re-encoded as hex WKB in-plan (st_aswkbhex), so BOTH
+    * `GEOSGeometry(str)` input forms go through the op's dispatch — then
+    * parsed (with its buffer(0)/simplify(0) normalization) and the
+    * coordinates re-extracted; oracle is the generating arithmetic. */
   def parseRoundtrip(s: SparkSession, d: String): DataFrame = {
     Graft.init(s)
     import s.implicits._
+    val wkt = format_string("POINT (%s %s)",
+      ($"c_custkey" % 100).cast("double"), (($"c_custkey" * 7) % 100).cast("double"))
     val src = customer(s, d).select($"c_custkey",
-      format_string("POINT (%s %s)",
-        ($"c_custkey" % 100).cast("double"), (($"c_custkey" * 7) % 100).cast("double")).as("g"))
+      when($"c_custkey" % 3 === 0, S.st_aswkbhex(S.st_geomfromtext(wkt)))
+        .otherwise(wkt).as("g"))
     graft.ops.GeometryOps.AttributeToGeometry("g")(src)
       .select($"c_custkey", S.st_x($"geom").as("px"), S.st_y($"geom").as("py"),
         S.st_geometrytype($"geom").as("gtype"))

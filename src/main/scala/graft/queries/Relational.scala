@@ -438,9 +438,12 @@ object Relational {
       $"o_orderkey", $"o_totalprice",
       $"o_orderdate".as("win_start"),
       ($"o_orderdate" + expr("INTERVAL 7 DAYS")).as("win_end"))
+    // the filtered point side is tiny (l_partkey < 40) while EVERY order
+    // explodes ~2 bucket rows: broadcast the probe so the interval side
+    // never shuffles (see RangeJoin.pointInInterval broadcastPoints doc)
     graft.ops.RangeJoin.pointInInterval(points, intervals,
       pointTs = "l_shipdate", startTs = "win_start", endTs = "win_end",
-      bucketUs = 7L * 24 * 3600 * 1000000)
+      bucketUs = 7L * 24 * 3600 * 1000000, broadcastPoints = true)
       .groupBy($"l_orderkey", $"l_linenumber")
       .agg(count(lit(1)).as("n_orders"),
         out(sum(dec($"o_totalprice"))).as("total_price"))
@@ -480,9 +483,14 @@ object Relational {
         """win_start + make_interval(0,0,0,0,0,0,
           |  CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN 30 WHEN 1 THEN 7200
           |       WHEN 2 THEN 259200 ELSE 5184000 END)""".stripMargin))
+    // r6 weak plan: all 150k intervals exploded (≤33 rows each) and
+    // SHUFFLED against a ~1k-row probe — at 100× the interval side grows
+    // 100× for a probe that stays tiny. Broadcasting the exploded probe
+    // keeps the interval explode pipelined in its scan stage, no exchange.
     graft.ops.RangeJoin.pointInInterval(points, intervals,
       pointTs = "pts", startTs = "win_start", endTs = "win_end",
-      bucketUs = 3600L * 1000000, coarseFactor = 32, levels = 3)
+      bucketUs = 3600L * 1000000, coarseFactor = 32, levels = 3,
+      broadcastPoints = true)
       .groupBy($"l_orderkey", $"l_linenumber")
       .agg(count(lit(1)).as("n_orders"),
         out(sum(dec($"o_totalprice"))).as("total_price"))

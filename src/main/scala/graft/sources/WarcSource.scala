@@ -243,8 +243,14 @@ class WarcReaderFactory(required: StructType,
       private val bytes = {
         val in = fs.open(hPath)
         val raw = try in.readAllBytes() finally in.close()
-        // Common Crawl layout: .warc.gz = concatenated per-record gzip members
-        if (file.endsWith(".gz")) graft.ops.Warc.gunzip(raw) else raw
+        // Common Crawl layout: .warc.gz = concatenated per-record gzip
+        // members. Permissive mode must salvage compressed damage too:
+        // a torn member surfaces as EOF/ZipException HERE (reader
+        // construction), not as the parse error next() catches.
+        if (file.endsWith(".gz")) {
+          if (permissive) graft.ops.Warc.gunzipSalvage(raw)
+          else graft.ops.Warc.gunzip(raw)
+        } else raw
       }
       private val it = graft.ops.Warc.parse(bytes)
       private var cur: graft.ops.Warc.WarcRecord = _

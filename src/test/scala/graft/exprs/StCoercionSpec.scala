@@ -1,0 +1,80 @@
+package graft.exprs
+
+import org.apache.spark.sql.Row
+import graft.SparkTestBase
+
+/** Interpreted/codegen parity for numeric arguments (ADVICE r6 item:
+  * StRefCell divergence). SQL callers pass INTEGER and DECIMAL literals
+  * (`st_refcell(a, b, 1)`, `st_simplify(g, 0)`); the codegen'd paths widen
+  * them silently in Java while the interpreted `eval` used to
+  * `asInstanceOf[Double]` → ClassCastException only off the codegen path.
+  * Each query here runs twice — once under whole-stage codegen, once with
+  * codegen disabled (NO_CODEGEN factory + wholeStage off) — and the results
+  * must be identical. */
+class StCoercionSpec extends SparkTestBase {
+
+  /** Run `sql` with codegen on, then fully interpreted; assert equal rows. */
+  private def bothModes(sql: String): Seq[Row] = {
+    val gen = spark.sql(sql).collect().toSeq
+    val conf = spark.conf
+    val ws = conf.get("spark.sql.codegen.wholeStage", "true")
+    val fm = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    try {
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = spark.sql(sql).collect().toSeq
+      assert(interp == gen, s"interpreted != codegen for: $sql")
+    } finally {
+      conf.set("spark.sql.codegen.wholeStage", ws)
+      conf.set("spark.sql.codegen.factoryMode", fm)
+    }
+    gen
+  }
+
+  test("st_refcell / st_refcell_tiered accept integer size and expand in both modes") {
+    val r = bothModes(
+      // expand=1 (Int literal): bbox(a)⊕1 ∩ bbox(b) = (0.7,0.7) → cell (0,0)
+      "SELECT st_refcell(st_point(0.5, 0.5), st_point(0.7, 0.7), 1, 1) AS c")
+    val c = r.head.getStruct(0)
+    assert(c.getLong(0) == 0L && c.getLong(1) == 0L)
+    // st_refcell_tiered is internal (rule-constructed, no SQL name): its
+    // interpreted eval must coerce Int literals the same way
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val p = Literal(graft.geom.Wkb.write(
+      graft.geom.Point(Some(graft.geom.Coord(0.5, 0.5)), 4326)))
+    val t = StRefCellTiered(Seq(p, p, Literal(1), Literal(0)))
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    assert(t != null)
+  }
+
+  test("st_gridcells / st_bbox_intersects with integer literals in both modes") {
+    val r = bothModes(
+      """SELECT size(st_gridcells(st_point(1.5, 2.5), 1, 0)) AS n,
+        |       st_bbox_intersects(st_point(0, 0), st_point(3, 0), 5) AS near,
+        |       st_bbox_intersects(st_point(0, 0), st_point(3, 0), 1) AS far""".stripMargin)
+    assert(r.head.getInt(0) == 1)
+    assert(r.head.getBoolean(1) && !r.head.getBoolean(2))
+  }
+
+  test("constructors and transforms take integer/decimal numeric literals in both modes") {
+    val r = bothModes(
+      """SELECT st_astext(st_point(1, 2)) AS p,
+        |       st_srid(st_point(1, 2, 3857)) AS srid,
+        |       st_astext(st_simplify(st_geomfromtext('LINESTRING (0 0, 1 0, 2 0)'), 0)) AS simp,
+        |       st_astext(st_snaptogrid(st_point(1.2, 3.7), 1)) AS snap,
+        |       st_astext(st_geomfromtext('POINT (1 2)', 4326)) AS wkt_srid,
+        |       st_zorder(st_point(5.5, 3.5), 1, 8) AS z,
+        |       st_astext(st_simplify(st_geomfromtext('LINESTRING (0 0, 1 0.001, 2 0)'), 0.5)) AS dec_tol
+        |""".stripMargin)
+    val row = r.head
+    assert(row.getString(0) == "POINT (1 2)")
+    assert(row.getInt(1) == 3857)
+    // Douglas-Peucker at tolerance 0 still drops the exactly-collinear midpoint
+    assert(row.getString(2) == "LINESTRING (0 0, 2 0)")
+    assert(row.getString(3) == "POINT (1 4)")
+    assert(row.getString(4) == "POINT (1 2)")
+    // z-order of cell (5,3): ix=101b → key bits 0,4; iy=011b → key bits 1,3
+    assert(row.getLong(5) == ((1L << 0) | (1L << 1) | (1L << 3) | (1L << 4)))
+    assert(row.getString(6) == "LINESTRING (0 0, 2 0)")
+  }
+}

@@ -33,6 +33,30 @@ class StFunctionsSpec extends SparkTestBase {
     assert(r.getString(5) == """{"type":"Point","coordinates":[1.5,2.5]}""")
   }
 
+  test("hex WKB round trip: st_aswkbhex / st_geomfromwkbhex, SRID kept; garbage → null") {
+    import spark.implicits._
+    val r = Seq(("SRID=4326;POINT (3.25 -7.5)", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))
+      .toDF("p", "g")
+      .select(
+        st_astext(st.st_geomfromwkbhex(st.st_aswkbhex(st_geomfromtext($"p")))).as("pt"),
+        st.st_srid(st.st_geomfromwkbhex(st.st_aswkbhex(st_geomfromtext($"p")))).as("srid"),
+        st_area(st.st_geomfromwkbhex(st.st_aswkbhex(st_geomfromtext($"g")))).as("area"),
+        st.st_geomfromwkbhex(lit("POINT (1 2)")).as("not_hex"),
+        st.st_geomfromwkbhex(lit("01ZZ00000000000000000000")).as("bad_hex"),
+        st.st_geomfromwkbhex(lit("0101")).as("too_short"))
+      .collect()(0)
+    assert(r.getString(0) == "POINT (3.25 -7.5)")
+    assert(r.getInt(1) == 4326)
+    assert(r.getDouble(2) == 16.0)
+    assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+    // the G1 dispatch surface: a hex-WKB string through AttributeToGeometry
+    val viaOp = graft.ops.GeometryOps.AttributeToGeometry("s")(
+      Seq(("s1")).toDF("s").select(
+        st.st_aswkbhex(st_geomfromtext(lit("POINT (9 4)"))).as("s")))
+    val row = viaOp.select(st_astext(col("geom"))).collect()(0)
+    assert(row.getString(0) == "POINT (9 4)")
+  }
+
   test("measures and predicates") {
     val df = wktDf("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
       .select(

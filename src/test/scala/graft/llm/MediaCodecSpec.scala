@@ -49,6 +49,24 @@ class MediaCodecSpec extends SparkTestBase {
     assert(m.width.isEmpty && m.meanC1.isEmpty)
   }
 
+  test("negative chunk size in a crafted WAV returns None, never spins or allocates") {
+    // chunk id "junk" with size = -8: the old walker's `i += 8 + size`
+    // advanced by ZERO — an infinite loop on untrusted bytes. A negative
+    // data-chunk size likewise reached new Array[Short](negative).
+    def craft(size: Int, id: String): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(28).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(20)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put(id.getBytes("US-ASCII")).putInt(size)
+      bb.put(new Array[Byte](8))
+      bb.array()
+    }
+    for (sz <- Seq(-8, -1, -100); id <- Seq("junk", "data", "fmt ")) {
+      assert(decode(craft(sz, id)).isEmpty, s"decodeWav id=$id size=$sz")
+      assert(MediaCodec.wavSamples(craft(sz, id)).isEmpty, s"wavSamples id=$id size=$sz")
+    }
+  }
+
   test("corrupt payloads decode to None, not garbage") {
     assert(decode(Array[Byte]('X', 'X', 'X', 'X')).isEmpty)
     assert(decode("P6\n0 5\n255\n".getBytes("US-ASCII")).isEmpty) // zero width

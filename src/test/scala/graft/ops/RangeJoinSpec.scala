@@ -125,4 +125,28 @@ class RangeJoinSpec extends SparkTestBase {
       .select($"iid").collect().map(_.getLong(0)).sorted
     assert(out.toSeq == Seq(10L, 11L))
   }
+
+  test("broadcastPoints: identical pairs, BroadcastHashJoin, no interval-side exchange") {
+    val rnd = new scala.util.Random(11)
+    val base = ts("2026-01-01 00:00:00").getTime
+    val points = (0 until 50).map { i =>
+      (i.toLong, new Timestamp(base + rnd.nextInt(10 * 86400) * 1000L))
+    }.toDF("pid", "pt")
+    val intervals = (0 until 200).map { i =>
+      val s = base + rnd.nextInt(10 * 86400) * 1000L
+      (i.toLong, new Timestamp(s), new Timestamp(s + (1 + rnd.nextInt(72)) * 3600 * 1000L))
+    }.toDF("iid", "start", "end")
+    def pairs(bc: Boolean) =
+      RangeJoin.pointInInterval(points, intervals, "pt", "start", "end",
+          hourUs, broadcastPoints = bc)
+        .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pairs(bc = true) == pairs(bc = false))
+    val bcPlan = RangeJoin.pointInInterval(points, intervals, "pt", "start", "end",
+      hourUs, broadcastPoints = true)
+    val phys = bcPlan.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"), phys)
+    // the interval side must flow explode → join in one stage: the only
+    // exchange in the plan is the broadcast of the exploded point side
+    assert(!phys.contains("ShuffleExchange"), phys)
+  }
 }

@@ -38,6 +38,20 @@ class RobotsSpec extends AnyFunSuite {
     assert(rules.forall(_.allow))
   }
 
+  test("stacked User-agent lines form ONE group (RFC 9309 §2.2.1)") {
+    // "User-agent: *" directly followed by "User-agent: foo" then rules:
+    // the rules bind BOTH agents — the * group must not lose the Disallow
+    val stacked = "User-agent: *\nUser-agent: foo\nDisallow: /x\n"
+    assert(!Robots.allowed(Robots.parse(stacked), "/x/y"))
+    assert(!Robots.allowed(Robots.parse(stacked, agent = "foo"), "/x/y"))
+    // a UA line AFTER rule lines starts a fresh group, as before
+    val twoGroups = "User-agent: *\nDisallow: /a\nUser-agent: foo\nDisallow: /b\n"
+    val star2 = Robots.parse(twoGroups)
+    assert(!Robots.allowed(star2, "/a/1") && Robots.allowed(star2, "/b/1"))
+    val foo2 = Robots.parse(twoGroups, agent = "foo")
+    assert(Robots.allowed(foo2, "/a/1") && !Robots.allowed(foo2, "/b/1"))
+  }
+
   test("tie between Allow and Disallow of equal length resolves to Allow regardless of order") {
     val r1 = Robots.parse("User-agent: *\nDisallow: /a\nAllow: /a\n")
     val r2 = Robots.parse("User-agent: *\nAllow: /a\nDisallow: /a\n")

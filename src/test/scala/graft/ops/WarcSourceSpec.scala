@@ -80,6 +80,26 @@ class WarcSourceSpec extends SparkTestBase {
       Option(ex.getCause).exists(_.getMessage.contains("truncated")))
   }
 
+  test("permissive mode salvages complete gzip members of a torn .warc.gz; failfast raises") {
+    val d = Files.createTempDirectory("warc-gz-dmg-spec")
+    val keep = Seq(
+      Warc.conversionRecord("https://x.org/gz-keep1", "2026-01-01T00:00:00Z", "aaa".getBytes(UTF_8)),
+      Warc.conversionRecord("https://x.org/gz-keep2", "2026-01-01T00:00:00Z", "bbb".getBytes(UTF_8)))
+    val lost = Warc.conversionRecord("https://x.org/gz-lost", "2026-01-01T00:00:00Z",
+      ("d" * 400).getBytes(UTF_8))
+    // two intact members + one truncated member: decompression (reader
+    // construction, not parse) is where this damage surfaces
+    val torn = Warc.gzip(lost)
+    val bytes = Warc.buildFile(keep.map(Warc.gzip) :+ torn.take(torn.length - 60))
+    Files.write(d.resolve("m-00.warc.gz"), bytes)
+    val got = spark.read.format("warc").option("mode", "permissive")
+      .load(d.toString).select("target_uri").collect().map(_.getString(0)).toSet
+    assert(got == Set("https://x.org/gz-keep1", "https://x.org/gz-keep2"))
+    intercept[org.apache.spark.SparkException] {
+      spark.read.format("warc").load(d.toString).count()
+    }
+  }
+
   test(".warc.gz members read transparently (concatenated per-record gzip)") {
     val d = Files.createTempDirectory("warc-gz-spec")
     val recs = (0 until 5).map { j =>
