@@ -1,0 +1,87 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Instruction-tuning (SFT) data preparation: conversation-shaped rows
+  * (`array<struct<role,content>>`), structural validation, loss-mask
+  * token accounting, and chat-template rendering. No reference-engine
+  * counterpart — this is training-data-pipeline surface.
+  *
+  * Everything here is per-row HOF work (transform / filter / exists /
+  * aggregate over the turns array) inside whole-stage codegen: no
+  * shuffle, no UDF, no driver round-trip. A 100 TB conversation corpus
+  * streams through these operators embarrassingly parallel; the only
+  * shuffles in the gated queries are their final ORDER BYs.
+  *
+  * The gated queries synthesize conversations deterministically from
+  * the `documents` table (token chunks become turns, a doc_id formula
+  * decides the role pattern) so the DuckDB oracle can recompute every
+  * field in closed form — same trick as the media-decode gate.
+  */
+object Chat {
+
+  /** Max tokens considered per document when synthesizing turns. */
+  val MaxToks = 48
+  /** Tokens per synthesized turn. */
+  val TurnToks = 8
+
+  /** Synthesize a conversation column from a text column: the first
+    * `MaxToks` whitespace tokens, chunked into `TurnToks`-token turns.
+    * Roles alternate user/assistant except when `brokenRole` is true —
+    * then every turn is "user" (an alternation violation for the
+    * validator to catch). Returns array<struct<role,content>>. */
+  def synthTurns(text: Column, brokenRole: Column): Column =
+    graft.util.Cols.let(slice(NgramLM.tokens(text), 1, MaxToks)) { toks =>
+      val nTurns = ceil(size(toks) / lit(TurnToks.toDouble)).cast("int")
+      val turns = transform(sequence(lit(1), nTurns), j =>
+        struct(
+          when(brokenRole, lit("user"))
+            .when(j % 2 === 1, lit("user")).otherwise(lit("assistant")).as("role"),
+          array_join(slice(toks, (j - 1) * TurnToks + 1, lit(TurnToks)), " ").as("content")))
+      // sequence(1, 0) counts DOWN in Spark — guard the empty case.
+      when(nTurns < 1, array().cast("array<struct<role:string,content:string>>"))
+        .otherwise(turns)
+    }
+
+  /** First failed structural rule, or "ok". Rule order is part of the
+    * contract: too_few_turns → first_not_user → no_alternation →
+    * no_final_assistant → empty_turn. */
+  def validateReason(turns: Column): Column = {
+    val n = size(turns)
+    val firstRole = element_at(turns, 1).getField("role")
+    val lastRole = element_at(turns, -1).getField("role")
+    val alternationBreak = exists(sequence(lit(2), n), j =>
+      element_at(turns, j).getField("role") ===
+        element_at(turns, j - 1).getField("role"))
+    when(n < 2, "too_few_turns")
+      .when(firstRole =!= "user", "first_not_user")
+      .when(alternationBreak, "no_alternation")
+      .when(lastRole =!= "assistant", "no_final_assistant")
+      .when(exists(turns, t => length(t.getField("content")) === 0), "empty_turn")
+      .otherwise("ok")
+  }
+
+  /** Whitespace-token count over the turns matching `role`. */
+  def roleTokens(turns: Column, role: String): Column =
+    aggregate(
+      filter(turns, t => t.getField("role") === role),
+      lit(0L),
+      (acc, t) => acc + size(split(t.getField("content"), " ")))
+
+  /** Render with a minimal chat template:
+    * `<|role|>content<|end|>` per turn, concatenated in order. */
+  def render(turns: Column): Column =
+    array_join(transform(turns, t =>
+      concat(lit("<|"), t.getField("role"), lit("|>"),
+             t.getField("content"), lit("<|end|>"))), "")
+
+  /** documents → (conv_id, n_turns, turns): the synthesized
+    * conversation corpus used by the gated queries. Every 13th doc gets
+    * the broken all-user role pattern. */
+  def conversations(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("conv_id"),
+      synthTurns(col("text"), col("doc_id") % 13 === 0).as("turns"))
+      .withColumn("n_turns", size(col("turns")))
+}

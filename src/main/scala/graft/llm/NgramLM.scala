@@ -1,0 +1,105 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-based bigram language model for CCNet-style perplexity
+  * filtering: train a small LM on a trusted reference slice of the
+  * corpus, score every document's perplexity under it, and split the
+  * corpus into head/middle/tail quality buckets (Wenzek et al. 2019,
+  * "CCNet", which uses a pruned KenLM the same way). Public-knowledge
+  * Spark reimplementation; no reference-engine counterpart (the
+  * reference pipeline at /root/reference has no LM stage) — this is
+  * part of the training-data-pipeline surface the engine adds.
+  *
+  * Shape at 100 TB:
+  *   - Training is two hash aggregations over exploded bigrams — the
+  *     shuffle carries (w1,w2,count) partials, proportional to the
+  *     DISTINCT bigram vocabulary, not the corpus (map-side combine
+  *     collapses repeats). The model is capped to `maxBigrams` rows
+  *     (KenLM-style pruning) so it stays broadcastable by contract.
+  *   - Scoring is map-side only: the corpus explodes its bigrams and
+  *     probes two broadcast tables; the single shuffle is the per-doc
+  *     partial-aggregated (id, count, sum) rollup — a few dozen bytes
+  *     per document regardless of document size.
+  *   - Bigram extraction happens inside the row (sequence/transform
+  *     HOFs over the token array), NOT via a windowed lead() — no
+  *     doc-keyed shuffle just to pair adjacent tokens.
+  *
+  * Probability model: add-one smoothing over the capped table,
+  * P(w2|w1) = (c12 + 1) / (c1 + V) with c1 = Σ_w2 c12 (bigram-context
+  * count) and V = training vocabulary size; unseen bigrams fall back to
+  * 1 / (c1 + V) and unseen contexts to 1 / V. All terms are integers,
+  * so both Spark and the DuckDB oracle derive identical doubles before
+  * the ln; per-term log-probs are rounded to 6 decimals and accumulated
+  * in DECIMAL so the per-doc sum is order-independent and hash-stable.
+  */
+object NgramLM {
+
+  /** The trained model: `bigram`(w1,w2,c12), `context`(w1,c1), and a
+    * one-row `vocab`(v). All three are broadcast-sized by the
+    * `maxBigrams` cap. */
+  final case class Model(bigram: DataFrame, context: DataFrame, vocab: DataFrame)
+
+  /** Lower-cased whitespace tokens; mirrors the corpus-wide convention
+    * (`string_split_regex(lower(trim(text)), '\s+')` on the oracle side). */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Adjacent-token bigrams of a token array, computed inside the row
+    * (no shuffle). Arrays shorter than 2 yield an empty array — the
+    * guard matters because Spark's `sequence(0, -1)` would count DOWN.
+    * The token array is let-bound ([[graft.util.Cols.let]]) so the
+    * `element_at` references inside the transform lambda read the
+    * materialized array instead of re-tokenizing the document once per
+    * bigram per reference. */
+  def bigrams(toks: Column): Column = graft.util.Cols.let(toks) { t =>
+    when(size(t) < 2,
+      array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(0), size(t) - 2), i =>
+        struct(element_at(t, i + 1).as("w1"),
+               element_at(t, i + 2).as("w2"))))
+  }
+
+  /** Train the bigram model over `docs`' `textCol`. Two hash aggregates
+    * plus one global top-k cap; the cap's sort runs over the distinct
+    * bigram table (vocabulary-bounded), never the corpus. Context
+    * counts are derived from the CAPPED table so the published model is
+    * self-consistent after pruning. */
+  def train(docs: DataFrame, textCol: Column, maxBigrams: Int = 2000000): Model = {
+    val toks = docs.select(tokens(textCol).as("ws"))
+    val bg = toks
+      .select(explode(bigrams(col("ws"))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(maxBigrams)
+    val ctx = bg.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = toks.select(explode(col("ws")).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    Model(bg, ctx, v)
+  }
+
+  /** Score every document: returns (idCol, n_bigrams, sum_logp) where
+    * sum_logp is the DECIMAL(28,6) sum of per-bigram round(ln P, 6).
+    * Documents with no bigrams survive with n_bigrams = 0 (explode_outer)
+    * so the caller decides their fate. Map-side probes of the broadcast
+    * model; the only shuffle is the partial-aggregated per-doc rollup. */
+  def score(docs: DataFrame, idCol: String, textCol: Column, m: Model): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), explode_outer(bigrams(tokens(textCol))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val logp = round(
+      log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v"))), 6)
+    exploded
+      .join(broadcast(m.bigram), Seq("w1", "w2"), "left")
+      .join(broadcast(m.context), Seq("w1"), "left")
+      .crossJoin(broadcast(m.vocab))
+      .select(col(idCol),
+        when(col("w1").isNull, lit(null)).otherwise(logp).as("logp"))
+      .groupBy(col(idCol))
+      .agg(count(col("logp")).as("n_bigrams"),
+        coalesce(sum(col("logp").cast("decimal(28,6)")),
+          lit(0).cast("decimal(28,6)")).as("sum_logp"))
+  }
+}

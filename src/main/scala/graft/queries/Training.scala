@@ -1,0 +1,271 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.llm.{Chat, NgramLM}
+import graft.util.Tables._
+
+/** LM-based quality filtering and instruction-data (SFT) preparation —
+  * the two training-data stages the corpus surface didn't cover yet:
+  * CCNet-style perplexity scoring/splitting under a corpus-trained
+  * bigram LM ([[graft.llm.NgramLM]]), and conversation-shaped data
+  * validation / loss-mask accounting / chat-template rendering
+  * ([[graft.llm.Chat]]). Oracles are plain DuckDB SQL throughout: the
+  * LM is integer counts (identical doubles on both sides before the
+  * rounded ln), and the chat corpus is synthesized deterministically
+  * from `documents` so every field has a closed form.
+  */
+object Training {
+
+  /** Shared oracle CTEs: the bigram model trained on the `lang='en'`
+    * reference slice — mirrors [[NgramLM.train]]. */
+  private val lmCtes: String =
+    """WITH ref AS (
+      |  SELECT string_split_regex(lower(trim(text)), '\s+') AS ws
+      |  FROM documents WHERE lang = 'en'
+      |), bg AS (
+      |  SELECT ws[i] AS w1, ws[i+1] AS w2, COUNT(*) AS c12
+      |  FROM ref, LATERAL unnest(generate_series(1, len(ws)-1)) AS t(i)
+      |  GROUP BY 1, 2
+      |), ctx AS (
+      |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bg GROUP BY 1
+      |), voc AS (
+      |  SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(ws) AS w FROM ref)
+      |)""".stripMargin
+
+  /** Per-doc scoring oracle CTEs shared by q_lm_perplexity /
+    * q_lm_ppl_filter — mirrors [[NgramLM.score]] + the nll/ppl
+    * derivation (per-term round(ln,6), DECIMAL accumulation, ppl from
+    * the ROUNDED nll so both engines exp() the identical double). */
+  private val perDocCtes: String = lmCtes +
+    """, dbg AS (
+      |  SELECT d.doc_id, ws[i] AS w1, ws[i+1] AS w2
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      |        FROM documents) d,
+      |  LATERAL unnest(generate_series(1, len(ws)-1)) AS t(i)
+      |), term AS (
+      |  SELECT dbg.doc_id,
+      |    round(ln(CAST(COALESCE(bg.c12, 0) + 1 AS DOUBLE)
+      |             / (COALESCE(ctx.c1, 0) + voc.v)), 6) AS logp
+      |  FROM dbg
+      |  LEFT JOIN bg ON bg.w1 = dbg.w1 AND bg.w2 = dbg.w2
+      |  LEFT JOIN ctx ON ctx.w1 = dbg.w1
+      |  CROSS JOIN voc
+      |), agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_bigrams,
+      |    CAST(SUM(CAST(logp AS DECIMAL(28,6))) AS DOUBLE) AS slp
+      |  FROM term GROUP BY 1
+      |), perdoc AS (
+      |  SELECT a.doc_id, dd.lang, a.n_bigrams,
+      |    round(-a.slp / a.n_bigrams, 6) AS nll,
+      |    round(exp(round(-a.slp / a.n_bigrams, 6)), 6) AS ppl
+      |  FROM agg a JOIN documents dd ON dd.doc_id = a.doc_id
+      |)""".stripMargin
+
+  /** The trained model's top rows: a human-auditable view of the LM and
+    * the gate on the training aggregation itself. */
+  def lmTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = NgramLM.train(documents(s, d).filter($"lang" === "en"), $"text")
+    m.bigram
+      .join(m.context, Seq("w1"))
+      .crossJoin(m.vocab)
+      .select($"w1", $"w2", $"c12", $"c1",
+        round(log(($"c12" + 1).cast("double") / ($"c1" + $"v")), 6).as("logp"))
+      .orderBy($"c12".desc, $"w1", $"w2")
+      .limit(30)
+  }
+
+  val lmTrainSql: String = lmCtes +
+    """
+      |SELECT bg.w1, bg.w2, bg.c12, ctx.c1,
+      |  round(ln(CAST(bg.c12 + 1 AS DOUBLE) / (ctx.c1 + voc.v)), 6) AS logp
+      |FROM bg JOIN ctx ON ctx.w1 = bg.w1 CROSS JOIN voc
+      |ORDER BY bg.c12 DESC, bg.w1, bg.w2
+      |LIMIT 30""".stripMargin
+
+  /** Every document's negative log-likelihood and perplexity under the
+    * en-trained LM — the CCNet scoring pass. Map-side broadcast probes;
+    * the per-doc rollup is the only corpus shuffle. */
+  def lmPerplexity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val m = NgramLM.train(docs.filter($"lang" === "en"), $"text")
+    docs.select($"doc_id", $"lang")
+      .join(NgramLM.score(docs, "doc_id", $"text", m), Seq("doc_id"))
+      .filter($"n_bigrams" > 0)
+      .withColumn("nll",
+        round(-($"sum_logp".cast("double")) / $"n_bigrams", 6))
+      .select($"doc_id", $"lang", $"n_bigrams", $"nll",
+        round(exp($"nll"), 6).as("ppl"))
+      .orderBy($"doc_id")
+  }
+
+  val lmPerplexitySql: String = perDocCtes +
+    """
+      |SELECT doc_id, lang, n_bigrams, nll, ppl
+      |FROM perdoc
+      |ORDER BY doc_id""".stripMargin
+
+  /** CCNet head/middle/tail split: perplexity terciles × language.
+    * The gate pins NTILE semantics on the per-doc rollup; the 100 TB
+    * path computes the two tercile cutoffs once (sort-based or
+    * approx-percentile over per-doc ppl — bytes per doc, not corpus
+    * text) and buckets map-side, since a global NTILE window would
+    * single-partition the rollup. */
+  def lmPplFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"ppl", $"doc_id")
+    lmPerplexity(s, d)
+      .withColumn("b", ntile(3).over(w))
+      .withColumn("bucket",
+        when($"b" === 1, "head").when($"b" === 2, "middle").otherwise("tail"))
+      .groupBy($"bucket", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum($"ppl".cast("decimal(28,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_ppl"))
+      .orderBy($"bucket", $"lang")
+  }
+
+  val lmPplFilterSql: String = perDocCtes +
+    """, bucketed AS (
+      |  SELECT lang, ppl, NTILE(3) OVER (ORDER BY ppl, doc_id) AS b FROM perdoc
+      |)
+      |SELECT CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+      |  lang, COUNT(*) AS n_docs,
+      |  round(CAST(SUM(CAST(ppl AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS mean_ppl
+      |FROM bucketed
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Shared oracle CTEs for the synthesized conversation corpus —
+    * mirrors [[Chat.conversations]] (first 48 tokens, 8-token turns,
+    * every 13th conversation all-user). */
+  private val chatCtes: String =
+    """WITH conv AS (
+      |  SELECT doc_id AS conv_id,
+      |    (doc_id % 13 = 0) AS broken,
+      |    list_slice(string_split_regex(lower(trim(text)), '\s+'), 1, 48) AS toks
+      |  FROM documents
+      |), c2 AS (
+      |  SELECT conv_id, broken, toks, len(toks) AS ntok,
+      |    CAST(ceil(len(toks) / 8.0) AS INTEGER) AS n_turns
+      |  FROM conv
+      |)""".stripMargin
+
+  /** Structural validation over the turns array (rule order is the
+    * contract). The oracle recomputes each verdict in closed form from
+    * the synthesis formula — if the generic HOF validator misreads
+    * roles, ordering, or turn boundaries, the hash breaks. */
+  def chatValidate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id".as("conv_id"),
+        graft.util.Cols.let(Chat.synthTurns($"text", $"doc_id" % 13 === 0)) { t =>
+          struct(size(t).as("n_turns"), Chat.validateReason(t).as("reason"))
+        }.as("o"))
+      .select($"conv_id", $"o.n_turns".as("n_turns"),
+        ($"o.reason" === "ok").as("valid"), $"o.reason".as("reason"))
+      .orderBy($"conv_id")
+  }
+
+  val chatValidateSql: String = chatCtes +
+    """
+      |SELECT conv_id, n_turns, (reason = 'ok') AS valid, reason
+      |FROM (
+      |  SELECT conv_id, n_turns,
+      |    CASE WHEN n_turns < 2 THEN 'too_few_turns'
+      |         WHEN broken THEN 'no_alternation'
+      |         WHEN n_turns % 2 = 1 THEN 'no_final_assistant'
+      |         ELSE 'ok' END AS reason
+      |  FROM c2)
+      |ORDER BY conv_id""".stripMargin
+
+  /** Loss-mask accounting for the valid conversations: prompt (user)
+    * vs completion (assistant) token counts and the completion
+    * fraction — what an SFT trainer needs to budget masked vs trained
+    * tokens. Pure per-row HOFs. */
+  def chatSftTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id".as("conv_id"),
+        graft.util.Cols.letFilter(Chat.synthTurns($"text", $"doc_id" % 13 === 0))(
+          t => Chat.validateReason(t) === "ok") { t =>
+          struct(size(t).as("n_turns"),
+            Chat.roleTokens(t, "user").as("prompt_tokens"),
+            Chat.roleTokens(t, "assistant").as("completion_tokens"))
+        }.as("o"))
+      .select($"conv_id", $"o.n_turns".as("n_turns"),
+        $"o.prompt_tokens".as("prompt_tokens"),
+        $"o.completion_tokens".as("completion_tokens"))
+      .withColumn("loss_frac",
+        round($"completion_tokens".cast("double")
+          / ($"prompt_tokens" + $"completion_tokens"), 6))
+      .orderBy($"conv_id")
+  }
+
+  val chatSftTokensSql: String = chatCtes +
+    """, turns AS (
+      |  SELECT conv_id, n_turns,
+      |    least(8, ntok - (j-1)*8) AS ttok,
+      |    CASE WHEN j % 2 = 1 THEN 'user' ELSE 'assistant' END AS role
+      |  FROM c2, LATERAL unnest(generate_series(1, CAST(n_turns AS BIGINT))) AS t(j)
+      |  WHERE NOT broken AND n_turns >= 2 AND n_turns % 2 = 0
+      |)
+      |SELECT conv_id, n_turns,
+      |  CAST(SUM(CASE WHEN role = 'user' THEN ttok ELSE 0 END) AS BIGINT) AS prompt_tokens,
+      |  CAST(SUM(CASE WHEN role = 'assistant' THEN ttok ELSE 0 END) AS BIGINT) AS completion_tokens,
+      |  round(CAST(SUM(CASE WHEN role = 'assistant' THEN ttok ELSE 0 END) AS DOUBLE)
+      |        / SUM(ttok), 6) AS loss_frac
+      |FROM turns
+      |GROUP BY conv_id, n_turns
+      |ORDER BY conv_id""".stripMargin
+
+  /** Chat-template rendering of the valid conversations:
+    * `<|role|>content<|end|>` per turn, gated by length + md5 of the
+    * rendered byte stream. */
+  def chatRender(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id".as("conv_id"),
+        graft.util.Cols.letFilter(Chat.synthTurns($"text", $"doc_id" % 13 === 0))(
+          t => Chat.validateReason(t) === "ok") { t =>
+          struct(size(t).as("n_turns"), Chat.render(t).as("r"))
+        }.as("o"))
+      .select($"conv_id", $"o.n_turns".as("n_turns"),
+        length($"o.r").as("n_chars"), md5($"o.r").as("digest"))
+      .orderBy($"conv_id")
+  }
+
+  val chatRenderSql: String = chatCtes +
+    """, rends AS (
+      |  SELECT conv_id, n_turns,
+      |    array_to_string(list_transform(generate_series(1, CAST(n_turns AS BIGINT)), j ->
+      |      '<|' || (CASE WHEN j % 2 = 1 THEN 'user' ELSE 'assistant' END) || '|>' ||
+      |      array_to_string(list_slice(toks, (j-1)*8 + 1, least(j*8, ntok)), ' ') ||
+      |      '<|end|>'), '') AS r
+      |  FROM c2 WHERE NOT broken AND n_turns >= 2 AND n_turns % 2 = 0
+      |)
+      |SELECT conv_id, n_turns, length(r) AS n_chars, md5(r) AS digest
+      |FROM rends
+      |ORDER BY conv_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lm_train" -> (lmTrain _),
+    "q_lm_perplexity" -> (lmPerplexity _),
+    "q_lm_ppl_filter" -> (lmPplFilter _),
+    "q_chat_validate" -> (chatValidate _),
+    "q_chat_sft_tokens" -> (chatSftTokens _),
+    "q_chat_render" -> (chatRender _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_lm_train" -> lmTrainSql,
+    "q_lm_perplexity" -> lmPerplexitySql,
+    "q_lm_ppl_filter" -> lmPplFilterSql,
+    "q_chat_validate" -> chatValidateSql,
+    "q_chat_sft_tokens" -> chatSftTokensSql,
+    "q_chat_render" -> chatRenderSql,
+  )
+}

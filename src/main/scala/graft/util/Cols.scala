@@ -1,0 +1,34 @@
+package graft.util
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level combinators. */
+object Cols {
+
+  /** Let-binding for an expensive column expression: evaluates `bound`
+    * ONCE per row and hands the materialized value to `body` as a
+    * higher-order-function lambda variable.
+    *
+    * Why it exists: Spark's HOFs are interpreted, and an expression
+    * referenced from inside a lambda (`element_at(expensive, j)` under
+    * an `exists`) or duplicated by optimizer rules (filter pushdown
+    * substitutes projection aliases into the predicate wholesale,
+    * with no cost guard) is re-evaluated AT EVERY REFERENCE — for a
+    * per-turn `exists` over a synthesized turns array that turned an
+    * O(rows) scan into O(rows × turns × references) tokenizations
+    * (14 s for 5 000 docs). Binding through a one-element `transform`
+    * makes every use a lambda-variable read of the already-computed
+    * value.
+    */
+  def let(bound: Column)(body: Column => Column): Column =
+    element_at(transform(array(bound), body), 1)
+
+  /** `let` + row filter without a pushable Filter operator: evaluates
+    * `bound` once, keeps the row only if `keep(value)`, and emits
+    * `body(value)` via explode — the Generate is a barrier predicate
+    * pushdown cannot substitute through, so `bound` is never inlined
+    * into a Filter condition and re-evaluated. */
+  def letFilter(bound: Column)(keep: Column => Column)(body: Column => Column): Column =
+    explode(transform(filter(array(bound), keep), body))
+}

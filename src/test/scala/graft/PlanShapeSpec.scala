@@ -28,7 +28,10 @@ class PlanShapeSpec extends SparkTestBase {
     "q_geo_clip_area" -> "same broadcast-small-zones overlay shape (J4); grid join covers large layers",
     "q_collocations" -> "ONE-ROW broadcast of the corpus token total (the scalar-subquery shape Spark itself plans as BNL); every data-sized join in the query is a hash equi-join",
     "q_heavy_hitters" -> "ONE-ROW broadcast of the grand total for the share column (same scalar-subquery shape as q_collocations); the census itself is a single hash aggregate",
-    "q_topic_terms" -> "ONE-ROW broadcast of the corpus token total for the lift denominator (same scalar-subquery shape as q_collocations); all data-sized joins are hash equi-joins"
+    "q_topic_terms" -> "ONE-ROW broadcast of the corpus token total for the lift denominator (same scalar-subquery shape as q_collocations); all data-sized joins are hash equi-joins",
+    "q_lm_train" -> "ONE-ROW broadcast of the LM vocabulary size (scalar-subquery shape); bigram/context joins are broadcast hash equi-joins",
+    "q_lm_perplexity" -> "ONE-ROW broadcast of the LM vocabulary size; the corpus side probes broadcast hash joins only",
+    "q_lm_ppl_filter" -> "same plan as q_lm_perplexity plus the gated NTILE window"
   )
 
   /** Streaming queries execute a full micro-batch run when invoked and

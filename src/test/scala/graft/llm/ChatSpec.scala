@@ -1,0 +1,57 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ChatSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def turnsOf(text: String, broken: Boolean = false) =
+    Seq(text).toDF("text")
+      .select(Chat.synthTurns(col("text"), lit(broken)).as("turns"))
+
+  private def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+
+  test("synthTurns: chunking, roles, last partial turn") {
+    val rows = turnsOf(words(20))
+      .select(explode(col("turns")).as("t"))
+      .select(col("t.role"), col("t.content")).as[(String, String)].collect()
+    assert(rows.length == 3) // ceil(20/8)
+    assert(rows.map(_._1).toSeq == Seq("user", "assistant", "user"))
+    assert(rows(0)._2 == (1 to 8).map(i => s"w$i").mkString(" "))
+    assert(rows(2)._2 == (17 to 20).map(i => s"w$i").mkString(" ")) // 4-token tail
+  }
+
+  test("synthTurns: caps at MaxToks tokens and empty text yields one empty turn") {
+    val n = turnsOf(words(100)).select(size(col("turns"))).as[Int].head()
+    assert(n == Chat.MaxToks / Chat.TurnToks) // 48/8 = 6
+    val e = turnsOf("").select(size(col("turns"))).as[Int].head()
+    assert(e == 1) // split("") -> [""] -> one (empty-content) turn
+  }
+
+  test("validateReason: rule order and verdicts") {
+    def reason(text: String, broken: Boolean = false): String =
+      turnsOf(text, broken).select(Chat.validateReason(col("turns"))).as[String].head()
+    assert(reason(words(5)) == "too_few_turns")        // 1 turn
+    assert(reason(words(16)) == "ok")                  // user,assistant
+    assert(reason(words(20)) == "no_final_assistant")  // u,a,u
+    assert(reason(words(16), broken = true) == "no_alternation") // user,user
+    assert(reason("") == "too_few_turns")
+  }
+
+  test("roleTokens: prompt vs completion split") {
+    val df = turnsOf(words(20)) // turns of 8/8/4 tokens: u,a,u
+    val (p, c) = df.select(
+      Chat.roleTokens(col("turns"), "user"),
+      Chat.roleTokens(col("turns"), "assistant")).as[(Long, Long)].head()
+    assert(p == 12L && c == 8L)
+  }
+
+  test("render: template bytes exact") {
+    val r = turnsOf("hi there good bot " + words(12)) // 16 toks: 2 full turns
+      .select(Chat.render(col("turns"))).as[String].head()
+    assert(r ==
+      "<|user|>hi there good bot w1 w2 w3 w4<|end|>" +
+      "<|assistant|>w5 w6 w7 w8 w9 w10 w11 w12<|end|>")
+  }
+}

@@ -1,0 +1,55 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Hand-computed model on a 2-doc corpus:
+  *   doc1 "a b a b" → bigrams (a,b),(b,a),(a,b)
+  *   doc2 "a b c"   → bigrams (a,b),(b,c)
+  * c12: (a,b)=3 (b,a)=1 (b,c)=1; c1: a=3 b=2; V=3.
+  */
+class NgramLMSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus = Seq((1L, "a b a b"), (2L, "a b c")).toDF("id", "text")
+
+  test("bigrams HOF: empty, single-token, and n-token arrays") {
+    val rows = Seq("", "solo", "x y z").toDF("t")
+      .select(size(NgramLM.bigrams(NgramLM.tokens(col("t")))).as("n"))
+      .as[Int].collect().toSeq
+    assert(rows == Seq(0, 0, 2))
+  }
+
+  test("train: bigram counts, context counts, vocab size") {
+    val m = NgramLM.train(corpus, col("text"))
+    val bgRows = m.bigram.collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(bgRows == Map(("a", "b") -> 3L, ("b", "a") -> 1L, ("b", "c") -> 1L))
+    val ctx = m.context.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(ctx == Map("a" -> 3L, "b" -> 2L))
+    assert(m.vocab.collect().head.getLong(0) == 3L)
+  }
+
+  test("train: maxBigrams cap keeps the most frequent rows") {
+    val m = NgramLM.train(corpus, col("text"), maxBigrams = 1)
+    val bgRows = m.bigram.collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(bgRows == Map(("a", "b") -> 3L))
+    // context counts re-derived from the capped table
+    val ctx = m.context.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(ctx == Map("a" -> 3L))
+  }
+
+  test("score: seen bigram, unseen bigram under seen context, unseen context") {
+    val m = NgramLM.train(corpus, col("text"))
+    val docs = Seq((10L, "a b z"), (11L, "q r"), (12L, "")).toDF("doc_id", "text")
+    val out = NgramLM.score(docs, "doc_id", col("text"), m)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDecimal(2).doubleValue()))).toMap
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    // (a,b): ln((3+1)/(3+3)); (b,z): ln((0+1)/(2+3))
+    assert(out(10L)._1 == 2L)
+    assert(math.abs(out(10L)._2 - (r6(math.log(4.0 / 6)) + r6(math.log(1.0 / 5)))) < 1e-9)
+    // (q,r): unseen context → ln(1 / (0+3))
+    assert(out(11L) == ((1L, r6(math.log(1.0 / 3)))))
+    // no bigrams → survives with n_bigrams = 0, sum 0
+    assert(out(12L) == ((0L, 0.0)))
+  }
+}
