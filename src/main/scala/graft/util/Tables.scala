@@ -10,19 +10,32 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read nanos as long and truncate to microseconds (same
-    * truncation DuckDB applies when casting ns → its micro timestamps).
+  /** The events table's `ts` encoding has varied across testdata
+    * generations — TIMESTAMP(NANOS) (which Spark's parquet reader only
+    * accepts as a long via `nanosAsLong`) and plain timestamp[us] (read
+    * as TIMESTAMP_NTZ). Branch on the on-disk schema so either encoding
+    * yields the same session-TZ TIMESTAMP column downstream.
     */
   def eventsTs(s: SparkSession, d: String): DataFrame = {
+    // Set before the schema peek: without it a TIMESTAMP(NANOS) file fails
+    // footer conversion; for micros files the conf is a no-op.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     import org.apache.spark.sql.functions._
-    // `div`, not `/`: Spark's `/` on longs is DOUBLE division, and at
-    // ~1.7e18 ns doubles are ~256 ns apart — floor(ts/1000.0) lands one
-    // microsecond high whenever the nearest double rounds up across the
-    // boundary. Integer division is the truncation DuckDB applies.
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // `div`, not `/`: Spark's `/` on longs is DOUBLE division, and at
+        // ~1.7e18 ns doubles are ~256 ns apart — floor(ts/1000.0) lands one
+        // microsecond high whenever the nearest double rounds up across the
+        // boundary. Integer division is the truncation DuckDB applies.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        // Session TZ is pinned to UTC (Verify/Bench builders), so this
+        // reinterprets the same wall-clock instant.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")

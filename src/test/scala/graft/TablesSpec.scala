@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{BINARY, DOUBLE, INT64}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Regression for the round-8 outage: the testdata generator switched
+  * events.parquet's `ts` from TIMESTAMP(NANOS) to timestamp[us], and the
+  * loader's hard-coded nanos-as-long assumption failed analysis for every
+  * events-table query. Pin [[graft.util.Tables.events]] to yield the SAME
+  * schema (session-TZ TIMESTAMP) and the SAME rows from every encoding the
+  * generator has shipped: int64 TIMESTAMP(NANOS), timestamp[us] (read as
+  * TIMESTAMP_NTZ), and instant TIMESTAMP.
+  */
+class TablesSpec extends SparkTestBase {
+
+  // (event_id, ts-in-microseconds, user_id, event_type, value, props)
+  private val rows = Seq(
+    (1L, 1700000000123456L, 10L, "click", 1.5, "{}"),
+    (2L, 1700000086000001L, 11L, "view", 2.5, """{"a":1}"""),
+    (3L, 1699999999999999L, 12L, "click", 0.0, "{}"))
+
+  /** The original generation: int64 annotated TIMESTAMP(NANOS), which
+    * Spark only reads via `spark.sql.legacy.parquet.nanosAsLong` (as
+    * LongType). Written with parquet-mr's example API since Spark itself
+    * cannot produce the annotation. Sub-microsecond noise is added so the
+    * test also pins the integer-div truncation (floor to µs, as DuckDB). */
+  private def writeNanosFixture(dir: String): Unit = {
+    val schema: MessageType = Types.buildMessage()
+      .addField(Types.required(INT64).named("event_id"))
+      .addField(Types.required(INT64)
+        .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("ts"))
+      .addField(Types.required(INT64).named("user_id"))
+      .addField(Types.required(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type"))
+      .addField(Types.required(DOUBLE).named("value"))
+      .addField(Types.required(BINARY).as(LogicalTypeAnnotation.stringType()).named("props"))
+      .named("events")
+    val conf = new Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    val writer = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(new Path(s"$dir/events.parquet"), conf))
+      .withConf(conf)
+      .build()
+    val f = new SimpleGroupFactory(schema)
+    try rows.foreach { case (id, us, uid, et, v, props) =>
+      val g = f.newGroup()
+      g.add("event_id", id)
+      g.add("ts", us * 1000L + 789L) // 789 ns below the next µs: must floor away
+      g.add("user_id", uid)
+      g.add("event_type", et)
+      g.add("value", v)
+      g.add("props", props)
+      writer.write(g)
+    } finally writer.close()
+  }
+
+  private def baseDf: DataFrame = {
+    import spark.implicits._
+    rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros($"us"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  /** The round-8 generation: timestamp[us] with no UTC adjustment — Spark
+    * reads it as TIMESTAMP_NTZ. */
+  private def writeNtzFixture(dir: String): Unit =
+    baseDf.withColumn("ts", col("ts").cast(TimestampNTZType))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  /** Instant TIMESTAMP, in case a future generation adjusts to UTC. */
+  private def writeTzFixture(dir: String): Unit =
+    baseDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  private def loadNormalized(dir: String): Seq[Row] =
+    graft.util.Tables.events(spark, dir)
+      .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .orderBy("event_id")
+      .collect()
+      .toSeq
+
+  test("Tables.events yields identical schema and rows from nanos, NTZ-micros, and TZ encodings") {
+    val dirs = Seq("nanos", "ntz", "tz").map { tag =>
+      val dir = Files.createTempDirectory(s"graft-tables-$tag").toString
+      tag -> dir
+    }.toMap
+    writeNanosFixture(dirs("nanos"))
+    writeNtzFixture(dirs("ntz"))
+    writeTzFixture(dirs("tz"))
+
+    dirs.foreach { case (tag, dir) =>
+      val df = graft.util.Tables.events(spark, dir)
+      assert(df.schema("ts").dataType === TimestampType, s"encoding $tag")
+    }
+    val Seq(nanos, ntz, tz) = Seq("nanos", "ntz", "tz").map(t => loadNormalized(dirs(t)))
+    assert(nanos === ntz)
+    assert(ntz === tz)
+    // and the µs truncation actually floored the 789 ns noise
+    assert(nanos.head.getString(1) === "2023-11-14 22:13:20.123456")
+  }
+}
