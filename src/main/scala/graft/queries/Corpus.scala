@@ -1190,21 +1190,23 @@ object Corpus {
       |ORDER BY df DESC, w
       |LIMIT 100""".stripMargin
 
-  /** Positional phrase search — "adjacent tokens" retrieval without a
-    * string scan: token positions join on pos+1 (the lead-window form;
-    * same adjacency the collocation miner uses), here for the corpus's
-    * most frequent bigram so the query is self-contained. Per matching
-    * doc the occurrence count and first position. The position join
-    * shuffles on doc_id once. */
+  /** Positional phrase search — "adjacent tokens" retrieval for the
+    * corpus's most frequent bigram (so the query is self-contained),
+    * reporting per matching doc the occurrence count and first token
+    * position. Adjacency is paired INSIDE each row via the
+    * [[graft.llm.NgramLM.bigrams]] HOF — `posexplode` of the in-row
+    * bigram array yields (position, w1, w2) directly, so no doc-keyed
+    * window (the old `lead` form shuffled and sorted the entire
+    * exploded token stream just to pair neighbours). Remaining
+    * shuffles: the vocabulary-bounded top-bigram aggregate and the
+    * per-doc rollup — both map-side-combined hash aggregates. */
   def phraseSearch(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val toks = documents(s, d)
+    import graft.llm.NgramLM
+    val bigrams = documents(s, d)
       .select($"doc_id",
-        posexplode(split(lower(trim($"text")), "\\s+")).as(Seq("pos", "w")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"pos")
-    val bigrams = toks.withColumn("w2", lead($"w", 1).over(w))
-      .filter($"w2".isNotNull)
+        posexplode(NgramLM.bigrams(NgramLM.tokens($"text"))).as(Seq("pos", "b")))
+      .select($"doc_id", $"pos", $"b.w1".as("w"), $"b.w2".as("w2"))
     val top = bigrams.groupBy($"w", $"w2").agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"w", $"w2").limit(1)
       .select($"w".as("pw"), $"w2".as("pw2"))
@@ -1449,11 +1451,15 @@ object Corpus {
       .select($"id_a", $"id_b", $"jaccard".as("est"))
     // build shingle SETS only for docs that appear in a candidate pair —
     // the interpreted shingling over the whole corpus dominated the query
-    // (4.4 s at sf0.1 for ~500 relevant docs out of 5000)
+    // (4.4 s at sf0.1 for ~500 relevant docs out of 5000). The sets are
+    // the fused shingle_hashes 64-bit keys, not shingle strings: one
+    // scan-side pass per doc, and the pair-wise intersect runs over
+    // primitive longs (a cross-doc xxhash64 collision inflating `inter`
+    // is ~n²/2⁶⁴ — far below the oracle gate's radar).
     val candIds = cand.select($"id_a".as("doc_id"))
       .unionByName(cand.select($"id_b".as("doc_id"))).distinct()
     val sets = docs.join(candIds, Seq("doc_id"), "left_semi")
-      .select($"doc_id", array_distinct(Dedup.wordShingles($"text", 3)).as("sh"))
+      .select($"doc_id", call_function("shingle_hashes", $"text", lit(3)).as("sh"))
     cand
       .join(sets.select($"doc_id".as("id_a"), $"sh".as("sa")), Seq("id_a"))
       .join(sets.select($"doc_id".as("id_b"), $"sh".as("sb")), Seq("id_b"))

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.llm.{Chat, NgramLM}
 import graft.util.Tables._
@@ -109,18 +108,32 @@ object Training {
       |ORDER BY doc_id""".stripMargin
 
   /** CCNet head/middle/tail split: perplexity terciles × language.
-    * The gate pins NTILE semantics on the per-doc rollup; the 100 TB
-    * path computes the two tercile cutoffs once (sort-based or
-    * approx-percentile over per-doc ppl — bytes per doc, not corpus
-    * text) and buckets map-side, since a global NTILE window would
-    * single-partition the rollup. */
+    * The oracle pins NTILE(3) semantics on the per-doc rollup, but the
+    * plan computes them without a global window: the two tercile
+    * boundary keys — the s1-th and (s1+s2)-th smallest (ppl, doc_id)
+    * pairs under NTILE's exact bucket sizes — are selected via
+    * [[graft.util.OrderStats.kthPair]] (approx-quantile bracket +
+    * bounded exact refinement, over per-doc ppl: bytes per doc, not
+    * corpus text), then every row buckets map-side by comparing its
+    * (ppl, doc_id) key to the two boundary literals. Identical output
+    * to the NTILE window, no single-partition sort anywhere. */
   def lmPplFilter(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = Window.orderBy($"ppl", $"doc_id")
-    lmPerplexity(s, d)
-      .withColumn("b", ntile(3).over(w))
-      .withColumn("bucket",
-        when($"b" === 1, "head").when($"b" === 2, "middle").otherwise("tail"))
+    val per = lmPerplexity(s, d).select($"doc_id", $"lang", $"ppl").persist()
+    val n = per.count()
+    val key = struct($"ppl", $"doc_id")
+    val bucket = if (n == 0) lit("head") else {
+      // NTILE(3) bucket sizes: first (n mod 3) buckets get one extra row
+      val base = n / 3
+      val s1 = base + (if (n % 3 >= 1) 1L else 0L)
+      val s2 = base + (if (n % 3 >= 2) 1L else 0L)
+      val (v1, t1) = graft.util.OrderStats.kthPair(per, "ppl", "doc_id", s1, n)
+      val (v2, t2) = graft.util.OrderStats.kthPair(per, "ppl", "doc_id", s1 + s2, n)
+      when(key <= struct(lit(v1).as("ppl"), lit(t1).as("doc_id")), "head")
+        .when(key <= struct(lit(v2).as("ppl"), lit(t2).as("doc_id")), "middle")
+        .otherwise("tail")
+    }
+    per.withColumn("bucket", bucket)
       .groupBy($"bucket", $"lang")
       .agg(count(lit(1)).as("n_docs"),
         round(sum($"ppl".cast("decimal(28,6)")).cast("double")

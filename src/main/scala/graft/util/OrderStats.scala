@@ -1,0 +1,67 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact distributed order statistics without a global sort or a
+  * partition-less window: an approx-quantile pass brackets the k-th
+  * value, a histogram of the bracket (bounded to ≈4ε·N value groups by
+  * the sketch's rank guarantee) locates the exact value, and a bounded
+  * scan of its tie group resolves the tie-break column. Total cost: the
+  * GK sketch pass plus two filtered aggregates — no shuffle of the full
+  * input, so the selection scales with N where a `Window.orderBy` would
+  * single-partition it.
+  */
+object OrderStats {
+
+  /** Relative rank error for the bracketing quantile sketch. Bracket
+    * candidate count is ≈4ε·N value groups — at ε=1e-4 that is ≤ ~40k
+    * groups per 100M rows, safely collectable. */
+  private val Eps = 1e-4
+
+  /** The k-th smallest (1-based) pair under the total order
+    * (valueCol ASC, tieCol ASC). `n` must be `df.count()` (caller
+    * usually needs it anyway). valueCol: non-null double; tieCol:
+    * non-null long, unique within a value group's ties is NOT required —
+    * ties on the pair make "k-th" ambiguous only between equal pairs,
+    * which compare equal downstream anyway.
+    *
+    * A pathological distribution could violate the sketch's bracket (or
+    * concentrate >Int.MaxValue rows on one value); the first falls back
+    * to an unbounded histogram, the second is rejected by `require`.
+    */
+  def kthPair(df: DataFrame, valueCol: String, tieCol: String, k: Long, n: Long): (Double, Long) = {
+    require(k >= 1 && k <= n, s"k=$k out of range 1..$n")
+    val q = k.toDouble / n
+    val lohi = df.stat.approxQuantile(valueCol,
+      Array(math.max(0.0, q - 2 * Eps), math.min(1.0, q + 2 * Eps)), Eps / 2)
+    val (v, strictlyBelow) = crossing(df, valueCol, k, lohi(0), lohi(1))
+      .orElse(crossing(df, valueCol, k, Double.NegativeInfinity, Double.PositiveInfinity))
+      .getOrElse(sys.error(s"order statistic k=$k not found in n=$n rows"))
+    val r = k - strictlyBelow // rank within the tie group at value v
+    require(r <= Int.MaxValue, s"tie group at $valueCol=$v larger than Int.MaxValue")
+    val tie = df.filter(col(valueCol) === v)
+      .select(col(tieCol)).orderBy(col(tieCol)).limit(r.toInt)
+      .agg(max(col(tieCol))).head.getLong(0)
+    (v, tie)
+  }
+
+  /** Find the k-th value inside [lo, hi]: Some(value, rows strictly
+    * below value) or None when the bracket missed the k-th rank. The
+    * histogram collect is bounded by the bracket's rank spread. */
+  private def crossing(df: DataFrame, valueCol: String, k: Long,
+                       lo: Double, hi: Double): Option[(Double, Long)] = {
+    val below = df.filter(col(valueCol) < lo).count()
+    val hist = df.filter(col(valueCol) >= lo && col(valueCol) <= hi)
+      .groupBy(col(valueCol)).count()
+      .collect()
+      .sortBy(_.getDouble(0))
+    var cum = below
+    hist.foreach { row =>
+      val c = row.getLong(1)
+      if (cum < k && k <= cum + c) return Some((row.getDouble(0), cum))
+      cum += c
+    }
+    None
+  }
+}

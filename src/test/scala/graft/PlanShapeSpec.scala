@@ -31,7 +31,7 @@ class PlanShapeSpec extends SparkTestBase {
     "q_topic_terms" -> "ONE-ROW broadcast of the corpus token total for the lift denominator (same scalar-subquery shape as q_collocations); all data-sized joins are hash equi-joins",
     "q_lm_train" -> "ONE-ROW broadcast of the LM vocabulary size (scalar-subquery shape); bigram/context joins are broadcast hash equi-joins",
     "q_lm_perplexity" -> "ONE-ROW broadcast of the LM vocabulary size; the corpus side probes broadcast hash joins only",
-    "q_lm_ppl_filter" -> "same plan as q_lm_perplexity plus the gated NTILE window"
+    "q_lm_ppl_filter" -> "same plan as q_lm_perplexity plus map-side tercile bucketing (boundary keys from OrderStats, no window)"
   )
 
   /** Streaming queries execute a full micro-batch run when invoked and
@@ -153,6 +153,42 @@ class PlanShapeSpec extends SparkTestBase {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
+  }
+
+  test("q_lm_ppl_filter buckets without any window (NTILE replaced by boundary-key selection)") {
+    // The CCNet tercile split's oracle is NTILE(3) over the whole rollup;
+    // the plan must NOT be — a partitionBy-less window single-partitions
+    // the corpus. Pin: zero WindowExec nodes anywhere in the plan (the
+    // boundary keys come from OrderStats' bracket-and-refine selection).
+    Graft.init(spark)
+    val plan = SparkEntry.queries("q_lm_ppl_filter")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.nodeName
+    }
+    assert(windows.isEmpty, s"q_lm_ppl_filter regressed to a window: $windows")
+  }
+
+  test("q_phrase_search pairs adjacent tokens in-row, not via a doc-keyed window") {
+    // The lead-window form shuffled + sorted the whole exploded token
+    // stream; the in-row bigram HOF needs no Window node at all.
+    Graft.init(spark)
+    val plan = SparkEntry.queries("q_phrase_search")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.nodeName
+    }
+    assert(windows.isEmpty, s"q_phrase_search regressed to a window: $windows")
+  }
+
+  test("q_lsh_verify re-scores candidates with fused shingle hashes, not interpreted HOF shingling") {
+    Graft.init(spark)
+    val plan = SparkEntry.queries("q_lsh_verify")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("shingle_hashes"),
+      "q_lsh_verify lost its fused shingle_hashes set builder")
+    assert(!plan.contains("lambdafunction"),
+      "q_lsh_verify regressed to interpreted higher-order-function shingling")
   }
 
   test("driver entry smoke: the flagship query returns rows") {
