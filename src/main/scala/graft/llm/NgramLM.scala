@@ -67,16 +67,51 @@ object NgramLM {
     * self-consistent after pruning. */
   def train(docs: DataFrame, textCol: Column, maxBigrams: Int = 2000000): Model = {
     val toks = docs.select(tokens(textCol).as("ws"))
-    val bg = toks
-      .select(explode(bigrams(col("ws"))).as("b"))
-      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .agg(count(lit(1)).as("c12"))
-      .orderBy(col("c12").desc, col("w1"), col("w2"))
-      .limit(maxBigrams)
+    val bg = topKByCount(
+      toks
+        .select(explode(bigrams(col("ws"))).as("b"))
+        .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .agg(count(lit(1)).as("c12")),
+      maxBigrams)
     val ctx = bg.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val v = toks.select(explode(col("ws")).as("w"))
       .agg(count_distinct(col("w")).as("v"))
     Model(bg, ctx, v)
+  }
+
+  /** The top-`k` bigram rows under (c12 DESC, w1 ASC, w2 ASC), selected
+    * in two executor-side stages: a bounded-heap top-k inside each
+    * partition, a single-partition shuffle of the ≤ partitions×k
+    * survivors, and a final top-k there. Selection is identical to
+    * `orderBy(desc).limit(k)` — but that plans as TakeOrderedAndProject,
+    * whose merge of partitions×k candidate rows happens ON THE DRIVER;
+    * at the default 2M-row cap × 32 partitions that is a 64M-row driver
+    * spike for a model whose final size is k. Here the merge is an
+    * executor task and the driver only ever sees the k-row model (when
+    * it is later broadcast). */
+  private[graft] def topKByCount(bg: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"maxBigrams must be positive, got $k")
+    val spark = bg.sparkSession
+    import spark.implicits._
+    // full total order: count desc, then (w1, w2) asc — ties impossible
+    // beyond it because (w1, w2) is unique post-aggregation
+    val ord: Ordering[(String, String, Long)] =
+      Ordering.by(t => (-t._3, t._1, t._2))
+    def topK(it: Iterator[(String, String, Long)]): Iterator[(String, String, Long)] = {
+      // keep the k smallest under `ord`; heap head = worst element kept
+      val pq = new java.util.PriorityQueue[(String, String, Long)](ord.reverse)
+      it.foreach { t =>
+        if (pq.size < k) pq.add(t)
+        else if (ord.lt(t, pq.peek)) { pq.poll(); pq.add(t) }
+      }
+      import scala.jdk.CollectionConverters._
+      pq.iterator.asScala
+    }
+    bg.select(col("w1"), col("w2"), col("c12")).as[(String, String, Long)]
+      .mapPartitions(topK _)      // parallel pre-cap: ≤ k rows/partition
+      .repartition(1)             // shuffle boundary keeps pre-caps parallel
+      .mapPartitions(topK _)      // executor-side merge → exactly top k
+      .toDF("w1", "w2", "c12")
   }
 
   /** Score every document: returns (idCol, n_bigrams, sum_logp) where

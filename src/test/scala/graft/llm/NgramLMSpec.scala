@@ -38,6 +38,28 @@ class NgramLMSpec extends SparkTestBase {
     assert(ctx == Map("a" -> 3L))
   }
 
+  test("topKByCount: identical selection to orderBy.limit, no driver-merge TakeOrdered in the plan") {
+    // randomized counts with deliberate ties so the (w1, w2) tie-break is
+    // actually exercised
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      (s"w${rnd.nextInt(30)}", s"v${rnd.nextInt(30)}", (rnd.nextInt(5) + 1).toLong)
+    }.distinct.map { case (a, b, _) => (a, b) }.distinct
+      .map { case (a, b) => (a, b, (rnd.nextInt(5) + 1).toLong) }
+    val bg = rows.toDF("w1", "w2", "c12").repartition(8)
+    for (k <- Seq(1, 7, rows.size, rows.size + 50)) {
+      val expected = bg.orderBy(col("c12").desc, col("w1"), col("w2")).limit(k)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val got = NgramLM.topKByCount(bg, k)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == expected, s"k=$k selection mismatch")
+    }
+    val plan = NgramLM.topKByCount(bg, 7).queryExecution.sparkPlan
+    assert(plan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.isEmpty, "topKByCount must not plan a driver-merging TakeOrderedAndProject")
+  }
+
   test("score: seen bigram, unseen bigram under seen context, unseen context") {
     val m = NgramLM.train(corpus, col("text"))
     val docs = Seq((10L, "a b z"), (11L, "q r"), (12L, "")).toDF("doc_id", "text")
