@@ -39,6 +39,12 @@ object Verify {
       require(graft.llm.Similarity.lastIvfModel.get() != null,
         s"IVF model not trained but ${needsIvfModel.mkString("/")} selected — " +
           "oracle SQL must be produced after the queries run in this JVM")
+    val needsBpeMerges = Seq("q_bpe_encode")
+      .filter(n => SparkEntry.queries.contains(n) && only.forall(_.contains(n)))
+    if (needsBpeMerges.nonEmpty)
+      require(graft.queries.Corpus.lastBpeMerges.get() != null,
+        "BPE merge list not trained but q_bpe_encode selected — " +
+          "oracle SQL must be produced after the queries run in this JVM")
     val needsPqModel = Seq("q_emb_pq_topk", "q_emb_index_persist", "q_emb_recall")
       .filter(n => SparkEntry.queries.contains(n) && only.forall(_.contains(n)))
     if (needsPqModel.nonEmpty)

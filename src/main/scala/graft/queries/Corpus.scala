@@ -292,6 +292,75 @@ object Corpus {
        |) ORDER BY step""".stripMargin
   }
 
+  /** Merge list from the latest [[bpeEncode]] run — (pair, marker) in
+    * rank order — for the dynamic oracle (inlined as SQL literals, the
+    * IVF-centroid pattern: the oracle re-executes the ENCODE with the
+    * same merges; the training argmax chain is gated separately by
+    * q_bpe_train's closed-form oracle). */
+  val lastBpeMerges =
+    new java.util.concurrent.atomic.AtomicReference[Seq[(String, String)]]()
+
+  /** FULL greedy BPE encode — the tokenizer-application pass a token
+    * counter actually runs: train an 8-merge vocabulary with the
+    * q_bpe_train loop (census over the progressively merged corpus,
+    * winners resolved driver-side — 8 one-row collects), then encode
+    * the 100 most frequent word types by applying the whole merge list
+    * in rank order INSIDE the row: a chain of codegen'd `replace`
+    * calls, whose left-to-right non-overlapping semantics are exactly
+    * the BPE greedy rule (the q_bpe_apply contract). Output per word:
+    * occurrences, the encoded symbol string, and its token count.
+    * Scale: 8 × (alphabet²-bounded census shuffle) for training, then
+    * one scan-side encode pass — the merge chain costs nothing at
+    * encode time because it is a fixed expression tree, not a join. */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Graft.init(s)
+    import s.implicits._
+    // markers: uppercase, disjoint from the ^[a-z]+$ word alphabet
+    val markers = "ABCDEFGH".map(_.toString)
+    val toks0 = documents(s, d)
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("w"))
+      .filter($"w".rlike("^[a-z]{2,}$"))
+      .persist()
+    var toks: DataFrame = toks0
+    val merges = markers.map { mark =>
+      val top = toks
+        .select(explode(call_function("char_pairs", $"w")).as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("c"))
+        .orderBy($"c".desc, $"pair").limit(1)
+        .head().getString(0)
+      toks = toks.select(call_function("replace", $"w", lit(top), lit(mark)).as("w"))
+      (top, mark)
+    }
+    lastBpeMerges.set(merges)
+    val enc = merges.foldLeft(col("w")) { case (c, (p, m)) =>
+      call_function("replace", c, lit(p), lit(m))
+    }
+    toks0.groupBy($"w").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy($"n_occurrences".desc, $"w").limit(100)
+      .select($"w", $"n_occurrences", enc.as("encoded"),
+        length(enc).as("n_tokens"))
+      .orderBy($"n_occurrences".desc, $"w")
+  }
+
+  /** Dynamic oracle: absent until [[bpeEncode]] has trained the merge
+    * list this JVM (Verify enforces run-then-read ordering). */
+  def bpeEncodeSql: Option[String] = Option(lastBpeMerges.get()).map { merges =>
+    val encExpr = merges.foldLeft("w") { case (e, (p, m)) =>
+      s"replace($e, '$p', '$m')"
+    }
+    s"""WITH words AS (
+       |  SELECT w FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |                 FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]{2,}$$')
+       |), wc AS (
+       |  SELECT w, COUNT(*) AS n_occurrences FROM words GROUP BY w
+       |  ORDER BY n_occurrences DESC, w LIMIT 100
+       |)
+       |SELECT w, n_occurrences, $encExpr AS encoded,
+       |  CAST(length($encExpr) AS INTEGER) AS n_tokens
+       |FROM wc ORDER BY n_occurrences DESC, w""".stripMargin
+  }
+
   // ------------------------------------------------- sketch-accuracy gate
 
   /** The approximate aggregates a 100 TB corpus profile actually uses —
@@ -1827,6 +1896,7 @@ object Corpus {
     "q_topic_terms" -> (topicTerms _),
     "q_bpe_apply" -> (bpeApply _),
     "q_bpe_train" -> (bpeTrain _),
+    "q_bpe_encode" -> (bpeEncode _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_dynamic_prune" -> (dynamicPrune _),
@@ -1836,7 +1906,7 @@ object Corpus {
     "q_gap_fill" -> (gapFill _),
     "q_corr_stats" -> (corrStats _))
 
-  val oracles: Map[String, String] = Map(
+  private val staticOracles: Map[String, String] = Map(
     "q_url_extract" -> urlExtractSql,
     "q_bpe_merges" -> bpeMergesSql,
     "q_sketch_bounds" -> sketchBoundsSql,
@@ -1874,4 +1944,9 @@ object Corpus {
     "q_lsh_verify" -> lshVerifySql,
     "q_gap_fill" -> gapFillSql,
     "q_corr_stats" -> corrStatsSql)
+
+  /** Static oracles plus the data-dependent BPE-encode oracle once its
+    * merge list has been trained this JVM. */
+  def oracles: Map[String, String] =
+    staticOracles ++ bpeEncodeSql.map("q_bpe_encode" -> _)
 }

@@ -100,6 +100,41 @@ class WarcSourceSpec extends SparkTestBase {
     }
   }
 
+  test("fuzz: .warc.gz truncated at random offsets always salvages the intact member prefix") {
+    // The intact-prefix contract under ARBITRARY truncation of a
+    // concatenated-member archive: with a cut at byte t, every member
+    // wholly inside [0, t) must be recovered, the member containing t
+    // may be recovered only if its deflate stream completed (cut inside
+    // the 8-byte trailer), and nothing past the cut may ever appear —
+    // i.e. the result is a clean PREFIX of the record sequence, with no
+    // garbage row and no exception in permissive mode.
+    val n = 6
+    val records = (0 until n).map { j =>
+      Warc.conversionRecord(s"https://x.org/fz/$j", "2026-01-01T00:00:00Z",
+        (s"fuzz body $j " * (j + 1)).getBytes(UTF_8))
+    }
+    val members = records.map(Warc.gzip)
+    val ends = members.scanLeft(0)(_ + _.length).tail // cumulative member end offsets
+    val total = ends.last
+    val rnd = new scala.util.Random(42)
+    val offsets = (Seq.fill(12)(1 + rnd.nextInt(total - 1)) ++
+      ends.dropRight(1) ++ // exact member boundaries: a VALID shorter archive
+      ends.dropRight(1).map(_ - 1) ++ ends.dropRight(1).map(_ + 1)).distinct.sorted
+    val bytes = Warc.buildFile(members)
+    offsets.foreach { t =>
+      val d = Files.createTempDirectory("warc-fuzz-spec")
+      Files.write(d.resolve("m-00.warc.gz"), bytes.take(t))
+      val got = spark.read.format("warc").option("mode", "permissive")
+        .load(d.toString).select("target_uri").collect().map(_.getString(0)).toSet
+      val fullyBefore = ends.count(_ <= t)
+      val startedBefore = if (ends.contains(t)) fullyBefore else fullyBefore + 1
+      val expectedAtLeast = (0 until fullyBefore).map(j => s"https://x.org/fz/$j").toSet
+      val expectedAtMost = (0 until startedBefore).map(j => s"https://x.org/fz/$j").toSet
+      assert(expectedAtLeast.subsetOf(got) && got.subsetOf(expectedAtMost),
+        s"cut at $t: got $got, expected between $expectedAtLeast and $expectedAtMost")
+    }
+  }
+
   test(".warc.gz members read transparently (concatenated per-record gzip)") {
     val d = Files.createTempDirectory("warc-gz-spec")
     val recs = (0 until 5).map { j =>
