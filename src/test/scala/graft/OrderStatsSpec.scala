@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** [[graft.util.OrderStats.kthPair]] against the brute-force ground
+  * truth (full sort) on randomized data, including the regimes the
+  * bracket must survive: heavy value ties (the tie-rank refinement),
+  * k at both extremes, and distributions far from uniform. */
+class OrderStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def check(rows: Seq[(Double, Long)], ks: Seq[Int]): Unit = {
+    val df = rows.toDF("v", "id").repartition(8)
+    val n = rows.size.toLong
+    val sorted = rows.sorted // (Double, Long) tuple order = (v, id) order
+    ks.foreach { k =>
+      val got = graft.util.OrderStats.kthPair(df, "v", "id", k, n)
+      assert(got === sorted(k - 1), s"k=$k")
+    }
+  }
+
+  test("matches full-sort selection on random continuous values") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 5000L).map(i => (rnd.nextGaussian() * 100, i))
+    check(rows, Seq(1, 2, 1667, 2500, 3333, 4999, 5000))
+  }
+
+  test("heavy ties: a few distinct values across many rows") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 4000L).map(i => (rnd.nextInt(3).toDouble, i))
+    check(rows, Seq(1, 1333, 1334, 2000, 2666, 2667, 4000))
+  }
+
+  test("all rows one value: pure tie-rank selection") {
+    val rows = (1L to 1000L).map(i => (7.5, 1001L - i))
+    check(rows, Seq(1, 333, 500, 667, 1000))
+  }
+
+  test("skewed distribution (zipf-ish) with duplicates") {
+    val rnd = new scala.util.Random(17)
+    val rows = (1L to 3000L).map { i =>
+      (math.floor(1.0 / (rnd.nextDouble() + 1e-3)), i)
+    }
+    check(rows, Seq(1, 1000, 1500, 2000, 3000))
+  }
+
+  test("k out of range is rejected") {
+    val df = Seq((1.0, 1L)).toDF("v", "id")
+    intercept[IllegalArgumentException] {
+      graft.util.OrderStats.kthPair(df, "v", "id", 0, 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.util.OrderStats.kthPair(df, "v", "id", 2, 1)
+    }
+  }
+}
