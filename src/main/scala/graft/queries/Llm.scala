@@ -1211,16 +1211,19 @@ object Llm {
     * document is scored by its mean and max token rank — rare-token-
     * heavy docs rank high, boilerplate ranks low, the same signal a
     * perplexity filter thresholds. Scale shape: the rank table is a
-    * vocab-sized sort (vocab ≪ corpus by Heaps' law) broadcast back
-    * onto the token stream; everything else is exact integer
-    * arithmetic with one final division. */
+    * vocab-sized DISTRIBUTED sort — a range-partitioned orderBy plus
+    * zipWithIndex partition offsets, never a partitionBy-less
+    * row_number window (which would move the whole vocabulary into one
+    * partition; web-scale vocabularies run to billions of "words") —
+    * broadcast back onto the token stream; everything else is exact
+    * integer arithmetic with one final division. */
   def tokenRarity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = documents(s, d)
       .select($"doc_id", explode(split(trim(lower($"text")), "\\s+")).as("w"))
-    val ranked = toks.groupBy($"w").agg(count(lit(1)).as("cnt"))
-      .withColumn("rank", row_number()
-        .over(Window.orderBy($"cnt".desc, $"w")).cast("long"))
+    val counts = toks.groupBy($"w").agg(count(lit(1)).as("cnt"))
+    val ranked = graft.util.Ranks.rowNumber(
+        counts, Seq($"cnt".desc, $"w"), "rank")
       .select($"w", $"rank")
     toks.join(broadcast(ranked), Seq("w"))
       .groupBy($"doc_id")
@@ -1249,19 +1252,20 @@ object Llm {
     * `n_ab·N / (n_a·n_b)` (how much more often the pair co-occurs than
     * independence predicts — PMI without the log, so the score stays a
     * rational of exact integers and hash-gates cleanly where `ln`
-    * can't; see q_token_rarity). Adjacency comes from a per-document
-    * `lead` window (codegen'd, shuffled once on doc_id); the three
-    * count tables and the one-row total then join broadcast-sized. */
+    * can't; see q_token_rarity). Adjacency is paired INSIDE each row by
+    * the [[graft.llm.NgramLM.bigrams]] HOF (same tokenization), so the
+    * exploded token stream is never shuffled or sorted per document;
+    * the three count tables and the one-row total then join
+    * broadcast-sized. */
   def collocations(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val toks = documents(s, d)
-      .select($"doc_id",
-        posexplode(split(trim(lower($"text")), "\\s+")).as(Seq("pos", "w")))
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    val nb = toks.withColumn("w2", lead($"w", 1).over(w))
-      .filter($"w2".isNotNull)
-      .groupBy($"w".as("w1"), $"w2")
+    import graft.llm.NgramLM
+    val docs = documents(s, d)
+    val nb = docs
+      .select(explode(NgramLM.bigrams(NgramLM.tokens($"text"))).as("b"))
+      .groupBy($"b.w1".as("w1"), $"b.w2".as("w2"))
       .agg(count(lit(1)).as("n_ab"))
+    val toks = docs.select(explode(NgramLM.tokens($"text")).as("w"))
     val uni = toks.groupBy($"w").agg(count(lit(1)).as("n"))
     val tot = toks.agg(count(lit(1)).as("big_n"))
     nb.crossJoin(tot)

@@ -1,0 +1,27 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.LongType
+
+/** Distributed global row numbering. `row_number() OVER (ORDER BY …)`
+  * with no partitionBy moves every row into ONE partition; this computes
+  * the identical 1-based ranks with a range-partitioned sort plus
+  * `zipWithIndex` (one extra count job for the per-partition offsets) —
+  * the standard two-pass global-index pattern, parallel end to end.
+  * RangePartitioner orders partitions by the sort key, so partition
+  * offset + local position IS the global rank.
+  */
+object Ranks {
+  /** `df` plus a `rankCol` long column holding the 1-based rank under
+    * `order` (which must be a total order for deterministic output —
+    * include a unique tie-break column, as a window row_number would
+    * also need). */
+  def rowNumber(df: DataFrame, order: Seq[Column], rankCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(order: _*)
+    val schema = sorted.schema.add(rankCol, LongType, nullable = false)
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1)) },
+      schema)
+  }
+}

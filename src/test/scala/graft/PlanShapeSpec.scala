@@ -155,30 +155,22 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
-  test("q_lm_ppl_filter buckets without any window (NTILE replaced by boundary-key selection)") {
-    // The CCNet tercile split's oracle is NTILE(3) over the whole rollup;
-    // the plan must NOT be — a partitionBy-less window single-partitions
-    // the corpus. Pin: zero WindowExec nodes anywhere in the plan (the
-    // boundary keys come from OrderStats' bracket-and-refine selection).
+  test("corpus-sized work never runs through a window: zero WindowExec in the de-windowed queries") {
+    // Each of these once funneled corpus- or vocab-sized data through a
+    // window (NTILE tercile split; lead() adjacency over the exploded
+    // token stream; partitionBy-less row_number over the vocabulary) and
+    // was rebuilt window-free (OrderStats boundary keys; in-row bigram
+    // HOF; Ranks.rowNumber range-partitioned global rank). Pin all three.
     Graft.init(spark)
-    val plan = SparkEntry.queries("q_lm_ppl_filter")(spark, "/root/testdata/sf0.001")
-      .queryExecution.sparkPlan
-    val windows = plan.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w.nodeName
+    Seq("q_lm_ppl_filter", "q_phrase_search", "q_token_rarity",
+        "q_collocations").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .queryExecution.sparkPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w.nodeName
+      }
+      assert(windows.isEmpty, s"$name regressed to a window: $windows")
     }
-    assert(windows.isEmpty, s"q_lm_ppl_filter regressed to a window: $windows")
-  }
-
-  test("q_phrase_search pairs adjacent tokens in-row, not via a doc-keyed window") {
-    // The lead-window form shuffled + sorted the whole exploded token
-    // stream; the in-row bigram HOF needs no Window node at all.
-    Graft.init(spark)
-    val plan = SparkEntry.queries("q_phrase_search")(spark, "/root/testdata/sf0.001")
-      .queryExecution.sparkPlan
-    val windows = plan.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w.nodeName
-    }
-    assert(windows.isEmpty, s"q_phrase_search regressed to a window: $windows")
   }
 
   test("q_lsh_verify re-scores candidates with fused shingle hashes, not interpreted HOF shingling") {
