@@ -53,12 +53,12 @@ object Training {
       |  CROSS JOIN voc
       |), agg AS (
       |  SELECT doc_id, COUNT(*) AS n_bigrams,
-      |    CAST(SUM(CAST(logp AS DECIMAL(28,6))) AS DOUBLE) AS slp
+      |    CAST(SUM(CAST(logp AS DECIMAL(28,6))) * -1000000 AS BIGINT) AS s
       |  FROM term GROUP BY 1
       |), perdoc AS (
       |  SELECT a.doc_id, dd.lang, a.n_bigrams,
-      |    round(-a.slp / a.n_bigrams, 6) AS nll,
-      |    round(exp(round(-a.slp / a.n_bigrams, 6)), 6) AS ppl
+      |    CAST((2 * a.s + a.n_bigrams) // (2 * a.n_bigrams) AS DOUBLE) / 1000000.0 AS nll,
+      |    round(exp(CAST((2 * a.s + a.n_bigrams) // (2 * a.n_bigrams) AS DOUBLE) / 1000000.0), 6) AS ppl
       |  FROM agg a JOIN documents dd ON dd.doc_id = a.doc_id
       |)""".stripMargin
 
@@ -94,8 +94,18 @@ object Training {
     docs.select($"doc_id", $"lang")
       .join(NgramLM.score(docs, "doc_id", $"text", m), Seq("doc_id"))
       .filter($"n_bigrams" > 0)
+      // sum_logp is DECIMAL(28,6): ×1e6 and negate is an exact long.
+      // The 6-decimal nll rounding then runs in EXACT INTEGER
+      // arithmetic on both engines — half-up is (2a+n) div (2n). The
+      // previous round(-slp/n, 6) rounded a DOUBLE quotient, and when
+      // it lands on a …5e-7 boundary Spark (BigDecimal HALF_UP on the
+      // exact binary expansion) and DuckDB (x·10⁶ float trick)
+      // disagree — one sf0.1 doc hit exactly that after the round-8
+      // data refresh.
+      .withColumn("s", (-$"sum_logp" * 1000000).cast("long"))
       .withColumn("nll",
-        round(-($"sum_logp".cast("double")) / $"n_bigrams", 6))
+        expr("(2 * s + n_bigrams) div (2 * n_bigrams)").cast("double")
+          / lit(1000000.0))
       .select($"doc_id", $"lang", $"n_bigrams", $"nll",
         round(exp($"nll"), 6).as("ppl"))
       .orderBy($"doc_id")
