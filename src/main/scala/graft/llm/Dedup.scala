@@ -337,7 +337,8 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        col("inter"), col("na"), col("nb"))
   }
 
   /** Fixed-width word segments of the text — the "line" unit for
@@ -422,7 +423,8 @@ object Dedup {
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("__df") >= minDf, 1L).otherwise(0L)).as("n_dup"))
       .select(col("id"), col("n_shingles"), col("n_dup"),
-        round(frac, 6).as("dup_frac"), (frac >= flagAt).as("flagged"))
+        expr(graft.util.ExactRound.ratio6("n_dup", "n_shingles")).as("dup_frac"),
+        (frac >= flagAt).as("flagged"))
   }
 
   /** n-gram Jaccard similarity of all pairs within blocking buckets by

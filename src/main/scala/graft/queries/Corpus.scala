@@ -837,7 +837,7 @@ object Corpus {
     val lifted = bySrc.join(byW, Seq("w")).join(bySrcTot, Seq("source"))
       .crossJoin(broadcast(tot))
       .select($"source", $"w", $"nsw", $"nw",
-        round($"nsw".cast("double") * $"n" / ($"ns" * $"nw"), 6).as("lift"))
+        expr(graft.util.ExactRound.ratio6("nsw * n", "ns * nw")).as("lift"))
     val rk = org.apache.spark.sql.expressions.Window
       .partitionBy($"source").orderBy($"lift".desc, $"w")
     lifted.withColumn("r", row_number().over(rk)).filter($"r" <= 3)
@@ -846,7 +846,7 @@ object Corpus {
   }
 
   val topicTermsSql: String =
-    """WITH toks AS (
+    raw"""WITH toks AS (
       |  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
       |  FROM documents
       |), bs AS (SELECT source, w, COUNT(*) AS nsw FROM toks GROUP BY 1, 2),
@@ -855,7 +855,7 @@ object Corpus {
       |tot AS (SELECT COUNT(*) AS n FROM toks),
       |lifted AS (
       |  SELECT bs.source, bs.w, bs.nsw, bw.nw,
-      |    round(CAST(bs.nsw AS DOUBLE) * tot.n / (bt.ns * bw.nw), 6) AS lift
+      |    ${graft.util.ExactRound.ratio6Duck("bs.nsw * tot.n", "bt.ns * bw.nw")} AS lift
       |  FROM bs JOIN bw USING (w) JOIN bt ON bt.source = bs.source, tot
       |)
       |SELECT source, r, w, nsw, nw, lift FROM (
@@ -1536,14 +1536,14 @@ object Corpus {
         size(array_intersect($"sa", $"sb")).as("inter"),
         (size($"sa") + size($"sb")).as("sz"), $"est")
       .select($"id_a", $"id_b", $"inter",
-        round($"inter".cast("double") / ($"sz" - $"inter"), 6).as("exact_jaccard"),
+        expr(graft.util.ExactRound.ratio6("inter", "sz - inter")).as("exact_jaccard"),
         (abs($"est" - $"inter".cast("double") / ($"sz" - $"inter")) <= 0.25)
           .as("est_ok"))
       .orderBy($"id_a", $"id_b")
   }
 
   val lshVerifySql: String =
-    """WITH toks AS (
+    raw"""WITH toks AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
       |), sh AS (
       |  SELECT DISTINCT doc_id, array_to_string(ws[u:u+2], ' ') AS s
@@ -1556,7 +1556,7 @@ object Corpus {
       |  GROUP BY 1, 2
       |)
       |SELECT p.id_a, p.id_b, CAST(p.inter AS INTEGER) AS inter,
-      |  round(CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter), 6) AS exact_jaccard,
+      |  ${graft.util.ExactRound.ratio6Duck("p.inter", "sa.n + sb.n - p.inter")} AS exact_jaccard,
       |  TRUE AS est_ok
       |FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a
       |             JOIN sizes sb ON sb.doc_id = p.id_b

@@ -35,24 +35,31 @@ object Llm {
         $"st.n_chars".as("n_chars"),
         $"st.n_tokens_ws".as("n_tokens_ws"),
         $"st.n_tokens_bpe".as("n_tokens_bpe"),
-        round(when($"st.n_chars" === 0, 0.0)
-          .otherwise($"st.n_punct".cast("double") / $"st.n_chars"), 6).as("punct_ratio"),
-        round(when($"st.n_chars" === 0, 0.0)
-          .otherwise($"st.n_upper".cast("double") / $"st.n_chars"), 6).as("upper_ratio"))
+        when($"st.n_chars" === 0, 0.0)
+          .otherwise(expr(graft.util.ExactRound.ratio6("st.n_punct", "st.n_chars")))
+          .as("punct_ratio"),
+        when($"st.n_chars" === 0, 0.0)
+          .otherwise(expr(graft.util.ExactRound.ratio6("st.n_upper", "st.n_chars")))
+          .as("upper_ratio"))
       .orderBy($"doc_id")
   }
 
   val textStatsSql: String =
-    s"""SELECT doc_id,
-       |  length(text) AS n_chars,
-       |  CASE WHEN length(trim(text)) = 0 THEN 0
-       |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens_ws,
-       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
-       |  CASE WHEN length(text) = 0 THEN 0.0
-       |       ELSE round(CAST(length(regexp_replace(text, '[^.,!?;:''"()\\[\\]-]', '', 'g')) AS DOUBLE) / length(text), 6) END AS punct_ratio,
-       |  CASE WHEN length(text) = 0 THEN 0.0
-       |       ELSE round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text), 6) END AS upper_ratio
-       |FROM documents
+    s"""WITH c AS (
+       |  SELECT doc_id, length(text) AS len,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens_ws,
+       |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+       |    length(regexp_replace(text, '[^.,!?;:''"()\\[\\]-]', '', 'g')) AS punct,
+       |    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS uppr
+       |  FROM documents
+       |)
+       |SELECT doc_id, len AS n_chars, n_tokens_ws, n_tokens_bpe,
+       |  CASE WHEN len = 0 THEN 0.0
+       |       ELSE ${graft.util.ExactRound.ratio6Duck("punct", "len")} END AS punct_ratio,
+       |  CASE WHEN len = 0 THEN 0.0
+       |       ELSE ${graft.util.ExactRound.ratio6Duck("uppr", "len")} END AS upper_ratio
+       |FROM c
        |ORDER BY doc_id""".stripMargin
 
   /** Language ID + per-language stopword evidence. One fused
@@ -375,7 +382,8 @@ object Llm {
     import s.implicits._
     Dedup.ngramJaccardPairsFiltered(documents(s, d), "doc_id", "text",
         shingleSize = 3, threshold = 0.8, maxDocFreq = 10)
-      .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+      .select($"id_a", $"id_b",
+        expr(graft.util.ExactRound.ratio6("inter", "na + nb - inter")).as("jaccard"))
       .orderBy($"id_a", $"id_b")
   }
 
@@ -649,7 +657,7 @@ object Llm {
         .agg(sum(coalesce($"__hit", lit(0))).as("n_hits"),
           count(lit(1)).as("n_total"))
         .select(lit(method).as("method"), $"n_hits", $"n_total",
-          round($"n_hits".cast("double") / $"n_total", 6).as("recall"))
+          expr(graft.util.ExactRound.ratio6("n_hits", "n_total")).as("recall"))
     recallOf("ann", ann).unionAll(recallOf("ivf", ivf))
       .unionAll(recallOf("pq", pq)).orderBy($"method")
   }
@@ -708,7 +716,7 @@ object Llm {
   }
 
   val dupFractionSql: String =
-    """WITH toks AS (
+    raw"""WITH toks AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
       |), sh AS (
       |  SELECT DISTINCT doc_id, array_to_string(ws[u:u+2], ' ') AS s
@@ -718,7 +726,7 @@ object Llm {
       |)
       |SELECT doc_id, COUNT(*) AS n_shingles,
       |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-      |  round(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_frac,
+      |  ${graft.util.ExactRound.ratio6Duck("SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END)", "COUNT(*)")} AS dup_frac,
       |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) >= 0.5 AS flagged
       |FROM d GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
@@ -973,12 +981,13 @@ object Llm {
       .agg(count(lit(1)).as("n_shingles"),
         sum(when($"__df" >= 2, 1L).otherwise(0L)).as("n_dup"))
       .select($"doc_id", $"n_shingles", $"n_dup",
-        round(frac, 6).as("dup_frac"), (frac >= 0.5).as("flagged"))
+        expr(graft.util.ExactRound.ratio6("n_dup", "n_shingles")).as("dup_frac"),
+        (frac >= 0.5).as("flagged"))
       .orderBy($"doc_id")
   }
 
   val charDupFractionSql: String =
-    """WITH zh AS (
+    raw"""WITH zh AS (
       |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
       |  FROM documents WHERE lang = 'zh'
       |), sh AS (
@@ -992,7 +1001,7 @@ object Llm {
       |)
       |SELECT doc_id, COUNT(*) AS n_shingles,
       |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-      |  round(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_frac,
+      |  ${graft.util.ExactRound.ratio6Duck("SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END)", "COUNT(*)")} AS dup_frac,
       |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) >= 0.5 AS flagged
       |FROM d GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
@@ -1022,8 +1031,8 @@ object Llm {
         countDistinct($"lang").as("n_langs"),
         sum($"ntok").as("total_tokens"),
         sum(when($"is_dup", 1L).otherwise(0L)).as("n_exact_dups"),
-        round(sum($"q_score".cast("decimal(18,6)")).cast("double") /
-          count(lit(1)), 6).as("mean_quality"))
+        expr(graft.util.ExactRound.meanOfDecimal6(
+          "SUM(CAST(q_score AS DECIMAL(18,6)))", "COUNT(*)")).as("mean_quality"))
   }
 
   val corpusSummarySql: String = {
@@ -1056,7 +1065,7 @@ object Llm {
        |  COUNT(DISTINCT lang) AS n_langs,
        |  CAST(SUM(ntok) AS BIGINT) AS total_tokens,
        |  CAST(SUM(is_dup) AS BIGINT) AS n_exact_dups,
-       |  round(CAST(SUM(CAST(q_score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_quality
+       |  ${graft.util.ExactRound.meanOfDecimal6Duck("SUM(CAST(q_score AS DECIMAL(18,6)))", "COUNT(*)")} AS mean_quality
        |FROM scored""".stripMargin
   }
 
@@ -1228,13 +1237,13 @@ object Llm {
     toks.join(broadcast(ranked), Seq("w"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        round(avg($"rank"), 6).as("mean_rank"),
+        expr(graft.util.ExactRound.ratio6("SUM(rank)", "COUNT(*)")).as("mean_rank"),
         max($"rank").as("max_rank"))
       .orderBy($"doc_id")
   }
 
   val tokenRaritySql: String =
-    """WITH toks AS (
+    raw"""WITH toks AS (
       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
       |  FROM documents
       |), ranked AS (
@@ -1242,7 +1251,7 @@ object Llm {
       |  FROM toks GROUP BY w
       |)
       |SELECT doc_id, COUNT(*) AS n_tokens,
-      |  round(avg(rank), 6) AS mean_rank, MAX(rank) AS max_rank
+      |  ${graft.util.ExactRound.ratio6Duck("SUM(rank)", "COUNT(*)")} AS mean_rank, MAX(rank) AS max_rank
       |FROM toks JOIN ranked USING (w)
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
@@ -1272,13 +1281,13 @@ object Llm {
       .join(uni.select($"w".as("w1"), $"n".as("n1")), Seq("w1"))
       .join(uni.select($"w".as("w2"), $"n".as("n2")), Seq("w2"))
       .select($"w1", $"w2", $"n_ab",
-        round($"n_ab".cast("double") * $"big_n" / ($"n1" * $"n2"), 6).as("lift"))
+        expr(graft.util.ExactRound.ratio6("n_ab * big_n", "n1 * n2")).as("lift"))
       .orderBy($"n_ab".desc, $"w1", $"w2")
       .limit(20)
   }
 
   val collocationsSql: String =
-    """WITH toks AS (
+    raw"""WITH toks AS (
       |  SELECT doc_id, u AS pos, ws[u] AS w
       |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS u
       |        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
@@ -1291,7 +1300,7 @@ object Llm {
       |  SELECT w, COUNT(*) AS n FROM toks GROUP BY 1
       |), tot AS (SELECT COUNT(*) AS big_n FROM toks)
       |SELECT nb.w1, nb.w2, nb.n_ab,
-      |  round(CAST(nb.n_ab AS DOUBLE) * tot.big_n / (u1.n * u2.n), 6) AS lift
+      |  ${graft.util.ExactRound.ratio6Duck("nb.n_ab * tot.big_n", "u1.n * u2.n")} AS lift
       |FROM nb, tot
       |JOIN uni u1 ON u1.w = nb.w1
       |JOIN uni u2 ON u2.w = nb.w2
@@ -1610,7 +1619,7 @@ object Llm {
     * the UNfiltered `ndPairsCtes` — its Spark side is LSH over full
     * shingle sets.) */
   lazy val dedupJaccardSql: String =
-    """WITH toks AS (
+    raw"""WITH toks AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
       |), sh AS (
       |  SELECT DISTINCT doc_id, array_to_string(ws[u:u+2], ' ') AS s
@@ -1627,7 +1636,7 @@ object Llm {
       |  GROUP BY 1, 2
       |)
       |SELECT p.id_a, p.id_b,
-      |  round(CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter), 6) AS jaccard
+      |  ${graft.util.ExactRound.ratio6Duck("p.inter", "ca.n + cb.n - p.inter")} AS jaccard
       |FROM cpairs p JOIN csizes ca ON ca.doc_id = p.id_a
       |              JOIN csizes cb ON cb.doc_id = p.id_b
       |WHERE CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter) >= 0.8
@@ -1965,7 +1974,7 @@ object Llm {
        |    ON pp.query_id = b.query_id AND pp.neighbor_id = b.neighbor_id
        |)
        |SELECT method, n_hits, n_total,
-       |  round(CAST(n_hits AS DOUBLE) / n_total, 6) AS recall
+       |  ${graft.util.ExactRound.ratio6Duck("n_hits", "n_total")} AS recall
        |FROM res ORDER BY method""".stripMargin
   }
 

@@ -588,27 +588,28 @@ object Relational {
       |FROM c""".stripMargin
 
   /** Exact heavy hitters: top 10 keys by frequency with their corpus
-    * share (share = two exact integers divided once — IEEE-identical
-    * on both engines). The TakeOrdered top-k never materializes the
-    * full key census on one node. */
+    * share, 6-decimal-rounded in exact integer arithmetic
+    * ([[graft.util.ExactRound]] — integer ratios hit …5e-7 half-way
+    * points where the engines' float rounds diverge). The TakeOrdered
+    * top-k never materializes the full key census on one node. */
   def heavyHitters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val counts = events(s, d).groupBy($"event_type", $"user_id")
       .agg(count(lit(1)).as("cnt"))
     counts.crossJoin(counts.agg(sum($"cnt").as("tot")))
       .select($"event_type", $"user_id", $"cnt",
-        round($"cnt" / $"tot", 6).as("share"))
+        expr(graft.util.ExactRound.ratio6("cnt", "tot")).as("share"))
       .orderBy($"cnt".desc, $"event_type", $"user_id")
       .limit(10)
   }
 
   val heavyHittersSql: String =
-    """WITH c AS (
+    s"""WITH c AS (
       |  SELECT event_type, user_id, COUNT(*) AS cnt
       |  FROM events GROUP BY 1, 2
       |), t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM c)
       |SELECT event_type, user_id, cnt,
-      |  round(CAST(cnt AS DOUBLE) / tot, 6) AS share
+      |  ${graft.util.ExactRound.ratio6Duck("cnt", "tot")} AS share
       |FROM c, t
       |ORDER BY cnt DESC, event_type, user_id
       |LIMIT 10""".stripMargin

@@ -146,18 +146,18 @@ object Training {
     per.withColumn("bucket", bucket)
       .groupBy($"bucket", $"lang")
       .agg(count(lit(1)).as("n_docs"),
-        round(sum($"ppl".cast("decimal(28,6)")).cast("double")
-          / count(lit(1)), 6).as("mean_ppl"))
+        expr(graft.util.ExactRound.meanOfDecimal6(
+          "SUM(CAST(ppl AS DECIMAL(28,6)))", "COUNT(*)")).as("mean_ppl"))
       .orderBy($"bucket", $"lang")
   }
 
   val lmPplFilterSql: String = perDocCtes +
-    """, bucketed AS (
+    s""", bucketed AS (
       |  SELECT lang, ppl, NTILE(3) OVER (ORDER BY ppl, doc_id) AS b FROM perdoc
       |)
       |SELECT CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
       |  lang, COUNT(*) AS n_docs,
-      |  round(CAST(SUM(CAST(ppl AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS mean_ppl
+      |  ${graft.util.ExactRound.meanOfDecimal6Duck("SUM(CAST(ppl AS DECIMAL(28,6)))", "COUNT(*)")} AS mean_ppl
       |FROM bucketed
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin

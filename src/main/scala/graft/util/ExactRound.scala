@@ -1,0 +1,47 @@
+package graft.util
+
+/** Engine-independent 6-decimal rounding of exact integer ratios.
+  *
+  * `round(num/den, 6)` over a DOUBLE quotient is a cross-engine hazard
+  * whenever num and den are exact integers: integer ratios land exactly
+  * on …5·10⁻⁷ half-way points with real probability (unlike generic
+  * doubles), and there Spark's round (BigDecimal HALF_UP over the exact
+  * binary expansion of the stored double) and DuckDB's (scale by 10⁶ in
+  * float, then nearbyint) can disagree by one ulp-of-10⁻⁶ — one sf0.1
+  * document's LM perplexity hit exactly that after a testdata refresh.
+  *
+  * These builders emit the SAME value on both engines by doing the
+  * half-up rounding in exact integer arithmetic — `(2a+n) div (2n)` for
+  * non-negative a and positive n — and only then converting the
+  * micro-scaled integer to a double (an exact conversion for every
+  * value these queries produce). Both sides take SQL fragments, so call
+  * sites pass column names or integer-valued expressions.
+  */
+object ExactRound {
+
+  /** Spark SQL fragment: round(num/den, 6) half-up, exact. `num` must
+    * be a non-negative integer-valued expression, `den` positive
+    * integer-valued. Intermediates run in DECIMAL(38,0) (so products up
+    * to ~10³¹ are safe); the quotient is micro-scaled and must fit in a
+    * BIGINT (num/den ≤ ~9·10¹²), which `div` guarantees by erroring
+    * rather than wrapping. */
+  def ratio6(num: String, den: String): String =
+    s"CAST((2 * CAST(($num) AS DECIMAL(38,0)) * 1000000 + ($den)) div " +
+      s"(2 * CAST(($den) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0"
+
+  /** DuckDB twin of [[ratio6]] (HUGEINT intermediates, `//` integral
+    * division). */
+  def ratio6Duck(num: String, den: String): String =
+    s"CAST((2 * CAST(($num) AS HUGEINT) * 1000000 + ($den)) // " +
+      s"(2 * CAST(($den) AS HUGEINT)) AS DOUBLE) / 1000000.0"
+
+  /** Spark SQL fragment: round(dec/den, 6) where `dec` is an
+    * exact DECIMAL(p,6) expression (micro-scaled internally) and `den`
+    * a positive integer — the mean-of-rounded-values shape. */
+  def meanOfDecimal6(dec: String, den: String): String =
+    ratio6(s"CAST(($dec) * 1000000 AS DECIMAL(38,0))", den)
+
+  /** DuckDB twin of [[meanOfDecimal6]]. */
+  def meanOfDecimal6Duck(dec: String, den: String): String =
+    ratio6Duck(s"CAST(($dec) * 1000000 AS HUGEINT)", den)
+}
