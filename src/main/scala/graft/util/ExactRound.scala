@@ -36,12 +36,16 @@ object ExactRound {
       s"(2 * CAST(($den) AS HUGEINT)) AS DOUBLE) / 1000000.0"
 
   /** Spark SQL fragment: round(dec/den, 6) where `dec` is an
-    * exact DECIMAL(p,6) expression (micro-scaled internally) and `den`
-    * a positive integer — the mean-of-rounded-values shape. */
+    * exact DECIMAL(p,6) expression and `den` a positive integer — the
+    * mean-of-rounded-values shape. `dec` is already carrying the six
+    * decimals, so it is micro-scaled ONCE (×10⁶ → exact integer) and
+    * the half-up division then needs no further scaling. */
   def meanOfDecimal6(dec: String, den: String): String =
-    ratio6(s"CAST(($dec) * 1000000 AS DECIMAL(38,0))", den)
+    s"CAST((2 * CAST(($dec) * 1000000 AS DECIMAL(38,0)) + ($den)) div " +
+      s"(2 * CAST(($den) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0"
 
   /** DuckDB twin of [[meanOfDecimal6]]. */
   def meanOfDecimal6Duck(dec: String, den: String): String =
-    ratio6Duck(s"CAST(($dec) * 1000000 AS HUGEINT)", den)
+    s"CAST((2 * CAST(($dec) * 1000000 AS HUGEINT) + ($den)) // " +
+      s"(2 * CAST(($den) AS HUGEINT)) AS DOUBLE) / 1000000.0"
 }

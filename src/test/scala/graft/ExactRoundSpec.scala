@@ -1,0 +1,48 @@
+package graft
+
+import java.math.{BigDecimal => JBD, RoundingMode}
+
+import org.apache.spark.sql.functions._
+
+/** [[graft.util.ExactRound]] against ground truth: the 6-decimal HALF_UP
+  * of the exact rational, computed with java.math.BigDecimal — including
+  * the half-way boundary ratios (terminating expansions whose 7th
+  * decimal is exactly 5) where double-based round() is engine-dependent. */
+class ExactRoundSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("ratio6 equals BigDecimal HALF_UP of the exact rational") {
+    val rnd = new scala.util.Random(5)
+    val cases = Seq(
+      (1L, 640L),        // 0.0015625 → half-way, rounds UP to 0.001563
+      (3L, 640L),        // 0.0046875 → 0.004688
+      (1L, 1280L),       // 0.00078125 → 0.000781 (7th digit 2, down)
+      (121934905L, 36L), // the q_lm_perplexity-shaped big ratio
+      (1L, 3L), (2L, 3L), (0L, 7L), (5L, 5L), (999999L, 1000000L)) ++
+      Seq.fill(500)((rnd.nextInt(1000000).toLong, rnd.nextInt(5000).toLong + 1L))
+    val got = cases.toDF("num", "den")
+      .select(expr(graft.util.ExactRound.ratio6("num", "den")).as("r"))
+      .as[Double].collect()
+    cases.zip(got).foreach { case ((a, b), r) =>
+      val want = new JBD(a).divide(new JBD(b), 6, RoundingMode.HALF_UP).doubleValue
+      assert(r == want, s"$a/$b: got $r want $want")
+    }
+  }
+
+  test("meanOfDecimal6 equals BigDecimal HALF_UP for micro-scaled decimal sums") {
+    val rnd = new scala.util.Random(9)
+    val cases = Seq(("121.934905", 36L), ("0.000001", 2L), ("3.387306", 1L)) ++
+      Seq.fill(200) {
+        val micros = rnd.nextInt(2000000000)
+        (new JBD(micros).movePointLeft(6).toPlainString, rnd.nextInt(999).toLong + 1L)
+      }
+    val got = cases.toDF("dec", "den")
+      .select(expr(graft.util.ExactRound.meanOfDecimal6(
+        "CAST(dec AS DECIMAL(28,6))", "den")).as("r"))
+      .as[Double].collect()
+    cases.zip(got).foreach { case ((dec, den), r) =>
+      val want = new JBD(dec).divide(new JBD(den), 6, RoundingMode.HALF_UP).doubleValue
+      assert(r == want, s"$dec/$den: got $r want $want")
+    }
+  }
+}
