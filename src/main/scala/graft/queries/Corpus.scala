@@ -225,23 +225,26 @@ object Corpus {
     graft.functions.Graft.init(s)
     import s.implicits._
     val markers = Seq("Ʒ", "Ƹ", "Ƽ") // Ʒ Ƹ Ƽ — outside [a-z]
-    // the loop's working set: 3 winner-collects + 3 stats rows + the
-    // census re-scans all replay from here — cache it once (at cluster
-    // scale: persist to disk-backed storage or checkpoint), each step's
-    // corpus is then cache + k cheap scan-side replaces
-    val toks0 = documents(s, d)
+    // the loop's working set is the token-weighted word-TYPE census
+    // (pair counts over occurrences = Σ_types cnt(type)·pairs_in_type),
+    // cached once — every census then explodes the vocab-sized type
+    // table, never the corpus token stream, and each step's corpus is
+    // cache + k cheap scan-side replaces
+    val wc0 = documents(s, d)
       .select(explode(split(lower(trim($"text")), "\\s+")).as("w"))
       .filter($"w".rlike("^[a-z]{2,}$"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
       .persist()
-    var toks = toks0
+    var wc = wc0
     val steps = markers.zipWithIndex.map { case (mark, i) =>
-      val top = toks
-        .select(explode(call_function("char_pairs", $"w")).as("pair"))
-        .groupBy($"pair").agg(count(lit(1)).as("c"))
+      val top = wc
+        .select(explode(call_function("char_pairs", $"w")).as("pair"), $"cnt")
+        .groupBy($"pair").agg(sum($"cnt").as("c"))
         .orderBy($"c".desc, $"pair").limit(1)
         .head().getString(0)
-      val types = toks.select($"w").distinct()
-        .select($"w", expr(s"replace(w, '$top', '$mark')").as("m"))
+      // wc's keys ARE the distinct word types of the merged corpus
+      // (fresh-marker replace is invertible, so types never collide)
+      val types = wc.select($"w", expr(s"replace(w, '$top', '$mark')").as("m"))
       val row = types.agg(
         lit(i + 1).as("step"),
         lit(top).as("pair"),
@@ -249,7 +252,7 @@ object Corpus {
         count_distinct($"m").as("vocab_after"),
         sum(when($"m" =!= $"w", 1L).otherwise(0L)).as("n_word_types_affected"),
         sum(length($"w") - length($"m")).as("n_applied"))
-      toks = toks.select(expr(s"replace(w, '$top', '$mark')").as("w"))
+      wc = wc.select(expr(s"replace(w, '$top', '$mark')").as("w"), $"cnt")
       row
     }
     steps.reduce(_.unionByName(_)).orderBy("step")
@@ -317,25 +320,33 @@ object Corpus {
     import s.implicits._
     // markers: uppercase, disjoint from the ^[a-z]+$ word alphabet
     val markers = "ABCDEFGH".map(_.toString)
-    val toks0 = documents(s, d)
+    // token-weighted word TYPES: pair counts over occurrences equal
+    // Σ_types count(type) × pairs_in_type, so each census explodes the
+    // ~vocab-sized type table, not the corpus token stream (~600× less
+    // generate+shuffle input per round at sf0.1). Fresh-marker replace
+    // is injective (the marker never pre-exists, so the merge is
+    // invertible), hence types stay distinct across rounds and no
+    // re-aggregation is needed.
+    val wc0 = documents(s, d)
       .select(explode(split(lower(trim($"text")), "\\s+")).as("w"))
       .filter($"w".rlike("^[a-z]{2,}$"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
       .persist()
-    var toks: DataFrame = toks0
+    var wc: DataFrame = wc0
     val merges = markers.map { mark =>
-      val top = toks
-        .select(explode(call_function("char_pairs", $"w")).as("pair"))
-        .groupBy($"pair").agg(count(lit(1)).as("c"))
+      val top = wc
+        .select(explode(call_function("char_pairs", $"w")).as("pair"), $"cnt")
+        .groupBy($"pair").agg(sum($"cnt").as("c"))
         .orderBy($"c".desc, $"pair").limit(1)
         .head().getString(0)
-      toks = toks.select(call_function("replace", $"w", lit(top), lit(mark)).as("w"))
+      wc = wc.select(call_function("replace", $"w", lit(top), lit(mark)).as("w"), $"cnt")
       (top, mark)
     }
     lastBpeMerges.set(merges)
     val enc = merges.foldLeft(col("w")) { case (c, (p, m)) =>
       call_function("replace", c, lit(p), lit(m))
     }
-    toks0.groupBy($"w").agg(count(lit(1)).as("n_occurrences"))
+    wc0.select($"w", $"cnt".as("n_occurrences"))
       .orderBy($"n_occurrences".desc, $"w").limit(100)
       .select($"w", $"n_occurrences", enc.as("encoded"),
         length(enc).as("n_tokens"))

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [[graft.util.Ranks.rowNumber]] against the window ground truth it
+  * replaces — identical 1-based ranks under a total order, with ties on
+  * the value column broken by the tie column, across a partitioned
+  * input. */
+class RanksSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("rowNumber equals partitionBy-less row_number over (value desc, key asc)") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1L to 3000L).map(i => (s"k$i", rnd.nextInt(50).toLong))
+    val df = rows.toDF("k", "v").repartition(8)
+    val got = graft.util.Ranks.rowNumber(df, Seq($"v".desc, $"k"), "rank")
+      .select($"k", $"rank").as[(String, Long)].collect().toMap
+    val want = df.withColumn("rank",
+        row_number().over(Window.orderBy($"v".desc, $"k")).cast("long"))
+      .select($"k", $"rank").as[(String, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("rowNumber on an empty input yields an empty frame with the rank column") {
+    val df = Seq.empty[(String, Long)].toDF("k", "v")
+    val out = graft.util.Ranks.rowNumber(df, Seq($"v"), "rank")
+    assert(out.columns.toSeq == Seq("k", "v", "rank"))
+    assert(out.count() == 0)
+  }
+}
