@@ -137,8 +137,8 @@ object Training {
       val base = n / 3
       val s1 = base + (if (n % 3 >= 1) 1L else 0L)
       val s2 = base + (if (n % 3 >= 2) 1L else 0L)
-      val (v1, t1) = graft.util.OrderStats.kthPair(per, "ppl", "doc_id", s1, n)
-      val (v2, t2) = graft.util.OrderStats.kthPair(per, "ppl", "doc_id", s1 + s2, n)
+      val Seq((v1, t1), (v2, t2)) =
+        graft.util.OrderStats.kthPairs(per, "ppl", "doc_id", Seq(s1, s1 + s2), n)
       when(key <= struct(lit(v1).as("ppl"), lit(t1).as("doc_id")), "head")
         .when(key <= struct(lit(v2).as("ppl"), lit(t2).as("doc_id")), "middle")
         .otherwise("tail")

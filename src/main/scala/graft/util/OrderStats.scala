@@ -20,47 +20,80 @@ object OrderStats {
   private val Eps = 1e-4
 
   /** The k-th smallest (1-based) pair under the total order
-    * (valueCol ASC, tieCol ASC). `n` must be `df.count()` (caller
+    * (valueCol ASC, tieCol ASC) — see [[kthPairs]]. */
+  def kthPair(df: DataFrame, valueCol: String, tieCol: String, k: Long, n: Long): (Double, Long) =
+    kthPairs(df, valueCol, tieCol, Seq(k), n).head
+
+  /** The k-th smallest (1-based) pairs under the total order
+    * (valueCol ASC, tieCol ASC), for SEVERAL ks in one sweep: ONE
+    * quantile-sketch pass brackets every k, one aggregate counts the
+    * rows below each bracket, one filtered histogram covers all
+    * brackets, and only the per-k tie resolution runs separately
+    * (bounded by each tie group). `n` must be `df.count()` (caller
     * usually needs it anyway). valueCol: non-null double; tieCol:
-    * non-null long, unique within a value group's ties is NOT required —
-    * ties on the pair make "k-th" ambiguous only between equal pairs,
-    * which compare equal downstream anyway.
+    * non-null long; ties on the full pair make "k-th" ambiguous only
+    * between equal pairs, which compare equal downstream anyway.
     *
     * A pathological distribution could violate the sketch's bracket (or
     * concentrate >Int.MaxValue rows on one value); the first falls back
     * to an unbounded histogram, the second is rejected by `require`.
     */
-  def kthPair(df: DataFrame, valueCol: String, tieCol: String, k: Long, n: Long): (Double, Long) = {
-    require(k >= 1 && k <= n, s"k=$k out of range 1..$n")
-    val q = k.toDouble / n
-    val lohi = df.stat.approxQuantile(valueCol,
-      Array(math.max(0.0, q - 2 * Eps), math.min(1.0, q + 2 * Eps)), Eps / 2)
-    val (v, strictlyBelow) = crossing(df, valueCol, k, lohi(0), lohi(1))
-      .orElse(crossing(df, valueCol, k, Double.NegativeInfinity, Double.PositiveInfinity))
-      .getOrElse(sys.error(s"order statistic k=$k not found in n=$n rows"))
-    val r = k - strictlyBelow // rank within the tie group at value v
-    require(r <= Int.MaxValue, s"tie group at $valueCol=$v larger than Int.MaxValue")
-    val tie = df.filter(col(valueCol) === v)
-      .select(col(tieCol)).orderBy(col(tieCol)).limit(r.toInt)
-      .agg(max(col(tieCol))).head.getLong(0)
-    (v, tie)
-  }
-
-  /** Find the k-th value inside [lo, hi]: Some(value, rows strictly
-    * below value) or None when the bracket missed the k-th rank. The
-    * histogram collect is bounded by the bracket's rank spread. */
-  private def crossing(df: DataFrame, valueCol: String, k: Long,
-                       lo: Double, hi: Double): Option[(Double, Long)] = {
-    val below = df.filter(col(valueCol) < lo).count()
-    val hist = df.filter(col(valueCol) >= lo && col(valueCol) <= hi)
+  def kthPairs(df: DataFrame, valueCol: String, tieCol: String,
+               ks: Seq[Long], n: Long): Seq[(Double, Long)] = {
+    require(ks.nonEmpty)
+    ks.foreach(k => require(k >= 1 && k <= n, s"k=$k out of range 1..$n"))
+    val probes = ks.flatMap { k =>
+      val q = k.toDouble / n
+      Seq(math.max(0.0, q - 2 * Eps), math.min(1.0, q + 2 * Eps))
+    }
+    val bounds = df.stat.approxQuantile(valueCol, probes.toArray, Eps / 2)
+    val brackets = ks.indices.map(i => (bounds(2 * i), bounds(2 * i + 1)))
+    // one pass: rows strictly below each bracket's lower bound
+    val belowRow = df.agg(
+      count(lit(1)), // guard column so the agg never degenerates
+      brackets.map { case (lo, _) =>
+        sum(when(col(valueCol) < lo, 1L).otherwise(0L))
+      }: _*).head
+    val belows = brackets.indices.map(i => belowRow.getLong(i + 1))
+    // one pass: value histogram over the union of all brackets
+    val inAny = brackets.map { case (lo, hi) =>
+      col(valueCol) >= lo && col(valueCol) <= hi
+    }.reduce(_ || _)
+    val hist = df.filter(inAny)
       .groupBy(col(valueCol)).count()
       .collect()
-      .sortBy(_.getDouble(0))
+      .map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy(_._1)
+    ks.indices.map { i =>
+      val k = ks(i)
+      val (lo, hi) = brackets(i)
+      val (v, strictlyBelow) = crossing(hist, k, belows(i), lo, hi)
+        .orElse {
+          // bracket missed (sketch guarantee violated) — full fallback
+          val full = df.groupBy(col(valueCol)).count()
+            .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+          crossing(full, k, 0L, Double.NegativeInfinity, Double.PositiveInfinity)
+        }
+        .getOrElse(sys.error(s"order statistic k=$k not found in n=$n rows"))
+      val r = k - strictlyBelow // rank within the tie group at value v
+      require(r <= Int.MaxValue, s"tie group at $valueCol=$v larger than Int.MaxValue")
+      val tie = df.filter(col(valueCol) === v)
+        .select(col(tieCol)).orderBy(col(tieCol)).limit(r.toInt)
+        .agg(max(col(tieCol))).head.getLong(0)
+      (v, tie)
+    }
+  }
+
+  /** Walk the (sorted) bracket histogram to the k-th value: Some(value,
+    * rows strictly below value) or None when the bracket missed. */
+  private def crossing(hist: Seq[(Double, Long)], k: Long, below: Long,
+                       lo: Double, hi: Double): Option[(Double, Long)] = {
     var cum = below
-    hist.foreach { row =>
-      val c = row.getLong(1)
-      if (cum < k && k <= cum + c) return Some((row.getDouble(0), cum))
-      cum += c
+    hist.foreach { case (v, c) =>
+      if (v >= lo && v <= hi) {
+        if (cum < k && k <= cum + c) return Some((v, cum))
+        cum += c
+      }
     }
     None
   }
