@@ -44,6 +44,23 @@ class OrderStatsSpec extends SparkTestBase {
     check(rows, Seq(1, 1000, 1500, 2000, 3000))
   }
 
+  test("batched kthPairs matches per-k selection across regimes") {
+    val rnd = new scala.util.Random(19)
+    // mixture: continuous band + a heavy tie plateau, so some brackets
+    // land in ties and some in sparse tails, within ONE batched call
+    val rows = (1L to 4000L).map { i =>
+      if (i % 3 == 0) (42.0, i) else (rnd.nextGaussian() * 50, i)
+    }
+    val df = rows.toDF("v", "id").repartition(8)
+    val n = rows.size.toLong
+    val sorted = rows.sorted
+    val ks = Seq(1L, 500L, 1333L, 2000L, 2001L, 3999L, 4000L)
+    val got = graft.util.OrderStats.kthPairs(df, "v", "id", ks, n)
+    ks.zip(got).foreach { case (k, g) =>
+      assert(g === sorted(k.toInt - 1), s"k=$k")
+    }
+  }
+
   test("k out of range is rejected") {
     val df = Seq((1.0, 1L)).toDF("v", "id")
     intercept[IllegalArgumentException] {
