@@ -38,8 +38,32 @@ object Tables {
     }
   }
 
-  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  /** Drift-proof a declared timestamp column the generator currently
+    * ships as timestamp[us]: if a future regeneration flips it to int64
+    * TIMESTAMP(NANOS) — the exact drift that broke the events table in
+    * round 8 — it arrives as LongType (the `nanosAsLong` conf is set
+    * session-wide by [[eventsTs]], so the read order is irrelevant) and
+    * is floored to µs and cast back to TIMESTAMP_NTZ, the schema every
+    * consumer and oracle already sees today. Current encodings pass
+    * through untouched. */
+  private def normTsNtz(raw: DataFrame, c: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    raw.schema(c).dataType match {
+      case LongType =>
+        raw.withColumn(c,
+          timestamp_micros(expr(s"`$c` div 1000")).cast(TimestampNTZType))
+      case _ => raw
+    }
+  }
+
+  private def loadTs(s: SparkSession, d: String, name: String, tsCol: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normTsNtz(load(s, d, name), tsCol)
+  }
+
+  def lineitem(s: SparkSession, d: String): DataFrame = loadTs(s, d, "lineitem", "l_shipdate")
+  def orders(s: SparkSession, d: String): DataFrame = loadTs(s, d, "orders", "o_orderdate")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")

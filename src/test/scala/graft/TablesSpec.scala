@@ -108,4 +108,47 @@ class TablesSpec extends SparkTestBase {
     // and the µs truncation actually floored the 789 ns noise
     assert(nanos.head.getString(1) === "2023-11-14 22:13:20.123456")
   }
+
+  test("Tables.lineitem keeps l_shipdate NTZ under both µs and nanos encodings") {
+    import spark.implicits._
+    val base = Seq((1L, 1700000000123456L), (2L, 1699999999999999L))
+      .toDF("l_orderkey", "us")
+      .withColumn("l_shipdate", timestamp_micros($"us").cast(TimestampNTZType))
+      .select("l_orderkey", "l_shipdate")
+
+    val usDir = Files.createTempDirectory("graft-li-us").toString
+    base.coalesce(1).write.mode("overwrite").parquet(s"$usDir/lineitem.parquet")
+
+    // nanos drift fixture: same instants, TIMESTAMP(NANOS) with sub-µs noise
+    val nanosDir = Files.createTempDirectory("graft-li-ns").toString
+    val schema: MessageType = Types.buildMessage()
+      .addField(Types.required(INT64).named("l_orderkey"))
+      .addField(Types.required(INT64)
+        .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("l_shipdate"))
+      .named("lineitem")
+    val conf = new Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    val writer = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(new Path(s"$nanosDir/lineitem.parquet"), conf))
+      .withConf(conf)
+      .build()
+    val f = new SimpleGroupFactory(schema)
+    try Seq((1L, 1700000000123456L), (2L, 1699999999999999L)).foreach { case (id, us) =>
+      val g = f.newGroup()
+      g.add("l_orderkey", id)
+      g.add("l_shipdate", us * 1000L + 321L)
+      writer.write(g)
+    } finally writer.close()
+
+    val fromUs = graft.util.Tables.lineitem(spark, usDir)
+    val fromNs = graft.util.Tables.lineitem(spark, nanosDir)
+    assert(fromUs.schema("l_shipdate").dataType === TimestampNTZType)
+    assert(fromNs.schema("l_shipdate").dataType === TimestampNTZType)
+    def render(df: DataFrame): Seq[Row] = df
+      .select(col("l_orderkey"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("d"))
+      .orderBy("l_orderkey").collect().toSeq
+    assert(render(fromUs) === render(fromNs))
+  }
 }
