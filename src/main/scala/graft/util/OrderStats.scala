@@ -34,9 +34,11 @@ object OrderStats {
     * non-null long; ties on the full pair make "k-th" ambiguous only
     * between equal pairs, which compare equal downstream anyway.
     *
-    * A pathological distribution could violate the sketch's bracket (or
-    * concentrate >Int.MaxValue rows on one value); the first falls back
-    * to an unbounded histogram, the second is rejected by `require`.
+    * A pathological distribution could violate the sketch's bracket;
+    * that falls back to an unbounded histogram. Huge tie groups (all of
+    * a 100-TB corpus on one value — exact dups share a ppl) stay
+    * distributed: [[kthLong]] bracket-refines within the group and only
+    * TakeOrdereds a ≤64k-row remainder.
     */
   def kthPairs(df: DataFrame, valueCol: String, tieCol: String,
                ks: Seq[Long], n: Long): Seq[(Double, Long)] = {
@@ -76,12 +78,51 @@ object OrderStats {
         }
         .getOrElse(sys.error(s"order statistic k=$k not found in n=$n rows"))
       val r = k - strictlyBelow // rank within the tie group at value v
-      require(r <= Int.MaxValue, s"tie group at $valueCol=$v larger than Int.MaxValue")
-      val tie = df.filter(col(valueCol) === v)
-        .select(col(tieCol)).orderBy(col(tieCol)).limit(r.toInt)
-        .agg(max(col(tieCol))).head.getLong(0)
+      val tie = kthLong(df.filter(col(valueCol) === v), tieCol, r)
       (v, tie)
     }
+  }
+
+  /** Tie ranks at or below this run one bounded TakeOrdered; above it the
+    * selection stays distributed via [[kthLong]]'s bracket loop. */
+  private val TieCap = 1L << 16
+
+  /** The r-th smallest (1-based) value of a non-null long column whose
+    * values are unique within `df` (the tie columns here are row ids).
+    * Distributed selection by iterative bracket refinement: each round
+    * sketches the target quantile inside the current bracket, counts the
+    * rows below and inside it, and narrows to the sub-bracket holding
+    * rank r (≈4ε shrink per round — two rounds cover a 10¹²-row tie
+    * group), until the remainder fits one bounded TakeOrdered. Sketch
+    * doubles are widened by one on conversion to longs so ids beyond
+    * 2⁵³ cannot mis-bracket; a sketch-violation round falls back to the
+    * driver-side TakeOrdered guarded by the Int.MaxValue require. */
+  private[graft] def kthLong(df0: DataFrame, c: String, r0: Long,
+                             cap: Long = TieCap): Long = {
+    var sub = df0
+    var r = r0
+    var rounds = 0
+    while (r > cap && rounds < 8) {
+      rounds += 1
+      val remaining = sub.count()
+      val q = math.min(1.0, r.toDouble / remaining)
+      val b = sub.stat.approxQuantile(c, Array(
+        math.max(0.0, q - 2 * Eps), math.min(1.0, q + 2 * Eps)), Eps / 2)
+      val lo = math.floor(b(0)).toLong - 1
+      val hi = math.ceil(b(1)).toLong + 1
+      val cnt = sub.agg(
+        sum(when(col(c) < lo, 1L).otherwise(0L)),
+        sum(when(col(c) >= lo && col(c) <= hi, 1L).otherwise(0L))).head
+      val below = cnt.getLong(0)
+      val inBracket = cnt.getLong(1)
+      if (below < r && r <= below + inBracket && inBracket < remaining) {
+        sub = sub.filter(col(c) >= lo && col(c) <= hi)
+        r -= below
+      } else rounds = 8 // bracket missed or failed to shrink — bail out
+    }
+    require(r <= Int.MaxValue, s"tie selection rank $r exceeds Int.MaxValue")
+    sub.select(col(c)).orderBy(col(c)).limit(r.toInt)
+      .agg(max(col(c))).head.getLong(0)
   }
 
   /** Walk the (sorted) bracket histogram to the k-th value: Some(value,

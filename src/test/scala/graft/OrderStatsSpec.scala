@@ -61,6 +61,28 @@ class OrderStatsSpec extends SparkTestBase {
     }
   }
 
+  test("kthLong distributed tie selection matches sort at every regime (tiny cap forces the bracket loop)") {
+    val rnd = new scala.util.Random(23)
+    // unique, non-contiguous ids, shuffled — the tie-column shape
+    val ids = rnd.shuffle((1L to 3000L).map(i => i * 7 + (i % 13)).toVector)
+    val df = ids.map(Tuple1(_)).toDF("id").repartition(8)
+    val sorted = ids.sorted
+    Seq(1L, 2L, 50L, 1500L, 2999L, 3000L).foreach { r =>
+      val got = graft.util.OrderStats.kthLong(df, "id", r, cap = 8L)
+      assert(got === sorted(r.toInt - 1), s"r=$r")
+    }
+  }
+
+  test("giant tie group routes through kthLong: all-one-value with big ranks") {
+    val rows = (1L to 5000L).map(i => (3.25, i * 3))
+    val df = rows.toDF("v", "id").repartition(8)
+    val sorted = rows.sorted
+    Seq(1L, 2500L, 5000L).foreach { k =>
+      val got = graft.util.OrderStats.kthPair(df, "v", "id", k, 5000L)
+      assert(got === sorted(k.toInt - 1), s"k=$k")
+    }
+  }
+
   test("k out of range is rejected") {
     val df = Seq((1.0, 1L)).toDF("v", "id")
     intercept[IllegalArgumentException] {
