@@ -848,7 +848,7 @@ object Corpus {
     val lifted = bySrc.join(byW, Seq("w")).join(bySrcTot, Seq("source"))
       .crossJoin(broadcast(tot))
       .select($"source", $"w", $"nsw", $"nw",
-        expr(graft.util.ExactRound.ratio6("nsw * n", "ns * nw")).as("lift"))
+        expr(graft.util.ExactRound.ratio6(graft.util.ExactRound.prod("nsw", "n"), graft.util.ExactRound.prod("ns", "nw"))).as("lift"))
     val rk = org.apache.spark.sql.expressions.Window
       .partitionBy($"source").orderBy($"lift".desc, $"w")
     lifted.withColumn("r", row_number().over(rk)).filter($"r" <= 3)
@@ -866,7 +866,7 @@ object Corpus {
       |tot AS (SELECT COUNT(*) AS n FROM toks),
       |lifted AS (
       |  SELECT bs.source, bs.w, bs.nsw, bw.nw,
-      |    ${graft.util.ExactRound.ratio6Duck("bs.nsw * tot.n", "bt.ns * bw.nw")} AS lift
+      |    ${graft.util.ExactRound.ratio6Duck(graft.util.ExactRound.prodDuck("bs.nsw", "tot.n"), graft.util.ExactRound.prodDuck("bt.ns", "bw.nw"))} AS lift
       |  FROM bs JOIN bw USING (w) JOIN bt ON bt.source = bs.source, tot
       |)
       |SELECT source, r, w, nsw, nw, lift FROM (

@@ -1281,7 +1281,7 @@ object Llm {
       .join(uni.select($"w".as("w1"), $"n".as("n1")), Seq("w1"))
       .join(uni.select($"w".as("w2"), $"n".as("n2")), Seq("w2"))
       .select($"w1", $"w2", $"n_ab",
-        expr(graft.util.ExactRound.ratio6("n_ab * big_n", "n1 * n2")).as("lift"))
+        expr(graft.util.ExactRound.ratio6(graft.util.ExactRound.prod("n_ab", "big_n"), graft.util.ExactRound.prod("n1", "n2"))).as("lift"))
       .orderBy($"n_ab".desc, $"w1", $"w2")
       .limit(20)
   }
@@ -1300,7 +1300,7 @@ object Llm {
       |  SELECT w, COUNT(*) AS n FROM toks GROUP BY 1
       |), tot AS (SELECT COUNT(*) AS big_n FROM toks)
       |SELECT nb.w1, nb.w2, nb.n_ab,
-      |  ${graft.util.ExactRound.ratio6Duck("nb.n_ab * tot.big_n", "u1.n * u2.n")} AS lift
+      |  ${graft.util.ExactRound.ratio6Duck(graft.util.ExactRound.prodDuck("nb.n_ab", "tot.big_n"), graft.util.ExactRound.prodDuck("u1.n", "u2.n"))} AS lift
       |FROM nb, tot
       |JOIN uni u1 ON u1.w = nb.w1
       |JOIN uni u2 ON u2.w = nb.w2

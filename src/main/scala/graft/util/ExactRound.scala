@@ -35,6 +35,20 @@ object ExactRound {
     s"CAST((2 * CAST(($num) AS HUGEINT) * 1000000 + ($den)) // " +
       s"(2 * CAST(($den) AS HUGEINT)) AS DOUBLE) / 1000000.0"
 
+  /** Wide product for a [[ratio6]] operand: a bare `a * b` fragment
+    * multiplies in 64-bit BEFORE the helper's DECIMAL cast and wraps
+    * silently past 2⁶³ (nsw·total_tokens exceeds that well below the
+    * design scale). Casting one factor first forces decimal multiply. */
+  def prod(a: String, b: String): String =
+    s"CAST(($a) AS DECIMAL(38,0)) * ($b)"
+
+  /** DuckDB twin of [[prod]] (HUGEINT · BIGINT promotes to HUGEINT;
+    * DuckDB would raise on BIGINT overflow rather than wrap, but the
+    * cross-engine contract is the same VALUE, not matching failure
+    * modes). */
+  def prodDuck(a: String, b: String): String =
+    s"CAST(($a) AS HUGEINT) * ($b)"
+
   /** Spark SQL fragment: round(dec/den, 6) where `dec` is an
     * exact DECIMAL(p,6) expression and `den` a positive integer — the
     * mean-of-rounded-values shape. `dec` is already carrying the six

@@ -29,6 +29,26 @@ class ExactRoundSpec extends SparkTestBase {
     }
   }
 
+  test("prod keeps factor products exact past 2^63 (the lift-ratio shape)") {
+    // n_ab·big_n with corpus-scale counts: 4e9 · 4e9 = 1.6e19 > 2^63.
+    // A bare "a * b" fragment wraps to a negative long; prod() forces
+    // the multiply into DECIMAL(38,0).
+    val cases = Seq(
+      (4000000000L, 4000000000L, 3000000000L, 2000000000L),
+      (9000000000L, 8000000000L, 7000000000L, 6000000000L),
+      (1L, 1L, 3L, 1L))
+    val got = cases.toDF("a", "b", "c", "d")
+      .select(expr(graft.util.ExactRound.ratio6(
+        graft.util.ExactRound.prod("a", "b"),
+        graft.util.ExactRound.prod("c", "d"))).as("r"))
+      .as[Double].collect()
+    cases.zip(got).foreach { case ((a, b, c, d), r) =>
+      val want = new JBD(a).multiply(new JBD(b))
+        .divide(new JBD(c).multiply(new JBD(d)), 6, RoundingMode.HALF_UP).doubleValue
+      assert(r == want, s"($a*$b)/($c*$d): got $r want $want")
+    }
+  }
+
   test("meanOfDecimal6 equals BigDecimal HALF_UP for micro-scaled decimal sums") {
     val rnd = new scala.util.Random(9)
     val cases = Seq(("121.934905", 36L), ("0.000001", 2L), ("3.387306", 1L)) ++
