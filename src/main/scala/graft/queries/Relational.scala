@@ -278,14 +278,8 @@ object Relational {
       srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(d, "events.parquet"))
     withStreamPartitions(s, 8) {
-      // Same encoding branch as Tables.eventsTs: legacy int64-nanos vs
-      // timestamp[us]/NTZ testdata generations.
-      val evs0 = s.readStream.schema(schema).parquet(srcDir.toString)
-      val evs = schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          evs0.withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div — see Tables.eventsTs
-        case _ => evs0.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      }
+      val evs = graft.util.Tables.normalizeEventsTs(
+        s.readStream.schema(schema).parquet(srcDir.toString))
       val agg = evs
         .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
         .agg(count(lit(1)).as("n"), out(sum(dec($"value"))).as("total_value"))

@@ -66,16 +66,16 @@ object OrderStats {
       .collect()
       .map(r => (r.getDouble(0), r.getLong(1)))
       .sortBy(_._1)
+    // bracket-miss fallback (sketch guarantee violated): the full
+    // distinct-value histogram, computed at most ONCE across all ks
+    lazy val fullHist = df.groupBy(col(valueCol)).count()
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1).toSeq
     ks.indices.map { i =>
       val k = ks(i)
       val (lo, hi) = brackets(i)
       val (v, strictlyBelow) = crossing(hist, k, belows(i), lo, hi)
-        .orElse {
-          // bracket missed (sketch guarantee violated) — full fallback
-          val full = df.groupBy(col(valueCol)).count()
-            .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
-          crossing(full, k, 0L, Double.NegativeInfinity, Double.PositiveInfinity)
-        }
+        .orElse(crossing(fullHist, k, 0L,
+          Double.NegativeInfinity, Double.PositiveInfinity))
         .getOrElse(sys.error(s"order statistic k=$k not found in n=$n rows"))
       val r = k - strictlyBelow // rank within the tie group at value v
       val tie = kthLong(df.filter(col(valueCol) === v), tieCol, r)

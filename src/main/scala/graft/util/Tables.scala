@@ -20,7 +20,15 @@ object Tables {
     // Set before the schema peek: without it a TIMESTAMP(NANOS) file fails
     // footer conversion; for micros files the conf is a no-op.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(s, d, "events")
+    normalizeEventsTs(load(s, d, "events"))
+  }
+
+  /** The `ts`-encoding branch itself, shared by the batch loader and the
+    * file-stream twin (q_stream_hourly) so the normalization cannot
+    * drift between the two read paths — the round-8 outage was exactly
+    * such a duplicated assumption. Works on batch and streaming frames
+    * alike (it only inspects the analyzed schema). */
+  def normalizeEventsTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     raw.schema("ts").dataType match {
