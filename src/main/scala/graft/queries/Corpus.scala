@@ -221,41 +221,61 @@ object Corpus {
     * Scale: each step is one pair-census shuffle (alphabet²-bounded
     * keys, map-side combine) + one scan-side replace — the loop is
     * k × the single-step cost, nothing accumulates. */
-  def bpeTrain(s: SparkSession, d: String): DataFrame = {
-    graft.functions.Graft.init(s)
+  /** The greedy BPE merge loop shared by [[bpeTrain]] and [[bpeEncode]]
+    * (they must train the identical merge chain — a census or tie-break
+    * change in one would silently diverge the other). The working set is
+    * the token-weighted word-TYPE census (pair counts over occurrences =
+    * Σ_types cnt(type)·pairs_in_type), cached once — every census then
+    * explodes the ~vocab-sized type table, never the corpus token
+    * stream, and each step's corpus is cache + k cheap scan-side
+    * replaces. Fresh-marker replace is injective (the marker never
+    * pre-exists), so types stay distinct across rounds and no
+    * re-aggregation is needed. `visit` observes each step BEFORE its
+    * merge is applied. Returns (cached census, per-step visit results,
+    * merge list); the caller materializes its bounded output and then
+    * releases the cache. */
+  private def bpeMerges[T](s: SparkSession, d: String, markers: Seq[String])
+      (visit: (DataFrame, String, String, Int) => T)
+      : (DataFrame, Seq[T], Seq[(String, String)]) = {
     import s.implicits._
-    val markers = Seq("Ʒ", "Ƹ", "Ƽ") // Ʒ Ƹ Ƽ — outside [a-z]
-    // the loop's working set is the token-weighted word-TYPE census
-    // (pair counts over occurrences = Σ_types cnt(type)·pairs_in_type),
-    // cached once — every census then explodes the vocab-sized type
-    // table, never the corpus token stream, and each step's corpus is
-    // cache + k cheap scan-side replaces
     val wc0 = documents(s, d)
       .select(explode(split(lower(trim($"text")), "\\s+")).as("w"))
       .filter($"w".rlike("^[a-z]{2,}$"))
       .groupBy($"w").agg(count(lit(1)).as("cnt"))
       .persist()
     var wc = wc0
-    val steps = markers.zipWithIndex.map { case (mark, i) =>
+    val out = markers.zipWithIndex.map { case (mark, i) =>
       val top = wc
         .select(explode(call_function("char_pairs", $"w")).as("pair"), $"cnt")
         .groupBy($"pair").agg(sum($"cnt").as("c"))
         .orderBy($"c".desc, $"pair").limit(1)
         .head().getString(0)
+      val t = visit(wc, top, mark, i + 1)
+      wc = wc.select(call_function("replace", $"w", lit(top), lit(mark)).as("w"), $"cnt")
+      (t, (top, mark))
+    }
+    (wc0, out.map(_._1), out.map(_._2))
+  }
+
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Graft.init(s)
+    import s.implicits._
+    val (wc0, steps, _) = bpeMerges(s, d, Seq("Ʒ", "Ƹ", "Ƽ")) { (wc, top, mark, k) =>
       // wc's keys ARE the distinct word types of the merged corpus
-      // (fresh-marker replace is invertible, so types never collide)
-      val types = wc.select($"w", expr(s"replace(w, '$top', '$mark')").as("m"))
-      val row = types.agg(
-        lit(i + 1).as("step"),
+      val types = wc.select($"w",
+        call_function("replace", $"w", lit(top), lit(mark)).as("m"))
+      types.agg(
+        lit(k).as("step"),
         lit(top).as("pair"),
         count(lit(1)).as("vocab_before"),
         count_distinct($"m").as("vocab_after"),
         sum(when($"m" =!= $"w", 1L).otherwise(0L)).as("n_word_types_affected"),
         sum(length($"w") - length($"m")).as("n_applied"))
-      wc = wc.select(expr(s"replace(w, '$top', '$mark')").as("w"), $"cnt")
-      row
     }
-    steps.reduce(_.unionByName(_)).orderBy("step")
+    val result = graft.util.Local.materialize(
+      steps.reduce(_.unionByName(_)).orderBy("step"))
+    wc0.unpersist()
+    result
   }
 
   val bpeTrainSql: String = {
@@ -319,38 +339,20 @@ object Corpus {
     graft.functions.Graft.init(s)
     import s.implicits._
     // markers: uppercase, disjoint from the ^[a-z]+$ word alphabet
-    val markers = "ABCDEFGH".map(_.toString)
-    // token-weighted word TYPES: pair counts over occurrences equal
-    // Σ_types count(type) × pairs_in_type, so each census explodes the
-    // ~vocab-sized type table, not the corpus token stream (~600× less
-    // generate+shuffle input per round at sf0.1). Fresh-marker replace
-    // is injective (the marker never pre-exists, so the merge is
-    // invertible), hence types stay distinct across rounds and no
-    // re-aggregation is needed.
-    val wc0 = documents(s, d)
-      .select(explode(split(lower(trim($"text")), "\\s+")).as("w"))
-      .filter($"w".rlike("^[a-z]{2,}$"))
-      .groupBy($"w").agg(count(lit(1)).as("cnt"))
-      .persist()
-    var wc: DataFrame = wc0
-    val merges = markers.map { mark =>
-      val top = wc
-        .select(explode(call_function("char_pairs", $"w")).as("pair"), $"cnt")
-        .groupBy($"pair").agg(sum($"cnt").as("c"))
-        .orderBy($"c".desc, $"pair").limit(1)
-        .head().getString(0)
-      wc = wc.select(call_function("replace", $"w", lit(top), lit(mark)).as("w"), $"cnt")
-      (top, mark)
-    }
+    val (wc0, _, merges) =
+      bpeMerges(s, d, "ABCDEFGH".map(_.toString))((_, _, _, _) => ())
     lastBpeMerges.set(merges)
     val enc = merges.foldLeft(col("w")) { case (c, (p, m)) =>
       call_function("replace", c, lit(p), lit(m))
     }
-    wc0.select($"w", $"cnt".as("n_occurrences"))
-      .orderBy($"n_occurrences".desc, $"w").limit(100)
-      .select($"w", $"n_occurrences", enc.as("encoded"),
-        length(enc).as("n_tokens"))
-      .orderBy($"n_occurrences".desc, $"w")
+    val result = graft.util.Local.materialize(
+      wc0.select($"w", $"cnt".as("n_occurrences"))
+        .orderBy($"n_occurrences".desc, $"w").limit(100)
+        .select($"w", $"n_occurrences", enc.as("encoded"),
+          length(enc).as("n_tokens"))
+        .orderBy($"n_occurrences".desc, $"w"))
+    wc0.unpersist()
+    result
   }
 
   /** Dynamic oracle: absent until [[bpeEncode]] has trained the merge

@@ -143,12 +143,17 @@ object Training {
         .when(key <= struct(lit(v2).as("ppl"), lit(t2).as("doc_id")), "middle")
         .otherwise("tail")
     }
-    per.withColumn("bucket", bucket)
-      .groupBy($"bucket", $"lang")
-      .agg(count(lit(1)).as("n_docs"),
-        expr(graft.util.ExactRound.meanOfDecimal6(
-          "SUM(CAST(ppl AS DECIMAL(28,6)))", "COUNT(*)")).as("mean_ppl"))
-      .orderBy($"bucket", $"lang")
+    // bucket×lang rows — bounded; materialize so the rollup cache (the
+    // last plan still reading it) can be released before returning
+    val result = graft.util.Local.materialize(
+      per.withColumn("bucket", bucket)
+        .groupBy($"bucket", $"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          expr(graft.util.ExactRound.meanOfDecimal6(
+            "SUM(CAST(ppl AS DECIMAL(28,6)))", "COUNT(*)")).as("mean_ppl"))
+        .orderBy($"bucket", $"lang"))
+    per.unpersist()
+    result
   }
 
   val lmPplFilterSql: String = perDocCtes +

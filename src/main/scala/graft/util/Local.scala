@@ -1,0 +1,17 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+
+object Local {
+
+  /** Eagerly materialize a result that is BOUNDED by contract (a
+    * limit, or a small fixed grouping cardinality) as a LocalRelation,
+    * so a cache the plan still references can be released immediately —
+    * returning the lazy plan instead would either pin the cached blocks
+    * for the JVM's lifetime (they accumulate across a 182-query bench
+    * run) or recompute the cached subtree at action time. The
+    * driver-side footprint is the result itself, which callers bound. */
+  def materialize(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+}
