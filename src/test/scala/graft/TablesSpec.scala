@@ -29,39 +29,49 @@ class TablesSpec extends SparkTestBase {
     (2L, 1700000086000001L, 11L, "view", 2.5, """{"a":1}"""),
     (3L, 1699999999999999L, 12L, "click", 0.0, "{}"))
 
+  /** parquet-mr fixture writer for the TIMESTAMP(NANOS) encodings Spark
+    * itself cannot emit: writes `path` with the given message schema,
+    * one group per element of `data` filled by `fill`. */
+  private def writeParquetMr[T](path: String, schema: MessageType, data: Seq[T])
+                               (fill: (SimpleGroupFactory, T) => org.apache.parquet.example.data.Group): Unit = {
+    val conf = new Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    val writer = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(new Path(path), conf))
+      .withConf(conf)
+      .build()
+    val f = new SimpleGroupFactory(schema)
+    try data.foreach(row => writer.write(fill(f, row))) finally writer.close()
+  }
+
+  private def nanosTs(name: String) = Types.required(INT64)
+    .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
+    .named(name)
+
   /** The original generation: int64 annotated TIMESTAMP(NANOS), which
     * Spark only reads via `spark.sql.legacy.parquet.nanosAsLong` (as
-    * LongType). Written with parquet-mr's example API since Spark itself
-    * cannot produce the annotation. Sub-microsecond noise is added so the
-    * test also pins the integer-div truncation (floor to µs, as DuckDB). */
+    * LongType). Sub-microsecond noise is added so the test also pins the
+    * integer-div truncation (floor to µs, as DuckDB). */
   private def writeNanosFixture(dir: String): Unit = {
     val schema: MessageType = Types.buildMessage()
       .addField(Types.required(INT64).named("event_id"))
-      .addField(Types.required(INT64)
-        .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
-        .named("ts"))
+      .addField(nanosTs("ts"))
       .addField(Types.required(INT64).named("user_id"))
       .addField(Types.required(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type"))
       .addField(Types.required(DOUBLE).named("value"))
       .addField(Types.required(BINARY).as(LogicalTypeAnnotation.stringType()).named("props"))
       .named("events")
-    val conf = new Configuration()
-    GroupWriteSupport.setSchema(schema, conf)
-    val writer = ExampleParquetWriter
-      .builder(HadoopOutputFile.fromPath(new Path(s"$dir/events.parquet"), conf))
-      .withConf(conf)
-      .build()
-    val f = new SimpleGroupFactory(schema)
-    try rows.foreach { case (id, us, uid, et, v, props) =>
-      val g = f.newGroup()
-      g.add("event_id", id)
-      g.add("ts", us * 1000L + 789L) // 789 ns below the next µs: must floor away
-      g.add("user_id", uid)
-      g.add("event_type", et)
-      g.add("value", v)
-      g.add("props", props)
-      writer.write(g)
-    } finally writer.close()
+    writeParquetMr(s"$dir/events.parquet", schema, rows) {
+      case (f, (id, us, uid, et, v, props)) =>
+        val g = f.newGroup()
+        g.add("event_id", id)
+        g.add("ts", us * 1000L + 789L) // 789 ns below the next µs: must floor away
+        g.add("user_id", uid)
+        g.add("event_type", et)
+        g.add("value", v)
+        g.add("props", props)
+        g
+    }
   }
 
   private def baseDf: DataFrame = {
@@ -123,23 +133,16 @@ class TablesSpec extends SparkTestBase {
     val nanosDir = Files.createTempDirectory("graft-li-ns").toString
     val schema: MessageType = Types.buildMessage()
       .addField(Types.required(INT64).named("l_orderkey"))
-      .addField(Types.required(INT64)
-        .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
-        .named("l_shipdate"))
+      .addField(nanosTs("l_shipdate"))
       .named("lineitem")
-    val conf = new Configuration()
-    GroupWriteSupport.setSchema(schema, conf)
-    val writer = ExampleParquetWriter
-      .builder(HadoopOutputFile.fromPath(new Path(s"$nanosDir/lineitem.parquet"), conf))
-      .withConf(conf)
-      .build()
-    val f = new SimpleGroupFactory(schema)
-    try Seq((1L, 1700000000123456L), (2L, 1699999999999999L)).foreach { case (id, us) =>
-      val g = f.newGroup()
-      g.add("l_orderkey", id)
-      g.add("l_shipdate", us * 1000L + 321L)
-      writer.write(g)
-    } finally writer.close()
+    writeParquetMr(s"$nanosDir/lineitem.parquet", schema,
+      Seq((1L, 1700000000123456L), (2L, 1699999999999999L))) {
+      case (f, (id, us)) =>
+        val g = f.newGroup()
+        g.add("l_orderkey", id)
+        g.add("l_shipdate", us * 1000L + 321L)
+        g
+    }
 
     val fromUs = graft.util.Tables.lineitem(spark, usDir)
     val fromNs = graft.util.Tables.lineitem(spark, nanosDir)
