@@ -1220,12 +1220,13 @@ object Llm {
     * document is scored by its mean and max token rank — rare-token-
     * heavy docs rank high, boilerplate ranks low, the same signal a
     * perplexity filter thresholds. Scale shape: the rank table is a
-    * vocab-sized DISTRIBUTED sort — a range-partitioned orderBy plus
-    * zipWithIndex partition offsets, never a partitionBy-less
-    * row_number window (which would move the whole vocabulary into one
-    * partition; web-scale vocabularies run to billions of "words") —
-    * broadcast back onto the token stream; everything else is exact
-    * integer arithmetic with one final division. */
+    * vocab-sized DISTRIBUTED sort — range-repartition + per-partition
+    * offsets + partition-local row_number ([[graft.util.Ranks]]), never
+    * a partitionBy-less row_number window (which would move the whole
+    * vocabulary into one partition; web-scale vocabularies run to
+    * billions of "words") — broadcast back onto the token stream;
+    * everything else is exact integer arithmetic with one final
+    * division. */
   def tokenRarity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = documents(s, d)

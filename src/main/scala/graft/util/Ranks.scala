@@ -1,15 +1,21 @@
 package graft.util
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 /** Distributed global row numbering. `row_number() OVER (ORDER BY …)`
   * with no partitionBy moves every row into ONE partition; this computes
-  * the identical 1-based ranks with a range-partitioned sort plus
-  * `zipWithIndex` (one extra count job for the per-partition offsets) —
-  * the standard two-pass global-index pattern, parallel end to end.
-  * RangePartitioner orders partitions by the sort key, so partition
-  * offset + local position IS the global rank.
+  * the identical 1-based ranks with the two-pass global-index pattern,
+  * expressed declaratively: range-repartition on the order key, count
+  * rows per range partition (a #partitions-row frame — its running-sum
+  * window is over that tiny frame, not the data), broadcast the offsets
+  * back, and add a partition-LOCAL row_number. Global rank = partition
+  * offset + local position, because RangePartitioner orders partitions
+  * by the sort key. Fully lazy (no job at construction — the previous
+  * `rdd.zipWithIndex` ran the sort eagerly and detoured through
+  * deserialized Rows), codegen-friendly, parallel end to end.
   */
 object Ranks {
   /** `df` plus a `rankCol` long column holding the 1-based rank under
@@ -17,11 +23,18 @@ object Ranks {
     * include a unique tie-break column, as a window row_number would
     * also need). */
   def rowNumber(df: DataFrame, order: Seq[Column], rankCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val sorted = df.orderBy(order: _*)
-    val schema = sorted.schema.add(rankCol, LongType, nullable = false)
-    spark.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1)) },
-      schema)
+    val pid = "__rank_pid"
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = df.repartitionByRange(n, order: _*).withColumn(pid, spark_partition_id())
+    val offsets = parts.groupBy(col(pid)).agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(col(pid)).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(pid), col("__offset"))
+    val local = Window.partitionBy(col(pid)).orderBy(order: _*)
+    parts.join(broadcast(offsets), Seq(pid))
+      .withColumn(rankCol,
+        (col("__offset") + row_number().over(local).cast(LongType)).as(rankCol))
+      .drop(pid, "__offset")
   }
 }

