@@ -22,6 +22,28 @@ class RanksSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("rowNumber stays exact when rows are fewer than shuffle partitions (empty ranges, AQE coalesce)") {
+    val rows = Seq(("a", 3L), ("b", 1L), ("c", 2L), ("d", 1L), ("e", 9L))
+    val df = rows.toDF("k", "v").repartition(4)
+    val got = graft.util.Ranks.rowNumber(df, Seq($"v", $"k"), "rank")
+      .select($"k", $"rank").as[(String, Long)].collect().toMap
+    val want = rows.sortBy { case (k, v) => (v, k) }.zipWithIndex
+      .map { case ((k, _), i) => k -> (i + 1L) }.toMap
+    assert(got == want)
+  }
+
+  test("rowNumber is exact when one giant tie group straddles every range boundary") {
+    // all rows share the value; the tie column alone orders them — the
+    // range partitioner must split INSIDE the tie group
+    val rows = (1L to 2000L).map(i => (2000L - i, 7L))
+    val df = rows.toDF("k", "v").repartition(8)
+    val got = graft.util.Ranks.rowNumber(df, Seq($"v", $"k"), "rank")
+      .select($"k", $"rank").as[(Long, Long)].collect().toMap
+    rows.map(_._1).sorted.zipWithIndex.foreach { case (k, i) =>
+      assert(got(k) == i + 1L, s"k=$k")
+    }
+  }
+
   test("rowNumber on an empty input yields an empty frame with the rank column") {
     val df = Seq.empty[(String, Long)].toDF("k", "v")
     val out = graft.util.Ranks.rowNumber(df, Seq($"v"), "rank")
