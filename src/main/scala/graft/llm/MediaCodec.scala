@@ -89,8 +89,12 @@ object MediaCodec {
     val compression = le32(b, 30)
     if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
     val hh = math.abs(h)
-    val stride = (w * 3 + 3) & ~3
-    if (dataOff + stride.toLong * hh > b.length) return None
+    // untrusted header: dataOff can be negative/inside the header, and
+    // w*3 overflows Int for w > ~715M — both must yield None, not AIOOBE
+    val strideL = (w.toLong * 3 + 3) & ~3L
+    if (dataOff < 54 || strideL * hh > Int.MaxValue ||
+      dataOff + strideL * hh > b.length) return None
+    val stride = strideL.toInt
     var sr = 0L; var sg = 0L; var sb = 0L
     var y = 0
     while (y < hh) {
@@ -218,10 +222,10 @@ object MediaCodec {
       // would zero or reverse the loop's forward progress — spin forever
       if (size < 0) return None
       if (id == "fmt ") {
-        if (i + 24 > b.length || le16(b, i + 8) != 1) return None // PCM only
+        if (i + 24L > b.length || le16(b, i + 8) != 1) return None // PCM only
         channels = le16(b, i + 10); rate = le32(b, i + 12); bits = le16(b, i + 22)
       } else if (id == "data") {
-        if (channels < 1 || bits != 16 || i + 8 + size > b.length) return None
+        if (channels < 1 || bits != 16 || i + 8L + size > b.length) return None
         val frames = size / (2 * channels)
         var s = 0L
         var f = 0
@@ -232,7 +236,11 @@ object MediaCodec {
         return Some(MediaInfo("wav", None, None, Some(channels), Some(rate),
           Some(frames), if (frames == 0) None else Some(s.toDouble / frames), None, None))
       }
-      i += 8 + size + (size & 1) // chunks are word-aligned
+      // long walk: sizes near Int.MaxValue overflow `i + 8 + size` and
+      // would re-enter the loop at a garbage (even negative) offset
+      val next = i.toLong + 8L + size + (size & 1) // chunks are word-aligned
+      if (next > b.length) return None // chunk claims bytes past the payload
+      i = next.toInt
     }
     None
   }
@@ -275,17 +283,19 @@ object MediaCodec {
       val size = le32(b, i + 4)
       if (size < 0) return None // see decodeWav: forward progress + no negative alloc
       if (id == "fmt ") {
-        if (i + 24 > b.length || le16(b, i + 8) != 1) return None
+        if (i + 24L > b.length || le16(b, i + 8) != 1) return None
         channels = le16(b, i + 10); rate = le32(b, i + 12); bits = le16(b, i + 22)
       } else if (id == "data") {
-        if (channels < 1 || bits != 16 || i + 8 + size > b.length) return None
+        if (channels < 1 || bits != 16 || i + 8L + size > b.length) return None
         val frames = size / (2 * channels)
         val out = new Array[Short](frames)
         var f = 0
         while (f < frames) { out(f) = le16(b, i + 8 + f * 2 * channels).toShort; f += 1 }
         return Some((rate, out))
       }
-      i += 8 + size + (size & 1)
+      val next = i.toLong + 8L + size + (size & 1) // see decodeWav: long walk
+      if (next > b.length) return None
+      i = next.toInt
     }
     None
   }

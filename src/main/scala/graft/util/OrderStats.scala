@@ -94,9 +94,10 @@ object OrderStats {
     * rows below and inside it, and narrows to the sub-bracket holding
     * rank r (≈4ε shrink per round — two rounds cover a 10¹²-row tie
     * group), until the remainder fits one bounded TakeOrdered. Sketch
-    * doubles are widened by one on conversion to longs so ids beyond
-    * 2⁵³ cannot mis-bracket; a sketch-violation round falls back to the
-    * driver-side TakeOrdered guarded by the Int.MaxValue require. */
+    * doubles are widened by a full ulp on conversion to longs so ids
+    * beyond 2⁵³ cannot mis-bracket; a sketch-violation round falls back
+    * to the driver-side TakeOrdered guarded by the Int.MaxValue
+    * require. */
   private[graft] def kthLong(df0: DataFrame, c: String, r0: Long,
                              cap: Long = TieCap): Long = {
     var sub = df0
@@ -108,8 +109,14 @@ object OrderStats {
       val q = math.min(1.0, r.toDouble / remaining)
       val b = sub.stat.approxQuantile(c, Array(
         math.max(0.0, q - 2 * Eps), math.min(1.0, q + 2 * Eps)), Eps / 2)
-      val lo = math.floor(b(0)).toLong - 1
-      val hi = math.ceil(b(1)).toLong + 1
+      // sketch bounds are doubles: a long beyond 2^53 rounds to its
+      // nearest representable double, up to ulp/2 away (ulp(2^63)=2048) —
+      // widen by a full ulp each side, not ±1, so giant ids can't
+      // mis-bracket; toLong saturates at the Long range ends, which only
+      // widens further
+      val slack = math.max(1.0, Math.ulp(math.max(math.abs(b(0)), math.abs(b(1)))))
+      val lo = math.floor(b(0) - slack).toLong
+      val hi = math.ceil(b(1) + slack).toLong
       val cnt = sub.agg(
         sum(when(col(c) < lo, 1L).otherwise(0L)),
         sum(when(col(c) >= lo && col(c) <= hi, 1L).otherwise(0L))).head

@@ -73,6 +73,20 @@ class OrderStatsSpec extends SparkTestBase {
     }
   }
 
+  test("kthLong survives ids beyond 2^53 (sketch doubles lose whole integers)") {
+    // snowflake-scale ids: adjacent longs collapse to the same double,
+    // so the bracket must widen by ulp, not ±1
+    val base = (1L << 62) + (1L << 53)
+    val rnd = new scala.util.Random(29)
+    val ids = rnd.shuffle((1L to 2000L).map(i => base + i * 4097).toVector)
+    val df = ids.map(Tuple1(_)).toDF("id").repartition(8)
+    val sorted = ids.sorted
+    Seq(1L, 700L, 1999L, 2000L).foreach { r =>
+      val got = graft.util.OrderStats.kthLong(df, "id", r, cap = 8L)
+      assert(got === sorted(r.toInt - 1), s"r=$r")
+    }
+  }
+
   test("giant tie group routes through kthLong: all-one-value with big ranks") {
     val rows = (1L to 5000L).map(i => (3.25, i * 3))
     val df = rows.toDF("v", "id").repartition(8)

@@ -67,6 +67,42 @@ class MediaCodecSpec extends SparkTestBase {
     }
   }
 
+  test("overflowing chunk sizes in a crafted WAV return None, never index off the end") {
+    // sizes near Int.MaxValue overflow the old `i += 8 + size` walk to a
+    // negative offset (junk chunk) or defeat the `i + 8 + size > length`
+    // guard (data chunk) — both crashed instead of returning None
+    def craft(size: Int, id: String): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(28).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(20)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put(id.getBytes("US-ASCII")).putInt(size)
+      bb.put(new Array[Byte](8))
+      bb.array()
+    }
+    for (sz <- Seq(Int.MaxValue, Int.MaxValue - 8, 0x7ffffff0); id <- Seq("LIST", "data")) {
+      assert(decode(craft(sz, id)).isEmpty, s"decodeWav id=$id size=$sz")
+      assert(MediaCodec.wavSamples(craft(sz, id)).isEmpty, s"wavSamples id=$id size=$sz")
+    }
+  }
+
+  test("hostile BMP headers (negative data offset, overflowing width) return None") {
+    def le32(out: Array[Byte], i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+    }
+    def hostile(dataOff: Int, w: Int, h: Int): Array[Byte] = {
+      val b = encodeBmp(3, 3, gradient)
+      le32(b, 10, dataOff); le32(b, 18, w); le32(b, 22, h)
+      b
+    }
+    // negative dataOff: old bounds check passed, pixel loop read b(-1000)
+    assert(decode(hostile(-1000, 3, 3)).isEmpty)
+    assert(decode(hostile(0, 3, 3)).isEmpty) // inside the header
+    // w*3+3 overflows Int → negative stride defeated the old guard
+    assert(decode(hostile(54, 0x40000000, 3)).isEmpty)
+    assert(decode(hostile(54, Int.MaxValue / 3, 1)).isEmpty)
+  }
+
   test("corrupt payloads decode to None, not garbage") {
     assert(decode(Array[Byte]('X', 'X', 'X', 'X')).isEmpty)
     assert(decode("P6\n0 5\n255\n".getBytes("US-ASCII")).isEmpty) // zero width
