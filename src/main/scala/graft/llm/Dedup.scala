@@ -45,6 +45,10 @@ object Dedup {
     * lambda (`transform(sequence...)`) version evaluated interpreted at
     * ~2.8 ms/row; this shape stays in codegen. */
   def lshBands(signature: Column, numHashes: Int, numBands: Int): Column = {
+    require(numHashes % numBands == 0,
+      s"numHashes=$numHashes not divisible by numBands=$numBands — the " +
+        "trailing signature components would silently drop out of every " +
+        "band key, shifting the LSH S-curve")
     val rowsPerBand = numHashes / numBands
     array((0 until numBands).map { b =>
       struct(lit(b).as("band"),
@@ -63,7 +67,11 @@ object Dedup {
 
   /** Exact dedup (hash-groupBy): annotate each row with its canonical
     * (minimum) id among byte-identical `textCol` values and a duplicate
-    * flag. Shuffles only (digest, id). */
+    * flag. The window's exchange carries (digest, id) plus whatever
+    * OTHER columns the caller still needs downstream — Catalyst computes
+    * md5 map-side and prunes `textCol` itself when nothing above reads
+    * it (plan-verified), so compute text-derived columns BEFORE calling
+    * this and the text never shuffles. */
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(md5(col(textCol)))
     df.withColumn("dup_group", min(col(idCol)).over(w))
@@ -135,12 +143,16 @@ object Dedup {
                        threshold: Double = 0.8): DataFrame = {
     val pairs = minhashNearDupPairs(df, idCol, textCol, numHashes, numBands,
       shingleSize, threshold)
-    val neighbors = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
-      .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
-      .groupBy("id").agg(min(col("nb")).as("min_nb"))
-    df.join(neighbors, col(idCol) === neighbors("id"), "left")
-      .withColumn("dup_group", least(coalesce(col("min_nb"), col(idCol)), col(idCol)))
-      .drop("id", "min_nb")
+    // internal names are __-prefixed: joining on a bare "id"/"min_nb"
+    // is an AMBIGUOUS_REFERENCE (or silently drops the caller's column)
+    // when df carries a column of the same name — the hazard the
+    // converged twin's __cc_id rename already dodges
+    val neighbors = pairs.select(col("id_a").as("__nd_id"), col("id_b").as("nb"))
+      .unionByName(pairs.select(col("id_b").as("__nd_id"), col("id_a").as("nb")))
+      .groupBy("__nd_id").agg(min(col("nb")).as("__nd_min"))
+    df.join(neighbors, col(idCol) === col("__nd_id"), "left")
+      .withColumn("dup_group", least(coalesce(col("__nd_min"), col(idCol)), col(idCol)))
+      .drop("__nd_id", "__nd_min")
   }
 
   /** Connected components over an undirected pair list by the alternating

@@ -1325,13 +1325,17 @@ object Llm {
       .select($"id".as("doc_id"), $"clean_text")
     val ntok = when(length(trim($"clean_text")) === 0, 0L)
       .otherwise(size(split(trim($"clean_text"), "\\s+")).cast("long"))
+    // the split bucket is computed BEFORE the dedup window so clean_text
+    // prunes out of the window's exchange (the digest is computed
+    // map-side; see exactDupGroups) — the text column never shuffles
+    val bucket = call_function("md5_bucket", $"clean_text", lit(100))
     val filtered = cleaned.withColumn("ntok", ntok).filter($"ntok" >= 10)
+      .withColumn("__bucket", bucket)
     val canon = Dedup.exactDupGroups(filtered, "doc_id", "clean_text")
       .filter(!$"is_dup")
-    val bucket = call_function("md5_bucket", $"clean_text", lit(100))
     canon
       .withColumn("split",
-        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+        when($"__bucket" < 90, "train").when($"__bucket" < 95, "val").otherwise("test"))
       .groupBy($"split")
       .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("total_tokens"),
         min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
