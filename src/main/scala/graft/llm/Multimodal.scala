@@ -130,15 +130,22 @@ object Multimodal {
           lit(math.max(1L, everyMs)))))
 
   /** Size-aware repartition before decode: binary payloads are wildly
-    * skewed; bin-pack by cumulative size so each partition decodes a
-    * comparable byte volume (the knob that keeps 100 TB of media from
-    * stalling on one fat partition). */
+    * skewed, so the partition COUNT is derived from the total byte
+    * volume (ceil(total/target)) and rows are spread round-robin —
+    * comparable byte volume per partition in expectation. Deliberately
+    * NOT a content-keyed hash: a dedup-heavy media corpus contains many
+    * byte-identical large payloads, and hashing the payload colocates
+    * every copy into one fat partition — the exact stall this op
+    * exists to prevent. */
   def repartitionBySize(df: DataFrame, targetPartitionBytes: Long = 128L << 20,
                         contentCol: String = "content"): DataFrame = {
-    val sized = df.withColumn("__bytes", coalesce(length(col(contentCol)), lit(0)))
-    val totalBytes = sized.agg(sum(col("__bytes"))).collect()(0).getLong(0)
-    val parts = math.max(1, (totalBytes / targetPartitionBytes).toInt)
-    sized.repartition(parts, pmod(xxhash64(col(contentCol)), lit(parts)))
-      .drop("__bytes")
+    val totalBytes = df
+      .agg(sum(coalesce(length(col(contentCol)).cast("long"), lit(0L)))).head.get(0) match {
+        case null => 0L // empty input
+        case n: java.lang.Long => n.longValue()
+      }
+    val parts = math.max(1L,
+      (totalBytes + targetPartitionBytes - 1) / targetPartitionBytes).toInt
+    df.repartition(parts)
   }
 }

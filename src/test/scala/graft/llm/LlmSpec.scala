@@ -425,6 +425,25 @@ class LlmSpec extends SparkTestBase {
     assert(repart.count() == 2)
   }
 
+  test("repartitionBySize spreads byte-identical payloads and survives empty input") {
+    import spark.implicits._
+    // 4 identical payloads, 1-byte target → 4+ partitions; a content-hash
+    // placement would land all copies in ONE partition
+    val payload = Array.fill[Byte](10)(7)
+    val dups = (1 to 4).map(i => (s"m$i", payload)).toDF("media_id", "content")
+    val out = Multimodal.repartitionBySize(dups, targetPartitionBytes = 10L)
+    // round-robin offsets are per input partition, so the guarantee is
+    // "spread", not perfect 1-per-partition: no bucket may hold them all
+    val perPart = out.groupBy(spark_partition_id()).count()
+      .collect().map(_.getLong(1))
+    assert(perPart.length > 1 && perPart.max < 4L,
+      s"identical payloads colocated: ${perPart.toSeq}")
+    // empty input: no NPE, one partition, zero rows
+    val empty = Multimodal.repartitionBySize(
+      dups.filter(col("media_id") === "nope"), 10L)
+    assert(empty.count() == 0)
+  }
+
   test("frame sampling explodes per offset") {
     import spark.implicits._
     val df = Seq(("v1", 3500L)).toDF("media_id", "dur")
