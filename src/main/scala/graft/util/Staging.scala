@@ -2,16 +2,17 @@ package graft.util
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
 
-/** Deterministic two-file staging for streaming-query sources. The
-  * file-stream source needs a DIRECTORY of files whose admission order
-  * drives watermark/state advancement between micro-batches; the split
-  * of a source table into those files is a pure function of the source
+/** Deterministic staging for streaming-query sources. The file-stream
+  * source needs a DIRECTORY of files whose admission order drives
+  * watermark/state advancement between micro-batches; the split of a
+  * source table into those files is a pure function of the source
   * parquet, so it is staged ONCE per (source path, size, mtime, version)
   * behind an atomic rename + `_READY` marker — re-staging on every call
   * would re-run two scan+write jobs per bench repetition for identical
   * bytes. Concurrent stagers race benignly: the loser keeps the winner's
-  * directory.
+  * directory and deletes its own.
   */
 object Staging {
 
@@ -26,11 +27,19 @@ object Staging {
     try body finally s.conf.set(key, prev)
   }
 
-  /** Returns the data directory containing `00.parquet` (earlier mtime)
-    * and `01.parquet`. `version` busts the cache when the split logic
-    * changes; `halves` produces the two file contents from the source. */
-  def twoFileSplit(s: SparkSession, srcFile: Path, cachePrefix: String,
-                   version: String)(halves: => (DataFrame, DataFrame)): Path = {
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+
+  /** The fingerprint/_READY/atomic-move skeleton shared by every staging
+    * flavor (one copy, so the cache key and race handling cannot drift):
+    * `populate` fills the staged `data` directory; the whole stage root
+    * is then renamed into the cache atomically, and a race loser cleans
+    * up its own copy. Returns the cached data directory. */
+  private def stagedOnce(srcFile: Path, cachePrefix: String, version: String)
+                        (populate: Path => Unit): Path = {
     val fp = s"$version-${srcFile.toString.hashCode}-${Files.size(srcFile)}-" +
       s"${Files.getLastModifiedTime(srcFile).toMillis}"
     val base = Paths.get(
@@ -40,55 +49,56 @@ object Staging {
       val stageRoot = Files.createTempDirectory(s"$cachePrefix-stage")
       val stageData = stageRoot.resolve("data")
       Files.createDirectories(stageData)
-      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
-        val stage = stageRoot.resolve(s"stage-$name").toString
-        df.coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val tgt = stageData.resolve(name).toFile
-        Files.move(part.toPath, tgt.toPath)
-        tgt.setLastModified(mtime) // admission order: 00 then 01
-      }
-      val (first, second) = halves
-      writeOne(first, "00.parquet", 1000000L)
-      writeOne(second, "01.parquet", 2000000L)
+      populate(stageData)
       Files.writeString(stageRoot.resolve("_READY"), "ok")
       try Files.move(stageRoot, base, StandardCopyOption.ATOMIC_MOVE)
       catch { // lost the race to a concurrent stager — use the winner's
         case _: java.nio.file.FileAlreadyExistsException |
              _: java.nio.file.DirectoryNotEmptyException =>
+          deleteRecursively(stageRoot)
       }
     }
     dataDir
   }
+
+  /** Returns the data directory containing `00.parquet` (earlier mtime)
+    * and `01.parquet`. `version` busts the cache when the split logic
+    * changes; `halves` produces the two file contents from the source. */
+  def twoFileSplit(s: SparkSession, srcFile: Path, cachePrefix: String,
+                   version: String)(halves: => (DataFrame, DataFrame)): Path =
+    stagedOnce(srcFile, cachePrefix, version) { stageData =>
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        // spark writes land in their own temp dir (NOT the stage root,
+        // which is renamed into the cache wholesale) and are deleted
+        // once the single part file is extracted — no _SUCCESS/.crc
+        // residue accumulates in the cache or across bench runs
+        val writeTmp = Files.createTempDirectory(s"$cachePrefix-write")
+        try {
+          val out = writeTmp.resolve("out").toString
+          df.coalesce(1).write.parquet(out)
+          val part = new java.io.File(out).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val tgt = stageData.resolve(name).toFile
+          Files.move(part.toPath, tgt.toPath)
+          tgt.setLastModified(mtime) // admission order: 00 then 01
+        } finally deleteRecursively(writeTmp)
+      }
+      val (first, second) = halves
+      writeOne(first, "00.parquet", 1000000L)
+      writeOne(second, "01.parquet", 2000000L)
+    }
 
   /** Same cache-once contract as [[twoFileSplit]] for a set of raw
     * binary files (e.g. WARC members): `files` yields (name, bytes)
     * pairs; admission order for the file-stream source follows seq
     * order via increasing mtimes. */
   def fileSet(s: SparkSession, srcFile: Path, cachePrefix: String,
-              version: String)(files: => Seq[(String, Array[Byte])]): Path = {
-    val fp = s"$version-${srcFile.toString.hashCode}-${Files.size(srcFile)}-" +
-      s"${Files.getLastModifiedTime(srcFile).toMillis}"
-    val base = Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"$cachePrefix-$fp")
-    val dataDir = base.resolve("data")
-    if (!Files.exists(base.resolve("_READY"))) {
-      val stageRoot = Files.createTempDirectory(s"$cachePrefix-stage")
-      val stageData = stageRoot.resolve("data")
-      Files.createDirectories(stageData)
+              version: String)(files: => Seq[(String, Array[Byte])]): Path =
+    stagedOnce(srcFile, cachePrefix, version) { stageData =>
       files.zipWithIndex.foreach { case ((name, bytes), i) =>
         val tgt = stageData.resolve(name).toFile
         Files.write(tgt.toPath, bytes)
         tgt.setLastModified(1000000L * (i + 1))
       }
-      Files.writeString(stageRoot.resolve("_READY"), "ok")
-      try Files.move(stageRoot, base, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.DirectoryNotEmptyException =>
-      }
     }
-    dataDir
-  }
 }
