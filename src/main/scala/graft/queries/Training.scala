@@ -86,8 +86,11 @@ object Training {
 
   /** Every document's negative log-likelihood and perplexity under the
     * en-trained LM — the CCNet scoring pass. Map-side broadcast probes;
-    * the per-doc rollup is the only corpus shuffle. */
-  def lmPerplexity(s: SparkSession, d: String): DataFrame = {
+    * the per-doc rollup is the only corpus shuffle. Unordered: the
+    * tercile split persists this frame and a pre-persist global sort
+    * would pay a shuffle nobody reads (buckets compare keys, not
+    * positions). [[lmPerplexity]] adds the presentation ORDER BY. */
+  private def perDocPpl(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d)
     val m = NgramLM.train(docs.filter($"lang" === "en"), $"text")
@@ -108,7 +111,11 @@ object Training {
           / lit(1000000.0))
       .select($"doc_id", $"lang", $"n_bigrams", $"nll",
         round(exp($"nll"), 6).as("ppl"))
-      .orderBy($"doc_id")
+  }
+
+  def lmPerplexity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    perDocPpl(s, d).orderBy($"doc_id")
   }
 
   val lmPerplexitySql: String = perDocCtes +
@@ -129,7 +136,7 @@ object Training {
     * to the NTILE window, no single-partition sort anywhere. */
   def lmPplFilter(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val per = lmPerplexity(s, d).select($"doc_id", $"lang", $"ppl").persist()
+    val per = perDocPpl(s, d).select($"doc_id", $"lang", $"ppl").persist()
     val n = per.count()
     val key = struct($"ppl", $"doc_id")
     val bucket = if (n == 0) lit("head") else {

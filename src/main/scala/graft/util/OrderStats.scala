@@ -70,15 +70,35 @@ object OrderStats {
     // distinct-value histogram, computed at most ONCE across all ks
     lazy val fullHist = df.groupBy(col(valueCol)).count()
       .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1).toSeq
-    ks.indices.map { i =>
+    // locate each k's value and its rank within that value's tie group
+    val located = ks.indices.map { i =>
       val k = ks(i)
       val (lo, hi) = brackets(i)
-      val (v, strictlyBelow) = crossing(hist, k, belows(i), lo, hi)
+      val (v, strictlyBelow, groupCnt) = crossing(hist, k, belows(i), lo, hi)
         .orElse(crossing(fullHist, k, 0L,
           Double.NegativeInfinity, Double.PositiveInfinity))
         .getOrElse(sys.error(s"order statistic k=$k not found in n=$n rows"))
-      val r = k - strictlyBelow // rank within the tie group at value v
-      val tie = kthLong(df.filter(col(valueCol) === v), tieCol, r)
+      (v, k - strictlyBelow, groupCnt) // (value, rank in tie group, group size)
+    }
+    // Tie resolution, fused: every tie group the histogram already proved
+    // small (≤ TieCap rows) resolves in ONE job — sorted tie arrays per
+    // group, driver extracts each k's rank. Separate TakeOrdereds per k
+    // were costing a full job each on a cached frame. Groups above the
+    // cap (a 100-TB corpus of exact dups sharing one value) keep the
+    // distributed kthLong bracket loop.
+    val smallVs = located.collect { case (v, _, c) if c <= TieCap => v }.distinct
+    val fused: Map[Double, Array[Long]] =
+      if (smallVs.isEmpty) Map.empty
+      else df.filter(col(valueCol).isin(smallVs: _*))
+        .groupBy(col(valueCol))
+        .agg(sort_array(collect_list(col(tieCol))).as("ties"))
+        .collect()
+        .map(r => r.getDouble(0) -> r.getSeq[Long](1).toArray)
+        .toMap
+    located.map { case (v, r, groupCnt) =>
+      val tie =
+        if (groupCnt <= TieCap) fused(v)(r.toInt - 1)
+        else kthLong(df.filter(col(valueCol) === v), tieCol, r)
       (v, tie)
     }
   }
@@ -133,13 +153,14 @@ object OrderStats {
   }
 
   /** Walk the (sorted) bracket histogram to the k-th value: Some(value,
-    * rows strictly below value) or None when the bracket missed. */
+    * rows strictly below value, value's group size) or None when the
+    * bracket missed. */
   private def crossing(hist: Seq[(Double, Long)], k: Long, below: Long,
-                       lo: Double, hi: Double): Option[(Double, Long)] = {
+                       lo: Double, hi: Double): Option[(Double, Long, Long)] = {
     var cum = below
     hist.foreach { case (v, c) =>
       if (v >= lo && v <= hi) {
-        if (cum < k && k <= cum + c) return Some((v, cum))
+        if (cum < k && k <= cum + c) return Some((v, cum, c))
         cum += c
       }
     }
