@@ -45,6 +45,12 @@ object Verify {
       require(graft.queries.Corpus.lastBpeMerges.get() != null,
         "BPE merge list not trained but q_bpe_encode selected — " +
           "oracle SQL must be produced after the queries run in this JVM")
+    val needsSemModel = Seq("q_semdedup")
+      .filter(n => SparkEntry.queries.contains(n) && only.forall(_.contains(n)))
+    if (needsSemModel.nonEmpty)
+      require(graft.llm.Similarity.lastSemModel.get() != null,
+        "SemDeDup model not trained but q_semdedup selected — " +
+          "oracle SQL must be produced after the queries run in this JVM")
     val needsPqModel = Seq("q_emb_pq_topk", "q_emb_index_persist", "q_emb_recall")
       .filter(n => SparkEntry.queries.contains(n) && only.forall(_.contains(n)))
     if (needsPqModel.nonEmpty)

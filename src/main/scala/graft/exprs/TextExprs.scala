@@ -152,6 +152,45 @@ case class ShingleHashes(left: Expression, right: Expression)
   override def prettyName: String = "shingle_hashes"
 }
 
+/** window_hashes(text, L) — the POSITIONAL twin of [[ShingleHashes]]:
+  * the i-th element (0-based) is the seed-42 xxHash64 of the L-word
+  * window starting at token i, NO dedup — exact-substring span dedup
+  * (Lee et al. 2021) needs every occurrence site, not the distinct
+  * shingle set, so duplicated windows can be mapped back to the word
+  * positions they cover. Same lower/trim/`\s+` tokenization and
+  * space-joined window text as [[ShingleHashes]]; `< L` tokens yields an
+  * EMPTY array (short docs opt out of span dedup — no degenerate
+  * whole-doc window). Hashes are corpus-internal grouping keys; the
+  * collision argument of [[ShingleHashes]] applies. */
+case class WindowHashes(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(tIn: Any, nIn: Any): Any = {
+    val trimmed = tIn.asInstanceOf[UTF8String].toLowerCase.trim()
+    val n = nIn.asInstanceOf[Int]
+    val toks = trimmed.toString.split("\\s+", -1)
+    val m = toks.length - n + 1
+    val out = new Array[Any](math.max(m, 0))
+    if (m > 0) {
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i < m) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        val s = UTF8String.fromString(sb.toString)
+        out(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "window_hashes"
+}
+
 /** char_shingle_hashes(text, n) — fused normalize → character n-gram →
   * 64-bit hash → DISTINCT in one JVM pass: the CJK-robust twin of
   * [[ShingleHashes]] (whitespace-free scripts can't word-tokenize).

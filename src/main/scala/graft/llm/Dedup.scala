@@ -439,6 +439,69 @@ object Dedup {
         (frac >= flagAt).as("flagged"))
   }
 
+  /** Exact duplicated-substring spans (the span-level dedup of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499, re-expressed relationally): every L-word window
+    * occurring MORE THAN ONCE corpus-wide (within-doc repeats count)
+    * marks the L token positions it covers as duplicated; per document
+    * the marked positions merge into maximal spans. Output per doc with
+    * ≥ L tokens: `n_tokens`, `n_windows`, `n_dup_windows` (duplicated
+    * window SITES in this doc), `dup_tokens` (union size of the covered
+    * positions), `dup_spans` (maximal-interval count — what a span
+    * cutter would excise), `dup_frac` (= dup_tokens/n_tokens, exact
+    * half-up at 6 decimals).
+    *
+    * Scale shape: the suffix-array of the paper is replaced by the
+    * window census the cluster can actually shuffle — one pass emits
+    * positional 64-bit window hashes ([[graft.exprs.WindowHashes]],
+    * text pruned before any exchange, 16-byte shuffle rows), a census
+    * groupBy finds hashes with count > 1, a hash-keyed join maps them
+    * back to (doc, pos) sites, and the interval merge runs in-row over
+    * each doc's sorted position set (bounded by doc length) — no
+    * corpus-wide sort, no window function, no pair explosion. */
+  def dupSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+                        windowWords: Int = 10): DataFrame = {
+    require(windowWords >= 2, "windowWords must be at least 2")
+    val L = windowWords
+    val sh = org.apache.spark.sql.graftshim.Shim
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val toks = df.select(col(idCol).as("id"),
+      sh.column(graft.exprs.WindowHashes(
+        sh.expression(col(textCol)), Literal(L))).as("hs"))
+    val wins = toks.filter(size(col("hs")) > 0)
+      .select(col("id"), posexplode(col("hs")).as(Seq("p0", "h")))
+      .select(col("id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
+    val dupHashes = wins.groupBy(col("h")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select(col("h"))
+    val merged = wins.join(dupHashes, Seq("h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sort_array(collect_set(col("pos"))).as("ps"))
+      // interval union of [p, p+L) over ascending distinct p: the next
+      // window's end always exceeds the previous one's (same length,
+      // strictly later start), so one (covered, spans, prevEnd) fold
+      // suffices — no merge-sort of intervals needed
+      .withColumn("m", aggregate(col("ps"),
+        struct(lit(0L).as("cov"), lit(0L).as("spans"), lit(0L).as("pend")),
+        (acc, p) =>
+          struct(
+            (acc("cov") + (p + L) - greatest(p, acc("pend"))).as("cov"),
+            (acc("spans") + when(p >= acc("pend"), 1L).otherwise(0L)).as("spans"),
+            (p + L).as("pend"))))
+      .select(col("id"), col("n_dup_windows"),
+        col("m.cov").as("dup_tokens"), col("m.spans").as("dup_spans"))
+    toks.filter(size(col("hs")) > 0)
+      .select(col("id"), (size(col("hs")) + (L - 1)).cast("long").as("n_tokens"),
+        size(col("hs")).cast("long").as("n_windows"))
+      .join(merged, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
+      .withColumn("dup_frac",
+        expr(graft.util.ExactRound.ratio6("dup_tokens", "n_tokens")))
+  }
+
   /** n-gram Jaccard similarity of all pairs within blocking buckets by
     * shared rare shingle — the quadratic-free exact-Jaccard dedup:
     * bucket by each doc's minimum shingle hash (1 bucket per doc). */

@@ -423,6 +423,60 @@ object Similarity {
       nprobe, refineFactor, queryId, vecCol)
   }
 
+  /** The SemDeDup model last trained by [[semDedup]] — recorded for the
+    * dynamic oracle under the same ORDERING CONTRACT as [[lastIvfModel]]
+    * (oracle SQL is read after the queries run, in this JVM). */
+  final case class SemModel(centroids: Array[Array[Double]], threshold: Double)
+  val lastSemModel = new java.util.concurrent.atomic.AtomicReference[SemModel]()
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * semantic dedup that LSH/MinHash cannot see — paraphrases land far
+    * apart lexically but nearby in embedding space. A k-means coarse
+    * quantizer (bounded driver-local sample, like IVF) partitions the
+    * corpus into `nClusters` cells; WITHIN each cell a row is pruned iff
+    * some higher-priority cell-mate is ≥ `threshold` cosine-similar,
+    * priority = (centroid-cosine ASC, id ASC) — the paper's "keep the
+    * examples least similar to the centroid" rule made deterministic and
+    * order-free (the minimum-priority member of every similar-pair
+    * component always survives). Output per row: `cell`,
+    * `centroid_cos`, `pruned`.
+    *
+    * Scale shape: the all-pairs comparison is confined to cells — the
+    * exact containment the paper introduces to make web-scale semantic
+    * dedup tractable; `nClusters` grows with the corpus so cell
+    * populations stay bounded, and the cell self-join shuffles
+    * (id, cell, vec) once on the cell key. No global sort; the
+    * priority rule is a join predicate, not a sequential scan. */
+  def semDedup(df: DataFrame, idCol: String = "vec_id",
+               vecCol: String = "embedding",
+               nClusters: Int = 16, threshold: Double = 0.7,
+               seed: Long = 42L, trainSample: Int = 16384,
+               trainIters: Int = 10): DataFrame = {
+    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val sample = e.select(col("v")).limit(trainSample).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centroids = kmeansLocal(sample, nClusters, trainIters, seed)
+    lastSemModel.set(SemModel(centroids, threshold))
+    val cc = e
+      .withColumn("cell", nearestCells(col("v"), centroids, 1).getItem(0))
+      .withColumn("centroid_cos",
+        cosine(col("v"), element_at(matLit(centroids), col("cell") + 1)))
+    val a = cc.select(col("id"), col("v"), col("cell"), col("centroid_cos"))
+    val b = cc.select(col("id").as("id_b"), col("v").as("vb"),
+      col("cell").as("cell_b"), col("centroid_cos").as("cc_b"))
+    val pruned = a.join(b,
+        col("cell") === col("cell_b") &&
+          struct(col("cc_b"), col("id_b")) < struct(col("centroid_cos"), col("id")) &&
+          cosine(col("v"), col("vb")) >= threshold,
+        "left_semi")
+      .select(col("id"))
+    cc.join(pruned.withColumn("pruned", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell").cast("int").as("cell"),
+        round(col("centroid_cos"), 6).as("centroid_cos"),
+        coalesce(col("pruned"), lit(false)).as("pruned"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH blocking: pairs in the
     * same exact bucket with cosine ≥ threshold. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,

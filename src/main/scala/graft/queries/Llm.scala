@@ -715,6 +715,57 @@ object Llm {
       .orderBy($"doc_id")
   }
 
+  /** Exact duplicated-substring spans
+    * ([[graft.llm.Dedup.dupSubstringSpans]], Lee et al. 2021): per doc,
+    * which token positions are covered by a 10-word window that occurs
+    * more than once corpus-wide, merged into maximal spans. The oracle
+    * recomputes the census over the raw window STRINGS (the engine
+    * groups 64-bit window hashes — count parity gates collision-freedom
+    * too) and the span merge by brute-force distinct-index expansion +
+    * a lag scan, so the fused in-row interval fold is checked against
+    * an independent formulation end to end. */
+  def substringSpans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.dupSubstringSpans(documents(s, d), "doc_id", "text", windowWords = 10)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+  }
+
+  val substringSpansSql: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
+      |), t2 AS (
+      |  SELECT doc_id, ws, len(ws) AS n_tokens FROM toks WHERE len(ws) >= 10
+      |), w AS (
+      |  SELECT doc_id, i AS pos, array_to_string(ws[i:i+9], ' ') AS gram
+      |  FROM t2, LATERAL unnest(generate_series(1, CAST(n_tokens AS INTEGER) - 9)) AS t(i)
+      |), f AS (
+      |  SELECT gram FROM w GROUP BY 1 HAVING COUNT(*) > 1
+      |), dw AS (
+      |  SELECT w.doc_id, w.pos FROM w JOIN f USING (gram)
+      |), cov AS (
+      |  SELECT DISTINCT doc_id, j AS idx
+      |  FROM dw, LATERAL unnest(generate_series(pos, pos + 9)) AS u(j)
+      |), lagged AS (
+      |  SELECT doc_id, idx, lag(idx) OVER (PARTITION BY doc_id ORDER BY idx) AS prev FROM cov
+      |), spanagg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_tokens,
+      |    CAST(SUM(CASE WHEN prev IS NULL OR idx - prev > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans
+      |  FROM lagged GROUP BY 1
+      |), ndw AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows FROM dw GROUP BY 1
+      |)
+      |SELECT t2.doc_id, CAST(t2.n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(t2.n_tokens - 9 AS BIGINT) AS n_windows,
+      |  COALESCE(ndw.n_dup_windows, 0) AS n_dup_windows,
+      |  COALESCE(sa.dup_tokens, 0) AS dup_tokens,
+      |  COALESCE(sa.dup_spans, 0) AS dup_spans,
+      |  ${graft.util.ExactRound.ratio6Duck("COALESCE(sa.dup_tokens, 0)", "t2.n_tokens")} AS dup_frac
+      |FROM t2
+      |LEFT JOIN spanagg sa USING (doc_id)
+      |LEFT JOIN ndw USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val dupFractionSql: String =
     raw"""WITH toks AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
@@ -1453,6 +1504,7 @@ object Llm {
     "q_emb_recall" -> (embRecall _),
     "q_line_dedup" -> (lineDedup _),
     "q_dup_fraction" -> (dupFraction _),
+    "q_substring_spans" -> (substringSpans _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_pack_contexts" -> (packContexts _),
     "q_pack_greedy" -> (packGreedy _),
@@ -1461,6 +1513,7 @@ object Llm {
     "q_pipeline_corpus" -> (pipelineCorpus _),
     "q_char_dup_fraction" -> (charDupFraction _),
     "q_emb_near_dup" -> (embNearDup _),
+    "q_semdedup" -> (semDedup _),
     "q_token_rarity" -> (tokenRarity _),
     "q_collocations" -> (collocations _),
     "q_ngram_contamination" -> (ngramContamination _),
@@ -1691,6 +1744,48 @@ object Llm {
         numBits = 8)
       .orderBy($"id_a", $"id_b")
   }
+
+  /** SemDeDup ([[graft.llm.Similarity.semDedup]]): k-means cells +
+    * within-cell priority pruning. Dynamic oracle — the trained
+    * centroids inline as SQL literals (same contract as q_emb_ivf_topk)
+    * and DuckDB recomputes cell assignment (identical `‖c‖²−2⟨v,c⟩`
+    * argmin arithmetic), the centroid cosine, and the priority-pruning
+    * self-join from scratch. Threshold 0.35 so the synthetic embeddings
+    * actually prune rows at every SF. */
+  def semDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Similarity.semDedup(embeddings(s, d), nClusters = 8, threshold = 0.35)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy($"vec_id")
+  }
+
+  def semDedupSql: Option[String] =
+    Option(Similarity.lastSemModel.get()).map { m =>
+      def cos(a: String, b: String): String =
+        s"CASE WHEN sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)) = 0 THEN 0.0 " +
+        s"ELSE list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))) END"
+      val dArr = sqlCellDistArr(m.centroids, "v")
+      val centsArr = "[" + m.centroids.map(sqlVec).mkString(", ") + "]"
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), cells AS (
+         |  SELECT vec_id, v, list_position($dArr, list_min($dArr)) - 1 AS cell FROM emb
+         |), cc AS (
+         |  SELECT vec_id, v, cell,
+         |    ${cos("v", s"($centsArr)[cell + 1]")} AS ccos
+         |  FROM cells
+         |), pruned AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM cc a JOIN cc b ON a.cell = b.cell
+         |   AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id))
+         |  WHERE ${cos("a.v", "b.v")} >= ${m.threshold}
+         |)
+         |SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell,
+         |  round(c.ccos, 6) AS centroid_cos,
+         |  (p.vec_id IS NOT NULL) AS pruned
+         |FROM cc c LEFT JOIN pruned p USING (vec_id)
+         |ORDER BY c.vec_id""".stripMargin
+    }
 
   def embNearDupSql: String = {
     def cos(a: String, b: String): String =
@@ -2007,6 +2102,7 @@ object Llm {
     "q_emb_cosine_topk" -> cosineTopKSql,
     "q_line_dedup" -> lineDedupSql,
     "q_dup_fraction" -> dupFractionSql,
+    "q_substring_spans" -> substringSpansSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_pack_contexts" -> packContextsSql,
     "q_pack_greedy" -> packGreedySql,
@@ -2031,5 +2127,6 @@ object Llm {
     staticOracles ++ ivfTopKSql.map("q_emb_ivf_topk" -> _) ++
       pqTopKSql.map("q_emb_pq_topk" -> _) ++
       pqTopKSql.map("q_emb_index_persist" -> _) ++
-      embRecallSql.map("q_emb_recall" -> _)
+      embRecallSql.map("q_emb_recall" -> _) ++
+      semDedupSql.map("q_semdedup" -> _)
 }

@@ -620,4 +620,62 @@ class LlmSpec extends SparkTestBase {
     assert(out(0)._4 && out(1)._4, "exact dups fully duplicated")
     assert(!out(3)._4, "unrelated doc not flagged")
   }
+
+  test("duplicated-substring spans: overlap merge, disjoint spans, within-doc repeats, short-doc opt-out") {
+    import spark.implicits._
+    // L=3; duplicated windows planted by hand:
+    //   "a b c": docs 1,2,5;  "b c d": docs 1,2;  "f g h": docs 1,5;
+    //   doc 3 is a period-3 repeat — every window within-doc duplicated;
+    //   doc 4 has < 3 tokens and must be absent from the output.
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d z w"),
+      (3L, "p q r p q r p q r"),
+      (4L, "m n"),
+      (5L, "a b c z1 z2 z3 f g h")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSubstringSpans(docs, "doc_id", "text", windowWords = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(out.toSeq == Seq(
+      // doc 1: dup sites pos 1,2,6 → [1,5)∪[6,9): 7 tokens in 2 spans
+      (1L, 8L, 6L, 3L, 7L, 2L, 0.875),
+      // doc 2: dup sites pos 3,4 → [3,7): one merged span of 4
+      (2L, 8L, 6L, 2L, 4L, 1L, 0.5),
+      // doc 3: all 7 windows duplicated within-doc → whole doc, 1 span
+      (3L, 9L, 7L, 7L, 9L, 1L, 1.0),
+      // doc 5: dup sites pos 1,7 → [1,4)∪[7,10): disjoint spans stay 2
+      (5L, 9L, 7L, 2L, 6L, 2L, 0.666667)))
+  }
+
+  test("semDedup prunes the lower-priority member of every similar pair and keeps distinct vectors") {
+    import spark.implicits._
+    // Two well-separated directions; ids 1,2 and 4,5 are byte-identical
+    // vectors (always co-cell — identical argmin), 3 and 6 are only
+    // 0.6-cosine to their groupmates, below the 0.95 threshold. The
+    // pruned set is therefore {2, 5} under ANY k-means outcome: an
+    // identical twin shares its mate's centroid-cos, so the id ASC
+    // tie-break prunes exactly the higher id; nothing else has a
+    // ≥ 0.95 neighbor.
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(0.6f, 0.8f, 0f, 0f)),
+      (4L, Array(0f, 0f, 1f, 0f)),
+      (5L, Array(0f, 0f, 1f, 0f)),
+      (6L, Array(0f, 0f, 0.6f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, nClusters = 2, threshold = 0.95)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(out.filter(_._4).map(_._1).toSeq == Seq(2L, 5L))
+    assert(out.forall { case (_, cell, ccos, _) =>
+      cell >= 0 && cell < 2 && ccos >= -1.0 - 1e-9 && ccos <= 1.0 + 1e-9 })
+    // identical twins share cell and centroid-cos with their mate
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 == byId(2L)._2 && byId(1L)._3 == byId(2L)._3)
+    assert(byId(4L)._2 == byId(5L)._2 && byId(4L)._3 == byId(5L)._3)
+  }
 }
