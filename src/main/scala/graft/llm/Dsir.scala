@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.catalyst.expressions.Literal
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al.,
+  * "Data Selection for Language Models via Importance Resampling",
+  * arXiv:2302.03169): score every raw document by how target-like its
+  * hashed n-gram profile is, `log w(x) = Σ_f c_x(f)·(ln p̂_target(f) −
+  * ln p̂_raw(f))`, then keep the highest-weight slice. The hashed
+  * feature space is what makes this tractable: both distributions are
+  * multinomials over a FIXED bucket count, so the whole "model" is one
+  * census the size of `nBuckets`, not a vocabulary.
+  *
+  * Scale shape: features are hashed scan-side (in-row bigram → bucket,
+  * [[graft.exprs.Md5Bucket]] so DuckDB's `md5_number_lower(f) % n` is
+  * the exact twin); the only corpus-sized shuffles are the bucket
+  * census groupBy and the per-doc rollup. The census (≤ nBuckets rows)
+  * broadcasts back for per-term scoring — no second corpus pass over
+  * text, no driver-side model beyond two totals. Per-term log-ratios
+  * are rounded at 1e-6 and accumulated in DECIMAL(28,6), the
+  * cross-engine determinism discipline used by the LM scorer (see
+  * SCALE.md "Cross-engine rounding discipline").
+  */
+object Dsir {
+
+  private def mdBucket(text: Column, n: Int): Column =
+    Shim.column(graft.exprs.Md5Bucket(Shim.expression(text), Literal(n)))
+
+  /** Per-document hashed-bigram importance weights. `isTarget` marks the
+    * rows whose distribution the weights should favor (e.g.
+    * `col("lang") === "en"`); every row contributes to the raw
+    * (background) distribution. Output: `id`, `n_feats` (bigram count),
+    * `log_w` (0.0 for docs with < 2 tokens — no features, weight of an
+    * empty product). Add-one smoothing over the bucket space keeps both
+    * distributions strictly positive. */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column, nBuckets: Int = 4096): DataFrame = {
+    require(nBuckets >= 2, "nBuckets must be at least 2")
+    val base = df.select(col(idCol).as("id"), isTarget.as("is_t"),
+      NgramLM.tokens(col(textCol)).as("ws"))
+    val feats = base.select(col("id"), col("is_t"),
+      explode(transform(NgramLM.bigrams(col("ws")),
+        bg => mdBucket(concat_ws(" ", bg("w1"), bg("w2")), nBuckets))).as("b"))
+    val census = feats.groupBy(col("b"))
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cb"))
+    // two totals — the entire driver-side state of the method
+    val totRow = census.agg(
+      coalesce(sum(col("ct")), lit(0L)), coalesce(sum(col("cb")), lit(0L))).head
+    val (tT, tB) = (totRow.getLong(0), totRow.getLong(1))
+    val score = census.select(col("b"),
+      round(
+        log((col("ct") + 1).cast("double") / lit((tT + nBuckets).toDouble)) -
+        log((col("cb") + 1).cast("double") / lit((tB + nBuckets).toDouble)),
+        6).as("lr"))
+    val perDoc = feats.join(broadcast(score), Seq("b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("lr").cast("decimal(28,6)")).cast("double").as("log_w"))
+    base.select(col("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("log_w"), lit(0.0)).as("log_w"))
+  }
+}

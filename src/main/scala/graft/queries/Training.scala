@@ -286,10 +286,81 @@ object Training {
       |FROM rends
       |ORDER BY conv_id""".stripMargin
 
+  /** DSIR data selection ([[graft.llm.Dsir.importanceWeights]], target =
+    * `lang='en'`): hashed-bigram importance weights plus the top-quarter
+    * keep set. Selection avoids any global sort the same way the tercile
+    * split does: the boundary (log_w, doc_id) pair — the k-th smallest
+    * under NTILE-exact sizing, k = n − ⌈n/4⌉ — comes from
+    * [[graft.util.OrderStats.kthPair]], and every row buckets map-side
+    * against the boundary literal. The oracle recomputes the census,
+    * the smoothed log-ratios, and the selection (ROW_NUMBER DESC ≤
+    * ⌈n/4⌉ is exactly "strictly above the k-th smallest"). */
+  def dsirSelect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val per = docs.select($"doc_id", $"lang")
+      .join(graft.llm.Dsir.importanceWeights(docs, "doc_id", "text",
+          isTarget = col("lang") === "en", nBuckets = 4096)
+        .withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      .persist()
+    val n = per.count()
+    val keepCount = (n + 3) / 4
+    val selected = if (n == 0) lit(false) else if (n == keepCount) lit(true) else {
+      val (v, t) = graft.util.OrderStats.kthPair(per, "log_w", "doc_id",
+        n - keepCount, n)
+      struct($"log_w", $"doc_id") > struct(lit(v).as("log_w"), lit(t).as("doc_id"))
+    }
+    val result = graft.util.Local.materialize(
+      per.select($"doc_id", $"lang", $"n_feats", $"log_w",
+          selected.as("selected"))
+        .orderBy($"doc_id"))
+    per.unpersist()
+    result
+  }
+
+  val dsirSelectSql: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS ws
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id, lang,
+      |    CAST(md5_number_lower(ws[i] || ' ' || ws[i+1]) % 4096 AS INTEGER) AS b
+      |  FROM toks, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)
+      |  WHERE len(ws) >= 2
+      |), census AS (
+      |  SELECT b, SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+      |    COUNT(*) AS cb
+      |  FROM bg GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS t_tot,
+      |    CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS b_tot FROM census
+      |), score AS (
+      |  SELECT b,
+      |    round(ln(CAST(ct + 1 AS DOUBLE) / CAST(t_tot + 4096 AS DOUBLE))
+      |        - ln(CAST(cb + 1 AS DOUBLE) / CAST(b_tot + 4096 AS DOUBLE)), 6) AS lr
+      |  FROM census, tot
+      |), perdoc AS (
+      |  SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+      |    CAST(SUM(CAST(lr AS DECIMAL(28,6))) AS DOUBLE) AS log_w
+      |  FROM bg JOIN score USING (b) GROUP BY 1
+      |), alldocs AS (
+      |  SELECT t.doc_id, t.lang, COALESCE(p.n_feats, 0) AS n_feats,
+      |    COALESCE(p.log_w, 0.0) AS log_w
+      |  FROM toks t LEFT JOIN perdoc p USING (doc_id)
+      |), ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY log_w DESC, doc_id DESC) AS rk,
+      |    COUNT(*) OVER () AS n
+      |  FROM alldocs
+      |)
+      |SELECT doc_id, lang, n_feats, log_w, (rk <= (n + 3) // 4) AS selected
+      |FROM ranked
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lm_train" -> (lmTrain _),
     "q_lm_perplexity" -> (lmPerplexity _),
     "q_lm_ppl_filter" -> (lmPplFilter _),
+    "q_dsir_select" -> (dsirSelect _),
     "q_chat_validate" -> (chatValidate _),
     "q_chat_sft_tokens" -> (chatSftTokens _),
     "q_chat_render" -> (chatRender _),
@@ -299,6 +370,7 @@ object Training {
     "q_lm_train" -> lmTrainSql,
     "q_lm_perplexity" -> lmPerplexitySql,
     "q_lm_ppl_filter" -> lmPplFilterSql,
+    "q_dsir_select" -> dsirSelectSql,
     "q_chat_validate" -> chatValidateSql,
     "q_chat_sft_tokens" -> chatSftTokensSql,
     "q_chat_render" -> chatRenderSql,

@@ -162,7 +162,12 @@ class PlanShapeSpec extends SparkTestBase {
     // was rebuilt window-free (OrderStats boundary keys; in-row bigram
     // HOF; Ranks.rowNumber range-partitioned global rank). Pin all three.
     Graft.init(spark)
-    Seq("q_lm_ppl_filter", "q_phrase_search", "q_collocations").foreach { name =>
+    // q_substring_spans belongs here by construction: its maximal-span
+    // merge is an in-row fold over each doc's sorted position set — the
+    // lag()-window formulation its oracle uses would shuffle and sort
+    // the whole duplicated-site stream.
+    Seq("q_lm_ppl_filter", "q_phrase_search", "q_collocations",
+        "q_substring_spans").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
         .queryExecution.sparkPlan
       val windows = plan.collect {

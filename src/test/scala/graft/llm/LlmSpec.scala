@@ -678,4 +678,35 @@ class LlmSpec extends SparkTestBase {
     assert(byId(1L)._2 == byId(2L)._2 && byId(1L)._3 == byId(2L)._3)
     assert(byId(4L)._2 == byId(5L)._2 && byId(4L)._3 == byId(5L)._3)
   }
+
+  test("DSIR importance weights rank target-like docs above background-like docs") {
+    import spark.implicits._
+    // Disjoint vocabularies: targets speak only target-vocab bigrams,
+    // background only background-vocab. Any doc built from target
+    // bigrams must outweigh any doc built from background bigrams; a
+    // 1-token doc has no features and weight exactly 0.
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", true),
+      (2L, "alpha beta gamma", true),
+      (3L, "noise junk filler noise junk", false),
+      (4L, "noise junk filler", false),
+      (5L, "alpha beta", false),   // background doc with target content
+      (6L, "solo", false)
+    ).toDF("doc_id", "text", "is_t")
+    val out = Dsir.importanceWeights(docs, "doc_id", "text",
+        isTarget = col("is_t"), nBuckets = 64)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val w = out.map(r => r._1 -> r._3).toMap
+    val nf = out.map(r => r._1 -> r._2).toMap
+    assert(nf(1L) == 4 && nf(2L) == 2 && nf(6L) == 0)
+    assert(w(6L) == 0.0)
+    // every target-vocab doc above every background-vocab doc
+    for (t <- Seq(1L, 2L, 5L); b <- Seq(3L, 4L))
+      assert(w(t) > w(b), s"target-like $t (${w(t)}) vs background-like $b (${w(b)})")
+    // NOTE: no assertion that more target bigrams mean more weight — at
+    // this corpus size the add-one smoothing mass (nBuckets ≫ totals)
+    // makes every per-term log-ratio negative, so weights scale DOWN
+    // with length; only the relative ordering is corpus-size-invariant.
+  }
 }
