@@ -61,6 +61,7 @@ object Graft {
     "vec_dot" -> { args: Seq[Expression] => VecDot(args(0), args(1)) },
     "lsh_key" -> { args: Seq[Expression] => LshKeyExpr(args(0), args(1)) },
     "shingle_hashes" -> { args: Seq[Expression] => ShingleHashes(args(0), args(1)) },
+    "window_hashes" -> { args: Seq[Expression] => WindowHashes(args(0), args(1)) },
     "char_shingle_hashes" -> { args: Seq[Expression] => CharShingleHashes(args(0), args(1)) },
     "word_chunks" -> { args: Seq[Expression] => WordChunksExpr(args(0), args(1)) },
     "bpe_pairs" -> { args: Seq[Expression] => BpePairs(args(0)) },

@@ -222,6 +222,37 @@ class FusedTextSpec extends SparkTestBase with TableDrivenPropertyChecks {
     }
   }
 
+  test("window_hashes matches positional driver-hashed windows on adversarial strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val atoms = Seq(" ", "\t", "\n", "the", "a", "0", "café", "☃", "")
+    val rnd = new scala.util.Random(777)
+    val randoms = (1 to 150).map { _ =>
+      (0 until rnd.nextInt(20)).map(_ => atoms(rnd.nextInt(atoms.length))).mkString
+    } ++ Seq("", " \t", "one two", "one two three", "one two three four")
+    val rdf = randoms.toDF("text")
+    val fused = rdf.select(call_function("window_hashes", $"text", lit(3)))
+      .collect().map(_.getSeq[Long](0))
+    randoms.indices.foreach { i =>
+      // positional ground truth: lower/trim/\s+ tokenize, slide width-3
+      // windows, hash each space-joined window IN ORDER (no dedup);
+      // < 3 tokens → empty. trim = SQL/UTF8String trim — SPACES ONLY
+      // (Java String.trim also strips tabs/newlines and would disagree
+      // on "\ta b c": the engine keeps the leading empty token).
+      val lowered = randoms(i).toLowerCase
+      val spaceTrimmed = lowered
+        .dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val toks = spaceTrimmed.split("\\s+", -1)
+      val want =
+        if (toks.length < 3) Seq.empty[Long]
+        else toks.sliding(3).map { w =>
+          val u = UTF8String.fromString(w.mkString(" "))
+          org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+        }.toSeq
+      assert(fused(i) == want, s"case $i: '${randoms(i)}'")
+    }
+  }
+
   test("char_shingle_hashes matches driver-hashed HOF char shingles, CJK/astral included") {
     import org.apache.spark.unsafe.types.UTF8String
     val atoms = Seq(" ", "\t", "\n", "the", "天地", "人", "0", "café", "☃",
