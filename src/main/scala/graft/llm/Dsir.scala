@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.Shim
 import org.apache.spark.sql.catalyst.expressions.Literal
@@ -16,13 +16,17 @@ import org.apache.spark.sql.catalyst.expressions.Literal
   *
   * Scale shape: features are hashed scan-side (in-row bigram → bucket,
   * [[graft.exprs.Md5Bucket]] so DuckDB's `md5_number_lower(f) % n` is
-  * the exact twin); the only corpus-sized shuffles are the bucket
-  * census groupBy and the per-doc rollup. The census (≤ nBuckets rows)
-  * broadcasts back for per-term scoring — no second corpus pass over
-  * text, no driver-side model beyond two totals. Per-term log-ratios
-  * are rounded at 1e-6 and accumulated in DECIMAL(28,6), the
-  * cross-engine determinism discipline used by the LM scorer (see
-  * SCALE.md "Cross-engine rounding discipline").
+  * the exact twin); the census groupBy is the ONLY corpus shuffle. The
+  * per-bucket log-ratios — the entire trained model, ≤ nBuckets doubles
+  * — are collected and shipped back as one array literal, so the
+  * scoring pass computes each document's weight in-row off the scan: no
+  * broadcast join, no doc-keyed rollup, no second shuffle. Per-term
+  * log-ratios are rounded at 1e-6 and accumulated in DECIMAL(28,6),
+  * the cross-engine determinism discipline used by the LM scorer (see
+  * SCALE.md "Cross-engine rounding discipline"). The log-ratio
+  * arithmetic itself stays IN Spark (a local relation over the
+  * collected census) so `ln`/`round` produce the engine's doubles, not
+  * a driver-side reimplementation's.
   */
 object Dsir {
 
@@ -39,31 +43,46 @@ object Dsir {
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
                         isTarget: Column, nBuckets: Int = 4096): DataFrame = {
     require(nBuckets >= 2, "nBuckets must be at least 2")
+    require(nBuckets <= (1 << 22),
+      "nBuckets above ~4M would make the inlined model literal unreasonable")
+    val spark = df.sparkSession
+    val bucketsOf = (ws: Column) => transform(NgramLM.bigrams(ws),
+      bg => mdBucket(concat_ws(" ", bg("w1"), bg("w2")), nBuckets))
     val base = df.select(col(idCol).as("id"), isTarget.as("is_t"),
-      NgramLM.tokens(col(textCol)).as("ws"))
-    val feats = base.select(col("id"), col("is_t"),
-      explode(transform(NgramLM.bigrams(col("ws")),
-        bg => mdBucket(concat_ws(" ", bg("w1"), bg("w2")), nBuckets))).as("b"))
-    val census = feats.groupBy(col("b"))
+      bucketsOf(NgramLM.tokens(col(textCol))).as("bs"))
+    // census pass — the only corpus shuffle; result ≤ nBuckets rows
+    val censusRows = base
+      .select(col("is_t"), explode(col("bs")).as("b"))
+      .groupBy(col("b"))
       .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
         count(lit(1)).as("cb"))
-    // two totals — the entire driver-side state of the method
-    val totRow = census.agg(
-      coalesce(sum(col("ct")), lit(0L)), coalesce(sum(col("cb")), lit(0L))).head
-    val (tT, tB) = (totRow.getLong(0), totRow.getLong(1))
-    val score = census.select(col("b"),
-      round(
-        log((col("ct") + 1).cast("double") / lit((tT + nBuckets).toDouble)) -
-        log((col("cb") + 1).cast("double") / lit((tB + nBuckets).toDouble)),
-        6).as("lr"))
-    val perDoc = feats.join(broadcast(score), Seq("b"))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_feats"),
-        sum(col("lr").cast("decimal(28,6)")).cast("double").as("log_w"))
-    base.select(col("id"))
-      .join(perDoc, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        coalesce(col("log_w"), lit(0.0)).as("log_w"))
+      .collect()
+    val tT = censusRows.map(_.getLong(1)).sum
+    val tB = censusRows.map(_.getLong(2)).sum
+    // per-bucket smoothed log-ratio, computed BY SPARK over a local
+    // relation so both verification engines see the identical doubles
+    import spark.implicits._
+    val lrByBucket: Map[Int, Double] =
+      if (censusRows.isEmpty) Map.empty
+      else censusRows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toSeq.toDF("b", "ct", "cb")
+        .select(col("b"),
+          round(
+            log((col("ct") + 1).cast("double") / lit((tT + nBuckets).toDouble)) -
+            log((col("cb") + 1).cast("double") / lit((tB + nBuckets).toDouble)),
+            6).as("lr"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // absent buckets can never occur in a document (occurrence ⇒ cb ≥ 1
+    // ⇒ census row); 0.0 placeholders only pad the literal
+    val lrArr = Shim.column(Literal.create(
+      (0 until nBuckets).map(b => lrByBucket.getOrElse(b, 0.0)),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false)))
+    base.select(col("id"),
+      size(col("bs")).cast("long").as("n_feats"),
+      aggregate(col("bs"), lit(0).cast("decimal(28,6)"),
+        (acc, b) => (acc + element_at(lrArr, b + 1).cast("decimal(28,6)"))
+          .cast("decimal(28,6)"))
+        .cast("double").as("log_w"))
   }
 }
