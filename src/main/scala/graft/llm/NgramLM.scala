@@ -137,4 +137,44 @@ object NgramLM {
         coalesce(sum(col("logp").cast("decimal(28,6)")),
           lit(0).cast("decimal(28,6)")).as("sum_logp"))
   }
+
+  /** Interpolated Kneser–Ney probabilities for every bigram in the
+    * trained model (Kneser & Ney 1995; the interpolated form follows
+    * Chen & Goodman 1998 §2.7):
+    *
+    *   P_KN(w2|w1) = max(c12 − D, 0)/c1  +  D·N1+(w1,•)/c1 · P_cont(w2)
+    *   P_cont(w2)  = N1+(•,w2) / N1+(•,•)
+    *
+    * with absolute discount D fixed at 3/4 — the standard value, chosen
+    * here also because it makes the whole probability one EXACT integer
+    * ratio (c12 ≥ 1 for every modeled bigram, so max(c12−3/4, 0) =
+    * (4·c12−3)/4):
+    *
+    *   P_KN = ((4·c12 − 3)·N1+(•,•) + 3·N1+(w1,•)·N1+(•,w2))
+    *          / (4·c1·N1+(•,•))
+    *
+    * which [[graft.util.ExactRound.ratio6]] rounds identically on both
+    * verification engines — no float path anywhere.
+    *
+    * Scale shape: all three continuation censuses (per-w1, per-w2,
+    * global) aggregate the CAPPED model table — vocabulary-bounded and
+    * broadcastable by the `maxBigrams` contract — never the corpus, so
+    * the joins below are broadcast probes with no corpus shuffle. */
+  def kneserNey(m: Model): DataFrame = {
+    val n1 = m.bigram.groupBy(col("w1")).agg(count(lit(1)).as("n1p_w1"))
+    val n2 = m.bigram.groupBy(col("w2")).agg(count(lit(1)).as("n1p_w2"))
+    val na = m.bigram.agg(count(lit(1)).as("n1p_all"))
+    import graft.util.ExactRound
+    m.bigram
+      .join(broadcast(m.context), Seq("w1"))
+      .join(broadcast(n1), Seq("w1"))
+      .join(broadcast(n2), Seq("w2"))
+      .crossJoin(broadcast(na))
+      .withColumn("p_kn", expr(ExactRound.ratio6(
+        s"${ExactRound.prod("4 * c12 - 3", "n1p_all")} + " +
+          s"${ExactRound.prod("3 * n1p_w1", "n1p_w2")}",
+        ExactRound.prod("4 * c1", "n1p_all"))))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n1p_w1"), col("n1p_w2"), col("p_kn"))
+  }
 }

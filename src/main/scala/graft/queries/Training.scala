@@ -286,6 +286,41 @@ object Training {
       |FROM rends
       |ORDER BY conv_id""".stripMargin
 
+  /** Interpolated Kneser–Ney view of the same en-trained bigram model
+    * ([[NgramLM.kneserNey]]): the top-30 bigrams with their discounted
+    * probability, continuation censuses exposed for audit. D = 3/4
+    * turns P_KN into one exact integer ratio, so the probability column
+    * rounds through [[graft.util.ExactRound]] on both engines — the
+    * oracle recomputes the full formula in HUGEINT. */
+  def lmKneserNey(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = NgramLM.train(documents(s, d).filter($"lang" === "en"), $"text")
+    NgramLM.kneserNey(m)
+      .orderBy($"c12".desc, $"w1", $"w2")
+      .limit(30)
+  }
+
+  val lmKneserNeySql: String = lmCtes +
+    s""", n1 AS (
+      |  SELECT w1, COUNT(*) AS n1p_w1 FROM bg GROUP BY 1
+      |), n2 AS (
+      |  SELECT w2, COUNT(*) AS n1p_w2 FROM bg GROUP BY 1
+      |), na AS (
+      |  SELECT COUNT(*) AS n1p_all FROM bg
+      |)
+      |SELECT bg.w1, bg.w2, bg.c12, ctx.c1, n1.n1p_w1, n2.n1p_w2,
+      |  ${graft.util.ExactRound.ratio6Duck(
+          s"${graft.util.ExactRound.prodDuck("4 * bg.c12 - 3", "na.n1p_all")} + " +
+            s"${graft.util.ExactRound.prodDuck("3 * n1.n1p_w1", "n2.n1p_w2")}",
+          graft.util.ExactRound.prodDuck("4 * ctx.c1", "na.n1p_all"))} AS p_kn
+      |FROM bg
+      |JOIN ctx ON ctx.w1 = bg.w1
+      |JOIN n1 ON n1.w1 = bg.w1
+      |JOIN n2 ON n2.w2 = bg.w2
+      |CROSS JOIN na
+      |ORDER BY bg.c12 DESC, bg.w1, bg.w2
+      |LIMIT 30""".stripMargin
+
   /** DSIR data selection ([[graft.llm.Dsir.importanceWeights]], target =
     * `lang='en'`): hashed-bigram importance weights plus the top-quarter
     * keep set. Selection avoids any global sort the same way the tercile
@@ -360,6 +395,7 @@ object Training {
     "q_lm_train" -> (lmTrain _),
     "q_lm_perplexity" -> (lmPerplexity _),
     "q_lm_ppl_filter" -> (lmPplFilter _),
+    "q_lm_kneser_ney" -> (lmKneserNey _),
     "q_dsir_select" -> (dsirSelect _),
     "q_chat_validate" -> (chatValidate _),
     "q_chat_sft_tokens" -> (chatSftTokens _),
@@ -370,6 +406,7 @@ object Training {
     "q_lm_train" -> lmTrainSql,
     "q_lm_perplexity" -> lmPerplexitySql,
     "q_lm_ppl_filter" -> lmPplFilterSql,
+    "q_lm_kneser_ney" -> lmKneserNeySql,
     "q_dsir_select" -> dsirSelectSql,
     "q_chat_validate" -> chatValidateSql,
     "q_chat_sft_tokens" -> chatSftTokensSql,

@@ -74,4 +74,23 @@ class NgramLMSpec extends SparkTestBase {
     // no bigrams → survives with n_bigrams = 0, sum 0
     assert(out(12L) == ((0L, 0.0)))
   }
+
+  test("kneserNey: exact hand-computed probabilities, discount mass reserved") {
+    val m = NgramLM.train(corpus, col("text"))
+    val kn = NgramLM.kneserNey(m).collect()
+      .map(r => ((r.getAs[String]("w1"), r.getAs[String]("w2")),
+        (r.getAs[Long]("n1p_w1"), r.getAs[Long]("n1p_w2"), r.getAs[Double]("p_kn"))))
+      .toMap
+    // n1p_w1: a→1, b→2; n1p_w2: a/b/c→1; n1p_all = 3; D = 3/4.
+    // P(b|a) = ((4·3−3)·3 + 3·1·1)/(4·3·3) = 30/36 → 0.833333
+    // P(a|b) = P(c|b) = ((4·1−3)·3 + 3·2·1)/(4·2·3) = 9/24 = 0.375
+    assert(kn == Map(
+      ("a", "b") -> ((1L, 1L, 0.833333)),
+      ("b", "a") -> ((2L, 1L, 0.375)),
+      ("b", "c") -> ((2L, 1L, 0.375))))
+    // interpolated KN reserves discount mass: observed continuations of a
+    // context must sum strictly below 1
+    assert(kn.toSeq.groupBy(_._1._1).forall { case (_, rows) =>
+      rows.map(_._2._3).sum < 1.0 })
+  }
 }
