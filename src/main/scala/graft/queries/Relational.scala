@@ -1202,6 +1202,126 @@ object Relational {
       |ON o_orderkey = t.l_orderkey
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Stream-stream FULL OUTER join — completes the streaming join-type
+    * matrix (inner / leftOuter / anti / stream-static): BOTH sides'
+    * unmatched rows must flush, each only once the watermark proves its
+    * ±3 h match window can no longer be entered. The symmetric interval
+    * condition bounds state in both directions, so a side's row is
+    * evictable (and its null row emitted by the final no-data batch)
+    * exactly when `ts + 3 h` falls behind the global watermark
+    * `least(max click_ts, max error_ts) − 1 h`. Matched pairs emit
+    * unconditionally. A `match_kind` discriminator replaces sentinel
+    * arithmetic (a −1 µs lag is a legal matched value, so a lag
+    * sentinel would be ambiguous). */
+  def streamFullOuter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.util.Tables.events(s, d)
+    val dataDir = stagedEventsDir(s, d)
+    withStreamPartitions(s, 8) {
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
+      val clicks = stream.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val errors = stream.filter($"event_type" === "error")
+        .select($"user_id".as("err_user"), $"event_id".as("error_id"),
+          $"ts".as("error_ts"))
+        .withWatermark("error_ts", "1 hour")
+      val joined = errors.join(clicks,
+        $"user_id" === $"err_user" &&
+          $"click_ts" >= $"error_ts" - expr("INTERVAL 3 HOURS") &&
+          $"click_ts" <= $"error_ts" + expr("INTERVAL 3 HOURS"), "fullOuter")
+        .select(coalesce($"err_user", $"user_id").as("user_id"),
+          coalesce($"error_id", lit(-1L)).as("error_id"),
+          coalesce($"click_id", lit(-1L)).as("click_id"),
+          when($"error_id".isNull, "click_only")
+            .when($"click_id".isNull, "error_only")
+            .otherwise("both").as("match_kind"))
+      val name = "stream_full_outer_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy($"user_id", $"error_id", $"click_id")
+    }
+  }
+
+  val streamFullOuterSql: String =
+    """WITH wm AS (
+      |  SELECT least(
+      |      max(ts) FILTER (WHERE event_type = 'click'),
+      |      max(ts) FILTER (WHERE event_type = 'error'))
+      |    - INTERVAL 1 HOUR AS w
+      |  FROM events
+      |), matched AS (
+      |  SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id,
+      |    'both' AS match_kind
+      |  FROM events e JOIN events c
+      |    ON c.user_id = e.user_id
+      |   AND e.event_type = 'error' AND c.event_type = 'click'
+      |   AND c.ts BETWEEN e.ts - INTERVAL 3 HOUR AND e.ts + INTERVAL 3 HOUR
+      |), err_only AS (
+      |  SELECT e.user_id, e.event_id AS error_id,
+      |    CAST(-1 AS BIGINT) AS click_id, 'error_only' AS match_kind
+      |  FROM events e, wm
+      |  WHERE e.event_type = 'error' AND e.ts + INTERVAL 3 HOUR < wm.w
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM events c
+      |      WHERE c.event_type = 'click' AND c.user_id = e.user_id
+      |        AND c.ts BETWEEN e.ts - INTERVAL 3 HOUR AND e.ts + INTERVAL 3 HOUR)
+      |), click_only AS (
+      |  SELECT c.user_id, CAST(-1 AS BIGINT) AS error_id,
+      |    c.event_id AS click_id, 'click_only' AS match_kind
+      |  FROM events c, wm
+      |  WHERE c.event_type = 'click' AND c.ts + INTERVAL 3 HOUR < wm.w
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM events e
+      |      WHERE e.event_type = 'error' AND e.user_id = c.user_id
+      |        AND e.ts BETWEEN c.ts - INTERVAL 3 HOUR AND c.ts + INTERVAL 3 HOUR)
+      |)
+      |SELECT * FROM matched
+      |UNION ALL SELECT * FROM err_only
+      |UNION ALL SELECT * FROM click_only
+      |ORDER BY user_id, error_id, click_id""".stripMargin
+
+  /** `dropDuplicatesWithinWatermark` over (user_id, event_type): the
+    * state-bounded streaming dedup API, staged across two time-split
+    * files so key state provably carries over micro-batch boundaries (a
+    * key first seen in batch 1 must NOT re-emit in batch 2). The delay
+    * (90 days) exceeds the data's whole time span, so every key emits
+    * exactly once and the emitted SET is independent of within-batch
+    * row order — the payload is projected down to the key columns after
+    * the dedup because the operator's surviving row (and thus its `ts`)
+    * is an arrival-order artifact, not a determinate value. At 100 TB
+    * the same operator with a short delay is the unbounded-stream shape:
+    * state is evicted as the watermark passes, keeping the dedup map
+    * bounded by the delay window instead of the key cardinality. */
+  def streamDedupWm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.util.Tables.events(s, d)
+    val dataDir = stagedEventsDir(s, d)
+    withStreamPartitions(s, 8) {
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
+      val deduped = stream
+        .withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select($"user_id", $"event_type")
+      val name = "stream_dedup_wm_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy($"user_id", $"event_type")
+    }
+  }
+
+  val streamDedupWmSql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_pricing" -> (aggPricing _),
     "q_filter_project" -> (filterProject _),
@@ -1220,6 +1340,8 @@ object Relational {
     "q_stream_sessions" -> (streamSessions _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_join_outer" -> (streamJoinOuter _),
+    "q_stream_full_outer" -> (streamFullOuter _),
+    "q_stream_dedup_wm" -> (streamDedupWm _),
     "q_runtime_filter" -> (runtimeFilter _),
     "q_interval_join" -> (intervalJoin _),
     "q_stream_anti" -> (streamAnti _),
@@ -1256,6 +1378,8 @@ object Relational {
     "q_stream_sessions" -> streamSessionsSql,
     "q_stream_join" -> streamJoinSql,
     "q_stream_join_outer" -> streamJoinOuterSql,
+    "q_stream_full_outer" -> streamFullOuterSql,
+    "q_stream_dedup_wm" -> streamDedupWmSql,
     "q_runtime_filter" -> runtimeFilterSql,
     "q_interval_join" -> intervalJoinSql,
     "q_stream_anti" -> streamAntiSql,

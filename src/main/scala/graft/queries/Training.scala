@@ -391,11 +391,113 @@ object Training {
       |FROM ranked
       |ORDER BY doc_id""".stripMargin
 
+  /** DoReMi-lite domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    * arXiv:2305.10429, one multiplicative-weights round): each `source`
+    * domain's mean per-bigram nll under the en-trained reference LM,
+    * its excess over the corpus-wide nll, the exp(excess) weight
+    * (η = 1), and the normalized mixture share. The final DoReMi step —
+    * mixing with uniform at rate ε — is an affine map over `share` left
+    * to the consumer (it would add a 7th-decimal cross-engine rounding
+    * hazard for zero informational gain).
+    *
+    * Determinism: domain nll is the SAME exact-integer construction as
+    * the per-doc scorer (micro-scaled long sums, `(2a+n) div (2n)`
+    * half-up), so domain and corpus nll are engine-identical doubles;
+    * exp stays on doubles per the SCALE.md transcendental-round
+    * discipline, and the share normalization re-enters exact arithmetic
+    * by micro-scaling the 6-decimal weights ([[graft.util.ExactRound]]).
+    *
+    * Scale shape: one corpus shuffle (the per-doc score rollup inside
+    * [[NgramLM.score]]), then a domain-count-bounded aggregate that is
+    * persisted so the corpus is read once; everything downstream
+    * (global nll, weight normalization) is arithmetic over ≤ #domains
+    * rows. Σs accumulates in DECIMAL(38,0): at 10¹³ tokens the
+    * micro-scaled log-prob sum passes 2⁶³. */
+  def doremiWeights(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val m = NgramLM.train(docs.filter($"lang" === "en"), $"text")
+    val per = docs.select($"doc_id", $"source")
+      .join(NgramLM.score(docs, "doc_id", $"text", m), Seq("doc_id"))
+      .filter($"n_bigrams" > 0)
+      .withColumn("sc", (-$"sum_logp" * 1000000).cast("long"))
+    val dom = per.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_bigrams").as("n_d"),
+        sum($"sc".cast("decimal(38,0)")).as("s_d"))
+      .persist()
+    val tot = dom.agg(sum($"s_d").as("s_all"), sum($"n_d").as("n_all"))
+    val withW = dom.crossJoin(broadcast(tot))
+      .withColumn("nll",
+        expr("(2 * s_d + n_d) div (2 * n_d)").cast("double") / lit(1000000.0))
+      .withColumn("excess", greatest(lit(0.0),
+        $"nll" - expr("(2 * s_all + n_all) div (2 * n_all)").cast("double")
+          / lit(1000000.0)))
+      .withColumn("weight", round(exp($"excess"), 6))
+      .withColumn("w_mu", round($"weight" * 1000000, 0).cast("long"))
+    val result = graft.util.Local.materialize(
+      withW.crossJoin(broadcast(withW.agg(sum($"w_mu").as("w_tot"))))
+        .withColumn("share", expr(graft.util.ExactRound.ratio6("w_mu", "w_tot")))
+        .select($"source", $"n_docs", $"n_d".as("n_bigrams"), $"nll",
+          $"excess", $"weight", $"share")
+        .orderBy($"source"))
+    dom.unpersist()
+    result
+  }
+
+  val doremiWeightsSql: String = lmCtes +
+    """, dbg AS (
+      |  SELECT d.doc_id, ws[i] AS w1, ws[i+1] AS w2
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      |        FROM documents) d,
+      |  LATERAL unnest(generate_series(1, len(ws)-1)) AS t(i)
+      |), term AS (
+      |  SELECT dbg.doc_id,
+      |    round(ln(CAST(COALESCE(bg.c12, 0) + 1 AS DOUBLE)
+      |             / (COALESCE(ctx.c1, 0) + voc.v)), 6) AS logp
+      |  FROM dbg
+      |  LEFT JOIN bg ON bg.w1 = dbg.w1 AND bg.w2 = dbg.w2
+      |  LEFT JOIN ctx ON ctx.w1 = dbg.w1
+      |  CROSS JOIN voc
+      |), agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_bigrams,
+      |    CAST(SUM(CAST(logp AS DECIMAL(28,6))) * -1000000 AS BIGINT) AS s
+      |  FROM term GROUP BY 1
+      |), dom AS (
+      |  SELECT dd.source, COUNT(*) AS n_docs,
+      |    CAST(SUM(a.n_bigrams) AS BIGINT) AS n_d,
+      |    CAST(SUM(a.s) AS HUGEINT) AS s_d
+      |  FROM agg a JOIN documents dd USING (doc_id)
+      |  GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(SUM(s_d) AS HUGEINT) AS s_all,
+      |    CAST(SUM(n_d) AS BIGINT) AS n_all FROM dom
+      |), calc AS (
+      |  SELECT source, n_docs, n_d AS n_bigrams,
+      |    CAST((2 * s_d + n_d) // (2 * n_d) AS DOUBLE) / 1000000.0 AS nll,
+      |    greatest(0.0,
+      |      CAST((2 * s_d + n_d) // (2 * n_d) AS DOUBLE) / 1000000.0
+      |      - CAST((2 * s_all + n_all) // (2 * n_all) AS DOUBLE) / 1000000.0) AS excess
+      |  FROM dom, tot
+      |), w AS (
+      |  SELECT source, n_docs, n_bigrams, nll, excess,
+      |    round(exp(excess), 6) AS weight,
+      |    CAST(round(round(exp(excess), 6) * 1000000, 0) AS BIGINT) AS w_mu
+      |  FROM calc
+      |)
+      |SELECT source, n_docs, n_bigrams, nll, excess, weight,
+      |  """.stripMargin +
+    graft.util.ExactRound.ratio6Duck("w_mu", "SUM(w_mu) OVER ()") +
+    """ AS share
+      |FROM w
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lm_train" -> (lmTrain _),
     "q_lm_perplexity" -> (lmPerplexity _),
     "q_lm_ppl_filter" -> (lmPplFilter _),
     "q_lm_kneser_ney" -> (lmKneserNey _),
+    "q_doremi_weights" -> (doremiWeights _),
     "q_dsir_select" -> (dsirSelect _),
     "q_chat_validate" -> (chatValidate _),
     "q_chat_sft_tokens" -> (chatSftTokens _),
@@ -407,6 +509,7 @@ object Training {
     "q_lm_perplexity" -> lmPerplexitySql,
     "q_lm_ppl_filter" -> lmPplFilterSql,
     "q_lm_kneser_ney" -> lmKneserNeySql,
+    "q_doremi_weights" -> doremiWeightsSql,
     "q_dsir_select" -> dsirSelectSql,
     "q_chat_validate" -> chatValidateSql,
     "q_chat_sft_tokens" -> chatSftTokensSql,
