@@ -178,6 +178,92 @@ object Llm {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Gopher rule-by-rule quality battery (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", arXiv:2112.11446, Appendix A1.1) — the per-rule boolean
+    * complement to [[textQuality]]'s composite score: word-count band,
+    * mean-word-length band, symbol-to-word ratio, bullet-line and
+    * ellipsis-line fractions, alphabetic-word fraction, and the
+    * required-stopword floor, plus the conjunction. (On the synthetic
+    * corpus the stopword floor is honestly near-unreachable — the
+    * generator's vocabulary has almost no English function words — so
+    * `pass` is expected mostly false; the per-rule columns carry the
+    * discrimination and the oracle hashes all of them.) Every ratio
+    * threshold compares cross-multiplied INTEGER counts (`10·sym ≤
+    * toks`, `5·alpha ≥ 4·toks`, …), so there is no float anywhere and
+    * both engines agree bit-for-bit. All counts are per-row HOFs off
+    * the scan — no shuffle, whole rule battery in one projection. */
+  def gopherRules(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ws = filter(split(trim($"text"), "\\s+"), w => w =!= "")
+    val wsl = split(trim(lower($"text")), "\\s+")
+    val lines = split($"text", "\n")
+    val counts = documents(s, d).select($"doc_id",
+      size(ws).cast("long").as("n_words"),
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("wlen"),
+      (length($"text") - length(regexp_replace($"text", "#", "")) +
+        size(regexp_extract_all($"text", lit("\\.{3}|…"), lit(0)))).cast("long").as("sym"),
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long").as("bul"),
+      size(filter(lines, l => l.rlike("(\\.{3}|…)\\s*$"))).cast("long").as("ell"),
+      size(filter(ws, w => w.rlike("[a-zA-Z]"))).cast("long").as("alpha"),
+      size(filter(
+        array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*),
+        sw => array_contains(wsl, sw))).cast("long").as("nsw"))
+    counts.select($"doc_id", $"n_words",
+      $"n_words".between(50L, 100000L).as("ok_word_count"),
+      ($"n_words" > 0L && lit(3L) * $"n_words" <= $"wlen" &&
+        $"wlen" <= lit(10L) * $"n_words").as("ok_mean_word_len"),
+      (lit(10L) * $"sym" <= $"n_words").as("ok_symbol_ratio"),
+      (lit(10L) * $"bul" <= lit(9L) * $"n_lines").as("ok_bullet_lines"),
+      (lit(10L) * $"ell" <= lit(3L) * $"n_lines").as("ok_ellipsis_lines"),
+      (lit(5L) * $"alpha" >= lit(4L) * $"n_words").as("ok_alpha_words"),
+      ($"nsw" >= 2L).as("ok_stopwords"))
+      .withColumn("pass",
+        $"ok_word_count" && $"ok_mean_word_len" && $"ok_symbol_ratio" &&
+          $"ok_bullet_lines" && $"ok_ellipsis_lines" && $"ok_alpha_words" &&
+          $"ok_stopwords")
+      .orderBy($"doc_id")
+  }
+
+  val gopherRulesSql: String =
+    raw"""WITH c AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')) AS n_words,
+      |    COALESCE(list_sum(list_transform(
+      |      list_filter(string_split_regex(trim(text), '\s+'), w -> w <> ''),
+      |      w -> length(w))), 0) AS wlen,
+      |    length(text) - length(regexp_replace(text, '#', '', 'g'))
+      |      + len(regexp_extract_all(text, '\.{3}|…')) AS sym,
+      |    len(string_split(text, chr(10))) AS n_lines,
+      |    len(list_filter(string_split(text, chr(10)),
+      |      l -> regexp_matches(l, '^\s*[-*•]'))) AS bul,
+      |    len(list_filter(string_split(text, chr(10)),
+      |      l -> regexp_matches(l, '(\.{3}|…)\s*$$'))) AS ell,
+      |    len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> ''),
+      |      w -> regexp_matches(w, '[a-zA-Z]'))) AS alpha,
+      |    len(list_filter(['the','be','to','of','and','that','have','with'],
+      |      sw -> list_contains(string_split_regex(trim(lower(text)), '\s+'), sw))) AS nsw
+      |  FROM documents
+      |)
+      |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |  n_words BETWEEN 50 AND 100000 AS ok_word_count,
+      |  (n_words > 0 AND 3 * n_words <= wlen AND wlen <= 10 * n_words) AS ok_mean_word_len,
+      |  10 * sym <= n_words AS ok_symbol_ratio,
+      |  10 * bul <= 9 * n_lines AS ok_bullet_lines,
+      |  10 * ell <= 3 * n_lines AS ok_ellipsis_lines,
+      |  5 * alpha >= 4 * n_words AS ok_alpha_words,
+      |  nsw >= 2 AS ok_stopwords,
+      |  (n_words BETWEEN 50 AND 100000
+      |    AND n_words > 0 AND 3 * n_words <= wlen AND wlen <= 10 * n_words
+      |    AND 10 * sym <= n_words
+      |    AND 10 * bul <= 9 * n_lines
+      |    AND 10 * ell <= 3 * n_lines
+      |    AND 5 * alpha >= 4 * n_words
+      |    AND nsw >= 2) AS pass
+      |FROM c
+      |ORDER BY doc_id""".stripMargin
+
   /** Corpus vocabulary top-100: the classic distributed wordcount shape —
     * explode words, hash-aggregate with map-side partial combine, global
     * top-k via TakeOrdered (no full sort shuffle). Total order by
@@ -1480,6 +1566,7 @@ object Llm {
     "q_text_stats" -> (textStats _),
     "q_text_lang" -> (langId _),
     "q_text_quality" -> (textQuality _),
+    "q_gopher_rules" -> (gopherRules _),
     "q_text_repetition" -> (textRepetition _),
     "q_vocab_topk" -> (vocabTopK _),
     "q_pii_redact" -> (piiRedact _),
@@ -2093,6 +2180,7 @@ object Llm {
     "q_text_stats" -> textStatsSql,
     "q_text_lang" -> langIdSql,
     "q_text_quality" -> textQualitySql,
+    "q_gopher_rules" -> gopherRulesSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_vocab_topk" -> vocabTopKSql,
     "q_pii_redact" -> piiRedactSql,
