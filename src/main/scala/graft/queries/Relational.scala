@@ -1322,6 +1322,61 @@ object Relational {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** `transformWithState` (Spark 4's arbitrary-state processor API, the
+    * successor to `flatMapGroupsWithState`): a per-user ValueState
+    * cumulative ledger over the two-file time-split staging — each
+    * micro-batch with rows for a user emits that batch's count plus the
+    * post-batch cumulative count and running max event time, so the
+    * oracle is a closed form over per-(user, file-half) aggregates with
+    * running windows. Requires the RocksDB state store provider
+    * (scoped; the HDFS-backed default does not serve this operator) —
+    * which is also the provider a 100 TB deployment would run: state
+    * lives off-heap/on-disk per executor instead of as JVM-heap
+    * hashmaps. */
+  def streamTws(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.StreamOps.{CumulProcessor, TwsEvent}
+    val ev = graft.util.Tables.events(s, d)
+    val dataDir = stagedEventsDir(s, d)
+    withConfs(s,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      withStreamPartitions(s, 8) {
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
+          .select($"user_id", unix_micros($"ts").as("ts_us"))
+          .as[TwsEvent]
+        val out = stream
+          .groupByKey(_.user_id)
+          .transformWithState(new CumulProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        val name = "stream_tws_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name).orderBy($"user_id", $"emit_seq")
+      }
+    }
+  }
+
+  val streamTwsSql: String =
+    """WITH halves AS (
+      |  SELECT user_id,
+      |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 2 END AS half,
+      |    COUNT(*) AS n, max(epoch_us(ts)) AS mts
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT user_id,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY half) AS emit_seq,
+      |  n AS n_events,
+      |  SUM(n) OVER (PARTITION BY user_id ORDER BY half) AS cum_events,
+      |  MAX(mts) OVER (PARTITION BY user_id ORDER BY half) AS last_ts_us
+      |FROM halves
+      |ORDER BY user_id, emit_seq""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_pricing" -> (aggPricing _),
     "q_filter_project" -> (filterProject _),
@@ -1342,6 +1397,7 @@ object Relational {
     "q_stream_join_outer" -> (streamJoinOuter _),
     "q_stream_full_outer" -> (streamFullOuter _),
     "q_stream_dedup_wm" -> (streamDedupWm _),
+    "q_stream_tws" -> (streamTws _),
     "q_runtime_filter" -> (runtimeFilter _),
     "q_interval_join" -> (intervalJoin _),
     "q_stream_anti" -> (streamAnti _),
@@ -1380,6 +1436,7 @@ object Relational {
     "q_stream_join_outer" -> streamJoinOuterSql,
     "q_stream_full_outer" -> streamFullOuterSql,
     "q_stream_dedup_wm" -> streamDedupWmSql,
+    "q_stream_tws" -> streamTwsSql,
     "q_runtime_filter" -> runtimeFilterSql,
     "q_interval_join" -> intervalJoinSql,
     "q_stream_anti" -> streamAntiSql,

@@ -164,6 +164,49 @@ object StreamOps {
       }
   }
 
+  /** Input/output/state rows for [[CumulProcessor]]. Timestamps travel
+    * as epoch micros (Long) so the state encoder never touches session
+    * time zones. */
+  final case class TwsEvent(user_id: Long, ts_us: Long)
+  final case class TwsOut(user_id: Long, emit_seq: Long, n_events: Long,
+                          cum_events: Long, last_ts_us: Long)
+  final case class TwsState(emits: Long, cum: Long, max_ts_us: Long)
+
+  /** `transformWithState` processor (the Spark 4 arbitrary-state API
+    * that supersedes `flatMapGroupsWithState`): per-key ValueState
+    * carrying (emission count, cumulative events, running max event
+    * time); each micro-batch containing rows for a key emits exactly
+    * one row with the batch count and the post-batch cumulative view.
+    * Emission content is independent of within-batch row order (count
+    * and max are commutative), so with deterministic batch staging the
+    * emitted SET is closed-form. TimeMode.None: no timers — state
+    * lives for the run; the TTL knob is where a 24/7 deployment bounds
+    * it. */
+  final class CumulProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TwsEvent, TwsOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[TwsState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[TwsState]("cumul",
+        Encoders.product[TwsState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TwsOut] = {
+      var n = 0L
+      var mx = Long.MinValue
+      rows.foreach { e => n += 1; if (e.ts_us > mx) mx = e.ts_us }
+      if (n == 0) Iterator.empty
+      else {
+        val prev = if (st.exists()) st.get() else TwsState(0L, 0L, Long.MinValue)
+        val next = TwsState(prev.emits + 1, prev.cum + n, math.max(prev.max_ts_us, mx))
+        st.update(next)
+        Iterator.single(TwsOut(key, next.emits, n, next.cum, next.max_ts_us))
+      }
+    }
+  }
+
   /** K1 as a streaming sink: per micro-batch idempotent upsert into the
     * feature store (foreachBatch; replays of a batch converge to the same
     * store state because upsert is keyed on identifier). */
