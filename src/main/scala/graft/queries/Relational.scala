@@ -1377,6 +1377,76 @@ object Relational {
       |FROM halves
       |ORDER BY user_id, emit_seq""".stripMargin
 
+  /** SCD type-2 dimension merge — the warehouse upsert-with-history
+    * shape: a deterministic update batch (every 10th customer's balance
+    * moves; every 97th spawns a new key) full-outer-joins the current
+    * dimension, and each join case fans out declaratively via a CASE of
+    * struct arrays + explode: matched → close the old version at the
+    * effective date AND open the new one; dim-only → untouched;
+    * update-only → fresh insert. One shuffle (the merge join — AQE may
+    * broadcast the update side when it is small, which is exactly
+    * right); the history fan-out is in-row. At 100 TB this is the
+    * MERGE-INTO pattern: join on the dimension key, rewrite only
+    * affected partitions. Validity bounds are TIMESTAMP_NTZ per the
+    * repo-wide no-DATE-columns convention. */
+  def scd2Merge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = customer(s, d).select($"c_custkey", $"c_acctbal")
+    val updates = dim.filter($"c_custkey" % 10 === 0)
+      .select($"c_custkey".as("u_key"), ($"c_acctbal" + 100.0).as("u_bal"))
+      .unionAll(dim.filter($"c_custkey" % 97 === 0)
+        .select(($"c_custkey" + 1000000L).as("u_key"), $"c_acctbal".as("u_bal")))
+    val start = lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    val eff = lit("2024-02-01 00:00:00").cast("timestamp_ntz")
+    val nullTs = lit(null).cast("timestamp_ntz")
+    def ver(key: org.apache.spark.sql.Column, bal: org.apache.spark.sql.Column,
+            from: org.apache.spark.sql.Column, to: org.apache.spark.sql.Column,
+            cur: Boolean) =
+      struct(key.as("c_custkey"), bal.as("c_acctbal"), from.as("valid_from"),
+        to.as("valid_to"), lit(cur).as("is_current"))
+    dim.join(updates, $"c_custkey" === $"u_key", "fullOuter")
+      .select(explode(
+        when($"c_custkey".isNotNull && $"u_key".isNotNull, array(
+          ver($"c_custkey", $"c_acctbal", start, eff, cur = false),
+          ver($"c_custkey", $"u_bal", eff, nullTs, cur = true)))
+        .when($"u_key".isNull, array(
+          ver($"c_custkey", $"c_acctbal", start, nullTs, cur = true)))
+        .otherwise(array(
+          ver($"u_key", $"u_bal", eff, nullTs, cur = true)))).as("r"))
+      .select($"r.*")
+      .orderBy($"c_custkey", $"valid_from")
+  }
+
+  val scd2MergeSql: String =
+    """WITH dim AS (
+      |  SELECT c_custkey, c_acctbal FROM customer
+      |), upd AS (
+      |  SELECT c_custkey AS u_key, c_acctbal + 100.0 AS u_bal
+      |  FROM dim WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_acctbal
+      |  FROM dim WHERE c_custkey % 97 = 0
+      |)
+      |SELECT * FROM (
+      |  SELECT d.c_custkey, d.c_acctbal,
+      |    TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+      |    TIMESTAMP '2024-02-01 00:00:00' AS valid_to, FALSE AS is_current
+      |  FROM dim d JOIN upd ON u_key = d.c_custkey
+      |  UNION ALL
+      |  SELECT d.c_custkey, u.u_bal,
+      |    TIMESTAMP '2024-02-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+      |  FROM dim d JOIN upd u ON u.u_key = d.c_custkey
+      |  UNION ALL
+      |  SELECT d.c_custkey, d.c_acctbal,
+      |    TIMESTAMP '2024-01-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+      |  FROM dim d WHERE NOT EXISTS (SELECT 1 FROM upd WHERE u_key = d.c_custkey)
+      |  UNION ALL
+      |  SELECT u.u_key, u.u_bal,
+      |    TIMESTAMP '2024-02-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+      |  FROM upd u WHERE NOT EXISTS (SELECT 1 FROM dim WHERE c_custkey = u.u_key)
+      |)
+      |ORDER BY c_custkey, valid_from""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_pricing" -> (aggPricing _),
     "q_filter_project" -> (filterProject _),
@@ -1398,6 +1468,7 @@ object Relational {
     "q_stream_full_outer" -> (streamFullOuter _),
     "q_stream_dedup_wm" -> (streamDedupWm _),
     "q_stream_tws" -> (streamTws _),
+    "q_scd2_merge" -> (scd2Merge _),
     "q_runtime_filter" -> (runtimeFilter _),
     "q_interval_join" -> (intervalJoin _),
     "q_stream_anti" -> (streamAnti _),
@@ -1437,6 +1508,7 @@ object Relational {
     "q_stream_full_outer" -> streamFullOuterSql,
     "q_stream_dedup_wm" -> streamDedupWmSql,
     "q_stream_tws" -> streamTwsSql,
+    "q_scd2_merge" -> scd2MergeSql,
     "q_runtime_filter" -> runtimeFilterSql,
     "q_interval_join" -> intervalJoinSql,
     "q_stream_anti" -> streamAntiSql,

@@ -492,12 +492,58 @@ object Training {
       |FROM w
       |ORDER BY source""".stripMargin
 
+  /** Deterministic weighted sampling without replacement, 5 docs per
+    * source domain (Efraimidis & Spirakis 2006, "Weighted random
+    * sampling with a reservoir": selecting the k largest u^(1/w) —
+    * equivalently the k SMALLEST −ln(u)/w — is an exact weighted
+    * sample). The uniform u is derandomized from the document key:
+    * u = (md5₆₄(doc_id) mod 10⁹ + 1) / (10⁹ + 1), the
+    * [[graft.exprs.Md5Bucket]] unsigned-remainder construction DuckDB
+    * reproduces verbatim — so the "random" draw is reproducible across
+    * engines AND across cluster re-runs, which is what a training-data
+    * pipeline actually wants from its sampling stage. Keys are rounded
+    * at 1e-6 BEFORE ranking on both sides (ties then break on doc_id),
+    * so ranking never reads an unrounded transcendental. Per-source
+    * top-5 plans as a WindowGroupLimit — rank evaluation prunes
+    * map-side, no full sort of any partition's whole domain. */
+  def weightedSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.graftshim.Shim
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val bucket = Shim.column(graft.exprs.Md5Bucket(
+      Shim.expression($"doc_id".cast("string")), Literal(1000000000)))
+    val keyed = documents(s, d).filter($"n_chars" > 0)
+      .select($"source", $"doc_id", $"n_chars",
+        round(-log((bucket.cast("long") + 1L) / lit(1000000001.0)) / $"n_chars", 6)
+          .as("sample_key"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"sample_key", $"doc_id")
+    keyed.withColumn("sample_rank", row_number().over(w))
+      .filter($"sample_rank" <= 5)
+      .orderBy($"source", $"sample_rank")
+  }
+
+  val weightedSampleSql: String =
+    raw"""WITH keyed AS (
+      |  SELECT source, doc_id, n_chars,
+      |    round(-ln((CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000000000 AS BIGINT) + 1)
+      |              / 1000000001.0) / n_chars, 6) AS sample_key
+      |  FROM documents WHERE n_chars > 0
+      |), ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY sample_key, doc_id) AS sample_rank
+      |  FROM keyed
+      |)
+      |SELECT source, doc_id, n_chars, sample_key, sample_rank
+      |FROM ranked WHERE sample_rank <= 5
+      |ORDER BY source, sample_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lm_train" -> (lmTrain _),
     "q_lm_perplexity" -> (lmPerplexity _),
     "q_lm_ppl_filter" -> (lmPplFilter _),
     "q_lm_kneser_ney" -> (lmKneserNey _),
     "q_doremi_weights" -> (doremiWeights _),
+    "q_weighted_sample" -> (weightedSample _),
     "q_dsir_select" -> (dsirSelect _),
     "q_chat_validate" -> (chatValidate _),
     "q_chat_sft_tokens" -> (chatSftTokens _),
@@ -510,6 +556,7 @@ object Training {
     "q_lm_ppl_filter" -> lmPplFilterSql,
     "q_lm_kneser_ney" -> lmKneserNeySql,
     "q_doremi_weights" -> doremiWeightsSql,
+    "q_weighted_sample" -> weightedSampleSql,
     "q_dsir_select" -> dsirSelectSql,
     "q_chat_validate" -> chatValidateSql,
     "q_chat_sft_tokens" -> chatSftTokensSql,
