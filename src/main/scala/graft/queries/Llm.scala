@@ -1562,8 +1562,84 @@ object Llm {
       |GROUP BY shard, bin
       |ORDER BY shard, bin""".stripMargin
 
+  /** Margin-based mutual-nearest mining between two embedding
+    * populations (Artetxe & Schwenk 2019's bitext-mining margin
+    * criterion, arXiv:1811.01136, the ratio form): a label-0 × label-1
+    * pair is mined when each side is the other's top-1 cosine neighbor
+    * AND the margin cos(a,b) / ((avgₖ(a)+avgₖ(b))/2) exceeds 1 — the
+    * pair must beat both local neighborhood densities, which kills
+    * hub vectors that are merely near everything. All cosines round at
+    * 1e-6 BEFORE ranking; margins never touch a float: with micro-
+    * scaled cosine integers the criterion is 8·cµ > Σₖaµ + Σₖbµ and the
+    * reported margin is [[graft.util.ExactRound.ratio6]] of the same
+    * integers. One cross product (the small side broadcast) feeds BOTH
+    * directions' ranks and k-sums as window functions over the same
+    * frame — two partition shuffles, no joins, no second scoring pass.
+    * At 100 TB-scale populations, the cross product is replaced by
+    * IVF-pruned candidate generation (q_emb_ivf_topk) with identical
+    * downstream ranking. */
+  def marginMining(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, d)
+    val a = emb.filter($"label" === 0).select($"vec_id".as("a_id"), $"embedding".as("av"))
+    val b = emb.filter($"label" === 1).select($"vec_id".as("b_id"), $"embedding".as("bv"))
+    val pairs = a.crossJoin(broadcast(b))
+      .withColumn("cos", round(Similarity.cosine($"av", $"bv"), 6))
+      .withColumn("cmu", round($"cos" * 1000000, 0).cast("long"))
+      .select($"a_id", $"b_id", $"cos", $"cmu")
+    val byA = Window.partitionBy($"a_id").orderBy($"cos".desc, $"b_id")
+    val byB = Window.partitionBy($"b_id").orderBy($"cos".desc, $"a_id")
+    pairs
+      .withColumn("rka", row_number().over(byA))
+      .withColumn("sum_amu", sum(when($"rka" <= 4, $"cmu"))
+        .over(Window.partitionBy($"a_id")))
+      .withColumn("rkb", row_number().over(byB))
+      .withColumn("sum_bmu", sum(when($"rkb" <= 4, $"cmu"))
+        .over(Window.partitionBy($"b_id")))
+      .filter($"rka" === 1 && $"rkb" === 1 &&
+        $"sum_amu" + $"sum_bmu" > 0 &&
+        lit(8L) * $"cmu" > $"sum_amu" + $"sum_bmu")
+      .withColumn("margin", expr(graft.util.ExactRound.ratio6(
+        "8 * cmu", "sum_amu + sum_bmu")))
+      .select($"a_id", $"b_id", $"cos", $"margin")
+      .orderBy($"a_id")
+  }
+
+  val marginMiningSql: String =
+    """WITH pairs AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                 CAST(b.embedding AS DOUBLE[])), 6) AS cos
+      |  FROM embeddings a CROSS JOIN embeddings b
+      |  WHERE a.label = 0 AND b.label = 1
+      |), mu AS (
+      |  SELECT a_id, b_id, cos,
+      |    CAST(round(cos * 1000000, 0) AS BIGINT) AS cmu
+      |  FROM pairs
+      |), rk AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rka,
+      |    ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY cos DESC, a_id) AS rkb
+      |  FROM mu
+      |), sums AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN rka <= 4 THEN cmu END) OVER (PARTITION BY a_id) AS sum_amu,
+      |    SUM(CASE WHEN rkb <= 4 THEN cmu END) OVER (PARTITION BY b_id) AS sum_bmu
+      |  FROM rk
+      |)
+      |SELECT a_id, b_id, cos,
+      |  """.stripMargin +
+    graft.util.ExactRound.ratio6Duck("8 * cmu", "sum_amu + sum_bmu") +
+    """ AS margin
+      |FROM sums
+      |WHERE rka = 1 AND rkb = 1
+      |  AND sum_amu + sum_bmu > 0
+      |  AND 8 * cmu > sum_amu + sum_bmu
+      |ORDER BY a_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> (textStats _),
+    "q_margin_mining" -> (marginMining _),
     "q_text_lang" -> (langId _),
     "q_text_quality" -> (textQuality _),
     "q_gopher_rules" -> (gopherRules _),
@@ -2178,6 +2254,7 @@ object Llm {
     "q_emb_bucket_stats" -> embNearDupStatsSql,
     "q_emb_ann_topk" -> annTopKSql,
     "q_text_stats" -> textStatsSql,
+    "q_margin_mining" -> marginMiningSql,
     "q_text_lang" -> langIdSql,
     "q_text_quality" -> textQualitySql,
     "q_gopher_rules" -> gopherRulesSql,
