@@ -1377,6 +1377,74 @@ object Relational {
       |FROM halves
       |ORDER BY user_id, emit_seq""".stripMargin
 
+  /** Timer-driven gap sessionization on `transformWithState`
+    * ([[graft.streaming.StreamOps.SessionProcessor]]) — the event-time
+    * timer + `handleExpiredTimer` half of the Spark 4 arbitrary-state
+    * API, complementing [[streamTws]]'s ValueState half (and the
+    * `flatMapGroupsWithState` sessionizer behind q_stream_sessions):
+    * gap-closed sessions emit as soon as the closing event is seen; the
+    * per-user OPEN tail emits only when its `last + 6 h` event-time
+    * timer falls behind the terminal watermark `max(ts) − 1 h`, else it
+    * stays in state — the oracle's last-session gate says exactly that,
+    * in the engine's millisecond-floor arithmetic. */
+  def streamTwsTimers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.StreamOps.{SessionProcessor, SessTsEvent}
+    val ev = graft.util.Tables.events(s, d)
+    val dataDir = stagedEventsDir(s, d)
+    withConfs(s,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      withStreamPartitions(s, 8) {
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
+          .withWatermark("ts", "1 hour")
+          .select($"user_id", $"ts", unix_micros($"ts").as("ts_us"))
+          .as[SessTsEvent]
+        val out = stream
+          .groupByKey(_.user_id)
+          .transformWithState(new SessionProcessor(21600000000L),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        val name = "stream_tws_timers_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name).orderBy($"user_id", $"session_start_us")
+      }
+    }
+  }
+
+  val streamTwsTimersSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS t FROM events
+      |), mx AS (
+      |  SELECT max(t) AS mt FROM e
+      |), marks AS (
+      |  SELECT user_id, t,
+      |    CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+      |              > 21600000000 THEN 1 ELSE 0 END AS brk
+      |  FROM e
+      |), grp AS (
+      |  SELECT user_id, t,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marks
+      |), sess AS (
+      |  SELECT user_id, sid, MIN(t) AS session_start_us,
+      |    MAX(t) AS session_end_us, COUNT(*) AS n_events
+      |  FROM grp GROUP BY 1, 2
+      |), lastsid AS (
+      |  SELECT user_id, MAX(sid) AS msid FROM sess GROUP BY 1
+      |)
+      |SELECT s.user_id, s.session_start_us, s.session_end_us, s.n_events
+      |FROM sess s JOIN lastsid l USING (user_id) CROSS JOIN mx
+      |WHERE s.sid < l.msid
+      |   OR (s.session_end_us // 1000) + 21600000 <= (mx.mt // 1000) - 3600000
+      |ORDER BY user_id, session_start_us""".stripMargin
+
   /** SCD type-2 dimension merge — the warehouse upsert-with-history
     * shape: a deterministic update batch (every 10th customer's balance
     * moves; every 97th spawns a new key) full-outer-joins the current
@@ -1468,6 +1536,7 @@ object Relational {
     "q_stream_full_outer" -> (streamFullOuter _),
     "q_stream_dedup_wm" -> (streamDedupWm _),
     "q_stream_tws" -> (streamTws _),
+    "q_stream_tws_timers" -> (streamTwsTimers _),
     "q_scd2_merge" -> (scd2Merge _),
     "q_runtime_filter" -> (runtimeFilter _),
     "q_interval_join" -> (intervalJoin _),
@@ -1508,6 +1577,7 @@ object Relational {
     "q_stream_full_outer" -> streamFullOuterSql,
     "q_stream_dedup_wm" -> streamDedupWmSql,
     "q_stream_tws" -> streamTwsSql,
+    "q_stream_tws_timers" -> streamTwsTimersSql,
     "q_scd2_merge" -> scd2MergeSql,
     "q_runtime_filter" -> runtimeFilterSql,
     "q_interval_join" -> intervalJoinSql,

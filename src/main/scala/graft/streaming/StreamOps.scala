@@ -207,6 +207,73 @@ object StreamOps {
     }
   }
 
+  final case class SessTsEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long)
+  final case class SessState(start_us: Long, last_us: Long, n: Long, timer_ms: Long)
+  final case class SessOut(user_id: Long, session_start_us: Long,
+                           session_end_us: Long, n_events: Long)
+
+  /** Event-time-timer sessionizer on `transformWithState` — the half of
+    * the arbitrary-state API [[CumulProcessor]] doesn't touch: per-key
+    * gap sessions whose OPEN tail is flushed by a registered event-time
+    * timer once the watermark proves the gap can no longer be bridged.
+    * Sessions closed by an observed gap emit from `handleInputRows`
+    * (batch rows sorted by event time first — arrival order within a
+    * batch is not meaningful); the final open session emits from
+    * `handleExpiredTimer` iff its `last + gap` timer falls behind the
+    * terminal watermark, else it stays in state forever — and the
+    * oracle says so. Timers are re-registered as the session tail
+    * advances (delete-old + register-new, expiry recorded in state); a
+    * stale timer firing against replaced state is ignored by the
+    * expiry-equality guard, so emission is independent of the
+    * input-vs-timer processing order within a batch. */
+  final class SessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessTsEvent, SessOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[SessState] = _
+    private val gapMs = gapUs / 1000L
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessState]("sess",
+        Encoders.product[SessState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SessTsEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SessOut] = {
+      val buf = rows.toArray.sortBy(_.ts_us)
+      if (buf.isEmpty) return Iterator.empty
+      val out = scala.collection.mutable.ListBuffer.empty[SessOut]
+      var cur: Option[SessState] = if (st.exists()) Some(st.get()) else None
+      val oldTimer = cur.map(_.timer_ms).getOrElse(0L)
+      buf.foreach { e =>
+        cur match {
+          case Some(c) if e.ts_us - c.last_us <= gapUs =>
+            cur = Some(c.copy(last_us = math.max(c.last_us, e.ts_us), n = c.n + 1))
+          case Some(c) =>
+            out += SessOut(key, c.start_us, c.last_us, c.n)
+            cur = Some(SessState(e.ts_us, e.ts_us, 1L, 0L))
+          case None =>
+            cur = Some(SessState(e.ts_us, e.ts_us, 1L, 0L))
+        }
+      }
+      val open = cur.get
+      val newTimer = open.last_us / 1000L + gapMs
+      if (oldTimer != 0L && oldTimer != newTimer) getHandle.deleteTimer(oldTimer)
+      if (oldTimer != newTimer) getHandle.registerTimer(newTimer)
+      st.update(open.copy(timer_ms = newTimer))
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessOut] = {
+      if (st.exists() && st.get().timer_ms == info.getExpiryTimeInMs) {
+        val c = st.get()
+        st.clear()
+        Iterator.single(SessOut(key, c.start_us, c.last_us, c.n))
+      } else Iterator.empty
+    }
+  }
+
   /** K1 as a streaming sink: per micro-batch idempotent upsert into the
     * feature store (foreachBatch; replays of a batch converge to the same
     * store state because upsert is keyed on identifier). */
