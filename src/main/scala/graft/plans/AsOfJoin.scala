@@ -1,0 +1,204 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+/** Native as-of join — the whole-operator custom-plan path (logical
+  * node → planner strategy → physical operator), the one extension
+  * mechanism the engine's other operators don't need because they
+  * compose from built-ins. Spark has no as-of join operator; the
+  * compositional forms (q_asof_join's union-window trick, the bucketed
+  * range join) emulate it, but the DIRECT form is a one-pass
+  * co-partitioned merge — this operator is that form, built the way
+  * Spark's own joins are:
+  *
+  *  - [[AsOfJoinExec.requiredChildDistribution]] declares
+  *    `ClusteredDistribution` on each side's keys, so EnsureRequirements
+  *    plans the exchanges (and guarantees compatible co-partitioning
+  *    across the two children — the engine picks the shuffle, not us);
+  *  - [[AsOfJoinExec.requiredChildOrdering]] declares (key, time) per
+  *    side, so SortExec lands only where an existing ordering doesn't
+  *    already satisfy it (a bucketed+sorted source needs neither
+  *    exchange nor sort);
+  *  - `doExecute` is a zipPartitions merge: each left row picks the
+  *    LATEST right row with the same key and `rightTime <= leftTime`
+  *    (backward as-of, optional tolerance), streaming both sides once —
+  *    O(n+m) per partition, no candidate explosion, state = ONE buffered
+  *    right row per partition.
+  *
+  * Left-outer semantics (pandas `merge_asof` default): every left row
+  * emits, unmatched with nulls. Null keys never match (SQL join
+  * convention); null times never match and are skipped as candidates.
+  * `rightTieOrder` appends extra right-side sort columns so equal
+  * (key, time) ties resolve deterministically — the merge keeps the
+  * LAST tied row, i.e. the max under the tie order.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    toleranceUs: Option[Long],
+    rightTieOrder: Seq[Expression]) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, tol, tie) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, tie) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    toleranceUs: Option[Long],
+    rightTieOrder: Seq[Expression]) extends BinaryExecNode {
+
+  require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
+    "as-of join needs matching, non-empty key lists")
+  require(leftKeys.zip(rightKeys).forall { case (a, b) => a.dataType == b.dataType },
+    "as-of join key types must match pairwise")
+  private def longBacked(e: Expression): Boolean = e.dataType match {
+    case LongType | TimestampType | _: TimestampNTZType => true
+    case _ => false
+  }
+  require(longBacked(leftTime) && longBacked(rightTime) &&
+    leftTime.dataType == rightTime.dataType,
+    "as-of time columns must be long-backed (LONG / TIMESTAMP / TIMESTAMP_NTZ) and match")
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    (rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending)) ++
+      rightTieOrder.map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val keyTypes = leftKeys.map(_.dataType)
+    val lKeysB = leftKeys.map(BindReferences.bindReference(_, lOut))
+    val rKeysB = rightKeys.map(BindReferences.bindReference(_, rOut))
+    val ltB = BindReferences.bindReference(leftTime, lOut)
+    val rtB = BindReferences.bindReference(rightTime, rOut)
+    val tol = toleranceUs
+    val outAttrs = output
+    // the unmatched-row projection reads nulls from the right slots, so
+    // the INPUT schema must declare them nullable — binding against the
+    // right child's original non-nullable attrs would codegen null-check-
+    // free getters that read garbage zeros out of the null row
+    val inAttrs = lOut ++ rOut.map(_.withNullability(true))
+    val rWidth = rOut.size
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKey = UnsafeProjection.create(lKeysB)
+      val rKey = UnsafeProjection.create(rKeysB)
+      // a second right-key projection with its own buffer, for validating
+      // the held candidate against the CURRENT left key (the first
+      // projection's buffer may still hold the pending row's key)
+      val candKeyProj = UnsafeProjection.create(
+        rightKeys.map(BindReferences.bindReference(_, rOut)))
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val outProj = UnsafeProjection.create(outAttrs, inAttrs)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rWidth)
+
+      new Iterator[InternalRow] {
+        // the next unconsumed right row, COPIED out of the iterator's
+        // reused UnsafeRow buffer
+        private var pending: UnsafeRow = advanceRight()
+        // best candidate so far (a copy) and its event time
+        private var cand: UnsafeRow = _
+        private var candTime: Long = 0L
+
+        private def advanceRight(): UnsafeRow = {
+          while (rIter.hasNext) {
+            val r = rIter.next().asInstanceOf[UnsafeRow]
+            // null keys / null time can never match — drop here so the
+            // merge loop sees only usable candidates
+            if (!rKey(r).anyNull && rtB.eval(r) != null) return r.copy()
+          }
+          null
+        }
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lk = lKey(l)
+          val lt = ltB.eval(l)
+          if (lk.anyNull || lt == null) return outProj(joined(l, nullRight))
+          val ltv = lt.asInstanceOf[Long]
+          var advancing = true
+          while (advancing && pending != null) {
+            val c = keyOrd.compare(rKey(pending), lk)
+            if (c < 0) pending = advanceRight()
+            else if (c == 0) {
+              val rtv = rtB.eval(pending).asInstanceOf[Long]
+              if (rtv <= ltv) {
+                cand = pending; candTime = rtv
+                pending = advanceRight()
+              } else advancing = false
+            } else advancing = false
+          }
+          val ok = cand != null &&
+            keyOrd.compare(candKeyProj(cand), lk) == 0 &&
+            tol.forall(t => candTime >= ltv - t)
+          outProj(joined(l, if (ok) cand else nullRight))
+        }
+      }
+    }
+  }
+}
+
+/** DataFrame-level entry point for [[AsOfJoinNode]]. */
+object AsOfJoin {
+  /** Backward as-of left join: for every left row, the latest right row
+    * with equal `key` and `rightTime <= leftTime` (within `toleranceUs`
+    * if given); unmatched left rows keep nulls. `rightTie` columns
+    * break equal-(key, time) ties deterministically (max under the tie
+    * order wins). Registers [[AsOfJoinStrategy]] on the session. */
+  def backward(leftDf: DataFrame, rightDf: DataFrame,
+               key: (String, String), time: (String, String),
+               toleranceUs: Option[Long] = None,
+               rightTie: Seq[String] = Nil): DataFrame = {
+    val spark = leftDf.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lp = leftDf.queryExecution.analyzed
+    val rp = rightDf.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"as-of join column '$n' not in ${p.output.map(_.name).mkString(", ")}"))
+    org.apache.spark.sql.graftshim.Shim.ofRows(spark,
+      AsOfJoinNode(lp, rp,
+        Seq(attr(lp, key._1)), Seq(attr(rp, key._2)),
+        attr(lp, time._1), attr(rp, time._2),
+        toleranceUs, rightTie.map(attr(rp, _))))
+  }
+}

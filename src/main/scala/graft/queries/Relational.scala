@@ -1445,6 +1445,55 @@ object Relational {
       |   OR (s.session_end_us // 1000) + 21600000 <= (mx.mt // 1000) - 3600000
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** The custom physical as-of join ([[graft.plans.AsOfJoinExec]])
+    * driving the same semantics the compositional q_asof_join emulates:
+    * for each error, the latest click by the same user at or before the
+    * error within 1 day, ties on click_id. One co-partitioned O(n+m)
+    * merge per partition — EnsureRequirements plans the two key
+    * exchanges and (key, time) sorts from the operator's declared
+    * requirements; no candidate pairs ever materialize (the window-over-
+    * join oracle below builds every qualifying pair just to keep one —
+    * exactly the blowup the operator avoids at 100 TB). */
+  def asofExec(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.util.Tables.events(s, d)
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"event_id".as("error_id"), $"ts".as("error_ts"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"),
+        $"ts".as("click_ts"))
+    graft.plans.AsOfJoin.backward(errors, clicks,
+        key = ("user_id", "c_user"), time = ("error_ts", "click_ts"),
+        toleranceUs = Some(86400000000L), rightTie = Seq("click_id"))
+      .select($"user_id", $"error_id", $"click_id", $"click_ts")
+      .orderBy($"user_id", $"error_id")
+  }
+
+  val asofExecSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id AS error_id, ts AS error_ts
+      |  FROM events WHERE event_type = 'error'
+      |), c AS (
+      |  SELECT user_id, event_id AS click_id, ts AS click_ts
+      |  FROM events WHERE event_type = 'click'
+      |), j AS (
+      |  SELECT e.user_id, e.error_id, c.click_id, c.click_ts,
+      |    ROW_NUMBER() OVER (PARTITION BY e.user_id, e.error_id
+      |      ORDER BY c.click_ts DESC, c.click_id DESC) AS rk
+      |  FROM e JOIN c ON c.user_id = e.user_id
+      |   AND c.click_ts <= e.error_ts
+      |   AND c.click_ts >= e.error_ts - INTERVAL 1 DAY
+      |)
+      |SELECT user_id, error_id, click_id, click_ts FROM j WHERE rk = 1
+      |UNION ALL
+      |SELECT e.user_id, e.error_id,
+      |  CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)
+      |FROM e WHERE NOT EXISTS (
+      |  SELECT 1 FROM c WHERE c.user_id = e.user_id
+      |    AND c.click_ts <= e.error_ts
+      |    AND c.click_ts >= e.error_ts - INTERVAL 1 DAY)
+      |ORDER BY user_id, error_id""".stripMargin
+
   /** SCD type-2 dimension merge — the warehouse upsert-with-history
     * shape: a deterministic update batch (every 10th customer's balance
     * moves; every 97th spawns a new key) full-outer-joins the current
@@ -1538,6 +1587,7 @@ object Relational {
     "q_stream_tws" -> (streamTws _),
     "q_stream_tws_timers" -> (streamTwsTimers _),
     "q_scd2_merge" -> (scd2Merge _),
+    "q_asof_exec" -> (asofExec _),
     "q_runtime_filter" -> (runtimeFilter _),
     "q_interval_join" -> (intervalJoin _),
     "q_stream_anti" -> (streamAnti _),
@@ -1579,6 +1629,7 @@ object Relational {
     "q_stream_tws" -> streamTwsSql,
     "q_stream_tws_timers" -> streamTwsTimersSql,
     "q_scd2_merge" -> scd2MergeSql,
+    "q_asof_exec" -> asofExecSql,
     "q_runtime_filter" -> runtimeFilterSql,
     "q_interval_join" -> intervalJoinSql,
     "q_stream_anti" -> streamAntiSql,

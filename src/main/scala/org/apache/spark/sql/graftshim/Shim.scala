@@ -44,4 +44,13 @@ object Shim {
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
   def expression(c: org.apache.spark.sql.Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** DataFrame over a raw logical plan (the `private[sql]` constructor):
+    * how [[graft.plans.AsOfJoin]] turns its custom [[graft.plans.AsOfJoinNode]]
+    * into a user-facing frame. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

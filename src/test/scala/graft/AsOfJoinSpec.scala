@@ -1,0 +1,113 @@
+package graft
+
+import graft.plans.{AsOfJoin, AsOfJoinExec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The custom physical as-of join: correctness against a brute-force
+  * definition on randomized data, null/tolerance/tie contracts, and the
+  * plan shape the operator promises (exec node present, exchanges and
+  * sorts planned by EnsureRequirements — not hand-inserted).
+  */
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def brute(l: Seq[(Long, Long, Long)], r: Seq[(Long, Long, Long)],
+                    tol: Option[Long]): Set[(Long, Long, Long, Option[Long])] =
+    l.map { case (k, t, lid) =>
+      val cands = r.filter(x => x._1 == k && x._2 <= t &&
+        tol.forall(tl => x._2 >= t - tl))
+      // backward as-of, ties resolved by max rid (the tie-order contract)
+      val best = cands.sortBy(x => (x._2, x._3)).lastOption
+      (k, t, lid, best.map(_._3))
+    }.toSet
+
+  private def run(l: Seq[(Long, Long, Long)], r: Seq[(Long, Long, Long)],
+                  tol: Option[Long]): DataFrame =
+    AsOfJoin.backward(
+      l.toDF("k", "t", "lid").repartition(4),
+      r.toDF("rk", "rt", "rid").repartition(3),
+      key = ("k", "rk"), time = ("t", "rt"),
+      toleranceUs = tol, rightTie = Seq("rid"))
+
+  test("property: matches brute force on random keys/times incl. duplicates") {
+    val rnd = new scala.util.Random(11)
+    val l = (1 to 400).map(i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(100).toLong, i.toLong))
+    val r = (1 to 300).map(i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(100).toLong, i.toLong))
+    for (tol <- Seq(None, Some(10L))) {
+      val got = run(l, r, tol).collect().map(x =>
+        (x.getLong(0), x.getLong(1), x.getLong(2),
+          if (x.isNullAt(5)) None else Some(x.getLong(5)))).toSet
+      assert(got == brute(l, r, tol), s"tol=$tol")
+    }
+  }
+
+  test("left-outer: every left row emits; unmatched keep nulls") {
+    val out = run(Seq((1L, 5L, 1L), (9L, 5L, 2L)), Seq((1L, 3L, 7L)), None)
+    assert(out.count() == 2)
+    val un = out.filter($"lid" === 2L).collect().head
+    assert(un.isNullAt(3) && un.isNullAt(4) && un.isNullAt(5))
+  }
+
+  test("equal-time ties pick the max tie-order row; exact-boundary tolerance matches") {
+    val out = run(
+      Seq((1L, 10L, 1L)),
+      Seq((1L, 10L, 3L), (1L, 10L, 9L), (1L, 10L, 5L)), Some(0L))
+    assert(out.select($"rid").as[Long].collect().toSeq == Seq(9L))
+  }
+
+  test("null keys and null times never match; null-time right rows skipped") {
+    val l = Seq[(java.lang.Long, java.lang.Long, Long)](
+      (null, 10L, 1L), (1L, null, 2L), (1L, 10L, 3L))
+      .toDF("k", "t", "lid")
+    val r = Seq[(java.lang.Long, java.lang.Long, Long)](
+      (null, 5L, 7L), (1L, null, 8L), (1L, 4L, 9L))
+      .toDF("rk", "rt", "rid")
+    val out = AsOfJoin.backward(l, r, ("k", "rk"), ("t", "rt"))
+      .select($"lid", $"rid").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    assert(out == Map(1L -> -1L, 2L -> -1L, 3L -> 9L))
+  }
+
+  test("plan: AsOfJoinExec present, both exchanges and sorts planned by the engine") {
+    val df = run((1 to 50).map(i => (i.toLong % 5, i.toLong, i.toLong)),
+      (1 to 50).map(i => (i.toLong % 5, i.toLong, i.toLong)), None)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // descends through AQE wrappers: AdaptiveSparkPlanExec.executedPlan
+    // and the LEAF QueryStageExec nodes (collect alone stops at them)
+    def collectAll[T](p: org.apache.spark.sql.execution.SparkPlan)(
+        pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+      val here = if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(collectAll(_)(pf))
+    }
+    assert(collectAll(plan) { case e: AsOfJoinExec => e }.nonEmpty,
+      "custom AsOfJoinExec must be the planned operator")
+    assert(collectAll(plan) {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if s.shuffleOrigin ==
+          org.apache.spark.sql.execution.exchange.ENSURE_REQUIREMENTS => s
+    }.size == 2, "EnsureRequirements must plan one exchange per side")
+    assert(collectAll(plan) {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.size == 2, "EnsureRequirements must plan one (key, time) sort per side")
+  }
+
+  test("timestamp time columns work end-to-end") {
+    val l = Seq((1L, "2024-01-01 10:00:00", 1L), (1L, "2024-01-01 12:00:00", 2L))
+      .toDF("k", "ts", "lid").withColumn("ts", to_timestamp($"ts"))
+    val r = Seq((1L, "2024-01-01 09:00:00", 7L), (1L, "2024-01-01 11:00:00", 8L))
+      .toDF("rk", "rts", "rid").withColumn("rts", to_timestamp($"rts"))
+    val out = AsOfJoin.backward(l, r, ("k", "rk"), ("ts", "rts"))
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 7L), (2L, 8L)))
+  }
+}
