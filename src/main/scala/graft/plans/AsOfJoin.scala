@@ -44,7 +44,8 @@ case class AsOfJoinNode(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     toleranceUs: Option[Long],
-    rightTieOrder: Seq[Expression]) extends BinaryNode {
+    rightTieOrder: Seq[Expression],
+    direction: String) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -54,8 +55,8 @@ case class AsOfJoinNode(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, tol, tie) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, tie) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, tol, tie, dir) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, tie, dir) :: Nil
     case _ => Nil
   }
 }
@@ -65,8 +66,11 @@ case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     toleranceUs: Option[Long],
-    rightTieOrder: Seq[Expression]) extends BinaryExecNode {
+    rightTieOrder: Seq[Expression],
+    direction: String) extends BinaryExecNode {
 
+  require(direction == "backward" || direction == "forward",
+    s"as-of direction must be backward or forward, got $direction")
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs matching, non-empty key lists")
   require(leftKeys.zip(rightKeys).forall { case (a, b) => a.dataType == b.dataType },
@@ -152,22 +156,48 @@ case class AsOfJoinExec(
           val lt = ltB.eval(l)
           if (lk.anyNull || lt == null) return outProj(joined(l, nullRight))
           val ltv = lt.asInstanceOf[Long]
-          var advancing = true
-          while (advancing && pending != null) {
-            val c = keyOrd.compare(rKey(pending), lk)
-            if (c < 0) pending = advanceRight()
-            else if (c == 0) {
-              val rtv = rtB.eval(pending).asInstanceOf[Long]
-              if (rtv <= ltv) {
-                cand = pending; candTime = rtv
-                pending = advanceRight()
+          if (direction == "backward") {
+            // hold the latest right row with rt <= lt; the held candidate
+            // stays valid for later (larger-lt) left rows of the same key
+            var advancing = true
+            while (advancing && pending != null) {
+              val c = keyOrd.compare(rKey(pending), lk)
+              if (c < 0) pending = advanceRight()
+              else if (c == 0) {
+                val rtv = rtB.eval(pending).asInstanceOf[Long]
+                if (rtv <= ltv) {
+                  cand = pending; candTime = rtv
+                  pending = advanceRight()
+                } else advancing = false
               } else advancing = false
-            } else advancing = false
+            }
+            val ok = cand != null &&
+              keyOrd.compare(candKeyProj(cand), lk) == 0 &&
+              tol.forall(t => candTime >= ltv - t)
+            outProj(joined(l, if (ok) cand else nullRight))
+          } else {
+            // forward: the match is the FIRST unconsumed right row with
+            // rt >= lt — rows with rt < lt are dead for every later left
+            // row too (left times ascend within a key), so consuming them
+            // is safe; the pending row itself is NOT consumed on match
+            // (later left rows of this key may share it)
+            var advancing = true
+            while (advancing && pending != null) {
+              val c = keyOrd.compare(rKey(pending), lk)
+              if (c < 0) pending = advanceRight()
+              else if (c == 0) {
+                if (rtB.eval(pending).asInstanceOf[Long] < ltv)
+                  pending = advanceRight()
+                else advancing = false
+              } else advancing = false
+            }
+            val ok = pending != null &&
+              keyOrd.compare(rKey(pending), lk) == 0 && {
+                val rtv = rtB.eval(pending).asInstanceOf[Long]
+                tol.forall(t => rtv <= ltv + t)
+              }
+            outProj(joined(l, if (ok) pending else nullRight))
           }
-          val ok = cand != null &&
-            keyOrd.compare(candKeyProj(cand), lk) == 0 &&
-            tol.forall(t => candTime >= ltv - t)
-          outProj(joined(l, if (ok) cand else nullRight))
         }
       }
     }
@@ -184,7 +214,22 @@ object AsOfJoin {
   def backward(leftDf: DataFrame, rightDf: DataFrame,
                key: (String, String), time: (String, String),
                toleranceUs: Option[Long] = None,
-               rightTie: Seq[String] = Nil): DataFrame = {
+               rightTie: Seq[String] = Nil): DataFrame =
+    build(leftDf, rightDf, key, time, toleranceUs, rightTie, "backward")
+
+  /** Forward as-of left join: the EARLIEST right row with equal key and
+    * `rightTime >= leftTime` (within tolerance); ties resolve to the MIN
+    * under the tie order. */
+  def forward(leftDf: DataFrame, rightDf: DataFrame,
+              key: (String, String), time: (String, String),
+              toleranceUs: Option[Long] = None,
+              rightTie: Seq[String] = Nil): DataFrame =
+    build(leftDf, rightDf, key, time, toleranceUs, rightTie, "forward")
+
+  private def build(leftDf: DataFrame, rightDf: DataFrame,
+                    key: (String, String), time: (String, String),
+                    toleranceUs: Option[Long], rightTie: Seq[String],
+                    direction: String): DataFrame = {
     val spark = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -199,6 +244,6 @@ object AsOfJoin {
       AsOfJoinNode(lp, rp,
         Seq(attr(lp, key._1)), Seq(attr(rp, key._2)),
         attr(lp, time._1), attr(rp, time._2),
-        toleranceUs, rightTie.map(attr(rp, _))))
+        toleranceUs, rightTie.map(attr(rp, _)), direction))
   }
 }

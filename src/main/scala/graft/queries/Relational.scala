@@ -1494,6 +1494,50 @@ object Relational {
       |    AND c.click_ts >= e.error_ts - INTERVAL 1 DAY)
       |ORDER BY user_id, error_id""".stripMargin
 
+  /** Forward direction of the custom as-of operator: each click's NEXT
+    * error by the same user within 1 day (time-to-failure attribution).
+    * Same merge, mirrored: the match is the first right row at-or-after
+    * the left time, ties to the MIN tie-order row. */
+  def asofExecFwd(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.util.Tables.events(s, d)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id".as("e_user"), $"event_id".as("error_id"),
+        $"ts".as("error_ts"))
+    graft.plans.AsOfJoin.forward(clicks, errors,
+        key = ("user_id", "e_user"), time = ("click_ts", "error_ts"),
+        toleranceUs = Some(86400000000L), rightTie = Seq("error_id"))
+      .select($"user_id", $"click_id", $"error_id", $"error_ts")
+      .orderBy($"user_id", $"click_id")
+  }
+
+  val asofExecFwdSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id AS click_id, ts AS click_ts
+      |  FROM events WHERE event_type = 'click'
+      |), e AS (
+      |  SELECT user_id, event_id AS error_id, ts AS error_ts
+      |  FROM events WHERE event_type = 'error'
+      |), j AS (
+      |  SELECT c.user_id, c.click_id, e.error_id, e.error_ts,
+      |    ROW_NUMBER() OVER (PARTITION BY c.user_id, c.click_id
+      |      ORDER BY e.error_ts ASC, e.error_id ASC) AS rk
+      |  FROM c JOIN e ON e.user_id = c.user_id
+      |   AND e.error_ts >= c.click_ts
+      |   AND e.error_ts <= c.click_ts + INTERVAL 1 DAY
+      |)
+      |SELECT user_id, click_id, error_id, error_ts FROM j WHERE rk = 1
+      |UNION ALL
+      |SELECT c.user_id, c.click_id,
+      |  CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)
+      |FROM c WHERE NOT EXISTS (
+      |  SELECT 1 FROM e WHERE e.user_id = c.user_id
+      |    AND e.error_ts >= c.click_ts
+      |    AND e.error_ts <= c.click_ts + INTERVAL 1 DAY)
+      |ORDER BY user_id, click_id""".stripMargin
+
   /** SCD type-2 dimension merge — the warehouse upsert-with-history
     * shape: a deterministic update batch (every 10th customer's balance
     * moves; every 97th spawns a new key) full-outer-joins the current
@@ -1588,6 +1632,7 @@ object Relational {
     "q_stream_tws_timers" -> (streamTwsTimers _),
     "q_scd2_merge" -> (scd2Merge _),
     "q_asof_exec" -> (asofExec _),
+    "q_asof_exec_fwd" -> (asofExecFwd _),
     "q_runtime_filter" -> (runtimeFilter _),
     "q_interval_join" -> (intervalJoin _),
     "q_stream_anti" -> (streamAnti _),
@@ -1630,6 +1675,7 @@ object Relational {
     "q_stream_tws_timers" -> streamTwsTimersSql,
     "q_scd2_merge" -> scd2MergeSql,
     "q_asof_exec" -> asofExecSql,
+    "q_asof_exec_fwd" -> asofExecFwdSql,
     "q_runtime_filter" -> runtimeFilterSql,
     "q_interval_join" -> intervalJoinSql,
     "q_stream_anti" -> streamAntiSql,

@@ -44,6 +44,35 @@ class AsOfJoinSpec extends SparkTestBase {
     }
   }
 
+  private def bruteFwd(l: Seq[(Long, Long, Long)], r: Seq[(Long, Long, Long)],
+                       tol: Option[Long]): Set[(Long, Long, Long, Option[Long])] =
+    l.map { case (k, t, lid) =>
+      val cands = r.filter(x => x._1 == k && x._2 >= t &&
+        tol.forall(tl => x._2 <= t + tl))
+      // forward as-of, ties resolved by MIN rid
+      val best = cands.sortBy(x => (x._2, x._3)).headOption
+      (k, t, lid, best.map(_._3))
+    }.toSet
+
+  test("forward property: matches brute force; ties pick the min tie-order row") {
+    val rnd = new scala.util.Random(23)
+    val l = (1 to 400).map(i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(100).toLong, i.toLong))
+    val r = (1 to 300).map(i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(100).toLong, i.toLong))
+    for (tol <- Seq(None, Some(10L))) {
+      val got = AsOfJoin.forward(
+        l.toDF("k", "t", "lid").repartition(4),
+        r.toDF("rk", "rt", "rid").repartition(3),
+        key = ("k", "rk"), time = ("t", "rt"),
+        toleranceUs = tol, rightTie = Seq("rid"))
+        .collect().map(x =>
+          (x.getLong(0), x.getLong(1), x.getLong(2),
+            if (x.isNullAt(5)) None else Some(x.getLong(5)))).toSet
+      assert(got == bruteFwd(l, r, tol), s"tol=$tol")
+    }
+  }
+
   test("left-outer: every left row emits; unmatched keep nulls") {
     val out = run(Seq((1L, 5L, 1L), (9L, 5L, 2L)), Seq((1L, 3L, 7L)), None)
     assert(out.count() == 2)
