@@ -301,3 +301,49 @@ case class CanonicalText(child: Expression) extends UnaryExpression with Codegen
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "canonical_text"
 }
+
+/** One-pass word-entropy census: lower-cased whitespace tokens (empties
+  * dropped, so trim-convention differences are immaterial), per-word
+  * counts in a single hash map, and the micro-scaled Σ c·round₆(ln c)
+  * the entropy formula needs — H = ln n − (Σ c·ln c)/n — returned as
+  * exact integers so the final subtraction and the half-up division
+  * both run in engine-independent integer arithmetic (the only float
+  * is ln, rounded at 1e-6 per the SCALE.md transcendental discipline;
+  * Java's floor(x+0.5) and DuckDB's round half-away agree for the
+  * non-negative ln values here). */
+case class WordEntropyStats(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = WordEntropyStats.schema
+  override def nullSafeEval(in: Any): Any = {
+    val s = in.asInstanceOf[UTF8String].toLowerCase.toString
+    val len = s.length
+    val counts = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i < len) {
+      while (i < len && TextStats.isJavaSpace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !TextStats.isJavaSpace(s.charAt(i))) i += 1
+      if (i > start) {
+        val w = s.substring(start, i)
+        counts.merge(w, 1L, (a, b) => a + b)
+      }
+    }
+    var n = 0L
+    var sumMicro = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      n += c
+      if (c > 1L) sumMicro += c * Math.round(Math.log(c.toDouble) * 1e6)
+    }
+    InternalRow(n, counts.size.toLong, sumMicro)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "word_entropy_stats"
+}
+
+object WordEntropyStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("sum_micro", LongType, nullable = false)))
+}

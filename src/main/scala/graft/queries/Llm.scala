@@ -264,6 +264,68 @@ object Llm {
       |FROM c
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-document unigram Shannon entropy + type-token ratio — the
+    * lexical-diversity quality signals (low entropy ⇒ template/boiler-
+    * plate, near-zero TTR ⇒ word spam). One fused scan-side pass
+    * ([[graft.exprs.WordEntropyStats]]: per-word counts in-row, no
+    * explode, no shuffle at all); H = ln n − (Σ c·ln c)/n assembled
+    * from the expression's exact integers so the division is half-up
+    * integer arithmetic and TTR is an [[graft.util.ExactRound]] ratio —
+    * ln is the only float, rounded at 1e-6 per the transcendental
+    * discipline. */
+  def textEntropy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = org.apache.spark.sql.graftshim.Shim
+    documents(s, d)
+      .select($"doc_id",
+        sh.column(graft.exprs.WordEntropyStats(sh.expression($"text"))).as("st"))
+      .select($"doc_id", $"st.n_tokens".as("n_tokens"),
+        $"st.n_distinct".as("n_distinct"), $"st.sum_micro".as("sum_micro"))
+      .withColumn("entropy", expr(
+        """CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+          |CAST(CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000, 0) AS BIGINT)
+          |     - ((2 * sum_micro + n_tokens) div (2 * n_tokens)) AS DOUBLE)
+          |/ 1000000.0 END""".stripMargin))
+      .withColumn("ttr", expr(
+        s"""CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+           |${graft.util.ExactRound.ratio6("n_distinct", "n_tokens")} END""".stripMargin))
+      .select($"doc_id", $"n_tokens", $"n_distinct", $"entropy", $"ttr")
+      .orderBy($"doc_id")
+  }
+
+  val textEntropySql: String =
+    raw"""WITH w AS (
+      |  SELECT doc_id, w, COUNT(*) AS c FROM (
+      |    SELECT doc_id,
+      |      unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |        x -> x <> '')) AS w
+      |    FROM documents)
+      |  GROUP BY 1, 2
+      |), per AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |    CAST(SUM(CASE WHEN c > 1
+      |      THEN c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS sum_micro
+      |  FROM w GROUP BY 1
+      |), alld AS (
+      |  SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens,
+      |    COALESCE(p.n_distinct, 0) AS n_distinct,
+      |    COALESCE(p.sum_micro, 0) AS sum_micro
+      |  FROM documents d LEFT JOIN per p USING (doc_id)
+      |)
+      |SELECT doc_id, n_tokens, n_distinct,
+      |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+      |    CAST(CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000, 0) AS BIGINT)
+      |         - ((2 * sum_micro + n_tokens) // (2 * n_tokens)) AS DOUBLE)
+      |    / 1000000.0 END AS entropy,
+      |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+      |    """.stripMargin +
+    graft.util.ExactRound.ratio6Duck("n_distinct", "n_tokens") +
+    """ END AS ttr
+      |FROM alld
+      |ORDER BY doc_id""".stripMargin
+
   /** Corpus vocabulary top-100: the classic distributed wordcount shape —
     * explode words, hash-aggregate with map-side partial combine, global
     * top-k via TakeOrdered (no full sort shuffle). Total order by
@@ -1643,6 +1705,7 @@ object Llm {
     "q_text_lang" -> (langId _),
     "q_text_quality" -> (textQuality _),
     "q_gopher_rules" -> (gopherRules _),
+    "q_text_entropy" -> (textEntropy _),
     "q_text_repetition" -> (textRepetition _),
     "q_vocab_topk" -> (vocabTopK _),
     "q_pii_redact" -> (piiRedact _),
@@ -2258,6 +2321,7 @@ object Llm {
     "q_text_lang" -> langIdSql,
     "q_text_quality" -> textQualitySql,
     "q_gopher_rules" -> gopherRulesSql,
+    "q_text_entropy" -> textEntropySql,
     "q_text_repetition" -> textRepetitionSql,
     "q_vocab_topk" -> vocabTopKSql,
     "q_pii_redact" -> piiRedactSql,

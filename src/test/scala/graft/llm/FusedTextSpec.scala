@@ -303,4 +303,24 @@ class FusedTextSpec extends SparkTestBase with TableDrivenPropertyChecks {
       }
     }
   }
+  test("WordEntropyStats: hand-computed census, case folding, empty and whitespace-only input") {
+    import org.apache.spark.sql.graftshim.Shim
+    def st(s: String): (Long, Long, Long) = {
+      val r = Seq(s).toDF("t")
+        .select(Shim.column(graft.exprs.WordEntropyStats(Shim.expression($"t"))).as("o"))
+        .select($"o.n_tokens", $"o.n_distinct", $"o.sum_micro")
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // "a A b" folds to {a:2, b:1}: n=3, distinct=2, sum = 2*round(ln 2 * 1e6)
+    assert(st("a A b") == ((3L, 2L, 2L * Math.round(Math.log(2.0) * 1e6))))
+    // singleton words contribute 0 (ln 1 = 0)
+    assert(st("x y z") == ((3L, 3L, 0L)))
+    assert(st("") == ((0L, 0L, 0L)))
+    assert(st(" \t\n ") == ((0L, 0L, 0L)))
+    // derived entropy for "a a b": ln 3 - (2 ln 2)/3 = 0.636514 at 1e-6
+    val (n, _, sum) = st("a a b")
+    val h = (Math.round(Math.log(n.toDouble) * 1e6) - (2 * sum + n) / (2 * n)) / 1e6
+    assert(h == 0.636514)
+  }
 }
