@@ -537,6 +537,85 @@ object Training {
       |FROM ranked WHERE sample_rank <= 5
       |ORDER BY source, sample_rank""".stripMargin
 
+  /** Perplexity↔quality calibration curve: the corpus deciled by LM
+    * perplexity (NTILE(10)-exact sizing), each decile's mean perplexity
+    * and mean Gopher-composite quality score — the diagnostic a filter
+    * designer reads before picking thresholds (are the two signals
+    * redundant or complementary?). The decile split reuses the
+    * lmPplFilter scale shape: all nine boundary (ppl, doc_id) keys come
+    * from ONE [[graft.util.OrderStats.kthPairs]] sweep and every row
+    * buckets map-side against the boundary literals — identical output
+    * to the NTILE window with no single-partition sort; means are
+    * meanOfDecimal6-exact. */
+  def pplQualityCalib(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Graft.init(s)
+    import s.implicits._
+    import graft.llm.{TextAnalysis => TA}
+    val docs = documents(s, d)
+    val idxEn = graft.exprs.Stopwords.sortedLangs.indexOf("en")
+    val qual = docs
+      .select($"doc_id", TA.stats($"text").as("st"),
+        TA.stopwordScores($"text").getItem(idxEn).as("sw"))
+      .select($"doc_id", TA.qualityScoreFused($"st", $"sw").as("q_score"))
+    val per = perDocPpl(s, d).select($"doc_id", $"ppl")
+      .join(qual, Seq("doc_id")).persist()
+    val n = per.count()
+    val key = struct($"ppl", $"doc_id")
+    val bucket = if (n == 0) lit(1) else {
+      val base = n / 10
+      val sizes = (1 to 10).map(i => base + (if (n % 10 >= i) 1L else 0L))
+      val cums = sizes.scanLeft(0L)(_ + _).tail.dropRight(1) // 9 boundaries
+      val bs = graft.util.OrderStats.kthPairs(per, "ppl", "doc_id", cums, n)
+      bs.zipWithIndex.reverse.foldLeft(lit(10): org.apache.spark.sql.Column) {
+        case (acc, ((v, t), i)) =>
+          when(key <= struct(lit(v).as("ppl"), lit(t).as("doc_id")), i + 1)
+            .otherwise(acc)
+      }
+    }
+    val result = graft.util.Local.materialize(
+      per.withColumn("decile", bucket)
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_docs"),
+          expr(graft.util.ExactRound.meanOfDecimal6(
+            "SUM(CAST(ppl AS DECIMAL(28,6)))", "COUNT(*)")).as("mean_ppl"),
+          expr(graft.util.ExactRound.meanOfDecimal6(
+            "SUM(CAST(q_score AS DECIMAL(28,6)))", "COUNT(*)")).as("mean_q"))
+        .orderBy($"decile"))
+    per.unpersist()
+    result
+  }
+
+  val pplQualityCalibSql: String = perDocCtes +
+    s""", qc AS (
+      |  SELECT doc_id,
+      |    length(text) AS len,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
+      |    length(regexp_replace(text, '[^.,!?;:''"()\\[\\]-]', '', 'g')) AS punct,
+      |    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS uppr,
+      |    len(regexp_extract_all(lower(text), '${graft.llm.TextAnalysis.stopwordPatterns("en")}')) AS sw
+      |  FROM documents
+      |), qual AS (
+      |  SELECT doc_id, round(
+      |      (CASE WHEN len < 50 THEN CAST(len AS DOUBLE)/50
+      |            WHEN len > 10000 THEN 10000.0/len ELSE 1.0 END) * 0.3
+      |    + (1.0 - least((CASE WHEN len = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE)/len END) * 5, 1.0)) * 0.3
+      |    + least((CASE WHEN toks = 0 THEN 0.0 ELSE CAST(sw AS DOUBLE)/toks END) * 4, 1.0) * 0.2
+      |    + (1.0 - least((CASE WHEN len = 0 THEN 0.0 ELSE CAST(uppr AS DOUBLE)/len END) * 4, 1.0)) * 0.2,
+      |    6) AS q_score
+      |  FROM qc
+      |), joined AS (
+      |  SELECT p.doc_id, p.ppl, q.q_score FROM perdoc p JOIN qual q USING (doc_id)
+      |), deciled AS (
+      |  SELECT *, NTILE(10) OVER (ORDER BY ppl, doc_id) AS decile FROM joined
+      |)
+      |SELECT decile, COUNT(*) AS n_docs,
+      |  ${graft.util.ExactRound.meanOfDecimal6Duck("SUM(CAST(ppl AS DECIMAL(28,6)))", "COUNT(*)")} AS mean_ppl,
+      |  ${graft.util.ExactRound.meanOfDecimal6Duck("SUM(CAST(q_score AS DECIMAL(28,6)))", "COUNT(*)")} AS mean_q
+      |FROM deciled
+      |GROUP BY decile
+      |ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lm_train" -> (lmTrain _),
     "q_lm_perplexity" -> (lmPerplexity _),
@@ -544,6 +623,7 @@ object Training {
     "q_lm_kneser_ney" -> (lmKneserNey _),
     "q_doremi_weights" -> (doremiWeights _),
     "q_weighted_sample" -> (weightedSample _),
+    "q_ppl_quality_calib" -> (pplQualityCalib _),
     "q_dsir_select" -> (dsirSelect _),
     "q_chat_validate" -> (chatValidate _),
     "q_chat_sft_tokens" -> (chatSftTokens _),
@@ -557,6 +637,7 @@ object Training {
     "q_lm_kneser_ney" -> lmKneserNeySql,
     "q_doremi_weights" -> doremiWeightsSql,
     "q_weighted_sample" -> weightedSampleSql,
+    "q_ppl_quality_calib" -> pplQualityCalibSql,
     "q_dsir_select" -> dsirSelectSql,
     "q_chat_validate" -> chatValidateSql,
     "q_chat_sft_tokens" -> chatSftTokensSql,
