@@ -347,3 +347,114 @@ object WordEntropyStats {
     StructField("n_distinct", LongType, nullable = false),
     StructField("sum_micro", LongType, nullable = false)))
 }
+
+/** Aho–Corasick multi-pattern scan (Aho & Corasick 1975): every
+  * (position, pattern) occurrence of a fixed blocklist in one pass over
+  * the lower-cased text — the fused alternative to one `contains`/
+  * regex execution per pattern, and the shape a 100 TB blocklist
+  * filter needs (automaton size ~ Σ pattern lengths, shared across all
+  * patterns; text scanned ONCE regardless of pattern count).
+  * Occurrences overlap (each text position reports every pattern
+  * ending there), which the oracle reproduces with a per-position
+  * substring scan. Output: total occurrence count, number of distinct
+  * patterns hit, and the hit patterns comma-joined in declaration
+  * order. */
+case class AhoCorasickStats(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "patterns must be non-empty strings")
+  override def dataType: DataType = AhoCorasickStats.schema
+
+  // trie + BFS failure links, built once per (deserialized) instance
+  @transient private lazy val automaton: AhoCorasickStats.Automaton =
+    AhoCorasickStats.build(patterns.map(_.toLowerCase(java.util.Locale.ROOT)))
+
+  override def nullSafeEval(in: Any): Any = {
+    val s = in.asInstanceOf[UTF8String].toLowerCase.toString
+    val a = automaton
+    val counts = new Array[Long](patterns.length)
+    var node = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      while (node != 0 && !a.next(node).containsKey(c)) node = a.fail(node)
+      val t = a.next(node).get(c)
+      node = if (t == null) 0 else t.intValue()
+      var o = node
+      while (o != 0) {
+        val pid = a.patId(o)
+        if (pid >= 0) counts(pid) += 1
+        o = a.outLink(o)
+      }
+      i += 1
+    }
+    var hits = 0L
+    var total = 0L
+    val csv = new java.lang.StringBuilder()
+    var p = 0
+    while (p < counts.length) {
+      total += counts(p)
+      if (counts(p) > 0) {
+        hits += 1
+        if (csv.length() > 0) csv.append(',')
+        csv.append(patterns(p))
+      }
+      p += 1
+    }
+    InternalRow(total, hits, UTF8String.fromString(csv.toString))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "aho_corasick_stats"
+}
+
+object AhoCorasickStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_hits", LongType, nullable = false),
+    StructField("n_patterns", LongType, nullable = false),
+    StructField("matched_csv", StringType, nullable = false)))
+
+  /** `next`: per-node transition map; `fail`: failure links; `patId`:
+    * pattern ending at this node (−1 if none); `outLink`: next node in
+    * the output chain (a node's suffix that is itself a pattern end). */
+  final class Automaton(val next: Array[java.util.HashMap[Character, Integer]],
+                        val fail: Array[Int], val patId: Array[Int],
+                        val outLink: Array[Int])
+
+  private[exprs] def build(pats: Seq[String]): Automaton = {
+    val next = scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Character, Integer]())
+    val patId = scala.collection.mutable.ArrayBuffer(-1)
+    pats.zipWithIndex.foreach { case (p, id) =>
+      var node = 0
+      p.foreach { c =>
+        val t = next(node).get(c)
+        if (t == null) {
+          next.append(new java.util.HashMap[Character, Integer]())
+          patId.append(-1)
+          next(node).put(c, next.size - 1)
+          node = next.size - 1
+        } else node = t.intValue()
+      }
+      patId(node) = id // duplicate patterns: last wins (callers pass distinct)
+    }
+    val n = next.size
+    val fail = new Array[Int](n)
+    val outLink = new Array[Int](n)
+    val queue = new java.util.ArrayDeque[Integer]()
+    next(0).forEach { (_, v) => queue.add(v) }
+    while (!queue.isEmpty) {
+      val u = queue.poll().intValue()
+      next(u).forEach { (c, v) =>
+        var f = fail(u)
+        while (f != 0 && !next(f).containsKey(c)) f = fail(f)
+        val t = next(f).get(c)
+        fail(v.intValue()) =
+          if (t != null && t.intValue() != v.intValue()) t.intValue() else 0
+        queue.add(v)
+      }
+      val f = fail(u)
+      outLink(u) = if (patId(f) >= 0) f else outLink(f)
+    }
+    new Automaton(next.toArray, fail, patId.toArray, outLink)
+  }
+}

@@ -22,6 +22,13 @@ import graft.util.Tables._
   */
 object Llm {
 
+  /** Policy-term fixture for q_blocklist_match: shares prefixes and
+    * suffixes so the automaton's failure/output links are exercised. */
+  val blocklistPatterns: Seq[String] = Seq(
+    "scan", "scan slow", "slow", "hash", "hash join", "join",
+    "table", "vector", "broadcast", "merge batch")
+
+
   /** Text statistics battery (token counting + quality signals). One
     * fused [[graft.exprs.TextStats]] pass per document, aliased once so
     * the five projections read fields off a single evaluation. */
@@ -325,6 +332,47 @@ object Llm {
     """ END AS ttr
       |FROM alld
       |ORDER BY doc_id""".stripMargin
+
+  /** Blocklist / policy-term matching via the fused Aho–Corasick scan
+    * ([[graft.exprs.AhoCorasickStats]]): every (position, pattern)
+    * occurrence of the term list in ONE pass over each document —
+    * automaton size ~ Σ pattern lengths shared across patterns, text
+    * scanned once regardless of how many terms the blocklist grows to
+    * (the per-pattern `contains` alternative rescans the corpus per
+    * term). Patterns deliberately share prefixes/suffixes ("scan" /
+    * "scan slow", "join" / "hash join") so failure and output links are
+    * actually exercised; the oracle counts the same overlapping
+    * occurrences with a per-position substring scan. */
+  def blocklistMatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = org.apache.spark.sql.graftshim.Shim
+    documents(s, d)
+      .select($"doc_id",
+        sh.column(graft.exprs.AhoCorasickStats(sh.expression($"text"),
+          Llm.blocklistPatterns)).as("st"))
+      .select($"doc_id", $"st.n_hits".as("n_hits"),
+        $"st.n_patterns".as("n_patterns"), $"st.matched_csv".as("matched_csv"))
+      .orderBy($"doc_id")
+  }
+
+  val blocklistMatchSql: String = {
+    val vals = Llm.blocklistPatterns.zipWithIndex
+      .map { case (p, i) => s"('$p', $i)" }.mkString(", ")
+    s"""WITH pats AS (
+      |  SELECT * FROM (VALUES $vals) t(p, ord)
+      |), per AS (
+      |  SELECT d.doc_id, pats.p, pats.ord,
+      |    len(list_filter(
+      |      generate_series(1, length(lower(d.text)) - length(pats.p) + 1),
+      |      i -> substr(lower(d.text), CAST(i AS BIGINT), length(pats.p)) = pats.p)) AS c
+      |  FROM documents d CROSS JOIN pats
+      |)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_hits,
+      |  CAST(COUNT(*) FILTER (WHERE c > 0) AS BIGINT) AS n_patterns,
+      |  COALESCE(string_agg(p, ',' ORDER BY ord) FILTER (WHERE c > 0), '') AS matched_csv
+      |FROM per GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+  }
 
   /** Corpus vocabulary top-100: the classic distributed wordcount shape —
     * explode words, hash-aggregate with map-side partial combine, global
@@ -1706,6 +1754,7 @@ object Llm {
     "q_text_quality" -> (textQuality _),
     "q_gopher_rules" -> (gopherRules _),
     "q_text_entropy" -> (textEntropy _),
+    "q_blocklist_match" -> (blocklistMatch _),
     "q_text_repetition" -> (textRepetition _),
     "q_vocab_topk" -> (vocabTopK _),
     "q_pii_redact" -> (piiRedact _),
@@ -2322,6 +2371,7 @@ object Llm {
     "q_text_quality" -> textQualitySql,
     "q_gopher_rules" -> gopherRulesSql,
     "q_text_entropy" -> textEntropySql,
+    "q_blocklist_match" -> blocklistMatchSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_vocab_topk" -> vocabTopKSql,
     "q_pii_redact" -> piiRedactSql,

@@ -1377,6 +1377,62 @@ object Relational {
       |FROM halves
       |ORDER BY user_id, emit_seq""".stripMargin
 
+  /** MapState flavor of `transformWithState`
+    * ([[graft.streaming.StreamOps.TypedCountsProcessor]]): a per-user
+    * event_type → cumulative-count map updated point-wise per batch —
+    * at scale only the entries present in a batch are touched, not the
+    * whole state blob — and iterated for the emitted summary (distinct
+    * types seen, total events so far). */
+  def streamTwsMap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.StreamOps.{TypedCountsProcessor, TwsTypedEvent}
+    val ev = graft.util.Tables.events(s, d)
+    val dataDir = stagedEventsDir(s, d)
+    withConfs(s,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      withStreamPartitions(s, 8) {
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
+          .select($"user_id", $"event_type")
+          .as[TwsTypedEvent]
+        val out = stream
+          .groupByKey(_.user_id)
+          .transformWithState(new TypedCountsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        val name = "stream_tws_map_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+          .select($"user_id", $"emit_seq", $"n_batch".as("n_events"),
+            $"cum_events", $"n_types")
+          .orderBy($"user_id", $"emit_seq")
+      }
+    }
+  }
+
+  val streamTwsMapSql: String =
+    """WITH b AS (
+      |  SELECT user_id,
+      |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 2 END AS half,
+      |    event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2, 3
+      |), perhalf AS (
+      |  SELECT user_id, half, CAST(SUM(n) AS BIGINT) AS n_batch FROM b GROUP BY 1, 2
+      |)
+      |SELECT p.user_id,
+      |  ROW_NUMBER() OVER (PARTITION BY p.user_id ORDER BY p.half) AS emit_seq,
+      |  p.n_batch AS n_events,
+      |  SUM(p.n_batch) OVER (PARTITION BY p.user_id ORDER BY p.half) AS cum_events,
+      |  (SELECT COUNT(DISTINCT b2.event_type) FROM b b2
+      |   WHERE b2.user_id = p.user_id AND b2.half <= p.half) AS n_types
+      |FROM perhalf p
+      |ORDER BY user_id, emit_seq""".stripMargin
+
   /** Timer-driven gap sessionization on `transformWithState`
     * ([[graft.streaming.StreamOps.SessionProcessor]]) — the event-time
     * timer + `handleExpiredTimer` half of the Spark 4 arbitrary-state
@@ -1630,6 +1686,7 @@ object Relational {
     "q_stream_dedup_wm" -> (streamDedupWm _),
     "q_stream_tws" -> (streamTws _),
     "q_stream_tws_timers" -> (streamTwsTimers _),
+    "q_stream_tws_map" -> (streamTwsMap _),
     "q_scd2_merge" -> (scd2Merge _),
     "q_asof_exec" -> (asofExec _),
     "q_asof_exec_fwd" -> (asofExecFwd _),
@@ -1673,6 +1730,7 @@ object Relational {
     "q_stream_dedup_wm" -> streamDedupWmSql,
     "q_stream_tws" -> streamTwsSql,
     "q_stream_tws_timers" -> streamTwsTimersSql,
+    "q_stream_tws_map" -> streamTwsMapSql,
     "q_scd2_merge" -> scd2MergeSql,
     "q_asof_exec" -> asofExecSql,
     "q_asof_exec_fwd" -> asofExecFwdSql,

@@ -207,6 +207,53 @@ object StreamOps {
     }
   }
 
+  final case class TwsTypedEvent(user_id: Long, event_type: String)
+  final case class TwsTypedOut(user_id: Long, emit_seq: Long, n_batch: Long,
+                               cum_events: Long, n_types: Long)
+
+  /** MapState flavor of the arbitrary-state API ([[CumulProcessor]]
+    * covers ValueState, [[SessionProcessor]] event-time timers): a
+    * per-user map event_type → cumulative count, updated point-wise per
+    * batch and ITERATED for the emitted summary (distinct types seen,
+    * total events so far) — the per-entry get/update/iterate surface is
+    * what distinguishes MapState from a value blob: at 100 TB a user's
+    * map updates touch only the entries present in the batch, not a
+    * deserialize-modify-reserialize of the whole state value. Emission
+    * content is commutative in batch row order, so the two-file staging
+    * keeps the emitted set closed-form. */
+  final class TypedCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TwsTypedEvent, TwsTypedOut] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    @transient private var emits: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      emits = getHandle.getValueState[Long]("emits", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TwsTypedEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TwsTypedOut] = {
+      val batch = new java.util.HashMap[String, Long]()
+      var n = 0L
+      rows.foreach { e => n += 1; batch.merge(e.event_type, 1L, (a, b) => a + b) }
+      if (n == 0) return Iterator.empty
+      batch.forEach { (t, c) =>
+        counts.updateValue(t,
+          (if (counts.containsKey(t)) counts.getValue(t) else 0L) + c)
+      }
+      var nTypes = 0L
+      var total = 0L
+      counts.iterator().foreach { case (_, c) => nTypes += 1; total += c }
+      val seq = (if (emits.exists()) emits.get() else 0L) + 1L
+      emits.update(seq)
+      Iterator.single(TwsTypedOut(key, seq, n, total, nTypes))
+    }
+  }
+
   final case class SessTsEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long)
   final case class SessState(start_us: Long, last_us: Long, n: Long, timer_ms: Long)
   final case class SessOut(user_id: Long, session_start_us: Long,

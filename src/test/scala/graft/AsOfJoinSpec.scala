@@ -100,6 +100,17 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out == Map(1L -> -1L, 2L -> -1L, 3L -> 9L))
   }
 
+  test("empty right side: all left rows emit unmatched; empty left side: no rows") {
+    val l = Seq((1L, 5L, 1L), (2L, 6L, 2L))
+    val out = run(l, Nil, None)
+    assert(out.count() == 2 && out.filter($"rid".isNull).count() == 2)
+    val fwd = AsOfJoin.forward(l.toDF("k", "t", "lid"),
+      Seq.empty[(Long, Long, Long)].toDF("rk", "rt", "rid"),
+      ("k", "rk"), ("t", "rt"))
+    assert(fwd.count() == 2 && fwd.filter($"rid".isNull).count() == 2)
+    assert(run(Nil, Seq((1L, 1L, 1L)), None).count() == 0)
+  }
+
   test("plan: AsOfJoinExec present, both exchanges and sorts planned by the engine") {
     val df = run((1 to 50).map(i => (i.toLong % 5, i.toLong, i.toLong)),
       (1 to 50).map(i => (i.toLong % 5, i.toLong, i.toLong)), None)

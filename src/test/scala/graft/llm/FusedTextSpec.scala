@@ -323,4 +323,26 @@ class FusedTextSpec extends SparkTestBase with TableDrivenPropertyChecks {
     val h = (Math.round(Math.log(n.toDouble) * 1e6) - (2 * sum + n) / (2 * n)) / 1e6
     assert(h == 0.636514)
   }
+  test("AhoCorasickStats: brute-force parity on random texts, overlapping matches, csv order") {
+    import org.apache.spark.sql.graftshim.Shim
+    val pats = Seq("ab", "aba", "ba", "b", "abab")
+    def brute(t: String): (Long, Long, String) = {
+      val s = t.toLowerCase
+      val counts = pats.map(p =>
+        (0 to s.length - p.length).count(i => s.regionMatches(i, p, 0, p.length)).toLong)
+      (counts.sum, counts.count(_ > 0).toLong,
+        pats.zip(counts).filter(_._2 > 0).map(_._1).mkString(","))
+    }
+    val rnd = new scala.util.Random(5)
+    val texts = (1 to 60).map(_ =>
+      (1 to rnd.nextInt(30)).map(_ => "ab" (rnd.nextInt(2))).mkString) ++
+      Seq("", "ABAB", "ababab", "bbbb", "xyz")
+    val got = texts.toDF("t")
+      .select(Shim.column(graft.exprs.AhoCorasickStats(Shim.expression($"t"), pats)).as("o"))
+      .select($"o.n_hits", $"o.n_patterns", $"o.matched_csv")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == brute(t), s"text='$t'")
+    }
+  }
 }
