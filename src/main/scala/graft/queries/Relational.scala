@@ -1433,6 +1433,63 @@ object Relational {
       |FROM perhalf p
       |ORDER BY user_id, emit_seq""".stripMargin
 
+  /** ListState flavor of `transformWithState`
+    * ([[graft.streaming.StreamOps.TopIdsProcessor]]): a bounded
+    * per-user buffer — the two largest event ids so far — rewritten
+    * whole per batch, completing the state-primitive coverage
+    * (ValueState / MapState / ListState / event-time timers). */
+  def streamTwsList(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.StreamOps.{TopIdsProcessor, TwsIdEvent}
+    val ev = graft.util.Tables.events(s, d)
+    val dataDir = stagedEventsDir(s, d)
+    withConfs(s,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      withStreamPartitions(s, 8) {
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
+          .select($"user_id", $"event_id")
+          .as[TwsIdEvent]
+        val out = stream
+          .groupByKey(_.user_id)
+          .transformWithState(new TopIdsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        val name = "stream_tws_list_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name).orderBy($"user_id", $"emit_seq")
+      }
+    }
+  }
+
+  val streamTwsListSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 2 END AS half
+      |  FROM events
+      |), halves AS (
+      |  SELECT DISTINCT user_id, half FROM e
+      |), tops AS (
+      |  SELECT h.user_id, h.half,
+      |    (SELECT max(e2.event_id) FROM e e2
+      |     WHERE e2.user_id = h.user_id AND e2.half <= h.half) AS top1,
+      |    (SELECT max(e2.event_id) FROM e e2
+      |     WHERE e2.user_id = h.user_id AND e2.half <= h.half
+      |       AND e2.event_id < (SELECT max(e3.event_id) FROM e e3
+      |         WHERE e3.user_id = h.user_id AND e3.half <= h.half)) AS top2
+      |  FROM halves h
+      |)
+      |SELECT user_id,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY half) AS emit_seq,
+      |  top1, COALESCE(top2, -1) AS top2
+      |FROM tops
+      |ORDER BY user_id, emit_seq""".stripMargin
+
   /** Timer-driven gap sessionization on `transformWithState`
     * ([[graft.streaming.StreamOps.SessionProcessor]]) — the event-time
     * timer + `handleExpiredTimer` half of the Spark 4 arbitrary-state
@@ -1687,6 +1744,7 @@ object Relational {
     "q_stream_tws" -> (streamTws _),
     "q_stream_tws_timers" -> (streamTwsTimers _),
     "q_stream_tws_map" -> (streamTwsMap _),
+    "q_stream_tws_list" -> (streamTwsList _),
     "q_scd2_merge" -> (scd2Merge _),
     "q_asof_exec" -> (asofExec _),
     "q_asof_exec_fwd" -> (asofExecFwd _),
@@ -1731,6 +1789,7 @@ object Relational {
     "q_stream_tws" -> streamTwsSql,
     "q_stream_tws_timers" -> streamTwsTimersSql,
     "q_stream_tws_map" -> streamTwsMapSql,
+    "q_stream_tws_list" -> streamTwsListSql,
     "q_scd2_merge" -> scd2MergeSql,
     "q_asof_exec" -> asofExecSql,
     "q_asof_exec_fwd" -> asofExecFwdSql,

@@ -254,6 +254,42 @@ object StreamOps {
     }
   }
 
+  final case class TwsIdEvent(user_id: Long, event_id: Long)
+  final case class TwsTopOut(user_id: Long, emit_seq: Long, top1: Long, top2: Long)
+
+  /** ListState flavor — the fourth and last state primitive: a bounded
+    * per-user buffer (the two largest event ids seen so far, an
+    * order-independent summary, so the two-file staging keeps emission
+    * closed-form). `put` rewrites the bounded list; the contrast with
+    * [[TypedCountsProcessor]]'s MapState is the intended lesson: lists
+    * for small ordered/bounded buffers rewritten whole, maps for keyed
+    * entries updated point-wise. */
+  final class TopIdsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TwsIdEvent, TwsTopOut] {
+    @transient private var top: org.apache.spark.sql.streaming.ListState[Long] = _
+    @transient private var emits: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      top = getHandle.getListState[Long]("top", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      emits = getHandle.getValueState[Long]("emits2", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TwsIdEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TwsTopOut] = {
+      val merged = (top.get().toSeq ++ rows.map(_.event_id))
+        .sorted(Ordering[Long].reverse).take(2)
+      if (merged.isEmpty) return Iterator.empty
+      top.put(merged.toArray)
+      val seq = (if (emits.exists()) emits.get() else 0L) + 1L
+      emits.update(seq)
+      Iterator.single(TwsTopOut(key, seq, merged.head,
+        if (merged.size > 1) merged(1) else -1L))
+    }
+  }
+
   final case class SessTsEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long)
   final case class SessState(start_us: Long, last_us: Long, n: Long, timer_ms: Long)
   final case class SessOut(user_id: Long, session_start_us: Long,

@@ -141,6 +141,39 @@ class AsOfJoinSpec extends SparkTestBase {
     }.size == 2, "EnsureRequirements must plan one (key, time) sort per side")
   }
 
+  test("pre-partitioned + pre-sorted input: no new exchange, no new sort") {
+    // the operator's promise: it DECLARES distribution/ordering needs, so
+    // input already in shape (a bucketed sorted table at scale) pays
+    // neither an exchange nor a sort beyond the ones building that shape
+    val l = (1 to 80).map(i => (i.toLong % 7, i.toLong, i.toLong))
+      .toDF("k", "t", "lid").repartition($"k").sortWithinPartitions($"k", $"t")
+    val r = (1 to 80).map(i => (i.toLong % 7, i.toLong * 2, i.toLong))
+      .toDF("rk", "rt", "rid").repartition($"rk").sortWithinPartitions($"rk", $"rt", $"rid")
+    val df = AsOfJoin.backward(l, r, ("k", "rk"), ("t", "rt"), None, Seq("rid"))
+    df.collect()
+    def collectAll[T](p: org.apache.spark.sql.execution.SparkPlan)(
+        pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+      val here = if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(collectAll(_)(pf))
+    }
+    val plan = df.queryExecution.executedPlan
+    assert(collectAll(plan) {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if s.shuffleOrigin ==
+          org.apache.spark.sql.execution.exchange.ENSURE_REQUIREMENTS => s
+    }.isEmpty, "no EnsureRequirements exchange on pre-partitioned input")
+    // the only sorts are the two explicit sortWithinPartitions
+    assert(collectAll(plan) {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.size == 2, "no sort beyond the two explicit sortWithinPartitions")
+  }
+
   test("timestamp time columns work end-to-end") {
     val l = Seq((1L, "2024-01-01 10:00:00", 1L), (1L, "2024-01-01 12:00:00", 2L))
       .toDF("k", "ts", "lid").withColumn("ts", to_timestamp($"ts"))
