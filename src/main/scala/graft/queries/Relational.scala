@@ -53,6 +53,148 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** TPC-H Q3 (shipping priority): segment-filtered customers ⋈ orders
+    * ⋈ lineitem, top-10 open orders by discounted revenue. The filtered
+    * customer side broadcasts (AQE decides); revenue accumulates in
+    * DECIMAL per the q_agg_pricing discipline; the top-10 is a
+    * TakeOrdered over the grouped rollup with an explicit orderkey
+    * tie-break so the LIMIT is deterministic. */
+  def tpchQ3(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    customer(s, d).filter($"c_mktsegment" === "BUILDING")
+      .join(orders(s, d), $"c_custkey" === $"o_custkey")
+      .filter($"o_orderdate" < lit("1996-01-01").cast("timestamp_ntz"))
+      .join(lineitem(s, d), $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > lit("1996-01-01").cast("timestamp_ntz"))
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(out(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")))
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderdate", $"l_orderkey")
+      .limit(10)
+  }
+
+  val tpchQ3Sql: String =
+    """SELECT l_orderkey, o_orderdate,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01'
+      |  AND l_shipdate > TIMESTAMP '1996-01-01'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 (local supplier volume): the six-table star join with the
+    * c_nationkey = s_nationkey locality condition — the canonical CBO /
+    * join-order workout. nation⋈region prune to one region's nations
+    * and broadcast; the two fact joins (orders, lineitem) shuffle on
+    * their keys; AQE finishes the layout. */
+  def tpchQ5(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val asiaNations = nation(s, d)
+      .join(region(s, d), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "ASIA")
+      .select($"n_nationkey", $"n_name")
+    customer(s, d)
+      .join(orders(s, d), $"c_custkey" === $"o_custkey")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp_ntz"))
+      .join(lineitem(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(supplier(s, d),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(asiaNations), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(out(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")))
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val tpchQ5Sql: String =
+    """SELECT n_name,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q10 (returned-item reporting): one quarter's returns rolled
+    * up per customer, top 20 by lost revenue. Customer and nation
+    * broadcast; the orders⋈lineitem join shuffles on orderkey. */
+  def tpchQ10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    customer(s, d)
+      .join(orders(s, d), $"c_custkey" === $"o_custkey")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
+        $"o_orderdate" < lit("1996-04-01").cast("timestamp_ntz"))
+      .join(lineitem(s, d), $"l_orderkey" === $"o_orderkey")
+      .filter($"l_returnflag" === "R")
+      .join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg(out(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")))
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  val tpchQ10Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q14 (promotion effect): promo share of one month's revenue.
+    * part broadcasts into the lineitem scan; the promo numerator is a
+    * FILTERed sum (null-else CASE — no zero-literal decimal type
+    * juggling); the final percentage divides the two DECIMAL-exact
+    * doubles and rounds at 1e-6. */
+  def tpchQ14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rev = dec($"l_extendedprice") * dec(lit(1) - $"l_discount")
+    lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1996-09-01").cast("timestamp_ntz") &&
+        $"l_shipdate" < lit("1996-10-01").cast("timestamp_ntz"))
+      .join(broadcast(part(s, d)), $"l_partkey" === $"p_partkey")
+      .agg(
+        out(coalesce(sum(when($"p_type" === "PROMO", rev)),
+          lit(0).cast("decimal(18,4)"))).as("promo_revenue_abs"),
+        out(sum(rev)).as("total_revenue"))
+      .select(
+        round(lit(100.0) * $"promo_revenue_abs" / $"total_revenue", 6)
+          .as("promo_pct"),
+        $"promo_revenue_abs", $"total_revenue")
+  }
+
+  val tpchQ14Sql: String =
+    """WITH t AS (
+      |  SELECT
+      |    CAST(CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4)) END), 0) AS DECIMAL(38,6)) AS DOUBLE) AS promo_revenue_abs,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      |    AND l_shipdate < TIMESTAMP '1996-10-01'
+      |)
+      |SELECT round(100.0 * promo_revenue_abs / total_revenue, 6) AS promo_pct,
+      |  promo_revenue_abs, total_revenue
+      |FROM t""".stripMargin
+
   /** Projection + predicate filter (FilterAttributes/FilterByProperties,
     * common.py:178-211): prune to 4 columns, filter, per-row arithmetic. */
   def filterProject(s: SparkSession, d: String): DataFrame = {
@@ -1723,6 +1865,10 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_pricing" -> (aggPricing _),
+    "q_tpch_q3" -> (tpchQ3 _),
+    "q_tpch_q5" -> (tpchQ5 _),
+    "q_tpch_q10" -> (tpchQ10 _),
+    "q_tpch_q14" -> (tpchQ14 _),
     "q_filter_project" -> (filterProject _),
     "q_join_enrich" -> (joinEnrich _),
     "q_topk_window" -> (topkWindow _),
@@ -1768,6 +1914,10 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q_agg_pricing" -> aggPricingSql,
+    "q_tpch_q3" -> tpchQ3Sql,
+    "q_tpch_q5" -> tpchQ5Sql,
+    "q_tpch_q10" -> tpchQ10Sql,
+    "q_tpch_q14" -> tpchQ14Sql,
     "q_filter_project" -> filterProjectSql,
     "q_join_enrich" -> joinEnrichSql,
     "q_topk_window" -> topkWindowSql,
