@@ -1575,6 +1575,47 @@ object Relational {
       |FROM perhalf p
       |ORDER BY user_id, emit_seq""".stripMargin
 
+  /** UPDATE output mode — the third output-mode gate (complete:
+    * q_stream_hourly, append: the watermark family): a per-(hour, type)
+    * running count where each micro-batch emits ONLY the groups it
+    * changed, carrying their post-batch cumulative value. The memory
+    * sink accumulates every emitted update, so the final table is the
+    * union over batches of changed-group snapshots — deterministic
+    * under the two-file staging (a group emits once per half that
+    * touches it) and exactly the closed form the oracle states. */
+  def streamUpdate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.util.Tables.events(s, d)
+    val dataDir = stagedEventsDir(s, d)
+    withStreamPartitions(s, 8) {
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
+      val agg = stream
+        .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val name = "stream_update_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy($"hour", $"event_type", $"n")
+    }
+  }
+
+  val streamUpdateSql: String =
+    """WITH e AS (
+      |  SELECT date_trunc('hour', ts) AS hour, event_type,
+      |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 2 END AS half
+      |  FROM events
+      |), cum AS (
+      |  SELECT hour, event_type, half, COUNT(*) AS n_half FROM e GROUP BY 1, 2, 3
+      |)
+      |SELECT hour, event_type,
+      |  CAST(SUM(n_half) OVER (PARTITION BY hour, event_type ORDER BY half) AS BIGINT) AS n
+      |FROM cum
+      |ORDER BY hour, event_type, n""".stripMargin
+
   /** ListState flavor of `transformWithState`
     * ([[graft.streaming.StreamOps.TopIdsProcessor]]): a bounded
     * per-user buffer — the two largest event ids so far — rewritten
@@ -1891,6 +1932,7 @@ object Relational {
     "q_stream_tws_timers" -> (streamTwsTimers _),
     "q_stream_tws_map" -> (streamTwsMap _),
     "q_stream_tws_list" -> (streamTwsList _),
+    "q_stream_update" -> (streamUpdate _),
     "q_scd2_merge" -> (scd2Merge _),
     "q_asof_exec" -> (asofExec _),
     "q_asof_exec_fwd" -> (asofExecFwd _),
@@ -1940,6 +1982,7 @@ object Relational {
     "q_stream_tws_timers" -> streamTwsTimersSql,
     "q_stream_tws_map" -> streamTwsMapSql,
     "q_stream_tws_list" -> streamTwsListSql,
+    "q_stream_update" -> streamUpdateSql,
     "q_scd2_merge" -> scd2MergeSql,
     "q_asof_exec" -> asofExecSql,
     "q_asof_exec_fwd" -> asofExecFwdSql,
