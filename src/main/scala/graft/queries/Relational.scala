@@ -53,6 +53,34 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Explicit GROUPING SETS with grouping_id — the targeted-subtotals
+    * facet CUBE/ROLLUP (q_cube_stats) don't pin: exactly the
+    * (status, priority), (status), () levels, disambiguated by
+    * `grouping_id()` so all-null dimension values stay distinguishable
+    * from the subtotal rows. One Expand + one hash aggregate; Expand
+    * multiplies rows map-side by the set count BEFORE the shuffle, so
+    * at scale the cost is (#sets)× map output, not extra passes. */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    orders(s, d)
+      .groupingSets(
+        Seq(Seq($"o_orderstatus", $"o_orderpriority"),
+          Seq($"o_orderstatus"), Seq()),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+        out(sum(dec($"o_totalprice"))).as("total_price"))
+      .orderBy($"gid", $"o_orderstatus", $"o_orderpriority")
+  }
+
+  val groupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+      |  COUNT(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin
+
   /** TPC-H Q3 (shipping priority): segment-filtered customers ⋈ orders
     * ⋈ lineitem, top-10 open orders by discounted revenue. The filtered
     * customer side broadcasts (AQE decides); revenue accumulates in
@@ -1906,6 +1934,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_pricing" -> (aggPricing _),
+    "q_grouping_sets" -> (groupingSets _),
     "q_tpch_q3" -> (tpchQ3 _),
     "q_tpch_q5" -> (tpchQ5 _),
     "q_tpch_q10" -> (tpchQ10 _),
@@ -1956,6 +1985,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q_agg_pricing" -> aggPricingSql,
+    "q_grouping_sets" -> groupingSetsSql,
     "q_tpch_q3" -> tpchQ3Sql,
     "q_tpch_q5" -> tpchQ5Sql,
     "q_tpch_q10" -> tpchQ10Sql,
