@@ -694,6 +694,74 @@ object Llm {
   val streamDedupSql: String =
     """SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp""".stripMargin
 
+  /** Composed STREAMING curation pipeline — the batch corpus funnel's
+    * streaming twin: document stream → fused quality scoring → exact
+    * within-source dedup (`dropDuplicates` state across micro-batches)
+    * → per-(source, quality-band) admission counts in complete mode.
+    * Deterministic because the dedup key (source, fp) pins every
+    * emitted field: byte-identical texts carry identical quality
+    * scores, so whichever copy wins arrival makes no difference — the
+    * design rule for exactly-once streaming curation (key the dedup so
+    * the surviving row's payload is key-determined). */
+  def streamPipeline(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val docs = documents(s, d)
+    val dataDir = graft.util.Staging.twoFileSplit(s,
+      java.nio.file.Paths.get(d, "documents.parquet"), "graft-stream-docs", "v1") {
+      val half = docs.agg(max($"doc_id")).head.getLong(0) / 2
+      (docs.filter($"doc_id" <= half), docs.filter($"doc_id" > half))
+    }
+    val idxEn = graft.exprs.Stopwords.sortedLangs.indexOf("en")
+    graft.util.Staging.withStreamPartitions(s, 8) {
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
+        .select($"source", md5($"text").as("fp"),
+          TA.stats($"text").as("st"),
+          TA.stopwordScores($"text").getItem(idxEn).as("sw"))
+        .select($"source", $"fp", TA.qualityScoreFused($"st", $"sw").as("q"))
+        .dropDuplicates("source", "fp")
+        .groupBy($"source", ($"q" >= 0.82).as("pass"))
+        .agg(count(lit(1)).as("n_docs"))
+      val name = "stream_pipeline_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy($"source", $"pass")
+    }
+  }
+
+  val streamPipelineSql: String = {
+    val en = TA.stopwordPatterns("en")
+    s"""WITH c AS (
+       |  SELECT doc_id, source, md5(text) AS fp,
+       |    length(text) AS len,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
+       |    length(regexp_replace(text, '[^.,!?;:''"()\\[\\]-]', '', 'g')) AS punct,
+       |    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS uppr,
+       |    len(regexp_extract_all(lower(text), '$en')) AS sw
+       |  FROM documents
+       |), scored AS (
+       |  SELECT source, fp, round(
+       |      (CASE WHEN len < 50 THEN CAST(len AS DOUBLE)/50
+       |            WHEN len > 10000 THEN 10000.0/len ELSE 1.0 END) * 0.3
+       |    + (1.0 - least((CASE WHEN len = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE)/len END) * 5, 1.0)) * 0.3
+       |    + least((CASE WHEN toks = 0 THEN 0.0 ELSE CAST(sw AS DOUBLE)/toks END) * 4, 1.0) * 0.2
+       |    + (1.0 - least((CASE WHEN len = 0 THEN 0.0 ELSE CAST(uppr AS DOUBLE)/len END) * 4, 1.0)) * 0.2,
+       |    6) AS q
+       |  FROM c
+       |), dedup AS (
+       |  SELECT source, fp, MIN(q) AS q FROM scored GROUP BY 1, 2
+       |)
+       |SELECT source, (q >= 0.82) AS pass, COUNT(*) AS n_docs
+       |FROM dedup
+       |GROUP BY 1, 2
+       |ORDER BY source, pass""".stripMargin
+  }
+
   /** Transitive near-dup closure: connected components over the near-dup
     * pair graph by iterative min-label propagation
     * ([[graft.llm.Dedup.connectedComponents]], localCheckpoint per round)
@@ -1766,6 +1834,7 @@ object Llm {
     "q_dedup_jaccard" -> (dedupJaccard _),
     "q_dedup_cc" -> (dedupCc _),
     "q_stream_dedup" -> (streamDedup _),
+    "q_stream_pipeline" -> (streamPipeline _),
     "q_data_split" -> (dataSplit _),
     "q_decontaminate" -> (decontaminate _),
     "q_doc_simhash" -> (simhashSketch _),
@@ -2359,6 +2428,7 @@ object Llm {
     "q_dedup_jaccard" -> dedupJaccardSql,
     "q_dedup_cc" -> dedupCcSql,
     "q_stream_dedup" -> streamDedupSql,
+    "q_stream_pipeline" -> streamPipelineSql,
     "q_data_split" -> dataSplitSql,
     "q_decontaminate" -> decontaminateSql,
     "q_multimodal_pipeline" -> multimodalPipelineSql,
