@@ -345,4 +345,28 @@ class FusedTextSpec extends SparkTestBase with TableDrivenPropertyChecks {
       assert(g == brute(t), s"text='$t'")
     }
   }
+  test("AhoCorasickStats: fuzz — random pattern sets vs brute force") {
+    import org.apache.spark.sql.graftshim.Shim
+    val rnd = new scala.util.Random(97)
+    for (round <- 1 to 8) {
+      val pats = (1 to 2 + rnd.nextInt(6)).map(_ =>
+        (1 to 1 + rnd.nextInt(4)).map(_ => "abc" (rnd.nextInt(3))).mkString)
+        .distinct
+      val texts = (1 to 25).map(_ =>
+        (1 to rnd.nextInt(40)).map(_ => "abc" (rnd.nextInt(3))).mkString)
+      def brute(t: String): (Long, Long, String) = {
+        val counts = pats.map(p =>
+          (0 to t.length - p.length).count(i => t.regionMatches(i, p, 0, p.length)).toLong)
+        (counts.sum, counts.count(_ > 0).toLong,
+          pats.zip(counts).filter(_._2 > 0).map(_._1).mkString(","))
+      }
+      val got = texts.toDF("t")
+        .select(Shim.column(graft.exprs.AhoCorasickStats(Shim.expression($"t"), pats)).as("o"))
+        .select($"o.n_hits", $"o.n_patterns", $"o.matched_csv")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      texts.zip(got).foreach { case (t, g) =>
+        assert(g == brute(t), s"round=$round pats=$pats text='$t'")
+      }
+    }
+  }
 }
