@@ -377,9 +377,11 @@ case class AhoCorasickStats(child: Expression, patterns: Seq[String])
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      while (node != 0 && !a.next(node).containsKey(c)) node = a.fail(node)
-      val t = a.next(node).get(c)
-      node = if (t == null) 0 else t.intValue()
+      // goto via per-node sorted primitive arrays — no boxing, no map
+      // probes in the per-character loop
+      var t = a.step(node, c)
+      while (node != 0 && t < 0) { node = a.fail(node); t = a.step(node, c) }
+      node = if (t < 0) 0 else t
       var o = node
       while (o != 0) {
         val pid = a.patId(o)
@@ -413,12 +415,30 @@ object AhoCorasickStats {
     StructField("n_patterns", LongType, nullable = false),
     StructField("matched_csv", StringType, nullable = false)))
 
-  /** `next`: per-node transition map; `fail`: failure links; `patId`:
-    * pattern ending at this node (−1 if none); `outLink`: next node in
-    * the output chain (a node's suffix that is itself a pattern end). */
-  final class Automaton(val next: Array[java.util.HashMap[Character, Integer]],
+  /** Unboxed goto tables: per node a SORTED `chars` array with parallel
+    * `targets` (binary-searched in [[step]]); `fail`: failure links;
+    * `patId`: pattern ending at this node (−1 if none); `outLink`: next
+    * node in the output chain (the node's nearest suffix that is itself
+    * a pattern end). */
+  final class Automaton(val chars: Array[Array[Char]],
+                        val targets: Array[Array[Int]],
                         val fail: Array[Int], val patId: Array[Int],
-                        val outLink: Array[Int])
+                        val outLink: Array[Int]) {
+    /** Target of the (node, c) edge, or −1 if absent. */
+    def step(node: Int, c: Char): Int = {
+      val cs = chars(node)
+      var lo = 0
+      var hi = cs.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val m = cs(mid)
+        if (m == c) return targets(node)(mid)
+        else if (m < c) lo = mid + 1
+        else hi = mid - 1
+      }
+      -1
+    }
+  }
 
   private[exprs] def build(pats: Seq[String]): Automaton = {
     val next = scala.collection.mutable.ArrayBuffer(
@@ -455,6 +475,19 @@ object AhoCorasickStats {
       val f = fail(u)
       outLink(u) = if (patId(f) >= 0) f else outLink(f)
     }
-    new Automaton(next.toArray, fail, patId.toArray, outLink)
+    // freeze the boxed build-time trie into sorted primitive goto tables
+    val chars = new Array[Array[Char]](n)
+    val targets = new Array[Array[Int]](n)
+    var node = 0
+    while (node < n) {
+      val es = new Array[(Char, Int)](next(node).size)
+      var j = 0
+      next(node).forEach { (c, v) => es(j) = (c.charValue(), v.intValue()); j += 1 }
+      java.util.Arrays.sort(es, Ordering.by((e: (Char, Int)) => e._1))
+      chars(node) = es.map(_._1)
+      targets(node) = es.map(_._2)
+      node += 1
+    }
+    new Automaton(chars, targets, fail, patId.toArray, outLink)
   }
 }

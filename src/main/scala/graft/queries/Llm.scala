@@ -162,10 +162,19 @@ object Llm {
       .orderBy($"doc_id")
   }
 
-  val textQualitySql: String = {
+  /** Shared oracle fragment: the SQL twin of
+    * [[graft.llm.TextAnalysis.qualityScoreFused]] as two CTEs
+    * (`qc` counting pass, `qual` weighted score). One copy — used by
+    * [[textQualitySql]], [[streamPipelineSql]], and
+    * [[Training.pplQualityCalibSql]] — so a tweak to the fused scorer
+    * cannot silently leave one oracle behind. `extraQc` columns are
+    * COMPUTED in the counting CTE (e.g. " source, md5(text) AS fp,");
+    * `extraQual` carries them by name into the scored CTE
+    * (e.g. " source, fp,"). */
+  def qualityScoredCtes(extraQc: String = "", extraQual: String = ""): String = {
     val en = TA.stopwordPatterns("en")
-    s"""WITH c AS (
-       |  SELECT doc_id,
+    s"""qc AS (
+       |  SELECT doc_id,$extraQc
        |    length(text) AS len,
        |    CASE WHEN length(trim(text)) = 0 THEN 0
        |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
@@ -173,30 +182,35 @@ object Llm {
        |    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS uppr,
        |    len(regexp_extract_all(lower(text), '$en')) AS sw
        |  FROM documents
-       |)
-       |SELECT doc_id, round(
-       |    (CASE WHEN len < 50 THEN CAST(len AS DOUBLE)/50
-       |          WHEN len > 10000 THEN 10000.0/len ELSE 1.0 END) * 0.3
-       |  + (1.0 - least((CASE WHEN len = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE)/len END) * 5, 1.0)) * 0.3
-       |  + least((CASE WHEN toks = 0 THEN 0.0 ELSE CAST(sw AS DOUBLE)/toks END) * 4, 1.0) * 0.2
-       |  + (1.0 - least((CASE WHEN len = 0 THEN 0.0 ELSE CAST(uppr AS DOUBLE)/len END) * 4, 1.0)) * 0.2,
-       |  6) AS q_score
-       |FROM c
-       |ORDER BY doc_id""".stripMargin
+       |), qual AS (
+       |  SELECT doc_id,$extraQual round(
+       |      (CASE WHEN len < 50 THEN CAST(len AS DOUBLE)/50
+       |            WHEN len > 10000 THEN 10000.0/len ELSE 1.0 END) * 0.3
+       |    + (1.0 - least((CASE WHEN len = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE)/len END) * 5, 1.0)) * 0.3
+       |    + least((CASE WHEN toks = 0 THEN 0.0 ELSE CAST(sw AS DOUBLE)/toks END) * 4, 1.0) * 0.2
+       |    + (1.0 - least((CASE WHEN len = 0 THEN 0.0 ELSE CAST(uppr AS DOUBLE)/len END) * 4, 1.0)) * 0.2,
+       |    6) AS q_score
+       |  FROM qc
+       |)""".stripMargin
   }
+
+  val textQualitySql: String =
+    s"""WITH ${qualityScoredCtes()}
+       |SELECT doc_id, q_score FROM qual
+       |ORDER BY doc_id""".stripMargin
 
   /** Gopher rule-by-rule quality battery (Rae et al. 2021, "Scaling
     * Language Models: Methods, Analysis & Insights from Training
     * Gopher", arXiv:2112.11446, Appendix A1.1) — the per-rule boolean
     * complement to [[textQuality]]'s composite score: word-count band,
-    * mean-word-length band, symbol-to-word ratio, bullet-line and
-    * ellipsis-line fractions, alphabetic-word fraction, and the
+    * mean-word-length band, per-symbol (hash, ellipsis)
+    * symbol-to-word ratios, bullet-line and ellipsis-line fractions, alphabetic-word fraction, and the
     * required-stopword floor, plus the conjunction. (On the synthetic
     * corpus the stopword floor is honestly near-unreachable — the
     * generator's vocabulary has almost no English function words — so
     * `pass` is expected mostly false; the per-rule columns carry the
     * discrimination and the oracle hashes all of them.) Every ratio
-    * threshold compares cross-multiplied INTEGER counts (`10·sym ≤
+    * threshold compares cross-multiplied INTEGER counts (`10·n_hash ≤
     * toks`, `5·alpha ≥ 4·toks`, …), so there is no float anywhere and
     * both engines agree bit-for-bit. All counts are per-row HOFs off
     * the scan — no shuffle, whole rule battery in one projection. */
@@ -208,8 +222,10 @@ object Llm {
     val counts = documents(s, d).select($"doc_id",
       size(ws).cast("long").as("n_words"),
       aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("wlen"),
-      (length($"text") - length(regexp_replace($"text", "#", "")) +
-        size(regexp_extract_all($"text", lit("\\.{3}|…"), lit(0)))).cast("long").as("sym"),
+      (length($"text") - length(regexp_replace($"text", "#", "")))
+        .cast("long").as("n_hash"),
+      size(regexp_extract_all($"text", lit("\\.{3}|…"), lit(0)))
+        .cast("long").as("n_ell"),
       size(lines).cast("long").as("n_lines"),
       size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long").as("bul"),
       size(filter(lines, l => l.rlike("(\\.{3}|…)\\s*$"))).cast("long").as("ell"),
@@ -221,7 +237,8 @@ object Llm {
       $"n_words".between(50L, 100000L).as("ok_word_count"),
       ($"n_words" > 0L && lit(3L) * $"n_words" <= $"wlen" &&
         $"wlen" <= lit(10L) * $"n_words").as("ok_mean_word_len"),
-      (lit(10L) * $"sym" <= $"n_words").as("ok_symbol_ratio"),
+      (lit(10L) * $"n_hash" <= $"n_words" &&
+        lit(10L) * $"n_ell" <= $"n_words").as("ok_symbol_ratio"),
       (lit(10L) * $"bul" <= lit(9L) * $"n_lines").as("ok_bullet_lines"),
       (lit(10L) * $"ell" <= lit(3L) * $"n_lines").as("ok_ellipsis_lines"),
       (lit(5L) * $"alpha" >= lit(4L) * $"n_words").as("ok_alpha_words"),
@@ -240,8 +257,8 @@ object Llm {
       |    COALESCE(list_sum(list_transform(
       |      list_filter(string_split_regex(trim(text), '\s+'), w -> w <> ''),
       |      w -> length(w))), 0) AS wlen,
-      |    length(text) - length(regexp_replace(text, '#', '', 'g'))
-      |      + len(regexp_extract_all(text, '\.{3}|…')) AS sym,
+      |    length(text) - length(regexp_replace(text, '#', '', 'g')) AS n_hash,
+      |    len(regexp_extract_all(text, '\.{3}|…')) AS n_ell,
       |    len(string_split(text, chr(10))) AS n_lines,
       |    len(list_filter(string_split(text, chr(10)),
       |      l -> regexp_matches(l, '^\s*[-*•]'))) AS bul,
@@ -256,14 +273,14 @@ object Llm {
       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
       |  n_words BETWEEN 50 AND 100000 AS ok_word_count,
       |  (n_words > 0 AND 3 * n_words <= wlen AND wlen <= 10 * n_words) AS ok_mean_word_len,
-      |  10 * sym <= n_words AS ok_symbol_ratio,
+      |  (10 * n_hash <= n_words AND 10 * n_ell <= n_words) AS ok_symbol_ratio,
       |  10 * bul <= 9 * n_lines AS ok_bullet_lines,
       |  10 * ell <= 3 * n_lines AS ok_ellipsis_lines,
       |  5 * alpha >= 4 * n_words AS ok_alpha_words,
       |  nsw >= 2 AS ok_stopwords,
       |  (n_words BETWEEN 50 AND 100000
       |    AND n_words > 0 AND 3 * n_words <= wlen AND wlen <= 10 * n_words
-      |    AND 10 * sym <= n_words
+      |    AND 10 * n_hash <= n_words AND 10 * n_ell <= n_words
       |    AND 10 * bul <= 9 * n_lines
       |    AND 10 * ell <= 3 * n_lines
       |    AND 5 * alpha >= 4 * n_words
@@ -733,34 +750,14 @@ object Llm {
     }
   }
 
-  val streamPipelineSql: String = {
-    val en = TA.stopwordPatterns("en")
-    s"""WITH c AS (
-       |  SELECT doc_id, source, md5(text) AS fp,
-       |    length(text) AS len,
-       |    CASE WHEN length(trim(text)) = 0 THEN 0
-       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
-       |    length(regexp_replace(text, '[^.,!?;:''"()\\[\\]-]', '', 'g')) AS punct,
-       |    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS uppr,
-       |    len(regexp_extract_all(lower(text), '$en')) AS sw
-       |  FROM documents
-       |), scored AS (
-       |  SELECT source, fp, round(
-       |      (CASE WHEN len < 50 THEN CAST(len AS DOUBLE)/50
-       |            WHEN len > 10000 THEN 10000.0/len ELSE 1.0 END) * 0.3
-       |    + (1.0 - least((CASE WHEN len = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE)/len END) * 5, 1.0)) * 0.3
-       |    + least((CASE WHEN toks = 0 THEN 0.0 ELSE CAST(sw AS DOUBLE)/toks END) * 4, 1.0) * 0.2
-       |    + (1.0 - least((CASE WHEN len = 0 THEN 0.0 ELSE CAST(uppr AS DOUBLE)/len END) * 4, 1.0)) * 0.2,
-       |    6) AS q
-       |  FROM c
-       |), dedup AS (
-       |  SELECT source, fp, MIN(q) AS q FROM scored GROUP BY 1, 2
+  val streamPipelineSql: String =
+    s"""WITH ${qualityScoredCtes(" source, md5(text) AS fp,", " source, fp,")}, dedup AS (
+       |  SELECT source, fp, MIN(q_score) AS q FROM qual GROUP BY 1, 2
        |)
        |SELECT source, (q >= 0.82) AS pass, COUNT(*) AS n_docs
        |FROM dedup
        |GROUP BY 1, 2
        |ORDER BY source, pass""".stripMargin
-  }
 
   /** Transitive near-dup closure: connected components over the near-dup
     * pair graph by iterative min-label propagation

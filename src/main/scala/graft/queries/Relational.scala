@@ -1245,10 +1245,11 @@ object Relational {
       |    CAST(-1 AS BIGINT) AS click_id, CAST(-1 AS BIGINT) AS lag_us
       |  FROM events e
       |  WHERE e.event_type = 'error'
-      |    AND e.ts < (SELECT least(
+      |    -- ms-floored watermark, matching the engine (see q_stream_full_outer)
+      |    AND epoch_us(e.ts) < (SELECT ((epoch_us(least(
       |        max(ts) FILTER (WHERE event_type = 'click'),
-      |        max(ts) FILTER (WHERE event_type = 'error'))
-      |      FROM events) - INTERVAL 1 HOUR
+      |        max(ts) FILTER (WHERE event_type = 'error'))) // 1000)
+      |      - 3600000) * 1000 FROM events)
       |    AND NOT EXISTS (
       |      SELECT 1 FROM events c
       |      WHERE c.event_type = 'click' AND c.user_id = e.user_id
@@ -1419,10 +1420,14 @@ object Relational {
 
   val streamFullOuterSql: String =
     """WITH wm AS (
-      |  SELECT least(
+      |  -- the engine's watermark: event-time max floored to MILLISECONDS
+      |  -- before the delay subtraction (Spark tracks watermarks in ms);
+      |  -- a full-us max here would admit rows in the sub-ms window the
+      |  -- engine never flushes
+      |  SELECT ((epoch_us(least(
       |      max(ts) FILTER (WHERE event_type = 'click'),
-      |      max(ts) FILTER (WHERE event_type = 'error'))
-      |    - INTERVAL 1 HOUR AS w
+      |      max(ts) FILTER (WHERE event_type = 'error'))) // 1000)
+      |    - 3600000) * 1000 AS w_us
       |  FROM events
       |), matched AS (
       |  SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id,
@@ -1435,7 +1440,8 @@ object Relational {
       |  SELECT e.user_id, e.event_id AS error_id,
       |    CAST(-1 AS BIGINT) AS click_id, 'error_only' AS match_kind
       |  FROM events e, wm
-      |  WHERE e.event_type = 'error' AND e.ts + INTERVAL 3 HOUR < wm.w
+      |  WHERE e.event_type = 'error'
+      |    AND epoch_us(e.ts) + 10800000000 < wm.w_us
       |    AND NOT EXISTS (
       |      SELECT 1 FROM events c
       |      WHERE c.event_type = 'click' AND c.user_id = e.user_id
@@ -1444,7 +1450,8 @@ object Relational {
       |  SELECT c.user_id, CAST(-1 AS BIGINT) AS error_id,
       |    c.event_id AS click_id, 'click_only' AS match_kind
       |  FROM events c, wm
-      |  WHERE c.event_type = 'click' AND c.ts + INTERVAL 3 HOUR < wm.w
+      |  WHERE c.event_type = 'click'
+      |    AND epoch_us(c.ts) + 10800000000 < wm.w_us
       |    AND NOT EXISTS (
       |      SELECT 1 FROM events e
       |      WHERE e.event_type = 'error' AND e.user_id = c.user_id

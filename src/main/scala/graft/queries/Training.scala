@@ -418,10 +418,16 @@ object Training {
     import s.implicits._
     val docs = documents(s, d)
     val m = NgramLM.train(docs.filter($"lang" === "en"), $"text")
-    val per = docs.select($"doc_id", $"source")
-      .join(NgramLM.score(docs, "doc_id", $"text", m), Seq("doc_id"))
+    // the source rides INSIDE the score rollup's key (struct id), so no
+    // corpus-cardinality join back to documents is needed — the per-doc
+    // shuffle inside score is the only data-sized shuffle, and the
+    // domain rollup below partial-aggregates map-side to #domains rows
+    val per = NgramLM.score(
+        docs.withColumn("did", struct($"doc_id", $"source")),
+        "did", $"text", m)
       .filter($"n_bigrams" > 0)
-      .withColumn("sc", (-$"sum_logp" * 1000000).cast("long"))
+      .select($"did.source".as("source"), $"n_bigrams",
+        (-$"sum_logp" * 1000000).cast("long").as("sc"))
     val dom = per.groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"n_bigrams").as("n_d"),
         sum($"sc".cast("decimal(38,0)")).as("s_d"))
@@ -586,25 +592,7 @@ object Training {
   }
 
   val pplQualityCalibSql: String = perDocCtes +
-    s""", qc AS (
-      |  SELECT doc_id,
-      |    length(text) AS len,
-      |    CASE WHEN length(trim(text)) = 0 THEN 0
-      |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
-      |    length(regexp_replace(text, '[^.,!?;:''"()\\[\\]-]', '', 'g')) AS punct,
-      |    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS uppr,
-      |    len(regexp_extract_all(lower(text), '${graft.llm.TextAnalysis.stopwordPatterns("en")}')) AS sw
-      |  FROM documents
-      |), qual AS (
-      |  SELECT doc_id, round(
-      |      (CASE WHEN len < 50 THEN CAST(len AS DOUBLE)/50
-      |            WHEN len > 10000 THEN 10000.0/len ELSE 1.0 END) * 0.3
-      |    + (1.0 - least((CASE WHEN len = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE)/len END) * 5, 1.0)) * 0.3
-      |    + least((CASE WHEN toks = 0 THEN 0.0 ELSE CAST(sw AS DOUBLE)/toks END) * 4, 1.0) * 0.2
-      |    + (1.0 - least((CASE WHEN len = 0 THEN 0.0 ELSE CAST(uppr AS DOUBLE)/len END) * 4, 1.0)) * 0.2,
-      |    6) AS q_score
-      |  FROM qc
-      |), joined AS (
+    s""", ${graft.queries.Llm.qualityScoredCtes()}, joined AS (
       |  SELECT p.doc_id, p.ppl, q.q_score FROM perdoc p JOIN qual q USING (doc_id)
       |), deciled AS (
       |  SELECT *, NTILE(10) OVER (ORDER BY ppl, doc_id) AS decile FROM joined

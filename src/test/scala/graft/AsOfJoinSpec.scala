@@ -12,6 +12,21 @@ import org.apache.spark.sql.functions._
 class AsOfJoinSpec extends SparkTestBase {
   import spark.implicits._
 
+  // descends through AQE wrappers: AdaptiveSparkPlanExec.executedPlan and
+  // the LEAF QueryStageExec nodes (TreeNode.collect stops at them)
+  private def collectAll[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    val here = if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    here ++ kids.flatMap(collectAll(_)(pf))
+  }
+
+
   private def brute(l: Seq[(Long, Long, Long)], r: Seq[(Long, Long, Long)],
                     tol: Option[Long]): Set[(Long, Long, Long, Option[Long])] =
     l.map { case (k, t, lid) =>
@@ -116,19 +131,6 @@ class AsOfJoinSpec extends SparkTestBase {
       (1 to 50).map(i => (i.toLong % 5, i.toLong, i.toLong)), None)
     df.collect()
     val plan = df.queryExecution.executedPlan
-    // descends through AQE wrappers: AdaptiveSparkPlanExec.executedPlan
-    // and the LEAF QueryStageExec nodes (collect alone stops at them)
-    def collectAll[T](p: org.apache.spark.sql.execution.SparkPlan)(
-        pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
-      val here = if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil
-      val kids = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          Seq(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }
-      here ++ kids.flatMap(collectAll(_)(pf))
-    }
     assert(collectAll(plan) { case e: AsOfJoinExec => e }.nonEmpty,
       "custom AsOfJoinExec must be the planned operator")
     assert(collectAll(plan) {
@@ -151,17 +153,6 @@ class AsOfJoinSpec extends SparkTestBase {
       .toDF("rk", "rt", "rid").repartition($"rk").sortWithinPartitions($"rk", $"rt", $"rid")
     val df = AsOfJoin.backward(l, r, ("k", "rk"), ("t", "rt"), None, Seq("rid"))
     df.collect()
-    def collectAll[T](p: org.apache.spark.sql.execution.SparkPlan)(
-        pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
-      val here = if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil
-      val kids = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          Seq(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }
-      here ++ kids.flatMap(collectAll(_)(pf))
-    }
     val plan = df.queryExecution.executedPlan
     assert(collectAll(plan) {
       case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
