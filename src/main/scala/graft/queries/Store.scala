@@ -325,8 +325,55 @@ object Store {
       |FROM supplier
       |ORDER BY version""".stripMargin
 
+  /** Dynamic partition overwrite — the lakehouse partial-rewrite
+    * semantics the versioned store deliberately sidesteps: write the
+    * corpus partitioned by lang, then overwrite ONLY the partitions the
+    * second write touches (`partitionOverwriteMode=dynamic` — static
+    * mode would truncate every partition first). The en partition is
+    * rewritten with upper-cased text; every other partition must
+    * survive byte-identically. At 100 TB this is the incremental
+    * backfill shape: rewrite one day/language, never the table. Scoped
+    * conf + fresh temp root per invocation; closed-form oracle over the
+    * base table. */
+  def dynamicOverwrite(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val root = java.nio.file.Files.createTempDirectory("graft-dynover").toString
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      docs.write.mode("overwrite").partitionBy("lang").parquet(root)
+      docs.filter($"lang" === "en")
+        .withColumn("text", upper($"text"))
+        .write.mode("overwrite").partitionBy("lang").parquet(root)
+      val result = graft.util.Local.materialize(
+        s.read.parquet(root)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"text" === upper($"text"), 1L).otherwise(0L)).as("n_upper"))
+          .orderBy($"lang"))
+      result
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      graft.util.Staging.deleteTree(java.nio.file.Paths.get(root))
+    }
+  }
+
+  val dynamicOverwriteSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN (CASE WHEN lang = 'en' THEN upper(text) ELSE text END)
+      |                 = upper(CASE WHEN lang = 'en' THEN upper(text) ELSE text END)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_upper
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_store_time_travel" -> (storeTimeTravel _),
+    "q_dynamic_overwrite" -> (dynamicOverwrite _),
     "q_stream_upsert" -> (streamUpsert _),
     "q_store_lifecycle" -> (storeLifecycle _),
     "q_store_delete" -> (storeDelete _),
@@ -338,6 +385,7 @@ object Store {
 
   val oracles: Map[String, String] = Map(
     "q_store_time_travel" -> storeTimeTravelSql,
+    "q_dynamic_overwrite" -> dynamicOverwriteSql,
     "q_stream_upsert" -> streamUpsertSql,
     "q_store_lifecycle" -> storeLifecycleSql,
     "q_store_delete" -> storeDeleteSql,

@@ -27,6 +27,9 @@ object Staging {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Public tree delete for query-scoped temp roots. */
+  def deleteTree(p: Path): Unit = deleteRecursively(p)
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
