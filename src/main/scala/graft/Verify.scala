@@ -45,6 +45,12 @@ object Verify {
       require(graft.queries.Corpus.lastBpeMerges.get() != null,
         "BPE merge list not trained but q_bpe_encode selected — " +
           "oracle SQL must be produced after the queries run in this JVM")
+    val needsProtoModel = Seq("q_proto_prune")
+      .filter(n => SparkEntry.queries.contains(n) && only.forall(_.contains(n)))
+    if (needsProtoModel.nonEmpty)
+      require(graft.llm.Similarity.lastProtoModel.get() != null,
+        "prototypes model not trained but q_proto_prune selected — " +
+          "oracle SQL must be produced after the queries run in this JVM")
     val needsSemModel = Seq("q_semdedup")
       .filter(n => SparkEntry.queries.contains(n) && only.forall(_.contains(n)))
     if (needsSemModel.nonEmpty)

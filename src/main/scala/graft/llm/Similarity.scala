@@ -477,6 +477,55 @@ object Similarity {
         coalesce(col("pruned"), lit(false)).as("pruned"))
   }
 
+  /** The prototypes model last trained by [[protoPrune]] — same dynamic-
+    * oracle ORDERING CONTRACT as [[lastSemModel]]. */
+  final case class ProtoModel(centroids: Array[Array[Double]],
+                              pruneNum: Int, pruneDen: Int)
+  val lastProtoModel = new java.util.concurrent.atomic.AtomicReference[ProtoModel]()
+
+  /** SSL-prototypes pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws: beating power law scaling via data pruning",
+    * arXiv:2206.14486 — the pruning half of D4, Tirumala et al. 2023,
+    * arXiv:2308.12284, whose other half is [[semDedup]]): per k-means
+    * cell, rank members by cosine-to-centroid DESC (most prototypical
+    * first) and prune the top `pruneNum/pruneDen` fraction — in the
+    * abundant-data regime the most prototypical examples are the least
+    * informative, so pruning them beats random subsampling. The prune
+    * boundary is exact integer arithmetic (`den·rk ≤ num·n + den − 1`
+    * ⇔ rk ≤ ⌈n·num/den⌉), so no float threshold exists.
+    *
+    * Scale shape: one shuffle on the cell key; the per-cell rank and
+    * count ride the same window partitioning. `nClusters` grows with
+    * the corpus so cells stay bounded (the same containment as
+    * [[semDedup]]); the quantizer trains on a bounded driver sample
+    * (the IVF trade). */
+  def protoPrune(df: DataFrame, idCol: String = "vec_id",
+                 vecCol: String = "embedding",
+                 nClusters: Int = 16, pruneNum: Int = 1, pruneDen: Int = 4,
+                 seed: Long = 42L, trainSample: Int = 16384,
+                 trainIters: Int = 10): DataFrame = {
+    require(pruneDen > 0 && pruneNum >= 0 && pruneNum <= pruneDen,
+      "prune fraction must be a rational in [0, 1]")
+    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val sample = e.select(col("v")).limit(trainSample).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centroids = kmeansLocal(sample, nClusters, trainIters, seed)
+    lastProtoModel.set(ProtoModel(centroids, pruneNum, pruneDen))
+    val cc = e
+      .withColumn("cell", nearestCells(col("v"), centroids, 1).getItem(0))
+      .withColumn("centroid_cos",
+        cosine(col("v"), element_at(matLit(centroids), col("cell") + 1)))
+    val byCell = Window.partitionBy(col("cell"))
+    cc.withColumn("rk",
+        row_number().over(byCell.orderBy(col("centroid_cos").desc, col("id"))))
+      .withColumn("n_cell", count(lit(1)).over(byCell))
+      .select(col("id"), col("cell").cast("int").as("cell"),
+        round(col("centroid_cos"), 6).as("centroid_cos"),
+        col("rk"),
+        (lit(pruneDen.toLong) * col("rk") <=
+          lit(pruneNum.toLong) * col("n_cell") + (pruneDen - 1)).as("pruned"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH blocking: pairs in the
     * same exact bucket with cosine ≥ threshold. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,

@@ -1855,6 +1855,7 @@ object Llm {
     "q_char_dup_fraction" -> (charDupFraction _),
     "q_emb_near_dup" -> (embNearDup _),
     "q_semdedup" -> (semDedup _),
+    "q_proto_prune" -> (protoPrune _),
     "q_token_rarity" -> (tokenRarity _),
     "q_collocations" -> (collocations _),
     "q_ngram_contamination" -> (ngramContamination _),
@@ -2126,6 +2127,48 @@ object Llm {
          |  (p.vec_id IS NOT NULL) AS pruned
          |FROM cc c LEFT JOIN pruned p USING (vec_id)
          |ORDER BY c.vec_id""".stripMargin
+    }
+
+  /** SSL-prototypes pruning ([[graft.llm.Similarity.protoPrune]] — the
+    * pruning half of D4, complementing q_semdedup): per-cell
+    * prototypicality ranks, top-quarter pruned under an exact integer
+    * boundary. Dynamic oracle: trained centroids inline; DuckDB
+    * recomputes the cell argmin, the centroid cosine, and the
+    * rank/count windows from scratch. */
+  def protoPrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Similarity.protoPrune(embeddings(s, d), nClusters = 8)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy($"vec_id")
+  }
+
+  def protoPruneSql: Option[String] =
+    Option(Similarity.lastProtoModel.get()).map { m =>
+      def cos(a: String, b: String): String =
+        s"CASE WHEN sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)) = 0 THEN 0.0 " +
+        s"ELSE list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))) END"
+      val dArr = sqlCellDistArr(m.centroids, "v")
+      val centsArr = "[" + m.centroids.map(sqlVec).mkString(", ") + "]"
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), cells AS (
+         |  SELECT vec_id, v, list_position($dArr, list_min($dArr)) - 1 AS cell FROM emb
+         |), cc AS (
+         |  SELECT vec_id, cell,
+         |    ${cos("v", s"($centsArr)[cell + 1]")} AS ccos
+         |  FROM cells
+         |), ranked AS (
+         |  SELECT vec_id, cell, ccos,
+         |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY ccos DESC, vec_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY cell) AS n_cell
+         |  FROM cc
+         |)
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+         |  round(ccos, 6) AS centroid_cos,
+         |  CAST(rk AS INTEGER) AS rk,
+         |  (${m.pruneDen} * rk <= ${m.pruneNum} * n_cell + ${m.pruneDen - 1}) AS pruned
+         |FROM ranked
+         |ORDER BY vec_id""".stripMargin
     }
 
   def embNearDupSql: String = {
@@ -2474,5 +2517,6 @@ object Llm {
       pqTopKSql.map("q_emb_pq_topk" -> _) ++
       pqTopKSql.map("q_emb_index_persist" -> _) ++
       embRecallSql.map("q_emb_recall" -> _) ++
-      semDedupSql.map("q_semdedup" -> _)
+      semDedupSql.map("q_semdedup" -> _) ++
+      protoPruneSql.map("q_proto_prune" -> _)
 }
