@@ -1856,6 +1856,7 @@ object Llm {
     "q_emb_near_dup" -> (embNearDup _),
     "q_semdedup" -> (semDedup _),
     "q_proto_prune" -> (protoPrune _),
+    "q_triplet_mining" -> (tripletMining _),
     "q_token_rarity" -> (tokenRarity _),
     "q_collocations" -> (collocations _),
     "q_ngram_contamination" -> (ngramContamination _),
@@ -2170,6 +2171,85 @@ object Llm {
          |FROM ranked
          |ORDER BY vec_id""".stripMargin
     }
+
+  /** Contrastive triplet mining for embedding-model training: anchors
+    * and positives are the LSH-blocked near-dup pairs (the
+    * q_emb_near_dup generation), and each triplet's NEGATIVE is a
+    * hash-derandomized corpus draw — md5 of the pair key modulo the
+    * corpus count, mapped to a vec_id through a DISTRIBUTED rank index
+    * ([[graft.util.Ranks.rowNumber]]: range-partitioned offsets, no
+    * corpus-wide window) — so the "random" negative is reproducible
+    * across engines and re-runs, the property a training-data pipeline
+    * actually needs from negative sampling. Accidental collisions
+    * (negative = anchor/positive) drop the triplet rather than
+    * re-draw (a deterministic, closed-form rule). `margin_ok` reports
+    * whether the triplet already satisfies pos_cos > neg_cos. At
+    * >2³¹-row corpora the modulo needs the long-range variant of
+    * md5_bucket; the draw construction is otherwise scale-free. */
+  def tripletMining(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = org.apache.spark.sql.graftshim.Shim
+    val emb = embeddings(s, d)
+    val pairs = Similarity.cosineNearDupPairs(emb, threshold = 0.3, numBits = 8)
+      .select($"id_a".as("anchor_id"), $"id_b".as("pos_id"), $"cos".as("pos_cos"))
+    val n = emb.count()
+    require(n <= Int.MaxValue, "md5_bucket modulo is Int-ranged")
+    val ranked = graft.util.Ranks.rowNumber(
+        emb.select($"vec_id"), Seq($"vec_id"), "rk")
+      .select(($"rk" - 1).as("idx"), $"vec_id".as("neg_id"))
+    val bucket = sh.column(graft.exprs.Md5Bucket(
+      sh.expression(concat($"anchor_id".cast("string"), lit("_"),
+        $"pos_id".cast("string"))),
+      org.apache.spark.sql.catalyst.expressions.Literal(n.toInt)))
+    val av = emb.select($"vec_id".as("anchor_id"), $"embedding".as("avec"))
+    val nv = emb.select($"vec_id".as("neg_id"), $"embedding".as("nvec"))
+    pairs.withColumn("idx", bucket.cast("long"))
+      .join(ranked, Seq("idx"))
+      .filter($"neg_id" =!= $"anchor_id" && $"neg_id" =!= $"pos_id")
+      .join(av, Seq("anchor_id"))
+      .join(nv, Seq("neg_id"))
+      .withColumn("neg_cos", round(Similarity.cosine($"avec", $"nvec"), 6))
+      .select($"anchor_id", $"pos_id", $"neg_id", $"pos_cos", $"neg_cos",
+        ($"pos_cos" > $"neg_cos").as("margin_ok"))
+      .orderBy($"anchor_id", $"pos_id")
+  }
+
+  def tripletMiningSql: String = {
+    def cos(a: String, b: String): String =
+      s"CASE WHEN sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)) = 0 THEN 0.0 " +
+      s"ELSE list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))) END"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    CAST(${bucketBitsSql("embedding")} AS BIGINT) AS key
+       |  FROM embeddings
+       |), pairs AS (
+       |  SELECT a.vec_id AS anchor_id, b.vec_id AS pos_id,
+       |    round(${cos("a.v", "b.v")}, 6) AS pos_cos
+       |  FROM e a JOIN e b ON a.key = b.key AND a.vec_id < b.vec_id
+       |  WHERE ${cos("a.v", "b.v")} >= 0.3
+       |), nn AS (
+       |  SELECT COUNT(*) AS c FROM embeddings
+       |), ranked AS (
+       |  SELECT vec_id AS neg_id,
+       |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS idx
+       |  FROM embeddings
+       |), withneg AS (
+       |  SELECT p.anchor_id, p.pos_id, p.pos_cos, r.neg_id
+       |  FROM pairs p
+       |  CROSS JOIN nn
+       |  JOIN ranked r ON r.idx = CAST(
+       |    md5_number_lower(CAST(p.anchor_id AS VARCHAR) || '_' ||
+       |                     CAST(p.pos_id AS VARCHAR)) % nn.c AS BIGINT)
+       |  WHERE r.neg_id <> p.anchor_id AND r.neg_id <> p.pos_id
+       |)
+       |SELECT w.anchor_id, w.pos_id, w.neg_id, w.pos_cos,
+       |  round(${cos("av.v", "nv.v")}, 6) AS neg_cos,
+       |  (w.pos_cos > round(${cos("av.v", "nv.v")}, 6)) AS margin_ok
+       |FROM withneg w
+       |JOIN e av ON av.vec_id = w.anchor_id
+       |JOIN e nv ON nv.vec_id = w.neg_id
+       |ORDER BY w.anchor_id, w.pos_id""".stripMargin
+  }
 
   def embNearDupSql: String = {
     def cos(a: String, b: String): String =
@@ -2500,6 +2580,7 @@ object Llm {
     "q_pipeline_corpus" -> pipelineCorpusSql,
     "q_char_dup_fraction" -> charDupFractionSql,
     "q_emb_near_dup" -> embNearDupSql,
+    "q_triplet_mining" -> tripletMiningSql,
     "q_token_rarity" -> tokenRaritySql,
     "q_collocations" -> collocationsSql,
     "q_ngram_contamination" -> ngramContaminationSql,
