@@ -679,6 +679,28 @@ class LlmSpec extends SparkTestBase {
     assert(byId(4L)._2 == byId(5L)._2 && byId(4L)._3 == byId(5L)._3)
   }
 
+  test("protoPrune: per-cell pruned count is exactly ceil(n*num/den), most prototypical first") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val emb = (1L to 60L).map(id =>
+      (id, Array.fill(4)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val out = Similarity.protoPrune(emb, nClusters = 3, pruneNum = 1, pruneDen = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3), r.getBoolean(4)))
+    assert(out.length == 60)
+    out.groupBy(_._2).foreach { case (cell, rows) =>
+      val n = rows.length
+      val expected = (n + 3) / 4 // ceil(n/4)
+      assert(rows.count(_._5) == expected, s"cell $cell n=$n")
+      // pruned rows are exactly the top ranks = highest centroid-cos
+      val sorted = rows.sortBy(r => (-r._3, r._1))
+      assert(sorted.take(expected).forall(_._5) && sorted.drop(expected).forall(!_._5),
+        s"cell $cell: pruning must take the most prototypical prefix")
+      // ranks are a permutation of 1..n matching the sort
+      assert(sorted.map(_._4).toSeq == (1 to n))
+    }
+  }
+
   test("DSIR importance weights rank target-like docs above background-like docs") {
     import spark.implicits._
     // Disjoint vocabularies: targets speak only target-vocab bigrams,
