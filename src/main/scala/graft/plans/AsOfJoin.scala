@@ -97,6 +97,12 @@ case class AsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched rows"))
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
@@ -110,6 +116,8 @@ case class AsOfJoinExec(
     val ltB = BindReferences.bindReference(leftTime, lOut)
     val rtB = BindReferences.bindReference(rightTime, rOut)
     val tol = toleranceUs
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     val outAttrs = output
     // the unmatched-row projection reads nulls from the right slots, so
     // the INPUT schema must declare them nullable — binding against the
@@ -154,7 +162,10 @@ case class AsOfJoinExec(
           val l = lIter.next()
           val lk = lKey(l)
           val lt = ltB.eval(l)
-          if (lk.anyNull || lt == null) return outProj(joined(l, nullRight))
+          if (lk.anyNull || lt == null) {
+            numOutputRows += 1
+            return outProj(joined(l, nullRight))
+          }
           val ltv = lt.asInstanceOf[Long]
           if (direction == "backward") {
             // hold the latest right row with rt <= lt; the held candidate
@@ -174,6 +185,8 @@ case class AsOfJoinExec(
             val ok = cand != null &&
               keyOrd.compare(candKeyProj(cand), lk) == 0 &&
               tol.forall(t => candTime >= ltv - t)
+            numOutputRows += 1
+            if (ok) numMatched += 1
             outProj(joined(l, if (ok) cand else nullRight))
           } else {
             // forward: the match is the FIRST unconsumed right row with
@@ -196,6 +209,8 @@ case class AsOfJoinExec(
                 val rtv = rtB.eval(pending).asInstanceOf[Long]
                 tol.forall(t => rtv <= ltv + t)
               }
+            numOutputRows += 1
+            if (ok) numMatched += 1
             outProj(joined(l, if (ok) pending else nullRight))
           }
         }

@@ -53,6 +53,49 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Exact corpus median WITHOUT a global sort: the central order
+    * statistics come from one [[graft.util.OrderStats.kthPairs]] sweep
+    * (approx-quantile bracket + bounded exact refinement — the
+    * NTILE/tercile machinery exposed as a plain numeric aggregate), and
+    * the even-n midpoint is the mean of two engine-identical data
+    * doubles, so no rounding is needed anywhere. The oracle pays a
+    * corpus-wide ROW_NUMBER window; the plan never does — at 100 TB
+    * that is the whole point of exact distributed order statistics. */
+  def exactMedian(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = lineitem(s, d)
+      .select($"l_extendedprice".as("x"),
+        ($"l_orderkey" * 10 + $"l_linenumber").as("tie"))
+      .persist()
+    val n = li.count()
+    val median =
+      if (n == 0) 0.0
+      else if (n % 2 == 1) {
+        val Seq((v, _)) =
+          graft.util.OrderStats.kthPairs(li, "x", "tie", Seq((n + 1) / 2), n)
+        v
+      } else {
+        val Seq((a, _), (b, _)) =
+          graft.util.OrderStats.kthPairs(li, "x", "tie", Seq(n / 2, n / 2 + 1), n)
+        (a + b) / 2
+      }
+    li.unpersist()
+    Seq((n, median)).toDF("n_rows", "median")
+  }
+
+  val exactMedianSql: String =
+    """WITH v AS (
+      |  SELECT l_extendedprice AS x,
+      |    ROW_NUMBER() OVER (ORDER BY l_extendedprice,
+      |      l_orderkey * 10 + l_linenumber) AS rk
+      |  FROM lineitem
+      |), n AS (SELECT COUNT(*) AS c FROM lineitem)
+      |SELECT n.c AS n_rows,
+      |  CASE WHEN n.c % 2 = 1 THEN (SELECT x FROM v WHERE rk = (n.c + 1) // 2)
+      |       ELSE ((SELECT x FROM v WHERE rk = n.c // 2)
+      |           + (SELECT x FROM v WHERE rk = n.c // 2 + 1)) / 2 END AS median
+      |FROM n""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id — the targeted-subtotals
     * facet CUBE/ROLLUP (q_cube_stats) don't pin: exactly the
     * (status, priority), (status), () levels, disambiguated by
@@ -1941,6 +1984,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_pricing" -> (aggPricing _),
+    "q_exact_median" -> (exactMedian _),
     "q_grouping_sets" -> (groupingSets _),
     "q_tpch_q3" -> (tpchQ3 _),
     "q_tpch_q5" -> (tpchQ5 _),
@@ -1992,6 +2036,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q_agg_pricing" -> aggPricingSql,
+    "q_exact_median" -> exactMedianSql,
     "q_grouping_sets" -> groupingSetsSql,
     "q_tpch_q3" -> tpchQ3Sql,
     "q_tpch_q5" -> tpchQ5Sql,
