@@ -2203,9 +2203,20 @@ object Llm {
       org.apache.spark.sql.catalyst.expressions.Literal(n.toInt)))
     val av = emb.select($"vec_id".as("anchor_id"), $"embedding".as("avec"))
     val nv = emb.select($"vec_id".as("neg_id"), $"embedding".as("nvec"))
+    // LEFT join on purpose: the draw is always in [0, n) so it's inner
+    // in effect, but an inner join would let Catalyst infer `idx IS NOT
+    // NULL` and push the interpreted md5_bucket INTO the LSH-pair join
+    // condition — per-candidate evaluation of exactly the expression
+    // this query computes once per surviving pair (PlanShapeSpec's
+    // no-fallback-in-join-condition audit catches the regression)
+    // null-SAFE inequality on purpose: `neg_id =!= x` is null-intolerant,
+    // which converts the left join back to inner and re-infers the
+    // md5_bucket IS NOT NULL constraint; <=> negation filters the same
+    // rows (neg_id is never null — the draw always lands in [0, n)) with
+    // no null-intolerance for the optimizer to exploit
     pairs.withColumn("idx", bucket.cast("long"))
-      .join(ranked, Seq("idx"))
-      .filter($"neg_id" =!= $"anchor_id" && $"neg_id" =!= $"pos_id")
+      .join(ranked, Seq("idx"), "left")
+      .filter(!($"neg_id" <=> $"anchor_id") && !($"neg_id" <=> $"pos_id"))
       .join(av, Seq("anchor_id"))
       .join(nv, Seq("neg_id"))
       .withColumn("neg_cos", round(Similarity.cosine($"avec", $"nvec"), 6))
