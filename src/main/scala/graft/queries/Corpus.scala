@@ -1879,7 +1879,43 @@ object Corpus {
 
   // -------------------------------------------------------------- registry
 
+  /** Mergeable HLL sketches (Spark's Apache DataSketches integration) —
+    * the property q_corpus_summary's `approx_count_distinct` gate
+    * doesn't show: per-shard sketches UNION to the global sketch
+    * without re-reading the shards, which is how a 1000-executor
+    * distinct-count actually composes (and how incremental ingest
+    * maintains corpus cardinality: union yesterday's sketch with
+    * today's batch sketch). The corpus splits into two doc_id-parity
+    * shards, each builds a word sketch, `hll_union_agg` merges, and
+    * the estimate must land within the documented HLL error of the
+    * exact distinct count — the oracle states the exact count and the
+    * tolerance verdict. */
+  def hllMerge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = documents(s, d)
+      .select(($"doc_id" % 2).as("half"),
+        explode(split(trim(lower($"text")), "\\s+")).as("w"))
+      .filter($"w" =!= "")
+    val merged = words.groupBy($"half")
+      .agg(hll_sketch_agg($"w").as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"),
+        count(lit(1)).as("n_shards"))
+    val exact = words.agg(count_distinct($"w").as("n_exact"))
+    merged.crossJoin(exact)
+      .select($"n_exact", $"n_shards",
+        (abs($"est" - $"n_exact").cast("double") / $"n_exact" <= 0.05)
+          .as("est_ok"))
+  }
+
+  val hllMergeSql: String =
+    raw"""SELECT COUNT(DISTINCT w) AS n_exact, CAST(2 AS BIGINT) AS n_shards,
+      |  TRUE AS est_ok
+      |FROM (SELECT unnest(list_filter(
+      |        string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS w
+      |      FROM documents)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll_merge" -> (hllMerge _),
     "q_url_extract" -> (urlExtract _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_sketch_bounds" -> (sketchBounds _),
@@ -1920,6 +1956,7 @@ object Corpus {
     "q_corr_stats" -> (corrStats _))
 
   private val staticOracles: Map[String, String] = Map(
+    "q_hll_merge" -> hllMergeSql,
     "q_url_extract" -> urlExtractSql,
     "q_bpe_merges" -> bpeMergesSql,
     "q_sketch_bounds" -> sketchBoundsSql,
