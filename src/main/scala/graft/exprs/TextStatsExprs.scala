@@ -363,6 +363,12 @@ case class AhoCorasickStats(child: Expression, patterns: Seq[String])
     extends UnaryExpression with CodegenFallback {
   require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
     "patterns must be non-empty strings")
+  // matching lower-cases the TEXT; patterns must arrive pre-folded and
+  // case-distinct, or counts would silently attribute to the wrong CSV
+  // entry (trie patId is last-wins for duplicates)
+  require(patterns.forall(p => p == p.toLowerCase(java.util.Locale.ROOT)),
+    "patterns must be lowercase (matching folds the text, not the list)")
+  require(patterns.distinct.size == patterns.size, "patterns must be distinct")
   override def dataType: DataType = AhoCorasickStats.schema
 
   // trie + BFS failure links, built once per (deserialized) instance

@@ -511,17 +511,20 @@ object Similarity {
       .map(_.getSeq[Float](0).toArray)
     val centroids = kmeansLocal(sample, nClusters, trainIters, seed)
     lastProtoModel.set(ProtoModel(centroids, pruneNum, pruneDen))
+    // centroid cosine rounds at 1e-6 BEFORE ranking (the repo-wide
+    // round-before-ranking discipline): rk and the prune verdict are
+    // outputs here, so a last-ulp cross-engine divergence in the raw
+    // cosine must not be able to flip them
     val cc = e
       .withColumn("cell", nearestCells(col("v"), centroids, 1).getItem(0))
       .withColumn("centroid_cos",
-        cosine(col("v"), element_at(matLit(centroids), col("cell") + 1)))
+        round(cosine(col("v"), element_at(matLit(centroids), col("cell") + 1)), 6))
     val byCell = Window.partitionBy(col("cell"))
     cc.withColumn("rk",
         row_number().over(byCell.orderBy(col("centroid_cos").desc, col("id"))))
       .withColumn("n_cell", count(lit(1)).over(byCell))
       .select(col("id"), col("cell").cast("int").as("cell"),
-        round(col("centroid_cos"), 6).as("centroid_cos"),
-        col("rk"),
+        col("centroid_cos"), col("rk"),
         (lit(pruneDen.toLong) * col("rk") <=
           lit(pruneNum.toLong) * col("n_cell") + (pruneDen - 1)).as("pruned"))
   }

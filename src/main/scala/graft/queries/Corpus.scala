@@ -1903,16 +1903,22 @@ object Corpus {
     val exact = words.agg(count_distinct($"w").as("n_exact"))
     merged.crossJoin(exact)
       .select($"n_exact", $"n_shards",
-        (abs($"est" - $"n_exact").cast("double") / $"n_exact" <= 0.05)
+        when($"n_exact" === 0, $"est" === 0)
+          .otherwise(abs($"est" - $"n_exact").cast("double") / $"n_exact" <= 0.05)
           .as("est_ok"))
   }
 
   val hllMergeSql: String =
-    raw"""SELECT COUNT(DISTINCT w) AS n_exact, CAST(2 AS BIGINT) AS n_shards,
+    raw"""WITH words AS (
+      |  SELECT doc_id % 2 AS half,
+      |    unnest(list_filter(
+      |      string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS w
+      |  FROM documents
+      |)
+      |SELECT COUNT(DISTINCT w) AS n_exact,
+      |  CAST(COUNT(DISTINCT half) AS BIGINT) AS n_shards,
       |  TRUE AS est_ok
-      |FROM (SELECT unnest(list_filter(
-      |        string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS w
-      |      FROM documents)""".stripMargin
+      |FROM words""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hll_merge" -> (hllMerge _),

@@ -2104,9 +2104,6 @@ object Llm {
 
   def semDedupSql: Option[String] =
     Option(Similarity.lastSemModel.get()).map { m =>
-      def cos(a: String, b: String): String =
-        s"CASE WHEN sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)) = 0 THEN 0.0 " +
-        s"ELSE list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))) END"
       val dArr = sqlCellDistArr(m.centroids, "v")
       val centsArr = "[" + m.centroids.map(sqlVec).mkString(", ") + "]"
       s"""WITH emb AS (
@@ -2115,13 +2112,13 @@ object Llm {
          |  SELECT vec_id, v, list_position($dArr, list_min($dArr)) - 1 AS cell FROM emb
          |), cc AS (
          |  SELECT vec_id, v, cell,
-         |    ${cos("v", s"($centsArr)[cell + 1]")} AS ccos
+         |    ${duckCos("v", s"($centsArr)[cell + 1]")} AS ccos
          |  FROM cells
          |), pruned AS (
          |  SELECT DISTINCT a.vec_id
          |  FROM cc a JOIN cc b ON a.cell = b.cell
          |   AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id))
-         |  WHERE ${cos("a.v", "b.v")} >= ${m.threshold}
+         |  WHERE ${duckCos("a.v", "b.v")} >= ${m.threshold}
          |)
          |SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell,
          |  round(c.ccos, 6) AS centroid_cos,
@@ -2145,9 +2142,6 @@ object Llm {
 
   def protoPruneSql: Option[String] =
     Option(Similarity.lastProtoModel.get()).map { m =>
-      def cos(a: String, b: String): String =
-        s"CASE WHEN sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)) = 0 THEN 0.0 " +
-        s"ELSE list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))) END"
       val dArr = sqlCellDistArr(m.centroids, "v")
       val centsArr = "[" + m.centroids.map(sqlVec).mkString(", ") + "]"
       s"""WITH emb AS (
@@ -2156,16 +2150,16 @@ object Llm {
          |  SELECT vec_id, v, list_position($dArr, list_min($dArr)) - 1 AS cell FROM emb
          |), cc AS (
          |  SELECT vec_id, cell,
-         |    ${cos("v", s"($centsArr)[cell + 1]")} AS ccos
+         |    ${duckCos("v", s"($centsArr)[cell + 1]")} AS ccos
          |  FROM cells
          |), ranked AS (
-         |  SELECT vec_id, cell, ccos,
-         |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY ccos DESC, vec_id) AS rk,
+         |  SELECT vec_id, cell, round(ccos, 6) AS ccos6,
+         |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY round(ccos, 6) DESC, vec_id) AS rk,
          |    COUNT(*) OVER (PARTITION BY cell) AS n_cell
          |  FROM cc
          |)
          |SELECT vec_id, CAST(cell AS INTEGER) AS cell,
-         |  round(ccos, 6) AS centroid_cos,
+         |  ccos6 AS centroid_cos,
          |  CAST(rk AS INTEGER) AS rk,
          |  (${m.pruneDen} * rk <= ${m.pruneNum} * n_cell + ${m.pruneDen - 1}) AS pruned
          |FROM ranked
@@ -2226,18 +2220,15 @@ object Llm {
   }
 
   def tripletMiningSql: String = {
-    def cos(a: String, b: String): String =
-      s"CASE WHEN sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)) = 0 THEN 0.0 " +
-      s"ELSE list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))) END"
     s"""WITH e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |    CAST(${bucketBitsSql("embedding")} AS BIGINT) AS key
        |  FROM embeddings
        |), pairs AS (
        |  SELECT a.vec_id AS anchor_id, b.vec_id AS pos_id,
-       |    round(${cos("a.v", "b.v")}, 6) AS pos_cos
+       |    round(${duckCos("a.v", "b.v")}, 6) AS pos_cos
        |  FROM e a JOIN e b ON a.key = b.key AND a.vec_id < b.vec_id
-       |  WHERE ${cos("a.v", "b.v")} >= 0.3
+       |  WHERE ${duckCos("a.v", "b.v")} >= 0.3
        |), nn AS (
        |  SELECT COUNT(*) AS c FROM embeddings
        |), ranked AS (
@@ -2254,8 +2245,8 @@ object Llm {
        |  WHERE r.neg_id <> p.anchor_id AND r.neg_id <> p.pos_id
        |)
        |SELECT w.anchor_id, w.pos_id, w.neg_id, w.pos_cos,
-       |  round(${cos("av.v", "nv.v")}, 6) AS neg_cos,
-       |  (w.pos_cos > round(${cos("av.v", "nv.v")}, 6)) AS margin_ok
+       |  round(${duckCos("av.v", "nv.v")}, 6) AS neg_cos,
+       |  (w.pos_cos > round(${duckCos("av.v", "nv.v")}, 6)) AS margin_ok
        |FROM withneg w
        |JOIN e av ON av.vec_id = w.anchor_id
        |JOIN e nv ON nv.vec_id = w.neg_id
@@ -2263,18 +2254,15 @@ object Llm {
   }
 
   def embNearDupSql: String = {
-    def cos(a: String, b: String): String =
-      s"CASE WHEN sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)) = 0 THEN 0.0 " +
-      s"ELSE list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))) END"
     s"""WITH e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |    CAST(${bucketBitsSql("embedding")} AS BIGINT) AS key
        |  FROM embeddings
        |)
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |  round(${cos("a.v", "b.v")}, 6) AS cos
+       |  round(${duckCos("a.v", "b.v")}, 6) AS cos
        |FROM e a JOIN e b ON a.key = b.key AND a.vec_id < b.vec_id
-       |WHERE ${cos("a.v", "b.v")} >= 0.3
+       |WHERE ${duckCos("a.v", "b.v")} >= 0.3
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -2353,6 +2341,13 @@ object Llm {
   }
 
   // ---- PQ oracle builders (shared by pqTopKSql and embRecallSql) ----
+
+  /** DuckDB twin of [[graft.llm.Similarity.cosine]] (zero-norm → 0.0) —
+    * ONE copy shared by every embedding oracle builder, so the zero-norm
+    * convention cannot drift between them. */
+  private def duckCos(a: String, b: String): String =
+    s"CASE WHEN sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)) = 0 THEN 0.0 " +
+    s"ELSE list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))) END"
 
   private def sqlVec(a: Array[Double]): String =
     "[" + a.map(_.toString).mkString(",") + "]"

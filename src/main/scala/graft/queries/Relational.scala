@@ -68,16 +68,17 @@ object Relational {
         ($"l_orderkey" * 10 + $"l_linenumber").as("tie"))
       .persist()
     val n = li.count()
-    val median =
-      if (n == 0) 0.0
+    // empty input: NULL, matching the oracle's empty scalar subqueries
+    val median: Option[Double] =
+      if (n == 0) None
       else if (n % 2 == 1) {
         val Seq((v, _)) =
           graft.util.OrderStats.kthPairs(li, "x", "tie", Seq((n + 1) / 2), n)
-        v
+        Some(v)
       } else {
         val Seq((a, _), (b, _)) =
           graft.util.OrderStats.kthPairs(li, "x", "tie", Seq(n / 2, n / 2 + 1), n)
-        (a + b) / 2
+        Some((a + b) / 2)
       }
     li.unpersist()
     Seq((n, median)).toDF("n_rows", "median")
@@ -1167,15 +1168,8 @@ object Relational {
     * after — callers must MATERIALIZE inside `f` (planning is lazy; a
     * returned unexecuted DataFrame would compile later without the
     * confs). */
-  private def withConfs[T](s: SparkSession, kv: (String, String)*)(f: => T): T = {
-    val old = kv.map { case (k, _) => k -> s.conf.getOption(k) }
-    kv.foreach { case (k, v) => s.conf.set(k, v) }
-    try f
-    finally old.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None) => s.conf.unset(k)
-    }
-  }
+  private def withConfs[T](s: SparkSession, kv: (String, String)*)(f: => T): T =
+    graft.util.Staging.withConfs(s, kv: _*)(f)
 
   private[graft] val runtimeFilterConfs = Seq(
     // fire the injection at test scale: the application-side scan-size

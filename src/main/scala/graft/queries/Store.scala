@@ -339,27 +339,19 @@ object Store {
     import s.implicits._
     val docs = documents(s, d)
     val root = java.nio.file.Files.createTempDirectory("graft-dynover").toString
-    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
+    try graft.util.Staging.withConfs(s,
+      "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
       docs.write.mode("overwrite").partitionBy("lang").parquet(root)
       docs.filter($"lang" === "en")
         .withColumn("text", upper($"text"))
         .write.mode("overwrite").partitionBy("lang").parquet(root)
-      val result = graft.util.Local.materialize(
+      graft.util.Local.materialize(
         s.read.parquet(root)
           .groupBy($"lang")
           .agg(count(lit(1)).as("n_docs"),
             sum(when($"text" === upper($"text"), 1L).otherwise(0L)).as("n_upper"))
           .orderBy($"lang"))
-      result
-    } finally {
-      prev match {
-        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-      graft.util.Staging.deleteTree(java.nio.file.Paths.get(root))
-    }
+    } finally graft.util.Staging.deleteTree(java.nio.file.Paths.get(root))
   }
 
   val dynamicOverwriteSql: String =

@@ -20,6 +20,20 @@ object Staging {
     * streaming query, restoring the session value after: per-partition
     * state-store commit files are a fixed per-batch cost, so state
     * partitions should track state size, not scan parallelism. */
+  /** Scoped session confs: set for planning+execution of `body`, restored
+    * (or unset) after — callers must MATERIALIZE inside `body` (planning
+    * is lazy; a returned unexecuted DataFrame would compile later without
+    * the confs). One copy for every query that scopes a conf. */
+  def withConfs[T](s: SparkSession, kv: (String, String)*)(body: => T): T = {
+    val old = kv.map { case (k, _) => k -> s.conf.getOption(k) }
+    kv.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   def withStreamPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
