@@ -33,7 +33,8 @@ class PlanShapeSpec extends SparkTestBase {
     "q_lm_perplexity" -> "ONE-ROW broadcast of the LM vocabulary size; the corpus side probes broadcast hash joins only",
     "q_lm_ppl_filter" -> "same plan as q_lm_perplexity plus map-side tercile bucketing (boundary keys from OrderStats, no window)",
     "q_lm_kneser_ney" -> "ONE-ROW broadcast of the global continuation census N1+(.,.) (scalar-subquery shape); all model-table joins are broadcast hash equi-joins",
-    "q_margin_mining" -> "deliberate population cross product for candidate generation (bounded label slices, small side broadcast); the scale path is IVF-pruned candidates per the scaladoc"
+    "q_margin_mining" -> "deliberate population cross product for candidate generation (bounded label slices, small side broadcast); the scale path is IVF-pruned candidates per the scaladoc",
+    "q_hll_merge" -> "ONE-ROW × ONE-ROW cross of the merged-sketch estimate with the exact count (scalar-subquery shape); both sides are single-row aggregates"
   )
 
   /** Streaming queries execute a full micro-batch run when invoked and
