@@ -53,6 +53,65 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Relative-rank window battery — percent_rank / cume_dist /
+    * rank / dense_rank over nation-partitioned account balances, the
+    * rank-family functions no other gate exercises. Both engines derive
+    * the doubles from the SAME integer rank arithmetic ((rank−1)/(n−1),
+    * peers≤/n), so the division is engine-identical and needs no
+    * rounding. Partitions are dimension-bounded (customers per nation),
+    * the scale-safe window shape. Ties share rank by definition; the
+    * presentation order is the total (nation, custkey). */
+  def rankMetrics(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"c_nationkey").orderBy($"c_acctbal")
+    customer(s, d)
+      .select($"c_nationkey", $"c_custkey", $"c_acctbal",
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy($"c_nationkey", $"c_custkey")
+  }
+
+  val rankMetricsSql: String =
+    """SELECT c_nationkey, c_custkey, c_acctbal,
+      |  CAST(RANK() OVER w AS INTEGER) AS rnk,
+      |  CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+      |  PERCENT_RANK() OVER w AS pr,
+      |  CUME_DIST() OVER w AS cd
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+      |ORDER BY c_nationkey, c_custkey""".stripMargin
+
+  /** Forward-fill imputation — the time-series gap-repair op: error
+    * events null out their reading and take the user's last non-null
+    * value instead (`last_value IGNORE NULLS` over a running row
+    * frame); leading errors stay null. User-partitioned running frame —
+    * the bounded-partition window shape; values pass through with no
+    * arithmetic, so no rounding anywhere. */
+  def forwardFill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    graft.util.Tables.events(s, d)
+      .withColumn("v", when($"event_type" === "error", lit(null)).otherwise($"value"))
+      .select($"user_id", $"event_id", $"event_type",
+        last($"v", ignoreNulls = true).over(w).as("filled"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val forwardFillSql: String =
+    """SELECT user_id, event_id, event_type,
+      |  LAST_VALUE(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+      |    IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Exact corpus median WITHOUT a global sort: the central order
     * statistics come from one [[graft.util.OrderStats.kthPairs]] sweep
     * (approx-quantile bracket + bounded exact refinement — the
@@ -1979,6 +2038,8 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_pricing" -> (aggPricing _),
     "q_exact_median" -> (exactMedian _),
+    "q_rank_metrics" -> (rankMetrics _),
+    "q_forward_fill" -> (forwardFill _),
     "q_grouping_sets" -> (groupingSets _),
     "q_tpch_q3" -> (tpchQ3 _),
     "q_tpch_q5" -> (tpchQ5 _),
@@ -2031,6 +2092,8 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q_agg_pricing" -> aggPricingSql,
     "q_exact_median" -> exactMedianSql,
+    "q_rank_metrics" -> rankMetricsSql,
+    "q_forward_fill" -> forwardFillSql,
     "q_grouping_sets" -> groupingSetsSql,
     "q_tpch_q3" -> tpchQ3Sql,
     "q_tpch_q5" -> tpchQ5Sql,
