@@ -112,6 +112,68 @@ object Relational {
       |FROM events
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Time-weighted linear interpolation — [[forwardFill]]'s richer
+    * sibling: an error reading takes the line between its neighboring
+    * good readings, weighted by event-time distance (one-sided edges
+    * fall back to the nearest good value; all-null users stay null).
+    * The neighbor (time, value) pairs ride ONE struct each through
+    * `last_value`/`first_value IGNORE NULLS` frames, so no extra
+    * window passes; time arithmetic runs on epoch-micro longs and the
+    * single float expression is identical on both engines, rounded at
+    * 1e-6 only in the interpolated branch. */
+  def interpolate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val base = W.partitionBy($"user_id").orderBy($"t", $"event_id")
+    val past = base.rowsBetween(W.unboundedPreceding, -1)
+    val future = base.rowsBetween(1, W.unboundedFollowing)
+    graft.util.Tables.events(s, d)
+      .withColumn("t", unix_micros($"ts"))
+      .withColumn("v", when($"event_type" === "error", lit(null)).otherwise($"value"))
+      .withColumn("good", when($"v".isNotNull, struct($"t".as("gt"), $"v".as("gv"))))
+      .withColumn("prev", last($"good", ignoreNulls = true).over(past))
+      .withColumn("next", first($"good", ignoreNulls = true).over(future))
+      .withColumn("interp", when($"v".isNotNull, $"v")
+        .when($"prev".isNull && $"next".isNull, lit(null))
+        .when($"prev".isNull, $"next.gv")
+        .when($"next".isNull, $"prev.gv")
+        .when($"next.gt" === $"prev.gt", $"prev.gv")
+        .otherwise(round($"prev.gv" + ($"next.gv" - $"prev.gv") *
+          ($"t" - $"prev.gt").cast("double") /
+          ($"next.gt" - $"prev.gt").cast("double"), 6)))
+      .select($"user_id", $"event_id", $"event_type", $"interp")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val interpolateSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      |  FROM events
+      |), g AS (
+      |  SELECT *,
+      |    LAST_VALUE(CASE WHEN v IS NOT NULL
+      |        THEN struct_pack(gt := t, gv := v) END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY t, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev,
+      |    FIRST_VALUE(CASE WHEN v IS NOT NULL
+      |        THEN struct_pack(gt := t, gv := v) END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY t, event_id
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next
+      |  FROM e
+      |)
+      |SELECT user_id, event_id, event_type,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       WHEN prev IS NULL AND next IS NULL THEN NULL
+      |       WHEN prev IS NULL THEN next.gv
+      |       WHEN next IS NULL THEN prev.gv
+      |       WHEN next.gt = prev.gt THEN prev.gv
+      |       ELSE round(prev.gv + (next.gv - prev.gv)
+      |            * CAST(t - prev.gt AS DOUBLE)
+      |            / CAST(next.gt - prev.gt AS DOUBLE), 6) END AS interp
+      |FROM g
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Exact corpus median WITHOUT a global sort: the central order
     * statistics come from one [[graft.util.OrderStats.kthPairs]] sweep
     * (approx-quantile bracket + bounded exact refinement — the
@@ -2040,6 +2102,7 @@ object Relational {
     "q_exact_median" -> (exactMedian _),
     "q_rank_metrics" -> (rankMetrics _),
     "q_forward_fill" -> (forwardFill _),
+    "q_interpolate" -> (interpolate _),
     "q_grouping_sets" -> (groupingSets _),
     "q_tpch_q3" -> (tpchQ3 _),
     "q_tpch_q5" -> (tpchQ5 _),
@@ -2094,6 +2157,7 @@ object Relational {
     "q_exact_median" -> exactMedianSql,
     "q_rank_metrics" -> rankMetricsSql,
     "q_forward_fill" -> forwardFillSql,
+    "q_interpolate" -> interpolateSql,
     "q_grouping_sets" -> groupingSetsSql,
     "q_tpch_q3" -> tpchQ3Sql,
     "q_tpch_q5" -> tpchQ5Sql,
