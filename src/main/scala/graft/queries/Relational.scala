@@ -174,6 +174,82 @@ object Relational {
       |FROM g
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** User-journey trigram mining — behavioral sequence analytics: each
+    * user's event-type sequence (deterministically ordered by
+    * (ts, event_id) via sort_array over collected structs — collect_list
+    * alone has NO order guarantee) yields its adjacent type-trigrams
+    * IN-ROW (the NgramLM HOF pattern: no window, no per-user shuffle
+    * beyond the one rollup), and the corpus-wide census keeps the top
+    * 10 under a total order. Per-user arrays are session-bounded; the
+    * census is a hash aggregate over ≤ |types|³ keys. */
+  def journeyTrigrams(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val seqs = graft.util.Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"ts", $"event_id", $"event_type")))
+        .as("evs"))
+      .select(transform($"evs", e => e.getField("event_type")).as("types"))
+    val tris = seqs.select(explode(when(size($"types") < 3,
+        array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size($"types") - 3), i =>
+        concat_ws(">", element_at($"types", i + 1),
+          element_at($"types", i + 2), element_at($"types", i + 3)))))
+      .as("tri"))
+    tris.groupBy($"tri").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"tri")
+      .limit(10)
+  }
+
+  val journeyTrigramsSql: String =
+    """WITH seqs AS (
+      |  SELECT user_id,
+      |    list_transform(
+      |      list_sort(list(struct_pack(ts := ts, event_id := event_id,
+      |                                 event_type := event_type))),
+      |      e -> e.event_type) AS types
+      |  FROM events GROUP BY user_id
+      |), tris AS (
+      |  SELECT types[i] || '>' || types[i+1] || '>' || types[i+2] AS tri
+      |  FROM seqs, LATERAL unnest(generate_series(1, len(types) - 2)) AS t(i)
+      |  WHERE len(types) >= 3
+      |)
+      |SELECT tri, COUNT(*) AS n FROM tris
+      |GROUP BY tri
+      |ORDER BY n DESC, tri
+      |LIMIT 10""".stripMargin
+
+  /** Fixed-width value histogram over the events stream — distribution
+    * profiling with engine-identical binning: bin = floor((v − lo)/w)
+    * clamped to [0, nBins), computed with the same double arithmetic on
+    * both sides (floor of an exact-division double — identical IEEE
+    * ops), plus explicit under/overflow bins. One hash aggregate. */
+  def valueHistogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lo = 0.0
+    val w = 50.0
+    val nBins = 10
+    graft.util.Tables.events(s, d)
+      .withColumn("bin",
+        when($"value" < lo, lit(-1))
+          .when($"value" >= lo + w * nBins, lit(nBins))
+          .otherwise(floor(($"value" - lo) / w).cast("int")))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"),
+        out(sum(dec($"value"))).as("sum_value"))
+      .orderBy($"bin")
+  }
+
+  val valueHistogramSql: String =
+    """SELECT
+      |  CASE WHEN value < 0.0 THEN -1
+      |       WHEN value >= 500.0 THEN 10
+      |       ELSE CAST(floor((value - 0.0) / 50.0) AS INTEGER) END AS bin,
+      |  COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY bin""".stripMargin
+
   /** Exact corpus median WITHOUT a global sort: the central order
     * statistics come from one [[graft.util.OrderStats.kthPairs]] sweep
     * (approx-quantile bracket + bounded exact refinement — the
@@ -2103,6 +2179,8 @@ object Relational {
     "q_rank_metrics" -> (rankMetrics _),
     "q_forward_fill" -> (forwardFill _),
     "q_interpolate" -> (interpolate _),
+    "q_journey_trigrams" -> (journeyTrigrams _),
+    "q_value_histogram" -> (valueHistogram _),
     "q_grouping_sets" -> (groupingSets _),
     "q_tpch_q3" -> (tpchQ3 _),
     "q_tpch_q5" -> (tpchQ5 _),
@@ -2158,6 +2236,8 @@ object Relational {
     "q_rank_metrics" -> rankMetricsSql,
     "q_forward_fill" -> forwardFillSql,
     "q_interpolate" -> interpolateSql,
+    "q_journey_trigrams" -> journeyTrigramsSql,
+    "q_value_histogram" -> valueHistogramSql,
     "q_grouping_sets" -> groupingSetsSql,
     "q_tpch_q3" -> tpchQ3Sql,
     "q_tpch_q5" -> tpchQ5Sql,
