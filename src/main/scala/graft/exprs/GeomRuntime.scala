@@ -268,6 +268,17 @@ object GeomRuntime {
     }
   }
 
+  /** Snap-to-grid over WKB (PostGIS ST_SnapToGrid, origin 0): decode,
+    * round every coordinate to the grid, re-encode. Null on unparsable
+    * input. Static entry so [[graft.exprs.StSnapToGrid]] stays inside
+    * whole-stage codegen — it is the cluster key of the LayerClusters
+    * path, evaluated once per feature row. */
+  def snapToGrid(in: Array[Byte], size: Double): Array[Byte] =
+    Wkb.readOpt(in) match {
+      case Some(g) => Wkb.write(Algos.snapToGrid(g, size))
+      case None => null
+    }
+
   /** 1 = intersects, 0 = disjoint, -1 = null (unparsable). */
   def intersects(a: Array[Byte], b: Array[Byte]): Int = {
     val b1 = WkbFast.bbox(a)

@@ -14,9 +14,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Null semantics: SQL-standard null-in/null-out; unparsable input → null
   * (operators that must raise, e.g. AttributesToPointGeometry's cast error
   * contract (common.py:339, test_common.py:376-384), enforce that at the
-  * operator layer). All expressions are `CodegenFallback`: they sit inside
-  * whole-stage-codegen'd plans as leaf calls; the arithmetic-heavy kernel
-  * work happens in [[graft.geom]] on plain JVM doubles.
+  * operator layer). Expressions on join/cluster hot paths (st_distance,
+  * st_intersects, st_bbox_intersects, st_gridcells/st_refcell + tiered,
+  * st_snaptogrid) carry real `doGenCode` (static [[GeomRuntime]] calls)
+  * so those loops stay inside whole-stage codegen; the long tail of
+  * presentation-side scalars remains `CodegenFallback`, where the cost
+  * is the kernel work in [[graft.geom]], not the eval wrapper.
   */
 object StExprs {
   @inline def geomOf(in: Any): Option[Geom] = Wkb.readOpt(in.asInstanceOf[Array[Byte]])
@@ -284,12 +287,25 @@ case class StSimplify(left: Expression, right: Expression)
   override def prettyName: String = "st_simplify"
 }
 
-/** st_snaptogrid(geom, size) — the LayerClusters grid key (terra.py:57). */
+/** st_snaptogrid(geom, size) — the LayerClusters grid key (terra.py:57).
+  * Codegen'd (static [[GeomRuntime.snapToGrid]] call): it sits in the
+  * per-feature cluster-key projection of the grid-cluster queries, the
+  * highest-row-count scalar geometry site after the grid-join cells. */
 case class StSnapToGrid(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = BinaryType
+  // null on non-null input (unparsable WKB) — must declare nullable
+  override def nullable: Boolean = true
   override def nullSafeEval(in: Any, size: Any): Any =
-    geomOf(in).map(g => wkb(Algos.snapToGrid(g, toD(size)))).orNull
+    GeomRuntime.snapToGrid(in.asInstanceOf[Array[Byte]], toD(size))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (in, size) => s"""
+       |${ev.value} = graft.exprs.GeomRuntime.snapToGrid($in, (double) $size);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "st_snaptogrid"

@@ -10,18 +10,14 @@ import org.apache.spark.sql.types.StructType
   * time-series enrichment join Spark has no built-in operator for;
   * DuckDB's `ASOF JOIN` is the oracle twin).
   *
-  * Spark-first shape: instead of a range join (which Catalyst would plan
-  * as a broadcast/cartesian + filter, exploding candidate pairs) both
-  * sides are TAGGED and UNIONED, hash-partitioned ONCE on the key, and a
-  * running `last(payload, ignoreNulls)` window ordered by (ts, side,
-  * tie) carries the newest right payload into each left row: right rows
-  * sort before left rows at the same timestamp (non-strict `<=`), and
-  * the tie column makes equal-timestamp right rows deterministic (the
-  * greatest tie wins, i.e. dedup-keep-max). One shuffle, O(1) window
-  * state per row, left rows with no prior right row keep a null payload
-  * (left-join semantics). Skew: a hot key is one user's history — the
-  * same bound as any per-key window; pre-split with [[Skew]] if a single
-  * key outgrows a partition.
+  * ONE engine implementation: [[latestAtOrBefore]] routes through the
+  * native physical operator [[graft.plans.AsOfJoinExec]] — a
+  * co-partitioned O(n+m) merge whose exchanges and (key, time) sorts
+  * EnsureRequirements plans from the operator's declared distribution,
+  * so a bucketed+sorted source needs neither. The older union + running-
+  * `last` window emulation ([[latestAtOrBeforeUnionWindow]]) is kept
+  * ONLY as an independently-derived cross-check oracle (AsOfJoinSpec
+  * asserts both agree); it is not a second production path.
   */
 object AsOfJoin {
 
@@ -29,7 +25,8 @@ object AsOfJoin {
     * @param right        right rows, pre-projected to `key`, `tsCol`,
     *                     `rightTie` and the payload columns (alias any
     *                     name that clashes with a left column first)
-    * @param key          equi-join key column (both sides)
+    * @param key          equi-join key column (both sides; null keys
+    *                     never match — SQL join convention)
     * @param tsCol        event-time column (both sides)
     * @param rightPayload payload columns carried from the right side
     * @param rightTie     right-side tie-break column (greatest wins on
@@ -37,6 +34,30 @@ object AsOfJoin {
   def latestAtOrBefore(left: DataFrame, right: DataFrame, key: String,
                        tsCol: String, rightPayload: Seq[String],
                        rightTie: String): DataFrame = {
+    // rename the right key/time so the joined output has unambiguous
+    // names (the physical node emits left.output ++ right.output)
+    val tieCols = if (rightPayload.contains(rightTie)) Nil else Seq(col(rightTie))
+    val rProj = right.select(
+      Seq(col(key).as("__asof_key"), col(tsCol).as("__asof_ts")) ++
+        rightPayload.map(col) ++ tieCols: _*)
+    graft.plans.AsOfJoin.backward(left, rProj,
+        key = (key, "__asof_key"), time = (tsCol, "__asof_ts"),
+        toleranceUs = None, rightTie = Seq(rightTie))
+      .select(left.columns.map(col) ++ rightPayload.map(col): _*)
+  }
+
+  /** Independent cross-check implementation (NOT the engine path): both
+    * sides tagged and unioned, hash-partitioned once on the key, and a
+    * running `last(payload, ignoreNulls)` window ordered by (ts, side,
+    * tie) carries the newest right payload into each left row — right
+    * rows sort before left rows at the same timestamp (non-strict `<=`)
+    * and the greatest tie wins. One shuffle, O(1) window state per row.
+    * Same contract as [[latestAtOrBefore]]; AsOfJoinSpec replays both
+    * over the same inputs and asserts equality, so either implementation
+    * diverging from the shared semantics fails the suite. */
+  def latestAtOrBeforeUnionWindow(left: DataFrame, right: DataFrame, key: String,
+                                  tsCol: String, rightPayload: Seq[String],
+                                  rightTie: String): DataFrame = {
     val payloadType = StructType(right.select(rightPayload.map(col): _*).schema.fields)
     val leftType = StructType(left.schema.fields)
     val l = left.select(

@@ -1903,7 +1903,10 @@ object Corpus {
     val exact = words.agg(count_distinct($"w").as("n_exact"))
     merged.crossJoin(exact)
       .select($"n_exact", $"n_shards",
-        when($"n_exact" === 0, $"est" === 0)
+        // empty corpus: hll_union_agg over zero sketches yields NULL, so
+        // `est === 0` is NULL — coalesce keeps est_ok a real boolean
+        // (vacuously true, matching the oracle's constant)
+        when($"n_exact" === 0, coalesce($"est" === 0, lit(true)))
           .otherwise(abs($"est" - $"n_exact").cast("double") / $"n_exact" <= 0.05)
           .as("est_ok"))
   }

@@ -1842,6 +1842,7 @@ object Llm {
     "q_emb_bucket_stats" -> (embNearDupStats _),
     "q_multimodal_pipeline" -> (multimodalPipeline _),
     "q_media_decode" -> (mediaDecode _),
+    "q_png_decode" -> (pngDecode _),
     "q_emb_recall" -> (embRecall _),
     "q_line_dedup" -> (lineDedup _),
     "q_dup_fraction" -> (dupFraction _),
@@ -1948,6 +1949,90 @@ object Llm {
       |FROM dims d LEFT JOIN img ON img.k = d.k
       |           LEFT JOIN pgm ON pgm.k = d.k
       |           LEFT JOIN wav ON wav.k = d.k
+      |ORDER BY media_id""".stripMargin
+
+  /** The PNG arm of the honest codec under the oracle — the round-10
+    * retirement of one more stub: payloads are REAL PNGs (zlib DEFLATE
+    * via java.util.zip, chunk CRCs, scanline filters cycling through
+    * all five predictors row-by-row), synthesized in-plan from part
+    * keys and decoded back through [[graft.llm.MediaCodec.pngPixels]].
+    * Even keys are 8-bit grayscale, odd keys RGB; every 13th payload
+    * has one IDAT byte flipped, which the chunk CRC must catch (null
+    * decode). Beyond dims/means the gate carries a position-weighted
+    * raster checksum — a decoder that misapplies Sub/Up/Average/Paeth
+    * unfiltering produces right-looking means but a wrong checksum, so
+    * the oracle pins the decode pixel-exactly. */
+  def pngDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.MediaCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val w = (3 + k % 6).toInt; val h = (5 + k % 4).toInt
+      val ch = if (k % 2 == 0) 1 else 3
+      val bytes = MediaCodec.encodePng(w, h, ch,
+        (x, y, c) => ((k + 3L * x + 7L * y + 11L * c) % 256).toInt)
+      val payload = if (k % 13 == 0) {
+        // flip one bit inside IDAT: the CRC check must refuse the chunk
+        val b = bytes.clone()
+        b(b.length - 20) = (b(b.length - 20) ^ 0x10).toByte
+        b
+      } else bytes
+      MediaCodec.pngPixels(payload) match {
+        case Some((dw, dh, dch, px)) =>
+          val sums = new Array[Long](dch)
+          var chk = 0L
+          var i = 0
+          while (i < px.length) { sums(i % dch) += px(i); chk += px(i).toLong * (i + 1); i += 1 }
+          val n = dw.toLong * dh
+          (k, true, Some(dw), Some(dh), Some(dch),
+            Some(sums(0).toDouble / n),
+            if (dch >= 3) Some(sums(1).toDouble / n) else None,
+            if (dch >= 3) Some(sums(2).toDouble / n) else None,
+            Some(chk))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Double], None: Option[Double], None: Option[Double],
+            None: Option[Long])
+      }
+    }.toDF("media_id", "png_ok", "width", "height", "channels", "m0", "m1", "m2", "chk")
+    decoded.select($"media_id", $"png_ok", $"width", $"height", $"channels",
+      round($"m0", 6).as("mean_c0"), round($"m1", 6).as("mean_c1"),
+      round($"m2", 6).as("mean_c2"), $"chk")
+      .orderBy($"media_id")
+  }
+
+  /** Decoded PNG facts recomputed from the synthesis formula
+    * v(k,x,y,c) = (k + 3x + 7y + 11c) % 256 over a (3+k%6)×(5+k%4)
+    * raster with 1 or 3 channels; the checksum weights each value by
+    * its 1-based interleaved raster position. Corrupted payloads
+    * (k % 13 = 0) decode to nothing. */
+  val pngDecodeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |dims AS (
+      |  SELECT k, CAST(3 + k % 6 AS INTEGER) AS w, CAST(5 + k % 4 AS INTEGER) AS h,
+      |    CAST(CASE WHEN k % 2 = 0 THEN 1 ELSE 3 END AS INTEGER) AS ch
+      |  FROM ks),
+      |px AS (
+      |  SELECT d.k, x.g AS x, y.g AS y, c.g AS c,
+      |    (d.k + 3 * x.g + 7 * y.g + 11 * c.g) % 256 AS v,
+      |    1 + y.g * d.w * d.ch + x.g * d.ch + c.g AS pos
+      |  FROM dims d, generate_series(0, 8) x(g), generate_series(0, 8) y(g),
+      |       generate_series(0, 2) c(g)
+      |  WHERE x.g < d.w AND y.g < d.h AND c.g < d.ch AND d.k % 13 <> 0),
+      |agg AS (
+      |  SELECT k,
+      |    avg(CASE WHEN c = 0 THEN CAST(v AS DOUBLE) END) AS m0,
+      |    avg(CASE WHEN c = 1 THEN CAST(v AS DOUBLE) END) AS m1,
+      |    avg(CASE WHEN c = 2 THEN CAST(v AS DOUBLE) END) AS m2,
+      |    CAST(SUM(v * pos) AS BIGINT) AS chk
+      |  FROM px GROUP BY k)
+      |SELECT d.k AS media_id, (d.k % 13 <> 0) AS png_ok,
+      |  CASE WHEN d.k % 13 <> 0 THEN d.w END AS width,
+      |  CASE WHEN d.k % 13 <> 0 THEN d.h END AS height,
+      |  CASE WHEN d.k % 13 <> 0 THEN d.ch END AS channels,
+      |  round(a.m0, 6) AS mean_c0, round(a.m1, 6) AS mean_c1,
+      |  round(a.m2, 6) AS mean_c2, a.chk AS chk
+      |FROM dims d LEFT JOIN agg a ON a.k = d.k
       |ORDER BY media_id""".stripMargin
 
   /** Multimodal plumbing end-to-end under the oracle: media rows
@@ -2559,6 +2644,7 @@ object Llm {
     "q_decontaminate" -> decontaminateSql,
     "q_multimodal_pipeline" -> multimodalPipelineSql,
     "q_media_decode" -> mediaDecodeSql,
+    "q_png_decode" -> pngDecodeSql,
     "q_emb_bucket_stats" -> embNearDupStatsSql,
     "q_emb_ann_topk" -> annTopKSql,
     "q_text_stats" -> textStatsSql,

@@ -808,8 +808,11 @@ object Relational {
 
   /** As-of join on the events table: every `error` event enriched with
     * the same user's latest `click` at-or-before it
-    * ([[graft.ops.AsOfJoin]] — union + running-last, one shuffle). The
-    * oracle is DuckDB's native ASOF LEFT JOIN. */
+    * ([[graft.ops.AsOfJoin.latestAtOrBefore]], which plans the native
+    * [[graft.plans.AsOfJoinExec]] co-partitioned merge — the ONE as-of
+    * implementation; q_asof_exec exercises the same operator on a
+    * renamed-column shape with tolerance). The oracle is DuckDB's
+    * native ASOF LEFT JOIN. */
   def asofJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ev = events(s, d)
@@ -1777,14 +1780,16 @@ object Relational {
     """WITH halves AS (
       |  SELECT user_id,
       |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 2 END AS half,
-      |    COUNT(*) AS n, max(epoch_us(ts)) AS mts
+      |    COUNT(*) AS n, max(epoch_us(ts)) AS mts, min(epoch_us(ts)) AS mnts
       |  FROM events GROUP BY 1, 2
       |)
       |SELECT user_id,
       |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY half) AS emit_seq,
       |  n AS n_events,
       |  SUM(n) OVER (PARTITION BY user_id ORDER BY half) AS cum_events,
-      |  MAX(mts) OVER (PARTITION BY user_id ORDER BY half) AS last_ts_us
+      |  MAX(mts) OVER (PARTITION BY user_id ORDER BY half) AS last_ts_us,
+      |  mnts AS batch_min_ts_us,
+      |  mts AS batch_max_ts_us
       |FROM halves
       |ORDER BY user_id, emit_seq""".stripMargin
 
@@ -1805,7 +1810,7 @@ object Relational {
       withStreamPartitions(s, 8) {
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
-          .select($"user_id", $"event_type")
+          .select($"user_id", $"event_type", unix_micros($"ts").as("ts_us"))
           .as[TwsTypedEvent]
         val out = stream
           .groupByKey(_.user_id)
@@ -1820,7 +1825,7 @@ object Relational {
         q.awaitTermination()
         s.table(name)
           .select($"user_id", $"emit_seq", $"n_batch".as("n_events"),
-            $"cum_events", $"n_types")
+            $"cum_events", $"n_types", $"batch_min_ts_us", $"batch_max_ts_us")
           .orderBy($"user_id", $"emit_seq")
       }
     }
@@ -1833,14 +1838,20 @@ object Relational {
       |    event_type, COUNT(*) AS n
       |  FROM events GROUP BY 1, 2, 3
       |), perhalf AS (
-      |  SELECT user_id, half, CAST(SUM(n) AS BIGINT) AS n_batch FROM b GROUP BY 1, 2
+      |  SELECT user_id,
+      |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 2 END AS half,
+      |    CAST(COUNT(*) AS BIGINT) AS n_batch,
+      |    min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+      |  FROM events GROUP BY 1, 2
       |)
       |SELECT p.user_id,
       |  ROW_NUMBER() OVER (PARTITION BY p.user_id ORDER BY p.half) AS emit_seq,
       |  p.n_batch AS n_events,
       |  SUM(p.n_batch) OVER (PARTITION BY p.user_id ORDER BY p.half) AS cum_events,
       |  (SELECT COUNT(DISTINCT b2.event_type) FROM b b2
-      |   WHERE b2.user_id = p.user_id AND b2.half <= p.half) AS n_types
+      |   WHERE b2.user_id = p.user_id AND b2.half <= p.half) AS n_types,
+      |  p.mn AS batch_min_ts_us,
+      |  p.mx AS batch_max_ts_us
       |FROM perhalf p
       |ORDER BY user_id, emit_seq""".stripMargin
 

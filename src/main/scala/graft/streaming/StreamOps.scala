@@ -169,7 +169,8 @@ object StreamOps {
     * time zones. */
   final case class TwsEvent(user_id: Long, ts_us: Long)
   final case class TwsOut(user_id: Long, emit_seq: Long, n_events: Long,
-                          cum_events: Long, last_ts_us: Long)
+                          cum_events: Long, last_ts_us: Long,
+                          batch_min_ts_us: Long, batch_max_ts_us: Long)
   final case class TwsState(emits: Long, cum: Long, max_ts_us: Long)
 
   /** `transformWithState` processor (the Spark 4 arbitrary-state API
@@ -180,36 +181,53 @@ object StreamOps {
     * Emission content is independent of within-batch row order (count
     * and max are commutative), so with deterministic batch staging the
     * emitted SET is closed-form. TimeMode.None: no timers — state
-    * lives for the run; the TTL knob is where a 24/7 deployment bounds
-    * it. */
-  final class CumulProcessor
+    * lives for the run. The `ttl` constructor knob is where a 24/7
+    * deployment bounds state instead: with a real `TTLConfig` (requires
+    * TimeMode.ProcessingTime) a key idle past the TTL is evicted and
+    * its ledger restarts from zero — proven by eviction test in
+    * StreamOpsSpec rather than a driver gate because TTL expiry is
+    * wall-clock-relative, which a deterministic oracle can't replay.
+    * Each
+    * emission carries the batch's min/max event time as a
+    * batch-composition witness: the intended two-file staging fixes
+    * which rows share a micro-batch, so any admission-order or
+    * batch-split nondeterminism surfaces as a localized min/max
+    * mismatch instead of an opaque hash flip. */
+  final class CumulProcessor(
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TwsEvent, TwsOut] {
     @transient private var st: org.apache.spark.sql.streaming.ValueState[TwsState] = _
 
     override def init(outputMode: OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       st = getHandle.getValueState[TwsState]("cumul",
-        Encoders.product[TwsState],
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        Encoders.product[TwsState], ttl)
 
     override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
         tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TwsOut] = {
       var n = 0L
       var mx = Long.MinValue
-      rows.foreach { e => n += 1; if (e.ts_us > mx) mx = e.ts_us }
+      var mn = Long.MaxValue
+      rows.foreach { e =>
+        n += 1
+        if (e.ts_us > mx) mx = e.ts_us
+        if (e.ts_us < mn) mn = e.ts_us
+      }
       if (n == 0) Iterator.empty
       else {
         val prev = if (st.exists()) st.get() else TwsState(0L, 0L, Long.MinValue)
         val next = TwsState(prev.emits + 1, prev.cum + n, math.max(prev.max_ts_us, mx))
         st.update(next)
-        Iterator.single(TwsOut(key, next.emits, n, next.cum, next.max_ts_us))
+        Iterator.single(TwsOut(key, next.emits, n, next.cum, next.max_ts_us, mn, mx))
       }
     }
   }
 
-  final case class TwsTypedEvent(user_id: Long, event_type: String)
+  final case class TwsTypedEvent(user_id: Long, event_type: String, ts_us: Long)
   final case class TwsTypedOut(user_id: Long, emit_seq: Long, n_batch: Long,
-                               cum_events: Long, n_types: Long)
+                               cum_events: Long, n_types: Long,
+                               batch_min_ts_us: Long, batch_max_ts_us: Long)
 
   /** MapState flavor of the arbitrary-state API ([[CumulProcessor]]
     * covers ValueState, [[SessionProcessor]] event-time timers): a
@@ -220,7 +238,8 @@ object StreamOps {
     * map updates touch only the entries present in the batch, not a
     * deserialize-modify-reserialize of the whole state value. Emission
     * content is commutative in batch row order, so the two-file staging
-    * keeps the emitted set closed-form. */
+    * keeps the emitted set closed-form. Carries the same per-batch
+    * min/max event-time witness as [[CumulProcessor]]. */
   final class TypedCountsProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TwsTypedEvent, TwsTypedOut] {
     @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
@@ -239,7 +258,14 @@ object StreamOps {
         tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TwsTypedOut] = {
       val batch = new java.util.HashMap[String, Long]()
       var n = 0L
-      rows.foreach { e => n += 1; batch.merge(e.event_type, 1L, (a, b) => a + b) }
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      rows.foreach { e =>
+        n += 1
+        batch.merge(e.event_type, 1L, (a, b) => a + b)
+        if (e.ts_us < mn) mn = e.ts_us
+        if (e.ts_us > mx) mx = e.ts_us
+      }
       if (n == 0) return Iterator.empty
       batch.forEach { (t, c) =>
         counts.updateValue(t,
@@ -250,7 +276,7 @@ object StreamOps {
       counts.iterator().foreach { case (_, c) => nTypes += 1; total += c }
       val seq = (if (emits.exists()) emits.get() else 0L) + 1L
       emits.update(seq)
-      Iterator.single(TwsTypedOut(key, seq, n, total, nTypes))
+      Iterator.single(TwsTypedOut(key, seq, n, total, nTypes, mn, mx))
     }
   }
 

@@ -2,7 +2,9 @@ package graft.util
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.attribute.FileTime
 import java.util.Comparator
+import scala.jdk.CollectionConverters._
 
 /** Deterministic staging for streaming-query sources. The file-stream
   * source needs a DIRECTORY of files whose admission order drives
@@ -16,10 +18,6 @@ import java.util.Comparator
   */
 object Staging {
 
-  /** Run `body` with `spark.sql.shuffle.partitions` lowered for a bounded
-    * streaming query, restoring the session value after: per-partition
-    * state-store commit files are a fixed per-batch cost, so state
-    * partitions should track state size, not scan parallelism. */
   /** Scoped session confs: set for planning+execution of `body`, restored
     * (or unset) after — callers must MATERIALIZE inside `body` (planning
     * is lazy; a returned unexecuted DataFrame would compile later without
@@ -34,6 +32,10 @@ object Staging {
     }
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` lowered for a bounded
+    * streaming query, restoring the session value after: per-partition
+    * state-store commit files are a fixed per-batch cost, so state
+    * partitions should track state size, not scan parallelism. */
   def withStreamPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
@@ -49,6 +51,37 @@ object Staging {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.deleteIfExists(f))
     }
+
+  /** Checked admission-mtime stamp. `File.setLastModified` signals
+    * failure only through an easily-ignored boolean; a silently skipped
+    * stamp leaves staged files at wall-clock mtimes, so the file-stream
+    * source may flip or merge the intended micro-batches — the exact
+    * nondeterminism behind a batch-composition-dependent hash flake.
+    * `Files.setLastModifiedTime` throws instead, and the readback assert
+    * catches filesystems that quantize or clamp the stored value. */
+  def setMtime(p: Path, millis: Long): Unit = {
+    Files.setLastModifiedTime(p, FileTime.fromMillis(millis))
+    val got = Files.getLastModifiedTime(p).toMillis
+    if (got != millis) throw new IllegalStateException(
+      s"mtime stamp not persisted on $p: wrote $millis, read back $got")
+  }
+
+  /** Asserts the staged directory's admission order is fully determined:
+    * files sorted by NAME must carry strictly increasing mtimes, so the
+    * file-stream source (which admits oldest-mtime first) sees exactly
+    * the intended sequence with no tie to break by filesystem whim.
+    * Runs on every staging fetch — a cached directory staged by an older
+    * buggy writer fails loudly here instead of flaking downstream. */
+  def assertAdmissionOrder(dataDir: Path): Unit = {
+    val files = Files.list(dataDir).iterator().asScala
+      .filter(Files.isRegularFile(_)).toSeq.sortBy(_.getFileName.toString)
+    val mtimes = files.map(f => Files.getLastModifiedTime(f).toMillis)
+    mtimes.zip(mtimes.drop(1)).zipWithIndex.foreach { case ((a, b), i) =>
+      if (a >= b) throw new IllegalStateException(
+        s"staged admission order ambiguous in $dataDir: " +
+          s"${files(i).getFileName} mtime=$a !< ${files(i + 1).getFileName} mtime=$b")
+    }
+  }
 
   /** The fingerprint/_READY/atomic-move skeleton shared by every staging
     * flavor (one copy, so the cache key and race handling cannot drift):
@@ -75,6 +108,9 @@ object Staging {
           deleteRecursively(stageRoot)
       }
     }
+    // every fetch (fresh or cached) re-proves the admission order — a
+    // cached dir stamped by an older, unchecked writer fails loudly here
+    assertAdmissionOrder(dataDir)
     dataDir
   }
 
@@ -95,9 +131,9 @@ object Staging {
           df.coalesce(1).write.parquet(out)
           val part = new java.io.File(out).listFiles()
             .filter(_.getName.endsWith(".parquet")).head
-          val tgt = stageData.resolve(name).toFile
-          Files.move(part.toPath, tgt.toPath)
-          tgt.setLastModified(mtime) // admission order: 00 then 01
+          val tgt = stageData.resolve(name)
+          Files.move(part.toPath, tgt)
+          setMtime(tgt, mtime) // admission order: 00 then 01
         } finally deleteRecursively(writeTmp)
       }
       val (first, second) = halves
@@ -113,9 +149,9 @@ object Staging {
               version: String)(files: => Seq[(String, Array[Byte])]): Path =
     stagedOnce(srcFile, cachePrefix, version) { stageData =>
       files.zipWithIndex.foreach { case ((name, bytes), i) =>
-        val tgt = stageData.resolve(name).toFile
-        Files.write(tgt.toPath, bytes)
-        tgt.setLastModified(1000000L * (i + 1))
+        val tgt = stageData.resolve(name)
+        Files.write(tgt, bytes)
+        setMtime(tgt, 1000000L * (i + 1))
       }
     }
 }

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.util.Staging
+
+/** Admission-order robustness for the streaming two-file staging
+  * (VERDICT r9 #1/#7): the file-stream source admits staged files
+  * oldest-mtime-first, so the split into micro-batches is deterministic
+  * ONLY if the stamped mtimes are strictly ordered. A silently failed
+  * `File.setLastModified` (boolean return ignored) was the suspected
+  * source of the q_stream_tws/_map hash flakes — the staging now stamps
+  * via `Files.setLastModifiedTime` (throws), re-reads the value, and
+  * every staging FETCH re-asserts strict name-order/mtime-order
+  * agreement, failing loudly instead of flaking downstream.
+  */
+class StagingSpec extends SparkTestBase {
+
+  test("setMtime stamps and round-trips the exact millisecond") {
+    val f = Files.createTempFile("stamp", ".bin")
+    try {
+      Staging.setMtime(f, 1234567000L)
+      assert(Files.getLastModifiedTime(f).toMillis == 1234567000L)
+    } finally Files.deleteIfExists(f)
+  }
+
+  test("assertAdmissionOrder accepts strictly increasing, rejects equal and inverted mtimes") {
+    val dir = Files.createTempDirectory("adm")
+    try {
+      val a = dir.resolve("00.parquet")
+      val b = dir.resolve("01.parquet")
+      Files.write(a, Array[Byte](1))
+      Files.write(b, Array[Byte](2))
+
+      Staging.setMtime(a, 1000000L)
+      Staging.setMtime(b, 2000000L)
+      Staging.assertAdmissionOrder(dir) // strictly increasing: fine
+
+      Staging.setMtime(b, 1000000L) // equal: ambiguous → loud failure
+      val eq = intercept[IllegalStateException](Staging.assertAdmissionOrder(dir))
+      assert(eq.getMessage.contains("admission order"))
+
+      Staging.setMtime(b, 999999L) // inverted: would flip batch order
+      val inv = intercept[IllegalStateException](Staging.assertAdmissionOrder(dir))
+      assert(inv.getMessage.contains("admission order"))
+    } finally Staging.deleteTree(dir)
+  }
+
+  test("twoFileSplit stages 00 before 01 with asserted admission order, cached and fresh") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("stagesrc")
+    try {
+      val src = srcDir.resolve("src.parquet")
+      Seq(1L, 2L, 3L, 4L).toDF("v").coalesce(1).write.mode("overwrite")
+        .parquet(srcDir.resolve("tmp").toString)
+      val part = new java.io.File(srcDir.resolve("tmp").toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, src)
+
+      def stage() = Staging.twoFileSplit(spark, src, "graft-stagingspec",
+        "vtest") {
+        val df = spark.read.parquet(src.toString)
+        (df.filter($"v" <= 2), df.filter($"v" > 2))
+      }
+      val dataDir = stage()
+      val t0 = Files.getLastModifiedTime(dataDir.resolve("00.parquet")).toMillis
+      val t1 = Files.getLastModifiedTime(dataDir.resolve("01.parquet")).toMillis
+      assert(t0 < t1, s"00 must be admitted before 01 ($t0 vs $t1)")
+      // second fetch hits the cache and re-proves the order
+      assert(stage() == dataDir)
+      // a tampered cache (mtimes equalized out-of-band) fails the NEXT
+      // fetch loudly instead of feeding the stream an ambiguous order
+      Staging.setMtime(dataDir.resolve("01.parquet"), t0)
+      intercept[IllegalStateException](stage())
+      Staging.deleteTree(dataDir.getParent)
+    } finally Staging.deleteTree(srcDir)
+  }
+}

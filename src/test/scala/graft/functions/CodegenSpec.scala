@@ -67,6 +67,21 @@ class CodegenSpec extends SparkTestBase {
     assert(bad(InternalRow(pt(1, 1), pt(0, 0))).isNullAt(0))
   }
 
+  test("st_snaptogrid compiles in a projection and matches interpreted eval bit-for-bit") {
+    val expr = StSnapToGrid(a, Literal(10.0))
+    val proj = GenerateMutableProjection.generate(Seq(expr))
+    val in = InternalRow(pt(13.7, 26.2), pt(0, 0))
+    val out = proj(in)
+    assert(!out.isNullAt(0))
+    // codegen and interpreted paths must agree byte-for-byte (the value
+    // is a groupBy cluster key — any divergence splits clusters)
+    val interpreted = expr.eval(in).asInstanceOf[Array[Byte]]
+    assert(java.util.Arrays.equals(out.getBinary(0), interpreted))
+    assert(Wkb.read(out.getBinary(0)).asInstanceOf[Point].coord.get == Coord(10.0, 30.0))
+    // unparsable wkb → null, through the generated path
+    assert(proj(InternalRow(Array[Byte](9, 9), pt(0, 0))).isNullAt(0))
+  }
+
   test("the kNN hot-loop shape (st_distance <= r) compiles as a predicate") {
     val pred = GeneratePredicate.generate(
       LessThanOrEqual(StDistance(a, b), Literal(5.0)))

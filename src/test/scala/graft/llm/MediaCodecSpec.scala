@@ -177,6 +177,65 @@ class MediaCodecSpec extends SparkTestBase {
     assert(MediaCodec.wavSamples(wav.take(20)).isEmpty)
   }
 
+  test("PNG round-trip: gray/RGB/RGBA rasters survive all five scanline filters") {
+    // default filterOf cycles 0..4 per row, so h >= 5 exercises
+    // None/Sub/Up/Average/Paeth unfiltering on every image
+    for ((w, h, ch) <- Seq((7, 6, 1), (5, 5, 3), (3, 7, 4), (1, 5, 3), (9, 5, 1))) {
+      def px(x: Int, y: Int, c: Int): Int = (x * 41 + y * 73 + c * 97 + 11) % 256
+      val bytes = encodePng(w, h, ch, px)
+      val Some((dw, dh, dch, raster)) = pngPixels(bytes)
+      assert((dw, dh, dch) == ((w, h, ch)))
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+        assert(raster(y * w * ch + x * ch + c) == px(x, y, c),
+          s"pixel ($x,$y,$c) w=$w h=$h ch=$ch")
+    }
+    // each single filter type also round-trips on its own
+    for (f <- 0 to 4) {
+      def px(x: Int, y: Int, c: Int): Int = (x * 13 + y * 29 + 200) % 256
+      val Some((_, _, _, r)) = pngPixels(encodePng(6, 4, 1, px, _ => f))
+      for (y <- 0 until 4; x <- 0 until 6)
+        assert(r(y * 6 + x) == px(x, y, 0), s"filter $f pixel ($x,$y)")
+    }
+  }
+
+  test("PNG decode() facts: dims, channels, exact channel means") {
+    def px(x: Int, y: Int, c: Int): Int = (x + 3 * y + 7 * c) % 256
+    val Some(m) = decode(encodePng(4, 5, 3, px))
+    assert(m.format == "png" && m.width.contains(4) && m.height.contains(5)
+      && m.channels.contains(3))
+    val pix = for { y <- 0 until 5; x <- 0 until 4 } yield (px(x, y, 0), px(x, y, 1), px(x, y, 2))
+    assert(m.meanC0.get == pix.map(_._1).sum.toDouble / 20)
+    assert(m.meanC1.get == pix.map(_._2).sum.toDouble / 20)
+    assert(m.meanC2.get == pix.map(_._3).sum.toDouble / 20)
+    val Some(g) = decode(encodePng(3, 6, 1, (x, y, _) => (x * 50 + y) % 256))
+    assert(g.format == "png" && g.channels.contains(1) && g.meanC1.isEmpty)
+  }
+
+  test("corrupt PNGs return None: flipped bit (CRC), truncation, bad filter, wrong depth") {
+    val good = encodePng(6, 5, 3, (x, y, c) => (x + y + c) % 256)
+    assert(pngPixels(good).isDefined)
+    // flip one IDAT payload bit → chunk CRC catches it
+    val flipped = good.clone()
+    flipped(good.length - 20) = (flipped(good.length - 20) ^ 0x10).toByte
+    assert(pngPixels(flipped).isEmpty)
+    // truncate mid-chunk
+    assert(pngPixels(good.dropRight(7)).isEmpty)
+    // header claiming 16-bit depth (CRC recomputed to isolate the check)
+    val deep = good.clone()
+    deep(24) = 16 // IHDR bit-depth byte
+    val crc = new java.util.zip.CRC32()
+    crc.update(deep, 12, 17)
+    def putBe32(a: Array[Byte], i: Int, v: Int): Unit = {
+      a(i) = (v >>> 24).toByte; a(i + 1) = (v >>> 16).toByte
+      a(i + 2) = (v >>> 8).toByte; a(i + 3) = v.toByte
+    }
+    putBe32(deep, 29, crc.getValue.toInt)
+    assert(pngPixels(deep).isEmpty)
+    // garbage that passes the signature sniff only
+    assert(pngPixels(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
+      0x1a, 0x0a) ++ "notachunk".getBytes("US-ASCII")).isEmpty)
+  }
+
   test("dhash56: gradient direction, perturbation locality, 56-bit bound") {
     // horizontally increasing image -> every comparison true -> all 56 bits
     val w = 18; val h = 14

@@ -6,7 +6,11 @@ import java.sql.Timestamp
 /** AsOfJoin.latestAtOrBefore edge semantics: non-strict at-or-before
   * (equal timestamps match), greatest-tie wins among equal-timestamp
   * right rows, null payload when no right row precedes, and keys never
-  * bleed into each other.
+  * bleed into each other. Since round 10 the function routes through
+  * the native physical operator ([[graft.plans.AsOfJoinExec]]) — the
+  * plan-presence test pins that, and the cross-check test replays the
+  * same inputs through the retired union-window emulation and asserts
+  * identical results.
   */
 class AsOfJoinSpec extends SparkTestBase {
   import spark.implicits._
@@ -48,5 +52,43 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out.columns.toSeq == Seq("event_id", "user_id", "ts", "extra", "click_id"))
     val rows = out.collect()
     assert(rows.length == 1 && rows(0).isNullAt(4) && rows(0).getString(3) == "x")
+  }
+
+  test("latestAtOrBefore plans the native AsOfJoinExec (one as-of implementation)") {
+    val left = Seq((1L, 7L, ts("2026-01-01 00:00:01")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((5L, 7L, ts("2026-01-01 00:00:00")))
+      .toDF("click_id", "user_id", "ts")
+      .select($"user_id", $"ts", $"click_id")
+    val out = AsOfJoin.latestAtOrBefore(left, right, "user_id", "ts",
+      Seq("click_id"), "click_id")
+    // sparkPlan, not executedPlan: under AQE the executed plan is an
+    // AdaptiveSparkPlanExec whose children are invisible to `collect`
+    val execs = out.queryExecution.sparkPlan.collect {
+      case e: graft.plans.AsOfJoinExec => e
+    }
+    assert(execs.length == 1, "exactly one AsOfJoinExec in the physical plan")
+    assert(out.collect().map(_.getLong(3)).toSeq == Seq(5L))
+  }
+
+  test("physical operator agrees with the union-window cross-check on collision-heavy data") {
+    val rnd = new scala.util.Random(20260814L)
+    def t(sec: Int): Timestamp = new Timestamp(1_700_000_000_000L + sec * 1000L)
+    // coarse second grid over few keys → many equal-(key, ts) collisions,
+    // the corner where tie-break rules live
+    val left = (0 until 250).map(i => (i.toLong, rnd.nextInt(5).toLong, t(rnd.nextInt(40))))
+      .toDF("event_id", "user_id", "ts")
+    val right = (0 until 250).map(i => (1000L + i, rnd.nextInt(5).toLong, t(rnd.nextInt(40))))
+      .toDF("click_id", "user_id", "ts")
+      .select($"user_id", $"ts", $"click_id", $"ts".as("click_ts"))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getTimestamp(4).getTime)).toSeq.sorted
+    val exec = canon(AsOfJoin.latestAtOrBefore(left, right, "user_id", "ts",
+      Seq("click_id", "click_ts"), "click_id"))
+    val window = canon(AsOfJoin.latestAtOrBeforeUnionWindow(left, right, "user_id", "ts",
+      Seq("click_id", "click_ts"), "click_id"))
+    assert(exec == window)
   }
 }

@@ -96,6 +96,109 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("CumulProcessor with real TTL evicts idle state; without TTL it accumulates") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, OutputMode}
+    // The TTL knob is wall-clock-relative (expiry = batch processing time
+    // at write + ttl, checked at read), so the proof lives here where the
+    // test controls wall time between micro-batches, not in a driver gate.
+    // NOTE: TimeMode.ProcessingTime schedules no-data batches every
+    // trigger, so the query is never idle — processAllAvailable would
+    // block forever (same pitfall as ProcessingTimeTimeout above). Poll
+    // the memory sink with a deadline instead.
+    def run(ttl: TTLConfig, sleepMs: Long): Seq[(Long, Long, Long)] =
+      graft.util.Staging.withConfs(spark,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val input = MemoryStream[StreamOps.TwsEvent]
+        val out = input.toDS()
+          .groupByKey(_.user_id)
+          .transformWithState(new StreamOps.CumulProcessor(ttl),
+            TimeMode.ProcessingTime(), OutputMode.Append())
+        val name = "twsttl" + System.nanoTime()
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.ProcessingTime(50))
+          .start()
+        try {
+          def await(n: Long): Unit = {
+            val deadline = System.currentTimeMillis() + 60000
+            while (spark.table(name).count() < n &&
+                   System.currentTimeMillis() < deadline) Thread.sleep(100)
+            assert(spark.table(name).count() >= n, s"sink rows < $n after 60 s")
+          }
+          input.addData(StreamOps.TwsEvent(1L, 100L), StreamOps.TwsEvent(1L, 200L))
+          await(1)
+          Thread.sleep(sleepMs)
+          input.addData(StreamOps.TwsEvent(1L, 300L))
+          await(2)
+          spark.table(name).orderBy("emit_seq", "cum_events").collect()
+            .map(r => (r.getAs[Long]("emit_seq"), r.getAs[Long]("n_events"),
+              r.getAs[Long]("cum_events"))).toSeq
+        } finally q.stop()
+      }
+    // TTL 500 ms, 2 s idle: batch-2 read finds the ledger expired — the
+    // key restarts at emit_seq 1 / cum 1 (state evicted, 24/7 shape).
+    // Sorted by (emit_seq, cum_events): the restart row (1,1,1) sorts
+    // before the original batch-1 row (1,2,2) — BOTH have emit_seq 1,
+    // which is itself the eviction proof.
+    val evicted = run(TTLConfig(java.time.Duration.ofMillis(500)), sleepMs = 2000L)
+    assert(evicted == Seq((1L, 1L, 1L), (1L, 2L, 2L)),
+      s"expected eviction restart, got $evicted")
+    // TTL 1 h: same timing, state survives and the ledger accumulates
+    val kept = run(TTLConfig(java.time.Duration.ofHours(1)), sleepMs = 2000L)
+    assert(kept == Seq((1L, 2L, 2L), (2L, 1L, 3L)),
+      s"expected accumulation under long TTL, got $kept")
+  }
+
+  test("SessionProcessor event-time timer fires when expiry == watermark (boundary pinned)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{TimeMode, OutputMode}
+    // Pins the strict/non-strict boundary the q_stream_tws_timers oracle
+    // encodes as `timer_ms <= terminal_watermark_ms`: user 10's open-tail
+    // timer lands EXACTLY on the final watermark. gap 6 h, delay 1 h —
+    // the q_stream_tws_timers parameters.
+    val gapUs = 21600000000L
+    def ev(user: Long, ts: String): StreamOps.SessTsEvent = {
+      val t = Timestamp.valueOf(ts)
+      StreamOps.SessTsEvent(user, t, t.getTime * 1000L)
+    }
+    graft.util.Staging.withConfs(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val input = MemoryStream[StreamOps.SessTsEvent]
+      val out = input.toDS()
+        .withWatermark("ts", "1 hour")
+        .groupByKey(_.user_id)
+        .transformWithState(new StreamOps.SessionProcessor(gapUs),
+          TimeMode.EventTime(), OutputMode.Append())
+      val name = "twstimerbound" + System.nanoTime()
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // batch 1: user 10 timer = 06:00:00 (boundary), user 20 timer =
+        // 02:00:00 (clearly expired), user 30 timer = 07:00:00 (not expired)
+        input.addData(ev(10L, "2026-01-01 00:00:00"),
+          ev(20L, "2025-12-31 20:00:00"), ev(30L, "2026-01-01 01:00:00"))
+        q.processAllAvailable()
+        // batch 2 advances the watermark to 07:00 - 1 h = 06:00:00 exactly
+        input.addData(ev(99L, "2026-01-01 07:00:00"))
+        q.processAllAvailable()
+        // batch 3 runs with that watermark; expired timers fire here
+        input.addData(ev(99L, "2026-01-01 07:00:00"))
+        q.processAllAvailable()
+        val fired = spark.table(name).collect().map(_.getAs[Long]("user_id")).toSet
+        assert(fired.contains(20L), "well-expired timer (02:00 < 06:00) must fire")
+        assert(!fired.contains(30L), "unexpired timer (07:00 > 06:00) must not fire")
+        assert(!fired.contains(99L), "watermark driver's own session stays open")
+        assert(fired.contains(10L),
+          "timer at exactly the watermark (06:00 == 06:00) fires — the " +
+            "non-strict boundary the q_stream_tws_timers oracle's <= encodes")
+      } finally q.stop()
+    }
+  }
+
   test("foreachBatch upsert sink lands rows in the feature store") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
