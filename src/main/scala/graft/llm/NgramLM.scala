@@ -67,12 +67,20 @@ object NgramLM {
     * self-consistent after pruning. */
   def train(docs: DataFrame, textCol: Column, maxBigrams: Int = 2000000): Model = {
     val toks = docs.select(tokens(textCol).as("ws"))
+    // localCheckpoint the capped table (≤ maxBigrams rows by contract):
+    // every derived frame — the context counts here, plus the separate
+    // broadcast exchanges scoring builds for bigram and context — would
+    // otherwise RE-RUN the corpus-wide explode+aggregate per use; the
+    // checkpoint makes the corpus pay for the bigram census exactly once.
+    // (Executor-local storage: on a multi-tenant cluster with executor
+    // loss, persist the model to reliable storage instead — it is a
+    // broadcastable table by the cap's contract.)
     val bg = topKByCount(
       toks
         .select(explode(bigrams(col("ws"))).as("b"))
         .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
         .agg(count(lit(1)).as("c12")),
-      maxBigrams)
+      maxBigrams).localCheckpoint()
     val ctx = bg.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val v = toks.select(explode(col("ws")).as("w"))
       .agg(count_distinct(col("w")).as("v"))

@@ -50,22 +50,28 @@ object OrderStats {
     }
     val bounds = df.stat.approxQuantile(valueCol, probes.toArray, Eps / 2)
     val brackets = ks.indices.map(i => (bounds(2 * i), bounds(2 * i + 1)))
-    // one pass: rows strictly below each bracket's lower bound
-    val belowRow = df.agg(
-      count(lit(1)), // guard column so the agg never degenerates
-      brackets.map { case (lo, _) =>
-        sum(when(col(valueCol) < lo, 1L).otherwise(0L))
-      }: _*).head
-    val belows = brackets.indices.map(i => belowRow.getLong(i + 1))
-    // one pass: value histogram over the union of all brackets
+    // ONE fused pass for both the below-bracket counts and the bracket
+    // value histogram (they were two jobs; on a cached frame each job is
+    // pure scheduling overhead): group by the value WHEN it falls in any
+    // bracket (all other rows collapse into the single null group —
+    // map-side partial aggregation keeps that group one row per
+    // partition, no hot reducer), count per group, and carry each
+    // bracket's below-lo partial sum on every group so the driver can
+    // total them across groups.
     val inAny = brackets.map { case (lo, hi) =>
       col(valueCol) >= lo && col(valueCol) <= hi
     }.reduce(_ || _)
-    val hist = df.filter(inAny)
-      .groupBy(col(valueCol)).count()
+    val belowAggs = brackets.map { case (lo, _) =>
+      sum(when(col(valueCol) < lo, 1L).otherwise(0L))
+    }
+    val fusedRows = df
+      .groupBy(when(inAny, col(valueCol)).as("__v"))
+      .agg(count(lit(1)).as("__cnt"), belowAggs: _*)
       .collect()
+    val belows = brackets.indices.map(i => fusedRows.map(_.getLong(2 + i)).sum)
+    val hist = fusedRows.filter(!_.isNullAt(0))
       .map(r => (r.getDouble(0), r.getLong(1)))
-      .sortBy(_._1)
+      .sortBy(_._1).toSeq
     // bracket-miss fallback (sketch guarantee violated): the full
     // distinct-value histogram, computed at most ONCE across all ks
     lazy val fullHist = df.groupBy(col(valueCol)).count()
