@@ -1,0 +1,180 @@
+package graft
+
+import java.io.PrintStream
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale check for the five scale-critical paths (VERDICT r9
+  * demand #2): synthesize an N× corpus from the sf tables by unioning N
+  * salted copies, run each path at every multiplier, and report wall
+  * time + output rows + post-GC driver heap, so "near-linear wall time,
+  * flat driver memory" is a MEASURED claim instead of a design
+  * assertion.
+  *
+  * Salting model (the scale model a growing corpus actually follows —
+  * more keys, not hotter keys):
+  *  - documents: ids offset per copy; every WORD is prefixed with a
+  *    copy tag. Within a copy the word-shingle sets map 1:1 onto the
+  *    originals, so within-copy Jaccard (and thus pair structure) is
+  *    EXACTLY the base corpus's; across copies the shingle sets are
+  *    disjoint, so Jaccard is exactly 0 — clones can never near-dup-pair
+  *    across copies, and both pair volume and LSH candidate volume are
+  *    exactly m× the base by construction (an appended-filler salt was
+  *    tried first and rejected: shared filler tokens inflate band
+  *    collisions among unrelated same-copy docs, benchmarking salt
+  *    noise instead of the dedup path). Every multiplier (including 1×)
+  *    applies the same tagging, so timings compare like for like.
+  *  - embeddings: ids offset; vectors unchanged (queries stay fixed, so
+  *    candidate volume per IVF cell grows linearly with the corpus).
+  *  - events: user ids offset per copy — per-key history length is
+  *    constant, key count grows (the as-of merge's declared-distribution
+  *    shape).
+  *  - customer: ids offset per copy; point coords derive from
+  *    key % 100, and the offset is a multiple of 100, so spatial join
+  *    density per point is copy-invariant.
+  *
+  * Run: `sbt "runMain graft.ScaleBench"` (env `SPARK_GRAFT_SF_DIR`,
+  * default sf0.1; multipliers via arg or `SPARK_GRAFT_SCALE_MULTS`,
+  * default "1,10"). Prints ONE JSON line on stdout, details on stderr —
+  * the Bench output hygiene.
+  */
+object ScaleBench {
+
+  private val CopyStride = 1000000000L // id offset per copy; multiple of 100
+
+  private def stage(spark: SparkSession, sfDir: String, m: Int,
+                    root: java.nio.file.Path): Unit = {
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val ev0 = graft.util.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val cust0 = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"))
+    def salted(df: DataFrame, idCol: String, c: Int): DataFrame =
+      df.withColumn(idCol, col(idCol) + lit(c * CopyStride))
+    (0 until m).map { c =>
+      salted(docs0, "doc_id", c).withColumn("text",
+        concat_ws(" ", transform(split(col("text"), "\\s+"),
+          w => concat(lit(s"c${c}q"), w))))
+    }.reduce(_ unionByName _).write.parquet(s"$root/documents")
+    (0 until m).map(salted(emb0, "vec_id", _)).reduce(_ unionByName _)
+      .write.parquet(s"$root/embeddings")
+    (0 until m).map { c =>
+      salted(salted(ev0, "event_id", c), "user_id", c)
+    }.reduce(_ unionByName _).write.parquet(s"$root/events")
+    (0 until m).map(salted(cust0, "c_custkey", _)).reduce(_ unionByName _)
+      .write.parquet(s"$root/customer")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val stdout = new PrintStream(new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
+    System.setOut(System.err)
+    Console.withOut(System.err) {
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val mults = args.headOption.orElse(sys.env.get("SPARK_GRAFT_SCALE_MULTS"))
+        .getOrElse("1,10").split(",").map(_.trim.toInt).toSeq
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      graft.functions.Graft.init(spark)
+      import spark.implicits._
+
+      def usedHeapMb(): Long = {
+        System.gc(); System.gc()
+        val r = Runtime.getRuntime
+        (r.totalMemory() - r.freeMemory()) / (1024 * 1024)
+      }
+
+      // results(stage)(mult) = (seconds, rows, heapMb)
+      val results = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.LinkedHashMap[Int, (Double, Long, Long)]]
+      def record(name: String, mult: Int)(body: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val rows = body
+        val sec = (System.nanoTime() - t0) / 1e9
+        val heap = usedHeapMb()
+        System.err.println(f"[scale] ${mult}x $name: $sec%.2f s, $rows rows, driver heap $heap MB")
+        results.getOrElseUpdate(name,
+          scala.collection.mutable.LinkedHashMap.empty) += mult -> (sec, rows, heap)
+      }
+
+      for (m <- mults) {
+        val root = Files.createTempDirectory(s"graft-scale-${m}x")
+        System.err.println(s"[scale] staging ${m}x corpus under $root")
+        stage(spark, sfDir, m, root)
+        val docs = spark.read.parquet(s"$root/documents")
+        val emb = spark.read.parquet(s"$root/embeddings")
+        val ev = spark.read.parquet(s"$root/events")
+        val cust = spark.read.parquet(s"$root/customer")
+
+        val pairs = graft.llm.Dedup
+          .minhashNearDupPairs(docs, "doc_id", "text").persist()
+        record("minhash_pairs", m)(pairs.count())
+        record("connected_components", m)(
+          graft.llm.Dedup.connectedComponents(pairs).count())
+        pairs.unpersist()
+
+        val queries = emb.filter($"vec_id" < 100)
+        record("ivf_topk", m)(
+          graft.llm.Similarity.ivfTopK(queries, emb, k = 10).count())
+        record("pq_topk", m)(
+          graft.llm.Similarity.pqTopK(queries, emb, k = 10).count())
+
+        val zones = spark.read.parquet(s"$sfDir/nation.parquet").select(
+          $"n_nationkey",
+          graft.functions.st.st_geomfromtext(format_string(
+            "POLYGON ((%1$s %2$s, %3$s %2$s, %3$s %4$s, %1$s %4$s, %1$s %2$s))",
+            ($"n_nationkey" * 3) % 80, ($"n_nationkey" * 11) % 80,
+            (($"n_nationkey" * 3) % 80) + 15,
+            (($"n_nationkey" * 11) % 80) + 15)).as("zone"))
+        val pts = cust.select($"c_custkey",
+          graft.functions.st.st_point(($"c_custkey" % 100).cast("double"),
+            (($"c_custkey" * 7) % 100).cast("double"), 4326).as("cgeom"))
+        record("grid_spatial_join", m)(
+          pts.join(zones, graft.functions.st.st_intersects($"cgeom", $"zone")).count())
+
+        val errors = ev.filter($"event_type" === "error")
+          .select($"user_id", $"event_id".as("error_id"), $"ts".as("error_ts"))
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id".as("c_user"), $"event_id".as("click_id"),
+            $"ts".as("click_ts"))
+        record("asof_exec", m)(
+          graft.plans.AsOfJoin.backward(errors, clicks,
+            key = ("user_id", "c_user"), time = ("error_ts", "click_ts"),
+            toleranceUs = Some(86400000000L), rightTie = Seq("click_id")).count())
+
+        graft.util.Staging.deleteTree(root)
+      }
+
+      def j(d: Double): String = f"$d%.3f"
+      val stagesJson = results.map { case (name, byMult) =>
+        "\"" + name + "\":{" + byMult.map { case (mult, (sec, rows, heap)) =>
+          s""""${mult}x":{"sec":${j(sec)},"rows":$rows,"driver_heap_mb":$heap}"""
+        }.mkString(",") + "}"
+      }.mkString("{", ",", "}")
+      // linearity verdict per stage: time ratio / multiplier ratio
+      val verdict = results.collect {
+        case (name, byMult) if byMult.size >= 2 =>
+          val (m0, (s0, _, _)) = byMult.head
+          val (m1, (s1, _, _)) = byMult.last
+          val ratio = (s1 / s0) / (m1.toDouble / m0)
+          s""""$name":${j(ratio)}"""
+      }.mkString("{", ",", "}")
+      val line = s"""{"metric":"scale","multipliers":[${mults.mkString(",")}],"stages":$stagesJson,"time_ratio_over_size_ratio":$verdict,"sf":"$sfDir"}"""
+      System.err.println(line)
+      try Files.writeString(java.nio.file.Paths.get("scale_out.json"), line + "\n")
+      catch { case e: Exception => System.err.println(s"[scale] write failed: $e") }
+      spark.stop()
+      stdout.println(line)
+    }
+  }
+}
