@@ -39,6 +39,12 @@ object Verify {
       require(graft.llm.Similarity.lastIvfModel.get() != null,
         s"IVF model not trained but ${needsIvfModel.mkString("/")} selected — " +
           "oracle SQL must be produced after the queries run in this JVM")
+    val needsMarginIvf = Seq("q_margin_mining_ivf")
+      .filter(n => SparkEntry.queries.contains(n) && only.forall(_.contains(n)))
+    if (needsMarginIvf.nonEmpty)
+      require(graft.llm.Similarity.lastMarginIvfModel.get() != null,
+        "margin-mining IVF quantizer not trained but q_margin_mining_ivf selected — " +
+          "oracle SQL must be produced after the queries run in this JVM")
     val needsBpeMerges = Seq("q_bpe_encode")
       .filter(n => SparkEntry.queries.contains(n) && only.forall(_.contains(n)))
     if (needsBpeMerges.nonEmpty)

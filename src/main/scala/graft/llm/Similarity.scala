@@ -221,6 +221,34 @@ object Similarity {
   private def vecLit(a: Array[Double]): Column =
     Shim.column(Literal.create(a.toSeq, ArrayType(DoubleType, containsNull = false)))
 
+  /** Quantizer last trained by [[marginCandidatesIvf]] — dynamic-oracle
+    * record under the same ORDERING CONTRACT as [[lastIvfModel]]. */
+  final case class MarginIvfModel(centroids: Array[Array[Double]], nprobe: Int)
+  val lastMarginIvfModel = new java.util.concurrent.atomic.AtomicReference[MarginIvfModel]()
+
+  /** IVF-pruned candidate generation for two-population margin mining —
+    * the scale path the q_margin_mining scaladoc promises: instead of
+    * the A × B cross product, the B side is cell-assigned by a bounded
+    * driver-trained quantizer and each A row probes its `nprobe`
+    * nearest cells, so candidate volume ≈ |A|·|B|·nprobe/nlist and both
+    * sides shuffle on the cell key only. Downstream ranking (mutual
+    * top-1 + margin over top-4 sums) is IDENTICAL to the cross-product
+    * form, applied to the candidate frame. Input contracts: `a` has
+    * (a_id, av), `b` has (b_id, bv). */
+  def marginCandidatesIvf(a: DataFrame, b: DataFrame,
+                          nlist: Int = 8, nprobe: Int = 3, seed: Long = 7L,
+                          trainSample: Int = 16384, trainIters: Int = 10): DataFrame = {
+    val sample = b.select(col("bv")).limit(trainSample).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centroids = kmeansLocal(sample, nlist, trainIters, seed)
+    lastMarginIvfModel.set(MarginIvfModel(centroids, nprobe))
+    val bc = b.withColumn("cell", nearestCells(col("bv"), centroids, 1).getItem(0))
+    val ac = a.withColumn("cell", explode(nearestCells(col("av"), centroids, nprobe)))
+    ac.join(bc, Seq("cell"))
+      .select(col("a_id"), col("b_id"), col("av"), col("bv"))
+      .distinct()
+  }
+
   /** The PQ model last trained by [[pqTopK]] — recorded for the dynamic
     * oracle exactly like [[lastIvfModel]], and under the SAME ORDERING
     * CONTRACT: oracle SQL is read after the queries run, in this JVM

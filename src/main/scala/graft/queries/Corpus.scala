@@ -1065,6 +1065,54 @@ object Corpus {
       |GROUP BY 1
       |ORDER BY hamming""".stripMargin
 
+  /** The q_image_dhash pipeline fed by REAL PNG bytes (round 10): the
+    * same synthesized gray rasters travel through
+    * [[graft.llm.MediaCodec.encodePng]] (zlib DEFLATE, scanline filters
+    * cycling through all five predictors) and back through
+    * [[graft.llm.MediaCodec.pngPixels]] before dHash + banded-LSH
+    * pairing. The oracle is byte-for-byte the q_image_dhash closed form
+    * — it rebuilds the hash from the pixel formula, so it passes ONLY
+    * if filter application + DEFLATE + unfiltering reproduce every
+    * pixel exactly. A decoder bug that pgm couldn't see (Paeth
+    * tie-break, Average floor, Up carry across rows) breaks the hash
+    * here. */
+  def pngDhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.MediaCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val hashes = keys.map { k =>
+      val base = k - (k % 2)
+      val w = (12 + base % 5).toInt
+      val h = (10 + base % 4).toInt
+      val cx = 11 + (base / 7) % 89
+      val cy = 13 + (base / 11) % 83
+      val bytes = MediaCodec.encodePng(w, h, 1, (x, y, _) => {
+        val g = (7 * base + cx * x + cy * y) % 256
+        val px = if (k % 2 == 1 && x == (base % w) && y == (base % h)) 9 else 0
+        ((g + px) % 256).toInt
+      })
+      val (pw, ph, _, pxs) = MediaCodec.pngPixels(bytes).get
+      (k, MediaCodec.dhash56(pxs, pw, ph))
+    }.toDF("k", "dh")
+    val bands = hashes.select($"k", $"dh", posexplode(expr(
+      "transform(sequence(0, 3), b -> int(shiftright(dh, 14 * b) & 16383))"))
+      .as(Seq("band", "bv")))
+    bands.as("a")
+      .join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bv" === $"b.bv" && $"a.k" < $"b.k")
+      .select($"a.k".as("ka"), $"b.k".as("kb"), $"a.dh".as("ha"), $"b.dh".as("hb"))
+      .distinct()
+      .select(bit_count($"ha".bitwiseXOR($"hb")).as("hamming"))
+      .filter($"hamming" <= 6)
+      .groupBy($"hamming")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"hamming")
+  }
+
+  /** Same closed form as [[imageDhashSql]]: the container changed (PNG
+    * instead of PGM), the pixels must not. */
+  val pngDhashSql: String = imageDhashSql
+
   // ------------------------------------------------------ video near-dup
 
   /** Video-level near-dup detection: each video is its SET of per-frame
@@ -1941,6 +1989,7 @@ object Corpus {
     "q_table_stats" -> (tableStats _),
     "q_unpivot_long" -> (unpivotLong _),
     "q_image_dhash" -> (imageDhash _),
+    "q_png_dhash" -> (pngDhash _),
     "q_audio_features" -> (audioFeatures _),
     "q_video_neardup" -> (videoNearDup _),
     "q_rag_chunks" -> (ragChunks _),
@@ -1982,6 +2031,7 @@ object Corpus {
     "q_table_stats" -> tableStatsSql,
     "q_unpivot_long" -> unpivotLongSql,
     "q_image_dhash" -> imageDhashSql,
+    "q_png_dhash" -> pngDhashSql,
     "q_audio_features" -> audioFeaturesSql,
     "q_video_neardup" -> videoNearDupSql,
     "q_rag_chunks" -> ragChunksSql,

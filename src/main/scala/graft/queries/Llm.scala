@@ -1780,6 +1780,45 @@ object Llm {
       .orderBy($"a_id")
   }
 
+  /** The IVF-pruned form of [[marginMining]] — the scale path its
+    * scaladoc promises, now a first-class gated query instead of a
+    * comment: candidates come from
+    * [[Similarity.marginCandidatesIvf]] (B cell-assigned by a bounded
+    * driver-trained quantizer, A probing its `nprobe` nearest cells —
+    * cell-key shuffles only, never A × B), and the ranking/margin
+    * arithmetic downstream is byte-identical to the cross-product
+    * form's. Ranks and top-4 sums are over the CANDIDATE neighborhood —
+    * the standard IVF approximation — and the dynamic oracle (inlined
+    * centroid literals, the q_emb_ivf_topk pattern) recomputes exactly
+    * that, so the probe selection, cell assignment tie-breaks, and
+    * margin integers are all pinned. */
+  def marginMiningIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, d)
+    val a = emb.filter($"label" === 0).select($"vec_id".as("a_id"), $"embedding".as("av"))
+    val b = emb.filter($"label" === 1).select($"vec_id".as("b_id"), $"embedding".as("bv"))
+    val pairs = Similarity.marginCandidatesIvf(a, b)
+      .withColumn("cos", round(Similarity.cosine($"av", $"bv"), 6))
+      .withColumn("cmu", round($"cos" * 1000000, 0).cast("long"))
+      .select($"a_id", $"b_id", $"cos", $"cmu")
+    val byA = Window.partitionBy($"a_id").orderBy($"cos".desc, $"b_id")
+    val byB = Window.partitionBy($"b_id").orderBy($"cos".desc, $"a_id")
+    pairs
+      .withColumn("rka", row_number().over(byA))
+      .withColumn("sum_amu", sum(when($"rka" <= 4, $"cmu"))
+        .over(Window.partitionBy($"a_id")))
+      .withColumn("rkb", row_number().over(byB))
+      .withColumn("sum_bmu", sum(when($"rkb" <= 4, $"cmu"))
+        .over(Window.partitionBy($"b_id")))
+      .filter($"rka" === 1 && $"rkb" === 1 &&
+        $"sum_amu" + $"sum_bmu" > 0 &&
+        lit(8L) * $"cmu" > $"sum_amu" + $"sum_bmu")
+      .withColumn("margin", expr(graft.util.ExactRound.ratio6(
+        "8 * cmu", "sum_amu + sum_bmu")))
+      .select($"a_id", $"b_id", $"cos", $"margin")
+      .orderBy($"a_id")
+  }
+
   val marginMiningSql: String =
     """WITH pairs AS (
       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -1815,6 +1854,7 @@ object Llm {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> (textStats _),
     "q_margin_mining" -> (marginMining _),
+    "q_margin_mining_ivf" -> (marginMiningIvf _),
     "q_text_lang" -> (langId _),
     "q_text_quality" -> (textQuality _),
     "q_gopher_rules" -> (gopherRules _),
@@ -2425,6 +2465,57 @@ object Llm {
        |FROM ranked WHERE rk <= ${m.k} ORDER BY query_id, rk""".stripMargin
   }
 
+  /** Dynamic oracle for [[marginMiningIvf]]: the trained centroids
+    * inline as literals (same `‖c‖² − 2⟨v,c⟩` assignment/probe
+    * arithmetic as ivfTopKSql), candidate pairs are the cell join, and
+    * the mutual-top-1 + integer-margin downstream is textually the
+    * [[marginMiningSql]] tail applied to the candidate frame. */
+  def marginMiningIvfSql: Option[String] =
+    Option(Similarity.lastMarginIvfModel.get()).map { m =>
+      val dArr = sqlCellDistArr(m.centroids, "bv")
+      val pairArr = sqlProbePairArr(m.centroids, "av")
+      s"""WITH a AS (
+         |  SELECT vec_id AS a_id, embedding::DOUBLE[] AS av
+         |  FROM embeddings WHERE label = 0
+         |), b AS (
+         |  SELECT vec_id AS b_id, embedding::DOUBLE[] AS bv
+         |  FROM embeddings WHERE label = 1
+         |), bcell AS (
+         |  SELECT b_id, bv, list_position($dArr, list_min($dArr)) - 1 AS cell FROM b
+         |), aprobe AS (
+         |  SELECT a_id, av, unnest(list_transform(list_sort($pairArr)[1:${m.nprobe}],
+         |         x -> CAST(x[2] AS INTEGER))) AS cell
+         |  FROM a
+         |), cand AS (
+         |  SELECT DISTINCT p.a_id, c.b_id, p.av, c.bv
+         |  FROM aprobe p JOIN bcell c USING (cell)
+         |), mu AS (
+         |  SELECT a_id, b_id,
+         |    round(list_cosine_similarity(av, bv), 6) AS cos,
+         |    CAST(round(round(list_cosine_similarity(av, bv), 6) * 1000000, 0) AS BIGINT) AS cmu
+         |  FROM cand
+         |), rk AS (
+         |  SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rka,
+         |    ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY cos DESC, a_id) AS rkb
+         |  FROM mu
+         |), sums AS (
+         |  SELECT *,
+         |    SUM(CASE WHEN rka <= 4 THEN cmu END) OVER (PARTITION BY a_id) AS sum_amu,
+         |    SUM(CASE WHEN rkb <= 4 THEN cmu END) OVER (PARTITION BY b_id) AS sum_bmu
+         |  FROM rk
+         |)
+         |SELECT a_id, b_id, cos,
+         |  """.stripMargin +
+        graft.util.ExactRound.ratio6Duck("8 * cmu", "sum_amu + sum_bmu") +
+        """ AS margin
+         |FROM sums
+         |WHERE rka = 1 AND rkb = 1
+         |  AND sum_amu + sum_bmu > 0
+         |  AND 8 * cmu > sum_amu + sum_bmu
+         |ORDER BY a_id""".stripMargin
+    }
+
   // ---- PQ oracle builders (shared by pqTopKSql and embRecallSql) ----
 
   /** DuckDB twin of [[graft.llm.Similarity.cosine]] (zero-norm → 0.0) —
@@ -2691,5 +2782,6 @@ object Llm {
       pqTopKSql.map("q_emb_index_persist" -> _) ++
       embRecallSql.map("q_emb_recall" -> _) ++
       semDedupSql.map("q_semdedup" -> _) ++
-      protoPruneSql.map("q_proto_prune" -> _)
+      protoPruneSql.map("q_proto_prune" -> _) ++
+      marginMiningIvfSql.map("q_margin_mining_ivf" -> _)
 }
