@@ -711,6 +711,93 @@ object Llm {
   val streamDedupSql: String =
     """SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp""".stripMargin
 
+  /** STREAMING MinHash/LSH near-dup detection
+    * ([[graft.streaming.StreamOps.CrossBatchLshProcessor]]) — the
+    * incremental-ingest question the batch q_dedup_minhash can't ask:
+    * which of the CURRENT batch's documents near-dup an EARLIER batch's
+    * corpus. Same fused shingle→minhash signature and banding as the
+    * batch path; the LSH bucket join becomes per-(band, key) ListState
+    * holding prior batches' (doc, sig) entries, verified with the same
+    * eq/n estimator. The two-file doc staging makes "earlier batch" =
+    * the lower doc_id half, so the oracle is the exact-Jaccard
+    * cross-half closed form (the same est≈exact agreement the batch
+    * minhash gate already pins on this corpus). At 100 TB this is the
+    * nightly-crawl admission filter: state grows by each batch's band
+    * entries, never rescanning yesterday's corpus. */
+  def streamMinhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.StreamOps.{CrossBatchLshProcessor, LshBandDoc}
+    val docs = documents(s, d)
+    val dataDir = graft.util.Staging.twoFileSplit(s,
+      java.nio.file.Paths.get(d, "documents.parquet"), "graft-stream-docs", "v1") {
+      val half = docs.agg(max($"doc_id")).head.getLong(0) / 2
+      (docs.filter($"doc_id" <= half), docs.filter($"doc_id" > half))
+    }
+    graft.util.Staging.withConfs(s,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      graft.util.Staging.withStreamPartitions(s, 8) {
+        val sh = org.apache.spark.sql.graftshim.Shim
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
+          .select($"doc_id", sh.column(graft.exprs.MinHashWords(
+            sh.expression($"text"), Literal(3), Literal(64))).as("sig"))
+          // same Exchange barrier as the batch path: without it the
+          // 64-hash signature recomputes once per exploded band row
+          .repartition($"doc_id")
+          .withColumn("bandrow", explode(graft.llm.Dedup.lshBands($"sig", 64, 16)))
+          .select($"bandrow.band".as("band"), $"bandrow.key".as("key"),
+            $"doc_id", $"sig")
+          .as[LshBandDoc]
+        val hits = stream.groupByKey(r => (r.band, r.key))
+          .transformWithState(new CrossBatchLshProcessor(0.8),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        val name = "stream_minhash_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = hits.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // a pair seen on several bands collapses to one; per half-2 doc:
+        // its earliest half-1 partner and the partner count
+        s.table(name).select($"doc_id", $"partner_id").distinct()
+          .groupBy($"doc_id")
+          .agg(min($"partner_id").as("min_partner"),
+            count(lit(1)).as("n_partners"))
+          .orderBy($"doc_id")
+      }
+    }
+  }
+
+  /** Exact-Jaccard cross-half closed form (the same ndPairsCtes shingle
+    * machinery as the batch minhash oracle, restricted to
+    * lower-half × upper-half pairs at the staging's doc_id split). */
+  lazy val streamMinhashSql: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(ws[u:u+2], ' ') AS s
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u FROM toks)
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+      |), h AS (
+      |  SELECT max(doc_id) // 2 AS hv FROM documents
+      |), cp AS (
+      |  SELECT a.doc_id AS pa, b.doc_id AS pb, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s CROSS JOIN h
+      |  WHERE a.doc_id <= h.hv AND b.doc_id > h.hv
+      |  GROUP BY 1, 2
+      |), nd AS (
+      |  SELECT pa, pb
+      |  FROM cp JOIN sizes sa ON sa.doc_id = pa JOIN sizes sb ON sb.doc_id = pb
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+      |)
+      |SELECT pb AS doc_id, MIN(pa) AS min_partner,
+      |  COUNT(DISTINCT pa) AS n_partners
+      |FROM nd GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** Composed STREAMING curation pipeline — the batch corpus funnel's
     * streaming twin: document stream → fused quality scoring → exact
     * within-source dedup (`dropDuplicates` state across micro-batches)
@@ -1871,6 +1958,7 @@ object Llm {
     "q_dedup_jaccard" -> (dedupJaccard _),
     "q_dedup_cc" -> (dedupCc _),
     "q_stream_dedup" -> (streamDedup _),
+    "q_stream_minhash" -> (streamMinhash _),
     "q_stream_pipeline" -> (streamPipeline _),
     "q_data_split" -> (dataSplit _),
     "q_decontaminate" -> (decontaminate _),
@@ -2730,6 +2818,7 @@ object Llm {
     "q_dedup_jaccard" -> dedupJaccardSql,
     "q_dedup_cc" -> dedupCcSql,
     "q_stream_dedup" -> streamDedupSql,
+    "q_stream_minhash" -> streamMinhashSql,
     "q_stream_pipeline" -> streamPipelineSql,
     "q_data_split" -> dataSplitSql,
     "q_decontaminate" -> decontaminateSql,

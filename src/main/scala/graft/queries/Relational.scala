@@ -464,6 +464,145 @@ object Relational {
       |  promo_revenue_abs, total_revenue
       |FROM t""".stripMargin
 
+  /** TPC-H Q7 (volume shipping): bilateral trade between two nations —
+    * supplier nation × customer nation × ship year, BOTH directions of
+    * the (NATION_1, NATION_2) pair. The two nation dims broadcast onto
+    * the supplier and customer sides; the one data-sized shuffle chain
+    * is lineitem⋈orders⋈customer on the order/customer keys. The
+    * asymmetric pair predicate (n1, n2) OR (n2, n1) stays a broadcast
+    * filter, never a join explosion. */
+  def tpchQ7(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n1 = nation(s, d).select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+    val n2 = nation(s, d).select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+    supplier(s, d)
+      .join(lineitem(s, d), $"s_suppkey" === $"l_suppkey")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp_ntz"))
+      .join(orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(customer(s, d), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n1), $"s_nationkey" === $"s_nk")
+      .join(broadcast(n2), $"c_nationkey" === $"c_nk")
+      .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
+        ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+      .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
+      .agg(out(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")))
+        .as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  val tpchQ7Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+      |FROM supplier
+      |JOIN lineitem ON s_suppkey = l_suppkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q8 (national market share): NATION_3 suppliers' share of
+    * ECONOMY-part volume sold into EUROPE customers, per order year —
+    * the widest classic join in the suite (part, lineitem, orders,
+    * customer, two nation roles, region; 7 relations). Dims broadcast;
+    * the share divides two DECIMAL-accumulated volumes after the same
+    * DECIMAL(38,6)→DOUBLE conversion on both engines, so the quotient
+    * is bit-identical without rounding. */
+  def tpchQ8(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val europeCust = customer(s, d)
+      .join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region(s, d)), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "EUROPE")
+      .select($"c_custkey")
+    val suppNation = nation(s, d)
+      .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+    val vol = dec($"l_extendedprice") * dec(lit(1) - $"l_discount")
+    lineitem(s, d)
+      .join(broadcast(part(s, d).filter($"p_type" === "ECONOMY")
+        .select($"p_partkey")), $"l_partkey" === $"p_partkey")
+      .join(orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
+        $"o_orderdate" < lit("1998-01-01").cast("timestamp_ntz"))
+      .join(europeCust, $"o_custkey" === $"c_custkey")
+      .join(supplier(s, d), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(suppNation), $"s_nationkey" === $"s_nk")
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg(
+        out(coalesce(sum(when($"supp_nation" === "NATION_3", vol)),
+          lit(0).cast("decimal(18,4)"))).as("nation_volume"),
+        out(sum(vol)).as("total_volume"))
+      .select($"o_year",
+        ($"nation_volume" / $"total_volume").as("mkt_share"),
+        $"nation_volume", $"total_volume")
+      .orderBy($"o_year")
+  }
+
+  val tpchQ8Sql: String =
+    """WITH t AS (
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |    CAST(CAST(COALESCE(SUM(CASE WHEN n1.n_name = 'NATION_3'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4)) END), 0) AS DECIMAL(38,6)) AS DOUBLE) AS nation_volume,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_volume
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  JOIN region ON n2.n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY 1
+      |)
+      |SELECT o_year, nation_volume / total_volume AS mkt_share,
+      |  nation_volume, total_volume
+      |FROM t ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q18 (large-volume customers): orders whose total quantity
+    * exceeds 300 — the HAVING-on-join-aggregate shape. The qualifying
+    * orderkey set is found with ONE lineitem aggregate (map-side
+    * partial sums shrink the shuffle to per-order partials) and
+    * re-joined; customer broadcast; top 100 under a deterministic
+    * (totalprice, orderkey) tie order. */
+  def tpchQ18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bigOrders = lineitem(s, d)
+      .groupBy($"l_orderkey")
+      .agg(out(sum(dec($"l_quantity"))).as("total_qty"))
+      .filter($"total_qty" > 300.0)
+    orders(s, d)
+      .join(bigOrders, $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(customer(s, d)), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", $"total_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  val tpchQ18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  total_qty
+      |FROM (
+      |  SELECT l_orderkey,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_qty
+      |  FROM lineitem GROUP BY 1
+      |) big
+      |JOIN orders ON o_orderkey = big.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE total_qty > 300.0
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
   /** Projection + predicate filter (FilterAttributes/FilterByProperties,
     * common.py:178-211): prune to 4 columns, filter, per-row arithmetic. */
   def filterProject(s: SparkSession, d: String): DataFrame = {
@@ -2197,6 +2336,9 @@ object Relational {
     "q_tpch_q5" -> (tpchQ5 _),
     "q_tpch_q10" -> (tpchQ10 _),
     "q_tpch_q14" -> (tpchQ14 _),
+    "q_tpch_q7" -> (tpchQ7 _),
+    "q_tpch_q8" -> (tpchQ8 _),
+    "q_tpch_q18" -> (tpchQ18 _),
     "q_filter_project" -> (filterProject _),
     "q_join_enrich" -> (joinEnrich _),
     "q_topk_window" -> (topkWindow _),
@@ -2254,6 +2396,9 @@ object Relational {
     "q_tpch_q5" -> tpchQ5Sql,
     "q_tpch_q10" -> tpchQ10Sql,
     "q_tpch_q14" -> tpchQ14Sql,
+    "q_tpch_q7" -> tpchQ7Sql,
+    "q_tpch_q8" -> tpchQ8Sql,
+    "q_tpch_q18" -> tpchQ18Sql,
     "q_filter_project" -> filterProjectSql,
     "q_join_enrich" -> joinEnrichSql,
     "q_topk_window" -> topkWindowSql,

@@ -316,6 +316,61 @@ object StreamOps {
     }
   }
 
+  final case class LshBandDoc(band: Int, key: Long, doc_id: Long, sig: Array[Long])
+  final case class LshSigEntry(id: Long, sig: Array[Long])
+  final case class LshHit(doc_id: Long, partner_id: Long)
+
+  /** JVM twin of [[graft.exprs.SigMatchFrac]] (fraction of equal MinHash
+    * components — the LSH verify estimator): the processor compares
+    * candidate signatures executor-side, so the arithmetic must be the
+    * identical eq/n double. */
+  private[graft] def sigMatchFrac(a: Array[Long], b: Array[Long]): Double = {
+    if (a.length == 0 || a.length != b.length) return -1.0
+    var eq = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+
+  /** Cross-batch streaming MinHash/LSH near-dup detection — the
+    * streaming twin of [[graft.llm.Dedup.minhashNearDupPairs]]: keyed by
+    * (band, band-key), ListState accumulates the (doc, signature)
+    * entries of PRIOR micro-batches (the LSH bucket, bounded by bucket
+    * size exactly like the batch join's per-key fan-in); each arriving
+    * doc verifies against the stored bucket (estimated Jaccard ≥
+    * `threshold`) and emits a hit per qualifying earlier-batch partner.
+    * Within-batch pairs deliberately do NOT emit — the batch operator
+    * owns those — so this is the incremental-ingest shape: "which of
+    * today's documents near-dup yesterday's corpus", with state growing
+    * only by the new batch's band entries. Emission is a set-valued
+    * function of (batch composition), independent of within-batch order
+    * (cross product of batch × stored entries). */
+  final class CrossBatchLshProcessor(threshold: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, Long), LshBandDoc, LshHit] {
+    @transient private var seen: org.apache.spark.sql.streaming.ListState[LshSigEntry] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getListState[LshSigEntry]("seen",
+        Encoders.product[LshSigEntry],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Long), rows: Iterator[LshBandDoc],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[LshHit] = {
+      val batch = rows.toArray
+      if (batch.isEmpty) return Iterator.empty
+      val prior = seen.get().toArray
+      val out = for {
+        d <- batch.iterator
+        p <- prior.iterator
+        if sigMatchFrac(d.sig, p.sig) >= threshold
+      } yield LshHit(d.doc_id, p.id)
+      val collected = out.toArray
+      batch.foreach(b => seen.appendValue(LshSigEntry(b.doc_id, b.sig)))
+      collected.iterator
+    }
+  }
+
   final case class SessTsEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long)
   final case class SessState(start_us: Long, last_us: Long, n: Long, timer_ms: Long)
   final case class SessOut(user_id: Long, session_start_us: Long,
