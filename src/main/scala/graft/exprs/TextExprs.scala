@@ -270,18 +270,13 @@ case class WordChunksExpr(left: Expression, right: Expression)
   override def prettyName: String = "word_chunks"
 }
 
-/** sig_match_frac(a, b) — fraction of equal positions between two long
-  * signatures (the MinHash Jaccard estimator), one JVM loop instead of
-  * the interpreted `aggregate(zip_with(...))` per candidate pair. Same
-  * value: integer match count / left length as double. */
-case class SigMatchFrac(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = DoubleType
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+/** Static runtime for [[SigMatchFrac]]'s generated code: NaN encodes
+  * null (zero-length or mismatched signatures) so the generated branch
+  * stays primitive. */
+object SigMatchRuntime {
+  def frac(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
-    if (n == 0 || b.numElements() != n) return null
+    if (n == 0 || b.numElements() != n) return Double.NaN
     var eq = 0
     var i = 0
     while (i < n) {
@@ -290,6 +285,31 @@ case class SigMatchFrac(left: Expression, right: Expression)
     }
     eq.toDouble / n
   }
+}
+
+/** sig_match_frac(a, b) — fraction of equal positions between two long
+  * signatures (the MinHash Jaccard estimator), one JVM loop instead of
+  * the interpreted `aggregate(zip_with(...))` per candidate pair. Same
+  * value: integer match count / left length as double. Codegen'd (static
+  * [[SigMatchRuntime.frac]] call): this is the verify predicate of every
+  * LSH candidate pair — the near-dup join's inner loop. */
+case class SigMatchFrac(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  // null on non-null input (empty/mismatched signatures)
+  override def nullable: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val v = SigMatchRuntime.frac(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (v.isNaN) null else v
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+       |${ev.value} = graft.exprs.SigMatchRuntime.frac($a, $b);
+       |if (Double.isNaN(${ev.value})) { ${ev.isNull} = true; }
+     """.stripMargin)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "sig_match_frac"

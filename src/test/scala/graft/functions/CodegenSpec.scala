@@ -89,6 +89,26 @@ class CodegenSpec extends SparkTestBase {
     assert(!pred.eval(InternalRow(pt(0, 0), pt(30, 40))))
   }
 
+  test("sig_match_frac compiles (LSH verify inner loop) and matches interpreted eval") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val sa = BoundReference(0, ArrayType(LongType, containsNull = false), nullable = false)
+    val sb = BoundReference(1, ArrayType(LongType, containsNull = false), nullable = false)
+    val expr = SigMatchFrac(sa, sb)
+    val proj = GenerateMutableProjection.generate(Seq(expr))
+    val row = InternalRow(
+      ArrayData.toArrayData(Array(1L, 2L, 3L, 4L)),
+      ArrayData.toArrayData(Array(1L, 9L, 3L, 4L)))
+    val out = proj(row)
+    assert(!out.isNullAt(0) && out.getDouble(0) == 0.75)
+    assert(out.getDouble(0) == expr.eval(row).asInstanceOf[Double])
+    // mismatched lengths / empty → null through the generated path
+    assert(proj(InternalRow(ArrayData.toArrayData(Array(1L)),
+      ArrayData.toArrayData(Array(1L, 2L)))).isNullAt(0))
+    assert(proj(InternalRow(ArrayData.toArrayData(Array.empty[Long]),
+      ArrayData.toArrayData(Array.empty[Long]))).isNullAt(0))
+    assert(expr.nullable)
+  }
+
   test("vec_dot compiles with non-nullable children and accumulates in element order") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     val va = BoundReference(0, ArrayType(FloatType, containsNull = false), nullable = false)
