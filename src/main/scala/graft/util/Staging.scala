@@ -102,10 +102,19 @@ object Staging {
       populate(stageData)
       Files.writeString(stageRoot.resolve("_READY"), "ok")
       try Files.move(stageRoot, base, StandardCopyOption.ATOMIC_MOVE)
-      catch { // lost the race to a concurrent stager — use the winner's
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.DirectoryNotEmptyException =>
-          deleteRecursively(stageRoot)
+      catch {
+        // Lost the race to a concurrent stager — adopt the winner's
+        // directory. The catch is the broad FileSystemException: on
+        // Linux, rename(2) onto an existing non-empty directory fails
+        // ENOTEMPTY, which the JDK surfaces as a BARE FileSystemException
+        // ("Directory not empty"), NOT DirectoryNotEmptyException — the
+        // narrow two-type catch let the losing racer crash (found by
+        // StagingSpec's concurrent-stagers test). The winner's _READY
+        // marker distinguishes a genuinely lost race from an unrelated
+        // move failure, which still propagates.
+        case e: java.nio.file.FileSystemException =>
+          if (Files.exists(base.resolve("_READY"))) deleteRecursively(stageRoot)
+          else throw e
       }
     }
     // every fetch (fresh or cached) re-proves the admission order — a

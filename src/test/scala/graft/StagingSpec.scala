@@ -48,6 +48,36 @@ class StagingSpec extends SparkTestBase {
     } finally Staging.deleteTree(dir)
   }
 
+  test("concurrent stagers of one fingerprint converge on a single ordered directory") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("stageraces")
+    try {
+      val src = srcDir.resolve("src.parquet")
+      Seq(10L, 20L, 30L, 40L).toDF("v").coalesce(1).write.mode("overwrite")
+        .parquet(srcDir.resolve("tmp").toString)
+      val part = new java.io.File(srcDir.resolve("tmp").toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, src)
+      def stage() = Staging.twoFileSplit(spark, src, "graft-stagingrace",
+        "vrace") {
+        val df = spark.read.parquet(src.toString)
+        (df.filter($"v" <= 20), df.filter($"v" > 20))
+      }
+      // the documented benign race: the losing stager deletes its copy
+      // and adopts the winner's directory — all racers must return the
+      // SAME path, and that path must pass the admission-order assert
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val dirs = Await.result(
+        Future.sequence((1 to 4).map(_ => Future(stage()))), 120.seconds)
+      assert(dirs.distinct.size == 1, s"racers diverged: ${dirs.distinct}")
+      Staging.assertAdmissionOrder(dirs.head)
+      assert(spark.read.parquet(dirs.head.toString).count() == 4)
+      Staging.deleteTree(dirs.head.getParent)
+    } finally Staging.deleteTree(srcDir)
+  }
+
   test("twoFileSplit stages 00 before 01 with asserted admission order, cached and fresh") {
     import spark.implicits._
     val srcDir = Files.createTempDirectory("stagesrc")

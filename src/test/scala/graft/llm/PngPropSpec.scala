@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests for the PNG arm of [[MediaCodec]]: encode→decode is an
+  * exact inverse over generated rasters — arbitrary dims, channel
+  * counts, pixel contents, and PER-ROW filter schedules (the five
+  * predictors in arbitrary interleavings, which is where filter-state
+  * carry bugs live: Up/Average/Paeth all read the PREVIOUS row's
+  * reconstruction, so a row filtered one way must reconstruct correctly
+  * beneath a row filtered any other way). Deterministic generator
+  * sampling, same pattern as geom/CodecPropSpec (no scalatestplus
+  * bridge in the offline cache).
+  */
+class PngPropSpec extends AnyFunSuite {
+
+  private def forAll[T](gen: Gen[T], n: Int = 120)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(20260814L + i)).foreach(body)
+    }
+
+  private case class Img(w: Int, h: Int, channels: Int,
+                         pixels: Array[Int], filters: Array[Int])
+
+  private val imgGen: Gen[Img] = for {
+    w <- Gen.chooseNum(1, 17)
+    h <- Gen.chooseNum(1, 13)
+    ch <- Gen.oneOf(1, 3, 4)
+    pixels <- Gen.listOfN(w * h * ch, Gen.chooseNum(0, 255))
+    filters <- Gen.listOfN(h, Gen.chooseNum(0, 4))
+  } yield Img(w, h, ch, pixels.toArray, filters.toArray)
+
+  test("encode→decode round-trips arbitrary rasters under arbitrary filter schedules") {
+    forAll(imgGen) { img =>
+      def px(x: Int, y: Int, c: Int): Int =
+        img.pixels(y * img.w * img.channels + x * img.channels + c)
+      val bytes = MediaCodec.encodePng(img.w, img.h, img.channels, px,
+        y => img.filters(y))
+      val decoded = MediaCodec.pngPixels(bytes)
+      assert(decoded.isDefined, s"decode failed for ${img.w}x${img.h}x${img.channels}")
+      val Some((dw, dh, dch, raster)) = decoded
+      assert((dw, dh, dch) == ((img.w, img.h, img.channels)))
+      assert(raster.sameElements(img.pixels),
+        s"raster mismatch ${img.w}x${img.h}x${img.channels} filters=${img.filters.mkString(",")}")
+    }
+  }
+
+  test("any single flipped payload byte is rejected (CRC) or decodes to the same dims") {
+    // CRCs make corruption DETECTED, never silently misdecoded: flipping
+    // any byte after the signature either fails the decode outright or —
+    // if it lands on a byte the parser never reads — leaves the result
+    // identical. It must never yield a DIFFERENT raster.
+    forAll(imgGen, n = 30) { img =>
+      def px(x: Int, y: Int, c: Int): Int =
+        img.pixels(y * img.w * img.channels + x * img.channels + c)
+      val bytes = MediaCodec.encodePng(img.w, img.h, img.channels, px,
+        y => img.filters(y))
+      val baseline = MediaCodec.pngPixels(bytes).get
+      // probe a deterministic spread of positions incl. chunk headers
+      val positions = (8 until bytes.length by math.max(1, bytes.length / 17)) ++
+        Seq(12, 16, 20, bytes.length - 5, bytes.length - 13)
+      positions.filter(p => p >= 8 && p < bytes.length).foreach { p =>
+        val mutated = bytes.clone()
+        mutated(p) = (mutated(p) ^ 0x40).toByte
+        MediaCodec.pngPixels(mutated) match {
+          case None => () // detected — the expected outcome
+          case Some((w2, h2, ch2, r2)) =>
+            assert((w2, h2, ch2) == ((img.w, img.h, img.channels)) &&
+              r2.sameElements(baseline._4),
+              s"flip at $p silently changed the decode")
+        }
+      }
+    }
+  }
+}
