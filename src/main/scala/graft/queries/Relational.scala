@@ -1668,6 +1668,53 @@ object Relational {
     }
   }
 
+  /** STREAMING point-in-time (SCD2) enrichment — the temporal join
+    * q_stream_enrich's plain equi-join can't express: each event joins
+    * the dimension VERSION valid at its event time, not the current
+    * one, so late events reprocessed tomorrow still get yesterday's
+    * tier. The dimension is a two-version SCD2 history synthesized
+    * in-plan (per-user switch date = 2024-01-10 + user_id % 14 days,
+    * spanning the event range so both versions are hit); the
+    * stream-static join is equi on the user key with the validity
+    * window as a residual range predicate — a broadcast HASH join with
+    * a post-filter, never a nested loop. Validity intervals partition
+    * time, so each event matches exactly one version and the oracle is
+    * a CASE on the same timestamp comparison. */
+  def streamScd2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.util.Tables.events(s, d)
+    val users = customer(s, d).select($"c_custkey".as("u"))
+    val switchTs = expr("timestampadd(DAY, CAST(u % 14 AS INT), TIMESTAMP '2024-01-10')")
+    val dim = users.select($"u",
+        lit("1900-01-01 00:00:00").cast("timestamp").as("valid_from"),
+        switchTs.as("valid_to"), lit("bronze").as("tier"))
+      .unionByName(users.select($"u", switchTs.as("valid_from"),
+        lit("2100-01-01 00:00:00").cast("timestamp").as("valid_to"),
+        lit("gold").as("tier")))
+    val dataDir = stagedEventsDir(s, d)
+    withStreamPartitions(s, 8) {
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
+      val joined = stream.join(broadcast(dim),
+          $"user_id" === $"u" && $"ts" >= $"valid_from" && $"ts" < $"valid_to")
+        .select($"event_id", $"user_id", $"tier")
+      val name = "stream_scd2_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy($"event_id")
+    }
+  }
+
+  val streamScd2Sql: String =
+    """SELECT e.event_id, e.user_id,
+      |  CASE WHEN e.ts < TIMESTAMP '2024-01-10' + INTERVAL (e.user_id % 14) DAY
+      |       THEN 'bronze' ELSE 'gold' END AS tier
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY e.event_id""".stripMargin
+
   val streamEnrichSql: String =
     """SELECT date_trunc('hour', e.ts) AS hour, n.n_name,
       |  COUNT(*) AS n,
@@ -2369,6 +2416,7 @@ object Relational {
     "q_interval_join" -> (intervalJoin _),
     "q_stream_anti" -> (streamAnti _),
     "q_stream_enrich" -> (streamEnrich _),
+    "q_stream_scd2" -> (streamScd2 _),
     "q_skew_agg" -> (skewAgg _),
     "q_skew_report" -> (skewReport _),
     "q_heavy_hitters" -> (heavyHitters _),
@@ -2429,6 +2477,7 @@ object Relational {
     "q_interval_join" -> intervalJoinSql,
     "q_stream_anti" -> streamAntiSql,
     "q_stream_enrich" -> streamEnrichSql,
+    "q_stream_scd2" -> streamScd2Sql,
     "q_skew_agg" -> skewAggSql,
     "q_skew_report" -> skewReportSql,
     "q_heavy_hitters" -> heavyHittersSql,
