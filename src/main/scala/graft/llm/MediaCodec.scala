@@ -263,6 +263,16 @@ object MediaCodec {
   private def be32(b: Array[Byte], i: Int): Int =
     (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
 
+  // zlib codec objects hold NATIVE memory and cost a native alloc per
+  // construction; a per-image `new Deflater/Inflater` dominated the
+  // per-row codec cost in the 2k-image bench. One instance per executor
+  // thread, reset() between uses — bounded by thread count, standard
+  // JDK-doc usage.
+  private val deflaters = ThreadLocal.withInitial[java.util.zip.Deflater](
+    () => new java.util.zip.Deflater())
+  private val inflaters = ThreadLocal.withInitial[java.util.zip.Inflater](
+    () => new java.util.zip.Inflater())
+
   /** PNG Paeth predictor (spec §4.5.5 — exact tie-break order matters). */
   private def paeth(a: Int, b: Int, c: Int): Int = {
     val p = a + b - c
@@ -318,13 +328,13 @@ object MediaCodec {
       }
       y += 1
     }
-    val deflater = new java.util.zip.Deflater()
+    val deflater = deflaters.get()
     val zOut = new java.io.ByteArrayOutputStream()
     try {
       deflater.setInput(filt); deflater.finish()
       val buf = new Array[Byte](8192)
       while (!deflater.finished()) zOut.write(buf, 0, deflater.deflate(buf))
-    } finally deflater.end()
+    } finally deflater.reset()
     val ihdr = new Array[Byte](13)
     def putBe32(a: Array[Byte], i: Int, v: Int): Unit = {
       a(i) = (v >>> 24).toByte; a(i + 1) = (v >>> 16).toByte
@@ -397,7 +407,7 @@ object MediaCodec {
     val stride = w * channels
     val expect = (stride + 1) * h
     val filt = new Array[Byte](expect)
-    val inf = new java.util.zip.Inflater()
+    val inf = inflaters.get()
     try {
       inf.setInput(idat.toByteArray)
       var off = 0
@@ -408,7 +418,7 @@ object MediaCodec {
       }
       if (off != expect || !inf.finished()) return None // short or over-long
     } catch { case _: java.util.zip.DataFormatException => return None }
-    finally inf.end()
+    finally inf.reset()
     val raw = new Array[Int](h * stride)
     var y = 0
     while (y < h) {
