@@ -1,0 +1,32 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+import org.apache.spark.sql.functions._
+
+/** Plan pin for the q_stream_scd2 join shape (PlanShapeSpec deliberately
+  * skips q_stream* queries — their interesting plan is inside the
+  * micro-batch): the temporal-validity condition (equi key + range
+  * residual) must plan as a broadcast HASH join with the range as a
+  * post-filter, never a nested loop. Checked on the batch twin of the
+  * exact same condition — join strategy selection is shared between the
+  * batch and micro-batch planners.
+  */
+class StreamScd2PlanSpec extends SparkTestBase {
+  test("SCD2 validity join = BroadcastHashJoin with range residual, not BNLJ") {
+    import spark.implicits._
+    val events = Seq((1L, java.sql.Timestamp.valueOf("2024-01-12 00:00:00")))
+      .toDF("user_id", "ts")
+    val dim = Seq((1L, java.sql.Timestamp.valueOf("1900-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-15 00:00:00"), "bronze"))
+      .toDF("u", "valid_from", "valid_to", "tier")
+    val joined = events.join(broadcast(dim),
+      $"user_id" === $"u" && $"ts" >= $"valid_from" && $"ts" < $"valid_to")
+    val plan = joined.queryExecution.sparkPlan
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"expected BroadcastHashJoin, got:\n$plan")
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "temporal join must not degrade to a nested loop")
+    assert(joined.collect().map(_.getAs[String]("tier")).toSeq == Seq("bronze"))
+  }
+}
