@@ -142,6 +142,26 @@ object ScaleBench {
         record("grid_spatial_join", m)(
           pts.join(zones, graft.functions.st.st_intersects($"cgeom", $"zone")).count())
 
+        // beyond the five VERDICT-demanded paths: the highest-volume
+        // map-side LLM stages, where per-row fused-expression cost is
+        // the whole story (no shuffle beyond a bounded rollup)
+        val idxEn = graft.exprs.Stopwords.sortedLangs.indexOf("en")
+        record("text_quality_fused", m)(
+          // head(), NOT count(): count-over-global-aggregate folds to 1
+          // without evaluating the fused text work — the first run of
+          // this stage timed exactly that non-measurement
+          docs.select(graft.llm.TextAnalysis.stats($"text").as("st"),
+              graft.llm.TextAnalysis.stopwordScores($"text").getItem(idxEn).as("sw"))
+            .select(graft.llm.TextAnalysis.qualityScoreFused($"st", $"sw").as("q"))
+            .agg(sum(when($"q" >= 0.82, 1L).otherwise(0L)).as("n_pass"), avg($"q"))
+            .head().getLong(0))
+        record("exact_dedup", m)(
+          docs.select(md5($"text").as("fp")).distinct().count())
+        record("lm_train_score", m)({
+          val lm = graft.llm.NgramLM.train(docs, $"text")
+          graft.llm.NgramLM.score(docs, "doc_id", $"text", lm).count()
+        })
+
         val errors = ev.filter($"event_type" === "error")
           .select($"user_id", $"event_id".as("error_id"), $"ts".as("error_ts"))
         val clicks = ev.filter($"event_type" === "click")
