@@ -344,16 +344,22 @@ object StreamOps {
     * today's documents near-dup yesterday's corpus", with state growing
     * only by the new batch's band entries. Emission is a set-valued
     * function of (batch composition), independent of within-batch order
-    * (cross product of batch × stored entries). */
-  final class CrossBatchLshProcessor(threshold: Double)
+    * (cross product of batch × stored entries). The `ttl` knob bounds a
+    * 24/7 deployment's bucket memory (dedup only against the trailing
+    * TTL window — the usual crawl-admission policy); the gated query
+    * keeps TTLConfig.NONE because TTL expiry is wall-clock-relative,
+    * which a deterministic oracle can't replay (same reasoning as
+    * [[CumulProcessor]]'s knob, eviction proven in StreamOpsSpec). */
+  final class CrossBatchLshProcessor(threshold: Double,
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
       extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, Long), LshBandDoc, LshHit] {
     @transient private var seen: org.apache.spark.sql.streaming.ListState[LshSigEntry] = _
 
     override def init(outputMode: OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       seen = getHandle.getListState[LshSigEntry]("seen",
-        Encoders.product[LshSigEntry],
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        Encoders.product[LshSigEntry], ttl)
 
     override def handleInputRows(key: (Int, Long), rows: Iterator[LshBandDoc],
         tv: org.apache.spark.sql.streaming.TimerValues): Iterator[LshHit] = {
