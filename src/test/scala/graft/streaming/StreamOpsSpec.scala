@@ -151,6 +151,46 @@ class StreamOpsSpec extends SparkTestBase {
       s"expected accumulation under long TTL, got $kept")
   }
 
+  test("CrossBatchLshProcessor TTL evicts stale buckets; without TTL they persist") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, OutputMode}
+    // two identical docs in different batches share every band key →
+    // with live state the second emits a hit; once the TTL evicts the
+    // first batch's bucket entries, it does not (trailing-window dedup)
+    val sig = Array.tabulate(64)(i => i * 37L)
+    def bandRows(doc: Long): Seq[StreamOps.LshBandDoc] =
+      (0 until 16).map(b => StreamOps.LshBandDoc(b, 1000L + b, doc, sig))
+    def run(ttl: TTLConfig, sleepMs: Long): Long =
+      graft.util.Staging.withConfs(spark,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val input = MemoryStream[StreamOps.LshBandDoc]
+        val out = input.toDS()
+          .groupByKey(r => (r.band, r.key))
+          .transformWithState(new StreamOps.CrossBatchLshProcessor(0.8, ttl),
+            TimeMode.ProcessingTime(), OutputMode.Append())
+        val name = "lshttl" + System.nanoTime()
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+        try {
+          // see the CumulProcessor TTL test: ProcessingTime mode never
+          // idles, so poll the sink instead of processAllAvailable
+          def settle(): Unit = Thread.sleep(1500)
+          input.addData(bandRows(1L): _*)
+          settle()
+          Thread.sleep(sleepMs)
+          input.addData(bandRows(2L): _*)
+          settle()
+          spark.table(name).select($"doc_id", $"partner_id").distinct().count()
+        } finally q.stop()
+      }
+    // long TTL: batch-2 doc finds batch-1 partner → exactly one pair
+    assert(run(TTLConfig(java.time.Duration.ofHours(1)), sleepMs = 100L) == 1L)
+    // short TTL + idle gap: the stored bucket expired → no cross-batch hit
+    assert(run(TTLConfig(java.time.Duration.ofMillis(400)), sleepMs = 2500L) == 0L)
+  }
+
   test("SessionProcessor event-time timer fires when expiry == watermark (boundary pinned)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
