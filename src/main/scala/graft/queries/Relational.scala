@@ -603,6 +603,34 @@ object Relational {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 100""".stripMargin
 
+  /** TPC-H Q13 (customer order distribution), adapted: the canonical
+    * o_comment NOT LIKE filter has no column in this schema, so the
+    * distribution runs over all orders — the structural content is
+    * unchanged: a LEFT join that must KEEP zero-order customers
+    * (COUNT(o_orderkey) counts non-null keys only), then a second
+    * aggregation over the first's result. All-integer output,
+    * deterministic (custdist DESC, c_count DESC) order. */
+  def tpchQ13(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    customer(s, d)
+      .join(orders(s, d), $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  val tpchQ13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY 1
+      |)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   /** Projection + predicate filter (FilterAttributes/FilterByProperties,
     * common.py:178-211): prune to 4 columns, filter, per-row arithmetic. */
   def filterProject(s: SparkSession, d: String): DataFrame = {
@@ -2386,6 +2414,7 @@ object Relational {
     "q_tpch_q7" -> (tpchQ7 _),
     "q_tpch_q8" -> (tpchQ8 _),
     "q_tpch_q18" -> (tpchQ18 _),
+    "q_tpch_q13" -> (tpchQ13 _),
     "q_filter_project" -> (filterProject _),
     "q_join_enrich" -> (joinEnrich _),
     "q_topk_window" -> (topkWindow _),
@@ -2447,6 +2476,7 @@ object Relational {
     "q_tpch_q7" -> tpchQ7Sql,
     "q_tpch_q8" -> tpchQ8Sql,
     "q_tpch_q18" -> tpchQ18Sql,
+    "q_tpch_q13" -> tpchQ13Sql,
     "q_filter_project" -> filterProjectSql,
     "q_join_enrich" -> joinEnrichSql,
     "q_topk_window" -> topkWindowSql,
