@@ -17,12 +17,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Queries whose driver-side gate has ever hash-flipped: beyond the
+    // parquet the compare reads, ALWAYS leave the sorted rows as JSON in
+    // _debug/ so even a hash-path discrepancy leaves row-level evidence.
+    val debugDump = Set("q_stream_tws", "q_stream_tws_map")
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          if (debugDump(name)) {
+            val back = spark.read.parquet(s"$outDir/$name")
+            val sorted = back.orderBy(back.columns.map(org.apache.spark.sql.functions.col): _*)
+            Files.createDirectories(Paths.get(s"$outDir/_debug"))
+            Files.writeString(Paths.get(s"$outDir/_debug/$name.json"),
+              sorted.toJSON.collect().mkString("[\n", ",\n", "\n]"))
+          }
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }

@@ -880,18 +880,62 @@ object Relational {
     * `window_end <= max(ts) - 1h` — closed-form SQL (append mode must
     * emit each finalized window once and suppress the still-open tail;
     * both directions break the row/hash match). */
+  /** The staging split instant, 2024-01-16T00:00:00Z, as epoch MICROS —
+    * the one number the whole staged-stream family (staging filter,
+    * boundary assert, every oracle's naive `TIMESTAMP '2024-01-16
+    * 00:00:00'` literal over the naive-UTC parquet ts) must agree on. */
+  private[graft] val EventsSplitUs = 1705363200000000L
+
   /** Deterministic two-file staging of the events table (split at Jan 16
     * so the watermark advances between micro-batches) — see
     * [[graft.util.Staging.twoFileSplit]]. Shared by q_stream_watermark
-    * and q_stream_sessions. Version v2: integer-div ns→us conversion. */
+    * and q_stream_sessions. Version v3: the split boundary is an explicit
+    * UTC INSTANT (epoch micros), not `java.sql.Timestamp.valueOf`, which
+    * parses the wall-clock string in the JVM DEFAULT timezone — under a
+    * non-UTC JVM (nothing pins `user.timezone`; Verify pins only the
+    * SESSION timezone) that shifted the staged boundary off the oracles'
+    * naive-UTC `TIMESTAMP '2024-01-16 00:00:00'` literal, flipping every
+    * boundary-SENSITIVE gate (the tws per-half ledgers) while the
+    * boundary-INVARIANT ones (watermark/session/dedup final sets) stayed
+    * green — exactly the rows-✓/hash-✗ signature the driver reported.
+    * Reproduced and pinned by running this staging under
+    * `-Duser.timezone=Europe/Paris`. */
   private[graft] def stagedEventsDir(s: SparkSession, d: String): java.nio.file.Path = {
     import s.implicits._
-    val split = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
-    graft.util.Staging.twoFileSplit(s, java.nio.file.Paths.get(d, "events.parquet"),
-      "graft-stream-wm", "v2") {
+    val dir = graft.util.Staging.twoFileSplit(s,
+      java.nio.file.Paths.get(d, "events.parquet"), "graft-stream-wm", "v3") {
       val ev = graft.util.Tables.events(s, d)
-      (ev.filter($"ts" < lit(split)), ev.filter($"ts" >= lit(split)))
+      (ev.filter(unix_micros($"ts") < lit(EventsSplitUs)),
+        ev.filter(unix_micros($"ts") >= lit(EventsSplitUs)))
     }
+    assertEventsSplitBoundary(s, dir)
+    dir
+  }
+
+  /** Proves the staged halves actually sit on the intended UTC boundary —
+    * every fetch, cached or fresh: a staging written by an older (or
+    * somehow still TZ-sensitive) writer fails HERE with a named error
+    * carrying the observed extrema and the JVM zone, instead of
+    * surfacing downstream as an anonymous oracle hash flip. Memoized per
+    * staged directory so bench repetitions don't re-scan. */
+  private val splitBoundaryOk =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] def assertEventsSplitBoundary(
+      s: SparkSession, dataDir: java.nio.file.Path): Unit = {
+    if (splitBoundaryOk.contains(dataDir.toString)) return
+    import s.implicits._
+    def ext(name: String, agg: org.apache.spark.sql.Column): Long =
+      s.read.parquet(dataDir.resolve(name).toString)
+        .agg(agg).head.getLong(0)
+    val mx0 = ext("00.parquet", max(unix_micros($"ts")))
+    val mn1 = ext("01.parquet", min(unix_micros($"ts")))
+    if (!(mx0 < EventsSplitUs && EventsSplitUs <= mn1))
+      throw new IllegalStateException(
+        s"staged events split boundary shifted: max(00.parquet)=$mx0, " +
+          s"min(01.parquet)=$mn1, required max < $EventsSplitUs <= min " +
+          s"(2024-01-16T00:00:00Z); JVM default zone=" +
+          java.util.TimeZone.getDefault.getID)
+    splitBoundaryOk.add(dataDir.toString)
   }
 
   def streamWatermark(s: SparkSession, d: String): DataFrame = {
@@ -1961,33 +2005,99 @@ object Relational {
     * which is also the provider a 100 TB deployment would run: state
     * lives off-heap/on-disk per executor instead of as JVM-heap
     * hashmaps. */
+  /** Per-(user, half) batch aggregates recomputed from the STAGED half
+    * files themselves — the self-check's expected side. Derived from the
+    * same bytes the stream reads, so a divergence between this and the
+    * streaming output isolates the fault to the streaming machinery
+    * (batch composition, state restore, retry), never the staging. */
+  private def stagedHalfAggs(s: SparkSession,
+      dataDir: java.nio.file.Path): Map[(Long, Int), (Long, Long, Long)] = {
+    import s.implicits._
+    (1 to 2).flatMap { h =>
+      s.read.parquet(dataDir.resolve(f"${h - 1}%02d.parquet").toString)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"), min(unix_micros($"ts")).as("mn"),
+          max(unix_micros($"ts")).as("mx"))
+        .collect()
+        .map(r => (r.getLong(0), h) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    }.toMap
+  }
+
+  /** Compares streaming output to the closed-form expectation, throwing a
+    * LOCALIZED error naming the first diverging (user, emit_seq, field,
+    * expected, actual) — so a driver-side divergence records a
+    * self-diagnosing `err` string instead of an anonymous hash flip. */
+  private[graft] def selfCheckStream(query: String,
+      expected: Map[(Long, Long), Seq[(String, Long)]],
+      actual: Seq[org.apache.spark.sql.Row],
+      keyOf: org.apache.spark.sql.Row => (Long, Long),
+      fieldsOf: org.apache.spark.sql.Row => Seq[(String, Long)]): Unit = {
+    val got = actual.map(r => keyOf(r) -> fieldsOf(r)).toMap
+    if (got.size != actual.size) throw new IllegalStateException(
+      s"$query self-check: duplicate (user, emit_seq) keys in streaming " +
+        s"output — ${actual.size} rows, ${got.size} distinct keys")
+    val allKeys = (expected.keySet ++ got.keySet).toSeq.sorted
+    allKeys.foreach { k =>
+      (expected.get(k), got.get(k)) match {
+        case (Some(e), Some(a)) =>
+          e.zip(a).foreach { case ((fn, ev), (_, av)) =>
+            if (ev != av) throw new IllegalStateException(
+              s"$query self-check: user=${k._1} emit_seq=${k._2} " +
+                s"field=$fn expected=$ev actual=$av")
+          }
+        case (Some(_), None) => throw new IllegalStateException(
+          s"$query self-check: user=${k._1} emit_seq=${k._2} missing " +
+            "from streaming output")
+        case (None, Some(_)) => throw new IllegalStateException(
+          s"$query self-check: user=${k._1} emit_seq=${k._2} emitted " +
+            "but not expected from the staged halves")
+        case _ => ()
+      }
+    }
+  }
+
   def streamTws(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import graft.streaming.StreamOps.{CumulProcessor, TwsEvent}
-    val ev = graft.util.Tables.events(s, d)
+    import graft.streaming.StreamOps.{CumulProcessor, TwsEvent, TwsOut}
     val dataDir = stagedEventsDir(s, d)
-    withConfs(s,
+    val batches = withConfs(s,
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
       withStreamPartitions(s, 8) {
-        val stream = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
-          .select($"user_id", unix_micros($"ts").as("ts_us"))
-          .as[TwsEvent]
-        val out = stream
-          .groupByKey(_.user_id)
-          .transformWithState(new CumulProcessor,
-            org.apache.spark.sql.streaming.TimeMode.None(),
-            org.apache.spark.sql.streaming.OutputMode.Append())
-        val name = "stream_tws_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        val q = out.writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.table(name).orderBy($"user_id", $"emit_seq")
+        graft.util.Staging.twoPhaseStream(s, dataDir, "graft-tws") { raw =>
+          raw.select($"user_id", unix_micros($"ts").as("ts_us"))
+            .as[TwsEvent]
+            .groupByKey(_.user_id)
+            .transformWithState(new CumulProcessor,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Append())
+            .toDF()
+        }
       }
     }
+    val rows = batches.flatMap(_._2)
+    // closed-form expectation straight from the staged halves
+    val halves = stagedHalfAggs(s, dataDir)
+    val expected = halves.keys.map(_._1).toSeq.distinct.flatMap { u =>
+      var seq = 0L; var cum = 0L; var runMax = Long.MinValue
+      (1 to 2).flatMap { h =>
+        halves.get((u, h)).map { case (n, mn, mx) =>
+          seq += 1; cum += n; runMax = math.max(runMax, mx)
+          (u, seq) -> Seq("n_events" -> n, "cum_events" -> cum,
+            "last_ts_us" -> runMax, "batch_min_ts_us" -> mn,
+            "batch_max_ts_us" -> mx)
+        }
+      }
+    }.toMap
+    selfCheckStream("q_stream_tws", expected, rows,
+      r => (r.getLong(0), r.getLong(1)),
+      r => Seq("n_events" -> r.getLong(2), "cum_events" -> r.getLong(3),
+        "last_ts_us" -> r.getLong(4), "batch_min_ts_us" -> r.getLong(5),
+        "batch_max_ts_us" -> r.getLong(6)))
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava,
+      org.apache.spark.sql.Encoders.product[TwsOut].schema)
+      .orderBy($"user_id", $"emit_seq")
   }
 
   val streamTwsSql: String =
@@ -2015,34 +2125,54 @@ object Relational {
     * types seen, total events so far). */
   def streamTwsMap(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import graft.streaming.StreamOps.{TypedCountsProcessor, TwsTypedEvent}
-    val ev = graft.util.Tables.events(s, d)
+    import graft.streaming.StreamOps.{TypedCountsProcessor, TwsTypedEvent, TwsTypedOut}
     val dataDir = stagedEventsDir(s, d)
-    withConfs(s,
+    val batches = withConfs(s,
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
       withStreamPartitions(s, 8) {
-        val stream = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
-          .select($"user_id", $"event_type", unix_micros($"ts").as("ts_us"))
-          .as[TwsTypedEvent]
-        val out = stream
-          .groupByKey(_.user_id)
-          .transformWithState(new TypedCountsProcessor,
-            org.apache.spark.sql.streaming.TimeMode.None(),
-            org.apache.spark.sql.streaming.OutputMode.Append())
-        val name = "stream_tws_map_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        val q = out.writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.table(name)
-          .select($"user_id", $"emit_seq", $"n_batch".as("n_events"),
-            $"cum_events", $"n_types", $"batch_min_ts_us", $"batch_max_ts_us")
-          .orderBy($"user_id", $"emit_seq")
+        graft.util.Staging.twoPhaseStream(s, dataDir, "graft-tws-map") { raw =>
+          raw.select($"user_id", $"event_type", unix_micros($"ts").as("ts_us"))
+            .as[TwsTypedEvent]
+            .groupByKey(_.user_id)
+            .transformWithState(new TypedCountsProcessor,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Append())
+            .toDF()
+        }
       }
     }
+    val rows = batches.flatMap(_._2)
+    val halves = stagedHalfAggs(s, dataDir)
+    // distinct event types per (user, half) for the cumulative n_types
+    val typesByHalf: Map[(Long, Int), Set[String]] = (1 to 2).flatMap { h =>
+      s.read.parquet(dataDir.resolve(f"${h - 1}%02d.parquet").toString)
+        .select($"user_id", $"event_type").distinct().collect()
+        .map(r => (r.getLong(0), h) -> r.getString(1))
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val expected = halves.keys.map(_._1).toSeq.distinct.flatMap { u =>
+      var seq = 0L; var cum = 0L; var types = Set.empty[String]
+      (1 to 2).flatMap { h =>
+        halves.get((u, h)).map { case (n, mn, mx) =>
+          seq += 1; cum += n
+          types = types ++ typesByHalf.getOrElse((u, h), Set.empty)
+          (u, seq) -> Seq("n_batch" -> n, "cum_events" -> cum,
+            "n_types" -> types.size.toLong, "batch_min_ts_us" -> mn,
+            "batch_max_ts_us" -> mx)
+        }
+      }
+    }.toMap
+    selfCheckStream("q_stream_tws_map", expected, rows,
+      r => (r.getLong(0), r.getLong(1)),
+      r => Seq("n_batch" -> r.getLong(2), "cum_events" -> r.getLong(3),
+        "n_types" -> r.getLong(4), "batch_min_ts_us" -> r.getLong(5),
+        "batch_max_ts_us" -> r.getLong(6)))
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava,
+      org.apache.spark.sql.Encoders.product[TwsTypedOut].schema)
+      .select($"user_id", $"emit_seq", $"n_batch".as("n_events"),
+        $"cum_events", $"n_types", $"batch_min_ts_us", $"batch_max_ts_us")
+      .orderBy($"user_id", $"emit_seq")
   }
 
   val streamTwsMapSql: String =

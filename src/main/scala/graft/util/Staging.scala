@@ -123,6 +123,55 @@ object Staging {
     dataDir
   }
 
+  /** Runs a streaming `pipeline` over a staged two-file split with batch
+    * composition guaranteed BY CONSTRUCTION, not by source listing order:
+    * phase 1 exposes ONLY `00.parquet` and runs AvailableNow to
+    * completion (so micro-batch 0 can contain nothing else), then
+    * `01.parquet` is added and the query RESUMES from the same
+    * checkpoint — the file-stream source's own commit log marks the
+    * first file seen, so batch 1 is exactly the second file. No
+    * dependence on mtimes, admission ordering, or `maxFilesPerTrigger`
+    * remains. Output is captured per-batch through `foreachBatch` (the
+    * sink that supports checkpoint recovery; the memory sink refuses to
+    * resume in append mode), which doubles as forensics: the return
+    * value says exactly which rows each micro-batch emitted. State
+    * (e.g. RocksDB transformWithState ledgers) restores from the
+    * checkpoint across the phase boundary — the same restart contract a
+    * 24/7 deployment exercises on every redeploy. */
+  def twoPhaseStream(s: SparkSession, stagedData: Path, prefix: String)
+                    (pipeline: DataFrame => DataFrame)
+      : Seq[(Long, Array[org.apache.spark.sql.Row])] = {
+    val runRoot = Files.createTempDirectory(s"$prefix-run")
+    try {
+      val srcDir = runRoot.resolve("src")
+      Files.createDirectories(srcDir)
+      val ckpt = runRoot.resolve("ckpt").toString
+      val schema = s.read.parquet(stagedData.resolve("00.parquet").toString).schema
+      val batches =
+        new java.util.concurrent.ConcurrentSkipListMap[java.lang.Long, Array[org.apache.spark.sql.Row]]()
+      def phase(file: String): Unit = {
+        Files.copy(stagedData.resolve(file), srcDir.resolve(file))
+        val out = pipeline(s.readStream.schema(schema).parquet(srcDir.toString))
+        val q = out.writeStream
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                           id: Long) =>
+            // last write wins: a replayed uncommitted batch recomputes the
+            // same deterministic content from the same file set
+            batches.put(id, df.collect()): Unit
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      phase("00.parquet")
+      phase("01.parquet")
+      import scala.jdk.CollectionConverters._
+      batches.asScala.toSeq.map { case (k, v) => (k.longValue(), v) }
+    } finally deleteRecursively(runRoot)
+  }
+
   /** Returns the data directory containing `00.parquet` (earlier mtime)
     * and `01.parquet`. `version` busts the cache when the split logic
     * changes; `halves` produces the two file contents from the source. */

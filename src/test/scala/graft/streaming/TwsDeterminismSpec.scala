@@ -1,0 +1,157 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.util.TimeZone
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.queries.Relational
+import graft.util.Staging
+
+/** Round-11 hardening of the q_stream_tws/_map gates (VERDICT r10 #1).
+  *
+  * Root cause of the two-round driver-only hash flips, reproduced under
+  * `-Duser.timezone=Europe/Paris`: the staging split boundary was built
+  * with `java.sql.Timestamp.valueOf("2024-01-16 00:00:00")`, which parses
+  * the wall-clock string in the JVM DEFAULT timezone — nothing pins
+  * `user.timezone`, so a non-UTC driver staged a shifted boundary while
+  * the DuckDB oracle's naive literal stayed UTC. Exactly the
+  * boundary-SENSITIVE queries (per-half tws ledgers) flipped with
+  * rows ✓ / hash ✗, while boundary-INVARIANT ones (watermark/session/
+  * dedup final sets) stayed green — the precise driver signature.
+  *
+  * Defense in depth now: (1) the boundary is an explicit UTC instant;
+  * (2) every staging fetch proves `max(00) < boundary <= min(01)` with a
+  * named error; (3) the two gates run through checkpoint-resume
+  * two-phase staging, so micro-batch membership follows directory
+  * CONTENT, never listing order; (4) each run self-checks the streaming
+  * output against a batch recomputation from the staged halves and
+  * throws a (user, emit_seq, field) — so any future driver divergence
+  * records a localized `err`, not an anonymous hash flip.
+  */
+class TwsDeterminismSpec extends SparkTestBase {
+
+  private val boundary = Relational.EventsSplitUs
+
+  test("stagedEventsDir boundary is JVM-default-timezone independent") {
+    import spark.implicits._
+    val tmpd = Files.createTempDirectory("tzstage")
+    val prior = TimeZone.getDefault
+    try {
+      Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+        tmpd.resolve("events.parquet"))
+      // the hostile environment that flipped the old staging
+      TimeZone.setDefault(TimeZone.getTimeZone("Europe/Paris"))
+      val dir = Relational.stagedEventsDir(spark, tmpd.toString)
+      val mx0 = spark.read.parquet(dir.resolve("00.parquet").toString)
+        .agg(max(unix_micros($"ts"))).head.getLong(0)
+      val mn1 = spark.read.parquet(dir.resolve("01.parquet").toString)
+        .agg(min(unix_micros($"ts"))).head.getLong(0)
+      assert(mx0 < boundary && boundary <= mn1,
+        s"boundary shifted under Europe/Paris: max00=$mx0 min01=$mn1")
+      // membership identical to the UTC-instant closed form
+      // raw parquet ts is NTZ; session TZ is UTC, so the cast reads the
+      // stored naive micros as the same UTC instants the oracle assumes
+      val n0 = spark.read.parquet(tmpd.resolve("events.parquet").toString)
+        .filter(unix_micros($"ts".cast("timestamp")) < lit(boundary)).count()
+      val staged0 = spark.read.parquet(dir.resolve("00.parquet").toString).count()
+      assert(staged0 == n0, s"half-1 membership: staged $staged0, expected $n0")
+      Staging.deleteTree(dir.getParent)
+    } finally {
+      TimeZone.setDefault(prior)
+      Staging.deleteTree(tmpd)
+    }
+  }
+
+  test("assertEventsSplitBoundary rejects a shifted staging by name") {
+    val dir = Files.createTempDirectory("shifted")
+    try {
+      // half 1 wrongly contains a post-boundary event (what a TZ-shifted
+      // stager produces)
+      spark.sql("select timestamp'2024-01-17 00:00:00' as ts")
+        .write.parquet(dir.resolve("00.parquet").toString)
+      spark.sql("select timestamp'2024-01-18 00:00:00' as ts")
+        .write.parquet(dir.resolve("01.parquet").toString)
+      val e = intercept[IllegalStateException](
+        Relational.assertEventsSplitBoundary(spark, dir))
+      assert(e.getMessage.contains("boundary shifted"))
+      assert(e.getMessage.contains("zone="), "error must carry the JVM zone")
+    } finally Staging.deleteTree(dir)
+  }
+
+  test("twoPhaseStream: batch membership follows directory content, state survives the resume") {
+    import spark.implicits._
+    val staged = Files.createTempDirectory("tps")
+    try {
+      def writeHalf(name: String, vals: Seq[Long]): Unit = {
+        val tmp = Files.createTempDirectory("tpsw")
+        vals.toDF("k").coalesce(1).write.parquet(tmp.resolve("o").toString)
+        val part = new java.io.File(tmp.resolve("o").toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.move(part.toPath, staged.resolve(name))
+        Staging.deleteTree(tmp)
+      }
+      writeHalf("00.parquet", Seq(1L, 2L))
+      writeHalf("01.parquet", Seq(2L, 3L))
+      // dropDuplicates carries key state across the phase boundary: if the
+      // checkpoint state did NOT restore, batch 1 would re-emit k=2
+      val batches = Staging.twoPhaseStream(spark, staged, "tps-test") { df =>
+        df.dropDuplicates("k")
+      }
+      val byBatch = batches.toMap.view.mapValues(_.map(_.getLong(0)).toSet).toMap
+      assert(byBatch.getOrElse(0L, Set.empty) == Set(1L, 2L),
+        s"batch 0 must be exactly 00.parquet's keys: $byBatch")
+      assert(byBatch.getOrElse(1L, Set.empty) == Set(3L),
+        s"batch 1 must dedup against restored batch-0 state: $byBatch")
+    } finally Staging.deleteTree(staged)
+  }
+
+  test("selfCheckStream names the diverging user, emit_seq and field") {
+    val expected = Map(
+      (7L, 1L) -> Seq("n_events" -> 5L, "cum_events" -> 5L),
+      (7L, 2L) -> Seq("n_events" -> 3L, "cum_events" -> 8L))
+    def row(u: Long, seq: Long, n: Long, cum: Long) = Row(u, seq, n, cum)
+    // value divergence
+    val e1 = intercept[IllegalStateException](
+      Relational.selfCheckStream("q_x", expected,
+        Seq(row(7, 1, 5, 5), row(7, 2, 4, 9)),
+        r => (r.getLong(0), r.getLong(1)),
+        r => Seq("n_events" -> r.getLong(2), "cum_events" -> r.getLong(3))))
+    assert(e1.getMessage.contains("user=7") &&
+      e1.getMessage.contains("emit_seq=2") &&
+      e1.getMessage.contains("field=n_events") &&
+      e1.getMessage.contains("expected=3") && e1.getMessage.contains("actual=4"))
+    // missing emission
+    val e2 = intercept[IllegalStateException](
+      Relational.selfCheckStream("q_x", expected, Seq(row(7, 1, 5, 5)),
+        r => (r.getLong(0), r.getLong(1)),
+        r => Seq("n_events" -> r.getLong(2), "cum_events" -> r.getLong(3))))
+    assert(e2.getMessage.contains("missing"))
+    // phantom emission
+    val e3 = intercept[IllegalStateException](
+      Relational.selfCheckStream("q_x", expected,
+        Seq(row(7, 1, 5, 5), row(7, 2, 3, 8), row(8, 1, 1, 1)),
+        r => (r.getLong(0), r.getLong(1)),
+        r => Seq("n_events" -> r.getLong(2), "cum_events" -> r.getLong(3))))
+    assert(e3.getMessage.contains("not expected"))
+    // clean pass
+    Relational.selfCheckStream("q_x", expected,
+      Seq(row(7, 1, 5, 5), row(7, 2, 3, 8)),
+      r => (r.getLong(0), r.getLong(1)),
+      r => Seq("n_events" -> r.getLong(2), "cum_events" -> r.getLong(3)))
+  }
+
+  test("streamTws end-to-end is identical under UTC and a hostile default timezone") {
+    val prior = TimeZone.getDefault
+    val d = "/root/testdata/sf0.001"
+    try {
+      val utc = Relational.streamTws(spark, d).collect().toSeq
+      TimeZone.setDefault(TimeZone.getTimeZone("America/New_York"))
+      val ny = Relational.streamTws(spark, d).collect().toSeq
+      assert(utc == ny, "streamTws output changed with JVM default timezone")
+      assert(utc.nonEmpty)
+    } finally TimeZone.setDefault(prior)
+  }
+}
