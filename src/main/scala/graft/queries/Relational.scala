@@ -631,6 +631,188 @@ object Relational {
       |GROUP BY c_count
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  /** TPC-H Q4 (order priority checking), adapted: the schema carries no
+    * l_commitdate/l_receiptdate, so "late" is l_shipdate more than 90
+    * days after o_orderdate — the structural content (the EXISTS
+    * decorrelated to a LEFT SEMI join, the shape behind the reference's
+    * AttributeFromSQL per-row EXISTS probes, sql.py:41-82) is unchanged.
+    * The semi join is an equi-join on orderkey with the late predicate
+    * as residual condition: at 100 TB it shuffles both sides once on
+    * orderkey, emits each order at most once (no fan-out to dedup), and
+    * the quarter filter prunes the orders scan before the shuffle. */
+  def tpchQ4(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = orders(s, d)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
+        $"o_orderdate" < lit("1996-07-01").cast("timestamp_ntz"))
+    val l = lineitem(s, d).select($"l_orderkey", $"l_shipdate")
+    o.join(l,
+        $"l_orderkey" === $"o_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val tpchQ4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q17 (small-quantity-order revenue), adapted to this schema
+    * (p_size < 15 stands in for p_container): the correlated scalar
+    * subquery `l_quantity < 0.5 * (SELECT avg(l_quantity) … WHERE
+    * l2.l_partkey = p_partkey)` decorrelated the way Catalyst's
+    * RewriteCorrelatedScalarSubquery does — a per-part aggregate joined
+    * back on the correlation key — but with the aggregate's INPUT
+    * semi-pruned by the part dimension first: the canonical rewrite
+    * averages every part, this plan averages only 'Brand#23' parts, a
+    * ~25× input cut that matters at fact scale. The avg comparison is
+    * cross-multiplied (2·qty·cnt < sum) so both engines compare exact
+    * decimals, never a divided double. */
+  def tpchQ17(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val smallParts = part(s, d)
+      .filter($"p_brand" === "Brand#23" && $"p_size" < 15)
+      .select($"p_partkey")
+    val li = lineitem(s, d)
+    val perPart = li
+      .join(broadcast(smallParts), $"l_partkey" === $"p_partkey", "left_semi")
+      .groupBy($"l_partkey".as("agg_partkey"))
+      .agg(sum(dec($"l_quantity")).as("sum_qty"), count(lit(1)).as("cnt_qty"))
+    li.join(broadcast(smallParts), $"l_partkey" === $"p_partkey")
+      .join(broadcast(perPart), $"l_partkey" === $"agg_partkey")
+      .filter(dec($"l_quantity" * 2) * $"cnt_qty" < $"sum_qty")
+      .agg(out(sum(dec($"l_extendedprice"))).as("sum_revenue"))
+      .select(round($"sum_revenue" / 7.0, 6).as("avg_yearly"), $"sum_revenue")
+  }
+
+  val tpchQ17Sql: String =
+    """SELECT round(sum_revenue / 7.0, 6) AS avg_yearly, sum_revenue
+      |FROM (
+      |  SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_revenue
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_brand = 'Brand#23' AND p_size < 15
+      |    AND CAST(2 * l_quantity AS DECIMAL(18,4))
+      |        * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      |      < (SELECT SUM(CAST(l_quantity AS DECIMAL(18,4)))
+      |         FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      |) t""".stripMargin
+
+  /** TPC-H Q21 (suppliers who kept waiting), adapted to the schema's
+    * late proxy (l_shipdate > o_orderdate + 90 days): the
+    * double-correlated EXISTS + NOT EXISTS — another supplier
+    * contributed to the order, but NO other supplier was late — as a
+    * LEFT SEMI then LEFT ANTI join, both equi on orderkey with the
+    * supplier-inequality (and lateness) as residual conditions. The
+    * NOT EXISTS correlates on BOTH l1.l_orderkey and the outer
+    * o_orderdate, which rides the join row instead of a re-probe. At
+    * scale: nation prunes suppliers before the fact join; the three
+    * lineitem legs all shuffle on the same orderkey, so AQE can reuse
+    * one exchange layout; no fan-out needs a distinct. */
+  def tpchQ21(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lateBy90 = (ship: org.apache.spark.sql.Column,
+                    ordered: org.apache.spark.sql.Column) =>
+      ship > ordered + expr("INTERVAL 90 DAYS")
+    val base = supplier(s, d)
+      .join(broadcast(nation(s, d).filter($"n_name" === "NATION_3")),
+        $"s_nationkey" === $"n_nationkey")
+      .join(lineitem(s, d).select($"l_orderkey", $"l_suppkey", $"l_shipdate"),
+        $"s_suppkey" === $"l_suppkey")
+      .join(orders(s, d).filter($"o_orderstatus" === "F")
+        .select($"o_orderkey", $"o_orderdate"),
+        $"o_orderkey" === $"l_orderkey")
+      .filter(lateBy90($"l_shipdate", $"o_orderdate"))
+    val l2 = lineitem(s, d)
+      .select($"l_orderkey".as("l2_orderkey"), $"l_suppkey".as("l2_suppkey"))
+    val l3 = lineitem(s, d).select($"l_orderkey".as("l3_orderkey"),
+      $"l_suppkey".as("l3_suppkey"), $"l_shipdate".as("l3_shipdate"))
+    base
+      .join(l2, $"l2_orderkey" === $"l_orderkey" &&
+        $"l2_suppkey" =!= $"l_suppkey", "left_semi")
+      .join(l3, $"l3_orderkey" === $"l_orderkey" &&
+        $"l3_suppkey" =!= $"l_suppkey" &&
+        lateBy90($"l3_shipdate", $"o_orderdate"), "left_anti")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(100)
+  }
+
+  val tpchQ21Sql: String =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q22 (global sales opportunity), adapted: c_nationkey ∈ a
+    * 7-key list stands in for the phone-prefix country codes, and "no
+    * orders" (empty at this data's density) becomes "no URGENT orders"
+    * — the shape is intact: an uncorrelated scalar subquery (the
+    * positive-balance average, here a ONE-ROW broadcast compared by
+    * cross-multiplication so both engines stay in exact decimals) and a
+    * NOT EXISTS decorrelated to a LEFT ANTI join against the urgent
+    * orders. At scale the anti join shuffles on custkey once; the
+    * threshold row broadcasts. */
+  def tpchQ22(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val codes = Seq(1L, 3L, 5L, 7L, 9L, 11L, 13L)
+    val c = customer(s, d).filter($"c_nationkey".isin(codes: _*))
+    val thr = c.filter($"c_acctbal" > 0)
+      .agg(sum(dec($"c_acctbal")).as("sum_bal"), count(lit(1)).as("cnt_bal"))
+    val urgent = orders(s, d)
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    c.crossJoin(broadcast(thr))
+      .filter(dec($"c_acctbal") * $"cnt_bal" > $"sum_bal")
+      .join(urgent, $"o_custkey" === $"c_custkey", "left_anti")
+      .groupBy($"c_nationkey".as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        out(sum(dec($"c_acctbal"))).as("totacctbal"))
+      .orderBy($"cntrycode")
+  }
+
+  val tpchQ22Sql: String =
+    """WITH agg AS (
+      |  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS sum_bal,
+      |         COUNT(*) AS cnt_bal
+      |  FROM customer
+      |  WHERE c_acctbal > 0 AND c_nationkey IN (1,3,5,7,9,11,13)
+      |)
+      |SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+      |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS totacctbal
+      |FROM customer, agg
+      |WHERE c_nationkey IN (1,3,5,7,9,11,13)
+      |  AND CAST(c_acctbal AS DECIMAL(18,4)) * cnt_bal > sum_bal
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey
+      |ORDER BY cntrycode""".stripMargin
+
   /** Projection + predicate filter (FilterAttributes/FilterByProperties,
     * common.py:178-211): prune to 4 columns, filter, per-row arithmetic. */
   def filterProject(s: SparkSession, d: String): DataFrame = {
@@ -2545,6 +2727,10 @@ object Relational {
     "q_tpch_q8" -> (tpchQ8 _),
     "q_tpch_q18" -> (tpchQ18 _),
     "q_tpch_q13" -> (tpchQ13 _),
+    "q_tpch_q4" -> (tpchQ4 _),
+    "q_tpch_q17" -> (tpchQ17 _),
+    "q_tpch_q21" -> (tpchQ21 _),
+    "q_tpch_q22" -> (tpchQ22 _),
     "q_filter_project" -> (filterProject _),
     "q_join_enrich" -> (joinEnrich _),
     "q_topk_window" -> (topkWindow _),
@@ -2607,6 +2793,10 @@ object Relational {
     "q_tpch_q8" -> tpchQ8Sql,
     "q_tpch_q18" -> tpchQ18Sql,
     "q_tpch_q13" -> tpchQ13Sql,
+    "q_tpch_q4" -> tpchQ4Sql,
+    "q_tpch_q17" -> tpchQ17Sql,
+    "q_tpch_q21" -> tpchQ21Sql,
+    "q_tpch_q22" -> tpchQ22Sql,
     "q_filter_project" -> filterProjectSql,
     "q_join_enrich" -> joinEnrichSql,
     "q_topk_window" -> topkWindowSql,

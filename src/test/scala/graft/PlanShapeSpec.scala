@@ -34,6 +34,7 @@ class PlanShapeSpec extends SparkTestBase {
     "q_lm_ppl_filter" -> "same plan as q_lm_perplexity plus map-side tercile bucketing (boundary keys from OrderStats, no window)",
     "q_lm_kneser_ney" -> "ONE-ROW broadcast of the global continuation census N1+(.,.) (scalar-subquery shape); all model-table joins are broadcast hash equi-joins",
     "q_margin_mining" -> "deliberate population cross product for candidate generation (bounded label slices, small side broadcast); the scale path is IVF-pruned candidates per the scaladoc",
+    "q_tpch_q22" -> "ONE-ROW broadcast of the positive-balance threshold (uncorrelated scalar-subquery shape); the country filter, anti join and rollup are all hash equi-plans",
     "q_hll_merge" -> "ONE-ROW × ONE-ROW cross of the merged-sketch estimate with the exact count (scalar-subquery shape); both sides are single-row aggregates"
   )
 
@@ -78,6 +79,31 @@ class PlanShapeSpec extends SparkTestBase {
       else fallbackJoinConds(fn(spark, d).queryExecution.sparkPlan).map(n => s"$name: $n")
     }
     assert(bad.isEmpty, s"interpreted join conditions:\n${bad.mkString("\n")}")
+  }
+
+  test("TPC-H subquery shapes decorrelate to semi/anti hash joins, not cartesians") {
+    // VERDICT r10 #2: the EXISTS / NOT-EXISTS / correlated-scalar family
+    // must plan as LeftSemi/LeftAnti equi-joins (residual conditions are
+    // fine), never as a rewritten cartesian.
+    Graft.init(spark)
+    val d = "/root/testdata/sf0.001"
+    def joinTypes(name: String): Seq[String] = SparkEntry.queries(name)(spark, d)
+      .queryExecution.sparkPlan.collect {
+        case j: BaseJoinExec => j.joinType.toString
+      }
+    assert(joinTypes("q_tpch_q4").contains("LeftSemi"),
+      s"q4 EXISTS must be a semi join: ${joinTypes("q_tpch_q4")}")
+    val q21 = joinTypes("q_tpch_q21")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"),
+      s"q21 EXISTS+NOT EXISTS must be semi+anti: $q21")
+    assert(joinTypes("q_tpch_q22").contains("LeftAnti"),
+      s"q22 NOT EXISTS must be an anti join: ${joinTypes("q_tpch_q22")}")
+    // and none of the four (q22's one-row threshold cross excepted via
+    // the allow-list above) contains a cartesian or BNL over data
+    Seq("q_tpch_q4", "q_tpch_q17", "q_tpch_q21").foreach { q =>
+      val off = offendingNodes(SparkEntry.queries(q)(spark, d).queryExecution.sparkPlan)
+      assert(off.isEmpty, s"$q has scale-killer joins: $off")
+    }
   }
 
   test("crawl front-end queries are genuinely map-only / broadcast-only") {
