@@ -16,8 +16,10 @@ object OrderStats {
 
   /** Relative rank error for the bracketing quantile sketch. Bracket
     * candidate count is ≈4ε·N value groups — at ε=1e-4 that is ≤ ~40k
-    * groups per 100M rows, safely collectable. */
-  private val Eps = 1e-4
+    * groups per 100M rows, safely collectable. Callers that precompute
+    * the sketch in an `observe` (see [[kthPairsBracketed]]) must match
+    * this ε: `percentile_approx(…, 2/Eps)` at fractions `q ± 2·Eps`. */
+  private[graft] val Eps = 1e-4
 
   /** The k-th smallest (1-based) pair under the total order
     * (valueCol ASC, tieCol ASC) — see [[kthPairs]]. */
@@ -49,6 +51,26 @@ object OrderStats {
       Seq(math.max(0.0, q - 2 * Eps), math.min(1.0, q + 2 * Eps))
     }
     val bounds = df.stat.approxQuantile(valueCol, probes.toArray, Eps / 2)
+    kthPairsBracketed(df, valueCol, tieCol, ks, n, bounds)
+  }
+
+  /** [[kthPairs]] with the bracketing sketch PRECOMPUTED by the caller —
+    * the job-fusion entry point: a caller that already materializes `df`
+    * (persist + count) can ride the quantile sketch on that same action
+    * via `observe(…, percentile_approx(valueCol, fractions, 2/Eps))`,
+    * saving the separate approxQuantile job entirely. `bounds` must hold
+    * the sketch values at fractions `(k/n − 2·Eps, k/n + 2·Eps)` per k,
+    * flattened in `ks` order — fractions computed from an n the caller
+    * did not yet know are fine as long as they differ from k/n by ≤ Eps
+    * (e.g. fixed thirds for an NTILE(3): |k/n − 1/3| ≤ 1/n ≤ Eps once
+    * n ≥ 1/Eps). A bracket that misses k falls back to the exact
+    * distinct-value histogram, so a too-narrow bracket costs one extra
+    * job on small inputs, never correctness. */
+  def kthPairsBracketed(df: DataFrame, valueCol: String, tieCol: String,
+                        ks: Seq[Long], n: Long,
+                        bounds: Seq[Double]): Seq[(Double, Long)] = {
+    require(bounds.length == 2 * ks.length,
+      s"need a (lo, hi) pair per k: ${bounds.length} bounds for ${ks.length} ks")
     val brackets = ks.indices.map(i => (bounds(2 * i), bounds(2 * i + 1)))
     // ONE fused pass for both the below-bracket counts and the bracket
     // value histogram (they were two jobs; on a cached frame each job is
@@ -64,14 +86,22 @@ object OrderStats {
     val belowAggs = brackets.map { case (lo, _) =>
       sum(when(col(valueCol) < lo, 1L).otherwise(0L))
     }
+    // per-group min/max of the tie column ride along: they resolve the
+    // tie-break for rank 1 and rank groupCnt (which covers every group
+    // of size ≤ 2, the overwhelmingly common case for continuous-ish
+    // values) without the separate tie job
+    val tieAggs = Seq(min(col(tieCol)).as("__mnt"), max(col(tieCol)).as("__mxt"))
     val fusedRows = df
       .groupBy(when(inAny, col(valueCol)).as("__v"))
-      .agg(count(lit(1)).as("__cnt"), belowAggs: _*)
+      .agg(count(lit(1)).as("__cnt"), (belowAggs ++ tieAggs): _*)
       .collect()
     val belows = brackets.indices.map(i => fusedRows.map(_.getLong(2 + i)).sum)
+    val nB = brackets.length
     val hist = fusedRows.filter(!_.isNullAt(0))
       .map(r => (r.getDouble(0), r.getLong(1)))
       .sortBy(_._1).toSeq
+    val groupMinMax: Map[Double, (Long, Long)] = fusedRows.filter(!_.isNullAt(0))
+      .map(r => r.getDouble(0) -> (r.getLong(2 + nB), r.getLong(3 + nB))).toMap
     // bracket-miss fallback (sketch guarantee violated): the full
     // distinct-value histogram, computed at most ONCE across all ks
     lazy val fullHist = df.groupBy(col(valueCol)).count()
@@ -92,7 +122,14 @@ object OrderStats {
     // were costing a full job each on a cached frame. Groups above the
     // cap (a 100-TB corpus of exact dups sharing one value) keep the
     // distributed kthLong bracket loop.
-    val smallVs = located.collect { case (v, _, c) if c <= TieCap => v }.distinct
+    def edgeTie(v: Double, r: Long, groupCnt: Long): Option[Long] =
+      groupMinMax.get(v).collect {
+        case (mn, _) if r == 1L => mn
+        case (_, mx) if r == groupCnt => mx
+      }
+    val smallVs = located.collect {
+      case (v, r, c) if c <= TieCap && edgeTie(v, r, c).isEmpty => v
+    }.distinct
     val fused: Map[Double, Array[Long]] =
       if (smallVs.isEmpty) Map.empty
       else df.filter(col(valueCol).isin(smallVs: _*))
@@ -102,9 +139,10 @@ object OrderStats {
         .map(r => r.getDouble(0) -> r.getSeq[Long](1).toArray)
         .toMap
     located.map { case (v, r, groupCnt) =>
-      val tie =
+      val tie = edgeTie(v, r, groupCnt).getOrElse {
         if (groupCnt <= TieCap) fused(v)(r.toInt - 1)
         else kthLong(df.filter(col(valueCol) === v), tieCol, r)
+      }
       (v, tie)
     }
   }
