@@ -165,6 +165,49 @@ class AsOfJoinSpec extends SparkTestBase {
     }.size == 2, "no sort beyond the two explicit sortWithinPartitions")
   }
 
+  test("bucketed+sorted catalog tables: zero exchange, zero sort, values match unbucketed") {
+    // VERDICT r10 #4 made executable: a user_id-bucketed, (key, time)-
+    // sorted table pair (one file per bucket) satisfies the operator's
+    // declared distribution AND ordering straight off the scans —
+    // q_asof_bucketed REQUIREs this in-query; this spec pins it at test
+    // time and proves value-equality with the shuffled path.
+    val wh = java.nio.file.Files.createTempDirectory("asof-bkt-spec").toString
+    val lRaw = (1 to 200).map(i => (i.toLong % 9, i.toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val rRaw = (1 to 200).map(i => (i.toLong % 9, (i.toLong * 3) % 211, i.toLong))
+      .toDF("rk", "rt", "rid")
+    // the sort half of the claim needs the scan to REPORT its sort
+    // metadata — post-3.0 that is behind the legacy flag, sound here
+    // because each bucket is exactly one file (single writer task)
+    graft.util.Staging.withConfs(spark,
+      "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true") {
+      def bucketed(df: org.apache.spark.sql.DataFrame, key: String,
+                   sorts: Seq[String]): org.apache.spark.sql.DataFrame = {
+        val tbl = "asof_bkt_spec_" + java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+        df.repartition(1).write.mode("overwrite").option("path", s"$wh/$tbl")
+          .bucketBy(4, key).sortBy(sorts.head, sorts.tail: _*).saveAsTable(tbl)
+        spark.table(tbl)
+      }
+      val l = bucketed(lRaw, "k", Seq("k", "t"))
+      val r = bucketed(rRaw, "rk", Seq("rk", "rt", "rid"))
+      val df = AsOfJoin.backward(l, r, ("k", "rk"), ("t", "rt"), None, Seq("rid"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      assert(collectAll(plan) { case e: AsOfJoinExec => e }.nonEmpty)
+      assert(collectAll(plan) {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }.isEmpty, "bucketed scans must satisfy the distribution with no exchange")
+      assert(collectAll(plan) {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.isEmpty, "bucketed sort metadata must satisfy the ordering with no sort")
+      val shuffled = AsOfJoin.backward(lRaw, rRaw, ("k", "rk"), ("t", "rt"),
+        None, Seq("rid"))
+      assert(df.orderBy($"k", $"t", $"lid").collect().toSeq ==
+        shuffled.orderBy($"k", $"t", $"lid").collect().toSeq,
+        "bucketed and shuffled paths must produce identical rows")
+    }
+  }
+
   test("timestamp time columns work end-to-end") {
     val l = Seq((1L, "2024-01-01 10:00:00", 1L), (1L, "2024-01-01 12:00:00", 2L))
       .toDF("k", "ts", "lid").withColumn("ts", to_timestamp($"ts"))
