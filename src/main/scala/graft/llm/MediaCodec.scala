@@ -41,8 +41,28 @@ object MediaCodec {
       decodeWav(bytes)
     else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
       decodePng(bytes)
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      decodeJpeg(bytes)
     else None
   }
+
+  /** Baseline JPEG facts via [[JpegCodec.decode]] — same MediaInfo
+    * contract as the other raster arms. */
+  private def decodeJpeg(b: Array[Byte]): Option[MediaInfo] =
+    JpegCodec.decode(b).map { case (w, h, ch, px) =>
+      val sums = new Array[Long](ch)
+      var i = 0
+      while (i < px.length) { sums(i % ch) += px(i); i += 1 }
+      val n = w.toLong * h
+      MediaInfo("jpeg", Some(w), Some(h), Some(ch), None, None,
+        Some(sums(0).toDouble / n),
+        if (ch >= 3) Some(sums(1).toDouble / n) else None,
+        if (ch >= 3) Some(sums(2).toDouble / n) else None)
+    }
+
+  /** Decoded JPEG raster — the pixel-level twin of [[pngPixels]]. */
+  def jpegPixels(b: Array[Byte]): Option[(Int, Int, Int, Array[Int])] =
+    JpegCodec.decode(b)
 
   // ---- little-endian readers --------------------------------------------
 

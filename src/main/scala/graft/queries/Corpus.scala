@@ -1113,6 +1113,93 @@ object Corpus {
     * instead of PGM), the pixels must not. */
   val pngDhashSql: String = imageDhashSql
 
+  /** The dHash near-dup pipeline fed by REAL JPEG bytes (round 11,
+    * completing the container trio PGM → PNG → JPEG): flat-8×8-block
+    * gray rasters — the inputs the lossy DCT path round-trips
+    * pixel-exactly, see [[graft.llm.JpegCodec]] — travel through the
+    * full encode (FDCT, quantize, Huffman) and decode (marker parse,
+    * DC prediction, dequant, IDCT) before dHash + banded-LSH pairing.
+    * Odd keys perturb ONE block of the even partner's raster by +9, so
+    * each (even, odd) pair lands within the hamming radius; block-level
+    * gradients keyed off `base` keep unrelated images unrelated (same
+    * anti-quadratic argument as q_image_dhash). The oracle rebuilds the
+    * 56-bit hash from the BLOCK formula — one mis-decoded pixel
+    * anywhere in the sampled grid flips the hash. */
+  def jpegDhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.{JpegCodec, MediaCodec}
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val hashes = keys.map { k =>
+      val base = k - (k % 2)
+      val bw = (3 + base % 3).toInt
+      val bh = (2 + base % 2).toInt
+      val cx = 11 + (base / 7) % 89
+      val cy = 13 + (base / 11) % 83
+      val bytes = JpegCodec.encodeGray(bw * 8, bh * 8, (x, y) => {
+        val bx = x / 8; val by = y / 8
+        val g = (7 * base + cx * bx + cy * by) % 256
+        val px = if (k % 2 == 1 && bx == (base % bw) && by == (base % bh)) 9 else 0
+        ((g + px) % 256).toInt
+      })
+      val (pw, ph, _, pxs) = MediaCodec.jpegPixels(bytes).get
+      (k, MediaCodec.dhash56(pxs, pw, ph))
+    }.toDF("k", "dh")
+    val bands = hashes.select($"k", $"dh", posexplode(expr(
+      "transform(sequence(0, 3), b -> int(shiftright(dh, 14 * b) & 16383))"))
+      .as(Seq("band", "bv")))
+    bands.as("a")
+      .join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bv" === $"b.bv" && $"a.k" < $"b.k")
+      .select($"a.k".as("ka"), $"b.k".as("kb"), $"a.dh".as("ha"), $"b.dh".as("hb"))
+      .distinct()
+      .select(bit_count($"ha".bitwiseXOR($"hb")).as("hamming"))
+      .filter($"hamming" <= 6)
+      .groupBy($"hamming")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"hamming")
+  }
+
+  /** [[imageDhashSql]]'s structure over the BLOCK-level synthesis: the
+    * dHash samples pixel (x·w/9, y·h/7), whose value is the formula of
+    * its block index (sample // 8). */
+  val jpegDhashSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |img AS (
+      |  SELECT k, k - k % 2 AS base,
+      |    CAST(3 + (k - k % 2) % 3 AS BIGINT) AS bw,
+      |    CAST(2 + (k - k % 2) % 2 AS BIGINT) AS bh,
+      |    11 + ((k - k % 2) // 7) % 89 AS cx,
+      |    13 + ((k - k % 2) // 11) % 83 AS cy
+      |  FROM ks
+      |), hash AS (
+      |  SELECT i.k,
+      |    SUM(CASE WHEN
+      |      ((7*i.base + i.cx*((((x.g+1)*i.bw*8)//9)//8) + i.cy*(((y.g*i.bh*8)//7)//8)) % 256
+      |        + CASE WHEN i.k % 2 = 1 AND ((((x.g+1)*i.bw*8)//9)//8) = i.base % i.bw
+      |                AND (((y.g*i.bh*8)//7)//8) = i.base % i.bh THEN 9 ELSE 0 END) % 256
+      |      >
+      |      ((7*i.base + i.cx*(((x.g*i.bw*8)//9)//8) + i.cy*(((y.g*i.bh*8)//7)//8)) % 256
+      |        + CASE WHEN i.k % 2 = 1 AND (((x.g*i.bw*8)//9)//8) = i.base % i.bw
+      |                AND (((y.g*i.bh*8)//7)//8) = i.base % i.bh THEN 9 ELSE 0 END) % 256
+      |      THEN (CAST(1 AS BIGINT) << CAST(y.g*8 + x.g AS INTEGER)) ELSE 0 END) AS dh
+      |  FROM img i, generate_series(0, 6) y(g), generate_series(0, 7) x(g)
+      |  GROUP BY i.k
+      |), bands AS (
+      |  SELECT k, dh, b.g AS band,
+      |    CAST((dh >> CAST(14*b.g AS INTEGER)) & 16383 AS INTEGER) AS bv
+      |  FROM hash, generate_series(0, 3) b(g)
+      |), cand AS (
+      |  SELECT DISTINCT a.k AS ka, b.k AS kb, a.dh AS ha, b.dh AS hb
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.k < b.k
+      |)
+      |SELECT CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming,
+      |  COUNT(*) AS n_pairs
+      |FROM cand
+      |WHERE bit_count(xor(ha, hb)) <= 6
+      |GROUP BY 1
+      |ORDER BY hamming""".stripMargin
+
   // ------------------------------------------------------ video near-dup
 
   /** Video-level near-dup detection: each video is its SET of per-frame
@@ -1990,6 +2077,7 @@ object Corpus {
     "q_unpivot_long" -> (unpivotLong _),
     "q_image_dhash" -> (imageDhash _),
     "q_png_dhash" -> (pngDhash _),
+    "q_jpeg_dhash" -> (jpegDhash _),
     "q_audio_features" -> (audioFeatures _),
     "q_video_neardup" -> (videoNearDup _),
     "q_rag_chunks" -> (ragChunks _),
@@ -2032,6 +2120,7 @@ object Corpus {
     "q_unpivot_long" -> unpivotLongSql,
     "q_image_dhash" -> imageDhashSql,
     "q_png_dhash" -> pngDhashSql,
+    "q_jpeg_dhash" -> jpegDhashSql,
     "q_audio_features" -> audioFeaturesSql,
     "q_video_neardup" -> videoNearDupSql,
     "q_rag_chunks" -> ragChunksSql,

@@ -1971,6 +1971,7 @@ object Llm {
     "q_multimodal_pipeline" -> (multimodalPipeline _),
     "q_media_decode" -> (mediaDecode _),
     "q_png_decode" -> (pngDecode _),
+    "q_jpeg_decode" -> (jpegDecode _),
     "q_emb_recall" -> (embRecall _),
     "q_line_dedup" -> (lineDedup _),
     "q_dup_fraction" -> (dupFraction _),
@@ -2160,6 +2161,77 @@ object Llm {
       |  CASE WHEN d.k % 13 <> 0 THEN d.ch END AS channels,
       |  round(a.m0, 6) AS mean_c0, round(a.m1, 6) AS mean_c1,
       |  round(a.m2, 6) AS mean_c2, a.chk AS chk
+      |FROM dims d LEFT JOIN agg a ON a.k = d.k
+      |ORDER BY media_id""".stripMargin
+
+  /** Baseline JPEG decode under the oracle (VERDICT r10 #5, retiring the
+    * JPEG arm of the decoder seam the way round 10 retired PNG): rasters
+    * of FLAT 8×8 blocks synthesized in-plan from part keys, encoded
+    * through [[graft.llm.JpegCodec.encodeGray]] (real FDCT → quantize →
+    * Huffman entropy coding) and decoded back through the full marker /
+    * DHT / DC-prediction / dequant / IDCT path. Flat blocks are DC-only
+    * and the DC quant step divides the coefficient, so the lossy format
+    * round-trips these inputs pixel-EXACTLY (JpegCodecSpec proves the
+    * property and cross-checks the general path against the JDK's
+    * independent ImageIO implementation) — which is what lets a lossy
+    * codec carry a closed-form SQL oracle, including the same
+    * position-weighted raster checksum the PNG gate uses. JPEG has no
+    * payload CRC, so the corruption arm truncates (every 13th payload
+    * loses its tail): the entropy decoder must starve and refuse, not
+    * fabricate pixels. */
+  def jpegDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.{JpegCodec, MediaCodec}
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val w = (8 * (1 + k % 3)).toInt
+      val h = (8 * (1 + k % 2)).toInt
+      val bytes = JpegCodec.encodeGray(w, h,
+        (x, y) => ((k + 5L * (x / 8) + 11L * (y / 8)) % 256).toInt)
+      val payload = if (k % 13 == 0) bytes.dropRight(10) else bytes
+      MediaCodec.jpegPixels(payload) match {
+        case Some((dw, dh, _, px)) =>
+          var sum = 0L
+          var chk = 0L
+          var i = 0
+          while (i < px.length) { sum += px(i); chk += px(i).toLong * (i + 1); i += 1 }
+          (k, true, Some(dw), Some(dh),
+            Some(sum.toDouble / (dw.toLong * dh)), Some(chk))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int],
+            None: Option[Double], None: Option[Long])
+      }
+    }.toDF("media_id", "jpeg_ok", "width", "height", "m0", "chk")
+    decoded.select($"media_id", $"jpeg_ok", $"width", $"height",
+      round($"m0", 6).as("mean_c0"), $"chk")
+      .orderBy($"media_id")
+  }
+
+  /** Decoded JPEG facts recomputed from the synthesis formula: pixel
+    * (x, y) of key k is (k + 5·(x div 8) + 11·(y div 8)) mod 256 over an
+    * (8·(1+k%3)) × (8·(1+k%2)) raster; the checksum weights each pixel
+    * by its 1-based raster position. Truncated payloads (k % 13 = 0)
+    * decode to nothing. */
+  val jpegDecodeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |dims AS (
+      |  SELECT k, CAST(8 * (1 + k % 3) AS INTEGER) AS w,
+      |    CAST(8 * (1 + k % 2) AS INTEGER) AS h
+      |  FROM ks),
+      |px AS (
+      |  SELECT d.k,
+      |    (d.k + 5 * (x.g // 8) + 11 * (y.g // 8)) % 256 AS v,
+      |    1 + y.g * d.w + x.g AS pos
+      |  FROM dims d, generate_series(0, 23) x(g), generate_series(0, 15) y(g)
+      |  WHERE x.g < d.w AND y.g < d.h AND d.k % 13 <> 0),
+      |agg AS (
+      |  SELECT k, avg(CAST(v AS DOUBLE)) AS m0,
+      |    CAST(SUM(v * pos) AS BIGINT) AS chk
+      |  FROM px GROUP BY k)
+      |SELECT d.k AS media_id, (d.k % 13 <> 0) AS jpeg_ok,
+      |  CASE WHEN d.k % 13 <> 0 THEN d.w END AS width,
+      |  CASE WHEN d.k % 13 <> 0 THEN d.h END AS height,
+      |  round(a.m0, 6) AS mean_c0, a.chk AS chk
       |FROM dims d LEFT JOIN agg a ON a.k = d.k
       |ORDER BY media_id""".stripMargin
 
@@ -2825,6 +2897,7 @@ object Llm {
     "q_multimodal_pipeline" -> multimodalPipelineSql,
     "q_media_decode" -> mediaDecodeSql,
     "q_png_decode" -> pngDecodeSql,
+    "q_jpeg_decode" -> jpegDecodeSql,
     "q_emb_bucket_stats" -> embNearDupStatsSql,
     "q_emb_ann_topk" -> annTopKSql,
     "q_text_stats" -> textStatsSql,

@@ -1,0 +1,151 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import javax.imageio.ImageIO
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+/** Fuzz + conformance for the pure-JVM baseline JPEG codec, in the
+  * PngPropSpec mold — but with an INDEPENDENT reference available: the
+  * JDK's ImageIO JPEG plugin (libjpeg lineage) both decodes our
+  * encoder's streams and produces foreign streams for our decoder. The
+  * JPEG spec allows small IDCT variance between conforming decoders, so
+  * cross-implementation pixel comparisons carry a ±1 envelope; the
+  * flat-block path (DC-only blocks, DC quant step dividing the
+  * coefficient) is exact by construction and asserted byte-exact — that
+  * is the property q_jpeg_decode's closed-form oracle rides.
+  */
+class JpegCodecSpec extends AnyFunSuite {
+
+  // deterministic generator sampling — same pattern as PngPropSpec (no
+  // scalatestplus bridge in the offline cache)
+  private def forAll[T](gen: Gen[T], n: Int = 100)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(20260814L + i)).foreach(body)
+    }
+
+  private def ourDecode(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val (w, h, ch, px) = JpegCodec.decode(bytes).get
+    assert(ch == 1)
+    (w, h, px)
+  }
+
+  private def imageIoDecodeGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO refused the stream")
+    val w = img.getWidth; val h = img.getHeight
+    val px = new Array[Int](w * h)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  private def imageIoEncodeGray(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w) raster.setSample(x, y, 0, px(x, y))
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, "jpeg", out), "no ImageIO jpeg writer")
+    out.toByteArray
+  }
+
+  test("flat 8x8 blocks round-trip pixel-EXACTLY through our encoder+decoder") {
+    val gen = for {
+      bw <- Gen.choose(1, 4)
+      bh <- Gen.choose(1, 4)
+      levels <- Gen.listOfN(bw * bh, Gen.choose(0, 255))
+    } yield (bw, bh, levels.toArray)
+    forAll(gen, n = 200) { case (bw, bh, levels) =>
+      val w = bw * 8; val h = bh * 8
+      def pix(x: Int, y: Int): Int = levels((y / 8) * bw + (x / 8))
+      val bytes = JpegCodec.encodeGray(w, h, pix)
+      val (dw, dh, px) = ourDecode(bytes)
+      assert(dw == w && dh == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(px(y * w + x) == pix(x, y), s"($x,$y) of ${w}x$h")
+    }
+  }
+
+  test("ImageIO decodes our streams within the +-1 conformance envelope (random rasters)") {
+    val gen = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 40)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (w, h, seed)
+    forAll(gen) { case (w, h, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val vals = Array.fill(h, w)(rnd.nextInt(256))
+      val bytes = JpegCodec.encodeGray(w, h, (x, y) => vals(y)(x))
+      val (ow, oh, ours) = ourDecode(bytes)
+      val (iw, ih, ref) = imageIoDecodeGray(bytes)
+      assert(ow == iw && oh == ih && ow == w && oh == h)
+      ours.indices.foreach(i =>
+        assert(math.abs(ours(i) - ref(i)) <= 1, s"pixel $i: ${ours(i)} vs ${ref(i)}"))
+    }
+  }
+
+  test("our decoder reads FOREIGN (ImageIO-encoded) streams within +-1 of ImageIO itself") {
+    val gen = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 40)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (w, h, seed)
+    forAll(gen) { case (w, h, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val vals = Array.fill(h, w)(rnd.nextInt(256))
+      val bytes = imageIoEncodeGray(w, h, (x, y) => vals(y)(x))
+      val (ow, oh, ours) = ourDecode(bytes)
+      val (iw, ih, ref) = imageIoDecodeGray(bytes)
+      assert(ow == iw && oh == ih)
+      ours.indices.foreach(i =>
+        assert(math.abs(ours(i) - ref(i)) <= 1, s"pixel $i: ${ours(i)} vs ${ref(i)}"))
+    }
+  }
+
+  test("truncated and bit-starved payloads decode to None, never throw") {
+    val full = JpegCodec.encodeGray(24, 16,
+      (x, y) => (x * 31 + y * 17) % 256)
+    // every truncation point: headers, tables, entropy, EOI
+    (0 until full.length).foreach { keep =>
+      JpegCodec.decode(full.take(keep)) // must not throw
+    }
+    assert(JpegCodec.decode(full.dropRight(10)).isEmpty,
+      "losing entropy bytes must fail the decode")
+    assert(JpegCodec.decode(full).nonEmpty)
+  }
+
+  test("non-multiple-of-8 dims decode to the exact frame size") {
+    for ((w, h) <- Seq((1, 1), (7, 3), (9, 17), (23, 8))) {
+      val bytes = JpegCodec.encodeGray(w, h, (x, y) => (x * 7 + y * 13) % 256)
+      val (dw, dh, px) = ourDecode(bytes)
+      assert(dw == w && dh == h && px.length == w * h)
+    }
+  }
+
+  test("out-of-scope streams refuse honestly: progressive SOF2 flag") {
+    val full = JpegCodec.encodeGray(8, 8, (_, _) => 128)
+    // rewrite the SOF0 marker byte (FF C0) to SOF2 (FF C2): a decoder
+    // that ignored the frame type would misparse the scan
+    val idx = full.indices.drop(2).find(i =>
+      (full(i - 1) & 0xff) == 0xff && (full(i) & 0xff) == 0xc0).get
+    val prog = full.clone(); prog(idx) = 0xc2.toByte
+    assert(JpegCodec.decode(prog).isEmpty)
+  }
+
+  test("MediaCodec dispatch: FFD8 magic routes to the jpeg arm with exact means") {
+    val bytes = JpegCodec.encodeGray(16, 8, (x, y) => ((x / 8) * 50 + (y / 8) * 30 + 10) % 256)
+    val info = MediaCodec.decode(bytes).get
+    assert(info.format == "jpeg" && info.width.contains(16) &&
+      info.height.contains(8) && info.channels.contains(1))
+    // flat blocks: mean is the block-level average, exactly
+    assert(info.meanC0.contains((10.0 + 60.0) / 2))
+  }
+}
