@@ -94,18 +94,52 @@ object ScaleBench {
         (r.totalMemory() - r.freeMemory()) / (1024 * 1024)
       }
 
-      // results(stage)(mult) = (seconds, rows, heapMb)
+      // results(stage)(mult) = (seconds, rows, heapMb, extraJsonFields)
       val results = scala.collection.mutable.LinkedHashMap
-        .empty[String, scala.collection.mutable.LinkedHashMap[Int, (Double, Long, Long)]]
-      def record(name: String, mult: Int)(body: => Long): Unit = {
+        .empty[String, scala.collection.mutable.LinkedHashMap[Int, (Double, Long, Long, String)]]
+      def recordWith(name: String, mult: Int)(body: => (Long, String)): Unit = {
         val t0 = System.nanoTime()
-        val rows = body
+        val (rows, extra) = body
         val sec = (System.nanoTime() - t0) / 1e9
         val heap = usedHeapMb()
-        System.err.println(f"[scale] ${mult}x $name: $sec%.2f s, $rows rows, driver heap $heap MB")
+        System.err.println(f"[scale] ${mult}x $name: $sec%.2f s, $rows rows, driver heap $heap MB${if (extra.nonEmpty) s" [$extra]" else ""}")
         results.getOrElseUpdate(name,
-          scala.collection.mutable.LinkedHashMap.empty) += mult -> (sec, rows, heap)
+          scala.collection.mutable.LinkedHashMap.empty) += mult -> (sec, rows, heap, extra)
       }
+      def record(name: String, mult: Int)(body: => Long): Unit =
+        recordWith(name, mult)((body, ""))
+
+      /** Run a bounded streaming pipeline over a parquet directory and
+        * report (output rows, extra JSON: per-batch latency + state-store
+        * metrics from the progress log). The state evidence the streaming
+        * scale claim needs: state ROWS track keys (not events), and with
+        * the RocksDB provider the store lives off-heap/on-disk, so
+        * per-key footprint must stay flat as the multiplier grows. */
+      def streamStage(srcDir: String, schema: org.apache.spark.sql.types.StructType,
+                      confs: Seq[(String, String)])
+                     (pipeline: DataFrame => DataFrame): (Long, String) =
+        graft.util.Staging.withConfs(spark, confs: _*) {
+          graft.util.Staging.withStreamPartitions(spark, 8) {
+            val out = pipeline(spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 8).parquet(srcDir))
+            val q = out.writeStream.format("noop")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            val progress = q.recentProgress.filter(_.numInputRows > 0)
+            val rows = progress.map(_.sink.numOutputRows).filter(_ > 0).sum
+            val batchMs = progress.flatMap(p =>
+              Option(p.durationMs.get("triggerExecution")).map(_.longValue()))
+            val stateOps = progress.flatMap(_.stateOperators.headOption)
+            val stateRows = stateOps.lastOption.map(_.numRowsTotal).getOrElse(0L)
+            val stateBytes = stateOps.lastOption.map(_.memoryUsedBytes).getOrElse(0L)
+            val extra =
+              s""""batches":${batchMs.length},"mean_batch_ms":${if (batchMs.isEmpty) 0 else batchMs.sum / batchMs.length},""" +
+              s""""max_batch_ms":${if (batchMs.isEmpty) 0L else batchMs.max},""" +
+              s""""state_rows":$stateRows,"state_bytes":$stateBytes"""
+            (rows, extra)
+          }
+        }
 
       for (m <- mults) {
         val root = Files.createTempDirectory(s"graft-scale-${m}x")
@@ -172,20 +206,58 @@ object ScaleBench {
             key = ("user_id", "c_user"), time = ("error_ts", "click_ts"),
             toleranceUs = Some(86400000000L), rightTie = Seq("click_id")).count())
 
+        // streaming state scale (VERDICT r10 #7): the salted events keep
+        // per-key history CONSTANT while key count grows m× — so the
+        // RocksDB ValueState ledger's state_rows must grow with m and
+        // state_bytes/state_rows must stay flat; per-batch latency
+        // tracks events per batch, not total state
+        val evSchema = ev.schema
+        recordWith("stream_tws_state", m)(
+          streamStage(s"$root/events", evSchema, Seq(
+            "spark.sql.streaming.stateStore.providerClass" ->
+              "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { raw =>
+            import graft.streaming.StreamOps.{CumulProcessor, TwsEvent}
+            raw.select($"user_id", unix_micros($"ts").as("ts_us"))
+              .as[TwsEvent]
+              .groupByKey(_.user_id)
+              .transformWithState(new CumulProcessor,
+                org.apache.spark.sql.streaming.TimeMode.None(),
+                org.apache.spark.sql.streaming.OutputMode.Append())
+              .toDF()
+          })
+        // streaming SCD2 enrichment: stateless BY DESIGN (the dimension
+        // broadcasts; state_rows must report 0) — the scale axis is
+        // per-batch latency under an m×-key dim and m× events
+        val users = cust.select($"c_custkey".as("u"))
+        val switchTs = expr("timestampadd(DAY, CAST(u % 14 AS INT), TIMESTAMP '2024-01-10')")
+        val dim = users.select($"u",
+            lit("1900-01-01 00:00:00").cast("timestamp").as("valid_from"),
+            switchTs.as("valid_to"), lit("bronze").as("tier"))
+          .unionByName(users.select($"u", switchTs.as("valid_from"),
+            lit("2100-01-01 00:00:00").cast("timestamp").as("valid_to"),
+            lit("gold").as("tier")))
+        recordWith("stream_scd2_enrich", m)(
+          streamStage(s"$root/events", evSchema, Nil) { raw =>
+            raw.join(broadcast(dim),
+                $"user_id" === $"u" && $"ts" >= $"valid_from" && $"ts" < $"valid_to")
+              .select($"event_id", $"user_id", $"tier")
+          })
+
         graft.util.Staging.deleteTree(root)
       }
 
       def j(d: Double): String = f"$d%.3f"
       val stagesJson = results.map { case (name, byMult) =>
-        "\"" + name + "\":{" + byMult.map { case (mult, (sec, rows, heap)) =>
-          s""""${mult}x":{"sec":${j(sec)},"rows":$rows,"driver_heap_mb":$heap}"""
+        "\"" + name + "\":{" + byMult.map { case (mult, (sec, rows, heap, extra)) =>
+          val tail = if (extra.nonEmpty) s",$extra" else ""
+          s""""${mult}x":{"sec":${j(sec)},"rows":$rows,"driver_heap_mb":$heap$tail}"""
         }.mkString(",") + "}"
       }.mkString("{", ",", "}")
       // linearity verdict per stage: time ratio / multiplier ratio
       val verdict = results.collect {
         case (name, byMult) if byMult.size >= 2 =>
-          val (m0, (s0, _, _)) = byMult.head
-          val (m1, (s1, _, _)) = byMult.last
+          val (m0, (s0, _, _, _)) = byMult.head
+          val (m1, (s1, _, _, _)) = byMult.last
           val ratio = (s1 / s0) / (m1.toDouble / m0)
           s""""$name":${j(ratio)}"""
       }.mkString("{", ",", "}")
