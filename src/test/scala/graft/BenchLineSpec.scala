@@ -43,6 +43,22 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains("\"ok\":200"))
   }
 
+  test("stream_floor_sec rides the line when measured, and stays absent when not") {
+    val ok = Seq(("q_a", 1.5))
+    val withFloor = Bench.stdoutLine(1.5, ok, Nil, "/tmp/sf", streamFloorSec = 1.234)
+    assert(withFloor.contains("\"stream_floor_sec\":1.234"))
+    checkShape(withFloor)
+    val noFloor = Bench.stdoutLine(1.5, ok, Nil, "/tmp/sf")
+    assert(!noFloor.contains("stream_floor_sec"))
+    checkShape(noFloor)
+    // 200-query packing still fits with the floor field present
+    val many = (1 to 200).map(i => (f"q_some_rather_long_query_name_$i%03d", i / 100.0))
+    val packed = Bench.stdoutLine(many.map(_._2).sum, many, Nil,
+      "/root/testdata/sf0.1", streamFloorSec = 1.234)
+    assert(packed.length <= 2000 && packed.contains("\"stream_floor_sec\":1.234"))
+    checkShape(packed)
+  }
+
   test("small suites keep every query and report omitted 0") {
     val ok = Seq(("q_a", 1.5), ("q_b", 0.5))
     val line = Bench.stdoutLine(2.0, ok, Nil, "/tmp/sf")
