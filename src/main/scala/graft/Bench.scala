@@ -66,6 +66,12 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // JVM default timezone pinned to UTC IN-PROCESS: the round-11 tws
+    // root cause was a wall-clock literal parsed in the driver's JVM
+    // zone. All query code is now instant-based (TwsDeterminismSpec),
+    // but the entrypoint pins the zone anyway so no future
+    // wall-clock-parsing regression can diverge by environment.
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val stdout = new PrintStream(new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
     System.setOut(System.err) // Spark/third-party prints → stderr
     Console.withOut(System.err) {

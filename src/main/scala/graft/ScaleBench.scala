@@ -71,6 +71,12 @@ object ScaleBench {
   }
 
   def main(args: Array[String]): Unit = {
+    // JVM default timezone pinned to UTC IN-PROCESS: the round-11 tws
+    // root cause was a wall-clock literal parsed in the driver's JVM
+    // zone. All query code is now instant-based (TwsDeterminismSpec),
+    // but the entrypoint pins the zone anyway so no future
+    // wall-clock-parsing regression can diverge by environment.
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val stdout = new PrintStream(new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
     System.setOut(System.err)
     Console.withOut(System.err) {

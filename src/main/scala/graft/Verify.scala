@@ -5,6 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // JVM default timezone pinned to UTC IN-PROCESS: the round-11 tws
+    // root cause was a wall-clock literal parsed in the driver's JVM
+    // zone. All query code is now instant-based (TwsDeterminismSpec),
+    // but the entrypoint pins the zone anyway so no future
+    // wall-clock-parsing regression can diverge by environment.
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val Array(sfDir, outDir) = args.take(2)
     // optional 3rd arg: comma-separated query-name filter (local iteration)
     val only: Option[Set[String]] = args.drop(2).headOption.map(_.split(',').toSet)

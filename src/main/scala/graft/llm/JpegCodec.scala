@@ -177,24 +177,45 @@ object JpegCodec {
           }
           y += 1
         }
-        // FDCT + quantize straight into zigzag order
-        i = 0
-        while (i < 64) {
-          val nat = Zig(i)
-          val u = nat % 8; val v = nat / 8
-          var sum = 0.0
+        // FDCT (separable: row pass then column pass) + quantize into
+        // zigzag order. Flat blocks skip the transform: their AC rows
+        // sum to ~1e-14 and quantize to zero anyway, and the DC value
+        // below follows the exact same product chain the separable
+        // loops produce — bit-identical output, none of the work.
+        var flat = true
+        i = 1
+        while (flat && i < 64) { flat = block(i) == block(0); i += 1 }
+        if (flat) {
+          java.util.Arrays.fill(zz, 0)
+          val colSum = 8.0 * block(0)
+          val rowSum = 8.0 * colSum
+          zz(0) = math.round(0.25 * Cn(0) * Cn(0) * rowSum / Quant(0)).toInt
+        } else {
+          // tmp(y, u) = Σx f(y, x)·cos(x, u)
+          val tmp = new Array[Double](64)
           var yy = 0
           while (yy < 8) {
-            var xx = 0
-            while (xx < 8) {
-              sum += block(yy * 8 + xx) * CosT(xx)(u) * CosT(yy)(v)
-              xx += 1
+            var u = 0
+            while (u < 8) {
+              var sum = 0.0
+              var xx = 0
+              while (xx < 8) { sum += block(yy * 8 + xx) * CosT(xx)(u); xx += 1 }
+              tmp(yy * 8 + u) = sum
+              u += 1
             }
             yy += 1
           }
-          val coef = 0.25 * Cn(u) * Cn(v) * sum
-          zz(i) = math.round(coef / Quant(nat)).toInt
-          i += 1
+          i = 0
+          while (i < 64) {
+            val nat = Zig(i)
+            val u = nat % 8; val v = nat / 8
+            var sum = 0.0
+            var yy2 = 0
+            while (yy2 < 8) { sum += tmp(yy2 * 8 + u) * CosT(yy2)(v); yy2 += 1 }
+            val coef = 0.25 * Cn(u) * Cn(v) * sum
+            zz(i) = math.round(coef / Quant(nat)).toInt
+            i += 1
+          }
         }
         val diff = zz(0) - prevDc
         prevDc = zz(0)
@@ -418,29 +439,65 @@ object JpegCodec {
                 }
               }
               var i2 = 0
-              while (i2 < 64) { deq(Zig(i2)) = zz(i2) * qt(Zig(i2)); i2 += 1 }
-              // IDCT (separable would be faster; exact double form is the
-              // point here — see JpegPropSpec's ±1 envelope vs ImageIO)
+              var anyAc = false
+              while (i2 < 64) {
+                deq(Zig(i2)) = zz(i2) * qt(Zig(i2))
+                if (i2 > 0 && zz(i2) != 0) anyAc = true
+                i2 += 1
+              }
+              // IDCT, separable (row pass then column pass). DC-only
+              // blocks — every block of the flat-raster gate, and the
+              // most common block in real photos' smooth regions — fill
+              // with the single surviving term, computed by the exact
+              // product chain the separable loops would produce, so the
+              // shortcut is bit-identical, not approximately so.
               val plane = planes(ci)
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  var sum = 0.0
-                  var v = 0
-                  while (v < 8) {
+              if (!anyAc) {
+                val f = 0.25 * (Cn(0) * (Cn(0) * deq(0)))
+                val px = math.max(0, math.min(255, math.round(f).toInt + 128))
+                var y = 0
+                while (y < 8) {
+                  var x = 0
+                  while (x < 8) {
+                    plane((by * 8 + y) * bw8 * 8 + bx * 8 + x) = px
+                    x += 1
+                  }
+                  y += 1
+                }
+              } else {
+                // tmp(v, x) = Σu Cn(u)·F(v, u)·cos(x, u)
+                val tmp = new Array[Double](64)
+                var v = 0
+                while (v < 8) {
+                  var x = 0
+                  while (x < 8) {
+                    var sum = 0.0
                     var u = 0
                     while (u < 8) {
-                      sum += Cn(u) * Cn(v) * deq(v * 8 + u) * CosT(x)(u) * CosT(y)(v)
+                      sum += Cn(u) * (deq(v * 8 + u) * CosT(x)(u))
                       u += 1
                     }
-                    v += 1
+                    tmp(v * 8 + x) = sum
+                    x += 1
                   }
-                  val px = math.max(0, math.min(255, math.round(0.25 * sum).toInt + 128))
-                  plane((by * 8 + y) * bw8 * 8 + bx * 8 + x) = px
-                  x += 1
+                  v += 1
                 }
-                y += 1
+                var y = 0
+                while (y < 8) {
+                  var x = 0
+                  while (x < 8) {
+                    var sum = 0.0
+                    var v2 = 0
+                    while (v2 < 8) {
+                      sum += Cn(v2) * (tmp(v2 * 8 + x) * CosT(y)(v2))
+                      v2 += 1
+                    }
+                    val px = math.max(0, math.min(255, math.round(0.25 * sum).toInt + 128))
+                    plane((by * 8 + y) * bw8 * 8 + bx * 8 + x) = px
+                    x += 1
+                  }
+                  y += 1
+                }
               }
               ci += 1
             }

@@ -1131,8 +1131,14 @@ object Corpus {
     val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
     val hashes = keys.map { k =>
       val base = k - (k % 2)
-      val bw = (3 + base % 3).toInt
-      val bh = (2 + base % 2).toInt
+      // ≥9 block columns / ≥7 block rows: every dHash sample coordinate
+      // (x·w/9, y·h/7) lands in a DISTINCT block, so the hash carries the
+      // full block-gradient diversity — a coarser grid collapses most
+      // sample comparisons into equal-value same-block bits, hashes
+      // degenerate to a few values, and the banded join goes quadratic
+      // (the first cut of this query cost 35 s at sf0.1 exactly that way)
+      val bw = (9 + (base / 2) % 2).toInt
+      val bh = (7 + (base / 4) % 2).toInt
       val cx = 11 + (base / 7) % 89
       val cy = 13 + (base / 11) % 83
       val bytes = JpegCodec.encodeGray(bw * 8, bh * 8, (x, y) => {
@@ -1144,7 +1150,11 @@ object Corpus {
       val (pw, ph, _, pxs) = MediaCodec.jpegPixels(bytes).get
       (k, MediaCodec.dhash56(pxs, pw, ph))
     }.toDF("k", "dh")
-    val bands = hashes.select($"k", $"dh", posexplode(expr(
+    // materialize ONCE (bounded: one 16-byte row per image): the banded
+    // self-join evaluates both sides, which would run the whole
+    // encode→decode→hash map twice
+    val hashesLocal = graft.util.Local.materialize(hashes)
+    val bands = hashesLocal.select($"k", $"dh", posexplode(expr(
       "transform(sequence(0, 3), b -> int(shiftright(dh, 14 * b) & 16383))"))
       .as(Seq("band", "bv")))
     bands.as("a")
@@ -1166,8 +1176,8 @@ object Corpus {
     """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
       |img AS (
       |  SELECT k, k - k % 2 AS base,
-      |    CAST(3 + (k - k % 2) % 3 AS BIGINT) AS bw,
-      |    CAST(2 + (k - k % 2) % 2 AS BIGINT) AS bh,
+      |    CAST(9 + ((k - k % 2) // 2) % 2 AS BIGINT) AS bw,
+      |    CAST(7 + ((k - k % 2) // 4) % 2 AS BIGINT) AS bh,
       |    11 + ((k - k % 2) // 7) % 89 AS cx,
       |    13 + ((k - k % 2) // 11) % 83 AS cy
       |  FROM ks
