@@ -1999,6 +1999,126 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Spark 4 VARIANT end-to-end (the semi-structured path the reference
+    * handles as opaque JSON strings via per-row parsing,
+    * common.py:178-211): a nested document built in-plan, `parse_json`
+    * into a VariantType column — the binary semi-structured encoding
+    * that at 100 TB replaces N `get_json_object` string re-parses with
+    * one parse + cheap typed path reads — then `variant_get` typed
+    * extractions (nested field, array index, double) aggregated under
+    * decimal discipline, plus `schema_of_variant` proving the encoding
+    * kept the full type structure. The oracle recomputes everything from
+    * the base columns — the variant layer must be value-transparent. */
+  def variantExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val doc = to_json(struct(
+      $"event_type".as("t"),
+      $"value".as("v"),
+      struct(get_json_object($"props", "$.k").cast("long").as("k")).as("nested"),
+      array($"user_id", $"event_id").as("ids")))
+    events(s, d)
+      .withColumn("var", parse_json(doc))
+      .select(
+        expr("variant_get(var, '$.t', 'string')").as("t"),
+        expr("variant_get(var, '$.nested.k', 'bigint')").as("k"),
+        expr("variant_get(var, '$.v', 'double')").as("v"),
+        expr("variant_get(var, '$.ids[1]', 'bigint')").as("eid"),
+        // schema_of_variant over the WHOLE doc is value-dependent (JSON
+        // numbers infer minimal per-row decimals — e.g. v: DECIMAL(3,1));
+        // the nested object is the stable shape worth pinning
+        expr("schema_of_variant(variant_get(var, '$.nested'))").as("vschema"))
+      .groupBy($"t".as("event_type"))
+      .agg(max($"vschema").as("vschema"),
+        sum($"k").as("sum_k"), out(sum(dec($"v"))).as("total_v"),
+        max($"eid").as("max_eid"), count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  val variantExtractSql: String =
+    """SELECT event_type,
+      |  'OBJECT<k: BIGINT>' AS vschema,
+      |  CAST(SUM(CAST(regexp_extract(props, '-?\d+') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_v,
+      |  MAX(event_id) AS max_eid,
+      |  COUNT(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Spark 4 string collations: the same distinct/filter computed under
+    * binary semantics and under `UTF8_LCASE` — the engine-level answer
+    * to the reference's ad-hoc `.lower()` normalizations
+    * (common.py:178-211 FilterAttributes-style matching): declare the
+    * comparison semantics ON THE TYPE and every comparison, join, and
+    * aggregation downstream follows, instead of remembering to wrap each
+    * site in lower(). Mixed-case values are synthesized in-plan so the
+    * two semantics provably diverge; the oracle recomputes both under
+    * DuckDB's explicit lower(). */
+  def collationLcase(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val mixed = when($"c_custkey" % 2 === 0, upper($"c_name"))
+      .otherwise(lower($"c_name")).as("mixed")
+    customer(s, d).select($"c_custkey", mixed)
+      .agg(
+        countDistinct($"mixed").as("n_binary_distinct"),
+        countDistinct(collate($"mixed", "UTF8_LCASE")).as("n_lcase_distinct"),
+        sum(when(collate($"mixed", "UTF8_LCASE") === lit("Customer#000000042"),
+          1L).otherwise(0L)).as("n_eq_lcase"),
+        sum(when($"mixed" === lit("Customer#000000042"), 1L).otherwise(0L))
+          .as("n_eq_binary"))
+  }
+
+  val collationLcaseSql: String =
+    """WITH m AS (
+      |  SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_name)
+      |              ELSE lower(c_name) END AS mixed
+      |  FROM customer
+      |)
+      |SELECT COUNT(DISTINCT mixed) AS n_binary_distinct,
+      |  COUNT(DISTINCT lower(mixed)) AS n_lcase_distinct,
+      |  CAST(SUM(CASE WHEN lower(mixed) = lower('Customer#000000042') THEN 1 ELSE 0 END) AS BIGINT) AS n_eq_lcase,
+      |  CAST(SUM(CASE WHEN mixed = 'Customer#000000042' THEN 1 ELSE 0 END) AS BIGINT) AS n_eq_binary
+      |FROM m""".stripMargin
+
+  /** Recursive CTE (Spark 4.1's WITH RECURSIVE — iterative plans the
+    * reference could only express as Python loops around per-level SQL,
+    * terra.py:196-211's fetch-then-requery shape): the decimal-digit
+    * hierarchy over customer keys (parent(k) = k DIV 10, roots 1..9)
+    * walked to a transitive closure with per-level depth, then rolled up
+    * — per depth: member count, max key, decimal-exact balance total.
+    * The engine iterates the recursive leg to fixpoint inside ONE query;
+    * at 100 TB each iteration is a hash join on the previous level's
+    * frontier, the same frontier-expansion shape as the label-propagation
+    * dedup but declared in SQL. DuckDB runs the identical recursion. */
+  def recursiveCte(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val view = "customer_rec_" + java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+    customer(s, d).createOrReplaceTempView(view)
+    s.sql(
+      s"""WITH RECURSIVE anc(c_custkey, c_acctbal, depth) AS (
+         |  SELECT c_custkey, c_acctbal, 0 FROM $view WHERE c_custkey < 10
+         |  UNION ALL
+         |  SELECT c.c_custkey, c.c_acctbal, a.depth + 1
+         |  FROM $view c JOIN anc a ON c.c_custkey DIV 10 = a.c_custkey
+         |  WHERE c.c_custkey >= 10
+         |)
+         |SELECT depth, COUNT(*) AS n, MAX(c_custkey) AS max_key,
+         |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_bal
+         |FROM anc GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  val recursiveCteSql: String =
+    """WITH RECURSIVE anc(c_custkey, c_acctbal, depth) AS (
+      |  SELECT c_custkey, c_acctbal, 0 FROM customer WHERE c_custkey < 10
+      |  UNION ALL
+      |  SELECT c.c_custkey, c.c_acctbal, a.depth + 1
+      |  FROM customer c JOIN anc a ON c.c_custkey // 10 = a.c_custkey
+      |  WHERE c.c_custkey >= 10
+      |)
+      |SELECT depth, COUNT(*) AS n, MAX(c_custkey) AS max_key,
+      |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_bal
+      |FROM anc GROUP BY depth ORDER BY depth""".stripMargin
+
   /** Ordered running aggregate per key (the order-dependent state of
     * IsochroneSubstraction, common.py:519-532, in relational form). */
   def runningSum(s: SparkSession, d: String): DataFrame = {
@@ -2849,6 +2969,9 @@ object Relational {
     "q_range_join" -> (rangeJoin _),
     "q_range_join_mixed" -> (rangeJoinMixed _),
     "q_json_extract" -> (jsonExtract _),
+    "q_variant_extract" -> (variantExtract _),
+    "q_collation_lcase" -> (collationLcase _),
+    "q_recursive_cte" -> (recursiveCte _),
     "q_running_sum" -> (runningSum _),
     "q_correlated_agg" -> (correlatedAgg _),
   )
@@ -2916,6 +3039,9 @@ object Relational {
     "q_range_join" -> rangeJoinSql,
     "q_range_join_mixed" -> rangeJoinMixedSql,
     "q_json_extract" -> jsonExtractSql,
+    "q_variant_extract" -> variantExtractSql,
+    "q_collation_lcase" -> collationLcaseSql,
+    "q_recursive_cte" -> recursiveCteSql,
     "q_running_sum" -> runningSumSql,
     "q_correlated_agg" -> correlatedAggSql,
   )
