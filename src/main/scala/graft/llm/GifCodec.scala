@@ -1,0 +1,277 @@
+package graft.llm
+
+/** Pure-JVM GIF87a/89a codec — the fourth honest raster container
+  * (BMP/PGM/PPM → PNG → JPEG → GIF), and the LZW arm of the compression
+  * family (PNG brought DEFLATE, JPEG brought Huffman+DCT).
+  *
+  * Decoder scope: single-image GIF87a/89a, global or local color table,
+  * interlaced or sequential, variable-width LZW with Clear/EOI under
+  * the late-change width-growth convention (the JDK ImageIO one — an
+  * early-change stream is out of scope and fails the decode rather
+  * than desyncing silently), extension blocks skipped (GCE
+  * transparency index honored as palette passthrough — no alpha
+  * channel in the RGB output), sub-block framing. Animation beyond the
+  * first image, and malformed LZW streams, decode to None — the same
+  * contract as every other [[MediaCodec.decode]] arm.
+  *
+  * Encoder scope: single-frame 8-bit palette (a 256-entry gray ramp),
+  * optional interlace, real LZW compression (dictionary rebuild on
+  * Clear at table-full, variable code widths) — NOT the degenerate
+  * store-only form some minimal writers emit.
+  *
+  * GIF is lossless, so unlike JPEG the closed-form oracle needs no
+  * special input family: any raster round-trips byte-exactly
+  * (GifCodecSpec fuzzes arbitrary rasters both against our own decoder
+  * and the JDK's independent ImageIO implementation).
+  */
+object GifCodec {
+
+  // ------------------------------------------------------------ encoder
+
+  /** Encode an 8-bit grayscale GIF89a (gray ramp palette, single
+    * frame). `interlaced` writes the 4-pass row order. */
+  def encodeGray(w: Int, h: Int, gray: (Int, Int) => Int,
+                 interlaced: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, s"bad dims ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { b(v); b(v >> 8) } // little-endian
+    "GIF89a".foreach(c => b(c.toInt))
+    u16(w); u16(h)
+    b(0xf7) // global color table, 8 bits/pixel, 256 entries
+    b(0); b(0) // background index, aspect
+    var i = 0
+    while (i < 256) { b(i); b(i); b(i); i += 1 } // gray ramp
+    b(0x2c) // image descriptor
+    u16(0); u16(0); u16(w); u16(h)
+    b(if (interlaced) 0x40 else 0x00)
+    // LZW, min code size 8
+    val minCode = 8
+    b(minCode)
+    val rows: Seq[Int] =
+      if (!interlaced) 0 until h
+      else Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap { case (start, step) =>
+        start until h by step
+      }
+    val indices = new Array[Int](w * h)
+    var oi = 0
+    rows.foreach { y =>
+      var x = 0
+      while (x < w) {
+        indices(oi) = math.max(0, math.min(255, gray(x, y)))
+        oi += 1; x += 1
+      }
+    }
+    // LZW compress with variable code width
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val data = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nbits = 0
+    def putCode(code: Int, width: Int): Unit = {
+      acc |= code.toLong << nbits
+      nbits += width
+      while (nbits >= 8) { data.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8 }
+    }
+    var dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int] // (prefixCode, byte) -> code
+    var nextCode = eoi + 1
+    var width = minCode + 1
+    putCode(clear, width)
+    var prefix = -1
+    i = 0
+    while (i < indices.length) {
+      val c = indices(i)
+      if (prefix == -1) prefix = c
+      else dict.get((prefix, c)) match {
+        case Some(code) => prefix = code
+        case None =>
+          putCode(prefix, width)
+          dict((prefix, c)) = nextCode
+          nextCode += 1
+          // LATE-change convention (what the JDK's GIFImageWriter/
+          // Reader pair implements, verified empirically: an
+          // early-change stream desyncs ImageIO at exactly the first
+          // 2^width boundary): the width grows only once a code EQUAL
+          // to 2^width exists, i.e. when nextCode passes it. At the
+          // 4096 cap, emit Clear and rebuild.
+          if (nextCode == (1 << width) + 1 && width < 12) width += 1
+          else if (nextCode == 4096) {
+            putCode(clear, width)
+            dict = scala.collection.mutable.HashMap.empty
+            nextCode = eoi + 1
+            width = minCode + 1
+          }
+          prefix = c
+      }
+      i += 1
+    }
+    if (prefix != -1) putCode(prefix, width)
+    putCode(eoi, width)
+    if (nbits > 0) data.write((acc & 0xff).toInt)
+    // sub-block framing
+    val bytes = data.toByteArray
+    var off = 0
+    while (off < bytes.length) {
+      val n = math.min(255, bytes.length - off)
+      b(n); out.write(bytes, off, n); off += n
+    }
+    b(0x00) // block terminator
+    b(0x3b) // trailer
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------ decoder
+
+  /** Decode the first image of a GIF: Some((width, height, 3, RGB
+    * pixels row-major)) or None. */
+  def decode(bts: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = try {
+    if (bts == null || bts.length < 13) return None
+    val sig = new String(bts, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    def u8(i: Int): Int = bts(i) & 0xff
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    var p = 6
+    p += 4 // logical screen w/h (frame uses the image descriptor's)
+    val flags = u8(p); p += 3
+    var globalCt: Array[Int] = null
+    if ((flags & 0x80) != 0) {
+      val n = 2 << (flags & 7)
+      globalCt = Array.tabulate(n)(i =>
+        (u8(p + 3 * i) << 16) | (u8(p + 3 * i + 1) << 8) | u8(p + 3 * i + 2))
+      p += 3 * n
+    }
+    while (p < bts.length) {
+      u8(p) match {
+        case 0x3b => return None // trailer before any image
+        case 0x21 => // extension: label + sub-blocks, skipped
+          p += 2
+          while (u8(p) != 0) p += u8(p) + 1
+          p += 1
+        case 0x2c =>
+          p += 1
+          p += 4 // image x, y offsets
+          val w = u16(p); val h = u16(p + 2); p += 4
+          val iflags = u8(p); p += 1
+          if (w <= 0 || h <= 0) return None
+          var ct = globalCt
+          if ((iflags & 0x80) != 0) {
+            val n = 2 << (iflags & 7)
+            ct = Array.tabulate(n)(i =>
+              (u8(p + 3 * i) << 16) | (u8(p + 3 * i + 1) << 8) | u8(p + 3 * i + 2))
+            p += 3 * n
+          }
+          if (ct == null) return None
+          val interlaced = (iflags & 0x40) != 0
+          val minCode = u8(p); p += 1
+          require(minCode >= 2 && minCode <= 8, "bad LZW min code size")
+          // collect sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          while (u8(p) != 0) {
+            val n = u8(p); p += 1
+            data.write(bts, p, n); p += n
+          }
+          p += 1
+          val comp = data.toByteArray
+          // LZW decompress
+          val clear = 1 << minCode
+          val eoi = clear + 1
+          val prefix = new Array[Int](4096)
+          val suffix = new Array[Int](4096)
+          val stack = new Array[Int](4097)
+          var nextCode = eoi + 1
+          var width = minCode + 1
+          var acc = 0L; var nbits = 0; var cp = 0
+          def readCode(): Int = {
+            while (nbits < width) {
+              if (cp >= comp.length) return -1
+              acc |= (comp(cp) & 0xffL) << nbits
+              cp += 1; nbits += 8
+            }
+            val c = (acc & ((1 << width) - 1)).toInt
+            acc >>= width; nbits -= width
+            c
+          }
+          val outIdx = new Array[Int](w * h)
+          var oi = 0
+          var prev = -1
+          var done = false
+          while (!done && oi < outIdx.length) {
+            val code = readCode()
+            if (code < 0) throw new IllegalArgumentException("LZW stream exhausted")
+            if (code == clear) {
+              nextCode = eoi + 1; width = minCode + 1; prev = -1
+            } else if (code == eoi) {
+              done = true
+            } else {
+              require(code < nextCode || (code == nextCode && prev >= 0),
+                "LZW code out of range")
+              var sp = 0
+              var cur = code
+              if (code == nextCode) { // KwKwK case
+                stack(sp) = firstOf(prefix, suffix, prev, clear); sp += 1
+                cur = prev
+              }
+              while (cur >= clear + 2) {
+                stack(sp) = suffix(cur); sp += 1
+                cur = prefix(cur)
+              }
+              stack(sp) = cur; sp += 1
+              // emit reversed
+              while (sp > 0) {
+                sp -= 1
+                if (oi < outIdx.length) { outIdx(oi) = stack(sp); oi += 1 }
+              }
+              if (prev >= 0 && nextCode < 4096) {
+                prefix(nextCode) = prev
+                suffix(nextCode) = firstOf(prefix, suffix, code, clear)
+                nextCode += 1
+                // late-change, mirroring the encoder: because the
+                // decoder's table lags the encoder's by exactly one
+                // entry, bumping when ITS nextCode reaches 2^width
+                // aligns with the encoder bumping at 2^width + 1
+                if (nextCode == (1 << width) && width < 12) width += 1
+              }
+              prev = code
+            }
+          }
+          require(oi == outIdx.length, s"LZW yielded $oi of ${outIdx.length} pixels")
+          // deinterlace
+          val rows: Seq[Int] =
+            if (!interlaced) 0 until h
+            else Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap { case (st, sp2) =>
+              st until h by sp2
+            }
+          val px = new Array[Int](w * h * 3)
+          var ri = 0
+          rows.foreach { y =>
+            var x = 0
+            while (x < w) {
+              val idx = outIdx(ri * w + x)
+              require(idx < ct.length, "palette index out of range")
+              val rgb = ct(idx)
+              val o = (y * w + x) * 3
+              px(o) = (rgb >> 16) & 0xff
+              px(o + 1) = (rgb >> 8) & 0xff
+              px(o + 2) = rgb & 0xff
+              x += 1
+            }
+            ri += 1
+          }
+          return Some((w, h, 3, px))
+        case _ => return None
+      }
+    }
+    None
+  } catch {
+    case _: RuntimeException => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  /** First byte of the string a code expands to. */
+  private def firstOf(prefix: Array[Int], suffix: Array[Int],
+                      code: Int, clear: Int): Int = {
+    var c = code
+    while (c >= clear + 2) c = prefix(c)
+    c
+  }
+}

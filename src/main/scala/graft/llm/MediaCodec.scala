@@ -43,8 +43,26 @@ object MediaCodec {
       decodePng(bytes)
     else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
       decodeJpeg(bytes)
+    else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8')
+      decodeGif(bytes)
     else None
   }
+
+  /** First-frame GIF facts via [[GifCodec.decode]]. */
+  private def decodeGif(b: Array[Byte]): Option[MediaInfo] =
+    GifCodec.decode(b).map { case (w, h, ch, px) =>
+      val sums = new Array[Long](ch)
+      var i = 0
+      while (i < px.length) { sums(i % ch) += px(i); i += 1 }
+      val n = w.toLong * h
+      MediaInfo("gif", Some(w), Some(h), Some(ch), None, None,
+        Some(sums(0).toDouble / n), Some(sums(1).toDouble / n),
+        Some(sums(2).toDouble / n))
+    }
+
+  /** Decoded GIF raster — the pixel-level twin of [[pngPixels]]. */
+  def gifPixels(b: Array[Byte]): Option[(Int, Int, Int, Array[Int])] =
+    GifCodec.decode(b)
 
   /** Baseline JPEG facts via [[JpegCodec.decode]] — same MediaInfo
     * contract as the other raster arms. */

@@ -1972,6 +1972,7 @@ object Llm {
     "q_media_decode" -> (mediaDecode _),
     "q_png_decode" -> (pngDecode _),
     "q_jpeg_decode" -> (jpegDecode _),
+    "q_gif_decode" -> (gifDecode _),
     "q_emb_recall" -> (embRecall _),
     "q_line_dedup" -> (lineDedup _),
     "q_dup_fraction" -> (dupFraction _),
@@ -2229,6 +2230,78 @@ object Llm {
       |    CAST(SUM(v * pos) AS BIGINT) AS chk
       |  FROM px GROUP BY k)
       |SELECT d.k AS media_id, (d.k % 13 <> 0) AS jpeg_ok,
+      |  CASE WHEN d.k % 13 <> 0 THEN d.w END AS width,
+      |  CASE WHEN d.k % 13 <> 0 THEN d.h END AS height,
+      |  round(a.m0, 6) AS mean_c0, a.chk AS chk
+      |FROM dims d LEFT JOIN agg a ON a.k = d.k
+      |ORDER BY media_id""".stripMargin
+
+  /** GIF/LZW decode under the oracle (the fourth raster container,
+    * completing BMP/PPM → PNG → JPEG → GIF): per-key gray rasters
+    * encoded through [[graft.llm.GifCodec.encodeGray]] — real
+    * variable-width LZW with late-change growth and Clear/rebuild —
+    * and decoded back through the full header / palette / sub-block /
+    * LZW / deinterlace path. GIF is lossless, so unlike q_jpeg_decode
+    * the pixel formula is arbitrary. Every 3rd payload is INTERLACED:
+    * the 4-pass row shuffle must invert exactly, so the oracle is the
+    * same closed form regardless of the flag — a deinterlace bug flips
+    * the checksum only on that arm, localizing it. Every 13th payload
+    * is truncated (GIF carries no integrity check): the LZW stream
+    * starves mid-raster and the decode must refuse, not zero-fill. */
+  def gifDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.{GifCodec, MediaCodec}
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val w = (5 + k % 9).toInt
+      val h = (4 + k % 7).toInt
+      val bytes = GifCodec.encodeGray(w, h,
+        (x, y) => ((3 * k + 7L * x + 11L * y + (x * y) % 13) % 256).toInt,
+        interlaced = k % 3 == 0)
+      val payload = if (k % 13 == 0) bytes.dropRight(12) else bytes
+      MediaCodec.gifPixels(payload) match {
+        case Some((dw, dh, _, px)) =>
+          var sum = 0L
+          var chk = 0L
+          var i = 0
+          // gray ramp palette: channel 0 carries the value
+          while (i < px.length) {
+            if (i % 3 == 0) { sum += px(i); chk += px(i).toLong * (i / 3 + 1) }
+            i += 1
+          }
+          (k, true, Some(dw), Some(dh),
+            Some(sum.toDouble / (dw.toLong * dh)), Some(chk))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int],
+            None: Option[Double], None: Option[Long])
+      }
+    }.toDF("media_id", "gif_ok", "width", "height", "m0", "chk")
+    decoded.select($"media_id", $"gif_ok", $"width", $"height",
+      round($"m0", 6).as("mean_c0"), $"chk")
+      .orderBy($"media_id")
+  }
+
+  /** Decoded GIF facts recomputed from the synthesis formula
+    * v(k,x,y) = (3k + 7x + 11y + (x·y mod 13)) mod 256 over a
+    * (5+k%9) × (4+k%7) raster; interlacing (k%3=0) must be inverted by
+    * the decoder, so it does not appear here. Truncated payloads
+    * (k%13=0) decode to nothing. */
+  val gifDecodeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |dims AS (
+      |  SELECT k, CAST(5 + k % 9 AS INTEGER) AS w, CAST(4 + k % 7 AS INTEGER) AS h
+      |  FROM ks),
+      |px AS (
+      |  SELECT d.k,
+      |    (3 * d.k + 7 * x.g + 11 * y.g + (x.g * y.g) % 13) % 256 AS v,
+      |    1 + y.g * d.w + x.g AS pos
+      |  FROM dims d, generate_series(0, 13) x(g), generate_series(0, 10) y(g)
+      |  WHERE x.g < d.w AND y.g < d.h AND d.k % 13 <> 0),
+      |agg AS (
+      |  SELECT k, avg(CAST(v AS DOUBLE)) AS m0,
+      |    CAST(SUM(v * pos) AS BIGINT) AS chk
+      |  FROM px GROUP BY k)
+      |SELECT d.k AS media_id, (d.k % 13 <> 0) AS gif_ok,
       |  CASE WHEN d.k % 13 <> 0 THEN d.w END AS width,
       |  CASE WHEN d.k % 13 <> 0 THEN d.h END AS height,
       |  round(a.m0, 6) AS mean_c0, a.chk AS chk
@@ -2898,6 +2971,7 @@ object Llm {
     "q_media_decode" -> mediaDecodeSql,
     "q_png_decode" -> pngDecodeSql,
     "q_jpeg_decode" -> jpegDecodeSql,
+    "q_gif_decode" -> gifDecodeSql,
     "q_emb_bucket_stats" -> embNearDupStatsSql,
     "q_emb_ann_topk" -> annTopKSql,
     "q_text_stats" -> textStatsSql,

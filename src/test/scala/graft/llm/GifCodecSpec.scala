@@ -1,0 +1,148 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import javax.imageio.ImageIO
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+/** Fuzz + conformance for the pure-JVM GIF/LZW codec. GIF is lossless,
+  * so the round-trip property is byte-EXACT over arbitrary rasters —
+  * including the variable-code-width boundaries (the classic
+  * encoder/decoder "early change" off-by-one lives exactly at table
+  * sizes 2^n) and the 4096-entry Clear/rebuild. The JDK's ImageIO GIF
+  * plugin is the independent reference in BOTH directions: it must
+  * decode our streams pixel-exactly, and our decoder must read its
+  * streams pixel-exactly (no lossy envelope here, unlike JPEG).
+  */
+class GifCodecSpec extends AnyFunSuite {
+
+  private def forAll[T](gen: Gen[T], n: Int = 100)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(20260814L + i)).foreach(body)
+    }
+
+  private def grayOf(px: Array[Int], i: Int): Int = px(3 * i) // gray ramp: r=g=b
+
+  private def imageIoDecode(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO refused the stream")
+    val w = img.getWidth; val h = img.getHeight
+    val px = new Array[Int](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val o = (y * w + x) * 3
+        px(o) = (rgb >> 16) & 0xff; px(o + 1) = (rgb >> 8) & 0xff; px(o + 2) = rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  test("round-trip is byte-exact over arbitrary rasters, sequential and interlaced") {
+    val gen = for {
+      w <- Gen.choose(1, 60)
+      h <- Gen.choose(1, 60)
+      interlaced <- Gen.oneOf(true, false)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (w, h, interlaced, seed)
+    forAll(gen, n = 150) { case (w, h, interlaced, seed) =>
+      val rnd = new scala.util.Random(seed)
+      // low-cardinality values stress dictionary reuse; full-range values
+      // stress width growth
+      val card = if (rnd.nextBoolean()) 4 else 256
+      val vals = Array.fill(h, w)(rnd.nextInt(card))
+      val bytes = GifCodec.encodeGray(w, h, (x, y) => vals(y)(x), interlaced)
+      val (dw, dh, ch, px) = GifCodec.decode(bytes).get
+      assert(dw == w && dh == h && ch == 3)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(grayOf(px, y * w + x) == vals(y)(x), s"($x,$y) interlaced=$interlaced")
+    }
+  }
+
+  test("a raster wide enough to exhaust the 12-bit table round-trips through Clear/rebuild") {
+    // ~64k distinct-ish pixels guarantees > 4096 dictionary entries
+    val w = 256; val h = 256
+    def v(x: Int, y: Int): Int = (x * 31 + y * 17 + (x * y) % 97) % 256
+    val bytes = GifCodec.encodeGray(w, h, v)
+    val (dw, dh, _, px) = GifCodec.decode(bytes).get
+    assert(dw == w && dh == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(grayOf(px, y * w + x) == v(x, y), s"($x,$y)")
+    // and the foreign reference agrees
+    val (iw, ih, ref) = imageIoDecode(bytes)
+    assert(iw == w && ih == h && ref.sameElements(px))
+  }
+
+  test("ImageIO decodes our streams pixel-exactly (random rasters)") {
+    val gen = for {
+      w <- Gen.choose(1, 50)
+      h <- Gen.choose(8, 50) // see the small-height interlace note below
+      interlaced <- Gen.oneOf(true, false)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (w, h, interlaced, seed)
+    // Conformance finding kept as scope documentation: the JDK's GIF
+    // READER mislays rows on interlaced frames shorter than the full
+    // 4-pass cycle (its own writer's interlaced 4x3 output reads back
+    // self-inconsistently: canvas rows land as [r0, blank, r1]); our
+    // decoder reconstructs those frames correctly, so interlaced
+    // cross-checks here use h >= 8 where the JDK reader is sound.
+    forAll(gen, n = 80) { case (w, h, interlaced, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val vals = Array.fill(h, w)(rnd.nextInt(256))
+      val bytes = GifCodec.encodeGray(w, h, (x, y) => vals(y)(x), interlaced)
+      val (iw, ih, ref) = imageIoDecode(bytes)
+      assert(iw == w && ih == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(ref((y * w + x) * 3) == vals(y)(x), s"($x,$y) interlaced=$interlaced")
+    }
+  }
+
+  test("our decoder reads FOREIGN (ImageIO-encoded) streams pixel-exactly") {
+    val gen = for {
+      w <- Gen.choose(1, 50)
+      h <- Gen.choose(1, 50)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (w, h, seed)
+    forAll(gen, n = 80) { case (w, h, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val vals = Array.fill(h, w)(rnd.nextInt(256))
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, vals(y)(x))
+      val out = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, "gif", out), "no ImageIO gif writer")
+      val bytes = out.toByteArray
+      // compare against the INPUT, not ImageIO's read-back: the JDK
+      // writer emits interlaced frames by default and the JDK READER
+      // has the small-height interlace row bug documented above — the
+      // original raster is the unambiguous truth
+      val (dw, dh, _, ours) = GifCodec.decode(bytes).get
+      assert(dw == w && dh == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(grayOf(ours, y * w + x) == vals(y)(x), s"($x,$y) foreign")
+    }
+  }
+
+  test("truncations decode to None, never throw; trailer-only loss still decodes") {
+    val full = GifCodec.encodeGray(40, 30, (x, y) => (x * 7 + y * 13) % 256)
+    (0 until full.length).foreach(keep => GifCodec.decode(full.take(keep)))
+    assert(GifCodec.decode(full.dropRight(12)).isEmpty,
+      "losing LZW data must fail the decode")
+    assert(GifCodec.decode(full).nonEmpty)
+  }
+
+  test("MediaCodec dispatch: GIF8 magic routes to the gif arm with exact means") {
+    val bytes = GifCodec.encodeGray(10, 4, (_, _) => 77)
+    val info = MediaCodec.decode(bytes).get
+    assert(info.format == "gif" && info.width.contains(10) &&
+      info.height.contains(4) && info.channels.contains(3))
+    assert(info.meanC0.contains(77.0) && info.meanC1.contains(77.0) &&
+      info.meanC2.contains(77.0))
+  }
+}
