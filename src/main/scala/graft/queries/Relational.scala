@@ -2119,6 +2119,59 @@ object Relational {
       |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_bal
       |FROM anc GROUP BY depth ORDER BY depth""".stripMargin
 
+  /** Z-order (Morton) layout math under the oracle: the multi-dim
+    * file-clustering primitive ([[graft.exprs.ZOrder2]], a native
+    * codegen expression) applied to (user_id, event-hour) — rows
+    * bucketed by their z-code's high bits, per-bucket min/max spans of
+    * BOTH dimensions reported. The content of the gate: every bit of
+    * the interleave must match the oracle's pure-SQL magic-mask spread,
+    * and the per-bucket spans ARE the file-statistics tightness a
+    * Z-ordered writer achieves — at 100 TB, writing files in z order
+    * keeps min/max parquet stats narrow on BOTH user_id and ts, so
+    * either predicate prunes files; a 1-D sort gives one dimension and
+    * destroys the other. The layout action itself is
+    * `repartitionByRange(zorder2(...))` + write at the sink — sampled
+    * boundaries, so the deterministic gate pins the MATH and the span
+    * structure instead. */
+  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = org.apache.spark.sql.graftshim.Shim
+    val base = events(s, d).select(
+      $"user_id".bitwiseAND(lit(65535L)).as("a"),
+      expr("unix_micros(ts) div 3600000000").bitwiseAND(lit(65535L)).as("b"))
+    val z = sh.column(graft.exprs.ZOrder2(
+      sh.expression($"a"), sh.expression($"b")))
+    base.withColumn("z", z)
+      .groupBy(shiftright($"z", 16).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min($"a").as("min_u"), max($"a").as("max_u"),
+        min($"b").as("min_h"), max($"b").as("max_h"))
+      .withColumn("u_span", $"max_u" - $"min_u" + 1)
+      .withColumn("h_span", $"max_h" - $"min_h" + 1)
+      .orderBy($"bucket")
+  }
+
+  val zorderLayoutSql: String =
+    """WITH e AS (
+      |  SELECT user_id & 65535 AS a,
+      |    (epoch_us(ts) // 3600000000) & 65535 AS b
+      |  FROM events
+      |), s1 AS (
+      |  SELECT a, b, (a | (a << 8)) & 16711935 AS sa, (b | (b << 8)) & 16711935 AS sb FROM e
+      |), s2 AS (
+      |  SELECT a, b, (sa | (sa << 4)) & 252645135 AS sa, (sb | (sb << 4)) & 252645135 AS sb FROM s1
+      |), s3 AS (
+      |  SELECT a, b, (sa | (sa << 2)) & 858993459 AS sa, (sb | (sb << 2)) & 858993459 AS sb FROM s2
+      |), s4 AS (
+      |  SELECT a, b, (sa | (sa << 1)) & 1431655765 AS sa, (sb | (sb << 1)) & 1431655765 AS sb FROM s3
+      |), zc AS (
+      |  SELECT a, b, (sa | (sb << 1)) AS z FROM s4
+      |)
+      |SELECT z >> 16 AS bucket, COUNT(*) AS n,
+      |  MIN(a) AS min_u, MAX(a) AS max_u, MIN(b) AS min_h, MAX(b) AS max_h,
+      |  MAX(a) - MIN(a) + 1 AS u_span, MAX(b) - MIN(b) + 1 AS h_span
+      |FROM zc GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** Ordered running aggregate per key (the order-dependent state of
     * IsochroneSubstraction, common.py:519-532, in relational form). */
   def runningSum(s: SparkSession, d: String): DataFrame = {
@@ -2972,6 +3025,7 @@ object Relational {
     "q_variant_extract" -> (variantExtract _),
     "q_collation_lcase" -> (collationLcase _),
     "q_recursive_cte" -> (recursiveCte _),
+    "q_zorder_layout" -> (zorderLayout _),
     "q_running_sum" -> (runningSum _),
     "q_correlated_agg" -> (correlatedAgg _),
   )
@@ -3042,6 +3096,7 @@ object Relational {
     "q_variant_extract" -> variantExtractSql,
     "q_collation_lcase" -> collationLcaseSql,
     "q_recursive_cte" -> recursiveCteSql,
+    "q_zorder_layout" -> zorderLayoutSql,
     "q_running_sum" -> runningSumSql,
     "q_correlated_agg" -> correlatedAggSql,
   )

@@ -1,0 +1,84 @@
+package graft.exprs
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** The Morton primitive, pinned three ways: bit-exact against a naive
+  * per-bit reference, codegen ≡ interpreted, and the LOCALITY THEOREM
+  * the layout story rests on — fixing a z-code's top 2k bits fixes each
+  * dimension's top k bits, so every z>>16 bucket bounds both dimensions'
+  * spans by 2^8 (that bound IS the tight-file-statistics guarantee
+  * q_zorder_layout reports per bucket). */
+class ZOrderSpec extends SparkTestBase {
+
+  private def naiveInterleave(a: Long, b: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 16) {
+      z |= ((a >> i) & 1L) << (2 * i)
+      z |= ((b >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  test("interleave16 is bit-exact vs the per-bit reference") {
+    val rnd = new java.util.Random(7)
+    (0 until 20000).foreach { _ =>
+      val a = rnd.nextInt(65536).toLong
+      val b = rnd.nextInt(65536).toLong
+      assert(ZOrder.interleave16(a, b) == naiveInterleave(a, b), s"a=$a b=$b")
+    }
+    assert(ZOrder.interleave16(0xffffL, 0L) == 0x55555555L)
+    assert(ZOrder.interleave16(0L, 0xffffL) == 0xaaaaaaaaL)
+    assert(ZOrder.interleave16(0xffffL, 0xffffL) == 0xffffffffL)
+    // out-of-range inputs are masked to 16 bits, not wrapped
+    assert(ZOrder.interleave16(0x1ffffL, 0L) == 0x55555555L)
+  }
+
+  test("codegen and interpreted paths agree; the expression rides whole-stage codegen") {
+    import spark.implicits._
+    val sh = org.apache.spark.sql.graftshim.Shim
+    val local = (0L until 4096L).map(i => (i * 7919L % 65536, i * 104729L % 65536))
+      .toDF("a", "b")
+    val z = sh.column(ZOrder2(sh.expression($"a"), sh.expression($"b")))
+    // the local relation constant-folds through the INTERPRETED eval path
+    local.withColumn("z", z).collect().foreach { r =>
+      assert(r.getLong(2) == naiveInterleave(r.getLong(0), r.getLong(1)))
+    }
+    // a parquet scan goes through doGenCode inside whole-stage codegen
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    try {
+      local.write.parquet(s"$dir/t")
+      val scanned = spark.read.parquet(s"$dir/t").withColumn("z", z)
+      scanned.collect().foreach { r =>
+        assert(r.getLong(2) == naiveInterleave(r.getLong(0), r.getLong(1)))
+      }
+      // "*(n)" prefixes are the whole-stage-codegen markers in the plan
+      // string; the projection carrying zorder2 must be inside one
+      val planStr = scanned.queryExecution.executedPlan.toString
+      assert(planStr.linesIterator.exists(l =>
+        l.contains("zorder2") && l.trim.startsWith("*(")),
+        s"zorder2 projection must ride whole-stage codegen:\n$planStr")
+    } finally graft.util.Staging.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("locality theorem: every z>>16 bucket bounds BOTH dimension spans by 2^8") {
+    import spark.implicits._
+    val ev = graft.util.Tables.events(spark, "/root/testdata/sf0.001")
+    val sh = org.apache.spark.sql.graftshim.Shim
+    val base = ev.select(
+      $"user_id".bitwiseAND(lit(65535L)).as("a"),
+      expr("unix_micros(ts) div 3600000000").bitwiseAND(lit(65535L)).as("b"))
+    val z = sh.column(ZOrder2(sh.expression($"a"), sh.expression($"b")))
+    val spans = base.withColumn("z", z)
+      .groupBy(shiftright($"z", 16).as("bucket"))
+      .agg((max($"a") - min($"a")).as("us"), (max($"b") - min($"b")).as("hs"))
+      .collect()
+    assert(spans.nonEmpty)
+    spans.foreach { r =>
+      assert(r.getLong(1) < 256 && r.getLong(2) < 256,
+        s"bucket ${r.getLong(0)}: spans ${r.getLong(1)}/${r.getLong(2)} exceed 2^8")
+    }
+  }
+}
