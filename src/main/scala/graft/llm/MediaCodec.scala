@@ -256,7 +256,7 @@ object MediaCodec {
     if (b.length < 12 || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
     // walk chunks: need fmt (PCM, 16-bit) before data
     var i = 12
-    var channels = 0; var rate = 0; var bits = 0
+    var channels = 0; var rate = 0; var bits = 0; var fmtTag = 0
     while (i + 8 <= b.length) {
       val id = new String(b, i, 4, "US-ASCII")
       val size = le32(b, i + 4)
@@ -264,19 +264,37 @@ object MediaCodec {
       // would zero or reverse the loop's forward progress — spin forever
       if (size < 0) return None
       if (id == "fmt ") {
-        if (i + 24L > b.length || le16(b, i + 8) != 1) return None // PCM only
+        if (i + 24L > b.length) return None
+        val tag = le16(b, i + 8)
+        // 1 = PCM16, 6 = G.711 A-law, 7 = G.711 mu-law
+        if (tag != 1 && tag != 6 && tag != 7) return None
+        fmtTag = tag
         channels = le16(b, i + 10); rate = le32(b, i + 12); bits = le16(b, i + 22)
       } else if (id == "data") {
-        if (channels < 1 || bits != 16 || i + 8L + size > b.length) return None
-        val frames = size / (2 * channels)
-        var s = 0L
-        var f = 0
-        while (f < frames) { // mean over channel 0 (mono in practice)
-          s += le16(b, i + 8 + f * 2 * channels).toShort
-          f += 1
-        }
-        return Some(MediaInfo("wav", None, None, Some(channels), Some(rate),
-          Some(frames), if (frames == 0) None else Some(s.toDouble / frames), None, None))
+        if (channels < 1 || i + 8L + size > b.length) return None
+        if (fmtTag == 1 && bits == 16) {
+          val frames = size / (2 * channels)
+          var s = 0L
+          var f = 0
+          while (f < frames) { // mean over channel 0 (mono in practice)
+            s += le16(b, i + 8 + f * 2 * channels).toShort
+            f += 1
+          }
+          return Some(MediaInfo("wav", None, None, Some(channels), Some(rate),
+            Some(frames), if (frames == 0) None else Some(s.toDouble / frames), None, None))
+        } else if ((fmtTag == 6 || fmtTag == 7) && bits == 8) {
+          // G.711 companded bytes expand to 13/14-bit linear PCM
+          val frames = size / channels
+          var s = 0L
+          var f = 0
+          while (f < frames) {
+            val u = b(i + 8 + f * channels).toInt & 0xff
+            s += (if (fmtTag == 7) G711.ulawToLinear(u) else G711.alawToLinear(u))
+            f += 1
+          }
+          return Some(MediaInfo("wav", None, None, Some(channels), Some(rate),
+            Some(frames), if (frames == 0) None else Some(s.toDouble / frames), None, None))
+        } else return None
       }
       // long walk: sizes near Int.MaxValue overflow `i + 8 + size` and
       // would re-enter the loop at a garbage (even negative) offset
@@ -596,6 +614,83 @@ object MediaCodec {
       }
       out
     }
+  }
+
+  /** G.711 companding (ITU-T) — the telephony/VoIP audio arm: 8-bit
+    * logarithmic bytes expand to 14-bit (mu-law) / 13-bit (A-law)
+    * linear PCM. Both directions implemented from the standard's
+    * segment/mantissa structure; the decode formulas are pure bit
+    * arithmetic, which is what lets q_g711_decode carry a closed-form
+    * SQL oracle over synthesized companded bytes. */
+  object G711 {
+    /** mu-law byte → linear PCM (CCITT G.711). */
+    def ulawToLinear(uIn: Int): Int = {
+      val u = ~uIn & 0xff
+      var t = ((u & 0x0f) << 3) + 0x84
+      t <<= (u & 0x70) >> 4
+      if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+    }
+
+    /** A-law byte → linear PCM (CCITT G.711). */
+    def alawToLinear(aIn: Int): Int = {
+      val a = aIn ^ 0x55
+      var t = (a & 0x0f) << 4
+      val seg = (a & 0x70) >> 4
+      if (seg == 0) t += 8
+      else if (seg == 1) t += 0x108
+      else t = (t + 0x108) << (seg - 1)
+      if ((a & 0x80) != 0) t else -t
+    }
+
+    /** linear PCM → mu-law byte (inverse search over the segment
+      * structure; exact inverse on the mu-law codebook). */
+    def linearToUlaw(pcmIn: Int): Int = {
+      val Bias = 0x84
+      var pcm = pcmIn
+      val sign = if (pcm < 0) { pcm = -pcm; 0x80 } else 0
+      if (pcm > 32635) pcm = 32635
+      pcm += Bias
+      var seg = 7
+      var mask = 0x4000
+      while (seg > 0 && (pcm & mask) == 0) { seg -= 1; mask >>= 1 }
+      val mant = (pcm >> (seg + 3)) & 0x0f
+      ~(sign | (seg << 4) | mant) & 0xff
+    }
+
+    /** linear PCM → A-law byte. */
+    def linearToAlaw(pcmIn: Int): Int = {
+      var pcm = pcmIn
+      val sign = if (pcm >= 0) 0x80 else { pcm = -pcm; 0 }
+      if (pcm > 32767) pcm = 32767
+      var seg = 0
+      var v = pcm >> 8
+      while (v != 0 && seg < 7) { seg += 1; v >>= 1 }
+      val mant =
+        if (seg == 0) (pcm >> 4) & 0x0f
+        else (pcm >> (seg + 3)) & 0x0f
+      (sign | (seg << 4) | mant) ^ 0x55
+    }
+  }
+
+  /** Encode a mono G.711 WAV (format tag 7 = mu-law, 6 = A-law): the
+    * RIFF container around raw companded bytes. */
+  def encodeWavG711(sampleRate: Int, companded: Array[Byte],
+                    mulaw: Boolean): Array[Byte] = {
+    val n = companded.length
+    val out = new Array[Byte](44 + n)
+    def put32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+    }
+    def put16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+    def tag(i: Int, t: String): Unit = { var j = 0; while (j < 4) { out(i + j) = t(j).toByte; j += 1 } }
+    tag(0, "RIFF"); put32(4, 36 + n); tag(8, "WAVE")
+    tag(12, "fmt "); put32(16, 16); put16(20, if (mulaw) 7 else 6)
+    put16(22, 1); put32(24, sampleRate); put32(28, sampleRate)
+    put16(32, 1); put16(34, 8)
+    tag(36, "data"); put32(40, n)
+    System.arraycopy(companded, 0, out, 44, n)
+    out
   }
 
   /** Deterministic payload synthesis for the driver gate: the pixel and

@@ -1973,6 +1973,7 @@ object Llm {
     "q_png_decode" -> (pngDecode _),
     "q_jpeg_decode" -> (jpegDecode _),
     "q_gif_decode" -> (gifDecode _),
+    "q_g711_decode" -> (g711Decode _),
     "q_emb_recall" -> (embRecall _),
     "q_line_dedup" -> (lineDedup _),
     "q_dup_fraction" -> (dupFraction _),
@@ -2306,6 +2307,82 @@ object Llm {
       |  CASE WHEN d.k % 13 <> 0 THEN d.h END AS height,
       |  round(a.m0, 6) AS mean_c0, a.chk AS chk
       |FROM dims d LEFT JOIN agg a ON a.k = d.k
+      |ORDER BY media_id""".stripMargin
+
+  /** G.711 companded audio under the oracle (the telephony/VoIP arm of
+    * the WAV decoder, beyond PCM16): per-key companded byte streams in
+    * RIFF containers — even keys mu-law (format 7), odd keys A-law
+    * (format 6) — decoded through the full chunk walk + logarithmic
+    * expansion. The decode formulas are pure bit arithmetic, so the
+    * oracle recomputes the exact linear-PCM mean per key in SQL from
+    * the same byte formula. Every 13th payload truncates mid-data: the
+    * chunk size check must refuse. */
+  def g711Decode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.MediaCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val n = (20 + k % 30).toInt
+      val bytes = Array.tabulate(n)(i => ((k * 31 + i * 17) % 256).toByte)
+      val wav = MediaCodec.encodeWavG711(8000, bytes, mulaw = k % 2 == 0)
+      val payload = if (k % 13 == 0) wav.dropRight(7) else wav
+      MediaCodec.decode(payload) match {
+        case Some(m) =>
+          (k, true, if (k % 2 == 0) "ulaw" else "alaw",
+            m.nSamples, m.sampleRate, m.meanC0)
+        case None =>
+          (k, false, if (k % 2 == 0) "ulaw" else "alaw",
+            None: Option[Int], None: Option[Int], None: Option[Double])
+      }
+    }.toDF("media_id", "wav_ok", "law", "n_samples", "sample_rate", "m0")
+    decoded.select($"media_id", $"wav_ok", $"law", $"n_samples",
+      $"sample_rate", round($"m0", 6).as("mean_pcm"))
+      .orderBy($"media_id")
+  }
+
+  /** The G.711 expansions in pure SQL bit arithmetic: mu-law
+    * t = (((255-v) & 15) << 3 + 132) << seg, sign from bit 7; A-law via
+    * the xor-85 segment form. Byte v(k, i) = (31k + 17i) mod 256 over
+    * n = 20 + k mod 30 samples. */
+  val g711DecodeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |samp AS (
+      |  SELECT ks.k, (ks.k * 31 + i.g * 17) % 256 AS v
+      |  FROM ks, generate_series(0, 49) i(g)
+      |  WHERE i.g < 20 + ks.k % 30 AND ks.k % 13 <> 0),
+      |pcm AS (
+      |  SELECT k,
+      |    CASE WHEN k % 2 = 0 THEN
+      |      -- mu-law: complement, mantissa<<3 + bias, shift by segment
+      |      CASE WHEN (255 - v) >= 128
+      |        THEN 132 - (((((255 - v) & 15) << 3) + 132) << (((255 - v) & 112) >> 4))
+      |        ELSE (((((255 - v) & 15) << 3) + 132) << (((255 - v) & 112) >> 4)) - 132
+      |      END
+      |    ELSE
+      |      -- A-law: xor 0x55, segment-expanded mantissa
+      |      CASE WHEN (xor(v, 85) & 128) <> 0
+      |        THEN CASE ((xor(v, 85) & 112) >> 4)
+      |          WHEN 0 THEN ((xor(v, 85) & 15) << 4) + 8
+      |          WHEN 1 THEN ((xor(v, 85) & 15) << 4) + 264
+      |          ELSE (((xor(v, 85) & 15) << 4) + 264) << ((((xor(v, 85) & 112) >> 4)) - 1)
+      |        END
+      |        ELSE -(CASE ((xor(v, 85) & 112) >> 4)
+      |          WHEN 0 THEN ((xor(v, 85) & 15) << 4) + 8
+      |          WHEN 1 THEN ((xor(v, 85) & 15) << 4) + 264
+      |          ELSE (((xor(v, 85) & 15) << 4) + 264) << ((((xor(v, 85) & 112) >> 4)) - 1)
+      |        END)
+      |      END
+      |    END AS lin
+      |  FROM samp),
+      |agg AS (
+      |  SELECT k, COUNT(*) AS n, round(avg(CAST(lin AS DOUBLE)), 6) AS mean_pcm
+      |  FROM pcm GROUP BY k)
+      |SELECT ks.k AS media_id, (ks.k % 13 <> 0) AS wav_ok,
+      |  CASE WHEN ks.k % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law,
+      |  CASE WHEN ks.k % 13 <> 0 THEN CAST(20 + ks.k % 30 AS INTEGER) END AS n_samples,
+      |  CASE WHEN ks.k % 13 <> 0 THEN 8000 END AS sample_rate,
+      |  a.mean_pcm AS mean_pcm
+      |FROM ks LEFT JOIN agg a ON a.k = ks.k
       |ORDER BY media_id""".stripMargin
 
   /** Multimodal plumbing end-to-end under the oracle: media rows
@@ -2972,6 +3049,7 @@ object Llm {
     "q_png_decode" -> pngDecodeSql,
     "q_jpeg_decode" -> jpegDecodeSql,
     "q_gif_decode" -> gifDecodeSql,
+    "q_g711_decode" -> g711DecodeSql,
     "q_emb_bucket_stats" -> embNearDupStatsSql,
     "q_emb_ann_topk" -> annTopKSql,
     "q_text_stats" -> textStatsSql,

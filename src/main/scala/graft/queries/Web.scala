@@ -379,6 +379,70 @@ object Web {
     * not by special-casing. Scale shape: scan-side generate (≤ a few
     * matches/doc), one (href) hash aggregate — shuffles only (href,
     * partials); the anchor index at 100 TB is exactly this plan. */
+  /** Triangle counting with DEGREE-ORDERED orientation — the web-scale
+    * formulation (alongside q_pagerank / q_graph_bfs): orient every
+    * undirected edge toward its higher-(degree, id) endpoint, enumerate
+    * each node's out-neighbor pairs (wedges), and close them against
+    * the edge set. Out-degrees under this orientation are bounded by
+    * graph arboricity (O(√m) worst case), so the wedge join never
+    * explodes on hubs — the naive all-orders join fans out
+    * quadratically in the hottest degree, the difference between hours
+    * and minutes on a 100 TB link graph. Each triangle has exactly ONE
+    * node with two out-edges under a total-order orientation, so the
+    * count is exact, not 3×. The oracle computes the SAME count with
+    * the algorithmically independent a<b<c ordered join — the value
+    * match cross-checks both formulations. Deterministic modular edge
+    * formulas over part keys (ring + skip chords guarantee triangles
+    * exist at every SF). */
+  def triangleCount(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val M = 60L
+    val ks = part(s, d).select(pmod($"p_partkey", lit(M)).as("a")).distinct()
+    val raw = ks.select($"a", pmod($"a" + 1, lit(M)).as("b"))
+      .unionByName(ks.select($"a", pmod($"a" + 2, lit(M)).as("b")))
+      .unionByName(ks.select($"a", pmod($"a" * 7 + 1, lit(M)).as("b")))
+    val und = raw.filter($"a" =!= $"b")
+      .select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
+      .distinct()
+    val deg = und.select(explode(array($"u", $"v")).as("n"))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+    val dir = und
+      .join(deg.as("du"), $"u" === col("du.n"))
+      .join(deg.as("dv"), $"v" === col("dv.n"))
+      .select(
+        when(struct(col("du.deg"), $"u") < struct(col("dv.deg"), $"v"),
+          struct($"u".as("s"), $"v".as("t")))
+          .otherwise(struct($"v".as("s"), $"u".as("t"))).as("e"))
+      .select($"e.s".as("s"), $"e.t".as("t"))
+    val wedges = dir.as("e1").join(dir.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(least(col("e1.t"), col("e2.t")).as("wu"),
+        greatest(col("e1.t"), col("e2.t")).as("wv"))
+    val closed = wedges.join(und, $"wu" === $"u" && $"wv" === $"v", "left_semi")
+    val nodes = deg.count()
+    val edges = und.count()
+    val tris = closed.count()
+    Seq((nodes, edges, tris)).toDF("n_nodes", "n_edges", "n_triangles")
+  }
+
+  val triangleCountSql: String =
+    """WITH ks AS (
+      |  SELECT DISTINCT CAST(p_partkey AS BIGINT) % 60 AS a FROM part
+      |), raw AS (
+      |  SELECT a, (a + 1) % 60 AS b FROM ks
+      |  UNION ALL SELECT a, (a + 2) % 60 AS b FROM ks
+      |  UNION ALL SELECT a, (a * 7 + 1) % 60 AS b FROM ks
+      |), und AS (
+      |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b
+      |)
+      |SELECT
+      |  (SELECT COUNT(DISTINCT n) FROM (
+      |     SELECT u AS n FROM und UNION ALL SELECT v FROM und)) AS n_nodes,
+      |  (SELECT COUNT(*) FROM und) AS n_edges,
+      |  (SELECT COUNT(*) FROM und e1
+      |     JOIN und e2 ON e1.v = e2.u
+      |     JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin
+
   def linkGraph(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d)
@@ -1214,6 +1278,7 @@ object Web {
     "q_pagerank" -> (pageRank _),
     "q_html_extract" -> (htmlExtract _),
     "q_link_graph" -> (linkGraph _),
+    "q_triangle_count" -> (triangleCount _),
     "q_crawl_frontier" -> (crawlFrontier _),
     "q_pipeline_crawl" -> (pipelineCrawl _),
     "q_warc_cdx" -> (warcCdx _),
@@ -1237,6 +1302,7 @@ object Web {
     "q_pagerank" -> pageRankSql,
     "q_html_extract" -> htmlExtractSql,
     "q_link_graph" -> linkGraphSql,
+    "q_triangle_count" -> triangleCountSql,
     "q_crawl_frontier" -> crawlFrontierSql,
     "q_pipeline_crawl" -> pipelineCrawlSql,
     "q_warc_cdx" -> warcCdxSql,

@@ -253,4 +253,40 @@ class MediaCodecSpec extends SparkTestBase {
     val h1 = MediaCodec.dhash56(pert, w, h)
     assert(java.lang.Long.bitCount(h0 ^ h1) <= 2)
   }
+
+  test("G.711: all 256 codebook bytes survive decode->encode round trips, both laws") {
+    // mu-law: the byte 0x7f/0xff pair both decode to 0 (positive and
+    // negative zero codes) — re-encoding canonicalizes to 0xff, the
+    // standard's preferred zero; every other byte is a fixed point
+    (0 until 256).foreach { b =>
+      val lin = MediaCodec.G711.ulawToLinear(b)
+      val back = MediaCodec.G711.linearToUlaw(lin)
+      if (b == 0x7f) assert(back == 0xff, s"mu-law +0 canonicalizes")
+      else assert(back == b, s"mu-law byte $b: lin=$lin back=$back")
+      // CCITT 16-bit scaling: mu-law spans exactly +-32124
+      assert(lin >= -32124 && lin <= 32124, s"mu-law range: $lin")
+    }
+    (0 until 256).foreach { b =>
+      val lin = MediaCodec.G711.alawToLinear(b)
+      val back = MediaCodec.G711.linearToAlaw(lin)
+      assert(back == b, s"A-law byte $b: lin=$lin back=$back")
+      // A-law 16-bit scaling spans exactly +-32256
+      assert(lin >= -32256 && lin <= 32256)
+    }
+  }
+
+  test("G.711 WAV containers decode with exact means; truncation refuses") {
+    val bytes = Array.tabulate(40)(i => ((i * 37) % 256).toByte)
+    for (mulaw <- Seq(true, false)) {
+      val wav = MediaCodec.encodeWavG711(8000, bytes, mulaw)
+      val m = MediaCodec.decode(wav).get
+      assert(m.format == "wav" && m.sampleRate.contains(8000) &&
+        m.nSamples.contains(40))
+      val expect = bytes.map(b =>
+        if (mulaw) MediaCodec.G711.ulawToLinear(b & 0xff)
+        else MediaCodec.G711.alawToLinear(b & 0xff)).map(_.toLong).sum / 40.0
+      assert(m.meanC0.contains(expect))
+      assert(MediaCodec.decode(wav.dropRight(5)).isEmpty)
+    }
+  }
 }
