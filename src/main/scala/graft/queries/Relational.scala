@@ -2172,6 +2172,104 @@ object Relational {
       |  MAX(a) - MIN(a) + 1 AS u_span, MAX(b) - MIN(b) + 1 AS h_span
       |FROM zc GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Bag-semantic set operations (`intersectAll` / `exceptAll` /
+    * distinct `intersect`): multiplicity-aware set algebra Catalyst
+    * plans as aggregate-rewrites, not row-matching loops. The oracle
+    * states the bag semantics in closed form — per value,
+    * INTERSECT ALL keeps min(cntA, cntB) copies and EXCEPT ALL keeps
+    * max(cntA − cntB, 0) — so the gate pins the SEMANTICS, not a
+    * DuckDB operator version. */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = lineitem(s, d)
+    val a = li.filter($"l_quantity" > 25).select($"l_returnflag".as("v"))
+    val b = li.filter($"l_discount" > 0.05).select($"l_returnflag".as("v"))
+    a.intersectAll(b).groupBy($"v").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+      .unionByName(a.exceptAll(b).groupBy($"v").agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("except_all")))
+      .unionByName(a.intersect(b).groupBy($"v").agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("intersect_distinct")))
+      .select($"op", $"v", $"n")
+      .orderBy($"op", $"v")
+  }
+
+  val setOpsSql: String =
+    """WITH a AS (
+      |  SELECT l_returnflag AS v, COUNT(*) AS cnt FROM lineitem
+      |  WHERE l_quantity > 25 GROUP BY 1
+      |), b AS (
+      |  SELECT l_returnflag AS v, COUNT(*) AS cnt FROM lineitem
+      |  WHERE l_discount > 0.05 GROUP BY 1
+      |), ab AS (
+      |  SELECT COALESCE(a.v, b.v) AS v,
+      |    COALESCE(a.cnt, 0) AS ca, COALESCE(b.cnt, 0) AS cb
+      |  FROM a FULL JOIN b ON a.v = b.v
+      |)
+      |SELECT 'intersect_all' AS op, v, LEAST(ca, cb) AS n FROM ab
+      |  WHERE LEAST(ca, cb) > 0
+      |UNION ALL
+      |SELECT 'except_all' AS op, v, ca - cb AS n FROM ab WHERE ca - cb > 0
+      |UNION ALL
+      |SELECT 'intersect_distinct' AS op, v, CAST(1 AS BIGINT) AS n FROM ab
+      |  WHERE ca > 0 AND cb > 0
+      |ORDER BY op, v""".stripMargin
+
+  /** The `try_*` error-handling family (ANSI-mode arithmetic that
+    * degrades to NULL instead of failing the job — at 100 TB the
+    * difference between quarantining bad rows and losing the stage):
+    * division by zero, guaranteed BIGINT overflow, and out-of-bounds
+    * array access, each aggregated into null-counts and decimal-exact
+    * sums the oracle restates as CASE expressions. */
+  def tryArith(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d).select(
+      expr("try_divide(l_extendedprice, l_linenumber - 1)").as("d0"),
+      expr(s"try_add(${Long.MaxValue}L, l_orderkey)").as("ov"),
+      expr("try_element_at(array(10L, 20L, 30L), CAST(l_linenumber AS INT))").as("el"))
+      .agg(
+        sum(when($"d0".isNull, 1L).otherwise(0L)).as("n_div_null"),
+        out(sum(dec($"d0"))).as("sum_div"),
+        sum(when($"ov".isNull, 1L).otherwise(0L)).as("n_overflow"),
+        sum($"el").as("sum_el"),
+        count(lit(1)).as("n"))
+  }
+
+  val tryArithSql: String =
+    """SELECT
+      |  CAST(SUM(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+      |  CAST(CAST(SUM(CASE WHEN l_linenumber = 1 THEN NULL
+      |    ELSE CAST(l_extendedprice / (l_linenumber - 1) AS DECIMAL(18,4)) END) AS DECIMAL(38,6)) AS DOUBLE) AS sum_div,
+      |  CAST(SUM(CASE WHEN l_orderkey > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow,
+      |  CAST(SUM(CASE l_linenumber WHEN 1 THEN 10 WHEN 2 THEN 20 WHEN 3 THEN 30 END) AS BIGINT) AS sum_el,
+      |  COUNT(*) AS n
+      |FROM lineitem""".stripMargin
+
+  /** Map higher-order functions (`map_from_entries` → `transform_keys`
+    * → `map_filter` → `explode`): the open-schema properties shape the
+    * reference keeps as JSONB (common.py:178-211), held as a REAL
+    * MapType and transformed declaratively. The map machinery must be
+    * value-transparent: the oracle computes the same rows straight
+    * from the per-(user, type) counts. */
+  def mapFuncs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("cnt"))
+      .groupBy($"user_id")
+      .agg(map_from_entries(collect_list(struct($"event_type", $"cnt"))).as("m"))
+      .select($"user_id", explode(
+        map_filter(transform_keys($"m", (k, _) => upper(k)), (_, v) => v > 10))
+        .as(Seq("k", "n")))
+      .orderBy($"user_id", $"k")
+  }
+
+  val mapFuncsSql: String =
+    """SELECT user_id, upper(event_type) AS k, COUNT(*) AS n
+      |FROM events
+      |GROUP BY user_id, event_type
+      |HAVING COUNT(*) > 10
+      |ORDER BY user_id, k""".stripMargin
+
   /** Ordered running aggregate per key (the order-dependent state of
     * IsochroneSubstraction, common.py:519-532, in relational form). */
   def runningSum(s: SparkSession, d: String): DataFrame = {
@@ -3026,6 +3124,9 @@ object Relational {
     "q_collation_lcase" -> (collationLcase _),
     "q_recursive_cte" -> (recursiveCte _),
     "q_zorder_layout" -> (zorderLayout _),
+    "q_set_ops" -> (setOps _),
+    "q_try_arith" -> (tryArith _),
+    "q_map_funcs" -> (mapFuncs _),
     "q_running_sum" -> (runningSum _),
     "q_correlated_agg" -> (correlatedAgg _),
   )
@@ -3097,6 +3198,9 @@ object Relational {
     "q_collation_lcase" -> collationLcaseSql,
     "q_recursive_cte" -> recursiveCteSql,
     "q_zorder_layout" -> zorderLayoutSql,
+    "q_set_ops" -> setOpsSql,
+    "q_try_arith" -> tryArithSql,
+    "q_map_funcs" -> mapFuncsSql,
     "q_running_sum" -> runningSumSql,
     "q_correlated_agg" -> correlatedAggSql,
   )
