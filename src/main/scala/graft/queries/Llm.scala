@@ -1974,6 +1974,7 @@ object Llm {
     "q_jpeg_decode" -> (jpegDecode _),
     "q_gif_decode" -> (gifDecode _),
     "q_g711_decode" -> (g711Decode _),
+    "q_media_zoo" -> (mediaZoo _),
     "q_emb_recall" -> (embRecall _),
     "q_line_dedup" -> (lineDedup _),
     "q_dup_fraction" -> (dupFraction _),
@@ -2383,6 +2384,122 @@ object Llm {
       |  CASE WHEN ks.k % 13 <> 0 THEN 8000 END AS sample_rate,
       |  a.mean_pcm AS mean_pcm
       |FROM ks LEFT JOIN agg a ON a.k = ks.k
+      |ORDER BY media_id""".stripMargin
+
+  /** The codec-family capstone: one mixed-container corpus routed
+    * through [[graft.llm.MediaCodec.decode]]'s MAGIC-BYTE SNIFFING —
+    * per key the format cycles PNG(RGB) → JPEG(flat-block gray) →
+    * GIF(gray) → WAV(G.711 mu-law) → BMP(RGB), the realistic shape of
+    * a crawled media column where nothing labels the container. Every
+    * arm must identify itself AND decode to the closed-form stats;
+    * every 13th payload is corrupted per-format (bit-flip where the
+    * container carries a CRC, truncation where it does not) and must
+    * refuse. One query, five containers, one oracle. */
+  def mediaZoo(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.{GifCodec, JpegCodec, MediaCodec}
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val corrupt = k % 13 == 0
+      val bytes: Array[Byte] = (k % 5) match {
+        case 0 =>
+          val w = (3 + k % 5).toInt; val h = (2 + k % 4).toInt
+          val b = MediaCodec.encodePng(w, h, 3,
+            (x, y, c) => ((k + 3L * x + 7L * y + 11L * c) % 256).toInt)
+          if (corrupt) { val c2 = b.clone(); c2(c2.length - 20) = (c2(c2.length - 20) ^ 0x10).toByte; c2 }
+          else b
+        case 1 =>
+          val b = JpegCodec.encodeGray(16, 8,
+            (x, y) => ((k + 5L * (x / 8) + 11L * (y / 8)) % 256).toInt)
+          if (corrupt) b.dropRight(10) else b
+        case 2 =>
+          val w = (4 + k % 6).toInt; val h = (3 + k % 5).toInt
+          val b = GifCodec.encodeGray(w, h,
+            (x, y) => ((2 * k + 5L * x + 3L * y) % 256).toInt)
+          if (corrupt) b.dropRight(12) else b
+        case 3 =>
+          val n = (16 + k % 16).toInt
+          val b = MediaCodec.encodeWavG711(8000,
+            Array.tabulate(n)(i => ((k * 31 + i * 17) % 256).toByte), mulaw = true)
+          if (corrupt) b.dropRight(7) else b
+        case _ =>
+          val w = (3 + k % 4).toInt; val h = (2 + k % 3).toInt
+          val b = MediaCodec.encodeBmp(w, h,
+            (x, y) => (((k + x) % 256).toInt, ((k + y) % 256).toInt, ((k + x + y) % 256).toInt))
+          if (corrupt) b.take(40) else b
+      }
+      MediaCodec.decode(bytes) match {
+        case Some(m) => (k, true, m.format, m.width, m.height, m.channels,
+          m.sampleRate, m.nSamples, m.meanC0)
+        case None => (k, false, "none", None: Option[Int], None: Option[Int],
+          None: Option[Int], None: Option[Int], None: Option[Int],
+          None: Option[Double])
+      }
+    }.toDF("media_id", "ok", "fmt", "width", "height", "channels",
+      "sample_rate", "n_samples", "m0")
+    decoded.select($"media_id", $"ok", $"fmt", $"width", $"height",
+      $"channels", $"sample_rate", $"n_samples", round($"m0", 6).as("mean_c0"))
+      .orderBy($"media_id")
+  }
+
+  /** Per-format closed forms over the synthesis formulas; corrupted
+    * keys (k % 13 = 0) decode to nothing regardless of arm. */
+  val mediaZooSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |png AS (
+      |  SELECT d.k, avg(CAST((d.k + 3 * x.g + 7 * y.g) % 256 AS DOUBLE)) AS m0
+      |  FROM (SELECT k, 3 + k % 5 AS w, 2 + k % 4 AS h FROM ks WHERE k % 5 = 0) d,
+      |    generate_series(0, 7) x(g), generate_series(0, 5) y(g)
+      |  WHERE x.g < d.w AND y.g < d.h GROUP BY d.k),
+      |jpeg AS (
+      |  SELECT d.k, avg(CAST((d.k + 5 * (x.g // 8) + 11 * (y.g // 8)) % 256 AS DOUBLE)) AS m0
+      |  FROM (SELECT k FROM ks WHERE k % 5 = 1) d,
+      |    generate_series(0, 15) x(g), generate_series(0, 7) y(g)
+      |  GROUP BY d.k),
+      |gif AS (
+      |  SELECT d.k, avg(CAST((2 * d.k + 5 * x.g + 3 * y.g) % 256 AS DOUBLE)) AS m0
+      |  FROM (SELECT k, 4 + k % 6 AS w, 3 + k % 5 AS h FROM ks WHERE k % 5 = 2) d,
+      |    generate_series(0, 9) x(g), generate_series(0, 7) y(g)
+      |  WHERE x.g < d.w AND y.g < d.h GROUP BY d.k),
+      |wav AS (
+      |  SELECT d.k, avg(CAST(CASE WHEN (255 - v) >= 128
+      |    THEN 132 - (((((255 - v) & 15) << 3) + 132) << (((255 - v) & 112) >> 4))
+      |    ELSE (((((255 - v) & 15) << 3) + 132) << (((255 - v) & 112) >> 4)) - 132
+      |    END AS DOUBLE)) AS m0
+      |  FROM (SELECT k, (k * 31 + i.g * 17) % 256 AS v
+      |        FROM ks, generate_series(0, 31) i(g)
+      |        WHERE k % 5 = 3 AND i.g < 16 + k % 16) d
+      |  GROUP BY d.k),
+      |bmp AS (
+      |  SELECT d.k, avg(CAST((d.k + x.g) % 256 AS DOUBLE)) AS m0
+      |  FROM (SELECT k, 3 + k % 4 AS w, 2 + k % 3 AS h FROM ks WHERE k % 5 = 4) d,
+      |    generate_series(0, 6) x(g), generate_series(0, 4) y(g)
+      |  WHERE x.g < d.w AND y.g < d.h GROUP BY d.k)
+      |SELECT ks.k AS media_id, (ks.k % 13 <> 0) AS ok,
+      |  CASE WHEN ks.k % 13 = 0 THEN 'none'
+      |    ELSE CASE ks.k % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+      |      WHEN 2 THEN 'gif' WHEN 3 THEN 'wav' ELSE 'bmp' END END AS fmt,
+      |  CASE WHEN ks.k % 13 <> 0 THEN CASE ks.k % 5
+      |    WHEN 0 THEN CAST(3 + ks.k % 5 AS INTEGER) WHEN 1 THEN 16
+      |    WHEN 2 THEN CAST(4 + ks.k % 6 AS INTEGER) WHEN 3 THEN NULL
+      |    ELSE CAST(3 + ks.k % 4 AS INTEGER) END END AS width,
+      |  CASE WHEN ks.k % 13 <> 0 THEN CASE ks.k % 5
+      |    WHEN 0 THEN CAST(2 + ks.k % 4 AS INTEGER) WHEN 1 THEN 8
+      |    WHEN 2 THEN CAST(3 + ks.k % 5 AS INTEGER) WHEN 3 THEN NULL
+      |    ELSE CAST(2 + ks.k % 3 AS INTEGER) END END AS height,
+      |  CASE WHEN ks.k % 13 <> 0 THEN CASE ks.k % 5
+      |    WHEN 0 THEN 3 WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1 ELSE 3 END
+      |  END AS channels,
+      |  CASE WHEN ks.k % 13 <> 0 AND ks.k % 5 = 3 THEN 8000 END AS sample_rate,
+      |  CASE WHEN ks.k % 13 <> 0 AND ks.k % 5 = 3
+      |    THEN CAST(16 + ks.k % 16 AS INTEGER) END AS n_samples,
+      |  round(COALESCE(png.m0, jpeg.m0, gif.m0, wav.m0, bmp.m0), 6) AS mean_c0
+      |FROM ks
+      |LEFT JOIN png ON png.k = ks.k AND ks.k % 13 <> 0
+      |LEFT JOIN jpeg ON jpeg.k = ks.k AND ks.k % 13 <> 0
+      |LEFT JOIN gif ON gif.k = ks.k AND ks.k % 13 <> 0
+      |LEFT JOIN wav ON wav.k = ks.k AND ks.k % 13 <> 0
+      |LEFT JOIN bmp ON bmp.k = ks.k AND ks.k % 13 <> 0
       |ORDER BY media_id""".stripMargin
 
   /** Multimodal plumbing end-to-end under the oracle: media rows
@@ -3050,6 +3167,7 @@ object Llm {
     "q_jpeg_decode" -> jpegDecodeSql,
     "q_gif_decode" -> gifDecodeSql,
     "q_g711_decode" -> g711DecodeSql,
+    "q_media_zoo" -> mediaZooSql,
     "q_emb_bucket_stats" -> embNearDupStatsSql,
     "q_emb_ann_topk" -> annTopKSql,
     "q_text_stats" -> textStatsSql,
