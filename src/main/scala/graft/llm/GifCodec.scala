@@ -153,6 +153,9 @@ object GifCodec {
           val w = u16(p); val h = u16(p + 2); p += 4
           val iflags = u8(p); p += 1
           if (w <= 0 || h <= 0) return None
+          // untrusted dims: cap the raster before allocating (a hostile
+          // descriptor claiming 65535x65535 would try ~17 GB)
+          if (w.toLong * h > (1L << 26)) return None
           var ct = globalCt
           if ((iflags & 0x80) != 0) {
             val n = 2 << (iflags & 7)

@@ -372,6 +372,10 @@ object JpegCodec {
           h = u16(p + 3); w = u16(p + 5)
           val nc = b(p + 7) & 0xff
           require(w > 0 && h > 0, "empty frame")
+          // untrusted dims: a hostile SOF claiming 65535x65535 would
+          // allocate gigabytes BEFORE the entropy decode fails — cap the
+          // raster like the PNG arm does (64M px covers any real gate)
+          require(w.toLong * h <= (1L << 26), s"frame too large ${w}x$h")
           require(nc == 1 || nc == 3, s"unsupported component count $nc")
           comps = Array.tabulate(nc) { i =>
             val o = p + 8 + 3 * i

@@ -145,4 +145,23 @@ class GifCodecSpec extends AnyFunSuite {
     assert(info.meanC0.contains(77.0) && info.meanC1.contains(77.0) &&
       info.meanC2.contains(77.0))
   }
+
+  test("hostile inputs: giant claimed dims refuse without allocating; random bytes never throw") {
+    // a descriptor claiming 65535x65535 would otherwise attempt a ~17 GB
+    // raster allocation before the LZW data could fail
+    val big = GifCodec.encodeGray(8, 8, (_, _) => 1)
+    // logical screen dims live at offsets 6..9; image descriptor dims
+    // follow the 768-byte palette + 5 bytes into the descriptor
+    val p = 13 + 768 + 5
+    val hostile = big.clone()
+    hostile(p) = 0xff.toByte; hostile(p + 1) = 0xff.toByte
+    hostile(p + 2) = 0xff.toByte; hostile(p + 3) = 0xff.toByte
+    assert(GifCodec.decode(hostile).isEmpty)
+    val rnd = new scala.util.Random(11)
+    (0 until 3000).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte)
+      val prefixed = "GIF89a".getBytes ++ junk
+      GifCodec.decode(prefixed) // must not throw
+    }
+  }
 }

@@ -148,4 +148,21 @@ class JpegCodecSpec extends AnyFunSuite {
     // flat blocks: mean is the block-level average, exactly
     assert(info.meanC0.contains((10.0 + 60.0) / 2))
   }
+
+  test("hostile inputs: giant claimed dims refuse without allocating; random bytes never throw") {
+    val big = JpegCodec.encodeGray(8, 8, (_, _) => 1)
+    // SOF0 dims sit 3 bytes after the FF C0 marker (len, precision, h, w)
+    val sof = big.indices.drop(2).find(i =>
+      (big(i - 1) & 0xff) == 0xff && (big(i) & 0xff) == 0xc0).get
+    val hostile = big.clone()
+    hostile(sof + 4) = 0xff.toByte; hostile(sof + 5) = 0xff.toByte // h = 65535
+    hostile(sof + 6) = 0xff.toByte; hostile(sof + 7) = 0xff.toByte // w = 65535
+    assert(JpegCodec.decode(hostile).isEmpty)
+    val rnd = new scala.util.Random(13)
+    (0 until 3000).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte)
+      val prefixed = Array(0xff.toByte, 0xd8.toByte) ++ junk
+      JpegCodec.decode(prefixed) // must not throw
+    }
+  }
 }
