@@ -578,15 +578,28 @@ object Training {
       .select($"doc_id", TA.stats($"text").as("st"),
         TA.stopwordScores($"text").getItem(idxEn).as("sw"))
       .select($"doc_id", TA.qualityScoreFused($"st", $"sw").as("q_score"))
+    // decile fractions are fixed (~i/10 to within 1/n), so the boundary
+    // sketch rides the cache-materializing count — the same job fusion
+    // as lmPplFilter (VERDICT r10 #3), here saving the 9-probe
+    // approxQuantile job
+    val eps = graft.util.OrderStats.Eps
+    val fracs = (1 to 9).flatMap(i =>
+      Seq(math.max(0.0, i / 10.0 - 3 * eps), math.min(1.0, i / 10.0 + 3 * eps)))
+    val obs = org.apache.spark.sql.Observation()
     val per = perDocPpl(s, d).select($"doc_id", $"ppl")
-      .join(qual, Seq("doc_id")).persist()
+      .join(qual, Seq("doc_id"))
+      .observe(obs, percentile_approx($"ppl",
+        array(fracs.map(lit): _*), lit((2 / eps).toInt)).as("qs"))
+      .persist()
     val n = per.count()
     val key = struct($"ppl", $"doc_id")
     val bucket = if (n == 0) lit(1) else {
       val base = n / 10
       val sizes = (1 to 10).map(i => base + (if (n % 10 >= i) 1L else 0L))
       val cums = sizes.scanLeft(0L)(_ + _).tail.dropRight(1) // 9 boundaries
-      val bs = graft.util.OrderStats.kthPairs(per, "ppl", "doc_id", cums, n)
+      val bounds = obs.get("qs").asInstanceOf[scala.collection.Seq[Double]].toSeq
+      val bs = graft.util.OrderStats.kthPairsBracketed(
+        per, "ppl", "doc_id", cums, n, bounds)
       bs.zipWithIndex.reverse.foldLeft(lit(10): org.apache.spark.sql.Column) {
         case (acc, ((v, t), i)) =>
           when(key <= struct(lit(v).as("ppl"), lit(t).as("doc_id")), i + 1)
