@@ -2274,6 +2274,44 @@ object Relational {
       |HAVING COUNT(*) > 10
       |ORDER BY user_id, k""".stripMargin
 
+  /** Spark 4's built-in `from_xml` (the schema-on-read XML path — the
+    * reference shells out to ogr2ogr/parsers for XML-shaped data,
+    * osm.py:66-83; graft's OSM op parses natively, and THIS gate covers
+    * the engine-level alternative for plain XML columns): per-row XML
+    * documents synthesized in-plan — attributes, nested elements, a
+    * repeated element array — parsed back through `from_xml` with an
+    * explicit schema, exploded and aggregated. The XML layer must be
+    * value-transparent against the direct relational oracle. */
+  def xmlExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val doc = concat(
+      lit("<order id=\""), $"o_orderkey", lit("\" status=\""), $"o_orderstatus",
+      lit("\"><prio>"), $"o_orderpriority", lit("</prio>"),
+      lit("<line n=\"1\"/><line n=\""), $"o_orderkey" % 7, lit("\"/></order>"))
+    val schema = "STRUCT<_id: BIGINT, _status: STRING, prio: STRING, line: ARRAY<STRUCT<_n: BIGINT>>>"
+    orders(s, d)
+      .select(from_xml(doc, lit(schema)).as("x"))
+      .select($"x._id".as("okey"), $"x._status".as("status"),
+        $"x.prio".as("prio"), explode($"x.line._n").as("n"))
+      .groupBy($"status", $"prio")
+      .agg(count(lit(1)).as("n_lines"), sum($"n").as("sum_n"),
+        max($"okey").as("max_key"))
+      .orderBy($"status", $"prio")
+  }
+
+  val xmlExtractSql: String =
+    """WITH l AS (
+      |  SELECT o_orderstatus AS status, o_orderpriority AS prio,
+      |    o_orderkey, CAST(1 AS BIGINT) AS n FROM orders
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_orderpriority, o_orderkey,
+      |    o_orderkey % 7 FROM orders
+      |)
+      |SELECT status, prio, COUNT(*) AS n_lines, CAST(SUM(n) AS BIGINT) AS sum_n,
+      |  MAX(o_orderkey) AS max_key
+      |FROM l GROUP BY status, prio
+      |ORDER BY status, prio""".stripMargin
+
   /** Ordered running aggregate per key (the order-dependent state of
     * IsochroneSubstraction, common.py:519-532, in relational form). */
   def runningSum(s: SparkSession, d: String): DataFrame = {
@@ -3131,6 +3169,7 @@ object Relational {
     "q_set_ops" -> (setOps _),
     "q_try_arith" -> (tryArith _),
     "q_map_funcs" -> (mapFuncs _),
+    "q_xml_extract" -> (xmlExtract _),
     "q_running_sum" -> (runningSum _),
     "q_correlated_agg" -> (correlatedAgg _),
   )
@@ -3205,6 +3244,7 @@ object Relational {
     "q_set_ops" -> setOpsSql,
     "q_try_arith" -> tryArithSql,
     "q_map_funcs" -> mapFuncsSql,
+    "q_xml_extract" -> xmlExtractSql,
     "q_running_sum" -> runningSumSql,
     "q_correlated_agg" -> correlatedAggSql,
   )
