@@ -2312,6 +2312,29 @@ object Relational {
       |FROM l GROUP BY status, prio
       |ORDER BY status, prio""".stripMargin
 
+  /** Spark 4's exact `median` built-in per group (complementing
+    * q_exact_median's sort-free OrderStats formulation over the whole
+    * corpus): for even groups both engines average the same two middle
+    * doubles — one IEEE op on identical inputs, so the gate needs no
+    * rounding slack. At 100 TB the built-in sorts within each group's
+    * aggregation buffer, which is fine for bounded groups; the
+    * OrderStats path remains the corpus-scale tool (and
+    * q_percentile_disc-style rank selection stays exact by
+    * construction). */
+  def builtinMedian(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .groupBy($"event_type")
+      .agg(median($"value").as("med"), min($"value").as("mn"),
+        max($"value").as("mx"), count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  val builtinMedianSql: String =
+    """SELECT event_type, median(value) AS med, min(value) AS mn,
+      |  max(value) AS mx, COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Ordered running aggregate per key (the order-dependent state of
     * IsochroneSubstraction, common.py:519-532, in relational form). */
   def runningSum(s: SparkSession, d: String): DataFrame = {
@@ -3170,6 +3193,7 @@ object Relational {
     "q_try_arith" -> (tryArith _),
     "q_map_funcs" -> (mapFuncs _),
     "q_xml_extract" -> (xmlExtract _),
+    "q_builtin_median" -> (builtinMedian _),
     "q_running_sum" -> (runningSum _),
     "q_correlated_agg" -> (correlatedAgg _),
   )
@@ -3245,6 +3269,7 @@ object Relational {
     "q_try_arith" -> tryArithSql,
     "q_map_funcs" -> mapFuncsSql,
     "q_xml_extract" -> xmlExtractSql,
+    "q_builtin_median" -> builtinMedianSql,
     "q_running_sum" -> runningSumSql,
     "q_correlated_agg" -> correlatedAggSql,
   )
