@@ -106,4 +106,30 @@ class OrderStatsSpec extends SparkTestBase {
       graft.util.OrderStats.kthPair(df, "v", "id", 2, 1)
     }
   }
+
+  test("kthPairsBracketed: caller-supplied bounds, including GARBAGE brackets, stay exact") {
+    val rnd = new scala.util.Random(17)
+    val rows = (1L to 3000L).map(i => (rnd.nextGaussian() * 50, i))
+    val df = rows.toDF("v", "id").repartition(8)
+    val n = rows.size.toLong
+    val sorted = rows.sorted
+    val ks = Seq(1L, 1000L, 2000L, 3000L)
+    // honest bounds from an actual sketch: must match kthPairs exactly
+    val eps = graft.util.OrderStats.Eps
+    val probes = ks.flatMap { k =>
+      val q = k.toDouble / n
+      Seq(math.max(0.0, q - 2 * eps), math.min(1.0, q + 2 * eps))
+    }
+    val goodBounds = df.stat.approxQuantile("v", probes.toArray, eps / 2).toSeq
+    val good = graft.util.OrderStats.kthPairsBracketed(df, "v", "id", ks, n, goodBounds)
+    ks.zip(good).foreach { case (k, got) => assert(got === sorted(k.toInt - 1), s"good k=$k") }
+    // GARBAGE brackets (empty interval far outside the data): every k
+    // must fall back to the exact distinct-value histogram, not error
+    val junk = ks.flatMap(_ => Seq(1e9, 1e9 + 1)).toSeq
+    val fb = graft.util.OrderStats.kthPairsBracketed(df, "v", "id", ks, n, junk)
+    ks.zip(fb).foreach { case (k, got) => assert(got === sorted(k.toInt - 1), s"fallback k=$k") }
+    // mismatched bounds length is rejected loudly
+    intercept[IllegalArgumentException](
+      graft.util.OrderStats.kthPairsBracketed(df, "v", "id", ks, n, Seq(0.0)))
+  }
 }
