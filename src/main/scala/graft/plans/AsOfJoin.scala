@@ -69,8 +69,8 @@ case class AsOfJoinExec(
     rightTieOrder: Seq[Expression],
     direction: String) extends BinaryExecNode {
 
-  require(direction == "backward" || direction == "forward",
-    s"as-of direction must be backward or forward, got $direction")
+  require(direction == "backward" || direction == "forward" || direction == "nearest",
+    s"as-of direction must be backward, forward or nearest, got $direction")
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs matching, non-empty key lists")
   require(leftKeys.zip(rightKeys).forall { case (a, b) => a.dataType == b.dataType },
@@ -188,6 +188,43 @@ case class AsOfJoinExec(
             numOutputRows += 1
             if (ok) numMatched += 1
             outProj(joined(l, if (ok) cand else nullRight))
+          } else if (direction == "nearest") {
+            // nearest: hold the backward candidate (latest rt <= lt, the
+            // same loop as backward) AND peek the forward pending (first
+            // rt >= lt, never consumed on match) — then take whichever is
+            // closer in |rt - lt|, each side under its own tolerance arm
+            // and tie order; an exact-distance tie goes to the BACKWARD
+            // side (documented; the oracle encodes the same rule)
+            var advancing = true
+            while (advancing && pending != null) {
+              val c = keyOrd.compare(rKey(pending), lk)
+              if (c < 0) pending = advanceRight()
+              else if (c == 0) {
+                val rtv = rtB.eval(pending).asInstanceOf[Long]
+                if (rtv <= ltv) {
+                  cand = pending; candTime = rtv
+                  pending = advanceRight()
+                } else advancing = false
+              } else advancing = false
+            }
+            val backOk = cand != null &&
+              keyOrd.compare(candKeyProj(cand), lk) == 0 &&
+              tol.forall(t => candTime >= ltv - t)
+            val fwdOk = pending != null &&
+              keyOrd.compare(rKey(pending), lk) == 0 && {
+                val rtv = rtB.eval(pending).asInstanceOf[Long]
+                tol.forall(t => rtv <= ltv + t)
+              }
+            val useBack =
+              if (backOk && fwdOk)
+                (ltv - candTime) <= (rtB.eval(pending).asInstanceOf[Long] - ltv)
+              else backOk
+            numOutputRows += 1
+            if (backOk || fwdOk) numMatched += 1
+            outProj(joined(l,
+              if (useBack && backOk) cand
+              else if (fwdOk) pending
+              else nullRight))
           } else {
             // forward: the match is the FIRST unconsumed right row with
             // rt >= lt — rows with rt < lt are dead for every later left
@@ -240,6 +277,18 @@ object AsOfJoin {
               toleranceUs: Option[Long] = None,
               rightTie: Seq[String] = Nil): DataFrame =
     build(leftDf, rightDf, key, time, toleranceUs, rightTie, "forward")
+
+  /** Nearest as-of left join (pandas merge_asof's third direction): the
+    * right row minimizing |rightTime − leftTime| within tolerance; an
+    * exact-distance tie takes the BACKWARD (≤) candidate; within a side
+    * the side's own tie rule applies (backward max / forward min under
+    * the tie order). Same O(n+m) merge, ONE buffered row plus the
+    * forward peek. */
+  def nearest(leftDf: DataFrame, rightDf: DataFrame,
+              key: (String, String), time: (String, String),
+              toleranceUs: Option[Long] = None,
+              rightTie: Seq[String] = Nil): DataFrame =
+    build(leftDf, rightDf, key, time, toleranceUs, rightTie, "nearest")
 
   private def build(leftDf: DataFrame, rightDf: DataFrame,
                     key: (String, String), time: (String, String),

@@ -3052,6 +3052,56 @@ object Relational {
     }
   }
 
+  /** The third direction of the custom as-of operator (pandas
+    * merge_asof's `nearest`): each error's CLOSEST click by |Δt| within
+    * 1 day — exact-distance ties go to the backward (≤) candidate, side
+    * tie orders as in q_asof_exec/_fwd. Same O(n+m) merge with one
+    * buffered row plus a forward peek; the oracle builds every
+    * qualifying pair and ranks by (|Δt|, prefer-backward, side tie
+    * rule) — the pair blowup the operator exists to avoid. */
+  def asofExecNear(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.util.Tables.events(s, d)
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"event_id".as("error_id"), $"ts".as("error_ts"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"),
+        $"ts".as("click_ts"))
+    graft.plans.AsOfJoin.nearest(errors, clicks,
+        key = ("user_id", "c_user"), time = ("error_ts", "click_ts"),
+        toleranceUs = Some(86400000000L), rightTie = Seq("click_id"))
+      .select($"user_id", $"error_id", $"click_id", $"click_ts")
+      .orderBy($"user_id", $"error_id")
+  }
+
+  val asofExecNearSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id AS error_id, ts AS error_ts
+      |  FROM events WHERE event_type = 'error'
+      |), c AS (
+      |  SELECT user_id, event_id AS click_id, ts AS click_ts
+      |  FROM events WHERE event_type = 'click'
+      |), j AS (
+      |  SELECT e.user_id, e.error_id, c.click_id, c.click_ts,
+      |    ROW_NUMBER() OVER (PARTITION BY e.user_id, e.error_id
+      |      ORDER BY abs(epoch_us(c.click_ts) - epoch_us(e.error_ts)) ASC,
+      |        CASE WHEN c.click_ts <= e.error_ts THEN 0 ELSE 1 END ASC,
+      |        CASE WHEN c.click_ts <= e.error_ts
+      |             THEN -c.click_id ELSE c.click_id END ASC) AS rk
+      |  FROM e JOIN c ON c.user_id = e.user_id
+      |   AND c.click_ts >= e.error_ts - INTERVAL 1 DAY
+      |   AND c.click_ts <= e.error_ts + INTERVAL 1 DAY
+      |)
+      |SELECT user_id, error_id, click_id, click_ts FROM j WHERE rk = 1
+      |UNION ALL
+      |SELECT e.user_id, e.error_id,
+      |  CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)
+      |FROM e WHERE NOT EXISTS (
+      |  SELECT 1 FROM c WHERE c.user_id = e.user_id
+      |    AND c.click_ts >= e.error_ts - INTERVAL 1 DAY
+      |    AND c.click_ts <= e.error_ts + INTERVAL 1 DAY)
+      |ORDER BY user_id, error_id""".stripMargin
+
   /** SCD type-2 dimension merge — the warehouse upsert-with-history
     * shape: a deterministic update batch (every 10th customer's balance
     * moves; every 97th spawns a new key) full-outer-joins the current
@@ -3170,6 +3220,7 @@ object Relational {
     "q_asof_exec" -> (asofExec _),
     "q_asof_exec_fwd" -> (asofExecFwd _),
     "q_asof_bucketed" -> (asofBucketed _),
+    "q_asof_exec_near" -> (asofExecNear _),
     "q_runtime_filter" -> (runtimeFilter _),
     "q_interval_join" -> (intervalJoin _),
     "q_stream_anti" -> (streamAnti _),
@@ -3246,6 +3297,7 @@ object Relational {
     "q_asof_exec" -> asofExecSql,
     "q_asof_exec_fwd" -> asofExecFwdSql,
     "q_asof_bucketed" -> asofExecSql,
+    "q_asof_exec_near" -> asofExecNearSql,
     "q_runtime_filter" -> runtimeFilterSql,
     "q_interval_join" -> intervalJoinSql,
     "q_stream_anti" -> streamAntiSql,

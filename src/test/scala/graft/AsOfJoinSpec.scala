@@ -88,6 +88,41 @@ class AsOfJoinSpec extends SparkTestBase {
     }
   }
 
+  private def bruteNear(l: Seq[(Long, Long, Long)], r: Seq[(Long, Long, Long)],
+                        tol: Option[Long]): Set[(Long, Long, Long, Option[Long])] =
+    l.map { case (k, t, lid) =>
+      val back = r.filter(x => x._1 == k && x._2 <= t &&
+        tol.forall(tl => x._2 >= t - tl)).sortBy(x => (x._2, x._3)).lastOption
+      val fwd = r.filter(x => x._1 == k && x._2 >= t &&
+        tol.forall(tl => x._2 <= t + tl)).sortBy(x => (x._2, x._3)).headOption
+      val best = (back, fwd) match {
+        case (Some(b), Some(f)) =>
+          // exact-distance tie goes BACKWARD (the documented rule)
+          if (t - b._2 <= f._2 - t) Some(b) else Some(f)
+        case (b, f) => b.orElse(f)
+      }
+      (k, t, lid, best.map(_._3))
+    }.toSet
+
+  test("nearest property: matches brute force; distance ties go backward") {
+    val rnd = new scala.util.Random(31)
+    val l = (1 to 400).map(i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(100).toLong, i.toLong))
+    val r = (1 to 300).map(i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(100).toLong, i.toLong))
+    for (tol <- Seq(None, Some(7L))) {
+      val got = AsOfJoin.nearest(
+        l.toDF("k", "t", "lid").repartition(4),
+        r.toDF("rk", "rt", "rid").repartition(3),
+        key = ("k", "rk"), time = ("t", "rt"),
+        toleranceUs = tol, rightTie = Seq("rid"))
+        .collect().map(x =>
+          (x.getLong(0), x.getLong(1), x.getLong(2),
+            if (x.isNullAt(5)) None else Some(x.getLong(5)))).toSet
+      assert(got == bruteNear(l, r, tol), s"tol=$tol")
+    }
+  }
+
   test("left-outer: every left row emits; unmatched keep nulls") {
     val out = run(Seq((1L, 5L, 1L), (9L, 5L, 2L)), Seq((1L, 3L, 7L)), None)
     assert(out.count() == 2)
