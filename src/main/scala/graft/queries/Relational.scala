@@ -631,6 +631,75 @@ object Relational {
       |GROUP BY c_count
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  /** TPC-H Q1 (pricing summary report) — the canonical scan-dominated
+    * aggregation, completing the set this schema fully supports: per
+    * (returnflag, linestatus), decimal-exact quantity/price/revenue/
+    * charge sums, exact half-up means (the [[graft.util.ExactRound]]
+    * integer-arithmetic form both engines compute identically), and
+    * counts. Pure partial-aggregate shape: at 100 TB this is one scan +
+    * a 6-group rollup; the shuffle carries six rows per map task. */
+  def tpchQ1(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val disc = dec($"l_extendedprice") * dec(lit(1) - $"l_discount")
+    lineitem(s, d)
+      .filter($"l_shipdate" <= lit("2000-09-02").cast("timestamp_ntz"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        out(sum(dec($"l_quantity"))).as("sum_qty"),
+        out(sum(dec($"l_extendedprice"))).as("sum_base_price"),
+        out(sum(disc)).as("sum_disc_price"),
+        out(sum(disc * dec(lit(1) + $"l_tax"))).as("sum_charge"),
+        expr(graft.util.ExactRound.meanOfDecimal6(
+          "SUM(CAST(l_quantity AS DECIMAL(18,4)))", "COUNT(*)")).as("avg_qty"),
+        expr(graft.util.ExactRound.meanOfDecimal6(
+          "SUM(CAST(l_extendedprice AS DECIMAL(18,4)))", "COUNT(*)")).as("avg_price"),
+        expr(graft.util.ExactRound.meanOfDecimal6(
+          "SUM(CAST(l_discount AS DECIMAL(18,4)))", "COUNT(*)")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val tpchQ1Sql: String = {
+    val m = graft.util.ExactRound.meanOfDecimal6Duck(_: String, "COUNT(*)")
+    s"""SELECT l_returnflag, l_linestatus,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4)) * CAST(1 + l_tax AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+      |  ${m("SUM(CAST(l_quantity AS DECIMAL(18,4)))")} AS avg_qty,
+      |  ${m("SUM(CAST(l_extendedprice AS DECIMAL(18,4)))")} AS avg_price,
+      |  ${m("SUM(CAST(l_discount AS DECIMAL(18,4)))")} AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  }
+
+  /** TPC-H Q6 (forecasting revenue change): the pure scan-filter-sum —
+    * every predicate pushes to the parquet scan, the aggregate is one
+    * decimal-exact number. The simplest query in the suite and the
+    * purest pushdown check. */
+  def tpchQ6(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp_ntz") &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+      .agg(out(sum(dec($"l_extendedprice") * dec($"l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  val tpchQ6Sql: String =
+    """SELECT
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   /** TPC-H Q4 (order priority checking), adapted: the schema carries no
     * l_commitdate/l_receiptdate, so "late" is l_shipdate more than 90
     * days after o_orderdate — the structural content (the EXISTS
@@ -3189,6 +3258,8 @@ object Relational {
     "q_tpch_q8" -> (tpchQ8 _),
     "q_tpch_q18" -> (tpchQ18 _),
     "q_tpch_q13" -> (tpchQ13 _),
+    "q_tpch_q1" -> (tpchQ1 _),
+    "q_tpch_q6" -> (tpchQ6 _),
     "q_tpch_q4" -> (tpchQ4 _),
     "q_tpch_q17" -> (tpchQ17 _),
     "q_tpch_q21" -> (tpchQ21 _),
@@ -3266,6 +3337,8 @@ object Relational {
     "q_tpch_q8" -> tpchQ8Sql,
     "q_tpch_q18" -> tpchQ18Sql,
     "q_tpch_q13" -> tpchQ13Sql,
+    "q_tpch_q1" -> tpchQ1Sql,
+    "q_tpch_q6" -> tpchQ6Sql,
     "q_tpch_q4" -> tpchQ4Sql,
     "q_tpch_q17" -> tpchQ17Sql,
     "q_tpch_q21" -> tpchQ21Sql,
