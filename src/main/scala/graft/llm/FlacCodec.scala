@@ -1,0 +1,409 @@
+package graft.llm
+
+/** Pure-JVM FLAC subset codec — the compressed-audio arm of the codec
+  * family (PCM16 and G.711 WAV are containers around raw samples; this
+  * is real entropy-coded audio: fixed linear predictors + Rice-coded
+  * residuals, the core of FLAC's compression).
+  *
+  * Scope (honest): mono, 16-bit, fixed blocking strategy; STREAMINFO
+  * metadata only; subframe types CONSTANT, VERBATIM and FIXED orders
+  * 0–4 with a single Rice partition (partition order 0, 4-bit
+  * parameters, escape codes supported on decode). Frame-header CRC-8
+  * and whole-frame CRC-16 are computed on encode and VERIFIED on
+  * decode — a flipped bit refuses the frame, the integrity contract the
+  * corruption arm of q_flac_decode gates. Stereo, LPC subframes,
+  * variable blocking, wasted bits and multi-partition Rice decode to
+  * None.
+  *
+  * Validation honesty: unlike the image arms there is no independent
+  * JVM FLAC implementation to cross-check against (ImageIO has no
+  * audio), so conformance rests on byte-level spec adherence
+  * (bit layouts, CRC polynomials 0x07/0x8005, zigzag Rice with unary
+  * zeros-then-one quotients, UTF-8-style frame numbers) plus exhaustive
+  * round-trip fuzzing and CRC tamper tests in FlacCodecSpec.
+  */
+object FlacCodec {
+
+  private val BlockSize = 4096
+
+  // ------------------------------------------------------------ bit IO
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0L
+    private var n = 0
+    def put(v: Long, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1L)
+        n += 1
+        if (n == 8) { out.write((acc & 0xff).toInt); acc = 0; n = 0 }
+        i -= 1
+      }
+    }
+    def alignZero(): Unit = if (n > 0) put(0L, 8 - n)
+    def bytes: Array[Byte] = { require(n == 0, "unaligned"); out.toByteArray }
+  }
+
+  private final class BitReader(b: Array[Byte], startByte: Int) {
+    var pos = startByte * 8L
+    def bit(): Int = {
+      val byteIdx = (pos >> 3).toInt
+      if (byteIdx >= b.length) throw new IllegalArgumentException("flac eof")
+      val v = (b(byteIdx) >> (7 - (pos & 7)).toInt) & 1
+      pos += 1
+      v
+    }
+    def bits(k: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < k) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def align(): Unit = pos = (pos + 7) & ~7L
+    def bytePos: Int = { require((pos & 7) == 0); (pos >> 3).toInt }
+  }
+
+  // ------------------------------------------------------------ CRCs
+
+  /** CRC-8, polynomial x^8+x^2+x+1 (0x07), init 0 — the frame-header CRC. */
+  def crc8(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= b(i) & 0xff
+      var j = 0
+      while (j < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff
+        j += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, polynomial 0x8005, init 0 — the whole-frame CRC. */
+  def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xff) << 8
+      var j = 0
+      while (j < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+              else (crc << 1) & 0xffff
+        j += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  // ------------------------------------------------------------ encoder
+
+  private def writeUtf8Number(bw: BitWriter, v: Long): Unit = {
+    // UTF-8-style coded frame number (31 bits max here)
+    if (v < 0x80) bw.put(v, 8)
+    else if (v < 0x800) {
+      bw.put(0xc0L | (v >> 6), 8); bw.put(0x80L | (v & 0x3f), 8)
+    } else if (v < 0x10000) {
+      bw.put(0xe0L | (v >> 12), 8); bw.put(0x80L | ((v >> 6) & 0x3f), 8)
+      bw.put(0x80L | (v & 0x3f), 8)
+    } else {
+      bw.put(0xf0L | (v >> 18), 8); bw.put(0x80L | ((v >> 12) & 0x3f), 8)
+      bw.put(0x80L | ((v >> 6) & 0x3f), 8); bw.put(0x80L | (v & 0x3f), 8)
+    }
+  }
+
+  private def fixedResiduals(s: Array[Int], order: Int): Array[Long] = {
+    val n = s.length
+    val r = new Array[Long](n - order)
+    var i = order
+    while (i < n) {
+      val p: Long = order match {
+        case 0 => 0L
+        case 1 => s(i - 1).toLong
+        case 2 => 2L * s(i - 1) - s(i - 2)
+        case 3 => 3L * s(i - 1) - 3L * s(i - 2) + s(i - 3)
+        case _ => 4L * s(i - 1) - 6L * s(i - 2) + 4L * s(i - 3) - s(i - 4)
+      }
+      r(i - order) = s(i) - p
+      i += 1
+    }
+    r
+  }
+
+  private def riceParamFor(res: Array[Long]): Int = {
+    // smallest k with mean(u) < 2^k-ish; bounded to the 4-bit code space
+    if (res.isEmpty) return 0
+    var sum = 0.0
+    res.foreach(r => sum += math.abs(r.toDouble))
+    val mean = sum / res.length
+    var k = 0
+    while (k < 14 && (1L << k) < mean * 2 + 1) k += 1
+    k
+  }
+
+  /** Encode mono 16-bit samples as a FLAC stream (fLaC magic +
+    * STREAMINFO + fixed-blocksize frames). */
+  def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    // STREAMINFO: last-metadata flag + type 0, length 34
+    val si = new BitWriter
+    si.put(BlockSize.toLong, 16); si.put(BlockSize.toLong, 16) // min/max blocksize
+    si.put(0L, 24); si.put(0L, 24) // min/max framesize unknown
+    si.put(sampleRate.toLong, 20)
+    si.put(0L, 3) // channels - 1 (mono)
+    si.put(15L, 5) // bits per sample - 1 (16)
+    si.put(samples.length.toLong, 36)
+    (0 until 16).foreach(_ => si.put(0L, 8)) // md5 unset
+    val siBytes = si.bytes
+    out.write(0x80) // last block, type STREAMINFO
+    out.write(0); out.write(0); out.write(34)
+    out.write(siBytes, 0, siBytes.length)
+
+    var frameNo = 0L
+    var off = 0
+    // totalSamples = 0 needs no frames: the decoder stops at the header
+    while (off < samples.length) {
+      val n = math.min(BlockSize, samples.length - off)
+      locally {
+        val blk = Array.tabulate(n)(i => samples(off + i).toInt)
+        val bw = new BitWriter
+        bw.put(0x3ffe, 14) // sync
+        bw.put(0L, 1) // reserved
+        bw.put(0L, 1) // fixed blocking
+        bw.put(0x7L, 4) // blocksize: 16-bit value - 1 follows
+        bw.put(0x0L, 4) // sample rate: from STREAMINFO
+        bw.put(0L, 4) // channel assignment: mono
+        bw.put(0x4L, 3) // sample size: 16 bits
+        bw.put(0L, 1) // reserved
+        writeUtf8Number(bw, frameNo)
+        bw.put((n - 1).toLong, 16)
+        val headerSoFar = { bw.alignZero(); bw.bytes } // header is byte-aligned here
+        val crcH = crc8(headerSoFar, 0, headerSoFar.length)
+        // rebuild with the crc byte appended (BitWriter has no splice)
+        val bw2 = new BitWriter
+        headerSoFar.foreach(x => bw2.put(x & 0xffL, 8))
+        bw2.put(crcH.toLong, 8)
+        // subframe
+        if (blk.forall(_ == blk(0))) {
+          bw2.put(0L, 1); bw2.put(0L, 6); bw2.put(0L, 1) // CONSTANT
+          bw2.put(blk(0).toLong & 0xffff, 16)
+        } else {
+          // pick the fixed order (0..4, bounded by n-1) with the smallest
+          // absolute residual sum; fall back to VERBATIM if rice would
+          // expand beyond 16 bits/sample
+          val maxOrder = math.min(4, n - 1)
+          val best = (0 to maxOrder).minBy { o =>
+            fixedResiduals(blk, o).map(r => math.abs(r.toDouble)).sum
+          }
+          val res = fixedResiduals(blk, best)
+          val k = riceParamFor(res)
+          if (k >= 15) {
+            bw2.put(0L, 1); bw2.put(1L, 6); bw2.put(0L, 1) // VERBATIM
+            blk.foreach(v => bw2.put(v.toLong & 0xffff, 16))
+          } else {
+            bw2.put(0L, 1); bw2.put(8L | best.toLong, 6); bw2.put(0L, 1) // FIXED
+            var i = 0
+            while (i < best) { bw2.put(blk(i).toLong & 0xffff, 16); i += 1 }
+            bw2.put(0L, 2) // rice method: 4-bit params
+            bw2.put(0L, 4) // partition order 0
+            bw2.put(k.toLong, 4)
+            res.foreach { r =>
+              val u = (r << 1) ^ (r >> 63) // zigzag
+              val q = u >>> k
+              var j = 0L
+              while (j < q) { bw2.put(0L, 1); j += 1 }
+              bw2.put(1L, 1)
+              if (k > 0) bw2.put(u & ((1L << k) - 1), k)
+            }
+          }
+        }
+        bw2.alignZero()
+        val frame = bw2.bytes
+        val crcF = crc16(frame, 0, frame.length)
+        out.write(frame, 0, frame.length)
+        out.write((crcF >> 8) & 0xff); out.write(crcF & 0xff)
+        frameNo += 1
+        off += n
+      }
+    }
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------ decoder
+
+  private def readUtf8Number(br: BitReader): Long = {
+    val b0 = br.bits(8)
+    if ((b0 & 0x80) == 0) b0
+    else {
+      var extra = 0
+      var v = 0L
+      if ((b0 & 0xe0) == 0xc0) { extra = 1; v = b0 & 0x1f }
+      else if ((b0 & 0xf0) == 0xe0) { extra = 2; v = b0 & 0x0f }
+      else if ((b0 & 0xf8) == 0xf0) { extra = 3; v = b0 & 0x07 }
+      else throw new IllegalArgumentException("bad utf8 frame number")
+      var i = 0
+      while (i < extra) {
+        val c = br.bits(8)
+        require((c & 0xc0) == 0x80, "bad utf8 continuation")
+        v = (v << 6) | (c & 0x3f)
+        i += 1
+      }
+      v
+    }
+  }
+
+  /** Decode: Some((sampleRate, samples)) or None for corrupt /
+    * out-of-scope streams. CRC-8 and CRC-16 are verified per frame. */
+  def decode(b: Array[Byte]): Option[(Int, Array[Short])] = try {
+    if (b == null || b.length < 42 ||
+      b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C') return None
+    var p = 4
+    var sampleRate = 0
+    var totalSamples = 0L
+    var sawStreamInfo = false
+    var last = false
+    while (!last) {
+      val hdr = b(p) & 0xff
+      last = (hdr & 0x80) != 0
+      val btype = hdr & 0x7f
+      val len = ((b(p + 1) & 0xff) << 16) | ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+      if (btype == 0) {
+        val br = new BitReader(b, p + 4)
+        br.bits(16); br.bits(16); br.bits(24); br.bits(24)
+        sampleRate = br.bits(20).toInt
+        val channels = br.bits(3).toInt + 1
+        val bps = br.bits(5).toInt + 1
+        totalSamples = br.bits(36)
+        if (channels != 1 || bps != 16) return None
+        sawStreamInfo = true
+      }
+      p += 4 + len
+    }
+    if (!sawStreamInfo || sampleRate <= 0) return None
+    require(totalSamples <= (1L << 26), "stream too large")
+    val outBuf = new java.io.ByteArrayOutputStream()
+    var got = 0L
+    while (got < totalSamples) {
+      val frameStart = p
+      val br = new BitReader(b, p)
+      require(br.bits(14) == 0x3ffe, "lost frame sync")
+      require(br.bits(1) == 0, "reserved bit set")
+      require(br.bits(1) == 0, "variable blocking unsupported")
+      val bsCode = br.bits(4).toInt
+      val srCode = br.bits(4).toInt
+      val chan = br.bits(4).toInt
+      val ssCode = br.bits(3).toInt
+      require(br.bits(1) == 0, "reserved bit set")
+      require(chan == 0, "mono only")
+      require(ssCode == 4, "16-bit only")
+      readUtf8Number(br)
+      val blockSize = bsCode match {
+        case 6 => br.bits(8).toInt + 1
+        case 7 => br.bits(16).toInt + 1
+        case 1 => 192
+        case c if c >= 2 && c <= 5 => 576 << (c - 2)
+        case c if c >= 8 => 256 << (c - 8)
+        case _ => throw new IllegalArgumentException("bad blocksize code")
+      }
+      srCode match {
+        case 0 => ()
+        case 12 => br.bits(8): Unit
+        case 13 | 14 => br.bits(16): Unit
+        case c if c >= 1 && c <= 11 => ()
+        case _ => throw new IllegalArgumentException("bad sample rate code")
+      }
+      br.align()
+      val headerEnd = br.bytePos
+      val crcH = br.bits(8).toInt
+      require(crcH == crc8(b, frameStart, headerEnd), "frame header CRC-8 mismatch")
+      // subframe
+      require(br.bits(1) == 0, "subframe padding bit set")
+      val sfType = br.bits(6).toInt
+      require(br.bits(1) == 0, "wasted bits unsupported")
+      val samples = new Array[Int](blockSize)
+      def s16(v: Long): Int = ((v & 0xffff) << 16).toInt >> 16
+      if (sfType == 0) {
+        val v = s16(br.bits(16))
+        java.util.Arrays.fill(samples, v)
+      } else if (sfType == 1) {
+        var i = 0
+        while (i < blockSize) { samples(i) = s16(br.bits(16)); i += 1 }
+      } else if ((sfType & 0x38) == 0x08) {
+        val order = sfType & 0x07
+        require(order <= 4, "bad fixed order")
+        var i = 0
+        while (i < order) { samples(i) = s16(br.bits(16)); i += 1 }
+        val method = br.bits(2).toInt
+        require(method == 0 || method == 1, "bad residual method")
+        val pbits = if (method == 0) 4 else 5
+        val escape = if (method == 0) 0xf else 0x1f
+        val partOrder = br.bits(4).toInt
+        require(partOrder == 0, "multi-partition rice unsupported")
+        val k0 = br.bits(pbits).toInt
+        val nRes = blockSize - order
+        val res = new Array[Long](nRes)
+        if (k0 == escape) {
+          val raw = br.bits(5).toInt
+          var j = 0
+          while (j < nRes) {
+            val u = br.bits(raw)
+            res(j) = (u << (64 - raw)) >> (64 - raw) // sign-extend raw twos-complement
+            j += 1
+          }
+        } else {
+          var j = 0
+          while (j < nRes) {
+            var q = 0L
+            while (br.bit() == 0) q += 1
+            val u = (q << k0) | (if (k0 > 0) br.bits(k0) else 0L)
+            res(j) = (u >>> 1) ^ -(u & 1L) // un-zigzag
+            j += 1
+          }
+        }
+        i = order
+        while (i < blockSize) {
+          val pred: Long = order match {
+            case 0 => 0L
+            case 1 => samples(i - 1).toLong
+            case 2 => 2L * samples(i - 1) - samples(i - 2)
+            case 3 => 3L * samples(i - 1) - 3L * samples(i - 2) + samples(i - 3)
+            case _ => 4L * samples(i - 1) - 6L * samples(i - 2) +
+              4L * samples(i - 3) - samples(i - 4)
+          }
+          val v = pred + res(i - order)
+          require(v >= Short.MinValue && v <= Short.MaxValue, "sample out of range")
+          samples(i) = v.toInt
+          i += 1
+        }
+      } else throw new IllegalArgumentException(s"unsupported subframe type $sfType")
+      br.align()
+      val frameEnd = br.bytePos
+      val crcF = br.bits(16).toInt
+      require(crcF == crc16(b, frameStart, frameEnd), "frame CRC-16 mismatch")
+      p = frameEnd + 2
+      val take = math.min(blockSize.toLong, totalSamples - got).toInt
+      var i = 0
+      while (i < take) {
+        outBuf.write((samples(i) >> 8) & 0xff); outBuf.write(samples(i) & 0xff)
+        i += 1
+      }
+      got += take
+    }
+    val raw = outBuf.toByteArray
+    val outS = new Array[Short](raw.length / 2)
+    var i = 0
+    while (i < outS.length) {
+      outS(i) = (((raw(2 * i) & 0xff) << 8) | (raw(2 * i + 1) & 0xff)).toShort
+      i += 1
+    }
+    Some((sampleRate, outS))
+  } catch {
+    case _: RuntimeException => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+}

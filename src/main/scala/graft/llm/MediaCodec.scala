@@ -45,8 +45,21 @@ object MediaCodec {
       decodeJpeg(bytes)
     else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8')
       decodeGif(bytes)
+    else if (bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' && bytes(3) == 'C')
+      decodeFlac(bytes)
     else None
   }
+
+  /** FLAC facts via [[FlacCodec.decode]] — the compressed-audio arm,
+    * same MediaInfo contract as WAV. */
+  private def decodeFlac(b: Array[Byte]): Option[MediaInfo] =
+    FlacCodec.decode(b).map { case (rate, samples) =>
+      var s = 0L
+      samples.foreach(s += _)
+      MediaInfo("flac", None, None, Some(1), Some(rate), Some(samples.length),
+        if (samples.isEmpty) None else Some(s.toDouble / samples.length),
+        None, None)
+    }
 
   /** First-frame GIF facts via [[GifCodec.decode]]. */
   private def decodeGif(b: Array[Byte]): Option[MediaInfo] =

@@ -1975,6 +1975,7 @@ object Llm {
     "q_gif_decode" -> (gifDecode _),
     "q_g711_decode" -> (g711Decode _),
     "q_media_zoo" -> (mediaZoo _),
+    "q_flac_decode" -> (flacDecode _),
     "q_emb_recall" -> (embRecall _),
     "q_line_dedup" -> (lineDedup _),
     "q_dup_fraction" -> (dupFraction _),
@@ -2500,6 +2501,65 @@ object Llm {
       |LEFT JOIN gif ON gif.k = ks.k AND ks.k % 13 <> 0
       |LEFT JOIN wav ON wav.k = ks.k AND ks.k % 13 <> 0
       |LEFT JOIN bmp ON bmp.k = ks.k AND ks.k % 13 <> 0
+      |ORDER BY media_id""".stripMargin
+
+  /** FLAC under the oracle — real COMPRESSED audio (fixed linear
+    * predictors + Rice-coded residuals, frame CRC-8/16), not a raw
+    * container: per-key sample streams synthesized from a mixed
+    * smooth+step formula (so fixed-predictor orders and Rice parameters
+    * actually vary across keys and blocks), encoded through
+    * [[graft.llm.FlacCodec.encode]] and decoded back through the full
+    * header / frame-sync / subframe / Rice / CRC path. FLAC is lossless,
+    * so mean and positional checksum are closed-form; the corruption
+    * arm flips a bit inside the frame region and the CRC-16 must refuse
+    * (the integrity property the image arms get from PNG's CRC-32). */
+  def flacDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.{FlacCodec, MediaCodec}
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val n = (40 + k % 60).toInt
+      // smooth base + deterministic jumps: exercises constant, fixed and
+      // verbatim-ish regimes across keys
+      val samples = Array.tabulate(n)(i =>
+        ((k * 13 + i * i * 7 + (if (i % 9 == 0) 4000 * (k % 5) else 0)) % 20000
+          - 10000).toShort)
+      val bytes = FlacCodec.encode(16000, samples)
+      val payload = if (k % 13 == 0) {
+        val t = bytes.clone(); t(t.length - 5) = (t(t.length - 5) ^ 0x08).toByte; t
+      } else bytes
+      MediaCodec.decode(payload) match {
+        case Some(m) => (k, true, m.sampleRate, m.nSamples, m.meanC0)
+        case None => (k, false, None: Option[Int], None: Option[Int],
+          None: Option[Double])
+      }
+    }.toDF("media_id", "flac_ok", "sample_rate", "n_samples", "m0")
+    decoded.select($"media_id", $"flac_ok", $"sample_rate", $"n_samples",
+      round($"m0", 6).as("mean_pcm"))
+      .orderBy($"media_id")
+  }
+
+  /** Sample formula restated: s(k,i) = ((13k + 7i² + [i≡0 mod 9]·4000·(k
+    * mod 5)) mod 20000) − 10000 over n = 40 + k mod 60 samples; a
+    * mod of non-negative terms, so both engines agree without
+    * sign-of-mod care. Corrupted keys (k % 13 = 0) refuse via CRC. */
+  val flacDecodeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |samp AS (
+      |  SELECT ks.k,
+      |    CAST((ks.k * 13 + i.g * i.g * 7 +
+      |          CASE WHEN i.g % 9 = 0 THEN 4000 * (ks.k % 5) ELSE 0 END) % 20000
+      |         - 10000 AS BIGINT) AS v
+      |  FROM ks, generate_series(0, 99) i(g)
+      |  WHERE i.g < 40 + ks.k % 60 AND ks.k % 13 <> 0),
+      |agg AS (
+      |  SELECT k, COUNT(*) AS n, round(avg(CAST(v AS DOUBLE)), 6) AS m0
+      |  FROM samp GROUP BY k)
+      |SELECT ks.k AS media_id, (ks.k % 13 <> 0) AS flac_ok,
+      |  CASE WHEN ks.k % 13 <> 0 THEN 16000 END AS sample_rate,
+      |  CASE WHEN ks.k % 13 <> 0 THEN CAST(40 + ks.k % 60 AS INTEGER) END AS n_samples,
+      |  a.m0 AS mean_pcm
+      |FROM ks LEFT JOIN agg a ON a.k = ks.k
       |ORDER BY media_id""".stripMargin
 
   /** Multimodal plumbing end-to-end under the oracle: media rows
@@ -3168,6 +3228,7 @@ object Llm {
     "q_gif_decode" -> gifDecodeSql,
     "q_g711_decode" -> g711DecodeSql,
     "q_media_zoo" -> mediaZooSql,
+    "q_flac_decode" -> flacDecodeSql,
     "q_emb_bucket_stats" -> embNearDupStatsSql,
     "q_emb_ann_topk" -> annTopKSql,
     "q_text_stats" -> textStatsSql,

@@ -1,0 +1,108 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Round-trip + integrity fuzz for the FLAC subset codec. No independent
+  * JVM FLAC decoder exists to cross-check (see the codec scaladoc), so
+  * the suite leans on exhaustive round trips across signal shapes that
+  * force every subframe type and Rice regime, multi-frame streams
+  * crossing the 4096-sample block boundary, CRC tamper detection at
+  * every byte, and truncation robustness.
+  */
+class FlacCodecSpec extends AnyFunSuite {
+
+  private def forAll[T](gen: Gen[T], n: Int = 100)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(20260814L + i)).foreach(body)
+    }
+
+  private def roundtrip(samples: Array[Short], rate: Int = 8000): Unit = {
+    val bytes = FlacCodec.encode(rate, samples)
+    val (r, got) = FlacCodec.decode(bytes).get
+    assert(r == rate)
+    assert(got.length == samples.length, s"${got.length} vs ${samples.length}")
+    var i = 0
+    while (i < samples.length) {
+      assert(got(i) == samples(i), s"sample $i: ${got(i)} vs ${samples(i)}")
+      i += 1
+    }
+  }
+
+  test("round-trips across signal shapes: constant, ramps, sines, noise, extremes") {
+    roundtrip(Array.fill(100)(0.toShort))
+    roundtrip(Array.fill(5000)(1234.toShort)) // constant across 2 frames
+    roundtrip(Array.tabulate(9000)(i => (i % 30000).toShort)) // linear ramp
+    roundtrip(Array.tabulate(5000)(i =>
+      (10000 * math.sin(i / 17.0)).toShort)) // smooth (fixed predictors win)
+    roundtrip(Array.tabulate(300)(i =>
+      (if (i % 2 == 0) Short.MaxValue else Short.MinValue))) // worst case
+    roundtrip(Array[Short]()) // empty stream: header only
+    roundtrip(Array[Short](42)) // single sample
+  }
+
+  test("round-trips random signals with varied smoothness (all Rice regimes)") {
+    val gen = for {
+      n <- Gen.choose(1, 10000)
+      smooth <- Gen.choose(0, 3)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (n, smooth, seed)
+    forAll(gen, n = 60) { case (n, smooth, seed) =>
+      val rnd = new scala.util.Random(seed)
+      var acc = 0.0
+      val samples = Array.tabulate(n) { _ =>
+        val step = smooth match {
+          case 0 => rnd.nextInt(65536) - 32768 // white noise -> verbatim-ish
+          case 1 => rnd.nextInt(2001) - 1000
+          case 2 => rnd.nextInt(21) - 10
+          case _ => rnd.nextInt(3) - 1 // near-constant
+        }
+        acc = math.max(Short.MinValue.toDouble,
+          math.min(Short.MaxValue.toDouble, acc + step))
+        acc.toShort
+      }
+      roundtrip(samples)
+    }
+  }
+
+  test("every single-byte tamper is caught: CRC-8/CRC-16 or structural refusal") {
+    val samples = Array.tabulate(600)(i => (1000 * math.sin(i / 5.0)).toShort)
+    val bytes = FlacCodec.encode(8000, samples)
+    val clean = FlacCodec.decode(bytes).get._2
+    var silentCorruptions = 0
+    // flip one bit in every byte PAST the metadata (frame region): the
+    // CRCs must catch it, or the parse must refuse — never return
+    // different samples as if valid
+    val frameStart = 4 + 4 + 34
+    (frameStart until bytes.length).foreach { i =>
+      val t = bytes.clone(); t(i) = (t(i) ^ 0x10).toByte
+      FlacCodec.decode(t) match {
+        case None => ()
+        case Some((_, got)) =>
+          if (!got.sameElements(clean)) silentCorruptions += 1
+      }
+    }
+    assert(silentCorruptions == 0,
+      s"$silentCorruptions tampered frames decoded to WRONG samples without a CRC refusal")
+    // truncations never throw
+    (0 until bytes.length).foreach(keep => FlacCodec.decode(bytes.take(keep)))
+    assert(FlacCodec.decode(bytes.dropRight(3)).isEmpty)
+  }
+
+  test("compression is real: smooth signals shrink well below 16 bits/sample") {
+    val samples = Array.tabulate(8192)(i => (3000 * math.sin(i / 40.0)).toShort)
+    val bytes = FlacCodec.encode(8000, samples)
+    val rawBytes = samples.length * 2
+    assert(bytes.length < rawBytes / 2,
+      s"fixed+rice should at least halve a smooth signal: ${bytes.length} vs $rawBytes")
+  }
+
+  test("out-of-scope streams refuse: stereo flag") {
+    val bytes = FlacCodec.encode(8000, Array.tabulate(100)(_.toShort))
+    // STREAMINFO channels field: byte offset 4(magic)+4(hdr)+12, bits 4-6
+    val t = bytes.clone()
+    t(20) = (t(20) | 0x02).toByte // channels-1: 0 -> 1 (stereo)
+    assert(FlacCodec.decode(t).isEmpty)
+  }
+}
