@@ -128,11 +128,39 @@ object ScaleBench {
           graft.util.Staging.withStreamPartitions(spark, 8) {
             val out = pipeline(spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 8).parquet(srcDir))
-            val q = out.writeStream.format("noop")
-              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-              .start()
-            q.awaitTermination()
-            val progress = q.recentProgress.filter(_.numInputRows > 0)
+            // accumulate progress via a listener, NOT q.recentProgress:
+            // recentProgress retains only the last ~100 updates, so a
+            // stage with more micro-batches (bigger multiplier, smaller
+            // maxFilesPerTrigger) would silently undercount rows/batches
+            // in scale_out.json (ADVICE r11)
+            val progressBuf = scala.collection.mutable.ArrayBuffer
+              .empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
+            val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+              import org.apache.spark.sql.streaming.StreamingQueryListener._
+              override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+              override def onQueryProgress(e: QueryProgressEvent): Unit =
+                progressBuf.synchronized { progressBuf += e.progress }
+              override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+            }
+            spark.streams.addListener(listener)
+            val q = try {
+              val q0 = out.writeStream.format("noop")
+                .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                .start()
+              q0.awaitTermination()
+              // listener delivery is async: wait until the buffer stops
+              // growing (bounded) so tail progress events aren't dropped
+              var last = -1; var stable = 0; var spins = 0
+              while (stable < 3 && spins < 200) {
+                val n = progressBuf.synchronized(progressBuf.length)
+                if (n == last) stable += 1 else { stable = 0; last = n }
+                Thread.sleep(25); spins += 1
+              }
+              q0
+            } finally spark.streams.removeListener(listener)
+            val progress = progressBuf.synchronized {
+              progressBuf.filter(p => p.id == q.id && p.numInputRows > 0).toArray
+            }
             val rows = progress.map(_.sink.numOutputRows).filter(_ > 0).sum
             val batchMs = progress.flatMap(p =>
               Option(p.durationMs.get("triggerExecution")).map(_.longValue()))

@@ -25,8 +25,13 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Queries whose driver-side gate has ever hash-flipped: beyond the
     // parquet the compare reads, ALWAYS leave the sorted rows as JSON in
-    // _debug/ so even a hash-path discrepancy leaves row-level evidence.
+    // a SIBLING dir ($outDir-debug) so even a hash-path discrepancy
+    // leaves row-level evidence. Sibling, not child: the driver
+    // enumerates every entry under outDir as a query parquet dataset,
+    // so an in-dir dump shows up as a phantom failed "_debug" query
+    // (seen in CORRECTNESS_r11).
     val debugDump = Set("q_stream_tws", "q_stream_tws_map")
+    val debugDir = s"$outDir-debug"
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -36,8 +41,8 @@ object Verify {
           if (debugDump(name)) {
             val back = spark.read.parquet(s"$outDir/$name")
             val sorted = back.orderBy(back.columns.map(org.apache.spark.sql.functions.col): _*)
-            Files.createDirectories(Paths.get(s"$outDir/_debug"))
-            Files.writeString(Paths.get(s"$outDir/_debug/$name.json"),
+            Files.createDirectories(Paths.get(debugDir))
+            Files.writeString(Paths.get(s"$debugDir/$name.json"),
               sorted.toJSON.collect().mkString("[\n", ",\n", "\n]"))
           }
         } catch { case e: Throwable =>

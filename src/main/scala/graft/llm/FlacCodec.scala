@@ -202,7 +202,19 @@ object FlacCodec {
           }
           val res = fixedResiduals(blk, best)
           val k = riceParamFor(res)
-          if (k >= 15) {
+          // actual Rice-coded subframe size (warmup + method/partition/
+          // param headers + per-residual unary q + stop bit + k LSBs) vs
+          // VERBATIM's 16·n bits: pick whichever is smaller, so an
+          // adverse residual distribution (long unary runs) can never
+          // expand the frame past the uncompressed form. This keeps the
+          // VERBATIM branch live — riceParamFor caps k at 14, so a
+          // k-threshold guard alone was unreachable (ADVICE r11).
+          var riceBits = 16L * best + 2 + 4 + 4
+          res.foreach { r =>
+            val u = (r << 1) ^ (r >> 63)
+            riceBits += (u >>> k) + 1 + k
+          }
+          if (riceBits >= 16L * n) {
             bw2.put(0L, 1); bw2.put(1L, 6); bw2.put(0L, 1) // VERBATIM
             blk.foreach(v => bw2.put(v.toLong & 0xffff, 16))
           } else {

@@ -1150,11 +1150,14 @@ object Corpus {
       val (pw, ph, _, pxs) = MediaCodec.jpegPixels(bytes).get
       (k, MediaCodec.dhash56(pxs, pw, ph))
     }.toDF("k", "dh")
-    // materialize ONCE (bounded: one 16-byte row per image): the banded
-    // self-join evaluates both sides, which would run the whole
-    // encode→decode→hash map twice
-    val hashesLocal = graft.util.Local.materialize(hashes)
-    val bands = hashesLocal.select($"k", $"dh", posexplode(expr(
+    // materialize ONCE on the executors: the banded self-join evaluates
+    // both sides, which would run the whole encode→decode→hash map twice.
+    // localCheckpoint is EAGER (one codec pass, no cache-fill race a lazy
+    // persist would allow inside a single self-join job) and keeps every
+    // row executor-resident — the billion-image-safe form; the previous
+    // Local.materialize routed one 16-byte row per image via the driver.
+    val hashesCached = hashes.localCheckpoint()
+    val bands = hashesCached.select($"k", $"dh", posexplode(expr(
       "transform(sequence(0, 3), b -> int(shiftright(dh, 14 * b) & 16383))"))
       .as(Seq("band", "bv")))
     bands.as("a")

@@ -1133,8 +1133,10 @@ object Relational {
     * both directions break the row/hash match). */
   /** The staging split instant, 2024-01-16T00:00:00Z, as epoch MICROS —
     * the one number the whole staged-stream family (staging filter,
-    * boundary assert, every oracle's naive `TIMESTAMP '2024-01-16
-    * 00:00:00'` literal over the naive-UTC parquet ts) must agree on. */
+    * boundary assert, every oracle's `epoch_us(ts) < 1705363200000000`
+    * predicate) must agree on. Since round 12 the oracles compare epoch
+    * micros directly — no naive TIMESTAMP literal survives, so no DuckDB
+    * TimeZone setting can ever shift the staged boundary. */
   private[graft] val EventsSplitUs = 1705363200000000L
 
   /** Deterministic two-file staging of the events table (split at Jan 16
@@ -2690,14 +2692,14 @@ object Relational {
   val streamTwsSql: String =
     """WITH halves AS (
       |  SELECT user_id,
-      |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 2 END AS half,
+      |    CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1 ELSE 2 END AS half,
       |    COUNT(*) AS n, max(epoch_us(ts)) AS mts, min(epoch_us(ts)) AS mnts
       |  FROM events GROUP BY 1, 2
       |)
       |SELECT user_id,
       |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY half) AS emit_seq,
       |  n AS n_events,
-      |  SUM(n) OVER (PARTITION BY user_id ORDER BY half) AS cum_events,
+      |  CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY half) AS BIGINT) AS cum_events,
       |  MAX(mts) OVER (PARTITION BY user_id ORDER BY half) AS last_ts_us,
       |  mnts AS batch_min_ts_us,
       |  mts AS batch_max_ts_us
@@ -2765,12 +2767,12 @@ object Relational {
   val streamTwsMapSql: String =
     """WITH b AS (
       |  SELECT user_id,
-      |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 2 END AS half,
+      |    CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1 ELSE 2 END AS half,
       |    event_type, COUNT(*) AS n
       |  FROM events GROUP BY 1, 2, 3
       |), perhalf AS (
       |  SELECT user_id,
-      |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 2 END AS half,
+      |    CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1 ELSE 2 END AS half,
       |    CAST(COUNT(*) AS BIGINT) AS n_batch,
       |    min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
       |  FROM events GROUP BY 1, 2
@@ -2778,7 +2780,7 @@ object Relational {
       |SELECT p.user_id,
       |  ROW_NUMBER() OVER (PARTITION BY p.user_id ORDER BY p.half) AS emit_seq,
       |  p.n_batch AS n_events,
-      |  SUM(p.n_batch) OVER (PARTITION BY p.user_id ORDER BY p.half) AS cum_events,
+      |  CAST(SUM(p.n_batch) OVER (PARTITION BY p.user_id ORDER BY p.half) AS BIGINT) AS cum_events,
       |  (SELECT COUNT(DISTINCT b2.event_type) FROM b b2
       |   WHERE b2.user_id = p.user_id AND b2.half <= p.half) AS n_types,
       |  p.mn AS batch_min_ts_us,
@@ -2817,7 +2819,7 @@ object Relational {
   val streamUpdateSql: String =
     """WITH e AS (
       |  SELECT date_trunc('hour', ts) AS hour, event_type,
-      |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 2 END AS half
+      |    CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1 ELSE 2 END AS half
       |  FROM events
       |), cum AS (
       |  SELECT hour, event_type, half, COUNT(*) AS n_half FROM e GROUP BY 1, 2, 3
@@ -2864,7 +2866,7 @@ object Relational {
   val streamTwsListSql: String =
     """WITH e AS (
       |  SELECT user_id, event_id,
-      |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 2 END AS half
+      |    CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1 ELSE 2 END AS half
       |  FROM events
       |), halves AS (
       |  SELECT DISTINCT user_id, half FROM e
@@ -3068,10 +3070,15 @@ object Relational {
     // one-file-per-bucket writes below are exactly the case it is sound
     // for). Scoped: planning AND execution happen inside, so the merge
     // really runs sort-free, not just plans that way.
-    graft.util.Staging.withConfs(s,
+    // every UUID-named catalog table and the temp warehouse are torn down
+    // in the finally below — repeated bench/verify runs in one JVM must
+    // not accumulate catalog entries or disk (ADVICE r11)
+    val madeTables = scala.collection.mutable.ArrayBuffer.empty[String]
+    try graft.util.Staging.withConfs(s,
       "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true") {
       def bucketed(df: DataFrame, keyCol: String, sortCols: Seq[String]): DataFrame = {
         val tbl = "asof_bkt_" + java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+        madeTables += tbl
         // one writer task → ONE file per bucket; a multi-file bucket would
         // void the scan's reported sort order and re-introduce the Sort
         df.repartition(1).write.mode("overwrite")
@@ -3118,6 +3125,16 @@ object Relational {
       graft.util.Local.materialize(
         joined.select($"user_id", $"error_id", $"click_id", $"click_ts"))
         .orderBy($"user_id", $"error_id")
+    } finally {
+      madeTables.foreach(t =>
+        try s.sql(s"DROP TABLE IF EXISTS $t") catch { case _: Throwable => () })
+      try {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      } catch { case _: Throwable => () }
     }
   }
 

@@ -98,6 +98,21 @@ class FlacCodecSpec extends AnyFunSuite {
       s"fixed+rice should at least halve a smooth signal: ${bytes.length} vs $rawBytes")
   }
 
+  test("VERBATIM fallback is live: adverse residuals never expand past 16 bits/sample") {
+    // alternating extremes make every fixed-order residual huge: with k
+    // capped at 14 the Rice form costs >16 bits per residual, so the
+    // size comparison must pick VERBATIM — and the frame payload must
+    // stay within the uncompressed form plus per-frame header overhead
+    val n = 4096
+    val samples = Array.tabulate(n)(i =>
+      if (i % 2 == 0) Short.MaxValue else Short.MinValue)
+    val bytes = FlacCodec.encode(8000, samples)
+    val headerOverhead = 4 + 4 + 34 + 64 // magic+meta hdr+STREAMINFO+frame hdr/crc slack
+    assert(bytes.length <= n * 2 + headerOverhead,
+      s"adverse block must take the VERBATIM arm: ${bytes.length} vs ${n * 2}")
+    roundtrip(samples)
+  }
+
   test("out-of-scope streams refuse: stereo flag") {
     val bytes = FlacCodec.encode(8000, Array.tabulate(100)(_.toShort))
     // STREAMINFO channels field: byte offset 4(magic)+4(hdr)+12, bits 4-6

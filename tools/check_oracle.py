@@ -87,6 +87,52 @@ def frame(con, sql):
     return cols_sorted, data
 
 
+# Output-column types that the driver's pandas-based hash compare renders
+# differently from Spark's parquet types even when every VALUE is equal:
+# DuckDB HUGEINT/UHUGEINT (int128, e.g. SUM(BIGINT) OVER a window) becomes
+# a pandas object column of Python ints / Decimals, while the Spark side is
+# int64 → value-equal, hash-unequal, deterministically. This exact class
+# cost rounds 10-11 (q_stream_tws/_map): fetchall() value comparison is
+# blind to it because int128 → Python int == int. DECIMAL has the same
+# failure mode (the round-1 lesson, handled per-cell above) — the DESCRIBE
+# gate catches it even for empty results.
+BANNED_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def col_types(con, sql):
+    """name → DuckDB type for a query's output columns, via DESCRIBE
+    (catches banned types even when the result has zero rows)."""
+    return {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+
+
+def type_gate(name, ocols_t, scols_t):
+    """Return an error string if the oracle/spark output types would
+    diverge under the driver's pandas hash, else None."""
+    for side, types in (("oracle", ocols_t), ("spark", scols_t)):
+        for c, t in types.items():
+            if any(b in t.upper() for b in BANNED_TYPES):
+                return (f"{side} column '{c}' has driver-hostile type {t} "
+                        f"(pandas renders it unlike Spark's parquet type; "
+                        f"CAST it — e.g. AS BIGINT / AS DOUBLE — on both sides)")
+    if set(ocols_t) != set(scols_t):
+        return None  # column-name divergence is reported by the main compare
+
+    # The driver's pandas hash provably tolerates integer WIDTH skew
+    # (16 registered queries ship INTEGER-vs-BIGINT outputs and have
+    # hash-matched every round), so fold signed int widths into one
+    # class; HUGEINT stays banned above (pandas object column). Anything
+    # else (float vs double, ts vs tstz, varchar vs blob) stays strict.
+    def fold(t):
+        return "INTxx" if t.upper() in (
+            "TINYINT", "SMALLINT", "INTEGER", "BIGINT") else t
+    for c in ocols_t:
+        if fold(ocols_t[c]) != fold(scols_t[c]):
+            return (f"column '{c}' type mismatch oracle={ocols_t[c]} "
+                    f"spark={scols_t[c]} — the driver's pandas hash compares "
+                    f"representations, not values; align the types")
+    return None
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -118,6 +164,19 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns differ oracle={ocols} spark={scols}")
             n_fail += 1
             continue
+        if STRICT:
+            try:
+                terr = type_gate(
+                    name, col_types(con, f"({sql})"),
+                    col_types(duckdb.connect(),
+                              f"(SELECT * FROM read_parquet("
+                              f"'{out_dir}/{name}/*.parquet'))"))
+            except Exception as e:
+                terr = f"DESCRIBE failed: {e}"
+            if terr:
+                print(f"FAIL {name}: {terr}")
+                n_fail += 1
+                continue
         if len(odata) != len(sdata):
             print(f"FAIL {name}: rowcount oracle={len(odata)} spark={len(sdata)}")
             n_fail += 1
