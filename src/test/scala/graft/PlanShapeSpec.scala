@@ -35,6 +35,8 @@ class PlanShapeSpec extends SparkTestBase {
     "q_lm_kneser_ney" -> "ONE-ROW broadcast of the global continuation census N1+(.,.) (scalar-subquery shape); all model-table joins are broadcast hash equi-joins",
     "q_margin_mining" -> "deliberate population cross product for candidate generation (bounded label slices, small side broadcast); the scale path is IVF-pruned candidates per the scaladoc",
     "q_tpch_q22" -> "ONE-ROW broadcast of the positive-balance threshold (uncorrelated scalar-subquery shape); the country filter, anti join and rollup are all hash equi-plans",
+    "q_tpch_q11" -> "ONE-ROW broadcast of the nation stock total for the HAVING threshold (uncorrelated scalar-subquery shape); the value rollup and supplier semi join are hash equi-plans",
+    "q_tpch_q15" -> "ONE-ROW broadcast of the max quarterly revenue (scalar MAX subquery shape); the revenue rollup and supplier join are hash equi-plans",
     "q_hll_merge" -> "ONE-ROW × ONE-ROW cross of the merged-sketch estimate with the exact count (scalar-subquery shape); both sides are single-row aggregates"
   )
 
@@ -98,9 +100,26 @@ class PlanShapeSpec extends SparkTestBase {
       s"q21 EXISTS+NOT EXISTS must be semi+anti: $q21")
     assert(joinTypes("q_tpch_q22").contains("LeftAnti"),
       s"q22 NOT EXISTS must be an anti join: ${joinTypes("q_tpch_q22")}")
-    // and none of the four (q22's one-row threshold cross excepted via
-    // the allow-list above) contains a cartesian or BNL over data
-    Seq("q_tpch_q4", "q_tpch_q17", "q_tpch_q21").foreach { q =>
+    // round 12's partsupp family: the remaining decorrelated shapes.
+    // Q2's correlated scalar MIN must come back as a per-part aggregate
+    // joined on equi keys (partkey + cents-exact cost) — one Inner hash
+    // join per layer, zero per-row re-execution
+    val q2 = joinTypes("q_tpch_q2")
+    assert(q2.contains("LeftSemi") && q2.forall(t => t == "Inner" || t == "LeftSemi"),
+      s"q2 min-cost subquery must decorrelate to semi-pruned inner equi-joins: $q2")
+    // Q16's NOT IN must be an anti join; Q20's nested IN chain must be
+    // semi joins with the per-pair aggregate joined Inner on the
+    // composite key
+    assert(joinTypes("q_tpch_q16").contains("LeftAnti"),
+      s"q16 NOT IN must be an anti join: ${joinTypes("q_tpch_q16")}")
+    val q20 = joinTypes("q_tpch_q20")
+    assert(q20.count(_ == "LeftSemi") >= 2 && !q20.contains("Cross"),
+      s"q20 nested INs must be semi joins: $q20")
+    // and none of the partsupp family (q11/q15's one-row threshold
+    // crosses excepted via the allow-list above) contains a cartesian
+    // or BNL over data
+    Seq("q_tpch_q4", "q_tpch_q17", "q_tpch_q21", "q_tpch_q2", "q_tpch_q9",
+      "q_tpch_q12", "q_tpch_q16", "q_tpch_q19", "q_tpch_q20").foreach { q =>
       val off = offendingNodes(SparkEntry.queries(q)(spark, d).queryExecution.sparkPlan)
       assert(off.isEmpty, s"$q has scale-killer joins: $off")
     }
