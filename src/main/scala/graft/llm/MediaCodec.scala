@@ -318,16 +318,24 @@ object MediaCodec {
     None
   }
 
-  // ---- PNG: 8-bit gray/RGB/RGBA, non-interlaced --------------------------
+  // ---- PNG: gray/RGB/RGBA at 8 or 16 bits + 8-bit palette, non-interlaced
   //
   // The genuinely non-trivial arm of the codec: IDAT is zlib DEFLATE
   // (java.util.zip — public JDK, no codec dependency) and every scanline
   // is filtered by one of five predictors (None/Sub/Up/Average/Paeth)
-  // that must be reversed byte-exactly. Chunk CRCs are verified — a
-  // flipped payload bit fails the decode instead of shifting pixels.
-  // Out of honest scope (→ None): interlacing (Adam7), bit depths ≠ 8,
-  // palette color, 16-bit channels — the formats a production pipeline
-  // would route to a real codec library behind the MediaDecoder seam.
+  // that must be reversed byte-exactly — at 16 bits the filter distance
+  // is channels·2 BYTES (the spec filters bytes, not samples), and for
+  // palette images it is 1 regardless of the expanded channel count.
+  // Chunk CRCs are verified — a flipped payload bit fails the decode
+  // instead of shifting pixels. Palette images (colour type 3, depth 8)
+  // expand through PLTE to RGB, or RGBA when tRNS supplies alpha
+  // (entries past the tRNS length are opaque, per spec); an index past
+  // the palette is a refusal, not a clamp. Out of honest scope
+  // (→ None): interlacing (Adam7), sub-byte palette depths (1/2/4),
+  // and tRNS colour-keying on non-palette images (the chunk is ignored
+  // there — the RGB samples it would alpha-key are still exact) — the
+  // formats a production pipeline would route to a real codec library
+  // behind the MediaDecoder seam.
 
   private def be32(b: Array[Byte], i: Int): Int =
     (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
@@ -347,6 +355,73 @@ object MediaCodec {
     val p = a + b - c
     val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Shared PNG container writer: filters `raw` (stride bytes per
+    * scanline, `bpp` = the spec's byte-wise filter distance), DEFLATEs,
+    * and frames IHDR → extra chunks (PLTE/tRNS) → IDAT → IEND. All
+    * three public encoders reduce to this. */
+  private def writePng(w: Int, h: Int, depth: Int, colorType: Int,
+                       bpp: Int, raw: Array[Byte],
+                       extraChunks: Seq[(String, Array[Byte])],
+                       filterOf: Int => Int): Array[Byte] = {
+    val stride = raw.length / h
+    val filt = new Array[Byte](h * (stride + 1))
+    var y = 0
+    while (y < h) {
+      val f = filterOf(y)
+      require(f >= 0 && f <= 4, s"filter $f")
+      filt(y * (stride + 1)) = f.toByte
+      var i = 0
+      while (i < stride) {
+        val cur = raw(y * stride + i) & 0xff
+        val left = if (i >= bpp) raw(y * stride + i - bpp) & 0xff else 0
+        val up = if (y > 0) raw((y - 1) * stride + i) & 0xff else 0
+        val ul = if (y > 0 && i >= bpp) raw((y - 1) * stride + i - bpp) & 0xff else 0
+        val out = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - ((left + up) >> 1)
+          case 4 => cur - paeth(left, up, ul)
+        }
+        filt(y * (stride + 1) + 1 + i) = out.toByte
+        i += 1
+      }
+      y += 1
+    }
+    val deflater = deflaters.get()
+    val zOut = new java.io.ByteArrayOutputStream()
+    try {
+      deflater.setInput(filt); deflater.finish()
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished()) zOut.write(buf, 0, deflater.deflate(buf))
+    } finally deflater.reset()
+    val ihdr = new Array[Byte](13)
+    def putBe32(a: Array[Byte], i: Int, v: Int): Unit = {
+      a(i) = (v >>> 24).toByte; a(i + 1) = (v >>> 16).toByte
+      a(i + 2) = (v >>> 8).toByte; a(i + 3) = v.toByte
+    }
+    putBe32(ihdr, 0, w); putBe32(ihdr, 4, h)
+    ihdr(8) = depth.toByte; ihdr(9) = colorType.toByte // compression/filter/interlace 0
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](12 + data.length)
+      putBe32(out, 0, data.length)
+      var i = 0
+      while (i < 4) { out(4 + i) = tag(i).toByte; i += 1 }
+      System.arraycopy(data, 0, out, 8, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(out, 4, 4 + data.length)
+      putBe32(out, 8 + data.length, crc.getValue.toInt)
+      out
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    bos.write(chunk("IHDR", ihdr))
+    extraChunks.foreach { case (tag, data) => bos.write(chunk(tag, data)) }
+    bos.write(chunk("IDAT", zOut.toByteArray))
+    bos.write(chunk("IEND", Array.emptyByteArray))
+    bos.toByteArray
   }
 
   /** Encode an 8-bit non-interlaced PNG. `channels` 1 (gray), 3 (RGB) or
@@ -373,74 +448,89 @@ object MediaCodec {
       }
       y += 1
     }
-    val filt = new Array[Byte](h * (stride + 1))
-    y = 0
+    writePng(w, h, 8, colorType, channels, raw, Nil, filterOf)
+  }
+
+  /** Encode a 16-bit non-interlaced PNG (big-endian sample bytes, per
+    * spec). `px(x, y, c)` yields 0..65535; the filter distance is
+    * channels·2 bytes — the byte-wise filtering that makes 16-bit decode
+    * a distinct arm worth its own conformance pass. */
+  def encodePng16(w: Int, h: Int, channels: Int, px: (Int, Int, Int) => Int,
+                  filterOf: Int => Int = _ % 5): Array[Byte] = {
+    require(channels == 1 || channels == 3 || channels == 4, s"channels=$channels")
+    val colorType = channels match { case 1 => 0; case 3 => 2; case _ => 6 }
+    val stride = w * channels * 2
+    val raw = new Array[Byte](h * stride)
+    var y = 0
     while (y < h) {
-      val f = filterOf(y)
-      require(f >= 0 && f <= 4, s"filter $f")
-      filt(y * (stride + 1)) = f.toByte
-      var i = 0
-      while (i < stride) {
-        val cur = raw(y * stride + i) & 0xff
-        val left = if (i >= channels) raw(y * stride + i - channels) & 0xff else 0
-        val up = if (y > 0) raw((y - 1) * stride + i) & 0xff else 0
-        val ul = if (y > 0 && i >= channels) raw((y - 1) * stride + i - channels) & 0xff else 0
-        val out = f match {
-          case 0 => cur
-          case 1 => cur - left
-          case 2 => cur - up
-          case 3 => cur - ((left + up) >> 1)
-          case 4 => cur - paeth(left, up, ul)
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < channels) {
+          val v = px(x, y, c)
+          val i = y * stride + (x * channels + c) * 2
+          raw(i) = (v >>> 8).toByte; raw(i + 1) = v.toByte
+          c += 1
         }
-        filt(y * (stride + 1) + 1 + i) = out.toByte
-        i += 1
+        x += 1
       }
       y += 1
     }
-    val deflater = deflaters.get()
-    val zOut = new java.io.ByteArrayOutputStream()
-    try {
-      deflater.setInput(filt); deflater.finish()
-      val buf = new Array[Byte](8192)
-      while (!deflater.finished()) zOut.write(buf, 0, deflater.deflate(buf))
-    } finally deflater.reset()
-    val ihdr = new Array[Byte](13)
-    def putBe32(a: Array[Byte], i: Int, v: Int): Unit = {
-      a(i) = (v >>> 24).toByte; a(i + 1) = (v >>> 16).toByte
-      a(i + 2) = (v >>> 8).toByte; a(i + 3) = v.toByte
-    }
-    putBe32(ihdr, 0, w); putBe32(ihdr, 4, h)
-    ihdr(8) = 8; ihdr(9) = colorType.toByte // depth 8; compression/filter/interlace 0
-    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
-      val out = new Array[Byte](12 + data.length)
-      putBe32(out, 0, data.length)
-      var i = 0
-      while (i < 4) { out(4 + i) = tag(i).toByte; i += 1 }
-      System.arraycopy(data, 0, out, 8, data.length)
-      val crc = new java.util.zip.CRC32()
-      crc.update(out, 4, 4 + data.length)
-      putBe32(out, 8 + data.length, crc.getValue.toInt)
-      out
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    bos.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
-    bos.write(chunk("IHDR", ihdr))
-    bos.write(chunk("IDAT", zOut.toByteArray))
-    bos.write(chunk("IEND", Array.emptyByteArray))
-    bos.toByteArray
+    writePng(w, h, 16, colorType, channels * 2, raw, Nil, filterOf)
   }
 
-  /** Decoded PNG raster — (w, h, channels, channel-interleaved row-major
-    * values 0..255). None on anything outside the honest scope, corrupt
-    * chunks (CRC), truncated/over-long DEFLATE streams, or unknown
-    * filter bytes. */
-  def pngPixels(b: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
+  /** Encode an 8-bit PALETTE PNG (colour type 3): `palette` is packed
+    * 0xRRGGBB (1..256 entries, the PLTE chunk); `trns`, when present,
+    * gives per-entry alpha for a PREFIX of the palette (the tRNS
+    * contract — later entries are opaque); `idx(x, y)` yields the
+    * palette index of each pixel. The filter distance is 1 byte. */
+  def encodePngPalette(w: Int, h: Int, palette: Array[Int],
+                       trns: Option[Array[Int]], idx: (Int, Int) => Int,
+                       filterOf: Int => Int = _ % 5): Array[Byte] = {
+    require(palette.nonEmpty && palette.length <= 256, s"palette=${palette.length}")
+    trns.foreach(t => require(t.length <= palette.length, "tRNS longer than PLTE"))
+    val raw = new Array[Byte](h * w)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = idx(x, y)
+        require(i >= 0 && i < palette.length, s"index $i outside palette")
+        raw(y * w + x) = i.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val plte = new Array[Byte](palette.length * 3)
+    var p = 0
+    while (p < palette.length) {
+      plte(p * 3) = (palette(p) >>> 16).toByte
+      plte(p * 3 + 1) = (palette(p) >>> 8).toByte
+      plte(p * 3 + 2) = palette(p).toByte
+      p += 1
+    }
+    val extra = Seq("PLTE" -> plte) ++
+      trns.map(t => "tRNS" -> t.map(_.toByte)).toSeq
+    writePng(w, h, 8, 3, 1, raw, extra, filterOf)
+  }
+
+  /** Full PNG decode — (w, h, outChannels, depth, samples): samples are
+    * native-depth values (0..255 or 0..65535), channel-interleaved
+    * row-major, with palette images already expanded through PLTE (and
+    * tRNS → alpha). None on anything outside the honest scope, corrupt
+    * chunks (CRC), truncated/over-long DEFLATE streams, unknown filter
+    * bytes, a missing PLTE on colour type 3, or an index past the
+    * palette. */
+  def pngDecode(b: Array[Byte]): Option[(Int, Int, Int, Int, Array[Int])] = {
     if (b == null || b.length < 8 || (b(0) & 0xff) != 0x89 || b(1) != 'P' ||
       b(2) != 'N' || b(3) != 'G' || b(4) != 0x0d || b(5) != 0x0a ||
       b(6) != 0x1a || b(7) != 0x0a) return None
     var i = 8
-    var w = 0; var h = 0; var channels = 0
+    var w = 0; var h = 0; var colorType = -1; var depth = 0
+    var fchannels = 0 // channel count as FILTERED (palette = 1 index byte)
     var seenIhdr = false; var ended = false
+    var palette: Array[Int] = null
+    var alpha: Array[Int] = null
     val idat = new java.io.ByteArrayOutputStream()
     while (i + 12 <= b.length && !ended) {
       val len = be32(b, i)
@@ -455,15 +545,32 @@ object MediaCodec {
         case "IHDR" =>
           if (len != 13 || seenIhdr) return None
           w = be32(b, i + 8); h = be32(b, i + 12)
-          val depth = u8(b, i + 16); val colorType = u8(b, i + 17)
-          if (depth != 8 || u8(b, i + 18) != 0 || u8(b, i + 19) != 0 ||
+          depth = u8(b, i + 16); colorType = u8(b, i + 17)
+          if (u8(b, i + 18) != 0 || u8(b, i + 19) != 0 ||
             u8(b, i + 20) != 0) return None
-          channels = colorType match {
-            case 0 => 1; case 2 => 3; case 6 => 4; case _ => return None
+          fchannels = (depth, colorType) match {
+            case (8, 0) => 1; case (8, 2) => 3; case (8, 3) => 1; case (8, 6) => 4
+            case (16, 0) => 1; case (16, 2) => 3; case (16, 6) => 4
+            case _ => return None // sub-byte palette / 16-bit palette: out of scope
           }
           // alloc guard: header-claimed dims bound every later array
-          if (w <= 0 || h <= 0 || w.toLong * h * channels > (1L << 26)) return None
+          // (×4 expanded channels ×2 bytes is the worst case)
+          if (w <= 0 || h <= 0 || w.toLong * h * 8 > (1L << 27)) return None
           seenIhdr = true
+        case "PLTE" =>
+          if (!seenIhdr || len % 3 != 0 || len == 0 || len > 768) return None
+          if (colorType == 3) {
+            if (palette != null || idat.size > 0) return None // one PLTE, before IDAT
+            palette = Array.tabulate(len / 3)(p =>
+              (u8(b, i + 8 + p * 3) << 16) | (u8(b, i + 8 + p * 3 + 1) << 8) |
+                u8(b, i + 8 + p * 3 + 2))
+          } // for colour types 2/6 PLTE is a suggested-quantization hint: skip
+        case "tRNS" =>
+          if (!seenIhdr) return None
+          if (colorType == 3) {
+            if (palette == null || len > palette.length || idat.size > 0) return None
+            alpha = Array.tabulate(len)(p => u8(b, i + 8 + p))
+          } // colour-keying on 0/2 is out of scope: ignored (samples stay exact)
         case "IDAT" =>
           if (!seenIhdr) return None
           idat.write(b, i + 8, len)
@@ -473,7 +580,10 @@ object MediaCodec {
       i += 12 + len
     }
     if (!ended || !seenIhdr || idat.size == 0) return None
-    val stride = w * channels
+    if (colorType == 3 && palette == null) return None
+    val bytesPerSample = depth / 8
+    val bpp = fchannels * bytesPerSample // the spec's byte-wise filter distance
+    val stride = w * bpp
     val expect = (stride + 1) * h
     val filt = new Array[Byte](expect)
     val inf = inflaters.get()
@@ -496,9 +606,9 @@ object MediaCodec {
       var x = 0
       while (x < stride) {
         val v = filt(y * (stride + 1) + 1 + x) & 0xff
-        val left = if (x >= channels) raw(y * stride + x - channels) else 0
+        val left = if (x >= bpp) raw(y * stride + x - bpp) else 0
         val up = if (y > 0) raw((y - 1) * stride + x) else 0
-        val ul = if (y > 0 && x >= channels) raw((y - 1) * stride + x - channels) else 0
+        val ul = if (y > 0 && x >= bpp) raw((y - 1) * stride + x - bpp) else 0
         raw(y * stride + x) = f match {
           case 0 => v
           case 1 => (v + left) & 0xff
@@ -510,8 +620,50 @@ object MediaCodec {
       }
       y += 1
     }
-    Some((w, h, channels, raw))
+    if (colorType == 3) {
+      // expand indices through PLTE (+ tRNS alpha when present)
+      val outCh = if (alpha != null) 4 else 3
+      val out = new Array[Int](w * h * outCh)
+      var p = 0
+      while (p < w * h) {
+        val idx = raw(p)
+        if (idx >= palette.length) return None // refusal, not a clamp
+        val rgb = palette(idx)
+        out(p * outCh) = (rgb >>> 16) & 0xff
+        out(p * outCh + 1) = (rgb >>> 8) & 0xff
+        out(p * outCh + 2) = rgb & 0xff
+        if (outCh == 4)
+          out(p * outCh + 3) = if (idx < alpha.length) alpha(idx) else 255
+        p += 1
+      }
+      Some((w, h, outCh, 8, out))
+    } else if (depth == 16) {
+      // big-endian byte pairs → native 16-bit samples
+      val n = w * h * fchannels
+      val out = new Array[Int](n)
+      var p = 0
+      while (p < n) { out(p) = (raw(p * 2) << 8) | raw(p * 2 + 1); p += 1 }
+      Some((w, h, fchannels, 16, out))
+    } else Some((w, h, fchannels, 8, raw))
   }
+
+  /** Decoded PNG raster — (w, h, channels, channel-interleaved row-major
+    * values 0..255). Palette images arrive PLTE-expanded; 16-bit images
+    * arrive high-byte down-converted (libpng's strip-16 convention —
+    * exact for the v·257 "spread" encoding ImageIO and [[encodePng16]]
+    * round-trips use). None on anything outside the honest scope,
+    * corrupt chunks (CRC), truncated/over-long DEFLATE streams, or
+    * unknown filter bytes. */
+  def pngPixels(b: Array[Byte]): Option[(Int, Int, Int, Array[Int])] =
+    pngDecode(b).map { case (w, h, ch, depth, px) =>
+      if (depth == 16) (w, h, ch, px.map(_ >>> 8)) else (w, h, ch, px)
+    }
+
+  /** Native 16-bit PNG raster — (w, h, channels, values 0..65535). None
+    * for 8-bit inputs (use [[pngPixels]]) and everything pngDecode
+    * refuses. */
+  def pngPixels16(b: Array[Byte]): Option[(Int, Int, Int, Array[Int])] =
+    pngDecode(b).collect { case (w, h, ch, 16, px) => (w, h, ch, px) }
 
   /** PNG → [[MediaInfo]]: per-channel means over the decoded raster
     * (alpha excluded from the three mean slots, like BMP ignores pad). */

@@ -1973,6 +1973,8 @@ object Llm {
     "q_png_decode" -> (pngDecode _),
     "q_jpeg_decode" -> (jpegDecode _),
     "q_gif_decode" -> (gifDecode _),
+    "q_png_palette_decode" -> (pngPaletteDecode _),
+    "q_png16_decode" -> (png16Decode _),
     "q_g711_decode" -> (g711Decode _),
     "q_media_zoo" -> (mediaZoo _),
     "q_flac_decode" -> (flacDecode _),
@@ -2308,6 +2310,155 @@ object Llm {
       |  CASE WHEN d.k % 13 <> 0 THEN d.w END AS width,
       |  CASE WHEN d.k % 13 <> 0 THEN d.h END AS height,
       |  round(a.m0, 6) AS mean_c0, a.chk AS chk
+      |FROM dims d LEFT JOIN agg a ON a.k = d.k
+      |ORDER BY media_id""".stripMargin
+
+  /** Palette PNG (colour type 3) under the oracle — round 12's codec
+    * arm: per-key indexed rasters with a deterministic PLTE (and, for
+    * odd keys, a prefix tRNS supplying alpha) travel through
+    * [[graft.llm.MediaCodec.encodePngPalette]] (index-plane scanline
+    * filtering at distance 1) and back through pngDecode's PLTE/tRNS
+    * expansion. The oracle recomputes the expanded R channel and a
+    * position-weighted full-channel checksum from the palette formulas
+    * — one wrong index, palette entry, alpha value, or filter
+    * reconstruction anywhere flips the checksum. Every 13th payload
+    * truncates: the chunk walk must refuse. ImageIO cross-conformance
+    * (both directions) is spec-pinned in PngPropSpec. */
+  def pngPaletteDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.MediaCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val w = (4 + k % 9).toInt
+      val h = (3 + k % 7).toInt
+      val nPal = (2 + k % 254).toInt
+      val palette = Array.tabulate(nPal)(p =>
+        ((((37L * p + k) % 256) << 16) | (((59L * p + 2 * k) % 256) << 8) |
+          ((83L * p + 3 * k) % 256)).toInt)
+      val trns = if (k % 2 == 1)
+        Some(Array.tabulate(math.min(nPal, (1 + k % 7).toInt))(p =>
+          ((29L * p + k) % 256).toInt))
+      else None
+      def idx(x: Int, y: Int): Int =
+        ((k + 5L * x + 3L * y + (x * y) % 7) % nPal).toInt
+      val bytes = MediaCodec.encodePngPalette(w, h, palette, trns, idx)
+      val payload = if (k % 13 == 0) bytes.dropRight(9) else bytes
+      MediaCodec.pngPixels(payload) match {
+        case Some((dw, dh, ch, px)) =>
+          var rSum = 0L; var chk = 0L
+          var p = 0
+          while (p < dw * dh) {
+            rSum += px(p * ch)
+            var c = 0
+            var acc = 0L
+            while (c < ch) { acc += (c + 1) * px(p * ch + c); c += 1 }
+            chk += (p + 1) * acc
+            p += 1
+          }
+          (k, true, Some(ch), Some(rSum.toDouble / (dw.toLong * dh)), Some(chk))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Double], None: Option[Long])
+      }
+    }.toDF("media_id", "pal_ok", "n_channels", "m0", "chk")
+    decoded.select($"media_id", $"pal_ok", $"n_channels",
+      round($"m0", 6).as("mean_r"), $"chk")
+      .orderBy($"media_id")
+  }
+
+  /** The palette facts recomputed from the synthesis formulas: index
+    * (k + 5x + 3y + xy mod 7) mod nPal over a (4+k%9) × (3+k%7) raster,
+    * PLTE entry p = (37p+k, 59p+2k, 83p+3k) mod 256, odd keys carrying
+    * a (1+k%7)-entry tRNS with alpha (29p+k) mod 256 (later indices
+    * opaque). Checksum weights channels 1..ch and positions 1..wh. */
+  val pngPaletteDecodeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |dims AS (
+      |  SELECT k, CAST(4 + k % 9 AS BIGINT) AS w, CAST(3 + k % 7 AS BIGINT) AS h,
+      |    2 + k % 254 AS npal,
+      |    CASE WHEN k % 2 = 1 THEN 1 + k % 7 ELSE 0 END AS ntrns
+      |  FROM ks),
+      |px AS (
+      |  SELECT d.k, d.ntrns,
+      |    (d.k + 5 * x.g + 3 * y.g + (x.g * y.g) % 7) % d.npal AS idx,
+      |    1 + y.g * d.w + x.g AS pos
+      |  FROM dims d, generate_series(0, 12) x(g), generate_series(0, 9) y(g)
+      |  WHERE x.g < d.w AND y.g < d.h AND d.k % 13 <> 0),
+      |chans AS (
+      |  SELECT k, ntrns, pos,
+      |    (37 * idx + k) % 256 AS r,
+      |    (59 * idx + 2 * k) % 256 AS g,
+      |    (83 * idx + 3 * k) % 256 AS b,
+      |    CASE WHEN ntrns = 0 THEN NULL
+      |         WHEN idx < ntrns THEN (29 * idx + k) % 256 ELSE 255 END AS a
+      |  FROM px),
+      |agg AS (
+      |  SELECT k, avg(CAST(r AS DOUBLE)) AS m0,
+      |    CAST(SUM(pos * (r + 2 * g + 3 * b + COALESCE(4 * a, 0))) AS BIGINT) AS chk
+      |  FROM chans GROUP BY k)
+      |SELECT d.k AS media_id, (d.k % 13 <> 0) AS pal_ok,
+      |  CASE WHEN d.k % 13 <> 0 THEN
+      |    CAST(CASE WHEN d.ntrns > 0 THEN 4 ELSE 3 END AS INTEGER) END AS n_channels,
+      |  round(a.m0, 6) AS mean_r, a.chk AS chk
+      |FROM dims d LEFT JOIN agg a ON a.k = d.k
+      |ORDER BY media_id""".stripMargin
+
+  /** 16-bit grayscale PNG under the oracle — the second round-12 codec
+    * arm: per-key 16-bit rasters (big-endian sample bytes, filter
+    * distance 2) through [[graft.llm.MediaCodec.encodePng16]] and back
+    * through pngPixels16's native-depth decode. The oracle recomputes
+    * the exact 16-bit mean and position-weighted checksum from the
+    * synthesis formula — a single byte-order or filter-distance slip
+    * shifts every sample. Every 11th payload truncates: refusal. */
+  def png16Decode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.MediaCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val w = (3 + k % 8).toInt
+      val h = (2 + k % 6).toInt
+      def v(x: Int, y: Int): Int =
+        ((4099L * k + 257L * x + 8191L * y + (x * y) % 31) % 65536).toInt
+      val bytes = MediaCodec.encodePng16(w, h, 1, (x, y, _) => v(x, y))
+      val payload = if (k % 11 == 0) bytes.dropRight(9) else bytes
+      MediaCodec.pngPixels16(payload) match {
+        case Some((dw, dh, _, px)) =>
+          var sum = 0L; var chk = 0L
+          var p = 0
+          while (p < px.length) { sum += px(p); chk += (p + 1).toLong * px(p); p += 1 }
+          (k, true, Some(dw), Some(dh),
+            Some(sum.toDouble / (dw.toLong * dh)), Some(chk))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int],
+            None: Option[Double], None: Option[Long])
+      }
+    }.toDF("media_id", "png16_ok", "width", "height", "m0", "chk")
+    decoded.select($"media_id", $"png16_ok", $"width", $"height",
+      round($"m0", 6).as("mean_g"), $"chk")
+      .orderBy($"media_id")
+  }
+
+  /** 16-bit facts from v(k,x,y) = (4099k + 257x + 8191y + xy mod 31)
+    * mod 65536 over a (3+k%8) × (2+k%6) raster; truncated payloads
+    * (k%11=0) refuse. */
+  val png16DecodeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |dims AS (
+      |  SELECT k, CAST(3 + k % 8 AS INTEGER) AS w, CAST(2 + k % 6 AS INTEGER) AS h
+      |  FROM ks),
+      |px AS (
+      |  SELECT d.k,
+      |    (4099 * d.k + 257 * x.g + 8191 * y.g + (x.g * y.g) % 31) % 65536 AS v,
+      |    1 + y.g * d.w + x.g AS pos
+      |  FROM dims d, generate_series(0, 10) x(g), generate_series(0, 7) y(g)
+      |  WHERE x.g < d.w AND y.g < d.h AND d.k % 11 <> 0),
+      |agg AS (
+      |  SELECT k, avg(CAST(v AS DOUBLE)) AS m0,
+      |    CAST(SUM(v * pos) AS BIGINT) AS chk
+      |  FROM px GROUP BY k)
+      |SELECT d.k AS media_id, (d.k % 11 <> 0) AS png16_ok,
+      |  CASE WHEN d.k % 11 <> 0 THEN d.w END AS width,
+      |  CASE WHEN d.k % 11 <> 0 THEN d.h END AS height,
+      |  round(a.m0, 6) AS mean_g, a.chk AS chk
       |FROM dims d LEFT JOIN agg a ON a.k = d.k
       |ORDER BY media_id""".stripMargin
 
@@ -3226,6 +3377,8 @@ object Llm {
     "q_png_decode" -> pngDecodeSql,
     "q_jpeg_decode" -> jpegDecodeSql,
     "q_gif_decode" -> gifDecodeSql,
+    "q_png_palette_decode" -> pngPaletteDecodeSql,
+    "q_png16_decode" -> png16DecodeSql,
     "q_g711_decode" -> g711DecodeSql,
     "q_media_zoo" -> mediaZooSql,
     "q_flac_decode" -> flacDecodeSql,

@@ -74,4 +74,174 @@ class PngPropSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- round 12: palette (PLTE/tRNS) and 16-bit arms ---------------------
+
+  private case class PalImg(w: Int, h: Int, palette: Array[Int],
+                            trns: Option[Array[Int]], idx: Array[Int],
+                            filters: Array[Int])
+
+  private val palGen: Gen[PalImg] = for {
+    w <- Gen.chooseNum(1, 17)
+    h <- Gen.chooseNum(1, 13)
+    nPal <- Gen.chooseNum(1, 256)
+    pal <- Gen.listOfN(nPal, Gen.chooseNum(0, 0xffffff))
+    useTrns <- Gen.oneOf(true, false)
+    nTrns <- Gen.chooseNum(0, nPal)
+    trns <- Gen.listOfN(nTrns, Gen.chooseNum(0, 255))
+    idx <- Gen.listOfN(w * h, Gen.chooseNum(0, nPal - 1))
+    filters <- Gen.listOfN(h, Gen.chooseNum(0, 4))
+  } yield PalImg(w, h, pal.toArray,
+    if (useTrns) Some(trns.toArray) else None, idx.toArray, filters.toArray)
+
+  test("palette encode→decode round-trips: PLTE expansion + tRNS alpha, all filters") {
+    forAll(palGen) { img =>
+      val bytes = MediaCodec.encodePngPalette(img.w, img.h, img.palette,
+        img.trns, (x, y) => img.idx(y * img.w + x), y => img.filters(y))
+      val Some((dw, dh, dch, raster)) = MediaCodec.pngPixels(bytes)
+      val expCh = if (img.trns.isDefined) 4 else 3
+      assert((dw, dh, dch) == ((img.w, img.h, expCh)))
+      var p = 0
+      while (p < img.w * img.h) {
+        val rgb = img.palette(img.idx(p))
+        assert(raster(p * dch) == ((rgb >>> 16) & 0xff) &&
+          raster(p * dch + 1) == ((rgb >>> 8) & 0xff) &&
+          raster(p * dch + 2) == (rgb & 0xff), s"rgb mismatch at $p")
+        img.trns.foreach { t =>
+          val a = if (img.idx(p) < t.length) t(img.idx(p)) else 255
+          assert(raster(p * dch + 3) == a, s"alpha mismatch at $p")
+        }
+        p += 1
+      }
+    }
+  }
+
+  private case class Img16(w: Int, h: Int, channels: Int,
+                           pixels: Array[Int], filters: Array[Int])
+
+  private val img16Gen: Gen[Img16] = for {
+    w <- Gen.chooseNum(1, 13)
+    h <- Gen.chooseNum(1, 11)
+    ch <- Gen.oneOf(1, 3, 4)
+    pixels <- Gen.listOfN(w * h * ch, Gen.chooseNum(0, 65535))
+    filters <- Gen.listOfN(h, Gen.chooseNum(0, 4))
+  } yield Img16(w, h, ch, pixels.toArray, filters.toArray)
+
+  test("16-bit encode→decode round-trips native samples (byte-wise filter distance)") {
+    forAll(img16Gen) { img =>
+      def px(x: Int, y: Int, c: Int): Int =
+        img.pixels(y * img.w * img.channels + x * img.channels + c)
+      val bytes = MediaCodec.encodePng16(img.w, img.h, img.channels, px,
+        y => img.filters(y))
+      val Some((dw, dh, dch, raster)) = MediaCodec.pngPixels16(bytes)
+      assert((dw, dh, dch) == ((img.w, img.h, img.channels)))
+      assert(raster.sameElements(img.pixels),
+        s"16-bit raster mismatch ${img.w}x${img.h}x${img.channels}")
+      // and the 8-bit view is the high byte (strip-16)
+      val Some((_, _, _, r8)) = MediaCodec.pngPixels(bytes)
+      assert(r8.sameElements(img.pixels.map(_ >>> 8)))
+    }
+  }
+
+  test("ImageIO cross-conformance: the JDK reads our palette and 16-bit-gray streams pixel-exactly") {
+    import javax.imageio.ImageIO
+    import java.io.ByteArrayInputStream
+    forAll(palGen, n = 25) { img =>
+      val bytes = MediaCodec.encodePngPalette(img.w, img.h, img.palette,
+        img.trns, (x, y) => img.idx(y * img.w + x), y => img.filters(y))
+      val bi = ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(bi != null && bi.getWidth == img.w && bi.getHeight == img.h)
+      for (y <- 0 until img.h; x <- 0 until img.w) {
+        val argb = bi.getRGB(x, y)
+        val rgb = img.palette(img.idx(y * img.w + x))
+        val a = img.trns.map(t =>
+          if (img.idx(y * img.w + x) < t.length) t(img.idx(y * img.w + x)) else 255)
+          .getOrElse(255)
+        // ImageIO premultiplies nothing for PNG: ARGB carries raw values
+        assert((argb & 0xffffff) == rgb && ((argb >>> 24) & 0xff) == a,
+          s"ImageIO mismatch at ($x,$y): got ${argb.toHexString} want a=$a rgb=${rgb.toHexString}")
+      }
+    }
+    forAll(img16Gen.suchThat(_.channels == 1), n = 25) { img =>
+      def px(x: Int, y: Int, c: Int): Int =
+        img.pixels(y * img.w * img.channels + x * img.channels + c)
+      val bytes = MediaCodec.encodePng16(img.w, img.h, 1, px, y => img.filters(y))
+      val bi = ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(bi != null && bi.getWidth == img.w && bi.getHeight == img.h)
+      for (y <- 0 until img.h; x <- 0 until img.w)
+        assert(bi.getRaster.getSample(x, y, 0) == img.pixels(y * img.w + x),
+          s"ImageIO 16-bit mismatch at ($x,$y)")
+    }
+  }
+
+  test("ImageIO cross-conformance: we read the JDK's palette and 16-bit-gray writes pixel-exactly") {
+    import javax.imageio.ImageIO
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    import java.io.ByteArrayOutputStream
+    forAll(palGen, n = 25) { img =>
+      // build an indexed BufferedImage from the same palette/indices and
+      // let the JDK encoder produce the colour-type-3 stream
+      val n = img.palette.length
+      val r = img.palette.map(c => ((c >>> 16) & 0xff).toByte)
+      val g = img.palette.map(c => ((c >>> 8) & 0xff).toByte)
+      val b = img.palette.map(c => (c & 0xff).toByte)
+      val icm = new IndexColorModel(8, n, r, g, b)
+      val bi = new BufferedImage(img.w, img.h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+      for (y <- 0 until img.h; x <- 0 until img.w)
+        bi.getRaster.setSample(x, y, 0, img.idx(y * img.w + x))
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(bi, "png", bos))
+      MediaCodec.pngDecode(bos.toByteArray) match {
+        case Some((dw, dh, dch, 8, raster)) =>
+          assert((dw, dh) == ((img.w, img.h)))
+          // JDK may write type 3 (dch=3) or expand; either way RGB must match
+          for (p <- 0 until img.w * img.h) {
+            val rgb = img.palette(img.idx(p))
+            assert(raster(p * dch) == ((rgb >>> 16) & 0xff) &&
+              raster(p * dch + 1) == ((rgb >>> 8) & 0xff) &&
+              raster(p * dch + 2) == (rgb & 0xff),
+              s"JDK-written palette decode mismatch at $p")
+          }
+        case other => fail(s"pngDecode refused the JDK's palette write: $other")
+      }
+    }
+    forAll(img16Gen.suchThat(_.channels == 1), n = 25) { img =>
+      val bi = new BufferedImage(img.w, img.h, BufferedImage.TYPE_USHORT_GRAY)
+      for (y <- 0 until img.h; x <- 0 until img.w)
+        bi.getRaster.setSample(x, y, 0, img.pixels(y * img.w + x))
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(bi, "png", bos))
+      MediaCodec.pngPixels16(bos.toByteArray) match {
+        case Some((dw, dh, 1, raster)) =>
+          assert((dw, dh) == ((img.w, img.h)))
+          assert(raster.sameElements(img.pixels),
+            "JDK-written 16-bit gray decode mismatch")
+        case other => fail(s"pngPixels16 refused the JDK's 16-bit write: $other")
+      }
+    }
+  }
+
+  test("palette/16-bit refusal arms: bad index, sub-byte depth, tRNS overrun, corruption") {
+    // index past the palette refuses at encode (require) AND at decode
+    intercept[IllegalArgumentException] {
+      MediaCodec.encodePngPalette(2, 2, Array(0xff0000), None, (_, _) => 1)
+    }
+    intercept[IllegalArgumentException] {
+      MediaCodec.encodePngPalette(2, 2, Array(0xff0000),
+        Some(Array(10, 20)), (_, _) => 0) // tRNS longer than PLTE
+    }
+    // craft a valid 2-entry palette stream then corrupt the PLTE payload:
+    // CRC must catch it
+    val ok = MediaCodec.encodePngPalette(3, 3, Array(0x102030, 0x405060),
+      Some(Array(7)), (x, y) => (x + y) % 2)
+    assert(MediaCodec.pngPixels(ok).isDefined)
+    // PLTE payload starts after sig(8) + IHDR chunk(25) + len/tag(8)
+    val mut = ok.clone(); mut(8 + 25 + 8) = (mut(8 + 25 + 8) ^ 0x1).toByte
+    assert(MediaCodec.pngPixels(mut).isEmpty, "corrupt PLTE must refuse")
+    // a depth-4 palette header refuses (sub-byte scope line)
+    val d4 = ok.clone(); d4(8 + 8 + 8) = 4 // IHDR depth byte
+    assert(MediaCodec.pngPixels(d4).isEmpty, "depth-4 palette must refuse")
+    // truncation refuses
+    assert(MediaCodec.pngPixels(ok.dropRight(9)).isEmpty)
+  }
 }
