@@ -5,12 +5,15 @@ package graft.llm
   * retired PNG: a real bitstream implementation, not a shim.
   *
   * Decoder scope (honest, documented): baseline + extended-sequential
-  * DCT (SOF0/SOF1), 8-bit, 1 or 3 components with 1×1 sampling (4:4:4),
-  * interleaved scan, DRI/RSTn restart markers, APPn/COM skipped,
-  * FF-stuffing, JFIF YCbCr→RGB for 3-component frames. Progressive
-  * (SOF2), arithmetic coding, subsampled chroma and 12-bit precision
-  * decode to None — the caller keeps the row with a null decode, same
-  * contract as every other arm of [[MediaCodec.decode]].
+  * DCT (SOF0/SOF1) and PROGRESSIVE DCT (SOF2 — round 12: spectral
+  * selection, successive approximation with DC/AC refinement passes and
+  * EOB-run decoding per ITU T.81 §G.1.2, reconstruction at EOI), 8-bit,
+  * 1 or 3 components with 1×1 sampling (4:4:4), DRI/RSTn restart
+  * markers, APPn/COM skipped, FF-stuffing, JFIF YCbCr→RGB for
+  * 3-component frames. Arithmetic coding, subsampled chroma, 12-bit
+  * precision and hierarchical frames decode to None — the caller keeps
+  * the row with a null decode, same contract as every other arm of
+  * [[MediaCodec.decode]].
   *
   * Encoder scope: grayscale baseline with canonical Huffman tables and a
   * quant table whose DC step is 8 — chosen because the FDCT of a FLAT
@@ -316,9 +319,106 @@ object JpegCodec {
                                 var dcTbl: Int = 0, var acTbl: Int = 0,
                                 var pred: Int = 0)
 
-  /** Decode a baseline JPEG: Some((width, height, channels, pixels
-    * interleaved row-major)) or None for corrupt / out-of-scope
-    * payloads. */
+  /** Dequantized block → plane, shared by the baseline per-MCU path and
+    * the progressive end-of-stream reconstruction. DC-only blocks fill
+    * with the single surviving term computed by the exact product chain
+    * the separable loops would produce — bit-identical, none of the
+    * work (see the baseline scan comment). */
+  private def idctToPlane(deq: Array[Int], anyAc: Boolean, plane: Array[Int],
+                          stride: Int, bx: Int, by: Int): Unit = {
+    if (!anyAc) {
+      val f = 0.25 * (Cn(0) * (Cn(0) * deq(0)))
+      val px = math.max(0, math.min(255, math.round(f).toInt + 128))
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          plane((by * 8 + y) * stride + bx * 8 + x) = px
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      // tmp(v, x) = Σu Cn(u)·F(v, u)·cos(x, u)
+      val tmp = new Array[Double](64)
+      var v = 0
+      while (v < 8) {
+        var x = 0
+        while (x < 8) {
+          var sum = 0.0
+          var u = 0
+          while (u < 8) {
+            sum += Cn(u) * (deq(v * 8 + u) * CosT(x)(u))
+            u += 1
+          }
+          tmp(v * 8 + x) = sum
+          x += 1
+        }
+        v += 1
+      }
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var sum = 0.0
+          var v2 = 0
+          while (v2 < 8) {
+            sum += Cn(v2) * (tmp(v2 * 8 + x) * CosT(y)(v2))
+            v2 += 1
+          }
+          val px = math.max(0, math.min(255, math.round(0.25 * sum).toInt + 128))
+          plane((by * 8 + y) * stride + bx * 8 + x) = px
+          x += 1
+        }
+        y += 1
+      }
+    }
+  }
+
+  /** Final raster emit shared by baseline and progressive: crop the
+    * block-padded planes to (w, h) and, for 3 components, apply the
+    * JFIF YCbCr→RGB transform. */
+  private def emit(w: Int, h: Int, nComps: Int, planes: Array[Array[Int]],
+                   stride: Int): Some[(Int, Int, Int, Array[Int])] = {
+    if (nComps == 1) {
+      val outPx = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { outPx(y * w + x) = planes(0)(y * stride + x); x += 1 }
+        y += 1
+      }
+      Some((w, h, 1, outPx))
+    } else {
+      val outPx = new Array[Int](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yv = planes(0)(y * stride + x).toDouble
+          val cb = planes(1)(y * stride + x) - 128.0
+          val cr = planes(2)(y * stride + x) - 128.0
+          def clamp(d: Double): Int =
+            math.max(0, math.min(255, math.round(d).toInt))
+          val o = (y * w + x) * 3
+          outPx(o) = clamp(yv + 1.402 * cr)
+          outPx(o + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
+          outPx(o + 2) = clamp(yv + 1.772 * cb)
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, 3, outPx))
+    }
+  }
+
+  /** Decode a baseline or PROGRESSIVE JPEG: Some((width, height,
+    * channels, pixels interleaved row-major)) or None for corrupt /
+    * out-of-scope payloads. Progressive (SOF2) accumulates quantized
+    * coefficients across every scan — spectral selection bands,
+    * DC/AC first passes and successive-approximation refinement passes
+    * (EOB-run + correction-bit decoding per ITU T.81 §G.1.2) — and
+    * reconstructs once at EOI. */
   def decode(b: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = try {
     if (b == null || b.length < 4 ||
       (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
@@ -329,6 +429,11 @@ object JpegCodec {
     var restartInterval = 0
     var w = 0; var h = 0
     var comps: Array[Comp] = null
+    var progressive = false
+    // progressive state: per-component quantized coefficients in ZIGZAG
+    // order (64 per block, blocks raster-major), built up scan by scan
+    var coefStore: Array[Array[Int]] = null
+    var nScans = 0
     def u16(i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
     while (p + 1 < b.length) {
       if ((b(p) & 0xff) != 0xff) throw new IllegalArgumentException("marker expected")
@@ -336,7 +441,37 @@ object JpegCodec {
       if (p >= b.length) throw new IllegalArgumentException("truncated")
       val m = b(p) & 0xff; p += 1
       m match {
-        case 0xd9 => return None // EOI with no scan decoded
+        case 0xd9 =>
+          // EOI: a progressive stream reconstructs HERE, after every
+          // scan has deposited its band/bit-plane of coefficients
+          if (progressive && nScans > 0) {
+            val bw8 = (w + 7) / 8; val bh8 = (h + 7) / 8
+            val stride = bw8 * 8
+            val planes = comps.map(_ => new Array[Int](stride * bh8 * 8))
+            val deq = new Array[Int](64)
+            var ci = 0
+            while (ci < comps.length) {
+              val qt = quant(comps(ci).tq)
+              require(qt != null, "missing quant table at reconstruction")
+              val coefs = coefStore(ci)
+              var blk = 0
+              while (blk < bw8 * bh8) {
+                var anyAc = false
+                var i2 = 0
+                while (i2 < 64) {
+                  val z = coefs(blk * 64 + i2)
+                  deq(Zig(i2)) = z * qt(Zig(i2))
+                  if (i2 > 0 && z != 0) anyAc = true
+                  i2 += 1
+                }
+                idctToPlane(deq, anyAc, planes(ci), stride, blk % bw8, blk / bw8)
+                blk += 1
+              }
+              ci += 1
+            }
+            return emit(w, h, comps.length, planes, stride)
+          }
+          return None // EOI with no scan decoded
         case 0x01 => () // TEM, standalone
         case x if x >= 0xd0 && x <= 0xd7 => () // stray RST, standalone
         case 0xdb =>
@@ -366,7 +501,7 @@ object JpegCodec {
           }
         case 0xdd =>
           restartInterval = u16(p + 2); p += u16(p)
-        case 0xc0 | 0xc1 =>
+        case 0xc0 | 0xc1 | 0xc2 =>
           val len = u16(p)
           require(((b(p + 2) & 0xff)) == 8, "only 8-bit precision")
           h = u16(p + 3); w = u16(p + 5)
@@ -382,169 +517,249 @@ object JpegCodec {
             Comp(b(o) & 0xff, b(o + 1) & 0xff, b(o + 2) & 0xff)
           }
           require(comps.forall(_.hv == 0x11), "subsampling unsupported (4:4:4 only)")
+          if (m == 0xc2) {
+            progressive = true
+            val blocks = ((w + 7) / 8) * ((h + 7) / 8)
+            coefStore = comps.map(_ => new Array[Int](blocks * 64))
+          }
           p += len
-        case x if x == 0xc2 || (x >= 0xc3 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc) =>
-          return None // progressive / arithmetic / hierarchical: out of scope
+        case x if x >= 0xc3 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc =>
+          return None // arithmetic / hierarchical / lossless: out of scope
         case 0xda =>
           require(comps != null, "SOS before SOF")
           val len = u16(p)
           val ns = b(p + 2) & 0xff
-          require(ns == comps.length, "partial scans unsupported")
+          require(ns >= 1 && ns <= comps.length, "bad scan component count")
+          require(!(!progressive && ns != comps.length), "partial scans unsupported")
+          val scanComps = new Array[Comp](ns)
+          val scanIdx = new Array[Int](ns)
           var i = 0
           while (i < ns) {
             val cid = b(p + 3 + 2 * i) & 0xff
             val tt = b(p + 4 + 2 * i) & 0xff
-            val c = comps.find(_.id == cid)
-              .getOrElse(throw new IllegalArgumentException("unknown scan component"))
+            val k = comps.indexWhere(_.id == cid)
+            require(k >= 0, "unknown scan component")
+            val c = comps(k)
             c.dcTbl = tt >> 4; c.acTbl = tt & 0x0f
+            scanComps(i) = c; scanIdx(i) = k
             i += 1
           }
+          val ss = b(p + 3 + 2 * ns) & 0xff
+          val se = b(p + 4 + 2 * ns) & 0xff
+          val ahal = b(p + 5 + 2 * ns) & 0xff
+          val ah = ahal >> 4; val al = ahal & 0x0f
           p += len
-          // interleaved 4:4:4 scan: one block per component per MCU
-          val bw8 = (w + 7) / 8; val bh8 = (h + 7) / 8
-          val planes = comps.map(_ => new Array[Int](bw8 * 8 * bh8 * 8))
-          val br = new BitReader(b, p)
-          val zz = new Array[Int](64)
-          val deq = new Array[Int](64)
-          var mcu = 0
-          val totalMcus = bw8 * bh8
-          while (mcu < totalMcus) {
-            if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-              br.align()
-              require(br.p + 1 < b.length && (b(br.p) & 0xff) == 0xff &&
-                (b(br.p + 1) & 0xf8) == 0xd0, "RST marker expected")
-              br.p += 2
-              comps.foreach(_.pred = 0)
-            }
-            val by = mcu / bw8; val bx = mcu % bw8
-            var ci = 0
-            while (ci < comps.length) {
-              val c = comps(ci)
-              val dc = huffDc(c.dcTbl); val ac = huffAc(c.acTbl)
-              val qt = quant(c.tq)
-              require(dc != null && ac != null && qt != null, "missing tables")
-              java.util.Arrays.fill(zz, 0)
-              val s = dc.decode(br)
-              require(s <= 11, "bad DC category")
-              c.pred += extend(br.bits(s), s)
-              zz(0) = c.pred
-              var k = 1
-              while (k < 64) {
-                val rs = ac.decode(br)
-                val r = rs >> 4; val sz = rs & 0x0f
-                if (sz == 0) {
-                  if (r == 15) k += 16 // ZRL
-                  else k = 64 // EOB
-                } else {
-                  k += r
-                  require(k < 64, "AC index overflow")
-                  zz(k) = extend(br.bits(sz), sz)
-                  k += 1
-                }
+          if (progressive) {
+            // ---- one progressive scan: a (band, bit-plane) slice ----
+            nScans += 1
+            require(nScans <= 256, "scan count cap (hostile stream)")
+            require(se <= 63 && ss <= se, s"bad spectral band $ss..$se")
+            require(al <= 13 && (ah == 0 || ah == al + 1),
+              s"bad successive approximation $ah/$al")
+            if (ss == 0) require(se == 0, "DC scan must have Se=0")
+            else require(ns == 1, "AC scans are single-component")
+            val bw8 = (w + 7) / 8; val bh8 = (h + 7) / 8
+            val br = new BitReader(b, p)
+            var eobrun = 0
+            comps.foreach(_.pred = 0)
+            val totalMcus = bw8 * bh8 // 4:4:4 ⇒ MCU == block for every scan shape
+            var mcu = 0
+            while (mcu < totalMcus) {
+              if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+                br.align()
+                require(br.p + 1 < b.length && (b(br.p) & 0xff) == 0xff &&
+                  (b(br.p + 1) & 0xf8) == 0xd0, "RST marker expected")
+                br.p += 2
+                comps.foreach(_.pred = 0)
+                eobrun = 0
               }
-              var i2 = 0
-              var anyAc = false
-              while (i2 < 64) {
-                deq(Zig(i2)) = zz(i2) * qt(Zig(i2))
-                if (i2 > 0 && zz(i2) != 0) anyAc = true
-                i2 += 1
-              }
-              // IDCT, separable (row pass then column pass). DC-only
-              // blocks — every block of the flat-raster gate, and the
-              // most common block in real photos' smooth regions — fill
-              // with the single surviving term, computed by the exact
-              // product chain the separable loops would produce, so the
-              // shortcut is bit-identical, not approximately so.
-              val plane = planes(ci)
-              if (!anyAc) {
-                val f = 0.25 * (Cn(0) * (Cn(0) * deq(0)))
-                val px = math.max(0, math.min(255, math.round(f).toInt + 128))
-                var y = 0
-                while (y < 8) {
-                  var x = 0
-                  while (x < 8) {
-                    plane((by * 8 + y) * bw8 * 8 + bx * 8 + x) = px
-                    x += 1
-                  }
-                  y += 1
+              if (ss == 0) {
+                // DC pass (interleaved or single-component)
+                var ci = 0
+                while (ci < ns) {
+                  val c = scanComps(ci)
+                  val coefs = coefStore(scanIdx(ci))
+                  val off = mcu * 64
+                  if (ah == 0) {
+                    val dcH = huffDc(c.dcTbl)
+                    require(dcH != null, "missing DC table")
+                    val s = dcH.decode(br)
+                    require(s <= 11, "bad DC category")
+                    c.pred += extend(br.bits(s), s)
+                    coefs(off) = c.pred << al
+                  } else if (br.bit() == 1) coefs(off) |= (1 << al)
+                  ci += 1
                 }
               } else {
-                // tmp(v, x) = Σu Cn(u)·F(v, u)·cos(x, u)
-                val tmp = new Array[Double](64)
-                var v = 0
-                while (v < 8) {
-                  var x = 0
-                  while (x < 8) {
-                    var sum = 0.0
-                    var u = 0
-                    while (u < 8) {
-                      sum += Cn(u) * (deq(v * 8 + u) * CosT(x)(u))
-                      u += 1
+                // AC pass, single component
+                val c = scanComps(0)
+                val coefs = coefStore(scanIdx(0))
+                val off = mcu * 64
+                val acH = huffAc(c.acTbl)
+                require(acH != null, "missing AC table")
+                if (ah == 0) {
+                  // first pass over this band: run-lengths + EOB runs
+                  if (eobrun > 0) eobrun -= 1
+                  else {
+                    var k = ss
+                    while (k <= se) {
+                      val rs = acH.decode(br)
+                      val r = rs >> 4; val sz = rs & 0x0f
+                      if (sz == 0) {
+                        if (r == 15) k += 16 // ZRL
+                        else {
+                          eobrun = (1 << r) - 1
+                          if (r > 0) eobrun += br.bits(r)
+                          k = 64 // band done for this block
+                        }
+                      } else {
+                        k += r
+                        require(k <= se, "AC band overflow")
+                        coefs(off + k) = extend(br.bits(sz), sz) << al
+                        k += 1
+                      }
                     }
-                    tmp(v * 8 + x) = sum
-                    x += 1
                   }
-                  v += 1
-                }
-                var y = 0
-                while (y < 8) {
-                  var x = 0
-                  while (x < 8) {
-                    var sum = 0.0
-                    var v2 = 0
-                    while (v2 < 8) {
-                      sum += Cn(v2) * (tmp(v2 * 8 + x) * CosT(y)(v2))
-                      v2 += 1
+                } else {
+                  // refinement pass (T.81 §G.1.2.3): correction bits on
+                  // every already-nonzero coefficient crossed, new ±1<<Al
+                  // insertions from the run-length symbols, EOB runs
+                  // consuming correction bits through the band tail
+                  val bit = 1 << al
+                  def correct(k: Int): Unit = {
+                    val c0 = coefs(off + k)
+                    if (c0 != 0 && br.bit() == 1 && (c0 & bit) == 0)
+                      coefs(off + k) = if (c0 >= 0) c0 + bit else c0 - bit
+                  }
+                  var k = ss
+                  if (eobrun == 0) {
+                    var inBand = true
+                    while (inBand && k <= se) {
+                      val rs = acH.decode(br)
+                      var r = rs >> 4; val sz = rs & 0x0f
+                      var newVal = 0
+                      if (sz == 0) {
+                        if (r < 15) {
+                          // NO -1 here (unlike the first pass): the EOB
+                          // tail below must still run on THIS block —
+                          // its remaining nonzero coefficients carry
+                          // correction bits — and IT counts the block
+                          // off the run. Subtracting here skipped those
+                          // bits and desynced the stream.
+                          eobrun = 1 << r
+                          if (r > 0) eobrun += br.bits(r)
+                          inBand = false // tail handled by the EOB branch
+                        }
+                        // r == 15: pass over 16 zero-history coefficients
+                      } else {
+                        require(sz == 1, "refinement magnitude must be 1")
+                        newVal = if (br.bit() == 1) bit else -bit
+                      }
+                      if (inBand) {
+                        var placed = false
+                        while (!placed && k <= se) {
+                          if (coefs(off + k) != 0) correct(k)
+                          else if (r == 0) {
+                            if (newVal != 0) coefs(off + k) = newVal
+                            placed = true
+                          } else r -= 1
+                          k += 1
+                        }
+                        if (!placed && newVal != 0)
+                          throw new IllegalArgumentException(
+                            s"refinement ran off band: scan=$nScans mcu=$mcu k=$k r=$r ss=$ss se=$se")
+                      }
                     }
-                    val px = math.max(0, math.min(255, math.round(0.25 * sum).toInt + 128))
-                    plane((by * 8 + y) * bw8 * 8 + bx * 8 + x) = px
-                    x += 1
                   }
-                  y += 1
+                  if (eobrun > 0) {
+                    while (k <= se) { correct(k); k += 1 }
+                    eobrun -= 1
+                  }
                 }
               }
-              ci += 1
+              mcu += 1
             }
-            mcu += 1
-          }
-          val stride = bw8 * 8
-          if (comps.length == 1) {
-            val outPx = new Array[Int](w * h)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) { outPx(y * w + x) = planes(0)(y * stride + x); x += 1 }
-              y += 1
-            }
-            return Some((w, h, 1, outPx))
-          } else {
-            val outPx = new Array[Int](w * h * 3)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val yv = planes(0)(y * stride + x).toDouble
-                val cb = planes(1)(y * stride + x) - 128.0
-                val cr = planes(2)(y * stride + x) - 128.0
-                def clamp(d: Double): Int =
-                  math.max(0, math.min(255, math.round(d).toInt))
-                val o = (y * w + x) * 3
-                outPx(o) = clamp(yv + 1.402 * cr)
-                outPx(o + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
-                outPx(o + 2) = clamp(yv + 1.772 * cb)
-                x += 1
-              }
-              y += 1
-            }
-            return Some((w, h, 3, outPx))
-          }
+            // resync: advance to the next real marker (pad bits and the
+            // partially-consumed final byte sit between)
+            p = br.p
+            while (p + 1 < b.length &&
+              !((b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) != 0x00)) p += 1
+          } else return decodeBaselineScan(b, p, w, h, comps, quant,
+            huffDc, huffAc, restartInterval)
         case _ =>
           p += u16(p) // APPn, COM, anything with a length field
       }
     }
     None
   } catch {
-    case _: RuntimeException => None
-    case _: ArrayIndexOutOfBoundsException => None
+    case e: RuntimeException =>
+      if (System.getProperty("graft.jpeg.debug") != null) e.printStackTrace()
+      None
+    case e: ArrayIndexOutOfBoundsException =>
+      if (System.getProperty("graft.jpeg.debug") != null) e.printStackTrace()
+      None
+  }
+
+  /** The baseline interleaved 4:4:4 scan: one block per component per
+    * MCU, Huffman-decoded, dequantized and IDCT'd straight into the
+    * planes ([[idctToPlane]]), then emitted ([[emit]]). */
+  private def decodeBaselineScan(b: Array[Byte], p0: Int, w: Int, h: Int,
+      comps: Array[Comp], quant: Array[Array[Int]], huffDc: Array[Huff],
+      huffAc: Array[Huff], restartInterval: Int): Some[(Int, Int, Int, Array[Int])] = {
+    val bw8 = (w + 7) / 8; val bh8 = (h + 7) / 8
+    val stride = bw8 * 8
+    val planes = comps.map(_ => new Array[Int](stride * bh8 * 8))
+    val br = new BitReader(b, p0)
+    val zz = new Array[Int](64)
+    val deq = new Array[Int](64)
+    var mcu = 0
+    val totalMcus = bw8 * bh8
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        br.align()
+        require(br.p + 1 < b.length && (b(br.p) & 0xff) == 0xff &&
+          (b(br.p + 1) & 0xf8) == 0xd0, "RST marker expected")
+        br.p += 2
+        comps.foreach(_.pred = 0)
+      }
+      val by = mcu / bw8; val bx = mcu % bw8
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val dc = huffDc(c.dcTbl); val ac = huffAc(c.acTbl)
+        val qt = quant(c.tq)
+        require(dc != null && ac != null && qt != null, "missing tables")
+        java.util.Arrays.fill(zz, 0)
+        val s = dc.decode(br)
+        require(s <= 11, "bad DC category")
+        c.pred += extend(br.bits(s), s)
+        zz(0) = c.pred
+        var k = 1
+        while (k < 64) {
+          val rs = ac.decode(br)
+          val r = rs >> 4; val sz = rs & 0x0f
+          if (sz == 0) {
+            if (r == 15) k += 16 // ZRL
+            else k = 64 // EOB
+          } else {
+            k += r
+            require(k < 64, "AC index overflow")
+            zz(k) = extend(br.bits(sz), sz)
+            k += 1
+          }
+        }
+        var i2 = 0
+        var anyAc = false
+        while (i2 < 64) {
+          deq(Zig(i2)) = zz(i2) * qt(Zig(i2))
+          if (i2 > 0 && zz(i2) != 0) anyAc = true
+          i2 += 1
+        }
+        idctToPlane(deq, anyAc, planes(ci), stride, bx, by)
+        ci += 1
+      }
+      mcu += 1
+    }
+    emit(w, h, comps.length, planes, stride)
   }
 }

@@ -1975,6 +1975,7 @@ object Llm {
     "q_gif_decode" -> (gifDecode _),
     "q_png_palette_decode" -> (pngPaletteDecode _),
     "q_png16_decode" -> (png16Decode _),
+    "q_jpeg_progressive" -> (jpegProgressive _),
     "q_g711_decode" -> (g711Decode _),
     "q_media_zoo" -> (mediaZoo _),
     "q_flac_decode" -> (flacDecode _),
@@ -2235,6 +2236,94 @@ object Llm {
       |    CAST(SUM(v * pos) AS BIGINT) AS chk
       |  FROM px GROUP BY k)
       |SELECT d.k AS media_id, (d.k % 13 <> 0) AS jpeg_ok,
+      |  CASE WHEN d.k % 13 <> 0 THEN d.w END AS width,
+      |  CASE WHEN d.k % 13 <> 0 THEN d.h END AS height,
+      |  round(a.m0, 6) AS mean_c0, a.chk AS chk
+      |FROM dims d LEFT JOIN agg a ON a.k = d.k
+      |ORDER BY media_id""".stripMargin
+
+  /** PROGRESSIVE JPEG (SOF2) under the oracle — round 12, retiring the
+    * decoder's last refused DCT mode: per-key flat-block rasters are
+    * encoded by the JDK's ImageIO writer in progressive mode (an
+    * INDEPENDENT encoder emitting libjpeg's standard scan script —
+    * spectral selection bands plus successive-approximation DC/AC
+    * refinement passes) at quality 1.0, where the all-1 quant tables
+    * make flat blocks round-trip pixel-EXACTLY (DC-only coefficients
+    * survive quantization; JpegCodecSpec pins the property). The decode
+    * walks every T.81 §G.1.2 branch — EOB runs, correction bits, ZRL
+    * refinement — before the closed-form oracle recomputes mean and
+    * position-weighted checksum from the block formula. Every 13th
+    * payload truncates mid-scan: refusal, never a half-refined raster. */
+  def jpegProgressive(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.MediaCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val w = (8 * (1 + k % 4)).toInt
+      val h = (8 * (1 + k % 3)).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.getRaster.setSample(x, y, 0,
+            ((7 * k + 11L * (x / 8) + 13L * (y / 8)) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val params = writer.getDefaultWriteParam
+      params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(1.0f)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      ios.close(); writer.dispose()
+      val bytes = bos.toByteArray
+      val payload = if (k % 13 == 0) bytes.dropRight(10) else bytes
+      MediaCodec.jpegPixels(payload) match {
+        case Some((dw, dh, _, px)) =>
+          var sum = 0L
+          var chk = 0L
+          var i = 0
+          while (i < px.length) { sum += px(i); chk += px(i).toLong * (i + 1); i += 1 }
+          (k, true, Some(dw), Some(dh),
+            Some(sum.toDouble / (dw.toLong * dh)), Some(chk))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int],
+            None: Option[Double], None: Option[Long])
+      }
+    }.toDF("media_id", "prog_ok", "width", "height", "m0", "chk")
+    decoded.select($"media_id", $"prog_ok", $"width", $"height",
+      round($"m0", 6).as("mean_c0"), $"chk")
+      .orderBy($"media_id")
+  }
+
+  /** The progressive facts from the block formula (7k + 11·(x div 8) +
+    * 13·(y div 8)) mod 256 over an (8·(1+k%4)) × (8·(1+k%3)) raster —
+    * exact because flat blocks at quality 1.0 survive the lossy path
+    * bit-for-bit (see [[jpegProgressive]]). */
+  val jpegProgressiveSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |dims AS (
+      |  SELECT k, CAST(8 * (1 + k % 4) AS INTEGER) AS w,
+      |    CAST(8 * (1 + k % 3) AS INTEGER) AS h
+      |  FROM ks),
+      |px AS (
+      |  SELECT d.k,
+      |    (7 * d.k + 11 * (x.g // 8) + 13 * (y.g // 8)) % 256 AS v,
+      |    1 + y.g * d.w + x.g AS pos
+      |  FROM dims d, generate_series(0, 31) x(g), generate_series(0, 23) y(g)
+      |  WHERE x.g < d.w AND y.g < d.h AND d.k % 13 <> 0),
+      |agg AS (
+      |  SELECT k, avg(CAST(v AS DOUBLE)) AS m0,
+      |    CAST(SUM(v * pos) AS BIGINT) AS chk
+      |  FROM px GROUP BY k)
+      |SELECT d.k AS media_id, (d.k % 13 <> 0) AS prog_ok,
       |  CASE WHEN d.k % 13 <> 0 THEN d.w END AS width,
       |  CASE WHEN d.k % 13 <> 0 THEN d.h END AS height,
       |  round(a.m0, 6) AS mean_c0, a.chk AS chk
@@ -3379,6 +3468,7 @@ object Llm {
     "q_gif_decode" -> gifDecodeSql,
     "q_png_palette_decode" -> pngPaletteDecodeSql,
     "q_png16_decode" -> png16DecodeSql,
+    "q_jpeg_progressive" -> jpegProgressiveSql,
     "q_g711_decode" -> g711DecodeSql,
     "q_media_zoo" -> mediaZooSql,
     "q_flac_decode" -> flacDecodeSql,

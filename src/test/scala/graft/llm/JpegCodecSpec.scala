@@ -130,14 +130,95 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("out-of-scope streams refuse honestly: progressive SOF2 flag") {
+  test("a baseline scan under a forged SOF2 header refuses as corrupt progressive") {
     val full = JpegCodec.encodeGray(8, 8, (_, _) => 128)
-    // rewrite the SOF0 marker byte (FF C0) to SOF2 (FF C2): a decoder
-    // that ignored the frame type would misparse the scan
+    // rewrite the SOF0 marker byte (FF C0) to SOF2 (FF C2): the scan's
+    // Ss=0/Se=63 band is illegal for a progressive DC scan, so a decoder
+    // that respects frame type must refuse rather than misparse
     val idx = full.indices.drop(2).find(i =>
       (full(i - 1) & 0xff) == 0xff && (full(i) & 0xff) == 0xc0).get
     val prog = full.clone(); prog(idx) = 0xc2.toByte
     assert(JpegCodec.decode(prog).isEmpty)
+  }
+
+  // ---- round 12: progressive (SOF2) decode -------------------------------
+
+  private def imageIoEncodeGrayProgressive(w: Int, h: Int, px: (Int, Int) => Int,
+                                           quality: Float): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w) raster.setSample(x, y, 0, px(x, y))
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    ios.close(); writer.dispose()
+    val bytes = bos.toByteArray
+    // the point of the exercise: the JDK must actually have emitted a
+    // progressive frame (FF C2), not silently fallen back to baseline
+    assert(bytes.indices.drop(1).exists(i =>
+      (bytes(i - 1) & 0xff) == 0xff && (bytes(i) & 0xff) == 0xc2),
+      "ImageIO did not produce SOF2")
+    bytes
+  }
+
+  test("progressive: our decoder reads the JDK's multi-scan SOF2 streams within +-1 of ImageIO") {
+    // the JDK writer uses libjpeg's standard progressive scan script —
+    // spectral selection AND successive approximation with AC refinement
+    // passes — so this exercises every branch of the T.81 §G.1.2 decode
+    val gen = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 40)
+      q <- Gen.oneOf(0.5f, 0.75f, 0.95f, 1.0f)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (w, h, q, seed)
+    forAll(gen, n = 60) { case (w, h, q, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val vals = Array.fill(h, w)(rnd.nextInt(256))
+      val bytes = imageIoEncodeGrayProgressive(w, h, (x, y) => vals(y)(x), q)
+      val (ow, oh, ours) = ourDecode(bytes)
+      val (iw, ih, ref) = imageIoDecodeGray(bytes)
+      assert(ow == iw && oh == ih)
+      ours.indices.foreach(i =>
+        assert(math.abs(ours(i) - ref(i)) <= 1,
+          s"pixel $i: ${ours(i)} vs ${ref(i)} (q=$q ${w}x$h)"))
+    }
+  }
+
+  test("progressive: flat-block rasters at quality 1.0 round-trip pixel-EXACTLY") {
+    // at quality 1.0 the JDK writes all-1 quant tables, so a flat block's
+    // DC-only coefficient survives quantization exactly — the property
+    // q_jpeg_progressive's closed-form oracle rides
+    for (seed <- 0 until 20) {
+      val rnd = new scala.util.Random(seed)
+      val bw = 1 + rnd.nextInt(4); val bh = 1 + rnd.nextInt(4)
+      val blockVal = Array.fill(bh, bw)(rnd.nextInt(256))
+      val w = bw * 8; val h = bh * 8
+      val bytes = imageIoEncodeGrayProgressive(w, h,
+        (x, y) => blockVal(y / 8)(x / 8), 1.0f)
+      val (ow, oh, ours) = ourDecode(bytes)
+      assert(ow == w && oh == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(ours(y * w + x) == blockVal(y / 8)(x / 8),
+          s"flat block mismatch at ($x,$y)")
+    }
+  }
+
+  test("progressive: truncation at every scan boundary refuses, never throws") {
+    val bytes = imageIoEncodeGrayProgressive(24, 16,
+      (x, y) => (x * 31 + y * 17) % 256, 0.9f)
+    (0 until bytes.length).foreach { keep =>
+      JpegCodec.decode(bytes.take(keep)) // must not throw
+    }
+    // dropping the EOI (and any tail scans) must fail, not emit a
+    // partially-refined raster as if complete
+    assert(JpegCodec.decode(bytes.dropRight(3)).isEmpty)
+    assert(JpegCodec.decode(bytes).nonEmpty)
   }
 
   test("MediaCodec dispatch: FFD8 magic routes to the jpeg arm with exact means") {
