@@ -8,12 +8,15 @@ package graft.llm
   * DCT (SOF0/SOF1) and PROGRESSIVE DCT (SOF2 — round 12: spectral
   * selection, successive approximation with DC/AC refinement passes and
   * EOB-run decoding per ITU T.81 §G.1.2, reconstruction at EOI), 8-bit,
-  * 1 or 3 components with 1×1 sampling (4:4:4), DRI/RSTn restart
-  * markers, APPn/COM skipped, FF-stuffing, JFIF YCbCr→RGB for
-  * 3-component frames. Arithmetic coding, subsampled chroma, 12-bit
-  * precision and hierarchical frames decode to None — the caller keeps
-  * the row with a null decode, same contract as every other arm of
-  * [[MediaCodec.decode]].
+  * 1 or 3 components with sampling factors on the 1..2 lattice — 4:4:4,
+  * 4:2:2, 4:4:0 and the 4:2:0 real encoders emit (round 12: padded-MCU
+  * geometry, per-component block grids, libjpeg-style triangular
+  * "fancy" chroma upsampling for cross-decoder conformance) — DRI/RSTn
+  * restart markers, APPn/COM skipped, FF-stuffing, JFIF YCbCr→RGB for
+  * 3-component frames. Arithmetic coding, 3–4× sampling factors,
+  * 12-bit precision and hierarchical frames decode to None — the caller
+  * keeps the row with a null decode, same contract as every other arm
+  * of [[MediaCodec.decode]].
   *
   * Encoder scope: grayscale baseline with canonical Huffman tables and a
   * quant table whose DC step is 8 — chosen because the FDCT of a FLAT
@@ -317,7 +320,122 @@ object JpegCodec {
 
   private final case class Comp(id: Int, hv: Int, tq: Int,
                                 var dcTbl: Int = 0, var acTbl: Int = 0,
-                                var pred: Int = 0)
+                                var pred: Int = 0) {
+    def sampH: Int = hv >> 4
+    def sampV: Int = hv & 0x0f
+  }
+
+  /** Per-component raster geometry under subsampling (T.81 A.2):
+    * component dims are ceil-scaled by samp/sampMax, blocks are the
+    * ceil-/8 grid of those, and the interleaved-MCU layout pads to
+    * whole MCUs (mcusX·sampH × mcusY·sampV blocks). Planes are sized on
+    * the PADDED grid; non-interleaved scans iterate only the TRUE grid. */
+  private final class Geometry(w: Int, h: Int, comps: Array[Comp]) {
+    val hMax: Int = comps.map(_.sampH).max
+    val vMax: Int = comps.map(_.sampV).max
+    val mcusX: Int = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY: Int = (h + 8 * vMax - 1) / (8 * vMax)
+    val compW: Array[Int] = comps.map(c => (w * c.sampH + hMax - 1) / hMax)
+    val compH: Array[Int] = comps.map(c => (h * c.sampV + vMax - 1) / vMax)
+    val blocksW: Array[Int] = compW.map(cw => (cw + 7) / 8)
+    val blocksH: Array[Int] = compH.map(ch => (ch + 7) / 8)
+    val padBlocksW: Array[Int] = comps.map(c => mcusX * c.sampH)
+    val padBlocksH: Array[Int] = comps.map(c => mcusY * c.sampV)
+    def planeStride(ci: Int): Int = padBlocksW(ci) * 8
+    def newPlanes(): Array[Array[Int]] =
+      comps.indices.map(ci =>
+        new Array[Int](planeStride(ci) * padBlocksH(ci) * 8)).toArray
+  }
+
+  /** libjpeg-style "fancy" (triangular) chroma upsampling — the
+    * de-facto decode standard (and what the JDK's IJG-lineage plugin
+    * does), so cross-implementation conformance stays within the ±1
+    * envelope. Exact integer formulas: horizontally out[2i] =
+    * (3·in[i] + in[i−1] + 1) >> 2 / out[2i+1] = (3·in[i] + in[i+1] + 2)
+    * >> 2 with edge replication; for 2×2 a 3:1 vertical triangle feeds
+    * the same horizontal pass ((…+8)>>4 / (…+7)>>4 roundings). Factors
+    * other than 1 and 2 are out of scope (SOF refuses them). */
+  private def upsample(plane: Array[Int], stride: Int, cw: Int, ch: Int,
+                       sampH: Int, sampV: Int, hMax: Int, vMax: Int,
+                       w: Int, h: Int): Array[Int] = {
+    if (sampH == hMax && sampV == vMax) {
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        // padded plane: clamp to the component's true extent
+        while (x < w) {
+          out(y * w + x) = plane(math.min(y, ch - 1) * stride + math.min(x, cw - 1))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    } else if (sampH * 2 == hMax && sampV == vMax) {
+      // h2v1: horizontal triangle per row
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        val row = math.min(y, ch - 1) * stride
+        var x = 0
+        while (x < w) {
+          val i = math.min(x >> 1, cw - 1)
+          val c = plane(row + i)
+          val v =
+            if ((x & 1) == 0) (3 * c + plane(row + math.max(i - 1, 0)) + 1) >> 2
+            else (3 * c + plane(row + math.min(i + 1, cw - 1)) + 2) >> 2
+          out(y * w + x) = v
+          x += 1
+        }
+        y += 1
+      }
+      out
+    } else if (sampH * 2 == hMax && sampV * 2 == vMax) {
+      // h2v2: 3:1 vertical triangle then the horizontal pass
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        val r = math.min(y >> 1, ch - 1)
+        val rFar = if ((y & 1) == 0) math.max(r - 1, 0) else math.min(r + 1, ch - 1)
+        def colsum(i: Int): Int = {
+          val ii = math.min(math.max(i, 0), cw - 1)
+          3 * plane(r * stride + ii) + plane(rFar * stride + ii)
+        }
+        var x = 0
+        while (x < w) {
+          val i = math.min(x >> 1, cw - 1)
+          val thisSum = colsum(i)
+          val v =
+            if ((x & 1) == 0) {
+              if (i == 0 && x == 0) (thisSum * 4 + 8) >> 4
+              else (thisSum * 3 + colsum(i - 1) + 8) >> 4
+            } else {
+              if (i >= cw - 1) (thisSum * 4 + 7) >> 4
+              else (thisSum * 3 + colsum(i + 1) + 7) >> 4
+            }
+          out(y * w + x) = v
+          x += 1
+        }
+        y += 1
+      }
+      out
+    } else {
+      // h1v2 (4:4:0) and anything else in the 1..2 lattice: replication
+      // (libjpeg's int_upsample choice for these factors)
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        val row = math.min(y * sampV / vMax, ch - 1) * stride
+        var x = 0
+        while (x < w) {
+          out(y * w + x) = plane(row + math.min(x * sampH / hMax, cw - 1))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
 
   /** Dequantized block → plane, shared by the baseline per-MCU path and
     * the progressive end-of-stream reconstruction. DC-only blocks fill
@@ -375,38 +493,29 @@ object JpegCodec {
     }
   }
 
-  /** Final raster emit shared by baseline and progressive: crop the
-    * block-padded planes to (w, h) and, for 3 components, apply the
-    * JFIF YCbCr→RGB transform. */
-  private def emit(w: Int, h: Int, nComps: Int, planes: Array[Array[Int]],
-                   stride: Int): Some[(Int, Int, Int, Array[Int])] = {
-    if (nComps == 1) {
-      val outPx = new Array[Int](w * h)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) { outPx(y * w + x) = planes(0)(y * stride + x); x += 1 }
-        y += 1
-      }
-      Some((w, h, 1, outPx))
-    } else {
+  /** Final raster emit shared by baseline and progressive: upsample
+    * each component's padded plane to full resolution ([[upsample]] —
+    * identity for 4:4:4) and, for 3 components, apply the JFIF
+    * YCbCr→RGB transform. */
+  private def emit(w: Int, h: Int, comps: Array[Comp], geo: Geometry,
+                   planes: Array[Array[Int]]): Some[(Int, Int, Int, Array[Int])] = {
+    val full = comps.indices.map(ci => upsample(planes(ci), geo.planeStride(ci),
+      geo.compW(ci), geo.compH(ci), comps(ci).sampH, comps(ci).sampV,
+      geo.hMax, geo.vMax, w, h)).toArray
+    if (comps.length == 1) Some((w, h, 1, full(0)))
+    else {
       val outPx = new Array[Int](w * h * 3)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val yv = planes(0)(y * stride + x).toDouble
-          val cb = planes(1)(y * stride + x) - 128.0
-          val cr = planes(2)(y * stride + x) - 128.0
-          def clamp(d: Double): Int =
-            math.max(0, math.min(255, math.round(d).toInt))
-          val o = (y * w + x) * 3
-          outPx(o) = clamp(yv + 1.402 * cr)
-          outPx(o + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
-          outPx(o + 2) = clamp(yv + 1.772 * cb)
-          x += 1
-        }
-        y += 1
+      var p = 0
+      while (p < w * h) {
+        val yv = full(0)(p).toDouble
+        val cb = full(1)(p) - 128.0
+        val cr = full(2)(p) - 128.0
+        def clamp(d: Double): Int =
+          math.max(0, math.min(255, math.round(d).toInt))
+        outPx(p * 3) = clamp(yv + 1.402 * cr)
+        outPx(p * 3 + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
+        outPx(p * 3 + 2) = clamp(yv + 1.772 * cb)
+        p += 1
       }
       Some((w, h, 3, outPx))
     }
@@ -433,6 +542,7 @@ object JpegCodec {
     // progressive state: per-component quantized coefficients in ZIGZAG
     // order (64 per block, blocks raster-major), built up scan by scan
     var coefStore: Array[Array[Int]] = null
+    var geo: Geometry = null
     var nScans = 0
     def u16(i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
     while (p + 1 < b.length) {
@@ -445,17 +555,17 @@ object JpegCodec {
           // EOI: a progressive stream reconstructs HERE, after every
           // scan has deposited its band/bit-plane of coefficients
           if (progressive && nScans > 0) {
-            val bw8 = (w + 7) / 8; val bh8 = (h + 7) / 8
-            val stride = bw8 * 8
-            val planes = comps.map(_ => new Array[Int](stride * bh8 * 8))
+            val planes = geo.newPlanes()
             val deq = new Array[Int](64)
             var ci = 0
             while (ci < comps.length) {
               val qt = quant(comps(ci).tq)
               require(qt != null, "missing quant table at reconstruction")
               val coefs = coefStore(ci)
+              val pbw = geo.padBlocksW(ci)
+              val stride = geo.planeStride(ci)
               var blk = 0
-              while (blk < bw8 * bh8) {
+              while (blk < pbw * geo.padBlocksH(ci)) {
                 var anyAc = false
                 var i2 = 0
                 while (i2 < 64) {
@@ -464,12 +574,12 @@ object JpegCodec {
                   if (i2 > 0 && z != 0) anyAc = true
                   i2 += 1
                 }
-                idctToPlane(deq, anyAc, planes(ci), stride, blk % bw8, blk / bw8)
+                idctToPlane(deq, anyAc, planes(ci), stride, blk % pbw, blk / pbw)
                 blk += 1
               }
               ci += 1
             }
-            return emit(w, h, comps.length, planes, stride)
+            return emit(w, h, comps, geo, planes)
           }
           return None // EOI with no scan decoded
         case 0x01 => () // TEM, standalone
@@ -516,11 +626,19 @@ object JpegCodec {
             val o = p + 8 + 3 * i
             Comp(b(o) & 0xff, b(o + 1) & 0xff, b(o + 2) & 0xff)
           }
-          require(comps.forall(_.hv == 0x11), "subsampling unsupported (4:4:4 only)")
+          // single-component frames are always decoded full-resolution
+          // (T.81: non-interleaved data units ignore sampling factors)
+          if (nc == 1) comps(0) = comps(0).copy(hv = 0x11)
+          // sampling factors on the 1..2 lattice: 4:4:4, 4:2:2, 4:4:0,
+          // 4:2:0 — the shapes real encoders emit. 3/4 factors refuse.
+          require(comps.forall(c =>
+            c.sampH >= 1 && c.sampH <= 2 && c.sampV >= 1 && c.sampV <= 2),
+            s"sampling factors outside 1..2: ${comps.map(_.hv.toHexString).mkString(",")}")
+          geo = new Geometry(w, h, comps)
           if (m == 0xc2) {
             progressive = true
-            val blocks = ((w + 7) / 8) * ((h + 7) / 8)
-            coefStore = comps.map(_ => new Array[Int](blocks * 64))
+            coefStore = comps.indices.map(ci => new Array[Int](
+              geo.padBlocksW(ci) * geo.padBlocksH(ci) * 64)).toArray
           }
           p += len
         case x if x >= 0xc3 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc =>
@@ -558,11 +676,25 @@ object JpegCodec {
               s"bad successive approximation $ah/$al")
             if (ss == 0) require(se == 0, "DC scan must have Se=0")
             else require(ns == 1, "AC scans are single-component")
-            val bw8 = (w + 7) / 8; val bh8 = (h + 7) / 8
+            // interleaved scans iterate whole MCUs (sampH×sampV blocks
+            // per component, padded grid); single-component scans
+            // iterate that component's TRUE block grid (T.81 A.2)
+            val interleaved = ns > 1
+            val totalMcus =
+              if (interleaved) geo.mcusX * geo.mcusY
+              else geo.blocksW(scanIdx(0)) * geo.blocksH(scanIdx(0))
             val br = new BitReader(b, p)
             var eobrun = 0
             comps.foreach(_.pred = 0)
-            val totalMcus = bw8 * bh8 // 4:4:4 ⇒ MCU == block for every scan shape
+            def decodeDc(c: Comp, coefs: Array[Int], off: Int): Unit =
+              if (ah == 0) {
+                val dcH = huffDc(c.dcTbl)
+                require(dcH != null, "missing DC table")
+                val s = dcH.decode(br)
+                require(s <= 11, "bad DC category")
+                c.pred += extend(br.bits(s), s)
+                coefs(off) = c.pred << al
+              } else if (br.bit() == 1) coefs(off) |= (1 << al)
             var mcu = 0
             while (mcu < totalMcus) {
               if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
@@ -579,22 +711,31 @@ object JpegCodec {
                 while (ci < ns) {
                   val c = scanComps(ci)
                   val coefs = coefStore(scanIdx(ci))
-                  val off = mcu * 64
-                  if (ah == 0) {
-                    val dcH = huffDc(c.dcTbl)
-                    require(dcH != null, "missing DC table")
-                    val s = dcH.decode(br)
-                    require(s <= 11, "bad DC category")
-                    c.pred += extend(br.bits(s), s)
-                    coefs(off) = c.pred << al
-                  } else if (br.bit() == 1) coefs(off) |= (1 << al)
+                  val pbw = geo.padBlocksW(scanIdx(ci))
+                  if (interleaved) {
+                    val mx = mcu % geo.mcusX; val my = mcu / geo.mcusX
+                    var bv = 0
+                    while (bv < c.sampV) {
+                      var bu = 0
+                      while (bu < c.sampH) {
+                        decodeDc(c, coefs,
+                          ((my * c.sampV + bv) * pbw + (mx * c.sampH + bu)) * 64)
+                        bu += 1
+                      }
+                      bv += 1
+                    }
+                  } else {
+                    val bwC = geo.blocksW(scanIdx(ci))
+                    decodeDc(c, coefs, ((mcu / bwC) * pbw + (mcu % bwC)) * 64)
+                  }
                   ci += 1
                 }
               } else {
-                // AC pass, single component
+                // AC pass, single component over its true block grid
                 val c = scanComps(0)
                 val coefs = coefStore(scanIdx(0))
-                val off = mcu * 64
+                val bwC = geo.blocksW(scanIdx(0))
+                val off = ((mcu / bwC) * geo.padBlocksW(scanIdx(0)) + (mcu % bwC)) * 64
                 val acH = huffAc(c.acTbl)
                 require(acH != null, "missing AC table")
                 if (ah == 0) {
@@ -684,7 +825,7 @@ object JpegCodec {
             p = br.p
             while (p + 1 < b.length &&
               !((b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) != 0x00)) p += 1
-          } else return decodeBaselineScan(b, p, w, h, comps, quant,
+          } else return decodeBaselineScan(b, p, w, h, comps, geo, quant,
             huffDc, huffAc, restartInterval)
         case _ =>
           p += u16(p) // APPn, COM, anything with a length field
@@ -700,20 +841,20 @@ object JpegCodec {
       None
   }
 
-  /** The baseline interleaved 4:4:4 scan: one block per component per
-    * MCU, Huffman-decoded, dequantized and IDCT'd straight into the
-    * planes ([[idctToPlane]]), then emitted ([[emit]]). */
+  /** The baseline interleaved scan: sampH×sampV blocks per component
+    * per MCU (one each at 4:4:4), Huffman-decoded, dequantized and
+    * IDCT'd straight into the padded planes ([[idctToPlane]]), then
+    * upsampled and emitted ([[emit]]). */
   private def decodeBaselineScan(b: Array[Byte], p0: Int, w: Int, h: Int,
-      comps: Array[Comp], quant: Array[Array[Int]], huffDc: Array[Huff],
-      huffAc: Array[Huff], restartInterval: Int): Some[(Int, Int, Int, Array[Int])] = {
-    val bw8 = (w + 7) / 8; val bh8 = (h + 7) / 8
-    val stride = bw8 * 8
-    val planes = comps.map(_ => new Array[Int](stride * bh8 * 8))
+      comps: Array[Comp], geo: Geometry, quant: Array[Array[Int]],
+      huffDc: Array[Huff], huffAc: Array[Huff],
+      restartInterval: Int): Some[(Int, Int, Int, Array[Int])] = {
+    val planes = geo.newPlanes()
     val br = new BitReader(b, p0)
     val zz = new Array[Int](64)
     val deq = new Array[Int](64)
     var mcu = 0
-    val totalMcus = bw8 * bh8
+    val totalMcus = geo.mcusX * geo.mcusY
     while (mcu < totalMcus) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
         br.align()
@@ -722,44 +863,53 @@ object JpegCodec {
         br.p += 2
         comps.foreach(_.pred = 0)
       }
-      val by = mcu / bw8; val bx = mcu % bw8
+      val my = mcu / geo.mcusX; val mx = mcu % geo.mcusX
       var ci = 0
       while (ci < comps.length) {
         val c = comps(ci)
         val dc = huffDc(c.dcTbl); val ac = huffAc(c.acTbl)
         val qt = quant(c.tq)
         require(dc != null && ac != null && qt != null, "missing tables")
-        java.util.Arrays.fill(zz, 0)
-        val s = dc.decode(br)
-        require(s <= 11, "bad DC category")
-        c.pred += extend(br.bits(s), s)
-        zz(0) = c.pred
-        var k = 1
-        while (k < 64) {
-          val rs = ac.decode(br)
-          val r = rs >> 4; val sz = rs & 0x0f
-          if (sz == 0) {
-            if (r == 15) k += 16 // ZRL
-            else k = 64 // EOB
-          } else {
-            k += r
-            require(k < 64, "AC index overflow")
-            zz(k) = extend(br.bits(sz), sz)
-            k += 1
+        var bv = 0
+        while (bv < c.sampV) {
+          var bu = 0
+          while (bu < c.sampH) {
+            java.util.Arrays.fill(zz, 0)
+            val s = dc.decode(br)
+            require(s <= 11, "bad DC category")
+            c.pred += extend(br.bits(s), s)
+            zz(0) = c.pred
+            var k = 1
+            while (k < 64) {
+              val rs = ac.decode(br)
+              val r = rs >> 4; val sz = rs & 0x0f
+              if (sz == 0) {
+                if (r == 15) k += 16 // ZRL
+                else k = 64 // EOB
+              } else {
+                k += r
+                require(k < 64, "AC index overflow")
+                zz(k) = extend(br.bits(sz), sz)
+                k += 1
+              }
+            }
+            var i2 = 0
+            var anyAc = false
+            while (i2 < 64) {
+              deq(Zig(i2)) = zz(i2) * qt(Zig(i2))
+              if (i2 > 0 && zz(i2) != 0) anyAc = true
+              i2 += 1
+            }
+            idctToPlane(deq, anyAc, planes(ci), geo.planeStride(ci),
+              mx * c.sampH + bu, my * c.sampV + bv)
+            bu += 1
           }
+          bv += 1
         }
-        var i2 = 0
-        var anyAc = false
-        while (i2 < 64) {
-          deq(Zig(i2)) = zz(i2) * qt(Zig(i2))
-          if (i2 > 0 && zz(i2) != 0) anyAc = true
-          i2 += 1
-        }
-        idctToPlane(deq, anyAc, planes(ci), stride, bx, by)
         ci += 1
       }
       mcu += 1
     }
-    emit(w, h, comps.length, planes, stride)
+    emit(w, h, comps, geo, planes)
   }
 }

@@ -209,6 +209,75 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  // ---- round 12: subsampled chroma (4:2:0) color conformance -------------
+
+  private def imageIoEncodeColor(w: Int, h: Int, rgb: (Int, Int) => Int,
+                                 progressive: Boolean, q: Float): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    if (progressive)
+      params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(q)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    ios.close(); writer.dispose()
+    val bytes = bos.toByteArray
+    // the JDK writes color as 4:2:0 (luma 2x2, chroma 1x1) — assert the
+    // stream really is subsampled so the test can't silently degrade
+    val sofAt = bytes.indices.drop(1).find(i => (bytes(i - 1) & 0xff) == 0xff &&
+      ((bytes(i) & 0xff) == 0xc0 || (bytes(i) & 0xff) == 0xc2)).get
+    assert((bytes(sofAt + 10) & 0xff) == 0x22,
+      s"expected 2x2 luma sampling, got ${(bytes(sofAt + 10) & 0xff).toHexString}")
+    bytes
+  }
+
+  test("color 4:2:0: baseline and progressive JDK streams decode within +-3 of ImageIO") {
+    // chroma travels at quarter resolution: the decode must reproduce the
+    // padded-MCU geometry, the per-component block grids, AND libjpeg's
+    // triangular ("fancy") upsampling — replication-upsampling misses by
+    // dozens on chroma edges, so the +-3 envelope (interpolation rounding
+    // + fixed-point vs float color convert across independent decoders)
+    // is a real conformance check, not a loose one
+    val gen = for {
+      w <- Gen.choose(5, 45)
+      h <- Gen.choose(5, 45)
+      prog <- Gen.oneOf(true, false)
+      q <- Gen.oneOf(0.5f, 0.9f)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (w, h, prog, q, seed)
+    forAll(gen, n = 40) { case (w, h, prog, q, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val vals = Array.fill(h, w)(rnd.nextInt(0x1000000))
+      val bytes = imageIoEncodeColor(w, h, (x, y) => vals(y)(x), prog, q)
+      val (dw, dh, ch, px) = JpegCodec.decode(bytes)
+        .getOrElse(fail(s"decode refused a valid 4:2:0 stream (${w}x$h prog=$prog)"))
+      assert(dw == w && dh == h && ch == 3)
+      val ref = ImageIO.read(new ByteArrayInputStream(bytes))
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = ref.getRGB(x, y)
+        val o = (y * w + x) * 3
+        val d = math.max(math.abs(((rgb >> 16) & 0xff) - px(o)),
+          math.max(math.abs(((rgb >> 8) & 0xff) - px(o + 1)),
+            math.abs((rgb & 0xff) - px(o + 2))))
+        assert(d <= 3, s"delta $d at ($x,$y) ${w}x$h prog=$prog q=$q")
+      }
+    }
+  }
+
+  test("sampling factors outside the 1..2 lattice refuse") {
+    val bytes = imageIoEncodeColor(16, 16, (x, y) => (x * 65536 + y), progressive = false, 0.9f)
+    val sofAt = bytes.indices.drop(1).find(i => (bytes(i - 1) & 0xff) == 0xff &&
+      (bytes(i) & 0xff) == 0xc0).get
+    val mut = bytes.clone()
+    mut(sofAt + 10) = 0x33.toByte // luma 3x3: out of scope
+    assert(JpegCodec.decode(mut).isEmpty)
+  }
+
   test("progressive: truncation at every scan boundary refuses, never throws") {
     val bytes = imageIoEncodeGrayProgressive(24, 16,
       (x, y) => (x * 31 + y * 17) % 256, 0.9f)
