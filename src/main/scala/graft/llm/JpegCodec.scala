@@ -132,6 +132,77 @@ object JpegCodec {
   private def category(v: Int): Int =
     if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
 
+  /** FDCT + quantize + Huffman-code one 8×8 block (levels already
+    * shifted to −128..127 in `block`, natural order); returns the new
+    * DC predictor. Shared by the gray and 4:2:0 colour encoders. Flat
+    * blocks skip the transform: their AC rows sum to ~1e-14 and
+    * quantize to zero anyway, and the DC value follows the exact same
+    * product chain the separable loops produce — bit-identical output,
+    * none of the work. */
+  private def encodeBlock(bw: BitWriter, block: Array[Double], prevDc: Int,
+                          dcT: Map[Int, (Int, Int)],
+                          acT: Map[Int, (Int, Int)]): Int = {
+    def putMagnitude(v: Int, s: Int): Unit =
+      if (s > 0) bw.put(if (v >= 0) v else v + (1 << s) - 1, s)
+    val zz = new Array[Int](64)
+    var flat = true
+    var i = 1
+    while (flat && i < 64) { flat = block(i) == block(0); i += 1 }
+    if (flat) {
+      val colSum = 8.0 * block(0)
+      val rowSum = 8.0 * colSum
+      zz(0) = math.round(0.25 * Cn(0) * Cn(0) * rowSum / Quant(0)).toInt
+    } else {
+      // tmp(y, u) = Σx f(y, x)·cos(x, u)
+      val tmp = new Array[Double](64)
+      var yy = 0
+      while (yy < 8) {
+        var u = 0
+        while (u < 8) {
+          var sum = 0.0
+          var xx = 0
+          while (xx < 8) { sum += block(yy * 8 + xx) * CosT(xx)(u); xx += 1 }
+          tmp(yy * 8 + u) = sum
+          u += 1
+        }
+        yy += 1
+      }
+      i = 0
+      while (i < 64) {
+        val nat = Zig(i)
+        val u = nat % 8; val v = nat / 8
+        var sum = 0.0
+        var yy2 = 0
+        while (yy2 < 8) { sum += tmp(yy2 * 8 + u) * CosT(yy2)(v); yy2 += 1 }
+        val coef = 0.25 * Cn(u) * Cn(v) * sum
+        zz(i) = math.round(coef / Quant(nat)).toInt
+        i += 1
+      }
+    }
+    val diff = zz(0) - prevDc
+    val s = category(diff)
+    val (dc, dl) = dcT(s)
+    bw.put(dc, dl)
+    putMagnitude(diff, s)
+    var run = 0
+    i = 1
+    var last = 63
+    while (last >= 1 && zz(last) == 0) last -= 1
+    while (i <= last) {
+      if (zz(i) == 0) { run += 1; i += 1 }
+      else {
+        while (run > 15) { val (zc, zl) = acT(0xf0); bw.put(zc, zl); run -= 16 }
+        val sz = category(zz(i))
+        val (ac, al) = acT((run << 4) | sz)
+        bw.put(ac, al)
+        putMagnitude(zz(i), sz)
+        run = 0; i += 1
+      }
+    }
+    if (last < 63) { val (ec, el) = acT(0x00); bw.put(ec, el) } // EOB
+    zz(0)
+  }
+
   /** Encode an 8-bit grayscale baseline JPEG (JFIF APP0, single
     * component, no subsampling). Out-of-range `gray` values are clamped;
     * non-multiple-of-8 edges replicate. */
@@ -162,10 +233,7 @@ object JpegCodec {
     val dcT = canonical(DcBits, DcVals)
     val acT = canonical(AcBits, AcVals)
     val bw = new BitWriter(out)
-    def putMagnitude(v: Int, s: Int): Unit =
-      if (s > 0) bw.put(if (v >= 0) v else v + (1 << s) - 1, s)
     val block = new Array[Double](64)
-    val zz = new Array[Int](64)
     var prevDc = 0
     var by = 0
     while (by * 8 < h) {
@@ -183,71 +251,111 @@ object JpegCodec {
           }
           y += 1
         }
-        // FDCT (separable: row pass then column pass) + quantize into
-        // zigzag order. Flat blocks skip the transform: their AC rows
-        // sum to ~1e-14 and quantize to zero anyway, and the DC value
-        // below follows the exact same product chain the separable
-        // loops produce — bit-identical output, none of the work.
-        var flat = true
-        i = 1
-        while (flat && i < 64) { flat = block(i) == block(0); i += 1 }
-        if (flat) {
-          java.util.Arrays.fill(zz, 0)
-          val colSum = 8.0 * block(0)
-          val rowSum = 8.0 * colSum
-          zz(0) = math.round(0.25 * Cn(0) * Cn(0) * rowSum / Quant(0)).toInt
-        } else {
-          // tmp(y, u) = Σx f(y, x)·cos(x, u)
-          val tmp = new Array[Double](64)
-          var yy = 0
-          while (yy < 8) {
-            var u = 0
-            while (u < 8) {
-              var sum = 0.0
-              var xx = 0
-              while (xx < 8) { sum += block(yy * 8 + xx) * CosT(xx)(u); xx += 1 }
-              tmp(yy * 8 + u) = sum
-              u += 1
-            }
-            yy += 1
-          }
-          i = 0
-          while (i < 64) {
-            val nat = Zig(i)
-            val u = nat % 8; val v = nat / 8
-            var sum = 0.0
-            var yy2 = 0
-            while (yy2 < 8) { sum += tmp(yy2 * 8 + u) * CosT(yy2)(v); yy2 += 1 }
-            val coef = 0.25 * Cn(u) * Cn(v) * sum
-            zz(i) = math.round(coef / Quant(nat)).toInt
-            i += 1
-          }
-        }
-        val diff = zz(0) - prevDc
-        prevDc = zz(0)
-        val s = category(diff)
-        val (dc, dl) = dcT(s)
-        bw.put(dc, dl)
-        putMagnitude(diff, s)
-        var run = 0
-        i = 1
-        var last = 63
-        while (last >= 1 && zz(last) == 0) last -= 1
-        while (i <= last) {
-          if (zz(i) == 0) { run += 1; i += 1 }
-          else {
-            while (run > 15) { val (zc, zl) = acT(0xf0); bw.put(zc, zl); run -= 16 }
-            val sz = category(zz(i))
-            val (ac, al) = acT((run << 4) | sz)
-            bw.put(ac, al)
-            putMagnitude(zz(i), sz)
-            run = 0; i += 1
-          }
-        }
-        if (last < 63) { val (ec, el) = acT(0x00); bw.put(ec, el) } // EOB
+        prevDc = encodeBlock(bw, block, prevDc, dcT, acT)
         bx += 1
       }
       by += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode a 4:2:0 baseline colour JPEG from DIRECT YCbCr planes
+    * (`yF`/`cbF`/`crF` give each full-resolution sample in 0..255;
+    * chroma is box-averaged 2×2 with round-half-up before its blocks).
+    * Luma carries 2×2 sampling, chroma 1×1; all three components share
+    * quant table 0 and Huffman tables 0, one interleaved scan. Taking
+    * YCbCr directly (rather than RGB) keeps the flat-tile exactness
+    * story closed-form: a raster flat per 16×16 tile downsamples,
+    * transforms, quantizes and reconstructs EXACTLY (DC step 8 divides
+    * 8·(v−128); averaging/upsampling of constants is the constant), so
+    * the decoded RGB is a pure function of the tile's (Y, Cb, Cr) —
+    * the property q_jpeg_color420's oracle rides. Non-multiple-of-16
+    * edges replicate. */
+  def encodeYcc420(w: Int, h: Int, yF: (Int, Int) => Int,
+                   cbF: (Int, Int) => Int, crF: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, s"bad dims ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { b(v >> 8); b(v) }
+    def marker(m: Int): Unit = { b(0xff); b(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); u16(16) // APP0 JFIF
+    "JFIF".foreach(c => b(c.toInt)); b(0)
+    b(1); b(1); b(0); u16(1); u16(1); b(0); b(0)
+    marker(0xdb); u16(2 + 1 + 64); b(0x00) // DQT, 8-bit, table 0
+    var i = 0
+    while (i < 64) { b(Quant(Zig(i))); i += 1 }
+    marker(0xc0); u16(8 + 9) // SOF0, 3 components
+    b(8); u16(h); u16(w); b(3)
+    b(1); b(0x22); b(0) // Y: 2x2 sampling
+    b(2); b(0x11); b(0) // Cb
+    b(3); b(0x11); b(0) // Cr
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length); b(cls)
+      bits.foreach(b); vals.foreach(b)
+    }
+    dht(0x00, DcBits, DcVals)
+    dht(0x10, AcBits, AcVals)
+    marker(0xda); u16(6 + 2 * 3) // SOS, 3 components
+    b(3); b(1); b(0x00); b(2); b(0x00); b(3); b(0x00)
+    b(0); b(63); b(0)
+    val dcT = canonical(DcBits, DcVals)
+    val acT = canonical(AcBits, AcVals)
+    val bw = new BitWriter(out)
+    val block = new Array[Double](64)
+    def clampPx(v: Int): Int = math.max(0, math.min(255, v))
+    def lumaAt(x: Int, y: Int): Int =
+      clampPx(yF(math.min(w - 1, x), math.min(h - 1, y)))
+    // chroma sample at downsampled (cx, cy): 2×2 box average, +2 bias
+    def chromaAt(f: (Int, Int) => Int)(cx: Int, cy: Int): Int = {
+      var sum = 2
+      var dy = 0
+      while (dy < 2) {
+        var dx = 0
+        while (dx < 2) {
+          sum += clampPx(f(math.min(w - 1, cx * 2 + dx), math.min(h - 1, cy * 2 + dy)))
+          dx += 1
+        }
+        dy += 1
+      }
+      sum >> 2
+    }
+    def fillBlock(bx: Int, by: Int, sample: (Int, Int) => Int): Unit = {
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          block(y * 8 + x) = sample(bx * 8 + x, by * 8 + y) - 128.0
+          x += 1
+        }
+        y += 1
+      }
+    }
+    val mcusX = (w + 15) / 16; val mcusY = (h + 15) / 16
+    var predY = 0; var predCb = 0; var predCr = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var bv = 0
+        while (bv < 2) {
+          var bu = 0
+          while (bu < 2) {
+            fillBlock(mx * 2 + bu, my * 2 + bv, lumaAt)
+            predY = encodeBlock(bw, block, predY, dcT, acT)
+            bu += 1
+          }
+          bv += 1
+        }
+        fillBlock(mx, my, chromaAt(cbF))
+        predCb = encodeBlock(bw, block, predCb, dcT, acT)
+        fillBlock(mx, my, chromaAt(crF))
+        predCr = encodeBlock(bw, block, predCr, dcT, acT)
+        mx += 1
+      }
+      my += 1
     }
     bw.flush()
     marker(0xd9) // EOI

@@ -1984,6 +1984,7 @@ object Llm {
     "q_png_palette_decode" -> (pngPaletteDecode _),
     "q_png16_decode" -> (png16Decode _),
     "q_jpeg_progressive" -> (jpegProgressive _),
+    "q_jpeg_color420" -> (jpegColor420 _),
     "q_g711_decode" -> (g711Decode _),
     "q_media_zoo" -> (mediaZoo _),
     "q_flac_decode" -> (flacDecode _),
@@ -2343,6 +2344,88 @@ object Llm {
       |  CASE WHEN d.k % 13 <> 0 THEN d.w END AS width,
       |  CASE WHEN d.k % 13 <> 0 THEN d.h END AS height,
       |  round(a.m0, 6) AS mean_c0, a.chk AS chk
+      |FROM dims d LEFT JOIN agg a ON a.k = d.k
+      |ORDER BY media_id""".stripMargin
+
+  /** 4:2:0 COLOUR JPEG under the oracle — the subsampled-chroma pipeline
+    * end-to-end through OUR encoder and decoder: per-key direct-YCbCr
+    * rasters (per-16×16-tile flat luma, per-image flat chroma — the
+    * exactness shape, see [[graft.llm.JpegCodec.encodeYcc420]]) travel
+    * through chroma box-downsampling, the interleaved 2×2+1+1 MCU scan,
+    * and back through padded-grid decode, triangular upsampling and
+    * YCbCr→RGB. The oracle recomputes the RGB closed form — DuckDB's
+    * round() and Scala's math.round agree everywhere here because the
+    * only exact-half products are either positive (both round up) or
+    * clamp to 0 (checked exhaustively over the +-128 chroma lattice).
+    * Every 13th payload truncates: refusal. */
+  def jpegColor420(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.{JpegCodec, MediaCodec}
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val w = (16 * (1 + k % 3)).toInt
+      val h = (16 * (1 + k % 2)).toInt
+      val cb = ((7 * k) % 256).toInt
+      val cr = ((13 * k) % 256).toInt
+      val bytes = JpegCodec.encodeYcc420(w, h,
+        (x, y) => ((31 * k + 17L * (x / 16) + 29L * (y / 16)) % 256).toInt,
+        (_, _) => cb, (_, _) => cr)
+      val payload = if (k % 13 == 0) bytes.dropRight(10) else bytes
+      MediaCodec.jpegPixels(payload) match {
+        case Some((dw, dh, ch, px)) =>
+          var rSum = 0L
+          var chk = 0L
+          var p = 0
+          while (p < dw * dh) {
+            rSum += px(p * ch)
+            chk += (p + 1).toLong *
+              (px(p * ch) + 2L * px(p * ch + 1) + 3L * px(p * ch + 2))
+            p += 1
+          }
+          (k, true, Some(dw), Some(dh),
+            Some(rSum.toDouble / (dw.toLong * dh)), Some(chk))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int],
+            None: Option[Double], None: Option[Long])
+      }
+    }.toDF("media_id", "color_ok", "width", "height", "m0", "chk")
+    decoded.select($"media_id", $"color_ok", $"width", $"height",
+      round($"m0", 6).as("mean_r"), $"chk")
+      .orderBy($"media_id")
+  }
+
+  /** The colour facts from the YCbCr closed form: per-tile luma
+    * (31k + 17·(x div 16) + 29·(y div 16)) mod 256, per-image chroma
+    * (7k mod 256, 13k mod 256), converted with the JFIF doubles and the
+    * shared clamp-round. */
+  val jpegColor420Sql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |dims AS (
+      |  SELECT k, CAST(16 * (1 + k % 3) AS INTEGER) AS w,
+      |    CAST(16 * (1 + k % 2) AS INTEGER) AS h,
+      |    CAST((7 * k) % 256 AS BIGINT) - 128 AS cb,
+      |    CAST((13 * k) % 256 AS BIGINT) - 128 AS cr
+      |  FROM ks),
+      |px AS (
+      |  SELECT d.k,
+      |    CAST((31 * d.k + 17 * (x.g // 16) + 29 * (y.g // 16)) % 256 AS DOUBLE) AS yv,
+      |    d.cb, d.cr, 1 + y.g * d.w + x.g AS pos
+      |  FROM dims d, generate_series(0, 47) x(g), generate_series(0, 31) y(g)
+      |  WHERE x.g < d.w AND y.g < d.h AND d.k % 13 <> 0),
+      |rgb AS (
+      |  SELECT k, pos,
+      |    LEAST(255, GREATEST(0, CAST(round(yv + 1.402 * cr) AS BIGINT))) AS r,
+      |    LEAST(255, GREATEST(0, CAST(round(yv - 0.344136 * cb - 0.714136 * cr) AS BIGINT))) AS g,
+      |    LEAST(255, GREATEST(0, CAST(round(yv + 1.772 * cb) AS BIGINT))) AS b
+      |  FROM px),
+      |agg AS (
+      |  SELECT k, avg(CAST(r AS DOUBLE)) AS m0,
+      |    CAST(SUM(pos * (r + 2 * g + 3 * b)) AS BIGINT) AS chk
+      |  FROM rgb GROUP BY k)
+      |SELECT d.k AS media_id, (d.k % 13 <> 0) AS color_ok,
+      |  CASE WHEN d.k % 13 <> 0 THEN d.w END AS width,
+      |  CASE WHEN d.k % 13 <> 0 THEN d.h END AS height,
+      |  round(a.m0, 6) AS mean_r, a.chk AS chk
       |FROM dims d LEFT JOIN agg a ON a.k = d.k
       |ORDER BY media_id""".stripMargin
 
@@ -3485,6 +3568,7 @@ object Llm {
     "q_png_palette_decode" -> pngPaletteDecodeSql,
     "q_png16_decode" -> png16DecodeSql,
     "q_jpeg_progressive" -> jpegProgressiveSql,
+    "q_jpeg_color420" -> jpegColor420Sql,
     "q_g711_decode" -> g711DecodeSql,
     "q_media_zoo" -> mediaZooSql,
     "q_flac_decode" -> flacDecodeSql,

@@ -269,6 +269,64 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("our 4:2:0 colour encoder: flat luma tiles + flat chroma round-trip to the exact closed-form RGB") {
+    // per-16x16-tile flat LUMA (full resolution: every 8x8 block is flat
+    // → DC-only → exact) + per-IMAGE flat CHROMA (a globally flat plane
+    // survives the box downsample AND the triangle upsample as the
+    // constant; per-tile chroma would NOT — the triangle filter blends
+    // across tile boundaries). Decoded RGB is then a pure double
+    // formula of (tileY, Cb, Cr) — the q_jpeg_color420 oracle property.
+    for (seed <- 0 until 15) {
+      val rnd = new scala.util.Random(seed)
+      val tw = 1 + rnd.nextInt(3); val th = 1 + rnd.nextInt(3)
+      val w = tw * 16; val h = th * 16
+      val tiles = Array.fill(th, tw)(rnd.nextInt(256))
+      val cb = rnd.nextInt(256); val cr = rnd.nextInt(256)
+      val bytes = JpegCodec.encodeYcc420(w, h,
+        (x, y) => tiles(y / 16)(x / 16), (_, _) => cb, (_, _) => cr)
+      val (dw, dh, ch, px) = JpegCodec.decode(bytes).get
+      assert(dw == w && dh == h && ch == 3)
+      def clamp(d: Double): Int = math.max(0, math.min(255, math.round(d).toInt))
+      for (y <- 0 until h; x <- 0 until w) {
+        val yv = tiles(y / 16)(x / 16)
+        val o = (y * w + x) * 3
+        assert(px(o) == clamp(yv + 1.402 * (cr - 128)) &&
+          px(o + 1) == clamp(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)) &&
+          px(o + 2) == clamp(yv + 1.772 * (cb - 128)),
+          s"RGB mismatch at ($x,$y) y=$yv cb=$cb cr=$cr")
+      }
+    }
+  }
+
+  test("our 4:2:0 colour streams cross-read by ImageIO within the +-3 envelope") {
+    val gen = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 40)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (w, h, seed)
+    forAll(gen, n = 30) { case (w, h, seed) =>
+      val rnd = new scala.util.Random(seed)
+      // smooth-ish planes keep quantization error in the conformance
+      // envelope (both decoders see the same coefficients either way)
+      val yP = Array.fill(h, w)(rnd.nextInt(256))
+      val cbC = 60 + rnd.nextInt(136); val crC = 60 + rnd.nextInt(136)
+      val bytes = JpegCodec.encodeYcc420(w, h, (x, y) => yP(y)(x),
+        (_, _) => cbC, (_, _) => crC)
+      val (dw, dh, ch, px) = JpegCodec.decode(bytes).get
+      assert(dw == w && dh == h && ch == 3)
+      val ref = ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(ref != null && ref.getWidth == w && ref.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = ref.getRGB(x, y)
+        val o = (y * w + x) * 3
+        val d = math.max(math.abs(((rgb >> 16) & 0xff) - px(o)),
+          math.max(math.abs(((rgb >> 8) & 0xff) - px(o + 1)),
+            math.abs((rgb & 0xff) - px(o + 2))))
+        assert(d <= 3, s"delta $d at ($x,$y) ${w}x$h")
+      }
+    }
+  }
+
   test("sampling factors outside the 1..2 lattice refuse") {
     val bytes = imageIoEncodeColor(16, 16, (x, y) => (x * 65536 + y), progressive = false, 0.9f)
     val sofAt = bytes.indices.drop(1).find(i => (bytes(i - 1) & 0xff) == 0xff &&
