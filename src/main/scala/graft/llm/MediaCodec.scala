@@ -2,7 +2,8 @@ package graft.llm
 
 /** Honest decoders for five container formats — BMP (24-bit
   * uncompressed), binary PPM (P6), binary PGM (P5 grayscale), WAV
-  * (PCM16), and PNG (8-bit gray/RGB/RGBA, non-interlaced: real zlib
+  * (PCM16), and PNG (8/16-bit gray/RGB/RGBA + 8-bit palette, plain or
+  * Adam7-interlaced: real zlib
   * DEFLATE via `java.util.zip.Inflater`, all five scanline filters
   * reversed, chunk CRCs verified) — replacing the hash-stub as
   * [[Multimodal.MediaDecoder]]'s reference implementation.
@@ -318,7 +319,7 @@ object MediaCodec {
     None
   }
 
-  // ---- PNG: gray/RGB/RGBA at 8 or 16 bits + 8-bit palette, non-interlaced
+  // ---- PNG: gray/RGB/RGBA at 8/16 bits + 8-bit palette, Adam7 optional
   //
   // The genuinely non-trivial arm of the codec: IDAT is zlib DEFLATE
   // (java.util.zip — public JDK, no codec dependency) and every scanline
@@ -327,11 +328,13 @@ object MediaCodec {
   // is channels·2 BYTES (the spec filters bytes, not samples), and for
   // palette images it is 1 regardless of the expanded channel count.
   // Chunk CRCs are verified — a flipped payload bit fails the decode
-  // instead of shifting pixels. Palette images (colour type 3, depth 8)
+  // instead of shifting pixels. Adam7 interlacing (round 12) decodes as
+  // seven independently-filtered sub-images reassembled pixel-exactly,
+  // for every supported colour shape. Palette images (colour type 3, depth 8)
   // expand through PLTE to RGB, or RGBA when tRNS supplies alpha
   // (entries past the tRNS length are opaque, per spec); an index past
   // the palette is a refusal, not a clamp. Out of honest scope
-  // (→ None): interlacing (Adam7), sub-byte palette depths (1/2/4),
+  // (→ None): sub-byte palette depths (1/2/4),
   // and tRNS colour-keying on non-palette images (the chunk is ignored
   // there — the RGB samples it would alpha-key are still exact) — the
   // formats a production pipeline would route to a real codec library
@@ -350,6 +353,12 @@ object MediaCodec {
   private val inflaters = ThreadLocal.withInitial[java.util.zip.Inflater](
     () => new java.util.zip.Inflater())
 
+  /** Adam7 interlace passes: (xStart, yStart, xStep, yStep) per spec
+    * §8.2 — each pass an independently-filtered sub-image. */
+  private val Adam7Passes: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
   /** PNG Paeth predictor (spec §4.5.5 — exact tie-break order matters). */
   private def paeth(a: Int, b: Int, c: Int): Int = {
     val p = a + b - c
@@ -360,36 +369,67 @@ object MediaCodec {
   /** Shared PNG container writer: filters `raw` (stride bytes per
     * scanline, `bpp` = the spec's byte-wise filter distance), DEFLATEs,
     * and frames IHDR → extra chunks (PLTE/tRNS) → IDAT → IEND. All
-    * three public encoders reduce to this. */
+    * three public encoders reduce to this. With `interlaced`, the
+    * raster is re-cut into the seven Adam7 sub-images, each filtered
+    * independently (filter choice cycles over a GLOBAL row counter so
+    * every pass still exercises the schedule). */
   private def writePng(w: Int, h: Int, depth: Int, colorType: Int,
                        bpp: Int, raw: Array[Byte],
                        extraChunks: Seq[(String, Array[Byte])],
-                       filterOf: Int => Int): Array[Byte] = {
+                       filterOf: Int => Int,
+                       interlaced: Boolean = false): Array[Byte] = {
     val stride = raw.length / h
-    val filt = new Array[Byte](h * (stride + 1))
-    var y = 0
-    while (y < h) {
-      val f = filterOf(y)
-      require(f >= 0 && f <= 4, s"filter $f")
-      filt(y * (stride + 1)) = f.toByte
-      var i = 0
-      while (i < stride) {
-        val cur = raw(y * stride + i) & 0xff
-        val left = if (i >= bpp) raw(y * stride + i - bpp) & 0xff else 0
-        val up = if (y > 0) raw((y - 1) * stride + i) & 0xff else 0
-        val ul = if (y > 0 && i >= bpp) raw((y - 1) * stride + i - bpp) & 0xff else 0
-        val out = f match {
-          case 0 => cur
-          case 1 => cur - left
-          case 2 => cur - up
-          case 3 => cur - ((left + up) >> 1)
-          case 4 => cur - paeth(left, up, ul)
+    val passes = if (interlaced) Adam7Passes else Seq((0, 0, 1, 1))
+    val filtOut = new java.io.ByteArrayOutputStream()
+    var rowCounter = 0
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        val pstride = pw * bpp
+        val sub = new Array[Byte](ph * pstride)
+        var py = 0
+        while (py < ph) {
+          var px = 0
+          while (px < pw) {
+            var c = 0
+            while (c < bpp) {
+              sub(py * pstride + px * bpp + c) =
+                raw((y0 + py * dy) * stride + (x0 + px * dx) * bpp + c)
+              c += 1
+            }
+            px += 1
+          }
+          py += 1
         }
-        filt(y * (stride + 1) + 1 + i) = out.toByte
-        i += 1
+        val pfilt = new Array[Byte](ph * (pstride + 1))
+        var y = 0
+        while (y < ph) {
+          val f = filterOf(rowCounter); rowCounter += 1
+          require(f >= 0 && f <= 4, s"filter $f")
+          pfilt(y * (pstride + 1)) = f.toByte
+          var i = 0
+          while (i < pstride) {
+            val cur = sub(y * pstride + i) & 0xff
+            val left = if (i >= bpp) sub(y * pstride + i - bpp) & 0xff else 0
+            val up = if (y > 0) sub((y - 1) * pstride + i) & 0xff else 0
+            val ul = if (y > 0 && i >= bpp) sub((y - 1) * pstride + i - bpp) & 0xff else 0
+            val out = f match {
+              case 0 => cur
+              case 1 => cur - left
+              case 2 => cur - up
+              case 3 => cur - ((left + up) >> 1)
+              case 4 => cur - paeth(left, up, ul)
+            }
+            pfilt(y * (pstride + 1) + 1 + i) = out.toByte
+            i += 1
+          }
+          y += 1
+        }
+        filtOut.write(pfilt, 0, pfilt.length)
       }
-      y += 1
     }
+    val filt = filtOut.toByteArray
     val deflater = deflaters.get()
     val zOut = new java.io.ByteArrayOutputStream()
     try {
@@ -403,7 +443,8 @@ object MediaCodec {
       a(i + 2) = (v >>> 8).toByte; a(i + 3) = v.toByte
     }
     putBe32(ihdr, 0, w); putBe32(ihdr, 4, h)
-    ihdr(8) = depth.toByte; ihdr(9) = colorType.toByte // compression/filter/interlace 0
+    ihdr(8) = depth.toByte; ihdr(9) = colorType.toByte // compression/filter 0
+    ihdr(12) = if (interlaced) 1 else 0
     def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
       val out = new Array[Byte](12 + data.length)
       putBe32(out, 0, data.length)
@@ -424,13 +465,14 @@ object MediaCodec {
     bos.toByteArray
   }
 
-  /** Encode an 8-bit non-interlaced PNG. `channels` 1 (gray), 3 (RGB) or
+  /** Encode an 8-bit PNG (optionally Adam7). `channels` 1 (gray), 3 (RGB) or
     * 4 (RGBA); `px(x, y, c)` yields channel `c` of pixel (x, y) in
     * 0..255; `filterOf(y)` picks the scanline filter (0..4) — the
     * default cycles through ALL FIVE so any image with h ≥ 5 exercises
     * the full unfilter matrix on decode. */
   def encodePng(w: Int, h: Int, channels: Int, px: (Int, Int, Int) => Int,
-                filterOf: Int => Int = _ % 5): Array[Byte] = {
+                filterOf: Int => Int = _ % 5,
+                interlaced: Boolean = false): Array[Byte] = {
     require(channels == 1 || channels == 3 || channels == 4, s"channels=$channels")
     val colorType = channels match { case 1 => 0; case 3 => 2; case _ => 6 }
     val stride = w * channels
@@ -448,15 +490,16 @@ object MediaCodec {
       }
       y += 1
     }
-    writePng(w, h, 8, colorType, channels, raw, Nil, filterOf)
+    writePng(w, h, 8, colorType, channels, raw, Nil, filterOf, interlaced)
   }
 
-  /** Encode a 16-bit non-interlaced PNG (big-endian sample bytes, per
+  /** Encode a 16-bit PNG (optionally Adam7; big-endian sample bytes, per
     * spec). `px(x, y, c)` yields 0..65535; the filter distance is
     * channels·2 bytes — the byte-wise filtering that makes 16-bit decode
     * a distinct arm worth its own conformance pass. */
   def encodePng16(w: Int, h: Int, channels: Int, px: (Int, Int, Int) => Int,
-                  filterOf: Int => Int = _ % 5): Array[Byte] = {
+                  filterOf: Int => Int = _ % 5,
+                  interlaced: Boolean = false): Array[Byte] = {
     require(channels == 1 || channels == 3 || channels == 4, s"channels=$channels")
     val colorType = channels match { case 1 => 0; case 3 => 2; case _ => 6 }
     val stride = w * channels * 2
@@ -476,7 +519,7 @@ object MediaCodec {
       }
       y += 1
     }
-    writePng(w, h, 16, colorType, channels * 2, raw, Nil, filterOf)
+    writePng(w, h, 16, colorType, channels * 2, raw, Nil, filterOf, interlaced)
   }
 
   /** Encode an 8-bit PALETTE PNG (colour type 3): `palette` is packed
@@ -486,7 +529,8 @@ object MediaCodec {
     * palette index of each pixel. The filter distance is 1 byte. */
   def encodePngPalette(w: Int, h: Int, palette: Array[Int],
                        trns: Option[Array[Int]], idx: (Int, Int) => Int,
-                       filterOf: Int => Int = _ % 5): Array[Byte] = {
+                       filterOf: Int => Int = _ % 5,
+                       interlaced: Boolean = false): Array[Byte] = {
     require(palette.nonEmpty && palette.length <= 256, s"palette=${palette.length}")
     trns.foreach(t => require(t.length <= palette.length, "tRNS longer than PLTE"))
     val raw = new Array[Byte](h * w)
@@ -511,7 +555,7 @@ object MediaCodec {
     }
     val extra = Seq("PLTE" -> plte) ++
       trns.map(t => "tRNS" -> t.map(_.toByte)).toSeq
-    writePng(w, h, 8, 3, 1, raw, extra, filterOf)
+    writePng(w, h, 8, 3, 1, raw, extra, filterOf, interlaced)
   }
 
   /** Full PNG decode — (w, h, outChannels, depth, samples): samples are
@@ -526,7 +570,7 @@ object MediaCodec {
       b(2) != 'N' || b(3) != 'G' || b(4) != 0x0d || b(5) != 0x0a ||
       b(6) != 0x1a || b(7) != 0x0a) return None
     var i = 8
-    var w = 0; var h = 0; var colorType = -1; var depth = 0
+    var w = 0; var h = 0; var colorType = -1; var depth = 0; var interlace = 0
     var fchannels = 0 // channel count as FILTERED (palette = 1 index byte)
     var seenIhdr = false; var ended = false
     var palette: Array[Int] = null
@@ -546,8 +590,9 @@ object MediaCodec {
           if (len != 13 || seenIhdr) return None
           w = be32(b, i + 8); h = be32(b, i + 12)
           depth = u8(b, i + 16); colorType = u8(b, i + 17)
+          interlace = u8(b, i + 20)
           if (u8(b, i + 18) != 0 || u8(b, i + 19) != 0 ||
-            u8(b, i + 20) != 0) return None
+            interlace > 1) return None // compression/filter 0; interlace 0|1
           fchannels = (depth, colorType) match {
             case (8, 0) => 1; case (8, 2) => 3; case (8, 3) => 1; case (8, 6) => 4
             case (16, 0) => 1; case (16, 2) => 3; case (16, 6) => 4
@@ -584,7 +629,20 @@ object MediaCodec {
     val bytesPerSample = depth / 8
     val bpp = fchannels * bytesPerSample // the spec's byte-wise filter distance
     val stride = w * bpp
-    val expect = (stride + 1) * h
+    // Adam7 (interlace 1) is a sequence of 7 independently-filtered
+    // sub-images scattered over the raster; non-interlaced is the same
+    // machinery with one full-size pass
+    val passes: Seq[(Int, Int, Int, Int)] =
+      if (interlace == 1) Adam7Passes else Seq((0, 0, 1, 1))
+    val passDims = passes.map { case (x0, y0, dx, dy) =>
+      (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+        if (h > y0) (h - y0 + dy - 1) / dy else 0)
+    }
+    var expect = 0
+    passDims.foreach { case (pw, ph) =>
+      if (pw > 0 && ph > 0) expect += (pw * bpp + 1) * ph
+    }
+    if (expect == 0) return None
     val filt = new Array[Byte](expect)
     val inf = inflaters.get()
     try {
@@ -599,26 +657,53 @@ object MediaCodec {
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inf.reset()
     val raw = new Array[Int](h * stride)
-    var y = 0
-    while (y < h) {
-      val f = filt(y * (stride + 1)) & 0xff
-      if (f > 4) return None
-      var x = 0
-      while (x < stride) {
-        val v = filt(y * (stride + 1) + 1 + x) & 0xff
-        val left = if (x >= bpp) raw(y * stride + x - bpp) else 0
-        val up = if (y > 0) raw((y - 1) * stride + x) else 0
-        val ul = if (y > 0 && x >= bpp) raw((y - 1) * stride + x - bpp) else 0
-        raw(y * stride + x) = f match {
-          case 0 => v
-          case 1 => (v + left) & 0xff
-          case 2 => (v + up) & 0xff
-          case 3 => (v + ((left + up) >> 1)) & 0xff
-          case 4 => (v + paeth(left, up, ul)) & 0xff
+    var fOff = 0
+    var pi = 0
+    while (pi < passes.length) {
+      val (x0, y0, dx, dy) = passes(pi)
+      val (pw, ph) = passDims(pi)
+      if (pw > 0 && ph > 0) {
+        val pstride = pw * bpp
+        val sub = new Array[Int](ph * pstride)
+        var y = 0
+        while (y < ph) {
+          val f = filt(fOff) & 0xff; fOff += 1
+          if (f > 4) return None
+          var x = 0
+          while (x < pstride) {
+            val v = filt(fOff + x) & 0xff
+            val left = if (x >= bpp) sub(y * pstride + x - bpp) else 0
+            val up = if (y > 0) sub((y - 1) * pstride + x) else 0
+            val ul = if (y > 0 && x >= bpp) sub((y - 1) * pstride + x - bpp) else 0
+            sub(y * pstride + x) = f match {
+              case 0 => v
+              case 1 => (v + left) & 0xff
+              case 2 => (v + up) & 0xff
+              case 3 => (v + ((left + up) >> 1)) & 0xff
+              case 4 => (v + paeth(left, up, ul)) & 0xff
+            }
+            x += 1
+          }
+          fOff += pstride
+          y += 1
         }
-        x += 1
+        // scatter the pass into the raster (bpp bytes per pixel)
+        var py = 0
+        while (py < ph) {
+          var px = 0
+          while (px < pw) {
+            var c = 0
+            while (c < bpp) {
+              raw((y0 + py * dy) * stride + (x0 + px * dx) * bpp + c) =
+                sub(py * pstride + px * bpp + c)
+              c += 1
+            }
+            px += 1
+          }
+          py += 1
+        }
       }
-      y += 1
+      pi += 1
     }
     if (colorType == 3) {
       // expand indices through PLTE (+ tRNS alpha when present)

@@ -1985,6 +1985,7 @@ object Llm {
     "q_png16_decode" -> (png16Decode _),
     "q_jpeg_progressive" -> (jpegProgressive _),
     "q_jpeg_color420" -> (jpegColor420 _),
+    "q_png_adam7_decode" -> (pngAdam7Decode _),
     "q_g711_decode" -> (g711Decode _),
     "q_media_zoo" -> (mediaZoo _),
     "q_flac_decode" -> (flacDecode _),
@@ -2587,6 +2588,67 @@ object Llm {
       |  CASE WHEN d.k % 13 <> 0 THEN
       |    CAST(CASE WHEN d.ntrns > 0 THEN 4 ELSE 3 END AS INTEGER) END AS n_channels,
       |  round(a.m0, 6) AS mean_r, a.chk AS chk
+      |FROM dims d LEFT JOIN agg a ON a.k = d.k
+      |ORDER BY media_id""".stripMargin
+
+  /** Adam7 interlaced PNG under the oracle — the PNG decoder's last
+    * refused shape, retired in round 12: per-key gray rasters where
+    * every 3rd key is INTERLACED (seven independently-filtered
+    * sub-images the decoder must reassemble pixel-exactly) and the
+    * oracle is the SAME closed form regardless of the flag — a
+    * deinterlace bug flips the checksum only on that arm, localizing
+    * it (the q_gif_decode trick). Every 13th payload truncates:
+    * refusal. ImageIO cross-conformance both directions is spec-pinned
+    * in PngPropSpec. */
+  def pngAdam7Decode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.MediaCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val w = (3 + k % 13).toInt
+      val h = (2 + k % 11).toInt
+      val bytes = MediaCodec.encodePng(w, h, 1,
+        (x, y, _) => ((11 * k + 23L * x + 41L * y + (x * y) % 19) % 256).toInt,
+        interlaced = k % 3 == 0)
+      val payload = if (k % 13 == 0) bytes.dropRight(9) else bytes
+      MediaCodec.pngPixels(payload) match {
+        case Some((dw, dh, _, px)) =>
+          var sum = 0L; var chk = 0L
+          var i = 0
+          while (i < px.length) { sum += px(i); chk += (i + 1).toLong * px(i); i += 1 }
+          (k, true, Some(dw), Some(dh),
+            Some(sum.toDouble / (dw.toLong * dh)), Some(chk))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int],
+            None: Option[Double], None: Option[Long])
+      }
+    }.toDF("media_id", "adam7_ok", "width", "height", "m0", "chk")
+    decoded.select($"media_id", $"adam7_ok", $"width", $"height",
+      round($"m0", 6).as("mean_g"), $"chk")
+      .orderBy($"media_id")
+  }
+
+  /** Interlace-invariant facts from v(k,x,y) = (11k + 23x + 41y +
+    * xy mod 19) mod 256 over a (3+k%13) × (2+k%11) raster. */
+  val pngAdam7DecodeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |dims AS (
+      |  SELECT k, CAST(3 + k % 13 AS INTEGER) AS w, CAST(2 + k % 11 AS INTEGER) AS h
+      |  FROM ks),
+      |px AS (
+      |  SELECT d.k,
+      |    (11 * d.k + 23 * x.g + 41 * y.g + (x.g * y.g) % 19) % 256 AS v,
+      |    1 + y.g * d.w + x.g AS pos
+      |  FROM dims d, generate_series(0, 15) x(g), generate_series(0, 12) y(g)
+      |  WHERE x.g < d.w AND y.g < d.h AND d.k % 13 <> 0),
+      |agg AS (
+      |  SELECT k, avg(CAST(v AS DOUBLE)) AS m0,
+      |    CAST(SUM(v * pos) AS BIGINT) AS chk
+      |  FROM px GROUP BY k)
+      |SELECT d.k AS media_id, (d.k % 13 <> 0) AS adam7_ok,
+      |  CASE WHEN d.k % 13 <> 0 THEN d.w END AS width,
+      |  CASE WHEN d.k % 13 <> 0 THEN d.h END AS height,
+      |  round(a.m0, 6) AS mean_g, a.chk AS chk
       |FROM dims d LEFT JOIN agg a ON a.k = d.k
       |ORDER BY media_id""".stripMargin
 
@@ -3569,6 +3631,7 @@ object Llm {
     "q_png16_decode" -> png16DecodeSql,
     "q_jpeg_progressive" -> jpegProgressiveSql,
     "q_jpeg_color420" -> jpegColor420Sql,
+    "q_png_adam7_decode" -> pngAdam7DecodeSql,
     "q_g711_decode" -> g711DecodeSql,
     "q_media_zoo" -> mediaZooSql,
     "q_flac_decode" -> flacDecodeSql,

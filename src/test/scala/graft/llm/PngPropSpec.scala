@@ -221,6 +221,87 @@ class PngPropSpec extends AnyFunSuite {
     }
   }
 
+  test("Adam7 interlaced round-trips: all three encoders, arbitrary dims and filter schedules") {
+    // the seven passes are independently-filtered sub-images; tiny dims
+    // (1x1, 1x2, ...) leave several passes EMPTY — the zero-size-pass
+    // bookkeeping is exactly where interlace bugs live
+    forAll(imgGen, n = 60) { img =>
+      def px(x: Int, y: Int, c: Int): Int =
+        img.pixels(y * img.w * img.channels + x * img.channels + c)
+      val bytes = MediaCodec.encodePng(img.w, img.h, img.channels, px,
+        y => img.filters(y % img.h), interlaced = true)
+      val Some((dw, dh, dch, raster)) = MediaCodec.pngPixels(bytes)
+      assert((dw, dh, dch) == ((img.w, img.h, img.channels)))
+      assert(raster.sameElements(img.pixels),
+        s"interlaced raster mismatch ${img.w}x${img.h}x${img.channels}")
+    }
+    forAll(palGen, n = 25) { img =>
+      val bytes = MediaCodec.encodePngPalette(img.w, img.h, img.palette,
+        img.trns, (x, y) => img.idx(y * img.w + x),
+        y => img.filters(y % img.h), interlaced = true)
+      val Some((dw, dh, dch, raster)) = MediaCodec.pngPixels(bytes)
+      assert((dw, dh) == ((img.w, img.h)))
+      var p = 0
+      while (p < img.w * img.h) {
+        val rgb = img.palette(img.idx(p))
+        assert(raster(p * dch) == ((rgb >>> 16) & 0xff) &&
+          raster(p * dch + 1) == ((rgb >>> 8) & 0xff) &&
+          raster(p * dch + 2) == (rgb & 0xff), s"interlaced palette mismatch at $p")
+        p += 1
+      }
+    }
+    forAll(img16Gen, n = 25) { img =>
+      def px(x: Int, y: Int, c: Int): Int =
+        img.pixels(y * img.w * img.channels + x * img.channels + c)
+      val bytes = MediaCodec.encodePng16(img.w, img.h, img.channels, px,
+        y => img.filters(y % img.h), interlaced = true)
+      val Some((_, _, _, raster)) = MediaCodec.pngPixels16(bytes)
+      assert(raster.sameElements(img.pixels), "interlaced 16-bit mismatch")
+    }
+  }
+
+  test("Adam7 ImageIO cross-conformance: both directions pixel-exact") {
+    import javax.imageio.ImageIO
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    // the JDK reads our interlaced streams
+    forAll(imgGen.suchThat(_.channels == 1), n = 20) { img =>
+      def px(x: Int, y: Int, c: Int): Int =
+        img.pixels(y * img.w * img.channels + x * img.channels + c)
+      val bytes = MediaCodec.encodePng(img.w, img.h, 1, px,
+        y => img.filters(y % img.h), interlaced = true)
+      val bi = ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(bi != null && bi.getWidth == img.w && bi.getHeight == img.h)
+      for (y <- 0 until img.h; x <- 0 until img.w)
+        assert(bi.getRaster.getSample(x, y, 0) == img.pixels(y * img.w + x),
+          s"JDK read of our Adam7 stream differs at ($x,$y)")
+    }
+    // we read the JDK's interlaced writes (progressive mode = Adam7)
+    forAll(imgGen.suchThat(_.channels == 1), n = 20) { img =>
+      val bi = new BufferedImage(img.w, img.h, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until img.h; x <- 0 until img.w)
+        bi.getRaster.setSample(x, y, 0, img.pixels(y * img.w + x))
+      val writer = ImageIO.getImageWritersByFormatName("png").next()
+      val params = writer.getDefaultWriteParam
+      params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), params)
+      ios.close(); writer.dispose()
+      val bytes = bos.toByteArray
+      // IHDR interlace byte must really be 1 (sig 8 + len/tag 8 + 12)
+      assert((bytes(8 + 8 + 12) & 0xff) == 1, "JDK did not write Adam7")
+      MediaCodec.pngPixels(bytes) match {
+        case Some((dw, dh, 1, raster)) =>
+          assert((dw, dh) == ((img.w, img.h)))
+          assert(raster.sameElements(img.pixels),
+            "our decode of the JDK's Adam7 write differs")
+        case other => fail(s"refused the JDK's Adam7 write: $other")
+      }
+    }
+  }
+
   test("palette/16-bit refusal arms: bad index, sub-byte depth, tRNS overrun, corruption") {
     // index past the palette refuses at encode (require) AND at decode
     intercept[IllegalArgumentException] {
