@@ -1986,6 +1986,7 @@ object Llm {
     "q_jpeg_progressive" -> (jpegProgressive _),
     "q_jpeg_color420" -> (jpegColor420 _),
     "q_png_adam7_decode" -> (pngAdam7Decode _),
+    "q_mp3_probe" -> (mp3Probe _),
     "q_g711_decode" -> (g711Decode _),
     "q_media_zoo" -> (mediaZoo _),
     "q_flac_decode" -> (flacDecode _),
@@ -2709,6 +2710,73 @@ object Llm {
       |  CASE WHEN d.k % 11 <> 0 THEN d.w END AS width,
       |  CASE WHEN d.k % 11 <> 0 THEN d.h END AS height,
       |  round(a.m0, 6) AS mean_g, a.chk AS chk
+      |FROM dims d LEFT JOIN agg a ON a.k = d.k
+      |ORDER BY media_id""".stripMargin
+
+  /** MP3 container probe under the oracle — the metadata pass a
+    * curation pipeline runs over audio it will NOT decode (the hybrid
+    * polyphase/MDCT codec stays honestly behind the MediaDecoder seam;
+    * see [[graft.llm.MediaCodec.mp3Probe]]): per-key MPEG-1 Layer III
+    * frame streams — every 5th key VBR (per-frame bitrate indexes),
+    * odd keys carrying an ID3v2 prefix the synchsafe-length skip must
+    * clear — walked frame by frame with the 144·bitrate/rate + padding
+    * length formula. The oracle recomputes frame count, duration and
+    * the exact per-frame bitrate sum from the same index formulas.
+    * Every 13th payload truncates mid-frame: refusal, never an
+    * estimate from a corrupt walk. */
+  def mp3Probe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.MediaCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val nFrames = (5 + k % 20).toInt
+      val srIdx = (k % 3).toInt
+      val brIdxOf: Int => Int =
+        if (k % 5 == 0) f => (1 + (k + f) % 14).toInt
+        else _ => (1 + k % 14).toInt
+      val id3 = if (k % 2 == 1) (1 + k % 97).toInt else 0
+      val bytes = MediaCodec.encodeMp3Frames(nFrames, srIdx, brIdxOf, id3)
+      val payload = if (k % 13 == 0) bytes.dropRight(7) else bytes
+      MediaCodec.mp3Probe(payload) match {
+        case Some((n, rate, kbpsSum, cbr)) =>
+          (k, true, Some(n), Some(rate),
+            Some((n.toLong * 1152).toDouble / rate), Some(kbpsSum), Some(cbr))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int],
+            None: Option[Double], None: Option[Long], None: Option[Boolean])
+      }
+    }.toDF("media_id", "mp3_ok", "n_frames", "sample_rate", "dur", "kbps_sum", "is_cbr")
+    decoded.select($"media_id", $"mp3_ok", $"n_frames", $"sample_rate",
+      round($"dur", 6).as("duration_s"), $"kbps_sum", $"is_cbr")
+      .orderBy($"media_id")
+  }
+
+  /** The probe facts from the synthesis formulas: n = 5 + k mod 20,
+    * rate by k mod 3, per-frame bitrate index 1 + (k [+ f]) mod 14
+    * mapped through the MPEG-1 Layer III table, VBR exactly when
+    * k mod 5 = 0 (indexes then provably vary: n ≥ 5 > 1). */
+  val mp3ProbeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |dims AS (
+      |  SELECT k, CAST(5 + k % 20 AS INTEGER) AS n,
+      |    CAST(CASE k % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS INTEGER) AS rate
+      |  FROM ks),
+      |frames AS (
+      |  SELECT d.k,
+      |    ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[
+      |      CAST(CASE WHEN d.k % 5 = 0 THEN 1 + (d.k + f.g) % 14
+      |                ELSE 1 + d.k % 14 END AS INTEGER)] AS kbps
+      |  FROM dims d, generate_series(0, 24) f(g)
+      |  WHERE f.g < d.n AND d.k % 13 <> 0),
+      |agg AS (
+      |  SELECT k, CAST(SUM(kbps) AS BIGINT) AS kbps_sum FROM frames GROUP BY k)
+      |SELECT d.k AS media_id, (d.k % 13 <> 0) AS mp3_ok,
+      |  CASE WHEN d.k % 13 <> 0 THEN d.n END AS n_frames,
+      |  CASE WHEN d.k % 13 <> 0 THEN d.rate END AS sample_rate,
+      |  CASE WHEN d.k % 13 <> 0
+      |    THEN round(CAST(d.n AS BIGINT) * 1152 / CAST(d.rate AS DOUBLE), 6) END AS duration_s,
+      |  a.kbps_sum,
+      |  CASE WHEN d.k % 13 <> 0 THEN d.k % 5 <> 0 END AS is_cbr
       |FROM dims d LEFT JOIN agg a ON a.k = d.k
       |ORDER BY media_id""".stripMargin
 
@@ -3632,6 +3700,7 @@ object Llm {
     "q_jpeg_progressive" -> jpegProgressiveSql,
     "q_jpeg_color420" -> jpegColor420Sql,
     "q_png_adam7_decode" -> pngAdam7DecodeSql,
+    "q_mp3_probe" -> mp3ProbeSql,
     "q_g711_decode" -> g711DecodeSql,
     "q_media_zoo" -> mediaZooSql,
     "q_flac_decode" -> flacDecodeSql,
