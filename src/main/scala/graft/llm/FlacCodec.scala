@@ -6,14 +6,20 @@ package graft.llm
   * residuals, the core of FLAC's compression).
   *
   * Scope (honest): mono, 16-bit, fixed blocking strategy; STREAMINFO
-  * metadata only; subframe types CONSTANT, VERBATIM and FIXED orders
-  * 0–4 with a single Rice partition (partition order 0, 4-bit
-  * parameters, escape codes supported on decode). Frame-header CRC-8
-  * and whole-frame CRC-16 are computed on encode and VERIFIED on
+  * metadata only; subframe types CONSTANT, VERBATIM, FIXED orders 0–4
+  * and LPC orders 1–32 (quantized-coefficient linear prediction — the
+  * subframe type that carries FLAC's real compression win on tonal
+  * audio), each with a single Rice partition (partition order 0, 4-bit
+  * parameters, escape codes supported on decode). The LPC encoder runs
+  * genuine Levinson–Durbin estimation over the block's autocorrelation,
+  * quantizes to 12-bit coefficients, and keeps the subframe only when
+  * its actual coded size beats FIXED/VERBATIM — losslessness never
+  * depends on estimation quality, only the ratio does. Frame-header
+  * CRC-8 and whole-frame CRC-16 are computed on encode and VERIFIED on
   * decode — a flipped bit refuses the frame, the integrity contract the
-  * corruption arm of q_flac_decode gates. Stereo, LPC subframes,
-  * variable blocking, wasted bits and multi-partition Rice decode to
-  * None.
+  * corruption arm of q_flac_decode gates. Stereo, variable blocking,
+  * wasted bits, negative quantization shifts and multi-partition Rice
+  * decode to None.
   *
   * Validation honesty: unlike the image arms there is no independent
   * JVM FLAC implementation to cross-check against (ImageIO has no
@@ -144,9 +150,215 @@ object FlacCodec {
     k
   }
 
+  /** Rice-coded residual size in bits for parameter k (zigzag unary
+    * quotient + stop bit + k LSBs each), excluding headers. */
+  private def riceBitsOf(res: Array[Long], k: Int): Long = {
+    var bits = 0L
+    res.foreach { r =>
+      val u = (r << 1) ^ (r >> 63)
+      bits += (u >>> k) + 1 + k
+    }
+    bits
+  }
+
+  private def writeRice(bw: BitWriter, res: Array[Long], k: Int): Unit = {
+    bw.put(0L, 2) // rice method: 4-bit params
+    bw.put(0L, 4) // partition order 0
+    bw.put(k.toLong, 4)
+    res.foreach { r =>
+      val u = (r << 1) ^ (r >> 63) // zigzag
+      val q = u >>> k
+      var j = 0L
+      while (j < q) { bw.put(0L, 1); j += 1 }
+      bw.put(1L, 1)
+      if (k > 0) bw.put(u & ((1L << k) - 1), k)
+    }
+  }
+
+  private def writeVerbatim(bw: BitWriter, blk: Array[Int]): Unit = {
+    bw.put(0L, 1); bw.put(1L, 6); bw.put(0L, 1) // VERBATIM
+    blk.foreach(v => bw.put(v.toLong & 0xffff, 16))
+  }
+
+  /** Best FIXED order by residual sum, coded size compared against
+    * VERBATIM's 16·n bits so an adverse residual distribution (long
+    * unary runs) can never expand the frame past the uncompressed form
+    * — this keeps the VERBATIM branch live (riceParamFor caps k at 14,
+    * so a k-threshold guard alone was unreachable, ADVICE r11).
+    * Returns (order, rice k, residuals, total subframe bits). */
+  private def bestFixed(blk: Array[Int]): (Int, Int, Array[Long], Long) = {
+    val n = blk.length
+    val maxOrder = math.min(4, n - 1)
+    val best = (0 to maxOrder).minBy { o =>
+      fixedResiduals(blk, o).map(r => math.abs(r.toDouble)).sum
+    }
+    val res = fixedResiduals(blk, best)
+    val k = riceParamFor(res)
+    val bits = 16L * best + 2 + 4 + 4 + riceBitsOf(res, k)
+    (best, k, res, bits)
+  }
+
+  private def writeBestFixed(bw: BitWriter, blk: Array[Int]): Unit = {
+    val n = blk.length
+    if (blk.forall(_ == blk(0))) {
+      bw.put(0L, 1); bw.put(0L, 6); bw.put(0L, 1) // CONSTANT
+      bw.put(blk(0).toLong & 0xffff, 16)
+    } else {
+      val (best, k, res, riceBits) = bestFixed(blk)
+      if (riceBits >= 16L * n) writeVerbatim(bw, blk)
+      else {
+        bw.put(0L, 1); bw.put(8L | best.toLong, 6); bw.put(0L, 1) // FIXED
+        var i = 0
+        while (i < best) { bw.put(blk(i).toLong & 0xffff, 16); i += 1 }
+        writeRice(bw, res, k)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ LPC
+
+  private val LpcPrecision = 12 // quantized coefficient bits (field: 11)
+
+  /** Levinson–Durbin over the block's autocorrelation: predictor
+    * coefficients for every order 1..maxOrder (index o-1), prediction
+    * x̂[i] = Σ a(j)·x[i-1-j]. None when degenerate (zero energy or a
+    * non-finite / unstable recursion step). */
+  private def lpcAllOrders(x: Array[Int], maxOrder: Int): Array[Array[Double]] = {
+    val n = x.length
+    val autoc = new Array[Double](maxOrder + 1)
+    var j = 0
+    while (j <= maxOrder) {
+      var s = 0.0
+      var i = j
+      while (i < n) { s += x(i).toDouble * x(i - j).toDouble; i += 1 }
+      autoc(j) = s
+      j += 1
+    }
+    val out = new Array[Array[Double]](maxOrder)
+    if (autoc(0) <= 0.0) return out // all-zero block: no LPC candidates
+    var err = autoc(0)
+    var a = new Array[Double](0)
+    var m = 0
+    while (m < maxOrder && err > 0.0) {
+      var acc = autoc(m + 1)
+      var i = 0
+      while (i < m) { acc -= a(i) * autoc(m - i); i += 1 }
+      val kref = acc / err
+      if (!java.lang.Double.isFinite(kref)) return out
+      val next = new Array[Double](m + 1)
+      var i2 = 0
+      while (i2 < m) { next(i2) = a(i2) - kref * a(m - 1 - i2); i2 += 1 }
+      next(m) = kref
+      a = next
+      err *= 1.0 - kref * kref
+      out(m) = a.clone()
+      m += 1
+    }
+    out
+  }
+
+  /** Quantize to LpcPrecision-bit integers with the largest shift in
+    * 0..15 whose rounded coefficients all fit; None when even shift 0
+    * overflows (|coef| too large — pathological, falls back). */
+  private def quantizeLpc(coefs: Array[Double]): Option[(Array[Int], Int)] = {
+    val qmax = (1 << (LpcPrecision - 1)) - 1
+    val qmin = -(1 << (LpcPrecision - 1))
+    var shift = 15
+    while (shift >= 0) {
+      val q = new Array[Int](coefs.length)
+      var ok = true
+      var j = 0
+      while (ok && j < coefs.length) {
+        val v = math.round(coefs(j) * (1L << shift).toDouble)
+        if (v < qmin || v > qmax || !java.lang.Double.isFinite(coefs(j))) ok = false
+        else q(j) = v.toInt
+        j += 1
+      }
+      if (ok) return Some((q, shift))
+      shift -= 1
+    }
+    None
+  }
+
+  /** Residuals under the decoder's exact integer arithmetic:
+    * r[i-order] = x[i] − ((Σ q(j)·x[i-1-j]) >> shift). */
+  private def lpcResiduals(x: Array[Int], q: Array[Int], shift: Int): Array[Long] = {
+    val order = q.length
+    val r = new Array[Long](x.length - order)
+    var i = order
+    while (i < x.length) {
+      var acc = 0L
+      var j = 0
+      while (j < order) { acc += q(j).toLong * x(i - 1 - j); j += 1 }
+      r(i - order) = x(i) - (acc >> shift)
+      i += 1
+    }
+    r
+  }
+
+  /** CONSTANT / LPC / FIXED / VERBATIM, whichever codes smallest. LPC
+    * candidates come from one Levinson–Durbin sweep (all orders up to
+    * maxOrder); each is costed at its ACTUAL coded size — warmup +
+    * precision/shift/coefficient headers + Rice residuals. */
+  private def writeBestLpc(bw: BitWriter, blk: Array[Int], maxOrder: Int): Unit = {
+    val n = blk.length
+    if (blk.forall(_ == blk(0))) {
+      bw.put(0L, 1); bw.put(0L, 6); bw.put(0L, 1) // CONSTANT
+      bw.put(blk(0).toLong & 0xffff, 16)
+      return
+    }
+    val (fOrder, fK, fRes, fixedBits) = bestFixed(blk)
+    var bestLpc: (Int, Array[Int], Int, Int, Array[Long], Long) = null
+    val cands = lpcAllOrders(blk, math.min(maxOrder, n - 1))
+    var o = 1
+    while (o <= cands.length) {
+      val coefs = cands(o - 1)
+      if (coefs != null) quantizeLpc(coefs).foreach { case (q, shift) =>
+        val res = lpcResiduals(blk, q, shift)
+        val k = riceParamFor(res)
+        val bits = 16L * o + 4 + 5 + LpcPrecision.toLong * o + 2 + 4 + 4 +
+          riceBitsOf(res, k)
+        if (bestLpc == null || bits < bestLpc._6) bestLpc = (o, q, shift, k, res, bits)
+      }
+      o += 1
+    }
+    val lpcBits = if (bestLpc == null) Long.MaxValue else bestLpc._6
+    if (lpcBits < fixedBits && lpcBits < 16L * n) {
+      val (order, q, shift, k, res, _) = bestLpc
+      bw.put(0L, 1); bw.put(0x20L | (order - 1).toLong, 6); bw.put(0L, 1) // LPC
+      var i = 0
+      while (i < order) { bw.put(blk(i).toLong & 0xffff, 16); i += 1 }
+      bw.put((LpcPrecision - 1).toLong, 4)
+      bw.put(shift.toLong, 5)
+      q.foreach(c => bw.put(c.toLong & ((1L << LpcPrecision) - 1), LpcPrecision))
+      writeRice(bw, res, k)
+    } else if (fixedBits >= 16L * n) writeVerbatim(bw, blk)
+    else {
+      bw.put(0L, 1); bw.put(8L | fOrder.toLong, 6); bw.put(0L, 1) // FIXED
+      var i = 0
+      while (i < fOrder) { bw.put(blk(i).toLong & 0xffff, 16); i += 1 }
+      writeRice(bw, fRes, fK)
+    }
+  }
+
   /** Encode mono 16-bit samples as a FLAC stream (fLaC magic +
-    * STREAMINFO + fixed-blocksize frames). */
-  def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    * STREAMINFO + fixed-blocksize frames) using CONSTANT/FIXED/VERBATIM
+    * subframes. */
+  def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] =
+    encodeStream(sampleRate, samples)((bw, blk) => writeBestFixed(bw, blk))
+
+  /** Encode with LPC subframes in the running: per block, Levinson–
+    * Durbin over orders 1..maxOrder, quantize to 12-bit coefficients,
+    * and emit whichever of CONSTANT/LPC/FIXED/VERBATIM codes smallest.
+    * Lossless for any coefficient choice (residuals are computed with
+    * the decoder's exact integer arithmetic). */
+  def encodeLpc(sampleRate: Int, samples: Array[Short], maxOrder: Int = 8): Array[Byte] = {
+    require(maxOrder >= 1 && maxOrder <= 32)
+    encodeStream(sampleRate, samples)((bw, blk) => writeBestLpc(bw, blk, maxOrder))
+  }
+
+  private def encodeStream(sampleRate: Int, samples: Array[Short])(
+      writeSubframe: (BitWriter, Array[Int]) => Unit): Array[Byte] = {
     require(sampleRate > 0 && sampleRate < (1 << 20))
     val out = new java.io.ByteArrayOutputStream()
     out.write('f'); out.write('L'); out.write('a'); out.write('C')
@@ -188,52 +400,7 @@ object FlacCodec {
         val bw2 = new BitWriter
         headerSoFar.foreach(x => bw2.put(x & 0xffL, 8))
         bw2.put(crcH.toLong, 8)
-        // subframe
-        if (blk.forall(_ == blk(0))) {
-          bw2.put(0L, 1); bw2.put(0L, 6); bw2.put(0L, 1) // CONSTANT
-          bw2.put(blk(0).toLong & 0xffff, 16)
-        } else {
-          // pick the fixed order (0..4, bounded by n-1) with the smallest
-          // absolute residual sum; fall back to VERBATIM if rice would
-          // expand beyond 16 bits/sample
-          val maxOrder = math.min(4, n - 1)
-          val best = (0 to maxOrder).minBy { o =>
-            fixedResiduals(blk, o).map(r => math.abs(r.toDouble)).sum
-          }
-          val res = fixedResiduals(blk, best)
-          val k = riceParamFor(res)
-          // actual Rice-coded subframe size (warmup + method/partition/
-          // param headers + per-residual unary q + stop bit + k LSBs) vs
-          // VERBATIM's 16·n bits: pick whichever is smaller, so an
-          // adverse residual distribution (long unary runs) can never
-          // expand the frame past the uncompressed form. This keeps the
-          // VERBATIM branch live — riceParamFor caps k at 14, so a
-          // k-threshold guard alone was unreachable (ADVICE r11).
-          var riceBits = 16L * best + 2 + 4 + 4
-          res.foreach { r =>
-            val u = (r << 1) ^ (r >> 63)
-            riceBits += (u >>> k) + 1 + k
-          }
-          if (riceBits >= 16L * n) {
-            bw2.put(0L, 1); bw2.put(1L, 6); bw2.put(0L, 1) // VERBATIM
-            blk.foreach(v => bw2.put(v.toLong & 0xffff, 16))
-          } else {
-            bw2.put(0L, 1); bw2.put(8L | best.toLong, 6); bw2.put(0L, 1) // FIXED
-            var i = 0
-            while (i < best) { bw2.put(blk(i).toLong & 0xffff, 16); i += 1 }
-            bw2.put(0L, 2) // rice method: 4-bit params
-            bw2.put(0L, 4) // partition order 0
-            bw2.put(k.toLong, 4)
-            res.foreach { r =>
-              val u = (r << 1) ^ (r >> 63) // zigzag
-              val q = u >>> k
-              var j = 0L
-              while (j < q) { bw2.put(0L, 1); j += 1 }
-              bw2.put(1L, 1)
-              if (k > 0) bw2.put(u & ((1L << k) - 1), k)
-            }
-          }
-        }
+        writeSubframe(bw2, blk)
         bw2.alignZero()
         val frame = bw2.bytes
         val crcF = crc16(frame, 0, frame.length)
@@ -269,9 +436,56 @@ object FlacCodec {
     }
   }
 
+  /** Single-partition Rice residual block (method/partition-order/
+    * parameter headers + nRes coded residuals; escape code = raw
+    * twos-complement at a 5-bit width). Shared by FIXED and LPC. */
+  private def readResiduals(br: BitReader, nRes: Int): Array[Long] = {
+    val method = br.bits(2).toInt
+    require(method == 0 || method == 1, "bad residual method")
+    val pbits = if (method == 0) 4 else 5
+    val escape = if (method == 0) 0xf else 0x1f
+    val partOrder = br.bits(4).toInt
+    require(partOrder == 0, "multi-partition rice unsupported")
+    val k0 = br.bits(pbits).toInt
+    val res = new Array[Long](nRes)
+    if (k0 == escape) {
+      val raw = br.bits(5).toInt
+      var j = 0
+      while (j < nRes) {
+        val u = br.bits(raw)
+        res(j) = (u << (64 - raw)) >> (64 - raw) // sign-extend raw twos-complement
+        j += 1
+      }
+    } else {
+      var j = 0
+      while (j < nRes) {
+        var q = 0L
+        while (br.bit() == 0) q += 1
+        val u = (q << k0) | (if (k0 > 0) br.bits(k0) else 0L)
+        res(j) = (u >>> 1) ^ -(u & 1L) // un-zigzag
+        j += 1
+      }
+    }
+    res
+  }
+
   /** Decode: Some((sampleRate, samples)) or None for corrupt /
     * out-of-scope streams. CRC-8 and CRC-16 are verified per frame. */
-  def decode(b: Array[Byte]): Option[(Int, Array[Short])] = try {
+  def decode(b: Array[Byte]): Option[(Int, Array[Short])] =
+    decodeImpl(b, null)
+
+  /** Per-frame subframe kinds ("CONSTANT"/"VERBATIM"/"FIXED<o>"/
+    * "LPC<o>") via the full verified decode walk — lets callers pin
+    * WHICH prediction path a stream exercises, not just that it
+    * round-trips. None exactly when decode refuses. */
+  def subframeKinds(b: Array[Byte]): Option[Seq[String]] = {
+    val census = scala.collection.mutable.ArrayBuffer.empty[String]
+    decodeImpl(b, census).map(_ => census.toSeq)
+  }
+
+  private def decodeImpl(
+      b: Array[Byte],
+      census: scala.collection.mutable.ArrayBuffer[String]): Option[(Int, Array[Short])] = try {
     if (b == null || b.length < 42 ||
       b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C') return None
     var p = 4
@@ -337,6 +551,13 @@ object FlacCodec {
       require(br.bits(1) == 0, "subframe padding bit set")
       val sfType = br.bits(6).toInt
       require(br.bits(1) == 0, "wasted bits unsupported")
+      if (census != null) census += (sfType match {
+        case 0 => "CONSTANT"
+        case 1 => "VERBATIM"
+        case t if (t & 0x38) == 0x08 => s"FIXED${t & 0x07}"
+        case t if (t & 0x20) == 0x20 => s"LPC${(t & 0x1f) + 1}"
+        case t => s"?$t"
+      })
       val samples = new Array[Int](blockSize)
       def s16(v: Long): Int = ((v & 0xffff) << 16).toInt >> 16
       if (sfType == 0) {
@@ -350,33 +571,7 @@ object FlacCodec {
         require(order <= 4, "bad fixed order")
         var i = 0
         while (i < order) { samples(i) = s16(br.bits(16)); i += 1 }
-        val method = br.bits(2).toInt
-        require(method == 0 || method == 1, "bad residual method")
-        val pbits = if (method == 0) 4 else 5
-        val escape = if (method == 0) 0xf else 0x1f
-        val partOrder = br.bits(4).toInt
-        require(partOrder == 0, "multi-partition rice unsupported")
-        val k0 = br.bits(pbits).toInt
-        val nRes = blockSize - order
-        val res = new Array[Long](nRes)
-        if (k0 == escape) {
-          val raw = br.bits(5).toInt
-          var j = 0
-          while (j < nRes) {
-            val u = br.bits(raw)
-            res(j) = (u << (64 - raw)) >> (64 - raw) // sign-extend raw twos-complement
-            j += 1
-          }
-        } else {
-          var j = 0
-          while (j < nRes) {
-            var q = 0L
-            while (br.bit() == 0) q += 1
-            val u = (q << k0) | (if (k0 > 0) br.bits(k0) else 0L)
-            res(j) = (u >>> 1) ^ -(u & 1L) // un-zigzag
-            j += 1
-          }
-        }
+        val res = readResiduals(br, blockSize - order)
         i = order
         while (i < blockSize) {
           val pred: Long = order match {
@@ -388,6 +583,33 @@ object FlacCodec {
               4L * samples(i - 3) - samples(i - 4)
           }
           val v = pred + res(i - order)
+          require(v >= Short.MinValue && v <= Short.MaxValue, "sample out of range")
+          samples(i) = v.toInt
+          i += 1
+        }
+      } else if ((sfType & 0x20) == 0x20) {
+        val order = (sfType & 0x1f) + 1
+        require(order < blockSize, "lpc order >= block size")
+        var i = 0
+        while (i < order) { samples(i) = s16(br.bits(16)); i += 1 }
+        val precision = br.bits(4).toInt + 1
+        require(precision <= 15, "lpc precision escape (1111) invalid")
+        val shift = ((br.bits(5) << 59) >> 59).toInt // signed 5-bit
+        require(shift >= 0, "negative lpc shift unsupported")
+        val coefs = new Array[Int](order)
+        var j = 0
+        while (j < order) {
+          val c = br.bits(precision)
+          coefs(j) = ((c << (64 - precision)) >> (64 - precision)).toInt
+          j += 1
+        }
+        val res = readResiduals(br, blockSize - order)
+        i = order
+        while (i < blockSize) {
+          var acc = 0L
+          var j2 = 0
+          while (j2 < order) { acc += coefs(j2).toLong * samples(i - 1 - j2); j2 += 1 }
+          val v = (acc >> shift) + res(i - order)
           require(v >= Short.MinValue && v <= Short.MaxValue, "sample out of range")
           samples(i) = v.toInt
           i += 1

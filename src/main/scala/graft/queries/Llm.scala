@@ -1990,6 +1990,7 @@ object Llm {
     "q_g711_decode" -> (g711Decode _),
     "q_media_zoo" -> (mediaZoo _),
     "q_flac_decode" -> (flacDecode _),
+    "q_flac_lpc" -> (flacLpc _),
     "q_emb_recall" -> (embRecall _),
     "q_line_dedup" -> (lineDedup _),
     "q_dup_fraction" -> (dupFraction _),
@@ -3031,6 +3032,93 @@ object Llm {
       |FROM ks LEFT JOIN agg a ON a.k = ks.k
       |ORDER BY media_id""".stripMargin
 
+  /** FLAC LPC subframes under the oracle — the quantized-coefficient
+    * linear-prediction arm beyond q_flac_decode's fixed predictors:
+    * per-key integer RESONATOR signals x[i] = ⌊c·x[i-1]/2^14⌋ − x[i-2]
+    * (a pure AR(2) process — the signal class LPC exists for; both
+    * engines compute it exactly, Spark via Math.floorDiv, DuckDB via a
+    * recursive CTE with floor of a power-of-two division), encoded via
+    * [[graft.llm.FlacCodec.encodeLpc]] (Levinson–Durbin + 12-bit
+    * quantization) and decoded through the LPC reconstruction path.
+    * The oracle re-derives mean and a positional checksum from the
+    * recurrence; `lpc_used` pins that the size contest actually chose
+    * LPC: c/2^14 = 2cosω is kept in the HIGH-frequency band (ω > π/3,
+    * where every difference order AMPLIFIES — |1−e^{jω}| > 1 — so fixed
+    * predictors lose by construction while LPC-2 nails the pole pair). Every 13th payload has a frame bit flipped: the
+    * CRC-16 must refuse. */
+  def flacLpc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.FlacCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val n = (60 + k % 60).toInt
+      val c = 4000L + (k * 97) % 10000
+      val a = (2000 + k % 1000).toInt
+      val samples = new Array[Short](n)
+      samples(1) = a.toShort
+      var s0 = 0L; var s1 = a.toLong
+      var i = 2
+      while (i < n) {
+        val v = Math.floorDiv(c * s1, 16384L) - s0
+        samples(i) = v.toShort; s0 = s1; s1 = v
+        i += 1
+      }
+      val bytes = FlacCodec.encodeLpc(16000, samples)
+      val payload = if (k % 13 == 0) {
+        val t = bytes.clone(); t(t.length - 5) = (t(t.length - 5) ^ 0x08).toByte; t
+      } else bytes
+      val lpcUsed = FlacCodec.subframeKinds(payload)
+        .map(ks => ks.nonEmpty && ks.forall(_.startsWith("LPC")))
+      FlacCodec.decode(payload) match {
+        case Some((rate, got)) =>
+          var tot = 0L; var pos = 0L
+          var j = 0
+          while (j < got.length) { tot += got(j); pos += got(j).toLong * j; j += 1 }
+          (k, true, Some(rate), Some(got.length),
+            Some(tot.toDouble / got.length), Some(pos), lpcUsed)
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int],
+            None: Option[Double], None: Option[Long], None: Option[Boolean])
+      }
+    }.toDF("media_id", "lpc_ok", "sample_rate", "n_samples", "m0", "pos_sum", "lpc_used")
+    decoded.select($"media_id", $"lpc_ok", $"sample_rate", $"n_samples",
+      round($"m0", 6).as("mean_pcm"), $"pos_sum", $"lpc_used")
+      .orderBy($"media_id")
+  }
+
+  /** The resonator recurrence restated as a recursive CTE: row i
+    * carries (x[i-1], x[i]) starting from (0, a); c·s1 ≤ 3.5e8 is
+    * double-exact and /16384.0 is a power-of-two division, so
+    * floor(c·s1/16384.0) ≡ Math.floorDiv exactly. Mean divides by n
+    * (the x[0]=0 sample joins the count, not the sum); windowed sums
+    * CAST to BIGINT (DuckDB SUM(BIGINT) is HUGEINT — the tws lesson). */
+  val flacLpcSql: String =
+    """WITH RECURSIVE ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |dims AS (
+      |  SELECT k, CAST(60 + k % 60 AS INTEGER) AS n,
+      |    4000 + (k * 97) % 10000 AS c, 2000 + k % 1000 AS a
+      |  FROM ks),
+      |sig(k, i, s0, s1) AS (
+      |  SELECT k, 1, CAST(0 AS BIGINT), CAST(a AS BIGINT) FROM dims
+      |  UNION ALL
+      |  SELECT g.k, g.i + 1, g.s1,
+      |    CAST(floor(d.c * g.s1 / 16384.0) AS BIGINT) - g.s0
+      |  FROM sig g JOIN dims d ON d.k = g.k
+      |  WHERE g.i + 1 < d.n),
+      |agg AS (
+      |  SELECT k, CAST(SUM(s1) AS BIGINT) AS tot,
+      |    CAST(SUM(s1 * i) AS BIGINT) AS pos_sum
+      |  FROM sig GROUP BY k)
+      |SELECT d.k AS media_id, (d.k % 13 <> 0) AS lpc_ok,
+      |  CASE WHEN d.k % 13 <> 0 THEN 16000 END AS sample_rate,
+      |  CASE WHEN d.k % 13 <> 0 THEN d.n END AS n_samples,
+      |  CASE WHEN d.k % 13 <> 0
+      |    THEN round(CAST(a.tot AS DOUBLE) / d.n, 6) END AS mean_pcm,
+      |  CASE WHEN d.k % 13 <> 0 THEN a.pos_sum END AS pos_sum,
+      |  CASE WHEN d.k % 13 <> 0 THEN TRUE END AS lpc_used
+      |FROM dims d LEFT JOIN agg a ON a.k = d.k
+      |ORDER BY media_id""".stripMargin
+
   /** Multimodal plumbing end-to-end under the oracle: media rows
     * synthesized in-plan from the part table (kind cycles image/audio/
     * video; every 7th payload null; videos carry a keyed duration), then
@@ -3704,6 +3792,7 @@ object Llm {
     "q_g711_decode" -> g711DecodeSql,
     "q_media_zoo" -> mediaZooSql,
     "q_flac_decode" -> flacDecodeSql,
+    "q_flac_lpc" -> flacLpcSql,
     "q_emb_bucket_stats" -> embNearDupStatsSql,
     "q_emb_ann_topk" -> annTopKSql,
     "q_text_stats" -> textStatsSql,
