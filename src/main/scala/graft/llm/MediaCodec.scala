@@ -1063,4 +1063,146 @@ object MediaCodec {
     }
     out.toByteArray
   }
+
+  // ---- MP4 / ISO-BMFF: box-tree walk (metadata only) ---------------------
+  //
+  // The video DECODE stays honestly behind the MediaDecoder seam (an
+  // H.264/H.265 entropy+transform+motion pipeline is codec-library
+  // work), but the container is a public, purely structural format
+  // (ISO/IEC 14496-12): length-prefixed box tree, ftyp first, movie
+  // metadata under moov (mvhd timescale/duration, per-trak hdlr handler
+  // and stsd sample-entry fourcc). The probe walks the real tree —
+  // strict bounds at every level, 64-bit largesize supported, version
+  // 0 and 1 mvhd — and refuses on any overrun, missing mandatory box,
+  // or unknown version. No "estimating" from a corrupt walk.
+
+  /** Probed MP4 facts: (timescale, duration, handler fourccs,
+    * sample-entry fourccs) — handlers and codecs in track order. */
+  def mp4Probe(b: Array[Byte]): Option[(Long, Long, Seq[String], Seq[String])] = try {
+    if (b == null || b.length < 16) return None
+    def u32(p: Int): Long =
+      ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+    def u64(p: Int): Long = (u32(p) << 32) | u32(p + 4)
+    def fourcc(p: Int): String =
+      new String(Array(b(p), b(p + 1), b(p + 2), b(p + 3)), "ISO-8859-1")
+    // walk the children of [from, until), calling visit(type, bodyFrom,
+    // bodyUntil); strict: every box must lie fully inside the parent
+    def walk(from: Int, until: Int)(visit: (String, Int, Int) => Unit): Unit = {
+      var p = from
+      while (p < until) {
+        if (p + 8 > until) throw new IllegalArgumentException("cut box header")
+        var size = u32(p)
+        var hdr = 8
+        if (size == 1) {
+          if (p + 16 > until) throw new IllegalArgumentException("cut largesize")
+          size = u64(p + 8); hdr = 16
+        }
+        if (size < hdr || p + size > until)
+          throw new IllegalArgumentException("box overruns parent")
+        visit(fourcc(p + 4), p + hdr, p + size.toInt)
+        p += size.toInt
+      }
+    }
+    var sawFtyp = false
+    var first = true
+    var timescale = -1L
+    var duration = -1L
+    val handlers = scala.collection.mutable.ArrayBuffer.empty[String]
+    val codecs = scala.collection.mutable.ArrayBuffer.empty[String]
+    walk(0, b.length) { (t, from, until) =>
+      if (first) {
+        require(t == "ftyp", "first box must be ftyp")
+        require(until - from >= 8, "short ftyp")
+        sawFtyp = true
+      } else if (t == "moov") {
+        walk(from, until) { (t2, f2, u2) =>
+          if (t2 == "mvhd") {
+            require(duration < 0, "duplicate mvhd")
+            (b(f2) & 0xff) match {
+              case 0 =>
+                require(u2 - f2 >= 20, "short mvhd")
+                timescale = u32(f2 + 12); duration = u32(f2 + 16)
+              case 1 =>
+                require(u2 - f2 >= 32, "short mvhd")
+                timescale = u32(f2 + 20); duration = u64(f2 + 24)
+              case _ => throw new IllegalArgumentException("unknown mvhd version")
+            }
+            require(timescale > 0, "zero timescale")
+          } else if (t2 == "trak") {
+            var handler: String = null
+            var codec: String = null
+            walk(f2, u2) { (t3, f3, u3) =>
+              if (t3 == "mdia") walk(f3, u3) { (t4, f4, u4) =>
+                if (t4 == "hdlr") {
+                  require(u4 - f4 >= 12, "short hdlr")
+                  handler = fourcc(f4 + 8)
+                } else if (t4 == "minf") walk(f4, u4) { (t5, f5, u5) =>
+                  if (t5 == "stbl") walk(f5, u5) { (t6, f6, u6) =>
+                    if (t6 == "stsd") {
+                      require(u6 - f6 >= 16, "short stsd")
+                      require(u32(f6 + 4) >= 1, "empty stsd")
+                      codec = fourcc(f6 + 12) // first entry\'s fourcc
+                    }
+                  }
+                }
+              }
+            }
+            require(handler != null, "trak without hdlr")
+            require(codec != null, "trak without stsd entry")
+            handlers += handler
+            codecs += codec
+          }
+        }
+      }
+      first = false
+    }
+    if (!sawFtyp || duration < 0 || handlers.isEmpty) None
+    else Some((timescale, duration, handlers.toSeq, codecs.toSeq))
+  } catch {
+    case _: RuntimeException => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  /** Synthesize an ISO-BMFF tree for the probe gate: ftyp + moov
+    * [mvhd(version 0|1) + per-track trak/mdia/(hdlr,minf/stbl/stsd)] +
+    * mdat filler. Structurally valid; the sample entries carry no real
+    * bitstream (decode honestly refuses — only the walk is probed). */
+  def encodeMp4Boxes(timescale: Long, duration: Long,
+                     tracks: Seq[(String, String)], mvhdV1: Boolean,
+                     mdatBytes: Int): Array[Byte] = {
+    def box(t: String, body: Array[Byte]): Array[Byte] = {
+      require(t.length == 4)
+      val out = new Array[Byte](8 + body.length)
+      val size = out.length.toLong
+      out(0) = (size >> 24).toByte; out(1) = (size >> 16).toByte
+      out(2) = (size >> 8).toByte; out(3) = size.toByte
+      t.getBytes("ISO-8859-1").copyToArray(out, 4)
+      body.copyToArray(out, 8)
+      out
+    }
+    def be32(v: Long): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0) ++
+      "iso2".getBytes("ISO-8859-1") ++ "mp41".getBytes("ISO-8859-1"))
+    val mvhd =
+      if (mvhdV1) box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+        be32(timescale) ++ be64(duration) ++ Array.fill[Byte](80)(0))
+      else box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(timescale) ++ be32(duration) ++ Array.fill[Byte](80)(0))
+    val traks = tracks.map { case (handler, codec) =>
+      val hdlr = box("hdlr", be32(0) ++ be32(0) ++
+        handler.getBytes("ISO-8859-1") ++ Array.fill[Byte](13)(0))
+      val entry = box(codec, Array.fill[Byte](16)(0)) // opaque sample entry
+      val stsd = box("stsd", be32(0) ++ be32(1) ++ entry)
+      val stbl = box("stbl", stsd)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", hdlr ++ minf)
+      box("trak", mdia)
+    }
+    val moov = box("moov", mvhd ++ traks.flatten)
+    val mdat = box("mdat", Array.tabulate(mdatBytes)(i => ((i * 41 + 7) & 0xff).toByte))
+    ftyp ++ moov ++ mdat
+  }
 }

@@ -1987,6 +1987,7 @@ object Llm {
     "q_jpeg_color420" -> (jpegColor420 _),
     "q_png_adam7_decode" -> (pngAdam7Decode _),
     "q_mp3_probe" -> (mp3Probe _),
+    "q_mp4_probe" -> (mp4Probe _),
     "q_g711_decode" -> (g711Decode _),
     "q_media_zoo" -> (mediaZoo _),
     "q_flac_decode" -> (flacDecode _),
@@ -2779,6 +2780,69 @@ object Llm {
       |  a.kbps_sum,
       |  CASE WHEN d.k % 13 <> 0 THEN d.k % 5 <> 0 END AS is_cbr
       |FROM dims d LEFT JOIN agg a ON a.k = d.k
+      |ORDER BY media_id""".stripMargin
+
+  /** MP4 (ISO-BMFF) container probe under the oracle — the video-side
+    * twin of q_mp3_probe (the H.264/H.265 bitstream decode stays
+    * honestly behind the MediaDecoder seam; the CONTAINER is public
+    * structural metadata, ISO/IEC 14496-12): per-key box trees — ftyp +
+    * moov[mvhd + trak/mdia/(hdlr, minf/stbl/stsd)] + mdat — with every
+    * 7th key using the 64-bit version-1 mvhd, even keys carrying a
+    * video track ahead of the always-present audio track, and codec
+    * fourccs cycling avc1/hvc1/mp4a/Opus. The probe re-derives duration
+    * from the parsed timescale, counts tracks via hdlr handlers, and
+    * reports sample-entry fourccs in track order. Every 13th payload
+    * truncates inside the trailing mdat: the strict bounds walk refuses. */
+  def mp4Probe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.MediaCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val ts = 600L * (1 + k % 5)
+      val dur = 10000L + (k * 7) % 90000
+      val tracks =
+        (if (k % 2 == 0) Seq(("vide", if (k % 4 == 0) "avc1" else "hvc1"))
+         else Seq.empty) :+ (("soun", if (k % 5 == 0) "mp4a" else "Opus"))
+      val bytes = MediaCodec.encodeMp4Boxes(ts, dur, tracks,
+        mvhdV1 = k % 7 == 0, mdatBytes = (k % 50 + 8).toInt)
+      val payload = if (k % 13 == 0) bytes.dropRight(5) else bytes
+      MediaCodec.mp4Probe(payload) match {
+        case Some((pts, pdur, handlers, codecs)) =>
+          (k, true, Some(pdur.toDouble / pts), Some(handlers.size),
+            Some(handlers.contains("vide")), Some(codecs.mkString(",")))
+        case None =>
+          (k, false, None: Option[Double], None: Option[Int],
+            None: Option[Boolean], None: Option[String])
+      }
+    }.toDF("media_id", "mp4_ok", "dur", "n_tracks", "has_video", "codecs")
+    decoded.select($"media_id", $"mp4_ok", round($"dur", 6).as("duration_s"),
+      $"n_tracks", $"has_video", $"codecs")
+      .orderBy($"media_id")
+  }
+
+  /** The probed facts from the synthesis formulas: timescale
+    * 600·(1 + k mod 5), duration 10000 + 7k mod 90000, a video track
+    * exactly on even keys (codec avc1 when 4 | k else hvc1), audio
+    * always (mp4a when 5 | k else Opus), codecs joined in track order. */
+  val mp4ProbeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |dims AS (
+      |  SELECT k, 600 * (1 + k % 5) AS ts, 10000 + (k * 7) % 90000 AS dur
+      |  FROM ks)
+      |SELECT k AS media_id, (k % 13 <> 0) AS mp4_ok,
+      |  CASE WHEN k % 13 <> 0
+      |    THEN round(CAST(dur AS DOUBLE) / ts, 6) END AS duration_s,
+      |  CASE WHEN k % 13 <> 0
+      |    THEN CAST(1 + CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END AS INTEGER)
+      |  END AS n_tracks,
+      |  CASE WHEN k % 13 <> 0 THEN k % 2 = 0 END AS has_video,
+      |  CASE WHEN k % 13 <> 0 THEN
+      |    CASE WHEN k % 2 = 0
+      |      THEN (CASE WHEN k % 4 = 0 THEN 'avc1' ELSE 'hvc1' END) || ','
+      |      ELSE '' END ||
+      |    CASE WHEN k % 5 = 0 THEN 'mp4a' ELSE 'Opus' END
+      |  END AS codecs
+      |FROM dims
       |ORDER BY media_id""".stripMargin
 
   /** G.711 companded audio under the oracle (the telephony/VoIP arm of
@@ -3789,6 +3853,7 @@ object Llm {
     "q_jpeg_color420" -> jpegColor420Sql,
     "q_png_adam7_decode" -> pngAdam7DecodeSql,
     "q_mp3_probe" -> mp3ProbeSql,
+    "q_mp4_probe" -> mp4ProbeSql,
     "q_g711_decode" -> g711DecodeSql,
     "q_media_zoo" -> mediaZooSql,
     "q_flac_decode" -> flacDecodeSql,

@@ -320,4 +320,42 @@ class MediaCodecSpec extends SparkTestBase {
     val v2 = cbr.clone(); v2(1) = 0xf3.toByte
     assert(MediaCodec.mp3Probe(v2).isEmpty)
   }
+
+  test("mp4 probe: box walk, v0/v1 mvhd, track census, refusals") {
+    val av = MediaCodec.encodeMp4Boxes(600, 15000,
+      Seq(("vide", "avc1"), ("soun", "mp4a")), mvhdV1 = false, mdatBytes = 32)
+    assert(MediaCodec.mp4Probe(av).contains(
+      (600L, 15000L, Seq("vide", "soun"), Seq("avc1", "mp4a"))))
+    // 64-bit mvhd (version 1) parses the wide fields
+    val v1 = MediaCodec.encodeMp4Boxes(90000, 123456789L,
+      Seq(("soun", "Opus")), mvhdV1 = true, mdatBytes = 8)
+    assert(MediaCodec.mp4Probe(v1).contains(
+      (90000L, 123456789L, Seq("soun"), Seq("Opus"))))
+    // largesize path: rebuild the trailing mdat with size=1 + 64-bit size
+    val mdatLen = 8 + 32
+    val pre = av.dropRight(mdatLen)
+    val body = av.takeRight(32)
+    val big = pre ++ Array[Byte](0, 0, 0, 1) ++ "mdat".getBytes("ISO-8859-1") ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, (16 + 32).toByte) ++ body
+    assert(MediaCodec.mp4Probe(big).contains(
+      (600L, 15000L, Seq("vide", "soun"), Seq("avc1", "mp4a"))))
+    // refusals: truncation anywhere structural; ftyp not first; box
+    // overrun; unknown mvhd version; zero timescale
+    assert(MediaCodec.mp4Probe(av.dropRight(5)).isEmpty)
+    assert(MediaCodec.mp4Probe(av.drop(24)).isEmpty) // moov first
+    val overrun = av.clone(); overrun(0) = 0x7f // ftyp size huge
+    assert(MediaCodec.mp4Probe(overrun).isEmpty)
+    val badVer = MediaCodec.encodeMp4Boxes(600, 100, Seq(("soun", "mp4a")),
+      mvhdV1 = false, mdatBytes = 8).clone()
+    // mvhd version byte: ftyp(24) + moov hdr(8) + mvhd hdr(8) → offset 40
+    badVer(40) = 3
+    assert(MediaCodec.mp4Probe(badVer).isEmpty)
+    val zeroTs = MediaCodec.encodeMp4Boxes(0, 100, Seq(("soun", "mp4a")),
+      mvhdV1 = false, mdatBytes = 8)
+    assert(MediaCodec.mp4Probe(zeroTs).isEmpty)
+    // a moov with no traks refuses (metadata-only shell)
+    val noTrak = MediaCodec.encodeMp4Boxes(600, 100, Seq.empty,
+      mvhdV1 = false, mdatBytes = 8)
+    assert(MediaCodec.mp4Probe(noTrak).isEmpty)
+  }
 }
