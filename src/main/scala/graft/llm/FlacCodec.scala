@@ -9,8 +9,9 @@ package graft.llm
   * metadata only; subframe types CONSTANT, VERBATIM, FIXED orders 0–4
   * and LPC orders 1–32 (quantized-coefficient linear prediction — the
   * subframe type that carries FLAC's real compression win on tonal
-  * audio), each with a single Rice partition (partition order 0, 4-bit
-  * parameters, escape codes supported on decode). The LPC encoder runs
+  * audio), with PARTITIONED Rice residuals (partition orders 0–6,
+  * per-partition 4-bit parameters chosen by actual coded size; escape
+  * codes supported on decode). The LPC encoder runs
   * genuine Levinson–Durbin estimation over the block's autocorrelation,
   * quantizes to 12-bit coefficients, and keeps the subframe only when
   * its actual coded size beats FIXED/VERBATIM — losslessness never
@@ -18,8 +19,7 @@ package graft.llm
   * CRC-8 and whole-frame CRC-16 are computed on encode and VERIFIED on
   * decode — a flipped bit refuses the frame, the integrity contract the
   * corruption arm of q_flac_decode gates. Stereo, variable blocking,
-  * wasted bits, negative quantization shifts and multi-partition Rice
-  * decode to None.
+  * wasted bits and negative quantization shifts decode to None.
   *
   * Validation honesty: unlike the image arms there is no independent
   * JVM FLAC implementation to cross-check against (ImageIO has no
@@ -161,17 +161,66 @@ object FlacCodec {
     bits
   }
 
-  private def writeRice(bw: BitWriter, res: Array[Long], k: Int): Unit = {
+  /** Chosen Rice layout for one residual block: partition order,
+    * per-partition parameters, total section bits (incl. the 2-bit
+    * method, 4-bit order and 4-bit parameter headers). */
+  private final case class RicePlan(po: Int, params: Array[Int], bits: Long)
+
+  private def partLen(blockSize: Int, po: Int, p: Int, predOrder: Int): Int =
+    (blockSize >> po) - (if (p == 0) predOrder else 0)
+
+  /** Best partition order 0..6 for the block (2^po must divide
+    * blockSize with partition 0 non-empty), each partition at its own
+    * optimal 4-bit parameter — the win over a single partition is real
+    * whenever residual variance shifts inside a block. */
+  private def bestRicePartitioning(res: Array[Long], blockSize: Int,
+                                   predOrder: Int): RicePlan = {
+    var best: RicePlan = null
+    var po = 0
+    while (po <= 6) {
+      val nParts = 1 << po
+      if ((blockSize & (nParts - 1)) == 0 && (blockSize >> po) > predOrder) {
+        val params = new Array[Int](nParts)
+        var bits = 2L + 4L + 4L * nParts
+        var from = 0
+        var p = 0
+        while (p < nParts) {
+          val nHere = partLen(blockSize, po, p, predOrder)
+          val slice = java.util.Arrays.copyOfRange(res, from, from + nHere)
+          val k = riceParamFor(slice)
+          params(p) = k
+          bits += riceBitsOf(slice, k)
+          from += nHere
+          p += 1
+        }
+        if (best == null || bits < best.bits) best = RicePlan(po, params, bits)
+      }
+      po += 1
+    }
+    best
+  }
+
+  private def writeRice(bw: BitWriter, res: Array[Long], blockSize: Int,
+                        predOrder: Int, plan: RicePlan): Unit = {
     bw.put(0L, 2) // rice method: 4-bit params
-    bw.put(0L, 4) // partition order 0
-    bw.put(k.toLong, 4)
-    res.foreach { r =>
-      val u = (r << 1) ^ (r >> 63) // zigzag
-      val q = u >>> k
-      var j = 0L
-      while (j < q) { bw.put(0L, 1); j += 1 }
-      bw.put(1L, 1)
-      if (k > 0) bw.put(u & ((1L << k) - 1), k)
+    bw.put(plan.po.toLong, 4)
+    var from = 0
+    var p = 0
+    while (p < (1 << plan.po)) {
+      val k = plan.params(p)
+      bw.put(k.toLong, 4)
+      val until = from + partLen(blockSize, plan.po, p, predOrder)
+      var j = from
+      while (j < until) {
+        val u = (res(j) << 1) ^ (res(j) >> 63) // zigzag
+        var q = u >>> k
+        while (q > 0) { bw.put(0L, 1); q -= 1 }
+        bw.put(1L, 1)
+        if (k > 0) bw.put(u & ((1L << k) - 1), k)
+        j += 1
+      }
+      from = until
+      p += 1
     }
   }
 
@@ -185,17 +234,17 @@ object FlacCodec {
     * unary runs) can never expand the frame past the uncompressed form
     * — this keeps the VERBATIM branch live (riceParamFor caps k at 14,
     * so a k-threshold guard alone was unreachable, ADVICE r11).
-    * Returns (order, rice k, residuals, total subframe bits). */
-  private def bestFixed(blk: Array[Int]): (Int, Int, Array[Long], Long) = {
+    * Returns (order, rice plan, residuals, total subframe bits). */
+  private def bestFixed(blk: Array[Int]): (Int, RicePlan, Array[Long], Long) = {
     val n = blk.length
     val maxOrder = math.min(4, n - 1)
     val best = (0 to maxOrder).minBy { o =>
       fixedResiduals(blk, o).map(r => math.abs(r.toDouble)).sum
     }
     val res = fixedResiduals(blk, best)
-    val k = riceParamFor(res)
-    val bits = 16L * best + 2 + 4 + 4 + riceBitsOf(res, k)
-    (best, k, res, bits)
+    val plan = bestRicePartitioning(res, n, best)
+    val bits = 16L * best + plan.bits
+    (best, plan, res, bits)
   }
 
   private def writeBestFixed(bw: BitWriter, blk: Array[Int]): Unit = {
@@ -204,13 +253,13 @@ object FlacCodec {
       bw.put(0L, 1); bw.put(0L, 6); bw.put(0L, 1) // CONSTANT
       bw.put(blk(0).toLong & 0xffff, 16)
     } else {
-      val (best, k, res, riceBits) = bestFixed(blk)
+      val (best, plan, res, riceBits) = bestFixed(blk)
       if (riceBits >= 16L * n) writeVerbatim(bw, blk)
       else {
         bw.put(0L, 1); bw.put(8L | best.toLong, 6); bw.put(0L, 1) // FIXED
         var i = 0
         while (i < best) { bw.put(blk(i).toLong & 0xffff, 16); i += 1 }
-        writeRice(bw, res, k)
+        writeRice(bw, res, n, best, plan)
       }
     }
   }
@@ -307,37 +356,36 @@ object FlacCodec {
       bw.put(blk(0).toLong & 0xffff, 16)
       return
     }
-    val (fOrder, fK, fRes, fixedBits) = bestFixed(blk)
-    var bestLpc: (Int, Array[Int], Int, Int, Array[Long], Long) = null
+    val (fOrder, fPlan, fRes, fixedBits) = bestFixed(blk)
+    var bestLpc: (Int, Array[Int], Int, RicePlan, Array[Long], Long) = null
     val cands = lpcAllOrders(blk, math.min(maxOrder, n - 1))
     var o = 1
     while (o <= cands.length) {
       val coefs = cands(o - 1)
       if (coefs != null) quantizeLpc(coefs).foreach { case (q, shift) =>
         val res = lpcResiduals(blk, q, shift)
-        val k = riceParamFor(res)
-        val bits = 16L * o + 4 + 5 + LpcPrecision.toLong * o + 2 + 4 + 4 +
-          riceBitsOf(res, k)
-        if (bestLpc == null || bits < bestLpc._6) bestLpc = (o, q, shift, k, res, bits)
+        val plan = bestRicePartitioning(res, n, o)
+        val bits = 16L * o + 4 + 5 + LpcPrecision.toLong * o + plan.bits
+        if (bestLpc == null || bits < bestLpc._6) bestLpc = (o, q, shift, plan, res, bits)
       }
       o += 1
     }
     val lpcBits = if (bestLpc == null) Long.MaxValue else bestLpc._6
     if (lpcBits < fixedBits && lpcBits < 16L * n) {
-      val (order, q, shift, k, res, _) = bestLpc
+      val (order, q, shift, plan, res, _) = bestLpc
       bw.put(0L, 1); bw.put(0x20L | (order - 1).toLong, 6); bw.put(0L, 1) // LPC
       var i = 0
       while (i < order) { bw.put(blk(i).toLong & 0xffff, 16); i += 1 }
       bw.put((LpcPrecision - 1).toLong, 4)
       bw.put(shift.toLong, 5)
       q.foreach(c => bw.put(c.toLong & ((1L << LpcPrecision) - 1), LpcPrecision))
-      writeRice(bw, res, k)
+      writeRice(bw, res, n, order, plan)
     } else if (fixedBits >= 16L * n) writeVerbatim(bw, blk)
     else {
       bw.put(0L, 1); bw.put(8L | fOrder.toLong, 6); bw.put(0L, 1) // FIXED
       var i = 0
       while (i < fOrder) { bw.put(blk(i).toLong & 0xffff, 16); i += 1 }
-      writeRice(bw, fRes, fK)
+      writeRice(bw, fRes, n, fOrder, fPlan)
     }
   }
 
@@ -436,37 +484,49 @@ object FlacCodec {
     }
   }
 
-  /** Single-partition Rice residual block (method/partition-order/
-    * parameter headers + nRes coded residuals; escape code = raw
-    * twos-complement at a 5-bit width). Shared by FIXED and LPC. */
-  private def readResiduals(br: BitReader, nRes: Int): Array[Long] = {
+  /** Rice residual section (T.1 of the FLAC format): 2-bit method,
+    * 4-bit partition order po, then 2^po partitions — partition 0 holds
+    * blockSize/2^po − predictorOrder residuals, the rest blockSize/2^po
+    * each, every partition with its own 4/5-bit parameter (or the
+    * escape: raw twos-complement at a 5-bit width). Shared by FIXED and
+    * LPC. blockSize must divide by 2^po and the first partition must be
+    * non-empty, else refuse. */
+  private def readResiduals(br: BitReader, blockSize: Int, predOrder: Int): (Array[Long], Int) = {
     val method = br.bits(2).toInt
     require(method == 0 || method == 1, "bad residual method")
     val pbits = if (method == 0) 4 else 5
     val escape = if (method == 0) 0xf else 0x1f
     val partOrder = br.bits(4).toInt
-    require(partOrder == 0, "multi-partition rice unsupported")
-    val k0 = br.bits(pbits).toInt
-    val res = new Array[Long](nRes)
-    if (k0 == escape) {
-      val raw = br.bits(5).toInt
-      var j = 0
-      while (j < nRes) {
-        val u = br.bits(raw)
-        res(j) = (u << (64 - raw)) >> (64 - raw) // sign-extend raw twos-complement
-        j += 1
+    val nParts = 1 << partOrder
+    require((blockSize & (nParts - 1)) == 0, "block size not divisible by partitions")
+    require(blockSize / nParts > predOrder, "predictor order spans partition 0")
+    val res = new Array[Long](blockSize - predOrder)
+    var out = 0
+    var part = 0
+    while (part < nParts) {
+      val nHere = blockSize / nParts - (if (part == 0) predOrder else 0)
+      val kp = br.bits(pbits).toInt
+      if (kp == escape) {
+        val raw = br.bits(5).toInt
+        var j = 0
+        while (j < nHere) {
+          val u = br.bits(raw)
+          res(out) = (u << (64 - raw)) >> (64 - raw) // sign-extend raw twos-complement
+          out += 1; j += 1
+        }
+      } else {
+        var j = 0
+        while (j < nHere) {
+          var q = 0L
+          while (br.bit() == 0) q += 1
+          val u = (q << kp) | (if (kp > 0) br.bits(kp) else 0L)
+          res(out) = (u >>> 1) ^ -(u & 1L) // un-zigzag
+          out += 1; j += 1
+        }
       }
-    } else {
-      var j = 0
-      while (j < nRes) {
-        var q = 0L
-        while (br.bit() == 0) q += 1
-        val u = (q << k0) | (if (k0 > 0) br.bits(k0) else 0L)
-        res(j) = (u >>> 1) ^ -(u & 1L) // un-zigzag
-        j += 1
-      }
+      part += 1
     }
-    res
+    (res, partOrder)
   }
 
   /** Decode: Some((sampleRate, samples)) or None for corrupt /
@@ -475,9 +535,10 @@ object FlacCodec {
     decodeImpl(b, null)
 
   /** Per-frame subframe kinds ("CONSTANT"/"VERBATIM"/"FIXED<o>"/
-    * "LPC<o>") via the full verified decode walk — lets callers pin
-    * WHICH prediction path a stream exercises, not just that it
-    * round-trips. None exactly when decode refuses. */
+    * "LPC<o>", predicted kinds suffixed "@p<po>" with the Rice
+    * partition order) via the full verified decode walk — lets callers
+    * pin WHICH prediction path and residual layout a stream exercises,
+    * not just that it round-trips. None exactly when decode refuses. */
   def subframeKinds(b: Array[Byte]): Option[Seq[String]] = {
     val census = scala.collection.mutable.ArrayBuffer.empty[String]
     decodeImpl(b, census).map(_ => census.toSeq)
@@ -571,7 +632,8 @@ object FlacCodec {
         require(order <= 4, "bad fixed order")
         var i = 0
         while (i < order) { samples(i) = s16(br.bits(16)); i += 1 }
-        val res = readResiduals(br, blockSize - order)
+        val (res, po) = readResiduals(br, blockSize, order)
+        if (census != null) census(census.length - 1) += s"@p$po"
         i = order
         while (i < blockSize) {
           val pred: Long = order match {
@@ -603,7 +665,8 @@ object FlacCodec {
           coefs(j) = ((c << (64 - precision)) >> (64 - precision)).toInt
           j += 1
         }
-        val res = readResiduals(br, blockSize - order)
+        val (res, po) = readResiduals(br, blockSize, order)
+        if (census != null) census(census.length - 1) += s"@p$po"
         i = order
         while (i < blockSize) {
           var acc = 0L

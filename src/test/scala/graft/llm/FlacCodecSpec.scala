@@ -275,6 +275,26 @@ class FlacCodecSpec extends AnyFunSuite {
       handLpcStream(6, shiftField = 2, precField = 15, coef = 4)).isEmpty)
   }
 
+  test("partitioned Rice engages when residual variance shifts inside a block") {
+    // one 4096 block: quiet first half, loud second half — a single
+    // parameter must overpay one half, so the size contest picks po > 0
+    val rnd = new scala.util.Random(42)
+    val s = Array.tabulate(4096) { i =>
+      (if (i < 2048) rnd.nextInt(5) - 2 else rnd.nextInt(4001) - 2000).toShort
+    }
+    val bytes = FlacCodec.encode(8000, s)
+    roundtrip(s)
+    val kinds = FlacCodec.subframeKinds(bytes).get
+    assert(kinds.length == 1 && kinds.head.contains("@p"), kinds.toString)
+    val po = kinds.head.split("@p")(1).toInt
+    assert(po >= 1, s"variance-shifting block should pick partitions, got $po")
+    // and the LPC encoder's contest uses the same partitioned costing
+    roundtripLpc(s)
+    // uniform-variance noise stays at low/zero order (headers cost real bits)
+    val flat = Array.tabulate(4096)(_ => (rnd.nextInt(41) - 20).toShort)
+    roundtrip(flat)
+  }
+
   test("out-of-scope streams refuse: stereo flag") {
     val bytes = FlacCodec.encode(8000, Array.tabulate(100)(_.toShort))
     // STREAMINFO channels field: byte offset 4(magic)+4(hdr)+12, bits 4-6
