@@ -5,8 +5,11 @@ package graft.llm
   * is real entropy-coded audio: fixed linear predictors + Rice-coded
   * residuals, the core of FLAC's compression).
   *
-  * Scope (honest): mono, 16-bit, fixed blocking strategy; STREAMINFO
-  * metadata only; subframe types CONSTANT, VERBATIM, FIXED orders 0–4
+  * Scope (honest): mono and stereo, 16-bit, fixed blocking strategy;
+  * STREAMINFO metadata only; all four T.2 stereo channel assignments
+  * (independent, left/side, right/side, mid/side — the encoder costs
+  * each per frame and the side channel carries its spec'd 17th bit);
+  * subframe types CONSTANT, VERBATIM, FIXED orders 0–4
   * and LPC orders 1–32 (quantized-coefficient linear prediction — the
   * subframe type that carries FLAC's real compression win on tonal
   * audio), with PARTITIONED Rice residuals (partition orders 0–6,
@@ -18,8 +21,9 @@ package graft.llm
   * depends on estimation quality, only the ratio does. Frame-header
   * CRC-8 and whole-frame CRC-16 are computed on encode and VERIFIED on
   * decode — a flipped bit refuses the frame, the integrity contract the
-  * corruption arm of q_flac_decode gates. Stereo, variable blocking,
-  * wasted bits and negative quantization shifts decode to None.
+  * corruption arm of q_flac_decode gates. More than two channels,
+  * variable blocking, wasted bits and negative quantization shifts
+  * decode to None.
   *
   * Validation honesty: unlike the image arms there is no independent
   * JVM FLAC implementation to cross-check against (ImageIO has no
@@ -224,18 +228,13 @@ object FlacCodec {
     }
   }
 
-  private def writeVerbatim(bw: BitWriter, blk: Array[Int]): Unit = {
-    bw.put(0L, 1); bw.put(1L, 6); bw.put(0L, 1) // VERBATIM
-    blk.foreach(v => bw.put(v.toLong & 0xffff, 16))
-  }
-
   /** Best FIXED order by residual sum, coded size compared against
-    * VERBATIM's 16·n bits so an adverse residual distribution (long
+    * VERBATIM's bps·n bits so an adverse residual distribution (long
     * unary runs) can never expand the frame past the uncompressed form
     * — this keeps the VERBATIM branch live (riceParamFor caps k at 14,
     * so a k-threshold guard alone was unreachable, ADVICE r11).
     * Returns (order, rice plan, residuals, total subframe bits). */
-  private def bestFixed(blk: Array[Int]): (Int, RicePlan, Array[Long], Long) = {
+  private def bestFixed(blk: Array[Int], bps: Int): (Int, RicePlan, Array[Long], Long) = {
     val n = blk.length
     val maxOrder = math.min(4, n - 1)
     val best = (0 to maxOrder).minBy { o =>
@@ -243,25 +242,8 @@ object FlacCodec {
     }
     val res = fixedResiduals(blk, best)
     val plan = bestRicePartitioning(res, n, best)
-    val bits = 16L * best + plan.bits
+    val bits = bps.toLong * best + plan.bits
     (best, plan, res, bits)
-  }
-
-  private def writeBestFixed(bw: BitWriter, blk: Array[Int]): Unit = {
-    val n = blk.length
-    if (blk.forall(_ == blk(0))) {
-      bw.put(0L, 1); bw.put(0L, 6); bw.put(0L, 1) // CONSTANT
-      bw.put(blk(0).toLong & 0xffff, 16)
-    } else {
-      val (best, plan, res, riceBits) = bestFixed(blk)
-      if (riceBits >= 16L * n) writeVerbatim(bw, blk)
-      else {
-        bw.put(0L, 1); bw.put(8L | best.toLong, 6); bw.put(0L, 1) // FIXED
-        var i = 0
-        while (i < best) { bw.put(blk(i).toLong & 0xffff, 16); i += 1 }
-        writeRice(bw, res, n, best, plan)
-      }
-    }
   }
 
   // ------------------------------------------------------------ LPC
@@ -345,49 +327,71 @@ object FlacCodec {
     r
   }
 
-  /** CONSTANT / LPC / FIXED / VERBATIM, whichever codes smallest. LPC
-    * candidates come from one Levinson–Durbin sweep (all orders up to
-    * maxOrder); each is costed at its ACTUAL coded size — warmup +
-    * precision/shift/coefficient headers + Rice residuals. */
-  private def writeBestLpc(bw: BitWriter, blk: Array[Int], maxOrder: Int): Unit = {
+  /** CONSTANT / LPC / FIXED / VERBATIM at a given sample width (16 for
+    * plain channels, 17 for a stereo side channel), whichever codes
+    * smallest. LPC candidates come from one Levinson–Durbin sweep (all
+    * orders up to maxOrder; 0 disables LPC); each is costed at its
+    * ACTUAL coded size — warmup + precision/shift/coefficient headers +
+    * Rice residuals. Returns (total bits incl. the 8-bit subframe
+    * header, deferred writer) so stereo channel-assignment selection
+    * can cost candidates WITHOUT rendering them. */
+  private def chooseSub(blk: Array[Int], bps: Int,
+                        maxOrder: Int): (Long, BitWriter => Unit) = {
     val n = blk.length
+    val mask = (1L << bps) - 1
     if (blk.forall(_ == blk(0))) {
-      bw.put(0L, 1); bw.put(0L, 6); bw.put(0L, 1) // CONSTANT
-      bw.put(blk(0).toLong & 0xffff, 16)
-      return
+      return (8L + bps, bw => {
+        bw.put(0L, 1); bw.put(0L, 6); bw.put(0L, 1) // CONSTANT
+        bw.put(blk(0).toLong & mask, bps)
+      })
     }
-    val (fOrder, fPlan, fRes, fixedBits) = bestFixed(blk)
+    val (fOrder, fPlan, fRes, fixedBits) = bestFixed(blk, bps)
     var bestLpc: (Int, Array[Int], Int, RicePlan, Array[Long], Long) = null
-    val cands = lpcAllOrders(blk, math.min(maxOrder, n - 1))
+    val cands = if (maxOrder == 0) new Array[Array[Double]](0)
+                else lpcAllOrders(blk, math.min(maxOrder, n - 1))
     var o = 1
     while (o <= cands.length) {
       val coefs = cands(o - 1)
       if (coefs != null) quantizeLpc(coefs).foreach { case (q, shift) =>
         val res = lpcResiduals(blk, q, shift)
         val plan = bestRicePartitioning(res, n, o)
-        val bits = 16L * o + 4 + 5 + LpcPrecision.toLong * o + plan.bits
+        val bits = bps.toLong * o + 4 + 5 + LpcPrecision.toLong * o + plan.bits
         if (bestLpc == null || bits < bestLpc._6) bestLpc = (o, q, shift, plan, res, bits)
       }
       o += 1
     }
     val lpcBits = if (bestLpc == null) Long.MaxValue else bestLpc._6
-    if (lpcBits < fixedBits && lpcBits < 16L * n) {
-      val (order, q, shift, plan, res, _) = bestLpc
-      bw.put(0L, 1); bw.put(0x20L | (order - 1).toLong, 6); bw.put(0L, 1) // LPC
-      var i = 0
-      while (i < order) { bw.put(blk(i).toLong & 0xffff, 16); i += 1 }
-      bw.put((LpcPrecision - 1).toLong, 4)
-      bw.put(shift.toLong, 5)
-      q.foreach(c => bw.put(c.toLong & ((1L << LpcPrecision) - 1), LpcPrecision))
-      writeRice(bw, res, n, order, plan)
-    } else if (fixedBits >= 16L * n) writeVerbatim(bw, blk)
-    else {
-      bw.put(0L, 1); bw.put(8L | fOrder.toLong, 6); bw.put(0L, 1) // FIXED
-      var i = 0
-      while (i < fOrder) { bw.put(blk(i).toLong & 0xffff, 16); i += 1 }
-      writeRice(bw, fRes, n, fOrder, fPlan)
+    if (lpcBits < fixedBits && lpcBits < bps.toLong * n) {
+      val (order, q, shift, plan, res, bits) = bestLpc
+      (8L + bits, bw => {
+        bw.put(0L, 1); bw.put(0x20L | (order - 1).toLong, 6); bw.put(0L, 1) // LPC
+        var i = 0
+        while (i < order) { bw.put(blk(i).toLong & mask, bps); i += 1 }
+        bw.put((LpcPrecision - 1).toLong, 4)
+        bw.put(shift.toLong, 5)
+        q.foreach(c => bw.put(c.toLong & ((1L << LpcPrecision) - 1), LpcPrecision))
+        writeRice(bw, res, n, order, plan)
+      })
+    } else if (fixedBits >= bps.toLong * n) {
+      (8L + bps.toLong * n, bw => {
+        bw.put(0L, 1); bw.put(1L, 6); bw.put(0L, 1) // VERBATIM
+        blk.foreach(v => bw.put(v.toLong & mask, bps))
+      })
+    } else {
+      (8L + fixedBits, bw => {
+        bw.put(0L, 1); bw.put(8L | fOrder.toLong, 6); bw.put(0L, 1) // FIXED
+        var i = 0
+        while (i < fOrder) { bw.put(blk(i).toLong & mask, bps); i += 1 }
+        writeRice(bw, fRes, n, fOrder, fPlan)
+      })
     }
   }
+
+  private def writeBestFixed(bw: BitWriter, blk: Array[Int]): Unit =
+    chooseSub(blk, 16, 0)._2(bw)
+
+  private def writeBestLpc(bw: BitWriter, blk: Array[Int], maxOrder: Int): Unit =
+    chooseSub(blk, 16, maxOrder)._2(bw)
 
   /** Encode mono 16-bit samples as a FLAC stream (fLaC magic +
     * STREAMINFO + fixed-blocksize frames) using CONSTANT/FIXED/VERBATIM
@@ -405,58 +409,112 @@ object FlacCodec {
     encodeStream(sampleRate, samples)((bw, blk) => writeBestLpc(bw, blk, maxOrder))
   }
 
-  private def encodeStream(sampleRate: Int, samples: Array[Short])(
-      writeSubframe: (BitWriter, Array[Int]) => Unit): Array[Byte] = {
-    require(sampleRate > 0 && sampleRate < (1 << 20))
-    val out = new java.io.ByteArrayOutputStream()
+  /** fLaC magic + STREAMINFO header, written to `out`. */
+  private def writeStreamHeader(out: java.io.ByteArrayOutputStream,
+                                sampleRate: Int, nSamples: Long, channels: Int): Unit = {
     out.write('f'); out.write('L'); out.write('a'); out.write('C')
-    // STREAMINFO: last-metadata flag + type 0, length 34
     val si = new BitWriter
     si.put(BlockSize.toLong, 16); si.put(BlockSize.toLong, 16) // min/max blocksize
     si.put(0L, 24); si.put(0L, 24) // min/max framesize unknown
     si.put(sampleRate.toLong, 20)
-    si.put(0L, 3) // channels - 1 (mono)
+    si.put((channels - 1).toLong, 3)
     si.put(15L, 5) // bits per sample - 1 (16)
-    si.put(samples.length.toLong, 36)
+    si.put(nSamples, 36)
     (0 until 16).foreach(_ => si.put(0L, 8)) // md5 unset
     val siBytes = si.bytes
     out.write(0x80) // last block, type STREAMINFO
     out.write(0); out.write(0); out.write(34)
     out.write(siBytes, 0, siBytes.length)
+  }
 
+  /** Frame header (sync..blocksize) + its CRC-8, returned as a
+    * BitWriter primed for the subframe bits. */
+  private def frameWriter(n: Int, frameNo: Long, chanCode: Int): BitWriter = {
+    val bw = new BitWriter
+    bw.put(0x3ffe, 14) // sync
+    bw.put(0L, 1) // reserved
+    bw.put(0L, 1) // fixed blocking
+    bw.put(0x7L, 4) // blocksize: 16-bit value - 1 follows
+    bw.put(0x0L, 4) // sample rate: from STREAMINFO
+    bw.put(chanCode.toLong, 4) // channel assignment
+    bw.put(0x4L, 3) // sample size: 16 bits
+    bw.put(0L, 1) // reserved
+    writeUtf8Number(bw, frameNo)
+    bw.put((n - 1).toLong, 16)
+    val headerSoFar = { bw.alignZero(); bw.bytes } // header is byte-aligned here
+    val crcH = crc8(headerSoFar, 0, headerSoFar.length)
+    // rebuild with the crc byte appended (BitWriter has no splice)
+    val bw2 = new BitWriter
+    headerSoFar.foreach(x => bw2.put(x & 0xffL, 8))
+    bw2.put(crcH.toLong, 8)
+    bw2
+  }
+
+  private def finishFrame(out: java.io.ByteArrayOutputStream, bw2: BitWriter): Unit = {
+    bw2.alignZero()
+    val frame = bw2.bytes
+    val crcF = crc16(frame, 0, frame.length)
+    out.write(frame, 0, frame.length)
+    out.write((crcF >> 8) & 0xff); out.write(crcF & 0xff)
+  }
+
+  private def encodeStream(sampleRate: Int, samples: Array[Short])(
+      writeSubframe: (BitWriter, Array[Int]) => Unit): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20))
+    val out = new java.io.ByteArrayOutputStream()
+    writeStreamHeader(out, sampleRate, samples.length.toLong, channels = 1)
     var frameNo = 0L
     var off = 0
     // totalSamples = 0 needs no frames: the decoder stops at the header
     while (off < samples.length) {
       val n = math.min(BlockSize, samples.length - off)
-      locally {
-        val blk = Array.tabulate(n)(i => samples(off + i).toInt)
-        val bw = new BitWriter
-        bw.put(0x3ffe, 14) // sync
-        bw.put(0L, 1) // reserved
-        bw.put(0L, 1) // fixed blocking
-        bw.put(0x7L, 4) // blocksize: 16-bit value - 1 follows
-        bw.put(0x0L, 4) // sample rate: from STREAMINFO
-        bw.put(0L, 4) // channel assignment: mono
-        bw.put(0x4L, 3) // sample size: 16 bits
-        bw.put(0L, 1) // reserved
-        writeUtf8Number(bw, frameNo)
-        bw.put((n - 1).toLong, 16)
-        val headerSoFar = { bw.alignZero(); bw.bytes } // header is byte-aligned here
-        val crcH = crc8(headerSoFar, 0, headerSoFar.length)
-        // rebuild with the crc byte appended (BitWriter has no splice)
-        val bw2 = new BitWriter
-        headerSoFar.foreach(x => bw2.put(x & 0xffL, 8))
-        bw2.put(crcH.toLong, 8)
-        writeSubframe(bw2, blk)
-        bw2.alignZero()
-        val frame = bw2.bytes
-        val crcF = crc16(frame, 0, frame.length)
-        out.write(frame, 0, frame.length)
-        out.write((crcF >> 8) & 0xff); out.write(crcF & 0xff)
-        frameNo += 1
-        off += n
-      }
+      val blk = Array.tabulate(n)(i => samples(off + i).toInt)
+      val bw2 = frameWriter(n, frameNo, chanCode = 0)
+      writeSubframe(bw2, blk)
+      finishFrame(out, bw2)
+      frameNo += 1
+      off += n
+    }
+    out.toByteArray
+  }
+
+  /** Encode a stereo pair with per-block inter-channel decorrelation:
+    * the four T.2 channel assignments — independent L/R, left/side,
+    * right/side, mid/side (side = L−R at 17 bits, mid = (L+R)>>1) —
+    * are each costed via [[chooseSub]] at their real subframe widths
+    * and the smallest wins per frame. Lossless for every assignment:
+    * mid/side reconstruction recovers the dropped low bit from the
+    * side channel's parity. */
+  def encodeStereo(sampleRate: Int, left: Array[Short], right: Array[Short],
+                   maxOrder: Int = 8): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20))
+    require(left.length == right.length, "channel length mismatch")
+    require(maxOrder >= 0 && maxOrder <= 32)
+    val out = new java.io.ByteArrayOutputStream()
+    writeStreamHeader(out, sampleRate, left.length.toLong, channels = 2)
+    var frameNo = 0L
+    var off = 0
+    while (off < left.length) {
+      val n = math.min(BlockSize, left.length - off)
+      val l = Array.tabulate(n)(i => left(off + i).toInt)
+      val r = Array.tabulate(n)(i => right(off + i).toInt)
+      val s = Array.tabulate(n)(i => l(i) - r(i))
+      val m = Array.tabulate(n)(i => (l(i) + r(i)) >> 1)
+      val cl = chooseSub(l, 16, maxOrder)
+      val cr = chooseSub(r, 16, maxOrder)
+      val cs = chooseSub(s, 17, maxOrder)
+      val cm = chooseSub(m, 16, maxOrder)
+      val options = Seq(
+        (1, cl._1 + cr._1, Seq(cl._2, cr._2)), // independent
+        (8, cl._1 + cs._1, Seq(cl._2, cs._2)), // left/side
+        (9, cs._1 + cr._1, Seq(cs._2, cr._2)), // right/side
+        (10, cm._1 + cs._1, Seq(cm._2, cs._2))) // mid/side
+      val (chanCode, _, subs) = options.minBy(_._2)
+      val bw2 = frameWriter(n, frameNo, chanCode)
+      subs.foreach(w => w(bw2))
+      finishFrame(out, bw2)
+      frameNo += 1
+      off += n
     }
     out.toByteArray
   }
@@ -531,26 +589,122 @@ object FlacCodec {
 
   /** Decode: Some((sampleRate, samples)) or None for corrupt /
     * out-of-scope streams. CRC-8 and CRC-16 are verified per frame. */
+  /** One subframe at the given sample width (16, or 17 for a stereo
+    * side channel): CONSTANT / VERBATIM / FIXED / LPC, shared by every
+    * channel assignment. Values are range-checked against the width. */
+  private def decodeSubframe(br: BitReader, blockSize: Int, bps: Int,
+      census: scala.collection.mutable.ArrayBuffer[String]): Array[Int] = {
+    require(br.bits(1) == 0, "subframe padding bit set")
+    val sfType = br.bits(6).toInt
+    require(br.bits(1) == 0, "wasted bits unsupported")
+    if (census != null) census += (sfType match {
+      case 0 => "CONSTANT"
+      case 1 => "VERBATIM"
+      case t if (t & 0x38) == 0x08 => s"FIXED${t & 0x07}"
+      case t if (t & 0x20) == 0x20 => s"LPC${(t & 0x1f) + 1}"
+      case t => s"?$t"
+    })
+    val lo = -(1L << (bps - 1)); val hi = (1L << (bps - 1)) - 1
+    def sExt(v: Long): Int = ((v << (64 - bps)) >> (64 - bps)).toInt
+    val samples = new Array[Int](blockSize)
+    if (sfType == 0) {
+      val v = sExt(br.bits(bps))
+      java.util.Arrays.fill(samples, v)
+    } else if (sfType == 1) {
+      var i = 0
+      while (i < blockSize) { samples(i) = sExt(br.bits(bps)); i += 1 }
+    } else if ((sfType & 0x38) == 0x08) {
+      val order = sfType & 0x07
+      require(order <= 4, "bad fixed order")
+      var i = 0
+      while (i < order) { samples(i) = sExt(br.bits(bps)); i += 1 }
+      val (res, po) = readResiduals(br, blockSize, order)
+      if (census != null) census(census.length - 1) += s"@p$po"
+      i = order
+      while (i < blockSize) {
+        val pred: Long = order match {
+          case 0 => 0L
+          case 1 => samples(i - 1).toLong
+          case 2 => 2L * samples(i - 1) - samples(i - 2)
+          case 3 => 3L * samples(i - 1) - 3L * samples(i - 2) + samples(i - 3)
+          case _ => 4L * samples(i - 1) - 6L * samples(i - 2) +
+            4L * samples(i - 3) - samples(i - 4)
+        }
+        val v = pred + res(i - order)
+        require(v >= lo && v <= hi, "sample out of range")
+        samples(i) = v.toInt
+        i += 1
+      }
+    } else if ((sfType & 0x20) == 0x20) {
+      val order = (sfType & 0x1f) + 1
+      require(order < blockSize, "lpc order >= block size")
+      var i = 0
+      while (i < order) { samples(i) = sExt(br.bits(bps)); i += 1 }
+      val precision = br.bits(4).toInt + 1
+      require(precision <= 15, "lpc precision escape (1111) invalid")
+      val shift = ((br.bits(5) << 59) >> 59).toInt // signed 5-bit
+      require(shift >= 0, "negative lpc shift unsupported")
+      val coefs = new Array[Int](order)
+      var j = 0
+      while (j < order) {
+        val c = br.bits(precision)
+        coefs(j) = ((c << (64 - precision)) >> (64 - precision)).toInt
+        j += 1
+      }
+      val (res, po) = readResiduals(br, blockSize, order)
+      if (census != null) census(census.length - 1) += s"@p$po"
+      i = order
+      while (i < blockSize) {
+        var acc = 0L
+        var j2 = 0
+        while (j2 < order) { acc += coefs(j2).toLong * samples(i - 1 - j2); j2 += 1 }
+        val v = (acc >> shift) + res(i - order)
+        require(v >= lo && v <= hi, "sample out of range")
+        samples(i) = v.toInt
+        i += 1
+      }
+    } else throw new IllegalArgumentException(s"unsupported subframe type $sfType")
+    samples
+  }
+
   def decode(b: Array[Byte]): Option[(Int, Array[Short])] =
-    decodeImpl(b, null)
+    decodeImpl(b, null, null).flatMap { case (rate, chs) =>
+      if (chs.length == 1) Some((rate, chs(0))) else None
+    }
+
+  /** Decode mono OR stereo: Some((sampleRate, one Array[Short] per
+    * channel)) — stereo frames reverse the left/side, right/side or
+    * mid/side decorrelation chosen per frame by the encoder. */
+  def decodeChannels(b: Array[Byte]): Option[(Int, Array[Array[Short]])] =
+    decodeImpl(b, null, null)
 
   /** Per-frame subframe kinds ("CONSTANT"/"VERBATIM"/"FIXED<o>"/
     * "LPC<o>", predicted kinds suffixed "@p<po>" with the Rice
-    * partition order) via the full verified decode walk — lets callers
-    * pin WHICH prediction path and residual layout a stream exercises,
-    * not just that it round-trips. None exactly when decode refuses. */
+    * partition order; stereo frames contribute one entry per channel)
+    * via the full verified decode walk — lets callers pin WHICH
+    * prediction path and residual layout a stream exercises, not just
+    * that it round-trips. None exactly when decode refuses. */
   def subframeKinds(b: Array[Byte]): Option[Seq[String]] = {
     val census = scala.collection.mutable.ArrayBuffer.empty[String]
-    decodeImpl(b, census).map(_ => census.toSeq)
+    decodeImpl(b, census, null).map(_ => census.toSeq)
+  }
+
+  /** Per-frame channel assignment ("MONO"/"INDEP"/"LS"/"RS"/"MS") via
+    * the full verified decode walk. None exactly when decode refuses. */
+  def channelAssignments(b: Array[Byte]): Option[Seq[String]] = {
+    val assigns = scala.collection.mutable.ArrayBuffer.empty[String]
+    decodeImpl(b, null, assigns).map(_ => assigns.toSeq)
   }
 
   private def decodeImpl(
       b: Array[Byte],
-      census: scala.collection.mutable.ArrayBuffer[String]): Option[(Int, Array[Short])] = try {
+      census: scala.collection.mutable.ArrayBuffer[String],
+      assigns: scala.collection.mutable.ArrayBuffer[String]): Option[(Int, Array[Array[Short]])] = try {
     if (b == null || b.length < 42 ||
       b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C') return None
     var p = 4
     var sampleRate = 0
+    var channels = 0
     var totalSamples = 0L
     var sawStreamInfo = false
     var last = false
@@ -563,17 +717,17 @@ object FlacCodec {
         val br = new BitReader(b, p + 4)
         br.bits(16); br.bits(16); br.bits(24); br.bits(24)
         sampleRate = br.bits(20).toInt
-        val channels = br.bits(3).toInt + 1
+        channels = br.bits(3).toInt + 1
         val bps = br.bits(5).toInt + 1
         totalSamples = br.bits(36)
-        if (channels != 1 || bps != 16) return None
+        if (channels > 2 || bps != 16) return None
         sawStreamInfo = true
       }
       p += 4 + len
     }
     if (!sawStreamInfo || sampleRate <= 0) return None
     require(totalSamples <= (1L << 26), "stream too large")
-    val outBuf = new java.io.ByteArrayOutputStream()
+    val outBufs = Array.fill(channels)(new java.io.ByteArrayOutputStream())
     var got = 0L
     while (got < totalSamples) {
       val frameStart = p
@@ -586,7 +740,6 @@ object FlacCodec {
       val chan = br.bits(4).toInt
       val ssCode = br.bits(3).toInt
       require(br.bits(1) == 0, "reserved bit set")
-      require(chan == 0, "mono only")
       require(ssCode == 4, "16-bit only")
       readUtf8Number(br)
       val blockSize = bsCode match {
@@ -604,101 +757,98 @@ object FlacCodec {
         case c if c >= 1 && c <= 11 => ()
         case _ => throw new IllegalArgumentException("bad sample rate code")
       }
+      val frameChannels = chan match {
+        case 0 => 1
+        case 1 | 8 | 9 | 10 => 2
+        case _ => throw new IllegalArgumentException(s"unsupported channel assignment $chan")
+      }
+      require(frameChannels == channels, "frame/STREAMINFO channel mismatch")
       br.align()
       val headerEnd = br.bytePos
       val crcH = br.bits(8).toInt
       require(crcH == crc8(b, frameStart, headerEnd), "frame header CRC-8 mismatch")
-      // subframe
-      require(br.bits(1) == 0, "subframe padding bit set")
-      val sfType = br.bits(6).toInt
-      require(br.bits(1) == 0, "wasted bits unsupported")
-      if (census != null) census += (sfType match {
-        case 0 => "CONSTANT"
-        case 1 => "VERBATIM"
-        case t if (t & 0x38) == 0x08 => s"FIXED${t & 0x07}"
-        case t if (t & 0x20) == 0x20 => s"LPC${(t & 0x1f) + 1}"
-        case t => s"?$t"
+      if (assigns != null) assigns += (chan match {
+        case 0 => "MONO"
+        case 1 => "INDEP"
+        case 8 => "LS"
+        case 9 => "RS"
+        case _ => "MS"
       })
-      val samples = new Array[Int](blockSize)
-      def s16(v: Long): Int = ((v & 0xffff) << 16).toInt >> 16
-      if (sfType == 0) {
-        val v = s16(br.bits(16))
-        java.util.Arrays.fill(samples, v)
-      } else if (sfType == 1) {
-        var i = 0
-        while (i < blockSize) { samples(i) = s16(br.bits(16)); i += 1 }
-      } else if ((sfType & 0x38) == 0x08) {
-        val order = sfType & 0x07
-        require(order <= 4, "bad fixed order")
-        var i = 0
-        while (i < order) { samples(i) = s16(br.bits(16)); i += 1 }
-        val (res, po) = readResiduals(br, blockSize, order)
-        if (census != null) census(census.length - 1) += s"@p$po"
-        i = order
-        while (i < blockSize) {
-          val pred: Long = order match {
-            case 0 => 0L
-            case 1 => samples(i - 1).toLong
-            case 2 => 2L * samples(i - 1) - samples(i - 2)
-            case 3 => 3L * samples(i - 1) - 3L * samples(i - 2) + samples(i - 3)
-            case _ => 4L * samples(i - 1) - 6L * samples(i - 2) +
-              4L * samples(i - 3) - samples(i - 4)
+      // subframes + inter-channel reconstruction (side channels: 17 bits)
+      val chSamples: Array[Array[Int]] = chan match {
+        case 0 => Array(decodeSubframe(br, blockSize, 16, census))
+        case 1 => Array(decodeSubframe(br, blockSize, 16, census),
+          decodeSubframe(br, blockSize, 16, census))
+        case 8 =>
+          val l = decodeSubframe(br, blockSize, 16, census)
+          val sd = decodeSubframe(br, blockSize, 17, census)
+          val r = new Array[Int](blockSize)
+          var i = 0
+          while (i < blockSize) {
+            val v = l(i) - sd(i)
+            require(v >= Short.MinValue && v <= Short.MaxValue, "right out of range")
+            r(i) = v; i += 1
           }
-          val v = pred + res(i - order)
-          require(v >= Short.MinValue && v <= Short.MaxValue, "sample out of range")
-          samples(i) = v.toInt
-          i += 1
-        }
-      } else if ((sfType & 0x20) == 0x20) {
-        val order = (sfType & 0x1f) + 1
-        require(order < blockSize, "lpc order >= block size")
-        var i = 0
-        while (i < order) { samples(i) = s16(br.bits(16)); i += 1 }
-        val precision = br.bits(4).toInt + 1
-        require(precision <= 15, "lpc precision escape (1111) invalid")
-        val shift = ((br.bits(5) << 59) >> 59).toInt // signed 5-bit
-        require(shift >= 0, "negative lpc shift unsupported")
-        val coefs = new Array[Int](order)
-        var j = 0
-        while (j < order) {
-          val c = br.bits(precision)
-          coefs(j) = ((c << (64 - precision)) >> (64 - precision)).toInt
-          j += 1
-        }
-        val (res, po) = readResiduals(br, blockSize, order)
-        if (census != null) census(census.length - 1) += s"@p$po"
-        i = order
-        while (i < blockSize) {
-          var acc = 0L
-          var j2 = 0
-          while (j2 < order) { acc += coefs(j2).toLong * samples(i - 1 - j2); j2 += 1 }
-          val v = (acc >> shift) + res(i - order)
-          require(v >= Short.MinValue && v <= Short.MaxValue, "sample out of range")
-          samples(i) = v.toInt
-          i += 1
-        }
-      } else throw new IllegalArgumentException(s"unsupported subframe type $sfType")
+          Array(l, r)
+        case 9 =>
+          val sd = decodeSubframe(br, blockSize, 17, census)
+          val r = decodeSubframe(br, blockSize, 16, census)
+          val l = new Array[Int](blockSize)
+          var i = 0
+          while (i < blockSize) {
+            val v = r(i) + sd(i)
+            require(v >= Short.MinValue && v <= Short.MaxValue, "left out of range")
+            l(i) = v; i += 1
+          }
+          Array(l, r)
+        case _ =>
+          val mid = decodeSubframe(br, blockSize, 16, census)
+          val sd = decodeSubframe(br, blockSize, 17, census)
+          val l = new Array[Int](blockSize)
+          val r = new Array[Int](blockSize)
+          var i = 0
+          while (i < blockSize) {
+            // the side channel's parity carries mid's dropped low bit
+            val m2 = (mid(i).toLong << 1) | (sd(i) & 1L)
+            val lv = (m2 + sd(i)) >> 1
+            val rv = (m2 - sd(i)) >> 1
+            require(lv >= Short.MinValue && lv <= Short.MaxValue &&
+              rv >= Short.MinValue && rv <= Short.MaxValue, "mid/side out of range")
+            l(i) = lv.toInt; r(i) = rv.toInt
+            i += 1
+          }
+          Array(l, r)
+      }
       br.align()
       val frameEnd = br.bytePos
       val crcF = br.bits(16).toInt
       require(crcF == crc16(b, frameStart, frameEnd), "frame CRC-16 mismatch")
       p = frameEnd + 2
       val take = math.min(blockSize.toLong, totalSamples - got).toInt
-      var i = 0
-      while (i < take) {
-        outBuf.write((samples(i) >> 8) & 0xff); outBuf.write(samples(i) & 0xff)
-        i += 1
+      var c = 0
+      while (c < channels) {
+        val samples = chSamples(c)
+        val buf = outBufs(c)
+        var i = 0
+        while (i < take) {
+          buf.write((samples(i) >> 8) & 0xff); buf.write(samples(i) & 0xff)
+          i += 1
+        }
+        c += 1
       }
       got += take
     }
-    val raw = outBuf.toByteArray
-    val outS = new Array[Short](raw.length / 2)
-    var i = 0
-    while (i < outS.length) {
-      outS(i) = (((raw(2 * i) & 0xff) << 8) | (raw(2 * i + 1) & 0xff)).toShort
-      i += 1
+    val chans = outBufs.map { buf =>
+      val raw = buf.toByteArray
+      val outS = new Array[Short](raw.length / 2)
+      var i = 0
+      while (i < outS.length) {
+        outS(i) = (((raw(2 * i) & 0xff) << 8) | (raw(2 * i + 1) & 0xff)).toShort
+        i += 1
+      }
+      outS
     }
-    Some((sampleRate, outS))
+    Some((sampleRate, chans))
   } catch {
     case _: RuntimeException => None
     case _: ArrayIndexOutOfBoundsException => None

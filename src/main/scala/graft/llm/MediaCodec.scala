@@ -51,15 +51,21 @@ object MediaCodec {
     else None
   }
 
-  /** FLAC facts via [[FlacCodec.decode]] — the compressed-audio arm,
-    * same MediaInfo contract as WAV. */
+  /** FLAC facts via [[FlacCodec.decodeChannels]] — the compressed-audio
+    * arm, same MediaInfo contract as WAV; stereo fills meanC0/meanC1. */
   private def decodeFlac(b: Array[Byte]): Option[MediaInfo] =
-    FlacCodec.decode(b).map { case (rate, samples) =>
-      var s = 0L
-      samples.foreach(s += _)
-      MediaInfo("flac", None, None, Some(1), Some(rate), Some(samples.length),
-        if (samples.isEmpty) None else Some(s.toDouble / samples.length),
-        None, None)
+    FlacCodec.decodeChannels(b).map { case (rate, chans) =>
+      def meanOf(samples: Array[Short]): Option[Double] = {
+        if (samples.isEmpty) None
+        else {
+          var s = 0L
+          samples.foreach(s += _)
+          Some(s.toDouble / samples.length)
+        }
+      }
+      MediaInfo("flac", None, None, Some(chans.length), Some(rate),
+        Some(chans(0).length), meanOf(chans(0)),
+        if (chans.length > 1) meanOf(chans(1)) else None, None)
     }
 
   /** First-frame GIF facts via [[GifCodec.decode]]. */

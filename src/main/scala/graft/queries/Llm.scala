@@ -1992,6 +1992,7 @@ object Llm {
     "q_media_zoo" -> (mediaZoo _),
     "q_flac_decode" -> (flacDecode _),
     "q_flac_lpc" -> (flacLpc _),
+    "q_flac_stereo" -> (flacStereo _),
     "q_emb_recall" -> (embRecall _),
     "q_line_dedup" -> (lineDedup _),
     "q_dup_fraction" -> (dupFraction _),
@@ -3183,6 +3184,82 @@ object Llm {
       |FROM dims d LEFT JOIN agg a ON a.k = d.k
       |ORDER BY media_id""".stripMargin
 
+  /** Stereo FLAC under the oracle — the inter-channel decorrelation arm
+    * beyond q_flac_lpc: per-key channel PAIRS (left from the mixed
+    * smooth+step formula; right independent on every 3rd key, else
+    * left plus a small bounded delta — so the encoder's per-frame cost
+    * contest actually lands on different T.2 assignments across keys),
+    * encoded via [[graft.llm.FlacCodec.encodeStereo]] and decoded
+    * through the left/side / right/side / mid/side reconstruction
+    * (side channels at 17 bits, mid's dropped low bit recovered from
+    * side parity). Lossless, so both channel means are closed-form.
+    * Every 13th payload has a frame bit flipped: CRC-16 refuses. */
+  def flacStereo(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.FlacCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val n = (50 + k % 70).toInt
+      val left = Array.tabulate(n)(i =>
+        ((k * 13 + i * i * 7 + (if (i % 9 == 0) 4000 * (k % 5) else 0)) % 20000
+          - 10000).toShort)
+      val right =
+        if (k % 3 == 0) Array.tabulate(n)(i =>
+          ((k * 29 + i * i * 11 + i * 5) % 18000 - 9000).toShort)
+        else Array.tabulate(n)(i => (left(i) + (k + 3 * i) % 200 - 100).toShort)
+      val bytes = FlacCodec.encodeStereo(16000, left, right)
+      val payload = if (k % 13 == 0) {
+        val t = bytes.clone(); t(t.length - 5) = (t(t.length - 5) ^ 0x08).toByte; t
+      } else bytes
+      FlacCodec.decodeChannels(payload) match {
+        case Some((rate, chs)) =>
+          var tl = 0L; var tr = 0L
+          chs(0).foreach(tl += _); chs(1).foreach(tr += _)
+          (k, true, Some(rate), Some(chs(0).length),
+            Some(tl.toDouble / chs(0).length), Some(tr.toDouble / chs(1).length))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int],
+            None: Option[Double], None: Option[Double])
+      }
+    }.toDF("media_id", "stereo_ok", "sample_rate", "n_samples", "ml", "mr")
+    decoded.select($"media_id", $"stereo_ok", $"sample_rate", $"n_samples",
+      round($"ml", 6).as("mean_left"), round($"mr", 6).as("mean_right"))
+      .orderBy($"media_id")
+  }
+
+  /** Channel formulas restated: left = ((13k + 7i² + [9|i]·4000·(k mod
+    * 5)) mod 20000) − 10000; right = ((29k + 11i² + 5i) mod 18000) −
+    * 9000 on 3|k, else left + ((k + 3i) mod 200) − 100 — all mods of
+    * non-negative terms, so both engines agree exactly. */
+  val flacStereoSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |samp AS (
+      |  SELECT ks.k,
+      |    CAST((ks.k * 13 + i.g * i.g * 7 +
+      |          CASE WHEN i.g % 9 = 0 THEN 4000 * (ks.k % 5) ELSE 0 END) % 20000
+      |         - 10000 AS BIGINT) AS l,
+      |    CASE WHEN ks.k % 3 = 0
+      |      THEN CAST((ks.k * 29 + i.g * i.g * 11 + i.g * 5) % 18000 - 9000 AS BIGINT)
+      |      ELSE CAST((ks.k * 13 + i.g * i.g * 7 +
+      |             CASE WHEN i.g % 9 = 0 THEN 4000 * (ks.k % 5) ELSE 0 END) % 20000
+      |            - 10000 + (ks.k + 3 * i.g) % 200 - 100 AS BIGINT)
+      |    END AS r
+      |  FROM ks, generate_series(0, 119) i(g)
+      |  WHERE i.g < 50 + ks.k % 70 AND ks.k % 13 <> 0),
+      |agg AS (
+      |  SELECT k, COUNT(*) AS n, CAST(SUM(l) AS BIGINT) AS tl,
+      |    CAST(SUM(r) AS BIGINT) AS tr
+      |  FROM samp GROUP BY k)
+      |SELECT ks.k AS media_id, (ks.k % 13 <> 0) AS stereo_ok,
+      |  CASE WHEN ks.k % 13 <> 0 THEN 16000 END AS sample_rate,
+      |  CASE WHEN ks.k % 13 <> 0 THEN CAST(50 + ks.k % 70 AS INTEGER) END AS n_samples,
+      |  CASE WHEN ks.k % 13 <> 0
+      |    THEN round(CAST(a.tl AS DOUBLE) / a.n, 6) END AS mean_left,
+      |  CASE WHEN ks.k % 13 <> 0
+      |    THEN round(CAST(a.tr AS DOUBLE) / a.n, 6) END AS mean_right
+      |FROM ks LEFT JOIN agg a ON a.k = ks.k
+      |ORDER BY media_id""".stripMargin
+
   /** Multimodal plumbing end-to-end under the oracle: media rows
     * synthesized in-plan from the part table (kind cycles image/audio/
     * video; every 7th payload null; videos carry a keyed duration), then
@@ -3858,6 +3935,7 @@ object Llm {
     "q_media_zoo" -> mediaZooSql,
     "q_flac_decode" -> flacDecodeSql,
     "q_flac_lpc" -> flacLpcSql,
+    "q_flac_stereo" -> flacStereoSql,
     "q_emb_bucket_stats" -> embNearDupStatsSql,
     "q_emb_ann_topk" -> annTopKSql,
     "q_text_stats" -> textStatsSql,

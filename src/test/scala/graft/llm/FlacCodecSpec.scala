@@ -295,11 +295,99 @@ class FlacCodecSpec extends AnyFunSuite {
     roundtrip(flat)
   }
 
-  test("out-of-scope streams refuse: stereo flag") {
+  test("header/frame channel mismatch refuses: stereo flag over mono frames") {
     val bytes = FlacCodec.encode(8000, Array.tabulate(100)(_.toShort))
     // STREAMINFO channels field: byte offset 4(magic)+4(hdr)+12, bits 4-6
     val t = bytes.clone()
     t(20) = (t(20) | 0x02).toByte // channels-1: 0 -> 1 (stereo)
     assert(FlacCodec.decode(t).isEmpty)
+    assert(FlacCodec.decodeChannels(t).isEmpty)
+  }
+
+  private def roundtripStereo(l: Array[Short], r: Array[Short],
+                              rate: Int = 8000): Array[Byte] = {
+    val bytes = FlacCodec.encodeStereo(rate, l, r)
+    val (gotRate, chs) = FlacCodec.decodeChannels(bytes).get
+    assert(gotRate == rate && chs.length == 2)
+    assert(chs(0).sameElements(l), "left mismatch")
+    assert(chs(1).sameElements(r), "right mismatch")
+    bytes
+  }
+
+  test("stereo round-trips exactly and picks the right decorrelation per content") {
+    val n = 3000
+    val rnd = new scala.util.Random(11)
+    // strongly correlated: R = L + tiny noise → a side-coded assignment wins
+    val base = resonator(n, 30000, 2500)
+    val rCorr = base.map(v => (v + rnd.nextInt(7) - 3).toShort)
+    val bCorr = roundtripStereo(base, rCorr)
+    val aCorr = FlacCodec.channelAssignments(bCorr).get
+    assert(aCorr.forall(a => a == "LS" || a == "RS" || a == "MS"), aCorr.toString)
+    // independent noise: no inter-channel win → INDEP
+    val li = Array.fill(n)((rnd.nextInt(60000) - 30000).toShort)
+    val ri = Array.fill(n)((rnd.nextInt(60000) - 30000).toShort)
+    val bInd = roundtripStereo(li, ri)
+    assert(FlacCodec.channelAssignments(bInd).get.forall(_ == "INDEP"))
+    // silent right channel → left/side beats mid/side (side == L, mid == L/2)
+    val silent = Array.fill(n)(0.toShort)
+    roundtripStereo(base, silent)
+    // 17-bit side extremes survive: S = L - R = 65535
+    val lx = Array.fill(300)(Short.MaxValue)
+    val rx = Array.fill(300)(Short.MinValue)
+    roundtripStereo(lx, rx)
+    // mid/side parity: odd L+R exercises the dropped-low-bit recovery
+    val lOdd = Array.tabulate(n)(i => base(i))
+    val rOdd = Array.tabulate(n)(i => (base(i) + 1 + (i & 1)).toShort)
+    roundtripStereo(lOdd, rOdd)
+    // mono API refuses stereo streams (callers must use decodeChannels)
+    assert(FlacCodec.decode(bCorr).isEmpty)
+    // multi-frame stereo crosses the 4096 block boundary
+    val big = resonator(9000, 29000, 2200)
+    roundtripStereo(big, big.map(v => (v / 2).toShort))
+  }
+
+  test("stereo round-trips random channel pairs across correlation regimes (fuzz)") {
+    val gen = for {
+      n <- Gen.choose(1, 9000)
+      mode <- Gen.choose(0, 3)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (n, mode, seed)
+    forAll(gen, n = 40) { case (n, mode, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val l = new Array[Short](n)
+      val r = new Array[Short](n)
+      var accL = 0.0; var accR = 0.0
+      var i = 0
+      while (i < n) {
+        val step = rnd.nextInt(2001) - 1000
+        accL = math.max(-30000.0, math.min(30000.0, accL + step))
+        accR = mode match {
+          case 0 => accL + rnd.nextInt(11) - 5 // near-identical
+          case 1 => -accL + rnd.nextInt(11) - 5 // anti-correlated
+          case 2 => math.max(-30000.0, math.min(30000.0, accR + rnd.nextInt(2001) - 1000))
+          case _ => 0.0 // silent right
+        }
+        l(i) = accL.toShort; r(i) = accR.toShort
+        i += 1
+      }
+      roundtripStereo(l, r)
+    }
+  }
+
+  test("stereo streams: every single-byte tamper is caught by CRC or refusal") {
+    val base = resonator(500, 29500, 2000)
+    val bytes = FlacCodec.encodeStereo(8000, base, base.map(v => (v / 3).toShort))
+    val clean = FlacCodec.decodeChannels(bytes).get._2
+    var silent = 0
+    val frameStart = 4 + 4 + 34
+    (frameStart until bytes.length).foreach { i =>
+      val t = bytes.clone(); t(i) = (t(i) ^ 0x10).toByte
+      FlacCodec.decodeChannels(t).foreach { case (_, got) =>
+        if (!got(0).sameElements(clean(0)) || !got(1).sameElements(clean(1)))
+          silent += 1
+      }
+    }
+    assert(silent == 0, s"$silent tampered stereo frames decoded wrong without refusal")
+    (0 until bytes.length).foreach(keep => FlacCodec.decodeChannels(bytes.take(keep)))
   }
 }
