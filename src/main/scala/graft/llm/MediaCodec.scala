@@ -272,6 +272,54 @@ object MediaCodec {
     out
   }
 
+  /** Encode a mono 24-bit PCM WAV (3-byte little-endian signed). */
+  def encodeWavPcm24(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val dataSize = samples.length * 3
+    val out = new Array[Byte](44 + dataSize)
+    def put32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+    }
+    def put16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+    def tag(i: Int, s: String): Unit = { var j = 0; while (j < 4) { out(i + j) = s(j).toByte; j += 1 } }
+    tag(0, "RIFF"); put32(4, 36 + dataSize); tag(8, "WAVE")
+    tag(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, 1)
+    put32(24, sampleRate); put32(28, sampleRate * 3); put16(32, 3); put16(34, 24)
+    tag(36, "data"); put32(40, dataSize)
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i)
+      require(v >= -(1 << 23) && v < (1 << 23), s"sample out of 24-bit range: $v")
+      out(44 + i * 3) = v.toByte
+      out(44 + i * 3 + 1) = (v >> 8).toByte
+      out(44 + i * 3 + 2) = (v >> 16).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Encode a mono IEEE float32 WAV (format tag 3). */
+  def encodeWavFloat32(sampleRate: Int, samples: Array[Float]): Array[Byte] = {
+    val dataSize = samples.length * 4
+    val out = new Array[Byte](44 + dataSize)
+    def put32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+    }
+    def put16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+    def tag(i: Int, s: String): Unit = { var j = 0; while (j < 4) { out(i + j) = s(j).toByte; j += 1 } }
+    tag(0, "RIFF"); put32(4, 36 + dataSize); tag(8, "WAVE")
+    tag(12, "fmt "); put32(16, 16); put16(20, 3); put16(22, 1)
+    put32(24, sampleRate); put32(28, sampleRate * 4); put16(32, 4); put16(34, 32)
+    tag(36, "data"); put32(40, dataSize)
+    var i = 0
+    while (i < samples.length) {
+      put32(44 + i * 4, java.lang.Float.floatToIntBits(samples(i)))
+      i += 1
+    }
+    out
+  }
+
   private def decodeWav(b: Array[Byte]): Option[MediaInfo] = {
     if (b.length < 12 || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
     // walk chunks: need fmt (PCM, 16-bit) before data
@@ -286,8 +334,8 @@ object MediaCodec {
       if (id == "fmt ") {
         if (i + 24L > b.length) return None
         val tag = le16(b, i + 8)
-        // 1 = PCM16, 6 = G.711 A-law, 7 = G.711 mu-law
-        if (tag != 1 && tag != 6 && tag != 7) return None
+        // 1 = integer PCM (16/24-bit), 3 = IEEE float32, 6/7 = G.711 A/mu-law
+        if (tag != 1 && tag != 3 && tag != 6 && tag != 7) return None
         fmtTag = tag
         channels = le16(b, i + 10); rate = le32(b, i + 12); bits = le16(b, i + 22)
       } else if (id == "data") {
@@ -302,6 +350,33 @@ object MediaCodec {
           }
           return Some(MediaInfo("wav", None, None, Some(channels), Some(rate),
             Some(frames), if (frames == 0) None else Some(s.toDouble / frames), None, None))
+        } else if (fmtTag == 1 && bits == 24) {
+          // 3-byte little-endian signed PCM
+          val frames = size / (3 * channels)
+          var s = 0L
+          var f = 0
+          while (f < frames) {
+            val o = i + 8 + f * 3 * channels
+            val v = (u8(b, o) | (u8(b, o + 1) << 8) | (u8(b, o + 2) << 16)) << 8 >> 8
+            s += v
+            f += 1
+          }
+          return Some(MediaInfo("wav", None, None, Some(channels), Some(rate),
+            Some(frames), if (frames == 0) None else Some(s.toDouble / frames), None, None))
+        } else if (fmtTag == 3 && bits == 32) {
+          // IEEE float32; non-finite payloads refuse (a mean over NaN/Inf
+          // is not a fact, and probing must not launder one)
+          val frames = size / (4 * channels)
+          var s = 0.0
+          var f = 0
+          while (f < frames) {
+            val v = java.lang.Float.intBitsToFloat(le32(b, i + 8 + f * 4 * channels))
+            if (!java.lang.Float.isFinite(v)) return None
+            s += v
+            f += 1
+          }
+          return Some(MediaInfo("wav", None, None, Some(channels), Some(rate),
+            Some(frames), if (frames == 0) None else Some(s / frames), None, None))
         } else if ((fmtTag == 6 || fmtTag == 7) && bits == 8) {
           // G.711 companded bytes expand to 13/14-bit linear PCM
           val frames = size / channels

@@ -1988,6 +1988,7 @@ object Llm {
     "q_png_adam7_decode" -> (pngAdam7Decode _),
     "q_mp3_probe" -> (mp3Probe _),
     "q_mp4_probe" -> (mp4Probe _),
+    "q_wav_wide" -> (wavWide _),
     "q_g711_decode" -> (g711Decode _),
     "q_media_zoo" -> (mediaZoo _),
     "q_flac_decode" -> (flacDecode _),
@@ -2844,6 +2845,63 @@ object Llm {
       |    CASE WHEN k % 5 = 0 THEN 'mp4a' ELSE 'Opus' END
       |  END AS codecs
       |FROM dims
+      |ORDER BY media_id""".stripMargin
+
+  /** Wide WAV formats under the oracle — the arms of the PCM container
+    * beyond 16-bit: even keys 24-bit integer PCM (3-byte little-endian
+    * signed), odd keys IEEE float32 (format tag 3) carrying
+    * integer-valued floats, so the double accumulation is exact in both
+    * engines and the means are closed-form. Every 13th payload
+    * truncates inside the data chunk: the size check refuses (and
+    * non-finite float samples refuse — a mean over NaN is not a fact). */
+  def wavWide(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.MediaCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val n = (30 + k % 50).toInt
+      val bytes =
+        if (k % 2 == 0)
+          MediaCodec.encodeWavPcm24(16000, Array.tabulate(n)(i =>
+            ((k * 37 + i.toLong * i * 13) % 1000000 - 500000).toInt))
+        else
+          MediaCodec.encodeWavFloat32(16000, Array.tabulate(n)(i =>
+            ((k * 17 + i * 29) % 40000 - 20000).toFloat))
+      val payload = if (k % 13 == 0) bytes.dropRight(5) else bytes
+      MediaCodec.decode(payload) match {
+        case Some(m) => (k, true, m.sampleRate, m.nSamples, m.meanC0)
+        case None => (k, false, None: Option[Int], None: Option[Int],
+          None: Option[Double])
+      }
+    }.toDF("media_id", "wav_ok", "sample_rate", "n_samples", "m0")
+    decoded.select($"media_id", $"wav_ok", $"sample_rate", $"n_samples",
+      round($"m0", 6).as("mean_pcm"))
+      .orderBy($"media_id")
+  }
+
+  /** Sample formulas restated: 24-bit arm v = ((37k + 13i²) mod 10⁶) −
+    * 5·10⁵; float arm v = ((17k + 29i) mod 40000) − 20000 (integers, so
+    * float32 storage and double sums are exact). */
+  val wavWideSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |samp AS (
+      |  SELECT ks.k,
+      |    CASE WHEN ks.k % 2 = 0
+      |      THEN CAST((ks.k * 37 + CAST(i.g AS BIGINT) * i.g * 13) % 1000000
+      |           - 500000 AS BIGINT)
+      |      ELSE CAST((ks.k * 17 + i.g * 29) % 40000 - 20000 AS BIGINT)
+      |    END AS v
+      |  FROM ks, generate_series(0, 79) i(g)
+      |  WHERE i.g < 30 + ks.k % 50 AND ks.k % 13 <> 0),
+      |agg AS (
+      |  SELECT k, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS tot
+      |  FROM samp GROUP BY k)
+      |SELECT ks.k AS media_id, (ks.k % 13 <> 0) AS wav_ok,
+      |  CASE WHEN ks.k % 13 <> 0 THEN 16000 END AS sample_rate,
+      |  CASE WHEN ks.k % 13 <> 0 THEN CAST(30 + ks.k % 50 AS INTEGER) END AS n_samples,
+      |  CASE WHEN ks.k % 13 <> 0
+      |    THEN round(CAST(a.tot AS DOUBLE) / a.n, 6) END AS mean_pcm
+      |FROM ks LEFT JOIN agg a ON a.k = ks.k
       |ORDER BY media_id""".stripMargin
 
   /** G.711 companded audio under the oracle (the telephony/VoIP arm of
@@ -3931,6 +3989,7 @@ object Llm {
     "q_png_adam7_decode" -> pngAdam7DecodeSql,
     "q_mp3_probe" -> mp3ProbeSql,
     "q_mp4_probe" -> mp4ProbeSql,
+    "q_wav_wide" -> wavWideSql,
     "q_g711_decode" -> g711DecodeSql,
     "q_media_zoo" -> mediaZooSql,
     "q_flac_decode" -> flacDecodeSql,

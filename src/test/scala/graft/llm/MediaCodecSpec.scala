@@ -321,6 +321,32 @@ class MediaCodecSpec extends SparkTestBase {
     assert(MediaCodec.mp3Probe(v2).isEmpty)
   }
 
+  test("wav wide formats: 24-bit PCM and float32 decode with exact means; refusals") {
+    val s24 = Array.tabulate(100)(i => i * 10000 - 500000) // within ±2^23
+    val w24 = MediaCodec.encodeWavPcm24(16000, s24)
+    val m24 = MediaCodec.decode(w24).get
+    assert(m24.format == "wav" && m24.sampleRate.contains(16000) &&
+      m24.nSamples.contains(100) &&
+      m24.meanC0.contains(s24.map(_.toLong).sum.toDouble / 100))
+    val sf = Array.tabulate(77)(i => (i * 31 - 1000).toFloat)
+    val wf = MediaCodec.encodeWavFloat32(8000, sf)
+    val mf = MediaCodec.decode(wf).get
+    assert(mf.nSamples.contains(77) && mf.meanC0.contains(sf.map(_.toDouble).sum / 77))
+    // truncation refuses (data chunk claims bytes past the payload)
+    assert(MediaCodec.decode(w24.dropRight(5)).isEmpty)
+    assert(MediaCodec.decode(wf.dropRight(3)).isEmpty)
+    // a NaN float sample refuses: a mean over NaN is not a fact
+    val bad = wf.clone()
+    val nanBits = java.lang.Float.floatToIntBits(Float.NaN)
+    bad(44) = nanBits.toByte; bad(45) = (nanBits >> 8).toByte
+    bad(46) = (nanBits >> 16).toByte; bad(47) = (nanBits >> 24).toByte
+    assert(MediaCodec.decode(bad).isEmpty)
+    // 24-bit range guard on encode
+    intercept[IllegalArgumentException] {
+      MediaCodec.encodeWavPcm24(8000, Array(1 << 23))
+    }
+  }
+
   test("mp4 probe: box walk, v0/v1 mvhd, track census, refusals") {
     val av = MediaCodec.encodeMp4Boxes(600, 15000,
       Seq(("vide", "avc1"), ("soun", "mp4a")), mvhdV1 = false, mdatBytes = 32)
