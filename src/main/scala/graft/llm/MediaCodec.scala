@@ -1245,6 +1245,150 @@ object MediaCodec {
     case _: ArrayIndexOutOfBoundsException => None
   }
 
+  // ---- Ogg / Opus: page walk with real CRC (metadata only) ---------------
+  //
+  // Like MP3/MP4, the Opus audio decode (CELT/SILK hybrid) stays behind
+  // the decoder seam; the Ogg CONTAINER (RFC 3533) is public structure
+  // with a real integrity check: every page carries a CRC-32
+  // (polynomial 0x04c11db7, unreflected, init/xorout 0) over the page
+  // with its CRC field zeroed — so unlike the other probes, ANY flipped
+  // byte refuses here, not just structural damage. The identification
+  // header (RFC 7845 OpusHead) gives channels/preskip/input rate; the
+  // final page's granule position is the 48 kHz sample clock, so
+  // duration = (lastGranule − preskip)/48000.
+
+  /** Ogg page CRC-32: MSB-first, poly 0x04c11db7, no reflection, init
+    * and xorout 0 (RFC 3533 §6). */
+  def oggCrc(b: Array[Byte], from: Int, until: Int, zeroFrom: Int, zeroUntil: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      val byte = if (i >= zeroFrom && i < zeroUntil) 0 else b(i) & 0xff
+      crc ^= byte << 24
+      var j = 0
+      while (j < 8) {
+        crc = if ((crc & 0x80000000) != 0) (crc << 1) ^ 0x04c11db7 else crc << 1
+        j += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** Probed Ogg/Opus facts: (channels, preskip, inputSampleRate,
+    * lastGranule, nPages). Refuses on any CRC mismatch, bad capture
+    * pattern/version, missing BOS OpusHead, non-monotonic granule
+    * positions, truncation, or a stream not closed by an EOS page. */
+  def oggOpusProbe(b: Array[Byte]): Option[(Int, Int, Long, Long, Int)] = try {
+    if (b == null || b.length < 47) return None
+    def le16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    def le32(p: Int): Long = le16(p).toLong | (le16(p + 2).toLong << 16)
+    def le64(p: Int): Long = le32(p) | (le32(p + 4) << 32)
+    var p = 0
+    var nPages = 0
+    var channels = -1
+    var preskip = -1
+    var inputRate = -1L
+    var lastGranule = -1L
+    var sawEos = false
+    while (p < b.length) {
+      require(!sawEos, "page after EOS")
+      require(p + 27 <= b.length, "cut page header")
+      require(b(p) == 'O' && b(p + 1) == 'g' && b(p + 2) == 'g' && b(p + 3) == 'S',
+        "bad capture pattern")
+      require(b(p + 4) == 0, "unknown ogg version")
+      val hType = b(p + 5) & 0xff
+      val granule = le64(p + 6)
+      val storedCrc = le32(p + 22)
+      val nSegs = b(p + 26) & 0xff
+      require(p + 27 + nSegs <= b.length, "cut segment table")
+      var payloadLen = 0
+      var i = 0
+      while (i < nSegs) { payloadLen += b(p + 27 + i) & 0xff; i += 1 }
+      val pageEnd = p + 27 + nSegs + payloadLen
+      require(pageEnd <= b.length, "cut page payload")
+      val crc = oggCrc(b, p, pageEnd, p + 22, p + 26)
+      require((crc & 0xffffffffL) == storedCrc, "page CRC mismatch")
+      val body = p + 27 + nSegs
+      if (nPages == 0) {
+        require((hType & 0x02) != 0, "first page must be BOS")
+        require(payloadLen >= 19, "short identification header")
+        require(new String(b, body, 8, "ISO-8859-1") == "OpusHead", "not an Opus stream")
+        require(b(body + 8) == 1, "unknown OpusHead version")
+        channels = b(body + 9) & 0xff
+        preskip = le16(body + 10)
+        inputRate = le32(body + 12)
+        require(channels >= 1, "zero channels")
+      } else if (granule != -1L) {
+        require(lastGranule == -1L || granule >= lastGranule,
+          "non-monotonic granule position")
+        lastGranule = granule
+      }
+      if ((hType & 0x04) != 0) sawEos = true
+      nPages += 1
+      p = pageEnd
+    }
+    if (channels < 0 || !sawEos || lastGranule < preskip) None
+    else Some((channels, preskip, inputRate, lastGranule, nPages))
+  } catch {
+    case _: RuntimeException => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  /** Synthesize an Ogg/Opus stream for the probe gate: BOS OpusHead
+    * page, an OpusTags comment page (granule −1), then audio pages with
+    * filler packets and a cumulative 48 kHz granule clock, EOS on the
+    * last. Real per-page CRCs — playable structure, opaque audio. */
+  def encodeOggOpus(channels: Int, preskip: Int, inputRate: Long,
+                    samplesPerPage: Long, nAudioPages: Int): Array[Byte] = {
+    require(channels >= 1 && channels <= 255 && nAudioPages >= 1)
+    val out = new java.io.ByteArrayOutputStream()
+    var seq = 0
+    def page(hType: Int, granule: Long, payload: Array[Byte]): Unit = {
+      require(payload.length < 255 * 255)
+      val nSegs = payload.length / 255 + 1
+      val page = new Array[Byte](27 + nSegs + payload.length)
+      page(0) = 'O'; page(1) = 'g'; page(2) = 'g'; page(3) = 'S'
+      page(5) = hType.toByte
+      var g = granule
+      var i = 0
+      while (i < 8) { page(6 + i) = (g & 0xff).toByte; g >>= 8; i += 1 }
+      // serial stays 0 (single logical stream); page sequence LE
+      page(18) = seq.toByte; page(19) = (seq >> 8).toByte
+      page(20) = (seq >> 16).toByte; page(21) = (seq >> 24).toByte
+      page(26) = nSegs.toByte
+      i = 0
+      while (i < nSegs - 1) { page(27 + i) = 0xff.toByte; i += 1 }
+      page(27 + nSegs - 1) = (payload.length % 255).toByte
+      payload.copyToArray(page, 27 + nSegs)
+      val crc = oggCrc(page, 0, page.length, 22, 26)
+      page(22) = crc.toByte; page(23) = (crc >> 8).toByte
+      page(24) = (crc >> 16).toByte; page(25) = (crc >> 24).toByte
+      out.write(page, 0, page.length)
+      seq += 1
+    }
+    val head = new java.io.ByteArrayOutputStream()
+    head.write("OpusHead".getBytes("ISO-8859-1"))
+    head.write(1); head.write(channels)
+    head.write(preskip & 0xff); head.write((preskip >> 8) & 0xff)
+    var r = inputRate
+    (0 until 4).foreach { _ => head.write((r & 0xff).toInt); r >>= 8 }
+    head.write(0); head.write(0) // output gain
+    head.write(0) // mapping family 0
+    page(0x02, 0L, head.toByteArray) // BOS
+    val tags = "OpusTags".getBytes("ISO-8859-1") ++
+      Array[Byte](0, 0, 0, 0) ++ Array[Byte](0, 0, 0, 0) // empty vendor, 0 comments
+    page(0x00, 0L, tags) // RFC 7845: header pages carry granule 0
+    var pageNo = 1
+    while (pageNo <= nAudioPages) {
+      val body = Array.tabulate(40 + pageNo % 60)(i => ((i * 73 + pageNo * 31) & 0xff).toByte)
+      val eos = if (pageNo == nAudioPages) 0x04 else 0x00
+      page(eos, preskip.toLong + samplesPerPage * pageNo, body)
+      pageNo += 1
+    }
+    out.toByteArray
+  }
+
   /** Synthesize an ISO-BMFF tree for the probe gate: ftyp + moov
     * [mvhd(version 0|1) + per-track trak/mdia/(hdlr,minf/stbl/stsd)] +
     * mdat filler. Structurally valid; the sample entries carry no real

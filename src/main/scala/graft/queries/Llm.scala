@@ -1988,6 +1988,7 @@ object Llm {
     "q_png_adam7_decode" -> (pngAdam7Decode _),
     "q_mp3_probe" -> (mp3Probe _),
     "q_mp4_probe" -> (mp4Probe _),
+    "q_ogg_probe" -> (oggProbe _),
     "q_wav_wide" -> (wavWide _),
     "q_g711_decode" -> (g711Decode _),
     "q_media_zoo" -> (mediaZoo _),
@@ -2902,6 +2903,61 @@ object Llm {
       |  CASE WHEN ks.k % 13 <> 0
       |    THEN round(CAST(a.tot AS DOUBLE) / a.n, 6) END AS mean_pcm
       |FROM ks LEFT JOIN agg a ON a.k = ks.k
+      |ORDER BY media_id""".stripMargin
+
+  /** Ogg/Opus container probe under the oracle — the third container
+    * probe (after MP3 frames and MP4 boxes) and the only one with REAL
+    * per-page integrity: every Ogg page carries an RFC 3533 CRC-32, so
+    * the corruption arm here flips a byte in the MIDDLE of the stream
+    * (not a truncation) and the walk must refuse on checksum, the
+    * property the frame/box probes cannot offer. Duration derives from
+    * the final page's 48 kHz granule position minus the OpusHead
+    * preskip; the Opus audio itself stays behind the decoder seam. */
+  def oggProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.MediaCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val preskip = (k % 400).toInt
+      val step = 960L * (1 + k % 8)
+      val nAudio = (2 + k % 9).toInt
+      val bytes = MediaCodec.encodeOggOpus((1 + k % 2).toInt, preskip,
+        8000L * (1 + k % 5), step, nAudio)
+      val payload = if (k % 13 == 0) {
+        val t = bytes.clone(); t(t.length / 2) = (t(t.length / 2) ^ 0x40).toByte; t
+      } else bytes
+      MediaCodec.oggOpusProbe(payload) match {
+        case Some((ch, ps, rate, lastGranule, nPages)) =>
+          (k, true, Some(ch), Some(ps), Some(rate), Some(nPages),
+            Some((lastGranule - ps).toDouble / 48000))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int], None: Option[Long],
+            None: Option[Int], None: Option[Double])
+      }
+    }.toDF("media_id", "ogg_ok", "channels", "pre_skip", "input_rate", "n_pages", "dur")
+    decoded.select($"media_id", $"ogg_ok", $"channels", $"pre_skip",
+      $"input_rate", $"n_pages", round($"dur", 6).as("duration_s"))
+      .orderBy($"media_id")
+  }
+
+  /** The probed facts from the synthesis formulas: channels 1 + k mod
+    * 2, preskip k mod 400, input rate 8000·(1 + k mod 5), pages = 2
+    * headers + (2 + k mod 9) audio, duration = audioPages·960·(1 + k
+    * mod 8)/48000 (the granule clock runs at 48 kHz regardless of the
+    * input rate — an Opus-specific fact the probe must encode). */
+  val oggProbeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |dims AS (
+      |  SELECT k, CAST(2 + k % 9 AS BIGINT) AS na, 960 * (1 + k % 8) AS step
+      |  FROM ks)
+      |SELECT d.k AS media_id, (d.k % 13 <> 0) AS ogg_ok,
+      |  CASE WHEN d.k % 13 <> 0 THEN CAST(1 + d.k % 2 AS INTEGER) END AS channels,
+      |  CASE WHEN d.k % 13 <> 0 THEN CAST(d.k % 400 AS INTEGER) END AS pre_skip,
+      |  CASE WHEN d.k % 13 <> 0 THEN CAST(8000 * (1 + d.k % 5) AS BIGINT) END AS input_rate,
+      |  CASE WHEN d.k % 13 <> 0 THEN CAST(2 + d.na AS INTEGER) END AS n_pages,
+      |  CASE WHEN d.k % 13 <> 0
+      |    THEN round(CAST(d.na * d.step AS DOUBLE) / 48000, 6) END AS duration_s
+      |FROM dims d
       |ORDER BY media_id""".stripMargin
 
   /** G.711 companded audio under the oracle (the telephony/VoIP arm of
@@ -3989,6 +4045,7 @@ object Llm {
     "q_png_adam7_decode" -> pngAdam7DecodeSql,
     "q_mp3_probe" -> mp3ProbeSql,
     "q_mp4_probe" -> mp4ProbeSql,
+    "q_ogg_probe" -> oggProbeSql,
     "q_wav_wide" -> wavWideSql,
     "q_g711_decode" -> g711DecodeSql,
     "q_media_zoo" -> mediaZooSql,

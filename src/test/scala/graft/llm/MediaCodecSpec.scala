@@ -347,6 +347,34 @@ class MediaCodecSpec extends SparkTestBase {
     }
   }
 
+  test("ogg/opus probe: page walk, CRC integrity, granule duration, refusals") {
+    val ogg = MediaCodec.encodeOggOpus(channels = 2, preskip = 312,
+      inputRate = 48000L, samplesPerPage = 960L, nAudioPages = 5)
+    assert(MediaCodec.oggOpusProbe(ogg).contains(
+      (2, 312, 48000L, 312L + 960L * 5, 7)))
+    // EVERY single-byte tamper refuses — the page CRC covers all bytes
+    var silent = 0
+    (0 until ogg.length).foreach { i =>
+      val t = ogg.clone(); t(i) = (t(i) ^ 0x20).toByte
+      if (MediaCodec.oggOpusProbe(t).nonEmpty) silent += 1
+    }
+    assert(silent == 0, s"$silent tampered ogg streams probed without refusal")
+    // truncation refuses (cut payload / missing EOS)
+    (1 to 5).foreach(d => assert(MediaCodec.oggOpusProbe(ogg.dropRight(d)).isEmpty))
+    // a stream whose last page lacks EOS refuses: drop the final EOS page
+    // exactly (pages are self-delimiting, earlier CRCs stay valid)
+    var lastStart = -1
+    (0 until ogg.length - 3).foreach { i =>
+      if (ogg(i) == 'O' && ogg(i + 1) == 'g' && ogg(i + 2) == 'g' && ogg(i + 3) == 'S')
+        lastStart = i
+    }
+    assert(lastStart > 0)
+    assert(MediaCodec.oggOpusProbe(ogg.take(lastStart)).isEmpty)
+    // mono, different pacing
+    assert(MediaCodec.oggOpusProbe(MediaCodec.encodeOggOpus(1, 0, 16000L, 2880L, 1))
+      .contains((1, 0, 16000L, 2880L, 3)))
+  }
+
   test("mp4 probe: box walk, v0/v1 mvhd, track census, refusals") {
     val av = MediaCodec.encodeMp4Boxes(600, 15000,
       Seq(("vide", "avc1"), ("soun", "mp4a")), mvhdV1 = false, mdatBytes = 32)
