@@ -45,9 +45,6 @@ object GifCodec {
     b(0x2c) // image descriptor
     u16(0); u16(0); u16(w); u16(h)
     b(if (interlaced) 0x40 else 0x00)
-    // LZW, min code size 8
-    val minCode = 8
-    b(minCode)
     val rows: Seq[Int] =
       if (!interlaced) 0 until h
       else Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap { case (start, step) =>
@@ -62,7 +59,21 @@ object GifCodec {
         oi += 1; x += 1
       }
     }
-    // LZW compress with variable code width
+    writeLzwImageData(out, indices)
+    b(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Min-code byte + LZW-compressed, sub-block-framed image data +
+    * block terminator (shared by the still and animated encoders).
+    * Variable code width under the LATE-change convention (what the
+    * JDK's GIFImageWriter/Reader pair implements, verified empirically:
+    * an early-change stream desyncs ImageIO at exactly the first
+    * 2^width boundary); Clear + dictionary rebuild at the 4096 cap. */
+  private def writeLzwImageData(out: java.io.ByteArrayOutputStream,
+                                indices: Array[Int]): Unit = {
+    val minCode = 8
+    out.write(minCode)
     val clear = 1 << minCode
     val eoi = clear + 1
     val data = new java.io.ByteArrayOutputStream()
@@ -78,7 +89,7 @@ object GifCodec {
     var width = minCode + 1
     putCode(clear, width)
     var prefix = -1
-    i = 0
+    var i = 0
     while (i < indices.length) {
       val c = indices(i)
       if (prefix == -1) prefix = c
@@ -88,12 +99,6 @@ object GifCodec {
           putCode(prefix, width)
           dict((prefix, c)) = nextCode
           nextCode += 1
-          // LATE-change convention (what the JDK's GIFImageWriter/
-          // Reader pair implements, verified empirically: an
-          // early-change stream desyncs ImageIO at exactly the first
-          // 2^width boundary): the width grows only once a code EQUAL
-          // to 2^width exists, i.e. when nextCode passes it. At the
-          // 4096 cap, emit Clear and rebuild.
           if (nextCode == (1 << width) + 1 && width < 12) width += 1
           else if (nextCode == 4096) {
             putCode(clear, width)
@@ -108,16 +113,173 @@ object GifCodec {
     if (prefix != -1) putCode(prefix, width)
     putCode(eoi, width)
     if (nbits > 0) data.write((acc & 0xff).toInt)
-    // sub-block framing
     val bytes = data.toByteArray
     var off = 0
     while (off < bytes.length) {
       val n = math.min(255, bytes.length - off)
-      b(n); out.write(bytes, off, n); off += n
+      out.write(n); out.write(bytes, off, n); off += n
     }
-    b(0x00) // block terminator
-    b(0x3b) // trailer
+    out.write(0x00) // block terminator
+  }
+
+  // ------------------------------------------------------------ animation
+
+  /** One animation frame: a rect at (x, y), palette indices from
+    * `idx(fx, fy)` over the FRAME's local coordinates, a delay in
+    * centiseconds, a disposal method (1 = keep, 2 = restore background,
+    * 3 = restore previous) and an optional transparent index (those
+    * pixels leave the canvas untouched). */
+  final case class GifFrame(x: Int, y: Int, w: Int, h: Int,
+                            idx: (Int, Int) => Int, delayCs: Int,
+                            disposal: Int, transparent: Int = -1)
+
+  /** Encode an animated GIF89a (global gray-ramp palette): one Graphic
+    * Control Extension + image descriptor + LZW data per frame. */
+  def encodeAnimated(w: Int, h: Int, bgIndex: Int,
+                     frames: Seq[GifFrame]): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, s"bad dims ${w}x$h")
+    require(frames.nonEmpty, "no frames")
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { b(v); b(v >> 8) }
+    "GIF89a".foreach(c => b(c.toInt))
+    u16(w); u16(h)
+    b(0xf7) // global color table, 8 bits/pixel, 256 entries
+    b(bgIndex); b(0) // background index, aspect
+    var i = 0
+    while (i < 256) { b(i); b(i); b(i); i += 1 } // gray ramp
+    frames.foreach { f =>
+      require(f.x >= 0 && f.y >= 0 && f.w > 0 && f.h > 0 &&
+        f.x + f.w <= w && f.y + f.h <= h, "frame rect outside screen")
+      require(f.disposal >= 0 && f.disposal <= 3, "bad disposal")
+      // Graphic Control Extension
+      b(0x21); b(0xf9); b(4)
+      b((f.disposal << 2) | (if (f.transparent >= 0) 1 else 0))
+      u16(f.delayCs)
+      b(if (f.transparent >= 0) f.transparent else 0)
+      b(0) // terminator
+      // image descriptor (no local palette, sequential)
+      b(0x2c); u16(f.x); u16(f.y); u16(f.w); u16(f.h); b(0x00)
+      val indices = new Array[Int](f.w * f.h)
+      var oi = 0
+      var fy = 0
+      while (fy < f.h) {
+        var fx = 0
+        while (fx < f.w) {
+          indices(oi) = math.max(0, math.min(255, f.idx(fx, fy)))
+          oi += 1; fx += 1
+        }
+        fy += 1
+      }
+      writeLzwImageData(out, indices)
+    }
+    b(0x3b)
     out.toByteArray
+  }
+
+  /** Decode an animated GIF WITH compositing: each output frame is the
+    * full logical screen after drawing that image — transparency leaves
+    * the canvas, disposal 2 restores the frame rect to the background
+    * color, disposal 3 restores the pre-draw canvas. Returns (screen w,
+    * screen h, per-frame (delayCs, RGB row-major canvas)). Scope: 8-bit
+    * global palette, sequential frames (the JDK reader's interlaced-
+    * animation bug makes interlace + animation untestable against an
+    * independent decoder); local palettes and malformed streams refuse. */
+  def decodeAnimated(bts: Array[Byte]): Option[(Int, Int, Seq[(Int, Array[Int])])] = try {
+    if (bts == null || bts.length < 13) return None
+    val sig = new String(bts, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    def u8(i: Int): Int = bts(i) & 0xff
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    var p = 6
+    val sw = u16(p); val sh = u16(p + 2); p += 4
+    val flags = u8(p); val bgIdx = u8(p + 1); p += 3
+    if (sw <= 0 || sh <= 0 || sw.toLong * sh > (1L << 24)) return None
+    if ((flags & 0x80) == 0) return None // animation needs the global table
+    val n = 2 << (flags & 7)
+    val ct = Array.tabulate(n)(i =>
+      (u8(p + 3 * i) << 16) | (u8(p + 3 * i + 1) << 8) | u8(p + 3 * i + 2))
+    p += 3 * n
+    require(bgIdx < ct.length, "background index outside palette")
+    val bgRgb = ct(bgIdx)
+    val canvas = new Array[Int](sw * sh)
+    java.util.Arrays.fill(canvas, bgRgb)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Int])]
+    var delayCs = 0
+    var disposal = 0
+    var transparent = -1
+    var sawTrailer = false
+    while (p < bts.length && !sawTrailer) {
+      u8(p) match {
+        case 0x3b => sawTrailer = true; p += 1
+        case 0x21 =>
+          if (u8(p + 1) == 0xf9) { // Graphic Control Extension
+            require(u8(p + 2) == 4, "bad GCE size")
+            val packed = u8(p + 3)
+            disposal = (packed >> 2) & 0x7
+            require(disposal <= 3, "reserved disposal method")
+            delayCs = u16(p + 4)
+            transparent = if ((packed & 1) != 0) u8(p + 6) else -1
+            require(u8(p + 7) == 0, "unterminated GCE")
+            p += 8
+          } else { // other extension: skip sub-blocks
+            p += 2
+            while (u8(p) != 0) p += u8(p) + 1
+            p += 1
+          }
+        case 0x2c =>
+          require(frames.length < 4096, "too many frames")
+          p += 1
+          val fx = u16(p); val fy = u16(p + 2)
+          val fw = u16(p + 4); val fh = u16(p + 6); p += 8
+          val iflags = u8(p); p += 1
+          require(fw > 0 && fh > 0 && fx + fw <= sw && fy + fh <= sh,
+            "frame rect outside screen")
+          require((iflags & 0x80) == 0, "local palettes out of scope for animation")
+          require((iflags & 0x40) == 0, "interlaced animation out of scope")
+          val minCode = u8(p); p += 1
+          require(minCode >= 2 && minCode <= 8, "bad LZW min code size")
+          val data = new java.io.ByteArrayOutputStream()
+          while (u8(p) != 0) {
+            val k = u8(p); p += 1
+            data.write(bts, p, k); p += k
+          }
+          p += 1
+          val outIdx = lzwDecode(data.toByteArray, minCode, fw * fh)
+          val pre = if (disposal == 3) canvas.clone() else null
+          var oi = 0
+          var y = 0
+          while (y < fh) {
+            var x = 0
+            while (x < fw) {
+              val idx = outIdx(oi)
+              require(idx < ct.length, "palette index out of range")
+              if (idx != transparent) canvas((fy + y) * sw + fx + x) = ct(idx)
+              oi += 1; x += 1
+            }
+            y += 1
+          }
+          frames += ((delayCs, canvas.clone()))
+          if (disposal == 2) {
+            var y2 = 0
+            while (y2 < fh) {
+              var x2 = 0
+              while (x2 < fw) {
+                canvas((fy + y2) * sw + fx + x2) = bgRgb
+                x2 += 1
+              }
+              y2 += 1
+            }
+          } else if (disposal == 3) System.arraycopy(pre, 0, canvas, 0, canvas.length)
+          delayCs = 0; disposal = 0; transparent = -1 // GCE applies to ONE image
+        case _ => return None
+      }
+    }
+    if (!sawTrailer || frames.isEmpty) None
+    else Some((sw, sh, frames.toSeq))
+  } catch {
+    case _: RuntimeException => None
+    case _: ArrayIndexOutOfBoundsException => None
   }
 
   // ------------------------------------------------------------ decoder
@@ -175,69 +337,7 @@ object GifCodec {
           }
           p += 1
           val comp = data.toByteArray
-          // LZW decompress
-          val clear = 1 << minCode
-          val eoi = clear + 1
-          val prefix = new Array[Int](4096)
-          val suffix = new Array[Int](4096)
-          val stack = new Array[Int](4097)
-          var nextCode = eoi + 1
-          var width = minCode + 1
-          var acc = 0L; var nbits = 0; var cp = 0
-          def readCode(): Int = {
-            while (nbits < width) {
-              if (cp >= comp.length) return -1
-              acc |= (comp(cp) & 0xffL) << nbits
-              cp += 1; nbits += 8
-            }
-            val c = (acc & ((1 << width) - 1)).toInt
-            acc >>= width; nbits -= width
-            c
-          }
-          val outIdx = new Array[Int](w * h)
-          var oi = 0
-          var prev = -1
-          var done = false
-          while (!done && oi < outIdx.length) {
-            val code = readCode()
-            if (code < 0) throw new IllegalArgumentException("LZW stream exhausted")
-            if (code == clear) {
-              nextCode = eoi + 1; width = minCode + 1; prev = -1
-            } else if (code == eoi) {
-              done = true
-            } else {
-              require(code < nextCode || (code == nextCode && prev >= 0),
-                "LZW code out of range")
-              var sp = 0
-              var cur = code
-              if (code == nextCode) { // KwKwK case
-                stack(sp) = firstOf(prefix, suffix, prev, clear); sp += 1
-                cur = prev
-              }
-              while (cur >= clear + 2) {
-                stack(sp) = suffix(cur); sp += 1
-                cur = prefix(cur)
-              }
-              stack(sp) = cur; sp += 1
-              // emit reversed
-              while (sp > 0) {
-                sp -= 1
-                if (oi < outIdx.length) { outIdx(oi) = stack(sp); oi += 1 }
-              }
-              if (prev >= 0 && nextCode < 4096) {
-                prefix(nextCode) = prev
-                suffix(nextCode) = firstOf(prefix, suffix, code, clear)
-                nextCode += 1
-                // late-change, mirroring the encoder: because the
-                // decoder's table lags the encoder's by exactly one
-                // entry, bumping when ITS nextCode reaches 2^width
-                // aligns with the encoder bumping at 2^width + 1
-                if (nextCode == (1 << width) && width < 12) width += 1
-              }
-              prev = code
-            }
-          }
-          require(oi == outIdx.length, s"LZW yielded $oi of ${outIdx.length} pixels")
+          val outIdx = lzwDecode(comp, minCode, w * h)
           // deinterlace
           val rows: Seq[Int] =
             if (!interlaced) 0 until h
@@ -268,6 +368,73 @@ object GifCodec {
   } catch {
     case _: RuntimeException => None
     case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  /** LZW decompress exactly nPixels palette indices (variable width,
+    * late-change convention mirroring the encoder: because the
+    * decoder's table lags the encoder's by exactly one entry, bumping
+    * when ITS nextCode reaches 2^width aligns with the encoder bumping
+    * at 2^width + 1). Throws on exhaustion/out-of-range codes. */
+  private def lzwDecode(comp: Array[Byte], minCode: Int, nPixels: Int): Array[Int] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    val stack = new Array[Int](4097)
+    var nextCode = eoi + 1
+    var width = minCode + 1
+    var acc = 0L; var nbits = 0; var cp = 0
+    def readCode(): Int = {
+      while (nbits < width) {
+        if (cp >= comp.length) return -1
+        acc |= (comp(cp) & 0xffL) << nbits
+        cp += 1; nbits += 8
+      }
+      val c = (acc & ((1 << width) - 1)).toInt
+      acc >>= width; nbits -= width
+      c
+    }
+    val outIdx = new Array[Int](nPixels)
+    var oi = 0
+    var prev = -1
+    var done = false
+    while (!done && oi < outIdx.length) {
+      val code = readCode()
+      if (code < 0) throw new IllegalArgumentException("LZW stream exhausted")
+      if (code == clear) {
+        nextCode = eoi + 1; width = minCode + 1; prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else {
+        require(code < nextCode || (code == nextCode && prev >= 0),
+          "LZW code out of range")
+        var sp = 0
+        var cur = code
+        if (code == nextCode) { // KwKwK case
+          stack(sp) = firstOf(prefix, suffix, prev, clear); sp += 1
+          cur = prev
+        }
+        while (cur >= clear + 2) {
+          stack(sp) = suffix(cur); sp += 1
+          cur = prefix(cur)
+        }
+        stack(sp) = cur; sp += 1
+        // emit reversed
+        while (sp > 0) {
+          sp -= 1
+          if (oi < outIdx.length) { outIdx(oi) = stack(sp); oi += 1 }
+        }
+        if (prev >= 0 && nextCode < 4096) {
+          prefix(nextCode) = prev
+          suffix(nextCode) = firstOf(prefix, suffix, code, clear)
+          nextCode += 1
+          if (nextCode == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    require(oi == outIdx.length, s"LZW yielded $oi of ${outIdx.length} pixels")
+    outIdx
   }
 
   /** First byte of the string a code expands to. */

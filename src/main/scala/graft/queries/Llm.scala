@@ -1981,6 +1981,7 @@ object Llm {
     "q_png_decode" -> (pngDecode _),
     "q_jpeg_decode" -> (jpegDecode _),
     "q_gif_decode" -> (gifDecode _),
+    "q_gif_anim" -> (gifAnim _),
     "q_png_palette_decode" -> (pngPaletteDecode _),
     "q_png16_decode" -> (png16Decode _),
     "q_jpeg_progressive" -> (jpegProgressive _),
@@ -3374,6 +3375,95 @@ object Llm {
       |FROM ks LEFT JOIN agg a ON a.k = ks.k
       |ORDER BY media_id""".stripMargin
 
+  /** Animated GIF under the oracle — real multi-frame COMPOSITING (the
+    * video-like arm of the raster family): per-key frame stacks with
+    * shrinking offset rects, per-frame transparency on odd frames
+    * (pixels whose index hits the transparent value leave the canvas),
+    * keep-disposal, and a background fill — encoded via
+    * [[graft.llm.GifCodec.encodeAnimated]] and decoded with
+    * [[graft.llm.GifCodec.decodeAnimated]]'s canvas compositing. The
+    * oracle recomputes the FINAL canvas per pixel as the last covering,
+    * non-transparent frame's value (arg_max over frames) with the
+    * background as fallback. Disposal 2/3 semantics are pinned against
+    * an independent naive compositor and ImageIO in GifCodecSpec; GIF
+    * carries no CRC, so the refusal arm is structural truncation. */
+  def gifAnim(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.GifCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val w = (10 + k % 9).toInt
+      val h = (10 + k % 7).toInt
+      val nf = (2 + k % 4).toInt
+      val frames = (0 until nf).map { f =>
+        GifCodec.GifFrame(f, f, w - 2 * f, h - 2 * f,
+          (x, y) => ((k * 7 + f * 31 + (f + x) * 5 + (f + y) * 11) % 256).toInt,
+          delayCs = (4 + (k + f) % 10).toInt, disposal = 1,
+          transparent = if (f % 2 == 1) 17 else -1)
+      }
+      val bytes = GifCodec.encodeAnimated(w, h, (k % 256).toInt, frames)
+      val payload = if (k % 13 == 0) bytes.dropRight(5) else bytes
+      GifCodec.decodeAnimated(payload) match {
+        case Some((gw, gh, got)) =>
+          val last = got.last._2
+          var tot = 0L
+          last.foreach(v => tot += (v & 0xff))
+          (k, true, Some(got.length), Some(gw), Some(gh),
+            Some(got.map(_._1.toLong).sum), Some(tot.toDouble / last.length))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Long], None: Option[Double])
+      }
+    }.toDF("media_id", "gif_ok", "n_frames", "w", "h", "delay_cs", "m0")
+    decoded.select($"media_id", $"gif_ok", $"n_frames", $"w", $"h",
+      $"delay_cs", round($"m0", 6).as("mean_final"))
+      .orderBy($"media_id")
+  }
+
+  /** Final-canvas rule restated: pixel (x, y) shows frame f's value
+    * v = ((7k + 31f + 5(x) + 11(y)) mod 256) for the LARGEST f with
+    * f ≤ x < w−f, f ≤ y < h−f and not (f odd and v = 17); else the
+    * background k mod 256. Delays sum 4 + (k+f) mod 10. */
+  val gifAnimSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |dims AS (
+      |  SELECT k, CAST(10 + k % 9 AS BIGINT) AS w, CAST(10 + k % 7 AS BIGINT) AS h,
+      |    CAST(2 + k % 4 AS BIGINT) AS nf
+      |  FROM ks),
+      |px AS (
+      |  SELECT d.k, d.w, d.h, d.nf, gx.g AS x, gy.g AS y
+      |  FROM dims d, generate_series(0, 18) gx(g), generate_series(0, 16) gy(g)
+      |  WHERE gx.g < d.w AND gy.g < d.h AND d.k % 13 <> 0),
+      |vis AS (
+      |  SELECT p.k, p.x, p.y, f.g AS f,
+      |    (p.k * 7 + f.g * 31 + p.x * 5 + p.y * 11) % 256 AS v
+      |  FROM px p, generate_series(0, 4) f(g)
+      |  WHERE f.g < p.nf
+      |    AND f.g <= p.x AND p.x < p.w - f.g
+      |    AND f.g <= p.y AND p.y < p.h - f.g
+      |    AND NOT (f.g % 2 = 1 AND
+      |      (p.k * 7 + f.g * 31 + p.x * 5 + p.y * 11) % 256 = 17)),
+      |top AS (
+      |  SELECT k, x, y, arg_max(v, f) AS v FROM vis GROUP BY k, x, y),
+      |cells AS (
+      |  SELECT p.k, COALESCE(t.v, p.k % 256) AS v
+      |  FROM px p LEFT JOIN top t ON t.k = p.k AND t.x = p.x AND t.y = p.y),
+      |agg AS (
+      |  SELECT k, round(avg(CAST(v AS DOUBLE)), 6) AS m0 FROM cells GROUP BY k),
+      |del AS (
+      |  SELECT d.k, CAST(SUM(4 + (d.k + f.g) % 10) AS BIGINT) AS delay_cs
+      |  FROM dims d, generate_series(0, 4) f(g) WHERE f.g < d.nf GROUP BY d.k)
+      |SELECT d.k AS media_id, (d.k % 13 <> 0) AS gif_ok,
+      |  CASE WHEN d.k % 13 <> 0 THEN CAST(d.nf AS INTEGER) END AS n_frames,
+      |  CASE WHEN d.k % 13 <> 0 THEN CAST(d.w AS INTEGER) END AS w,
+      |  CASE WHEN d.k % 13 <> 0 THEN CAST(d.h AS INTEGER) END AS h,
+      |  CASE WHEN d.k % 13 <> 0 THEN dl.delay_cs END AS delay_cs,
+      |  a.m0 AS mean_final
+      |FROM dims d
+      |LEFT JOIN agg a ON a.k = d.k
+      |LEFT JOIN del dl ON dl.k = d.k AND d.k % 13 <> 0
+      |ORDER BY media_id""".stripMargin
+
   /** Multimodal plumbing end-to-end under the oracle: media rows
     * synthesized in-plan from the part table (kind cycles image/audio/
     * video; every 7th payload null; videos carry a keyed duration), then
@@ -4038,6 +4128,7 @@ object Llm {
     "q_png_decode" -> pngDecodeSql,
     "q_jpeg_decode" -> jpegDecodeSql,
     "q_gif_decode" -> gifDecodeSql,
+    "q_gif_anim" -> gifAnimSql,
     "q_png_palette_decode" -> pngPaletteDecodeSql,
     "q_png16_decode" -> png16DecodeSql,
     "q_jpeg_progressive" -> jpegProgressiveSql,

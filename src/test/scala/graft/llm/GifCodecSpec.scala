@@ -146,6 +146,85 @@ class GifCodecSpec extends AnyFunSuite {
       info.meanC2.contains(77.0))
   }
 
+  test("animated GIF: compositing with transparency and all disposal methods") {
+    import GifCodec.GifFrame
+    val f0 = GifFrame(0, 0, 4, 3, (_, _) => 10, delayCs = 5, disposal = 1)
+    val f1 = GifFrame(1, 1, 2, 1, (fx, _) => if (fx == 0) 60 else 77,
+      delayCs = 7, disposal = 2, transparent = 77)
+    val f2 = GifFrame(0, 0, 2, 2, (fx, fy) => 90 + fx + fy, delayCs = 3, disposal = 3)
+    val f3 = GifFrame(3, 2, 1, 1, (_, _) => 5, delayCs = 9, disposal = 1)
+    val bytes = GifCodec.encodeAnimated(4, 3, bgIndex = 200, Seq(f0, f1, f2, f3))
+    val (w, h, frames) = GifCodec.decodeAnimated(bytes).get
+    assert(w == 4 && h == 3 && frames.length == 4)
+    assert(frames.map(_._1) == Seq(5, 7, 3, 9))
+    def g(v: Int) = (v << 16) | (v << 8) | v
+    // after f0: full-screen 10
+    assert(frames(0)._2.forall(_ == g(10)))
+    // f1: (1,1) drawn 60, (2,1) transparent -> canvas keeps 10
+    val c1 = frames(1)._2
+    assert(c1(1 * 4 + 1) == g(60) && c1(1 * 4 + 2) == g(10))
+    // f1's disposal 2 restored its rect to bg(200) before f2 drew (0,0,2,2)
+    val c2 = frames(2)._2
+    assert(c2(0) == g(90) && c2(1) == g(91) && c2(4) == g(91) && c2(5) == g(92))
+    assert(c2(1 * 4 + 2) == g(200))
+    // f2's disposal 3 restored the pre-f2 canvas before f3 drew (3,2)
+    val c3 = frames(3)._2
+    assert(c3(0) == g(10) && c3(5) == g(200) && c3(1 * 4 + 2) == g(200))
+    assert(c3(2 * 4 + 3) == g(5))
+    // truncation never throws; a cut stream (no trailer) refuses
+    (0 until bytes.length).foreach(k => GifCodec.decodeAnimated(bytes.take(k)))
+    assert(GifCodec.decodeAnimated(bytes.dropRight(2)).isEmpty)
+    // ImageIO cross-check: the JDK's independent reader agrees on frame
+    // count, screen dims and the first-frame raster
+    val rdr = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
+    rdr.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    assert(rdr.getNumImages(true) == 4)
+    val img0 = rdr.read(0)
+    assert(img0.getWidth == 4 && img0.getHeight == 3)
+    assert((img0.getRGB(2, 2) & 0xffffff) == g(10))
+    rdr.dispose()
+  }
+
+  test("animated GIF fuzz: random frame stacks round-trip against a naive compositor") {
+    import GifCodec.GifFrame
+    val rnd = new scala.util.Random(20260815L)
+    (0 until 40).foreach { _ =>
+      val w = 3 + rnd.nextInt(14); val h = 3 + rnd.nextInt(12)
+      val bg = rnd.nextInt(256)
+      val nf = 1 + rnd.nextInt(6)
+      val frames = (0 until nf).map { _ =>
+        val fw = 1 + rnd.nextInt(w); val fh = 1 + rnd.nextInt(h)
+        val fx = rnd.nextInt(w - fw + 1); val fy = rnd.nextInt(h - fh + 1)
+        val seed = rnd.nextInt(1 << 20)
+        val tr = if (rnd.nextBoolean()) rnd.nextInt(256) else -1
+        GifFrame(fx, fy, fw, fh,
+          (x, y) => (seed + x * 31 + y * 57) % 256,
+          rnd.nextInt(100), 1 + rnd.nextInt(3), tr)
+      }
+      val bytes = GifCodec.encodeAnimated(w, h, bg, frames)
+      val (gw, gh, got) = GifCodec.decodeAnimated(bytes).get
+      assert(gw == w && gh == h && got.length == nf)
+      // naive reference compositor over palette indices
+      def g(v: Int) = (v << 16) | (v << 8) | v
+      var canvas = Array.fill(w * h)(g(bg))
+      frames.zipWithIndex.foreach { case (f, i) =>
+        val pre = canvas.clone()
+        for (y <- 0 until f.h; x <- 0 until f.w) {
+          val v = f.idx(x, y)
+          if (v != f.transparent)
+            canvas((f.y + y) * w + f.x + x) = g(v)
+        }
+        assert(got(i)._1 == f.delayCs)
+        assert(got(i)._2.sameElements(canvas), s"frame $i canvas mismatch")
+        if (f.disposal == 2) {
+          for (y <- 0 until f.h; x <- 0 until f.w)
+            canvas((f.y + y) * w + f.x + x) = g(bg)
+        } else if (f.disposal == 3) canvas = pre
+      }
+    }
+  }
+
   test("hostile inputs: giant claimed dims refuse without allocating; random bytes never throw") {
     // a descriptor claiming 65535x65535 would otherwise attempt a ~17 GB
     // raster allocation before the LZW data could fail
