@@ -1245,6 +1245,118 @@ object MediaCodec {
     case _: ArrayIndexOutOfBoundsException => None
   }
 
+  // ---- Y4M (YUV4MPEG2): raw planar video, fully decoded ------------------
+  //
+  // The one VIDEO format simple enough to own end-to-end: no entropy
+  // coding, just a parameter header line and raw planar frames — so
+  // unlike MP4/Ogg this is a real DECODE (every luma/chroma sample
+  // read), making frame-level stats and frame sampling exact. Public
+  // format (mjpegtools); colorspaces C420* (chroma at half resolution,
+  // the jpeg/mpeg2/paldv siting tags share one layout), C444 and Cmono.
+
+  /** Decoded Y4M: dims, fps ratio, colorspace tag, and per-frame raw
+    * planar payloads (Y then U then V planes, concatenated). */
+  final case class Y4m(w: Int, h: Int, fpsNum: Int, fpsDen: Int,
+                       colorspace: String, frames: Seq[Array[Byte]]) {
+    /** Mean of one frame's luma plane. */
+    def meanY(f: Int): Double = {
+      val n = w * h
+      var s = 0L
+      var i = 0
+      val fr = frames(f)
+      while (i < n) { s += fr(i) & 0xff; i += 1 }
+      s.toDouble / n
+    }
+  }
+
+  private def y4mFrameBytes(w: Int, h: Int, cs: String): Int = cs match {
+    case "mono" => w * h
+    case "444" => 3 * w * h
+    case _ => w * h + 2 * ((w / 2) * (h / 2)) // 420 family
+  }
+
+  /** Decode a YUV4MPEG2 stream. Refuses on missing/invalid W, H or F
+    * parameters, odd dimensions under 4:2:0, unsupported colorspaces,
+    * a truncated frame payload, or junk where a FRAME marker belongs. */
+  def y4mDecode(b: Array[Byte]): Option[Y4m] = try {
+    if (b == null || b.length < 10) return None
+    if (new String(b, 0, 9, "US-ASCII") != "YUV4MPEG2") return None
+    var p = 9
+    var w = -1; var h = -1; var fpsNum = -1; var fpsDen = -1
+    var cs = "420"
+    while (p < b.length && b(p) != '\n') {
+      require(b(p) == ' ', "malformed header parameter")
+      p += 1
+      val start = p
+      while (p < b.length && b(p) != ' ' && b(p) != '\n') p += 1
+      val param = new String(b, start, p - start, "US-ASCII")
+      require(param.nonEmpty, "empty header parameter")
+      param.charAt(0) match {
+        case 'W' => w = param.drop(1).toInt
+        case 'H' => h = param.drop(1).toInt
+        case 'F' =>
+          val parts = param.drop(1).split(":", -1)
+          require(parts.length == 2, "bad frame rate")
+          fpsNum = parts(0).toInt; fpsDen = parts(1).toInt
+        case 'C' =>
+          param.drop(1) match {
+            case "420" | "420jpeg" | "420mpeg2" | "420paldv" => cs = "420"
+            case "444" => cs = "444"
+            case "mono" => cs = "mono"
+            case other => throw new IllegalArgumentException(s"colorspace $other")
+          }
+        case 'I' | 'A' | 'X' => () // interlace/aspect/extension: ignored
+        case _ => throw new IllegalArgumentException("unknown header parameter")
+      }
+    }
+    require(p < b.length, "unterminated header")
+    p += 1
+    require(w > 0 && h > 0, "missing dimensions")
+    require(fpsNum > 0 && fpsDen > 0, "missing frame rate")
+    require(w.toLong * h <= (1L << 24), "frame too large")
+    if (cs == "420") require(w % 2 == 0 && h % 2 == 0, "odd dims under 4:2:0")
+    val frameLen = y4mFrameBytes(w, h, cs)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    while (p < b.length) {
+      require(p + 5 <= b.length &&
+        new String(b, p, 5, "US-ASCII") == "FRAME", "bad FRAME marker")
+      p += 5
+      while (p < b.length && b(p) != '\n') p += 1 // frame params: ignored
+      require(p < b.length, "unterminated FRAME line")
+      p += 1
+      require(p + frameLen <= b.length, "truncated frame payload")
+      frames += java.util.Arrays.copyOfRange(b, p, p + frameLen)
+      p += frameLen
+      require(frames.length <= 4096, "too many frames")
+    }
+    if (frames.isEmpty) None
+    else Some(Y4m(w, h, fpsNum, fpsDen, cs, frames.toSeq))
+  } catch {
+    case _: RuntimeException => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  /** Encode a YUV4MPEG2 stream from per-frame planar payloads (each
+    * already Y[+U+V] at the colorspace's plane sizes). */
+  def encodeY4m(w: Int, h: Int, fpsNum: Int, fpsDen: Int, cs: String,
+                frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty)
+    val csTag = cs match {
+      case "420" => "420jpeg"
+      case other => other
+    }
+    val frameLen = y4mFrameBytes(w, h, cs)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 C$csTag\n"
+      .getBytes("US-ASCII"))
+    frames.foreach { f =>
+      require(f.length == frameLen, s"frame payload ${f.length} != $frameLen")
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      out.write(f, 0, f.length)
+    }
+    out.toByteArray
+  }
+
   // ---- Ogg / Opus: page walk with real CRC (metadata only) ---------------
   //
   // Like MP3/MP4, the Opus audio decode (CELT/SILK hybrid) stays behind

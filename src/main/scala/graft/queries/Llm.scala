@@ -1990,6 +1990,7 @@ object Llm {
     "q_mp3_probe" -> (mp3Probe _),
     "q_mp4_probe" -> (mp4Probe _),
     "q_ogg_probe" -> (oggProbe _),
+    "q_y4m_decode" -> (y4mDecodeQ _),
     "q_wav_wide" -> (wavWide _),
     "q_g711_decode" -> (g711Decode _),
     "q_media_zoo" -> (mediaZoo _),
@@ -2959,6 +2960,80 @@ object Llm {
       |  CASE WHEN d.k % 13 <> 0
       |    THEN round(CAST(d.na * d.step AS DOUBLE) / 48000, 6) END AS duration_s
       |FROM dims d
+      |ORDER BY media_id""".stripMargin
+
+  /** Y4M raw video under the oracle — the one VIDEO format the engine
+    * decodes end-to-end (no entropy coding: parameter header + raw
+    * planar frames), so unlike the MP4/Ogg probes every luma sample is
+    * actually read and frame-level stats are exact. Colorspace cycles
+    * 4:4:4 / 4:2:0 / mono across keys (4:2:0 chroma planes at quarter
+    * size), frame counts and rates vary, and the luma mean across ALL
+    * frames is closed-form. Every 13th payload truncates mid-frame:
+    * the length walk refuses. */
+  def y4mDecodeQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.MediaCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val w = (2 * (4 + k % 6)).toInt
+      val h = (2 * (3 + k % 5)).toInt
+      val cs = (k % 3) match { case 0 => "444"; case 1 => "420"; case _ => "mono" }
+      val nf = (2 + k % 5).toInt
+      val fps = (24 + k % 6).toInt
+      val wh = w * h
+      val chroma = cs match { case "444" => wh; case "420" => wh / 4; case _ => 0 }
+      val frames = (0 until nf).map { f =>
+        val y = Array.tabulate(wh)(i => ((k * 3 + f * 17 + i * 7) % 256).toByte)
+        val u = Array.tabulate(chroma)(i => ((k + f * 5 + i * 3) % 256).toByte)
+        val v = Array.tabulate(chroma)(i => ((k * 11 + f + i) % 256).toByte)
+        y ++ u ++ v
+      }
+      val bytes = MediaCodec.encodeY4m(w, h, fps, 1, cs, frames)
+      val payload = if (k % 13 == 0) bytes.dropRight(3) else bytes
+      MediaCodec.y4mDecode(payload) match {
+        case Some(v) =>
+          var tot = 0L
+          v.frames.foreach { fr =>
+            var i = 0
+            while (i < wh) { tot += fr(i) & 0xff; i += 1 }
+          }
+          (k, true, Some(v.w), Some(v.h), Some(v.fpsNum), Some(v.frames.length),
+            Some(v.frames.length.toDouble * v.fpsDen / v.fpsNum),
+            Some(tot.toDouble / (v.frames.length.toLong * wh)))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Int], None: Option[Double], None: Option[Double])
+      }
+    }.toDF("media_id", "y4m_ok", "w", "h", "fps_num", "n_frames", "dur", "my")
+    decoded.select($"media_id", $"y4m_ok", $"w", $"h", $"fps_num", $"n_frames",
+      round($"dur", 6).as("duration_s"), round($"my", 6).as("mean_y"))
+      .orderBy($"media_id")
+  }
+
+  /** Luma restated: Y(f, i) = ((3k + 17f + 7i) mod 256) over i <
+    * w·h, f < nf; mean over all frames. Duration = nf/fps. */
+  val y4mDecodeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |dims AS (
+      |  SELECT k, CAST(2 * (4 + k % 6) AS BIGINT) AS w,
+      |    CAST(2 * (3 + k % 5) AS BIGINT) AS h,
+      |    CAST(2 + k % 5 AS BIGINT) AS nf, CAST(24 + k % 6 AS INTEGER) AS fps
+      |  FROM ks),
+      |luma AS (
+      |  SELECT d.k, (d.k * 3 + f.g * 17 + i.g * 7) % 256 AS v
+      |  FROM dims d, generate_series(0, 5) f(g), generate_series(0, 251) i(g)
+      |  WHERE f.g < d.nf AND i.g < d.w * d.h AND d.k % 13 <> 0),
+      |agg AS (
+      |  SELECT k, round(avg(CAST(v AS DOUBLE)), 6) AS my FROM luma GROUP BY k)
+      |SELECT d.k AS media_id, (d.k % 13 <> 0) AS y4m_ok,
+      |  CASE WHEN d.k % 13 <> 0 THEN CAST(d.w AS INTEGER) END AS w,
+      |  CASE WHEN d.k % 13 <> 0 THEN CAST(d.h AS INTEGER) END AS h,
+      |  CASE WHEN d.k % 13 <> 0 THEN d.fps END AS fps_num,
+      |  CASE WHEN d.k % 13 <> 0 THEN CAST(d.nf AS INTEGER) END AS n_frames,
+      |  CASE WHEN d.k % 13 <> 0
+      |    THEN round(CAST(d.nf AS DOUBLE) / d.fps, 6) END AS duration_s,
+      |  a.my AS mean_y
+      |FROM dims d LEFT JOIN agg a ON a.k = d.k
       |ORDER BY media_id""".stripMargin
 
   /** G.711 companded audio under the oracle (the telephony/VoIP arm of
@@ -4137,6 +4212,7 @@ object Llm {
     "q_mp3_probe" -> mp3ProbeSql,
     "q_mp4_probe" -> mp4ProbeSql,
     "q_ogg_probe" -> oggProbeSql,
+    "q_y4m_decode" -> y4mDecodeSql,
     "q_wav_wide" -> wavWideSql,
     "q_g711_decode" -> g711DecodeSql,
     "q_media_zoo" -> mediaZooSql,

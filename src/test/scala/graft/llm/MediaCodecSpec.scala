@@ -347,6 +347,41 @@ class MediaCodecSpec extends SparkTestBase {
     }
   }
 
+  test("y4m: header parse, all colorspaces, frame walk, refusals") {
+    def planes420(w: Int, h: Int, f: Int): Array[Byte] = {
+      val y = Array.tabulate(w * h)(i => ((f * 17 + i) % 256).toByte)
+      val u = Array.tabulate(w / 2 * (h / 2))(i => ((f + i * 3) % 256).toByte)
+      val v = Array.tabulate(w / 2 * (h / 2))(i => ((f * 5 + i) % 256).toByte)
+      y ++ u ++ v
+    }
+    val fs = (0 until 3).map(f => planes420(8, 6, f))
+    val b420 = MediaCodec.encodeY4m(8, 6, 30, 1, "420", fs)
+    val d = MediaCodec.y4mDecode(b420).get
+    assert(d.w == 8 && d.h == 6 && d.fpsNum == 30 && d.fpsDen == 1 &&
+      d.colorspace == "420")
+    assert(d.frames.length == 3 && d.frames(1).sameElements(fs(1)))
+    assert(d.meanY(0) == (0 until 48).map(i => i % 256).sum.toDouble / 48)
+    val f444 = Array.tabulate(3 * 4 * 4)(i => (i % 256).toByte)
+    val d444 = MediaCodec.y4mDecode(
+      MediaCodec.encodeY4m(4, 4, 24, 1, "444", Seq(f444))).get
+    assert(d444.colorspace == "444" && d444.frames.head.length == 48)
+    val dm = MediaCodec.y4mDecode(MediaCodec.encodeY4m(5, 3, 25, 2, "mono",
+      Seq(Array.tabulate(15)(_.toByte)))).get
+    assert(dm.colorspace == "mono" && dm.w == 5 && dm.fpsDen == 2)
+    // refusals: truncated payload; missing F; odd dims under 4:2:0;
+    // unsupported colorspace; junk where a FRAME marker belongs
+    assert(MediaCodec.y4mDecode(b420.dropRight(3)).isEmpty)
+    assert(MediaCodec.y4mDecode(
+      "YUV4MPEG2 W8 H6\nFRAME\n".getBytes("US-ASCII") ++ fs(0)).isEmpty)
+    assert(MediaCodec.y4mDecode(
+      ("YUV4MPEG2 W7 H6 F30:1 C420jpeg\nFRAME\n").getBytes("US-ASCII") ++
+        new Array[Byte](63)).isEmpty)
+    assert(MediaCodec.y4mDecode(
+      ("YUV4MPEG2 W8 H6 F30:1 C422\nFRAME\n").getBytes("US-ASCII") ++
+        new Array[Byte](96)).isEmpty)
+    assert(MediaCodec.y4mDecode(b420 ++ Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("ogg/opus probe: page walk, CRC integrity, granule duration, refusals") {
     val ogg = MediaCodec.encodeOggOpus(channels = 2, preskip = 312,
       inputRate = 48000L, samplesPerPage = 960L, nAudioPages = 5)
