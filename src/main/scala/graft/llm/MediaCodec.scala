@@ -48,8 +48,25 @@ object MediaCodec {
       decodeGif(bytes)
     else if (bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' && bytes(3) == 'C')
       decodeFlac(bytes)
+    else if ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 42 && bytes(3) == 0) ||
+      (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 && bytes(3) == 42))
+      decodeTiff(bytes)
     else None
   }
+
+  /** Baseline TIFF facts via [[TiffCodec.decode]] — same MediaInfo
+    * contract as the other raster arms. */
+  private def decodeTiff(b: Array[Byte]): Option[MediaInfo] =
+    TiffCodec.decode(b).map { case (w, h, ch, px) =>
+      val sums = new Array[Long](ch)
+      var i = 0
+      while (i < px.length) { sums(i % ch) += px(i); i += 1 }
+      val n = w.toLong * h
+      MediaInfo("tiff", Some(w), Some(h), Some(ch), None, None,
+        Some(sums(0).toDouble / n),
+        if (ch >= 3) Some(sums(1).toDouble / n) else None,
+        if (ch >= 3) Some(sums(2).toDouble / n) else None)
+    }
 
   /** FLAC facts via [[FlacCodec.decodeChannels]] — the compressed-audio
     * arm, same MediaInfo contract as WAV; stereo fills meanC0/meanC1. */

@@ -1,0 +1,304 @@
+package graft.llm
+
+/** Pure-JVM baseline TIFF codec — the tag-directory raster arm of the
+  * codec family (PNG brought chunk+DEFLATE, GIF brought LZW, JPEG
+  * brought entropy+DCT; TIFF brings the IFD tag walk and PackBits RLE,
+  * the layout most scanned-document corpora still arrive in).
+  *
+  * Scope (honest): single-IFD (first image of a multi-page file),
+  * both byte orders (II little / MM big), 8-bit BlackIsZero grayscale
+  * and 8-bit chunky RGB, strip-organized data (any RowsPerStrip),
+  * Compression 1 (none) and 32773 (PackBits). Unknown tags are skipped
+  * (the spec requires readers to); tiling, palettes, predictors,
+  * planar layout, other bit depths and other compressions refuse.
+  * TIFF carries no checksum, so the integrity arm is structural
+  * (strip bounds, counts, PackBits output length) — a refusal, never a
+  * silently wrong raster where the structure can catch it.
+  *
+  * Cross-validated both directions against the JDK's independent
+  * com.sun.imageio.plugins.tiff reader/writer (TiffCodecSpec).
+  *
+  * Reference behavior modeled: terra-bonobo-nodes hands raw image
+  * payloads through per-row transforms (common.py byte streams); this
+  * is the Spark-side decode-to-stats twin for TIFF inputs.
+  */
+object TiffCodec {
+
+  // ------------------------------------------------------------ encoder
+
+  /** Encode a baseline TIFF: `ch` = 1 (gray) or 3 (RGB), `pixel(x, y)`
+    * returns the gray value or packed 0xRRGGBB. */
+  def encode(w: Int, h: Int, ch: Int, pixel: (Int, Int) => Int,
+             littleEndian: Boolean = true, packBits: Boolean = false,
+             rowsPerStrip: Int = 8): Array[Byte] = {
+    require(w > 0 && h > 0 && (ch == 1 || ch == 3))
+    require(rowsPerStrip > 0)
+    val rowBytes = w * ch
+    val raw = new Array[Byte](rowBytes * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = pixel(x, y)
+        if (ch == 1) raw(y * rowBytes + x) = (v & 0xff).toByte
+        else {
+          raw(y * rowBytes + x * 3) = ((v >> 16) & 0xff).toByte
+          raw(y * rowBytes + x * 3 + 1) = ((v >> 8) & 0xff).toByte
+          raw(y * rowBytes + x * 3 + 2) = (v & 0xff).toByte
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
+    val strips = (0 until nStrips).map { s =>
+      val from = s * rowsPerStrip * rowBytes
+      val until = math.min(h, (s + 1) * rowsPerStrip) * rowBytes
+      val strip = java.util.Arrays.copyOfRange(raw, from, until)
+      if (packBits) packBitsEncode(strip) else strip
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit =
+      if (littleEndian) { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      else { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def u32(v: Int): Unit =
+      if (littleEndian) { u16(v & 0xffff); u16(v >>> 16) }
+      else { u16(v >>> 16); u16(v & 0xffff) }
+    // header
+    if (littleEndian) { out.write('I'); out.write('I') }
+    else { out.write('M'); out.write('M') }
+    u16(42)
+    u32(8) // first IFD right after the header
+    // IFD: entries must be ascending by tag
+    val entries = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
+    // (tag, type, count, value-or-offset)
+    val nEntries = 9 // 256,257,258,259,262,273,277,278,279
+    val ifdSize = 2 + nEntries * 12 + 4
+    var extraOff = 8 + ifdSize // extra value areas follow the IFD
+    val extraWrites = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def extraArea(bytes: Array[Byte]): Int = {
+      val off = extraOff
+      extraWrites += bytes
+      extraOff += bytes.length
+      off
+    }
+    entries += ((256, 4, 1, w))
+    entries += ((257, 4, 1, h))
+    if (ch == 3) {
+      // BitsPerSample [8,8,8] does not fit inline: point into an extra area
+      val bps = new java.io.ByteArrayOutputStream()
+      (0 until 3).foreach { _ =>
+        if (littleEndian) { bps.write(8); bps.write(0) } else { bps.write(0); bps.write(8) }
+      }
+      val off = extraArea(bps.toByteArray)
+      entries += ((258, 3, 3, off))
+    } else entries += ((258, 3, 1, 8))
+    entries += ((259, 3, 1, if (packBits) 32773 else 1))
+    entries += ((262, 3, 1, if (ch == 3) 2 else 1)) // photometric
+    // strip offsets/counts: LONG arrays (or inline when a single strip)
+    val stripDataStart = {
+      // strip offset/count arrays land in extra areas when nStrips > 1
+      var off = extraOff
+      if (nStrips > 1) off += 8 * nStrips
+      off
+    }
+    val stripOffsets = new Array[Int](nStrips)
+    var acc = stripDataStart
+    (0 until nStrips).foreach { s => stripOffsets(s) = acc; acc += strips(s).length }
+    def longArray(vals: Array[Int]): Array[Byte] = {
+      val bb = new java.io.ByteArrayOutputStream()
+      vals.foreach { v =>
+        if (littleEndian) {
+          bb.write(v & 0xff); bb.write((v >> 8) & 0xff)
+          bb.write((v >> 16) & 0xff); bb.write((v >> 24) & 0xff)
+        } else {
+          bb.write((v >> 24) & 0xff); bb.write((v >> 16) & 0xff)
+          bb.write((v >> 8) & 0xff); bb.write(v & 0xff)
+        }
+      }
+      bb.toByteArray
+    }
+    if (nStrips == 1) entries += ((273, 4, 1, stripOffsets(0)))
+    else entries += ((273, 4, nStrips, extraArea(longArray(stripOffsets))))
+    entries += ((277, 3, 1, ch))
+    entries += ((278, 4, 1, rowsPerStrip))
+    if (nStrips == 1) entries += ((279, 4, 1, strips(0).length))
+    else entries += ((279, 4, nStrips, extraArea(longArray(strips.map(_.length).toArray))))
+    require(entries.length == nEntries)
+    u16(nEntries)
+    entries.sortBy(_._1).foreach { case (tag, typ, count, value) =>
+      u16(tag); u16(typ); u32(count)
+      if (typ == 3 && count == 1) { u16(value); u16(0) } // SHORT packs left-justified
+      else u32(value)
+    }
+    u32(0) // no next IFD
+    extraWrites.foreach(bts => out.write(bts, 0, bts.length))
+    strips.foreach(s2 => out.write(s2, 0, s2.length))
+    out.toByteArray
+  }
+
+  /** PackBits (TIFF §9): literal runs and repeat runs, 128-byte cap. */
+  def packBitsEncode(src: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < src.length) {
+      // find a repeat run
+      var run = 1
+      while (i + run < src.length && run < 128 && src(i + run) == src(i)) run += 1
+      if (run >= 2) {
+        out.write(257 - run) // -(run-1) as unsigned byte
+        out.write(src(i))
+        i += run
+      } else {
+        // literal run until the next ≥2 repeat (or cap)
+        val start = i
+        i += 1
+        var lit = 1
+        while (i < src.length && lit < 128 &&
+          !(i + 1 < src.length && src(i + 1) == src(i))) { i += 1; lit += 1 }
+        out.write(lit - 1)
+        out.write(src, start, lit)
+      }
+    }
+    out.toByteArray
+  }
+
+  /** PackBits decode with an exact expected length — short or long
+    * output refuses. */
+  def packBitsDecode(src: Array[Byte], expect: Int): Array[Byte] = {
+    val out = new Array[Byte](expect)
+    var i = 0
+    var o = 0
+    while (i < src.length && o < expect) {
+      val n = src(i); i += 1
+      if (n >= 0) {
+        val cnt = n + 1
+        require(i + cnt <= src.length && o + cnt <= expect, "packbits literal overrun")
+        System.arraycopy(src, i, out, o, cnt)
+        i += cnt; o += cnt
+      } else if (n != -128) {
+        val cnt = 1 - n
+        require(i < src.length && o + cnt <= expect, "packbits run overrun")
+        java.util.Arrays.fill(out, o, o + cnt, src(i))
+        i += 1; o += cnt
+      } // -128: noop
+    }
+    require(o == expect, s"packbits yielded $o of $expect bytes")
+    out
+  }
+
+  // ------------------------------------------------------------ decoder
+
+  /** Decode the first IFD: Some((w, h, channels, row-major samples —
+    * gray or interleaved RGB)) or None for corrupt / out-of-scope. */
+  def decode(b: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = try {
+    if (b == null || b.length < 8) return None
+    val le =
+      if (b(0) == 'I' && b(1) == 'I') true
+      else if (b(0) == 'M' && b(1) == 'M') false
+      else return None
+    def u16(p: Int): Int = {
+      val a = b(p) & 0xff; val c = b(p + 1) & 0xff
+      if (le) a | (c << 8) else (a << 8) | c
+    }
+    def u32(p: Int): Long = {
+      val a = u16(p).toLong; val c = u16(p + 2).toLong
+      if (le) a | (c << 16) else (a << 16) | c
+    }
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    require(ifd >= 8 && ifd + 2 <= b.length, "IFD offset out of bounds")
+    val p0 = ifd.toInt
+    val n = u16(p0)
+    require(p0 + 2 + n * 12 + 4 <= b.length, "IFD overruns file")
+    var w = -1; var h = -1; var bitsOk = true; var compression = 1
+    var photometric = -1; var spp = 1; var rowsPerStrip = Int.MaxValue
+    var planarOk = true; var predictorOk = true
+    var stripOffsets: Array[Long] = null
+    var stripCounts: Array[Long] = null
+    def values(p: Int): Array[Long] = {
+      val typ = u16(p + 2)
+      val count = u32(p + 4)
+      require(count >= 1 && count <= (1 << 20), "tag count out of range")
+      val sz = typ match {
+        case 1 => 1 // BYTE
+        case 3 => 2 // SHORT
+        case 4 => 4 // LONG
+        case _ => throw new IllegalArgumentException(s"unsupported tag type $typ")
+      }
+      val total = sz * count
+      val base = if (total <= 4) p + 8 else {
+        val off = u32(p + 8)
+        require(off + total <= b.length, "tag values out of bounds")
+        off.toInt
+      }
+      Array.tabulate(count.toInt) { i =>
+        typ match {
+          case 1 => (b(base + i) & 0xff).toLong
+          case 3 => u16(base + 2 * i).toLong
+          case 4 => u32(base + 4 * i)
+        }
+      }
+    }
+    var e = 0
+    while (e < n) {
+      val p = p0 + 2 + e * 12
+      val tag = u16(p)
+      tag match {
+        case 256 => w = values(p)(0).toInt
+        case 257 => h = values(p)(0).toInt
+        case 258 => bitsOk = values(p).forall(_ == 8L)
+        case 259 => compression = values(p)(0).toInt
+        case 262 => photometric = values(p)(0).toInt
+        case 273 => stripOffsets = values(p)
+        case 277 => spp = values(p)(0).toInt
+        case 278 => rowsPerStrip = values(p)(0).toInt
+        case 279 => stripCounts = values(p)
+        case 284 => planarOk = values(p)(0) == 1L
+        case 317 => predictorOk = values(p)(0) == 1L
+        case _ => () // unknown tags are skipped per spec
+      }
+      e += 1
+    }
+    require(w > 0 && h > 0, "missing dimensions")
+    require(w.toLong * h <= (1L << 26), "raster too large")
+    require(bitsOk, "only 8 bits per sample")
+    require(compression == 1 || compression == 32773, "unsupported compression")
+    require(photometric == 1 || photometric == 2, "unsupported photometric")
+    require(planarOk, "planar layout unsupported")
+    require(predictorOk, "predictor unsupported")
+    val ch = if (photometric == 2) 3 else 1
+    require(spp == ch, "samples/photometric mismatch")
+    require(stripOffsets != null && stripCounts != null, "missing strips")
+    require(stripOffsets.length == stripCounts.length, "strip table mismatch")
+    require(rowsPerStrip > 0, "bad rows per strip")
+    val rowBytes = w * ch
+    val raw = new Array[Byte](rowBytes * h)
+    var row = 0
+    var s = 0
+    while (s < stripOffsets.length) {
+      val rowsHere = math.min(rowsPerStrip.toLong, h.toLong - row).toInt
+      require(rowsHere > 0, "more strips than rows")
+      val expect = rowsHere * rowBytes
+      val off = stripOffsets(s); val cnt = stripCounts(s)
+      require(off >= 0 && cnt >= 0 && off + cnt <= b.length, "strip out of bounds")
+      val strip =
+        if (compression == 1) {
+          require(cnt == expect, "strip byte count mismatch")
+          java.util.Arrays.copyOfRange(b, off.toInt, (off + cnt).toInt)
+        } else packBitsDecode(
+          java.util.Arrays.copyOfRange(b, off.toInt, (off + cnt).toInt), expect)
+      System.arraycopy(strip, 0, raw, row * rowBytes, expect)
+      row += rowsHere
+      s += 1
+    }
+    require(row == h, "strips cover fewer rows than the image")
+    val px = new Array[Int](w * h * ch)
+    var i = 0
+    while (i < px.length) { px(i) = raw(i) & 0xff; i += 1 }
+    Some((w, h, ch, px))
+  } catch {
+    case _: RuntimeException => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+}

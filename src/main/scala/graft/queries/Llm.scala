@@ -1991,6 +1991,7 @@ object Llm {
     "q_mp4_probe" -> (mp4Probe _),
     "q_ogg_probe" -> (oggProbe _),
     "q_y4m_decode" -> (y4mDecodeQ _),
+    "q_tiff_decode" -> (tiffDecode _),
     "q_wav_wide" -> (wavWide _),
     "q_g711_decode" -> (g711Decode _),
     "q_media_zoo" -> (mediaZoo _),
@@ -3033,6 +3034,75 @@ object Llm {
       |  CASE WHEN d.k % 13 <> 0
       |    THEN round(CAST(d.nf AS DOUBLE) / d.fps, 6) END AS duration_s,
       |  a.my AS mean_y
+      |FROM dims d LEFT JOIN agg a ON a.k = d.k
+      |ORDER BY media_id""".stripMargin
+
+  /** Baseline TIFF under the oracle — the tag-directory raster arm
+    * (IFD walk, both byte orders, strips, PackBits RLE): per-key
+    * images cycling gray/RGB, II/MM, compression and strip height, so
+    * every decoder path is driver-gated. TIFF is lossless, so the
+    * per-channel means are closed-form; conformance against the JDK's
+    * independent TIFF plugin is pinned both directions in
+    * TiffCodecSpec. No checksum in TIFF, so the refusal arm is
+    * structural truncation (a strip claiming bytes past the payload). */
+  def tiffDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.{MediaCodec, TiffCodec}
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val w = (6 + k % 12).toInt
+      val h = (5 + k % 10).toInt
+      val ch = if (k % 2 == 0) 1 else 3
+      val px: (Int, Int) => Int =
+        if (ch == 1) (x, y) => ((k * 3 + x * 7 + y * 13) % 256).toInt
+        else (x, y) => ((((k + x) % 256) << 16) | (((k + y * 3) % 256) << 8) |
+          ((x.toLong * y + k) % 256)).toInt
+      val bytes = TiffCodec.encode(w, h, ch, px, littleEndian = k % 3 != 0,
+        packBits = k % 5 < 2, rowsPerStrip = (1 + k % 6).toInt)
+      val payload = if (k % 13 == 0) bytes.dropRight(3) else bytes
+      MediaCodec.decode(payload) match {
+        case Some(m) => (k, true, m.width, m.height, m.channels,
+          m.meanC0, m.meanC1, m.meanC2)
+        case None => (k, false, None: Option[Int], None: Option[Int],
+          None: Option[Int], None: Option[Double], None: Option[Double],
+          None: Option[Double])
+      }
+    }.toDF("media_id", "tiff_ok", "w", "h", "channels", "c0", "c1", "c2")
+    decoded.select($"media_id", $"tiff_ok", $"w", $"h", $"channels",
+      round($"c0", 6).as("mean_c0"), round($"c1", 6).as("mean_c1"),
+      round($"c2", 6).as("mean_c2"))
+      .orderBy($"media_id")
+  }
+
+  /** Pixel formulas restated: gray v = (3k + 7x + 13y) mod 256; RGB
+    * r = (k + x) mod 256, g = (k + 3y) mod 256, b = (xy + k) mod 256
+    * — all non-negative mods, means exact per channel. */
+  val tiffDecodeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |dims AS (
+      |  SELECT k, CAST(6 + k % 12 AS BIGINT) AS w, CAST(5 + k % 10 AS BIGINT) AS h
+      |  FROM ks),
+      |px AS (
+      |  SELECT d.k, d.w, d.h, gx.g AS x, gy.g AS y
+      |  FROM dims d, generate_series(0, 17) gx(g), generate_series(0, 14) gy(g)
+      |  WHERE gx.g < d.w AND gy.g < d.h AND d.k % 13 <> 0),
+      |agg AS (
+      |  SELECT k,
+      |    round(avg(CASE WHEN k % 2 = 0
+      |      THEN CAST((k * 3 + x * 7 + y * 13) % 256 AS DOUBLE)
+      |      ELSE CAST((k + x) % 256 AS DOUBLE) END), 6) AS m0,
+      |    round(avg(CAST((k + y * 3) % 256 AS DOUBLE)), 6) AS m1,
+      |    round(avg(CAST((x * y + k) % 256 AS DOUBLE)), 6) AS m2
+      |  FROM px GROUP BY k)
+      |SELECT d.k AS media_id, (d.k % 13 <> 0) AS tiff_ok,
+      |  CASE WHEN d.k % 13 <> 0 THEN CAST(d.w AS INTEGER) END AS w,
+      |  CASE WHEN d.k % 13 <> 0 THEN CAST(d.h AS INTEGER) END AS h,
+      |  CASE WHEN d.k % 13 <> 0
+      |    THEN CAST(CASE WHEN d.k % 2 = 0 THEN 1 ELSE 3 END AS INTEGER)
+      |  END AS channels,
+      |  a.m0 AS mean_c0,
+      |  CASE WHEN d.k % 2 = 1 THEN a.m1 END AS mean_c1,
+      |  CASE WHEN d.k % 2 = 1 THEN a.m2 END AS mean_c2
       |FROM dims d LEFT JOIN agg a ON a.k = d.k
       |ORDER BY media_id""".stripMargin
 
@@ -4213,6 +4283,7 @@ object Llm {
     "q_mp4_probe" -> mp4ProbeSql,
     "q_ogg_probe" -> oggProbeSql,
     "q_y4m_decode" -> y4mDecodeSql,
+    "q_tiff_decode" -> tiffDecodeSql,
     "q_wav_wide" -> wavWideSql,
     "q_g711_decode" -> g711DecodeSql,
     "q_media_zoo" -> mediaZooSql,

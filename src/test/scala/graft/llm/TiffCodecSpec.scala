@@ -1,0 +1,122 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-trip, PackBits, and two-way JDK ImageIO conformance for the
+  * baseline TIFF codec (the JDK ships an independent
+  * com.sun.imageio.plugins.tiff implementation since JDK 9 — both
+  * "they read ours" and "we read theirs" are checked pixel-exactly,
+  * TIFF being lossless).
+  */
+class TiffCodecSpec extends AnyFunSuite {
+
+  private def gray(k: Int): (Int, Int) => Int =
+    (x, y) => (k + x * 7 + y * 13) % 256
+  private def rgb(k: Int): (Int, Int) => Int =
+    (x, y) => (((k + x) % 256) << 16) | (((k + y * 3) % 256) << 8) | ((x * y + k) % 256)
+
+  private def roundtrip(w: Int, h: Int, ch: Int, px: (Int, Int) => Int,
+                        le: Boolean, pb: Boolean, rps: Int): Unit = {
+    val bytes = TiffCodec.encode(w, h, ch, px, le, pb, rps)
+    val (gw, gh, gch, got) = TiffCodec.decode(bytes).get
+    assert(gw == w && gh == h && gch == ch)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = px(x, y)
+        if (ch == 1) assert(got(y * w + x) == (v & 0xff), s"($x,$y)")
+        else {
+          val o = (y * w + x) * 3
+          assert(got(o) == ((v >> 16) & 0xff) && got(o + 1) == ((v >> 8) & 0xff) &&
+            got(o + 2) == (v & 0xff), s"($x,$y)")
+        }
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  test("round-trips across byte orders, compressions, strip heights, channels") {
+    for {
+      le <- Seq(true, false)
+      pb <- Seq(true, false)
+      rps <- Seq(1, 3, 64)
+      ch <- Seq(1, 3)
+    } roundtrip(13, 11, ch, if (ch == 1) gray(5) else rgb(9), le, pb, rps)
+    roundtrip(1, 1, 1, gray(0), le = true, pb = true, rps = 8)
+    roundtrip(200, 1, 3, rgb(3), le = false, pb = true, rps = 1)
+  }
+
+  test("packbits: exact-length contract, runs, literals, noop") {
+    val src = Array.tabulate(300)(i => (if (i / 7 % 2 == 0) 42 else i % 256).toByte)
+    val enc = TiffCodec.packBitsEncode(src)
+    assert(TiffCodec.packBitsDecode(enc, src.length).sameElements(src))
+    assert(enc.length < src.length) // the runs actually compress
+    // short/long outputs refuse
+    intercept[IllegalArgumentException] { TiffCodec.packBitsDecode(enc, src.length + 1) }
+    // all-literal worst case still round-trips
+    val lit = Array.tabulate(200)(i => (i * 17 % 251).toByte)
+    assert(TiffCodec.packBitsDecode(TiffCodec.packBitsEncode(lit), 200).sameElements(lit))
+  }
+
+  test("ImageIO reads our streams pixel-exactly (both orders, both compressions)") {
+    for (le <- Seq(true, false); pb <- Seq(true, false)) {
+      val bytes = TiffCodec.encode(9, 7, 3, rgb(4), le, pb, rowsPerStrip = 2)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected le=$le pb=$pb")
+      assert(img.getWidth == 9 && img.getHeight == 7)
+      for (y <- 0 until 7; x <- 0 until 9)
+        assert((img.getRGB(x, y) & 0xffffff) == (rgb(4)(x, y) & 0xffffff), s"($x,$y)")
+      val g = TiffCodec.encode(9, 7, 1, gray(2), le, pb, rowsPerStrip = 3)
+      val gi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(g))
+      assert(gi != null)
+      for (y <- 0 until 7; x <- 0 until 9) {
+        val v = gray(2)(x, y)
+        // raw raster sample: getRGB would route gray through ICC color
+        // conversion and shift the values
+        assert(gi.getRaster.getSample(x, y, 0) == v, s"gray ($x,$y)")
+      }
+    }
+  }
+
+  test("we read ImageIO's streams pixel-exactly") {
+    val img = new java.awt.image.BufferedImage(10, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 10) img.setRGB(x, y, rgb(7)(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "tiff", bos))
+    val (w, h, ch, px) = TiffCodec.decode(bos.toByteArray).get
+    assert(w == 10 && h == 6 && ch == 3)
+    for (y <- 0 until 6; x <- 0 until 10) {
+      val v = rgb(7)(x, y)
+      val o = (y * 10 + x) * 3
+      assert(px(o) == ((v >> 16) & 0xff) && px(o + 1) == ((v >> 8) & 0xff) &&
+        px(o + 2) == (v & 0xff), s"($x,$y)")
+    }
+  }
+
+  test("refusals: truncation, hostile dims, bad strips, unsupported shapes never throw") {
+    val bytes = TiffCodec.encode(12, 10, 1, gray(1), littleEndian = true,
+      packBits = true, rowsPerStrip = 4)
+    (0 until bytes.length).foreach(k => TiffCodec.decode(bytes.take(k)))
+    assert(TiffCodec.decode(bytes.dropRight(3)).isEmpty) // strip out of bounds
+    // hostile dims: claimed 0xffffffff x 0xffffffff must refuse pre-alloc
+    val hostile = bytes.clone()
+    // ImageWidth is the first (lowest-tag) IFD entry: value at offset 8+2+8
+    hostile(18) = 0xff.toByte; hostile(19) = 0xff.toByte
+    hostile(20) = 0xff.toByte; hostile(21) = 0xff.toByte
+    assert(TiffCodec.decode(hostile).isEmpty)
+    // random junk after a valid magic never throws
+    val rnd = new scala.util.Random(3)
+    (0 until 2000).foreach { _ =>
+      val junk = Array[Byte]('I', 'I', 42, 0) ++
+        Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      TiffCodec.decode(junk)
+    }
+    // MediaCodec dispatch sees both byte orders
+    assert(MediaCodec.decode(bytes).exists(_.format == "tiff"))
+    val be = TiffCodec.encode(4, 4, 1, gray(0), littleEndian = false)
+    assert(MediaCodec.decode(be).exists(_.format == "tiff"))
+  }
+}
