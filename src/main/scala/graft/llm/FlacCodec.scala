@@ -143,24 +143,31 @@ object FlacCodec {
     r
   }
 
-  private def riceParamFor(res: Array[Long]): Int = {
-    // smallest k with mean(u) < 2^k-ish; bounded to the 4-bit code space
-    if (res.isEmpty) return 0
+  private def riceParamFor(res: Array[Long]): Int =
+    riceParamForRange(res, 0, res.length)
+
+  /** Parameter choice over res[from, until): smallest k with mean(u) <
+    * 2^k-ish; bounded to the 4-bit code space. */
+  private def riceParamForRange(res: Array[Long], from: Int, until: Int): Int = {
+    if (until <= from) return 0
     var sum = 0.0
-    res.foreach(r => sum += math.abs(r.toDouble))
-    val mean = sum / res.length
+    var i = from
+    while (i < until) { sum += math.abs(res(i).toDouble); i += 1 }
+    val mean = sum / (until - from)
     var k = 0
     while (k < 14 && (1L << k) < mean * 2 + 1) k += 1
     k
   }
 
-  /** Rice-coded residual size in bits for parameter k (zigzag unary
-    * quotient + stop bit + k LSBs each), excluding headers. */
-  private def riceBitsOf(res: Array[Long], k: Int): Long = {
+  /** Rice-coded size in bits of res[from, until) at parameter k (zigzag
+    * unary quotient + stop bit + k LSBs each), excluding headers. */
+  private def riceBitsOf(res: Array[Long], from: Int, until: Int, k: Int): Long = {
     var bits = 0L
-    res.foreach { r =>
-      val u = (r << 1) ^ (r >> 63)
+    var i = from
+    while (i < until) {
+      val u = (res(i) << 1) ^ (res(i) >> 63)
       bits += (u >>> k) + 1 + k
+      i += 1
     }
     bits
   }
@@ -190,10 +197,9 @@ object FlacCodec {
         var p = 0
         while (p < nParts) {
           val nHere = partLen(blockSize, po, p, predOrder)
-          val slice = java.util.Arrays.copyOfRange(res, from, from + nHere)
-          val k = riceParamFor(slice)
+          val k = riceParamForRange(res, from, from + nHere)
           params(p) = k
-          bits += riceBitsOf(slice, k)
+          bits += riceBitsOf(res, from, from + nHere, k)
           from += nHere
           p += 1
         }
@@ -237,10 +243,18 @@ object FlacCodec {
   private def bestFixed(blk: Array[Int], bps: Int): (Int, RicePlan, Array[Long], Long) = {
     val n = blk.length
     val maxOrder = math.min(4, n - 1)
-    val best = (0 to maxOrder).minBy { o =>
-      fixedResiduals(blk, o).map(r => math.abs(r.toDouble)).sum
+    var best = 0
+    var bestSum = Double.MaxValue
+    var res: Array[Long] = null
+    var o = 0
+    while (o <= maxOrder) {
+      val r = fixedResiduals(blk, o)
+      var sum = 0.0
+      var i = 0
+      while (i < r.length) { sum += math.abs(r(i).toDouble); i += 1 }
+      if (sum < bestSum) { bestSum = sum; best = o; res = r }
+      o += 1
     }
-    val res = fixedResiduals(blk, best)
     val plan = bestRicePartitioning(res, n, best)
     val bits = bps.toLong * best + plan.bits
     (best, plan, res, bits)
@@ -500,18 +514,32 @@ object FlacCodec {
       val r = Array.tabulate(n)(i => right(off + i).toInt)
       val s = Array.tabulate(n)(i => l(i) - r(i))
       val m = Array.tabulate(n)(i => (l(i) + r(i)) >> 1)
-      val cl = chooseSub(l, 16, maxOrder)
-      val cr = chooseSub(r, 16, maxOrder)
-      val cs = chooseSub(s, 17, maxOrder)
-      val cm = chooseSub(m, 16, maxOrder)
+      // pick the assignment from a CHEAP per-channel estimate (abs sum
+      // of order-2 residuals — the libFLAC-style proxy for coded bits),
+      // then fully code only the two winning channels: the full
+      // Levinson/partitioning sweep is ~all of the encoder's cost, and
+      // running it on all four candidates would double the work for a
+      // decision the estimate gets right whenever the margin matters
+      def est(ch: Array[Int]): Double = {
+        if (ch.length < 3) return ch.length.toDouble
+        var sum = 0.0
+        var i = 2
+        while (i < ch.length) {
+          sum += math.abs(2L * ch(i - 1) - ch(i - 2) - ch(i)).toDouble
+          i += 1
+        }
+        sum
+      }
+      val el = est(l); val er = est(r); val es = est(s); val em = est(m)
       val options = Seq(
-        (1, cl._1 + cr._1, Seq(cl._2, cr._2)), // independent
-        (8, cl._1 + cs._1, Seq(cl._2, cs._2)), // left/side
-        (9, cs._1 + cr._1, Seq(cs._2, cr._2)), // right/side
-        (10, cm._1 + cs._1, Seq(cm._2, cs._2))) // mid/side
-      val (chanCode, _, subs) = options.minBy(_._2)
+        (1, el + er, l, 16, r, 16), // independent
+        (8, el + es, l, 16, s, 17), // left/side
+        (9, es + er, s, 17, r, 16), // right/side
+        (10, em + es, m, 16, s, 17)) // mid/side
+      val (chanCode, _, ch0, bps0, ch1, bps1) = options.minBy(_._2)
       val bw2 = frameWriter(n, frameNo, chanCode)
-      subs.foreach(w => w(bw2))
+      chooseSub(ch0, bps0, maxOrder)._2(bw2)
+      chooseSub(ch1, bps1, maxOrder)._2(bw2)
       finishFrame(out, bw2)
       frameNo += 1
       off += n
