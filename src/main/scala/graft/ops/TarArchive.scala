@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** POSIX ustar archive walk — the archive arm alongside S8 `ZipReader`
+  * (archive.py:7-24): training corpora ship as tarballs at least as
+  * often as zips, and unlike zip the JDK has no reader, so the header
+  * walk is implemented from the public ustar layout. Each 512-byte
+  * header carries a REAL integrity field: an octal checksum over the
+  * header with its own field blanked — verified here, so a corrupted
+  * header refuses rather than mis-walking (sizes are octal; a flipped
+  * digit would otherwise silently shift every later entry).
+  *
+  * Scope: ustar magic, regular files (typeflag '0'/NUL; directories
+  * and links skipped), prefix-field long names, 512-padded data,
+  * end-of-archive zero blocks. Truncated data or a bad checksum
+  * refuses the whole archive — an archive walk that "recovers" past a
+  * bad header fabricates entries.
+  */
+object TarArchive {
+
+  private def octal(b: Array[Byte], off: Int, len: Int): Long = {
+    var v = 0L
+    var i = off
+    val end = off + len
+    while (i < end) {
+      val c = b(i) & 0xff
+      if (c >= '0' && c <= '7') v = (v << 3) | (c - '0')
+      else if (c != ' ' && c != 0)
+        throw new IllegalArgumentException("bad octal field")
+      i += 1
+    }
+    v
+  }
+
+  private def str(b: Array[Byte], off: Int, len: Int): String = {
+    var end = off
+    while (end < off + len && b(end) != 0) end += 1
+    new String(b, off, end - off, "US-ASCII")
+  }
+
+  /** Parse a ustar archive: Some(entries) with regular files only, or
+    * None on checksum mismatch / truncation / malformed fields. */
+  def parseTar(b: Array[Byte]): Option[Seq[(String, Array[Byte])]] = try {
+    if (b == null || b.length < 1024) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    var p = 0
+    var done = false
+    while (!done) {
+      require(p + 512 <= b.length, "truncated header")
+      var allZero = true
+      var i = p
+      while (allZero && i < p + 512) { if (b(i) != 0) allZero = false; i += 1 }
+      if (allZero) {
+        // end-of-archive: a second zero block must follow
+        require(p + 1024 <= b.length, "single end block")
+        var j = p + 512
+        while (j < p + 1024) { require(b(j) == 0, "garbage after end block"); j += 1 }
+        done = true
+      } else {
+        require(str(b, p + 257, 6) == "ustar", "missing ustar magic")
+        // checksum: header summed with the chksum field (148..155) as spaces
+        var sum = 0L
+        i = p
+        while (i < p + 512) {
+          sum += (if (i >= p + 148 && i < p + 156) ' '.toInt else b(i) & 0xff)
+          i += 1
+        }
+        require(octal(b, p + 148, 7) == sum, "header checksum mismatch")
+        val size = octal(b, p + 124, 12)
+        require(size >= 0 && size <= (1L << 30), "entry size out of range")
+        val typeflag = b(p + 156)
+        val prefix = str(b, p + 345, 155)
+        val name0 = str(b, p, 100)
+        val name = if (prefix.isEmpty) name0 else prefix + "/" + name0
+        val dataStart = p + 512
+        require(dataStart + size <= b.length, "truncated entry data")
+        if (typeflag == '0' || typeflag == 0) {
+          out += ((name,
+            java.util.Arrays.copyOfRange(b, dataStart, (dataStart + size).toInt)))
+        }
+        val padded = (size + 511) & ~511L
+        p = (dataStart + padded).toInt
+      }
+    }
+    Some(out.toSeq)
+  } catch {
+    case _: RuntimeException => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  /** Encode a ustar archive (regular files, correct checksums, two
+    * zero end blocks). */
+  def encodeTar(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    entries.foreach { case (name, data) =>
+      require(name.getBytes("US-ASCII").length <= 100, "name too long for this writer")
+      val hdr = new Array[Byte](512)
+      val nb = name.getBytes("US-ASCII")
+      nb.copyToArray(hdr, 0)
+      def oct(v: Long, off: Int, len: Int): Unit = {
+        val s2 = java.lang.Long.toOctalString(v)
+        val padded = ("0" * (len - 1 - s2.length)) + s2
+        padded.getBytes("US-ASCII").copyToArray(hdr, off)
+        hdr(off + len - 1) = 0
+      }
+      oct(420 /* 0644 */, 100, 8)
+      oct(0, 108, 8); oct(0, 116, 8)
+      oct(data.length.toLong, 124, 12)
+      oct(0, 136, 12)
+      hdr(156) = '0'
+      "ustar".getBytes("US-ASCII").copyToArray(hdr, 257)
+      hdr(262) = 0; hdr(263) = '0'; hdr(264) = '0'
+      // checksum with its own field as spaces
+      java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+      var sum = 0L
+      hdr.foreach(x => sum += x & 0xff)
+      val cs = java.lang.Long.toOctalString(sum)
+      val padded = ("0" * (6 - cs.length)) + cs
+      padded.getBytes("US-ASCII").copyToArray(hdr, 148)
+      hdr(154) = 0; hdr(155) = ' '
+      out.write(hdr, 0, 512)
+      out.write(data, 0, data.length)
+      val pad = (512 - data.length % 512) % 512
+      out.write(new Array[Byte](pad), 0, pad)
+    }
+    out.write(new Array[Byte](1024), 0, 1024)
+    out.toByteArray
+  }
+
+  /** tar bytes → one row per regular file `(name, content)` — the
+    * tarball twin of `Sources.zipEntries` (same 1→N generator shape).
+    * A corrupt archive contributes zero rows (refusal is per archive —
+    * the checksum walk never fabricates entries past damage). */
+  def tarEntries(df: DataFrame, bytesCol: String = "content"): DataFrame = {
+    val spark = df.sparkSession
+    val enc = Encoders.tuple(Encoders.STRING, Encoders.BINARY)
+    df.select(col(bytesCol)).as[Array[Byte]](Encoders.BINARY)
+      .flatMap(bytes => parseTar(bytes).getOrElse(Seq.empty))(enc)
+      .toDF("name", "content")
+  }
+}

@@ -1992,6 +1992,7 @@ object Llm {
     "q_ogg_probe" -> (oggProbe _),
     "q_y4m_decode" -> (y4mDecodeQ _),
     "q_tiff_decode" -> (tiffDecode _),
+    "q_tar_read" -> (tarRead _),
     "q_wav_wide" -> (wavWide _),
     "q_g711_decode" -> (g711Decode _),
     "q_media_zoo" -> (mediaZoo _),
@@ -3609,6 +3610,69 @@ object Llm {
       |LEFT JOIN del dl ON dl.k = d.k AND d.k % 13 <> 0
       |ORDER BY media_id""".stripMargin
 
+  /** ustar archives under the oracle — the tarball twin of
+    * q_zip_csv_chain's zip walk, with the header-checksum arm the zip
+    * reader (JDK-backed) cannot gate: per-key archives of formula-
+    * generated files parsed by [[graft.ops.TarArchive.parseTar]]; the
+    * oracle recomputes entry counts, total sizes and the whole-archive
+    * content byte sum. Every 13th archive has a checksum digit
+    * corrupted — the walk must refuse the ARCHIVE (never fabricate
+    * entries past a bad header). */
+  def tarRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.TarArchive
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val ne = (1 + k % 5).toInt
+      val entries = (0 until ne).map { e =>
+        val len = (10 + (k + e * 7) % 50).toInt
+        (s"d$k/f$e.txt",
+          Array.tabulate(len)(i => ((k + e * 13 + i * 3) % 256).toByte))
+      }
+      val bytes = TarArchive.encodeTar(entries)
+      val payload = if (k % 13 == 0) {
+        val t = bytes.clone(); t(150) = 'Z'.toByte; t // checksum digit garbage
+      } else bytes
+      TarArchive.parseTar(payload) match {
+        case Some(got) =>
+          var total = 0L; var bsum = 0L
+          got.foreach { case (_, data) =>
+            total += data.length
+            data.foreach(x => bsum += x & 0xff)
+          }
+          (k, true, Some(got.length), Some(total), Some(bsum))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Long], None: Option[Long])
+      }
+    }.toDF("media_id", "tar_ok", "n_entries", "total_bytes", "byte_sum")
+    decoded.orderBy($"media_id")
+  }
+
+  /** Entry formulas restated: ne = 1 + k mod 5 files, file e of length
+    * 10 + (k + 7e) mod 50 with bytes (k + 13e + 3i) mod 256 — all
+    * non-negative mods; sums CAST to BIGINT (DuckDB SUM widens). */
+  val tarReadSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |ent AS (
+      |  SELECT ks.k, e.g AS e, CAST(10 + (ks.k + e.g * 7) % 50 AS BIGINT) AS len
+      |  FROM ks, generate_series(0, 4) e(g)
+      |  WHERE e.g < 1 + ks.k % 5 AND ks.k % 13 <> 0),
+      |bytes AS (
+      |  SELECT en.k, SUM((en.k + en.e * 13 + i.g * 3) % 256) AS bs
+      |  FROM ent en, generate_series(0, 59) i(g)
+      |  WHERE i.g < en.len GROUP BY en.k),
+      |agg AS (
+      |  SELECT en.k, CAST(COUNT(*) AS INTEGER) AS ne,
+      |    CAST(SUM(en.len) AS BIGINT) AS tb
+      |  FROM ent en GROUP BY en.k)
+      |SELECT ks.k AS media_id, (ks.k % 13 <> 0) AS tar_ok,
+      |  a.ne AS n_entries, a.tb AS total_bytes,
+      |  CAST(b.bs AS BIGINT) AS byte_sum
+      |FROM ks
+      |LEFT JOIN agg a ON a.k = ks.k
+      |LEFT JOIN bytes b ON b.k = ks.k
+      |ORDER BY media_id""".stripMargin
+
   /** Multimodal plumbing end-to-end under the oracle: media rows
     * synthesized in-plan from the part table (kind cycles image/audio/
     * video; every 7th payload null; videos carry a keyed duration), then
@@ -4284,6 +4348,7 @@ object Llm {
     "q_ogg_probe" -> oggProbeSql,
     "q_y4m_decode" -> y4mDecodeSql,
     "q_tiff_decode" -> tiffDecodeSql,
+    "q_tar_read" -> tarReadSql,
     "q_wav_wide" -> wavWideSql,
     "q_g711_decode" -> g711DecodeSql,
     "q_media_zoo" -> mediaZooSql,
