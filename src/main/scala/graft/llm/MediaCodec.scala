@@ -1262,6 +1262,127 @@ object MediaCodec {
     case _: ArrayIndexOutOfBoundsException => None
   }
 
+  // ---- gzip (RFC 1952): member walk, full inflate, verified CRC32 --------
+  //
+  // Fully decoded (DEFLATE via java.util.zip, the same public JDK
+  // primitive the PNG arm uses) — and unlike a plain GZIPInputStream
+  // read, the walk is member-aware (concatenated members are legal and
+  // common in web archives), parses the optional FEXTRA/FNAME/FCOMMENT/
+  // FHCRC header fields, and VERIFIES the per-member CRC32 and ISIZE
+  // trailer plus the optional header CRC16 — a flipped byte anywhere in
+  // header or compressed stream refuses.
+
+  /** One gzip member: optional FNAME, MTIME seconds, decompressed bytes. */
+  final case class GzipMember(name: Option[String], mtime: Long, data: Array[Byte])
+
+  /** Walk all members of a (possibly multi-member) gzip payload.
+    * Refuses on bad magic/method, reserved flag bits, any CRC or ISIZE
+    * mismatch, truncation, trailing garbage, or > 64 MiB total output. */
+  def gunzipMembers(b: Array[Byte]): Option[Seq[GzipMember]] = try {
+    if (b == null || b.length < 18) return None
+    def le16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    def le32(p: Int): Long = le16(p).toLong | (le16(p + 2).toLong << 16)
+    val out = scala.collection.mutable.ArrayBuffer.empty[GzipMember]
+    var p = 0
+    var totalOut = 0L
+    while (p < b.length) {
+      val start = p
+      require(p + 10 <= b.length, "truncated member header")
+      require((b(p) & 0xff) == 0x1f && (b(p + 1) & 0xff) == 0x8b, "bad gzip magic")
+      require(b(p + 2) == 8, "unknown compression method")
+      val flg = b(p + 3) & 0xff
+      require((flg & 0xe0) == 0, "reserved flag bits set")
+      val mtime = le32(p + 4)
+      p += 10
+      if ((flg & 4) != 0) { // FEXTRA
+        require(p + 2 <= b.length, "truncated FEXTRA")
+        val xlen = le16(p); p += 2 + xlen
+        require(p <= b.length, "FEXTRA overruns payload")
+      }
+      var name: Option[String] = None
+      if ((flg & 8) != 0) { // FNAME, NUL-terminated ISO-8859-1
+        val s0 = p
+        while (p < b.length && b(p) != 0) p += 1
+        require(p < b.length, "unterminated FNAME")
+        name = Some(new String(b, s0, p - s0, "ISO-8859-1"))
+        p += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT
+        while (p < b.length && b(p) != 0) p += 1
+        require(p < b.length, "unterminated FCOMMENT")
+        p += 1
+      }
+      if ((flg & 2) != 0) { // FHCRC: low 16 bits of CRC32 over the header
+        require(p + 2 <= b.length, "truncated FHCRC")
+        val crc = new java.util.zip.CRC32()
+        crc.update(b, start, p - start)
+        require((crc.getValue & 0xffff) == le16(p), "header CRC16 mismatch")
+        p += 2
+      }
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(b, p, b.length - p)
+      val data = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        require(n > 0 || inf.finished(), "deflate stream stalled")
+        data.write(buf, 0, n)
+        totalOut += n
+        require(totalOut <= (1L << 26), "output too large")
+      }
+      p += inf.getBytesRead.toInt
+      inf.end()
+      val bytes = data.toByteArray
+      require(p + 8 <= b.length, "truncated member trailer")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, 0, bytes.length)
+      require(crc.getValue == le32(p), "member CRC32 mismatch")
+      require((bytes.length.toLong & 0xffffffffL) == le32(p + 4), "ISIZE mismatch")
+      p += 8
+      out += GzipMember(name, mtime, bytes)
+    }
+    if (out.isEmpty) None else Some(out.toSeq)
+  } catch {
+    case _: RuntimeException => None
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: java.util.zip.DataFormatException => None // corrupt DEFLATE
+  }
+
+  /** Encode one gzip member (FNAME + optional FHCRC, real DEFLATE). */
+  def gzipMember(name: String, mtime: Long, data: Array[Byte],
+                 headerCrc: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val hdr = new java.io.ByteArrayOutputStream()
+    hdr.write(0x1f); hdr.write(0x8b); hdr.write(8)
+    hdr.write(8 | (if (headerCrc) 2 else 0)) // FNAME [+ FHCRC]
+    var t = mtime
+    (0 until 4).foreach { _ => hdr.write((t & 0xff).toInt); t >>= 8 }
+    hdr.write(0); hdr.write(255) // XFL, OS unknown
+    hdr.write(name.getBytes("ISO-8859-1")); hdr.write(0)
+    val hb = hdr.toByteArray
+    out.write(hb, 0, hb.length)
+    if (headerCrc) {
+      val c = new java.util.zip.CRC32()
+      c.update(hb, 0, hb.length)
+      out.write((c.getValue & 0xff).toInt); out.write(((c.getValue >> 8) & 0xff).toInt)
+    }
+    val def1 = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    def1.setInput(data); def1.finish()
+    val buf = new Array[Byte](8192)
+    while (!def1.finished()) {
+      val n = def1.deflate(buf)
+      out.write(buf, 0, n)
+    }
+    def1.end()
+    val crc = new java.util.zip.CRC32()
+    crc.update(data, 0, data.length)
+    var v = crc.getValue
+    (0 until 4).foreach { _ => out.write((v & 0xff).toInt); v >>= 8 }
+    var sz = data.length.toLong
+    (0 until 4).foreach { _ => out.write((sz & 0xff).toInt); sz >>= 8 }
+    out.toByteArray
+  }
+
   // ---- Y4M (YUV4MPEG2): raw planar video, fully decoded ------------------
   //
   // The one VIDEO format simple enough to own end-to-end: no entropy

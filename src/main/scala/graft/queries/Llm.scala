@@ -1993,6 +1993,7 @@ object Llm {
     "q_y4m_decode" -> (y4mDecodeQ _),
     "q_tiff_decode" -> (tiffDecode _),
     "q_tar_read" -> (tarRead _),
+    "q_gzip_members" -> (gzipMembersQ _),
     "q_wav_wide" -> (wavWide _),
     "q_g711_decode" -> (g711Decode _),
     "q_media_zoo" -> (mediaZoo _),
@@ -3610,6 +3611,76 @@ object Llm {
       |LEFT JOIN del dl ON dl.k = d.k AND d.k % 13 <> 0
       |ORDER BY media_id""".stripMargin
 
+  /** Multi-member gzip under the oracle — full DEFLATE decode with the
+    * per-member CRC32/ISIZE trailer and optional header CRC16
+    * verified: per-key concatenated members (formula payloads, FNAME
+    * always, FHCRC on alternating members — the field a plain
+    * GZIPInputStream skips), walked by
+    * [[graft.llm.MediaCodec.gunzipMembers]]. The oracle recomputes
+    * member counts, decompressed sizes, content byte sums and mtime
+    * sums. Every 13th payload has a trailer CRC32 byte flipped: the
+    * verified checksum must refuse. */
+  def gzipMembersQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.MediaCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val nm = (1 + k % 3).toInt
+      val bytes = (0 until nm).flatMap { m =>
+        val len = (20 + (k + m * 11) % 100).toInt
+        val data = Array.tabulate(len)(i => ((k * 5 + m * 17 + i * 3) % 256).toByte)
+        MediaCodec.gzipMember(s"m${k}_$m", k * 100 + m, data,
+          headerCrc = (k + m) % 2 == 1)
+      }.toArray
+      val payload = if (k % 13 == 0) {
+        // the last member's CRC32 trailer (bytes len-8..len-5): a flip
+        // ANYWHERE is caught only probabilistically through unprotected
+        // header fields, but the trailer is always verified
+        val t = bytes.clone(); t(t.length - 7) = (t(t.length - 7) ^ 0x10).toByte; t
+      } else bytes
+      MediaCodec.gunzipMembers(payload) match {
+        case Some(ms) =>
+          var total = 0L; var bsum = 0L; var msum = 0L
+          ms.foreach { mm =>
+            total += mm.data.length
+            mm.data.foreach(x => bsum += x & 0xff)
+            msum += mm.mtime
+          }
+          (k, true, Some(ms.length), Some(total), Some(bsum), Some(msum))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Long],
+            None: Option[Long], None: Option[Long])
+      }
+    }.toDF("media_id", "gz_ok", "n_members", "total_bytes", "byte_sum", "mtime_sum")
+    decoded.orderBy($"media_id")
+  }
+
+  /** Member formulas restated: nm = 1 + k mod 3 members, member m of
+    * length 20 + (k + 11m) mod 100 with bytes (5k + 17m + 3i) mod 256
+    * and mtime 100k + m. */
+  val gzipMembersSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |mem AS (
+      |  SELECT ks.k, m.g AS m, CAST(20 + (ks.k + m.g * 11) % 100 AS BIGINT) AS len
+      |  FROM ks, generate_series(0, 2) m(g)
+      |  WHERE m.g < 1 + ks.k % 3 AND ks.k % 13 <> 0),
+      |bytes AS (
+      |  SELECT me.k, SUM((me.k * 5 + me.m * 17 + i.g * 3) % 256) AS bs
+      |  FROM mem me, generate_series(0, 119) i(g)
+      |  WHERE i.g < me.len GROUP BY me.k),
+      |agg AS (
+      |  SELECT me.k, CAST(COUNT(*) AS INTEGER) AS nm,
+      |    CAST(SUM(me.len) AS BIGINT) AS tb,
+      |    CAST(SUM(me.k * 100 + me.m) AS BIGINT) AS ms
+      |  FROM mem me GROUP BY me.k)
+      |SELECT ks.k AS media_id, (ks.k % 13 <> 0) AS gz_ok,
+      |  a.nm AS n_members, a.tb AS total_bytes,
+      |  CAST(b.bs AS BIGINT) AS byte_sum, a.ms AS mtime_sum
+      |FROM ks
+      |LEFT JOIN agg a ON a.k = ks.k
+      |LEFT JOIN bytes b ON b.k = ks.k
+      |ORDER BY media_id""".stripMargin
+
   /** ustar archives under the oracle — the tarball twin of
     * q_zip_csv_chain's zip walk, with the header-checksum arm the zip
     * reader (JDK-backed) cannot gate: per-key archives of formula-
@@ -4349,6 +4420,7 @@ object Llm {
     "q_y4m_decode" -> y4mDecodeSql,
     "q_tiff_decode" -> tiffDecodeSql,
     "q_tar_read" -> tarReadSql,
+    "q_gzip_members" -> gzipMembersSql,
     "q_wav_wide" -> wavWideSql,
     "q_g711_decode" -> g711DecodeSql,
     "q_media_zoo" -> mediaZooSql,

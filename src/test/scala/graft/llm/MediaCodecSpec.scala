@@ -347,6 +347,37 @@ class MediaCodecSpec extends SparkTestBase {
     }
   }
 
+  test("gzip members: multi-member walk, FNAME/FHCRC, CRC32/ISIZE integrity") {
+    val d1 = Array.tabulate(500)(i => (i % 251).toByte)
+    val d2 = Array.tabulate(100)(i => (i * 7 % 256).toByte)
+    val gz = MediaCodec.gzipMember("one.txt", 1000L, d1) ++
+      MediaCodec.gzipMember("two.bin", 2000L, d2, headerCrc = true)
+    val ms = MediaCodec.gunzipMembers(gz).get
+    assert(ms.length == 2)
+    assert(ms(0).name.contains("one.txt") && ms(0).mtime == 1000L &&
+      ms(0).data.sameElements(d1))
+    assert(ms(1).name.contains("two.bin") && ms(1).data.sameElements(d2))
+    // the JDK's independent GZIPInputStream agrees on the concatenation
+    val gin = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(gz))
+    assert(gin.readAllBytes().sameElements(d1 ++ d2))
+    // tamper sweep: every single-byte flip must refuse OR leave the DATA
+    // intact (unprotected header metadata like mtime may legally change
+    // on the member without FHCRC — gzip only checksums the content)
+    var silentData = 0
+    (0 until gz.length).foreach { i =>
+      val t = gz.clone(); t(i) = (t(i) ^ 0x08).toByte
+      MediaCodec.gunzipMembers(t).foreach { got =>
+        if (got.length != 2 || !got(0).data.sameElements(d1) ||
+          !got(1).data.sameElements(d2)) silentData += 1
+      }
+    }
+    assert(silentData == 0, s"$silentData flips corrupted data without refusal")
+    // truncations refuse, never throw
+    (0 until gz.length).foreach(k => MediaCodec.gunzipMembers(gz.take(k)))
+    assert(MediaCodec.gunzipMembers(gz.dropRight(1)).isEmpty)
+  }
+
   test("y4m: header parse, all colorspaces, frame walk, refusals") {
     def planes420(w: Int, h: Int, f: Int): Array[Byte] = {
       val y = Array.tabulate(w * h)(i => ((f * 17 + i) % 256).toByte)
