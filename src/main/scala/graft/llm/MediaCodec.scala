@@ -1262,6 +1262,127 @@ object MediaCodec {
     case _: ArrayIndexOutOfBoundsException => None
   }
 
+  // ---- WebP: RIFF chunk walk + bitstream headers (metadata only) ---------
+  //
+  // The VP8 entropy decode stays behind the decoder seam; the RIFF
+  // container and the three public header layouts are pure structure:
+  // "VP8 " lossy (start code 9D 01 2A + 14-bit dims), "VP8L" lossless
+  // (0x2F signature + bit-packed 14-bit dims + alpha bit), "VP8X"
+  // extended (flag byte + 24-bit dims, with the image payload in a
+  // later chunk). Chunk sizes are verified against the payload and the
+  // RIFF length; even-byte chunk padding honored.
+
+  /** Probed WebP facts: (variant "lossy"|"lossless"|"extended", width,
+    * height, hasAlpha, chunk count). */
+  def webpProbe(b: Array[Byte]): Option[(String, Int, Int, Boolean, Int)] = try {
+    if (b == null || b.length < 20) return None
+    def le24(p: Int): Int =
+      (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) | ((b(p + 2) & 0xff) << 16)
+    def le32(p: Int): Long = le24(p).toLong | ((b(p + 3) & 0xffL) << 24)
+    def tag(p: Int): String = new String(b, p, 4, "ISO-8859-1")
+    require(tag(0) == "RIFF" && tag(8) == "WEBP", "bad RIFF/WEBP magic")
+    val riffLen = le32(4)
+    require(riffLen + 8 == b.length, "RIFF length mismatch")
+    var p = 12
+    var variant: String = null
+    var w = -1; var h = -1; var alpha = false
+    var nChunks = 0
+    while (p < b.length) {
+      require(p + 8 <= b.length, "cut chunk header")
+      val t = tag(p)
+      val len = le32(p + 4)
+      val body = p + 8
+      require(body + len <= b.length, "chunk overruns payload")
+      t match {
+        case "VP8 " if variant == null =>
+          require(len >= 10, "short VP8 header")
+          require((b(body + 3) & 0xff) == 0x9d && (b(body + 4) & 0xff) == 0x01 &&
+            (b(body + 5) & 0xff) == 0x2a, "bad VP8 start code")
+          require((b(body) & 1) == 0, "not a key frame")
+          variant = "lossy"
+          w = ((b(body + 6) & 0xff) | ((b(body + 7) & 0x3f) << 8))
+          h = ((b(body + 8) & 0xff) | ((b(body + 9) & 0x3f) << 8))
+        case "VP8L" if variant == null =>
+          require(len >= 5, "short VP8L header")
+          require((b(body) & 0xff) == 0x2f, "bad VP8L signature")
+          val bits = le32(body + 1)
+          variant = "lossless"
+          w = (bits & 0x3fff).toInt + 1
+          h = ((bits >> 14) & 0x3fff).toInt + 1
+          alpha = ((bits >> 28) & 1) != 0
+          require(((bits >> 29) & 7) == 0, "bad VP8L version")
+        case "VP8X" =>
+          require(variant == null, "VP8X after image chunk")
+          require(len >= 10, "short VP8X header")
+          variant = "extended"
+          alpha = (b(body) & 0x10) != 0
+          w = le24(body + 4) + 1
+          h = le24(body + 7) + 1
+        case _ => () // ALPH/ANIM/EXIF/XMP/ICCP etc: counted, not parsed
+      }
+      nChunks += 1
+      p = body + len.toInt + (len.toInt & 1) // chunks pad to even
+    }
+    if (variant == null || w <= 0 || h <= 0) None
+    else Some((variant, w, h, alpha, nChunks))
+  } catch {
+    case _: RuntimeException => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  /** Synthesize a structurally-valid WebP for the probe gate (filler
+    * bitstream bodies — the entropy decode refuses by design). */
+  def encodeWebp(variant: String, w: Int, h: Int, alpha: Boolean,
+                 fillerBytes: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w <= 0x3fff && h <= 0x3fff)
+    def chunk(t: String, body: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](8 + body.length + (body.length & 1))
+      t.getBytes("ISO-8859-1").copyToArray(out, 0)
+      out(4) = body.length.toByte; out(5) = (body.length >> 8).toByte
+      out(6) = (body.length >> 16).toByte; out(7) = (body.length >> 24).toByte
+      body.copyToArray(out, 8)
+      out
+    }
+    val filler = Array.tabulate(fillerBytes)(i => ((i * 89 + 3) & 0xff).toByte)
+    val img = variant match {
+      case "lossy" =>
+        val hd = new Array[Byte](10)
+        hd(0) = 0x10 // key frame (bit0=0), version 0, show_frame
+        hd(3) = 0x9d.toByte; hd(4) = 0x01; hd(5) = 0x2a
+        hd(6) = (w & 0xff).toByte; hd(7) = ((w >> 8) & 0x3f).toByte
+        hd(8) = (h & 0xff).toByte; hd(9) = ((h >> 8) & 0x3f).toByte
+        chunk("VP8 ", hd ++ filler)
+      case "lossless" =>
+        val bits = (w - 1).toLong | ((h - 1).toLong << 14) |
+          (if (alpha) 1L << 28 else 0L)
+        val hd = Array[Byte](0x2f, (bits & 0xff).toByte, ((bits >> 8) & 0xff).toByte,
+          ((bits >> 16) & 0xff).toByte, ((bits >> 24) & 0xff).toByte)
+        chunk("VP8L", hd ++ filler)
+      case _ =>
+        val hd = new Array[Byte](10)
+        if (alpha) hd(0) = 0x10
+        hd(4) = ((w - 1) & 0xff).toByte; hd(5) = (((w - 1) >> 8) & 0xff).toByte
+        hd(6) = (((w - 1) >> 16) & 0xff).toByte
+        hd(7) = ((h - 1) & 0xff).toByte; hd(8) = (((h - 1) >> 8) & 0xff).toByte
+        hd(9) = (((h - 1) >> 16) & 0xff).toByte
+        chunk("VP8X", hd) ++ chunk("VP8 ", {
+          val b2 = new Array[Byte](10)
+          b2(0) = 0x10; b2(3) = 0x9d.toByte; b2(4) = 0x01; b2(5) = 0x2a
+          b2(6) = (w & 0xff).toByte; b2(7) = ((w >> 8) & 0x3f).toByte
+          b2(8) = (h & 0xff).toByte; b2(9) = ((h >> 8) & 0x3f).toByte
+          b2 ++ filler
+        })
+    }
+    val total = 4 + img.length
+    val out = new Array[Byte](8 + total)
+    "RIFF".getBytes("ISO-8859-1").copyToArray(out, 0)
+    out(4) = (total & 0xff).toByte; out(5) = ((total >> 8) & 0xff).toByte
+    out(6) = ((total >> 16) & 0xff).toByte; out(7) = ((total >> 24) & 0xff).toByte
+    "WEBP".getBytes("ISO-8859-1").copyToArray(out, 8)
+    img.copyToArray(out, 12)
+    out
+  }
+
   // ---- gzip (RFC 1952): member walk, full inflate, verified CRC32 --------
   //
   // Fully decoded (DEFLATE via java.util.zip, the same public JDK

@@ -1994,6 +1994,7 @@ object Llm {
     "q_tiff_decode" -> (tiffDecode _),
     "q_tar_read" -> (tarRead _),
     "q_gzip_members" -> (gzipMembersQ _),
+    "q_webp_probe" -> (webpProbeQ _),
     "q_wav_wide" -> (wavWide _),
     "q_g711_decode" -> (g711Decode _),
     "q_media_zoo" -> (mediaZoo _),
@@ -3611,6 +3612,56 @@ object Llm {
       |LEFT JOIN del dl ON dl.k = d.k AND d.k % 13 <> 0
       |ORDER BY media_id""".stripMargin
 
+  /** WebP container probe under the oracle — the raster sibling of the
+    * MP3/MP4/Ogg probes (the VP8 entropy decode stays behind the
+    * decoder seam; the RIFF walk and the three public header layouts —
+    * lossy 14-bit dims after the 9D 01 2A start code, lossless
+    * bit-packed dims + alpha, extended 24-bit canvas — are structure):
+    * per-key files cycling all three variants with formula dims. Every
+    * 13th payload truncates: the RIFF length check refuses. */
+  def webpProbeQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.MediaCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val w = (16 + k % 300).toInt
+      val h = (9 + k % 200).toInt
+      val variant = (k % 3) match {
+        case 0 => "lossy"; case 1 => "lossless"; case _ => "extended"
+      }
+      val alpha = k % 2 == 1
+      val bytes = MediaCodec.encodeWebp(variant, w, h, alpha, (10 + k % 40).toInt)
+      val payload = if (k % 13 == 0) bytes.dropRight(2) else bytes
+      MediaCodec.webpProbe(payload) match {
+        case Some((v, gw, gh, ga, nc)) =>
+          (k, true, Some(v), Some(gw), Some(gh),
+            Some(v != "lossy" && ga), Some(nc))
+        case None =>
+          (k, false, None: Option[String], None: Option[Int], None: Option[Int],
+            None: Option[Boolean], None: Option[Int])
+      }
+    }.toDF("media_id", "webp_ok", "variant", "w", "h", "has_alpha", "n_chunks")
+    decoded.orderBy($"media_id")
+  }
+
+  /** Facts restated: variant by k mod 3, dims 16 + k mod 300 by 9 + k
+    * mod 200, alpha on odd keys (never reported for lossy — the flag
+    * lives in VP8L/VP8X headers only), chunks = 2 for extended else 1. */
+  val webpProbeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part)
+      |SELECT k AS media_id, (k % 13 <> 0) AS webp_ok,
+      |  CASE WHEN k % 13 <> 0 THEN
+      |    CASE k % 3 WHEN 0 THEN 'lossy' WHEN 1 THEN 'lossless' ELSE 'extended' END
+      |  END AS variant,
+      |  CASE WHEN k % 13 <> 0 THEN CAST(16 + k % 300 AS INTEGER) END AS w,
+      |  CASE WHEN k % 13 <> 0 THEN CAST(9 + k % 200 AS INTEGER) END AS h,
+      |  CASE WHEN k % 13 <> 0 THEN k % 3 <> 0 AND k % 2 = 1 END AS has_alpha,
+      |  CASE WHEN k % 13 <> 0
+      |    THEN CAST(CASE WHEN k % 3 = 2 THEN 2 ELSE 1 END AS INTEGER)
+      |  END AS n_chunks
+      |FROM ks
+      |ORDER BY media_id""".stripMargin
+
   /** Multi-member gzip under the oracle — full DEFLATE decode with the
     * per-member CRC32/ISIZE trailer and optional header CRC16
     * verified: per-key concatenated members (formula payloads, FNAME
@@ -4421,6 +4472,7 @@ object Llm {
     "q_tiff_decode" -> tiffDecodeSql,
     "q_tar_read" -> tarReadSql,
     "q_gzip_members" -> gzipMembersSql,
+    "q_webp_probe" -> webpProbeSql,
     "q_wav_wide" -> wavWideSql,
     "q_g711_decode" -> g711DecodeSql,
     "q_media_zoo" -> mediaZooSql,

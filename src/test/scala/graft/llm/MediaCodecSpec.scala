@@ -347,6 +347,24 @@ class MediaCodecSpec extends SparkTestBase {
     }
   }
 
+  test("webp probe: lossy/lossless/extended headers, RIFF bounds, refusals") {
+    assert(MediaCodec.webpProbe(MediaCodec.encodeWebp("lossy", 320, 240,
+      alpha = false, fillerBytes = 40)).contains(("lossy", 320, 240, false, 1)))
+    assert(MediaCodec.webpProbe(MediaCodec.encodeWebp("lossless", 16383, 1,
+      alpha = true, fillerBytes = 7)).contains(("lossless", 16383, 1, true, 1)))
+    assert(MediaCodec.webpProbe(MediaCodec.encodeWebp("extended", 100, 50,
+      alpha = true, fillerBytes = 9)).contains(("extended", 100, 50, true, 2)))
+    val w = MediaCodec.encodeWebp("lossy", 64, 48, alpha = false, fillerBytes = 20)
+    // refusals: truncation (RIFF length mismatch); bad start code; odd
+    // chunk body without its pad byte; non-keyframe bit
+    (0 until w.length).foreach(k => MediaCodec.webpProbe(w.take(k)))
+    assert(MediaCodec.webpProbe(w.dropRight(1)).isEmpty)
+    val badSc = w.clone(); badSc(12 + 8 + 4) = 0x77
+    assert(MediaCodec.webpProbe(badSc).isEmpty)
+    val inter = w.clone(); inter(12 + 8) = (inter(12 + 8) | 1).toByte
+    assert(MediaCodec.webpProbe(inter).isEmpty)
+  }
+
   test("gzip members: multi-member walk, FNAME/FHCRC, CRC32/ISIZE integrity") {
     val d1 = Array.tabulate(500)(i => (i % 251).toByte)
     val d2 = Array.tabulate(100)(i => (i * 7 % 256).toByte)
