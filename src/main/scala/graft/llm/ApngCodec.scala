@@ -1,0 +1,297 @@
+package graft.llm
+
+/** APNG (animated PNG) — the alpha-compositing animation arm on top of
+  * the PNG codec: acTL/fcTL/fdAT chunk grammar with the shared
+  * strictly-increasing sequence counter, per-frame rasters decoded by
+  * re-wrapping each frame's zlib stream as a minimal single-image PNG
+  * and running it through [[MediaCodec.pngDecode]] (so every filter /
+  * palette / CRC rule the still-image arm enforces applies to every
+  * frame for free), then composited onto an RGBA canvas under the
+  * spec's blend (SOURCE / OVER) and dispose (NONE / BACKGROUND /
+  * PREVIOUS) operations.
+  *
+  * Scope: 8-bit gray/RGB/RGBA and palette frames (16-bit animation
+  * refuses); the default-image form (first IDAT without an fcTL) is
+  * honored — that image is not part of the animation. Unlike GIF,
+  * APNG chunks carry CRCs, so ANY flipped byte in the animation data
+  * refuses. Dispose PREVIOUS on the first frame acts as BACKGROUND
+  * (per spec).
+  */
+object ApngCodec {
+
+  /** One composited frame: delay as num/den and the full-canvas RGBA
+    * raster (w·h·4, row-major). */
+  final case class ApngFrame(delayNum: Int, delayDen: Int, canvas: Array[Int])
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  private def chunkBytes(tag: String, body: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](12 + body.length)
+    out(0) = (body.length >> 24).toByte; out(1) = (body.length >> 16).toByte
+    out(2) = (body.length >> 8).toByte; out(3) = body.length.toByte
+    tag.getBytes("US-ASCII").copyToArray(out, 4)
+    body.copyToArray(out, 8)
+    val crc = new java.util.zip.CRC32()
+    crc.update(out, 4, 4 + body.length)
+    val v = crc.getValue
+    out(8 + body.length) = (v >> 24).toByte; out(9 + body.length) = (v >> 16).toByte
+    out(10 + body.length) = (v >> 8).toByte; out(11 + body.length) = v.toByte
+    out
+  }
+
+  private val PngMagic =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** Decode + composite an APNG. Returns (canvas w, canvas h, numPlays,
+    * frames). None when the stream is not an APNG (no acTL), corrupt
+    * (any chunk CRC, sequence gap, frame rect outside canvas, bad
+    * blend/dispose), or out of the animation scope (16-bit). */
+  def apngDecode(b: Array[Byte]): Option[(Int, Int, Int, Seq[ApngFrame])] = try {
+    if (b == null || b.length < 8 || !b.take(8).sameElements(PngMagic)) return None
+    // chunk walk: CRC-verify everything, collect IHDR/PLTE/tRNS raw,
+    // acTL, and the fcTL/IDAT/fdAT animation sequence
+    var i = 8
+    var ihdr: Array[Byte] = null
+    var plte: Array[Byte] = null
+    var trns: Array[Byte] = null
+    var actl: Array[Byte] = null
+    var ended = false
+    // (fcTL body, accumulated frame data)
+    val fctls = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val frameData = scala.collection.mutable.ArrayBuffer.empty[java.io.ByteArrayOutputStream]
+    var sawIdat = false
+    var idatIsFrame0 = false
+    var expectedSeq = 0
+    def takeSeq(got: Int): Unit = {
+      require(got == expectedSeq, s"sequence gap: $got vs $expectedSeq")
+      expectedSeq += 1
+    }
+    while (i + 12 <= b.length && !ended) {
+      val len = be32(b, i)
+      if (len < 0 || i + 12L + len > b.length) return None
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, i + 4, 4 + len)
+      if (crc.getValue.toInt != be32(b, i + 8 + len)) return None
+      val tag = new String(b, i + 4, 4, "US-ASCII")
+      val body = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
+      tag match {
+        case "IHDR" => require(ihdr == null, "duplicate IHDR"); ihdr = body
+        case "PLTE" => plte = body
+        case "tRNS" => trns = body
+        case "acTL" =>
+          require(actl == null && !sawIdat, "acTL must precede IDAT, once")
+          require(len == 8, "bad acTL length")
+          actl = body
+        case "fcTL" =>
+          require(len == 26, "bad fcTL length")
+          takeSeq(be32(body, 0))
+          fctls += body
+          frameData += new java.io.ByteArrayOutputStream()
+          if (!sawIdat) idatIsFrame0 = true
+        case "IDAT" =>
+          sawIdat = true
+          if (idatIsFrame0) frameData.head.write(body, 0, body.length)
+        case "fdAT" =>
+          require(len >= 4, "short fdAT")
+          takeSeq(be32(body, 0))
+          require(frameData.nonEmpty, "fdAT before any fcTL")
+          frameData.last.write(body, 4, body.length - 4)
+        case "IEND" => ended = true
+        case _ => ()
+      }
+      i += 12 + len
+    }
+    if (ihdr == null || actl == null || !ended || fctls.isEmpty) return None
+    val w = be32(ihdr, 0); val h = be32(ihdr, 4)
+    val depth = ihdr(8) & 0xff
+    val colorType = ihdr(9) & 0xff
+    require(depth == 8, "16-bit animation out of scope")
+    require(w > 0 && h > 0 && w.toLong * h <= (1L << 24), "canvas too large")
+    val numFrames = be32(actl, 0)
+    val numPlays = be32(actl, 4)
+    require(numFrames == fctls.length, "acTL frame count mismatch")
+    // composite
+    val canvas = new Array[Int](w * h * 4) // transparent black
+    val frames = scala.collection.mutable.ArrayBuffer.empty[ApngFrame]
+    var f = 0
+    while (f < fctls.length) {
+      val fc = fctls(f)
+      val fw = be32(fc, 4); val fh = be32(fc, 8)
+      val fx = be32(fc, 12); val fy = be32(fc, 16)
+      val delayNum = ((fc(20) & 0xff) << 8) | (fc(21) & 0xff)
+      val delayDen0 = ((fc(22) & 0xff) << 8) | (fc(23) & 0xff)
+      val delayDen = if (delayDen0 == 0) 100 else delayDen0 // spec default
+      val dispose = fc(24) & 0xff
+      val blend = fc(25) & 0xff
+      require(fw > 0 && fh > 0 && fx >= 0 && fy >= 0 &&
+        fx.toLong + fw <= w && fy.toLong + fh <= h, "frame rect outside canvas")
+      require(dispose <= 2 && blend <= 1, "bad dispose/blend op")
+      // re-wrap the frame's zlib stream as a standalone PNG and decode
+      // through the full still-image machinery
+      val mini = new java.io.ByteArrayOutputStream()
+      mini.write(PngMagic, 0, 8)
+      val mihdr = ihdr.clone()
+      mihdr(0) = (fw >> 24).toByte; mihdr(1) = (fw >> 16).toByte
+      mihdr(2) = (fw >> 8).toByte; mihdr(3) = fw.toByte
+      mihdr(4) = (fh >> 24).toByte; mihdr(5) = (fh >> 16).toByte
+      mihdr(6) = (fh >> 8).toByte; mihdr(7) = fh.toByte
+      mini.write(chunkBytes("IHDR", mihdr))
+      if (colorType == 3) {
+        require(plte != null, "palette animation without PLTE")
+        mini.write(chunkBytes("PLTE", plte))
+        if (trns != null) mini.write(chunkBytes("tRNS", trns))
+      }
+      mini.write(chunkBytes("IDAT", frameData(f).toByteArray))
+      mini.write(chunkBytes("IEND", Array.emptyByteArray))
+      val (dw, dh, dch, ddepth, px) = MediaCodec.pngDecode(mini.toByteArray)
+        .getOrElse(throw new IllegalArgumentException("frame raster refused"))
+      require(dw == fw && dh == fh && ddepth == 8, "frame raster mismatch")
+      // expand to RGBA
+      def rgbaOf(p: Int, c: Int): Int = dch match {
+        case 1 => if (c == 3) 255 else px(p)
+        case 3 => if (c == 3) 255 else px(p * 3 + c)
+        case _ => px(p * 4 + c)
+      }
+      val pre = if (dispose == 2) canvas.clone() else null
+      var y = 0
+      while (y < fh) {
+        var x = 0
+        while (x < fw) {
+          val src = y * fw + x
+          val dst = ((fy + y) * w + (fx + x)) * 4
+          if (blend == 0) { // SOURCE: replace including alpha
+            var c = 0
+            while (c < 4) { canvas(dst + c) = rgbaOf(src, c); c += 1 }
+          } else { // OVER (non-premultiplied, integer per W3C formula)
+            val sa = rgbaOf(src, 3)
+            if (sa == 255) {
+              var c = 0
+              while (c < 4) { canvas(dst + c) = rgbaOf(src, c); c += 1 }
+            } else if (sa > 0) {
+              val da = canvas(dst + 3)
+              val oa = sa + da * (255 - sa) / 255
+              var c = 0
+              while (c < 3) {
+                val sc = rgbaOf(src, c); val dc = canvas(dst + c)
+                canvas(dst + c) =
+                  if (oa == 0) 0
+                  else (sc * sa * 255 + dc * da * (255 - sa) + oa * 255 / 2) /
+                    (oa * 255)
+                c += 1
+              }
+              canvas(dst + 3) = oa
+            } // sa == 0: leaves the canvas
+          }
+          x += 1
+        }
+        y += 1
+      }
+      frames += ApngFrame(delayNum, delayDen, canvas.clone())
+      dispose match {
+        case 1 => // BACKGROUND: rect → fully transparent black
+          var y2 = 0
+          while (y2 < fh) {
+            var x2 = 0
+            while (x2 < fw) {
+              val dst = ((fy + y2) * w + (fx + x2)) * 4
+              canvas(dst) = 0; canvas(dst + 1) = 0
+              canvas(dst + 2) = 0; canvas(dst + 3) = 0
+              x2 += 1
+            }
+            y2 += 1
+          }
+        case 2 =>
+          // first-frame PREVIOUS degenerates to the fully-transparent
+          // initial canvas — the spec's treat-as-BACKGROUND rule falls
+          // out of pre having been cloned before any draw
+          System.arraycopy(pre, 0, canvas, 0, canvas.length)
+        case _ => () // NONE
+      }
+      f += 1
+    }
+    Some((w, h, numPlays, frames.toSeq))
+  } catch {
+    case _: RuntimeException => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  /** One animation frame for [[encodeApng]]: RGBA via `px(x, y, c)`. */
+  final case class ApngSrcFrame(x: Int, y: Int, w: Int, h: Int,
+                                px: (Int, Int, Int) => Int,
+                                delayNum: Int, delayDen: Int,
+                                dispose: Int, blend: Int)
+
+  /** Encode an RGBA APNG (filter-0 scanlines; frame 0 in IDAT, the
+    * rest in fdAT; shared sequence counter; numPlays in acTL). */
+  def encodeApng(w: Int, h: Int, numPlays: Int,
+                 frames: Seq[ApngSrcFrame]): Array[Byte] = {
+    require(frames.nonEmpty)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngMagic, 0, 8)
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >> 24).toByte; ihdr(1) = (w >> 16).toByte
+    ihdr(2) = (w >> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >> 24).toByte; ihdr(5) = (h >> 16).toByte
+    ihdr(6) = (h >> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8; ihdr(9) = 6 // 8-bit RGBA
+    out.write(chunkBytes("IHDR", ihdr))
+    val actl = new Array[Byte](8)
+    actl(0) = (frames.length >> 24).toByte; actl(1) = (frames.length >> 16).toByte
+    actl(2) = (frames.length >> 8).toByte; actl(3) = frames.length.toByte
+    actl(4) = (numPlays >> 24).toByte; actl(5) = (numPlays >> 16).toByte
+    actl(6) = (numPlays >> 8).toByte; actl(7) = numPlays.toByte
+    out.write(chunkBytes("acTL", actl))
+    var seq = 0
+    frames.zipWithIndex.foreach { case (f, fi) =>
+      require(f.x >= 0 && f.y >= 0 && f.w > 0 && f.h > 0 &&
+        f.x + f.w <= w && f.y + f.h <= h, "frame rect outside canvas")
+      val fctl = new Array[Byte](26)
+      def put32(off: Int, v: Int): Unit = {
+        fctl(off) = (v >> 24).toByte; fctl(off + 1) = (v >> 16).toByte
+        fctl(off + 2) = (v >> 8).toByte; fctl(off + 3) = v.toByte
+      }
+      put32(0, seq); seq += 1
+      put32(4, f.w); put32(8, f.h); put32(12, f.x); put32(16, f.y)
+      fctl(20) = (f.delayNum >> 8).toByte; fctl(21) = f.delayNum.toByte
+      fctl(22) = (f.delayDen >> 8).toByte; fctl(23) = f.delayDen.toByte
+      fctl(24) = f.dispose.toByte; fctl(25) = f.blend.toByte
+      out.write(chunkBytes("fcTL", fctl))
+      // filter-0 scanlines, one zlib stream per frame
+      val raw = new Array[Byte](f.h * (1 + f.w * 4))
+      var y = 0
+      while (y < f.h) {
+        val rowOff = y * (1 + f.w * 4)
+        var x = 0
+        while (x < f.w) {
+          var c = 0
+          while (c < 4) {
+            raw(rowOff + 1 + x * 4 + c) = f.px(x, y, c).toByte
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val z = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      if (fi == 0) out.write(chunkBytes("IDAT", z.toByteArray))
+      else {
+        val zb = z.toByteArray
+        val body = new Array[Byte](4 + zb.length)
+        body(0) = (seq >> 24).toByte; body(1) = (seq >> 16).toByte
+        body(2) = (seq >> 8).toByte; body(3) = seq.toByte
+        seq += 1
+        zb.copyToArray(body, 4)
+        out.write(chunkBytes("fdAT", body))
+      }
+    }
+    out.write(chunkBytes("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+}

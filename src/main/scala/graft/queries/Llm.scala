@@ -1982,6 +1982,7 @@ object Llm {
     "q_jpeg_decode" -> (jpegDecode _),
     "q_gif_decode" -> (gifDecode _),
     "q_gif_anim" -> (gifAnim _),
+    "q_apng_anim" -> (apngAnim _),
     "q_png_palette_decode" -> (pngPaletteDecode _),
     "q_png16_decode" -> (png16Decode _),
     "q_jpeg_progressive" -> (jpegProgressive _),
@@ -3795,6 +3796,101 @@ object Llm {
       |LEFT JOIN bytes b ON b.k = ks.k
       |ORDER BY media_id""".stripMargin
 
+  /** APNG under the oracle — the alpha-compositing animation twin of
+    * q_gif_anim, with the integrity GIF cannot offer: every chunk is
+    * CRC-verified, so the corruption arm flips a byte ANYWHERE (not a
+    * truncation). Per-key RGBA frame stacks at shrinking offsets,
+    * SOURCE blend and keep-disposal for the oracle (OVER and dispose
+    * 1/2 are pinned in ApngCodecSpec against an independent naive
+    * compositor); the oracle re-derives the final canvas per pixel and
+    * channel as the last covering frame's value over transparent
+    * black. */
+  def apngAnim(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.ApngCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val w = (8 + k % 8).toInt
+      val h = (7 + k % 6).toInt
+      val nf = (2 + k % 3).toInt
+      val frames = (0 until nf).map { f =>
+        ApngCodec.ApngSrcFrame(f, f, w - 2 * f, h - 2 * f,
+          (x, y, c) => ((k * 3 + f * 29 + (f + x) * 7 + (f + y) * 11 + c * 13) % 256).toInt,
+          delayNum = (2 + (k + f) % 7).toInt, delayDen = 100,
+          dispose = 0, blend = 0)
+      }
+      val bytes = ApngCodec.encodeApng(w, h, (k % 5).toInt, frames)
+      val payload = if (k % 13 == 0) {
+        val t = bytes.clone(); t(t.length / 2) = (t(t.length / 2) ^ 0x02).toByte; t
+      } else bytes
+      ApngCodec.apngDecode(payload) match {
+        case Some((gw, gh, plays, got)) =>
+          val last = got.last.canvas
+          var tr = 0L; var ta = 0L
+          var p = 0
+          while (p < gw * gh) { tr += last(p * 4); ta += last(p * 4 + 3); p += 1 }
+          (k, true, Some(gw), Some(gh), Some(got.length), Some(plays),
+            Some(got.map(_.delayNum.toLong).sum),
+            Some(tr.toDouble / (gw * gh)), Some(ta.toDouble / (gw * gh)))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Int], None: Option[Long], None: Option[Double],
+            None: Option[Double])
+      }
+    }.toDF("media_id", "apng_ok", "w", "h", "n_frames", "n_plays",
+      "delay_sum", "mr", "ma")
+    decoded.select($"media_id", $"apng_ok", $"w", $"h", $"n_frames",
+      $"n_plays", $"delay_sum", round($"mr", 6).as("mean_r"),
+      round($"ma", 6).as("mean_a"))
+      .orderBy($"media_id")
+  }
+
+  /** Final-canvas rule restated: channel c of pixel (x, y) shows frame
+    * f's value ((3k + 29f + 7x + 11y + 13c) mod 256) for the LARGEST f
+    * with f ≤ x < w−f and f ≤ y < h−f, else 0 (transparent black).
+    * Delays sum 2 + (k+f) mod 7. */
+  val apngAnimSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |dims AS (
+      |  SELECT k, CAST(8 + k % 8 AS BIGINT) AS w, CAST(7 + k % 6 AS BIGINT) AS h,
+      |    CAST(2 + k % 3 AS BIGINT) AS nf
+      |  FROM ks),
+      |px AS (
+      |  SELECT d.k, d.w, d.h, d.nf, gx.g AS x, gy.g AS y
+      |  FROM dims d, generate_series(0, 14) gx(g), generate_series(0, 12) gy(g)
+      |  WHERE gx.g < d.w AND gy.g < d.h AND d.k % 13 <> 0),
+      |vis AS (
+      |  SELECT p.k, p.x, p.y, max(f.g) AS f
+      |  FROM px p, generate_series(0, 3) f(g)
+      |  WHERE f.g < p.nf
+      |    AND f.g <= p.x AND p.x < p.w - f.g
+      |    AND f.g <= p.y AND p.y < p.h - f.g
+      |  GROUP BY p.k, p.x, p.y),
+      |cells AS (
+      |  SELECT p.k,
+      |    COALESCE((p.k * 3 + v.f * 29 + p.x * 7 + p.y * 11) % 256, 0) AS r,
+      |    COALESCE((p.k * 3 + v.f * 29 + p.x * 7 + p.y * 11 + 39) % 256, 0) AS a
+      |  FROM px p
+      |  LEFT JOIN vis v ON v.k = p.k AND v.x = p.x AND v.y = p.y),
+      |agg AS (
+      |  SELECT k, round(avg(CAST(r AS DOUBLE)), 6) AS mr,
+      |    round(avg(CAST(a AS DOUBLE)), 6) AS ma
+      |  FROM cells GROUP BY k),
+      |del AS (
+      |  SELECT d.k, CAST(SUM(2 + (d.k + f.g) % 7) AS BIGINT) AS ds
+      |  FROM dims d, generate_series(0, 3) f(g) WHERE f.g < d.nf GROUP BY d.k)
+      |SELECT d.k AS media_id, (d.k % 13 <> 0) AS apng_ok,
+      |  CASE WHEN d.k % 13 <> 0 THEN CAST(d.w AS INTEGER) END AS w,
+      |  CASE WHEN d.k % 13 <> 0 THEN CAST(d.h AS INTEGER) END AS h,
+      |  CASE WHEN d.k % 13 <> 0 THEN CAST(d.nf AS INTEGER) END AS n_frames,
+      |  CASE WHEN d.k % 13 <> 0 THEN CAST(d.k % 5 AS INTEGER) END AS n_plays,
+      |  CASE WHEN d.k % 13 <> 0 THEN dl.ds END AS delay_sum,
+      |  a.mr AS mean_r, a.ma AS mean_a
+      |FROM dims d
+      |LEFT JOIN agg a ON a.k = d.k
+      |LEFT JOIN del dl ON dl.k = d.k AND d.k % 13 <> 0
+      |ORDER BY media_id""".stripMargin
+
   /** Multimodal plumbing end-to-end under the oracle: media rows
     * synthesized in-plan from the part table (kind cycles image/audio/
     * video; every 7th payload null; videos carry a keyed duration), then
@@ -4460,6 +4556,7 @@ object Llm {
     "q_jpeg_decode" -> jpegDecodeSql,
     "q_gif_decode" -> gifDecodeSql,
     "q_gif_anim" -> gifAnimSql,
+    "q_apng_anim" -> apngAnimSql,
     "q_png_palette_decode" -> pngPaletteDecodeSql,
     "q_png16_decode" -> png16DecodeSql,
     "q_jpeg_progressive" -> jpegProgressiveSql,

@@ -1,0 +1,158 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import ApngCodec.{ApngSrcFrame, apngDecode, encodeApng}
+
+/** Compositing, grammar and integrity for the APNG arm: hand-computed
+  * OVER-blend cases, a fuzz against an independent naive compositor,
+  * the shared fcTL/fdAT sequence contract, and the CRC tamper sweep
+  * (APNG inherits PNG's per-chunk CRC — GIF animation cannot offer
+  * this arm). */
+class ApngCodecSpec extends AnyFunSuite {
+
+  private def solid(r: Int, g: Int, b: Int, a: Int): (Int, Int, Int) => Int =
+    (_, _, c) => c match { case 0 => r; case 1 => g; case 2 => b; case _ => a }
+
+  test("SOURCE blend + dispose ops composite exactly (hand-computed)") {
+    val f0 = ApngSrcFrame(0, 0, 4, 3, solid(10, 20, 30, 255), 1, 10, dispose = 0, blend = 0)
+    val f1 = ApngSrcFrame(1, 1, 2, 1, solid(200, 0, 0, 128), 2, 10, dispose = 1, blend = 0)
+    val f2 = ApngSrcFrame(0, 0, 1, 1, solid(5, 5, 5, 255), 3, 10, dispose = 2, blend = 0)
+    val f3 = ApngSrcFrame(3, 2, 1, 1, solid(9, 9, 9, 9), 4, 10, dispose = 0, blend = 0)
+    val bytes = encodeApng(4, 3, numPlays = 0, Seq(f0, f1, f2, f3))
+    val (w, h, plays, frames) = apngDecode(bytes).get
+    assert(w == 4 && h == 3 && plays == 0 && frames.length == 4)
+    assert(frames.map(_.delayNum) == Seq(1, 2, 3, 4))
+    def at(fr: Int, x: Int, y: Int): Seq[Int] =
+      (0 until 4).map(c => frames(fr).canvas((y * 4 + x) * 4 + c))
+    assert(at(0, 0, 0) == Seq(10, 20, 30, 255))
+    // SOURCE blend REPLACES including alpha (no compositing)
+    assert(at(1, 1, 1) == Seq(200, 0, 0, 128))
+    assert(at(1, 0, 0) == Seq(10, 20, 30, 255))
+    // f1's dispose BACKGROUND cleared its rect to transparent black
+    assert(at(2, 1, 1) == Seq(0, 0, 0, 0))
+    assert(at(2, 0, 0) == Seq(5, 5, 5, 255))
+    // f2's dispose PREVIOUS restored the pre-f2 canvas before f3
+    assert(at(3, 0, 0) == Seq(10, 20, 30, 255))
+    assert(at(3, 3, 2) == Seq(9, 9, 9, 9))
+  }
+
+  test("OVER blend: alpha 0 leaves, 255 replaces, partial composites by the formula") {
+    val base = ApngSrcFrame(0, 0, 2, 1, solid(100, 100, 100, 255), 1, 10, 0, 0)
+    val over = ApngSrcFrame(0, 0, 2, 1,
+      (x, _, c) => if (c == 3) (if (x == 0) 0 else 128) else 200, 1, 10, 0, blend = 1)
+    val (_, _, _, frames) = apngDecode(encodeApng(2, 1, 0, Seq(base, over))).get
+    val c1 = frames(1).canvas
+    // x=0: src alpha 0 leaves the canvas
+    assert((0 until 4).map(c1(_)) == Seq(100, 100, 100, 255))
+    // x=1: oa = 128 + 255·(255−128)/255 = 255; the integer formula with
+    // round-half-up: (200·128·255 + 100·255·127 + 255·255/2) / (255·255)
+    val oa = 128 + 255 * (255 - 128) / 255
+    val expc = (200 * 128 * 255 + 100 * 255 * (255 - 128) + oa * 255 / 2) / (oa * 255)
+    assert((4 until 8).map(c1(_)) == Seq(expc, expc, expc, oa))
+  }
+
+  test("fuzz: random frame stacks match an independent naive compositor") {
+    val rnd = new scala.util.Random(20260815L)
+    (0 until 30).foreach { _ =>
+      val w = 2 + rnd.nextInt(10); val h = 2 + rnd.nextInt(8)
+      val nf = 1 + rnd.nextInt(5)
+      val frames = (0 until nf).map { _ =>
+        val fw = 1 + rnd.nextInt(w); val fh = 1 + rnd.nextInt(h)
+        val fx = rnd.nextInt(w - fw + 1); val fy = rnd.nextInt(h - fh + 1)
+        val seed = rnd.nextInt(1 << 16)
+        ApngSrcFrame(fx, fy, fw, fh,
+          (x, y, c) => (seed + x * 31 + y * 57 + c * 11) % 256,
+          rnd.nextInt(100), 1 + rnd.nextInt(100),
+          dispose = rnd.nextInt(3), blend = rnd.nextInt(2))
+      }
+      val (gw, gh, _, got) = apngDecode(encodeApng(w, h, 0, frames)).get
+      assert(gw == w && gh == h && got.length == nf)
+      // naive reference
+      var canvas = Array.fill(w * h * 4)(0)
+      frames.zipWithIndex.foreach { case (f, i) =>
+        val pre = canvas.clone()
+        for (y <- 0 until f.h; x <- 0 until f.w) {
+          val d = ((f.y + y) * w + (f.x + x)) * 4
+          val s = Array.tabulate(4)(c => f.px(x, y, c) & 0xff)
+          if (f.blend == 0 || s(3) == 255) (0 until 4).foreach(c => canvas(d + c) = s(c))
+          else if (s(3) > 0) {
+            val sa = s(3); val da = canvas(d + 3)
+            val oa = sa + da * (255 - sa) / 255
+            (0 until 3).foreach { c =>
+              canvas(d + c) =
+                if (oa == 0) 0
+                else (s(c) * sa * 255 + canvas(d + c) * da * (255 - sa) + oa * 255 / 2) / (oa * 255)
+            }
+            canvas(d + 3) = oa
+          }
+        }
+        assert(got(i).canvas.sameElements(canvas), s"frame $i mismatch")
+        if (f.dispose == 1) {
+          for (y <- 0 until f.h; x <- 0 until f.w; c <- 0 until 4)
+            canvas(((f.y + y) * w + (f.x + x)) * 4 + c) = 0
+        } else if (f.dispose == 2) canvas = pre
+      }
+    }
+  }
+
+  test("integrity: every single-byte tamper refuses (chunk CRCs); truncation; seq gap") {
+    val bytes = encodeApng(5, 4, 2, Seq(
+      ApngSrcFrame(0, 0, 5, 4, solid(1, 2, 3, 255), 1, 10, 0, 0),
+      ApngSrcFrame(1, 1, 3, 2, solid(4, 5, 6, 200), 1, 10, 1, 1)))
+    val clean = apngDecode(bytes).get._4
+    var silent = 0
+    (8 until bytes.length).foreach { i =>
+      val t = bytes.clone(); t(i) = (t(i) ^ 0x20).toByte
+      apngDecode(t).foreach { case (_, _, _, got) =>
+        if (got.length != clean.length ||
+          got.zip(clean).exists { case (a, b) => !a.canvas.sameElements(b.canvas) })
+          silent += 1
+      }
+    }
+    assert(silent == 0, s"$silent tampered streams composited wrong without refusal")
+    (0 until bytes.length).foreach(k => apngDecode(bytes.take(k)))
+    assert(apngDecode(bytes.dropRight(2)).isEmpty)
+    // sequence gap: bump the second fcTL's sequence number AND fix its
+    // CRC, so only the grammar check can refuse
+    var p = 8
+    var secondFctl = -1
+    var count = 0
+    while (p + 12 <= bytes.length && secondFctl < 0) {
+      val len = ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
+        ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+      if (new String(bytes, p + 4, 4, "US-ASCII") == "fcTL") {
+        count += 1
+        if (count == 2) secondFctl = p
+      }
+      p += 12 + len
+    }
+    assert(secondFctl > 0)
+    val t = bytes.clone()
+    t(secondFctl + 8 + 3) = (t(secondFctl + 8 + 3) + 1).toByte // seq += 1
+    val crc = new java.util.zip.CRC32()
+    crc.update(t, secondFctl + 4, 4 + 26)
+    val v = crc.getValue
+    t(secondFctl + 8 + 26) = (v >> 24).toByte
+    t(secondFctl + 8 + 27) = (v >> 16).toByte
+    t(secondFctl + 8 + 28) = (v >> 8).toByte
+    t(secondFctl + 8 + 29) = v.toByte
+    assert(apngDecode(t).isEmpty)
+  }
+
+  test("the JDK's PNG reader sees frame 0 as the default image") {
+    val bytes = encodeApng(6, 5, 0, Seq(
+      ApngSrcFrame(0, 0, 6, 5, (x, y, c) => (x * 50 + y * 30 + c * 20) % 256, 1, 10, 0, 0),
+      ApngSrcFrame(0, 0, 2, 2, solid(0, 0, 0, 255), 1, 10, 0, 0)))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == 6 && img.getHeight == 5)
+    val (_, _, _, frames) = apngDecode(bytes).get
+    for (y <- 0 until 5; x <- 0 until 6) {
+      val argb = img.getRGB(x, y)
+      val base = (y * 6 + x) * 4
+      assert(((argb >> 16) & 0xff) == frames(0).canvas(base) &&
+        ((argb >> 8) & 0xff) == frames(0).canvas(base + 1) &&
+        (argb & 0xff) == frames(0).canvas(base + 2) &&
+        ((argb >> 24) & 0xff) == frames(0).canvas(base + 3), s"($x,$y)")
+    }
+  }
+}
