@@ -1262,6 +1262,114 @@ object MediaCodec {
     case _: ArrayIndexOutOfBoundsException => None
   }
 
+  // ---- AIFF: big-endian IFF audio with 80-bit extended-float rate --------
+  //
+  // The big-endian sibling of the WAV arm (Apple IFF heritage): FORM/
+  // AIFF container, COMM carrying channels / frame count / sample bits
+  // and the sample rate as an 80-bit IEEE 754 EXTENDED float (sign +
+  // 15-bit exponent + explicit-integer-bit 64-bit mantissa — parsed
+  // exactly, not approximated), SSND holding offset/blockSize-prefixed
+  // big-endian PCM.
+
+  /** Parse an 80-bit extended float at `p` into a Long sample rate;
+    * refuses non-integral, negative, huge, or non-finite values. */
+  private def extended80(b: Array[Byte], p: Int): Long = {
+    val se = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+    require((se & 0x8000) == 0, "negative sample rate")
+    val exp = se & 0x7fff
+    var mant = 0L
+    var i = 0
+    while (i < 8) { mant = (mant << 8) | (b(p + 2 + i) & 0xff); i += 1 }
+    if (exp == 0 && mant == 0L) return 0L
+    require(exp != 0x7fff, "non-finite sample rate")
+    // value = mant · 2^(exp − 16383 − 63); for an integral rate the
+    // shift must bring the mantissa down without losing set bits
+    val shift = exp - 16383 - 63
+    require(shift <= 0 && shift > -64, "sample rate out of range")
+    val down = -shift
+    require(down < 64 && (mant & ((1L << down) - 1)) == 0, "non-integral sample rate")
+    mant >>> down
+  }
+
+  private def writeExtended80(out: java.io.ByteArrayOutputStream, rate: Long): Unit = {
+    require(rate > 0)
+    val top = 63 - java.lang.Long.numberOfLeadingZeros(rate)
+    val exp = 16383 + top
+    val mant = rate << (63 - top)
+    out.write((exp >> 8) & 0x7f); out.write(exp & 0xff)
+    var i = 7
+    while (i >= 0) { out.write(((mant >>> (i * 8)) & 0xff).toInt); i -= 1 }
+  }
+
+  /** Decoded AIFF facts: (channels, sampleRate, frames, channel-0 mean). */
+  def aiffDecode(b: Array[Byte]): Option[(Int, Long, Int, Option[Double])] = try {
+    if (b == null || b.length < 12) return None
+    def u16(p: Int): Int = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+    def u32(p: Int): Long = (u16(p).toLong << 16) | u16(p + 2)
+    def tag(p: Int): String = new String(b, p, 4, "ISO-8859-1")
+    if (tag(0) != "FORM" || tag(8) != "AIFF") return None
+    require(u32(4) + 8 <= b.length, "FORM length overruns payload")
+    var p = 12
+    var channels = -1; var frames = -1L; var bits = -1; var rate = -1L
+    var mean: Option[Double] = None
+    var sawSsnd = false
+    while (p + 8 <= b.length) {
+      val t = tag(p)
+      val len = u32(p + 4)
+      val body = p + 8
+      require(body + len <= b.length, "chunk overruns payload")
+      t match {
+        case "COMM" =>
+          require(len >= 18, "short COMM")
+          channels = u16(body)
+          frames = u32(body + 2)
+          bits = u16(body + 6)
+          rate = extended80(b, body + 8)
+          require(channels >= 1 && bits == 16, "16-bit PCM only")
+        case "SSND" =>
+          require(channels > 0, "SSND before COMM")
+          require(len >= 8, "short SSND")
+          val off = u32(body); val blk = u32(body + 4)
+          require(blk == 0, "block-aligned SSND unsupported")
+          val data = body + 8 + off
+          require(data + frames * 2 * channels <= b.length, "truncated samples")
+          require(len >= 8 + off + frames * 2 * channels, "SSND shorter than frames")
+          var s = 0L
+          var f = 0
+          while (f < frames) {
+            s += ((u16((data + f * 2 * channels).toInt) << 16) >> 16) // sign-extend
+            f += 1
+          }
+          mean = if (frames == 0) None else Some(s.toDouble / frames)
+          sawSsnd = true
+        case _ => ()
+      }
+      p = (body + len + (len & 1)).toInt // IFF chunks pad to even
+    }
+    if (channels < 0 || !sawSsnd || rate <= 0) None
+    else Some((channels, rate, frames.toInt, mean))
+  } catch {
+    case _: RuntimeException => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  /** Encode a mono 16-bit AIFF (big-endian samples, exact 80-bit rate). */
+  def encodeAiff(sampleRate: Long, samples: Array[Short]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def u32(v: Long): Unit = { u16(((v >> 16) & 0xffff).toInt); u16((v & 0xffff).toInt) }
+    def t4(s: String): Unit = s.getBytes("ISO-8859-1").foreach(c => out.write(c))
+    val ssndLen = 8 + samples.length * 2
+    val formLen = 4 + (8 + 18) + (8 + ssndLen)
+    t4("FORM"); u32(formLen); t4("AIFF")
+    t4("COMM"); u32(18)
+    u16(1); u32(samples.length.toLong); u16(16)
+    writeExtended80(out, sampleRate)
+    t4("SSND"); u32(ssndLen); u32(0); u32(0)
+    samples.foreach(v => u16(v & 0xffff))
+    out.toByteArray
+  }
+
   // ---- WebP: RIFF chunk walk + bitstream headers (metadata only) ---------
   //
   // The VP8 entropy decode stays behind the decoder seam; the RIFF

@@ -1997,6 +1997,7 @@ object Llm {
     "q_gzip_members" -> (gzipMembersQ _),
     "q_webp_probe" -> (webpProbeQ _),
     "q_wav_wide" -> (wavWide _),
+    "q_aiff_decode" -> (aiffDecodeQ _),
     "q_g711_decode" -> (g711Decode _),
     "q_media_zoo" -> (mediaZoo _),
     "q_flac_decode" -> (flacDecode _),
@@ -3613,6 +3614,62 @@ object Llm {
       |LEFT JOIN del dl ON dl.k = d.k AND d.k % 13 <> 0
       |ORDER BY media_id""".stripMargin
 
+  /** AIFF under the oracle — the big-endian sibling of the WAV arms,
+    * with the one genuinely tricky field parsed EXACTLY: the sample
+    * rate as an 80-bit IEEE 754 extended float (sign + 15-bit exponent
+    * + explicit-integer-bit mantissa; non-integral or non-finite rates
+    * refuse). Rates cycle through real audio rates including the
+    * 44.1 kHz family; cross-conformance against the JDK's independent
+    * javax.sound AIFF reader is pinned in MediaCodecSpec. Every 13th
+    * payload truncates inside SSND: the frame-count bound refuses. */
+  def aiffDecodeQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.MediaCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val rates = Array(8000L, 11025L, 22050L, 44100L, 48000L)
+    val decoded = keys.map { k =>
+      val n = (30 + k % 60).toInt
+      val rate = rates((k % 5).toInt)
+      val samples = Array.tabulate(n)(i =>
+        ((k * 19 + i.toLong * i * 5) % 16000 - 8000).toShort)
+      val bytes = MediaCodec.encodeAiff(rate, samples)
+      val payload = if (k % 13 == 0) bytes.dropRight(5) else bytes
+      MediaCodec.aiffDecode(payload) match {
+        case Some((ch, r, nf, mean)) =>
+          (k, true, Some(ch), Some(r), Some(nf), mean)
+        case None =>
+          (k, false, None: Option[Int], None: Option[Long], None: Option[Int],
+            None: Option[Double])
+      }
+    }.toDF("media_id", "aiff_ok", "channels", "sample_rate", "n_samples", "m0")
+    decoded.select($"media_id", $"aiff_ok", $"channels", $"sample_rate",
+      $"n_samples", round($"m0", 6).as("mean_pcm"))
+      .orderBy($"media_id")
+  }
+
+  /** Sample formula restated: v = ((19k + 5i²) mod 16000) − 8000 over
+    * n = 30 + k mod 60; rate from the k mod 5 table. */
+  val aiffDecodeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |samp AS (
+      |  SELECT ks.k,
+      |    CAST((ks.k * 19 + CAST(i.g AS BIGINT) * i.g * 5) % 16000 - 8000 AS BIGINT) AS v
+      |  FROM ks, generate_series(0, 89) i(g)
+      |  WHERE i.g < 30 + ks.k % 60 AND ks.k % 13 <> 0),
+      |agg AS (
+      |  SELECT k, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS tot
+      |  FROM samp GROUP BY k)
+      |SELECT ks.k AS media_id, (ks.k % 13 <> 0) AS aiff_ok,
+      |  CASE WHEN ks.k % 13 <> 0 THEN 1 END AS channels,
+      |  CASE WHEN ks.k % 13 <> 0 THEN
+      |    CAST(([8000,11025,22050,44100,48000])[CAST(ks.k % 5 AS INTEGER) + 1] AS BIGINT)
+      |  END AS sample_rate,
+      |  CASE WHEN ks.k % 13 <> 0 THEN CAST(30 + ks.k % 60 AS INTEGER) END AS n_samples,
+      |  CASE WHEN ks.k % 13 <> 0
+      |    THEN round(CAST(a.tot AS DOUBLE) / a.n, 6) END AS mean_pcm
+      |FROM ks LEFT JOIN agg a ON a.k = ks.k
+      |ORDER BY media_id""".stripMargin
+
   /** WebP container probe under the oracle — the raster sibling of the
     * MP3/MP4/Ogg probes (the VP8 entropy decode stays behind the
     * decoder seam; the RIFF walk and the three public header layouts —
@@ -4571,6 +4628,7 @@ object Llm {
     "q_gzip_members" -> gzipMembersSql,
     "q_webp_probe" -> webpProbeSql,
     "q_wav_wide" -> wavWideSql,
+    "q_aiff_decode" -> aiffDecodeSql,
     "q_g711_decode" -> g711DecodeSql,
     "q_media_zoo" -> mediaZooSql,
     "q_flac_decode" -> flacDecodeSql,

@@ -347,6 +347,38 @@ class MediaCodecSpec extends SparkTestBase {
     }
   }
 
+  test("aiff: 80-bit extended rate parses exactly; big-endian PCM means; refusals") {
+    val s1 = Array.tabulate(200)(i => (i * 123 % 20000 - 10000).toShort)
+    for (rate <- Seq(8000L, 44100L, 48000L, 96000L, 11025L)) {
+      val aiff = MediaCodec.encodeAiff(rate, s1)
+      val (ch, r, n, mean) = MediaCodec.aiffDecode(aiff).get
+      assert(ch == 1 && r == rate && n == 200)
+      assert(mean.contains(s1.map(_.toLong).sum.toDouble / 200))
+      // the JDK's independent AIFF reader agrees on the format facts
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(aiff))
+      assert(ais.getFormat.getSampleRate == rate.toFloat &&
+        ais.getFormat.getChannels == 1 &&
+        ais.getFormat.getSampleSizeInBits == 16 &&
+        ais.getFrameLength == 200)
+      // and on the raw big-endian PCM bytes
+      val pcm = ais.readAllBytes()
+      assert(pcm.length == 400)
+      (0 until 200).foreach { i =>
+        val v = (((pcm(2 * i) & 0xff) << 8) | (pcm(2 * i + 1) & 0xff)).toShort
+        assert(v == s1(i), s"sample $i")
+      }
+    }
+    val aiff = MediaCodec.encodeAiff(16000L, s1)
+    // refusals: truncated samples; negative-rate sign bit; non-integral
+    // rate (set a low mantissa bit the shift cannot clear)
+    assert(MediaCodec.aiffDecode(aiff.dropRight(5)).isEmpty)
+    val neg = aiff.clone(); neg(12 + 8 + 8) = (neg(12 + 8 + 8) | 0x80).toByte
+    assert(MediaCodec.aiffDecode(neg).isEmpty)
+    val frac = aiff.clone(); frac(12 + 8 + 8 + 9) = 1
+    assert(MediaCodec.aiffDecode(frac).isEmpty)
+  }
+
   test("webp probe: lossy/lossless/extended headers, RIFF bounds, refusals") {
     assert(MediaCodec.webpProbe(MediaCodec.encodeWebp("lossy", 320, 240,
       alpha = false, fillerBytes = 40)).contains(("lossy", 320, 240, false, 1)))
