@@ -51,6 +51,11 @@ object MediaCodec {
     else if ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 42 && bytes(3) == 0) ||
       (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 && bytes(3) == 42))
       decodeTiff(bytes)
+    else if (bytes(0) == 'F' && bytes(1) == 'O' && bytes(2) == 'R' && bytes(3) == 'M')
+      aiffDecode(bytes).map { case (ch, rate, frames, mean) =>
+        MediaInfo("aiff", None, None, Some(ch), Some(rate.toInt), Some(frames),
+          mean, None, None)
+      }
     else None
   }
 
@@ -1260,6 +1265,150 @@ object MediaCodec {
   } catch {
     case _: RuntimeException => None
     case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  // ---- Matroska/WebM: EBML element walk (metadata only) ------------------
+  //
+  // The third video container after MP4 and Ogg: EBML's variable-length
+  // integers (leading-zero count sets the width; IDs keep the marker
+  // bit, sizes strip it), the header's DocType, and the Segment's
+  // Info (TimestampScale + float Duration) and Tracks (type + CodecID)
+  // children. Unknown-size elements (all size bits set) refuse — a
+  // probe cannot bound them; the VP8/VP9/Opus payload decode stays
+  // behind the decoder seam.
+
+  /** Probed Matroska facts: (docType, timestampScale ns, duration in
+    * scale units as a double, track (type, codecId) pairs in order). */
+  def ebmlProbe(b: Array[Byte]): Option[(String, Long, Double, Seq[(Int, String)])] = try {
+    if (b == null || b.length < 8) return None
+    var p = 0
+    def vint(keepMarker: Boolean): Long = {
+      require(p < b.length, "cut vint")
+      val first = b(p) & 0xff
+      require(first != 0, "vint too long")
+      val len = java.lang.Integer.numberOfLeadingZeros(first) - 23 // 1..8
+      require(p + len <= b.length, "cut vint body")
+      var v = (if (keepMarker) first else first & ((1 << (8 - len)) - 1)).toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | (b(p + i) & 0xff); i += 1 }
+      if (!keepMarker) {
+        // all-ones payload = unknown size: refuse (cannot bound)
+        val ones = (1L << (7 * len)) - 1
+        require(v != ones, "unknown-size element")
+      }
+      p += len
+      v
+    }
+    def uint(from: Int, len: Int): Long = {
+      require(len >= 1 && len <= 8, "bad uint length")
+      var v = 0L
+      var i = 0
+      while (i < len) { v = (v << 8) | (b(from + i) & 0xff); i += 1 }
+      v
+    }
+    var docType: String = null
+    var timestampScale = 1000000L // EBML default: 1 ms
+    var duration = -1.0
+    val tracks = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    def walk(until: Int, depth: Int): Unit = {
+      require(depth < 8, "EBML nesting too deep")
+      while (p < until) {
+        val id = vint(keepMarker = true)
+        val size = vint(keepMarker = false)
+        val body = p
+        require(body + size <= until, "element overruns parent")
+        val end = (body + size).toInt
+        id match {
+          case 0x1A45DFA3L => walk(end, depth + 1) // EBML header
+          case 0x4282L => // DocType
+            docType = new String(b, body, size.toInt, "US-ASCII")
+          case 0x18538067L => walk(end, depth + 1) // Segment
+          case 0x1549A966L => walk(end, depth + 1) // Info
+          case 0x2AD7B1L => timestampScale = uint(body, size.toInt)
+          case 0x4489L => // Duration: FLOAT (4 or 8 bytes)
+            require(size == 4 || size == 8, "bad float length")
+            duration =
+              if (size == 4) java.lang.Float.intBitsToFloat(uint(body, 4).toInt).toDouble
+              else java.lang.Double.longBitsToDouble(uint(body, 8))
+            require(java.lang.Double.isFinite(duration) && duration >= 0,
+              "non-finite duration")
+          case 0x1654AE6BL => walk(end, depth + 1) // Tracks
+          case 0xAEL => // TrackEntry: type + codec from its children
+            var ttype = -1; var codec: String = null
+            var q = body
+            while (q < end) {
+              p = q
+              val cid = vint(keepMarker = true)
+              val csz = vint(keepMarker = false)
+              val cbody = p
+              require(cbody + csz <= end, "track child overruns entry")
+              cid match {
+                case 0x83L => ttype = uint(cbody, csz.toInt).toInt
+                case 0x86L => codec = new String(b, cbody, csz.toInt, "US-ASCII")
+                case _ => ()
+              }
+              q = (cbody + csz).toInt
+            }
+            require(ttype >= 0 && codec != null, "track without type/codec")
+            tracks += ((ttype, codec))
+          case _ => () // skip unknown elements (their size bounds them)
+        }
+        p = end
+      }
+    }
+    // first element must be the EBML header
+    val firstId = vint(keepMarker = true)
+    require(firstId == 0x1A45DFA3L, "not an EBML stream")
+    p = 0
+    walk(b.length, 0)
+    if (docType == null || duration < 0 || tracks.isEmpty) None
+    else Some((docType, timestampScale, duration, tracks.toSeq))
+  } catch {
+    case _: RuntimeException => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  /** Synthesize a minimal Matroska/WebM tree for the probe gate. */
+  def encodeEbml(docType: String, timestampScale: Long, duration: Double,
+                 tracks: Seq[(Int, String)], fillerBytes: Int): Array[Byte] = {
+    def vintSize(v: Long): Array[Byte] = {
+      // smallest 1..8-byte size encoding (marker in the first byte)
+      var len = 1
+      while (len < 8 && v >= (1L << (7 * len)) - 1) len += 1
+      val out = new Array[Byte](len)
+      var i = len - 1
+      var x = v
+      while (i >= 0) { out(i) = (x & 0xff).toByte; x >>= 8; i -= 1 }
+      out(0) = (out(0) | (0x80 >> (len - 1))).toByte
+      out
+    }
+    def idBytes(id: Long): Array[Byte] = {
+      var len = 1
+      while ((id >> (8 * len)) != 0) len += 1
+      Array.tabulate(len)(i => ((id >> (8 * (len - 1 - i))) & 0xff).toByte)
+    }
+    def el(id: Long, body: Array[Byte]): Array[Byte] =
+      idBytes(id) ++ vintSize(body.length.toLong) ++ body
+    def uintBody(v: Long): Array[Byte] = {
+      var len = 1
+      while ((v >> (8 * len)) != 0) len += 1
+      Array.tabulate(len)(i => ((v >> (8 * (len - 1 - i))) & 0xff).toByte)
+    }
+    val header = el(0x1A45DFA3L,
+      el(0x4282L, docType.getBytes("US-ASCII")) ++
+        el(0x4286L, uintBody(1))) // EBMLVersion
+    val dbits = java.lang.Double.doubleToLongBits(duration)
+    val info = el(0x1549A966L,
+      el(0x2AD7B1L, uintBody(timestampScale)) ++
+        el(0x4489L, Array.tabulate(8)(i => ((dbits >> (8 * (7 - i))) & 0xff).toByte)))
+    val trackEls = tracks.map { case (t, codec) =>
+      el(0xAEL, el(0x83L, uintBody(t.toLong)) ++
+        el(0x86L, codec.getBytes("US-ASCII")))
+    }
+    val trs = el(0x1654AE6BL, trackEls.flatten.toArray)
+    val filler = el(0xECL, // Void element
+      Array.tabulate(fillerBytes)(i => ((i * 53 + 9) & 0xff).toByte))
+    header ++ el(0x18538067L, info ++ trs ++ filler)
   }
 
   // ---- AIFF: big-endian IFF audio with 80-bit extended-float rate --------

@@ -1996,6 +1996,7 @@ object Llm {
     "q_tar_read" -> (tarRead _),
     "q_gzip_members" -> (gzipMembersQ _),
     "q_webp_probe" -> (webpProbeQ _),
+    "q_webm_probe" -> (webmProbeQ _),
     "q_wav_wide" -> (wavWide _),
     "q_aiff_decode" -> (aiffDecodeQ _),
     "q_g711_decode" -> (g711Decode _),
@@ -3670,6 +3671,67 @@ object Llm {
       |FROM ks LEFT JOIN agg a ON a.k = ks.k
       |ORDER BY media_id""".stripMargin
 
+  /** Matroska/WebM container probe under the oracle — the EBML arm
+    * completing the video-container family (MP4 boxes, Ogg pages, now
+    * EBML variable-length elements): per-key trees with DocType,
+    * TimestampScale and float Duration in Info, and typed tracks with
+    * CodecIDs; unknown-size elements refuse. Duration seconds derive
+    * as duration·scale/1e9 with both factors exactly representable.
+    * Every 13th payload truncates: the element-bounds walk refuses. */
+  def webmProbeQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.MediaCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val docType = if (k % 2 == 0) "webm" else "matroska"
+      val scale = 1000000L * (1 + k % 3)
+      val dur = (1000 + (k * 7) % 900000).toDouble
+      val tracks =
+        (if (k % 2 == 0) Seq((1, if (k % 4 == 0) "V_VP8" else "V_VP9"))
+         else Seq.empty) :+ ((2, if (k % 5 == 0) "A_OPUS" else "A_VORBIS"))
+      val bytes = MediaCodec.encodeEbml(docType, scale, dur, tracks,
+        fillerBytes = (5 + k % 90).toInt)
+      val payload = if (k % 13 == 0) bytes.dropRight(3) else bytes
+      MediaCodec.ebmlProbe(payload) match {
+        case Some((dt, ts, pd, tr)) =>
+          (k, true, Some(dt), Some(pd * ts / 1e9), Some(tr.size),
+            Some(tr.exists(_._1 == 1)), Some(tr.map(_._2).mkString(",")))
+        case None =>
+          (k, false, None: Option[String], None: Option[Double],
+            None: Option[Int], None: Option[Boolean], None: Option[String])
+      }
+    }.toDF("media_id", "webm_ok", "doc_type", "dur", "n_tracks", "has_video", "codecs")
+    decoded.select($"media_id", $"webm_ok", $"doc_type",
+      round($"dur", 6).as("duration_s"), $"n_tracks", $"has_video", $"codecs")
+      .orderBy($"media_id")
+  }
+
+  /** Facts restated: doctype/video by key parity, duration_s =
+    * (1000 + 7k mod 900000)·(1 + k mod 3)/1000 (scale is (1 + k mod
+    * 3)·10⁶ ns), codecs joined in track order. */
+  val webmProbeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part)
+      |SELECT k AS media_id, (k % 13 <> 0) AS webm_ok,
+      |  CASE WHEN k % 13 <> 0 THEN
+      |    CASE WHEN k % 2 = 0 THEN 'webm' ELSE 'matroska' END
+      |  END AS doc_type,
+      |  CASE WHEN k % 13 <> 0 THEN
+      |    round(CAST(1000 + (k * 7) % 900000 AS DOUBLE) *
+      |          (1000000 * (1 + k % 3)) / 1e9, 6)
+      |  END AS duration_s,
+      |  CASE WHEN k % 13 <> 0
+      |    THEN CAST(1 + CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END AS INTEGER)
+      |  END AS n_tracks,
+      |  CASE WHEN k % 13 <> 0 THEN k % 2 = 0 END AS has_video,
+      |  CASE WHEN k % 13 <> 0 THEN
+      |    CASE WHEN k % 2 = 0
+      |      THEN (CASE WHEN k % 4 = 0 THEN 'V_VP8' ELSE 'V_VP9' END) || ','
+      |      ELSE '' END ||
+      |    CASE WHEN k % 5 = 0 THEN 'A_OPUS' ELSE 'A_VORBIS' END
+      |  END AS codecs
+      |FROM ks
+      |ORDER BY media_id""".stripMargin
+
   /** WebP container probe under the oracle — the raster sibling of the
     * MP3/MP4/Ogg probes (the VP8 entropy decode stays behind the
     * decoder seam; the RIFF walk and the three public header layouts —
@@ -4627,6 +4689,7 @@ object Llm {
     "q_tar_read" -> tarReadSql,
     "q_gzip_members" -> gzipMembersSql,
     "q_webp_probe" -> webpProbeSql,
+    "q_webm_probe" -> webmProbeSql,
     "q_wav_wide" -> wavWideSql,
     "q_aiff_decode" -> aiffDecodeSql,
     "q_g711_decode" -> g711DecodeSql,

@@ -347,6 +347,26 @@ class MediaCodecSpec extends SparkTestBase {
     }
   }
 
+  test("ebml/webm probe: vint walk, DocType, duration, tracks, refusals") {
+    val mk = MediaCodec.encodeEbml("webm", 1000000L, 12345.0,
+      Seq((1, "V_VP9"), (2, "A_OPUS")), fillerBytes = 300) // 2-byte size vints
+    assert(MediaCodec.ebmlProbe(mk).contains(
+      ("webm", 1000000L, 12345.0, Seq((1, "V_VP9"), (2, "A_OPUS")))))
+    val mk2 = MediaCodec.encodeEbml("matroska", 500000L, 0.5, Seq((2, "A_FLAC")), 5)
+    assert(MediaCodec.ebmlProbe(mk2).contains(
+      ("matroska", 500000L, 0.5, Seq((2, "A_FLAC")))))
+    // refusals: truncation anywhere never throws; cut stream refuses;
+    // non-EBML leader; unknown-size Segment (all-ones size vint)
+    (0 until mk.length).foreach(k => MediaCodec.ebmlProbe(mk.take(k)))
+    assert(MediaCodec.ebmlProbe(mk.dropRight(3)).isEmpty)
+    assert(MediaCodec.ebmlProbe("nope".getBytes("US-ASCII") ++ mk).isEmpty)
+    val segId = Array[Byte](0x18, 0x53, 0x80.toByte, 0x67)
+    val segAt = mk.indexOfSlice(segId)
+    assert(segAt > 0)
+    val unk = mk.clone(); unk(segAt + 4) = 0xff.toByte
+    assert(MediaCodec.ebmlProbe(unk).isEmpty)
+  }
+
   test("aiff: 80-bit extended rate parses exactly; big-endian PCM means; refusals") {
     val s1 = Array.tabulate(200)(i => (i * 123 % 20000 - 10000).toShort)
     for (rate <- Seq(8000L, 44100L, 48000L, 96000L, 11025L)) {
