@@ -171,6 +171,8 @@ object MediaCodec {
     val h = le32(b, 22) // positive = bottom-up (the only variant we emit)
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
+    if (bpp == 8 && (compression == 0 || compression == 1))
+      return decodeBmp8(b, dataOff, w, h, compression == 1)
     if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
     val hh = math.abs(h)
     // untrusted header: dataOff can be negative/inside the header, and
@@ -195,6 +197,158 @@ object MediaCodec {
     val n = w.toLong * hh
     Some(MediaInfo("bmp", Some(w), Some(hh), Some(3), None, None,
       Some(sr.toDouble / n), Some(sg.toDouble / n), Some(sb.toDouble / n)))
+  }
+
+  /** 8-bit palette BMP, uncompressed or BI_RLE8. The RLE8 escapes:
+    * 00 00 = end of line (uncovered pixels stay index 0), 00 01 = end
+    * of bitmap, 00 02 = DELTA — refused (it leaves pixels UNDEFINED by
+    * spec; a decoder that invents values for them would launder
+    * garbage), 00 nn = absolute run padded to a word boundary. */
+  private def decodeBmp8(b: Array[Byte], dataOff: Int, w: Int, h: Int,
+                         rle: Boolean): Option[MediaInfo] = try {
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+    val clrUsed = le32(b, 46)
+    val nColors = if (clrUsed == 0) 256 else clrUsed
+    if (nColors < 1 || nColors > 256 || 54 + 4 * nColors > b.length) return None
+    val palette = Array.tabulate(nColors)(p =>
+      (u8(b, 54 + 4 * p + 2) << 16) | (u8(b, 54 + 4 * p + 1) << 8) | u8(b, 54 + 4 * p))
+    if (dataOff < 54 + 4 * nColors) return None
+    val idx = new Array[Int](w * h) // index 0 default (uncovered RLE pixels)
+    if (!rle) {
+      val stride = (w + 3) & ~3
+      if (dataOff.toLong + stride.toLong * h > b.length) return None
+      var y = 0
+      while (y < h) {
+        val rowOff = dataOff + (h - 1 - y) * stride // bottom-up
+        var x = 0
+        while (x < w) { idx(y * w + x) = u8(b, rowOff + x); x += 1 }
+        y += 1
+      }
+    } else {
+      var p = dataOff
+      var row = 0 // bottom-up row counter
+      var x = 0
+      var eof = false
+      while (!eof) {
+        require(p + 2 <= b.length, "truncated RLE stream")
+        val n = u8(b, p); val v = u8(b, p + 1); p += 2
+        if (n > 0) { // encoded run
+          require(row < h && x + n <= w, "RLE run overruns row")
+          val y = h - 1 - row
+          var i = 0
+          while (i < n) { idx(y * w + x + i) = v; i += 1 }
+          x += n
+        } else v match {
+          case 0 => row += 1; x = 0; require(row <= h, "EOL past bitmap")
+          case 1 => eof = true
+          case 2 => throw new IllegalArgumentException("RLE delta leaves pixels undefined")
+          case cnt => // absolute mode, word-aligned
+            require(row < h && x + cnt <= w, "absolute run overruns row")
+            require(p + cnt + (cnt & 1) <= b.length, "truncated absolute run")
+            val y = h - 1 - row
+            var i = 0
+            while (i < cnt) { idx(y * w + x + i) = u8(b, p + i); i += 1 }
+            x += cnt
+            p += cnt + (cnt & 1)
+        }
+      }
+    }
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < w * h) {
+      val ix = idx(i)
+      if (ix >= nColors) return None // refusal, not a clamp
+      val rgb = palette(ix)
+      sr += (rgb >>> 16) & 0xff; sg += (rgb >>> 8) & 0xff; sb += rgb & 0xff
+      i += 1
+    }
+    val n = w.toLong * h
+    Some(MediaInfo("bmp", Some(w), Some(h), Some(3), None, None,
+      Some(sr.toDouble / n), Some(sg.toDouble / n), Some(sb.toDouble / n)))
+  } catch {
+    case _: RuntimeException => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  /** Encode an 8-bit palette BMP, uncompressed or BI_RLE8 (encoded
+    * runs + absolute runs + EOL/EOF escapes; no deltas). `palette` is
+    * packed 0xRRGGBB; `idx(x, y)` with y = 0 the TOP row. */
+  def encodeBmp8(w: Int, h: Int, palette: Array[Int], idx: (Int, Int) => Int,
+                 rle: Boolean): Array[Byte] = {
+    require(w > 0 && h > 0 && palette.nonEmpty && palette.length <= 256)
+    val data = new java.io.ByteArrayOutputStream()
+    if (!rle) {
+      val stride = (w + 3) & ~3
+      var y = h - 1
+      while (y >= 0) { // bottom-up
+        var x = 0
+        while (x < w) {
+          val i = idx(x, y)
+          require(i >= 0 && i < palette.length, "index outside palette")
+          data.write(i)
+          x += 1
+        }
+        var pad = stride - w
+        while (pad > 0) { data.write(0); pad -= 1 }
+        y -= 1
+      }
+    } else {
+      var y = h - 1
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          val v = idx(x, y)
+          require(v >= 0 && v < palette.length, "index outside palette")
+          var run = 1
+          while (x + run < w && run < 255 && idx(x + run, y) == v) run += 1
+          if (run >= 2) { data.write(run); data.write(v); x += run }
+          else {
+            // literal stretch until the next ≥3 repeat (abs runs need ≥3)
+            var lit = 1
+            while (x + lit < w && lit < 255 &&
+              !(x + lit + 2 < w && idx(x + lit, y) == idx(x + lit + 1, y) &&
+                idx(x + lit + 1, y) == idx(x + lit + 2, y))) lit += 1
+            if (lit >= 3) {
+              data.write(0); data.write(lit)
+              var i = 0
+              while (i < lit) { data.write(idx(x + i, y)); i += 1 }
+              if ((lit & 1) == 1) data.write(0) // word alignment
+            } else {
+              var i = 0
+              while (i < lit) { data.write(1); data.write(idx(x + i, y)); i += 1 }
+            }
+            x += lit
+          }
+        }
+        data.write(0); data.write(0) // EOL
+        y -= 1
+      }
+      data.write(0); data.write(1) // EOF
+    }
+    val bytes = data.toByteArray
+    val paletteBytes = palette.length * 4
+    val dataOff = 54 + paletteBytes
+    val out = new Array[Byte](dataOff + bytes.length)
+    def put32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    put32(2, out.length); put32(10, dataOff)
+    put32(14, 40); put32(18, w); put32(22, h)
+    out(26) = 1; out(28) = 8 // planes, bpp
+    put32(30, if (rle) 1 else 0) // BI_RLE8 / BI_RGB
+    put32(34, bytes.length); put32(38, 2835); put32(42, 2835)
+    put32(46, palette.length) // biClrUsed
+    var p = 0
+    while (p < palette.length) {
+      out(54 + 4 * p) = palette(p).toByte // B
+      out(54 + 4 * p + 1) = (palette(p) >> 8).toByte // G
+      out(54 + 4 * p + 2) = (palette(p) >> 16).toByte // R
+      p += 1
+    }
+    bytes.copyToArray(out, dataOff)
+    out
   }
 
   // ---- PPM: binary P6, maxval <= 255 ------------------------------------

@@ -1997,6 +1997,7 @@ object Llm {
     "q_gzip_members" -> (gzipMembersQ _),
     "q_webp_probe" -> (webpProbeQ _),
     "q_webm_probe" -> (webmProbeQ _),
+    "q_bmp_rle" -> (bmpRle _),
     "q_wav_wide" -> (wavWide _),
     "q_aiff_decode" -> (aiffDecodeQ _),
     "q_g711_decode" -> (g711Decode _),
@@ -3671,6 +3672,66 @@ object Llm {
       |FROM ks LEFT JOIN agg a ON a.k = ks.k
       |ORDER BY media_id""".stripMargin
 
+  /** Palette/RLE8 BMP under the oracle — the run-length arm of the BMP
+    * decoder (alternating with plain 8-bit palette rows): per-key
+    * palettes and index rasters from closed formulas (x/2 steps create
+    * real runs for the RLE encoder), means re-derived per channel
+    * through the palette in SQL. ImageIO conformance both directions
+    * and the delta-escape refusal live in MediaCodecSpec; the
+    * corruption arm truncates (BMP carries no checksum). */
+  def bmpRle(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.MediaCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val w = (8 + k % 20).toInt
+      val h = (6 + k % 12).toInt
+      val nPal = (50 + k % 200).toInt
+      val pal = Array.tabulate(nPal)(p =>
+        ((((k * 3 + p * 7) % 256) << 16) | (((k + p * 11) % 256) << 8) |
+          ((p * 13) % 256)).toInt)
+      val idx = (x: Int, y: Int) => ((k + x / 2 + y * 5) % nPal).toInt
+      val bytes = MediaCodec.encodeBmp8(w, h, pal, idx, rle = k % 2 == 0)
+      val payload = if (k % 13 == 0) bytes.dropRight(3) else bytes
+      MediaCodec.decode(payload) match {
+        case Some(m) => (k, true, m.width, m.height, m.meanC0, m.meanC1, m.meanC2)
+        case None => (k, false, None: Option[Int], None: Option[Int],
+          None: Option[Double], None: Option[Double], None: Option[Double])
+      }
+    }.toDF("media_id", "bmp_ok", "w", "h", "c0", "c1", "c2")
+    decoded.select($"media_id", $"bmp_ok", $"w", $"h",
+      round($"c0", 6).as("mean_r"), round($"c1", 6).as("mean_g"),
+      round($"c2", 6).as("mean_b"))
+      .orderBy($"media_id")
+  }
+
+  /** Formulas restated: palette entry p = ((3k+7p) mod 256, (k+11p) mod
+    * 256, 13p mod 256); index (k + ⌊x/2⌋ + 5y) mod nPal with nPal =
+    * 50 + k mod 200. */
+  val bmpRleSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |dims AS (
+      |  SELECT k, CAST(8 + k % 20 AS BIGINT) AS w, CAST(6 + k % 12 AS BIGINT) AS h,
+      |    50 + k % 200 AS npal
+      |  FROM ks),
+      |px AS (
+      |  SELECT d.k, d.w, d.h,
+      |    (d.k + (gx.g // 2) + gy.g * 5) % d.npal AS p
+      |  FROM dims d, generate_series(0, 27) gx(g), generate_series(0, 17) gy(g)
+      |  WHERE gx.g < d.w AND gy.g < d.h AND d.k % 13 <> 0),
+      |agg AS (
+      |  SELECT k,
+      |    round(avg(CAST((k * 3 + p * 7) % 256 AS DOUBLE)), 6) AS mr,
+      |    round(avg(CAST((k + p * 11) % 256 AS DOUBLE)), 6) AS mg,
+      |    round(avg(CAST((p * 13) % 256 AS DOUBLE)), 6) AS mb
+      |  FROM px GROUP BY k)
+      |SELECT d.k AS media_id, (d.k % 13 <> 0) AS bmp_ok,
+      |  CASE WHEN d.k % 13 <> 0 THEN CAST(d.w AS INTEGER) END AS w,
+      |  CASE WHEN d.k % 13 <> 0 THEN CAST(d.h AS INTEGER) END AS h,
+      |  a.mr AS mean_r, a.mg AS mean_g, a.mb AS mean_b
+      |FROM dims d LEFT JOIN agg a ON a.k = d.k
+      |ORDER BY media_id""".stripMargin
+
   /** Matroska/WebM container probe under the oracle — the EBML arm
     * completing the video-container family (MP4 boxes, Ogg pages, now
     * EBML variable-length elements): per-key trees with DocType,
@@ -4690,6 +4751,7 @@ object Llm {
     "q_gzip_members" -> gzipMembersSql,
     "q_webp_probe" -> webpProbeSql,
     "q_webm_probe" -> webmProbeSql,
+    "q_bmp_rle" -> bmpRleSql,
     "q_wav_wide" -> wavWideSql,
     "q_aiff_decode" -> aiffDecodeSql,
     "q_g711_decode" -> g711DecodeSql,

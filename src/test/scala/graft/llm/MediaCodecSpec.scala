@@ -347,6 +347,50 @@ class MediaCodecSpec extends SparkTestBase {
     }
   }
 
+  test("bmp8: palette + RLE8 round-trip, ImageIO both directions, delta refusal") {
+    val pal = Array.tabulate(200)(p => ((p * 5 % 256) << 16) | ((p * 3 % 256) << 8) | (p % 256))
+    val idx = (x: Int, y: Int) => (x / 3 + y * 7) % 200 // runs of 3 exercise RLE
+    for (rle <- Seq(false, true)) {
+      val bmp = MediaCodec.encodeBmp8(23, 11, pal, idx, rle)
+      val m = MediaCodec.decode(bmp).get
+      assert(m.format == "bmp" && m.width.contains(23) && m.height.contains(11))
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until 11; x <- 0 until 23) {
+        val rgb = pal(idx(x, y))
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+      }
+      val n = 23.0 * 11
+      assert(m.meanC0.contains(sr / n) && m.meanC1.contains(sg / n) &&
+        m.meanC2.contains(sb / n))
+      // the JDK's independent BMP reader agrees pixel-for-pixel
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+      assert(img != null, s"ImageIO rejected rle=$rle")
+      for (y <- 0 until 11; x <- 0 until 23)
+        assert((img.getRGB(x, y) & 0xffffff) == pal(idx(x, y)), s"($x,$y) rle=$rle")
+    }
+    // we read the JDK writer's 8-bit palette BMPs
+    val src = new java.awt.image.BufferedImage(9, 6,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 6; x <- 0 until 9) src.setRGB(x, y, ((x * 37) << 16) | (y * 41))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "bmp", bos))
+    val ours = MediaCodec.decode(bos.toByteArray).get
+    var tr = 0L; var tg = 0L; var tb = 0L
+    for (y <- 0 until 6; x <- 0 until 9) {
+      val v = src.getRGB(x, y)
+      tr += (v >> 16) & 0xff; tg += (v >> 8) & 0xff; tb += v & 0xff
+    }
+    assert(ours.meanC0.contains(tr / 54.0) && ours.meanC1.contains(tg / 54.0) &&
+      ours.meanC2.contains(tb / 54.0))
+    // delta escape refuses; truncation refuses
+    val rleBmp = MediaCodec.encodeBmp8(8, 4, pal, (_, _) => 7, rle = true)
+    val dataOff = 54 + 200 * 4
+    val withDelta = rleBmp.clone()
+    withDelta(dataOff) = 0; withDelta(dataOff + 1) = 2 // 00 02 = delta
+    assert(MediaCodec.decode(withDelta).isEmpty)
+    assert(MediaCodec.decode(rleBmp.dropRight(3)).isEmpty)
+  }
+
   test("ebml/webm probe: vint walk, DocType, duration, tracks, refusals") {
     val mk = MediaCodec.encodeEbml("webm", 1000000L, 12345.0,
       Seq((1, "V_VP9"), (2, "A_OPUS")), fillerBytes = 300) // 2-byte size vints
