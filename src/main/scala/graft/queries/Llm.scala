@@ -2002,6 +2002,7 @@ object Llm {
     "q_aiff_decode" -> (aiffDecodeQ _),
     "q_g711_decode" -> (g711Decode _),
     "q_media_zoo" -> (mediaZoo _),
+    "q_media_zoo2" -> (mediaZoo2 _),
     "q_flac_decode" -> (flacDecode _),
     "q_flac_lpc" -> (flacLpc _),
     "q_flac_stereo" -> (flacStereo _),
@@ -3732,6 +3733,139 @@ object Llm {
       |FROM dims d LEFT JOIN agg a ON a.k = d.k
       |ORDER BY media_id""".stripMargin
 
+  /** Second magic-byte dispatch capstone — q_media_zoo covers the round-
+    * 10/11 formats; this one routes the NEWER arms through the same
+    * single [[graft.llm.MediaCodec.decode]] entry point: TIFF gray
+    * (II magic), AIFF (FORM), RLE8 palette BMP (BM + compression 1),
+    * STEREO FLAC (fLaC → channel means via the decorrelation decode),
+    * and float32 WAV (RIFF + format tag 3). Per-kind corruption arms:
+    * truncation for the checksum-less formats, a frame bit flip for
+    * FLAC (CRC-16 refuses). */
+  def mediaZoo2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.{FlacCodec, MediaCodec}
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val kind = (k % 5).toInt
+      val bytes = kind match {
+        case 0 =>
+          graft.llm.TiffCodec.encode((6 + k % 12).toInt, (5 + k % 10).toInt, 1,
+            (x, y) => ((k * 3 + x * 7 + y * 13) % 256).toInt,
+            littleEndian = true, packBits = k % 2 == 0, rowsPerStrip = 3)
+        case 1 =>
+          MediaCodec.encodeAiff(8000, Array.tabulate((30 + k % 60).toInt)(i =>
+            ((k * 19 + i.toLong * i * 5) % 16000 - 8000).toShort))
+        case 2 =>
+          val nPal = (50 + k % 200).toInt
+          MediaCodec.encodeBmp8((8 + k % 20).toInt, (6 + k % 12).toInt,
+            Array.tabulate(nPal)(p =>
+              ((((k * 3 + p * 7) % 256) << 16) | (((k + p * 11) % 256) << 8) |
+                ((p * 13) % 256)).toInt),
+            (x, y) => ((k + x / 2 + y * 5) % nPal).toInt, rle = true)
+        case 3 =>
+          val n = (50 + k % 70).toInt
+          val left = Array.tabulate(n)(i =>
+            ((k * 13 + i * i * 7) % 20000 - 10000).toShort)
+          val right = Array.tabulate(n)(i =>
+            (left(i) + (k + 3 * i) % 200 - 100).toShort)
+          FlacCodec.encodeStereo(16000, left, right)
+        case _ =>
+          MediaCodec.encodeWavFloat32(16000, Array.tabulate((30 + k % 50).toInt)(i =>
+            ((k * 17 + i * 29) % 40000 - 20000).toFloat))
+      }
+      val payload = if (k % 13 == 0) {
+        if (kind == 3) {
+          val t = bytes.clone(); t(t.length - 5) = (t(t.length - 5) ^ 0x08).toByte; t
+        } else bytes.dropRight(3)
+      } else bytes
+      MediaCodec.decode(payload) match {
+        case Some(m) => (k, true, Some(m.format), m.channels, m.width, m.height,
+          m.sampleRate, m.nSamples, m.meanC0, m.meanC1)
+        case None => (k, false, None: Option[String], None: Option[Int],
+          None: Option[Int], None: Option[Int], None: Option[Int],
+          None: Option[Int], None: Option[Double], None: Option[Double])
+      }
+    }.toDF("media_id", "zoo_ok", "format", "channels", "w", "h",
+      "sample_rate", "n_samples", "c0", "c1")
+    decoded.select($"media_id", $"zoo_ok", $"format", $"channels", $"w", $"h",
+      $"sample_rate", $"n_samples", round($"c0", 6).as("mean_c0"),
+      round($"c1", 6).as("mean_c1"))
+      .orderBy($"media_id")
+  }
+
+  /** Per-kind facts from the synthesis formulas (kind = k mod 5):
+    * 0 tiff gray mean of (3k+7x+13y) mod 256; 1 aiff mean of ((19k+5i²)
+    * mod 16000)−8000; 2 bmp palette means through ((3k+7p),(k+11p))
+    * mod 256 with p = (k+⌊x/2⌋+5y) mod (50+k mod 200); 3 stereo flac
+    * left/right means; 4 float wav mean of ((17k+29i) mod 40000)−20000. */
+  val mediaZoo2Sql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |tiff AS (
+      |  SELECT ks.k, round(avg(CAST((ks.k * 3 + gx.g * 7 + gy.g * 13) % 256 AS DOUBLE)), 6) AS m0
+      |  FROM ks, generate_series(0, 17) gx(g), generate_series(0, 14) gy(g)
+      |  WHERE ks.k % 5 = 0 AND ks.k % 13 <> 0
+      |    AND gx.g < 6 + ks.k % 12 AND gy.g < 5 + ks.k % 10
+      |  GROUP BY ks.k),
+      |aiff AS (
+      |  SELECT ks.k, round(avg(CAST((ks.k * 19 + CAST(i.g AS BIGINT) * i.g * 5) % 16000
+      |    - 8000 AS DOUBLE)), 6) AS m0
+      |  FROM ks, generate_series(0, 89) i(g)
+      |  WHERE ks.k % 5 = 1 AND ks.k % 13 <> 0 AND i.g < 30 + ks.k % 60
+      |  GROUP BY ks.k),
+      |bmp AS (
+      |  SELECT k, round(avg(CAST((k * 3 + p * 7) % 256 AS DOUBLE)), 6) AS m0,
+      |    round(avg(CAST((k + p * 11) % 256 AS DOUBLE)), 6) AS m1
+      |  FROM (
+      |    SELECT ks.k, (ks.k + (gx.g // 2) + gy.g * 5) % (50 + ks.k % 200) AS p
+      |    FROM ks, generate_series(0, 27) gx(g), generate_series(0, 17) gy(g)
+      |    WHERE ks.k % 5 = 2 AND ks.k % 13 <> 0
+      |      AND gx.g < 8 + ks.k % 20 AND gy.g < 6 + ks.k % 12)
+      |  GROUP BY k),
+      |flac AS (
+      |  SELECT ks.k,
+      |    round(avg(CAST((ks.k * 13 + CAST(i.g AS BIGINT) * i.g * 7) % 20000
+      |      - 10000 AS DOUBLE)), 6) AS m0,
+      |    round(avg(CAST((ks.k * 13 + CAST(i.g AS BIGINT) * i.g * 7) % 20000
+      |      - 10000 + (ks.k + 3 * i.g) % 200 - 100 AS DOUBLE)), 6) AS m1
+      |  FROM ks, generate_series(0, 119) i(g)
+      |  WHERE ks.k % 5 = 3 AND ks.k % 13 <> 0 AND i.g < 50 + ks.k % 70
+      |  GROUP BY ks.k),
+      |wav AS (
+      |  SELECT ks.k, round(avg(CAST((ks.k * 17 + i.g * 29) % 40000 - 20000 AS DOUBLE)), 6) AS m0
+      |  FROM ks, generate_series(0, 79) i(g)
+      |  WHERE ks.k % 5 = 4 AND ks.k % 13 <> 0 AND i.g < 30 + ks.k % 50
+      |  GROUP BY ks.k)
+      |SELECT ks.k AS media_id, (ks.k % 13 <> 0) AS zoo_ok,
+      |  CASE WHEN ks.k % 13 <> 0 THEN CASE ks.k % 5
+      |    WHEN 0 THEN 'tiff' WHEN 1 THEN 'aiff' WHEN 2 THEN 'bmp'
+      |    WHEN 3 THEN 'flac' ELSE 'wav' END
+      |  END AS format,
+      |  CASE WHEN ks.k % 13 <> 0 THEN CASE ks.k % 5
+      |    WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 2 ELSE 1 END
+      |  END AS channels,
+      |  CASE WHEN ks.k % 13 <> 0 AND ks.k % 5 = 0 THEN CAST(6 + ks.k % 12 AS INTEGER)
+      |       WHEN ks.k % 13 <> 0 AND ks.k % 5 = 2 THEN CAST(8 + ks.k % 20 AS INTEGER)
+      |  END AS w,
+      |  CASE WHEN ks.k % 13 <> 0 AND ks.k % 5 = 0 THEN CAST(5 + ks.k % 10 AS INTEGER)
+      |       WHEN ks.k % 13 <> 0 AND ks.k % 5 = 2 THEN CAST(6 + ks.k % 12 AS INTEGER)
+      |  END AS h,
+      |  CASE WHEN ks.k % 13 <> 0 AND ks.k % 5 = 1 THEN 8000
+      |       WHEN ks.k % 13 <> 0 AND ks.k % 5 IN (3, 4) THEN 16000
+      |  END AS sample_rate,
+      |  CASE WHEN ks.k % 13 <> 0 AND ks.k % 5 = 1 THEN CAST(30 + ks.k % 60 AS INTEGER)
+      |       WHEN ks.k % 13 <> 0 AND ks.k % 5 = 3 THEN CAST(50 + ks.k % 70 AS INTEGER)
+      |       WHEN ks.k % 13 <> 0 AND ks.k % 5 = 4 THEN CAST(30 + ks.k % 50 AS INTEGER)
+      |  END AS n_samples,
+      |  round(COALESCE(t.m0, a2.m0, bm.m0, f.m0, wv.m0), 6) AS mean_c0,
+      |  CASE WHEN ks.k % 5 = 2 THEN bm.m1 WHEN ks.k % 5 = 3 THEN f.m1 END AS mean_c1
+      |FROM ks
+      |LEFT JOIN tiff t ON t.k = ks.k
+      |LEFT JOIN aiff a2 ON a2.k = ks.k
+      |LEFT JOIN bmp bm ON bm.k = ks.k
+      |LEFT JOIN flac f ON f.k = ks.k
+      |LEFT JOIN wav wv ON wv.k = ks.k
+      |ORDER BY media_id""".stripMargin
+
   /** Matroska/WebM container probe under the oracle — the EBML arm
     * completing the video-container family (MP4 boxes, Ogg pages, now
     * EBML variable-length elements): per-key trees with DocType,
@@ -4756,6 +4890,7 @@ object Llm {
     "q_aiff_decode" -> aiffDecodeSql,
     "q_g711_decode" -> g711DecodeSql,
     "q_media_zoo" -> mediaZooSql,
+    "q_media_zoo2" -> mediaZoo2Sql,
     "q_flac_decode" -> flacDecodeSql,
     "q_flac_lpc" -> flacLpcSql,
     "q_flac_stereo" -> flacStereoSql,
