@@ -112,6 +112,12 @@ object ApngCodec {
     val numFrames = be32(actl, 0)
     val numPlays = be32(actl, 4)
     require(numFrames == fctls.length, "acTL frame count mismatch")
+    // each emitted frame clones the full RGBA canvas; without a product
+    // cap a few-KB stream claiming max canvas x many frames forces
+    // multi-GB allocation (an OutOfMemoryError the refusal handlers
+    // below can't catch). 2^26 ints = 256 MB total across all frames.
+    require(fctls.length.toLong * (w.toLong * h * 4) <= (1L << 26),
+      "animation raster budget exceeded")
     // composite
     val canvas = new Array[Int](w * h * 4) // transparent black
     val frames = scala.collection.mutable.ArrayBuffer.empty[ApngFrame]
@@ -151,6 +157,7 @@ object ApngCodec {
       // expand to RGBA
       def rgbaOf(p: Int, c: Int): Int = dch match {
         case 1 => if (c == 3) 255 else px(p)
+        case 2 => if (c == 3) px(p * 2 + 1) else px(p * 2) // gray+alpha
         case 3 => if (c == 3) 255 else px(p * 3 + c)
         case _ => px(p * 4 + c)
       }

@@ -259,6 +259,12 @@ object GifCodec {
             }
             y += 1
           }
+          // product cap: each frame clones the full canvas, so a hostile
+          // stream at max canvas (2^24 px) x 4095 frames would force
+          // ~256 GB of allocation — an OutOfMemoryError the refusal
+          // handlers can't catch. 2^26 ints = 256 MB total budget.
+          require((frames.length + 1).toLong * (sw.toLong * sh) <= (1L << 26),
+            "animation raster budget exceeded")
           frames += ((delayCs, canvas.clone()))
           if (disposal == 2) {
             var y2 = 0

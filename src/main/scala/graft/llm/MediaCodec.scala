@@ -171,8 +171,18 @@ object MediaCodec {
     val h = le32(b, 22) // positive = bottom-up (the only variant we emit)
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
-    if (bpp == 8 && (compression == 0 || compression == 1))
-      return decodeBmp8(b, dataOff, w, h, compression == 1)
+    // The palette sits at 14 + DIB header size, NOT a fixed 54: V4/V5
+    // headers (108/124 bytes, common from modern tools) extend
+    // BITMAPINFOHEADER so biClrUsed stays at offset 46, but the palette
+    // moves. Unknown header sizes refuse rather than mis-read header
+    // bytes as palette entries.
+    val hdrSize = le32(b, 14)
+    val knownHdr = hdrSize == 40 || hdrSize == 52 || hdrSize == 56 ||
+      hdrSize == 108 || hdrSize == 124
+    if (bpp == 8 && (compression == 0 || compression == 1)) {
+      if (!knownHdr) return None
+      return decodeBmp8(b, dataOff, w, h, compression == 1, 14 + hdrSize)
+    }
     if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
     val hh = math.abs(h)
     // untrusted header: dataOff can be negative/inside the header, and
@@ -205,14 +215,14 @@ object MediaCodec {
     * spec; a decoder that invents values for them would launder
     * garbage), 00 nn = absolute run padded to a word boundary. */
   private def decodeBmp8(b: Array[Byte], dataOff: Int, w: Int, h: Int,
-                         rle: Boolean): Option[MediaInfo] = try {
+                         rle: Boolean, palOff: Int): Option[MediaInfo] = try {
     if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
     val clrUsed = le32(b, 46)
     val nColors = if (clrUsed == 0) 256 else clrUsed
-    if (nColors < 1 || nColors > 256 || 54 + 4 * nColors > b.length) return None
+    if (nColors < 1 || nColors > 256 || palOff + 4 * nColors > b.length) return None
     val palette = Array.tabulate(nColors)(p =>
-      (u8(b, 54 + 4 * p + 2) << 16) | (u8(b, 54 + 4 * p + 1) << 8) | u8(b, 54 + 4 * p))
-    if (dataOff < 54 + 4 * nColors) return None
+      (u8(b, palOff + 4 * p + 2) << 16) | (u8(b, palOff + 4 * p + 1) << 8) | u8(b, palOff + 4 * p))
+    if (dataOff < palOff + 4 * nColors) return None
     val idx = new Array[Int](w * h) // index 0 default (uncovered RLE pixels)
     if (!rle) {
       val stride = (w + 3) & ~3
@@ -722,16 +732,16 @@ object MediaCodec {
     bos.toByteArray
   }
 
-  /** Encode an 8-bit PNG (optionally Adam7). `channels` 1 (gray), 3 (RGB) or
-    * 4 (RGBA); `px(x, y, c)` yields channel `c` of pixel (x, y) in
-    * 0..255; `filterOf(y)` picks the scanline filter (0..4) — the
-    * default cycles through ALL FIVE so any image with h ≥ 5 exercises
-    * the full unfilter matrix on decode. */
+  /** Encode an 8-bit PNG (optionally Adam7). `channels` 1 (gray), 2
+    * (gray+alpha), 3 (RGB) or 4 (RGBA); `px(x, y, c)` yields channel `c`
+    * of pixel (x, y) in 0..255; `filterOf(y)` picks the scanline filter
+    * (0..4) — the default cycles through ALL FIVE so any image with
+    * h ≥ 5 exercises the full unfilter matrix on decode. */
   def encodePng(w: Int, h: Int, channels: Int, px: (Int, Int, Int) => Int,
                 filterOf: Int => Int = _ % 5,
                 interlaced: Boolean = false): Array[Byte] = {
-    require(channels == 1 || channels == 3 || channels == 4, s"channels=$channels")
-    val colorType = channels match { case 1 => 0; case 3 => 2; case _ => 6 }
+    require(channels >= 1 && channels <= 4, s"channels=$channels")
+    val colorType = channels match { case 1 => 0; case 2 => 4; case 3 => 2; case _ => 6 }
     val stride = w * channels
     val raw = new Array[Byte](h * stride)
     var y = 0
@@ -757,8 +767,8 @@ object MediaCodec {
   def encodePng16(w: Int, h: Int, channels: Int, px: (Int, Int, Int) => Int,
                   filterOf: Int => Int = _ % 5,
                   interlaced: Boolean = false): Array[Byte] = {
-    require(channels == 1 || channels == 3 || channels == 4, s"channels=$channels")
-    val colorType = channels match { case 1 => 0; case 3 => 2; case _ => 6 }
+    require(channels >= 1 && channels <= 4, s"channels=$channels")
+    val colorType = channels match { case 1 => 0; case 2 => 4; case 3 => 2; case _ => 6 }
     val stride = w * channels * 2
     val raw = new Array[Byte](h * stride)
     var y = 0
@@ -852,7 +862,8 @@ object MediaCodec {
             interlace > 1) return None // compression/filter 0; interlace 0|1
           fchannels = (depth, colorType) match {
             case (8, 0) => 1; case (8, 2) => 3; case (8, 3) => 1; case (8, 6) => 4
-            case (16, 0) => 1; case (16, 2) => 3; case (16, 6) => 4
+            case (8, 4) => 2 // gray+alpha
+            case (16, 0) => 1; case (16, 2) => 3; case (16, 4) => 2; case (16, 6) => 4
             case _ => return None // sub-byte palette / 16-bit palette: out of scope
           }
           // alloc guard: header-claimed dims bound every later array

@@ -139,6 +139,69 @@ class ApngCodecSpec extends AnyFunSuite {
     assert(apngDecode(t).isEmpty)
   }
 
+  test("hostile acTL: frame-count x canvas product refuses before compositing") {
+    // two 1x1 frames on a 4096x4096 canvas: 2 * 4096*4096*4 ints is 2^27,
+    // past the 2^26 budget — a few-KB stream must refuse, not force
+    // multi-GB of per-frame canvas clones (an OutOfMemoryError would be
+    // an Error the refusal handlers can't catch)
+    val tiny = (_: Int, _: Int, c: Int) => if (c == 3) 255 else 0
+    val bytes = encodeApng(4096, 4096, 0, Seq(
+      ApngSrcFrame(0, 0, 1, 1, tiny, 1, 100, 0, 0),
+      ApngSrcFrame(0, 0, 1, 1, tiny, 1, 100, 0, 0)))
+    assert(bytes.length < 10000, "the attack stream itself is cheap")
+    assert(apngDecode(bytes).isEmpty)
+    // an in-budget single frame still decodes
+    val one = encodeApng(64, 64, 0,
+      Seq(ApngSrcFrame(0, 0, 64, 64, tiny, 1, 100, 0, 0)))
+    assert(apngDecode(one).nonEmpty)
+  }
+
+  test("gray+alpha (colour type 4) frames composite as gray,gray,gray,alpha") {
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](12 + body.length)
+      out(0) = (body.length >> 24).toByte; out(1) = (body.length >> 16).toByte
+      out(2) = (body.length >> 8).toByte; out(3) = body.length.toByte
+      tag.getBytes("US-ASCII").copyToArray(out, 4)
+      body.copyToArray(out, 8)
+      val crc = new java.util.zip.CRC32()
+      crc.update(out, 4, 4 + body.length)
+      val v = crc.getValue
+      out(8 + body.length) = (v >> 24).toByte; out(9 + body.length) = (v >> 16).toByte
+      out(10 + body.length) = (v >> 8).toByte; out(11 + body.length) = v.toByte
+      out
+    }
+    val w = 3; val h = 2
+    val ga = Array((10, 255), (20, 128), (30, 0), (40, 17), (50, 200), (60, 255))
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      raw.write(0) // filter 0
+      for (x <- 0 until w) { raw.write(ga(y * w + x)._1); raw.write(ga(y * w + x)._2) }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw.toByteArray); defl.finish()
+    val z = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val ihdr = Array[Byte](0, 0, 0, w.toByte, 0, 0, 0, h.toByte, 8, 4, 0, 0, 0)
+    val actl = Array[Byte](0, 0, 0, 1, 0, 0, 0, 0)
+    val fctl = new Array[Byte](26)
+    fctl(7) = w.toByte; fctl(11) = h.toByte // seq 0, full rect at (0,0)
+    fctl(21) = 1; fctl(23) = 100 // delay 1/100; dispose NONE, blend SOURCE
+    val magic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val stream = magic ++ chunk("IHDR", ihdr) ++ chunk("acTL", actl) ++
+      chunk("fcTL", fctl) ++ chunk("IDAT", z.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+    val (_, _, _, frames) = apngDecode(stream).getOrElse(
+      fail("gray+alpha animation refused"))
+    for (p <- 0 until w * h) {
+      val (g, a) = ga(p)
+      assert(frames(0).canvas(p * 4) == g && frames(0).canvas(p * 4 + 1) == g &&
+        frames(0).canvas(p * 4 + 2) == g && frames(0).canvas(p * 4 + 3) == a,
+        s"pixel $p")
+    }
+  }
+
   test("the JDK's PNG reader sees frame 0 as the default image") {
     val bytes = encodeApng(6, 5, 0, Seq(
       ApngSrcFrame(0, 0, 6, 5, (x, y, c) => (x * 50 + y * 30 + c * 20) % 256, 1, 10, 0, 0),

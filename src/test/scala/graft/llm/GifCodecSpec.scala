@@ -243,4 +243,19 @@ class GifCodecSpec extends AnyFunSuite {
       GifCodec.decode(prefixed) // must not throw
     }
   }
+
+  test("animation raster budget: frame-count x canvas product refuses") {
+    import GifCodec.GifFrame
+    // five 1x1 frames on a 4096x4096 screen: each composited frame clones
+    // the 16.7M-pixel canvas, so 5 * 2^24 ints crosses the 2^26 budget —
+    // the stream is a few hundred bytes but would otherwise demand ~320 MB
+    // (and a hostile 4095-frame stream, ~256 GB)
+    val frames = Seq.fill(5)(GifFrame(0, 0, 1, 1, (_, _) => 1, delayCs = 1, disposal = 0))
+    val bytes = GifCodec.encodeAnimated(4096, 4096, 0, frames)
+    assert(bytes.length < 10000, "the attack stream itself is cheap")
+    assert(GifCodec.decodeAnimated(bytes).isEmpty)
+    // four frames sit exactly at the budget (4 * 2^24 = 2^26) and decode
+    val ok = GifCodec.encodeAnimated(4096, 4096, 0, frames.take(4))
+    assert(GifCodec.decodeAnimated(ok).exists(_._3.length == 4))
+  }
 }

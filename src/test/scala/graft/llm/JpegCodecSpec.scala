@@ -348,6 +348,40 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(JpegCodec.decode(bytes).nonEmpty)
   }
 
+  test("fill bytes (FF padding) before markers are legal and skipped (T.81 B.1.1.2)") {
+    // a marker may be preceded by any number of 0xFF fill bytes; the walk
+    // must consume them all, not misread 0xFF as a bogus segment marker.
+    // FF C0/C2/C4/DA/DB/D9 sightings in a stream are genuine markers even
+    // mid-file (entropy data stuffs FF as FF 00; only RSTs appear inside
+    // scans), so padding before each is a valid transform of the stream.
+    val markerCodes = Set(0xc0, 0xc2, 0xc4, 0xda, 0xdb, 0xd9)
+    def pad(b: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      var i = 0
+      while (i < b.length) {
+        if (i + 1 < b.length && (b(i) & 0xff) == 0xff &&
+          markerCodes(b(i + 1) & 0xff)) { out.write(0xff); out.write(0xff) }
+        out.write(b(i)); i += 1
+      }
+      out.toByteArray
+    }
+    def same(a: Option[(Int, Int, Int, Array[Int])],
+             b: Option[(Int, Int, Int, Array[Int])]): Boolean = (a, b) match {
+      case (Some((aw, ah, ac, apx)), Some((bw, bh, bc, bpx))) =>
+        aw == bw && ah == bh && ac == bc && apx.sameElements(bpx)
+      case _ => false
+    }
+    val base = JpegCodec.encodeGray(17, 9, (x, y) => (x * 13 + y * 29) % 256)
+    val padded = pad(base)
+    assert(padded.length > base.length, "padding transform did nothing")
+    assert(same(JpegCodec.decode(padded), JpegCodec.decode(base)))
+    // progressive: fill bytes between scans also hit the post-scan resync
+    val prog = imageIoEncodeGrayProgressive(24, 16, (x, y) => (x * 7 + y * 3) % 256, 0.75f)
+    val paddedP = pad(prog)
+    assert(paddedP.length > prog.length)
+    assert(same(JpegCodec.decode(paddedP), JpegCodec.decode(prog)))
+  }
+
   test("MediaCodec dispatch: FFD8 magic routes to the jpeg arm with exact means") {
     val bytes = JpegCodec.encodeGray(16, 8, (x, y) => ((x / 8) * 50 + (y / 8) * 30 + 10) % 256)
     val info = MediaCodec.decode(bytes).get

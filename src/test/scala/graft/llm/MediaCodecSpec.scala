@@ -391,6 +391,47 @@ class MediaCodecSpec extends SparkTestBase {
     assert(MediaCodec.decode(rleBmp.dropRight(3)).isEmpty)
   }
 
+  test("bmp8: V2-V5 DIB headers relocate the palette; unknown sizes refuse") {
+    // the palette sits at 14 + DIB-header-size, not a fixed 54; a V4/V5
+    // file (108/124-byte header, common from modern tools) must decode
+    // identically, never silently read header bytes as palette entries
+    val pal = Array.tabulate(256)(p => ((p * 7 % 256) << 16) | ((p * 11 % 256) << 8) | (p % 256))
+    val idx = (x: Int, y: Int) => (x * 5 + y * 13) % 256
+    val base = MediaCodec.encodeBmp8(9, 5, pal, idx, rle = false)
+    val want = MediaCodec.decode(base).get
+    def le32(b: Array[Byte], i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    def putLe32(b: Array[Byte], i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+      b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+    }
+    def withHeader(hdrSize: Int): Array[Byte] = {
+      val extra = hdrSize - 40
+      val v = new Array[Byte](base.length + extra) // extension bytes stay 0
+      System.arraycopy(base, 0, v, 0, 54) // file header + BITMAPINFOHEADER
+      System.arraycopy(base, 54, v, 54 + extra, base.length - 54)
+      putLe32(v, 2, v.length)
+      putLe32(v, 10, le32(base, 10) + extra)
+      putLe32(v, 14, hdrSize)
+      v
+    }
+    for (hdrSize <- Seq(52, 56, 108, 124)) {
+      val got = MediaCodec.decode(withHeader(hdrSize))
+      assert(got.nonEmpty, s"hdrSize=$hdrSize refused")
+      assert(got.get.meanC0 == want.meanC0 && got.get.meanC1 == want.meanC1 &&
+        got.get.meanC2 == want.meanC2, s"hdrSize=$hdrSize means drifted")
+    }
+    // a V5 file from the wild shape: ImageIO reads it the same way we do
+    val v5 = withHeader(124)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(v5))
+    if (img != null)
+      for (y <- 0 until 5; x <- 0 until 9)
+        assert((img.getRGB(x, y) & 0xffffff) == pal(idx(x, y)), s"($x,$y)")
+    // unknown DIB sizes (e.g. OS/2 BITMAPCOREHEADER2 = 64) refuse rather
+    // than guess a palette offset
+    assert(MediaCodec.decode(withHeader(64)).isEmpty)
+  }
+
   test("ebml/webm probe: vint walk, DocType, duration, tracks, refusals") {
     val mk = MediaCodec.encodeEbml("webm", 1000000L, 12345.0,
       Seq((1, "V_VP9"), (2, "A_OPUS")), fillerBytes = 300) // 2-byte size vints

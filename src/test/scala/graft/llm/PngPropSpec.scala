@@ -27,7 +27,7 @@ class PngPropSpec extends AnyFunSuite {
   private val imgGen: Gen[Img] = for {
     w <- Gen.chooseNum(1, 17)
     h <- Gen.chooseNum(1, 13)
-    ch <- Gen.oneOf(1, 3, 4)
+    ch <- Gen.oneOf(1, 2, 3, 4)
     pixels <- Gen.listOfN(w * h * ch, Gen.chooseNum(0, 255))
     filters <- Gen.listOfN(h, Gen.chooseNum(0, 4))
   } yield Img(w, h, ch, pixels.toArray, filters.toArray)
@@ -122,7 +122,7 @@ class PngPropSpec extends AnyFunSuite {
   private val img16Gen: Gen[Img16] = for {
     w <- Gen.chooseNum(1, 13)
     h <- Gen.chooseNum(1, 11)
-    ch <- Gen.oneOf(1, 3, 4)
+    ch <- Gen.oneOf(1, 2, 3, 4)
     pixels <- Gen.listOfN(w * h * ch, Gen.chooseNum(0, 65535))
     filters <- Gen.listOfN(h, Gen.chooseNum(0, 4))
   } yield Img16(w, h, ch, pixels.toArray, filters.toArray)
@@ -172,6 +172,35 @@ class PngPropSpec extends AnyFunSuite {
         assert(bi.getRaster.getSample(x, y, 0) == img.pixels(y * img.w + x),
           s"ImageIO 16-bit mismatch at ($x,$y)")
     }
+  }
+
+  test("ImageIO cross-conformance: the JDK reads our gray+alpha (type 4) streams pixel-exactly") {
+    import javax.imageio.ImageIO
+    import java.io.ByteArrayInputStream
+    val w = 9; val h = 7
+    def px(x: Int, y: Int, c: Int): Int =
+      if (c == 0) (x * 29 + y * 17) % 256 else (x * 5 + y * 47) % 256
+    for (interlaced <- Seq(false, true)) {
+      val bytes = MediaCodec.encodePng(w, h, 2, px, interlaced = interlaced)
+      val bi = ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(bi != null && bi.getWidth == w && bi.getHeight == h)
+      // raster samples are colourspace-free: band 0 = gray, band 1 = alpha
+      for (y <- 0 until h; x <- 0 until w) {
+        assert(bi.getRaster.getSample(x, y, 0) == px(x, y, 0),
+          s"gray mismatch at ($x,$y) interlaced=$interlaced")
+        assert(bi.getRaster.getSample(x, y, 1) == px(x, y, 1),
+          s"alpha mismatch at ($x,$y) interlaced=$interlaced")
+      }
+    }
+    // 16-bit gray+alpha the same way
+    def px16(x: Int, y: Int, c: Int): Int =
+      if (c == 0) (x * 2901 + y * 1700) % 65536 else (x * 523 + y * 4711) % 65536
+    val b16 = MediaCodec.encodePng16(w, h, 2, px16)
+    val bi16 = ImageIO.read(new ByteArrayInputStream(b16))
+    assert(bi16 != null && bi16.getWidth == w && bi16.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 to 1)
+      assert(bi16.getRaster.getSample(x, y, c) == px16(x, y, c),
+        s"16-bit mismatch at ($x,$y,$c)")
   }
 
   test("ImageIO cross-conformance: we read the JDK's palette and 16-bit-gray writes pixel-exactly") {
