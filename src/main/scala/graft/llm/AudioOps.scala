@@ -1,0 +1,105 @@
+package graft.llm
+
+/** Audio DSP for the training-data pipeline: loudness windows, silence
+  * trim/segmentation, and sample-rate conversion over decoded PCM (the
+  * `Array[Short]` shape [[MediaCodec.wavSamples]] and
+  * [[FlacCodec.decodeChannels]] emit).
+  *
+  * Same reproducibility discipline as [[ImageOps]]: a speech corpus is
+  * resampled once and fingerprinted forever, so the resampler must give
+  * identical bytes on every JVM. Interpolation is exact integer
+  * rationals — output index t sits at source position t·src/dst, kept
+  * as (numerator, remainder) over the constant denominator dst, with
+  * one round-half-up division at the end. Negative PCM makes naive
+  * integer division ambiguous across engines (truncate vs floor), so
+  * the rounding runs in a +32768-biased domain where every numerator is
+  * non-negative and truncation IS floor — an SQL engine replays it
+  * verbatim (the oracle does).
+  *
+  * All ops are pure per-row functions: zero shuffle at any corpus
+  * size. */
+object AudioOps {
+
+  /** Sum of squares per non-overlapping full window (the loudness /
+    * energy primitive; a trailing partial window is dropped — callers
+    * that want it pad first). Exact. */
+  def windowSumSq(xs: Array[Short], win: Int): Array[Long] = {
+    require(win > 0, s"win=$win")
+    val n = xs.length / win
+    val out = new Array[Long](n)
+    var w = 0
+    while (w < n) {
+      var s = 0L
+      var i = w * win
+      val end = i + win
+      while (i < end) { val v = xs(i).toLong; s += v * v; i += 1 }
+      out(w) = s
+      w += 1
+    }
+    out
+  }
+
+  /** dBFS of a window from its sum of squares: 10·log10(sumSq/(win·2³⁰)),
+    * floored at −120 (digital silence). Library convenience — the
+    * oracle-gated facts stay in exact integers. */
+  def dbfs(sumSq: Long, win: Int): Double = {
+    require(win > 0)
+    if (sumSq <= 0) -120.0
+    else math.max(-120.0,
+      10.0 * math.log10(sumSq.toDouble / (win.toDouble * 32768.0 * 32768.0)))
+  }
+
+  /** (first, last) sample index with |v| ≥ thr — the silence-trim
+    * bounds; (-1, -1) when the whole clip is quiet. */
+  def trimBounds(xs: Array[Short], thr: Int): (Int, Int) = {
+    var first = -1; var last = -1
+    var i = 0
+    while (i < xs.length) {
+      if (math.abs(xs(i).toInt) >= thr) { if (first < 0) first = i; last = i }
+      i += 1
+    }
+    (first, last)
+  }
+
+  /** Longest run of consecutive samples with |v| < thr (the
+    * segmentation primitive: split on the longest pauses). 0 when no
+    * sample is quiet. */
+  def longestQuietRun(xs: Array[Short], thr: Int): Int = {
+    var best = 0; var run = 0
+    var i = 0
+    while (i < xs.length) {
+      if (math.abs(xs(i).toInt) < thr) { run += 1; if (run > best) best = run }
+      else run = 0
+      i += 1
+    }
+    best
+  }
+
+  /** Exact linear resample srcRate→dstRate. Output index t sits at
+    * source position t·src/dst; output covers every t with that
+    * position ≤ len−1, so length = (len−1)·dst/src + 1 (integer
+    * division). Round-half-up via the biased-domain trick (see object
+    * doc) so the arithmetic is engine-portable. */
+  def resampleLinear(xs: Array[Short], srcRate: Int, dstRate: Int): Array[Int] = {
+    require(srcRate > 0 && dstRate > 0, s"rates $srcRate->$dstRate")
+    require(xs.nonEmpty, "empty clip")
+    val len = xs.length
+    val nOut = ((len - 1).toLong * dstRate / srcRate + 1).toInt
+    require(nOut.toLong * 4 <= (1L << 28), "resample output budget")
+    val d = dstRate.toLong
+    val out = new Array[Int](nOut)
+    var t = 0
+    while (t < nOut) {
+      val num = t.toLong * srcRate
+      val i = (num / d).toInt
+      val rem = num % d
+      val i1 = math.min(i + 1, len - 1)
+      val vNum = xs(i).toLong * (d - rem) + xs(i1).toLong * rem
+      // bias by 32768·d: numerator becomes non-negative, truncating
+      // division is floor, and the bias shifts out exactly
+      out(t) = ((2 * (vNum + 32768 * d) + d) / (2 * d) - 32768).toInt
+      t += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,90 @@
+package graft.llm
+
+/** Raster geometry for the multimodal pipeline: bilinear resize and
+  * center crop over decoded channel-interleaved rasters (the shape
+  * [[MediaCodec.pngPixels]]/[[MediaCodec.jpegPixels]] emit).
+  *
+  * Training-data resize jobs must be REPRODUCIBLE: the same image must
+  * yield the same bytes on every executor, every JVM, every rerun, or
+  * dedup hashes computed downstream of the resize stop being stable.
+  * Floating-point resize kernels make that a per-platform promise at
+  * best; here the interpolation is EXACT integer rationals end-to-end —
+  * the half-pixel-center source position of destination index t is
+  * (t+0.5)·s/d − 0.5 = ((2t+1)·s − d) / (2d), kept as numerator over
+  * the constant denominator 2d, and the 4-tap weighted sum divides once
+  * at the end with round-half-up. No accumulated error, no libm, and a
+  * SQL engine can replay the arithmetic verbatim (the oracle does).
+  *
+  * Each op is a pure per-row function: a resize over a billion-image
+  * corpus is a map with zero shuffle — scale is partition count, not
+  * algorithm. */
+object ImageOps {
+
+  /** Bilinear resize with half-pixel centers and edge clamp (the
+    * align_corners=false convention of the mainstream vision stacks).
+    * `px` is channel-interleaved row-major with values 0..255 (any
+    * channel count); output is the same layout at `ow`×`oh`.
+    * Interpolation is exact: weights are integer rationals over 4·ow·oh
+    * and the single final division rounds half-up. */
+  def resizeBilinear(px: Array[Int], w: Int, h: Int, ch: Int,
+                     ow: Int, oh: Int): Array[Int] = {
+    require(w > 0 && h > 0 && ch > 0 && px.length == w * h * ch,
+      s"bad source raster ${w}x${h}x$ch (${px.length})")
+    require(ow > 0 && oh > 0 && ow.toLong * oh * ch <= (1L << 26),
+      s"bad target ${ow}x$oh")
+    val out = new Array[Int](ow * oh * ch)
+    val dxDen = 2L * ow
+    val dyDen = 2L * oh
+    val den = dxDen * dyDen
+    var dy = 0
+    while (dy < oh) {
+      // source y position: ny / dyDen, possibly negative near the edge
+      val ny = (2L * dy + 1) * h - oh
+      var iy = 0L; var fy = 0L
+      if (ny >= 0) { iy = ny / dyDen; fy = ny % dyDen }
+      if (iy > h - 1) { iy = h - 1; fy = 0 } // clamp (defensive; unreachable)
+      val iy1 = math.min(iy + 1, h - 1L)
+      var dx = 0
+      while (dx < ow) {
+        val nx = (2L * dx + 1) * w - ow
+        var ix = 0L; var fx = 0L
+        if (nx >= 0) { ix = nx / dxDen; fx = nx % dxDen }
+        if (ix > w - 1) { ix = w - 1; fx = 0 }
+        val ix1 = math.min(ix + 1, w - 1L)
+        var c = 0
+        while (c < ch) {
+          val p00 = px(((iy * w + ix) * ch + c).toInt)
+          val p10 = px(((iy * w + ix1) * ch + c).toInt)
+          val p01 = px(((iy1 * w + ix) * ch + c).toInt)
+          val p11 = px(((iy1 * w + ix1) * ch + c).toInt)
+          val vNum = (dyDen - fy) * ((dxDen - fx) * p00 + fx * p10) +
+            fy * ((dxDen - fx) * p01 + fx * p11)
+          out((dy * ow + dx) * ch + c) = ((2 * vNum + den) / (2 * den)).toInt
+          c += 1
+        }
+        dx += 1
+      }
+      dy += 1
+    }
+    out
+  }
+
+  /** Center crop: the `cw`×`chh` window whose top-left is
+    * ((w−cw)/2, (h−chh)/2) — floor on odd margins, matching the
+    * mainstream vision stacks. Same interleaved layout in and out. */
+  def centerCrop(px: Array[Int], w: Int, h: Int, ch: Int,
+                 cw: Int, chh: Int): Array[Int] = {
+    require(w > 0 && h > 0 && ch > 0 && px.length == w * h * ch,
+      s"bad source raster ${w}x${h}x$ch (${px.length})")
+    require(cw > 0 && chh > 0 && cw <= w && chh <= h, s"bad crop ${cw}x$chh")
+    val x0 = (w - cw) / 2
+    val y0 = (h - chh) / 2
+    val out = new Array[Int](cw * chh * ch)
+    var y = 0
+    while (y < chh) {
+      System.arraycopy(px, ((y0 + y) * w + x0) * ch, out, y * cw * ch, cw * ch)
+      y += 1
+    }
+    out
+  }
+}

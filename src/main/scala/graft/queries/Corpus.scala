@@ -1383,6 +1383,213 @@ object Corpus {
       |GROUP BY k
       |ORDER BY media_id""".stripMargin
 
+  // --------------------------------------------- raster geometry (resize)
+
+  /** Bilinear resize + center crop through the PNG codec — the
+    * preprocessing stage every vision-training corpus runs before
+    * anything else. Per key a gray gradient raster travels
+    * encode → decode → downscale → upscale → center-crop, and the gate
+    * emits exact integer facts of all three (sums + corner point
+    * checks, so an off-by-one in the half-pixel lattice can't cancel).
+    * [[graft.llm.ImageOps.resizeBilinear]] interpolates in EXACT
+    * integer rationals (single round-half-up division at the end), so
+    * the oracle replays the identical arithmetic in SQL — a
+    * floating-point kernel could never be gated this tightly. Pure
+    * per-row map: zero shuffle at any corpus size. */
+  def imageResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.{ImageOps, MediaCodec}
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    keys.map { k =>
+      val w = (16 + k % 7).toInt; val h = (12 + k % 5).toInt
+      val a = 3 + k % 11; val b = 5 + k % 13; val c = k % 17
+      val bytes = MediaCodec.encodePng(w, h, 1,
+        (x, y, _) => ((a * x + b * y + c) % 256).toInt)
+      val (pw, ph, _, px) = MediaCodec.pngPixels(bytes).get
+      val ow = (9 + k % 4).toInt; val oh = (7 + k % 3).toInt
+      val dn = ImageOps.resizeBilinear(px, pw, ph, 1, ow, oh)
+      val uw = (w + 5 + k % 6).toInt; val uh = (h + 4 + k % 4).toInt
+      val up = ImageOps.resizeBilinear(px, pw, ph, 1, uw, uh)
+      val cr = ImageOps.centerCrop(px, pw, ph, 1, w - 4, h - 4)
+      (k, dn.map(_.toLong).sum, dn(0).toLong,
+        up.map(_.toLong).sum, up(up.length - 1).toLong,
+        cr.map(_.toLong).sum)
+    }.toDF("media_id", "dn_sum", "dn_corner", "up_sum", "up_corner", "crop_sum")
+      .orderBy($"media_id")
+  }
+
+  /** The resize arithmetic replayed verbatim: half-pixel numerators
+    * nx=(2·dx+1)·w−ow over 2·ow, edge clamp via the CASE/LEAST pair,
+    * 4-tap weighted sum, one round-half-up division. */
+  val imageResizeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, 16 + k%7 AS w, 12 + k%5 AS h,
+      |        3 + k%11 AS a, 5 + k%13 AS b, k%17 AS c,
+      |        9 + k%4 AS ow, 7 + k%3 AS oh,
+      |        16 + k%7 + 5 + k%6 AS uw, 12 + k%5 + 4 + k%4 AS uh
+      |      FROM ks),
+      |dn_cell AS (
+      |  SELECT p.*, dx.g AS dx, dy.g AS dy, p.ow AS tw, p.oh AS th
+      |  FROM p, generate_series(0, 31) dx(g), generate_series(0, 22) dy(g)
+      |  WHERE dx.g < p.ow AND dy.g < p.oh),
+      |up_cell AS (
+      |  SELECT p.*, dx.g AS dx, dy.g AS dy, p.uw AS tw, p.uh AS th
+      |  FROM p, generate_series(0, 31) dx(g), generate_series(0, 22) dy(g)
+      |  WHERE dx.g < p.uw AND dy.g < p.uh),
+      |r1 AS (SELECT k, w, h, a, b, c, dx, dy, tw, th, 2*tw AS xd, 2*th AS yd,
+      |         (2*dx+1)*w - tw AS nx, (2*dy+1)*h - th AS ny, 'dn' AS arm
+      |       FROM dn_cell
+      |       UNION ALL
+      |       SELECT k, w, h, a, b, c, dx, dy, tw, th, 2*tw AS xd, 2*th AS yd,
+      |         (2*dx+1)*w - tw AS nx, (2*dy+1)*h - th AS ny, 'up' AS arm
+      |       FROM up_cell),
+      |r2 AS (SELECT k, w, h, a, b, c, dx, dy, tw, th, xd, yd, arm,
+      |         CASE WHEN nx < 0 THEN 0 ELSE nx // xd END AS ix,
+      |         CASE WHEN nx < 0 THEN 0 ELSE nx % xd END AS fx,
+      |         CASE WHEN ny < 0 THEN 0 ELSE ny // yd END AS iy,
+      |         CASE WHEN ny < 0 THEN 0 ELSE ny % yd END AS fy
+      |       FROM r1),
+      |r3 AS (SELECT k, dx, dy, tw, th, xd, yd, fx, fy, arm,
+      |         (a*ix + b*iy + c) % 256 AS p00,
+      |         (a*LEAST(ix+1, w-1) + b*iy + c) % 256 AS p10,
+      |         (a*ix + b*LEAST(iy+1, h-1) + c) % 256 AS p01,
+      |         (a*LEAST(ix+1, w-1) + b*LEAST(iy+1, h-1) + c) % 256 AS p11
+      |       FROM r2),
+      |r4 AS (SELECT k, dx, dy, tw, th, arm,
+      |         (2*((yd - fy)*((xd - fx)*p00 + fx*p10)
+      |             + fy*((xd - fx)*p01 + fx*p11)) + xd*yd) // (2*xd*yd) AS v
+      |       FROM r3),
+      |dn AS (SELECT k, CAST(SUM(v) AS BIGINT) AS dn_sum,
+      |         CAST(MAX(CASE WHEN dx = 0 AND dy = 0 THEN v END) AS BIGINT) AS dn_corner
+      |       FROM r4 WHERE arm = 'dn' GROUP BY k),
+      |up AS (SELECT k, CAST(SUM(v) AS BIGINT) AS up_sum,
+      |         CAST(MAX(CASE WHEN dx = tw - 1 AND dy = th - 1 THEN v END) AS BIGINT) AS up_corner
+      |       FROM r4 WHERE arm = 'up' GROUP BY k),
+      |cr_cell AS (SELECT p.k, p.a, p.b, p.c, x.g AS x, y.g AS y
+      |  FROM p, generate_series(2, 21) x(g), generate_series(2, 15) y(g)
+      |  WHERE x.g < p.w - 2 AND y.g < p.h - 2),
+      |cr AS (SELECT k, CAST(SUM((a*x + b*y + c) % 256) AS BIGINT) AS crop_sum
+      |       FROM cr_cell GROUP BY k)
+      |SELECT dn.k AS media_id, dn_sum, dn_corner, up_sum, up_corner, crop_sum
+      |FROM dn JOIN up ON dn.k = up.k JOIN cr ON dn.k = cr.k
+      |ORDER BY media_id""".stripMargin
+
+  // ----------------------------------------------- audio DSP (loudness/trim)
+
+  /** Loudness windows + silence trim/segmentation through the WAV
+    * codec — the gating stage of any speech-corpus pipeline (drop dead
+    * air, split on pauses, reject clipped/silent clips). Per key a
+    * gated synthetic clip travels encode → decode → window-energy →
+    * trim-bounds → longest-pause, all facts exact integers
+    * ([[graft.llm.AudioOps]]). The oracle rebuilds the windows with an
+    * i//win rollup and the pause runs with gaps-and-islands. Pure
+    * per-row map: zero shuffle at any corpus size. */
+  def audioDsp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.{AudioOps, MediaCodec}
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    keys.map { k =>
+      val n = (400 + k % 211).toInt
+      val bytes = MediaCodec.encodeWavPcm16(8000, Array.tabulate(n) { i =>
+        (if ((i + k) % 11 < 3) 0
+         else (k * 31 + i * 17) % 3001 - 1500).toShort
+      })
+      val (_, xs) = MediaCodec.wavSamples(bytes).get
+      val wins = AudioOps.windowSumSq(xs, 160)
+      val (first, last) = AudioOps.trimBounds(xs, 64)
+      (k, xs.length.toLong, wins.length.toLong, wins.max,
+        first.toLong, last.toLong, AudioOps.longestQuietRun(xs, 64).toLong)
+    }.toDF("media_id", "n_samples", "n_full_windows", "max_win_sumsq",
+      "first_loud", "last_loud", "longest_quiet")
+      .orderBy($"media_id")
+  }
+
+  val audioDspSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |sm AS (
+      |  SELECT ks.k, i.g AS i,
+      |    CASE WHEN (i.g + ks.k) % 11 < 3 THEN 0
+      |         ELSE (ks.k*31 + i.g*17) % 3001 - 1500 END AS v
+      |  FROM ks, generate_series(0, 610) i(g)
+      |  WHERE i.g < 400 + ks.k % 211),
+      |base AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_samples,
+      |    CAST(COALESCE(MIN(CASE WHEN abs(v) >= 64 THEN i END), -1) AS BIGINT) AS first_loud,
+      |    CAST(COALESCE(MAX(CASE WHEN abs(v) >= 64 THEN i END), -1) AS BIGINT) AS last_loud
+      |  FROM sm GROUP BY k),
+      |wins AS (SELECT k, i // 160 AS wi, CAST(SUM(v*v) AS BIGINT) AS ss, COUNT(*) AS cnt
+      |  FROM sm GROUP BY k, i // 160),
+      |mw AS (SELECT k, CAST(MAX(ss) AS BIGINT) AS max_win_sumsq,
+      |    CAST(COUNT(*) AS BIGINT) AS n_full_windows
+      |  FROM wins WHERE cnt = 160 GROUP BY k),
+      |quiet AS (SELECT k, i, i - ROW_NUMBER() OVER (PARTITION BY k ORDER BY i) AS isl
+      |  FROM sm WHERE abs(v) < 64),
+      |runs AS (SELECT k, isl, COUNT(*) AS rl FROM quiet GROUP BY k, isl),
+      |lq AS (SELECT k, CAST(MAX(rl) AS BIGINT) AS longest_quiet FROM runs GROUP BY k)
+      |SELECT base.k AS media_id, n_samples, n_full_windows, max_win_sumsq,
+      |  first_loud, last_loud, CAST(COALESCE(longest_quiet, 0) AS BIGINT) AS longest_quiet
+      |FROM base JOIN mw ON base.k = mw.k LEFT JOIN lq ON base.k = lq.k
+      |ORDER BY media_id""".stripMargin
+
+  /** Exact linear sample-rate conversion through the WAV codec: one
+    * upsample (8000→12000) and one downsample (8000→5000) arm per clip,
+    * gated on exact sums plus point checks.
+    * [[graft.llm.AudioOps.resampleLinear]] interpolates in integer
+    * rationals with the +32768-biased round-half-up, so the oracle
+    * replays the identical arithmetic (truncating division is floor in
+    * the biased domain — engine-portable). */
+  def audioResample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.{AudioOps, MediaCodec}
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    keys.map { k =>
+      val n = (400 + k % 211).toInt
+      val bytes = MediaCodec.encodeWavPcm16(8000, Array.tabulate(n) { i =>
+        (if ((i + k) % 11 < 3) 0
+         else (k * 31 + i * 17) % 3001 - 1500).toShort
+      })
+      val (_, xs) = MediaCodec.wavSamples(bytes).get
+      val up = AudioOps.resampleLinear(xs, 8000, 12000)
+      val dn = AudioOps.resampleLinear(xs, 8000, 5000)
+      (k, up.length.toLong, up.map(_.toLong).sum, up(up.length / 2).toLong,
+        dn.length.toLong, dn.map(_.toLong).sum, dn(dn.length - 1).toLong)
+    }.toDF("media_id", "up_n", "up_sum", "up_mid", "dn_n", "dn_sum", "dn_last")
+      .orderBy($"media_id")
+  }
+
+  val audioResampleSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, 400 + k % 211 AS n FROM ks),
+      |arms AS (
+      |  SELECT k, n, 12000 AS dst, (n - 1) * 12000 // 8000 + 1 AS n_out, 'up' AS arm FROM p
+      |  UNION ALL
+      |  SELECT k, n, 5000 AS dst, (n - 1) * 5000 // 8000 + 1 AS n_out, 'dn' AS arm FROM p),
+      |cell AS (
+      |  SELECT arms.*, t.g AS t FROM arms, generate_series(0, 920) t(g)
+      |  WHERE t.g < n_out),
+      |pos AS (SELECT k, n, dst, n_out, arm, t,
+      |    (t * 8000) // dst AS i, (t * 8000) % dst AS rem
+      |  FROM cell),
+      |tap AS (SELECT k, dst, n_out, arm, t, rem,
+      |    CASE WHEN (i + k) % 11 < 3 THEN 0
+      |         ELSE (k*31 + i*17) % 3001 - 1500 END AS v0,
+      |    CASE WHEN (LEAST(i + 1, n - 1) + k) % 11 < 3 THEN 0
+      |         ELSE (k*31 + LEAST(i + 1, n - 1)*17) % 3001 - 1500 END AS v1
+      |  FROM pos),
+      |val AS (SELECT k, n_out, arm, t,
+      |    (2*((v0*(dst - rem) + v1*rem) + 32768*dst) + dst) // (2*dst) - 32768 AS v
+      |  FROM tap),
+      |up AS (SELECT k, CAST(MAX(n_out) AS BIGINT) AS up_n,
+      |    CAST(SUM(v) AS BIGINT) AS up_sum,
+      |    CAST(MAX(CASE WHEN t = n_out // 2 THEN v END) AS BIGINT) AS up_mid
+      |  FROM val WHERE arm = 'up' GROUP BY k),
+      |dn AS (SELECT k, CAST(MAX(n_out) AS BIGINT) AS dn_n,
+      |    CAST(SUM(v) AS BIGINT) AS dn_sum,
+      |    CAST(MAX(CASE WHEN t = n_out - 1 THEN v END) AS BIGINT) AS dn_last
+      |  FROM val WHERE arm = 'dn' GROUP BY k)
+      |SELECT up.k AS media_id, up_n, up_sum, up_mid, dn_n, dn_sum, dn_last
+      |FROM up JOIN dn ON up.k = dn.k
+      |ORDER BY media_id""".stripMargin
+
   // ------------------------------------------------------- inverted index
 
   /** Inverted-index build — the retrieval-side primitive (term →
@@ -2091,6 +2298,9 @@ object Corpus {
     "q_image_dhash" -> (imageDhash _),
     "q_png_dhash" -> (pngDhash _),
     "q_jpeg_dhash" -> (jpegDhash _),
+    "q_image_resize" -> (imageResize _),
+    "q_audio_dsp" -> (audioDsp _),
+    "q_audio_resample" -> (audioResample _),
     "q_audio_features" -> (audioFeatures _),
     "q_video_neardup" -> (videoNearDup _),
     "q_rag_chunks" -> (ragChunks _),
@@ -2134,6 +2344,9 @@ object Corpus {
     "q_image_dhash" -> imageDhashSql,
     "q_png_dhash" -> pngDhashSql,
     "q_jpeg_dhash" -> jpegDhashSql,
+    "q_image_resize" -> imageResizeSql,
+    "q_audio_dsp" -> audioDspSql,
+    "q_audio_resample" -> audioResampleSql,
     "q_audio_features" -> audioFeaturesSql,
     "q_video_neardup" -> videoNearDupSql,
     "q_rag_chunks" -> ragChunksSql,

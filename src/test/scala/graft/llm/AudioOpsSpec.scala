@@ -1,0 +1,80 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Test.{check => scCheck, Parameters}
+
+class AudioOpsSpec extends AnyFunSuite {
+
+  private def forAll[A](gen: Gen[A], n: Int = 50)(f: A => Unit): Unit = {
+    val prop = Prop.forAll(gen) { a => f(a); true }
+    val r = scCheck(Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val clipGen = for {
+    n <- Gen.chooseNum(1, 400)
+    xs <- Gen.listOfN(n, Gen.chooseNum(-32768, 32767))
+  } yield xs.map(_.toShort).toArray
+
+  test("windowSumSq matches a naive grouped fold; tail dropped") {
+    forAll(Gen.zip(clipGen, Gen.chooseNum(1, 64))) { case (xs, win) =>
+      val got = AudioOps.windowSumSq(xs, win)
+      val want = xs.map(v => v.toLong * v).grouped(win).filter(_.length == win)
+        .map(_.sum).toArray
+      assert(got.sameElements(want))
+    }
+  }
+
+  test("trimBounds and longestQuietRun match naive scans") {
+    forAll(Gen.zip(clipGen, Gen.chooseNum(1, 2000))) { case (xs, thr) =>
+      val loud = xs.indices.filter(i => math.abs(xs(i).toInt) >= thr)
+      val want = if (loud.isEmpty) (-1, -1) else (loud.head, loud.last)
+      assert(AudioOps.trimBounds(xs, thr) == want)
+      val runs = xs.map(v => math.abs(v.toInt) < thr).foldLeft(List(0)) {
+        case (h :: t, true) => (h + 1) :: t
+        case (acc, false) => 0 :: acc
+      }
+      assert(AudioOps.longestQuietRun(xs, thr) == runs.max)
+    }
+  }
+
+  test("resample at the same rate is the identity") {
+    forAll(clipGen) { xs =>
+      val out = AudioOps.resampleLinear(xs, 8000, 8000)
+      assert(out.length == xs.length && out.indices.forall(i => out(i) == xs(i).toInt))
+    }
+  }
+
+  test("resample agrees with a double-precision reference within rounding") {
+    forAll(Gen.zip(clipGen, Gen.oneOf((8000, 12000), (8000, 16000),
+      (16000, 8000), (44100, 48000), (3, 7)))) { case (xs, (src, dst)) =>
+      val out = AudioOps.resampleLinear(xs, src, dst)
+      val nOut = ((xs.length - 1).toLong * dst / src + 1).toInt
+      assert(out.length == nOut)
+      out.indices.foreach { t =>
+        val pos = t.toDouble * src / dst
+        val i = math.min(pos.toInt, xs.length - 1)
+        val i1 = math.min(i + 1, xs.length - 1)
+        val f = pos - i
+        val ref = xs(i) * (1 - f) + xs(i1) * f
+        assert(math.abs(out(t) - ref) <= 0.5 + 1e-6,
+          s"t=$t: ${out(t)} vs $ref ($src->$dst)")
+      }
+    }
+  }
+
+  test("resample half-up rounding is exact on hand-computed midpoints") {
+    // src [0, 1] at 1->2: positions 0, 0.5 -> 0, round-half-up(0.5) = 1
+    assert(AudioOps.resampleLinear(Array[Short](0, 1), 1, 2).toSeq == Seq(0, 1, 1))
+    // negative midpoint rounds toward +inf too: -0.5 -> 0
+    assert(AudioOps.resampleLinear(Array[Short](0, -1), 1, 2).toSeq == Seq(0, 0, -1))
+    // upsample 2:3 of a ramp stays the exact interpolant
+    assert(AudioOps.resampleLinear(Array[Short](0, 3, 6), 2, 3).toSeq == Seq(0, 2, 4, 6))
+  }
+
+  test("dbfs: full-scale squares to 0 dB, silence floors at -120") {
+    assert(math.abs(AudioOps.dbfs(32768L * 32768L * 10, 10)) < 1e-9)
+    assert(AudioOps.dbfs(0, 10) == -120.0)
+  }
+}

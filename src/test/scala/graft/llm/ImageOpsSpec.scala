@@ -1,0 +1,107 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Test.{check => scCheck, Parameters}
+
+/** Exact-rational bilinear resize + center crop: identity, constancy,
+  * agreement with an independent double-precision reference, and the
+  * hand-computed small cases that pin the half-pixel-center convention. */
+class ImageOpsSpec extends AnyFunSuite {
+
+  private def forAll[A](gen: Gen[A], n: Int = 40)(f: A => Unit): Unit = {
+    val prop = Prop.forAll(gen) { a => f(a); true }
+    val r = scCheck(Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  /** Independent reference: plain double arithmetic, same convention. */
+  private def refResize(px: Array[Int], w: Int, h: Int, ch: Int,
+                        ow: Int, oh: Int): Array[Double] = {
+    val out = new Array[Double](ow * oh * ch)
+    for (dy <- 0 until oh; dx <- 0 until ow; c <- 0 until ch) {
+      val sy = math.max(0.0, (dy + 0.5) * h / oh - 0.5)
+      val sx = math.max(0.0, (dx + 0.5) * w / ow - 0.5)
+      val iy = math.min(sy.toInt, h - 1); val iy1 = math.min(iy + 1, h - 1)
+      val ix = math.min(sx.toInt, w - 1); val ix1 = math.min(ix + 1, w - 1)
+      val fy = sy - iy; val fx = sx - ix
+      def p(xx: Int, yy: Int) = px((yy * w + xx) * ch + c)
+      out((dy * ow + dx) * ch + c) =
+        (1 - fy) * ((1 - fx) * p(ix, iy) + fx * p(ix1, iy)) +
+          fy * ((1 - fx) * p(ix, iy1) + fx * p(ix1, iy1))
+    }
+    out
+  }
+
+  private val imgGen = for {
+    w <- Gen.chooseNum(1, 19)
+    h <- Gen.chooseNum(1, 17)
+    ch <- Gen.oneOf(1, 3)
+    px <- Gen.listOfN(w * h * ch, Gen.chooseNum(0, 255))
+    ow <- Gen.chooseNum(1, 23)
+    oh <- Gen.chooseNum(1, 21)
+  } yield (w, h, ch, px.toArray, ow, oh)
+
+  test("resize to the same dims is the identity") {
+    forAll(imgGen) { case (w, h, ch, px, _, _) =>
+      assert(ImageOps.resizeBilinear(px, w, h, ch, w, h).sameElements(px))
+    }
+  }
+
+  test("a constant image resizes to the same constant at any dims") {
+    forAll(Gen.zip(Gen.chooseNum(0, 255), Gen.chooseNum(1, 9), Gen.chooseNum(1, 9),
+      Gen.chooseNum(1, 31), Gen.chooseNum(1, 31))) { case (v, w, h, ow, oh) =>
+      val out = ImageOps.resizeBilinear(Array.fill(w * h)(v), w, h, 1, ow, oh)
+      assert(out.forall(_ == v))
+    }
+  }
+
+  test("exact-rational result is within 1 of the double-precision reference") {
+    // the two implementations round independently (exact round-half-up vs
+    // a double sum); they may only split on representation error
+    forAll(imgGen) { case (w, h, ch, px, ow, oh) =>
+      val exact = ImageOps.resizeBilinear(px, w, h, ch, ow, oh)
+      val ref = refResize(px, w, h, ch, ow, oh)
+      exact.indices.foreach { i =>
+        assert(math.abs(exact(i) - ref(i)) <= 0.5 + 1e-6,
+          s"idx $i: exact ${exact(i)} vs ref ${ref(i)} (${w}x$h -> ${ow}x$oh)")
+      }
+    }
+  }
+
+  test("2x upscale of a 2x1 pair hits the hand-computed half-pixel lattice") {
+    // src [10, 30], w=2 -> ow=4: source x positions -0.25, 0.25, 0.75, 1.25
+    // clamp left/right edges; interior interpolates at 1/4 and 3/4
+    val out = ImageOps.resizeBilinear(Array(10, 30), 2, 1, 1, 4, 1)
+    assert(out.toSeq == Seq(10, 15, 25, 30))
+  }
+
+  test("2x downscale averages 2x2 blocks exactly") {
+    // with w=2*ow the source positions land exactly between the two
+    // columns/rows of each block: every tap weight is 1/4
+    val px = Array(
+      0, 4, 100, 104,
+      8, 12, 108, 112)
+    val out = ImageOps.resizeBilinear(px, 4, 2, 1, 2, 1)
+    assert(out.toSeq == Seq(6, 106)) // block means
+  }
+
+  test("center crop takes the centered window, floor on odd margins") {
+    val px = Array.tabulate(5 * 4)(i => i) // w=5 h=4, value = index
+    val out = ImageOps.centerCrop(px, 5, 4, 1, 2, 2)
+    // x0 = (5-2)/2 = 1, y0 = (4-2)/2 = 1
+    assert(out.toSeq == Seq(6, 7, 11, 12))
+    // full-size crop is the identity
+    assert(ImageOps.centerCrop(px, 5, 4, 1, 5, 4).sameElements(px))
+  }
+
+  test("hostile targets refuse: raster budget and oversize crops") {
+    val px = Array.fill(4)(0)
+    intercept[IllegalArgumentException] {
+      ImageOps.resizeBilinear(px, 2, 2, 1, 1 << 14, 1 << 13)
+    }
+    intercept[IllegalArgumentException] {
+      ImageOps.centerCrop(px, 2, 2, 1, 3, 1)
+    }
+  }
+}
