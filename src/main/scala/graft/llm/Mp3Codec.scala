@@ -1,0 +1,182 @@
+package graft.llm
+
+/** MPEG-1 Layer III frame-header probe — the container-integrity arm
+  * for the dominant compressed-audio format in any web-scale crawl.
+  *
+  * Like the MP4/EBML/Ogg probes this is a STRUCTURAL walk, not a
+  * decoder: it verifies what the format lets an honest reader verify
+  * (sync placement, header-field consistency, exact frame sizing, the
+  * optional CRC-16 over the side information, tag framing) and emits
+  * the census facts a corpus pipeline filters on — frame count, sample
+  * rate, duration, VBR-ness, stream bytes. Full audio reconstruction
+  * (Huffman + IMDCT + synthesis filterbank) is out of scope and the
+  * probe never pretends otherwise: anything it cannot account for
+  * byte-exactly refuses with None rather than guessing.
+  *
+  * Format facts per ISO/IEC 11172-3: the 32-bit header carries an
+  * 11-bit sync, version/layer/bitrate/samplerate indices, a padding
+  * bit and a protection bit; an MPEG-1 Layer III frame spans exactly
+  * 144·bitrate/samplerate + padding bytes INCLUDING the header; when
+  * protection_bit = 0 a CRC-16 (poly 0x8005, init 0xFFFF) of header
+  * bytes 2-3 plus the side information (32 bytes stereo / 17 mono)
+  * follows the header. ID3v2 (syncsafe length) may prefix the frames
+  * and ID3v1 ("TAG", 128 bytes) may trail them. */
+object Mp3Codec {
+
+  /** kbps for MPEG-1 Layer III bitrate indices 1..14; 0 = free format
+    * (refused — frame sizes become unverifiable), 15 = invalid. */
+  private val Kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Rates = Array(44100, 48000, 32000) // index 3 reserved
+
+  /** Probe facts: (frames, sampleRate, durationUs, distinctBitrates,
+    * frameBytes, crcProtected). durationUs = frames·1152·1e6/rate,
+    * floor. frameBytes counts frame spans only (tags excluded). */
+  def mp3Probe(b: Array[Byte]): Option[(Long, Int, Long, Int, Long, Boolean)] = try {
+    if (b == null || b.length < 4) return None
+    var p = 0
+    // optional ID3v2 prefix: "ID3" ver(2) flags(1) syncsafe-size(4)
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      if ((b(6) | b(7) | b(8) | b(9)) < 0) return None // non-syncsafe size byte
+      p = 10 + sz
+      if (p >= b.length) return None
+    }
+    var frames = 0L
+    var rate = -1
+    var stereoSide = -1 // side info bytes (channel-mode dependent), pinned frame 1
+    var crcProt = false
+    var frameBytes = 0L
+    val seenKbps = scala.collection.mutable.Set.empty[Int]
+    while (p < b.length) {
+      // trailing ID3v1 tag is the only non-frame suffix we accept
+      if (b.length - p == 128 && b(p) == 'T' && b(p + 1) == 'A' && b(p + 2) == 'G') {
+        p = b.length
+      } else {
+        if (p + 4 > b.length) return None // dangling bytes after last frame
+        val h = ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
+          ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+        if ((h >>> 21) != 0x7ff) return None // sync lost
+        val version = (h >>> 19) & 3
+        val layer = (h >>> 17) & 3
+        if (version != 3 || layer != 1) return None // MPEG-1 Layer III only
+        val protection = (h >>> 16) & 1 // 0 = CRC present
+        val brIdx = (h >>> 12) & 0xf
+        val srIdx = (h >>> 10) & 3
+        val padding = (h >>> 9) & 1
+        val mode = (h >>> 6) & 3
+        val emphasis = h & 3
+        if (brIdx == 0 || brIdx == 15) return None // free/invalid bitrate
+        if (srIdx == 3 || emphasis == 2) return None // reserved
+        val sr = Rates(srIdx)
+        if (rate < 0) rate = sr else if (rate != sr) return None // rate must not vary
+        val side = if (mode == 3) 17 else 32 // mono vs stereo/joint/dual
+        if (stereoSide < 0) stereoSide = side
+        else if (stereoSide != side) return None // mode class must not vary
+        val kbps = Kbps(brIdx)
+        val size = 144000L * kbps / sr + padding
+        if (p + size > b.length) return None // truncated frame
+        if (frames == 0) crcProt = protection == 0
+        else if (crcProt != (protection == 0)) return None // protection must not vary
+        if (protection == 0) {
+          if (size < 4 + 2 + side) return None
+          val stored = ((b(p + 4) & 0xff) << 8) | (b(p + 5) & 0xff)
+          var crc = 0xffff
+          def feed(v: Int): Unit = {
+            var c = crc ^ (v << 8)
+            var i = 0
+            while (i < 8) {
+              c = if ((c & 0x8000) != 0) ((c << 1) ^ 0x8005) & 0xffff else (c << 1) & 0xffff
+              i += 1
+            }
+            crc = c
+          }
+          feed(b(p + 2) & 0xff); feed(b(p + 3) & 0xff)
+          var i = 0
+          while (i < side) { feed(b(p + 6 + i) & 0xff); i += 1 }
+          if (crc != stored) return None
+        }
+        seenKbps += kbps
+        frames += 1
+        frameBytes += size
+        p += size.toInt
+      }
+    }
+    if (frames == 0) return None
+    Some((frames, rate, frames * 1152L * 1000000L / rate,
+      seenKbps.size, frameBytes, crcProt))
+  } catch {
+    case _: RuntimeException => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  /** One synthetic frame spec: bitrate index (1..14), padding flag. */
+  final case class Mp3Frame(brIdx: Int, padded: Boolean)
+
+  /** Encode a structurally-exact MPEG-1 Layer III stream: real headers,
+    * real frame sizes, real CRC-16 when `crc` (side info is a
+    * deterministic byte pattern; the audio payload is filler — this
+    * encoder exists to conformance-test the PROBE, not to make sound).
+    * Optional ID3v2 prefix / ID3v1 suffix exercise the tag framing. */
+  def encodeMp3(srIdx: Int, frames: Seq[Mp3Frame], crc: Boolean,
+                stereo: Boolean = true,
+                id3v2Bytes: Int = 0, id3v1: Boolean = false): Array[Byte] = {
+    require(srIdx >= 0 && srIdx <= 2, s"srIdx=$srIdx")
+    require(frames.nonEmpty)
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3v2Bytes > 0) {
+      require(id3v2Bytes < (1 << 28))
+      out.write('I'); out.write('D'); out.write('3'); out.write(4); out.write(0)
+      out.write(0) // flags
+      out.write((id3v2Bytes >> 21) & 0x7f); out.write((id3v2Bytes >> 14) & 0x7f)
+      out.write((id3v2Bytes >> 7) & 0x7f); out.write(id3v2Bytes & 0x7f)
+      var i = 0
+      while (i < id3v2Bytes) { out.write((i * 7 + 3) & 0x7f); i += 1 }
+    }
+    val sr = Rates(srIdx)
+    val side = if (stereo) 32 else 17
+    frames.zipWithIndex.foreach { case (f, fi) =>
+      require(f.brIdx >= 1 && f.brIdx <= 14, s"brIdx=${f.brIdx}")
+      val kbps = Kbps(f.brIdx)
+      val size = (144000L * kbps / sr + (if (f.padded) 1 else 0)).toInt
+      require(size >= 4 + (if (crc) 2 else 0) + side, "frame too small for side info")
+      val fr = new Array[Byte](size)
+      val h = (0x7ff << 21) | (3 << 19) | (1 << 17) |
+        ((if (crc) 0 else 1) << 16) | (f.brIdx << 12) | (srIdx << 10) |
+        ((if (f.padded) 1 else 0) << 9) | ((if (stereo) 0 else 3) << 6)
+      fr(0) = (h >>> 24).toByte; fr(1) = (h >>> 16).toByte
+      fr(2) = (h >>> 8).toByte; fr(3) = h.toByte
+      val dataOff = 4 + (if (crc) 2 else 0)
+      var i = 0
+      while (dataOff + i < size) {
+        fr(dataOff + i) = ((fi * 31 + i * 17 + 5) & 0xff).toByte
+        i += 1
+      }
+      if (crc) {
+        var c = 0xffff
+        def feed(v: Int): Unit = {
+          var x = c ^ (v << 8)
+          var j = 0
+          while (j < 8) {
+            x = if ((x & 0x8000) != 0) ((x << 1) ^ 0x8005) & 0xffff else (x << 1) & 0xffff
+            j += 1
+          }
+          c = x
+        }
+        feed(fr(2) & 0xff); feed(fr(3) & 0xff)
+        var j = 0
+        while (j < side) { feed(fr(6 + j) & 0xff); j += 1 }
+        fr(4) = (c >>> 8).toByte; fr(5) = c.toByte
+      }
+      out.write(fr)
+    }
+    if (id3v1) {
+      val tag = new Array[Byte](128)
+      tag(0) = 'T'; tag(1) = 'A'; tag(2) = 'G'
+      var i = 3
+      while (i < 128) { tag(i) = ((i * 13) & 0x7f).toByte; i += 1 }
+      out.write(tag)
+    }
+    out.toByteArray
+  }
+}

@@ -1,0 +1,87 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import Mp3Codec.{Mp3Frame, encodeMp3, mp3Probe}
+
+/** MPEG-1 Layer III frame probe: exact sizing, CRC-16 integrity over
+  * the protected region, tag framing, field-consistency refusals. The
+  * probe verifies structure only — the honest scope is pinned by the
+  * "unprotected payload flips pass" test (that's what the format
+  * itself can and cannot promise). */
+class Mp3CodecSpec extends AnyFunSuite {
+
+  private val vbrFrames = (0 until 23).map(j =>
+    Mp3Frame(brIdx = Seq(4, 7, 9, 12)((j * 5 + 1) % 4), padded = j % 3 == 0))
+
+  test("probe walks CBR and VBR streams: frames, rate, duration, sizes") {
+    // CBR mono at 48 kHz, no CRC
+    val cbr = encodeMp3(1, Seq.fill(10)(Mp3Frame(9, padded = false)),
+      crc = false, stereo = false)
+    val (n1, r1, d1, b1, fb1, p1) = mp3Probe(cbr).get
+    assert(n1 == 10 && r1 == 48000 && b1 == 1 && !p1)
+    assert(fb1 == 10L * (144000L * 128 / 48000)) // exact frame span
+    assert(d1 == 10L * 1152 * 1000000 / 48000) // 240000 us exactly
+    assert(fb1 == cbr.length) // no tags: frames cover the whole stream
+    // VBR stereo at 44.1 kHz with CRC, padded frames included
+    val vbr = encodeMp3(0, vbrFrames, crc = true)
+    val (n2, r2, _, b2, fb2, p2) = mp3Probe(vbr).get
+    assert(n2 == 23 && r2 == 44100 && b2 == 4 && p2)
+    assert(fb2 == vbr.length)
+  }
+
+  test("ID3v2 prefix and ID3v1 suffix are framed out, frames still verified") {
+    val b = encodeMp3(2, Seq.fill(6)(Mp3Frame(12, padded = true)), crc = true,
+      id3v2Bytes = 77, id3v1 = true)
+    val (n, r, _, _, fb, _) = mp3Probe(b).get
+    assert(n == 6 && r == 32000)
+    assert(fb == b.length - 10 - 77 - 128) // tags excluded from frame bytes
+  }
+
+  test("every header/CRC/side-info byte flip refuses (the protected region)") {
+    val b = encodeMp3(0, Seq.fill(3)(Mp3Frame(9, padded = false)), crc = true)
+    val frameSize = (144000L * 128 / 44100).toInt
+    // protected region per frame: 4 header + 2 crc + 32 side info
+    val protectedIdx = (0 until 3).flatMap(f =>
+      (0 until 38).map(f * frameSize + _))
+    protectedIdx.foreach { i =>
+      val t = b.clone(); t(i) = (t(i) ^ 0x01).toByte
+      assert(mp3Probe(t).isEmpty, s"flip at $i passed")
+    }
+  }
+
+  test("honest scope: flips in the unprotected audio payload pass the probe") {
+    // the format's CRC covers side info only — a structural probe that
+    // claimed payload integrity would be lying
+    val b = encodeMp3(0, Seq.fill(3)(Mp3Frame(9, padded = false)), crc = true)
+    val frameSize = (144000L * 128 / 44100).toInt
+    val t = b.clone()
+    t(frameSize - 1) = (t(frameSize - 1) ^ 0xff).toByte // last payload byte, frame 0
+    assert(mp3Probe(t).nonEmpty)
+  }
+
+  test("refusals: truncation, free bitrate, reserved fields, varying rate/mode") {
+    val b = encodeMp3(0, Seq.fill(4)(Mp3Frame(9, padded = false)), crc = false)
+    (1 to 5).foreach(d => assert(mp3Probe(b.dropRight(d)).isEmpty))
+    // free-format bitrate (index 0): sizes unverifiable
+    val free = b.clone(); free(2) = (free(2) & 0x0f).toByte
+    assert(mp3Probe(free).isEmpty)
+    // reserved sample-rate index 3
+    val badSr = b.clone(); badSr(2) = (badSr(2) | 0x0c).toByte
+    assert(mp3Probe(badSr).isEmpty)
+    // MPEG-2 version bits: out of the probe's pinned scope
+    val v2 = b.clone(); v2(1) = (v2(1) & 0xf7).toByte
+    assert(mp3Probe(v2).isEmpty)
+    // a second stream at a different rate spliced on: rate must not vary
+    val other = encodeMp3(1, Seq.fill(2)(Mp3Frame(9, padded = false)), crc = false)
+    assert(mp3Probe(b ++ other).isEmpty)
+    // garbage between frames: sync lost
+    val gap = b.take(418) ++ Array[Byte](0, 0) ++ b.drop(418)
+    assert(mp3Probe(gap).isEmpty)
+    // random prefixes never throw
+    val rnd = new scala.util.Random(7)
+    (0 until 2000).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(64) + 4)(rnd.nextInt(256).toByte)
+      mp3Probe(junk) // must not throw
+    }
+  }
+}
