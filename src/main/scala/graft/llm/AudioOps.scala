@@ -84,8 +84,14 @@ object AudioOps {
     require(srcRate > 0 && dstRate > 0, s"rates $srcRate->$dstRate")
     require(xs.nonEmpty, "empty clip")
     val len = xs.length
-    val nOut = ((len - 1).toLong * dstRate / srcRate + 1).toInt
-    require(nOut.toLong * 4 <= (1L << 28), "resample output budget")
+    // budget-check on the Long length BEFORE narrowing: a truncated Int
+    // would wrap and slip a wrong-length (or negative) allocation past
+    // the require for extreme len x rate-ratio inputs
+    val nOutL = (len - 1).toLong * dstRate / srcRate + 1
+    // compare, don't multiply: nOutL*4 could itself wrap Long at
+    // extreme len x rate ratios (len-1 ≤ 2^31, dstRate ≤ 2^31)
+    require(nOutL <= (1L << 26), "resample output budget")
+    val nOut = nOutL.toInt
     val d = dstRate.toLong
     val out = new Array[Int](nOut)
     var t = 0

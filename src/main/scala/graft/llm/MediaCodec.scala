@@ -1235,103 +1235,6 @@ object MediaCodec {
       encodeWavPcm16(8000, Array.tabulate(nSamples(k))(i => ((k * 31 + i * 17) % 2048 - 1024).toShort))
   }
 
-  // ---- MP3: container-level frame walk (metadata only) -------------------
-  //
-  // The audio DECODE stays honestly behind the MediaDecoder seam (a
-  // hybrid polyphase/MDCT codec is genuinely codec-library work), but a
-  // curation pipeline's metadata pass — is this a valid MPEG-1 Layer III
-  // stream, how long is it, what bitrate shape — is pure header
-  // arithmetic: 11-bit sync, version/layer fields, the Layer III frame
-  // length formula 144·bitrate/sampleRate + padding, 1152 samples per
-  // frame, an ID3v2 prefix skipped via its synchsafe length. A broken
-  // sync mid-stream, a truncated final frame, or reserved field values
-  // refuse — probing must never "estimate" from a corrupt walk.
-
-  /** MPEG-1 Layer III bitrates by header index (kbps; 0=free and
-    * 15=reserved are refused). */
-  private val Mp3Bitrates: Array[Int] =
-    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
-  private val Mp3Rates: Array[Int] = Array(44100, 48000, 32000, 0)
-
-  /** Probed MP3 facts: frame count, sample rate, SUM of per-frame
-    * bitrates (kbps — mean and CBR/VBR derive), whether every frame
-    * shares one bitrate index. */
-  def mp3Probe(b: Array[Byte]): Option[(Int, Int, Long, Boolean)] = {
-    if (b == null || b.length < 4) return None
-    var p = 0
-    // ID3v2: "ID3" ver(2) flags(1) synchsafe-size(4)
-    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
-      val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
-        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
-      if ((b(6) | b(7) | b(8) | b(9)) < 0) return None // non-synchsafe size
-      p = 10 + sz
-      if (p >= b.length) return None
-    }
-    var nFrames = 0
-    var rate = -1
-    var bitrateSum = 0L
-    var firstBr = -1
-    var cbr = true
-    while (p < b.length) {
-      if (p + 4 > b.length) return None // trailing garbage / cut header
-      val h0 = b(p) & 0xff; val h1 = b(p + 1) & 0xff
-      val h2 = b(p + 2) & 0xff
-      if (h0 != 0xff || (h1 & 0xe0) != 0xe0) return None // sync lost
-      if ((h1 & 0x18) != 0x18 || (h1 & 0x06) != 0x02) return None // MPEG-1 Layer III only
-      val brIdx = h2 >> 4
-      val srIdx = (h2 >> 2) & 0x3
-      val padding = (h2 >> 1) & 0x1
-      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None // free/reserved
-      val kbps = Mp3Bitrates(brIdx)
-      val sr = Mp3Rates(srIdx)
-      if (rate == -1) rate = sr
-      else if (rate != sr) return None // rate must not change mid-stream
-      if (firstBr == -1) firstBr = brIdx else if (firstBr != brIdx) cbr = false
-      val frameLen = 144000 * kbps / sr + padding
-      if (frameLen < 4 || p + frameLen > b.length) return None // truncated frame
-      bitrateSum += kbps
-      nFrames += 1
-      p += frameLen
-    }
-    if (nFrames == 0) return None
-    Some((nFrames, rate, bitrateSum, cbr))
-  }
-
-  /** Synthesize an MPEG-1 Layer III frame STREAM (valid headers, filler
-    * bodies — playable structure, silent nonsense audio) for the probe
-    * gate: per-frame bitrate indexes from `brIdxOf` (1..14), one sample
-    * rate, alternating padding, optional ID3v2 prefix. */
-  def encodeMp3Frames(nFrames: Int, srIdx: Int, brIdxOf: Int => Int,
-                      id3Bytes: Int = 0): Array[Byte] = {
-    require(srIdx >= 0 && srIdx <= 2 && nFrames > 0)
-    val out = new java.io.ByteArrayOutputStream()
-    if (id3Bytes > 0) {
-      require(id3Bytes < (1 << 28))
-      out.write('I'); out.write('D'); out.write('3')
-      out.write(4); out.write(0); out.write(0) // v2.4, no flags
-      out.write((id3Bytes >> 21) & 0x7f); out.write((id3Bytes >> 14) & 0x7f)
-      out.write((id3Bytes >> 7) & 0x7f); out.write(id3Bytes & 0x7f)
-      var i = 0
-      while (i < id3Bytes) { out.write((i * 37 + 11) & 0xff); i += 1 }
-    }
-    var f = 0
-    while (f < nFrames) {
-      val brIdx = brIdxOf(f)
-      require(brIdx >= 1 && brIdx <= 14, s"bitrate index $brIdx")
-      val padding = f & 1
-      val kbps = Mp3Bitrates(brIdx)
-      val sr = Mp3Rates(srIdx)
-      val frameLen = 144000 * kbps / sr + padding
-      out.write(0xff); out.write(0xfb) // sync + MPEG-1 + Layer III + no CRC
-      out.write((brIdx << 4) | (srIdx << 2) | (padding << 1))
-      out.write(0xc0) // mono, no mode ext, no copyright/original, no emphasis
-      var i = 4
-      while (i < frameLen) { out.write((f * 131 + i * 17) & 0xff); i += 1 }
-      f += 1
-    }
-    out.toByteArray
-  }
-
   // ---- MP4 / ISO-BMFF: box-tree walk (metadata only) ---------------------
   //
   // The video DECODE stays honestly behind the MediaDecoder seam (an

@@ -2732,67 +2732,91 @@ object Llm {
   /** MP3 container probe under the oracle — the metadata pass a
     * curation pipeline runs over audio it will NOT decode (the hybrid
     * polyphase/MDCT codec stays honestly behind the MediaDecoder seam;
-    * see [[graft.llm.MediaCodec.mp3Probe]]): per-key MPEG-1 Layer III
+    * see [[graft.llm.Mp3Codec.mp3Probe]]): per-key MPEG-1 Layer III
     * frame streams — every 5th key VBR (per-frame bitrate indexes),
     * odd keys carrying an ID3v2 prefix the synchsafe-length skip must
-    * clear — walked frame by frame with the 144·bitrate/rate + padding
-    * length formula. The oracle recomputes frame count, duration and
-    * the exact per-frame bitrate sum from the same index formulas.
-    * Every 13th payload truncates mid-frame: refusal, never an
+    * clear, every 6th trailed by an ID3v1 tag, alternating-frame
+    * padding — walked frame by frame with the 144·bitrate/rate +
+    * padding length formula, and for protected streams (k mod 4 = 0 or
+    * the tamper arm) the CRC-16 (poly 0x8005) over header bytes 2-3 +
+    * side info is verified per frame. The oracle recomputes frame
+    * count, floor-microsecond duration, distinct bitrate census and
+    * the exact frame-byte span from the same index formulas. Every
+    * 13th payload truncates mid-frame and every 17th has one side-info
+    * byte flipped inside a CRC-protected frame: refusal, never an
     * estimate from a corrupt walk. */
   def mp3Probe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import graft.llm.MediaCodec
+    import graft.llm.Mp3Codec
     val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
     val decoded = keys.map { k =>
       val nFrames = (5 + k % 20).toInt
       val srIdx = (k % 3).toInt
-      val brIdxOf: Int => Int =
-        if (k % 5 == 0) f => (1 + (k + f) % 14).toInt
-        else _ => (1 + k % 14).toInt
-      val id3 = if (k % 2 == 1) (1 + k % 97).toInt else 0
-      val bytes = MediaCodec.encodeMp3Frames(nFrames, srIdx, brIdxOf, id3)
-      val payload = if (k % 13 == 0) bytes.dropRight(7) else bytes
-      MediaCodec.mp3Probe(payload) match {
-        case Some((n, rate, kbpsSum, cbr)) =>
-          (k, true, Some(n), Some(rate),
-            Some((n.toLong * 1152).toDouble / rate), Some(kbpsSum), Some(cbr))
-        case None =>
-          (k, false, None: Option[Int], None: Option[Int],
-            None: Option[Double], None: Option[Long], None: Option[Boolean])
+      val frames = (0 until nFrames).map { f =>
+        val brIdx =
+          if (k % 5 == 0) (1 + (k + f) % 14).toInt else (1 + k % 14).toInt
+        Mp3Codec.Mp3Frame(brIdx, padded = f % 2 == 1)
       }
-    }.toDF("media_id", "mp3_ok", "n_frames", "sample_rate", "dur", "kbps_sum", "is_cbr")
-    decoded.select($"media_id", $"mp3_ok", $"n_frames", $"sample_rate",
-      round($"dur", 6).as("duration_s"), $"kbps_sum", $"is_cbr")
-      .orderBy($"media_id")
+      val crc = k % 4 == 0 || k % 17 == 0
+      val id3 = if (k % 2 == 1) (1 + k % 97).toInt else 0
+      val bytes = Mp3Codec.encodeMp3(srIdx, frames, crc = crc,
+        stereo = k % 2 == 0, id3v2Bytes = id3, id3v1 = k % 6 == 0)
+      val payload =
+        if (k % 13 == 0) bytes.dropRight(7) // truncated final frame
+        else if (k % 17 == 0) { // side-info tamper under CRC protection
+          val t = bytes.clone()
+          val off = (if (id3 > 0) 10 + id3 else 0) + 7 // 2nd side byte, frame 1
+          t(off) = (t(off) ^ 0x01).toByte
+          t
+        } else bytes
+      Mp3Codec.mp3Probe(payload) match {
+        case Some((n, rate, durUs, nBr, fb, prot)) =>
+          (k, true, Some(n), Some(rate), Some(durUs), Some(nBr),
+            Some(nBr == 1), Some(fb), Some(prot))
+        case None =>
+          (k, false, None: Option[Long], None: Option[Int],
+            None: Option[Long], None: Option[Int], None: Option[Boolean],
+            None: Option[Long], None: Option[Boolean])
+      }
+    }.toDF("media_id", "mp3_ok", "n_frames", "sample_rate", "duration_us",
+      "n_bitrates", "is_cbr", "frame_bytes", "crc_protected")
+    decoded.orderBy($"media_id")
   }
 
   /** The probe facts from the synthesis formulas: n = 5 + k mod 20,
     * rate by k mod 3, per-frame bitrate index 1 + (k [+ f]) mod 14
     * mapped through the MPEG-1 Layer III table, VBR exactly when
-    * k mod 5 = 0 (indexes then provably vary: n ≥ 5 > 1). */
+    * k mod 5 = 0 (indexes then provably vary: n ≥ 5 > 1), frame span
+    * Σ(144000·kbps div rate + pad), duration n·1152·10⁶ div rate,
+    * refusal on the truncation (k mod 13) and CRC-tamper (k mod 17)
+    * arms. */
   val mp3ProbeSql: String =
     """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
       |dims AS (
-      |  SELECT k, CAST(5 + k % 20 AS INTEGER) AS n,
-      |    CAST(CASE k % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS INTEGER) AS rate
+      |  SELECT k, CAST(5 + k % 20 AS BIGINT) AS n,
+      |    CAST(CASE k % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS INTEGER) AS rate,
+      |    (k % 13 <> 0 AND k % 17 <> 0) AS ok,
+      |    (k % 4 = 0 OR k % 17 = 0) AS crc
       |  FROM ks),
       |frames AS (
-      |  SELECT d.k,
+      |  SELECT d.k, d.rate, CAST(f.g % 2 AS BIGINT) AS pad,
       |    ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[
       |      CAST(CASE WHEN d.k % 5 = 0 THEN 1 + (d.k + f.g) % 14
       |                ELSE 1 + d.k % 14 END AS INTEGER)] AS kbps
       |  FROM dims d, generate_series(0, 24) f(g)
-      |  WHERE f.g < d.n AND d.k % 13 <> 0),
+      |  WHERE f.g < d.n AND d.ok),
       |agg AS (
-      |  SELECT k, CAST(SUM(kbps) AS BIGINT) AS kbps_sum FROM frames GROUP BY k)
-      |SELECT d.k AS media_id, (d.k % 13 <> 0) AS mp3_ok,
-      |  CASE WHEN d.k % 13 <> 0 THEN d.n END AS n_frames,
-      |  CASE WHEN d.k % 13 <> 0 THEN d.rate END AS sample_rate,
-      |  CASE WHEN d.k % 13 <> 0
-      |    THEN round(CAST(d.n AS BIGINT) * 1152 / CAST(d.rate AS DOUBLE), 6) END AS duration_s,
-      |  a.kbps_sum,
-      |  CASE WHEN d.k % 13 <> 0 THEN d.k % 5 <> 0 END AS is_cbr
+      |  SELECT k, CAST(COUNT(DISTINCT kbps) AS INTEGER) AS n_br,
+      |    CAST(SUM(144000 * kbps // rate + pad) AS BIGINT) AS fb
+      |  FROM frames GROUP BY k)
+      |SELECT d.k AS media_id, d.ok AS mp3_ok,
+      |  CASE WHEN d.ok THEN d.n END AS n_frames,
+      |  CASE WHEN d.ok THEN d.rate END AS sample_rate,
+      |  CASE WHEN d.ok THEN d.n * 1152 * 1000000 // d.rate END AS duration_us,
+      |  a.n_br AS n_bitrates,
+      |  CASE WHEN d.ok THEN d.k % 5 <> 0 END AS is_cbr,
+      |  a.fb AS frame_bytes,
+      |  CASE WHEN d.ok THEN d.crc END AS crc_protected
       |FROM dims d LEFT JOIN agg a ON a.k = d.k
       |ORDER BY media_id""".stripMargin
 

@@ -73,6 +73,22 @@ class AudioOpsSpec extends AnyFunSuite {
     assert(AudioOps.resampleLinear(Array[Short](0, 3, 6), 2, 3).toSeq == Seq(0, 2, 4, 6))
   }
 
+  test("resample output budget refuses BEFORE Int narrowing can wrap") {
+    // len x extreme ratio where the Long output length exceeds 2^31:
+    // a truncated-Int budget check would see a wrapped (possibly
+    // negative) value and either allocate garbage or throw NASE
+    val xs = new Array[Short](100000)
+    val e = intercept[IllegalArgumentException] {
+      AudioOps.resampleLinear(xs, 1, Int.MaxValue)
+    }
+    assert(e.getMessage.contains("resample output budget"))
+    // just over the 2^26-sample budget also refuses cleanly
+    val e2 = intercept[IllegalArgumentException] {
+      AudioOps.resampleLinear(Array[Short](0, 1), 1, (1 << 26) + 1)
+    }
+    assert(e2.getMessage.contains("resample output budget"))
+  }
+
   test("dbfs: full-scale squares to 0 dB, silence floors at -120") {
     assert(math.abs(AudioOps.dbfs(32768L * 32768L * 10, 10)) < 1e-9)
     assert(AudioOps.dbfs(0, 10) == -120.0)

@@ -290,37 +290,6 @@ class MediaCodecSpec extends SparkTestBase {
     }
   }
 
-  test("mp3 probe: frame walk, ID3 skip, CBR/VBR, refusals") {
-    // CBR, no tag
-    val cbr = MediaCodec.encodeMp3Frames(10, srIdx = 0, _ => 9)
-    assert(MediaCodec.mp3Probe(cbr).contains((10, 44100, 10L * 128, true)))
-    // VBR with an ID3v2 prefix: per-frame bitrates sum exactly
-    val idxOf = (f: Int) => 1 + (f * 5) % 14
-    val vbr = MediaCodec.encodeMp3Frames(7, srIdx = 2, idxOf, id3Bytes = 123)
-    val sum = (0 until 7).map(f => Array(0, 32, 40, 48, 56, 64, 80, 96, 112,
-      128, 160, 192, 224, 256, 320, 0)(idxOf(f))).sum.toLong
-    assert(MediaCodec.mp3Probe(vbr).contains((7, 32000, sum, false)))
-    // refusals: truncated final frame; flipped sync mid-stream; reserved
-    // bitrate/samplerate; rate change mid-stream; ID3-only payload
-    assert(MediaCodec.mp3Probe(cbr.dropRight(3)).isEmpty)
-    val badSync = cbr.clone(); badSync(cbr.length / 2) = 0x00
-    // flipping an arbitrary body byte is FINE (bodies are opaque) — flip
-    // the second frame's first header byte instead
-    val frameLen = 144000 * 128 / 44100 // frame 0 has padding 0
-    val bs2 = cbr.clone(); bs2(frameLen) = 0x12
-    assert(MediaCodec.mp3Probe(bs2).isEmpty)
-    val resBr = cbr.clone(); resBr(2) = ((15 << 4) | (0 << 2)).toByte
-    assert(MediaCodec.mp3Probe(resBr).isEmpty)
-    val resSr = cbr.clone(); resSr(2) = ((9 << 4) | (3 << 2)).toByte
-    assert(MediaCodec.mp3Probe(resSr).isEmpty)
-    val id3Only = MediaCodec.encodeMp3Frames(1, 0, _ => 1, id3Bytes = 50)
-      .take(10 + 50)
-    assert(MediaCodec.mp3Probe(id3Only).isEmpty)
-    // MPEG-2 version bits refuse (header h1 with version 10)
-    val v2 = cbr.clone(); v2(1) = 0xf3.toByte
-    assert(MediaCodec.mp3Probe(v2).isEmpty)
-  }
-
   test("wav wide formats: 24-bit PCM and float32 decode with exact means; refusals") {
     val s24 = Array.tabulate(100)(i => i * 10000 - 500000) // within ±2^23
     val w24 = MediaCodec.encodeWavPcm24(16000, s24)
