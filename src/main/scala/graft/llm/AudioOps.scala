@@ -75,6 +75,60 @@ object AudioOps {
     best
   }
 
+  /** Max |v| over the clip (note −32768 peaks at 32768). 0 for digital
+    * silence. */
+  def peakAbs(xs: Array[Short]): Int = {
+    var p = 0
+    var i = 0
+    while (i < xs.length) {
+      val a = math.abs(xs(i).toInt); if (a > p) p = a; i += 1
+    }
+    p
+  }
+
+  /** Exact-rational peak normalization: scale every sample by
+    * target/peak with ONE round-half-up division — the gain is never
+    * materialized as a float, so the result is identical on every JVM
+    * and replayable by an SQL engine. Rounding runs in a biased domain
+    * (bias K = ⌈32768·target/peak⌉ samples of headroom) where every
+    * numerator is non-negative and truncating division is floor, the
+    * same trick as [[resampleLinear]]. |output| ≤ target exactly, with
+    * equality at the peak sample. Digital silence (peak 0) has no
+    * defined gain and normalizes to itself — zeros, not a throw. */
+  def normalizePeak(xs: Array[Short], target: Int): Array[Int] = {
+    require(target > 0 && target <= 32767, s"target=$target")
+    val peak = peakAbs(xs).toLong
+    val out = new Array[Int](xs.length)
+    if (peak == 0L) return out
+    val k = (32768L * target + peak - 1) / peak // ceil: v*target + K*peak >= 0
+    var i = 0
+    while (i < xs.length) {
+      val num = xs(i).toLong * target
+      out(i) = ((2 * (num + k * peak) + peak) / (2 * peak) - k).toInt
+      i += 1
+    }
+    out
+  }
+
+  /** Clipping census: (count, longest consecutive run) of samples with
+    * |v| ≥ limit. Isolated full-scale samples are legitimate loud
+    * content; a RUN of them is the analog-clipping signature (a
+    * flattened waveform top), which is why the run length is the fact
+    * corpus filters gate on. */
+  def clipCensus(xs: Array[Short], limit: Int = 32767): (Long, Int) = {
+    require(limit > 0, s"limit=$limit")
+    var cnt = 0L
+    var best = 0; var run = 0
+    var i = 0
+    while (i < xs.length) {
+      if (math.abs(xs(i).toInt) >= limit) {
+        cnt += 1; run += 1; if (run > best) best = run
+      } else run = 0
+      i += 1
+    }
+    (cnt, best)
+  }
+
   /** Exact linear resample srcRate→dstRate. Output index t sits at
     * source position t·src/dst; output covers every t with that
     * position ≤ len−1, so length = (len−1)·dst/src + 1 (integer

@@ -112,6 +112,20 @@ object Similarity {
       Literal(n)))
   }
 
+  /** Bounded quantizer training sample, PARTITION-ORDER-FREE: rows are
+    * ranked by (xxhash64(id), id) before the take, so the sample — and
+    * therefore every trained centroid — is a pure function of the data,
+    * identical under any repartitioning or scan order (a bare
+    * `limit(n).collect()` takes whichever partitions answer first). The
+    * hash ranking doubles as a uniform pseudo-random draw, and Spark
+    * executes it as TakeOrderedAndProject: per-partition top-n, then an
+    * n·partitions merge on the driver — no full sort, no shuffle. */
+  private def trainSampleOf(df: DataFrame, idCol: String, vecCol: String,
+                            n: Int): Array[Array[Float]] =
+    df.orderBy(xxhash64(col(idCol)), col(idCol)).limit(n)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+
   /** Deterministic driver-local Lloyd k-means for the IVF coarse
     * quantizer: seeded distinct-index init, `iters` assignment/update
     * rounds, empty cells keep their centroid. The training sample is
@@ -196,8 +210,7 @@ object Similarity {
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"))
     // bounded sample → driver k-means (standard IVF practice: quantizer
     // trained on a sample with few iterations)
-    val sample = c.select(col("cv")).limit(trainSample).collect()
-      .map(_.getSeq[Float](0).toArray)
+    val sample = trainSampleOf(c, "neighbor_id", "cv", trainSample)
     val centroids = kmeansLocal(sample, nlist, trainIters, seed)
     lastIvfModel.set(IvfModel(centroids, nlist, nprobe, k))
     val bucketed = c.withColumn("cell", nearestCells(col("cv"), centroids, 1).getItem(0))
@@ -238,8 +251,7 @@ object Similarity {
   def marginCandidatesIvf(a: DataFrame, b: DataFrame,
                           nlist: Int = 8, nprobe: Int = 3, seed: Long = 7L,
                           trainSample: Int = 16384, trainIters: Int = 10): DataFrame = {
-    val sample = b.select(col("bv")).limit(trainSample).collect()
-      .map(_.getSeq[Float](0).toArray)
+    val sample = trainSampleOf(b, "b_id", "bv", trainSample)
     val centroids = kmeansLocal(sample, nlist, trainIters, seed)
     lastMarginIvfModel.set(MarginIvfModel(centroids, nprobe))
     val bc = b.withColumn("cell", nearestCells(col("bv"), centroids, 1).getItem(0))
@@ -303,8 +315,7 @@ object Similarity {
     require(dim % m == 0, s"dim $dim does not divide into $m subspaces")
     val subDim = dim / m
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"))
-    val sample = c.select(col("cv")).limit(trainSample).collect()
-      .map(_.getSeq[Float](0).toArray)
+    val sample = trainSampleOf(c, "neighbor_id", "cv", trainSample)
     val coarse = kmeansLocal(sample, nlist, trainIters, seed)
     val codebooks = Array.tabulate(m) { s =>
       kmeansLocal(sample.map(_.slice(s * subDim, (s + 1) * subDim)), ks,
@@ -401,8 +412,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"))
-    val sample = c.select(col("cv")).limit(trainSample).collect()
-      .map(_.getSeq[Float](0).toArray)
+    val sample = trainSampleOf(c, "neighbor_id", "cv", trainSample)
     val coarse = kmeansLocal(sample, nlist, trainIters, seed)
     val codebooks = Array.tabulate(m) { s =>
       kmeansLocal(sample.map(_.slice(s * subDim, (s + 1) * subDim)), ks,
@@ -482,8 +492,7 @@ object Similarity {
                seed: Long = 42L, trainSample: Int = 16384,
                trainIters: Int = 10): DataFrame = {
     val e = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val sample = e.select(col("v")).limit(trainSample).collect()
-      .map(_.getSeq[Float](0).toArray)
+    val sample = trainSampleOf(e, "id", "v", trainSample)
     val centroids = kmeansLocal(sample, nClusters, trainIters, seed)
     lastSemModel.set(SemModel(centroids, threshold))
     val cc = e
@@ -535,8 +544,7 @@ object Similarity {
     require(pruneDen > 0 && pruneNum >= 0 && pruneNum <= pruneDen,
       "prune fraction must be a rational in [0, 1]")
     val e = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val sample = e.select(col("v")).limit(trainSample).collect()
-      .map(_.getSeq[Float](0).toArray)
+    val sample = trainSampleOf(e, "id", "v", trainSample)
     val centroids = kmeansLocal(sample, nClusters, trainIters, seed)
     lastProtoModel.set(ProtoModel(centroids, pruneNum, pruneDen))
     // centroid cosine rounds at 1e-6 BEFORE ranking (the repo-wide

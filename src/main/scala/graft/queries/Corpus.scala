@@ -1590,6 +1590,82 @@ object Corpus {
       |FROM up JOIN dn ON up.k = dn.k
       |ORDER BY media_id""".stripMargin
 
+  /** Peak normalization + clipping census under the oracle — the level
+    * gate of a speech-corpus front-end (after the loudness/trim/resample
+    * passes, before anything is fingerprinted): per-key PCM synthesized
+    * from a deliberately HOT ramp CLAMPED to full scale, so clipping
+    * shows as the real signature — runs of consecutive full-scale
+    * samples, not isolated loud peaks; every 9th key is digital
+    * silence. Facts: the peak, the clip census (count + longest run),
+    * and the normalize-to-30000 checksums. The normalization gain is
+    * never a float — [[graft.llm.AudioOps.normalizePeak]] keeps it as
+    * the rational target/peak with one biased round-half-up division,
+    * which the oracle replays verbatim; norm_peak == target exactly is
+    * the invariant that makes the arithmetic auditable. */
+  def audioNormalize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.AudioOps
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    keys.map { k =>
+      val n = (300 + k % 180).toInt
+      val xs = Array.tabulate(n) { i =>
+        if (k % 9 == 0) 0.toShort
+        else {
+          val raw = ((k * 37 + i * 23) % 70001 - 35000).toInt
+          math.max(-32768, math.min(32767, raw)).toShort
+        }
+      }
+      val peak = AudioOps.peakAbs(xs)
+      val (nClip, runClip) = AudioOps.clipCensus(xs)
+      val nv = AudioOps.normalizePeak(xs, 30000)
+      (k, n.toLong, peak.toLong, nClip, runClip.toLong,
+        nv.map(_.toLong).sum, nv(n / 2).toLong,
+        nv.map(v => math.abs(v).toLong).max)
+    }.toDF("media_id", "n_samples", "peak", "n_clipped", "clip_run",
+      "norm_sum", "norm_mid", "norm_peak")
+      .orderBy($"media_id")
+  }
+
+  /** The census and the normalization replayed closed-form: the same
+    * clamp formula, islands trick for the clip runs, and the identical
+    * biased round-half-up division with gain 30000/peak (bias
+    * K = ⌈32768·30000/peak⌉ shifts out exactly). */
+  val audioNormalizeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, 300 + k % 180 AS n FROM ks),
+      |sm AS (
+      |  SELECT p.k, p.n, i.g AS i,
+      |    CASE WHEN p.k % 9 = 0 THEN 0
+      |         ELSE GREATEST(-32768, LEAST(32767, (p.k*37 + i.g*23) % 70001 - 35000)) END AS v
+      |  FROM p, generate_series(0, 478) i(g)
+      |  WHERE i.g < p.n),
+      |pk AS (SELECT k, MAX(abs(v)) AS peak,
+      |    CAST(COUNT(*) FILTER (WHERE abs(v) >= 32767) AS BIGINT) AS n_clipped
+      |  FROM sm GROUP BY k),
+      |cl AS (SELECT k, i, i - ROW_NUMBER() OVER (PARTITION BY k ORDER BY i) AS isl
+      |  FROM sm WHERE abs(v) >= 32767),
+      |clr AS (SELECT k, isl, COUNT(*) AS rl FROM cl GROUP BY k, isl),
+      |clm AS (SELECT k, CAST(MAX(rl) AS BIGINT) AS clip_run FROM clr GROUP BY k),
+      |nrm AS (
+      |  SELECT sm.k, sm.n, sm.i,
+      |    CASE WHEN pk.peak = 0 THEN 0
+      |         ELSE (2*(sm.v*30000 + ((32768*30000 + pk.peak - 1) // pk.peak) * pk.peak) + pk.peak)
+      |              // (2*pk.peak)
+      |              - ((32768*30000 + pk.peak - 1) // pk.peak) END AS nv
+      |  FROM sm JOIN pk ON sm.k = pk.k),
+      |agg AS (SELECT k, CAST(SUM(nv) AS BIGINT) AS norm_sum,
+      |    CAST(MAX(CASE WHEN i = n // 2 THEN nv END) AS BIGINT) AS norm_mid,
+      |    CAST(MAX(abs(nv)) AS BIGINT) AS norm_peak
+      |  FROM nrm GROUP BY k)
+      |SELECT p.k AS media_id, CAST(p.n AS BIGINT) AS n_samples,
+      |  CAST(pk.peak AS BIGINT) AS peak, pk.n_clipped,
+      |  CAST(COALESCE(clm.clip_run, 0) AS BIGINT) AS clip_run,
+      |  agg.norm_sum, agg.norm_mid, agg.norm_peak
+      |FROM p JOIN pk ON p.k = pk.k
+      |LEFT JOIN clm ON p.k = clm.k
+      |JOIN agg ON p.k = agg.k
+      |ORDER BY media_id""".stripMargin
+
   // ------------------------------------------------------- inverted index
 
   /** Inverted-index build — the retrieval-side primitive (term →
@@ -2301,6 +2377,7 @@ object Corpus {
     "q_image_resize" -> (imageResize _),
     "q_audio_dsp" -> (audioDsp _),
     "q_audio_resample" -> (audioResample _),
+    "q_audio_normalize" -> (audioNormalize _),
     "q_audio_features" -> (audioFeatures _),
     "q_video_neardup" -> (videoNearDup _),
     "q_rag_chunks" -> (ragChunks _),
@@ -2347,6 +2424,7 @@ object Corpus {
     "q_image_resize" -> imageResizeSql,
     "q_audio_dsp" -> audioDspSql,
     "q_audio_resample" -> audioResampleSql,
+    "q_audio_normalize" -> audioNormalizeSql,
     "q_audio_features" -> audioFeaturesSql,
     "q_video_neardup" -> videoNearDupSql,
     "q_rag_chunks" -> ragChunksSql,

@@ -2387,12 +2387,16 @@ object Relational {
     import s.implicits._
     val ev = graft.util.Tables.events(s, d)
     val users = customer(s, d).select($"c_custkey".as("u"))
-    val switchTs = expr("timestampadd(DAY, CAST(u % 14 AS INT), TIMESTAMP '2024-01-10')")
+    // the switch boundary as an epoch-us INSTANT (2024-01-10T00:00:00Z =
+    // 1704844800000000 us), same convention as the staged-stream oracles:
+    // a naive TIMESTAMP literal would shift with the session TZ on one
+    // side only
+    val switchTs = expr("timestamp_micros(1704844800000000 + (u % 14) * 86400000000)")
     val dim = users.select($"u",
-        lit("1900-01-01 00:00:00").cast("timestamp").as("valid_from"),
+        expr("timestamp_micros(-2208988800000000)").as("valid_from"), // 1900-01-01Z
         switchTs.as("valid_to"), lit("bronze").as("tier"))
       .unionByName(users.select($"u", switchTs.as("valid_from"),
-        lit("2100-01-01 00:00:00").cast("timestamp").as("valid_to"),
+        expr("timestamp_micros(4102444800000000)").as("valid_to"), // 2100-01-01Z
         lit("gold").as("tier")))
     val dataDir = stagedEventsDir(s, d)
     withStreamPartitions(s, 8) {
@@ -2413,7 +2417,7 @@ object Relational {
 
   val streamScd2Sql: String =
     """SELECT e.event_id, e.user_id,
-      |  CASE WHEN e.ts < TIMESTAMP '2024-01-10' + INTERVAL (e.user_id % 14) DAY
+      |  CASE WHEN epoch_us(e.ts) < 1704844800000000 + (e.user_id % 14) * 86400000000
       |       THEN 'bronze' ELSE 'gold' END AS tier
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |ORDER BY e.event_id""".stripMargin

@@ -89,6 +89,44 @@ class AudioOpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("resample output budget"))
   }
 
+  test("normalizePeak: exact gain at the peak, half-up rounding, silence passthrough") {
+    // peak 100 -> target 30000: gain exactly 300, every sample integral
+    assert(AudioOps.normalizePeak(Array[Short](100, -50, 1, 0), 30000).toSeq ==
+      Seq(30000, -15000, 300, 0))
+    // |output| <= target with equality at the peak; round-half-up on
+    // a non-integral gain (peak 3, target 2: 1*2/3 = 0.667 -> 1,
+    // -1*2/3 = -0.667 -> round-half-up = -1... exactly: -0.667 rounds to -1)
+    assert(AudioOps.normalizePeak(Array[Short](3, 1, -1, -3), 2).toSeq ==
+      Seq(2, 1, -1, -2))
+    // midpoint rounds toward +inf in both signs (half-up, not half-even):
+    // peak 2, target 1: 1*1/2 = 0.5 -> 1; -1*1/2 = -0.5 -> 0
+    assert(AudioOps.normalizePeak(Array[Short](2, 1, -1, -2), 1).toSeq ==
+      Seq(1, 1, 0, -1))
+    // digital silence has no gain: zeros out, no throw
+    assert(AudioOps.normalizePeak(new Array[Short](5), 30000).toSeq ==
+      Seq(0, 0, 0, 0, 0))
+    // -32768 peaks above 32767 and still lands exactly on -target
+    val out = AudioOps.normalizePeak(Array[Short](-32768, 16384), 30000)
+    assert(out(0) == -30000 && out(1) == 15000)
+    // double-precision cross-check on a pseudo-random clip
+    val rnd = new scala.util.Random(11)
+    val xs = Array.fill(500)((rnd.nextInt(65536) - 32768).toShort)
+    val peak = AudioOps.peakAbs(xs)
+    val nv = AudioOps.normalizePeak(xs, 30000)
+    xs.indices.foreach { i =>
+      val ref = xs(i).toDouble * 30000 / peak
+      assert(math.abs(nv(i) - ref) <= 0.5 + 1e-9, s"i=$i ${nv(i)} vs $ref")
+    }
+    assert(nv.map(math.abs).max == 30000)
+  }
+
+  test("clipCensus counts full-scale samples and the longest consecutive run") {
+    val xs = Array[Short](0, 32767, 32767, -32768, 5, 32767, 0, -32767)
+    val (cnt, run) = AudioOps.clipCensus(xs)
+    assert(cnt == 5 && run == 3)
+    assert(AudioOps.clipCensus(Array[Short](1, 2, 3)) == ((0L, 0)))
+  }
+
   test("dbfs: full-scale squares to 0 dB, silence floors at -120") {
     assert(math.abs(AudioOps.dbfs(32768L * 32768L * 10, 10)) < 1e-9)
     assert(AudioOps.dbfs(0, 10) == -120.0)

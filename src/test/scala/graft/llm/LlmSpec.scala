@@ -292,6 +292,26 @@ class LlmSpec extends SparkTestBase {
     assert(recall >= 0.35, s"recall=$recall")
   }
 
+  test("quantizer training is partition-order-free: identical centroids at any repartitioning") {
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.util.Tables.embeddings(spark, d)
+    val queries = emb.filter(col("vec_id") < 5)
+    def centroidsAt(parts: Int): Seq[Seq[Double]] = {
+      Similarity.ivfTopK(queries, emb.repartition(parts), 3,
+        nlist = 8, nprobe = 2).collect() // trains as a side effect
+      Similarity.lastIvfModel.get.centroids.map(_.toSeq).toSeq
+    }
+    val one = centroidsAt(1)
+    val seven = centroidsAt(7)
+    assert(one == seven, "ivf centroids drift with input partitioning")
+    def semAt(parts: Int): Seq[Seq[Double]] = {
+      Similarity.semDedup(emb.repartition(parts), nClusters = 4,
+        threshold = 0.9).collect()
+      Similarity.lastSemModel.get.centroids.map(_.toSeq).toSeq
+    }
+    assert(semAt(1) == semAt(7), "semdedup centroids drift with input partitioning")
+  }
+
   test("clustered corpus: ann and ivf recall@5 >= 0.8 under the seeded planes/centroids") {
     import spark.implicits._
     // The sf corpora are near-uniform, where sub-linear candidate scans
