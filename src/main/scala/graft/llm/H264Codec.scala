@@ -1,0 +1,286 @@
+package graft.llm
+
+/** H.264/AVC Annex-B bitstream probe — the video-side bitstream walk
+  * that completes the container→bitstream probe family next to
+  * [[Mp3Codec]] (MP3), [[MediaCodec]] (MP4/EBML) and the Ogg/Opus
+  * walks. Like those, this is a STRUCTURAL probe, not a decoder: the
+  * entropy/transform/motion pipeline stays honestly behind the
+  * MediaDecoder seam, but the byte-stream framing and the sequence
+  * parameter set are public, purely structural formats (ITU-T H.264
+  * §B.1 byte-stream NAL units, §7.3.2.1 seq_parameter_set_rbsp,
+  * §7.4.2.1.1 cropping arithmetic) a curation pipeline verifies on
+  * every crawl shard before spending decode cycles.
+  *
+  * What the probe verifies and emits:
+  *  - start-code framing (00 00 01 / 00 00 00 01 at byte 0, NAL units
+  *    delimited by subsequent start codes, trailing_zero_8bits
+  *    stripped, empty NAL refusal);
+  *  - per-NAL header law: forbidden_zero_bit must be 0, nal_unit_type
+  *    in the base-spec range 1..12, nal_ref_idc nonzero for SPS/PPS/
+  *    IDR (§7.4.1);
+  *  - a full parse of every SPS: emulation-prevention de-escape
+  *    (§7.4.1.1 — 00 00 03 → 00 00, with raw 00 00 0x refused),
+  *    Exp-Golomb fields with strict bounds, the high-profile chroma
+  *    block, frame cropping, and the rbsp_trailing_bits stop-bit
+  *    pattern; luma width/height from the §7.4.2.1.1 crop-unit
+  *    arithmetic (4:2:0: CropUnitX=2, CropUnitY=2·(2−frame_mbs_only)).
+  *
+  * Pinned out of scope (refused, never guessed): pic_order_cnt_type 1
+  * (its cycle table), VUI parameters, scaling matrices, chroma formats
+  * other than 4:2:0, bit depths beyond 8. Slice/PPS payloads are
+  * censused by type but NOT content-verified — the format carries no
+  * checksum, so a probe that claimed payload integrity would be lying
+  * (same honest-scope line the MP3 probe draws at unprotected audio
+  * payload). */
+object H264Codec {
+
+  /** Profiles whose SPS carries the chroma-format block (§7.3.2.1.1). */
+  private val HighProfiles = Set(100, 110, 122, 244, 44, 83, 86, 118, 128,
+    138, 139, 134, 135)
+
+  private final class ParseRefusal extends RuntimeException
+
+  /** MSB-first bit reader with strict bounds: any overrun or
+    * out-of-bounds value refuses the whole probe. */
+  private final class BitReader(b: Array[Byte]) {
+    private var pos = 0
+    def u(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        if (pos >= b.length * 8) throw new ParseRefusal
+        v = (v << 1) | ((b(pos >> 3) >> (7 - (pos & 7))) & 1)
+        pos += 1
+        i += 1
+      }
+      v
+    }
+    /** Unsigned Exp-Golomb; leading-zero run capped at 30 so the value
+      * stays a positive Int. */
+    def ue(): Int = {
+      var zeros = 0
+      while (u(1) == 0) { zeros += 1; if (zeros > 30) throw new ParseRefusal }
+      if (zeros == 0) 0 else ((1 << zeros) | u(zeros)) - 1
+    }
+    /** rbsp_trailing_bits: stop bit 1, then zero bits to the end of the
+      * de-escaped payload. */
+    def trailingOk(): Boolean = {
+      if (u(1) != 1) return false
+      while (pos < b.length * 8) if (u(1) != 0) return false
+      true
+    }
+  }
+
+  /** Remove emulation_prevention_three_byte sequences (00 00 03 → 00 00).
+    * A raw 00 00 00 / 00 00 01 / 00 00 02 inside a NAL violates §7.4.1.1
+    * (the encoder was required to escape it) → refuse. */
+  private def deEscape(b: Array[Byte], from: Int, until: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(until - from)
+    var zeros = 0
+    var i = from
+    while (i < until) {
+      val v = b(i) & 0xff
+      if (zeros >= 2 && v <= 2) throw new ParseRefusal // unescaped start-code prefix
+      if (zeros >= 2 && v == 3) {
+        // emulation prevention byte: must be followed by 00/01/02/03
+        if (i + 1 < until && (b(i + 1) & 0xff) > 3) throw new ParseRefusal
+        zeros = 0
+      } else {
+        out.write(v)
+        zeros = if (v == 0) zeros + 1 else 0
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Parsed SPS facts: (profile_idc, level_idc, lumaWidth, lumaHeight). */
+  private def parseSps(rbsp: Array[Byte]): (Int, Int, Int, Int) = {
+    val r = new BitReader(rbsp)
+    val profile = r.u(8)
+    val constraints = r.u(8)
+    if ((constraints & 0x03) != 0) throw new ParseRefusal // reserved_zero_2bits
+    val level = r.u(8)
+    if (r.ue() >= 32) throw new ParseRefusal // seq_parameter_set_id
+    if (HighProfiles(profile)) {
+      if (r.ue() != 1) throw new ParseRefusal // chroma_format_idc: 4:2:0 only
+      if (r.ue() != 0) throw new ParseRefusal // bit_depth_luma_minus8
+      if (r.ue() != 0) throw new ParseRefusal // bit_depth_chroma_minus8
+      r.u(1) // qpprime_y_zero_transform_bypass_flag
+      if (r.u(1) != 0) throw new ParseRefusal // scaling matrices: out of scope
+    }
+    if (r.ue() > 12) throw new ParseRefusal // log2_max_frame_num_minus4
+    r.ue() match {
+      case 0 => if (r.ue() > 12) throw new ParseRefusal // log2_max_poc_lsb_minus4
+      case 2 => ()
+      case _ => throw new ParseRefusal // poc type 1 (cycle table): out of scope
+    }
+    if (r.ue() > 16) throw new ParseRefusal // max_num_ref_frames
+    r.u(1) // gaps_in_frame_num_value_allowed_flag
+    val pw = r.ue()
+    val ph = r.ue()
+    if (pw >= (1 << 14) || ph >= (1 << 14)) throw new ParseRefusal
+    val frameMbsOnly = r.u(1)
+    if (frameMbsOnly == 0) r.u(1) // mb_adaptive_frame_field_flag
+    r.u(1) // direct_8x8_inference_flag
+    var cl = 0; var cr = 0; var ct = 0; var cb = 0
+    if (r.u(1) == 1) { cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue() }
+    if (r.u(1) != 0) throw new ParseRefusal // vui_parameters_present: out of scope
+    if (!r.trailingOk()) throw new ParseRefusal
+    // §7.4.2.1.1: 4:2:0 crop units; CropUnitY doubles for field coding
+    val cropUnitY = 2 * (2 - frameMbsOnly)
+    val w = (pw + 1) * 16 - 2 * (cl + cr)
+    val h = (2 - frameMbsOnly) * (ph + 1) * 16 - cropUnitY * (ct + cb)
+    if (w <= 0 || h <= 0) throw new ParseRefusal
+    (profile, level, w, h)
+  }
+
+  /** Probe facts: (nNal, nSps, nPps, nIdr, nSlice, profile, level,
+    * width, height) — census over all NAL units, dimensions from the
+    * first SPS (every SPS must parse; at least one must be present). */
+  def h264Probe(b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int, Int, Int, Int)] = try {
+    if (b == null || b.length < 5) return None
+    if (!(b(0) == 0 && b(1) == 0 && (b(2) == 1 ||
+      (b(2) == 0 && b.length > 4 && b(3) == 1)))) return None // must open on a start code
+    // every 00 00 01 position delimits a NAL (emulation prevention
+    // guarantees the pattern cannot occur inside one)
+    val scs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i + 2 < b.length) {
+      if (b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 1) { scs += i; i += 3 }
+      else i += 1
+    }
+    var nNal = 0; var nSps = 0; var nPps = 0; var nIdr = 0; var nSlice = 0
+    var dims: (Int, Int, Int, Int) = null
+    var j = 0
+    while (j < scs.length) {
+      val start = scs(j) + 3
+      var end = if (j + 1 < scs.length) scs(j + 1) else b.length
+      // zero_byte of a following 4-byte start code / trailing_zero_8bits
+      while (end > start && b(end - 1) == 0) end -= 1
+      if (end <= start) return None // empty NAL unit
+      val hdr = b(start) & 0xff
+      if ((hdr & 0x80) != 0) return None // forbidden_zero_bit
+      val refIdc = (hdr >> 5) & 3
+      val nalType = hdr & 0x1f
+      if (nalType < 1 || nalType > 12) return None // outside base-spec range
+      if ((nalType == 5 || nalType == 7 || nalType == 8) && refIdc == 0)
+        return None // §7.4.1: SPS/PPS/IDR must be reference units
+      nalType match {
+        case 7 =>
+          nSps += 1
+          val sps = parseSps(deEscape(b, start + 1, end))
+          if (dims == null) dims = sps
+        case 8 => nPps += 1
+        case 5 => nIdr += 1
+        case 1 => nSlice += 1
+        case _ => ()
+      }
+      nNal += 1
+      j += 1
+    }
+    if (nNal == 0 || dims == null) return None // no NALs / no SPS to pin dims
+    Some((nNal, nSps, nPps, nIdr, nSlice, dims._1, dims._2, dims._3, dims._4))
+  } catch {
+    case _: ParseRefusal => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  // ---- conformance encoder (tests the PROBE, makes no video) ------------
+
+  private final class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream
+    private var cur = 0
+    private var nBits = 0
+    def bit(v: Int): Unit = {
+      cur = (cur << 1) | (v & 1); nBits += 1
+      if (nBits == 8) { buf.write(cur); cur = 0; nBits = 0 }
+    }
+    def u(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bit((v >>> i) & 1); i -= 1 }
+    }
+    def ue(v: Int): Unit = {
+      val x = v + 1
+      val nb = 32 - Integer.numberOfLeadingZeros(x)
+      var i = 0
+      while (i < nb - 1) { bit(0); i += 1 }
+      u(x, nb)
+    }
+    def trailing(): Unit = { bit(1); while (nBits != 0) bit(0) }
+    def bytes: Array[Byte] = buf.toByteArray
+  }
+
+  /** RBSP → EBSP: insert emulation_prevention_three_byte wherever two
+    * zeros are followed by a byte ≤ 3 (§7.4.1.1). */
+  private def escape(rbsp: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(rbsp.length + 8)
+    var zeros = 0
+    var i = 0
+    while (i < rbsp.length) {
+      val v = rbsp(i) & 0xff
+      if (zeros >= 2 && v <= 3) { out.write(3); zeros = 0 }
+      out.write(v)
+      zeros = if (v == 0) zeros + 1 else 0
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** A structurally exact SPS RBSP (profile 66/77 baseline shape or the
+    * high-profile 4:2:0 block), progressive, right/bottom crop only. */
+  def encodeSps(profile: Int, level: Int, mbW: Int, mbH: Int,
+                cropR: Int, cropB: Int, pocType: Int): Array[Byte] = {
+    require(mbW > 0 && mbH > 0 && cropR >= 0 && cropB >= 0)
+    require(pocType == 0 || pocType == 2, s"pocType=$pocType")
+    val w = new BitWriter
+    w.u(profile, 8); w.u(0, 8); w.u(level, 8)
+    w.ue(0) // seq_parameter_set_id
+    if (HighProfiles(profile)) {
+      w.ue(1); w.ue(0); w.ue(0) // 4:2:0, 8-bit
+      w.bit(0) // transform bypass
+      w.bit(0) // no scaling matrices
+    }
+    w.ue(4) // log2_max_frame_num_minus4
+    w.ue(pocType)
+    if (pocType == 0) w.ue(4) // log2_max_pic_order_cnt_lsb_minus4
+    w.ue(2) // max_num_ref_frames
+    w.bit(0) // gaps_in_frame_num_value_allowed_flag
+    w.ue(mbW - 1); w.ue(mbH - 1)
+    w.bit(1) // frame_mbs_only_flag (progressive)
+    w.bit(1) // direct_8x8_inference_flag
+    if (cropR > 0 || cropB > 0) {
+      w.bit(1); w.ue(0); w.ue(cropR); w.ue(0); w.ue(cropB)
+    } else w.bit(0)
+    w.bit(0) // vui_parameters_present_flag
+    w.trailing()
+    w.bytes
+  }
+
+  /** One synthetic NAL spec: type + deterministic filler length (the
+    * payload bytes are 1..255 so no accidental start codes). */
+  final case class Nal(nalType: Int, fillerLen: Int)
+
+  /** Assemble an Annex-B stream: 4-byte start code + SPS first, 3-byte
+    * start codes after, emulation prevention applied to the SPS. Filler
+    * NALs (PPS/IDR/slice) carry opaque payloads — the probe censuses
+    * them without content claims. */
+  def encodeAnnexB(sps: Array[Byte], rest: Seq[Nal], seed: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    out.write(0); out.write(0); out.write(0); out.write(1)
+    out.write(0x67) // ref_idc 3, type 7
+    val esc = escape(sps)
+    out.write(esc, 0, esc.length)
+    rest.zipWithIndex.foreach { case (n, ni) =>
+      out.write(0); out.write(0); out.write(1)
+      val refIdc = if (n.nalType == 1) 2 else 3
+      out.write((refIdc << 5) | n.nalType)
+      var i = 0
+      while (i < n.fillerLen) {
+        out.write(((seed * 31 + ni * 131 + i * 17) % 255 + 1).toInt)
+        i += 1
+      }
+    }
+    out.toByteArray
+  }
+}

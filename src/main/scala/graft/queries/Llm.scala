@@ -1990,6 +1990,7 @@ object Llm {
     "q_png_adam7_decode" -> (pngAdam7Decode _),
     "q_mp3_probe" -> (mp3Probe _),
     "q_mp4_probe" -> (mp4Probe _),
+    "q_h264_probe" -> (h264Probe _),
     "q_ogg_probe" -> (oggProbe _),
     "q_y4m_decode" -> (y4mDecodeQ _),
     "q_tiff_decode" -> (tiffDecode _),
@@ -2880,6 +2881,92 @@ object Llm {
       |      ELSE '' END ||
       |    CASE WHEN k % 5 = 0 THEN 'mp4a' ELSE 'Opus' END
       |  END AS codecs
+      |FROM dims
+      |ORDER BY media_id""".stripMargin
+
+  /** H.264 Annex-B bitstream probe under the oracle — the bitstream
+    * walk one level below q_mp4_probe's container walk (see
+    * [[graft.llm.H264Codec]]; the entropy/transform/motion decode
+    * stays honestly behind the MediaDecoder seam): per-key streams with
+    * an SPS (profile 66/77/100 cycling, the high-profile 4:2:0 block
+    * exercised on every third key, right/bottom cropping, both in-scope
+    * pic_order_cnt types), 1-2 PPS and a census of IDR/non-IDR slice
+    * NALs with opaque filler payloads. The probe verifies start-code
+    * framing, the per-NAL header law (forbidden_zero_bit, type range,
+    * ref-idc rules) and fully parses the SPS — emulation-prevention
+    * de-escape, strict Exp-Golomb bounds, §7.4.2.1.1 crop arithmetic —
+    * and the oracle recomputes every fact closed-form from the
+    * synthesis formulas. Every 13th payload truncates mid-SPS and
+    * every 17th sets the forbidden bit on its first PPS: refusal,
+    * never an estimate from a corrupt walk. */
+  def h264Probe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.H264Codec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val profile = Array(66, 77, 100)((k % 3).toInt)
+      val level = Array(10, 20, 30, 31, 40, 41, 42, 51)((k % 8).toInt)
+      val mbW = (1 + k % 40).toInt
+      val mbH = (1 + k % 23).toInt
+      val cropR = (k % 3).toInt
+      val cropB = (k % 2).toInt
+      val pocType = if (k % 2 == 0) 0 else 2
+      val sps = H264Codec.encodeSps(profile, level, mbW, mbH, cropR, cropB, pocType)
+      val rest =
+        (0 until (1 + k % 2).toInt).map(j => H264Codec.Nal(8, (5 + (k + j) % 20).toInt)) ++
+        (0 until (1 + k % 3).toInt).map(j => H264Codec.Nal(5, (20 + (k + j) % 40).toInt)) ++
+        (0 until (k % 5).toInt).map(j => H264Codec.Nal(1, (10 + (k + j) % 30).toInt))
+      val bytes = H264Codec.encodeAnnexB(sps, rest, k)
+      val payload =
+        if (k % 13 == 0) bytes.take(9) // SPS cut mid-parse
+        else if (k % 17 == 0) { // forbidden_zero_bit on the first PPS
+          val t = bytes.clone()
+          var i = 5
+          while (!(t(i) == 0 && t(i + 1) == 0 && t(i + 2) == 1)) i += 1
+          t(i + 3) = (t(i + 3) | 0x80).toByte
+          t
+        } else bytes
+      H264Codec.h264Probe(payload) match {
+        case Some((nNal, nSps, nPps, nIdr, nSlice, prof, lvl, w, h)) =>
+          (k, true, Some(nNal), Some(nSps), Some(nPps), Some(nIdr),
+            Some(nSlice), Some(prof), Some(lvl), Some(w), Some(h))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Int], None: Option[Int], None: Option[Int])
+      }
+    }.toDF("media_id", "h264_ok", "n_nal", "n_sps", "n_pps", "n_idr",
+      "n_slices", "profile_idc", "level_idc", "width", "height")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The probe facts from the synthesis formulas: NAL census
+    * 1 SPS + (1 + k mod 2) PPS + (1 + k mod 3) IDR + (k mod 5) slices,
+    * profile/level by table, luma dims from the §7.4.2.1.1 crop
+    * arithmetic (mb·16 − 2·crop), refusal on the truncation (k mod 13)
+    * and forbidden-bit (k mod 17) arms. */
+  val h264ProbeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |dims AS (
+      |  SELECT k, (k % 13 <> 0 AND k % 17 <> 0) AS ok,
+      |    CAST(1 + k % 2 AS INTEGER) AS n_pps,
+      |    CAST(1 + k % 3 AS INTEGER) AS n_idr,
+      |    CAST(k % 5 AS INTEGER) AS n_slices,
+      |    CAST(CASE k % 3 WHEN 0 THEN 66 WHEN 1 THEN 77 ELSE 100 END AS INTEGER) AS profile_idc,
+      |    ([10,20,30,31,40,41,42,51])[CAST(k % 8 AS INTEGER) + 1] AS level_idc,
+      |    CAST((1 + k % 40) * 16 - 2 * (k % 3) AS INTEGER) AS width,
+      |    CAST((1 + k % 23) * 16 - 2 * (k % 2) AS INTEGER) AS height
+      |  FROM ks)
+      |SELECT k AS media_id, ok AS h264_ok,
+      |  CASE WHEN ok THEN 1 + n_pps + n_idr + n_slices END AS n_nal,
+      |  CASE WHEN ok THEN 1 END AS n_sps,
+      |  CASE WHEN ok THEN n_pps END AS n_pps,
+      |  CASE WHEN ok THEN n_idr END AS n_idr,
+      |  CASE WHEN ok THEN n_slices END AS n_slices,
+      |  CASE WHEN ok THEN profile_idc END AS profile_idc,
+      |  CASE WHEN ok THEN level_idc END AS level_idc,
+      |  CASE WHEN ok THEN width END AS width,
+      |  CASE WHEN ok THEN height END AS height
       |FROM dims
       |ORDER BY media_id""".stripMargin
 
@@ -4902,6 +4989,7 @@ object Llm {
     "q_png_adam7_decode" -> pngAdam7DecodeSql,
     "q_mp3_probe" -> mp3ProbeSql,
     "q_mp4_probe" -> mp4ProbeSql,
+    "q_h264_probe" -> h264ProbeSql,
     "q_ogg_probe" -> oggProbeSql,
     "q_y4m_decode" -> y4mDecodeSql,
     "q_tiff_decode" -> tiffDecodeSql,
