@@ -69,6 +69,65 @@ object ImageOps {
     out
   }
 
+  /** Area (box-filter) resize — the antialias=true downscale convention
+    * of the mainstream vision stacks, and the kernel to reach for on
+    * large→thumbnail ratios where bilinear's fixed 4-tap window ALIASES
+    * (it samples 4 source pixels no matter how many the destination
+    * pixel covers; area averages them all). Exact coverage windows as
+    * integer rationals on the grid scaled by `ow` (x) and `oh` (y):
+    * destination pixel dx spans [dx·w, (dx+1)·w) and source pixel sx
+    * spans [sx·ow, (sx+1)·ow), so the overlap is a pure integer, the
+    * per-pixel weights sum to exactly w·h, and ONE round-half-up
+    * division closes the sum — same reproducibility contract as
+    * [[resizeBilinear]], replayable verbatim by the oracle. Defined for
+    * any ratio (upscale degenerates to fractional nearest), exact
+    * average when the ratio is integral. */
+  def resizeArea(px: Array[Int], w: Int, h: Int, ch: Int,
+                 ow: Int, oh: Int): Array[Int] = {
+    require(w > 0 && h > 0 && ch > 0 && px.length == w * h * ch,
+      s"bad source raster ${w}x${h}x$ch (${px.length})")
+    require(ow > 0 && oh > 0 && ow.toLong * oh * ch <= (1L << 26),
+      s"bad target ${ow}x$oh")
+    val out = new Array[Int](ow * oh * ch)
+    val den = w.toLong * h
+    var dy = 0
+    while (dy < oh) {
+      val y0 = dy.toLong * h
+      val y1 = y0 + h // dest row dy covers [y0, y1) in oh-scaled units
+      val sy0 = (y0 / oh).toInt
+      val sy1 = ((y1 + oh - 1) / oh).toInt // exclusive
+      var dx = 0
+      while (dx < ow) {
+        val x0 = dx.toLong * w
+        val x1 = x0 + w
+        val sx0 = (x0 / ow).toInt
+        val sx1 = ((x1 + ow - 1) / ow).toInt
+        var c = 0
+        while (c < ch) {
+          var acc = 0L
+          var sy = sy0
+          while (sy < sy1) {
+            val ovY = math.min(y1, (sy + 1).toLong * oh) -
+              math.max(y0, sy.toLong * oh)
+            var sx = sx0
+            while (sx < sx1) {
+              val ovX = math.min(x1, (sx + 1).toLong * ow) -
+                math.max(x0, sx.toLong * ow)
+              acc += ovX * ovY * px((sy * w + sx) * ch + c)
+              sx += 1
+            }
+            sy += 1
+          }
+          out((dy * ow + dx) * ch + c) = ((2 * acc + den) / (2 * den)).toInt
+          c += 1
+        }
+        dx += 1
+      }
+      dy += 1
+    }
+    out
+  }
+
   /** Center crop: the `cw`×`chh` window whose top-left is
     * ((w−cw)/2, (h−chh)/2) — floor on odd margins, matching the
     * mainstream vision stacks. Same interleaved layout in and out. */

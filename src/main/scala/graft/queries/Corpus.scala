@@ -1590,6 +1590,111 @@ object Corpus {
       |FROM up JOIN dn ON up.k = dn.k
       |ORDER BY media_id""".stripMargin
 
+  /** Area (box-filter) downsampling under the oracle — the
+    * antialias=true convention every vision stack applies on
+    * large→thumbnail ratios, where bilinear's fixed 4-tap window
+    * aliases (see [[graft.llm.ImageOps.resizeArea]]): per-key synthetic
+    * gray rasters resized by a moderate arm and a ≥4×-ratio arm, the
+    * latter also run through BILINEAR so the engine-vs-oracle data
+    * itself documents where the two kernels diverge. Coverage windows
+    * are exact integer rationals (overlaps on the ow/oh-scaled grid,
+    * weights summing to exactly w·h, one round-half-up division), so
+    * the DuckDB oracle replays every output pixel verbatim — same
+    * contract as q_image_resize. */
+  def imageAreaResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.ImageOps
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    keys.map { k =>
+      val w = (24 + k % 9).toInt; val h = (20 + k % 7).toInt
+      val a = 3 + k % 11; val b = 5 + k % 13; val c = k % 17
+      val px = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        ((a * x + b * y + c) % 256).toInt
+      }
+      val ow = (9 + k % 4).toInt; val oh = (7 + k % 3).toInt
+      val dn = ImageOps.resizeArea(px, w, h, 1, ow, oh)
+      val bw = (4 + k % 2).toInt; val bh = (3 + k % 2).toInt // >=4x ratio
+      val big = ImageOps.resizeArea(px, w, h, 1, bw, bh)
+      val bil = ImageOps.resizeBilinear(px, w, h, 1, bw, bh)
+      (k, dn.map(_.toLong).sum, dn(0).toLong,
+        big.map(_.toLong).sum, big(big.length - 1).toLong,
+        bil.map(_.toLong).sum)
+    }.toDF("media_id", "area_dn_sum", "area_dn_corner", "area_big_sum",
+      "area_big_last", "bilin_big_sum")
+      .orderBy($"media_id")
+  }
+
+  /** Both kernels replayed verbatim: the area arm as coverage-overlap
+    * sums (LEAST/GREATEST window intersection on the scaled grid, one
+    * biased round-half-up division by w·h), the bilinear arm as the
+    * same half-pixel 4-tap replay q_image_resize uses. */
+  val imageAreaResizeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, 24 + k%9 AS w, 20 + k%7 AS h,
+      |        3 + k%11 AS a, 5 + k%13 AS b, k%17 AS c,
+      |        9 + k%4 AS ow, 7 + k%3 AS oh, 4 + k%2 AS bw, 3 + k%2 AS bh
+      |      FROM ks),
+      |arms AS (
+      |  SELECT k, w, h, a, b, c, ow AS tw, oh AS th, 'dn' AS arm FROM p
+      |  UNION ALL
+      |  SELECT k, w, h, a, b, c, bw, bh, 'big' FROM p),
+      |cell AS (
+      |  SELECT arms.*, dx.g AS dx, dy.g AS dy
+      |  FROM arms, generate_series(0, 12) dx(g), generate_series(0, 9) dy(g)
+      |  WHERE dx.g < tw AND dy.g < th),
+      |cov AS (
+      |  SELECT cell.*, sx.g AS sx, sy.g AS sy
+      |  FROM cell, generate_series(0, 32) sx(g), generate_series(0, 26) sy(g)
+      |  WHERE sx.g < w AND sy.g < h
+      |    AND sx.g*tw < (dx+1)*w AND (sx.g+1)*tw > dx*w
+      |    AND sy.g*th < (dy+1)*h AND (sy.g+1)*th > dy*h),
+      |pix AS (
+      |  SELECT k, arm, dx, dy, tw, th,
+      |    (2*SUM((LEAST((dx+1)*w, (sx+1)*tw) - GREATEST(dx*w, sx*tw)) *
+      |           (LEAST((dy+1)*h, (sy+1)*th) - GREATEST(dy*h, sy*th)) *
+      |           ((a*sx + b*sy + c) % 256)) + w*h) // (2*w*h) AS v
+      |  FROM cov GROUP BY k, arm, dx, dy, tw, th, w, h),
+      |area_dn AS (
+      |  SELECT k, CAST(SUM(v) AS BIGINT) AS area_dn_sum,
+      |    CAST(MAX(CASE WHEN dx = 0 AND dy = 0 THEN v END) AS BIGINT) AS area_dn_corner
+      |  FROM pix WHERE arm = 'dn' GROUP BY k),
+      |area_big AS (
+      |  SELECT k, CAST(SUM(v) AS BIGINT) AS area_big_sum,
+      |    CAST(MAX(CASE WHEN dx = tw - 1 AND dy = th - 1 THEN v END) AS BIGINT) AS area_big_last
+      |  FROM pix WHERE arm = 'big' GROUP BY k),
+      |b1 AS (
+      |  SELECT p.k, p.w, p.h, p.a, p.b, p.c, p.bw AS tw, p.bh AS th,
+      |    dx.g AS dx, dy.g AS dy, 2*p.bw AS xd, 2*p.bh AS yd,
+      |    (2*dx.g+1)*p.w - p.bw AS nx, (2*dy.g+1)*p.h - p.bh AS ny
+      |  FROM p, generate_series(0, 5) dx(g), generate_series(0, 4) dy(g)
+      |  WHERE dx.g < p.bw AND dy.g < p.bh),
+      |b2 AS (
+      |  SELECT k, w, h, a, b, c, xd, yd,
+      |    CASE WHEN nx < 0 THEN 0 ELSE nx // xd END AS ix,
+      |    CASE WHEN nx < 0 THEN 0 ELSE nx % xd END AS fx,
+      |    CASE WHEN ny < 0 THEN 0 ELSE ny // yd END AS iy,
+      |    CASE WHEN ny < 0 THEN 0 ELSE ny % yd END AS fy
+      |  FROM b1),
+      |b3 AS (
+      |  SELECT k, xd, yd, fx, fy,
+      |    (a*ix + b*iy + c) % 256 AS p00,
+      |    (a*LEAST(ix+1, w-1) + b*iy + c) % 256 AS p10,
+      |    (a*ix + b*LEAST(iy+1, h-1) + c) % 256 AS p01,
+      |    (a*LEAST(ix+1, w-1) + b*LEAST(iy+1, h-1) + c) % 256 AS p11
+      |  FROM b2),
+      |bil AS (
+      |  SELECT k, CAST(SUM(
+      |    (2*((yd-fy)*((xd-fx)*p00 + fx*p10) + fy*((xd-fx)*p01 + fx*p11))
+      |     + xd*yd) // (2*xd*yd)) AS BIGINT) AS bilin_big_sum
+      |  FROM b3 GROUP BY k)
+      |SELECT p.k AS media_id, area_dn_sum, area_dn_corner,
+      |  area_big_sum, area_big_last, bilin_big_sum
+      |FROM p JOIN area_dn ON p.k = area_dn.k
+      |JOIN area_big ON p.k = area_big.k
+      |JOIN bil ON p.k = bil.k
+      |ORDER BY media_id""".stripMargin
+
   /** Peak normalization + clipping census under the oracle — the level
     * gate of a speech-corpus front-end (after the loudness/trim/resample
     * passes, before anything is fingerprinted): per-key PCM synthesized
@@ -2375,6 +2480,7 @@ object Corpus {
     "q_png_dhash" -> (pngDhash _),
     "q_jpeg_dhash" -> (jpegDhash _),
     "q_image_resize" -> (imageResize _),
+    "q_image_area_resize" -> (imageAreaResize _),
     "q_audio_dsp" -> (audioDsp _),
     "q_audio_resample" -> (audioResample _),
     "q_audio_normalize" -> (audioNormalize _),
@@ -2422,6 +2528,7 @@ object Corpus {
     "q_png_dhash" -> pngDhashSql,
     "q_jpeg_dhash" -> jpegDhashSql,
     "q_image_resize" -> imageResizeSql,
+    "q_image_area_resize" -> imageAreaResizeSql,
     "q_audio_dsp" -> audioDspSql,
     "q_audio_resample" -> audioResampleSql,
     "q_audio_normalize" -> audioNormalizeSql,

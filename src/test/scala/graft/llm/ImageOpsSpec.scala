@@ -103,5 +103,65 @@ class ImageOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ImageOps.centerCrop(px, 2, 2, 1, 3, 1)
     }
+    intercept[IllegalArgumentException] {
+      ImageOps.resizeArea(px, 2, 2, 1, 1 << 14, 1 << 13)
+    }
+  }
+
+  test("area resize: integral ratios are exact block means, constants are fixed points") {
+    // 4x4 -> 2x2: each output pixel is the exact mean of a 2x2 block
+    val px = Array.tabulate(16)(i => i * 3)
+    val out = ImageOps.resizeArea(px, 4, 4, 1, 2, 2)
+    // block (0,0) = {0,3,12,15} mean 7.5 -> half-up 8; (1,0) = {6,9,18,21} mean 13.5 -> 14
+    assert(out.toSeq == Seq(8, 14, 32, 38))
+    // constant image is a fixed point at any dims, including upscale
+    val const = Array.fill(5 * 7)(99)
+    assert(ImageOps.resizeArea(const, 5, 7, 1, 3, 2).forall(_ == 99))
+    assert(ImageOps.resizeArea(const, 5, 7, 1, 9, 11).forall(_ == 99))
+    // identity at same dims
+    assert(ImageOps.resizeArea(px, 4, 4, 1, 4, 4).sameElements(px))
+  }
+
+  test("area resize matches the double-precision coverage average within rounding") {
+    val rnd = new scala.util.Random(3)
+    for (_ <- 0 until 20) {
+      val w = rnd.nextInt(20) + 2; val h = rnd.nextInt(20) + 2
+      val ow = rnd.nextInt(12) + 1; val oh = rnd.nextInt(12) + 1
+      val px = Array.fill(w * h)(rnd.nextInt(256))
+      val out = ImageOps.resizeArea(px, w, h, 1, ow, oh)
+      for (dy <- 0 until oh; dx <- 0 until ow) {
+        val x0 = dx.toDouble * w / ow; val x1 = (dx + 1).toDouble * w / ow
+        val y0 = dy.toDouble * h / oh; val y1 = (dy + 1).toDouble * h / oh
+        var acc = 0.0
+        for (sy <- 0 until h; sx <- 0 until w) {
+          val ox = math.max(0.0, math.min(x1, sx + 1.0) - math.max(x0, sx.toDouble))
+          val oy = math.max(0.0, math.min(y1, sy + 1.0) - math.max(y0, sy.toDouble))
+          acc += ox * oy * px(sy * w + sx)
+        }
+        val ref = acc / ((x1 - x0) * (y1 - y0))
+        assert(math.abs(out(dy * ow + dx) - ref) <= 0.5 + 1e-6,
+          s"($dx,$dy) ${out(dy * ow + dx)} vs $ref at ${w}x$h->${ow}x$oh")
+      }
+    }
+  }
+
+  test("area vs bilinear provably diverge on >=4x downscale (aliasing)") {
+    // a 1-pixel-period vertical stripe pattern: bilinear's 4-tap window
+    // sees only the 4 pixels around each half-pixel center; area sees
+    // every covered pixel and lands on the true mean
+    val w = 28; val h = 8
+    val px = Array.tabulate(w * h)(i => if (i % w % 2 == 0) 0 else 255)
+    val area = ImageOps.resizeArea(px, w, h, 1, 4, 2) // 7x / 4x
+    val bil = ImageOps.resizeBilinear(px, w, h, 1, 4, 2)
+    // 28/4 = 7 (odd scale): bilinear's half-pixel centers land EXACTLY
+    // on source pixels, so it point-samples the stripe — full-swing
+    // 255/0 aliasing; area averages all 7 covered columns (4 or 3
+    // zeros alternating: 765/7 -> 109, 1020/7 -> 146)
+    assert(bil.toSeq == Seq(255, 0, 255, 0, 255, 0, 255, 0))
+    assert(area.toSeq == Seq(109, 146, 109, 146, 109, 146, 109, 146))
+    // multi-channel layout: area on 2-channel data keeps channels independent
+    val px2 = Array.tabulate(w * h * 2)(i => if (i % 2 == 0) 10 else 200)
+    val a2 = ImageOps.resizeArea(px2, w, h, 2, 4, 2)
+    assert(a2.grouped(2).forall(p => p(0) == 10 && p(1) == 200))
   }
 }
