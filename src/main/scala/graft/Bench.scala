@@ -35,14 +35,18 @@ object Bench {
   private[graft] val StdoutBudget = 1900 // hard cap 2000; slack for safety
   private[graft] def stdoutLine(total: Double, ok: Seq[(String, Double)],
                                 failed: Seq[(String, String)], sfDir: String,
-                                streamFloorSec: Double = -1.0): String = {
+                                streamFloorSec: Double = -1.0,
+                                cpuFloorSec: Double = -1.0,
+                                scanFloorSec: Double = -1.0): String = {
     // The error block is budgeted on its ESCAPED length: a control-char-heavy
     // message expands 6× under \u escaping, so 8 × 40 raw chars could alone
     // blow the budget in an all-fail round. Messages are truncated on the raw
     // string and re-escaped (never slicing mid-escape), shrinking message
     // length then entry count until the zero-query base line fits.
     val floorPart =
-      if (streamFloorSec >= 0) s""","stream_floor_sec":${f"$streamFloorSec%.3f"}""" else ""
+      (if (streamFloorSec >= 0) s""","stream_floor_sec":${f"$streamFloorSec%.3f"}""" else "") +
+      (if (cpuFloorSec >= 0) s""","cpu_floor_sec":${f"$cpuFloorSec%.3f"}""" else "") +
+      (if (scanFloorSec >= 0) s""","scan_floor_sec":${f"$scanFloorSec%.3f"}""" else "")
     def mkLineWith(qPart: String, omitted: Int, errPart: String) =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qPart,"omitted":$omitted,"errors":$errPart,"ok":${ok.size},"failed":${failed.size}$floorPart,"sf":${jstr(sfDir)}}"""
     def errBlock(maxMsg: Int, maxEntries: Int): String =
@@ -129,6 +133,42 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] stream floor measurement failed: $e"); -1.0 }
       System.err.println(f"[bench] stream_floor_sec: $streamFloor%.3f")
+      // Machine-load calibration floors (VERDICT r13 #6): the driver's
+      // bench window is sometimes heavily contended and single queries
+      // look 4-10× "regressed" when the whole machine is just busy. Two
+      // fixed-work baselines let a reader NORMALIZE a contended window
+      // instead of re-running: a pure single-thread JVM workload (CPU
+      // steal shows directly in its elapsed time) and a full lineitem
+      // count (the parquet scan + I/O floor every table-scan query
+      // shares). Both min-of-3, the noise-robust statistic.
+      def cpuFloorOnce(): Double = {
+        val t0 = System.nanoTime()
+        var x = 0x9e3779b97f4a7c15L
+        var i = 0
+        while (i < 400000000) { // fixed work: ~0.4 s on an idle core
+          x = x * 6364136223846793005L + 1442695040888963407L
+          x ^= (x >>> 29)
+          i += 1
+        }
+        if (x == 42L) System.err.println("") // consume: no dead-code elision
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cpuFloor =
+        try (1 to 3).map(_ => cpuFloorOnce()).min
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] cpu floor measurement failed: $e"); -1.0 }
+      System.err.println(f"[bench] cpu_floor_sec: $cpuFloor%.3f")
+      def scanFloorOnce(): Double = {
+        val t0 = System.nanoTime()
+        val n = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+        if (n < 0) System.err.println("") // consume
+        (System.nanoTime() - t0) / 1e9
+      }
+      val scanFloor =
+        try (1 to 3).map(_ => scanFloorOnce()).min
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] scan floor measurement failed: $e"); -1.0 }
+      System.err.println(f"[bench] scan_floor_sec: $scanFloor%.3f")
       // local-iteration escape hatch: SPARK_GRAFT_ONLY=q_a,q_b runs a subset
       val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
       val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
@@ -164,8 +204,9 @@ object Bench {
 
         ok.map { case (k, c, w) => (k, math.min(c, w)) },
         results.collect { case (k, Left(m), _) => (k, m)
-                          case (k, _, Left(m)) => (k, m) }, sfDir, streamFloor)
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw":$raw,"errors":$errs,"ok":${ok.size},"failed":${results.size - ok.size},"stream_floor_sec":${f"$streamFloor%.3f"},"sf":${jstr(sfDir)}}"""
+                          case (k, _, Left(m)) => (k, m) },
+        sfDir, streamFloor, cpuFloor, scanFloor)
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw":$raw,"errors":$errs,"ok":${ok.size},"failed":${results.size - ok.size},"stream_floor_sec":${f"$streamFloor%.3f"},"cpu_floor_sec":${f"$cpuFloor%.3f"},"scan_floor_sec":${f"$scanFloor%.3f"},"sf":${jstr(sfDir)}}"""
       // Output ORDER is load-bearing: the driver merges stdout+stderr and
       // keeps only the last 2000 bytes. The full ~6 KB pairs line printed
       // AFTER the bounded line evicted it from the tail in rounds 5 AND 6

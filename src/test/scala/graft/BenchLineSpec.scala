@@ -59,6 +59,28 @@ class BenchLineSpec extends AnyFunSuite {
     checkShape(packed)
   }
 
+  test("cpu/scan calibration floors ride the line when measured, absent when not") {
+    val ok = Seq(("q_a", 1.5))
+    val all = Bench.stdoutLine(1.5, ok, Nil, "/tmp/sf",
+      streamFloorSec = 1.234, cpuFloorSec = 0.412, scanFloorSec = 0.087)
+    assert(all.contains("\"stream_floor_sec\":1.234"))
+    assert(all.contains("\"cpu_floor_sec\":0.412"))
+    assert(all.contains("\"scan_floor_sec\":0.087"))
+    checkShape(all)
+    // a failed measurement (-1 sentinel) is omitted, not emitted as -1
+    val partial = Bench.stdoutLine(1.5, ok, Nil, "/tmp/sf",
+      streamFloorSec = 1.234, cpuFloorSec = -1.0, scanFloorSec = 0.087)
+    assert(!partial.contains("cpu_floor_sec") && partial.contains("\"scan_floor_sec\":0.087"))
+    checkShape(partial)
+    // 200-query packing still fits with all three floors present
+    val many = (1 to 200).map(i => (f"q_some_rather_long_query_name_$i%03d", i / 100.0))
+    val packed = Bench.stdoutLine(many.map(_._2).sum, many, Nil,
+      "/root/testdata/sf0.1", streamFloorSec = 1.234, cpuFloorSec = 0.412,
+      scanFloorSec = 0.087)
+    assert(packed.length <= 2000 && packed.contains("\"cpu_floor_sec\":0.412"))
+    checkShape(packed)
+  }
+
   test("small suites keep every query and report omitted 0") {
     val ok = Seq(("q_a", 1.5), ("q_b", 0.5))
     val line = Bench.stdoutLine(2.0, ok, Nil, "/tmp/sf")
