@@ -1,0 +1,134 @@
+package graft.llm
+
+/** IVF container walk + VP8 frame-tag law — the raw-video container
+  * the VP8/VP9/AV1 ecosystems ship test corpora in (a fixed 32-byte
+  * header + length-prefixed frames; the format libvpx/libaom tooling
+  * reads and writes), one level below the Ogg/MP4 walks and the
+  * per-frame sibling of the single-image WebP VP8 chunk parse
+  * (MediaCodec.webpProbe).
+  *
+  * Structural scope, same honesty line as the other probes: the VP8
+  * entropy decode stays behind the MediaDecoder seam, but the
+  * container header, the per-frame framing, and the 3-byte VP8 frame
+  * tag (RFC 6386 §9.1: frame_type, version, show_frame, 19-bit
+  * first_partition_size) plus the keyframe start code + 14-bit
+  * dimensions are public structure the probe verifies byte-exactly:
+  *  - "DKIF" magic, version 0, 32-byte header, VP80 fourcc;
+  *  - exactly header-declared frame count, no dangling bytes;
+  *  - per frame: tag version ≤ 3, first_partition_size bounded by the
+  *    frame payload (RFC 6386: the partition must fit);
+  *  - first frame must be a keyframe; every keyframe carries the
+  *    9D 01 2A start code and dimensions EQUAL to the container
+  *    header's (an IVF writer keeps them in sync — a mismatch is
+  *    corruption, and probing never estimates);
+  *  - presentation timestamps strictly increasing.
+  * Inter-frame payloads are censused, never content-claimed. */
+object IvfCodec {
+
+  private def le16(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], p: Int): Long =
+    (le16(b, p).toLong) | (le16(b, p + 2).toLong << 16)
+  private def le64(b: Array[Byte], p: Int): Long =
+    le32(b, p) | (le32(b, p + 4) << 32)
+
+  /** Probe facts: (nFrames, nKeyframes, width, height, lastPts,
+    * timebaseDen, timebaseNum). */
+  def ivfProbe(b: Array[Byte]): Option[(Int, Int, Int, Int, Long, Long, Long)] = try {
+    if (b == null || b.length < 32) return None
+    if (!(b(0) == 'D' && b(1) == 'K' && b(2) == 'I' && b(3) == 'F')) return None
+    if (le16(b, 4) != 0) return None // version
+    if (le16(b, 6) != 32) return None // header length
+    if (!(b(8) == 'V' && b(9) == 'P' && b(10) == '8' && b(11) == '0')) return None
+    val w = le16(b, 12); val h = le16(b, 14)
+    if (w <= 0 || h <= 0) return None
+    val tbDen = le32(b, 16); val tbNum = le32(b, 20)
+    if (tbDen <= 0 || tbNum <= 0) return None
+    val nDeclared = le32(b, 24)
+    if (nDeclared <= 0 || nDeclared > (1 << 24)) return None
+    var p = 32
+    var i = 0L
+    var nKey = 0
+    var lastPts = Long.MinValue
+    while (i < nDeclared) {
+      if (p + 12 > b.length) return None // frame header truncated
+      val size = le32(b, p)
+      val pts = le64(b, p + 4)
+      if (pts <= lastPts) return None // pts must strictly increase
+      lastPts = pts
+      if (size < 3 || p + 12 + size > b.length) return None
+      val f = p + 12
+      // RFC 6386 §9.1 frame tag, 3 bytes little-endian packed
+      val tag = (b(f) & 0xff) | ((b(f + 1) & 0xff) << 8) | ((b(f + 2) & 0xff) << 16)
+      val isKey = (tag & 1) == 0
+      val version = (tag >> 1) & 7
+      if (version > 3) return None // reserved
+      val firstPart = tag >>> 5 // 19 bits
+      if (i == 0 && !isKey) return None // stream must open on a keyframe
+      if (isKey) {
+        if (size < 10) return None
+        if (!((b(f + 3) & 0xff) == 0x9d && (b(f + 4) & 0xff) == 0x01 &&
+          (b(f + 5) & 0xff) == 0x2a)) return None // keyframe start code
+        val kw = le16(b, f + 6) & 0x3fff
+        val kh = le16(b, f + 8) & 0x3fff
+        if (kw != w || kh != h) return None // header/bitstream dim mismatch
+        if (firstPart > size - 10) return None // partition overruns frame
+        nKey += 1
+      } else {
+        if (firstPart > size - 3) return None
+      }
+      p += 12 + size.toInt
+      i += 1
+    }
+    if (p != b.length) return None // dangling bytes after the last frame
+    Some((nDeclared.toInt, nKey, w, h, lastPts, tbDen, tbNum))
+  } catch {
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  /** One synthetic frame: keyframe flag, opaque payload length (bytes
+    * past the tag/start-code/dims region), presentation timestamp. */
+  final case class IvfFrame(key: Boolean, fillerLen: Int, pts: Long)
+
+  /** Structurally exact IVF stream: real container header, real VP8
+    * frame tags (first_partition_size = the filler length, exactly the
+    * RFC bound), keyframe start codes and dimensions in sync with the
+    * header. Payload bytes are deterministic filler — this encoder
+    * conformance-tests the PROBE. */
+  def encodeIvf(w: Int, h: Int, tbDen: Long, tbNum: Long,
+                frames: Seq[IvfFrame], version: Int = 0,
+                seed: Long = 0L): Array[Byte] = {
+    require(w > 0 && w < (1 << 14) && h > 0 && h < (1 << 14), s"dims ${w}x$h")
+    require(frames.nonEmpty && frames.head.key, "first frame must be key")
+    require(version >= 0 && version <= 3, s"version=$version")
+    val out = new java.io.ByteArrayOutputStream
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+    def w64(v: Long): Unit = { w32(v & 0xffffffffL); w32(v >>> 32) }
+    out.write('D'); out.write('K'); out.write('I'); out.write('F')
+    w16(0); w16(32)
+    out.write('V'); out.write('P'); out.write('8'); out.write('0')
+    w16(w); w16(h)
+    w32(tbDen); w32(tbNum)
+    w32(frames.length.toLong)
+    w32(0L) // unused
+    frames.zipWithIndex.foreach { case (fr, fi) =>
+      require(fr.fillerLen >= 0 && fr.fillerLen < (1 << 19), "filler length")
+      val size = (if (fr.key) 10 else 3) + fr.fillerLen
+      w32(size.toLong); w64(fr.pts)
+      val tag = (if (fr.key) 0 else 1) | (version << 1) | (1 << 4) |
+        (fr.fillerLen << 5)
+      out.write(tag & 0xff); out.write((tag >> 8) & 0xff); out.write((tag >> 16) & 0xff)
+      if (fr.key) {
+        out.write(0x9d); out.write(0x01); out.write(0x2a)
+        w16(w); w16(h)
+      }
+      var i = 0
+      while (i < fr.fillerLen) {
+        out.write(((seed * 31 + fi * 131 + i * 17) % 255 + 1).toInt)
+        i += 1
+      }
+    }
+    out.toByteArray
+  }
+}

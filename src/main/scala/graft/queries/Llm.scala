@@ -1991,6 +1991,7 @@ object Llm {
     "q_mp3_probe" -> (mp3Probe _),
     "q_mp4_probe" -> (mp4Probe _),
     "q_h264_probe" -> (h264Probe _),
+    "q_ivf_probe" -> (ivfProbe _),
     "q_ogg_probe" -> (oggProbe _),
     "q_y4m_decode" -> (y4mDecodeQ _),
     "q_tiff_decode" -> (tiffDecode _),
@@ -2967,6 +2968,79 @@ object Llm {
       |  CASE WHEN ok THEN level_idc END AS level_idc,
       |  CASE WHEN ok THEN width END AS width,
       |  CASE WHEN ok THEN height END AS height
+      |FROM dims
+      |ORDER BY media_id""".stripMargin
+
+  /** IVF container walk under the oracle — the raw-video container the
+    * VP8/VP9/AV1 ecosystems ship test corpora in (see
+    * [[graft.llm.IvfCodec]]; the per-frame sibling of q_webp_probe's
+    * single VP8 chunk, one level below q_mp4_probe's box tree): per-key
+    * streams with a real 32-byte DKIF header, periodic keyframes
+    * carrying the 9D 01 2A start code with dimensions in sync with the
+    * header, RFC 6386 frame tags whose first_partition_size sits
+    * exactly on the legal bound, and strictly increasing timestamps.
+    * Every 13th payload truncates mid-frame and every 17th tampers the
+    * first keyframe's start code: refusal, never an estimate. */
+  def ivfProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.IvfCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val w = 16 * (1 + k % 20).toInt
+      val h = 16 * (1 + k % 12).toInt
+      val n = (3 + k % 10).toInt
+      val keyEvery = (1 + k % 4).toInt
+      val ptsStep = 1 + k % 7
+      val frames = (0 until n).map(i =>
+        IvfCodec.IvfFrame(i % keyEvery == 0, (8 + (k + i) % 25).toInt, i * ptsStep))
+      val bytes = IvfCodec.encodeIvf(w, h, 24 + k % 40, 1 + k % 2, frames,
+        version = (k % 4).toInt, seed = k)
+      val payload =
+        if (k % 13 == 0) bytes.dropRight(7) // truncated final frame
+        else if (k % 17 == 0) { // keyframe start code tampered
+          val t = bytes.clone()
+          t(32 + 12 + 3) = 0x00
+          t
+        } else bytes
+      IvfCodec.ivfProbe(payload) match {
+        case Some((nf, nk, pw, ph, lp, td, tn)) =>
+          (k, true, Some(nf), Some(nk), Some(pw), Some(ph), Some(lp),
+            Some(td), Some(tn))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Int], None: Option[Long], None: Option[Long],
+            None: Option[Long])
+      }
+    }.toDF("media_id", "ivf_ok", "n_frames", "n_key", "width", "height",
+      "last_pts", "tb_den", "tb_num")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The probe facts from the synthesis formulas: n = 3 + k mod 10
+    * frames with a keyframe every 1 + k mod 4 (count = ⌈n/ke⌉), dims
+    * 16·(1 + k mod 20) × 16·(1 + k mod 12), last pts (n−1)·(1 + k mod
+    * 7), timebase (24 + k mod 40)/(1 + k mod 2); refusal on the
+    * truncation (k mod 13) and start-code-tamper (k mod 17) arms. */
+  val ivfProbeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |dims AS (
+      |  SELECT k, (k % 13 <> 0 AND k % 17 <> 0) AS ok,
+      |    CAST(3 + k % 10 AS INTEGER) AS n,
+      |    CAST(1 + k % 4 AS INTEGER) AS ke,
+      |    CAST(16 * (1 + k % 20) AS INTEGER) AS width,
+      |    CAST(16 * (1 + k % 12) AS INTEGER) AS height,
+      |    CAST((2 + k % 10) * (1 + k % 7) AS BIGINT) AS last_pts,
+      |    CAST(24 + k % 40 AS BIGINT) AS tb_den,
+      |    CAST(1 + k % 2 AS BIGINT) AS tb_num
+      |  FROM ks)
+      |SELECT k AS media_id, ok AS ivf_ok,
+      |  CASE WHEN ok THEN n END AS n_frames,
+      |  CASE WHEN ok THEN CAST((n + ke - 1) // ke AS INTEGER) END AS n_key,
+      |  CASE WHEN ok THEN width END AS width,
+      |  CASE WHEN ok THEN height END AS height,
+      |  CASE WHEN ok THEN last_pts END AS last_pts,
+      |  CASE WHEN ok THEN tb_den END AS tb_den,
+      |  CASE WHEN ok THEN tb_num END AS tb_num
       |FROM dims
       |ORDER BY media_id""".stripMargin
 
@@ -4990,6 +5064,7 @@ object Llm {
     "q_mp3_probe" -> mp3ProbeSql,
     "q_mp4_probe" -> mp4ProbeSql,
     "q_h264_probe" -> h264ProbeSql,
+    "q_ivf_probe" -> ivfProbeSql,
     "q_ogg_probe" -> oggProbeSql,
     "q_y4m_decode" -> y4mDecodeSql,
     "q_tiff_decode" -> tiffDecodeSql,

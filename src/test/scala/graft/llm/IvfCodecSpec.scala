@@ -1,0 +1,80 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import IvfCodec.{IvfFrame, encodeIvf, ivfProbe}
+
+/** IVF container walk + VP8 frame-tag law: header checks, exact frame
+  * framing, keyframe start-code/dimension consistency, pts
+  * monotonicity, first_partition_size bounds, and the honest scope
+  * (opaque payload flips pass — no checksum exists). */
+class IvfCodecSpec extends AnyFunSuite {
+
+  private def frames(n: Int, keyEvery: Int, ptsStep: Long = 3L) =
+    (0 until n).map(i => IvfFrame(i % keyEvery == 0, 8 + i * 3, i * ptsStep))
+
+  test("census facts: frames, keyframes, dims, last pts, timebase") {
+    val b = encodeIvf(640, 360, 30000L, 1001L, frames(7, 3))
+    assert(ivfProbe(b).contains((7, 3, 640, 360, 18L, 30000L, 1001L)))
+    // all-key stream, version field at the other in-scope extreme
+    val b2 = encodeIvf(16, 16, 25L, 1L, frames(4, 1), version = 3)
+    assert(ivfProbe(b2).contains((4, 4, 16, 16, 9L, 25L, 1L)))
+  }
+
+  test("honest scope: flips in opaque frame payloads pass the probe") {
+    val b = encodeIvf(64, 48, 30L, 1L, frames(3, 1))
+    val t = b.clone()
+    t(t.length - 1) = (t(t.length - 1) ^ 0x7f).toByte
+    assert(ivfProbe(t).nonEmpty)
+  }
+
+  test("refusals: header law (magic, version, hdr len, fourcc, dims, timebase)") {
+    val b = encodeIvf(64, 48, 30L, 1L, frames(3, 1))
+    def flipAt(i: Int, v: Byte) = { val t = b.clone(); t(i) = v; t }
+    assert(ivfProbe(flipAt(0, 'X')).isEmpty) // magic
+    assert(ivfProbe(flipAt(4, 1)).isEmpty) // container version
+    assert(ivfProbe(flipAt(6, 31)).isEmpty) // header length
+    assert(ivfProbe(flipAt(10, '9')).isEmpty) // fourcc VP90: out of scope
+    assert(ivfProbe(flipAt(12, 0)).isEmpty) // header width 64 -> 0
+    assert(ivfProbe(flipAt(16, 0)).isEmpty) // timebase den 0... (30 -> 0)
+  }
+
+  test("refusals: framing (truncation at every boundary, dangling bytes, count)") {
+    val b = encodeIvf(32, 32, 10L, 1L, frames(4, 2))
+    (1 to 14).foreach(d => assert(ivfProbe(b.dropRight(d)).isEmpty, s"drop $d"))
+    assert(ivfProbe(b ++ Array[Byte](0)).isEmpty) // dangling byte
+    // declared frame count larger than the walked stream
+    val t = b.clone(); t(24) = 5
+    assert(ivfProbe(t).isEmpty)
+  }
+
+  test("refusals: VP8 frame-tag law") {
+    val b = encodeIvf(48, 32, 10L, 1L, frames(3, 1))
+    // keyframe start code tampered (frame 0 tag at 32+12, start code +3)
+    val sc = b.clone(); sc(32 + 12 + 3) = 0x00
+    assert(ivfProbe(sc).isEmpty)
+    // bitstream dims disagree with the container header
+    val dm = b.clone(); dm(32 + 12 + 6) = 47 // width 48 -> 47
+    assert(ivfProbe(dm).isEmpty)
+    // first frame must be a keyframe (tag bit 0 set)
+    val ik = b.clone(); ik(32 + 12) = (ik(32 + 12) | 1).toByte
+    assert(ivfProbe(ik).isEmpty)
+    // reserved tag version (>3)
+    val rv = b.clone(); rv(32 + 12) = (rv(32 + 12) | (4 << 1)).toByte
+    assert(ivfProbe(rv).isEmpty)
+    // first_partition_size overrunning the frame: bump the 19-bit field
+    val fp = b.clone(); fp(32 + 12 + 2) = 0xff.toByte
+    assert(ivfProbe(fp).isEmpty)
+    // non-increasing pts: second frame pts rewritten equal to the first
+    val b2 = encodeIvf(48, 32, 10L, 1L,
+      Seq(IvfFrame(key = true, 4, 5L), IvfFrame(key = false, 4, 5L)))
+    assert(ivfProbe(b2).isEmpty)
+    // random junk never throws
+    val rnd = new scala.util.Random(17)
+    (0 until 2000).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(96) + 1)(rnd.nextInt(256).toByte)
+      ivfProbe(junk)
+      val framed = encodeIvf(8, 8, 1L, 1L, frames(1, 1)).take(32) ++ junk
+      ivfProbe(framed)
+    }
+  }
+}
