@@ -1,0 +1,213 @@
+package graft.llm
+
+/** Zstandard frame walk (RFC 8878) — the container-integrity pass for
+  * the compression format web-scale corpora actually ship in (CC dumps,
+  * parquet pages, model checkpoints). Same structural honesty line as
+  * the MP3/H.264/IVF walks: FSE/Huffman block DECODING is genuinely
+  * codec-library work and stays behind the seam, but the frame and
+  * block FRAMING is public structure a curation pipeline verifies
+  * before spending decompress cycles:
+  *
+  *  - frame magic (0xFD2FB528 LE) and the skippable-frame family
+  *    (0x184D2A50..5F) with exact length framing;
+  *  - frame-header law: the Reserved bit refuses, window descriptor vs
+  *    Single_Segment presence, Dictionary_ID and Frame_Content_Size
+  *    field widths per their descriptor flags;
+  *  - the block walk: 3-byte little-endian block headers, reserved
+  *    block type refuses, Raw/RLE/Compressed sizing (an RLE block
+  *    carries ONE byte, its size field is the regenerated length),
+  *    the 128 KiB Block_Maximum_Size bound, exact frame coverage with
+  *    no dangling bytes;
+  *  - the one regeneration fact the framing itself proves: a frame
+  *    whose blocks are all Raw/RLE has a knowable regenerated size,
+  *    and if the header declared Frame_Content_Size they MUST agree.
+  *    Frames containing Compressed blocks keep their declared size as
+  *    an unverified census fact — verifying it would require the
+  *    decode this probe honestly does not do (as would the XXH64
+  *    content checksum, whose presence is censused, never checked). */
+object ZstdCodec {
+
+  private def le16(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], p: Int): Long =
+    le16(b, p).toLong | (le16(b, p + 2).toLong << 16)
+
+  private val MaxBlock = 1 << 17 // 128 KiB Block_Maximum_Size ceiling
+
+  /** Probe facts: (nFrames, nSkippable, nBlocks, nRaw, nRle,
+    * nCompressed, declaredContentSum, nDeclaring, nChecksummed). */
+  def zstdProbe(b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int, Long, Int, Int)] = try {
+    if (b == null || b.length < 4) return None
+    var p = 0
+    var nFrames = 0; var nSkip = 0
+    var nBlocks = 0; var nRaw = 0; var nRle = 0; var nComp = 0
+    var declaredSum = 0L; var nDeclaring = 0; var nChecksum = 0
+    while (p < b.length) {
+      if (p + 4 > b.length) return None
+      val magic = le32(b, p)
+      if ((magic & 0xfffffff0L) == 0x184d2a50L) { // skippable frame
+        if (p + 8 > b.length) return None
+        val len = le32(b, p + 4)
+        if (p + 8 + len > b.length) return None
+        p += 8 + len.toInt
+        nSkip += 1
+      } else if (magic == 0xfd2fb528L) {
+        p += 4
+        if (p >= b.length) return None
+        val fhd = b(p) & 0xff; p += 1
+        if ((fhd & 0x08) != 0) return None // Reserved bit MUST be zero
+        val fcsFlag = fhd >> 6
+        val singleSegment = (fhd & 0x20) != 0
+        val checksum = (fhd & 0x04) != 0
+        val dictFlag = fhd & 0x03
+        if (!singleSegment) {
+          if (p >= b.length) return None
+          p += 1 // Window_Descriptor (any exponent/mantissa is legal)
+        }
+        val dictBytes = dictFlag match {
+          case 0 => 0; case 1 => 1; case 2 => 2; case _ => 4
+        }
+        if (p + dictBytes > b.length) return None
+        p += dictBytes
+        // Frame_Content_Size: width by flag; flag 0 means 1 byte IF
+        // Single_Segment, absent otherwise
+        val fcsBytes = fcsFlag match {
+          case 0 => if (singleSegment) 1 else 0
+          case 1 => 2; case 2 => 4; case _ => 8
+        }
+        if (p + fcsBytes > b.length) return None
+        val declared: Option[Long] = fcsBytes match {
+          case 0 => None
+          case 1 => Some((b(p) & 0xff).toLong)
+          case 2 => Some(le16(b, p).toLong + 256L) // RFC 8878 §3.1.1.1.4
+          case 4 => Some(le32(b, p))
+          case _ =>
+            val v = le32(b, p) | (le32(b, p + 4) << 32)
+            if (v < 0) return None // > 2^63: hostile
+            Some(v)
+        }
+        p += fcsBytes
+        var last = false
+        var regenKnown = true
+        var regen = 0L
+        while (!last) {
+          if (p + 3 > b.length) return None
+          val hdr = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) | ((b(p + 2) & 0xff) << 16)
+          p += 3
+          last = (hdr & 1) == 1
+          val btype = (hdr >> 1) & 3
+          val bsize = hdr >>> 3
+          if (bsize > MaxBlock) return None
+          btype match {
+            case 0 => // Raw: bsize content bytes, regenerates bsize
+              if (p + bsize > b.length) return None
+              p += bsize; regen += bsize; nRaw += 1
+            case 1 => // RLE: ONE content byte, regenerates bsize
+              if (p + 1 > b.length) return None
+              p += 1; regen += bsize; nRle += 1
+            case 2 => // Compressed: bsize opaque bytes
+              if (p + bsize > b.length) return None
+              p += bsize; regenKnown = false; nComp += 1
+            case _ => return None // Reserved block type
+          }
+          nBlocks += 1
+        }
+        declared.foreach { d =>
+          if (regenKnown && d != regen) return None // framing-provable lie
+          declaredSum += d; nDeclaring += 1
+        }
+        if (checksum) {
+          if (p + 4 > b.length) return None
+          p += 4 // XXH64 low bits: presence censused, value needs decode
+          nChecksum += 1
+        }
+        nFrames += 1
+      } else return None // neither zstd nor skippable magic
+    }
+    if (nFrames == 0) return None // skippable-only streams carry no data
+    Some((nFrames, nSkip, nBlocks, nRaw, nRle, nComp,
+      declaredSum, nDeclaring, nChecksum))
+  } catch {
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  // ---- conformance encoder (tests the PROBE, compresses nothing) --------
+
+  sealed trait ZBlock
+  /** Raw stored block: `len` literal bytes. */
+  final case class Raw(len: Int) extends ZBlock
+  /** RLE block: one byte regenerated `regen` times. */
+  final case class Rle(regen: Int) extends ZBlock
+  /** "Compressed" block: `len` opaque filler bytes claiming `regen`
+    * regenerated bytes toward the declared content size. */
+  final case class Comp(len: Int, regen: Int) extends ZBlock
+
+  final case class ZFrame(blocks: Seq[ZBlock], singleSegment: Boolean,
+                          checksum: Boolean, dictBytes: Int,
+                          declareContent: Boolean)
+
+  /** A skippable-frame marker for interleaving. */
+  final case class Skippable(len: Int, nibble: Int)
+
+  def encodeZstd(items: Seq[Either[Skippable, ZFrame]],
+                 seed: Long = 0L): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+    def filler(n: Int, salt: Int): Unit = {
+      var i = 0
+      while (i < n) { out.write(((seed * 31 + salt * 131 + i * 17) % 256).toInt); i += 1 }
+    }
+    items.zipWithIndex.foreach {
+      case (Left(sk), ix) =>
+        require(sk.nibble >= 0 && sk.nibble <= 15)
+        w32(0x184d2a50L | sk.nibble)
+        w32(sk.len.toLong)
+        filler(sk.len, ix)
+      case (Right(fr), ix) =>
+        require(fr.blocks.nonEmpty, "a frame carries at least one block")
+        require(Seq(0, 1, 2, 4).contains(fr.dictBytes))
+        val content = fr.blocks.map {
+          case Raw(n) => n.toLong
+          case Rle(n) => n.toLong
+          case Comp(_, r) => r.toLong
+        }.sum
+        w32(0xfd2fb528L)
+        // fcs flag: minimal width for the content value (flag 0 = 1 byte
+        // only under single segment)
+        val fcsFlag =
+          if (!fr.declareContent) 0
+          else if (fr.singleSegment && content <= 255) 0
+          else if (content >= 256 && content <= 65535 + 256) 1
+          else 2
+        require(fr.declareContent || !fr.singleSegment,
+          "single-segment frames always declare content")
+        val dictFlag = fr.dictBytes match {
+          case 0 => 0; case 1 => 1; case 2 => 2; case _ => 3
+        }
+        out.write((fcsFlag << 6) | (if (fr.singleSegment) 0x20 else 0) |
+          (if (fr.checksum) 0x04 else 0) | dictFlag)
+        if (!fr.singleSegment) out.write(0x58) // window descriptor: 16 MiB
+        filler(fr.dictBytes, ix + 7)
+        if (fr.declareContent) fcsFlag match {
+          case 0 => out.write(content.toInt)
+          case 1 => w16((content - 256).toInt)
+          case _ => w32(content)
+        }
+        fr.blocks.zipWithIndex.foreach { case (bl, bi) =>
+          val lastBit = if (bi == fr.blocks.size - 1) 1 else 0
+          def bhdr(btype: Int, bsize: Int): Unit = {
+            val h = lastBit | (btype << 1) | (bsize << 3)
+            out.write(h & 0xff); out.write((h >> 8) & 0xff); out.write((h >> 16) & 0xff)
+          }
+          bl match {
+            case Raw(n) => bhdr(0, n); filler(n, ix * 31 + bi)
+            case Rle(n) => bhdr(1, n); out.write(((seed + bi) % 256).toInt)
+            case Comp(n, _) => bhdr(2, n); filler(n, ix * 37 + bi)
+          }
+        }
+        if (fr.checksum) w32((seed * 2654435761L + ix) & 0xffffffffL)
+    }
+    out.toByteArray
+  }
+}

@@ -1992,6 +1992,7 @@ object Llm {
     "q_mp4_probe" -> (mp4Probe _),
     "q_h264_probe" -> (h264Probe _),
     "q_ivf_probe" -> (ivfProbe _),
+    "q_zstd_probe" -> (zstdProbe _),
     "q_ogg_probe" -> (oggProbe _),
     "q_y4m_decode" -> (y4mDecodeQ _),
     "q_tiff_decode" -> (tiffDecode _),
@@ -3042,6 +3043,111 @@ object Llm {
       |  CASE WHEN ok THEN tb_den END AS tb_den,
       |  CASE WHEN ok THEN tb_num END AS tb_num
       |FROM dims
+      |ORDER BY media_id""".stripMargin
+
+  /** Zstandard frame walk under the oracle — the container-integrity
+    * pass for the compression format web corpora actually ship in (see
+    * [[graft.llm.ZstdCodec]]; FSE/Huffman block decode stays honestly
+    * behind the seam): per-key streams mixing single-segment and
+    * windowed frames, dictionary-ID widths, checksummed frames, a
+    * skippable frame every 5th key, and per-frame block walks (raw +
+    * RLE always, a compressed block on the kj mod 3 = 1 frames). The
+    * oracle recomputes the full census closed-form. Three refusal
+    * arms: truncation (k mod 13), the reserved descriptor bit (k mod
+    * 17), and a declared content size a raw/RLE-only frame provably
+    * cannot regenerate (k mod 19) — the one regeneration fact the
+    * framing itself proves. */
+  def zstdProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.ZstdCodec
+    import ZstdCodec.{Comp, Raw, Rle, Skippable, ZFrame}
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val bytes =
+        if (k % 19 == 0 && k % 13 != 0 && k % 17 != 0) {
+          // content-size-lie arm: known offsets (single-segment, dict 0,
+          // 1-byte fcs at offset 5), declared 12 vs regen 12 -> bump to 13
+          val b = ZstdCodec.encodeZstd(Seq(Right(ZFrame(Seq(Raw(5), Rle(7)),
+            singleSegment = true, checksum = false, dictBytes = 0,
+            declareContent = true))), seed = k)
+          b(5) = (b(5) + 1).toByte
+          b
+        } else {
+          val n = (1 + k % 3).toInt
+          val frames = (0 until n).map { j =>
+            val kj = k + j
+            val sseg = kj % 2 == 0
+            val blocks: Seq[ZstdCodec.ZBlock] =
+              Seq(Raw((5 + kj % 20).toInt), Rle((10 + kj % 15).toInt)) ++
+                (if (kj % 3 == 1) Seq(Comp((8 + kj % 10).toInt, (100 + kj % 50).toInt))
+                 else Seq.empty)
+            Right(ZFrame(blocks, singleSegment = sseg,
+              checksum = kj % 4 == 0,
+              dictBytes = Seq(0, 1, 2, 4)((kj % 4).toInt),
+              declareContent = sseg || kj % 3 == 0))
+          }
+          val items: Seq[Either[Skippable, ZFrame]] =
+            (if (k % 5 == 0) Seq(Left(Skippable((3 + k % 10).toInt, (k % 16).toInt)))
+             else Seq.empty) ++ frames
+          val b = ZstdCodec.encodeZstd(items, seed = k)
+          if (k % 13 == 0) b.dropRight(3)
+          else if (k % 17 == 0) {
+            val skipLen = if (k % 5 == 0) 8 + (3 + k % 10).toInt else 0
+            b(skipLen + 4) = (b(skipLen + 4) | 0x08).toByte // reserved bit
+            b
+          } else b
+        }
+      ZstdCodec.zstdProbe(bytes) match {
+        case Some((nf, ns, nb, nr, nl, nc, ds, nd, nk)) =>
+          (k, true, Some(nf), Some(ns), Some(nb), Some(nr), Some(nl),
+            Some(nc), Some(ds), Some(nd), Some(nk))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Long], None: Option[Int], None: Option[Int])
+      }
+    }.toDF("media_id", "zstd_ok", "n_frames", "n_skip", "n_blocks", "n_raw",
+      "n_rle", "n_comp", "content_declared", "n_declaring", "n_checksum")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The census replayed from the synthesis formulas: 1 + k mod 3 data
+    * frames whose per-frame facts derive from kj = k + j (raw/RLE block
+    * always, compressed on kj mod 3 = 1, declaring on even kj or
+    * kj mod 3 = 0, checksummed on kj mod 4 = 0), one skippable frame on
+    * 5 | k; refusal on the truncation / reserved-bit / content-lie
+    * arms. */
+  val zstdProbeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(1 + k % 3 AS INTEGER) AS n,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |fx AS (
+      |  SELECT p.k, p.n, p.k + j.g AS kj
+      |  FROM p, generate_series(0, 2) j(g)
+      |  WHERE j.g < p.n AND p.ok),
+      |fy AS (
+      |  SELECT k, kj % 3 = 1 AS has_comp,
+      |    (kj % 2 = 0 OR kj % 3 = 0) AS decl, kj % 4 = 0 AS cks,
+      |    5 + kj % 20 + 10 + kj % 15 +
+      |      CASE WHEN kj % 3 = 1 THEN 100 + kj % 50 ELSE 0 END AS content
+      |  FROM fx),
+      |agg AS (
+      |  SELECT k,
+      |    CAST(SUM(2 + CASE WHEN has_comp THEN 1 ELSE 0 END) AS INTEGER) AS n_blocks,
+      |    CAST(COUNT(*) AS INTEGER) AS n_raw,
+      |    CAST(COUNT(*) AS INTEGER) AS n_rle,
+      |    CAST(SUM(CASE WHEN has_comp THEN 1 ELSE 0 END) AS INTEGER) AS n_comp,
+      |    CAST(SUM(CASE WHEN decl THEN content ELSE 0 END) AS BIGINT) AS content_declared,
+      |    CAST(SUM(CASE WHEN decl THEN 1 ELSE 0 END) AS INTEGER) AS n_declaring,
+      |    CAST(SUM(CASE WHEN cks THEN 1 ELSE 0 END) AS INTEGER) AS n_checksum
+      |  FROM fy GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS zstd_ok,
+      |  CASE WHEN p.ok THEN p.n END AS n_frames,
+      |  CASE WHEN p.ok THEN CAST(CASE WHEN p.k % 5 = 0 THEN 1 ELSE 0 END AS INTEGER) END AS n_skip,
+      |  agg.n_blocks, agg.n_raw, agg.n_rle, agg.n_comp,
+      |  agg.content_declared, agg.n_declaring, agg.n_checksum
+      |FROM p LEFT JOIN agg ON p.k = agg.k
       |ORDER BY media_id""".stripMargin
 
   /** Wide WAV formats under the oracle — the arms of the PCM container
@@ -5065,6 +5171,7 @@ object Llm {
     "q_mp4_probe" -> mp4ProbeSql,
     "q_h264_probe" -> h264ProbeSql,
     "q_ivf_probe" -> ivfProbeSql,
+    "q_zstd_probe" -> zstdProbeSql,
     "q_ogg_probe" -> oggProbeSql,
     "q_y4m_decode" -> y4mDecodeSql,
     "q_tiff_decode" -> tiffDecodeSql,

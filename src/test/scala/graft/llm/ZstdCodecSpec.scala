@@ -1,0 +1,79 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import ZstdCodec._
+
+/** Zstd frame walk: header law, block framing, skippable frames, the
+  * raw/RLE regeneration cross-check, and the honest scope (compressed
+  * payload content and checksums are censused, never verified). */
+class ZstdCodecSpec extends AnyFunSuite {
+
+  private val simple = ZFrame(Seq(Raw(10), Rle(25), Raw(3)),
+    singleSegment = true, checksum = false, dictBytes = 0, declareContent = true)
+
+  test("census facts across frame shapes, dict ids, checksums, skippables") {
+    val b = encodeZstd(Seq(Right(simple)))
+    // content = 10 + 25 + 3 = 38, all regen-known and declared
+    assert(zstdProbe(b).contains((1, 0, 3, 2, 1, 0, 38L, 1, 0)))
+    val mixed = encodeZstd(Seq(
+      Left(Skippable(5, 7)),
+      Right(simple),
+      Right(ZFrame(Seq(Raw(4), Comp(9, 1000)), singleSegment = false,
+        checksum = true, dictBytes = 4, declareContent = true)),
+      Right(ZFrame(Seq(Rle(100)), singleSegment = false,
+        checksum = false, dictBytes = 2, declareContent = false))))
+    // frames: 3 data + 1 skippable; blocks 3+2+1; raw 2+1, rle 1+1, comp 1
+    // declared: 38 + (4+1000) = 1042 over 2 declaring frames; 1 checksum
+    assert(zstdProbe(mixed).contains((3, 1, 6, 3, 2, 1, 1042L, 2, 1)))
+  }
+
+  test("regeneration cross-check: a declared size a raw/RLE frame can't produce refuses") {
+    val b = encodeZstd(Seq(Right(simple)))
+    // single-segment, dict 0: the 1-byte Frame_Content_Size sits at
+    // offset 5 (magic 4 + descriptor 1); 38 -> 39 is a provable lie
+    assert((b(5) & 0xff) == 38)
+    val t = b.clone(); t(5) = 39
+    assert(zstdProbe(t).isEmpty)
+    // ...but the SAME lie in a frame with a Compressed block passes the
+    // framing (regen unknowable without decode) — the honest boundary
+    val cf = encodeZstd(Seq(Right(ZFrame(Seq(Raw(10), Comp(6, 28)),
+      singleSegment = true, checksum = false, dictBytes = 0,
+      declareContent = true))))
+    assert((cf(5) & 0xff) == 38)
+    val ct = cf.clone(); ct(5) = 39
+    assert(zstdProbe(ct).nonEmpty)
+  }
+
+  test("honest scope: flips inside compressed payloads and checksums pass") {
+    val b = encodeZstd(Seq(Right(ZFrame(Seq(Comp(20, 77)),
+      singleSegment = true, checksum = true, dictBytes = 0,
+      declareContent = true))))
+    val t = b.clone()
+    t(t.length - 5) = (t(t.length - 5) ^ 0x3c).toByte // last payload byte
+    t(t.length - 1) = (t(t.length - 1) ^ 0x3c).toByte // checksum byte
+    assert(zstdProbe(t).nonEmpty)
+  }
+
+  test("refusals: magic, reserved bit, reserved block type, truncation, dangling") {
+    val b = encodeZstd(Seq(Right(simple)))
+    val m = b.clone(); m(3) = 0x00
+    assert(zstdProbe(m).isEmpty) // magic
+    val r = b.clone(); r(4) = (r(4) | 0x08).toByte
+    assert(zstdProbe(r).isEmpty) // reserved descriptor bit
+    // reserved block type 3 on the first block header (offset 6)
+    val bt = b.clone(); bt(6) = (bt(6) | 0x06).toByte
+    assert(zstdProbe(bt).isEmpty)
+    (1 to 8).foreach(d => assert(zstdProbe(b.dropRight(d)).isEmpty, s"drop $d"))
+    assert(zstdProbe(b ++ Array[Byte](1)).isEmpty) // dangling byte
+    assert(zstdProbe(b ++ b).nonEmpty) // but honest concatenation is legal
+    // a skippable-only stream carries no data frame
+    assert(zstdProbe(encodeZstd(Seq(Left(Skippable(4, 0))))).isEmpty)
+    // random junk never throws
+    val rnd = new scala.util.Random(23)
+    (0 until 2000).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(64) + 1)(rnd.nextInt(256).toByte)
+      zstdProbe(junk)
+      zstdProbe(Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte) ++ junk)
+    }
+  }
+}
