@@ -497,3 +497,79 @@ object AhoCorasickStats {
     new Automaton(chars, targets, fail, patId.toArray, outLink)
   }
 }
+
+/** utf8_census(bytes) — strict UTF-8 validity + mojibake census in ONE
+  * pass over a raw byte payload: the pre-decode gate a crawl pipeline
+  * runs before trusting text (cld/ftfy-style front end). Well-formedness
+  * follows Unicode Table 3-7 exactly — C0/C1 overlong leads, surrogate
+  * range under an 0xED lead, anything past U+10FFFF under 0xF4, and
+  * out-of-range continuations are ALL malformed; on a malformed check
+  * the scanner consumes ONLY the lead byte and resyncs (the maximal-
+  * subpart recommendation), so every byte is classified exactly once.
+  *
+  * This is a CENSUS, not a probe: damage never throws — it lands in
+  * `n_invalid` and flips `valid`, because a curation pass over 100 TB
+  * filters on these facts rather than crashing on the first bad shard.
+  * `n_replacement` counts decoded U+FFFD (mojibake already baked in
+  * upstream); `n_control` counts C0 controls except TAB/LF/CR plus DEL;
+  * `n_nul` the embedded NULs every text sink chokes on. */
+case class Utf8Census(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = Utf8Census.schema
+  override def nullSafeEval(in: Any): Any = {
+    val b = in.asInstanceOf[Array[Byte]]
+    var nAscii = 0L; var n2 = 0L; var n3 = 0L; var n4 = 0L
+    var nInvalid = 0L; var nRepl = 0L; var nCtrl = 0L; var nNul = 0L
+    var i = 0
+    val n = b.length
+    @inline def cont(p: Int): Boolean = p < n && (b(p) & 0xc0) == 0x80
+    while (i < n) {
+      val c = b(i) & 0xff
+      if (c < 0x80) {
+        nAscii += 1
+        if (c == 0) nNul += 1
+        if ((c < 0x20 && c != 0x09 && c != 0x0a && c != 0x0d) || c == 0x7f)
+          nCtrl += 1
+        i += 1
+      } else if (c >= 0xc2 && c <= 0xdf) {
+        if (cont(i + 1)) { n2 += 1; i += 2 }
+        else { nInvalid += 1; i += 1 }
+      } else if (c >= 0xe0 && c <= 0xef) {
+        // second-byte range depends on the lead (Table 3-7)
+        val lo = if (c == 0xe0) 0xa0 else 0x80
+        val hi = if (c == 0xed) 0x9f else 0xbf
+        val b1 = if (i + 1 < n) b(i + 1) & 0xff else -1
+        if (b1 >= lo && b1 <= hi && cont(i + 2)) {
+          n3 += 1
+          if (c == 0xef && b1 == 0xbf && (b(i + 2) & 0xff) == 0xbd) nRepl += 1
+          i += 3
+        } else { nInvalid += 1; i += 1 }
+      } else if (c >= 0xf0 && c <= 0xf4) {
+        val lo = if (c == 0xf0) 0x90 else 0x80
+        val hi = if (c == 0xf4) 0x8f else 0xbf
+        val b1 = if (i + 1 < n) b(i + 1) & 0xff else -1
+        if (b1 >= lo && b1 <= hi && cont(i + 2) && cont(i + 3)) { n4 += 1; i += 4 }
+        else { nInvalid += 1; i += 1 }
+      } else { // 0x80-0xBF lone continuation, 0xC0/0xC1 overlong, 0xF5-0xFF
+        nInvalid += 1; i += 1
+      }
+    }
+    InternalRow(n.toLong, nAscii, n2, n3, n4, nInvalid, nRepl, nCtrl, nNul,
+      nInvalid == 0L)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "utf8_census"
+}
+
+object Utf8Census {
+  val schema: StructType = StructType(Seq(
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("n_ascii", LongType, nullable = false),
+    StructField("n_2byte", LongType, nullable = false),
+    StructField("n_3byte", LongType, nullable = false),
+    StructField("n_4byte", LongType, nullable = false),
+    StructField("n_invalid", LongType, nullable = false),
+    StructField("n_replacement", LongType, nullable = false),
+    StructField("n_control", LongType, nullable = false),
+    StructField("n_nul", LongType, nullable = false),
+    StructField("valid", BooleanType, nullable = false)))
+}

@@ -76,6 +76,7 @@ object Graft {
     "stopword_scores" -> { args: Seq[Expression] => StopwordScores(args(0)) },
     "canonical_text" -> { args: Seq[Expression] => CanonicalText(args(0)) },
     "repetition_stats" -> { args: Seq[Expression] => RepetitionStats(args(0)) },
+    "utf8_census" -> { args: Seq[Expression] => Utf8Census(args(0)) },
   )
 
   /** Register every st_* expression + the geometric UDAFs on `spark`.

@@ -106,6 +106,14 @@ object TextAnalysis {
     * [[graft.exprs.Stopwords.sortedLangs]]. */
   def stopwordScores(text: Column): Column = call_function("stopword_scores", text)
 
+  /** Strict UTF-8 validity + mojibake census over RAW BYTES in one pass:
+    * struct<n_bytes, n_ascii, n_2byte, n_3byte, n_4byte, n_invalid,
+    * n_replacement, n_control, n_nul, valid> ([[graft.exprs.Utf8Census]]).
+    * The pre-decode gate — run it on the binary column BEFORE casting to
+    * string, because the cast already replaces the damage this census
+    * exists to count. */
+  def utf8Census(bytes: Column): Column = call_function("utf8_census", bytes)
+
   /** Language ID from a [[stopwordScores]] array — same argmax +
     * tie-break + "und" contract as [[langId]]. */
   def langIdFromScores(sw: Column): Column = {

@@ -1993,6 +1993,7 @@ object Llm {
     "q_h264_probe" -> (h264Probe _),
     "q_ivf_probe" -> (ivfProbe _),
     "q_zstd_probe" -> (zstdProbe _),
+    "q_utf8_census" -> (utf8CensusQ _),
     "q_ogg_probe" -> (oggProbe _),
     "q_y4m_decode" -> (y4mDecodeQ _),
     "q_tiff_decode" -> (tiffDecode _),
@@ -3148,6 +3149,92 @@ object Llm {
       |  agg.n_blocks, agg.n_raw, agg.n_rle, agg.n_comp,
       |  agg.content_declared, agg.n_declaring, agg.n_checksum
       |FROM p LEFT JOIN agg ON p.k = agg.k
+      |ORDER BY media_id""".stripMargin
+
+  /** Strict UTF-8 validity + mojibake census under the oracle — the
+    * pre-decode gate a crawl pipeline runs over raw bytes BEFORE
+    * trusting them as text (casting to string would already replace
+    * the damage this census counts). Payloads are token streams drawn
+    * from a 13-entry grammar covering every Unicode Table 3-7 class:
+    * ASCII (with control/NUL arms), 2/3/4-byte well-formed sequences,
+    * baked-in U+FFFD mojibake, and the four malformed shapes — C0
+    * overlong lead, 0xED surrogate lead, lone continuation, 0xF4
+    * beyond U+10FFFF — each contributing its exact maximal-subpart
+    * invalid-byte count. Every 13th key additionally ends on a
+    * truncated lead. The census NEVER refuses (damage is a fact to
+    * filter on, not a crash); the oracle recomputes all counts from
+    * the per-token weight table. Census itself is one native
+    * [[graft.exprs.Utf8Census]] pass — zero shuffle at any corpus
+    * size. */
+  def utf8CensusQ(s: SparkSession, d: String): DataFrame = {
+    Graft.init(s)
+    import s.implicits._
+    val toks: Array[Array[Byte]] = Array(
+      Array('a'.toByte), // 0: ascii letter
+      Array(0x09.toByte), // 1: TAB (ascii, not control-counted)
+      Array(0x07.toByte), // 2: BEL -> control
+      Array(0x00.toByte), // 3: NUL -> control + nul
+      Array(0xc2.toByte, 0xa2.toByte), // 4: U+00A2
+      Array(0xe2.toByte, 0x82.toByte, 0xac.toByte), // 5: U+20AC
+      Array(0xef.toByte, 0xbf.toByte, 0xbd.toByte), // 6: U+FFFD
+      Array(0xf0.toByte, 0x9f.toByte, 0x98.toByte, 0x80.toByte), // 7: U+1F600
+      Array(0xc0.toByte, 0xaf.toByte), // 8: overlong -> 2 invalid
+      Array(0xed.toByte, 0xa0.toByte, 0x80.toByte), // 9: surrogate -> 3 invalid
+      Array(0x80.toByte), // 10: lone continuation -> 1 invalid
+      Array(0xf4.toByte, 0x90.toByte, 0x80.toByte, 0x80.toByte), // 11: >U+10FFFF -> 4 invalid
+      Array('Z'.toByte)) // 12: ascii letter
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val payloads = keys.map { k =>
+      val n = (40 + k % 37).toInt
+      val out = new java.io.ByteArrayOutputStream
+      var i = 0
+      while (i < n) {
+        out.write(toks(((k * 7 + i * 5) % 13).toInt))
+        i += 1
+      }
+      if (k % 13 == 0) out.write(0xe2) // truncated lead at EOF -> 1 invalid
+      (k, out.toByteArray)
+    }.toDF("media_id", "payload")
+    val c = graft.llm.TextAnalysis.utf8Census($"payload").as("c")
+    payloads.select($"media_id", c)
+      .select($"media_id", $"c.n_bytes", $"c.n_ascii", $"c.n_2byte",
+        $"c.n_3byte", $"c.n_4byte", $"c.n_invalid", $"c.n_replacement",
+        $"c.n_control", $"c.n_nul", $"c.valid")
+      .orderBy($"media_id")
+  }
+
+  /** The census replayed from the token grammar: per-token byte/class
+    * weights summed over the deterministic type sequence
+    * (k·7 + i·5) mod 13, plus the k mod 13 truncated-lead arm. */
+  val utf8CensusSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, 40 + k % 37 AS n FROM ks),
+      |tok AS (
+      |  SELECT p.k, (p.k * 7 + i.g * 5) % 13 AS t
+      |  FROM p, generate_series(0, 76) i(g)
+      |  WHERE i.g < p.n),
+      |w AS (
+      |  SELECT k,
+      |    CAST(SUM(CASE t WHEN 4 THEN 2 WHEN 5 THEN 3 WHEN 6 THEN 3
+      |             WHEN 7 THEN 4 WHEN 8 THEN 2 WHEN 9 THEN 3 WHEN 11 THEN 4
+      |             ELSE 1 END) AS BIGINT) AS n_bytes,
+      |    CAST(SUM(CASE WHEN t IN (0, 1, 2, 3, 12) THEN 1 ELSE 0 END) AS BIGINT) AS n_ascii,
+      |    CAST(SUM(CASE WHEN t = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_2byte,
+      |    CAST(SUM(CASE WHEN t IN (5, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_3byte,
+      |    CAST(SUM(CASE WHEN t = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_4byte,
+      |    CAST(SUM(CASE t WHEN 8 THEN 2 WHEN 9 THEN 3 WHEN 10 THEN 1
+      |             WHEN 11 THEN 4 ELSE 0 END) AS BIGINT) AS n_invalid,
+      |    CAST(SUM(CASE WHEN t = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_replacement,
+      |    CAST(SUM(CASE WHEN t IN (2, 3) THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+      |    CAST(SUM(CASE WHEN t = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_nul
+      |  FROM tok GROUP BY k)
+      |SELECT p.k AS media_id,
+      |  w.n_bytes + CASE WHEN p.k % 13 = 0 THEN 1 ELSE 0 END AS n_bytes,
+      |  w.n_ascii, w.n_2byte, w.n_3byte, w.n_4byte,
+      |  w.n_invalid + CASE WHEN p.k % 13 = 0 THEN 1 ELSE 0 END AS n_invalid,
+      |  w.n_replacement, w.n_control, w.n_nul,
+      |  (w.n_invalid = 0 AND p.k % 13 <> 0) AS valid
+      |FROM p JOIN w ON p.k = w.k
       |ORDER BY media_id""".stripMargin
 
   /** Wide WAV formats under the oracle — the arms of the PCM container
@@ -5172,6 +5259,7 @@ object Llm {
     "q_h264_probe" -> h264ProbeSql,
     "q_ivf_probe" -> ivfProbeSql,
     "q_zstd_probe" -> zstdProbeSql,
+    "q_utf8_census" -> utf8CensusSql,
     "q_ogg_probe" -> oggProbeSql,
     "q_y4m_decode" -> y4mDecodeSql,
     "q_tiff_decode" -> tiffDecodeSql,

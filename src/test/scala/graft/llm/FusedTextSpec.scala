@@ -345,6 +345,71 @@ class FusedTextSpec extends SparkTestBase with TableDrivenPropertyChecks {
       assert(g == brute(t), s"text='$t'")
     }
   }
+  test("Utf8Census: hand cases across every Table 3-7 class") {
+    import testImplicits._
+    def census(b: Array[Byte]): (Long, Long, Long, Long, Long, Long, Long, Long, Long, Boolean) = {
+      val r = Seq(Tuple1(b)).toDF("b")
+        .select(TextAnalysis.utf8Census($"b").as("c"))
+        .select($"c.*").collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getBoolean(9))
+    }
+    // clean mixed text: "a¢€😀" + TAB/LF/CR (not control-counted)
+    val clean = "a¢€😀\t\n\r".getBytes("UTF-8")
+    assert(census(clean) == ((13L, 4L, 1L, 1L, 1L, 0L, 0L, 0L, 0L, true)))
+    // mojibake + controls + NUL: U+FFFD counted, BEL/NUL/DEL controls
+    val dirty = Array[Byte](0x41, 0x00, 0x07, 0x7f,
+      0xef.toByte, 0xbf.toByte, 0xbd.toByte)
+    assert(census(dirty) == ((7L, 4L, 0L, 1L, 0L, 0L, 1L, 3L, 1L, true)))
+    // the four malformed shapes, maximal-subpart counting
+    assert(census(Array(0xc0.toByte, 0xaf.toByte))._6 == 2) // overlong
+    assert(census(Array(0xed.toByte, 0xa0.toByte, 0x80.toByte))._6 == 3) // surrogate
+    assert(census(Array(0x80.toByte))._6 == 1) // lone continuation
+    assert(census(Array(0xf4.toByte, 0x90.toByte, 0x80.toByte, 0x80.toByte))._6 == 4) // >U+10FFFF
+    // truncated lead at EOF
+    assert(census(Array(0xe2.toByte)) == ((1L, 0L, 0L, 0L, 0L, 1L, 0L, 0L, 0L, false)))
+    // E0 A0 80 is the smallest legal 3-byte (overlong E0 80 refuses)
+    assert(census(Array(0xe0.toByte, 0xa0.toByte, 0x80.toByte))._4 == 1)
+    assert(census(Array(0xe0.toByte, 0x80.toByte, 0x80.toByte))._6 == 3)
+  }
+
+  test("Utf8Census: fuzz — valid flag agrees with the JDK strict decoder, counts with codePoints") {
+    import testImplicits._
+    val rnd = new scala.util.Random(41)
+    val arrays = (0 until 400).map { i =>
+      if (i % 2 == 0) Array.fill(rnd.nextInt(24))(rnd.nextInt(256).toByte)
+      else { // valid-by-construction strings exercise the count path
+        val s = (0 until rnd.nextInt(12)).map(_ => rnd.nextInt(0x2ffff) match {
+          case cp if cp >= 0xd800 && cp <= 0xdfff => 'x'.toInt
+          case cp => cp
+        }).flatMap(Character.toChars(_)).mkString
+        s.getBytes("UTF-8")
+      }
+    }
+    val rows = arrays.map(Tuple1(_)).toDF("b")
+      .select(TextAnalysis.utf8Census($"b").as("c")).select($"c.*").collect()
+    arrays.zip(rows).foreach { case (b, r) =>
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      val jdkValid =
+        try { dec.decode(java.nio.ByteBuffer.wrap(b)); true }
+        catch { case _: java.nio.charset.CharacterCodingException => false }
+      assert(r.getBoolean(9) == jdkValid, s"valid mismatch on ${b.mkString(",")}")
+      assert(r.getLong(0) == b.length)
+      if (jdkValid) {
+        val cps = new String(b, "UTF-8").codePoints().toArray
+        assert(r.getLong(1) == cps.count(_ < 0x80))
+        assert(r.getLong(2) == cps.count(c => c >= 0x80 && c <= 0x7ff))
+        assert(r.getLong(3) == cps.count(c => c >= 0x800 && c <= 0xffff))
+        assert(r.getLong(4) == cps.count(_ > 0xffff))
+        assert(r.getLong(5) == 0)
+        assert(r.getLong(6) == cps.count(_ == 0xfffd))
+        assert(r.getLong(8) == cps.count(_ == 0))
+      }
+    }
+  }
+
   test("AhoCorasickStats: fuzz — random pattern sets vs brute force") {
     import org.apache.spark.sql.graftshim.Shim
     val rnd = new scala.util.Random(97)
