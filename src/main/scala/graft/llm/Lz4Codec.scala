@@ -1,0 +1,237 @@
+package graft.llm
+
+/** LZ4 frame walk — the third leg of the compression-container family
+  * next to the gzip members walk and the zstd frame walk. LZ4's framing
+  * is MORE verifiable than zstd's: the frame-descriptor checksum (HC)
+  * and the optional per-block checksums are xxHash32 over the STORED
+  * bytes, so a structural probe verifies them exactly without ever
+  * decoding a block — any flipped byte in a checksummed region refuses,
+  * the same guarantee class as the Ogg page CRC sweep. The block
+  * DECODE (LZ4 sequences) stays honestly behind the seam; the content
+  * checksum (xxHash32 of DECODED data) is verified only for frames
+  * whose blocks are all stored uncompressed — where the content is
+  * knowable from framing alone — and censused otherwise (the same
+  * honesty line as zstd's raw/RLE regeneration cross-check).
+  *
+  * Frame format (public spec v1.6.x): magic 0x184D2204 LE; FLG byte
+  * (version bits must be 01, reserved bit refuses), BD byte (block max
+  * size code 4..7, reserved bits refuse), optional 8-byte content
+  * size, optional 4-byte dictionary ID, 1-byte header checksum
+  * HC = (xxh32(descriptor) >> 8) & 0xFF; then blocks — 4-byte LE size
+  * with the high bit marking an uncompressed block, 0 as EndMark —
+  * each optionally followed by its xxh32; then the optional content
+  * checksum. Skippable frames (0x184D2A50..5F + 4-byte size) pass. */
+object Lz4Codec {
+
+  // ---- xxHash32 (public algorithm; Cyan4973's reference constants) -----
+  private val P1 = 0x9e3779b1 // 2654435761
+  private val P2 = 0x85ebca77 // 2246822519
+  private val P3 = 0xc2b2ae3d // 3266489917
+  private val P4 = 0x27d4eb2f // 668265263
+  private val P5 = 0x165667b1 // 374761393
+
+  private def rotl(x: Int, r: Int): Int = Integer.rotateLeft(x, r)
+  private def le32i(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) | ((b(p + 2) & 0xff) << 16) |
+      ((b(p + 3) & 0xff) << 24)
+
+  /** xxHash32 over b[off, off+len), as an unsigned Int in a Long. */
+  def xxh32(b: Array[Byte], off: Int, len: Int, seed: Int = 0): Long = {
+    var p = off
+    val end = off + len
+    var h: Int =
+      if (len >= 16) {
+        var v1 = seed + P1 + P2
+        var v2 = seed + P2
+        var v3 = seed
+        var v4 = seed - P1
+        val limit = end - 16
+        while (p <= limit) {
+          v1 = rotl(v1 + le32i(b, p) * P2, 13) * P1; p += 4
+          v2 = rotl(v2 + le32i(b, p) * P2, 13) * P1; p += 4
+          v3 = rotl(v3 + le32i(b, p) * P2, 13) * P1; p += 4
+          v4 = rotl(v4 + le32i(b, p) * P2, 13) * P1; p += 4
+        }
+        rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+      } else seed + P5
+    h += len
+    while (p + 4 <= end) { h = rotl(h + le32i(b, p) * P3, 17) * P4; p += 4 }
+    while (p < end) { h = rotl(h + (b(p) & 0xff) * P5, 11) * P1; p += 1 }
+    h ^= h >>> 15; h *= P2
+    h ^= h >>> 13; h *= P3
+    h ^= h >>> 16
+    h & 0xffffffffL
+  }
+
+  private def le16(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], p: Int): Long =
+    le16(b, p).toLong | (le16(b, p + 2).toLong << 16)
+
+  /** Probe facts: (nFrames, nSkippable, nBlocks, nStored, nCompressed,
+    * declaredContentSum, nDeclaring, nBlockChecksums,
+    * nContentChecksumsVerified). */
+  def lz4Probe(b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Long, Int, Int, Int)] = try {
+    if (b == null || b.length < 4) return None
+    var p = 0
+    var nFrames = 0; var nSkip = 0
+    var nBlocks = 0; var nStored = 0; var nComp = 0
+    var declaredSum = 0L; var nDeclaring = 0
+    var nBlockCks = 0; var nContentCksVerified = 0
+    while (p < b.length) {
+      if (p + 4 > b.length) return None
+      val magic = le32(b, p)
+      if ((magic & 0xfffffff0L) == 0x184d2a50L) { // skippable
+        if (p + 8 > b.length) return None
+        val len = le32(b, p + 4)
+        if (p + 8 + len > b.length) return None
+        p += 8 + len.toInt
+        nSkip += 1
+      } else if (magic == 0x184d2204L) {
+        p += 4
+        val descStart = p
+        if (p + 2 > b.length) return None
+        val flg = b(p) & 0xff
+        val bd = b(p + 1) & 0xff
+        if ((flg >> 6) != 1) return None // version must be 01
+        if ((flg & 0x02) != 0) return None // FLG reserved bit
+        val blockChecksum = (flg & 0x10) != 0
+        val hasContentSize = (flg & 0x08) != 0
+        val contentChecksum = (flg & 0x04) != 0
+        val hasDictId = (flg & 0x01) != 0
+        val bmax = (bd >> 4) & 0x07
+        if (bmax < 4 || bmax > 7) return None // reserved block max code
+        if ((bd & 0x8f) != 0) return None // BD reserved bits
+        val blockMax = 1 << (8 + 2 * bmax) // 4 -> 64 KiB ... 7 -> 4 MiB
+        p += 2
+        var declared = -1L
+        if (hasContentSize) {
+          if (p + 8 > b.length) return None
+          declared = le32(b, p) | (le32(b, p + 4) << 32)
+          if (declared < 0) return None
+          p += 8
+        }
+        if (hasDictId) { if (p + 4 > b.length) return None; p += 4 }
+        if (p >= b.length) return None
+        // header checksum: second byte of xxh32 over the descriptor
+        val hc = ((xxh32(b, descStart, p - descStart) >> 8) & 0xff).toInt
+        if ((b(p) & 0xff) != hc) return None
+        p += 1
+        var allStored = true
+        var regen = 0L
+        val storedSpans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        var end = false
+        while (!end) {
+          if (p + 4 > b.length) return None
+          val word = le32(b, p); p += 4
+          if (word == 0L) end = true
+          else {
+            val stored = (word & 0x80000000L) != 0
+            val size = (word & 0x7fffffffL).toInt
+            if (size <= 0 || size > blockMax) return None
+            if (p + size > b.length) return None
+            if (blockChecksum) {
+              if (p + size + 4 > b.length) return None
+              if (le32(b, p + size) != xxh32(b, p, size)) return None
+              nBlockCks += 1
+            }
+            if (stored) { nStored += 1; regen += size; storedSpans += ((p, size)) }
+            else { nComp += 1; allStored = false }
+            p += size + (if (blockChecksum) 4 else 0)
+            nBlocks += 1
+          }
+        }
+        if (declared >= 0) {
+          if (allStored && declared != regen) return None // framing-provable lie
+          declaredSum += declared; nDeclaring += 1
+        }
+        if (contentChecksum) {
+          if (p + 4 > b.length) return None
+          if (allStored) {
+            // content is knowable without decode: concat of stored blocks
+            val content = new Array[Byte](regen.toInt)
+            var o = 0
+            storedSpans.foreach { case (off, len) =>
+              System.arraycopy(b, off, content, o, len); o += len
+            }
+            if (le32(b, p) != xxh32(content, 0, content.length)) return None
+            nContentCksVerified += 1
+          } // else: needs the decode this probe honestly does not do
+          p += 4
+        }
+        nFrames += 1
+      } else return None
+    }
+    if (nFrames == 0) return None
+    Some((nFrames, nSkip, nBlocks, nStored, nComp,
+      declaredSum, nDeclaring, nBlockCks, nContentCksVerified))
+  } catch {
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NegativeArraySizeException => None
+  }
+
+  // ---- conformance encoder (tests the PROBE, compresses nothing) --------
+
+  sealed trait LBlock
+  /** Stored (uncompressed) block of `len` deterministic bytes. */
+  final case class Stored(len: Int) extends LBlock
+  /** "Compressed" block: `len` opaque bytes (census-only downstream). */
+  final case class Packed(len: Int) extends LBlock
+
+  final case class LFrame(blocks: Seq[LBlock], blockChecksum: Boolean,
+                          contentChecksum: Boolean, declareContent: Boolean,
+                          dictId: Boolean, bmaxCode: Int = 4)
+
+  final case class LSkippable(len: Int, nibble: Int)
+
+  def encodeLz4(items: Seq[Either[LSkippable, LFrame]],
+                seed: Long = 0L): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+    def fill(n: Int, salt: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((seed * 31 + salt * 131 + i * 17) % 256).toByte)
+    items.zipWithIndex.foreach {
+      case (Left(sk), ix) =>
+        require(sk.nibble >= 0 && sk.nibble <= 15)
+        w32(0x184d2a50L | sk.nibble); w32(sk.len.toLong)
+        out.write(fill(sk.len, ix), 0, sk.len)
+      case (Right(fr), ix) =>
+        require(fr.bmaxCode >= 4 && fr.bmaxCode <= 7)
+        require(fr.blocks.nonEmpty)
+        w32(0x184d2204L)
+        val regen = fr.blocks.collect { case Stored(n) => n.toLong }.sum
+        val flg = (1 << 6) | (if (fr.blockChecksum) 0x10 else 0) |
+          (if (fr.declareContent) 0x08 else 0) |
+          (if (fr.contentChecksum) 0x04 else 0) |
+          (if (fr.dictId) 0x01 else 0)
+        val desc = new java.io.ByteArrayOutputStream
+        desc.write(flg); desc.write(fr.bmaxCode << 4)
+        if (fr.declareContent) {
+          var i = 0; var v = regen
+          while (i < 8) { desc.write((v & 0xff).toInt); v >>= 8; i += 1 }
+        }
+        if (fr.dictId) { val d = fill(4, ix + 3); desc.write(d, 0, 4) }
+        val db = desc.toByteArray
+        out.write(db, 0, db.length)
+        out.write(((xxh32(db, 0, db.length) >> 8) & 0xff).toInt)
+        val contentParts = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        fr.blocks.zipWithIndex.foreach { case (bl, bi) =>
+          val (data, storedBit) = bl match {
+            case Stored(n) => (fill(n, ix * 31 + bi), 0x80000000L)
+            case Packed(n) => (fill(n, ix * 37 + bi), 0L)
+          }
+          bl match { case Stored(_) => contentParts += data; case _ => () }
+          w32(storedBit | data.length.toLong)
+          out.write(data, 0, data.length)
+          if (fr.blockChecksum) w32(xxh32(data, 0, data.length))
+        }
+        w32(0L) // EndMark
+        if (fr.contentChecksum) {
+          val content = contentParts.toArray.flatten
+          w32(xxh32(content, 0, content.length))
+        }
+    }
+    out.toByteArray
+  }
+}

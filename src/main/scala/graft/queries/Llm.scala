@@ -1994,6 +1994,7 @@ object Llm {
     "q_ivf_probe" -> (ivfProbe _),
     "q_zstd_probe" -> (zstdProbe _),
     "q_utf8_census" -> (utf8CensusQ _),
+    "q_lz4_probe" -> (lz4Probe _),
     "q_ogg_probe" -> (oggProbe _),
     "q_y4m_decode" -> (y4mDecodeQ _),
     "q_tiff_decode" -> (tiffDecode _),
@@ -3148,6 +3149,105 @@ object Llm {
       |  CASE WHEN p.ok THEN CAST(CASE WHEN p.k % 5 = 0 THEN 1 ELSE 0 END AS INTEGER) END AS n_skip,
       |  agg.n_blocks, agg.n_raw, agg.n_rle, agg.n_comp,
       |  agg.content_declared, agg.n_declaring, agg.n_checksum
+      |FROM p LEFT JOIN agg ON p.k = agg.k
+      |ORDER BY media_id""".stripMargin
+
+  /** LZ4 frame walk under the oracle — the third compression container
+    * next to q_gzip_members and q_zstd_probe (see
+    * [[graft.llm.Lz4Codec]]): per-key streams mixing stored and
+    * "compressed" blocks, block checksums, content checksums,
+    * dictionary IDs and every legal block-max code, plus a skippable
+    * frame on 5 | k. LZ4's framing checksums run over STORED bytes, so
+    * the probe VERIFIES them (xxHash32, reference vectors pinned in the
+    * spec) — header checksum always, per-block checksums when present,
+    * and the content checksum whenever every block is stored (content
+    * knowable without the decode that stays behind the seam). Refusal
+    * arms: truncation (k mod 13) and a descriptor tamper (k mod 17)
+    * that the header checksum catches. */
+  def lz4Probe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.Lz4Codec
+    import Lz4Codec.{LFrame, LSkippable, Packed, Stored}
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val n = (1 + k % 3).toInt
+      val frames = (0 until n).map { j =>
+        val kj = k + j
+        val blocks: Seq[Lz4Codec.LBlock] =
+          Seq(Stored((6 + kj % 30).toInt)) ++
+            (if (kj % 3 == 1) Seq(Packed((5 + kj % 12).toInt)) else Seq.empty) ++
+            (if (kj % 2 == 0) Seq(Stored((3 + kj % 7).toInt)) else Seq.empty)
+        Right(LFrame(blocks, blockChecksum = kj % 2 == 0,
+          contentChecksum = kj % 3 != 2, declareContent = kj % 4 != 1,
+          dictId = kj % 5 == 0, bmaxCode = (4 + kj % 4).toInt))
+      }
+      val items: Seq[Either[LSkippable, LFrame]] =
+        (if (k % 5 == 0) Seq(Left(LSkippable((4 + k % 9).toInt, (k % 16).toInt)))
+         else Seq.empty) ++ frames
+      val bytes = Lz4Codec.encodeLz4(items, seed = k)
+      val payload =
+        if (k % 13 == 0) bytes.dropRight(5)
+        else if (k % 17 == 0) {
+          val t = bytes.clone()
+          val off = (if (k % 5 == 0) 8 + (4 + k % 9).toInt else 0) + 4
+          t(off) = (t(off) ^ 0x02).toByte // FLG reserved bit / HC mismatch
+          t
+        } else bytes
+      Lz4Codec.lz4Probe(payload) match {
+        case Some((nf, ns, nb, nst, np, ds, nd, nbc, ncv)) =>
+          (k, true, Some(nf), Some(ns), Some(nb), Some(nst), Some(np),
+            Some(ds), Some(nd), Some(nbc), Some(ncv))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Int], None: Option[Int], None: Option[Long],
+            None: Option[Int], None: Option[Int], None: Option[Int])
+      }
+    }.toDF("media_id", "lz4_ok", "n_frames", "n_skip", "n_blocks", "n_stored",
+      "n_packed", "content_declared", "n_declaring", "n_block_cks",
+      "n_content_verified")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The census replayed from the synthesis formulas over kj = k + j:
+    * stored block always (+ a second on even kj), packed on kj mod 3 =
+    * 1; block checksums on even kj (covering that frame's block count),
+    * content declared unless kj mod 4 = 1, content checksum present
+    * unless kj mod 3 = 2 and VERIFIED only when the frame is all
+    * stored. */
+  val lz4ProbeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(1 + k % 3 AS INTEGER) AS n,
+      |        (k % 13 <> 0 AND k % 17 <> 0) AS ok
+      |      FROM ks),
+      |fx AS (
+      |  SELECT p.k, p.k + j.g AS kj
+      |  FROM p, generate_series(0, 2) j(g)
+      |  WHERE j.g < p.n AND p.ok),
+      |fy AS (
+      |  SELECT k,
+      |    1 + CASE WHEN kj % 3 = 1 THEN 1 ELSE 0 END
+      |      + CASE WHEN kj % 2 = 0 THEN 1 ELSE 0 END AS nb,
+      |    1 + CASE WHEN kj % 2 = 0 THEN 1 ELSE 0 END AS nst,
+      |    CASE WHEN kj % 3 = 1 THEN 1 ELSE 0 END AS np,
+      |    6 + kj % 30 + CASE WHEN kj % 2 = 0 THEN 3 + kj % 7 ELSE 0 END AS regen,
+      |    kj % 4 <> 1 AS decl, kj % 2 = 0 AS bck,
+      |    (kj % 3 <> 2 AND kj % 3 <> 1) AS cv
+      |  FROM fx),
+      |agg AS (
+      |  SELECT k,
+      |    CAST(SUM(nb) AS INTEGER) AS n_blocks,
+      |    CAST(SUM(nst) AS INTEGER) AS n_stored,
+      |    CAST(SUM(np) AS INTEGER) AS n_packed,
+      |    CAST(SUM(CASE WHEN decl THEN regen ELSE 0 END) AS BIGINT) AS content_declared,
+      |    CAST(SUM(CASE WHEN decl THEN 1 ELSE 0 END) AS INTEGER) AS n_declaring,
+      |    CAST(SUM(CASE WHEN bck THEN nb ELSE 0 END) AS INTEGER) AS n_block_cks,
+      |    CAST(SUM(CASE WHEN cv THEN 1 ELSE 0 END) AS INTEGER) AS n_content_verified
+      |  FROM fy GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS lz4_ok,
+      |  CASE WHEN p.ok THEN p.n END AS n_frames,
+      |  CASE WHEN p.ok THEN CAST(CASE WHEN p.k % 5 = 0 THEN 1 ELSE 0 END AS INTEGER) END AS n_skip,
+      |  agg.n_blocks, agg.n_stored, agg.n_packed, agg.content_declared,
+      |  agg.n_declaring, agg.n_block_cks, agg.n_content_verified
       |FROM p LEFT JOIN agg ON p.k = agg.k
       |ORDER BY media_id""".stripMargin
 
@@ -5260,6 +5360,7 @@ object Llm {
     "q_ivf_probe" -> ivfProbeSql,
     "q_zstd_probe" -> zstdProbeSql,
     "q_utf8_census" -> utf8CensusSql,
+    "q_lz4_probe" -> lz4ProbeSql,
     "q_ogg_probe" -> oggProbeSql,
     "q_y4m_decode" -> y4mDecodeSql,
     "q_tiff_decode" -> tiffDecodeSql,

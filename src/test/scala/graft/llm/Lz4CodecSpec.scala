@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import Lz4Codec._
+
+/** LZ4 frame walk: xxHash32 reference vectors, header/block checksum
+  * verification (any flip in a checksummed region refuses), the
+  * all-stored content cross-checks, and the honest scope on compressed
+  * payloads. */
+class Lz4CodecSpec extends AnyFunSuite {
+
+  test("xxh32 matches the published reference vectors") {
+    def h(s: String, seed: Int = 0) = xxh32(s.getBytes("ASCII"), 0, s.length, seed)
+    assert(h("") == 0x02cc5d05L)
+    assert(h("a") == 0x550d7456L)
+    assert(h("abc") == 0x32d153ffL)
+    assert(h("Nobody inspects the spammish repetition") == 0xe2293b2fL)
+    // >16-byte inputs exercise the 4-lane stripe loop; seed feeds lanes
+    assert(h("0123456789abcdef0123456789abcdef", 1) !=
+      h("0123456789abcdef0123456789abcdef"))
+  }
+
+  private val simple = LFrame(Seq(Stored(40), Stored(9)),
+    blockChecksum = true, contentChecksum = true, declareContent = true,
+    dictId = false)
+
+  test("census facts across frames, skippables, dict ids, packed blocks") {
+    val b = encodeLz4(Seq(Right(simple)))
+    assert(lz4Probe(b).contains((1, 0, 2, 2, 0, 49L, 1, 2, 1)))
+    val mixed = encodeLz4(Seq(
+      Left(LSkippable(6, 3)),
+      Right(simple),
+      Right(LFrame(Seq(Stored(5), Packed(11)), blockChecksum = false,
+        contentChecksum = true, declareContent = false, dictId = true,
+        bmaxCode = 7))))
+    // 2nd data frame: content checksum present but NOT verifiable (a
+    // packed block hides the content) -> censused, not counted verified
+    assert(lz4Probe(mixed).contains((2, 1, 4, 3, 1, 49L, 1, 2, 1)))
+  }
+
+  test("every flip in a checksummed region refuses") {
+    val b = encodeLz4(Seq(Right(simple)))
+    // descriptor (FLG/BD/content-size/HC): bytes 4..13 after the magic
+    (4 to 13).foreach { i =>
+      val t = b.clone(); t(i) = (t(i) ^ 0x01).toByte
+      assert(lz4Probe(t).isEmpty, s"descriptor flip at $i passed")
+    }
+    // first stored block data is covered by its block checksum:
+    // header(4+2+8+1=15) + blocksize(4) = data at [19, 59)
+    (19 until 59).foreach { i =>
+      val t = b.clone(); t(i) = (t(i) ^ 0x01).toByte
+      assert(lz4Probe(t).isEmpty, s"block-data flip at $i passed")
+    }
+    // ... and the content checksum also covers it, so even with block
+    // checksums disabled the all-stored frame still refuses data flips
+    val noBc = encodeLz4(Seq(Right(simple.copy(blockChecksum = false))))
+    val t2 = noBc.clone(); t2(20) = (t2(20) ^ 0x40).toByte
+    assert(lz4Probe(t2).isEmpty)
+  }
+
+  test("honest scope: packed-payload flips pass when nothing checksums them") {
+    val b = encodeLz4(Seq(Right(LFrame(Seq(Packed(12)), blockChecksum = false,
+      contentChecksum = false, declareContent = false, dictId = false))))
+    val t = b.clone()
+    t(b.length - 5) = (t(b.length - 5) ^ 0x55).toByte
+    assert(lz4Probe(t).nonEmpty)
+  }
+
+  test("refusals: version, reserved bits, block-max codes, declared-size lie, framing") {
+    val b = encodeLz4(Seq(Right(simple.copy(blockChecksum = false,
+      contentChecksum = false))))
+    // header checksum pins FLG/BD, so reserved-bit flips already refuse
+    // via HC; rebuild with a forged descriptor AND matching HC to prove
+    // the field checks fire on their own
+    def forged(mutate: Array[Byte] => Unit): Array[Byte] = {
+      val t = b.clone()
+      mutate(t)
+      // descriptor = FLG BD + 8-byte content size at [4, 14); HC at 14
+      t(14) = ((Lz4Codec.xxh32(t, 4, 10) >> 8) & 0xff).toByte
+      t
+    }
+    assert(lz4Probe(forged(t => t(4) = (t(4) & 0x3f | 0x80).toByte)).isEmpty) // version 10
+    assert(lz4Probe(forged(t => t(4) = (t(4) | 0x02).toByte)).isEmpty) // FLG reserved
+    assert(lz4Probe(forged(t => t(5) = (t(5) | 0x01).toByte)).isEmpty) // BD reserved
+    assert(lz4Probe(forged(t => t(5) = (3 << 4).toByte)).isEmpty) // bmax code 3
+    assert(lz4Probe(forged(t => t(6) = (t(6) + 1).toByte)).isEmpty) // declared != stored sum
+    (1 to 9).foreach(d => assert(lz4Probe(b.dropRight(d)).isEmpty, s"drop $d"))
+    assert(lz4Probe(b ++ Array[Byte](0)).isEmpty) // dangling
+    assert(lz4Probe(b ++ b).nonEmpty) // honest concatenation is legal
+    assert(lz4Probe(encodeLz4(Seq(Left(LSkippable(4, 0))))).isEmpty) // no data frame
+    val rnd = new scala.util.Random(31)
+    (0 until 2000).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(64) + 1)(rnd.nextInt(256).toByte)
+      lz4Probe(junk)
+      lz4Probe(Array[Byte](0x04, 0x22, 0x4d, 0x18) ++ junk)
+    }
+  }
+}
