@@ -28,6 +28,22 @@ object Mp3Codec {
   private val Kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
   private val Rates = Array(44100, 48000, 32000) // index 3 reserved
 
+  /** CRC-16 (poly 0x8005, MSB-first) byte-indexed table — one lookup
+    * per byte instead of eight shift-xor steps; the probe runs this
+    * over every protected frame's side info, which is the walk's inner
+    * loop at corpus scale. */
+  private val Crc16Table: Array[Int] = Array.tabulate(256) { v =>
+    var c = v << 8
+    var i = 0
+    while (i < 8) {
+      c = if ((c & 0x8000) != 0) ((c << 1) ^ 0x8005) & 0xffff else (c << 1) & 0xffff
+      i += 1
+    }
+    c
+  }
+  @inline private[llm] def crcFeed(crc: Int, v: Int): Int =
+    ((crc << 8) & 0xffff) ^ Crc16Table(((crc >> 8) ^ v) & 0xff)
+
   /** Probe facts: (frames, sampleRate, durationUs, distinctBitrates,
     * frameBytes, crcProtected). durationUs = frames·1152·1e6/rate,
     * floor. frameBytes counts frame spans only (tags excluded). */
@@ -81,19 +97,9 @@ object Mp3Codec {
         if (protection == 0) {
           if (size < 4 + 2 + side) return None
           val stored = ((b(p + 4) & 0xff) << 8) | (b(p + 5) & 0xff)
-          var crc = 0xffff
-          def feed(v: Int): Unit = {
-            var c = crc ^ (v << 8)
-            var i = 0
-            while (i < 8) {
-              c = if ((c & 0x8000) != 0) ((c << 1) ^ 0x8005) & 0xffff else (c << 1) & 0xffff
-              i += 1
-            }
-            crc = c
-          }
-          feed(b(p + 2) & 0xff); feed(b(p + 3) & 0xff)
+          var crc = crcFeed(crcFeed(0xffff, b(p + 2) & 0xff), b(p + 3) & 0xff)
           var i = 0
-          while (i < side) { feed(b(p + 6 + i) & 0xff); i += 1 }
+          while (i < side) { crc = crcFeed(crc, b(p + 6 + i) & 0xff); i += 1 }
           if (crc != stored) return None
         }
         seenKbps += kbps
@@ -153,19 +159,9 @@ object Mp3Codec {
         i += 1
       }
       if (crc) {
-        var c = 0xffff
-        def feed(v: Int): Unit = {
-          var x = c ^ (v << 8)
-          var j = 0
-          while (j < 8) {
-            x = if ((x & 0x8000) != 0) ((x << 1) ^ 0x8005) & 0xffff else (x << 1) & 0xffff
-            j += 1
-          }
-          c = x
-        }
-        feed(fr(2) & 0xff); feed(fr(3) & 0xff)
+        var c = crcFeed(crcFeed(0xffff, fr(2) & 0xff), fr(3) & 0xff)
         var j = 0
-        while (j < side) { feed(fr(6 + j) & 0xff); j += 1 }
+        while (j < side) { c = crcFeed(c, fr(6 + j) & 0xff); j += 1 }
         fr(4) = (c >>> 8).toByte; fr(5) = c.toByte
       }
       out.write(fr)

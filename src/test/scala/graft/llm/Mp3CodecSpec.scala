@@ -13,6 +13,15 @@ class Mp3CodecSpec extends AnyFunSuite {
   private val vbrFrames = (0 until 23).map(j =>
     Mp3Frame(brIdx = Seq(4, 7, 9, 12)((j * 5 + 1) % 4), padded = j % 3 == 0))
 
+  test("CRC-16 table form matches the CRC-16/CMS catalogue vector") {
+    // poly 0x8005, init 0xFFFF, MSB-first, no xorout: check("123456789")
+    // = 0xAEE7 — pins the table rewrite to the published algorithm, not
+    // just to encoder/probe self-consistency
+    val c = "123456789".getBytes("ASCII")
+      .foldLeft(0xffff)((a, b) => Mp3Codec.crcFeed(a, b & 0xff))
+    assert(c == 0xaee7)
+  }
+
   test("probe walks CBR and VBR streams: frames, rate, duration, sizes") {
     // CBR mono at 48 kHz, no CRC
     val cbr = encodeMp3(1, Seq.fill(10)(Mp3Frame(9, padded = false)),
