@@ -281,12 +281,11 @@ object ApngCodec {
         }
         y += 1
       }
-      val defl = new java.util.zip.Deflater()
+      val defl = MediaCodec.pooledDeflater() // per-frame `new` was a native alloc per frame
       defl.setInput(raw); defl.finish()
       val z = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
       while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
-      defl.end()
       if (fi == 0) out.write(chunkBytes("IDAT", z.toByteArray))
       else {
         val zb = z.toByteArray

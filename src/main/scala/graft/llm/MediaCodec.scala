@@ -620,6 +620,15 @@ object MediaCodec {
   private val inflaters = ThreadLocal.withInitial[java.util.zip.Inflater](
     () => new java.util.zip.Inflater())
 
+  /** The per-thread pooled Deflater, reset and ready — for the sibling
+    * codecs (APNG) whose per-frame `new Deflater()` re-created the same
+    * native-alloc hot spot this pool exists to kill. Callers must fully
+    * drain the stream before the thread touches the pool again (single-
+    * threaded per executor thread by construction). */
+  private[llm] def pooledDeflater(): java.util.zip.Deflater = {
+    val d = deflaters.get(); d.reset(); d
+  }
+
   /** Adam7 interlace passes: (xStart, yStart, xStep, yStep) per spec
     * §8.2 — each pass an independently-filtered sub-image. */
   private val Adam7Passes: Seq[(Int, Int, Int, Int)] = Seq(
