@@ -206,7 +206,15 @@ object Bench {
         results.collect { case (k, Left(m), _) => (k, m)
                           case (k, _, Left(m)) => (k, m) },
         sfDir, streamFloor, cpuFloor, scanFloor)
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw":$raw,"errors":$errs,"ok":${ok.size},"failed":${results.size - ok.size},"stream_floor_sec":${f"$streamFloor%.3f"},"cpu_floor_sec":${f"$cpuFloor%.3f"},"scan_floor_sec":${f"$scanFloor%.3f"},"sf":${jstr(sfDir)}}"""
+      // failed floor measurements are OMITTED (same contract as the
+      // bounded stdout line) — a -1 sentinel would poison a reader's
+      // floor-normalized ratios
+      val floorsFull = Seq(
+        "stream_floor_sec" -> streamFloor,
+        "cpu_floor_sec" -> cpuFloor,
+        "scan_floor_sec" -> scanFloor)
+        .collect { case (k, v) if v >= 0 => s""","$k":${f"$v%.3f"}""" }.mkString
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw":$raw,"errors":$errs,"ok":${ok.size},"failed":${results.size - ok.size}$floorsFull,"sf":${jstr(sfDir)}}"""
       // Output ORDER is load-bearing: the driver merges stdout+stderr and
       // keeps only the last 2000 bytes. The full ~6 KB pairs line printed
       // AFTER the bounded line evicted it from the tail in rounds 5 AND 6

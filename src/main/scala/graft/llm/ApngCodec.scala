@@ -286,6 +286,7 @@ object ApngCodec {
       val z = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
       while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+      defl.reset() // leave the pool reset: PNG encode shares this instance
       if (fi == 0) out.write(chunkBytes("IDAT", z.toByteArray))
       else {
         val zb = z.toByteArray

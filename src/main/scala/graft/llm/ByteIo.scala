@@ -1,0 +1,15 @@
+package graft.llm
+
+/** Little-endian byte readers shared by the container walks (IVF, zstd,
+  * LZ4) — one definition so a future bounds/sign fix cannot silently
+  * diverge between codecs. Readers assume the CALLER bounds-checks
+  * (every probe walks with explicit `p + n > b.length` refusals and a
+  * terminal AIOOBE catch as the backstop). */
+private[llm] object ByteIo {
+  @inline def le16(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+  @inline def le32(b: Array[Byte], p: Int): Long =
+    le16(b, p).toLong | (le16(b, p + 2).toLong << 16)
+  @inline def le64(b: Array[Byte], p: Int): Long =
+    le32(b, p) | (le32(b, p + 4) << 32)
+}

@@ -28,7 +28,9 @@ object ImageOps {
     * and the single final division rounds half-up. */
   def resizeBilinear(px: Array[Int], w: Int, h: Int, ch: Int,
                      ow: Int, oh: Int): Array[Int] = {
-    require(w > 0 && h > 0 && ch > 0 && px.length == w * h * ch,
+    // Long-side length check: an Int product can wrap to px.length for
+    // hostile dims and slip past the guard into unguarded indexing
+    require(w > 0 && h > 0 && ch > 0 && px.length.toLong == w.toLong * h * ch,
       s"bad source raster ${w}x${h}x$ch (${px.length})")
     require(ow > 0 && oh > 0 && ow.toLong * oh * ch <= (1L << 26),
       s"bad target ${ow}x$oh")
@@ -84,7 +86,7 @@ object ImageOps {
     * average when the ratio is integral. */
   def resizeArea(px: Array[Int], w: Int, h: Int, ch: Int,
                  ow: Int, oh: Int): Array[Int] = {
-    require(w > 0 && h > 0 && ch > 0 && px.length == w * h * ch,
+    require(w > 0 && h > 0 && ch > 0 && px.length.toLong == w.toLong * h * ch,
       s"bad source raster ${w}x${h}x$ch (${px.length})")
     require(ow > 0 && oh > 0 && ow.toLong * oh * ch <= (1L << 26),
       s"bad target ${ow}x$oh")
@@ -133,7 +135,7 @@ object ImageOps {
     * mainstream vision stacks. Same interleaved layout in and out. */
   def centerCrop(px: Array[Int], w: Int, h: Int, ch: Int,
                  cw: Int, chh: Int): Array[Int] = {
-    require(w > 0 && h > 0 && ch > 0 && px.length == w * h * ch,
+    require(w > 0 && h > 0 && ch > 0 && px.length.toLong == w.toLong * h * ch,
       s"bad source raster ${w}x${h}x$ch (${px.length})")
     require(cw > 0 && chh > 0 && cw <= w && chh <= h, s"bad crop ${cw}x$chh")
     val x0 = (w - cw) / 2

@@ -25,12 +25,7 @@ package graft.llm
   * Inter-frame payloads are censused, never content-claimed. */
 object IvfCodec {
 
-  private def le16(b: Array[Byte], p: Int): Int =
-    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
-  private def le32(b: Array[Byte], p: Int): Long =
-    (le16(b, p).toLong) | (le16(b, p + 2).toLong << 16)
-  private def le64(b: Array[Byte], p: Int): Long =
-    le32(b, p) | (le32(b, p + 4) << 32)
+  import ByteIo.{le16, le32, le64}
 
   /** Probe facts: (nFrames, nKeyframes, width, height, lastPts,
     * timebaseDen, timebaseNum). */

@@ -63,10 +63,7 @@ object Lz4Codec {
     h & 0xffffffffL
   }
 
-  private def le16(b: Array[Byte], p: Int): Int =
-    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
-  private def le32(b: Array[Byte], p: Int): Long =
-    le16(b, p).toLong | (le16(b, p + 2).toLong << 16)
+  import ByteIo.{le16, le32}
 
   /** Probe facts: (nFrames, nSkippable, nBlocks, nStored, nCompressed,
     * declaredContentSum, nDeclaring, nBlockChecksums,

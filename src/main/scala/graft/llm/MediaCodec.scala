@@ -706,7 +706,7 @@ object MediaCodec {
       }
     }
     val filt = filtOut.toByteArray
-    val deflater = deflaters.get()
+    val deflater = pooledDeflater() // reset-BEFORE: robust to any prior user
     val zOut = new java.io.ByteArrayOutputStream()
     try {
       deflater.setInput(filt); deflater.finish()
@@ -922,6 +922,7 @@ object MediaCodec {
     if (expect == 0) return None
     val filt = new Array[Byte](expect)
     val inf = inflaters.get()
+    inf.reset() // reset-BEFORE, same discipline as pooledDeflater
     try {
       inf.setInput(idat.toByteArray)
       var off = 0

@@ -27,10 +27,7 @@ package graft.llm
   *    content checksum, whose presence is censused, never checked). */
 object ZstdCodec {
 
-  private def le16(b: Array[Byte], p: Int): Int =
-    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
-  private def le32(b: Array[Byte], p: Int): Long =
-    le16(b, p).toLong | (le16(b, p + 2).toLong << 16)
+  import ByteIo.{le16, le32}
 
   private val MaxBlock = 1 << 17 // 128 KiB Block_Maximum_Size ceiling
 

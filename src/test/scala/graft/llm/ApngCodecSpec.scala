@@ -202,6 +202,23 @@ class ApngCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("pool invariant: APNG encode leaves the shared Deflater usable by PNG encode") {
+    // regression (review r14): the APNG encoder drained the pooled
+    // Deflater and left it finished()==true; the next PNG encode on the
+    // SAME thread then produced a zero-byte IDAT. Alternate the two
+    // encoders on this thread and require every PNG to round-trip.
+    (0 until 3).foreach { r =>
+      val fr = ApngCodec.ApngSrcFrame(0, 0, 4, 3,
+        (x, y, c) => (x * 7 + y * 11 + c * 13 + r) % 256,
+        delayNum = 2, delayDen = 100, dispose = 0, blend = 0)
+      assert(ApngCodec.apngDecode(ApngCodec.encodeApng(4, 3, 0, Seq(fr))).nonEmpty)
+      val png = MediaCodec.encodePng(5, 4, 3, (x, y, c) => (x + y + c + r) % 256)
+      val (w, h, ch, px) = MediaCodec.pngPixels(png).get
+      assert(w == 5 && h == 4 && ch == 3)
+      assert(px(0) == r % 256 && px.length == 5 * 4 * 3)
+    }
+  }
+
   test("the JDK's PNG reader sees frame 0 as the default image") {
     val bytes = encodeApng(6, 5, 0, Seq(
       ApngSrcFrame(0, 0, 6, 5, (x, y, c) => (x * 50 + y * 30 + c * 20) % 256, 1, 10, 0, 0),
