@@ -1,0 +1,90 @@
+package graft.llm
+
+/** TFRecord stream walk — the record container the tensor-pipeline
+  * world ships training shards in (TensorFlow's public framing: an
+  * 8-byte little-endian length, a masked CRC32C of those length bytes,
+  * the payload, and a masked CRC32C of the payload;
+  * mask(c) = ((c >>> 15 | c << 17) + 0xa282ead8) mod 2³²).
+  *
+  * Unlike the zstd/MP4 walks this format checksums EVERYTHING it
+  * frames, so the probe verifies every byte it walks — any flip in a
+  * length field, a length CRC, a payload byte, or a payload CRC
+  * refuses (the Ogg/LZ4 guarantee class; the spec sweeps a whole
+  * record byte-by-byte). Payload CONTENT stays opaque (a tf.Example
+  * protobuf parse is out of scope and censused facts don't need it) —
+  * but the walk reads every payload byte anyway for the CRC, so it
+  * also emits an exact byte-sum fact the oracle replays. CRC32C is the
+  * JDK's (java.util.zip.CRC32C), pinned to the published Castagnoli
+  * check vector in the spec. */
+object TfRecordCodec {
+
+  import ByteIo.{le32, le64}
+
+  private def crc32c(b: Array[Byte], off: Int, len: Int): Long = {
+    val c = new java.util.zip.CRC32C()
+    c.update(b, off, len)
+    c.getValue
+  }
+
+  /** TensorFlow's masked CRC: rotate right 15, add the mask constant. */
+  private[llm] def mask(crc: Long): Long =
+    (((crc >>> 15) | (crc << 17)) + 0xa282ead8L) & 0xffffffffL
+
+  /** Probe facts: (nRecords, bytesTotal, payloadByteSum, minLen,
+    * maxLen). Refuses on any framing damage: both CRCs per record are
+    * verified, lengths must fit the stream exactly, and a zero-record
+    * stream is not a shard. */
+  def tfrecordProbe(b: Array[Byte]): Option[(Int, Long, Long, Int, Int)] = try {
+    if (b == null || b.length < 16) return None
+    var p = 0
+    var n = 0
+    var total = 0L
+    var paySum = 0L
+    var minLen = Int.MaxValue
+    var maxLen = 0
+    while (p < b.length) {
+      if (p + 12 > b.length) return None
+      val len = le64(b, p)
+      // single-shard sanity: a record larger than the remaining stream
+      // (or 2^31) is damage, not data
+      if (len < 0 || len > Int.MaxValue || p + 12 + len + 4 > b.length) return None
+      if (le32(b, p + 8) != mask(crc32c(b, p, 8))) return None // length CRC
+      val l = len.toInt
+      if (le32(b, p + 12 + l) != mask(crc32c(b, p + 12, l))) return None // data CRC
+      var i = 0
+      while (i < l) { paySum += (b(p + 12 + i) & 0xff); i += 1 }
+      total += l
+      if (l < minLen) minLen = l
+      if (l > maxLen) maxLen = l
+      n += 1
+      p += 16 + l
+    }
+    if (n == 0) return None
+    Some((n, total, paySum, minLen, maxLen))
+  } catch {
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  /** Write a TFRecord stream with REAL masked CRCs over deterministic
+    * payloads (`payload(recordIndex) = bytes`). Conformance encoder for
+    * the probe. */
+  def encodeTfRecords(payloads: Seq[Array[Byte]]): Array[Byte] = {
+    require(payloads.nonEmpty)
+    val out = new java.io.ByteArrayOutputStream
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    payloads.foreach { data =>
+      val lenB = new Array[Byte](8)
+      var v = data.length.toLong
+      var i = 0
+      while (i < 8) { lenB(i) = (v & 0xff).toByte; v >>= 8; i += 1 }
+      out.write(lenB, 0, 8)
+      w32(mask(crc32c(lenB, 0, 8)))
+      out.write(data, 0, data.length)
+      w32(mask(crc32c(data, 0, data.length)))
+    }
+    out.toByteArray
+  }
+}

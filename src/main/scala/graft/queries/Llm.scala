@@ -1995,6 +1995,7 @@ object Llm {
     "q_zstd_probe" -> (zstdProbe _),
     "q_utf8_census" -> (utf8CensusQ _),
     "q_lz4_probe" -> (lz4Probe _),
+    "q_tfrecord_read" -> (tfrecordRead _),
     "q_ogg_probe" -> (oggProbe _),
     "q_y4m_decode" -> (y4mDecodeQ _),
     "q_tiff_decode" -> (tiffDecode _),
@@ -3150,6 +3151,77 @@ object Llm {
       |  agg.n_blocks, agg.n_raw, agg.n_rle, agg.n_comp,
       |  agg.content_declared, agg.n_declaring, agg.n_checksum
       |FROM p LEFT JOIN agg ON p.k = agg.k
+      |ORDER BY media_id""".stripMargin
+
+  /** TFRecord shard walk under the oracle — the record container the
+    * tensor-pipeline world ships training shards in (see
+    * [[graft.llm.TfRecordCodec]]): per-key shards of 2-7 records with
+    * REAL masked CRC32C over both the length field and the payload, so
+    * the walk verifies every byte it frames (the Ogg/LZ4 guarantee
+    * class — the spec sweeps a whole record byte-by-byte). Payload
+    * content stays opaque (tf.Example protobuf parse out of scope),
+    * but the CRC pass reads every byte anyway, so the exact payload
+    * byte-sum is a free census fact the oracle replays. Refusal arms:
+    * truncation (k mod 13), a payload flip the data CRC catches
+    * (k mod 17), and a length flip the length CRC catches (k mod 19). */
+  def tfrecordRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.TfRecordCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val n = (2 + k % 6).toInt
+      val payloads = (0 until n).map { i =>
+        val len = (10 + (k + i) % 40).toInt
+        Array.tabulate(len)(j => ((k * 31 + i * 131 + j * 17) % 256).toByte)
+      }
+      val bytes = TfRecordCodec.encodeTfRecords(payloads)
+      val payload =
+        if (k % 13 == 0) bytes.dropRight(3)
+        else if (k % 17 == 0) { // payload byte flip -> data CRC refusal
+          val t = bytes.clone(); t(14) = (t(14) ^ 0x01).toByte; t
+        } else if (k % 19 == 0) { // length byte flip -> length CRC refusal
+          val t = bytes.clone(); t(0) = (t(0) ^ 0x01).toByte; t
+        } else bytes
+      TfRecordCodec.tfrecordProbe(payload) match {
+        case Some((nr, total, paySum, minL, maxL)) =>
+          (k, true, Some(nr), Some(total), Some(paySum), Some(minL), Some(maxL))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Long], None: Option[Long],
+            None: Option[Int], None: Option[Int])
+      }
+    }.toDF("media_id", "tfr_ok", "n_records", "bytes_total", "payload_sum",
+      "min_len", "max_len")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The census replayed from the synthesis formulas: 2 + k mod 6
+    * records of length 10 + (k+i) mod 40, payload byte j =
+    * (31k + 131i + 17j) mod 256; refusal on the truncation / data-CRC /
+    * length-CRC arms. */
+  val tfrecordReadSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(2 + k % 6 AS INTEGER) AS n,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |rec AS (
+      |  SELECT p.k, i.g AS i, 10 + (p.k + i.g) % 40 AS len
+      |  FROM p, generate_series(0, 6) i(g)
+      |  WHERE i.g < p.n AND p.ok),
+      |pay AS (
+      |  SELECT rec.k, CAST(SUM((rec.k*31 + rec.i*131 + j.g*17) % 256) AS BIGINT) AS psum
+      |  FROM rec, generate_series(0, 48) j(g)
+      |  WHERE j.g < rec.len
+      |  GROUP BY rec.k),
+      |agg AS (
+      |  SELECT k, CAST(COUNT(*) AS INTEGER) AS n_records,
+      |    CAST(SUM(len) AS BIGINT) AS bytes_total,
+      |    CAST(MIN(len) AS INTEGER) AS min_len,
+      |    CAST(MAX(len) AS INTEGER) AS max_len
+      |  FROM rec GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS tfr_ok,
+      |  agg.n_records, agg.bytes_total, pay.psum AS payload_sum,
+      |  agg.min_len, agg.max_len
+      |FROM p LEFT JOIN agg ON p.k = agg.k LEFT JOIN pay ON p.k = pay.k
       |ORDER BY media_id""".stripMargin
 
   /** LZ4 frame walk under the oracle — the third compression container
@@ -5361,6 +5433,7 @@ object Llm {
     "q_zstd_probe" -> zstdProbeSql,
     "q_utf8_census" -> utf8CensusSql,
     "q_lz4_probe" -> lz4ProbeSql,
+    "q_tfrecord_read" -> tfrecordReadSql,
     "q_ogg_probe" -> oggProbeSql,
     "q_y4m_decode" -> y4mDecodeSql,
     "q_tiff_decode" -> tiffDecodeSql,

@@ -1,0 +1,59 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import TfRecordCodec._
+
+/** TFRecord walk: CRC32C/mask reference vectors, census facts, and the
+  * every-byte-flip refusal sweep (this format checksums everything it
+  * frames — there is no honest-scope carve-out to test). */
+class TfRecordCodecSpec extends AnyFunSuite {
+
+  test("CRC32C and the TF mask match published vectors") {
+    // Castagnoli check vector: crc32c("123456789") = 0xE3069283
+    val c = new java.util.zip.CRC32C()
+    c.update("123456789".getBytes("ASCII"))
+    assert(c.getValue == 0xe3069283L)
+    // mask is an exact 32-bit rotate-right-15 + constant
+    assert(mask(0L) == 0xa282ead8L)
+    assert(mask(0xffffffffL) == ((0xffffffffL + 0xa282ead8L) & 0xffffffffL))
+  }
+
+  test("census facts: records, byte totals, payload sum, min/max lengths") {
+    val pays = Seq(Array[Byte](1, 2, 3), Array[Byte](10), Array.fill(5)(7.toByte))
+    val b = encodeTfRecords(pays)
+    assert(b.length == pays.map(_.length + 16).sum)
+    assert(tfrecordProbe(b).contains((3, 9L, 1L + 2 + 3 + 10 + 35, 1, 5)))
+    // empty payloads are legal records
+    val e = encodeTfRecords(Seq(Array.emptyByteArray, Array[Byte](42)))
+    assert(tfrecordProbe(e).contains((2, 1L, 42L, 0, 1)))
+  }
+
+  test("EVERY single-byte flip in a record refuses (lengths, CRCs, payload)") {
+    val b = encodeTfRecords(Seq(Array[Byte](5, 6, 7, 8), Array[Byte](9)))
+    b.indices.foreach { i =>
+      val t = b.clone(); t(i) = (t(i) ^ 0x01).toByte
+      assert(tfrecordProbe(t).isEmpty, s"flip at $i passed")
+    }
+  }
+
+  test("refusals: truncation at every boundary, hostile lengths, empty stream") {
+    val b = encodeTfRecords(Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5)))
+    // record spans: 19 + 18 bytes; dropping EXACTLY the second record
+    // leaves a valid one-record shard — every other cut refuses
+    (1 until b.length).foreach { d =>
+      val got = tfrecordProbe(b.dropRight(d))
+      if (d == 18) assert(got.contains((1, 3L, 6L, 3, 3)), "boundary cut is a valid shard")
+      else assert(got.isEmpty, s"drop $d")
+    }
+    assert(tfrecordProbe(Array.emptyByteArray).isEmpty)
+    assert(tfrecordProbe(b.take(15)).isEmpty)
+    // a length field claiming more than the stream holds
+    val t = b.clone(); t(0) = 0x7f
+    assert(tfrecordProbe(t).isEmpty)
+    // random junk never throws
+    val rnd = new scala.util.Random(53)
+    (0 until 2000).foreach { _ =>
+      tfrecordProbe(Array.fill(rnd.nextInt(80) + 1)(rnd.nextInt(256).toByte))
+    }
+  }
+}
