@@ -1,0 +1,212 @@
+package graft.llm
+
+/** Avro Object Container File reader — the third data-lake format next
+  * to the parquet/ORC roundtrips, implemented from the public spec
+  * (Avro 1.11 "Object Container Files"): magic `Obj\x01`, a file-
+  * metadata avro map (zigzag-varint framing), a 16-byte sync marker,
+  * then blocks of (record count, serialized byte size, records,
+  * sync-marker repeat). Codecs: `null` and `deflate` (raw RFC 1951,
+  * inflated with a thread-local raw Inflater — same pooling discipline
+  * as the PNG arm, reset before every use).
+  *
+  * Scope is pinned and honest: the reader decodes ONE record shape —
+  * the schema is passed in and the file's `avro.schema` metadata must
+  * match it byte-for-byte, any other schema refuses (schema resolution
+  * / JSON schema parsing is genuinely library work and out of scope).
+  * Everything the framing promises is verified: both sync markers per
+  * block must equal the header's, the declared block byte size must be
+  * consumed EXACTLY by the declared record count, varints are bounded,
+  * and truncation anywhere refuses. */
+object AvroCodec {
+
+  /** Canonical schema for the gated query's record shape:
+    * {id: long, name: string, score: long}. */
+  val RSchema: String =
+    """{"type":"record","name":"R","fields":[{"name":"id","type":"long"},{"name":"name","type":"string"},{"name":"score","type":"long"}]}"""
+
+  private val rawInflaters = ThreadLocal.withInitial[java.util.zip.Inflater](
+    () => new java.util.zip.Inflater(true)) // nowrap: Avro deflate is raw RFC 1951
+  private val rawDeflaters = ThreadLocal.withInitial[java.util.zip.Deflater](
+    () => new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true))
+
+  private final class Refuse extends RuntimeException
+
+  /** Bounded reader cursor over the stream. */
+  private final class Cur(val b: Array[Byte], var p: Int, val end: Int) {
+    def u8(): Int = {
+      if (p >= end) throw new Refuse
+      val v = b(p) & 0xff; p += 1; v
+    }
+    /** Avro long: little-endian base-128 varint, zigzag-decoded. */
+    def vlong(): Long = {
+      var shift = 0
+      var acc = 0L
+      var i = 0
+      while (i < 10) {
+        val v = u8()
+        acc |= (v & 0x7fL) << shift
+        if ((v & 0x80) == 0) {
+          return (acc >>> 1) ^ -(acc & 1) // zigzag
+        }
+        shift += 7
+        i += 1
+      }
+      throw new Refuse // varint longer than 10 bytes
+    }
+    def bytes(n: Int): Array[Byte] = {
+      if (n < 0 || p + n > end) throw new Refuse
+      val out = java.util.Arrays.copyOfRange(b, p, p + n); p += n
+      out
+    }
+    def skip(n: Int): Unit = { if (n < 0 || p + n > end) throw new Refuse; p += n }
+  }
+
+  /** One decoded record of the pinned shape. */
+  final case class R(id: Long, name: String, score: Long)
+
+  /** Probe + decode facts: (nBlocks, nRecords, idSum, scoreSum,
+    * nameBytes, deflated). Refuses on any framing violation. */
+  def avroRead(b: Array[Byte], schema: String = RSchema): Option[(Int, Long, Long, Long, Long, Boolean)] = try {
+    if (b == null || b.length < 4 + 1 + 16) return None
+    if (!(b(0) == 'O' && b(1) == 'b' && b(2) == 'j' && b(3) == 1)) return None
+    val c = new Cur(b, 4, b.length)
+    // file metadata: avro map<string, bytes>
+    var metaSchema: Array[Byte] = null
+    var metaCodec: Array[Byte] = null
+    var n = c.vlong()
+    while (n != 0L) {
+      val cnt = if (n < 0) { c.vlong(); -n } else n // negative: block form carries a byte size
+      if (cnt > 1000) return None // hostile metadata fan-out
+      var i = 0L
+      while (i < cnt) {
+        val klen = c.vlong()
+        if (klen < 0 || klen > (1 << 16)) return None
+        val key = new String(c.bytes(klen.toInt), "UTF-8")
+        val vlen = c.vlong()
+        if (vlen < 0 || vlen > (1 << 20)) return None
+        val v = c.bytes(vlen.toInt)
+        key match {
+          case "avro.schema" => metaSchema = v
+          case "avro.codec" => metaCodec = v
+          case _ => ()
+        }
+        i += 1
+      }
+      n = c.vlong()
+    }
+    if (metaSchema == null) return None
+    if (!java.util.Arrays.equals(metaSchema, schema.getBytes("UTF-8")))
+      return None // pinned scope: exactly the declared reader schema
+    val codec = if (metaCodec == null) "null" else new String(metaCodec, "UTF-8")
+    val deflated = codec match {
+      case "null" => false
+      case "deflate" => true
+      case _ => return None // snappy/zstd codecs out of scope: refuse
+    }
+    val sync = c.bytes(16)
+    var nBlocks = 0
+    var nRecords = 0L
+    var idSum = 0L; var scoreSum = 0L; var nameBytes = 0L
+    while (c.p < c.end) {
+      val cnt = c.vlong()
+      if (cnt <= 0 || cnt > (1 << 24)) return None
+      val size = c.vlong()
+      if (size < 0 || size > (1 << 26)) return None
+      val raw = c.bytes(size.toInt)
+      val data =
+        if (!deflated) raw
+        else {
+          val inf = rawInflaters.get()
+          inf.reset()
+          inf.setInput(raw)
+          val out = new java.io.ByteArrayOutputStream(raw.length * 2 + 64)
+          val buf = new Array[Byte](8192)
+          while (!inf.finished()) {
+            val m = inf.inflate(buf)
+            if (m == 0) {
+              if (inf.needsInput() || inf.needsDictionary()) return None // truncated deflate
+            } else out.write(buf, 0, m)
+            if (out.size() > (1 << 26)) return None // decompression bomb
+          }
+          out.toByteArray
+        }
+      val rc = new Cur(data, 0, data.length)
+      var i = 0L
+      while (i < cnt) {
+        val id = rc.vlong()
+        val nameLen = rc.vlong()
+        if (nameLen < 0 || nameLen > (1 << 20)) return None
+        val nm = rc.bytes(nameLen.toInt)
+        val score = rc.vlong()
+        idSum += id; scoreSum += score; nameBytes += nm.length
+        i += 1
+      }
+      if (rc.p != data.length) return None // declared size not consumed exactly
+      if (!java.util.Arrays.equals(c.bytes(16), sync)) return None // sync mismatch
+      nBlocks += 1
+      nRecords += cnt
+    }
+    if (nBlocks == 0) return None
+    Some((nBlocks, nRecords, idSum, scoreSum, nameBytes, deflated))
+  } catch {
+    case _: Refuse => None
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: java.util.zip.DataFormatException => None
+  }
+
+  // ---- writer (tests the READER; mirrors what avro-tools would emit) ----
+
+  private def writeVarint(out: java.io.ByteArrayOutputStream, value: Long): Unit = {
+    var v = (value << 1) ^ (value >> 63) // zigzag
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write((v & 0x7f).toInt)
+  }
+
+  /** Spec-vector access for the test suite. */
+  private[llm] def writeVarintForTest(out: java.io.ByteArrayOutputStream,
+                                      value: Long): Unit = writeVarint(out, value)
+
+  def encodeAvro(records: Seq[R], blockSize: Int, deflate: Boolean,
+                 sync: Array[Byte], schema: String = RSchema): Array[Byte] = {
+    require(records.nonEmpty && blockSize > 0 && sync.length == 16)
+    val out = new java.io.ByteArrayOutputStream
+    out.write('O'); out.write('b'); out.write('j'); out.write(1)
+    val meta: Seq[(String, Array[Byte])] = Seq(
+      "avro.schema" -> schema.getBytes("UTF-8"),
+      "avro.codec" -> (if (deflate) "deflate" else "null").getBytes("UTF-8"))
+    writeVarint(out, meta.length.toLong)
+    meta.foreach { case (k, v) =>
+      val kb = k.getBytes("UTF-8")
+      writeVarint(out, kb.length.toLong); out.write(kb, 0, kb.length)
+      writeVarint(out, v.length.toLong); out.write(v, 0, v.length)
+    }
+    writeVarint(out, 0L)
+    out.write(sync, 0, 16)
+    records.grouped(blockSize).foreach { blk =>
+      val body = new java.io.ByteArrayOutputStream
+      blk.foreach { r =>
+        writeVarint(body, r.id)
+        val nb = r.name.getBytes("UTF-8")
+        writeVarint(body, nb.length.toLong); body.write(nb, 0, nb.length)
+        writeVarint(body, r.score)
+      }
+      val raw = body.toByteArray
+      val data =
+        if (!deflate) raw
+        else {
+          val d = rawDeflaters.get()
+          d.reset()
+          d.setInput(raw); d.finish()
+          val z = new java.io.ByteArrayOutputStream
+          val buf = new Array[Byte](8192)
+          while (!d.finished()) z.write(buf, 0, d.deflate(buf))
+          z.toByteArray
+        }
+      writeVarint(out, blk.length.toLong)
+      writeVarint(out, data.length.toLong)
+      out.write(data, 0, data.length)
+      out.write(sync, 0, 16)
+    }
+    out.toByteArray
+  }
+}

@@ -1996,6 +1996,7 @@ object Llm {
     "q_utf8_census" -> (utf8CensusQ _),
     "q_lz4_probe" -> (lz4Probe _),
     "q_tfrecord_read" -> (tfrecordRead _),
+    "q_avro_read" -> (avroRead _),
     "q_ogg_probe" -> (oggProbe _),
     "q_y4m_decode" -> (y4mDecodeQ _),
     "q_tiff_decode" -> (tiffDecode _),
@@ -3150,6 +3151,82 @@ object Llm {
       |  CASE WHEN p.ok THEN CAST(CASE WHEN p.k % 5 = 0 THEN 1 ELSE 0 END AS INTEGER) END AS n_skip,
       |  agg.n_blocks, agg.n_raw, agg.n_rle, agg.n_comp,
       |  agg.content_declared, agg.n_declaring, agg.n_checksum
+      |FROM p LEFT JOIN agg ON p.k = agg.k
+      |ORDER BY media_id""".stripMargin
+
+  /** Avro Object Container File reader under the oracle — the third
+    * data-lake format next to the parquet/ORC roundtrips (see
+    * [[graft.llm.AvroCodec]]): per-key OCF files of {id: long,
+    * name: string, score: long} records with real zigzag-varint
+    * encoding (wire form pinned to the spec's reference bytes in the
+    * spec suite), 4-record blocks, per-key sync markers repeated and
+    * VERIFIED per block, and the deflate codec (raw RFC 1951 through
+    * the pooled raw Inflater) on every third key. The reader's schema
+    * scope is pinned: the file's avro.schema metadata must equal the
+    * reader's schema byte-for-byte. Refusal arms: truncation
+    * (k mod 13), a sync flip (k mod 17), and a schema mismatch
+    * (k mod 19). */
+  def avroRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.AvroCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val n = (5 + k % 20).toInt
+      val rs = (0 until n).map { i =>
+        AvroCodec.R(id = k * 1000 + i,
+          name = ("" + ('a' + (k + i) % 26).toChar) * (1 + (k + i) % 8).toInt,
+          score = (k * 7 + i * 13) % 10000)
+      }
+      val sync = Array.tabulate(16)(j => ((k + j * 7) % 256).toByte)
+      val schema =
+        if (k % 19 == 0 && k % 13 != 0 && k % 17 != 0)
+          AvroCodec.RSchema.replace("score", "sc0re") // pin-refusal arm
+        else AvroCodec.RSchema
+      val bytes = AvroCodec.encodeAvro(rs, blockSize = 4,
+        deflate = k % 3 == 0, sync = sync, schema = schema)
+      val payload =
+        if (k % 13 == 0) bytes.dropRight(5)
+        else if (k % 17 == 0) {
+          val t = bytes.clone()
+          t(t.length - 1) = (t(t.length - 1) ^ 0x2a).toByte // last sync byte
+          t
+        } else bytes
+      AvroCodec.avroRead(payload) match {
+        case Some((nb, nr, idSum, scSum, nmBytes, defl)) =>
+          (k, true, Some(nb), Some(nr), Some(idSum), Some(scSum),
+            Some(nmBytes), Some(defl))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Long], None: Option[Long],
+            None: Option[Long], None: Option[Long], None: Option[Boolean])
+      }
+    }.toDF("media_id", "avro_ok", "n_blocks", "n_records", "id_sum",
+      "score_sum", "name_bytes", "deflated")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The facts replayed from the synthesis formulas: n = 5 + k mod 20
+    * records in ⌈n/4⌉ blocks, id k·1000 + i, score (7k + 13i) mod
+    * 10000, name length 1 + (k+i) mod 8; deflate exactly when 3 | k;
+    * refusal on the truncation / sync-flip / schema-pin arms. */
+  val avroReadSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(5 + k % 20 AS BIGINT) AS n,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |rec AS (
+      |  SELECT p.k, p.n, i.g AS i
+      |  FROM p, generate_series(0, 24) i(g)
+      |  WHERE i.g < p.n AND p.ok),
+      |agg AS (
+      |  SELECT k, CAST(SUM(k * 1000 + i) AS BIGINT) AS id_sum,
+      |    CAST(SUM((k * 7 + i * 13) % 10000) AS BIGINT) AS score_sum,
+      |    CAST(SUM(1 + (k + i) % 8) AS BIGINT) AS name_bytes
+      |  FROM rec GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS avro_ok,
+      |  CASE WHEN p.ok THEN CAST((p.n + 3) // 4 AS INTEGER) END AS n_blocks,
+      |  CASE WHEN p.ok THEN p.n END AS n_records,
+      |  agg.id_sum, agg.score_sum, agg.name_bytes,
+      |  CASE WHEN p.ok THEN p.k % 3 = 0 END AS deflated
       |FROM p LEFT JOIN agg ON p.k = agg.k
       |ORDER BY media_id""".stripMargin
 
@@ -5434,6 +5511,7 @@ object Llm {
     "q_utf8_census" -> utf8CensusSql,
     "q_lz4_probe" -> lz4ProbeSql,
     "q_tfrecord_read" -> tfrecordReadSql,
+    "q_avro_read" -> avroReadSql,
     "q_ogg_probe" -> oggProbeSql,
     "q_y4m_decode" -> y4mDecodeSql,
     "q_tiff_decode" -> tiffDecodeSql,

@@ -1,0 +1,78 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import AvroCodec._
+
+/** Avro OCF reader: framing law (magic, metadata map, per-block sync
+  * repeats, exact block sizing), zigzag varints, both codecs, the
+  * pinned-schema refusal. The zigzag wire form is pinned against the
+  * spec's reference bytes so the reader is proven against the SPEC,
+  * not just against our own writer. */
+class AvroCodecSpec extends AnyFunSuite {
+
+  private val sync = Array.tabulate(16)(i => (i * 17 + 3).toByte)
+  private def recs(n: Int) = (0 until n).map(i =>
+    R(id = 1000L + i, name = "u" * (1 + i % 4), score = i * 13L - 5))
+
+  test("zigzag varint wire form matches the Avro spec's reference encoding") {
+    // spec table: 0->00, -1->01, 1->02, -2->03, 2->04; 64->80 01; -64->7f
+    def enc(v: Long): Seq[Int] = {
+      val o = new java.io.ByteArrayOutputStream
+      AvroCodec.writeVarintForTest(o, v)
+      o.toByteArray.map(_ & 0xff).toSeq
+    }
+    assert(enc(0L) == Seq(0x00))
+    assert(enc(-1L) == Seq(0x01))
+    assert(enc(1L) == Seq(0x02))
+    assert(enc(-2L) == Seq(0x03))
+    assert(enc(2L) == Seq(0x04))
+    assert(enc(64L) == Seq(0x80, 0x01))
+    assert(enc(-64L) == Seq(0x7f))
+    assert(enc(Long.MinValue) == Seq(0xff, 0xff, 0xff, 0xff, 0xff, 0xff,
+      0xff, 0xff, 0xff, 0x01))
+  }
+
+  test("roundtrip facts: both codecs, multi-block, exact sums") {
+    val rs = recs(11)
+    val idSum = rs.map(_.id).sum
+    val scoreSum = rs.map(_.score).sum
+    val nameBytes = rs.map(_.name.length.toLong).sum
+    val plain = encodeAvro(rs, blockSize = 4, deflate = false, sync)
+    assert(avroRead(plain).contains((3, 11L, idSum, scoreSum, nameBytes, false)))
+    val defl = encodeAvro(rs, blockSize = 5, deflate = true, sync)
+    assert(avroRead(defl).contains((3, 11L, idSum, scoreSum, nameBytes, true)))
+  }
+
+  test("refusals: magic, schema pin, codec scope, sync mismatch, truncation, dangling") {
+    val b = encodeAvro(recs(6), blockSize = 3, deflate = false, sync)
+    val m = b.clone(); m(3) = 2
+    assert(avroRead(m).isEmpty) // magic version
+    // a different schema string refuses (pinned reader scope)
+    val other = encodeAvro(recs(6), 3, deflate = false, sync,
+      schema = RSchema.replace("score", "points"))
+    assert(avroRead(other).isEmpty)
+    // unsupported codec name (same length as "null") refuses
+    val snappy = new String(b, "ISO-8859-1").replaceFirst("null", "funk")
+    assert(avroRead(snappy.getBytes("ISO-8859-1")).isEmpty)
+    // any block's sync must repeat the header's
+    val sm = b.clone(); sm(b.length - 1) = (sm(b.length - 1) ^ 0x55).toByte
+    assert(avroRead(sm).isEmpty)
+    // cuts inside the trailing block all refuse (the block spans >20 bytes)
+    (1 to 20).foreach(d => assert(avroRead(b.dropRight(d)).isEmpty, s"drop $d"))
+    assert(avroRead(b ++ Array[Byte](1)).isEmpty) // dangling byte
+    // honest scope: raw RFC 1951 deflate carries NO integrity check, so
+    // a content flip may refuse (broken stream / size contract) or
+    // decode to altered facts — what the reader promises is that it
+    // never throws and never mis-frames
+    val defl = encodeAvro(recs(4), blockSize = 4, deflate = true, sync)
+    val dz = defl.clone(); dz(defl.length - 20) = (dz(defl.length - 20) ^ 0x10).toByte
+    avroRead(dz) // must not throw
+    // random junk never throws
+    val rnd = new scala.util.Random(61)
+    (0 until 2000).foreach { _ =>
+      avroRead(Array.fill(rnd.nextInt(96) + 1)(rnd.nextInt(256).toByte))
+      avroRead(Array[Byte]('O', 'b', 'j', 1) ++
+        Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte))
+    }
+  }
+}
