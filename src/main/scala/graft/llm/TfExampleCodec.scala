@@ -1,0 +1,196 @@
+package graft.llm
+
+/** tf.Example reader — the record schema inside TFRecord shards (the
+  * public protobuf: Example{features: Features}, Features{feature:
+  * map<string, Feature>}, Feature{oneof: BytesList | FloatList |
+  * Int64List}). Implemented directly on the protobuf wire format
+  * (varint / 64-bit / length-delimited / 32-bit wire types, §encoding
+  * of the public protobuf spec) with strict bounds at every level —
+  * no generated code, no descriptor machinery, exactly the four
+  * message shapes pinned above (tf.SequenceExample or any other field
+  * number refuses; probing never guesses).
+  *
+  * The wire walk verifies what the format states: every length-
+  * delimited field must sit inside its parent exactly, varints are
+  * bounded at 10 bytes, the map entries carry exactly key + value,
+  * packed and unpacked int64 lists both decode (both are legal wire
+  * forms), and trailing bytes at any level refuse. Floats are counted
+  * and bit-summed (exact integers), never accumulated as IEEE sums —
+  * cross-engine float addition is the one thing an oracle can't
+  * replay. */
+object TfExampleCodec {
+
+  private final class Refuse extends RuntimeException
+
+  private final class Cur(val b: Array[Byte], var p: Int, val end: Int) {
+    def done: Boolean = p >= end
+    def u8(): Int = {
+      if (p >= end) throw new Refuse
+      val v = b(p) & 0xff; p += 1; v
+    }
+    def varint(): Long = {
+      var shift = 0
+      var acc = 0L
+      var i = 0
+      while (i < 10) {
+        val v = u8()
+        acc |= (v & 0x7fL) << shift
+        if ((v & 0x80) == 0) return acc
+        shift += 7
+        i += 1
+      }
+      throw new Refuse
+    }
+    def fixed32(): Long = {
+      if (p + 4 > end) throw new Refuse
+      val v = (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+      p += 4; v
+    }
+    def sub(len: Int): Cur = {
+      if (len < 0 || p + len > end) throw new Refuse
+      val c = new Cur(b, p, p + len); p += len; c
+    }
+  }
+
+  /** Census facts over ONE serialized Example:
+    * (nFeatures, nInt64Lists, nFloatLists, nBytesLists,
+    * int64ValueCount, int64Sum, floatValueCount, floatBitsXor,
+    * bytesValueCount, bytesTotalLen, keyBytes). */
+  def exampleRead(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Long, Long, Long, Long, Long, Long, Long)] = try {
+    if (bytes == null) return None
+    val c = new Cur(bytes, 0, bytes.length)
+    var nFeat = 0; var nI64 = 0; var nF32 = 0; var nBytes = 0
+    var i64Cnt = 0L; var i64Sum = 0L
+    var f32Cnt = 0L; var f32Xor = 0L
+    var bCnt = 0L; var bLen = 0L; var keyBytes = 0L
+    while (!c.done) {
+      val tag = c.varint()
+      if (tag != ((1L << 3) | 2)) return None // Example.features only
+      val feats = c.sub(c.varint().toInt)
+      while (!feats.done) {
+        val ftag = feats.varint()
+        if (ftag != ((1L << 3) | 2)) return None // Features.feature map entry
+        val entry = feats.sub(feats.varint().toInt)
+        var sawKey = false; var sawVal = false
+        while (!entry.done) {
+          val etag = entry.varint()
+          if (etag == ((1L << 3) | 2)) { // key: string
+            if (sawKey) return None
+            sawKey = true
+            val k = entry.sub(entry.varint().toInt)
+            keyBytes += k.end - k.p
+          } else if (etag == ((2L << 3) | 2)) { // value: Feature
+            if (sawVal) return None
+            sawVal = true
+            val feat = entry.sub(entry.varint().toInt)
+            if (!feat.done) {
+              val otag = feat.varint()
+              val inner = feat.sub(feat.varint().toInt)
+              otag match {
+                case t if t == ((1L << 3) | 2) => // BytesList
+                  nBytes += 1
+                  while (!inner.done) {
+                    if (inner.varint() != ((1L << 3) | 2)) return None
+                    val v = inner.sub(inner.varint().toInt)
+                    bCnt += 1; bLen += v.end - v.p
+                  }
+                case t if t == ((2L << 3) | 2) => // FloatList
+                  nF32 += 1
+                  while (!inner.done) {
+                    val lt = inner.varint()
+                    if (lt == ((1L << 3) | 2)) { // packed floats
+                      val vals = inner.sub(inner.varint().toInt)
+                      if ((vals.end - vals.p) % 4 != 0) return None
+                      while (!vals.done) { f32Xor ^= vals.fixed32(); f32Cnt += 1 }
+                    } else if (lt == ((1L << 3) | 5)) { // unpacked float
+                      f32Xor ^= inner.fixed32(); f32Cnt += 1
+                    } else return None
+                  }
+                case t if t == ((3L << 3) | 2) => // Int64List
+                  nI64 += 1
+                  while (!inner.done) {
+                    val lt = inner.varint()
+                    if (lt == ((1L << 3) | 2)) { // packed varints
+                      val vals = inner.sub(inner.varint().toInt)
+                      while (!vals.done) { i64Sum += vals.varint(); i64Cnt += 1 }
+                    } else if (lt == ((1L << 3) | 0)) { // unpacked varint
+                      i64Sum += inner.varint(); i64Cnt += 1
+                    } else return None
+                  }
+                case _ => return None // unknown Feature oneof arm
+              }
+              if (!feat.done) return None // a Feature carries ONE list
+            }
+          } else return None // unknown map-entry field
+        }
+        if (!sawKey || !sawVal) return None // map entries carry both
+        nFeat += 1
+      }
+    }
+    Some((nFeat, nI64, nF32, nBytes, i64Cnt, i64Sum, f32Cnt, f32Xor,
+      bCnt, bLen, keyBytes))
+  } catch {
+    case _: Refuse => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  // ---- writer (tests the READER; canonical proto3-style wire form) -----
+
+  sealed trait FeatureVal
+  final case class I64s(vs: Seq[Long], packed: Boolean = true) extends FeatureVal
+  final case class F32s(bits: Seq[Int], packed: Boolean = true) extends FeatureVal
+  final case class Bs(vs: Seq[Array[Byte]]) extends FeatureVal
+
+  private def wv(o: java.io.ByteArrayOutputStream, value: Long): Unit = {
+    var v = value
+    while ((v & ~0x7fL) != 0) { o.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    o.write((v & 0x7f).toInt)
+  }
+  private def ld(o: java.io.ByteArrayOutputStream, field: Int,
+                 body: Array[Byte]): Unit = {
+    wv(o, (field.toLong << 3) | 2)
+    wv(o, body.length.toLong)
+    o.write(body, 0, body.length)
+  }
+
+  def encodeExample(features: Seq[(String, FeatureVal)]): Array[Byte] = {
+    val feats = new java.io.ByteArrayOutputStream
+    features.foreach { case (key, value) =>
+      val entry = new java.io.ByteArrayOutputStream
+      ld(entry, 1, key.getBytes("UTF-8"))
+      val feat = new java.io.ByteArrayOutputStream
+      value match {
+        case I64s(vs, packed) =>
+          val inner = new java.io.ByteArrayOutputStream
+          if (packed) {
+            val pk = new java.io.ByteArrayOutputStream
+            vs.foreach(wv(pk, _))
+            ld(inner, 1, pk.toByteArray)
+          } else vs.foreach { v => wv(inner, (1L << 3) | 0); wv(inner, v) }
+          ld(feat, 3, inner.toByteArray)
+        case F32s(bits, packed) =>
+          val inner = new java.io.ByteArrayOutputStream
+          def w32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+            o.write(v & 0xff); o.write((v >> 8) & 0xff)
+            o.write((v >> 16) & 0xff); o.write((v >> 24) & 0xff)
+          }
+          if (packed) {
+            val pk = new java.io.ByteArrayOutputStream
+            bits.foreach(w32(pk, _))
+            ld(inner, 1, pk.toByteArray)
+          } else bits.foreach { v => wv(inner, (1L << 3) | 5); w32(inner, v) }
+          ld(feat, 2, inner.toByteArray)
+        case Bs(vs) =>
+          val inner = new java.io.ByteArrayOutputStream
+          vs.foreach(ld(inner, 1, _))
+          ld(feat, 1, inner.toByteArray)
+      }
+      ld(entry, 2, feat.toByteArray)
+      ld(feats, 1, entry.toByteArray)
+    }
+    val out = new java.io.ByteArrayOutputStream
+    ld(out, 1, feats.toByteArray)
+    out.toByteArray
+  }
+}

@@ -65,6 +65,28 @@ object TfRecordCodec {
     case _: ArrayIndexOutOfBoundsException => None
   }
 
+  /** The record payloads of a shard, CRC-verified exactly like
+    * [[tfrecordProbe]] — the slice a record-level decoder (tf.Example)
+    * consumes after the framing pass admits the shard. */
+  def tfrecordPayloads(b: Array[Byte]): Option[Seq[Array[Byte]]] = try {
+    if (b == null || b.length < 16) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var p = 0
+    while (p < b.length) {
+      if (p + 12 > b.length) return None
+      val len = le64(b, p)
+      if (len < 0 || len > Int.MaxValue || p + 12 + len + 4 > b.length) return None
+      if (le32(b, p + 8) != mask(crc32c(b, p, 8))) return None
+      val l = len.toInt
+      if (le32(b, p + 12 + l) != mask(crc32c(b, p + 12, l))) return None
+      out += java.util.Arrays.copyOfRange(b, p + 12, p + 12 + l)
+      p += 16 + l
+    }
+    if (out.isEmpty) None else Some(out.toSeq)
+  } catch {
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
   /** Write a TFRecord stream with REAL masked CRCs over deterministic
     * payloads (`payload(recordIndex) = bytes`). Conformance encoder for
     * the probe. */

@@ -1996,6 +1996,7 @@ object Llm {
     "q_utf8_census" -> (utf8CensusQ _),
     "q_lz4_probe" -> (lz4Probe _),
     "q_tfrecord_read" -> (tfrecordRead _),
+    "q_tfexample_read" -> (tfexampleRead _),
     "q_avro_read" -> (avroRead _),
     "q_ogg_probe" -> (oggProbe _),
     "q_y4m_decode" -> (y4mDecodeQ _),
@@ -3299,6 +3300,115 @@ object Llm {
       |  agg.n_records, agg.bytes_total, pay.psum AS payload_sum,
       |  agg.min_len, agg.max_len
       |FROM p LEFT JOIN agg ON p.k = agg.k LEFT JOIN pay ON p.k = pay.k
+      |ORDER BY media_id""".stripMargin
+
+  /** tf.Example-over-TFRecord under the oracle — the ACTUAL tensor-
+    * pipeline record path composed end-to-end (see
+    * [[graft.llm.TfExampleCodec]]): per-key shards whose CRC-verified
+    * payloads are real tf.Example protobufs ({id: int64, tok:
+    * int64_list, txt: bytes, w: float_list}, alternating packed and
+    * unpacked wire forms), framed by [[graft.llm.TfRecordCodec]] and
+    * decoded by the pinned wire-format reader. Float values are
+    * censused by count and BIT-XOR (exact integers — IEEE accumulation
+    * is the one thing a cross-engine oracle can't replay). Refusal
+    * arms: shard truncation (k mod 13), a payload flip the record CRC
+    * catches (k mod 17), and a CRC-VALID record whose protobuf is not
+    * a tf.Example (k mod 19) — the framing pass and the schema pass
+    * refuse independently. */
+  def tfexampleRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.{TfExampleCodec, TfRecordCodec}
+    import TfExampleCodec.{Bs, F32s, I64s}
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val n = (3 + k % 5).toInt
+      def exBytes(i: Int): Array[Byte] = {
+        val m = (2 + (k + i) % 6).toInt
+        val f = (1 + (k + i) % 3).toInt
+        val bl = (1 + (k + i) % 9).toInt
+        TfExampleCodec.encodeExample(Seq(
+          "id" -> I64s(Seq(k * 100 + i)),
+          "tok" -> I64s((0 until m).map(j => (k + i * 7 + j * 13) % 5000),
+            packed = (k + i) % 2 == 0),
+          "txt" -> Bs(Seq(Array.tabulate(bl)(j => ('a' + (k + i + j) % 26).toByte))),
+          "w" -> F32s((0 until f).map(j => ((k * 31 + i * 17 + j * 7) % 100000).toInt),
+            packed = (k + i) % 2 == 1)))
+      }
+      val payloads = (0 until n).map { i =>
+        if (k % 19 == 0 && i == 0 && k % 13 != 0 && k % 17 != 0)
+          Array[Byte](0x1a, 0x02, 1, 2) // CRC-valid record, NOT a tf.Example
+        else exBytes(i)
+      }
+      val shard = TfRecordCodec.encodeTfRecords(payloads)
+      val bytes =
+        if (k % 13 == 0) shard.dropRight(4)
+        else if (k % 17 == 0) {
+          val t = shard.clone(); t(13) = (t(13) ^ 0x01).toByte; t
+        } else shard
+      val facts = TfRecordCodec.tfrecordPayloads(bytes).flatMap { ps =>
+        val decs = ps.map(TfExampleCodec.exampleRead)
+        if (decs.exists(_.isEmpty)) None
+        else Some(decs.map(_.get).foldLeft((0, 0L, 0L, 0L, 0L, 0L, 0L)) {
+          case ((nf, ic, is, fc, fx, bl, kb), d) =>
+            (nf + d._1, ic + d._5, is + d._6, fc + d._7, fx ^ d._8,
+              bl + d._10, kb + d._11)
+        })
+      }
+      facts match {
+        case Some((nf, ic, is, fc, fx, bl, kb)) =>
+          (k, true, Some(n), Some(nf), Some(ic), Some(is), Some(fc),
+            Some(fx), Some(bl), Some(kb))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int], None: Option[Long],
+            None: Option[Long], None: Option[Long], None: Option[Long],
+            None: Option[Long], None: Option[Long])
+      }
+    }.toDF("media_id", "tfx_ok", "n_examples", "n_features", "i64_cnt",
+      "i64_sum", "f32_cnt", "f32_xor", "bytes_len", "key_bytes")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The census replayed from the synthesis formulas: n = 3 + k mod 5
+    * examples, each with 4 features; tok list length 2 + (k+i) mod 6,
+    * float count 1 + (k+i) mod 3 (bit_xor over the value formula),
+    * text length 1 + (k+i) mod 9, key bytes 9 per example. */
+  val tfexampleReadSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(3 + k % 5 AS INTEGER) AS n,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |ex AS (
+      |  SELECT p.k, p.n, i.g AS i,
+      |    2 + (p.k + i.g) % 6 AS m, 1 + (p.k + i.g) % 3 AS f,
+      |    1 + (p.k + i.g) % 9 AS bl
+      |  FROM p, generate_series(0, 7) i(g)
+      |  WHERE i.g < p.n AND p.ok),
+      |toks AS (
+      |  SELECT ex.k, CAST(SUM((ex.k + ex.i * 7 + j.g * 13) % 5000) AS BIGINT) AS tok_sum
+      |  FROM ex, generate_series(0, 7) j(g)
+      |  WHERE j.g < ex.m GROUP BY ex.k),
+      |flts AS (
+      |  SELECT ex.k,
+      |    CAST(BIT_XOR((ex.k * 31 + ex.i * 17 + j.g * 7) % 100000) AS BIGINT) AS fxor,
+      |    CAST(COUNT(*) AS BIGINT) AS fcnt
+      |  FROM ex, generate_series(0, 2) j(g)
+      |  WHERE j.g < ex.f GROUP BY ex.k),
+      |agg AS (
+      |  SELECT k, CAST(SUM(1 + m) AS BIGINT) AS i64_cnt,
+      |    CAST(SUM(k * 100 + i) AS BIGINT) AS id_sum,
+      |    CAST(SUM(bl) AS BIGINT) AS bytes_len,
+      |    CAST(COUNT(*) * 9 AS BIGINT) AS key_bytes,
+      |    CAST(COUNT(*) * 4 AS INTEGER) AS n_features
+      |  FROM ex GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS tfx_ok,
+      |  CASE WHEN p.ok THEN p.n END AS n_examples,
+      |  agg.n_features, agg.i64_cnt,
+      |  agg.id_sum + toks.tok_sum AS i64_sum,
+      |  flts.fcnt AS f32_cnt, flts.fxor AS f32_xor,
+      |  agg.bytes_len, agg.key_bytes
+      |FROM p LEFT JOIN agg ON p.k = agg.k
+      |LEFT JOIN toks ON p.k = toks.k
+      |LEFT JOIN flts ON p.k = flts.k
       |ORDER BY media_id""".stripMargin
 
   /** LZ4 frame walk under the oracle — the third compression container
@@ -5511,6 +5621,7 @@ object Llm {
     "q_utf8_census" -> utf8CensusSql,
     "q_lz4_probe" -> lz4ProbeSql,
     "q_tfrecord_read" -> tfrecordReadSql,
+    "q_tfexample_read" -> tfexampleReadSql,
     "q_avro_read" -> avroReadSql,
     "q_ogg_probe" -> oggProbeSql,
     "q_y4m_decode" -> y4mDecodeSql,

@@ -1,0 +1,82 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import TfExampleCodec._
+
+/** tf.Example wire-format reader: the pinned message shapes, packed
+  * and unpacked list forms, exact census facts, strict sub-message
+  * bounds, and the unknown-field refusal scope. */
+class TfExampleCodecSpec extends AnyFunSuite {
+
+  test("census facts over a mixed example; packed and unpacked forms agree") {
+    val ex = encodeExample(Seq(
+      "ids" -> I64s(Seq(5L, -3L, 1000000L)),
+      "vec" -> F32s(Seq(java.lang.Float.floatToIntBits(1.5f),
+        java.lang.Float.floatToIntBits(-2.0f))),
+      "doc" -> Bs(Seq("hello".getBytes, "x".getBytes))))
+    val got = exampleRead(ex).get
+    // 3 features: 1 int64 list (3 vals, sum 999997 as unsigned varint
+    // semantics: -3 encodes as 2^64-3 and sums back exactly in Long
+    // two's complement), 1 float list (2 vals), 1 bytes list (2 vals, 6 bytes)
+    assert(got._1 == 3 && got._2 == 1 && got._3 == 1 && got._4 == 1)
+    assert(got._5 == 3 && got._6 == 5L - 3L + 1000000L)
+    assert(got._7 == 2)
+    assert(got._8 == (java.lang.Float.floatToIntBits(1.5f).toLong ^
+      (java.lang.Float.floatToIntBits(-2.0f) & 0xffffffffL)))
+    assert(got._9 == 2 && got._10 == 6)
+    assert(got._11 == "ids".length + "vec".length + "doc".length)
+    // unpacked wire forms are legal and decode to the same facts
+    val un = encodeExample(Seq(
+      "ids" -> I64s(Seq(5L, -3L, 1000000L), packed = false),
+      "vec" -> F32s(Seq(java.lang.Float.floatToIntBits(1.5f),
+        java.lang.Float.floatToIntBits(-2.0f)), packed = false),
+      "doc" -> Bs(Seq("hello".getBytes, "x".getBytes))))
+    assert(exampleRead(un).contains(got))
+  }
+
+  test("empty shapes: no features, empty lists, empty byte strings") {
+    assert(exampleRead(encodeExample(Seq.empty)).contains(
+      (0, 0, 0, 0, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    val e = encodeExample(Seq("a" -> I64s(Seq.empty), "b" -> Bs(Seq(Array.emptyByteArray))))
+    assert(exampleRead(e).contains((2, 1, 0, 1, 0L, 0L, 0L, 0L, 1L, 0L, 2L)))
+  }
+
+  test("refusals: unknown fields, truncation, length overruns, junk") {
+    val ex = encodeExample(Seq("k" -> I64s(Seq(7L))))
+    // every truncation refuses (nested lengths stop fitting)
+    (1 until ex.length).foreach(d =>
+      assert(exampleRead(ex.dropRight(d)).isEmpty, s"drop $d"))
+    // a top-level field that isn't Example.features
+    val bad = ex.clone(); bad(0) = 0x1a // field 3, wire 2
+    assert(exampleRead(bad).isEmpty)
+    // a length claiming more than the stream holds
+    val over = ex.clone(); over(1) = (over(1) + 40).toByte
+    assert(exampleRead(over).isEmpty)
+    // dangling byte after the message
+    assert(exampleRead(ex ++ Array[Byte](0)).isEmpty)
+    // random junk never throws
+    val rnd = new scala.util.Random(71)
+    (0 until 2000).foreach { _ =>
+      exampleRead(Array.fill(rnd.nextInt(80))(rnd.nextInt(256).toByte))
+    }
+  }
+
+  test("composes with TFRecord: a shard of tf.Examples reads end-to-end") {
+    val shard = TfRecordCodec.encodeTfRecords((0 until 4).map(i =>
+      encodeExample(Seq(
+        "id" -> I64s(Seq(100L + i)),
+        "txt" -> Bs(Seq(("doc" + i).getBytes))))))
+    val (n, _, _, _, _) = TfRecordCodec.tfrecordProbe(shard).get
+    assert(n == 4)
+    // walk records and decode each payload (the real pipeline shape)
+    var p = 0
+    var idSum = 0L
+    (0 until 4).foreach { _ =>
+      val len = (0 until 8).map(j => (shard(p + j) & 0xffL) << (8 * j)).sum.toInt
+      val payload = java.util.Arrays.copyOfRange(shard, p + 12, p + 12 + len)
+      idSum += exampleRead(payload).get._6
+      p += 16 + len
+    }
+    assert(idSum == 100L + 101 + 102 + 103)
+  }
+}
