@@ -29,37 +29,7 @@ object AvroCodec {
   private val rawDeflaters = ThreadLocal.withInitial[java.util.zip.Deflater](
     () => new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true))
 
-  private final class Refuse extends RuntimeException
-
-  /** Bounded reader cursor over the stream. */
-  private final class Cur(val b: Array[Byte], var p: Int, val end: Int) {
-    def u8(): Int = {
-      if (p >= end) throw new Refuse
-      val v = b(p) & 0xff; p += 1; v
-    }
-    /** Avro long: little-endian base-128 varint, zigzag-decoded. */
-    def vlong(): Long = {
-      var shift = 0
-      var acc = 0L
-      var i = 0
-      while (i < 10) {
-        val v = u8()
-        acc |= (v & 0x7fL) << shift
-        if ((v & 0x80) == 0) {
-          return (acc >>> 1) ^ -(acc & 1) // zigzag
-        }
-        shift += 7
-        i += 1
-      }
-      throw new Refuse // varint longer than 10 bytes
-    }
-    def bytes(n: Int): Array[Byte] = {
-      if (n < 0 || p + n > end) throw new Refuse
-      val out = java.util.Arrays.copyOfRange(b, p, p + n); p += n
-      out
-    }
-    def skip(n: Int): Unit = { if (n < 0 || p + n > end) throw new Refuse; p += n }
-  }
+  import ByteIo.{Refuse, WireCur}
 
   /** One decoded record of the pinned shape. */
   final case class R(id: Long, name: String, score: Long)
@@ -69,22 +39,22 @@ object AvroCodec {
   def avroRead(b: Array[Byte], schema: String = RSchema): Option[(Int, Long, Long, Long, Long, Boolean)] = try {
     if (b == null || b.length < 4 + 1 + 16) return None
     if (!(b(0) == 'O' && b(1) == 'b' && b(2) == 'j' && b(3) == 1)) return None
-    val c = new Cur(b, 4, b.length)
+    val c = new WireCur(b, 4, b.length)
     // file metadata: avro map<string, bytes>
     var metaSchema: Array[Byte] = null
     var metaCodec: Array[Byte] = null
-    var n = c.vlong()
+    var n = c.zigzag()
     while (n != 0L) {
-      val cnt = if (n < 0) { c.vlong(); -n } else n // negative: block form carries a byte size
+      val cnt = if (n < 0) { c.zigzag(); -n } else n // negative: block form carries a byte size
       if (cnt > 1000) return None // hostile metadata fan-out
       var i = 0L
       while (i < cnt) {
-        val klen = c.vlong()
+        val klen = c.zigzag()
         if (klen < 0 || klen > (1 << 16)) return None
-        val key = new String(c.bytes(klen.toInt), "UTF-8")
-        val vlen = c.vlong()
+        val key = new String(c.bytes(klen), "UTF-8")
+        val vlen = c.zigzag()
         if (vlen < 0 || vlen > (1 << 20)) return None
-        val v = c.bytes(vlen.toInt)
+        val v = c.bytes(vlen)
         key match {
           case "avro.schema" => metaSchema = v
           case "avro.codec" => metaCodec = v
@@ -92,7 +62,7 @@ object AvroCodec {
         }
         i += 1
       }
-      n = c.vlong()
+      n = c.zigzag()
     }
     if (metaSchema == null) return None
     if (!java.util.Arrays.equals(metaSchema, schema.getBytes("UTF-8")))
@@ -108,11 +78,11 @@ object AvroCodec {
     var nRecords = 0L
     var idSum = 0L; var scoreSum = 0L; var nameBytes = 0L
     while (c.p < c.end) {
-      val cnt = c.vlong()
+      val cnt = c.zigzag()
       if (cnt <= 0 || cnt > (1 << 24)) return None
-      val size = c.vlong()
+      val size = c.zigzag()
       if (size < 0 || size > (1 << 26)) return None
-      val raw = c.bytes(size.toInt)
+      val raw = c.bytes(size)
       val data =
         if (!deflated) raw
         else {
@@ -128,16 +98,20 @@ object AvroCodec {
             } else out.write(buf, 0, m)
             if (out.size() > (1 << 26)) return None // decompression bomb
           }
+          // the declared compressed size must be consumed EXACTLY, same
+          // contract as the null codec's rc.p check: junk after the
+          // deflate final block refuses instead of riding along unseen
+          if (inf.getRemaining != 0) return None
           out.toByteArray
         }
-      val rc = new Cur(data, 0, data.length)
+      val rc = new WireCur(data, 0, data.length)
       var i = 0L
       while (i < cnt) {
-        val id = rc.vlong()
-        val nameLen = rc.vlong()
+        val id = rc.zigzag()
+        val nameLen = rc.zigzag()
         if (nameLen < 0 || nameLen > (1 << 20)) return None
-        val nm = rc.bytes(nameLen.toInt)
-        val score = rc.vlong()
+        val nm = rc.bytes(nameLen)
+        val score = rc.zigzag()
         idSum += id; scoreSum += score; nameBytes += nm.length
         i += 1
       }

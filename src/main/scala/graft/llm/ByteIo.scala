@@ -1,10 +1,10 @@
 package graft.llm
 
 /** Little-endian byte readers shared by the container walks (IVF, zstd,
-  * LZ4) — one definition so a future bounds/sign fix cannot silently
-  * diverge between codecs. Readers assume the CALLER bounds-checks
-  * (every probe walks with explicit `p + n > b.length` refusals and a
-  * terminal AIOOBE catch as the backstop). */
+  * LZ4, TFRecord) — one definition so a future bounds/sign fix cannot
+  * silently diverge between codecs. Readers assume the CALLER
+  * bounds-checks (every probe walks with explicit `p + n > b.length`
+  * refusals and a terminal AIOOBE catch as the backstop). */
 private[llm] object ByteIo {
   @inline def le16(b: Array[Byte], p: Int): Int =
     (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
@@ -12,4 +12,58 @@ private[llm] object ByteIo {
     le16(b, p).toLong | (le16(b, p + 2).toLong << 16)
   @inline def le64(b: Array[Byte], p: Int): Long =
     le32(b, p) | (le32(b, p + 4) << 32)
+
+  /** Refusal signal for [[WireCur]] walks — callers catch it (and the
+    * AIOOBE backstop) and return None. */
+  final class Refuse extends RuntimeException(null, null, false, false)
+
+  /** Bounded cursor over varint wire formats (protobuf, Avro binary) —
+    * ONE implementation of the bounds discipline so the codecs cannot
+    * diverge: every length is validated as a LONG against the remaining
+    * window BEFORE any Int narrowing (a 64-bit declared length must
+    * refuse, not truncate mod 2^32), varints are capped at 10 bytes,
+    * and every read beyond `end` refuses. */
+  private[llm] final class WireCur(val b: Array[Byte], var p: Int, val end: Int) {
+    def done: Boolean = p >= end
+    def remaining: Int = end - p
+    def u8(): Int = {
+      if (p >= end) throw new Refuse
+      val v = b(p) & 0xff; p += 1; v
+    }
+    /** Unsigned little-endian base-128 varint, at most 10 bytes. */
+    def rawVarint(): Long = {
+      var shift = 0
+      var acc = 0L
+      var i = 0
+      while (i < 10) {
+        val v = u8()
+        acc |= (v & 0x7fL) << shift
+        if ((v & 0x80) == 0) return acc
+        shift += 7
+        i += 1
+      }
+      throw new Refuse
+    }
+    /** Zigzag-decoded varint (Avro long / protobuf sint64). */
+    def zigzag(): Long = {
+      val v = rawVarint()
+      (v >>> 1) ^ -(v & 1)
+    }
+    def fixed32(): Long = {
+      if (p + 4 > end) throw new Refuse
+      val v = le32(b, p); p += 4; v
+    }
+    /** A length-delimited child window. `len` is bounds-checked as a
+      * Long BEFORE narrowing. */
+    def sub(len: Long): WireCur = {
+      if (len < 0 || len > remaining) throw new Refuse
+      val c = new WireCur(b, p, p + len.toInt); p += len.toInt; c
+    }
+    def bytes(len: Long): Array[Byte] = {
+      if (len < 0 || len > remaining) throw new Refuse
+      val out = java.util.Arrays.copyOfRange(b, p, p + len.toInt)
+      p += len.toInt
+      out
+    }
+  }
 }

@@ -20,38 +20,7 @@ package graft.llm
   * replay. */
 object TfExampleCodec {
 
-  private final class Refuse extends RuntimeException
-
-  private final class Cur(val b: Array[Byte], var p: Int, val end: Int) {
-    def done: Boolean = p >= end
-    def u8(): Int = {
-      if (p >= end) throw new Refuse
-      val v = b(p) & 0xff; p += 1; v
-    }
-    def varint(): Long = {
-      var shift = 0
-      var acc = 0L
-      var i = 0
-      while (i < 10) {
-        val v = u8()
-        acc |= (v & 0x7fL) << shift
-        if ((v & 0x80) == 0) return acc
-        shift += 7
-        i += 1
-      }
-      throw new Refuse
-    }
-    def fixed32(): Long = {
-      if (p + 4 > end) throw new Refuse
-      val v = (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
-        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
-      p += 4; v
-    }
-    def sub(len: Int): Cur = {
-      if (len < 0 || p + len > end) throw new Refuse
-      val c = new Cur(b, p, p + len); p += len; c
-    }
-  }
+  import ByteIo.{Refuse, WireCur}
 
   /** Census facts over ONE serialized Example:
     * (nFeatures, nInt64Lists, nFloatLists, nBytesLists,
@@ -59,48 +28,48 @@ object TfExampleCodec {
     * bytesValueCount, bytesTotalLen, keyBytes). */
   def exampleRead(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Long, Long, Long, Long, Long, Long, Long)] = try {
     if (bytes == null) return None
-    val c = new Cur(bytes, 0, bytes.length)
+    val c = new WireCur(bytes, 0, bytes.length)
     var nFeat = 0; var nI64 = 0; var nF32 = 0; var nBytes = 0
     var i64Cnt = 0L; var i64Sum = 0L
     var f32Cnt = 0L; var f32Xor = 0L
     var bCnt = 0L; var bLen = 0L; var keyBytes = 0L
     while (!c.done) {
-      val tag = c.varint()
+      val tag = c.rawVarint()
       if (tag != ((1L << 3) | 2)) return None // Example.features only
-      val feats = c.sub(c.varint().toInt)
+      val feats = c.sub(c.rawVarint())
       while (!feats.done) {
-        val ftag = feats.varint()
+        val ftag = feats.rawVarint()
         if (ftag != ((1L << 3) | 2)) return None // Features.feature map entry
-        val entry = feats.sub(feats.varint().toInt)
+        val entry = feats.sub(feats.rawVarint())
         var sawKey = false; var sawVal = false
         while (!entry.done) {
-          val etag = entry.varint()
+          val etag = entry.rawVarint()
           if (etag == ((1L << 3) | 2)) { // key: string
             if (sawKey) return None
             sawKey = true
-            val k = entry.sub(entry.varint().toInt)
+            val k = entry.sub(entry.rawVarint())
             keyBytes += k.end - k.p
           } else if (etag == ((2L << 3) | 2)) { // value: Feature
             if (sawVal) return None
             sawVal = true
-            val feat = entry.sub(entry.varint().toInt)
+            val feat = entry.sub(entry.rawVarint())
             if (!feat.done) {
-              val otag = feat.varint()
-              val inner = feat.sub(feat.varint().toInt)
+              val otag = feat.rawVarint()
+              val inner = feat.sub(feat.rawVarint())
               otag match {
                 case t if t == ((1L << 3) | 2) => // BytesList
                   nBytes += 1
                   while (!inner.done) {
-                    if (inner.varint() != ((1L << 3) | 2)) return None
-                    val v = inner.sub(inner.varint().toInt)
+                    if (inner.rawVarint() != ((1L << 3) | 2)) return None
+                    val v = inner.sub(inner.rawVarint())
                     bCnt += 1; bLen += v.end - v.p
                   }
                 case t if t == ((2L << 3) | 2) => // FloatList
                   nF32 += 1
                   while (!inner.done) {
-                    val lt = inner.varint()
+                    val lt = inner.rawVarint()
                     if (lt == ((1L << 3) | 2)) { // packed floats
-                      val vals = inner.sub(inner.varint().toInt)
+                      val vals = inner.sub(inner.rawVarint())
                       if ((vals.end - vals.p) % 4 != 0) return None
                       while (!vals.done) { f32Xor ^= vals.fixed32(); f32Cnt += 1 }
                     } else if (lt == ((1L << 3) | 5)) { // unpacked float
@@ -110,12 +79,12 @@ object TfExampleCodec {
                 case t if t == ((3L << 3) | 2) => // Int64List
                   nI64 += 1
                   while (!inner.done) {
-                    val lt = inner.varint()
+                    val lt = inner.rawVarint()
                     if (lt == ((1L << 3) | 2)) { // packed varints
-                      val vals = inner.sub(inner.varint().toInt)
-                      while (!vals.done) { i64Sum += vals.varint(); i64Cnt += 1 }
+                      val vals = inner.sub(inner.rawVarint())
+                      while (!vals.done) { i64Sum += vals.rawVarint(); i64Cnt += 1 }
                     } else if (lt == ((1L << 3) | 0)) { // unpacked varint
-                      i64Sum += inner.varint(); i64Cnt += 1
+                      i64Sum += inner.rawVarint(); i64Cnt += 1
                     } else return None
                   }
                 case _ => return None // unknown Feature oneof arm

@@ -30,61 +30,60 @@ object TfRecordCodec {
   private[llm] def mask(crc: Long): Long =
     (((crc >>> 15) | (crc << 17)) + 0xa282ead8L) & 0xffffffffL
 
+  /** ONE framing walk serving both entry points — the CRC/length law
+    * cannot drift between the census and the payload path. Calls
+    * `onRecord(payloadOffset, payloadLen)` per verified record; returns
+    * the record count, or -1 on any framing damage. */
+  private def walk(b: Array[Byte])(onRecord: (Int, Int) => Unit): Int = try {
+    if (b == null || b.length < 16) return -1
+    var p = 0
+    var n = 0
+    while (p < b.length) {
+      if (p + 12 > b.length) return -1
+      val len = le64(b, p)
+      // single-shard sanity: a record larger than the remaining stream
+      // (or 2^31) is damage, not data
+      if (len < 0 || len > Int.MaxValue || p + 12 + len + 4 > b.length) return -1
+      if (le32(b, p + 8) != mask(crc32c(b, p, 8))) return -1 // length CRC
+      val l = len.toInt
+      if (le32(b, p + 12 + l) != mask(crc32c(b, p + 12, l))) return -1 // data CRC
+      onRecord(p + 12, l)
+      n += 1
+      p += 16 + l
+    }
+    n
+  } catch {
+    case _: ArrayIndexOutOfBoundsException => -1
+  }
+
   /** Probe facts: (nRecords, bytesTotal, payloadByteSum, minLen,
     * maxLen). Refuses on any framing damage: both CRCs per record are
     * verified, lengths must fit the stream exactly, and a zero-record
     * stream is not a shard. */
-  def tfrecordProbe(b: Array[Byte]): Option[(Int, Long, Long, Int, Int)] = try {
-    if (b == null || b.length < 16) return None
-    var p = 0
-    var n = 0
+  def tfrecordProbe(b: Array[Byte]): Option[(Int, Long, Long, Int, Int)] = {
     var total = 0L
     var paySum = 0L
     var minLen = Int.MaxValue
     var maxLen = 0
-    while (p < b.length) {
-      if (p + 12 > b.length) return None
-      val len = le64(b, p)
-      // single-shard sanity: a record larger than the remaining stream
-      // (or 2^31) is damage, not data
-      if (len < 0 || len > Int.MaxValue || p + 12 + len + 4 > b.length) return None
-      if (le32(b, p + 8) != mask(crc32c(b, p, 8))) return None // length CRC
-      val l = len.toInt
-      if (le32(b, p + 12 + l) != mask(crc32c(b, p + 12, l))) return None // data CRC
+    val n = walk(b) { (off, l) =>
       var i = 0
-      while (i < l) { paySum += (b(p + 12 + i) & 0xff); i += 1 }
+      while (i < l) { paySum += (b(off + i) & 0xff); i += 1 }
       total += l
       if (l < minLen) minLen = l
       if (l > maxLen) maxLen = l
-      n += 1
-      p += 16 + l
     }
-    if (n == 0) return None
-    Some((n, total, paySum, minLen, maxLen))
-  } catch {
-    case _: ArrayIndexOutOfBoundsException => None
+    if (n <= 0) None else Some((n, total, paySum, minLen, maxLen))
   }
 
-  /** The record payloads of a shard, CRC-verified exactly like
+  /** The record payloads of a shard, CRC-verified by the SAME walk as
     * [[tfrecordProbe]] — the slice a record-level decoder (tf.Example)
     * consumes after the framing pass admits the shard. */
-  def tfrecordPayloads(b: Array[Byte]): Option[Seq[Array[Byte]]] = try {
-    if (b == null || b.length < 16) return None
+  def tfrecordPayloads(b: Array[Byte]): Option[Seq[Array[Byte]]] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    var p = 0
-    while (p < b.length) {
-      if (p + 12 > b.length) return None
-      val len = le64(b, p)
-      if (len < 0 || len > Int.MaxValue || p + 12 + len + 4 > b.length) return None
-      if (le32(b, p + 8) != mask(crc32c(b, p, 8))) return None
-      val l = len.toInt
-      if (le32(b, p + 12 + l) != mask(crc32c(b, p + 12, l))) return None
-      out += java.util.Arrays.copyOfRange(b, p + 12, p + 12 + l)
-      p += 16 + l
+    val n = walk(b) { (off, l) =>
+      out += java.util.Arrays.copyOfRange(b, off, off + l)
     }
-    if (out.isEmpty) None else Some(out.toSeq)
-  } catch {
-    case _: ArrayIndexOutOfBoundsException => None
+    if (n <= 0) None else Some(out.toSeq)
   }
 
   /** Write a TFRecord stream with REAL masked CRCs over deterministic

@@ -60,6 +60,33 @@ class AvroCodecSpec extends AnyFunSuite {
     // cuts inside the trailing block all refuse (the block spans >20 bytes)
     (1 to 20).foreach(d => assert(avroRead(b.dropRight(d)).isEmpty, s"drop $d"))
     assert(avroRead(b ++ Array[Byte](1)).isEmpty) // dangling byte
+    // junk appended INSIDE a block's declared compressed size (after
+    // the deflate final block) must refuse: the declared size is
+    // consumed exactly on both sides of the codec
+    val one = encodeAvro(recs(2), blockSize = 2, deflate = true, sync)
+    // block layout at tail: cnt varint, size varint, data, 16-byte sync.
+    // rebuild with size+2 and two junk bytes before the sync
+    val tail = one.length
+    val dataEnd = tail - 16
+    // find the size varint: scan back — simpler to rebuild via writer
+    // internals is overkill; instead corrupt by inserting junk and
+    // fixing the size byte IF it is single-byte (deflated 2-record
+    // block is < 127 bytes here)
+    val headerEnd = {
+      // header = magic(4) + metadata + 0-terminator + sync(16); find the
+      // first block's cnt varint by locating the header sync
+      val hs = one.indexOfSlice(sync)
+      hs + 16
+    }
+    val cntLen = 1 // 2 records -> zigzag 4 -> single byte
+    val sizePos = headerEnd + cntLen
+    val size = { val v = one(sizePos) & 0xff; assert((v & 0x80) == 0); (v >>> 1) }
+    val junked = one.take(sizePos) ++
+      Array(((size + 2) << 1).toByte) ++
+      one.slice(sizePos + 1, sizePos + 1 + size) ++
+      Array[Byte](0x07, 0x09) ++ // junk past the deflate final block
+      one.drop(sizePos + 1 + size)
+    assert(avroRead(junked).isEmpty, "trailing junk inside declared block size passed")
     // honest scope: raw RFC 1951 deflate carries NO integrity check, so
     // a content flip may refuse (broken stream / size contract) or
     // decode to altered facts — what the reader promises is that it

@@ -59,6 +59,12 @@ class TfExampleCodecSpec extends AnyFunSuite {
     (0 until 2000).foreach { _ =>
       exampleRead(Array.fill(rnd.nextInt(80))(rnd.nextInt(256).toByte))
     }
+    // a 64-bit declared length must REFUSE, not truncate mod 2^32
+    // (0x85 0x80 0x80 0x80 0x10 = varint 2^32 + 5): a truncating
+    // reader would see length 5 and accept the 5 trailing bytes
+    val hostile = Array[Byte](0x0a, 0x85.toByte, 0x80.toByte, 0x80.toByte,
+      0x80.toByte, 0x10, 0x0a, 0x03, 0x0a, 0x01, 0x6b)
+    assert(exampleRead(hostile).isEmpty, "2^32+5 length truncated to 5")
   }
 
   test("composes with TFRecord: a shard of tf.Examples reads end-to-end") {
