@@ -100,6 +100,26 @@ class H264CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("SPS grid sweep: every profile x poc-type x crop x dim combination roundtrips") {
+    // systematic coverage of every SPS parse path: the high-profile
+    // chroma block, both in-scope poc types, crop present/absent, and
+    // dim magnitudes that shift the Exp-Golomb lengths (1-bit through
+    // 13-zero codes)
+    for {
+      profile <- Seq(66, 77, 100)
+      poc <- Seq(0, 2)
+      (mbW, mbH) <- Seq((1, 1), (2, 3), (45, 30), (120, 68), (4096, 17))
+      (cr, cb) <- Seq((0, 0), (1, 2), (7, 3))
+    } {
+      val b = stream(profile = profile, level = 40, mbW = mbW, mbH = mbH,
+        cropR = cr, cropB = cb, pocType = poc, rest = Seq(Nal(8, 6)))
+      val expW = mbW * 16 - 2 * cr
+      val expH = mbH * 16 - 2 * cb
+      assert(h264Probe(b).contains((2, 1, 1, 0, 0, profile, 40, expW, expH)),
+        s"profile=$profile poc=$poc ${mbW}x$mbH crop=($cr,$cb)")
+    }
+  }
+
   test("unescaped start-code prefix inside an SPS refuses") {
     // craft: take a valid stream and inject 00 00 02 into the SPS span
     val sps = encodeSps(100, 41, 64, 48, 0, 0, 0)
