@@ -172,24 +172,33 @@ object Bench {
       // local-iteration escape hatch: SPARK_GRAFT_ONLY=q_a,q_b runs a subset
       val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
       val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-      // Each query runs TWICE (cold then warm): single-shot timings on a
-      // shared driver machine have repeatedly flagged phantom 10×
-      // "regressions" that controlled re-runs refute — I/O-wait noise
-      // lands on whichever query runs while the disk is busy. `queries`
-      // stays a flat name→seconds map (the min — the noise-robust
-      // statistic) so existing parsers keep working; `queries_raw`
-      // carries the [cold, warm] pairs.
-      val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-        def once(): Either[String, Double] = {
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-                Right((System.nanoTime() - t0) / 1e9) }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: $e")
-            Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-          }
+      // Each query runs TWICE, but the two passes are INTERLEAVED at the
+      // suite level (all queries once, then all again) rather than
+      // back-to-back per query: single-shot timings on a shared driver
+      // machine have repeatedly flagged phantom 10× "regressions" that
+      // controlled re-runs refute — I/O-wait noise lands on whichever
+      // query runs while the disk is busy, and when both samples ran
+      // adjacent (round 14: q_json_extract [11.57, 11.81] vs 0.5 s idle
+      // at the same cpu floor) a transient busy window inflated BOTH, so
+      // min-of-2 could not reject it. With suite-level passes the two
+      // samples of a query are minutes apart; min-of-2 stays the
+      // noise-robust statistic. `queries` stays a flat name→seconds map
+      // (the min) so existing parsers keep working; `queries_raw`
+      // carries the [pass1, pass2] pairs.
+      val ordered = selected.toSeq.sortBy(_._1)
+      def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }
-        (name, once(), once())
+      }
+      val pass1 = ordered.map { case (name, fn) => once(name, fn) }
+      val pass2 = ordered.map { case (name, fn) => once(name, fn) }
+      val results = ordered.zip(pass1).zip(pass2).map {
+        case (((name, _), r1), r2) => (name, r1, r2)
       }
       val ok = results.collect { case (k, Right(c), Right(w)) => (k, c, w) }
       val qs = ok.map { case (k, c, w) => jstr(k) + ":" + f"${math.min(c, w)}%.3f" }

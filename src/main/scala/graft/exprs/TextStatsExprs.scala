@@ -2,7 +2,7 @@ package graft.exprs
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -504,8 +504,14 @@ object AhoCorasickStats {
   * follows Unicode Table 3-7 exactly — C0/C1 overlong leads, surrogate
   * range under an 0xED lead, anything past U+10FFFF under 0xF4, and
   * out-of-range continuations are ALL malformed; on a malformed check
-  * the scanner consumes ONLY the lead byte and resyncs (the maximal-
-  * subpart recommendation), so every byte is classified exactly once.
+  * the scanner consumes ONLY the lead byte and resyncs (lead-byte
+  * resync), so every byte is classified exactly once. `n_invalid` is a
+  * per-BYTE census, not an error-unit count: a truncated-but-valid
+  * prefix like E2 82 followed by a non-continuation contributes 2
+  * invalid bytes here, where Unicode's maximal-subpart recommendation
+  * would report ONE replacement unit — the invalid BYTE total is the
+  * same under both conventions, only the unit grouping differs, and a
+  * byte census is the statistic a corpus filter thresholds on.
   *
   * This is a CENSUS, not a probe: damage never throws — it lands in
   * `n_invalid` and flips `valid`, because a curation pass over 100 TB
@@ -513,10 +519,23 @@ object AhoCorasickStats {
   * `n_replacement` counts decoded U+FFFD (mojibake already baked in
   * upstream); `n_control` counts C0 controls except TAB/LF/CR plus DEL;
   * `n_nul` the embedded NULs every text sink chokes on. */
-case class Utf8Census(child: Expression) extends UnaryExpression with CodegenFallback {
+case class Utf8Census(child: Expression) extends UnaryExpression {
   override def dataType: DataType = Utf8Census.schema
-  override def nullSafeEval(in: Any): Any = {
-    val b = in.asInstanceOf[Array[Byte]]
+  override def nullSafeEval(in: Any): Any =
+    Utf8Census.census(in.asInstanceOf[Array[Byte]])
+  // the one expression designed to touch every raw byte of the corpus:
+  // a single static call keeps it inside whole-stage codegen (the
+  // ZOrder2 pattern) instead of interpreter-dispatched per row
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.exprs.Utf8Census.census($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "utf8_census"
+}
+
+object Utf8Census {
+  /** The one-pass census loop, shared verbatim by the interpreted and
+    * codegen paths (called statically from generated Java). */
+  def census(b: Array[Byte]): InternalRow = {
     var nAscii = 0L; var n2 = 0L; var n3 = 0L; var n4 = 0L
     var nInvalid = 0L; var nRepl = 0L; var nCtrl = 0L; var nNul = 0L
     var i = 0
@@ -556,11 +575,7 @@ case class Utf8Census(child: Expression) extends UnaryExpression with CodegenFal
     InternalRow(n.toLong, nAscii, n2, n3, n4, nInvalid, nRepl, nCtrl, nNul,
       nInvalid == 0L)
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-  override def prettyName: String = "utf8_census"
-}
 
-object Utf8Census {
   val schema: StructType = StructType(Seq(
     StructField("n_bytes", LongType, nullable = false),
     StructField("n_ascii", LongType, nullable = false),

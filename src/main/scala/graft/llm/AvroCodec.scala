@@ -5,9 +5,16 @@ package graft.llm
   * (Avro 1.11 "Object Container Files"): magic `Obj\x01`, a file-
   * metadata avro map (zigzag-varint framing), a 16-byte sync marker,
   * then blocks of (record count, serialized byte size, records,
-  * sync-marker repeat). Codecs: `null` and `deflate` (raw RFC 1951,
+  * sync-marker repeat). Codecs: `null`, `deflate` (raw RFC 1951,
   * inflated with a thread-local raw Inflater — same pooling discipline
-  * as the PNG arm, reset before every use).
+  * as the PNG arm, reset before every use), and `snappy` — the codec
+  * real data lakes actually default to. Avro's snappy blocks append a
+  * 4-byte BIG-ENDIAN CRC32 of the UNCOMPRESSED bytes after the
+  * compressed payload, so unlike raw deflate this arm is VERIFIED
+  * decompression: every decoded byte is checked against the stored
+  * checksum, and a flip anywhere (payload or CRC) refuses. The block
+  * decode itself is [[SnappyCodec]], hand-rolled from the public
+  * format description and fuzzed against snappy-java in the spec.
   *
   * Scope is pinned and honest: the reader decodes ONE record shape —
   * the schema is passed in and the file's `avro.schema` metadata must
@@ -35,8 +42,9 @@ object AvroCodec {
   final case class R(id: Long, name: String, score: Long)
 
   /** Probe + decode facts: (nBlocks, nRecords, idSum, scoreSum,
-    * nameBytes, deflated). Refuses on any framing violation. */
-  def avroRead(b: Array[Byte], schema: String = RSchema): Option[(Int, Long, Long, Long, Long, Boolean)] = try {
+    * nameBytes, codec). Refuses on any framing violation — including a
+    * snappy-block CRC32 mismatch. */
+  def avroRead(b: Array[Byte], schema: String = RSchema): Option[(Int, Long, Long, Long, Long, String)] = try {
     if (b == null || b.length < 4 + 1 + 16) return None
     if (!(b(0) == 'O' && b(1) == 'b' && b(2) == 'j' && b(3) == 1)) return None
     val c = new WireCur(b, 4, b.length)
@@ -68,10 +76,9 @@ object AvroCodec {
     if (!java.util.Arrays.equals(metaSchema, schema.getBytes("UTF-8")))
       return None // pinned scope: exactly the declared reader schema
     val codec = if (metaCodec == null) "null" else new String(metaCodec, "UTF-8")
-    val deflated = codec match {
-      case "null" => false
-      case "deflate" => true
-      case _ => return None // snappy/zstd codecs out of scope: refuse
+    codec match {
+      case "null" | "deflate" | "snappy" => ()
+      case _ => return None // zstd/bzip2/xz codecs out of scope: refuse
     }
     val sync = c.bytes(16)
     var nBlocks = 0
@@ -83,9 +90,27 @@ object AvroCodec {
       val size = c.zigzag()
       if (size < 0 || size > (1 << 26)) return None
       val raw = c.bytes(size)
-      val data =
-        if (!deflated) raw
-        else {
+      val data = codec match {
+        case "null" => raw
+        case "snappy" =>
+          // compressed payload + 4-byte big-endian CRC32 of the
+          // UNCOMPRESSED bytes (the Avro spec's snappy framing) —
+          // verified decompression, not a census
+          if (raw.length < 4) return None
+          val body = java.util.Arrays.copyOfRange(raw, 0, raw.length - 4)
+          val stored = ((raw(raw.length - 4) & 0xffL) << 24) |
+            ((raw(raw.length - 3) & 0xffL) << 16) |
+            ((raw(raw.length - 2) & 0xffL) << 8) |
+            (raw(raw.length - 1) & 0xffL)
+          val plain = SnappyCodec.decompress(body, maxOut = 1 << 26) match {
+            case Some(d) => d
+            case None => return None
+          }
+          val crc = new java.util.zip.CRC32
+          crc.update(plain)
+          if (crc.getValue != stored) return None
+          plain
+        case _ =>
           val inf = rawInflaters.get()
           inf.reset()
           inf.setInput(raw)
@@ -103,7 +128,7 @@ object AvroCodec {
           // deflate final block refuses instead of riding along unseen
           if (inf.getRemaining != 0) return None
           out.toByteArray
-        }
+      }
       val rc = new WireCur(data, 0, data.length)
       var i = 0L
       while (i < cnt) {
@@ -121,7 +146,7 @@ object AvroCodec {
       nRecords += cnt
     }
     if (nBlocks == 0) return None
-    Some((nBlocks, nRecords, idSum, scoreSum, nameBytes, deflated))
+    Some((nBlocks, nRecords, idSum, scoreSum, nameBytes, codec))
   } catch {
     case _: Refuse => None
     case _: ArrayIndexOutOfBoundsException => None
@@ -140,14 +165,16 @@ object AvroCodec {
   private[llm] def writeVarintForTest(out: java.io.ByteArrayOutputStream,
                                       value: Long): Unit = writeVarint(out, value)
 
-  def encodeAvro(records: Seq[R], blockSize: Int, deflate: Boolean,
+  def encodeAvro(records: Seq[R], blockSize: Int, codec: String,
                  sync: Array[Byte], schema: String = RSchema): Array[Byte] = {
     require(records.nonEmpty && blockSize > 0 && sync.length == 16)
+    require(codec == "null" || codec == "deflate" || codec == "snappy",
+      s"unsupported writer codec: $codec")
     val out = new java.io.ByteArrayOutputStream
     out.write('O'); out.write('b'); out.write('j'); out.write(1)
     val meta: Seq[(String, Array[Byte])] = Seq(
       "avro.schema" -> schema.getBytes("UTF-8"),
-      "avro.codec" -> (if (deflate) "deflate" else "null").getBytes("UTF-8"))
+      "avro.codec" -> codec.getBytes("UTF-8"))
     writeVarint(out, meta.length.toLong)
     meta.foreach { case (k, v) =>
       val kb = k.getBytes("UTF-8")
@@ -165,9 +192,16 @@ object AvroCodec {
         writeVarint(body, r.score)
       }
       val raw = body.toByteArray
-      val data =
-        if (!deflate) raw
-        else {
+      val data = codec match {
+        case "null" => raw
+        case "snappy" =>
+          val comp = SnappyCodec.compress(raw)
+          val crc = new java.util.zip.CRC32
+          crc.update(raw)
+          val v = crc.getValue
+          comp ++ Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+            (v >>> 8).toByte, v.toByte)
+        case _ =>
           val d = rawDeflaters.get()
           d.reset()
           d.setInput(raw); d.finish()
@@ -175,7 +209,7 @@ object AvroCodec {
           val buf = new Array[Byte](8192)
           while (!d.finished()) z.write(buf, 0, d.deflate(buf))
           z.toByteArray
-        }
+      }
       writeVarint(out, blk.length.toLong)
       writeVarint(out, data.length.toLong)
       out.write(data, 0, data.length)

@@ -195,9 +195,12 @@ object Dedup {
     var edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct().localCheckpoint()
+    // derived lazily from the CHECKPOINTED initial edge set (the var is
+    // reassigned below; this val captures the first checkpoint), so no
+    // materialization of its own is needed — recomputing it at the end
+    // is one cheap distinct over the checkpoint
     val nodes = edges.select(col("src").as("id"))
       .unionByName(edges.select(col("dst").as("id"))).distinct()
-      .localCheckpoint()
     var prev = (-1L, -1L)
     var iter = 0
     var converged = false
@@ -375,13 +378,20 @@ object Dedup {
     * `maxDf`, and reassemble each document from the survivors in
     * original line order.
     *
-    * 100 TB shape: the line census is ONE hash-partitioned groupBy where
+    * 100 TB shape: the census and the anti-join key on
+    * `xxhash64(line)`, not the line string — census shuffle rows are
+    * (8-byte hash, count) instead of (raw line, count), and the
+    * anti-join build side is 8 bytes per boilerplate line; a collision
+    * merges two distinct lines corpus-wide with probability ~n²/2⁶⁵,
+    * the same budget already accepted for [[dupShingleFraction]]'s
+    * shingle hashes. The census is ONE hash-partitioned groupBy where
     * map-side partial aggregation collapses the (by definition highly
     * repeated) boilerplate lines before they shuffle; the removal is a
     * left-anti join of the exploded lines against that census output
     * filtered to `count ≥ maxDf` — a set that is small precisely because
-    * each member repeats (AQE broadcasts it when it fits); reassembly
-    * shuffles (id, pos, line) once, grouped back on the id. Nothing is
+    * each member repeats (AQE broadcasts it when it fits); the line
+    * STRING survives only on the kept side, where reassembly needs it:
+    * (id, pos, line) shuffles once, grouped back on the id. Nothing is
     * quadratic and no driver collect exists anywhere.
     *
     * Returns one row per INPUT document — a fully-boilerplate document
@@ -393,11 +403,12 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"), linesCol.as("lines"))
     val lines = docs
       .select(col("id"), posexplode(col("lines")).as(Seq("pos", "line")))
-    val boilerplate = lines.groupBy(col("line"))
+      .withColumn("__lh", xxhash64(col("line")))
+    val boilerplate = lines.select(col("__lh")).groupBy(col("__lh"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= maxDf)
-      .select(col("line"))
-    val kept = lines.join(boilerplate, Seq("line"), "left_anti")
+      .select(col("__lh"))
+    val kept = lines.join(boilerplate, Seq("__lh"), "left_anti").drop("__lh")
     val reassembled = kept.groupBy(col("id")).agg(
       count(lit(1)).as("kept_lines"),
       array_join(

@@ -1,17 +1,17 @@
 package graft.llm
 
 /** LZ4 frame walk — the third leg of the compression-container family
-  * next to the gzip members walk and the zstd frame walk. LZ4's framing
-  * is MORE verifiable than zstd's: the frame-descriptor checksum (HC)
-  * and the optional per-block checksums are xxHash32 over the STORED
-  * bytes, so a structural probe verifies them exactly without ever
-  * decoding a block — any flipped byte in a checksummed region refuses,
-  * the same guarantee class as the Ogg page CRC sweep. The block
-  * DECODE (LZ4 sequences) stays honestly behind the seam; the content
-  * checksum (xxHash32 of DECODED data) is verified only for frames
-  * whose blocks are all stored uncompressed — where the content is
-  * knowable from framing alone — and censused otherwise (the same
-  * honesty line as zstd's raw/RLE regeneration cross-check).
+  * next to the gzip members walk and the zstd frame walk, and since
+  * round 15 a FULL one: the block sequence decoder (token / literal-run
+  * / 2-byte offset / match-run, the complete public block format) is
+  * implemented, so compressed blocks are DECODED, the frame's content
+  * checksum (xxHash32 of the decoded bytes) is verified on every frame
+  * that carries one, and a declared content size is checked against the
+  * actual decoded length — the same guarantee class as the gzip member
+  * walk's full DEFLATE. The frame-descriptor checksum (HC) and the
+  * optional per-block checksums are xxHash32 over the STORED bytes and
+  * are verified as before; a corrupted sequence (zero offset, offset
+  * past the decoded prefix, literal overrun, length lie) refuses.
   *
   * Frame format (public spec v1.6.x): magic 0x184D2204 LE; FLG byte
   * (version bits must be 01, reserved bit refuses), BD byte (block max
@@ -65,16 +65,125 @@ object Lz4Codec {
 
   import ByteIo.{le16, le32}
 
+  /** Decode one LZ4 block (the public block format): sequences of
+    * (token, literal run [+255-extensions], 2-byte LE match offset,
+    * match run [+255-extensions, +4 minmatch]); the last sequence is
+    * literals-only. Refuses (None) on zero offset, offset past the
+    * decoded prefix, literal/extension overruns, output past `maxOut`,
+    * or a stream ending inside a sequence. Matches may overlap their
+    * own output (byte-serial replay — how LZ4 expresses RLE). */
+  def decodeBlock(in: Array[Byte], off: Int, len: Int, maxOut: Int): Option[Array[Byte]] = {
+    if (len < 0 || off < 0 || off + len > in.length) return None
+    var p = off
+    val end = off + len
+    val buf = new Array[Byte](maxOut)
+    var pos = 0
+    while (p < end) {
+      val token = in(p) & 0xff; p += 1
+      var litLen = token >>> 4
+      if (litLen == 15) {
+        var v = 255
+        while (v == 255) {
+          if (p >= end) return None
+          v = in(p) & 0xff; p += 1; litLen += v
+          if (litLen > maxOut) return None // cap before it can overflow
+        }
+      }
+      if (litLen > end - p || litLen > maxOut - pos) return None
+      System.arraycopy(in, p, buf, pos, litLen)
+      p += litLen; pos += litLen
+      if (p == end) // last sequence: literals only — the legal block end
+        return Some(java.util.Arrays.copyOf(buf, pos))
+      if (p + 2 > end) return None
+      val mOff = le16(in, p); p += 2
+      if (mOff == 0 || mOff > pos) return None
+      var mLen = token & 0xf
+      if (mLen == 15) {
+        var v = 255
+        while (v == 255) {
+          if (p >= end) return None
+          v = in(p) & 0xff; p += 1; mLen += v
+          if (mLen > maxOut) return None
+        }
+      }
+      mLen += 4
+      if (mLen > maxOut - pos) return None
+      var s = pos - mOff
+      val until = pos + mLen
+      while (pos < until) { buf(pos) = buf(s); pos += 1; s += 1 }
+    }
+    // fell out of the loop ⇒ the stream ended on a match: the spec's end
+    // condition ("the last sequence contains only literals") is violated
+    None
+  }
+
+  /** Greedy LZ4 block compressor (4-byte hash matching over a 64 KiB
+    * window, literals between matches) — produces valid blocks any spec
+    * decoder accepts; fuzzed against lz4-java in the spec suite. Ends
+    * with a literals-only sequence as the format requires (the final
+    * 5 bytes are emitted as literals and no match starts within the
+    * last 12 — the spec's encoder-side end conditions). */
+  def compressBlock(in: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(in.length + in.length / 255 + 16)
+    def writeRun(base: Int): Unit = { // 255-extension bytes past 15
+      var v = base
+      while (v >= 255) { out.write(255); v -= 255 }
+      out.write(v)
+    }
+    def emitSeq(litFrom: Int, litUntil: Int, mOff: Int, mLen: Int): Unit = {
+      val lit = litUntil - litFrom
+      val ml = if (mLen == 0) 0 else mLen - 4
+      out.write((math.min(lit, 15) << 4) | math.min(ml, 15))
+      if (lit >= 15) writeRun(lit - 15)
+      out.write(in, litFrom, lit)
+      if (mLen > 0) {
+        out.write(mOff & 0xff); out.write((mOff >>> 8) & 0xff)
+        if (ml >= 15) writeRun(ml - 15)
+      }
+    }
+    val table = new Array[Int](1 << 14)
+    java.util.Arrays.fill(table, -1)
+    @inline def hash(p: Int): Int = {
+      val x = (in(p) & 0xff) | ((in(p + 1) & 0xff) << 8) |
+        ((in(p + 2) & 0xff) << 16) | ((in(p + 3) & 0xff) << 24)
+      (x * 0x9e3779b1) >>> 18
+    }
+    var p = 0
+    var litStart = 0
+    val matchLimit = in.length - 12 // no match may start in the last 12 bytes
+    while (p < matchLimit) {
+      val h = hash(p)
+      val cand = table(h)
+      table(h) = p
+      if (cand >= 0 && p - cand <= 0xffff &&
+        in(cand) == in(p) && in(cand + 1) == in(p + 1) &&
+        in(cand + 2) == in(p + 2) && in(cand + 3) == in(p + 3)) {
+        var len = 4
+        val maxLen = in.length - 5 - p // last 5 bytes must stay literals
+        while (len < maxLen && in(cand + len) == in(p + len)) len += 1
+        if (len >= 4) {
+          emitSeq(litStart, p, p - cand, len)
+          p += len
+          litStart = p
+        } else p += 1
+      } else p += 1
+    }
+    emitSeq(litStart, in.length, 0, 0) // terminal literals-only sequence
+    out.toByteArray
+  }
+
   /** Probe facts: (nFrames, nSkippable, nBlocks, nStored, nCompressed,
     * declaredContentSum, nDeclaring, nBlockChecksums,
-    * nContentChecksumsVerified). */
-  def lz4Probe(b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Long, Int, Int, Int)] = try {
+    * nContentChecksumsVerified, contentTotal — the DECODED byte count
+    * across all frames). */
+  def lz4Probe(b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Long, Int, Int, Int, Long)] = try {
     if (b == null || b.length < 4) return None
     var p = 0
     var nFrames = 0; var nSkip = 0
     var nBlocks = 0; var nStored = 0; var nComp = 0
     var declaredSum = 0L; var nDeclaring = 0
     var nBlockCks = 0; var nContentCksVerified = 0
+    var contentTotal = 0L
     while (p < b.length) {
       if (p + 4 > b.length) return None
       val magic = le32(b, p)
@@ -114,9 +223,8 @@ object Lz4Codec {
         val hc = ((xxh32(b, descStart, p - descStart) >> 8) & 0xff).toInt
         if ((b(p) & 0xff) != hc) return None
         p += 1
-        var allStored = true
         var regen = 0L
-        val storedSpans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        val parts = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
         var end = false
         while (!end) {
           if (p + 4 > b.length) return None
@@ -132,36 +240,46 @@ object Lz4Codec {
               if (le32(b, p + size) != xxh32(b, p, size)) return None
               nBlockCks += 1
             }
-            if (stored) { nStored += 1; regen += size; storedSpans += ((p, size)) }
-            else { nComp += 1; allStored = false }
+            if (stored) {
+              nStored += 1
+              parts += java.util.Arrays.copyOfRange(b, p, p + size)
+            } else {
+              nComp += 1
+              // FULL sequence decode — a corrupted sequence refuses here
+              decodeBlock(b, p, size, blockMax) match {
+                case Some(d) => parts += d
+                case None => return None
+              }
+            }
+            regen += parts.last.length
+            if (regen > (1 << 26)) return None // decompression-bomb cap
             p += size + (if (blockChecksum) 4 else 0)
             nBlocks += 1
           }
         }
         if (declared >= 0) {
-          if (allStored && declared != regen) return None // framing-provable lie
+          if (declared != regen) return None // checked against the DECODE now
           declaredSum += declared; nDeclaring += 1
         }
         if (contentChecksum) {
           if (p + 4 > b.length) return None
-          if (allStored) {
-            // content is knowable without decode: concat of stored blocks
-            val content = new Array[Byte](regen.toInt)
-            var o = 0
-            storedSpans.foreach { case (off, len) =>
-              System.arraycopy(b, off, content, o, len); o += len
-            }
-            if (le32(b, p) != xxh32(content, 0, content.length)) return None
-            nContentCksVerified += 1
-          } // else: needs the decode this probe honestly does not do
+          // content is fully known (stored bytes + decoded blocks): the
+          // checksum is verified on EVERY frame that carries one
+          if (regen > (1 << 26)) return None // bomb guard before the concat
+          val content = new Array[Byte](regen.toInt)
+          var o = 0
+          parts.foreach { d => System.arraycopy(d, 0, content, o, d.length); o += d.length }
+          if (le32(b, p) != xxh32(content, 0, content.length)) return None
+          nContentCksVerified += 1
           p += 4
         }
+        contentTotal += regen
         nFrames += 1
       } else return None
     }
     if (nFrames == 0) return None
     Some((nFrames, nSkip, nBlocks, nStored, nComp,
-      declaredSum, nDeclaring, nBlockCks, nContentCksVerified))
+      declaredSum, nDeclaring, nBlockCks, nContentCksVerified, contentTotal))
   } catch {
     case _: ArrayIndexOutOfBoundsException => None
     case _: NegativeArraySizeException => None
@@ -172,8 +290,13 @@ object Lz4Codec {
   sealed trait LBlock
   /** Stored (uncompressed) block of `len` deterministic bytes. */
   final case class Stored(len: Int) extends LBlock
-  /** "Compressed" block: `len` opaque bytes (census-only downstream). */
+  /** Compressed block: REAL LZ4 sequences over `len` deterministic
+    * bytes (via [[compressBlock]]) — decoded and verified downstream. */
   final case class Packed(len: Int) extends LBlock
+  /** Corrupted compressed block: framing-valid bytes whose first
+    * sequence carries a ZERO match offset — only the sequence decoder
+    * can catch it (the block checksum, over stored bytes, passes). */
+  final case class PackedBad() extends LBlock
 
   final case class LFrame(blocks: Seq[LBlock], blockChecksum: Boolean,
                           contentChecksum: Boolean, declareContent: Boolean,
@@ -197,7 +320,10 @@ object Lz4Codec {
         require(fr.bmaxCode >= 4 && fr.bmaxCode <= 7)
         require(fr.blocks.nonEmpty)
         w32(0x184d2204L)
-        val regen = fr.blocks.collect { case Stored(n) => n.toLong }.sum
+        val regen = fr.blocks.collect {
+          case Stored(n) => n.toLong
+          case Packed(n) => n.toLong
+        }.sum
         val flg = (1 << 6) | (if (fr.blockChecksum) 0x10 else 0) |
           (if (fr.declareContent) 0x08 else 0) |
           (if (fr.contentChecksum) 0x04 else 0) |
@@ -215,10 +341,19 @@ object Lz4Codec {
         val contentParts = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
         fr.blocks.zipWithIndex.foreach { case (bl, bi) =>
           val (data, storedBit) = bl match {
-            case Stored(n) => (fill(n, ix * 31 + bi), 0x80000000L)
-            case Packed(n) => (fill(n, ix * 37 + bi), 0L)
+            case Stored(n) =>
+              val plain = fill(n, ix * 31 + bi)
+              contentParts += plain
+              (plain, 0x80000000L)
+            case Packed(n) =>
+              val plain = fill(n, ix * 37 + bi)
+              contentParts += plain
+              (compressBlock(plain), 0L)
+            case PackedBad() =>
+              // token 0x00 (no literals), offset 0x0000: framing-valid,
+              // checksum-valid, sequence-INVALID
+              (Array[Byte](0x00, 0x00, 0x00), 0L)
           }
-          bl match { case Stored(_) => contentParts += data; case _ => () }
           w32(storedBit | data.length.toLong)
           out.write(data, 0, data.length)
           if (fr.blockChecksum) w32(xxh32(data, 0, data.length))

@@ -1,0 +1,153 @@
+package graft.llm
+
+/** Snappy raw-block codec implemented from the public format
+  * description (google/snappy `format_description.txt`) — the block
+  * codec real data lakes compress Avro (and ORC/parquet pages) with,
+  * so refusing it (as this reader did through round 14) walls off the
+  * most common Avro files a 100 TB crawl actually meets.
+  *
+  * Wire shape: a varint preamble carrying the UNCOMPRESSED length,
+  * then a tag stream — literal tags (`tag & 3 == 0`, length in the
+  * upper 6 bits with 1-4 little-endian extension bytes past 60) and
+  * three copy-tag widths (1-byte offset with 3-bit length, 2-byte and
+  * 4-byte little-endian offsets with 6-bit lengths). Copies may
+  * overlap their own output (offset < length ⇒ byte-serial replay),
+  * which is also how RLE is expressed.
+  *
+  * The decoder enforces everything the format promises: the preamble
+  * must be consumed EXACTLY by the tag stream (no trailing junk, no
+  * short output), every literal/extension/offset read is bounds-checked
+  * against the input window, offsets must land inside already-written
+  * output, and the declared output length is capped before allocation
+  * (decompression-bomb guard). Any violation returns None — a census
+  * pipeline filters on damage, it does not crash on the first bad
+  * shard. The compressor is a greedy 4-byte hash matcher emitting
+  * 2-byte-offset copies (the shape real encoders emit for data this
+  * size); both directions are fuzzed against the independent
+  * snappy-java implementation shipped with Spark in the spec suite. */
+object SnappyCodec {
+
+  /** Decompress one raw snappy block; None on ANY malformation.
+    * `maxOut` caps the declared uncompressed length pre-allocation. */
+  def decompress(in: Array[Byte], maxOut: Int = 1 << 26): Option[Array[Byte]] = {
+    if (in == null || in.length == 0) return None
+    var p = 0
+    val end = in.length
+    // varint preamble: uncompressed byte length (32-bit, ≤ 5 bytes)
+    var outLen = 0L
+    var shift = 0
+    var more = true
+    while (more) {
+      if (p >= end || shift > 28) return None
+      val v = in(p) & 0xff; p += 1
+      outLen |= (v & 0x7fL) << shift
+      shift += 7
+      more = (v & 0x80) != 0
+    }
+    if (outLen < 0 || outLen > maxOut) return None
+    val out = new Array[Byte](outLen.toInt)
+    var pos = 0
+    while (p < end) {
+      val tag = in(p) & 0xff; p += 1
+      (tag & 3) match {
+        case 0 => // literal
+          val len6 = tag >>> 2
+          var len = 0L
+          if (len6 < 60) len = len6 + 1L
+          else {
+            val k = len6 - 59 // 1..4 little-endian extension bytes
+            if (p + k > end) return None
+            var v = 0L; var j = 0
+            while (j < k) { v |= (in(p + j) & 0xffL) << (8 * j); j += 1 }
+            p += k
+            len = v + 1L
+          }
+          if (len > end - p || len > out.length - pos) return None
+          System.arraycopy(in, p, out, pos, len.toInt)
+          p += len.toInt; pos += len.toInt
+        case t => // copy
+          var len = 0; var off = 0L
+          if (t == 1) {
+            if (p >= end) return None
+            len = 4 + ((tag >>> 2) & 0x7)
+            off = (((tag >>> 5) & 0x7).toLong << 8) | (in(p) & 0xffL)
+            p += 1
+          } else if (t == 2) {
+            if (p + 2 > end) return None
+            len = (tag >>> 2) + 1
+            off = ByteIo.le16(in, p).toLong
+            p += 2
+          } else {
+            if (p + 4 > end) return None
+            len = (tag >>> 2) + 1
+            off = ByteIo.le32(in, p)
+            p += 4
+          }
+          if (off < 1 || off > pos || len > out.length - pos) return None
+          var s = pos - off.toInt
+          val until = pos + len
+          // byte-serial: overlapping copies replay their own output
+          while (pos < until) { out(pos) = out(s); pos += 1; s += 1 }
+      }
+    }
+    if (pos != out.length) return None // declared length not produced exactly
+    Some(out)
+  }
+
+  /** Greedy snappy compressor: 4-byte hash table over a 64 KiB window,
+    * literals between matches, matches emitted as 2-byte-offset copies
+    * (≤ 64 bytes each, chained for longer runs). Output is valid
+    * snappy any spec decoder accepts — verified against snappy-java in
+    * the spec suite. */
+  def compress(in: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(in.length / 2 + 32)
+    var v = in.length
+    while ((v & ~0x7f) != 0) { out.write((v & 0x7f) | 0x80); v >>>= 7 }
+    out.write(v)
+    def emitLiteral(from: Int, until: Int): Unit = {
+      var s = from
+      while (s < until) {
+        val n = math.min(until - s, 1 << 16)
+        val lm1 = n - 1
+        if (lm1 < 60) out.write(lm1 << 2)
+        else if (lm1 < (1 << 8)) { out.write(60 << 2); out.write(lm1) }
+        else { out.write(61 << 2); out.write(lm1 & 0xff); out.write((lm1 >>> 8) & 0xff) }
+        out.write(in, s, n)
+        s += n
+      }
+    }
+    val table = new Array[Int](1 << 14)
+    java.util.Arrays.fill(table, -1)
+    @inline def hash(p: Int): Int = {
+      val x = (in(p) & 0xff) | ((in(p + 1) & 0xff) << 8) |
+        ((in(p + 2) & 0xff) << 16) | ((in(p + 3) & 0xff) << 24)
+      (x * 0x1e35a7bd) >>> 18
+    }
+    var p = 0
+    var litStart = 0
+    while (p + 4 <= in.length) {
+      val h = hash(p)
+      val cand = table(h)
+      table(h) = p
+      if (cand >= 0 && p - cand <= 0xffff &&
+        in(cand) == in(p) && in(cand + 1) == in(p + 1) &&
+        in(cand + 2) == in(p + 2) && in(cand + 3) == in(p + 3)) {
+        var len = 4
+        while (p + len < in.length && in(cand + len) == in(p + len)) len += 1
+        emitLiteral(litStart, p)
+        val off = p - cand
+        var rem = len
+        while (rem > 0) {
+          val l = math.min(rem, 64)
+          out.write(((l - 1) << 2) | 2)
+          out.write(off & 0xff); out.write((off >>> 8) & 0xff)
+          rem -= l
+        }
+        p += len
+        litStart = p
+      } else p += 1
+    }
+    emitLiteral(litStart, in.length)
+    out.toByteArray
+  }
+}

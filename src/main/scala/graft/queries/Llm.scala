@@ -1316,16 +1316,23 @@ object Llm {
     * pipeline: per transitive near-dup group (the q_dedup_cc closure),
     * KEEP the longest member (ties → smallest id) and record the group's
     * size and total chars. The arg-max is a single struct-max aggregate
-    * (one shuffle, no window, no self-join); the oracle recomputes the
-    * closure with the recursive CTE and the keeper with a ROW_NUMBER
-    * arg-max over the same ordering. */
+    * (one shuffle, no window, no self-join) over NARROW rows — the
+    * component labels join ONCE against a (doc_id, n_chars) projection
+    * (docs without a near-dup neighbor keep their own id through the
+    * coalesce), never against the full document payload; the oracle
+    * recomputes the closure with the recursive CTE and the keeper with
+    * a ROW_NUMBER arg-max over the same ordering. */
   def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
     Graft.init(s)
     import s.implicits._
     val docs = documents(s, d)
-    Dedup.minhashDupGroupsConverged(docs, "doc_id", "text", threshold = 0.8)
-      .select($"doc_id", $"dup_group")
-      .join(docs.select($"doc_id", $"n_chars"), Seq("doc_id"))
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      numHashes = 64, numBands = 16, shingleSize = 3, threshold = 0.8)
+    val comps = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "__cc_id")
+    docs.select($"doc_id", $"n_chars")
+      .join(comps, $"doc_id" === $"__cc_id", "left")
+      .withColumn("dup_group", coalesce($"component", $"doc_id"))
       .groupBy($"dup_group")
       .agg(count(lit(1)).as("n_members"),
         max(struct($"n_chars", (-$"doc_id").as("neg_id"), $"doc_id")).as("best"),
@@ -3161,12 +3168,15 @@ object Llm {
     * name: string, score: long} records with real zigzag-varint
     * encoding (wire form pinned to the spec's reference bytes in the
     * spec suite), 4-record blocks, per-key sync markers repeated and
-    * VERIFIED per block, and the deflate codec (raw RFC 1951 through
-    * the pooled raw Inflater) on every third key. The reader's schema
-    * scope is pinned: the file's avro.schema metadata must equal the
-    * reader's schema byte-for-byte. Refusal arms: truncation
-    * (k mod 13), a sync flip (k mod 17), and a schema mismatch
-    * (k mod 19). */
+    * VERIFIED per block, and all three codecs rotating by k mod 3:
+    * deflate (raw RFC 1951 through the pooled raw Inflater), snappy
+    * (hand-rolled [[graft.llm.SnappyCodec]] block decode with the Avro
+    * spec's big-endian CRC32 of the uncompressed bytes VERIFIED per
+    * block), and null. The reader's schema scope is pinned: the file's
+    * avro.schema metadata must equal the reader's schema byte-for-byte.
+    * Refusal arms: truncation (k mod 13), a sync flip (k mod 17), a
+    * schema mismatch (k mod 19), and a snappy-CRC flip (k mod 23 on
+    * snappy keys — the integrity check deflate cannot offer). */
   def avroRead(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.AvroCodec
@@ -3179,40 +3189,55 @@ object Llm {
           score = (k * 7 + i * 13) % 10000)
       }
       val sync = Array.tabulate(16)(j => ((k + j * 7) % 256).toByte)
+      val codec = (k % 3) match {
+        case 0 => "deflate"
+        case 1 => "snappy"
+        case _ => "null"
+      }
       val schema =
         if (k % 19 == 0 && k % 13 != 0 && k % 17 != 0)
           AvroCodec.RSchema.replace("score", "sc0re") // pin-refusal arm
         else AvroCodec.RSchema
       val bytes = AvroCodec.encodeAvro(rs, blockSize = 4,
-        deflate = k % 3 == 0, sync = sync, schema = schema)
+        codec = codec, sync = sync, schema = schema)
       val payload =
         if (k % 13 == 0) bytes.dropRight(5)
         else if (k % 17 == 0) {
           val t = bytes.clone()
           t(t.length - 1) = (t(t.length - 1) ^ 0x2a).toByte // last sync byte
           t
+        } else if (k % 23 == 0 && codec == "snappy" && k % 19 != 0) {
+          // the last block's data ends 16 bytes before EOF (final sync);
+          // its trailing byte is the snappy CRC32's low byte — a flip
+          // there leaves framing and compression intact and must refuse
+          // on the checksum alone
+          val t = bytes.clone()
+          t(t.length - 17) = (t(t.length - 17) ^ 0x01).toByte
+          t
         } else bytes
       AvroCodec.avroRead(payload) match {
-        case Some((nb, nr, idSum, scSum, nmBytes, defl)) =>
+        case Some((nb, nr, idSum, scSum, nmBytes, cdc)) =>
           (k, true, Some(nb), Some(nr), Some(idSum), Some(scSum),
-            Some(nmBytes), Some(defl))
+            Some(nmBytes), Some(cdc))
         case None =>
           (k, false, None: Option[Int], None: Option[Long], None: Option[Long],
-            None: Option[Long], None: Option[Long], None: Option[Boolean])
+            None: Option[Long], None: Option[Long], None: Option[String])
       }
     }.toDF("media_id", "avro_ok", "n_blocks", "n_records", "id_sum",
-      "score_sum", "name_bytes", "deflated")
+      "score_sum", "name_bytes", "codec")
     decoded.orderBy($"media_id")
   }
 
   /** The facts replayed from the synthesis formulas: n = 5 + k mod 20
     * records in ⌈n/4⌉ blocks, id k·1000 + i, score (7k + 13i) mod
-    * 10000, name length 1 + (k+i) mod 8; deflate exactly when 3 | k;
-    * refusal on the truncation / sync-flip / schema-pin arms. */
+    * 10000, name length 1 + (k+i) mod 8; codec rotates deflate/snappy/
+    * null by k mod 3; refusal on the truncation / sync-flip /
+    * schema-pin arms plus the snappy-CRC flip (k mod 23 ∧ k mod 3 = 1). */
   val avroReadSql: String =
     """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
       |p AS (SELECT k, CAST(5 + k % 20 AS BIGINT) AS n,
-      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0
+      |         AND NOT (k % 23 = 0 AND k % 3 = 1)) AS ok
       |      FROM ks),
       |rec AS (
       |  SELECT p.k, p.n, i.g AS i
@@ -3227,7 +3252,8 @@ object Llm {
       |  CASE WHEN p.ok THEN CAST((p.n + 3) // 4 AS INTEGER) END AS n_blocks,
       |  CASE WHEN p.ok THEN p.n END AS n_records,
       |  agg.id_sum, agg.score_sum, agg.name_bytes,
-      |  CASE WHEN p.ok THEN p.k % 3 = 0 END AS deflated
+      |  CASE WHEN p.ok THEN (CASE p.k % 3 WHEN 0 THEN 'deflate'
+      |       WHEN 1 THEN 'snappy' ELSE 'null' END) END AS codec
       |FROM p LEFT JOIN agg ON p.k = agg.k
       |ORDER BY media_id""".stripMargin
 
@@ -3416,17 +3442,21 @@ object Llm {
     * [[graft.llm.Lz4Codec]]): per-key streams mixing stored and
     * "compressed" blocks, block checksums, content checksums,
     * dictionary IDs and every legal block-max code, plus a skippable
-    * frame on 5 | k. LZ4's framing checksums run over STORED bytes, so
-    * the probe VERIFIES them (xxHash32, reference vectors pinned in the
-    * spec) — header checksum always, per-block checksums when present,
-    * and the content checksum whenever every block is stored (content
-    * knowable without the decode that stays behind the seam). Refusal
-    * arms: truncation (k mod 13) and a descriptor tamper (k mod 17)
-    * that the header checksum catches. */
+    * frame on 5 | k. LZ4's framing checksums run over STORED bytes and
+    * are verified (xxHash32, reference vectors pinned in the spec) —
+    * header checksum always, per-block checksums when present — and
+    * since round 15 compressed blocks are fully DECODED (the complete
+    * sequence format), so the content checksum is verified on EVERY
+    * frame that carries one and the declared content size is checked
+    * against the actual decoded length. Refusal arms: truncation
+    * (k mod 13), a descriptor tamper (k mod 17) that the header
+    * checksum catches, and a corrupted SEQUENCE (k mod 23: a zero
+    * match offset that only the decoder can see — the block checksum,
+    * over stored bytes, passes). */
   def lz4Probe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.Lz4Codec
-    import Lz4Codec.{LFrame, LSkippable, Packed, Stored}
+    import Lz4Codec.{LFrame, LSkippable, Packed, PackedBad, Stored}
     val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
     val decoded = keys.map { k =>
       val n = (1 + k % 3).toInt
@@ -3435,7 +3465,9 @@ object Llm {
         val blocks: Seq[Lz4Codec.LBlock] =
           Seq(Stored((6 + kj % 30).toInt)) ++
             (if (kj % 3 == 1) Seq(Packed((5 + kj % 12).toInt)) else Seq.empty) ++
-            (if (kj % 2 == 0) Seq(Stored((3 + kj % 7).toInt)) else Seq.empty)
+            (if (kj % 2 == 0) Seq(Stored((3 + kj % 7).toInt)) else Seq.empty) ++
+            (if (j == 0 && k % 23 == 0 && k % 13 != 0 && k % 17 != 0)
+               Seq(PackedBad()) else Seq.empty)
         Right(LFrame(blocks, blockChecksum = kj % 2 == 0,
           contentChecksum = kj % 3 != 2, declareContent = kj % 4 != 1,
           dictId = kj % 5 == 0, bmaxCode = (4 + kj % 4).toInt))
@@ -3453,17 +3485,18 @@ object Llm {
           t
         } else bytes
       Lz4Codec.lz4Probe(payload) match {
-        case Some((nf, ns, nb, nst, np, ds, nd, nbc, ncv)) =>
+        case Some((nf, ns, nb, nst, np, ds, nd, nbc, ncv, ct)) =>
           (k, true, Some(nf), Some(ns), Some(nb), Some(nst), Some(np),
-            Some(ds), Some(nd), Some(nbc), Some(ncv))
+            Some(ds), Some(nd), Some(nbc), Some(ncv), Some(ct))
         case None =>
           (k, false, None: Option[Int], None: Option[Int], None: Option[Int],
             None: Option[Int], None: Option[Int], None: Option[Long],
-            None: Option[Int], None: Option[Int], None: Option[Int])
+            None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Long])
       }
     }.toDF("media_id", "lz4_ok", "n_frames", "n_skip", "n_blocks", "n_stored",
       "n_packed", "content_declared", "n_declaring", "n_block_cks",
-      "n_content_verified")
+      "n_content_verified", "content_total")
     decoded.orderBy($"media_id")
   }
 
@@ -3471,12 +3504,13 @@ object Llm {
     * stored block always (+ a second on even kj), packed on kj mod 3 =
     * 1; block checksums on even kj (covering that frame's block count),
     * content declared unless kj mod 4 = 1, content checksum present
-    * unless kj mod 3 = 2 and VERIFIED only when the frame is all
-    * stored. */
+    * unless kj mod 3 = 2 and — with the full sequence decode — VERIFIED
+    * on every frame that carries one; frame content = stored bytes plus
+    * DECODED packed bytes. */
   val lz4ProbeSql: String =
     """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
       |p AS (SELECT k, CAST(1 + k % 3 AS INTEGER) AS n,
-      |        (k % 13 <> 0 AND k % 17 <> 0) AS ok
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 23 <> 0) AS ok
       |      FROM ks),
       |fx AS (
       |  SELECT p.k, p.k + j.g AS kj
@@ -3488,9 +3522,10 @@ object Llm {
       |      + CASE WHEN kj % 2 = 0 THEN 1 ELSE 0 END AS nb,
       |    1 + CASE WHEN kj % 2 = 0 THEN 1 ELSE 0 END AS nst,
       |    CASE WHEN kj % 3 = 1 THEN 1 ELSE 0 END AS np,
-      |    6 + kj % 30 + CASE WHEN kj % 2 = 0 THEN 3 + kj % 7 ELSE 0 END AS regen,
+      |    6 + kj % 30 + CASE WHEN kj % 3 = 1 THEN 5 + kj % 12 ELSE 0 END
+      |      + CASE WHEN kj % 2 = 0 THEN 3 + kj % 7 ELSE 0 END AS regen,
       |    kj % 4 <> 1 AS decl, kj % 2 = 0 AS bck,
-      |    (kj % 3 <> 2 AND kj % 3 <> 1) AS cv
+      |    kj % 3 <> 2 AS cv
       |  FROM fx),
       |agg AS (
       |  SELECT k,
@@ -3500,13 +3535,15 @@ object Llm {
       |    CAST(SUM(CASE WHEN decl THEN regen ELSE 0 END) AS BIGINT) AS content_declared,
       |    CAST(SUM(CASE WHEN decl THEN 1 ELSE 0 END) AS INTEGER) AS n_declaring,
       |    CAST(SUM(CASE WHEN bck THEN nb ELSE 0 END) AS INTEGER) AS n_block_cks,
-      |    CAST(SUM(CASE WHEN cv THEN 1 ELSE 0 END) AS INTEGER) AS n_content_verified
+      |    CAST(SUM(CASE WHEN cv THEN 1 ELSE 0 END) AS INTEGER) AS n_content_verified,
+      |    CAST(SUM(regen) AS BIGINT) AS content_total
       |  FROM fy GROUP BY k)
       |SELECT p.k AS media_id, p.ok AS lz4_ok,
       |  CASE WHEN p.ok THEN p.n END AS n_frames,
       |  CASE WHEN p.ok THEN CAST(CASE WHEN p.k % 5 = 0 THEN 1 ELSE 0 END AS INTEGER) END AS n_skip,
       |  agg.n_blocks, agg.n_stored, agg.n_packed, agg.content_declared,
-      |  agg.n_declaring, agg.n_block_cks, agg.n_content_verified
+      |  agg.n_declaring, agg.n_block_cks, agg.n_content_verified,
+      |  agg.content_total
       |FROM p LEFT JOIN agg ON p.k = agg.k
       |ORDER BY media_id""".stripMargin
 

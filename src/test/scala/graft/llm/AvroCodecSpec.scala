@@ -4,8 +4,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import AvroCodec._
 
 /** Avro OCF reader: framing law (magic, metadata map, per-block sync
-  * repeats, exact block sizing), zigzag varints, both codecs, the
-  * pinned-schema refusal. The zigzag wire form is pinned against the
+  * repeats, exact block sizing), zigzag varints, all three codecs
+  * (null / deflate / CRC-verified snappy), the pinned-schema refusal.
+  * The zigzag wire form is pinned against the
   * spec's reference bytes so the reader is proven against the SPEC,
   * not just against our own writer. */
 class AvroCodecSpec extends AnyFunSuite {
@@ -32,23 +33,50 @@ class AvroCodecSpec extends AnyFunSuite {
       0xff, 0xff, 0xff, 0x01))
   }
 
-  test("roundtrip facts: both codecs, multi-block, exact sums") {
+  test("roundtrip facts: all three codecs, multi-block, exact sums") {
     val rs = recs(11)
     val idSum = rs.map(_.id).sum
     val scoreSum = rs.map(_.score).sum
     val nameBytes = rs.map(_.name.length.toLong).sum
-    val plain = encodeAvro(rs, blockSize = 4, deflate = false, sync)
-    assert(avroRead(plain).contains((3, 11L, idSum, scoreSum, nameBytes, false)))
-    val defl = encodeAvro(rs, blockSize = 5, deflate = true, sync)
-    assert(avroRead(defl).contains((3, 11L, idSum, scoreSum, nameBytes, true)))
+    val plain = encodeAvro(rs, blockSize = 4, "null", sync)
+    assert(avroRead(plain).contains((3, 11L, idSum, scoreSum, nameBytes, "null")))
+    val defl = encodeAvro(rs, blockSize = 5, "deflate", sync)
+    assert(avroRead(defl).contains((3, 11L, idSum, scoreSum, nameBytes, "deflate")))
+    val snap = encodeAvro(rs, blockSize = 3, "snappy", sync)
+    assert(avroRead(snap).contains((4, 11L, idSum, scoreSum, nameBytes, "snappy")))
+  }
+
+  test("snappy blocks are VERIFIED: CRC flip and payload flip both refuse") {
+    val b = encodeAvro(recs(9), blockSize = 4, "snappy", sync)
+    assert(avroRead(b).nonEmpty)
+    // last block's data ends 16 bytes before EOF; its trailing byte is
+    // the stored CRC32's low byte — framing and compression stay valid,
+    // so only the checksum can catch the flip
+    val crcFlip = b.clone()
+    crcFlip(b.length - 17) = (crcFlip(b.length - 17) ^ 0x01).toByte
+    assert(avroRead(crcFlip).isEmpty, "snappy CRC flip passed")
+    // a snappy file also interops with the independent decoder: the
+    // blocks our writer emits decompress identically under snappy-java
+    val raw = {
+      val body = new java.io.ByteArrayOutputStream
+      recs(9).take(4).foreach { r =>
+        AvroCodec.writeVarintForTest(body, r.id)
+        val nb = r.name.getBytes("UTF-8")
+        AvroCodec.writeVarintForTest(body, nb.length.toLong); body.write(nb, 0, nb.length)
+        AvroCodec.writeVarintForTest(body, r.score)
+      }
+      body.toByteArray
+    }
+    val comp = SnappyCodec.compress(raw)
+    assert(java.util.Arrays.equals(org.xerial.snappy.Snappy.uncompress(comp), raw))
   }
 
   test("refusals: magic, schema pin, codec scope, sync mismatch, truncation, dangling") {
-    val b = encodeAvro(recs(6), blockSize = 3, deflate = false, sync)
+    val b = encodeAvro(recs(6), blockSize = 3, "null", sync)
     val m = b.clone(); m(3) = 2
     assert(avroRead(m).isEmpty) // magic version
     // a different schema string refuses (pinned reader scope)
-    val other = encodeAvro(recs(6), 3, deflate = false, sync,
+    val other = encodeAvro(recs(6), 3, "null", sync,
       schema = RSchema.replace("score", "points"))
     assert(avroRead(other).isEmpty)
     // unsupported codec name (same length as "null") refuses
@@ -63,7 +91,7 @@ class AvroCodecSpec extends AnyFunSuite {
     // junk appended INSIDE a block's declared compressed size (after
     // the deflate final block) must refuse: the declared size is
     // consumed exactly on both sides of the codec
-    val one = encodeAvro(recs(2), blockSize = 2, deflate = true, sync)
+    val one = encodeAvro(recs(2), blockSize = 2, "deflate", sync)
     // block layout at tail: cnt varint, size varint, data, 16-byte sync.
     // rebuild with size+2 and two junk bytes before the sync
     val tail = one.length
@@ -91,7 +119,7 @@ class AvroCodecSpec extends AnyFunSuite {
     // a content flip may refuse (broken stream / size contract) or
     // decode to altered facts — what the reader promises is that it
     // never throws and never mis-frames
-    val defl = encodeAvro(recs(4), blockSize = 4, deflate = true, sync)
+    val defl = encodeAvro(recs(4), blockSize = 4, "deflate", sync)
     val dz = defl.clone(); dz(defl.length - 20) = (dz(defl.length - 20) ^ 0x10).toByte
     avroRead(dz) // must not throw
     // random junk never throws

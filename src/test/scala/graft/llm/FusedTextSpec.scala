@@ -361,7 +361,7 @@ class FusedTextSpec extends SparkTestBase with TableDrivenPropertyChecks {
     val dirty = Array[Byte](0x41, 0x00, 0x07, 0x7f,
       0xef.toByte, 0xbf.toByte, 0xbd.toByte)
     assert(census(dirty) == ((7L, 4L, 0L, 1L, 0L, 0L, 1L, 3L, 1L, true)))
-    // the four malformed shapes, maximal-subpart counting
+    // the four malformed shapes — per-BYTE invalid counts (lead-byte resync)
     assert(census(Array(0xc0.toByte, 0xaf.toByte))._6 == 2) // overlong
     assert(census(Array(0xed.toByte, 0xa0.toByte, 0x80.toByte))._6 == 3) // surrogate
     assert(census(Array(0x80.toByte))._6 == 1) // lone continuation
@@ -407,6 +407,32 @@ class FusedTextSpec extends SparkTestBase with TableDrivenPropertyChecks {
         assert(r.getLong(6) == cps.count(_ == 0xfffd))
         assert(r.getLong(8) == cps.count(_ == 0))
       }
+    }
+  }
+
+  test("Utf8Census: codegen ≡ interpreted on the fuzz corpus") {
+    import testImplicits._
+    // the census is the one expression meant to touch every raw byte of
+    // the corpus, so its doGenCode path must agree bit-for-bit with the
+    // interpreted eval (the ZOrder2 parity contract)
+    val rnd = new scala.util.Random(43)
+    val arrays = (0 until 200).map(_ => Array.fill(rnd.nextInt(32))(rnd.nextInt(256).toByte))
+    def run(): Seq[org.apache.spark.sql.Row] =
+      arrays.map(Tuple1(_)).toDF("b")
+        .select(TextAnalysis.utf8Census($"b").as("c")).select($"c.*")
+        .collect().toSeq
+    val gen = run()
+    val conf = spark.conf
+    val ws = conf.get("spark.sql.codegen.wholeStage", "true")
+    val fm = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    try {
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = run()
+      assert(interp == gen, "utf8_census: interpreted != codegen")
+    } finally {
+      conf.set("spark.sql.codegen.wholeStage", ws)
+      conf.set("spark.sql.codegen.factoryMode", fm)
     }
   }
 

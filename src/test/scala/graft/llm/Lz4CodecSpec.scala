@@ -4,9 +4,11 @@ import org.scalatest.funsuite.AnyFunSuite
 import Lz4Codec._
 
 /** LZ4 frame walk: xxHash32 reference vectors, header/block checksum
-  * verification (any flip in a checksummed region refuses), the
-  * all-stored content cross-checks, and the honest scope on compressed
-  * payloads. */
+  * verification (any flip in a checksummed region refuses), the FULL
+  * block sequence decode (closed-form vectors, corrupted-sequence
+  * refusals, bidirectional fuzz against the independent lz4-java
+  * implementation Spark ships), and content checksums verified on
+  * every frame that carries one. */
 class Lz4CodecSpec extends AnyFunSuite {
 
   test("xxh32 matches the published reference vectors") {
@@ -26,16 +28,109 @@ class Lz4CodecSpec extends AnyFunSuite {
 
   test("census facts across frames, skippables, dict ids, packed blocks") {
     val b = encodeLz4(Seq(Right(simple)))
-    assert(lz4Probe(b).contains((1, 0, 2, 2, 0, 49L, 1, 2, 1)))
+    assert(lz4Probe(b).contains((1, 0, 2, 2, 0, 49L, 1, 2, 1, 49L)))
     val mixed = encodeLz4(Seq(
       Left(LSkippable(6, 3)),
       Right(simple),
       Right(LFrame(Seq(Stored(5), Packed(11)), blockChecksum = false,
         contentChecksum = true, declareContent = false, dictId = true,
         bmaxCode = 7))))
-    // 2nd data frame: content checksum present but NOT verifiable (a
-    // packed block hides the content) -> censused, not counted verified
-    assert(lz4Probe(mixed).contains((2, 1, 4, 3, 1, 49L, 1, 2, 1)))
+    // 2nd data frame: the packed block is DECODED, so its content
+    // checksum is verified too (2 verified) and the decoded 11 bytes
+    // count toward the content total (49 + 5 + 11)
+    assert(lz4Probe(mixed).contains((2, 1, 4, 3, 1, 49L, 1, 2, 2, 65L)))
+  }
+
+  test("block sequence decode: closed-form vectors") {
+    // literals-only: token 0x30, 3 bytes
+    val lit = Array[Byte](0x30, 'a', 'b', 'c')
+    assert(decodeBlock(lit, 0, lit.length, 64)
+      .map(new String(_, "UTF-8")).contains("abc"))
+    // RLE via overlapping match: literal "ab", then offset 2, matchlen 6
+    // token = (2<<4) | (6-4) = 0x22; output "ab" + 6 overlap = "abababab"
+    val rle = Array[Byte](0x22, 'a', 'b', 2, 0, 0x10, 'z')
+    assert(decodeBlock(rle, 0, rle.length, 64)
+      .map(new String(_, "UTF-8")).contains("abababab" + "z"))
+    // 15+ literal run takes extension bytes (stop at first non-255):
+    // 15 + 243 = 258 literals
+    val longLit = Array[Byte](0xf0.toByte, 243.toByte) ++
+      Array.fill(258)('x'.toByte)
+    assert(decodeBlock(longLit, 0, longLit.length, 512).exists(_.length == 258))
+    // matchlen 15+ takes extensions too: lit "abcd", match off 4 len 19+4
+    val longMatch = Array[Byte](0x4f, 'a', 'b', 'c', 'd', 4, 0, 8,
+      0x10, 'q')
+    assert(decodeBlock(longMatch, 0, longMatch.length, 64)
+      .map(new String(_, "UTF-8"))
+      .contains("abcd" + ("abcd" * 7).take(27) + "q"))
+  }
+
+  test("block sequence decode: corrupted sequences refuse, never throw") {
+    // zero offset
+    assert(decodeBlock(Array[Byte](0x10, 'a', 0, 0), 0, 4, 64).isEmpty)
+    // offset past the decoded prefix
+    assert(decodeBlock(Array[Byte](0x10, 'a', 5, 0), 0, 4, 64).isEmpty)
+    // literal run overruns the input
+    assert(decodeBlock(Array[Byte](0x50, 'a', 'b'), 0, 3, 64).isEmpty)
+    // stream ends on a match (last sequence must be literals-only)
+    assert(decodeBlock(Array[Byte](0x10, 'a', 1, 0), 0, 4, 64).isEmpty)
+    // output exceeds maxOut
+    assert(decodeBlock(Array[Byte](0x30, 'a', 'b', 'c'), 0, 4, 2).isEmpty)
+    // truncation at every cut of a valid block refuses or stays bounded
+    val valid = compressBlock(("lz4 block spec " * 30).getBytes("UTF-8"))
+    (1 until valid.length).foreach { keep =>
+      decodeBlock(valid, 0, keep, 1 << 16) // must never throw
+    }
+    val rnd = new scala.util.Random(83)
+    (0 until 4000).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(48))(rnd.nextInt(256).toByte)
+      decodeBlock(junk, 0, junk.length, 4096)
+    }
+  }
+
+  test("bidirectional fuzz against lz4-java") {
+    val factory = net.jpountz.lz4.LZ4Factory.safeInstance()
+    val comp = factory.fastCompressor()
+    val dec = factory.safeDecompressor()
+    val rnd = new scala.util.Random(89)
+    val cases: Seq[Array[Byte]] = (0 until 300).map { i =>
+      i % 4 match {
+        case 0 => Array.fill(rnd.nextInt(400))(rnd.nextInt(256).toByte)
+        case 1 => (("wiederholung " * (1 + rnd.nextInt(30))) + rnd.nextInt(999)).getBytes("UTF-8")
+        case 2 => Array.fill(rnd.nextInt(1500))((rnd.nextInt(2) + 'a').toByte)
+        case _ =>
+          val rec = Array.fill(9)(rnd.nextInt(256).toByte)
+          Array.fill(rnd.nextInt(60))(rec).flatten
+      }
+    } :+ Array[Byte](7)
+    cases.foreach { data =>
+      // ours -> theirs
+      val mine = compressBlock(data)
+      val theirBuf = new Array[Byte](data.length)
+      val n = dec.decompress(mine, 0, mine.length, theirBuf, 0)
+      assert(n == data.length && java.util.Arrays.equals(theirBuf, data),
+        s"lz4-java rejects our block (n=${data.length})")
+      // theirs -> ours
+      val theirs = comp.compress(data)
+      val back = decodeBlock(theirs, 0, theirs.length, math.max(1, data.length))
+      assert(back.exists(java.util.Arrays.equals(_, data)),
+        s"we reject lz4-java's block (n=${data.length})")
+      // ours -> ours
+      assert(decodeBlock(mine, 0, mine.length, math.max(1, data.length))
+        .exists(java.util.Arrays.equals(_, data)))
+    }
+  }
+
+  test("corrupted sequence inside a frame refuses even under passing block checksums") {
+    val bad = encodeLz4(Seq(Right(LFrame(Seq(Stored(8), PackedBad()),
+      blockChecksum = true, contentChecksum = false, declareContent = false,
+      dictId = false))))
+    assert(lz4Probe(bad).isEmpty, "zero-offset sequence passed the walk")
+    // the same frame with a GOOD packed block passes, proving the arm
+    // isolates the sequence corruption
+    val good = encodeLz4(Seq(Right(LFrame(Seq(Stored(8), Packed(9)),
+      blockChecksum = true, contentChecksum = false, declareContent = false,
+      dictId = false))))
+    assert(lz4Probe(good).nonEmpty)
   }
 
   test("every flip in a checksummed region refuses") {
@@ -58,7 +153,7 @@ class Lz4CodecSpec extends AnyFunSuite {
     assert(lz4Probe(t2).isEmpty)
   }
 
-  test("honest scope: packed-payload flips pass when nothing checksums them") {
+  test("honest scope: a LITERAL-byte flip in a packed block decodes to different content and passes when nothing checksums it") {
     val b = encodeLz4(Seq(Right(LFrame(Seq(Packed(12)), blockChecksum = false,
       contentChecksum = false, declareContent = false, dictId = false))))
     val t = b.clone()

@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Snappy raw-block codec vs the format description AND the independent
+  * snappy-java implementation Spark ships: closed-form tag vectors,
+  * bidirectional fuzz (our compressor → their decompressor and their
+  * compressor → our decompressor, byte-for-byte), and the malformation
+  * battery (length lies, offset-zero, offset-past-output, truncation at
+  * every cut, trailing junk, bomb cap). */
+class SnappyCodecSpec extends AnyFunSuite {
+
+  test("closed-form tag vectors from the format description") {
+    // literal-only: preamble 3, tag (3-1)<<2, "abc"
+    val lit = Array[Byte](3, (2 << 2).toByte, 'a', 'b', 'c')
+    assert(SnappyCodec.decompress(lit).map(new String(_, "UTF-8")).contains("abc"))
+    // RLE via overlapping copy: "ab" literal then copy(off=2, len=6) -> "abababab"
+    val rle = Array[Byte](8, (1 << 2).toByte, 'a', 'b',
+      (((6 - 1) << 2) | 2).toByte, 2, 0)
+    assert(SnappyCodec.decompress(rle).map(new String(_, "UTF-8")).contains("abababab"))
+    // 1-byte-offset copy form: len = 4 + ((tag>>>2)&7), off = (tag>>>5)<<8 | byte
+    // "abcd" literal + copy1(off=4, len=4) -> "abcdabcd"
+    val c1 = Array[Byte](8, (3 << 2).toByte, 'a', 'b', 'c', 'd',
+      ((0 << 2) | 1).toByte, 4)
+    assert(SnappyCodec.decompress(c1).map(new String(_, "UTF-8")).contains("abcdabcd"))
+    // 4-byte-offset copy form
+    val c4 = Array[Byte](8, (3 << 2).toByte, 'a', 'b', 'c', 'd',
+      (((4 - 1) << 2) | 3).toByte, 4, 0, 0, 0)
+    assert(SnappyCodec.decompress(c4).map(new String(_, "UTF-8")).contains("abcdabcd"))
+    // 61-tag literal: 2 extension bytes little-endian (len-1)
+    val longLit = Array[Byte]((100 | 0x80).toByte, 1.toByte) ++ // varint preamble 228
+      Array[Byte]((61 << 2).toByte, (228 - 1).toByte, 0) ++
+      Array.fill(228)('x'.toByte)
+    assert(SnappyCodec.decompress(longLit).exists(_.length == 228))
+  }
+
+  test("malformations all refuse, never throw") {
+    // empty / truncated preamble
+    assert(SnappyCodec.decompress(Array.emptyByteArray).isEmpty)
+    assert(SnappyCodec.decompress(Array[Byte](0x80.toByte)).isEmpty)
+    // declared length lies: short and long against the actual tag output
+    assert(SnappyCodec.decompress(Array[Byte](2, (2 << 2).toByte, 'a', 'b', 'c')).isEmpty)
+    assert(SnappyCodec.decompress(Array[Byte](4, (2 << 2).toByte, 'a', 'b', 'c')).isEmpty)
+    // literal overruns the input window
+    assert(SnappyCodec.decompress(Array[Byte](5, (4 << 2).toByte, 'a', 'b')).isEmpty)
+    // offset 0 and offset past the written output both refuse
+    assert(SnappyCodec.decompress(Array[Byte](6, (1 << 2).toByte, 'a', 'b',
+      (((4 - 1) << 2) | 2).toByte, 0, 0)).isEmpty)
+    assert(SnappyCodec.decompress(Array[Byte](6, (1 << 2).toByte, 'a', 'b',
+      (((4 - 1) << 2) | 2).toByte, 9, 0)).isEmpty)
+    // trailing junk after the output is complete
+    assert(SnappyCodec.decompress(Array[Byte](3, (2 << 2).toByte, 'a', 'b', 'c', 0)).isEmpty)
+    // decompression-bomb cap: huge declared length refuses pre-allocation
+    assert(SnappyCodec.decompress(Array[Byte](0xff.toByte, 0xff.toByte,
+      0xff.toByte, 0xff.toByte, 0x0f, 0), maxOut = 1 << 20).isEmpty)
+    // every truncation of a valid stream refuses
+    val valid = SnappyCodec.compress(("the quick brown fox " * 20).getBytes("UTF-8"))
+    (1 until valid.length).foreach { keep =>
+      assert(SnappyCodec.decompress(valid.take(keep)).isEmpty, s"keep $keep")
+    }
+    // random junk never throws
+    val rnd = new scala.util.Random(71)
+    (0 until 4000).foreach { _ =>
+      SnappyCodec.decompress(Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte))
+    }
+  }
+
+  test("bidirectional fuzz against snappy-java") {
+    val rnd = new scala.util.Random(73)
+    val cases: Seq[Array[Byte]] = (0 until 300).map { i =>
+      i % 4 match {
+        case 0 => Array.fill(rnd.nextInt(500))(rnd.nextInt(256).toByte) // incompressible
+        case 1 => // repetitive text (copies + literals)
+          (("lorem ipsum " * (1 + rnd.nextInt(40))) + rnd.nextInt(1000)).getBytes("UTF-8")
+        case 2 => // long runs (overlapping copies)
+          Array.fill(rnd.nextInt(2000))((rnd.nextInt(3) + 'a').toByte)
+        case _ => // structured: repeating 7-byte records
+          val rec = Array.fill(7)(rnd.nextInt(256).toByte)
+          Array.fill(rnd.nextInt(80))(rec).flatten
+      }
+    } :+ Array.emptyByteArray :+ Array[Byte](42)
+    cases.foreach { data =>
+      // ours -> theirs
+      val mine = SnappyCodec.compress(data)
+      assert(java.util.Arrays.equals(org.xerial.snappy.Snappy.uncompress(mine), data),
+        s"snappy-java rejects our stream (n=${data.length})")
+      // theirs -> ours
+      val theirs = org.xerial.snappy.Snappy.compress(data)
+      val back = SnappyCodec.decompress(theirs)
+      assert(back.exists(java.util.Arrays.equals(_, data)),
+        s"we reject snappy-java's stream (n=${data.length})")
+      // ours -> ours
+      assert(SnappyCodec.decompress(mine).exists(java.util.Arrays.equals(_, data)))
+    }
+  }
+}
