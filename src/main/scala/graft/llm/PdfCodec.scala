@@ -1,0 +1,398 @@
+package graft.llm
+
+/** PDF structural walk — the dominant document modality in LLM training
+  * data, and (through round 14) the one major format family this engine
+  * had no probe for. Implemented from the public spec (ISO 32000-1 /
+  * the Adobe PDF 1.7 reference, freely published): header law
+  * (`%PDF-1.x`), body objects (`N G obj … endobj`), stream objects
+  * whose `/Length` must cover the payload EXACTLY up to `endstream`,
+  * the classic cross-reference table (20-byte entries, subsection
+  * headers), the trailer dictionary (`/Size` / `/Root` laws), and the
+  * incremental-update chain walked via `/Prev` with newest-wins object
+  * resolution — the mechanism every PDF editor appends changes with.
+  *
+  * Everything the structure promises is verified: the `startxref`
+  * offset must land on a real `xref` keyword, every subsection entry
+  * must parse as exactly 20 bytes, every in-use entry must point at an
+  * object whose NUMBER AND GENERATION match its xref slot, a stream's
+  * declared `/Length` must be consumed exactly (an `endstream` that
+  * isn't where `/Length` says is a lie, not a recoverable hiccup),
+  * `/Root` must resolve to a live `/Type /Catalog` object, `/Size`
+  * must cover the highest live object number, and the `/Prev` chain
+  * must strictly decrease (cycle refusal). Any violation returns None —
+  * a census pipeline filters on damage rather than crashing on the
+  * first torn upload.
+  *
+  * Honest scope pins (documented, not hidden): cross-reference STREAMS
+  * (`/Type /XRef`, PDF 1.5+) and object streams (`/Type /ObjStm`)
+  * refuse — expanding them needs the full object model plus filter
+  * decode chains; a `startxref` pointing at anything but the `xref`
+  * keyword refuses rather than mis-walking. Encrypted documents
+  * (`/Encrypt` in the trailer) refuse for the same reason. Content
+  * stream INTERPRETATION (text extraction) stays behind the seam —
+  * this walk proves framing, censuses objects, and verifies lengths. */
+object PdfCodec {
+
+  /** Probe facts: (versionMinor, nUpdates, sizeDeclared, nObjects,
+    * nPages, nStreams, streamBytes) over the newest-wins view of the
+    * update chain. None on any structural violation. */
+  def pdfProbe(b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int, Long)] = try {
+    if (b == null || b.length < 16) return None
+    // ---- header law: %PDF-1.x ----
+    val hdr = "%PDF-1."
+    var i = 0
+    while (i < hdr.length) { if (b(i) != hdr.charAt(i).toByte) return None; i += 1 }
+    val vMinor = b(hdr.length) - '0'
+    if (vMinor < 0 || vMinor > 7) return None
+    // ---- locate the LAST startxref … %%EOF at the tail ----
+    val tail = new String(b, math.max(0, b.length - 96), math.min(96, b.length), "ISO-8859-1")
+    val sx = tail.lastIndexOf("startxref")
+    if (sx < 0) return None
+    val after = tail.substring(sx + "startxref".length)
+    val m = after.dropWhile(c => c == '\r' || c == '\n' || c == ' ')
+    val digits = m.takeWhile(_.isDigit)
+    if (digits.isEmpty || digits.length > 10) return None
+    val rest = m.substring(digits.length).dropWhile(c => c == '\r' || c == '\n' || c == ' ')
+    if (!rest.startsWith("%%EOF")) return None
+    // %%EOF must be the FINAL token: a truncated incremental update
+    // leaves the PREVIOUS revision's trailer near EOF, and silently
+    // resurrecting it would report facts for bytes the file no longer
+    // frames — strict walks refuse instead
+    if (!rest.drop(5).forall(c => c == '\r' || c == '\n' || c == ' ')) return None
+    var xrefOff = digits.toLong
+    // ---- walk the xref chain (newest first), newest-wins entries ----
+    // objNum -> (offset, gen); only the FIRST (newest) sighting binds
+    val live = scala.collection.mutable.LongMap.empty[(Long, Int)]
+    val free = scala.collection.mutable.Set.empty[Long]
+    var size = -1
+    var rootObj = -1L
+    var nUpdates = 0
+    var prevSeen = Long.MaxValue
+    while (xrefOff >= 0) {
+      if (xrefOff >= prevSeen) return None // /Prev must strictly decrease
+      prevSeen = xrefOff
+      if (xrefOff > b.length - 4) return None
+      var p = xrefOff.toInt
+      // the keyword law: classic tables only; an xref STREAM (an
+      // integer object header here) refuses as out of scope
+      if (!at(b, p, "xref")) return None
+      p += 4
+      p = skipEol(b, p)
+      // subsections until 'trailer'
+      var sawTrailer = false
+      while (!sawTrailer) {
+        if (p >= b.length) return None
+        if (at(b, p, "trailer")) { sawTrailer = true; p += 7 }
+        else {
+          val (start, p1) = readInt(b, p)
+          val (count, p2) = readInt(b, skipSpaces(b, p1))
+          if (start < 0 || count < 0 || count > (1 << 20)) return None
+          p = skipEol(b, p2)
+          var e = 0L
+          while (e < count) {
+            // exactly 20 bytes: 10-digit offset, sp, 5-digit gen, sp, n/f, 2-byte eol
+            if (p + 20 > b.length) return None
+            val off = digits10(b, p)
+            val gen = digits5(b, p + 11)
+            if (off < 0 || gen < 0) return None
+            if (b(p + 10) != ' ' || b(p + 16) != ' ') return None
+            val kind = b(p + 17)
+            if (kind != 'n' && kind != 'f') return None
+            val objNum = start + e
+            if (!live.contains(objNum) && !free.contains(objNum)) {
+              if (kind == 'n') live(objNum) = (off, gen)
+              else free += objNum
+            }
+            p += 20
+            e += 1
+          }
+        }
+      }
+      // ---- trailer dictionary ----
+      p = skipWs(b, p)
+      val dict = parseDict(b, p) match {
+        case Some(d) => d
+        case None => return None
+      }
+      if (dict.entries.contains("Encrypt")) return None // scope pin
+      if (nUpdates == 0) {
+        size = dict.intVal("Size").getOrElse(return None).toInt
+        rootObj = dict.refVal("Root").getOrElse(return None)
+      }
+      nUpdates += 1
+      if (nUpdates > 32) return None // runaway chain
+      xrefOff = dict.intVal("Prev").getOrElse(-1L)
+      if (xrefOff == -1L && dict.entries.contains("Prev")) return None
+    }
+    // the zero object must be the free-list head
+    if (!free.contains(0L)) return None
+    if (size <= 0) return None
+    // /Size law: covers every live object number
+    val maxLive = if (live.isEmpty) -1L else live.keys.max
+    if (maxLive < 0 || size.toLong < maxLive + 1) return None
+    // ---- visit every live object: number/gen law, census, stream law ----
+    var nPages = 0; var nStreams = 0; var nCatalogs = 0
+    var streamBytes = 0L
+    var rootIsCatalog = false
+    live.foreach { case (objNum, (off, gen)) =>
+      if (off < 0 || off >= b.length) return None
+      var p = off.toInt
+      val (num, p1) = readInt(b, p)
+      val (g, p2) = readInt(b, skipSpaces(b, p1))
+      p = skipSpaces(b, p2)
+      if (num != objNum || g != gen) return None // slot law
+      if (!at(b, p, "obj")) return None
+      p = skipWs(b, p + 3)
+      val dict = parseDict(b, p) match {
+        case Some(d) => d
+        case None => return None
+      }
+      val tpe = dict.nameVal("Type").getOrElse("")
+      if (tpe == "ObjStm" || tpe == "XRef") return None // scope pin
+      p = skipWs(b, dict.end)
+      if (at(b, p, "stream")) {
+        p += 6
+        // EOL after 'stream': CRLF or LF (a lone CR is illegal)
+        if (p < b.length && b(p) == '\r') p += 1
+        if (p >= b.length || b(p) != '\n') return None
+        p += 1
+        val len = dict.intVal("Length").getOrElse(return None)
+        if (len < 0 || len > b.length - p) return None
+        p += len.toInt
+        // the /Length law: endstream must sit exactly past the payload
+        p = skipEol(b, p)
+        if (!at(b, p, "endstream")) return None
+        p = skipWs(b, p + 9)
+        nStreams += 1
+        streamBytes += len
+      }
+      if (!at(b, p, "endobj")) return None
+      tpe match {
+        case "Page" => nPages += 1
+        case "Catalog" =>
+          nCatalogs += 1
+          if (objNum == rootObj) rootIsCatalog = true
+        case _ => ()
+      }
+    }
+    if (!live.contains(rootObj) || !rootIsCatalog) return None // /Root law
+    Some((vMinor, nUpdates, size, live.size, nPages, nStreams, streamBytes))
+  } catch {
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NumberFormatException => None
+    case _: StackOverflowError => None
+  }
+
+  // ---- lexing helpers (byte-level; PDF is an ASCII-framed format) ----
+
+  private def at(b: Array[Byte], p: Int, s: String): Boolean = {
+    if (p < 0 || p + s.length > b.length) return false
+    var i = 0
+    while (i < s.length) { if (b(p + i) != s.charAt(i).toByte) return false; i += 1 }
+    true
+  }
+  private def skipSpaces(b: Array[Byte], p0: Int): Int = {
+    var p = p0
+    while (p < b.length && (b(p) == ' ' || b(p) == '\t')) p += 1
+    p
+  }
+  private def skipEol(b: Array[Byte], p0: Int): Int = {
+    var p = skipSpaces(b, p0)
+    while (p < b.length && (b(p) == '\r' || b(p) == '\n')) p += 1
+    p
+  }
+  private def skipWs(b: Array[Byte], p0: Int): Int = {
+    var p = p0
+    while (p < b.length && (b(p) == ' ' || b(p) == '\t' || b(p) == '\r' || b(p) == '\n')) p += 1
+    p
+  }
+  /** (value, posAfter); throws NumberFormatException via sentinel on no digits. */
+  private def readInt(b: Array[Byte], p0: Int): (Long, Int) = {
+    var p = p0
+    var v = 0L
+    var any = false
+    while (p < b.length && b(p) >= '0' && b(p) <= '9') {
+      v = v * 10 + (b(p) - '0'); any = true; p += 1
+      if (v > Int.MaxValue.toLong * 16) throw new NumberFormatException
+    }
+    if (!any) throw new NumberFormatException
+    (v, p)
+  }
+  private def digits10(b: Array[Byte], p: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < 10) {
+      val c = b(p + i)
+      if (c < '0' || c > '9') return -1L
+      v = v * 10 + (c - '0'); i += 1
+    }
+    v
+  }
+  private def digits5(b: Array[Byte], p: Int): Int = {
+    var v = 0; var i = 0
+    while (i < 5) {
+      val c = b(p + i)
+      if (c < '0' || c > '9') return -1
+      v = v * 10 + (c - '0'); i += 1
+    }
+    v
+  }
+
+  /** A shallowly-parsed dictionary: the few keys the walk needs
+    * (name / integer / reference values), plus where the dict ends. */
+  private final class PDict(val entries: Map[String, String], val end: Int) {
+    def intVal(k: String): Option[Long] =
+      entries.get(k).filter(v => v.nonEmpty && v.forall(_.isDigit)).map(_.toLong)
+    def nameVal(k: String): Option[String] =
+      entries.get(k).collect { case v if v.startsWith("/") => v.substring(1) }
+    /** `N G R` indirect reference → object number. */
+    def refVal(k: String): Option[Long] = entries.get(k).flatMap { v =>
+      val parts = v.split(' ')
+      if (parts.length == 3 && parts(2) == "R" &&
+        parts(0).nonEmpty && parts(0).forall(_.isDigit)) Some(parts(0).toLong)
+      else None
+    }
+  }
+
+  /** Parse `<< /Key value … >>` with nesting (values captured as raw
+    * token text; nested dicts/arrays skipped structurally). Returns
+    * None on unbalanced delimiters or truncation. */
+  private def parseDict(b: Array[Byte], p0: Int): Option[PDict] = {
+    var p = skipWs(b, p0)
+    if (!at(b, p, "<<")) return None
+    p += 2
+    val entries = scala.collection.mutable.Map.empty[String, String]
+    while (true) {
+      p = skipWs(b, p)
+      if (p >= b.length) return None
+      if (at(b, p, ">>")) return Some(new PDict(entries.toMap, p + 2))
+      if (b(p) != '/') return None
+      // key name
+      val ks = p + 1
+      var ke = ks
+      while (ke < b.length && isRegular(b(ke))) ke += 1
+      val key = new String(b, ks, ke - ks, "ISO-8859-1")
+      if (key.isEmpty) return None
+      p = skipWs(b, ke)
+      // value: nested dict, array, name, or a run of simple tokens up to
+      // the next /Key or >> (covers "N G R" references and numbers)
+      if (at(b, p, "<<")) {
+        var depth = 0
+        val vs = p
+        var done = false
+        while (!done) {
+          if (p + 1 >= b.length) return None
+          if (at(b, p, "<<")) { depth += 1; p += 2 }
+          else if (at(b, p, ">>")) { depth -= 1; p += 2; if (depth == 0) done = true }
+          else p += 1
+        }
+        entries(key) = new String(b, vs, p - vs, "ISO-8859-1")
+      } else if (p < b.length && b(p) == '[') {
+        var depth = 0
+        val vs = p
+        var done = false
+        while (!done) {
+          if (p >= b.length) return None
+          if (b(p) == '[') depth += 1
+          else if (b(p) == ']') { depth -= 1; if (depth == 0) done = true }
+          p += 1
+        }
+        entries(key) = new String(b, vs, p - vs, "ISO-8859-1")
+      } else if (p < b.length && b(p) == '/') {
+        // name value: "/Page", "/Catalog" — one name token
+        val vs = p
+        p += 1
+        while (p < b.length && isRegular(b(p))) p += 1
+        if (p - vs < 2) return None
+        entries(key) = new String(b, vs, p - vs, "ISO-8859-1")
+      } else {
+        // run of simple tokens (numbers, "N G R" references, booleans)
+        // up to the next /Key or the closing >>
+        val vs = p
+        var done = false
+        while (!done) {
+          if (p >= b.length) return None
+          if (b(p) == '/' || at(b, p, ">>")) done = true
+          else p += 1
+        }
+        val v = new String(b, vs, p - vs, "ISO-8859-1").trim
+          .replaceAll("\\s+", " ")
+        if (v.isEmpty) return None
+        entries(key) = v
+      }
+    }
+    None // unreachable
+  }
+
+  private def isRegular(c: Byte): Boolean =
+    !(c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '/' ||
+      c == '<' || c == '>' || c == '[' || c == ']' || c == '(' || c == ')')
+
+  // ---- conformance writer (tests the WALK; mirrors a classic-xref
+  //      producer: catalog, pages tree, per-page content streams,
+  //      optional one-object incremental update) --------------------
+
+  /** Deterministic PDF: `%PDF-1.{vMinor}`, binary marker comment, a
+    * catalog (obj 1), a pages node (obj 2), per page i a page dict
+    * (obj 3+2i) and its content stream (obj 4+2i, `pageLens(i)` bytes
+    * of deterministic ASCII), a classic xref with REAL offsets, and the
+    * trailer. `updateLen` appends an incremental update replacing
+    * object 4's stream — a second body + xref (two subsections) +
+    * trailer with `/Prev`. `lengthLie` declares the LIVE page-0
+    * stream's `/Length` three bytes long of the truth (the stream-law
+    * refusal arm) — in the update when one exists, else in the base
+    * body, so the lie is always in a stream the newest-wins walk
+    * actually visits. */
+  def encodePdf(vMinor: Int, pageLens: Seq[Int], updateLen: Option[Int],
+                lengthLie: Boolean = false, seed: Long = 0L): Array[Byte] = {
+    require(vMinor >= 0 && vMinor <= 7 && pageLens.nonEmpty && pageLens.forall(_ > 0))
+    val out = new java.io.ByteArrayOutputStream
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val nPages = pageLens.length
+    w(s"%PDF-1.$vMinor\n")
+    // the spec-recommended ≥4 high-bit bytes marking a binary file
+    out.write(Array[Byte]('%', 0xe2.toByte, 0xe3.toByte, 0xcf.toByte, 0xd3.toByte, '\n'))
+    val size = 3 + 2 * nPages
+    val offsets = new Array[Long](size)
+    def obj(n: Int)(body: => Unit): Unit = {
+      offsets(n) = out.size().toLong
+      w(s"$n 0 obj\n"); body; w("endobj\n")
+    }
+    def content(len: Int, salt: Int): Array[Byte] =
+      Array.tabulate(len)(j => (((seed * 31 + salt * 131 + j * 7) % 26) + 'a').toByte)
+    obj(1) { w("<< /Type /Catalog /Pages 2 0 R >>\n") }
+    obj(2) {
+      val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+      w(s"<< /Type /Pages /Kids [$kids] /Count $nPages >>\n")
+    }
+    (0 until nPages).foreach { i =>
+      obj(3 + 2 * i) {
+        w(s"<< /Type /Page /Parent 2 0 R /Contents ${4 + 2 * i} 0 R >>\n")
+      }
+      obj(4 + 2 * i) {
+        val len = pageLens(i)
+        val declared =
+          if (lengthLie && i == 0 && updateLen.isEmpty) len + 3 else len
+        w(s"<< /Length $declared >>\nstream\n")
+        out.write(content(len, i), 0, len)
+        w("\nendstream\n")
+      }
+    }
+    val xref1 = out.size().toLong
+    w(s"xref\n0 $size\n")
+    w("0000000000 65535 f \n")
+    (1 until size).foreach(n => w(f"${offsets(n)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size $size /Root 1 0 R >>\nstartxref\n$xref1\n%%EOF\n")
+    updateLen.foreach { ul =>
+      val off4 = out.size().toLong
+      val declaredU = if (lengthLie) ul + 3 else ul
+      w(s"4 0 obj\n<< /Length $declaredU >>\nstream\n")
+      out.write(content(ul, 99), 0, ul)
+      w("\nendstream\nendobj\n")
+      val xref2 = out.size().toLong
+      w("xref\n0 1\n0000000000 65535 f \n4 1\n")
+      w(f"$off4%010d 00000 n \n")
+      w(s"trailer\n<< /Size $size /Root 1 0 R /Prev $xref1 >>\nstartxref\n$xref2\n%%EOF\n")
+    }
+    out.toByteArray
+  }
+}

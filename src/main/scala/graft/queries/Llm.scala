@@ -2002,6 +2002,7 @@ object Llm {
     "q_zstd_probe" -> (zstdProbe _),
     "q_utf8_census" -> (utf8CensusQ _),
     "q_lz4_probe" -> (lz4Probe _),
+    "q_pdf_probe" -> (pdfProbe _),
     "q_tfrecord_read" -> (tfrecordRead _),
     "q_tfexample_read" -> (tfexampleRead _),
     "q_avro_read" -> (avroRead _),
@@ -3544,6 +3545,79 @@ object Llm {
       |  agg.n_blocks, agg.n_stored, agg.n_packed, agg.content_declared,
       |  agg.n_declaring, agg.n_block_cks, agg.n_content_verified,
       |  agg.content_total
+      |FROM p LEFT JOIN agg ON p.k = agg.k
+      |ORDER BY media_id""".stripMargin
+
+  /** PDF structural walk under the oracle — the dominant document
+    * modality in LLM training data (see [[graft.llm.PdfCodec]]):
+    * per-key classic-xref documents with 1-4 pages, real offsets, a
+    * catalog/pages/page object tree, per-page content streams whose
+    * `/Length` the walk verifies against `endstream`, and an
+    * incremental update (replacing page 0's stream, walked via `/Prev`
+    * with newest-wins resolution) on every fourth key. Refusal arms:
+    * truncation (k mod 13), an xref-entry offset bump the object-number
+    * law catches (k mod 17), and a stream `/Length` lie (k mod 19). */
+  def pdfProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.PdfCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val nPages = (1 + k % 4).toInt
+      val lens = (0 until nPages).map(i => (20 + (k + i * 7) % 50).toInt)
+      val updateLen = if (k % 4 == 0) Some((10 + k % 30).toInt) else None
+      val bytes = PdfCodec.encodePdf((k % 8).toInt, lens, updateLen,
+        lengthLie = k % 19 == 0 && k % 13 != 0 && k % 17 != 0, seed = k)
+      val payload =
+        if (k % 13 == 0) bytes.dropRight(6)
+        else if (k % 17 == 0) {
+          // bump the last xref entry's final offset digit: the entry
+          // now points one byte past its object header, and the
+          // object-number law (or the digit parse) refuses
+          val t = bytes.clone()
+          val idx = t.lastIndexOfSlice("00000 n \n".getBytes("ISO-8859-1"))
+          t(idx - 2) = (t(idx - 2) + 1).toByte
+          t
+        } else bytes
+      PdfCodec.pdfProbe(payload) match {
+        case Some((vm, nu, sz, no, np, ns, sb)) =>
+          (k, true, Some(vm), Some(nu), Some(sz), Some(no), Some(np),
+            Some(ns), Some(sb))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Long])
+      }
+    }.toDF("media_id", "pdf_ok", "version_minor", "n_updates",
+      "size_declared", "n_objects", "n_pages", "n_streams", "stream_bytes")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The walk replayed from the synthesis formulas: 1 + k mod 4 pages,
+    * page i stream length 20 + (k + 7i) mod 50, an update on 4 | k
+    * replacing page 0's stream with 10 + k mod 30 bytes (newest wins in
+    * the byte census), object tree 2 + 2P live objects under /Size
+    * 3 + 2P; refusal on the truncation / xref-bump / Length-lie arms. */
+  val pdfProbeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(1 + k % 4 AS INTEGER) AS np, k % 4 = 0 AS upd,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |pg AS (
+      |  SELECT p.k, i.g AS i,
+      |    CASE WHEN i.g = 0 AND p.upd THEN 10 + p.k % 30
+      |         ELSE 20 + (p.k + i.g * 7) % 50 END AS len
+      |  FROM p, generate_series(0, 3) i(g)
+      |  WHERE i.g < p.np AND p.ok),
+      |agg AS (
+      |  SELECT k, CAST(SUM(len) AS BIGINT) AS stream_bytes FROM pg GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS pdf_ok,
+      |  CASE WHEN p.ok THEN CAST(p.k % 8 AS INTEGER) END AS version_minor,
+      |  CASE WHEN p.ok THEN CAST(CASE WHEN p.upd THEN 2 ELSE 1 END AS INTEGER) END AS n_updates,
+      |  CASE WHEN p.ok THEN 3 + 2 * p.np END AS size_declared,
+      |  CASE WHEN p.ok THEN 2 + 2 * p.np END AS n_objects,
+      |  CASE WHEN p.ok THEN p.np END AS n_pages,
+      |  CASE WHEN p.ok THEN p.np END AS n_streams,
+      |  agg.stream_bytes
       |FROM p LEFT JOIN agg ON p.k = agg.k
       |ORDER BY media_id""".stripMargin
 
@@ -5657,6 +5731,7 @@ object Llm {
     "q_zstd_probe" -> zstdProbeSql,
     "q_utf8_census" -> utf8CensusSql,
     "q_lz4_probe" -> lz4ProbeSql,
+    "q_pdf_probe" -> pdfProbeSql,
     "q_tfrecord_read" -> tfrecordReadSql,
     "q_tfexample_read" -> tfexampleReadSql,
     "q_avro_read" -> avroReadSql,

@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import PdfCodec._
+
+/** PDF structural walk: header/xref/trailer law, newest-wins update
+  * chain, stream /Length coverage, the /Root and /Size laws, scope-pin
+  * refusals (xref streams, encryption), and the tamper battery. */
+class PdfCodecSpec extends AnyFunSuite {
+
+  test("roundtrip facts: single page, multi page, incremental update") {
+    val one = encodePdf(4, Seq(33), None)
+    assert(pdfProbe(one).contains((4, 1, 5, 4, 1, 1, 33L)))
+    val multi = encodePdf(7, Seq(20, 45, 10), None, seed = 5)
+    assert(pdfProbe(multi).contains((7, 1, 9, 8, 3, 3, 75L)))
+    // update replaces object 4 (page 0's stream): newest wins, so the
+    // byte census counts the REPLACEMENT length
+    val upd = encodePdf(5, Seq(20, 45), Some(12), seed = 9)
+    assert(pdfProbe(upd).contains((5, 2, 7, 6, 2, 2, 12L + 45L)))
+  }
+
+  test("stream /Length lie refuses — endstream must sit exactly past the payload") {
+    val lie = encodePdf(4, Seq(30, 18), None, lengthLie = true)
+    assert(pdfProbe(lie).isEmpty)
+    // and the same doc without the lie passes (arm isolation)
+    assert(pdfProbe(encodePdf(4, Seq(30, 18), None)).nonEmpty)
+    // with an update present the lie lands in the LIVE (update) stream —
+    // the shadowed base stream could never be caught by a newest-wins walk
+    assert(pdfProbe(encodePdf(4, Seq(30, 18), Some(9), lengthLie = true)).isEmpty)
+    assert(pdfProbe(encodePdf(4, Seq(30, 18), Some(9))).nonEmpty)
+  }
+
+  test("startxref/xref/trailer tampering refuses") {
+    val b = encodePdf(3, Seq(25), None)
+    val s = new String(b, "ISO-8859-1")
+    // startxref offset off by two: lands inside the xref keyword
+    val xrefOff = s.lastIndexOf("startxref")
+    val shifted = s.substring(0, xrefOff) +
+      s.substring(xrefOff).replaceFirst("\\d+", {
+        val v = s.substring(xrefOff).replaceAll("(?s).*?(\\d+).*", "$1")
+        (v.toLong + 2).toString
+      })
+    assert(pdfProbe(shifted.getBytes("ISO-8859-1")).isEmpty)
+    // /Root re-aimed at the Pages node: not a /Catalog, refuses
+    val badRoot = s.replace("/Root 1 0 R", "/Root 2 0 R")
+    assert(pdfProbe(badRoot.getBytes("ISO-8859-1")).isEmpty)
+    // /Size lowered below the highest live object number
+    val badSize = s.replace("/Size 5", "/Size 3")
+    assert(pdfProbe(badSize.getBytes("ISO-8859-1")).isEmpty)
+    // an xref entry's offset bumped: object-number law catches it
+    // (entry layout: 10-digit offset, sp, "00000 n \n" — the last
+    // offset digit sits 2 bytes before the gen field)
+    val genAt = s.indexOf("00000 n \n")
+    val bumped = b.clone()
+    bumped(genAt - 2) = (bumped(genAt - 2) + 1).toByte
+    assert(pdfProbe(bumped).isEmpty)
+    // header vandalism
+    val h = b.clone(); h(1) = 'Q'
+    assert(pdfProbe(h).isEmpty)
+  }
+
+  test("scope pins: xref streams, encryption, /Prev cycles refuse") {
+    val b = encodePdf(4, Seq(25), None)
+    val s = new String(b, "ISO-8859-1")
+    // aim startxref at object 1 instead of the xref keyword: the walk
+    // sees an integer (an xref STREAM shape) and refuses as out of scope
+    val obj1 = s.indexOf("1 0 obj")
+    val sx = s.lastIndexOf("startxref")
+    val aimed = s.substring(0, sx) +
+      s.substring(sx).replaceFirst("\\d+", obj1.toString)
+    assert(pdfProbe(aimed.getBytes("ISO-8859-1")).isEmpty)
+    // /Encrypt in the trailer refuses
+    val enc = s.replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 9 0 R")
+    assert(pdfProbe(enc.getBytes("ISO-8859-1")).isEmpty)
+    // a /Prev pointing FORWARD (≥ current xref offset) is a cycle: refuse
+    val upd = new String(encodePdf(4, Seq(25), Some(9)), "ISO-8859-1")
+    val lastSx = upd.lastIndexOf("startxref")
+    val lastOff = upd.substring(lastSx).replaceAll("(?s).*?(\\d+).*", "$1")
+    val cyc = upd.replaceFirst("/Prev \\d+", s"/Prev $lastOff")
+    assert(pdfProbe(cyc.getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  test("every truncation refuses; random junk never throws") {
+    val b = encodePdf(6, Seq(22, 13), Some(8))
+    // d=1 only shaves the trailing newline — %%EOF stays the final
+    // token, which IS a complete PDF; every deeper cut must refuse
+    assert(pdfProbe(b.dropRight(1)).nonEmpty)
+    (2 to b.length - 1 by 7).foreach { d =>
+      assert(pdfProbe(b.dropRight(d)).isEmpty, s"drop $d passed")
+    }
+    val rnd = new scala.util.Random(101)
+    (0 until 2000).foreach { _ =>
+      pdfProbe(Array.fill(rnd.nextInt(128))(rnd.nextInt(256).toByte))
+      pdfProbe(("%PDF-1.4\n" + new String(
+        Array.fill(rnd.nextInt(96))((rnd.nextInt(94) + 32).toChar))).getBytes("ISO-8859-1"))
+    }
+  }
+}
