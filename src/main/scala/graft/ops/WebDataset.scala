@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** WebDataset-style sample grouping over tar shards — the standard
+  * shard layout for image-text training data: each sample's members
+  * share a basename key (`0001.jpg`, `0001.txt`, `0001.json`) and sit
+  * CONTIGUOUSLY in the archive so a sequential reader can stream whole
+  * samples without an index. This operator turns one tar shard into one
+  * row per sample with its members typed by extension, composing over
+  * [[TarArchive.parseTar]]'s checksum-verified walk.
+  *
+  * Grouping law (the public WebDataset convention): the key is the
+  * entry path up to the FIRST dot of the basename (directories kept),
+  * the extension is everything after it (`a/0001.seg.json` → key
+  * `a/0001`, ext `seg.json`). A shard REFUSES (zero rows, like a
+  * corrupt tar) when a key recurs after its run has closed — that is
+  * the contiguity every WebDataset loader assumes, and silently
+  * re-merging a scattered key would fabricate a sample order the
+  * stream never had — or when one sample carries the same extension
+  * twice (two `.txt` members is malformed, not mergeable).
+  *
+  * 100 TB shape: shards are the parallelism unit (exactly the
+  * WebDataset design) — one task per shard, samples emitted by a
+  * per-partition generator, no shuffle anywhere; downstream decode
+  * (JPEG/PNG via [[graft.llm.MediaCodec]]) runs per row, map-only. */
+object WebDataset {
+
+  /** Group a shard's entries into contiguous samples. None on a
+    * contiguity violation or a duplicate extension within a sample. */
+  def groupSamples(entries: Seq[(String, Array[Byte])]): Option[Seq[(String, Seq[(String, Array[Byte])])]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[(String, Array[Byte])])]
+    val closed = scala.collection.mutable.Set.empty[String]
+    var curKey: String = null
+    var cur = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    def close(): Boolean = {
+      if (curKey != null) {
+        val exts = cur.map(_._1)
+        if (exts.distinct.length != exts.length) return false // dup ext
+        out += ((curKey, cur.toSeq))
+        closed += curKey
+      }
+      true
+    }
+    entries.foreach { case (name, data) =>
+      val slash = name.lastIndexOf('/')
+      val dot = name.indexOf('.', slash + 1)
+      val (key, ext) =
+        if (dot < 0) (name, "")
+        else (name.substring(0, dot), name.substring(dot + 1))
+      if (key != curKey) {
+        if (closed.contains(key)) return None // key recurs: not contiguous
+        if (!close()) return None
+        curKey = key
+        cur = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+      }
+      cur += ((ext, data))
+    }
+    if (!close()) return None
+    Some(out.toSeq)
+  }
+
+  /** One row per sample: (key, members: ext → bytes, n_members).
+    * A corrupt or non-contiguous shard contributes zero rows. */
+  def samples(df: DataFrame, bytesCol: String = "content"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(bytesCol)).as[Array[Byte]]
+      .flatMap { bytes =>
+        TarArchive.parseTar(bytes).flatMap(groupSamples).getOrElse(Seq.empty)
+          .map { case (key, members) =>
+            (key, members.toMap, members.length)
+          }
+      }
+      .toDF("key", "members", "n_members")
+  }
+}

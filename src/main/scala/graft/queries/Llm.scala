@@ -2010,6 +2010,7 @@ object Llm {
     "q_y4m_decode" -> (y4mDecodeQ _),
     "q_tiff_decode" -> (tiffDecode _),
     "q_tar_read" -> (tarRead _),
+    "q_webdataset_read" -> (webdatasetRead _),
     "q_gzip_members" -> (gzipMembersQ _),
     "q_webp_probe" -> (webpProbeQ _),
     "q_webm_probe" -> (webmProbeQ _),
@@ -4958,6 +4959,117 @@ object Llm {
       |LEFT JOIN bytes b ON b.k = ks.k
       |ORDER BY media_id""".stripMargin
 
+  /** WebDataset shard read under the oracle — the standard image-text
+    * training-shard layout (see [[graft.ops.WebDataset]]): per-key tar
+    * shards of 2-4 samples, each `sNNNN.png` (a REAL PNG the full
+    * decoder opens — dims are decoded facts, not header trust) +
+    * `sNNNN.txt` caption + `sNNNN.cls` label, with a caption MISSING on
+    * (k+i) mod 7 = 0 (censused as incomplete, not refused) and a
+    * loose `info.json` metadata member on 5 | k forming its own
+    * single-member sample (the mixed-shard arm). Refusal arms: tar
+    * truncation (k mod 13) and a CONTIGUITY violation (k mod 17: the
+    * first sample's member re-appears at the shard tail — the order a
+    * streaming loader cannot consume). */
+  def webdatasetRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.MediaCodec
+    import graft.ops.{TarArchive, WebDataset}
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val nSamp = (2 + k % 3).toInt
+      val sampleEntries = (0 until nSamp).flatMap { i =>
+        val w = (3 + (k + i) % 5).toInt
+        val h = (2 + (k + i) % 4).toInt
+        val png = MediaCodec.encodePng(w, h, 1,
+          (x, y, _) => ((k * 13 + i * 29 + x * 7 + y * 3) % 256).toInt)
+        val txtLen = (5 + (k + i * 11) % 20).toInt
+        val txt = Array.tabulate(txtLen)(j => ('a' + (j % 26)).toByte)
+        val cls = ((k * 3 + i) % 10).toString.getBytes("US-ASCII")
+        Seq(f"s$i%04d.png" -> png) ++
+          (if ((k + i) % 7 == 0) Seq.empty else Seq(f"s$i%04d.txt" -> txt)) ++
+          Seq(f"s$i%04d.cls" -> cls)
+      }
+      val info: Seq[(String, Array[Byte])] =
+        if (k % 5 == 0)
+          Seq("info.json" -> s"""{"shard":$k}""".getBytes("US-ASCII"))
+        else Seq.empty
+      var entries = info ++ sampleEntries
+      if (k % 17 == 0 && k % 13 != 0)
+        entries = entries :+ entries.head // key revisit: contiguity refusal
+      val bytes = TarArchive.encodeTar(entries)
+      val payload = if (k % 13 == 0) bytes.dropRight(7) else bytes
+      val samples = TarArchive.parseTar(payload)
+        .flatMap(WebDataset.groupSamples).getOrElse(Seq.empty)
+      if (samples.isEmpty)
+        (k, false, None: Option[Int], None: Option[Int], None: Option[Int],
+          None: Option[Long], None: Option[Long], None: Option[Long],
+          None: Option[Long])
+      else {
+        var nComplete = 0; var nMembers = 0
+        var capBytes = 0L; var clsSum = 0L; var wSum = 0L; var hSum = 0L
+        var decodeOk = true
+        samples.foreach { case (_, members) =>
+          nMembers += members.length
+          val m = members.toMap
+          if (m.size == 3) nComplete += 1
+          m.get("txt").foreach(t => capBytes += t.length)
+          m.get("cls").foreach(c => clsSum += new String(c, "US-ASCII").toLong)
+          m.get("png").foreach { p =>
+            MediaCodec.decode(p) match {
+              case Some(mi) => wSum += mi.width.getOrElse(0); hSum += mi.height.getOrElse(0)
+              case None => decodeOk = false
+            }
+          }
+        }
+        if (!decodeOk)
+          (k, false, None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Long], None: Option[Long], None: Option[Long],
+            None: Option[Long])
+        else
+          (k, true, Some(samples.length), Some(nComplete), Some(nMembers),
+            Some(capBytes), Some(clsSum), Some(wSum), Some(hSum))
+      }
+    }.toDF("media_id", "wd_ok", "n_samples", "n_complete", "n_members",
+      "caption_bytes", "cls_sum", "px_w_sum", "px_h_sum")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The shard replayed from the synthesis formulas: 2 + k mod 3
+    * samples, sample i png dims (3 + (k+i) mod 5) × (2 + (k+i) mod 4),
+    * caption length 5 + (k + 11i) mod 20 present unless (k+i) mod 7 =
+    * 0, class digit (3k + i) mod 10, plus the info.json singleton on
+    * 5 | k; refusal on the truncation / contiguity arms. */
+  val webdatasetReadSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(2 + k % 3 AS INTEGER) AS ns, k % 5 = 0 AS info,
+      |        (k % 13 <> 0 AND k % 17 <> 0) AS ok
+      |      FROM ks),
+      |smp AS (
+      |  SELECT p.k, i.g AS i,
+      |    (p.k + i.g) % 7 <> 0 AS complete,
+      |    CAST(5 + (p.k + i.g * 11) % 20 AS BIGINT) AS txt_len,
+      |    CAST((p.k * 3 + i.g) % 10 AS BIGINT) AS cls,
+      |    CAST(3 + (p.k + i.g) % 5 AS BIGINT) AS w,
+      |    CAST(2 + (p.k + i.g) % 4 AS BIGINT) AS h
+      |  FROM p, generate_series(0, 3) i(g)
+      |  WHERE i.g < p.ns AND p.ok),
+      |agg AS (
+      |  SELECT k,
+      |    CAST(SUM(CASE WHEN complete THEN 1 ELSE 0 END) AS INTEGER) AS n_complete,
+      |    CAST(SUM(CASE WHEN complete THEN 3 ELSE 2 END) AS INTEGER) AS member_sum,
+      |    CAST(SUM(CASE WHEN complete THEN txt_len ELSE 0 END) AS BIGINT) AS caption_bytes,
+      |    CAST(SUM(cls) AS BIGINT) AS cls_sum,
+      |    CAST(SUM(w) AS BIGINT) AS px_w_sum,
+      |    CAST(SUM(h) AS BIGINT) AS px_h_sum
+      |  FROM smp GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS wd_ok,
+      |  CASE WHEN p.ok THEN p.ns + CASE WHEN p.info THEN 1 ELSE 0 END END AS n_samples,
+      |  agg.n_complete,
+      |  CASE WHEN p.ok THEN agg.member_sum + CASE WHEN p.info THEN 1 ELSE 0 END END AS n_members,
+      |  agg.caption_bytes, agg.cls_sum, agg.px_w_sum, agg.px_h_sum
+      |FROM p LEFT JOIN agg ON p.k = agg.k
+      |ORDER BY media_id""".stripMargin
+
   /** APNG under the oracle — the alpha-compositing animation twin of
     * q_gif_anim, with the integrity GIF cannot offer: every chunk is
     * CRC-verified, so the corruption arm flips a byte ANYWHERE (not a
@@ -5739,6 +5851,7 @@ object Llm {
     "q_y4m_decode" -> y4mDecodeSql,
     "q_tiff_decode" -> tiffDecodeSql,
     "q_tar_read" -> tarReadSql,
+    "q_webdataset_read" -> webdatasetReadSql,
     "q_gzip_members" -> gzipMembersSql,
     "q_webp_probe" -> webpProbeSql,
     "q_webm_probe" -> webmProbeSql,

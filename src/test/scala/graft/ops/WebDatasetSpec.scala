@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** WebDataset sample grouping: the key/extension split law, contiguity
+  * and duplicate-extension refusals, and the DataFrame operator
+  * composing tar walk → samples → PNG decode end to end. */
+class WebDatasetSpec extends SparkTestBase {
+
+  private lazy val testImplicits = spark.implicits
+
+  private def e(name: String, text: String): (String, Array[Byte]) =
+    (name, text.getBytes("US-ASCII"))
+
+  test("grouping law: first-dot key split, directories kept, multi-dot extensions") {
+    val got = WebDataset.groupSamples(Seq(
+      e("a/0001.jpg", "J1"), e("a/0001.seg.json", "S1"), e("a/0001.txt", "T1"),
+      e("a/0002.jpg", "J2"), e("a/0002.txt", "T2"),
+      e("noext", "N"))).get
+    assert(got.map(_._1) == Seq("a/0001", "a/0002", "noext"))
+    assert(got(0)._2.map(_._1) == Seq("jpg", "seg.json", "txt"))
+    assert(got(1)._2.map(_._1) == Seq("jpg", "txt"))
+    assert(got(2)._2.map(_._1) == Seq(""))
+    assert(new String(got(0)._2.toMap.apply("seg.json"), "US-ASCII") == "S1")
+  }
+
+  test("contiguity and duplicate-extension violations refuse") {
+    // key 0001 recurs after 0002 started: a streaming loader can't see it
+    assert(WebDataset.groupSamples(Seq(
+      e("0001.jpg", "a"), e("0002.jpg", "b"), e("0001.txt", "c"))).isEmpty)
+    // two .txt members in one sample is malformed, not mergeable
+    assert(WebDataset.groupSamples(Seq(
+      e("0001.jpg", "a"), e("0001.txt", "b"), e("0001.txt", "c"))).isEmpty)
+    // interleaving via directories still violates (keys keep the prefix)
+    assert(WebDataset.groupSamples(Seq(
+      e("d/0001.jpg", "a"), e("d/0002.jpg", "b"), e("d/0001.txt", "c"))).isEmpty)
+    assert(WebDataset.groupSamples(Seq.empty).contains(Seq.empty))
+  }
+
+  test("DataFrame operator: shard → samples → decoded image facts, corrupt shard → zero rows") {
+    import testImplicits._
+    import graft.llm.MediaCodec
+    def shard(seed: Int, n: Int): Array[Byte] =
+      TarArchive.encodeTar((0 until n).flatMap { i =>
+        val png = MediaCodec.encodePng(3 + i % 3, 2 + i % 2, 1,
+          (x, y, _) => (seed + 11 * x + 5 * y) % 256)
+        Seq((f"s$i%04d.png", png),
+          (f"s$i%04d.txt", s"caption $seed $i".getBytes("US-ASCII")))
+      })
+    val good = shard(7, 3)
+    val bad = { val t = shard(9, 2).clone(); t(150) = 'Z'.toByte; t }
+    val df = Seq(Tuple1(good), Tuple1(bad)).toDF("content")
+    val out = WebDataset.samples(df, "content").cache()
+    // the corrupt shard contributes nothing; the good one yields 3 samples
+    assert(out.count() == 3)
+    assert(out.agg(sum($"n_members")).collect()(0).getLong(0) == 6L)
+    // members are typed by extension and the png member really decodes
+    val dims = out
+      .select(element_at($"members", "png").as("png"))
+      .as[Array[Byte]].collect()
+      .map(p => MediaCodec.decode(p).get)
+      .map(m => (m.width.get, m.height.get)).sorted
+    assert(dims.toSeq == Seq((3, 2), (4, 3), (5, 2)))
+    // zero shuffles: the whole plan is scan → generator → project
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}
