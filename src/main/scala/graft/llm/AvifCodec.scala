@@ -1,0 +1,291 @@
+package graft.llm
+
+/** AVIF/HEIF still-image probe — the ISO-BMFF image family (HEIF is
+  * ISO/IEC 23008-12 over 14496-12; AVIF is AOM's public AV1 binding of
+  * the same container), the format modern crawls meet wherever WebP
+  * left off. The probe walks the REAL item machinery, not just the
+  * brand: `ftyp` brand census, the `meta` fullbox with its `hdlr`
+  * ('pict' law), `pitm` primary item, `iinf`/`infe` item-type census,
+  * `iprp`/`ipco` property container, and — the part header-sniffers
+  * skip — the `ipma` association table, so the reported dimensions are
+  * the `ispe` property ACTUALLY ASSOCIATED with the primary item, not
+  * whichever ispe appears first (thumbnails carry their own). The
+  * `iloc` extent of the primary item is bounds-checked against the
+  * file so a coded-data length lie refuses.
+  *
+  * Honest scope: the AV1/HEVC payload decode stays behind the seam
+  * (entropy+transform+prediction is codec-library work; the same line
+  * as the H.264 SPS walk); iloc construction method 0 (file offsets),
+  * version-0/1 fullboxes, and 32-bit offset/length fields — the shapes
+  * the image writers in the wild emit. Anything else refuses rather
+  * than mis-walking. */
+object AvifCodec {
+
+  /** Probe facts: (majorBrand, nCompatBrands, primaryType, width,
+    * height, nItems, nProps, codedBytes). None on any violation. */
+  def avifProbe(b: Array[Byte]): Option[(String, Int, String, Long, Long, Int, Int, Long)] = try {
+    if (b == null || b.length < 24) return None
+    def u16(p: Int): Int = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+    def u32(p: Int): Long =
+      ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+    def fourcc(p: Int): String =
+      new String(Array(b(p), b(p + 1), b(p + 2), b(p + 3)), "ISO-8859-1")
+    def walk(from: Int, until: Int)(visit: (String, Int, Int) => Unit): Unit = {
+      var p = from
+      while (p < until) {
+        require(p + 8 <= until, "cut box header")
+        val size = u32(p)
+        require(size >= 8 && p + size <= until, "box overruns parent")
+        visit(fourcc(p + 4), p + 8, p + size.toInt)
+        p += size.toInt
+      }
+    }
+    var major: String = null
+    var nCompat = 0
+    var handler: String = null
+    var primaryId = -1L
+    // itemId -> type fourcc
+    val itemTypes = scala.collection.mutable.LongMap.empty[String]
+    // 1-based property index -> (type, bodyFrom, bodyUntil)
+    val props = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    // itemId -> associated property indices
+    val assoc = scala.collection.mutable.LongMap.empty[Seq[Int]]
+    // itemId -> (offset, length) single extent
+    val locs = scala.collection.mutable.LongMap.empty[(Long, Long)]
+    var first = true
+    var sawMeta = false
+    walk(0, b.length) { (t, from, until) =>
+      if (first) { require(t == "ftyp", "first box must be ftyp"); first = false }
+      t match {
+        case "ftyp" =>
+          require(until - from >= 8, "short ftyp")
+          major = fourcc(from)
+          nCompat = (until - (from + 8)) / 4
+          require((until - (from + 8)) % 4 == 0, "ragged ftyp brands")
+        case "meta" =>
+          require(!sawMeta, "duplicate meta")
+          sawMeta = true
+          require(until - from >= 4 && b(from) == 0, "meta version")
+          walk(from + 4, until) { (t2, f2, u2) =>
+            t2 match {
+              case "hdlr" =>
+                require(u2 - f2 >= 16, "short hdlr")
+                handler = fourcc(f2 + 8)
+              case "pitm" =>
+                require(u2 - f2 >= 6, "short pitm")
+                primaryId = (b(f2) & 0xff) match {
+                  case 0 => u16(f2 + 4).toLong
+                  case 1 => require(u2 - f2 >= 8, "short pitm v1"); u32(f2 + 4)
+                  case _ => throw new IllegalArgumentException("pitm version")
+                }
+              case "iinf" =>
+                require(u2 - f2 >= 6, "short iinf")
+                val v = b(f2) & 0xff
+                val (count, ip0) = v match {
+                  case 0 => (u16(f2 + 4).toLong, f2 + 6)
+                  case 1 => require(u2 - f2 >= 8, "short iinf v1"); (u32(f2 + 4), f2 + 8)
+                  case _ => throw new IllegalArgumentException("iinf version")
+                }
+                var seen = 0L
+                walk(ip0, u2) { (t3, f3, u3) =>
+                  require(t3 == "infe", "iinf child must be infe")
+                  require(u3 - f3 >= 12 && (b(f3) & 0xff) == 2, "infe version")
+                  val id = u16(f3 + 4).toLong
+                  require(u16(f3 + 6) == 0, "protected item")
+                  itemTypes(id) = fourcc(f3 + 8)
+                  seen += 1
+                }
+                require(seen == count, "iinf count mismatch")
+              case "iprp" =>
+                walk(f2, u2) { (t3, f3, u3) =>
+                  t3 match {
+                    case "ipco" =>
+                      walk(f3, u3) { (t4, f4, u4) => props += ((t4, f4, u4)) }
+                    case "ipma" =>
+                      require(u3 - f3 >= 8, "short ipma")
+                      require((b(f3) & 0xff) == 0 && u32(f3) == 0L, "ipma version/flags")
+                      val n = u32(f3 + 4)
+                      var p = f3 + 8
+                      var e = 0L
+                      while (e < n) {
+                        require(p + 3 <= u3, "cut ipma entry")
+                        val id = u16(p).toLong
+                        val ac = b(p + 2) & 0xff
+                        p += 3
+                        require(p + ac <= u3, "cut ipma associations")
+                        assoc(id) = (0 until ac).map(j => b(p + j) & 0x7f)
+                        p += ac
+                        e += 1
+                      }
+                      require(p == u3, "ipma trailing bytes")
+                    case _ => ()
+                  }
+                }
+              case "iloc" =>
+                require(u2 - f2 >= 8, "short iloc")
+                require((b(f2) & 0xff) == 0, "iloc version")
+                val sizes = u16(f2 + 4)
+                val offSize = (sizes >> 12) & 0xf
+                val lenSize = (sizes >> 8) & 0xf
+                val baseSize = (sizes >> 4) & 0xf
+                require(offSize == 4 && lenSize == 4 && baseSize == 0,
+                  "iloc field widths out of pinned scope")
+                val n = u16(f2 + 6)
+                var p = f2 + 8
+                var e = 0
+                while (e < n) {
+                  require(p + 8 <= u2, "cut iloc entry")
+                  val id = u16(p).toLong
+                  require(u16(p + 2) == 0, "external data reference")
+                  val ec = u16(p + 4 + 2 * 0 /* base_offset 0 bytes */)
+                  // layout: item_id(2) data_ref_index(2) base_offset(0) extent_count(2)
+                  require(ec == 1, "multi-extent out of pinned scope")
+                  p += 6
+                  require(p + 8 <= u2, "cut iloc extent")
+                  val off = u32(p); val len = u32(p + 4)
+                  locs(id) = (off, len)
+                  p += 8
+                  e += 1
+                }
+              case _ => ()
+            }
+          }
+        case _ => ()
+      }
+    }
+    if (major == null || !sawMeta) return None
+    val imageBrand = Set("avif", "avis", "heic", "heix", "mif1", "msf1")
+    if (!imageBrand.contains(major)) return None
+    if (handler != "pict") return None // the HEIF image-handler law
+    if (primaryId < 0) return None
+    val primaryType = itemTypes.getOrElse(primaryId, return None)
+    // the primary item's ASSOCIATED ispe carries the dimensions
+    val myProps = assoc.getOrElse(primaryId, return None)
+    val ispes = myProps.flatMap { ix =>
+      if (ix < 1 || ix > props.length) return None // dangling index
+      val (pt, pf, pu) = props(ix - 1)
+      if (pt == "ispe") {
+        if (pu - pf < 12 || b(pf) != 0) return None
+        Some((u32(pf + 4), u32(pf + 8)))
+      } else None
+    }
+    if (ispes.length != 1) return None // exactly one ispe per item
+    val (w, h) = ispes.head
+    if (w <= 0 || h <= 0) return None
+    // the primary item's coded extent must lie within the file
+    val (off, len) = locs.getOrElse(primaryId, return None)
+    if (off < 0 || len <= 0 || off + len > b.length) return None
+    Some((major, nCompat, primaryType, w, h, itemTypes.size, props.length, len))
+  } catch {
+    case _: RuntimeException => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  // ---- conformance writer (tests the PROBE; AV1 payload is opaque) ----
+
+  /** Deterministic AVIF/HEIF shell: ftyp(major, compat), meta(hdlr pict,
+    * pitm→item 1, iinf[av01 + optional Exif item], ipco[av1C, ispe(w,h)]
+    * + ipma, iloc → mdat extent of `codedLen` deterministic bytes).
+    * `ispeForPrimary=false` associates only av1C with the primary item
+    * (the dims-law refusal arm); `extentLie` inflates the iloc length
+    * past EOF (the bounds refusal arm). */
+  def encodeAvif(major: String, w: Int, h: Int, codedLen: Int,
+                 withExif: Boolean, seed: Long = 0L,
+                 itemType: String = "av01",
+                 ispeForPrimary: Boolean = true,
+                 extentLie: Boolean = false): Array[Byte] = {
+    require(major.length == 4 && w > 0 && h > 0 && codedLen > 0)
+    def box(t: String)(body: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream
+      body(o)
+      val inner = o.toByteArray
+      val out = new java.io.ByteArrayOutputStream
+      val size = inner.length + 8
+      out.write(size >>> 24); out.write((size >>> 16) & 0xff)
+      out.write((size >>> 8) & 0xff); out.write(size & 0xff)
+      out.write(t.getBytes("ISO-8859-1"), 0, 4)
+      out.write(inner, 0, inner.length)
+      out.toByteArray
+    }
+    def w16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write((v >>> 8) & 0xff); o.write(v & 0xff)
+    }
+    def w32(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      o.write(((v >>> 24) & 0xff).toInt); o.write(((v >>> 16) & 0xff).toInt)
+      o.write(((v >>> 8) & 0xff).toInt); o.write((v & 0xff).toInt)
+    }
+    val ftyp = box("ftyp") { o =>
+      o.write(major.getBytes("ISO-8859-1"), 0, 4)
+      w32(o, 0L)
+      Seq(major, "mif1").foreach(c => o.write(c.getBytes("ISO-8859-1"), 0, 4))
+    }
+    val hdlr = box("hdlr") { o =>
+      w32(o, 0L); w32(o, 0L) // version/flags, pre_defined
+      o.write("pict".getBytes("ISO-8859-1"), 0, 4)
+      (0 until 12).foreach(_ => o.write(0)) // reserved
+      o.write(0) // empty name
+    }
+    val pitm = box("pitm") { o => w32(o, 0L); w16(o, 1) }
+    val nItems = if (withExif) 2 else 1
+    val iinf = box("iinf") { o =>
+      w32(o, 0L); w16(o, nItems)
+      def infe(id: Int, tpe: String): Array[Byte] = box("infe") { i =>
+        i.write(2); i.write(0); w16(i, 0) // version 2, flags
+        w16(i, id); w16(i, 0)
+        i.write(tpe.getBytes("ISO-8859-1"), 0, 4)
+        i.write(0) // empty name
+      }
+      val e1 = infe(1, itemType); o.write(e1, 0, e1.length)
+      if (withExif) { val e2 = infe(2, "Exif"); o.write(e2, 0, e2.length) }
+    }
+    val av1c = box("av1C") { o => o.write(0x81); o.write(0x04); o.write(0x0c); o.write(0) }
+    val ispe = box("ispe") { o => w32(o, 0L); w32(o, w.toLong); w32(o, h.toLong) }
+    val ipco = box("ipco") { o =>
+      o.write(av1c, 0, av1c.length); o.write(ispe, 0, ispe.length)
+    }
+    val ipma = box("ipma") { o =>
+      w32(o, 0L); w32(o, 1L) // one entry: the primary item
+      w16(o, 1) // item 1
+      if (ispeForPrimary) { o.write(2); o.write(0x81); o.write(2) } // av1C!, ispe
+      else { o.write(1); o.write(0x81) } // av1C only — dims law trips
+    }
+    val iprp = box("iprp") { o => o.write(ipco, 0, ipco.length); o.write(ipma, 0, ipma.length) }
+    def content(len: Int): Array[Byte] =
+      Array.tabulate(len)(j => ((seed * 37 + j * 11) % 256).toByte)
+    val exifBytes = if (withExif) content(9) else Array.emptyByteArray
+    // mdat body = primary coded bytes ++ exif bytes; offsets are
+    // computed from the sizes of everything before mdat's body
+    val ilocLenDeclared = if (extentLie) codedLen + (1 << 16) else codedLen
+    def ilocBox(primaryOff: Long): Array[Byte] = box("iloc") { o =>
+      w32(o, 0L)
+      w16(o, 0x4400) // offset_size 4, length_size 4, base_offset_size 0
+      w16(o, nItems)
+      w16(o, 1); w16(o, 0); w16(o, 1)
+      w32(o, primaryOff); w32(o, ilocLenDeclared.toLong)
+      if (withExif) {
+        w16(o, 2); w16(o, 0); w16(o, 1)
+        w32(o, primaryOff + codedLen); w32(o, exifBytes.length.toLong)
+      }
+    }
+    // two-pass: iloc size is independent of the offset VALUES (fixed
+    // 4-byte fields), so build meta once with offset 0, measure, rebuild
+    def metaBox(primaryOff: Long): Array[Byte] = box("meta") { o =>
+      w32(o, 0L)
+      Seq(hdlr, pitm, iinf, iprp, ilocBox(primaryOff)).foreach(x => o.write(x, 0, x.length))
+    }
+    val metaLen = metaBox(0L).length
+    val primaryOff = ftyp.length + metaLen + 8L // mdat body start
+    val meta = metaBox(primaryOff)
+    val mdat = box("mdat") { o =>
+      val c = content(codedLen)
+      o.write(c, 0, c.length)
+      o.write(exifBytes, 0, exifBytes.length)
+    }
+    val out = new java.io.ByteArrayOutputStream
+    out.write(ftyp, 0, ftyp.length)
+    out.write(meta, 0, meta.length)
+    out.write(mdat, 0, mdat.length)
+    out.toByteArray
+  }
+}

@@ -1,0 +1,154 @@
+package graft.llm
+
+/** IMA/DVI ADPCM in WAV (format tag 0x0011) — the 4-bit adaptive-delta
+  * codec (public IMA "Recommended Practices" algorithm) voice corpora
+  * and old game assets ship in. Unlike PCM it is STATEFUL — predictor
+  * and step index evolve per nibble — but every step is exact integer
+  * arithmetic, so the full decode sits under the oracle: DuckDB replays
+  * the state machine with a recursive CTE over the same step/index
+  * tables and must reproduce the engine's sample sums bit-for-bit.
+  *
+  * Block layout (mono, the pinned scope): per `blockAlign`-byte block a
+  * 4-byte header — initial predictor (i16 LE, which IS the block's
+  * first output sample), initial step index (u8 ≤ 88), reserved 0 —
+  * then (blockAlign-4) data bytes of two nibbles each, LOW nibble
+  * first. Laws verified: fmt's wSamplesPerBlock must equal
+  * (blockAlign-4)*2+1, the data chunk must be a whole number of
+  * blocks, the step index must start in range, and the reserved byte
+  * must be zero. Violations refuse (None). */
+object ImaAdpcm {
+
+  /** The 89-entry step-size table from the IMA spec. */
+  val StepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** Index adjustment by the nibble's low 3 bits. */
+  val IndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One decode step: (predictor, index, nibble) → (sample, index'). */
+  def step(pred: Int, idx: Int, nibble: Int): (Int, Int) = {
+    val s = StepTable(idx)
+    var diff = s >> 3
+    if ((nibble & 1) != 0) diff += s >> 2
+    if ((nibble & 2) != 0) diff += s >> 1
+    if ((nibble & 4) != 0) diff += s
+    val p0 = if ((nibble & 8) != 0) pred - diff else pred + diff
+    val p = math.max(-32768, math.min(32767, p0))
+    val i = math.max(0, math.min(88, idx + IndexTable(nibble & 7)))
+    (p, i)
+  }
+
+  import ByteIo.{le16, le32}
+
+  /** Decode facts from a mono IMA-ADPCM WAV: (nBlocks, nSamples,
+    * sampleSum, lastSample). None on any framing/law violation. */
+  def decodeFacts(b: Array[Byte]): Option[(Int, Long, Long, Long)] = try {
+    if (b == null || b.length < 44) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')) return None
+    if (!(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    val riffSize = le32(b, 4)
+    if (riffSize + 8 != b.length) return None // exact container law
+    var p = 12
+    var blockAlign = -1
+    var samplesPerBlock = -1
+    var dataFrom = -1
+    var dataLen = -1
+    while (p + 8 <= b.length) {
+      val id = new String(b, p, 4, "ISO-8859-1")
+      val len = le32(b, p + 8 - 4).toInt
+      if (p + 8 + len > b.length) return None
+      id match {
+        case "fmt " =>
+          if (len < 20) return None
+          if (le16(b, p + 8) != 0x11) return None // IMA-ADPCM tag
+          if (le16(b, p + 10) != 1) return None // mono pinned
+          blockAlign = le16(b, p + 20)
+          if (le16(b, p + 22) != 4) return None // 4 bits per sample
+          if (le16(b, p + 24) != 2) return None // cbSize
+          samplesPerBlock = le16(b, p + 26)
+        case "data" =>
+          dataFrom = p + 8; dataLen = len
+        case _ => ()
+      }
+      p += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (blockAlign < 5 || samplesPerBlock < 0 || dataFrom < 0) return None
+    // the samples-per-block law: header sample + two per data byte
+    if (samplesPerBlock != (blockAlign - 4) * 2 + 1) return None
+    if (dataLen <= 0 || dataLen % blockAlign != 0) return None
+    val nBlocks = dataLen / blockAlign
+    var sum = 0L
+    var last = 0L
+    var nSamples = 0L
+    var t = 0
+    while (t < nBlocks) {
+      val base = dataFrom + t * blockAlign
+      var pred = (le16(b, base) << 16) >> 16 // sign-extend i16
+      var idx = b(base + 2) & 0xff
+      if (idx > 88) return None // index law
+      if (b(base + 3) != 0) return None // reserved law
+      sum += pred; last = pred; nSamples += 1
+      var j = 0
+      val nNib = (blockAlign - 4) * 2
+      while (j < nNib) {
+        val byte = b(base + 4 + (j >> 1)) & 0xff
+        val nib = if ((j & 1) == 0) byte & 0xf else byte >>> 4
+        val (s2, i2) = step(pred, idx, nib)
+        pred = s2; idx = i2
+        sum += pred; last = pred; nSamples += 1
+        j += 1
+      }
+      t += 1
+    }
+    Some((nBlocks, nSamples, sum, last))
+  } catch {
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  /** Conformance writer: a mono IMA-ADPCM WAV whose block headers and
+    * nibbles come straight from the caller (the gated query feeds
+    * deterministic formulas the oracle replays through the recursive
+    * CTE). `spbLie` declares wSamplesPerBlock one high (refusal arm). */
+  def encode(blocks: Seq[(Int, Int, Array[Int])], sampleRate: Int = 8000,
+             spbLie: Boolean = false): Array[Byte] = {
+    require(blocks.nonEmpty)
+    val nNib = blocks.head._3.length
+    require(nNib > 0 && nNib % 2 == 0 && blocks.forall(_._3.length == nNib))
+    val blockAlign = 4 + nNib / 2
+    val spb = (blockAlign - 4) * 2 + 1 + (if (spbLie) 1 else 0)
+    val data = new java.io.ByteArrayOutputStream
+    blocks.foreach { case (pred, idx, nibbles) =>
+      require(idx >= 0 && nibbles.forall(n => n >= 0 && n <= 15))
+      data.write(pred & 0xff); data.write((pred >> 8) & 0xff)
+      data.write(idx); data.write(0)
+      var j = 0
+      while (j < nNib) {
+        data.write(nibbles(j) | (nibbles(j + 1) << 4)) // low nibble first
+        j += 2
+      }
+    }
+    val d = data.toByteArray
+    val out = new java.io.ByteArrayOutputStream
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+    out.write("RIFF".getBytes("US-ASCII"), 0, 4)
+    w32(4 + (8 + 20) + (8 + d.length))
+    out.write("WAVE".getBytes("US-ASCII"), 0, 4)
+    out.write("fmt ".getBytes("US-ASCII"), 0, 4)
+    w32(20)
+    w16(0x11); w16(1); w32(sampleRate.toLong)
+    // nAvgBytesPerSec for ADPCM: blockAlign * rate / samplesPerBlock
+    w32(sampleRate.toLong * blockAlign / spb)
+    w16(blockAlign); w16(4); w16(2); w16(spb)
+    out.write("data".getBytes("US-ASCII"), 0, 4)
+    w32(d.length.toLong)
+    out.write(d, 0, d.length)
+    out.toByteArray
+  }
+}

@@ -2003,6 +2003,8 @@ object Llm {
     "q_utf8_census" -> (utf8CensusQ _),
     "q_lz4_probe" -> (lz4Probe _),
     "q_pdf_probe" -> (pdfProbe _),
+    "q_avif_probe" -> (avifProbe _),
+    "q_adpcm_wav" -> (adpcmWav _),
     "q_tfrecord_read" -> (tfrecordRead _),
     "q_tfexample_read" -> (tfexampleRead _),
     "q_avro_read" -> (avroRead _),
@@ -3621,6 +3623,157 @@ object Llm {
       |  agg.stream_bytes
       |FROM p LEFT JOIN agg ON p.k = agg.k
       |ORDER BY media_id""".stripMargin
+
+  /** AVIF/HEIF probe under the oracle — the ISO-BMFF image family (see
+    * [[graft.llm.AvifCodec]]): per-key avif/heic shells whose
+    * dimensions are resolved through the REAL item machinery (pitm →
+    * ipma association → ispe), not first-ispe header sniffing, with
+    * the iloc coded extent bounds-checked and an Exif sidecar item on
+    * every third key. Refusal arms: truncation (k mod 13), an ipma
+    * that grants the primary item no ispe (k mod 17 — the dims law),
+    * and an iloc extent lie past EOF (k mod 19). */
+  def avifProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.AvifCodec
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val isAvif = k % 2 == 0
+      val bytes = AvifCodec.encodeAvif(
+        major = if (isAvif) "avif" else "heic",
+        w = (16 + k % 64).toInt, h = (16 + (k * 7) % 48).toInt,
+        codedLen = (40 + k % 100).toInt,
+        withExif = k % 3 == 0, seed = k,
+        itemType = if (isAvif) "av01" else "hvc1",
+        ispeForPrimary = !(k % 17 == 0 && k % 13 != 0),
+        extentLie = k % 19 == 0 && k % 13 != 0 && k % 17 != 0)
+      val payload = if (k % 13 == 0) bytes.dropRight(5) else bytes
+      AvifCodec.avifProbe(payload) match {
+        case Some((br, nc, it, w, h, ni, np, cb)) =>
+          (k, true, br, Some(nc), Some(it), Some(w), Some(h), Some(ni),
+            Some(np), Some(cb))
+        case None =>
+          (k, false, "none", None: Option[Int], None: Option[String],
+            None: Option[Long], None: Option[Long], None: Option[Int],
+            None: Option[Int], None: Option[Long])
+      }
+    }.toDF("media_id", "avif_ok", "brand", "n_compat", "item_type",
+      "width", "height", "n_items", "n_props", "coded_bytes")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The shell replayed from the synthesis formulas: brand avif/heic by
+    * parity, dims 16 + k mod 64 × 16 + 7k mod 48, coded length
+    * 40 + k mod 100, Exif item on 3 | k; refusal on the truncation /
+    * no-ispe-association / extent-lie arms. */
+  val avifProbeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok,
+      |        k % 2 = 0 AS isavif
+      |      FROM ks)
+      |SELECT k AS media_id, ok AS avif_ok,
+      |  CASE WHEN ok THEN (CASE WHEN isavif THEN 'avif' ELSE 'heic' END)
+      |       ELSE 'none' END AS brand,
+      |  CASE WHEN ok THEN 2 END AS n_compat,
+      |  CASE WHEN ok THEN (CASE WHEN isavif THEN 'av01' ELSE 'hvc1' END) END AS item_type,
+      |  CASE WHEN ok THEN 16 + k % 64 END AS width,
+      |  CASE WHEN ok THEN 16 + (k * 7) % 48 END AS height,
+      |  CASE WHEN ok THEN CAST(CASE WHEN k % 3 = 0 THEN 2 ELSE 1 END AS INTEGER) END AS n_items,
+      |  CASE WHEN ok THEN CAST(2 AS INTEGER) END AS n_props,
+      |  CASE WHEN ok THEN 40 + k % 100 END AS coded_bytes
+      |FROM p
+      |ORDER BY media_id""".stripMargin
+
+  /** IMA-ADPCM WAV under the oracle — the 4-bit adaptive-delta codec
+    * (see [[graft.llm.ImaAdpcm]]) decoded END TO END under the oracle:
+    * the codec is stateful (predictor and step index evolve per
+    * nibble) but exact-integer, so DuckDB replays the entire state
+    * machine with a RECURSIVE CTE over the same 89-entry step table
+    * and must match the engine's sample sums bit-for-bit — the
+    * strongest oracle class in the media family (not a census, not a
+    * closed form: the actual decode, twice, independently). Refusal
+    * arms: truncation (k mod 13), a wSamplesPerBlock lie (k mod 17),
+    * and an out-of-range initial step index (k mod 19). */
+  def adpcmWav(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.ImaAdpcm
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val nBlocks = (1 + k % 3).toInt
+      val nNib = (2 * (8 + k % 9)).toInt
+      val blocks = (0 until nBlocks).map { t =>
+        val pred0 = ((k * 37 + t * 101) % 4000 - 2000).toInt
+        val idx0 =
+          if (k % 19 == 0 && k % 13 != 0 && k % 17 != 0 && t == 0) 91
+          else ((k + t * 7) % 89).toInt
+        val nibbles = Array.tabulate(nNib)(j => ((k + t * 3 + j * 5) % 16).toInt)
+        (pred0, idx0, nibbles)
+      }
+      val bytes = ImaAdpcm.encode(blocks, spbLie = k % 17 == 0 && k % 13 != 0)
+      val payload = if (k % 13 == 0) bytes.dropRight(3) else bytes
+      ImaAdpcm.decodeFacts(payload) match {
+        case Some((nb, ns, sum, lastS)) =>
+          (k, true, Some(nb), Some(ns), Some(sum), Some(lastS))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Long],
+            None: Option[Long], None: Option[Long])
+      }
+    }.toDF("media_id", "adpcm_ok", "n_blocks", "n_samples", "sample_sum",
+      "last_sample")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The decode replayed: the recursive CTE walks (k, block, nibble)
+    * through the IMA step — shift-add diff (NOT the (2m+1)s/8 closed
+    * form, which rounds differently), sign bit, ±clamps — over the
+    * same step/index tables, then sums per key. */
+  lazy val adpcmWavSql: String = {
+    val stepValues = graft.llm.ImaAdpcm.StepTable.zipWithIndex
+      .map { case (sv, i) => s"($i,$sv)" }.mkString(",")
+    val nib = "((d.k + d.t * 3 + d.j * 5) % 16)"
+    val diff = s"((st.s >> 3)" +
+      s" + CASE WHEN ($nib & 1) <> 0 THEN (st.s >> 2) ELSE 0 END" +
+      s" + CASE WHEN ($nib & 2) <> 0 THEN (st.s >> 1) ELSE 0 END" +
+      s" + CASE WHEN ($nib & 4) <> 0 THEN st.s ELSE 0 END)"
+    s"""WITH RECURSIVE
+      |ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, 1 + k % 3 AS nb, 2 * (8 + k % 9) AS nnib,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |st(i, s) AS (SELECT * FROM (VALUES $stepValues) v(i, s)),
+      |blk AS (
+      |  SELECT p.k, t.g AS t, p.nnib,
+      |    (p.k * 37 + t.g * 101) % 4000 - 2000 AS p0,
+      |    (p.k + t.g * 7) % 89 AS i0
+      |  FROM p, generate_series(0, 2) t(g)
+      |  WHERE t.g < p.nb AND p.ok),
+      |dec(k, t, nnib, j, pred, idx) AS (
+      |  SELECT k, t, nnib, 0, p0, i0 FROM blk
+      |  UNION ALL
+      |  SELECT d.k, d.t, d.nnib, d.j + 1,
+      |    GREATEST(-32768, LEAST(32767,
+      |      d.pred + CASE WHEN ($nib & 8) <> 0 THEN -$diff ELSE $diff END)),
+      |    GREATEST(0, LEAST(88, d.idx +
+      |      CASE ($nib & 7) WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6
+      |           WHEN 7 THEN 8 ELSE -1 END))
+      |  FROM dec d JOIN st ON st.i = d.idx
+      |  WHERE d.j < d.nnib),
+      |agg AS (
+      |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_samples,
+      |    CAST(SUM(pred) AS BIGINT) AS sample_sum
+      |  FROM dec GROUP BY k),
+      |lastv AS (
+      |  SELECT d.k, CAST(d.pred AS BIGINT) AS last_sample
+      |  FROM dec d JOIN p ON p.k = d.k
+      |  WHERE d.t = p.nb - 1 AND d.j = d.nnib)
+      |SELECT p.k AS media_id, p.ok AS adpcm_ok,
+      |  CASE WHEN p.ok THEN CAST(p.nb AS INTEGER) END AS n_blocks,
+      |  agg.n_samples, agg.sample_sum, lastv.last_sample
+      |FROM p
+      |LEFT JOIN agg ON agg.k = p.k
+      |LEFT JOIN lastv ON lastv.k = p.k
+      |ORDER BY media_id""".stripMargin
+  }
 
   /** Strict UTF-8 validity + mojibake census under the oracle — the
     * pre-decode gate a crawl pipeline runs over raw bytes BEFORE
@@ -5844,6 +5997,8 @@ object Llm {
     "q_utf8_census" -> utf8CensusSql,
     "q_lz4_probe" -> lz4ProbeSql,
     "q_pdf_probe" -> pdfProbeSql,
+    "q_avif_probe" -> avifProbeSql,
+    "q_adpcm_wav" -> adpcmWavSql,
     "q_tfrecord_read" -> tfrecordReadSql,
     "q_tfexample_read" -> tfexampleReadSql,
     "q_avro_read" -> avroReadSql,

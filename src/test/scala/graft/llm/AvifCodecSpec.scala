@@ -1,0 +1,50 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import AvifCodec._
+
+/** AVIF/HEIF probe: brand census, the pict-handler law, ipma-resolved
+  * primary dimensions, iloc bounds, and the refusal battery. */
+class AvifCodecSpec extends AnyFunSuite {
+
+  test("roundtrip facts: avif and heic shells, with and without an Exif item") {
+    val a = encodeAvif("avif", 320, 240, 75, withExif = false, seed = 3)
+    assert(avifProbe(a).contains(("avif", 2, "av01", 320L, 240L, 1, 2, 75L)))
+    val h = encodeAvif("heic", 64, 48, 120, withExif = true, seed = 5,
+      itemType = "hvc1")
+    assert(avifProbe(h).contains(("heic", 2, "hvc1", 64L, 48L, 2, 2, 120L)))
+  }
+
+  test("dimension law: dims come from the PRIMARY item's ispe association") {
+    // ipma associates only av1C with the primary item: an ispe sits in
+    // ipco, but a header-sniffer's 'first ispe wins' would report dims
+    // the item machinery never granted — the probe refuses instead
+    val noIspe = encodeAvif("avif", 99, 77, 50, withExif = false,
+      ispeForPrimary = false)
+    assert(avifProbe(noIspe).isEmpty)
+  }
+
+  test("iloc extent lies, handler law, brand law, truncation all refuse") {
+    val lie = encodeAvif("avif", 32, 32, 60, withExif = false, extentLie = true)
+    assert(avifProbe(lie).isEmpty, "extent past EOF passed")
+    val good = encodeAvif("avif", 32, 32, 60, withExif = false)
+    assert(avifProbe(good).nonEmpty)
+    // handler law: flip 'pict' to 'vide'
+    val s = new String(good, "ISO-8859-1")
+    val vide = s.replaceFirst("pict", "vide").getBytes("ISO-8859-1")
+    assert(avifProbe(vide).isEmpty)
+    // a non-image major brand (plain mp4) refuses
+    val mp4 = s.replaceFirst("avifmif1", "isommif1") // compat list unchanged length
+    assert(avifProbe(s.replaceFirst("avif", "isom").getBytes("ISO-8859-1")).isEmpty)
+    assert(mp4.length == s.length)
+    // every truncation refuses
+    (1 until good.length by 3).foreach { d =>
+      assert(avifProbe(good.dropRight(d)).isEmpty, s"drop $d passed")
+    }
+    // random junk never throws
+    val rnd = new scala.util.Random(107)
+    (0 until 2000).foreach { _ =>
+      avifProbe(Array.fill(rnd.nextInt(96))(rnd.nextInt(256).toByte))
+    }
+  }
+}

@@ -1,0 +1,78 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import ImaAdpcm._
+
+/** IMA-ADPCM: hand-computed step vectors, an independent in-test replay
+  * of the state machine over random streams, container laws, and the
+  * refusal battery. */
+class ImaAdpcmSpec extends AnyFunSuite {
+
+  test("step vectors computed by hand from the IMA algorithm") {
+    // idx 0 → step 7: diff = 0 (+1 if bit0)(+3 if bit1)(+7 if bit2)
+    assert(step(0, 0, 0) == ((0, 0)))    // diff 0, index -1 clamps to 0
+    assert(step(0, 0, 7) == ((11, 8)))   // 0+1+3+7, index +8
+    assert(step(0, 0, 8) == ((0, 0)))    // sign bit, magnitude 0
+    assert(step(0, 0, 15) == ((-11, 8))) // sign bit, magnitude 11
+    // idx 88 → step 32767: nibble 7 sums 4095+8191+16383+32767 and clamps
+    assert(step(0, 88, 7) == ((32767, 88)))
+    assert(step(0, 88, 15) == ((-32768, 88)))
+    // the shift-add law is NOT the (2m+1)*s/8 closed form: s=7, m=7
+    // gives 11 by shift-add but 13 by the closed form
+    assert(step(0, 0, 7)._1 == 11)
+  }
+
+  test("decodeFacts agrees with an independent replay on random streams") {
+    val rnd = new scala.util.Random(113)
+    (0 until 50).foreach { _ =>
+      val nBlocks = 1 + rnd.nextInt(4)
+      val nNib = 2 * (1 + rnd.nextInt(20))
+      val blocks = (0 until nBlocks).map { _ =>
+        (rnd.nextInt(65536) - 32768, rnd.nextInt(89),
+          Array.fill(nNib)(rnd.nextInt(16)))
+      }
+      val wav = encode(blocks)
+      // independent replay, written against the tables directly
+      var sum = 0L; var n = 0L; var lastS = 0L
+      blocks.foreach { case (p0, i0, nibs) =>
+        var pred = p0; var idx = i0
+        sum += pred; n += 1; lastS = pred
+        nibs.foreach { nb =>
+          val s = StepTable(idx)
+          var d = s >> 3
+          if ((nb & 1) != 0) d += s >> 2
+          if ((nb & 2) != 0) d += s >> 1
+          if ((nb & 4) != 0) d += s
+          pred = math.min(32767, math.max(-32768,
+            if ((nb & 8) != 0) pred - d else pred + d))
+          idx = math.min(88, math.max(0, idx + IndexTable(nb & 7)))
+          sum += pred; n += 1; lastS = pred
+        }
+      }
+      assert(decodeFacts(wav).contains((nBlocks, n, sum, lastS)))
+    }
+  }
+
+  test("container laws and refusals") {
+    val good = encode(Seq((100, 5, Array(1, 14, 7, 8, 0, 15))))
+    assert(decodeFacts(good).nonEmpty)
+    // samples-per-block lie
+    assert(decodeFacts(encode(Seq((100, 5, Array(1, 14, 7, 8, 0, 15))),
+      spbLie = true)).isEmpty)
+    // out-of-range initial index
+    assert(decodeFacts(encode(Seq((100, 91, Array(1, 14, 7, 8, 0, 15))))).isEmpty)
+    // nonzero reserved byte: data body starts at 48 (12 RIFF + 28 fmt
+    // + 8 data header); reserved is byte 3 of the block header
+    val res = good.clone(); res(48 + 3) = 1
+    assert(decodeFacts(res).isEmpty)
+    // every truncation refuses (RIFF size is an exact-container law)
+    (1 until good.length).foreach { d =>
+      assert(decodeFacts(good.dropRight(d)).isEmpty, s"drop $d passed")
+    }
+    // random junk never throws
+    val rnd = new scala.util.Random(127)
+    (0 until 2000).foreach { _ =>
+      decodeFacts(Array.fill(rnd.nextInt(96))(rnd.nextInt(256).toByte))
+    }
+  }
+}
