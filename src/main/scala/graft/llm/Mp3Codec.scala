@@ -18,9 +18,13 @@ package graft.llm
   * bit and a protection bit; an MPEG-1 Layer III frame spans exactly
   * 144·bitrate/samplerate + padding bytes INCLUDING the header; when
   * protection_bit = 0 a CRC-16 (poly 0x8005, init 0xFFFF) of header
-  * bytes 2-3 plus the side information (32 bytes stereo / 17 mono)
-  * follows the header. ID3v2 (syncsafe length) may prefix the frames
-  * and ID3v1 ("TAG", 128 bytes) may trail them. */
+  * bytes 2-3 plus the side information (32 bytes stereo / 17 mono,
+  * sized from EACH frame's own channel mode — the standard permits
+  * per-frame mode switching) follows the header. ID3v2 (syncsafe
+  * length) may prefix the frames and ID3v1 ("TAG", 128 bytes) may
+  * trail them. Protection must be uniform across the stream — a
+  * mid-stream protection flip is a framing anomaly no real encoder
+  * produces, kept as a deliberate refusal. */
 object Mp3Codec {
 
   /** kbps for MPEG-1 Layer III bitrate indices 1..14; 0 = free format
@@ -60,7 +64,6 @@ object Mp3Codec {
     }
     var frames = 0L
     var rate = -1
-    var stereoSide = -1 // side info bytes (channel-mode dependent), pinned frame 1
     var crcProt = false
     var frameBytes = 0L
     val seenKbps = scala.collection.mutable.Set.empty[Int]
@@ -86,9 +89,10 @@ object Mp3Codec {
         if (srIdx == 3 || emphasis == 2) return None // reserved
         val sr = Rates(srIdx)
         if (rate < 0) rate = sr else if (rate != sr) return None // rate must not vary
+        // side-info size follows THIS frame's channel mode — ISO 11172-3
+        // permits per-frame mode switching (r14 ADVICE), so the size is
+        // derived per frame rather than pinned to frame 1's
         val side = if (mode == 3) 17 else 32 // mono vs stereo/joint/dual
-        if (stereoSide < 0) stereoSide = side
-        else if (stereoSide != side) return None // mode class must not vary
         val kbps = Kbps(brIdx)
         val size = 144000L * kbps / sr + padding
         if (p + size > b.length) return None // truncated frame
@@ -116,8 +120,9 @@ object Mp3Codec {
     case _: ArrayIndexOutOfBoundsException => None
   }
 
-  /** One synthetic frame spec: bitrate index (1..14), padding flag. */
-  final case class Mp3Frame(brIdx: Int, padded: Boolean)
+  /** One synthetic frame spec: bitrate index (1..14), padding flag,
+    * and an optional per-frame mono override (mode switching). */
+  final case class Mp3Frame(brIdx: Int, padded: Boolean, mono: Boolean = false)
 
   /** Encode a structurally-exact MPEG-1 Layer III stream: real headers,
     * real frame sizes, real CRC-16 when `crc` (side info is a
@@ -140,16 +145,17 @@ object Mp3Codec {
       while (i < id3v2Bytes) { out.write((i * 7 + 3) & 0x7f); i += 1 }
     }
     val sr = Rates(srIdx)
-    val side = if (stereo) 32 else 17
     frames.zipWithIndex.foreach { case (f, fi) =>
       require(f.brIdx >= 1 && f.brIdx <= 14, s"brIdx=${f.brIdx}")
+      val mono = f.mono || !stereo
+      val side = if (mono) 17 else 32
       val kbps = Kbps(f.brIdx)
       val size = (144000L * kbps / sr + (if (f.padded) 1 else 0)).toInt
       require(size >= 4 + (if (crc) 2 else 0) + side, "frame too small for side info")
       val fr = new Array[Byte](size)
       val h = (0x7ff << 21) | (3 << 19) | (1 << 17) |
         ((if (crc) 0 else 1) << 16) | (f.brIdx << 12) | (srIdx << 10) |
-        ((if (f.padded) 1 else 0) << 9) | ((if (stereo) 0 else 3) << 6)
+        ((if (f.padded) 1 else 0) << 9) | ((if (mono) 3 else 0) << 6)
       fr(0) = (h >>> 24).toByte; fr(1) = (h >>> 16).toByte
       fr(2) = (h >>> 8).toByte; fr(3) = h.toByte
       val dataOff = 4 + (if (crc) 2 else 0)

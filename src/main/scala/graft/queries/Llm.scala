@@ -2774,7 +2774,11 @@ object Llm {
       val frames = (0 until nFrames).map { f =>
         val brIdx =
           if (k % 5 == 0) (1 + (k + f) % 14).toInt else (1 + k % 14).toInt
-        Mp3Codec.Mp3Frame(brIdx, padded = f % 2 == 1)
+        // per-frame mode switching on every 7th key: legal per ISO
+        // 11172-3 and invisible to every census fact (frame size is
+        // mode-independent; only the CRC's side-info span follows it)
+        Mp3Codec.Mp3Frame(brIdx, padded = f % 2 == 1,
+          mono = k % 7 == 0 && f % 3 == 0)
       }
       val crc = k % 4 == 0 || k % 17 == 0
       val id3 = if (k % 2 == 1) (1 + k % 97).toInt else 0

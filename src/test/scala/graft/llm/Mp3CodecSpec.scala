@@ -68,6 +68,27 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(mp3Probe(t).nonEmpty)
   }
 
+  test("per-frame mode switching is LEGAL: mixed mono/stereo frames census, CRC sized per frame") {
+    // ISO 11172-3 permits the channel mode to change frame to frame;
+    // side-info size (17 mono / 32 stereo) — and therefore the CRC-16
+    // span — must follow EACH frame's own mode (r14 ADVICE fix)
+    val mixed = Seq(
+      Mp3Frame(9, padded = false),
+      Mp3Frame(9, padded = false, mono = true),
+      Mp3Frame(12, padded = true),
+      Mp3Frame(9, padded = false, mono = true))
+    val plain = encodeMp3(0, mixed, crc = false)
+    assert(mp3Probe(plain).exists(_._1 == 4))
+    val protectedStream = encodeMp3(0, mixed, crc = true)
+    assert(mp3Probe(protectedStream).exists(r => r._1 == 4 && r._6))
+    // a side-info flip in the MONO frame must still be caught by the
+    // (17-byte-span) CRC — proves the span really is per-frame
+    val frame0 = (144000L * 128 / 44100).toInt
+    val t = protectedStream.clone()
+    t(frame0 + 6 + 3) = (t(frame0 + 6 + 3) ^ 0x10).toByte // frame 1 side info
+    assert(mp3Probe(t).isEmpty)
+  }
+
   test("refusals: truncation, free bitrate, reserved fields, varying rate/mode") {
     val b = encodeMp3(0, Seq.fill(4)(Mp3Frame(9, padded = false)), crc = false)
     (1 to 5).foreach(d => assert(mp3Probe(b.dropRight(d)).isEmpty))
