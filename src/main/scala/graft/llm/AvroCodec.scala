@@ -77,8 +77,8 @@ object AvroCodec {
       return None // pinned scope: exactly the declared reader schema
     val codec = if (metaCodec == null) "null" else new String(metaCodec, "UTF-8")
     codec match {
-      case "null" | "deflate" | "snappy" => ()
-      case _ => return None // zstd/bzip2/xz codecs out of scope: refuse
+      case "null" | "deflate" | "snappy" | "zstandard" => ()
+      case _ => return None // bzip2/xz codecs out of scope: refuse
     }
     val sync = c.bytes(16)
     var nBlocks = 0
@@ -110,6 +110,14 @@ object AvroCodec {
           crc.update(plain)
           if (crc.getValue != stored) return None
           plain
+        case "zstandard" =>
+          // one zstd frame per block (Avro spec); full decode through
+          // the hand-rolled RFC 8878 decoder — content checksum
+          // verified by it when the frame carries one
+          ZstdDecode.decompress(raw, maxOut = 1 << 26) match {
+            case Some(d) => d
+            case None => return None
+          }
         case _ =>
           val inf = rawInflaters.get()
           inf.reset()
@@ -168,8 +176,8 @@ object AvroCodec {
   def encodeAvro(records: Seq[R], blockSize: Int, codec: String,
                  sync: Array[Byte], schema: String = RSchema): Array[Byte] = {
     require(records.nonEmpty && blockSize > 0 && sync.length == 16)
-    require(codec == "null" || codec == "deflate" || codec == "snappy",
-      s"unsupported writer codec: $codec")
+    require(codec == "null" || codec == "deflate" || codec == "snappy" ||
+      codec == "zstandard", s"unsupported writer codec: $codec")
     val out = new java.io.ByteArrayOutputStream
     out.write('O'); out.write('b'); out.write('j'); out.write(1)
     val meta: Seq[(String, Array[Byte])] = Seq(
@@ -201,6 +209,13 @@ object AvroCodec {
           val v = crc.getValue
           comp ++ Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
             (v >>> 8).toByte, v.toByte)
+        case "zstandard" =>
+          // written with the independent zstd-jni (checksummed frames),
+          // read back through OUR decoder — same proof shape as
+          // q_zstd_decode
+          val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+          try { ctx.setLevel(3); ctx.setChecksum(true); ctx.compress(raw) }
+          finally ctx.close()
         case _ =>
           val d = rawDeflaters.get()
           d.reset()

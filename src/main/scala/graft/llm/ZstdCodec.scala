@@ -2,11 +2,12 @@ package graft.llm
 
 /** Zstandard frame walk (RFC 8878) — the container-integrity pass for
   * the compression format web-scale corpora actually ship in (CC dumps,
-  * parquet pages, model checkpoints). Same structural honesty line as
-  * the MP3/H.264/IVF walks: FSE/Huffman block DECODING is genuinely
-  * codec-library work and stays behind the seam, but the frame and
-  * block FRAMING is public structure a curation pipeline verifies
-  * before spending decompress cycles:
+  * parquet pages, model checkpoints). This walk is the CHEAP structural
+  * pass a pipeline runs before spending decompress cycles; since round
+  * 15 the full FSE/Huffman block decode also exists ([[ZstdDecode]],
+  * gated by q_zstd_decode against real zstd-compressed frames), so the
+  * seam this probe leaves open is a cost choice, not a capability gap.
+  * What the FRAMING itself proves, this walk verifies:
   *
   *  - frame magic (0xFD2FB528 LE) and the skippable-frame family
   *    (0x184D2A50..5F) with exact length framing;

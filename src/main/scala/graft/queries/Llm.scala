@@ -2005,6 +2005,7 @@ object Llm {
     "q_pdf_probe" -> (pdfProbe _),
     "q_avif_probe" -> (avifProbe _),
     "q_adpcm_wav" -> (adpcmWav _),
+    "q_zstd_decode" -> (zstdDecode _),
     "q_tfrecord_read" -> (tfrecordRead _),
     "q_tfexample_read" -> (tfexampleRead _),
     "q_avro_read" -> (avroRead _),
@@ -3176,15 +3177,18 @@ object Llm {
     * name: string, score: long} records with real zigzag-varint
     * encoding (wire form pinned to the spec's reference bytes in the
     * spec suite), 4-record blocks, per-key sync markers repeated and
-    * VERIFIED per block, and all three codecs rotating by k mod 3:
+    * VERIFIED per block, and all four codecs rotating by k mod 4:
     * deflate (raw RFC 1951 through the pooled raw Inflater), snappy
     * (hand-rolled [[graft.llm.SnappyCodec]] block decode with the Avro
     * spec's big-endian CRC32 of the uncompressed bytes VERIFIED per
-    * block), and null. The reader's schema scope is pinned: the file's
-    * avro.schema metadata must equal the reader's schema byte-for-byte.
-    * Refusal arms: truncation (k mod 13), a sync flip (k mod 17), a
-    * schema mismatch (k mod 19), and a snappy-CRC flip (k mod 23 on
-    * snappy keys — the integrity check deflate cannot offer). */
+    * block), null, and zstandard (full RFC 8878 decode through
+    * [[graft.llm.ZstdDecode]], blocks written by the independent
+    * zstd-jni with checksummed frames our decoder verifies). The
+    * reader's schema scope is pinned: the file's avro.schema metadata
+    * must equal the reader's schema byte-for-byte. Refusal arms:
+    * truncation (k mod 13), a sync flip (k mod 17), a schema mismatch
+    * (k mod 19), and a snappy-CRC flip (k mod 23 on snappy keys — the
+    * integrity check deflate cannot offer). */
   def avroRead(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.AvroCodec
@@ -3197,10 +3201,11 @@ object Llm {
           score = (k * 7 + i * 13) % 10000)
       }
       val sync = Array.tabulate(16)(j => ((k + j * 7) % 256).toByte)
-      val codec = (k % 3) match {
+      val codec = (k % 4) match {
         case 0 => "deflate"
         case 1 => "snappy"
-        case _ => "null"
+        case 2 => "null"
+        case _ => "zstandard"
       }
       val schema =
         if (k % 19 == 0 && k % 13 != 0 && k % 17 != 0)
@@ -3239,13 +3244,13 @@ object Llm {
   /** The facts replayed from the synthesis formulas: n = 5 + k mod 20
     * records in ⌈n/4⌉ blocks, id k·1000 + i, score (7k + 13i) mod
     * 10000, name length 1 + (k+i) mod 8; codec rotates deflate/snappy/
-    * null by k mod 3; refusal on the truncation / sync-flip /
-    * schema-pin arms plus the snappy-CRC flip (k mod 23 ∧ k mod 3 = 1). */
+    * null/zstandard by k mod 4; refusal on the truncation / sync-flip /
+    * schema-pin arms plus the snappy-CRC flip (k mod 23 ∧ k mod 4 = 1). */
   val avroReadSql: String =
     """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
       |p AS (SELECT k, CAST(5 + k % 20 AS BIGINT) AS n,
       |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0
-      |         AND NOT (k % 23 = 0 AND k % 3 = 1)) AS ok
+      |         AND NOT (k % 23 = 0 AND k % 4 = 1)) AS ok
       |      FROM ks),
       |rec AS (
       |  SELECT p.k, p.n, i.g AS i
@@ -3260,8 +3265,9 @@ object Llm {
       |  CASE WHEN p.ok THEN CAST((p.n + 3) // 4 AS INTEGER) END AS n_blocks,
       |  CASE WHEN p.ok THEN p.n END AS n_records,
       |  agg.id_sum, agg.score_sum, agg.name_bytes,
-      |  CASE WHEN p.ok THEN (CASE p.k % 3 WHEN 0 THEN 'deflate'
-      |       WHEN 1 THEN 'snappy' ELSE 'null' END) END AS codec
+      |  CASE WHEN p.ok THEN (CASE p.k % 4 WHEN 0 THEN 'deflate'
+      |       WHEN 1 THEN 'snappy' WHEN 2 THEN 'null'
+      |       ELSE 'zstandard' END) END AS codec
       |FROM p LEFT JOIN agg ON p.k = agg.k
       |ORDER BY media_id""".stripMargin
 
@@ -3778,6 +3784,90 @@ object Llm {
       |LEFT JOIN lastv ON lastv.k = p.k
       |ORDER BY media_id""".stripMargin
   }
+
+  /** Full zstd DECODE under the oracle (see [[graft.llm.ZstdDecode]]):
+    * per-key payloads are synthesized from closed-form byte formulas,
+    * compressed by the INDEPENDENT zstd-jni implementation Spark ships
+    * (levels rotating by key, real FSE tables, Huffman literals,
+    * repeat offsets — whatever the real encoder chooses), and decoded
+    * by OUR hand-rolled RFC 8878 decoder; the oracle replays the
+    * payload formulas, so a single wrong bit anywhere in the
+    * FSE/Huffman/sequence pipeline breaks the sums. Frames carry the
+    * XXH64 content checksum on even keys (verified by our decoder —
+    * `verified` is a gated fact). Refusal arms: truncation (k mod 13)
+    * and a mid-frame byte flip under checksum (k mod 17 — caught
+    * structurally or by the checksum, refused either way). */
+  def zstdDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.ZstdDecode
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val n = (500 + k % 1500).toInt
+      val payload = (k % 3) match {
+        case 0 => Array.tabulate(n)(i => ((k * 31 + i * 7) % 256).toByte)
+        case 1 =>
+          val run = (1 + k % 50).toInt
+          Array.tabulate(n)(i => ('a' + (i / run) % 4).toByte)
+        case _ =>
+          val w = (3 + k % 10).toInt
+          Array.tabulate(n)(i => (((i % w) * 37 + k) % 256).toByte)
+      }
+      val withChecksum = k % 2 == 0 || k % 17 == 0
+      val level = Seq(-3, 1, 3, 9)((k % 4).toInt)
+      val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+      val comp =
+        try { ctx.setLevel(level); ctx.setChecksum(withChecksum); ctx.compress(payload) }
+        finally ctx.close()
+      val bytes =
+        if (k % 5 == 0) // leading skippable frame rides along
+          Array[Byte](0x50, 0x2a, 0x4d, 0x18, 4, 0, 0, 0,
+            k.toByte, (k >> 8).toByte, 3, 9) ++ comp
+        else comp
+      val payloadBytes =
+        if (k % 13 == 0) bytes.dropRight(4)
+        else if (k % 17 == 0) {
+          val t = bytes.clone()
+          val at = t.length / 2
+          t(at) = (t(at) ^ 0x20).toByte
+          t
+        } else bytes
+      ZstdDecode.decompress(payloadBytes, maxOut = 1 << 22) match {
+        case Some(out) =>
+          var sum = 0L
+          out.foreach(x => sum += x & 0xff)
+          (k, true, Some(out.length), Some(sum), Some(withChecksum))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Long], None: Option[Boolean])
+      }
+    }.toDF("media_id", "zd_ok", "decoded_len", "byte_sum", "checksummed")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The payload formulas replayed: length 500 + k mod 1500; byte i is
+    * (31k+7i) mod 256 / 'a'+(i div run) mod 4 / ((i mod w)·37+k) mod
+    * 256 by k mod 3; the compressed representation never matters — only
+    * that the decode inverts it. */
+  val zstdDecodeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(500 + k % 1500 AS INTEGER) AS n,
+      |        (k % 13 <> 0 AND k % 17 <> 0) AS ok
+      |      FROM ks),
+      |by AS (
+      |  SELECT p.k,
+      |    CAST(SUM(CASE p.k % 3
+      |      WHEN 0 THEN (p.k * 31 + i.g * 7) % 256
+      |      WHEN 1 THEN 97 + (i.g // (1 + p.k % 50)) % 4
+      |      ELSE ((i.g % (3 + p.k % 10)) * 37 + p.k) % 256
+      |    END) AS BIGINT) AS byte_sum
+      |  FROM p, generate_series(0, 1999) i(g)
+      |  WHERE i.g < p.n AND p.ok
+      |  GROUP BY p.k)
+      |SELECT p.k AS media_id, p.ok AS zd_ok,
+      |  CASE WHEN p.ok THEN p.n END AS decoded_len,
+      |  by.byte_sum,
+      |  CASE WHEN p.ok THEN p.k % 2 = 0 END AS checksummed
+      |FROM p LEFT JOIN by ON by.k = p.k
+      |ORDER BY media_id""".stripMargin
 
   /** Strict UTF-8 validity + mojibake census under the oracle — the
     * pre-decode gate a crawl pipeline runs over raw bytes BEFORE
@@ -6003,6 +6093,7 @@ object Llm {
     "q_pdf_probe" -> pdfProbeSql,
     "q_avif_probe" -> avifProbeSql,
     "q_adpcm_wav" -> adpcmWavSql,
+    "q_zstd_decode" -> zstdDecodeSql,
     "q_tfrecord_read" -> tfrecordReadSql,
     "q_tfexample_read" -> tfexampleReadSql,
     "q_avro_read" -> avroReadSql,

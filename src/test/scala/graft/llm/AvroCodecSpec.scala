@@ -44,6 +44,14 @@ class AvroCodecSpec extends AnyFunSuite {
     assert(avroRead(defl).contains((3, 11L, idSum, scoreSum, nameBytes, "deflate")))
     val snap = encodeAvro(rs, blockSize = 3, "snappy", sync)
     assert(avroRead(snap).contains((4, 11L, idSum, scoreSum, nameBytes, "snappy")))
+    // zstandard blocks: written by zstd-jni, decoded by OUR RFC 8878
+    // decoder (checksummed frames it verifies)
+    val zst = encodeAvro(rs, blockSize = 6, "zstandard", sync)
+    assert(avroRead(zst).contains((2, 11L, idSum, scoreSum, nameBytes, "zstandard")))
+    // a flip inside a zstd block refuses (structurally or by checksum)
+    val zf = zst.clone()
+    zf(zst.length - 24) = (zf(zst.length - 24) ^ 0x08).toByte
+    assert(avroRead(zf).isEmpty)
   }
 
   test("snappy blocks are VERIFIED: CRC flip and payload flip both refuse") {

@@ -1,0 +1,148 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import ZstdDecode._
+
+/** Full zstd decode vs the independent zstd-jni implementation Spark
+  * ships: every compression level, sizes that cross every literals
+  * size-format and the 1-vs-4-stream split, data shapes that force
+  * each sequence-table mode (predefined / RLE / FSE / repeat) and
+  * treeless literals, content-checksum verification, and the
+  * malformation battery. xxh64 is pinned to published vectors first —
+  * it is the checksum everything else trusts. */
+class ZstdDecodeSpec extends AnyFunSuite {
+
+  test("xxh64 matches the published reference vectors") {
+    def h(s: String, seed: Long = 0L): Long =
+      xxh64(s.getBytes("ASCII"), 0, s.length, seed)
+    assert(h("") == 0xef46db3751d8e999L)
+    assert(h("a") == 0xd24ec4f1a98c6e5bL)
+    assert(h("abc") == 0x44bc2cf5ad770999L)
+    assert(h("Nobody inspects the spammish repetition") == 0xfbcea83c8a378bf1L)
+    // seeded + long-input agreement with the independent lz4-java XXHash64
+    val ref = net.jpountz.xxhash.XXHashFactory.safeInstance().hash64()
+    val rnd = new scala.util.Random(149)
+    (0 until 200).foreach { _ =>
+      val n = rnd.nextInt(200)
+      val data = Array.fill(n)(rnd.nextInt(256).toByte)
+      val seed = rnd.nextLong()
+      assert(xxh64(data, 0, n, seed) == ref.hash(data, 0, n, seed), s"n=$n")
+    }
+  }
+
+  private def jni(data: Array[Byte], level: Int): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(data, level)
+
+  private def cases(rnd: scala.util.Random): Seq[Array[Byte]] = {
+    val abc = "abcdefghijklmnopqrstuvwxyz"
+    Seq(
+      Array.emptyByteArray,
+      Array[Byte](42),
+      "hello zstd".getBytes("UTF-8"),
+      // RLE-ish
+      Array.fill(5000)('x'.toByte),
+      // highly repetitive (repeat offsets, match chains)
+      ("lorem ipsum dolor sit amet " * 300).getBytes("UTF-8"),
+      // small alphabet (Huffman literals, FSE tables)
+      Array.fill(20000)(abc(rnd.nextInt(6)).toByte),
+      // full-alphabet text-ish
+      Array.tabulate(60000)(i => abc(((i.toLong * i + i / 7) % 26).toInt).toByte),
+      // incompressible (raw literals/blocks)
+      Array.fill(10000)(rnd.nextInt(256).toByte),
+      // structured records (repeat offsets with varying strides)
+      Array.tabulate(30000)(i => ((i % 17) * 31 + (i / 17) % 7).toByte),
+      // long runs with interruptions (treeless reuse across blocks at
+      // larger sizes; crosses the 128 KiB block boundary)
+      Array.tabulate(300000)(i => if (i % 1000 < 900) 'a'.toByte else (i % 251).toByte),
+      // > one block of near-random with embedded repeats
+      Array.tabulate(200000)(i => if ((i / 64) % 3 == 0) (i % 13).toByte else rnd.nextInt(256).toByte)
+    )
+  }
+
+  test("bidirectional-by-construction: zstd-jni compress at every level → our decode") {
+    val rnd = new scala.util.Random(131)
+    for (data <- cases(rnd); level <- Seq(-5, 1, 3, 6, 9, 12, 16, 19)) {
+      val comp = jni(data, level)
+      val back = decompress(comp, maxOut = 1 << 22)
+      assert(back.exists(java.util.Arrays.equals(_, data)),
+        s"decode mismatch at level=$level n=${data.length}")
+    }
+  }
+
+  test("random fuzz: 200 random shapes × random level") {
+    val rnd = new scala.util.Random(137)
+    (0 until 200).foreach { i =>
+      val n = rnd.nextInt(50000)
+      val data = i % 3 match {
+        case 0 => Array.fill(n)(rnd.nextInt(256).toByte)
+        case 1 => Array.fill(n)((rnd.nextInt(4) + 'a').toByte)
+        case _ =>
+          val word = Array.fill(3 + rnd.nextInt(20))(rnd.nextInt(256).toByte)
+          Array.tabulate(n)(j => word(j % word.length))
+      }
+      val level = Seq(-3, 1, 3, 7, 15)(rnd.nextInt(5))
+      val comp = jni(data, level)
+      assert(decompress(comp, maxOut = 1 << 22)
+        .exists(java.util.Arrays.equals(_, data)), s"i=$i n=$n level=$level")
+    }
+  }
+
+  test("content checksum is verified when present; flips refuse") {
+    // zstd-jni does not emit checksums via the simple API; build a
+    // checksummed frame with the context API
+    val data = ("check me " * 500).getBytes("UTF-8")
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    ctx.setLevel(3)
+    ctx.setChecksum(true)
+    val comp = ctx.compress(data)
+    val got = decodeFrame(comp, 0, 1 << 22)
+    assert(got.exists { case (out, used, verified) =>
+      java.util.Arrays.equals(out, data) && used == comp.length && verified
+    })
+    // flip one payload bit: either the decode breaks structurally or
+    // the checksum catches it — both refuse
+    (8 until comp.length by 5).foreach { i =>
+      val t = comp.clone(); t(i) = (t(i) ^ 0x04).toByte
+      val r = decodeFrame(t, 0, 1 << 22)
+      assert(r.isEmpty || !java.util.Arrays.equals(r.get._1, data),
+        s"flip at $i yielded the original bytes")
+    }
+    // flip the stored checksum itself: must refuse
+    val ck = comp.clone()
+    ck(ck.length - 1) = (ck(ck.length - 1) ^ 0x01).toByte
+    assert(decodeFrame(ck, 0, 1 << 22).isEmpty)
+  }
+
+  test("declared content size is enforced; truncation refuses; junk never throws") {
+    val data = Array.tabulate(10000)(i => (i % 100).toByte)
+    val comp = jni(data, 3) // simple API writes the content size
+    // a content-size lie: patch the FCS field (frame header byte 5+)
+    // — single-segment small frames carry 1-8 byte FCS after FHD
+    val fhd = comp(4) & 0xff
+    val fcsFlag = (fhd >> 6) & 3
+    if (fcsFlag != 0 || (fhd & 0x20) != 0) {
+      val lie = comp.clone()
+      lie(5) = (lie(5) ^ 0x01).toByte
+      val r = decodeFrame(lie, 0, 1 << 22)
+      assert(r.isEmpty || r.get._1.length != data.length)
+    }
+    (1 until comp.length by 3).foreach { d =>
+      assert(decompress(comp.dropRight(d), 1 << 22).isEmpty, s"drop $d passed")
+    }
+    val rnd = new scala.util.Random(139)
+    (0 until 3000).foreach { _ =>
+      decompress(Array.fill(rnd.nextInt(128))(rnd.nextInt(256).toByte), 1 << 22)
+      val withMagic = Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte) ++
+        Array.fill(rnd.nextInt(96))(rnd.nextInt(256).toByte)
+      decompress(withMagic, 1 << 22)
+    }
+  }
+
+  test("multi-frame and skippable-frame concatenation") {
+    val a = jni("first frame ".getBytes("UTF-8") ++ Array.fill(100)('a'.toByte), 3)
+    val b = jni(Array.fill(333)('q'.toByte), 1)
+    val skip = Array[Byte](0x50, 0x2a, 0x4d, 0x18, 4, 0, 0, 0, 1, 2, 3, 4)
+    val got = decompress(a ++ skip ++ b, 1 << 22)
+    assert(got.exists(_.length == 112 + 333))
+  }
+}
