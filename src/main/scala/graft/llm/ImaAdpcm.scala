@@ -61,8 +61,13 @@ object ImaAdpcm {
     var dataLen = -1
     while (p + 8 <= b.length) {
       val id = new String(b, p, 4, "ISO-8859-1")
-      val len = le32(b, p + 8 - 4).toInt
-      if (p + 8 + len > b.length) return None
+      // the 32-bit length is bounds-checked as a LONG before narrowing:
+      // narrowed first, 0xFFFFFFF8 becomes -8 and `p += 8 + len` stops
+      // advancing — an infinite loop on crafted input (review-caught),
+      // where a census must refuse
+      val len32 = le32(b, p + 4)
+      if (p + 8 + len32 > b.length) return None
+      val len = len32.toInt
       id match {
         case "fmt " =>
           if (len < 20) return None

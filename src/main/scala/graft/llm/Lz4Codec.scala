@@ -76,8 +76,21 @@ object Lz4Codec {
     if (len < 0 || off < 0 || off + len > in.length) return None
     var p = off
     val end = off + len
-    val buf = new Array[Byte](maxOut)
+    // grow-on-demand: this runs per block per row in a Spark map, so a
+    // fixed maxOut-sized (up to 4 MiB) allocation per call would be
+    // pure GC churn (review-caught); matches need random access, hence
+    // an array, but it starts proportional to the input
+    var buf = new Array[Byte](math.min(maxOut.toLong, math.max(len.toLong * 3, 256L)).toInt)
     var pos = 0
+    @inline def ensure(n: Int): Boolean = {
+      if (n > maxOut - pos) return false
+      if (pos + n > buf.length) {
+        var cap = buf.length
+        while (cap < pos + n) cap = math.min(maxOut, math.max(cap * 2, pos + n))
+        buf = java.util.Arrays.copyOf(buf, cap)
+      }
+      true
+    }
     while (p < end) {
       val token = in(p) & 0xff; p += 1
       var litLen = token >>> 4
@@ -89,7 +102,7 @@ object Lz4Codec {
           if (litLen > maxOut) return None // cap before it can overflow
         }
       }
-      if (litLen > end - p || litLen > maxOut - pos) return None
+      if (litLen > end - p || !ensure(litLen)) return None
       System.arraycopy(in, p, buf, pos, litLen)
       p += litLen; pos += litLen
       if (p == end) // last sequence: literals only — the legal block end
@@ -107,7 +120,7 @@ object Lz4Codec {
         }
       }
       mLen += 4
-      if (mLen > maxOut - pos) return None
+      if (!ensure(mLen)) return None
       var s = pos - mOff
       val until = pos + mLen
       while (pos < until) { buf(pos) = buf(s); pos += 1; s += 1 }
@@ -122,7 +135,14 @@ object Lz4Codec {
     * decoder accepts; fuzzed against lz4-java in the spec suite. Ends
     * with a literals-only sequence as the format requires (the final
     * 5 bytes are emitted as literals and no match starts within the
-    * last 12 — the spec's encoder-side end conditions). */
+    * last 12 — the spec's encoder-side end conditions).
+    *
+    * The scan loop deliberately mirrors [[SnappyCodec.compress]] (same
+    * greedy matcher, different emit format and end conditions) — kept
+    * as two plain loops rather than one callback-parameterized scanner
+    * because each format's end-condition law lives INSIDE the loop;
+    * both are independently pinned by bidirectional fuzz against their
+    * reference implementations, which is the divergence guard. */
   def compressBlock(in: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(in.length + in.length / 255 + 16)
     def writeRun(base: Int): Unit = { // 255-extension bytes past 15
@@ -224,7 +244,12 @@ object Lz4Codec {
         if ((b(p) & 0xff) != hc) return None
         p += 1
         var regen = 0L
-        val parts = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        // content bytes are BUFFERED only when a content checksum will
+        // consume them (review-caught footprint cut): stored blocks keep
+        // (offset, len) spans into the input, only decoded blocks own
+        // arrays — the validation decode itself always runs
+        val parts: scala.collection.mutable.ArrayBuffer[Either[(Int, Int), Array[Byte]]] =
+          if (contentChecksum) scala.collection.mutable.ArrayBuffer.empty else null
         var end = false
         while (!end) {
           if (p + 4 > b.length) return None
@@ -242,16 +267,18 @@ object Lz4Codec {
             }
             if (stored) {
               nStored += 1
-              parts += java.util.Arrays.copyOfRange(b, p, p + size)
+              regen += size
+              if (parts != null) parts += Left((p, size))
             } else {
               nComp += 1
               // FULL sequence decode — a corrupted sequence refuses here
               decodeBlock(b, p, size, blockMax) match {
-                case Some(d) => parts += d
+                case Some(d) =>
+                  regen += d.length
+                  if (parts != null) parts += Right(d)
                 case None => return None
               }
             }
-            regen += parts.last.length
             if (regen > (1 << 26)) return None // decompression-bomb cap
             p += size + (if (blockChecksum) 4 else 0)
             nBlocks += 1
@@ -263,12 +290,16 @@ object Lz4Codec {
         }
         if (contentChecksum) {
           if (p + 4 > b.length) return None
-          // content is fully known (stored bytes + decoded blocks): the
+          // content is fully known (stored spans + decoded blocks): the
           // checksum is verified on EVERY frame that carries one
-          if (regen > (1 << 26)) return None // bomb guard before the concat
           val content = new Array[Byte](regen.toInt)
           var o = 0
-          parts.foreach { d => System.arraycopy(d, 0, content, o, d.length); o += d.length }
+          parts.foreach {
+            case Left((off, n)) =>
+              System.arraycopy(b, off, content, o, n); o += n
+            case Right(d) =>
+              System.arraycopy(d, 0, content, o, d.length); o += d.length
+          }
           if (le32(b, p) != xxh32(content, 0, content.length)) return None
           nContentCksVerified += 1
           p += 4

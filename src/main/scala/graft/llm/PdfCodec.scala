@@ -159,8 +159,12 @@ object PdfCodec {
         val len = dict.intVal("Length").getOrElse(return None)
         if (len < 0 || len > b.length - p) return None
         p += len.toInt
-        // the /Length law: endstream must sit exactly past the payload
-        p = skipEol(b, p)
+        // the /Length law: endstream must sit exactly past the payload,
+        // allowing AT MOST the one EOL the spec permits — an arbitrary
+        // whitespace skip would let an under-declared /Length whose gap
+        // is whitespace pass (review-caught weakness)
+        if (p < b.length && b(p) == '\r') p += 1
+        if (p < b.length && b(p) == '\n') p += 1
         if (!at(b, p, "endstream")) return None
         p = skipWs(b, p + 9)
         nStreams += 1
@@ -239,7 +243,7 @@ object PdfCodec {
 
   /** A shallowly-parsed dictionary: the few keys the walk needs
     * (name / integer / reference values), plus where the dict ends. */
-  private final class PDict(val entries: Map[String, String], val end: Int) {
+  private[llm] final class PDict(val entries: Map[String, String], val end: Int) {
     def intVal(k: String): Option[Long] =
       entries.get(k).filter(v => v.nonEmpty && v.forall(_.isDigit)).map(_.toLong)
     def nameVal(k: String): Option[String] =
@@ -253,10 +257,38 @@ object PdfCodec {
     }
   }
 
+  /** Skip a literal string `(...)` starting at `p0` (balanced parens,
+    * backslash escapes). Returns the position after the closing ')'. */
+  private def skipLiteralString(b: Array[Byte], p0: Int): Int = {
+    var p = p0 + 1
+    var depth = 1
+    while (depth > 0) {
+      if (p >= b.length) return -1
+      b(p) match {
+        case '\\' => p += 1 // escaped char (incl. \( \) \\): skip it
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ => ()
+      }
+      p += 1
+    }
+    p
+  }
+
+  /** Skip a hex string `<...>` starting at `p0` (NOT `<<`). Returns the
+    * position after '>'. */
+  private def skipHexString(b: Array[Byte], p0: Int): Int = {
+    var p = p0 + 1
+    while (p < b.length && b(p) != '>') p += 1
+    if (p >= b.length) -1 else p + 1
+  }
+
   /** Parse `<< /Key value … >>` with nesting (values captured as raw
-    * token text; nested dicts/arrays skipped structurally). Returns
-    * None on unbalanced delimiters or truncation. */
-  private def parseDict(b: Array[Byte], p0: Int): Option[PDict] = {
+    * token text; nested dicts/arrays skipped structurally; literal and
+    * hex strings are opaque tokens — a '/' or '>>' INSIDE a string is
+    * string content, not structure). Returns None on unbalanced
+    * delimiters or truncation. */
+  private[llm] def parseDict(b: Array[Byte], p0: Int): Option[PDict] = {
     var p = skipWs(b, p0)
     if (!at(b, p, "<<")) return None
     p += 2
@@ -273,8 +305,9 @@ object PdfCodec {
       val key = new String(b, ks, ke - ks, "ISO-8859-1")
       if (key.isEmpty) return None
       p = skipWs(b, ke)
-      // value: nested dict, array, name, or a run of simple tokens up to
-      // the next /Key or >> (covers "N G R" references and numbers)
+      if (p >= b.length) return None
+      // value: nested dict, array, name, string, or a run of simple
+      // tokens up to the next /Key or >> ("N G R" references, numbers)
       if (at(b, p, "<<")) {
         var depth = 0
         val vs = p
@@ -283,35 +316,58 @@ object PdfCodec {
           if (p + 1 >= b.length) return None
           if (at(b, p, "<<")) { depth += 1; p += 2 }
           else if (at(b, p, ">>")) { depth -= 1; p += 2; if (depth == 0) done = true }
+          else if (b(p) == '(') { p = skipLiteralString(b, p); if (p < 0) return None }
+          else if (b(p) == '<') { p = skipHexString(b, p); if (p < 0) return None }
           else p += 1
         }
         entries(key) = new String(b, vs, p - vs, "ISO-8859-1")
-      } else if (p < b.length && b(p) == '[') {
+      } else if (b(p) == '[') {
         var depth = 0
         val vs = p
         var done = false
         while (!done) {
           if (p >= b.length) return None
-          if (b(p) == '[') depth += 1
-          else if (b(p) == ']') { depth -= 1; if (depth == 0) done = true }
-          p += 1
+          if (b(p) == '(') { p = skipLiteralString(b, p); if (p < 0) return None }
+          else if (b(p) == '<' && !at(b, p, "<<")) {
+            p = skipHexString(b, p); if (p < 0) return None
+          } else {
+            if (b(p) == '[') depth += 1
+            else if (b(p) == ']') { depth -= 1; if (depth == 0) done = true }
+            p += 1
+          }
         }
         entries(key) = new String(b, vs, p - vs, "ISO-8859-1")
-      } else if (p < b.length && b(p) == '/') {
+      } else if (b(p) == '/') {
         // name value: "/Page", "/Catalog" — one name token
         val vs = p
         p += 1
         while (p < b.length && isRegular(b(p))) p += 1
         if (p - vs < 2) return None
         entries(key) = new String(b, vs, p - vs, "ISO-8859-1")
+      } else if (b(p) == '(') {
+        // literal string value: one opaque token
+        val vs = p
+        p = skipLiteralString(b, p)
+        if (p < 0) return None
+        entries(key) = new String(b, vs, p - vs, "ISO-8859-1")
+      } else if (b(p) == '<') {
+        // hex string value (`<<` was handled above)
+        val vs = p
+        p = skipHexString(b, p)
+        if (p < 0) return None
+        entries(key) = new String(b, vs, p - vs, "ISO-8859-1")
       } else {
-        // run of simple tokens (numbers, "N G R" references, booleans)
-        // up to the next /Key or the closing >>
+        // run of simple tokens up to the next /Key or the closing >>
         val vs = p
         var done = false
         while (!done) {
           if (p >= b.length) return None
           if (b(p) == '/' || at(b, p, ">>")) done = true
+          else if (b(p) == '(') { p = skipLiteralString(b, p); if (p < 0) return None }
+          else if (b(p) == '<') {
+            if (at(b, p, "<<")) return None // a dict can't continue a simple run
+            p = skipHexString(b, p); if (p < 0) return None
+          }
           else p += 1
         }
         val v = new String(b, vs, p - vs, "ISO-8859-1").trim

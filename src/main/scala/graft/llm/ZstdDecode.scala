@@ -429,8 +429,9 @@ object ZstdDecode {
     var rep1: Long = 1L; var rep2: Long = 4L; var rep3: Long = 8L
   }
 
-  /** Output sink with window access for match copies. */
-  final class Sink(val maxOut: Int) {
+  /** Output sink with window access for match copies. `windowLimit`
+    * bounds how far back a match may reach (RFC 8878 window law). */
+  final class Sink(val maxOut: Int, val windowLimit: Long = Long.MaxValue) {
     var buf = new Array[Byte](math.min(maxOut, 1 << 16))
     var len = 0
     def ensure(n: Int): Unit = {
@@ -448,7 +449,9 @@ object ZstdDecode {
       ensure(n); java.util.Arrays.fill(buf, len, len + n, v); len += n
     }
     def appendMatch(offset: Long, n: Int): Unit = {
-      if (offset < 1 || offset > len) bad() // window law
+      // an offset past the decoded prefix OR past the declared window
+      // refuses — the reference decoder enforces both
+      if (offset < 1 || offset > len || offset > windowLimit) bad()
       ensure(n)
       var s = len - offset.toInt
       val until = len + n
@@ -683,8 +686,14 @@ object ZstdDecode {
       if (declared < 0 || declared > maxOut) return None
     }
     if (singleSegment) windowSize = declared
+    // Block_Maximum_Size = min(Window_Size, 128 KiB) — binds EVERY block
+    // type (raw/RLE regenerated sizes and a compressed block's output);
+    // the reference decoder refuses oversizes, so must a validator
+    val blockMax: Long =
+      if (windowSize >= 0) math.min(windowSize, 1L << 17) else 1L << 17
     val st = new FrameState
-    val sink = new Sink(if (declared >= 0) declared.toInt else maxOut)
+    val sink = new Sink(if (declared >= 0) declared.toInt else maxOut,
+      windowLimit = if (windowSize >= 0) windowSize else Long.MaxValue)
     var lastBlock = false
     while (!lastBlock) {
       if (p + 3 > b.length) return None
@@ -695,17 +704,21 @@ object ZstdDecode {
       val bsize = (hdr >> 3).toInt
       btype match {
         case 0 => // raw
+          if (bsize > blockMax) return None
           if (p + bsize > b.length) return None
           sink.appendBytes(b, p, bsize)
           p += bsize
         case 1 => // RLE: one byte, bsize = regenerated count
+          if (bsize > blockMax) return None
           if (p + 1 > b.length) return None
           sink.appendRle(b(p), bsize)
           p += 1
         case 2 =>
-          if (bsize > (1 << 17) + 3) return None // Block_Maximum_Size law
+          if (bsize > blockMax) return None
           if (p + bsize > b.length) return None
+          val before = sink.len
           decodeCompressedBlock(b, p, p + bsize, st, sink)
+          if (sink.len - before > blockMax) return None // decoded-size law
           p += bsize
         case _ => return None // reserved
       }

@@ -74,5 +74,16 @@ class ImaAdpcmSpec extends AnyFunSuite {
     (0 until 2000).foreach { _ =>
       decodeFacts(Array.fill(rnd.nextInt(96))(rnd.nextInt(256).toByte))
     }
+    // review-caught regression: an UNKNOWN chunk whose length narrows to
+    // -8 froze the walk (p advanced by zero) — must refuse, not hang
+    def hangCase(lenBytes: Seq[Int]): Array[Byte] = {
+      val t = good.clone()
+      t(12) = 'j'; t(13) = 'u'; t(14) = 'n'; t(15) = 'k' // default branch
+      lenBytes.zipWithIndex.foreach { case (v, i) => t(16 + i) = v.toByte }
+      t
+    }
+    assert(decodeFacts(hangCase(Seq(0xf8, 0xff, 0xff, 0xff))).isEmpty) // -8
+    // -9 variant: the (len & 1) pad also zeroed p's advance
+    assert(decodeFacts(hangCase(Seq(0xf7, 0xff, 0xff, 0xff))).isEmpty)
   }
 }

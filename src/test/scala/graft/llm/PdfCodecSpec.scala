@@ -80,6 +80,47 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(pdfProbe(cyc.getBytes("ISO-8859-1")).isEmpty)
   }
 
+  test("dict tokens: literal/hex strings are opaque — delimiters inside them are content") {
+    def dict(s: String): Map[String, String] =
+      parseDict(s.getBytes("ISO-8859-1"), 0).map(_.entries)
+        .getOrElse(fail(s"refused: $s"))
+    // a '/' inside a literal string is string content, not the next key
+    val d1 = dict("<< /Title (a/b) /Length 10 >>")
+    assert(d1("Title") == "(a/b)" && d1("Length") == "10")
+    // escaped parens and nesting
+    assert(dict("""<< /T (x\)y(z)) /N 3 >>""")("N") == "3")
+    // hex string butted against the dict close must not eat the '>>'
+    val d2 = dict("<< /ID <4f3c> /Length 7 >>")
+    assert(d2("ID") == "<4f3c>" && d2("Length") == "7")
+    // a string containing '>>' inside a NESTED dict doesn't close it
+    val d3 = dict("<< /Info << /T (x>>y) >> /Length 5 >>")
+    assert(d3("Length") == "5")
+    // strings inside arrays stay inside the array token
+    val d4 = dict("<< /A [ (x]/y) 1 2 ] /B 3 >>")
+    assert(d4("B") == "3" && d4("A").startsWith("["))
+    // the end position lands exactly past the closing >>
+    val raw = "<< /K 1 >>tail".getBytes("ISO-8859-1")
+    assert(parseDict(raw, 0).exists(_.end == 10))
+  }
+
+  test("under-declared /Length with a whitespace gap refuses (exact-coverage law)") {
+    val b = encodePdf(4, Seq(33), None)
+    // rewrite the last 4 payload bytes to whitespace IN PLACE (offsets
+    // preserved) and shorten the declared /Length by the same 4: the
+    // gap is now pure whitespace — a lenient EOL-skip would accept it
+    val s = new String(b, "ISO-8859-1")
+    val at = s.indexOf("/Length 33")
+    assert(at > 0)
+    val t = b.clone()
+    t(at + 8) = '2'; t(at + 9) = '9' // "/Length 29"
+    val payloadStart = s.indexOf("stream\n", at) + 7
+    t(payloadStart + 29) = ' '; t(payloadStart + 30) = '\n'
+    t(payloadStart + 31) = ' '; t(payloadStart + 32) = '\n'
+    assert(pdfProbe(t).isEmpty, "whitespace-gap /Length lie passed")
+    // sanity: the unmodified doc still parses
+    assert(pdfProbe(b).nonEmpty)
+  }
+
   test("every truncation refuses; random junk never throws") {
     val b = encodePdf(6, Seq(22, 13), Some(8))
     // d=1 only shaves the trailing newline — %%EOF stays the final
