@@ -1,0 +1,342 @@
+package graft.llm
+
+/** bzip2 decoding — the compression format the classic LLM-data dumps
+  * actually ship in (Wikipedia dumps are .bz2 to this day). Implemented
+  * from the public format (the BZh container and its block pipeline:
+  * RLE1 → BWT → MTF+RLE2 → grouped canonical Huffman), with BOTH
+  * integrity laws verified: the per-block CRC32 over the block's fully
+  * decoded bytes and the stream-final combined CRC
+  * (`stream = rotl1(stream) ^ block`). bzip2's CRC32 is the
+  * MSB-first/unreflected variant (poly 0x04C11DB7) — deliberately NOT
+  * zlib's.
+  *
+  * The walk refuses on anything the format forbids or this decoder
+  * does not model: the deprecated `randomized` bit (no modern encoder
+  * emits it), an origPtr outside the block, selector/group counts out
+  * of range, Huffman code lengths outside 1..23, a symbol stream that
+  * overruns the declared block size, and any CRC mismatch. Like every
+  * codec here it faces crawl bytes: damage returns None, never throws,
+  * and never hangs (all loops advance on bounded reads).
+  *
+  * Decoding pipeline per block, inverse of the encoder:
+  *  1. grouped Huffman: 2-6 tables, selectors MTF-decoded from unary,
+  *     a table switch every 50 symbols; canonical limit/base/perm
+  *     decode, MSB-first bits;
+  *  2. MTF+RLE2: RUNA/RUNB bijective-base-2 zero runs over the
+  *     move-to-front list of USED byte values (16+16×16 usage bitmap);
+  *  3. inverse BWT via the counting-sort successor vector from origPtr;
+  *  4. RLE1: four equal bytes followed by an extra-repeat count byte.
+  *
+  * Proven against the independent commons-compress implementation
+  * Spark ships (their compressor at every block size → this decoder,
+  * byte-for-byte) plus truncation/tamper batteries. */
+object Bzip2Decode {
+
+  private final class Bad extends RuntimeException(null, null, false, false)
+  @inline private def bad(): Nothing = throw new Bad
+
+  // bzip2's CRC-32: MSB-first, poly 0x04C11DB7, unreflected
+  private val CrcTable: Array[Int] = Array.tabulate(256) { v =>
+    var c = v << 24
+    var i = 0
+    while (i < 8) {
+      c = if ((c & 0x80000000) != 0) (c << 1) ^ 0x04c11db7 else c << 1
+      i += 1
+    }
+    c
+  }
+
+  /** MSB-first bit reader over the whole buffer. */
+  private final class MsbBits(b: Array[Byte], var from: Int, until: Int) {
+    var bitPos: Long = from.toLong * 8
+    private val endBit: Long = until.toLong * 8
+    def read(n: Int): Long = {
+      if (bitPos + n > endBit) bad()
+      var v = 0L
+      var i = 0
+      while (i < n) {
+        val bp = bitPos + i
+        val byteIx = (bp >>> 3).toInt
+        v = (v << 1) | ((b(byteIx) >> (7 - (bp & 7).toInt)) & 1)
+        i += 1
+      }
+      bitPos += n
+      v
+    }
+    @inline def bit(): Int = read(1).toInt
+    def alignByte(): Unit = { bitPos = (bitPos + 7) & ~7L }
+    def bytePos: Int = (bitPos >>> 3).toInt
+    def atEnd: Boolean = bitPos >= endBit
+  }
+
+  /** Decode one or more concatenated bzip2 streams; None on any
+    * violation. `maxOut` caps the total decoded size. */
+  def decompress(b: Array[Byte], maxOut: Int = 1 << 26): Option[Array[Byte]] = try {
+    if (b == null || b.length < 10) return None
+    val out = new java.io.ByteArrayOutputStream
+    var p = 0
+    var streams = 0
+    while (p < b.length) {
+      if (p + 4 > b.length) return None
+      if (!(b(p) == 'B' && b(p + 1) == 'Z' && b(p + 2) == 'h')) return None
+      val level = b(p + 3) - '0'
+      if (level < 1 || level > 9) return None
+      val maxBlock = level * 100000
+      val bits = new MsbBits(b, p + 4, b.length)
+      var streamCrc = 0
+      var footer = false
+      while (!footer) {
+        val magic = bits.read(48)
+        if (magic == 0x314159265359L) { // block
+          val blockCrc = bits.read(32).toInt
+          if (bits.bit() != 0) return None // deprecated randomized bit
+          val origPtr = bits.read(24).toInt
+          val block = decodeBlock(bits, maxBlock, origPtr, maxOut - out.size())
+          if (out.size() + block.length > maxOut) return None
+          // per-block CRC over the fully decoded bytes
+          var crc = 0xffffffff
+          var i = 0
+          while (i < block.length) {
+            crc = (crc << 8) ^ CrcTable(((crc >>> 24) ^ (block(i) & 0xff)) & 0xff)
+            i += 1
+          }
+          if (~crc != blockCrc) return None
+          streamCrc = ((streamCrc << 1) | (streamCrc >>> 31)) ^ blockCrc
+          out.write(block, 0, block.length)
+        } else if (magic == 0x177245385090L) { // stream footer
+          val stored = bits.read(32).toInt
+          if (stored != streamCrc) return None
+          footer = true
+        } else return None
+      }
+      bits.alignByte()
+      p = bits.bytePos
+      streams += 1
+    }
+    if (streams == 0) return None
+    Some(out.toByteArray)
+  } catch {
+    case _: Bad => None
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NegativeArraySizeException => None
+  }
+
+  /** Huffman → MTF/RLE2 → inverse BWT → RLE1 for one block. `maxOut`
+    * bounds the DECODED size (RLE1 legitimately expands up to ~51×
+    * the BWT block, so the block size itself is no bound). */
+  private def decodeBlock(bits: MsbBits, maxBlock: Int, origPtr: Int,
+                          maxOut: Int): Array[Byte] = {
+    // ---- usage bitmap: which byte values appear ----
+    val used16 = bits.read(16).toInt
+    val seqToUnseq = new Array[Int](256)
+    var nUsed = 0
+    var g = 0
+    while (g < 16) {
+      if ((used16 & (1 << (15 - g))) != 0) {
+        val m = bits.read(16).toInt
+        var j = 0
+        while (j < 16) {
+          if ((m & (1 << (15 - j))) != 0) {
+            seqToUnseq(nUsed) = 16 * g + j
+            nUsed += 1
+          }
+          j += 1
+        }
+      }
+      g += 1
+    }
+    if (nUsed == 0) bad()
+    val alphaSize = nUsed + 2
+    // ---- groups and selectors ----
+    val nGroups = bits.read(3).toInt
+    if (nGroups < 2 || nGroups > 6) bad()
+    val nSelectors = bits.read(15).toInt
+    if (nSelectors < 1) bad()
+    val selectorMtf = new Array[Int](nSelectors)
+    var i = 0
+    while (i < nSelectors) {
+      var j = 0
+      while (bits.bit() == 1) { j += 1; if (j >= nGroups) bad() }
+      selectorMtf(i) = j
+      i += 1
+    }
+    val pos = Array.tabulate(nGroups)(identity)
+    val selectors = new Array[Int](nSelectors)
+    i = 0
+    while (i < nSelectors) {
+      val v = selectorMtf(i)
+      val tmp = pos(v)
+      var k = v
+      while (k > 0) { pos(k) = pos(k - 1); k -= 1 }
+      pos(0) = tmp
+      selectors(i) = tmp
+      i += 1
+    }
+    // ---- Huffman tables: delta-coded lengths, canonical build ----
+    val limit = Array.ofDim[Int](nGroups, 25)
+    val base = Array.ofDim[Int](nGroups, 25)
+    val perm = Array.ofDim[Int](nGroups, alphaSize)
+    val minLens = new Array[Int](nGroups)
+    val maxLens = new Array[Int](nGroups)
+    var t = 0
+    while (t < nGroups) {
+      val len = new Array[Int](alphaSize)
+      var c = bits.read(5).toInt
+      var s = 0
+      while (s < alphaSize) {
+        var guard = 0
+        while (bits.bit() == 1) {
+          if (bits.bit() == 1) c -= 1 else c += 1
+          guard += 1
+          if (guard > 64 || c < 1 || c > 23) bad()
+        }
+        if (c < 1 || c > 23) bad()
+        len(s) = c
+        s += 1
+      }
+      // canonical decode tables (the classic limit/base/perm build)
+      var minLen = 32; var maxLen = 0
+      len.foreach { l => if (l < minLen) minLen = l; if (l > maxLen) maxLen = l }
+      minLens(t) = minLen
+      maxLens(t) = maxLen
+      var pp = 0
+      var l = minLen
+      while (l <= maxLen) {
+        var s2 = 0
+        while (s2 < alphaSize) {
+          if (len(s2) == l) { perm(t)(pp) = s2; pp += 1 }
+          s2 += 1
+        }
+        l += 1
+      }
+      val cnt = new Array[Int](25)
+      len.foreach(l2 => cnt(l2 + 1) += 1)
+      var k = 1
+      while (k < 25) { cnt(k) += cnt(k - 1); k += 1 }
+      var vec = 0
+      l = minLen
+      while (l <= maxLen) {
+        vec += cnt(l + 1) - cnt(l)
+        limit(t)(l) = vec - 1
+        vec <<= 1
+        l += 1
+      }
+      l = minLen + 1
+      while (l <= maxLen) {
+        base(t)(l) = ((limit(t)(l - 1) + 1) << 1) - cnt(l)
+        l += 1
+      }
+      t += 1
+    }
+    @inline def readSymbol(tab: Int): Int = {
+      var l = minLens(tab)
+      var code = bits.read(l).toInt
+      while (code > limit(tab)(l)) {
+        l += 1
+        if (l > maxLens(tab)) bad() // corrupt stream: no code this long
+        code = (code << 1) | bits.bit()
+      }
+      val ix = code - base(tab)(l)
+      if (ix < 0 || ix >= alphaSize) bad()
+      perm(tab)(ix)
+    }
+    // ---- MTF + RLE2 to the BWT column ----
+    val bwt = new Array[Byte](maxBlock)
+    var n = 0
+    val mtf = new Array[Int](nUsed)
+    System.arraycopy(seqToUnseq, 0, mtf, 0, nUsed)
+    var groupNo = -1
+    var groupPos = 0
+    var curTab = 0
+    @inline def nextSym(): Int = {
+      if (groupPos == 0) {
+        groupNo += 1
+        if (groupNo >= nSelectors) bad()
+        curTab = selectors(groupNo)
+        groupPos = 50
+      }
+      groupPos -= 1
+      readSymbol(curTab)
+    }
+    val eob = alphaSize - 1
+    var run = 0L
+    var runBits = 0
+    var done = false
+    while (!done) {
+      val sym = nextSym()
+      if (sym <= 1) { // RUNA / RUNB: bijective base-2 run of mtf-front
+        run += (sym + 1).toLong << runBits
+        runBits += 1
+        if (runBits > 40) bad()
+      } else {
+        if (run > 0) {
+          if (n + run > maxBlock) bad()
+          val v = mtf(0).toByte
+          var r = 0L
+          while (r < run) { bwt(n) = v; n += 1; r += 1 }
+          run = 0; runBits = 0
+        }
+        if (sym == eob) done = true
+        else {
+          val ix = sym - 1 // MTF index (1-based beyond the front)
+          if (ix >= nUsed) bad()
+          val v = mtf(ix)
+          var k = ix
+          while (k > 0) { mtf(k) = mtf(k - 1); k -= 1 }
+          mtf(0) = v
+          if (n >= maxBlock) bad()
+          bwt(n) = v.toByte
+          n += 1
+        }
+      }
+    }
+    if (n == 0) bad()
+    if (origPtr < 0 || origPtr >= n) bad()
+    // ---- inverse BWT: counting-sort successor vector ----
+    val cum = new Array[Int](257)
+    var q = 0
+    while (q < n) { cum((bwt(q) & 0xff) + 1) += 1; q += 1 }
+    var k2 = 1
+    while (k2 < 257) { cum(k2) += cum(k2 - 1); k2 += 1 }
+    val tt = new Array[Int](n)
+    q = 0
+    while (q < n) {
+      val v = bwt(q) & 0xff
+      tt(cum(v)) = q
+      cum(v) += 1
+      q += 1
+    }
+    // ---- walk + RLE1 decode (4 equal bytes + extra-count byte) ----
+    val outB = new java.io.ByteArrayOutputStream(n + (n >> 2))
+    var ptr = tt(origPtr)
+    var left = n
+    var runByte = -1
+    var runCount = 0
+    var pendingCount = false
+    while (left > 0) {
+      val v = bwt(ptr) & 0xff
+      ptr = tt(ptr)
+      left -= 1
+      if (pendingCount) {
+        // the byte AFTER four equal bytes is an extra-repeat count
+        var r = 0
+        while (r < v) { outB.write(runByte); r += 1 }
+        pendingCount = false
+        runByte = -1
+        runCount = 0
+      } else {
+        outB.write(v)
+        if (v == runByte) {
+          runCount += 1
+          if (runCount == 4) pendingCount = true
+        } else {
+          runByte = v
+          runCount = 1
+        }
+      }
+      if (outB.size() > maxOut) bad() // decoded-size budget
+    }
+    if (pendingCount) bad() // block ended right after a 4-run, count missing
+    outB.toByteArray
+  }
+}

@@ -2006,6 +2006,7 @@ object Llm {
     "q_avif_probe" -> (avifProbe _),
     "q_adpcm_wav" -> (adpcmWav _),
     "q_zstd_decode" -> (zstdDecode _),
+    "q_bzip2_decode" -> (bzip2Decode _),
     "q_tfrecord_read" -> (tfrecordRead _),
     "q_tfexample_read" -> (tfexampleRead _),
     "q_avro_read" -> (avroRead _),
@@ -3867,6 +3868,102 @@ object Llm {
       |  by.byte_sum,
       |  CASE WHEN p.ok THEN p.k % 2 = 0 END AS checksummed
       |FROM p LEFT JOIN by ON by.k = p.k
+      |ORDER BY media_id""".stripMargin
+
+  /** Full bzip2 DECODE under the oracle (see [[graft.llm.Bzip2Decode]])
+    * — the format the classic LLM-data dumps ship in (Wikipedia dumps
+    * are .bz2): per-key payloads from closed-form byte formulas,
+    * compressed by the INDEPENDENT commons-compress implementation
+    * Spark ships (block-size levels rotating by key), decoded by OUR
+    * hand-rolled grouped-Huffman → MTF/RLE2 → inverse-BWT → RLE1
+    * pipeline with both CRC laws verified; the oracle replays the
+    * payload formulas. A second concatenated STREAM rides along on
+    * every fifth key (multi-stream is how dump mirrors append).
+    * Refusal arms: truncation (k mod 13) and a mid-stream byte flip
+    * (k mod 17 — caught structurally or by a CRC, refused either
+    * way; the flip position is past the origPtr field, so the
+    * periodic-rotation legal-equivalence edge cannot arise). */
+  def bzip2Decode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.Bzip2Decode
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val n = (600 + k % 1200).toInt
+      val payload = (k % 3) match {
+        case 0 => Array.tabulate(n)(i => ((k * 17 + i * 11) % 256).toByte)
+        case 1 =>
+          val run = (2 + k % 40).toInt
+          Array.tabulate(n)(i => ('a' + (i / run) % 3).toByte)
+        case _ =>
+          val w = (4 + k % 9).toInt
+          Array.tabulate(n)(i => (((i % w) * 29 + k) % 256).toByte)
+      }
+      def cc(data: Array[Byte], level: Int): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream
+        val z = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(bos, level)
+        z.write(data); z.close()
+        bos.toByteArray
+      }
+      val level = (1 + k % 9).toInt
+      val second: Array[Byte] =
+        if (k % 5 == 0) Array.tabulate((100 + k % 50).toInt)(j => ((k + j * 13) % 256).toByte)
+        else Array.emptyByteArray
+      val bytes = cc(payload, level) ++
+        (if (second.nonEmpty) cc(second, 1) else Array.emptyByteArray)
+      val payloadBytes =
+        if (k % 13 == 0) bytes.dropRight(5)
+        else if (k % 17 == 0) {
+          // byte 20 sits in the first block's symbol-map/selector/tree
+          // region for every stream here: past the origPtr field (whose
+          // flip could be a LEGAL equivalent rotation on periodic data)
+          // and never the final pad byte — the decode machinery changes,
+          // so the block CRC refuses deterministically
+          val t = bytes.clone()
+          t(20) = (t(20) ^ 0x20).toByte
+          t
+        } else bytes
+      Bzip2Decode.decompress(payloadBytes, maxOut = 1 << 22) match {
+        case Some(out) =>
+          var sum = 0L
+          out.foreach(x => sum += x & 0xff)
+          (k, true, Some(out.length), Some(sum))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Long])
+      }
+    }.toDF("media_id", "bz_ok", "decoded_len", "byte_sum")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The payload formulas replayed: primary length 600 + k mod 1200 by
+    * the k mod 3 shape, plus the 100 + k mod 50 second stream on 5 | k;
+    * the compressed representation never matters — only that the
+    * decode inverts it. */
+  val bzip2DecodeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(600 + k % 1200 AS INTEGER) AS n,
+      |        CASE WHEN k % 5 = 0 THEN CAST(100 + k % 50 AS INTEGER) ELSE 0 END AS m,
+      |        (k % 13 <> 0 AND k % 17 <> 0) AS ok
+      |      FROM ks),
+      |b1 AS (
+      |  SELECT p.k,
+      |    CAST(SUM(CASE p.k % 3
+      |      WHEN 0 THEN (p.k * 17 + i.g * 11) % 256
+      |      WHEN 1 THEN 97 + (i.g // (2 + p.k % 40)) % 3
+      |      ELSE ((i.g % (4 + p.k % 9)) * 29 + p.k) % 256
+      |    END) AS BIGINT) AS s
+      |  FROM p, generate_series(0, 1799) i(g)
+      |  WHERE i.g < p.n AND p.ok
+      |  GROUP BY p.k),
+      |b2 AS (
+      |  SELECT p.k, CAST(SUM((p.k + j.g * 13) % 256) AS BIGINT) AS s
+      |  FROM p, generate_series(0, 149) j(g)
+      |  WHERE j.g < p.m AND p.ok
+      |  GROUP BY p.k)
+      |SELECT p.k AS media_id, p.ok AS bz_ok,
+      |  CASE WHEN p.ok THEN p.n + p.m END AS decoded_len,
+      |  b1.s + COALESCE(b2.s, 0) AS byte_sum
+      |FROM p LEFT JOIN b1 ON b1.k = p.k
+      |LEFT JOIN b2 ON b2.k = p.k
       |ORDER BY media_id""".stripMargin
 
   /** Strict UTF-8 validity + mojibake census under the oracle — the
@@ -6094,6 +6191,7 @@ object Llm {
     "q_avif_probe" -> avifProbeSql,
     "q_adpcm_wav" -> adpcmWavSql,
     "q_zstd_decode" -> zstdDecodeSql,
+    "q_bzip2_decode" -> bzip2DecodeSql,
     "q_tfrecord_read" -> tfrecordReadSql,
     "q_tfexample_read" -> tfexampleReadSql,
     "q_avro_read" -> avroReadSql,

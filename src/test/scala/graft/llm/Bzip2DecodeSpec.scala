@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import Bzip2Decode._
+
+/** bzip2 decode vs the independent commons-compress implementation
+  * Spark ships: every block-size level, data shapes that force RLE1
+  * expansion, multi-block streams, multi-STREAM concatenation, CRC
+  * tamper refusals, and the truncation/junk batteries. */
+class Bzip2DecodeSpec extends AnyFunSuite {
+
+  private def cc(data: Array[Byte], level: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream
+    val z = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(bos, level)
+    z.write(data); z.close()
+    bos.toByteArray
+  }
+
+  private def shapes(rnd: scala.util.Random): Seq[Array[Byte]] = Seq(
+    Array[Byte](7),
+    "hello bzip2".getBytes("UTF-8"),
+    // heavy RLE1: decoded size far exceeds the BWT block content
+    Array.fill(200000)('x'.toByte),
+    // repetitive text
+    ("wikipedia dump text " * 2000).getBytes("UTF-8"),
+    // small alphabet
+    Array.fill(50000)((rnd.nextInt(4) + 'a').toByte),
+    // incompressible
+    Array.fill(30000)(rnd.nextInt(256).toByte),
+    // structured with runs of exactly 4 and 5 (RLE1 edge cases)
+    Array.tabulate(10000)(i => (Seq(1, 1, 1, 1, 2, 3, 3, 3, 3, 3)((i % 10))).toByte),
+    // multi-block at level 1 (block size 100k)
+    Array.tabulate(350000)(i => ((i / 7) % 251).toByte))
+
+  test("commons-compress at every level → our decode, byte-for-byte") {
+    val rnd = new scala.util.Random(151)
+    for (data <- shapes(rnd); level <- Seq(1, 5, 9)) {
+      val comp = cc(data, level)
+      val back = decompress(comp, maxOut = 1 << 22)
+      assert(back.exists(java.util.Arrays.equals(_, data)),
+        s"mismatch at level=$level n=${data.length}")
+    }
+  }
+
+  test("random fuzz: 150 random shapes") {
+    val rnd = new scala.util.Random(157)
+    (0 until 150).foreach { i =>
+      val n = rnd.nextInt(40000)
+      val data = i % 3 match {
+        case 0 => Array.fill(n)(rnd.nextInt(256).toByte)
+        case 1 => Array.fill(n)((rnd.nextInt(3) + 'x').toByte)
+        case _ =>
+          val w = Array.fill(2 + rnd.nextInt(15))(rnd.nextInt(256).toByte)
+          Array.tabulate(n)(j => w(j % w.length))
+      }
+      val comp = cc(data, 1 + rnd.nextInt(9))
+      assert(decompress(comp, 1 << 22).exists(java.util.Arrays.equals(_, data)),
+        s"i=$i n=$n")
+    }
+  }
+
+  test("multi-stream concatenation decodes as one corpus") {
+    val a = cc("part one ".getBytes("UTF-8"), 1)
+    val b = cc(Array.fill(100)('z'.toByte), 9)
+    assert(decompress(a ++ b, 1 << 22).exists(_.length == 9 + 100))
+  }
+
+  test("CRC flips, truncation, and junk all refuse; never throw, never hang") {
+    // APERIODIC data matters here: for a periodic block, two different
+    // origPtr values legally decode to the identical string, so an
+    // origPtr bit flip can yield a VALID re-encoding of the same bytes
+    // (observed with "integrity "*300 and again with an (i·31 mod 251)
+    // ramp, period 251) — no law is violated; the flip battery needs
+    // data where every rotation differs, i.e. random bytes
+    val dataRnd = new scala.util.Random(167)
+    val data = Array.fill(3000)(dataRnd.nextInt(256).toByte)
+    val comp = cc(data, 3)
+    assert(decompress(comp, 1 << 22).nonEmpty)
+    // every byte flip refuses or alters the output (block CRC + stream
+    // CRC leave no unprotected SEMANTIC byte in a bzip2 stream); the
+    // FINAL byte is exempt — the stream ends bit-unaligned and its
+    // trailing padding bits are meaningless by design
+    (0 until comp.length - 1).foreach { i =>
+      val t = comp.clone(); t(i) = (t(i) ^ 0x11).toByte
+      val r = decompress(t, 1 << 22)
+      assert(r.isEmpty || !java.util.Arrays.equals(r.get, data), s"flip at $i")
+    }
+    (1 until comp.length by 2).foreach { d =>
+      assert(decompress(comp.dropRight(d), 1 << 22).isEmpty, s"drop $d passed")
+    }
+    val rnd = new scala.util.Random(163)
+    (0 until 3000).foreach { _ =>
+      decompress(Array.fill(rnd.nextInt(128))(rnd.nextInt(256).toByte), 1 << 22)
+      decompress("BZh5".getBytes("US-ASCII") ++
+        Array.fill(rnd.nextInt(96))(rnd.nextInt(256).toByte), 1 << 22)
+    }
+  }
+}
