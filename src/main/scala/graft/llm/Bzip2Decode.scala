@@ -184,13 +184,14 @@ object Bzip2Decode {
       var c = bits.read(5).toInt
       var s = 0
       while (s < alphaSize) {
-        var guard = 0
+        // no oscillation cap: redundant +1/-1 pairs are format-legal and
+        // the bit reader's end bound already prevents hangs; the range
+        // law is the REFERENCE's 1..20 (not the 23 the table could hold)
         while (bits.bit() == 1) {
           if (bits.bit() == 1) c -= 1 else c += 1
-          guard += 1
-          if (guard > 64 || c < 1 || c > 23) bad()
+          if (c < 1 || c > 20) bad()
         }
-        if (c < 1 || c > 23) bad()
+        if (c < 1 || c > 20) bad()
         len(s) = c
         s += 1
       }
@@ -241,8 +242,20 @@ object Bzip2Decode {
       perm(tab)(ix)
     }
     // ---- MTF + RLE2 to the BWT column ----
-    val bwt = new Array[Byte](maxBlock)
+    // grow-on-demand, same as the LZ4 block decoder: a fixed
+    // maxBlock-sized (up to 900 KB zeroed) array per block would be
+    // pure GC churn on per-row decodes of kilobyte payloads
+    var bwt = new Array[Byte](math.min(maxBlock, 1 << 12))
     var n = 0
+    @inline def ensureBwt(need: Long): Boolean = {
+      if (need > maxBlock) return false
+      if (need > bwt.length) {
+        var cap = bwt.length.toLong
+        while (cap < need) cap = math.min(maxBlock.toLong, math.max(cap * 2, need))
+        bwt = java.util.Arrays.copyOf(bwt, cap.toInt)
+      }
+      true
+    }
     val mtf = new Array[Int](nUsed)
     System.arraycopy(seqToUnseq, 0, mtf, 0, nUsed)
     var groupNo = -1
@@ -270,7 +283,7 @@ object Bzip2Decode {
         if (runBits > 40) bad()
       } else {
         if (run > 0) {
-          if (n + run > maxBlock) bad()
+          if (!ensureBwt(n + run)) bad()
           val v = mtf(0).toByte
           var r = 0L
           while (r < run) { bwt(n) = v; n += 1; r += 1 }
@@ -284,7 +297,7 @@ object Bzip2Decode {
           var k = ix
           while (k > 0) { mtf(k) = mtf(k - 1); k -= 1 }
           mtf(0) = v
-          if (n >= maxBlock) bad()
+          if (!ensureBwt(n + 1L)) bad()
           bwt(n) = v.toByte
           n += 1
         }

@@ -283,6 +283,22 @@ object PdfCodec {
     if (p >= b.length) -1 else p + 1
   }
 
+  /** Skip a nested dict `<< … >>` starting at `p0`, strings protected.
+    * Returns the position after the closing `>>`, or -1. */
+  private def skipDict(b: Array[Byte], p0: Int): Int = {
+    var p = p0
+    var depth = 0
+    while (true) {
+      if (p + 1 >= b.length) return -1
+      if (at(b, p, "<<")) { depth += 1; p += 2 }
+      else if (at(b, p, ">>")) { depth -= 1; p += 2; if (depth == 0) return p }
+      else if (b(p) == '(') { p = skipLiteralString(b, p); if (p < 0) return -1 }
+      else if (b(p) == '<') { p = skipHexString(b, p); if (p < 0) return -1 }
+      else p += 1
+    }
+    -1 // unreachable
+  }
+
   /** Parse `<< /Key value … >>` with nesting (values captured as raw
     * token text; nested dicts/arrays skipped structurally; literal and
     * hex strings are opaque tokens — a '/' or '>>' INSIDE a string is
@@ -309,17 +325,9 @@ object PdfCodec {
       // value: nested dict, array, name, string, or a run of simple
       // tokens up to the next /Key or >> ("N G R" references, numbers)
       if (at(b, p, "<<")) {
-        var depth = 0
         val vs = p
-        var done = false
-        while (!done) {
-          if (p + 1 >= b.length) return None
-          if (at(b, p, "<<")) { depth += 1; p += 2 }
-          else if (at(b, p, ">>")) { depth -= 1; p += 2; if (depth == 0) done = true }
-          else if (b(p) == '(') { p = skipLiteralString(b, p); if (p < 0) return None }
-          else if (b(p) == '<') { p = skipHexString(b, p); if (p < 0) return None }
-          else p += 1
-        }
+        p = skipDict(b, p)
+        if (p < 0) return None
         entries(key) = new String(b, vs, p - vs, "ISO-8859-1")
       } else if (b(p) == '[') {
         var depth = 0
@@ -328,7 +336,14 @@ object PdfCodec {
         while (!done) {
           if (p >= b.length) return None
           if (b(p) == '(') { p = skipLiteralString(b, p); if (p < 0) return None }
-          else if (b(p) == '<' && !at(b, p, "<<")) {
+          else if (at(b, p, "<<")) {
+            // a nested dict inside the array: skip it STRUCTURALLY so a
+            // string inside it containing '>' or ']' stays protected
+            // (stepping over '<<' char-by-char mis-lexed the second '<'
+            // as a hex-string open — review-caught)
+            p = skipDict(b, p); if (p < 0) return None
+          }
+          else if (b(p) == '<') {
             p = skipHexString(b, p); if (p < 0) return None
           } else {
             if (b(p) == '[') depth += 1

@@ -98,6 +98,11 @@ class PdfCodecSpec extends AnyFunSuite {
     // strings inside arrays stay inside the array token
     val d4 = dict("<< /A [ (x]/y) 1 2 ] /B 3 >>")
     assert(d4("B") == "3" && d4("A").startsWith("["))
+    // a string with '>' then ']' inside a dict inside an array: the
+    // nested dict must be skipped structurally, not char-by-char
+    // (review-caught: the second '<' of '<<' mis-lexed as a hex open)
+    val d5 = dict("<< /A [ << /T (x>]y) >> ] /B 3 >>")
+    assert(d5("B") == "3")
     // the end position lands exactly past the closing >>
     val raw = "<< /K 1 >>tail".getBytes("ISO-8859-1")
     assert(parseDict(raw, 0).exists(_.end == 10))
