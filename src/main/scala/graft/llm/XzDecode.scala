@@ -1,0 +1,503 @@
+package graft.llm
+
+/** XZ / LZMA2 decoding — the last compression format in the LLM-data
+  * dump family this engine didn't decode (academic corpora and source
+  * dumps ship as .tar.xz; gzip/zstd/lz4/snappy/bzip2 are already
+  * closed). Implemented from the public .xz file-format spec
+  * (tukaani.org) and the public LZMA specification:
+  *
+  *  - the XZ container: stream header (magic, flags, CRC32), block
+  *    headers (size/flags/filter chain, header CRC32), 4-byte-aligned
+  *    block padding, per-block integrity check over the DECODED bytes
+  *    (CRC32, CRC64-ECMA, or SHA-256 — all three verified natively),
+  *    the index (one record per block, unpadded + uncompressed sizes,
+  *    CRC32) cross-checked against the blocks actually walked, and the
+  *    stream footer (backward size law, flags must equal the header's,
+  *    "YZ" magic);
+  *  - LZMA2 chunking: end marker, uncompressed chunks (with/without
+  *    dict reset), compressed chunks with the 3 reset classes (state /
+  *    state+props / state+props+dict);
+  *  - LZMA proper: the binary range decoder (11-bit adaptive
+  *    probabilities, bound splitting, 2^24 normalization), literal
+  *    coding with lc/lp/pb context and the match-byte path, the
+  *    12-state machine, length coders (choice/low/mid/high trees),
+  *    distance slots with aligned/direct bits, and the 4-slot rep
+  *    history.
+  *
+  * Scope pins (documented): exactly ONE filter per block and it must
+  * be LZMA2 (0x21) — delta/BCJ preprocessor chains refuse; a check
+  * type of "none" is accepted but reported unverified. Damage returns
+  * None; nothing throws, nothing hangs (the range decoder consumes a
+  * byte per normalization and every loop is bounded by declared
+  * sizes).
+  *
+  * Proven against the independent xz-java implementation Spark ships
+  * (their compressor at presets 0-9 and every check type → this
+  * decoder, byte-for-byte) plus tamper/truncation batteries. */
+object XzDecode {
+
+  private final class Bad extends RuntimeException(null, null, false, false)
+  @inline private def bad(): Nothing = throw new Bad
+
+  // ---- CRC64-ECMA (reflected, poly 0xC96C5795D7870F42) ----------------
+  private val Crc64Table: Array[Long] = Array.tabulate(256) { v =>
+    var c = v.toLong
+    var i = 0
+    while (i < 8) {
+      c = if ((c & 1L) != 0) (c >>> 1) ^ 0xc96c5795d7870f42L else c >>> 1
+      i += 1
+    }
+    c
+  }
+  def crc64(b: Array[Byte], off: Int, len: Int): Long = {
+    var c = ~0L
+    var i = off
+    while (i < off + len) {
+      c = (c >>> 8) ^ Crc64Table(((c ^ b(i)) & 0xff).toInt)
+      i += 1
+    }
+    ~c
+  }
+
+  private def crc32(b: Array[Byte], off: Int, len: Int): Long = {
+    val c = new java.util.zip.CRC32
+    c.update(b, off, len)
+    c.getValue
+  }
+
+  // ---- LZMA range decoder ----------------------------------------------
+  private final class RangeDec(b: Array[Byte], var p: Int, val end: Int) {
+    var range: Int = -1 // 0xFFFFFFFF
+    var code: Int = 0
+    // init: one zero byte then 4 big-endian code bytes
+    if (p + 5 > end) bad()
+    if (b(p) != 0) bad()
+    code = ((b(p + 1) & 0xff) << 24) | ((b(p + 2) & 0xff) << 16) |
+      ((b(p + 3) & 0xff) << 8) | (b(p + 4) & 0xff)
+    p += 5
+    @inline private def normalize(): Unit =
+      if ((range & 0xff000000) == 0) {
+        if (p >= end) bad()
+        range <<= 8
+        code = (code << 8) | (b(p) & 0xff)
+        p += 1
+      }
+    /** Decode one bit with the adaptive 11-bit probability at probs(i). */
+    @inline def bit(probs: Array[Short], i: Int): Int = {
+      val prob = probs(i) & 0xffff
+      val bound = (range >>> 11) * prob
+      if (java.lang.Integer.compareUnsigned(code, bound) < 0) {
+        range = bound
+        probs(i) = (prob + ((2048 - prob) >>> 5)).toShort
+        normalize()
+        0
+      } else {
+        code -= bound
+        range -= bound
+        probs(i) = (prob - (prob >>> 5)).toShort
+        normalize()
+        1
+      }
+    }
+    /** n direct (probability-0.5) bits. */
+    def direct(n: Int): Int = {
+      var res = 0
+      var i = 0
+      while (i < n) {
+        range = range >>> 1
+        code -= range
+        val t = -(code >>> 31) // 0 if code >= 0 (bit 1), -1 if borrowed (bit 0)
+        code += range & t
+        if (code == range) bad() // spec: code must never equal range here
+        normalize()
+        res = (res << 1) + t + 1
+        i += 1
+      }
+      res
+    }
+    /** Bit-tree decode, `n` levels, MSB-first. Returns 0..2^n-1. */
+    def tree(probs: Array[Short], off: Int, n: Int): Int = {
+      var m = 1
+      var i = 0
+      while (i < n) { m = (m << 1) | bit(probs, off + m); i += 1 }
+      m - (1 << n)
+    }
+    /** Reverse bit-tree decode (LSB-first result). */
+    def rtree(probs: Array[Short], off: Int, n: Int): Int = {
+      var m = 1
+      var sym = 0
+      var i = 0
+      while (i < n) {
+        val bv = bit(probs, off + m)
+        m = (m << 1) | bv
+        sym |= bv << i
+        i += 1
+      }
+      sym
+    }
+    def finishedExactly: Boolean = code == 0
+  }
+
+  private def newProbs(n: Int): Array[Short] = Array.fill(n)(1024.toShort)
+
+  /** LZMA probability model + state (reset via fresh instance). */
+  private final class LzmaModel(val lc: Int, val lp: Int, val pb: Int) {
+    if (lc < 0 || lc > 8 || lp > 4 || pb > 4) bad()
+    val posMask: Int = (1 << pb) - 1
+    val litPosMask: Int = (1 << lp) - 1
+    val isMatch = newProbs(12 << 4)
+    val isRep = newProbs(12)
+    val isRepG0 = newProbs(12)
+    val isRepG1 = newProbs(12)
+    val isRepG2 = newProbs(12)
+    val isRep0Long = newProbs(12 << 4)
+    val posSlot = newProbs(4 * 64) // by lenToPosState
+    val specPos = newProbs(115)
+    val align = newProbs(16)
+    val literals = newProbs(0x300 << (lc + lp))
+    // length coders: [choice, choice2, low 16*8, mid 16*8, high 256]
+    val lenChoice = newProbs(2)
+    val lenLow = newProbs(16 * 8)
+    val lenMid = newProbs(16 * 8)
+    val lenHigh = newProbs(256)
+    val repChoice = newProbs(2)
+    val repLow = newProbs(16 * 8)
+    val repMid = newProbs(16 * 8)
+    val repHigh = newProbs(256)
+    var state = 0
+    var rep0 = 0; var rep1 = 0; var rep2 = 0; var rep3 = 0
+  }
+
+  private def decodeLen(rc: RangeDec, choice: Array[Short], low: Array[Short],
+                        mid: Array[Short], high: Array[Short], posState: Int): Int =
+    if (rc.bit(choice, 0) == 0) 2 + rc.tree(low, posState << 3, 3)
+    else if (rc.bit(choice, 1) == 0) 10 + rc.tree(mid, posState << 3, 3)
+    else 18 + rc.tree(high, 0, 8)
+
+  /** Decode one LZMA chunk of exactly `unpacked` bytes into `out` at
+    * `outPos` (the dictionary is `out[dictStart, outPos)`). */
+  private def lzmaChunk(b: Array[Byte], from: Int, until: Int, m: LzmaModel,
+                        out: Array[Byte], outPos0: Int, unpacked: Int,
+                        dictStart: Int): Int = {
+    val rc = new RangeDec(b, from, until)
+    var outPos = outPos0
+    val outEnd = outPos0 + unpacked
+    while (outPos < outEnd) {
+      val posState = (outPos - dictStart) & m.posMask
+      if (rc.bit(m.isMatch, (m.state << 4) | posState) == 0) {
+        // literal
+        val prevByte = if (outPos > dictStart) out(outPos - 1) & 0xff else 0
+        val litState = (((outPos - dictStart) & m.litPosMask) << m.lc) |
+          (prevByte >>> (8 - m.lc))
+        val probsOff = 0x300 * litState
+        var sym = 1
+        if (m.state >= 7) {
+          // matched-literal path: fold in the byte at rep0 distance
+          var matchByte = out(outPos - m.rep0 - 1) & 0xff
+          var break = false
+          while (!break && sym < 0x100) {
+            val matchBit = (matchByte >> 7) & 1
+            matchByte <<= 1
+            val bv = rc.bit(m.literals, probsOff + ((1 + matchBit) << 8) + sym)
+            sym = (sym << 1) | bv
+            if (matchBit != bv) break = true
+          }
+          while (sym < 0x100)
+            sym = (sym << 1) | rc.bit(m.literals, probsOff + sym)
+        } else {
+          while (sym < 0x100)
+            sym = (sym << 1) | rc.bit(m.literals, probsOff + sym)
+        }
+        out(outPos) = (sym & 0xff).toByte
+        outPos += 1
+        m.state = if (m.state < 4) 0 else if (m.state < 10) m.state - 3 else m.state - 6
+      } else {
+        var len = 0
+        if (rc.bit(m.isRep, m.state) == 0) {
+          // new match: distance from the slot machinery
+          m.rep3 = m.rep2; m.rep2 = m.rep1; m.rep1 = m.rep0
+          len = decodeLen(rc, m.lenChoice, m.lenLow, m.lenMid, m.lenHigh, posState)
+          val lenToPos = math.min(len - 2, 3)
+          val slot = rc.tree(m.posSlot, lenToPos << 6, 6)
+          if (slot < 4) m.rep0 = slot
+          else {
+            val nd = (slot >> 1) - 1
+            var dist = (2 | (slot & 1)) << nd
+            if (slot < 14)
+              dist += rc.rtree(m.specPos, dist - slot, nd)
+            else {
+              dist += rc.direct(nd - 4) << 4
+              dist += rc.rtree(m.align, 0, 4)
+            }
+            m.rep0 = dist
+          }
+          if (m.rep0 == -1) {
+            // 0xFFFFFFFF distance = end-of-stream marker; LZMA2 chunks
+            // declare exact sizes, so a marker here is corruption
+            bad()
+          }
+          m.state = if (m.state < 7) 7 else 10
+        } else {
+          // rep match
+          if (rc.bit(m.isRepG0, m.state) == 0) {
+            if (rc.bit(m.isRep0Long, (m.state << 4) | posState) == 0) {
+              // short rep: one byte at rep0
+              m.state = if (m.state < 7) 9 else 11
+              if (outPos - m.rep0 - 1 < dictStart) bad()
+              out(outPos) = out(outPos - m.rep0 - 1)
+              outPos += 1
+              // (no length decode on the short-rep path)
+              len = -1
+            }
+          } else {
+            val dist =
+              if (rc.bit(m.isRepG1, m.state) == 0) m.rep1
+              else if (rc.bit(m.isRepG2, m.state) == 0) { val d = m.rep2; m.rep2 = m.rep1; d }
+              else { val d = m.rep3; m.rep3 = m.rep2; m.rep2 = m.rep1; d }
+            m.rep1 = m.rep0
+            m.rep0 = dist
+          }
+          if (len == 0) { // not the short-rep path
+            len = decodeLen(rc, m.repChoice, m.repLow, m.repMid, m.repHigh, posState)
+            m.state = if (m.state < 7) 8 else 11
+          }
+        }
+        if (len > 0) {
+          if (outPos + len > outEnd) bad() // match overruns the chunk size
+          val src = outPos - m.rep0 - 1
+          if (src < dictStart) bad() // window law
+          var i = 0
+          while (i < len) { out(outPos + i) = out(src + i); i += 1 }
+          outPos += len
+        }
+      }
+    }
+    // the chunk's compressed size must be consumed exactly: the range
+    // decoder sits at the end with no bytes left over
+    if (rc.p != until) bad()
+    outPos
+  }
+
+  import ByteIo.le32
+
+  /** XZ multibyte (7-bit, little-endian) varint, max 9 bytes. */
+  private def mbInt(b: Array[Byte], p0: Int, end: Int): (Long, Int) = {
+    var p = p0
+    var v = 0L
+    var shift = 0
+    while (true) {
+      if (p >= end || shift > 56) bad()
+      val x = b(p) & 0xff
+      p += 1
+      v |= (x & 0x7fL) << shift
+      if ((x & 0x80) == 0) {
+        if (x == 0 && shift > 0) bad() // non-minimal encoding
+        return (v, p)
+      }
+      shift += 7
+    }
+    (0L, 0) // unreachable
+  }
+
+  /** Decode one-or-more concatenated XZ streams. Returns
+    * (content, nBlocks, nChecksVerified) or None. */
+  def decompress(b: Array[Byte], maxOut: Int = 1 << 26): Option[(Array[Byte], Int, Int)] = try {
+    if (b == null || b.length < 32) return None
+    val out = new java.io.ByteArrayOutputStream
+    var p = 0
+    var totBlocks = 0
+    var totVerified = 0
+    while (p < b.length) {
+      // ---- stream header ----
+      if (p + 12 > b.length) return None
+      if (!(b(p) == 0xfd.toByte && b(p + 1) == '7' && b(p + 2) == 'z' &&
+        b(p + 3) == 'X' && b(p + 4) == 'Z' && b(p + 5) == 0)) return None
+      if (b(p + 6) != 0) return None // first flags byte reserved
+      val checkType = b(p + 7) & 0xff
+      if (!(checkType == 0 || checkType == 1 || checkType == 4 || checkType == 10))
+        return None // reserved check ids refuse
+      if (crc32(b, p + 6, 2) != le32(b, p + 8)) return None // header CRC law
+      val flagBytes = Array(b(p + 6), b(p + 7))
+      p += 12
+      val checkLen = checkType match {
+        case 0 => 0; case 1 => 4; case 4 => 8; case _ => 32
+      }
+      // ---- blocks until the index indicator (0x00) ----
+      val records = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var atIndex = false
+      while (!atIndex) {
+        if (p >= b.length) return None
+        val first = b(p) & 0xff
+        if (first == 0) { atIndex = true }
+        else {
+          val blockStart = p
+          val bhSize = (first + 1) * 4
+          if (p + bhSize > b.length) return None
+          if (crc32(b, p, bhSize - 4) != le32(b, p + bhSize - 4)) return None
+          var q = p + 1
+          val bflags = b(q) & 0xff; q += 1
+          val nFilters = (bflags & 3) + 1
+          if ((bflags & 0x3c) != 0) return None // reserved flag bits
+          val hasCompSize = (bflags & 0x40) != 0
+          val hasUncompSize = (bflags & 0x80) != 0
+          var declComp = -1L
+          var declUncomp = -1L
+          if (hasCompSize) { val (v, q2) = mbInt(b, q, p + bhSize - 4); declComp = v; q = q2 }
+          if (hasUncompSize) { val (v, q2) = mbInt(b, q, p + bhSize - 4); declUncomp = v; q = q2 }
+          if (nFilters != 1) return None // scope pin: plain LZMA2 only
+          val (fid, q3) = mbInt(b, q, p + bhSize - 4); q = q3
+          if (fid != 0x21) return None // delta/BCJ chains refuse
+          val (propLen, q4) = mbInt(b, q, p + bhSize - 4); q = q4
+          if (propLen != 1 || q >= p + bhSize - 4) return None
+          val dictProp = b(q) & 0xff; q += 1
+          if (dictProp > 40) return None
+          // header padding must be zeros
+          while (q < p + bhSize - 4) { if (b(q) != 0) return None; q += 1 }
+          p += bhSize
+          // ---- LZMA2 chunk walk ----
+          val dataStart = p
+          val chunkOut = new java.io.ByteArrayOutputStream
+          var outBuf = new Array[Byte](1 << 14)
+          var outLen = 0
+          def ensure(n: Int): Unit = {
+            if (outLen + n > maxOut) bad()
+            if (outLen + n > outBuf.length) {
+              var cap = outBuf.length.toLong
+              while (cap < outLen + n) cap = math.min(maxOut.toLong, math.max(cap * 2, (outLen + n).toLong))
+              outBuf = java.util.Arrays.copyOf(outBuf, cap.toInt)
+            }
+          }
+          var model: LzmaModel = null // null ⇔ LZMA state not continuable
+          var haveProps = false
+          var lcv = 0; var lpv = 0; var pbv = 0
+          var needDictReset = true
+          var dictStart = 0
+          var endChunk = false
+          while (!endChunk) {
+            if (p >= b.length) return None
+            val ctrl = b(p) & 0xff; p += 1
+            if (ctrl == 0) endChunk = true
+            else if (ctrl < 3) {
+              // uncompressed chunk; 1 = with dict reset
+              if (ctrl == 1) { dictStart = outLen; needDictReset = false }
+              else if (needDictReset) return None
+              if (p + 2 > b.length) return None
+              val n = (((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)) + 1
+              p += 2
+              if (p + n > b.length) return None
+              ensure(n)
+              System.arraycopy(b, p, outBuf, outLen, n)
+              outLen += n; p += n
+              // an uncompressed chunk invalidates LZMA state (the next
+              // compressed chunk must carry a reset) but PROPS survive
+              model = null
+            } else if (ctrl >= 0x80) {
+              val unpacked = (((ctrl & 0x1f) << 16) |
+                ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)) + 1
+              val comp = (((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)) + 1
+              p += 4
+              val reset = (ctrl >> 5) & 3
+              if (reset >= 2) {
+                if (p >= b.length) return None
+                val props = b(p) & 0xff; p += 1
+                if (props > (4 * 5 + 4) * 9 + 8) return None
+                lcv = props % 9
+                val rem = props / 9
+                lpv = rem % 5
+                pbv = rem / 5
+                haveProps = true
+                model = new LzmaModel(lcv, lpv, pbv)
+              } else if (reset == 1) {
+                if (!haveProps) return None
+                model = new LzmaModel(lcv, lpv, pbv)
+              } else {
+                if (model == null) return None // continuation needs live state
+              }
+              if (reset == 3) { dictStart = outLen; needDictReset = false }
+              else if (needDictReset) return None
+              if (p + comp > b.length) return None
+              ensure(unpacked)
+              val newLen = lzmaChunk(b, p, p + comp, model, outBuf, outLen,
+                unpacked, dictStart)
+              if (newLen != outLen + unpacked) return None
+              outLen = newLen
+              p += comp
+            } else return None // reserved control byte
+          }
+          val data = java.util.Arrays.copyOf(outBuf, outLen)
+          val compUsed = p - dataStart
+          if (declComp >= 0 && declComp != compUsed) return None
+          if (declUncomp >= 0 && declUncomp != data.length) return None
+          // block padding to 4-byte alignment, zeros
+          while (((p - blockStart) & 3) != 0) {
+            if (p >= b.length || b(p) != 0) return None
+            p += 1
+          }
+          // ---- the check over DECODED bytes ----
+          checkType match {
+            case 0 => ()
+            case 1 =>
+              if (p + 4 > b.length) return None
+              if (crc32(data, 0, data.length) != le32(b, p)) return None
+              totVerified += 1
+            case 4 =>
+              if (p + 8 > b.length) return None
+              val stored = le32(b, p) | (le32(b, p + 4) << 32)
+              if (crc64(data, 0, data.length) != stored) return None
+              totVerified += 1
+            case _ =>
+              if (p + 32 > b.length) return None
+              val md = java.security.MessageDigest.getInstance("SHA-256")
+              val dig = md.digest(data)
+              var i = 0
+              while (i < 32) { if (dig(i) != b(p + i)) return None; i += 1 }
+              totVerified += 1
+          }
+          p += checkLen
+          // unpadded size = header + data + check (no padding)
+          val unpadded = bhSize.toLong + compUsed + checkLen
+          records += ((unpadded, data.length.toLong))
+          if (out.size() + data.length > maxOut) return None
+          out.write(data, 0, data.length)
+          totBlocks += 1
+        }
+      }
+      // ---- index: must mirror the blocks we walked ----
+      val indexStart = p
+      p += 1 // the 0x00 indicator
+      val (nRec, p2) = mbInt(b, p, b.length); p = p2
+      if (nRec != records.length) return None
+      var r = 0
+      while (r < nRec) {
+        val (u1, pa) = mbInt(b, p, b.length); p = pa
+        val (u2, pb2) = mbInt(b, p, b.length); p = pb2
+        if (u1 != records(r)._1 || u2 != records(r)._2) return None
+        r += 1
+      }
+      while (((p - indexStart) & 3) != 0) {
+        if (p >= b.length || b(p) != 0) return None
+        p += 1
+      }
+      if (p + 4 > b.length) return None
+      if (crc32(b, indexStart, p - indexStart) != le32(b, p)) return None
+      p += 4
+      val indexSize = p - indexStart
+      // ---- stream footer ----
+      if (p + 12 > b.length) return None
+      if (crc32(b, p + 4, 6) != le32(b, p)) return None
+      val backward = (le32(b, p + 4) + 1) * 4
+      if (backward != indexSize) return None // backward-size law
+      if (b(p + 8) != flagBytes(0) || b(p + 9) != flagBytes(1)) return None
+      if (!(b(p + 10) == 'Y' && b(p + 11) == 'Z')) return None
+      p += 12
+      // optional stream padding (4-byte-aligned zeros) between streams
+      while (p + 4 <= b.length && b(p) == 0 && b(p + 1) == 0 &&
+        b(p + 2) == 0 && b(p + 3) == 0) p += 4
+    }
+    Some((out.toByteArray, totBlocks, totVerified))
+  } catch {
+    case _: Bad => None
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NegativeArraySizeException => None
+  }
+}

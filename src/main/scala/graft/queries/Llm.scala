@@ -2007,6 +2007,7 @@ object Llm {
     "q_adpcm_wav" -> (adpcmWav _),
     "q_zstd_decode" -> (zstdDecode _),
     "q_bzip2_decode" -> (bzip2Decode _),
+    "q_xz_decode" -> (xzDecode _),
     "q_tfrecord_read" -> (tfrecordRead _),
     "q_tfexample_read" -> (tfexampleRead _),
     "q_avro_read" -> (avroRead _),
@@ -3974,6 +3975,93 @@ object Llm {
       |  b1.s + COALESCE(b2.s, 0) AS byte_sum
       |FROM p LEFT JOIN b1 ON b1.k = p.k
       |LEFT JOIN b2 ON b2.k = p.k
+      |ORDER BY media_id""".stripMargin
+
+  /** Full XZ/LZMA2 DECODE under the oracle (see
+    * [[graft.llm.XzDecode]]) — the .tar.xz dump format, completing the
+    * compression family (gzip/zstd/lz4/snappy/bzip2/xz all decoded
+    * natively): per-key payloads from closed-form formulas, compressed
+    * by the INDEPENDENT xz-java implementation Spark ships (presets
+    * 0-2 over a 64 KiB dictionary — presets only size the encoder's
+    * search structures, which dominate cost, not the format), decoded
+    * by OUR range-decoder/LZMA2/container pipeline with the per-block
+    * check (CRC64, or SHA-256 on every third key) verified over the
+    * decoded bytes plus every container CRC32 law. Every EIGHTH key
+    * (k mod 8 = 4, disjoint from the bzip2 gate's lane). Refusal
+    * arms: truncation (k mod 13) and a mid-file flip (k mod 17 —
+    * in xz EVERY byte sits under a CRC or the block check, so any
+    * flip refuses). */
+  def xzDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.XzDecode
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+      .filter(_ % 8 == 4)
+    val decoded = keys.map { k =>
+      val n = (700 + k % 1100).toInt
+      val payload = (k % 3) match {
+        case 0 => Array.tabulate(n)(i => ((k * 19 + i * 13) % 256).toByte)
+        case 1 =>
+          val run = (3 + k % 30).toInt
+          Array.tabulate(n)(i => ('f' + (i / run) % 4).toByte)
+        case _ =>
+          val w = (5 + k % 11).toInt
+          Array.tabulate(n)(i => (((i % w) * 53 + k) % 256).toByte)
+      }
+      val check =
+        if (k % 3 == 0) org.tukaani.xz.XZ.CHECK_SHA256
+        else org.tukaani.xz.XZ.CHECK_CRC64
+      val bos = new java.io.ByteArrayOutputStream
+      val opt = new org.tukaani.xz.LZMA2Options((k % 3).toInt)
+      opt.setDictSize(1 << 16)
+      val z = new org.tukaani.xz.XZOutputStream(bos, opt, check)
+      z.write(payload); z.close()
+      val bytes = bos.toByteArray
+      val payloadBytes =
+        if (k % 13 == 0) bytes.dropRight(6)
+        else if (k % 17 == 0) {
+          val t = bytes.clone()
+          val at = t.length / 2
+          t(at) = (t(at) ^ 0x24).toByte
+          t
+        } else bytes
+      XzDecode.decompress(payloadBytes, maxOut = 1 << 22) match {
+        case Some((out, nb, nv)) =>
+          var sum = 0L
+          out.foreach(x => sum += x & 0xff)
+          (k, true, Some(out.length), Some(sum), Some(nb), Some(nv))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Long],
+            None: Option[Int], None: Option[Int])
+      }
+    }.toDF("media_id", "xz_ok", "decoded_len", "byte_sum", "n_blocks",
+      "n_verified")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The payload formulas replayed: length 700 + k mod 1100 by the
+    * k mod 3 shape; one block, its check always verified. */
+  val xzDecodeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part
+      |            WHERE p_partkey % 8 = 4),
+      |p AS (SELECT k, CAST(700 + k % 1100 AS INTEGER) AS n,
+      |        (k % 13 <> 0 AND k % 17 <> 0) AS ok
+      |      FROM ks),
+      |b1 AS (
+      |  SELECT p.k,
+      |    CAST(SUM(CASE p.k % 3
+      |      WHEN 0 THEN (p.k * 19 + i.g * 13) % 256
+      |      WHEN 1 THEN 102 + (i.g // (3 + p.k % 30)) % 4
+      |      ELSE ((i.g % (5 + p.k % 11)) * 53 + p.k) % 256
+      |    END) AS BIGINT) AS s
+      |  FROM p, generate_series(0, 1799) i(g)
+      |  WHERE i.g < p.n AND p.ok
+      |  GROUP BY p.k)
+      |SELECT p.k AS media_id, p.ok AS xz_ok,
+      |  CASE WHEN p.ok THEN p.n END AS decoded_len,
+      |  b1.s AS byte_sum,
+      |  CASE WHEN p.ok THEN CAST(1 AS INTEGER) END AS n_blocks,
+      |  CASE WHEN p.ok THEN CAST(1 AS INTEGER) END AS n_verified
+      |FROM p LEFT JOIN b1 ON b1.k = p.k
       |ORDER BY media_id""".stripMargin
 
   /** Strict UTF-8 validity + mojibake census under the oracle — the
@@ -6202,6 +6290,7 @@ object Llm {
     "q_adpcm_wav" -> adpcmWavSql,
     "q_zstd_decode" -> zstdDecodeSql,
     "q_bzip2_decode" -> bzip2DecodeSql,
+    "q_xz_decode" -> xzDecodeSql,
     "q_tfrecord_read" -> tfrecordReadSql,
     "q_tfexample_read" -> tfexampleReadSql,
     "q_avro_read" -> avroReadSql,

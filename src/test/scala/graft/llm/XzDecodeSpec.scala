@@ -1,0 +1,106 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import XzDecode._
+
+/** XZ/LZMA2 decode vs the independent xz-java implementation Spark
+  * ships: presets 0-9 (both modes), every check type (CRC32 / CRC64 /
+  * SHA-256 / none), data shapes that force literals, matches, rep
+  * chains and multi-chunk blocks, multi-stream concatenation, and the
+  * tamper/truncation batteries. CRC64-ECMA is pinned to the published
+  * check value first. */
+class XzDecodeSpec extends AnyFunSuite {
+
+  test("crc64 matches the published ECMA check vector") {
+    // the standard "123456789" check value for CRC-64/XZ
+    val v = crc64("123456789".getBytes("US-ASCII"), 0, 9)
+    assert(v == 0x995dc9bbdf1939faL)
+  }
+
+  private def xz(data: Array[Byte], preset: Int, check: Int = org.tukaani.xz.XZ.CHECK_CRC64): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream
+    val opt = new org.tukaani.xz.LZMA2Options(preset)
+    val z = new org.tukaani.xz.XZOutputStream(bos, opt, check)
+    z.write(data); z.close()
+    bos.toByteArray
+  }
+
+  private def shapes(rnd: scala.util.Random): Seq[Array[Byte]] = Seq(
+    Array.emptyByteArray,
+    Array[Byte](99),
+    "hello xz".getBytes("UTF-8"),
+    ("academic dump text " * 1500).getBytes("UTF-8"),
+    Array.fill(60000)('r'.toByte),
+    Array.fill(40000)((rnd.nextInt(5) + 'a').toByte),
+    Array.fill(20000)(rnd.nextInt(256).toByte),
+    Array.tabulate(50000)(i => ((i % 23) * 41 + (i / 100)).toByte),
+    // crosses chunk boundaries at low presets
+    Array.tabulate(300000)(i => if (i % 500 < 450) 'q'.toByte else (i % 249).toByte))
+
+  test("xz-java at presets 0-9 → our decode, byte-for-byte") {
+    val rnd = new scala.util.Random(173)
+    for (data <- shapes(rnd); preset <- Seq(0, 1, 3, 6, 9)) {
+      val comp = xz(data, preset)
+      val back = decompress(comp, maxOut = 1 << 22)
+      assert(back.exists(r => java.util.Arrays.equals(r._1, data)),
+        s"mismatch at preset=$preset n=${data.length}")
+    }
+  }
+
+  test("every check type verifies (and 'none' is reported unverified)") {
+    import org.tukaani.xz.XZ
+    val data = ("check me " * 400).getBytes("UTF-8")
+    for ((ck, verified) <- Seq(XZ.CHECK_CRC32 -> 1, XZ.CHECK_CRC64 -> 1,
+      XZ.CHECK_SHA256 -> 1, XZ.CHECK_NONE -> 0)) {
+      val comp = xz(data, 4, ck)
+      val r = decompress(comp, 1 << 22)
+      assert(r.exists(x => java.util.Arrays.equals(x._1, data) &&
+        x._2 == 1 && x._3 == verified), s"check=$ck")
+    }
+  }
+
+  test("random fuzz: 120 random shapes × random preset") {
+    val rnd = new scala.util.Random(179)
+    (0 until 120).foreach { i =>
+      val n = rnd.nextInt(30000)
+      val data = i % 3 match {
+        case 0 => Array.fill(n)(rnd.nextInt(256).toByte)
+        case 1 => Array.fill(n)((rnd.nextInt(3) + '0').toByte)
+        case _ =>
+          val w = Array.fill(2 + rnd.nextInt(24))(rnd.nextInt(256).toByte)
+          Array.tabulate(n)(j => w(j % w.length))
+      }
+      val comp = xz(data, rnd.nextInt(10))
+      assert(decompress(comp, 1 << 22).exists(r => java.util.Arrays.equals(r._1, data)),
+        s"i=$i n=$n")
+    }
+  }
+
+  test("multi-stream concatenation; flips and truncation refuse") {
+    val a = xz("stream one ".getBytes("UTF-8"), 2)
+    val b2 = xz(Array.fill(500)('k'.toByte), 6)
+    assert(decompress(a ++ b2, 1 << 22).exists(_._1.length == 11 + 500))
+    // aperiodic payload (rotation-equivalence can't arise in xz, but
+    // stay consistent with the bzip2 battery's discipline)
+    val rnd = new scala.util.Random(181)
+    val data = Array.fill(4000)(rnd.nextInt(256).toByte)
+    val comp = xz(data, 3)
+    assert(decompress(comp, 1 << 22).nonEmpty)
+    // every byte is under a CRC32 (headers, index) or the block check:
+    // any flip refuses or alters output
+    (0 until comp.length).foreach { i =>
+      val t = comp.clone(); t(i) = (t(i) ^ 0x24).toByte
+      val r = decompress(t, 1 << 22)
+      assert(r.isEmpty || !java.util.Arrays.equals(r.get._1, data), s"flip at $i")
+    }
+    (1 until comp.length by 2).foreach { d =>
+      assert(decompress(comp.dropRight(d), 1 << 22).isEmpty, s"drop $d passed")
+    }
+    val junk = new scala.util.Random(191)
+    (0 until 3000).foreach { _ =>
+      decompress(Array.fill(junk.nextInt(128))(junk.nextInt(256).toByte), 1 << 22)
+      decompress(Array[Byte](0xfd.toByte, '7', 'z', 'X', 'Z', 0) ++
+        Array.fill(junk.nextInt(96))(junk.nextInt(256).toByte), 1 << 22)
+    }
+  }
+}
