@@ -178,10 +178,19 @@ object XzDecode {
     * `outPos` (the dictionary is `out[dictStart, outPos)`). */
   private def lzmaChunk(b: Array[Byte], from: Int, until: Int, m: LzmaModel,
                         out: Array[Byte], outPos0: Int, unpacked: Int,
-                        dictStart: Int): Int = {
+                        dictStart: Int, dictSize: Long): Int = {
     val rc = new RangeDec(b, from, until)
     var outPos = outPos0
     val outEnd = outPos0 + unpacked
+    // the distance law, UNSIGNED: rep values are 32-bit unsigned — a
+    // signed `src < dictStart` check lets a crafted dist ≥ 2^31 wrap
+    // FORWARD past the write position (review-caught); and the block
+    // header's declared dictionary size bounds every distance, exactly
+    // as the reference decoder enforces
+    @inline def distOk(rep: Int, pos: Int): Boolean = {
+      val d = rep.toLong & 0xffffffffL
+      d < (pos - dictStart).toLong && d < dictSize
+    }
     while (outPos < outEnd) {
       val posState = (outPos - dictStart) & m.posMask
       if (rc.bit(m.isMatch, (m.state << 4) | posState) == 0) {
@@ -193,6 +202,7 @@ object XzDecode {
         var sym = 1
         if (m.state >= 7) {
           // matched-literal path: fold in the byte at rep0 distance
+          if (!distOk(m.rep0, outPos)) bad()
           var matchByte = out(outPos - m.rep0 - 1) & 0xff
           var break = false
           while (!break && sym < 0x100) {
@@ -243,7 +253,7 @@ object XzDecode {
             if (rc.bit(m.isRep0Long, (m.state << 4) | posState) == 0) {
               // short rep: one byte at rep0
               m.state = if (m.state < 7) 9 else 11
-              if (outPos - m.rep0 - 1 < dictStart) bad()
+              if (!distOk(m.rep0, outPos)) bad()
               out(outPos) = out(outPos - m.rep0 - 1)
               outPos += 1
               // (no length decode on the short-rep path)
@@ -264,21 +274,22 @@ object XzDecode {
         }
         if (len > 0) {
           if (outPos + len > outEnd) bad() // match overruns the chunk size
+          if (!distOk(m.rep0, outPos)) bad() // unsigned window + dict law
           val src = outPos - m.rep0 - 1
-          if (src < dictStart) bad() // window law
           var i = 0
           while (i < len) { out(outPos + i) = out(src + i); i += 1 }
           outPos += len
         }
       }
     }
-    // the chunk's compressed size must be consumed exactly: the range
-    // decoder sits at the end with no bytes left over
-    if (rc.p != until) bad()
+    // the chunk's compressed size must be consumed exactly AND the
+    // range decoder must land in the finished state (code == 0) — the
+    // reference requires both after every sized chunk
+    if (rc.p != until || !rc.finishedExactly) bad()
     outPos
   }
 
-  import ByteIo.le32
+  import ByteIo.{le32, le64}
 
   /** XZ multibyte (7-bit, little-endian) varint, max 9 bytes. */
   private def mbInt(b: Array[Byte], p0: Int, end: Int): (Long, Int) = {
@@ -351,12 +362,16 @@ object XzDecode {
           if (propLen != 1 || q >= p + bhSize - 4) return None
           val dictProp = b(q) & 0xff; q += 1
           if (dictProp > 40) return None
+          // the declared dictionary size bounds every match distance
+          // (the reference decoder sizes its window from this field)
+          val dictSize: Long =
+            if (dictProp == 40) 0xffffffffL
+            else (2L | (dictProp & 1)) << (dictProp / 2 + 11)
           // header padding must be zeros
           while (q < p + bhSize - 4) { if (b(q) != 0) return None; q += 1 }
           p += bhSize
           // ---- LZMA2 chunk walk ----
           val dataStart = p
-          val chunkOut = new java.io.ByteArrayOutputStream
           var outBuf = new Array[Byte](1 << 14)
           var outLen = 0
           def ensure(n: Int): Unit = {
@@ -405,6 +420,7 @@ object XzDecode {
                 val rem = props / 9
                 lpv = rem % 5
                 pbv = rem / 5
+                if (lcv + lpv > 4) return None // the LZMA2 props law
                 haveProps = true
                 model = new LzmaModel(lcv, lpv, pbv)
               } else if (reset == 1) {
@@ -418,7 +434,7 @@ object XzDecode {
               if (p + comp > b.length) return None
               ensure(unpacked)
               val newLen = lzmaChunk(b, p, p + comp, model, outBuf, outLen,
-                unpacked, dictStart)
+                unpacked, dictStart, dictSize)
               if (newLen != outLen + unpacked) return None
               outLen = newLen
               p += comp
@@ -442,7 +458,7 @@ object XzDecode {
               totVerified += 1
             case 4 =>
               if (p + 8 > b.length) return None
-              val stored = le32(b, p) | (le32(b, p + 4) << 32)
+              val stored = le64(b, p)
               if (crc64(data, 0, data.length) != stored) return None
               totVerified += 1
             case _ =>
