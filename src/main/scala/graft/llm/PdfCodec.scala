@@ -23,14 +23,14 @@ package graft.llm
   * a census pipeline filters on damage rather than crashing on the
   * first torn upload.
   *
-  * Honest scope pins (documented, not hidden): cross-reference STREAMS
-  * (`/Type /XRef`, PDF 1.5+) and object streams (`/Type /ObjStm`)
-  * refuse — expanding them needs the full object model plus filter
-  * decode chains; a `startxref` pointing at anything but the `xref`
-  * keyword refuses rather than mis-walking. Encrypted documents
-  * (`/Encrypt` in the trailer) refuse for the same reason. Content
-  * stream INTERPRETATION (text extraction) stays behind the seam —
-  * this walk proves framing, censuses objects, and verifies lengths. */
+  * Scope split: this walk covers the CLASSIC-TABLE era; cross-reference
+  * streams (`/Type /XRef`, PDF 1.5+) and object streams (`/Type
+  * /ObjStm`) — the modern layout — are handled by [[PdfModern]], and a
+  * `startxref` pointing at anything but the `xref` keyword refuses HERE
+  * rather than mis-walking (the two probes partition the eras cleanly).
+  * Encrypted documents (`/Encrypt` in the trailer) refuse in both.
+  * Content stream INTERPRETATION (text extraction) stays behind the
+  * seam — these walks prove framing, census objects, verify lengths. */
 object PdfCodec {
 
   /** Probe facts: (versionMinor, nUpdates, sizeDeclared, nObjects,
@@ -189,7 +189,7 @@ object PdfCodec {
 
   // ---- lexing helpers (byte-level; PDF is an ASCII-framed format) ----
 
-  private def at(b: Array[Byte], p: Int, s: String): Boolean = {
+  private[llm] def at(b: Array[Byte], p: Int, s: String): Boolean = {
     if (p < 0 || p + s.length > b.length) return false
     var i = 0
     while (i < s.length) { if (b(p + i) != s.charAt(i).toByte) return false; i += 1 }
@@ -205,13 +205,13 @@ object PdfCodec {
     while (p < b.length && (b(p) == '\r' || b(p) == '\n')) p += 1
     p
   }
-  private def skipWs(b: Array[Byte], p0: Int): Int = {
+  private[llm] def skipWs(b: Array[Byte], p0: Int): Int = {
     var p = p0
     while (p < b.length && (b(p) == ' ' || b(p) == '\t' || b(p) == '\r' || b(p) == '\n')) p += 1
     p
   }
   /** (value, posAfter); throws NumberFormatException via sentinel on no digits. */
-  private def readInt(b: Array[Byte], p0: Int): (Long, Int) = {
+  private[llm] def readInt(b: Array[Byte], p0: Int): (Long, Int) = {
     var p = p0
     var v = 0L
     var any = false
@@ -254,6 +254,16 @@ object PdfCodec {
       if (parts.length == 3 && parts(2) == "R" &&
         parts(0).nonEmpty && parts(0).forall(_.isDigit)) Some(parts(0).toLong)
       else None
+    }
+    /** `[n n …]` integer array (xref-stream /W and /Index fields). */
+    def intArray(k: String): Option[Seq[Long]] = entries.get(k).flatMap { v =>
+      if (!(v.startsWith("[") && v.endsWith("]"))) None
+      else {
+        val parts = v.substring(1, v.length - 1).trim.split("\\s+").filter(_.nonEmpty)
+        if (parts.forall(x => x.nonEmpty && x.forall(_.isDigit)))
+          Some(parts.toSeq.map(_.toLong))
+        else None
+      }
     }
   }
 

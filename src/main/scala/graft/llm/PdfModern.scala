@@ -1,0 +1,480 @@
+package graft.llm
+
+/** Modern-PDF structural walk — cross-reference STREAMS and object
+  * streams (PDF 1.5+, ISO 32000-1 §7.5.7-7.5.8), the layout virtually
+  * every writer has emitted since ~2010. [[PdfCodec.pdfProbe]] covers
+  * the classic-table era and deliberately refuses this one; this walk
+  * completes the family:
+  *
+  *  - the xref section is itself a STREAM OBJECT (`/Type /XRef`):
+  *    FlateDecode (PDF Flate is the RFC 1950 zlib wrapper, so the
+  *    Adler-32 tail verifies every decode), optional PNG row
+  *    predictors (`/Predictor` ≥ 10 with the Columns law — all five
+  *    row filters implemented, the same unfilter matrix as the PNG
+  *    codec), entry fields of declared widths `/W [w1 w2 w3]`,
+  *    subsection ranges from `/Index` (defaulting to `[0 Size]`), and
+  *    the trailer keys (`/Root`, `/Size`, `/Prev`) living in the
+  *    stream's own dictionary;
+  *  - type-2 entries point INTO object streams (`/Type /ObjStm`):
+  *    Flate-decoded, their `/N` header pairs (objnum, offset) parsed
+  *    and VERIFIED against the xref entry's index, objects parsed at
+  *    `/First + offset` in the decoded buffer;
+  *  - the same laws as the classic walk where they apply: newest-wins
+  *    `/Prev` chain with strict decrease, object number/generation
+  *    against the slot, `/Length` consumed exactly, `/Root` must
+  *    resolve (possibly inside an ObjStm) to a `/Type /Catalog`,
+  *    `/Size` covers the highest live object, `%%EOF` is final.
+  *
+  * Refusals: any Flate/Adler failure, a Columns value that disagrees
+  * with w1+w2+w3, unknown predictors, entry fields overrunning the
+  * decoded data, an ObjStm index whose header pair names a different
+  * object, hybrid chains (a /Prev pointing at a classic `xref` table),
+  * and encryption. Damage returns None, never throws. */
+object PdfModern {
+
+  import PdfCodec.{at, parseDict, readInt, skipWs}
+
+  private def inflate(b: Array[Byte], off: Int, len: Int, maxOut: Int): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater() // zlib wrapper: Adler-32 verified
+    try {
+      inf.setInput(b, off, len)
+      val out = new java.io.ByteArrayOutputStream(math.min(maxOut, len * 3 + 64))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0) {
+          if (inf.needsInput() || inf.needsDictionary()) return None
+        } else out.write(buf, 0, n)
+        if (out.size() > maxOut) return None
+      }
+      if (inf.getRemaining != 0) return None // declared length consumed exactly
+      Some(out.toByteArray)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  /** Undo PNG row predictors (the /Predictor ≥ 10 family) over rows of
+    * `cols` data bytes each (bpp = 1 for xref streams). */
+  private def unpredict(data: Array[Byte], cols: Int): Option[Array[Byte]] = {
+    if (cols <= 0 || data.length % (cols + 1) != 0) return None
+    val rows = data.length / (cols + 1)
+    val out = new Array[Byte](rows * cols)
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * (cols + 1)) & 0xff
+      val src = r * (cols + 1) + 1
+      val dst = r * cols
+      var x = 0
+      while (x < cols) {
+        val raw = data(src + x) & 0xff
+        val left = if (x > 0) out(dst + x - 1) & 0xff else 0
+        val up = if (r > 0) out(dst - cols + x) & 0xff else 0
+        val ul = if (r > 0 && x > 0) out(dst - cols + x - 1) & 0xff else 0
+        val v = ft match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + ((left + up) >> 1)
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => return None // unknown filter type
+        }
+        out(dst + x) = (v & 0xff).toByte
+        x += 1
+      }
+      r += 1
+    }
+    Some(out)
+  }
+
+  /** A parsed stream object at `off`: (dict, rawDataFrom, rawDataLen).
+    * Enforces the number/gen slot law and exact /Length coverage. */
+  private def streamObjAt(b: Array[Byte], off: Long, objNum: Long,
+                          gen: Int): Option[(PdfCodec.PDict, Int, Int)] = {
+    if (off < 0 || off >= b.length) return None
+    var p = off.toInt
+    val (num, p1) = try readInt(b, p) catch { case _: NumberFormatException => return None }
+    p = skipWs(b, p1)
+    val (g, p2) = try readInt(b, p) catch { case _: NumberFormatException => return None }
+    p = skipWs(b, p2)
+    if (num != objNum || g != gen) return None
+    if (!at(b, p, "obj")) return None
+    p = skipWs(b, p + 3)
+    val dict = parseDict(b, p).getOrElse(return None)
+    p = skipWs(b, dict.end)
+    if (!at(b, p, "stream")) return None
+    p += 6
+    if (p < b.length && b(p) == '\r') p += 1
+    if (p >= b.length || b(p) != '\n') return None
+    p += 1
+    val len = dict.intVal("Length").getOrElse(return None)
+    if (len < 0 || len > b.length - p) return None
+    val dataFrom = p
+    p += len.toInt
+    if (p < b.length && b(p) == '\r') p += 1
+    if (p < b.length && b(p) == '\n') p += 1
+    if (!at(b, p, "endstream")) return None
+    Some((dict, dataFrom, len.toInt))
+  }
+
+  /** Probe facts: (versionMinor, nUpdates, sizeDeclared, nObjects,
+    * nPages, nStreams, streamBytes [content streams only], nInObjStm).
+    * None on any structural violation. */
+  def modernProbe(b: Array[Byte], maxOut: Int = 1 << 26): Option[(Int, Int, Int, Int, Int, Int, Long, Int)] = try {
+    if (b == null || b.length < 16) return None
+    val hdr = "%PDF-1."
+    var i = 0
+    while (i < hdr.length) { if (b(i) != hdr.charAt(i).toByte) return None; i += 1 }
+    val vMinor = b(hdr.length) - '0'
+    if (vMinor < 0 || vMinor > 7) return None
+    val tail = new String(b, math.max(0, b.length - 96), math.min(96, b.length), "ISO-8859-1")
+    val sx = tail.lastIndexOf("startxref")
+    if (sx < 0) return None
+    val after = tail.substring(sx + "startxref".length)
+    val m0 = after.dropWhile(c => c == '\r' || c == '\n' || c == ' ')
+    val digits = m0.takeWhile(_.isDigit)
+    if (digits.isEmpty || digits.length > 10) return None
+    val rest = m0.substring(digits.length).dropWhile(c => c == '\r' || c == '\n' || c == ' ')
+    if (!rest.startsWith("%%EOF")) return None
+    if (!rest.drop(5).forall(c => c == '\r' || c == '\n' || c == ' ')) return None
+    var xrefOff = digits.toLong
+    // object -> Left(directOffset, gen) | Right(objStmNum, indexInStm)
+    val live = scala.collection.mutable.LongMap.empty[Either[(Long, Int), (Long, Int)]]
+    val free = scala.collection.mutable.Set.empty[Long]
+    var size = -1
+    var rootObj = -1L
+    var nUpdates = 0
+    var prevSeen = Long.MaxValue
+    while (xrefOff >= 0) {
+      if (xrefOff >= prevSeen) return None // strict-decrease chain law
+      prevSeen = xrefOff
+      // the xref section must be an XRef STREAM object (hybrids refuse)
+      // whose own number/gen we learn from its header — slot law is
+      // enforced as "the object header must be self-consistent" here
+      if (xrefOff > b.length - 8) return None
+      var q = xrefOff.toInt
+      val (selfNum, q1) = try readInt(b, q) catch { case _: NumberFormatException => return None }
+      q = skipWs(b, q1)
+      val (selfGen, _) = try readInt(b, q) catch { case _: NumberFormatException => return None }
+      val (dict, dataFrom, dataLen) =
+        streamObjAt(b, xrefOff, selfNum, selfGen.toInt).getOrElse(return None)
+      if (!dict.nameVal("Type").contains("XRef")) return None
+      if (dict.entries.contains("Encrypt")) return None
+      val w = dict.intArray("W").getOrElse(return None)
+      if (w.length != 3 || w.exists(x => x < 0 || x > 8) || w(1) < 1) return None
+      val rowLen = (w(0) + w(1) + w(2)).toInt
+      val secSize = dict.intVal("Size").getOrElse(return None)
+      if (secSize <= 0 || secSize > (1 << 22)) return None
+      // decode the entry data: Flate (+ optional PNG predictor)
+      val raw: Array[Byte] = dict.entries.get("Filter") match {
+        case Some("/FlateDecode") =>
+          val flat = inflate(b, dataFrom, dataLen, maxOut).getOrElse(return None)
+          val (pred, cols) = dict.entries.get("DecodeParms") match {
+            case Some(dp) =>
+              val sub = parseDict(dp.getBytes("ISO-8859-1"), 0).getOrElse(return None)
+              (sub.intVal("Predictor").getOrElse(1L), sub.intVal("Columns").getOrElse(1L))
+            case None => (1L, rowLen.toLong)
+          }
+          if (pred == 1) flat
+          else if (pred >= 10 && pred <= 15) {
+            if (cols != rowLen) return None // the Columns law
+            unpredict(flat, rowLen).getOrElse(return None)
+          } else return None
+        case None => java.util.Arrays.copyOfRange(b, dataFrom, dataFrom + dataLen)
+        case _ => return None // other filters out of scope
+      }
+      val index: Seq[Long] = dict.intArray("Index").getOrElse(Seq(0L, secSize))
+      if (index.isEmpty || index.length % 2 != 0) return None
+      val totalRows = index.grouped(2).map(_(1)).sum
+      if (totalRows * rowLen != raw.length) return None // exact coverage law
+      var rp = 0
+      index.grouped(2).foreach { case Seq(start, count) =>
+        if (start < 0 || count < 0) return None
+        var e = 0L
+        while (e < count) {
+          def field(width: Int): Long = {
+            var v = 0L
+            var j = 0
+            while (j < width) { v = (v << 8) | (raw(rp + j) & 0xffL); j += 1 }
+            rp += width
+            v
+          }
+          val t = if (w(0) == 0) 1L else field(w(0).toInt)
+          val f2 = field(w(1).toInt)
+          val f3 = if (w(2) == 0) 0L else field(w(2).toInt)
+          val objNum = start + e
+          if (!live.contains(objNum) && !free.contains(objNum)) {
+            t match {
+              case 0 => free += objNum
+              case 1 => live(objNum) = Left((f2, f3.toInt))
+              case 2 => live(objNum) = Right((f2, f3.toInt))
+              case _ => return None // unknown entry type
+            }
+          }
+          e += 1
+        }
+      }
+      if (nUpdates == 0) {
+        size = secSize.toInt
+        rootObj = dict.refVal("Root").getOrElse(return None)
+      }
+      nUpdates += 1
+      if (nUpdates > 32) return None
+      xrefOff = dict.intVal("Prev").getOrElse(-1L)
+      if (xrefOff == -1L && dict.entries.contains("Prev")) return None
+    }
+    if (!free.contains(0L)) return None
+    if (size <= 0) return None
+    val maxLive = if (live.isEmpty) -1L else live.keys.max
+    if (maxLive < 0 || size.toLong < maxLive + 1) return None
+    // ---- resolve: direct objects first (ObjStm loads depend on them) ----
+    var nPages = 0; var nStreams = 0
+    var streamBytes = 0L
+    var nInObjStm = 0
+    var rootIsCatalog = false
+    // decoded ObjStm cache: objstm number -> (decoded bytes, first, pairs)
+    val stmCache = scala.collection.mutable.LongMap.empty[(Array[Byte], Int, Array[(Long, Int)])]
+    def loadObjStm(num: Long): Option[(Array[Byte], Int, Array[(Long, Int)])] =
+      stmCache.get(num).orElse {
+        live.get(num) match {
+          case Some(Left((off, gen))) =>
+            val (dict, dataFrom, dataLen) = streamObjAt(b, off, num, gen).getOrElse(return None)
+            if (!dict.nameVal("Type").contains("ObjStm")) return None
+            val n = dict.intVal("N").getOrElse(return None)
+            val first = dict.intVal("First").getOrElse(return None)
+            if (n <= 0 || n > (1 << 16) || first < 0) return None
+            val data = dict.entries.get("Filter") match {
+              case Some("/FlateDecode") => inflate(b, dataFrom, dataLen, maxOut).getOrElse(return None)
+              case None => java.util.Arrays.copyOfRange(b, dataFrom, dataFrom + dataLen)
+              case _ => return None // filter arrays / other filters refuse
+            }
+            if (first > data.length) return None
+            // header: N pairs of (objnum, offset) integers
+            val pairs = new Array[(Long, Int)](n.toInt)
+            var hp = 0
+            var j = 0
+            while (j < n) {
+              hp = PdfCodec.skipWs(data, hp)
+              val (on, hp1) = try readInt(data, hp) catch { case _: NumberFormatException => return None }
+              hp = PdfCodec.skipWs(data, hp1)
+              val (ofs, hp2) = try readInt(data, hp) catch { case _: NumberFormatException => return None }
+              hp = hp2
+              if (first + ofs > data.length) return None
+              pairs(j) = (on, ofs.toInt)
+              j += 1
+            }
+            val entry = (data, first.toInt, pairs)
+            stmCache(num) = entry
+            Some(entry)
+          case _ => None // a type-2 entry must point at a live DIRECT ObjStm
+        }
+      }
+    live.foreach { case (objNum, loc) =>
+      loc match {
+        case Left((off, gen)) =>
+          // a direct object: dict-only or stream
+          if (off < 0 || off >= b.length) return None
+          var p = off.toInt
+          val (num, p1) = readInt(b, p)
+          p = skipWs(b, p1)
+          val (g, p2) = readInt(b, p)
+          p = skipWs(b, p2)
+          if (num != objNum || g != gen) return None
+          if (!at(b, p, "obj")) return None
+          p = skipWs(b, p + 3)
+          val dict = parseDict(b, p).getOrElse(return None)
+          val tpe = dict.nameVal("Type").getOrElse("")
+          p = skipWs(b, dict.end)
+          if (at(b, p, "stream")) {
+            // re-walk with the full stream law
+            val (_, _, dataLen) = streamObjAt(b, off, objNum, gen).getOrElse(return None)
+            nStreams += 1
+            // the census byte count covers CONTENT streams — the xref
+            // and objstm machinery is structure, not payload
+            if (tpe != "XRef" && tpe != "ObjStm") streamBytes += dataLen
+          } else {
+            if (!at(b, p, "endobj")) return None
+          }
+          tpe match {
+            case "Page" => nPages += 1
+            case "Catalog" => if (objNum == rootObj) rootIsCatalog = true
+            case _ => ()
+          }
+        case Right((stmNum, idx)) =>
+          val (data, first, pairs) = loadObjStm(stmNum).getOrElse(return None)
+          if (idx < 0 || idx >= pairs.length) return None
+          val (headerNum, ofs) = pairs(idx)
+          if (headerNum != objNum) return None // the index law
+          val dict = parseDict(data, first + ofs).getOrElse(return None)
+          val tpe = dict.nameVal("Type").getOrElse("")
+          nInObjStm += 1
+          tpe match {
+            case "Page" => nPages += 1
+            case "Catalog" => if (objNum == rootObj) rootIsCatalog = true
+            case _ => ()
+          }
+      }
+    }
+    if (!live.contains(rootObj) || !rootIsCatalog) return None
+    Some((vMinor, nUpdates, size, live.size, nPages, nStreams, streamBytes,
+      nInObjStm))
+  } catch {
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NumberFormatException => None
+    case _: MatchError => None
+  }
+
+  // ---- conformance writer (tests the WALK; mirrors a modern producer:
+  //      dict objects packed in a Flate ObjStm, content streams direct,
+  //      one xref STREAM per revision) --------------------------------
+
+  private def flate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater() // zlib wrapper, Adler-32 tail
+    try {
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  /** Deterministic modern PDF. Object layout for P pages: ObjStm
+    * (object 2P+3) packs the catalog (1), pages node (2) and page
+    * dicts (3+2i); content streams are direct objects (4+2i) of
+    * `pageLens(i)` raw bytes; the xref STREAM is object 2P+4 (W [1 2 1],
+    * Flate, PNG Up predictor when `predictor`). `updateLen` appends an
+    * incremental revision: a replacement for object 4 plus a second
+    * xref stream (object 2P+5) with /Prev. `objStmIndexLie` bumps the
+    * type-2 index of object 3 (the index-law refusal arm). Returns
+    * (bytes, offset of the FINAL xref stream's Flate data) so tamper
+    * arms can hit the compressed entry data precisely. */
+  def encodeModernPdf(vMinor: Int, pageLens: Seq[Int], updateLen: Option[Int],
+                      predictor: Boolean, seed: Long = 0L,
+                      objStmIndexLie: Boolean = false): (Array[Byte], Int) = {
+    require(vMinor >= 0 && vMinor <= 7 && pageLens.nonEmpty && pageLens.forall(_ > 0))
+    val out = new java.io.ByteArrayOutputStream
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val nPages = pageLens.length
+    w(s"%PDF-1.$vMinor\n")
+    out.write(Array[Byte]('%', 0xe2.toByte, 0xe3.toByte, 0xcf.toByte, 0xd3.toByte, '\n'))
+    def content(len: Int, salt: Int): Array[Byte] =
+      Array.tabulate(len)(j => (((seed * 29 + salt * 127 + j * 5) % 26) + 'a').toByte)
+    val objStmNum = 2 * nPages + 3
+    val xref1Num = 2 * nPages + 4
+    // ---- content streams (direct objects) ----
+    val contentOffsets = new Array[Long](nPages)
+    (0 until nPages).foreach { i =>
+      contentOffsets(i) = out.size().toLong
+      val len = pageLens(i)
+      w(s"${4 + 2 * i} 0 obj\n<< /Length $len >>\nstream\n")
+      out.write(content(len, i), 0, len)
+      w("\nendstream\nendobj\n")
+    }
+    // ---- the ObjStm: catalog + pages + page dicts ----
+    val members: Seq[(Int, String)] =
+      Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> ("<< /Type /Pages /Kids [" +
+          (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ") +
+          s"] /Count $nPages >>")) ++
+        (0 until nPages).map(i =>
+          (3 + 2 * i) -> s"<< /Type /Page /Parent 2 0 R /Contents ${4 + 2 * i} 0 R >>")
+    val bodies = new java.io.ByteArrayOutputStream
+    val pairs = members.map { case (num, text) =>
+      val off = bodies.size()
+      bodies.write(text.getBytes("ISO-8859-1")); bodies.write(' ')
+      (num, off)
+    }
+    val headerTxt = pairs.map { case (n, o) => s"$n $o" }.mkString(" ") + " "
+    val stmPlain = headerTxt.getBytes("ISO-8859-1") ++ bodies.toByteArray
+    val first = headerTxt.length
+    val stmComp = flate(stmPlain)
+    val objStmOffset = out.size().toLong
+    w(s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${members.length} /First $first " +
+      s"/Filter /FlateDecode /Length ${stmComp.length} >>\nstream\n")
+    out.write(stmComp, 0, stmComp.length)
+    w("\nendstream\nendobj\n")
+    // ---- the xref stream ----
+    def xrefStream(selfNum: Int, size: Int, index: Seq[(Int, Int)],
+                   entries: Seq[(Int, Long, Long)], // (type, f2, f3)
+                   prev: Option[Long]): Int = {
+      val rows = new java.io.ByteArrayOutputStream
+      entries.foreach { case (t, f2, f3) =>
+        rows.write(t)
+        rows.write(((f2 >> 8) & 0xff).toInt); rows.write((f2 & 0xff).toInt)
+        rows.write((f3 & 0xff).toInt)
+      }
+      val plain = rows.toByteArray
+      val filtered =
+        if (!predictor) plain
+        else {
+          // PNG Up(2) row filter, 4 data bytes per row
+          val o = new java.io.ByteArrayOutputStream
+          var r = 0
+          while (r * 4 < plain.length) {
+            o.write(2)
+            var x = 0
+            while (x < 4) {
+              val cur = plain(r * 4 + x) & 0xff
+              val up = if (r > 0) plain((r - 1) * 4 + x) & 0xff else 0
+              o.write((cur - up) & 0xff)
+              x += 1
+            }
+            r += 1
+          }
+          o.toByteArray
+        }
+      val comp = flate(filtered)
+      val selfOffset = out.size()
+      val parms = if (predictor) " /DecodeParms << /Predictor 12 /Columns 4 >>" else ""
+      val idxTxt =
+        if (index.isEmpty) ""
+        else " /Index [" + index.map { case (s, c) => s"$s $c" }.mkString(" ") + "]"
+      val prevTxt = prev.map(v => s" /Prev $v").getOrElse("")
+      w(s"$selfNum 0 obj\n<< /Type /XRef /Size $size /W [1 2 1] /Root 1 0 R" +
+        s"$idxTxt$prevTxt /Filter /FlateDecode$parms /Length ${comp.length} >>\nstream\n")
+      val flateAt = out.size()
+      out.write(comp, 0, comp.length)
+      w("\nendstream\nendobj\n")
+      w(s"startxref\n$selfOffset\n%%EOF\n")
+      flateAt
+    }
+    val size1 = 2 * nPages + 5
+    // one row per object 0..size1-1, in object-number order
+    val ordered = (0 until size1).map { n =>
+      if (n == 0) (0, 0L, 0L)
+      else members.indexWhere(_._1 == n) match {
+        case -1 =>
+          if (n == objStmNum) (1, objStmOffset, 0L)
+          else if (n == xref1Num) (1, out.size().toLong, 0L) // its own offset
+          else {
+            val i = (n - 4) / 2 // content stream
+            (1, contentOffsets(i), 0L)
+          }
+        case idx => (2, objStmNum.toLong,
+          (if (objStmIndexLie && n == 3) idx + 7 else idx).toLong)
+      }
+    }
+    val xref1Flate = xrefStream(xref1Num, size1, Seq.empty, ordered, None)
+    val xref1Offset = ordered(xref1Num)._2
+    var lastFlate = xref1Flate
+    updateLen.foreach { ul =>
+      val newContentOff = out.size().toLong
+      w(s"4 0 obj\n<< /Length $ul >>\nstream\n")
+      out.write(content(ul, 97), 0, ul)
+      w("\nendstream\nendobj\n")
+      val xref2Num = size1 // = 2P+5
+      val size2 = size1 + 1
+      val xref2Offset = out.size().toLong
+      lastFlate = xrefStream(xref2Num, size2,
+        Seq((4, 1), (xref2Num, 1)),
+        Seq((1, newContentOff, 0L), (1, xref2Offset, 0L)),
+        Some(xref1Offset))
+    }
+    (out.toByteArray, lastFlate)
+  }
+}

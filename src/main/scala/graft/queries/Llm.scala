@@ -2003,6 +2003,7 @@ object Llm {
     "q_utf8_census" -> (utf8CensusQ _),
     "q_lz4_probe" -> (lz4Probe _),
     "q_pdf_probe" -> (pdfProbe _),
+    "q_pdf_modern" -> (pdfModern _),
     "q_avif_probe" -> (avifProbe _),
     "q_adpcm_wav" -> (adpcmWav _),
     "q_zstd_decode" -> (zstdDecode _),
@@ -4062,6 +4063,82 @@ object Llm {
       |  CASE WHEN p.ok THEN CAST(1 AS INTEGER) END AS n_blocks,
       |  CASE WHEN p.ok THEN CAST(1 AS INTEGER) END AS n_verified
       |FROM p LEFT JOIN b1 ON b1.k = p.k
+      |ORDER BY media_id""".stripMargin
+
+  /** Modern-PDF walk under the oracle (see [[graft.llm.PdfModern]]) —
+    * cross-reference STREAMS and object streams, the layout virtually
+    * every PDF writer has emitted since ~2010 (q_pdf_probe covers the
+    * classic-table era): per-key documents whose catalog/pages/page
+    * dicts live in a Flate ObjStm, content streams direct, the xref a
+    * Flate stream with /W [1 2 1] fields — PNG Up predictor on even
+    * keys, plain Flate on odd — and an incremental revision (replacing
+    * page 0's content, second xref stream, /Prev) on every fourth key.
+    * Refusal arms: truncation (k mod 13), a flip inside the xref
+    * stream's COMPRESSED entry data (k mod 17 — zlib's Adler-32 or the
+    * entry laws catch it), and a type-2 index lie (k mod 19 — the
+    * ObjStm header pair names a different object). */
+  def pdfModern(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.PdfModern
+    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val decoded = keys.map { k =>
+      val nPages = (1 + k % 4).toInt
+      val lens = (0 until nPages).map(i => (15 + (k + i * 9) % 40).toInt)
+      val updateLen = if (k % 4 == 0) Some((8 + k % 25).toInt) else None
+      val (bytes, flateAt) = PdfModern.encodeModernPdf(
+        (5 + k % 3).toInt, lens, updateLen,
+        predictor = k % 2 == 0, seed = k,
+        objStmIndexLie = k % 19 == 0 && k % 13 != 0 && k % 17 != 0)
+      val payload =
+        if (k % 13 == 0) bytes.dropRight(6)
+        else if (k % 17 == 0) {
+          val t = bytes.clone()
+          t(flateAt + 2) = (t(flateAt + 2) ^ 0x15).toByte
+          t
+        } else bytes
+      PdfModern.modernProbe(payload) match {
+        case Some((vm, nu, sz, no, np, ns, sb, nio)) =>
+          (k, true, Some(vm), Some(nu), Some(sz), Some(no), Some(np),
+            Some(ns), Some(sb), Some(nio))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Long], None: Option[Int])
+      }
+    }.toDF("media_id", "pdf_ok", "version_minor", "n_updates",
+      "size_declared", "n_objects", "n_pages", "n_streams", "stream_bytes",
+      "n_in_objstm")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The modern layout replayed: P = 1 + k mod 4 pages of content
+    * length 15 + (k + 9i) mod 40 (page 0 replaced by 8 + k mod 25 on
+    * 4 | k), object census 2P+4 live (+1 with the update's second xref
+    * stream), P+2 dict objects inside the ObjStm, streams = P content
+    * + ObjStm + one xref stream per revision. */
+  val pdfModernSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(1 + k % 4 AS INTEGER) AS np, k % 4 = 0 AS upd,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |pg AS (
+      |  SELECT p.k, i.g AS i,
+      |    CASE WHEN i.g = 0 AND p.upd THEN 8 + p.k % 25
+      |         ELSE 15 + (p.k + i.g * 9) % 40 END AS len
+      |  FROM p, generate_series(0, 3) i(g)
+      |  WHERE i.g < p.np AND p.ok),
+      |agg AS (
+      |  SELECT k, CAST(SUM(len) AS BIGINT) AS stream_bytes FROM pg GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS pdf_ok,
+      |  CASE WHEN p.ok THEN CAST(5 + p.k % 3 AS INTEGER) END AS version_minor,
+      |  CASE WHEN p.ok THEN CAST(CASE WHEN p.upd THEN 2 ELSE 1 END AS INTEGER) END AS n_updates,
+      |  CASE WHEN p.ok THEN 2 * p.np + 5 + CASE WHEN p.upd THEN 1 ELSE 0 END END AS size_declared,
+      |  CASE WHEN p.ok THEN 2 * p.np + 4 + CASE WHEN p.upd THEN 1 ELSE 0 END END AS n_objects,
+      |  CASE WHEN p.ok THEN p.np END AS n_pages,
+      |  CASE WHEN p.ok THEN p.np + 2 + CASE WHEN p.upd THEN 1 ELSE 0 END END AS n_streams,
+      |  agg.stream_bytes,
+      |  CASE WHEN p.ok THEN p.np + 2 END AS n_in_objstm
+      |FROM p LEFT JOIN agg ON p.k = agg.k
       |ORDER BY media_id""".stripMargin
 
   /** Strict UTF-8 validity + mojibake census under the oracle — the
@@ -6286,6 +6363,7 @@ object Llm {
     "q_utf8_census" -> utf8CensusSql,
     "q_lz4_probe" -> lz4ProbeSql,
     "q_pdf_probe" -> pdfProbeSql,
+    "q_pdf_modern" -> pdfModernSql,
     "q_avif_probe" -> avifProbeSql,
     "q_adpcm_wav" -> adpcmWavSql,
     "q_zstd_decode" -> zstdDecodeSql,

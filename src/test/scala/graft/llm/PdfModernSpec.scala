@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import PdfModern._
+
+/** Modern-PDF walk: xref streams (Flate + PNG predictors + /W fields +
+  * /Index), ObjStm expansion with the index law, newest-wins update
+  * chains, and the refusal battery. The classic walk must still refuse
+  * these files (its documented scope pin), proving the two probes
+  * partition the format era cleanly. */
+class PdfModernSpec extends AnyFunSuite {
+
+  test("roundtrip facts: predictor on/off, multi-page, incremental update") {
+    // facts: (vMinor, nUpdates, size, nObjects, nPages, nStreams,
+    //         contentStreamBytes, nInObjStm)
+    val (one, _) = encodeModernPdf(7, Seq(40), None, predictor = false)
+    assert(modernProbe(one).contains((7, 1, 7, 6, 1, 3, 40L, 3)))
+    val (pred, _) = encodeModernPdf(5, Seq(25, 33, 17), None, predictor = true, seed = 3)
+    assert(modernProbe(pred).contains((5, 1, 11, 10, 3, 5, 75L, 5)))
+    // update replaces page 0's content stream and adds a second xref
+    // stream object: newest wins in the byte census
+    val (upd, _) = encodeModernPdf(6, Seq(30, 20), Some(11), predictor = true, seed = 9)
+    assert(modernProbe(upd).contains((6, 2, 10, 9, 2, 5, 11L + 20L, 4)))
+    // the CLASSIC probe refuses the modern layout (its documented pin)
+    assert(PdfCodec.pdfProbe(one).isEmpty)
+  }
+
+  test("the ObjStm index law: a type-2 entry naming the wrong index refuses") {
+    val (lie, _) = encodeModernPdf(4, Seq(22), None, predictor = false,
+      objStmIndexLie = true)
+    assert(modernProbe(lie).isEmpty)
+    val (ok, _) = encodeModernPdf(4, Seq(22), None, predictor = false)
+    assert(modernProbe(ok).nonEmpty)
+  }
+
+  test("Flate/predictor tampering refuses (Adler-32 + structure)") {
+    val (b, flateAt) = encodeModernPdf(4, Seq(28, 14), None, predictor = true)
+    // flip inside the xref stream's compressed entry data: inflate's
+    // Adler tail or the entry laws catch it
+    (0 until 8).foreach { d =>
+      val t = b.clone()
+      t(flateAt + d) = (t(flateAt + d) ^ 0x15).toByte
+      assert(modernProbe(t).isEmpty, s"flate flip at +$d passed")
+    }
+    // a /W lie (widths disagreeing with the data length) refuses via
+    // the exact-coverage law
+    val s = new String(b, "ISO-8859-1")
+    val wlie = s.replace("/W [1 2 1]", "/W [1 1 1]")
+    assert(modernProbe(wlie.getBytes("ISO-8859-1")).isEmpty)
+    // a Columns lie refuses
+    val clie = s.replace("/Columns 4", "/Columns 3")
+    assert(modernProbe(clie.getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  test("every truncation refuses; random junk never throws") {
+    val (b, _) = encodeModernPdf(6, Seq(19, 23), Some(8), predictor = true)
+    // a cut landing EXACTLY at the base-revision boundary legitimately
+    // yields the base document (an incremental update is by design a
+    // suffix over a complete PDF) — every other cut must refuse
+    val (base, _) = encodeModernPdf(6, Seq(19, 23), None, predictor = true)
+    val baseBoundary = b.length - base.length
+    assert(modernProbe(b.dropRight(baseBoundary)).exists(_._2 == 1)) // base facts
+    assert(modernProbe(b.dropRight(1)).nonEmpty) // trailing newline only
+    // baseBoundary+1 also passes: it only shaves the base's final
+    // newline, and %%EOF stays the final token
+    (2 to b.length - 1 by 5)
+      .filter(d => d != baseBoundary && d != baseBoundary + 1).foreach { d =>
+        assert(modernProbe(b.dropRight(d)).isEmpty, s"drop $d passed")
+      }
+    val rnd = new scala.util.Random(199)
+    (0 until 1500).foreach { _ =>
+      modernProbe(Array.fill(rnd.nextInt(128))(rnd.nextInt(256).toByte))
+      modernProbe(("%PDF-1.6\n" + new String(
+        Array.fill(rnd.nextInt(96))((rnd.nextInt(94) + 32).toChar))).getBytes("ISO-8859-1"))
+    }
+  }
+}
