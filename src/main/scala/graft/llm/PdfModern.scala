@@ -38,7 +38,8 @@ object PdfModern {
     val inf = new java.util.zip.Inflater() // zlib wrapper: Adler-32 verified
     try {
       inf.setInput(b, off, len)
-      val out = new java.io.ByteArrayOutputStream(math.min(maxOut, len * 3 + 64))
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(maxOut.toLong, len.toLong * 3 + 64).toInt) // Long math: len*3 can wrap Int
       val buf = new Array[Byte](8192)
       while (!inf.finished()) {
         val n = inf.inflate(buf)
@@ -118,6 +119,8 @@ object PdfModern {
     if (p < b.length && b(p) == '\r') p += 1
     if (p < b.length && b(p) == '\n') p += 1
     if (!at(b, p, "endstream")) return None
+    p = skipWs(b, p + 9)
+    if (!at(b, p, "endobj")) return None // same law as the classic walk
     Some((dict, dataFrom, len.toInt))
   }
 
@@ -187,7 +190,10 @@ object PdfModern {
         case None => java.util.Arrays.copyOfRange(b, dataFrom, dataFrom + dataLen)
         case _ => return None // other filters out of scope
       }
-      val index: Seq[Long] = dict.intArray("Index").getOrElse(Seq(0L, secSize))
+      val index: Seq[Long] =
+        if (dict.entries.contains("Index"))
+          dict.intArray("Index").getOrElse(return None) // malformed /Index refuses
+        else Seq(0L, secSize)
       if (index.isEmpty || index.length % 2 != 0) return None
       val totalRows = index.grouped(2).map(_(1)).sum
       if (totalRows * rowLen != raw.length) return None // exact coverage law
@@ -206,12 +212,20 @@ object PdfModern {
           val t = if (w(0) == 0) 1L else field(w(0).toInt)
           val f2 = field(w(1).toInt)
           val f3 = if (w(2) == 0) 0L else field(w(2).toInt)
+          // range laws BEFORE any Int narrowing: /W permits up to
+          // 8-byte fields, and a 2^32 generation or index must refuse,
+          // not truncate to 0 (review-caught)
+          if (f3 < 0 || f3 > 0xffffL) return None
           val objNum = start + e
           if (!live.contains(objNum) && !free.contains(objNum)) {
             t match {
               case 0 => free += objNum
-              case 1 => live(objNum) = Left((f2, f3.toInt))
-              case 2 => live(objNum) = Right((f2, f3.toInt))
+              case 1 =>
+                if (f2 < 0 || f2 >= b.length) return None // offset law
+                live(objNum) = Left((f2, f3.toInt))
+              case 2 =>
+                if (f2 < 0 || f2 > secSize) return None // objstm number law
+                live(objNum) = Right((f2, f3.toInt))
               case _ => return None // unknown entry type
             }
           }
@@ -350,13 +364,19 @@ object PdfModern {
     * Flate, PNG Up predictor when `predictor`). `updateLen` appends an
     * incremental revision: a replacement for object 4 plus a second
     * xref stream (object 2P+5) with /Prev. `objStmIndexLie` bumps the
-    * type-2 index of object 3 (the index-law refusal arm). Returns
+    * type-2 index of object 3 by ONE — in range, so the ObjStm header
+    * pair names a different object and the header-pair law refuses. Returns
     * (bytes, offset of the FINAL xref stream's Flate data) so tamper
     * arms can hit the compressed entry data precisely. */
   def encodeModernPdf(vMinor: Int, pageLens: Seq[Int], updateLen: Option[Int],
                       predictor: Boolean, seed: Long = 0L,
                       objStmIndexLie: Boolean = false): (Array[Byte], Int) = {
     require(vMinor >= 0 && vMinor <= 7 && pageLens.nonEmpty && pageLens.forall(_ > 0))
+    // W [1 2 1] stores offsets in two bytes: this writer supports
+    // documents under 64 KiB (ample for conformance fixtures) and
+    // REFUSES to silently truncate beyond that
+    require(pageLens.map(_.toLong).sum + updateLen.getOrElse(0) < 50000,
+      "encodeModernPdf: total content must keep offsets under 2^16 (W [1 2 1])")
     val out = new java.io.ByteArrayOutputStream
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
     val nPages = pageLens.length
@@ -456,7 +476,10 @@ object PdfModern {
             (1, contentOffsets(i), 0L)
           }
         case idx => (2, objStmNum.toLong,
-          (if (objStmIndexLie && n == 3) idx + 7 else idx).toLong)
+          // the lie stays IN RANGE (+1) so the HEADER-PAIR law — the
+          // pair naming a different object — is what refuses, not the
+          // bounds check (review-caught dead branch)
+          (if (objStmIndexLie && n == 3) idx + 1 else idx).toLong)
       }
     }
     val xref1Flate = xrefStream(xref1Num, size1, Seq.empty, ordered, None)

@@ -26,11 +26,17 @@ class PdfModernSpec extends AnyFunSuite {
   }
 
   test("the ObjStm index law: a type-2 entry naming the wrong index refuses") {
-    val (lie, _) = encodeModernPdf(4, Seq(22), None, predictor = false,
+    // 2+ pages: the lied index (+1) stays IN RANGE, so the refusal is
+    // the header-pair law (pair names a different object), not bounds
+    val (lie, _) = encodeModernPdf(4, Seq(22, 18), None, predictor = false,
       objStmIndexLie = true)
     assert(modernProbe(lie).isEmpty)
-    val (ok, _) = encodeModernPdf(4, Seq(22), None, predictor = false)
+    val (ok, _) = encodeModernPdf(4, Seq(22, 18), None, predictor = false)
     assert(modernProbe(ok).nonEmpty)
+    // 1 page: the same lie falls out of range — the bounds law refuses
+    val (lie1, _) = encodeModernPdf(4, Seq(22), None, predictor = false,
+      objStmIndexLie = true)
+    assert(modernProbe(lie1).isEmpty)
   }
 
   test("Flate/predictor tampering refuses (Adler-32 + structure)") {
