@@ -1,0 +1,229 @@
+package graft.llm
+
+/** ORC file-tail structural probe — the integrity walk for the third
+  * data-lake format (parquet and Avro already have theirs). Implemented
+  * from the public ORC v1 specification (orc.apache.org): the file ends
+  * with [metadata][footer][postscript][1-byte postscript length], the
+  * postscript is NEVER compressed (protobuf: footerLength, compression
+  * kind, block size, version, metadataLength, and the "ORC" magic in
+  * field 8000), and the footer (protobuf: stripes, type tree, row
+  * count, content length) is framed in ORC's compressed-chunk format —
+  * 3-byte little-endian headers carrying (length << 1) | isOriginal —
+  * with each chunk decompressed by the matching codec. Every codec ORC
+  * files actually ship with is decoded IN-HOUSE: raw-DEFLATE (zlib
+  * kind), snappy ([[SnappyCodec]]), zstd ([[ZstdDecode]]), LZ4 block
+  * ([[Lz4Codec.decodeBlock]]), or none.
+  *
+  * Laws verified: both magics (file head and postscript field 8000),
+  * the postscript/footer/metadata lengths fitting the file, chunk
+  * framing consumed exactly with decompressed chunks bounded by the
+  * declared compression block size, the stripe ROW LAW (the sum of
+  * per-stripe numberOfRows must equal the footer's total), every
+  * stripe's [offset, offset+index+data+footer) span inside the
+  * content region, a non-empty type tree rooted at a STRUCT, and
+  * protobuf wire shapes (unknown fields are skipped BY WIRE TYPE, but
+  * torn varints/windows refuse through the shared bounded cursor
+  * discipline). Damage returns None — the probe faces lake files a
+  * census pipeline must classify, not crash on. */
+object OrcTail {
+
+  private final class Bad extends RuntimeException(null, null, false, false)
+  @inline private def bad(): Nothing = throw new Bad
+
+  /** Minimal protobuf cursor over [from, until): tag iteration with
+    * wire-type-correct skipping (reuses [[ByteIo.WireCur]] bounds
+    * discipline via the same Long-before-Int validation). */
+  private final class Pb(b: Array[Byte], var p: Int, val end: Int) {
+    def done: Boolean = p >= end
+    def varint(): Long = {
+      var shift = 0
+      var acc = 0L
+      var i = 0
+      while (i < 10) {
+        if (p >= end) bad()
+        val v = b(p) & 0xff; p += 1
+        acc |= (v & 0x7fL) << shift
+        if ((v & 0x80) == 0) return acc
+        shift += 7; i += 1
+      }
+      bad()
+    }
+    def tag(): (Int, Int) = {
+      val t = varint()
+      if (t < 0 || t > Int.MaxValue) bad()
+      ((t >>> 3).toInt, (t & 7).toInt)
+    }
+    def lenWindow(): (Int, Int) = {
+      val n = varint()
+      if (n < 0 || n > end - p) bad()
+      val w = (p, p + n.toInt)
+      p += n.toInt
+      w
+    }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => varint()
+      case 1 => if (end - p < 8) bad() else p += 8
+      case 2 => lenWindow()
+      case 5 => if (end - p < 4) bad() else p += 4
+      case _ => bad()
+    }
+  }
+
+  private def inflateRaw(b: Array[Byte], off: Int, len: Int, maxOut: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(true) // ORC ZLIB is raw DEFLATE
+    try {
+      inf.setInput(b, off, len)
+      val out = new java.io.ByteArrayOutputStream(math.min(maxOut.toLong, len.toLong * 3 + 64).toInt)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0) {
+          if (inf.needsInput() || inf.needsDictionary()) bad()
+        } else out.write(buf, 0, n)
+        if (out.size() > maxOut) bad()
+      }
+      if (inf.getRemaining != 0) bad()
+      out.toByteArray
+    } catch {
+      case _: java.util.zip.DataFormatException => bad()
+    } finally inf.end()
+  }
+
+  /** De-chunk an ORC compressed stream: 3-byte LE headers, original or
+    * codec-compressed chunks, each decompressed result ≤ blockSize. */
+  private def dechunk(b: Array[Byte], from: Int, until: Int, kind: Int,
+                      blockSize: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(until - from + 64)
+    var p = from
+    while (p < until) {
+      if (p + 3 > until) bad()
+      val h = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) | ((b(p + 2) & 0xff) << 16)
+      p += 3
+      val isOriginal = (h & 1) == 1
+      val n = h >>> 1
+      if (n <= 0 || p + n > until) bad()
+      val chunk: Array[Byte] =
+        if (isOriginal) java.util.Arrays.copyOfRange(b, p, p + n)
+        else kind match {
+          case 1 => inflateRaw(b, p, n, blockSize)
+          case 2 => SnappyCodec.decompress(
+            java.util.Arrays.copyOfRange(b, p, p + n), blockSize).getOrElse(bad())
+          case 4 => Lz4Codec.decodeBlock(b, p, n, blockSize).getOrElse(bad())
+          case 5 => ZstdDecode.decompress(
+            java.util.Arrays.copyOfRange(b, p, p + n), blockSize).getOrElse(bad())
+          case _ => bad()
+        }
+      if (chunk.length > blockSize) bad() // the block-size law
+      out.write(chunk, 0, chunk.length)
+      p += n
+    }
+    out.toByteArray
+  }
+
+  private val KindNames = Map(0 -> "none", 1 -> "zlib", 2 -> "snappy",
+    3 -> "lzo", 4 -> "lz4", 5 -> "zstd")
+
+  /** Probe facts: (compressionKind, nStripes, numberOfRows, nTypes).
+    * None on any violation. */
+  def orcProbe(b: Array[Byte]): Option[(String, Int, Long, Int)] = try {
+    if (b == null || b.length < 16) return None
+    if (!(b(0) == 'O' && b(1) == 'R' && b(2) == 'C')) return None
+    val psLen = b(b.length - 1) & 0xff
+    if (psLen < 1 || psLen + 1 > b.length - 3) return None
+    val psFrom = b.length - 1 - psLen
+    // ---- postscript (never compressed) ----
+    val ps = new Pb(b, psFrom, b.length - 1)
+    var footerLen = -1L
+    var kind = 0
+    var blockSize = 256 * 1024
+    var metaLen = 0L
+    var sawMagic = false
+    while (!ps.done) {
+      val (f, w) = ps.tag()
+      f match {
+        case 1 => footerLen = ps.varint()
+        case 2 => kind = ps.varint().toInt
+        case 3 =>
+          val bs = ps.varint()
+          if (bs <= 0 || bs > (1 << 26)) return None
+          blockSize = bs.toInt
+        case 5 => metaLen = ps.varint()
+        case 8000 =>
+          val (wf, wu) = ps.lenWindow()
+          if (wu - wf != 3 || b(wf) != 'O' || b(wf + 1) != 'R' || b(wf + 2) != 'C')
+            return None
+          sawMagic = true
+        case _ => ps.skip(w)
+      }
+    }
+    if (!sawMagic) return None // the postscript magic law
+    if (!KindNames.contains(kind) || kind == 3) return None // LZO out of scope
+    if (footerLen <= 0 || metaLen < 0) return None
+    val footerFrom = psFrom - footerLen
+    val metaFrom = footerFrom - metaLen
+    if (metaFrom < 3) return None // lengths must fit past the head magic
+    // ---- footer (chunk-framed unless kind none) ----
+    val footer: Array[Byte] =
+      if (kind == 0) java.util.Arrays.copyOfRange(b, footerFrom.toInt, psFrom)
+      else dechunk(b, footerFrom.toInt, psFrom, kind, blockSize)
+    val fb = new Pb(footer, 0, footer.length)
+    var contentLength = -1L
+    var headerLength = -1L
+    var rows = -1L
+    var nTypes = 0
+    var rootKind = -1L
+    var nStripes = 0
+    var stripeRowSum = 0L
+    var maxStripeEnd = 0L
+    while (!fb.done) {
+      val (f, w) = fb.tag()
+      f match {
+        case 1 => headerLength = fb.varint()
+        case 2 => contentLength = fb.varint()
+        case 3 => // StripeInformation
+          val (sf, su) = fb.lenWindow()
+          val sp = new Pb(footer, sf, su)
+          var off = -1L; var idx = 0L; var dat = 0L; var sfl = 0L; var srows = -1L
+          while (!sp.done) {
+            val (f2, w2) = sp.tag()
+            f2 match {
+              case 1 => off = sp.varint()
+              case 2 => idx = sp.varint()
+              case 3 => dat = sp.varint()
+              case 4 => sfl = sp.varint()
+              case 5 => srows = sp.varint()
+              case _ => sp.skip(w2)
+            }
+          }
+          if (off < 3 || srows < 0) return None
+          stripeRowSum += srows
+          maxStripeEnd = math.max(maxStripeEnd, off + idx + dat + sfl)
+          nStripes += 1
+        case 4 => // Type
+          val (tf, tu) = fb.lenWindow()
+          val tp = new Pb(footer, tf, tu)
+          var kindT = -1L
+          while (!tp.done) {
+            val (f2, w2) = tp.tag()
+            if (f2 == 1 && w2 == 0) kindT = tp.varint()
+            else tp.skip(w2)
+          }
+          if (nTypes == 0) rootKind = kindT
+          nTypes += 1
+        case 6 => rows = fb.varint()
+        case _ => fb.skip(w)
+      }
+    }
+    if (rows < 0 || nTypes == 0) return None
+    if (rootKind != 12) return None // the root must be a STRUCT
+    if (stripeRowSum != rows) return None // the stripe row law
+    if (contentLength >= 0 && maxStripeEnd > 3 + contentLength + headerLength.max(0))
+      return None // stripes must live inside the declared content region
+    if (maxStripeEnd > metaFrom) return None // …and before the tail sections
+    Some((KindNames(kind), nStripes, rows, nTypes))
+  } catch {
+    case _: Bad => None
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NegativeArraySizeException => None
+  }
+}

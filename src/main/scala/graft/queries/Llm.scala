@@ -2009,6 +2009,7 @@ object Llm {
     "q_zstd_decode" -> (zstdDecode _),
     "q_bzip2_decode" -> (bzip2Decode _),
     "q_xz_decode" -> (xzDecode _),
+    "q_orc_probe" -> (orcProbe _),
     "q_tfrecord_read" -> (tfrecordRead _),
     "q_tfexample_read" -> (tfexampleRead _),
     "q_avro_read" -> (avroRead _),
@@ -4140,6 +4141,67 @@ object Llm {
       |  CASE WHEN p.ok THEN p.np + 2 END AS n_in_objstm
       |FROM p LEFT JOIN agg ON p.k = agg.k
       |ORDER BY media_id""".stripMargin
+
+  /** ORC tail probe under the oracle (see [[graft.llm.OrcTail]]) — the
+    * integrity walk for the third data-lake format, run against files
+    * the REAL Apache ORC writer produces: the documents profile is
+    * exported once per compression kind (zstd/zlib/snappy/none, every
+    * chunk decompressed by the IN-HOUSE codecs), each file's tail is
+    * walked (postscript, chunk-framed footer, stripe row law, type
+    * tree), and two tamper arms prove refusal (a postscript-magic flip
+    * and a truncation). The oracle replays the row/type counts from
+    * the documents table and the constant arms. */
+  def orcProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.OrcTail
+    val docs = documents(s, d).select($"doc_id", $"source", $"n_chars")
+    val codecs = Seq("zstd", "zlib", "snappy", "none")
+    val rows = codecs.map { codec =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orcprobe").toString
+      docs.repartition(1).write.mode("overwrite")
+        .option("compression", codec).orc(tmp)
+      val f = java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).toArray
+        .map(_.toString).filter(_.endsWith(".orc")).head
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+      val probed = OrcTail.orcProbe(bytes)
+      graft.util.Staging.deleteTree(java.nio.file.Paths.get(tmp))
+      val extra =
+        if (codec == "zstd") {
+          // the tamper arms ride the zstd file's bytes
+          val magic = bytes.clone()
+          magic(bytes.length - 2) = 'X' // postscript magic byte
+          Seq(
+            ("tamper_magic", OrcTail.orcProbe(magic)),
+            ("tamper_truncated", OrcTail.orcProbe(bytes.dropRight(5))))
+        } else Seq.empty
+      (codec, probed) +: extra
+    }
+    val flat = rows.flatten.map {
+      case (id, Some((kind, ns, nr, nt))) =>
+        (id, true, Some(kind), Some(ns), Some(nr), Some(nt))
+      case (id, None) =>
+        (id, false, None: Option[String], None: Option[Int],
+          None: Option[Long], None: Option[Int])
+    }
+    flat.toDF("probe_id", "orc_ok", "kind", "n_stripes", "n_rows", "n_types")
+      .orderBy($"probe_id")
+  }
+
+  /** The export replayed: one stripe of COUNT(*) documents rows under a
+    * 3-column (plus root struct) schema per codec; the tamper arms
+    * refuse by construction. */
+  val orcProbeSql: String =
+    """WITH n AS (SELECT COUNT(*) AS c FROM documents),
+      |probes(probe_id, ok) AS (VALUES
+      |  ('none', TRUE), ('snappy', TRUE), ('tamper_magic', FALSE),
+      |  ('tamper_truncated', FALSE), ('zlib', TRUE), ('zstd', TRUE))
+      |SELECT p.probe_id, p.ok AS orc_ok,
+      |  CASE WHEN p.ok THEN p.probe_id END AS kind,
+      |  CASE WHEN p.ok THEN 1 END AS n_stripes,
+      |  CASE WHEN p.ok THEN n.c END AS n_rows,
+      |  CASE WHEN p.ok THEN 4 END AS n_types
+      |FROM probes p, n
+      |ORDER BY probe_id""".stripMargin
 
   /** Strict UTF-8 validity + mojibake census under the oracle — the
     * pre-decode gate a crawl pipeline runs over raw bytes BEFORE
@@ -6369,6 +6431,7 @@ object Llm {
     "q_zstd_decode" -> zstdDecodeSql,
     "q_bzip2_decode" -> bzip2DecodeSql,
     "q_xz_decode" -> xzDecodeSql,
+    "q_orc_probe" -> orcProbeSql,
     "q_tfrecord_read" -> tfrecordReadSql,
     "q_tfexample_read" -> tfexampleReadSql,
     "q_avro_read" -> avroReadSql,

@@ -1,0 +1,85 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** ORC tail probe vs files the REAL Apache ORC writer (Spark's native
+  * ORC output) produces, across every supported compression kind, plus
+  * the law battery (row-sum, magic, lengths) and tamper refusals. */
+class OrcTailSpec extends SparkTestBase {
+
+  private lazy val testImplicits = spark.implicits
+
+  private def writeOrc(codec: String, n: Int): Array[Byte] = {
+    import testImplicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orctail").toString
+    (0 until n).map(i => (i.toLong, s"row$i", i * 7 % 100))
+      .toDF("id", "name", "score")
+      .repartition(1)
+      .write.mode("overwrite").option("compression", codec).orc(tmp)
+    val f = java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).toArray
+      .map(_.toString).filter(_.endsWith(".orc")).head
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+    graft.util.Staging.deleteTree(java.nio.file.Paths.get(tmp))
+    bytes
+  }
+
+  test("real Apache ORC files probe correctly under every codec") {
+    for (codec <- Seq("zstd", "zlib", "snappy", "lz4", "none")) {
+      val b = writeOrc(codec, 500)
+      val got = OrcTail.orcProbe(b)
+      assert(got.nonEmpty, s"codec=$codec refused")
+      val (kind, nStripes, rows, nTypes) = got.get
+      assert(kind == codec || (codec == "none" && kind == "none"), s"$codec -> $kind")
+      assert(nStripes == 1 && rows == 500L, s"codec=$codec: $got")
+      assert(nTypes == 4, s"root struct + 3 columns, got $nTypes") // struct,id,name,score
+    }
+  }
+
+  test("tampering refuses: magic, postscript length, truncation") {
+    val b = writeOrc("zstd", 300)
+    // head magic
+    val hm = b.clone(); hm(1) = 'Q'
+    assert(OrcTail.orcProbe(hm).isEmpty)
+    // postscript magic (the last 4 bytes before psLen are 'O''R''C' + len)
+    val pm = b.clone(); pm(b.length - 2) = 'X'
+    assert(OrcTail.orcProbe(pm).isEmpty)
+    // postscript length lies
+    val pl = b.clone(); pl(b.length - 1) = 0
+    assert(OrcTail.orcProbe(pl).isEmpty)
+    val pl2 = b.clone(); pl2(b.length - 1) = (pl2(b.length - 1) + 9).toByte
+    assert(OrcTail.orcProbe(pl2).isEmpty)
+    // every truncation refuses (the tail anchors everything)
+    (1 to b.length - 4 by 7).foreach { d =>
+      assert(OrcTail.orcProbe(b.dropRight(d)).isEmpty, s"drop $d passed")
+    }
+    // random junk never throws
+    val rnd = new scala.util.Random(211)
+    (0 until 1500).foreach { _ =>
+      OrcTail.orcProbe(Array.fill(rnd.nextInt(128))(rnd.nextInt(256).toByte))
+      OrcTail.orcProbe("ORC".getBytes("US-ASCII") ++
+        Array.fill(rnd.nextInt(96))(rnd.nextInt(256).toByte))
+    }
+  }
+
+  test("multi-stripe row law: rows census sums across stripes") {
+    import testImplicits._
+    // force several stripes with a tiny stripe size
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orcms").toString
+    (0 until 20000).map(i => (i.toLong, ("x" * 50) + i))
+      .toDF("id", "pad")
+      .repartition(1)
+      .write.mode("overwrite")
+      .option("compression", "zlib")
+      .option("orc.stripe.size", "65536")
+      .orc(tmp)
+    val f = java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).toArray
+      .map(_.toString).filter(_.endsWith(".orc")).head
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+    graft.util.Staging.deleteTree(java.nio.file.Paths.get(tmp))
+    val got = OrcTail.orcProbe(b)
+    assert(got.exists { case (k, ns, rows, nt) =>
+      k == "zlib" && ns >= 2 && rows == 20000L && nt == 3
+    }, s"got $got")
+  }
+}
