@@ -151,7 +151,9 @@ object Bzip2Decode {
     val nGroups = bits.read(3).toInt
     if (nGroups < 2 || nGroups > 6) bad()
     val nSelectors = bits.read(15).toInt
-    if (nSelectors < 1) bad()
+    // upper bound = BZ_MAX_SELECTORS (2 + 900000/50): the reference
+    // decoder refuses beyond it, so we pin the same refusal (ADVICE r15)
+    if (nSelectors < 1 || nSelectors > 18002) bad()
     val selectorMtf = new Array[Int](nSelectors)
     var i = 0
     while (i < nSelectors) {

@@ -71,9 +71,17 @@ object Lz4Codec {
     * literals-only. Refuses (None) on zero offset, offset past the
     * decoded prefix, literal/extension overruns, output past `maxOut`,
     * or a stream ending inside a sequence. Matches may overlap their
-    * own output (byte-serial replay — how LZ4 expresses RLE). */
-  def decodeBlock(in: Array[Byte], off: Int, len: Int, maxOut: Int): Option[Array[Byte]] = {
+    * own output (byte-serial replay — how LZ4 expresses RLE).
+    *
+    * `hist` is the match history a block-LINKED frame (FLG bit 5 clear)
+    * carries across blocks: the previous blocks' last ≤64 KiB of decoded
+    * content. Offsets reaching past this block's own output resolve into
+    * it (a match may start in history and run into fresh output); with
+    * no history (independent blocks) those offsets refuse as before. */
+  def decodeBlock(in: Array[Byte], off: Int, len: Int, maxOut: Int,
+                  hist: Array[Byte] = null): Option[Array[Byte]] = {
     if (len < 0 || off < 0 || off + len > in.length) return None
+    val histLen = if (hist == null) 0 else hist.length
     var p = off
     val end = off + len
     // grow-on-demand: this runs per block per row in a Spark map, so a
@@ -109,7 +117,7 @@ object Lz4Codec {
         return Some(java.util.Arrays.copyOf(buf, pos))
       if (p + 2 > end) return None
       val mOff = le16(in, p); p += 2
-      if (mOff == 0 || mOff > pos) return None
+      if (mOff == 0 || mOff > pos + histLen) return None
       var mLen = token & 0xf
       if (mLen == 15) {
         var v = 255
@@ -123,7 +131,12 @@ object Lz4Codec {
       if (!ensure(mLen)) return None
       var s = pos - mOff
       val until = pos + mLen
-      while (pos < until) { buf(pos) = buf(s); pos += 1; s += 1 }
+      // s < 0 reads history (linked frames); the copy stays byte-serial
+      // so a match may begin in history and continue over its own output
+      while (pos < until) {
+        buf(pos) = if (s < 0) hist(histLen + s) else buf(s)
+        pos += 1; s += 1
+      }
     }
     // fell out of the loop ⇒ the stream ended on a match: the spec's end
     // condition ("the last sequence contains only literals") is violated
@@ -222,6 +235,11 @@ object Lz4Codec {
         if ((flg >> 6) != 1) return None // version must be 01
         if ((flg & 0x02) != 0) return None // FLG reserved bit
         val blockChecksum = (flg & 0x10) != 0
+        // FLG bit 5: set = independent blocks; CLEAR = block-LINKED (the
+        // default of several real writers, e.g. python-lz4) — matches may
+        // reach back into the previous blocks' last 64 KiB, so the frame
+        // threads decoded history across blocks (ADVICE r15)
+        val blockIndep = (flg & 0x20) != 0
         val hasContentSize = (flg & 0x08) != 0
         val contentChecksum = (flg & 0x04) != 0
         val hasDictId = (flg & 0x01) != 0
@@ -250,6 +268,21 @@ object Lz4Codec {
         // arrays — the validation decode itself always runs
         val parts: scala.collection.mutable.ArrayBuffer[Either[(Int, Int), Array[Byte]]] =
           if (contentChecksum) scala.collection.mutable.ArrayBuffer.empty else null
+        // linked-frame match history: the last ≤64 KiB of decoded content,
+        // reset at each frame boundary (the spec's window)
+        var hist: Array[Byte] = null
+        def pushHist(src: Array[Byte], srcOff: Int, n: Int): Unit =
+          if (!blockIndep) {
+            val oldLen = if (hist == null) 0 else hist.length
+            val keep = math.min(65536, oldLen + n)
+            val fromNew = math.min(n, keep)
+            val fromOld = keep - fromNew
+            val nh = new Array[Byte](keep)
+            if (fromOld > 0)
+              System.arraycopy(hist, oldLen - fromOld, nh, 0, fromOld)
+            System.arraycopy(src, srcOff + n - fromNew, nh, fromOld, fromNew)
+            hist = nh
+          }
         var end = false
         while (!end) {
           if (p + 4 > b.length) return None
@@ -269,13 +302,15 @@ object Lz4Codec {
               nStored += 1
               regen += size
               if (parts != null) parts += Left((p, size))
+              pushHist(b, p, size)
             } else {
               nComp += 1
               // FULL sequence decode — a corrupted sequence refuses here
-              decodeBlock(b, p, size, blockMax) match {
+              decodeBlock(b, p, size, blockMax, hist) match {
                 case Some(d) =>
                   regen += d.length
                   if (parts != null) parts += Right(d)
+                  pushHist(d, 0, d.length)
                 case None => return None
               }
             }
@@ -328,10 +363,17 @@ object Lz4Codec {
     * sequence carries a ZERO match offset — only the sequence decoder
     * can catch it (the block checksum, over stored bytes, passes). */
   final case class PackedBad() extends LBlock
+  /** Cross-block match (block-LINKED frames only): a hand-emitted
+    * sequence whose first match reaches `backDist` bytes into the
+    * PREVIOUS blocks' decoded content for `matchLen` bytes, then ends
+    * with 4 literals — decodable only when the frame threads history
+    * (an independent-block decoder refuses it as offset-past-prefix). */
+  final case class Linked(matchLen: Int, backDist: Int) extends LBlock
 
   final case class LFrame(blocks: Seq[LBlock], blockChecksum: Boolean,
                           contentChecksum: Boolean, declareContent: Boolean,
-                          dictId: Boolean, bmaxCode: Int = 4)
+                          dictId: Boolean, bmaxCode: Int = 4,
+                          indep: Boolean = false)
 
   final case class LSkippable(len: Int, nibble: Int)
 
@@ -354,8 +396,10 @@ object Lz4Codec {
         val regen = fr.blocks.collect {
           case Stored(n) => n.toLong
           case Packed(n) => n.toLong
+          case Linked(m, _) => m.toLong + 4 // match + 4 tail literals
         }.sum
-        val flg = (1 << 6) | (if (fr.blockChecksum) 0x10 else 0) |
+        val flg = (1 << 6) | (if (fr.indep) 0x20 else 0) |
+          (if (fr.blockChecksum) 0x10 else 0) |
           (if (fr.declareContent) 0x08 else 0) |
           (if (fr.contentChecksum) 0x04 else 0) |
           (if (fr.dictId) 0x01 else 0)
@@ -384,6 +428,35 @@ object Lz4Codec {
               // token 0x00 (no literals), offset 0x0000: framing-valid,
               // checksum-valid, sequence-INVALID
               (Array[Byte](0x00, 0x00, 0x00), 0L)
+            case Linked(matchLen, backDist) =>
+              require(!fr.indep, "Linked blocks need a block-LINKED frame")
+              require(matchLen >= 4)
+              val prior = contentParts.toArray.flatten
+              require(backDist >= 1 && backDist <= math.min(prior.length, 65536))
+              // replay the match byte-serially (it may run over its own
+              // output once it crosses into this block's fresh bytes)
+              val plain = new Array[Byte](matchLen + 4)
+              var j = 0
+              while (j < matchLen) {
+                val s = j - backDist
+                plain(j) = if (s < 0) prior(prior.length + s) else plain(s)
+                j += 1
+              }
+              val tail = fill(4, ix * 41 + bi)
+              System.arraycopy(tail, 0, plain, matchLen, 4)
+              contentParts += plain
+              val blk = new java.io.ByteArrayOutputStream
+              val ml = matchLen - 4
+              blk.write(math.min(ml, 15)) // token: 0 literals, match nibble
+              blk.write(backDist & 0xff); blk.write((backDist >> 8) & 0xff)
+              if (ml >= 15) {
+                var v = ml - 15
+                while (v >= 255) { blk.write(255); v -= 255 }
+                blk.write(v)
+              }
+              blk.write(4 << 4) // terminal literals-only sequence
+              blk.write(tail, 0, 4)
+              (blk.toByteArray, 0L)
           }
           w32(storedBit | data.length.toLong)
           out.write(data, 0, data.length)

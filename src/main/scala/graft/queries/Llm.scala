@@ -3474,7 +3474,7 @@ object Llm {
   def lz4Probe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.Lz4Codec
-    import Lz4Codec.{LFrame, LSkippable, Packed, PackedBad, Stored}
+    import Lz4Codec.{LFrame, LSkippable, Linked, Packed, PackedBad, Stored}
     val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
     val decoded = keys.map { k =>
       val n = (1 + k % 3).toInt
@@ -3484,6 +3484,12 @@ object Llm {
           Seq(Stored((6 + kj % 30).toInt)) ++
             (if (kj % 3 == 1) Seq(Packed((5 + kj % 12).toInt)) else Seq.empty) ++
             (if (kj % 2 == 0) Seq(Stored((3 + kj % 7).toInt)) else Seq.empty) ++
+            // a genuine CROSS-BLOCK match (frames here are block-LINKED,
+            // FLG bit 5 clear): decodable only because the walk threads
+            // the previous blocks' bytes as match history (ADVICE r15)
+            (if (kj % 7 == 2)
+               Seq(Linked((4 + kj % 20).toInt, (1 + kj % 6).toInt))
+             else Seq.empty) ++
             (if (j == 0 && k % 23 == 0 && k % 13 != 0 && k % 17 != 0)
                Seq(PackedBad()) else Seq.empty)
         Right(LFrame(blocks, blockChecksum = kj % 2 == 0,
@@ -3537,11 +3543,14 @@ object Llm {
       |fy AS (
       |  SELECT k,
       |    1 + CASE WHEN kj % 3 = 1 THEN 1 ELSE 0 END
-      |      + CASE WHEN kj % 2 = 0 THEN 1 ELSE 0 END AS nb,
+      |      + CASE WHEN kj % 2 = 0 THEN 1 ELSE 0 END
+      |      + CASE WHEN kj % 7 = 2 THEN 1 ELSE 0 END AS nb,
       |    1 + CASE WHEN kj % 2 = 0 THEN 1 ELSE 0 END AS nst,
-      |    CASE WHEN kj % 3 = 1 THEN 1 ELSE 0 END AS np,
+      |    CASE WHEN kj % 3 = 1 THEN 1 ELSE 0 END
+      |      + CASE WHEN kj % 7 = 2 THEN 1 ELSE 0 END AS np,
       |    6 + kj % 30 + CASE WHEN kj % 3 = 1 THEN 5 + kj % 12 ELSE 0 END
-      |      + CASE WHEN kj % 2 = 0 THEN 3 + kj % 7 ELSE 0 END AS regen,
+      |      + CASE WHEN kj % 2 = 0 THEN 3 + kj % 7 ELSE 0 END
+      |      + CASE WHEN kj % 7 = 2 THEN 8 + kj % 20 ELSE 0 END AS regen,
       |    kj % 4 <> 1 AS decl, kj % 2 = 0 AS bck,
       |    kj % 3 <> 2 AS cv
       |  FROM fx),
@@ -4160,8 +4169,9 @@ object Llm {
       val tmp = java.nio.file.Files.createTempDirectory("graft_orcprobe").toString
       docs.repartition(1).write.mode("overwrite")
         .option("compression", codec).orc(tmp)
-      val f = java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).toArray
-        .map(_.toString).filter(_.endsWith(".orc")).head
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      val f = try ls.toArray.map(_.toString).filter(_.endsWith(".orc")).head
+        finally ls.close() // directory handle leaks per codec otherwise
       val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
       val probed = OrcTail.orcProbe(bytes)
       graft.util.Staging.deleteTree(java.nio.file.Paths.get(tmp))

@@ -161,6 +161,83 @@ class Lz4CodecSpec extends AnyFunSuite {
     assert(lz4Probe(t).nonEmpty)
   }
 
+  test("block-LINKED frames: cross-block matches decode through threaded history") {
+    // FLG bit 5 clear (the encoder default, matching python-lz4's): the
+    // Linked block's first match reaches INTO the stored block before it
+    val fr = LFrame(Seq(Stored(24), Linked(10, 7), Linked(40, 3)),
+      blockChecksum = true, contentChecksum = true, declareContent = true,
+      dictId = false)
+    val b = encodeLz4(Seq(Right(fr)))
+    // content checksum + declared size verify the REPLAYED bytes exactly:
+    // 24 stored + (10+4) + (40+4) linked
+    assert(lz4Probe(b).contains((1, 0, 3, 1, 2, 82L, 1, 3, 1, 82L)))
+    // the same bytes with FLG bit 5 SET (independent) + fixed HC: the
+    // cross-block offset is now past the block's own prefix and refuses
+    val t = b.clone()
+    t(4) = (t(4) | 0x20).toByte
+    t(14) = ((Lz4Codec.xxh32(t, 4, 10) >> 8) & 0xff).toByte
+    assert(lz4Probe(t).isEmpty)
+    // history resets at frame boundaries: a frame OPENING with a linked
+    // match has no history to reach into — hand-build it (the encoder
+    // refuses backDist > prior content by construction)
+    val noHist = {
+      val out = new java.io.ByteArrayOutputStream
+      out.write(Array[Byte](0x04, 0x22, 0x4d, 0x18)) // magic
+      val desc = Array[Byte](0x40, 0x40) // v01, linked, no extras; bmax 64K
+      out.write(desc)
+      out.write(((Lz4Codec.xxh32(desc, 0, 2) >> 8) & 0xff).toInt)
+      // one compressed block: token 0x00 (0 lit, 4 match), offset 3
+      out.write(Array[Byte](3, 0, 0, 0)) // size word = 3
+      out.write(Array[Byte](0x00, 0x03, 0x00))
+      out.write(Array[Byte](0, 0, 0, 0)) // EndMark
+      out.toByteArray
+    }
+    assert(lz4Probe(noHist).isEmpty)
+    // the window law: history is capped at 64 KiB; 65535 — the 2-byte
+    // offset field's maximum — reaches into the kept tail of a
+    // 70000-byte stored prefix and decodes
+    val big = encodeLz4(Seq(Right(LFrame(
+      Seq(Stored(70000), Linked(6, 65535)), blockChecksum = false,
+      contentChecksum = true, declareContent = true, dictId = false,
+      bmaxCode = 7))))
+    assert(lz4Probe(big).exists(_._10 == 70010L))
+  }
+
+  test("lz4-java FRAME writer round-trip (block-independent real-writer layout)") {
+    // the existing fuzz is block-level; this pins the FRAME layer against
+    // the real writer Spark ships, FLG bit 5 SET via BLOCK_INDEPENDENCE
+    val rnd = new scala.util.Random(907)
+    (0 until 20).foreach { i =>
+      val data =
+        if (i % 2 == 0) Array.fill(rnd.nextInt(3000))(rnd.nextInt(256).toByte)
+        else ("lz4 frame inter-op " * (1 + rnd.nextInt(200))).getBytes("UTF-8")
+      val bos = new java.io.ByteArrayOutputStream
+      val fos = new net.jpountz.lz4.LZ4FrameOutputStream(bos,
+        net.jpountz.lz4.LZ4FrameOutputStream.BLOCKSIZE.SIZE_64KB,
+        data.length.toLong,
+        net.jpountz.lz4.LZ4FrameOutputStream.FLG.Bits.BLOCK_INDEPENDENCE,
+        net.jpountz.lz4.LZ4FrameOutputStream.FLG.Bits.CONTENT_SIZE,
+        net.jpountz.lz4.LZ4FrameOutputStream.FLG.Bits.CONTENT_CHECKSUM)
+      fos.write(data); fos.close()
+      val probed = lz4Probe(bos.toByteArray)
+      assert(probed.exists(f => f._10 == data.length.toLong && f._9 == 1),
+        s"refused lz4-java frame (n=${data.length})")
+    }
+  }
+
+  test("block size words are bounded by the declared Block_Maximum_Size") {
+    // bmax code 4 = 64 KiB: a stored block one byte over refuses, one at
+    // the bound passes (the frame spec forbids block data beyond bmax)
+    val over = encodeLz4(Seq(Right(LFrame(Seq(Stored(65537)),
+      blockChecksum = false, contentChecksum = false, declareContent = false,
+      dictId = false, bmaxCode = 4))))
+    assert(lz4Probe(over).isEmpty)
+    val at = encodeLz4(Seq(Right(LFrame(Seq(Stored(65536)),
+      blockChecksum = false, contentChecksum = false, declareContent = false,
+      dictId = false, bmaxCode = 4))))
+    assert(lz4Probe(at).nonEmpty)
+  }
+
   test("refusals: version, reserved bits, block-max codes, declared-size lie, framing") {
     val b = encodeLz4(Seq(Right(simple.copy(blockChecksum = false,
       contentChecksum = false))))
