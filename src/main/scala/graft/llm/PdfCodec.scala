@@ -23,167 +23,34 @@ package graft.llm
   * a census pipeline filters on damage rather than crashing on the
   * first torn upload.
   *
-  * Scope split: this walk covers the CLASSIC-TABLE era; cross-reference
-  * streams (`/Type /XRef`, PDF 1.5+) and object streams (`/Type
-  * /ObjStm`) — the modern layout — are handled by [[PdfModern]], and a
-  * `startxref` pointing at anything but the `xref` keyword refuses HERE
-  * rather than mis-walking (the two probes partition the eras cleanly).
-  * Encrypted documents (`/Encrypt` in the trailer) refuse in both.
-  * Content stream INTERPRETATION (text extraction) stays behind the
-  * seam — these walks prove framing, census objects, verify lengths. */
+  * Scope split: this walk covers the CLASSIC-TABLE era — a `startxref`
+  * pointing at anything but the `xref` keyword refuses HERE rather than
+  * mis-walking — INCLUDING hybrid-reference files whose trailer carries
+  * `/XRefStm` (the transition-era layout: a cross-reference stream
+  * supplements the table and its entries take precedence, ISO 32000-1
+  * §7.5.8.4). Pure xref-stream files (the modern layout) are handled by
+  * [[PdfModern]]; the two probes still partition the eras. Encrypted
+  * documents (`/Encrypt` in the trailer) refuse in both. Text
+  * extraction lives in [[PdfText]] on top of the same resolved walk. */
 object PdfCodec {
 
   /** Probe facts: (versionMinor, nUpdates, sizeDeclared, nObjects,
     * nPages, nStreams, streamBytes) over the newest-wins view of the
-    * update chain. None on any structural violation. */
+    * update chain. None on any structural violation. A thin wrapper over
+    * the unified [[PdfObjects.resolve]] + [[PdfObjects.census]] walk
+    * (one parse per object), with the classic pins: sections must be
+    * TABLE sections, and machinery types (ObjStm/XRef) may only be bound
+    * by a hybrid /XRefStm supplement, never by table rows. */
   def pdfProbe(b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int, Long)] = try {
-    if (b == null || b.length < 16) return None
-    // ---- header law: %PDF-1.x ----
-    val hdr = "%PDF-1."
-    var i = 0
-    while (i < hdr.length) { if (b(i) != hdr.charAt(i).toByte) return None; i += 1 }
-    val vMinor = b(hdr.length) - '0'
-    if (vMinor < 0 || vMinor > 7) return None
-    // ---- locate the LAST startxref … %%EOF at the tail ----
-    val tail = new String(b, math.max(0, b.length - 96), math.min(96, b.length), "ISO-8859-1")
-    val sx = tail.lastIndexOf("startxref")
-    if (sx < 0) return None
-    val after = tail.substring(sx + "startxref".length)
-    val m = after.dropWhile(c => c == '\r' || c == '\n' || c == ' ')
-    val digits = m.takeWhile(_.isDigit)
-    if (digits.isEmpty || digits.length > 10) return None
-    val rest = m.substring(digits.length).dropWhile(c => c == '\r' || c == '\n' || c == ' ')
-    if (!rest.startsWith("%%EOF")) return None
-    // %%EOF must be the FINAL token: a truncated incremental update
-    // leaves the PREVIOUS revision's trailer near EOF, and silently
-    // resurrecting it would report facts for bytes the file no longer
-    // frames — strict walks refuse instead
-    if (!rest.drop(5).forall(c => c == '\r' || c == '\n' || c == ' ')) return None
-    var xrefOff = digits.toLong
-    // ---- walk the xref chain (newest first), newest-wins entries ----
-    // objNum -> (offset, gen); only the FIRST (newest) sighting binds
-    val live = scala.collection.mutable.LongMap.empty[(Long, Int)]
-    val free = scala.collection.mutable.Set.empty[Long]
-    var size = -1
-    var rootObj = -1L
-    var nUpdates = 0
-    var prevSeen = Long.MaxValue
-    while (xrefOff >= 0) {
-      if (xrefOff >= prevSeen) return None // /Prev must strictly decrease
-      prevSeen = xrefOff
-      if (xrefOff > b.length - 4) return None
-      var p = xrefOff.toInt
-      // the keyword law: classic tables only; an xref STREAM (an
-      // integer object header here) refuses as out of scope
-      if (!at(b, p, "xref")) return None
-      p += 4
-      p = skipEol(b, p)
-      // subsections until 'trailer'
-      var sawTrailer = false
-      while (!sawTrailer) {
-        if (p >= b.length) return None
-        if (at(b, p, "trailer")) { sawTrailer = true; p += 7 }
-        else {
-          val (start, p1) = readInt(b, p)
-          val (count, p2) = readInt(b, skipSpaces(b, p1))
-          if (start < 0 || count < 0 || count > (1 << 20)) return None
-          p = skipEol(b, p2)
-          var e = 0L
-          while (e < count) {
-            // exactly 20 bytes: 10-digit offset, sp, 5-digit gen, sp, n/f, 2-byte eol
-            if (p + 20 > b.length) return None
-            val off = digits10(b, p)
-            val gen = digits5(b, p + 11)
-            if (off < 0 || gen < 0) return None
-            if (b(p + 10) != ' ' || b(p + 16) != ' ') return None
-            val kind = b(p + 17)
-            if (kind != 'n' && kind != 'f') return None
-            val objNum = start + e
-            if (!live.contains(objNum) && !free.contains(objNum)) {
-              if (kind == 'n') live(objNum) = (off, gen)
-              else free += objNum
-            }
-            p += 20
-            e += 1
-          }
-        }
-      }
-      // ---- trailer dictionary ----
-      p = skipWs(b, p)
-      val dict = parseDict(b, p) match {
-        case Some(d) => d
-        case None => return None
-      }
-      if (dict.entries.contains("Encrypt")) return None // scope pin
-      if (nUpdates == 0) {
-        size = dict.intVal("Size").getOrElse(return None).toInt
-        rootObj = dict.refVal("Root").getOrElse(return None)
-      }
-      nUpdates += 1
-      if (nUpdates > 32) return None // runaway chain
-      xrefOff = dict.intVal("Prev").getOrElse(-1L)
-      if (xrefOff == -1L && dict.entries.contains("Prev")) return None
+    val doc = PdfObjects.resolve(b, classicRoot = true).getOrElse(return None)
+    PdfObjects.census(doc, classicPins = true).map { f =>
+      (f.vMinor, f.nUpdates, f.sizeDeclared, f.nObjects, f.nPages,
+        f.nStreams, f.streamBytes)
     }
-    // the zero object must be the free-list head
-    if (!free.contains(0L)) return None
-    if (size <= 0) return None
-    // /Size law: covers every live object number
-    val maxLive = if (live.isEmpty) -1L else live.keys.max
-    if (maxLive < 0 || size.toLong < maxLive + 1) return None
-    // ---- visit every live object: number/gen law, census, stream law ----
-    var nPages = 0; var nStreams = 0; var nCatalogs = 0
-    var streamBytes = 0L
-    var rootIsCatalog = false
-    live.foreach { case (objNum, (off, gen)) =>
-      if (off < 0 || off >= b.length) return None
-      var p = off.toInt
-      val (num, p1) = readInt(b, p)
-      val (g, p2) = readInt(b, skipSpaces(b, p1))
-      p = skipSpaces(b, p2)
-      if (num != objNum || g != gen) return None // slot law
-      if (!at(b, p, "obj")) return None
-      p = skipWs(b, p + 3)
-      val dict = parseDict(b, p) match {
-        case Some(d) => d
-        case None => return None
-      }
-      val tpe = dict.nameVal("Type").getOrElse("")
-      if (tpe == "ObjStm" || tpe == "XRef") return None // scope pin
-      p = skipWs(b, dict.end)
-      if (at(b, p, "stream")) {
-        p += 6
-        // EOL after 'stream': CRLF or LF (a lone CR is illegal)
-        if (p < b.length && b(p) == '\r') p += 1
-        if (p >= b.length || b(p) != '\n') return None
-        p += 1
-        val len = dict.intVal("Length").getOrElse(return None)
-        if (len < 0 || len > b.length - p) return None
-        p += len.toInt
-        // the /Length law: endstream must sit exactly past the payload,
-        // allowing AT MOST the one EOL the spec permits — an arbitrary
-        // whitespace skip would let an under-declared /Length whose gap
-        // is whitespace pass (review-caught weakness)
-        if (p < b.length && b(p) == '\r') p += 1
-        if (p < b.length && b(p) == '\n') p += 1
-        if (!at(b, p, "endstream")) return None
-        p = skipWs(b, p + 9)
-        nStreams += 1
-        streamBytes += len
-      }
-      if (!at(b, p, "endobj")) return None
-      tpe match {
-        case "Page" => nPages += 1
-        case "Catalog" =>
-          nCatalogs += 1
-          if (objNum == rootObj) rootIsCatalog = true
-        case _ => ()
-      }
-    }
-    if (!live.contains(rootObj) || !rootIsCatalog) return None // /Root law
-    Some((vMinor, nUpdates, size, live.size, nPages, nStreams, streamBytes))
   } catch {
     case _: ArrayIndexOutOfBoundsException => None
     case _: NumberFormatException => None
+    case _: MatchError => None
     case _: StackOverflowError => None
   }
 
@@ -194,16 +61,6 @@ object PdfCodec {
     var i = 0
     while (i < s.length) { if (b(p + i) != s.charAt(i).toByte) return false; i += 1 }
     true
-  }
-  private def skipSpaces(b: Array[Byte], p0: Int): Int = {
-    var p = p0
-    while (p < b.length && (b(p) == ' ' || b(p) == '\t')) p += 1
-    p
-  }
-  private def skipEol(b: Array[Byte], p0: Int): Int = {
-    var p = skipSpaces(b, p0)
-    while (p < b.length && (b(p) == '\r' || b(p) == '\n')) p += 1
-    p
   }
   private[llm] def skipWs(b: Array[Byte], p0: Int): Int = {
     var p = p0
@@ -222,28 +79,16 @@ object PdfCodec {
     if (!any) throw new NumberFormatException
     (v, p)
   }
-  private def digits10(b: Array[Byte], p: Int): Long = {
-    var v = 0L; var i = 0
-    while (i < 10) {
-      val c = b(p + i)
-      if (c < '0' || c > '9') return -1L
-      v = v * 10 + (c - '0'); i += 1
-    }
-    v
-  }
-  private def digits5(b: Array[Byte], p: Int): Int = {
-    var v = 0; var i = 0
-    while (i < 5) {
-      val c = b(p + i)
-      if (c < '0' || c > '9') return -1
-      v = v * 10 + (c - '0'); i += 1
-    }
-    v
-  }
 
   /** A shallowly-parsed dictionary: the few keys the walk needs
-    * (name / integer / reference values), plus where the dict ends. */
-  private[llm] final class PDict(val entries: Map[String, String], val end: Int) {
+    * (name / integer / reference values), where the dict ends, and the
+    * byte offset each value STARTS at in the buffer it was parsed from —
+    * so nested structures (/DecodeParms, inline font dicts) re-parse
+    * from the original bytes, never from a captured string (review r15:
+    * a string round-trip mis-slices a nested dict holding `>>` inside a
+    * string value). */
+  private[llm] final class PDict(val entries: Map[String, String],
+                                 val spans: Map[String, Int], val end: Int) {
     def intVal(k: String): Option[Long] =
       entries.get(k).filter(v => v.nonEmpty && v.forall(_.isDigit)).map(_.toLong)
     def nameVal(k: String): Option[String] =
@@ -269,7 +114,7 @@ object PdfCodec {
 
   /** Skip a literal string `(...)` starting at `p0` (balanced parens,
     * backslash escapes). Returns the position after the closing ')'. */
-  private def skipLiteralString(b: Array[Byte], p0: Int): Int = {
+  private[llm] def skipLiteralString(b: Array[Byte], p0: Int): Int = {
     var p = p0 + 1
     var depth = 1
     while (depth > 0) {
@@ -287,7 +132,7 @@ object PdfCodec {
 
   /** Skip a hex string `<...>` starting at `p0` (NOT `<<`). Returns the
     * position after '>'. */
-  private def skipHexString(b: Array[Byte], p0: Int): Int = {
+  private[llm] def skipHexString(b: Array[Byte], p0: Int): Int = {
     var p = p0 + 1
     while (p < b.length && b(p) != '>') p += 1
     if (p >= b.length) -1 else p + 1
@@ -295,7 +140,7 @@ object PdfCodec {
 
   /** Skip a nested dict `<< … >>` starting at `p0`, strings protected.
     * Returns the position after the closing `>>`, or -1. */
-  private def skipDict(b: Array[Byte], p0: Int): Int = {
+  private[llm] def skipDict(b: Array[Byte], p0: Int): Int = {
     var p = p0
     var depth = 0
     while (true) {
@@ -319,10 +164,11 @@ object PdfCodec {
     if (!at(b, p, "<<")) return None
     p += 2
     val entries = scala.collection.mutable.Map.empty[String, String]
+    val spans = scala.collection.mutable.Map.empty[String, Int]
     while (true) {
       p = skipWs(b, p)
       if (p >= b.length) return None
-      if (at(b, p, ">>")) return Some(new PDict(entries.toMap, p + 2))
+      if (at(b, p, ">>")) return Some(new PDict(entries.toMap, spans.toMap, p + 2))
       if (b(p) != '/') return None
       // key name
       val ks = p + 1
@@ -339,6 +185,7 @@ object PdfCodec {
         p = skipDict(b, p)
         if (p < 0) return None
         entries(key) = new String(b, vs, p - vs, "ISO-8859-1")
+        spans(key) = vs
       } else if (b(p) == '[') {
         var depth = 0
         val vs = p
@@ -362,6 +209,7 @@ object PdfCodec {
           }
         }
         entries(key) = new String(b, vs, p - vs, "ISO-8859-1")
+        spans(key) = vs
       } else if (b(p) == '/') {
         // name value: "/Page", "/Catalog" — one name token
         val vs = p
@@ -369,18 +217,21 @@ object PdfCodec {
         while (p < b.length && isRegular(b(p))) p += 1
         if (p - vs < 2) return None
         entries(key) = new String(b, vs, p - vs, "ISO-8859-1")
+        spans(key) = vs
       } else if (b(p) == '(') {
         // literal string value: one opaque token
         val vs = p
         p = skipLiteralString(b, p)
         if (p < 0) return None
         entries(key) = new String(b, vs, p - vs, "ISO-8859-1")
+        spans(key) = vs
       } else if (b(p) == '<') {
         // hex string value (`<<` was handled above)
         val vs = p
         p = skipHexString(b, p)
         if (p < 0) return None
         entries(key) = new String(b, vs, p - vs, "ISO-8859-1")
+        spans(key) = vs
       } else {
         // run of simple tokens up to the next /Key or the closing >>
         val vs = p
@@ -399,6 +250,7 @@ object PdfCodec {
           .replaceAll("\\s+", " ")
         if (v.isEmpty) return None
         entries(key) = v
+        spans(key) = vs
       }
     }
     None // unreachable

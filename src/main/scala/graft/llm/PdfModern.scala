@@ -32,321 +32,31 @@ package graft.llm
   * and encryption. Damage returns None, never throws. */
 object PdfModern {
 
-  import PdfCodec.{at, parseDict, readInt, skipWs}
-
-  private def inflate(b: Array[Byte], off: Int, len: Int, maxOut: Int): Option[Array[Byte]] = {
-    val inf = new java.util.zip.Inflater() // zlib wrapper: Adler-32 verified
-    try {
-      inf.setInput(b, off, len)
-      val out = new java.io.ByteArrayOutputStream(
-        math.min(maxOut.toLong, len.toLong * 3 + 64).toInt) // Long math: len*3 can wrap Int
-      val buf = new Array[Byte](8192)
-      while (!inf.finished()) {
-        val n = inf.inflate(buf)
-        if (n == 0) {
-          if (inf.needsInput() || inf.needsDictionary()) return None
-        } else out.write(buf, 0, n)
-        if (out.size() > maxOut) return None
-      }
-      if (inf.getRemaining != 0) return None // declared length consumed exactly
-      Some(out.toByteArray)
-    } catch {
-      case _: java.util.zip.DataFormatException => None
-    } finally inf.end()
-  }
-
-  /** Undo PNG row predictors (the /Predictor ≥ 10 family) over rows of
-    * `cols` data bytes each (bpp = 1 for xref streams). */
-  private def unpredict(data: Array[Byte], cols: Int): Option[Array[Byte]] = {
-    if (cols <= 0 || data.length % (cols + 1) != 0) return None
-    val rows = data.length / (cols + 1)
-    val out = new Array[Byte](rows * cols)
-    var r = 0
-    while (r < rows) {
-      val ft = data(r * (cols + 1)) & 0xff
-      val src = r * (cols + 1) + 1
-      val dst = r * cols
-      var x = 0
-      while (x < cols) {
-        val raw = data(src + x) & 0xff
-        val left = if (x > 0) out(dst + x - 1) & 0xff else 0
-        val up = if (r > 0) out(dst - cols + x) & 0xff else 0
-        val ul = if (r > 0 && x > 0) out(dst - cols + x - 1) & 0xff else 0
-        val v = ft match {
-          case 0 => raw
-          case 1 => raw + left
-          case 2 => raw + up
-          case 3 => raw + ((left + up) >> 1)
-          case 4 =>
-            val p = left + up - ul
-            val pa = math.abs(p - left); val pb = math.abs(p - up)
-            val pc = math.abs(p - ul)
-            raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
-          case _ => return None // unknown filter type
-        }
-        out(dst + x) = (v & 0xff).toByte
-        x += 1
-      }
-      r += 1
-    }
-    Some(out)
-  }
-
-  /** A parsed stream object at `off`: (dict, rawDataFrom, rawDataLen).
-    * Enforces the number/gen slot law and exact /Length coverage. */
-  private def streamObjAt(b: Array[Byte], off: Long, objNum: Long,
-                          gen: Int): Option[(PdfCodec.PDict, Int, Int)] = {
-    if (off < 0 || off >= b.length) return None
-    var p = off.toInt
-    val (num, p1) = try readInt(b, p) catch { case _: NumberFormatException => return None }
-    p = skipWs(b, p1)
-    val (g, p2) = try readInt(b, p) catch { case _: NumberFormatException => return None }
-    p = skipWs(b, p2)
-    if (num != objNum || g != gen) return None
-    if (!at(b, p, "obj")) return None
-    p = skipWs(b, p + 3)
-    val dict = parseDict(b, p).getOrElse(return None)
-    p = skipWs(b, dict.end)
-    if (!at(b, p, "stream")) return None
-    p += 6
-    if (p < b.length && b(p) == '\r') p += 1
-    if (p >= b.length || b(p) != '\n') return None
-    p += 1
-    val len = dict.intVal("Length").getOrElse(return None)
-    if (len < 0 || len > b.length - p) return None
-    val dataFrom = p
-    p += len.toInt
-    if (p < b.length && b(p) == '\r') p += 1
-    if (p < b.length && b(p) == '\n') p += 1
-    if (!at(b, p, "endstream")) return None
-    p = skipWs(b, p + 9)
-    if (!at(b, p, "endobj")) return None // same law as the classic walk
-    Some((dict, dataFrom, len.toInt))
-  }
-
   /** Probe facts: (versionMinor, nUpdates, sizeDeclared, nObjects,
     * nPages, nStreams, streamBytes [content streams only], nInObjStm).
-    * None on any structural violation. */
+    * None on any structural violation. A thin wrapper over the unified
+    * [[PdfObjects.resolve]] + [[PdfObjects.census]] walk (one parse per
+    * object): sections must be xref STREAMS — hybrid chains (a /Prev
+    * pointing at a classic `xref` table) refuse, keeping the era
+    * partition with [[PdfCodec.pdfProbe]] clean. */
   def modernProbe(b: Array[Byte], maxOut: Int = 1 << 26): Option[(Int, Int, Int, Int, Int, Int, Long, Int)] = try {
-    if (b == null || b.length < 16) return None
-    val hdr = "%PDF-1."
-    var i = 0
-    while (i < hdr.length) { if (b(i) != hdr.charAt(i).toByte) return None; i += 1 }
-    val vMinor = b(hdr.length) - '0'
-    if (vMinor < 0 || vMinor > 7) return None
-    val tail = new String(b, math.max(0, b.length - 96), math.min(96, b.length), "ISO-8859-1")
-    val sx = tail.lastIndexOf("startxref")
-    if (sx < 0) return None
-    val after = tail.substring(sx + "startxref".length)
-    val m0 = after.dropWhile(c => c == '\r' || c == '\n' || c == ' ')
-    val digits = m0.takeWhile(_.isDigit)
-    if (digits.isEmpty || digits.length > 10) return None
-    val rest = m0.substring(digits.length).dropWhile(c => c == '\r' || c == '\n' || c == ' ')
-    if (!rest.startsWith("%%EOF")) return None
-    if (!rest.drop(5).forall(c => c == '\r' || c == '\n' || c == ' ')) return None
-    var xrefOff = digits.toLong
-    // object -> Left(directOffset, gen) | Right(objStmNum, indexInStm)
-    val live = scala.collection.mutable.LongMap.empty[Either[(Long, Int), (Long, Int)]]
-    val free = scala.collection.mutable.Set.empty[Long]
-    var size = -1
-    var rootObj = -1L
-    var nUpdates = 0
-    var prevSeen = Long.MaxValue
-    while (xrefOff >= 0) {
-      if (xrefOff >= prevSeen) return None // strict-decrease chain law
-      prevSeen = xrefOff
-      // the xref section must be an XRef STREAM object (hybrids refuse)
-      // whose own number/gen we learn from its header — slot law is
-      // enforced as "the object header must be self-consistent" here
-      if (xrefOff > b.length - 8) return None
-      var q = xrefOff.toInt
-      val (selfNum, q1) = try readInt(b, q) catch { case _: NumberFormatException => return None }
-      q = skipWs(b, q1)
-      val (selfGen, _) = try readInt(b, q) catch { case _: NumberFormatException => return None }
-      val (dict, dataFrom, dataLen) =
-        streamObjAt(b, xrefOff, selfNum, selfGen.toInt).getOrElse(return None)
-      if (!dict.nameVal("Type").contains("XRef")) return None
-      if (dict.entries.contains("Encrypt")) return None
-      val w = dict.intArray("W").getOrElse(return None)
-      if (w.length != 3 || w.exists(x => x < 0 || x > 8) || w(1) < 1) return None
-      val rowLen = (w(0) + w(1) + w(2)).toInt
-      val secSize = dict.intVal("Size").getOrElse(return None)
-      if (secSize <= 0 || secSize > (1 << 22)) return None
-      // decode the entry data: Flate (+ optional PNG predictor)
-      val raw: Array[Byte] = dict.entries.get("Filter") match {
-        case Some("/FlateDecode") =>
-          val flat = inflate(b, dataFrom, dataLen, maxOut).getOrElse(return None)
-          val (pred, cols) = dict.entries.get("DecodeParms") match {
-            case Some(dp) =>
-              val sub = parseDict(dp.getBytes("ISO-8859-1"), 0).getOrElse(return None)
-              (sub.intVal("Predictor").getOrElse(1L), sub.intVal("Columns").getOrElse(1L))
-            case None => (1L, rowLen.toLong)
-          }
-          if (pred == 1) flat
-          else if (pred >= 10 && pred <= 15) {
-            if (cols != rowLen) return None // the Columns law
-            unpredict(flat, rowLen).getOrElse(return None)
-          } else return None
-        case None => java.util.Arrays.copyOfRange(b, dataFrom, dataFrom + dataLen)
-        case _ => return None // other filters out of scope
-      }
-      val index: Seq[Long] =
-        if (dict.entries.contains("Index"))
-          dict.intArray("Index").getOrElse(return None) // malformed /Index refuses
-        else Seq(0L, secSize)
-      if (index.isEmpty || index.length % 2 != 0) return None
-      val totalRows = index.grouped(2).map(_(1)).sum
-      if (totalRows * rowLen != raw.length) return None // exact coverage law
-      var rp = 0
-      index.grouped(2).foreach { case Seq(start, count) =>
-        if (start < 0 || count < 0) return None
-        var e = 0L
-        while (e < count) {
-          def field(width: Int): Long = {
-            var v = 0L
-            var j = 0
-            while (j < width) { v = (v << 8) | (raw(rp + j) & 0xffL); j += 1 }
-            rp += width
-            v
-          }
-          val t = if (w(0) == 0) 1L else field(w(0).toInt)
-          val f2 = field(w(1).toInt)
-          val f3 = if (w(2) == 0) 0L else field(w(2).toInt)
-          // range laws BEFORE any Int narrowing: /W permits up to
-          // 8-byte fields, and a 2^32 generation or index must refuse,
-          // not truncate to 0 (review-caught)
-          if (f3 < 0 || f3 > 0xffffL) return None
-          val objNum = start + e
-          if (!live.contains(objNum) && !free.contains(objNum)) {
-            t match {
-              case 0 => free += objNum
-              case 1 =>
-                if (f2 < 0 || f2 >= b.length) return None // offset law
-                live(objNum) = Left((f2, f3.toInt))
-              case 2 =>
-                if (f2 < 0 || f2 > secSize) return None // objstm number law
-                live(objNum) = Right((f2, f3.toInt))
-              case _ => return None // unknown entry type
-            }
-          }
-          e += 1
-        }
-      }
-      if (nUpdates == 0) {
-        size = secSize.toInt
-        rootObj = dict.refVal("Root").getOrElse(return None)
-      }
-      nUpdates += 1
-      if (nUpdates > 32) return None
-      xrefOff = dict.intVal("Prev").getOrElse(-1L)
-      if (xrefOff == -1L && dict.entries.contains("Prev")) return None
+    val doc = PdfObjects.resolve(b, classicRoot = false, maxOut).getOrElse(return None)
+    PdfObjects.census(doc, classicPins = false).map { f =>
+      (f.vMinor, f.nUpdates, f.sizeDeclared, f.nObjects, f.nPages,
+        f.nStreams, f.streamBytes, f.nInObjStm)
     }
-    if (!free.contains(0L)) return None
-    if (size <= 0) return None
-    val maxLive = if (live.isEmpty) -1L else live.keys.max
-    if (maxLive < 0 || size.toLong < maxLive + 1) return None
-    // ---- resolve: direct objects first (ObjStm loads depend on them) ----
-    var nPages = 0; var nStreams = 0
-    var streamBytes = 0L
-    var nInObjStm = 0
-    var rootIsCatalog = false
-    // decoded ObjStm cache: objstm number -> (decoded bytes, first, pairs)
-    val stmCache = scala.collection.mutable.LongMap.empty[(Array[Byte], Int, Array[(Long, Int)])]
-    def loadObjStm(num: Long): Option[(Array[Byte], Int, Array[(Long, Int)])] =
-      stmCache.get(num).orElse {
-        live.get(num) match {
-          case Some(Left((off, gen))) =>
-            val (dict, dataFrom, dataLen) = streamObjAt(b, off, num, gen).getOrElse(return None)
-            if (!dict.nameVal("Type").contains("ObjStm")) return None
-            val n = dict.intVal("N").getOrElse(return None)
-            val first = dict.intVal("First").getOrElse(return None)
-            if (n <= 0 || n > (1 << 16) || first < 0) return None
-            val data = dict.entries.get("Filter") match {
-              case Some("/FlateDecode") => inflate(b, dataFrom, dataLen, maxOut).getOrElse(return None)
-              case None => java.util.Arrays.copyOfRange(b, dataFrom, dataFrom + dataLen)
-              case _ => return None // filter arrays / other filters refuse
-            }
-            if (first > data.length) return None
-            // header: N pairs of (objnum, offset) integers
-            val pairs = new Array[(Long, Int)](n.toInt)
-            var hp = 0
-            var j = 0
-            while (j < n) {
-              hp = PdfCodec.skipWs(data, hp)
-              val (on, hp1) = try readInt(data, hp) catch { case _: NumberFormatException => return None }
-              hp = PdfCodec.skipWs(data, hp1)
-              val (ofs, hp2) = try readInt(data, hp) catch { case _: NumberFormatException => return None }
-              hp = hp2
-              if (first + ofs > data.length) return None
-              pairs(j) = (on, ofs.toInt)
-              j += 1
-            }
-            val entry = (data, first.toInt, pairs)
-            stmCache(num) = entry
-            Some(entry)
-          case _ => None // a type-2 entry must point at a live DIRECT ObjStm
-        }
-      }
-    live.foreach { case (objNum, loc) =>
-      loc match {
-        case Left((off, gen)) =>
-          // a direct object: dict-only or stream
-          if (off < 0 || off >= b.length) return None
-          var p = off.toInt
-          val (num, p1) = readInt(b, p)
-          p = skipWs(b, p1)
-          val (g, p2) = readInt(b, p)
-          p = skipWs(b, p2)
-          if (num != objNum || g != gen) return None
-          if (!at(b, p, "obj")) return None
-          p = skipWs(b, p + 3)
-          val dict = parseDict(b, p).getOrElse(return None)
-          val tpe = dict.nameVal("Type").getOrElse("")
-          p = skipWs(b, dict.end)
-          if (at(b, p, "stream")) {
-            // re-walk with the full stream law
-            val (_, _, dataLen) = streamObjAt(b, off, objNum, gen).getOrElse(return None)
-            nStreams += 1
-            // the census byte count covers CONTENT streams — the xref
-            // and objstm machinery is structure, not payload
-            if (tpe != "XRef" && tpe != "ObjStm") streamBytes += dataLen
-          } else {
-            if (!at(b, p, "endobj")) return None
-          }
-          tpe match {
-            case "Page" => nPages += 1
-            case "Catalog" => if (objNum == rootObj) rootIsCatalog = true
-            case _ => ()
-          }
-        case Right((stmNum, idx)) =>
-          val (data, first, pairs) = loadObjStm(stmNum).getOrElse(return None)
-          if (idx < 0 || idx >= pairs.length) return None
-          val (headerNum, ofs) = pairs(idx)
-          if (headerNum != objNum) return None // the index law
-          val dict = parseDict(data, first + ofs).getOrElse(return None)
-          val tpe = dict.nameVal("Type").getOrElse("")
-          nInObjStm += 1
-          tpe match {
-            case "Page" => nPages += 1
-            case "Catalog" => if (objNum == rootObj) rootIsCatalog = true
-            case _ => ()
-          }
-      }
-    }
-    if (!live.contains(rootObj) || !rootIsCatalog) return None
-    Some((vMinor, nUpdates, size, live.size, nPages, nStreams, streamBytes,
-      nInObjStm))
   } catch {
     case _: ArrayIndexOutOfBoundsException => None
     case _: NumberFormatException => None
     case _: MatchError => None
+    case _: StackOverflowError => None
   }
 
   // ---- conformance writer (tests the WALK; mirrors a modern producer:
   //      dict objects packed in a Flate ObjStm, content streams direct,
   //      one xref STREAM per revision) --------------------------------
 
-  private def flate(data: Array[Byte]): Array[Byte] = {
+  private[llm] def flate(data: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater() // zlib wrapper, Adler-32 tail
     try {
       d.setInput(data); d.finish()
@@ -355,6 +65,107 @@ object PdfModern {
       while (!d.finished()) out.write(buf, 0, d.deflate(buf))
       out.toByteArray
     } finally d.end()
+  }
+
+
+  // ---- hybrid-reference conformance writer (classic TABLE + /XRefStm
+  //      supplement: the transition-era layout of scanned-book corpora;
+  //      tests PdfCodec.pdfProbe's hybrid path) -------------------------
+
+  /** Deterministic HYBRID PDF for P pages: content streams are direct
+    * objects (4+2i) listed in the classic TABLE; the catalog (1), pages
+    * node (2) and page dicts (3+2i) are packed in a Flate ObjStm
+    * (object 2P+3) visible ONLY through the cross-reference STREAM
+    * (object 2P+4) that the trailer's /XRefStm points at — exactly the
+    * hiding mechanism §7.5.8.4 describes. The table carries object 0
+    * and the content streams; the stream section carries type-2 entries
+    * for the packed dicts and type-1 entries for the machinery. */
+  def encodeHybridPdf(vMinor: Int, pageLens: Seq[Int], seed: Long = 0L,
+                      xrefStmPrevLie: Boolean = false,
+                      filterArrayForm: Boolean = false): Array[Byte] = {
+    require(vMinor >= 0 && vMinor <= 7 && pageLens.nonEmpty && pageLens.forall(_ > 0))
+    require(pageLens.map(_.toLong).sum < 50000, "W [1 2 1]: offsets under 2^16")
+    val out = new java.io.ByteArrayOutputStream
+    def w(str: String): Unit = out.write(str.getBytes("ISO-8859-1"))
+    val nPages = pageLens.length
+    w(s"%PDF-1.$vMinor\n")
+    out.write(Array[Byte]('%', 0xe2.toByte, 0xe3.toByte, 0xcf.toByte, 0xd3.toByte, '\n'))
+    def content(len: Int, salt: Int): Array[Byte] =
+      Array.tabulate(len)(j => (((seed * 23 + salt * 113 + j * 11) % 26) + 'a').toByte)
+    val objStmNum = 2 * nPages + 3
+    val xrefNum = 2 * nPages + 4
+    val size = 2 * nPages + 5
+    // content streams (direct, table-listed)
+    val contentOffsets = new Array[Long](nPages)
+    (0 until nPages).foreach { i =>
+      contentOffsets(i) = out.size().toLong
+      val len = pageLens(i)
+      w(s"${4 + 2 * i} 0 obj\n<< /Length $len >>\nstream\n")
+      out.write(content(len, i), 0, len)
+      w("\nendstream\nendobj\n")
+    }
+    // the hidden ObjStm: catalog + pages + page dicts
+    val members: Seq[(Int, String)] =
+      Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> ("<< /Type /Pages /Kids [" +
+          (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ") +
+          s"] /Count $nPages >>")) ++
+        (0 until nPages).map(i =>
+          (3 + 2 * i) -> s"<< /Type /Page /Parent 2 0 R /Contents ${4 + 2 * i} 0 R >>")
+    val bodies = new java.io.ByteArrayOutputStream
+    val pairs = members.map { case (num, text) =>
+      val off = bodies.size()
+      bodies.write(text.getBytes("ISO-8859-1")); bodies.write(' ')
+      (num, off)
+    }
+    val headerTxt = pairs.map { case (n, o) => s"$n $o" }.mkString(" ") + " "
+    val stmPlain = headerTxt.getBytes("ISO-8859-1") ++ bodies.toByteArray
+    val stmComp = flate(stmPlain)
+    val objStmOffset = out.size().toLong
+    val fname = if (filterArrayForm) "[/FlateDecode]" else "/FlateDecode"
+    w(s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${members.length} /First ${headerTxt.length} " +
+      s"/Filter $fname /Length ${stmComp.length} >>\nstream\n")
+    out.write(stmComp, 0, stmComp.length)
+    w("\nendstream\nendobj\n")
+    // the /XRefStm cross-reference stream: type-2 rows for the packed
+    // dicts, type-1 rows for the ObjStm and itself; NO trailer keys
+    // beyond /Size (the TABLE trailer is authoritative; /Prev forbidden)
+    val xrefOffset = out.size().toLong
+    val rows = new java.io.ByteArrayOutputStream
+    def row(t: Int, f2: Long, f3: Long): Unit = {
+      rows.write(t)
+      rows.write(((f2 >> 8) & 0xff).toInt); rows.write((f2 & 0xff).toInt)
+      rows.write((f3 & 0xff).toInt)
+    }
+    // /Index: [1 2] catalog+pages, one singleton per page dict, then
+    // [objStm xref] contiguous
+    row(2, objStmNum.toLong, 0L) // catalog at index 0
+    row(2, objStmNum.toLong, 1L) // pages node at index 1
+    (0 until nPages).foreach(i => row(2, objStmNum.toLong, 2L + i))
+    row(1, objStmOffset, 0L)
+    row(1, xrefOffset, 0L)
+    val idxTxt = "/Index [1 2 " +
+      (0 until nPages).map(i => s"${3 + 2 * i} 1 ").mkString +
+      s"$objStmNum 2]"
+    val comp = flate(rows.toByteArray)
+    // the /Prev lie: a hybrid /XRefStm section must not fork the chain —
+    // resolve refuses it after the section itself parses cleanly
+    val prevLie = if (xrefStmPrevLie) " /Prev 7" else ""
+    w(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /W [1 2 1] $idxTxt$prevLie" +
+      s" /Filter $fname /Length ${comp.length} >>\nstream\n")
+    out.write(comp, 0, comp.length)
+    w("\nendstream\nendobj\n")
+    // the classic TABLE: object 0 free + the content streams (each its
+    // own subsection: the hidden dicts interleave their numbers)
+    val tableOff = out.size().toLong
+    w("xref\n0 1\n0000000000 65535 f \n")
+    (0 until nPages).foreach { i =>
+      w(s"${4 + 2 * i} 1\n")
+      w(f"${contentOffsets(i)}%010d 00000 n \n")
+    }
+    w(s"trailer\n<< /Size $size /Root 1 0 R /XRefStm $xrefOffset >>\n")
+    w(s"startxref\n$tableOff\n%%EOF\n")
+    out.toByteArray
   }
 
   /** Deterministic modern PDF. Object layout for P pages: ObjStm
@@ -370,7 +181,8 @@ object PdfModern {
     * arms can hit the compressed entry data precisely. */
   def encodeModernPdf(vMinor: Int, pageLens: Seq[Int], updateLen: Option[Int],
                       predictor: Boolean, seed: Long = 0L,
-                      objStmIndexLie: Boolean = false): (Array[Byte], Int) = {
+                      objStmIndexLie: Boolean = false,
+                      filterArrayForm: Boolean = false): (Array[Byte], Int) = {
     require(vMinor >= 0 && vMinor <= 7 && pageLens.nonEmpty && pageLens.forall(_ > 0))
     // W [1 2 1] stores offsets in two bytes: this writer supports
     // documents under 64 KiB (ample for conformance fixtures) and
@@ -414,8 +226,9 @@ object PdfModern {
     val first = headerTxt.length
     val stmComp = flate(stmPlain)
     val objStmOffset = out.size().toLong
+    val fname = if (filterArrayForm) "[/FlateDecode]" else "/FlateDecode"
     w(s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${members.length} /First $first " +
-      s"/Filter /FlateDecode /Length ${stmComp.length} >>\nstream\n")
+      s"/Filter $fname /Length ${stmComp.length} >>\nstream\n")
     out.write(stmComp, 0, stmComp.length)
     w("\nendstream\nendobj\n")
     // ---- the xref stream ----
@@ -456,7 +269,7 @@ object PdfModern {
         else " /Index [" + index.map { case (s, c) => s"$s $c" }.mkString(" ") + "]"
       val prevTxt = prev.map(v => s" /Prev $v").getOrElse("")
       w(s"$selfNum 0 obj\n<< /Type /XRef /Size $size /W [1 2 1] /Root 1 0 R" +
-        s"$idxTxt$prevTxt /Filter /FlateDecode$parms /Length ${comp.length} >>\nstream\n")
+        s"$idxTxt$prevTxt /Filter $fname$parms /Length ${comp.length} >>\nstream\n")
       val flateAt = out.size()
       out.write(comp, 0, comp.length)
       w("\nendstream\nendobj\n")

@@ -1,0 +1,615 @@
+package graft.llm
+
+/** Shared PDF object machinery for both era walks ([[PdfCodec]] classic
+  * tables, [[PdfModern]] xref streams) and the text extractor
+  * ([[PdfText]]): a parse-ONCE indirect-object lexer (one pass yields
+  * the dict and the stream extent, replacing the r15 double-parse), the
+  * stream filter pipeline (`/Filter` as a bare name OR an array,
+  * ASCIIHexDecode, and the ASCIIHex→Flate chain — the layouts real
+  * writers emit), the xref-STREAM section reader, and the unified
+  * `resolve` + `census` walk both probes are thin wrappers over.
+  *
+  * Hybrid-reference files (ISO 32000-1 §7.5.8.4) are handled on the
+  * classic side: a table trailer carrying `/XRefStm` points at a
+  * cross-reference stream whose entries take PRECEDENCE over the same
+  * revision's table rows (the spec's own rule — the stream knows about
+  * objects the table hides from pre-1.5 readers, e.g. dicts packed in
+  * an ObjStm). The stream section pointed at by `/XRefStm` must not
+  * carry its own `/Prev` (the TABLE chain is authoritative) and the
+  * chain continues from the table trailer. */
+object PdfObjects {
+
+  import PdfCodec.{at, parseDict, readInt, skipWs, PDict}
+
+  /** Where a live object resolves. */
+  sealed trait Loc
+  /** Direct object at a byte offset. `fromStream` marks entries bound by
+    * an xref STREAM section — in hybrid files those may legitimately be
+    * machinery types (ObjStm / XRef) that a pure-classic table must
+    * never reference. */
+  final case class Direct(off: Long, gen: Int, fromStream: Boolean) extends Loc
+  /** Object packed inside the ObjStm numbered `stm` at index `idx`. */
+  final case class InStm(stm: Long, idx: Int) extends Loc
+
+  /** One parse of an indirect object: its dict and — when a stream
+    * follows — the raw payload extent (`streamFrom < 0` means no
+    * stream). Enforces in ONE pass: the slot law (header number and
+    * generation match the xref entry), the `stream` EOL law, the exact
+    * `/Length` coverage law, and the `endstream`/`endobj` laws. */
+  final case class ObjExtent(dict: PDict, streamFrom: Int, streamLen: Int) {
+    def hasStream: Boolean = streamFrom >= 0
+  }
+
+  def objExtentAt(b: Array[Byte], off: Long, objNum: Long, gen: Int): Option[ObjExtent] = {
+    if (off < 0 || off >= b.length) return None
+    var p = off.toInt
+    val (num, p1) = try readInt(b, p) catch { case _: NumberFormatException => return None }
+    p = skipWs(b, p1)
+    val (g, p2) = try readInt(b, p) catch { case _: NumberFormatException => return None }
+    p = skipWs(b, p2)
+    if (num != objNum || g != gen) return None // slot law
+    if (!at(b, p, "obj")) return None
+    p = skipWs(b, p + 3)
+    val dict = parseDict(b, p).getOrElse(return None)
+    p = skipWs(b, dict.end)
+    if (at(b, p, "stream")) {
+      p += 6
+      // EOL after 'stream': CRLF or LF (a lone CR is illegal)
+      if (p < b.length && b(p) == '\r') p += 1
+      if (p >= b.length || b(p) != '\n') return None
+      p += 1
+      val len = dict.intVal("Length").getOrElse(return None)
+      if (len < 0 || len > b.length - p) return None
+      val dataFrom = p
+      p += len.toInt
+      // the /Length law: endstream must sit exactly past the payload,
+      // allowing AT MOST the one EOL the spec permits — an arbitrary
+      // whitespace skip would let an under-declared /Length whose gap
+      // is whitespace pass
+      if (p < b.length && b(p) == '\r') p += 1
+      if (p < b.length && b(p) == '\n') p += 1
+      if (!at(b, p, "endstream")) return None
+      p = skipWs(b, p + 9)
+      if (!at(b, p, "endobj")) return None
+      Some(ObjExtent(dict, dataFrom, len.toInt))
+    } else {
+      if (!at(b, p, "endobj")) return None
+      Some(ObjExtent(dict, -1, 0))
+    }
+  }
+
+  // ---- stream filters -------------------------------------------------
+
+  private[llm] def inflate(b: Array[Byte], off: Int, len: Int, maxOut: Int): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater() // zlib wrapper: Adler-32 verified
+    try {
+      inf.setInput(b, off, len)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(maxOut.toLong, len.toLong * 3 + 64).toInt) // Long math: len*3 can wrap Int
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0) {
+          if (inf.needsInput() || inf.needsDictionary()) return None
+        } else out.write(buf, 0, n)
+        if (out.size() > maxOut) return None
+      }
+      if (inf.getRemaining != 0) return None // declared length consumed exactly
+      Some(out.toByteArray)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  /** ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, `>` as the
+    * required EOD (an odd final digit implies a trailing 0 nibble); only
+    * whitespace may follow the EOD inside the declared extent. */
+  private[llm] def asciiHexDecode(b: Array[Byte], off: Int, len: Int): Option[Array[Byte]] = {
+    if (off < 0 || len < 0 || off + len > b.length) return None
+    val out = new java.io.ByteArrayOutputStream(len / 2 + 1)
+    var hi = -1
+    var i = off
+    val end = off + len
+    var sawEod = false
+    while (i < end && !sawEod) {
+      val c = b(i) & 0xff
+      if (c == '>') sawEod = true
+      else if (c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == 0) ()
+      else {
+        val v =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (c >= 'a' && c <= 'f') c - 'a' + 10
+          else if (c >= 'A' && c <= 'F') c - 'A' + 10
+          else return None
+        if (hi < 0) hi = v
+        else { out.write((hi << 4) | v); hi = -1 }
+      }
+      i += 1
+    }
+    if (!sawEod) return None // EOD is part of the encoding, not optional
+    while (i < end) {
+      val c = b(i) & 0xff
+      if (!(c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f')) return None
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4)
+    Some(out.toByteArray)
+  }
+
+  /** The `/Filter` value as a chain of names in application order:
+    * absent → empty chain, a bare name → one stage, an ARRAY of names
+    * (including the single-element `[/FlateDecode]` form many real
+    * writers emit) → stages in order. None on a malformed value. */
+  private[llm] def filterNames(dict: PDict): Option[Seq[String]] =
+    dict.entries.get("Filter") match {
+      case None => Some(Nil)
+      case Some(v) if v.startsWith("/") => Some(Seq(v.substring(1)))
+      case Some(v) if v.startsWith("[") && v.endsWith("]") =>
+        val inner = v.substring(1, v.length - 1).trim
+        if (inner.isEmpty) Some(Nil)
+        else {
+          // names may be space-separated or butted together (/A/B)
+          val parts = inner.split("\\s+").toSeq
+            .flatMap(_.split("(?=/)").toSeq).filter(_.nonEmpty)
+          if (parts.forall(t => t.length >= 2 && t.startsWith("/")))
+            Some(parts.map(_.substring(1)))
+          else None
+        }
+      case _ => None
+    }
+
+  /** Decode a stream's payload through its `/Filter` chain. Supported
+    * stages: FlateDecode (zlib, Adler-verified), ASCIIHexDecode, and any
+    * chain of the two (ASCIIHex→Flate is the classic mail-safe layout);
+    * no filter copies the raw extent. Every other filter name (DCT,
+    * LZW, ASCII85, CCITT, JBIG2, Crypt, RunLength) refuses — a census
+    * must never hand back bytes it cannot vouch for. PNG predictors
+    * (/DecodeParms) are NOT applied here; the xref-stream reader owns
+    * that law because it alone knows the row width. */
+  private[llm] def decodeStream(b: Array[Byte], dict: PDict, dataFrom: Int,
+                                dataLen: Int, maxOut: Int): Option[Array[Byte]] = {
+    val names = filterNames(dict).getOrElse(return None)
+    if (names.isEmpty)
+      return Some(java.util.Arrays.copyOfRange(b, dataFrom, dataFrom + dataLen))
+    var buf = b
+    var from = dataFrom
+    var len = dataLen
+    names.foreach { n =>
+      val out = n match {
+        case "FlateDecode" => inflate(buf, from, len, maxOut)
+        case "ASCIIHexDecode" => asciiHexDecode(buf, from, len)
+        case _ => None // out-of-scope filters refuse, never mislead
+      }
+      out match {
+        case Some(o) => buf = o; from = 0; len = o.length
+        case None => return None
+      }
+    }
+    Some(if (from == 0 && len == buf.length) buf
+    else java.util.Arrays.copyOfRange(buf, from, from + len))
+  }
+
+  /** Undo PNG row predictors (the /Predictor ≥ 10 family) over rows of
+    * `cols` data bytes each (bpp = 1 for xref streams). */
+  private[llm] def unpredict(data: Array[Byte], cols: Int): Option[Array[Byte]] = {
+    if (cols <= 0 || data.length % (cols + 1) != 0) return None
+    val rows = data.length / (cols + 1)
+    val out = new Array[Byte](rows * cols)
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * (cols + 1)) & 0xff
+      val src = r * (cols + 1) + 1
+      val dst = r * cols
+      var x = 0
+      while (x < cols) {
+        val raw = data(src + x) & 0xff
+        val left = if (x > 0) out(dst + x - 1) & 0xff else 0
+        val up = if (r > 0) out(dst - cols + x) & 0xff else 0
+        val ul = if (r > 0 && x > 0) out(dst - cols + x - 1) & 0xff else 0
+        val v = ft match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + ((left + up) >> 1)
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => return None // unknown filter type
+        }
+        out(dst + x) = (v & 0xff).toByte
+        x += 1
+      }
+      r += 1
+    }
+    Some(out)
+  }
+
+  // ---- xref STREAM sections -------------------------------------------
+
+  final case class XrefEntry(objNum: Long, t: Int, f2: Long, f3: Long)
+  final case class XrefSection(dict: PDict, entries: IndexedSeq[XrefEntry])
+
+  /** Read one cross-reference STREAM section at `off` (§7.5.8): the
+    * self-consistent object header, `/Type /XRef`, the `/W` widths law,
+    * filter decode (+ PNG predictors under the Columns law, /DecodeParms
+    * parsed from the ORIGINAL bytes), `/Index` defaulting to `[0 Size]`,
+    * the exact-coverage law, and per-entry range laws (offset in file,
+    * ObjStm number strictly below `/Size`, generation ≤ 0xffff). */
+  def readXrefStreamSection(b: Array[Byte], off: Long, maxOut: Int): Option[XrefSection] = {
+    if (off < 0 || off > b.length - 8) return None
+    var q = off.toInt
+    // the header is self-consistent rather than slot-checked: the
+    // section IS the authority that would name its own slot
+    val (selfNum, q1) = try readInt(b, q) catch { case _: NumberFormatException => return None }
+    q = skipWs(b, q1)
+    val (selfGen, _) = try readInt(b, q) catch { case _: NumberFormatException => return None }
+    val ext = objExtentAt(b, off, selfNum, selfGen.toInt).getOrElse(return None)
+    if (!ext.hasStream) return None
+    val dict = ext.dict
+    if (!dict.nameVal("Type").contains("XRef")) return None
+    val w = dict.intArray("W").getOrElse(return None)
+    if (w.length != 3 || w.exists(x => x < 0 || x > 8) || w(1) < 1) return None
+    val rowLen = (w(0) + w(1) + w(2)).toInt
+    val secSize = dict.intVal("Size").getOrElse(return None)
+    if (secSize <= 0 || secSize > (1 << 22)) return None
+    val flat = decodeStream(b, dict, ext.streamFrom, ext.streamLen, maxOut)
+      .getOrElse(return None)
+    val raw: Array[Byte] = dict.entries.get("DecodeParms") match {
+      case None => flat
+      case Some(_) =>
+        // the sub-dict re-parses from the ORIGINAL bytes via its span —
+        // never from the captured string form (r15 review)
+        val sub = dict.spans.get("DecodeParms")
+          .flatMap(sp => parseDict(b, sp)).getOrElse(return None)
+        val pred = sub.intVal("Predictor").getOrElse(1L)
+        val cols = sub.intVal("Columns").getOrElse(1L)
+        if (pred == 1) flat
+        else if (pred >= 10 && pred <= 15) {
+          if (cols != rowLen) return None // the Columns law
+          unpredict(flat, rowLen).getOrElse(return None)
+        } else return None
+    }
+    val index: Seq[Long] =
+      if (dict.entries.contains("Index"))
+        dict.intArray("Index").getOrElse(return None) // malformed /Index refuses
+      else Seq(0L, secSize)
+    if (index.isEmpty || index.length % 2 != 0) return None
+    val totalRows = index.grouped(2).map(_(1)).sum
+    if (totalRows * rowLen != raw.length) return None // exact coverage law
+    val out = IndexedSeq.newBuilder[XrefEntry]
+    var rp = 0
+    index.grouped(2).foreach { case Seq(start, count) =>
+      if (start < 0 || count < 0) return None
+      var e = 0L
+      while (e < count) {
+        def field(width: Int): Long = {
+          var v = 0L
+          var j = 0
+          while (j < width) { v = (v << 8) | (raw(rp + j) & 0xffL); j += 1 }
+          rp += width
+          v
+        }
+        val t = if (w(0) == 0) 1L else field(w(0).toInt)
+        val f2 = field(w(1).toInt)
+        val f3 = if (w(2) == 0) 0L else field(w(2).toInt)
+        // range laws BEFORE any Int narrowing: /W permits up to 8-byte
+        // fields, and a 2^32 generation or index must refuse, not
+        // truncate to 0
+        if (f3 < 0 || f3 > 0xffffL) return None
+        t match {
+          case 0 => ()
+          case 1 => if (f2 < 0 || f2 >= b.length) return None // offset law
+          case 2 => if (f2 < 0 || f2 >= secSize) return None // objects run 0..Size-1
+          case _ => return None // unknown entry type
+        }
+        out += XrefEntry(start + e, t.toInt, f2, f3)
+        e += 1
+      }
+    }
+    Some(XrefSection(dict, out.result()))
+  }
+
+  // ---- the unified resolve + census walk --------------------------------
+
+  /** A resolved document: the newest-wins live-object map over the whole
+    * update chain, plus the header/trailer facts and an ObjStm loader
+    * (decoded + header-verified, cached). Both probes and the text
+    * extractor consume this. */
+  final class PdfDoc(val bytes: Array[Byte], val vMinor: Int,
+                     val nUpdates: Int, val sizeDeclared: Int,
+                     val rootObj: Long,
+                     val live: scala.collection.mutable.LongMap[Loc],
+                     val hybrid: Boolean, val maxOut: Int) {
+
+    private val stmCache =
+      scala.collection.mutable.LongMap.empty[(Array[Byte], Int, Array[(Long, Int)])]
+
+    /** Decoded ObjStm `num`: (decoded bytes, /First, header pairs). The
+      * header's `/N` (objnum, offset) pairs are parsed and bounds-checked
+      * here; the INDEX law (pair names the xref entry's object) is the
+      * caller's, per lookup. */
+    def loadObjStm(num: Long): Option[(Array[Byte], Int, Array[(Long, Int)])] =
+      stmCache.get(num).orElse {
+        live.get(num) match {
+          case Some(Direct(off, gen, _)) =>
+            val ext = objExtentAt(bytes, off, num, gen).getOrElse(return None)
+            if (!ext.hasStream) return None
+            if (!ext.dict.nameVal("Type").contains("ObjStm")) return None
+            val n = ext.dict.intVal("N").getOrElse(return None)
+            val first = ext.dict.intVal("First").getOrElse(return None)
+            if (n <= 0 || n > (1 << 16) || first < 0) return None
+            val data = decodeStream(bytes, ext.dict, ext.streamFrom,
+              ext.streamLen, maxOut).getOrElse(return None)
+            if (first > data.length) return None
+            val pairs = new Array[(Long, Int)](n.toInt)
+            var hp = 0
+            var j = 0
+            while (j < n) {
+              hp = PdfCodec.skipWs(data, hp)
+              val (on, hp1) = try readInt(data, hp) catch { case _: NumberFormatException => return None }
+              hp = PdfCodec.skipWs(data, hp1)
+              val (ofs, hp2) = try readInt(data, hp) catch { case _: NumberFormatException => return None }
+              hp = hp2
+              if (first + ofs > data.length) return None
+              pairs(j) = (on, ofs.toInt)
+              j += 1
+            }
+            val entry = (data, first.toInt, pairs)
+            stmCache(num) = entry
+            Some(entry)
+          case _ => None // a type-2 entry must point at a live DIRECT ObjStm
+        }
+      }
+
+    /** The object's dict plus the buffer its spans index into (the file
+      * for direct objects, the decoded ObjStm for packed ones) — the
+      * ObjStm INDEX law enforced on the packed path. */
+    def dictAndBuf(objNum: Long): Option[(PDict, Array[Byte])] =
+      live.get(objNum).flatMap {
+        case Direct(off, gen, _) =>
+          objExtentAt(bytes, off, objNum, gen).map(e => (e.dict, bytes))
+        case InStm(stm, idx) =>
+          loadObjStm(stm).flatMap { case (data, first, pairs) =>
+            if (idx < 0 || idx >= pairs.length) None
+            else {
+              val (headerNum, ofs) = pairs(idx)
+              if (headerNum != objNum) None // the index law
+              else parseDict(data, first + ofs).map(d => (d, data))
+            }
+          }
+      }
+
+    /** Decoded stream payload of a DIRECT stream object (filters
+      * applied). None for dict-only, packed, or out-of-scope filters. */
+    def streamDecoded(objNum: Long): Option[Array[Byte]] =
+      live.get(objNum).flatMap {
+        case Direct(off, gen, _) =>
+          objExtentAt(bytes, off, objNum, gen).flatMap { e =>
+            if (!e.hasStream) None
+            else decodeStream(bytes, e.dict, e.streamFrom, e.streamLen, maxOut)
+          }
+        case _ => None
+      }
+  }
+
+  /** Shared tail law: the LAST `startxref <offset> %%EOF` with `%%EOF`
+    * as the final token (a truncated incremental update leaves the
+    * previous revision's trailer near EOF — resurrecting it would report
+    * facts for bytes the file no longer frames). */
+  private def startxrefAtTail(b: Array[Byte]): Option[Long] = {
+    val tail = new String(b, math.max(0, b.length - 96), math.min(96, b.length), "ISO-8859-1")
+    val sx = tail.lastIndexOf("startxref")
+    if (sx < 0) return None
+    val after = tail.substring(sx + "startxref".length)
+    val m = after.dropWhile(c => c == '\r' || c == '\n' || c == ' ')
+    val digits = m.takeWhile(_.isDigit)
+    if (digits.isEmpty || digits.length > 10) return None
+    val rest = m.substring(digits.length).dropWhile(c => c == '\r' || c == '\n' || c == ' ')
+    if (!rest.startsWith("%%EOF")) return None
+    if (!rest.drop(5).forall(c => c == '\r' || c == '\n' || c == ' ')) return None
+    Some(digits.toLong)
+  }
+
+  /** Resolve the newest-wins object map over the whole update chain.
+    * `classicRoot = true` walks classic TABLE sections (with hybrid
+    * `/XRefStm` supplements); `false` walks xref STREAM sections. Either
+    * way: header law, tail law, strict-decrease `/Prev`, `/Encrypt`
+    * refusal, free-list-head and `/Size` laws. */
+  def resolve(b: Array[Byte], classicRoot: Boolean, maxOut: Int = 1 << 26): Option[PdfDoc] = {
+    if (b == null || b.length < 16) return None
+    val hdr = "%PDF-1."
+    var i = 0
+    while (i < hdr.length) { if (b(i) != hdr.charAt(i).toByte) return None; i += 1 }
+    val vMinor = b(hdr.length) - '0'
+    if (vMinor < 0 || vMinor > 7) return None
+    var xrefOff = startxrefAtTail(b).getOrElse(return None)
+    val live = scala.collection.mutable.LongMap.empty[Loc]
+    val free = scala.collection.mutable.Set.empty[Long]
+    var size = -1
+    var rootObj = -1L
+    var nUpdates = 0
+    var prevSeen = Long.MaxValue
+    var hybrid = false
+    def bindStream(sec: XrefSection): Unit =
+      sec.entries.foreach { e =>
+        if (!live.contains(e.objNum) && !free.contains(e.objNum)) e.t match {
+          case 0 => free += e.objNum
+          case 1 => live(e.objNum) = Direct(e.f2, e.f3.toInt, fromStream = true)
+          case 2 => live(e.objNum) = InStm(e.f2, e.f3.toInt)
+        }
+      }
+    while (xrefOff >= 0) {
+      if (xrefOff >= prevSeen) return None // /Prev must strictly decrease
+      prevSeen = xrefOff
+      if (classicRoot) {
+        // ---- classic table section (the keyword law) ----
+        if (xrefOff > b.length - 4) return None
+        var p = xrefOff.toInt
+        if (!at(b, p, "xref")) return None
+        p += 4
+        p = skipEol(b, p)
+        // table rows are COLLECTED first: a hybrid /XRefStm in this
+        // revision's trailer takes precedence over them (spec rule)
+        val pending = scala.collection.mutable.ArrayBuffer.empty[(Long, Byte, Long, Int)]
+        var sawTrailer = false
+        while (!sawTrailer) {
+          if (p >= b.length) return None
+          if (at(b, p, "trailer")) { sawTrailer = true; p += 7 }
+          else {
+            val (start, p1) = try readInt(b, p) catch { case _: NumberFormatException => return None }
+            val (count, p2) = try readInt(b, skipSpaces(b, p1)) catch { case _: NumberFormatException => return None }
+            if (start < 0 || count < 0 || count > (1 << 20)) return None
+            p = skipEol(b, p2)
+            var e = 0L
+            while (e < count) {
+              if (p + 20 > b.length) return None
+              val off = digits10(b, p)
+              val gen = digits5(b, p + 11)
+              if (off < 0 || gen < 0) return None
+              if (b(p + 10) != ' ' || b(p + 16) != ' ') return None
+              val kind = b(p + 17)
+              if (kind != 'n' && kind != 'f') return None
+              pending += ((start + e, kind, off, gen))
+              p += 20
+              e += 1
+            }
+          }
+        }
+        p = skipWs(b, p)
+        val dict = parseDict(b, p).getOrElse(return None)
+        if (dict.entries.contains("Encrypt")) return None // scope pin
+        dict.intVal("XRefStm") match {
+          case Some(stmOff) =>
+            hybrid = true
+            val sec = readXrefStreamSection(b, stmOff, maxOut).getOrElse(return None)
+            if (sec.dict.entries.contains("Encrypt")) return None
+            // the TABLE chain is authoritative; a /Prev here would fork it
+            if (sec.dict.entries.contains("Prev")) return None
+            bindStream(sec)
+          case None =>
+            if (dict.entries.contains("XRefStm")) return None // non-integer value
+        }
+        pending.foreach { case (objNum, kind, off, gen) =>
+          if (!live.contains(objNum) && !free.contains(objNum)) {
+            if (kind == 'n') live(objNum) = Direct(off, gen, fromStream = false)
+            else free += objNum
+          }
+        }
+        if (nUpdates == 0) {
+          size = dict.intVal("Size").getOrElse(return None).toInt
+          rootObj = dict.refVal("Root").getOrElse(return None)
+        }
+        nUpdates += 1
+        if (nUpdates > 32) return None // runaway chain
+        xrefOff = dict.intVal("Prev").getOrElse(-1L)
+        if (xrefOff == -1L && dict.entries.contains("Prev")) return None
+      } else {
+        // ---- xref stream section (hybrids and classic tables refuse) ----
+        val sec = readXrefStreamSection(b, xrefOff, maxOut).getOrElse(return None)
+        if (sec.dict.entries.contains("Encrypt")) return None
+        bindStream(sec)
+        if (nUpdates == 0) {
+          size = sec.dict.intVal("Size").getOrElse(return None).toInt
+          rootObj = sec.dict.refVal("Root").getOrElse(return None)
+        }
+        nUpdates += 1
+        if (nUpdates > 32) return None
+        xrefOff = sec.dict.intVal("Prev").getOrElse(-1L)
+        if (xrefOff == -1L && sec.dict.entries.contains("Prev")) return None
+      }
+    }
+    // the zero object must be the free-list head
+    if (!free.contains(0L)) return None
+    if (size <= 0) return None
+    // /Size law: covers every live object number
+    val maxLive = if (live.isEmpty) -1L else live.keys.max
+    if (maxLive < 0 || size.toLong < maxLive + 1) return None
+    Some(new PdfDoc(b, vMinor, nUpdates, size, rootObj, live, hybrid, maxOut))
+  }
+
+  /** Census facts over a resolved document. */
+  final case class Facts(vMinor: Int, nUpdates: Int, sizeDeclared: Int,
+                         nObjects: Int, nPages: Int, nStreams: Int,
+                         streamBytes: Long, nInObjStm: Int)
+
+  /** Visit every live object once: the slot/stream/endobj laws (via the
+    * parse-once [[objExtentAt]]), the ObjStm index law for packed
+    * objects, the type census, and the `/Root`-is-Catalog law. With
+    * `classicPins` (the classic walk), TABLE-bound direct objects must
+    * not be machinery types (`ObjStm`/`XRef`) — in a hybrid file those
+    * are legal only when bound by the `/XRefStm` stream's own entries. */
+  def census(doc: PdfDoc, classicPins: Boolean): Option[Facts] = {
+    val b = doc.bytes
+    var nPages = 0; var nStreams = 0
+    var streamBytes = 0L
+    var nInObjStm = 0
+    var rootIsCatalog = false
+    doc.live.foreach {
+      case (objNum, Direct(off, gen, fromStream)) =>
+        val ext = objExtentAt(b, off, objNum, gen).getOrElse(return None)
+        val tpe = ext.dict.nameVal("Type").getOrElse("")
+        if (classicPins && !fromStream && (tpe == "ObjStm" || tpe == "XRef"))
+          return None // pure-classic scope pin: tables never bind machinery
+        if (ext.hasStream) {
+          nStreams += 1
+          // the census byte count covers CONTENT streams — the xref and
+          // objstm machinery is structure, not payload
+          if (tpe != "XRef" && tpe != "ObjStm") streamBytes += ext.streamLen
+        }
+        tpe match {
+          case "Page" => nPages += 1
+          case "Catalog" => if (objNum == doc.rootObj) rootIsCatalog = true
+          case _ => ()
+        }
+      case (objNum, InStm(stm, idx)) =>
+        val (data, first, pairs) = doc.loadObjStm(stm).getOrElse(return None)
+        if (idx < 0 || idx >= pairs.length) return None
+        val (headerNum, ofs) = pairs(idx)
+        if (headerNum != objNum) return None // the index law
+        val dict = parseDict(data, first + ofs).getOrElse(return None)
+        val tpe = dict.nameVal("Type").getOrElse("")
+        nInObjStm += 1
+        tpe match {
+          case "Page" => nPages += 1
+          case "Catalog" => if (objNum == doc.rootObj) rootIsCatalog = true
+          case _ => ()
+        }
+    }
+    if (!doc.live.contains(doc.rootObj) || !rootIsCatalog) return None // /Root law
+    Some(Facts(doc.vMinor, doc.nUpdates, doc.sizeDeclared, doc.live.size,
+      nPages, nStreams, streamBytes, nInObjStm))
+  }
+
+  // ---- small byte lexers shared with the classic table parser ----------
+
+  private[llm] def skipSpaces(b: Array[Byte], p0: Int): Int = {
+    var p = p0
+    while (p < b.length && (b(p) == ' ' || b(p) == '\t')) p += 1
+    p
+  }
+  private[llm] def skipEol(b: Array[Byte], p0: Int): Int = {
+    var p = skipSpaces(b, p0)
+    while (p < b.length && (b(p) == '\r' || b(p) == '\n')) p += 1
+    p
+  }
+  private[llm] def digits10(b: Array[Byte], p: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < 10) {
+      val c = b(p + i)
+      if (c < '0' || c > '9') return -1L
+      v = v * 10 + (c - '0'); i += 1
+    }
+    v
+  }
+  private[llm] def digits5(b: Array[Byte], p: Int): Int = {
+    var v = 0; var i = 0
+    while (i < 5) {
+      val c = b(p + i)
+      if (c < '0' || c > '9') return -1
+      v = v * 10 + (c - '0'); i += 1
+    }
+    v
+  }
+}

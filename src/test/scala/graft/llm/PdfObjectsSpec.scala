@@ -1,0 +1,122 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import PdfObjects._
+
+/** Shared PDF machinery: the filter pipeline (bare-name vs array forms,
+  * ASCIIHexDecode, the ASCIIHex→Flate chain, out-of-scope refusals),
+  * hybrid-reference files (classic table + /XRefStm supplement), and
+  * the era-partition laws after the r16 unification. */
+class PdfObjectsSpec extends AnyFunSuite {
+
+  private def dict(s: String): PdfCodec.PDict =
+    PdfCodec.parseDict(s.getBytes("ISO-8859-1"), 0)
+      .getOrElse(fail(s"refused dict: $s"))
+
+  private def dec(d: String, payload: Array[Byte]): Option[Array[Byte]] =
+    decodeStream(payload, dict(d), 0, payload.length, 1 << 20)
+
+  test("filter forms: bare name, single-element array, chains") {
+    val plain = "the quick brown fox".getBytes("ISO-8859-1")
+    val flated = PdfModern.flate(plain)
+    def hex(b: Array[Byte]): Array[Byte] =
+      (b.map(x => f"${x & 0xff}%02x").mkString + ">").getBytes("ISO-8859-1")
+    // no filter: raw copy
+    assert(dec("<< /Length 3 >>", plain).exists(_.sameElements(plain)))
+    // bare name and the [/FlateDecode] array form many writers emit
+    assert(dec("<< /Filter /FlateDecode >>", flated).exists(_.sameElements(plain)))
+    assert(dec("<< /Filter [/FlateDecode] >>", flated).exists(_.sameElements(plain)))
+    assert(dec("<< /Filter [ /FlateDecode ] >>", flated).exists(_.sameElements(plain)))
+    // ASCIIHex alone, then the mail-safe ASCIIHex -> Flate chain
+    assert(dec("<< /Filter /ASCIIHexDecode >>", hex(plain)).exists(_.sameElements(plain)))
+    assert(dec("<< /Filter [/ASCIIHexDecode /FlateDecode] >>", hex(flated))
+      .exists(_.sameElements(plain)))
+    // butted names inside the array form
+    assert(dec("<< /Filter [/ASCIIHexDecode/FlateDecode] >>", hex(flated))
+      .exists(_.sameElements(plain)))
+    // out-of-scope filters refuse (never hand back unvouched bytes)
+    assert(dec("<< /Filter /DCTDecode >>", plain).isEmpty)
+    assert(dec("<< /Filter [/LZWDecode] >>", plain).isEmpty)
+    assert(dec("<< /Filter [/FlateDecode /Crypt] >>", flated).isEmpty)
+    // wrong order in the chain refuses (hex of flate is not flate of hex)
+    assert(dec("<< /Filter [/FlateDecode /ASCIIHexDecode] >>", hex(flated)).isEmpty)
+  }
+
+  test("ASCIIHexDecode: whitespace, odd digit, EOD laws") {
+    def h(s: String) = asciiHexDecode(s.getBytes("ISO-8859-1"), 0, s.length)
+    assert(h("48656c6C6f>").exists(_.sameElements("Hello".getBytes)))
+    // whitespace between digits is ignored; case-insensitive
+    assert(h("48 65\n6c\t6C 6f >").exists(_.sameElements("Hello".getBytes)))
+    // odd final digit: low nibble 0 (spec)
+    assert(h("7>").exists(_.sameElements(Array(0x70.toByte))))
+    // EOD is mandatory; junk after EOD refuses; non-hex refuses
+    assert(h("4865").isEmpty)
+    assert(h("48>x").isEmpty)
+    assert(h("4g>").isEmpty)
+    // whitespace after EOD is fine (stream padding)
+    assert(h("48> \n").exists(_.sameElements(Array(0x48.toByte))))
+  }
+
+  test("hybrid-reference files: the classic walk reads the /XRefStm supplement") {
+    // facts: (vMinor, nUpdates, size, nObjects, nPages, nStreams, streamBytes)
+    // P pages hide P+2 dicts in an ObjStm visible only via /XRefStm;
+    // streams = P content + ObjStm + XRef machinery
+    val one = PdfModern.encodeHybridPdf(4, Seq(33))
+    assert(PdfCodec.pdfProbe(one).contains((4, 1, 7, 6, 1, 3, 33L)))
+    val multi = PdfModern.encodeHybridPdf(6, Seq(20, 45, 10), seed = 5)
+    assert(PdfCodec.pdfProbe(multi).contains((6, 1, 11, 10, 3, 5, 75L)))
+    // the MODERN walk still refuses hybrids (startxref lands on a table)
+    assert(PdfModern.modernProbe(one).isEmpty)
+    // and the filter-array form parses end-to-end in a full document
+    val arr = PdfModern.encodeHybridPdf(5, Seq(25, 12), filterArrayForm = true)
+    assert(PdfCodec.pdfProbe(arr).contains((5, 1, 9, 8, 2, 4, 37L)))
+  }
+
+  test("hybrid laws: /Prev inside the /XRefStm section refuses; tampers refuse") {
+    // the TABLE chain is authoritative — a /XRefStm section that forks
+    // the chain with its own /Prev refuses after parsing cleanly
+    val lie = PdfModern.encodeHybridPdf(4, Seq(30), xrefStmPrevLie = true)
+    assert(PdfCodec.pdfProbe(lie).isEmpty)
+    assert(PdfCodec.pdfProbe(PdfModern.encodeHybridPdf(4, Seq(30))).nonEmpty)
+    val b = PdfModern.encodeHybridPdf(4, Seq(22, 18), seed = 9)
+    // truncations refuse (d=1 only shaves the trailing newline)
+    assert(PdfCodec.pdfProbe(b.dropRight(1)).nonEmpty)
+    (2 to b.length - 1 by 7).foreach { d =>
+      assert(PdfCodec.pdfProbe(b.dropRight(d)).isEmpty, s"drop $d passed")
+    }
+    // aiming /XRefStm one byte off the stream object refuses
+    val s = new String(b, "ISO-8859-1")
+    val m = "/XRefStm (\\d+)".r.findFirstMatchIn(s).get
+    val off = m.group(1).toLong
+    val bad = s.substring(0, m.start) + s"/XRefStm ${off + 1}" + s.substring(m.end)
+    assert(PdfCodec.pdfProbe(bad.getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  test("the modern walk accepts the [/FlateDecode] array form end-to-end") {
+    val (b, _) = PdfModern.encodeModernPdf(6, Seq(24, 31), None,
+      predictor = true, filterArrayForm = true)
+    assert(PdfModern.modernProbe(b).contains((6, 1, 9, 8, 2, 4, 55L, 4)))
+  }
+
+  test("era partition after unification: classic refuses modern roots and vice versa") {
+    val (modern, _) = PdfModern.encodeModernPdf(7, Seq(40), None, predictor = false)
+    assert(PdfCodec.pdfProbe(modern).isEmpty)
+    val classic = PdfCodec.encodePdf(4, Seq(40), None)
+    assert(PdfModern.modernProbe(classic).isEmpty)
+    // and the type-2 bound is strict: an ObjStm number EQUAL to /Size is
+    // out of range (objects run 0..Size-1) — proven at the unit level
+    // since a full-document fixture would refuse later anyway
+    val rows = Array[Byte](2, 0, 9, 0) // type 2, f2 = 9, f3 = 0
+    val comp = PdfModern.flate(rows)
+    val obj = (s"9 0 obj\n<< /Type /XRef /Size 9 /W [1 2 1] /Index [3 1] /Root 1 0 R" +
+      s" /Filter /FlateDecode /Length ${comp.length} >>\nstream\n").getBytes("ISO-8859-1") ++
+      comp ++ "\nendstream\nendobj\n".getBytes("ISO-8859-1")
+    assert(readXrefStreamSection(obj, 0L, 1 << 20).isEmpty) // f2 == Size refuses
+    val rows2 = Array[Byte](2, 0, 8, 0)
+    val comp2 = PdfModern.flate(rows2)
+    val obj2 = (s"9 0 obj\n<< /Type /XRef /Size 9 /W [1 2 1] /Index [3 1] /Root 1 0 R" +
+      s" /Filter /FlateDecode /Length ${comp2.length} >>\nstream\n").getBytes("ISO-8859-1") ++
+      comp2 ++ "\nendstream\nendobj\n".getBytes("ISO-8859-1")
+    assert(readXrefStreamSection(obj2, 0L, 1 << 20).nonEmpty) // f2 == Size-1 passes
+  }
+}
