@@ -1,0 +1,219 @@
+package graft.llm
+
+/** DOCX (OOXML WordprocessingML) text extraction — the second document
+  * modality in real corpora after PDF. A .docx is a ZIP container
+  * (ECMA-376 Part 2, OPC) whose main part `word/document.xml` holds the
+  * text: `w:body` → paragraphs (`w:p`) → runs (`w:r`) → text nodes
+  * (`w:t`), with `w:tab` and `w:br` as in-paragraph whitespace marks.
+  *
+  * The walk is strict the way the rest of the codec family is:
+  *  - the container must be a well-formed ZIP; EVERY entry is read to
+  *    the end, so the per-entry CRC-32 the format carries is verified
+  *    on each one (a flipped byte refuses, never garbles text);
+  *  - `[Content_Types].xml` and `word/document.xml` must both be
+  *    present (the OPC laws — a zip of stray files is not a DOCX);
+  *  - the XML parses namespace-aware with doctypes refused (no XXE
+  *    class by construction), the root must be `document`, exactly one
+  *    `body`; paragraph text is assembled by an in-order walk so runs,
+  *    tabs and breaks interleave exactly as written.
+  *
+  * Scope pins (refuse, documented): embedded subdocuments and fields
+  * are not resolved (their literal `w:t` content is what a curation
+  * pipeline sees); tables (`w:tbl`) refuse rather than flatten in an
+  * undocumented order. */
+object DocxCodec {
+
+  /** Extraction facts: (nEntries, nParagraphs, paragraphs). None on any
+    * container/XML violation. */
+  def docxText(b: Array[Byte], maxEntry: Int = 1 << 24): Option[(Int, Int, Seq[String])] = try {
+    if (b == null || b.length < 22) return None
+    // ---- container tail laws: ZipInputStream walks LOCAL headers only
+    // and never reads the central directory, so by itself it accepts a
+    // truncated container (the directory and EOCD shear off first).
+    // Verify the End-Of-Central-Directory record: signature, the
+    // comment-length law (EOCD + comment ends the file exactly), the
+    // central directory sitting immediately before it, and the entry
+    // count matching what the local walk finds. ----
+    def u16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    def u32(p: Int): Long =
+      (u16(p).toLong) | (u16(p + 2).toLong << 16)
+    var eocd = b.length - 22
+    while (eocd >= 0 && !(b(eocd) == 'P' && b(eocd + 1) == 'K' &&
+      b(eocd + 2) == 5 && b(eocd + 3) == 6)) eocd -= 1
+    if (eocd < 0) return None
+    if (eocd + 22 + u16(eocd + 20) != b.length) return None // comment law
+    val totalCdEntries = u16(eocd + 10)
+    if (u16(eocd + 8) != totalCdEntries) return None // single-disk law
+    val cdSize = u32(eocd + 12)
+    val cdOff = u32(eocd + 16)
+    if (cdOff + cdSize != eocd.toLong) return None // directory abuts EOCD
+    if (totalCdEntries > 0 &&
+      !(cdOff + 4 <= b.length && b(cdOff.toInt) == 'P' &&
+        b(cdOff.toInt + 1) == 'K' && b(cdOff.toInt + 2) == 1 &&
+        b(cdOff.toInt + 3) == 2)) return None
+    val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(b))
+    var nEntries = 0
+    var nAll = 0 // incl. directory entries, for the EOCD count law
+    var docXml: Array[Byte] = null
+    var sawContentTypes = false
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        nAll += 1
+        if (!e.isDirectory) {
+          // readAllBytes drains the entry, which is what makes the
+          // stream verify the CRC-32 — a partial read would skip it
+          val data = zin.readAllBytes()
+          if (data.length > maxEntry) return None
+          nEntries += 1
+          if (e.getName == "word/document.xml") {
+            if (docXml != null) return None // duplicate main part
+            docXml = data
+          }
+          if (e.getName == "[Content_Types].xml") sawContentTypes = true
+        }
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    if (nAll != totalCdEntries) return None // every entry reaches the directory
+    if (docXml == null || !sawContentTypes) return None // the OPC laws
+    // ---- word/document.xml ----
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    dbf.setNamespaceAware(true)
+    val doc = dbf.newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(docXml))
+    val root = doc.getDocumentElement
+    if (root.getLocalName != "document") return None
+    val bodies = children(root).filter(_.getLocalName == "body")
+    if (bodies.length != 1) return None
+    val paras = scala.collection.mutable.ArrayBuffer.empty[String]
+    children(bodies.head).foreach { el =>
+      el.getLocalName match {
+        case "p" =>
+          val sb = new StringBuilder
+          if (!collectRuns(el, sb)) return None
+          paras += sb.toString
+        case "sectPr" => () // section properties: layout, not text
+        case "tbl" => return None // scope pin: no undocumented flatten
+        case _ => () // bookmarks, proofing marks: not text
+      }
+    }
+    Some((nEntries, paras.length, paras.toSeq))
+  } catch {
+    case _: java.util.zip.ZipException => None
+    case _: java.io.IOException => None
+    case _: org.xml.sax.SAXException => None
+    case _: javax.xml.parsers.ParserConfigurationException => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  private def children(e: org.w3c.dom.Element): Seq[org.w3c.dom.Element] = {
+    val nl = e.getChildNodes
+    (0 until nl.getLength).map(nl.item).collect {
+      case el: org.w3c.dom.Element => el
+    }
+  }
+
+  /** In-order text assembly under a paragraph: `w:t` appends its text,
+    * `w:tab` a tab, `w:br` a newline; runs and properties recurse so
+    * interleavings survive exactly. */
+  private def collectRuns(e: org.w3c.dom.Element, sb: StringBuilder): Boolean = {
+    children(e).forall { el =>
+      el.getLocalName match {
+        case "t" => sb ++= el.getTextContent; true
+        case "tab" => sb += '\t'; true
+        case "br" => sb += '\n'; true
+        case "tbl" => false // nested table: same pin as top level
+        case _ => collectRuns(el, sb) // w:r, w:rPr wrappers, etc.
+      }
+    }
+  }
+
+  // ---- conformance writer (tests the WALK) -------------------------------
+
+  private def xmlEscape(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case c => c.toString
+    }
+
+  private val contentTypesXml: String =
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+      |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+      |<Default Extension="xml" ContentType="application/xml"/>
+      |<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>
+      |</Types>""".stripMargin
+
+  private val relsXml: String =
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+      |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/>
+      |</Relationships>""".stripMargin
+
+  /** Deterministic DOCX: the OPC skeleton plus `word/document.xml` with
+    * the given paragraphs. A paragraph string may contain `\t` (emitted
+    * as `w:tab`) and `\n` (as `w:br`); text is split across TWO runs
+    * when it has ≥ 2 characters (the run boundary must be invisible to
+    * extraction). `document.xml` is written STORED so tamper arms can
+    * flip a payload byte and prove the CRC law; the other entries ride
+    * DEFLATE like a real writer's. `omitDocument` drops the main part
+    * (the OPC-law refusal arm). */
+  def encodeDocx(paragraphs: Seq[String], omitDocument: Boolean = false,
+                 omitContentTypes: Boolean = false): Array[Byte] = {
+    val body = paragraphs.map { p =>
+      val runs = new StringBuilder
+      // split plain segments on the whitespace marks; emit marks as tags
+      var seg = new StringBuilder
+      def flushSeg(): Unit = {
+        if (seg.nonEmpty) {
+          val t = seg.toString
+          val cut = if (t.length >= 2) t.length / 2 else 0
+          if (cut > 0)
+            runs ++= s"""<w:r><w:t xml:space="preserve">${xmlEscape(t.substring(0, cut))}</w:t></w:r>""" +
+              s"""<w:r><w:t xml:space="preserve">${xmlEscape(t.substring(cut))}</w:t></w:r>"""
+          else
+            runs ++= s"""<w:r><w:t xml:space="preserve">${xmlEscape(t)}</w:t></w:r>"""
+          seg = new StringBuilder
+        }
+      }
+      p.foreach {
+        case '\t' => flushSeg(); runs ++= "<w:r><w:tab/></w:r>"
+        case '\n' => flushSeg(); runs ++= "<w:r><w:br/></w:r>"
+        case c => seg += c
+      }
+      flushSeg()
+      s"<w:p>$runs</w:p>"
+    }.mkString
+    val docXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +
+        s"<w:body>$body<w:sectPr/></w:body></w:document>"
+    val out = new java.io.ByteArrayOutputStream
+    val zos = new java.util.zip.ZipOutputStream(out)
+    def deflated(name: String, data: Array[Byte]): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(data); zos.closeEntry()
+    }
+    def stored(name: String, data: Array[Byte]): Unit = {
+      val e = new java.util.zip.ZipEntry(name)
+      e.setMethod(java.util.zip.ZipEntry.STORED)
+      e.setSize(data.length.toLong)
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      e.setCrc(crc.getValue)
+      zos.putNextEntry(e)
+      zos.write(data); zos.closeEntry()
+    }
+    if (!omitContentTypes)
+      deflated("[Content_Types].xml", contentTypesXml.getBytes("UTF-8"))
+    deflated("_rels/.rels", relsXml.getBytes("UTF-8"))
+    if (!omitDocument)
+      stored("word/document.xml", docXml.getBytes("UTF-8"))
+    zos.close()
+    out.toByteArray
+  }
+}

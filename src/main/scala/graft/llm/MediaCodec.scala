@@ -629,6 +629,12 @@ object MediaCodec {
     val d = deflaters.get(); d.reset(); d
   }
 
+  /** The per-thread pooled Inflater, reset and ready — same contract as
+    * [[pooledDeflater]]: drain fully within the call, never nest. */
+  private[llm] def pooledInflater(): java.util.zip.Inflater = {
+    val i = inflaters.get(); i.reset(); i
+  }
+
   /** Adam7 interlace passes: (xStart, yStart, xStep, yStep) per spec
     * §8.2 — each pass an independently-filtered sub-image. */
   private val Adam7Passes: Seq[(Int, Int, Int, Int)] = Seq(

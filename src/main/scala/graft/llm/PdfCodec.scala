@@ -246,8 +246,8 @@ object PdfCodec {
           }
           else p += 1
         }
-        val v = new String(b, vs, p - vs, "ISO-8859-1").trim
-          .replaceAll("\\s+", " ")
+        val v = wsRun.matcher(new String(b, vs, p - vs, "ISO-8859-1").trim)
+          .replaceAll(" ")
         if (v.isEmpty) return None
         entries(key) = v
         spans(key) = vs
@@ -255,6 +255,10 @@ object PdfCodec {
     }
     None // unreachable
   }
+
+  // String.replaceAll compiles its pattern per CALL; parseDict runs per
+  // dict per object per document, so the whitespace collapser is hoisted
+  private val wsRun = java.util.regex.Pattern.compile("\\s+")
 
   private def isRegular(c: Byte): Boolean =
     !(c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '/' ||

@@ -57,14 +57,14 @@ object PdfModern {
   //      one xref STREAM per revision) --------------------------------
 
   private[llm] def flate(data: Array[Byte]): Array[Byte] = {
-    val d = new java.util.zip.Deflater() // zlib wrapper, Adler-32 tail
-    try {
-      d.setInput(data); d.finish()
-      val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
-      val buf = new Array[Byte](8192)
-      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-      out.toByteArray
-    } finally d.end()
+    // zlib wrapper, Adler-32 tail; pooled per thread (writers emit
+    // several small streams per document)
+    val d = MediaCodec.pooledDeflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    out.toByteArray
   }
 
 

@@ -81,7 +81,10 @@ object PdfObjects {
   // ---- stream filters -------------------------------------------------
 
   private[llm] def inflate(b: Array[Byte], off: Int, len: Int, maxOut: Int): Option[Array[Byte]] = {
-    val inf = new java.util.zip.Inflater() // zlib wrapper: Adler-32 verified
+    // zlib wrapper: Adler-32 verified. Pooled per thread — a fresh
+    // Inflater is a native alloc, and a document walk inflates several
+    // small streams (xref, ObjStm, content) per row
+    val inf = MediaCodec.pooledInflater()
     try {
       inf.setInput(b, off, len)
       val out = new java.io.ByteArrayOutputStream(
@@ -98,7 +101,7 @@ object PdfObjects {
       Some(out.toByteArray)
     } catch {
       case _: java.util.zip.DataFormatException => None
-    } finally inf.end()
+    }
   }
 
   /** ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, `>` as the

@@ -1,0 +1,830 @@
+package graft.llm
+
+/** PDF TEXT extraction — the reason PDFs are in LLM training data. Built
+  * on the unified [[PdfObjects]] walk, so it works over BOTH eras
+  * (classic tables, xref streams with ObjStm-resident page/font dicts)
+  * and hybrid-reference files:
+  *
+  *  - the page tree is walked from `/Root → /Pages` through `/Kids`
+  *    in order, with the `/Count` law verified per node, `/Resources`
+  *    inherited down the tree (§7.7.3.4), and `/Contents` accepted as a
+  *    single stream or an array (streams concatenated, §7.8.2);
+  *  - content streams decode through the full filter pipeline (Flate,
+  *    ASCIIHex, array forms, chains) and are tokenized: text-object
+  *    brackets `BT…ET`, show operators `Tj ' " TJ` (TJ kerning numbers
+  *    are positioning, not text — skipped), and the line-break family
+  *    `Td/TD` (ty ≠ 0), `Tm`, `T*` — the positional model is LINES, the
+  *    unit a curation pipeline needs, not glyph coordinates;
+  *  - simple fonts only: `/Type1`/`/TrueType`/`/MMType1` with
+  *    StandardEncoding (the implicit default) or `/WinAnsiEncoding`,
+  *    plus `/Encoding` dicts carrying `/BaseEncoding` + `/Differences`
+  *    overrides, every byte mapped through the public Annex-D tables to
+  *    Unicode via the Adobe glyph names.
+  *
+  * Honest refusals (None, never garbage): CID/Type0 and Type3 fonts,
+  * MacRoman/MacExpert encodings, unknown glyph names in `/Differences`,
+  * bytes a font's encoding leaves undefined, inline images (`BI` —
+  * binary follows that a text tokenizer cannot frame), Form XObjects
+  * (`Do` on anything but an image — they can carry text this walk would
+  * otherwise silently drop), malformed operands, and every structural
+  * violation the underlying walk refuses (the full census gate runs
+  * first). Encrypted documents refuse in the walk itself. */
+object PdfText {
+
+  import PdfCodec.{parseDict, PDict}
+  import PdfObjects.PdfDoc
+
+  // ---- encodings (ISO 32000-1 Annex D, public tables) -------------------
+
+  /** Adobe glyph name → Unicode (the AGL subset covering Standard +
+    * WinAnsi + the Latin-1 names, enough for every name those tables or
+    * a sane /Differences can produce). */
+  private[llm] val glyphChar: Map[String, Char] = {
+    val m = Map.newBuilder[String, Char]
+    ('A' to 'Z').foreach(c => m += c.toString -> c)
+    ('a' to 'z').foreach(c => m += c.toString -> c)
+    Seq("zero", "one", "two", "three", "four", "five", "six", "seven",
+      "eight", "nine").zipWithIndex.foreach { case (n, i) =>
+      m += n -> ('0' + i).toChar
+    }
+    val punct = Seq(
+      "space" -> ' ', "exclam" -> '!', "quotedbl" -> '"', "numbersign" -> '#',
+      "dollar" -> '$', "percent" -> '%', "ampersand" -> '&',
+      "parenleft" -> '(', "parenright" -> ')', "asterisk" -> '*',
+      "plus" -> '+', "comma" -> ',', "hyphen" -> '-', "period" -> '.',
+      "slash" -> '/', "colon" -> ':', "semicolon" -> ';', "less" -> '<',
+      "equal" -> '=', "greater" -> '>', "question" -> '?', "at" -> '@',
+      "bracketleft" -> '[', "backslash" -> '\\', "bracketright" -> ']',
+      "asciicircum" -> '^', "underscore" -> '_', "braceleft" -> '{',
+      "bar" -> '|', "braceright" -> '}', "asciitilde" -> '~',
+      "quotesingle" -> '\'', "grave" -> '`',
+      "quoteleft" -> '‘', "quoteright" -> '’',
+      "quotedblleft" -> '“', "quotedblright" -> '”',
+      "quotesinglbase" -> '‚', "quotedblbase" -> '„',
+      "guilsinglleft" -> '‹', "guilsinglright" -> '›',
+      "guillemotleft" -> '«', "guillemotright" -> '»',
+      "bullet" -> '•', "endash" -> '–', "emdash" -> '—',
+      "dagger" -> '†', "daggerdbl" -> '‡',
+      "ellipsis" -> '…', "perthousand" -> '‰',
+      "fraction" -> '⁄', "florin" -> 'ƒ', "fi" -> 'ﬁ',
+      "fl" -> 'ﬂ', "trademark" -> '™', "Euro" -> '€',
+      "Scaron" -> 'Š', "scaron" -> 'š', "Zcaron" -> 'Ž',
+      "zcaron" -> 'ž', "Ydieresis" -> 'Ÿ', "OE" -> 'Œ',
+      "oe" -> 'œ', "Lslash" -> 'Ł', "lslash" -> 'ł',
+      "dotlessi" -> 'ı', "circumflex" -> 'ˆ', "tilde" -> '˜',
+      "breve" -> '˘', "dotaccent" -> '˙', "ring" -> '˚',
+      "hungarumlaut" -> '˝', "ogonek" -> '˛', "caron" -> 'ˇ',
+      "exclamdown" -> '¡', "cent" -> '¢', "sterling" -> '£',
+      "currency" -> '¤', "yen" -> '¥', "brokenbar" -> '¦',
+      "section" -> '§', "dieresis" -> '¨', "copyright" -> '©',
+      "ordfeminine" -> 'ª', "logicalnot" -> '¬',
+      "registered" -> '®', "macron" -> '¯', "degree" -> '°',
+      "plusminus" -> '±', "twosuperior" -> '²',
+      "threesuperior" -> '³', "acute" -> '´', "mu" -> 'µ',
+      "paragraph" -> '¶', "periodcentered" -> '·',
+      "cedilla" -> '¸', "onesuperior" -> '¹',
+      "ordmasculine" -> 'º', "onequarter" -> '¼',
+      "onehalf" -> '½', "threequarters" -> '¾',
+      "questiondown" -> '¿', "multiply" -> '×',
+      "divide" -> '÷', "germandbls" -> 'ß')
+    m ++= punct
+    // Latin-1 letter block (0xC0..0xFF minus multiply/divide/germandbls)
+    val latin = ("Agrave Aacute Acircumflex Atilde Adieresis Aring AE " +
+      "Ccedilla Egrave Eacute Ecircumflex Edieresis Igrave Iacute " +
+      "Icircumflex Idieresis Eth Ntilde Ograve Oacute Ocircumflex Otilde " +
+      "Odieresis multiply Oslash Ugrave Uacute Ucircumflex Udieresis " +
+      "Yacute Thorn germandbls agrave aacute acircumflex atilde adieresis " +
+      "aring ae ccedilla egrave eacute ecircumflex edieresis igrave " +
+      "iacute icircumflex idieresis eth ntilde ograve oacute ocircumflex " +
+      "otilde odieresis divide oslash ugrave uacute ucircumflex udieresis " +
+      "yacute thorn ydieresis").split(" ")
+    latin.zipWithIndex.foreach { case (n, i) => m += n -> (0xc0 + i).toChar }
+    m.result()
+  }
+
+  private def table(names: Map[Int, String]): Array[Char] = {
+    val t = new Array[Char](256) // '\u0000' = undefined → show refuses
+    names.foreach { case (code, n) => t(code) = glyphChar(n) }
+    t
+  }
+
+  /** Glyph names shared by Standard and WinAnsi over the ASCII range
+    * (codes 32..126 minus 39 and 96, which the two encodings disagree on). */
+  private val baseNames: Map[Int, String] = {
+    val m = Map.newBuilder[Int, String]
+    ('A' to 'Z').foreach(c => m += c.toInt -> c.toString)
+    ('a' to 'z').foreach(c => m += c.toInt -> c.toString)
+    Seq("zero", "one", "two", "three", "four", "five", "six", "seven",
+      "eight", "nine").zipWithIndex.foreach { case (n, i) => m += (48 + i) -> n }
+    m ++= Seq(32 -> "space", 33 -> "exclam", 34 -> "quotedbl",
+      35 -> "numbersign", 36 -> "dollar", 37 -> "percent", 38 -> "ampersand",
+      40 -> "parenleft", 41 -> "parenright", 42 -> "asterisk", 43 -> "plus",
+      44 -> "comma", 45 -> "hyphen", 46 -> "period", 47 -> "slash",
+      58 -> "colon", 59 -> "semicolon", 60 -> "less", 61 -> "equal",
+      62 -> "greater", 63 -> "question", 64 -> "at", 91 -> "bracketleft",
+      92 -> "backslash", 93 -> "bracketright", 94 -> "asciicircum",
+      95 -> "underscore", 123 -> "braceleft", 124 -> "bar",
+      125 -> "braceright", 126 -> "asciitilde")
+    m.result()
+  }
+
+  /** StandardEncoding (Annex D.2): the implicit default of simple fonts. */
+  private[llm] val standardTable: Array[Char] = table(baseNames ++ Map(
+    39 -> "quoteright", 96 -> "quoteleft",
+    161 -> "exclamdown", 162 -> "cent", 163 -> "sterling", 164 -> "fraction",
+    165 -> "yen", 166 -> "florin", 167 -> "section", 168 -> "currency",
+    169 -> "quotesingle", 170 -> "quotedblleft", 171 -> "guillemotleft",
+    172 -> "guilsinglleft", 173 -> "guilsinglright", 174 -> "fi",
+    175 -> "fl", 177 -> "endash", 178 -> "dagger", 179 -> "daggerdbl",
+    180 -> "periodcentered", 182 -> "paragraph", 183 -> "bullet",
+    184 -> "quotesinglbase", 185 -> "quotedblbase", 186 -> "quotedblright",
+    187 -> "guillemotright", 188 -> "ellipsis", 189 -> "perthousand",
+    191 -> "questiondown", 193 -> "grave", 194 -> "acute",
+    195 -> "circumflex", 196 -> "tilde", 197 -> "macron", 198 -> "breve",
+    199 -> "dotaccent", 200 -> "dieresis", 202 -> "ring", 203 -> "cedilla",
+    205 -> "hungarumlaut", 206 -> "ogonek", 207 -> "caron", 208 -> "emdash",
+    225 -> "AE", 227 -> "ordfeminine", 232 -> "Lslash", 233 -> "Oslash",
+    234 -> "OE", 235 -> "ordmasculine", 241 -> "ae", 245 -> "dotlessi",
+    248 -> "lslash", 249 -> "oslash", 250 -> "oe", 251 -> "germandbls"))
+
+  /** WinAnsiEncoding (Annex D.3): the Windows-1252 layout. */
+  private[llm] val winAnsiTable: Array[Char] = {
+    val latin = ("Agrave Aacute Acircumflex Atilde Adieresis Aring AE " +
+      "Ccedilla Egrave Eacute Ecircumflex Edieresis Igrave Iacute " +
+      "Icircumflex Idieresis Eth Ntilde Ograve Oacute Ocircumflex Otilde " +
+      "Odieresis multiply Oslash Ugrave Uacute Ucircumflex Udieresis " +
+      "Yacute Thorn germandbls agrave aacute acircumflex atilde adieresis " +
+      "aring ae ccedilla egrave eacute ecircumflex edieresis igrave " +
+      "iacute icircumflex idieresis eth ntilde ograve oacute ocircumflex " +
+      "otilde odieresis divide oslash ugrave uacute ucircumflex udieresis " +
+      "yacute thorn ydieresis").split(" ")
+    table(baseNames ++
+      latin.zipWithIndex.map { case (n, i) => (0xc0 + i) -> n }.toMap ++ Map(
+      39 -> "quotesingle", 96 -> "grave",
+      128 -> "Euro", 130 -> "quotesinglbase", 131 -> "florin",
+      132 -> "quotedblbase", 133 -> "ellipsis", 134 -> "dagger",
+      135 -> "daggerdbl", 136 -> "circumflex", 137 -> "perthousand",
+      138 -> "Scaron", 139 -> "guilsinglleft", 140 -> "OE", 142 -> "Zcaron",
+      145 -> "quoteleft", 146 -> "quoteright", 147 -> "quotedblleft",
+      148 -> "quotedblright", 149 -> "bullet", 150 -> "endash",
+      151 -> "emdash", 152 -> "tilde", 153 -> "trademark", 154 -> "scaron",
+      155 -> "guilsinglright", 156 -> "oe", 158 -> "zcaron",
+      159 -> "Ydieresis", 160 -> "space", 161 -> "exclamdown",
+      162 -> "cent", 163 -> "sterling", 164 -> "currency", 165 -> "yen",
+      166 -> "brokenbar", 167 -> "section", 168 -> "dieresis",
+      169 -> "copyright", 170 -> "ordfeminine", 171 -> "guillemotleft",
+      172 -> "logicalnot", 173 -> "hyphen", 174 -> "registered",
+      175 -> "macron", 176 -> "degree", 177 -> "plusminus",
+      178 -> "twosuperior", 179 -> "threesuperior", 180 -> "acute",
+      181 -> "mu", 182 -> "paragraph", 183 -> "periodcentered",
+      184 -> "cedilla", 185 -> "onesuperior", 186 -> "ordmasculine",
+      187 -> "guillemotright", 188 -> "onequarter", 189 -> "onehalf",
+      190 -> "threequarters", 191 -> "questiondown"))
+  }
+
+  // ---- font resolution ---------------------------------------------------
+
+  private val refRe = "(\\d+)\\s+(\\d+)\\s+R".r
+  private val tokRe = "(\\d+)|/([^\\s/\\[\\]()<>{}%]+)".r
+
+  /** A key's value as a dict: inline (re-parsed from the buffer via its
+    * span) or an indirect reference resolved through the document. */
+  private def dictValue(doc: PdfDoc, d: PDict, buf: Array[Byte],
+                        key: String): Option[(PDict, Array[Byte])] =
+    d.entries.get(key).flatMap { v =>
+      if (v.startsWith("<<"))
+        d.spans.get(key).flatMap(sp => parseDict(buf, sp)).map((_, buf))
+      else d.refVal(key).flatMap(doc.dictAndBuf)
+    }
+
+  /** A key's value as references: a single `N G R` or an array of them
+    * (the array must contain nothing else). */
+  private def refsValue(d: PDict, key: String): Option[Seq[Long]] =
+    d.entries.get(key).flatMap { v =>
+      if (v.startsWith("[")) {
+        val inner = v.substring(1, v.length - 1)
+        val refs = refRe.findAllMatchIn(inner).map(_.group(1).toLong).toSeq
+        val residue = refRe.replaceAllIn(inner, " ").trim
+        if (residue.nonEmpty) None else Some(refs)
+      } else d.refVal(key).map(Seq(_))
+    }
+
+  /** Build a simple font's byte→char table, or refuse: Type0/Type3 and
+    * the Mac encodings are out of scope; `/Differences` names must be in
+    * the glyph list. */
+  private def fontTable(doc: PdfDoc, fd: PDict, fbuf: Array[Byte]): Option[Array[Char]] = {
+    val sub = fd.nameVal("Subtype").getOrElse(return None)
+    if (sub != "Type1" && sub != "TrueType" && sub != "MMType1")
+      return None // CID (Type0) and Type3 refuse — never garble
+    fd.entries.get("Encoding") match {
+      case None => Some(standardTable)
+      case Some("/WinAnsiEncoding") => Some(winAnsiTable)
+      case Some("/StandardEncoding") => Some(standardTable)
+      case Some(v) if v.startsWith("/") => None // MacRoman/MacExpert/CMaps
+      case Some(_) =>
+        val (ed, ebuf) = dictValue(doc, fd, fbuf, "Encoding").getOrElse(return None)
+        val base = ed.entries.get("BaseEncoding") match {
+          case None => standardTable
+          case Some("/WinAnsiEncoding") => winAnsiTable
+          case Some("/StandardEncoding") => standardTable
+          case Some(_) => return None
+        }
+        ed.entries.get("Differences") match {
+          case None => Some(base)
+          case Some(v) if v.startsWith("[") && v.endsWith("]") =>
+            val t = base.clone()
+            // tokens: an integer resets the code cursor; names assign
+            // consecutive codes (§9.6.5.1)
+            var code = -1
+            val inner = v.substring(1, v.length - 1)
+            val residue = tokRe.replaceAllIn(inner, " ").trim
+            if (residue.nonEmpty) return None
+            tokRe.findAllMatchIn(inner).foreach { mm =>
+              if (mm.group(1) != null) {
+                code = mm.group(1).toInt
+                if (code < 0 || code > 255) return None
+              } else {
+                if (code < 0 || code > 255) return None
+                t(code) = glyphChar.getOrElse(mm.group(2), return None)
+                code += 1
+              }
+            }
+            Some(t)
+          case Some(_) => None
+        }
+      case _ => None
+    }
+  }
+
+  // ---- content-stream tokenizer ------------------------------------------
+
+  private sealed trait Tok
+  private final case class TNum(v: Double) extends Tok
+  private final case class TStr(b: Array[Byte]) extends Tok
+  private final case class TName(s: String) extends Tok
+  private final case class TArr(items: IndexedSeq[Tok]) extends Tok
+
+  private def isWs(c: Byte): Boolean =
+    c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == 0
+
+  private def isDelim(c: Byte): Boolean =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '{' || c == '}' || c == '/' || c == '%'
+
+  /** Literal string body per §7.3.4.2: balanced parens, the escape set
+    * (\n \r \t \b \f \( \) \\, 1-3 octal digits, line continuation), and
+    * raw EOLs normalized to 0x0A. Returns (bytes, posAfter). */
+  private def lexLiteral(b: Array[Byte], p0: Int): Option[(Array[Byte], Int)] = {
+    val out = new java.io.ByteArrayOutputStream
+    var p = p0 + 1
+    var depth = 1
+    while (true) {
+      if (p >= b.length) return None
+      (b(p): @annotation.switch) match {
+        case '\\' =>
+          if (p + 1 >= b.length) return None
+          val e = b(p + 1)
+          e match {
+            case 'n' => out.write('\n'); p += 2
+            case 'r' => out.write('\r'); p += 2
+            case 't' => out.write('\t'); p += 2
+            case 'b' => out.write('\b'); p += 2
+            case 'f' => out.write('\f'); p += 2
+            case '(' => out.write('('); p += 2
+            case ')' => out.write(')'); p += 2
+            case '\\' => out.write('\\'); p += 2
+            case '\r' => // line continuation: swallow CR or CRLF
+              p += 2
+              if (p < b.length && b(p) == '\n') p += 1
+            case '\n' => p += 2
+            case d if d >= '0' && d <= '7' =>
+              var v = 0; var k = 0; p += 1
+              while (k < 3 && p < b.length && b(p) >= '0' && b(p) <= '7') {
+                v = v * 8 + (b(p) - '0'); p += 1; k += 1
+              }
+              out.write(v & 0xff)
+            case other => out.write(other); p += 2 // spec: drop the backslash
+          }
+        case '(' => depth += 1; out.write('('); p += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return Some((out.toByteArray, p + 1))
+          out.write(')'); p += 1
+        case '\r' => // raw EOL inside a string = 0x0A (CRLF is one EOL)
+          out.write('\n'); p += 1
+          if (p < b.length && b(p) == '\n') p += 1
+        case c => out.write(c); p += 1
+      }
+    }
+    None // unreachable
+  }
+
+  /** Hex string `<…>`: whitespace ignored, odd digit count implies a
+    * trailing 0 nibble. Returns (bytes, posAfter). */
+  private def lexHexStr(b: Array[Byte], p0: Int): Option[(Array[Byte], Int)] = {
+    val out = new java.io.ByteArrayOutputStream
+    var hi = -1
+    var p = p0 + 1
+    while (p < b.length) {
+      val c = b(p) & 0xff
+      if (c == '>') {
+        if (hi >= 0) out.write(hi << 4)
+        return Some((out.toByteArray, p + 1))
+      }
+      if (!isWs(b(p))) {
+        val v =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (c >= 'a' && c <= 'f') c - 'a' + 10
+          else if (c >= 'A' && c <= 'F') c - 'A' + 10
+          else return None
+        if (hi < 0) hi = v else { out.write((hi << 4) | v); hi = -1 }
+      }
+      p += 1
+    }
+    None
+  }
+
+  private val numRe = "[+-]?(\\d+\\.?\\d*|\\.\\d+)".r
+
+  /** Tokenize one page's (concatenated) content and assemble its LINES:
+    * show operators append decoded text, the break family starts new
+    * lines (guarded so positioning before the first show adds none). */
+  private[llm] def pageText(content: Array[Byte], fonts: Map[String, Array[Char]],
+                       xobjs: Map[String, String]): Option[Seq[String]] = {
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    var font: Array[Char] = null
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var anyShow = false
+    def brk(): Unit = if (anyShow) { lines += cur.toString; cur.setLength(0) }
+    def show(s: Array[Byte]): Boolean = {
+      if (font == null) return false // a show with no font selected
+      var i = 0
+      while (i < s.length) {
+        val ch = font(s(i) & 0xff)
+        if (ch == '\u0000') return false // code the encoding leaves undefined
+        cur.append(ch)
+        i += 1
+      }
+      anyShow = true
+      true
+    }
+    def popNum(): Option[Double] =
+      if (stack.nonEmpty) stack.remove(stack.length - 1) match {
+        case TNum(v) => Some(v)
+        case _ => None
+      } else None
+    def popStr(): Option[Array[Byte]] =
+      if (stack.nonEmpty) stack.remove(stack.length - 1) match {
+        case TStr(v) => Some(v)
+        case _ => None
+      } else None
+
+    // one level of array nesting is what TJ needs; deeper nests are
+    // operands to unknown ops and lex structurally all the same
+    def lexArray(p0: Int, depth: Int): Option[(TArr, Int)] = {
+      if (depth > 8) return None
+      val items = IndexedSeq.newBuilder[Tok]
+      var p = p0 + 1
+      while (true) {
+        while (p < content.length && isWs(content(p))) p += 1
+        if (p >= content.length) return None
+        content(p) match {
+          case ']' => return Some((TArr(items.result()), p + 1))
+          case '(' =>
+            val (s, p1) = lexLiteral(content, p).getOrElse(return None)
+            items += TStr(s); p = p1
+          case '<' =>
+            if (PdfCodec.at(content, p, "<<")) return None // dict in array: not TJ
+            val (s, p1) = lexHexStr(content, p).getOrElse(return None)
+            items += TStr(s); p = p1
+          case '[' =>
+            val (a, p1) = lexArray(p, depth + 1).getOrElse(return None)
+            items += a; p = p1
+          case '/' =>
+            var e = p + 1
+            while (e < content.length && !isWs(content(e)) && !isDelim(content(e))) e += 1
+            items += TName(new String(content, p + 1, e - p - 1, "ISO-8859-1"))
+            p = e
+          case c if (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.' =>
+            var e = p
+            while (e < content.length && !isWs(content(e)) && !isDelim(content(e))) e += 1
+            val t = new String(content, p, e - p, "ISO-8859-1")
+            if (!numRe.pattern.matcher(t).matches()) return None
+            items += TNum(t.toDouble); p = e
+          case _ => return None
+        }
+      }
+      None // unreachable
+    }
+
+    var p = 0
+    val n = content.length
+    while (p < n) {
+      while (p < n && isWs(content(p))) p += 1
+      if (p < n) content(p) match {
+        case '%' =>
+          while (p < n && content(p) != '\r' && content(p) != '\n') p += 1
+        case '(' =>
+          val (s, p1) = lexLiteral(content, p).getOrElse(return None)
+          stack += TStr(s); p = p1
+        case '<' =>
+          if (PdfCodec.at(content, p, "<<")) {
+            // dict operand (gs/BDC parameters): structural skip, opaque
+            val p1 = PdfCodec.skipDict(content, p)
+            if (p1 < 0) return None
+            stack += TName("#dict"); p = p1
+          } else {
+            val (s, p1) = lexHexStr(content, p).getOrElse(return None)
+            stack += TStr(s); p = p1
+          }
+        case '[' =>
+          val (a, p1) = lexArray(p, 0).getOrElse(return None)
+          stack += a; p = p1
+        case '/' =>
+          var e = p + 1
+          while (e < n && !isWs(content(e)) && !isDelim(content(e))) e += 1
+          stack += TName(new String(content, p + 1, e - p - 1, "ISO-8859-1"))
+          p = e
+        case c if (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.' =>
+          var e = p
+          while (e < n && !isWs(content(e)) && !isDelim(content(e))) e += 1
+          val t = new String(content, p, e - p, "ISO-8859-1")
+          if (!numRe.pattern.matcher(t).matches()) return None
+          stack += TNum(t.toDouble); p = e
+        case ')' | '>' | ']' | '{' | '}' =>
+          return None // unbalanced delimiter: malformed content
+        case _ =>
+          // a bareword: an operator
+          var e = p
+          while (e < n && !isWs(content(e)) && !isDelim(content(e))) e += 1
+          val op = new String(content, p, e - p, "ISO-8859-1")
+          p = e
+          op match {
+            case "BT" | "ET" => stack.clear()
+            case "Tf" =>
+              if (popNum().isEmpty) return None
+              stack.lastOption match {
+                case Some(TName(fname)) =>
+                  font = fonts.getOrElse(fname, return None)
+                case _ => return None
+              }
+              stack.clear()
+            case "Td" | "TD" =>
+              val ty = popNum().getOrElse(return None)
+              if (popNum().isEmpty) return None
+              if (ty != 0) brk()
+              stack.clear()
+            case "Tm" =>
+              var k = 0
+              while (k < 6) { if (popNum().isEmpty) return None; k += 1 }
+              brk()
+              stack.clear()
+            case "T*" => brk(); stack.clear()
+            case "Tj" =>
+              val s = popStr().getOrElse(return None)
+              if (!show(s)) return None
+              stack.clear()
+            case "'" =>
+              val s = popStr().getOrElse(return None)
+              brk()
+              if (!show(s)) return None
+              stack.clear()
+            case "\"" =>
+              val s = popStr().getOrElse(return None)
+              if (popNum().isEmpty || popNum().isEmpty) return None
+              brk()
+              if (!show(s)) return None
+              stack.clear()
+            case "TJ" =>
+              stack.lastOption match {
+                case Some(TArr(items)) =>
+                  items.foreach {
+                    case TStr(s) => if (!show(s)) return None
+                    case TNum(_) => () // kerning: positioning, not text
+                    case _ => return None
+                  }
+                case _ => return None
+              }
+              stack.clear()
+            case "BI" =>
+              return None // inline image: binary follows, cannot frame
+            case "Do" =>
+              stack.lastOption match {
+                case Some(TName(xn)) => xobjs.get(xn) match {
+                  case Some("Image") => () // a picture holds no text
+                  case _ => return None // Form XObjects can carry text
+                }
+                case _ => return None
+              }
+              stack.clear()
+            case _ => stack.clear() // graphics ops: operands consumed
+          }
+      }
+    }
+    if (anyShow) lines += cur.toString
+    Some(lines.toSeq)
+  }
+
+  // ---- the page tree + extraction entry ----------------------------------
+
+  final case class Extracted(era: String, vMinor: Int, nPages: Int,
+                             pages: Seq[String])
+
+  /** Extract the document's text: resolve (either era), run the full
+    * structural census as a gate, walk the page tree in order, decode
+    * each page's content, tokenize. None on any refusal. */
+  def extract(b: Array[Byte], maxOut: Int = 1 << 26): Option[Extracted] = try {
+    val (doc, era) = PdfObjects.resolve(b, classicRoot = true, maxOut) match {
+      case Some(d) => (d, if (d.hybrid) "hybrid" else "classic")
+      case None =>
+        (PdfObjects.resolve(b, classicRoot = false, maxOut).getOrElse(return None),
+          "modern")
+    }
+    PdfObjects.census(doc, classicPins = era != "modern").getOrElse(return None)
+    val (cat, cbuf) = doc.dictAndBuf(doc.rootObj).getOrElse(return None)
+    val pagesRef = cat.refVal("Pages").getOrElse(return None)
+    // collected leaves: (page dict, its buffer, effective resources)
+    val leaves = scala.collection.mutable.ArrayBuffer
+      .empty[(PDict, Array[Byte], Option[(PDict, Array[Byte])])]
+    val visiting = scala.collection.mutable.Set.empty[Long]
+    def walk(ref: Long, inherited: Option[(PDict, Array[Byte])], depth: Int): Option[Int] = {
+      if (depth > 32 || visiting.contains(ref)) return None // cycle law
+      visiting += ref
+      val (d, buf) = doc.dictAndBuf(ref).getOrElse(return None)
+      val res = dictValue(doc, d, buf, "Resources").orElse(inherited)
+      d.nameVal("Type") match {
+        case Some("Pages") =>
+          val kids = refsValue(d, "Kids").getOrElse(return None)
+          val count = d.intVal("Count").getOrElse(return None)
+          var leavesHere = 0
+          kids.foreach { k =>
+            leavesHere += walk(k, res, depth + 1).getOrElse(return None)
+          }
+          if (leavesHere.toLong != count) return None // the /Count law
+          Some(leavesHere)
+        case Some("Page") =>
+          leaves += ((d, buf, res))
+          Some(1)
+        case _ => None
+      }
+    }
+    walk(pagesRef, None, 0).getOrElse(return None)
+    val pages = leaves.map { case (pd, pbuf, res) =>
+      // fonts and xobjects from the effective resources
+      val fonts: Map[String, Array[Char]] = res match {
+        case None => Map.empty
+        case Some((rd, rbuf)) =>
+          dictValue(doc, rd, rbuf, "Font") match {
+            case None =>
+              if (rd.entries.contains("Font")) return None // malformed
+              Map.empty
+            case Some((fdict, fbuf)) =>
+              fdict.entries.keys.map { fname =>
+                val (fd, fdBuf) = dictValue(doc, fdict, fbuf, fname)
+                  .getOrElse(return None)
+                fname -> fontTable(doc, fd, fdBuf).getOrElse(return None)
+              }.toMap
+          }
+      }
+      val xobjs: Map[String, String] = res match {
+        case None => Map.empty
+        case Some((rd, rbuf)) =>
+          dictValue(doc, rd, rbuf, "XObject") match {
+            case None =>
+              if (rd.entries.contains("XObject")) return None
+              Map.empty
+            case Some((xd, xbuf)) =>
+              xd.entries.keys.map { xn =>
+                val (od, _) = dictValue(doc, xd, xbuf, xn).getOrElse(return None)
+                xn -> od.nameVal("Subtype").getOrElse(return None)
+              }.toMap
+          }
+      }
+      // content: absent = an empty page; a ref or an array of refs
+      val content: Array[Byte] =
+        if (!pd.entries.contains("Contents")) Array.emptyByteArray
+        else {
+          val refs = refsValue(pd, "Contents").getOrElse(return None)
+          val parts = refs.map(r => doc.streamDecoded(r).getOrElse(return None))
+          if (parts.isEmpty) Array.emptyByteArray
+          else parts.reduce((a, bb) => a ++ Array[Byte]('\n') ++ bb)
+        }
+      pageText(content, fonts, xobjs).getOrElse(return None).mkString("\n")
+    }
+    Some(Extracted(era, doc.vMinor, pages.length, pages.toSeq))
+  } catch {
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NumberFormatException => None
+    case _: MatchError => None
+    case _: StackOverflowError => None
+  }
+
+  // ---- conformance writers (test the EXTRACTOR; deterministic text
+  //      documents over all three layouts with real show/positioning
+  //      operator mixes, filter arms, and encoding arms) ----------------
+
+  private def escLit(s: String): String =
+    "(" + s.flatMap {
+      case '(' => "\\("
+      case ')' => "\\)"
+      case '\\' => "\\\\"
+      case c => c.toString
+    } + ")"
+
+  private def hexStr(s: String): String =
+    "<" + s.map(c => f"${c.toInt & 0xff}%02x").mkString + ">"
+
+  /** The content-stream operator text for one page's lines: the show
+    * and break operators rotate by `variant` so Tj/'/Td/TJ-with-kerning
+    * all see coverage, with a sprinkle of graphics no-ops the tokenizer
+    * must skip. Extraction contract: the lines come back verbatim. */
+  private def contentOps(lines: Seq[String], variant: Int,
+                         hexStrings: Boolean): String = {
+    def strTok(t: String): String = if (hexStrings) hexStr(t) else escLit(t)
+    val sb = new StringBuilder
+    sb ++= "q 0.2 0.4 0.6 rg BT /F1 12 Tf "
+    sb ++= (variant % 3 match {
+      case 0 => "72 720 Td "
+      case 1 => "1 0 0 1 72 720 Tm "
+      case _ => "14 TL 72 720 Td "
+    })
+    lines.zipWithIndex.foreach { case (line, j) =>
+      if (j == 0) sb ++= strTok(line) + " Tj "
+      else (variant + j) % 4 match {
+        case 0 => sb ++= "T* " + strTok(line) + " Tj "
+        case 1 => sb ++= strTok(line) + " ' "
+        case 2 => sb ++= "0 -14 Td " + strTok(line) + " Tj "
+        case _ =>
+          val mid = line.length / 2
+          sb ++= "T* [" + strTok(line.substring(0, mid)) + " -28 " +
+            strTok(line.substring(mid)) + "] TJ "
+      }
+    }
+    sb ++= "ET Q"
+    sb.toString
+  }
+
+  /** Deterministic TEXT PDF. `era`: 0 classic table, 1 modern
+    * (ObjStm-resident dicts + xref stream), 2 hybrid (/XRefStm). Arms:
+    * `filterArm` 0 raw / 1 `/FlateDecode` / 2 `[/FlateDecode]` /
+    * 3 the `[/ASCIIHexDecode /FlateDecode]` chain on every content
+    * stream; `hexStrings` shows text via hex strings; `diffBullet`
+    * remaps code 65 to /bullet via /Differences; `type0Arm` and
+    * `badGlyphArm` produce in-scope-refusal documents;
+    * `resourcesOnPagesNode` exercises resource INHERITANCE. */
+  def encodeTextPdf(era: Int, vMinor: Int, pages: Seq[Seq[String]],
+                    winAnsi: Boolean = true, diffBullet: Boolean = false,
+                    filterArm: Int = 0, hexStrings: Boolean = false,
+                    variant: Int = 0, resourcesOnPagesNode: Boolean = false,
+                    type0Arm: Boolean = false,
+                    badGlyphArm: Boolean = false): Array[Byte] = {
+    require(era >= 0 && era <= 2 && vMinor >= 0 && vMinor <= 7 && pages.nonEmpty)
+    val nPages = pages.length
+    val fontNum = 2 * nPages + 3
+    val subtype = if (type0Arm) "Type0" else "Type1"
+    val encStr =
+      if (diffBullet || badGlyphArm) {
+        val g = if (badGlyphArm) "notaglyph" else "bullet"
+        s" /Encoding << /BaseEncoding /WinAnsiEncoding /Differences [65 /$g] >>"
+      } else if (winAnsi) " /Encoding /WinAnsiEncoding"
+      else "" // StandardEncoding is the implicit default
+    val fontDict = s"<< /Type /Font /Subtype /$subtype /BaseFont /Helvetica$encStr >>"
+    val resStr = s"/Resources << /Font << /F1 $fontNum 0 R >> >> "
+    def pageDict(i: Int): String =
+      s"<< /Type /Page /Parent 2 0 R " +
+        (if (resourcesOnPagesNode) "" else resStr) +
+        s"/Contents ${4 + 2 * i} 0 R >>"
+    val pagesDict = "<< /Type /Pages /Kids [" +
+      (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ") +
+      s"] /Count $nPages " + (if (resourcesOnPagesNode) resStr else "") + ">>"
+    val catalogDict = "<< /Type /Catalog /Pages 2 0 R >>"
+    def encodePayload(plainTxt: String): (Array[Byte], String) = {
+      val plain = plainTxt.getBytes("ISO-8859-1")
+      filterArm match {
+        case 0 => (plain, "")
+        case 1 => (PdfModern.flate(plain), " /Filter /FlateDecode")
+        case 2 => (PdfModern.flate(plain), " /Filter [/FlateDecode]")
+        case _ =>
+          val fl = PdfModern.flate(plain)
+          val hx = (fl.map(x => f"${x & 0xff}%02x").mkString + ">").getBytes("ISO-8859-1")
+          (hx, " /Filter [/ASCIIHexDecode /FlateDecode]")
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream
+    def w(str: String): Unit = out.write(str.getBytes("ISO-8859-1"))
+    w(s"%PDF-1.$vMinor\n")
+    out.write(Array[Byte]('%', 0xe2.toByte, 0xe3.toByte, 0xcf.toByte, 0xd3.toByte, '\n'))
+
+    if (era == 0) {
+      // ---- classic: everything direct, one table ----
+      val size = 2 * nPages + 4
+      val offsets = new Array[Long](size)
+      def obj(n: Int)(body: => Unit): Unit = {
+        offsets(n) = out.size().toLong
+        w(s"$n 0 obj\n"); body; w("endobj\n")
+      }
+      obj(1) { w(catalogDict + "\n") }
+      obj(2) { w(pagesDict + "\n") }
+      (0 until nPages).foreach { i =>
+        obj(3 + 2 * i) { w(pageDict(i) + "\n") }
+        obj(4 + 2 * i) {
+          val (payload, filt) = encodePayload(
+            contentOps(pages(i), variant + i, hexStrings))
+          w(s"<< /Length ${payload.length}$filt >>\nstream\n")
+          out.write(payload, 0, payload.length)
+          w("\nendstream\n")
+        }
+      }
+      obj(fontNum) { w(fontDict + "\n") }
+      val xref = out.size().toLong
+      w(s"xref\n0 $size\n0000000000 65535 f \n")
+      (1 until size).foreach(n => w(f"${offsets(n)}%010d 00000 n \n"))
+      w(s"trailer\n<< /Size $size /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+      return out.toByteArray
+    }
+
+    // ---- modern / hybrid: dicts (catalog, pages, page dicts, font)
+    //      packed in a Flate ObjStm; content streams direct ----
+    val objStmNum = 2 * nPages + 4
+    val xrefNum = 2 * nPages + 5
+    val size = 2 * nPages + 6
+    val contentOffsets = new Array[Long](nPages)
+    (0 until nPages).foreach { i =>
+      contentOffsets(i) = out.size().toLong
+      val (payload, filt) = encodePayload(
+        contentOps(pages(i), variant + i, hexStrings))
+      w(s"${4 + 2 * i} 0 obj\n<< /Length ${payload.length}$filt >>\nstream\n")
+      out.write(payload, 0, payload.length)
+      w("\nendstream\nendobj\n")
+    }
+    val members: Seq[(Int, String)] =
+      Seq(1 -> catalogDict, 2 -> pagesDict) ++
+        (0 until nPages).map(i => (3 + 2 * i) -> pageDict(i)) :+
+        (fontNum -> fontDict)
+    val bodies = new java.io.ByteArrayOutputStream
+    val pairsTxt = members.map { case (num, text) =>
+      val off = bodies.size()
+      bodies.write(text.getBytes("ISO-8859-1")); bodies.write(' ')
+      s"$num $off"
+    }.mkString(" ") + " "
+    val stmPlain = pairsTxt.getBytes("ISO-8859-1") ++ bodies.toByteArray
+    val stmComp = PdfModern.flate(stmPlain)
+    val objStmOffset = out.size().toLong
+    w(s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${members.length} " +
+      s"/First ${pairsTxt.length} /Filter /FlateDecode /Length ${stmComp.length} >>\nstream\n")
+    out.write(stmComp, 0, stmComp.length)
+    w("\nendstream\nendobj\n")
+    val xrefOffset = out.size().toLong
+    val rows = new java.io.ByteArrayOutputStream
+    def row(t: Int, f2: Long, f3: Long): Unit = {
+      rows.write(t)
+      rows.write(((f2 >> 8) & 0xff).toInt); rows.write((f2 & 0xff).toInt)
+      rows.write((f3 & 0xff).toInt)
+    }
+    if (era == 1) {
+      // modern: one xref stream covering 0..size-1 in order
+      (0 until size).foreach { nnum =>
+        if (nnum == 0) row(0, 0L, 0L)
+        else members.indexWhere(_._1 == nnum) match {
+          case -1 =>
+            if (nnum == objStmNum) row(1, objStmOffset, 0L)
+            else if (nnum == xrefNum) row(1, xrefOffset, 0L)
+            else row(1, contentOffsets((nnum - 4) / 2), 0L)
+          case idx => row(2, objStmNum.toLong, idx.toLong)
+        }
+      }
+      val comp = PdfModern.flate(rows.toByteArray)
+      w(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /W [1 2 1] /Root 1 0 R" +
+        s" /Filter /FlateDecode /Length ${comp.length} >>\nstream\n")
+      out.write(comp, 0, comp.length)
+      w("\nendstream\nendobj\n")
+      w(s"startxref\n$xrefOffset\n%%EOF\n")
+    } else {
+      // hybrid: the /XRefStm covers the hidden members + machinery; the
+      // classic TABLE lists object 0 and the content streams
+      members.zipWithIndex.foreach { case ((num, _), idx) =>
+        row(2, objStmNum.toLong, idx.toLong)
+      }
+      row(1, objStmOffset, 0L)
+      row(1, xrefOffset, 0L)
+      val idxTxt = "/Index [1 2 " +
+        (0 until nPages).map(i => s"${3 + 2 * i} 1 ").mkString +
+        s"$fontNum 1 $objStmNum 2]"
+      val comp = PdfModern.flate(rows.toByteArray)
+      w(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /W [1 2 1] $idxTxt" +
+        s" /Filter /FlateDecode /Length ${comp.length} >>\nstream\n")
+      out.write(comp, 0, comp.length)
+      w("\nendstream\nendobj\n")
+      val tableOff = out.size().toLong
+      w("xref\n0 1\n0000000000 65535 f \n")
+      (0 until nPages).foreach { i =>
+        w(s"${4 + 2 * i} 1\n")
+        w(f"${contentOffsets(i)}%010d 00000 n \n")
+      }
+      w(s"trailer\n<< /Size $size /Root 1 0 R /XRefStm $xrefOffset >>\n")
+      w(s"startxref\n$tableOff\n%%EOF\n")
+    }
+    out.toByteArray
+  }
+}

@@ -993,7 +993,7 @@ object Corpus {
   def imageDhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.MediaCodec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val hashes = keys.map { k =>
       val base = k - (k % 2)
       val w = (12 + base % 5).toInt
@@ -1079,7 +1079,7 @@ object Corpus {
   def pngDhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.MediaCodec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val hashes = keys.map { k =>
       val base = k - (k % 2)
       val w = (12 + base % 5).toInt
@@ -1128,7 +1128,7 @@ object Corpus {
   def jpegDhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.{JpegCodec, MediaCodec}
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val hashes = keys.map { k =>
       val base = k - (k % 2)
       // ≥9 block columns / ≥7 block rows: every dHash sample coordinate
@@ -1229,7 +1229,7 @@ object Corpus {
   def videoNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.MediaCodec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val frameHashes = keys.flatMap { k =>
       val base = k - (k % 2)
       val nf = (4 + base % 3).toInt
@@ -1347,7 +1347,7 @@ object Corpus {
   def audioFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.MediaCodec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     keys.map { k =>
       val n = (200 + k % 57).toInt
       val bytes = MediaCodec.encodeWavPcm16(8000,
@@ -1399,7 +1399,7 @@ object Corpus {
   def imageResize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.{ImageOps, MediaCodec}
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     keys.map { k =>
       val w = (16 + k % 7).toInt; val h = (12 + k % 5).toInt
       val a = 3 + k % 11; val b = 5 + k % 13; val c = k % 17
@@ -1487,7 +1487,7 @@ object Corpus {
   def audioDsp(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.{AudioOps, MediaCodec}
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     keys.map { k =>
       val n = (400 + k % 211).toInt
       val bytes = MediaCodec.encodeWavPcm16(8000, Array.tabulate(n) { i =>
@@ -1540,7 +1540,7 @@ object Corpus {
   def audioResample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.{AudioOps, MediaCodec}
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     keys.map { k =>
       val n = (400 + k % 211).toInt
       val bytes = MediaCodec.encodeWavPcm16(8000, Array.tabulate(n) { i =>
@@ -1604,7 +1604,7 @@ object Corpus {
   def imageAreaResize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.ImageOps
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     keys.map { k =>
       val w = (24 + k % 9).toInt; val h = (20 + k % 7).toInt
       val a = 3 + k % 11; val b = 5 + k % 13; val c = k % 17
@@ -1710,7 +1710,7 @@ object Corpus {
   def audioNormalize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.AudioOps
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     keys.map { k =>
       val n = (300 + k % 180).toInt
       val xs = Array.tabulate(n) { i =>

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** Document-family query surface: TEXT extraction from the formats a
+  * curation pipeline actually meets — PDF (all three reference layouts:
+  * classic tables, xref streams + ObjStm, hybrid /XRefStm) and, as the
+  * family grows, DOCX and the mixed-corpus dispatch capstone. Every
+  * query synthesizes documents per key from closed-form text formulas,
+  * extracts with the native walkers (executor-side `Dataset.map`, zero
+  * shuffle — the 100 TB shape: text extraction parallelizes with
+  * partitions), and the DuckDB oracle replays the formula, so the
+  * comparison covers the EXTRACTED CHARACTERS, not just counts. */
+object Docs {
+
+  /** PDF text extraction under the oracle (see [[graft.llm.PdfText]]):
+    * per-key documents rotating through the three era layouts (classic /
+    * modern / hybrid by k mod 3), 1-3 pages of 1-4 formula lines, the
+    * show-operator mix rotating by key (Tj, ', Td, TJ-with-kerning), the
+    * filter arms rotating content-stream encodings (raw, /FlateDecode,
+    * the [/FlateDecode] array form, the ASCIIHex→Flate chain), hex
+    * strings on every fifth key, resources inherited from the Pages
+    * node on every seventh, and a /Differences bullet remap on every
+    * eleventh (the oracle replays the remapped character). Refusal
+    * arms: truncation (k mod 13), a Type0 CID font (k mod 17 — the
+    * scope pin), an unknown glyph name in /Differences (k mod 19). */
+  def pdfText(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.PdfText
+    val keys = partKeys(s, d) // full-width spread: the extract map is the cost
+    val decoded = keys.map { k =>
+      val era = (k % 3).toInt
+      val nPages = (1 + k % 3).toInt
+      val diffB = k % 11 == 0
+      val pages = (0 until nPages).map { i =>
+        val nLines = (1 + (k + i) % 4).toInt
+        (0 until nLines).map { j =>
+          s"doc$k pg$i ln$j w${(k + i * 3 + j * 7) % 10}" +
+            (if (diffB) " A" else "")
+        }
+      }
+      val bytes = PdfText.encodeTextPdf(era, (4 + k % 4).toInt, pages,
+        winAnsi = k % 2 == 0, diffBullet = diffB,
+        filterArm = (k % 4).toInt, hexStrings = k % 5 == 0,
+        variant = (k % 4).toInt,
+        resourcesOnPagesNode = k % 7 == 0,
+        type0Arm = k % 17 == 0 && k % 13 != 0,
+        badGlyphArm = k % 19 == 0 && k % 13 != 0 && k % 17 != 0)
+      val payload = if (k % 13 == 0) bytes.dropRight(6) else bytes
+      PdfText.extract(payload) match {
+        case Some(r) =>
+          val text = r.pages.mkString("\n")
+          val nLines = r.pages.iterator.map(p => p.count(_ == '\n') + 1).sum
+          (k, true, Some(r.era), Some(r.nPages), Some(nLines),
+            Some(text.length.toLong), Some(text))
+        case None =>
+          (k, false, None: Option[String], None: Option[Int],
+            None: Option[Int], None: Option[Long], None: Option[String])
+      }
+    }.toDF("media_id", "txt_ok", "era", "n_pages", "n_lines", "n_chars",
+      "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The extraction replayed from the text formulas: P = 1 + k mod 3
+    * pages, page i has 1 + (k+i) mod 4 lines, line (i,j) =
+    * `doc{k} pg{i} ln{j} w{(k+3i+7j) mod 10}` with the /Differences arm
+    * appending a bullet; pages and lines joined by newlines in (i,j)
+    * order. The oracle compares the CHARACTERS, so show-operator
+    * variants, filter arms and string forms must all be text-neutral. */
+  val pdfTextSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(1 + k % 3 AS INTEGER) AS np,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |ln AS (
+      |  SELECT p.k, i.g AS i, j.g AS j,
+      |    'doc' || p.k || ' pg' || i.g || ' ln' || j.g ||
+      |      ' w' || ((p.k + i.g * 3 + j.g * 7) % 10) ||
+      |      CASE WHEN p.k % 11 = 0 THEN ' •' ELSE '' END AS line
+      |  FROM p, generate_series(0, 2) i(g), generate_series(0, 3) j(g)
+      |  WHERE i.g < p.np AND j.g < 1 + (p.k + i.g) % 4 AND p.ok),
+      |agg AS (
+      |  SELECT k, CAST(COUNT(*) AS INTEGER) AS n_lines,
+      |    string_agg(line, chr(10) ORDER BY i, j) AS text
+      |  FROM ln GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS txt_ok,
+      |  CASE WHEN p.ok THEN
+      |    CASE p.k % 3 WHEN 0 THEN 'classic' WHEN 1 THEN 'modern'
+      |      ELSE 'hybrid' END END AS era,
+      |  CASE WHEN p.ok THEN p.np END AS n_pages,
+      |  CASE WHEN p.ok THEN agg.n_lines END AS n_lines,
+      |  CASE WHEN p.ok THEN CAST(length(agg.text) AS BIGINT) END AS n_chars,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p LEFT JOIN agg ON p.k = agg.k
+      |ORDER BY media_id""".stripMargin
+
+  /** DOCX text extraction under the oracle (see
+    * [[graft.llm.DocxCodec]]): per-key OPC containers with 1-4 formula
+    * paragraphs, text split across two runs (the boundary must be
+    * invisible), a `w:tab` arm on every sixth key and a `w:br` arm on
+    * every ninth — both inside paragraph 0 so in-order assembly is what
+    * passes. Refusal arms: truncation (k mod 13 — the EOCD tail laws,
+    * which ZipInputStream alone would miss), a missing main part
+    * (k mod 17 — the OPC law), and a flipped byte inside the STORED
+    * `document.xml` payload (k mod 19 — the per-entry CRC-32 law). */
+  def docxRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.DocxCodec
+    val keys = partKeys(s, d) // full-width spread: the extract map is the cost
+    val decoded = keys.map { k =>
+      val nPars = (1 + k % 4).toInt
+      val paras = (0 until nPars).map { j =>
+        s"doc$k par$j body${(k + 5 * j) % 9}" +
+          (if (j == 0 && k % 6 == 0) "\tT" else "") +
+          (if (j == 0 && k % 9 == 0) "\nB" else "")
+      }
+      val bytes = DocxCodec.encodeDocx(paras,
+        omitDocument = k % 17 == 0 && k % 13 != 0)
+      val payload =
+        if (k % 13 == 0) bytes.dropRight(4)
+        else if (k % 19 == 0 && k % 17 != 0) {
+          // flip inside the STORED document.xml payload: only the
+          // entry CRC can catch it ("doc<digit>" cannot collide with
+          // the "word/document.xml" entry-name bytes)
+          val t = bytes.clone()
+          val at = t.indexOfSlice(s"doc$k".getBytes("UTF-8").take(4))
+          t(at + 1) = (t(at + 1) ^ 0x04).toByte
+          t
+        } else bytes
+      DocxCodec.docxText(payload) match {
+        case Some((ne, np, ps)) =>
+          val text = ps.mkString("\n")
+          (k, true, Some(ne), Some(np), Some(text.length.toLong), Some(text))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int],
+            None: Option[Long], None: Option[String])
+      }
+    }.toDF("media_id", "docx_ok", "n_entries", "n_paragraphs", "n_chars",
+      "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The extraction replayed: 1 + k mod 4 paragraphs, paragraph j =
+    * `doc{k} par{j} body{(k+5j) mod 9}` with the tab/br arms appended to
+    * paragraph 0; paragraphs joined by newlines; 3 container entries. */
+  val docxReadSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(1 + k % 4 AS INTEGER) AS np,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |par AS (
+      |  SELECT p.k, j.g AS j,
+      |    'doc' || p.k || ' par' || j.g || ' body' || ((p.k + 5 * j.g) % 9) ||
+      |      CASE WHEN j.g = 0 AND p.k % 6 = 0 THEN chr(9) || 'T' ELSE '' END ||
+      |      CASE WHEN j.g = 0 AND p.k % 9 = 0 THEN chr(10) || 'B' ELSE '' END AS ptxt
+      |  FROM p, generate_series(0, 3) j(g)
+      |  WHERE j.g < p.np AND p.ok),
+      |agg AS (
+      |  SELECT k, CAST(COUNT(*) AS INTEGER) AS n_paragraphs,
+      |    string_agg(ptxt, chr(10) ORDER BY j) AS text
+      |  FROM par GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS docx_ok,
+      |  CASE WHEN p.ok THEN 3 END AS n_entries,
+      |  CASE WHEN p.ok THEN agg.n_paragraphs END AS n_paragraphs,
+      |  CASE WHEN p.ok THEN CAST(length(agg.text) AS BIGINT) END AS n_chars,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p LEFT JOIN agg ON p.k = agg.k
+      |ORDER BY media_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pdf_text" -> (pdfText _),
+    "q_docx_read" -> (docxRead _))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_pdf_text" -> pdfTextSql,
+    "q_docx_read" -> docxReadSql)
+}

@@ -2066,7 +2066,7 @@ object Llm {
   def mediaDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.MediaCodec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val media = keys.map { k =>
       val bytes =
         if (k % 11 == 0) Array[Byte]('X', 'X', 'X', 'X') // undecodable
@@ -2152,7 +2152,7 @@ object Llm {
   def pngDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.MediaCodec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val w = (3 + k % 6).toInt; val h = (5 + k % 4).toInt
       val ch = if (k % 2 == 0) 1 else 3
@@ -2240,7 +2240,7 @@ object Llm {
   def jpegDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.{JpegCodec, MediaCodec}
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val w = (8 * (1 + k % 3)).toInt
       val h = (8 * (1 + k % 2)).toInt
@@ -2311,7 +2311,7 @@ object Llm {
     // every 4th key: the JDK's progressive encode (multi-scan optimized
     // Huffman) is ~4× our own codecs per image; a quarter of the corpus
     // still walks every refinement branch thousands of times at sf0.1
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
       .filter(_ % 4 == 0)
     val decoded = keys.map { k =>
       val w = (8 * (1 + k % 4)).toInt
@@ -2403,7 +2403,7 @@ object Llm {
   def jpegColor420(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.{JpegCodec, MediaCodec}
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val w = (16 * (1 + k % 3)).toInt
       val h = (16 * (1 + k % 2)).toInt
@@ -2486,7 +2486,7 @@ object Llm {
   def gifDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.{GifCodec, MediaCodec}
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val w = (5 + k % 9).toInt
       val h = (4 + k % 7).toInt
@@ -2557,7 +2557,7 @@ object Llm {
   def pngPaletteDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.MediaCodec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val w = (4 + k % 9).toInt
       val h = (3 + k % 7).toInt
@@ -2644,7 +2644,7 @@ object Llm {
   def pngAdam7Decode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.MediaCodec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val w = (3 + k % 13).toInt
       val h = (2 + k % 11).toInt
@@ -2703,7 +2703,7 @@ object Llm {
   def png16Decode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.MediaCodec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val w = (3 + k % 8).toInt
       val h = (2 + k % 6).toInt
@@ -2772,7 +2772,7 @@ object Llm {
   def mp3Probe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.Mp3Codec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val nFrames = (5 + k % 20).toInt
       val srIdx = (k % 3).toInt
@@ -2862,7 +2862,7 @@ object Llm {
   def mp4Probe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.MediaCodec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val ts = 600L * (1 + k % 5)
       val dur = 10000L + (k * 7) % 90000
@@ -2929,7 +2929,7 @@ object Llm {
   def h264Probe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.H264Codec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val profile = Array(66, 77, 100)((k % 3).toInt)
       val level = Array(10, 20, 30, 31, 40, 41, 42, 51)((k % 8).toInt)
@@ -3010,7 +3010,7 @@ object Llm {
   def ivfProbe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.IvfCodec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val w = 16 * (1 + k % 20).toInt
       val h = 16 * (1 + k % 12).toInt
@@ -3086,7 +3086,7 @@ object Llm {
     import s.implicits._
     import graft.llm.ZstdCodec
     import ZstdCodec.{Comp, Raw, Rle, Skippable, ZFrame}
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val bytes =
         if (k % 19 == 0 && k % 13 != 0 && k % 17 != 0) {
@@ -3196,7 +3196,7 @@ object Llm {
   def avroRead(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.AvroCodec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val n = (5 + k % 20).toInt
       val rs = (0 until n).map { i =>
@@ -3289,7 +3289,7 @@ object Llm {
   def tfrecordRead(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.TfRecordCodec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val n = (2 + k % 6).toInt
       val payloads = (0 until n).map { i =>
@@ -3363,7 +3363,7 @@ object Llm {
     import s.implicits._
     import graft.llm.{TfExampleCodec, TfRecordCodec}
     import TfExampleCodec.{Bs, F32s, I64s}
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val n = (3 + k % 5).toInt
       def exBytes(i: Int): Array[Byte] = {
@@ -3475,7 +3475,7 @@ object Llm {
     import s.implicits._
     import graft.llm.Lz4Codec
     import Lz4Codec.{LFrame, LSkippable, Linked, Packed, PackedBad, Stored}
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val n = (1 + k % 3).toInt
       val frames = (0 until n).map { j =>
@@ -3586,7 +3586,7 @@ object Llm {
   def pdfProbe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.PdfCodec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val nPages = (1 + k % 4).toInt
       val lens = (0 until nPages).map(i => (20 + (k + i * 7) % 50).toInt)
@@ -3658,7 +3658,7 @@ object Llm {
   def avifProbe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.AvifCodec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val isAvif = k % 2 == 0
       val bytes = AvifCodec.encodeAvif(
@@ -3720,7 +3720,7 @@ object Llm {
   def adpcmWav(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.ImaAdpcm
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val nBlocks = (1 + k % 3).toInt
       val nNib = (2 * (8 + k % 9)).toInt
@@ -3813,7 +3813,7 @@ object Llm {
   def zstdDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.ZstdDecode
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val n = (500 + k % 1500).toInt
       val payload = (k % 3) match {
@@ -3906,7 +3906,7 @@ object Llm {
   def bzip2Decode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.Bzip2Decode
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
       .filter(_ % 8 == 0)
     val decoded = keys.map { k =>
       val n = (600 + k % 1200).toInt
@@ -4005,7 +4005,7 @@ object Llm {
   def xzDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.XzDecode
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
       .filter(_ % 8 == 4)
     val decoded = keys.map { k =>
       val n = (700 + k % 1100).toInt
@@ -4090,7 +4090,7 @@ object Llm {
   def pdfModern(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.PdfModern
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val nPages = (1 + k % 4).toInt
       val lens = (0 until nPages).map(i => (15 + (k + i * 9) % 40).toInt)
@@ -4245,7 +4245,7 @@ object Llm {
       Array(0x80.toByte), // 10: lone continuation -> 1 invalid
       Array(0xf4.toByte, 0x90.toByte, 0x80.toByte, 0x80.toByte), // 11: >U+10FFFF -> 4 invalid
       Array('Z'.toByte)) // 12: ascii letter
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val payloads = keys.map { k =>
       val n = (40 + k % 37).toInt
       val out = new java.io.ByteArrayOutputStream
@@ -4309,7 +4309,7 @@ object Llm {
   def wavWide(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.MediaCodec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val n = (30 + k % 50).toInt
       val bytes =
@@ -4367,7 +4367,7 @@ object Llm {
   def oggProbe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.MediaCodec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val preskip = (k % 400).toInt
       val step = 960L * (1 + k % 8)
@@ -4422,7 +4422,7 @@ object Llm {
   def y4mDecodeQ(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.MediaCodec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val w = (2 * (4 + k % 6)).toInt
       val h = (2 * (3 + k % 5)).toInt
@@ -4496,7 +4496,7 @@ object Llm {
   def tiffDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.{MediaCodec, TiffCodec}
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val w = (6 + k % 12).toInt
       val h = (5 + k % 10).toInt
@@ -4565,7 +4565,7 @@ object Llm {
   def g711Decode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.MediaCodec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val n = (20 + k % 30).toInt
       val bytes = Array.tabulate(n)(i => ((k * 31 + i * 17) % 256).toByte)
@@ -4642,7 +4642,7 @@ object Llm {
   def mediaZoo(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.{GifCodec, JpegCodec, MediaCodec}
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val corrupt = k % 13 == 0
       val bytes: Array[Byte] = (k % 5) match {
@@ -4759,7 +4759,7 @@ object Llm {
   def flacDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.{FlacCodec, MediaCodec}
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val n = (40 + k % 60).toInt
       // smooth base + deterministic jumps: exercises constant, fixed and
@@ -4822,7 +4822,7 @@ object Llm {
   def flacLpc(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.FlacCodec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val n = (60 + k % 60).toInt
       val c = 4000L + (k * 97) % 10000
@@ -4905,7 +4905,7 @@ object Llm {
   def flacStereo(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.FlacCodec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val n = (50 + k % 70).toInt
       val left = Array.tabulate(n)(i =>
@@ -4983,7 +4983,7 @@ object Llm {
   def gifAnim(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.GifCodec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val w = (10 + k % 9).toInt
       val h = (10 + k % 7).toInt
@@ -5068,7 +5068,7 @@ object Llm {
   def aiffDecodeQ(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.MediaCodec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val rates = Array(8000L, 11025L, 22050L, 44100L, 48000L)
     val decoded = keys.map { k =>
       val n = (30 + k % 60).toInt
@@ -5123,7 +5123,7 @@ object Llm {
   def bmpRle(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.MediaCodec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val w = (8 + k % 20).toInt
       val h = (6 + k % 12).toInt
@@ -5184,7 +5184,7 @@ object Llm {
   def mediaZoo2(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.{FlacCodec, MediaCodec}
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val kind = (k % 5).toInt
       val bytes = kind match {
@@ -5316,7 +5316,7 @@ object Llm {
   def webmProbeQ(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.MediaCodec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val docType = if (k % 2 == 0) "webm" else "matroska"
       val scale = 1000000L * (1 + k % 3)
@@ -5377,7 +5377,7 @@ object Llm {
   def webpProbeQ(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.MediaCodec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val w = (16 + k % 300).toInt
       val h = (9 + k % 200).toInt
@@ -5429,7 +5429,7 @@ object Llm {
   def gzipMembersQ(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.MediaCodec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val nm = (1 + k % 3).toInt
       val bytes = (0 until nm).flatMap { m =>
@@ -5498,7 +5498,7 @@ object Llm {
   def tarRead(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.ops.TarArchive
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val ne = (1 + k % 5).toInt
       val entries = (0 until ne).map { e =>
@@ -5565,7 +5565,7 @@ object Llm {
     import s.implicits._
     import graft.llm.MediaCodec
     import graft.ops.{TarArchive, WebDataset}
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val nSamp = (2 + k % 3).toInt
       val sampleEntries = (0 until nSamp).flatMap { i =>
@@ -5673,7 +5673,7 @@ object Llm {
   def apngAnim(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.ApngCodec
-    val keys = part(s, d).select($"p_partkey".cast("long")).as[Long]
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
       val w = (8 + k % 8).toInt
       val h = (7 + k % 6).toInt

@@ -75,6 +75,20 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+
+  /** `p_partkey` as a Dataset[Long] spread over the session's full
+    * parallelism. The key tables are tiny (one parquet row group → ONE
+    * input split), so a per-key synthesize/decode map — where the codec
+    * queries spend all their time — would otherwise run on a single
+    * core. One round-robin shuffle of bare longs buys full width; at
+    * corpus scale the key source arrives pre-partitioned and the
+    * repartition cost stays proportional to the key count, never the
+    * payload. */
+  def partKeys(s: SparkSession, d: String): org.apache.spark.sql.Dataset[Long] = {
+    import s.implicits._
+    part(s, d).select($"p_partkey".cast("long")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+  }
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def events(s: SparkSession, d: String): DataFrame = eventsTs(s, d)

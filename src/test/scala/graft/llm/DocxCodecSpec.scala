@@ -1,0 +1,82 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import DocxCodec._
+
+/** DOCX extraction: paragraph/run/tab/br round-trips, XML escaping, the
+  * OPC container laws, the per-entry CRC law, scope pins, and the
+  * truncation/junk battery. */
+class DocxCodecSpec extends AnyFunSuite {
+
+  test("round-trip: paragraphs, split runs, tabs, breaks, escaping") {
+    val paras = Seq("hello world", "a\tb tabbed", "line\nbroken", "",
+      "amp & lt < gt > mix", "x")
+    val b = encodeDocx(paras)
+    val r = docxText(b)
+    assert(r.exists(_._3 == paras))
+    // entry census: content types + rels + document
+    assert(r.exists(t => t._1 == 3 && t._2 == paras.length))
+  }
+
+  test("OPC laws: a zip without the main part or content types refuses") {
+    assert(docxText(encodeDocx(Seq("x"), omitDocument = true)).isEmpty)
+    assert(docxText(encodeDocx(Seq("x"), omitContentTypes = true)).isEmpty)
+    assert(docxText(encodeDocx(Seq("x"))).nonEmpty)
+  }
+
+  test("the CRC law: a flipped payload byte refuses, never garbles") {
+    val b = encodeDocx(Seq("tamper target payload"))
+    // document.xml is STORED: the text is visible in the container, so
+    // the flip provably lands in entry DATA and only the CRC can catch
+    // it (the writer splits text across two runs, so search a sub-run)
+    val at = b.indexOfSlice("tamper".getBytes("UTF-8"))
+    assert(at > 0)
+    val t = b.clone()
+    t(at + 3) = (t(at + 3) ^ 0x01).toByte
+    assert(docxText(t).isEmpty)
+  }
+
+  test("scope pins: tables refuse; doctypes refuse (no XXE class)") {
+    val b = encodeDocx(Seq("before"))
+    val s = new String(b, "ISO-8859-1")
+    // splice a w:tbl into the body — document.xml is STORED so in-place
+    // surgery needs equal length: swap the sectPr for a tbl of equal size
+    assert(s.contains("<w:sectPr/>"))
+    // rebuild instead: a doc whose body carries a table
+    val tbl = "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>cell</w:t></w:r></w:p></w:tc></w:tr></w:tbl>"
+    val doc = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +
+      s"<w:body>$tbl<w:sectPr/></w:body></w:document>"
+    val z = rawDocx(doc)
+    assert(docxText(z).isEmpty)
+    val dt = """<?xml version="1.0"?><!DOCTYPE w:document [<!ENTITY x "y">]>""" +
+      """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +
+      "<w:body><w:p><w:r><w:t>&x;</w:t></w:r></w:p><w:sectPr/></w:body></w:document>"
+    assert(docxText(rawDocx(dt)).isEmpty)
+  }
+
+  private def rawDocx(docXml: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    val zos = new java.util.zip.ZipOutputStream(out)
+    Seq("[Content_Types].xml" -> "<Types xmlns=\"http://schemas.openxmlformats.org/package/2006/content-types\"/>",
+      "word/document.xml" -> docXml).foreach { case (n, c) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(n))
+      zos.write(c.getBytes("UTF-8")); zos.closeEntry()
+    }
+    zos.close()
+    out.toByteArray
+  }
+
+  test("truncations refuse; junk never throws") {
+    val b = encodeDocx(Seq("alpha", "beta gamma", "delta"))
+    (1 to b.length - 1 by 5).foreach { d =>
+      assert(docxText(b.dropRight(d)).isEmpty, s"drop $d passed")
+    }
+    val rnd = new scala.util.Random(421)
+    (0 until 1500).foreach { _ =>
+      docxText(Array.fill(rnd.nextInt(96))(rnd.nextInt(256).toByte))
+      docxText("PK".getBytes("ISO-8859-1") ++
+        Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte))
+    }
+  }
+}

@@ -1,0 +1,128 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import PdfText._
+
+/** PDF text extraction: verbatim round-trips over all three layouts
+  * (classic, modern/ObjStm, hybrid) under every show-operator variant,
+  * filter arm and string form; encoding semantics (Standard vs WinAnsi,
+  * /Differences); resource inheritance; and the honest-refusal battery
+  * (Type0, bad glyph names, undefined codes, inline images, Form
+  * XObjects, truncation). */
+class PdfTextSpec extends AnyFunSuite {
+
+  private val lines1 = Seq("Hello world", "second line 42", "third: (a) [b] x")
+  private val lines2 = Seq("page two starts", "and ends")
+
+  test("verbatim round-trip across eras, variants, filters, string forms") {
+    val eras = Seq(0, 1, 2)
+    for {
+      era <- eras
+      filterArm <- 0 to 3
+      hexStrings <- Seq(false, true)
+      variant <- 0 to 3
+    } {
+      val b = encodeTextPdf(era, 7, Seq(lines1, lines2), winAnsi = true,
+        filterArm = filterArm, hexStrings = hexStrings, variant = variant)
+      val r = extract(b).getOrElse(
+        fail(s"refused era=$era filter=$filterArm hex=$hexStrings var=$variant"))
+      assert(r.era == Seq("classic", "modern", "hybrid")(era))
+      assert(r.vMinor == 7 && r.nPages == 2)
+      assert(r.pages == Seq(lines1.mkString("\n"), lines2.mkString("\n")),
+        s"era=$era filter=$filterArm hex=$hexStrings var=$variant")
+    }
+  }
+
+  test("resource inheritance from the Pages node") {
+    Seq(0, 1, 2).foreach { era =>
+      val b = encodeTextPdf(era, 6, Seq(lines1), resourcesOnPagesNode = true)
+      assert(extract(b).exists(_.pages == Seq(lines1.mkString("\n"))), s"era=$era")
+    }
+  }
+
+  test("encoding semantics: Standard vs WinAnsi disagree on codes 39/96") {
+    // byte 39 is quoteright (’) in StandardEncoding, quotesingle (') in
+    // WinAnsi; byte 96 quoteleft (‘) vs grave (`)
+    val raw = Seq("it's `q`")
+    val std = encodeTextPdf(0, 4, Seq(raw), winAnsi = false)
+    assert(extract(std).exists(_.pages == Seq("it’s ‘q‘")))
+    val win = encodeTextPdf(0, 4, Seq(raw), winAnsi = true)
+    assert(extract(win).exists(_.pages == Seq("it's `q`")))
+  }
+
+  test("/Differences remap: code 65 shows as /bullet in every era") {
+    Seq(0, 1, 2).foreach { era =>
+      val b = encodeTextPdf(era, 5, Seq(Seq("ABBA rules")), diffBullet = true)
+      assert(extract(b).exists(_.pages == Seq("•BB• rules")), s"era=$era")
+    }
+  }
+
+  test("scope refusals: Type0 fonts, unknown glyph names, undefined codes") {
+    Seq(0, 1, 2).foreach { era =>
+      assert(extract(encodeTextPdf(era, 5, Seq(lines1), type0Arm = true)).isEmpty)
+      assert(extract(encodeTextPdf(era, 5, Seq(lines1), badGlyphArm = true)).isEmpty)
+    }
+    // byte 127 is undefined in WinAnsi: the show refuses rather than
+    // emitting a replacement character
+    val del = encodeTextPdf(0, 4, Seq(Seq("bad" + 127.toChar + "byte")))
+    assert(extract(del).isEmpty)
+  }
+
+  test("tokenizer laws: the quote ops, kerning, comments, unknown ops, refusals") {
+    val fonts = Map("F1" -> PdfText.winAnsiTable)
+    def t(s: String, xobjs: Map[String, String] = Map.empty) =
+      pageText(s.getBytes("ISO-8859-1"), fonts, xobjs)
+    // the " operator: aw ac string — break + show
+    assert(t("BT /F1 9 Tf (a) Tj 2 3 (b) \" ET").contains(Seq("a", "b")))
+    // ' breaks then shows; TJ numbers are kerning, not text
+    assert(t("BT /F1 9 Tf (a) Tj (b) ' [(c) -20 (d)] TJ ET")
+      .contains(Seq("a", "bcd")))
+    // escapes: octal, named, continuation, raw EOL normalization
+    assert(t("BT /F1 9 Tf (A\\102C) Tj ET").contains(Seq("ABC")))
+    assert(t("BT /F1 9 Tf (x\\(y\\)z) Tj ET").contains(Seq("x(y)z")))
+    assert(t("BT /F1 9 Tf (one\\\ntwo) Tj ET").contains(Seq("onetwo")))
+    // comments are skipped; unknown graphics ops consume operands
+    assert(t("% hi\nBT /F1 9 Tf 1 0 0 1 5 5 cm (ok) Tj ET").contains(Seq("ok")))
+    // positioning before any show adds no empty lines
+    assert(t("BT /F1 9 Tf 1 0 0 1 72 720 Tm 0 -14 Td T* (x) Tj ET")
+      .contains(Seq("x")))
+    // a show with no font selected refuses; undefined code refuses
+    assert(t("BT (x) Tj ET").isEmpty)
+    // inline images refuse (binary follows); Form XObjects refuse,
+    // image XObjects pass through silently
+    assert(t("BT /F1 9 Tf (x) Tj ET BI /W 2 ID xx EI").isEmpty)
+    assert(t("BT /F1 9 Tf (x) Tj ET /Im1 Do",
+      Map("Im1" -> "Image")).contains(Seq("x")))
+    assert(t("BT /F1 9 Tf (x) Tj ET /Fm1 Do",
+      Map("Fm1" -> "Form")).isEmpty)
+    assert(t("BT /F1 9 Tf (x) Tj ET /Nope Do").isEmpty)
+    // malformed operands refuse
+    assert(t("BT /F1 9 Tf (a) (b) TJ ET").isEmpty) // TJ wants an array
+    assert(t("BT /F1 9 Tf 3 Tj ET").isEmpty) // Tj wants a string
+    assert(t("BT /F1 9 Tf (unclosed").isEmpty)
+    assert(t("BT /F1 9 Tf ] ET").isEmpty)
+    // hex strings with odd digits and whitespace
+    assert(t("BT /F1 9 Tf <48 65 6c6C 6f> Tj ET").contains(Seq("Hello")))
+  }
+
+  test("multi-stream pages, empty pages, truncation battery") {
+    // an empty page extracts as the empty string, not a refusal
+    val b0 = encodeTextPdf(1, 7, Seq(Seq.empty, lines2))
+    assert(extract(b0).exists(r => r.pages == Seq("", lines2.mkString("\n"))))
+    // every truncation refuses (d=1 only shaves the trailing newline)
+    Seq(0, 1, 2).foreach { era =>
+      val b = encodeTextPdf(era, 6, Seq(lines1), filterArm = 1)
+      assert(extract(b.dropRight(1)).nonEmpty)
+      (2 to b.length - 1 by 11).foreach { d =>
+        assert(extract(b.dropRight(d)).isEmpty, s"era=$era drop $d passed")
+      }
+    }
+    // random junk never throws
+    val rnd = new scala.util.Random(313)
+    (0 until 1000).foreach { _ =>
+      extract(Array.fill(rnd.nextInt(160))(rnd.nextInt(256).toByte))
+      extract(("%PDF-1.5\n" + new String(
+        Array.fill(rnd.nextInt(120))((rnd.nextInt(94) + 32).toChar))).getBytes("ISO-8859-1"))
+    }
+  }
+}
