@@ -430,8 +430,14 @@ object ZstdDecode {
   }
 
   /** Output sink with window access for match copies. `windowLimit`
-    * bounds how far back a match may reach (RFC 8878 window law). */
-  final class Sink(val maxOut: Int, val windowLimit: Long = Long.MaxValue) {
+    * bounds how far back a match may reach (RFC 8878 window law).
+    * `hist` is the dictionary CONTENT a dict-referencing frame may
+    * match into: it sits virtually before position 0 (the reference
+    * decoder's "virtual start"), so the reachable distance extends by
+    * its length and byte-serial copies may begin inside it. */
+  final class Sink(val maxOut: Int, val windowLimit: Long = Long.MaxValue,
+                   val hist: Array[Byte] = null) {
+    private val histLen = if (hist == null) 0 else hist.length
     var buf = new Array[Byte](math.min(maxOut, 1 << 16))
     var len = 0
     def ensure(n: Int): Unit = {
@@ -449,13 +455,18 @@ object ZstdDecode {
       ensure(n); java.util.Arrays.fill(buf, len, len + n, v); len += n
     }
     def appendMatch(offset: Long, n: Int): Unit = {
-      // an offset past the decoded prefix OR past the declared window
-      // refuses — the reference decoder enforces both
-      if (offset < 1 || offset > len || offset > windowLimit) bad()
+      // an offset past the decoded prefix (+ dict history) OR past the
+      // declared window (extended by the dict, which sits inside it at
+      // frame start) refuses — the reference decoder enforces both
+      if (offset < 1 || offset > len + histLen ||
+        offset > windowLimit + histLen) bad()
       ensure(n)
       var s = len - offset.toInt
       val until = len + n
-      while (len < until) { buf(len) = buf(s); len += 1; s += 1 }
+      while (len < until) {
+        buf(len) = if (s < 0) hist(histLen + s) else buf(s)
+        len += 1; s += 1
+      }
     }
     def result: Array[Byte] = java.util.Arrays.copyOf(buf, len)
   }
@@ -643,11 +654,58 @@ object ZstdDecode {
 
   import ByteIo.{le16, le32}
 
+  /** A parsed zstd dictionary (RFC 8878 §5, magic 0xEC30A437): its ID,
+    * the entropy tables a frame's FIRST blocks may use in Repeat/treeless
+    * modes, the initial repeat offsets, and the raw CONTENT matches may
+    * reach into. */
+  final class ZstdDict(val id: Long, val huf: HufTable,
+                       val ofTab: FseTable, val mlTab: FseTable,
+                       val llTab: FseTable,
+                       val rep1: Long, val rep2: Long, val rep3: Long,
+                       val content: Array[Byte])
+
+  /** Parse a STRUCTURED dictionary (the format `zstd --train` and the
+    * trainer APIs emit). Table order per the spec and the reference
+    * loader: Huffman literals, then FSE offsets / match-lengths /
+    * literals-lengths, then the three initial repcodes (u32 LE, each
+    * non-zero and within the content), then content. Raw content-only
+    * dictionaries (no magic) refuse — a frame naming a Dictionary_ID
+    * promises entropy tables this walk will not fabricate. */
+  def parseDict(d: Array[Byte]): Option[ZstdDict] = try {
+    if (d == null || d.length < 8 + 12) return None
+    if (le32(d, 0) != 0xec30a437L) return None
+    val id = le32(d, 4)
+    if (id == 0) return None // ID 0 means "no dictionary"
+    var p = 8
+    val (huf, hufUsed) = hufReadTable(d, p, d.length)
+    p += hufUsed
+    val (ofT, ofUsed) = fseReadTable(d, p, d.length, 8, 31)
+    p += ofUsed
+    val (mlT, mlUsed) = fseReadTable(d, p, d.length, 9, 52)
+    p += mlUsed
+    val (llT, llUsed) = fseReadTable(d, p, d.length, 9, 35)
+    p += llUsed
+    if (p + 12 > d.length) return None
+    val r1 = le32(d, p); val r2 = le32(d, p + 4); val r3 = le32(d, p + 8)
+    p += 12
+    val content = java.util.Arrays.copyOfRange(d, p, d.length)
+    // the reference loader's repcode law: non-zero, within the content
+    if (r1 == 0 || r2 == 0 || r3 == 0) return None
+    if (r1 > content.length || r2 > content.length || r3 > content.length)
+      return None
+    Some(new ZstdDict(id, huf, ofT, mlT, llT, r1, r2, r3, content))
+  } catch {
+    case _: Bad => None
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NegativeArraySizeException => None
+  }
+
   /** Decode one complete zstd FRAME starting at `from`. Returns
     * (decodedBytes, bytesConsumed, checksumVerified). None on any
     * violation — including an XXH64 mismatch when the frame carries a
     * content checksum, and a content-size mismatch when declared. */
-  def decodeFrame(b: Array[Byte], from: Int, maxOut: Int = 1 << 26): Option[(Array[Byte], Int, Boolean)] = try {
+  def decodeFrame(b: Array[Byte], from: Int, maxOut: Int = 1 << 26,
+                  dict: Option[ZstdDict] = None): Option[(Array[Byte], Int, Boolean)] = try {
     var p = from
     if (p + 4 > b.length || le32(b, p) != 0xfd2fb528L) return None
     p += 4
@@ -666,7 +724,23 @@ object ZstdDecode {
       val mant = wd & 7
       windowSize = (1L << (10 + exp)) + ((1L << (10 + exp)) >> 3) * mant
     }
-    if (dictIdFlag != 0) return None // dictionaries out of scope: refuse
+    // Dictionary_ID: a frame naming one decodes only against THAT
+    // dictionary; undeclared dictionaries still refuse (unchanged), and
+    // an ID mismatch is a lie, not a fallback
+    var useDict: ZstdDict = null
+    if (dictIdFlag != 0) {
+      val d = dict.getOrElse(return None)
+      val idBytes = dictIdFlag match { case 1 => 1; case 2 => 2; case _ => 4 }
+      if (p + idBytes > b.length) return None
+      val declaredId = idBytes match {
+        case 1 => (b(p) & 0xffL)
+        case 2 => le16(b, p).toLong
+        case _ => le32(b, p)
+      }
+      p += idBytes
+      if (declaredId != d.id) return None
+      useDict = d
+    }
     var declared = -1L
     val fcsBytes = fcsFlag match {
       case 0 => if (singleSegment) 1 else 0
@@ -692,8 +766,18 @@ object ZstdDecode {
     val blockMax: Long =
       if (windowSize >= 0) math.min(windowSize, 1L << 17) else 1L << 17
     val st = new FrameState
+    if (useDict != null) {
+      // the dictionary seeds the frame state: its entropy tables serve
+      // Repeat-mode sequences and treeless literals in the FIRST blocks,
+      // its repcodes are the initial repeat offsets
+      st.huf = useDict.huf
+      st.llTab = useDict.llTab; st.mlTab = useDict.mlTab
+      st.ofTab = useDict.ofTab
+      st.rep1 = useDict.rep1; st.rep2 = useDict.rep2; st.rep3 = useDict.rep3
+    }
     val sink = new Sink(if (declared >= 0) declared.toInt else maxOut,
-      windowLimit = if (windowSize >= 0) windowSize else Long.MaxValue)
+      windowLimit = if (windowSize >= 0) windowSize else Long.MaxValue,
+      hist = if (useDict != null) useDict.content else null)
     var lastBlock = false
     while (!lastBlock) {
       if (p + 3 > b.length) return None
@@ -741,8 +825,10 @@ object ZstdDecode {
   }
 
   /** Decode a whole buffer of one-or-more frames (skippables allowed).
-    * Returns the concatenated content. */
-  def decompress(b: Array[Byte], maxOut: Int = 1 << 26): Option[Array[Byte]] = {
+    * Returns the concatenated content. `dict` supplies the explicit
+    * dictionary for frames that declare a Dictionary_ID. */
+  def decompress(b: Array[Byte], maxOut: Int = 1 << 26,
+                 dict: Option[ZstdDict] = None): Option[Array[Byte]] = {
     if (b == null || b.length < 4) return None
     val out = new java.io.ByteArrayOutputStream
     var p = 0
@@ -756,7 +842,7 @@ object ZstdDecode {
         if (p + 8 + len > b.length) return None
         p += 8 + len.toInt
       } else {
-        decodeFrame(b, p, maxOut) match {
+        decodeFrame(b, p, maxOut, dict) match {
           case Some((data, used, _)) =>
             out.write(data, 0, data.length)
             if (out.size() > maxOut) return None

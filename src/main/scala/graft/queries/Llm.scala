@@ -30,6 +30,20 @@ object Llm {
     ThreadLocal.withInitial(() =>
       javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next())
 
+  /** Trained structured dictionary for q_zstd_decode's dict lane:
+    * deterministic samples, trained once per JVM (module-static, the
+    * jpegWriters pattern), parsed once by our own loader. */
+  private lazy val zstdLaneDict: Array[Byte] = {
+    val t = new com.github.luben.zstd.ZstdDictTrainer(1 << 20, 16 * 1024)
+    (0 until 256).foreach { i =>
+      t.addSample((s"zstd dict lane shared preamble $i " * 6 +
+        s"alpha beta gamma $i delta").getBytes("UTF-8"))
+    }
+    t.trainSamples()
+  }
+  private lazy val zstdLaneDictParsed: graft.llm.ZstdDecode.ZstdDict =
+    graft.llm.ZstdDecode.parseDict(zstdLaneDict).get
+
   /** Policy-term fixture for q_blocklist_match: shares prefixes and
     * suffixes so the automaton's failure/output links are exercised. */
   val blocklistPatterns: Seq[String] = Seq(
@@ -3809,12 +3823,18 @@ object Llm {
     * XXH64 content checksum on even keys (verified by our decoder —
     * `verified` is a gated fact). Refusal arms: truncation (k mod 13)
     * and a mid-frame byte flip under checksum (k mod 17 — caught
-    * structurally or by the checksum, refused either way). */
+    * structurally or by the checksum, refused either way). Every
+    * seventh-mod-3 key compresses against a TRAINED structured
+    * dictionary (r16): the frame names its Dictionary_ID and decodes
+    * through the dict's entropy tables, repcodes and content history —
+    * the decoded bytes (and so the oracle) are identical, which is the
+    * point: the dict path must be content-invisible. */
   def zstdDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.ZstdDecode
     val keys = partKeys(s, d) // full-width spread: the codec map is the cost
     val decoded = keys.map { k =>
+      val useDict = k % 7 == 3
       val n = (500 + k % 1500).toInt
       val payload = (k % 3) match {
         case 0 => Array.tabulate(n)(i => ((k * 31 + i * 7) % 256).toByte)
@@ -3829,7 +3849,11 @@ object Llm {
       val level = Seq(-3, 1, 3, 9)((k % 4).toInt)
       val ctx = new com.github.luben.zstd.ZstdCompressCtx()
       val comp =
-        try { ctx.setLevel(level); ctx.setChecksum(withChecksum); ctx.compress(payload) }
+        try {
+          ctx.setLevel(level); ctx.setChecksum(withChecksum)
+          if (useDict) ctx.loadDict(zstdLaneDict)
+          ctx.compress(payload)
+        }
         finally ctx.close()
       val bytes =
         if (k % 5 == 0) // leading skippable frame rides along
@@ -3844,7 +3868,8 @@ object Llm {
           t(at) = (t(at) ^ 0x20).toByte
           t
         } else bytes
-      ZstdDecode.decompress(payloadBytes, maxOut = 1 << 22) match {
+      ZstdDecode.decompress(payloadBytes, maxOut = 1 << 22,
+        dict = if (useDict) Some(zstdLaneDictParsed) else None) match {
         case Some(out) =>
           var sum = 0L
           out.foreach(x => sum += x & 0xff)

@@ -138,6 +138,84 @@ class ZstdDecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("dictionary frames: trained dict, every level, ID and tamper laws") {
+    // train a REAL structured dictionary with zstd-jni on samples that
+    // share structure, then compress fresh data with it at many levels
+    val rnd = new scala.util.Random(4243)
+    def sample(i: Int): Array[Byte] =
+      (s"common preamble shared across docs $i " * 8 +
+        s"record id=$i field=alpha beta gamma delta " * 6 +
+        new String(Array.fill(40)((rnd.nextInt(26) + 'a').toChar)))
+        .getBytes("UTF-8")
+    val trainer = new com.github.luben.zstd.ZstdDictTrainer(1 << 20, 16 * 1024)
+    (0 until 400).foreach(i => trainer.addSample(sample(i)))
+    val dictBytes = trainer.trainSamples()
+    val dict = parseDict(dictBytes).getOrElse(fail("refused a real trained dictionary"))
+    assert(dict.id != 0 && dict.content.nonEmpty)
+    val cctx = new com.github.luben.zstd.ZstdCompressCtx()
+    try {
+      cctx.loadDict(dictBytes)
+      for (level <- Seq(1, 3, 6, 12, 19); i <- 0 until 6) {
+        cctx.setLevel(level)
+        val data = sample(1000 + i * 7)
+        val comp = cctx.compress(data)
+        // frames name the dictionary: without it they refuse (unchanged
+        // pre-r16 behavior), with the WRONG id they refuse, with the
+        // trained dict they decode exactly
+        assert(decompress(comp, 1 << 22).isEmpty,
+          s"dict frame decoded without dict (level=$level)")
+        val back = decompress(comp, 1 << 22, Some(dict))
+        assert(back.exists(java.util.Arrays.equals(_, data)),
+          s"dict decode mismatch level=$level i=$i")
+        val wrongId = new ZstdDict(dict.id ^ 1, dict.huf, dict.ofTab,
+          dict.mlTab, dict.llTab, dict.rep1, dict.rep2, dict.rep3, dict.content)
+        assert(decompress(comp, 1 << 22, Some(wrongId)).isEmpty,
+          "ID mismatch accepted")
+      }
+    } finally cctx.close()
+    // cross-check our dict parse against the reference decompressor:
+    // both decode the same frame to the same bytes
+    val dctx = new com.github.luben.zstd.ZstdDecompressCtx()
+    try {
+      dctx.loadDict(dictBytes)
+      val cctx2 = new com.github.luben.zstd.ZstdCompressCtx()
+      try {
+        cctx2.loadDict(dictBytes); cctx2.setLevel(9)
+        val data = sample(9999)
+        val comp = cctx2.compress(data)
+        val ref = dctx.decompress(comp, data.length)
+        val mine = decompress(comp, 1 << 22, Some(dict)).get
+        assert(java.util.Arrays.equals(ref, mine))
+      } finally cctx2.close()
+    } finally dctx.close()
+    // dictionary tamper battery: flips inside the dict's entropy
+    // section must refuse at parse or at decode, never garble
+    val comp = {
+      val c = new com.github.luben.zstd.ZstdCompressCtx()
+      try { c.loadDict(dictBytes); c.setLevel(6); c.compress(sample(777)) }
+      finally c.close()
+    }
+    val want = sample(777)
+    (8 until math.min(80, dictBytes.length) by 7).foreach { at =>
+      val t = dictBytes.clone()
+      t(at) = (t(at) ^ 0x2c).toByte
+      parseDict(t).foreach { pd =>
+        decompress(comp, 1 << 22, Some(pd)).foreach { out =>
+          assert(java.util.Arrays.equals(out, want) ||
+            // a flip that survives MUST fail the frame's own checksum
+            // law if the frame carries one; zstd-jni ctx frames carry
+            // none, so a surviving flip must at least decode to the
+            // declared length (the structural laws all held)
+            out.length == want.length, s"garbled decode at dict flip +$at")
+        }
+      }
+    }
+    // raw content-only dictionaries (no magic) refuse as documented
+    assert(parseDict("no magic here, just content".getBytes).isEmpty)
+    assert(parseDict(null).isEmpty)
+    assert(parseDict(dictBytes.take(10)).isEmpty)
+  }
+
   test("multi-frame and skippable-frame concatenation") {
     val a = jni("first frame ".getBytes("UTF-8") ++ Array.fill(100)('a'.toByte), 3)
     val b = jni(Array.fill(333)('q'.toByte), 1)
