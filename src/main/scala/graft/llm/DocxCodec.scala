@@ -78,11 +78,9 @@ object DocxCodec {
     if (nAll != totalCdEntries) return None // every entry reaches the directory
     if (docXml == null || !sawContentTypes) return None // the OPC laws
     // ---- word/document.xml ----
-    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-    dbf.setNamespaceAware(true)
-    val doc = dbf.newDocumentBuilder()
-      .parse(new java.io.ByteArrayInputStream(docXml))
+    val db = builders.get()
+    db.reset()
+    val doc = db.parse(new java.io.ByteArrayInputStream(docXml))
     val root = doc.getDocumentElement
     if (root.getLocalName != "document") return None
     val bodies = children(root).filter(_.getLocalName == "body")
@@ -107,6 +105,18 @@ object DocxCodec {
     case _: javax.xml.parsers.ParserConfigurationException => None
     case _: ArrayIndexOutOfBoundsException => None
   }
+
+  /** One namespace-aware, doctype-refusing DocumentBuilder per executor
+    * thread: factory construction walks the JAXP service registry, which
+    * dominated the per-document cost when done per row. reset() between
+    * uses; bounded by thread count (the jpegWriters pattern). */
+  private val builders: ThreadLocal[javax.xml.parsers.DocumentBuilder] =
+    ThreadLocal.withInitial { () =>
+      val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+      dbf.setNamespaceAware(true)
+      dbf.newDocumentBuilder()
+    }
 
   private def children(e: org.w3c.dom.Element): Seq[org.w3c.dom.Element] = {
     val nl = e.getChildNodes

@@ -170,11 +170,127 @@ object Docs {
       |FROM p LEFT JOIN agg ON p.k = agg.k
       |ORDER BY media_id""".stripMargin
 
+  /** The document-family dispatch capstone: ONE mixed corpus rotating
+    * classic PDF / modern PDF / hybrid PDF / DOCX by key, routed by
+    * container SNIFF (`%PDF` vs `PK`) the way a crawl bucket must be —
+    * nobody labels the formats for you. The PDF era label comes back
+    * from the walk itself (the three layouts self-identify), so the
+    * oracle pins dispatch + extraction in one law. Per-format refusal
+    * arms: truncation everywhere (k mod 13), the format's own scope/
+    * integrity arm on k mod 17 (PDF: a Type0 CID font; DOCX: missing
+    * main part) and k mod 19 (PDF: unknown glyph name; DOCX: a flipped
+    * byte under the entry CRC). */
+  def docZoo(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.{DocxCodec, PdfText}
+    val keys = partKeys(s, d) // full-width spread: the extract map is the cost
+    val decoded = keys.map { k =>
+      val fmt = (k % 4).toInt
+      val arm17 = k % 17 == 0 && k % 13 != 0
+      val arm19 = k % 19 == 0 && k % 13 != 0 && k % 17 != 0
+      val bytes =
+        if (fmt < 3) {
+          val nPages = (1 + k % 2).toInt
+          val pages = (0 until nPages).map { i =>
+            val nLines = (1 + (k + i) % 3).toInt
+            (0 until nLines).map(j =>
+              s"zoo$k f$fmt p$i l$j w${(k + 2 * i + 3 * j) % 7}")
+          }
+          PdfText.encodeTextPdf(fmt, (4 + k % 4).toInt, pages,
+            winAnsi = true, filterArm = ((k / 4) % 4).toInt,
+            hexStrings = k % 5 == 0, variant = (k % 6).toInt,
+            resourcesOnPagesNode = k % 7 == 0,
+            type0Arm = arm17, badGlyphArm = arm19)
+        } else {
+          val nPars = (1 + k % 3).toInt
+          DocxCodec.encodeDocx(
+            (0 until nPars).map(j => s"zoo$k docx p$j w${(k + 5 * j) % 7}"),
+            omitDocument = arm17)
+        }
+      val payload =
+        if (k % 13 == 0) bytes.dropRight(5)
+        else if (fmt == 3 && arm19) {
+          val t = bytes.clone()
+          val at = t.indexOfSlice(s"zoo$k".getBytes("UTF-8").take(4))
+          t(at + 1) = (t(at + 1) ^ 0x08).toByte
+          t
+        } else bytes
+      // ---- the dispatch: container sniff, never a label ----
+      val out: Option[(String, Int, String)] =
+        if (payload.length >= 4 && payload(0) == '%' && payload(1) == 'P' &&
+          payload(2) == 'D' && payload(3) == 'F')
+          PdfText.extract(payload).map(r =>
+            (s"pdf_${r.era}", r.nPages, r.pages.mkString("\n")))
+        else if (payload.length >= 2 && payload(0) == 'P' && payload(1) == 'K')
+          graft.llm.DocxCodec.docxText(payload).map { case (_, np, ps) =>
+            ("docx", np, ps.mkString("\n"))
+          }
+        else None
+      out match {
+        case Some((label, units, text)) =>
+          (k, true, Some(label), Some(units), Some(text.length.toLong),
+            Some(text))
+        case None =>
+          (k, false, None: Option[String], None: Option[Int],
+            None: Option[Long], None: Option[String])
+      }
+    }.toDF("media_id", "doc_ok", "format", "n_units", "n_chars", "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** Dispatch + extraction replayed: format by k mod 4 (the PDF eras
+    * self-identify through the walk — the oracle pins the label), PDF
+    * text from the zoo line formula over 1 + k mod 2 pages, DOCX from
+    * the paragraph formula over 1 + k mod 3 paragraphs. */
+  val docZooSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(k % 4 AS INTEGER) AS fmt,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |pdfl AS (
+      |  SELECT p.k, i.g AS i, j.g AS j,
+      |    'zoo' || p.k || ' f' || p.fmt || ' p' || i.g || ' l' || j.g ||
+      |      ' w' || ((p.k + 2 * i.g + 3 * j.g) % 7) AS line
+      |  FROM p, generate_series(0, 1) i(g), generate_series(0, 2) j(g)
+      |  WHERE p.fmt < 3 AND p.ok
+      |    AND i.g < 1 + p.k % 2 AND j.g < 1 + (p.k + i.g) % 3),
+      |pdfa AS (
+      |  SELECT k, string_agg(line, chr(10) ORDER BY i, j) AS text
+      |  FROM pdfl GROUP BY k),
+      |docxl AS (
+      |  SELECT p.k, j.g AS j,
+      |    'zoo' || p.k || ' docx p' || j.g || ' w' || ((p.k + 5 * j.g) % 7) AS ptxt
+      |  FROM p, generate_series(0, 2) j(g)
+      |  WHERE p.fmt = 3 AND p.ok AND j.g < 1 + p.k % 3),
+      |docxa AS (
+      |  SELECT k, string_agg(ptxt, chr(10) ORDER BY j) AS text
+      |  FROM docxl GROUP BY k),
+      |u AS (
+      |  SELECT p.k,
+      |    CASE p.fmt WHEN 0 THEN 'pdf_classic' WHEN 1 THEN 'pdf_modern'
+      |      WHEN 2 THEN 'pdf_hybrid' ELSE 'docx' END AS format,
+      |    CASE WHEN p.fmt < 3 THEN CAST(1 + p.k % 2 AS INTEGER)
+      |      ELSE CAST(1 + p.k % 3 AS INTEGER) END AS n_units,
+      |    COALESCE(pdfa.text, docxa.text) AS text
+      |  FROM p
+      |  LEFT JOIN pdfa ON pdfa.k = p.k
+      |  LEFT JOIN docxa ON docxa.k = p.k
+      |  WHERE p.ok)
+      |SELECT p.k AS media_id, p.ok AS doc_ok,
+      |  u.format,
+      |  u.n_units,
+      |  CASE WHEN p.ok THEN CAST(length(u.text) AS BIGINT) END AS n_chars,
+      |  u.text
+      |FROM p LEFT JOIN u ON u.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pdf_text" -> (pdfText _),
-    "q_docx_read" -> (docxRead _))
+    "q_docx_read" -> (docxRead _),
+    "q_doc_zoo" -> (docZoo _))
 
   def oracleSql: Map[String, String] = Map(
     "q_pdf_text" -> pdfTextSql,
-    "q_docx_read" -> docxReadSql)
+    "q_docx_read" -> docxReadSql,
+    "q_doc_zoo" -> docZooSql)
 }
