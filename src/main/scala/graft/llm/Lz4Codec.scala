@@ -14,7 +14,9 @@ package graft.llm
   * past the decoded prefix, literal overrun, length lie) refuses.
   *
   * Frame format (public spec v1.6.x): magic 0x184D2204 LE; FLG byte
-  * (version bits must be 01, reserved bit refuses), BD byte (block max
+  * (version bits must be 01, reserved bit refuses; bit 5 clear marks a
+  * block-LINKED frame, whose cross-block matches decode against the
+  * previous blocks' last 64 KiB of content — r16), BD byte (block max
   * size code 4..7, reserved bits refuse), optional 8-byte content
   * size, optional 4-byte dictionary ID, 1-byte header checksum
   * HC = (xxh32(descriptor) >> 8) & 0xFF; then blocks — 4-byte LE size

@@ -284,7 +284,10 @@ object PdfObjects {
     val out = IndexedSeq.newBuilder[XrefEntry]
     var rp = 0
     index.grouped(2).foreach { case Seq(start, count) =>
-      if (start < 0 || count < 0) return None
+      // subsection range law: /Index names objects 0..Size-1 of THIS
+      // section — also keeps start+e from overflowing into negative
+      // object numbers that would pollute the newest-wins map
+      if (start < 0 || count < 0 || start + count > secSize) return None
       var e = 0L
       while (e < count) {
         def field(width: Int): Long = {

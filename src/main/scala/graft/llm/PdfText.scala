@@ -542,7 +542,7 @@ object PdfText {
           "modern")
     }
     PdfObjects.census(doc, classicPins = era != "modern").getOrElse(return None)
-    val (cat, cbuf) = doc.dictAndBuf(doc.rootObj).getOrElse(return None)
+    val (cat, _) = doc.dictAndBuf(doc.rootObj).getOrElse(return None)
     val pagesRef = cat.refVal("Pages").getOrElse(return None)
     // collected leaves: (page dict, its buffer, effective resources)
     val leaves = scala.collection.mutable.ArrayBuffer

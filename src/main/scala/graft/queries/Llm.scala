@@ -3540,11 +3540,14 @@ object Llm {
 
   /** The census replayed from the synthesis formulas over kj = k + j:
     * stored block always (+ a second on even kj), packed on kj mod 3 =
-    * 1; block checksums on even kj (covering that frame's block count),
-    * content declared unless kj mod 4 = 1, content checksum present
-    * unless kj mod 3 = 2 and — with the full sequence decode — VERIFIED
-    * on every frame that carries one; frame content = stored bytes plus
-    * DECODED packed bytes. */
+    * 1, a cross-block LINKED match block on kj mod 7 = 2 (counted as
+    * packed; regenerates match + 4 tail literals = 8 + kj mod 20 bytes
+    * through threaded history — r16); block checksums on even kj
+    * (covering that frame's block count), content declared unless
+    * kj mod 4 = 1, content checksum present unless kj mod 3 = 2 and —
+    * with the full sequence decode — VERIFIED on every frame that
+    * carries one; frame content = stored bytes plus DECODED packed
+    * bytes. */
   val lz4ProbeSql: String =
     """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
       |p AS (SELECT k, CAST(1 + k % 3 AS INTEGER) AS n,

@@ -118,5 +118,13 @@ class PdfObjectsSpec extends AnyFunSuite {
       s" /Filter /FlateDecode /Length ${comp2.length} >>\nstream\n").getBytes("ISO-8859-1") ++
       comp2 ++ "\nendstream\nendobj\n".getBytes("ISO-8859-1")
     assert(readXrefStreamSection(obj2, 0L, 1 << 20).nonEmpty) // f2 == Size-1 passes
+    // /Index subsection range law: start+count past Size refuses (r16
+    // review: unbounded starts could overflow into negative objNums)
+    val rows3 = Array[Byte](1, 0, 8, 0, 1, 0, 9, 0)
+    val comp3 = PdfModern.flate(rows3)
+    val obj3 = (s"9 0 obj\n<< /Type /XRef /Size 9 /W [1 2 1] /Index [8 2] /Root 1 0 R" +
+      s" /Filter /FlateDecode /Length ${comp3.length} >>\nstream\n").getBytes("ISO-8859-1") ++
+      comp3 ++ "\nendstream\nendobj\n".getBytes("ISO-8859-1")
+    assert(readXrefStreamSection(obj3, 0L, 1 << 20).isEmpty)
   }
 }
