@@ -104,6 +104,9 @@ object DocxCodec {
     case _: org.xml.sax.SAXException => None
     case _: javax.xml.parsers.ParserConfigurationException => None
     case _: ArrayIndexOutOfBoundsException => None
+    // collectRuns recurses per element depth: a hostile 100k-deep
+    // document.xml must REFUSE, not kill the executor task (r16 review)
+    case _: StackOverflowError => None
   }
 
   /** One namespace-aware, doctype-refusing DocumentBuilder per executor

@@ -67,6 +67,21 @@ class DocxCodecSpec extends AnyFunSuite {
     out.toByteArray
   }
 
+  test("hostile depth: a 200k-deep run nest refuses, never kills the task") {
+    val depth = 200000
+    val doc = new StringBuilder
+    doc ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
+    doc ++= """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body><w:p>"""
+    (0 until depth).foreach(_ => doc ++= "<w:r>")
+    doc ++= "<w:t>deep</w:t>"
+    (0 until depth).foreach(_ => doc ++= "</w:r>")
+    doc ++= "</w:p><w:sectPr/></w:body></w:document>"
+    // refusal (via the recursion guard) or extraction are both
+    // acceptable; an Error escaping is not — this must simply return
+    val r = docxText(rawDocx(doc.toString))
+    assert(r.isEmpty || r.exists(_._3 == Seq("deep")))
+  }
+
   test("truncations refuse; junk never throws") {
     val b = encodeDocx(Seq("alpha", "beta gamma", "delta"))
     (1 to b.length - 1 by 5).foreach { d =>
