@@ -19,7 +19,9 @@ package graft.llm
   * isn't where `/Length` says is a lie, not a recoverable hiccup),
   * `/Root` must resolve to a live `/Type /Catalog` object, `/Size`
   * must cover the highest live object number, and the `/Prev` chain
-  * must strictly decrease (cycle refusal). Any violation returns None —
+  * must never revisit a section (cycle refusal — forward pointers are
+  * legal: linearized files chain the front first-page xref to the main
+  * section at the end). Any violation returns None —
   * a census pipeline filters on damage rather than crashing on the
   * first torn upload.
   *
@@ -263,6 +265,77 @@ object PdfCodec {
   private def isRegular(c: Byte): Boolean =
     !(c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '/' ||
       c == '<' || c == '>' || c == '[' || c == ']' || c == '(' || c == ')')
+
+
+  /** Deterministic LINEARIZED-style PDF: the first page's objects and a
+    * front xref covering them sit at the START of the file (so a byte-
+    * range fetch can render page 1), the remaining pages follow, and
+    * the MAIN xref at the end covers the rest — the front trailer's
+    * `/Prev` points FORWARD at it, and `startxref` points at the front
+    * section. Exactly the layout a strict-decrease chain law would
+    * false-refuse. Object numbering matches [[encodePdf]]. */
+  def encodeLinearizedPdf(vMinor: Int, pageLens: Seq[Int], seed: Long = 0L): Array[Byte] = {
+    require(vMinor >= 0 && vMinor <= 7 && pageLens.size >= 2 && pageLens.forall(_ > 0))
+    val out = new java.io.ByteArrayOutputStream
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val nPages = pageLens.length
+    w(s"%PDF-1.$vMinor\n")
+    out.write(Array[Byte]('%', 0xe2.toByte, 0xe3.toByte, 0xcf.toByte, 0xd3.toByte, '\n'))
+    val size = 3 + 2 * nPages
+    val offsets = new Array[Long](size)
+    def obj(n: Int)(body: => Unit): Unit = {
+      offsets(n) = out.size().toLong
+      w(s"$n 0 obj\n"); body; w("endobj\n")
+    }
+    def content(len: Int, salt: Int): Array[Byte] =
+      Array.tabulate(len)(j => (((seed * 37 + salt * 139 + j * 3) % 26) + 'a').toByte)
+    // ---- front: catalog, pages node, page 0 + its content ----
+    obj(1) { w("<< /Type /Catalog /Pages 2 0 R >>\n") }
+    obj(2) {
+      val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+      w(s"<< /Type /Pages /Kids [$kids] /Count $nPages >>\n")
+    }
+    obj(3) { w("<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n") }
+    obj(4) {
+      w(s"<< /Length ${pageLens.head} >>\nstream\n")
+      out.write(content(pageLens.head, 0), 0, pageLens.head)
+      w("\nendstream\n")
+    }
+    // front xref: objects 0-4; /Prev is a FORWARD pointer whose digits
+    // are patched once the main section's offset is known
+    val frontXref = out.size().toLong
+    w(s"xref\n0 5\n0000000000 65535 f \n")
+    (1 to 4).foreach(n => w(f"${offsets(n)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size $size /Root 1 0 R /Prev ")
+    val prevPatch = out.size()
+    w("0000000000 >>\nstartxref\n" + frontXref + "\n%%EOF\n")
+    // ---- the remaining pages ----
+    (1 until nPages).foreach { i =>
+      obj(3 + 2 * i) {
+        w(s"<< /Type /Page /Parent 2 0 R /Contents ${4 + 2 * i} 0 R >>\n")
+      }
+      obj(4 + 2 * i) {
+        val len = pageLens(i)
+        w(s"<< /Length $len >>\nstream\n")
+        out.write(content(len, i), 0, len)
+        w("\nendstream\n")
+      }
+    }
+    // ---- main xref at the END: the remaining objects ----
+    val mainXref = out.size().toLong
+    w("xref\n")
+    (1 until nPages).foreach { i =>
+      w(s"${3 + 2 * i} 2\n")
+      w(f"${offsets(3 + 2 * i)}%010d 00000 n \n")
+      w(f"${offsets(4 + 2 * i)}%010d 00000 n \n")
+    }
+    w(s"trailer\n<< /Size $size /Root 1 0 R >>\n")
+    w(s"startxref\n$frontXref\n%%EOF\n")
+    val bytes = out.toByteArray
+    val digits = f"$mainXref%010d".getBytes("ISO-8859-1")
+    System.arraycopy(digits, 0, bytes, prevPatch, 10)
+    bytes
+  }
 
   // ---- conformance writer (tests the WALK; mirrors a classic-xref
   //      producer: catalog, pages tree, per-page content streams,

@@ -436,7 +436,11 @@ object PdfObjects {
     var size = -1
     var rootObj = -1L
     var nUpdates = 0
-    var prevSeen = Long.MaxValue
+    // cycle law: a /Prev may point FORWARD — linearized files put the
+    // first-page xref near the START and chain to the main section at
+    // the END (r16; the old strict-decrease rule false-refused them) —
+    // but no section may be visited twice
+    val seenOffsets = scala.collection.mutable.Set.empty[Long]
     var hybrid = false
     def bindStream(sec: XrefSection): Unit =
       sec.entries.foreach { e =>
@@ -447,8 +451,7 @@ object PdfObjects {
         }
       }
     while (xrefOff >= 0) {
-      if (xrefOff >= prevSeen) return None // /Prev must strictly decrease
-      prevSeen = xrefOff
+      if (!seenOffsets.add(xrefOff)) return None // a revisit is a cycle
       if (classicRoot) {
         // ---- classic table section (the keyword law) ----
         if (xrefOff > b.length - 4) return None

@@ -209,6 +209,146 @@ object PdfText {
       } else d.refVal(key).map(Seq(_))
     }
 
+  /** A simple font's text mapping: the byte→char encoding table plus
+    * the /ToUnicode overrides (authoritative when present — §9.10.3's
+    * preferred extraction path; a code may map to SEVERAL characters,
+    * e.g. a ligature expanding to "ffi"). */
+  private[llm] final case class FontMap(enc: Array[Char], toUni: Map[Int, String])
+
+  /** Parse a ToUnicode CMap for a SIMPLE font: `beginbfchar` pairs and
+    * `beginbfrange` triples (base-increment and array forms), sources
+    * one byte (the simple-font codespace), targets UTF-16BE. The CMap
+    * boilerplate (codespace ranges, usecmap, dict ops) is skipped as
+    * tokens; malformed hex, empty targets, inverted or oversize ranges
+    * refuse. */
+  private[llm] def parseToUnicode(b: Array[Byte]): Option[Map[Int, String]] = {
+    // tokenizer: hex strings, arrays, barewords; everything else skipped
+    var p = 0
+    val n = b.length
+    def skipWsP(): Unit = { while (p < n && isWs(b(p))) p += 1 }
+    def hexTok(): Option[Array[Byte]] = { // at '<'
+      val out = new java.io.ByteArrayOutputStream
+      var hi = -1
+      p += 1
+      while (p < n) {
+        val c = b(p) & 0xff
+        if (c == '>') {
+          if (hi >= 0) out.write(hi << 4)
+          p += 1
+          return Some(out.toByteArray)
+        }
+        if (!isWs(b(p))) {
+          val v =
+            if (c >= '0' && c <= '9') c - '0'
+            else if (c >= 'a' && c <= 'f') c - 'a' + 10
+            else if (c >= 'A' && c <= 'F') c - 'A' + 10
+            else return None
+          if (hi < 0) hi = v else { out.write((hi << 4) | v); hi = -1 }
+        }
+        p += 1
+      }
+      None
+    }
+    def bareword(): String = {
+      val s0 = p
+      while (p < n && !isWs(b(p)) && !isDelim(b(p))) p += 1
+      new String(b, s0, p - s0, "ISO-8859-1")
+    }
+    def utf16(t: Array[Byte]): Option[String] = {
+      if (t.isEmpty || t.length % 2 != 0) return None
+      Some(new String(t, java.nio.charset.StandardCharsets.UTF_16BE))
+    }
+    def srcCode(t: Array[Byte]): Option[Int] =
+      // simple-font codespace: one byte (writers may pad to two)
+      t.length match {
+        case 1 => Some(t(0) & 0xff)
+        case 2 if t(0) == 0 => Some(t(1) & 0xff)
+        case _ => None
+      }
+    val out = scala.collection.mutable.Map.empty[Int, String]
+    var inBfChar = false
+    var inBfRange = false
+    while (p < n) {
+      skipWsP()
+      if (p < n) b(p) match {
+        case '<' =>
+          if (inBfChar) {
+            val src = hexTok().getOrElse(return None)
+            skipWsP()
+            if (p >= n || b(p) != '<') return None
+            val dst = hexTok().getOrElse(return None)
+            val code = srcCode(src).getOrElse(return None)
+            out(code) = utf16(dst).getOrElse(return None)
+          } else if (inBfRange) {
+            val lo = hexTok().getOrElse(return None)
+            skipWsP()
+            if (p >= n || b(p) != '<') return None
+            val hi2 = hexTok().getOrElse(return None)
+            skipWsP()
+            val loC = srcCode(lo).getOrElse(return None)
+            val hiC = srcCode(hi2).getOrElse(return None)
+            if (hiC < loC) return None
+            if (p >= n) return None
+            if (b(p) == '[') {
+              p += 1
+              var c = loC
+              while (c <= hiC) {
+                skipWsP()
+                if (p >= n || b(p) != '<') return None
+                val dst = hexTok().getOrElse(return None)
+                out(c) = utf16(dst).getOrElse(return None)
+                c += 1
+              }
+              skipWsP()
+              if (p >= n || b(p) != ']') return None
+              p += 1
+            } else if (b(p) == '<') {
+              val base = hexTok().getOrElse(return None)
+              val baseStr = utf16(base).getOrElse(return None)
+              // the LAST UTF-16 code unit increments per step (§9.10.3)
+              var c = loC
+              while (c <= hiC) {
+                val arr = baseStr.toCharArray
+                val bumped = arr(arr.length - 1) + (c - loC)
+                if (bumped > 0xffff) return None
+                arr(arr.length - 1) = bumped.toChar
+                out(c) = new String(arr)
+                c += 1
+              }
+            } else return None
+          } else {
+            hexTok().getOrElse(return None) // codespace ranges etc.
+          }
+        case '[' | ']' => p += 1 // stray array brackets outside ranges
+        case '/' => p += 1; bareword() // names: CMap metadata
+        case '(' =>
+          // literal strings only appear in metadata; skip structurally
+          val p1 = PdfCodec.skipLiteralString(b, p)
+          if (p1 < 0) return None
+          p = p1
+        case c if !isDelim(c) =>
+          bareword() match {
+            case "beginbfchar" =>
+              if (inBfChar || inBfRange) return None
+              inBfChar = true
+            case "endbfchar" =>
+              if (!inBfChar) return None
+              inBfChar = false
+            case "beginbfrange" =>
+              if (inBfChar || inBfRange) return None
+              inBfRange = true
+            case "endbfrange" =>
+              if (!inBfRange) return None
+              inBfRange = false
+            case _ => () // begincmap, dict ops, numbers: boilerplate
+          }
+        case _ => p += 1 // other delimiters: boilerplate punctuation
+      }
+    }
+    if (inBfChar || inBfRange) return None // unterminated section
+    Some(out.toMap)
+  }
+
   /** Build a simple font's byte→char table, or refuse: Type0/Type3 and
     * the Mac encodings are out of scope; `/Differences` names must be in
     * the glyph list. */
@@ -253,6 +393,21 @@ object PdfText {
           case Some(_) => None
         }
       case _ => None
+    }
+  }
+
+  /** The font's complete text mapping: encoding table + /ToUnicode
+    * overrides (the stream resolves through the document and decodes
+    * through the filter pipeline). A /ToUnicode that is not a stream
+    * reference, or whose CMap is malformed, refuses. */
+  private def fontMap(doc: PdfDoc, fd: PDict, fbuf: Array[Byte]): Option[FontMap] = {
+    val enc = fontTable(doc, fd, fbuf).getOrElse(return None)
+    fd.entries.get("ToUnicode") match {
+      case None => Some(FontMap(enc, Map.empty))
+      case Some(_) =>
+        val ref = fd.refVal("ToUnicode").getOrElse(return None)
+        val cmap = doc.streamDecoded(ref).getOrElse(return None)
+        parseToUnicode(cmap).map(FontMap(enc, _))
     }
   }
 
@@ -349,10 +504,10 @@ object PdfText {
   /** Tokenize one page's (concatenated) content and assemble its LINES:
     * show operators append decoded text, the break family starts new
     * lines (guarded so positioning before the first show adds none). */
-  private[llm] def pageText(content: Array[Byte], fonts: Map[String, Array[Char]],
+  private[llm] def pageText(content: Array[Byte], fonts: Map[String, FontMap],
                        xobjs: Map[String, String]): Option[Seq[String]] = {
     val stack = scala.collection.mutable.ArrayBuffer.empty[Tok]
-    var font: Array[Char] = null
+    var font: FontMap = null
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var anyShow = false
@@ -361,9 +516,14 @@ object PdfText {
       if (font == null) return false // a show with no font selected
       var i = 0
       while (i < s.length) {
-        val ch = font(s(i) & 0xff)
-        if (ch == '\u0000') return false // code the encoding leaves undefined
-        cur.append(ch)
+        val code = s(i) & 0xff
+        font.toUni.get(code) match {
+          case Some(str) => cur ++= str // ToUnicode is authoritative
+          case None =>
+            val ch = font.enc(code)
+            if (ch == '\u0000') return false // undefined in BOTH maps
+            cur.append(ch)
+        }
         i += 1
       }
       anyShow = true
@@ -572,7 +732,7 @@ object PdfText {
     walk(pagesRef, None, 0).getOrElse(return None)
     val pages = leaves.map { case (pd, pbuf, res) =>
       // fonts and xobjects from the effective resources
-      val fonts: Map[String, Array[Char]] = res match {
+      val fonts: Map[String, FontMap] = res match {
         case None => Map.empty
         case Some((rd, rbuf)) =>
           dictValue(doc, rd, rbuf, "Font") match {
@@ -583,7 +743,7 @@ object PdfText {
               fdict.entries.keys.map { fname =>
                 val (fd, fdBuf) = dictValue(doc, fdict, fbuf, fname)
                   .getOrElse(return None)
-                fname -> fontTable(doc, fd, fdBuf).getOrElse(return None)
+                fname -> fontMap(doc, fd, fdBuf).getOrElse(return None)
               }.toMap
           }
       }
@@ -672,16 +832,42 @@ object PdfText {
     * stream; `hexStrings` shows text via hex strings; `diffBullet`
     * remaps code 65 to /bullet via /Differences; `type0Arm` and
     * `badGlyphArm` produce in-scope-refusal documents;
-    * `resourcesOnPagesNode` exercises resource INHERITANCE. */
+    * `resourcesOnPagesNode` exercises resource INHERITANCE;
+    * `toUnicodeArm` attaches a real /ToUnicode CMap stream remapping
+    * B→ß (bfchar), D→ffi (multi-char bfchar) and x–z→ΑΒΓ (bfrange) —
+    * the authoritative mapping path. The mapping applies to EVERY
+    * occurrence of those codes, so callers keep them out of text they
+    * want verbatim. */
   def encodeTextPdf(era: Int, vMinor: Int, pages: Seq[Seq[String]],
                     winAnsi: Boolean = true, diffBullet: Boolean = false,
                     filterArm: Int = 0, hexStrings: Boolean = false,
                     variant: Int = 0, resourcesOnPagesNode: Boolean = false,
                     type0Arm: Boolean = false,
-                    badGlyphArm: Boolean = false): Array[Byte] = {
+                    badGlyphArm: Boolean = false,
+                    toUnicodeArm: Boolean = false): Array[Byte] = {
     require(era >= 0 && era <= 2 && vMinor >= 0 && vMinor <= 7 && pages.nonEmpty)
     val nPages = pages.length
     val fontNum = 2 * nPages + 3
+    val cmapNum = if (toUnicodeArm) fontNum + 1 else -1
+    val cmapText =
+      """/CIDInit /ProcSet findresource begin
+        |12 dict begin
+        |begincmap
+        |/CMapName /GraftToUni def
+        |/CMapType 2 def
+        |1 begincodespacerange
+        |<00> <ff>
+        |endcodespacerange
+        |2 beginbfchar
+        |<42> <00df>
+        |<44> <006600660069>
+        |endbfchar
+        |1 beginbfrange
+        |<78> <7a> <0391>
+        |endbfrange
+        |endcmap
+        |CMap defined
+        |end end""".stripMargin
     val subtype = if (type0Arm) "Type0" else "Type1"
     val encStr =
       if (diffBullet || badGlyphArm) {
@@ -689,7 +875,8 @@ object PdfText {
         s" /Encoding << /BaseEncoding /WinAnsiEncoding /Differences [65 /$g] >>"
       } else if (winAnsi) " /Encoding /WinAnsiEncoding"
       else "" // StandardEncoding is the implicit default
-    val fontDict = s"<< /Type /Font /Subtype /$subtype /BaseFont /Helvetica$encStr >>"
+    val toUniStr = if (toUnicodeArm) s" /ToUnicode $cmapNum 0 R" else ""
+    val fontDict = s"<< /Type /Font /Subtype /$subtype /BaseFont /Helvetica$encStr$toUniStr >>"
     val resStr = s"/Resources << /Font << /F1 $fontNum 0 R >> >> "
     def pageDict(i: Int): String =
       s"<< /Type /Page /Parent 2 0 R " +
@@ -718,7 +905,7 @@ object PdfText {
 
     if (era == 0) {
       // ---- classic: everything direct, one table ----
-      val size = 2 * nPages + 4
+      val size = 2 * nPages + 4 + (if (toUnicodeArm) 1 else 0)
       val offsets = new Array[Long](size)
       def obj(n: Int)(body: => Unit): Unit = {
         offsets(n) = out.size().toLong
@@ -737,6 +924,11 @@ object PdfText {
         }
       }
       obj(fontNum) { w(fontDict + "\n") }
+      if (toUnicodeArm) obj(cmapNum) {
+        w(s"<< /Length ${cmapText.length} >>\nstream\n")
+        w(cmapText)
+        w("\nendstream\n")
+      }
       val xref = out.size().toLong
       w(s"xref\n0 $size\n0000000000 65535 f \n")
       (1 until size).foreach(n => w(f"${offsets(n)}%010d 00000 n \n"))
@@ -745,10 +937,11 @@ object PdfText {
     }
 
     // ---- modern / hybrid: dicts (catalog, pages, page dicts, font)
-    //      packed in a Flate ObjStm; content streams direct ----
-    val objStmNum = 2 * nPages + 4
-    val xrefNum = 2 * nPages + 5
-    val size = 2 * nPages + 6
+    //      packed in a Flate ObjStm; content streams (and the CMap
+    //      stream — streams cannot live in an ObjStm) direct ----
+    val objStmNum = 2 * nPages + 4 + (if (toUnicodeArm) 1 else 0)
+    val xrefNum = objStmNum + 1
+    val size = objStmNum + 2
     val contentOffsets = new Array[Long](nPages)
     (0 until nPages).foreach { i =>
       contentOffsets(i) = out.size().toLong
@@ -756,6 +949,13 @@ object PdfText {
         contentOps(pages(i), variant + i, hexStrings))
       w(s"${4 + 2 * i} 0 obj\n<< /Length ${payload.length}$filt >>\nstream\n")
       out.write(payload, 0, payload.length)
+      w("\nendstream\nendobj\n")
+    }
+    var cmapOffset = -1L
+    if (toUnicodeArm) {
+      cmapOffset = out.size().toLong
+      w(s"$cmapNum 0 obj\n<< /Length ${cmapText.length} >>\nstream\n")
+      w(cmapText)
       w("\nendstream\nendobj\n")
     }
     val members: Seq[(Int, String)] =
@@ -790,6 +990,7 @@ object PdfText {
           case -1 =>
             if (nnum == objStmNum) row(1, objStmOffset, 0L)
             else if (nnum == xrefNum) row(1, xrefOffset, 0L)
+            else if (nnum == cmapNum) row(1, cmapOffset, 0L)
             else row(1, contentOffsets((nnum - 4) / 2), 0L)
           case idx => row(2, objStmNum.toLong, idx.toLong)
         }
@@ -821,6 +1022,10 @@ object PdfText {
       (0 until nPages).foreach { i =>
         w(s"${4 + 2 * i} 1\n")
         w(f"${contentOffsets(i)}%010d 00000 n \n")
+      }
+      if (toUnicodeArm) { // the CMap stream rides the visible TABLE side
+        w(s"$cmapNum 1\n")
+        w(f"$cmapOffset%010d 00000 n \n")
       }
       w(s"trailer\n<< /Size $size /Root 1 0 R /XRefStm $xrefOffset >>\n")
       w(s"startxref\n$tableOff\n%%EOF\n")

@@ -22,10 +22,13 @@ object Docs {
     * filter arms rotating content-stream encodings (raw, /FlateDecode,
     * the [/FlateDecode] array form, the ASCIIHex→Flate chain), hex
     * strings on every fifth key, resources inherited from the Pages
-    * node on every seventh, and a /Differences bullet remap on every
-    * eleventh (the oracle replays the remapped character). Refusal
-    * arms: truncation (k mod 13), a Type0 CID font (k mod 17 — the
-    * scope pin), an unknown glyph name in /Differences (k mod 19). */
+    * node on every seventh, a /Differences bullet remap on every
+    * eleventh (the oracle replays the remapped character), and a REAL
+    * /ToUnicode CMap on every twenty-third (bfchar B→ß, multi-char
+    * D→ffi, bfrange x–z→ΑΒΓ — the authoritative mapping path; the
+    * oracle replays the mapped characters). Refusal arms: truncation
+    * (k mod 13), a Type0 CID font (k mod 17 — the scope pin), an
+    * unknown glyph name in /Differences (k mod 19). */
   def pdfText(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.PdfText
@@ -34,11 +37,13 @@ object Docs {
       val era = (k % 3).toInt
       val nPages = (1 + k % 3).toInt
       val diffB = k % 11 == 0
+      val toUni = k % 23 == 0
       val pages = (0 until nPages).map { i =>
         val nLines = (1 + (k + i) % 4).toInt
         (0 until nLines).map { j =>
           s"doc$k pg$i ln$j w${(k + i * 3 + j * 7) % 10}" +
-            (if (diffB) " A" else "")
+            (if (diffB) " A" else "") +
+            (if (toUni) " BxD" else "")
         }
       }
       val bytes = PdfText.encodeTextPdf(era, (4 + k % 4).toInt, pages,
@@ -47,7 +52,8 @@ object Docs {
         variant = (k % 4).toInt,
         resourcesOnPagesNode = k % 7 == 0,
         type0Arm = k % 17 == 0 && k % 13 != 0,
-        badGlyphArm = k % 19 == 0 && k % 13 != 0 && k % 17 != 0)
+        badGlyphArm = k % 19 == 0 && k % 13 != 0 && k % 17 != 0,
+        toUnicodeArm = toUni)
       val payload = if (k % 13 == 0) bytes.dropRight(6) else bytes
       PdfText.extract(payload) match {
         case Some(r) =>
@@ -79,7 +85,8 @@ object Docs {
       |  SELECT p.k, i.g AS i, j.g AS j,
       |    'doc' || p.k || ' pg' || i.g || ' ln' || j.g ||
       |      ' w' || ((p.k + i.g * 3 + j.g * 7) % 10) ||
-      |      CASE WHEN p.k % 11 = 0 THEN ' •' ELSE '' END AS line
+      |      CASE WHEN p.k % 11 = 0 THEN ' •' ELSE '' END ||
+      |      CASE WHEN p.k % 23 = 0 THEN ' ßΑffi' ELSE '' END AS line
       |  FROM p, generate_series(0, 2) i(g), generate_series(0, 3) j(g)
       |  WHERE i.g < p.np AND j.g < 1 + (p.k + i.g) % 4 AND p.ok),
       |agg AS (

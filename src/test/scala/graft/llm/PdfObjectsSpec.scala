@@ -92,6 +92,28 @@ class PdfObjectsSpec extends AnyFunSuite {
     assert(PdfCodec.pdfProbe(bad.getBytes("ISO-8859-1")).isEmpty)
   }
 
+  test("linearized layout: a forward /Prev chain walks; true cycles refuse") {
+    // first-page objects + front xref at the START, /Prev pointing
+    // FORWARD to the main section at the END — the r15 strict-decrease
+    // law false-refused exactly this layout
+    val b = PdfCodec.encodeLinearizedPdf(5, Seq(20, 30, 40), seed = 3)
+    assert(PdfCodec.pdfProbe(b).contains((5, 2, 9, 8, 3, 3, 90L)))
+    // a two-section cycle (front -> main -> front) refuses: splice a
+    // /Prev into the MAIN trailer aiming back at the front section (the
+    // splice sits after every offset the walk reads, so nothing shifts)
+    val s = new String(b, "ISO-8859-1")
+    val frontOff = s.substring(s.lastIndexOf("startxref"))
+      .replaceAll("(?s).*?(\\d+).*", "$1")
+    val cyc = s.replace("<< /Size 9 /Root 1 0 R >>",
+      s"<< /Size 9 /Root 1 0 R /Prev $frontOff >>")
+    assert(cyc != s && PdfCodec.pdfProbe(cyc.getBytes("ISO-8859-1")).isEmpty)
+    // truncation battery: every cut refuses (d=1 shaves the newline)
+    assert(PdfCodec.pdfProbe(b.dropRight(1)).nonEmpty)
+    (2 to b.length - 1 by 9).foreach { d =>
+      assert(PdfCodec.pdfProbe(b.dropRight(d)).isEmpty, s"drop $d passed")
+    }
+  }
+
   test("the modern walk accepts the [/FlateDecode] array form end-to-end") {
     val (b, _) = PdfModern.encodeModernPdf(6, Seq(24, 31), None,
       predictor = true, filterArrayForm = true)

@@ -69,7 +69,7 @@ class PdfTextSpec extends AnyFunSuite {
   }
 
   test("tokenizer laws: the quote ops, kerning, comments, unknown ops, refusals") {
-    val fonts = Map("F1" -> PdfText.winAnsiTable)
+    val fonts = Map("F1" -> PdfText.FontMap(PdfText.winAnsiTable, Map.empty))
     def t(s: String, xobjs: Map[String, String] = Map.empty) =
       pageText(s.getBytes("ISO-8859-1"), fonts, xobjs)
     // the " operator: aw ac string — break + show
@@ -103,6 +103,64 @@ class PdfTextSpec extends AnyFunSuite {
     assert(t("BT /F1 9 Tf ] ET").isEmpty)
     // hex strings with odd digits and whitespace
     assert(t("BT /F1 9 Tf <48 65 6c6C 6f> Tj ET").contains(Seq("Hello")))
+  }
+
+
+  test("/ToUnicode CMaps: bfchar, multi-char targets, bfrange, across eras") {
+    val lines = Seq("Bxd Dxz zyx")
+    // B->ß, D->ffi (multi-char), x..z -> Greek Α Β Γ; unmapped codes
+    // (d, space) fall back to the encoding table
+    val want = Seq("ßΑd ffiΑΓ ΓΒΑ")
+    Seq(0, 1, 2).foreach { era =>
+      val b = encodeTextPdf(era, 6, Seq(lines), toUnicodeArm = true)
+      assert(extract(b).exists(_.pages == want), s"era=$era")
+      // and the same doc WITHOUT the arm extracts the raw bytes
+      val plain = encodeTextPdf(era, 6, Seq(lines))
+      assert(extract(plain).exists(_.pages == Seq("Bxd Dxz zyx")))
+    }
+    // composes with filter arms and hex strings
+    val c = encodeTextPdf(1, 7, Seq(lines), toUnicodeArm = true,
+      filterArm = 3, hexStrings = true)
+    assert(extract(c).exists(_.pages == want))
+  }
+
+  test("/ToUnicode parser laws: boilerplate skipped, malformed CMaps refuse") {
+    def parse(s: String) = PdfText.parseToUnicode(s.getBytes("ISO-8859-1"))
+    val ok = parse(
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange <00> <ff> endcodespacerange
+        |2 beginbfchar
+        |<41> <0057>
+        |<0042> <00480049>
+        |endbfchar
+        |1 beginbfrange <50> <52> [<0058> <0059> <005a>] endbfrange
+        |endcmap""".stripMargin)
+    assert(ok.contains(Map(0x41 -> "W", 0x42 -> "HI",
+      0x50 -> "X", 0x51 -> "Y", 0x52 -> "Z")))
+    // base-increment range bumps the LAST code unit
+    assert(parse("1 beginbfrange <61> <63> <1e00> endbfrange")
+      .contains(Map(0x61 -> "\u1e00", 0x62 -> "\u1e01", 0x63 -> "\u1e02")))
+    // refusals: inverted range, odd-BYTE target (odd hex DIGITS pad a
+    // low nibble and stay legal), oversize source, dangling sections,
+    // short arrays
+    assert(parse("1 beginbfrange <63> <61> <1e00> endbfrange").isEmpty)
+    assert(parse("1 beginbfchar <41> <005> endbfchar")
+      .contains(Map(0x41 -> "P"))) // <005> = bytes 00 50: legal UTF-16BE
+    assert(parse("1 beginbfchar <41> <000041> endbfchar").isEmpty)
+    assert(parse("1 beginbfchar <014100> <0041> endbfchar").isEmpty)
+    assert(parse("1 beginbfchar <41> <0041>").isEmpty)
+    assert(parse("1 beginbfrange <61> <63> [<0041> <0042>] endbfrange").isEmpty)
+    // a font whose /ToUnicode is malformed refuses end-to-end: flip a
+    // byte inside the CMap keyword region
+    val b = encodeTextPdf(0, 5, Seq(Seq("Bxd")), toUnicodeArm = true)
+    val raw = new String(b, "ISO-8859-1")
+    val broken = raw.replace("beginbfchar", "beginbfchXr")
+    assert(extract(broken.getBytes("ISO-8859-1")).isEmpty ||
+      extract(broken.getBytes("ISO-8859-1")).exists(_.pages == Seq("Bxd")))
+    // (an unknown keyword is boilerplate-skipped, so the orphan hex
+    // tokens parse as codespace noise and the map is simply empty —
+    // either refusal or fallback-to-encoding is honest; garbling is not)
   }
 
   test("multi-stream pages, empty pages, truncation battery") {
