@@ -355,9 +355,20 @@ object XzDecode {
           var declUncomp = -1L
           if (hasCompSize) { val (v, q2) = mbInt(b, q, p + bhSize - 4); declComp = v; q = q2 }
           if (hasUncompSize) { val (v, q2) = mbInt(b, q, p + bhSize - 4); declUncomp = v; q = q2 }
-          if (nFilters != 1) return None // scope pin: plain LZMA2 only
+          // filter chains: plain LZMA2, or Delta→LZMA2 (the xz delta
+          // preprocessor, filter id 0x03 with one distance-1 property
+          // byte — r16); BCJ branch converters still refuse
+          var deltaDist = 0
+          if (nFilters == 2) {
+            val (dfid, dq1) = mbInt(b, q, p + bhSize - 4); q = dq1
+            if (dfid != 0x03) return None
+            val (dplen, dq2) = mbInt(b, q, p + bhSize - 4); q = dq2
+            if (dplen != 1 || q >= p + bhSize - 4) return None
+            deltaDist = (b(q) & 0xff) + 1
+            q += 1
+          } else if (nFilters != 1) return None // 3-4 filter chains refuse
           val (fid, q3) = mbInt(b, q, p + bhSize - 4); q = q3
-          if (fid != 0x21) return None // delta/BCJ chains refuse
+          if (fid != 0x21) return None // LZMA2 must terminate the chain
           val (propLen, q4) = mbInt(b, q, p + bhSize - 4); q = q4
           if (propLen != 1 || q >= p + bhSize - 4) return None
           val dictProp = b(q) & 0xff; q += 1
@@ -441,6 +452,15 @@ object XzDecode {
             } else return None // reserved control byte
           }
           val data = java.util.Arrays.copyOf(outBuf, outLen)
+          // the delta stage decodes AFTER LZMA2: b[i] += b[i-dist],
+          // ascending, first `dist` bytes raw (the spec's zero history)
+          if (deltaDist > 0) {
+            var i = deltaDist
+            while (i < data.length) {
+              data(i) = (data(i) + data(i - deltaDist)).toByte
+              i += 1
+            }
+          }
           val compUsed = p - dataStart
           if (declComp >= 0 && declComp != compUsed) return None
           if (declUncomp >= 0 && declUncomp != data.length) return None

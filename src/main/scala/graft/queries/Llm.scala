@@ -4052,7 +4052,15 @@ object Llm {
       val bos = new java.io.ByteArrayOutputStream
       val opt = new org.tukaani.xz.LZMA2Options((k % 3).toInt)
       opt.setDictSize(1 << 16)
-      val z = new org.tukaani.xz.XZOutputStream(bos, opt, check)
+      // every seventh-mod-2 key rides a Delta→LZMA2 chain (r16): the
+      // preprocessor is content-invisible, so the oracle is unchanged —
+      // which is the law being gated
+      val z =
+        if (k % 7 == 2)
+          new org.tukaani.xz.XZOutputStream(bos,
+            Array[org.tukaani.xz.FilterOptions](
+              new org.tukaani.xz.DeltaOptions((1 + k % 256).toInt), opt))
+        else new org.tukaani.xz.XZOutputStream(bos, opt, check)
       z.write(payload); z.close()
       val bytes = bos.toByteArray
       val payloadBytes =

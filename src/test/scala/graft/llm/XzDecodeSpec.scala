@@ -76,6 +76,48 @@ class XzDecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("Delta→LZMA2 filter chains decode; BCJ still refuses") {
+    val rnd = new scala.util.Random(571)
+    def xzDelta(data: Array[Byte], dist: Int, preset: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream
+      val opts = Array[org.tukaani.xz.FilterOptions](
+        new org.tukaani.xz.DeltaOptions(dist),
+        new org.tukaani.xz.LZMA2Options(preset))
+      val z = new org.tukaani.xz.XZOutputStream(bos, opts)
+      z.write(data); z.close()
+      bos.toByteArray
+    }
+    // delta shines on sampled waveforms: a ramp + small noise per
+    // channel stride; distances cover the 1-byte edge, stereo-16-bit
+    // (4), and the 256 maximum
+    val datasets = Seq(
+      Array.tabulate(30000)(i => (i / 7).toByte),
+      Array.tabulate(50000)(i => ((i / 4) * 3 + (i % 4)).toByte),
+      Array.fill(20000)(rnd.nextInt(256).toByte),
+      Array.emptyByteArray,
+      Array.tabulate(70000)(i => (math.sin(i / 50.0) * 100).toByte))
+    for (data <- datasets; dist <- Seq(1, 4, 16, 256); preset <- Seq(0, 6)) {
+      val comp = xzDelta(data, dist, preset)
+      val back = decompress(comp, maxOut = 1 << 22)
+      assert(back.exists(r => java.util.Arrays.equals(r._1, data)),
+        s"delta mismatch dist=$dist preset=$preset n=${data.length}")
+    }
+    // the check still covers the FINAL (post-delta) bytes: a flip in
+    // the compressed payload refuses
+    val c = xzDelta(datasets.head, 4, 6)
+    (0 until c.length by 13).foreach { at =>
+      val t = c.clone(); t(at) = (t(at) ^ 0x11).toByte
+      assert(decompress(t, 1 << 22).isEmpty, s"flip at $at passed")
+    }
+    // a BCJ chain (x86 converter) still refuses as pinned scope
+    val bos = new java.io.ByteArrayOutputStream
+    val z = new org.tukaani.xz.XZOutputStream(bos,
+      Array[org.tukaani.xz.FilterOptions](new org.tukaani.xz.X86Options(),
+        new org.tukaani.xz.LZMA2Options(3)))
+    z.write(("mov eax, 1 " * 500).getBytes("UTF-8")); z.close()
+    assert(decompress(bos.toByteArray, 1 << 22).isEmpty)
+  }
+
   test("multi-stream concatenation; flips and truncation refuse") {
     val a = xz("stream one ".getBytes("UTF-8"), 2)
     val b2 = xz(Array.fill(500)('k'.toByte), 6)
