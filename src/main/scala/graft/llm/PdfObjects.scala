@@ -139,6 +139,99 @@ object PdfObjects {
     Some(out.toByteArray)
   }
 
+  /** RunLengthDecode (§7.4.5): a length byte 0..127 copies the next
+    * length+1 bytes; 129..255 repeats the next byte 257−length times;
+    * 128 is EOD (mandatory — running off the extent refuses); only
+    * whitespace-free padding is the stream's business, so anything
+    * after EOD inside the extent refuses. */
+  private[llm] def runLengthDecode(b: Array[Byte], off: Int, len: Int,
+                                   maxOut: Int): Option[Array[Byte]] = {
+    if (off < 0 || len < 0 || off + len > b.length) return None
+    val out = new java.io.ByteArrayOutputStream(len)
+    var p = off
+    val end = off + len
+    while (p < end) {
+      val l = b(p) & 0xff
+      p += 1
+      if (l == 128) {
+        if (p != end) return None // EOD must end the extent exactly
+        return Some(out.toByteArray)
+      }
+      if (l < 128) {
+        if (p + l + 1 > end) return None
+        out.write(b, p, l + 1)
+        p += l + 1
+      } else {
+        if (p >= end) return None
+        var n = 257 - l
+        val v = b(p)
+        p += 1
+        while (n > 0) { out.write(v); n -= 1 }
+      }
+      if (out.size() > maxOut) return None
+    }
+    None // ran off the extent without EOD
+  }
+
+  /** ASCII85Decode (§7.4.3): 5 chars `!`..`u` per 4 bytes base-85,
+    * `z` for four zero bytes (whole groups only), whitespace ignored,
+    * `~>` as the required EOD; a trailing partial group of n chars
+    * yields n−1 bytes (implicit `u` padding). Overflow groups (> 2^32)
+    * and a lone final char refuse. */
+  private[llm] def ascii85Decode(b: Array[Byte], off: Int, len: Int): Option[Array[Byte]] = {
+    if (off < 0 || len < 0 || off + len > b.length) return None
+    val out = new java.io.ByteArrayOutputStream(len * 4 / 5 + 4)
+    var acc = 0L
+    var k = 0
+    var p = off
+    val end = off + len
+    var sawEod = false
+    def flush(nChars: Int): Boolean = {
+      var a = acc
+      var pad = 5 - nChars
+      while (pad > 0) { a = a * 85 + 84; pad -= 1 } // implicit 'u'
+      if (a > 0xffffffffL) return false
+      val keep = nChars - 1
+      var shift = 24
+      var i = 0
+      while (i < keep) { out.write(((a >> shift) & 0xff).toInt); shift -= 8; i += 1 }
+      true
+    }
+    while (p < end && !sawEod) {
+      val c = b(p) & 0xff
+      if (c == '~') {
+        if (p + 1 >= end || b(p + 1) != '>') return None
+        sawEod = true
+        p += 2
+      } else if (c == 'z') {
+        if (k != 0) return None // z only between groups
+        out.write(0); out.write(0); out.write(0); out.write(0)
+        p += 1
+      } else if (c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == 0) {
+        p += 1
+      } else if (c >= '!' && c <= 'u') {
+        acc = acc * 85 + (c - '!')
+        k += 1
+        if (k == 5) {
+          if (acc > 0xffffffffL) return None
+          var shift = 24
+          while (shift >= 0) { out.write(((acc >> shift) & 0xff).toInt); shift -= 8 }
+          acc = 0; k = 0
+        }
+        p += 1
+      } else return None
+    }
+    if (!sawEod) return None
+    if (k == 1) return None // a lone trailing char encodes nothing
+    if (k > 1 && !flush(k)) return None
+    while (p < end) {
+      val c = b(p) & 0xff
+      if (!(c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f')) return None
+      p += 1
+    }
+    Some(out.toByteArray)
+  }
+
   /** The `/Filter` value as a chain of names in application order:
     * absent → empty chain, a bare name → one stage, an ARRAY of names
     * (including the single-element `[/FlateDecode]` form many real
@@ -162,13 +255,14 @@ object PdfObjects {
     }
 
   /** Decode a stream's payload through its `/Filter` chain. Supported
-    * stages: FlateDecode (zlib, Adler-verified), ASCIIHexDecode, and any
-    * chain of the two (ASCIIHex→Flate is the classic mail-safe layout);
-    * no filter copies the raw extent. Every other filter name (DCT,
-    * LZW, ASCII85, CCITT, JBIG2, Crypt, RunLength) refuses — a census
-    * must never hand back bytes it cannot vouch for. PNG predictors
-    * (/DecodeParms) are NOT applied here; the xref-stream reader owns
-    * that law because it alone knows the row width. */
+    * stages: FlateDecode (zlib, Adler-verified), ASCIIHexDecode,
+    * ASCII85Decode, RunLengthDecode, and any chain of them (the
+    * ASCII-armored→Flate layouts are the classic mail-safe forms); no
+    * filter copies the raw extent. Every other filter name (DCT, LZW,
+    * CCITT, JBIG2, Crypt) refuses — a census must never hand back bytes
+    * it cannot vouch for. PNG predictors (/DecodeParms) are NOT applied
+    * here; the xref-stream reader owns that law because it alone knows
+    * the row width. */
   private[llm] def decodeStream(b: Array[Byte], dict: PDict, dataFrom: Int,
                                 dataLen: Int, maxOut: Int): Option[Array[Byte]] = {
     val names = filterNames(dict).getOrElse(return None)
@@ -181,7 +275,9 @@ object PdfObjects {
       val out = n match {
         case "FlateDecode" => inflate(buf, from, len, maxOut)
         case "ASCIIHexDecode" => asciiHexDecode(buf, from, len)
-        case _ => None // out-of-scope filters refuse, never mislead
+        case "ASCII85Decode" => ascii85Decode(buf, from, len)
+        case "RunLengthDecode" => runLengthDecode(buf, from, len, maxOut)
+        case _ => None // out-of-scope filters (DCT/LZW/CCITT/JBIG2/Crypt)
       }
       out match {
         case Some(o) => buf = o; from = 0; len = o.length

@@ -792,6 +792,63 @@ object PdfText {
       case c => c.toString
     } + ")"
 
+  /** ASCII85 encoder (writer side): whole 4-byte groups, z-shorthand
+    * never emitted (decoders must accept its absence), partial tail of
+    * n bytes as n+1 chars, `~>` EOD. */
+  private def a85Encode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i + 4 <= data.length) {
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (data(i + j) & 0xffL); j += 1 }
+      val cs = new Array[Char](5)
+      var k = 4
+      while (k >= 0) { cs(k) = ('!' + (v % 85).toInt).toChar; v /= 85; k -= 1 }
+      sb ++= new String(cs)
+      i += 4
+    }
+    val rem = data.length - i
+    if (rem > 0) {
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (if (j < rem) data(i + j) & 0xffL else 0L); j += 1 }
+      val cs = new Array[Char](5)
+      var k = 4
+      while (k >= 0) { cs(k) = ('!' + (v % 85).toInt).toChar; v /= 85; k -= 1 }
+      sb ++= new String(cs, 0, rem + 1)
+    }
+    sb ++= "~>"
+    sb.toString.getBytes("ISO-8859-1")
+  }
+
+  /** RunLengthDecode encoder (writer side): literal runs up to 128,
+    * repeat runs for ≥3 equal bytes, mandatory EOD byte. */
+  private def rleEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + data.length / 128 + 2)
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && data(i + run) == data(i) && run < 128) run += 1
+      if (run >= 3) {
+        out.write(257 - run); out.write(data(i))
+        i += run
+      } else {
+        var lit = i
+        // literal run: stop before a ≥3 repeat or at 128 bytes
+        var e = i
+        while (e < data.length && e - i < 128 &&
+          !(e + 2 < data.length && data(e) == data(e + 1) && data(e) == data(e + 2))) e += 1
+        out.write(e - i - 1)
+        out.write(data, i, e - i)
+        i = e
+        if (lit == i) i += 1 // defensive: always advance
+      }
+    }
+    out.write(128) // EOD
+    out.toByteArray
+  }
+
   private def hexStr(s: String): String =
     "<" + s.map(c => f"${c.toInt & 0xff}%02x").mkString + ">"
 
@@ -892,10 +949,15 @@ object PdfText {
         case 0 => (plain, "")
         case 1 => (PdfModern.flate(plain), " /Filter /FlateDecode")
         case 2 => (PdfModern.flate(plain), " /Filter [/FlateDecode]")
-        case _ =>
+        case 3 =>
           val fl = PdfModern.flate(plain)
           val hx = (fl.map(x => f"${x & 0xff}%02x").mkString + ">").getBytes("ISO-8859-1")
           (hx, " /Filter [/ASCIIHexDecode /FlateDecode]")
+        case 4 =>
+          val fl = PdfModern.flate(plain)
+          (a85Encode(fl), " /Filter [/ASCII85Decode /FlateDecode]")
+        case _ =>
+          (rleEncode(plain), " /Filter /RunLengthDecode")
       }
     }
     val out = new java.io.ByteArrayOutputStream

@@ -20,7 +20,8 @@ object Docs {
     * modern / hybrid by k mod 3), 1-3 pages of 1-4 formula lines, the
     * show-operator mix rotating by key (Tj, ', Td, TJ-with-kerning), the
     * filter arms rotating content-stream encodings (raw, /FlateDecode,
-    * the [/FlateDecode] array form, the ASCIIHex→Flate chain), hex
+    * the [/FlateDecode] array form, the ASCIIHex→Flate and
+    * ASCII85→Flate chains, /RunLengthDecode), hex
     * strings on every fifth key, resources inherited from the Pages
     * node on every seventh, a /Differences bullet remap on every
     * eleventh (the oracle replays the remapped character), and a REAL
@@ -48,7 +49,7 @@ object Docs {
       }
       val bytes = PdfText.encodeTextPdf(era, (4 + k % 4).toInt, pages,
         winAnsi = k % 2 == 0, diffBullet = diffB,
-        filterArm = (k % 4).toInt, hexStrings = k % 5 == 0,
+        filterArm = (k % 6).toInt, hexStrings = k % 5 == 0,
         variant = (k % 4).toInt,
         resourcesOnPagesNode = k % 7 == 0,
         type0Arm = k % 17 == 0 && k % 13 != 0,

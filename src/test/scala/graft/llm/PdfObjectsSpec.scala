@@ -57,6 +57,39 @@ class PdfObjectsSpec extends AnyFunSuite {
     assert(h("48> \n").exists(_.sameElements(Array(0x48.toByte))))
   }
 
+  test("RunLength and ASCII85 filters: vectors and refusal laws") {
+    val plain = "aaaaaabcd".getBytes("ISO-8859-1")
+    // RLE: repeat run (251 = 257-6 copies of 'a') + literal run + EOD
+    val rle = Array[Byte](251.toByte, 'a', 2, 'b', 'c', 'd', 128.toByte)
+    assert(runLengthDecode(rle, 0, rle.length, 1 << 20).exists(_.sameElements(plain)))
+    assert(dec("<< /Filter /RunLengthDecode >>", rle).exists(_.sameElements(plain)))
+    // missing EOD refuses; bytes after EOD refuse; short literal refuses
+    assert(runLengthDecode(rle.dropRight(1), 0, rle.length - 1, 1 << 20).isEmpty)
+    assert(runLengthDecode(rle :+ 0.toByte, 0, rle.length + 1, 1 << 20).isEmpty)
+    assert(runLengthDecode(Array[Byte](5, 'a', 'b'), 0, 3, 1 << 20).isEmpty)
+    // ASCII85: the spec's own 'sure' group + z-shorthand + partial tail
+    def a85(s: String) = ascii85Decode(s.getBytes("ISO-8859-1"), 0, s.length)
+    assert(a85("F*2M7~>").exists(_.sameElements("sure".getBytes)))
+    assert(a85("z~>").exists(_.sameElements(Array[Byte](0, 0, 0, 0))))
+    assert(a85("F*2M7 \n z ~>").exists(_.sameElements(
+      "sure".getBytes ++ Array[Byte](0, 0, 0, 0))))
+    // partial group: 3 chars -> 2 bytes
+    assert(a85("F*2M7F*2~>").exists(_.sameElements("sure".getBytes ++ "su".getBytes)))
+    // refusals: no EOD, lone trailing char, z inside a group, overflow,
+    // junk after EOD, illegal char
+    assert(a85("F*2M7").isEmpty)
+    assert(a85("F*2M7F~>").isEmpty)
+    assert(a85("F*zM7~>").isEmpty)
+    assert(a85("uuuuu~>").isEmpty) // 85^5-1 > 2^32
+    assert(a85("F*2M7~>x").isEmpty)
+    assert(a85("F*2{7~>").isEmpty)
+    // chains through Flate both ways refuse/accept per order
+    val flated = PdfModern.flate(plain)
+    val armored = (flated.map(x => f"${x & 0xff}%02x").mkString + ">").getBytes("ISO-8859-1")
+    assert(dec("<< /Filter [/ASCIIHexDecode /FlateDecode] >>", armored)
+      .exists(_.sameElements(plain)))
+  }
+
   test("hybrid-reference files: the classic walk reads the /XRefStm supplement") {
     // facts: (vMinor, nUpdates, size, nObjects, nPages, nStreams, streamBytes)
     // P pages hide P+2 dicts in an ObjStm visible only via /XRefStm;

@@ -18,7 +18,7 @@ class PdfTextSpec extends AnyFunSuite {
     val eras = Seq(0, 1, 2)
     for {
       era <- eras
-      filterArm <- 0 to 3
+      filterArm <- 0 to 5
       hexStrings <- Seq(false, true)
       variant <- 0 to 3
     } {
