@@ -271,6 +271,12 @@ object PdfText {
     while (p < n) {
       skipWsP()
       if (p < n) b(p) match {
+        case '<' if PdfCodec.at(b, p, "<<") && !inBfChar && !inBfRange =>
+          // CMap metadata dicts (/CIDSystemInfo << ... >> def) skip
+          // structurally — real writers always emit one (r16 review)
+          val p1 = PdfCodec.skipDict(b, p)
+          if (p1 < 0) return None
+          p = p1
         case '<' =>
           if (inBfChar) {
             val src = hexTok().getOrElse(return None)

@@ -128,7 +128,11 @@ class PdfTextSpec extends AnyFunSuite {
     def parse(s: String) = PdfText.parseToUnicode(s.getBytes("ISO-8859-1"))
     val ok = parse(
       """/CIDInit /ProcSet findresource begin
+        |12 dict begin
         |begincmap
+        |/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def
+        |/CMapName /Adobe-Identity-UCS def
+        |/CMapType 2 def
         |1 begincodespacerange <00> <ff> endcodespacerange
         |2 beginbfchar
         |<41> <0057>
