@@ -17,10 +17,12 @@ package graft.llm
   *    `body`; paragraph text is assembled by an in-order walk so runs,
   *    tabs and breaks interleave exactly as written.
   *
-  * Scope pins (refuse, documented): embedded subdocuments and fields
-  * are not resolved (their literal `w:t` content is what a curation
-  * pipeline sees); tables (`w:tbl`) refuse rather than flatten in an
-  * undocumented order. */
+  * Tables (`w:tbl`) flatten under a DOCUMENTED contract (r16): one
+  * output line per row, cells joined by tabs, a cell's paragraphs
+  * joined by newlines, nested tables recursing under the same rule to
+  * a depth of 4 (deeper refuses). Scope pins (refuse, documented):
+  * embedded subdocuments and fields are not resolved (their literal
+  * `w:t` content is what a curation pipeline sees). */
 object DocxCodec {
 
   /** Extraction facts: (nEntries, nParagraphs, paragraphs). None on any
@@ -93,7 +95,8 @@ object DocxCodec {
           if (!collectRuns(el, sb)) return None
           paras += sb.toString
         case "sectPr" => () // section properties: layout, not text
-        case "tbl" => return None // scope pin: no undocumented flatten
+        case "tbl" =>
+          paras ++= tableLines(el, 0).getOrElse(return None)
         case _ => () // bookmarks, proofing marks: not text
       }
     }
@@ -130,17 +133,56 @@ object DocxCodec {
 
   /** In-order text assembly under a paragraph: `w:t` appends its text,
     * `w:tab` a tab, `w:br` a newline; runs and properties recurse so
-    * interleavings survive exactly. */
+    * interleavings survive exactly. A table inside a PARAGRAPH is
+    * malformed OOXML and refuses (tables are body/cell-level). */
   private def collectRuns(e: org.w3c.dom.Element, sb: StringBuilder): Boolean = {
     children(e).forall { el =>
       el.getLocalName match {
         case "t" => sb ++= el.getTextContent; true
         case "tab" => sb += '\t'; true
         case "br" => sb += '\n'; true
-        case "tbl" => false // nested table: same pin as top level
+        case "tbl" => false // a table cannot live inside a paragraph
         case _ => collectRuns(el, sb) // w:r, w:rPr wrappers, etc.
       }
     }
+  }
+
+  /** Table flattening contract: one line per `w:tr` row, cell texts
+    * joined by tabs; a cell's paragraphs join by newlines; a nested
+    * table contributes its flattened lines as additional cell
+    * paragraphs (same rule, depth-capped). */
+  private def tableLines(tbl: org.w3c.dom.Element, depth: Int): Option[Seq[String]] = {
+    if (depth > 4) return None // runaway nesting refuses
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    children(tbl).foreach { tr =>
+      tr.getLocalName match {
+        case "tr" =>
+          val cells = scala.collection.mutable.ArrayBuffer.empty[String]
+          children(tr).foreach { tc =>
+            tc.getLocalName match {
+              case "tc" =>
+                val cellParas = scala.collection.mutable.ArrayBuffer.empty[String]
+                children(tc).foreach { inner =>
+                  inner.getLocalName match {
+                    case "p" =>
+                      val sb = new StringBuilder
+                      if (!collectRuns(inner, sb)) return None
+                      cellParas += sb.toString
+                    case "tbl" =>
+                      cellParas ++= tableLines(inner, depth + 1)
+                        .getOrElse(return None)
+                    case _ => () // tcPr etc.
+                  }
+                }
+                cells += cellParas.mkString("\n")
+              case _ => () // trPr etc.
+            }
+          }
+          lines += cells.mkString("\t")
+        case _ => () // tblPr, tblGrid: layout, not text
+      }
+    }
+    Some(lines.toSeq)
   }
 
   // ---- conformance writer (tests the WALK) -------------------------------
@@ -174,9 +216,11 @@ object DocxCodec {
     * extraction). `document.xml` is written STORED so tamper arms can
     * flip a payload byte and prove the CRC law; the other entries ride
     * DEFLATE like a real writer's. `omitDocument` drops the main part
-    * (the OPC-law refusal arm). */
+    * (the OPC-law refusal arm). `tables` appends `w:tbl` elements after
+    * the paragraphs: each table is rows of cells, a cell one paragraph. */
   def encodeDocx(paragraphs: Seq[String], omitDocument: Boolean = false,
-                 omitContentTypes: Boolean = false): Array[Byte] = {
+                 omitContentTypes: Boolean = false,
+                 tables: Seq[Seq[Seq[String]]] = Nil): Array[Byte] = {
     val body = paragraphs.map { p =>
       val runs = new StringBuilder
       // split plain segments on the whitespace marks; emit marks as tags
@@ -200,6 +244,12 @@ object DocxCodec {
       }
       flushSeg()
       s"<w:p>$runs</w:p>"
+    }.mkString + tables.map { rows =>
+      "<w:tbl><w:tblPr/>" + rows.map { cells =>
+        "<w:tr>" + cells.map { cell =>
+          s"<w:tc><w:tcPr/><w:p><w:r><w:t xml:space=\"preserve\">${xmlEscape(cell)}</w:t></w:r></w:p></w:tc>"
+        }.mkString + "</w:tr>"
+      }.mkString + "</w:tbl>"
     }.mkString
     val docXml =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +

@@ -110,10 +110,12 @@ object Docs {
     * paragraphs, text split across two runs (the boundary must be
     * invisible), a `w:tab` arm on every sixth key and a `w:br` arm on
     * every ninth — both inside paragraph 0 so in-order assembly is what
-    * passes. Refusal arms: truncation (k mod 13 — the EOCD tail laws,
-    * which ZipInputStream alone would miss), a missing main part
-    * (k mod 17 — the OPC law), and a flipped byte inside the STORED
-    * `document.xml` payload (k mod 19 — the per-entry CRC-32 law). */
+    * passes. Every eighth key appends a 2×2 TABLE flattened under the
+    * documented contract (row per line, cells tab-joined — r16).
+    * Refusal arms: truncation (k mod 13 — the EOCD tail laws, which
+    * ZipInputStream alone would miss), a missing main part (k mod 17 —
+    * the OPC law), and a flipped byte inside the STORED `document.xml`
+    * payload (k mod 19 — the per-entry CRC-32 law). */
   def docxRead(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.DocxCodec
@@ -125,8 +127,13 @@ object Docs {
           (if (j == 0 && k % 6 == 0) "\tT" else "") +
           (if (j == 0 && k % 9 == 0) "\nB" else "")
       }
+      val tables =
+        if (k % 8 == 0)
+          Seq((0 until 2).map(r =>
+            (0 until 2).map(c => s"tb$r$c${(k + 2 * r + c) % 7}")))
+        else Nil
       val bytes = DocxCodec.encodeDocx(paras,
-        omitDocument = k % 17 == 0 && k % 13 != 0)
+        omitDocument = k % 17 == 0 && k % 13 != 0, tables = tables)
       val payload =
         if (k % 13 == 0) bytes.dropRight(4)
         else if (k % 19 == 0 && k % 17 != 0) {
@@ -153,7 +160,8 @@ object Docs {
 
   /** The extraction replayed: 1 + k mod 4 paragraphs, paragraph j =
     * `doc{k} par{j} body{(k+5j) mod 9}` with the tab/br arms appended to
-    * paragraph 0; paragraphs joined by newlines; 3 container entries. */
+    * paragraph 0, plus the flattened 2×2 table rows on 8 | k;
+    * paragraphs joined by newlines; 3 container entries. */
   val docxReadSql: String =
     """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
       |p AS (SELECT k, CAST(1 + k % 4 AS INTEGER) AS np,
@@ -166,10 +174,17 @@ object Docs {
       |      CASE WHEN j.g = 0 AND p.k % 9 = 0 THEN chr(10) || 'B' ELSE '' END AS ptxt
       |  FROM p, generate_series(0, 3) j(g)
       |  WHERE j.g < p.np AND p.ok),
+      |tbl AS (
+      |  SELECT p.k, p.np + r.g AS j,
+      |    'tb' || r.g || '0' || ((p.k + 2 * r.g) % 7) || chr(9) ||
+      |    'tb' || r.g || '1' || ((p.k + 2 * r.g + 1) % 7) AS ptxt
+      |  FROM p, generate_series(0, 1) r(g)
+      |  WHERE p.k % 8 = 0 AND p.ok),
+      |allp AS (SELECT * FROM par UNION ALL SELECT * FROM tbl),
       |agg AS (
       |  SELECT k, CAST(COUNT(*) AS INTEGER) AS n_paragraphs,
       |    string_agg(ptxt, chr(10) ORDER BY j) AS text
-      |  FROM par GROUP BY k)
+      |  FROM allp GROUP BY k)
       |SELECT p.k AS media_id, p.ok AS docx_ok,
       |  CASE WHEN p.ok THEN 3 END AS n_entries,
       |  CASE WHEN p.ok THEN agg.n_paragraphs END AS n_paragraphs,

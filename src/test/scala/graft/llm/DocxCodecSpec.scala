@@ -36,19 +36,34 @@ class DocxCodecSpec extends AnyFunSuite {
     assert(docxText(t).isEmpty)
   }
 
-  test("scope pins: tables refuse; doctypes refuse (no XXE class)") {
-    val b = encodeDocx(Seq("before"))
-    val s = new String(b, "ISO-8859-1")
-    // splice a w:tbl into the body — document.xml is STORED so in-place
-    // surgery needs equal length: swap the sectPr for a tbl of equal size
-    assert(s.contains("<w:sectPr/>"))
-    // rebuild instead: a doc whose body carries a table
-    val tbl = "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>cell</w:t></w:r></w:p></w:tc></w:tr></w:tbl>"
+  test("tables flatten under the documented contract; doctypes refuse (no XXE)") {
+    // row per line, cells tab-joined
+    val b = encodeDocx(Seq("before"), tables = Seq(
+      Seq(Seq("a0", "a1", "a2"), Seq("b0", "b1", "b2"))))
+    assert(docxText(b).exists(_._3 ==
+      Seq("before", "a0\ta1\ta2", "b0\tb1\tb2")))
+    // a nested table's lines become cell paragraphs (newline-joined)
+    val inner = "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>n0</w:t></w:r></w:p></w:tc>" +
+      "<w:tc><w:p><w:r><w:t>n1</w:t></w:r></w:p></w:tc></w:tr></w:tbl>"
+    val outer = "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>c0</w:t></w:r></w:p>" +
+      inner + "</w:tc><w:tc><w:p><w:r><w:t>c1</w:t></w:r></w:p></w:tc></w:tr></w:tbl>"
     val doc = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
       """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +
-      s"<w:body>$tbl<w:sectPr/></w:body></w:document>"
-    val z = rawDocx(doc)
-    assert(docxText(z).isEmpty)
+      s"<w:body>$outer<w:sectPr/></w:body></w:document>"
+    assert(docxText(rawDocx(doc)).exists(_._3 == Seq("c0\nn0\tn1\tc1")))
+    // nesting past the depth cap refuses; a table inside a PARAGRAPH
+    // (malformed OOXML) refuses
+    val deep = (0 until 6).foldLeft("<w:p><w:r><w:t>x</w:t></w:r></w:p>") {
+      (acc, _) => s"<w:tbl><w:tr><w:tc>$acc</w:tc></w:tr></w:tbl>"
+    }
+    val deepDoc = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +
+      s"<w:body>$deep<w:sectPr/></w:body></w:document>"
+    assert(docxText(rawDocx(deepDoc)).isEmpty)
+    val inPara = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +
+      "<w:body><w:p><w:tbl/></w:p><w:sectPr/></w:body></w:document>"
+    assert(docxText(rawDocx(inPara)).isEmpty)
     val dt = """<?xml version="1.0"?><!DOCTYPE w:document [<!ENTITY x "y">]>""" +
       """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +
       "<w:body><w:p><w:r><w:t>&x;</w:t></w:r></w:p><w:sectPr/></w:body></w:document>"
