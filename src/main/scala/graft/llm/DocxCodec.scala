@@ -28,56 +28,19 @@ object DocxCodec {
   /** Extraction facts: (nEntries, nParagraphs, paragraphs). None on any
     * container/XML violation. */
   def docxText(b: Array[Byte], maxEntry: Int = 1 << 24): Option[(Int, Int, Seq[String])] = try {
-    if (b == null || b.length < 22) return None
-    // ---- container tail laws: ZipInputStream walks LOCAL headers only
-    // and never reads the central directory, so by itself it accepts a
-    // truncated container (the directory and EOCD shear off first).
-    // Verify the End-Of-Central-Directory record: signature, the
-    // comment-length law (EOCD + comment ends the file exactly), the
-    // central directory sitting immediately before it, and the entry
-    // count matching what the local walk finds. ----
-    def u16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
-    def u32(p: Int): Long =
-      (u16(p).toLong) | (u16(p + 2).toLong << 16)
-    var eocd = b.length - 22
-    while (eocd >= 0 && !(b(eocd) == 'P' && b(eocd + 1) == 'K' &&
-      b(eocd + 2) == 5 && b(eocd + 3) == 6)) eocd -= 1
-    if (eocd < 0) return None
-    if (eocd + 22 + u16(eocd + 20) != b.length) return None // comment law
-    val totalCdEntries = u16(eocd + 10)
-    if (u16(eocd + 8) != totalCdEntries) return None // single-disk law
-    val cdSize = u32(eocd + 12)
-    val cdOff = u32(eocd + 16)
-    if (cdOff + cdSize != eocd.toLong) return None // directory abuts EOCD
-    if (totalCdEntries > 0 &&
-      !(cdOff + 4 <= b.length && b(cdOff.toInt) == 'P' &&
-        b(cdOff.toInt + 1) == 'K' && b(cdOff.toInt + 2) == 1 &&
-        b(cdOff.toInt + 3) == 2)) return None
-    val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(b))
-    var nEntries = 0
-    var nAll = 0 // incl. directory entries, for the EOCD count law
+    // container walk (shared ZipWalk): per-entry CRC by draining + the
+    // EOCD tail laws ZipInputStream alone never checks
+    val entries = ZipWalk.entries(b, maxEntry).getOrElse(return None)
+    val nEntries = entries.length
     var docXml: Array[Byte] = null
     var sawContentTypes = false
-    try {
-      var e = zin.getNextEntry
-      while (e != null) {
-        nAll += 1
-        if (!e.isDirectory) {
-          // readAllBytes drains the entry, which is what makes the
-          // stream verify the CRC-32 — a partial read would skip it
-          val data = zin.readAllBytes()
-          if (data.length > maxEntry) return None
-          nEntries += 1
-          if (e.getName == "word/document.xml") {
-            if (docXml != null) return None // duplicate main part
-            docXml = data
-          }
-          if (e.getName == "[Content_Types].xml") sawContentTypes = true
-        }
-        e = zin.getNextEntry
+    entries.foreach { case (name, data) =>
+      if (name == "word/document.xml") {
+        if (docXml != null) return None // duplicate main part
+        docXml = data
       }
-    } finally zin.close()
-    if (nAll != totalCdEntries) return None // every entry reaches the directory
+      if (name == "[Content_Types].xml") sawContentTypes = true
+    }
     if (docXml == null || !sawContentTypes) return None // the OPC laws
     // ---- word/document.xml ----
     val db = builders.get()
@@ -116,7 +79,7 @@ object DocxCodec {
     * thread: factory construction walks the JAXP service registry, which
     * dominated the per-document cost when done per row. reset() between
     * uses; bounded by thread count (the jpegWriters pattern). */
-  private val builders: ThreadLocal[javax.xml.parsers.DocumentBuilder] =
+  private[llm] val builders: ThreadLocal[javax.xml.parsers.DocumentBuilder] =
     ThreadLocal.withInitial { () =>
       val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
       dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)

@@ -1,0 +1,168 @@
+package graft.llm
+
+/** EPUB text extraction — the book-corpus modality. An EPUB is an OCF
+  * container (a ZIP with laws) around an OPF package:
+  *
+  *  - the OCF `mimetype` law: the FIRST entry must be named `mimetype`,
+  *    STORED (never deflated), holding exactly `application/epub+zip` —
+  *    readers identify the format by peeking at fixed offsets, so a
+  *    deflated or displaced mimetype is a different (broken) format;
+  *  - `META-INF/container.xml` names the OPF package via
+  *    `rootfile@full-path`;
+  *  - the OPF's manifest maps ids to hrefs (relative to the OPF's own
+  *    directory) and media types; the SPINE's itemrefs give the reading
+  *    order — a dangling idref, a non-XHTML spine item, or an href that
+  *    escapes the container refuse;
+  *  - each spine chapter extracts through [[graft.ops.Html]] (the same
+  *    main-content heuristics the crawl pipeline uses), blocks joined
+  *    by newlines.
+  *
+  * The container walk rides [[ZipWalk]] (per-entry CRC verified, EOCD
+  * tail laws), so truncation and bit flips refuse below this layer.
+  * XML metadata parses namespace-aware with doctypes refused; chapter
+  * XHTML goes through the regex extractor, which tolerates the DOCTYPE
+  * real chapters carry. */
+object EpubCodec {
+
+  /** Extraction facts: (nEntries, nChapters, title, chapterTexts).
+    * None on any container/package violation. */
+  def epubText(b: Array[Byte], maxEntry: Int = 1 << 24): Option[(Int, Int, String, Seq[String])] = try {
+    val entries = ZipWalk.entries(b, maxEntry).getOrElse(return None)
+    if (entries.isEmpty || entries.head._1 != "mimetype") return None
+    if (!ZipWalk.firstEntryStoredIs(b, "mimetype", "application/epub+zip"))
+      return None // the OCF mimetype law
+    val byName = entries.toMap
+    if (byName.size != entries.length) return None // duplicate entry names
+    val container = byName.get("META-INF/container.xml").getOrElse(return None)
+    val db = DocxCodec.builders.get()
+    db.reset()
+    val cdoc = db.parse(new java.io.ByteArrayInputStream(container))
+    if (cdoc.getDocumentElement.getLocalName != "container") return None
+    val rootfiles = cdoc.getElementsByTagNameNS("*", "rootfile")
+    if (rootfiles.getLength < 1) return None
+    val opfPath = rootfiles.item(0).asInstanceOf[org.w3c.dom.Element]
+      .getAttribute("full-path")
+    if (opfPath.isEmpty) return None
+    val opfBytes = byName.get(opfPath).getOrElse(return None)
+    val opfDir = {
+      val i = opfPath.lastIndexOf('/')
+      if (i < 0) "" else opfPath.substring(0, i + 1)
+    }
+    db.reset()
+    val odoc = db.parse(new java.io.ByteArrayInputStream(opfBytes))
+    if (odoc.getDocumentElement.getLocalName != "package") return None
+    // title: the first dc:title (optional)
+    val titles = odoc.getElementsByTagNameNS("*", "title")
+    val title = if (titles.getLength > 0) titles.item(0).getTextContent.trim else ""
+    // manifest: id -> (href, media-type)
+    val items = odoc.getElementsByTagNameNS("*", "item")
+    val manifest = (0 until items.getLength).map { i =>
+      val el = items.item(i).asInstanceOf[org.w3c.dom.Element]
+      val id = el.getAttribute("id")
+      if (id.isEmpty) return None
+      id -> (el.getAttribute("href"), el.getAttribute("media-type"))
+    }.toMap
+    if (manifest.size != items.getLength) return None // duplicate ids
+    // spine: ordered idrefs
+    val itemrefs = odoc.getElementsByTagNameNS("*", "itemref")
+    if (itemrefs.getLength < 1) return None // a book with no chapters
+    val chapters = (0 until itemrefs.getLength).map { i =>
+      val idref = itemrefs.item(i).asInstanceOf[org.w3c.dom.Element]
+        .getAttribute("idref")
+      val (href, mt) = manifest.getOrElse(idref, return None) // dangling idref
+      if (mt != "application/xhtml+xml") return None // spine must be XHTML
+      val path = resolve(opfDir, href).getOrElse(return None)
+      val xhtml = byName.get(path).getOrElse(return None)
+      graft.ops.Html.extract(new String(xhtml, "UTF-8")).blocks.mkString("\n")
+    }
+    Some((entries.length, chapters.length, title, chapters))
+  } catch {
+    case _: org.xml.sax.SAXException => None
+    case _: java.io.IOException => None
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: StackOverflowError => None
+  }
+
+  /** Resolve `href` against the OPF directory: `.`/`..` segments
+    * normalize, escaping above the container root refuses, as do
+    * absolute and scheme-carrying hrefs. */
+  private def resolve(dir: String, href: String): Option[String] = {
+    if (href.isEmpty || href.startsWith("/") || href.contains(":")) return None
+    val segs = scala.collection.mutable.ArrayBuffer.empty[String]
+    (dir + href).split("/").foreach {
+      case "" | "." => ()
+      case ".." => if (segs.isEmpty) return None else segs.remove(segs.length - 1)
+      case seg => segs += seg
+    }
+    if (segs.isEmpty) None else Some(segs.mkString("/"))
+  }
+
+  // ---- conformance writer -------------------------------------------------
+
+  private def xmlEscape(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case c => c.toString
+    }
+
+  /** Deterministic EPUB: the STORED-first mimetype, container.xml, an
+    * OPF under OEBPS/ with one manifest item + spine entry per chapter,
+    * and XHTML chapters whose `<p>` blocks carry the given texts. Arms:
+    * `mimetypeDeflated` breaks the OCF law with identical content;
+    * `omitContainer` drops META-INF/container.xml; `danglingSpine` adds
+    * a spine itemref no manifest item defines. */
+  def encodeEpub(title: String, chapters: Seq[Seq[String]],
+                 mimetypeDeflated: Boolean = false,
+                 omitContainer: Boolean = false,
+                 danglingSpine: Boolean = false): Array[Byte] = {
+    require(chapters.nonEmpty)
+    val out = new java.io.ByteArrayOutputStream
+    val zos = new java.util.zip.ZipOutputStream(out)
+    def deflated(name: String, data: Array[Byte]): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(data); zos.closeEntry()
+    }
+    def stored(name: String, data: Array[Byte]): Unit = {
+      val e = new java.util.zip.ZipEntry(name)
+      e.setMethod(java.util.zip.ZipEntry.STORED)
+      e.setSize(data.length.toLong)
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      e.setCrc(crc.getValue)
+      zos.putNextEntry(e)
+      zos.write(data); zos.closeEntry()
+    }
+    val mt = "application/epub+zip".getBytes("ISO-8859-1")
+    if (mimetypeDeflated) deflated("mimetype", mt) else stored("mimetype", mt)
+    if (!omitContainer)
+      deflated("META-INF/container.xml",
+        ("""<?xml version="1.0" encoding="UTF-8"?>""" +
+          """<container version="1.0" xmlns="urn:oasis:names:tc:opendocument:xmlns:container">""" +
+          """<rootfiles><rootfile full-path="OEBPS/content.opf" media-type="application/oebps-package+xml"/>""" +
+          "</rootfiles></container>").getBytes("UTF-8"))
+    val manifest = chapters.indices.map(i =>
+      s"""<item id="ch$i" href="ch$i.xhtml" media-type="application/xhtml+xml"/>""").mkString
+    val spine = chapters.indices.map(i => s"""<itemref idref="ch$i"/>""").mkString +
+      (if (danglingSpine) """<itemref idref="ghost"/>""" else "")
+    deflated("OEBPS/content.opf",
+      ("""<?xml version="1.0" encoding="UTF-8"?>""" +
+        """<package xmlns="http://www.idpf.org/2007/opf" version="3.0" unique-identifier="uid">""" +
+        """<metadata xmlns:dc="http://purl.org/dc/elements/1.1/">""" +
+        s"<dc:title>${xmlEscape(title)}</dc:title>" +
+        """<dc:identifier id="uid">graft-fixture</dc:identifier></metadata>""" +
+        s"<manifest>$manifest</manifest><spine>$spine</spine></package>").getBytes("UTF-8"))
+    chapters.zipWithIndex.foreach { case (blocks, i) =>
+      val body = blocks.map(t => s"<p>${xmlEscape(t)}</p>").mkString
+      deflated(s"OEBPS/ch$i.xhtml",
+        ("""<?xml version="1.0" encoding="UTF-8"?>""" +
+          "<!DOCTYPE html>" +
+          """<html xmlns="http://www.w3.org/1999/xhtml"><head>""" +
+          s"<title>${xmlEscape(title)} $i</title></head><body>$body</body></html>")
+          .getBytes("UTF-8"))
+    }
+    zos.close()
+    out.toByteArray
+  }
+}

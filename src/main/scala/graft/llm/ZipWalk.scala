@@ -1,0 +1,88 @@
+package graft.llm
+
+/** Strict ZIP container walk shared by the zip-based document formats
+  * (DOCX, EPUB): local entries drained fully so the per-entry CRC-32 is
+  * verified on each, plus the End-Of-Central-Directory tail laws that
+  * `ZipInputStream` alone never checks (it walks local headers only, so
+  * by itself it ACCEPTS a truncated container — the central directory
+  * and EOCD shear off first):
+  *
+  *  - EOCD signature present, and the comment-length law (EOCD + its
+  *    comment must end the file exactly);
+  *  - single-disk counts agree; the central directory abuts the EOCD
+  *    and starts with a central-header signature;
+  *  - the EOCD entry count equals what the local walk found (every
+  *    local entry must reach the directory).
+  *
+  * ZIP64 containers refuse via these laws (the marker counts disagree
+  * with the local walk) — a refusal, never a mis-walk. */
+object ZipWalk {
+
+  /** All non-directory entries in local order as (name, bytes), or None
+    * on any container violation. */
+  def entries(b: Array[Byte], maxEntry: Int = 1 << 24): Option[IndexedSeq[(String, Array[Byte])]] = try {
+    if (b == null || b.length < 22) return None
+    def u16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    def u32(p: Int): Long = u16(p).toLong | (u16(p + 2).toLong << 16)
+    var eocd = b.length - 22
+    while (eocd >= 0 && !(b(eocd) == 'P' && b(eocd + 1) == 'K' &&
+      b(eocd + 2) == 5 && b(eocd + 3) == 6)) eocd -= 1
+    if (eocd < 0) return None
+    if (eocd + 22 + u16(eocd + 20) != b.length) return None // comment law
+    val totalCdEntries = u16(eocd + 10)
+    if (u16(eocd + 8) != totalCdEntries) return None // single-disk law
+    val cdSize = u32(eocd + 12)
+    val cdOff = u32(eocd + 16)
+    if (cdOff + cdSize != eocd.toLong) return None // directory abuts EOCD
+    if (totalCdEntries > 0 &&
+      !(cdOff + 4 <= b.length && b(cdOff.toInt) == 'P' &&
+        b(cdOff.toInt + 1) == 'K' && b(cdOff.toInt + 2) == 1 &&
+        b(cdOff.toInt + 3) == 2)) return None
+    val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(b))
+    val out = IndexedSeq.newBuilder[(String, Array[Byte])]
+    var nAll = 0
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        nAll += 1
+        if (!e.isDirectory) {
+          // readAllBytes drains the entry, which is what makes the
+          // stream verify the CRC-32 — a partial read would skip it
+          val data = zin.readAllBytes()
+          if (data.length > maxEntry) return None
+          out += ((e.getName, data))
+        }
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    if (nAll != totalCdEntries) return None // every entry in the directory
+    Some(out.result())
+  } catch {
+    case _: java.util.zip.ZipException => None
+    case _: java.io.IOException => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  /** Whether the FIRST local entry is STORED with the given exact
+    * content — the OCF `mimetype` law EPUB readers check by peeking at
+    * fixed offsets (the local header of entry 1 starts at byte 0, and a
+    * stored mimetype's payload sits at offset 30 + name length). */
+  def firstEntryStoredIs(b: Array[Byte], name: String, content: String): Boolean = {
+    if (b == null || b.length < 30) return false
+    def u16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    if (!(b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4)) return false
+    if (u16(8) != 0) return false // compression method must be STORED
+    val nameLen = u16(26)
+    val extraLen = u16(28)
+    val nm = name.getBytes("ISO-8859-1")
+    val ct = content.getBytes("ISO-8859-1")
+    if (nameLen != nm.length) return false
+    if (30 + nameLen + extraLen + ct.length > b.length) return false
+    var i = 0
+    while (i < nm.length) { if (b(30 + i) != nm(i)) return false; i += 1 }
+    val base = 30 + nameLen + extraLen
+    i = 0
+    while (i < ct.length) { if (b(base + i) != ct(i)) return false; i += 1 }
+    true
+  }
+}

@@ -193,22 +193,90 @@ object Docs {
       |FROM p LEFT JOIN agg ON p.k = agg.k
       |ORDER BY media_id""".stripMargin
 
-  /** The document-family dispatch capstone: ONE mixed corpus rotating
-    * classic PDF / modern PDF / hybrid PDF / DOCX by key, routed by
-    * container SNIFF (`%PDF` vs `PK`) the way a crawl bucket must be —
-    * nobody labels the formats for you. The PDF era label comes back
-    * from the walk itself (the three layouts self-identify), so the
-    * oracle pins dispatch + extraction in one law. Per-format refusal
-    * arms: truncation everywhere (k mod 13), the format's own scope/
-    * integrity arm on k mod 17 (PDF: a Type0 CID font; DOCX: missing
-    * main part) and k mod 19 (PDF: unknown glyph name; DOCX: a flipped
-    * byte under the entry CRC). */
-  def docZoo(s: SparkSession, d: String): DataFrame = {
+  /** EPUB text extraction under the oracle (see
+    * [[graft.llm.EpubCodec]]): per-key books with 1-3 XHTML chapters of
+    * 1-3 formula blocks, walked container → OPF → spine and extracted
+    * through the crawl pipeline's Html block model. Refusal arms:
+    * truncation (k mod 13 — the shared ZIP tail laws), a missing
+    * META-INF/container.xml (k mod 17), a dangling spine idref
+    * (k mod 19), and a DEFLATED mimetype (k mod 23 — the OCF law: the
+    * first entry must be STORED so readers can identify the format at
+    * fixed offsets). */
+  def epubRead(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import graft.llm.{DocxCodec, PdfText}
+    import graft.llm.EpubCodec
     val keys = partKeys(s, d) // full-width spread: the extract map is the cost
     val decoded = keys.map { k =>
-      val fmt = (k % 4).toInt
+      val nCh = (1 + k % 3).toInt
+      val chapters = (0 until nCh).map { i =>
+        val nBl = (1 + (k + i) % 3).toInt
+        (0 until nBl).map(j => s"ep$k ch$i bl$j w${(k + 3 * i + 5 * j) % 8}")
+      }
+      val bytes = EpubCodec.encodeEpub(s"Book $k", chapters,
+        mimetypeDeflated = k % 23 == 0 && k % 13 != 0 && k % 17 != 0 && k % 19 != 0,
+        omitContainer = k % 17 == 0 && k % 13 != 0,
+        danglingSpine = k % 19 == 0 && k % 13 != 0 && k % 17 != 0)
+      val payload = if (k % 13 == 0) bytes.dropRight(4) else bytes
+      EpubCodec.epubText(payload) match {
+        case Some((ne, nc, title, chs)) =>
+          val text = chs.mkString("\n")
+          (k, true, Some(ne), Some(nc), Some(title),
+            Some(text.length.toLong), Some(text))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int],
+            None: Option[String], None: Option[Long], None: Option[String])
+      }
+    }.toDF("media_id", "epub_ok", "n_entries", "n_chapters", "title",
+      "n_chars", "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The extraction replayed: 1 + k mod 3 chapters, chapter i has
+    * 1 + (k+i) mod 3 blocks, block (i,j) =
+    * `ep{k} ch{i} bl{j} w{(k+3i+5j) mod 8}`; blocks and chapters joined
+    * by newlines; entries = mimetype + container + OPF + chapters. */
+  val epubReadSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(1 + k % 3 AS INTEGER) AS nc,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0 AND k % 23 <> 0) AS ok
+      |      FROM ks),
+      |bl AS (
+      |  SELECT p.k, i.g AS i, j.g AS j,
+      |    'ep' || p.k || ' ch' || i.g || ' bl' || j.g ||
+      |      ' w' || ((p.k + 3 * i.g + 5 * j.g) % 8) AS line
+      |  FROM p, generate_series(0, 2) i(g), generate_series(0, 2) j(g)
+      |  WHERE i.g < p.nc AND j.g < 1 + (p.k + i.g) % 3 AND p.ok),
+      |agg AS (
+      |  SELECT k, string_agg(line, chr(10) ORDER BY i, j) AS text
+      |  FROM bl GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS epub_ok,
+      |  CASE WHEN p.ok THEN 3 + p.nc END AS n_entries,
+      |  CASE WHEN p.ok THEN p.nc END AS n_chapters,
+      |  CASE WHEN p.ok THEN 'Book ' || p.k END AS title,
+      |  CASE WHEN p.ok THEN CAST(length(agg.text) AS BIGINT) END AS n_chars,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p LEFT JOIN agg ON p.k = agg.k
+      |ORDER BY media_id""".stripMargin
+
+  /** The document-family dispatch capstone: ONE mixed corpus rotating
+    * classic PDF / modern PDF / hybrid PDF / DOCX / EPUB by key, routed
+    * by container SNIFF the way a crawl bucket must be — nobody labels
+    * the formats for you. `%PDF` routes to the PDF walk (whose era
+    * label comes back from the walk itself); `PK` containers
+    * disambiguate by the OCF mimetype peek (the first STORED entry —
+    * exactly how real tools tell an EPUB from other OOXML/OPC zips),
+    * falling back to DOCX. Per-format refusal arms: truncation
+    * everywhere (k mod 13), the format's own scope/integrity arm on
+    * k mod 17 (PDF: a Type0 CID font; DOCX: missing main part; EPUB:
+    * missing container.xml) and k mod 19 (PDF: unknown glyph name;
+    * DOCX: a flipped byte under the entry CRC; EPUB: a dangling spine
+    * idref). */
+  def docZoo(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.{DocxCodec, EpubCodec, PdfText, ZipWalk}
+    val keys = partKeys(s, d) // full-width spread: the extract map is the cost
+    val decoded = keys.map { k =>
+      val fmt = (k % 5).toInt
       val arm17 = k % 17 == 0 && k % 13 != 0
       val arm19 = k % 19 == 0 && k % 13 != 0 && k % 17 != 0
       val bytes =
@@ -220,15 +288,22 @@ object Docs {
               s"zoo$k f$fmt p$i l$j w${(k + 2 * i + 3 * j) % 7}")
           }
           PdfText.encodeTextPdf(fmt, (4 + k % 4).toInt, pages,
-            winAnsi = true, filterArm = ((k / 4) % 4).toInt,
+            winAnsi = true, filterArm = ((k / 4) % 6).toInt,
             hexStrings = k % 5 == 0, variant = (k % 6).toInt,
             resourcesOnPagesNode = k % 7 == 0,
             type0Arm = arm17, badGlyphArm = arm19)
-        } else {
+        } else if (fmt == 3) {
           val nPars = (1 + k % 3).toInt
           DocxCodec.encodeDocx(
             (0 until nPars).map(j => s"zoo$k docx p$j w${(k + 5 * j) % 7}"),
             omitDocument = arm17)
+        } else {
+          val nCh = (1 + k % 2).toInt
+          EpubCodec.encodeEpub(s"Zoo $k",
+            (0 until nCh).map(i =>
+              (0 until (1 + (k + i) % 2).toInt).map(j =>
+                s"zoo$k epub c$i b$j w${(k + 4 * i + 6 * j) % 7}")),
+            omitContainer = arm17, danglingSpine = arm19)
         }
       val payload =
         if (k % 13 == 0) bytes.dropRight(5)
@@ -244,11 +319,17 @@ object Docs {
           payload(2) == 'D' && payload(3) == 'F')
           PdfText.extract(payload).map(r =>
             (s"pdf_${r.era}", r.nPages, r.pages.mkString("\n")))
-        else if (payload.length >= 2 && payload(0) == 'P' && payload(1) == 'K')
-          graft.llm.DocxCodec.docxText(payload).map { case (_, np, ps) =>
-            ("docx", np, ps.mkString("\n"))
-          }
-        else None
+        else if (payload.length >= 2 && payload(0) == 'P' && payload(1) == 'K') {
+          if (ZipWalk.firstEntryStoredIs(payload, "mimetype",
+            "application/epub+zip"))
+            EpubCodec.epubText(payload).map { case (_, nc, _, chs) =>
+              ("epub", nc, chs.mkString("\n"))
+            }
+          else
+            DocxCodec.docxText(payload).map { case (_, np, ps) =>
+              ("docx", np, ps.mkString("\n"))
+            }
+        } else None
       out match {
         case Some((label, units, text)) =>
           (k, true, Some(label), Some(units), Some(text.length.toLong),
@@ -261,13 +342,15 @@ object Docs {
     decoded.orderBy($"media_id")
   }
 
-  /** Dispatch + extraction replayed: format by k mod 4 (the PDF eras
-    * self-identify through the walk — the oracle pins the label), PDF
-    * text from the zoo line formula over 1 + k mod 2 pages, DOCX from
-    * the paragraph formula over 1 + k mod 3 paragraphs. */
+  /** Dispatch + extraction replayed: format by k mod 5 (the PDF eras
+    * self-identify through the walk; PK containers split on the
+    * mimetype peek — the oracle pins the label), PDF text from the zoo
+    * line formula over 1 + k mod 2 pages, DOCX from the paragraph
+    * formula over 1 + k mod 3 paragraphs, EPUB from the block formula
+    * over 1 + k mod 2 chapters. */
   val docZooSql: String =
     """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
-      |p AS (SELECT k, CAST(k % 4 AS INTEGER) AS fmt,
+      |p AS (SELECT k, CAST(k % 5 AS INTEGER) AS fmt,
       |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
       |      FROM ks),
       |pdfl AS (
@@ -288,16 +371,28 @@ object Docs {
       |docxa AS (
       |  SELECT k, string_agg(ptxt, chr(10) ORDER BY j) AS text
       |  FROM docxl GROUP BY k),
+      |epubl AS (
+      |  SELECT p.k, i.g AS i, j.g AS j,
+      |    'zoo' || p.k || ' epub c' || i.g || ' b' || j.g ||
+      |      ' w' || ((p.k + 4 * i.g + 6 * j.g) % 7) AS line
+      |  FROM p, generate_series(0, 1) i(g), generate_series(0, 1) j(g)
+      |  WHERE p.fmt = 4 AND p.ok
+      |    AND i.g < 1 + p.k % 2 AND j.g < 1 + (p.k + i.g) % 2),
+      |epuba AS (
+      |  SELECT k, string_agg(line, chr(10) ORDER BY i, j) AS text
+      |  FROM epubl GROUP BY k),
       |u AS (
       |  SELECT p.k,
       |    CASE p.fmt WHEN 0 THEN 'pdf_classic' WHEN 1 THEN 'pdf_modern'
-      |      WHEN 2 THEN 'pdf_hybrid' ELSE 'docx' END AS format,
+      |      WHEN 2 THEN 'pdf_hybrid' WHEN 3 THEN 'docx' ELSE 'epub' END AS format,
       |    CASE WHEN p.fmt < 3 THEN CAST(1 + p.k % 2 AS INTEGER)
-      |      ELSE CAST(1 + p.k % 3 AS INTEGER) END AS n_units,
-      |    COALESCE(pdfa.text, docxa.text) AS text
+      |      WHEN p.fmt = 3 THEN CAST(1 + p.k % 3 AS INTEGER)
+      |      ELSE CAST(1 + p.k % 2 AS INTEGER) END AS n_units,
+      |    COALESCE(pdfa.text, docxa.text, epuba.text) AS text
       |  FROM p
       |  LEFT JOIN pdfa ON pdfa.k = p.k
       |  LEFT JOIN docxa ON docxa.k = p.k
+      |  LEFT JOIN epuba ON epuba.k = p.k
       |  WHERE p.ok)
       |SELECT p.k AS media_id, p.ok AS doc_ok,
       |  u.format,
@@ -310,10 +405,12 @@ object Docs {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pdf_text" -> (pdfText _),
     "q_docx_read" -> (docxRead _),
+    "q_epub_read" -> (epubRead _),
     "q_doc_zoo" -> (docZoo _))
 
   def oracleSql: Map[String, String] = Map(
     "q_pdf_text" -> pdfTextSql,
     "q_docx_read" -> docxReadSql,
+    "q_epub_read" -> epubReadSql,
     "q_doc_zoo" -> docZooSql)
 }
