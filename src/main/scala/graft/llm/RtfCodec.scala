@@ -1,0 +1,224 @@
+package graft.llm
+
+/** RTF text extraction — the legacy word-processing modality still all
+  * over document dumps. RTF (public spec: the Microsoft RTF 1.9.1
+  * reference) is a brace-grouped control-word format:
+  *
+  *  - `{` pushes a group, `}` pops it; GROUP STATE (the `\ucN` skip
+  *    count, destination-ness) inherits on push and restores on pop;
+  *  - control words `\word` with an optional signed numeric parameter
+  *    and one optional space delimiter; control symbols `\{ \} \\`
+  *    (escaped literals), `\~` (no-break space), `\-` `\_` (soft
+  *    hyphens — dropped);
+  *  - `\par` ends a paragraph, `\line` breaks a line inside one,
+  *    `\tab` is a tab;
+  *  - `\'hh` is a byte in the document's ANSI code page (cp1252 here,
+  *    mapped through the same table as PDF's WinAnsiEncoding; an
+  *    undefined code refuses rather than guessing);
+  *  - `\uN` is a signed 16-bit Unicode scalar followed by `\ucN`
+  *    fallback characters to SKIP (default 1) — the fallback may itself
+  *    be a `\'hh` escape, skipped as a unit;
+  *  - destination groups that hold non-text machinery are dropped
+  *    wholesale: `{\*\…}` (every starred destination) and the known set
+  *    (fonttbl, colortbl, stylesheet, info, pict, header, footer).
+  *
+  * Refusals: not starting with `{\rtf1`, unbalanced braces, a group
+  * still open at EOF, text outside any group, depth past 64, undefined
+  * `\'hh` codes, and binary `\binN` payloads (they can contain `}` and
+  * make brace-counting meaningless — the honest stop). */
+object RtfCodec {
+
+  private val dropDestinations = Set(
+    "fonttbl", "colortbl", "stylesheet", "info", "pict",
+    "header", "footer", "footnote", "annotation")
+
+  /** Extraction facts: (nGroups, paragraphs). None on any violation. */
+  def rtfText(b: Array[Byte]): Option[(Int, Seq[String])] = try {
+    if (b == null || b.length < 7) return None
+    val s = b
+    if (!(s(0) == '{' && s(1) == '\\' && s(2) == 'r' && s(3) == 't' &&
+      s(4) == 'f' && s(5) == '1')) return None
+    val paras = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var anyContent = false
+    def endPara(): Unit = { paras += cur.toString; cur.setLength(0) }
+    // group state stacks
+    var depth = 0
+    val ucStack = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val skipStack = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    var uc = 1
+    var skipping = false
+    var pendingUcSkip = 0 // characters to drop after \uN
+    var nGroups = 0
+    var p = 0
+    val n = s.length
+    var justOpened = false // for {\* detection
+    def emit(ch: Char): Unit =
+      if (!skipping) {
+        if (pendingUcSkip > 0) pendingUcSkip -= 1
+        else { cur.append(ch); anyContent = true }
+      }
+    while (p < n) {
+      (s(p): @annotation.switch) match {
+        case '{' =>
+          depth += 1
+          if (depth > 64) return None
+          ucStack += uc
+          skipStack += skipping
+          nGroups += 1
+          justOpened = true
+          p += 1
+        case '}' =>
+          if (depth == 0) return None // unbalanced
+          depth -= 1
+          uc = ucStack.remove(ucStack.length - 1)
+          skipping = skipStack.remove(skipStack.length - 1)
+          justOpened = false
+          p += 1
+          if (depth == 0) {
+            // past the root close only whitespace may follow
+            while (p < n) {
+              val c = s(p)
+              if (!(c == ' ' || c == '\r' || c == '\n' || c == '\t')) return None
+              p += 1
+            }
+          }
+        case '\\' =>
+          if (p + 1 >= n) return None
+          val c1 = s(p + 1)
+          if (c1 == '{' || c1 == '}' || c1 == '\\') {
+            emit(c1.toChar); p += 2; justOpened = false
+          } else if (c1 == '~') { emit(' '); p += 2; justOpened = false }
+          else if (c1 == '-' || c1 == '_') { p += 2; justOpened = false }
+          else if (c1 == '*') {
+            // a starred destination: drop the whole group (only legal
+            // right after '{')
+            if (!justOpened) return None
+            skipping = true
+            p += 2
+            justOpened = false
+          } else if (c1 == '\'') {
+            if (p + 3 >= n + 1 || p + 4 > n) return None
+            val hv = hex(s(p + 2), s(p + 3))
+            if (hv < 0) return None
+            if (!skipping) {
+              if (pendingUcSkip > 0) pendingUcSkip -= 1
+              else {
+                val ch = PdfText.winAnsiTable(hv)
+                if (ch == '\u0000') return None // undefined cp1252 code
+                cur.append(ch); anyContent = true
+              }
+            }
+            p += 4
+            justOpened = false
+          } else if (c1 == '\r' || c1 == '\n') {
+            // \<EOL> is \par in disguise (the spec's own rule)
+            if (!skipping) endPara()
+            p += 2
+            justOpened = false
+          } else if ((c1 >= 'a' && c1 <= 'z') || (c1 >= 'A' && c1 <= 'Z')) {
+            // control word: letters, optional signed int, optional space
+            var q = p + 1
+            while (q < n && ((s(q) >= 'a' && s(q) <= 'z') ||
+              (s(q) >= 'A' && s(q) <= 'Z'))) q += 1
+            val word = new String(s, p + 1, q - p - 1, "ISO-8859-1")
+            var param = 0L
+            var hasParam = false
+            var neg = false
+            if (q < n && s(q) == '-') { neg = true; q += 1 }
+            while (q < n && s(q) >= '0' && s(q) <= '9') {
+              param = param * 10 + (s(q) - '0'); hasParam = true; q += 1
+              if (param > 1000000000L) return None
+            }
+            if (neg && !hasParam) return None
+            if (neg) param = -param
+            if (q < n && s(q) == ' ') q += 1 // the one delimiter space
+            p = q
+            word match {
+              case "par" | "line" => if (!skipping) {
+                if (word == "par") endPara() else emit('\n')
+              }
+              case "tab" => emit('\t')
+              case "uc" =>
+                if (!hasParam || param < 0 || param > 8) return None
+                uc = param.toInt
+              case "u" =>
+                if (!hasParam) return None
+                // signed 16-bit scalar; negative values wrap (spec)
+                val cp = (if (param < 0) param + 65536 else param).toInt
+                if (cp < 0 || cp > 0xffff) return None
+                if (!skipping) {
+                  if (pendingUcSkip > 0) pendingUcSkip -= 1 // nested skip
+                  else { cur.append(cp.toChar); anyContent = true }
+                  pendingUcSkip += uc
+                }
+              case "bin" =>
+                return None // binary payload: brace counting is void
+              case w if justOpened && dropDestinations.contains(w) =>
+                skipping = true
+              case _ => () // formatting words: not text
+            }
+            justOpened = false
+          } else return None // unknown control symbol
+        case '\r' | '\n' =>
+          p += 1 // raw EOLs are ignorable in RTF
+        case c =>
+          emit(c.toChar)
+          p += 1
+          justOpened = false
+      }
+    }
+    if (depth != 0) return None // group open at EOF
+    if (!anyContent && paras.isEmpty) return None
+    if (cur.nonEmpty) endPara()
+    Some((nGroups, paras.toSeq))
+  } catch {
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  private def hex(a: Byte, b2: Byte): Int = {
+    def v(c: Byte): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
+    val hi = v(a); val lo = v(b2)
+    if (hi < 0 || lo < 0) -1 else (hi << 4) | lo
+  }
+
+  // ---- conformance writer -------------------------------------------------
+
+  private def rtfEscape(s: String): String =
+    s.flatMap {
+      case '{' => "\\{"
+      case '}' => "\\}"
+      case '\\' => "\\\\"
+      case '\t' => "\\tab "
+      case '\n' => "\\line "
+      case c if c < 128 => c.toString
+      case c if c <= 255 => f"\\'${c.toInt}%02x"
+      case c => s"\\u${c.toInt}?" // uc1 fallback '?'
+    }
+
+  /** Deterministic RTF: the rtf1/ansi preamble, a font table and a
+    * starred destination the extractor must DROP, `\'hh` + `\uN`
+    * escapes wherever the text needs them, paragraphs via `\par`.
+    * `binArm` plants a `\bin` payload (the honest-stop refusal arm);
+    * `unbalancedArm` drops the final closing brace. */
+  def encodeRtf(paragraphs: Seq[String], binArm: Boolean = false,
+                unbalancedArm: Boolean = false): Array[Byte] = {
+    val sb = new StringBuilder
+    sb ++= "{\\rtf1\\ansi\\ansicpg1252\\deff0"
+    sb ++= "{\\fonttbl{\\f0\\froman Times New Roman;}{\\f1\\fswiss Arial;}}"
+    sb ++= "{\\colortbl ;\\red255\\green0\\blue0;}"
+    sb ++= "{\\*\\generator graft fixture 16;}"
+    sb ++= "\\viewkind4\\uc1\\pard\\f0\\fs24 "
+    if (binArm) sb ++= "\\bin4 ab}{"
+    paragraphs.foreach { t =>
+      sb ++= rtfEscape(t)
+      sb ++= "\\par\n"
+    }
+    sb ++= (if (unbalancedArm) "" else "}")
+    sb.toString.getBytes("ISO-8859-1")
+  }
+}

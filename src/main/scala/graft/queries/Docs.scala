@@ -193,6 +193,74 @@ object Docs {
       |FROM p LEFT JOIN agg ON p.k = agg.k
       |ORDER BY media_id""".stripMargin
 
+  /** RTF text extraction under the oracle (see [[graft.llm.RtfCodec]]):
+    * per-key documents with 1-4 formula paragraphs behind a real
+    * preamble (font table, color table, a starred destination the
+    * extractor must DROP), a cp1252 `\'hh` escape arm (€ on every
+    * sixth key), a `\uN` unicode arm (Ω on every ninth) and a `\tab`
+    * arm (every eighth) — all on paragraph 0. Refusal arms: truncation
+    * (k mod 13 — the unbalanced-brace law), a `\bin` payload (k mod 17
+    * — brace counting is void inside binary, the honest stop), and a
+    * missing root close (k mod 19). */
+  def rtfRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.RtfCodec
+    val keys = partKeys(s, d) // full-width spread: the extract map is the cost
+    val decoded = keys.map { k =>
+      val nPars = (1 + k % 4).toInt
+      val paras = (0 until nPars).map { j =>
+        s"rt$k p$j w${(k + 5 * j) % 9}" +
+          (if (j == 0 && k % 6 == 0) " €" else "") +
+          (if (j == 0 && k % 9 == 0) " Ω" else "") +
+          (if (j == 0 && k % 8 == 0) "\tT" else "")
+      }
+      val bytes = RtfCodec.encodeRtf(paras,
+        binArm = k % 17 == 0 && k % 13 != 0,
+        unbalancedArm = k % 19 == 0 && k % 13 != 0 && k % 17 != 0)
+      val payload = if (k % 13 == 0) bytes.dropRight(3) else bytes
+      RtfCodec.rtfText(payload) match {
+        case Some((ng, ps)) =>
+          val text = ps.mkString("\n")
+          (k, true, Some(ng), Some(ps.length), Some(text.length.toLong),
+            Some(text))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int],
+            None: Option[Long], None: Option[String])
+      }
+    }.toDF("media_id", "rtf_ok", "n_groups", "n_paragraphs", "n_chars",
+      "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The extraction replayed: 1 + k mod 4 paragraphs, paragraph j =
+    * `rt{k} p{j} w{(k+5j) mod 9}` with the €/Ω/tab arms on paragraph 0;
+    * the writer's fixture has a constant 6 groups (root + fonttbl + two
+    * fonts + colortbl + the dropped starred destination). */
+  val rtfReadSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(1 + k % 4 AS INTEGER) AS np,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |par AS (
+      |  SELECT p.k, j.g AS j,
+      |    'rt' || p.k || ' p' || j.g || ' w' || ((p.k + 5 * j.g) % 9) ||
+      |      CASE WHEN j.g = 0 AND p.k % 6 = 0 THEN ' €' ELSE '' END ||
+      |      CASE WHEN j.g = 0 AND p.k % 9 = 0 THEN ' Ω' ELSE '' END ||
+      |      CASE WHEN j.g = 0 AND p.k % 8 = 0 THEN chr(9) || 'T' ELSE '' END AS ptxt
+      |  FROM p, generate_series(0, 3) j(g)
+      |  WHERE j.g < p.np AND p.ok),
+      |agg AS (
+      |  SELECT k, CAST(COUNT(*) AS INTEGER) AS n_paragraphs,
+      |    string_agg(ptxt, chr(10) ORDER BY j) AS text
+      |  FROM par GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS rtf_ok,
+      |  CASE WHEN p.ok THEN 6 END AS n_groups,
+      |  CASE WHEN p.ok THEN agg.n_paragraphs END AS n_paragraphs,
+      |  CASE WHEN p.ok THEN CAST(length(agg.text) AS BIGINT) END AS n_chars,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p LEFT JOIN agg ON p.k = agg.k
+      |ORDER BY media_id""".stripMargin
+
   /** EPUB text extraction under the oracle (see
     * [[graft.llm.EpubCodec]]): per-key books with 1-3 XHTML chapters of
     * 1-3 formula blocks, walked container → OPF → spine and extracted
@@ -259,7 +327,7 @@ object Docs {
       |ORDER BY media_id""".stripMargin
 
   /** The document-family dispatch capstone: ONE mixed corpus rotating
-    * classic PDF / modern PDF / hybrid PDF / DOCX / EPUB by key, routed
+    * classic PDF / modern PDF / hybrid PDF / DOCX / EPUB / RTF by key, routed
     * by container SNIFF the way a crawl bucket must be — nobody labels
     * the formats for you. `%PDF` routes to the PDF walk (whose era
     * label comes back from the walk itself); `PK` containers
@@ -268,15 +336,16 @@ object Docs {
     * falling back to DOCX. Per-format refusal arms: truncation
     * everywhere (k mod 13), the format's own scope/integrity arm on
     * k mod 17 (PDF: a Type0 CID font; DOCX: missing main part; EPUB:
-    * missing container.xml) and k mod 19 (PDF: unknown glyph name;
-    * DOCX: a flipped byte under the entry CRC; EPUB: a dangling spine
-    * idref). */
+    * missing container.xml; RTF: a \bin payload) and k mod 19 (PDF:
+    * unknown glyph name; DOCX: a flipped byte under the entry CRC;
+    * EPUB: a dangling spine idref; RTF: a missing root close). RTF
+    * routes on its own `{\rtf1` signature. */
   def docZoo(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import graft.llm.{DocxCodec, EpubCodec, PdfText, ZipWalk}
+    import graft.llm.{DocxCodec, EpubCodec, PdfText, RtfCodec, ZipWalk}
     val keys = partKeys(s, d) // full-width spread: the extract map is the cost
     val decoded = keys.map { k =>
-      val fmt = (k % 5).toInt
+      val fmt = (k % 6).toInt
       val arm17 = k % 17 == 0 && k % 13 != 0
       val arm19 = k % 19 == 0 && k % 13 != 0 && k % 17 != 0
       val bytes =
@@ -297,13 +366,18 @@ object Docs {
           DocxCodec.encodeDocx(
             (0 until nPars).map(j => s"zoo$k docx p$j w${(k + 5 * j) % 7}"),
             omitDocument = arm17)
-        } else {
+        } else if (fmt == 4) {
           val nCh = (1 + k % 2).toInt
           EpubCodec.encodeEpub(s"Zoo $k",
             (0 until nCh).map(i =>
               (0 until (1 + (k + i) % 2).toInt).map(j =>
                 s"zoo$k epub c$i b$j w${(k + 4 * i + 6 * j) % 7}")),
             omitContainer = arm17, danglingSpine = arm19)
+        } else {
+          val nPars = (1 + k % 3).toInt
+          RtfCodec.encodeRtf(
+            (0 until nPars).map(j => s"zoo$k rtf p$j w${(k + 7 * j) % 7}"),
+            binArm = arm17, unbalancedArm = arm19)
         }
       val payload =
         if (k % 13 == 0) bytes.dropRight(5)
@@ -315,7 +389,12 @@ object Docs {
         } else bytes
       // ---- the dispatch: container sniff, never a label ----
       val out: Option[(String, Int, String)] =
-        if (payload.length >= 4 && payload(0) == '%' && payload(1) == 'P' &&
+        if (payload.length >= 6 && payload(0) == '{' && payload(1) == '\\' &&
+          payload(2) == 'r' && payload(3) == 't' && payload(4) == 'f')
+          RtfCodec.rtfText(payload).map { case (_, ps) =>
+            ("rtf", ps.length, ps.mkString("\n"))
+          }
+        else if (payload.length >= 4 && payload(0) == '%' && payload(1) == 'P' &&
           payload(2) == 'D' && payload(3) == 'F')
           PdfText.extract(payload).map(r =>
             (s"pdf_${r.era}", r.nPages, r.pages.mkString("\n")))
@@ -342,7 +421,7 @@ object Docs {
     decoded.orderBy($"media_id")
   }
 
-  /** Dispatch + extraction replayed: format by k mod 5 (the PDF eras
+  /** Dispatch + extraction replayed: format by k mod 6 (the PDF eras
     * self-identify through the walk; PK containers split on the
     * mimetype peek — the oracle pins the label), PDF text from the zoo
     * line formula over 1 + k mod 2 pages, DOCX from the paragraph
@@ -350,7 +429,7 @@ object Docs {
     * over 1 + k mod 2 chapters. */
   val docZooSql: String =
     """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
-      |p AS (SELECT k, CAST(k % 5 AS INTEGER) AS fmt,
+      |p AS (SELECT k, CAST(k % 6 AS INTEGER) AS fmt,
       |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
       |      FROM ks),
       |pdfl AS (
@@ -381,18 +460,29 @@ object Docs {
       |epuba AS (
       |  SELECT k, string_agg(line, chr(10) ORDER BY i, j) AS text
       |  FROM epubl GROUP BY k),
+      |rtfl AS (
+      |  SELECT p.k, j.g AS j,
+      |    'zoo' || p.k || ' rtf p' || j.g || ' w' || ((p.k + 7 * j.g) % 7) AS ptxt
+      |  FROM p, generate_series(0, 2) j(g)
+      |  WHERE p.fmt = 5 AND p.ok AND j.g < 1 + p.k % 3),
+      |rtfa AS (
+      |  SELECT k, string_agg(ptxt, chr(10) ORDER BY j) AS text
+      |  FROM rtfl GROUP BY k),
       |u AS (
       |  SELECT p.k,
       |    CASE p.fmt WHEN 0 THEN 'pdf_classic' WHEN 1 THEN 'pdf_modern'
-      |      WHEN 2 THEN 'pdf_hybrid' WHEN 3 THEN 'docx' ELSE 'epub' END AS format,
+      |      WHEN 2 THEN 'pdf_hybrid' WHEN 3 THEN 'docx' WHEN 4 THEN 'epub'
+      |      ELSE 'rtf' END AS format,
       |    CASE WHEN p.fmt < 3 THEN CAST(1 + p.k % 2 AS INTEGER)
       |      WHEN p.fmt = 3 THEN CAST(1 + p.k % 3 AS INTEGER)
-      |      ELSE CAST(1 + p.k % 2 AS INTEGER) END AS n_units,
-      |    COALESCE(pdfa.text, docxa.text, epuba.text) AS text
+      |      WHEN p.fmt = 4 THEN CAST(1 + p.k % 2 AS INTEGER)
+      |      ELSE CAST(1 + p.k % 3 AS INTEGER) END AS n_units,
+      |    COALESCE(pdfa.text, docxa.text, epuba.text, rtfa.text) AS text
       |  FROM p
       |  LEFT JOIN pdfa ON pdfa.k = p.k
       |  LEFT JOIN docxa ON docxa.k = p.k
       |  LEFT JOIN epuba ON epuba.k = p.k
+      |  LEFT JOIN rtfa ON rtfa.k = p.k
       |  WHERE p.ok)
       |SELECT p.k AS media_id, p.ok AS doc_ok,
       |  u.format,
@@ -406,11 +496,13 @@ object Docs {
     "q_pdf_text" -> (pdfText _),
     "q_docx_read" -> (docxRead _),
     "q_epub_read" -> (epubRead _),
+    "q_rtf_read" -> (rtfRead _),
     "q_doc_zoo" -> (docZoo _))
 
   def oracleSql: Map[String, String] = Map(
     "q_pdf_text" -> pdfTextSql,
     "q_docx_read" -> docxReadSql,
     "q_epub_read" -> epubReadSql,
+    "q_rtf_read" -> rtfReadSql,
     "q_doc_zoo" -> docZooSql)
 }

@@ -1,0 +1,63 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import RtfCodec._
+
+/** RTF extraction: group/state inheritance, destination dropping,
+  * escape forms (\'hh cp1252, \uN with \ucN fallback skipping, control
+  * symbols), paragraph/line semantics, and the refusal battery. */
+class RtfCodecSpec extends AnyFunSuite {
+
+  test("round-trip: paragraphs, escapes, braces, tabs, unicode") {
+    val paras = Seq("plain text", "braces {x} and \\slash",
+      "tab\there", "line\nbreak", "euro € and Ω omega", "")
+    val r = rtfText(encodeRtf(paras))
+    assert(r.exists(_._2 == paras))
+  }
+
+  test("destinations drop wholesale; formatting words are not text") {
+    val b = ("{\\rtf1\\ansi{\\fonttbl{\\f0 Times;}}" +
+      "{\\*\\generator secret tool v9;}" +
+      "{\\info{\\author hidden name}}" +
+      "\\uc1\\pard\\b\\i\\fs48 visible\\b0 text\\par}").getBytes("ISO-8859-1")
+    assert(rtfText(b).exists(_._2 == Seq("visibletext")))
+    // \uc fallback skipping: \u937? must drop the '?' fallback
+    val u = "{\\rtf1\\ansi\\uc1 a\\u937?b\\par}".getBytes("ISO-8859-1")
+    assert(rtfText(u).exists(_._2 == Seq("aΩb")))
+    // \uc2 drops TWO fallback chars, including \'hh units
+    val u2 = "{\\rtf1\\ansi\\uc2 a\\u937\\'3f?b\\par}".getBytes("ISO-8859-1")
+    assert(rtfText(u2).exists(_._2 == Seq("aΩb")))
+    // group pop restores \uc
+    val u3 = ("{\\rtf1\\ansi\\uc1 {\\uc2 \\u937??}\\u937?x\\par}")
+      .getBytes("ISO-8859-1")
+    assert(rtfText(u3).exists(_._2 == Seq("ΩΩx")))
+  }
+
+  test("refusals: preamble, balance, \\bin, undefined codes, junk") {
+    assert(rtfText("not rtf at all".getBytes).isEmpty)
+    assert(rtfText(encodeRtf(Seq("x"), unbalancedArm = true)).isEmpty)
+    assert(rtfText(encodeRtf(Seq("x"), binArm = true)).isEmpty)
+    // undefined cp1252 code 0x81 refuses rather than guessing
+    assert(rtfText("{\\rtf1\\ansi a\\'81b\\par}".getBytes).isEmpty)
+    // text after the root close refuses
+    assert(rtfText("{\\rtf1\\ansi a\\par}tail".getBytes).isEmpty)
+    // a starred destination NOT at group start is malformed
+    assert(rtfText("{\\rtf1\\ansi a\\*\\junk b\\par}".getBytes).isEmpty)
+    val b = encodeRtf(Seq("alpha", "beta"))
+    (1 to b.length - 1 by 3).foreach { d =>
+      val r = rtfText(b.dropRight(d))
+      // truncation either refuses (unbalanced) or yields a PREFIX of
+      // the real paragraphs (RTF carries no integrity data — honest
+      // scope); it must never garble past text
+      assert(r.isEmpty || r.exists(_._2.forall(p =>
+        p == "alpha" || p == "beta" || "beta".startsWith(p) || "alpha".startsWith(p))),
+        s"garbled at drop $d")
+    }
+    val rnd = new scala.util.Random(877)
+    (0 until 1500).foreach { _ =>
+      rtfText(Array.fill(rnd.nextInt(96))(rnd.nextInt(256).toByte))
+      rtfText(("{\\rtf1" + new String(
+        Array.fill(rnd.nextInt(64))((rnd.nextInt(94) + 32).toChar))).getBytes("ISO-8859-1"))
+    }
+  }
+}
