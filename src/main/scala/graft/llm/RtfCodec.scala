@@ -67,6 +67,7 @@ object RtfCodec {
           skipStack += skipping
           nGroups += 1
           justOpened = true
+          pendingUcSkip = 0 // a \u fallback window never crosses braces
           p += 1
         case '}' =>
           if (depth == 0) return None // unbalanced
@@ -74,6 +75,7 @@ object RtfCodec {
           uc = ucStack.remove(ucStack.length - 1)
           skipping = skipStack.remove(skipStack.length - 1)
           justOpened = false
+          pendingUcSkip = 0 // (r16 review: a dangling window ate a char)
           p += 1
           if (depth == 0) {
             // past the root close only whitespace may follow
@@ -163,7 +165,22 @@ object RtfCodec {
         case '\r' | '\n' =>
           p += 1 // raw EOLs are ignorable in RTF
         case c =>
-          emit(c.toChar)
+          // raw bytes are cp1252 text: high bytes map through the same
+          // table as \'hh (a signed-byte toChar would mint U+FF80-ish
+          // garbage — r16 review); raw control bytes refuse
+          val code = c & 0xff
+          if (code < 0x20 && code != '\t') return None
+          if (code < 0x80) emit(code.toChar)
+          else {
+            if (!skipping) {
+              if (pendingUcSkip > 0) pendingUcSkip -= 1
+              else {
+                val ch = PdfText.winAnsiTable(code)
+                if (ch == '\u0000') return None
+                cur.append(ch); anyContent = true
+              }
+            }
+          }
           p += 1
           justOpened = false
       }
