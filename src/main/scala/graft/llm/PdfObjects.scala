@@ -521,11 +521,17 @@ object PdfObjects {
     * refusal, free-list-head and `/Size` laws. */
   def resolve(b: Array[Byte], classicRoot: Boolean, maxOut: Int = 1 << 26): Option[PdfDoc] = {
     if (b == null || b.length < 16) return None
-    val hdr = "%PDF-1."
+    // header law: %PDF-1.0..1.7 or %PDF-2.0 (ISO 32000-2 kept the
+    // file structure; the walk is version-independent — r16)
+    val hdr = "%PDF-"
     var i = 0
     while (i < hdr.length) { if (b(i) != hdr.charAt(i).toByte) return None; i += 1 }
-    val vMinor = b(hdr.length) - '0'
-    if (vMinor < 0 || vMinor > 7) return None
+    val major = b(5) - '0'
+    if (b(6) != '.') return None
+    val vMinor = b(7) - '0'
+    if (major == 1) { if (vMinor < 0 || vMinor > 7) return None }
+    else if (major == 2) { if (vMinor != 0) return None }
+    else return None
     var xrefOff = startxrefAtTail(b).getOrElse(return None)
     val live = scala.collection.mutable.LongMap.empty[Loc]
     val free = scala.collection.mutable.Set.empty[Long]

@@ -153,6 +153,23 @@ class PdfObjectsSpec extends AnyFunSuite {
     assert(PdfModern.modernProbe(b).contains((6, 1, 9, 8, 2, 4, 55L, 4)))
   }
 
+  test("PDF 2.0 headers walk (ISO 32000-2 kept the file structure)") {
+    val b = PdfCodec.encodePdf(4, Seq(25, 30), None, seed = 2)
+    val v2 = b.clone()
+    // %PDF-1.4 -> %PDF-2.0: same length, every offset preserved
+    v2(5) = '2'; v2(7) = '0'
+    assert(PdfCodec.pdfProbe(v2).contains((0, 1, 7, 6, 2, 2, 55L)))
+    // majors beyond 2, and 2.x minors beyond 0, refuse
+    val v3 = b.clone(); v3(5) = '3'
+    assert(PdfCodec.pdfProbe(v3).isEmpty)
+    val v21 = b.clone(); v21(5) = '2'; v21(7) = '1'
+    assert(PdfCodec.pdfProbe(v21).isEmpty)
+    // text extraction rides the same header law
+    val t = PdfText.encodeTextPdf(1, 7, Seq(Seq("two point oh")))
+    val t2 = t.clone(); t2(5) = '2'; t2(7) = '0'
+    assert(PdfText.extract(t2).exists(r => r.pages == Seq("two point oh")))
+  }
+
   test("era partition after unification: classic refuses modern roots and vice versa") {
     val (modern, _) = PdfModern.encodeModernPdf(7, Seq(40), None, predictor = false)
     assert(PdfCodec.pdfProbe(modern).isEmpty)
