@@ -1,0 +1,212 @@
+package graft.llm
+
+/** Subtitle text extraction — the video-paired text source (SRT and
+  * WebVTT), a staple of speech/caption corpora.
+  *
+  * SRT: blank-line-separated cues of `index`, `HH:MM:SS,mmm -->
+  * HH:MM:SS,mmm`, then 1+ text lines. Laws: indices are 1..n in order
+  * (a renumbered or shuffled file is damage), minutes/seconds fields
+  * under 60, each cue's start strictly before its end, cue STARTS
+  * non-decreasing across the file.
+  *
+  * WebVTT: the `WEBVTT` signature line, `.` as the millisecond
+  * separator, optional per-cue identifier lines, cue settings after the
+  * arrow ignored, `NOTE`/`STYLE`/`REGION` blocks skipped wholesale.
+  * Same timing laws.
+  *
+  * Both parse from bytes as UTF-8. Refusals: malformed timestamps,
+  * inverted or out-of-range times, out-of-order indices or starts, a
+  * cue with no text, timestamp lines where text was expected. */
+object SubtitleCodec {
+
+  /** Extraction facts: (nCues, totalCueMillis, cueTexts — each cue's
+    * lines joined by newlines). */
+  def srtText(b: Array[Byte]): Option[(Int, Long, Seq[String])] = try {
+    if (b == null || b.length == 0) return None
+    val lines = splitLines(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+    var i = 0
+    val cues = scala.collection.mutable.ArrayBuffer.empty[String]
+    var total = 0L
+    var lastStart = -1L
+    var expectIdx = 1
+    while (i < lines.length) {
+      while (i < lines.length && lines(i).isEmpty) i += 1
+      if (i < lines.length) {
+        // index line
+        val idxLine = lines(i).trim
+        if (!idxLine.nonEmpty || !idxLine.forall(_.isDigit)) return None
+        if (idxLine.length > 9 || idxLine.toInt != expectIdx) return None
+        expectIdx += 1
+        i += 1
+        if (i >= lines.length) return None
+        val (st, en) = parseTiming(lines(i), ',').getOrElse(return None)
+        if (st < lastStart) return None // starts are non-decreasing
+        lastStart = st
+        total += en - st
+        i += 1
+        val text = new StringBuilder
+        var anyLine = false
+        while (i < lines.length && lines(i).nonEmpty) {
+          if (anyLine) text += '\n'
+          text ++= lines(i)
+          anyLine = true
+          i += 1
+        }
+        if (!anyLine) return None // a cue with no text
+        cues += text.toString
+      }
+    }
+    if (cues.isEmpty) return None
+    Some((cues.length, total, cues.toSeq))
+  } catch {
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NumberFormatException => None
+  }
+
+  /** WebVTT variant: signature line, optional cue ids, settings after
+    * the arrow ignored, NOTE/STYLE/REGION blocks skipped. */
+  def vttText(b: Array[Byte]): Option[(Int, Long, Seq[String])] = try {
+    if (b == null || b.length < 6) return None
+    var s = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    if (s.startsWith("﻿")) s = s.substring(1) // BOM tolerated
+    val lines = splitLines(s)
+    if (lines.isEmpty) return None
+    val sig = lines(0)
+    if (!(sig == "WEBVTT" || sig.startsWith("WEBVTT ") || sig.startsWith("WEBVTT\t")))
+      return None
+    var i = 1
+    val cues = scala.collection.mutable.ArrayBuffer.empty[String]
+    var total = 0L
+    var lastStart = -1L
+    while (i < lines.length) {
+      while (i < lines.length && lines(i).isEmpty) i += 1
+      if (i < lines.length) {
+        val head = lines(i)
+        if (head.startsWith("NOTE") || head.startsWith("STYLE") ||
+          head.startsWith("REGION")) {
+          // block skipped wholesale (to the next blank line)
+          while (i < lines.length && lines(i).nonEmpty) i += 1
+        } else {
+          // optional identifier line (anything without an arrow)
+          var timingLine = head
+          if (!head.contains("-->")) {
+            i += 1
+            if (i >= lines.length) return None
+            timingLine = lines(i)
+          }
+          // settings after the end timestamp are ignored
+          val arrow = timingLine.indexOf("-->")
+          if (arrow < 0) return None
+          val afterArrow = timingLine.substring(arrow + 3).trim
+          val endTok = afterArrow.takeWhile(c => !c.isWhitespace)
+          val core = timingLine.substring(0, arrow).trim + " --> " + endTok
+          val (st, en) = parseTiming(core, '.').getOrElse(return None)
+          if (st < lastStart) return None
+          lastStart = st
+          total += en - st
+          i += 1
+          val text = new StringBuilder
+          var anyLine = false
+          while (i < lines.length && lines(i).nonEmpty) {
+            if (lines(i).contains("-->")) return None // a lost timing line
+            if (anyLine) text += '\n'
+            text ++= lines(i)
+            anyLine = true
+            i += 1
+          }
+          if (!anyLine) return None
+          cues += text.toString
+        }
+      }
+    }
+    if (cues.isEmpty) return None
+    Some((cues.length, total, cues.toSeq))
+  } catch {
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NumberFormatException => None
+  }
+
+  private def splitLines(s: String): Array[String] =
+    s.split("\r\n|\n|\r", -1)
+
+  /** `HH:MM:SS<sep>mmm --> HH:MM:SS<sep>mmm` with the 60-bounds and
+    * start-before-end laws. Returns (startMs, endMs). */
+  private def parseTiming(line: String, sep: Char): Option[(Long, Long)] = {
+    val arrow = line.indexOf("-->")
+    if (arrow < 0) return None
+    val a = stamp(line.substring(0, arrow).trim, sep).getOrElse(return None)
+    val b = stamp(line.substring(arrow + 3).trim, sep).getOrElse(return None)
+    if (a >= b) return None // a cue must run forward
+    Some((a, b))
+  }
+
+  private def stamp(t: String, sep: Char): Option[Long] = {
+    // HH:MM:SS{sep}mmm — HH may be 2+ digits (long recordings)
+    val p1 = t.indexOf(':')
+    if (p1 < 1) return None
+    val p2 = t.indexOf(':', p1 + 1)
+    if (p2 < 0 || p2 - p1 != 3) return None
+    val p3 = t.indexOf(sep, p2 + 1)
+    if (p3 < 0 || p3 - p2 != 3 || t.length - p3 != 4) return None
+    val hh = t.substring(0, p1)
+    val mm = t.substring(p1 + 1, p2)
+    val ss = t.substring(p2 + 1, p3)
+    val ms = t.substring(p3 + 1)
+    if (!(hh.forall(_.isDigit) && mm.forall(_.isDigit) &&
+      ss.forall(_.isDigit) && ms.forall(_.isDigit))) return None
+    if (hh.length < 2 || hh.length > 6) return None
+    val m = mm.toInt; val sI = ss.toInt
+    if (m >= 60 || sI >= 60) return None // the clock-field law
+    Some(((hh.toLong * 60 + m) * 60 + sI) * 1000 + ms.toInt)
+  }
+
+  // ---- conformance writer -------------------------------------------------
+
+  private def fmt(ms: Long, sep: Char): String = {
+    val h = ms / 3600000; val m = (ms / 60000) % 60
+    val sI = (ms / 1000) % 60; val mm = ms % 1000
+    f"$h%02d:$m%02d:$sI%02d$sep$mm%03d"
+  }
+
+  /** Deterministic SRT: cue i runs [startMs(i), startMs(i)+durMs(i)),
+    * text lines as given. `shuffleArm` swaps the first two indices (the
+    * order law); `invertArm` writes a cue whose end precedes its start. */
+  def encodeSrt(cues: Seq[(Long, Long, Seq[String])],
+                shuffleArm: Boolean = false,
+                invertArm: Boolean = false): Array[Byte] = {
+    val sb = new StringBuilder
+    cues.zipWithIndex.foreach { case ((st, dur, lines), i) =>
+      val idx =
+        if (!shuffleArm) i + 1
+        else if (cues.length >= 2) {
+          if (i == 0) 2 else if (i == 1) 1 else i + 1
+        } else i + 2 // single cue: a wrong FIRST index breaks the law too
+      sb ++= idx.toString += '\n'
+      if (invertArm && i == 0)
+        sb ++= fmt(st + dur, ',') ++= " --> " ++= fmt(st, ',')
+      else
+        sb ++= fmt(st, ',') ++= " --> " ++= fmt(st + dur, ',')
+      sb += '\n'
+      lines.foreach(l => sb ++= l += '\n')
+      sb += '\n'
+    }
+    sb.toString.getBytes("UTF-8")
+  }
+
+  /** Deterministic WebVTT: signature, a NOTE block the extractor must
+    * skip, optional cue ids on even cues, a settings token after the
+    * end stamp on every third cue. */
+  def encodeVtt(cues: Seq[(Long, Long, Seq[String])]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb ++= "WEBVTT\n\nNOTE\nthis block is machinery, not captions\n\n"
+    cues.zipWithIndex.foreach { case ((st, dur, lines), i) =>
+      if (i % 2 == 0) sb ++= s"cue-$i\n"
+      sb ++= fmt(st, '.') ++= " --> " ++= fmt(st + dur, '.')
+      if (i % 3 == 0) sb ++= " line:0 position:50%"
+      sb += '\n'
+      lines.foreach(l => sb ++= l += '\n')
+      sb += '\n'
+    }
+    sb.toString.getBytes("UTF-8")
+  }
+}

@@ -326,6 +326,90 @@ object Docs {
       |FROM p LEFT JOIN agg ON p.k = agg.k
       |ORDER BY media_id""".stripMargin
 
+  /** Subtitle extraction under the oracle (see
+    * [[graft.llm.SubtitleCodec]]): per-key caption files — SRT on even
+    * keys (index/timing/order laws), WebVTT on odd (signature, cue ids,
+    * settings tokens, NOTE blocks skipped) — with 1-4 formula cues of
+    * 1-2 lines. Refusal arms: a cut INSIDE the first timing line
+    * (k mod 13 — tail truncation is legal prefix behavior in a format
+    * with no integrity data, pinned in the spec, so the arm cuts where
+    * structure must notice), an inverted cue (k mod 17 — end before
+    * start), shuffled indices (k mod 19 — the SRT order law). */
+  def subtitleRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.SubtitleCodec
+    val keys = partKeys(s, d) // full-width spread: the extract map is the cost
+    val decoded = keys.map { k =>
+      val nCues = (1 + k % 4).toInt
+      val cues = (0 until nCues).map { i =>
+        val start = 1000L * (k % 7) + i * 3000L
+        val dur = 500L + (k + i * 11) % 2000
+        val lines = (0 until (1 + (k + i) % 2).toInt).map(j =>
+          s"sub$k c$i l$j w${(k + 2 * i + 3 * j) % 6}")
+        (start, dur, lines)
+      }
+      val arm13 = k % 13 == 0
+      val arm17 = k % 17 == 0 && k % 13 != 0
+      val arm19 = k % 19 == 0 && k % 13 != 0 && k % 17 != 0
+      val bytes =
+        if (arm13 || arm17 || arm19)
+          SubtitleCodec.encodeSrt(cues, shuffleArm = arm19, invertArm = arm17)
+        else if (k % 2 == 0) SubtitleCodec.encodeSrt(cues)
+        else SubtitleCodec.encodeVtt(cues)
+      val payload = if (arm13) bytes.take(10) else bytes
+      val parsed =
+        if (k % 2 == 0 || arm13 || arm17 || arm19) SubtitleCodec.srtText(payload)
+        else SubtitleCodec.vttText(payload)
+      parsed match {
+        case Some((nc, total, cueTexts)) =>
+          val text = cueTexts.mkString("\n")
+          (k, true, Some(if (k % 2 == 0) "srt" else "vtt"), Some(nc),
+            Some(total), Some(text.length.toLong), Some(text))
+        case None =>
+          (k, false, None: Option[String], None: Option[Int],
+            None: Option[Long], None: Option[Long], None: Option[String])
+      }
+    }.toDF("media_id", "sub_ok", "kind", "n_cues", "total_ms", "n_chars",
+      "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The extraction replayed: 1 + k mod 4 cues, cue i lasts
+    * 500 + (k + 11i) mod 2000 ms and has 1 + (k+i) mod 2 lines of
+    * `sub{k} c{i} l{j} w{(k+2i+3j) mod 6}`; cue and line joins are both
+    * newlines, so the flattening collapses to one ordered aggregation. */
+  val subtitleReadSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(1 + k % 4 AS INTEGER) AS nc,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |ln AS (
+      |  SELECT p.k, i.g AS i, j.g AS j,
+      |    'sub' || p.k || ' c' || i.g || ' l' || j.g ||
+      |      ' w' || ((p.k + 2 * i.g + 3 * j.g) % 6) AS line
+      |  FROM p, generate_series(0, 3) i(g), generate_series(0, 1) j(g)
+      |  WHERE i.g < p.nc AND j.g < 1 + (p.k + i.g) % 2 AND p.ok),
+      |agg AS (
+      |  SELECT k, string_agg(line, chr(10) ORDER BY i, j) AS text
+      |  FROM ln GROUP BY k),
+      |dur AS (
+      |  SELECT p.k,
+      |    CAST(SUM(500 + (p.k + i.g * 11) % 2000) AS BIGINT) AS total_ms
+      |  FROM p, generate_series(0, 3) i(g)
+      |  WHERE i.g < p.nc AND p.ok
+      |  GROUP BY p.k)
+      |SELECT p.k AS media_id, p.ok AS sub_ok,
+      |  CASE WHEN p.ok THEN
+      |    CASE WHEN p.k % 2 = 0 THEN 'srt' ELSE 'vtt' END END AS kind,
+      |  CASE WHEN p.ok THEN p.nc END AS n_cues,
+      |  dur.total_ms,
+      |  CASE WHEN p.ok THEN CAST(length(agg.text) AS BIGINT) END AS n_chars,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p
+      |LEFT JOIN agg ON agg.k = p.k
+      |LEFT JOIN dur ON dur.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   /** The document-family dispatch capstone: ONE mixed corpus rotating
     * classic PDF / modern PDF / hybrid PDF / DOCX / EPUB / RTF by key, routed
     * by container SNIFF the way a crawl bucket must be — nobody labels
@@ -497,6 +581,7 @@ object Docs {
     "q_docx_read" -> (docxRead _),
     "q_epub_read" -> (epubRead _),
     "q_rtf_read" -> (rtfRead _),
+    "q_subtitle_read" -> (subtitleRead _),
     "q_doc_zoo" -> (docZoo _))
 
   def oracleSql: Map[String, String] = Map(
@@ -504,5 +589,6 @@ object Docs {
     "q_docx_read" -> docxReadSql,
     "q_epub_read" -> epubReadSql,
     "q_rtf_read" -> rtfReadSql,
+    "q_subtitle_read" -> subtitleReadSql,
     "q_doc_zoo" -> docZooSql)
 }

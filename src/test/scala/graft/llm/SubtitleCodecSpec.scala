@@ -1,0 +1,70 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import SubtitleCodec._
+
+/** Subtitle extraction: SRT index/timing laws, WebVTT signature / cue
+  * ids / settings / NOTE blocks, multi-line cues, refusal battery. */
+class SubtitleCodecSpec extends AnyFunSuite {
+
+  private val cues = Seq(
+    (1000L, 2500L, Seq("First caption")),
+    (4000L, 1500L, Seq("Second one", "on two lines")),
+    (3600000L + 5000L, 900L, Seq("past the hour")))
+
+  test("SRT round-trip: cues, durations, multi-line text") {
+    val r = srtText(encodeSrt(cues))
+    assert(r.exists(_._1 == 3))
+    assert(r.exists(_._2 == 2500L + 1500L + 900L))
+    assert(r.exists(_._3 == Seq("First caption",
+      "Second one\non two lines", "past the hour")))
+  }
+
+  test("WebVTT round-trip: signature, ids, settings, NOTE blocks") {
+    val r = vttText(encodeVtt(cues))
+    assert(r.exists(_._1 == 3))
+    assert(r.exists(_._2 == 4900L))
+    assert(r.exists(_._3.head == "First caption"))
+    // an SRT parsed as VTT refuses (no signature) and vice versa (the
+    // comma/period separators and the index lines)
+    assert(vttText(encodeSrt(cues)).isEmpty)
+    assert(srtText(encodeVtt(cues)).isEmpty)
+  }
+
+  test("timing and order laws") {
+    // inverted cue refuses; shuffled indices refuse
+    assert(srtText(encodeSrt(cues, invertArm = true)).isEmpty)
+    assert(srtText(encodeSrt(cues, shuffleArm = true)).isEmpty)
+    // out-of-order starts refuse
+    val ooo = Seq((5000L, 1000L, Seq("late")), (1000L, 1000L, Seq("early")))
+    assert(srtText(encodeSrt(ooo)).isEmpty)
+    // 60-bounds law: minute/second fields past 59 refuse
+    assert(srtText("1\n00:61:00,000 --> 00:61:01,000\nx\n\n".getBytes).isEmpty)
+    assert(srtText("1\n00:00:75,000 --> 00:00:76,000\nx\n\n".getBytes).isEmpty)
+    // a cue with no text refuses; an empty file refuses
+    assert(srtText("1\n00:00:01,000 --> 00:00:02,000\n\n".getBytes).isEmpty)
+    assert(srtText("".getBytes).isEmpty)
+    assert(vttText("WEBVTT\n\n".getBytes).isEmpty)
+    // a lost timing line inside VTT cue text refuses
+    assert(vttText(("WEBVTT\n\n00:00:01.000 --> 00:00:02.000\nx\n" +
+      "00:00:03.000 --> 00:00:04.000\ny\n\n").getBytes).isEmpty)
+  }
+
+  test("truncation and junk never throw; prefix honesty") {
+    val b = encodeSrt(cues)
+    (1 to b.length - 1 by 4).foreach { d =>
+      val r = srtText(b.dropRight(d))
+      // SRT carries no integrity data: a truncation either refuses or
+      // yields a clean PREFIX of the cues — never garbled text
+      assert(r.isEmpty || r.exists(_._3.forall(t =>
+        Seq("First caption", "Second one\non two lines", "past the hour")
+          .exists(full => full == t || full.startsWith(t)))), s"drop $d")
+    }
+    val rnd = new scala.util.Random(991)
+    (0 until 1500).foreach { _ =>
+      srtText(Array.fill(rnd.nextInt(96))(rnd.nextInt(256).toByte))
+      vttText(("WEBVTT\n" + new String(
+        Array.fill(rnd.nextInt(80))((rnd.nextInt(94) + 32).toChar))).getBytes)
+    }
+  }
+}
