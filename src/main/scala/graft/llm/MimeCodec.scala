@@ -1,0 +1,380 @@
+package graft.llm
+
+/** Email text extraction (mbox + MIME) — mail archives are a classic
+  * training corpus. Implemented from the public RFCs:
+  *
+  *  - mbox framing (RFC 4155): messages start at `From ` separator
+  *    lines, the file must start with one; `>From ` escaping in bodies
+  *    is undone one level (the mboxo/mboxrd convention);
+  *  - headers (RFC 5322): name `:` value with folded continuations
+  *    (leading whitespace) unfolded; a non-header line before the blank
+  *    separator refuses;
+  *  - encoded-words (RFC 2047) in Subject: `=?charset?B|Q?...?=`, with
+  *    Q's underscore-is-space rule, base64/quoted-printable word forms,
+  *    adjacent encoded-words joined without the intervening whitespace;
+  *  - transfer encodings (RFC 2045): 7bit/8bit/binary raw,
+  *    quoted-printable (soft line breaks, `=XX`; a malformed escape
+  *    refuses), base64 (strict alphabet after line-break stripping);
+  *  - charsets: us-ascii, utf-8, iso-8859-1, windows-1252 (the cp1252
+  *    table shared with PDF/RTF); anything else refuses;
+  *  - multipart (RFC 2046): boundary splitting with the terminal
+  *    `--boundary--` REQUIRED, nested multiparts to depth 4;
+  *    `multipart/alternative` yields its text/plain branch,
+  *    other multiparts concatenate their textual parts in order;
+  *    text/html parts extract through [[graft.ops.Html]]'s block model;
+  *    non-text leaves (images, applications) contribute no text but
+  *    must still frame correctly.
+  *
+  * Refusals: framing violations, unknown charsets/encodings, malformed
+  * QP/base64, a multipart with no boundary or no terminator, depth past
+  * 4. */
+object MimeCodec {
+
+  final case class Message(subject: String, from: String, text: String,
+                           nParts: Int)
+
+  /** Parse a whole mbox: (nMessages, messages). */
+  def mboxText(b: Array[Byte]): Option[(Int, Seq[Message])] = try {
+    if (b == null || b.length < 6) return None
+    val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val lines = s.split("\r\n|\n", -1)
+    if (!lines(0).startsWith("From ")) return None // the mbox framing law
+    val starts = lines.indices.filter(i => lines(i).startsWith("From "))
+    val msgs = starts.zipWithIndex.map { case (st, mi) =>
+      val en = if (mi + 1 < starts.length) starts(mi + 1) else lines.length
+      // the separator line itself is framing, not message content;
+      // ">From " unescapes one level (mboxo)
+      val body = lines.slice(st + 1, en).map { l =>
+        if (l.startsWith(">From ")) l.substring(1) else l
+      }
+      parseMessage(body, 0).getOrElse(return None)
+    }
+    if (msgs.isEmpty) return None
+    Some((msgs.length, msgs))
+  } catch {
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: StackOverflowError => None
+  }
+
+  /** One RFC 5322 entity: headers, then the body interpreted per its
+    * Content-Type / Content-Transfer-Encoding. */
+  private def parseMessage(lines: Array[String], depth: Int): Option[Message] = {
+    if (depth > 4) return None
+    val (headers, bodyStart) = parseHeaders(lines).getOrElse(return None)
+    val subject = headers.get("subject").map(decodeWords(_).getOrElse(return None))
+      .getOrElse("")
+    val from = headers.getOrElse("from", "").trim
+    val body = lines.slice(bodyStart, lines.length)
+    val (text, nParts) = bodyText(headers, body, depth).getOrElse(return None)
+    Some(Message(subject, from, text, nParts))
+  }
+
+  /** Header block: folded lines unfolded, names lowercased; ends at the
+    * first blank line (body starts after it). */
+  private def parseHeaders(lines: Array[String]): Option[(Map[String, String], Int)] = {
+    val hs = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    var lastKey: String = null
+    while (i < lines.length && lines(i).nonEmpty) {
+      val l = lines(i)
+      if (l(0) == ' ' || l(0) == '\t') {
+        if (lastKey == null) return None // a continuation with no header
+        hs(lastKey) = hs(lastKey) + " " + l.trim
+      } else {
+        val c = l.indexOf(':')
+        if (c <= 0) return None // not a header line
+        val name = l.substring(0, c)
+        if (!name.forall(ch => ch > ' ' && ch < 127 && ch != ':')) return None
+        lastKey = name.toLowerCase
+        // last occurrence wins for the few headers this walk reads
+        hs(lastKey) = l.substring(c + 1).trim
+      }
+      i += 1
+    }
+    // EOF acts as the separator: a headers-only entity has an empty
+    // body (consistent whether or not the file ends with a newline)
+    Some((hs.toMap, math.min(i + 1, lines.length)))
+  }
+
+  /** The body's text given its headers. Returns (text, nLeafParts). */
+  private def bodyText(headers: Map[String, String], body: Array[String],
+                       depth: Int): Option[(String, Int)] = {
+    val (ctype, params) = contentType(headers.getOrElse("content-type", "text/plain"))
+      .getOrElse(return None)
+    if (ctype.startsWith("multipart/")) {
+      val boundary = params.getOrElse("boundary", return None)
+      if (boundary.isEmpty || boundary.length > 200) return None
+      val parts = splitParts(body, boundary).getOrElse(return None)
+      val parsed = parts.map(p => {
+        val (ph, pStart) = parseHeaders(p).getOrElse(return None)
+        val (t, n) = bodyText(ph, p.slice(pStart, p.length), depth + 1)
+          .getOrElse(return None)
+        val (pct, _) = contentType(ph.getOrElse("content-type", "text/plain"))
+          .getOrElse(return None)
+        (pct, t, n)
+      })
+      if (ctype == "multipart/alternative") {
+        // the plain branch is the extraction target (the spec's order
+        // puts the faithful version first; we pick by TYPE, not order)
+        val plain = parsed.find(_._1 == "text/plain").getOrElse(return None)
+        Some((plain._2, parsed.map(_._3).sum))
+      } else {
+        val texts = parsed.map(_._2).filter(_.nonEmpty)
+        Some((texts.mkString("\n"), parsed.map(_._3).sum))
+      }
+    } else {
+      val decoded = decodeTransfer(body,
+        headers.getOrElse("content-transfer-encoding", "7bit").toLowerCase.trim)
+        .getOrElse(return None)
+      val charset = params.getOrElse("charset", "us-ascii").toLowerCase
+      val text = decodeCharset(decoded, charset).getOrElse(return None)
+      ctype match {
+        case "text/plain" => Some((text.trim, 1))
+        case "text/html" =>
+          Some((graft.ops.Html.extract(text).blocks.mkString("\n"), 1))
+        case t if t.startsWith("text/") => Some((text.trim, 1))
+        case _ => Some(("", 1)) // binary leaf: frames, contributes no text
+      }
+    }
+  }
+
+  /** `type/subtype; key=value; key="value"` (params case-insensitive). */
+  private def contentType(v: String): Option[(String, Map[String, String])] = {
+    val parts = v.split(";").map(_.trim)
+    val t = parts(0).toLowerCase
+    if (!t.contains("/") || t.exists(c => c <= ' ')) return None
+    val params = scala.collection.mutable.Map.empty[String, String]
+    parts.drop(1).filter(_.nonEmpty).foreach { p =>
+      val eq = p.indexOf('=')
+      if (eq <= 0) return None
+      var value = p.substring(eq + 1).trim
+      if (value.length >= 2 && value.head == '"' && value.last == '"')
+        value = value.substring(1, value.length - 1)
+      params(p.substring(0, eq).trim.toLowerCase) = value
+    }
+    Some((t, params.toMap))
+  }
+
+  /** RFC 2046 boundary split: preamble and epilogue dropped, the
+    * terminal `--boundary--` required. */
+  private def splitParts(body: Array[String], boundary: String): Option[Seq[Array[String]]] = {
+    val open = "--" + boundary
+    val close = "--" + boundary + "--"
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+    var cur: scala.collection.mutable.ArrayBuffer[String] = null
+    var terminated = false
+    body.foreach { l =>
+      if (terminated) () // epilogue: ignored
+      else if (l == close) {
+        if (cur == null) return None
+        parts += cur.toArray
+        cur = null
+        terminated = true
+      } else if (l == open) {
+        if (cur != null) parts += cur.toArray
+        cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      } else if (cur != null) cur += l
+      // else: preamble, dropped
+    }
+    if (!terminated || parts.isEmpty) return None // no terminator: torn
+    Some(parts.toSeq)
+  }
+
+  /** Transfer decode to BYTES (charset applies after). */
+  private def decodeTransfer(lines: Array[String], enc: String): Option[Array[Byte]] = enc match {
+    case "7bit" | "8bit" | "binary" | "" =>
+      Some(lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    case "quoted-printable" =>
+      val out = new java.io.ByteArrayOutputStream
+      var first = true
+      lines.foreach { l =>
+        var soft = false
+        var i = 0
+        val buf = new java.io.ByteArrayOutputStream
+        while (i < l.length) {
+          val c = l.charAt(i)
+          if (c == '=') {
+            if (i == l.length - 1) { soft = true; i += 1 } // soft break
+            else {
+              if (i + 3 > l.length) return None
+              val hv = hex2(l.charAt(i + 1), l.charAt(i + 2))
+              if (hv < 0) return None
+              buf.write(hv)
+              i += 3
+            }
+          } else { buf.write(c.toInt & 0xff); i += 1 }
+        }
+        if (!first) out.write('\n')
+        first = false
+        out.write(buf.toByteArray)
+        if (soft) {
+          // a soft break joins this line to the next: retract the
+          // forthcoming newline by marking first again
+          first = true
+        }
+      }
+      Some(out.toByteArray)
+    case "base64" =>
+      val joined = lines.mkString("").replaceAll("\\s", "")
+      try Some(java.util.Base64.getDecoder.decode(joined))
+      catch { case _: IllegalArgumentException => None }
+    case _ => None // x-uuencode etc.: out of scope
+  }
+
+  private def decodeCharset(b: Array[Byte], cs: String): Option[String] = cs match {
+    case "us-ascii" =>
+      if (b.exists(x => (x & 0xff) >= 128)) return None
+      Some(new String(b, java.nio.charset.StandardCharsets.US_ASCII))
+    case "utf-8" =>
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      try Some(dec.decode(java.nio.ByteBuffer.wrap(b)).toString)
+      catch { case _: java.nio.charset.CharacterCodingException => None }
+    case "iso-8859-1" | "latin1" =>
+      Some(new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
+    case "windows-1252" | "cp1252" =>
+      val sb = new StringBuilder(b.length)
+      b.foreach { x =>
+        val code = x & 0xff
+        if (code < 0x80) sb.append(code.toChar)
+        else {
+          val ch = PdfText.winAnsiTable(code)
+          if (ch == ' ') return None
+          sb.append(ch)
+        }
+      }
+      Some(sb.toString)
+    case _ => None
+  }
+
+  /** RFC 2047 encoded-words in a header value; adjacent encoded-words
+    * join without the separating whitespace (the spec's rule). */
+  private[llm] def decodeWords(v: String): Option[String] = {
+    val re = "=\\?([^?]+)\\?([bBqQ])\\?([^?]*)\\?=".r
+    val out = new StringBuilder
+    var pos = 0
+    var lastWasWord = false
+    var lastEnd = -1
+    re.findAllMatchIn(v).foreach { m =>
+      val between = v.substring(pos, m.start)
+      // whitespace BETWEEN adjacent encoded-words is transparent
+      if (!(lastWasWord && between.forall(c => c == ' ' || c == '\t')))
+        out ++= between
+      val cs = m.group(1).toLowerCase
+      val raw = m.group(2).toLowerCase match {
+        case "b" =>
+          try java.util.Base64.getDecoder.decode(m.group(3))
+          catch { case _: IllegalArgumentException => return None }
+        case _ =>
+          val t = m.group(3)
+          val bb = new java.io.ByteArrayOutputStream
+          var i = 0
+          while (i < t.length) {
+            val c = t.charAt(i)
+            if (c == '_') { bb.write(' '); i += 1 }
+            else if (c == '=') {
+              if (i + 3 > t.length) return None
+              val hv = hex2(t.charAt(i + 1), t.charAt(i + 2))
+              if (hv < 0) return None
+              bb.write(hv); i += 3
+            } else { bb.write(c.toInt & 0xff); i += 1 }
+          }
+          bb.toByteArray
+      }
+      out ++= decodeCharset(raw, cs).getOrElse(return None)
+      pos = m.end
+      lastWasWord = true
+      lastEnd = m.end
+    }
+    out ++= v.substring(pos)
+    Some(out.toString)
+  }
+
+  private def hex2(a: Char, b: Char): Int = {
+    def v(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
+    val hi = v(a); val lo = v(b)
+    if (hi < 0 || lo < 0) -1 else (hi << 4) | lo
+  }
+
+  // ---- conformance writer -------------------------------------------------
+
+  /** One fixture message: plain body, optional html alternative (the
+    * plain branch must win), subject possibly RFC 2047-armored. */
+  final case class Fixture(subject: String, from: String, plain: String,
+                           htmlBlocks: Seq[String] = Nil,
+                           encodeSubject: Boolean = false,
+                           qp: Boolean = false, b64: Boolean = false)
+
+  def encodeMbox(msgs: Seq[Fixture], omitTerminator: Boolean = false,
+                 badEncoding: Boolean = false): Array[Byte] = {
+    val sb = new StringBuilder
+    msgs.zipWithIndex.foreach { case (m, mi) =>
+      sb ++= s"From sender$mi@example.org Thu Jan  1 00:00:0$mi 1970\n"
+      val subj =
+        if (m.encodeSubject) {
+          val b64s = java.util.Base64.getEncoder
+            .encodeToString(m.subject.getBytes("UTF-8"))
+          s"=?utf-8?B?$b64s?="
+        } else m.subject
+      sb ++= s"From: ${m.from}\n"
+      sb ++= s"To: list@example.org\n"
+      sb ++= s"Subject: $subj\n"
+      sb ++= "Date: Thu, 1 Jan 1970 00:00:00 +0000\n"
+      def plainPart(headersOnly: Boolean): String = {
+        val enc =
+          if (badEncoding) "x-mystery"
+          else if (m.b64) "base64"
+          else if (m.qp) "quoted-printable"
+          else "7bit"
+        val head = "Content-Type: text/plain; charset=utf-8\n" +
+          s"Content-Transfer-Encoding: $enc\n\n"
+        val body =
+          if (badEncoding) m.plain
+          else if (m.b64) java.util.Base64.getMimeEncoder(60, "\n".getBytes)
+            .encodeToString(m.plain.getBytes("UTF-8"))
+          else if (m.qp) qpEncode(m.plain)
+          else m.plain
+        head + body + "\n"
+      }
+      if (m.htmlBlocks.nonEmpty) {
+        val bnd = s"=_graft_$mi"
+        sb ++= s"MIME-Version: 1.0\n"
+        sb ++= s"""Content-Type: multipart/alternative; boundary="$bnd"\n\n"""
+        sb ++= "preamble is dropped\n"
+        sb ++= s"--$bnd\n"
+        sb ++= plainPart(false)
+        sb ++= s"--$bnd\n"
+        sb ++= "Content-Type: text/html; charset=utf-8\n\n"
+        sb ++= "<html><body>" +
+          m.htmlBlocks.map(t => s"<p>$t</p>").mkString + "</body></html>\n"
+        if (!omitTerminator) sb ++= s"--$bnd--\n"
+        sb ++= "epilogue is dropped too\n"
+      } else {
+        sb ++= "MIME-Version: 1.0\n"
+        sb ++= plainPart(false)
+      }
+      sb += '\n'
+    }
+    sb.toString.getBytes("UTF-8")
+  }
+
+  private def qpEncode(s: String): String = {
+    val bytes = s.getBytes("UTF-8")
+    val sb = new StringBuilder
+    var col = 0
+    bytes.foreach { x =>
+      val code = x & 0xff
+      val tok =
+        if (code == '\n') { sb ++= "\n"; col = 0; "" }
+        else if (code >= 33 && code <= 126 && code != '=') code.toChar.toString
+        else f"=${code}%02X"
+      if (col + tok.length > 70) { sb ++= "=\n"; col = 0 }
+      sb ++= tok
+      col += tok.length
+    }
+    sb.toString
+  }
+}

@@ -326,6 +326,94 @@ object Docs {
       |FROM p LEFT JOIN agg ON p.k = agg.k
       |ORDER BY media_id""".stripMargin
 
+  /** Email extraction under the oracle (see [[graft.llm.MimeCodec]]):
+    * per-key mbox files of 1-3 messages — transfer encodings rotate
+    * (7bit / quoted-printable / base64 by (k+m) mod 4), every fifth
+    * (k+m) message is multipart/alternative whose HTML branch must NOT
+    * be extracted, every sixth carries its Subject as an RFC 2047
+    * encoded-word that must decode back to the same formula text.
+    * Refusal arms: a torn multipart (k mod 13 — the terminal boundary
+    * law), an unknown transfer encoding (k mod 17), and broken mbox
+    * framing (k mod 19 — the file must start at a `From ` line). */
+  def mboxRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.MimeCodec
+    val keys = partKeys(s, d) // full-width spread: the extract map is the cost
+    val decoded = keys.map { k =>
+      val nMsgs = (1 + k % 3).toInt
+      val arm13 = k % 13 == 0
+      val msgs = (0 until nMsgs).map { m =>
+        val km = k + m
+        val plain = (0 until (1 + km % 2).toInt).map(j =>
+          s"mail$k m$m l$j w${(k + 2 * m + 3 * j) % 7}").mkString("\n")
+        MimeCodec.Fixture(
+          subject = s"sub$k m$m t${km % 5}",
+          from = s"u${km % 10}@example.org",
+          plain = plain,
+          htmlBlocks =
+            if (km % 5 == 0 || (arm13 && m == 0)) Seq(s"html alt $k $m")
+            else Nil,
+          encodeSubject = km % 6 == 0,
+          qp = km % 4 == 1, b64 = km % 4 == 2)
+      }
+      val bytes = MimeCodec.encodeMbox(msgs,
+        omitTerminator = arm13,
+        badEncoding = k % 17 == 0 && k % 13 != 0)
+      val payload =
+        if (k % 19 == 0 && k % 13 != 0 && k % 17 != 0) bytes.drop(3)
+        else bytes
+      MimeCodec.mboxText(payload) match {
+        case Some((nm, ms)) =>
+          val text = ms.map(_.text).mkString("\n")
+          val subjects = ms.map(_.subject).mkString("\n")
+          (k, true, Some(nm), Some(ms.map(_.nParts).sum), Some(subjects),
+            Some(text.length.toLong), Some(text))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int],
+            None: Option[String], None: Option[Long], None: Option[String])
+      }
+    }.toDF("media_id", "mbox_ok", "n_messages", "n_parts", "subjects",
+      "n_chars", "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The extraction replayed: 1 + k mod 3 messages, message m has
+    * 1 + (k+m) mod 2 plain lines `mail{k} m{m} l{j} w{(k+2m+3j) mod 7}`
+    * (the alternative arm's HTML branch never appears), subjects
+    * `sub{k} m{m} t{(k+m) mod 5}` (identical whether or not the writer
+    * armored them as encoded-words), parts = 2 on the alternative arm. */
+  val mboxReadSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(1 + k % 3 AS INTEGER) AS nm,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |ln AS (
+      |  SELECT p.k, m.g AS m, j.g AS j,
+      |    'mail' || p.k || ' m' || m.g || ' l' || j.g ||
+      |      ' w' || ((p.k + 2 * m.g + 3 * j.g) % 7) AS line
+      |  FROM p, generate_series(0, 2) m(g), generate_series(0, 1) j(g)
+      |  WHERE m.g < p.nm AND j.g < 1 + (p.k + m.g) % 2 AND p.ok),
+      |agg AS (
+      |  SELECT k, string_agg(line, chr(10) ORDER BY m, j) AS text
+      |  FROM ln GROUP BY k),
+      |sub AS (
+      |  SELECT p.k,
+      |    string_agg('sub' || p.k || ' m' || m.g || ' t' || ((p.k + m.g) % 5),
+      |      chr(10) ORDER BY m.g) AS subjects,
+      |    CAST(SUM(CASE WHEN (p.k + m.g) % 5 = 0 THEN 2 ELSE 1 END) AS INTEGER) AS n_parts
+      |  FROM p, generate_series(0, 2) m(g)
+      |  WHERE m.g < p.nm AND p.ok
+      |  GROUP BY p.k)
+      |SELECT p.k AS media_id, p.ok AS mbox_ok,
+      |  CASE WHEN p.ok THEN p.nm END AS n_messages,
+      |  sub.n_parts, sub.subjects,
+      |  CASE WHEN p.ok THEN CAST(length(agg.text) AS BIGINT) END AS n_chars,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p
+      |LEFT JOIN agg ON agg.k = p.k
+      |LEFT JOIN sub ON sub.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   /** Subtitle extraction under the oracle (see
     * [[graft.llm.SubtitleCodec]]): per-key caption files — SRT on even
     * keys (index/timing/order laws), WebVTT on odd (signature, cue ids,
@@ -582,6 +670,7 @@ object Docs {
     "q_epub_read" -> (epubRead _),
     "q_rtf_read" -> (rtfRead _),
     "q_subtitle_read" -> (subtitleRead _),
+    "q_mbox_read" -> (mboxRead _),
     "q_doc_zoo" -> (docZoo _))
 
   def oracleSql: Map[String, String] = Map(
@@ -590,5 +679,6 @@ object Docs {
     "q_epub_read" -> epubReadSql,
     "q_rtf_read" -> rtfReadSql,
     "q_subtitle_read" -> subtitleReadSql,
+    "q_mbox_read" -> mboxReadSql,
     "q_doc_zoo" -> docZooSql)
 }

@@ -1,0 +1,82 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import MimeCodec._
+
+/** Email extraction: mbox framing, header folding, RFC 2047
+  * encoded-words, QP/base64 transfer decodes, charsets, multipart
+  * splitting with the alternative rule, and the refusal battery. */
+class MimeCodecSpec extends AnyFunSuite {
+
+  test("round-trip: plain, QP, base64, multipart/alternative") {
+    val msgs = Seq(
+      Fixture("plain subject", "a@example.org", "hello mbox\nworld"),
+      Fixture("qp subject", "b@example.org", "naïve café text", qp = true),
+      Fixture("b64 subject", "c@example.org", "base sixty four\nbody", b64 = true),
+      Fixture("alt subject", "d@example.org", "the PLAIN branch",
+        htmlBlocks = Seq("the HTML branch", "never extracted")))
+    val r = mboxText(encodeMbox(msgs))
+    assert(r.exists(_._1 == 4))
+    val texts = r.get._2.map(_.text)
+    assert(texts == Seq("hello mbox\nworld", "naïve café text",
+      "base sixty four\nbody", "the PLAIN branch"))
+    assert(r.get._2.map(_.subject) == Seq("plain subject", "qp subject",
+      "b64 subject", "alt subject"))
+    // the alternative message frames BOTH parts
+    assert(r.get._2.last.nParts == 2)
+  }
+
+  test("RFC 2047 encoded-words: B and Q forms, adjacency, refusals") {
+    val m = mboxText(encodeMbox(Seq(
+      Fixture("Übergröße im Betreff €", "x@example.org", "body",
+        encodeSubject = true))))
+    assert(m.exists(_._2.head.subject == "Übergröße im Betreff €"))
+    assert(decodeWords("=?utf-8?Q?caf=C3=A9_x?=").contains("café x"))
+    // whitespace between adjacent encoded-words is transparent
+    assert(decodeWords("=?utf-8?B?YWI=?= =?utf-8?B?Y2Q=?=").contains("abcd"))
+    // but survives between a word and plain text
+    assert(decodeWords("=?utf-8?Q?a?= plain").contains("a plain"))
+    assert(decodeWords("=?ebcdic?B?YWI=?=").isEmpty) // unknown charset
+    assert(decodeWords("=?utf-8?B?!!!?=").isEmpty) // bad base64
+  }
+
+  test("mbox framing and >From unescaping") {
+    val b = ("From a@x Thu Jan  1 00:00:00 1970\n" +
+      "From: a@x\nSubject: s\n\n" +
+      ">From the archives\nplain line\n").getBytes("UTF-8")
+    val r = mboxText(b)
+    assert(r.exists(_._2.head.text == "From the archives\nplain line"))
+    // not starting at a From line refuses
+    assert(mboxText("Subject: s\n\nbody\n".getBytes).isEmpty)
+  }
+
+  test("refusals: torn multipart, unknown encodings/charsets, bad headers") {
+    assert(mboxText(encodeMbox(Seq(
+      Fixture("s", "f@x", "p", htmlBlocks = Seq("h"))),
+      omitTerminator = true)).isEmpty)
+    assert(mboxText(encodeMbox(Seq(Fixture("s", "f@x", "p")),
+      badEncoding = true)).isEmpty)
+    // a non-header line inside the header block refuses
+    assert(mboxText(("From a@x t\nSubject: s\nnot a header\n\nbody\n")
+      .getBytes).isEmpty)
+    // a headers-only message parses with an empty body (EOF is the
+    // separator, newline or not)
+    assert(mboxText("From a@x t\nSubject: s\n".getBytes)
+      .exists(_._2.head.text == ""))
+    assert(mboxText("From a@x t\nSubject: s".getBytes)
+      .exists(_._2.head.text == ""))
+    // us-ascii with a high byte refuses; bad QP escape refuses
+    assert(mboxText(("From a@x t\nContent-Type: text/plain; charset=us-ascii\n\n" +
+      "café\n").getBytes("ISO-8859-1")).isEmpty)
+    assert(mboxText(("From a@x t\nContent-Type: text/plain; charset=utf-8\n" +
+      "Content-Transfer-Encoding: quoted-printable\n\nbad =ZZ escape\n")
+      .getBytes).isEmpty)
+    // junk never throws
+    val rnd = new scala.util.Random(1069)
+    (0 until 1200).foreach { _ =>
+      mboxText(Array.fill(rnd.nextInt(128))(rnd.nextInt(256).toByte))
+      mboxText(("From a@x t\n" + new String(
+        Array.fill(rnd.nextInt(96))((rnd.nextInt(94) + 32).toChar))).getBytes)
+    }
+  }
+}
