@@ -100,7 +100,8 @@ object SubtitleCodec {
           val afterArrow = timingLine.substring(arrow + 3).trim
           val endTok = afterArrow.takeWhile(c => !c.isWhitespace)
           val core = timingLine.substring(0, arrow).trim + " --> " + endTok
-          val (st, en) = parseTiming(core, '.').getOrElse(return None)
+          val (st, en) = parseTiming(core, '.', hoursOptional = true)
+            .getOrElse(return None)
           if (st < lastStart) return None
           lastStart = st
           total += en - st
@@ -130,31 +131,36 @@ object SubtitleCodec {
     s.split("\r\n|\n|\r", -1)
 
   /** `HH:MM:SS<sep>mmm --> HH:MM:SS<sep>mmm` with the 60-bounds and
-    * start-before-end laws. Returns (startMs, endMs). */
-  private def parseTiming(line: String, sep: Char): Option[(Long, Long)] = {
+    * start-before-end laws. WebVTT may omit hours (`MM:SS.mmm` — the
+    * common short-video form; r16 review: requiring hours false-refused
+    * it). Returns (startMs, endMs). */
+  private def parseTiming(line: String, sep: Char,
+                          hoursOptional: Boolean = false): Option[(Long, Long)] = {
     val arrow = line.indexOf("-->")
     if (arrow < 0) return None
-    val a = stamp(line.substring(0, arrow).trim, sep).getOrElse(return None)
-    val b = stamp(line.substring(arrow + 3).trim, sep).getOrElse(return None)
+    val a = stamp(line.substring(0, arrow).trim, sep, hoursOptional)
+      .getOrElse(return None)
+    val b = stamp(line.substring(arrow + 3).trim, sep, hoursOptional)
+      .getOrElse(return None)
     if (a >= b) return None // a cue must run forward
     Some((a, b))
   }
 
-  private def stamp(t: String, sep: Char): Option[Long] = {
-    // HH:MM:SS{sep}mmm — HH may be 2+ digits (long recordings)
-    val p1 = t.indexOf(':')
-    if (p1 < 1) return None
-    val p2 = t.indexOf(':', p1 + 1)
-    if (p2 < 0 || p2 - p1 != 3) return None
-    val p3 = t.indexOf(sep, p2 + 1)
-    if (p3 < 0 || p3 - p2 != 3 || t.length - p3 != 4) return None
-    val hh = t.substring(0, p1)
-    val mm = t.substring(p1 + 1, p2)
-    val ss = t.substring(p2 + 1, p3)
+  private def stamp(t: String, sep: Char, hoursOptional: Boolean): Option[Long] = {
+    // [HH:]MM:SS{sep}mmm — HH may be 2+ digits (long recordings)
+    val p3 = t.indexOf(sep)
+    if (p3 < 0 || t.length - p3 != 4) return None
     val ms = t.substring(p3 + 1)
-    if (!(hh.forall(_.isDigit) && mm.forall(_.isDigit) &&
-      ss.forall(_.isDigit) && ms.forall(_.isDigit))) return None
+    val clock = t.substring(0, p3).split(":", -1)
+    if (!ms.forall(_.isDigit)) return None
+    if (!clock.forall(f => f.nonEmpty && f.forall(_.isDigit))) return None
+    val (hh, mm, ss) = clock.length match {
+      case 3 => (clock(0), clock(1), clock(2))
+      case 2 if hoursOptional => ("00", clock(0), clock(1))
+      case _ => return None
+    }
     if (hh.length < 2 || hh.length > 6) return None
+    if (mm.length != 2 || ss.length != 2) return None
     val m = mm.toInt; val sI = ss.toInt
     if (m >= 60 || sI >= 60) return None // the clock-field law
     Some(((hh.toLong * 60 + m) * 60 + sI) * 1000 + ms.toInt)

@@ -31,6 +31,16 @@ class SubtitleCodecSpec extends AnyFunSuite {
     assert(srtText(encodeVtt(cues)).isEmpty)
   }
 
+  test("WebVTT short-form timestamps (hours optional)") {
+    val b = ("WEBVTT\n\n00:01.000 --> 00:04.500\nshort form\n\n" +
+      "01:10.000 --> 01:12.000\nsecond cue\n\n").getBytes
+    val r = vttText(b)
+    assert(r.exists(_._1 == 2))
+    assert(r.exists(_._2 == 3500L + 2000L))
+    // SRT stays strict: the three-field clock is part of the format
+    assert(srtText("1\n00:01,000 --> 00:04,000\nx\n\n".getBytes).isEmpty)
+  }
+
   test("timing and order laws") {
     // inverted cue refuses; shuffled indices refuse
     assert(srtText(encodeSrt(cues, invertArm = true)).isEmpty)
