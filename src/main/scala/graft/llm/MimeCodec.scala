@@ -246,10 +246,12 @@ object MimeCodec {
     case _ => None
   }
 
+  private val encodedWordRe = "=\\?([^?]+)\\?([bBqQ])\\?([^?]*)\\?=".r
+
   /** RFC 2047 encoded-words in a header value; adjacent encoded-words
     * join without the separating whitespace (the spec's rule). */
   private[llm] def decodeWords(v: String): Option[String] = {
-    val re = "=\\?([^?]+)\\?([bBqQ])\\?([^?]*)\\?=".r
+    val re = encodedWordRe // hoisted: this runs per header per row
     val out = new StringBuilder
     var pos = 0
     var lastWasWord = false
