@@ -1,0 +1,125 @@
+package graft.llm
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Jupyter notebook (.ipynb) text extraction — the notebook is a core
+  * CODE-corpus container (nbformat 4, a published JSON schema): code
+  * and markdown cell SOURCES are the training text; outputs are run
+  * artifacts a curation pipeline drops (they dwarf the source and
+  * contain base64 images).
+  *
+  * Laws: the root must be a JSON object with `nbformat` 4 and a `cells`
+  * array; every cell is an object with a known `cell_type`
+  * (code/markdown/raw), a `metadata` object, and a `source` that is a
+  * string or an array of strings (the schema's two source forms —
+  * joined verbatim, nbformat keeps the newlines inside the strings);
+  * code cells must carry an `outputs` array and an `execution_count`
+  * field (null allowed), per the schema. Unknown cell types, a non-4
+  * nbformat, or malformed JSON refuse. */
+object IpynbCodec {
+
+  private val mapper = new ObjectMapper()
+
+  /** Extraction facts: (nCells, nCode, nMarkdown, cells as
+    * (cell_type, source)). */
+  def ipynbText(b: Array[Byte]): Option[(Int, Int, Int, Seq[(String, String)])] = try {
+    if (b == null || b.length < 2) return None
+    val root = mapper.readTree(b)
+    if (root == null || !root.isObject) return None
+    val nbf = root.get("nbformat")
+    if (nbf == null || !nbf.isInt || nbf.asInt != 4) return None
+    val cells = root.get("cells")
+    if (cells == null || !cells.isArray) return None
+    var nCode = 0
+    var nMd = 0
+    val out = Seq.newBuilder[(String, String)]
+    val it = cells.elements()
+    while (it.hasNext) {
+      val cell = it.next()
+      if (!cell.isObject) return None
+      val ct = cell.get("cell_type")
+      if (ct == null || !ct.isTextual) return None
+      val tpe = ct.asText
+      val meta = cell.get("metadata")
+      if (meta == null || !meta.isObject) return None
+      val src = sourceText(cell.get("source")).getOrElse(return None)
+      tpe match {
+        case "code" =>
+          val outputs = cell.get("outputs")
+          if (outputs == null || !outputs.isArray) return None
+          if (!cell.has("execution_count")) return None // null is fine
+          nCode += 1
+        case "markdown" => nMd += 1
+        case "raw" => ()
+        case _ => return None // unknown cell type
+      }
+      out += ((tpe, src))
+    }
+    val cellSeq = out.result()
+    if (cellSeq.isEmpty) return None
+    Some((cellSeq.length, nCode, nMd, cellSeq))
+  } catch {
+    case _: com.fasterxml.jackson.core.JacksonException => None
+    case _: java.io.IOException => None
+  }
+
+  /** The schema's two source forms: one string, or an array of strings
+    * joined verbatim (nbformat keeps each line's newline inside it). */
+  private def sourceText(n: JsonNode): Option[String] = {
+    if (n == null) return None
+    if (n.isTextual) return Some(n.asText)
+    if (!n.isArray) return None
+    val sb = new StringBuilder
+    val it = n.elements()
+    while (it.hasNext) {
+      val e = it.next()
+      if (!e.isTextual) return None
+      sb ++= e.asText
+    }
+    Some(sb.toString)
+  }
+
+  // ---- conformance writer -------------------------------------------------
+
+  /** Deterministic notebook: cells as (cell_type, source lines); code
+    * cells get a stream output (which extraction must NOT surface) and
+    * a null execution_count; sources alternate between the string and
+    * array schema forms by index. Arms: `nbformat3` writes the refused
+    * version; `badCellType` plants an unknown type. */
+  def encodeIpynb(cells: Seq[(String, Seq[String])],
+                  nbformat3: Boolean = false,
+                  badCellType: Boolean = false): Array[Byte] = {
+    val root = mapper.createObjectNode()
+    root.put("nbformat", if (nbformat3) 3 else 4)
+    root.put("nbformat_minor", 5)
+    root.set("metadata", mapper.createObjectNode())
+    val arr = mapper.createArrayNode()
+    cells.zipWithIndex.foreach { case ((tpe0, lines), i) =>
+      val tpe = if (badCellType && i == 0) "mystery" else tpe0
+      val cell = mapper.createObjectNode()
+      cell.put("cell_type", tpe)
+      cell.set("metadata", mapper.createObjectNode())
+      if (i % 2 == 0) {
+        // array form: every line but the last keeps its newline
+        val srcArr = mapper.createArrayNode()
+        lines.zipWithIndex.foreach { case (l, j) =>
+          srcArr.add(if (j < lines.length - 1) l + "\n" else l)
+        }
+        cell.set("source", srcArr)
+      } else cell.put("source", lines.mkString("\n"))
+      if (tpe == "code") {
+        cell.putNull("execution_count")
+        val outputs = mapper.createArrayNode()
+        val o = mapper.createObjectNode()
+        o.put("output_type", "stream")
+        o.put("name", "stdout")
+        o.put("text", "run artifact: never extracted\n")
+        outputs.add(o)
+        cell.set("outputs", outputs)
+      }
+      arr.add(cell)
+    }
+    root.set("cells", arr)
+    mapper.writeValueAsBytes(root)
+  }
+}

@@ -326,6 +326,78 @@ object Docs {
       |FROM p LEFT JOIN agg ON p.k = agg.k
       |ORDER BY media_id""".stripMargin
 
+  /** Jupyter notebook extraction under the oracle (see
+    * [[graft.llm.IpynbCodec]]): per-key nbformat-4 notebooks with 1-4
+    * cells (markdown on (k+i) mod 3 = 0, code otherwise), sources
+    * alternating between the schema's string and array forms, code
+    * cells carrying stream outputs the extraction must NOT surface.
+    * Refusal arms: truncation (k mod 13 — malformed JSON), nbformat 3
+    * (k mod 17 — the version law), an unknown cell type (k mod 19). */
+  def ipynbRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.IpynbCodec
+    val keys = partKeys(s, d) // full-width spread: the extract map is the cost
+    val decoded = keys.map { k =>
+      val nCells = (1 + k % 4).toInt
+      val cells = (0 until nCells).map { i =>
+        val tpe = if ((k + i) % 3 == 0) "markdown" else "code"
+        val lines = (0 until (1 + (k + i) % 2).toInt).map(j =>
+          s"nb$k c$i l$j w${(k + 3 * i + 2 * j) % 8}")
+        (tpe, lines)
+      }
+      val bytes = IpynbCodec.encodeIpynb(cells,
+        nbformat3 = k % 17 == 0 && k % 13 != 0,
+        badCellType = k % 19 == 0 && k % 13 != 0 && k % 17 != 0)
+      val payload = if (k % 13 == 0) bytes.dropRight(3) else bytes
+      IpynbCodec.ipynbText(payload) match {
+        case Some((nc, ncode, nmd, cs)) =>
+          val text = cs.map(_._2).mkString("\n")
+          (k, true, Some(nc), Some(ncode), Some(nmd),
+            Some(text.length.toLong), Some(text))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int],
+            None: Option[Int], None: Option[Long], None: Option[String])
+      }
+    }.toDF("media_id", "nb_ok", "n_cells", "n_code", "n_markdown",
+      "n_chars", "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The extraction replayed: 1 + k mod 4 cells, cell i has
+    * 1 + (k+i) mod 2 source lines `nb{k} c{i} l{j} w{(k+3i+2j) mod 8}`,
+    * markdown exactly when (k+i) mod 3 = 0; cell sources and cells
+    * joined by newlines (both schema source forms decode identically). */
+  val ipynbReadSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(1 + k % 4 AS INTEGER) AS nc,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |ln AS (
+      |  SELECT p.k, i.g AS i, j.g AS j,
+      |    'nb' || p.k || ' c' || i.g || ' l' || j.g ||
+      |      ' w' || ((p.k + 3 * i.g + 2 * j.g) % 8) AS line
+      |  FROM p, generate_series(0, 3) i(g), generate_series(0, 1) j(g)
+      |  WHERE i.g < p.nc AND j.g < 1 + (p.k + i.g) % 2 AND p.ok),
+      |agg AS (
+      |  SELECT k, string_agg(line, chr(10) ORDER BY i, j) AS text
+      |  FROM ln GROUP BY k),
+      |census AS (
+      |  SELECT p.k,
+      |    CAST(SUM(CASE WHEN (p.k + i.g) % 3 = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_markdown,
+      |    CAST(SUM(CASE WHEN (p.k + i.g) % 3 = 0 THEN 0 ELSE 1 END) AS INTEGER) AS n_code
+      |  FROM p, generate_series(0, 3) i(g)
+      |  WHERE i.g < p.nc AND p.ok
+      |  GROUP BY p.k)
+      |SELECT p.k AS media_id, p.ok AS nb_ok,
+      |  CASE WHEN p.ok THEN p.nc END AS n_cells,
+      |  census.n_code, census.n_markdown,
+      |  CASE WHEN p.ok THEN CAST(length(agg.text) AS BIGINT) END AS n_chars,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p
+      |LEFT JOIN agg ON agg.k = p.k
+      |LEFT JOIN census ON census.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   /** Email extraction under the oracle (see [[graft.llm.MimeCodec]]):
     * per-key mbox files of 1-3 messages — transfer encodings rotate
     * (7bit / quoted-printable / base64 by (k+m) mod 4), every fifth
@@ -671,6 +743,7 @@ object Docs {
     "q_rtf_read" -> (rtfRead _),
     "q_subtitle_read" -> (subtitleRead _),
     "q_mbox_read" -> (mboxRead _),
+    "q_ipynb_read" -> (ipynbRead _),
     "q_doc_zoo" -> (docZoo _))
 
   def oracleSql: Map[String, String] = Map(
@@ -680,5 +753,6 @@ object Docs {
     "q_rtf_read" -> rtfReadSql,
     "q_subtitle_read" -> subtitleReadSql,
     "q_mbox_read" -> mboxReadSql,
+    "q_ipynb_read" -> ipynbReadSql,
     "q_doc_zoo" -> docZooSql)
 }

@@ -1,0 +1,60 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import IpynbCodec._
+
+/** Notebook extraction: both source schema forms, cell-type census,
+  * output suppression, and the schema-law refusal battery. */
+class IpynbCodecSpec extends AnyFunSuite {
+
+  private val cells = Seq(
+    ("markdown", Seq("# Title", "prose **here**")),
+    ("code", Seq("import spark", "df.count()")),
+    ("code", Seq("print('x')")),
+    ("raw", Seq("raw payload")))
+
+  test("round-trip: both source forms, census, outputs never surface") {
+    val r = ipynbText(encodeIpynb(cells))
+    assert(r.exists(t => t._1 == 4 && t._2 == 2 && t._3 == 1))
+    assert(r.exists(_._4 == Seq(
+      "markdown" -> "# Title\nprose **here**",
+      "code" -> "import spark\ndf.count()",
+      "code" -> "print('x')",
+      "raw" -> "raw payload")))
+    // the run artifact in outputs must never appear in extracted text
+    assert(r.exists(!_._4.exists(_._2.contains("run artifact"))))
+  }
+
+  test("schema laws: nbformat, cell types, source forms, structure") {
+    assert(ipynbText(encodeIpynb(cells, nbformat3 = true)).isEmpty)
+    assert(ipynbText(encodeIpynb(cells, badCellType = true)).isEmpty)
+    // a code cell without outputs refuses (the schema requires them)
+    assert(ipynbText(
+      """{"nbformat":4,"cells":[{"cell_type":"code","metadata":{},
+        |"execution_count":null,"source":"x"}]}""".stripMargin
+        .getBytes("UTF-8")).isEmpty)
+    // a numeric source element refuses; a missing metadata refuses
+    assert(ipynbText(
+      """{"nbformat":4,"cells":[{"cell_type":"markdown","metadata":{},
+        |"source":[1,2]}]}""".stripMargin.getBytes("UTF-8")).isEmpty)
+    assert(ipynbText(
+      """{"nbformat":4,"cells":[{"cell_type":"markdown","source":"x"}]}"""
+        .getBytes("UTF-8")).isEmpty)
+    // an empty notebook refuses; a JSON array root refuses
+    assert(ipynbText("""{"nbformat":4,"cells":[]}""".getBytes).isEmpty)
+    assert(ipynbText("""[1,2,3]""".getBytes).isEmpty)
+  }
+
+  test("truncation and junk never throw") {
+    val b = encodeIpynb(cells)
+    (1 to b.length - 1 by 7).foreach { d =>
+      assert(ipynbText(b.dropRight(d)).isEmpty, s"drop $d passed")
+    }
+    val rnd = new scala.util.Random(1151)
+    (0 until 1500).foreach { _ =>
+      ipynbText(Array.fill(rnd.nextInt(96))(rnd.nextInt(256).toByte))
+      ipynbText(("{\"nbformat\":4," + new String(
+        Array.fill(rnd.nextInt(64))((rnd.nextInt(94) + 32).toChar))).getBytes)
+    }
+  }
+}
