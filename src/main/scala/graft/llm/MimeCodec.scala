@@ -77,6 +77,10 @@ object MimeCodec {
     var lastKey: String = null
     while (i < lines.length && lines(i).nonEmpty) {
       val l = lines(i)
+      // RFC 5322: header lines are ASCII — a raw 8-bit subject would
+      // otherwise be latin1-misread into mojibake (encoded-words are
+      // the spec's 8-bit path, and those ARE handled)
+      if (l.exists(_ >= 128)) return None
       if (l(0) == ' ' || l(0) == '\t') {
         if (lastKey == null) return None // a continuation with no header
         hs(lastKey) = hs(lastKey) + " " + l.trim

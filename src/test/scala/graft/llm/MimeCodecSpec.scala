@@ -65,6 +65,10 @@ class MimeCodecSpec extends AnyFunSuite {
       .exists(_._2.head.text == ""))
     assert(mboxText("From a@x t\nSubject: s".getBytes)
       .exists(_._2.head.text == ""))
+    // a raw 8-bit header refuses (RFC 5322: encoded-words are the
+    // 8-bit path; latin1-misreading a UTF-8 subject would mojibake)
+    assert(mboxText("From a@x t\nSubject: caf\u00e9\n\nbody\n"
+      .getBytes("UTF-8")).isEmpty)
     // us-ascii with a high byte refuses; bad QP escape refuses
     assert(mboxText(("From a@x t\nContent-Type: text/plain; charset=us-ascii\n\n" +
       "café\n").getBytes("ISO-8859-1")).isEmpty)
