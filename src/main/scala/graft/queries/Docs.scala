@@ -571,25 +571,24 @@ object Docs {
       |ORDER BY media_id""".stripMargin
 
   /** The document-family dispatch capstone: ONE mixed corpus rotating
-    * classic PDF / modern PDF / hybrid PDF / DOCX / EPUB / RTF by key, routed
-    * by container SNIFF the way a crawl bucket must be — nobody labels
-    * the formats for you. `%PDF` routes to the PDF walk (whose era
-    * label comes back from the walk itself); `PK` containers
-    * disambiguate by the OCF mimetype peek (the first STORED entry —
-    * exactly how real tools tell an EPUB from other OOXML/OPC zips),
-    * falling back to DOCX. Per-format refusal arms: truncation
-    * everywhere (k mod 13), the format's own scope/integrity arm on
-    * k mod 17 (PDF: a Type0 CID font; DOCX: missing main part; EPUB:
-    * missing container.xml; RTF: a \bin payload) and k mod 19 (PDF:
-    * unknown glyph name; DOCX: a flipped byte under the entry CRC;
-    * EPUB: a dangling spine idref; RTF: a missing root close). RTF
-    * routes on its own `{\rtf1` signature. */
+    * NINE text containers by key — classic/modern/hybrid PDF, DOCX,
+    * EPUB, RTF, Jupyter notebook, mbox, SRT/WebVTT — routed by
+    * container SNIFF the way a crawl bucket must be (nobody labels the
+    * formats for you): `%PDF` → the PDF walk (whose era label comes
+    * back from the walk itself); `{\rtf1` → RTF; any other `{` → the
+    * notebook's JSON; `PK` containers disambiguate by the OCF mimetype
+    * peek (EPUB) falling back to DOCX; `From ` → mbox; `WEBVTT` → VTT;
+    * a leading digit → SRT. Per-format refusal arms on k mod 13/17/19:
+    * each format's own damage class (truncation or framing cut; scope
+    * or structural lie; integrity or order violation). */
   def docZoo(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import graft.llm.{DocxCodec, EpubCodec, PdfText, RtfCodec, ZipWalk}
+    import graft.llm.{DocxCodec, EpubCodec, IpynbCodec, MimeCodec,
+      PdfText, RtfCodec, SubtitleCodec, ZipWalk}
     val keys = partKeys(s, d) // full-width spread: the extract map is the cost
     val decoded = keys.map { k =>
-      val fmt = (k % 6).toInt
+      val fmt = (k % 9).toInt
+      val arm13 = k % 13 == 0
       val arm17 = k % 17 == 0 && k % 13 != 0
       val arm19 = k % 19 == 0 && k % 13 != 0 && k % 17 != 0
       val bytes =
@@ -617,32 +616,68 @@ object Docs {
               (0 until (1 + (k + i) % 2).toInt).map(j =>
                 s"zoo$k epub c$i b$j w${(k + 4 * i + 6 * j) % 7}")),
             omitContainer = arm17, danglingSpine = arm19)
-        } else {
+        } else if (fmt == 5) {
           val nPars = (1 + k % 3).toInt
           RtfCodec.encodeRtf(
             (0 until nPars).map(j => s"zoo$k rtf p$j w${(k + 7 * j) % 7}"),
             binArm = arm17, unbalancedArm = arm19)
+        } else if (fmt == 6) {
+          val nCells = (1 + k % 3).toInt
+          IpynbCodec.encodeIpynb(
+            (0 until nCells).map(i =>
+              (if ((k + i) % 3 == 0) "markdown" else "code",
+                Seq(s"zoo$k nb c$i w${(k + 5 * i) % 7}"))),
+            nbformat3 = arm17, badCellType = arm19)
+        } else if (fmt == 7) {
+          val nMsgs = (1 + k % 2).toInt
+          MimeCodec.encodeMbox(
+            (0 until nMsgs).map { m =>
+              MimeCodec.Fixture(s"zs$k m$m", s"z$m@example.org",
+                s"zoo$k mail m$m w${(k + 4 * m) % 7}",
+                htmlBlocks = if (arm19 && m == 0) Seq("torn") else Nil,
+                qp = (k + m) % 3 == 1, b64 = (k + m) % 3 == 2)
+            },
+            omitTerminator = arm19, badEncoding = arm17)
+        } else {
+          val nCues = (1 + k % 2).toInt
+          val cues = (0 until nCues).map(i =>
+            (1000L * (k % 5) + i * 2000L, 400L + (k + i * 7) % 1500,
+              Seq(s"zoo$k cue c$i w${(k + 6 * i) % 7}")))
+          if (arm17 || arm19)
+            SubtitleCodec.encodeSrt(cues, invertArm = arm17, shuffleArm = arm19)
+          else if (k % 2 == 0) SubtitleCodec.encodeSrt(cues)
+          else SubtitleCodec.encodeVtt(cues)
         }
       val payload =
-        if (k % 13 == 0) bytes.dropRight(5)
-        else if (fmt == 3 && arm19) {
+        if (arm13) {
+          // each family's truncation class: tail cuts for the framed
+          // formats, a framing cut for the prefix-honest ones
+          if (fmt == 7) bytes.drop(3) // mbox: break the From line
+          else if (fmt == 8) bytes.take(8) // subtitle: cut in the timing
+          else bytes.dropRight(5)
+        } else if (fmt == 3 && arm19) {
           val t = bytes.clone()
           val at = t.indexOfSlice(s"zoo$k".getBytes("UTF-8").take(4))
           t(at + 1) = (t(at + 1) ^ 0x08).toByte
           t
         } else bytes
       // ---- the dispatch: container sniff, never a label ----
+      def startsWithAscii(prefix: String): Boolean =
+        payload.length >= prefix.length &&
+          prefix.indices.forall(i => payload(i) == prefix.charAt(i).toByte)
       val out: Option[(String, Int, String)] =
-        if (payload.length >= 6 && payload(0) == '{' && payload(1) == '\\' &&
-          payload(2) == 'r' && payload(3) == 't' && payload(4) == 'f')
+        if (startsWithAscii("{\\rtf1"))
           RtfCodec.rtfText(payload).map { case (_, ps) =>
             ("rtf", ps.length, ps.mkString("\n"))
           }
-        else if (payload.length >= 4 && payload(0) == '%' && payload(1) == 'P' &&
-          payload(2) == 'D' && payload(3) == 'F')
+        else if (payload.length >= 1 && payload(0) == '{')
+          IpynbCodec.ipynbText(payload).map { case (nc, _, _, cs) =>
+            ("ipynb", nc, cs.map(_._2).mkString("\n"))
+          }
+        else if (startsWithAscii("%PDF"))
           PdfText.extract(payload).map(r =>
             (s"pdf_${r.era}", r.nPages, r.pages.mkString("\n")))
-        else if (payload.length >= 2 && payload(0) == 'P' && payload(1) == 'K') {
+        else if (startsWithAscii("PK")) {
           if (ZipWalk.firstEntryStoredIs(payload, "mimetype",
             "application/epub+zip"))
             EpubCodec.epubText(payload).map { case (_, nc, _, chs) =>
@@ -652,7 +687,19 @@ object Docs {
             DocxCodec.docxText(payload).map { case (_, np, ps) =>
               ("docx", np, ps.mkString("\n"))
             }
-        } else None
+        } else if (startsWithAscii("From "))
+          MimeCodec.mboxText(payload).map { case (nm, ms) =>
+            ("mbox", nm, ms.map(_.text).mkString("\n"))
+          }
+        else if (startsWithAscii("WEBVTT"))
+          SubtitleCodec.vttText(payload).map { case (nc, _, cs) =>
+            ("vtt", nc, cs.mkString("\n"))
+          }
+        else if (payload.length >= 1 && payload(0) >= '0' && payload(0) <= '9')
+          SubtitleCodec.srtText(payload).map { case (nc, _, cs) =>
+            ("srt", nc, cs.mkString("\n"))
+          }
+        else None
       out match {
         case Some((label, units, text)) =>
           (k, true, Some(label), Some(units), Some(text.length.toLong),
@@ -665,7 +712,7 @@ object Docs {
     decoded.orderBy($"media_id")
   }
 
-  /** Dispatch + extraction replayed: format by k mod 6 (the PDF eras
+  /** Dispatch + extraction replayed: format by k mod 9 (the PDF eras
     * self-identify through the walk; PK containers split on the
     * mimetype peek — the oracle pins the label), PDF text from the zoo
     * line formula over 1 + k mod 2 pages, DOCX from the paragraph
@@ -673,7 +720,7 @@ object Docs {
     * over 1 + k mod 2 chapters. */
   val docZooSql: String =
     """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
-      |p AS (SELECT k, CAST(k % 6 AS INTEGER) AS fmt,
+      |p AS (SELECT k, CAST(k % 9 AS INTEGER) AS fmt,
       |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
       |      FROM ks),
       |pdfl AS (
@@ -712,21 +759,54 @@ object Docs {
       |rtfa AS (
       |  SELECT k, string_agg(ptxt, chr(10) ORDER BY j) AS text
       |  FROM rtfl GROUP BY k),
+      |nbl AS (
+      |  SELECT p.k, i.g AS i,
+      |    'zoo' || p.k || ' nb c' || i.g || ' w' || ((p.k + 5 * i.g) % 7) AS line
+      |  FROM p, generate_series(0, 2) i(g)
+      |  WHERE p.fmt = 6 AND p.ok AND i.g < 1 + p.k % 3),
+      |nba AS (
+      |  SELECT k, string_agg(line, chr(10) ORDER BY i) AS text
+      |  FROM nbl GROUP BY k),
+      |mbl AS (
+      |  SELECT p.k, m.g AS m,
+      |    'zoo' || p.k || ' mail m' || m.g || ' w' || ((p.k + 4 * m.g) % 7) AS line
+      |  FROM p, generate_series(0, 1) m(g)
+      |  WHERE p.fmt = 7 AND p.ok AND m.g < 1 + p.k % 2),
+      |mba AS (
+      |  SELECT k, string_agg(line, chr(10) ORDER BY m) AS text
+      |  FROM mbl GROUP BY k),
+      |sbl AS (
+      |  SELECT p.k, i.g AS i,
+      |    'zoo' || p.k || ' cue c' || i.g || ' w' || ((p.k + 6 * i.g) % 7) AS line
+      |  FROM p, generate_series(0, 1) i(g)
+      |  WHERE p.fmt = 8 AND p.ok AND i.g < 1 + p.k % 2),
+      |sba AS (
+      |  SELECT k, string_agg(line, chr(10) ORDER BY i) AS text
+      |  FROM sbl GROUP BY k),
       |u AS (
       |  SELECT p.k,
       |    CASE p.fmt WHEN 0 THEN 'pdf_classic' WHEN 1 THEN 'pdf_modern'
       |      WHEN 2 THEN 'pdf_hybrid' WHEN 3 THEN 'docx' WHEN 4 THEN 'epub'
-      |      ELSE 'rtf' END AS format,
+      |      WHEN 5 THEN 'rtf' WHEN 6 THEN 'ipynb' WHEN 7 THEN 'mbox'
+      |      ELSE CASE WHEN p.k % 2 = 0 THEN 'srt' ELSE 'vtt' END
+      |      END AS format,
       |    CASE WHEN p.fmt < 3 THEN CAST(1 + p.k % 2 AS INTEGER)
       |      WHEN p.fmt = 3 THEN CAST(1 + p.k % 3 AS INTEGER)
       |      WHEN p.fmt = 4 THEN CAST(1 + p.k % 2 AS INTEGER)
-      |      ELSE CAST(1 + p.k % 3 AS INTEGER) END AS n_units,
-      |    COALESCE(pdfa.text, docxa.text, epuba.text, rtfa.text) AS text
+      |      WHEN p.fmt = 5 THEN CAST(1 + p.k % 3 AS INTEGER)
+      |      WHEN p.fmt = 6 THEN CAST(1 + p.k % 3 AS INTEGER)
+      |      WHEN p.fmt = 7 THEN CAST(1 + p.k % 2 AS INTEGER)
+      |      ELSE CAST(1 + p.k % 2 AS INTEGER) END AS n_units,
+      |    COALESCE(pdfa.text, docxa.text, epuba.text, rtfa.text,
+      |      nba.text, mba.text, sba.text) AS text
       |  FROM p
       |  LEFT JOIN pdfa ON pdfa.k = p.k
       |  LEFT JOIN docxa ON docxa.k = p.k
       |  LEFT JOIN epuba ON epuba.k = p.k
       |  LEFT JOIN rtfa ON rtfa.k = p.k
+      |  LEFT JOIN nba ON nba.k = p.k
+      |  LEFT JOIN mba ON mba.k = p.k
+      |  LEFT JOIN sba ON sba.k = p.k
       |  WHERE p.ok)
       |SELECT p.k AS media_id, p.ok AS doc_ok,
       |  u.format,
