@@ -1,0 +1,219 @@
+package graft.llm
+
+/** OpenDocument Text (.odt) extraction — the LibreOffice/OpenOffice
+  * modality (OASIS ODF, a published standard). An ODT is an OCF-style
+  * ZIP: the FIRST entry must be `mimetype`, STORED, holding exactly
+  * `application/vnd.oasis.opendocument.text` (the same fixed-offset
+  * identification law as EPUB); `content.xml` holds the text:
+  * `office:document-content` → `office:body` → `office:text` →
+  * paragraphs (`text:p`) and headings (`text:h`), with `text:span`
+  * inline wrappers, `text:tab` tabs, `text:line-break` newlines and
+  * `text:s` runs of `text:c` spaces (default 1).
+  *
+  * The container walk rides [[ZipWalk]] (per-entry CRC, EOCD tail
+  * laws); the XML parses namespace-aware with doctypes refused.
+  * Tables (`table:table`) flatten under the same documented contract
+  * as DOCX: one line per row, cells joined by tabs, nested to depth 4.
+  * Frames/drawings contribute no text but must parse. */
+object OdtCodec {
+
+  private val OdtMime = "application/vnd.oasis.opendocument.text"
+
+  /** Extraction facts: (nEntries, nParagraphs, paragraphs). */
+  def odtText(b: Array[Byte], maxEntry: Int = 1 << 24): Option[(Int, Int, Seq[String])] = try {
+    val entries = ZipWalk.entries(b, maxEntry).getOrElse(return None)
+    if (entries.isEmpty || entries.head._1 != "mimetype") return None
+    if (!ZipWalk.firstEntryStoredIs(b, "mimetype", OdtMime)) return None
+    val byName = entries.toMap
+    val content = byName.get("content.xml").getOrElse(return None)
+    val db = DocxCodec.builders.get()
+    db.reset()
+    val doc = db.parse(new java.io.ByteArrayInputStream(content))
+    val root = doc.getDocumentElement
+    if (root.getLocalName != "document-content") return None
+    val bodies = children(root).filter(_.getLocalName == "body")
+    if (bodies.length != 1) return None
+    val texts = children(bodies.head).filter(_.getLocalName == "text")
+    if (texts.length != 1) return None
+    val paras = scala.collection.mutable.ArrayBuffer.empty[String]
+    children(texts.head).foreach { el =>
+      el.getLocalName match {
+        case "p" | "h" =>
+          val sb = new StringBuilder
+          if (!collectText(el, sb)) return None
+          paras += sb.toString
+        case "table" =>
+          paras ++= tableLines(el, 0).getOrElse(return None)
+        case "sequence-decls" | "tracked-changes" => () // machinery
+        case _ => () // lists, sections: out of the flat-paragraph model
+      }
+    }
+    if (paras.isEmpty) return None
+    Some((entries.length, paras.length, paras.toSeq))
+  } catch {
+    case _: org.xml.sax.SAXException => None
+    case _: java.io.IOException => None
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: StackOverflowError => None
+  }
+
+  private def children(e: org.w3c.dom.Element): Seq[org.w3c.dom.Element] = {
+    val nl = e.getChildNodes
+    (0 until nl.getLength).map(nl.item).collect {
+      case el: org.w3c.dom.Element => el
+    }
+  }
+
+  /** In-order text under a paragraph: TEXT NODES count here (unlike
+    * OOXML, ODF puts character data directly inside text:p), spans
+    * recurse, tab/line-break/s expand per the spec. */
+  private def collectText(e: org.w3c.dom.Element, sb: StringBuilder): Boolean = {
+    val nl = e.getChildNodes
+    (0 until nl.getLength).forall { i =>
+      nl.item(i) match {
+        case t: org.w3c.dom.Text => sb ++= t.getData; true
+        case el: org.w3c.dom.Element =>
+          el.getLocalName match {
+            case "tab" => sb += '\t'; true
+            case "line-break" => sb += '\n'; true
+            case "s" =>
+              val c = el.getAttributeNS(
+                "urn:oasis:names:tc:opendocument:xmlns:text:1.0", "c")
+              val n = if (c.isEmpty) 1 else {
+                if (!c.forall(_.isDigit) || c.length > 4) return false
+                c.toInt
+              }
+              (0 until n).foreach(_ => sb += ' ')
+              true
+            case "table" => false // a table inside a paragraph: malformed
+            case _ => collectText(el, sb) // span, a, frame wrappers
+          }
+        case _ => true // comments, PIs: not text
+      }
+    }
+  }
+
+  /** The same flatten contract as DOCX tables. */
+  private def tableLines(tbl: org.w3c.dom.Element, depth: Int): Option[Seq[String]] = {
+    if (depth > 4) return None
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    children(tbl).foreach { tr =>
+      tr.getLocalName match {
+        case "table-row" =>
+          val cells = scala.collection.mutable.ArrayBuffer.empty[String]
+          children(tr).foreach { tc =>
+            tc.getLocalName match {
+              case "table-cell" =>
+                val cellParas = scala.collection.mutable.ArrayBuffer.empty[String]
+                children(tc).foreach { inner =>
+                  inner.getLocalName match {
+                    case "p" | "h" =>
+                      val sb = new StringBuilder
+                      if (!collectText(inner, sb)) return None
+                      cellParas += sb.toString
+                    case "table" =>
+                      cellParas ++= tableLines(inner, depth + 1)
+                        .getOrElse(return None)
+                    case _ => ()
+                  }
+                }
+                cells += cellParas.mkString("\n")
+              case _ => ()
+            }
+          }
+          lines += cells.mkString("\t")
+        case _ => () // columns decls, header-rows wrappers: layout
+      }
+    }
+    Some(lines.toSeq)
+  }
+
+  // ---- conformance writer -------------------------------------------------
+
+  private def xmlEscape(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case c => c.toString
+    }
+
+  /** Deterministic ODT: STORED-first mimetype, manifest, styles stub,
+    * content.xml with the given paragraphs (split across a text:span on
+    * ≥2-char texts — the wrapper must be invisible), `\t`/`\n` emitted
+    * as text:tab / text:line-break, double-spaces as text:s. Arms:
+    * `mimetypeDeflated` breaks the OCF law; `omitContent` drops
+    * content.xml. `tables` appends flattened-contract tables. */
+  def encodeOdt(paragraphs: Seq[String],
+                mimetypeDeflated: Boolean = false,
+                omitContent: Boolean = false,
+                tables: Seq[Seq[Seq[String]]] = Nil): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    val zos = new java.util.zip.ZipOutputStream(out)
+    def deflated(name: String, data: Array[Byte]): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(data); zos.closeEntry()
+    }
+    def stored(name: String, data: Array[Byte]): Unit = {
+      val e = new java.util.zip.ZipEntry(name)
+      e.setMethod(java.util.zip.ZipEntry.STORED)
+      e.setSize(data.length.toLong)
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      e.setCrc(crc.getValue)
+      zos.putNextEntry(e)
+      zos.write(data); zos.closeEntry()
+    }
+    val mt = OdtMime.getBytes("ISO-8859-1")
+    if (mimetypeDeflated) deflated("mimetype", mt) else stored("mimetype", mt)
+    deflated("META-INF/manifest.xml",
+      ("""<?xml version="1.0" encoding="UTF-8"?>""" +
+        """<manifest:manifest xmlns:manifest="urn:oasis:names:tc:opendocument:xmlns:manifest:1.0">""" +
+        s"""<manifest:file-entry manifest:full-path="/" manifest:media-type="$OdtMime"/>""" +
+        """<manifest:file-entry manifest:full-path="content.xml" manifest:media-type="text/xml"/>""" +
+        "</manifest:manifest>").getBytes("UTF-8"))
+    if (!omitContent) {
+      val body = paragraphs.map { t =>
+        val inner = new StringBuilder
+        var seg = new StringBuilder
+        def flushSeg(): Unit = {
+          if (seg.nonEmpty) {
+            val txt = seg.toString
+            // double spaces must ride text:s (ODF collapses raw runs)
+            val parts = txt.split("  ", -1)
+            val enc = parts.map(xmlEscape).mkString("""<text:s text:c="2"/>""")
+            val cut = if (txt.length >= 2 && !txt.contains("  ")) txt.length / 2 else 0
+            if (cut > 0)
+              inner ++= s"<text:span>${xmlEscape(txt.substring(0, cut))}</text:span>" +
+                xmlEscape(txt.substring(cut))
+            else inner ++= enc
+            seg = new StringBuilder
+          }
+        }
+        t.foreach {
+          case '\t' => flushSeg(); inner ++= "<text:tab/>"
+          case '\n' => flushSeg(); inner ++= "<text:line-break/>"
+          case c => seg += c
+        }
+        flushSeg()
+        s"<text:p>$inner</text:p>"
+      }.mkString + tables.map { rows =>
+        "<table:table>" + rows.map { cells =>
+          "<table:table-row>" + cells.map(cell =>
+            s"<table:table-cell><text:p>${xmlEscape(cell)}</text:p></table:table-cell>")
+            .mkString + "</table:table-row>"
+        }.mkString + "</table:table>"
+      }.mkString
+      deflated("content.xml",
+        ("""<?xml version="1.0" encoding="UTF-8"?>""" +
+          """<office:document-content """ +
+          """xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" """ +
+          """xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" """ +
+          """xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" office:version="1.2">""" +
+          "<office:body><office:text>" + body +
+          "</office:text></office:body></office:document-content>").getBytes("UTF-8"))
+    }
+    zos.close()
+    out.toByteArray
+  }
+}

@@ -326,6 +326,81 @@ object Docs {
       |FROM p LEFT JOIN agg ON p.k = agg.k
       |ORDER BY media_id""".stripMargin
 
+  /** ODT extraction under the oracle (see [[graft.llm.OdtCodec]]):
+    * per-key OpenDocument texts with 1-4 formula paragraphs (spans
+    * invisible, text:tab / text:line-break arms on paragraph 0, a
+    * flattened 2×2 table on every eighth key). Refusal arms: truncation
+    * (k mod 13 — the shared ZIP tail laws), a missing content.xml
+    * (k mod 17), and a DEFLATED mimetype (k mod 19 — the OCF law shared
+    * with EPUB, different required content). */
+  def odtRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.OdtCodec
+    val keys = partKeys(s, d) // full-width spread: the extract map is the cost
+    val decoded = keys.map { k =>
+      val nPars = (1 + k % 4).toInt
+      val paras = (0 until nPars).map { j =>
+        s"odt$k p$j w${(k + 5 * j) % 9}" +
+          (if (j == 0 && k % 6 == 0) "\tT" else "") +
+          (if (j == 0 && k % 9 == 0) "\nB" else "")
+      }
+      val tables =
+        if (k % 8 == 0)
+          Seq((0 until 2).map(r =>
+            (0 until 2).map(c => s"oc$r$c${(k + 2 * r + c) % 7}")))
+        else Nil
+      val bytes = OdtCodec.encodeOdt(paras,
+        omitContent = k % 17 == 0 && k % 13 != 0,
+        mimetypeDeflated = k % 19 == 0 && k % 13 != 0 && k % 17 != 0,
+        tables = tables)
+      val payload = if (k % 13 == 0) bytes.dropRight(4) else bytes
+      OdtCodec.odtText(payload) match {
+        case Some((ne, np, ps)) =>
+          val text = ps.mkString("\n")
+          (k, true, Some(ne), Some(np), Some(text.length.toLong), Some(text))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int],
+            None: Option[Long], None: Option[String])
+      }
+    }.toDF("media_id", "odt_ok", "n_entries", "n_paragraphs", "n_chars",
+      "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The extraction replayed: the docx-family paragraph formula with
+    * `odt` prefixes, tab/break arms on paragraph 0, table rows on 8 | k;
+    * 3 container entries. */
+  val odtReadSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(1 + k % 4 AS INTEGER) AS np,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |par AS (
+      |  SELECT p.k, j.g AS j,
+      |    'odt' || p.k || ' p' || j.g || ' w' || ((p.k + 5 * j.g) % 9) ||
+      |      CASE WHEN j.g = 0 AND p.k % 6 = 0 THEN chr(9) || 'T' ELSE '' END ||
+      |      CASE WHEN j.g = 0 AND p.k % 9 = 0 THEN chr(10) || 'B' ELSE '' END AS ptxt
+      |  FROM p, generate_series(0, 3) j(g)
+      |  WHERE j.g < p.np AND p.ok),
+      |tbl AS (
+      |  SELECT p.k, p.np + r.g AS j,
+      |    'oc' || r.g || '0' || ((p.k + 2 * r.g) % 7) || chr(9) ||
+      |    'oc' || r.g || '1' || ((p.k + 2 * r.g + 1) % 7) AS ptxt
+      |  FROM p, generate_series(0, 1) r(g)
+      |  WHERE p.k % 8 = 0 AND p.ok),
+      |allp AS (SELECT * FROM par UNION ALL SELECT * FROM tbl),
+      |agg AS (
+      |  SELECT k, CAST(COUNT(*) AS INTEGER) AS n_paragraphs,
+      |    string_agg(ptxt, chr(10) ORDER BY j) AS text
+      |  FROM allp GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS odt_ok,
+      |  CASE WHEN p.ok THEN 3 END AS n_entries,
+      |  CASE WHEN p.ok THEN agg.n_paragraphs END AS n_paragraphs,
+      |  CASE WHEN p.ok THEN CAST(length(agg.text) AS BIGINT) END AS n_chars,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p LEFT JOIN agg ON p.k = agg.k
+      |ORDER BY media_id""".stripMargin
+
   /** Jupyter notebook extraction under the oracle (see
     * [[graft.llm.IpynbCodec]]): per-key nbformat-4 notebooks with 1-4
     * cells (markdown on (k+i) mod 3 = 0, code otherwise), sources
@@ -824,6 +899,7 @@ object Docs {
     "q_subtitle_read" -> (subtitleRead _),
     "q_mbox_read" -> (mboxRead _),
     "q_ipynb_read" -> (ipynbRead _),
+    "q_odt_read" -> (odtRead _),
     "q_doc_zoo" -> (docZoo _))
 
   def oracleSql: Map[String, String] = Map(
@@ -834,5 +910,6 @@ object Docs {
     "q_subtitle_read" -> subtitleReadSql,
     "q_mbox_read" -> mboxReadSql,
     "q_ipynb_read" -> ipynbReadSql,
+    "q_odt_read" -> odtReadSql,
     "q_doc_zoo" -> docZooSql)
 }

@@ -1,0 +1,46 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import OdtCodec._
+
+/** ODT extraction: the OCF mimetype law, text:p/span/tab/line-break/s
+  * semantics, table flattening, refusal battery. */
+class OdtCodecSpec extends AnyFunSuite {
+
+  private val paras = Seq("hello open document", "tab\there and break\nline",
+    "double  space run", "x")
+
+  test("round-trip: paragraphs, spans invisible, tab/break/s expansion") {
+    val b = encodeOdt(paras)
+    val r = odtText(b)
+    assert(r.exists(_._3 == paras))
+    // entries: mimetype + manifest + content
+    assert(r.exists(t => t._1 == 3 && t._2 == paras.length))
+  }
+
+  test("tables flatten under the shared contract") {
+    val b = encodeOdt(Seq("before"), tables = Seq(
+      Seq(Seq("a0", "a1"), Seq("b0", "b1"))))
+    assert(odtText(b).exists(_._3 == Seq("before", "a0\ta1", "b0\tb1")))
+  }
+
+  test("OCF and structure laws refuse") {
+    assert(odtText(encodeOdt(paras, mimetypeDeflated = true)).isEmpty)
+    assert(odtText(encodeOdt(paras, omitContent = true)).isEmpty)
+    // an EPUB is not an ODT: the mimetype CONTENT law separates them
+    assert(odtText(EpubCodec.encodeEpub("t", Seq(Seq("x")))).isEmpty)
+    // and a DOCX (no mimetype entry at all) refuses
+    assert(odtText(DocxCodec.encodeDocx(Seq("x"))).isEmpty)
+  }
+
+  test("truncation and junk never throw") {
+    val b = encodeOdt(paras)
+    (1 to b.length - 1 by 7).foreach { d =>
+      assert(odtText(b.dropRight(d)).isEmpty, s"drop $d passed")
+    }
+    val rnd = new scala.util.Random(1231)
+    (0 until 1200).foreach { _ =>
+      odtText(Array.fill(rnd.nextInt(96))(rnd.nextInt(256).toByte))
+    }
+  }
+}
