@@ -240,9 +240,13 @@ object MimeCodec {
       b.foreach { x =>
         val code = x & 0xff
         if (code < 0x80) sb.append(code.toChar)
+        else if (code == 0xa0) sb.append('\u00a0') // NBSP: the charset's
+        // own character (the PDF table maps this code to the "space" glyph)
         else {
           val ch = PdfText.winAnsiTable(code)
-          if (ch == ' ') return None
+          // '\u0000' marks the table's undefined slots; 0x81/0x8D/0x8F/
+          // 0x90/0x9D have no cp1252 assignment -- refuse, never emit NULs
+          if (ch == '\u0000') return None
           sb.append(ch)
         }
       }

@@ -25,6 +25,9 @@ object OdtCodec {
     if (entries.isEmpty || entries.head._1 != "mimetype") return None
     if (!ZipWalk.firstEntryStoredIs(b, "mimetype", OdtMime)) return None
     val byName = entries.toMap
+    // duplicate entry names: two content.xml candidates — refuse rather
+    // than silently extract from whichever the map kept (EpubCodec's law)
+    if (byName.size != entries.length) return None
     val content = byName.get("content.xml").getOrElse(return None)
     val db = DocxCodec.builders.get()
     db.reset()

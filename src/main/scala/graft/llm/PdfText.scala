@@ -209,19 +209,23 @@ object PdfText {
       } else d.refVal(key).map(Seq(_))
     }
 
-  /** A simple font's text mapping: the byte→char encoding table plus
-    * the /ToUnicode overrides (authoritative when present — §9.10.3's
+  /** A font's text mapping: the byte→char encoding table plus the
+    * /ToUnicode overrides (authoritative when present — §9.10.3's
     * preferred extraction path; a code may map to SEVERAL characters,
-    * e.g. a ligature expanding to "ffi"). */
-  private[llm] final case class FontMap(enc: Array[Char], toUni: Map[Int, String])
+    * e.g. a ligature expanding to "ffi"). `twoByte` marks a Type0 /
+    * Identity-H font: show-string bytes pair into 2-byte codes and the
+    * CMap is the ONLY mapping (the enc table is unused). */
+  private[llm] final case class FontMap(enc: Array[Char], toUni: Map[Int, String],
+                                        twoByte: Boolean = false)
 
-  /** Parse a ToUnicode CMap for a SIMPLE font: `beginbfchar` pairs and
-    * `beginbfrange` triples (base-increment and array forms), sources
-    * one byte (the simple-font codespace), targets UTF-16BE. The CMap
-    * boilerplate (codespace ranges, usecmap, dict ops) is skipped as
-    * tokens; malformed hex, empty targets, inverted or oversize ranges
-    * refuse. */
-  private[llm] def parseToUnicode(b: Array[Byte]): Option[Map[Int, String]] = {
+  /** Parse a ToUnicode CMap: `beginbfchar` pairs and `beginbfrange`
+    * triples (base-increment and array forms), targets UTF-16BE. With
+    * `wide=false` sources are one byte (the simple-font codespace,
+    * writers may pad to two); with `wide=true` sources are exactly two
+    * bytes (the Identity-H codespace). The CMap boilerplate (codespace
+    * ranges, usecmap, dict ops) is skipped as tokens; malformed hex,
+    * empty targets, inverted or oversize ranges refuse. */
+  private[llm] def parseToUnicode(b: Array[Byte], wide: Boolean = false): Option[Map[Int, String]] = {
     // tokenizer: hex strings, arrays, barewords; everything else skipped
     var p = 0
     val n = b.length
@@ -259,8 +263,12 @@ object PdfText {
       Some(new String(t, java.nio.charset.StandardCharsets.UTF_16BE))
     }
     def srcCode(t: Array[Byte]): Option[Int] =
-      // simple-font codespace: one byte (writers may pad to two)
-      t.length match {
+      if (wide) t.length match {
+        // Identity-H codespace: exactly two bytes, any value
+        case 2 => Some(((t(0) & 0xff) << 8) | (t(1) & 0xff))
+        case _ => None
+      } else t.length match {
+        // simple-font codespace: one byte (writers may pad to two)
         case 1 => Some(t(0) & 0xff)
         case 2 if t(0) == 0 => Some(t(1) & 0xff)
         case _ => None
@@ -402,11 +410,33 @@ object PdfText {
     }
   }
 
-  /** The font's complete text mapping: encoding table + /ToUnicode
-    * overrides (the stream resolves through the document and decodes
-    * through the filter pipeline). A /ToUnicode that is not a stream
-    * reference, or whose CMap is malformed, refuses. */
+  private val noEnc: Array[Char] = new Array[Char](256) // all-undefined
+
+  /** The font's complete text mapping. Simple fonts: encoding table +
+    * /ToUnicode overrides (the stream resolves through the document and
+    * decodes through the filter pipeline); a /ToUnicode that is not a
+    * stream reference, or whose CMap is malformed, refuses.
+    *
+    * Type0 (composite) fonts — the modern-writer default (Chrome,
+    * LibreOffice, word processors): the honest subset is /Identity-H
+    * (codes ARE 2-byte CIDs) with a CIDFontType0/2 descendant and a
+    * MANDATORY /ToUnicode CMap — without one a CID font carries no
+    * text mapping at all, so absence refuses rather than guessing via
+    * glyph names. Identity-V and named CMap encodings are out of
+    * scope (refuse). */
   private def fontMap(doc: PdfDoc, fd: PDict, fbuf: Array[Byte]): Option[FontMap] = {
+    if (fd.nameVal("Subtype").contains("Type0")) {
+      if (!fd.entries.get("Encoding").contains("/Identity-H")) return None
+      val desc = refsValue(fd, "DescendantFonts").getOrElse(return None)
+      if (desc.length != 1) return None // the array holds exactly one (§9.7.6)
+      val (dd, _) = doc.dictAndBuf(desc.head).getOrElse(return None)
+      val dsub = dd.nameVal("Subtype").getOrElse(return None)
+      if (dsub != "CIDFontType0" && dsub != "CIDFontType2") return None
+      val ref = fd.refVal("ToUnicode").getOrElse(return None)
+      val cmap = doc.streamDecoded(ref).getOrElse(return None)
+      return parseToUnicode(cmap, wide = true)
+        .map(FontMap(noEnc, _, twoByte = true))
+    }
     val enc = fontTable(doc, fd, fbuf).getOrElse(return None)
     fd.entries.get("ToUnicode") match {
       case None => Some(FontMap(enc, Map.empty))
@@ -507,12 +537,34 @@ object PdfText {
 
   private val numRe = "[+-]?(\\d+\\.?\\d*|\\.\\d+)".r
 
+  /** A content stream's execution environment: named fonts and
+    * XObjects. A Form XObject with its own /Resources carries its own
+    * env; one without (`env = None`) inherits the env in effect at its
+    * Do site — §8.10.2's dynamic resolution, the common shape real
+    * writers emit (the page's resource dict names the form itself). */
+  private[llm] final case class PageEnv(fonts: Map[String, FontMap],
+                                        xobjs: Map[String, XEntry])
+  private[llm] sealed trait XEntry
+  private[llm] case object XImage extends XEntry
+  /** A Form XObject: its object id (the execution cycle law), decoded
+    * content, and its own env (None = inherit at the Do site). */
+  private[llm] final case class XForm(id: Long, content: Array[Byte],
+                                      env: Option[PageEnv]) extends XEntry
+
   /** Tokenize one page's (concatenated) content and assemble its LINES:
     * show operators append decoded text, the break family starts new
-    * lines (guarded so positioning before the first show adds none). */
-  private[llm] def pageText(content: Array[Byte], fonts: Map[String, FontMap],
-                       xobjs: Map[String, String]): Option[Seq[String]] = {
-    val stack = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    * lines (guarded so positioning before the first show adds none).
+    * Form XObjects execute at their Do site in paint order, sharing the
+    * line buffer, with the text font saved/restored around the call
+    * (§8.10.1 wraps Do in an implicit q/Q) and an active-set + depth
+    * law against cycles; q/Q themselves save/restore the selected font
+    * (it is graphics state — a Tf inside a q block must not leak past
+    * the Q) and must balance within each stream. Inline images (BI …
+    * ID … EI) skip structurally: by the /L byte count when declared,
+    * else by the whitespace-EI-delimiter scan — a false EI inside
+    * unmeasured binary surfaces as a downstream tokenization REFUSAL,
+    * never as silent wrong text. */
+  private[llm] def pageText(content0: Array[Byte], env0: PageEnv): Option[Seq[String]] = {
     var font: FontMap = null
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
@@ -520,6 +572,22 @@ object PdfText {
     def brk(): Unit = if (anyShow) { lines += cur.toString; cur.setLength(0) }
     def show(s: Array[Byte]): Boolean = {
       if (font == null) return false // a show with no font selected
+      if (font.twoByte) {
+        // Identity-H: bytes pair into CIDs; the ToUnicode CMap is the
+        // ONLY mapping — a torn pair or an unmapped CID refuses
+        if (s.length % 2 != 0) return false
+        var i = 0
+        while (i < s.length) {
+          val code = ((s(i) & 0xff) << 8) | (s(i + 1) & 0xff)
+          font.toUni.get(code) match {
+            case Some(str) => cur ++= str
+            case None => return false
+          }
+          i += 2
+        }
+        anyShow = true
+        return true
+      }
       var i = 0
       while (i < s.length) {
         val code = s(i) & 0xff
@@ -535,6 +603,13 @@ object PdfText {
       anyShow = true
       true
     }
+
+    def run(content: Array[Byte], env: PageEnv, active: Set[Long], depth: Int): Boolean = {
+    if (depth > 8) return false // form nesting law
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    // q/Q save/restore the text font (part of the graphics state);
+    // they must balance within this one stream
+    val qFonts = scala.collection.mutable.ArrayBuffer.empty[FontMap]
     def popNum(): Option[Double] =
       if (stack.nonEmpty) stack.remove(stack.length - 1) match {
         case TNum(v) => Some(v)
@@ -584,6 +659,83 @@ object PdfText {
       None // unreachable
     }
 
+    /** Skip one inline image starting AFTER the BI bareword; returns
+      * the position after EI, or -1 on any framing refusal. The dict
+      * tokens lex structurally; /L (or PDF-2.0 /Length) measures the
+      * data exactly, else the scan looks for ws + "EI" + (ws | delim |
+      * EOF). Exactly one whitespace byte separates ID from the data. */
+    def skipInline(p0: Int): Int = {
+      var p = p0
+      var lastName: String = null
+      var len = -1L
+      var sawId = false
+      while (!sawId) {
+        while (p < content.length && isWs(content(p))) p += 1
+        if (p >= content.length) return -1
+        content(p) match {
+          case '/' =>
+            var e = p + 1
+            while (e < content.length && !isWs(content(e)) && !isDelim(content(e))) e += 1
+            lastName = new String(content, p + 1, e - p - 1, "ISO-8859-1")
+            p = e
+          case '[' =>
+            val p1 = lexArray(p, 0).getOrElse(return -1)._2
+            lastName = null; p = p1
+          case '<' =>
+            if (PdfCodec.at(content, p, "<<")) {
+              val p1 = PdfCodec.skipDict(content, p)
+              if (p1 < 0) return -1
+              p = p1
+            } else {
+              val p1 = lexHexStr(content, p).getOrElse(return -1)._2
+              p = p1
+            }
+            lastName = null
+          case c if (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.' =>
+            var e = p
+            while (e < content.length && !isWs(content(e)) && !isDelim(content(e))) e += 1
+            val t = new String(content, p, e - p, "ISO-8859-1")
+            if (!numRe.pattern.matcher(t).matches()) return -1
+            if (lastName == "L" || lastName == "Length") {
+              val v = t.toDouble
+              if (v < 0 || v != Math.floor(v) || v > Int.MaxValue.toDouble) return -1
+              len = v.toLong
+            }
+            lastName = null
+            p = e
+          case c if !isDelim(c) =>
+            var e = p
+            while (e < content.length && !isWs(content(e)) && !isDelim(content(e))) e += 1
+            val w = new String(content, p, e - p, "ISO-8859-1")
+            p = e
+            if (w == "ID") sawId = true
+            else if (w != "true" && w != "false" && w != "null") return -1
+            lastName = null
+          case _ => return -1 // strings etc. are not inline-dict values
+        }
+      }
+      if (p >= content.length || !isWs(content(p))) return -1
+      val dataStart = p + 1
+      if (len >= 0) {
+        if (len > (content.length - dataStart).toLong) return -1
+        var q = dataStart + len.toInt
+        while (q < content.length && isWs(content(q))) q += 1
+        if (q + 2 > content.length || content(q) != 'E' || content(q + 1) != 'I') return -1
+        q += 2
+        if (q < content.length && !isWs(content(q)) && !isDelim(content(q))) return -1
+        q
+      } else {
+        var i = dataStart
+        while (i + 3 <= content.length) {
+          if (isWs(content(i)) && content(i + 1) == 'E' && content(i + 2) == 'I' &&
+            (i + 3 == content.length || isWs(content(i + 3)) || isDelim(content(i + 3))))
+            return i + 3
+          i += 1
+        }
+        -1
+      }
+    }
+
     var p = 0
     val n = content.length
     while (p < n) {
@@ -592,20 +744,20 @@ object PdfText {
         case '%' =>
           while (p < n && content(p) != '\r' && content(p) != '\n') p += 1
         case '(' =>
-          val (s, p1) = lexLiteral(content, p).getOrElse(return None)
+          val (s, p1) = lexLiteral(content, p).getOrElse(return false)
           stack += TStr(s); p = p1
         case '<' =>
           if (PdfCodec.at(content, p, "<<")) {
             // dict operand (gs/BDC parameters): structural skip, opaque
             val p1 = PdfCodec.skipDict(content, p)
-            if (p1 < 0) return None
+            if (p1 < 0) return false
             stack += TName("#dict"); p = p1
           } else {
-            val (s, p1) = lexHexStr(content, p).getOrElse(return None)
+            val (s, p1) = lexHexStr(content, p).getOrElse(return false)
             stack += TStr(s); p = p1
           }
         case '[' =>
-          val (a, p1) = lexArray(p, 0).getOrElse(return None)
+          val (a, p1) = lexArray(p, 0).getOrElse(return false)
           stack += a; p = p1
         case '/' =>
           var e = p + 1
@@ -616,10 +768,10 @@ object PdfText {
           var e = p
           while (e < n && !isWs(content(e)) && !isDelim(content(e))) e += 1
           val t = new String(content, p, e - p, "ISO-8859-1")
-          if (!numRe.pattern.matcher(t).matches()) return None
+          if (!numRe.pattern.matcher(t).matches()) return false
           stack += TNum(t.toDouble); p = e
         case ')' | '>' | ']' | '{' | '}' =>
-          return None // unbalanced delimiter: malformed content
+          return false // unbalanced delimiter: malformed content
         case _ =>
           // a bareword: an operator
           var e = p
@@ -628,66 +780,85 @@ object PdfText {
           p = e
           op match {
             case "BT" | "ET" => stack.clear()
+            case "q" => qFonts += font; stack.clear()
+            case "Q" =>
+              if (qFonts.isEmpty) return false // unbalanced restore
+              font = qFonts.remove(qFonts.length - 1)
+              stack.clear()
             case "Tf" =>
-              if (popNum().isEmpty) return None
+              if (popNum().isEmpty) return false
               stack.lastOption match {
                 case Some(TName(fname)) =>
-                  font = fonts.getOrElse(fname, return None)
-                case _ => return None
+                  font = env.fonts.getOrElse(fname, return false)
+                case _ => return false
               }
               stack.clear()
             case "Td" | "TD" =>
-              val ty = popNum().getOrElse(return None)
-              if (popNum().isEmpty) return None
+              val ty = popNum().getOrElse(return false)
+              if (popNum().isEmpty) return false
               if (ty != 0) brk()
               stack.clear()
             case "Tm" =>
               var k = 0
-              while (k < 6) { if (popNum().isEmpty) return None; k += 1 }
+              while (k < 6) { if (popNum().isEmpty) return false; k += 1 }
               brk()
               stack.clear()
             case "T*" => brk(); stack.clear()
             case "Tj" =>
-              val s = popStr().getOrElse(return None)
-              if (!show(s)) return None
+              val s = popStr().getOrElse(return false)
+              if (!show(s)) return false
               stack.clear()
             case "'" =>
-              val s = popStr().getOrElse(return None)
+              val s = popStr().getOrElse(return false)
               brk()
-              if (!show(s)) return None
+              if (!show(s)) return false
               stack.clear()
             case "\"" =>
-              val s = popStr().getOrElse(return None)
-              if (popNum().isEmpty || popNum().isEmpty) return None
+              val s = popStr().getOrElse(return false)
+              if (popNum().isEmpty || popNum().isEmpty) return false
               brk()
-              if (!show(s)) return None
+              if (!show(s)) return false
               stack.clear()
             case "TJ" =>
               stack.lastOption match {
                 case Some(TArr(items)) =>
                   items.foreach {
-                    case TStr(s) => if (!show(s)) return None
+                    case TStr(s) => if (!show(s)) return false
                     case TNum(_) => () // kerning: positioning, not text
-                    case _ => return None
+                    case _ => return false
                   }
-                case _ => return None
+                case _ => return false
               }
               stack.clear()
             case "BI" =>
-              return None // inline image: binary follows, cannot frame
+              val p1 = skipInline(p)
+              if (p1 < 0) return false
+              p = p1
+              stack.clear()
             case "Do" =>
               stack.lastOption match {
-                case Some(TName(xn)) => xobjs.get(xn) match {
-                  case Some("Image") => () // a picture holds no text
-                  case _ => return None // Form XObjects can carry text
+                case Some(TName(xn)) => env.xobjs.get(xn) match {
+                  case Some(XImage) => () // a picture holds no text
+                  case Some(XForm(id, fc, fenv)) =>
+                    if (active.contains(id)) return false // cycle law
+                    val saved = font // Do implies q … Q (§8.10.1)
+                    if (!run(fc, fenv.getOrElse(env), active + id, depth + 1))
+                      return false
+                    font = saved
+                  case None => return false // an unknown XObject name
                 }
-                case _ => return None
+                case _ => return false
               }
               stack.clear()
             case _ => stack.clear() // graphics ops: operands consumed
           }
       }
     }
+    if (qFonts.nonEmpty) return false // q left open at stream end
+    true
+    }
+
+    if (!run(content0, env0, Set.empty, 0)) return None
     if (anyShow) lines += cur.toString
     Some(lines.toSeq)
   }
@@ -718,7 +889,14 @@ object PdfText {
       if (depth > 32 || visiting.contains(ref)) return None // cycle law
       visiting += ref
       val (d, buf) = doc.dictAndBuf(ref).getOrElse(return None)
-      val res = dictValue(doc, d, buf, "Resources").orElse(inherited)
+      // a node's OWN /Resources, when present, must parse: a malformed
+      // value falling back to an ancestor's dict could bind a same-named
+      // font with a different encoding — wrong characters, not a refusal
+      val res = dictValue(doc, d, buf, "Resources") match {
+        case some @ Some(_) => some
+        case None if d.entries.contains("Resources") => return None
+        case None => inherited
+      }
       d.nameVal("Type") match {
         case Some("Pages") =>
           val kids = refsValue(d, "Kids").getOrElse(return None)
@@ -736,37 +914,64 @@ object PdfText {
       }
     }
     walk(pagesRef, None, 0).getOrElse(return None)
-    val pages = leaves.map { case (pd, pbuf, res) =>
-      // fonts and xobjects from the effective resources
-      val fonts: Map[String, FontMap] = res match {
-        case None => Map.empty
+    // resolve a resource dict into an execution env: fonts eagerly,
+    // XObjects into the XEntry tree. A Form with its own /Resources
+    // resolves statically (visiting-set cycle law, depth cap); one
+    // without resolves DYNAMICALLY at its Do site (env = None) — the
+    // page dict naming the form in its own /XObject is the common
+    // real-writer shape and must not be read as a cycle.
+    def resolveEnv(res: Option[(PDict, Array[Byte])],
+                   visiting: Set[Long], depth: Int): Option[PageEnv] = {
+      if (depth > 8) return None
+      res match {
+        case None => Some(PageEnv(Map.empty, Map.empty))
         case Some((rd, rbuf)) =>
-          dictValue(doc, rd, rbuf, "Font") match {
-            case None =>
-              if (rd.entries.contains("Font")) return None // malformed
-              Map.empty
-            case Some((fdict, fbuf)) =>
-              fdict.entries.keys.map { fname =>
-                val (fd, fdBuf) = dictValue(doc, fdict, fbuf, fname)
-                  .getOrElse(return None)
-                fname -> fontMap(doc, fd, fdBuf).getOrElse(return None)
-              }.toMap
-          }
+          val fonts: Map[String, FontMap] =
+            dictValue(doc, rd, rbuf, "Font") match {
+              case None =>
+                if (rd.entries.contains("Font")) return None // malformed
+                Map.empty
+              case Some((fdict, fbuf)) =>
+                fdict.entries.keys.map { fname =>
+                  val (fd, fdBuf) = dictValue(doc, fdict, fbuf, fname)
+                    .getOrElse(return None)
+                  fname -> fontMap(doc, fd, fdBuf).getOrElse(return None)
+                }.toMap
+            }
+          val xobjs: Map[String, XEntry] =
+            dictValue(doc, rd, rbuf, "XObject") match {
+              case None =>
+                if (rd.entries.contains("XObject")) return None
+                Map.empty
+              case Some((xd, _)) =>
+                xd.entries.keys.map { xn =>
+                  // XObjects are streams — always indirect references
+                  val ref = xd.refVal(xn).getOrElse(return None)
+                  val (od, obuf) = doc.dictAndBuf(ref).getOrElse(return None)
+                  od.nameVal("Subtype") match {
+                    case Some("Image") => xn -> (XImage: XEntry)
+                    case Some("Form") =>
+                      if (visiting.contains(ref)) return None // static cycle
+                      val fc = doc.streamDecoded(ref).getOrElse(return None)
+                      val fenv: Option[PageEnv] =
+                        dictValue(doc, od, obuf, "Resources") match {
+                          case some @ Some(_) =>
+                            Some(resolveEnv(some, visiting + ref, depth + 1)
+                              .getOrElse(return None))
+                          case None if od.entries.contains("Resources") =>
+                            return None // present but malformed: refuse
+                          case None => None // inherit at the Do site
+                        }
+                      xn -> (XForm(ref, fc, fenv): XEntry)
+                    case _ => return None
+                  }
+                }.toMap
+            }
+          Some(PageEnv(fonts, xobjs))
       }
-      val xobjs: Map[String, String] = res match {
-        case None => Map.empty
-        case Some((rd, rbuf)) =>
-          dictValue(doc, rd, rbuf, "XObject") match {
-            case None =>
-              if (rd.entries.contains("XObject")) return None
-              Map.empty
-            case Some((xd, xbuf)) =>
-              xd.entries.keys.map { xn =>
-                val (od, _) = dictValue(doc, xd, xbuf, xn).getOrElse(return None)
-                xn -> od.nameVal("Subtype").getOrElse(return None)
-              }.toMap
-          }
-      }
+    }
+    val pages = leaves.map { case (pd, _, res) =>
+      val env = resolveEnv(res, Set.empty, 0).getOrElse(return None)
       // content: absent = an empty page; a ref or an array of refs
       val content: Array[Byte] =
         if (!pd.entries.contains("Contents")) Array.emptyByteArray
@@ -776,7 +981,7 @@ object PdfText {
           if (parts.isEmpty) Array.emptyByteArray
           else parts.reduce((a, bb) => a ++ Array[Byte]('\n') ++ bb)
         }
-      pageText(content, fonts, xobjs).getOrElse(return None).mkString("\n")
+      pageText(content, env).getOrElse(return None).mkString("\n")
     }
     Some(Extracted(era, doc.vMinor, pages.length, pages.toSeq))
   } catch {
@@ -861,10 +1066,19 @@ object PdfText {
   /** The content-stream operator text for one page's lines: the show
     * and break operators rotate by `variant` so Tj/'/Td/TJ-with-kerning
     * all see coverage, with a sprinkle of graphics no-ops the tokenizer
-    * must skip. Extraction contract: the lines come back verbatim. */
+    * must skip. Extraction contract: the lines come back verbatim.
+    * `type0` switches show strings to 2-byte UTF-16BE hex (Identity-H
+    * codes); `drawForm` paints /Fm1 before the closing Q (appending the
+    * form's header line to the page); `inlineImgArm` plants a BI…ID…EI
+    * image after the first show — 1 scan-framed binary, 2 /L-measured
+    * data that CONTAINS a decoy " EI " (proving the length is honored). */
   private def contentOps(lines: Seq[String], variant: Int,
-                         hexStrings: Boolean): String = {
-    def strTok(t: String): String = if (hexStrings) hexStr(t) else escLit(t)
+                         hexStrings: Boolean, type0: Boolean = false,
+                         drawForm: Boolean = false,
+                         inlineImgArm: Int = 0): String = {
+    def strTok(t: String): String =
+      if (type0) "<" + t.map(c => f"${c.toInt}%04x").mkString + ">"
+      else if (hexStrings) hexStr(t) else escLit(t)
     val sb = new StringBuilder
     sb ++= "q 0.2 0.4 0.6 rg BT /F1 12 Tf "
     sb ++= (variant % 3 match {
@@ -873,7 +1087,21 @@ object PdfText {
       case _ => "14 TL 72 720 Td "
     })
     lines.zipWithIndex.foreach { case (line, j) =>
-      if (j == 0) sb ++= strTok(line) + " Tj "
+      if (j == 0) {
+        sb ++= strTok(line) + " Tj "
+        inlineImgArm match {
+          case 1 =>
+            // scan-framed: raw binary (unbalanced paren, high bytes)
+            // that the tokenizer must never see
+            sb ++= "BI /W 2 /H 2 /BPC 8 /CS /G ID " +
+              "(\u00ff\u0000[\u0001)" + " EI "
+          case 2 =>
+            // /L-measured: the data embeds a decoy " EI " that only
+            // the declared byte count can step over
+            sb ++= "BI /W 1 /H 1 /BPC 8 /CS /G /L 6 ID x EI y EI "
+          case _ => ()
+        }
+      }
       else (variant + j) % 4 match {
         case 0 => sb ++= "T* " + strTok(line) + " Tj "
         case 1 => sb ++= strTok(line) + " ' "
@@ -884,8 +1112,26 @@ object PdfText {
             strTok(line.substring(mid)) + "] TJ "
       }
     }
-    sb ++= "ET Q"
+    sb ++= "ET "
+    if (drawForm) sb ++= "/Fm1 Do "
+    sb ++= "Q"
     sb.toString
+  }
+
+  /** The identity ToUnicode CMap a Type0/Identity-H writer emits: the
+    * 2-byte codespace with one bfchar per distinct character (code =
+    * code point), chunked ≤100 per block (the spec's section cap). */
+  private def identityCMap(chars: Seq[Char]): String = {
+    val head = "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
+      "/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def\n" +
+      "/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n" +
+      "1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+    val body = chars.distinct.sorted.grouped(100).map { g =>
+      s"${g.length} beginbfchar\n" +
+        g.map(c => f"<${c.toInt}%04x> <${c.toInt}%04x>").mkString("\n") +
+        "\nendbfchar"
+    }.mkString("\n")
+    head + body + "\nendcmap\nCMap defined\nend end"
   }
 
   /** Deterministic TEXT PDF. `era`: 0 classic table, 1 modern
@@ -893,54 +1139,112 @@ object PdfText {
     * `filterArm` 0 raw / 1 `/FlateDecode` / 2 `[/FlateDecode]` /
     * 3 the `[/ASCIIHexDecode /FlateDecode]` chain on every content
     * stream; `hexStrings` shows text via hex strings; `diffBullet`
-    * remaps code 65 to /bullet via /Differences; `type0Arm` and
-    * `badGlyphArm` produce in-scope-refusal documents;
-    * `resourcesOnPagesNode` exercises resource INHERITANCE;
-    * `toUnicodeArm` attaches a real /ToUnicode CMap stream remapping
-    * B→ß (bfchar), D→ffi (multi-char bfchar) and x–z→ΑΒΓ (bfrange) —
-    * the authoritative mapping path. The mapping applies to EVERY
-    * occurrence of those codes, so callers keep them out of text they
-    * want verbatim. */
+    * remaps code 65 to /bullet via /Differences; `badGlyphArm`
+    * produces an in-scope-refusal document; `resourcesOnPagesNode`
+    * exercises resource INHERITANCE; `toUnicodeArm` attaches a real
+    * /ToUnicode CMap stream remapping B→ß (bfchar), D→ffi (multi-char
+    * bfchar) and x–z→ΑΒΓ (bfrange) — the authoritative mapping path
+    * (the mapping applies to EVERY occurrence of those codes, so
+    * callers keep them out of text they want verbatim).
+    *
+    * `type0` emits the modern-writer default layout — a Type0 font,
+    * /Encoding /Identity-H, a CIDFontType2 descendant and an identity
+    * /ToUnicode CMap built from the text's own alphabet; show strings
+    * become 2-byte UTF-16BE hex. `type0NoUniArm` emits the same layout
+    * MINUS the /ToUnicode — the honest-refusal arm (no text mapping
+    * exists). `xobjArm` paints a Form XObject carrying `hdrLine` as an
+    * extra final line on every page: 1 = form with NO /Resources
+    * (inherits the page env at the Do site — the common real shape),
+    * 2 = form with its OWN /Resources naming the font as /F9,
+    * 3 = nested (Fm1 only draws /FmB, which shows the line).
+    * `inlineImgArm` plants a BI…ID…EI inline image (1 scan-framed,
+    * 2 /L-measured with a decoy EI) the extractor must skip. */
   def encodeTextPdf(era: Int, vMinor: Int, pages: Seq[Seq[String]],
                     winAnsi: Boolean = true, diffBullet: Boolean = false,
                     filterArm: Int = 0, hexStrings: Boolean = false,
                     variant: Int = 0, resourcesOnPagesNode: Boolean = false,
-                    type0Arm: Boolean = false,
+                    type0: Boolean = false,
+                    type0NoUniArm: Boolean = false,
                     badGlyphArm: Boolean = false,
-                    toUnicodeArm: Boolean = false): Array[Byte] = {
+                    toUnicodeArm: Boolean = false,
+                    xobjArm: Int = 0, hdrLine: String = "",
+                    inlineImgArm: Int = 0): Array[Byte] = {
     require(era >= 0 && era <= 2 && vMinor >= 0 && vMinor <= 7 && pages.nonEmpty)
+    require(xobjArm >= 0 && xobjArm <= 3 && (xobjArm == 0 || hdrLine.nonEmpty))
     val nPages = pages.length
+    val isType0 = type0 || type0NoUniArm
+    val hasCmap = toUnicodeArm || type0
     val fontNum = 2 * nPages + 3
-    val cmapNum = if (toUnicodeArm) fontNum + 1 else -1
+    var nextNum = fontNum + 1
+    def alloc(): Int = { val v = nextNum; nextNum += 1; v }
+    val descNum = if (isType0) alloc() else -1
+    val cmapNum = if (hasCmap) alloc() else -1
+    val form1Num = if (xobjArm > 0) alloc() else -1
+    val form2Num = if (xobjArm == 3) alloc() else -1
     val cmapText =
-      """/CIDInit /ProcSet findresource begin
-        |12 dict begin
-        |begincmap
-        |/CMapName /GraftToUni def
-        |/CMapType 2 def
-        |1 begincodespacerange
-        |<00> <ff>
-        |endcodespacerange
-        |2 beginbfchar
-        |<42> <00df>
-        |<44> <006600660069>
-        |endbfchar
-        |1 beginbfrange
-        |<78> <7a> <0391>
-        |endbfrange
-        |endcmap
-        |CMap defined
-        |end end""".stripMargin
-    val subtype = if (type0Arm) "Type0" else "Type1"
-    val encStr =
-      if (diffBullet || badGlyphArm) {
-        val g = if (badGlyphArm) "notaglyph" else "bullet"
-        s" /Encoding << /BaseEncoding /WinAnsiEncoding /Differences [65 /$g] >>"
-      } else if (winAnsi) " /Encoding /WinAnsiEncoding"
-      else "" // StandardEncoding is the implicit default
-    val toUniStr = if (toUnicodeArm) s" /ToUnicode $cmapNum 0 R" else ""
-    val fontDict = s"<< /Type /Font /Subtype /$subtype /BaseFont /Helvetica$encStr$toUniStr >>"
-    val resStr = s"/Resources << /Font << /F1 $fontNum 0 R >> >> "
+      if (type0)
+        identityCMap((pages.flatten.flatMap(_.toSeq) ++ hdrLine.toSeq).distinct)
+      else
+        """/CIDInit /ProcSet findresource begin
+          |12 dict begin
+          |begincmap
+          |/CMapName /GraftToUni def
+          |/CMapType 2 def
+          |1 begincodespacerange
+          |<00> <ff>
+          |endcodespacerange
+          |2 beginbfchar
+          |<42> <00df>
+          |<44> <006600660069>
+          |endbfchar
+          |1 beginbfrange
+          |<78> <7a> <0391>
+          |endbfrange
+          |endcmap
+          |CMap defined
+          |end end""".stripMargin
+    val fontDict =
+      if (isType0)
+        s"<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID" +
+          s" /Encoding /Identity-H /DescendantFonts [$descNum 0 R]" +
+          (if (type0) s" /ToUnicode $cmapNum 0 R" else "") + " >>"
+      else {
+        val encStr =
+          if (diffBullet || badGlyphArm) {
+            val g = if (badGlyphArm) "notaglyph" else "bullet"
+            s" /Encoding << /BaseEncoding /WinAnsiEncoding /Differences [65 /$g] >>"
+          } else if (winAnsi) " /Encoding /WinAnsiEncoding"
+          else "" // StandardEncoding is the implicit default
+        val toUniStr = if (toUnicodeArm) s" /ToUnicode $cmapNum 0 R" else ""
+        s"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica$encStr$toUniStr >>"
+      }
+    val descDict =
+      "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftCID" +
+        " /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)" +
+        " /Supplement 0 >> /CIDToGIDMap /Identity >>"
+    def strTok0(t: String): String =
+      if (type0) "<" + t.map(c => f"${c.toInt}%04x").mkString + ">"
+      else if (hexStrings) hexStr(t) else escLit(t)
+    val formContents: Seq[(Int, String, String)] = xobjArm match {
+      case 0 => Nil
+      case 1 => // no own resources: inherits the page env at Do time
+        Seq((form1Num, s"BT 0 -14 Td ${strTok0(hdrLine)} Tj ET", ""))
+      case 2 => // own resources: the same font object under /F9
+        Seq((form1Num, s"BT /F9 12 Tf 0 -14 Td ${strTok0(hdrLine)} Tj ET",
+          s" /Resources << /Font << /F9 $fontNum 0 R >> >>"))
+      case _ => // nested: Fm1 only paints FmB, which shows the line
+        Seq(
+          (form1Num, "/FmB Do",
+            s" /Resources << /XObject << /FmB $form2Num 0 R >> >>"),
+          (form2Num, s"BT 0 -14 Td ${strTok0(hdrLine)} Tj ET", ""))
+    }
+    def formObjBody(content: String, resStr: String): String = {
+      val payload = content.getBytes("ISO-8859-1")
+      s"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792]$resStr" +
+        s" /Length ${payload.length} >>\nstream\n$content\nendstream\n"
+    }
+    val resStr = s"/Resources << /Font << /F1 $fontNum 0 R >> " +
+      (if (xobjArm > 0) s"/XObject << /Fm1 $form1Num 0 R >> " else "") + ">> "
     def pageDict(i: Int): String =
       s"<< /Type /Page /Parent 2 0 R " +
         (if (resourcesOnPagesNode) "" else resStr) +
@@ -949,6 +1253,9 @@ object PdfText {
       (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ") +
       s"] /Count $nPages " + (if (resourcesOnPagesNode) resStr else "") + ">>"
     val catalogDict = "<< /Type /Catalog /Pages 2 0 R >>"
+    def pageOps(i: Int): String =
+      contentOps(pages(i), variant + i, hexStrings, type0 = type0 || type0NoUniArm,
+        drawForm = xobjArm > 0, inlineImgArm = inlineImgArm)
     def encodePayload(plainTxt: String): (Array[Byte], String) = {
       val plain = plainTxt.getBytes("ISO-8859-1")
       filterArm match {
@@ -973,7 +1280,7 @@ object PdfText {
 
     if (era == 0) {
       // ---- classic: everything direct, one table ----
-      val size = 2 * nPages + 4 + (if (toUnicodeArm) 1 else 0)
+      val size = nextNum
       val offsets = new Array[Long](size)
       def obj(n: Int)(body: => Unit): Unit = {
         offsets(n) = out.size().toLong
@@ -984,18 +1291,21 @@ object PdfText {
       (0 until nPages).foreach { i =>
         obj(3 + 2 * i) { w(pageDict(i) + "\n") }
         obj(4 + 2 * i) {
-          val (payload, filt) = encodePayload(
-            contentOps(pages(i), variant + i, hexStrings))
+          val (payload, filt) = encodePayload(pageOps(i))
           w(s"<< /Length ${payload.length}$filt >>\nstream\n")
           out.write(payload, 0, payload.length)
           w("\nendstream\n")
         }
       }
       obj(fontNum) { w(fontDict + "\n") }
-      if (toUnicodeArm) obj(cmapNum) {
+      if (isType0) obj(descNum) { w(descDict + "\n") }
+      if (hasCmap) obj(cmapNum) {
         w(s"<< /Length ${cmapText.length} >>\nstream\n")
         w(cmapText)
         w("\nendstream\n")
+      }
+      formContents.foreach { case (num, content, res) =>
+        obj(num) { w(formObjBody(content, res)) }
       }
       val xref = out.size().toLong
       w(s"xref\n0 $size\n0000000000 65535 f \n")
@@ -1004,32 +1314,35 @@ object PdfText {
       return out.toByteArray
     }
 
-    // ---- modern / hybrid: dicts (catalog, pages, page dicts, font)
-    //      packed in a Flate ObjStm; content streams (and the CMap
-    //      stream — streams cannot live in an ObjStm) direct ----
-    val objStmNum = 2 * nPages + 4 + (if (toUnicodeArm) 1 else 0)
+    // ---- modern / hybrid: dicts (catalog, pages, page dicts, font,
+    //      descendant) packed in a Flate ObjStm; streams (content, the
+    //      CMap, forms — streams cannot live in an ObjStm) direct ----
+    val objStmNum = nextNum
     val xrefNum = objStmNum + 1
     val size = objStmNum + 2
-    val contentOffsets = new Array[Long](nPages)
+    val directOff = scala.collection.mutable.Map.empty[Int, Long]
     (0 until nPages).foreach { i =>
-      contentOffsets(i) = out.size().toLong
-      val (payload, filt) = encodePayload(
-        contentOps(pages(i), variant + i, hexStrings))
+      directOff(4 + 2 * i) = out.size().toLong
+      val (payload, filt) = encodePayload(pageOps(i))
       w(s"${4 + 2 * i} 0 obj\n<< /Length ${payload.length}$filt >>\nstream\n")
       out.write(payload, 0, payload.length)
       w("\nendstream\nendobj\n")
     }
-    var cmapOffset = -1L
-    if (toUnicodeArm) {
-      cmapOffset = out.size().toLong
+    if (hasCmap) {
+      directOff(cmapNum) = out.size().toLong
       w(s"$cmapNum 0 obj\n<< /Length ${cmapText.length} >>\nstream\n")
       w(cmapText)
       w("\nendstream\nendobj\n")
     }
+    formContents.foreach { case (num, content, res) =>
+      directOff(num) = out.size().toLong
+      w(s"$num 0 obj\n" + formObjBody(content, res) + "endobj\n")
+    }
     val members: Seq[(Int, String)] =
-      Seq(1 -> catalogDict, 2 -> pagesDict) ++
+      (Seq(1 -> catalogDict, 2 -> pagesDict) ++
         (0 until nPages).map(i => (3 + 2 * i) -> pageDict(i)) :+
-        (fontNum -> fontDict)
+        (fontNum -> fontDict)) ++
+        (if (isType0) Seq(descNum -> descDict) else Nil)
     val bodies = new java.io.ByteArrayOutputStream
     val pairsTxt = members.map { case (num, text) =>
       val off = bodies.size()
@@ -1058,8 +1371,7 @@ object PdfText {
           case -1 =>
             if (nnum == objStmNum) row(1, objStmOffset, 0L)
             else if (nnum == xrefNum) row(1, xrefOffset, 0L)
-            else if (nnum == cmapNum) row(1, cmapOffset, 0L)
-            else row(1, contentOffsets((nnum - 4) / 2), 0L)
+            else row(1, directOff(nnum), 0L)
           case idx => row(2, objStmNum.toLong, idx.toLong)
         }
       }
@@ -1071,7 +1383,7 @@ object PdfText {
       w(s"startxref\n$xrefOffset\n%%EOF\n")
     } else {
       // hybrid: the /XRefStm covers the hidden members + machinery; the
-      // classic TABLE lists object 0 and the content streams
+      // classic TABLE lists object 0 and the direct streams
       members.zipWithIndex.foreach { case ((num, _), idx) =>
         row(2, objStmNum.toLong, idx.toLong)
       }
@@ -1079,7 +1391,7 @@ object PdfText {
       row(1, xrefOffset, 0L)
       val idxTxt = "/Index [1 2 " +
         (0 until nPages).map(i => s"${3 + 2 * i} 1 ").mkString +
-        s"$fontNum 1 $objStmNum 2]"
+        s"$fontNum ${if (isType0) 2 else 1} $objStmNum 2]"
       val comp = PdfModern.flate(rows.toByteArray)
       w(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /W [1 2 1] $idxTxt" +
         s" /Filter /FlateDecode /Length ${comp.length} >>\nstream\n")
@@ -1089,11 +1401,15 @@ object PdfText {
       w("xref\n0 1\n0000000000 65535 f \n")
       (0 until nPages).foreach { i =>
         w(s"${4 + 2 * i} 1\n")
-        w(f"${contentOffsets(i)}%010d 00000 n \n")
+        w(f"${directOff(4 + 2 * i)}%010d 00000 n \n")
       }
-      if (toUnicodeArm) { // the CMap stream rides the visible TABLE side
+      if (hasCmap) { // the CMap stream rides the visible TABLE side
         w(s"$cmapNum 1\n")
-        w(f"$cmapOffset%010d 00000 n \n")
+        w(f"${directOff(cmapNum)}%010d 00000 n \n")
+      }
+      formContents.foreach { case (num, _, _) =>
+        w(s"$num 1\n")
+        w(f"${directOff(num)}%010d 00000 n \n")
       }
       w(s"trailer\n<< /Size $size /Root 1 0 R /XRefStm $xrefOffset >>\n")
       w(s"startxref\n$tableOff\n%%EOF\n")

@@ -149,6 +149,10 @@ object RtfCodec {
                 // signed 16-bit scalar; negative values wrap (spec)
                 val cp = (if (param < 0) param + 65536 else param).toInt
                 if (cp < 0 || cp > 0xffff) return None
+                // surrogate code units would mint invalid UTF-16 when
+                // appended alone — refuse (pairs via two \uN are out of
+                // the flat-scalar model this parser pins)
+                if (cp >= 0xd800 && cp <= 0xdfff) return None
                 if (!skipping) {
                   if (pendingUcSkip > 0) pendingUcSkip -= 1 // nested skip
                   else { cur.append(cp.toChar); anyContent = true }

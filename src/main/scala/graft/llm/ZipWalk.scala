@@ -1,11 +1,11 @@
 package graft.llm
 
 /** Strict ZIP container walk shared by the zip-based document formats
-  * (DOCX, EPUB): local entries drained fully so the per-entry CRC-32 is
-  * verified on each, plus the End-Of-Central-Directory tail laws that
-  * `ZipInputStream` alone never checks (it walks local headers only, so
-  * by itself it ACCEPTS a truncated container — the central directory
-  * and EOCD shear off first):
+  * (DOCX, EPUB, ODT, …): local entries drained fully so the per-entry
+  * CRC-32 is verified on each, plus the End-Of-Central-Directory tail
+  * laws that `ZipInputStream` alone never checks (it walks local
+  * headers only, so by itself it ACCEPTS a truncated container — the
+  * central directory and EOCD shear off first):
   *
   *  - EOCD signature present, and the comment-length law (EOCD + its
   *    comment must end the file exactly);
@@ -14,8 +14,14 @@ package graft.llm
   *  - the EOCD entry count equals what the local walk found (every
   *    local entry must reach the directory).
   *
-  * ZIP64 containers refuse via these laws (the marker counts disagree
-  * with the local walk) — a refusal, never a mis-walk. */
+  * ZIP64 containers (the norm for WebDataset shards and any OOXML/OCF
+  * file over 4 GiB or 65 535 entries) ride the EOCD64 machinery:
+  * a locator (PK67) sits immediately before the EOCD, pointing at the
+  * EOCD64 record (PK66) which carries the 64-bit counts/sizes/offset.
+  * Laws: the record + its declared size abut the locator; the central
+  * directory abuts the record; single-disk fields throughout; any
+  * EOCD field left un-sentineled must AGREE with the record's value;
+  * a sentinel (0xFFFF / 0xFFFFFFFF) without a locator refuses. */
 object ZipWalk {
 
   /** All non-directory entries in local order as (name, bytes), or None
@@ -24,23 +30,57 @@ object ZipWalk {
     if (b == null || b.length < 22) return None
     def u16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
     def u32(p: Int): Long = u16(p).toLong | (u16(p + 2).toLong << 16)
+    def u64(p: Int): Long = u32(p) | (u32(p + 4) << 32)
     var eocd = b.length - 22
     while (eocd >= 0 && !(b(eocd) == 'P' && b(eocd + 1) == 'K' &&
       b(eocd + 2) == 5 && b(eocd + 3) == 6)) eocd -= 1
     if (eocd < 0) return None
     if (eocd + 22 + u16(eocd + 20) != b.length) return None // comment law
-    val totalCdEntries = u16(eocd + 10)
-    if (u16(eocd + 8) != totalCdEntries) return None // single-disk law
-    val cdSize = u32(eocd + 12)
-    val cdOff = u32(eocd + 16)
-    if (cdOff + cdSize != eocd.toLong) return None // directory abuts EOCD
+    var totalCdEntries = u16(eocd + 10).toLong
+    if (u16(eocd + 8).toLong != totalCdEntries) return None // single-disk law
+    var cdSize = u32(eocd + 12)
+    var cdOff = u32(eocd + 16)
+    // ---- ZIP64: the locator sits immediately before the EOCD ----
+    val locOff = eocd - 20
+    val hasLoc = locOff >= 0 && b(locOff) == 'P' && b(locOff + 1) == 'K' &&
+      b(locOff + 2) == 6 && b(locOff + 3) == 7
+    if (hasLoc) {
+      if (u32(locOff + 4) != 0L) return None // disk holding the EOCD64
+      if (u32(locOff + 16) != 1L) return None // total disks
+      val recOff64 = u64(locOff + 8)
+      if (recOff64 < 0 || recOff64 > (locOff - 56).toLong) return None
+      val r = recOff64.toInt
+      if (!(b(r) == 'P' && b(r + 1) == 'K' && b(r + 2) == 6 && b(r + 3) == 6))
+        return None
+      val recSize = u64(r + 4) // bytes AFTER the 12-byte prefix
+      if (recSize < 44L) return None
+      // the record + extensible data must abut the locator exactly
+      if (recOff64 + 12L + recSize != locOff.toLong) return None
+      if (u32(r + 16) != 0L || u32(r + 20) != 0L) return None // disk laws
+      val n1 = u64(r + 24); val n2 = u64(r + 32)
+      val cdSize64 = u64(r + 40); val cdOff64 = u64(r + 48)
+      if (n1 != n2 || n1 < 0 || n1 > Int.MaxValue.toLong) return None
+      if (cdSize64 < 0 || cdOff64 < 0) return None
+      // un-sentineled EOCD fields must agree with the record
+      if (totalCdEntries != 0xffffL && totalCdEntries != n1) return None
+      if (cdSize != 0xffffffffL && cdSize != cdSize64) return None
+      if (cdOff != 0xffffffffL && cdOff != cdOff64) return None
+      totalCdEntries = n1; cdSize = cdSize64; cdOff = cdOff64
+      // the directory abuts the EOCD64 record
+      if (cdOff + cdSize != recOff64) return None
+    } else {
+      // a sentinel with no locator lies about needing ZIP64
+      if (totalCdEntries == 0xffffL || cdSize == 0xffffffffL ||
+        cdOff == 0xffffffffL) return None
+      if (cdOff + cdSize != eocd.toLong) return None // directory abuts EOCD
+    }
     if (totalCdEntries > 0 &&
       !(cdOff + 4 <= b.length && b(cdOff.toInt) == 'P' &&
         b(cdOff.toInt + 1) == 'K' && b(cdOff.toInt + 2) == 1 &&
         b(cdOff.toInt + 3) == 2)) return None
     val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(b))
     val out = IndexedSeq.newBuilder[(String, Array[Byte])]
-    var nAll = 0
+    var nAll = 0L
     try {
       var e = zin.getNextEntry
       while (e != null) {
@@ -84,5 +124,108 @@ object ZipWalk {
     i = 0
     while (i < ct.length) { if (b(base + i) != ct(i)) return false; i += 1 }
     true
+  }
+
+  // ---- conformance writers -------------------------------------------------
+
+  private def w16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >> 8) & 0xff)
+  }
+  private def w32(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+    o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+  }
+  private def w64(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    w32(o, v & 0xffffffffL); w32(o, (v >>> 32) & 0xffffffffL)
+  }
+
+  /** Raw ZIP writer (unlike `ZipOutputStream` it permits DUPLICATE
+    * entry names — a hostile-container arm the dedup laws need).
+    * `stored` marks entries written uncompressed (the OCF mimetype
+    * shape); everything else is raw-deflate. */
+  def encodeZip(entries: Seq[(String, Array[Byte])],
+                storedNames: Set[String] = Set.empty): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    val centrals = new java.io.ByteArrayOutputStream
+    entries.foreach { case (name, data) =>
+      val nm = name.getBytes("ISO-8859-1")
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      val stored = storedNames.contains(name)
+      val comp =
+        if (stored) data
+        else {
+          val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          d.setInput(data); d.finish()
+          val buf = new Array[Byte](data.length + 64)
+          val o2 = new java.io.ByteArrayOutputStream
+          while (!d.finished()) {
+            val n = d.deflate(buf)
+            o2.write(buf, 0, n)
+          }
+          d.end()
+          o2.toByteArray
+        }
+      val localOff = out.size().toLong
+      // local header
+      w32(out, 0x04034b50L); w16(out, 20); w16(out, 0)
+      w16(out, if (stored) 0 else 8)
+      w16(out, 0); w16(out, 0) // time, date
+      w32(out, crc.getValue); w32(out, comp.length.toLong); w32(out, data.length.toLong)
+      w16(out, nm.length); w16(out, 0)
+      out.write(nm); out.write(comp)
+      // central header
+      w32(centrals, 0x02014b50L); w16(centrals, 20); w16(centrals, 20)
+      w16(centrals, 0); w16(centrals, if (stored) 0 else 8)
+      w16(centrals, 0); w16(centrals, 0)
+      w32(centrals, crc.getValue); w32(centrals, comp.length.toLong)
+      w32(centrals, data.length.toLong)
+      w16(centrals, nm.length); w16(centrals, 0); w16(centrals, 0)
+      w16(centrals, 0); w16(centrals, 0); w32(centrals, 0L)
+      w32(centrals, localOff)
+      centrals.write(nm)
+    }
+    val cdOff = out.size().toLong
+    val cd = centrals.toByteArray
+    out.write(cd)
+    w32(out, 0x06054b50L); w16(out, 0); w16(out, 0)
+    w16(out, entries.length); w16(out, entries.length)
+    w32(out, cd.length.toLong); w32(out, cdOff); w16(out, 0)
+    out.toByteArray
+  }
+
+  /** Rewrite a classic single-disk ZIP into the FORCED-ZIP64 form: the
+    * EOCD's count/size/offset fields become sentinels and the real
+    * values move into an EOCD64 record + locator spliced between the
+    * central directory and the EOCD — the exact shape a writer emits
+    * once any value outgrows its classic field, testable without a
+    * 4 GiB fixture. The container's entries are untouched. */
+  def toZip64(b: Array[Byte]): Array[Byte] = {
+    require(b.length >= 22)
+    def u16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    def u32(p: Int): Long = u16(p).toLong | (u16(p + 2).toLong << 16)
+    var eocd = b.length - 22
+    while (eocd >= 0 && !(b(eocd) == 'P' && b(eocd + 1) == 'K' &&
+      b(eocd + 2) == 5 && b(eocd + 3) == 6)) eocd -= 1
+    require(eocd >= 0, "no EOCD")
+    val count = u16(eocd + 10).toLong
+    val cdSize = u32(eocd + 12)
+    val cdOff = u32(eocd + 16)
+    val out = new java.io.ByteArrayOutputStream
+    out.write(b, 0, eocd)
+    val recOff = eocd.toLong
+    // EOCD64 record: 12-byte prefix + 44 bytes of fixed fields
+    w32(out, 0x06064b50L); w64(out, 44L)
+    w16(out, 45); w16(out, 45) // made-by / needed: 4.5 (ZIP64)
+    w32(out, 0L); w32(out, 0L) // this disk / CD start disk
+    w64(out, count); w64(out, count)
+    w64(out, cdSize); w64(out, cdOff)
+    // locator
+    w32(out, 0x07064b50L); w32(out, 0L); w64(out, recOff); w32(out, 1L)
+    // sentinel EOCD
+    w32(out, 0x06054b50L); w16(out, 0); w16(out, 0)
+    w16(out, 0xffff); w16(out, 0xffff)
+    w32(out, 0xffffffffL); w32(out, 0xffffffffL); w16(out, 0)
+    out.toByteArray
   }
 }

@@ -27,9 +27,19 @@ object Docs {
     * eleventh (the oracle replays the remapped character), and a REAL
     * /ToUnicode CMap on every twenty-third (bfchar B→ß, multi-char
     * D→ffi, bfrange x–z→ΑΒΓ — the authoritative mapping path; the
-    * oracle replays the mapped characters). Refusal arms: truncation
-    * (k mod 13), a Type0 CID font (k mod 17 — the scope pin), an
-    * unknown glyph name in /Differences (k mod 19). */
+    * oracle replays the mapped characters).
+    *
+    * Every seventeenth key is a TYPE0/Identity-H document — the
+    * modern-writer default layout (CIDFontType2 descendant, 2-byte CID
+    * show strings, identity /ToUnicode) with a non-Latin ` Ω€` spice
+    * on every line proving the CID path end-to-end; every ninth key
+    * paints a Form XObject header line on each page (the three arms
+    * rotate: inherit-env / own-resources / nested form-in-form); every
+    * twenty-first plants an inline BI…ID…EI image (scan-framed or
+    * /L-measured with a decoy EI) the extractor must skip. Refusal
+    * arms: truncation (k mod 13), Type0 WITHOUT /ToUnicode (k mod 31 —
+    * no text mapping exists), an unknown glyph name in /Differences
+    * (k mod 19). */
   def pdfText(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.PdfText
@@ -37,14 +47,19 @@ object Docs {
     val decoded = keys.map { k =>
       val era = (k % 3).toInt
       val nPages = (1 + k % 3).toInt
-      val diffB = k % 11 == 0
-      val toUni = k % 23 == 0
+      val type0 = k % 17 == 0
+      val diffB = k % 11 == 0 && !type0
+      val toUni = k % 23 == 0 && !type0
+      val xobjA = if (k % 9 == 0) (1 + (k / 9) % 3).toInt else 0
+      val hdr = if (xobjA > 0) s"hdr$k fm$xobjA" else ""
+      val inlineA = if (k % 21 == 0) (1 + (k / 21) % 2).toInt else 0
       val pages = (0 until nPages).map { i =>
         val nLines = (1 + (k + i) % 4).toInt
         (0 until nLines).map { j =>
           s"doc$k pg$i ln$j w${(k + i * 3 + j * 7) % 10}" +
             (if (diffB) " A" else "") +
-            (if (toUni) " BxD" else "")
+            (if (toUni) " BxD" else "") +
+            (if (type0) " Ω€" else "")
         }
       }
       val bytes = PdfText.encodeTextPdf(era, (4 + k % 4).toInt, pages,
@@ -52,9 +67,12 @@ object Docs {
         filterArm = (k % 6).toInt, hexStrings = k % 5 == 0,
         variant = (k % 4).toInt,
         resourcesOnPagesNode = k % 7 == 0,
-        type0Arm = k % 17 == 0 && k % 13 != 0,
-        badGlyphArm = k % 19 == 0 && k % 13 != 0 && k % 17 != 0,
-        toUnicodeArm = toUni)
+        type0 = type0,
+        type0NoUniArm = k % 31 == 0 && !type0,
+        badGlyphArm = k % 19 == 0 && k % 13 != 0 && !type0,
+        toUnicodeArm = toUni,
+        xobjArm = xobjA, hdrLine = hdr,
+        inlineImgArm = inlineA)
       val payload = if (k % 13 == 0) bytes.dropRight(6) else bytes
       PdfText.extract(payload) match {
         case Some(r) =>
@@ -74,22 +92,33 @@ object Docs {
   /** The extraction replayed from the text formulas: P = 1 + k mod 3
     * pages, page i has 1 + (k+i) mod 4 lines, line (i,j) =
     * `doc{k} pg{i} ln{j} w{(k+3i+7j) mod 10}` with the /Differences arm
-    * appending a bullet; pages and lines joined by newlines in (i,j)
-    * order. The oracle compares the CHARACTERS, so show-operator
-    * variants, filter arms and string forms must all be text-neutral. */
+    * appending a bullet, the Type0 arm ` Ω€`, and the XObject arm one
+    * `hdr{k} fm{a}` line per page (j = 99 sorts it last); pages and
+    * lines joined by newlines in (i,j) order. The oracle compares the
+    * CHARACTERS, so show-operator variants, filter arms, string forms
+    * and inline images must all be text-neutral. */
   val pdfTextSql: String =
     """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
       |p AS (SELECT k, CAST(1 + k % 3 AS INTEGER) AS np,
-      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |        (k % 13 <> 0
+      |         AND NOT (k % 19 = 0 AND k % 17 <> 0)
+      |         AND NOT (k % 31 = 0 AND k % 17 <> 0)) AS ok
       |      FROM ks),
-      |ln AS (
+      |body AS (
       |  SELECT p.k, i.g AS i, j.g AS j,
       |    'doc' || p.k || ' pg' || i.g || ' ln' || j.g ||
       |      ' w' || ((p.k + i.g * 3 + j.g * 7) % 10) ||
-      |      CASE WHEN p.k % 11 = 0 THEN ' •' ELSE '' END ||
-      |      CASE WHEN p.k % 23 = 0 THEN ' ßΑffi' ELSE '' END AS line
+      |      CASE WHEN p.k % 11 = 0 AND p.k % 17 <> 0 THEN ' •' ELSE '' END ||
+      |      CASE WHEN p.k % 23 = 0 AND p.k % 17 <> 0 THEN ' ßΑffi' ELSE '' END ||
+      |      CASE WHEN p.k % 17 = 0 THEN ' Ω€' ELSE '' END AS line
       |  FROM p, generate_series(0, 2) i(g), generate_series(0, 3) j(g)
       |  WHERE i.g < p.np AND j.g < 1 + (p.k + i.g) % 4 AND p.ok),
+      |hdr AS (
+      |  SELECT p.k, i.g AS i, 99 AS j,
+      |    'hdr' || p.k || ' fm' || (1 + (p.k // 9) % 3) AS line
+      |  FROM p, generate_series(0, 2) i(g)
+      |  WHERE i.g < p.np AND p.ok AND p.k % 9 = 0),
+      |ln AS (SELECT * FROM body UNION ALL SELECT * FROM hdr),
       |agg AS (
       |  SELECT k, CAST(COUNT(*) AS INTEGER) AS n_lines,
       |    string_agg(line, chr(10) ORDER BY i, j) AS text
@@ -112,10 +141,13 @@ object Docs {
     * every ninth — both inside paragraph 0 so in-order assembly is what
     * passes. Every eighth key appends a 2×2 TABLE flattened under the
     * documented contract (row per line, cells tab-joined — r16).
-    * Refusal arms: truncation (k mod 13 — the EOCD tail laws, which
-    * ZipInputStream alone would miss), a missing main part (k mod 17 —
-    * the OPC law), and a flipped byte inside the STORED `document.xml`
-    * payload (k mod 19 — the per-entry CRC-32 law). */
+    * Every twelfth container rides the forced-ZIP64 tail (EOCD64
+    * record + locator + sentinel EOCD — the shape any >4 GiB or >65k
+    * entry OOXML file takes), text-neutrally. Refusal arms: truncation
+    * (k mod 13 — the EOCD tail laws, which ZipInputStream alone would
+    * miss), a missing main part (k mod 17 — the OPC law), and a
+    * flipped byte inside the STORED `document.xml` payload (k mod 19 —
+    * the per-entry CRC-32 law); each must hold through ZIP64 too. */
   def docxRead(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.DocxCodec
@@ -132,8 +164,12 @@ object Docs {
           Seq((0 until 2).map(r =>
             (0 until 2).map(c => s"tb$r$c${(k + 2 * r + c) % 7}")))
         else Nil
-      val bytes = DocxCodec.encodeDocx(paras,
+      val bytes0 = DocxCodec.encodeDocx(paras,
         omitDocument = k % 17 == 0 && k % 13 != 0, tables = tables)
+      // every twelfth container rides the FORCED-ZIP64 tail (EOCD64
+      // record + locator + sentinel EOCD) — text-neutral, and the
+      // damage arms below must still refuse through it
+      val bytes = if (k % 12 == 0) graft.llm.ZipWalk.toZip64(bytes0) else bytes0
       val payload =
         if (k % 13 == 0) bytes.dropRight(4)
         else if (k % 19 == 0 && k % 17 != 0) {
@@ -678,7 +714,7 @@ object Docs {
             winAnsi = true, filterArm = ((k / 4) % 6).toInt,
             hexStrings = k % 5 == 0, variant = (k % 6).toInt,
             resourcesOnPagesNode = k % 7 == 0,
-            type0Arm = arm17, badGlyphArm = arm19)
+            type0NoUniArm = arm17, badGlyphArm = arm19)
         } else if (fmt == 3) {
           val nPars = (1 + k % 3).toInt
           DocxCodec.encodeDocx(

@@ -40,6 +40,20 @@ class MimeCodecSpec extends AnyFunSuite {
     assert(decodeWords("=?utf-8?B?!!!?=").isEmpty) // bad base64
   }
 
+  test("cp1252 charset: smart quotes, NBSP, undefined bytes refuse") {
+    // 0x93/0x94 are the smart double quotes; 0xE9 is é
+    assert(decodeWords("=?windows-1252?Q?=93caf=E9=94?=")
+      .contains("“café”"))
+    // 0xA0 is NBSP — the charset's own character, decoded as U+00A0
+    // (not collapsed to the PDF "space"-glyph convention)
+    assert(decodeWords("=?cp1252?Q?a=A0b?=").contains("a\u00a0b"))
+    // 0x81/0x8D/0x8F/0x90/0x9D have no cp1252 assignment: refuse,
+    // never emit U+0000
+    Seq("81", "8D", "8F", "90", "9D").foreach { h =>
+      assert(decodeWords(s"=?windows-1252?Q?x=${h}y?=").isEmpty, h)
+    }
+  }
+
   test("mbox framing and >From unescaping") {
     val b = ("From a@x Thu Jan  1 00:00:00 1970\n" +
       "From: a@x\nSubject: s\n\n" +

@@ -27,6 +27,17 @@ class OdtCodecSpec extends AnyFunSuite {
   test("OCF and structure laws refuse") {
     assert(odtText(encodeOdt(paras, mimetypeDeflated = true)).isEmpty)
     assert(odtText(encodeOdt(paras, omitContent = true)).isEmpty)
+    // TWO content.xml entries: refuse rather than silently extract
+    // from whichever one the name map kept
+    val good = ZipWalk.entries(encodeOdt(Seq("only para"))).get
+    val dup = ZipWalk.encodeZip(good :+ good.last,
+      storedNames = Set("mimetype"))
+    assert(ZipWalk.entries(dup).exists(_.length == good.length + 1))
+    assert(odtText(dup).isEmpty)
+    // the rebuilt container without the duplicate still extracts (the
+    // raw-writer path itself is sound)
+    assert(odtText(ZipWalk.encodeZip(good, storedNames = Set("mimetype")))
+      .exists(_._3 == Seq("only para")))
     // an EPUB is not an ODT: the mimetype CONTENT law separates them
     assert(odtText(EpubCodec.encodeEpub("t", Seq(Seq("x")))).isEmpty)
     // and a DOCX (no mimetype entry at all) refuses

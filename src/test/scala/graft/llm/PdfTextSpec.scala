@@ -6,9 +6,10 @@ import PdfText._
 /** PDF text extraction: verbatim round-trips over all three layouts
   * (classic, modern/ObjStm, hybrid) under every show-operator variant,
   * filter arm and string form; encoding semantics (Standard vs WinAnsi,
-  * /Differences); resource inheritance; and the honest-refusal battery
-  * (Type0, bad glyph names, undefined codes, inline images, Form
-  * XObjects, truncation). */
+  * /Differences); resource inheritance; Type0/Identity-H CID text
+  * through identity ToUnicode CMaps; Form XObject recursion and inline
+  * image skipping; and the honest-refusal battery (Type0 without
+  * ToUnicode, bad glyph names, undefined codes, truncation). */
 class PdfTextSpec extends AnyFunSuite {
 
   private val lines1 = Seq("Hello world", "second line 42", "third: (a) [b] x")
@@ -57,9 +58,10 @@ class PdfTextSpec extends AnyFunSuite {
     }
   }
 
-  test("scope refusals: Type0 fonts, unknown glyph names, undefined codes") {
+  test("scope refusals: Type0 without ToUnicode, unknown glyphs, undefined codes") {
     Seq(0, 1, 2).foreach { era =>
-      assert(extract(encodeTextPdf(era, 5, Seq(lines1), type0Arm = true)).isEmpty)
+      // a Type0 font with no /ToUnicode carries no text mapping at all
+      assert(extract(encodeTextPdf(era, 5, Seq(lines1), type0NoUniArm = true)).isEmpty)
       assert(extract(encodeTextPdf(era, 5, Seq(lines1), badGlyphArm = true)).isEmpty)
     }
     // byte 127 is undefined in WinAnsi: the show refuses rather than
@@ -70,8 +72,8 @@ class PdfTextSpec extends AnyFunSuite {
 
   test("tokenizer laws: the quote ops, kerning, comments, unknown ops, refusals") {
     val fonts = Map("F1" -> PdfText.FontMap(PdfText.winAnsiTable, Map.empty))
-    def t(s: String, xobjs: Map[String, String] = Map.empty) =
-      pageText(s.getBytes("ISO-8859-1"), fonts, xobjs)
+    def t(s: String, xobjs: Map[String, PdfText.XEntry] = Map.empty) =
+      pageText(s.getBytes("ISO-8859-1"), PdfText.PageEnv(fonts, xobjs))
     // the " operator: aw ac string — break + show
     assert(t("BT /F1 9 Tf (a) Tj 2 3 (b) \" ET").contains(Seq("a", "b")))
     // ' breaks then shows; TJ numbers are kerning, not text
@@ -88,14 +90,20 @@ class PdfTextSpec extends AnyFunSuite {
       .contains(Seq("x")))
     // a show with no font selected refuses; undefined code refuses
     assert(t("BT (x) Tj ET").isEmpty)
-    // inline images refuse (binary follows); Form XObjects refuse,
-    // image XObjects pass through silently
-    assert(t("BT /F1 9 Tf (x) Tj ET BI /W 2 ID xx EI").isEmpty)
+    // inline images SKIP (scan framing); image XObjects pass through
+    // silently; unknown XObject names refuse
+    assert(t("BT /F1 9 Tf (x) Tj ET BI /W 2 ID xx EI").contains(Seq("x")))
     assert(t("BT /F1 9 Tf (x) Tj ET /Im1 Do",
-      Map("Im1" -> "Image")).contains(Seq("x")))
-    assert(t("BT /F1 9 Tf (x) Tj ET /Fm1 Do",
-      Map("Fm1" -> "Form")).isEmpty)
+      Map("Im1" -> PdfText.XImage)).contains(Seq("x")))
     assert(t("BT /F1 9 Tf (x) Tj ET /Nope Do").isEmpty)
+    // q/Q save and restore the selected font: a Tf inside the q block
+    // must not leak — with no outer font, the show after Q refuses
+    assert(t("q BT /F1 9 Tf (a) Tj ET Q BT (b) Tj ET").isEmpty)
+    assert(t("BT /F1 9 Tf (a) Tj ET q BT /F1 7 Tf (b) Tj ET Q BT (c) Tj ET")
+      .contains(Seq("abc")))
+    // unbalanced q/Q refuse both ways
+    assert(t("Q BT /F1 9 Tf (x) Tj ET").isEmpty)
+    assert(t("q BT /F1 9 Tf (x) Tj ET").isEmpty)
     // malformed operands refuse
     assert(t("BT /F1 9 Tf (a) (b) TJ ET").isEmpty) // TJ wants an array
     assert(t("BT /F1 9 Tf 3 Tj ET").isEmpty) // Tj wants a string
@@ -105,6 +113,90 @@ class PdfTextSpec extends AnyFunSuite {
     assert(t("BT /F1 9 Tf <48 65 6c6C 6f> Tj ET").contains(Seq("Hello")))
   }
 
+
+
+  test("Type0/Identity-H CID text round-trips across eras, filters, variants") {
+    val lines = Seq("CID text with spice: caf\u00e9 \u03a9 \u20ac \u00df",
+      "second CID line (br[ack]ets)")
+    for {
+      era <- Seq(0, 1, 2)
+      filterArm <- Seq(0, 1, 4)
+      variant <- 0 to 3
+    } {
+      val b = encodeTextPdf(era, 7, Seq(lines, Seq("pg two")),
+        type0 = true, filterArm = filterArm, variant = variant)
+      val r = extract(b).getOrElse(
+        fail(s"refused era=$era filter=$filterArm var=$variant"))
+      assert(r.pages == Seq(lines.mkString("\n"), "pg two"),
+        s"era=$era filter=$filterArm var=$variant")
+    }
+    // a torn 2-byte code (odd show string) refuses: flip a hex string
+    // by hand through pageText
+    val uni = (0x40 to 0x7f).map(c => c -> c.toChar.toString).toMap
+    val t0 = Map("F1" -> PdfText.FontMap(new Array[Char](256), uni, twoByte = true))
+    def t(sc: String) = pageText(sc.getBytes("ISO-8859-1"), PdfText.PageEnv(t0, Map.empty))
+    assert(t("BT /F1 9 Tf <00410042> Tj ET").contains(Seq("AB")))
+    assert(t("BT /F1 9 Tf <004100> Tj ET").isEmpty) // torn pair
+    assert(t("BT /F1 9 Tf <00410099> Tj ET").isEmpty) // unmapped CID
+  }
+
+  test("Form XObjects: all three arms append the header line per page") {
+    val hdr = "stamped header 7"
+    Seq(1, 2, 3).foreach { arm =>
+      Seq(0, 1, 2).foreach { era =>
+        val b = encodeTextPdf(era, 7, Seq(lines1, lines2),
+          xobjArm = arm, hdrLine = hdr)
+        val r = extract(b).getOrElse(fail(s"refused era=$era arm=$arm"))
+        assert(r.pages == Seq(lines1.mkString("\n") + "\n" + hdr,
+          lines2.mkString("\n") + "\n" + hdr), s"era=$era arm=$arm")
+      }
+    }
+    // composes with Type0 (the form shows CID hex through the same font)
+    val b = encodeTextPdf(1, 7, Seq(lines1), type0 = true,
+      xobjArm = 1, hdrLine = hdr)
+    assert(extract(b).exists(_.pages == Seq(lines1.mkString("\n") + "\n" + hdr)))
+  }
+
+  test("Form XObject laws: cycles and unknown names refuse") {
+    // a self-drawing form (static /Resources naming itself) refuses via
+    // the execution active-set; build by hand through pageText
+    val fonts = Map("F1" -> PdfText.FontMap(PdfText.winAnsiTable, Map.empty))
+    lazy val selfEnv: PdfText.PageEnv = PdfText.PageEnv(fonts,
+      Map("FmA" -> PdfText.XForm(42L, "/FmA Do".getBytes("ISO-8859-1"), None)))
+    assert(pageText("BT /F1 9 Tf (x) Tj ET /FmA Do".getBytes("ISO-8859-1"),
+      selfEnv).isEmpty)
+    // depth cap: a 10-deep chain refuses, a 2-deep chain passes
+    def chain(n: Int): PdfText.XEntry =
+      if (n == 0) PdfText.XForm(100L, "BT (y) Tj ET".getBytes("ISO-8859-1"),
+        Some(PdfText.PageEnv(fonts, Map.empty)))
+      else PdfText.XForm(100L + n, "/Next Do".getBytes("ISO-8859-1"),
+        Some(PdfText.PageEnv(fonts, Map("Next" -> chain(n - 1)))))
+    def page(x: PdfText.XEntry) =
+      pageText("BT /F1 9 Tf (x) Tj ET /Fm Do".getBytes("ISO-8859-1"),
+        PdfText.PageEnv(fonts, Map("Fm" -> x)))
+    assert(page(chain(2)).contains(Seq("xy")))
+    assert(page(chain(10)).isEmpty)
+  }
+
+  test("inline images: scan-framed and /L-measured data skip cleanly") {
+    Seq(0, 1, 2).foreach { era =>
+      Seq(1, 2).foreach { arm =>
+        val b = encodeTextPdf(era, 7, Seq(lines1), inlineImgArm = arm)
+        assert(extract(b).exists(_.pages == Seq(lines1.mkString("\n"))),
+          s"era=$era arm=$arm")
+      }
+    }
+    // framing refusals by hand: no terminating EI; bad /L overrun
+    val fonts = Map("F1" -> PdfText.FontMap(PdfText.winAnsiTable, Map.empty))
+    def t(sc: String) = pageText(sc.getBytes("ISO-8859-1"),
+      PdfText.PageEnv(fonts, Map.empty))
+    assert(t("BT /F1 9 Tf (x) Tj ET BI /W 2 ID xxxx").isEmpty)
+    assert(t("BT /F1 9 Tf (x) Tj ET BI /W 1 /L 99 ID xx EI").isEmpty)
+    // the decoy EI inside measured data must NOT terminate it (a show
+    // after the image proves the stream resumes at the right spot)
+    assert(t("BT /F1 9 Tf (x) Tj ET BI /L 6 ID x EI y EI BT /F1 9 Tf (z) Tj ET")
+      .contains(Seq("xz")))
+  }
 
   test("/ToUnicode CMaps: bfchar, multi-char targets, bfrange, across eras") {
     val lines = Seq("Bxd Dxz zyx")

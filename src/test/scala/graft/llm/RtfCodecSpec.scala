@@ -39,6 +39,15 @@ class RtfCodecSpec extends AnyFunSuite {
     assert(rtfText(encodeRtf(Seq("x"), binArm = true)).isEmpty)
     // undefined cp1252 code 0x81 refuses rather than guessing
     assert(rtfText("{\\rtf1\\ansi a\\'81b\\par}".getBytes).isEmpty)
+    // \uN landing in the surrogate block would mint invalid UTF-16:
+    // refuse both the positive and the wrapped-negative spelling
+    assert(rtfText("{\\rtf1\\ansi\\uc1 a\\u55357?b\\par}".getBytes).isEmpty)
+    assert(rtfText("{\\rtf1\\ansi\\uc1 a\\u-10179?b\\par}".getBytes).isEmpty)
+    // the boundary neighbours stay legal (0xD7FF and 0xE000)
+    assert(rtfText("{\\rtf1\\ansi\\uc1 \\u55295?\\par}".getBytes)
+      .exists(_._2 == Seq("\ud7ff")))
+    assert(rtfText("{\\rtf1\\ansi\\uc1 \\u-8192?\\par}".getBytes)
+      .exists(_._2 == Seq("\ue000")))
     // text after the root close refuses
     assert(rtfText("{\\rtf1\\ansi a\\par}tail".getBytes).isEmpty)
     // a starred destination NOT at group start is malformed

@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import ZipWalk._
+
+/** The shared ZIP container walk: classic EOCD tail laws, the ZIP64
+  * locator/record machinery (forced-sentinel form — no 4 GiB fixture
+  * needed), duplicate-name permissiveness of the raw writer, and the
+  * refusal battery. */
+class ZipWalkSpec extends AnyFunSuite {
+
+  private val fixture = Seq(
+    "mimetype" -> "application/epub+zip".getBytes("ISO-8859-1"),
+    "a/one.txt" -> "alpha content".getBytes("UTF-8"),
+    "two.bin" -> Array.tabulate(3000)(i => (i * 7).toByte))
+
+  test("raw writer round-trips, stored and deflated, classic and ZIP64") {
+    val classic = encodeZip(fixture, storedNames = Set("mimetype"))
+    val r = entries(classic).getOrElse(fail("classic refused"))
+    assert(r.map(_._1) == fixture.map(_._1))
+    assert(r.zip(fixture).forall { case ((_, got), (_, want)) =>
+      java.util.Arrays.equals(got, want) })
+    assert(firstEntryStoredIs(classic, "mimetype", "application/epub+zip"))
+    // the same container in forced-ZIP64 form walks identically
+    val z64 = toZip64(classic)
+    val r64 = entries(z64).getOrElse(fail("zip64 refused"))
+    assert(r64.map(_._1) == fixture.map(_._1))
+    assert(r64.zip(fixture).forall { case ((_, got), (_, want)) =>
+      java.util.Arrays.equals(got, want) })
+    // and the java-written containers still walk (regression)
+    assert(entries(DocxCodec.encodeDocx(Seq("x"))).nonEmpty)
+  }
+
+  test("duplicate entry names: the walk reports BOTH (callers must refuse)") {
+    val dup = encodeZip(Seq(
+      "content.xml" -> "first".getBytes, "content.xml" -> "second".getBytes))
+    val r = entries(dup).getOrElse(fail("dup refused at container level"))
+    assert(r.map(_._1) == Seq("content.xml", "content.xml"))
+  }
+
+  test("ZIP64 laws: every tamper refuses") {
+    val z64 = toZip64(encodeZip(fixture))
+    assert(entries(z64).nonEmpty)
+    def patched(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = z64.clone(); f(c); c
+    }
+    val eocd = z64.length - 22
+    val loc = eocd - 20
+    val rec = loc - 56
+    // sentinel EOCD with the locator sheared off (classic laws then
+    // see sentinels and must refuse, not mis-walk)
+    assert(entries(z64.slice(0, loc) ++ z64.slice(eocd, z64.length)).isEmpty)
+    // locator signature broken → EOCD sentinels have no backing
+    assert(entries(patched(c => c(loc + 3) = 99)).isEmpty)
+    // record signature broken
+    assert(entries(patched(c => c(rec + 3) = 99)).isEmpty)
+    // record size lies (record no longer abuts the locator)
+    assert(entries(patched(c => c(rec + 4) = 43)).isEmpty)
+    // entry-count law: record count off by one vs the local walk
+    assert(entries(patched(c => c(rec + 24) = (fixture.length + 1).toByte)).isEmpty)
+    // the two record counts must agree
+    assert(entries(patched(c => c(rec + 32) = (fixture.length + 1).toByte)).isEmpty)
+    // multi-disk locator refuses
+    assert(entries(patched(c => c(loc + 16) = 2)).isEmpty)
+    // cd-offset law: directory must abut the record
+    assert(entries(patched(c => c(rec + 48) = (c(rec + 48) + 1).toByte)).isEmpty)
+    // an UN-sentineled EOCD field that disagrees with the record
+    val disagree = patched { c =>
+      c(eocd + 8) = 7; c(eocd + 9) = 0 // count: sentinel → wrong value
+      c(eocd + 10) = 7; c(eocd + 11) = 0
+    }
+    assert(entries(disagree).isEmpty)
+  }
+
+  test("truncation and junk never throw") {
+    val z64 = toZip64(encodeZip(fixture))
+    (1 to z64.length - 1 by 13).foreach { d =>
+      assert(entries(z64.dropRight(d)).isEmpty, s"drop $d passed")
+    }
+    val rnd = new scala.util.Random(2027)
+    (0 until 1500).foreach { _ =>
+      entries(Array.fill(rnd.nextInt(128))(rnd.nextInt(256).toByte))
+    }
+  }
+}
