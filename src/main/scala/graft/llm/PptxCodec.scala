@@ -1,0 +1,231 @@
+package graft.llm
+
+/** PPTX (OOXML PresentationML) text extraction — slides are the third
+  * OOXML text carrier after DOCX paragraphs and XLSX cells. A .pptx is
+  * an OPC container (ECMA-376 Part 2) where `ppt/presentation.xml`
+  * lists the deck's slides in ORDER via `p:sldIdLst` (each `p:sldId`
+  * carries an `r:id`), and `ppt/_rels/presentation.xml.rels` resolves
+  * those relationship ids to the slide part names — the entry names
+  * (`slide1.xml`, …) carry NO ordering authority, so the rels walk is
+  * mandatory, not decorative.
+  *
+  * Slide text: `p:cSld` → `p:spTree` → shapes (`p:sp`, groups `p:grpSp`
+  * recursing to depth 4) → `p:txBody` → `a:p` paragraphs → in-order
+  * `a:t` runs with `a:br` as a newline. One output line per `a:p`,
+  * slides in sldIdLst order.
+  *
+  * Laws (refuse, never garble): the OPC walk rides [[ZipWalk]]
+  * (per-entry CRC-32, EOCD tail laws, ZIP64); `[Content_Types].xml`
+  * and the main part must exist; duplicate entry names, duplicate
+  * relationship ids, a sldId whose r:id dangles, or a resolved slide
+  * part missing from the container all refuse; XML parses
+  * namespace-aware with doctypes refused. Scope pins (documented):
+  * `p:graphicFrame` payloads (tables, charts, OLE) and notes slides
+  * contribute no text. */
+object PptxCodec {
+
+  /** Extraction facts: (nEntries, nSlides, lines) where lines are every
+    * slide's paragraphs in deck order. */
+  def pptxText(b: Array[Byte], maxEntry: Int = 1 << 24): Option[(Int, Int, Seq[String])] = try {
+    val entries = ZipWalk.entries(b, maxEntry).getOrElse(return None)
+    val byName = entries.toMap
+    if (byName.size != entries.length) return None // duplicate entries
+    if (!byName.contains("[Content_Types].xml")) return None
+    val presXml = byName.getOrElse("ppt/presentation.xml", return None)
+    val relsXml = byName.getOrElse("ppt/_rels/presentation.xml.rels", return None)
+    val db = DocxCodec.builders.get()
+    db.reset()
+    // ---- the relationship map: rId -> target part ----
+    val relsDoc = db.parse(new java.io.ByteArrayInputStream(relsXml))
+    if (relsDoc.getDocumentElement.getLocalName != "Relationships") return None
+    val rels = scala.collection.mutable.Map.empty[String, String]
+    children(relsDoc.getDocumentElement).foreach { r =>
+      if (r.getLocalName == "Relationship") {
+        val id = r.getAttribute("Id")
+        val tgt = r.getAttribute("Target")
+        if (id.isEmpty || tgt.isEmpty) return None
+        if (rels.put(id, tgt).nonEmpty) return None // duplicate rId
+      }
+    }
+    // ---- the slide order: presentation.xml's sldIdLst ----
+    db.reset()
+    val pres = db.parse(new java.io.ByteArrayInputStream(presXml))
+    if (pres.getDocumentElement.getLocalName != "presentation") return None
+    val lsts = children(pres.getDocumentElement)
+      .filter(_.getLocalName == "sldIdLst")
+    if (lsts.length != 1) return None
+    val slideParts: Seq[String] = children(lsts.head).map { sld =>
+      if (sld.getLocalName != "sldId") return None
+      val rid = sld.getAttributeNS(
+        "http://schemas.openxmlformats.org/officeDocument/2006/relationships",
+        "id")
+      if (rid.isEmpty) return None
+      val tgt = rels.getOrElse(rid, return None) // dangling r:id refuses
+      // rels targets are relative to ppt/
+      if (tgt.startsWith("/") || tgt.contains("..")) return None
+      "ppt/" + tgt
+    }
+    if (slideParts.isEmpty) return None
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    slideParts.foreach { part =>
+      val slideXml = byName.getOrElse(part, return None)
+      db.reset()
+      val sl = db.parse(new java.io.ByteArrayInputStream(slideXml))
+      if (sl.getDocumentElement.getLocalName != "sld") return None
+      val cSlds = children(sl.getDocumentElement).filter(_.getLocalName == "cSld")
+      if (cSlds.length != 1) return None
+      val trees = children(cSlds.head).filter(_.getLocalName == "spTree")
+      if (trees.length != 1) return None
+      if (!shapes(trees.head, lines, 0)) return None
+    }
+    if (lines.isEmpty) return None
+    Some((entries.length, slideParts.length, lines.toSeq))
+  } catch {
+    case _: org.xml.sax.SAXException => None
+    case _: java.io.IOException => None
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: StackOverflowError => None
+  }
+
+  private def children(e: org.w3c.dom.Element): Seq[org.w3c.dom.Element] = {
+    val nl = e.getChildNodes
+    (0 until nl.getLength).map(nl.item).collect {
+      case el: org.w3c.dom.Element => el
+    }
+  }
+
+  /** Walk a shape tree: `sp` text bodies contribute their paragraphs,
+    * groups recurse (depth-capped), graphicFrame/pic are the documented
+    * no-text scope pin. */
+  private def shapes(tree: org.w3c.dom.Element,
+                     lines: scala.collection.mutable.ArrayBuffer[String],
+                     depth: Int): Boolean = {
+    if (depth > 4) return false
+    children(tree).forall { el =>
+      el.getLocalName match {
+        case "sp" =>
+          children(el).filter(_.getLocalName == "txBody").forall { tb =>
+            children(tb).forall { p =>
+              p.getLocalName match {
+                case "p" =>
+                  val sb = new StringBuilder
+                  if (!runText(p, sb)) return false
+                  lines += sb.toString
+                  true
+                case _ => true // bodyPr, lstStyle: layout
+              }
+            }
+          }
+        case "grpSp" => shapes(el, lines, depth + 1)
+        case _ => true // nvGrpSpPr, graphicFrame, pic, cxnSp: no text
+      }
+    }
+  }
+
+  /** In-order text under an `a:p`: `a:t` appends, `a:br` is a newline;
+    * runs, fields and properties recurse so interleavings survive. */
+  private def runText(e: org.w3c.dom.Element, sb: StringBuilder): Boolean = {
+    children(e).forall { el =>
+      el.getLocalName match {
+        case "t" => sb ++= el.getTextContent; true
+        case "br" => sb += '\n'; true
+        case "pPr" | "endParaRPr" | "rPr" => true // properties, not text
+        case _ => runText(el, sb) // a:r, a:fld wrappers
+      }
+    }
+  }
+
+  // ---- conformance writer -------------------------------------------------
+
+  private def xmlEscape(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case c => c.toString
+    }
+
+  private val nsP = "http://schemas.openxmlformats.org/presentationml/2006/main"
+  private val nsA = "http://schemas.openxmlformats.org/drawingml/2006/main"
+  private val nsR = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+
+  /** Deterministic PPTX: slide i holds `slides(i)` paragraphs, each
+    * split across two `a:r` runs (the boundary must be invisible); the
+    * deck order lives in `sldIdLst`. Arms: `reverseEntries` writes the
+    * slide PARTS in reverse physical order while sldIdLst keeps the
+    * logical order (extraction must follow the rels, so this is
+    * text-neutral); `omitPresentation` drops the main part (OPC law);
+    * `danglingRel` points sldId 0's r:id at a relationship that does
+    * not exist; `groupArm` nests slide 0's shape inside a `p:grpSp`. */
+  def encodePptx(slides: Seq[Seq[String]],
+                 reverseEntries: Boolean = false,
+                 omitPresentation: Boolean = false,
+                 danglingRel: Boolean = false,
+                 groupArm: Boolean = false): Array[Byte] = {
+    require(slides.nonEmpty)
+    val n = slides.length
+    def slideXml(paras: Seq[String], grouped: Boolean): String = {
+      val sps = paras.map { p =>
+        val inner = new StringBuilder
+        var seg = new StringBuilder
+        def flush(): Unit = {
+          if (seg.nonEmpty) {
+            val t = seg.toString
+            val cut = if (t.length >= 2) t.length / 2 else 0
+            if (cut > 0)
+              inner ++= s"<a:r><a:t>${xmlEscape(t.substring(0, cut))}</a:t></a:r>" +
+                s"<a:r><a:t>${xmlEscape(t.substring(cut))}</a:t></a:r>"
+            else inner ++= s"<a:r><a:t>${xmlEscape(t)}</a:t></a:r>"
+            seg = new StringBuilder
+          }
+        }
+        p.foreach {
+          case '\n' => flush(); inner ++= "<a:br/>"
+          case c => seg += c
+        }
+        flush()
+        s"<a:p><a:pPr/>$inner</a:p>"
+      }.mkString
+      val sp = s"<p:sp><p:nvSpPr/><p:spPr/><p:txBody><a:bodyPr/>$sps</p:txBody></p:sp>"
+      val tree = if (grouped) s"<p:grpSp><p:nvGrpSpPr/>$sp</p:grpSp>" else sp
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        s"""<p:sld xmlns:p="$nsP" xmlns:a="$nsA"><p:cSld><p:spTree>""" +
+        s"<p:nvGrpSpPr/>$tree</p:spTree></p:cSld></p:sld>"
+    }
+    val presentation =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        s"""<p:presentation xmlns:p="$nsP" xmlns:r="$nsR"><p:sldIdLst>""" +
+        (0 until n).map(i =>
+          s"""<p:sldId id="${256 + i}" r:id="rId${if (danglingRel && i == 0) 99 else i + 2}"/>""")
+          .mkString + "</p:sldIdLst></p:presentation>"
+    val rels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        (0 until n).map(i =>
+          s"""<Relationship Id="rId${i + 2}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/slide" Target="slides/slide${i + 1}.xml"/>""")
+          .mkString + "</Relationships>"
+    val contentTypes =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+        """<Default Extension="xml" ContentType="application/xml"/>""" +
+        """<Override PartName="/ppt/presentation.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.presentation.main+xml"/>""" +
+        "</Types>"
+    val out = new java.io.ByteArrayOutputStream
+    val zos = new java.util.zip.ZipOutputStream(out)
+    def put(name: String, data: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(data.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("[Content_Types].xml", contentTypes)
+    if (!omitPresentation) put("ppt/presentation.xml", presentation)
+    put("ppt/_rels/presentation.xml.rels", rels)
+    val order = if (reverseEntries) (n - 1) to 0 by -1 else 0 until n
+    order.foreach { i =>
+      put(s"ppt/slides/slide${i + 1}.xml",
+        slideXml(slides(i), groupArm && i == 0))
+    }
+    zos.close()
+    out.toByteArray
+  }
+}

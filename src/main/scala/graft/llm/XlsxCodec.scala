@@ -1,0 +1,281 @@
+package graft.llm
+
+/** XLSX (OOXML SpreadsheetML) text extraction — the tabular OOXML
+  * carrier. A .xlsx is an OPC container where `xl/workbook.xml` lists
+  * the sheets IN ORDER (`sheets/sheet` elements, each with a name and
+  * an `r:id`), `xl/_rels/workbook.xml.rels` resolves ids to worksheet
+  * parts, and `xl/sharedStrings.xml` holds the deduplicated string
+  * table that `t="s"` cells index into (rich-text `si` runs
+  * concatenate their `r/t` pieces).
+  *
+  * Cell text contract (documented): one output line per `row`, the
+  * PRESENT cells joined by tabs in document order (sparse `r`
+  * references are not re-inflated into empty columns); `t="s"` looks
+  * up the shared table (an out-of-range or non-integer index
+  * REFUSES), `t="inlineStr"` takes its `is/t` text, `t="str"` takes
+  * the cached formula string from `v`, and numeric cells (no `t` or
+  * `t="n"`) emit the raw stored `v` text verbatim — no float
+  * re-formatting, what the file stores is what you get. Error cells
+  * (`t="e"`) and unknown types refuse. Sheets concatenate in workbook
+  * order with a `sheetName` column carried separately by callers.
+  *
+  * Container laws ride [[ZipWalk]] (per-entry CRC-32, EOCD tails,
+  * ZIP64): `[Content_Types].xml` + main part present, duplicate entry
+  * names / relationship ids refuse, dangling sheet r:id refuses,
+  * doctypes refuse. */
+object XlsxCodec {
+
+  /** Extraction facts: (nEntries, nSheets, lines) — every sheet's rows
+    * flattened one line per row, sheets in workbook order. */
+  def xlsxText(b: Array[Byte], maxEntry: Int = 1 << 24): Option[(Int, Int, Seq[String])] = try {
+    val entries = ZipWalk.entries(b, maxEntry).getOrElse(return None)
+    val byName = entries.toMap
+    if (byName.size != entries.length) return None // duplicate entries
+    if (!byName.contains("[Content_Types].xml")) return None
+    val wbXml = byName.getOrElse("xl/workbook.xml", return None)
+    val relsXml = byName.getOrElse("xl/_rels/workbook.xml.rels", return None)
+    val db = DocxCodec.builders.get()
+    // ---- shared strings (optional part; mandatory once a cell uses it) ----
+    val shared: IndexedSeq[String] = byName.get("xl/sharedStrings.xml") match {
+      case None => IndexedSeq.empty
+      case Some(sstXml) =>
+        db.reset()
+        val sst = db.parse(new java.io.ByteArrayInputStream(sstXml))
+        if (sst.getDocumentElement.getLocalName != "sst") return None
+        val sis = children(sst.getDocumentElement)
+        if (!sis.forall(_.getLocalName == "si")) return None
+        // the uniqueCount attribute, when present, must tell the truth
+        val uc = sst.getDocumentElement.getAttribute("uniqueCount")
+        if (uc.nonEmpty && (!uc.forall(_.isDigit) || uc.toLong != sis.length))
+          return None
+        sis.map { si =>
+          val sb = new StringBuilder
+          if (!siText(si, sb)) return None
+          sb.toString
+        }.toIndexedSeq
+    }
+    // ---- the relationship map ----
+    db.reset()
+    val relsDoc = db.parse(new java.io.ByteArrayInputStream(relsXml))
+    if (relsDoc.getDocumentElement.getLocalName != "Relationships") return None
+    val rels = scala.collection.mutable.Map.empty[String, String]
+    children(relsDoc.getDocumentElement).foreach { r =>
+      if (r.getLocalName == "Relationship") {
+        val id = r.getAttribute("Id")
+        val tgt = r.getAttribute("Target")
+        if (id.isEmpty || tgt.isEmpty) return None
+        if (rels.put(id, tgt).nonEmpty) return None // duplicate rId
+      }
+    }
+    // ---- workbook sheet order ----
+    db.reset()
+    val wb = db.parse(new java.io.ByteArrayInputStream(wbXml))
+    if (wb.getDocumentElement.getLocalName != "workbook") return None
+    val sheetLists = children(wb.getDocumentElement).filter(_.getLocalName == "sheets")
+    if (sheetLists.length != 1) return None
+    val parts: Seq[String] = children(sheetLists.head).map { sh =>
+      if (sh.getLocalName != "sheet") return None
+      val rid = sh.getAttributeNS(
+        "http://schemas.openxmlformats.org/officeDocument/2006/relationships",
+        "id")
+      if (rid.isEmpty || sh.getAttribute("name").isEmpty) return None
+      val tgt = rels.getOrElse(rid, return None) // dangling r:id refuses
+      if (tgt.startsWith("/") || tgt.contains("..")) return None
+      "xl/" + tgt
+    }
+    if (parts.isEmpty) return None
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    parts.foreach { part =>
+      val shXml = byName.getOrElse(part, return None)
+      db.reset()
+      val ws = db.parse(new java.io.ByteArrayInputStream(shXml))
+      if (ws.getDocumentElement.getLocalName != "worksheet") return None
+      val datas = children(ws.getDocumentElement).filter(_.getLocalName == "sheetData")
+      if (datas.length != 1) return None
+      children(datas.head).foreach { row =>
+        if (row.getLocalName != "row") return None
+        val cells = scala.collection.mutable.ArrayBuffer.empty[String]
+        children(row).foreach { c =>
+          if (c.getLocalName != "c") return None
+          cells += cellText(c, shared).getOrElse(return None)
+        }
+        lines += cells.mkString("\t")
+      }
+    }
+    if (lines.isEmpty) return None
+    Some((entries.length, parts.length, lines.toSeq))
+  } catch {
+    case _: org.xml.sax.SAXException => None
+    case _: java.io.IOException => None
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: StackOverflowError => None
+  }
+
+  private def children(e: org.w3c.dom.Element): Seq[org.w3c.dom.Element] = {
+    val nl = e.getChildNodes
+    (0 until nl.getLength).map(nl.item).collect {
+      case el: org.w3c.dom.Element => el
+    }
+  }
+
+  /** A shared-string item: plain `t`, or rich runs `r/t` concatenated
+    * in order (phonetic `rPh`/`phoneticPr` hints are not text). */
+  private def siText(si: org.w3c.dom.Element, sb: StringBuilder): Boolean =
+    children(si).forall { el =>
+      el.getLocalName match {
+        case "t" => sb ++= el.getTextContent; true
+        case "r" => siText(el, sb)
+        case "rPr" | "rPh" | "phoneticPr" => true
+        case _ => false
+      }
+    }
+
+  /** One cell's text under the documented contract. */
+  private def cellText(c: org.w3c.dom.Element, shared: IndexedSeq[String]): Option[String] = {
+    val t = c.getAttribute("t")
+    def vText: Option[String] = {
+      val vs = children(c).filter(_.getLocalName == "v")
+      if (vs.length != 1) None else Some(vs.head.getTextContent)
+    }
+    t match {
+      case "s" =>
+        val v = vText.getOrElse(return None)
+        if (v.isEmpty || !v.forall(_.isDigit) || v.length > 9) return None
+        val idx = v.toInt
+        if (idx >= shared.length) return None // out-of-range index
+        Some(shared(idx))
+      case "inlineStr" =>
+        val iss = children(c).filter(_.getLocalName == "is")
+        if (iss.length != 1) return None
+        val sb = new StringBuilder
+        if (!siText(iss.head, sb)) return None
+        Some(sb.toString)
+      case "str" => vText // the cached formula result, verbatim
+      case "" | "n" => vText // raw stored number text, no re-formatting
+      case "b" =>
+        vText.flatMap {
+          case "0" => Some("FALSE")
+          case "1" => Some("TRUE")
+          case _ => None
+        }
+      case _ => None // "e" (error cells) and unknown types refuse
+    }
+  }
+
+  // ---- conformance writer -------------------------------------------------
+
+  private def xmlEscape(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case c => c.toString
+    }
+
+  private val nsMain = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+  private val nsR = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+
+  /** Deterministic XLSX. `sheets` = (name, rows of cell texts). Cell
+    * ENCODING rotates per cell: shared string / inline string / raw
+    * value alternate (index = row + col), with shared strings deduped
+    * into a real `sst` (rich-run split on every other item — the run
+    * boundary must be invisible). Purely-numeric cell texts are
+    * written as typeless `v` cells. Arms: `reverseEntries` stores the
+    * sheet parts physically reversed (order authority = workbook.xml);
+    * `omitWorkbook` drops the main part; `badSharedIndex` makes the
+    * FIRST `t="s"` cell point one past the table. */
+  def encodeXlsx(sheets: Seq[(String, Seq[Seq[String]])],
+                 reverseEntries: Boolean = false,
+                 omitWorkbook: Boolean = false,
+                 badSharedIndex: Boolean = false): Array[Byte] = {
+    require(sheets.nonEmpty)
+    val n = sheets.length
+    // collect shared strings: every cell whose (r+c) % 3 == 0 and is
+    // not purely numeric rides the sst
+    def isNum(s: String): Boolean =
+      s.nonEmpty && s.forall(ch => ch.isDigit || ch == '.' || ch == '-')
+    val sstOrder = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    sheets.foreach { case (_, rows) =>
+      rows.zipWithIndex.foreach { case (row, r) =>
+        row.zipWithIndex.foreach { case (cell, cidx) =>
+          if ((r + cidx) % 3 == 0 && !isNum(cell))
+            sstOrder.getOrElseUpdate(cell, sstOrder.size)
+        }
+      }
+    }
+    var sharedPatched = false
+    def sheetXml(rows: Seq[Seq[String]]): String = {
+      val body = rows.zipWithIndex.map { case (row, r) =>
+        val cells = row.zipWithIndex.map { case (cell, cidx) =>
+          val mode = (r + cidx) % 3
+          if (isNum(cell))
+            s"<c><v>${xmlEscape(cell)}</v></c>"
+          else if (mode == 0) {
+            var idx = sstOrder(cell)
+            if (badSharedIndex && !sharedPatched) {
+              idx = sstOrder.size // one past the table: must refuse
+              sharedPatched = true
+            }
+            s"""<c t="s"><v>$idx</v></c>"""
+          } else if (mode == 1)
+            s"""<c t="inlineStr"><is><t xml:space="preserve">${xmlEscape(cell)}</t></is></c>"""
+          else
+            s"""<c t="str"><v>${xmlEscape(cell)}</v></c>"""
+        }.mkString
+        s"<row>$cells</row>"
+      }.mkString
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        s"""<worksheet xmlns="$nsMain"><sheetData>$body</sheetData></worksheet>"""
+    }
+    val sstXml = {
+      val items = sstOrder.keys.zipWithIndex.map { case (sv, i) =>
+        if (i % 2 == 1 && sv.length >= 2) {
+          val cut = sv.length / 2
+          "<si><r><rPr/><t xml:space=\"preserve\">" + xmlEscape(sv.substring(0, cut)) +
+            "</t></r><r><t xml:space=\"preserve\">" + xmlEscape(sv.substring(cut)) +
+            "</t></r></si>"
+        } else
+          s"""<si><t xml:space="preserve">${xmlEscape(sv)}</t></si>"""
+      }.mkString
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        s"""<sst xmlns="$nsMain" count="${sstOrder.size}" uniqueCount="${sstOrder.size}">$items</sst>"""
+    }
+    val workbook =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        s"""<workbook xmlns="$nsMain" xmlns:r="$nsR"><sheets>""" +
+        sheets.zipWithIndex.map { case ((name, _), i) =>
+          s"""<sheet name="${xmlEscape(name)}" sheetId="${i + 1}" r:id="rId${i + 2}"/>"""
+        }.mkString + "</sheets></workbook>"
+    val rels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        sheets.indices.map(i =>
+          s"""<Relationship Id="rId${i + 2}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${i + 1}.xml"/>""")
+          .mkString +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>""" +
+        "</Relationships>"
+    val contentTypes =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+        """<Default Extension="xml" ContentType="application/xml"/>""" +
+        """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+        "</Types>"
+    val out = new java.io.ByteArrayOutputStream
+    val zos = new java.util.zip.ZipOutputStream(out)
+    def put(name: String, data: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(data.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("[Content_Types].xml", contentTypes)
+    if (!omitWorkbook) put("xl/workbook.xml", workbook)
+    put("xl/_rels/workbook.xml.rels", rels)
+    if (sstOrder.nonEmpty) put("xl/sharedStrings.xml", sstXml)
+    val order = if (reverseEntries) (n - 1) to 0 by -1 else 0 until n
+    order.foreach { i =>
+      put(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(sheets(i)._2))
+    }
+    zos.close()
+    out.toByteArray
+  }
+}

@@ -682,23 +682,25 @@ object Docs {
       |ORDER BY media_id""".stripMargin
 
   /** The document-family dispatch capstone: ONE mixed corpus rotating
-    * NINE text containers by key — classic/modern/hybrid PDF, DOCX,
-    * EPUB, RTF, Jupyter notebook, mbox, SRT/WebVTT — routed by
-    * container SNIFF the way a crawl bucket must be (nobody labels the
-    * formats for you): `%PDF` → the PDF walk (whose era label comes
-    * back from the walk itself); `{\rtf1` → RTF; any other `{` → the
-    * notebook's JSON; `PK` containers disambiguate by the OCF mimetype
-    * peek (EPUB) falling back to DOCX; `From ` → mbox; `WEBVTT` → VTT;
-    * a leading digit → SRT. Per-format refusal arms on k mod 13/17/19:
-    * each format's own damage class (truncation or framing cut; scope
-    * or structural lie; integrity or order violation). */
+    * ELEVEN text containers by key — classic/modern/hybrid PDF, DOCX,
+    * EPUB, RTF, Jupyter notebook, mbox, SRT/WebVTT, PPTX, XLSX —
+    * routed by container SNIFF the way a crawl bucket must be (nobody
+    * labels the formats for you): `%PDF` → the PDF walk (whose era
+    * label comes back from the walk itself); `{\rtf1` → RTF; any other
+    * `{` → the notebook's JSON; `PK` containers disambiguate by the
+    * OCF mimetype peek (EPUB) and then by MAIN PART (word/ppt/xl —
+    * the [Content_Types] route real MIME sniffers take); `From ` →
+    * mbox; `WEBVTT` → VTT; a leading digit → SRT. Per-format refusal
+    * arms on k mod 13/17/19: each format's own damage class
+    * (truncation or framing cut; scope or structural lie; integrity
+    * or order violation). */
   def docZoo(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.{DocxCodec, EpubCodec, IpynbCodec, MimeCodec,
-      PdfText, RtfCodec, SubtitleCodec, ZipWalk}
+      PdfText, PptxCodec, RtfCodec, SubtitleCodec, XlsxCodec, ZipWalk}
     val keys = partKeys(s, d) // full-width spread: the extract map is the cost
     val decoded = keys.map { k =>
-      val fmt = (k % 9).toInt
+      val fmt = (k % 11).toInt
       val arm13 = k % 13 == 0
       val arm17 = k % 17 == 0 && k % 13 != 0
       val arm19 = k % 19 == 0 && k % 13 != 0 && k % 17 != 0
@@ -749,7 +751,7 @@ object Docs {
                 qp = (k + m) % 3 == 1, b64 = (k + m) % 3 == 2)
             },
             omitTerminator = arm19, badEncoding = arm17)
-        } else {
+        } else if (fmt == 8) {
           val nCues = (1 + k % 2).toInt
           val cues = (0 until nCues).map(i =>
             (1000L * (k % 5) + i * 2000L, 400L + (k + i * 7) % 1500,
@@ -758,6 +760,23 @@ object Docs {
             SubtitleCodec.encodeSrt(cues, invertArm = arm17, shuffleArm = arm19)
           else if (k % 2 == 0) SubtitleCodec.encodeSrt(cues)
           else SubtitleCodec.encodeVtt(cues)
+        } else if (fmt == 9) {
+          val nSlides = (1 + k % 2).toInt
+          PptxCodec.encodePptx(
+            (0 until nSlides).map(i =>
+              (0 until (1 + (k + i) % 2).toInt).map(j =>
+                s"zoo$k deck s$i p$j w${(k + 3 * i + 5 * j) % 7}")),
+            reverseEntries = k % 6 == 0,
+            omitPresentation = arm17, danglingRel = arm19)
+        } else {
+          val nSheets = (1 + k % 2).toInt
+          XlsxCodec.encodeXlsx(
+            (0 until nSheets).map { sh =>
+              (s"Z$sh", (0 until (1 + (k + sh) % 2).toInt).map(r =>
+                Seq(s"zoo$k xl s$sh r$r", s"${(k * 3 + sh + 2 * r) % 100}")))
+            },
+            reverseEntries = k % 6 == 0,
+            omitWorkbook = arm17, badSharedIndex = arm19)
         }
       val payload =
         if (arm13) {
@@ -794,10 +813,24 @@ object Docs {
             EpubCodec.epubText(payload).map { case (_, nc, _, chs) =>
               ("epub", nc, chs.mkString("\n"))
             }
-          else
-            DocxCodec.docxText(payload).map { case (_, np, ps) =>
-              ("docx", np, ps.mkString("\n"))
-            }
+          else ZipWalk.entries(payload).flatMap { es =>
+            // OPC containers route by MAIN PART — the discrimination a
+            // real MIME sniffer performs once the zip walks
+            val names = es.iterator.map(_._1).toSet
+            if (names("word/document.xml"))
+              DocxCodec.docxText(payload).map { case (_, np, ps) =>
+                ("docx", np, ps.mkString("\n"))
+              }
+            else if (names("ppt/presentation.xml"))
+              PptxCodec.pptxText(payload).map { case (_, ns, ls) =>
+                ("pptx", ns, ls.mkString("\n"))
+              }
+            else if (names("xl/workbook.xml"))
+              XlsxCodec.xlsxText(payload).map { case (_, ns, ls) =>
+                ("xlsx", ns, ls.mkString("\n"))
+              }
+            else None
+          }
         } else if (startsWithAscii("From "))
           MimeCodec.mboxText(payload).map { case (nm, ms) =>
             ("mbox", nm, ms.map(_.text).mkString("\n"))
@@ -823,7 +856,7 @@ object Docs {
     decoded.orderBy($"media_id")
   }
 
-  /** Dispatch + extraction replayed: format by k mod 9 (the PDF eras
+  /** Dispatch + extraction replayed: format by k mod 11 (the PDF eras
     * self-identify through the walk; PK containers split on the
     * mimetype peek — the oracle pins the label), PDF text from the zoo
     * line formula over 1 + k mod 2 pages, DOCX from the paragraph
@@ -831,7 +864,7 @@ object Docs {
     * over 1 + k mod 2 chapters. */
   val docZooSql: String =
     """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
-      |p AS (SELECT k, CAST(k % 9 AS INTEGER) AS fmt,
+      |p AS (SELECT k, CAST(k % 11 AS INTEGER) AS fmt,
       |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
       |      FROM ks),
       |pdfl AS (
@@ -894,11 +927,32 @@ object Docs {
       |sba AS (
       |  SELECT k, string_agg(line, chr(10) ORDER BY i) AS text
       |  FROM sbl GROUP BY k),
+      |ppl AS (
+      |  SELECT p.k, i.g AS i, j.g AS j,
+      |    'zoo' || p.k || ' deck s' || i.g || ' p' || j.g ||
+      |      ' w' || ((p.k + 3 * i.g + 5 * j.g) % 7) AS line
+      |  FROM p, generate_series(0, 1) i(g), generate_series(0, 1) j(g)
+      |  WHERE p.fmt = 9 AND p.ok
+      |    AND i.g < 1 + p.k % 2 AND j.g < 1 + (p.k + i.g) % 2),
+      |ppa AS (
+      |  SELECT k, string_agg(line, chr(10) ORDER BY i, j) AS text
+      |  FROM ppl GROUP BY k),
+      |xll AS (
+      |  SELECT p.k, sh.g AS sh, r.g AS r,
+      |    'zoo' || p.k || ' xl s' || sh.g || ' r' || r.g || chr(9) ||
+      |      ((p.k * 3 + sh.g + 2 * r.g) % 100) AS line
+      |  FROM p, generate_series(0, 1) sh(g), generate_series(0, 1) r(g)
+      |  WHERE p.fmt = 10 AND p.ok
+      |    AND sh.g < 1 + p.k % 2 AND r.g < 1 + (p.k + sh.g) % 2),
+      |xla AS (
+      |  SELECT k, string_agg(line, chr(10) ORDER BY sh, r) AS text
+      |  FROM xll GROUP BY k),
       |u AS (
       |  SELECT p.k,
       |    CASE p.fmt WHEN 0 THEN 'pdf_classic' WHEN 1 THEN 'pdf_modern'
       |      WHEN 2 THEN 'pdf_hybrid' WHEN 3 THEN 'docx' WHEN 4 THEN 'epub'
       |      WHEN 5 THEN 'rtf' WHEN 6 THEN 'ipynb' WHEN 7 THEN 'mbox'
+      |      WHEN 9 THEN 'pptx' WHEN 10 THEN 'xlsx'
       |      ELSE CASE WHEN p.k % 2 = 0 THEN 'srt' ELSE 'vtt' END
       |      END AS format,
       |    CASE WHEN p.fmt < 3 THEN CAST(1 + p.k % 2 AS INTEGER)
@@ -909,7 +963,7 @@ object Docs {
       |      WHEN p.fmt = 7 THEN CAST(1 + p.k % 2 AS INTEGER)
       |      ELSE CAST(1 + p.k % 2 AS INTEGER) END AS n_units,
       |    COALESCE(pdfa.text, docxa.text, epuba.text, rtfa.text,
-      |      nba.text, mba.text, sba.text) AS text
+      |      nba.text, mba.text, sba.text, ppa.text, xla.text) AS text
       |  FROM p
       |  LEFT JOIN pdfa ON pdfa.k = p.k
       |  LEFT JOIN docxa ON docxa.k = p.k
@@ -918,6 +972,8 @@ object Docs {
       |  LEFT JOIN nba ON nba.k = p.k
       |  LEFT JOIN mba ON mba.k = p.k
       |  LEFT JOIN sba ON sba.k = p.k
+      |  LEFT JOIN ppa ON ppa.k = p.k
+      |  LEFT JOIN xla ON xla.k = p.k
       |  WHERE p.ok)
       |SELECT p.k AS media_id, p.ok AS doc_ok,
       |  u.format,
@@ -925,6 +981,156 @@ object Docs {
       |  CASE WHEN p.ok THEN CAST(length(u.text) AS BIGINT) END AS n_chars,
       |  u.text
       |FROM p LEFT JOIN u ON u.k = p.k
+      |ORDER BY media_id""".stripMargin
+
+  /** PPTX slide-text extraction under the oracle (see
+    * [[graft.llm.PptxCodec]]): per-key decks of 1-3 slides, slide i
+    * holding 1-3 formula paragraphs split across two `a:r` runs, an
+    * `a:br` inside the first paragraph on every fourth key. Order
+    * authority is exercised on every sixth key by writing the slide
+    * PARTS physically reversed (sldIdLst + rels must restore deck
+    * order — text-neutral); every eighth key nests slide 0's shape in
+    * a `p:grpSp`; every twelfth container rides the forced-ZIP64
+    * tail. Refusal arms: truncation (k mod 13), a missing
+    * `ppt/presentation.xml` (k mod 17 — the OPC law), a dangling
+    * sldId r:id (k mod 19 — the rels law). */
+  def pptxRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.{PptxCodec, ZipWalk}
+    val keys = partKeys(s, d) // full-width spread: the extract map is the cost
+    val decoded = keys.map { k =>
+      val nSlides = (1 + k % 3).toInt
+      val slides = (0 until nSlides).map { i =>
+        val nParas = (1 + (k + i) % 3).toInt
+        (0 until nParas).map { j =>
+          s"deck$k sl$i p$j w${(k + 2 * i + 5 * j) % 8}" +
+            (if (i == 0 && j == 0 && k % 4 == 0) "\nBR" else "")
+        }
+      }
+      val bytes0 = PptxCodec.encodePptx(slides,
+        reverseEntries = k % 6 == 0,
+        omitPresentation = k % 17 == 0 && k % 13 != 0,
+        danglingRel = k % 19 == 0 && k % 13 != 0 && k % 17 != 0,
+        groupArm = k % 8 == 0)
+      val bytes = if (k % 12 == 0) ZipWalk.toZip64(bytes0) else bytes0
+      val payload = if (k % 13 == 0) bytes.dropRight(4) else bytes
+      PptxCodec.pptxText(payload) match {
+        case Some((ne, ns, ls)) =>
+          val text = ls.mkString("\n")
+          (k, true, Some(ne), Some(ns), Some(ls.length), Some(text.length.toLong),
+            Some(text))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Long], None: Option[String])
+      }
+    }.toDF("media_id", "pptx_ok", "n_entries", "n_slides", "n_paras",
+      "n_chars", "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The deck replayed: S = 1 + k mod 3 slides, slide i has
+    * 1 + (k+i) mod 3 paragraphs, paragraph (i,j) =
+    * `deck{k} sl{i} p{j} w{(k+2i+5j) mod 8}` with the a:br arm
+    * embedding a newline in (0,0); 3 + S container entries. */
+  val pptxReadSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(1 + k % 3 AS INTEGER) AS ns,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |ln AS (
+      |  SELECT p.k, i.g AS i, j.g AS j,
+      |    'deck' || p.k || ' sl' || i.g || ' p' || j.g ||
+      |      ' w' || ((p.k + 2 * i.g + 5 * j.g) % 8) ||
+      |      CASE WHEN i.g = 0 AND j.g = 0 AND p.k % 4 = 0
+      |        THEN chr(10) || 'BR' ELSE '' END AS line
+      |  FROM p, generate_series(0, 2) i(g), generate_series(0, 2) j(g)
+      |  WHERE i.g < p.ns AND j.g < 1 + (p.k + i.g) % 3 AND p.ok),
+      |agg AS (
+      |  SELECT k, CAST(COUNT(*) AS INTEGER) AS n_paras,
+      |    string_agg(line, chr(10) ORDER BY i, j) AS text
+      |  FROM ln GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS pptx_ok,
+      |  CASE WHEN p.ok THEN 3 + p.ns END AS n_entries,
+      |  CASE WHEN p.ok THEN p.ns END AS n_slides,
+      |  CASE WHEN p.ok THEN agg.n_paras END AS n_paras,
+      |  CASE WHEN p.ok THEN CAST(length(agg.text) AS BIGINT) END AS n_chars,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p LEFT JOIN agg ON p.k = agg.k
+      |ORDER BY media_id""".stripMargin
+
+  /** XLSX cell-text extraction under the oracle (see
+    * [[graft.llm.XlsxCodec]]): per-key workbooks of 1-2 sheets, sheet
+    * s holding 1-3 rows of three cells — a formula string, a raw
+    * numeric (stored-text contract), and a low-cardinality string the
+    * writer dedups through a REAL sharedStrings table (cell encodings
+    * rotate shared/inline/str by position; every other shared item
+    * splits across rich runs). Order authority on every sixth key
+    * (physically reversed sheet parts); forced ZIP64 on every
+    * twelfth. Refusal arms: truncation (k mod 13), a missing
+    * `xl/workbook.xml` (k mod 17), a shared-string index one past the
+    * table (k mod 19 — the index law). */
+  def xlsxRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.{XlsxCodec, ZipWalk}
+    val keys = partKeys(s, d) // full-width spread: the extract map is the cost
+    val decoded = keys.map { k =>
+      val nSheets = (1 + k % 2).toInt
+      val sheets = (0 until nSheets).map { sIdx =>
+        val nRows = (1 + (k + sIdx) % 3).toInt
+        (s"Sh$sIdx", (0 until nRows).map { r =>
+          Seq(s"cx$k s$sIdx r${r}a",
+            s"${(k * 7 + 13 * sIdx + r) % 1000}",
+            s"sh${(k + r) % 5}")
+        })
+      }
+      val bytes0 = XlsxCodec.encodeXlsx(sheets,
+        reverseEntries = k % 6 == 0,
+        omitWorkbook = k % 17 == 0 && k % 13 != 0,
+        badSharedIndex = k % 19 == 0 && k % 13 != 0 && k % 17 != 0)
+      val bytes = if (k % 12 == 0) ZipWalk.toZip64(bytes0) else bytes0
+      val payload = if (k % 13 == 0) bytes.dropRight(4) else bytes
+      XlsxCodec.xlsxText(payload) match {
+        case Some((ne, ns, ls)) =>
+          val text = ls.mkString("\n")
+          (k, true, Some(ne), Some(ns), Some(ls.length), Some(text.length.toLong),
+            Some(text))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Long], None: Option[String])
+      }
+    }.toDF("media_id", "xlsx_ok", "n_entries", "n_sheets", "n_rows",
+      "n_chars", "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The workbook replayed: S = 1 + k mod 2 sheets, sheet s has
+    * 1 + (k+s) mod 3 rows, row r = `cx{k} s{s} r{r}a` TAB
+    * `(7k+13s+r) mod 1000` TAB `sh{(k+r) mod 5}`; rows joined by
+    * newlines in (s, r) order; 4 + S container entries (types,
+    * workbook, rels, sst, sheets). */
+  val xlsxReadSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(1 + k % 2 AS INTEGER) AS ns,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |ln AS (
+      |  SELECT p.k, s.g AS s, r.g AS r,
+      |    'cx' || p.k || ' s' || s.g || ' r' || r.g || 'a' || chr(9) ||
+      |      ((p.k * 7 + 13 * s.g + r.g) % 1000) || chr(9) ||
+      |      'sh' || ((p.k + r.g) % 5) AS line
+      |  FROM p, generate_series(0, 1) s(g), generate_series(0, 2) r(g)
+      |  WHERE s.g < p.ns AND r.g < 1 + (p.k + s.g) % 3 AND p.ok),
+      |agg AS (
+      |  SELECT k, CAST(COUNT(*) AS INTEGER) AS n_rows,
+      |    string_agg(line, chr(10) ORDER BY s, r) AS text
+      |  FROM ln GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS xlsx_ok,
+      |  CASE WHEN p.ok THEN 4 + p.ns END AS n_entries,
+      |  CASE WHEN p.ok THEN p.ns END AS n_sheets,
+      |  CASE WHEN p.ok THEN agg.n_rows END AS n_rows,
+      |  CASE WHEN p.ok THEN CAST(length(agg.text) AS BIGINT) END AS n_chars,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p LEFT JOIN agg ON p.k = agg.k
       |ORDER BY media_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -936,6 +1142,8 @@ object Docs {
     "q_mbox_read" -> (mboxRead _),
     "q_ipynb_read" -> (ipynbRead _),
     "q_odt_read" -> (odtRead _),
+    "q_pptx_read" -> (pptxRead _),
+    "q_xlsx_read" -> (xlsxRead _),
     "q_doc_zoo" -> (docZoo _))
 
   def oracleSql: Map[String, String] = Map(
@@ -947,5 +1155,7 @@ object Docs {
     "q_mbox_read" -> mboxReadSql,
     "q_ipynb_read" -> ipynbReadSql,
     "q_odt_read" -> odtReadSql,
+    "q_pptx_read" -> pptxReadSql,
+    "q_xlsx_read" -> xlsxReadSql,
     "q_doc_zoo" -> docZooSql)
 }

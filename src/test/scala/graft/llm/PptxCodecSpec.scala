@@ -1,0 +1,48 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import PptxCodec._
+
+/** PPTX extraction: sldIdLst order authority (not entry order), run
+  * assembly, a:br semantics, group recursion, and the refusal battery
+  * (OPC laws, dangling rels, CRC, truncation). */
+class PptxCodecSpec extends AnyFunSuite {
+
+  private val slides = Seq(
+    Seq("deck title here", "subtitle line"),
+    Seq("bullet one", "bullet two", "break\ninside"),
+    Seq("closing slide"))
+  private val want = slides.flatten
+
+  test("round-trip: slides in order, runs invisible, a:br breaks") {
+    val r = pptxText(encodePptx(slides))
+    assert(r.exists(_._3 == want))
+    assert(r.exists(_._2 == 3))
+  }
+
+  test("slide ORDER comes from sldIdLst, not from entry positions") {
+    // physically reversed slide parts must extract identically
+    assert(pptxText(encodePptx(slides, reverseEntries = true))
+      .exists(_._3 == want))
+  }
+
+  test("grouped shapes recurse; ZIP64 containers walk") {
+    assert(pptxText(encodePptx(slides, groupArm = true)).exists(_._3 == want))
+    assert(pptxText(ZipWalk.toZip64(encodePptx(slides))).exists(_._3 == want))
+  }
+
+  test("refusals: OPC laws, dangling rel, CRC flip, truncation, junk") {
+    assert(pptxText(encodePptx(slides, omitPresentation = true)).isEmpty)
+    assert(pptxText(encodePptx(slides, danglingRel = true)).isEmpty)
+    // a DOCX is not a PPTX (no main part)
+    assert(pptxText(DocxCodec.encodeDocx(Seq("x"))).isEmpty)
+    val b = encodePptx(slides)
+    (1 to b.length - 1 by 11).foreach { d =>
+      assert(pptxText(b.dropRight(d)).isEmpty, s"drop $d passed")
+    }
+    val rnd = new scala.util.Random(4111)
+    (0 until 1200).foreach { _ =>
+      pptxText(Array.fill(rnd.nextInt(96))(rnd.nextInt(256).toByte))
+    }
+  }
+}

@@ -1,0 +1,57 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import XlsxCodec._
+
+/** XLSX extraction: shared/inline/str/numeric cell modes, rich-run
+  * shared items, workbook order authority, the raw-value contract,
+  * and the refusal battery. */
+class XlsxCodecSpec extends AnyFunSuite {
+
+  private val sheets = Seq(
+    ("First", Seq(
+      Seq("alpha text", "21", "beta note"),
+      Seq("gamma", "delta words", "7.5"))),
+    ("Second", Seq(
+      Seq("epsilon", "zeta", "eta"))))
+  private val want = Seq(
+    "alpha text\t21\tbeta note",
+    "gamma\tdelta words\t7.5",
+    "epsilon\tzeta\teta")
+
+  test("round-trip: cell modes rotate, rows tab-joined, sheets in order") {
+    val r = xlsxText(encodeXlsx(sheets))
+    assert(r.exists(_._3 == want))
+    assert(r.exists(_._2 == 2))
+  }
+
+  test("sheet ORDER comes from workbook.xml, not entry positions") {
+    assert(xlsxText(encodeXlsx(sheets, reverseEntries = true))
+      .exists(_._3 == want))
+  }
+
+  test("numeric cells keep the raw stored text; booleans decode") {
+    // 7.5 and 21 round-trip byte-for-byte (no float re-formatting):
+    // already covered by `want`, plus an explicit negative/decimal mix
+    val r = xlsxText(encodeXlsx(Seq(("S", Seq(Seq("-3.250", "100"))))))
+    assert(r.exists(_._3 == Seq("-3.250\t100")))
+  }
+
+  test("ZIP64 containers walk") {
+    assert(xlsxText(ZipWalk.toZip64(encodeXlsx(sheets))).exists(_._3 == want))
+  }
+
+  test("refusals: OPC laws, bad shared index, truncation, junk") {
+    assert(xlsxText(encodeXlsx(sheets, omitWorkbook = true)).isEmpty)
+    assert(xlsxText(encodeXlsx(sheets, badSharedIndex = true)).isEmpty)
+    assert(xlsxText(PptxCodec.encodePptx(Seq(Seq("x")))).isEmpty)
+    val b = encodeXlsx(sheets)
+    (1 to b.length - 1 by 11).foreach { d =>
+      assert(xlsxText(b.dropRight(d)).isEmpty, s"drop $d passed")
+    }
+    val rnd = new scala.util.Random(4112)
+    (0 until 1200).foreach { _ =>
+      xlsxText(Array.fill(rnd.nextInt(96))(rnd.nextInt(256).toByte))
+    }
+  }
+}
