@@ -1,0 +1,425 @@
+package graft.llm
+
+/** Legacy Compound File Binary (CFB / OLE2) container probe — the
+  * carrier of pre-2007 Office documents (.doc/.xls/.ppt), still
+  * abundant in old crawl corpora. Implements the MS-CFB v3 structure:
+  * the 512-byte header with its in-header DIFAT, FAT sector chains,
+  * the directory tree of 128-byte entries, the mini stream (root
+  * entry's chain) with its miniFAT for streams under the 4096-byte
+  * cutoff, and full stream REASSEMBLY through the chains — so a
+  * swapped or cut sector chain is caught, not hashed over.
+  *
+  * Laws (refuse, never garble):
+  *  - header: signature, little-endian mark 0xFFFE, major version 3
+  *    with sector shift 9 (v4/4096 is a documented scope pin), mini
+  *    shift 6, mini cutoff 4096, v3's numDirSectors = 0;
+  *  - the body must be whole sectors; DIFAT slots past numFatSectors
+  *    must be FREESECT; every FAT sector is marked FATSECT in the FAT;
+  *  - chain walks carry visited-set cycle laws and in-range checks;
+  *    a stream's chain length must equal ceil(size / sectorBytes)
+  *    exactly (a cut or overlong chain refuses);
+  *  - directory: entry 0 is the root (type 5, "Root Entry"), names are
+  *    NUL-terminated UTF-16 with a truthful length, the sibling/child
+  *    tree enumerates via in-order walk with cycle/depth laws;
+  *  - a `WordDocument` stream, when present, must open with the FIB
+  *    magic 0xA5EC and a plausible nFib (the .doc law).
+  *
+  * Text extraction from the Word binary format stays behind this seam
+  * (piece tables and complex-format FIBs are a later round); the probe
+  * establishes container truth the way the early PDF story did. */
+object CfbProbe {
+
+  private val FREESECT = 0xffffffffL
+  private val ENDOFCHAIN = 0xfffffffeL
+  private val FATSECT = 0xfffffffdL
+  private val DIFSECT = 0xfffffffcL
+  private val NOSTREAM = 0xffffffffL
+
+  final case class CfbDoc(nSectors: Int, nFatSectors: Int,
+                          streams: Seq[(String, Array[Byte])],
+                          wordNFib: Int)
+
+  def probe(b: Array[Byte], maxBytes: Int = 1 << 26): Option[CfbDoc] = try {
+    if (b == null || b.length < 512 + 512) return None // header + ≥1 sector
+    def u16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    def u32(p: Int): Long = u16(p).toLong | (u16(p + 2).toLong << 16)
+    // ---- header ----
+    val sig = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)
+    if (!sig.indices.forall(i => (b(i) & 0xff) == sig(i))) return None
+    if (u16(28) != 0xfffe) return None // little-endian mark
+    val major = u16(26)
+    if (major != 3) return None // v4 (4096-byte sectors): scope pin
+    if (u16(30) != 9) return None // sector shift
+    if (u16(32) != 6) return None // mini sector shift
+    if (u32(40) != 0L) return None // v3: numDirSectors must be 0
+    val numFat = u32(44)
+    val firstDir = u32(48)
+    val miniCutoff = u32(56)
+    if (miniCutoff != 4096L) return None
+    val firstMiniFat = u32(60)
+    val numMiniFat = u32(64)
+    val firstDifat = u32(68)
+    val numDifat = u32(72)
+    if ((b.length - 512) % 512 != 0) return None // whole sectors only
+    val nSectors = (b.length - 512) / 512
+    if (b.length > maxBytes) return None
+    def sectorAt(id: Long): Int = 512 + (id * 512).toInt
+    def inRange(id: Long): Boolean = id >= 0 && id < nSectors
+    // ---- the DIFAT: 109 header slots + DIFAT sector chain ----
+    val fatSectors = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var di = 0
+    while (di < 109) {
+      val v = u32(76 + 4 * di)
+      if (v != FREESECT) {
+        if (!inRange(v)) return None
+        fatSectors += v
+      } else {
+        // FREESECT slots must be the trailing ones
+        var j = di + 1
+        while (j < 109) { if (u32(76 + 4 * j) != FREESECT) return None; j += 1 }
+        di = 109
+      }
+      di += 1
+    }
+    var difatId = firstDifat
+    var nDifatSeen = 0L
+    val seenDifat = scala.collection.mutable.Set.empty[Long]
+    while (difatId != ENDOFCHAIN) {
+      if (!inRange(difatId) || !seenDifat.add(difatId)) return None
+      val base = sectorAt(difatId)
+      var j = 0
+      while (j < 127) {
+        val v = u32(base + 4 * j)
+        if (v != FREESECT) {
+          if (!inRange(v)) return None
+          fatSectors += v
+        }
+        j += 1
+      }
+      difatId = u32(base + 508)
+      nDifatSeen += 1
+    }
+    if (nDifatSeen != numDifat) return None
+    if (fatSectors.length.toLong != numFat) return None
+    // ---- the FAT itself ----
+    val fat = new Array[Long](nSectors)
+    java.util.Arrays.fill(fat, FREESECT)
+    var fi = 0
+    var fatIdx = 0
+    fatSectors.foreach { fs =>
+      val base = sectorAt(fs)
+      var j = 0
+      while (j < 128 && fi < nSectors) {
+        fat(fi) = u32(base + 4 * j)
+        fi += 1; j += 1
+      }
+      // entries past nSectors must be FREESECT
+      while (j < 128) {
+        if (u32(base + 4 * j) != FREESECT) return None
+        j += 1
+      }
+      fatIdx += 1
+    }
+    if (fi < nSectors) return None // FAT does not cover the body
+    // every FAT sector must be marked FATSECT; DIFAT sectors DIFSECT
+    if (!fatSectors.forall(s => fat(s.toInt) == FATSECT)) return None
+    if (!seenDifat.forall(s => fat(s.toInt) == DIFSECT)) return None
+    def chain(start: Long, maxLen: Int): Option[IndexedSeq[Long]] = {
+      val out = IndexedSeq.newBuilder[Long]
+      val seen = scala.collection.mutable.Set.empty[Long]
+      var id = start
+      var n = 0
+      while (id != ENDOFCHAIN) {
+        if (!inRange(id) || !seen.add(id)) return None // cycle / range
+        n += 1
+        if (n > maxLen) return None
+        out += id
+        id = fat(id.toInt)
+        if (id == FREESECT || id == FATSECT || id == DIFSECT) return None
+      }
+      Some(out.result())
+    }
+    // ---- directory ----
+    val dirChain = chain(firstDir, nSectors).getOrElse(return None)
+    if (dirChain.isEmpty) return None
+    val nEntries = dirChain.length * 4 // 512 / 128
+    def entryBase(i: Int): Int =
+      sectorAt(dirChain(i / 4)) + 128 * (i % 4)
+    def entryName(i: Int): Option[String] = {
+      val base = entryBase(i)
+      val len = u16(base + 64)
+      if (len == 0) return Some("") // unused entry
+      if (len % 2 != 0 || len < 2 || len > 64) return None
+      val chars = new Array[Char]((len - 2) / 2)
+      var j = 0
+      while (j < chars.length) {
+        chars(j) = u16(base + 2 * j).toChar
+        j += 1
+      }
+      if (u16(base + len - 2) != 0) return None // NUL terminator law
+      Some(new String(chars))
+    }
+    // root entry
+    val rootType = b(entryBase(0) + 66) & 0xff
+    if (rootType != 5) return None
+    if (!entryName(0).contains("Root Entry")) return None
+    val rootStart = u32(entryBase(0) + 116)
+    val rootSize = u32(entryBase(0) + 120)
+    if (u32(entryBase(0) + 124) != 0L) return None // 64-bit size high half
+    // ---- the mini stream + miniFAT ----
+    val miniFatChain =
+      if (numMiniFat == 0L) {
+        if (firstMiniFat != ENDOFCHAIN) return None
+        IndexedSeq.empty[Long]
+      } else chain(firstMiniFat, nSectors).getOrElse(return None)
+    if (miniFatChain.length.toLong != numMiniFat) return None
+    val miniFat: IndexedSeq[Long] = miniFatChain.flatMap { ms =>
+      val base = sectorAt(ms)
+      (0 until 128).map(j => u32(base + 4 * j))
+    }
+    val miniChain =
+      if (rootSize == 0L) {
+        if (rootStart != ENDOFCHAIN) return None
+        IndexedSeq.empty[Long]
+      } else chain(rootStart, nSectors).getOrElse(return None)
+    if (rootSize % 64 != 0) return None // the mini stream is whole minisectors
+    if (miniChain.length.toLong != (rootSize + 511) / 512) return None
+    val nMini = (rootSize / 64).toInt
+    def miniBytes(id: Long): Option[Array[Byte]] = {
+      if (id < 0 || id >= nMini) return None
+      val sect = miniChain((id * 64 / 512).toInt)
+      val off = sectorAt(sect) + (id * 64 % 512).toInt
+      Some(java.util.Arrays.copyOfRange(b, off, off + 64))
+    }
+    def miniStreamChain(start: Long, maxLen: Int): Option[IndexedSeq[Long]] = {
+      val out = IndexedSeq.newBuilder[Long]
+      val seen = scala.collection.mutable.Set.empty[Long]
+      var id = start
+      var n = 0
+      while (id != ENDOFCHAIN) {
+        if (id < 0 || id >= miniFat.length || !seen.add(id)) return None
+        n += 1
+        if (n > maxLen) return None
+        out += id
+        id = miniFat(id.toInt)
+        if (id == FREESECT || id == FATSECT || id == DIFSECT) return None
+      }
+      Some(out.result())
+    }
+    // ---- enumerate the tree: in-order walk from the root's child ----
+    val rootChild = u32(entryBase(0) + 76)
+    val streams = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    val visited = scala.collection.mutable.Set.empty[Long]
+    def walk(node: Long, depth: Int): Boolean = {
+      if (node == NOSTREAM) return true
+      if (depth > 64 || node < 0 || node >= nEntries || !visited.add(node))
+        return false
+      val base = entryBase(node.toInt)
+      val left = u32(base + 68)
+      val right = u32(base + 72)
+      val child = u32(base + 76)
+      val typ = b(base + 66) & 0xff
+      val name = entryName(node.toInt).getOrElse(return false)
+      if (name.isEmpty) return false // an unused entry in the tree
+      if (!walk(left, depth + 1)) return false
+      typ match {
+        case 2 => // stream: reassemble through the proper chain
+          val start = u32(base + 116)
+          val size = u32(base + 120)
+          if (u32(base + 124) != 0L) return false
+          if (size > maxBytes) return false
+          val data = new Array[Byte](size.toInt)
+          if (size == 0L) {
+            if (start != ENDOFCHAIN) return false
+          } else if (size < miniCutoff) {
+            val ch = miniStreamChain(start, nMini + 1).getOrElse(return false)
+            if (ch.length.toLong != (size + 63) / 64) return false // chain-length law
+            var off = 0
+            ch.foreach { id =>
+              val sect = miniBytes(id).getOrElse(return false)
+              val take = Math.min(64, size.toInt - off)
+              System.arraycopy(sect, 0, data, off, take)
+              off += take
+            }
+          } else {
+            val ch = chain(start, nSectors).getOrElse(return false)
+            if (ch.length.toLong != (size + 511) / 512) return false
+            var off = 0
+            ch.foreach { id =>
+              val take = Math.min(512, size.toInt - off)
+              System.arraycopy(b, sectorAt(id), data, off, take)
+              off += take
+            }
+          }
+          streams += ((name, data))
+        case 1 => // storage: recurse into its subtree
+          if (!walk(child, depth + 1)) return false
+        case _ => return false
+      }
+      walk(right, depth + 1)
+    }
+    if (!walk(rootChild, 0)) return None
+    if (streams.isEmpty) return None
+    // ---- the .doc law ----
+    var wordNFib = -1
+    streams.find(_._1 == "WordDocument").foreach { case (_, wd) =>
+      if (wd.length < 4) return None
+      val wIdent = (wd(0) & 0xff) | ((wd(1) & 0xff) << 8)
+      val nFib = (wd(2) & 0xff) | ((wd(3) & 0xff) << 8)
+      if (wIdent != 0xa5ec) return None // FIB magic
+      if (nFib < 0x0065) return None // pre-Word-6 is out of the law
+      wordNFib = nFib
+    }
+    Some(CfbDoc(nSectors, numFat.toInt, streams.toSeq, wordNFib))
+  } catch {
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NegativeArraySizeException => None
+    case _: StackOverflowError => None
+  }
+
+  // ---- conformance writer -------------------------------------------------
+
+  /** Deterministic v3 CFB. `streams` insert as a degenerate right-spine
+    * directory tree in the given order (callers pass MS-CFB canonical
+    * order: length first, then uppercase). Streams under 4096 bytes
+    * ride the mini stream; larger ones the FAT. Arms: `reverseWd`
+    * allocates the `WordDocument` regular-stream sectors in REVERSE
+    * physical order (the chain must be followed, not assumed
+    * contiguous); `cutChain` truncates the named stream's chain one
+    * link early (the chain-length law must refuse). */
+  def encodeCfb(streams: Seq[(String, Array[Byte])],
+                reverseWd: Boolean = false,
+                cutChain: String = ""): Array[Byte] = {
+    require(streams.nonEmpty && streams.forall(_._1.length <= 31) &&
+      streams.forall(_._2.length > 0))
+    val SS = 512
+    val mini = streams.filter(_._2.length < 4096)
+    val big = streams.filter(_._2.length >= 4096)
+    // ---- mini stream assembly + miniFAT ----
+    val miniStarts = scala.collection.mutable.Map.empty[String, Long]
+    val miniFat = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val miniData = new java.io.ByteArrayOutputStream
+    mini.foreach { case (name, data) =>
+      val nSect = (data.length + 63) / 64
+      miniStarts(name) = miniFat.length.toLong
+      (0 until nSect).foreach { i =>
+        val isCut = cutChain == name && nSect >= 2 && i == nSect - 2
+        miniFat += (if (i == nSect - 1 || isCut) 0xfffffffeL
+          else (miniFat.length + 1).toLong)
+      }
+      miniData.write(data)
+      val pad = nSect * 64 - data.length
+      (0 until pad).foreach(_ => miniData.write(0))
+    }
+    val miniBytes = miniData.toByteArray
+    val nMiniSect = miniBytes.length / 64
+    val miniStreamSectors = (miniBytes.length + SS - 1) / SS
+    val nMiniFatSectors = if (miniFat.isEmpty) 0 else (miniFat.length * 4 + SS - 1) / SS
+    // ---- plan the sector layout ----
+    val nDirEntries = 1 + streams.length
+    val dirSectors = (nDirEntries * 128 + SS - 1) / SS
+    val bigSectors = big.map { case (n, d) => (n, (d.length + SS - 1) / SS) }
+    val dataSectors = dirSectors + nMiniFatSectors + miniStreamSectors +
+      bigSectors.map(_._2).sum
+    var nFat = 1
+    while ((dataSectors + nFat + 127) / 128 > nFat) nFat += 1
+    val nSectors = dataSectors + nFat
+    val fat = Array.fill(nSectors)(0xffffffffL)
+    var next = 0
+    def alloc(n: Int): Seq[Int] = { val r = (next until next + n); next += n; r }
+    val dirIds = alloc(dirSectors)
+    val miniFatIds = alloc(nMiniFatSectors)
+    val miniStreamIds = alloc(miniStreamSectors)
+    val bigIds: Map[String, Seq[Int]] = bigSectors.map { case (n, cnt) =>
+      val ids = alloc(cnt)
+      n -> (if (reverseWd && n == "WordDocument") ids.reverse else ids)
+    }.toMap
+    val fatIds = alloc(nFat)
+    def chainUp(ids: Seq[Int], cut: Boolean): Unit =
+      ids.zipWithIndex.foreach { case (id, i) =>
+        val isCut = cut && ids.length >= 2 && i == ids.length - 2
+        fat(id) = if (i == ids.length - 1 || isCut) 0xfffffffeL
+          else ids(i + 1).toLong
+      }
+    chainUp(dirIds, cut = false)
+    chainUp(miniFatIds, cut = false)
+    chainUp(miniStreamIds, cut = false)
+    big.foreach { case (n, _) => chainUp(bigIds(n), cut = cutChain == n) }
+    fatIds.foreach(id => fat(id) = 0xfffffffdL) // FATSECT
+    // ---- serialize ----
+    val out = new Array[Byte](512 + nSectors * SS)
+    def w16(p: Int, v: Int): Unit = { out(p) = v.toByte; out(p + 1) = (v >> 8).toByte }
+    def w32(p: Int, v: Long): Unit = {
+      out(p) = v.toByte; out(p + 1) = (v >> 8).toByte
+      out(p + 2) = (v >> 16).toByte; out(p + 3) = (v >> 24).toByte
+    }
+    // header
+    Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1).zipWithIndex
+      .foreach { case (v, i) => out(i) = v.toByte }
+    w16(24, 0x003e); w16(26, 3); w16(28, 0xfffe)
+    w16(30, 9); w16(32, 6)
+    w32(40, 0L) // numDirSectors (v3)
+    w32(44, nFat.toLong)
+    w32(48, dirIds.head.toLong)
+    w32(52, 0L) // transaction signature
+    w32(56, 4096L)
+    w32(60, if (nMiniFatSectors == 0) 0xfffffffeL else miniFatIds.head.toLong)
+    w32(64, nMiniFatSectors.toLong)
+    w32(68, 0xfffffffeL) // no DIFAT sectors (≤109 FAT sectors)
+    w32(72, 0L)
+    (0 until 109).foreach { i =>
+      w32(76 + 4 * i, if (i < nFat) fatIds(i).toLong else 0xffffffffL)
+    }
+    def sectorAt(id: Int): Int = 512 + id * SS
+    // directory entries
+    def dirEntry(idx: Int, name: String, typ: Int, left: Long, right: Long,
+                 child: Long, start: Long, size: Long): Unit = {
+      val base = sectorAt(dirIds(idx * 128 / SS)) + (idx * 128) % SS
+      name.zipWithIndex.foreach { case (c, i) => w16(base + 2 * i, c.toInt) }
+      w16(base + 64, (name.length + 1) * 2)
+      out(base + 66) = typ.toByte
+      out(base + 67) = 1 // black
+      w32(base + 68, left); w32(base + 72, right); w32(base + 76, child)
+      w32(base + 116, start); w32(base + 120, size); w32(base + 124, 0L)
+    }
+    dirEntry(0, "Root Entry", 5, 0xffffffffL, 0xffffffffL,
+      if (streams.nonEmpty) 1L else 0xffffffffL,
+      if (nMiniSect == 0) 0xfffffffeL else miniStreamIds.head.toLong,
+      (nMiniSect * 64).toLong)
+    streams.zipWithIndex.foreach { case ((name, data), i) =>
+      val start: Long =
+        if (data.length >= 4096) bigIds(name).head.toLong
+        else if (data.length > 0 || miniStarts.contains(name)) miniStarts(name)
+        else 0xfffffffeL
+      val right = if (i == streams.length - 1) 0xffffffffL else (i + 2).toLong
+      dirEntry(i + 1, name, 2, 0xffffffffL, right, 0xffffffffL,
+        start, data.length.toLong)
+    }
+    // miniFAT sectors
+    miniFat.zipWithIndex.foreach { case (v, i) =>
+      w32(sectorAt(miniFatIds(i * 4 / SS)) + (i * 4) % SS, v)
+    }
+    // mini stream
+    miniBytes.zipWithIndex.foreach { case (v, i) =>
+      out(sectorAt(miniStreamIds(i / SS)) + i % SS) = v
+    }
+    // big streams (through their — possibly reversed — chains)
+    big.foreach { case (name, data) =>
+      val ids = bigIds(name)
+      var off = 0
+      ids.foreach { id =>
+        val take = Math.min(SS, data.length - off)
+        System.arraycopy(data, off, out, sectorAt(id), take)
+        off += take
+      }
+    }
+    // FAT sectors (trailing slots beyond the body are FREESECT by law)
+    fat.zipWithIndex.foreach { case (v, i) =>
+      w32(sectorAt(fatIds(i * 4 / SS)) + (i * 4) % SS, v)
+    }
+    (nSectors until nFat * 128).foreach { i =>
+      w32(sectorAt(fatIds(i * 4 / SS)) + (i * 4) % SS, 0xffffffffL)
+    }
+    out
+  }
+}

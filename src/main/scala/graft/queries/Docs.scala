@@ -1133,6 +1133,97 @@ object Docs {
       |FROM p LEFT JOIN agg ON p.k = agg.k
       |ORDER BY media_id""".stripMargin
 
+  /** CFB/OLE2 container probe under the oracle (see
+    * [[graft.llm.CfbProbe]]): per-key compound files holding the
+    * canonical .doc trio — `1Table`, `DataXtra` and a `WordDocument`
+    * whose FIB opens 0xA5EC/0x00C1 — with formula payloads
+    * byte(i) = (7k + 31i + 13s) mod 251. WordDocument alternates the
+    * MINI stream (even keys, < 4096) and the regular FAT path (odd
+    * keys, ≥ 4096); every sixth key allocates its sectors physically
+    * REVERSED (chains must be followed, not assumed contiguous). The
+    * probe REASSEMBLES every stream, and the gate folds the bytes
+    * into a position-weighted sum Σ i·bᵢ — any chain reordering or
+    * corruption shows up in the oracle compare. Refusal arms:
+    * truncation (k mod 13 — whole-sector law), a chain cut one link
+    * early (k mod 17 — the chain-length law), a FIB magic flip
+    * (k mod 19 — the .doc structural lie). */
+  def cfbProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.CfbProbe
+    val keys = partKeys(s, d) // full-width spread: the probe map is the cost
+    val decoded = keys.map { k =>
+      val fibHdr = Array[Byte](0xec.toByte, 0xa5.toByte, 0xc1.toByte, 0)
+      def body(n: Int, sidx: Int, hdr: Boolean): Array[Byte] =
+        Array.tabulate(n) { i =>
+          if (hdr && i < 4) fibHdr(i)
+          else ((k * 7 + i.toLong * 31 + sidx * 13) % 251).toByte
+        }
+      val l0 = (if (k % 2 == 0) 700 + k % 800 else 4200 + k % 1200).toInt
+      val l1 = (64 + k % 128).toInt
+      val l2 = (100 + (k * 37) % 900).toInt
+      val wd = body(l0, 0, hdr = true)
+      if (k % 19 == 0 && k % 13 != 0 && k % 17 != 0)
+        wd(0) = 0x11 // FIB magic lie
+      val bytes = CfbProbe.encodeCfb(
+        Seq("1Table" -> body(l1, 1, hdr = false),
+          "DataXtra" -> body(l2, 2, hdr = false),
+          "WordDocument" -> wd),
+        reverseWd = k % 6 == 0,
+        cutChain = if (k % 17 == 0 && k % 13 != 0) "WordDocument" else "")
+      val payload = if (k % 13 == 0) bytes.dropRight(512) else bytes
+      CfbProbe.probe(payload) match {
+        case Some(r) =>
+          val text = r.streams.map { case (name, data) =>
+            var wsum = 0L
+            var i = 0
+            while (i < data.length) { wsum += i.toLong * (data(i) & 0xff); i += 1 }
+            s"$name:${data.length}:$wsum"
+          }.mkString("|")
+          (k, true, Some(r.streams.length), Some(r.wordNFib), Some(text))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int], None: Option[String])
+      }
+    }.toDF("media_id", "cfb_ok", "n_streams", "n_fib", "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The probe replayed: stream lengths from the k-formulas, each
+    * stream's position-weighted byte sum in closed form over the byte
+    * formula (the FIB's four fixed bytes contribute the constant 551:
+    * 1·0xA5 + 2·0xC1). */
+  val cfbProbeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k,
+      |        CAST(CASE WHEN k % 2 = 0 THEN 700 + k % 800
+      |          ELSE 4200 + k % 1200 END AS BIGINT) AS l0,
+      |        64 + k % 128 AS l1, 100 + (k * 37) % 900 AS l2,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |w0 AS (
+      |  SELECT p.k, 551 + SUM(i.g * ((p.k * 7 + i.g * 31) % 251)) AS wsum
+      |  FROM p, generate_series(4, 5398) i(g) WHERE i.g < p.l0 AND p.ok
+      |  GROUP BY p.k),
+      |w1 AS (
+      |  SELECT p.k, SUM(i.g * ((p.k * 7 + i.g * 31 + 13) % 251)) AS wsum
+      |  FROM p, generate_series(0, 190) i(g) WHERE i.g < p.l1 AND p.ok
+      |  GROUP BY p.k),
+      |w2 AS (
+      |  SELECT p.k, SUM(i.g * ((p.k * 7 + i.g * 31 + 26) % 251)) AS wsum
+      |  FROM p, generate_series(0, 998) i(g) WHERE i.g < p.l2 AND p.ok
+      |  GROUP BY p.k)
+      |SELECT p.k AS media_id, p.ok AS cfb_ok,
+      |  CASE WHEN p.ok THEN 3 END AS n_streams,
+      |  CASE WHEN p.ok THEN 193 END AS n_fib,
+      |  CASE WHEN p.ok THEN
+      |    '1Table:' || p.l1 || ':' || w1.wsum ||
+      |    '|DataXtra:' || p.l2 || ':' || w2.wsum ||
+      |    '|WordDocument:' || p.l0 || ':' || w0.wsum END AS text
+      |FROM p
+      |LEFT JOIN w0 ON w0.k = p.k
+      |LEFT JOIN w1 ON w1.k = p.k
+      |LEFT JOIN w2 ON w2.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pdf_text" -> (pdfText _),
     "q_docx_read" -> (docxRead _),
@@ -1144,6 +1235,7 @@ object Docs {
     "q_odt_read" -> (odtRead _),
     "q_pptx_read" -> (pptxRead _),
     "q_xlsx_read" -> (xlsxRead _),
+    "q_cfb_probe" -> (cfbProbe _),
     "q_doc_zoo" -> (docZoo _))
 
   def oracleSql: Map[String, String] = Map(
@@ -1157,5 +1249,6 @@ object Docs {
     "q_odt_read" -> odtReadSql,
     "q_pptx_read" -> pptxReadSql,
     "q_xlsx_read" -> xlsxReadSql,
+    "q_cfb_probe" -> cfbProbeSql,
     "q_doc_zoo" -> docZooSql)
 }

@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import CfbProbe._
+
+/** CFB/OLE2 probe: header laws, DIFAT/FAT assembly, directory tree
+  * walk, mini-stream and regular chains (including non-contiguous
+  * ones), the FIB law, and the tamper battery. */
+class CfbProbeSpec extends AnyFunSuite {
+
+  private def fib(n: Int, body: Int => Byte): Array[Byte] = {
+    val out = new Array[Byte](n)
+    out(0) = 0xec.toByte; out(1) = 0xa5.toByte // wIdent 0xA5EC
+    out(2) = 0xc1.toByte; out(3) = 0x00 // nFib 0x00C1
+    (4 until n).foreach(i => out(i) = body(i))
+    out
+  }
+  private def filler(n: Int, seed: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((seed * 7 + i * 31) % 251).toByte)
+
+  private val doc = Seq(
+    "1Table" -> filler(300, 2),
+    "DataXtra" -> filler(700, 3),
+    "WordDocument" -> fib(5200, i => ((i * 31) % 251).toByte))
+
+  test("round-trip: mini + regular streams reassemble byte-exact") {
+    val b = encodeCfb(doc)
+    val r = probe(b).getOrElse(fail("refused"))
+    assert(r.streams.map(_._1) == doc.map(_._1))
+    assert(r.streams.zip(doc).forall { case ((_, got), (_, want)) =>
+      java.util.Arrays.equals(got, want) })
+    assert(r.wordNFib == 0x00c1)
+    // an all-mini document exercises the no-big path
+    val small = Seq("Alpha" -> filler(100, 4), "Beta" -> filler(4000, 5))
+    assert(probe(encodeCfb(small)).exists(_.streams.length == 2))
+    // a stream crossing many mini sectors
+    assert(probe(encodeCfb(Seq("M" -> filler(4095, 6))))
+      .exists(r2 => java.util.Arrays.equals(r2.streams.head._2, filler(4095, 6))))
+  }
+
+  test("chains are FOLLOWED: reversed WordDocument sectors still reassemble") {
+    val b = encodeCfb(doc, reverseWd = true)
+    val r = probe(b).getOrElse(fail("refused reversed"))
+    assert(java.util.Arrays.equals(
+      r.streams.find(_._1 == "WordDocument").get._2, doc(2)._2))
+  }
+
+  test("refusals: cut chains, FIB lies, header tampers, truncation, junk") {
+    // a cut in a MINI chain and in a REGULAR chain both refuse
+    assert(probe(encodeCfb(doc, cutChain = "DataXtra")).isEmpty)
+    assert(probe(encodeCfb(doc, cutChain = "WordDocument")).isEmpty)
+    // FIB magic flip refuses (structural lie, not a missing stream)
+    val badFib = Seq("WordDocument" -> {
+      val x = fib(800, i => (i % 251).toByte); x(0) = 0x11; x })
+    assert(probe(encodeCfb(badFib)).isEmpty)
+    // header tampers
+    val b = encodeCfb(doc)
+    def patched(f: Array[Byte] => Unit): Array[Byte] = { val c = b.clone(); f(c); c }
+    assert(probe(patched(_(0) = 0)).isEmpty) // signature
+    assert(probe(patched(_(28) = 0)).isEmpty) // byte-order mark
+    assert(probe(patched(_(26) = 4)).isEmpty) // v4: scope pin
+    assert(probe(patched(_(30) = 12)).isEmpty) // sector shift lie
+    assert(probe(patched(_(44) = 99)).isEmpty) // numFatSectors lie
+    // a FAT sector not marked FATSECT
+    assert(probe(patched { c =>
+      val fatId = ((c(76) & 0xff) | ((c(77) & 0xff) << 8)).toLong
+      val at = 512 + (fatId * 512 + fatId * 4).toInt
+      c(at) = (c(at) ^ 1).toByte
+    }).isEmpty)
+    // truncation shears sectors off
+    (1 to b.length - 1 by 512).foreach { d =>
+      assert(probe(b.dropRight(d)).isEmpty, s"drop $d passed")
+    }
+    // junk never throws
+    val rnd = new scala.util.Random(1610)
+    (0 until 800).foreach { _ =>
+      probe(Array.fill(rnd.nextInt(2048))(rnd.nextInt(256).toByte))
+    }
+    val hdr = Array[Byte](0xd0.toByte, 0xcf.toByte, 0x11, 0xe0.toByte,
+      0xa1.toByte, 0xb1.toByte, 0x1a, 0xe1.toByte)
+    (0 until 400).foreach { _ =>
+      probe(hdr ++ Array.fill(504 + 512)(rnd.nextInt(256).toByte))
+    }
+  }
+}
