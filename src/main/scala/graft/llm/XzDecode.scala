@@ -24,9 +24,11 @@ package graft.llm
   *    distance slots with aligned/direct bits, and the 4-slot rep
   *    history.
   *
-  * Scope pins (documented): exactly ONE filter per block and it must
-  * be LZMA2 (0x21) — delta/BCJ preprocessor chains refuse; a check
-  * type of "none" is accepted but reported unverified. Damage returns
+  * Scope pins (documented): the chain must end in LZMA2 (0x21),
+  * optionally preceded by ONE preprocessor — Delta (0x03) or x86 BCJ
+  * (0x04, start offset 0); the non-x86 branch converters, nonzero
+  * start offsets and 3-4 filter chains refuse. A check type of
+  * "none" is accepted but reported unverified. Damage returns
   * None; nothing throws, nothing hangs (the range decoder consumes a
   * byte per normalization and every loop is bounded by declared
   * sizes).
@@ -355,17 +357,31 @@ object XzDecode {
           var declUncomp = -1L
           if (hasCompSize) { val (v, q2) = mbInt(b, q, p + bhSize - 4); declComp = v; q = q2 }
           if (hasUncompSize) { val (v, q2) = mbInt(b, q, p + bhSize - 4); declUncomp = v; q = q2 }
-          // filter chains: plain LZMA2, or Delta→LZMA2 (the xz delta
+          // filter chains: plain LZMA2, Delta→LZMA2 (the xz delta
           // preprocessor, filter id 0x03 with one distance-1 property
-          // byte — r16); BCJ branch converters still refuse
+          // byte — r16), or x86 BCJ→LZMA2 (filter id 0x04 — the
+          // call/jump address converter distro dumps ride; r17). A
+          // nonzero BCJ start offset and the non-x86 branch ids
+          // (PowerPC…RISC-V) are the remaining exotic refusals.
           var deltaDist = 0
+          var bcjX86 = false
           if (nFilters == 2) {
             val (dfid, dq1) = mbInt(b, q, p + bhSize - 4); q = dq1
-            if (dfid != 0x03) return None
-            val (dplen, dq2) = mbInt(b, q, p + bhSize - 4); q = dq2
-            if (dplen != 1 || q >= p + bhSize - 4) return None
-            deltaDist = (b(q) & 0xff) + 1
-            q += 1
+            if (dfid == 0x03) {
+              val (dplen, dq2) = mbInt(b, q, p + bhSize - 4); q = dq2
+              if (dplen != 1 || q >= p + bhSize - 4) return None
+              deltaDist = (b(q) & 0xff) + 1
+              q += 1
+            } else if (dfid == 0x04) {
+              val (plen, dq2) = mbInt(b, q, p + bhSize - 4); q = dq2
+              if (plen == 4) {
+                // an explicit start offset: only the default 0 is in scope
+                if (q + 4 > p + bhSize - 4) return None
+                if (le32(b, q) != 0L) return None
+                q += 4
+              } else if (plen != 0) return None
+              bcjX86 = true
+            } else return None // other branch converters refuse
           } else if (nFilters != 1) return None // 3-4 filter chains refuse
           val (fid, q3) = mbInt(b, q, p + bhSize - 4); q = q3
           if (fid != 0x21) return None // LZMA2 must terminate the chain
@@ -461,6 +477,7 @@ object XzDecode {
               i += 1
             }
           }
+          if (bcjX86) bcjX86Decode(data)
           val compUsed = p - dataStart
           if (declComp >= 0 && declComp != compUsed) return None
           if (declUncomp >= 0 && declUncomp != data.length) return None
@@ -535,5 +552,69 @@ object XzDecode {
     case _: Bad => None
     case _: ArrayIndexOutOfBoundsException => None
     case _: NegativeArraySizeException => None
+  }
+
+  /** The x86 BCJ filter's DECODE direction (XZ filter id 0x04, start
+    * offset 0), applied after LZMA2 over the whole block, in place.
+    * The encoder converted the 32-bit displacement of E8/E9 call/jump
+    * instructions (those whose stored top byte is 0x00 or 0xFF) from
+    * relative to absolute; this walks the same candidate scan the
+    * format defines — a 3-bit mask remembers which of the last three
+    * bytes were candidate opcodes so overlapping sequences resolve
+    * exactly as the encoder saw them (gaps over 2 bytes clear it),
+    * with the mask-guided second subtraction for values whose
+    * converted form still looks like a candidate. The final 4 bytes
+    * are never converted (no room for a displacement). */
+  private def bcjX86Decode(data: Array[Byte]): Unit = {
+    @inline def msb(v: Int): Boolean = { val x = v & 0xff; x == 0x00 || x == 0xff }
+    if (data.length < 5) return
+    val size = data.length - 4
+    var pos = 0
+    var mask = 0
+    var running = true
+    while (running) {
+      var scan = pos
+      while (scan < size && (data(scan) & 0xfe) != 0xe8) scan += 1
+      val d = scan - pos
+      pos = scan
+      if (scan >= size) running = false
+      else {
+        var skip = false
+        if (d > 2) mask = 0
+        else {
+          mask >>= d
+          if (mask != 0 && (mask > 4 || mask == 3 ||
+            msb(data(pos + (mask >> 1) + 1) & 0xff))) {
+            mask = (mask >> 1) | 4
+            pos += 1
+            skip = true
+          }
+        }
+        if (!skip) {
+          if (msb(data(pos + 4) & 0xff)) {
+            var v = (data(pos + 1) & 0xff) | ((data(pos + 2) & 0xff) << 8) |
+              ((data(pos + 3) & 0xff) << 16) | ((data(pos + 4) & 0xff) << 24)
+            val cur = pos + 5 // ip after the 5-byte instruction, offset 0
+            v -= cur
+            if (mask != 0) {
+              val sh = (mask & 6) << 2
+              if (msb(v >>> sh)) {
+                v ^= ((0x100 << sh) - 1)
+                v -= cur
+              }
+              mask = 0
+            }
+            data(pos + 1) = v.toByte
+            data(pos + 2) = (v >>> 8).toByte
+            data(pos + 3) = (v >>> 16).toByte
+            data(pos + 4) = (0 - ((v >>> 24) & 1)).toByte
+            pos += 5
+          } else {
+            mask = (mask >> 1) | 4
+            pos += 1
+          }
+        }
+      }
+    }
   }
 }

@@ -4026,7 +4026,8 @@ object Llm {
     * by OUR range-decoder/LZMA2/container pipeline with the per-block
     * check (CRC64, or SHA-256 on every third key) verified over the
     * decoded bytes plus every container CRC32 law. Every EIGHTH key
-    * (k mod 8 = 4, disjoint from the bzip2 gate's lane). Refusal
+    * (k mod 8 = 4, disjoint from the bzip2 gate's lane); Delta and
+    * x86-BCJ preprocessor lanes rotate on k mod 7. Refusal
     * arms: truncation (k mod 13) and a mid-file flip (k mod 17 —
     * in xz EVERY byte sits under a CRC or the block check, so any
     * flip refuses). */
@@ -4052,14 +4053,20 @@ object Llm {
       val bos = new java.io.ByteArrayOutputStream
       val opt = new org.tukaani.xz.LZMA2Options((k % 3).toInt)
       opt.setDictSize(1 << 16)
-      // every seventh-mod-2 key rides a Delta→LZMA2 chain (r16): the
-      // preprocessor is content-invisible, so the oracle is unchanged —
-      // which is the law being gated
+      // every seventh-mod-2 key rides a Delta→LZMA2 chain (r16), every
+      // seventh-mod-5 an x86 BCJ→LZMA2 chain (r17 — the formula bytes
+      // hit 0xE8/0xE9 often enough to convert): both preprocessors are
+      // content-invisible, so the oracle is unchanged — which is the
+      // law being gated
       val z =
         if (k % 7 == 2)
           new org.tukaani.xz.XZOutputStream(bos,
             Array[org.tukaani.xz.FilterOptions](
               new org.tukaani.xz.DeltaOptions((1 + k % 256).toInt), opt))
+        else if (k % 7 == 5)
+          new org.tukaani.xz.XZOutputStream(bos,
+            Array[org.tukaani.xz.FilterOptions](
+              new org.tukaani.xz.X86Options(), opt))
         else new org.tukaani.xz.XZOutputStream(bos, opt, check)
       z.write(payload); z.close()
       val bytes = bos.toByteArray

@@ -76,7 +76,7 @@ class XzDecodeSpec extends AnyFunSuite {
     }
   }
 
-  test("Delta→LZMA2 filter chains decode; BCJ still refuses") {
+  test("Delta→LZMA2 filter chains decode") {
     val rnd = new scala.util.Random(571)
     def xzDelta(data: Array[Byte], dist: Int, preset: Int): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream
@@ -109,13 +109,63 @@ class XzDecodeSpec extends AnyFunSuite {
       val t = c.clone(); t(at) = (t(at) ^ 0x11).toByte
       assert(decompress(t, 1 << 22).isEmpty, s"flip at $at passed")
     }
-    // a BCJ chain (x86 converter) still refuses as pinned scope
-    val bos = new java.io.ByteArrayOutputStream
-    val z = new org.tukaani.xz.XZOutputStream(bos,
-      Array[org.tukaani.xz.FilterOptions](new org.tukaani.xz.X86Options(),
-        new org.tukaani.xz.LZMA2Options(3)))
-    z.write(("mov eax, 1 " * 500).getBytes("UTF-8")); z.close()
-    assert(decompress(bos.toByteArray, 1 << 22).isEmpty)
+  }
+
+  test("x86 BCJ→LZMA2 chains decode; other branch filters refuse") {
+    val rnd = new scala.util.Random(1793)
+    def xzX86(data: Array[Byte], preset: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream
+      val z = new org.tukaani.xz.XZOutputStream(bos,
+        Array[org.tukaani.xz.FilterOptions](new org.tukaani.xz.X86Options(),
+          new org.tukaani.xz.LZMA2Options(preset)))
+      z.write(data); z.close()
+      bos.toByteArray
+    }
+    // machine-code-shaped corpora: dense E8/E9 opcodes with 00/FF top
+    // displacement bytes (the conversion-eligible class), overlapping
+    // candidates that exercise the 3-bit mask, and plain noise
+    val call = Array[Byte](0xe8.toByte, 0x10, 0x20, 0x30, 0x00)
+    val jmp = Array[Byte](0xe9.toByte, 0xfe.toByte, 0xca.toByte, 0x99.toByte, 0xff.toByte)
+    val datasets = Seq(
+      Array.tabulate(40000)(i => ((i * 37) ^ (i >> 3)).toByte),
+      (0 until 4000).flatMap(i => (call.toSeq ++ Seq((i % 7).toByte))).toArray,
+      (0 until 3000).flatMap(_ => jmp.toSeq ++ call.toSeq).toArray,
+      // adversarial overlap: runs of E8s so candidates overlap and the
+      // prev-mask path (including the xor-retry) is exercised
+      Array.fill(20000)(Seq(0xe8.toByte, 0xe9.toByte, 0x00.toByte,
+        0xff.toByte, 0x41.toByte)(rnd.nextInt(5))),
+      Array.fill(8192)(rnd.nextInt(256).toByte),
+      Array.emptyByteArray,
+      ("mov eax, 1 " * 500).getBytes("UTF-8"))
+    for (data <- datasets; preset <- Seq(0, 3, 6)) {
+      val back = decompress(xzX86(data, preset), maxOut = 1 << 22)
+      assert(back.exists(r => java.util.Arrays.equals(r._1, data)),
+        s"x86 mismatch preset=$preset n=${data.length}")
+    }
+    // the block check covers the post-BCJ bytes: flips refuse
+    val c = xzX86(datasets(1), 3)
+    (0 until c.length by 17).foreach { at =>
+      val t = c.clone(); t(at) = (t(at) ^ 0x31).toByte
+      assert(decompress(t, 1 << 22).isEmpty, s"flip at $at passed")
+    }
+    // the OTHER branch converters stay refusals (exotic scope pin)
+    Seq[org.tukaani.xz.FilterOptions](new org.tukaani.xz.PowerPCOptions(),
+      new org.tukaani.xz.ARMOptions(),
+      new org.tukaani.xz.SPARCOptions()).foreach { f =>
+      val bos = new java.io.ByteArrayOutputStream
+      val z = new org.tukaani.xz.XZOutputStream(bos,
+        Array[org.tukaani.xz.FilterOptions](f, new org.tukaani.xz.LZMA2Options(1)))
+      z.write(datasets(1)); z.close()
+      assert(decompress(bos.toByteArray, 1 << 22).isEmpty, f.toString)
+    }
+    // a nonzero x86 start offset is the exotic arm: refuse
+    val xo = new org.tukaani.xz.X86Options()
+    xo.setStartOffset(16)
+    val bos2 = new java.io.ByteArrayOutputStream
+    val z2 = new org.tukaani.xz.XZOutputStream(bos2,
+      Array[org.tukaani.xz.FilterOptions](xo, new org.tukaani.xz.LZMA2Options(1)))
+    z2.write(datasets(1)); z2.close()
+    assert(decompress(bos2.toByteArray, 1 << 22).isEmpty)
   }
 
   test("multi-stream concatenation; flips and truncation refuse") {
