@@ -1,0 +1,127 @@
+package graft.llm
+
+/** Markdown block census — the code-corpus sibling of the notebook
+  * reader: README/docs files dominate source-code crawls, and a
+  * curation pipeline needs their STRUCTURE (headings, fenced code,
+  * prose) separated before quality scoring (code-to-prose ratios,
+  * heading depth profiles) and before language-tagging the fences.
+  *
+  * The block model is the CommonMark leaf subset that carries those
+  * facts, pinned at column 0 (indented continuation subtleties are
+  * out of the flat model):
+  *  - ATX headings: 1-6 `#` at line start followed by a space, text
+  *    to end of line (trailing closing hashes are presentation and
+  *    stripped when preceded by a space);
+  *  - fenced code: three-or-more backticks or tildes at line start,
+  *    an optional info string (first word = the language tag; a
+  *    BACKTICK fence's info string must not contain a backtick —
+  *    CommonMark's own law, REFUSED as the structural lie it is),
+  *    closed by a fence of the same character at least as long with
+  *    nothing else on the line. An UNCLOSED fence refuses — in a
+  *    crawl corpus that is the truncation signature, and silently
+  *    swallowing the rest of the file as code is exactly the
+  *    garbling this family never does;
+  *  - paragraphs: maximal runs of remaining non-blank lines.
+  *
+  * Setext headings, lists, block quotes and HTML blocks are
+  * documented scope pins: their lines census as paragraph prose. */
+object MarkdownCodec {
+
+  sealed trait Block
+  final case class Heading(level: Int, text: String) extends Block
+  final case class Fence(lang: String, lines: Seq[String]) extends Block
+  final case class Para(lines: Seq[String]) extends Block
+
+  /** Parse a markdown document into blocks, or refuse (None) on an
+    * unclosed fence or a backtick-infused backtick info string. */
+  def mdBlocks(text: String): Option[Seq[Block]] = {
+    val lines = text.split("\n", -1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Block]
+    val para = scala.collection.mutable.ArrayBuffer.empty[String]
+    def flushPara(): Unit = {
+      if (para.nonEmpty) { out += Para(para.toSeq); para.clear() }
+    }
+    def fenceOpen(l: String): Option[(Char, Int, String)] = {
+      if (l.isEmpty || (l(0) != '`' && l(0) != '~')) return None
+      val c = l(0)
+      var n = 0
+      while (n < l.length && l(n) == c) n += 1
+      if (n < 3) return None
+      Some((c, n, l.substring(n).trim))
+    }
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      if (l.isEmpty || l.forall(_ == ' ')) { flushPara(); i += 1 }
+      else if (l(0) == '#') {
+        var lvl = 0
+        while (lvl < l.length && l(lvl) == '#') lvl += 1
+        if (lvl <= 6 && lvl < l.length && l(lvl) == ' ') {
+          flushPara()
+          var t = l.substring(lvl + 1).trim
+          // a run of closing hashes preceded by a space is presentation
+          val m = t.reverse.takeWhile(_ == '#').length
+          if (m > 0 && t.length > m && t(t.length - m - 1) == ' ')
+            t = t.substring(0, t.length - m).trim
+          out += Heading(lvl, t)
+          i += 1
+        } else { para += l; i += 1 } // '#######' or '#x': prose
+      } else fenceOpen(l) match {
+        case Some((c, n, info)) =>
+          if (c == '`' && info.contains('`')) return None // the info law
+          flushPara()
+          val lang = info.takeWhile(ch => ch != ' ' && ch != '\t')
+          val body = scala.collection.mutable.ArrayBuffer.empty[String]
+          i += 1
+          var closed = false
+          while (!closed && i < lines.length) {
+            val cl = lines(i)
+            val isClose = cl.nonEmpty && cl(0) == c && {
+              var m = 0
+              while (m < cl.length && cl(m) == c) m += 1
+              m >= n && cl.substring(m).trim.isEmpty
+            }
+            if (isClose) closed = true
+            else body += cl
+            i += 1
+          }
+          if (!closed) return None // unclosed fence: truncation signature
+          out += Fence(lang, body.toSeq)
+        case None =>
+          para += l
+          i += 1
+      }
+    }
+    flushPara()
+    Some(out.toSeq)
+  }
+
+  // ---- conformance writer -------------------------------------------------
+
+  /** Deterministic markdown: per section a heading, paragraphs, and a
+    * fence. Arms: `unclosedArm` drops the LAST closing fence;
+    * `badInfoArm` forces a backtick fence whose info string carries a
+    * backtick (both must refuse). */
+  def encodeMd(sections: Seq[(Int, String, Seq[String], String, Seq[String])],
+               tildeFences: Boolean = false,
+               closingHashes: Boolean = false,
+               unclosedArm: Boolean = false,
+               badInfoArm: Boolean = false): String = {
+    val fc = if (tildeFences) "~~~" else "```"
+    val sb = new StringBuilder
+    sections.zipWithIndex.foreach { case ((lvl, title, paras, lang, code), si) =>
+      sb ++= "#" * lvl + " " + title +
+        (if (closingHashes) " " + "#" * lvl else "") + "\n\n"
+      paras.foreach { p => sb ++= p + "\n\n" }
+      val info =
+        if (badInfoArm && si == 0) "bad`tick"
+        else lang
+      val open = if (badInfoArm && si == 0) "```" else fc
+      sb ++= open + info + "\n"
+      code.foreach { cl => sb ++= cl + "\n" }
+      if (!(unclosedArm && si == sections.length - 1)) sb ++= fc + "\n"
+      sb ++= "\n"
+    }
+    sb.toString
+  }
+}

@@ -1224,6 +1224,108 @@ object Docs {
       |LEFT JOIN w2 ON w2.k = p.k
       |ORDER BY media_id""".stripMargin
 
+  /** Markdown block census under the oracle (see
+    * [[graft.llm.MarkdownCodec]]) — the code-corpus README lane:
+    * per-key documents of 1-3 sections, each an ATX heading (levels
+    * rotate, closing-hash presentation on every fifth key), 1-2
+    * single-line paragraphs, and a fenced code block (backtick/tilde
+    * by parity, language rotating none/scala/python). The gate
+    * renders the parsed blocks canonically (`H{lvl}:`, `P:`,
+    * `F:{lang}:` lines) so the oracle compares STRUCTURE, not just
+    * counts. Refusal arms: an unclosed final fence (k mod 13 — the
+    * truncation signature) and a backtick inside a backtick fence's
+    * info string (k mod 17 — CommonMark's own info law). */
+  def markdownRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.MarkdownCodec
+    val keys = partKeys(s, d) // full-width spread: the parse map is the cost
+    val decoded = keys.map { k =>
+      val nSections = (1 + k % 3).toInt
+      val sections = (0 until nSections).map { i =>
+        val lvl = (1 + (k + i) % 3).toInt
+        val title = s"Sec$k-$i w${(k + 2 * i) % 7}"
+        val paras = (0 until (1 + (k + i) % 2).toInt).map(j =>
+          s"md$k s$i p$j lorem w${(k + i + j) % 9}")
+        val lang = Seq("", "scala", "python")(((k + i) % 3).toInt)
+        val code = (0 until (1 + (k + i) % 3).toInt).map(c =>
+          s"code $k $i c$c v${(k + 3 * i + c) % 8}")
+        (lvl, title, paras, lang, code)
+      }
+      val md = MarkdownCodec.encodeMd(sections,
+        tildeFences = k % 2 == 1,
+        closingHashes = k % 5 == 0,
+        unclosedArm = k % 13 == 0,
+        badInfoArm = k % 17 == 0 && k % 13 != 0)
+      MarkdownCodec.mdBlocks(md) match {
+        case Some(blocks) =>
+          val text = blocks.map {
+            case MarkdownCodec.Heading(l, t) => s"H$l:$t"
+            case MarkdownCodec.Para(ls) => "P:" + ls.mkString("⏎")
+            case MarkdownCodec.Fence(lg, ls) => s"F:$lg:" + ls.mkString("⏎")
+          }.mkString("\n")
+          val nH = blocks.count(_.isInstanceOf[MarkdownCodec.Heading])
+          val nP = blocks.count(_.isInstanceOf[MarkdownCodec.Para])
+          val nF = blocks.count(_.isInstanceOf[MarkdownCodec.Fence])
+          val nC = blocks.collect {
+            case MarkdownCodec.Fence(_, ls) => ls.length }.sum
+          (k, true, Some(nH), Some(nP), Some(nF), Some(nC),
+            Some(text.length.toLong), Some(text))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Int], None: Option[Long], None: Option[String])
+      }
+    }.toDF("media_id", "md_ok", "n_headings", "n_paras", "n_fences",
+      "n_code_lines", "n_chars", "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The census replayed: S = 1 + k mod 3 sections; section i renders
+    * `H{1+(k+i)%3}:Sec{k}-{i} w{(k+2i)%7}`, its paragraphs
+    * `P:md{k} s{i} p{j} …`, and `F:{lang}:{code lines ⏎-joined}`. */
+  val markdownReadSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(1 + k % 3 AS INTEGER) AS ns,
+      |        (k % 13 <> 0 AND k % 17 <> 0) AS ok
+      |      FROM ks),
+      |code AS (
+      |  SELECT p.k, i.g AS i,
+      |    string_agg('code ' || p.k || ' ' || i.g || ' c' || c.g ||
+      |      ' v' || ((p.k + 3 * i.g + c.g) % 8), '⏎' ORDER BY c.g) AS body,
+      |    CAST(COUNT(*) AS INTEGER) AS ncl
+      |  FROM p, generate_series(0, 2) i(g), generate_series(0, 2) c(g)
+      |  WHERE i.g < p.ns AND c.g < 1 + (p.k + i.g) % 3 AND p.ok
+      |  GROUP BY p.k, i.g),
+      |blk AS (
+      |  SELECT p.k, i.g AS i, 0 AS typ, 0 AS j,
+      |    'H' || (1 + (p.k + i.g) % 3) || ':Sec' || p.k || '-' || i.g ||
+      |      ' w' || ((p.k + 2 * i.g) % 7) AS line
+      |  FROM p, generate_series(0, 2) i(g) WHERE i.g < p.ns AND p.ok
+      |  UNION ALL
+      |  SELECT p.k, i.g AS i, 1 AS typ, j.g AS j,
+      |    'P:md' || p.k || ' s' || i.g || ' p' || j.g ||
+      |      ' lorem w' || ((p.k + i.g + j.g) % 9) AS line
+      |  FROM p, generate_series(0, 2) i(g), generate_series(0, 1) j(g)
+      |  WHERE i.g < p.ns AND j.g < 1 + (p.k + i.g) % 2 AND p.ok
+      |  UNION ALL
+      |  SELECT c.k, c.i, 2 AS typ, 0 AS j,
+      |    'F:' || (CASE (c.k + c.i) % 3 WHEN 0 THEN '' WHEN 1 THEN 'scala'
+      |      ELSE 'python' END) || ':' || c.body AS line
+      |  FROM code c),
+      |agg AS (
+      |  SELECT k, string_agg(line, chr(10) ORDER BY i, typ, j) AS text,
+      |    CAST(SUM(CASE WHEN typ = 1 THEN 1 ELSE 0 END) AS INTEGER) AS np
+      |  FROM blk GROUP BY k),
+      |cagg AS (SELECT k, CAST(SUM(ncl) AS INTEGER) AS ncl FROM code GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS md_ok,
+      |  CASE WHEN p.ok THEN p.ns END AS n_headings,
+      |  CASE WHEN p.ok THEN agg.np END AS n_paras,
+      |  CASE WHEN p.ok THEN p.ns END AS n_fences,
+      |  CASE WHEN p.ok THEN cagg.ncl END AS n_code_lines,
+      |  CASE WHEN p.ok THEN CAST(length(agg.text) AS BIGINT) END AS n_chars,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p LEFT JOIN agg ON agg.k = p.k LEFT JOIN cagg ON cagg.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pdf_text" -> (pdfText _),
     "q_docx_read" -> (docxRead _),
@@ -1236,6 +1338,7 @@ object Docs {
     "q_pptx_read" -> (pptxRead _),
     "q_xlsx_read" -> (xlsxRead _),
     "q_cfb_probe" -> (cfbProbe _),
+    "q_markdown_read" -> (markdownRead _),
     "q_doc_zoo" -> (docZoo _))
 
   def oracleSql: Map[String, String] = Map(
@@ -1250,5 +1353,6 @@ object Docs {
     "q_pptx_read" -> pptxReadSql,
     "q_xlsx_read" -> xlsxReadSql,
     "q_cfb_probe" -> cfbProbeSql,
+    "q_markdown_read" -> markdownReadSql,
     "q_doc_zoo" -> docZooSql)
 }

@@ -1,0 +1,81 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import MarkdownCodec._
+
+/** Markdown block census: ATX headings (closing-hash stripping, the
+  * space law), fenced code (backtick/tilde, length-matched closes,
+  * the info-string law, unclosed refusal), paragraph runs. */
+class MarkdownCodecSpec extends AnyFunSuite {
+
+  test("blocks: headings, fences, paragraphs in order") {
+    val md =
+      """# Title
+        |
+        |prose line one
+        |prose line two
+        |
+        |## Sub ##
+        |
+        |```scala
+        |val x = 1
+        |```
+        |
+        |~~~~
+        |tilde body with ``` inside
+        |~~~~~
+        |
+        |tail para""".stripMargin
+    val b = mdBlocks(md).getOrElse(fail("refused"))
+    assert(b == Seq(
+      Heading(1, "Title"),
+      Para(Seq("prose line one", "prose line two")),
+      Heading(2, "Sub"),
+      Fence("scala", Seq("val x = 1")),
+      Fence("", Seq("tilde body with ``` inside")),
+      Para(Seq("tail para"))))
+  }
+
+  test("heading laws: space required, 7 hashes is prose, hash text kept") {
+    assert(mdBlocks("#nospace").contains(Seq(Para(Seq("#nospace")))))
+    assert(mdBlocks("####### seven").contains(Seq(Para(Seq("####### seven")))))
+    // closing hashes WITHOUT the space stay text
+    assert(mdBlocks("# a#").contains(Seq(Heading(1, "a#"))))
+    assert(mdBlocks("## b ##").contains(Seq(Heading(2, "b"))))
+  }
+
+  test("fence laws: unclosed and backtick-in-info refuse; shorter close is body") {
+    assert(mdBlocks("```scala\ncode\n").isEmpty) // unclosed
+    assert(mdBlocks("````\nx\n```\n").isEmpty) // close too short → unclosed
+    assert(mdBlocks("```a`b\nx\n```\n").isEmpty) // the info law
+    // tilde fences MAY carry backticks in the info string
+    assert(mdBlocks("~~~a`b\nx\n~~~\n")
+      .contains(Seq(Fence("a`b", Seq("x")))))
+    // a longer close still closes
+    assert(mdBlocks("```\nx\n`````\n").contains(Seq(Fence("", Seq("x")))))
+  }
+
+  test("writer round-trip across arms") {
+    val sections = Seq(
+      (1, "Alpha", Seq("p one", "p two"), "scala", Seq("val a = 1", "val b = 2")),
+      (3, "Beta", Seq("p three"), "", Seq("plain code")))
+    for (tilde <- Seq(false, true); hashes <- Seq(false, true)) {
+      val md = encodeMd(sections, tildeFences = tilde, closingHashes = hashes)
+      val b = mdBlocks(md).getOrElse(fail(s"refused t=$tilde h=$hashes"))
+      assert(b == Seq(
+        Heading(1, "Alpha"), Para(Seq("p one")), Para(Seq("p two")),
+        Fence("scala", Seq("val a = 1", "val b = 2")),
+        Heading(3, "Beta"), Para(Seq("p three")),
+        Fence("", Seq("plain code"))), s"t=$tilde h=$hashes")
+    }
+    assert(mdBlocks(encodeMd(sections, unclosedArm = true)).isEmpty)
+    assert(mdBlocks(encodeMd(sections, badInfoArm = true)).isEmpty)
+    // junk never throws and never refuses spuriously on fence-free text
+    val rnd = new scala.util.Random(733)
+    (0 until 1500).foreach { _ =>
+      val t = new String(Array.fill(rnd.nextInt(200))(
+        (rnd.nextInt(90) + 32).toChar))
+      mdBlocks(t)
+    }
+  }
+}
