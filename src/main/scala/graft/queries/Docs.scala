@@ -682,25 +682,27 @@ object Docs {
       |ORDER BY media_id""".stripMargin
 
   /** The document-family dispatch capstone: ONE mixed corpus rotating
-    * ELEVEN text containers by key — classic/modern/hybrid PDF, DOCX,
-    * EPUB, RTF, Jupyter notebook, mbox, SRT/WebVTT, PPTX, XLSX —
-    * routed by container SNIFF the way a crawl bucket must be (nobody
+    * THIRTEEN text containers by key — classic/modern/hybrid PDF,
+    * DOCX, EPUB, RTF, Jupyter notebook, mbox, SRT/WebVTT, PPTX, XLSX,
+    * CFB (.doc probe) and Markdown — routed by container SNIFF the way a crawl bucket must be (nobody
     * labels the formats for you): `%PDF` → the PDF walk (whose era
     * label comes back from the walk itself); `{\rtf1` → RTF; any other
     * `{` → the notebook's JSON; `PK` containers disambiguate by the
     * OCF mimetype peek (EPUB) and then by MAIN PART (word/ppt/xl —
     * the [Content_Types] route real MIME sniffers take); `From ` →
-    * mbox; `WEBVTT` → VTT; a leading digit → SRT. Per-format refusal
+    * mbox; `WEBVTT` → VTT; a leading digit → SRT; the D0CF OLE2
+    * magic → the CFB probe; a leading `#` → the Markdown census. Per-format refusal
     * arms on k mod 13/17/19: each format's own damage class
     * (truncation or framing cut; scope or structural lie; integrity
     * or order violation). */
   def docZoo(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import graft.llm.{DocxCodec, EpubCodec, IpynbCodec, MimeCodec,
-      PdfText, PptxCodec, RtfCodec, SubtitleCodec, XlsxCodec, ZipWalk}
+    import graft.llm.{CfbProbe, DocxCodec, EpubCodec, IpynbCodec,
+      MarkdownCodec, MimeCodec, PdfText, PptxCodec, RtfCodec,
+      SubtitleCodec, XlsxCodec, ZipWalk}
     val keys = partKeys(s, d) // full-width spread: the extract map is the cost
     val decoded = keys.map { k =>
-      val fmt = (k % 11).toInt
+      val fmt = ((k / 3) % 13).toInt
       val arm13 = k % 13 == 0
       val arm17 = k % 17 == 0 && k % 13 != 0
       val arm19 = k % 19 == 0 && k % 13 != 0 && k % 17 != 0
@@ -768,7 +770,7 @@ object Docs {
                 s"zoo$k deck s$i p$j w${(k + 3 * i + 5 * j) % 7}")),
             reverseEntries = k % 6 == 0,
             omitPresentation = arm17, danglingRel = arm19)
-        } else {
+        } else if (fmt == 10) {
           val nSheets = (1 + k % 2).toInt
           XlsxCodec.encodeXlsx(
             (0 until nSheets).map { sh =>
@@ -777,6 +779,30 @@ object Docs {
             },
             reverseEntries = k % 6 == 0,
             omitWorkbook = arm17, badSharedIndex = arm19)
+        } else if (fmt == 11) {
+          val fibHdr = Array[Byte](0xec.toByte, 0xa5.toByte, 0xc1.toByte, 0)
+          def body(n: Int, sidx: Int, hdr: Boolean): Array[Byte] =
+            Array.tabulate(n) { i =>
+              if (hdr && i < 4) fibHdr(i)
+              else ((k * 7 + i.toLong * 31 + sidx * 13) % 251).toByte
+            }
+          val wd = body((600 + k % 600).toInt, 0, hdr = true)
+          if (arm19) wd(0) = 0x11 // FIB magic lie
+          CfbProbe.encodeCfb(
+            Seq("DataXtra" -> body((100 + k % 200).toInt, 2, hdr = false),
+              "WordDocument" -> wd),
+            cutChain = if (arm17) "WordDocument" else "")
+        } else {
+          val nSections = (1 + k % 2).toInt
+          MarkdownCodec.encodeMd(
+            (0 until nSections).map { i =>
+              ((1 + (k + i) % 3).toInt, s"Zoo$k md s$i",
+                Seq(s"zoo$k md p$i w${(k + 2 * i) % 7}"),
+                Seq("", "scala", "python")(((k + i) % 3).toInt),
+                (0 until (1 + (k + i) % 2).toInt).map(c => s"zc $k $i $c"))
+            },
+            tildeFences = k % 2 == 1,
+            badInfoArm = arm17, unclosedArm = arm19).getBytes("UTF-8")
         }
       val payload =
         if (arm13) {
@@ -843,6 +869,27 @@ object Docs {
           SubtitleCodec.srtText(payload).map { case (nc, _, cs) =>
             ("srt", nc, cs.mkString("\n"))
           }
+        else if (payload.length >= 4 && (payload(0) & 0xff) == 0xd0 &&
+          (payload(1) & 0xff) == 0xcf && (payload(2) & 0xff) == 0x11 &&
+          (payload(3) & 0xff) == 0xe0)
+          CfbProbe.probe(payload).map { r =>
+            val t = r.streams.map { case (name, data) =>
+              var wsum = 0L
+              var i = 0
+              while (i < data.length) { wsum += i.toLong * (data(i) & 0xff); i += 1 }
+              s"$name:${data.length}:$wsum"
+            }.mkString("|")
+            ("cfb", r.streams.length, t)
+          }
+        else if (payload(0) == '#')
+          MarkdownCodec.mdBlocks(new String(payload, "UTF-8")).map { blocks =>
+            val t = blocks.map {
+              case MarkdownCodec.Heading(l, tt) => s"H$l:$tt"
+              case MarkdownCodec.Para(ls) => "P:" + ls.mkString("⏎")
+              case MarkdownCodec.Fence(lg, ls) => s"F:$lg:" + ls.mkString("⏎")
+            }.mkString("\n")
+            ("markdown", blocks.count(_.isInstanceOf[MarkdownCodec.Heading]), t)
+          }
         else None
       out match {
         case Some((label, units, text)) =>
@@ -856,7 +903,7 @@ object Docs {
     decoded.orderBy($"media_id")
   }
 
-  /** Dispatch + extraction replayed: format by k mod 11 (the PDF eras
+  /** Dispatch + extraction replayed: format by (k // 3) mod 13 (the PDF eras
     * self-identify through the walk; PK containers split on the
     * mimetype peek — the oracle pins the label), PDF text from the zoo
     * line formula over 1 + k mod 2 pages, DOCX from the paragraph
@@ -864,7 +911,7 @@ object Docs {
     * over 1 + k mod 2 chapters. */
   val docZooSql: String =
     """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
-      |p AS (SELECT k, CAST(k % 11 AS INTEGER) AS fmt,
+      |p AS (SELECT k, CAST((k // 3) % 13 AS INTEGER) AS fmt,
       |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
       |      FROM ks),
       |pdfl AS (
@@ -947,12 +994,56 @@ object Docs {
       |xla AS (
       |  SELECT k, string_agg(line, chr(10) ORDER BY sh, r) AS text
       |  FROM xll GROUP BY k),
+      |cf0 AS (
+      |  SELECT p.k, CAST(600 + p.k % 600 AS BIGINT) AS l0,
+      |    551 + CAST(SUM(i.g * ((p.k * 7 + i.g * 31) % 251)) AS BIGINT) AS w
+      |  FROM p, generate_series(4, 1199) i(g)
+      |  WHERE p.fmt = 11 AND p.ok AND i.g < 600 + p.k % 600
+      |  GROUP BY p.k),
+      |cf2 AS (
+      |  SELECT p.k, CAST(100 + p.k % 200 AS BIGINT) AS l2,
+      |    CAST(SUM(i.g * ((p.k * 7 + i.g * 31 + 26) % 251)) AS BIGINT) AS w
+      |  FROM p, generate_series(0, 298) i(g)
+      |  WHERE p.fmt = 11 AND p.ok AND i.g < 100 + p.k % 200
+      |  GROUP BY p.k),
+      |cfa AS (
+      |  SELECT cf0.k,
+      |    'DataXtra:' || cf2.l2 || ':' || cf2.w ||
+      |    '|WordDocument:' || cf0.l0 || ':' || cf0.w AS text
+      |  FROM cf0 JOIN cf2 ON cf2.k = cf0.k),
+      |mdc AS (
+      |  SELECT p.k, i.g AS i,
+      |    string_agg('zc ' || p.k || ' ' || i.g || ' ' || c.g, '⏎'
+      |      ORDER BY c.g) AS body
+      |  FROM p, generate_series(0, 1) i(g), generate_series(0, 1) c(g)
+      |  WHERE p.fmt = 12 AND p.ok
+      |    AND i.g < 1 + p.k % 2 AND c.g < 1 + (p.k + i.g) % 2
+      |  GROUP BY p.k, i.g),
+      |mdl AS (
+      |  SELECT p.k, i.g AS i, 0 AS typ,
+      |    'H' || (1 + (p.k + i.g) % 3) || ':Zoo' || p.k || ' md s' || i.g AS line
+      |  FROM p, generate_series(0, 1) i(g)
+      |  WHERE p.fmt = 12 AND p.ok AND i.g < 1 + p.k % 2
+      |  UNION ALL
+      |  SELECT p.k, i.g AS i, 1 AS typ,
+      |    'P:zoo' || p.k || ' md p' || i.g || ' w' || ((p.k + 2 * i.g) % 7) AS line
+      |  FROM p, generate_series(0, 1) i(g)
+      |  WHERE p.fmt = 12 AND p.ok AND i.g < 1 + p.k % 2
+      |  UNION ALL
+      |  SELECT m.k, m.i, 2 AS typ,
+      |    'F:' || (CASE (m.k + m.i) % 3 WHEN 0 THEN '' WHEN 1 THEN 'scala'
+      |      ELSE 'python' END) || ':' || m.body AS line
+      |  FROM mdc m),
+      |mda AS (
+      |  SELECT k, string_agg(line, chr(10) ORDER BY i, typ) AS text
+      |  FROM mdl GROUP BY k),
       |u AS (
       |  SELECT p.k,
       |    CASE p.fmt WHEN 0 THEN 'pdf_classic' WHEN 1 THEN 'pdf_modern'
       |      WHEN 2 THEN 'pdf_hybrid' WHEN 3 THEN 'docx' WHEN 4 THEN 'epub'
       |      WHEN 5 THEN 'rtf' WHEN 6 THEN 'ipynb' WHEN 7 THEN 'mbox'
       |      WHEN 9 THEN 'pptx' WHEN 10 THEN 'xlsx'
+      |      WHEN 11 THEN 'cfb' WHEN 12 THEN 'markdown'
       |      ELSE CASE WHEN p.k % 2 = 0 THEN 'srt' ELSE 'vtt' END
       |      END AS format,
       |    CASE WHEN p.fmt < 3 THEN CAST(1 + p.k % 2 AS INTEGER)
@@ -961,9 +1052,11 @@ object Docs {
       |      WHEN p.fmt = 5 THEN CAST(1 + p.k % 3 AS INTEGER)
       |      WHEN p.fmt = 6 THEN CAST(1 + p.k % 3 AS INTEGER)
       |      WHEN p.fmt = 7 THEN CAST(1 + p.k % 2 AS INTEGER)
+      |      WHEN p.fmt = 11 THEN CAST(2 AS INTEGER)
       |      ELSE CAST(1 + p.k % 2 AS INTEGER) END AS n_units,
       |    COALESCE(pdfa.text, docxa.text, epuba.text, rtfa.text,
-      |      nba.text, mba.text, sba.text, ppa.text, xla.text) AS text
+      |      nba.text, mba.text, sba.text, ppa.text, xla.text,
+      |      cfa.text, mda.text) AS text
       |  FROM p
       |  LEFT JOIN pdfa ON pdfa.k = p.k
       |  LEFT JOIN docxa ON docxa.k = p.k
@@ -974,6 +1067,8 @@ object Docs {
       |  LEFT JOIN sba ON sba.k = p.k
       |  LEFT JOIN ppa ON ppa.k = p.k
       |  LEFT JOIN xla ON xla.k = p.k
+      |  LEFT JOIN cfa ON cfa.k = p.k
+      |  LEFT JOIN mda ON mda.k = p.k
       |  WHERE p.ok)
       |SELECT p.k AS media_id, p.ok AS doc_ok,
       |  u.format,
