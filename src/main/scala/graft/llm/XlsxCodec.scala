@@ -133,6 +133,10 @@ object XlsxCodec {
   /** One cell's text under the documented contract. */
   private def cellText(c: org.w3c.dom.Element, shared: IndexedSeq[String]): Option[String] = {
     val t = c.getAttribute("t")
+    // a value-less typeless cell (<c/> carrying only a style) IS empty
+    // by spec — refusing would reject every real workbook with
+    // formatted blanks; typed cells still require their value
+    if (children(c).isEmpty && (t.isEmpty || t == "n")) return Some("")
     def vText: Option[String] = {
       val vs = children(c).filter(_.getLocalName == "v")
       if (vs.length != 1) None else Some(vs.head.getTextContent)

@@ -881,7 +881,7 @@ object Docs {
             }.mkString("|")
             ("cfb", r.streams.length, t)
           }
-        else if (payload(0) == '#')
+        else if (payload.length >= 1 && payload(0) == '#')
           MarkdownCodec.mdBlocks(new String(payload, "UTF-8")).map { blocks =>
             val t = blocks.map {
               case MarkdownCodec.Heading(l, tt) => s"H$l:$tt"

@@ -30,6 +30,27 @@ class XlsxCodecSpec extends AnyFunSuite {
       .exists(_._3 == want))
   }
 
+  test("value-less styled blanks are empty cells, not refusals") {
+    // splice an empty <c/> (a formatted blank — ubiquitous in real
+    // workbooks) into a sheet; it contributes an empty column
+    val b = encodeXlsx(Seq(("S", Seq(Seq("aa", "bb")))))
+    val es = ZipWalk.entries(b).get
+    val patched = es.map { case (n, d) =>
+      if (n == "xl/worksheets/sheet1.xml")
+        (n, new String(d, "UTF-8").replace("<row>", "<row><c/>").getBytes("UTF-8"))
+      else (n, d)
+    }
+    val z = ZipWalk.encodeZip(patched)
+    assert(xlsxText(z).exists(_._3 == Seq("\taa\tbb")))
+    // a TYPED cell without its value still refuses
+    val typed = es.map { case (n, d) =>
+      if (n == "xl/worksheets/sheet1.xml")
+        (n, new String(d, "UTF-8").replace("<row>", "<row><c t=\"s\"/>").getBytes("UTF-8"))
+      else (n, d)
+    }
+    assert(xlsxText(ZipWalk.encodeZip(typed)).isEmpty)
+  }
+
   test("numeric cells keep the raw stored text; booleans decode") {
     // 7.5 and 21 round-trip byte-for-byte (no float re-formatting):
     // already covered by `want`, plus an explicit negative/decimal mix
