@@ -1,0 +1,237 @@
+package graft.llm
+
+/** Word binary (.doc) TEXT extraction — the piece-table walk over the
+  * [[CfbProbe]] container, upgrading round-17's probe to extraction
+  * the way the PDF family went probe → text. The MS-DOC layout
+  * (public spec): the `WordDocument` stream opens with the FIB —
+  * wIdent 0xA5EC, nFib, a flags word whose fWhichTblStm bit (0x0200)
+  * names the table stream (`1Table` vs `0Table`), ccpText (the main
+  * document's character count) in fibRgLw at byte 0x4C, and
+  * fcClx/lcbClx at bytes 0x1A2/0x1A6 pointing into the table stream.
+  *
+  * The CLX there is a run of Prc property blocks (tag 0x01, skipped
+  * structurally) followed by the Pcdt (tag 0x02, u32 size) holding
+  * the PlcPcd: n+1 ascending CPs from 0, then n 8-byte PCDs. Each
+  * PCD's fc word carries bit 30 = fCompressed: set → the piece is
+  * 8-bit cp1252 text at byte offset (fc & 0x3FFFFFFF)/2; clear → the
+  * piece is UTF-16LE at fc. Pieces need NOT be contiguous or ordered
+  * in the stream — files edited in place interleave them, which is
+  * the entire reason the piece table exists.
+  *
+  * Character laws (refuse, never garble): 0x0D (the paragraph mark)
+  * and 0x0B (line break) map to newline, 0x09 stays a tab; cp1252
+  * bytes map through the WinAnsi table (0xA0 is the charset's own
+  * NBSP) with undefined slots refusing; UTF-16 surrogates must pair
+  * inside their piece. Field/object control characters (0x01, 0x07
+  * table marks, 0x13-0x15 fields, 0x08, 0x0C) refuse — fields and
+  * tables are out of the flat-text model, and extracting around them
+  * would silently reorder text. The main text must end with a
+  * paragraph mark (Word's document-final 0x0D law). Everything past
+  * ccpText (footnotes, headers, annotations) is outside the
+  * main-document contract. */
+object DocText {
+
+  /** Extraction facts: (nPieces, paragraphs). */
+  def docText(b: Array[Byte], maxBytes: Int = 1 << 26): Option[(Int, Seq[String])] = try {
+    val doc = CfbProbe.probe(b, maxBytes).getOrElse(return None)
+    val wd = doc.streams.find(_._1 == "WordDocument").map(_._2).getOrElse(return None)
+    def u16(a: Array[Byte], p: Int): Int = (a(p) & 0xff) | ((a(p + 1) & 0xff) << 8)
+    def u32(a: Array[Byte], p: Int): Long = u16(a, p).toLong | (u16(a, p + 2).toLong << 16)
+    if (wd.length < 0x1aa) return None // FIB through fcClx/lcbClx
+    // probe() already enforced wIdent/nFib; read the layout fields
+    val flags = u16(wd, 0x0a)
+    val tblName = if ((flags & 0x0200) != 0) "1Table" else "0Table"
+    val tbl = doc.streams.find(_._1 == tblName).map(_._2).getOrElse(return None)
+    val ccpText = u32(wd, 0x4c)
+    if (ccpText < 1 || ccpText > maxBytes.toLong) return None
+    val cbRgFcLcb = u16(wd, 0x98)
+    if (cbRgFcLcb < 34) return None // fcClx is the 34th FcLcb pair
+    val fcClx = u32(wd, 0x1a2)
+    val lcbClx = u32(wd, 0x1a6)
+    if (lcbClx < 1 || fcClx + lcbClx > tbl.length.toLong) return None
+    // ---- the CLX walk: Prcs skip, the Pcdt carries the PlcPcd ----
+    var p = fcClx.toInt
+    val clxEnd = (fcClx + lcbClx).toInt
+    var pcdt = -1
+    while (pcdt < 0) {
+      if (p >= clxEnd) return None
+      (tbl(p) & 0xff) match {
+        case 0x01 => // Prc: i16 size + grpprl bytes, structural skip
+          if (p + 3 > clxEnd) return None
+          val cb = u16(tbl, p + 1)
+          if (cb > 0x3fa2) return None // the spec's grpprl bound
+          p += 3 + cb
+          if (p > clxEnd) return None
+        case 0x02 => pcdt = p
+        case _ => return None // an unknown CLX tag lies about structure
+      }
+    }
+    if (pcdt + 5 > clxEnd) return None
+    val lcb = u32(tbl, pcdt + 1)
+    if (lcb < 4 + 12 || (lcb - 4) % 12 != 0) return None
+    if (pcdt + 5 + lcb != clxEnd.toLong) return None // the Pcdt ends the CLX
+    val n = ((lcb - 4) / 12).toInt
+    val cpBase = pcdt + 5
+    val cps = new Array[Long](n + 1)
+    var i = 0
+    while (i <= n) { cps(i) = u32(tbl, cpBase + 4 * i); i += 1 }
+    if (cps(0) != 0L) return None
+    i = 0
+    while (i < n) { if (cps(i + 1) <= cps(i)) return None; i += 1 }
+    if (cps(n) < ccpText) return None // the pieces must cover the main text
+    // ---- reassemble the first ccpText characters ----
+    val sb = new StringBuilder(ccpText.toInt)
+    var piece = 0
+    var emitted = 0L
+    while (piece < n && emitted < ccpText) {
+      val pcdOff = cpBase + 4 * (n + 1) + 8 * piece
+      val fcWord = u32(tbl, pcdOff + 2)
+      if ((fcWord & 0x80000000L) != 0) return None // reserved bit
+      val compressed = (fcWord & 0x40000000L) != 0
+      val fc = if (compressed) (fcWord & 0x3fffffffL) / 2 else fcWord
+      val cpLen = math.min(cps(piece + 1), ccpText) - cps(piece)
+      val byteLen = cpLen * (if (compressed) 1 else 2)
+      if (fc + byteLen > wd.length.toLong) return None
+      if (compressed) {
+        var j = 0L
+        while (j < cpLen) {
+          val code = wd((fc + j).toInt) & 0xff
+          if (!emit(code, sb, wide = false)) return None
+          j += 1
+        }
+      } else {
+        var j = 0L
+        while (j < cpLen) {
+          val u = u16(wd, (fc + 2 * j).toInt)
+          if (u >= 0xd800 && u <= 0xdbff) {
+            // a high surrogate pairs with the NEXT unit of this piece
+            if (j + 1 >= cpLen) return None
+            val lo = u16(wd, (fc + 2 * (j + 1)).toInt)
+            if (lo < 0xdc00 || lo > 0xdfff) return None
+            sb.append(u.toChar).append(lo.toChar)
+            j += 2
+          } else if (u >= 0xdc00 && u <= 0xdfff) return None
+          else {
+            if (!emit(u, sb, wide = true)) return None
+            j += 1
+          }
+        }
+      }
+      emitted += cpLen
+      piece += 1
+    }
+    if (emitted < ccpText) return None
+    val text = sb.toString
+    if (text.isEmpty || text.last != '\n') return None // the final-mark law
+    Some((n, text.substring(0, text.length - 1).split("\n", -1).toSeq))
+  } catch {
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NegativeArraySizeException => None
+  }
+
+  /** One code under the flat-text contract; `wide` marks the UTF-16
+    * path (any BMP scalar ≥ 0x20 is legal text there). */
+  private def emit(code: Int, sb: StringBuilder, wide: Boolean): Boolean = {
+    if (code == 0x0d || code == 0x0b) { sb.append('\n'); true }
+    else if (code == 0x09) { sb.append('\t'); true }
+    else if (code < 0x20) false // fields/table marks/objects: refuse
+    else if (wide) { sb.append(code.toChar); true }
+    else if (code < 0x80) { sb.append(code.toChar); true }
+    else if (code == 0xa0) { sb.append(NBSP); true } // the charset's NBSP
+    else {
+      val ch = PdfText.winAnsiTable(code)
+      if (ch == UNDEF) false else { sb.append(ch); true }
+    }
+  }
+  private val NBSP: Char = 0xa0.toChar
+  private val UNDEF: Char = 0 // winAnsiTable marks undefined slots NUL
+
+  /** The cp1252 byte for a char, if one exists (the writer side). */
+  private def toCp1252(c: Char): Option[Int] =
+    if (c < 0x80) Some(c.toInt)
+    else if (c == NBSP) Some(0xa0)
+    else (0x80 to 0xff).find(b => b != 0xa0 && PdfText.winAnsiTable(b) == c)
+
+  // ---- conformance writer -------------------------------------------------
+
+  /** Deterministic .doc: the text (paragraphs joined and terminated by
+    * 0x0D marks) split into `nPieces` cp ranges; each piece rides
+    * cp1252 when its characters fit (and `forceUnicode` is off),
+    * UTF-16LE otherwise. Pieces lay out in REVERSE stream order when
+    * `shufflePieces` (the in-place-edit shape the table exists for).
+    * `table0Arm` clears fWhichTblStm and names the stream `0Table`.
+    * `prcArm` prepends a property block the CLX walk must skip.
+    * Tamper arms: `ccpLieArm` inflates ccpText past the piece cover;
+    * `clxTagArm` corrupts the Pcdt tag. */
+  def encodeDoc(paragraphs: Seq[String], nPieces: Int = 1,
+                forceUnicode: Boolean = false,
+                shufflePieces: Boolean = false,
+                table0Arm: Boolean = false,
+                prcArm: Boolean = false,
+                ccpLieArm: Boolean = false,
+                clxTagArm: Boolean = false): Array[Byte] = {
+    require(paragraphs.nonEmpty && nPieces >= 1)
+    // intra-paragraph newlines ride Word's 0x0B line break (both break
+    // marks come back as newline-split lines from the reader)
+    val text = (paragraphs.mkString("\r") + "\r").replace('\n', 0x0b.toChar)
+    require(nPieces <= text.length)
+    val cuts = (0 to nPieces).map(i => i * text.length / nPieces)
+    val pieces = (0 until nPieces).map(i => text.substring(cuts(i), cuts(i + 1)))
+    val fibLen = 0x0600 // a generous FIB region; fields at spec offsets
+    val wd = new java.io.ByteArrayOutputStream
+    wd.write(new Array[Byte](fibLen))
+    val order = if (shufflePieces) (nPieces - 1) to 0 by -1 else 0 until nPieces
+    val fcOf = new Array[Long](nPieces)
+    val isUni = new Array[Boolean](nPieces)
+    order.foreach { i =>
+      val s = pieces(i)
+      val uni = forceUnicode || !s.forall(c => toCp1252(c).isDefined)
+      isUni(i) = uni
+      fcOf(i) = wd.size().toLong
+      if (uni) s.foreach { c => wd.write(c & 0xff); wd.write((c >> 8) & 0xff) }
+      else s.foreach(c => wd.write(toCp1252(c).get))
+    }
+    // ---- the table stream: [Prc] + Pcdt ----
+    val tb = new java.io.ByteArrayOutputStream
+    def w32(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+      o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+    }
+    if (prcArm) {
+      tb.write(0x01); tb.write(4); tb.write(0) // cb = 4
+      tb.write(Array[Byte](0x42, 0x13, 0x37, 0x24)) // opaque grpprl
+    }
+    tb.write(if (clxTagArm) 0x03 else 0x02)
+    val plc = 4 * (nPieces + 1) + 8 * nPieces
+    w32(tb, plc.toLong)
+    cuts.foreach(c => w32(tb, c.toLong))
+    (0 until nPieces).foreach { i =>
+      tb.write(0); tb.write(0) // PCD flags
+      val fcWord =
+        if (isUni(i)) fcOf(i)
+        else (fcOf(i) * 2) | 0x40000000L
+      w32(tb, fcWord)
+      tb.write(0); tb.write(0) // prm
+    }
+    val tbBytes = tb.toByteArray
+    // ---- FIB fields into the WordDocument prefix ----
+    val out = wd.toByteArray
+    def p16(p: Int, v: Int): Unit = { out(p) = v.toByte; out(p + 1) = (v >> 8).toByte }
+    def p32(p: Int, v: Long): Unit = {
+      out(p) = v.toByte; out(p + 1) = (v >> 8).toByte
+      out(p + 2) = (v >> 16).toByte; out(p + 3) = (v >> 24).toByte
+    }
+    p16(0x00, 0xa5ec); p16(0x02, 0x00c1)
+    p16(0x0a, if (table0Arm) 0x0000 else 0x0200) // fWhichTblStm
+    p16(0x20, 0x000e) // csw
+    p16(0x3e, 0x0016) // cslw
+    p32(0x40, out.length.toLong) // cbMac
+    p32(0x4c, text.length.toLong + (if (ccpLieArm) 7 else 0)) // ccpText
+    p16(0x98, 0x005d) // cbRgFcLcb (nFib 0x00C1)
+    p32(0x1a2, 0L) // the CLX starts the table stream
+    p32(0x1a6, tbBytes.length.toLong) // lcbClx
+    CfbProbe.encodeCfb(Seq(
+      (if (table0Arm) "0Table" else "1Table") -> tbBytes,
+      "WordDocument" -> out))
+  }
+}

@@ -1421,6 +1421,76 @@ object Docs {
       |FROM p LEFT JOIN agg ON agg.k = p.k LEFT JOIN cagg ON cagg.k = p.k
       |ORDER BY media_id""".stripMargin
 
+  /** Word binary (.doc) TEXT extraction under the oracle (see
+    * [[graft.llm.DocText]]) — the CFB probe upgraded to extraction
+    * through the piece table: per-key documents of 1-3 formula
+    * paragraphs split into 1-4 PIECES (the table's raison d'être),
+    * cp1252 on even keys and UTF-16LE (with ` Ω€` spice) on odd,
+    * pieces physically SHUFFLED on every fifth key (reassembly must
+    * follow CPs, not stream order), a Prc property block before the
+    * Pcdt on every seventh, and the 0Table/1Table flag exercised on
+    * every fourth. Refusal arms: truncation (k mod 13 — the
+    * whole-sector container law), a ccpText lie past the piece cover
+    * (k mod 17), a corrupted CLX tag (k mod 19). */
+  def docTextRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.DocText
+    val keys = partKeys(s, d) // full-width spread: the extract map is the cost
+    val decoded = keys.map { k =>
+      val nParas = (1 + k % 3).toInt
+      val paras = (0 until nParas).map { j =>
+        s"doc$k wd p$j w${(k + 5 * j) % 9}" +
+          (if (j == 0 && k % 6 == 0) "\tT" else "") +
+          (if (k % 2 == 1) " Ω€" else "")
+      }
+      val bytes = DocText.encodeDoc(paras,
+        nPieces = (1 + k % 4).toInt,
+        shufflePieces = k % 5 == 0,
+        table0Arm = k % 4 == 0,
+        prcArm = k % 7 == 0,
+        ccpLieArm = k % 17 == 0 && k % 13 != 0,
+        clxTagArm = k % 19 == 0 && k % 13 != 0 && k % 17 != 0)
+      val payload = if (k % 13 == 0) bytes.dropRight(512) else bytes
+      DocText.docText(payload) match {
+        case Some((np, lines)) =>
+          val text = lines.mkString("\n")
+          (k, true, Some(np), Some(lines.length), Some(text.length.toLong),
+            Some(text))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int],
+            None: Option[Long], None: Option[String])
+      }
+    }.toDF("media_id", "doc_ok", "n_pieces", "n_lines", "n_chars", "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The piece-table text replayed: 1 + k mod 3 paragraphs, paragraph
+    * j = `doc{k} wd p{j} w{(k+5j) mod 9}` with the tab arm on (0, 6|k)
+    * and the unicode spice on odd keys; 1 + k mod 4 pieces. */
+  val docTextReadSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(1 + k % 3 AS INTEGER) AS np,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |ln AS (
+      |  SELECT p.k, j.g AS j,
+      |    'doc' || p.k || ' wd p' || j.g || ' w' || ((p.k + 5 * j.g) % 9) ||
+      |      CASE WHEN j.g = 0 AND p.k % 6 = 0 THEN chr(9) || 'T' ELSE '' END ||
+      |      CASE WHEN p.k % 2 = 1 THEN ' Ω€' ELSE '' END AS line
+      |  FROM p, generate_series(0, 2) j(g)
+      |  WHERE j.g < p.np AND p.ok),
+      |agg AS (
+      |  SELECT k, CAST(COUNT(*) AS INTEGER) AS n_lines,
+      |    string_agg(line, chr(10) ORDER BY j) AS text
+      |  FROM ln GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS doc_ok,
+      |  CASE WHEN p.ok THEN CAST(1 + p.k % 4 AS INTEGER) END AS n_pieces,
+      |  CASE WHEN p.ok THEN agg.n_lines END AS n_lines,
+      |  CASE WHEN p.ok THEN CAST(length(agg.text) AS BIGINT) END AS n_chars,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p LEFT JOIN agg ON agg.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pdf_text" -> (pdfText _),
     "q_docx_read" -> (docxRead _),
@@ -1433,6 +1503,7 @@ object Docs {
     "q_pptx_read" -> (pptxRead _),
     "q_xlsx_read" -> (xlsxRead _),
     "q_cfb_probe" -> (cfbProbe _),
+    "q_doc_text" -> (docTextRead _),
     "q_markdown_read" -> (markdownRead _),
     "q_doc_zoo" -> (docZoo _))
 
@@ -1448,6 +1519,7 @@ object Docs {
     "q_pptx_read" -> pptxReadSql,
     "q_xlsx_read" -> xlsxReadSql,
     "q_cfb_probe" -> cfbProbeSql,
+    "q_doc_text" -> docTextReadSql,
     "q_markdown_read" -> markdownReadSql,
     "q_doc_zoo" -> docZooSql)
 }

@@ -1,0 +1,72 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import DocText._
+
+/** Word binary text extraction: piece-table reassembly across cp1252
+  * and UTF-16 pieces (contiguous, shuffled, Prc-prefixed, either
+  * table stream), character laws, and the tamper battery. */
+class DocTextSpec extends AnyFunSuite {
+
+  private val paras = Seq("first paragraph of the doc",
+    "second with a\ttab", "smart “quotes” and café",
+    "line\nbreak inside", "closing words")
+
+  test("round-trip: single and multi-piece, both encodings, both tables") {
+    for {
+      nPieces <- Seq(1, 2, 5)
+      forceUni <- Seq(false, true)
+      table0 <- Seq(false, true)
+    } {
+      val b = encodeDoc(paras, nPieces = nPieces, forceUnicode = forceUni,
+        table0Arm = table0)
+      val r = docText(b).getOrElse(
+        fail(s"refused n=$nPieces uni=$forceUni t0=$table0"))
+      assert(r._1 == nPieces)
+      // \t survives; \n inside a paragraph splits as a line (0x0B law)
+      assert(r._2 == Seq("first paragraph of the doc", "second with a\ttab",
+        "smart “quotes” and café", "line", "break inside", "closing words"),
+        s"n=$nPieces uni=$forceUni t0=$table0")
+    }
+  }
+
+  test("mixed pieces: non-Latin text forces unicode per piece, cp1252 stays") {
+    // Ω lands in whichever piece holds it; that piece rides UTF-16,
+    // the others stay compressed — and a piece boundary mid-word is
+    // invisible to the text
+    val mixed = Seq("ascii only here", "omega Ω inside", "ascii tail")
+    Seq(1, 2, 3, 6).foreach { n =>
+      val r = docText(encodeDoc(mixed, nPieces = n))
+      assert(r.exists(_._2 == mixed), s"n=$n")
+    }
+  }
+
+  test("pieces are FOLLOWED: shuffled stream order reassembles by CP") {
+    val b = encodeDoc(paras, nPieces = 4, shufflePieces = true)
+    assert(docText(b).exists(_._2.head == "first paragraph of the doc"))
+    // and a Prc block before the Pcdt is skipped structurally
+    val c = encodeDoc(paras, nPieces = 3, prcArm = true)
+    assert(docText(c).exists(_._1 == 3))
+  }
+
+  test("refusals: ccp lie, CLX tag lie, field chars, truncation, junk") {
+    assert(docText(encodeDoc(paras, ccpLieArm = true)).isEmpty)
+    assert(docText(encodeDoc(paras, clxTagArm = true)).isEmpty)
+    // a field-begin control char (0x13) in the text refuses — fields
+    // are out of the flat model, extracting around them reorders text
+    assert(docText(encodeDoc(Seq("has a field " + 0x13.toChar + " here"))).isEmpty)
+    // an unpaired high surrogate refuses on the unicode path
+    assert(docText(encodeDoc(Seq("lone \ud83d surrogate"),
+      forceUnicode = true)).isEmpty)
+    // whole-sector truncation refuses through the container law
+    val b = encodeDoc(paras, nPieces = 2)
+    (512 to b.length - 1 by 512).foreach { d =>
+      assert(docText(b.dropRight(d)).isEmpty, s"drop $d passed")
+    }
+    // junk never throws
+    val rnd = new scala.util.Random(1997)
+    (0 until 600).foreach { _ =>
+      docText(Array.fill(rnd.nextInt(2048))(rnd.nextInt(256).toByte))
+    }
+  }
+}
