@@ -1,0 +1,379 @@
+package graft.llm
+
+/** Legacy Excel (.xls, BIFF8) text extraction — the spreadsheet
+  * sibling of [[DocText]] over the [[CfbProbe]] container. The
+  * `Workbook` stream is a sequence of BIFF records (u16 type, u16
+  * length ≤ 8224, payload): a GLOBALS substream (BOF dt=0x0005 …
+  * EOF) holding the BOUNDSHEET directory (each with the absolute
+  * offset of its sheet's BOF) and the shared-string table, followed
+  * by one substream per sheet (BOF dt=0x0010 … EOF) holding cells.
+  *
+  * The SST is the format's famous hard part: its strings may split
+  * across CONTINUE records, and every continuation that lands
+  * MID-STRING re-declares the character width with a fresh flags
+  * byte — a string can switch between compressed (8-bit) and
+  * UTF-16LE MID-STRING at the boundary. The split may only fall on a
+  * character boundary; string headers never split. Laws: cstUnique
+  * must equal the strings actually parsed; a continuation flags byte
+  * may carry ONLY the width bit; LABELSST's isst must be in range.
+  *
+  * Cells: LABELSST (shared string), NUMBER (IEEE 754), RK (the
+  * packed 30-bit form with the x100 and integer flags). Integral
+  * values render as plain integers (no float re-formatting — the
+  * raw-stored-value contract the XLSX reader pins). Duplicate
+  * (row, col) addresses refuse; unknown record types skip (BIFF is
+  * full of machinery records). Rich-text runs and ExtRst blocks of
+  * SST strings are presentation and skipped BY LENGTH; formulas,
+  * BIFF5, and encrypted (FILEPASS) books refuse. */
+object XlsBiff {
+
+  /** Extraction facts: (nSheets, nSstStrings, lines) — one line per
+    * sheet row, present cells tab-joined in (row, col) order, sheets
+    * in BOUNDSHEET order prefixed by their names. */
+  def xlsText(b: Array[Byte], maxBytes: Int = 1 << 26): Option[(Int, Int, Seq[String])] = try {
+    val doc = CfbProbe.probe(b, maxBytes).getOrElse(return None)
+    val wb = doc.streams.find(_._1 == "Workbook").map(_._2).getOrElse(return None)
+    def u16(p: Int): Int = (wb(p) & 0xff) | ((wb(p + 1) & 0xff) << 8)
+    def u32(p: Int): Long = u16(p).toLong | (u16(p + 2).toLong << 16)
+    // ---- record walk of the globals substream ----
+    if (wb.length < 4) return None
+    if (u16(0) != 0x0809 || u16(2) != 16) return None // BOF, BIFF8 length
+    if (u16(4) != 0x0600) return None // version: BIFF8 only
+    if (u16(6) != 0x0005) return None // dt: workbook globals
+    var p = 4 + 16
+    val sheets = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    // SST payload segments: the SST record + its CONTINUEs
+    val sstSegs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var lastWasSst = false
+    var sawEof = false
+    while (!sawEof) {
+      if (p + 4 > wb.length) return None
+      val typ = u16(p)
+      val len = u16(p + 2)
+      if (len > 8224 || p + 4 + len > wb.length) return None
+      typ match {
+        case 0x000a => sawEof = true // EOF ends the globals
+        case 0x0085 => // BOUNDSHEET
+          if (len < 8) return None
+          val lbPlyPos = u32(p + 4)
+          val cch = wb(p + 10) & 0xff
+          val flags = wb(p + 11) & 0xff
+          if ((flags & 0xfe) != 0) return None // only fHighByte
+          val wide = (flags & 1) != 0
+          if (len < 8 + cch * (if (wide) 2 else 1)) return None
+          val name =
+            if (wide) new String(wb, p + 12, cch * 2, "UTF-16LE")
+            else new String((p + 12 until p + 12 + cch).map(i =>
+              (wb(i) & 0xff).toChar).toArray)
+          if (name.isEmpty) return None
+          sheets += ((name, lbPlyPos))
+          lastWasSst = false
+        case 0x00fc => // SST
+          if (sstSegs.nonEmpty) return None // one SST per book
+          sstSegs += ((p + 4, len))
+          lastWasSst = true
+        case 0x003c => // CONTINUE: an SST segment when it follows the
+          // SST; other records' continuations are machinery and skip
+          if (lastWasSst) sstSegs += ((p + 4, len))
+        case 0x002f => return None // FILEPASS: encrypted books refuse
+        case _ => lastWasSst = false // machinery records skip
+      }
+      p += 4 + len
+    }
+    if (sheets.isEmpty) return None
+    // ---- parse the SST across its segments ----
+    val sst: IndexedSeq[String] =
+      if (sstSegs.isEmpty) IndexedSeq.empty
+      else {
+        var seg = 0
+        var off = 0
+        def segLen: Int = sstSegs(seg)._2
+        def segAt(i: Int): Int = wb(sstSegs(seg)._1 + i) & 0xff
+        def remaining: Int = segLen - off
+        def advanceIfDone(): Unit =
+          while (seg < sstSegs.length - 1 && remaining == 0) { seg += 1; off = 0 }
+        def rdU8(): Int = { val v = segAt(off); off += 1; v }
+        def rdU16(): Int = { val v = segAt(off) | (segAt(off + 1) << 8); off += 2; v }
+        def rdU32(): Long = rdU16().toLong | (rdU16().toLong << 16)
+        if (remaining < 8) return None
+        val cstTotal = rdU32()
+        val cstUnique = rdU32()
+        if (cstUnique < 0 || cstUnique > 1000000L || cstTotal < cstUnique)
+          return None
+        val out = IndexedSeq.newBuilder[String]
+        var si = 0L
+        while (si < cstUnique) {
+          advanceIfDone()
+          // a string HEADER never splits across a continuation
+          if (remaining < 3) return None
+          val cch = rdU16()
+          val flags = rdU8()
+          if ((flags & 0xf2) != 0) return None // reserved bits
+          var wide = (flags & 0x01) != 0
+          val rich = (flags & 0x08) != 0
+          val ext = (flags & 0x04) != 0
+          val cRun = if (rich) { if (remaining < 2) return None; rdU16() } else 0
+          val cbExt = if (ext) { if (remaining < 4) return None; rdU32() } else 0L
+          val sb = new StringBuilder(cch)
+          var got = 0
+          while (got < cch) {
+            advanceIfDone()
+            if (remaining == 0) return None // string never completes
+            if (off == 0) {
+              // character data resuming at a fresh CONTINUE: the
+              // format re-declares the width with a flags byte (the
+              // string may switch 8-bit/UTF-16 mid-string here)
+              val f2 = rdU8()
+              if ((f2 & 0xfe) != 0) return None
+              wide = (f2 & 0x01) != 0
+            }
+            val w = if (wide) 2 else 1
+            val canChars = math.min(cch - got, remaining / w)
+            if (canChars == 0) return None // a split inside a character
+            var c = 0
+            while (c < canChars) {
+              val ch =
+                if (wide) (segAt(off) | (segAt(off + 1) << 8)).toChar
+                else segAt(off).toChar // compressed bytes are Latin-1ish
+              sb.append(ch)
+              off += w
+              c += 1
+            }
+            got += canChars
+          }
+          // rich runs (4 bytes each) and the ExtRst skip BY LENGTH,
+          // possibly across continuations
+          var skip = 4L * cRun + cbExt
+          while (skip > 0) {
+            advanceIfDone()
+            if (remaining == 0) return None
+            val take = math.min(skip, remaining.toLong).toInt
+            off += take
+            skip -= take
+          }
+          out += sb.toString
+          si += 1
+        }
+        advanceIfDone()
+        if (remaining != 0 || seg != sstSegs.length - 1) return None // slack
+        out.result()
+      }
+    // ---- sheet substreams ----
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    sheets.foreach { case (name, pos0) =>
+      if (pos0 < 0 || pos0 + 4 > wb.length.toLong) return None
+      var q = pos0.toInt
+      if (u16(q) != 0x0809) return None
+      if (u16(q + 2) != 16 || u16(q + 4) != 0x0600) return None
+      if (u16(q + 6) != 0x0010) return None // dt: worksheet
+      q += 4 + 16
+      val cells = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+      def addCell(rw: Int, col: Int, v: String): Boolean = {
+        if (cells.exists(c => c._1 == rw && c._2 == col)) false
+        else { cells += ((rw, col, v)); true }
+      }
+      def renderNum(d: Double): String =
+        if (d == Math.floor(d) && !d.isInfinite && math.abs(d) < 1e15)
+          d.toLong.toString
+        else d.toString
+      var done = false
+      while (!done) {
+        if (q + 4 > wb.length) return None
+        val typ = u16(q)
+        val len = u16(q + 2)
+        if (len > 8224 || q + 4 + len > wb.length) return None
+        typ match {
+          case 0x000a => done = true
+          case 0x00fd => // LABELSST
+            if (len != 10) return None
+            val rw = u16(q + 4); val col = u16(q + 6)
+            val isst = u32(q + 10)
+            if (isst >= sst.length.toLong) return None // index law
+            if (!addCell(rw, col, sst(isst.toInt))) return None
+          case 0x0203 => // NUMBER: IEEE 754 LE
+            if (len != 14) return None
+            val rw = u16(q + 4); val col = u16(q + 6)
+            var bits = 0L
+            var i = 0
+            while (i < 8) { bits |= (wb(q + 10 + i) & 0xffL) << (8 * i); i += 1 }
+            if (!addCell(rw, col, renderNum(java.lang.Double.longBitsToDouble(bits))))
+              return None
+          case 0x027e => // RK
+            if (len != 10) return None
+            val rw = u16(q + 4); val col = u16(q + 6)
+            val rk = u32(q + 10)
+            val x100 = (rk & 1L) != 0
+            val isInt = (rk & 2L) != 0
+            val v0: Double =
+              if (isInt) (rk.toInt >> 2).toDouble // sign-extends the 30 bits
+              else java.lang.Double.longBitsToDouble((rk & 0xfffffffcL) << 32)
+            val v = if (x100) v0 / 100.0 else v0
+            if (!addCell(rw, col, renderNum(v))) return None
+          case 0x0006 => return None // FORMULA: out of the value model
+          case _ => () // DIMENSIONS, ROW, WINDOW2, …: machinery
+        }
+        q += 4 + len
+      }
+      if (cells.isEmpty) return None
+      val byRow = cells.sortBy(c => (c._1, c._2)).groupBy(_._1)
+      byRow.keys.toSeq.sorted.foreach { rw =>
+        lines += name + "!" + rw + ":" +
+          byRow(rw).sortBy(_._2).map(_._3).mkString("\t")
+      }
+    }
+    Some((sheets.length, sst.length, lines.toSeq))
+  } catch {
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NegativeArraySizeException => None
+  }
+
+  // ---- conformance writer -------------------------------------------------
+
+  /** Deterministic BIFF8 workbook inside a CFB container. `sheets` =
+    * (name, rows of (row, col, cell)); string cells dedup through a
+    * REAL SST, numeric strings ride RK (30-bit ints) or NUMBER
+    * (everything else). `splitSst` forces the SST to split across a
+    * CONTINUE — `splitMidString` places the split MID-STRING with a
+    * width re-spec (the grbit law), and `switchWidth` makes the
+    * continuation flip compressed→wide. Tamper arms: `isstLieArm`
+    * points the first LABELSST one past the table; `cstLieArm`
+    * inflates cstUnique. */
+  def encodeXls(sheets: Seq[(String, Seq[(Int, Int, String)])],
+                splitSst: Boolean = false,
+                splitMidString: Boolean = false,
+                isstLieArm: Boolean = false,
+                cstLieArm: Boolean = false): Array[Byte] = {
+    require(sheets.nonEmpty)
+    def isIntStr(s: String): Boolean = {
+      val digits = if (s.startsWith("-")) s.drop(1) else s
+      digits.nonEmpty && digits.length <= 15 && digits.forall(_.isDigit) &&
+        (digits == "0" || digits.head != '0') // leading zeros are text
+    }
+    // shared strings in first-use order
+    val sstOrder = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    sheets.foreach { case (_, cells) =>
+      cells.foreach { case (_, _, v) =>
+        if (!isIntStr(v)) sstOrder.getOrElseUpdate(v, sstOrder.size)
+      }
+    }
+    val strings = sstOrder.keys.toIndexedSeq
+    val o = new java.io.ByteArrayOutputStream
+    def w8(v: Int): Unit = o.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+    def rec(typ: Int)(body: => Array[Byte]): Unit = {
+      val payload = body
+      w16(typ); w16(payload.length); o.write(payload)
+    }
+    def bof(dt: Int): Unit = rec(0x0809) {
+      val b = new java.io.ByteArrayOutputStream
+      def x16(v: Int): Unit = { b.write(v & 0xff); b.write((v >> 8) & 0xff) }
+      x16(0x0600); x16(dt); x16(0x1234); x16(0x07cc)
+      x16(0); x16(0); x16(0); x16(0)
+      b.toByteArray
+    }
+    // ---- globals ----
+    bof(0x0005)
+    val boundsheetPatch = scala.collection.mutable.ArrayBuffer.empty[Int]
+    sheets.foreach { case (name, _) =>
+      rec(0x0085) {
+        val b = new java.io.ByteArrayOutputStream
+        boundsheetPatch += o.size() + 4 // lbPlyPos position in the stream
+        b.write(Array[Byte](0, 0, 0, 0)) // lbPlyPos backpatched
+        b.write(0); b.write(0) // visible, worksheet type
+        val wide = name.exists(_ > 0xff)
+        b.write(name.length); b.write(if (wide) 1 else 0)
+        if (wide) name.foreach { c => b.write(c & 0xff); b.write((c >> 8) & 0xff) }
+        else name.foreach(c => b.write(c & 0xff))
+        b.toByteArray
+      }
+    }
+    if (strings.nonEmpty) {
+      // build the SST payload as (bytes, forcedSplitPoints)
+      val body = new java.io.ByteArrayOutputStream
+      def b16(v: Int): Unit = { body.write(v & 0xff); body.write((v >> 8) & 0xff) }
+      def b32(v: Long): Unit = { b16((v & 0xffff).toInt); b16(((v >> 16) & 0xffff).toInt) }
+      var splitAt = -1 // byte offset inside the payload where we cut
+      var midFlagsWide = false
+      b32(strings.length.toLong + (if (cstLieArm) 0 else 0))
+      b32(strings.length.toLong + (if (cstLieArm) 3 else 0))
+      strings.zipWithIndex.foreach { case (sv, i) =>
+        val wide = sv.exists(_ > 0xff)
+        if (splitSst && i == strings.length / 2 && splitAt < 0 && !splitMidString)
+          splitAt = body.size() // split BETWEEN strings
+        b16(sv.length)
+        body.write(if (wide) 1 else 0)
+        if (splitMidString && i == strings.length / 2 && splitAt < 0 && sv.length >= 2) {
+          // first half in the SST record at the CURRENT width, the
+          // rest after the boundary at a RE-SPECIFIED width
+          val half = sv.length / 2
+          if (wide) sv.take(half).foreach { c => body.write(c & 0xff); body.write((c >> 8) & 0xff) }
+          else sv.take(half).foreach(c => body.write(c & 0xff))
+          splitAt = body.size()
+          // the continuation re-declares: wide if ANY remaining char
+          // needs it (or caller forces the switch via content)
+          midFlagsWide = sv.drop(half).exists(_ > 0xff)
+          body.write(if (midFlagsWide) 1 else 0)
+          if (midFlagsWide) sv.drop(half).foreach { c => body.write(c & 0xff); body.write((c >> 8) & 0xff) }
+          else sv.drop(half).foreach(c => body.write(c & 0xff))
+        } else {
+          if (wide) sv.foreach { c => body.write(c & 0xff); body.write((c >> 8) & 0xff) }
+          else sv.foreach(c => body.write(c & 0xff))
+        }
+      }
+      val payload = body.toByteArray
+      if (splitAt < 0) {
+        rec(0x00fc)(payload)
+      } else {
+        rec(0x00fc)(java.util.Arrays.copyOfRange(payload, 0, splitAt))
+        rec(0x003c)(java.util.Arrays.copyOfRange(payload, splitAt, payload.length))
+      }
+    }
+    rec(0x000a)(Array.emptyByteArray)
+    // ---- sheets ----
+    val sheetOffsets = new Array[Long](sheets.length)
+    sheets.zipWithIndex.foreach { case ((_, cells), si) =>
+      sheetOffsets(si) = o.size().toLong
+      bof(0x0010)
+      var isstLied = !isstLieArm
+      cells.foreach { case (rw, col, v) =>
+        if (isIntStr(v)) {
+          val n = v.toLong
+          if (n >= -(1L << 29) && n < (1L << 29)) rec(0x027e) {
+            val b = new java.io.ByteArrayOutputStream
+            def x16(x: Int): Unit = { b.write(x & 0xff); b.write((x >> 8) & 0xff) }
+            x16(rw); x16(col); x16(0)
+            val rk = ((n << 2) | 2L) & 0xffffffffL
+            x16((rk & 0xffff).toInt); x16(((rk >> 16) & 0xffff).toInt)
+            b.toByteArray
+          } else rec(0x0203) {
+            val b = new java.io.ByteArrayOutputStream
+            def x16(x: Int): Unit = { b.write(x & 0xff); b.write((x >> 8) & 0xff) }
+            x16(rw); x16(col); x16(0)
+            val bits = java.lang.Double.doubleToLongBits(n.toDouble)
+            (0 until 8).foreach(i => b.write(((bits >> (8 * i)) & 0xff).toInt))
+            b.toByteArray
+          }
+        } else rec(0x00fd) {
+          val b = new java.io.ByteArrayOutputStream
+          def x16(x: Int): Unit = { b.write(x & 0xff); b.write((x >> 8) & 0xff) }
+          x16(rw); x16(col); x16(0)
+          var isst = sstOrder(v).toLong
+          if (!isstLied) { isst = strings.length.toLong; isstLied = true }
+          x16((isst & 0xffff).toInt); x16(((isst >> 16) & 0xffff).toInt)
+          b.toByteArray
+        }
+      }
+      rec(0x000a)(Array.emptyByteArray)
+    }
+    val wb = o.toByteArray
+    // backpatch the BOUNDSHEET lbPlyPos fields
+    sheets.indices.foreach { si =>
+      val at = boundsheetPatch(si)
+      val v = sheetOffsets(si)
+      wb(at) = v.toByte; wb(at + 1) = (v >> 8).toByte
+      wb(at + 2) = (v >> 16).toByte; wb(at + 3) = (v >> 24).toByte
+    }
+    CfbProbe.encodeCfb(Seq("Workbook" -> wb))
+  }
+}

@@ -1491,6 +1491,81 @@ object Docs {
       |FROM p LEFT JOIN agg ON agg.k = p.k
       |ORDER BY media_id""".stripMargin
 
+  /** Legacy .xls (BIFF8) extraction under the oracle (see
+    * [[graft.llm.XlsBiff]]): per-key workbooks of 1-2 sheets whose
+    * rows mix SST label cells (deduplicated, with a ` Ω` wide-string
+    * spice on odd keys), RK packed integers, and a low-cardinality
+    * shared column; every third key splits the SST across a CONTINUE
+    * record and every ninth places the split MID-STRING (the width
+    * re-spec law — the string may switch 8-bit/UTF-16 at the
+    * boundary). Refusal arms: truncation (k mod 13 — the container's
+    * whole-sector law), a LABELSST isst one past the table (k mod
+    * 17), a cstUnique lie (k mod 19). */
+  def xlsRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.XlsBiff
+    val keys = partKeys(s, d) // full-width spread: the extract map is the cost
+    val decoded = keys.map { k =>
+      val nSheets = (1 + k % 2).toInt
+      val sheets = (0 until nSheets).map { sh =>
+        val nRows = (1 + (k + sh) % 2).toInt
+        (s"Ls$sh", (0 until nRows).flatMap { r =>
+          Seq((r, 0, s"xl$k s$sh r$r legacy" + (if (k % 2 == 1) " Ω" else "")),
+            (r, 1, s"${(k * 11 + 7 * sh + 3 * r) % 100000}"),
+            (r, 2, s"sh${(k + r) % 4}"))
+        })
+      }
+      val bytes = XlsBiff.encodeXls(sheets,
+        splitSst = k % 3 == 0 || k % 9 == 0,
+        splitMidString = k % 9 == 0,
+        isstLieArm = k % 17 == 0 && k % 13 != 0,
+        cstLieArm = k % 19 == 0 && k % 13 != 0 && k % 17 != 0)
+      val payload = if (k % 13 == 0) bytes.dropRight(512) else bytes
+      XlsBiff.xlsText(payload) match {
+        case Some((ns, nsst, lines)) =>
+          val text = lines.mkString("\n")
+          (k, true, Some(ns), Some(nsst), Some(lines.length),
+            Some(text.length.toLong), Some(text))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Long], None: Option[String])
+      }
+    }.toDF("media_id", "xls_ok", "n_sheets", "n_sst", "n_rows", "n_chars",
+      "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The workbook replayed: S = 1 + k mod 2 sheets, sheet s has
+    * 1 + (k+s) mod 2 rows, row line = `Ls{s}!{r}:` + the three cell
+    * formulas tab-joined; the SST census is 2 (even keys: one label +
+    * one shared) or 5 (odd: three labels + two shared). */
+  val xlsReadSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(1 + k % 2 AS INTEGER) AS ns,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |ln AS (
+      |  SELECT p.k, s.g AS s, r.g AS r,
+      |    'Ls' || s.g || '!' || r.g || ':xl' || p.k || ' s' || s.g ||
+      |      ' r' || r.g || ' legacy' ||
+      |      CASE WHEN p.k % 2 = 1 THEN ' Ω' ELSE '' END || chr(9) ||
+      |      ((p.k * 11 + 7 * s.g + 3 * r.g) % 100000) || chr(9) ||
+      |      'sh' || ((p.k + r.g) % 4) AS line
+      |  FROM p, generate_series(0, 1) s(g), generate_series(0, 1) r(g)
+      |  WHERE s.g < p.ns AND r.g < 1 + (p.k + s.g) % 2 AND p.ok),
+      |agg AS (
+      |  SELECT k, CAST(COUNT(*) AS INTEGER) AS n_rows,
+      |    string_agg(line, chr(10) ORDER BY s, r) AS text
+      |  FROM ln GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS xls_ok,
+      |  CASE WHEN p.ok THEN p.ns END AS n_sheets,
+      |  CASE WHEN p.ok THEN CASE WHEN p.k % 2 = 0 THEN 2 ELSE 5 END END AS n_sst,
+      |  CASE WHEN p.ok THEN agg.n_rows END AS n_rows,
+      |  CASE WHEN p.ok THEN CAST(length(agg.text) AS BIGINT) END AS n_chars,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p LEFT JOIN agg ON agg.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pdf_text" -> (pdfText _),
     "q_docx_read" -> (docxRead _),
@@ -1504,6 +1579,7 @@ object Docs {
     "q_xlsx_read" -> (xlsxRead _),
     "q_cfb_probe" -> (cfbProbe _),
     "q_doc_text" -> (docTextRead _),
+    "q_xls_read" -> (xlsRead _),
     "q_markdown_read" -> (markdownRead _),
     "q_doc_zoo" -> (docZoo _))
 
@@ -1520,6 +1596,7 @@ object Docs {
     "q_xlsx_read" -> xlsxReadSql,
     "q_cfb_probe" -> cfbProbeSql,
     "q_doc_text" -> docTextReadSql,
+    "q_xls_read" -> xlsReadSql,
     "q_markdown_read" -> markdownReadSql,
     "q_doc_zoo" -> docZooSql)
 }

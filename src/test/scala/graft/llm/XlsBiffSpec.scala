@@ -1,0 +1,58 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import XlsBiff._
+
+/** BIFF8 extraction: the record walk, SST (including CONTINUE splits
+  * with the mid-string width re-spec law), LABELSST/RK/NUMBER cells,
+  * BOUNDSHEET offsets, and the tamper battery. */
+class XlsBiffSpec extends AnyFunSuite {
+
+  private val sheets = Seq(
+    ("Alpha", Seq((0, 0, "hello legacy"), (0, 1, "42"), (0, 2, "world text"),
+      (2, 0, "9999999999"), (2, 1, "hello legacy"))),
+    ("Beta", Seq((1, 0, "-17"), (1, 1, "second sheet string"))))
+  private val want = Seq(
+    "Alpha!0:hello legacy\t42\tworld text",
+    "Alpha!2:9999999999\thello legacy",
+    "Beta!1:-17\tsecond sheet string")
+
+  test("round-trip: shared strings dedup, RK ints, NUMBER overflow path") {
+    val r = xlsText(encodeXls(sheets))
+    assert(r.exists(_._3 == want))
+    assert(r.exists(_._1 == 2))
+    assert(r.exists(_._2 == 3)) // hello/world/second deduped
+  }
+
+  test("SST CONTINUE splits: between strings, mid-string, width switch") {
+    assert(xlsText(encodeXls(sheets, splitSst = true)).exists(_._3 == want))
+    assert(xlsText(encodeXls(sheets, splitSst = true, splitMidString = true))
+      .exists(_._3 == want))
+    // a mid-string split where the tail needs UTF-16 while the head
+    // was compressed: the re-spec byte must carry the switch
+    val uni = Seq(("S", Seq((0, 0, "asciihead Ωtail Ω"), (0, 1, "x"))))
+    val r = xlsText(encodeXls(uni, splitSst = true, splitMidString = true))
+    assert(r.exists(_._3 == Seq("S!0:asciihead Ωtail Ω\tx")))
+    // and a fully-wide string through a split
+    val wide = Seq(("S", Seq((0, 0, "ΩΩΩΩΩΩ"), (0, 1, "y"))))
+    assert(xlsText(encodeXls(wide, splitSst = true, splitMidString = true))
+      .exists(_._3 == Seq("S!0:ΩΩΩΩΩΩ\ty")))
+  }
+
+  test("refusals: isst range, cst lie, duplicate cells, truncation, junk") {
+    assert(xlsText(encodeXls(sheets, isstLieArm = true)).isEmpty)
+    assert(xlsText(encodeXls(sheets, cstLieArm = true)).isEmpty)
+    // duplicate (row, col) refuses
+    assert(xlsText(encodeXls(Seq(("S", Seq((0, 0, "a"), (0, 0, "b")))))).isEmpty)
+    // a .doc is not a .xls (no Workbook stream)
+    assert(xlsText(DocText.encodeDoc(Seq("x"))).isEmpty)
+    val b = encodeXls(sheets, splitSst = true)
+    (512 to b.length - 1 by 512).foreach { d =>
+      assert(xlsText(b.dropRight(d)).isEmpty, s"drop $d passed")
+    }
+    val rnd = new scala.util.Random(2101)
+    (0 until 600).foreach { _ =>
+      xlsText(Array.fill(rnd.nextInt(2048))(rnd.nextInt(256).toByte))
+    }
+  }
+}
