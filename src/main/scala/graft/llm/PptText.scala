@@ -1,0 +1,260 @@
+package graft.llm
+
+/** PowerPoint binary (.ppt) TEXT extraction over the [[CfbProbe]]
+  * container — the third leg of the legacy Office trio (.doc piece
+  * tables, .xls BIFF8, now .ppt), per MS-PPT (public spec). The
+  * `PowerPoint Document` stream is a tree of length-framed records:
+  * an 8-byte header (recVerAndInstance u16 — low nibble recVer, high
+  * 12 bits recInstance — recType u16, recLen u32); recVer 0xF marks a
+  * container whose children must EXACTLY fill recLen (the framing
+  * law), anything else an atom.
+  *
+  * Text lives under the DocumentContainer (0x03E8)'s
+  * SlideListWithTextContainer (0x0FF0): recInstance picks the list —
+  * 0 slides, 1 masters, 2 notes; only instance 0 is document body
+  * text (master/notes lists are walked for framing truth and
+  * excluded, the way a reader must not leak boilerplate into a
+  * corpus). Inside, a SlidePersistAtom (0x03F3, len 20, slideId ≥
+  * 0x100 by spec) opens each slide and its cTexts field must equal
+  * the number of TextHeaderAtoms (0x0F9F, len 4) that follow before
+  * the next slide — the census law. Each header is followed by at
+  * most ONE text atom: TextCharsAtom (0x0FA8, UTF-16LE) or
+  * TextBytesAtom (0x0FA0, low-byte-of-UTF-16 i.e. Latin-1). A text
+  * atom with no pending header, or a second atom under one header,
+  * refuses.
+  *
+  * Character laws (refuse, never garble): 0x0D (paragraph) and 0x0B
+  * (soft line break) map to newline, 0x09 stays a tab; other C0
+  * controls, DEL and the C1 range (bytes 0x7F-0x9F carry no text in
+  * either atom) refuse; UTF-16 surrogates must pair inside their
+  * atom. */
+object PptText {
+
+  private final case class Rec(ver: Int, inst: Int, typ: Int,
+                               start: Int, len: Int)
+
+  private val RT_Document = 0x03e8
+  private val RT_SlideListWithText = 0x0ff0
+  private val RT_SlidePersistAtom = 0x03f3
+  private val RT_TextHeaderAtom = 0x0f9f
+  private val RT_TextCharsAtom = 0x0fa8
+  private val RT_TextBytesAtom = 0x0fa0
+
+  /** Extraction facts: (nSlides, nTexts, lines) where line i is
+    * `S{slide}.{text}:` + the decoded text (paragraph/line breaks as
+    * newline). */
+  def pptText(b: Array[Byte], maxBytes: Int = 1 << 26): Option[(Int, Int, Seq[String])] = try {
+    val doc = CfbProbe.probe(b, maxBytes).getOrElse(return None)
+    val pd = doc.streams.find(_._1 == "PowerPoint Document").map(_._2)
+      .getOrElse(return None)
+    def u16(p: Int): Int = (pd(p) & 0xff) | ((pd(p + 1) & 0xff) << 8)
+    def u32(p: Int): Long = u16(p).toLong | (u16(p + 2).toLong << 16)
+    var nRecs = 0
+    // one level of length-framed children; the exact-fill law
+    def children(from: Int, to: Int): Option[Vector[Rec]] = {
+      val out = Vector.newBuilder[Rec]
+      var p = from
+      while (p < to) {
+        if (p + 8 > to) return None
+        nRecs += 1
+        if (nRecs > 100000) return None
+        val vi = u16(p)
+        val len = u32(p + 4)
+        if (len > (to - p - 8).toLong) return None
+        out += Rec(vi & 0xf, vi >>> 4, u16(p + 2), p + 8, len.toInt)
+        p += 8 + len.toInt
+      }
+      if (p != to) return None
+      Some(out.result())
+    }
+    val top = children(0, pd.length).getOrElse(return None)
+    val docs = top.filter(r => r.typ == RT_Document && r.ver == 0xf)
+    if (docs.length != 1) return None
+    val dc = docs.head
+    val inDoc = children(dc.start, dc.start + dc.len).getOrElse(return None)
+    val slwts = inDoc.filter(r => r.typ == RT_SlideListWithText)
+    if (slwts.exists(_.ver != 0xf)) return None
+    if (slwts.map(_.inst).distinct.length != slwts.length) return None
+    // framing truth for master/notes lists too (walked, not extracted)
+    slwts.filter(_.inst != 0).foreach { r =>
+      if (children(r.start, r.start + r.len).isEmpty) return None
+    }
+    val body = slwts.find(_.inst == 0).getOrElse(return None)
+    val recs = children(body.start, body.start + body.len).getOrElse(return None)
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    var nSlides = 0
+    var nTexts = 0
+    var slideTexts = 0   // headers seen for the current slide
+    var slideCTexts = -1 // the census the current persist atom declared
+    var pendingHeader = false
+    var textIdx = 0
+    def closeSlide(): Boolean = slideCTexts < 0 || slideTexts == slideCTexts
+    recs.foreach { r =>
+      r.typ match {
+        case RT_SlidePersistAtom =>
+          if (r.ver != 0 || r.len != 20) return None
+          if (!closeSlide()) return None // the census law
+          val cTexts = u32(r.start + 8)
+          val slideId = u32(r.start + 12)
+          if (slideId < 0x100L) return None // SlideId law
+          if (cTexts > 0xffffL) return None
+          slideCTexts = cTexts.toInt
+          slideTexts = 0
+          nSlides += 1
+          pendingHeader = false
+          textIdx = 0
+        case RT_TextHeaderAtom =>
+          if (r.ver != 0 || r.len != 4) return None
+          if (slideCTexts < 0) return None // a header before any slide
+          pendingHeader = true
+          slideTexts += 1
+        case RT_TextCharsAtom =>
+          if (!pendingHeader) return None
+          if (r.len % 2 != 0) return None
+          val sb = new StringBuilder(r.len / 2)
+          var j = 0
+          while (j < r.len / 2) {
+            val u = u16(r.start + 2 * j)
+            if (u >= 0xd800 && u <= 0xdbff) {
+              if (j + 1 >= r.len / 2) return None
+              val lo = u16(r.start + 2 * (j + 1))
+              if (lo < 0xdc00 || lo > 0xdfff) return None
+              sb.append(u.toChar).append(lo.toChar)
+              j += 2
+            } else if (u >= 0xdc00 && u <= 0xdfff) return None
+            else { if (!emit(u, sb)) return None; j += 1 }
+          }
+          lines += s"S${nSlides - 1}.$textIdx:" + sb.toString
+          nTexts += 1; textIdx += 1; pendingHeader = false
+        case RT_TextBytesAtom =>
+          if (!pendingHeader) return None
+          val sb = new StringBuilder(r.len)
+          var j = 0
+          while (j < r.len) {
+            if (!emit(pd(r.start + j) & 0xff, sb)) return None
+            j += 1
+          }
+          lines += s"S${nSlides - 1}.$textIdx:" + sb.toString
+          nTexts += 1; textIdx += 1; pendingHeader = false
+        case _ =>
+          // other atoms/containers are length-framed; walk containers
+          if (r.ver == 0xf &&
+            children(r.start, r.start + r.len).isEmpty) return None
+      }
+    }
+    if (!closeSlide()) return None
+    if (nSlides == 0 || nTexts == 0) return None
+    Some((nSlides, nTexts, lines.toSeq))
+  } catch {
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NegativeArraySizeException => None
+  }
+
+  /** One UTF-16 code unit under the flat-text contract. */
+  private def emit(code: Int, sb: StringBuilder): Boolean = {
+    if (code == 0x0d || code == 0x0b) { sb.append('\n'); true }
+    else if (code == 0x09) { sb.append('\t'); true }
+    else if (code < 0x20 || (code >= 0x7f && code <= 0x9f)) false
+    else { sb.append(code.toChar); true }
+  }
+
+  /** A text fits TextBytesAtom iff every char is Latin-1 and not in
+    * the no-text window (after break-mark mapping). */
+  private def fitsBytes(s: String): Boolean =
+    s.forall(c => c == '\r' || c == '\t' || c == 0x0b.toChar ||
+      (c >= 0x20 && c <= 0xff && !(c >= 0x7f && c <= 0x9f)))
+
+  // ---- conformance writer -------------------------------------------------
+
+  private def rec(ver: Int, inst: Int, typ: Int, payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](8 + payload.length)
+    val vi = (ver & 0xf) | (inst << 4)
+    out(0) = vi.toByte; out(1) = (vi >> 8).toByte
+    out(2) = typ.toByte; out(3) = (typ >> 8).toByte
+    val len = payload.length
+    out(4) = len.toByte; out(5) = (len >> 8).toByte
+    out(6) = (len >> 16).toByte; out(7) = (len >> 24).toByte
+    System.arraycopy(payload, 0, out, 8, payload.length)
+    out
+  }
+
+  private def cat(parts: Array[Byte]*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    parts.foreach(out.write)
+    out.toByteArray
+  }
+
+  private def textAtoms(texts: Seq[String]): Array[Byte] =
+    cat(texts.zipWithIndex.map { case (t, j) =>
+      val hdr = new Array[Byte](4)
+      hdr(0) = (if (j == 0) 0 else 1).toByte // textType: title / body
+      val atom =
+        if (fitsBytes(t)) rec(0, 0, RT_TextBytesAtom,
+          t.map(c => (c & 0xff).toByte).toArray)
+        else rec(0, 0, RT_TextCharsAtom,
+          t.flatMap(c => Seq((c & 0xff).toByte, ((c >> 8) & 0xff).toByte)).toArray)
+      cat(rec(0, 0, RT_TextHeaderAtom, hdr), atom)
+    }: _*)
+
+  /** Deterministic .ppt: `slides(i)` is slide i's texts (paragraph
+    * marks as '\r', soft breaks as 0x0B — both decode to newline).
+    * `masterArm` prepends a master list (instance 1) whose text must
+    * NOT leak into the extraction. Tamper arms: `cTextsLieArm`
+    * inflates slide 0's census; `headerlessArm` appends a text atom
+    * with no pending header. */
+  def encodePpt(slides: Seq[Seq[String]],
+                masterArm: Boolean = false,
+                cTextsLieArm: Boolean = false,
+                headerlessArm: Boolean = false): Array[Byte] = {
+    require(slides.nonEmpty && slides.forall(_.nonEmpty))
+    def persist(i: Int, cTexts: Int): Array[Byte] = {
+      val p = new Array[Byte](20)
+      def w32(o: Int, v: Long): Unit = {
+        p(o) = v.toByte; p(o + 1) = (v >> 8).toByte
+        p(o + 2) = (v >> 16).toByte; p(o + 3) = (v >> 24).toByte
+      }
+      w32(0, (i + 1).toLong) // persistIdRef
+      w32(4, 0L)             // flags
+      w32(8, cTexts.toLong)
+      w32(12, 0x100L + i)    // slideId (≥ 0x100 by law)
+      rec(0, 0, RT_SlidePersistAtom, p)
+    }
+    val slideList = cat(slides.zipWithIndex.map { case (texts, i) =>
+      val lie = if (cTextsLieArm && i == 0) 7 else 0
+      val extra = if (headerlessArm && i == 0)
+        rec(0, 0, RT_TextBytesAtom, "stray".getBytes("ISO-8859-1"))
+      else Array.emptyByteArray
+      cat(persist(i, texts.length + lie), textAtoms(texts), extra)
+    }: _*)
+    val masterList =
+      if (!masterArm) Array.emptyByteArray
+      else rec(0xf, 1, RT_SlideListWithText,
+        cat(persist(90, 1), textAtoms(Seq("master boilerplate — not body"))))
+    val docAtom = {
+      val p = new Array[Byte](40)
+      def w32(o: Int, v: Long): Unit = {
+        p(o) = v.toByte; p(o + 1) = (v >> 8).toByte
+        p(o + 2) = (v >> 16).toByte; p(o + 3) = (v >> 24).toByte
+      }
+      w32(0, 5760L); w32(4, 4320L)   // slideSize (EMU-ish units)
+      w32(8, 4320L); w32(12, 5760L)  // notesSize
+      w32(16, 1L); w32(20, 2L)       // serverZoom 1/2
+      w32(24, 0L); w32(28, 0L)       // master persists
+      p(32) = 1                      // firstSlideNumber
+      rec(1, 1, 0x03e9, p)
+    }
+    val docContainer = rec(0xf, 0, RT_Document,
+      cat(docAtom, masterList,
+        rec(0xf, 0, RT_SlideListWithText, slideList)))
+    val currentUser = {
+      // a token Current User stream (readers of the honest subset
+      // locate the document at offset 0; the stream is presence-only)
+      val p = new Array[Byte](24)
+      p(0) = 20 // size field
+      rec(0, 0, 0x0ff6, p)
+    }
+    CfbProbe.encodeCfb(Seq(
+      "Current User" -> currentUser,
+      "PowerPoint Document" -> docContainer))
+  }
+}

@@ -1566,6 +1566,82 @@ object Docs {
       |FROM p LEFT JOIN agg ON agg.k = p.k
       |ORDER BY media_id""".stripMargin
 
+  /** Legacy .ppt (PowerPoint binary) extraction under the oracle (see
+    * [[graft.llm.PptText]]): per-key decks of 1-2 slides, each with a
+    * title plus 0-2 body texts (TextBytesAtom when Latin-1 fits,
+    * TextCharsAtom when the odd-key ` Ω€` spice forces UTF-16), a
+    * two-paragraph body (\r inside the atom) on every sixth key, and
+    * a MASTER list (instance 1) on every fourth whose boilerplate
+    * must NOT leak into the extraction. Refusal arms: truncation
+    * (k mod 13 — the container's whole-sector law), a cTexts census
+    * lie (k mod 17), a headerless text atom (k mod 19). */
+  def pptTextRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.PptText
+    val keys = partKeys(s, d) // full-width spread: the extract map is the cost
+    val decoded = keys.map { k =>
+      val nSlides = (1 + k % 2).toInt
+      val slides = (0 until nSlides).map { sh =>
+        val nTexts = (1 + (k + sh) % 3).toInt
+        (0 until nTexts).map { j =>
+          if (j == 0) s"ppt$k s$sh title w${(k + 3 * sh) % 7}"
+          else s"ppt$k s$sh b$j w${(k + 5 * j + sh) % 9}" +
+            (if (k % 2 == 1) " Ω€" else "") +
+            (if (j == 1 && k % 6 == 0) s"\rcont ${k % 5}" else "")
+        }
+      }
+      val bytes = PptText.encodePpt(slides,
+        masterArm = k % 4 == 0,
+        cTextsLieArm = k % 17 == 0 && k % 13 != 0,
+        headerlessArm = k % 19 == 0 && k % 13 != 0 && k % 17 != 0)
+      val payload = if (k % 13 == 0) bytes.dropRight(512) else bytes
+      PptText.pptText(payload) match {
+        case Some((ns, nt, lines)) =>
+          val text = lines.mkString("\n")
+          (k, true, Some(ns), Some(nt), Some(text.length.toLong), Some(text))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int],
+            None: Option[Long], None: Option[String])
+      }
+    }.toDF("media_id", "ppt_ok", "n_slides", "n_texts", "n_chars", "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The deck replayed: S = 1 + k mod 2 slides, slide s carries
+    * 1 + (k+s) mod 3 texts; line = `S{s}.{j}:` + the text formula
+    * (title on j = 0, body with the odd-key spice and the sixth-key
+    * second paragraph otherwise). */
+  val pptTextReadSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(1 + k % 2 AS INTEGER) AS ns,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |tx AS (
+      |  SELECT p.k, s.g AS s, j.g AS j,
+      |    'S' || s.g || '.' || j.g || ':' ||
+      |    CASE WHEN j.g = 0
+      |      THEN 'ppt' || p.k || ' s' || s.g || ' title w' ||
+      |        ((p.k + 3 * s.g) % 7)
+      |      ELSE 'ppt' || p.k || ' s' || s.g || ' b' || j.g || ' w' ||
+      |        ((p.k + 5 * j.g + s.g) % 9) ||
+      |        CASE WHEN p.k % 2 = 1 THEN ' Ω€' ELSE '' END ||
+      |        CASE WHEN j.g = 1 AND p.k % 6 = 0
+      |          THEN chr(10) || 'cont ' || (p.k % 5) ELSE '' END
+      |    END AS line
+      |  FROM p, generate_series(0, 1) s(g), generate_series(0, 2) j(g)
+      |  WHERE s.g < p.ns AND j.g < 1 + (p.k + s.g) % 3 AND p.ok),
+      |agg AS (
+      |  SELECT k, CAST(COUNT(*) AS INTEGER) AS n_texts,
+      |    string_agg(line, chr(10) ORDER BY s, j) AS text
+      |  FROM tx GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS ppt_ok,
+      |  CASE WHEN p.ok THEN p.ns END AS n_slides,
+      |  CASE WHEN p.ok THEN agg.n_texts END AS n_texts,
+      |  CASE WHEN p.ok THEN CAST(length(agg.text) AS BIGINT) END AS n_chars,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p LEFT JOIN agg ON agg.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pdf_text" -> (pdfText _),
     "q_docx_read" -> (docxRead _),
@@ -1580,6 +1656,7 @@ object Docs {
     "q_cfb_probe" -> (cfbProbe _),
     "q_doc_text" -> (docTextRead _),
     "q_xls_read" -> (xlsRead _),
+    "q_ppt_text" -> (pptTextRead _),
     "q_markdown_read" -> (markdownRead _),
     "q_doc_zoo" -> (docZoo _))
 
@@ -1597,6 +1674,7 @@ object Docs {
     "q_cfb_probe" -> cfbProbeSql,
     "q_doc_text" -> docTextReadSql,
     "q_xls_read" -> xlsReadSql,
+    "q_ppt_text" -> pptTextReadSql,
     "q_markdown_read" -> markdownReadSql,
     "q_doc_zoo" -> docZooSql)
 }

@@ -1,0 +1,79 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import PptText._
+
+/** PowerPoint binary text extraction: the record-framing walk, both
+  * text atom encodings, list-instance routing (masters excluded),
+  * the cTexts census law, and the tamper battery. */
+class PptTextSpec extends AnyFunSuite {
+
+  private val deck = Seq(
+    Seq("Title slide", "first body line", "agenda point"),
+    Seq("Second slide", "body with a\ttab"))
+
+  test("round-trip: slides, texts, line labels, break marks") {
+    val r = pptText(encodePpt(deck)).getOrElse(fail("refused"))
+    assert(r._1 == 2 && r._2 == 5)
+    assert(r._3 == Seq(
+      "S0.0:Title slide", "S0.1:first body line", "S0.2:agenda point",
+      "S1.0:Second slide", "S1.1:body with a\ttab"))
+  }
+
+  test("paragraph and soft-break marks both decode to newline") {
+    val b = encodePpt(Seq(Seq("two\rparas", "soft" + 0x0b.toChar + "break")))
+    val r = pptText(b).getOrElse(fail("refused"))
+    assert(r._3 == Seq("S0.0:two\nparas", "S0.1:soft\nbreak"))
+  }
+
+  test("non-Latin text rides TextCharsAtom; Latin-1 stays on bytes") {
+    val b = encodePpt(Seq(Seq("café Latin-1 stays", "omega Ω wide €")))
+    val r = pptText(b).getOrElse(fail("refused"))
+    assert(r._3(0).endsWith("café Latin-1 stays"))
+    assert(r._3(1).endsWith("omega Ω wide €"))
+    // supplementary plane round-trips through the surrogate path
+    val s = pptText(encodePpt(Seq(Seq("emoji 😀 pair"))))
+    assert(s.exists(_._3.head == "S0.0:emoji 😀 pair"))
+  }
+
+  test("master list text is walked for framing truth but never leaks") {
+    val r = pptText(encodePpt(deck, masterArm = true)).getOrElse(fail("refused"))
+    assert(r._2 == 5 && !r._3.exists(_.contains("boilerplate")))
+  }
+
+  test("refusals: census lie, headerless atom, truncation, tampers") {
+    assert(pptText(encodePpt(deck, cTextsLieArm = true)).isEmpty)
+    assert(pptText(encodePpt(deck, headerlessArm = true)).isEmpty)
+    assert(pptText(encodePpt(deck).dropRight(512)).isEmpty)
+    // C0 control in the text refuses (never garbles)
+    assert(pptText(encodePpt(Seq(Seq("ctl " + 0x07.toChar)))).isEmpty)
+    // C1 window refuses on both encodings
+    assert(pptText(encodePpt(Seq(Seq("c1 " + 0x85.toChar)))).isEmpty)
+    // an unpaired surrogate refuses on the wide path
+    assert(pptText(encodePpt(Seq(Seq("lone \ud83d Ω")))).isEmpty)
+    // record framing: a recLen lie inside the stream refuses
+    val good = encodePpt(deck)
+    val doc = CfbProbe.probe(good).get
+    val pd = doc.streams.find(_._1 == "PowerPoint Document").get._2
+    val bad = pd.clone()
+    bad(4) = (bad(4) ^ 1).toByte // DocumentContainer recLen off by one
+    assert(PptTextInternals.fromStream(bad).isEmpty)
+  }
+
+  test("framing law: children must exactly fill their container") {
+    // shave the last byte of the stream: the top-level walk refuses
+    val doc = CfbProbe.probe(encodePpt(deck)).get
+    val pd = doc.streams.find(_._1 == "PowerPoint Document").get._2
+    assert(PptTextInternals.fromStream(pd.dropRight(1)).isEmpty)
+    assert(PptTextInternals.fromStream(pd).nonEmpty)
+  }
+}
+
+/** Test seam: run the stream walk on raw bytes by wrapping them in a
+  * fresh container (the CFB laws themselves live in CfbProbeSpec). */
+object PptTextInternals {
+  def fromStream(pd: Array[Byte]): Option[(Int, Int, Seq[String])] =
+    PptText.pptText(CfbProbe.encodeCfb(Seq(
+      "Current User" -> Array[Byte](1),
+      "PowerPoint Document" -> pd)))
+}
