@@ -682,27 +682,30 @@ object Docs {
       |ORDER BY media_id""".stripMargin
 
   /** The document-family dispatch capstone: ONE mixed corpus rotating
-    * THIRTEEN text containers by key — classic/modern/hybrid PDF,
+    * SIXTEEN text containers by key — classic/modern/hybrid PDF,
     * DOCX, EPUB, RTF, Jupyter notebook, mbox, SRT/WebVTT, PPTX, XLSX,
-    * CFB (.doc probe) and Markdown — routed by container SNIFF the way a crawl bucket must be (nobody
-    * labels the formats for you): `%PDF` → the PDF walk (whose era
-    * label comes back from the walk itself); `{\rtf1` → RTF; any other
-    * `{` → the notebook's JSON; `PK` containers disambiguate by the
-    * OCF mimetype peek (EPUB) and then by MAIN PART (word/ppt/xl —
-    * the [Content_Types] route real MIME sniffers take); `From ` →
-    * mbox; `WEBVTT` → VTT; a leading digit → SRT; the D0CF OLE2
-    * magic → the CFB probe; a leading `#` → the Markdown census. Per-format refusal
-    * arms on k mod 13/17/19: each format's own damage class
-    * (truncation or framing cut; scope or structural lie; integrity
-    * or order violation). */
+    * generic CFB, Markdown, and the legacy Office trio (.doc piece
+    * tables, .xls BIFF8, .ppt text atoms) — routed by container SNIFF
+    * the way a crawl bucket must be (nobody labels the formats for
+    * you): `%PDF` → the PDF walk (whose era label comes back from the
+    * walk itself); `{\rtf1` → RTF; any other `{` → the notebook's
+    * JSON; `PK` containers disambiguate by the OCF mimetype peek
+    * (EPUB) and then by MAIN PART (word/ppt/xl — the [Content_Types]
+    * route real MIME sniffers take); `From ` → mbox; `WEBVTT` → VTT;
+    * a leading digit → SRT; the D0CF OLE2 magic routes by STREAM
+    * NAMES once the FAT walks (PowerPoint Document / Workbook / the
+    * WordDocument+table pair, else the container census); a leading
+    * `#` → the Markdown census. Per-format refusal arms on k mod
+    * 13/17/19: each format's own damage class (truncation or framing
+    * cut; scope or structural lie; integrity or order violation). */
   def docZoo(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import graft.llm.{CfbProbe, DocxCodec, EpubCodec, IpynbCodec,
-      MarkdownCodec, MimeCodec, PdfText, PptxCodec, RtfCodec,
-      SubtitleCodec, XlsxCodec, ZipWalk}
+    import graft.llm.{CfbProbe, DocText, DocxCodec, EpubCodec, IpynbCodec,
+      MarkdownCodec, MimeCodec, PdfText, PptText, PptxCodec, RtfCodec,
+      SubtitleCodec, XlsBiff, XlsxCodec, ZipWalk}
     val keys = partKeys(s, d) // full-width spread: the extract map is the cost
     val decoded = keys.map { k =>
-      val fmt = ((k / 3) % 13).toInt
+      val fmt = ((k / 3) % 16).toInt
       val arm13 = k % 13 == 0
       val arm17 = k % 17 == 0 && k % 13 != 0
       val arm19 = k % 19 == 0 && k % 13 != 0 && k % 17 != 0
@@ -792,7 +795,7 @@ object Docs {
             Seq("DataXtra" -> body((100 + k % 200).toInt, 2, hdr = false),
               "WordDocument" -> wd),
             cutChain = if (arm17) "WordDocument" else "")
-        } else {
+        } else if (fmt == 12) {
           val nSections = (1 + k % 2).toInt
           MarkdownCodec.encodeMd(
             (0 until nSections).map { i =>
@@ -803,6 +806,32 @@ object Docs {
             },
             tildeFences = k % 2 == 1,
             badInfoArm = arm17, unclosedArm = arm19).getBytes("UTF-8")
+        } else if (fmt == 13) {
+          val nPars = (1 + k % 3).toInt
+          DocText.encodeDoc(
+            (0 until nPars).map(j => s"zoo$k wdoc p$j w${(k + 5 * j) % 9}"),
+            nPieces = (1 + k % 4).toInt,
+            shufflePieces = k % 5 == 0,
+            table0Arm = k % 4 == 0,
+            ccpLieArm = arm17, clxTagArm = arm19)
+        } else if (fmt == 14) {
+          val nSheets = (1 + k % 2).toInt
+          XlsBiff.encodeXls(
+            (0 until nSheets).map { sh =>
+              (s"Y$sh", (0 until (1 + (k + sh) % 2).toInt).flatMap(r =>
+                Seq((r, 0, s"zoo$k biff s$sh r$r"),
+                  (r, 1, s"${(k * 5 + 3 * sh + r) % 1000}"))))
+            },
+            splitSst = k % 3 == 0,
+            isstLieArm = arm17, cstLieArm = arm19)
+        } else {
+          val nSlides = (1 + k % 2).toInt
+          PptText.encodePpt(
+            (0 until nSlides).map(i =>
+              (0 until (1 + (k + i) % 2).toInt).map(j =>
+                s"zoo$k ppt s$i t$j w${(k + 3 * i + 4 * j) % 7}")),
+            masterArm = k % 4 == 0,
+            cTextsLieArm = arm17, headerlessArm = arm19)
         }
       val payload =
         if (arm13) {
@@ -872,14 +901,34 @@ object Docs {
         else if (payload.length >= 4 && (payload(0) & 0xff) == 0xd0 &&
           (payload(1) & 0xff) == 0xcf && (payload(2) & 0xff) == 0x11 &&
           (payload(3) & 0xff) == 0xe0)
-          CfbProbe.probe(payload).map { r =>
-            val t = r.streams.map { case (name, data) =>
-              var wsum = 0L
-              var i = 0
-              while (i < data.length) { wsum += i.toLong * (data(i) & 0xff); i += 1 }
-              s"$name:${data.length}:$wsum"
-            }.mkString("|")
-            ("cfb", r.streams.length, t)
+          // OLE2 containers disambiguate by STREAM NAMES — the census a
+          // real sniffer takes once the FAT walks: the PowerPoint
+          // document stream, the BIFF workbook, or Word's main+table
+          // pair; anything else reports container facts
+          CfbProbe.probe(payload).flatMap { r =>
+            val names = r.streams.iterator.map(_._1).toSet
+            if (names("PowerPoint Document"))
+              PptText.pptText(payload).map { case (ns, _, ls) =>
+                ("ppt", ns, ls.mkString("\n"))
+              }
+            else if (names("Workbook"))
+              XlsBiff.xlsText(payload).map { case (ns, _, ls) =>
+                ("xls", ns, ls.mkString("\n"))
+              }
+            else if (names("WordDocument") &&
+              (names("1Table") || names("0Table")))
+              DocText.docText(payload).map { case (np, ls) =>
+                ("doc", np, ls.mkString("\n"))
+              }
+            else {
+              val t = r.streams.map { case (name, data) =>
+                var wsum = 0L
+                var i = 0
+                while (i < data.length) { wsum += i.toLong * (data(i) & 0xff); i += 1 }
+                s"$name:${data.length}:$wsum"
+              }.mkString("|")
+              Some(("cfb", r.streams.length, t))
+            }
           }
         else if (payload.length >= 1 && payload(0) == '#')
           MarkdownCodec.mdBlocks(new String(payload, "UTF-8")).map { blocks =>
@@ -911,7 +960,7 @@ object Docs {
     * over 1 + k mod 2 chapters. */
   val docZooSql: String =
     """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
-      |p AS (SELECT k, CAST((k // 3) % 13 AS INTEGER) AS fmt,
+      |p AS (SELECT k, CAST((k // 3) % 16 AS INTEGER) AS fmt,
       |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
       |      FROM ks),
       |pdfl AS (
@@ -1037,6 +1086,34 @@ object Docs {
       |mda AS (
       |  SELECT k, string_agg(line, chr(10) ORDER BY i, typ) AS text
       |  FROM mdl GROUP BY k),
+      |docl AS (
+      |  SELECT p.k, j.g AS j,
+      |    'zoo' || p.k || ' wdoc p' || j.g || ' w' || ((p.k + 5 * j.g) % 9) AS ptxt
+      |  FROM p, generate_series(0, 2) j(g)
+      |  WHERE p.fmt = 13 AND p.ok AND j.g < 1 + p.k % 3),
+      |doca AS (
+      |  SELECT k, string_agg(ptxt, chr(10) ORDER BY j) AS text
+      |  FROM docl GROUP BY k),
+      |xsl AS (
+      |  SELECT p.k, sh.g AS sh, r.g AS r,
+      |    'Y' || sh.g || '!' || r.g || ':zoo' || p.k || ' biff s' || sh.g ||
+      |      ' r' || r.g || chr(9) || ((p.k * 5 + 3 * sh.g + r.g) % 1000) AS line
+      |  FROM p, generate_series(0, 1) sh(g), generate_series(0, 1) r(g)
+      |  WHERE p.fmt = 14 AND p.ok
+      |    AND sh.g < 1 + p.k % 2 AND r.g < 1 + (p.k + sh.g) % 2),
+      |xsa AS (
+      |  SELECT k, string_agg(line, chr(10) ORDER BY sh, r) AS text
+      |  FROM xsl GROUP BY k),
+      |ptl AS (
+      |  SELECT p.k, i.g AS i, j.g AS j,
+      |    'S' || i.g || '.' || j.g || ':zoo' || p.k || ' ppt s' || i.g ||
+      |      ' t' || j.g || ' w' || ((p.k + 3 * i.g + 4 * j.g) % 7) AS line
+      |  FROM p, generate_series(0, 1) i(g), generate_series(0, 1) j(g)
+      |  WHERE p.fmt = 15 AND p.ok
+      |    AND i.g < 1 + p.k % 2 AND j.g < 1 + (p.k + i.g) % 2),
+      |pta AS (
+      |  SELECT k, string_agg(line, chr(10) ORDER BY i, j) AS text
+      |  FROM ptl GROUP BY k),
       |u AS (
       |  SELECT p.k,
       |    CASE p.fmt WHEN 0 THEN 'pdf_classic' WHEN 1 THEN 'pdf_modern'
@@ -1044,6 +1121,7 @@ object Docs {
       |      WHEN 5 THEN 'rtf' WHEN 6 THEN 'ipynb' WHEN 7 THEN 'mbox'
       |      WHEN 9 THEN 'pptx' WHEN 10 THEN 'xlsx'
       |      WHEN 11 THEN 'cfb' WHEN 12 THEN 'markdown'
+      |      WHEN 13 THEN 'doc' WHEN 14 THEN 'xls' WHEN 15 THEN 'ppt'
       |      ELSE CASE WHEN p.k % 2 = 0 THEN 'srt' ELSE 'vtt' END
       |      END AS format,
       |    CASE WHEN p.fmt < 3 THEN CAST(1 + p.k % 2 AS INTEGER)
@@ -1053,10 +1131,11 @@ object Docs {
       |      WHEN p.fmt = 6 THEN CAST(1 + p.k % 3 AS INTEGER)
       |      WHEN p.fmt = 7 THEN CAST(1 + p.k % 2 AS INTEGER)
       |      WHEN p.fmt = 11 THEN CAST(2 AS INTEGER)
+      |      WHEN p.fmt = 13 THEN CAST(1 + p.k % 4 AS INTEGER)
       |      ELSE CAST(1 + p.k % 2 AS INTEGER) END AS n_units,
       |    COALESCE(pdfa.text, docxa.text, epuba.text, rtfa.text,
       |      nba.text, mba.text, sba.text, ppa.text, xla.text,
-      |      cfa.text, mda.text) AS text
+      |      cfa.text, mda.text, doca.text, xsa.text, pta.text) AS text
       |  FROM p
       |  LEFT JOIN pdfa ON pdfa.k = p.k
       |  LEFT JOIN docxa ON docxa.k = p.k
@@ -1069,6 +1148,9 @@ object Docs {
       |  LEFT JOIN xla ON xla.k = p.k
       |  LEFT JOIN cfa ON cfa.k = p.k
       |  LEFT JOIN mda ON mda.k = p.k
+      |  LEFT JOIN doca ON doca.k = p.k
+      |  LEFT JOIN xsa ON xsa.k = p.k
+      |  LEFT JOIN pta ON pta.k = p.k
       |  WHERE p.ok)
       |SELECT p.k AS media_id, p.ok AS doc_ok,
       |  u.format,
