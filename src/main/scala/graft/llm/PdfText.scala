@@ -920,6 +920,17 @@ object PdfText {
     // without resolves DYNAMICALLY at its Do site (env = None) — the
     // page dict naming the form in its own /XObject is the common
     // real-writer shape and must not be read as a cycle.
+    //
+    // Per-document memoization: fonts and statically-resolved forms
+    // cache by object REF, so a shared font's ToUnicode CMap parses
+    // once per document, not once per referencing page (the recorded
+    // million-page cost). Only SUCCESSES are cached: a refusal
+    // refuses the whole document immediately, and a cached success
+    // is path-independent — it proved acyclic and bounded when first
+    // resolved (a cycle cannot cache: its first resolution trips the
+    // visiting law before completing).
+    val fontCache = scala.collection.mutable.Map.empty[Long, FontMap]
+    val formCache = scala.collection.mutable.Map.empty[Long, XEntry]
     def resolveEnv(res: Option[(PDict, Array[Byte])],
                    visiting: Set[Long], depth: Int): Option[PageEnv] = {
       if (depth > 8) return None
@@ -933,9 +944,16 @@ object PdfText {
                 Map.empty
               case Some((fdict, fbuf)) =>
                 fdict.entries.keys.map { fname =>
-                  val (fd, fdBuf) = dictValue(doc, fdict, fbuf, fname)
-                    .getOrElse(return None)
-                  fname -> fontMap(doc, fd, fdBuf).getOrElse(return None)
+                  fname -> (fdict.refVal(fname) match {
+                    case Some(fref) if fontCache.contains(fref) =>
+                      fontCache(fref)
+                    case fref =>
+                      val (fd, fdBuf) = dictValue(doc, fdict, fbuf, fname)
+                        .getOrElse(return None)
+                      val fm = fontMap(doc, fd, fdBuf).getOrElse(return None)
+                      fref.foreach(fontCache(_) = fm)
+                      fm
+                  })
                 }.toMap
             }
           val xobjs: Map[String, XEntry] =
@@ -952,17 +970,21 @@ object PdfText {
                     case Some("Image") => xn -> (XImage: XEntry)
                     case Some("Form") =>
                       if (visiting.contains(ref)) return None // static cycle
-                      val fc = doc.streamDecoded(ref).getOrElse(return None)
-                      val fenv: Option[PageEnv] =
-                        dictValue(doc, od, obuf, "Resources") match {
-                          case some @ Some(_) =>
-                            Some(resolveEnv(some, visiting + ref, depth + 1)
-                              .getOrElse(return None))
-                          case None if od.entries.contains("Resources") =>
-                            return None // present but malformed: refuse
-                          case None => None // inherit at the Do site
-                        }
-                      xn -> (XForm(ref, fc, fenv): XEntry)
+                      xn -> formCache.getOrElse(ref, {
+                        val fc = doc.streamDecoded(ref).getOrElse(return None)
+                        val fenv: Option[PageEnv] =
+                          dictValue(doc, od, obuf, "Resources") match {
+                            case some @ Some(_) =>
+                              Some(resolveEnv(some, visiting + ref, depth + 1)
+                                .getOrElse(return None))
+                            case None if od.entries.contains("Resources") =>
+                              return None // present but malformed: refuse
+                            case None => None // inherit at the Do site
+                          }
+                        val entry: XEntry = XForm(ref, fc, fenv)
+                        formCache(ref) = entry
+                        entry
+                      })
                     case _ => return None
                   }
                 }.toMap
