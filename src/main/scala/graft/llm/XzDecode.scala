@@ -25,9 +25,10 @@ package graft.llm
   *    history.
   *
   * Scope pins (documented): the chain must end in LZMA2 (0x21),
-  * optionally preceded by ONE preprocessor — Delta (0x03) or x86 BCJ
-  * (0x04, start offset 0); the non-x86 branch converters, nonzero
-  * start offsets and 3-4 filter chains refuse. A check type of
+  * optionally preceded by ONE preprocessor — Delta (0x03) or a BCJ
+  * branch converter at start offset 0 (x86 0x04, PowerPC 0x05, ARM
+  * 0x07, ARM-Thumb 0x08, SPARC 0x09, ARM64 0x0A); IA64, RISC-V,
+  * nonzero start offsets and 3-4 filter chains refuse. A check type of
   * "none" is accepted but reported unverified. Damage returns
   * None; nothing throws, nothing hangs (the range decoder consumes a
   * byte per normalization and every loop is bounded by declared
@@ -359,12 +360,14 @@ object XzDecode {
           if (hasUncompSize) { val (v, q2) = mbInt(b, q, p + bhSize - 4); declUncomp = v; q = q2 }
           // filter chains: plain LZMA2, Delta→LZMA2 (the xz delta
           // preprocessor, filter id 0x03 with one distance-1 property
-          // byte — r16), or x86 BCJ→LZMA2 (filter id 0x04 — the
-          // call/jump address converter distro dumps ride; r17). A
-          // nonzero BCJ start offset and the non-x86 branch ids
-          // (PowerPC…RISC-V) are the remaining exotic refusals.
+          // byte — r16), or a BCJ branch converter → LZMA2 (r17):
+          // x86 0x04, PowerPC 0x05, ARM 0x07, ARM-Thumb 0x08, SPARC
+          // 0x09, ARM64 0x0A — the converters distro and firmware
+          // dumps ride. A nonzero BCJ start offset, IA64 (0x06,
+          // deprecated) and RISC-V (0x0B) are the remaining exotic
+          // refusals.
           var deltaDist = 0
-          var bcjX86 = false
+          var bcjId = 0
           if (nFilters == 2) {
             val (dfid, dq1) = mbInt(b, q, p + bhSize - 4); q = dq1
             if (dfid == 0x03) {
@@ -372,7 +375,8 @@ object XzDecode {
               if (dplen != 1 || q >= p + bhSize - 4) return None
               deltaDist = (b(q) & 0xff) + 1
               q += 1
-            } else if (dfid == 0x04) {
+            } else if (dfid == 0x04 || dfid == 0x05 || dfid == 0x07 ||
+              dfid == 0x08 || dfid == 0x09 || dfid == 0x0a) {
               val (plen, dq2) = mbInt(b, q, p + bhSize - 4); q = dq2
               if (plen == 4) {
                 // an explicit start offset: only the default 0 is in scope
@@ -380,8 +384,8 @@ object XzDecode {
                 if (le32(b, q) != 0L) return None
                 q += 4
               } else if (plen != 0) return None
-              bcjX86 = true
-            } else return None // other branch converters refuse
+              bcjId = dfid.toInt
+            } else return None // IA64 / RISC-V / unknown ids refuse
           } else if (nFilters != 1) return None // 3-4 filter chains refuse
           val (fid, q3) = mbInt(b, q, p + bhSize - 4); q = q3
           if (fid != 0x21) return None // LZMA2 must terminate the chain
@@ -477,7 +481,8 @@ object XzDecode {
               i += 1
             }
           }
-          if (bcjX86) bcjX86Decode(data)
+          if (bcjId == 0x04) bcjX86Decode(data)
+          else if (bcjId != 0) bcjSimpleDecode(bcjId, data)
           val compUsed = p - dataStart
           if (declComp >= 0 && declComp != compUsed) return None
           if (declUncomp >= 0 && declUncomp != data.length) return None
@@ -565,6 +570,106 @@ object XzDecode {
     * with the mask-guided second subtraction for values whose
     * converted form still looks like a candidate. The final 4 bytes
     * are never converted (no room for a displacement). */
+  /** The fixed-width BCJ branch converters' DECODE direction (start
+    * offset 0, whole-block application like x86): each scans its
+    * architecture's instruction stride, recognizes the call/branch
+    * encodings the encoder converted to absolute, and subtracts the
+    * instruction position back out. The candidate tests and bit
+    * layouts follow the XZ format's published filter definitions —
+    * PowerPC's big-endian `bl` (major opcode 18, LK=1, AA=0), ARM's
+    * `BL` (0xEB condition-always byte), Thumb's two-halfword BL pair,
+    * SPARC's `call` (both displacement sign shapes), and ARM64's BL
+    * (opcode 0x25 in the top six bits) plus ADRP pages within the
+    * ±512 MiB window the format converts. */
+  private def bcjSimpleDecode(id: Int, data: Array[Byte]): Unit = id match {
+    case 0x05 => // PowerPC (big-endian bl)
+      var i = 0
+      while (i + 4 <= data.length) {
+        if ((data(i) & 0xfc) == 0x48 && (data(i + 3) & 3) == 1) {
+          val src = ((data(i) & 3) << 24) | ((data(i + 1) & 0xff) << 16) |
+            ((data(i + 2) & 0xff) << 8) | (data(i + 3) & 0xfc)
+          val dest = src - i
+          data(i) = (0x48 | ((dest >>> 24) & 3)).toByte
+          data(i + 1) = (dest >>> 16).toByte
+          data(i + 2) = (dest >>> 8).toByte
+          data(i + 3) = ((data(i + 3) & 3) | (dest & 0xfc)).toByte
+        }
+        i += 4
+      }
+    case 0x07 => // ARM (BL, condition-always)
+      var i = 0
+      while (i + 4 <= data.length) {
+        if ((data(i + 3) & 0xff) == 0xeb) {
+          val src = (((data(i + 2) & 0xff) << 16) |
+            ((data(i + 1) & 0xff) << 8) | (data(i) & 0xff)) << 2
+          val dest = (src - (i + 8)) >>> 2
+          data(i + 2) = (dest >>> 16).toByte
+          data(i + 1) = (dest >>> 8).toByte
+          data(i) = dest.toByte
+        }
+        i += 4
+      }
+    case 0x08 => // ARM-Thumb (two-halfword BL)
+      var i = 0
+      while (i + 4 <= data.length) {
+        if ((data(i + 1) & 0xf8) == 0xf0 && (data(i + 3) & 0xf8) == 0xf8) {
+          val src = (((data(i + 1) & 7) << 19) | ((data(i) & 0xff) << 11) |
+            ((data(i + 3) & 7) << 8) | (data(i + 2) & 0xff)) << 1
+          val dest = (src - (i + 4)) >>> 1
+          data(i + 1) = (0xf0 | ((dest >>> 19) & 7)).toByte
+          data(i) = (dest >>> 11).toByte
+          data(i + 3) = (0xf8 | ((dest >>> 8) & 7)).toByte
+          data(i + 2) = dest.toByte
+          i += 2
+        }
+        i += 2
+      }
+    case 0x09 => // SPARC (call, both sign shapes)
+      var i = 0
+      while (i + 4 <= data.length) {
+        if (((data(i) & 0xff) == 0x40 && (data(i + 1) & 0xc0) == 0) ||
+          ((data(i) & 0xff) == 0x7f && (data(i + 1) & 0xc0) == 0xc0)) {
+          val src = (((data(i) & 0xff) << 24) | ((data(i + 1) & 0xff) << 16) |
+            ((data(i + 2) & 0xff) << 8) | (data(i + 3) & 0xff)) << 2
+          var dest = (src - i) >>> 2
+          dest = (0x40000000 - (dest & 0x400000)) | 0x40000000 | (dest & 0x3fffff)
+          data(i) = (dest >>> 24).toByte
+          data(i + 1) = (dest >>> 16).toByte
+          data(i + 2) = (dest >>> 8).toByte
+          data(i + 3) = dest.toByte
+        }
+        i += 4
+      }
+    case 0x0a => // ARM64 (BL + in-window ADRP)
+      var i = 0
+      while (i + 4 <= data.length) {
+        val instr = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+          ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+        var out = instr
+        if ((instr >>> 26) == 0x25) {
+          val src = instr & 0x03ffffff
+          out = 0x94000000 | ((src - (i >>> 2)) & 0x03ffffff)
+        } else if ((instr & 0x9f000000) == 0x90000000) {
+          val src = ((instr >>> 29) & 3) | ((instr >>> 3) & 0x001ffffc)
+          if (((src + 0x00020000) & 0x001c0000) == 0) {
+            val dest = src - (i >>> 12)
+            out = instr & 0x9000001f
+            out |= (dest & 3) << 29
+            out |= (dest & 0x0003fffc) << 3
+            out |= (0 - (dest & 0x00020000)) & 0x00e00000
+          }
+        }
+        if (out != instr) {
+          data(i) = out.toByte
+          data(i + 1) = (out >>> 8).toByte
+          data(i + 2) = (out >>> 16).toByte
+          data(i + 3) = (out >>> 24).toByte
+        }
+        i += 4
+      }
+    case _ => ()
+  }
+
   private def bcjX86Decode(data: Array[Byte]): Unit = {
     @inline def msb(v: Int): Boolean = { val x = v & 0xff; x == 0x00 || x == 0xff }
     if (data.length < 5) return

@@ -4027,7 +4027,8 @@ object Llm {
     * check (CRC64, or SHA-256 on every third key) verified over the
     * decoded bytes plus every container CRC32 law. Every EIGHTH key
     * (k mod 8 = 4, disjoint from the bzip2 gate's lane); Delta and
-    * x86-BCJ preprocessor lanes rotate on k mod 7. Refusal
+    * BCJ preprocessor lanes rotate on k mod 7 (the BCJ lane cycles
+    * all six branch converters). Refusal
     * arms: truncation (k mod 13) and a mid-file flip (k mod 17 —
     * in xz EVERY byte sits under a CRC or the block check, so any
     * flip refuses). */
@@ -4054,20 +4055,28 @@ object Llm {
       val opt = new org.tukaani.xz.LZMA2Options((k % 3).toInt)
       opt.setDictSize(1 << 16)
       // every seventh-mod-2 key rides a Delta→LZMA2 chain (r16), every
-      // seventh-mod-5 an x86 BCJ→LZMA2 chain (r17 — the formula bytes
-      // hit 0xE8/0xE9 often enough to convert): both preprocessors are
-      // content-invisible, so the oracle is unchanged — which is the
-      // law being gated
+      // seventh-mod-5 a BCJ→LZMA2 chain rotating ALL SIX branch
+      // converters (r17 — x86's 0xE8/0xE9 and each ISA's branch shapes
+      // occur in the formula bytes often enough to convert): the
+      // preprocessors are content-invisible, so the oracle is
+      // unchanged — which is the law being gated
       val z =
         if (k % 7 == 2)
           new org.tukaani.xz.XZOutputStream(bos,
             Array[org.tukaani.xz.FilterOptions](
               new org.tukaani.xz.DeltaOptions((1 + k % 256).toInt), opt))
-        else if (k % 7 == 5)
+        else if (k % 7 == 5) {
+          val bcj: org.tukaani.xz.FilterOptions = ((k / 7) % 6) match {
+            case 0 => new org.tukaani.xz.X86Options()
+            case 1 => new org.tukaani.xz.PowerPCOptions()
+            case 2 => new org.tukaani.xz.ARMOptions()
+            case 3 => new org.tukaani.xz.ARMThumbOptions()
+            case 4 => new org.tukaani.xz.SPARCOptions()
+            case _ => new org.tukaani.xz.ARM64Options()
+          }
           new org.tukaani.xz.XZOutputStream(bos,
-            Array[org.tukaani.xz.FilterOptions](
-              new org.tukaani.xz.X86Options(), opt))
-        else new org.tukaani.xz.XZOutputStream(bos, opt, check)
+            Array[org.tukaani.xz.FilterOptions](bcj, opt))
+        } else new org.tukaani.xz.XZOutputStream(bos, opt, check)
       z.write(payload); z.close()
       val bytes = bos.toByteArray
       val payloadBytes =

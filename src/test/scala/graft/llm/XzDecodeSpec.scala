@@ -148,10 +148,9 @@ class XzDecodeSpec extends AnyFunSuite {
       val t = c.clone(); t(at) = (t(at) ^ 0x31).toByte
       assert(decompress(t, 1 << 22).isEmpty, s"flip at $at passed")
     }
-    // the OTHER branch converters stay refusals (exotic scope pin)
-    Seq[org.tukaani.xz.FilterOptions](new org.tukaani.xz.PowerPCOptions(),
-      new org.tukaani.xz.ARMOptions(),
-      new org.tukaani.xz.SPARCOptions()).foreach { f =>
+    // IA64 and RISC-V stay refusals (exotic scope pin)
+    Seq[org.tukaani.xz.FilterOptions](new org.tukaani.xz.IA64Options(),
+      new org.tukaani.xz.RISCVOptions()).foreach { f =>
       val bos = new java.io.ByteArrayOutputStream
       val z = new org.tukaani.xz.XZOutputStream(bos,
         Array[org.tukaani.xz.FilterOptions](f, new org.tukaani.xz.LZMA2Options(1)))
@@ -166,6 +165,77 @@ class XzDecodeSpec extends AnyFunSuite {
       Array[org.tukaani.xz.FilterOptions](xo, new org.tukaani.xz.LZMA2Options(1)))
     z2.write(datasets(1)); z2.close()
     assert(decompress(bos2.toByteArray, 1 << 22).isEmpty)
+  }
+
+  test("fixed-width BCJ variants decode: PowerPC, ARM, Thumb, SPARC, ARM64") {
+    val rnd = new scala.util.Random(2027)
+    def xzWith(f: org.tukaani.xz.FilterOptions, data: Array[Byte],
+               preset: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream
+      val z = new org.tukaani.xz.XZOutputStream(bos,
+        Array[org.tukaani.xz.FilterOptions](f,
+          new org.tukaani.xz.LZMA2Options(preset)))
+      z.write(data); z.close()
+      bos.toByteArray
+    }
+    // architecture-shaped corpora: each generator emits a dense mix of
+    // that ISA's convertible instruction encodings plus noise words,
+    // at every alignment the filter's stride visits
+    def words(n: Int)(gen: Int => Array[Byte]): Array[Byte] =
+      (0 until n).flatMap(i => gen(i).toSeq).toArray
+    val ppc = words(8000) { i =>
+      if (i % 3 == 0) Array((0x48 | (i & 3)).toByte, (i * 7).toByte,
+        (i * 13).toByte, ((i << 2) | 1).toByte) // bl (LK=1)
+      else Array((i * 31).toByte, (i * 17).toByte, i.toByte, (i * 5).toByte)
+    }
+    val arm = words(8000) { i =>
+      if (i % 3 == 0) Array((i * 7).toByte, (i * 13).toByte,
+        (i * 3).toByte, 0xeb.toByte) // BL always
+      else Array(i.toByte, (i * 11).toByte, (i * 23).toByte, (i % 14).toByte)
+    }
+    val thumb = words(12000) { i =>
+      if (i % 4 == 0) Array((i * 9).toByte, (0xf0 | (i & 7)).toByte,
+        (i * 5).toByte, (0xf8 | ((i >> 3) & 7)).toByte) // BL pair
+      else Array((i * 3).toByte, (i % 0x70).toByte)
+    }
+    val sparc = words(8000) { i =>
+      if (i % 3 == 0) Array(0x40.toByte, (i & 0x3f).toByte,
+        (i * 7).toByte, (i * 11).toByte) // call, positive shape
+      else if (i % 7 == 0) Array(0x7f.toByte, (0xc0 | (i & 0x3f)).toByte,
+        (i * 3).toByte, i.toByte) // call, negative shape
+      else Array((i * 29).toByte, i.toByte, (i * 13).toByte, (i * 5).toByte)
+    }
+    val arm64 = words(8000) { i =>
+      if (i % 3 == 0) { // BL: top six bits 0x25
+        val v = 0x94000000 | (i * 2017 & 0x03ffffff)
+        Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+      } else if (i % 5 == 0) { // ADRP, some in the ±512 MiB window
+        val v = 0x90000000 | ((i & 3) << 29) | ((i * 331 & 0xffff) << 5) | (i & 0x1f)
+        Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+      } else Array((i * 37).toByte, (i * 17).toByte, i.toByte, (i % 61).toByte)
+    }
+    val lanes = Seq[(String, org.tukaani.xz.FilterOptions, Array[Byte])](
+      ("ppc", new org.tukaani.xz.PowerPCOptions(), ppc),
+      ("arm", new org.tukaani.xz.ARMOptions(), arm),
+      ("thumb", new org.tukaani.xz.ARMThumbOptions(), thumb),
+      ("sparc", new org.tukaani.xz.SPARCOptions(), sparc),
+      ("arm64", new org.tukaani.xz.ARM64Options(), arm64))
+    for ((name, f, data) <- lanes; preset <- Seq(0, 3, 6)) {
+      val back = decompress(xzWith(f, data, preset), maxOut = 1 << 22)
+      assert(back.exists(r => java.util.Arrays.equals(r._1, data)),
+        s"$name mismatch preset=$preset n=${data.length}")
+      // unaligned tails and random noise round-trip too
+      val noisy = data.take(4001) ++ Array.fill(997)(rnd.nextInt(256).toByte)
+      val nb = decompress(xzWith(f, noisy, preset), maxOut = 1 << 22)
+      assert(nb.exists(r => java.util.Arrays.equals(r._1, noisy)),
+        s"$name noisy mismatch preset=$preset")
+    }
+    // the block check covers the post-BCJ bytes: flips refuse
+    val c = xzWith(new org.tukaani.xz.ARM64Options(), arm64, 3)
+    (0 until c.length by 23).foreach { at =>
+      val t = c.clone(); t(at) = (t(at) ^ 0x42).toByte
+      assert(decompress(t, 1 << 22).isEmpty, s"flip at $at passed")
+    }
   }
 
   test("multi-stream concatenation; flips and truncation refuse") {
