@@ -1724,6 +1724,92 @@ object Docs {
       |FROM p LEFT JOIN agg ON agg.k = p.k
       |ORDER BY media_id""".stripMargin
 
+  /** SQLite database file read under the oracle (see
+    * [[graft.llm.SqliteRead]]): per-key single-table databases of
+    * 8-31 rows — enough to rotate single-leaf and interior-paged
+    * b-trees at the 512-byte page size — whose columns exercise the
+    * record system (UTF-8 text with a multibyte spice on odd keys,
+    * signed ints across the width classes including the 0/1
+    * one-byte specials, NULLs), plus a ~1.1 KB text row riding a
+    * 2-page overflow chain on every fourth key. Refusal arms:
+    * truncation (k mod 13 — the size-in-pages law), a rowid order
+    * swap in the first leaf (k mod 17), an overflow chain cut
+    * (k mod 19 — those keys always carry the overflow row). */
+  def sqliteRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.SqliteRead
+    val keys = partKeys(s, d) // full-width spread: the read map is the cost
+    val decoded = keys.map { k =>
+      val nr = (8 + k % 24).toInt
+      val base = (0 until nr).map { r =>
+        Seq[Either[Option[Long], String]](
+          Right(s"sq$k r$r w${(k + 3 * r) % 9}" +
+            (if (k % 2 == 1) " é€" else "")),
+          Left(Some(((k * 7 + 11 * r) % 2000) - 500)),
+          r % 3 match {
+            case 0 => Left(None)
+            case 1 => Left(Some(0L))
+            case _ => Left(Some(1L))
+          })
+      }
+      val rows =
+        if (k % 4 == 0 || k % 19 == 0)
+          base :+ Seq[Either[Option[Long], String]](
+            Right(s"sq$k:" + "ov" * (550 + (k % 40).toInt)),
+            Left(Some(7L)), Left(None))
+        else base
+      val bytes = SqliteRead.encodeSqlite("docs", rows,
+        rowidSwapArm = k % 17 == 0 && k % 13 != 0,
+        overflowCutArm = k % 19 == 0 && k % 13 != 0 && k % 17 != 0)
+      val payload = if (k % 13 == 0) bytes.dropRight(256) else bytes
+      SqliteRead.sqliteTables(payload) match {
+        case Some(ts) =>
+          val t = ts.head
+          val text = t.rows.map(r =>
+            s"${r.rowid}:" + r.cols.mkString("\t")).mkString("\n")
+          (k, true, Some(t.rows.length), Some(text.length.toLong), Some(text))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Long],
+            None: Option[String])
+      }
+    }.toDF("media_id", "sq_ok", "n_rows", "n_chars", "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The table replayed: 8 + k mod 24 formula rows (line = rowid +
+    * text, int, special tab-joined) plus the overflow row on fourth
+    * and nineteenth keys. */
+  val sqliteReadSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(8 + k % 24 AS INTEGER) AS nr,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |ln AS (
+      |  SELECT p.k, r.g AS r,
+      |    (r.g + 1) || ':sq' || p.k || ' r' || r.g || ' w' ||
+      |      ((p.k + 3 * r.g) % 9) ||
+      |      CASE WHEN p.k % 2 = 1 THEN ' é€' ELSE '' END ||
+      |      chr(9) || (((p.k * 7 + 11 * r.g) % 2000) - 500) ||
+      |      chr(9) || CASE r.g % 3 WHEN 0 THEN '∅' WHEN 1 THEN '0'
+      |        ELSE '1' END AS line
+      |  FROM p, generate_series(0, 31) r(g)
+      |  WHERE r.g < p.nr AND p.ok
+      |  UNION ALL
+      |  SELECT p.k, 99 AS r,
+      |    (p.nr + 1) || ':sq' || p.k || ':' || repeat('ov', 550 + p.k % 40) ||
+      |      chr(9) || '7' || chr(9) || '∅' AS line
+      |  FROM p WHERE p.ok AND p.k % 4 = 0),
+      |agg AS (
+      |  SELECT k, CAST(COUNT(*) AS INTEGER) AS n_rows,
+      |    string_agg(line, chr(10) ORDER BY r) AS text
+      |  FROM ln GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS sq_ok,
+      |  CASE WHEN p.ok THEN agg.n_rows END AS n_rows,
+      |  CASE WHEN p.ok THEN CAST(length(agg.text) AS BIGINT) END AS n_chars,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p LEFT JOIN agg ON agg.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pdf_text" -> (pdfText _),
     "q_docx_read" -> (docxRead _),
@@ -1739,6 +1825,7 @@ object Docs {
     "q_doc_text" -> (docTextRead _),
     "q_xls_read" -> (xlsRead _),
     "q_ppt_text" -> (pptTextRead _),
+    "q_sqlite_read" -> (sqliteRead _),
     "q_markdown_read" -> (markdownRead _),
     "q_doc_zoo" -> (docZoo _))
 
@@ -1757,6 +1844,7 @@ object Docs {
     "q_doc_text" -> docTextReadSql,
     "q_xls_read" -> xlsReadSql,
     "q_ppt_text" -> pptTextReadSql,
+    "q_sqlite_read" -> sqliteReadSql,
     "q_markdown_read" -> markdownReadSql,
     "q_doc_zoo" -> docZooSql)
 }

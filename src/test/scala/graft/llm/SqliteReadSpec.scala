@@ -1,0 +1,88 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import SqliteRead._
+
+/** SQLite file read: header laws, b-tree walks (single leaf, interior
+  * fan-out), the overflow spill formula, the record serial-type
+  * system, and the tamper battery. */
+class SqliteReadSpec extends AnyFunSuite {
+
+  private def row(t: String, n: Long, special: Int): Seq[Either[Option[Long], String]] =
+    Seq(Right(t), Left(Some(n)),
+      special % 3 match {
+        case 0 => Left(None)
+        case 1 => Left(Some(0L))
+        case _ => Left(Some(1L))
+      })
+
+  test("round-trip: single leaf, ints, specials, unicode text") {
+    val rows = (0 until 5).map(r => row(s"alpha r$r é€", 100L * r - 180, r))
+    val ts = sqliteTables(encodeSqlite("docs", rows)).getOrElse(fail("refused"))
+    assert(ts.length == 1 && ts.head.name == "docs")
+    assert(ts.head.rows.map(_.rowid) == (1L to 5L))
+    assert(ts.head.rows.head.cols == Seq("alpha r0 é€", "-180", "∅"))
+    assert(ts.head.rows(1).cols == Seq("alpha r1 é€", "-80", "0"))
+    assert(ts.head.rows(2).cols == Seq("alpha r2 é€", "20", "1"))
+  }
+
+  test("multi-leaf trees walk interior pages in key order") {
+    val rows = (0 until 60).map(r => row(s"row $r with some padding text", r.toLong, r))
+    val ts = sqliteTables(encodeSqlite("t", rows)).getOrElse(fail("refused"))
+    assert(ts.head.rows.map(_.rowid) == (1L to 60L))
+    assert(ts.head.rows.map(_.cols.head) == rows.indices.map(r => s"row $r with some padding text"))
+  }
+
+  test("overflow chains reassemble exactly (1 and 2+ pages)") {
+    for (len <- Seq(300, 560, 1100, 2500)) {
+      val long = "ov" * len
+      val rows = Seq(row("short", 1, 0), row(long, 2, 1), row("tail", 3, 2))
+      val ts = sqliteTables(encodeSqlite("docs", rows)).getOrElse(fail(s"refused len=$len"))
+      assert(ts.head.rows(1).cols.head == long, s"len=$len")
+    }
+  }
+
+  test("integer widths: 1/2/3/4-byte signed classes round-trip") {
+    val vals = Seq(-1L, 2L, 127L, -128L, 130L, 32767L, -32768L, 40000L,
+      (1L << 23) - 1, -(1L << 23), (1L << 24))
+    val rows = vals.map(v => row(s"v$v", v, 2))
+    val ts = sqliteTables(encodeSqlite("n", rows)).getOrElse(fail("refused"))
+    assert(ts.head.rows.map(_.cols(1)) == vals.map(_.toString))
+  }
+
+  test("refusals: rowid order, overflow cut, truncation, header lies") {
+    val rows = (0 until 8).map(r => row(s"r$r", r.toLong, r))
+    val withOv = rows :+ row("ov" * 600, 99, 0)
+    assert(sqliteTables(encodeSqlite("d", rows, rowidSwapArm = true)).isEmpty)
+    assert(sqliteTables(encodeSqlite("d", withOv, overflowCutArm = true)).isEmpty)
+    val good = encodeSqlite("d", withOv)
+    assert(sqliteTables(good).nonEmpty)
+    assert(sqliteTables(good.dropRight(100)).isEmpty) // file-length law
+    assert(sqliteTables(good.dropRight(512)).isEmpty) // page-count law
+    // header laws: magic, page size, encoding, payload fractions,
+    // stale size-in-pages
+    def flip(at: Int, v: Int): Array[Byte] = {
+      val t = good.clone(); t(at) = v.toByte; t
+    }
+    assert(sqliteTables(flip(0, 'X')).isEmpty)
+    assert(sqliteTables(flip(17, 3)).isEmpty)       // page size not 2^n
+    assert(sqliteTables(flip(59, 2)).isEmpty)       // UTF-16le: scope pin
+    assert(sqliteTables(flip(21, 32)).isEmpty)      // payload fraction law
+    assert(sqliteTables(flip(95, 9)).isEmpty)       // stale version-valid-for
+    // an index page type in a table walk refuses
+    val t2 = good.clone(); t2(512) = 0x0a
+    assert(sqliteTables(t2).isEmpty)
+  }
+
+  test("schema laws: only tables, names must agree") {
+    // flip the schema row's name so name != tbl_name
+    val good = encodeSqlite("zz", Seq(row("x", 5, 0)))
+    val at = {
+      var i = 100
+      while (!(good(i) == 'z' && good(i + 1) == 'z')) i += 1
+      i
+    }
+    val t = good.clone(); t(at) = 'q'
+    assert(sqliteTables(t).isEmpty)
+  }
+}
