@@ -1,0 +1,297 @@
+package graft.llm
+
+/** Arrow IPC STREAM read — the columnar interchange format of the
+  * lakehouse ecosystem (arrow.apache.org/docs/format/Columnar.html,
+  * public spec), decoded natively: the encapsulated message framing
+  * (continuation marker, little-endian metadata size, 8-byte body
+  * alignment), a minimal flatbuffers walk (root offset, vtables,
+  * tables, vectors, strings — every access bounds-checked), Schema /
+  * RecordBatch messages, and the columnar body layout — validity
+  * bitmaps, fixed-width data buffers, UTF-8 offset+data pairs.
+  *
+  * Laws (refuse, never garble):
+  *  - framing: each message opens with the 0xFFFFFFFF continuation
+  *    marker and a metadata size that 8-aligns the body; the stream
+  *    must END with the end-of-stream marker and nothing after it;
+  *  - flatbuffers: offsets resolve inside the metadata buffer,
+  *    vtable/table sizes are sane, required fields present;
+  *  - schema: little-endian only, no dictionary encodings, no nested
+  *    children (the flat-column contract), supported types Int
+  *    32/64 signed, Float64, Utf8, Bool;
+  *  - batches: node and buffer counts must match the schema's layout
+  *    exactly; every buffer sits inside the declared body; the
+  *    null_count law — a column's validity popcount must equal
+  *    length − null_count (an absent/empty validity buffer asserts
+  *    null_count 0); Utf8 offsets ascend within their data buffer
+  *    and slots decode as valid UTF-8; compressed bodies are a
+  *    documented scope pin (refuse);
+  *  - the Arrow FILE format (ARROW1 magic + footer) is carried by the
+  *    same messages; the reader accepts the stream framing only and
+  *    refuses the file wrapper (the honest subset).
+  *
+  * Rendering: NULL → "∅", ints as decimal, doubles via Java's
+  * shortest-round-trip, bools as "t"/"f", text as itself. */
+object ArrowIpc {
+
+  private final class Bad extends RuntimeException
+  private def bad(): Nothing = throw new Bad
+
+  final case class Col(name: String, typ: String, values: IndexedSeq[Option[String]])
+
+  def arrowRead(b: Array[Byte], maxBytes: Int = 1 << 26,
+                maxRows: Int = 1 << 22): Option[Seq[Col]] = try {
+    if (b == null || b.length < 8 || b.length > maxBytes) return None
+
+    def u8(p: Int): Int = { if (p < 0 || p >= b.length) bad(); b(p) & 0xff }
+    def i32(p: Int): Int = u8(p) | (u8(p + 1) << 8) | (u8(p + 2) << 16) | (u8(p + 3) << 24)
+    def i64(p: Int): Long = (i32(p) & 0xffffffffL) | (i32(p + 4).toLong << 32)
+
+    // ---- a minimal flatbuffers walk over [metaStart, metaEnd) ----
+    final class Fb(metaStart: Int, metaEnd: Int) {
+      private def chk(p: Int, n: Int): Int = {
+        if (p < metaStart || p + n > metaEnd) bad(); p
+      }
+      def fU8(p: Int): Int = u8(chk(p, 1))
+      def fU16(p: Int): Int = { chk(p, 2); u8(p) | (u8(p + 1) << 8) }
+      def fI32(p: Int): Int = { chk(p, 4); i32(p) }
+      def fI64(p: Int): Long = { chk(p, 8); i64(p) }
+      def root: Int = { val t = metaStart + fI32(metaStart); chk(t, 4); t }
+      /** absolute position of field `id`'s slot in the table, 0 if absent */
+      def slot(table: Int, id: Int): Int = {
+        val vt = table - fI32(table)
+        val vtSize = fU16(vt)
+        val s = 4 + 2 * id
+        if (s + 2 > vtSize) return 0
+        val off = fU16(vt + s)
+        if (off == 0) 0 else table + off
+      }
+      def fieldU8(table: Int, id: Int, dflt: Int): Int = {
+        val s = slot(table, id); if (s == 0) dflt else fU8(s)
+      }
+      def fieldI16(table: Int, id: Int, dflt: Int): Int = {
+        val s = slot(table, id)
+        if (s == 0) dflt else (fU16(s) << 16) >> 16
+      }
+      def fieldI32(table: Int, id: Int, dflt: Int): Int = {
+        val s = slot(table, id); if (s == 0) dflt else fI32(s)
+      }
+      def fieldI64(table: Int, id: Int, dflt: Long): Long = {
+        val s = slot(table, id); if (s == 0) dflt else fI64(s)
+      }
+      def fieldBool(table: Int, id: Int, dflt: Boolean): Boolean = {
+        val s = slot(table, id); if (s == 0) dflt else fU8(s) != 0
+      }
+      /** follow an offset field to a table/vector/string position */
+      def fieldRef(table: Int, id: Int): Int = {
+        val s = slot(table, id)
+        if (s == 0) 0 else { val t = s + fI32(s); chk(t, 4); t }
+      }
+      def vecLen(vec: Int): Int = { val n = fI32(vec); if (n < 0) bad(); n }
+      /** element base of a vector of `size`-byte elements */
+      def vecAt(vec: Int, i: Int, size: Int): Int = {
+        val p = vec + 4 + i * size; chk(p, size); p
+      }
+      def str(pos: Int): String = {
+        val n = fI32(pos)
+        if (n < 0 || n > metaEnd - pos - 4) bad()
+        val s = new String(b, pos + 4, n, "UTF-8")
+        if (!java.util.Arrays.equals(s.getBytes("UTF-8"),
+          java.util.Arrays.copyOfRange(b, pos + 4, pos + 4 + n))) bad()
+        s
+      }
+    }
+
+    // ---- schema state ----
+    var names: IndexedSeq[String] = null
+    var types: IndexedSeq[String] = null // "i32" | "i64" | "f64" | "utf8" | "bool"
+    val cols = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[Option[String]]]
+    var totalRows = 0L
+
+    def parseSchema(fb: Fb, schemaT: Int): Unit = {
+      if (fb.fieldI16(schemaT, 0, 0) != 0) bad() // endianness: little only
+      val fieldsVec = fb.fieldRef(schemaT, 1)
+      if (fieldsVec == 0) bad()
+      val n = fb.vecLen(fieldsVec)
+      if (n < 1 || n > 1000) bad()
+      val nm = IndexedSeq.newBuilder[String]
+      val tp = IndexedSeq.newBuilder[String]
+      (0 until n).foreach { i =>
+        val fp = fb.vecAt(fieldsVec, i, 4)
+        val f = fp + fb.fI32(fp)
+        val nameP = fb.fieldRef(f, 0)
+        if (nameP == 0) bad()
+        nm += fb.str(nameP)
+        if (fb.fieldRef(f, 4) != 0) bad() // dictionary encoding: scope pin
+        val children = fb.fieldRef(f, 5)
+        if (children != 0 && fb.vecLen(children) != 0) bad() // flat only
+        val tt = fb.fieldU8(f, 2, 0) // Type union tag
+        val tbl = fb.fieldRef(f, 3)
+        tp += (tt match {
+          case 2 => // Int { bitWidth, is_signed }
+            if (tbl == 0) bad()
+            val bits = fb.fieldI32(tbl, 0, 0)
+            if (!fb.fieldBool(tbl, 1, false)) bad() // unsigned: scope pin
+            if (bits == 32) "i32" else if (bits == 64) "i64" else bad()
+          case 3 => // FloatingPoint { precision }
+            if (tbl == 0 || fb.fieldI16(tbl, 0, 0) != 2) bad() // DOUBLE only
+            "f64"
+          case 5 => "utf8"
+          case 6 => "bool"
+          case _ => bad() // nested/temporal/decimal: out of the contract
+        })
+      }
+      names = nm.result(); types = tp.result()
+      types.foreach(_ => cols += scala.collection.mutable.ArrayBuffer.empty[Option[String]])
+    }
+
+    def popcount(bodyOff: Int, bitLen: Int): Int = {
+      var c = 0
+      var i = 0
+      while (i < bitLen) {
+        if ((u8(bodyOff + (i >> 3)) & (1 << (i & 7))) != 0) c += 1
+        i += 1
+      }
+      c
+    }
+
+    def parseBatch(fb: Fb, batchT: Int, bodyStart: Int, bodyLen: Long): Unit = {
+      if (names == null) bad() // a batch before the schema
+      val rows = fb.fieldI64(batchT, 0, -1L)
+      if (rows < 0 || rows > maxRows.toLong) bad()
+      if (totalRows + rows > maxRows.toLong) bad()
+      if (fb.fieldRef(batchT, 3) != 0) bad() // body compression: scope pin
+      val nodesVec = fb.fieldRef(batchT, 1)
+      val bufsVec = fb.fieldRef(batchT, 2)
+      if (nodesVec == 0 || bufsVec == 0) bad()
+      val nNodes = fb.vecLen(nodesVec)
+      val nBufs = fb.vecLen(bufsVec)
+      if (nNodes != types.length) bad()
+      val expBufs = types.map(t => if (t == "utf8") 3 else 2).sum
+      if (nBufs != expBufs) bad()
+      // a buffer inside the body, 8-aligned by the layout law
+      def buffer(i: Int): (Int, Long) = {
+        val p = fb.vecAt(bufsVec, i, 16)
+        val off = fb.fI64(p)
+        val len = fb.fI64(p + 8)
+        if (off < 0 || len < 0 || (off & 7) != 0 || off + len > bodyLen) bad()
+        (bodyStart + off.toInt, len)
+      }
+      var bi = 0
+      types.indices.foreach { ci =>
+        val np = fb.vecAt(nodesVec, ci, 16)
+        val nLen = fb.fI64(np)
+        val nulls = fb.fI64(np + 8)
+        if (nLen != rows || nulls < 0 || nulls > rows) bad()
+        val (vOff, vLen) = buffer(bi); bi += 1
+        val hasValidity = vLen > 0
+        if (!hasValidity && nulls != 0) bad()
+        if (hasValidity && vLen < (rows + 7) / 8) bad()
+        def isValid(r: Int): Boolean =
+          !hasValidity || (u8(vOff + (r >> 3)) & (1 << (r & 7))) != 0
+        // the null_count law
+        if (hasValidity && popcount(vOff, rows.toInt) != (rows - nulls).toInt) bad()
+        val out = cols(ci)
+        types(ci) match {
+          case "i32" =>
+            val (dOff, dLen) = buffer(bi); bi += 1
+            if (dLen < 4L * rows) bad()
+            (0 until rows.toInt).foreach { r =>
+              out += (if (isValid(r)) Some(i32(dOff + 4 * r).toString) else None)
+            }
+          case "i64" =>
+            val (dOff, dLen) = buffer(bi); bi += 1
+            if (dLen < 8L * rows) bad()
+            (0 until rows.toInt).foreach { r =>
+              out += (if (isValid(r)) Some(i64(dOff + 8 * r).toString) else None)
+            }
+          case "f64" =>
+            val (dOff, dLen) = buffer(bi); bi += 1
+            if (dLen < 8L * rows) bad()
+            (0 until rows.toInt).foreach { r =>
+              val d = java.lang.Double.longBitsToDouble(i64(dOff + 8 * r))
+              if (d.isNaN || d.isInfinite) bad()
+              out += (if (isValid(r)) Some(d.toString) else None)
+            }
+          case "bool" =>
+            val (dOff, dLen) = buffer(bi); bi += 1
+            if (dLen < (rows + 7) / 8) bad()
+            (0 until rows.toInt).foreach { r =>
+              out += (if (isValid(r))
+                Some(if ((u8(dOff + (r >> 3)) & (1 << (r & 7))) != 0) "t" else "f")
+              else None)
+            }
+          case "utf8" =>
+            val (oOff, oLen) = buffer(bi); bi += 1
+            val (dOff, dLen) = buffer(bi); bi += 1
+            if (oLen < 4L * (rows + 1)) bad()
+            var prev = i32(oOff)
+            if (prev != 0) bad() // the first offset law
+            (0 until rows.toInt).foreach { r =>
+              val a = i32(oOff + 4 * r)
+              val z = i32(oOff + 4 * (r + 1))
+              if (z < a || a < prev || z > dLen) bad() // ascending, in-bounds
+              prev = a
+              out += (if (isValid(r)) {
+                val s = new String(b, dOff + a, z - a, "UTF-8")
+                if (!java.util.Arrays.equals(s.getBytes("UTF-8"),
+                  java.util.Arrays.copyOfRange(b, dOff + a, dOff + z))) bad()
+                Some(s)
+              } else None)
+            }
+        }
+      }
+      totalRows += rows
+    }
+
+    // ---- the message walk ----
+    var p = 0
+    var ended = false
+    var sawBatch = false
+    while (!ended) {
+      if (p + 4 > b.length) return None // no end-of-stream marker
+      val w0 = i32(p)
+      if (w0 == 0) { p += 4; ended = true } // legacy EOS
+      else {
+        if (w0 != 0xffffffff) return None // continuation marker law
+        if (p + 8 > b.length) return None
+        val metaSize = i32(p + 4)
+        if (metaSize == 0) { p += 8; ended = true } // EOS
+        else {
+          if (metaSize < 4 || metaSize > b.length - p - 8) return None
+          if ((p + 8 + metaSize) % 8 != 0) return None // body alignment law
+          val fb = new Fb(p + 8, p + 8 + metaSize)
+          val msg = fb.root
+          val version = fb.fieldI16(msg, 0, 0)
+          if (version < 3 || version > 4) return None // V4 / V5
+          val headerType = fb.fieldU8(msg, 1, 0)
+          val header = fb.fieldRef(msg, 2)
+          val bodyLen = fb.fieldI64(msg, 3, 0L)
+          if (bodyLen < 0 || (bodyLen & 7) != 0) return None
+          val bodyStart = p + 8 + metaSize
+          if (bodyStart + bodyLen > b.length.toLong) return None
+          headerType match {
+            case 1 => // Schema
+              if (names != null) return None // one schema per stream
+              if (header == 0 || bodyLen != 0L) return None
+              parseSchema(fb, header)
+            case 3 => // RecordBatch
+              if (header == 0) return None
+              parseBatch(fb, header, bodyStart, bodyLen)
+              sawBatch = true
+            case 2 => return None // DictionaryBatch: scope pin
+            case _ => return None
+          }
+          p = bodyStart + bodyLen.toInt
+        }
+      }
+    }
+    if (p != b.length) return None // trailing garbage law
+    if (names == null || !sawBatch) return None
+    Some(names.indices.map(i => Col(names(i), types(i), cols(i).toIndexedSeq)))
+  } catch {
+    case _: Bad => None
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NegativeArraySizeException => None
+  }
+}

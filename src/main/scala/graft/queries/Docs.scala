@@ -1810,6 +1810,120 @@ object Docs {
       |FROM p LEFT JOIN agg ON agg.k = p.k
       |ORDER BY media_id""".stripMargin
 
+  /** Arrow IPC stream read under the oracle (see
+    * [[graft.llm.ArrowIpc]]; housed here so `queries/Llm.scala` stops
+    * growing): per-key streams written by the INDEPENDENT
+    * arrow-vector writer Spark ships — 6-23 rows across 1-2 record
+    * batches, four columns (int64, utf8 with the odd-key multibyte
+    * spice, bool, int32), every (k+g) mod 7 = 3 row NULL across all
+    * columns (the validity/null_count machinery under test) — decoded
+    * by OUR framing + flatbuffers + columnar-body walk. Refusal arms:
+    * truncation (k mod 13 — the EOS law), a continuation-marker flip
+    * (k mod 17), trailing garbage after EOS (k mod 19). */
+  def arrowRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.ArrowIpc
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{BigIntVector, BitVector, IntVector,
+      VarCharVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, Schema}
+    import org.apache.arrow.vector.ipc.ArrowStreamWriter
+    import scala.jdk.CollectionConverters._
+    val keys = partKeys(s, d) // full-width spread: the decode map is the cost
+    val decoded = keys.map { k =>
+      val nRows = (6 + k % 18).toInt
+      val nBatches = (1 + k % 2).toInt
+      val schema = new Schema(List(
+        Field.nullable("id", new ArrowType.Int(64, true)),
+        Field.nullable("name", new ArrowType.Utf8()),
+        Field.nullable("flag", new ArrowType.Bool()),
+        Field.nullable("n32", new ArrowType.Int(32, true))).asJava)
+      val alloc = new RootAllocator(1L << 24)
+      val root = VectorSchemaRoot.create(schema, alloc)
+      val bos = new java.io.ByteArrayOutputStream
+      val w = new ArrowStreamWriter(root, null, bos)
+      try {
+        w.start()
+        (0 until nBatches).foreach { bi =>
+          root.allocateNew()
+          (0 until nRows).foreach { r =>
+            val g = bi * nRows + r
+            if ((k + g) % 7 == 3) {
+              root.getVector("id").asInstanceOf[BigIntVector].setNull(r)
+              root.getVector("name").asInstanceOf[VarCharVector].setNull(r)
+              root.getVector("flag").asInstanceOf[BitVector].setNull(r)
+              root.getVector("n32").asInstanceOf[IntVector].setNull(r)
+            } else {
+              root.getVector("id").asInstanceOf[BigIntVector]
+                .setSafe(r, g.toLong * 37 + k % 50 - 500)
+              root.getVector("name").asInstanceOf[VarCharVector].setSafe(r,
+                (s"ar$k g$g w${(k + g) % 9}" +
+                  (if (k % 2 == 1) " é€" else "")).getBytes("UTF-8"))
+              root.getVector("flag").asInstanceOf[BitVector]
+                .setSafe(r, if ((k + g) % 3 == 0) 1 else 0)
+              root.getVector("n32").asInstanceOf[IntVector]
+                .setSafe(r, ((k * 3 + g * 13) % 1000).toInt - 200)
+            }
+          }
+          root.setRowCount(nRows)
+          w.writeBatch()
+        }
+        w.end()
+      } finally { w.close(); root.close(); alloc.close() }
+      val bytes = bos.toByteArray
+      val payload =
+        if (k % 13 == 0) bytes.dropRight(6)
+        else if (k % 17 == 0) { val t = bytes.clone(); t(0) = 0x11; t }
+        else if (k % 19 == 0) bytes ++ Array[Byte](7)
+        else bytes
+      ArrowIpc.arrowRead(payload) match {
+        case Some(cols) =>
+          val n = cols.head.values.length
+          val text = (0 until n).map { g =>
+            s"$g:" + cols.map(_.values(g).getOrElse("∅")).mkString("\t")
+          }.mkString("\n")
+          (k, true, Some(n), Some(text.length.toLong), Some(text))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Long],
+            None: Option[String])
+      }
+    }.toDF("media_id", "ar_ok", "n_rows", "n_chars", "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The stream replayed: B = 1 + k mod 2 batches of R = 6 + k mod 18
+    * rows; global row g renders `g:` + id, name, flag, n32 tab-joined
+    * (∅ across the board when (k+g) mod 7 = 3). */
+  val arrowReadSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(6 + k % 18 AS INTEGER) AS nr,
+      |        CAST(1 + k % 2 AS INTEGER) AS nb,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |ln AS (
+      |  SELECT p.k, g.g AS g,
+      |    g.g || ':' ||
+      |    CASE WHEN (p.k + g.g) % 7 = 3 THEN '∅' || chr(9) || '∅' ||
+      |      chr(9) || '∅' || chr(9) || '∅'
+      |    ELSE (g.g * 37 + p.k % 50 - 500) || chr(9) ||
+      |      'ar' || p.k || ' g' || g.g || ' w' || ((p.k + g.g) % 9) ||
+      |      CASE WHEN p.k % 2 = 1 THEN ' é€' ELSE '' END || chr(9) ||
+      |      CASE WHEN (p.k + g.g) % 3 = 0 THEN 't' ELSE 'f' END || chr(9) ||
+      |      ((p.k * 3 + g.g * 13) % 1000 - 200)
+      |    END AS line
+      |  FROM p, generate_series(0, 45) g(g)
+      |  WHERE g.g < p.nr * p.nb AND p.ok),
+      |agg AS (
+      |  SELECT k, CAST(COUNT(*) AS INTEGER) AS n_rows,
+      |    string_agg(line, chr(10) ORDER BY g) AS text
+      |  FROM ln GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS ar_ok,
+      |  CASE WHEN p.ok THEN agg.n_rows END AS n_rows,
+      |  CASE WHEN p.ok THEN CAST(length(agg.text) AS BIGINT) END AS n_chars,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p LEFT JOIN agg ON agg.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pdf_text" -> (pdfText _),
     "q_docx_read" -> (docxRead _),
@@ -1826,6 +1940,7 @@ object Docs {
     "q_xls_read" -> (xlsRead _),
     "q_ppt_text" -> (pptTextRead _),
     "q_sqlite_read" -> (sqliteRead _),
+    "q_arrow_read" -> (arrowRead _),
     "q_markdown_read" -> (markdownRead _),
     "q_doc_zoo" -> (docZoo _))
 
@@ -1845,6 +1960,7 @@ object Docs {
     "q_xls_read" -> xlsReadSql,
     "q_ppt_text" -> pptTextReadSql,
     "q_sqlite_read" -> sqliteReadSql,
+    "q_arrow_read" -> arrowReadSql,
     "q_markdown_read" -> markdownReadSql,
     "q_doc_zoo" -> docZooSql)
 }

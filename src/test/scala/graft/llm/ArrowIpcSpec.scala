@@ -1,0 +1,141 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, Schema}
+import org.apache.arrow.vector.ipc.{ArrowFileWriter, ArrowStreamWriter}
+import scala.jdk.CollectionConverters._
+
+/** Arrow IPC stream read, proven against the INDEPENDENT writer Spark
+  * ships (arrow-vector): framing, flatbuffers metadata, all five
+  * column types, nulls, multiple batches, and the tamper battery. */
+class ArrowIpcSpec extends AnyFunSuite {
+
+  private def schema: Schema = new Schema(List(
+    Field.nullable("id", new ArrowType.Int(64, true)),
+    Field.nullable("name", new ArrowType.Utf8()),
+    Field.nullable("score", new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)),
+    Field.nullable("flag", new ArrowType.Bool()),
+    Field.nullable("n32", new ArrowType.Int(32, true))).asJava)
+
+  /** nBatches batches of nRows; row r of batch bi has global index
+    * g = bi*nRows + r; g % 7 == 3 rows are NULL in every column. */
+  private def write(nRows: Int, nBatches: Int, withNulls: Boolean): Array[Byte] = {
+    val alloc = new RootAllocator(1L << 28)
+    val root = VectorSchemaRoot.create(schema, alloc)
+    val bos = new java.io.ByteArrayOutputStream
+    val w = new ArrowStreamWriter(root, null, bos)
+    try {
+      w.start()
+      val id = root.getVector("id").asInstanceOf[BigIntVector]
+      val name = root.getVector("name").asInstanceOf[VarCharVector]
+      val score = root.getVector("score").asInstanceOf[Float8Vector]
+      val flag = root.getVector("flag").asInstanceOf[BitVector]
+      val n32 = root.getVector("n32").asInstanceOf[IntVector]
+      (0 until nBatches).foreach { bi =>
+        root.allocateNew()
+        (0 until nRows).foreach { r =>
+          val g = bi * nRows + r
+          if (withNulls && g % 7 == 3) {
+            id.setNull(r); name.setNull(r); score.setNull(r)
+            flag.setNull(r); n32.setNull(r)
+          } else {
+            id.setSafe(r, g.toLong * 37 - 500)
+            name.setSafe(r, s"row $g é€ w${g % 9}".getBytes("UTF-8"))
+            score.setSafe(r, g * 0.25 - 3.5)
+            flag.setSafe(r, if (g % 3 == 0) 1 else 0)
+            n32.setSafe(r, g * 13 - 99)
+          }
+        }
+        root.setRowCount(nRows)
+        w.writeBatch()
+      }
+      w.end()
+    } finally { w.close(); root.close(); alloc.close() }
+    bos.toByteArray
+  }
+
+  test("round-trip vs the arrow-vector writer: types, nulls, batches") {
+    for ((nRows, nBatches, nulls) <- Seq((10, 1, false), (64, 1, true),
+      (17, 3, true), (1, 1, false), (1000, 2, true))) {
+      val bytes = write(nRows, nBatches, nulls)
+      val cols = ArrowIpc.arrowRead(bytes)
+        .getOrElse(fail(s"refused n=$nRows b=$nBatches"))
+      assert(cols.map(_.name) == Seq("id", "name", "score", "flag", "n32"))
+      assert(cols.map(_.typ) == Seq("i64", "utf8", "f64", "bool", "i32"))
+      val total = nRows * nBatches
+      assert(cols.forall(_.values.length == total))
+      (0 until total).foreach { g =>
+        if (nulls && g % 7 == 3)
+          assert(cols.forall(_.values(g).isEmpty), s"g=$g")
+        else {
+          assert(cols(0).values(g).contains((g.toLong * 37 - 500).toString))
+          assert(cols(1).values(g).contains(s"row $g é€ w${g % 9}"))
+          assert(cols(2).values(g).contains((g * 0.25 - 3.5).toString))
+          assert(cols(3).values(g).contains(if (g % 3 == 0) "t" else "f"))
+          assert(cols(4).values(g).contains((g * 13 - 99).toString))
+        }
+      }
+    }
+  }
+
+  test("refusals: file wrapper, truncation, marker flip, trailing bytes") {
+    val good = write(20, 1, withNulls = true)
+    assert(ArrowIpc.arrowRead(good).nonEmpty)
+    assert(ArrowIpc.arrowRead(good.dropRight(1)).isEmpty)  // EOS cut
+    assert(ArrowIpc.arrowRead(good.dropRight(40)).isEmpty) // body cut
+    assert(ArrowIpc.arrowRead(good ++ Array[Byte](1)).isEmpty) // trailing law
+    val t = good.clone(); t(0) = 0x7f
+    assert(ArrowIpc.arrowRead(t).isEmpty) // continuation marker law
+    // the FILE format (ARROW1 magic + footer) refuses: stream only
+    val alloc = new RootAllocator(1L << 26)
+    val root = VectorSchemaRoot.create(schema, alloc)
+    val bos = new java.io.ByteArrayOutputStream
+    val fw = new ArrowFileWriter(root, null,
+      java.nio.channels.Channels.newChannel(bos))
+    try {
+      fw.start()
+      root.allocateNew()
+      root.getVector("id").asInstanceOf[BigIntVector].setSafe(0, 1L)
+      root.getVector("name").asInstanceOf[VarCharVector].setSafe(0, "x".getBytes)
+      root.getVector("score").asInstanceOf[Float8Vector].setSafe(0, 1.0)
+      root.getVector("flag").asInstanceOf[BitVector].setSafe(0, 1)
+      root.getVector("n32").asInstanceOf[IntVector].setSafe(0, 1)
+      root.setRowCount(1)
+      fw.writeBatch()
+      fw.end()
+    } finally { fw.close(); root.close(); alloc.close() }
+    assert(ArrowIpc.arrowRead(bos.toByteArray).isEmpty)
+  }
+
+  test("the null_count law: a validity bit flip refuses") {
+    // Arrow IPC carries NO checksums: flips in padding/slack are
+    // invisible by design, so the tamper must target a LAW-covered
+    // byte. The first buffer of the batch body is column 0's validity
+    // bitmap; flipping any of its first `rows` bits breaks the
+    // popcount-vs-null_count identity and must refuse.
+    val good = write(40, 1, withNulls = true)
+    def i32(p: Int): Int = (good(p) & 0xff) | ((good(p + 1) & 0xff) << 8) |
+      ((good(p + 2) & 0xff) << 16) | ((good(p + 3) & 0xff) << 24)
+    val schemaSize = i32(4)
+    val batchAt = 8 + schemaSize
+    val batchMeta = i32(batchAt + 4)
+    val bodyStart = batchAt + 8 + batchMeta
+    (0 until 5).foreach { byteIx =>
+      val t = good.clone()
+      t(bodyStart + byteIx) = (t(bodyStart + byteIx) ^ 0x04).toByte
+      assert(ArrowIpc.arrowRead(t).isEmpty, s"validity flip at +$byteIx passed")
+    }
+    // and a flip inside a string's data bytes changes the read
+    val base = ArrowIpc.arrowRead(good).get
+    val needle = "row 5 ".getBytes("UTF-8")
+    val at = good.indexOfSlice(needle)
+    assert(at > 0)
+    val t2 = good.clone(); t2(at) = 'q'.toByte
+    val r2 = ArrowIpc.arrowRead(t2)
+    assert(r2.isEmpty || r2.get != base)
+    assert(r2.forall(_.exists(_.values.exists(_.contains("qow 5 é€ w5")))))
+  }
+}
