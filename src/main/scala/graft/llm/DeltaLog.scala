@@ -1,0 +1,142 @@
+package graft.llm
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Delta Lake transaction-log SNAPSHOT reconstruction — the lakehouse
+  * table format's versioned commit replay (the public PROTOCOL.md
+  * spec): a table's state is the reconciliation of newline-delimited
+  * JSON action files `_delta_log/{version}.json`, where the newest
+  * action per data-file path wins (add introduces or replaces, remove
+  * tombstones), `protocol` gates reader capabilities and `metaData`
+  * carries the schema.
+  *
+  * Laws (refuse, never garble):
+  *  - versions must be exactly contiguous from 0 (a gap means an
+  *    unreadable table, not a smaller one);
+  *  - every line is ONE JSON object carrying exactly one recognized
+  *    action (commitInfo / protocol / metaData / add / remove); under
+  *    minReaderVersion 1 an unrecognized action is a forward-version
+  *    leak and refuses;
+  *  - `protocol` exactly once, in version 0, minReaderVersion 1 (the
+  *    JSON-commit scope pin — checkpoints, column mapping and deletion
+  *    vectors live behind higher versions and refuse honestly);
+  *  - `metaData` exactly once, in version 0, format.provider
+  *    "parquet" (schema evolution is a later-round seam);
+  *  - `add` requires path (non-empty), size ≥ 0, dataChange, and its
+  *    `stats` string — when present — must parse with numRecords ≥ 0;
+  *    `remove` requires path and dataChange; removing an unknown path
+  *    is a lawful tombstone (VACUum bookkeeping), NOT an error;
+  *  - the reconstructed snapshot must be non-empty. */
+object DeltaLog {
+
+  private val mapper = new ObjectMapper()
+
+  /** path → (size, numRecords) for the live files at the final version. */
+  final case class Snapshot(version: Long,
+                            files: Seq[(String, Long, Long)])
+
+  def replay(commits: Seq[(Long, String)]): Option[Snapshot] = try {
+    if (commits.isEmpty) return None
+    val versions = commits.map(_._1)
+    if (versions != (0L until commits.length.toLong)) return None // contiguity
+    var sawProtocol = false
+    var sawMeta = false
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    commits.foreach { case (v, text) =>
+      text.split("\n", -1).filter(_.nonEmpty).foreach { line =>
+        val root = mapper.readTree(line)
+        if (root == null || !root.isObject) return None
+        if (root.size != 1) return None // one action per line
+        val key = root.fieldNames().next()
+        val a = root.get(key)
+        key match {
+          case "commitInfo" =>
+            if (!a.isObject) return None // informational, shape-checked
+          case "protocol" =>
+            if (sawProtocol || v != 0L || !a.isObject) return None
+            val r = a.get("minReaderVersion")
+            val w = a.get("minWriterVersion")
+            if (r == null || !r.isInt || w == null || !w.isInt) return None
+            if (r.asInt != 1) return None // checkpoint-free JSON scope pin
+            if (w.asInt < 1) return None
+            sawProtocol = true
+          case "metaData" =>
+            if (sawMeta || v != 0L || !a.isObject) return None
+            val fmt = a.get("format")
+            if (fmt == null || !fmt.isObject) return None
+            val prov = fmt.get("provider")
+            if (prov == null || !prov.isTextual || prov.asText != "parquet")
+              return None
+            if (a.get("id") == null || !a.get("id").isTextual) return None
+            if (a.get("schemaString") == null ||
+              !a.get("schemaString").isTextual) return None
+            sawMeta = true
+          case "add" =>
+            if (!a.isObject) return None
+            val path = a.get("path")
+            if (path == null || !path.isTextual || path.asText.isEmpty)
+              return None
+            val size = a.get("size")
+            if (size == null || !size.canConvertToLong || size.asLong < 0L)
+              return None
+            val dc = a.get("dataChange")
+            if (dc == null || !dc.isBoolean) return None
+            val pv = a.get("partitionValues")
+            if (pv == null || !pv.isObject) return None
+            var rows = -1L
+            val stats = a.get("stats")
+            if (stats != null) {
+              if (!stats.isTextual) return None
+              val st = mapper.readTree(stats.asText)
+              if (st == null || !st.isObject) return None
+              val nr = st.get("numRecords")
+              if (nr == null || !nr.canConvertToLong || nr.asLong < 0L)
+                return None
+              rows = nr.asLong
+            }
+            live(path.asText) = (size.asLong, rows) // newest wins
+          case "remove" =>
+            if (!a.isObject) return None
+            val path = a.get("path")
+            if (path == null || !path.isTextual || path.asText.isEmpty)
+              return None
+            val dc = a.get("dataChange")
+            if (dc == null || !dc.isBoolean) return None
+            live.remove(path.asText) // a tombstone; unknown paths are lawful
+          case _ => return None // forward-version action under reader v1
+        }
+      }
+    }
+    if (!sawProtocol || !sawMeta) return None
+    if (live.isEmpty) return None
+    Some(Snapshot(versions.last,
+      live.toSeq.map { case (p, (s, r)) => (p, s, r) }.sortBy(_._1)))
+  } catch {
+    case _: com.fasterxml.jackson.core.JacksonException => None
+  }
+
+  // ---- conformance writer -------------------------------------------------
+
+  private def esc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+
+  def commitInfo(op: String): String =
+    s"""{"commitInfo":{"operation":"${esc(op)}","isolationLevel":"Serializable"}}"""
+
+  def protocol(reader: Int = 1, writer: Int = 2): String =
+    s"""{"protocol":{"minReaderVersion":$reader,"minWriterVersion":$writer}}"""
+
+  def metaData(id: String): String =
+    s"""{"metaData":{"id":"${esc(id)}","format":{"provider":"parquet","options":{}},""" +
+      """"schemaString":"{\"type\":\"struct\",\"fields\":[]}",""" +
+      """"partitionColumns":[],"configuration":{}}}"""
+
+  def add(path: String, size: Long, rows: Long): String =
+    s"""{"add":{"path":"${esc(path)}","partitionValues":{},"size":$size,""" +
+      s""""modificationTime":1700000000000,"dataChange":true,""" +
+      s""""stats":"{\\"numRecords\\":$rows}"}}"""
+
+  def remove(path: String): String =
+    s"""{"remove":{"path":"${esc(path)}","deletionTimestamp":1700000001000,""" +
+      s""""dataChange":true}}"""
+}

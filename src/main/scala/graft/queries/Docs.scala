@@ -1924,6 +1924,106 @@ object Docs {
       |FROM p LEFT JOIN agg ON agg.k = p.k
       |ORDER BY media_id""".stripMargin
 
+  /** Delta Lake transaction-log snapshot reconstruction under the
+    * oracle (see [[graft.llm.DeltaLog]]): per-key logs of versions
+    * 0..V (V = 1 + k mod 4) — version 0 carries protocol + metaData +
+    * 2-4 adds, each later version adds 1-2 files and tombstones the
+    * PREVIOUS version's first file, and every fifth key's final
+    * version RE-ADDS the long-dead first file (the newest-action-wins
+    * law in both directions). Refusal arms: a torn final commit
+    * (k mod 13), a version gap (k mod 17 — the contiguity law), a
+    * negative add size (k mod 19). */
+  def deltaLog(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.DeltaLog
+    val keys = partKeys(s, d) // full-width spread: the replay map is the cost
+    val decoded = keys.map { k =>
+      val vMax = (1 + k % 4).toInt
+      def addLine(v: Int, j: Int): String =
+        DeltaLog.add(s"part-$v-$j-$k.parquet",
+          1000 + (k * 7 + v * 13 + j * 29) % 9000,
+          10 + (k + v + j) % 90)
+      val commits: Seq[(Long, String)] = (0 to vMax).map { v =>
+        val nAdds = if (v == 0) (2 + k % 3).toInt else (1 + (k + v) % 2).toInt
+        val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+        if (v == 0) {
+          lines += DeltaLog.commitInfo("CREATE TABLE")
+          lines += DeltaLog.protocol()
+          lines += DeltaLog.metaData(s"tbl-$k")
+        } else lines += DeltaLog.commitInfo("WRITE")
+        (0 until nAdds).foreach { j =>
+          lines += (if (v == 0 && j == 0 && k % 19 == 0 && k % 13 != 0 &&
+            k % 17 != 0)
+            DeltaLog.add(s"part-0-0-$k.parquet", -5L, 3L) // the size lie
+          else addLine(v, j))
+        }
+        if (v > 0) lines += DeltaLog.remove(s"part-${v - 1}-0-$k.parquet")
+        if (v == vMax && k % 5 == 0)
+          lines += DeltaLog.add(s"part-0-0-$k.parquet",
+            500L + vMax, 5L + vMax) // newest wins: the re-add
+        (v.toLong, lines.mkString("\n"))
+      }
+      val armed: Seq[(Long, String)] =
+        if (k % 13 == 0)
+          commits.init :+ (commits.last._1, commits.last._2.dropRight(4))
+        else if (k % 17 == 0)
+          commits.init :+ (commits.last._1 + 1, commits.last._2) // the gap
+        else commits
+      DeltaLog.replay(armed) match {
+        case Some(snap) =>
+          val text = snap.files.map { case (p, sz, r) => s"$p:$sz:$r" }
+            .mkString("\n")
+          (k, true, Some(snap.version), Some(snap.files.length),
+            Some(snap.files.map(_._2).sum), Some(snap.files.map(_._3).sum),
+            Some(text))
+        case None =>
+          (k, false, None: Option[Long], None: Option[Int],
+            None: Option[Long], None: Option[Long], None: Option[String])
+      }
+    }.toDF("media_id", "dl_ok", "version", "n_files", "total_bytes",
+      "total_rows", "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The reconciliation replayed in closed form: an added file (v, j)
+    * survives unless it is a version-v < V first file (tombstoned at
+    * v + 1); fifth keys append the re-added first file. */
+  val deltaLogSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(1 + k % 4 AS INTEGER) AS vmax,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |live AS (
+      |  SELECT p.k,
+      |    'part-' || v.g || '-' || j.g || '-' || p.k || '.parquet' AS path,
+      |    CAST(1000 + (p.k * 7 + v.g * 13 + j.g * 29) % 9000 AS BIGINT) AS sz,
+      |    CAST(10 + (p.k + v.g + j.g) % 90 AS BIGINT) AS nrec
+      |  FROM p, generate_series(0, 4) v(g), generate_series(0, 3) j(g)
+      |  WHERE p.ok AND v.g <= p.vmax
+      |    AND ((v.g = 0 AND j.g < 2 + p.k % 3)
+      |      OR (v.g > 0 AND j.g < 1 + (p.k + v.g) % 2))
+      |    AND NOT (j.g = 0 AND v.g < p.vmax)
+      |  UNION ALL
+      |  SELECT p.k, 'part-0-0-' || p.k || '.parquet' AS path,
+      |    CAST(500 + p.vmax AS BIGINT) AS sz,
+      |    CAST(5 + p.vmax AS BIGINT) AS nrec
+      |  FROM p WHERE p.ok AND p.k % 5 = 0),
+      |agg AS (
+      |  SELECT k, CAST(COUNT(*) AS INTEGER) AS n_files,
+      |    CAST(SUM(sz) AS BIGINT) AS total_bytes,
+      |    CAST(SUM(nrec) AS BIGINT) AS total_rows,
+      |    string_agg(path || ':' || sz || ':' || nrec, chr(10)
+      |      ORDER BY path) AS text
+      |  FROM live GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS dl_ok,
+      |  CASE WHEN p.ok THEN CAST(p.vmax AS BIGINT) END AS version,
+      |  CASE WHEN p.ok THEN agg.n_files END AS n_files,
+      |  CASE WHEN p.ok THEN agg.total_bytes END AS total_bytes,
+      |  CASE WHEN p.ok THEN agg.total_rows END AS total_rows,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p LEFT JOIN agg ON agg.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pdf_text" -> (pdfText _),
     "q_docx_read" -> (docxRead _),
@@ -1941,6 +2041,7 @@ object Docs {
     "q_ppt_text" -> (pptTextRead _),
     "q_sqlite_read" -> (sqliteRead _),
     "q_arrow_read" -> (arrowRead _),
+    "q_delta_log" -> (deltaLog _),
     "q_markdown_read" -> (markdownRead _),
     "q_doc_zoo" -> (docZoo _))
 
@@ -1961,6 +2062,7 @@ object Docs {
     "q_ppt_text" -> pptTextReadSql,
     "q_sqlite_read" -> sqliteReadSql,
     "q_arrow_read" -> arrowReadSql,
+    "q_delta_log" -> deltaLogSql,
     "q_markdown_read" -> markdownReadSql,
     "q_doc_zoo" -> docZooSql)
 }

@@ -1,0 +1,62 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import DeltaLog._
+
+/** Delta log replay: last-action-wins reconciliation, tombstones,
+  * replacement adds, the version/protocol/metaData laws. */
+class DeltaLogSpec extends AnyFunSuite {
+
+  private def v0(adds: (String, Long, Long)*): String =
+    (Seq(commitInfo("CREATE TABLE"), protocol(), metaData("tbl-1")) ++
+      adds.map { case (p, s, r) => add(p, s, r) }).mkString("\n")
+
+  test("replay: adds, removes, replacement wins, sorted output") {
+    val commits = Seq(
+      0L -> v0(("a.parquet", 100L, 10L), ("b.parquet", 200L, 20L)),
+      1L -> Seq(commitInfo("WRITE"), add("c.parquet", 300L, 30L),
+        remove("a.parquet")).mkString("\n"),
+      2L -> Seq(commitInfo("OPTIMIZE"), add("b.parquet", 999L, 21L)).mkString("\n"))
+    val s = replay(commits).getOrElse(fail("refused"))
+    assert(s.version == 2L)
+    assert(s.files == Seq(("b.parquet", 999L, 21L), ("c.parquet", 300L, 30L)))
+    // a remove of an unknown path is a lawful tombstone
+    val t = replay(commits :+ (3L -> remove("zz.parquet")))
+    assert(t.exists(_.files.length == 2))
+    // re-adding a removed file brings it back
+    val u = replay(commits :+ (3L -> add("a.parquet", 111L, 11L)))
+    assert(u.exists(_.files.contains(("a.parquet", 111L, 11L))))
+  }
+
+  test("refusals: version gap, protocol/meta laws, malformed actions") {
+    val ok = Seq(0L -> v0(("a.parquet", 1L, 1L)))
+    assert(replay(ok).nonEmpty)
+    // version gap / wrong start
+    assert(replay(Seq(1L -> v0(("a", 1L, 1L)))).isEmpty)
+    assert(replay(ok :+ (2L -> add("b", 1L, 1L))).isEmpty)
+    // protocol absent / duplicated / too new
+    assert(replay(Seq(0L -> (metaData("x") + "\n" + add("a", 1L, 1L)))).isEmpty)
+    assert(replay(Seq(0L -> (v0(("a", 1L, 1L)) + "\n" + protocol()))).isEmpty)
+    assert(replay(Seq(0L ->
+      (Seq(protocol(reader = 2), metaData("x"), add("a", 1L, 1L))
+        .mkString("\n")))).isEmpty)
+    // metaData absent; provider must be parquet
+    assert(replay(Seq(0L -> (protocol() + "\n" + add("a", 1L, 1L)))).isEmpty)
+    assert(replay(Seq(0L -> (protocol() + "\n" +
+      metaData("x").replace("parquet", "orc") + "\n" + add("a", 1L, 1L)))).isEmpty)
+    // malformed add: negative size, missing dataChange, stats lie
+    assert(replay(Seq(0L -> v0()
+      .+("\n" + add("a", 1L, 1L).replace("\"size\":1", "\"size\":-1")))).isEmpty)
+    assert(replay(Seq(0L -> (v0() + "\n" +
+      add("a", 1L, 1L).replace(",\"dataChange\":true", "")))).isEmpty)
+    assert(replay(Seq(0L -> (v0() + "\n" +
+      add("a", 1L, 1L).replace("numRecords\\\":1", "numRecords\\\":-4")))).isEmpty)
+    // unknown action under reader v1; torn JSON
+    assert(replay(Seq(0L -> (v0(("a", 1L, 1L)) +
+      "\n{\"cdc\":{\"path\":\"x\"}}"))).isEmpty)
+    assert(replay(Seq(0L -> v0(("a", 1L, 1L)).dropRight(3))).isEmpty)
+    // an all-removed table is empty, not a snapshot
+    assert(replay(Seq(0L -> v0(("a.parquet", 1L, 1L)),
+      1L -> remove("a.parquet"))).isEmpty)
+  }
+}
