@@ -1,0 +1,228 @@
+package graft.llm
+
+/** Parquet footer READ — a native Thrift compact-protocol walk over
+  * the FileMetaData that ends every parquet file (the format spec at
+  * parquet.apache.org + thrift's compact-protocol spec): the PAR1
+  * magic at both ends, the little-endian footer length, varint/zigzag
+  * integers, field-delta headers, list/struct framing, and the
+  * metadata tree — schema elements, row groups, column chunks.
+  *
+  * Laws (refuse, never garble):
+  *  - magic at HEAD and TAIL, footer length in bounds, the thrift
+  *    walk consumes the footer region exactly;
+  *  - every thrift read is bounds-checked, structs cap at depth 32,
+  *    collection sizes are sane before allocation;
+  *  - the schema tree (pre-order with num_children) must consume the
+  *    element list exactly; the root carries the top-level children
+  *    whose names are the column census;
+  *  - the ROW-COUNT IDENTITY: FileMetaData.num_rows must equal the
+  *    sum of the row groups' num_rows (the cross-law a truncated or
+  *    spliced footer breaks);
+  *  - required fields (version, schema, num_rows, row_groups)
+  *    present; unknown fields skip structurally by type.
+  *
+  * This reads METADATA truth; page decoding stays with the engine's
+  * parquet scan (Spark's vectorized reader). */
+object ParquetFooter {
+
+  private final class Bad extends RuntimeException
+  private def bad(): Nothing = throw new Bad
+
+  final case class Footer(version: Int, numRows: Long, nCols: Int,
+                          colNames: Seq[String], nRowGroups: Int,
+                          createdBy: Option[String])
+
+  def parse(b: Array[Byte], maxBytes: Int = 1 << 30): Option[Footer] = try {
+    if (b == null || b.length < 12 || b.length > maxBytes) return None
+    def magicAt(p: Int): Boolean =
+      b(p) == 'P' && b(p + 1) == 'A' && b(p + 2) == 'R' && b(p + 3) == '1'
+    if (!magicAt(0) || !magicAt(b.length - 4)) return None
+    val fLen = (b(b.length - 8) & 0xff) | ((b(b.length - 7) & 0xff) << 8) |
+      ((b(b.length - 6) & 0xff) << 16) | ((b(b.length - 5) & 0xff) << 24)
+    if (fLen < 1 || fLen > b.length - 12) return None
+    val start = b.length - 8 - fLen
+    val end = b.length - 8
+    var p = start
+
+    def u8(): Int = { if (p >= end) bad(); val v = b(p) & 0xff; p += 1; v }
+    def varint(): Long = {
+      var v = 0L; var sh = 0
+      while (true) {
+        val x = u8()
+        v |= (x & 0x7fL) << sh
+        if ((x & 0x80) == 0) return v
+        sh += 7
+        if (sh > 63) bad()
+      }
+      v
+    }
+    def zigzag(): Long = { val v = varint(); (v >>> 1) ^ -(v & 1L) }
+    def binary(): Array[Byte] = {
+      val n = varint()
+      if (n < 0 || n > end - p) bad()
+      val out = java.util.Arrays.copyOfRange(b, p, p + n.toInt)
+      p += n.toInt
+      out
+    }
+    def utf8(): String = {
+      val bs = binary()
+      val s = new String(bs, "UTF-8")
+      if (!java.util.Arrays.equals(s.getBytes("UTF-8"), bs)) bad()
+      s
+    }
+    // structural skip of any value of compact type `t`
+    def skip(t: Int, depth: Int): Unit = {
+      if (depth > 32) bad()
+      t match {
+        case 1 | 2 => () // bool true/false live in the field header
+        case 3 | 4 | 5 | 6 => { varint(); () }
+        case 7 => { if (p + 8 > end) bad(); p += 8 }
+        case 8 => { binary(); () }
+        case 9 | 10 => // list / set
+          val h = u8()
+          val n0 = h >>> 4
+          val et = h & 0xf
+          val n = if (n0 == 15) varint() else n0.toLong
+          if (n < 0 || n > (end - p).toLong + 16) bad()
+          var i = 0L
+          while (i < n) { skip(et, depth + 1); i += 1 }
+        case 11 => // map
+          val n = varint()
+          if (n < 0) bad()
+          if (n > 0) {
+            val kv = u8()
+            var i = 0L
+            while (i < n) {
+              skip(kv >>> 4, depth + 1); skip(kv & 0xf, depth + 1); i += 1
+            }
+          }
+        case 12 => skipStruct(depth + 1)
+        case _ => bad()
+      }
+    }
+    def skipStruct(depth: Int): Unit = {
+      if (depth > 32) bad()
+      var fid = 0
+      var stop = false
+      while (!stop) {
+        val fh = u8()
+        if (fh == 0) stop = true
+        else {
+          val delta = fh >>> 4
+          val t = fh & 0xf
+          fid = if (delta == 0) zigzag().toInt else fid + delta
+          skip(t, depth)
+        }
+      }
+    }
+    /** walk a struct, dispatching (fieldId, type) to `f`; `f` returns
+      * true when it consumed the value, false to structural-skip */
+    def struct(depth: Int)(f: (Int, Int) => Boolean): Unit = {
+      if (depth > 32) bad()
+      var fid = 0
+      var stop = false
+      while (!stop) {
+        val fh = u8()
+        if (fh == 0) stop = true
+        else {
+          val delta = fh >>> 4
+          val t = fh & 0xf
+          fid = if (delta == 0) zigzag().toInt else fid + delta
+          if (!f(fid, t)) skip(t, depth)
+        }
+      }
+    }
+    def listHeader(expectType: Int): Long = {
+      val h = u8()
+      val n0 = h >>> 4
+      if ((h & 0xf) != expectType) bad()
+      val n = if (n0 == 15) varint() else n0.toLong
+      if (n < 0 || n > (end - p).toLong + 16) bad()
+      n
+    }
+
+    // ---- FileMetaData ----
+    var version = Int.MinValue
+    var numRows = Long.MinValue
+    var createdBy: Option[String] = None
+    // schema elements as (name, numChildren)
+    val elems = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    val rgRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    struct(0) { (fid, t) =>
+      (fid, t) match {
+        case (1, 5) => version = zigzag().toInt; true
+        case (2, 9) => // schema: list<SchemaElement>
+          val n = listHeader(12)
+          if (n > 100000) bad()
+          var i = 0L
+          while (i < n) {
+            var name: String = null
+            var children = 0
+            struct(1) { (sf, st) =>
+              (sf, st) match {
+                case (4, 8) => name = utf8(); true
+                case (5, 5) => children = zigzag().toInt; true
+                case _ => false
+              }
+            }
+            if (name == null) bad() // name is required
+            if (children < 0) bad()
+            elems += ((name, children))
+            i += 1
+          }
+          true
+        case (3, 6) => numRows = zigzag(); true
+        case (4, 9) => // row_groups: list<RowGroup>
+          val n = listHeader(12)
+          if (n > 1000000) bad()
+          var i = 0L
+          while (i < n) {
+            var rows = Long.MinValue
+            struct(1) { (rf, rt) =>
+              (rf, rt) match {
+                case (3, 6) => rows = zigzag(); true
+                case _ => false
+              }
+            }
+            if (rows < 0) bad() // num_rows is required per row group
+            rgRows += rows
+            i += 1
+          }
+          true
+        case (6, 8) => createdBy = Some(utf8()); true
+        case _ => false
+      }
+    }
+    if (p != end) return None // the footer must be consumed exactly
+    if (version == Int.MinValue || numRows < 0 || elems.isEmpty) return None
+    // ---- the schema tree law: pre-order with num_children consumes
+    //      the list exactly; the root's children are the columns ----
+    val rootChildren = elems.head._2
+    if (rootChildren < 1) return None
+    var idx = 1
+    def consumeSubtree(depth: Int): Unit = {
+      if (depth > 32 || idx >= elems.length) bad()
+      val ch = elems(idx)._2
+      idx += 1
+      var j = 0
+      while (j < ch) { consumeSubtree(depth + 1); j += 1 }
+    }
+    val colNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < rootChildren) {
+      if (idx >= elems.length) return None
+      colNames += elems(idx)._1
+      consumeSubtree(0)
+      i += 1
+    }
+    if (idx != elems.length) return None // the tree law
+    // ---- the row-count identity ----
+    if (rgRows.sum != numRows) return None
+    Some(Footer(version, numRows, rootChildren, colNames.toSeq,
+      rgRows.length, createdBy))
+  } catch {
+    case _: Bad => None
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NegativeArraySizeException => None
+  }
+}

@@ -2024,6 +2024,65 @@ object Docs {
       |FROM p LEFT JOIN agg ON agg.k = p.k
       |ORDER BY media_id""".stripMargin
 
+  /** Native parquet-footer walk under the oracle (see
+    * [[graft.llm.ParquetFooter]]): the seven flat TPC-H testdata
+    * files parse through OUR thrift compact-protocol reader — column
+    * census and row counts — and DuckDB's own scan of the same files
+    * is the oracle (`COUNT(*)` per table), so the walk is proven
+    * against a third independent implementation besides parquet-mr
+    * and Spark. The row-count identity (file num_rows = Σ row-group
+    * num_rows) and the schema tree law run inside the parse. */
+  def parquetFooter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.ParquetFooter
+    val tables = Seq("customer", "lineitem", "nation", "orders", "part",
+      "region", "supplier")
+    val ds = s.createDataset(tables).repartition(tables.length)
+    val out = ds.map { t =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$d/$t.parquet"))
+      ParquetFooter.parse(bytes) match {
+        case Some(f) =>
+          (t, true, Some(f.numRows), Some(f.nCols),
+            Some(f.colNames.mkString(",")))
+        case None =>
+          (t, false, None: Option[Long], None: Option[Int],
+            None: Option[String])
+      }
+    }.toDF("tbl", "pf_ok", "num_rows", "n_cols", "cols")
+    out.orderBy($"tbl")
+  }
+
+  /** DuckDB re-derives the counts by scanning the SAME files; the
+    * schemas are the driver's fixed testdata shapes. */
+  val parquetFooterSql: String =
+    """SELECT 'customer' AS tbl, TRUE AS pf_ok,
+      |  CAST(COUNT(*) AS BIGINT) AS num_rows, CAST(5 AS INTEGER) AS n_cols,
+      |  'c_custkey,c_name,c_nationkey,c_acctbal,c_mktsegment' AS cols
+      |FROM customer
+      |UNION ALL
+      |SELECT 'lineitem', TRUE, CAST(COUNT(*) AS BIGINT), CAST(11 AS INTEGER),
+      |  'l_orderkey,l_partkey,l_suppkey,l_linenumber,l_quantity,' ||
+      |  'l_extendedprice,l_discount,l_tax,l_returnflag,l_linestatus,l_shipdate'
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'nation', TRUE, CAST(COUNT(*) AS BIGINT), CAST(3 AS INTEGER),
+      |  'n_nationkey,n_name,n_regionkey' FROM nation
+      |UNION ALL
+      |SELECT 'orders', TRUE, CAST(COUNT(*) AS BIGINT), CAST(6 AS INTEGER),
+      |  'o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,' ||
+      |  'o_orderpriority' FROM orders
+      |UNION ALL
+      |SELECT 'part', TRUE, CAST(COUNT(*) AS BIGINT), CAST(6 AS INTEGER),
+      |  'p_partkey,p_name,p_brand,p_type,p_size,p_retailprice' FROM part
+      |UNION ALL
+      |SELECT 'region', TRUE, CAST(COUNT(*) AS BIGINT), CAST(2 AS INTEGER),
+      |  'r_regionkey,r_name' FROM region
+      |UNION ALL
+      |SELECT 'supplier', TRUE, CAST(COUNT(*) AS BIGINT), CAST(4 AS INTEGER),
+      |  's_suppkey,s_name,s_nationkey,s_acctbal' FROM supplier
+      |ORDER BY tbl""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pdf_text" -> (pdfText _),
     "q_docx_read" -> (docxRead _),
@@ -2042,6 +2101,7 @@ object Docs {
     "q_sqlite_read" -> (sqliteRead _),
     "q_arrow_read" -> (arrowRead _),
     "q_delta_log" -> (deltaLog _),
+    "q_parquet_footer" -> (parquetFooter _),
     "q_markdown_read" -> (markdownRead _),
     "q_doc_zoo" -> (docZoo _))
 
@@ -2063,6 +2123,7 @@ object Docs {
     "q_sqlite_read" -> sqliteReadSql,
     "q_arrow_read" -> arrowReadSql,
     "q_delta_log" -> deltaLogSql,
+    "q_parquet_footer" -> parquetFooterSql,
     "q_markdown_read" -> markdownReadSql,
     "q_doc_zoo" -> docZooSql)
 }

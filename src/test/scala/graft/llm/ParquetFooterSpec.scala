@@ -1,0 +1,78 @@
+package graft.llm
+
+import graft.SparkTestBase
+import java.nio.file.{Files, Paths}
+
+/** Parquet footer walk, proven against the INDEPENDENT parquet-mr
+  * writer (via Spark) and the driver-generated testdata: column
+  * census, the row-count identity across row groups, magic/length
+  * laws, and the tamper battery. */
+class ParquetFooterSpec extends SparkTestBase {
+
+  private def read(path: String): Array[Byte] =
+    Files.readAllBytes(Paths.get(path))
+
+  test("testdata footers: columns and the row-count identity vs a real scan") {
+    val expected = Map(
+      "region" -> "r_regionkey,r_name",
+      "nation" -> "n_nationkey,n_name,n_regionkey",
+      "supplier" -> "s_suppkey,s_name,s_nationkey,s_acctbal",
+      "part" -> "p_partkey,p_name,p_brand,p_type,p_size,p_retailprice")
+    expected.foreach { case (t, cols) =>
+      val path = s"/root/testdata/sf0.001/$t.parquet"
+      val f = ParquetFooter.parse(read(path)).getOrElse(fail(s"refused $t"))
+      assert(f.colNames.mkString(",") == cols, t)
+      assert(f.nCols == cols.split(',').length)
+      assert(f.nRowGroups >= 1 && f.createdBy.nonEmpty)
+      // the independent cross-check: the engine's own scan agrees
+      assert(f.numRows == spark.read.parquet(path).count(), t)
+    }
+    // a NESTED schema (embeddings carries array<float>): the tree law
+    // consumes subtrees and reports only top-level columns
+    val e = ParquetFooter.parse(read("/root/testdata/sf0.001/embeddings.parquet"))
+      .getOrElse(fail("refused embeddings"))
+    assert(e.colNames.length == e.nCols)
+    assert(e.numRows == spark.read.parquet(
+      "/root/testdata/sf0.001/embeddings.parquet").count())
+  }
+
+  test("multi-row-group files written by parquet-mr sum to num_rows") {
+    val dir = Files.createTempDirectory("pqfooter").toString
+    spark.range(50000)
+      .selectExpr("id", "id * 2 AS v", "CAST(id AS STRING) AS s")
+      .coalesce(1)
+      .write.option("parquet.block.size", "16384")
+      .mode("overwrite").parquet(dir)
+    val part = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val f = ParquetFooter.parse(read(part.getAbsolutePath))
+      .getOrElse(fail("refused"))
+    assert(f.numRows == 50000L)
+    assert(f.nRowGroups > 1, s"expected several row groups, got ${f.nRowGroups}")
+    assert(f.colNames == Seq("id", "v", "s"))
+  }
+
+  test("refusals: magic cut, footer-length lie, torn thrift") {
+    val good = read("/root/testdata/sf0.001/region.parquet")
+    assert(ParquetFooter.parse(good).nonEmpty)
+    assert(ParquetFooter.parse(good.dropRight(1)).isEmpty) // tail magic law
+    assert(ParquetFooter.parse(good.drop(1)).isEmpty)      // head magic law
+    // footer-length lie: ±1 makes the thrift walk misalign
+    Seq(1, -1, 1000).foreach { d =>
+      val t = good.clone()
+      val lenAt = t.length - 8
+      val old = (t(lenAt) & 0xff) | ((t(lenAt + 1) & 0xff) << 8) |
+        ((t(lenAt + 2) & 0xff) << 16) | ((t(lenAt + 3) & 0xff) << 24)
+      val lied = old + d
+      t(lenAt) = lied.toByte; t(lenAt + 1) = (lied >> 8).toByte
+      t(lenAt + 2) = (lied >> 16).toByte; t(lenAt + 3) = (lied >> 24).toByte
+      assert(ParquetFooter.parse(t).isEmpty, s"length lie $d passed")
+    }
+    // a torn first footer byte breaks the walk
+    val flen = (good(good.length - 8) & 0xff) |
+      ((good(good.length - 7) & 0xff) << 8)
+    val t2 = good.clone()
+    t2(good.length - 8 - flen) = 0x7f.toByte
+    assert(ParquetFooter.parse(t2).isEmpty)
+  }
+}
