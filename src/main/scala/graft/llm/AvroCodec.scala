@@ -161,6 +161,131 @@ object AvroCodec {
     case _: java.util.zip.DataFormatException => None
   }
 
+  /** Generic OCF block walk for OTHER pinned record shapes (the
+    * Iceberg manifests ride this): enforces every container law
+    * avroRead does — magic, byte-exact schema pin, codec scope, sync
+    * marker repeats, verified decompression — and returns the
+    * per-block (recordCount, decodedBytes); record decoding and the
+    * exact-consumption law per block are the CALLER's (the shape is
+    * theirs). */
+  private[llm] def ocfBlocks(b: Array[Byte],
+                             schema: String): Option[Seq[(Long, Array[Byte])]] = try {
+    if (b == null || b.length < 4 + 1 + 16) return None
+    if (!(b(0) == 'O' && b(1) == 'b' && b(2) == 'j' && b(3) == 1)) return None
+    val c = new WireCur(b, 4, b.length)
+    var metaSchema: Array[Byte] = null
+    var metaCodec: Array[Byte] = null
+    var n = c.zigzag()
+    while (n != 0L) {
+      val cnt = if (n < 0) { c.zigzag(); -n } else n
+      if (cnt > 1000) return None
+      var i = 0L
+      while (i < cnt) {
+        val klen = c.zigzag()
+        if (klen < 0 || klen > (1 << 16)) return None
+        val key = new String(c.bytes(klen), "UTF-8")
+        val vlen = c.zigzag()
+        if (vlen < 0 || vlen > (1 << 20)) return None
+        val v = c.bytes(vlen)
+        key match {
+          case "avro.schema" => metaSchema = v
+          case "avro.codec" => metaCodec = v
+          case _ => ()
+        }
+        i += 1
+      }
+      n = c.zigzag()
+    }
+    if (metaSchema == null) return None
+    if (!java.util.Arrays.equals(metaSchema, schema.getBytes("UTF-8")))
+      return None
+    val codec = if (metaCodec == null) "null" else new String(metaCodec, "UTF-8")
+    codec match {
+      case "null" | "deflate" => ()
+      case _ => return None // the manifest scope: null/deflate
+    }
+    val sync = c.bytes(16)
+    val out = Seq.newBuilder[(Long, Array[Byte])]
+    var nBlocks = 0
+    while (c.p < c.end) {
+      val cnt = c.zigzag()
+      if (cnt <= 0 || cnt > (1 << 24)) return None
+      val size = c.zigzag()
+      if (size < 0 || size > (1 << 26)) return None
+      val raw = c.bytes(size)
+      val data = codec match {
+        case "null" => raw
+        case _ =>
+          val inf = rawInflaters.get()
+          inf.reset()
+          inf.setInput(raw)
+          val o = new java.io.ByteArrayOutputStream(raw.length * 2 + 64)
+          val buf = new Array[Byte](8192)
+          while (!inf.finished()) {
+            val m = inf.inflate(buf)
+            if (m == 0) {
+              if (inf.needsInput() || inf.needsDictionary()) return None
+            } else o.write(buf, 0, m)
+            if (o.size() > (1 << 26)) return None
+          }
+          if (inf.getRemaining != 0) return None
+          o.toByteArray
+      }
+      if (!java.util.Arrays.equals(c.bytes(16), sync)) return None
+      out += ((cnt, data))
+      nBlocks += 1
+    }
+    if (nBlocks == 0) return None
+    Some(out.result())
+  } catch {
+    case _: Refuse => None
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: java.util.zip.DataFormatException => None
+  }
+
+  /** Generic OCF writer over pre-encoded record bodies (the Iceberg
+    * gate writer). */
+  private[llm] def encodeOcfRaw(records: Seq[Array[Byte]], blockSize: Int,
+                                codec: String, sync: Array[Byte],
+                                schema: String): Array[Byte] = {
+    require(records.nonEmpty && blockSize > 0 && sync.length == 16)
+    require(codec == "null" || codec == "deflate")
+    val out = new java.io.ByteArrayOutputStream
+    out.write('O'); out.write('b'); out.write('j'); out.write(1)
+    val meta: Seq[(String, Array[Byte])] = Seq(
+      "avro.schema" -> schema.getBytes("UTF-8"),
+      "avro.codec" -> codec.getBytes("UTF-8"))
+    writeVarint(out, meta.length.toLong)
+    meta.foreach { case (k, v) =>
+      val kb = k.getBytes("UTF-8")
+      writeVarint(out, kb.length.toLong); out.write(kb, 0, kb.length)
+      writeVarint(out, v.length.toLong); out.write(v, 0, v.length)
+    }
+    writeVarint(out, 0L)
+    out.write(sync, 0, 16)
+    records.grouped(blockSize).foreach { blk =>
+      val body = new java.io.ByteArrayOutputStream
+      blk.foreach(r => body.write(r, 0, r.length))
+      val raw = body.toByteArray
+      val data = codec match {
+        case "null" => raw
+        case _ =>
+          val d = rawDeflaters.get()
+          d.reset()
+          d.setInput(raw); d.finish()
+          val z = new java.io.ByteArrayOutputStream
+          val buf = new Array[Byte](8192)
+          while (!d.finished()) z.write(buf, 0, d.deflate(buf))
+          z.toByteArray
+      }
+      writeVarint(out, blk.length.toLong)
+      writeVarint(out, data.length.toLong)
+      out.write(data, 0, data.length)
+      out.write(sync, 0, 16)
+    }
+    out.toByteArray
+  }
+
   // ---- writer (tests the READER; mirrors what avro-tools would emit) ----
 
   private def writeVarint(out: java.io.ByteArrayOutputStream, value: Long): Unit = {

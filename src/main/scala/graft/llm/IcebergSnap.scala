@@ -1,0 +1,179 @@
+package graft.llm
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Iceberg table SNAPSHOT reconstruction — the second lakehouse table
+  * format next to [[DeltaLog]] (the public Iceberg table spec): table
+  * state is a metadata JSON file naming the current snapshot, whose
+  * manifest LIST is an Avro container of manifest descriptors, each
+  * naming a manifest Avro container of data-file entries with a
+  * status (existing / added / deleted). The live file census is the
+  * non-deleted union across manifests.
+  *
+  * The Avro layer rides [[AvroCodec]]'s container laws (magic,
+  * byte-exact schema pin, sync repeats, codec scope) via the generic
+  * block walk; the record shapes here are the spec's fields reduced
+  * to the honest subset below, schema-pinned the way AvroCodec pins R.
+  *
+  * Laws (refuse, never garble):
+  *  - metadata: format-version 1 or 2, a table-uuid, a snapshots
+  *    array, and current-snapshot-id resolving to EXACTLY ONE
+  *    snapshot whose manifest-list path must be present;
+  *  - manifest list: every row's manifest_path must resolve, and the
+  *    stored manifest_length must equal the actual manifest's byte
+  *    length (the cross-law a swapped or rewritten manifest breaks);
+  *  - manifests: status ∈ {0 existing, 1 added, 2 deleted}; record
+  *    and size counts non-negative; a LIVE file path appearing twice
+  *    across the snapshot refuses (one data file, one owner);
+  *  - per-block record bytes must be consumed exactly (the container
+  *    declared them);
+  *  - the reconstructed snapshot must be non-empty. */
+object IcebergSnap {
+
+  private val mapper = new ObjectMapper()
+
+  /** Pinned manifest-list record: (manifest_path, manifest_length,
+    * added_snapshot_id). */
+  val MLSchema: String =
+    """{"type":"record","name":"manifest_file","fields":[{"name":"manifest_path","type":"string"},{"name":"manifest_length","type":"long"},{"name":"added_snapshot_id","type":"long"}]}"""
+
+  /** Pinned manifest-entry record: (status, snapshot_id, file_path,
+    * record_count, file_size_in_bytes). */
+  val MESchema: String =
+    """{"type":"record","name":"manifest_entry","fields":[{"name":"status","type":"int"},{"name":"snapshot_id","type":"long"},{"name":"file_path","type":"string"},{"name":"record_count","type":"long"},{"name":"file_size_in_bytes","type":"long"}]}"""
+
+  final case class Snapshot(snapshotId: Long, nManifests: Int,
+                            files: Seq[(String, Long, Long)])
+
+  import ByteIo.{Refuse, WireCur}
+
+  private def readString(c: WireCur): String = {
+    val n = c.zigzag()
+    if (n < 0 || n > (1 << 20)) throw new Refuse
+    val bs = c.bytes(n)
+    val s = new String(bs, "UTF-8")
+    if (!java.util.Arrays.equals(s.getBytes("UTF-8"), bs)) throw new Refuse
+    s
+  }
+
+  def snapshot(metadataJson: String,
+               files: Map[String, Array[Byte]]): Option[Snapshot] = try {
+    val root = mapper.readTree(metadataJson)
+    if (root == null || !root.isObject) return None
+    val fv = root.get("format-version")
+    if (fv == null || !fv.isInt || fv.asInt < 1 || fv.asInt > 2) return None
+    val uuid = root.get("table-uuid")
+    if (uuid == null || !uuid.isTextual || uuid.asText.isEmpty) return None
+    val cur = root.get("current-snapshot-id")
+    if (cur == null || !cur.canConvertToLong) return None
+    val curId = cur.asLong
+    val snaps = root.get("snapshots")
+    if (snaps == null || !snaps.isArray) return None
+    var mlPath: String = null
+    var matches = 0
+    val it = snaps.elements()
+    while (it.hasNext) {
+      val sn = it.next()
+      if (!sn.isObject) return None
+      val id = sn.get("snapshot-id")
+      val ml = sn.get("manifest-list")
+      if (id == null || !id.canConvertToLong || ml == null || !ml.isTextual)
+        return None
+      if (id.asLong == curId) { matches += 1; mlPath = ml.asText }
+    }
+    if (matches != 1) return None // the current id must resolve uniquely
+    val mlBytes = files.getOrElse(mlPath, return None)
+    // ---- the manifest list ----
+    val manifests = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    AvroCodec.ocfBlocks(mlBytes, MLSchema).getOrElse(return None)
+      .foreach { case (cnt, data) =>
+        val c = new WireCur(data, 0, data.length)
+        var i = 0L
+        while (i < cnt) {
+          val path = readString(c)
+          val len = c.zigzag()
+          c.zigzag() // added_snapshot_id (informational here)
+          if (len < 0) return None
+          manifests += ((path, len))
+          i += 1
+        }
+        if (c.p != data.length) return None // exact-consumption law
+      }
+    if (manifests.isEmpty) return None
+    // ---- the manifests ----
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    manifests.foreach { case (path, declLen) =>
+      val mBytes = files.getOrElse(path, return None)
+      if (mBytes.length.toLong != declLen) return None // the length cross-law
+      AvroCodec.ocfBlocks(mBytes, MESchema).getOrElse(return None)
+        .foreach { case (cnt, data) =>
+          val c = new WireCur(data, 0, data.length)
+          var i = 0L
+          while (i < cnt) {
+            val status = c.zigzag()
+            c.zigzag() // snapshot_id
+            val fp = readString(c)
+            val rec = c.zigzag()
+            val size = c.zigzag()
+            if (status < 0 || status > 2) return None
+            if (rec < 0 || size < 0) return None
+            if (status != 2) { // existing or added: live
+              if (live.contains(fp)) return None // one file, one owner
+              live(fp) = (rec, size)
+            }
+            i += 1
+          }
+          if (c.p != data.length) return None
+        }
+    }
+    if (live.isEmpty) return None
+    Some(Snapshot(curId, manifests.length,
+      live.toSeq.map { case (p, (r, s)) => (p, r, s) }.sortBy(_._1)))
+  } catch {
+    case _: Refuse => None
+    case _: com.fasterxml.jackson.core.JacksonException => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  // ---- conformance writers ------------------------------------------------
+
+  private def encStr(out: java.io.ByteArrayOutputStream, s: String): Unit = {
+    val bs = s.getBytes("UTF-8")
+    AvroCodec.writeVarintForTest(out, bs.length.toLong)
+    out.write(bs, 0, bs.length)
+  }
+
+  def encodeManifest(entries: Seq[(Int, Long, String, Long, Long)],
+                     codec: String = "null",
+                     sync: Array[Byte]): Array[Byte] =
+    AvroCodec.encodeOcfRaw(entries.map { case (st, sid, fp, rec, sz) =>
+      val o = new java.io.ByteArrayOutputStream
+      AvroCodec.writeVarintForTest(o, st.toLong)
+      AvroCodec.writeVarintForTest(o, sid)
+      encStr(o, fp)
+      AvroCodec.writeVarintForTest(o, rec)
+      AvroCodec.writeVarintForTest(o, sz)
+      o.toByteArray
+    }, blockSize = 3, codec = codec, sync = sync, schema = MESchema)
+
+  def encodeManifestList(rows: Seq[(String, Long, Long)],
+                         codec: String = "null",
+                         sync: Array[Byte]): Array[Byte] =
+    AvroCodec.encodeOcfRaw(rows.map { case (p, len, sid) =>
+      val o = new java.io.ByteArrayOutputStream
+      encStr(o, p)
+      AvroCodec.writeVarintForTest(o, len)
+      AvroCodec.writeVarintForTest(o, sid)
+      o.toByteArray
+    }, blockSize = 4, codec = codec, sync = sync, schema = MLSchema)
+
+  def metadataJson(uuid: String, currentId: Long,
+                   snapshots: Seq[(Long, String)]): String = {
+    val snaps = snapshots.map { case (id, ml) =>
+      s"""{"snapshot-id":$id,"timestamp-ms":1700000000000,""" +
+        s""""manifest-list":"$ml","summary":{"operation":"append"}}"""
+    }.mkString(",")
+    s"""{"format-version":2,"table-uuid":"$uuid","location":"s3://t",""" +
+      s""""current-snapshot-id":$currentId,"snapshots":[$snaps]}"""
+  }
+}

@@ -2083,6 +2083,90 @@ object Docs {
       |  's_suppkey,s_name,s_nationkey,s_acctbal' FROM supplier
       |ORDER BY tbl""".stripMargin
 
+  /** Iceberg snapshot reconstruction under the oracle (see
+    * [[graft.llm.IcebergSnap]]): per-key tables of 1-3 manifests with
+    * 2-4 entries each (every (k+m+e) mod 5 = 0 entry DELETED — the
+    * status reconciliation), two snapshots in the metadata with the
+    * newest current, manifest Avro riding the null codec on even keys
+    * and deflate on odd. Refusal arms: a torn manifest list (k mod
+    * 13 — the container laws), a manifest_length lie (k mod 17 — the
+    * cross-law), a dangling current-snapshot-id (k mod 19). */
+  def icebergSnap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.IcebergSnap
+    val keys = partKeys(s, d) // full-width spread: the replay map is the cost
+    val decoded = keys.map { k =>
+      val nM = (1 + k % 3).toInt
+      val sync = Array.tabulate(16)(i => ((k + i * 7) % 256).toByte)
+      val codec = if (k % 2 == 0) "null" else "deflate"
+      val mans = (0 until nM).map { m =>
+        val nE = (2 + (k + m) % 3).toInt
+        val entries = (0 until nE).map { e =>
+          val st = if ((k + m + e) % 5 == 0) 2 else (if (e == 0) 1 else 0)
+          (st, 200L + k, s"data/f-$m-$e-$k.parquet",
+            10L + (k * 3 + m * 7 + e * 11) % 190,
+            1000L + (k + m * 13 + e * 29) % 9000)
+        }
+        (s"meta/m$m-$k.avro", IcebergSnap.encodeManifest(entries, codec, sync))
+      }
+      val mlRows = mans.zipWithIndex.map { case ((p, bytes), m) =>
+        (p, bytes.length.toLong +
+          (if (k % 17 == 0 && k % 13 != 0 && m == 0) 3 else 0), 200L + k)
+      }
+      val ml0 = IcebergSnap.encodeManifestList(mlRows, codec, sync)
+      val ml = if (k % 13 == 0) ml0.dropRight(3) else ml0
+      val curId = if (k % 19 == 0 && k % 13 != 0 && k % 17 != 0) 999L
+        else 200L + k
+      val md = IcebergSnap.metadataJson(s"uuid-$k", curId,
+        Seq((100L + k, s"meta/old-$k.avro"), (200L + k, s"meta/ml-$k.avro")))
+      val files = (mans :+ (s"meta/ml-$k.avro", ml)).toMap
+      IcebergSnap.snapshot(md, files) match {
+        case Some(snap) =>
+          val text = snap.files.map { case (p, r, sz) => s"$p:$r:$sz" }
+            .mkString("\n")
+          (k, true, Some(snap.snapshotId), Some(snap.nManifests),
+            Some(snap.files.length), Some(snap.files.map(_._2).sum),
+            Some(text))
+        case None =>
+          (k, false, None: Option[Long], None: Option[Int],
+            None: Option[Int], None: Option[Long], None: Option[String])
+      }
+    }.toDF("media_id", "ib_ok", "snapshot_id", "n_manifests", "n_files",
+      "total_records", "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The census replayed: entries of the (m, e) lattice with the
+    * mod-5 deletions dropped; paths sort as (m, e) since both are
+    * single digits. */
+  val icebergSnapSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(1 + k % 3 AS INTEGER) AS nm,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |ent AS (
+      |  SELECT p.k, m.g AS m, e.g AS e,
+      |    'data/f-' || m.g || '-' || e.g || '-' || p.k || '.parquet' AS path,
+      |    CAST(10 + (p.k * 3 + m.g * 7 + e.g * 11) % 190 AS BIGINT) AS rec,
+      |    CAST(1000 + (p.k + m.g * 13 + e.g * 29) % 9000 AS BIGINT) AS sz
+      |  FROM p, generate_series(0, 2) m(g), generate_series(0, 3) e(g)
+      |  WHERE p.ok AND m.g < p.nm AND e.g < 2 + (p.k + m.g) % 3
+      |    AND (p.k + m.g + e.g) % 5 <> 0),
+      |agg AS (
+      |  SELECT k, CAST(COUNT(*) AS INTEGER) AS n_files,
+      |    CAST(SUM(rec) AS BIGINT) AS total_records,
+      |    string_agg(path || ':' || rec || ':' || sz, chr(10)
+      |      ORDER BY path) AS text
+      |  FROM ent GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS ib_ok,
+      |  CASE WHEN p.ok THEN 200 + p.k END AS snapshot_id,
+      |  CASE WHEN p.ok THEN p.nm END AS n_manifests,
+      |  CASE WHEN p.ok THEN agg.n_files END AS n_files,
+      |  CASE WHEN p.ok THEN agg.total_records END AS total_records,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p LEFT JOIN agg ON agg.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pdf_text" -> (pdfText _),
     "q_docx_read" -> (docxRead _),
@@ -2102,6 +2186,7 @@ object Docs {
     "q_arrow_read" -> (arrowRead _),
     "q_delta_log" -> (deltaLog _),
     "q_parquet_footer" -> (parquetFooter _),
+    "q_iceberg_snap" -> (icebergSnap _),
     "q_markdown_read" -> (markdownRead _),
     "q_doc_zoo" -> (docZoo _))
 
@@ -2124,6 +2209,7 @@ object Docs {
     "q_arrow_read" -> arrowReadSql,
     "q_delta_log" -> deltaLogSql,
     "q_parquet_footer" -> parquetFooterSql,
+    "q_iceberg_snap" -> icebergSnapSql,
     "q_markdown_read" -> markdownReadSql,
     "q_doc_zoo" -> docZooSql)
 }

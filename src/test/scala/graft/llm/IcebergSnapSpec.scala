@@ -1,0 +1,66 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import IcebergSnap._
+
+/** Iceberg snapshot reconstruction: the metadata → manifest-list →
+  * manifest chain, status reconciliation, the manifest_length
+  * cross-law, and the tamper battery. */
+class IcebergSnapSpec extends AnyFunSuite {
+
+  private val sync = Array.tabulate(16)(i => (i * 17 + 3).toByte)
+
+  private def table(deleteOne: Boolean = false, dupLive: Boolean = false,
+                    lengthLie: Boolean = false, missingSnap: Boolean = false,
+                    codec: String = "null") = {
+    val m1 = encodeManifest(Seq(
+      (1, 10L, "data/a.parquet", 100L, 4096L),
+      (1, 10L, "data/b.parquet", 200L, 8192L),
+      (if (deleteOne) 2 else 0, 10L, "data/c.parquet", 300L, 1024L)),
+      codec, sync)
+    val m2 = encodeManifest(Seq(
+      (1, 11L, if (dupLive) "data/a.parquet" else "data/d.parquet", 50L, 2048L)),
+      codec, sync)
+    val ml = encodeManifestList(Seq(
+      ("meta/m1.avro", m1.length.toLong + (if (lengthLie) 3 else 0), 10L),
+      ("meta/m2.avro", m2.length.toLong, 11L)), codec, sync)
+    val md = metadataJson("uuid-1", if (missingSnap) 99L else 11L,
+      Seq((10L, "meta/ml-old.avro"), (11L, "meta/ml.avro")))
+    (md, Map("meta/ml.avro" -> ml, "meta/m1.avro" -> m1, "meta/m2.avro" -> m2))
+  }
+
+  test("reconstruction: live census, deletes drop, both codecs") {
+    for (codec <- Seq("null", "deflate")) {
+      val (md, files) = table(codec = codec)
+      val s = snapshot(md, files).getOrElse(fail(s"refused codec=$codec"))
+      assert(s.snapshotId == 11L && s.nManifests == 2)
+      assert(s.files.map(_._1) == Seq("data/a.parquet", "data/b.parquet",
+        "data/c.parquet", "data/d.parquet"))
+      assert(s.files.map(_._2).sum == 650L)
+      val (md2, files2) = table(deleteOne = true, codec = codec)
+      val s2 = snapshot(md2, files2).getOrElse(fail("refused deleteOne"))
+      assert(!s2.files.exists(_._1 == "data/c.parquet") && s2.files.length == 3)
+    }
+  }
+
+  test("refusals: length lie, dup live path, dangling snapshot, torn avro") {
+    val (md, files) = table(lengthLie = true)
+    assert(snapshot(md, files).isEmpty)
+    val (md2, files2) = table(dupLive = true)
+    assert(snapshot(md2, files2).isEmpty)
+    val (md3, files3) = table(missingSnap = true)
+    assert(snapshot(md3, files3).isEmpty)
+    // a truncated manifest list refuses through the container laws
+    val (md4, files4) = table()
+    val torn = files4.updated("meta/ml.avro",
+      files4("meta/ml.avro").dropRight(3))
+    assert(snapshot(md4, torn).isEmpty)
+    // a missing manifest file refuses
+    assert(snapshot(md4, files4 - "meta/m2.avro").isEmpty)
+    // malformed metadata JSON refuses
+    assert(snapshot(md4.dropRight(2), files4).isEmpty)
+    // format-version 3 is out of the pinned scope
+    assert(snapshot(md4.replace("\"format-version\":2",
+      "\"format-version\":3"), files4).isEmpty)
+  }
+}
