@@ -23,8 +23,11 @@ package graft.llm
   *    null_count law — a column's validity popcount must equal
   *    length − null_count (an absent/empty validity buffer asserts
   *    null_count 0); Utf8 offsets ascend within their data buffer
-  *    and slots decode as valid UTF-8; compressed bodies are a
-  *    documented scope pin (refuse);
+  *    and slots decode as valid UTF-8; COMPRESSED bodies (the
+  *    BodyCompression table, method BUFFER) decode through the
+  *    engine's OWN frame decoders — LZ4 frames via [[Lz4Codec]] and
+  *    zstd via [[ZstdDecode]] — under the declared-uncompressed-
+  *    length law (-1 marks a raw buffer);
   *  - the Arrow FILE format (ARROW1 magic + footer) is carried by the
   *    same messages; the reader accepts the stream framing only and
   *    refuses the file wrapper (the honest subset).
@@ -145,22 +148,24 @@ object ArrowIpc {
       types.foreach(_ => cols += scala.collection.mutable.ArrayBuffer.empty[Option[String]])
     }
 
-    def popcount(bodyOff: Int, bitLen: Int): Int = {
-      var c = 0
-      var i = 0
-      while (i < bitLen) {
-        if ((u8(bodyOff + (i >> 3)) & (1 << (i & 7))) != 0) c += 1
-        i += 1
-      }
-      c
-    }
-
     def parseBatch(fb: Fb, batchT: Int, bodyStart: Int, bodyLen: Long): Unit = {
       if (names == null) bad() // a batch before the schema
       val rows = fb.fieldI64(batchT, 0, -1L)
       if (rows < 0 || rows > maxRows.toLong) bad()
       if (totalRows + rows > maxRows.toLong) bad()
-      if (fb.fieldRef(batchT, 3) != 0) bad() // body compression: scope pin
+      // BodyCompression: codec 0 = LZ4 FRAME, 1 = zstd — both decode
+      // through OUR decoders (Lz4Codec / ZstdDecode); method must be
+      // BUFFER (0). -1 = uncompressed body.
+      val compression: Int = {
+        val ct = fb.fieldRef(batchT, 3)
+        if (ct == 0) -1
+        else {
+          val codec = fb.fieldU8(ct, 0, 0)
+          if (fb.fieldU8(ct, 1, 0) != 0) bad() // method: BUFFER only
+          if (codec != 0 && codec != 1) bad()
+          codec
+        }
+      }
       val nodesVec = fb.fieldRef(batchT, 1)
       val bufsVec = fb.fieldRef(batchT, 2)
       if (nodesVec == 0 || bufsVec == 0) bad()
@@ -169,73 +174,109 @@ object ArrowIpc {
       if (nNodes != types.length) bad()
       val expBufs = types.map(t => if (t == "utf8") 3 else 2).sum
       if (nBufs != expBufs) bad()
-      // a buffer inside the body, 8-aligned by the layout law
-      def buffer(i: Int): (Int, Long) = {
+      // a buffer inside the body, 8-aligned by the layout law; returns
+      // a (backing array, base offset, length) view — compressed
+      // buffers carry an int64 uncompressed length (-1 = raw) and
+      // decode through the engine's own frame decoders
+      def buffer(i: Int): (Array[Byte], Int, Long) = {
         val p = fb.vecAt(bufsVec, i, 16)
         val off = fb.fI64(p)
         val len = fb.fI64(p + 8)
         if (off < 0 || len < 0 || (off & 7) != 0 || off + len > bodyLen) bad()
-        (bodyStart + off.toInt, len)
+        val abs = bodyStart + off.toInt
+        if (compression < 0 || len == 0L) (b, abs, len)
+        else {
+          if (len < 8L) bad()
+          val decl = i64(abs)
+          val payload = java.util.Arrays.copyOfRange(b, abs + 8,
+            abs + len.toInt)
+          if (decl == -1L) (payload, 0, payload.length.toLong)
+          else {
+            if (decl < 0 || decl > maxBytes.toLong) bad()
+            val plain = (if (compression == 0)
+              Lz4Codec.decompressFrames(payload, maxOut = maxBytes)
+            else ZstdDecode.decompress(payload, maxOut = maxBytes))
+              .getOrElse(bad())
+            if (plain.length.toLong != decl) bad() // the declared-length law
+            (plain, 0, plain.length.toLong)
+          }
+        }
       }
+      def bu8(v: (Array[Byte], Int, Long), i: Int): Int = {
+        if (i < 0 || i >= v._3) bad(); v._1(v._2 + i) & 0xff
+      }
+      def bi32(v: (Array[Byte], Int, Long), i: Int): Int = {
+        if (i < 0 || i + 4 > v._3) bad()
+        bu8(v, i) | (bu8(v, i + 1) << 8) | (bu8(v, i + 2) << 16) |
+          (bu8(v, i + 3) << 24)
+      }
+      def bi64(v: (Array[Byte], Int, Long), i: Int): Long =
+        (bi32(v, i) & 0xffffffffL) | (bi32(v, i + 4).toLong << 32)
       var bi = 0
       types.indices.foreach { ci =>
         val np = fb.vecAt(nodesVec, ci, 16)
         val nLen = fb.fI64(np)
         val nulls = fb.fI64(np + 8)
         if (nLen != rows || nulls < 0 || nulls > rows) bad()
-        val (vOff, vLen) = buffer(bi); bi += 1
-        val hasValidity = vLen > 0
+        val vb = buffer(bi); bi += 1
+        val hasValidity = vb._3 > 0
         if (!hasValidity && nulls != 0) bad()
-        if (hasValidity && vLen < (rows + 7) / 8) bad()
+        if (hasValidity && vb._3 < (rows + 7) / 8) bad()
         def isValid(r: Int): Boolean =
-          !hasValidity || (u8(vOff + (r >> 3)) & (1 << (r & 7))) != 0
+          !hasValidity || (bu8(vb, r >> 3) & (1 << (r & 7))) != 0
         // the null_count law
-        if (hasValidity && popcount(vOff, rows.toInt) != (rows - nulls).toInt) bad()
+        if (hasValidity) {
+          var c = 0
+          var i = 0
+          while (i < rows.toInt) { if (isValid(i)) c += 1; i += 1 }
+          if (c != (rows - nulls).toInt) bad()
+        }
         val out = cols(ci)
         types(ci) match {
           case "i32" =>
-            val (dOff, dLen) = buffer(bi); bi += 1
-            if (dLen < 4L * rows) bad()
+            val db = buffer(bi); bi += 1
+            if (db._3 < 4L * rows) bad()
             (0 until rows.toInt).foreach { r =>
-              out += (if (isValid(r)) Some(i32(dOff + 4 * r).toString) else None)
+              out += (if (isValid(r)) Some(bi32(db, 4 * r).toString) else None)
             }
           case "i64" =>
-            val (dOff, dLen) = buffer(bi); bi += 1
-            if (dLen < 8L * rows) bad()
+            val db = buffer(bi); bi += 1
+            if (db._3 < 8L * rows) bad()
             (0 until rows.toInt).foreach { r =>
-              out += (if (isValid(r)) Some(i64(dOff + 8 * r).toString) else None)
+              out += (if (isValid(r)) Some(bi64(db, 8 * r).toString) else None)
             }
           case "f64" =>
-            val (dOff, dLen) = buffer(bi); bi += 1
-            if (dLen < 8L * rows) bad()
+            val db = buffer(bi); bi += 1
+            if (db._3 < 8L * rows) bad()
             (0 until rows.toInt).foreach { r =>
-              val d = java.lang.Double.longBitsToDouble(i64(dOff + 8 * r))
+              val d = java.lang.Double.longBitsToDouble(bi64(db, 8 * r))
               if (d.isNaN || d.isInfinite) bad()
               out += (if (isValid(r)) Some(d.toString) else None)
             }
           case "bool" =>
-            val (dOff, dLen) = buffer(bi); bi += 1
-            if (dLen < (rows + 7) / 8) bad()
+            val db = buffer(bi); bi += 1
+            if (db._3 < (rows + 7) / 8) bad()
             (0 until rows.toInt).foreach { r =>
               out += (if (isValid(r))
-                Some(if ((u8(dOff + (r >> 3)) & (1 << (r & 7))) != 0) "t" else "f")
+                Some(if ((bu8(db, r >> 3) & (1 << (r & 7))) != 0) "t" else "f")
               else None)
             }
           case "utf8" =>
-            val (oOff, oLen) = buffer(bi); bi += 1
-            val (dOff, dLen) = buffer(bi); bi += 1
-            if (oLen < 4L * (rows + 1)) bad()
-            var prev = i32(oOff)
+            val ob = buffer(bi); bi += 1
+            val db = buffer(bi); bi += 1
+            if (ob._3 < 4L * (rows + 1)) bad()
+            var prev = bi32(ob, 0)
             if (prev != 0) bad() // the first offset law
             (0 until rows.toInt).foreach { r =>
-              val a = i32(oOff + 4 * r)
-              val z = i32(oOff + 4 * (r + 1))
-              if (z < a || a < prev || z > dLen) bad() // ascending, in-bounds
+              val a = bi32(ob, 4 * r)
+              val z = bi32(ob, 4 * (r + 1))
+              if (z < a || a < prev || z > db._3) bad() // ascending, in-bounds
               prev = a
               out += (if (isValid(r)) {
-                val s = new String(b, dOff + a, z - a, "UTF-8")
+                val s = new String(db._1, db._2 + a, z - a, "UTF-8")
                 if (!java.util.Arrays.equals(s.getBytes("UTF-8"),
-                  java.util.Arrays.copyOfRange(b, dOff + a, dOff + z))) bad()
+                  java.util.Arrays.copyOfRange(db._1, db._2 + a, db._2 + z)))
+                  bad()
                 Some(s)
               } else None)
             }

@@ -211,7 +211,17 @@ object Lz4Codec {
     * declaredContentSum, nDeclaring, nBlockChecksums,
     * nContentChecksumsVerified, contentTotal — the DECODED byte count
     * across all frames). */
-  def lz4Probe(b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Long, Int, Int, Int, Long)] = try {
+  def lz4Probe(b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Long, Int, Int, Int, Long)] =
+    lz4Walk(b, collect = false).map(_._1)
+
+  /** Full LZ4 FRAME decompression (the Arrow IPC body-compression
+    * consumer): the probe's walk — every framing, checksum and
+    * sequence law identical — collecting the decoded content. */
+  def decompressFrames(b: Array[Byte], maxOut: Int = 1 << 26): Option[Array[Byte]] =
+    lz4Walk(b, collect = true).map(_._2.toByteArray)
+
+  private def lz4Walk(b: Array[Byte], collect: Boolean): Option[((Int, Int, Int, Int, Int, Long, Int, Int, Int, Long), java.io.ByteArrayOutputStream)] = try {
+    val all = new java.io.ByteArrayOutputStream
     if (b == null || b.length < 4) return None
     var p = 0
     var nFrames = 0; var nSkip = 0
@@ -269,7 +279,9 @@ object Lz4Codec {
         // (offset, len) spans into the input, only decoded blocks own
         // arrays — the validation decode itself always runs
         val parts: scala.collection.mutable.ArrayBuffer[Either[(Int, Int), Array[Byte]]] =
-          if (contentChecksum) scala.collection.mutable.ArrayBuffer.empty else null
+          if (contentChecksum || collect)
+            scala.collection.mutable.ArrayBuffer.empty
+          else null
         // linked-frame match history: the last ≤64 KiB of decoded content,
         // reset at each frame boundary (the spec's window)
         var hist: Array[Byte] = null
@@ -325,10 +337,10 @@ object Lz4Codec {
           if (declared != regen) return None // checked against the DECODE now
           declaredSum += declared; nDeclaring += 1
         }
-        if (contentChecksum) {
-          if (p + 4 > b.length) return None
+        if (parts != null) {
           // content is fully known (stored spans + decoded blocks): the
-          // checksum is verified on EVERY frame that carries one
+          // checksum is verified on EVERY frame that carries one, and
+          // the decode consumer receives the same bytes
           val content = new Array[Byte](regen.toInt)
           var o = 0
           parts.foreach {
@@ -337,17 +349,22 @@ object Lz4Codec {
             case Right(d) =>
               System.arraycopy(d, 0, content, o, d.length); o += d.length
           }
-          if (le32(b, p) != xxh32(content, 0, content.length)) return None
-          nContentCksVerified += 1
-          p += 4
+          if (contentChecksum) {
+            if (p + 4 > b.length) return None
+            if (le32(b, p) != xxh32(content, 0, content.length)) return None
+            nContentCksVerified += 1
+            p += 4
+          }
+          if (collect) all.write(content, 0, content.length)
         }
         contentTotal += regen
         nFrames += 1
       } else return None
     }
     if (nFrames == 0) return None
-    Some((nFrames, nSkip, nBlocks, nStored, nComp,
-      declaredSum, nDeclaring, nBlockCks, nContentCksVerified, contentTotal))
+    Some(((nFrames, nSkip, nBlocks, nStored, nComp,
+      declaredSum, nDeclaring, nBlockCks, nContentCksVerified, contentTotal),
+      all))
   } catch {
     case _: ArrayIndexOutOfBoundsException => None
     case _: NegativeArraySizeException => None

@@ -81,6 +81,86 @@ class ArrowIpcSpec extends AnyFunSuite {
     }
   }
 
+  test("compressed bodies decode through OUR lz4/zstd frame decoders") {
+    import org.apache.arrow.vector.compression.CompressionUtil
+    import org.apache.arrow.compression.CommonsCompressionFactory
+    import org.apache.arrow.vector.ipc.message.IpcOption
+    for (codec <- Seq(CompressionUtil.CodecType.LZ4_FRAME,
+      CompressionUtil.CodecType.ZSTD)) {
+      val alloc = new RootAllocator(1L << 28)
+      val root = VectorSchemaRoot.create(schema, alloc)
+      val bos = new java.io.ByteArrayOutputStream
+      val w = new ArrowStreamWriter(root, null,
+        java.nio.channels.Channels.newChannel(bos), new IpcOption(),
+        CommonsCompressionFactory.INSTANCE, codec)
+      try {
+        w.start()
+        val id = root.getVector("id").asInstanceOf[BigIntVector]
+        val name = root.getVector("name").asInstanceOf[VarCharVector]
+        val score = root.getVector("score").asInstanceOf[Float8Vector]
+        val flag = root.getVector("flag").asInstanceOf[BitVector]
+        val n32 = root.getVector("n32").asInstanceOf[IntVector]
+        root.allocateNew()
+        (0 until 500).foreach { r =>
+          if (r % 7 == 3) {
+            id.setNull(r); name.setNull(r); score.setNull(r)
+            flag.setNull(r); n32.setNull(r)
+          } else {
+            id.setSafe(r, r.toLong * 37 - 500)
+            // repetitive text so the codecs actually compress
+            name.setSafe(r, (s"compressible row ${r % 5} " * 4).getBytes("UTF-8"))
+            score.setSafe(r, r * 0.25 - 3.5)
+            flag.setSafe(r, if (r % 3 == 0) 1 else 0)
+            n32.setSafe(r, r * 13 - 99)
+          }
+        }
+        root.setRowCount(500)
+        w.writeBatch()
+        w.end()
+      } finally { w.close(); root.close(); alloc.close() }
+      val cols = ArrowIpc.arrowRead(bos.toByteArray)
+        .getOrElse(fail(s"refused $codec"))
+      assert(cols.head.values.length == 500)
+      (0 until 500).foreach { r =>
+        if (r % 7 == 3) assert(cols.forall(_.values(r).isEmpty))
+        else {
+          assert(cols(0).values(r).contains((r.toLong * 37 - 500).toString))
+          assert(cols(1).values(r).contains(s"compressible row ${r % 5} " * 4))
+          assert(cols(3).values(r).contains(if (r % 3 == 0) "t" else "f"))
+        }
+      }
+      // law-covered tampers (frame checksums are flag-dependent and
+      // padding is silent by design, so target deterministic laws):
+      // the 8-byte declared-uncompressed-length prefix and the frame
+      // magic both refuse; arbitrary data flips refuse or change the
+      // decode — never a silent equal within the frame
+      val good = bos.toByteArray
+      val base = ArrowIpc.arrowRead(good).get
+      val schemaSize = (good(4) & 0xff) | ((good(5) & 0xff) << 8) |
+        ((good(6) & 0xff) << 16)
+      val batchAt = 8 + schemaSize
+      val batchMeta = (good(batchAt + 4) & 0xff) |
+        ((good(batchAt + 5) & 0xff) << 8) | ((good(batchAt + 6) & 0xff) << 16)
+      val bodyStart = batchAt + 8 + batchMeta
+      (0 until 8).foreach { d => // the declared-length law
+        val t = good.clone(); t(bodyStart + d) = (t(bodyStart + d) ^ 0x11).toByte
+        assert(ArrowIpc.arrowRead(t).isEmpty, s"length-prefix flip +$d passed")
+      }
+      (8 until 12).foreach { d => // the frame magic law
+        val t = good.clone(); t(bodyStart + d) = (t(bodyStart + d) ^ 0x11).toByte
+        assert(ArrowIpc.arrowRead(t).isEmpty, s"magic flip +$d passed")
+      }
+      // frame header/early data (+12..+20 sits inside even the
+      // smallest frame; later offsets can be inter-buffer alignment
+      // padding, which is silent by design): refuse or differ
+      (12 until 20).foreach { d =>
+        val t = good.clone(); t(bodyStart + d) = (t(bodyStart + d) ^ 0x2b).toByte
+        val r = ArrowIpc.arrowRead(t)
+        assert(r.isEmpty || r.get != base, s"silent flip at +$d")
+      }
+    }
+  }
+
   test("refusals: file wrapper, truncation, marker flip, trailing bytes") {
     val good = write(20, 1, withNulls = true)
     assert(ArrowIpc.arrowRead(good).nonEmpty)
