@@ -15,9 +15,13 @@ package graft.llm
   *    must END with the end-of-stream marker and nothing after it;
   *  - flatbuffers: offsets resolve inside the metadata buffer,
   *    vtable/table sizes are sane, required fields present;
-  *  - schema: little-endian only, no dictionary encodings, no nested
-  *    children (the flat-column contract), supported types Int
-  *    32/64 signed, Float64, Utf8, Bool;
+  *  - schema: little-endian only, no nested children (the flat-column
+  *    contract), supported types Int 32/64 signed, Float64, Utf8,
+  *    Bool; DICTIONARY-encoded fields (int32 signed indices,
+  *    DenseArray kind) resolve through DictionaryBatch messages under
+  *    the ordering law (the dictionary must arrive before the first
+  *    referencing batch), the index-bounds law, and the no-delta /
+  *    no-replacement scope pins;
   *  - batches: node and buffer counts must match the schema's layout
   *    exactly; every buffer sits inside the declared body; the
   *    null_count law — a column's validity popcount must equal
@@ -107,6 +111,8 @@ object ArrowIpc {
     // ---- schema state ----
     var names: IndexedSeq[String] = null
     var types: IndexedSeq[String] = null // "i32" | "i64" | "f64" | "utf8" | "bool"
+    var dictIds: IndexedSeq[Long] = null // -1 = plain; else dictionary id
+    val dicts = scala.collection.mutable.Map.empty[Long, IndexedSeq[Option[String]]]
     val cols = scala.collection.mutable.ArrayBuffer
       .empty[scala.collection.mutable.ArrayBuffer[Option[String]]]
     var totalRows = 0L
@@ -119,13 +125,29 @@ object ArrowIpc {
       if (n < 1 || n > 1000) bad()
       val nm = IndexedSeq.newBuilder[String]
       val tp = IndexedSeq.newBuilder[String]
+      val di = IndexedSeq.newBuilder[Long]
       (0 until n).foreach { i =>
         val fp = fb.vecAt(fieldsVec, i, 4)
         val f = fp + fb.fI32(fp)
         val nameP = fb.fieldRef(f, 0)
         if (nameP == 0) bad()
         nm += fb.str(nameP)
-        if (fb.fieldRef(f, 4) != 0) bad() // dictionary encoding: scope pin
+        // DictionaryEncoding { id, indexType, isOrdered, kind }: the
+        // field's TYPE below is the dictionary's VALUE type; batches
+        // carry int32 indices into it
+        val dictT = fb.fieldRef(f, 4)
+        di += (if (dictT == 0) -1L
+        else {
+          val idxT = fb.fieldRef(dictT, 1)
+          if (idxT != 0) {
+            if (fb.fieldI32(idxT, 0, 0) != 32 ||
+              !fb.fieldBool(idxT, 1, false)) bad() // int32 signed indices only
+          }
+          if (fb.fieldU8(dictT, 3, 0) != 0) bad() // DenseArray kind only
+          val id = fb.fieldI64(dictT, 0, 0L)
+          if (id < 0) bad()
+          id
+        })
         val children = fb.fieldRef(f, 5)
         if (children != 0 && fb.vecLen(children) != 0) bad() // flat only
         val tt = fb.fieldU8(f, 2, 0) // Type union tag
@@ -144,15 +166,17 @@ object ArrowIpc {
           case _ => bad() // nested/temporal/decimal: out of the contract
         })
       }
-      names = nm.result(); types = tp.result()
+      names = nm.result(); types = tp.result(); dictIds = di.result()
       types.foreach(_ => cols += scala.collection.mutable.ArrayBuffer.empty[Option[String]])
     }
 
-    def parseBatch(fb: Fb, batchT: Int, bodyStart: Int, bodyLen: Long): Unit = {
-      if (names == null) bad() // a batch before the schema
+    /** decode one RecordBatch table's columns at the given PHYSICAL
+      * types; returns per-column values (dictionary resolution and
+      * accumulation are the caller's) */
+    def decodeBatch(fb: Fb, batchT: Int, bodyStart: Int, bodyLen: Long,
+                    physTypes: IndexedSeq[String]): IndexedSeq[IndexedSeq[Option[String]]] = {
       val rows = fb.fieldI64(batchT, 0, -1L)
       if (rows < 0 || rows > maxRows.toLong) bad()
-      if (totalRows + rows > maxRows.toLong) bad()
       // BodyCompression: codec 0 = LZ4 FRAME, 1 = zstd — both decode
       // through OUR decoders (Lz4Codec / ZstdDecode); method must be
       // BUFFER (0). -1 = uncompressed body.
@@ -171,8 +195,8 @@ object ArrowIpc {
       if (nodesVec == 0 || bufsVec == 0) bad()
       val nNodes = fb.vecLen(nodesVec)
       val nBufs = fb.vecLen(bufsVec)
-      if (nNodes != types.length) bad()
-      val expBufs = types.map(t => if (t == "utf8") 3 else 2).sum
+      if (nNodes != physTypes.length) bad()
+      val expBufs = physTypes.map(t => if (t == "utf8") 3 else 2).sum
       if (nBufs != expBufs) bad()
       // a buffer inside the body, 8-aligned by the layout law; returns
       // a (backing array, base offset, length) view — compressed
@@ -213,7 +237,7 @@ object ArrowIpc {
       def bi64(v: (Array[Byte], Int, Long), i: Int): Long =
         (bi32(v, i) & 0xffffffffL) | (bi32(v, i + 4).toLong << 32)
       var bi = 0
-      types.indices.foreach { ci =>
+      val result = physTypes.indices.map { ci =>
         val np = fb.vecAt(nodesVec, ci, 16)
         val nLen = fb.fI64(np)
         val nulls = fb.fI64(np + 8)
@@ -231,8 +255,8 @@ object ArrowIpc {
           while (i < rows.toInt) { if (isValid(i)) c += 1; i += 1 }
           if (c != (rows - nulls).toInt) bad()
         }
-        val out = cols(ci)
-        types(ci) match {
+        val out = IndexedSeq.newBuilder[Option[String]]
+        physTypes(ci) match {
           case "i32" =>
             val db = buffer(bi); bi += 1
             if (db._3 < 4L * rows) bad()
@@ -281,8 +305,9 @@ object ArrowIpc {
               } else None)
             }
         }
+        out.result()
       }
-      totalRows += rows
+      result
     }
 
     // ---- the message walk ----
@@ -317,10 +342,43 @@ object ArrowIpc {
               if (header == 0 || bodyLen != 0L) return None
               parseSchema(fb, header)
             case 3 => // RecordBatch
-              if (header == 0) return None
-              parseBatch(fb, header, bodyStart, bodyLen)
+              if (names == null || header == 0) return None
+              val phys = types.indices
+                .map(ci => if (dictIds(ci) >= 0) "i32" else types(ci))
+              val vals = decodeBatch(fb, header, bodyStart, bodyLen, phys)
+              val rows = if (vals.isEmpty) 0 else vals.head.length
+              if (totalRows + rows > maxRows.toLong) return None
+              types.indices.foreach { ci =>
+                val out = cols(ci)
+                if (dictIds(ci) < 0) out ++= vals(ci)
+                else {
+                  // the ordering law: the dictionary must have arrived
+                  val dict = dicts.getOrElse(dictIds(ci), return None)
+                  vals(ci).foreach {
+                    case None => out += None
+                    case Some(s) =>
+                      val ix = s.toInt
+                      if (ix < 0 || ix >= dict.length) return None // index law
+                      out += dict(ix)
+                  }
+                }
+              }
+              totalRows += rows
               sawBatch = true
-            case 2 => return None // DictionaryBatch: scope pin
+            case 2 => // DictionaryBatch
+              if (names == null || header == 0) return None
+              if (fb.fieldBool(header, 2, false)) return None // delta: scope pin
+              val id = fb.fieldI64(header, 0, 0L)
+              // the value type comes from the field(s) carrying this id
+              val vts = types.indices.filter(ci => dictIds(ci) == id)
+                .map(types(_)).distinct
+              if (vts.length != 1) return None // unknown or conflicting id
+              if (dicts.contains(id)) return None // replacement: scope pin
+              val dataT = fb.fieldRef(header, 1)
+              if (dataT == 0) return None
+              val vals = decodeBatch(fb, dataT, bodyStart, bodyLen,
+                IndexedSeq(vts.head))
+              dicts(id) = vals.head
             case _ => return None
           }
           p = bodyStart + bodyLen.toInt

@@ -161,6 +161,70 @@ class ArrowIpcSpec extends AnyFunSuite {
     }
   }
 
+  test("dictionary-encoded columns resolve through DictionaryBatch") {
+    import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryEncoder, DictionaryProvider}
+    import org.apache.arrow.vector.types.pojo.DictionaryEncoding
+    val alloc = new RootAllocator(1L << 26)
+    // the dictionary: 4 distinct city names
+    val dictVec = new VarCharVector("dict", alloc)
+    dictVec.allocateNew()
+    val cities = Seq("amsterdam", "berlin", "çity-3", "dublin")
+    cities.zipWithIndex.foreach { case (c, i) =>
+      dictVec.setSafe(i, c.getBytes("UTF-8"))
+    }
+    dictVec.setValueCount(4)
+    val encoding = new DictionaryEncoding(7L, false,
+      new ArrowType.Int(32, true))
+    val dict = new Dictionary(dictVec, encoding)
+    // the data column: 40 rows cycling the cities, every 9th null
+    val raw = new VarCharVector("city", alloc)
+    raw.allocateNew()
+    (0 until 40).foreach { r =>
+      if (r % 9 == 4) raw.setNull(r)
+      else raw.setSafe(r, cities((r * 3) % 4).getBytes("UTF-8"))
+    }
+    raw.setValueCount(40)
+    val encoded = DictionaryEncoder.encode(raw, dict)
+      .asInstanceOf[org.apache.arrow.vector.IntVector]
+    // also a plain column alongside
+    val plain = new BigIntVector("n", alloc)
+    plain.allocateNew()
+    (0 until 40).foreach(r => plain.setSafe(r, r.toLong * 7))
+    plain.setValueCount(40)
+    val root = new VectorSchemaRoot(
+      java.util.Arrays.asList(encoded.getField, plain.getField),
+      java.util.Arrays.asList(encoded, plain), 40)
+    val provider = new DictionaryProvider.MapDictionaryProvider(dict)
+    val bos = new java.io.ByteArrayOutputStream
+    val w = new ArrowStreamWriter(root, provider, bos)
+    try { w.start(); w.writeBatch(); w.end() }
+    finally { w.close(); root.close(); raw.close(); dictVec.close(); alloc.close() }
+    val cols = ArrowIpc.arrowRead(bos.toByteArray).getOrElse(fail("refused"))
+    assert(cols.map(_.typ) == Seq("utf8", "i64"))
+    (0 until 40).foreach { r =>
+      if (r % 9 == 4) assert(cols(0).values(r).isEmpty, s"r=$r")
+      else assert(cols(0).values(r).contains(cities((r * 3) % 4)), s"r=$r")
+      assert(cols(1).values(r).contains((r.toLong * 7).toString))
+    }
+    // an out-of-range index refuses: patch an index value in the body
+    // of the SECOND message's record batch... the dictionary batch is
+    // message 2, the record batch message 3 — flip is fiddly, so
+    // assert the ordering law instead: drop the dictionary batch
+    val good = bos.toByteArray
+    def m32(p: Int): Int = (good(p) & 0xff) | ((good(p + 1) & 0xff) << 8) |
+      ((good(p + 2) & 0xff) << 16) | ((good(p + 3) & 0xff) << 24)
+    val schemaSize = m32(4)
+    val dictAt = 8 + schemaSize
+    val dictMeta = m32(dictAt + 4)
+    // dictionary message body length: parse from our own reader's
+    // perspective by scanning to the record batch start
+    var q = dictAt + 8 + dictMeta
+    // the body follows; find the next continuation marker
+    while (q + 4 <= good.length && m32(q) != 0xffffffff) q += 8
+    val withoutDict = good.take(8 + schemaSize) ++ good.drop(q)
+    assert(ArrowIpc.arrowRead(withoutDict).isEmpty) // the ordering law
+  }
+
   test("refusals: file wrapper, truncation, marker flip, trailing bytes") {
     val good = write(20, 1, withNulls = true)
     assert(ArrowIpc.arrowRead(good).nonEmpty)
