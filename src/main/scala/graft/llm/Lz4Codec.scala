@@ -218,9 +218,10 @@ object Lz4Codec {
     * consumer): the probe's walk — every framing, checksum and
     * sequence law identical — collecting the decoded content. */
   def decompressFrames(b: Array[Byte], maxOut: Int = 1 << 26): Option[Array[Byte]] =
-    lz4Walk(b, collect = true).map(_._2.toByteArray)
+    lz4Walk(b, collect = true, maxOut).map(_._2.toByteArray)
 
-  private def lz4Walk(b: Array[Byte], collect: Boolean): Option[((Int, Int, Int, Int, Int, Long, Int, Int, Int, Long), java.io.ByteArrayOutputStream)] = try {
+  private def lz4Walk(b: Array[Byte], collect: Boolean,
+                      maxOut: Int = 1 << 26): Option[((Int, Int, Int, Int, Int, Long, Int, Int, Int, Long), java.io.ByteArrayOutputStream)] = try {
     val all = new java.io.ByteArrayOutputStream
     if (b == null || b.length < 4) return None
     var p = 0
@@ -355,7 +356,12 @@ object Lz4Codec {
             nContentCksVerified += 1
             p += 4
           }
-          if (collect) all.write(content, 0, content.length)
+          if (collect) {
+            all.write(content, 0, content.length)
+            // the TOTAL cap across concatenated frames (the per-frame
+            // regen cap alone would let many small frames multiply)
+            if (all.size() > maxOut) return None
+          }
         }
         contentTotal += regen
         nFrames += 1
