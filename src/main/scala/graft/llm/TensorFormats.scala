@@ -1,0 +1,469 @@
+package graft.llm
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Model-artifact tensor formats — the sidecar files an LLM data and
+  * training pipeline actually ships alongside its corpora: the
+  * safetensors weights format (huggingface.co/docs/safetensors — a
+  * u64 JSON-header length, a JSON tensor map, then raw data) and
+  * NumPy's .npy (the `\\x93NUMPY` magic, a Python-literal header
+  * dict, then C-order raw data; .npz is a zip of .npy members and
+  * rides [[ZipWalk]]).
+  *
+  * safetensors laws (refuse, never garble):
+  *  - header length in bounds; the header is a JSON OBJECT whose
+  *    `__metadata__` entry (string map) is skipped; every other entry
+  *    carries dtype / shape / data_offsets;
+  *  - dtypes from the published set (F64/F32/F16/BF16/I64/I32/I16/
+  *    I8/U8/BOOL here — the integer/float subset a pipeline reads);
+  *  - shape product × itemsize must equal the offset span; offsets
+  *    ascend, abut EXACTLY (the format writes tensors back to back —
+  *    gaps or overlaps refuse) and cover the data region exactly;
+  *  - BOOL bytes must be 0/1 (the spec's validation rule).
+  *
+  * .npy laws:
+  *  - magic + version 1.0/2.0/3.0; the header line ends `\\n` and
+  *    (header_len + preamble) is 64-aligned for v2+ / 16 for v1 (the
+  *    spec's alignment law); the dict carries exactly descr /
+  *    fortran_order / shape;
+  *  - descr from the little-endian subset (<f8 <f4 <i8 <i4 <i2 |i1
+  *    |u1 |b1); fortran_order must be False (C order — the layout a
+  *    reader can stream);
+  *  - shape product × itemsize must equal the remaining bytes
+  *    EXACTLY. */
+object TensorFormats {
+
+  private val mapper = new ObjectMapper()
+
+  final case class Tensor(name: String, dtype: String, shape: Seq[Long],
+                          byteLen: Long, sum: Long)
+
+  private def itemSize(dt: String): Option[Int] = dt match {
+    case "F64" | "I64" | "U64" => Some(8)
+    case "F32" | "I32" | "U32" => Some(4)
+    case "F16" | "BF16" | "I16" | "U16" => Some(2)
+    case "I8" | "U8" | "BOOL" => Some(1)
+    case _ => None
+  }
+
+  /** A deterministic census of a tensor's raw bytes: the
+    * position-weighted byte sum (order-sensitive — a swapped or
+    * shifted region breaks it). */
+  private def wsum(b: Array[Byte], from: Int, until: Int): Long = {
+    var s = 0L
+    var i = from
+    while (i < until) { s += (i - from + 1).toLong * (b(i) & 0xff); i += 1 }
+    s
+  }
+
+  def safetensors(b: Array[Byte], maxBytes: Int = 1 << 26): Option[Seq[Tensor]] = try {
+    if (b == null || b.length < 8 || b.length > maxBytes) return None
+    var hl = 0L
+    (0 until 8).foreach(i => hl |= (b(i) & 0xffL) << (8 * i))
+    if (hl < 2 || hl > (b.length - 8).toLong) return None
+    val root = mapper.readTree(new String(b, 8, hl.toInt, "UTF-8"))
+    if (root == null || !root.isObject) return None
+    val dataStart = 8 + hl.toInt
+    val dataLen = (b.length - dataStart).toLong
+    val spans = scala.collection.mutable.ArrayBuffer.empty[Tensor]
+    val lows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val highs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val it = root.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      val name = e.getKey
+      val t = e.getValue
+      if (name == "__metadata__") {
+        if (!t.isObject) return None
+        val mi = t.elements()
+        while (mi.hasNext) { if (!mi.next().isTextual) return None }
+      } else {
+        if (!t.isObject) return None
+        val dt = t.get("dtype")
+        val sh = t.get("shape")
+        val off = t.get("data_offsets")
+        if (dt == null || !dt.isTextual || sh == null || !sh.isArray ||
+          off == null || !off.isArray || off.size != 2) return None
+        val isz = itemSize(dt.asText).getOrElse(return None)
+        var prod = 1L
+        val dims = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val si = sh.elements()
+        while (si.hasNext) {
+          val d = si.next()
+          if (!d.canConvertToLong || d.asLong < 0) return None
+          dims += d.asLong
+          if (d.asLong > 0 && prod > maxBytes.toLong / d.asLong) return None
+          prod *= d.asLong
+        }
+        val a = off.get(0); val z = off.get(1)
+        if (!a.canConvertToLong || !z.canConvertToLong) return None
+        val (lo, hi) = (a.asLong, z.asLong)
+        if (lo < 0 || hi < lo || hi > dataLen) return None
+        if (prod * isz != hi - lo) return None // the span law
+        if (dt.asText == "BOOL") {
+          var i = dataStart + lo.toInt
+          while (i < dataStart + hi.toInt) {
+            if (b(i) != 0 && b(i) != 1) return None // the BOOL byte law
+            i += 1
+          }
+        }
+        spans += Tensor(name, dt.asText, dims.toSeq, hi - lo,
+          wsum(b, dataStart + lo.toInt, dataStart + hi.toInt))
+        lows += lo; highs += hi
+      }
+    }
+    if (spans.isEmpty) return None
+    // the tiling law: sorted by offset, tensors abut EXACTLY and
+    // cover the data region (gaps, overlaps and slack all refuse)
+    val order = lows.indices.sortBy(lows(_))
+    var cursor = 0L
+    order.foreach { i =>
+      if (lows(i) != cursor) return None // gap or overlap
+      cursor = highs(i)
+    }
+    if (cursor != dataLen) return None // the exact-coverage law
+    Some(spans.toSeq.sortBy(_.name))
+  } catch {
+    case _: com.fasterxml.jackson.core.JacksonException => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  /** .npy decode facts: (descr, shape, weighted byte sum). */
+  def npy(b: Array[Byte], maxBytes: Int = 1 << 26): Option[(String, Seq[Long], Long)] = try {
+    if (b == null || b.length < 16 || b.length > maxBytes) return None
+    if ((b(0) & 0xff) != 0x93 || b(1) != 'N' || b(2) != 'U' || b(3) != 'M' ||
+      b(4) != 'P' || b(5) != 'Y') return None
+    val major = b(6) & 0xff
+    val minor = b(7) & 0xff
+    if (major < 1 || major > 3 || minor != 0) return None
+    val (hlen, pre) =
+      if (major == 1) (((b(8) & 0xff) | ((b(9) & 0xff) << 8)), 10)
+      else (((b(8) & 0xff) | ((b(9) & 0xff) << 8) | ((b(10) & 0xff) << 16) |
+        ((b(11) & 0xff) << 24)), 12)
+    if (hlen < 1 || pre + hlen > b.length) return None
+    val align = if (major == 1) 16 else 64
+    if ((pre + hlen) % align != 0) return None // the alignment law
+    val hdr = new String(b, pre, hlen, "ISO-8859-1")
+    if (!hdr.endsWith("\n")) return None
+    val body = hdr.trim
+    if (!body.startsWith("{") || !body.endsWith("}")) return None
+    // the spec's canonical header: a flat Python dict literal with
+    // exactly these three keys
+    val descrR = "'descr'\\s*:\\s*'([^']+)'".r
+    val fortR = "'fortran_order'\\s*:\\s*(True|False)".r
+    val shapeR = "'shape'\\s*:\\s*\\(([^)]*)\\)".r
+    val keyR = "'[A-Za-z_]+'\\s*:".r
+    if (keyR.findAllIn(body).length != 3) return None // exactly the 3 keys
+    val descr = descrR.findFirstMatchIn(body).map(_.group(1)).getOrElse(return None)
+    val fort = fortR.findFirstMatchIn(body).map(_.group(1)).getOrElse(return None)
+    val shapeS = shapeR.findFirstMatchIn(body).map(_.group(1)).getOrElse(return None)
+    if (fort != "False") return None // C order only
+    val isz = descr match {
+      case "<f8" | "<i8" => 8
+      case "<f4" | "<i4" => 4
+      case "<i2" => 2
+      case "|i1" | "|u1" | "|b1" => 1
+      case _ => return None
+    }
+    val dims = shapeS.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .map { d =>
+        val v = d.toLong
+        if (v < 0) return None
+        v
+      }
+    var prod = 1L
+    dims.foreach { d => prod *= d; if (prod > maxBytes.toLong) return None }
+    val dataStart = pre + hlen
+    if (prod * isz != (b.length - dataStart).toLong) return None // exact size
+    if (descr == "|b1") {
+      var i = dataStart
+      while (i < b.length) {
+        if (b(i) != 0 && b(i) != 1) return None
+        i += 1
+      }
+    }
+    Some((descr, dims, wsum(b, dataStart, b.length)))
+  } catch {
+    case _: NumberFormatException => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  // ---- GGUF (the llama.cpp model container, ggml spec) --------------------
+
+  final case class GgufFile(version: Int, kvs: Seq[(String, String)],
+                            tensors: Seq[Tensor])
+
+  /** GGUF laws: magic + version 2/3; KV pairs typed from the
+    * published enum (strings, scalars, bools, arrays — arrays render
+    * as `arr:{type}:{n}`); tensor infos (≤4 dims, ggml types F32/F16/
+    * Q8_0 here — the float pair plus one quantized representative
+    * whose 34-byte/32-element block law is checked); tensor offsets
+    * ascend, align to general.alignment (default 32), sizes follow
+    * the type law, inter-tensor gaps and the tail stay under one
+    * alignment unit (only padding lives between tensors). */
+  def gguf(b: Array[Byte], maxBytes: Int = 1 << 26): Option[GgufFile] = try {
+    if (b == null || b.length < 24 || b.length > maxBytes) return None
+    if (b(0) != 'G' || b(1) != 'G' || b(2) != 'U' || b(3) != 'F') return None
+    var p = 4
+    def u32(): Long = {
+      if (p + 4 > b.length) throw new ArrayIndexOutOfBoundsException
+      val v = (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+      p += 4; v
+    }
+    def u64(): Long = { val lo = u32(); val hi = u32(); lo | (hi << 32) }
+    def str(): String = {
+      val n = u64()
+      if (n < 0 || n > 65536 || p + n > b.length) throw new ArrayIndexOutOfBoundsException
+      val s = new String(b, p, n.toInt, "UTF-8")
+      if (!java.util.Arrays.equals(s.getBytes("UTF-8"),
+        java.util.Arrays.copyOfRange(b, p, p + n.toInt)))
+        throw new ArrayIndexOutOfBoundsException
+      p += n.toInt; s
+    }
+    val version = u32()
+    if (version < 2 || version > 3) return None
+    val nTensors = u64()
+    val nKv = u64()
+    if (nTensors < 0 || nTensors > 100000 || nKv < 0 || nKv > 100000)
+      return None
+    var align = 32L
+    def scalarSize(t: Long): Int = t match {
+      case 0 | 1 => 1 // u8 / i8
+      case 2 | 3 => 2
+      case 4 | 5 | 6 => 4 // u32 / i32 / f32
+      case 7 => 1 // bool
+      case 10 | 11 | 12 => 8
+      case _ => -1
+    }
+    def readScalar(t: Long): String = t match {
+      case 0 => (u8v() & 0xff).toString
+      case 1 => u8v().toString
+      case 2 => u16v().toString
+      case 3 => u16v().toShort.toString
+      case 4 => u32().toString
+      case 5 => u32().toInt.toString
+      case 6 =>
+        val bits = u32().toInt
+        val f = java.lang.Float.intBitsToFloat(bits)
+        if (f.isNaN || f.isInfinite) throw new ArrayIndexOutOfBoundsException
+        f.toString
+      case 7 =>
+        val v = u8v()
+        if (v != 0 && v != 1) throw new ArrayIndexOutOfBoundsException
+        if (v == 1) "true" else "false"
+      case 10 => java.lang.Long.toUnsignedString(u64())
+      case 11 => u64().toString
+      case 12 =>
+        val d = java.lang.Double.longBitsToDouble(u64())
+        if (d.isNaN || d.isInfinite) throw new ArrayIndexOutOfBoundsException
+        d.toString
+      case _ => throw new ArrayIndexOutOfBoundsException
+    }
+    def u8v(): Int = {
+      if (p >= b.length) throw new ArrayIndexOutOfBoundsException
+      val v = b(p) & 0xff; p += 1; v
+    }
+    def u16v(): Int = { val a = u8v(); a | (u8v() << 8) }
+    val kvs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0L
+    while (i < nKv) {
+      val key = str()
+      if (key.isEmpty) return None
+      val t = u32()
+      val rendered = t match {
+        case 8 => str()
+        case 9 =>
+          val et = u32()
+          val n = u64()
+          if (n < 0 || n > 1000000) return None
+          if (et == 8) { var j = 0L; while (j < n) { str(); j += 1 } }
+          else if (et == 9) return None // nested arrays: scope pin
+          else {
+            val sz = scalarSize(et)
+            if (sz < 0) return None
+            var j = 0L
+            while (j < n) { readScalar(et); j += 1 }
+          }
+          s"arr:$et:$n"
+        case _ => readScalar(t)
+      }
+      if (key == "general.alignment") {
+        val a = rendered.toLong
+        if (a < 8 || a > 65536 || (a & (a - 1)) != 0) return None
+        align = a
+      }
+      kvs += ((key, rendered))
+      i += 1
+    }
+    // tensor infos
+    final case class TInfo(name: String, dims: Seq[Long], typ: Long, off: Long)
+    val infos = scala.collection.mutable.ArrayBuffer.empty[TInfo]
+    i = 0L
+    while (i < nTensors) {
+      val name = str()
+      if (name.isEmpty) return None
+      val nd = u32()
+      if (nd < 1 || nd > 4) return None
+      val dims = (0 until nd.toInt).map { _ =>
+        val d = u64()
+        if (d < 1 || d > maxBytes.toLong) return None
+        d
+      }
+      val typ = u32()
+      val off = u64()
+      infos += TInfo(name, dims, typ, off)
+      i += 1
+    }
+    if (infos.map(_.name).distinct.length != infos.length) return None
+    // data region starts at the next alignment boundary
+    val dataStart = ((p.toLong + align - 1) / align * align).toInt
+    if (dataStart > b.length) return None
+    var q = p
+    while (q < dataStart) { if (b(q) != 0) return None; q += 1 } // zero pad
+    val dataLen = (b.length - dataStart).toLong
+    val tensors = scala.collection.mutable.ArrayBuffer.empty[Tensor]
+    var prevEnd = 0L
+    infos.sortBy(_.off).foreach { ti =>
+      var n = 1L
+      ti.dims.foreach { d =>
+        if (n > maxBytes.toLong / d) return None
+        n *= d
+      }
+      val size = ti.typ match {
+        case 0 => n * 4 // F32
+        case 1 => n * 2 // F16
+        case 8 => // Q8_0: 32-element blocks of 2-byte scale + 32 bytes
+          if (n % 32 != 0) return None
+          n / 32 * 34
+        case _ => return None // other ggml types: scope pin
+      }
+      if (ti.off % align != 0) return None // the alignment law
+      if (ti.off < prevEnd || ti.off - prevEnd >= align) return None // only padding between
+      if (ti.off + size > dataLen) return None
+      tensors += Tensor(ti.name, ti.typ match {
+        case 0 => "F32"; case 1 => "F16"; case _ => "Q8_0"
+      }, ti.dims, size,
+        wsum(b, dataStart + ti.off.toInt, dataStart + (ti.off + size).toInt))
+      prevEnd = ti.off + size
+    }
+    if (dataLen - prevEnd >= align) return None // the tail law
+    if (nTensors == 0 && kvs.isEmpty) return None
+    Some(GgufFile(version.toInt, kvs.toSeq, tensors.toSeq))
+  } catch {
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NumberFormatException => None
+  }
+
+  def encodeGguf(kvs: Seq[(String, Either[Long, String])],
+                 tensors: Seq[(String, Seq[Long], Int, Array[Byte])],
+                 version: Int = 3, alignment: Long = 32,
+                 misalignArm: Boolean = false,
+                 sizeLieArm: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    def w32(v: Long): Unit =
+      (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    def w64(v: Long): Unit =
+      (0 until 8).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    def wstr(s: String): Unit = {
+      val bs = s.getBytes("UTF-8"); w64(bs.length.toLong)
+      out.write(bs, 0, bs.length)
+    }
+    out.write('G'); out.write('G'); out.write('U'); out.write('F')
+    w32(version.toLong)
+    w64(tensors.length.toLong)
+    val allKvs = ("general.alignment", Left(alignment)) +: kvs
+    w64(allKvs.length.toLong)
+    allKvs.foreach { case (k, v) =>
+      wstr(k)
+      v match {
+        case Left(n) => w32(4); w32(n)  // u32 scalar
+        case Right(s) => w32(8); wstr(s)
+      }
+    }
+    // tensor infos with aligned, abutting-within-padding offsets
+    var off = 0L
+    val offs = tensors.map { case (_, dims, typ, data) =>
+      val o = off + (if (misalignArm) 1 else 0)
+      off = ((off + data.length + alignment - 1) / alignment) * alignment
+      o
+    }
+    tensors.zip(offs).zipWithIndex.foreach { case (((name, dims, typ, data), o), i) =>
+      wstr(name)
+      w32(dims.length.toLong)
+      dims.foreach { d =>
+        w64(if (sizeLieArm && i == 0 && d == dims.head) d + 32 else d)
+      }
+      w32(typ.toLong)
+      w64(o)
+    }
+    // pad to the data region, then the tensors at their offsets
+    while (out.size() % alignment != 0) out.write(0)
+    val dataStart = out.size()
+    tensors.zip(offs).foreach { case ((_, _, _, data), o) =>
+      val target = dataStart + o.toInt - (if (misalignArm) 1 else 0)
+      while (out.size() < target) out.write(0)
+      out.write(data, 0, data.length)
+    }
+    out.toByteArray
+  }
+
+  // ---- conformance writers ------------------------------------------------
+
+  def encodeSafetensors(tensors: Seq[(String, String, Seq[Long], Array[Byte])],
+                        gapArm: Boolean = false,
+                        spanLieArm: Boolean = false): Array[Byte] = {
+    require(tensors.nonEmpty)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cursor = 0L
+    tensors.zipWithIndex.foreach { case ((name, dt, shape, data), i) =>
+      val lo = cursor + (if (gapArm && i == tensors.length - 1) 8 else 0)
+      val hi = lo + data.length + (if (spanLieArm && i == 0) 0 else 0)
+      val hiOut = if (spanLieArm && i == 0) hi + itemSizeOf(dt) else hi
+      entries += s""""$name":{"dtype":"$dt","shape":[${shape.mkString(",")}],""" +
+        s""""data_offsets":[$lo,$hiOut]}"""
+      cursor = hi
+    }
+    val json = "{" + entries.mkString(",") + "}"
+    val jb = json.getBytes("UTF-8")
+    val out = new java.io.ByteArrayOutputStream
+    (0 until 8).foreach(i => out.write(((jb.length.toLong >> (8 * i)) & 0xff).toInt))
+    out.write(jb)
+    tensors.foreach { case (_, _, _, data) => out.write(data) }
+    out.toByteArray
+  }
+
+  private def itemSizeOf(dt: String): Int = itemSize(dt).getOrElse(1)
+
+  def encodeNpy(descr: String, shape: Seq[Long], data: Array[Byte],
+                version: Int = 1, misalignArm: Boolean = false,
+                sizeLieArm: Boolean = false): Array[Byte] = {
+    val shapeS = if (shape.length == 1) s"(${shape.head},)"
+      else "(" + shape.mkString(", ") + ")"
+    val liedShape = if (sizeLieArm && shape.nonEmpty)
+      (if (shape.length == 1) s"(${shape.head + 1},)"
+       else "(" + ((shape.head + 1) +: shape.tail).mkString(", ") + ")")
+    else shapeS
+    val body = s"{'descr': '$descr', 'fortran_order': False, 'shape': $liedShape, }"
+    val pre = if (version == 1) 10 else 12
+    val align = if (version == 1) 16 else 64
+    val padTo = {
+      val raw = pre + body.length + 1
+      ((raw + align - 1) / align) * align + (if (misalignArm) 1 else 0)
+    }
+    val hdr = body + (" " * (padTo - pre - body.length - 1)) + "\n"
+    val out = new java.io.ByteArrayOutputStream
+    out.write(0x93); out.write('N'); out.write('U'); out.write('M')
+    out.write('P'); out.write('Y')
+    out.write(version); out.write(0)
+    val hl = hdr.length
+    if (version == 1) { out.write(hl & 0xff); out.write((hl >> 8) & 0xff) }
+    else {
+      out.write(hl & 0xff); out.write((hl >> 8) & 0xff)
+      out.write((hl >> 16) & 0xff); out.write((hl >> 24) & 0xff)
+    }
+    out.write(hdr.getBytes("ISO-8859-1"))
+    out.write(data)
+    out.toByteArray
+  }
+}

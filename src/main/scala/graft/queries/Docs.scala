@@ -2167,6 +2167,247 @@ object Docs {
       |FROM p LEFT JOIN agg ON agg.k = p.k
       |ORDER BY media_id""".stripMargin
 
+  /** safetensors read under the oracle (see
+    * [[graft.llm.TensorFormats]]): per-key weight files of 2-4
+    * tensors rotating F32 / I64 / BOOL, serialized back to back under
+    * the tiling law. Refusal arms: truncation (k mod 13 — the
+    * exact-coverage law), a tiling gap (k mod 17), a span lie
+    * (k mod 19). */
+  def safetensorsRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.TensorFormats
+    val keys = partKeys(s, d) // full-width spread: the read map is the cost
+    val decoded = keys.map { k =>
+      val nT = (2 + k % 3).toInt
+      val tensors = (0 until nT).map { j =>
+        val n = (4 + (k + j) % 9).toInt
+        (j % 3) match {
+          case 0 => (s"t$j", "F32", Seq(n.toLong),
+            Array.tabulate(4 * n)(i => ((k * 5 + j * 11 + i * 3) % 251).toByte))
+          case 1 => (s"t$j", "I64", Seq(n.toLong),
+            Array.tabulate(8 * n)(i => ((k * 5 + j * 11 + i * 3) % 251).toByte))
+          case _ => (s"t$j", "BOOL", Seq(n.toLong),
+            Array.tabulate(n)(i => ((k + j + i) % 2).toByte))
+        }
+      }
+      val bytes = TensorFormats.encodeSafetensors(tensors,
+        gapArm = k % 17 == 0 && k % 13 != 0,
+        spanLieArm = k % 19 == 0 && k % 13 != 0 && k % 17 != 0)
+      val payload = if (k % 13 == 0) bytes.dropRight(3) else bytes
+      TensorFormats.safetensors(payload) match {
+        case Some(ts) =>
+          val text = ts.map(t =>
+            s"${t.name}:${t.dtype}:${t.shape.mkString("x")}:${t.byteLen}:${t.sum}")
+            .mkString("\n")
+          (k, true, Some(ts.length), Some(ts.map(_.byteLen).sum),
+            Some(text))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Long],
+            None: Option[String])
+      }
+    }.toDF("media_id", "stf_ok", "n_tensors", "total_bytes", "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The weights replayed: tensor j of 4 + (k+j) mod 9 elements; the
+    * weighted byte sums rebuild from the byte formulas per dtype. */
+  val safetensorsReadSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(2 + k % 3 AS INTEGER) AS nt,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |t AS (
+      |  SELECT p.k, j.g AS j, CAST(4 + (p.k + j.g) % 9 AS BIGINT) AS n,
+      |    CASE j.g % 3 WHEN 0 THEN 'F32' WHEN 1 THEN 'I64' ELSE 'BOOL' END AS dt,
+      |    CASE j.g % 3 WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 1 END AS isz
+      |  FROM p, generate_series(0, 3) j(g)
+      |  WHERE j.g < p.nt AND p.ok),
+      |w AS (
+      |  SELECT t.k, t.j, t.dt, t.n, t.n * t.isz AS len,
+      |    CAST(SUM((i.g + 1) * CASE WHEN t.dt = 'BOOL'
+      |      THEN (t.k + t.j + i.g) % 2
+      |      ELSE (t.k * 5 + t.j * 11 + i.g * 3) % 251 END) AS BIGINT) AS ws
+      |  FROM t, generate_series(0, 95) i(g)
+      |  WHERE i.g < t.n * t.isz
+      |  GROUP BY t.k, t.j, t.dt, t.n, t.isz),
+      |agg AS (
+      |  SELECT k, CAST(COUNT(*) AS INTEGER) AS n_tensors,
+      |    CAST(SUM(len) AS BIGINT) AS total_bytes,
+      |    string_agg('t' || j || ':' || dt || ':' || n || ':' || len ||
+      |      ':' || ws, chr(10) ORDER BY j) AS text
+      |  FROM w GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS stf_ok,
+      |  CASE WHEN p.ok THEN agg.n_tensors END AS n_tensors,
+      |  CASE WHEN p.ok THEN agg.total_bytes END AS total_bytes,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p LEFT JOIN agg ON agg.k = p.k
+      |ORDER BY media_id""".stripMargin
+
+  /** NumPy .npz read under the oracle: per-key archives (ZipWalk zip)
+    * of an int64 matrix and a bool vector, each member a lawful .npy
+    * (v1 on even keys, v2 on odd — the 16/64 alignment law both
+    * ways). Refusal arms: truncation (k mod 13 — the container law),
+    * a misaligned header (k mod 17), a shape/size lie (k mod 19). */
+  def npzRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.{TensorFormats, ZipWalk}
+    val keys = partKeys(s, d) // full-width spread: the read map is the cost
+    val decoded = keys.map { k =>
+      val rows = (2 + k % 3).toInt
+      val aData = Array.tabulate(rows * 3 * 8)(i =>
+        ((k * 7 + i * 13) % 256).toByte)
+      val bLen = (5 + k % 4).toInt
+      val bData = Array.tabulate(bLen)(i => ((k + i) % 2).toByte)
+      val version = if (k % 2 == 0) 1 else 2
+      val a = TensorFormats.encodeNpy("<i8", Seq(rows.toLong, 3L), aData,
+        version = version,
+        misalignArm = k % 17 == 0 && k % 13 != 0)
+      val bb = TensorFormats.encodeNpy("|b1", Seq(bLen.toLong), bData,
+        version = version,
+        sizeLieArm = k % 19 == 0 && k % 13 != 0 && k % 17 != 0)
+      val zip0 = ZipWalk.encodeZip(Seq("a.npy" -> a, "b.npy" -> bb))
+      val zip = if (k % 13 == 0) zip0.dropRight(4) else zip0
+      val out = ZipWalk.entries(zip).flatMap { es =>
+        val byName = es.toMap
+        for {
+          ab <- byName.get("a.npy")
+          bbb <- byName.get("b.npy")
+          ra <- TensorFormats.npy(ab)
+          rb <- TensorFormats.npy(bbb)
+        } yield (ra, rb)
+      }
+      out match {
+        case Some(((da, sa, wa), (db, sb, wb))) =>
+          (k, true, Some(s"$da:${sa.mkString("x")}"),
+            Some(s"$db:${sb.mkString("x")}"), Some(wa), Some(wb))
+        case None =>
+          (k, false, None: Option[String], None: Option[String],
+            None: Option[Long], None: Option[Long])
+      }
+    }.toDF("media_id", "npz_ok", "a_shape", "b_shape", "a_wsum", "b_wsum")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The members replayed: the int64 matrix's bytes from the mod-256
+    * formula, the bool vector's bits from the parity formula. */
+  val npzReadSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(2 + k % 3 AS INTEGER) AS r,
+      |        CAST(5 + k % 4 AS INTEGER) AS bl,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |aw AS (
+      |  SELECT p.k,
+      |    CAST(SUM((i.g + 1) * ((p.k * 7 + i.g * 13) % 256)) AS BIGINT) AS ws
+      |  FROM p, generate_series(0, 95) i(g)
+      |  WHERE i.g < p.r * 24 AND p.ok
+      |  GROUP BY p.k),
+      |bw AS (
+      |  SELECT p.k,
+      |    CAST(SUM((i.g + 1) * ((p.k + i.g) % 2)) AS BIGINT) AS ws
+      |  FROM p, generate_series(0, 8) i(g)
+      |  WHERE i.g < p.bl AND p.ok
+      |  GROUP BY p.k)
+      |SELECT p.k AS media_id, p.ok AS npz_ok,
+      |  CASE WHEN p.ok THEN '<i8:' || p.r || 'x3' END AS a_shape,
+      |  CASE WHEN p.ok THEN '|b1:' || p.bl END AS b_shape,
+      |  CASE WHEN p.ok THEN aw.ws END AS a_wsum,
+      |  CASE WHEN p.ok THEN bw.ws END AS b_wsum
+      |FROM p LEFT JOIN aw ON aw.k = p.k LEFT JOIN bw ON bw.k = p.k
+      |ORDER BY media_id""".stripMargin
+
+  /** GGUF probe under the oracle: per-key model containers of 1-3
+    * tensors rotating F32 / F16 / Q8_0 (the 34-byte/32-element block
+    * law) plus architecture metadata. Refusal arms: truncation (k mod
+    * 13 — the tail law), a misaligned tensor offset (k mod 17), an
+    * inflated dimension (k mod 19 — the size law). */
+  def ggufProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.TensorFormats
+    val keys = partKeys(s, d) // full-width spread: the probe map is the cost
+    val decoded = keys.map { k =>
+      val nT = (1 + k % 3).toInt
+      val tensors = (0 until nT).map { j =>
+        (j % 3) match {
+          case 0 =>
+            val n = (8 + (k + j) % 8).toInt
+            (s"blk.$j.w", Seq(n.toLong), 0,
+              Array.tabulate(4 * n)(i => ((k * 3 + j * 17 + i * 7) % 253).toByte))
+          case 1 =>
+            val n = (8 + (k + j) % 8).toInt
+            (s"blk.$j.w", Seq(n.toLong), 1,
+              Array.tabulate(2 * n)(i => ((k * 3 + j * 17 + i * 7) % 253).toByte))
+          case _ =>
+            val n = (32 * (1 + (k + j) % 2)).toInt
+            (s"blk.$j.w", Seq(n.toLong), 8,
+              Array.tabulate(n / 32 * 34)(i => ((k * 3 + j * 17 + i * 7) % 253).toByte))
+        }
+      }
+      val bytes = TensorFormats.encodeGguf(
+        kvs = Seq(("general.architecture", Right(s"arch$k")),
+          ("n.blocks", Left(k % 40))),
+        tensors = tensors,
+        misalignArm = k % 17 == 0 && k % 13 != 0,
+        sizeLieArm = k % 19 == 0 && k % 13 != 0 && k % 17 != 0)
+      val payload = if (k % 13 == 0) bytes.dropRight(40) else bytes
+      TensorFormats.gguf(payload) match {
+        case Some(g) =>
+          val text = g.tensors.map(t =>
+            s"${t.name}:${t.dtype}:${t.shape.mkString("x")}:${t.byteLen}:${t.sum}")
+            .mkString("\n")
+          (k, true, Some(g.version), Some(g.kvs.length),
+            Some(g.kvs.toMap.apply("general.architecture")),
+            Some(g.tensors.length), Some(text))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int],
+            None: Option[String], None: Option[Int], None: Option[String])
+      }
+    }.toDF("media_id", "gg_ok", "version", "n_kv", "arch", "n_tensors",
+      "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The container replayed: tensor j's byte length by the ggml type
+    * law; the weighted sums from the mod-253 formula. */
+  val ggufProbeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(1 + k % 3 AS INTEGER) AS nt,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |t AS (
+      |  SELECT p.k, j.g AS j,
+      |    CASE j.g % 3 WHEN 0 THEN 'F32' WHEN 1 THEN 'F16' ELSE 'Q8_0' END AS dt,
+      |    CASE j.g % 3
+      |      WHEN 0 THEN CAST(8 + (p.k + j.g) % 8 AS BIGINT)
+      |      WHEN 1 THEN CAST(8 + (p.k + j.g) % 8 AS BIGINT)
+      |      ELSE CAST(32 * (1 + (p.k + j.g) % 2) AS BIGINT) END AS n,
+      |    CASE j.g % 3
+      |      WHEN 0 THEN CAST(4 * (8 + (p.k + j.g) % 8) AS BIGINT)
+      |      WHEN 1 THEN CAST(2 * (8 + (p.k + j.g) % 8) AS BIGINT)
+      |      ELSE CAST(34 * (1 + (p.k + j.g) % 2) AS BIGINT) END AS len
+      |  FROM p, generate_series(0, 2) j(g)
+      |  WHERE j.g < p.nt AND p.ok),
+      |w AS (
+      |  SELECT t.k, t.j, t.dt, t.n, t.len,
+      |    CAST(SUM((i.g + 1) * ((t.k * 3 + t.j * 17 + i.g * 7) % 253))
+      |      AS BIGINT) AS ws
+      |  FROM t, generate_series(0, 67) i(g)
+      |  WHERE i.g < t.len
+      |  GROUP BY t.k, t.j, t.dt, t.n, t.len),
+      |agg AS (
+      |  SELECT k, CAST(COUNT(*) AS INTEGER) AS n_tensors,
+      |    string_agg('blk.' || j || '.w:' || dt || ':' || n || ':' || len ||
+      |      ':' || ws, chr(10) ORDER BY j) AS text
+      |  FROM w GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS gg_ok,
+      |  CASE WHEN p.ok THEN 3 END AS version,
+      |  CASE WHEN p.ok THEN 3 END AS n_kv,
+      |  CASE WHEN p.ok THEN 'arch' || p.k END AS arch,
+      |  CASE WHEN p.ok THEN agg.n_tensors END AS n_tensors,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p LEFT JOIN agg ON agg.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pdf_text" -> (pdfText _),
     "q_docx_read" -> (docxRead _),
@@ -2187,6 +2428,9 @@ object Docs {
     "q_delta_log" -> (deltaLog _),
     "q_parquet_footer" -> (parquetFooter _),
     "q_iceberg_snap" -> (icebergSnap _),
+    "q_safetensors_read" -> (safetensorsRead _),
+    "q_npz_read" -> (npzRead _),
+    "q_gguf_probe" -> (ggufProbe _),
     "q_markdown_read" -> (markdownRead _),
     "q_doc_zoo" -> (docZoo _))
 
@@ -2210,6 +2454,9 @@ object Docs {
     "q_delta_log" -> deltaLogSql,
     "q_parquet_footer" -> parquetFooterSql,
     "q_iceberg_snap" -> icebergSnapSql,
+    "q_safetensors_read" -> safetensorsReadSql,
+    "q_npz_read" -> npzReadSql,
+    "q_gguf_probe" -> ggufProbeSql,
     "q_markdown_read" -> markdownReadSql,
     "q_doc_zoo" -> docZooSql)
 }

@@ -1,0 +1,127 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import TensorFormats._
+
+/** Tensor sidecar formats: safetensors span/tiling laws, .npy header
+  * laws against REAL numpy output (an .npz fixture written by numpy
+  * itself rides ZipWalk), and the GGUF container walk. */
+class TensorFormatsSpec extends AnyFunSuite {
+
+  // ---- safetensors --------------------------------------------------------
+
+  private def st(gap: Boolean = false, lie: Boolean = false) =
+    encodeSafetensors(Seq(
+      ("w.bias", "F32", Seq(8L), Array.tabulate(32)(i => (i * 3).toByte)),
+      ("w.weight", "I64", Seq(2L, 3L), Array.tabulate(48)(i => (i ^ 5).toByte)),
+      ("mask", "BOOL", Seq(5L), Array[Byte](1, 0, 1, 1, 0))),
+      gapArm = gap, spanLieArm = lie)
+
+  test("safetensors: spans, dtypes, tiling; arms refuse") {
+    val ts = safetensors(st()).getOrElse(fail("refused"))
+    assert(ts.map(_.name) == Seq("mask", "w.bias", "w.weight")) // name-sorted
+    assert(ts.map(_.dtype) == Seq("BOOL", "F32", "I64"))
+    assert(ts.map(_.byteLen) == Seq(5L, 32L, 48L))
+    assert(safetensors(st(gap = true)).isEmpty)   // the tiling law
+    assert(safetensors(st(lie = true)).isEmpty)   // the span law
+    assert(safetensors(st().dropRight(2)).isEmpty) // coverage law
+    // a BOOL byte outside 0/1 refuses
+    val bad = st(); bad(bad.length - 2) = 7
+    assert(safetensors(bad).isEmpty)
+    // header-length lie
+    val hl = st(); hl(0) = (hl(0) + 9).toByte
+    assert(safetensors(hl).isEmpty)
+  }
+
+  // ---- .npy / .npz vs REAL numpy ------------------------------------------
+
+  private val npyFixture: Array[Byte] = java.util.Base64.getDecoder.decode(Seq(
+    "k05VTVBZAQB2AHsnZGVzY3InOiAnPGk4JywgJ2ZvcnRyYW5fb3JkZXInOiBGYWxzZSwgJ3NoYXBl",
+    "JzogKDIsIDMsIDQpLCB9ICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAg",
+    "ICAgICAgICAgICAgIArO/////////9X/////////3P/////////j/////////+r/////////8f//",
+    "///////4////////////////////BgAAAAAAAAANAAAAAAAAABQAAAAAAAAAGwAAAAAAAAAiAAAA",
+    "AAAAACkAAAAAAAAAMAAAAAAAAAA3AAAAAAAAAD4AAAAAAAAARQAAAAAAAABMAAAAAAAAAFMAAAAA",
+    "AAAAWgAAAAAAAABhAAAAAAAAAGgAAAAAAAAAbwAAAAAAAAA=").mkString)
+  private val npzFixture: Array[Byte] = java.util.Base64.getDecoder.decode(Seq(
+    "UEsDBC0AAAAAAAAAIQAON1cf//////////8IABQAaW50cy5ucHkBABAAQAEAAAAAAABAAQAAAAAA",
+    "AJNOVU1QWQEAdgB7J2Rlc2NyJzogJzxpOCcsICdmb3J0cmFuX29yZGVyJzogRmFsc2UsICdzaGFw",
+    "ZSc6ICgyLCAzLCA0KSwgfSAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAg",
+    "ICAgICAgICAgICAgICAKzv/////////V/////////9z/////////4//////////q//////////H/",
+    "////////+P///////////////////wYAAAAAAAAADQAAAAAAAAAUAAAAAAAAABsAAAAAAAAAIgAA",
+    "AAAAAAApAAAAAAAAADAAAAAAAAAANwAAAAAAAAA+AAAAAAAAAEUAAAAAAAAATAAAAAAAAABTAAAA",
+    "AAAAAFoAAAAAAAAAYQAAAAAAAABoAAAAAAAAAG8AAAAAAAAAUEsDBC0AAAAAAAAAIQC7iVLs////",
+    "//////8KABQAZmxvYXRzLm5weQEAEAD4AAAAAAAAAPgAAAAAAAAAk05VTVBZAQB2AHsnZGVzY3In",
+    "OiAnPGY4JywgJ2ZvcnRyYW5fb3JkZXInOiBGYWxzZSwgJ3NoYXBlJzogKDMsIDUpLCB9ICAgICAg",
+    "ICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgIAoAAAAA",
+    "AAD4vwAAAAAAAPS/AAAAAAAA8L8AAAAAAADovwAAAAAAAOC/AAAAAAAA0L8AAAAAAAAAAAAAAAAA",
+    "ANA/AAAAAAAA4D8AAAAAAADoPwAAAAAAAPA/AAAAAAAA9D8AAAAAAAD4PwAAAAAAAPw/AAAAAAAA",
+    "AEBQSwMELQAAAAAAAAAhAKiygIT//////////wkAFABib29scy5ucHkBABAAhwAAAAAAAACHAAAA",
+    "AAAAAJNOVU1QWQEAdgB7J2Rlc2NyJzogJ3xiMScsICdmb3J0cmFuX29yZGVyJzogRmFsc2UsICdz",
+    "aGFwZSc6ICg3LCksIH0gICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAg",
+    "ICAgICAgICAgICAgICAgICAKAQABAQAAAVBLAQItAy0AAAAAAAAAIQAON1cfQAEAAEABAAAIAAAA",
+    "AAAAAAAAAACAAQAAAABpbnRzLm5weVBLAQItAy0AAAAAAAAAIQC7iVLs+AAAAPgAAAAKAAAAAAAA",
+    "AAAAAACAAXoBAABmbG9hdHMubnB5UEsBAi0DLQAAAAAAAAAhAKiygISHAAAAhwAAAAkAAAAAAAAA",
+    "AAAAAIABrgIAAGJvb2xzLm5weVBLBQYAAAAAAwADAKUAAABwAwAAAAA=").mkString)
+
+  test("a real numpy .npy reads back: descr, shape, exact data census") {
+    val (descr, shape, sum) = npy(npyFixture).getOrElse(fail("refused"))
+    assert(descr == "<i8" && shape == Seq(2L, 3L, 4L))
+    assert(sum == 663108L)
+  }
+
+  test("a real numpy .npz walks through ZipWalk: all three members") {
+    val es = ZipWalk.entries(npzFixture).getOrElse(fail("zip refused"))
+    val byName = es.toMap
+    val (d1, s1, w1) = npy(byName("ints.npy")).getOrElse(fail("ints refused"))
+    assert(d1 == "<i8" && s1 == Seq(2L, 3L, 4L) && w1 == 663108L)
+    val (d2, s2, w2) = npy(byName("floats.npy")).getOrElse(fail("floats refused"))
+    assert(d2 == "<f8" && s2 == Seq(3L, 5L) && w2 == 260108L)
+    val (d3, s3, w3) = npy(byName("bools.npy")).getOrElse(fail("bools refused"))
+    assert(d3 == "|b1" && s3 == Seq(7L) && w3 == 15L)
+  }
+
+  test("npy writer round-trips and the laws refuse") {
+    val data = Array.tabulate(40)(i => (i * 11).toByte)
+    for (v <- Seq(1, 2)) {
+      val enc = encodeNpy("<i4", Seq(10L), data, version = v)
+      val (d, s, w) = npy(enc).getOrElse(fail(s"refused v$v"))
+      assert(d == "<i4" && s == Seq(10L))
+      assert(w == (1 to 40).map(i => i.toLong * ((((i - 1) * 11) & 0xff))).sum)
+    }
+    assert(npy(encodeNpy("<i4", Seq(10L), data, misalignArm = true)).isEmpty)
+    assert(npy(encodeNpy("<i4", Seq(10L), data, sizeLieArm = true)).isEmpty)
+    assert(npy(encodeNpy("<i4", Seq(10L), data).dropRight(3)).isEmpty)
+    // fortran order refuses (the C-order contract)
+    val f = encodeNpy("<i4", Seq(10L), data)
+    val s2 = new String(f, "ISO-8859-1").replace("False", "True ")
+    assert(npy(s2.getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  // ---- GGUF ----------------------------------------------------------------
+
+  private def gg(misalign: Boolean = false, lie: Boolean = false) =
+    encodeGguf(
+      kvs = Seq(("general.architecture", Right("llama")),
+        ("llama.block_count", Left(16L))),
+      tensors = Seq(
+        ("tok_embd.weight", Seq(64L), 0, Array.tabulate(256)(i => (i * 7).toByte)),
+        ("blk.0.attn_q.weight", Seq(32L), 1, Array.tabulate(64)(i => (i ^ 9).toByte)),
+        ("blk.0.ffn.weight", Seq(64L), 8, Array.tabulate(68)(i => (i * 3).toByte))),
+      misalignArm = misalign, sizeLieArm = lie)
+
+  test("gguf: kv walk, tensor laws, census; arms refuse") {
+    val g = gguf(gg()).getOrElse(fail("refused"))
+    assert(g.version == 3)
+    assert(g.kvs.toMap.apply("general.architecture") == "llama")
+    assert(g.kvs.toMap.apply("llama.block_count") == "16")
+    assert(g.tensors.map(_.name) == Seq("tok_embd.weight",
+      "blk.0.attn_q.weight", "blk.0.ffn.weight"))
+    assert(g.tensors.map(_.dtype) == Seq("F32", "F16", "Q8_0"))
+    assert(g.tensors.map(_.byteLen) == Seq(256L, 64L, 68L))
+    assert(gguf(gg(misalign = true)).isEmpty) // the alignment law
+    assert(gguf(gg(lie = true)).isEmpty)      // the size law
+    assert(gguf(gg().dropRight(9)).isEmpty)   // the tail law
+    val t = gg(); t(5) = 9                    // version lie
+    assert(gguf(t).isEmpty)
+  }
+}
