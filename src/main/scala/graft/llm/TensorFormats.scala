@@ -172,7 +172,11 @@ object TensorFormats {
         v
       }
     var prod = 1L
-    dims.foreach { d => prod *= d; if (prod > maxBytes.toLong) return None }
+    dims.foreach { d =>
+      // bound BEFORE multiplying: a hostile huge dim must not wrap
+      if (d != 0 && prod > maxBytes.toLong / d) return None
+      prod *= d
+    }
     val dataStart = pre + hlen
     if (prod * isz != (b.length - dataStart).toLong) return None // exact size
     if (descr == "|b1") {
