@@ -559,6 +559,43 @@ object XzDecode {
     case _: NegativeArraySizeException => None
   }
 
+  /** The LZMA-alone (.lzma) container — the format old SDK tooling and
+    * .tar.lzma dumps emit (the predecessor xz replaced): a 13-byte
+    * header — one props byte encoding lc/lp/pb ((pb·5+lp)·9+lc), a
+    * u32 LE dictionary size, a u64 LE uncompressed size — then ONE
+    * raw LZMA stream decoded by the same range-decoder core the XZ
+    * path runs. The KNOWN-SIZE subset decodes; the end-marker form
+    * (size 0xFFFF…FF) is a documented refusal. The alone format
+    * carries NO integrity data at all (no checksums, no framing after
+    * the stream — xz replaced it for exactly this reason), so damage
+    * surfaces only as range-decoder refusal or wrong output length;
+    * trailing bytes after the stream are likewise invisible to the
+    * format and are not policed. */
+  def lzmaAlone(b: Array[Byte], maxOut: Int = 1 << 26): Option[Array[Byte]] = try {
+    if (b == null || b.length < 13 + 5) return None
+    val props = b(0) & 0xff
+    if (props >= 225) return None // (pb·5+lp)·9+lc bound
+    val lc = props % 9
+    val lp = (props / 9) % 5
+    val pb = props / 45
+    var dictSize = 0L
+    (0 until 4).foreach(i => dictSize |= (b(1 + i) & 0xffL) << (8 * i))
+    var size = 0L
+    (0 until 8).foreach(i => size |= (b(5 + i) & 0xffL) << (8 * i))
+    if (size == -1L) return None // end-marker form: scope pin
+    if (size < 0 || size > maxOut.toLong) return None
+    val out = new Array[Byte](size.toInt)
+    val m = new LzmaModel(lc, lp, pb)
+    // the spec's minimum effective dictionary is 4096
+    val n = lzmaChunk(b, 13, b.length, m, out, 0, size.toInt, 0,
+      math.max(dictSize, 4096L))
+    if (n != size.toInt) return None
+    Some(out)
+  } catch {
+    case _: Bad => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
   /** The x86 BCJ filter's DECODE direction (XZ filter id 0x04, start
     * offset 0), applied after LZMA2 over the whole block, in place.
     * The encoder converted the 32-bit displacement of E8/E9 call/jump

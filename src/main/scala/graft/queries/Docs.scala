@@ -2408,6 +2408,79 @@ object Docs {
       |FROM p LEFT JOIN agg ON agg.k = p.k
       |ORDER BY media_id""".stripMargin
 
+  /** LZMA-alone (.lzma) decode under the oracle (see
+    * [[graft.llm.XzDecode.lzmaAlone]]; housed here so
+    * `queries/Llm.scala` stops growing): closed-form payloads
+    * compressed by the INDEPENDENT xz-java LZMAOutputStream with a
+    * DECLARED size, decoded by OUR range-decoder core. Every eighth
+    * key (k mod 8 = 6 — disjoint from the xz and bzip2 lanes).
+    * Refusal arms: truncation (k mod 13), the end-marker form
+    * (k mod 17 — the known-size scope pin), a props lie (k mod 19). */
+  def lzmaDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.XzDecode
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
+      .filter(_ % 8 == 6)
+    val decoded = keys.map { k =>
+      val n = (600 + k % 1200).toInt
+      val payload = (k % 3) match {
+        case 0 => Array.tabulate(n)(i => ((k * 23 + i * 11) % 256).toByte)
+        case 1 =>
+          val run = (4 + k % 25).toInt
+          Array.tabulate(n)(i => ('p' + (i / run) % 5).toByte)
+        case _ =>
+          val w = (6 + k % 9).toInt
+          Array.tabulate(n)(i => (((i % w) * 47 + k) % 256).toByte)
+      }
+      val bos = new java.io.ByteArrayOutputStream
+      val opt = new org.tukaani.xz.LZMA2Options((k % 3).toInt)
+      opt.setDictSize(1 << 16)
+      val declared =
+        if (k % 17 == 0 && k % 13 != 0) -1L else payload.length.toLong
+      val z = new org.tukaani.xz.LZMAOutputStream(bos, opt, declared)
+      z.write(payload); z.close()
+      val bytes = bos.toByteArray
+      val armed =
+        if (k % 13 == 0) bytes.dropRight(7)
+        else if (k % 19 == 0 && k % 17 != 0) {
+          val t = bytes.clone(); t(0) = 0xe8.toByte; t // props ≥ 225
+        } else bytes
+      XzDecode.lzmaAlone(armed, maxOut = 1 << 22) match {
+        case Some(out) =>
+          var sum = 0L
+          out.foreach(x => sum += x & 0xff)
+          (k, true, Some(out.length), Some(sum))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Long])
+      }
+    }.toDF("media_id", "lz_ok", "decoded_len", "byte_sum")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The payload formulas replayed: length 600 + k mod 1200 by the
+    * k mod 3 shape. */
+  val lzmaDecodeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part
+      |            WHERE p_partkey % 8 = 6),
+      |p AS (SELECT k, CAST(600 + k % 1200 AS INTEGER) AS n,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |b1 AS (
+      |  SELECT p.k,
+      |    CAST(SUM(CASE p.k % 3
+      |      WHEN 0 THEN (p.k * 23 + i.g * 11) % 256
+      |      WHEN 1 THEN 112 + (i.g // (4 + p.k % 25)) % 5
+      |      ELSE ((i.g % (6 + p.k % 9)) * 47 + p.k) % 256
+      |    END) AS BIGINT) AS s
+      |  FROM p, generate_series(0, 1799) i(g)
+      |  WHERE i.g < p.n AND p.ok
+      |  GROUP BY p.k)
+      |SELECT p.k AS media_id, p.ok AS lz_ok,
+      |  CASE WHEN p.ok THEN p.n END AS decoded_len,
+      |  b1.s AS byte_sum
+      |FROM p LEFT JOIN b1 ON b1.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pdf_text" -> (pdfText _),
     "q_docx_read" -> (docxRead _),
@@ -2431,6 +2504,7 @@ object Docs {
     "q_safetensors_read" -> (safetensorsRead _),
     "q_npz_read" -> (npzRead _),
     "q_gguf_probe" -> (ggufProbe _),
+    "q_lzma_decode" -> (lzmaDecode _),
     "q_markdown_read" -> (markdownRead _),
     "q_doc_zoo" -> (docZoo _))
 
@@ -2457,6 +2531,7 @@ object Docs {
     "q_safetensors_read" -> safetensorsReadSql,
     "q_npz_read" -> npzReadSql,
     "q_gguf_probe" -> ggufProbeSql,
+    "q_lzma_decode" -> lzmaDecodeSql,
     "q_markdown_read" -> markdownReadSql,
     "q_doc_zoo" -> docZooSql)
 }

@@ -167,6 +167,43 @@ class XzDecodeSpec extends AnyFunSuite {
     assert(decompress(bos2.toByteArray, 1 << 22).isEmpty)
   }
 
+  test("LZMA-alone (.lzma) known-size streams decode; end-marker refuses") {
+    val rnd = new scala.util.Random(3571)
+    def lzma(data: Array[Byte], preset: Int, dict: Int = 1 << 16,
+             knownSize: Boolean = true): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream
+      val opt = new org.tukaani.xz.LZMA2Options(preset)
+      opt.setDictSize(dict)
+      val z = new org.tukaani.xz.LZMAOutputStream(bos, opt,
+        if (knownSize) data.length.toLong else -1L)
+      z.write(data); z.close()
+      bos.toByteArray
+    }
+    val datasets = Seq(
+      Array.tabulate(30000)(i => ((i * 31) ^ (i >> 4)).toByte),
+      (0 until 2000).flatMap(_ => "lzma alone legacy ".getBytes("UTF-8").toSeq).toArray,
+      Array.fill(6000)(rnd.nextInt(256).toByte),
+      Array.tabulate(100)(i => (i * 3).toByte),
+      Array.emptyByteArray)
+    for (data <- datasets; preset <- Seq(0, 3, 6); dict <- Seq(1 << 12, 1 << 16)) {
+      val back = XzDecode.lzmaAlone(lzma(data, preset, dict), maxOut = 1 << 22)
+      assert(back.exists(java.util.Arrays.equals(_, data)),
+        s"lzma mismatch preset=$preset dict=$dict n=${data.length}")
+    }
+    // the end-marker (unknown size) form is the documented refusal
+    assert(XzDecode.lzmaAlone(lzma(datasets(1), 1, knownSize = false),
+      1 << 22).isEmpty)
+    // truncation and a props-byte lie refuse; the format has no
+    // integrity data, so only STRUCTURAL damage is detectable
+    val c = lzma(datasets(0), 3)
+    assert(XzDecode.lzmaAlone(c.dropRight(6), 1 << 22).isEmpty)
+    val t = c.clone(); t(0) = 0xe1.toByte // props ≥ 225
+    assert(XzDecode.lzmaAlone(t, 1 << 22).isEmpty)
+    // a declared-size lie refuses (too little compressed data)
+    val s = c.clone(); s(5) = (s(5) + 1).toByte
+    assert(XzDecode.lzmaAlone(s, 1 << 22).isEmpty)
+  }
+
   test("fixed-width BCJ variants decode: PowerPC, ARM, Thumb, SPARC, ARM64") {
     val rnd = new scala.util.Random(2027)
     def xzWith(f: org.tukaani.xz.FilterOptions, data: Array[Byte],
