@@ -682,10 +682,11 @@ object Docs {
       |ORDER BY media_id""".stripMargin
 
   /** The document-family dispatch capstone: ONE mixed corpus rotating
-    * SIXTEEN text containers by key — classic/modern/hybrid PDF,
-    * DOCX, EPUB, RTF, Jupyter notebook, mbox, SRT/WebVTT, PPTX, XLSX,
-    * generic CFB, Markdown, and the legacy Office trio (.doc piece
-    * tables, .xls BIFF8, .ppt text atoms) — routed by container SNIFF
+    * TWENTY containers by key — classic/modern/hybrid PDF, DOCX,
+    * EPUB, RTF, Jupyter notebook, mbox, SRT/WebVTT, PPTX, XLSX,
+    * generic CFB, Markdown, the legacy Office trio (.doc piece
+    * tables, .xls BIFF8, .ppt text atoms), SQLite, GGUF, NumPy .npy
+    * and Arrow IPC — routed by container SNIFF
     * the way a crawl bucket must be (nobody labels the formats for
     * you): `%PDF` → the PDF walk (whose era label comes back from the
     * walk itself); `{\rtf1` → RTF; any other `{` → the notebook's
@@ -694,18 +695,22 @@ object Docs {
     * route real MIME sniffers take); `From ` → mbox; `WEBVTT` → VTT;
     * a leading digit → SRT; the D0CF OLE2 magic routes by STREAM
     * NAMES once the FAT walks (PowerPoint Document / Workbook / the
-    * WordDocument+table pair, else the container census); a leading
-    * `#` → the Markdown census. Per-format refusal arms on k mod
+    * WordDocument+table pair, else the container census); `SQLite` →
+    * the b-tree walk; `GGUF` → the model probe; the 0x93 NumPy magic
+    * → the .npy laws; four 0xFF continuation bytes → the Arrow IPC
+    * stream; a leading `#` → the Markdown census. Per-format refusal
+    * arms on k mod
     * 13/17/19: each format's own damage class (truncation or framing
     * cut; scope or structural lie; integrity or order violation). */
   def docZoo(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import graft.llm.{CfbProbe, DocText, DocxCodec, EpubCodec, IpynbCodec,
-      MarkdownCodec, MimeCodec, PdfText, PptText, PptxCodec, RtfCodec,
-      SubtitleCodec, XlsBiff, XlsxCodec, ZipWalk}
+    import graft.llm.{ArrowIpc, CfbProbe, DocText, DocxCodec, EpubCodec,
+      IpynbCodec, MarkdownCodec, MimeCodec, PdfText, PptText, PptxCodec,
+      RtfCodec, SqliteRead, SubtitleCodec, TensorFormats, XlsBiff,
+      XlsxCodec, ZipWalk}
     val keys = partKeys(s, d) // full-width spread: the extract map is the cost
     val decoded = keys.map { k =>
-      val fmt = ((k / 3) % 16).toInt
+      val fmt = ((k / 3) % 20).toInt
       val arm13 = k % 13 == 0
       val arm17 = k % 17 == 0 && k % 13 != 0
       val arm19 = k % 19 == 0 && k % 13 != 0 && k % 17 != 0
@@ -824,7 +829,7 @@ object Docs {
             },
             splitSst = k % 3 == 0,
             isstLieArm = arm17, cstLieArm = arm19)
-        } else {
+        } else if (fmt == 15) {
           val nSlides = (1 + k % 2).toInt
           PptText.encodePpt(
             (0 until nSlides).map(i =>
@@ -832,6 +837,64 @@ object Docs {
                 s"zoo$k ppt s$i t$j w${(k + 3 * i + 4 * j) % 7}")),
             masterArm = k % 4 == 0,
             cTextsLieArm = arm17, headerlessArm = arm19)
+        } else if (fmt == 16) {
+          val nr = (3 + k % 4).toInt
+          SqliteRead.encodeSqlite("zoo", (0 until nr).map { r =>
+            Seq[Either[Option[Long], String]](
+              Right(s"zoo$k sq r$r w${(k + 2 * r) % 9}"),
+              Left(Some(((k * 9 + 5 * r) % 500) - 100)),
+              r % 3 match {
+                case 0 => Left(None)
+                case 1 => Left(Some(0L))
+                case _ => Left(Some(1L))
+              })
+          }, rowidSwapArm = arm17)
+          // arm19 lands below (the encoding-scope flip)
+        } else if (fmt == 17) {
+          val nT = (1 + k % 2).toInt
+          TensorFormats.encodeGguf(
+            kvs = Seq(("general.architecture", Right(s"zooarch$k"))),
+            tensors = (0 until nT).map { j =>
+              val n = (8 + (k + j) % 6).toInt
+              (s"zoo.$j.w", Seq(n.toLong), 0,
+                Array.tabulate(4 * n)(i => ((k * 5 + j * 13 + i * 3) % 249).toByte))
+            },
+            misalignArm = arm17, sizeLieArm = arm19)
+        } else if (fmt == 18) {
+          val n = (4 + k % 5).toInt
+          TensorFormats.encodeNpy("<i8", Seq(n.toLong),
+            Array.tabulate(8 * n)(i => ((k * 11 + i * 7) % 256).toByte),
+            version = if (k % 2 == 0) 1 else 2,
+            misalignArm = arm17, sizeLieArm = arm19)
+        } else {
+          import org.apache.arrow.memory.RootAllocator
+          import org.apache.arrow.vector.{BigIntVector, VarCharVector,
+            VectorSchemaRoot}
+          import org.apache.arrow.vector.types.pojo.{ArrowType, Field, Schema}
+          import org.apache.arrow.vector.ipc.ArrowStreamWriter
+          import scala.jdk.CollectionConverters._
+          val nr = (3 + k % 4).toInt
+          val schema = new Schema(List(
+            Field.nullable("id", new ArrowType.Int(64, true)),
+            Field.nullable("name", new ArrowType.Utf8())).asJava)
+          val alloc = new RootAllocator(1L << 22)
+          val root = VectorSchemaRoot.create(schema, alloc)
+          val bos = new java.io.ByteArrayOutputStream
+          val w = new ArrowStreamWriter(root, null, bos)
+          try {
+            w.start()
+            root.allocateNew()
+            (0 until nr).foreach { r =>
+              root.getVector("id").asInstanceOf[BigIntVector]
+                .setSafe(r, k * 31 + r * 17 - 40)
+              root.getVector("name").asInstanceOf[VarCharVector]
+                .setSafe(r, s"zoo$k ar r$r".getBytes("UTF-8"))
+            }
+            root.setRowCount(nr)
+            w.writeBatch()
+            w.end()
+          } finally { w.close(); root.close(); alloc.close() }
+          bos.toByteArray
         }
       val payload =
         if (arm13) {
@@ -840,6 +903,16 @@ object Docs {
           if (fmt == 7) bytes.drop(3) // mbox: break the From line
           else if (fmt == 8) bytes.take(8) // subtitle: cut in the timing
           else bytes.dropRight(5)
+        } else if (fmt == 16 && arm19) {
+          val t = bytes.clone()
+          t(59) = 2 // text encoding → UTF-16: the scope-pin flip
+          t
+        } else if (fmt == 19 && arm17) {
+          bytes ++ Array[Byte](9) // trailing garbage after EOS
+        } else if (fmt == 19 && arm19) {
+          val t = bytes.clone()
+          t(4) = (t(4) ^ 0x08).toByte // the metadata-size lie
+          t
         } else if (fmt == 3 && arm19) {
           val t = bytes.clone()
           val at = t.indexOfSlice(s"zoo$k".getBytes("UTF-8").take(4))
@@ -930,6 +1003,33 @@ object Docs {
               Some(("cfb", r.streams.length, t))
             }
           }
+        else if (startsWithAscii("SQLite"))
+          SqliteRead.sqliteTables(payload).map { ts =>
+            val t = ts.head
+            ("sqlite", t.rows.length,
+              t.rows.map(r => s"${r.rowid}:" + r.cols.mkString("\t"))
+                .mkString("\n"))
+          }
+        else if (startsWithAscii("GGUF"))
+          TensorFormats.gguf(payload).map { g =>
+            ("gguf", g.tensors.length,
+              g.tensors.map(t =>
+                s"${t.name}:${t.dtype}:${t.shape.mkString("x")}:${t.byteLen}:${t.sum}")
+                .mkString("\n"))
+          }
+        else if (payload.length >= 1 && (payload(0) & 0xff) == 0x93)
+          TensorFormats.npy(payload).map { case (descr, shape, ws) =>
+            ("npy", 1, s"$descr:${shape.mkString("x")}:$ws")
+          }
+        else if (payload.length >= 4 && (payload(0) & 0xff) == 0xff &&
+          (payload(1) & 0xff) == 0xff && (payload(2) & 0xff) == 0xff &&
+          (payload(3) & 0xff) == 0xff)
+          ArrowIpc.arrowRead(payload).map { cols =>
+            val n = cols.head.values.length
+            ("arrow", n, (0 until n).map { g =>
+              s"$g:" + cols.map(_.values(g).getOrElse("∅")).mkString("\t")
+            }.mkString("\n"))
+          }
         else if (payload.length >= 1 && payload(0) == '#')
           MarkdownCodec.mdBlocks(new String(payload, "UTF-8")).map { blocks =>
             val t = blocks.map {
@@ -960,7 +1060,7 @@ object Docs {
     * over 1 + k mod 2 chapters. */
   val docZooSql: String =
     """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
-      |p AS (SELECT k, CAST((k // 3) % 16 AS INTEGER) AS fmt,
+      |p AS (SELECT k, CAST((k // 3) % 20 AS INTEGER) AS fmt,
       |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
       |      FROM ks),
       |pdfl AS (
@@ -1114,6 +1214,44 @@ object Docs {
       |pta AS (
       |  SELECT k, string_agg(line, chr(10) ORDER BY i, j) AS text
       |  FROM ptl GROUP BY k),
+      |sql_ AS (
+      |  SELECT p.k, r.g AS r,
+      |    (r.g + 1) || ':zoo' || p.k || ' sq r' || r.g || ' w' ||
+      |      ((p.k + 2 * r.g) % 9) || chr(9) ||
+      |      (((p.k * 9 + 5 * r.g) % 500) - 100) || chr(9) ||
+      |      CASE r.g % 3 WHEN 0 THEN '∅' WHEN 1 THEN '0' ELSE '1' END AS line
+      |  FROM p, generate_series(0, 6) r(g)
+      |  WHERE p.fmt = 16 AND p.ok AND r.g < 3 + p.k % 4),
+      |sqa AS (
+      |  SELECT k, string_agg(line, chr(10) ORDER BY r) AS text
+      |  FROM sql_ GROUP BY k),
+      |ggw AS (
+      |  SELECT p.k, j.g AS j, CAST(8 + (p.k + j.g) % 6 AS BIGINT) AS n,
+      |    CAST(SUM((i.g + 1) * ((p.k * 5 + j.g * 13 + i.g * 3) % 249))
+      |      AS BIGINT) AS ws
+      |  FROM p, generate_series(0, 1) j(g), generate_series(0, 55) i(g)
+      |  WHERE p.fmt = 17 AND p.ok AND j.g < 1 + p.k % 2
+      |    AND i.g < 4 * (8 + (p.k + j.g) % 6)
+      |  GROUP BY p.k, j.g),
+      |gga AS (
+      |  SELECT k, string_agg('zoo.' || j || '.w:F32:' || n || ':' ||
+      |    (4 * n) || ':' || ws, chr(10) ORDER BY j) AS text
+      |  FROM ggw GROUP BY k),
+      |npa AS (
+      |  SELECT p.k, '<i8:' || (4 + p.k % 5) || ':' ||
+      |    CAST(SUM((i.g + 1) * ((p.k * 11 + i.g * 7) % 256)) AS BIGINT) AS text
+      |  FROM p, generate_series(0, 71) i(g)
+      |  WHERE p.fmt = 18 AND p.ok AND i.g < 8 * (4 + p.k % 5)
+      |  GROUP BY p.k),
+      |arl AS (
+      |  SELECT p.k, g.g AS g,
+      |    g.g || ':' || (p.k * 31 + g.g * 17 - 40) || chr(9) ||
+      |      'zoo' || p.k || ' ar r' || g.g AS line
+      |  FROM p, generate_series(0, 6) g(g)
+      |  WHERE p.fmt = 19 AND p.ok AND g.g < 3 + p.k % 4),
+      |ara AS (
+      |  SELECT k, string_agg(line, chr(10) ORDER BY g) AS text
+      |  FROM arl GROUP BY k),
       |u AS (
       |  SELECT p.k,
       |    CASE p.fmt WHEN 0 THEN 'pdf_classic' WHEN 1 THEN 'pdf_modern'
@@ -1122,6 +1260,8 @@ object Docs {
       |      WHEN 9 THEN 'pptx' WHEN 10 THEN 'xlsx'
       |      WHEN 11 THEN 'cfb' WHEN 12 THEN 'markdown'
       |      WHEN 13 THEN 'doc' WHEN 14 THEN 'xls' WHEN 15 THEN 'ppt'
+      |      WHEN 16 THEN 'sqlite' WHEN 17 THEN 'gguf'
+      |      WHEN 18 THEN 'npy' WHEN 19 THEN 'arrow'
       |      ELSE CASE WHEN p.k % 2 = 0 THEN 'srt' ELSE 'vtt' END
       |      END AS format,
       |    CASE WHEN p.fmt < 3 THEN CAST(1 + p.k % 2 AS INTEGER)
@@ -1132,10 +1272,14 @@ object Docs {
       |      WHEN p.fmt = 7 THEN CAST(1 + p.k % 2 AS INTEGER)
       |      WHEN p.fmt = 11 THEN CAST(2 AS INTEGER)
       |      WHEN p.fmt = 13 THEN CAST(1 + p.k % 4 AS INTEGER)
+      |      WHEN p.fmt = 16 THEN CAST(3 + p.k % 4 AS INTEGER)
+      |      WHEN p.fmt = 18 THEN CAST(1 AS INTEGER)
+      |      WHEN p.fmt = 19 THEN CAST(3 + p.k % 4 AS INTEGER)
       |      ELSE CAST(1 + p.k % 2 AS INTEGER) END AS n_units,
       |    COALESCE(pdfa.text, docxa.text, epuba.text, rtfa.text,
       |      nba.text, mba.text, sba.text, ppa.text, xla.text,
-      |      cfa.text, mda.text, doca.text, xsa.text, pta.text) AS text
+      |      cfa.text, mda.text, doca.text, xsa.text, pta.text,
+      |      sqa.text, gga.text, npa.text, ara.text) AS text
       |  FROM p
       |  LEFT JOIN pdfa ON pdfa.k = p.k
       |  LEFT JOIN docxa ON docxa.k = p.k
@@ -1151,6 +1295,10 @@ object Docs {
       |  LEFT JOIN doca ON doca.k = p.k
       |  LEFT JOIN xsa ON xsa.k = p.k
       |  LEFT JOIN pta ON pta.k = p.k
+      |  LEFT JOIN sqa ON sqa.k = p.k
+      |  LEFT JOIN gga ON gga.k = p.k
+      |  LEFT JOIN npa ON npa.k = p.k
+      |  LEFT JOIN ara ON ara.k = p.k
       |  WHERE p.ok)
       |SELECT p.k AS media_id, p.ok AS doc_ok,
       |  u.format,
