@@ -1,0 +1,154 @@
+package graft.llm
+
+/** Web feed extraction — RSS 2.0 and Atom 1.0, the crawl-staple XML
+  * carriers of titles, links and publication dates (the RSS 2.0
+  * specification at the RSS Advisory Board; RFC 4287 for Atom).
+  * Parsed over the house namespace-aware, doctype-refusing
+  * DocumentBuilder (the DocxCodec pool — no XXE class, bounded per
+  * executor thread).
+  *
+  * Laws (refuse, never garble):
+  *  - RSS: root `rss` with version "2.0", exactly one `channel`
+  *    carrying `title`/`link`/`description`; items in document order,
+  *    each with at least a title or a description (the spec's item
+  *    rule); `pubDate` — when present — must parse as RFC 1123;
+  *  - Atom: root `feed` in the Atom namespace with `id`/`title`/
+  *    `updated`; entries need `id`/`title`/`updated`, with `updated`
+  *    an RFC 3339 timestamp; `link[rel=alternate]` (or the first
+  *    unqualified link) carries the entry URL;
+  *  - malformed XML, doctypes, a missing channel/feed shell, or a
+  *    timestamp that lies about its format refuse. */
+object FeedCodec {
+
+  final case class Entry(title: String, link: String, epochSec: Long)
+
+  final case class Feed(kind: String, title: String, entries: Seq[Entry])
+
+  private def children(e: org.w3c.dom.Element): Seq[org.w3c.dom.Element] = {
+    val nl = e.getChildNodes
+    (0 until nl.getLength).map(nl.item).collect {
+      case el: org.w3c.dom.Element => el
+    }
+  }
+
+  private def text(e: org.w3c.dom.Element): String = e.getTextContent
+
+  private val rfc1123 = java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME
+
+  def feedRead(b: Array[Byte]): Option[Feed] = try {
+    if (b == null || b.length < 8) return None
+    val builder = DocxCodec.builders.get()
+    builder.reset()
+    val doc = builder.parse(new java.io.ByteArrayInputStream(b))
+    val root = doc.getDocumentElement
+    if (root == null) return None
+    (root.getLocalName, Option(root.getNamespaceURI)) match {
+      case ("rss", None) =>
+        if (root.getAttribute("version") != "2.0") return None
+        val chans = children(root).filter(_.getLocalName == "channel")
+        if (chans.length != 1) return None
+        val chan = chans.head
+        val kids = children(chan)
+        def one(n: String): Option[String] =
+          kids.filter(e => e.getLocalName == n && e.getNamespaceURI == null)
+            .map(text) match {
+            case Seq(x) => Some(x)
+            case _ => None
+          }
+        val title = one("title").getOrElse(return None)
+        if (one("link").isEmpty || one("description").isEmpty) return None
+        val items = kids.filter(_.getLocalName == "item").map { it =>
+          val ik = children(it)
+          def f(n: String): Option[String] =
+            ik.find(e => e.getLocalName == n && e.getNamespaceURI == null)
+              .map(text)
+          val t = f("title")
+          val d = f("description")
+          if (t.isEmpty && d.isEmpty) return None // the item rule
+          val epoch = f("pubDate") match {
+            case None => -1L
+            case Some(p) =>
+              java.time.ZonedDateTime.parse(p.trim, rfc1123).toEpochSecond
+          }
+          Entry(t.getOrElse(""), f("link").getOrElse(""), epoch)
+        }
+        if (items.isEmpty) return None
+        Some(Feed("rss", title, items))
+      case ("feed", Some("http://www.w3.org/2005/Atom")) =>
+        val kids = children(root)
+        def one(n: String): Option[String] =
+          kids.filter(e => e.getLocalName == n &&
+            e.getNamespaceURI == "http://www.w3.org/2005/Atom")
+            .map(text) match {
+            case Seq(x) => Some(x)
+            case _ => None
+          }
+        val title = one("title").getOrElse(return None)
+        if (one("id").isEmpty || one("updated").isEmpty) return None
+        val entries = kids.filter(_.getLocalName == "entry").map { en =>
+          val ek = children(en)
+          def f(n: String): Option[String] =
+            ek.find(_.getLocalName == n).map(text)
+          val t = f("title").getOrElse(return None)
+          if (f("id").isEmpty) return None
+          val upd = f("updated").getOrElse(return None)
+          val epoch = java.time.OffsetDateTime.parse(upd.trim).toEpochSecond
+          val links = ek.filter(_.getLocalName == "link")
+          val link = links.find(_.getAttribute("rel") == "alternate")
+            .orElse(links.find(l => l.getAttribute("rel").isEmpty))
+            .map(_.getAttribute("href")).getOrElse("")
+          Entry(t, link, epoch)
+        }
+        if (entries.isEmpty) return None
+        Some(Feed("atom", title, entries))
+      case _ => None
+    }
+  } catch {
+    case _: org.xml.sax.SAXException => None
+    case _: java.io.IOException => None
+    case _: java.time.format.DateTimeParseException => None
+  }
+
+  // ---- conformance writers ------------------------------------------------
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  def encodeRss(title: String, items: Seq[(String, String, Long)],
+                versionArm: Boolean = false,
+                badDateArm: Boolean = false): Array[Byte] = {
+    val its = items.zipWithIndex.map { case ((t, l, epoch), i) =>
+      val date =
+        if (badDateArm && i == 0) "yesterday-ish"
+        else rfc1123.format(java.time.ZonedDateTime.ofInstant(
+          java.time.Instant.ofEpochSecond(epoch), java.time.ZoneOffset.UTC))
+      s"<item><title>${esc(t)}</title><link>${esc(l)}</link>" +
+        s"<pubDate>$date</pubDate></item>"
+    }.mkString
+    val v = if (versionArm) "0.91" else "2.0"
+    (s"""<?xml version="1.0" encoding="UTF-8"?>""" +
+      s"""<rss version="$v"><channel><title>${esc(title)}</title>""" +
+      s"""<link>https://example.org/</link><description>d</description>""" +
+      its + "</channel></rss>").getBytes("UTF-8")
+  }
+
+  def encodeAtom(title: String, entries: Seq[(String, String, Long)],
+                 missingUpdatedArm: Boolean = false,
+                 badDateArm: Boolean = false): Array[Byte] = {
+    val ens = entries.zipWithIndex.map { case ((t, l, epoch), i) =>
+      val upd =
+        if (badDateArm && i == 0) "just now"
+        else java.time.OffsetDateTime.ofInstant(
+          java.time.Instant.ofEpochSecond(epoch), java.time.ZoneOffset.UTC)
+          .toString
+      s"<entry><id>urn:e$i</id><title>${esc(t)}</title>" +
+        s"""<link rel="alternate" href="${esc(l)}"/>""" +
+        (if (missingUpdatedArm && i == 0) "" else s"<updated>$upd</updated>") +
+        "</entry>"
+    }.mkString
+    (s"""<?xml version="1.0" encoding="UTF-8"?>""" +
+      s"""<feed xmlns="http://www.w3.org/2005/Atom"><id>urn:f</id>""" +
+      s"""<title>${esc(title)}</title><updated>2024-01-01T00:00:00Z</updated>""" +
+      ens + "</feed>").getBytes("UTF-8")
+  }
+}

@@ -2629,6 +2629,76 @@ object Docs {
       |FROM p LEFT JOIN b1 ON b1.k = p.k
       |ORDER BY media_id""".stripMargin
 
+  /** Web feed extraction under the oracle (see
+    * [[graft.llm.FeedCodec]]): per-key feeds — RSS 2.0 on even keys,
+    * Atom on odd — of 2-4 entries with formula titles/links and
+    * arithmetic epochs (RFC 1123 / RFC 3339 timestamps round-trip to
+    * the same integers). Refusal arms: torn XML (k mod 13), the
+    * version / missing-updated shell laws (k mod 17), a timestamp
+    * that lies about its format (k mod 19). */
+  def feedRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.FeedCodec
+    val keys = partKeys(s, d) // full-width spread: the parse map is the cost
+    val decoded = keys.map { k =>
+      val n = (2 + k % 3).toInt
+      val items = (0 until n).map { i =>
+        (s"feed$k post$i w${(k + 3 * i) % 8}" +
+          (if (k % 2 == 1) " é&<" else ""),
+          s"https://e.org/$k/$i",
+          1700000000L + k * 37 + i * 86400L)
+      }
+      val bytes =
+        if (k % 2 == 0)
+          FeedCodec.encodeRss(s"Blog $k", items,
+            versionArm = k % 17 == 0 && k % 13 != 0,
+            badDateArm = k % 19 == 0 && k % 13 != 0 && k % 17 != 0)
+        else
+          FeedCodec.encodeAtom(s"Blog $k", items,
+            missingUpdatedArm = k % 17 == 0 && k % 13 != 0,
+            badDateArm = k % 19 == 0 && k % 13 != 0 && k % 17 != 0)
+      val payload = if (k % 13 == 0) bytes.dropRight(7) else bytes
+      FeedCodec.feedRead(payload) match {
+        case Some(f) =>
+          val text = f.entries.map(e => s"${e.title}|${e.link}|${e.epochSec}")
+            .mkString("\n")
+          (k, true, Some(f.kind), Some(f.title), Some(f.entries.length),
+            Some(text))
+        case None =>
+          (k, false, None: Option[String], None: Option[String],
+            None: Option[Int], None: Option[String])
+      }
+    }.toDF("media_id", "fd_ok", "kind", "feed_title", "n_entries", "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The feed replayed: 2 + k mod 3 entries, titles/links/epochs from
+    * the formulas; kind by key parity. */
+  val feedReadSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(2 + k % 3 AS INTEGER) AS n,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |ln AS (
+      |  SELECT p.k, i.g AS i,
+      |    'feed' || p.k || ' post' || i.g || ' w' || ((p.k + 3 * i.g) % 8) ||
+      |      CASE WHEN p.k % 2 = 1 THEN ' é&<' ELSE '' END ||
+      |      '|https://e.org/' || p.k || '/' || i.g || '|' ||
+      |      (1700000000 + p.k * 37 + i.g * 86400) AS line
+      |  FROM p, generate_series(0, 3) i(g)
+      |  WHERE i.g < p.n AND p.ok),
+      |agg AS (
+      |  SELECT k, string_agg(line, chr(10) ORDER BY i) AS text
+      |  FROM ln GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS fd_ok,
+      |  CASE WHEN p.ok THEN
+      |    CASE WHEN p.k % 2 = 0 THEN 'rss' ELSE 'atom' END END AS kind,
+      |  CASE WHEN p.ok THEN 'Blog ' || p.k END AS feed_title,
+      |  CASE WHEN p.ok THEN p.n END AS n_entries,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p LEFT JOIN agg ON agg.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pdf_text" -> (pdfText _),
     "q_docx_read" -> (docxRead _),
@@ -2653,6 +2723,7 @@ object Docs {
     "q_npz_read" -> (npzRead _),
     "q_gguf_probe" -> (ggufProbe _),
     "q_lzma_decode" -> (lzmaDecode _),
+    "q_feed_read" -> (feedRead _),
     "q_markdown_read" -> (markdownRead _),
     "q_doc_zoo" -> (docZoo _))
 
@@ -2680,6 +2751,7 @@ object Docs {
     "q_npz_read" -> npzReadSql,
     "q_gguf_probe" -> ggufProbeSql,
     "q_lzma_decode" -> lzmaDecodeSql,
+    "q_feed_read" -> feedReadSql,
     "q_markdown_read" -> markdownReadSql,
     "q_doc_zoo" -> docZooSql)
 }

@@ -1,0 +1,43 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import FeedCodec._
+
+/** Feed extraction: RSS 2.0 and Atom shells, entry laws, timestamp
+  * laws, and the refusal battery. */
+class FeedCodecSpec extends AnyFunSuite {
+
+  private val items = Seq(
+    ("first post & more", "https://e.org/1", 1700000000L),
+    ("second <post>", "https://e.org/2", 1700086400L),
+    ("third", "https://e.org/3", 1700172800L))
+
+  test("rss round-trip: titles, links, RFC 1123 dates") {
+    val f = feedRead(encodeRss("My Blog", items)).getOrElse(fail("refused"))
+    assert(f.kind == "rss" && f.title == "My Blog")
+    assert(f.entries.map(_.title) == items.map(_._1))
+    assert(f.entries.map(_.link) == items.map(_._2))
+    assert(f.entries.map(_.epochSec) == items.map(_._3))
+  }
+
+  test("atom round-trip: entries, RFC 3339 updated, alternate links") {
+    val f = feedRead(encodeAtom("News", items)).getOrElse(fail("refused"))
+    assert(f.kind == "atom" && f.title == "News")
+    assert(f.entries.map(_.title) == items.map(_._1))
+    assert(f.entries.map(_.link) == items.map(_._2))
+    assert(f.entries.map(_.epochSec) == items.map(_._3))
+  }
+
+  test("refusals: version, dates, missing fields, doctype, torn xml") {
+    assert(feedRead(encodeRss("B", items, versionArm = true)).isEmpty)
+    assert(feedRead(encodeRss("B", items, badDateArm = true)).isEmpty)
+    assert(feedRead(encodeAtom("N", items, missingUpdatedArm = true)).isEmpty)
+    assert(feedRead(encodeRss("B", items).dropRight(7)).isEmpty)
+    assert(feedRead(encodeRss("B", Seq.empty)).isEmpty) // no items
+    val dt = ("""<?xml version="1.0"?><!DOCTYPE rss [<!ENTITY x "y">]>""" +
+      new String(encodeRss("B", items), "UTF-8").split("\\?>")(1))
+      .getBytes("UTF-8")
+    assert(feedRead(dt).isEmpty) // doctypes refuse (no XXE class)
+    assert(feedRead("not xml at all".getBytes).isEmpty)
+  }
+}
