@@ -109,6 +109,83 @@ object FeedCodec {
     case _: java.time.format.DateTimeParseException => None
   }
 
+  // ---- sitemaps (sitemaps.org protocol 0.9) --------------------------------
+
+  /** Sitemap laws: root `urlset` (page lists) or `sitemapindex`
+    * (index files) in the sitemap namespace; every url/sitemap child
+    * carries exactly one `loc`; `lastmod` — when present — is a W3C
+    * datetime (date or date-time); `priority` in [0,1];
+    * `changefreq` from the protocol's enumeration; the protocol's
+    * 50 000-entry ceiling refuses (a larger file is out of spec). */
+  def sitemapRead(b: Array[Byte]): Option[(String, Seq[(String, Long)])] = try {
+    if (b == null || b.length < 8) return None
+    val builder = DocxCodec.builders.get()
+    builder.reset()
+    val doc = builder.parse(new java.io.ByteArrayInputStream(b))
+    val root = doc.getDocumentElement
+    if (root == null) return None
+    val ns = "http://www.sitemaps.org/schemas/sitemap/0.9"
+    val kind = root.getLocalName match {
+      case "urlset" if root.getNamespaceURI == ns => "urlset"
+      case "sitemapindex" if root.getNamespaceURI == ns => "index"
+      case _ => return None
+    }
+    val childName = if (kind == "urlset") "url" else "sitemap"
+    val rows = children(root).map { u =>
+      if (u.getLocalName != childName || u.getNamespaceURI != ns) return None
+      val kids = children(u)
+      val locs = kids.filter(_.getLocalName == "loc")
+      if (locs.length != 1) return None // exactly one loc
+      val loc = text(locs.head).trim
+      if (loc.isEmpty || loc.length > 2048) return None // the protocol's URL cap
+      val lastmod = kids.find(_.getLocalName == "lastmod").map(e => text(e).trim)
+      val epoch = lastmod match {
+        case None => -1L
+        case Some(d) if d.length == 10 =>
+          java.time.LocalDate.parse(d).atStartOfDay(java.time.ZoneOffset.UTC)
+            .toEpochSecond
+        case Some(d) => java.time.OffsetDateTime.parse(d).toEpochSecond
+      }
+      kids.find(_.getLocalName == "priority").foreach { pr =>
+        val v = text(pr).trim.toDouble
+        if (v < 0.0 || v > 1.0) return None
+      }
+      kids.find(_.getLocalName == "changefreq").foreach { cf =>
+        if (!Set("always", "hourly", "daily", "weekly", "monthly", "yearly",
+          "never")(text(cf).trim)) return None
+      }
+      (loc, epoch)
+    }
+    if (rows.isEmpty || rows.length > 50000) return None
+    Some((kind, rows))
+  } catch {
+    case _: org.xml.sax.SAXException => None
+    case _: java.io.IOException => None
+    case _: java.time.format.DateTimeParseException => None
+    case _: NumberFormatException => None
+  }
+
+  def encodeSitemap(urls: Seq[(String, Long)], index: Boolean = false,
+                    dupLocArm: Boolean = false,
+                    badPriorityArm: Boolean = false): Array[Byte] = {
+    val (rootEl, childEl) = if (index) ("sitemapindex", "sitemap")
+      else ("urlset", "url")
+    val rows = urls.zipWithIndex.map { case ((loc, epoch), i) =>
+      val lm = java.time.LocalDate.ofInstant(
+        java.time.Instant.ofEpochSecond(epoch), java.time.ZoneOffset.UTC)
+        .toString
+      s"<$childEl><loc>${esc(loc)}</loc>" +
+        (if (dupLocArm && i == 0) s"<loc>${esc(loc)}</loc>" else "") +
+        s"<lastmod>$lm</lastmod>" +
+        (if (badPriorityArm && i == 0 && !index) "<priority>1.7</priority>"
+        else if (!index) "<priority>0.5</priority>" else "") +
+        s"</$childEl>"
+    }.mkString
+    (s"""<?xml version="1.0" encoding="UTF-8"?>""" +
+      s"""<$rootEl xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">""" +
+      rows + s"</$rootEl>").getBytes("UTF-8")
+  }
+
   // ---- conformance writers ------------------------------------------------
 
   private def esc(s: String): String =

@@ -2699,6 +2699,65 @@ object Docs {
       |FROM p LEFT JOIN agg ON agg.k = p.k
       |ORDER BY media_id""".stripMargin
 
+  /** Sitemap extraction under the oracle (see
+    * [[graft.llm.FeedCodec.sitemapRead]]): per-key urlsets (and
+    * sitemap INDEX files on every third key) of 3-6 locs with
+    * date-only lastmods — the W3C date law resolves them to midnight
+    * UTC, which the oracle replays arithmetically. Refusal arms:
+    * torn XML (k mod 13), a duplicate loc (k mod 17 — the
+    * exactly-one law), an out-of-range priority (k mod 19; those
+    * keys stay urlsets so the law can fire). */
+  def sitemapRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.FeedCodec
+    val keys = partKeys(s, d) // full-width spread: the parse map is the cost
+    val decoded = keys.map { k =>
+      val n = (3 + k % 4).toInt
+      val arm17 = k % 17 == 0 && k % 13 != 0
+      val arm19 = k % 19 == 0 && k % 13 != 0 && k % 17 != 0
+      val urls = (0 until n).map { i =>
+        (s"https://s.org/$k/p$i", 1690000000L + k * 53 + i * 86400L)
+      }
+      val bytes = FeedCodec.encodeSitemap(urls,
+        index = k % 3 == 0 && !arm19,
+        dupLocArm = arm17, badPriorityArm = arm19)
+      val payload = if (k % 13 == 0) bytes.dropRight(5) else bytes
+      FeedCodec.sitemapRead(payload) match {
+        case Some((kind, rows)) =>
+          val text = rows.map { case (loc, ep) => s"$loc|$ep" }.mkString("\n")
+          (k, true, Some(kind), Some(rows.length), Some(text))
+        case None =>
+          (k, false, None: Option[String], None: Option[Int],
+            None: Option[String])
+      }
+    }.toDF("media_id", "sm_ok", "kind", "n_urls", "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The sitemap replayed: loc formulas; epochs floor to the UTC day
+    * (the date-only lastmod law). */
+  val sitemapReadSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(3 + k % 4 AS INTEGER) AS n,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |ln AS (
+      |  SELECT p.k, i.g AS i,
+      |    'https://s.org/' || p.k || '/p' || i.g || '|' ||
+      |      (((1690000000 + p.k * 53 + i.g * 86400) // 86400) * 86400) AS line
+      |  FROM p, generate_series(0, 5) i(g)
+      |  WHERE i.g < p.n AND p.ok),
+      |agg AS (
+      |  SELECT k, string_agg(line, chr(10) ORDER BY i) AS text
+      |  FROM ln GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS sm_ok,
+      |  CASE WHEN p.ok THEN
+      |    CASE WHEN p.k % 3 = 0 THEN 'index' ELSE 'urlset' END END AS kind,
+      |  CASE WHEN p.ok THEN p.n END AS n_urls,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p LEFT JOIN agg ON agg.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pdf_text" -> (pdfText _),
     "q_docx_read" -> (docxRead _),
@@ -2724,6 +2783,7 @@ object Docs {
     "q_gguf_probe" -> (ggufProbe _),
     "q_lzma_decode" -> (lzmaDecode _),
     "q_feed_read" -> (feedRead _),
+    "q_sitemap_read" -> (sitemapRead _),
     "q_markdown_read" -> (markdownRead _),
     "q_doc_zoo" -> (docZoo _))
 
@@ -2752,6 +2812,7 @@ object Docs {
     "q_gguf_probe" -> ggufProbeSql,
     "q_lzma_decode" -> lzmaDecodeSql,
     "q_feed_read" -> feedReadSql,
+    "q_sitemap_read" -> sitemapReadSql,
     "q_markdown_read" -> markdownReadSql,
     "q_doc_zoo" -> docZooSql)
 }

@@ -28,6 +28,22 @@ class FeedCodecSpec extends AnyFunSuite {
     assert(f.entries.map(_.epochSec) == items.map(_._3))
   }
 
+  test("sitemaps: urlset and index round-trip; laws refuse") {
+    val urls = Seq(("https://e.org/a", 1700000000L),
+      ("https://e.org/b", 1700086400L))
+    val (k1, r1) = sitemapRead(encodeSitemap(urls)).getOrElse(fail("refused"))
+    assert(k1 == "urlset" && r1.map(_._1) == urls.map(_._1))
+    // date-only lastmod resolves to midnight UTC
+    assert(r1.head._2 == 1699920000L)
+    val (k2, r2) = sitemapRead(encodeSitemap(urls, index = true))
+      .getOrElse(fail("refused index"))
+    assert(k2 == "index" && r2.length == 2)
+    assert(sitemapRead(encodeSitemap(urls, dupLocArm = true)).isEmpty)
+    assert(sitemapRead(encodeSitemap(urls, badPriorityArm = true)).isEmpty)
+    assert(sitemapRead(encodeSitemap(urls).dropRight(5)).isEmpty)
+    assert(sitemapRead(encodeSitemap(Seq.empty)).isEmpty)
+  }
+
   test("refusals: version, dates, missing fields, doctype, torn xml") {
     assert(feedRead(encodeRss("B", items, versionArm = true)).isEmpty)
     assert(feedRead(encodeRss("B", items, badDateArm = true)).isEmpty)
