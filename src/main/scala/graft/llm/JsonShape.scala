@@ -1,0 +1,59 @@
+package graft.llm
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** JSON shape extraction — the per-document half of schema inference
+  * over a JSONL corpus: one document becomes its (path, type) pairs,
+  * and the corpus-level schema is then a plain distributed
+  * aggregation (groupBy path, type → count), which is exactly how
+  * drift detection runs at 100 TB — a map followed by one shuffle on
+  * (path, type), no driver-side anything.
+  *
+  * Path grammar: object fields join with `.`; array elements
+  * contribute under `path[]` (one pair per ELEMENT type occurrence);
+  * the root contributes under `$`. Types: object / array / string /
+  * int / float / bool / null — JSON's own scalar taxonomy (int vs
+  * float by the token's shape, the distinction schema drift actually
+  * cares about). Malformed documents return None (the caller counts
+  * them as a malformed census, never as shape rows). */
+object JsonShape {
+
+  private val mapper = new ObjectMapper()
+
+  def paths(json: String, maxPairs: Int = 10000): Option[Seq[(String, String)]] = try {
+    val root = mapper.readTree(json)
+    if (root == null) return None
+    val out = Seq.newBuilder[(String, String)]
+    var n = 0
+    def typ(v: JsonNode): String =
+      if (v.isObject) "object"
+      else if (v.isArray) "array"
+      else if (v.isTextual) "string"
+      else if (v.isIntegralNumber) "int"
+      else if (v.isNumber) "float"
+      else if (v.isBoolean) "bool"
+      else "null"
+    def walk(path: String, v: JsonNode): Boolean = {
+      n += 1
+      if (n > maxPairs) return false
+      out += ((path, typ(v)))
+      if (v.isObject) {
+        val it = v.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          if (!walk(s"$path.${e.getKey}", e.getValue)) return false
+        }
+      } else if (v.isArray) {
+        val it = v.elements()
+        while (it.hasNext) {
+          if (!walk(s"$path[]", it.next())) return false
+        }
+      }
+      true
+    }
+    if (!walk("$", root)) return None
+    Some(out.result())
+  } catch {
+    case _: com.fasterxml.jackson.core.JacksonException => None
+  }
+}

@@ -2758,6 +2758,71 @@ object Docs {
       |FROM p LEFT JOIN agg ON agg.k = p.k
       |ORDER BY media_id""".stripMargin
 
+  /** JSON schema inference over a JSONL corpus (see
+    * [[graft.llm.JsonShape]]): every document flat-maps to its
+    * (path, type) pairs and the schema is ONE shuffle — groupBy
+    * (path, type) → count — the shape drift detection keeps at
+    * 100 TB. Three documents per key exercise type drift (flag is
+    * bool on even keys, string on odd), optionality (meta null on
+    * third keys), nesting and arrays; every 13th key's third line is
+    * torn mid-JSON and lands in the malformed census, never in the
+    * shape rows. */
+  def jsonSchemaInfer(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.JsonShape
+    val keys = partKeys(s, d)
+    val pairs = keys.flatMap { k =>
+      val lines = Seq(
+        s"""{"id": $k, "name": "nm$k", "tags": ["a", "b$k"]}""",
+        if (k % 2 == 0) s"""{"id": $k, "flag": true}"""
+        else s"""{"id": $k, "flag": "yes"}""",
+        if (k % 3 == 0) s"""{"id": $k, "meta": null}"""
+        else s"""{"id": $k, "meta": {"lang": "l${k % 4}", "n": ${k % 7}}}""")
+      val armed = if (k % 13 == 0)
+        lines.init :+ lines.last.dropRight(4) else lines
+      armed.flatMap { line =>
+        JsonShape.paths(line) match {
+          case Some(ps) => ps
+          case None => Seq(("<malformed>", "err"))
+        }
+      }
+    }
+    // the schema: one shuffle on (path, type)
+    val out = pairs.toDF("path", "vtype")
+      .groupBy($"path", $"vtype")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    out.orderBy($"path", $"vtype")
+  }
+
+  /** The census replayed: closed-form counts over the key set (N
+    * keys, E even, T third-divisible, M thirteenth-divisible —
+    * malformed keys lose their third line's shape rows). */
+  val jsonSchemaInferSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |        CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ev,
+      |        CAST(SUM(CASE WHEN k % 3 = 0 AND k % 13 <> 0 THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS t3,
+      |        CAST(SUM(CASE WHEN k % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m13,
+      |        CAST(SUM(CASE WHEN k % 3 <> 0 AND k % 13 <> 0 THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS nmeta
+      |      FROM ks)
+      |SELECT * FROM (
+      |  SELECT '$' AS path, 'object' AS vtype, 3 * n - m13 AS n FROM c
+      |  UNION ALL SELECT '$.id', 'int', 3 * n - m13 FROM c
+      |  UNION ALL SELECT '$.name', 'string', n FROM c
+      |  UNION ALL SELECT '$.tags', 'array', n FROM c
+      |  UNION ALL SELECT '$.tags[]', 'string', 2 * n FROM c
+      |  UNION ALL SELECT '$.flag', 'bool', ev FROM c
+      |  UNION ALL SELECT '$.flag', 'string', n - ev FROM c
+      |  UNION ALL SELECT '$.meta', 'null', t3 FROM c
+      |  UNION ALL SELECT '$.meta', 'object', nmeta FROM c
+      |  UNION ALL SELECT '$.meta.lang', 'string', nmeta FROM c
+      |  UNION ALL SELECT '$.meta.n', 'int', nmeta FROM c
+      |  UNION ALL SELECT '<malformed>', 'err', m13 FROM c
+      |) ORDER BY path, vtype""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pdf_text" -> (pdfText _),
     "q_docx_read" -> (docxRead _),
@@ -2784,6 +2849,7 @@ object Docs {
     "q_lzma_decode" -> (lzmaDecode _),
     "q_feed_read" -> (feedRead _),
     "q_sitemap_read" -> (sitemapRead _),
+    "q_json_schema_infer" -> (jsonSchemaInfer _),
     "q_markdown_read" -> (markdownRead _),
     "q_doc_zoo" -> (docZoo _))
 
@@ -2813,6 +2879,7 @@ object Docs {
     "q_lzma_decode" -> lzmaDecodeSql,
     "q_feed_read" -> feedReadSql,
     "q_sitemap_read" -> sitemapReadSql,
+    "q_json_schema_infer" -> jsonSchemaInferSql,
     "q_markdown_read" -> markdownReadSql,
     "q_doc_zoo" -> docZooSql)
 }
