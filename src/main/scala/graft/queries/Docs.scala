@@ -2823,6 +2823,145 @@ object Docs {
       |  UNION ALL SELECT '<malformed>', 'err', m13 FROM c
       |) ORDER BY path, vtype""".stripMargin
 
+  /** Compressed-archive chains under the oracle: `.tar.gz` /
+    * `.tar.zst` / `.tar.xz` / `.tar.bz2` / `.tar.lz4` / `.tar.lzma`
+    * written by the INDEPENDENT writers (JDK gzip, zstd-jni
+    * checksummed, xz-java, commons-compress bzip2 + LZ4 frame,
+    * xz-java LZMA-alone), sniffed by MAGIC (the extension is a lie
+    * nobody should trust; the magic-less .lzma is the documented
+    * fallback branch), decompressed by OUR decoders and walked by the
+    * ustar parser — the composition a dump-ingest pipeline runs.
+    * Refusal arms: tail truncation (k mod 13 — every codec's framing
+    * or integrity law), a mid-stream flip (k mod 17 — checksum laws;
+    * the integrity-free LZMA lane substitutes a second truncation
+    * class, its only detectable damage). */
+  def tarChain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.{Bzip2Decode, Lz4Codec, MediaCodec, XzDecode, ZstdDecode}
+    import graft.ops.TarArchive
+    val keys = partKeys(s, d) // full-width spread: the decode map is the cost
+    val decoded = keys.map { k =>
+      val codecId = (k % 6).toInt
+      val aText = s"tar$k text w${k % 9} payload"
+      val bLen = (50 + k % 60).toInt
+      val entries = Seq(
+        (s"docs/a-$k.txt", aText.getBytes("UTF-8")),
+        (s"data/b-$k.bin",
+          Array.tabulate(bLen)(i => ((k * 13 + i * 7) % 256).toByte)))
+      val tar = TarArchive.encodeTar(entries)
+      val bos = new java.io.ByteArrayOutputStream
+      codecId match {
+        case 0 =>
+          val z = new java.util.zip.GZIPOutputStream(bos)
+          z.write(tar); z.close()
+        case 1 =>
+          val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+          try {
+            ctx.setLevel(3); ctx.setChecksum(true)
+            bos.write(ctx.compress(tar))
+          } finally ctx.close()
+        case 2 =>
+          val z = new org.tukaani.xz.XZOutputStream(bos,
+            new org.tukaani.xz.LZMA2Options(1))
+          z.write(tar); z.close()
+        case 3 =>
+          val z = new org.apache.commons.compress.compressors.bzip2
+            .BZip2CompressorOutputStream(bos, 1)
+          z.write(tar); z.close()
+        case 4 =>
+          val z = new org.apache.commons.compress.compressors.lz4
+            .FramedLZ4CompressorOutputStream(bos)
+          z.write(tar); z.close()
+        case _ =>
+          val opt = new org.tukaani.xz.LZMA2Options(1)
+          opt.setDictSize(1 << 16)
+          val z = new org.tukaani.xz.LZMAOutputStream(bos, opt, tar.length.toLong)
+          z.write(tar); z.close()
+      }
+      val comp = bos.toByteArray
+      val payload =
+        if (k % 13 == 0) comp.dropRight(4)
+        else if (k % 17 == 0) {
+          if (codecId == 5) comp.dropRight(2) // no integrity data: truncation
+          else { val t = comp.clone(); t(t.length / 2) = (t(t.length / 2) ^ 0x15).toByte; t }
+        } else comp
+      // ---- the dispatch: magic sniff, never an extension ----
+      val plain: Option[Array[Byte]] =
+        if (payload.length >= 2 && (payload(0) & 0xff) == 0x1f &&
+          (payload(1) & 0xff) == 0x8b)
+          MediaCodec.gunzipMembers(payload).flatMap {
+            case Seq(m) => Some(m.data)
+            case _ => None
+          }
+        else if (payload.length >= 4 && (payload(0) & 0xff) == 0x28 &&
+          (payload(1) & 0xff) == 0xb5 && (payload(2) & 0xff) == 0x2f &&
+          (payload(3) & 0xff) == 0xfd)
+          ZstdDecode.decompress(payload, maxOut = 1 << 22)
+        else if (payload.length >= 6 && (payload(0) & 0xff) == 0xfd &&
+          payload(1) == '7' && payload(2) == 'z')
+          XzDecode.decompress(payload, maxOut = 1 << 22).map(_._1)
+        else if (payload.length >= 3 && payload(0) == 'B' && payload(1) == 'Z' &&
+          payload(2) == 'h')
+          Bzip2Decode.decompress(payload, maxOut = 1 << 22)
+        else if (payload.length >= 4 && (payload(0) & 0xff) == 0x04 &&
+          (payload(1) & 0xff) == 0x22 && (payload(2) & 0xff) == 0x4d &&
+          (payload(3) & 0xff) == 0x18)
+          Lz4Codec.decompressFrames(payload, maxOut = 1 << 22)
+        else XzDecode.lzmaAlone(payload, maxOut = 1 << 22) // magic-less
+      val out = plain.flatMap(TarArchive.parseTar)
+      out match {
+        case Some(es) =>
+          val text = es.map { case (n, data) =>
+            var ws = 0L
+            var i = 0
+            while (i < data.length) { ws += (i + 1).toLong * (data(i) & 0xff); i += 1 }
+            s"$n:${data.length}:$ws"
+          }.mkString("\n")
+          val codecName = Seq("gzip", "zstd", "xz", "bzip2", "lz4",
+            "lzma")(codecId)
+          (k, true, Some(codecName), Some(es.length), Some(text))
+        case None =>
+          (k, false, None: Option[String], None: Option[Int],
+            None: Option[String])
+      }
+    }.toDF("media_id", "tc_ok", "codec", "n_entries", "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The archive replayed: entry a's weighted byte sum from the ASCII
+    * formula text, entry b's from the mod-256 byte formula. */
+  val tarChainSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k,
+      |        'tar' || k || ' text w' || (k % 9) || ' payload' AS atext,
+      |        CAST(50 + k % 60 AS INTEGER) AS blen,
+      |        (k % 13 <> 0 AND k % 17 <> 0) AS ok
+      |      FROM ks),
+      |aw AS (
+      |  SELECT p.k,
+      |    CAST(length(p.atext) AS BIGINT) AS alen,
+      |    CAST(SUM(i.g * ord(substr(p.atext, i.g, 1))) AS BIGINT) AS ws
+      |  FROM p, generate_series(1, 40) i(g)
+      |  WHERE i.g <= length(p.atext) AND p.ok
+      |  GROUP BY p.k, p.atext),
+      |bw AS (
+      |  SELECT p.k,
+      |    CAST(SUM((i.g + 1) * ((p.k * 13 + i.g * 7) % 256)) AS BIGINT) AS ws
+      |  FROM p, generate_series(0, 109) i(g)
+      |  WHERE i.g < p.blen AND p.ok
+      |  GROUP BY p.k)
+      |SELECT p.k AS media_id, p.ok AS tc_ok,
+      |  CASE WHEN p.ok THEN
+      |    CASE CAST(p.k % 6 AS INTEGER) WHEN 0 THEN 'gzip' WHEN 1 THEN 'zstd'
+      |      WHEN 2 THEN 'xz' WHEN 3 THEN 'bzip2' WHEN 4 THEN 'lz4'
+      |      ELSE 'lzma' END END AS codec,
+      |  CASE WHEN p.ok THEN 2 END AS n_entries,
+      |  CASE WHEN p.ok THEN
+      |    'docs/a-' || p.k || '.txt:' || aw.alen || ':' || aw.ws || chr(10) ||
+      |    'data/b-' || p.k || '.bin:' || p.blen || ':' || bw.ws END AS text
+      |FROM p LEFT JOIN aw ON aw.k = p.k LEFT JOIN bw ON bw.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pdf_text" -> (pdfText _),
     "q_docx_read" -> (docxRead _),
@@ -2850,6 +2989,7 @@ object Docs {
     "q_feed_read" -> (feedRead _),
     "q_sitemap_read" -> (sitemapRead _),
     "q_json_schema_infer" -> (jsonSchemaInfer _),
+    "q_tar_chain" -> (tarChain _),
     "q_markdown_read" -> (markdownRead _),
     "q_doc_zoo" -> (docZoo _))
 
@@ -2880,6 +3020,7 @@ object Docs {
     "q_feed_read" -> feedReadSql,
     "q_sitemap_read" -> sitemapReadSql,
     "q_json_schema_infer" -> jsonSchemaInferSql,
+    "q_tar_chain" -> tarChainSql,
     "q_markdown_read" -> markdownReadSql,
     "q_doc_zoo" -> docZooSql)
 }
