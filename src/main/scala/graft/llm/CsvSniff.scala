@@ -1,0 +1,109 @@
+package graft.llm
+
+/** CSV dialect sniffing — the ingest step the reference's
+  * CsvDictReader (terra_bonobo_nodes common.py, S1) leaves to the
+  * caller: real corpora arrive with undeclared delimiters, quotes and
+  * headers. The sniff here is DECLARED and deterministic (a sniff
+  * that cannot be replayed cannot be oracle-checked):
+  *
+  *  - line model: CRLF or LF (normalized), a trailing final newline
+  *    allowed; an embedded lone CR refuses; empty input refuses;
+  *  - the candidate grid is delimiters `, ; \t |` × quotes `" '`;
+  *    each combo parses every line under RFC 4180 rules (quoted
+  *    fields, doubled-quote escapes, delimiters/newlines NOT allowed
+  *    unquoted); a combo QUALIFIES iff every line parses, field
+  *    counts agree on every line, and the count is ≥ 2;
+  *  - the winner is the qualifying combo with the MOST fields; ties
+  *    break by grid order (`,` before `;` before tab before `|`,
+  *    `"` before `'`); no qualifier refuses;
+  *  - header rule: the first row is a header iff no field of row 1
+  *    is numeric, there is a second row, and at least one field of
+  *    row 2 is numeric ("numeric" = an optional sign, digits, at
+  *    most one dot — the declared test, nothing locale-smart).
+  *
+  * The result carries the parsed table, so the gate checks the SNIFF
+  * through the CENSUS: a wrong dialect cannot reproduce the field
+  * values. */
+object CsvSniff {
+
+  final case class Sniffed(delim: Char, quote: Char, hasHeader: Boolean,
+                           header: Seq[String], rows: Seq[Seq[String]])
+
+  private val delims = Seq(',', ';', '\t', '|')
+  private val quotes = Seq('"', '\'')
+
+  private def parseLine(line: String, d: Char, q: Char): Option[Seq[String]] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inQ = false
+    var quotedField = false
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == q) {
+          if (i + 1 < line.length && line.charAt(i + 1) == q) {
+            cur.append(q); i += 1 // doubled-quote escape
+          } else inQ = false
+        } else cur.append(c)
+      } else if (c == q && cur.isEmpty && !quotedField) {
+        inQ = true; quotedField = true
+      } else if (c == d) {
+        out += cur.toString; cur.clear(); quotedField = false
+      } else if (quotedField) {
+        return None // text after a closing quote
+      } else cur.append(c)
+      i += 1
+    }
+    if (inQ) return None // unterminated quote
+    out += cur.toString
+    Some(out.result())
+  }
+
+  private def numeric(s: String): Boolean =
+    s.nonEmpty && s.matches("[+-]?[0-9]+(\\.[0-9]+)?")
+
+  def sniff(text: String, maxLines: Int = 10000): Option[Sniffed] = {
+    if (text == null || text.isEmpty) return None
+    val normalized = text.replace("\r\n", "\n")
+    if (normalized.contains('\r')) return None // a lone CR lies about lines
+    val body = if (normalized.endsWith("\n")) normalized.dropRight(1)
+      else normalized
+    val lines = body.split("\n", -1).toSeq
+    if (lines.isEmpty || lines.exists(_.isEmpty) || lines.length > maxLines)
+      return None
+    val candidates = for {
+      d <- delims
+      q <- quotes
+      parsed = lines.map(parseLine(_, d, q))
+      if parsed.forall(_.isDefined)
+      table = parsed.map(_.get)
+      n = table.head.length
+      if n >= 2 && table.forall(_.length == n)
+    } yield (d, q, table, n)
+    if (candidates.isEmpty) return None
+    val (d, q, table, _) = candidates.maxBy { case (dd, qq, _, n) =>
+      // most fields wins; grid order breaks ties (earlier = larger key)
+      (n, -delims.indexOf(dd), -quotes.indexOf(qq))
+    }
+    val hasHeader = table.length >= 2 &&
+      !table.head.exists(numeric) && table(1).exists(numeric)
+    if (hasHeader) Some(Sniffed(d, q, hasHeader = true, table.head, table.tail))
+    else Some(Sniffed(d, q, hasHeader = false, Seq.empty, table))
+  }
+
+  // ---- conformance writer -------------------------------------------------
+
+  /** Deterministic CSV in the given dialect; fields containing the
+    * delimiter/quote/newline are quoted with doubling. */
+  def encodeCsv(delim: Char, quote: Char, header: Seq[String],
+                rows: Seq[Seq[String]], crlf: Boolean = false): String = {
+    def field(s: String): String =
+      if (s.exists(c => c == delim || c == quote || c == '\n'))
+        quote.toString + s.replace(quote.toString, s"$quote$quote") + quote
+      else s
+    val nl = if (crlf) "\r\n" else "\n"
+    val all = (if (header.nonEmpty) Seq(header) else Seq.empty) ++ rows
+    all.map(_.map(field).mkString(delim.toString)).mkString(nl) + nl
+  }
+}

@@ -2962,6 +2962,88 @@ object Docs {
       |FROM p LEFT JOIN aw ON aw.k = p.k LEFT JOIN bw ON bw.k = p.k
       |ORDER BY media_id""".stripMargin
 
+  /** CSV dialect sniffing under the oracle (see
+    * [[graft.llm.CsvSniff]]): per-key tables written in a dialect the
+    * key picks — delimiter k mod 4 over `, ; \t |`, quote k mod 2
+    * over `" '`, header on two of three keys — with a QUOTED third
+    * column that embeds the true delimiter a varying number of times
+    * (so no wrong-quote parse can stay count-consistent); the sniff
+    * must recover the dialect for the census to replay. Refusal
+    * arms: an appended delimiter-free line (k mod 13 — the
+    * consistency law), an embedded lone CR (k mod 17), an embedded
+    * blank line (k mod 19). */
+  def csvSniff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.CsvSniff
+    val keys = partKeys(s, d) // full-width spread: the sniff map is the cost
+    val decoded = keys.map { k =>
+      val delim = Seq(',', ';', '\t', '|')((k % 4).toInt)
+      val quote = Seq('"', '\'')((k % 2).toInt)
+      val withHeader = k % 3 != 0
+      val nr = (3 + k % 3).toInt
+      val rows = (0 until nr).map { r =>
+        Seq(s"v$k-$r", s"${(k * 7 + r) % 1000}",
+          if (r % 2 == 0) s"x${delim}y" else s"x${delim}y${delim}z")
+      }
+      val csv0 = CsvSniff.encodeCsv(delim, quote,
+        if (withHeader) Seq("n0", "n1", "n2") else Seq.empty,
+        rows, crlf = k % 5 == 0)
+      val csv =
+        if (k % 13 == 0) csv0 + "zzz\n"
+        else if (k % 17 == 0) csv0.patch(1, "\r", 0) // mid-field: always lone
+        else if (k % 19 == 0) csv0 + "\n"
+        else csv0
+      CsvSniff.sniff(csv) match {
+        case Some(sn) =>
+          val dn = sn.delim match {
+            case ',' => "comma"; case ';' => "semicolon"
+            case '\t' => "tab"; case _ => "pipe"
+          }
+          val qn = if (sn.quote == '"') "dq" else "sq"
+          val text = sn.rows.map(_.mkString("¶")).mkString("\n")
+          (k, true, Some(dn), Some(qn), Some(sn.hasHeader),
+            Some(sn.rows.length), Some(text))
+        case None =>
+          (k, false, None: Option[String], None: Option[String],
+            None: Option[Boolean], None: Option[Int], None: Option[String])
+      }
+    }.toDF("media_id", "cs_ok", "delim", "quote", "has_header", "n_rows",
+      "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The table replayed: the dialect is the key's own formula, the
+    * rows rebuild field by field. */
+  val csvSniffSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(3 + k % 3 AS INTEGER) AS nr,
+      |        CASE CAST(k % 4 AS INTEGER) WHEN 0 THEN ',' WHEN 1 THEN ';'
+      |          WHEN 2 THEN chr(9) ELSE '|' END AS dl,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |ln AS (
+      |  SELECT p.k, r.g AS r,
+      |    'v' || p.k || '-' || r.g || '¶' || ((p.k * 7 + r.g) % 1000) ||
+      |      '¶x' || p.dl || 'y' ||
+      |      CASE WHEN r.g % 2 = 1 THEN p.dl || 'z' ELSE '' END AS line
+      |  FROM p, generate_series(0, 4) r(g)
+      |  WHERE r.g < p.nr AND p.ok),
+      |agg AS (
+      |  SELECT k, string_agg(line, chr(10) ORDER BY r) AS text
+      |  FROM ln GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS cs_ok,
+      |  CASE WHEN p.ok THEN
+      |    CASE CAST(p.k % 4 AS INTEGER) WHEN 0 THEN 'comma'
+      |      WHEN 1 THEN 'semicolon' WHEN 2 THEN 'tab' ELSE 'pipe' END
+      |  END AS delim,
+      |  CASE WHEN p.ok THEN
+      |    CASE WHEN p.k % 2 = 0 THEN 'dq' ELSE 'sq' END END AS quote,
+      |  CASE WHEN p.ok THEN p.k % 3 <> 0 END AS has_header,
+      |  CASE WHEN p.ok THEN p.nr END AS n_rows,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p LEFT JOIN agg ON agg.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pdf_text" -> (pdfText _),
     "q_docx_read" -> (docxRead _),
@@ -2990,6 +3072,7 @@ object Docs {
     "q_sitemap_read" -> (sitemapRead _),
     "q_json_schema_infer" -> (jsonSchemaInfer _),
     "q_tar_chain" -> (tarChain _),
+    "q_csv_sniff" -> (csvSniff _),
     "q_markdown_read" -> (markdownRead _),
     "q_doc_zoo" -> (docZoo _))
 
@@ -3021,6 +3104,7 @@ object Docs {
     "q_sitemap_read" -> sitemapReadSql,
     "q_json_schema_infer" -> jsonSchemaInferSql,
     "q_tar_chain" -> tarChainSql,
+    "q_csv_sniff" -> csvSniffSql,
     "q_markdown_read" -> markdownReadSql,
     "q_doc_zoo" -> docZooSql)
 }

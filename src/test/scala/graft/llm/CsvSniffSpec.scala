@@ -1,0 +1,52 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import CsvSniff._
+
+/** CSV dialect sniffing: the candidate grid, the consistency law, the
+  * header rule, quoting round-trips, and the refusal battery. */
+class CsvSniffSpec extends AnyFunSuite {
+
+  private val header = Seq("name", "qty", "note")
+  private val rows = Seq(
+    Seq("alpha", "12", "plain"),
+    Seq("beta, with comma", "7", "has \"quotes\" inside"),
+    Seq("gamma;|sep", "3.5", "tab\tinside"))
+
+  test("every grid dialect round-trips through the sniff") {
+    for (d <- Seq(',', ';', '\t', '|'); q <- Seq('"', '\''); crlf <- Seq(false, true)) {
+      val s = sniff(encodeCsv(d, q, header, rows, crlf))
+        .getOrElse(fail(s"refused d=$d q=$q crlf=$crlf"))
+      assert(s.delim == d && s.hasHeader, s"d=$d q=$q")
+      assert(s.header == header)
+      assert(s.rows == rows, s"d=$d q=$q")
+    }
+  }
+
+  test("the header rule: all-text first row + numeric second row") {
+    val noHdr = sniff(encodeCsv(',', '"', Seq.empty, rows)).get
+    assert(!noHdr.hasHeader && noHdr.rows.length == 3)
+    // an all-text table has no detectable header (the declared rule)
+    val allText = sniff(encodeCsv(',', '"', Seq("a", "b"),
+      Seq(Seq("x", "y")))).get
+    assert(!allText.hasHeader && allText.rows.length == 2)
+  }
+
+  test("refusals: inconsistent counts, unterminated quote, lone CR, empty") {
+    assert(sniff("a,b\nc,d,e\n").isEmpty)   // the consistency law
+    // an unterminated quote: under '"' the line refuses, under the
+    // OTHER quote char the counts disagree — the grid legitimately
+    // rescues inputs a single-dialect check would reject, so the
+    // refusal needs both holes closed
+    assert(sniff("\"a,b\nc,d,e\n").isEmpty)
+    assert(sniff("a,b\rc,d\n").isEmpty)     // a lone CR
+    assert(sniff("").isEmpty)
+    assert(sniff("single\ncolumn\n").isEmpty) // one field is no table
+    // a mid-field quote is literal (RFC 4180 quoting starts at the
+    // field boundary) — the header rule fires on text-then-numeric
+    assert(sniff("a,b\"x\n1,2\n").exists(_.header(1) == "b\"x"))
+    // unterminated under '"' on line 1 AND under the apostrophe on
+    // line 2: every grid combo disqualifies
+    assert(sniff("\"a,b\n'c,d,e\n").isEmpty)
+  }
+}
