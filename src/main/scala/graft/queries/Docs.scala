@@ -2839,7 +2839,9 @@ object Docs {
     import s.implicits._
     import graft.llm.{Bzip2Decode, Lz4Codec, MediaCodec, XzDecode, ZstdDecode}
     import graft.ops.TarArchive
-    val keys = partKeys(s, d) // full-width spread: the decode map is the cost
+    val keys = partKeys(s, d) // the INDEPENDENT writers dominate the gate
+      .filter(_ % 8 == 1)     // (the gate-sizing lesson): an eighth-lane,
+                              // disjoint from the xz/bzip2/lzma lanes
     val decoded = keys.map { k =>
       val codecId = (k % 6).toInt
       val aText = s"tar$k text w${k % 9} payload"
@@ -2931,7 +2933,8 @@ object Docs {
   /** The archive replayed: entry a's weighted byte sum from the ASCII
     * formula text, entry b's from the mod-256 byte formula. */
   val tarChainSql: String =
-    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part
+      |            WHERE p_partkey % 8 = 1),
       |p AS (SELECT k,
       |        'tar' || k || ' text w' || (k % 9) || ' payload' AS atext,
       |        CAST(50 + k % 60 AS INTEGER) AS blen,
