@@ -1,0 +1,981 @@
+package graft.llm
+
+/** Parquet column READ — the native page-level decoder that turns the
+  * footer walk ([[ParquetFooter]]) into actual values: thrift
+  * compact-protocol page headers, dictionary pages, v1 AND v2 data
+  * pages, the RLE/bit-packed hybrid for definition levels and
+  * dictionary indices, PLAIN for every physical type, the DELTA
+  * family (DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY /
+  * DELTA_BYTE_ARRAY — the parquet-mr v2 writer's defaults),
+  * BYTE_STREAM_SPLIT, and page decompression through the engine's OWN
+  * decoders (snappy, gzip via Inflater, zstd, LZ4_RAW) — format spec
+  * at parquet.apache.org, thrift compact-protocol spec.
+  *
+  * Scope pin (honest subset, refuse beyond it): FLAT columns only —
+  * max repetition level 0 and max definition level ≤ 1 (a leaf
+  * directly under the root, REQUIRED or OPTIONAL). Nested/repeated
+  * schemas, INT96 timestamps, BIT_PACKED legacy levels, and the
+  * LZO/BROTLI/hadoop-framed-LZ4 codecs refuse. This matches the
+  * tabular shape a lake pipeline reads 99% of the time; nested reads
+  * stay with the engine's Spark scan.
+  *
+  * Laws (refuse, never garble):
+  *  - the chunk's page walk must consume [start, start+total_compressed)
+  *    exactly; a dictionary page only where the footer declares one,
+  *    FIRST, exactly once;
+  *  - every page's decompressed payload must equal
+  *    uncompressed_page_size; when the optional page CRC is present it
+  *    must match (CRC-32 over the compressed payload);
+  *  - Σ data-page num_values == ColumnMetaData.num_values, and for a
+  *    flat column that must equal the row group's num_rows;
+  *  - definition levels: RLE runs may not overshoot the declared
+  *    count beyond bit-packed 8-group padding; v1's 4-byte length
+  *    prefix and v2's definition_levels_byte_length are consumed
+  *    exactly; level values ≤ maxDef;
+  *  - dictionary indices in [0, dictSize); PLAIN/DELTA value sections
+  *    consume their payload exactly; UTF8-declared byte arrays must be
+  *    valid UTF-8; DECIMAL unscaled widths within declared precision
+  *    bounds (FLBA length = type_length).
+  *
+  * Values surface as boxed AnyRef (null = SQL null): Boolean / Int /
+  * Long / Float / Double / String (UTF8, ENUM, JSON) / Array[Byte] /
+  * java.math.BigDecimal (DECIMAL over INT32/INT64/FLBA/BYTE_ARRAY). */
+object ParquetRead {
+
+  private final class Bad extends RuntimeException
+  private def bad(): Nothing = throw new Bad
+
+  /** One schema leaf: physical type, levels, logical annotations. */
+  final case class Leaf(name: String, typ: Int, typeLength: Int,
+                        maxDef: Int, maxRep: Int,
+                        convertedType: Int, scale: Int, precision: Int)
+  /** One column chunk inside a row group (offsets are absolute). */
+  final case class Chunk(codec: Int, numValues: Long, totalCompressed: Long,
+                         totalUncompressed: Long, dataOff: Long, dictOff: Long)
+  final case class Rg(numRows: Long, chunks: Vector[Chunk])
+  final case class Meta(version: Int, numRows: Long, leaves: Vector[Leaf],
+                        rowGroups: Vector[Rg])
+
+  // ---- thrift compact-protocol reader over b[p, end) ----
+  private final class TR(val b: Array[Byte], var p: Int, val end: Int) {
+    def u8(): Int = { if (p >= end) bad(); val v = b(p) & 0xff; p += 1; v }
+    def varint(): Long = {
+      var v = 0L; var sh = 0
+      while (true) {
+        val x = u8()
+        v |= (x & 0x7fL) << sh
+        if ((x & 0x80) == 0) return v
+        sh += 7
+        if (sh > 63) bad()
+      }
+      v
+    }
+    def zigzag(): Long = { val v = varint(); (v >>> 1) ^ -(v & 1L) }
+    def i32(): Int = { val v = zigzag(); if (v < Int.MinValue || v > Int.MaxValue) bad(); v.toInt }
+    def bin(): Array[Byte] = {
+      val n = varint()
+      if (n < 0 || n > end - p) bad()
+      val out = java.util.Arrays.copyOfRange(b, p, p + n.toInt)
+      p += n.toInt
+      out
+    }
+    def utf8(): String = {
+      val bs = bin()
+      val s = new String(bs, java.nio.charset.StandardCharsets.UTF_8)
+      if (!java.util.Arrays.equals(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), bs)) bad()
+      s
+    }
+    def skip(t: Int, depth: Int): Unit = {
+      if (depth > 32) bad()
+      t match {
+        case 1 | 2 => ()
+        case 3 | 4 | 5 | 6 => { varint(); () }
+        case 7 => { if (p + 8 > end) bad(); p += 8 }
+        case 8 => { bin(); () }
+        case 9 | 10 =>
+          val h = u8()
+          val n0 = h >>> 4
+          val et = h & 0xf
+          val n = if (n0 == 15) varint() else n0.toLong
+          if (n < 0 || n > (end - p).toLong + 16) bad()
+          var i = 0L
+          while (i < n) { skip(et, depth + 1); i += 1 }
+        case 11 =>
+          val n = varint()
+          if (n < 0) bad()
+          if (n > 0) {
+            val kv = u8()
+            var i = 0L
+            while (i < n) { skip(kv >>> 4, depth + 1); skip(kv & 0xf, depth + 1); i += 1 }
+          }
+        case 12 => skipStruct(depth + 1)
+        case _ => bad()
+      }
+    }
+    def skipStruct(depth: Int): Unit = {
+      if (depth > 32) bad()
+      var fid = 0
+      var stop = false
+      while (!stop) {
+        val fh = u8()
+        if (fh == 0) stop = true
+        else {
+          val delta = fh >>> 4
+          val t = fh & 0xf
+          if (delta == 0) fid = zigzag().toInt else fid += delta
+          skip(t, depth)
+        }
+      }
+    }
+    /** walk a struct; `f(fieldId, compactType)` returns true when it
+      * consumed the value (bool values live in the type nibble). */
+    def struct(depth: Int)(f: (Int, Int) => Boolean): Unit = {
+      if (depth > 32) bad()
+      var fid = 0
+      var stop = false
+      while (!stop) {
+        val fh = u8()
+        if (fh == 0) stop = true
+        else {
+          val delta = fh >>> 4
+          val t = fh & 0xf
+          if (delta == 0) fid = zigzag().toInt else fid += delta
+          if (!f(fid, t)) skip(t, depth)
+        }
+      }
+    }
+    def listHeader(expectType: Int): Int = {
+      val h = u8()
+      val n0 = h >>> 4
+      if ((h & 0xf) != expectType) bad()
+      val n = if (n0 == 15) varint() else n0.toLong
+      if (n < 0 || n > (end - p).toLong + 16) bad()
+      n.toInt
+    }
+  }
+
+  /** Full footer parse: schema leaves with level math + row groups
+    * with per-chunk offsets. Shares [[ParquetFooter]]'s outer laws
+    * (double magic, footer-length bound, exact consumption, the
+    * schema tree law, the row-count identity). */
+  def parseMeta(b: Array[Byte], maxBytes: Int = 1 << 30): Option[Meta] = try {
+    if (b == null || b.length < 12 || b.length > maxBytes) return None
+    def magicAt(p: Int): Boolean =
+      b(p) == 'P' && b(p + 1) == 'A' && b(p + 2) == 'R' && b(p + 3) == '1'
+    if (!magicAt(0) || !magicAt(b.length - 4)) return None
+    val fLen = (b(b.length - 8) & 0xff) | ((b(b.length - 7) & 0xff) << 8) |
+      ((b(b.length - 6) & 0xff) << 16) | ((b(b.length - 5) & 0xff) << 24)
+    if (fLen < 1 || fLen > b.length - 12) return None
+    val fStart = b.length - 8 - fLen
+    val tr = new TR(b, fStart, b.length - 8)
+
+    // schema elements: (name, numChildren, repetition, type, typeLen,
+    //                   converted, scale, precision)
+    final case class El(name: String, children: Int, rep: Int, typ: Int,
+                        typeLen: Int, conv: Int, scale: Int, prec: Int)
+    var version = Int.MinValue
+    var numRows = Long.MinValue
+    val elems = scala.collection.mutable.ArrayBuffer.empty[El]
+    val rgs = scala.collection.mutable.ArrayBuffer.empty[Rg]
+    // per row group, per chunk: the declared path_in_schema (for the
+    // leaf-order law after the schema tree is built)
+    val pathsPerRg = scala.collection.mutable.ArrayBuffer.empty[Vector[Vector[String]]]
+
+    tr.struct(0) { (fid, t) =>
+      (fid, t) match {
+        case (1, 5) => version = tr.i32(); true
+        case (2, 9) =>
+          val n = tr.listHeader(12)
+          if (n > 100000) bad()
+          var i = 0
+          while (i < n) {
+            var name: String = null
+            var children = 0
+            var rep = -1
+            var typ = -1
+            var typeLen = -1
+            var conv = -1
+            var scale = 0
+            var prec = 0
+            tr.struct(1) { (sf, st) =>
+              (sf, st) match {
+                case (1, 5) => typ = tr.i32(); true
+                case (2, 5) => typeLen = tr.i32(); true
+                case (3, 5) => rep = tr.i32(); true
+                case (4, 8) => name = tr.utf8(); true
+                case (5, 5) => children = tr.i32(); true
+                case (6, 5) => conv = tr.i32(); true
+                case (7, 5) => scale = tr.i32(); true
+                case (8, 5) => prec = tr.i32(); true
+                case _ => false
+              }
+            }
+            if (name == null || children < 0) bad()
+            elems += El(name, children, rep, typ, typeLen, conv, scale, prec)
+            i += 1
+          }
+          true
+        case (3, 6) => numRows = tr.zigzag(); true
+        case (4, 9) =>
+          val n = tr.listHeader(12)
+          if (n > 1000000) bad()
+          var i = 0
+          while (i < n) {
+            var rows = Long.MinValue
+            val chunks = scala.collection.mutable.ArrayBuffer.empty[(Chunk, Vector[String])]
+            tr.struct(1) { (rf, rt) =>
+              (rf, rt) match {
+                case (1, 9) => // columns: list<ColumnChunk>
+                  val nc = tr.listHeader(12)
+                  if (nc > 100000) bad()
+                  var j = 0
+                  while (j < nc) {
+                    var sawPath = false // external file_path refuses (single-file law)
+                    var codec = -1
+                    var nVals = Long.MinValue
+                    var totC = Long.MinValue
+                    var totU = Long.MinValue
+                    var dataOff = Long.MinValue
+                    var dictOff = -1L
+                    var path: Vector[String] = Vector.empty
+                    tr.struct(2) { (cf, ct) =>
+                      (cf, ct) match {
+                        case (1, 8) => sawPath = true; tr.bin(); true
+                        case (3, 12) => // ColumnMetaData
+                          tr.struct(3) { (mf, mt) =>
+                            (mf, mt) match {
+                              case (3, 9) =>
+                                val np = tr.listHeader(8)
+                                if (np > 1000) bad()
+                                var k = 0
+                                while (k < np) { path :+= tr.utf8(); k += 1 }
+                                true
+                              case (4, 5) => codec = tr.i32(); true
+                              case (5, 6) => nVals = tr.zigzag(); true
+                              case (6, 6) => totU = tr.zigzag(); true
+                              case (7, 6) => totC = tr.zigzag(); true
+                              case (9, 6) => dataOff = tr.zigzag(); true
+                              case (11, 6) => dictOff = tr.zigzag(); true
+                              case _ => false
+                            }
+                          }
+                          true
+                        case _ => false
+                      }
+                    }
+                    if (sawPath) bad()
+                    if (codec < 0 || nVals < 0 || totC < 0 || totU < 0 || dataOff < 0) bad()
+                    chunks += ((Chunk(codec, nVals, totC, totU, dataOff, dictOff), path))
+                    j += 1
+                  }
+                  true
+                case (3, 6) => rows = tr.zigzag(); true
+                case _ => false
+              }
+            }
+            if (rows < 0) bad()
+            // chunk offsets/sizes inside the data region [4, fStart)
+            chunks.foreach { case (c, _) =>
+              val start = if (c.dictOff >= 0) c.dictOff else c.dataOff
+              if (start < 4 || c.totalCompressed < 1 ||
+                start + c.totalCompressed > fStart) bad()
+              if (c.dictOff >= 0 && c.dictOff >= c.dataOff) bad()
+            }
+            rgs += Rg(rows, chunks.map(_._1).toVector)
+            i += 1
+            // stash paths for the leaf-order law below
+            pathsPerRg += chunks.map(_._2).toVector
+          }
+          true
+        case _ => false
+      }
+    }
+    if (tr.p != b.length - 8) return None // footer consumed exactly
+    if (version == Int.MinValue || numRows < 0 || elems.isEmpty) return None
+
+    // ---- schema tree: pre-order consumption; leaves with level math ----
+    val leaves = scala.collection.mutable.ArrayBuffer.empty[Leaf]
+    var idx = 1
+    def walk(depth: Int, maxDef: Int, maxRep: Int, prefix: List[String]): Unit = {
+      if (depth > 32 || idx >= elems.length) bad()
+      val e = elems(idx)
+      idx += 1
+      if (e.rep < 0 || e.rep > 2) bad()
+      val d = maxDef + (if (e.rep == 0) 0 else 1) // OPTIONAL and REPEATED add a def level
+      val r = maxRep + (if (e.rep == 2) 1 else 0)
+      if (e.children == 0) {
+        if (e.typ < 0 || e.typ > 7) bad()
+        if (e.typ == 7 && e.typeLen < 1) bad()
+        leaves += Leaf(e.name, e.typ, e.typeLen, d, r, e.conv, e.scale, e.prec)
+      } else {
+        var j = 0
+        while (j < e.children) { walk(depth + 1, d, r, e.name :: prefix); j += 1 }
+      }
+    }
+    val rootChildren = elems.head.children
+    if (rootChildren < 1) return None
+    var i = 0
+    while (i < rootChildren) { walk(0, 0, 0, Nil); i += 1 }
+    if (idx != elems.length) return None
+    // duplicate top-level leaf names refuse (the column address must be unique)
+    if (leaves.map(_.name).distinct.length != leaves.length) return None
+
+    // ---- per-row-group laws: one chunk per leaf, in leaf order;
+    //      flat chunks carry one value per row ----
+    if (rgs.exists(_.chunks.length != leaves.length)) return None
+    var g = 0
+    while (g < rgs.length) {
+      val paths = pathsPerRg(g)
+      var c = 0
+      while (c < paths.length) {
+        val lf = leaves(c)
+        // the chunk's path must address this leaf; flat leaves have the
+        // single-segment path [name]
+        if (paths(c).isEmpty || paths(c).last != lf.name) return None
+        if (lf.maxRep == 0 && rgs(g).chunks(c).numValues != rgs(g).numRows) return None
+        c += 1
+      }
+      g += 1
+    }
+    if (rgs.map(_.numRows).sum != numRows) return None // row-count identity
+    Some(Meta(version, numRows, leaves.toVector, rgs.toVector))
+  } catch {
+    case _: Bad => None
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NegativeArraySizeException => None
+    case _: StackOverflowError => None
+  }
+
+  // ---- page decompression through the engine's own decoders ----
+  // codec ids: 0 UNCOMPRESSED, 1 SNAPPY, 2 GZIP, 6 ZSTD, 7 LZ4_RAW;
+  // LZO(3)/BROTLI(4)/hadoop-framed LZ4(5) refuse.
+  private def inflatePage(codec: Int, b: Array[Byte], off: Int, len: Int,
+                          outLen: Int): Array[Byte] = {
+    if (len < 0 || off < 0 || off + len > b.length) bad()
+    if (outLen < 0 || outLen > (1 << 30)) bad()
+    codec match {
+      case 0 =>
+        if (len != outLen) bad()
+        java.util.Arrays.copyOfRange(b, off, off + len)
+      case 1 =>
+        val out = SnappyCodec.decompress(
+          java.util.Arrays.copyOfRange(b, off, off + len),
+          math.max(outLen, 1)).getOrElse(bad())
+        if (out.length != outLen) bad()
+        out
+      case 2 =>
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(b, off, len))
+        val out = new Array[Byte](outLen)
+        var n = 0
+        try {
+          while (n < outLen) {
+            val r = in.read(out, n, outLen - n)
+            if (r < 0) bad()
+            n += r
+          }
+          if (in.read() != -1) bad() // trailing content lies about size
+        } finally in.close()
+        out
+      case 6 =>
+        val out = ZstdDecode.decompress(
+          java.util.Arrays.copyOfRange(b, off, off + len),
+          math.max(outLen, 1)).getOrElse(bad())
+        if (out.length != outLen) bad()
+        out
+      case 7 =>
+        val out = Lz4Codec.decodeBlock(b, off, len, math.max(outLen, 1))
+          .getOrElse(bad())
+        if (out.length != outLen) bad()
+        out
+      case _ => bad()
+    }
+  }
+
+  // ---- the RLE / bit-packed hybrid (levels + dictionary indices) ----
+  /** Decode exactly `n` values of bit width `w` from b[off,end) into
+    * out[outOff..). Bit-packed runs may pad up to the next multiple of
+    * 8 values (discarded); RLE runs may not overshoot. Returns the
+    * consumed end offset. */
+  private[llm] def rleHybrid(b: Array[Byte], off: Int, end: Int, w: Int, n: Int,
+                        out: Array[Int], outOff: Int): Int = {
+    if (w < 0 || w > 32) bad()
+    if (w == 0) { java.util.Arrays.fill(out, outOff, outOff + n, 0); return off }
+    var p = off
+    var i = 0
+    val byteW = (w + 7) >> 3
+    while (i < n) {
+      // varint run header
+      var h = 0L; var sh = 0; var more = true
+      while (more) {
+        if (p >= end) bad()
+        val x = b(p) & 0xff; p += 1
+        h |= (x & 0x7fL) << sh
+        if ((x & 0x80) == 0) more = false else { sh += 7; if (sh > 35) bad() }
+      }
+      if ((h & 1L) == 0L) { // RLE run: count = h>>1, one literal value
+        val run = h >>> 1
+        if (run < 1 || run > (n - i).toLong) bad()
+        if (p + byteW > end) bad()
+        var v = 0L
+        var k = 0
+        while (k < byteW) { v |= (b(p + k) & 0xffL) << (8 * k); k += 1 }
+        p += byteW
+        if (w < 32 && (v >>> w) != 0L) bad() // literal wider than the width
+        val vi = v.toInt
+        var r = 0L
+        while (r < run) { out(outOff + i) = vi; i += 1; r += 1 }
+      } else { // bit-packed: h>>1 groups of 8 values, LSB-first
+        val groups = h >>> 1
+        if (groups < 1 || groups > 1L + (n - i).toLong / 8L) bad()
+        val total = groups * 8L
+        if (total > (n - i).toLong + 7L) bad() // only final-group padding
+        val bytes = groups * w // groups * 8 * w / 8
+        if (bytes > (end - p).toLong) bad()
+        var bitPos = 0L
+        var k = 0L
+        while (k < total) {
+          val bp = p + (bitPos >> 3).toInt
+          val shft = (bitPos & 7L).toInt
+          // gather up to w bits spanning ≤ 5 bytes
+          var v = 0L
+          var got = 0
+          var q = bp
+          while (got < shft + w) { v |= (b(q) & 0xffL) << got; got += 8; q += 1 }
+          val value = ((v >>> shft) & ((1L << w) - 1L)).toInt
+          if (k < (n - i).toLong) out(outOff + i + k.toInt) = value
+          bitPos += w
+          k += 1
+        }
+        i = math.min(n.toLong, i.toLong + total).toInt
+        p += bytes.toInt
+      }
+    }
+    p
+  }
+
+  // ---- PLAIN decoders (values only, non-null count) ----
+  /** Decode `n` PLAIN values of physical type `typ` from d[off,end);
+    * returns (values, consumedEnd). Booleans are bit-packed LSB-first. */
+  private def plainValues(typ: Int, typeLen: Int, d: Array[Byte], off: Int,
+                          end: Int, n: Int): (Array[AnyRef], Int) = {
+    val out = new Array[AnyRef](n)
+    var p = off
+    typ match {
+      case 0 => // BOOLEAN: bit-packed, LSB first
+        val bytes = (n + 7) >> 3
+        if (p + bytes > end) bad()
+        var i = 0
+        while (i < n) {
+          out(i) = java.lang.Boolean.valueOf(((d(p + (i >> 3)) >> (i & 7)) & 1) == 1)
+          i += 1
+        }
+        p += bytes
+      case 1 =>
+        if (p + 4L * n > end) bad()
+        var i = 0
+        while (i < n) {
+          out(i) = Integer.valueOf(le32(d, p)); p += 4; i += 1
+        }
+      case 2 =>
+        if (p + 8L * n > end) bad()
+        var i = 0
+        while (i < n) {
+          out(i) = java.lang.Long.valueOf(le64(d, p)); p += 8; i += 1
+        }
+      case 4 =>
+        if (p + 4L * n > end) bad()
+        var i = 0
+        while (i < n) {
+          out(i) = java.lang.Float.valueOf(java.lang.Float.intBitsToFloat(le32(d, p)))
+          p += 4; i += 1
+        }
+      case 5 =>
+        if (p + 8L * n > end) bad()
+        var i = 0
+        while (i < n) {
+          out(i) = java.lang.Double.valueOf(java.lang.Double.longBitsToDouble(le64(d, p)))
+          p += 8; i += 1
+        }
+      case 6 => // BYTE_ARRAY: 4-byte LE length + bytes
+        var i = 0
+        while (i < n) {
+          if (p + 4 > end) bad()
+          val len = le32(d, p); p += 4
+          if (len < 0 || len > end - p) bad()
+          out(i) = java.util.Arrays.copyOfRange(d, p, p + len)
+          p += len; i += 1
+        }
+      case 7 => // FIXED_LEN_BYTE_ARRAY
+        if (typeLen < 1 || p + typeLen.toLong * n > end) bad()
+        var i = 0
+        while (i < n) {
+          out(i) = java.util.Arrays.copyOfRange(d, p, p + typeLen)
+          p += typeLen; i += 1
+        }
+      case _ => bad() // INT96 and unknown types refuse
+    }
+    (out, p)
+  }
+
+  @inline private def le32(d: Array[Byte], p: Int): Int =
+    (d(p) & 0xff) | ((d(p + 1) & 0xff) << 8) | ((d(p + 2) & 0xff) << 16) | ((d(p + 3) & 0xff) << 24)
+  @inline private def le64(d: Array[Byte], p: Int): Long =
+    (le32(d, p) & 0xffffffffL) | (le32(d, p + 4).toLong << 32)
+
+  // ---- DELTA_BINARY_PACKED (encoding 5): the v2 writer's int default ----
+  /** Decode a DBP run expecting exactly `n` values; returns (longs,
+    * consumedEnd). Arithmetic wraps in 64 bits per the spec. */
+  private[llm] def deltaBinaryPacked(d: Array[Byte], off: Int, end: Int,
+                                n: Int): (Array[Long], Int) = {
+    var p = off
+    def varint(): Long = {
+      var v = 0L; var sh = 0
+      while (true) {
+        if (p >= end) bad()
+        val x = d(p) & 0xff; p += 1
+        v |= (x & 0x7fL) << sh
+        if ((x & 0x80) == 0) return v
+        sh += 7
+        if (sh > 63) bad()
+      }
+      v
+    }
+    def zz(): Long = { val v = varint(); (v >>> 1) ^ -(v & 1L) }
+    val blockSize = varint()
+    val miniBlocks = varint()
+    val total = varint()
+    if (blockSize < 128 || blockSize % 128 != 0 || blockSize > (1 << 20)) bad()
+    if (miniBlocks < 1 || blockSize % miniBlocks != 0) bad()
+    val perMini = (blockSize / miniBlocks).toInt
+    if (perMini % 32 != 0) bad()
+    if (total != n.toLong) bad() // the count cross-law vs the page header
+    val first = zz()
+    val out = new Array[Long](n)
+    if (n == 0) return (out, p)
+    out(0) = first
+    var produced = 1
+    var prev = first
+    while (produced < n) {
+      val minDelta = zz()
+      if (p + miniBlocks > end) bad()
+      val widths = new Array[Int](miniBlocks.toInt)
+      var m = 0
+      while (m < miniBlocks) { widths(m) = d(p) & 0xff; p += 1; m += 1 }
+      m = 0
+      while (m < miniBlocks) {
+        if (produced < n) {
+          val w = widths(m)
+          if (w > 64) bad()
+          val bytes = perMini * w / 8
+          if (p + bytes > end) bad()
+          var bitPos = 0L
+          var k = 0
+          while (k < perMini) {
+            var delta = 0L
+            if (w > 0) {
+              var got = 0
+              var v = 0L
+              val bp = p + (bitPos >> 3).toInt
+              val shft = (bitPos & 7L).toInt
+              var q = bp
+              while (got < shft + w && q < p + bytes) { v |= (d(q) & 0xffL) << got; got += 8; q += 1 }
+              // a width-64 value may need 9 bytes' worth of bits: gather via two reads
+              if (shft + w > 64) {
+                // low part from v; high bits from the following byte
+                val lowBits = 64 - shft
+                val low = v >>> shft
+                val hi = (d(bp + 8) & 0xffL) << lowBits
+                delta = (low | hi) & (if (w == 64) -1L else (1L << w) - 1L)
+              } else {
+                delta = (v >>> shft) & (if (w == 64) -1L else (1L << w) - 1L)
+              }
+            }
+            if (produced < n) {
+              prev = prev + minDelta + delta
+              out(produced) = prev
+              produced += 1
+            }
+            bitPos += w
+            k += 1
+          }
+          p += bytes
+        }
+        m += 1
+      }
+    }
+    (out, p)
+  }
+
+  // ---- DELTA_LENGTH_BYTE_ARRAY (6) / DELTA_BYTE_ARRAY (7) ----
+  private def deltaLengthByteArray(d: Array[Byte], off: Int, end: Int,
+                                   n: Int): (Array[Array[Byte]], Int) = {
+    val (lens, p0) = deltaBinaryPacked(d, off, end, n)
+    var p = p0
+    val out = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val len = lens(i)
+      if (len < 0 || len > end - p) bad()
+      out(i) = java.util.Arrays.copyOfRange(d, p, p + len.toInt)
+      p += len.toInt
+      i += 1
+    }
+    (out, p)
+  }
+  private def deltaByteArray(d: Array[Byte], off: Int, end: Int,
+                             n: Int): (Array[Array[Byte]], Int) = {
+    val (prefixes, p0) = deltaBinaryPacked(d, off, end, n)
+    val (suffixes, p1) = deltaLengthByteArray(d, p0, end, n)
+    val out = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val pl = prefixes(i)
+      if (pl < 0) bad()
+      if (i == 0) {
+        if (pl != 0L) bad() // the first value has nothing to share
+        out(0) = suffixes(0)
+      } else {
+        val prev = out(i - 1)
+        if (pl > prev.length) bad()
+        val s = suffixes(i)
+        val v = new Array[Byte](pl.toInt + s.length)
+        System.arraycopy(prev, 0, v, 0, pl.toInt)
+        System.arraycopy(s, 0, v, pl.toInt, s.length)
+        out(i) = v
+      }
+      i += 1
+    }
+    (out, p1)
+  }
+
+  // ---- BYTE_STREAM_SPLIT (9): k byte-planes for FLOAT/DOUBLE ----
+  private[llm] def byteStreamSplit(typ: Int, d: Array[Byte], off: Int, end: Int,
+                              n: Int): (Array[AnyRef], Int) = {
+    val width = typ match { case 4 => 4; case 5 => 8; case _ => bad() }
+    if (off + width.toLong * n > end) bad()
+    val out = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      var v = 0L
+      var k = 0
+      while (k < width) { v |= (d(off + k * n + i) & 0xffL) << (8 * k); k += 1 }
+      out(i) = if (typ == 4) java.lang.Float.valueOf(java.lang.Float.intBitsToFloat(v.toInt))
+               else java.lang.Double.valueOf(java.lang.Double.longBitsToDouble(v))
+      i += 1
+    }
+    (out, off + width * n)
+  }
+
+  /** Convert raw decoded values to the leaf's logical surface: UTF8 /
+    * ENUM / JSON byte arrays become validated Strings; DECIMAL becomes
+    * java.math.BigDecimal at the declared scale. */
+  private def finishValues(leaf: Leaf, vals: Array[AnyRef]): Array[AnyRef] = {
+    val conv = leaf.convertedType
+    // always a fresh array: callers may hand a covariant Array[Array[Byte]]
+    if (leaf.typ == 6 && (conv == 0 || conv == 4 || conv == 19)) {
+      val out = new Array[AnyRef](vals.length)
+      var i = 0
+      while (i < vals.length) {
+        val bs = vals(i).asInstanceOf[Array[Byte]]
+        val s = new String(bs, java.nio.charset.StandardCharsets.UTF_8)
+        if (!java.util.Arrays.equals(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), bs)) bad()
+        out(i) = s
+        i += 1
+      }
+      out
+    } else if (conv == 5) { // DECIMAL
+      if (leaf.scale < 0 || leaf.precision < 1 || leaf.scale > leaf.precision) bad()
+      val out = new Array[AnyRef](vals.length)
+      var i = 0
+      while (i < vals.length) {
+        out(i) = vals(i) match {
+          case v: Integer => java.math.BigDecimal.valueOf(v.longValue, leaf.scale)
+          case v: java.lang.Long => java.math.BigDecimal.valueOf(v.longValue, leaf.scale)
+          case bs: Array[Byte] =>
+            if (bs.length < 1 || bs.length > 32) bad()
+            new java.math.BigDecimal(new java.math.BigInteger(bs), leaf.scale)
+          case _ => bad()
+        }
+        val bd = out(i).asInstanceOf[java.math.BigDecimal]
+        if (bd.unscaledValue.abs.toString.length > leaf.precision) bad()
+        i += 1
+      }
+      out
+    } else vals
+  }
+
+  /** Decode one column chunk (one leaf of one row group) to boxed
+    * values with nulls. The full page-walk law set from the header
+    * comment applies. */
+  def readColumn(b: Array[Byte], meta: Meta, rgIdx: Int, leafIdx: Int,
+                 maxVals: Int = 1 << 26): Option[Array[AnyRef]] = try {
+    if (rgIdx < 0 || rgIdx >= meta.rowGroups.length) return None
+    if (leafIdx < 0 || leafIdx >= meta.leaves.length) return None
+    val leaf = meta.leaves(leafIdx)
+    val chunk = meta.rowGroups(rgIdx).chunks(leafIdx)
+    if (leaf.maxRep != 0 || leaf.maxDef > 1) return None // flat-only pin
+    if (chunk.numValues > maxVals) return None
+    val n = chunk.numValues.toInt
+    val start = (if (chunk.dictOff >= 0) chunk.dictOff else chunk.dataOff).toInt
+    val endC = start + chunk.totalCompressed.toInt
+    if (endC > b.length) return None
+
+    var dict: Array[AnyRef] = null
+    val out = new Array[AnyRef](n)
+    var outN = 0
+    var pos = start
+    var sawData = false
+    val crc32 = new java.util.zip.CRC32
+
+    while (pos < endC) {
+      val tr = new TR(b, pos, endC)
+      var pType = -1
+      var uncomp = Int.MinValue
+      var comp = Int.MinValue
+      var crc = 0L
+      var hasCrc = false
+      // v1 data page header
+      var v1Num = -1; var v1Enc = -1; var v1DefEnc = -1; var v1RepEnc = -1
+      // dictionary page header
+      var dNum = -1; var dEnc = -1
+      // v2 data page header
+      var v2Num = -1; var v2Nulls = -1; var v2Rows = -1; var v2Enc = -1
+      var v2DefLen = -1; var v2RepLen = -1; var v2Compressed = true
+      tr.struct(0) { (fid, t) =>
+        (fid, t) match {
+          case (1, 5) => pType = tr.i32(); true
+          case (2, 5) => uncomp = tr.i32(); true
+          case (3, 5) => comp = tr.i32(); true
+          case (4, 5) => crc = tr.i32().toLong & 0xffffffffL; hasCrc = true; true
+          case (5, 12) =>
+            tr.struct(1) { (f2, t2) =>
+              (f2, t2) match {
+                case (1, 5) => v1Num = tr.i32(); true
+                case (2, 5) => v1Enc = tr.i32(); true
+                case (3, 5) => v1DefEnc = tr.i32(); true
+                case (4, 5) => v1RepEnc = tr.i32(); true
+                case _ => false
+              }
+            }
+            true
+          case (7, 12) =>
+            tr.struct(1) { (f2, t2) =>
+              (f2, t2) match {
+                case (1, 5) => dNum = tr.i32(); true
+                case (2, 5) => dEnc = tr.i32(); true
+                case _ => false
+              }
+            }
+            true
+          case (8, 12) =>
+            tr.struct(1) { (f2, t2) =>
+              (f2, t2) match {
+                case (1, 5) => v2Num = tr.i32(); true
+                case (2, 5) => v2Nulls = tr.i32(); true
+                case (3, 5) => v2Rows = tr.i32(); true
+                case (4, 5) => v2Enc = tr.i32(); true
+                case (5, 5) => v2DefLen = tr.i32(); true
+                case (6, 5) => v2RepLen = tr.i32(); true
+                case (7, 1) => v2Compressed = true; true
+                case (7, 2) => v2Compressed = false; true
+                case _ => false
+              }
+            }
+            true
+          case _ => false
+        }
+      }
+      val payload = tr.p
+      if (comp < 0 || uncomp < 0 || uncomp > (1 << 30)) bad()
+      if (payload + comp.toLong > endC) bad()
+      if (hasCrc) { // CRC-32 over the stored (compressed) page bytes
+        crc32.reset()
+        crc32.update(b, payload, comp)
+        if (crc32.getValue != crc) bad()
+      }
+
+      pType match {
+        case 2 => // dictionary page: first, once, only where declared
+          if (dict != null || sawData || chunk.dictOff < 0 || pos != start) bad()
+          if (dNum < 0 || dNum > maxVals) bad()
+          if (dEnc != 0 && dEnc != 2) bad() // PLAIN / PLAIN_DICTIONARY
+          val d = inflatePage(chunk.codec, b, payload, comp, uncomp)
+          val (vals, consumed) = plainValues(leaf.typ, leaf.typeLength, d, 0, d.length, dNum)
+          if (consumed != d.length) bad()
+          dict = finishValues(leaf, vals)
+        case 0 => // v1 data page
+          sawData = true
+          if (v1Num < 0 || v1Num > n - outN) bad()
+          val d = inflatePage(chunk.codec, b, payload, comp, uncomp)
+          var p = 0
+          val levels = new Array[Int](v1Num)
+          if (leaf.maxDef == 1) {
+            if (v1DefEnc != 3) bad() // RLE (BIT_PACKED legacy refuses)
+            if (p + 4 > d.length) bad()
+            val L = le32(d, p); p += 4
+            if (L < 0 || L > d.length - p) bad()
+            val consumed = rleHybrid(d, p, p + L, 1, v1Num, levels, 0)
+            if (consumed != p + L) bad() // the prefix states the exact bytes
+            p += L
+          } // maxDef == 0: REQUIRED, no def section; levels stay 0=present
+          val nonNull = if (leaf.maxDef == 1) levels.count(_ == 1) else v1Num
+          if (leaf.maxDef == 0) java.util.Arrays.fill(levels, 1)
+          val vals = decodeDataValues(leaf, v1Enc, d, p, d.length, nonNull, dict, maxVals)
+          mergeLevels(out, outN, levels, v1Num, vals)
+          outN += v1Num
+        case 3 => // v2 data page
+          sawData = true
+          if (v2Num < 0 || v2Num > n - outN) bad()
+          if (v2Nulls < 0 || v2Nulls > v2Num) bad()
+          if (v2Rows < 0) bad()
+          if (v2RepLen != 0) bad() // flat: no repetition section
+          if (v2DefLen < 0 || payload + v2DefLen.toLong > endC) bad()
+          if (v2Rows != v2Num) bad() // flat: one value per row
+          val levels = new Array[Int](v2Num)
+          if (leaf.maxDef == 1) {
+            val consumed = rleHybrid(b, payload, payload + v2DefLen, 1, v2Num, levels, 0)
+            if (consumed != payload + v2DefLen) bad()
+          } else {
+            if (v2DefLen != 0) bad()
+            java.util.Arrays.fill(levels, 1)
+          }
+          val nonNull = levels.count(_ == 1)
+          if (v2Num - nonNull != v2Nulls) bad() // the header's null census
+          val vRegionLen = comp - v2DefLen
+          if (vRegionLen < 0) bad()
+          val vUncomp = uncomp - v2DefLen
+          if (vUncomp < 0) bad()
+          val d =
+            if (v2Compressed) inflatePage(chunk.codec, b, payload + v2DefLen, vRegionLen, vUncomp)
+            else {
+              if (vRegionLen != vUncomp) bad()
+              java.util.Arrays.copyOfRange(b, payload + v2DefLen, payload + v2DefLen + vRegionLen)
+            }
+          val vals = decodeDataValues(leaf, v2Enc, d, 0, d.length, nonNull, dict, maxVals)
+          mergeLevels(out, outN, levels, v2Num, vals)
+          outN += v2Num
+        case _ => bad() // index pages live at index_page_offset, not here
+      }
+      pos = payload + comp
+    }
+    if (pos != endC) bad() // the chunk region is consumed exactly
+    if (outN != n) bad() // Σ page num_values == the chunk's census
+    if (chunk.dictOff >= 0 && dict == null) bad()
+    Some(out)
+  } catch {
+    case _: Bad => None
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NegativeArraySizeException => None
+  }
+
+  /** Decode a data page's value section (nonNull values) and verify it
+    * consumes [off,end) exactly. */
+  private def decodeDataValues(leaf: Leaf, enc: Int, d: Array[Byte], off: Int,
+                               end: Int, nonNull: Int, dict: Array[AnyRef],
+                               maxVals: Int): Array[AnyRef] = enc match {
+    case 0 => // PLAIN
+      val (vals, consumed) = plainValues(leaf.typ, leaf.typeLength, d, off, end, nonNull)
+      if (consumed != end) bad()
+      finishValues(leaf, vals)
+    case 2 | 8 => // PLAIN_DICTIONARY / RLE_DICTIONARY over the dict page
+      if (dict == null) bad()
+      if (off >= end && nonNull > 0) bad()
+      if (nonNull == 0) { if (off != end) bad(); new Array[AnyRef](0) }
+      else {
+        val w = d(off) & 0xff
+        if (w > 32) bad()
+        val idx = new Array[Int](nonNull)
+        val consumed = rleHybrid(d, off + 1, end, w, nonNull, idx, 0)
+        if (consumed != end) bad()
+        val vals = new Array[AnyRef](nonNull)
+        var i = 0
+        while (i < nonNull) {
+          val j = idx(i)
+          if (j < 0 || j >= dict.length) bad()
+          vals(i) = dict(j)
+          i += 1
+        }
+        vals
+      }
+    case 3 => // RLE-encoded values: BOOLEAN only, 4-byte length prefix
+      if (leaf.typ != 0) bad()
+      if (off + 4 > end) bad()
+      val L = le32(d, off)
+      if (L < 0 || off + 4 + L != end) bad()
+      val bits = new Array[Int](nonNull)
+      val consumed = rleHybrid(d, off + 4, end, 1, nonNull, bits, 0)
+      if (consumed != end) bad()
+      val vals = new Array[AnyRef](nonNull)
+      var i = 0
+      while (i < nonNull) { vals(i) = java.lang.Boolean.valueOf(bits(i) == 1); i += 1 }
+      vals
+    case 5 => // DELTA_BINARY_PACKED: INT32 / INT64
+      if (leaf.typ != 1 && leaf.typ != 2) bad()
+      val (longs, consumed) = deltaBinaryPacked(d, off, end, nonNull)
+      if (consumed != end) bad()
+      val vals = new Array[AnyRef](nonNull)
+      var i = 0
+      while (i < nonNull) {
+        vals(i) = if (leaf.typ == 1) Integer.valueOf(longs(i).toInt)
+                  else java.lang.Long.valueOf(longs(i))
+        i += 1
+      }
+      finishValues(leaf, vals)
+    case 6 => // DELTA_LENGTH_BYTE_ARRAY
+      if (leaf.typ != 6) bad()
+      val (arrs, consumed) = deltaLengthByteArray(d, off, end, nonNull)
+      if (consumed != end) bad()
+      finishValues(leaf, arrs.asInstanceOf[Array[AnyRef]])
+    case 7 => // DELTA_BYTE_ARRAY
+      if (leaf.typ != 6 && leaf.typ != 7) bad()
+      val (arrs, consumed) = deltaByteArray(d, off, end, nonNull)
+      if (consumed != end) bad()
+      if (leaf.typ == 7 && arrs.exists(_.length != leaf.typeLength)) bad()
+      finishValues(leaf, arrs.asInstanceOf[Array[AnyRef]])
+    case 9 => // BYTE_STREAM_SPLIT: FLOAT / DOUBLE planes
+      val (vals, consumed) = byteStreamSplit(leaf.typ, d, off, end, nonNull)
+      if (consumed != end) bad()
+      vals
+    case _ => bad() // BIT_PACKED(4) legacy and unknown encodings refuse
+  }
+
+  /** Interleave nonNull values into the output per definition levels. */
+  private def mergeLevels(out: Array[AnyRef], outOff: Int, levels: Array[Int],
+                          n: Int, vals: Array[AnyRef]): Unit = {
+    var i = 0
+    var v = 0
+    while (i < n) {
+      if (levels(i) == 1) { out(outOff + i) = vals(v); v += 1 }
+      else if (levels(i) != 0) bad()
+      i += 1
+    }
+    if (v != vals.length) bad()
+  }
+
+  /** Read whole columns by name across all row groups. Returns the
+    * resolved leaves (declared order of `names`) and per-column value
+    * arrays of length numRows. */
+  def readTable(b: Array[Byte], names: Seq[String],
+                maxVals: Int = 1 << 26): Option[(Seq[Leaf], Seq[Array[AnyRef]])] = {
+    val meta = parseMeta(b).getOrElse(return None)
+    if (meta.numRows > maxVals) return None
+    val idxs = names.map(nm => meta.leaves.indexWhere(_.name == nm))
+    if (idxs.exists(_ < 0)) return None
+    val total = meta.numRows.toInt
+    val cols = idxs.map { li =>
+      val col = new Array[AnyRef](total)
+      var at = 0
+      var rg = 0
+      while (rg < meta.rowGroups.length) {
+        val part = readColumn(b, meta, rg, li, maxVals).getOrElse(return None)
+        System.arraycopy(part, 0, col, at, part.length)
+        at += part.length
+        rg += 1
+      }
+      if (at != total) return None
+      col
+    }
+    Some((idxs.map(meta.leaves), cols))
+  }
+}

@@ -2231,6 +2231,114 @@ object Docs {
       |  's_suppkey,s_name,s_nationkey,s_acctbal' FROM supplier
       |ORDER BY tbl""".stripMargin
 
+  /** Native parquet VALUE decode under the oracle (see
+    * [[graft.llm.ParquetRead]]): the orders table's six columns decode
+    * through OUR page decoder — thrift compact page headers, snappy
+    * page decompression, RLE/bit-packed definition levels, PLAIN
+    * dictionary pages, RLE_DICTIONARY indices — and DuckDB's own scan
+    * of the SAME file is the oracle, row for row and value for value
+    * (the timestamp column compares as raw epoch micros, its physical
+    * INT64). Scale shape: stage 1 reads only the footer to enumerate
+    * row groups; stage 2 spreads (file, rowGroup) pairs so each task
+    * decodes its row group's column chunks independently — the
+    * lake-scan split law (row group = input split) a 1000-executor
+    * cluster relies on. */
+  def parquetReadNative(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.ParquetRead
+    val names = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val path = s"$d/orders.parquet"
+    val rgs = s.createDataset(Seq(path)).flatMap { p =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      ParquetRead.parseMeta(bytes).toSeq
+        .flatMap(m => m.rowGroups.indices.map(i => (p, i)))
+    }
+    val out = rgs.repartition(8).flatMap { case (p, rg) =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      ParquetRead.parseMeta(bytes).toSeq.flatMap { meta =>
+        val idxs = names.map(nm => meta.leaves.indexWhere(_.name == nm))
+        val cols = idxs.map(li =>
+          if (li < 0) None else ParquetRead.readColumn(bytes, meta, rg, li))
+        if (cols.exists(_.isEmpty)) Seq.empty // refusal = missing rows, the gate flags it
+        else {
+          val cs = cols.map(_.get)
+          (0 until cs.head.length).map { i =>
+            (cs(0)(i).asInstanceOf[Long], cs(1)(i).asInstanceOf[Long],
+              cs(2)(i).asInstanceOf[String], cs(3)(i).asInstanceOf[Double],
+              cs(4)(i).asInstanceOf[Long], cs(5)(i).asInstanceOf[String])
+          }
+        }
+      }
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate_us", "o_orderpriority")
+    out.orderBy($"o_orderkey")
+  }
+
+  /** DuckDB scans the SAME parquet file — a per-row, per-value
+    * comparison against a third independent page decoder. */
+  val parquetReadNativeSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Native parquet decode feeding a Spark aggregation: lineitem's
+    * five columns (INT32 linenumber included) decode through
+    * [[graft.llm.ParquetRead]] per row group, then the engine
+    * aggregates with the q_agg_pricing decimal discipline — proving
+    * decoded values survive the full relational path, not just a dump.
+    * DuckDB aggregates its own scan of the same file. */
+  def parquetReadAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.ParquetRead
+    val names = Seq("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_orderkey", "l_linenumber")
+    val path = s"$d/lineitem.parquet"
+    val rgs = s.createDataset(Seq(path)).flatMap { p =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      ParquetRead.parseMeta(bytes).toSeq
+        .flatMap(m => m.rowGroups.indices.map(i => (p, i)))
+    }
+    val rows = rgs.repartition(8).flatMap { case (p, rg) =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      ParquetRead.parseMeta(bytes).toSeq.flatMap { meta =>
+        val idxs = names.map(nm => meta.leaves.indexWhere(_.name == nm))
+        val cols = idxs.map(li =>
+          if (li < 0) None else ParquetRead.readColumn(bytes, meta, rg, li))
+        if (cols.exists(_.isEmpty)) Seq.empty
+        else {
+          val cs = cols.map(_.get)
+          (0 until cs.head.length).map { i =>
+            (cs(0)(i).asInstanceOf[String], cs(1)(i).asInstanceOf[String],
+              cs(2)(i).asInstanceOf[Double], cs(3)(i).asInstanceOf[Double],
+              cs(4)(i).asInstanceOf[Long], cs(5)(i).asInstanceOf[Int])
+          }
+        }
+      }
+    }.toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+      "l_orderkey", "l_linenumber")
+    rows.groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"l_quantity".cast("decimal(18,4)")).cast("decimal(38,6)")
+          .cast("double").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(18,4)")).cast("decimal(38,6)")
+          .cast("double").as("sum_price"),
+        sum($"l_orderkey").as("sum_okey"),
+        sum($"l_linenumber".cast("long")).as("sum_lnum"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val parquetReadAggSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(l_linenumber) AS BIGINT) AS sum_lnum
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   /** Iceberg snapshot reconstruction under the oracle (see
     * [[graft.llm.IcebergSnap]]): per-key tables of 1-3 manifests with
     * 2-4 entries each (every (k+m+e) mod 5 = 0 entry DELETED — the
@@ -3066,6 +3174,8 @@ object Docs {
     "q_arrow_read" -> (arrowRead _),
     "q_delta_log" -> (deltaLog _),
     "q_parquet_footer" -> (parquetFooter _),
+    "q_parquet_read_native" -> (parquetReadNative _),
+    "q_parquet_read_agg" -> (parquetReadAgg _),
     "q_iceberg_snap" -> (icebergSnap _),
     "q_safetensors_read" -> (safetensorsRead _),
     "q_npz_read" -> (npzRead _),
@@ -3098,6 +3208,8 @@ object Docs {
     "q_arrow_read" -> arrowReadSql,
     "q_delta_log" -> deltaLogSql,
     "q_parquet_footer" -> parquetFooterSql,
+    "q_parquet_read_native" -> parquetReadNativeSql,
+    "q_parquet_read_agg" -> parquetReadAggSql,
     "q_iceberg_snap" -> icebergSnapSql,
     "q_safetensors_read" -> safetensorsReadSql,
     "q_npz_read" -> npzReadSql,
