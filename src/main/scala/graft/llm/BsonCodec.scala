@@ -1,0 +1,212 @@
+package graft.llm
+
+/** BSON decode — bsonspec.org (version 1.1): a document is
+  * `int32 totalSize, e_list, 0x00`, little-endian throughout. Element
+  * types understood: double(0x01), string(0x02), embedded
+  * document(0x03), array(0x04 — whose keys MUST be "0","1",… in
+  * order, the spec's array law), binary(0x05, any subtype, rendered
+  * with the subtype), ObjectId(0x07), bool(0x08 — only 0x00/0x01),
+  * UTC datetime(0x09), null(0x0A), regex(0x0B — two cstrings),
+  * int32(0x10), timestamp(0x11), int64(0x12), decimal128 and the
+  * deprecated family refuse (honest pin).
+  *
+  * Canonical render matches [[MsgPackCodec]]'s conventions, with the
+  * BSON-specific leaves: ObjectId→`oid:<24 hex>`,
+  * binary→`bin(<subtype>):hex`, datetime→`dt(<ms>)`,
+  * timestamp→`tsraw(<u64 as two u32s t,i>)`, regex→`re("p","o")`.
+  *
+  * Laws (refuse, never garble): the declared totalSize must equal the
+  * consumed span exactly (documents AND embedded ones); strings carry
+  * an int32 length that must land exactly on their NUL terminator and
+  * the payload must be valid UTF-8; cstrings may not contain NUL;
+  * bools only 0/1; array keys must be the canonical decimal sequence;
+  * nesting ≤ 64; every length bounds-checked. */
+object BsonCodec {
+
+  private final class Bad extends RuntimeException
+  private def bad(): Nothing = throw new Bad
+
+  def decode(b: Array[Byte], maxBytes: Int = 1 << 26): Option[String] = try {
+    if (b == null || b.length < 5 || b.length > maxBytes) return None
+    val st = new St(b)
+    val s = document(st, 0, asArray = false)
+    if (st.p != b.length) return None
+    Some(s)
+  } catch { case _: Bad | _: StackOverflowError => None }
+
+  private final class St(val b: Array[Byte]) { var p = 0 }
+
+  private def u8(st: St): Int = {
+    if (st.p >= st.b.length) bad()
+    val v = st.b(st.p) & 0xff; st.p += 1; v
+  }
+  private def le32(st: St): Int = {
+    if (st.p + 4 > st.b.length) bad()
+    val v = (st.b(st.p) & 0xff) | ((st.b(st.p + 1) & 0xff) << 8) |
+      ((st.b(st.p + 2) & 0xff) << 16) | ((st.b(st.p + 3) & 0xff) << 24)
+    st.p += 4
+    v
+  }
+  private def le64(st: St): Long = {
+    val lo = le32(st).toLong & 0xffffffffL
+    val hi = le32(st).toLong & 0xffffffffL
+    lo | (hi << 32)
+  }
+  private def take(st: St, n: Int): Array[Byte] = {
+    if (n < 0 || n > st.b.length - st.p) bad()
+    val out = java.util.Arrays.copyOfRange(st.b, st.p, st.p + n)
+    st.p += n
+    out
+  }
+  private def cstring(st: St): String = {
+    val start = st.p
+    while (st.p < st.b.length && st.b(st.p) != 0) st.p += 1
+    if (st.p >= st.b.length) bad()
+    val bs = java.util.Arrays.copyOfRange(st.b, start, st.p)
+    st.p += 1 // the NUL
+    utf8(bs)
+  }
+  private def utf8(bs: Array[Byte]): String = {
+    val s = new String(bs, java.nio.charset.StandardCharsets.UTF_8)
+    if (!java.util.Arrays.equals(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), bs)) bad()
+    s
+  }
+  private def bsonString(st: St): String = {
+    val n = le32(st) // length INCLUDING the NUL terminator
+    if (n < 1 || n > st.b.length - st.p) bad()
+    val bs = take(st, n)
+    if (bs(n - 1) != 0) bad() // must land exactly on its terminator
+    utf8(java.util.Arrays.copyOfRange(bs, 0, n - 1))
+  }
+  private def hex(bs: Array[Byte]): String = {
+    val sb = new StringBuilder(bs.length * 2)
+    bs.foreach(x => sb.append(f"${x & 0xff}%02x"))
+    sb.toString
+  }
+
+  private def renderDouble(d: Double): String = {
+    if (d.isNaN || d.isInfinite) bad()
+    java.lang.Double.toString(d)
+  }
+
+  private def document(st: St, depth: Int, asArray: Boolean): String = {
+    if (depth > 64) bad()
+    val start = st.p
+    val total = le32(st)
+    if (total < 5 || total > st.b.length - start) bad()
+    val end = start + total
+    val sb = new StringBuilder
+    sb.append(if (asArray) '[' else '{')
+    var idx = 0
+    var stop = false
+    while (!stop) {
+      if (st.p >= end) bad()
+      val t = u8(st)
+      if (t == 0) stop = true
+      else {
+        if (idx > 0) sb.append(',')
+        val name = cstring(st)
+        if (asArray) {
+          if (name != idx.toString) bad() // the array-key law
+        } else {
+          sb.append(MsgPackCodec.quote(name)).append(':')
+        }
+        sb.append(element(st, t, depth))
+        idx += 1
+      }
+    }
+    if (st.p != end) bad() // totalSize is exact
+    sb.append(if (asArray) ']' else '}')
+    sb.toString
+  }
+
+  private def element(st: St, t: Int, depth: Int): String = t match {
+    case 0x01 => renderDouble(java.lang.Double.longBitsToDouble(le64(st)))
+    case 0x02 => MsgPackCodec.quote(bsonString(st))
+    case 0x03 => document(st, depth + 1, asArray = false)
+    case 0x04 => document(st, depth + 1, asArray = true)
+    case 0x05 =>
+      val n = le32(st)
+      val sub = u8(st)
+      if (sub == 0x02) { // the deprecated "old binary": inner length prefix
+        if (n < 4) bad()
+        val inner = le32(st)
+        if (inner != n - 4) bad()
+        s"bin(2):" + hex(take(st, inner))
+      } else s"bin($sub):" + hex(take(st, n))
+    case 0x07 => "oid:" + hex(take(st, 12))
+    case 0x08 => u8(st) match {
+      case 0 => "false"
+      case 1 => "true"
+      case _ => bad() // the spec allows only 0x00/0x01
+    }
+    case 0x09 => s"dt(${le64(st)})"
+    case 0x0a => "null"
+    case 0x0b =>
+      val pat = cstring(st)
+      val opts = cstring(st)
+      s"re(${MsgPackCodec.quote(pat)},${MsgPackCodec.quote(opts)})"
+    case 0x10 => le32(st).toString
+    case 0x11 =>
+      val v = le64(st)
+      s"tsraw(${v >>> 32},${v & 0xffffffffL})" // (t seconds, i increment)
+    case 0x12 => le64(st).toString
+    case _ => bad() // decimal128, code-with-scope, minkey… refuse
+  }
+
+  // ---- the writer (gate fixtures) ----
+
+  import MsgPackCodec.{V, VInt, VStr, VBool, VNull, VFloat, VBin, VArr, VMap, VTs}
+
+  /** Encode a top-level map as a BSON document. Ints in int32 range
+    * encode as 0x10, larger as 0x12; VTs becomes UTC datetime (ms). */
+  def encode(doc: Seq[(String, V)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    encDoc(out, doc)
+    out.toByteArray
+  }
+
+  private def encDoc(out: java.io.ByteArrayOutputStream, kvs: Seq[(String, V)]): Unit = {
+    val body = new java.io.ByteArrayOutputStream
+    kvs.foreach { case (k, v) => encElem(body, k, v) }
+    val total = 4 + body.size() + 1
+    w32(out, total)
+    body.writeTo(out)
+    out.write(0)
+  }
+
+  private def w32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+    out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+  }
+  private def w64(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    w32(out, v.toInt); w32(out, (v >>> 32).toInt)
+  }
+  private def cstr(out: java.io.ByteArrayOutputStream, s: String): Unit = {
+    val bs = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out.write(bs, 0, bs.length); out.write(0)
+  }
+
+  private def encElem(out: java.io.ByteArrayOutputStream, k: String, v: V): Unit = v match {
+    case VNull => out.write(0x0a); cstr(out, k)
+    case VBool(x) => out.write(0x08); cstr(out, k); out.write(if (x) 1 else 0)
+    case VInt(x) if x >= Int.MinValue && x <= Int.MaxValue =>
+      out.write(0x10); cstr(out, k); w32(out, x.toInt)
+    case VInt(x) => out.write(0x12); cstr(out, k); w64(out, x)
+    case VFloat(x) =>
+      out.write(0x01); cstr(out, k); w64(out, java.lang.Double.doubleToLongBits(x))
+    case VStr(s) =>
+      out.write(0x02); cstr(out, k)
+      val bs = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      w32(out, bs.length + 1); out.write(bs, 0, bs.length); out.write(0)
+    case VBin(bs) =>
+      out.write(0x05); cstr(out, k); w32(out, bs.length); out.write(0) // subtype 0
+      out.write(bs, 0, bs.length)
+    case VArr(xs) =>
+      out.write(0x04); cstr(out, k)
+      encDoc(out, xs.zipWithIndex.map { case (x, i) => (i.toString, x) })
+    case VMap(kvs) => out.write(0x03); cstr(out, k); encDoc(out, kvs)
+    case VTs(sec, nsec) =>
+      out.write(0x09); cstr(out, k); w64(out, sec * 1000L + nsec / 1000000)
+  }
+}

@@ -1,0 +1,257 @@
+package graft.llm
+
+/** CBOR decode — RFC 8949: all major types (unsigned/negative ints,
+  * byte and text strings both definite and INDEFINITE-length (chunked
+  * with the break stop code; chunks must be definite strings of the
+  * same major type, and each text chunk must itself be valid UTF-8 —
+  * the RFC's chunk law), arrays and maps definite and indefinite,
+  * tags, simples, float16 (IEEE 754 half, subnormals included) /
+  * float32 / float64).
+  *
+  * Canonical text render matches [[MsgPackCodec]]'s conventions:
+  * `null` / `true` / `false` / `undefined`, integers decimal (beyond
+  * the JVM long refuses — the same pin), floats via Java's shortest
+  * round-trip, text→quoted, bytes→`hex:`, array→`[..]`,
+  * map→`{"k":v}` in encounter order with TEXT keys only, tag N →
+  * `tag(N,v)` (structural honesty — tag semantics stay with the
+  * caller), simple N → `simple(N)`.
+  *
+  * Laws (refuse, never garble): argument encodings 28-30 are reserved
+  * and refuse; break (0xff) only where an indefinite container allows
+  * it; nesting depth ≤ 64; every length bounds-checked; non-finite
+  * floats refuse (nothing downstream can replay them closed-form);
+  * exact consumption of the buffer. */
+object CborCodec {
+
+  private final class Bad extends RuntimeException
+  private def bad(): Nothing = throw new Bad
+
+  def decode(b: Array[Byte], maxBytes: Int = 1 << 26): Option[String] = try {
+    if (b == null || b.length < 1 || b.length > maxBytes) return None
+    val st = new St(b)
+    val s = value(st, 0)
+    if (st.p != b.length) return None
+    Some(s)
+  } catch { case _: Bad | _: StackOverflowError => None }
+
+  private final class St(val b: Array[Byte]) { var p = 0 }
+
+  private def u8(st: St): Int = {
+    if (st.p >= st.b.length) bad()
+    val v = st.b(st.p) & 0xff; st.p += 1; v
+  }
+  private def peek(st: St): Int = {
+    if (st.p >= st.b.length) bad()
+    st.b(st.p) & 0xff
+  }
+  private def take(st: St, n: Int): Array[Byte] = {
+    if (n < 0 || n > st.b.length - st.p) bad()
+    val out = java.util.Arrays.copyOfRange(st.b, st.p, st.p + n)
+    st.p += n
+    out
+  }
+  private def beN(st: St, n: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < n) { v = (v << 8) | u8(st); i += 1 }
+    v
+  }
+
+  /** Argument of a head byte: Some(n) definite, None indefinite (31). */
+  private def arg(st: St, ai: Int): Option[Long] = ai match {
+    case x if x < 24 => Some(x.toLong)
+    case 24 => Some(beN(st, 1))
+    case 25 => Some(beN(st, 2))
+    case 26 => Some(beN(st, 4))
+    case 27 =>
+      val v = beN(st, 8)
+      if (v < 0) bad() // beyond the JVM long: the engine-wide pin
+      Some(v)
+    case 31 => None
+    case _ => bad() // 28-30 reserved (RFC 8949 §3)
+  }
+
+  private def utf8(bs: Array[Byte]): String = {
+    val s = new String(bs, java.nio.charset.StandardCharsets.UTF_8)
+    if (!java.util.Arrays.equals(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), bs)) bad()
+    s
+  }
+
+  private def hexRender(bs: Array[Byte]): String = {
+    val sb = new StringBuilder(4 + bs.length * 2)
+    sb.append("hex:")
+    bs.foreach(x => sb.append(f"${x & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** Definite or chunked string payload of major type `mt` (2 or 3). */
+  private def strPayload(st: St, mt: Int, lenOpt: Option[Long]): String = lenOpt match {
+    case Some(n) =>
+      if (n > Int.MaxValue) bad()
+      val bs = take(st, n.toInt)
+      if (mt == 2) hexRender(bs) else MsgPackCodec.quote(utf8(bs))
+    case None => // indefinite: definite chunks of the SAME type, then break
+      val out = new java.io.ByteArrayOutputStream
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      var stop = false
+      while (!stop) {
+        val h = u8(st)
+        if (h == 0xff) stop = true
+        else {
+          if ((h >>> 5) != mt) bad()
+          val ai = h & 0x1f
+          val n = arg(st, ai).getOrElse(bad()) // nested indefinite refuses
+          if (n > Int.MaxValue) bad()
+          val bs = take(st, n.toInt)
+          if (mt == 3) parts += utf8(bs) // each text chunk valid UTF-8
+          out.write(bs, 0, bs.length)
+        }
+      }
+      if (mt == 2) hexRender(out.toByteArray)
+      else MsgPackCodec.quote(parts.mkString)
+  }
+
+  private def value(st: St, depth: Int): String = {
+    if (depth > 64) bad()
+    val h = u8(st)
+    val mt = h >>> 5
+    val ai = h & 0x1f
+    mt match {
+      case 0 => arg(st, ai).getOrElse(bad()).toString
+      case 1 =>
+        val a = arg(st, ai).getOrElse(bad())
+        if (a < 0) bad()
+        (-1L - a).toString
+      case 2 | 3 => strPayload(st, mt, arg(st, ai))
+      case 4 =>
+        val sb = new StringBuilder
+        sb.append('[')
+        arg(st, ai) match {
+          case Some(n) =>
+            if (n > (st.b.length - st.p).toLong) bad()
+            var i = 0L
+            while (i < n) {
+              if (i > 0) sb.append(',')
+              sb.append(value(st, depth + 1))
+              i += 1
+            }
+          case None =>
+            var first = true
+            while (peek(st) != 0xff) {
+              if (!first) sb.append(',')
+              sb.append(value(st, depth + 1))
+              first = false
+            }
+            st.p += 1 // consume break
+        }
+        sb.append(']')
+        sb.toString
+      case 5 =>
+        val sb = new StringBuilder
+        sb.append('{')
+        def pair(first: Boolean): Unit = {
+          if (!first) sb.append(',')
+          val k = value(st, depth + 1)
+          if (k.length < 2 || k.charAt(0) != '"') bad() // text keys only
+          sb.append(k).append(':').append(value(st, depth + 1))
+        }
+        arg(st, ai) match {
+          case Some(n) =>
+            if (n > (st.b.length - st.p).toLong / 2) bad()
+            var i = 0L
+            while (i < n) { pair(i == 0); i += 1 }
+          case None =>
+            var first = true
+            while (peek(st) != 0xff) { pair(first); first = false }
+            st.p += 1
+        }
+        sb.append('}')
+        sb.toString
+      case 6 =>
+        val tag = arg(st, ai).getOrElse(bad())
+        s"tag($tag,${value(st, depth + 1)})"
+      case 7 => ai match {
+        case 20 => "false"
+        case 21 => "true"
+        case 22 => "null"
+        case 23 => "undefined"
+        case 24 =>
+          val n = beN(st, 1)
+          if (n < 32) bad() // RFC: two-byte simples < 32 are invalid
+          s"simple($n)"
+        case x if x < 20 => s"simple($x)"
+        case 25 => renderDouble(half(beN(st, 2).toInt))
+        case 26 => renderDouble(java.lang.Float.intBitsToFloat(beN(st, 4).toInt).toDouble)
+        case 27 => renderDouble(java.lang.Double.longBitsToDouble(beN(st, 8)))
+        case 31 => bad() // break outside an indefinite container
+        case _ => bad() // 28-30 reserved
+      }
+      case _ => bad()
+    }
+  }
+
+  /** IEEE 754 binary16 → double (sign / 5-bit exp / 10-bit mantissa,
+    * subnormals and the non-finite band included). */
+  private[llm] def half(h: Int): Double = {
+    val sign = if ((h & 0x8000) != 0) -1.0 else 1.0
+    val exp = (h >>> 10) & 0x1f
+    val man = h & 0x3ff
+    if (exp == 0) sign * man * math.pow(2, -24)
+    else if (exp == 31) { if (man == 0) sign * Double.PositiveInfinity else Double.NaN }
+    else sign * (1024 + man) * math.pow(2, exp - 25)
+  }
+
+  private def renderDouble(d: Double): String = {
+    if (d.isNaN || d.isInfinite) bad()
+    java.lang.Double.toString(d)
+  }
+
+  // ---- the writer (gate fixtures; minimal-length heads) ----
+
+  import MsgPackCodec.{V, VInt, VStr, VBool, VNull, VFloat, VBin, VArr, VMap, VTs}
+
+  def encode(v: V): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    enc(out, v)
+    out.toByteArray
+  }
+
+  private def head(out: java.io.ByteArrayOutputStream, mt: Int, n: Long): Unit = {
+    if (n < 24) out.write((mt << 5) | n.toInt)
+    else if (n <= 0xff) { out.write((mt << 5) | 24); out.write(n.toInt) }
+    else if (n <= 0xffff) {
+      out.write((mt << 5) | 25)
+      out.write((n >>> 8).toInt); out.write((n & 0xff).toInt)
+    } else if (n <= 0xffffffffL) {
+      out.write((mt << 5) | 26)
+      var i = 3
+      while (i >= 0) { out.write(((n >>> (8 * i)) & 0xff).toInt); i -= 1 }
+    } else {
+      out.write((mt << 5) | 27)
+      var i = 7
+      while (i >= 0) { out.write(((n >>> (8 * i)) & 0xff).toInt); i -= 1 }
+    }
+  }
+
+  private def enc(out: java.io.ByteArrayOutputStream, v: V): Unit = v match {
+    case VNull => out.write(0xf6)
+    case VBool(x) => out.write(if (x) 0xf5 else 0xf4)
+    case VInt(x) => if (x >= 0) head(out, 0, x) else head(out, 1, -1L - x)
+    case VFloat(x) =>
+      out.write(0xfb)
+      val bits = java.lang.Double.doubleToLongBits(x)
+      var i = 7
+      while (i >= 0) { out.write(((bits >>> (8 * i)) & 0xff).toInt); i -= 1 }
+    case VStr(s) =>
+      val bs = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      head(out, 3, bs.length); out.write(bs, 0, bs.length)
+    case VBin(bs) => head(out, 2, bs.length); out.write(bs, 0, bs.length)
+    case VArr(xs) => head(out, 4, xs.length); xs.foreach(enc(out, _))
+    case VMap(kvs) =>
+      head(out, 5, kvs.length)
+      kvs.foreach { case (k, x) => enc(out, VStr(k)); enc(out, x) }
+    case VTs(sec, nsec) => // tag 1, epoch seconds (int when whole)
+      head(out, 6, 1)
+      if (nsec == 0) enc(out, VInt(sec)) else enc(out, VFloat(sec + nsec / 1e9))
+  }
+}

@@ -1,0 +1,287 @@
+package graft.llm
+
+/** MessagePack decode — the msgpack spec (msgpack.org, spec.md): all
+  * format families (positive/negative fixint, fixstr/str8/16/32,
+  * bin8/16/32, fixarray/array16/32, fixmap/map16/32, nil, bool,
+  * uint8-64, int8-64, float32/64, fixext/ext8/16/32 with the
+  * timestamp extension type -1 in all three layouts: 32/64/96-bit).
+  *
+  * Values render to ONE canonical text so an independent engine can
+  * replay the expectation closed-form:
+  *   nil→`null`, bools, integers decimal (uint64 > Long.Max refuses —
+  *   the JVM-long pin), float32/64 via Java's shortest-round-trip
+  *   Double.toString, str→`"..."` with `\"` `\\` and `\u%04x` for
+  *   control chars, bin→`hex:<lowercase>`, array→`[a,b]`,
+  *   map→`{"k":v,...}` in ENCOUNTER order with STRING keys only (the
+  *   JSON-compatible pin: non-string keys refuse), timestamp→
+  *   `ts(sec,nsec)`.
+  *
+  * Laws (refuse, never garble): every length bounds-checked before
+  * allocation; nesting depth ≤ 64; str payloads must be valid UTF-8;
+  * timestamp layouts enforce nsec < 1e9 and the 34/30-bit field laws;
+  * non-timestamp ext types refuse (no silent opacity); `decode`
+  * demands EXACT consumption of the buffer. */
+object MsgPackCodec {
+
+  private final class Bad extends RuntimeException
+  private def bad(): Nothing = throw new Bad
+
+  /** Decode one value occupying the whole buffer. */
+  def decode(b: Array[Byte], maxBytes: Int = 1 << 26): Option[String] = try {
+    if (b == null || b.length < 1 || b.length > maxBytes) return None
+    val st = new St(b)
+    val s = value(st, 0)
+    if (st.p != b.length) return None // exact consumption
+    Some(s)
+  } catch { case _: Bad | _: StackOverflowError => None }
+
+  private final class St(val b: Array[Byte]) { var p = 0 }
+
+  private def u8(st: St): Int = {
+    if (st.p >= st.b.length) bad()
+    val v = st.b(st.p) & 0xff; st.p += 1; v
+  }
+  private def take(st: St, n: Int): Array[Byte] = {
+    if (n < 0 || n > st.b.length - st.p) bad()
+    val out = java.util.Arrays.copyOfRange(st.b, st.p, st.p + n)
+    st.p += n
+    out
+  }
+  private def beN(st: St, n: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < n) { v = (v << 8) | u8(st); i += 1 }
+    v
+  }
+
+  private def utf8(bs: Array[Byte]): String = {
+    val s = new String(bs, java.nio.charset.StandardCharsets.UTF_8)
+    if (!java.util.Arrays.equals(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), bs)) bad()
+    s
+  }
+
+  /** JSON-style string escaping shared by the canonical renders. */
+  private[llm] def quote(s: String): String = {
+    val sb = new StringBuilder(s.length + 2)
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '"') sb.append("\\\"")
+      else if (c == '\\') sb.append("\\\\")
+      else if (c < 0x20) sb.append(f"\\u${c.toInt}%04x")
+      else sb.append(c)
+      i += 1
+    }
+    sb.append('"')
+    sb.toString
+  }
+
+  private def hex(bs: Array[Byte]): String = {
+    val sb = new StringBuilder(4 + bs.length * 2)
+    sb.append("hex:")
+    bs.foreach(x => sb.append(f"${x & 0xff}%02x"))
+    sb.toString
+  }
+
+  private def str(st: St, n: Int): String = quote(utf8(take(st, n)))
+
+  private def seq(st: St, n: Long, depth: Int): String = {
+    if (n < 0 || n > (st.b.length - st.p).toLong) bad() // each element ≥ 1 byte
+    val sb = new StringBuilder
+    sb.append('[')
+    var i = 0L
+    while (i < n) {
+      if (i > 0) sb.append(',')
+      sb.append(value(st, depth + 1))
+      i += 1
+    }
+    sb.append(']')
+    sb.toString
+  }
+
+  private def map(st: St, n: Long, depth: Int): String = {
+    if (n < 0 || n > (st.b.length - st.p).toLong / 2) bad() // k+v ≥ 2 bytes
+    val sb = new StringBuilder
+    sb.append('{')
+    var i = 0L
+    while (i < n) {
+      if (i > 0) sb.append(',')
+      val k = value(st, depth + 1)
+      if (k.length < 2 || k.charAt(0) != '"') bad() // string keys only
+      sb.append(k).append(':').append(value(st, depth + 1))
+      i += 1
+    }
+    sb.append('}')
+    sb.toString
+  }
+
+  /** Timestamp ext (-1): the 32/64/96-bit layouts with the field laws. */
+  private def timestamp(data: Array[Byte]): String = data.length match {
+    case 4 =>
+      val sec = ((data(0) & 0xffL) << 24) | ((data(1) & 0xffL) << 16) |
+        ((data(2) & 0xffL) << 8) | (data(3) & 0xffL)
+      s"ts($sec,0)"
+    case 8 =>
+      var v = 0L
+      data.foreach(x => v = (v << 8) | (x & 0xffL))
+      val nsec = v >>> 34
+      val sec = v & ((1L << 34) - 1)
+      if (nsec >= 1000000000L) bad()
+      s"ts($sec,$nsec)"
+    case 12 =>
+      var nsec = 0L
+      var i = 0
+      while (i < 4) { nsec = (nsec << 8) | (data(i) & 0xffL); i += 1 }
+      var sec = 0L
+      while (i < 12) { sec = (sec << 8) | (data(i) & 0xffL); i += 1 }
+      if (nsec >= 1000000000L) bad()
+      s"ts($sec,$nsec)" // sec is signed 64-bit two's complement
+    case _ => bad()
+  }
+
+  private def ext(st: St, n: Int): String = {
+    val t = u8(st).toByte
+    val data = take(st, n)
+    if (t != -1) bad() // only the timestamp extension is understood
+    timestamp(data)
+  }
+
+  private def value(st: St, depth: Int): String = {
+    if (depth > 64) bad()
+    val h = u8(st)
+    h match {
+      case x if x <= 0x7f => x.toString // positive fixint
+      case x if x >= 0xe0 => (x - 256).toString // negative fixint
+      case x if (x & 0xf0) == 0x80 => map(st, x & 0x0f, depth) // fixmap
+      case x if (x & 0xf0) == 0x90 => seq(st, x & 0x0f, depth) // fixarray
+      case x if (x & 0xe0) == 0xa0 => str(st, x & 0x1f) // fixstr
+      case 0xc0 => "null"
+      case 0xc1 => bad() // never used (spec)
+      case 0xc2 => "false"
+      case 0xc3 => "true"
+      case 0xc4 => hex(take(st, beN(st, 1).toInt))
+      case 0xc5 => hex(take(st, beN(st, 2).toInt))
+      case 0xc6 =>
+        val n = beN(st, 4)
+        if (n > Int.MaxValue) bad()
+        hex(take(st, n.toInt))
+      case 0xc7 => ext(st, beN(st, 1).toInt) // ext8
+      case 0xc8 => ext(st, beN(st, 2).toInt) // ext16
+      case 0xc9 =>
+        val n = beN(st, 4)
+        if (n > Int.MaxValue) bad()
+        ext(st, n.toInt) // ext32
+      case 0xca => // float32
+        val bits = beN(st, 4).toInt
+        renderDouble(java.lang.Float.intBitsToFloat(bits).toDouble)
+      case 0xcb => // float64
+        renderDouble(java.lang.Double.longBitsToDouble(beN(st, 8)))
+      case 0xcc => beN(st, 1).toString // uint8
+      case 0xcd => beN(st, 2).toString // uint16
+      case 0xce => beN(st, 4).toString // uint32
+      case 0xcf => // uint64: the JVM-long pin
+        val v = beN(st, 8)
+        if (v < 0) bad()
+        v.toString
+      case 0xd0 => beN(st, 1).toByte.toLong.toString // int8
+      case 0xd1 => beN(st, 2).toShort.toLong.toString // int16
+      case 0xd2 => beN(st, 4).toInt.toLong.toString // int32
+      case 0xd3 => beN(st, 8).toString // int64
+      case 0xd4 => ext(st, 1) // fixext1
+      case 0xd5 => ext(st, 2)
+      case 0xd6 => ext(st, 4) // fixext4: the 32-bit timestamp rides here
+      case 0xd7 => ext(st, 8) // fixext8: the 64-bit timestamp
+      case 0xd8 => ext(st, 16)
+      case 0xd9 => str(st, beN(st, 1).toInt) // str8
+      case 0xda => str(st, beN(st, 2).toInt) // str16
+      case 0xdb =>
+        val n = beN(st, 4)
+        if (n > Int.MaxValue) bad()
+        str(st, n.toInt) // str32
+      case 0xdc => seq(st, beN(st, 2), depth) // array16
+      case 0xdd => seq(st, beN(st, 4), depth) // array32
+      case 0xde => map(st, beN(st, 2), depth) // map16
+      case 0xdf => map(st, beN(st, 4), depth) // map32
+      case _ => bad()
+    }
+  }
+
+  private def renderDouble(d: Double): String = {
+    if (d.isNaN || d.isInfinite) bad() // non-finite never enters the text
+    // integral floats render with .0 via Java's shortest form already
+    java.lang.Double.toString(d)
+  }
+
+  // ---- the writer (gate fixtures; minimal encodings) ----
+
+  sealed trait V
+  final case class VInt(v: Long) extends V
+  final case class VStr(v: String) extends V
+  final case class VBool(v: Boolean) extends V
+  case object VNull extends V
+  final case class VFloat(v: Double) extends V
+  final case class VBin(v: Array[Byte]) extends V
+  final case class VArr(v: Seq[V]) extends V
+  final case class VMap(v: Seq[(String, V)]) extends V
+  final case class VTs(sec: Long, nsec: Int) extends V
+
+  def encode(v: V): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    enc(out, v)
+    out.toByteArray
+  }
+
+  private def be(out: java.io.ByteArrayOutputStream, v: Long, n: Int): Unit = {
+    var i = n - 1
+    while (i >= 0) { out.write(((v >>> (8 * i)) & 0xff).toInt); i -= 1 }
+  }
+
+  private def enc(out: java.io.ByteArrayOutputStream, v: V): Unit = v match {
+    case VNull => out.write(0xc0)
+    case VBool(x) => out.write(if (x) 0xc3 else 0xc2)
+    case VInt(x) =>
+      if (x >= 0 && x <= 0x7f) out.write(x.toInt)
+      else if (x < 0 && x >= -32) out.write((x & 0xff).toInt)
+      else if (x >= 0 && x <= 0xff) { out.write(0xcc); be(out, x, 1) }
+      else if (x >= 0 && x <= 0xffff) { out.write(0xcd); be(out, x, 2) }
+      else if (x >= 0 && x <= 0xffffffffL) { out.write(0xce); be(out, x, 4) }
+      else if (x >= Byte.MinValue && x < 0) { out.write(0xd0); be(out, x, 1) }
+      else if (x >= Short.MinValue && x < 0) { out.write(0xd1); be(out, x, 2) }
+      else if (x >= Int.MinValue && x < 0) { out.write(0xd2); be(out, x, 4) }
+      else { out.write(0xd3); be(out, x, 8) }
+    case VFloat(x) => out.write(0xcb); be(out, java.lang.Double.doubleToLongBits(x), 8)
+    case VStr(s) =>
+      val bs = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (bs.length <= 31) out.write(0xa0 | bs.length)
+      else if (bs.length <= 0xff) { out.write(0xd9); be(out, bs.length, 1) }
+      else if (bs.length <= 0xffff) { out.write(0xda); be(out, bs.length, 2) }
+      else { out.write(0xdb); be(out, bs.length, 4) }
+      out.write(bs, 0, bs.length)
+    case VBin(bs) =>
+      if (bs.length <= 0xff) { out.write(0xc4); be(out, bs.length, 1) }
+      else if (bs.length <= 0xffff) { out.write(0xc5); be(out, bs.length, 2) }
+      else { out.write(0xc6); be(out, bs.length, 4) }
+      out.write(bs, 0, bs.length)
+    case VArr(xs) =>
+      if (xs.length <= 15) out.write(0x90 | xs.length)
+      else if (xs.length <= 0xffff) { out.write(0xdc); be(out, xs.length, 2) }
+      else { out.write(0xdd); be(out, xs.length, 4) }
+      xs.foreach(enc(out, _))
+    case VMap(kvs) =>
+      if (kvs.length <= 15) out.write(0x80 | kvs.length)
+      else if (kvs.length <= 0xffff) { out.write(0xde); be(out, kvs.length, 2) }
+      else { out.write(0xdf); be(out, kvs.length, 4) }
+      kvs.foreach { case (k, x) => enc(out, VStr(k)); enc(out, x) }
+    case VTs(sec, nsec) =>
+      if (nsec == 0 && sec >= 0 && sec <= 0xffffffffL) {
+        out.write(0xd6); out.write(0xff); be(out, sec, 4)
+      } else if (sec >= 0 && sec < (1L << 34) && nsec >= 0 && nsec < 1000000000) {
+        out.write(0xd7); out.write(0xff)
+        be(out, (nsec.toLong << 34) | sec, 8)
+      } else {
+        out.write(0xc7); out.write(12); out.write(0xff)
+        be(out, nsec.toLong, 4); be(out, sec, 8)
+      }
+  }
+}

@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.util.Tables._
+
+/** Binary-JSON serialization gates: MessagePack / CBOR / BSON documents
+  * built per key from ONE closed-form value tree, encoded and decoded
+  * by the engine's own codec pair, rendered to the canonical text
+  * (see [[graft.llm.MsgPackCodec]]) — and DuckDB REBUILDS the same
+  * canonical text from the formula, so the comparison covers every
+  * decoded value, not just counts. Executor-side maps over spread
+  * keys, zero shuffle — the curation-sidecar shape (event payloads,
+  * model metadata, Mongo dumps) at 100 TB parallelizes with
+  * partitions. Refusal arms per key lane: truncation (k mod 13) and a
+  * poisoned head byte / size lie (k mod 19). */
+object Packed {
+
+  import graft.llm.MsgPackCodec.{V, VInt, VStr, VBool, VNull, VBin, VArr, VMap, VTs}
+
+  /** The shared per-key value tree (nsec = 0 keeps the CBOR timestamp
+    * integral so tag(1,sec) replays in SQL). */
+  private def tree(k: Long, nsecScale: Boolean): Seq[(String, V)] = {
+    val nTags = (3 + k % 20).toInt // crosses the fixarray/array16 seam
+    val nBlob = (1 + k % 6).toInt
+    Seq(
+      "id" -> VInt(k),
+      "neg" -> VInt(-1L - (k % 100)),
+      "big" -> VInt(k * 1000003L),
+      "name" -> VStr(s"doc-$k-ß"),
+      "ok" -> VBool(k % 2 == 0),
+      "nil" -> VNull,
+      "tags" -> VArr((0 until nTags).map(i => VInt((k + i * 3) % 97))),
+      "blob" -> VBin(Array.tabulate(nBlob)(i => ((k + i * 13) % 256).toByte)),
+      "ts" -> VTs(1600000000L + k, if (nsecScale) ((k % 1000) * 1000000L).toInt else 0))
+  }
+
+  /** The SQL string fragments every oracle shares (DuckDB side). */
+  private val oracleTree: String =
+    """p AS (SELECT k,
+      |        CAST(3 + k % 20 AS INTEGER) AS ntags,
+      |        CAST(1 + k % 6 AS INTEGER) AS nblob,
+      |        (k % 13 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |tags AS (
+      |  SELECT p.k, string_agg(CAST((p.k + i.g * 3) % 97 AS VARCHAR), ','
+      |           ORDER BY i.g) AS t
+      |  FROM p, generate_series(0, 25) i(g) WHERE i.g < p.ntags GROUP BY p.k),
+      |blob AS (
+      |  SELECT p.k, string_agg(lower(lpad(to_hex((p.k + i.g * 13) % 256), 2, '0')), ''
+      |           ORDER BY i.g) AS h
+      |  FROM p, generate_series(0, 6) i(g) WHERE i.g < p.nblob GROUP BY p.k)""".stripMargin
+
+  private def packedGate(s: SparkSession, d: String, lane: Int,
+                         codecName: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.{MsgPackCodec, CborCodec, BsonCodec}
+    val keys = partKeys(s, d).filter(_ % 4 == lane)
+    val decoded = keys.map { k =>
+      val kvs = tree(k, nsecScale = codecName != "cbor")
+      val bytes = codecName match {
+        case "msgpack" => MsgPackCodec.encode(VMap(kvs))
+        case "cbor" => CborCodec.encode(VMap(kvs))
+        case _ => BsonCodec.encode(kvs)
+      }
+      val armed =
+        if (k % 13 == 0) bytes.dropRight(3) // truncation
+        else if (k % 19 == 0) { // poisoned head / size lie
+          val t = bytes.clone()
+          codecName match {
+            case "bson" => t(0) = (t(0) + 1).toByte // totalSize lie
+            case "cbor" => t(0) = 0x1c.toByte // reserved argument encoding 28
+            case _ => t(0) = 0xc1.toByte // the never-used msgpack byte
+          }
+          t
+        } else bytes
+      val out = codecName match {
+        case "msgpack" => MsgPackCodec.decode(armed)
+        case "cbor" => CborCodec.decode(armed)
+        case _ => BsonCodec.decode(armed)
+      }
+      (k, out.isDefined, out.orNull)
+    }.toDF("media_id", "dec_ok", "text")
+    decoded.orderBy($"media_id")
+  }
+
+  def msgpackRead(s: SparkSession, d: String): DataFrame = packedGate(s, d, 1, "msgpack")
+  def cborRead(s: SparkSession, d: String): DataFrame = packedGate(s, d, 2, "cbor")
+  def bsonRead(s: SparkSession, d: String): DataFrame = packedGate(s, d, 3, "bson")
+
+  private def oracleFor(lane: Int, tsExpr: String, binPrefix: String): String =
+    s"""WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part
+       |            WHERE p_partkey % 4 = $lane),
+       |$oracleTree
+       |SELECT p.k AS media_id, p.ok AS dec_ok,
+       |  CASE WHEN p.ok THEN
+       |    '{"id":' || p.k ||
+       |    ',"neg":-' || (1 + p.k % 100) ||
+       |    ',"big":' || (p.k * 1000003) ||
+       |    ',"name":"doc-' || p.k || '-ß"' ||
+       |    ',"ok":' || CASE WHEN p.k % 2 = 0 THEN 'true' ELSE 'false' END ||
+       |    ',"nil":null' ||
+       |    ',"tags":[' || tags.t || ']' ||
+       |    ',"blob":$binPrefix' || blob.h ||
+       |    ',"ts":' || $tsExpr ||
+       |    '}'
+       |  END AS text
+       |FROM p JOIN tags ON tags.k = p.k JOIN blob ON blob.k = p.k
+       |ORDER BY media_id""".stripMargin
+
+  val msgpackReadSql: String = oracleFor(1,
+    "'ts(' || (1600000000 + p.k) || ',' || ((p.k % 1000) * 1000000) || ')'",
+    "hex:")
+  val cborReadSql: String = oracleFor(2,
+    "'tag(1,' || (1600000000 + p.k) || ')'",
+    "hex:")
+  val bsonReadSql: String = oracleFor(3,
+    "'dt(' || (1600000000000 + p.k * 1000 + p.k % 1000) || ')'",
+    "bin(0):")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_msgpack_read" -> (msgpackRead _),
+    "q_cbor_read" -> (cborRead _),
+    "q_bson_read" -> (bsonRead _))
+
+  def oracles: Map[String, String] = Map(
+    "q_msgpack_read" -> msgpackReadSql,
+    "q_cbor_read" -> cborReadSql,
+    "q_bson_read" -> bsonReadSql)
+}

@@ -1,0 +1,272 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import MsgPackCodec.{V, VInt, VStr, VBool, VNull, VFloat, VBin, VArr, VMap, VTs}
+
+/** The binary-JSON trio (MessagePack / CBOR / BSON) against GOLDEN
+  * byte vectors hand-assembled from the published specs (msgpack
+  * spec.md, RFC 8949 Appendix A, bsonspec.org), refusal laws, and a
+  * three-way consistency fuzz: random value trees encoded by each
+  * writer must decode to the canonical text an INDEPENDENT renderer
+  * derives from the tree itself. */
+class BinaryJsonSpec extends AnyFunSuite {
+
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  // ---- MessagePack golden vectors ----
+
+  test("msgpack: scalar and container vectors") {
+    def d(h: String) = MsgPackCodec.decode(hex(h))
+    assert(d("00") == Some("0"))
+    assert(d("7f") == Some("127"))
+    assert(d("e0") == Some("-32"))
+    assert(d("ff") == Some("-1"))
+    assert(d("c0") == Some("null"))
+    assert(d("c2") == Some("false"))
+    assert(d("c3") == Some("true"))
+    assert(d("ccff") == Some("255"))
+    assert(d("cd0100") == Some("256"))
+    assert(d("ceffffffff") == Some("4294967295"))
+    assert(d("cf7fffffffffffffff") == Some(Long.MaxValue.toString))
+    assert(d("cfffffffffffffffff").isEmpty) // uint64 past the JVM long pin
+    assert(d("d0ff") == Some("-1"))
+    assert(d("d1ff00") == Some("-256"))
+    assert(d("d2ffffff00") == Some("-256"))
+    assert(d("d3ffffffffffffff00") == Some("-256"))
+    assert(d("a3666f6f") == Some("\"foo\""))
+    assert(d("d903626172") == Some("\"bar\"")) // non-minimal str8 accepted
+    assert(d("93010203") == Some("[1,2,3]"))
+    assert(d("81a16101") == Some("{\"a\":1}"))
+    assert(d("c403010203") == Some("hex:010203"))
+    assert(d("cb3ff0000000000000") == Some("1.0"))
+    assert(d("ca3fc00000") == Some("1.5")) // float32
+    assert(d("dc0010" + "01" * 16) == Some("[" + Seq.fill(16)("1").mkString(",") + "]"))
+  }
+
+  test("msgpack: timestamp layouts and their laws") {
+    def d(h: String) = MsgPackCodec.decode(hex(h))
+    assert(d("d6ff00000000") == Some("ts(0,0)"))
+    assert(d("d6ff5f5e0ff0") == Some(s"ts(${0x5f5e0ff0L},0)"))
+    // 64-bit: nsec=1, sec=2 → (1<<34)|2
+    assert(d("d7ff" + f"${(1L << 34) | 2L}%016x") == Some("ts(2,1)"))
+    assert(d("d7ff" + f"${(1000000000L << 34) | 2L}%016x").isEmpty) // nsec ≥ 1e9
+    // 96-bit: negative seconds survive
+    assert(d("c70cff" + "00000001" + "ffffffffffffffff") == Some("ts(-1,1)"))
+    assert(d("c70cff" + "3b9aca00" + "0000000000000000").isEmpty) // nsec = 1e9
+  }
+
+  test("msgpack: refusal laws") {
+    def d(h: String) = MsgPackCodec.decode(hex(h))
+    assert(d("c1").isEmpty) // the never-used byte
+    assert(d("d4 2a 00").isEmpty) // fixext1 of a non-timestamp type
+    assert(d("00 00").isEmpty) // trailing bytes
+    assert(d("a3666f").isEmpty) // truncated fixstr
+    assert(d("a2c328").isEmpty) // invalid UTF-8 payload
+    assert(d("810101").isEmpty) // non-string map key
+    assert(d("91").isEmpty) // truncated array
+    assert(d("cb7ff0000000000000").isEmpty) // +Inf refuses
+  }
+
+  // ---- CBOR golden vectors (RFC 8949 Appendix A subset) ----
+
+  test("cbor: appendix-A scalars") {
+    def d(h: String) = CborCodec.decode(hex(h))
+    assert(d("00") == Some("0"))
+    assert(d("01") == Some("1"))
+    assert(d("0a") == Some("10"))
+    assert(d("17") == Some("23"))
+    assert(d("1818") == Some("24"))
+    assert(d("1864") == Some("100"))
+    assert(d("1a000f4240") == Some("1000000"))
+    assert(d("1b000000e8d4a51000") == Some("1000000000000"))
+    assert(d("20") == Some("-1"))
+    assert(d("29") == Some("-10"))
+    assert(d("3863") == Some("-100"))
+    assert(d("3903e7") == Some("-1000"))
+    assert(d("f4") == Some("false"))
+    assert(d("f5") == Some("true"))
+    assert(d("f6") == Some("null"))
+    assert(d("f7") == Some("undefined"))
+    assert(d("f0") == Some("simple(16)"))
+    assert(d("f8ff") == Some("simple(255)"))
+    assert(d("f90000") == Some("0.0"))
+    assert(d("f93c00") == Some("1.0"))
+    assert(d("f93e00") == Some("1.5"))
+    assert(d("f97bff") == Some("65504.0"))
+    assert(d("f90001") == Some(java.lang.Double.toString(math.pow(2, -24)))) // subnormal half
+    assert(d("fa47c35000") == Some("100000.0"))
+    assert(d("fb3ff199999999999a") == Some("1.1"))
+    assert(d("c11a514b67b0") == Some("tag(1,1363896240)"))
+  }
+
+  test("cbor: strings, containers, indefinite forms") {
+    def d(h: String) = CborCodec.decode(hex(h))
+    assert(d("40") == Some("hex:"))
+    assert(d("4401020304") == Some("hex:01020304"))
+    assert(d("60") == Some("\"\""))
+    assert(d("6161") == Some("\"a\""))
+    assert(d("62c3bc") == Some("\"ü\""))
+    assert(d("80") == Some("[]"))
+    assert(d("83010203") == Some("[1,2,3]"))
+    assert(d("8301820203820405") == Some("[1,[2,3],[4,5]]"))
+    assert(d("a0") == Some("{}"))
+    assert(d("a26161016162820203") == Some("{\"a\":1,\"b\":[2,3]}"))
+    // indefinite byte/text strings concatenate their definite chunks
+    assert(d("5f42010243030405ff") == Some("hex:0102030405"))
+    assert(d("7f657374726561646d696e67ff") == Some("\"streaming\""))
+    assert(d("9fff") == Some("[]"))
+    assert(d("9f018202039f0405ffff") == Some("[1,[2,3],[4,5]]"))
+    assert(d("bf61610161629f0203ffff") == Some("{\"a\":1,\"b\":[2,3]}"))
+  }
+
+  test("cbor: refusal laws") {
+    def d(h: String) = CborCodec.decode(hex(h))
+    assert(d("1c").isEmpty) // reserved argument encoding 28
+    assert(d("ff").isEmpty) // break outside a container
+    assert(d("a201020304").isEmpty) // non-text map keys (the pin)
+    assert(d("5f6161ff").isEmpty) // text chunk inside an indefinite BYTE string
+    assert(d("7f4101ff").isEmpty) // byte chunk inside an indefinite TEXT string
+    assert(d("7f7f6161ffff").isEmpty) // nested indefinite chunks
+    assert(d("f818").isEmpty) // two-byte simple < 32
+    assert(d("62c328").isEmpty) // invalid UTF-8
+    assert(d("1818 00").isEmpty) // trailing bytes
+    assert(d("fb7ff0000000000000").isEmpty) // +Inf
+    assert(d("830102").isEmpty) // truncated array
+  }
+
+  // ---- BSON golden vectors ----
+
+  test("bson: bsonspec.org examples and laws") {
+    def d(h: String) = BsonCodec.decode(hex(h))
+    // {"hello": "world"}
+    assert(d("16000000 02 68656c6c6f00 06000000 776f726c6400 00") ==
+      Some("{\"hello\":\"world\"}"))
+    // {"BSON": ["awesome", 5.05, 1986]}
+    assert(d("31000000 04 42534f4e00 26000000 0230000800000061" +
+      "7765736f6d6500 013100 3333333333331440 10 3200 c2070000 00 00") ==
+      Some("{\"BSON\":[\"awesome\",5.05,1986]}"))
+  }
+
+  test("bson: element types and refusals") {
+    def d(b: Array[Byte]) = BsonCodec.decode(b)
+    val doc = BsonCodec.encode(Seq(
+      "i" -> VInt(42), "l" -> VInt(1L << 40), "s" -> VStr("héllo"),
+      "b" -> VBool(true), "n" -> VNull, "d" -> VFloat(2.5),
+      "bin" -> VBin(Array[Byte](1, 2, 3)),
+      "arr" -> VArr(Seq(VInt(0), VStr("x"))),
+      "sub" -> VMap(Seq("k" -> VInt(-7))),
+      "ts" -> VTs(1700000000L, 500000000)))
+    assert(d(doc) == Some("{\"i\":42,\"l\":" + (1L << 40) +
+      ",\"s\":\"héllo\",\"b\":true,\"n\":null,\"d\":2.5," +
+      "\"bin\":bin(0):010203,\"arr\":[0,\"x\"],\"sub\":{\"k\":-7}," +
+      "\"ts\":dt(1700000000500)}"))
+    // totalSize lies refuse
+    val lie = doc.clone(); lie(0) = (lie(0) + 1).toByte
+    assert(d(lie).isEmpty)
+    val lie2 = doc.clone(); lie2(0) = (lie2(0) - 1).toByte
+    assert(d(lie2).isEmpty)
+    // bool byte 2 refuses
+    val boolAt = {
+      val probe = BsonCodec.encode(Seq("b" -> VBool(true)))
+      probe(probe.length - 2) = 2
+      probe
+    }
+    assert(d(boolAt).isEmpty)
+    // array keys must be "0","1",…: encode a doc pretending to be an array
+    val fake = BsonCodec.encode(Seq("a" -> VMap(Seq("1" -> VInt(5)))))
+    // flip the 0x03 (document) type byte to 0x04 (array): key "1" ≠ "0"
+    val idx = fake.indexOf(0x03.toByte)
+    fake(idx) = 0x04
+    assert(d(fake).isEmpty)
+    // truncation refuses
+    assert(d(java.util.Arrays.copyOf(doc, doc.length - 3)).isEmpty)
+    // string length not landing on its NUL refuses
+    val s = BsonCodec.encode(Seq("s" -> VStr("abc")))
+    val sLenPos = 4 + 1 + 2 // total, type, "s\0"
+    s(sLenPos) = 3 // declared 3, real payload "abc\0" needs 4
+    assert(d(s).isEmpty)
+  }
+
+  // ---- three-way consistency fuzz ----
+
+  private def renderV(v: V, flavor: String): String = v match {
+    case VNull => "null"
+    case VBool(x) => x.toString
+    case VInt(x) => x.toString
+    case VFloat(x) => java.lang.Double.toString(x)
+    case VStr(s) =>
+      val sb = new StringBuilder("\"")
+      s.foreach { c =>
+        if (c == '"') sb.append("\\\"")
+        else if (c == '\\') sb.append("\\\\")
+        else if (c < 0x20) sb.append(f"\\u${c.toInt}%04x")
+        else sb.append(c)
+      }
+      (sb.append('"')).toString
+    case VBin(bs) =>
+      val h = bs.map(x => f"${x & 0xff}%02x").mkString
+      if (flavor == "bson") s"bin(0):$h" else s"hex:$h"
+    case VArr(xs) => xs.map(renderV(_, flavor)).mkString("[", ",", "]")
+    case VMap(kvs) => kvs.map { case (k, x) =>
+      renderV(VStr(k), flavor) + ":" + renderV(x, flavor)
+    }.mkString("{", ",", "}")
+    case VTs(sec, nsec) => flavor match {
+      case "msgpack" => s"ts($sec,$nsec)"
+      case "cbor" => if (nsec == 0) s"tag(1,$sec)"
+        else s"tag(1,${java.lang.Double.toString(sec + nsec / 1e9)})"
+      case "bson" => s"dt(${sec * 1000L + nsec / 1000000})"
+    }
+  }
+
+  private def randomV(rnd: scala.util.Random, depth: Int): V = {
+    val roll = if (depth >= 3) rnd.nextInt(7) else rnd.nextInt(10)
+    roll match {
+      case 0 => VNull
+      case 1 => VBool(rnd.nextBoolean())
+      case 2 => VInt(rnd.nextInt(20) - 10)
+      case 3 => VInt(rnd.nextLong())
+      case 4 => VStr((0 until rnd.nextInt(40)).map(_ =>
+        Seq("a", "Z", "7", "ß", "中", "\n", "\"", "\\")(rnd.nextInt(8))).mkString)
+      case 5 => VBin(Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte))
+      case 6 => VTs(rnd.between(-100000L, 2000000000L), rnd.nextInt(1000) * 1000000)
+      case 7 => VArr(Seq.fill(rnd.nextInt(20))(randomV(rnd, depth + 1)))
+      case 8 => VMap((0 until rnd.nextInt(8)).map(i =>
+        (s"k$i${if (rnd.nextBoolean()) "é" else ""}", randomV(rnd, depth + 1))))
+      case 9 => VArr(Seq.fill(17 + rnd.nextInt(10))(randomV(rnd, 3))) // force array16
+    }
+  }
+
+  test("three-way fuzz: encode → decode equals the independent render") {
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 0 until 200) {
+      val v = randomV(rnd, 0)
+      withClue(s"trial $trial: ") {
+        assert(MsgPackCodec.decode(MsgPackCodec.encode(v)) == Some(renderV(v, "msgpack")))
+        assert(CborCodec.decode(CborCodec.encode(v)) == Some(renderV(v, "cbor")))
+        val topMap = v match {
+          case VMap(kvs) => kvs
+          case other => Seq("v" -> other)
+        }
+        assert(BsonCodec.decode(BsonCodec.encode(topMap)) ==
+          Some(topMap.map { case (k, x) =>
+            renderV(VStr(k), "bson") + ":" + renderV(x, "bson")
+          }.mkString("{", ",", "}")))
+      }
+    }
+  }
+
+  test("fuzz: single-bit flips never garble (refuse or stay lawful)") {
+    val rnd = new scala.util.Random(99L)
+    val v = VMap(Seq("a" -> VInt(123456), "b" -> VStr("hello ß"),
+      "c" -> VArr(Seq(VInt(1), VNull, VBool(true))), "d" -> VBin(Array[Byte](9, 8, 7))))
+    val encs = Seq(
+      MsgPackCodec.encode(v) -> ((b: Array[Byte]) => MsgPackCodec.decode(b)),
+      CborCodec.encode(v) -> ((b: Array[Byte]) => CborCodec.decode(b)))
+    for ((enc, dec) <- encs; _ <- 0 until 300) {
+      val m = enc.clone()
+      m(rnd.nextInt(m.length)) = (m(rnd.nextInt(m.length)) ^ (1 << rnd.nextInt(8))).toByte
+      dec(m) // must terminate without throwing; Option result either way
+    }
+  }
+}
