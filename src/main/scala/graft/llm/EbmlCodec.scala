@@ -1,0 +1,345 @@
+package graft.llm
+
+/** Matroska / WebM probe over a native EBML walk — RFC 8794 (EBML) +
+  * the Matroska element registry (matroska.org): VINT ids (stored
+  * with their marker) and sizes (marker stripped), the EBML header
+  * laws (version 1, DocType ∈ {matroska, webm}, MaxIDLength 4,
+  * MaxSizeLength 8), Segment → Info (TimestampScale, Duration) /
+  * Tracks (TrackEntry: number, type, CodecID, Video dims or Audio
+  * rate+channels) / Cluster (Timestamp, SimpleBlocks).
+  *
+  * Laws (refuse, never garble): every element's size must nest inside
+  * its parent EXACTLY (the walk consumes each master element to its
+  * declared end); ids are well-formed VINTs of ≤ 4 bytes and sizes ≤
+  * 8; unknown-size (all-ones VINT) is allowed only for Segment — the
+  * streaming form — and then runs to end of buffer; unsigned-int
+  * elements are 1-8 bytes, floats exactly 4 or 8; unknown element ids
+  * SKIP structurally (EBML's forward-compat design) but stay bounded;
+  * SimpleBlock track numbers must reference a declared TrackEntry;
+  * track numbers are unique; the Info and Tracks masters appear
+  * exactly once. */
+object EbmlCodec {
+
+  private final class Bad extends RuntimeException
+  private def bad(): Nothing = throw new Bad
+
+  final case class Track(number: Long, typ: Int, codec: String,
+                         width: Long, height: Long, hz: Double, ch: Long)
+  final case class Probe(docType: String, timestampScale: Long,
+                         durationMs: Long, tracks: Vector[Track],
+                         nClusters: Int, nBlocks: Int, blockBytes: Long)
+
+  private final class St(val b: Array[Byte]) { var p = 0 }
+
+  private def u8(st: St): Int = {
+    if (st.p >= st.b.length) bad()
+    val v = st.b(st.p) & 0xff; st.p += 1; v
+  }
+
+  /** Element ID: VINT kept WITH its marker, ≤ 4 bytes, not all-ones. */
+  private def readId(st: St): Long = {
+    val first = u8(st)
+    if (first == 0) bad()
+    val len = Integer.numberOfLeadingZeros(first) - 23 // 1..8 for first != 0
+    if (len < 1 || len > 4) bad()
+    var v = first.toLong
+    var i = 1
+    while (i < len) { v = (v << 8) | u8(st); i += 1 }
+    v
+  }
+
+  /** Element size: VINT with marker stripped; ≤ 8 bytes; Long.MaxValue
+    * sentinel for the unknown-size form (all value bits set). */
+  private def readSize(st: St): Long = {
+    val first = u8(st)
+    if (first == 0) bad()
+    val len = Integer.numberOfLeadingZeros(first) - 23
+    if (len < 1 || len > 8) bad()
+    var v = (first & (0xff >>> len)).toLong
+    var ones = (first | (~(0xff >>> len) & 0xff)) == 0xff
+    var i = 1
+    while (i < len) {
+      val x = u8(st)
+      if (x != 0xff) ones = false
+      v = (v << 8) | x
+      i += 1
+    }
+    if (ones) Long.MaxValue else v
+  }
+
+  private def uint(st: St, n: Long): Long = {
+    if (n < 1 || n > 8) bad()
+    var v = 0L
+    var i = 0L
+    while (i < n) { v = (v << 8) | u8(st); i += 1 }
+    v
+  }
+  private def float(st: St, n: Long): Double = n match {
+    case 4 => java.lang.Float.intBitsToFloat(uint(st, 4).toInt).toDouble
+    case 8 => java.lang.Double.longBitsToDouble(uint(st, 8))
+    case _ => bad()
+  }
+  private def str(st: St, n: Long): String = {
+    if (n < 0 || n > 4096 || n > st.b.length - st.p) bad()
+    val bs = java.util.Arrays.copyOfRange(st.b, st.p, st.p + n.toInt)
+    st.p += n.toInt
+    val s = new String(bs, java.nio.charset.StandardCharsets.UTF_8)
+    if (!java.util.Arrays.equals(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), bs)) bad()
+    s
+  }
+  private def skip(st: St, n: Long): Unit = {
+    if (n < 0 || n > st.b.length - st.p) bad()
+    st.p += n.toInt
+  }
+
+  /** Walk a master element's children until `end`; dispatch by id. */
+  private def children(st: St, end: Int)(f: (Long, Long) => Boolean): Unit = {
+    while (st.p < end) {
+      val id = readId(st)
+      val size = readSize(st)
+      if (size == Long.MaxValue) bad() // unknown size only for Segment
+      if (size > end - st.p) bad() // the nesting law
+      val next = st.p + size.toInt
+      if (!f(id, size)) skip(st, size)
+      if (st.p != next) bad() // each child consumed exactly
+    }
+    if (st.p != end) bad()
+  }
+
+  def probe(b: Array[Byte], maxBytes: Int = 1 << 26): Option[Probe] = try {
+    if (b == null || b.length < 8 || b.length > maxBytes) return None
+    val st = new St(b)
+
+    // ---- EBML header ----
+    if (readId(st) != 0x1A45DFA3L) return None
+    val hSize = readSize(st)
+    if (hSize == Long.MaxValue || hSize > b.length - st.p) return None
+    var docType = ""
+    var ebmlVersion = 1L
+    var readVersion = 1L
+    var maxId = 4L
+    var maxSize = 8L
+    children(st, st.p + hSize.toInt) { (id, size) =>
+      id match {
+        case 0x4286 => ebmlVersion = uint(st, size); true
+        case 0x42F7 => readVersion = uint(st, size); true
+        case 0x42F2 => maxId = uint(st, size); true
+        case 0x42F3 => maxSize = uint(st, size); true
+        case 0x4282 => docType = str(st, size); true
+        case _ => false
+      }
+    }
+    if (ebmlVersion != 1 || readVersion != 1) return None
+    if (maxId != 4 || maxSize != 8) return None
+    if (docType != "matroska" && docType != "webm") return None
+
+    // ---- Segment ----
+    if (readId(st) != 0x18538067L) return None
+    val segSize = readSize(st)
+    val segEnd =
+      if (segSize == Long.MaxValue) b.length // the streaming form
+      else {
+        if (segSize != b.length - st.p) return None // exact tail law
+        b.length
+      }
+
+    var tsScale = 1000000L
+    var durationTicks = -1.0
+    var sawInfo = false
+    var sawTracks = false
+    val tracks = scala.collection.mutable.ArrayBuffer.empty[Track]
+    var nClusters = 0
+    var nBlocks = 0
+    var blockBytes = 0L
+
+    children(st, segEnd) { (id, size) =>
+      id match {
+        case 0x1549A966L => // Info
+          if (sawInfo) bad()
+          sawInfo = true
+          children(st, st.p + size.toInt) { (iid, isz) =>
+            iid match {
+              case 0x2AD7B1 => tsScale = uint(st, isz); true
+              case 0x4489 => durationTicks = float(st, isz); true
+              case _ => false
+            }
+          }
+          true
+        case 0x1654AE6BL => // Tracks
+          if (sawTracks) bad()
+          sawTracks = true
+          children(st, st.p + size.toInt) { (tid, tsz) =>
+            tid match {
+              case 0xAE => // TrackEntry
+                var num = -1L
+                var typ = -1L
+                var codec = ""
+                var w = 0L
+                var h = 0L
+                var hz = 0.0
+                var ch = 0L
+                children(st, st.p + tsz.toInt) { (eid, esz) =>
+                  eid match {
+                    case 0xD7 => num = uint(st, esz); true
+                    case 0x83 => typ = uint(st, esz); true
+                    case 0x86 => codec = str(st, esz); true
+                    case 0xE0 => // Video
+                      children(st, st.p + esz.toInt) { (vid, vsz) =>
+                        vid match {
+                          case 0xB0 => w = uint(st, vsz); true
+                          case 0xBA => h = uint(st, vsz); true
+                          case _ => false
+                        }
+                      }
+                      true
+                    case 0xE1 => // Audio
+                      children(st, st.p + esz.toInt) { (aid, asz) =>
+                        aid match {
+                          case 0xB5 => hz = float(st, asz); true
+                          case 0x9F => ch = uint(st, asz); true
+                          case _ => false
+                        }
+                      }
+                      true
+                    case _ => false
+                  }
+                }
+                if (num < 1 || typ < 1 || codec.isEmpty) bad()
+                if (tracks.exists(_.number == num)) bad() // unique numbers
+                tracks += Track(num, typ.toInt, codec, w, h, hz, ch)
+                true
+              case _ => false
+            }
+          }
+          true
+        case 0x1F43B675L => // Cluster
+          nClusters += 1
+          children(st, st.p + size.toInt) { (cid, csz) =>
+            cid match {
+              case 0xA3 => // SimpleBlock: track vint, s16 ts, flags, data
+                val start = st.p
+                val tnum = readSize(st) // block track number: marker-stripped vint
+                if (tnum == Long.MaxValue) bad()
+                if (!tracks.exists(_.number == tnum)) bad() // declared tracks only
+                val consumed = st.p - start
+                if (csz - consumed < 3) bad() // timestamp + flags minimum
+                skip(st, csz - consumed)
+                nBlocks += 1
+                blockBytes += csz - consumed - 3
+                true
+              case _ => false
+            }
+          }
+          true
+        case _ => false
+      }
+    }
+    if (!sawInfo || !sawTracks) return None
+    if (tsScale < 1) return None
+    val durMs =
+      if (durationTicks < 0) -1L
+      else math.round(durationTicks * tsScale / 1e6)
+    Some(Probe(docType, tsScale, durMs, tracks.toVector, nClusters, nBlocks, blockBytes))
+  } catch {
+    case _: Bad => None
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NegativeArraySizeException => None
+  }
+
+  // ---- the writer (gate fixtures) ----
+
+  final case class WTrack(number: Long, typ: Int, codec: String,
+                          width: Long = 0, height: Long = 0,
+                          hz: Double = 0, ch: Long = 0)
+
+  private[llm] def vintId(out: java.io.ByteArrayOutputStream, id: Long): Unit = {
+    // ids are written as-is (marker included)
+    val n = if (id <= 0xff) 1 else if (id <= 0xffff) 2 else if (id <= 0xffffff) 3 else 4
+    var i = n - 1
+    while (i >= 0) { out.write(((id >>> (8 * i)) & 0xff).toInt); i -= 1 }
+  }
+  private[llm] def vintSize(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    // shortest marker-stripped form (avoiding the all-ones sentinel)
+    var n = 1
+    while (n <= 8 && (v >= (1L << (7 * n)) - 1)) n += 1
+    if (n > 8) throw new IllegalArgumentException
+    val first = (0x80 >>> (n - 1)) | ((v >>> (8 * (n - 1))) & (0xff >>> n)).toInt
+    out.write(first)
+    var i = n - 2
+    while (i >= 0) { out.write(((v >>> (8 * i)) & 0xff).toInt); i -= 1 }
+  }
+  private[llm] def elem(out: java.io.ByteArrayOutputStream, id: Long,
+                   body: Array[Byte]): Unit = {
+    vintId(out, id); vintSize(out, body.length); out.write(body, 0, body.length)
+  }
+  private[llm] def uintBytes(v: Long): Array[Byte] = {
+    var n = 1
+    while (n < 8 && (v >>> (8 * n)) != 0) n += 1
+    Array.tabulate(n)(i => ((v >>> (8 * (n - 1 - i))) & 0xff).toByte)
+  }
+  private[llm] def master(id: Long, parts: Array[Byte]*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    val body = new java.io.ByteArrayOutputStream
+    parts.foreach(p => body.write(p, 0, p.length))
+    elem(out, id, body.toByteArray)
+    out.toByteArray
+  }
+  private[llm] def leaf(id: Long, body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    elem(out, id, body)
+    out.toByteArray
+  }
+
+  /** A minimal lawful Matroska/WebM file: header + Info + Tracks +
+    * clusters of SimpleBlocks (payload bytes by formula). */
+  def write(docType: String, tsScale: Long, durationTicks: Double,
+            tracks: Seq[WTrack],
+            clusters: Seq[Seq[(Long, Array[Byte])]]): Array[Byte] = {
+    val header = master(0x1A45DFA3L,
+      leaf(0x4286, uintBytes(1)), leaf(0x42F7, uintBytes(1)),
+      leaf(0x42F2, uintBytes(4)), leaf(0x42F3, uintBytes(8)),
+      leaf(0x4282, docType.getBytes("UTF-8")),
+      leaf(0x4287, uintBytes(4)), leaf(0x4285, uintBytes(2)))
+    val info = master(0x1549A966L,
+      leaf(0x2AD7B1, uintBytes(tsScale)),
+      leaf(0x4489, {
+        val bits = java.lang.Double.doubleToLongBits(durationTicks)
+        Array.tabulate(8)(i => ((bits >>> (8 * (7 - i))) & 0xff).toByte)
+      }))
+    val trackParts = tracks.map { t =>
+      val base = Seq(
+        leaf(0xD7, uintBytes(t.number)),
+        leaf(0x73C5, uintBytes(t.number * 7 + 1)),
+        leaf(0x83, uintBytes(t.typ)),
+        leaf(0x86, t.codec.getBytes("UTF-8")))
+      val av =
+        if (t.typ == 1) Seq(master(0xE0, leaf(0xB0, uintBytes(t.width)),
+          leaf(0xBA, uintBytes(t.height))))
+        else if (t.typ == 2) Seq(master(0xE1,
+          leaf(0xB5, {
+            val bits = java.lang.Float.floatToIntBits(t.hz.toFloat)
+            Array.tabulate(4)(i => ((bits >>> (8 * (3 - i))) & 0xff).toByte)
+          }),
+          leaf(0x9F, uintBytes(t.ch))))
+        else Seq.empty
+      master(0xAE, (base ++ av): _*)
+    }
+    val trackMaster = master(0x1654AE6BL, trackParts: _*)
+    val clusterParts = clusters.zipWithIndex.map { case (blocks, ci) =>
+      val blockParts = blocks.map { case (tnum, payload) =>
+        val body = new java.io.ByteArrayOutputStream
+        vintSize(body, tnum)
+        body.write(0); body.write(ci & 0xff) // s16 relative timestamp
+        body.write(0x80) // flags: keyframe
+        body.write(payload, 0, payload.length)
+        leaf(0xA3, body.toByteArray)
+      }
+      master(0x1F43B675L, (leaf(0xE7, uintBytes(ci.toLong * 1000)) +: blockParts): _*)
+    }
+    val seg = master(0x18538067L, (Seq(info, trackMaster) ++ clusterParts): _*)
+    val out = new java.io.ByteArrayOutputStream
+    out.write(header, 0, header.length)
+    out.write(seg, 0, seg.length)
+    out.toByteArray
+  }
+}

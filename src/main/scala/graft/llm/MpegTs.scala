@@ -1,0 +1,302 @@
+package graft.llm
+
+/** MPEG transport stream probe — ISO/IEC 13818-1: fixed 188-byte
+  * packets (sync 0x47), the 4-byte header (TEI/PUSI/priority, 13-bit
+  * PID, scrambling, adaptation-field control, continuity counter),
+  * adaptation fields with PCR, PSI sections behind pointer fields —
+  * PAT (table 0: program → PMT PID) and PMT (table 2: PCR PID +
+  * elementary streams) both under the CRC-32/MPEG-2 law — and PES
+  * starts (00 00 01 prefix) on the elementary PIDs.
+  *
+  * Laws (refuse, never garble): total length a multiple of 188 and
+  * every packet's sync byte present; transport_error_indicator clear;
+  * scrambling 0 (clear streams only — the honest pin); AFC 0 is
+  * reserved and refuses; adaptation-field length laws (AFC=2 → 183,
+  * AFC=3 → ≤ 182); continuity counters increment mod 16 per PID on
+  * payload-carrying packets (the strict no-duplicate pin); PSI
+  * section_syntax/length laws with the CRC verified over the section;
+  * PAT before PMT before ES payloads (the bootstrap order a segment
+  * needs anyway); exactly one program (the single-program-transport
+  * pin that HLS segments follow); every ES packet's PID must be
+  * declared by the PMT. */
+object MpegTs {
+
+  private final class Bad extends RuntimeException
+  private def bad(): Nothing = throw new Bad
+
+  final case class Es(pid: Int, streamType: Int, nPackets: Int, nPes: Int,
+                      payloadBytes: Long)
+  final case class Probe(nPackets: Int, programNumber: Int, pcrPid: Int,
+                         nPcr: Int, firstPcr: Long, lastPcr: Long,
+                         streams: Vector[Es])
+
+  /** CRC-32/MPEG-2: poly 0x04C11DB7, init all-ones, NOT reflected, no
+    * final xor (the PSI section checksum). */
+  private[llm] def crc32Mpeg(b: Array[Byte], off: Int, len: Int): Long = {
+    var crc = 0xffffffffL
+    var i = off
+    while (i < off + len) {
+      crc ^= (b(i) & 0xffL) << 24
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80000000L) != 0) ((crc << 1) ^ 0x04C11DB7L) & 0xffffffffL
+              else (crc << 1) & 0xffffffffL
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** Parse one PSI section from a packet payload (pointer field first
+    * when PUSI is set). Returns (tableId, body-after-the-5-fixed-bytes,
+    * fullSectionBytes) with the CRC already verified. Single-packet
+    * sections only (the probe pin; PAT/PMT of one program fit). */
+  private def psiSection(payload: Array[Byte]): (Int, Array[Byte]) = {
+    if (payload.length < 1) bad()
+    val ptr = payload(0) & 0xff
+    if (1 + ptr >= payload.length) bad()
+    var p = 1 + ptr
+    val tableId = payload(p) & 0xff
+    if (p + 3 > payload.length) bad()
+    val b1 = payload(p + 1) & 0xff
+    if ((b1 & 0x80) == 0) bad() // section_syntax_indicator must be 1
+    if ((b1 & 0x40) != 0) bad() // the '0' bit
+    val secLen = ((b1 & 0x0f) << 8) | (payload(p + 2) & 0xff)
+    if (secLen < 9 || secLen > 1021) bad()
+    if (p + 3 + secLen > payload.length) bad()
+    // stuffing after the section must be all 0xff
+    var q = p + 3 + secLen
+    while (q < payload.length) { if ((payload(q) & 0xff) != 0xff) bad(); q += 1 }
+    // CRC over the whole section including header, excluding nothing:
+    // the transmitted CRC makes the total come out 0; equivalently the
+    // CRC of everything before the last 4 bytes equals those 4 bytes.
+    val crcCalc = crc32Mpeg(payload, p, 3 + secLen - 4)
+    val crcGot = ((payload(p + 3 + secLen - 4) & 0xffL) << 24) |
+      ((payload(p + 3 + secLen - 3) & 0xffL) << 16) |
+      ((payload(p + 3 + secLen - 2) & 0xffL) << 8) |
+      (payload(p + 3 + secLen - 1) & 0xffL)
+    if (crcCalc != crcGot) bad()
+    val body = java.util.Arrays.copyOfRange(payload, p + 3, p + 3 + secLen - 4)
+    (tableId, body)
+  }
+
+  def probe(b: Array[Byte], maxBytes: Int = 1 << 26): Option[Probe] = try {
+    if (b == null || b.length < 188 || b.length > maxBytes) return None
+    if (b.length % 188 != 0) return None
+    val n = b.length / 188
+
+    var pmtPid = -1
+    var programNumber = -1
+    var pcrPid = -1
+    var nPcr = 0
+    var firstPcr = -1L
+    var lastPcr = -1L
+    // pid → (streamType); insertion order kept for the census
+    val esTypes = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+    val esPackets = scala.collection.mutable.HashMap.empty[Int, Int]
+    val esPes = scala.collection.mutable.HashMap.empty[Int, Int]
+    val esBytes = scala.collection.mutable.HashMap.empty[Int, Long]
+    val cc = scala.collection.mutable.HashMap.empty[Int, Int]
+
+    var i = 0
+    while (i < n) {
+      val off = i * 188
+      if ((b(off) & 0xff) != 0x47) bad()
+      val h1 = b(off + 1) & 0xff
+      if ((h1 & 0x80) != 0) bad() // transport_error_indicator
+      val pusi = (h1 & 0x40) != 0
+      val pid = ((h1 & 0x1f) << 8) | (b(off + 2) & 0xff)
+      val h3 = b(off + 3) & 0xff
+      if ((h3 >> 6) != 0) bad() // scrambled: the clear-stream pin
+      val afc = (h3 >> 4) & 3
+      if (afc == 0) bad() // reserved
+      val ccGot = h3 & 0x0f
+
+      var p = off + 4
+      if (afc >= 2) { // adaptation field present
+        val afLen = b(p) & 0xff
+        if (afc == 2 && afLen != 183) bad() // no payload: fills the packet
+        if (afc == 3 && afLen > 182) bad()
+        if (afLen > 0) {
+          val flags = b(p + 1) & 0xff
+          if ((flags & 0x10) != 0) { // PCR flag
+            if (afLen < 7) bad()
+            var base = 0L
+            var j = 0
+            while (j < 4) { base = (base << 8) | (b(p + 2 + j) & 0xffL); j += 1 }
+            base = (base << 1) | ((b(p + 6) & 0x80L) >> 7)
+            val ext = ((b(p + 6) & 1L) << 8) | (b(p + 7) & 0xffL)
+            val pcr = base * 300 + ext
+            if (firstPcr < 0) firstPcr = pcr
+            if (lastPcr >= 0 && pcr < lastPcr) bad() // PCR must not run backwards
+            lastPcr = pcr
+            nPcr += 1
+          }
+        }
+        p += 1 + afLen
+      }
+      val hasPayload = afc == 1 || afc == 3
+      if (hasPayload) {
+        // continuity: increments mod 16 per PID (strict, no duplicates)
+        cc.get(pid) match {
+          case Some(prev) => if (ccGot != ((prev + 1) & 0xf)) bad()
+          case None => ()
+        }
+        cc(pid) = ccGot
+        val payload = java.util.Arrays.copyOfRange(b, p, off + 188)
+        if (pid == 0) { // PAT
+          if (pusi) {
+            val (tableId, body) = psiSection(payload)
+            if (tableId != 0) bad()
+            // body: tsid(2) ver/cni(1) sec(1) last(1) then 4-byte entries
+            if (body.length < 5 || (body.length - 5) % 4 != 0) bad()
+            val nProg = (body.length - 5) / 4
+            if (nProg != 1) bad() // single-program pin
+            val pn = ((body(5) & 0xff) << 8) | (body(6) & 0xff)
+            val pp = ((body(7) & 0x1f) << 8) | (body(8) & 0xff)
+            if (pn == 0) bad() // network PID entries are out of scope
+            if (pmtPid >= 0 && (pmtPid != pp || programNumber != pn)) bad()
+            programNumber = pn
+            pmtPid = pp
+          }
+        } else if (pid == pmtPid) { // PMT
+          if (pusi) {
+            val (tableId, body) = psiSection(payload)
+            if (tableId != 2) bad()
+            if (body.length < 9) bad()
+            val pn = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
+            if (pn != programNumber) bad()
+            val pcr = ((body(5) & 0x1f) << 8) | (body(6) & 0xff)
+            val pinfoLen = ((body(7) & 0x0f) << 8) | (body(8) & 0xff)
+            if (pcrPid >= 0 && pcrPid != pcr) bad()
+            pcrPid = pcr
+            var q = 9 + pinfoLen
+            if (q > body.length) bad()
+            while (q < body.length) {
+              if (q + 5 > body.length) bad()
+              val st = body(q) & 0xff
+              val epid = ((body(q + 1) & 0x1f) << 8) | (body(q + 2) & 0xff)
+              val esLen = ((body(q + 3) & 0x0f) << 8) | (body(q + 4) & 0xff)
+              q += 5 + esLen
+              if (q > body.length) bad()
+              esTypes.get(epid) match {
+                case Some(prev) => if (prev != st) bad()
+                case None => esTypes(epid) = st
+              }
+            }
+          }
+        } else if (esTypes.contains(pid)) { // declared elementary stream
+          esPackets(pid) = esPackets.getOrElse(pid, 0) + 1
+          esBytes(pid) = esBytes.getOrElse(pid, 0L) + payload.length
+          if (pusi) {
+            if (payload.length < 6) bad()
+            if (payload(0) != 0 || payload(1) != 0 || payload(2) != 1) bad()
+            esPes(pid) = esPes.getOrElse(pid, 0) + 1
+          }
+        } else bad() // payload on an undeclared PID
+      }
+      i += 1
+    }
+    if (pmtPid < 0 || pcrPid < 0 || esTypes.isEmpty) return None
+    val streams = esTypes.toVector.map { case (pid, st) =>
+      Es(pid, st, esPackets.getOrElse(pid, 0), esPes.getOrElse(pid, 0),
+        esBytes.getOrElse(pid, 0L))
+    }
+    Some(Probe(n, programNumber, pcrPid, nPcr, firstPcr, lastPcr, streams))
+  } catch {
+    case _: Bad => None
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NegativeArraySizeException => None
+  }
+
+  // ---- the writer (gate fixtures) ----
+
+  private def psiPacket(pid: Int, ccv: Int, tableId: Int,
+                        body: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](188)
+    java.util.Arrays.fill(out, 0xff.toByte)
+    out(0) = 0x47
+    out(1) = (0x40 | (pid >> 8)).toByte // PUSI set
+    out(2) = (pid & 0xff).toByte
+    out(3) = (0x10 | ccv).toByte // payload only
+    out(4) = 0 // pointer field
+    // section: table_id, syntax+length, body (the 5 fixed post-length
+    // bytes ride inside `body`), then the CRC that zeroes the register
+    out(5) = tableId.toByte
+    out(6) = (0xb0 | ((body.length + 4) >> 8)).toByte
+    out(7) = ((body.length + 4) & 0xff).toByte
+    System.arraycopy(body, 0, out, 8, body.length)
+    val crc = crc32Mpeg(out, 5, 3 + body.length)
+    out(8 + body.length) = ((crc >> 24) & 0xff).toByte
+    out(9 + body.length) = ((crc >> 16) & 0xff).toByte
+    out(10 + body.length) = ((crc >> 8) & 0xff).toByte
+    out(11 + body.length) = (crc & 0xff).toByte
+    out
+  }
+
+  /** PAT for one program. */
+  def patPacket(cc: Int, programNumber: Int, pmtPid: Int): Array[Byte] = {
+    val body = Array[Byte](
+      0, 1, // transport_stream_id
+      0xc1.toByte, 0, 0, // version/current, section 0, last 0
+      ((programNumber >> 8) & 0xff).toByte, (programNumber & 0xff).toByte,
+      (0xe0 | (pmtPid >> 8)).toByte, (pmtPid & 0xff).toByte)
+    psiPacket(0, cc, 0, body)
+  }
+
+  /** PMT with PCR PID + (streamType, pid) entries. */
+  def pmtPacket(cc: Int, pmtPid: Int, programNumber: Int,
+                             pcrPid: Int, streams: Seq[(Int, Int)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream
+    bos.write((programNumber >> 8) & 0xff); bos.write(programNumber & 0xff)
+    bos.write(0xc1); bos.write(0); bos.write(0)
+    bos.write(0xe0 | (pcrPid >> 8)); bos.write(pcrPid & 0xff)
+    bos.write(0xf0); bos.write(0) // program_info_length 0
+    streams.foreach { case (st, pid) =>
+      bos.write(st)
+      bos.write(0xe0 | (pid >> 8)); bos.write(pid & 0xff)
+      bos.write(0xf0); bos.write(0)
+    }
+    psiPacket(pmtPid, cc, 2, bos.toByteArray)
+  }
+
+  /** An ES packet; `pesStart` writes a PES header prefix; optional PCR
+    * rides an adaptation field. */
+  def esPacket(pid: Int, cc: Int, pesStart: Boolean,
+                            pcr: Option[Long], fill: Int): Array[Byte] = {
+    val out = new Array[Byte](188)
+    out(0) = 0x47
+    out(1) = ((if (pesStart) 0x40 else 0) | (pid >> 8)).toByte
+    out(2) = (pid & 0xff).toByte
+    var p = 4
+    pcr match {
+      case Some(v) =>
+        out(3) = (0x30 | cc).toByte // adaptation + payload
+        val afLen = 7
+        out(4) = afLen.toByte
+        out(5) = 0x10 // PCR flag
+        val base = v / 300
+        val ext = v % 300
+        out(6) = ((base >> 25) & 0xff).toByte
+        out(7) = ((base >> 17) & 0xff).toByte
+        out(8) = ((base >> 9) & 0xff).toByte
+        out(9) = ((base >> 1) & 0xff).toByte
+        out(10) = (((base & 1) << 7) | 0x7e | ((ext >> 8) & 1)).toByte
+        out(11) = (ext & 0xff).toByte
+        p = 4 + 1 + afLen
+      case None =>
+        out(3) = (0x10 | cc).toByte
+    }
+    var q = p
+    if (pesStart) {
+      out(q) = 0; out(q + 1) = 0; out(q + 2) = 1
+      out(q + 3) = 0xe0.toByte // stream id: video
+      out(q + 4) = 0; out(q + 5) = 0 // PES length 0 (unbounded)
+      q += 6
+    }
+    var j = 0
+    while (q < 188) { out(q) = ((fill + j * 31) & 0xff).toByte; q += 1; j += 1 }
+    out
+  }
+}

@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.util.Tables._
+
+/** Media-container probe gates: Matroska/WebM (EBML walk) and MPEG-TS
+  * (packet/PSI walk) — the two wrappers web video and HLS/broadcast
+  * dumps arrive in. Per-key files are muxed closed-form by the
+  * engine's writers, probed by the decoders, and DuckDB replays every
+  * census number from the formulas. Executor-side maps over spread
+  * keys, zero shuffle. Refusal arms: truncation (k mod 13) and a
+  * semantic poison (k mod 19 — wrong DocType / a flipped PSI CRC). */
+object Containers {
+
+  /** Matroska/WebM probe gate (see [[graft.llm.EbmlCodec]]). */
+  def mkvProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.EbmlCodec
+    val keys = partKeys(s, d).filter(_ % 8 == 0)
+    val out = keys.map { k =>
+      val vCodec = if (k % 2 == 0) "V_VP8" else "V_AV1"
+      val aCodec = if (k % 3 == 0) "A_OPUS" else "A_VORBIS"
+      val w = 320 + (k % 5) * 16
+      val h = 240 + (k % 3) * 16
+      val hz = (8000 * (1 + k % 6)).toDouble
+      val ch = 1 + k % 2
+      val docType =
+        if (k % 19 == 0 && k % 13 != 0) "avi" // the semantic poison arm
+        else if (k % 2 == 0) "webm" else "matroska"
+      val nc = (1 + k % 4).toInt
+      val clusters = (0 until nc).map { ci =>
+        val nb = (1 + (k + ci) % 3).toInt
+        (0 until nb).map { bi =>
+          val track = 1L + (bi % 2)
+          val len = (10 + (ci * 7 + bi * 3 + k) % 50).toInt
+          (track, Array.tabulate(len)(i => ((k + ci + bi + i) % 256).toByte))
+        }
+      }
+      val bytes = EbmlCodec.write(docType, 1000000L, (1000 + k % 500).toDouble,
+        Seq(EbmlCodec.WTrack(1, 1, vCodec, width = w, height = h),
+          EbmlCodec.WTrack(2, 2, aCodec, hz = hz, ch = ch)),
+        clusters)
+      val armed = if (k % 13 == 0) bytes.dropRight(5) else bytes
+      EbmlCodec.probe(armed) match {
+        case Some(p) =>
+          val census = p.tracks.map(t =>
+            if (t.typ == 1) s"${t.number}:${t.codec}:${t.width}x${t.height}"
+            else s"${t.number}:${t.codec}:${t.hz.toLong}x${t.ch}").mkString("|")
+          (k, true, Some(p.docType), Some(p.durationMs), Some(census),
+            Some(p.nClusters), Some(p.nBlocks), Some(p.blockBytes))
+        case None =>
+          (k, false, None: Option[String], None: Option[Long],
+            None: Option[String], None: Option[Int], None: Option[Int],
+            None: Option[Long])
+      }
+    }.toDF("media_id", "mkv_ok", "doc_type", "dur_ms", "census",
+      "n_clusters", "n_blocks", "block_bytes")
+    out.orderBy($"media_id")
+  }
+
+  val mkvProbeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part
+      |            WHERE p_partkey % 8 = 0),
+      |p AS (SELECT k, (k % 13 <> 0 AND k % 19 <> 0) AS ok,
+      |        CAST(1 + k % 4 AS INTEGER) AS nc
+      |      FROM ks),
+      |blocks AS (
+      |  SELECT p.k,
+      |    CAST(COUNT(*) AS INTEGER) AS nb,
+      |    CAST(SUM(10 + (ci.g * 7 + bi.g * 3 + p.k) % 50) AS BIGINT) AS bb
+      |  FROM p, generate_series(0, 3) ci(g), generate_series(0, 2) bi(g)
+      |  WHERE ci.g < p.nc AND bi.g < 1 + (p.k + ci.g) % 3
+      |  GROUP BY p.k)
+      |SELECT p.k AS media_id, p.ok AS mkv_ok,
+      |  CASE WHEN p.ok THEN
+      |    CASE WHEN p.k % 2 = 0 THEN 'webm' ELSE 'matroska' END END AS doc_type,
+      |  CASE WHEN p.ok THEN 1000 + p.k % 500 END AS dur_ms,
+      |  CASE WHEN p.ok THEN
+      |    '1:' || CASE WHEN p.k % 2 = 0 THEN 'V_VP8' ELSE 'V_AV1' END ||
+      |    ':' || (320 + (p.k % 5) * 16) || 'x' || (240 + (p.k % 3) * 16) ||
+      |    '|2:' || CASE WHEN p.k % 3 = 0 THEN 'A_OPUS' ELSE 'A_VORBIS' END ||
+      |    ':' || (8000 * (1 + p.k % 6)) || 'x' || (1 + p.k % 2)
+      |  END AS census,
+      |  CASE WHEN p.ok THEN p.nc END AS n_clusters,
+      |  CASE WHEN p.ok THEN blocks.nb END AS n_blocks,
+      |  CASE WHEN p.ok THEN blocks.bb END AS block_bytes
+      |FROM p JOIN blocks ON blocks.k = p.k
+      |ORDER BY media_id""".stripMargin
+
+  /** MPEG-TS probe gate (see [[graft.llm.MpegTs]]): video PID 0x101
+    * (H.264) carries the PCR every third packet, audio PID 0x102
+    * (AAC); PES starts every third packet of each stream. */
+  def tsProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.MpegTs
+    val keys = partKeys(s, d).filter(_ % 8 == 4)
+    val out = keys.map { k =>
+      val nV = (6 + k % 10).toInt
+      val nA = (4 + k % 8).toInt
+      val bos = new java.io.ByteArrayOutputStream
+      bos.write(MpegTs.patPacket(0, 1 + (k % 7).toInt, 0x100))
+      bos.write(MpegTs.pmtPacket(0, 0x100, 1 + (k % 7).toInt, 0x101,
+        Seq((0x1b, 0x101), (0x0f, 0x102))))
+      var ccV = 0
+      var ccA = 0
+      for (i <- 0 until math.max(nV, nA)) {
+        if (i < nV) {
+          val pcr = if (i % 3 == 0) Some(27000000L + i * 3003L * 300L) else None
+          bos.write(MpegTs.esPacket(0x101, ccV, pesStart = i % 3 == 0, pcr, (k + i).toInt))
+          ccV = (ccV + 1) & 0xf
+        }
+        if (i < nA) {
+          bos.write(MpegTs.esPacket(0x102, ccA, pesStart = i % 3 == 0, None, (k + 100 + i).toInt))
+          ccA = (ccA + 1) & 0xf
+        }
+      }
+      val bytes = bos.toByteArray
+      val armed =
+        if (k % 13 == 0) bytes.dropRight(50) // breaks the 188 law
+        else if (k % 19 == 0) { val t = bytes.clone(); t(20) = (t(20) ^ 1).toByte; t } // PAT CRC
+        else bytes
+      MpegTs.probe(armed) match {
+        case Some(p) =>
+          val census = p.streams.map(e =>
+            s"${e.pid}:${e.streamType}:${e.nPackets}:${e.nPes}:${e.payloadBytes}").mkString("|")
+          (k, true, Some(p.nPackets), Some(p.programNumber), Some(p.pcrPid),
+            Some(p.nPcr), Some(p.firstPcr), Some(p.lastPcr), Some(census))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Int], None: Option[Long], None: Option[Long],
+            None: Option[String])
+      }
+    }.toDF("media_id", "ts_ok", "n_packets", "program", "pcr_pid", "n_pcr",
+      "first_pcr", "last_pcr", "census")
+    out.orderBy($"media_id")
+  }
+
+  /** Payload sizes replayed: a PCR packet's payload is 176 bytes
+    * (188 − 4 header − 8 adaptation), otherwise 184; PES starts ride
+    * INSIDE the payload. nPcr = ceil(nV/3). */
+  val tsProbeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part
+      |            WHERE p_partkey % 8 = 4),
+      |p AS (SELECT k, (k % 13 <> 0 AND k % 19 <> 0) AS ok,
+      |        CAST(6 + k % 10 AS INTEGER) AS nv,
+      |        CAST(4 + k % 8 AS INTEGER) AS na
+      |      FROM ks)
+      |SELECT p.k AS media_id, p.ok AS ts_ok,
+      |  CASE WHEN p.ok THEN 2 + p.nv + p.na END AS n_packets,
+      |  CASE WHEN p.ok THEN CAST(1 + p.k % 7 AS INTEGER) END AS program,
+      |  CASE WHEN p.ok THEN 257 END AS pcr_pid,
+      |  CASE WHEN p.ok THEN CAST((p.nv + 2) // 3 AS INTEGER) END AS n_pcr,
+      |  CASE WHEN p.ok THEN CAST(27000000 AS BIGINT) END AS first_pcr,
+      |  CASE WHEN p.ok THEN CAST(27000000 + ((p.nv - 1) // 3) * 3 * 3003 * 300 AS BIGINT) END AS last_pcr,
+      |  CASE WHEN p.ok THEN
+      |    '257:27:' || p.nv || ':' || ((p.nv + 2) // 3) || ':' ||
+      |      (176 * ((p.nv + 2) // 3) + 184 * (p.nv - (p.nv + 2) // 3)) ||
+      |    '|258:15:' || p.na || ':' || ((p.na + 2) // 3) || ':' || (184 * p.na)
+      |  END AS census
+      |FROM p
+      |ORDER BY media_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mkv_probe" -> (mkvProbe _),
+    "q_ts_probe" -> (tsProbe _))
+
+  def oracles: Map[String, String] = Map(
+    "q_mkv_probe" -> mkvProbeSql,
+    "q_ts_probe" -> tsProbeSql)
+}

@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MPEG-TS probe: muxed PAT/PMT/ES round trips with PCR, the
+  * continuity-counter and CRC laws, and the refusal battery. */
+class MpegTsSpec extends AnyFunSuite {
+  import MpegTs._
+
+  /** A lawful single-program mux: video PID 0x101 (H.264, PCR
+    * carrier), audio PID 0x102 (AAC). */
+  private def mux(nVideo: Int, nAudio: Int, pesEvery: Int = 4): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    out.write(patPacket(0, 1, 0x100))
+    out.write(pmtPacket(0, 0x100, 1, 0x101, Seq((0x1b, 0x101), (0x0f, 0x102))))
+    var ccV = 0
+    var ccA = 0
+    for (i <- 0 until math.max(nVideo, nAudio)) {
+      if (i < nVideo) {
+        val pcr = if (i % 3 == 0) Some(27000000L + i * 3003L * 300L) else None
+        out.write(esPacket(0x101, ccV, pesStart = i % pesEvery == 0, pcr, fill = i))
+        ccV = (ccV + 1) & 0xf
+      }
+      if (i < nAudio) {
+        out.write(esPacket(0x102, ccA, pesStart = i % pesEvery == 0, None, fill = 100 + i))
+        ccA = (ccA + 1) & 0xf
+      }
+    }
+    out.toByteArray
+  }
+
+  test("round trip: programs, streams, PES counts, PCR run") {
+    val b = mux(12, 9)
+    val p = probe(b).get
+    assert(p.nPackets == 2 + 12 + 9)
+    assert(p.programNumber == 1 && p.pcrPid == 0x101)
+    assert(p.streams.map(s => (s.pid, s.streamType)) ==
+      Vector((0x101, 0x1b), (0x102, 0x0f)))
+    assert(p.streams(0).nPackets == 12 && p.streams(1).nPackets == 9)
+    assert(p.streams(0).nPes == 3 && p.streams(1).nPes == 3) // every 4th of 12/9
+    assert(p.nPcr == 4) // i = 0,3,6,9
+    assert(p.firstPcr == 27000000L)
+    assert(p.lastPcr == 27000000L + 9 * 3003 * 300)
+  }
+
+  test("refusal battery") {
+    val good = mux(8, 6)
+    assert(probe(good).isDefined)
+    // length not a multiple of 188
+    assert(probe(java.util.Arrays.copyOf(good, good.length - 17)).isEmpty)
+    // sync byte broken mid-stream
+    val sync = good.clone(); sync(188 * 3) = 0x48
+    assert(probe(sync).isEmpty)
+    // transport_error_indicator set
+    val tei = good.clone(); tei(188 * 2 + 1) = (tei(188 * 2 + 1) | 0x80).toByte
+    assert(probe(tei).isEmpty)
+    // scrambling bits set
+    val scr = good.clone(); scr(188 * 2 + 3) = (scr(188 * 2 + 3) | 0x80).toByte
+    assert(probe(scr).isEmpty)
+    // continuity break: duplicate an ES packet (cc repeats)
+    val dup = good ++ good.slice(188 * 2, 188 * 3)
+    assert(probe(dup).isEmpty)
+    // PAT CRC flip
+    val crc = good.clone(); crc(20) = (crc(20) ^ 0x01).toByte
+    assert(probe(crc).isEmpty)
+    // payload on an undeclared PID: rewrite an audio packet's PID
+    val undecl = good.clone()
+    // find an audio packet (PID 0x102): header bytes 1-2 = 0x01 0x02
+    val off = (0 until undecl.length / 188).map(_ * 188).find(o =>
+      (undecl(o + 1) & 0x1f) == 0x01 && (undecl(o + 2) & 0xff) == 0x02).get
+    undecl(off + 2) = 0x77
+    assert(probe(undecl).isEmpty)
+    // a PCR running backwards
+    val back = new java.io.ByteArrayOutputStream
+    back.write(patPacket(0, 1, 0x100))
+    back.write(pmtPacket(0, 0x100, 1, 0x101, Seq((0x1b, 0x101))))
+    back.write(esPacket(0x101, 0, pesStart = true, Some(9000000L), 1))
+    back.write(esPacket(0x101, 1, pesStart = false, Some(8999999L), 2))
+    assert(probe(back.toByteArray).isEmpty)
+    // ES before PMT refuses (the bootstrap-order pin)
+    val early = new java.io.ByteArrayOutputStream
+    early.write(patPacket(0, 1, 0x100))
+    early.write(esPacket(0x101, 0, pesStart = true, None, 1))
+    early.write(pmtPacket(0, 0x100, 1, 0x101, Seq((0x1b, 0x101))))
+    assert(probe(early.toByteArray).isEmpty)
+  }
+
+  test("crc32/mpeg-2 reference value") {
+    // the residue law: CRC over a section INCLUDING its transmitted
+    // CRC comes out 0 only in the reflected formulation; here verify
+    // the generator against an independently computed vector:
+    // CRC-32/MPEG-2 of "123456789" = 0x0376E6E7 (published check value)
+    val v = crc32Mpeg("123456789".getBytes("ASCII"), 0, 9)
+    assert(v == 0x0376E6E7L)
+  }
+}
