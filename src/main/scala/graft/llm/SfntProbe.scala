@@ -1,0 +1,234 @@
+package graft.llm
+
+/** TTF/OTF (sfnt) probe — the OpenType spec (Microsoft/ISO 14496-22):
+  * the offset table (sfntVersion 0x00010000 or 'OTTO', numTables with
+  * the searchRange/entrySelector/rangeShift binary-search laws), the
+  * table directory (strictly ascending tags, 4-byte aligned offsets),
+  * per-table CHECKSUMS (big-endian u32 sum over the zero-padded span;
+  * 'head' summed with checkSumAdjustment zeroed), the whole-font
+  * checkSumAdjustment law (0xB1B0AFBA − sum of the font with the
+  * adjustment zeroed), head's magicNumber/unitsPerEm/indexToLocFormat
+  * and maxp's version/numGlyphs.
+  *
+  * Honest-subset pin: tables must tile the region after the directory
+  * exactly (each table starts where the previous one's padded span
+  * ends — the layout every font compiler emits); fonts with holes or
+  * out-of-order storage refuse rather than risk a bogus census. */
+object SfntProbe {
+
+  private final class Bad extends RuntimeException
+  private def bad(): Nothing = throw new Bad
+
+  final case class Probe(versionTag: String, numTables: Int, numGlyphs: Int,
+                         unitsPerEm: Int, indexToLocFormat: Int,
+                         tags: Vector[String], tableBytes: Long)
+
+  private def be16(b: Array[Byte], p: Int): Int =
+    ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+  private def be32(b: Array[Byte], p: Int): Long =
+    ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+      ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+
+  /** Sum of big-endian u32 words over [off, off+len) zero-padded to 4. */
+  private def checksum(b: Array[Byte], off: Int, len: Int): Long = {
+    var sum = 0L
+    var p = off
+    val end = off + len
+    while (p < end) {
+      var w = 0L
+      var i = 0
+      while (i < 4) {
+        w = (w << 8) | (if (p + i < end) b(p + i) & 0xffL else 0L)
+        i += 1
+      }
+      sum = (sum + w) & 0xffffffffL
+      p += 4
+    }
+    sum
+  }
+
+  def probe(b: Array[Byte], maxBytes: Int = 1 << 26): Option[Probe] = try {
+    if (b == null || b.length < 12 || b.length > maxBytes) return None
+    val ver = be32(b, 0)
+    val versionTag = ver match {
+      case 0x00010000L => "ttf"
+      case 0x4F54544FL => "otto"
+      case _ => return None
+    }
+    val n = be16(b, 4)
+    if (n < 1 || n > 4096) return None
+    if (12 + 16 * n > b.length) return None
+    // the binary-search fields are derivable — and must be derived
+    var sr = 16
+    var es = 0
+    while (sr * 2 <= n * 16) { sr *= 2; es += 1 }
+    if (be16(b, 6) != sr || be16(b, 8) != es || be16(b, 10) != n * 16 - sr) return None
+
+    final case class Ent(tag: String, check: Long, off: Int, len: Int)
+    val ents = (0 until n).map { i =>
+      val p = 12 + 16 * i
+      val tagBytes = java.util.Arrays.copyOfRange(b, p, p + 4)
+      if (tagBytes.exists(c => c < 0x20 || c > 0x7e)) bad() // printable-ASCII tags
+      val tag = new String(tagBytes, "ASCII")
+      val check = be32(b, p + 4)
+      val off = be32(b, p + 8)
+      val len = be32(b, p + 12)
+      if (off < 12 + 16L * n || off % 4 != 0) bad()
+      if (len < 0 || off + len > b.length) bad()
+      Ent(tag, check, off.toInt, len.toInt)
+    }.toVector
+    // strictly ascending tags (the spec's directory order law)
+    ents.sliding(2).foreach {
+      case Vector(a, c) => if (a.tag >= c.tag) bad()
+      case _ => ()
+    }
+    // the tiling pin: sorted by offset, each table starts at the
+    // previous padded end, the first right after the directory, the
+    // last ending (padded) at EOF
+    val byOff = ents.sortBy(_.off)
+    var expect = 12 + 16 * n
+    byOff.foreach { e =>
+      if (e.off != expect) bad()
+      expect = e.off + ((e.len + 3) & ~3)
+    }
+    if (expect != b.length) bad()
+    // padding bytes are zero (they're inside the checksummed spans)
+    // per-table checksums; head sums with its adjustment zeroed
+    var headE: Ent = null
+    var maxpE: Ent = null
+    ents.foreach { e =>
+      val sum =
+        if (e.tag == "head") {
+          if (e.len < 54) bad()
+          val adj = be32(b, e.off + 8)
+          (checksum(b, e.off, e.len) - adj) & 0xffffffffL
+        } else checksum(b, e.off, e.len)
+      if (sum != e.check) bad()
+      if (e.tag == "head") headE = e
+      if (e.tag == "maxp") maxpE = e
+    }
+    if (headE == null || maxpE == null) return None
+    // head laws
+    if (be32(b, headE.off) != 0x00010000L) return None
+    if (be32(b, headE.off + 12) != 0x5F0F3A75L) return None // magicNumber
+    val unitsPerEm = be16(b, headE.off + 18)
+    if (unitsPerEm < 16 || unitsPerEm > 16384) return None
+    val loc = be16(b, headE.off + 50)
+    if (loc > 1) return None
+    // maxp laws
+    val maxpVer = be32(b, maxpE.off)
+    val numGlyphs = maxpVer match {
+      case 0x00005000L => if (maxpE.len < 6) return None else be16(b, maxpE.off + 4)
+      case 0x00010000L => if (maxpE.len < 32) return None else be16(b, maxpE.off + 4)
+      case _ => return None
+    }
+    // the whole-font adjustment law
+    val adj = be32(b, headE.off + 8)
+    val whole = (checksum(b, 0, b.length) - adj) & 0xffffffffL
+    if (((0xB1B0AFBAL - whole) & 0xffffffffL) != adj) return None
+    Some(Probe(versionTag, n, numGlyphs, unitsPerEm, loc,
+      ents.map(_.tag), ents.map(_.len.toLong).sum))
+  } catch {
+    case _: Bad => None
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NegativeArraySizeException => None
+  }
+
+  // ---- the writer (gate fixtures) ----
+
+  private def w16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write((v >> 8) & 0xff); out.write(v & 0xff)
+  }
+  private def w32(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+    out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+  }
+
+  /** Build a lawful font from (tag → body) pairs; head must be present
+    * (its checkSumAdjustment is patched in). Tags are stored in
+    * ascending order, tables tiled in that same order. */
+  def write(versionTag: String, tables: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val sorted = tables.sortBy(_._1)
+    val n = sorted.length
+    val dirEnd = 12 + 16 * n
+    // lay out
+    var off = dirEnd
+    val offsets = sorted.map { case (_, body) =>
+      val o = off
+      off += (body.length + 3) & ~3
+      o
+    }
+    val total = off
+    val buf = new Array[Byte](total)
+    val head = new java.io.ByteArrayOutputStream
+    w32(head, if (versionTag == "otto") 0x4F54544FL else 0x00010000L)
+    var sr = 16
+    var es = 0
+    while (sr * 2 <= n * 16) { sr *= 2; es += 1 }
+    w16(head, n); w16(head, sr); w16(head, es); w16(head, n * 16 - sr)
+    val hdr = head.toByteArray
+    System.arraycopy(hdr, 0, buf, 0, hdr.length)
+    // bodies
+    sorted.zip(offsets).foreach { case ((_, body), o) =>
+      System.arraycopy(body, 0, buf, o, body.length)
+    }
+    // directory with checksums (head's adjustment is still 0 here)
+    sorted.zip(offsets).zipWithIndex.foreach { case (((tag, body), o), i) =>
+      val p = 12 + 16 * i
+      tag.getBytes("ASCII").copyToArray(buf, p)
+      val sum = checksum(buf, o, body.length)
+      buf(p + 4) = ((sum >> 24) & 0xff).toByte
+      buf(p + 5) = ((sum >> 16) & 0xff).toByte
+      buf(p + 6) = ((sum >> 8) & 0xff).toByte
+      buf(p + 7) = (sum & 0xff).toByte
+      buf(p + 8) = ((o >> 24) & 0xff).toByte
+      buf(p + 9) = ((o >> 16) & 0xff).toByte
+      buf(p + 10) = ((o >> 8) & 0xff).toByte
+      buf(p + 11) = (o & 0xff).toByte
+      buf(p + 12) = ((body.length >> 24) & 0xff).toByte
+      buf(p + 13) = ((body.length >> 16) & 0xff).toByte
+      buf(p + 14) = ((body.length >> 8) & 0xff).toByte
+      buf(p + 15) = (body.length & 0xff).toByte
+    }
+    // patch checkSumAdjustment into head
+    val headIdx = sorted.indexWhere(_._1 == "head")
+    require(headIdx >= 0, "head table required")
+    val headOff = offsets(headIdx)
+    val whole = checksum(buf, 0, buf.length)
+    val adj = (0xB1B0AFBAL - whole) & 0xffffffffL
+    buf(headOff + 8) = ((adj >> 24) & 0xff).toByte
+    buf(headOff + 9) = ((adj >> 16) & 0xff).toByte
+    buf(headOff + 10) = ((adj >> 8) & 0xff).toByte
+    buf(headOff + 11) = (adj & 0xff).toByte
+    buf
+  }
+
+  /** A minimal lawful head table body (54 bytes). */
+  def headTable(unitsPerEm: Int, indexToLocFormat: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    w32(out, 0x00010000L) // version
+    w32(out, 0x00010000L) // fontRevision
+    w32(out, 0) // checkSumAdjustment (patched by write)
+    w32(out, 0x5F0F3A75L) // magicNumber
+    w16(out, 0x000b) // flags
+    w16(out, unitsPerEm)
+    w32(out, 0); w32(out, 0) // created
+    w32(out, 0); w32(out, 0) // modified
+    w16(out, 0); w16(out, 0); w16(out, 1000); w16(out, 800) // bbox
+    w16(out, 0) // macStyle
+    w16(out, 8) // lowestRecPPEM
+    w16(out, 2) // fontDirectionHint
+    w16(out, indexToLocFormat)
+    w16(out, 0) // glyphDataFormat
+    out.toByteArray
+  }
+
+  /** maxp v0.5 (6 bytes) or v1.0 (32 bytes). */
+  def maxpTable(numGlyphs: Int, v10: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    w32(out, if (v10) 0x00010000L else 0x00005000L)
+    w16(out, numGlyphs)
+    if (v10) (0 until 13).foreach(_ => w16(out, 2))
+    out.toByteArray
+  }
+}

@@ -160,11 +160,65 @@ object Containers {
       |FROM p
       |ORDER BY media_id""".stripMargin
 
+  /** sfnt (TTF/OTF) probe gate (see [[graft.llm.SfntProbe]]): per-key
+    * fonts with both sfnt versions and maxp forms, a name table and a
+    * data table; all three checksum laws run inside the probe. */
+  def ttfProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.SfntProbe
+    val keys = partKeys(s, d).filter(_ % 8 == 2)
+    val out = keys.map { k =>
+      val name = Array.tabulate(6)(i => ((i * 17 + k) & 0x7f).toByte)
+      val data = Array.tabulate((20 + k % 80).toInt)(i => ((i * 31 + k) & 0xff).toByte)
+      val bytes = SfntProbe.write(if (k % 2 == 0) "ttf" else "otto", Seq(
+        "head" -> SfntProbe.headTable((1000 + k % 1000).toInt, (k % 2).toInt),
+        "maxp" -> SfntProbe.maxpTable((10 + k % 500).toInt, v10 = k % 2 == 0),
+        "name" -> name,
+        "zdat" -> data))
+      val armed =
+        if (k % 13 == 0) java.util.Arrays.copyOf(bytes, bytes.length - 4)
+        else if (k % 19 == 0) { // a flipped body byte → the checksum law
+          val t = bytes.clone(); t(t.length - 2) = (t(t.length - 2) ^ 0x10).toByte; t
+        } else bytes
+      SfntProbe.probe(armed) match {
+        case Some(p) =>
+          (k, true, Some(p.versionTag), Some(p.numTables), Some(p.numGlyphs),
+            Some(p.unitsPerEm), Some(p.indexToLocFormat),
+            Some(p.tags.mkString(",")), Some(p.tableBytes))
+        case None =>
+          (k, false, None: Option[String], None: Option[Int], None: Option[Int],
+            None: Option[Int], None: Option[Int], None: Option[String],
+            None: Option[Long])
+      }
+    }.toDF("media_id", "sf_ok", "version_tag", "n_tables", "n_glyphs",
+      "units_per_em", "loc_fmt", "tags", "table_bytes")
+    out.orderBy($"media_id")
+  }
+
+  val ttfProbeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part
+      |            WHERE p_partkey % 8 = 2),
+      |p AS (SELECT k, (k % 13 <> 0 AND k % 19 <> 0) AS ok FROM ks)
+      |SELECT p.k AS media_id, p.ok AS sf_ok,
+      |  CASE WHEN p.ok THEN
+      |    CASE WHEN p.k % 2 = 0 THEN 'ttf' ELSE 'otto' END END AS version_tag,
+      |  CASE WHEN p.ok THEN 4 END AS n_tables,
+      |  CASE WHEN p.ok THEN CAST(10 + p.k % 500 AS INTEGER) END AS n_glyphs,
+      |  CASE WHEN p.ok THEN CAST(1000 + p.k % 1000 AS INTEGER) END AS units_per_em,
+      |  CASE WHEN p.ok THEN CAST(p.k % 2 AS INTEGER) END AS loc_fmt,
+      |  CASE WHEN p.ok THEN 'head,maxp,name,zdat' END AS tags,
+      |  CASE WHEN p.ok THEN CAST(54 + CASE WHEN p.k % 2 = 0 THEN 32 ELSE 6 END
+      |    + 6 + 20 + p.k % 80 AS BIGINT) END AS table_bytes
+      |FROM p
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mkv_probe" -> (mkvProbe _),
-    "q_ts_probe" -> (tsProbe _))
+    "q_ts_probe" -> (tsProbe _),
+    "q_ttf_probe" -> (ttfProbe _))
 
   def oracles: Map[String, String] = Map(
     "q_mkv_probe" -> mkvProbeSql,
-    "q_ts_probe" -> tsProbeSql)
+    "q_ts_probe" -> tsProbeSql,
+    "q_ttf_probe" -> ttfProbeSql)
 }

@@ -1,0 +1,71 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** sfnt probe: round trips over the writer, the checksum laws (table,
+  * head-adjustment and whole-font), directory-order/tiling/binary-
+  * search-field refusals. */
+class SfntProbeSpec extends AnyFunSuite {
+  import SfntProbe._
+
+  private def font(k: Int): Array[Byte] = {
+    val name = Array.tabulate(6)(i => ((i * 17 + k) & 0x7f).toByte)
+    val data = Array.tabulate(20 + k % 80)(i => ((i * 31 + k) & 0xff).toByte)
+    write(if (k % 2 == 0) "ttf" else "otto", Seq(
+      "head" -> headTable(1000 + k % 1000, k % 2),
+      "maxp" -> maxpTable(10 + k % 500, v10 = k % 2 == 0),
+      "name" -> name,
+      "zdat" -> data))
+  }
+
+  test("round trip across versions and maxp forms") {
+    for (k <- Seq(0, 1, 7, 42, 999)) {
+      val p = probe(font(k)).get
+      assert(p.versionTag == (if (k % 2 == 0) "ttf" else "otto"))
+      assert(p.numTables == 4)
+      assert(p.numGlyphs == 10 + k % 500)
+      assert(p.unitsPerEm == 1000 + k % 1000)
+      assert(p.indexToLocFormat == k % 2)
+      assert(p.tags == Vector("head", "maxp", "name", "zdat"))
+      assert(p.tableBytes == 54L + (if (k % 2 == 0) 32 else 6) + 6 + (20 + k % 80))
+    }
+  }
+
+  test("refusal laws") {
+    val good = font(4)
+    assert(probe(good).isDefined)
+    // flipped byte in a table body → that table's checksum law
+    val flip = good.clone()
+    flip(flip.length - 2) = (flip(flip.length - 2) ^ 0x10).toByte
+    assert(probe(flip).isEmpty)
+    // flipped checkSumAdjustment → the whole-font law
+    val p = probe(good).get
+    assert(p.numTables == 4)
+    val headOff = 12 + 16 * 4 // head is first by tag → first by tiling
+    val adjFlip = good.clone()
+    adjFlip(headOff + 10) = (adjFlip(headOff + 10) ^ 1).toByte
+    assert(probe(adjFlip).isEmpty)
+    // swapped directory entries → the ascending-tag law
+    val swap = good.clone()
+    val tmp = new Array[Byte](16)
+    System.arraycopy(swap, 12, tmp, 0, 16)
+    System.arraycopy(swap, 28, swap, 12, 16)
+    System.arraycopy(tmp, 0, swap, 28, 16)
+    assert(probe(swap).isEmpty)
+    // binary-search field lie
+    val sr = good.clone()
+    sr(7) = (sr(7) + 16).toByte
+    assert(probe(sr).isEmpty)
+    // head magic flip
+    val magic = good.clone()
+    magic(headOff + 12) = 0x5e
+    assert(probe(magic).isEmpty)
+    // truncation
+    assert(probe(java.util.Arrays.copyOf(good, good.length - 4)).isEmpty)
+    // trailing garbage breaks the tiling law
+    assert(probe(good ++ Array[Byte](1, 2, 3, 4)).isEmpty)
+    // unitsPerEm out of range
+    assert(probe(write("ttf", Seq(
+      "head" -> headTable(8, 0), "maxp" -> maxpTable(5, v10 = false)))).isEmpty)
+  }
+}
