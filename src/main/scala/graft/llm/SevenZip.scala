@@ -1,0 +1,425 @@
+package graft.llm
+
+/** 7z container probe — the published 7zFormat.txt (7-Zip source
+  * DOC/7zFormat.txt): the 32-byte signature header (magic, version,
+  * StartHeaderCRC over the next-header triple, NextHeaderOffset/Size/
+  * CRC), the REAL_UINT64 number encoding, and the property-ID header
+  * tree — kHeader / kEncodedHeader (an LZMA-compressed header that
+  * decodes through the engine's OWN LZMA core by synthesizing the
+  * .lzma-alone 13-byte head from the coder's 5 props bytes),
+  * kMainStreamsInfo (kPackInfo sizes, kUnpackInfo folders with coder
+  * ids — Copy 0x00 and LZMA 0x030101 supported, LZMA2/BCJ/encrypted
+  * refuse — kCodersUnpackSize, kCRC digests), kFilesInfo (kName
+  * UTF-16LE names; unknown properties skip structurally by their
+  * declared size).
+  *
+  * Laws (refuse, never garble): all three signature CRCs verified
+  * (CRC-32, the zip polynomial); the pack region must tile exactly —
+  * PackPos 0 and Σ pack sizes = NextHeaderOffset; one coder, one
+  * in/out stream per folder (the single-stream pin; bind pairs
+  * refuse); folder kCRC digests verified against the UNPACKED bytes;
+  * Copy folders must have packSize == unpackSize; number encoding
+  * bounded; names valid UTF-16LE, NUL-separated, count = NumFiles;
+  * every header byte consumed exactly. */
+object SevenZip {
+
+  private final class Bad extends RuntimeException
+  private def bad(): Nothing = throw new Bad
+
+  final case class Entry(name: String, size: Long, coder: String, crcOk: Boolean)
+  final case class Probe(nFolders: Int, nFiles: Int, entries: Vector[Entry],
+                         unpackBytes: Long, encodedHeader: Boolean)
+
+  private def crc32(b: Array[Byte], off: Int, len: Int): Long = {
+    val c = new java.util.zip.CRC32
+    c.update(b, off, len)
+    c.getValue
+  }
+
+  private final class St(val b: Array[Byte], var p: Int, val end: Int) {
+    def u8(): Int = { if (p >= end) bad(); val v = b(p) & 0xff; p += 1; v }
+    /** 7z REAL_UINT64: low bytes first, the first byte's remaining
+      * low bits become the HIGH part. */
+    def num(): Long = {
+      val first = u8()
+      var mask = 0x80
+      var value = 0L
+      var i = 0
+      while (i < 8) {
+        if ((first & mask) == 0) {
+          return value | ((first & (mask - 1)).toLong << (8 * i))
+        }
+        value |= u8().toLong << (8 * i)
+        mask >>= 1
+        i += 1
+      }
+      value
+    }
+    def take(n: Long): Array[Byte] = {
+      if (n < 0 || n > end - p) bad()
+      val out = java.util.Arrays.copyOfRange(b, p, p + n.toInt)
+      p += n.toInt
+      out
+    }
+  }
+
+  private final case class Folder(coderId: Seq[Int], props: Array[Byte],
+                                  packIdx: Int, unpackSize: Long,
+                                  crc: Option[Long])
+
+  /** Parse a StreamsInfo subtree (after its introducing property id).
+    * Returns (packPos, packSizes, folders). */
+  private def streamsInfo(st: St): (Long, Vector[Long], Vector[Folder]) = {
+    var packPos = -1L
+    var packSizes = Vector.empty[Long]
+    var folders = Vector.empty[Folder]
+    var done = false
+    while (!done) {
+      st.num() match {
+        case 0x00 => done = true // kEnd
+        case 0x06 => // kPackInfo
+          packPos = st.num()
+          if (packPos < 0) bad()
+          val nPack = st.num()
+          if (nPack < 0 || nPack > 10000) bad()
+          var innerDone = false
+          while (!innerDone) {
+            st.num() match {
+              case 0x00 => innerDone = true
+              case 0x09 => // kSize
+                packSizes = Vector.tabulate(nPack.toInt)(_ => {
+                  val v = st.num()
+                  if (v < 0) bad()
+                  v
+                })
+              case _ => bad() // kCRC on pack streams unused by the writer
+            }
+          }
+          if (packSizes.length != nPack.toInt) bad()
+        case 0x07 => // kUnpackInfo
+          if (st.num() != 0x0b) bad() // kFolder
+          val nFolders = st.num()
+          if (nFolders < 1 || nFolders > 10000) bad()
+          if (st.u8() != 0) bad() // external=0
+          val protoFolders = Vector.tabulate(nFolders.toInt) { fi =>
+            val nCoders = st.num()
+            if (nCoders != 1) bad() // the single-coder pin
+            val flag = st.u8()
+            val idSize = flag & 0x0f
+            if (idSize < 1 || idSize > 8) bad()
+            if ((flag & 0x10) != 0) bad() // complex coders refuse
+            val hasAttrs = (flag & 0x20) != 0
+            if ((flag & 0xc0) != 0) bad()
+            val id = (0 until idSize).map(_ => st.u8())
+            val props =
+              if (hasAttrs) st.take(st.num())
+              else Array.empty[Byte]
+            Folder(id, props, fi, -1L, None)
+          }
+          if (st.num() != 0x0c) bad() // kCodersUnpackSize
+          var withSizes = protoFolders.map { f =>
+            val v = st.num()
+            if (v < 0) bad()
+            f.copy(unpackSize = v)
+          }
+          var innerDone = false
+          while (!innerDone) {
+            st.num() match {
+              case 0x00 => innerDone = true
+              case 0x0a => // kCRC
+                val allDefined = st.u8()
+                if (allDefined != 1) bad() // bit-vector form unused
+                withSizes = withSizes.map { f =>
+                  var v = 0L
+                  (0 until 4).foreach(i => v |= (st.u8().toLong << (8 * i)))
+                  f.copy(crc = Some(v))
+                }
+              case _ => bad()
+            }
+          }
+          folders = withSizes
+        case _ => bad() // kSubStreamsInfo unused by the single-stream pin
+      }
+    }
+    if (packPos < 0 || packSizes.isEmpty || folders.isEmpty) bad()
+    if (packSizes.length != folders.length) bad() // one pack stream per folder
+    (packPos, packSizes, folders)
+  }
+
+  /** Decode one folder's content from its packed bytes. */
+  private def decodeFolder(f: Folder, packed: Array[Byte],
+                           maxOut: Int): (String, Array[Byte]) = {
+    if (f.unpackSize < 0 || f.unpackSize > maxOut) bad()
+    f.coderId match {
+      case Seq(0x00) => // Copy
+        if (f.props.nonEmpty) bad()
+        if (packed.length.toLong != f.unpackSize) bad()
+        ("copy", packed)
+      case Seq(0x03, 0x01, 0x01) => // LZMA: props = propByte + dictSize LE32
+        if (f.props.length != 5) bad()
+        val head = new Array[Byte](13)
+        System.arraycopy(f.props, 0, head, 0, 5)
+        var i = 0
+        while (i < 8) { head(5 + i) = ((f.unpackSize >>> (8 * i)) & 0xff).toByte; i += 1 }
+        val out = XzDecode.lzmaAlone(head ++ packed, maxOut).getOrElse(bad())
+        if (out.length.toLong != f.unpackSize) bad()
+        ("lzma", out)
+      case _ => bad() // LZMA2 / BCJ / AES refuse (honest pin)
+    }
+  }
+
+  def probe(b: Array[Byte], maxOut: Int = 1 << 26): Option[Probe] = try {
+    if (b == null || b.length < 32 || b.length > maxOut) return None
+    if (!(b(0) == '7' && b(1) == 'z' && (b(2) & 0xff) == 0xBC &&
+      (b(3) & 0xff) == 0xAF && (b(4) & 0xff) == 0x27 && (b(5) & 0xff) == 0x1C))
+      return None
+    if (b(6) != 0) return None // version major 0
+    def le32(p: Int): Long = (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+    def le64(p: Int): Long = le32(p) | (le32(p + 4) << 32)
+    if (crc32(b, 12, 20) != le32(8)) return None // StartHeaderCRC
+    val nhOff = le64(12)
+    val nhSize = le64(20)
+    if (nhOff < 0 || nhSize < 1 || 32 + nhOff + nhSize != b.length) return None
+    val nhStart = (32 + nhOff).toInt
+    if (crc32(b, nhStart, nhSize.toInt) != le32(28)) return None // NextHeaderCRC
+
+    // the next header: kHeader directly, or kEncodedHeader → decode first
+    var hdr = java.util.Arrays.copyOfRange(b, nhStart, nhStart + nhSize.toInt)
+    val st0 = new St(hdr, 0, hdr.length)
+    val first = st0.num()
+    var encoded = false
+    val headerSt: St = first match {
+      case 0x01 => st0 // kHeader
+      case 0x17 => // kEncodedHeader: StreamsInfo for the header itself
+        encoded = true
+        val (hPos, hSizes, hFolders) = streamsInfo(st0)
+        if (st0.p != hdr.length) bad()
+        if (hFolders.length != 1) bad()
+        // the header stream ends exactly where the next-header stub
+        // begins: [file packs][header pack][stub] — the tiling law
+        if (hPos + hSizes(0) != nhOff) bad()
+        val hs = (32 + hPos).toInt
+        val packed = java.util.Arrays.copyOfRange(b, hs, hs + hSizes(0).toInt)
+        val (_, out) = decodeFolder(hFolders(0), packed, maxOut)
+        hFolders(0).crc.foreach(c => if (crc32(out, 0, out.length) != c) bad())
+        hdr = out
+        val st1 = new St(hdr, 0, hdr.length)
+        if (st1.num() != 0x01) bad() // the decoded bytes must BE a kHeader
+        st1
+      case _ => bad()
+    }
+
+    // ---- kHeader body ----
+    if (headerSt.num() != 0x04) bad() // kMainStreamsInfo
+    val (packPos, packSizes, folders) = streamsInfo(headerSt)
+    if (packPos != 0) bad() // file folders tile from the region start
+    // plain form: the folders fill the whole region; encoded form: the
+    // header stream (already bounded above) follows them
+    if (!encoded && packSizes.sum != nhOff) bad()
+    if (encoded && packSizes.sum > nhOff) bad()
+
+    // decode every folder and verify its digest
+    var packAt = 32L
+    val decoded = folders.zip(packSizes).map { case (f, ps) =>
+      if (packAt + ps > b.length) bad()
+      val packed = java.util.Arrays.copyOfRange(b, packAt.toInt, (packAt + ps).toInt)
+      packAt += ps
+      val (coder, out) = decodeFolder(f, packed, maxOut)
+      val crcOk = f.crc match {
+        case Some(c) => if (crc32(out, 0, out.length) != c) bad() else true
+        case None => false
+      }
+      (coder, out, crcOk)
+    }
+
+    // ---- kFilesInfo ----
+    if (headerSt.num() != 0x05) bad()
+    val nFiles = headerSt.num()
+    if (nFiles != folders.length) bad() // one file per folder (the pin)
+    var names = Vector.empty[String]
+    var done = false
+    while (!done) {
+      val prop = headerSt.num()
+      if (prop == 0x00) done = true
+      else {
+        val size = headerSt.num()
+        val data = headerSt.take(size)
+        if (prop == 0x11) { // kName
+          if (data.length < 1 || data(0) != 0) bad() // external=0
+          if ((data.length - 1) % 2 != 0) bad()
+          val chars = (data.length - 1) / 2
+          val sb = new StringBuilder
+          var i = 0
+          while (i < chars) {
+            val c = ((data(1 + 2 * i) & 0xff) | ((data(2 + 2 * i) & 0xff) << 8)).toChar
+            if (c == ' ') {
+              names :+= sb.toString
+              sb.clear()
+            } else sb.append(c)
+            i += 1
+          }
+          if (sb.nonEmpty) bad() // the last name must be NUL-terminated
+          if (names.exists(_.isEmpty)) bad()
+          if (names.exists(n => n.exists(c => c >= 0xd800 && c <= 0xdfff))) bad()
+        }
+        // unknown file properties (kMTime, kAttributes…) skip by size
+      }
+    }
+    if (headerSt.num() != 0x00) bad() // kHeader's kEnd
+    if (headerSt.p != hdr.length) bad() // exact consumption
+    if (names.length != nFiles.toInt) bad()
+
+    val entries = names.zip(decoded).map { case (n, (coder, out, crcOk)) =>
+      Entry(n, out.length.toLong, coder, crcOk)
+    }
+    Some(Probe(folders.length, nFiles.toInt, entries.toVector,
+      decoded.map(_._2.length.toLong).sum, encoded))
+  } catch {
+    case _: Bad => None
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NegativeArraySizeException => None
+  }
+
+  // ---- the writer (gate fixtures) ----
+
+  private def wNum(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    // the canonical shortest REAL_UINT64 form
+    require(v >= 0)
+    if (v < 0x80) { out.write(v.toInt); return }
+    var extra = 1
+    while (extra < 8 && (v >>> (8 * extra)) >= (0x80L >>> extra)) extra += 1
+    val high = (v >>> (8 * extra)).toInt
+    var markers = 0
+    var i = 0
+    while (i < extra) { markers |= 0x80 >>> i; i += 1 }
+    out.write(markers | high)
+    i = 0
+    while (i < extra) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+  }
+
+  private def le32Out(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+    out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+  }
+
+  /** LZMA-compress bytes headerless (the 7z coder layout); returns
+    * (packed, 5 props bytes). */
+  private def lzmaPack(data: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    val opt = new org.tukaani.xz.LZMA2Options(1)
+    opt.setDictSize(1 << 16)
+    val bos = new java.io.ByteArrayOutputStream
+    val z = new org.tukaani.xz.LZMAOutputStream(bos, opt, false) // raw, no end marker
+    z.write(data); z.finish()
+    val props = new Array[Byte](5)
+    props(0) = z.getProps.toByte
+    val ds = 1 << 16
+    props(1) = (ds & 0xff).toByte; props(2) = ((ds >> 8) & 0xff).toByte
+    props(3) = ((ds >> 16) & 0xff).toByte; props(4) = ((ds >> 24) & 0xff).toByte
+    (bos.toByteArray, props)
+  }
+
+  private def streamsInfoBytes(packPos: Long, packSizes: Seq[Long],
+                               folders: Seq[(String, Array[Byte], Long, Long)]): Array[Byte] = {
+    // folders: (coderName, props, unpackSize, crc)
+    val h = new java.io.ByteArrayOutputStream
+    h.write(0x06) // kPackInfo
+    wNum(h, packPos)
+    wNum(h, packSizes.length)
+    h.write(0x09) // kSize
+    packSizes.foreach(wNum(h, _))
+    h.write(0x00) // kEnd of PackInfo
+    h.write(0x07) // kUnpackInfo
+    h.write(0x0b) // kFolder
+    wNum(h, folders.length)
+    h.write(0) // external
+    folders.foreach { case (coder, props, _, _) =>
+      wNum(h, 1) // one coder
+      if (coder == "copy") {
+        h.write(0x01); h.write(0x00) // idSize 1, id 0x00
+      } else {
+        h.write(0x23); h.write(0x03); h.write(0x01); h.write(0x01) // idSize 3 + attrs
+        wNum(h, props.length)
+        h.write(props, 0, props.length)
+      }
+    }
+    h.write(0x0c) // kCodersUnpackSize
+    folders.foreach { case (_, _, us, _) => wNum(h, us) }
+    h.write(0x0a) // kCRC
+    h.write(0x01) // all defined
+    folders.foreach { case (_, _, _, crc) => le32Out(h, crc) }
+    h.write(0x00) // kEnd of UnpackInfo
+    h.write(0x00) // kEnd of StreamsInfo
+    h.toByteArray
+  }
+
+  /** Build a lawful archive: one folder per file; `lzma` per-file flag;
+    * `encodeHeader` wraps the header in kEncodedHeader via LZMA. */
+  def write(files: Seq[(String, Array[Byte], Boolean)],
+            encodeHeader: Boolean): Array[Byte] = {
+    val packedParts = files.map { case (_, data, lzma) =>
+      if (lzma) {
+        val (packed, props) = lzmaPack(data)
+        ("lzma", packed, props)
+      } else ("copy", data, Array.empty[Byte])
+    }
+    val packRegion = new java.io.ByteArrayOutputStream
+    packedParts.foreach { case (_, packed, _) => packRegion.write(packed, 0, packed.length) }
+
+    val h = new java.io.ByteArrayOutputStream
+    h.write(0x01) // kHeader
+    h.write(0x04) // kMainStreamsInfo
+    val si = streamsInfoBytes(0,
+      packedParts.map(_._2.length.toLong),
+      files.zip(packedParts).map { case ((_, data, _), (coder, _, props)) =>
+        (coder, props, data.length.toLong, crc32(data, 0, data.length))
+      })
+    h.write(si, 0, si.length)
+    h.write(0x05) // kFilesInfo
+    wNum(h, files.length)
+    val nameData = new java.io.ByteArrayOutputStream
+    nameData.write(0) // external
+    files.foreach { case (name, _, _) =>
+      name.foreach { c =>
+        nameData.write(c & 0xff); nameData.write((c >> 8) & 0xff)
+      }
+      nameData.write(0); nameData.write(0)
+    }
+    h.write(0x11) // kName
+    wNum(h, nameData.size())
+    nameData.writeTo(h)
+    h.write(0x00) // kEnd of FilesInfo
+    h.write(0x00) // kEnd of kHeader
+    var header = h.toByteArray
+
+    val pack2 = new java.io.ByteArrayOutputStream
+    packRegion.writeTo(pack2)
+    if (encodeHeader) {
+      // [file packs][lzma(header)][kEncodedHeader stub]
+      val filePackBytes = pack2.size().toLong
+      val (hPacked, hProps) = lzmaPack(header)
+      pack2.write(hPacked, 0, hPacked.length)
+      val stub = new java.io.ByteArrayOutputStream
+      stub.write(0x17)
+      val si2 = streamsInfoBytes(filePackBytes, Seq(hPacked.length.toLong),
+        Seq(("lzma", hProps, header.length.toLong,
+          crc32(header, 0, header.length))))
+      stub.write(si2, 0, si2.length)
+      header = stub.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream
+    val nhOff = pack2.size().toLong
+    out.write(Array[Byte]('7', 'z', 0xBC.toByte, 0xAF.toByte, 0x27, 0x1C), 0, 6)
+    out.write(0); out.write(4) // version 0.4
+    val tail = new java.io.ByteArrayOutputStream
+    (0 until 8).foreach(i => tail.write(((nhOff >>> (8 * i)) & 0xff).toInt))
+    (0 until 8).foreach(i => tail.write(((header.length.toLong >>> (8 * i)) & 0xff).toInt))
+    le32Out(tail, crc32(header, 0, header.length))
+    val tailBytes = tail.toByteArray
+    le32Out(out, crc32(tailBytes, 0, tailBytes.length))
+    out.write(tailBytes, 0, tailBytes.length)
+    pack2.writeTo(out)
+    out.write(header, 0, header.length)
+    out.toByteArray
+  }
+}

@@ -1,0 +1,201 @@
+package graft.llm
+
+/** WOFF 1.0 probe — the W3C WOFF File Format 1.0 spec: the 44-byte
+  * header (signature 'wOFF', flavor, length, numTables + the
+  * must-be-zero reserved field, totalSfntSize, meta/private blocks),
+  * the 20-byte table directory (ascending tags, per-table
+  * compLength/origLength/origChecksum), zlib-compressed tables
+  * (compLength < origLength → RFC 1950 stream inflating to exactly
+  * origLength; equal → stored), and FULL RECONSTRUCTION: the sfnt is
+  * rebuilt (offset table + directory + tag-order tiled tables) and
+  * must satisfy every [[SfntProbe]] law — table checksums, the head
+  * adjustment, the whole-font sum.
+  *
+  * Laws (refuse, never garble): length = file size; reserved = 0;
+  * totalSfntSize = 12 + 16n + Σ pad4(origLength); the WOFF tables
+  * tile from the end of the directory (pad4) to the end of file (no
+  * meta/private blocks — the pin; metaOffset/privOffset must be 0);
+  * compLength ≤ origLength; inflation exact with no trailing bytes. */
+object WoffCodec {
+
+  private final class Bad extends RuntimeException
+  private def bad(): Nothing = throw new Bad
+
+  final case class Probe(flavorTag: String, numTables: Int, nCompressed: Int,
+                         woffBytes: Long, sfnt: SfntProbe.Probe)
+
+  private def be16(b: Array[Byte], p: Int): Int =
+    ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+  private def be32(b: Array[Byte], p: Int): Long =
+    ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+      ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+
+  def probe(b: Array[Byte], maxBytes: Int = 1 << 26): Option[Probe] = try {
+    if (b == null || b.length < 44 || b.length > maxBytes) return None
+    if (!(b(0) == 'w' && b(1) == 'O' && b(2) == 'F' && b(3) == 'F')) return None
+    val flavor = be32(b, 4)
+    val flavorTag = flavor match {
+      case 0x00010000L => "ttf"
+      case 0x4F54544FL => "otto"
+      case _ => return None
+    }
+    if (be32(b, 8) != b.length) return None // length law
+    val n = be16(b, 12)
+    if (n < 1 || n > 4096) return None
+    if (be16(b, 14) != 0) return None // reserved
+    val totalSfnt = be32(b, 16)
+    // meta/private blocks: out of scope, must be absent
+    if (be32(b, 24) != 0 || be32(b, 28) != 0 || be32(b, 32) != 0) return None
+    if (be32(b, 36) != 0 || be32(b, 40) != 0) return None
+    val dirEnd = 44 + 20 * n
+    if (dirEnd > b.length) return None
+
+    final case class Ent(tag: Array[Byte], off: Int, comp: Int, orig: Int, check: Long)
+    val ents = (0 until n).map { i =>
+      val p = 44 + 20 * i
+      val tag = java.util.Arrays.copyOfRange(b, p, p + 4)
+      if (tag.exists(c => c < 0x20 || c > 0x7e)) bad()
+      val off = be32(b, p + 4)
+      val comp = be32(b, p + 8)
+      val orig = be32(b, p + 12)
+      val check = be32(b, p + 16)
+      if (comp > orig) bad() // the compression-gain law
+      if (off < dirEnd || off + comp > b.length) bad()
+      Ent(tag, off.toInt, comp.toInt, orig.toInt, check)
+    }.toVector
+    ents.sliding(2).foreach {
+      case Vector(a, c) =>
+        if (new String(a.tag, "ASCII") >= new String(c.tag, "ASCII")) bad()
+      case _ => ()
+    }
+    // WOFF tiling: tables stored in tag order, 4-padded, ending at EOF
+    var expect = (dirEnd + 3) & ~3
+    ents.foreach { e =>
+      if (e.off != expect) bad()
+      expect = (e.off + e.comp + 3) & ~3
+    }
+    if (expect != b.length) bad()
+    if (totalSfnt != 12L + 16L * n + ents.map(e => (e.orig + 3L) & ~3L).sum) bad()
+
+    // decompress and rebuild the sfnt
+    var nCompressed = 0
+    val bodies = ents.map { e =>
+      if (e.comp < e.orig) {
+        nCompressed += 1
+        val inf = new java.util.zip.Inflater() // zlib-wrapped (RFC 1950)
+        inf.setInput(b, e.off, e.comp)
+        val out = new Array[Byte](e.orig)
+        try {
+          var at = 0
+          while (at < e.orig && !inf.finished()) {
+            val r = inf.inflate(out, at, e.orig - at)
+            if (r == 0 && inf.needsInput()) bad()
+            at += r
+          }
+          if (at != e.orig || !inf.finished()) bad() // exact, no tail
+        } finally inf.end()
+        out
+      } else java.util.Arrays.copyOfRange(b, e.off, e.off + e.comp)
+    }
+    val sfntBuf = new java.io.ByteArrayOutputStream
+    def w16(v: Int): Unit = { sfntBuf.write((v >> 8) & 0xff); sfntBuf.write(v & 0xff) }
+    def w32(v: Long): Unit = {
+      sfntBuf.write(((v >> 24) & 0xff).toInt); sfntBuf.write(((v >> 16) & 0xff).toInt)
+      sfntBuf.write(((v >> 8) & 0xff).toInt); sfntBuf.write((v & 0xff).toInt)
+    }
+    w32(flavor)
+    var sr = 16
+    var es = 0
+    while (sr * 2 <= n * 16) { sr *= 2; es += 1 }
+    w16(n); w16(sr); w16(es); w16(n * 16 - sr)
+    var off = 12 + 16 * n
+    ents.zip(bodies).foreach { case (e, body) =>
+      sfntBuf.write(e.tag, 0, 4)
+      w32(e.check)
+      w32(off.toLong)
+      w32(body.length.toLong)
+      off += (body.length + 3) & ~3
+    }
+    ents.zip(bodies).foreach { case (_, body) =>
+      sfntBuf.write(body, 0, body.length)
+      var pad = (4 - (body.length & 3)) & 3
+      while (pad > 0) { sfntBuf.write(0); pad -= 1 }
+    }
+    val sfnt = sfntBuf.toByteArray
+    if (sfnt.length.toLong != totalSfnt) bad()
+    // every sfnt law (incl. per-table checksums vs the carried
+    // origChecksum values and the whole-font adjustment) runs here
+    val sp = SfntProbe.probe(sfnt).getOrElse(bad())
+    Some(Probe(flavorTag, n, nCompressed, b.length.toLong, sp))
+  } catch {
+    case _: Bad => None
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NegativeArraySizeException => None
+    case _: java.util.zip.DataFormatException => None
+  }
+
+  // ---- the writer (gate fixtures) ----
+
+  /** Wrap an sfnt (as produced by [[SfntProbe.write]]) into WOFF;
+    * tables whose zlib form saves bytes are compressed. */
+  def wrap(sfnt: Array[Byte]): Array[Byte] = {
+    val n = ((sfnt(4) & 0xff) << 8) | (sfnt(5) & 0xff)
+    final case class T(tag: Array[Byte], check: Long, off: Int, len: Int)
+    val ents = (0 until n).map { i =>
+      val p = 12 + 16 * i
+      T(java.util.Arrays.copyOfRange(sfnt, p, p + 4),
+        ((sfnt(p + 4) & 0xffL) << 24) | ((sfnt(p + 5) & 0xffL) << 16) |
+          ((sfnt(p + 6) & 0xffL) << 8) | (sfnt(p + 7) & 0xffL),
+        (((sfnt(p + 8) & 0xffL) << 24) | ((sfnt(p + 9) & 0xffL) << 16) |
+          ((sfnt(p + 10) & 0xffL) << 8) | (sfnt(p + 11) & 0xffL)).toInt,
+        (((sfnt(p + 12) & 0xffL) << 24) | ((sfnt(p + 13) & 0xffL) << 16) |
+          ((sfnt(p + 14) & 0xffL) << 8) | (sfnt(p + 15) & 0xffL)).toInt)
+    }
+    val packed = ents.map { e =>
+      val body = java.util.Arrays.copyOfRange(sfnt, e.off, e.off + e.len)
+      val d = new java.util.zip.Deflater(9)
+      d.setInput(body); d.finish()
+      val buf = new Array[Byte](body.length + 64)
+      val m = d.deflate(buf)
+      val done = d.finished()
+      d.end()
+      if (done && m < body.length) java.util.Arrays.copyOf(buf, m) else body
+    }
+    val out = new java.io.ByteArrayOutputStream
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def w32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    val dirEnd = 44 + 20 * n
+    val dataStart = (dirEnd + 3) & ~3
+    val totalLen = dataStart + packed.map(p => (p.length + 3) & ~3).sum
+    val totalSfnt = 12L + 16L * n + ents.map(e => (e.len + 3L) & ~3L).sum
+    out.write('w'); out.write('O'); out.write('F'); out.write('F')
+    w32(((sfnt(0) & 0xffL) << 24) | ((sfnt(1) & 0xffL) << 16) |
+      ((sfnt(2) & 0xffL) << 8) | (sfnt(3) & 0xffL))
+    w32(totalLen.toLong)
+    w16(n); w16(0)
+    w32(totalSfnt)
+    w16(1); w16(0) // major/minor
+    w32(0); w32(0); w32(0) // meta
+    w32(0); w32(0) // private
+    var off = dataStart
+    ents.zip(packed).foreach { case (e, p) =>
+      out.write(e.tag, 0, 4)
+      w32(off.toLong)
+      w32(p.length.toLong)
+      w32(e.len.toLong)
+      w32(e.check)
+      off += (p.length + 3) & ~3
+    }
+    var pad = dataStart - dirEnd
+    while (pad > 0) { out.write(0); pad -= 1 }
+    packed.foreach { p =>
+      out.write(p, 0, p.length)
+      var pd = (4 - (p.length & 3)) & 3
+      while (pd > 0) { out.write(0); pd -= 1 }
+    }
+    out.toByteArray
+  }
+}

@@ -212,13 +212,132 @@ object Containers {
       |FROM p
       |ORDER BY media_id""".stripMargin
 
+  /** 7z archive probe gate (see [[graft.llm.SevenZip]]): per-key
+    * archives mixing Copy and LZMA folders; every fifth key stores the
+    * header LZMA-compressed (kEncodedHeader) and decodes it through
+    * the engine's own LZMA core. */
+  def sevenZipProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.SevenZip
+    val keys = partKeys(s, d).filter(_ % 8 == 6)
+    val out = keys.map { k =>
+      val nf = (2 + k % 3).toInt
+      val fs = (0 until nf).map { i =>
+        val n = (150 + (k * 7 + i * 37) % 400).toInt
+        val data = Array.tabulate(n)(j => ('a' + (j / (3 + i)) % 7).toByte)
+        (s"d$k/f$i.txt", data, (k + i) % 2 == 0)
+      }
+      val bytes = SevenZip.write(fs, encodeHeader = k % 5 == 0)
+      val armed =
+        if (k % 13 == 0) java.util.Arrays.copyOf(bytes, bytes.length - 3)
+        else if (k % 19 == 0) { val t = bytes.clone(); t(9) = (t(9) ^ 1).toByte; t }
+        else bytes
+      SevenZip.probe(armed) match {
+        case Some(p) =>
+          (k, true, Some(p.nFolders), Some(p.nFiles), Some(p.encodedHeader),
+            Some(p.entries.map(_.coder).mkString(",")),
+            Some(p.entries.map(_.name).mkString(",")),
+            Some(p.unpackBytes), Some(p.entries.forall(_.crcOk)))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int], None: Option[Boolean],
+            None: Option[String], None: Option[String], None: Option[Long],
+            None: Option[Boolean])
+      }
+    }.toDF("media_id", "sz_ok", "n_folders", "n_files", "enc_hdr", "coders",
+      "names", "unpack_bytes", "crc_all")
+    out.orderBy($"media_id")
+  }
+
+  val sevenZipProbeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part
+      |            WHERE p_partkey % 8 = 6),
+      |p AS (SELECT k, (k % 13 <> 0 AND k % 19 <> 0) AS ok,
+      |        CAST(2 + k % 3 AS INTEGER) AS nf
+      |      FROM ks),
+      |per AS (
+      |  SELECT p.k,
+      |    string_agg(CASE WHEN (p.k + i.g) % 2 = 0 THEN 'lzma' ELSE 'copy' END,
+      |      ',' ORDER BY i.g) AS coders,
+      |    string_agg('d' || p.k || '/f' || i.g || '.txt', ',' ORDER BY i.g) AS names,
+      |    CAST(SUM(150 + (p.k * 7 + i.g * 37) % 400) AS BIGINT) AS ub
+      |  FROM p, generate_series(0, 4) i(g) WHERE i.g < p.nf GROUP BY p.k)
+      |SELECT p.k AS media_id, p.ok AS sz_ok,
+      |  CASE WHEN p.ok THEN p.nf END AS n_folders,
+      |  CASE WHEN p.ok THEN p.nf END AS n_files,
+      |  CASE WHEN p.ok THEN p.k % 5 = 0 END AS enc_hdr,
+      |  CASE WHEN p.ok THEN per.coders END AS coders,
+      |  CASE WHEN p.ok THEN per.names END AS names,
+      |  CASE WHEN p.ok THEN per.ub END AS unpack_bytes,
+      |  CASE WHEN p.ok THEN TRUE END AS crc_all
+      |FROM p JOIN per ON per.k = p.k
+      |ORDER BY media_id""".stripMargin
+
+  /** WOFF web-font probe gate (see [[graft.llm.WoffCodec]]): per-key
+    * sfnts wrapped into WOFF, probed through full reconstruction (the
+    * rebuilt sfnt passes every [[graft.llm.SfntProbe]] law). The
+    * census replays the sfnt facts; compression wins are not
+    * closed-form and stay out of the oracle. */
+  def woffProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.{SfntProbe, WoffCodec}
+    val keys = partKeys(s, d).filter(_ % 8 == 5)
+    val out = keys.map { k =>
+      val name = Array.tabulate(8)(i => ((i * 29 + k) & 0x7f).toByte)
+      val data = Array.tabulate((200 + k % 150).toInt)(i => ('a' + (i / 7) % 6).toByte)
+      val sfnt = SfntProbe.write(if (k % 2 == 0) "ttf" else "otto", Seq(
+        "head" -> SfntProbe.headTable((500 + k % 2000).toInt, (k % 2).toInt),
+        "maxp" -> SfntProbe.maxpTable((20 + k % 300).toInt, v10 = k % 2 == 0),
+        "name" -> name,
+        "zdat" -> data))
+      val woff = WoffCodec.wrap(sfnt)
+      val armed =
+        if (k % 13 == 0) java.util.Arrays.copyOf(woff, woff.length - 3)
+        else if (k % 19 == 0) { // flip inside a compressed table
+          val t = woff.clone(); t(t.length - 6) = (t(t.length - 6) ^ 0x40).toByte; t
+        } else woff
+      WoffCodec.probe(armed) match {
+        case Some(p) =>
+          (k, true, Some(p.flavorTag), Some(p.numTables), Some(p.sfnt.numGlyphs),
+            Some(p.sfnt.unitsPerEm), Some(p.sfnt.indexToLocFormat),
+            Some(p.sfnt.tags.mkString(",")), Some(p.sfnt.tableBytes))
+        case None =>
+          (k, false, None: Option[String], None: Option[Int], None: Option[Int],
+            None: Option[Int], None: Option[Int], None: Option[String],
+            None: Option[Long])
+      }
+    }.toDF("media_id", "wf_ok", "flavor", "n_tables", "n_glyphs",
+      "units_per_em", "loc_fmt", "tags", "table_bytes")
+    out.orderBy($"media_id")
+  }
+
+  val woffProbeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part
+      |            WHERE p_partkey % 8 = 5),
+      |p AS (SELECT k, (k % 13 <> 0 AND k % 19 <> 0) AS ok FROM ks)
+      |SELECT p.k AS media_id, p.ok AS wf_ok,
+      |  CASE WHEN p.ok THEN
+      |    CASE WHEN p.k % 2 = 0 THEN 'ttf' ELSE 'otto' END END AS flavor,
+      |  CASE WHEN p.ok THEN 4 END AS n_tables,
+      |  CASE WHEN p.ok THEN CAST(20 + p.k % 300 AS INTEGER) END AS n_glyphs,
+      |  CASE WHEN p.ok THEN CAST(500 + p.k % 2000 AS INTEGER) END AS units_per_em,
+      |  CASE WHEN p.ok THEN CAST(p.k % 2 AS INTEGER) END AS loc_fmt,
+      |  CASE WHEN p.ok THEN 'head,maxp,name,zdat' END AS tags,
+      |  CASE WHEN p.ok THEN CAST(54 + CASE WHEN p.k % 2 = 0 THEN 32 ELSE 6 END
+      |    + 8 + 200 + p.k % 150 AS BIGINT) END AS table_bytes
+      |FROM p
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mkv_probe" -> (mkvProbe _),
     "q_ts_probe" -> (tsProbe _),
-    "q_ttf_probe" -> (ttfProbe _))
+    "q_ttf_probe" -> (ttfProbe _),
+    "q_7z_probe" -> (sevenZipProbe _),
+    "q_woff_probe" -> (woffProbe _))
 
   def oracles: Map[String, String] = Map(
     "q_mkv_probe" -> mkvProbeSql,
     "q_ts_probe" -> tsProbeSql,
-    "q_ttf_probe" -> ttfProbeSql)
+    "q_ttf_probe" -> ttfProbeSql,
+    "q_7z_probe" -> sevenZipProbeSql,
+    "q_woff_probe" -> woffProbeSql)
 }

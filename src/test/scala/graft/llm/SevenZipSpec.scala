@@ -1,0 +1,79 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** 7z probe: plain and encoded-header round trips (the LZMA header
+  * decodes through the engine's own LZMA core), coder mixes, unknown
+  * file-property skip, and the refusal battery (the three signature
+  * CRCs, folder digests, name laws, tiling lies). */
+class SevenZipSpec extends AnyFunSuite {
+  import SevenZip._
+
+  private def files(k: Int): Seq[(String, Array[Byte], Boolean)] =
+    (0 until 3).map { i =>
+      val n = 200 + (k + i * 37) % 300
+      val data = Array.tabulate(n)(j => (('a' + (j / (3 + i)) % 7).toByte))
+      (s"dir/f$i-$k.txt", data, (k + i) % 2 == 0)
+    }
+
+  test("plain header round trip: coder mix, names, digests") {
+    for (k <- Seq(0, 1, 5, 12)) {
+      val fs = files(k)
+      val b = write(fs, encodeHeader = false)
+      val p = probe(b).get
+      assert(!p.encodedHeader)
+      assert(p.nFolders == 3 && p.nFiles == 3)
+      assert(p.entries.map(_.name) == fs.map(_._1).toVector)
+      assert(p.entries.map(_.size) == fs.map(_._2.length.toLong).toVector)
+      assert(p.entries.map(_.coder) ==
+        fs.map(f => if (f._3) "lzma" else "copy").toVector)
+      assert(p.entries.forall(_.crcOk))
+      assert(p.unpackBytes == fs.map(_._2.length.toLong).sum)
+    }
+  }
+
+  test("encoded header: the kEncodedHeader stub decodes via our LZMA") {
+    val fs = files(7)
+    val b = write(fs, encodeHeader = true)
+    val p = probe(b).get
+    assert(p.encodedHeader)
+    assert(p.entries.map(_.name) == fs.map(_._1).toVector)
+    assert(p.unpackBytes == fs.map(_._2.length.toLong).sum)
+  }
+
+  test("refusal battery") {
+    val good = write(files(3), encodeHeader = false)
+    assert(probe(good).isDefined)
+    // magic / version
+    val magic = good.clone(); magic(2) = 0x11
+    assert(probe(magic).isEmpty)
+    // StartHeaderCRC flip
+    val shc = good.clone(); shc(9) = (shc(9) ^ 1).toByte
+    assert(probe(shc).isEmpty)
+    // NextHeaderCRC flip
+    val nhc = good.clone(); nhc(29) = (nhc(29) ^ 1).toByte
+    assert(probe(nhc).isEmpty)
+    // a flipped byte inside the FIRST pack stream → the folder digest
+    // law trips (the signature CRCs never cover the pack region)
+    val flip = good.clone()
+    flip(40) = (flip(40) ^ 0x20).toByte
+    assert(probe(flip).isEmpty)
+    // truncation
+    assert(probe(java.util.Arrays.copyOf(good, good.length - 2)).isEmpty)
+    // trailing garbage breaks the 32+off+size == length law
+    assert(probe(good ++ Array[Byte](0)).isEmpty)
+    // encoded header truncated mid-stub
+    val enc = write(files(2), encodeHeader = true)
+    assert(probe(java.util.Arrays.copyOf(enc, enc.length - 1)).isEmpty)
+  }
+
+  test("number encoding: boundary values round-trip through the probe") {
+    // exercise multi-byte REAL_UINT64 sizes by making one file large
+    // enough to need a 2+-byte length (> 127, > 16383)
+    val big = Array.tabulate(17000)(i => ((i * 7) & 0xff).toByte)
+    val b = write(Seq(("big.bin", big, false)), encodeHeader = false)
+    val p = probe(b).get
+    assert(p.entries.head.size == 17000L)
+    assert(p.entries.head.crcOk)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WOFF probe: wrap/probe round trips over real sfnt fixtures, the
+  * reconstruction equivalence (the rebuilt sfnt must satisfy every
+  * SfntProbe law), and the refusal battery. */
+class WoffCodecSpec extends AnyFunSuite {
+  import SfntProbe.{write => sfntWrite, headTable, maxpTable}
+
+  private def font(k: Int): Array[Byte] = {
+    // a compressible data table (runs) and an incompressible-ish name
+    val name = Array.tabulate(10)(i => ((i * 53 + k * 7) & 0x7f).toByte)
+    val data = Array.tabulate(300 + k % 100)(i => (('a' + (i / 9) % 5).toByte))
+    sfntWrite(if (k % 2 == 0) "ttf" else "otto", Seq(
+      "head" -> headTable(2048, k % 2),
+      "maxp" -> maxpTable(100 + k, v10 = k % 2 == 0),
+      "name" -> name,
+      "zdat" -> data))
+  }
+
+  test("wrap → probe round trip; reconstruction passes every sfnt law") {
+    for (k <- Seq(0, 1, 9, 33)) {
+      val sfnt = font(k)
+      val woff = WoffCodec.wrap(sfnt)
+      val p = WoffCodec.probe(woff).get
+      assert(p.flavorTag == (if (k % 2 == 0) "ttf" else "otto"))
+      assert(p.numTables == 4)
+      assert(p.nCompressed >= 1) // the run-heavy zdat must compress
+      assert(p.sfnt == SfntProbe.probe(sfnt).get) // full equivalence
+      assert(p.woffBytes == woff.length)
+      assert(p.woffBytes < sfnt.length + 44 + 4 * 4) // dir overhead bound
+    }
+  }
+
+  test("refusal battery") {
+    val woff = WoffCodec.wrap(font(4))
+    assert(WoffCodec.probe(woff).isDefined)
+    // signature / reserved / length lies
+    val sig = woff.clone(); sig(0) = 'W'
+    assert(WoffCodec.probe(sig).isEmpty)
+    val res = woff.clone(); res(15) = 1
+    assert(WoffCodec.probe(res).isEmpty)
+    val len = woff.clone(); len(11) = (len(11) + 1).toByte
+    assert(WoffCodec.probe(len).isEmpty)
+    // totalSfntSize lie
+    val tot = woff.clone(); tot(19) = (tot(19) + 4).toByte
+    assert(WoffCodec.probe(tot).isEmpty)
+    // a flipped byte inside a COMPRESSED table: zlib framing or the
+    // carried origChecksum refuses — never a garbled census
+    val flip = woff.clone()
+    flip(flip.length - 6) = (flip(flip.length - 6) ^ 0x40).toByte
+    assert(WoffCodec.probe(flip).isEmpty)
+    // truncation
+    assert(WoffCodec.probe(java.util.Arrays.copyOf(woff, woff.length - 3)).isEmpty)
+    // meta block present → out-of-scope pin
+    val meta = woff.clone(); meta(27) = 1
+    assert(WoffCodec.probe(meta).isEmpty)
+  }
+}
