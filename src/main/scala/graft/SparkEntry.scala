@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Containers, Corpus, Docs, Geo, Llm, Packed, Pipelines, Relational, Store, Training, Web}
+import graft.queries.{Code, Containers, Corpus, Docs, Geo, Llm, Packed, Pipelines, Relational, Store, Training, Web}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -8,7 +8,7 @@ object SparkEntry {
     Relational.aggPricing(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Geo.queries ++ Llm.queries ++ Pipelines.queries ++ Store.queries ++ Corpus.queries ++ Web.queries ++ Training.queries ++ Docs.queries ++ Packed.queries ++ Containers.queries
+    Relational.queries ++ Geo.queries ++ Llm.queries ++ Pipelines.queries ++ Store.queries ++ Corpus.queries ++ Web.queries ++ Training.queries ++ Docs.queries ++ Packed.queries ++ Containers.queries ++ Code.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     *
@@ -18,5 +18,5 @@ object SparkEntry {
     * queries run those two entries are absent. `graft.Verify` enforces
     * this with a require. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Geo.oracles ++ Llm.oracles ++ Pipelines.oracles ++ Store.oracles ++ Corpus.oracles ++ Web.oracles ++ Training.oracles ++ Docs.oracleSql ++ Packed.oracles ++ Containers.oracles
+    Relational.oracles ++ Geo.oracles ++ Llm.oracles ++ Pipelines.oracles ++ Store.oracles ++ Corpus.oracles ++ Web.oracles ++ Training.oracles ++ Docs.oracleSql ++ Packed.oracles ++ Containers.oracles ++ Code.oracles
 }

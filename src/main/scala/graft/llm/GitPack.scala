@@ -1,0 +1,650 @@
+package graft.llm
+
+import java.util.zip.{CRC32, Deflater}
+
+/** Git packfile (pack v2 + idx v2) decode under the format's laws, plus
+  * a writer for gate/fuzz fixtures. Code corpora arrive as repository
+  * dumps (mirrors, forge exports, The-Stack-style crawls), and the
+  * payload lives in the `.git/objects/pack` pack files — loose objects are the
+  * exception after any `gc`. This walks the pack natively:
+  *
+  *  - pack header: `"PACK"`, version 2, big-endian object count;
+  *  - per-object type/size varint (type bits 6..4 of the first byte,
+  *    size 7-bit little-endian continuation), types 1..4 full
+  *    (commit/tree/blob/tag), 6 `OFS_DELTA`, 7 `REF_DELTA`; types 0
+  *    and 5 are reserved → refuse;
+  *  - `OFS_DELTA` negative-offset varint (big-endian base-128 with the
+  *    +1-per-continuation quirk); the base offset must land EXACTLY on
+  *    a previously decoded object's start;
+  *  - each object body a zlib stream whose inflated length must equal
+  *    the declared size exactly;
+  *  - delta application (source-size law against the base, copy-op
+  *    bounds, the reserved 0x00 opcode refused, target-size law);
+  *  - the 20-byte SHA-1 trailer over everything before it;
+  *  - idx v2: `\377tOc`, version 2, monotone fanout, sorted oids, the
+  *    CRC-32 table (over each object's raw pack bytes), the
+  *    MSB-flagged large-offset indirection, pack-SHA + idx-SHA tail.
+  *
+  * Object ids are the standard `SHA-1("<type> <len>\0" ++ body)`.
+  * Cross-validated in GitPackSpec against packs produced by the real
+  * `git` binary (`git repack -ad` + `git verify-pack -v`).
+  *
+  * Reference scope: terra-bonobo-nodes has no VCS ingestion at all —
+  * this is part of the beyond-reference curation front (SURVEY §2's
+  * LLM-pipeline additions), the code-corpus sibling of the WARC walk.
+  */
+object GitPack {
+
+  val TCommit = 1; val TTree = 2; val TBlob = 3; val TTag = 4
+  val TOfsDelta = 6; val TRefDelta = 7
+
+  /** Per-object decode result: `typ` is the RESOLVED type (1..4),
+    * `repTyp` the on-disk representation (may be 6/7), `size` the
+    * resolved content length, `packedLen` the raw pack extent
+    * (header + zlib stream) the idx CRC covers. */
+  final case class Entry(
+      oid: String, typ: Int, repTyp: Int, offset: Long, size: Long,
+      storedSize: Long, packedLen: Int, depth: Int, baseOid: Option[String],
+      data: Array[Byte], crc: Long)
+
+  final case class PackProbe(
+      version: Int, nObjects: Int, entries: Vector[Entry], packSha: String) {
+    def byType(t: Int): Int = entries.count(_.typ == t)
+    def nDeltas: Int = entries.count(_.repTyp >= TOfsDelta)
+    def maxDepth: Int = if (entries.isEmpty) 0 else entries.map(_.depth).max
+    def inflatedBytes: Long = entries.map(_.size).sum
+  }
+
+  final case class IdxProbe(
+      n: Int, oids: Vector[String], crcs: Vector[Long],
+      offsets: Vector[Long], packSha: String)
+
+  private val MaxObjects = 1 << 20
+  private val MaxObjectBytes = 1 << 26
+  private val MaxTotalBytes = 1L << 28
+
+  // ---- SHA-1 (JDK MessageDigest; the algorithm itself is the law) ----
+
+  private def sha1(parts: Array[Byte]*): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    parts.foreach(md.update)
+    md.digest()
+  }
+
+  private def hex(b: Array[Byte], off: Int, len: Int): String = {
+    val sb = new StringBuilder(len * 2)
+    var i = off
+    while (i < off + len) { sb.append(f"${b(i) & 0xff}%02x"); i += 1 }
+    sb.toString
+  }
+
+  private val TypeNames = Map(TCommit -> "commit", TTree -> "tree",
+    TBlob -> "blob", TTag -> "tag")
+
+  /** Canonical object id: SHA-1 over `"<type> <len>\0" ++ body`. */
+  def oidHex(typ: Int, data: Array[Byte]): String = {
+    val hdr = s"${TypeNames(typ)} ${data.length}\u0000"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    hex(sha1(hdr, data), 0, 20)
+  }
+
+  // ---- zlib at an offset (consumed-length aware) ----
+
+  /** Inflate the zlib stream starting at `off`; the output must be
+    * exactly `want` bytes (git's size-header law). Returns the body and
+    * the number of COMPRESSED bytes consumed. */
+  private def inflateExact(b: Array[Byte], off: Int, want: Int): Option[(Array[Byte], Int)] = {
+    if (want > MaxObjectBytes) return None
+    val inf = MediaCodec.pooledInflater()
+    try {
+      inf.setInput(b, off, b.length - off)
+      val out = new Array[Byte](want)
+      var got = 0
+      while (got < want && !inf.finished()) {
+        val n = inf.inflate(out, got, want - got)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        got += n
+      }
+      if (got != want) return None
+      // The stream must END here: one extra byte of capacity proves it.
+      if (!inf.finished()) {
+        val probe = new Array[Byte](1)
+        val n = inf.inflate(probe)
+        if (n != 0 || !inf.finished()) return None
+      }
+      val consumed = (b.length - off) - inf.getRemaining
+      Some((out, consumed))
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    }
+  }
+
+  // ---- delta application ----
+
+  /** 7-bit little-endian varint used by the delta header. */
+  private def deltaVarint(b: Array[Byte], p0: Int): Option[(Long, Int)] = {
+    var p = p0; var v = 0L; var shift = 0
+    while (p < b.length && shift <= 56) {
+      val c = b(p) & 0xff; p += 1
+      v |= (c & 0x7f).toLong << shift
+      if ((c & 0x80) == 0) return Some((v, p))
+      shift += 7
+    }
+    None
+  }
+
+  /** Apply a git delta to `base` under the three delta laws. */
+  private[llm] def applyDelta(base: Array[Byte], delta: Array[Byte]): Option[Array[Byte]] = {
+    val (srcSize, p1) = deltaVarint(delta, 0).getOrElse(return None)
+    if (srcSize != base.length) return None // source-size law
+    val (tgtSize, p2) = deltaVarint(delta, p1).getOrElse(return None)
+    if (tgtSize < 0 || tgtSize > MaxObjectBytes) return None
+    val out = new Array[Byte](tgtSize.toInt)
+    var w = 0; var p = p2
+    while (p < delta.length) {
+      val op = delta(p) & 0xff; p += 1
+      if (op == 0) return None // reserved opcode
+      else if ((op & 0x80) != 0) { // copy from base
+        var cpOff = 0L; var cpSize = 0L
+        var bit = 0
+        while (bit < 4) {
+          if ((op & (1 << bit)) != 0) {
+            if (p >= delta.length) return None
+            cpOff |= (delta(p) & 0xffL) << (bit * 8); p += 1
+          }
+          bit += 1
+        }
+        while (bit < 7) {
+          if ((op & (1 << bit)) != 0) {
+            if (p >= delta.length) return None
+            cpSize |= (delta(p) & 0xffL) << ((bit - 4) * 8); p += 1
+          }
+          bit += 1
+        }
+        if (cpSize == 0) cpSize = 0x10000L
+        if (cpOff + cpSize > base.length || w + cpSize > out.length) return None
+        System.arraycopy(base, cpOff.toInt, out, w, cpSize.toInt)
+        w += cpSize.toInt
+      } else { // insert `op` literal bytes
+        if (p + op > delta.length || w + op > out.length) return None
+        System.arraycopy(delta, p, out, w, op)
+        p += op; w += op
+      }
+    }
+    if (w != tgtSize) return None // target-size law
+    Some(out)
+  }
+
+  // ---- pack decode ----
+
+  def probePack(b: Array[Byte]): Option[PackProbe] = {
+    if (b.length < 12 + 20) return None
+    if (!(b(0) == 'P' && b(1) == 'A' && b(2) == 'C' && b(3) == 'K')) return None
+    val version = be32(b, 4)
+    if (version != 2) return None
+    val n = be32(b, 8)
+    if (n < 0 || n > MaxObjects) return None
+    // trailer law first: SHA-1 over everything before the final 20 bytes
+    val want = sha1(java.util.Arrays.copyOfRange(b, 0, b.length - 20))
+    var i = 0
+    while (i < 20) {
+      if (want(i) != b(b.length - 20 + i)) return None
+      i += 1
+    }
+    val packSha = hex(b, b.length - 20, 20)
+
+    val entries = Vector.newBuilder[Entry]
+    val byOffset = scala.collection.mutable.LongMap.empty[Entry]
+    val byOid = scala.collection.mutable.HashMap.empty[String, Entry]
+    var p = 12
+    var total = 0L
+    var k = 0
+    while (k < n) {
+      val start = p
+      if (p >= b.length - 20) return None
+      var c = b(p) & 0xff; p += 1
+      val repTyp = (c >> 4) & 7
+      var size = (c & 15).toLong
+      var shift = 4
+      while ((c & 0x80) != 0) {
+        if (p >= b.length - 20 || shift > 60) return None
+        c = b(p) & 0xff; p += 1
+        size |= (c & 0x7f).toLong << shift
+        shift += 7
+      }
+      if (size > MaxObjectBytes) return None
+      repTyp match {
+        case TCommit | TTree | TBlob | TTag =>
+          val (data, used) = inflateExact(b, p, size.toInt).getOrElse(return None)
+          p += used
+          val e = Entry(oidHex(repTyp, data), repTyp, repTyp, start,
+            size, size, p - start, 0, None, data, crc32(b, start, p - start))
+          entries += e; byOffset(start) = e; byOid(e.oid) = e
+        case TOfsDelta =>
+          // negative-offset varint: big-endian base-128, +1 per continuation
+          if (p >= b.length - 20) return None
+          var c2 = b(p) & 0xff; p += 1
+          var off = (c2 & 0x7f).toLong
+          while ((c2 & 0x80) != 0) {
+            if (p >= b.length - 20 || off > (1L << 48)) return None
+            c2 = b(p) & 0xff; p += 1
+            off = ((off + 1) << 7) | (c2 & 0x7f)
+          }
+          val baseOff = start - off
+          if (baseOff < 12) return None
+          val base = byOffset.getOrElse(baseOff, return None) // exact-start law
+          val (delta, used) = inflateExact(b, p, size.toInt).getOrElse(return None)
+          p += used
+          val data = applyDelta(base.data, delta).getOrElse(return None)
+          val e = Entry(oidHex(base.typ, data), base.typ, TOfsDelta, start,
+            data.length, size, p - start, base.depth + 1, Some(base.oid), data,
+            crc32(b, start, p - start))
+          entries += e; byOffset(start) = e; byOid(e.oid) = e
+        case TRefDelta =>
+          if (p + 20 > b.length - 20) return None
+          val baseOid = hex(b, p, 20); p += 20
+          // in-pack resolution only: a thin pack (base outside) refuses
+          val base = byOid.getOrElse(baseOid, return None)
+          val (delta, used) = inflateExact(b, p, size.toInt).getOrElse(return None)
+          p += used
+          val data = applyDelta(base.data, delta).getOrElse(return None)
+          val e = Entry(oidHex(base.typ, data), base.typ, TRefDelta, start,
+            data.length, size, p - start, base.depth + 1, Some(base.oid), data,
+            crc32(b, start, p - start))
+          entries += e; byOffset(start) = e; byOid(e.oid) = e
+        case _ => return None // 0 and 5 reserved
+      }
+      total += size
+      if (total > MaxTotalBytes) return None
+      k += 1
+    }
+    if (p != b.length - 20) return None // every byte accounted for
+    Some(PackProbe(version, n, entries.result(), packSha))
+  }
+
+  // ---- idx v2 decode ----
+
+  def probeIdx(b: Array[Byte]): Option[IdxProbe] = {
+    if (b.length < 8 + 256 * 4 + 40) return None
+    if (!((b(0) & 0xff) == 0xff && b(1) == 't' && b(2) == 'O' && b(3) == 'c')) return None
+    if (be32(b, 4) != 2) return None
+    val fan = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      fan(i) = be32(b, 8 + i * 4)
+      if (fan(i) < 0 || (i > 0 && fan(i) < fan(i - 1))) return None // monotone law
+      i += 1
+    }
+    val n = fan(255)
+    if (n > MaxObjects) return None
+    val oidBase = 8 + 256 * 4
+    val crcBase = oidBase + n * 20
+    val offBase = crcBase + n * 4
+    val tailMin = offBase + n * 4
+    if (tailMin + 40 > b.length) return None
+    val oids = Vector.newBuilder[String]
+    var prev = ""
+    i = 0
+    while (i < n) {
+      val o = hex(b, oidBase + i * 20, 20)
+      if (i > 0 && o <= prev) return None // sorted-unique law
+      // the fanout bucket must agree with the oid's first byte
+      val fb = b(oidBase + i * 20) & 0xff
+      val lo = if (fb == 0) 0 else fan(fb - 1)
+      if (!(i >= lo && i < fan(fb))) return None
+      oids += o; prev = o
+      i += 1
+    }
+    val crcs = Vector.newBuilder[Long]
+    i = 0
+    while (i < n) { crcs += be32(b, crcBase + i * 4).toLong & 0xffffffffL; i += 1 }
+    // offsets, with the MSB-flag large-offset indirection
+    val raw = new Array[Int](n)
+    var nLarge = 0
+    i = 0
+    while (i < n) {
+      raw(i) = be32(b, offBase + i * 4)
+      if (raw(i) < 0) nLarge = math.max(nLarge, (raw(i) & 0x7fffffff) + 1)
+      i += 1
+    }
+    val largeBase = offBase + n * 4
+    if (largeBase + nLarge * 8 + 40 != b.length) return None
+    val offsets = Vector.newBuilder[Long]
+    i = 0
+    while (i < n) {
+      if (raw(i) < 0) {
+        val li = raw(i) & 0x7fffffff
+        offsets += be64(b, largeBase + li * 8)
+      } else offsets += raw(i).toLong
+      i += 1
+    }
+    val packSha = hex(b, b.length - 40, 20)
+    // idx self-SHA law
+    val want = sha1(java.util.Arrays.copyOfRange(b, 0, b.length - 20))
+    i = 0
+    while (i < 20) {
+      if (want(i) != b(b.length - 20 + i)) return None
+      i += 1
+    }
+    Some(IdxProbe(n, oids.result(), crcs.result(), offsets.result(), packSha))
+  }
+
+  /** Pack + idx under the cross-laws: same SHA, same object set, idx
+    * offsets land on the pack's objects, idx CRCs match the raw pack
+    * extents. Returns the pack probe when every law holds. */
+  def probePair(pack: Array[Byte], idx: Array[Byte]): Option[PackProbe] = {
+    val pp = probePack(pack).getOrElse(return None)
+    val ip = probeIdx(idx).getOrElse(return None)
+    if (ip.packSha != pp.packSha) return None
+    if (ip.n != pp.nObjects) return None
+    val byOid = pp.entries.iterator.map(e => e.oid -> e).toMap
+    if (byOid.size != pp.entries.size) return None // duplicate oids
+    var i = 0
+    while (i < ip.n) {
+      val e = byOid.getOrElse(ip.oids(i), return None)
+      if (e.offset != ip.offsets(i)) return None
+      if (e.crc != ip.crcs(i)) return None
+      i += 1
+    }
+    Some(pp)
+  }
+
+  // ---- tree / commit content (build + parse) ----
+
+  final case class TreeEntry(mode: String, name: String, oid: String)
+
+  /** Git tree sort key: directories compare as `name + "/"`. */
+  private def sortKey(mode: String, name: String): String =
+    if (mode == "40000") name + "/" else name
+
+  /** Build a tree body; entries are sorted by the git tree law. */
+  def treeBody(entries: Seq[(String, String, String)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    entries.sortWith((a, b) =>
+      utf8Less(sortKey(a._1, a._2), sortKey(b._1, b._2))
+    ).foreach { case (m, nm, o) =>
+      bos.write(s"$m $nm".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      bos.write(0) // the NUL separator, explicit — never a literal NUL in source
+      var i = 0
+      while (i < 40) {
+        bos.write(Integer.parseInt(o.substring(i, i + 2), 16))
+        i += 2
+      }
+    }
+    bos.toByteArray
+  }
+
+  /** Unsigned-byte (memcmp) order on UTF-8 — git's tree comparison;
+    * UTF-16 String order diverges from it outside ASCII. */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Parse a tree body under the sort law. */
+  def parseTree(data: Array[Byte]): Option[Vector[TreeEntry]] = {
+    val out = Vector.newBuilder[TreeEntry]
+    var p = 0; var prevKey = ""
+    while (p < data.length) {
+      val sp = data.indexOf(' '.toByte, p)
+      if (sp < 0) return None
+      val mode = new String(data, p, sp - p, java.nio.charset.StandardCharsets.US_ASCII)
+      if (mode.isEmpty || !mode.forall(c => c >= '0' && c <= '7')) return None
+      var nul = sp + 1
+      while (nul < data.length && data(nul) != 0) nul += 1
+      if (nul >= data.length || nul + 21 > data.length) return None
+      val name = new String(data, sp + 1, nul - sp - 1, java.nio.charset.StandardCharsets.UTF_8)
+      if (name.isEmpty || name == "." || name == ".." || name.contains('/')) return None
+      val oid = hex(data, nul + 1, 20)
+      val key = sortKey(mode, name)
+      if (prevKey.nonEmpty && !utf8Less(prevKey, key)) return None // tree sort law
+      prevKey = key
+      out += TreeEntry(mode, name, oid)
+      p = nul + 21
+    }
+    Some(out.result())
+  }
+
+  final case class Commit(tree: String, parents: Vector[String], message: String)
+
+  def commitBody(tree: String, parents: Seq[String], ident: String,
+      epoch: Long, msg: String): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("tree ").append(tree).append('\n')
+    parents.foreach(po => sb.append("parent ").append(po).append('\n'))
+    sb.append("author ").append(ident).append(' ').append(epoch).append(" +0000\n")
+    sb.append("committer ").append(ident).append(' ').append(epoch).append(" +0000\n")
+    sb.append('\n').append(msg)
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  def parseCommit(data: Array[Byte]): Option[Commit] = {
+    val s = new String(data, java.nio.charset.StandardCharsets.UTF_8)
+    val blank = s.indexOf("\n\n")
+    if (blank < 0) return None
+    val headers = s.substring(0, blank).split('\n')
+    if (headers.isEmpty || !headers(0).startsWith("tree ")) return None
+    val tree = headers(0).substring(5)
+    if (tree.length != 40 || !tree.forall(c => "0123456789abcdef".contains(c))) return None
+    val parents = headers.drop(1).takeWhile(_.startsWith("parent "))
+      .map(_.substring(7)).toVector
+    if (parents.exists(p => p.length != 40)) return None
+    Some(Commit(tree, parents, s.substring(blank + 2)))
+  }
+
+  // ---- writer (gates + fuzz fixtures) ----
+
+  sealed trait WObj
+  /** A full (non-delta) object. */
+  final case class WFull(typ: Int, data: Array[Byte]) extends WObj
+  /** An OFS_DELTA against an earlier object in the same write list. */
+  final case class WOfs(baseIdx: Int, target: Array[Byte]) extends WObj
+  /** A REF_DELTA against an earlier object in the same write list. */
+  final case class WRef(baseIdx: Int, target: Array[Byte]) extends WObj
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION, false)
+    try {
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream(data.length / 2 + 32)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  private def typeSizeHeader(typ: Int, size: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(6)
+    var rest = size >>> 4
+    var first = ((typ << 4) | (size & 15)).toInt
+    if (rest != 0) first |= 0x80
+    bos.write(first)
+    while (rest != 0) {
+      var c = (rest & 0x7f).toInt
+      rest >>>= 7
+      if (rest != 0) c |= 0x80
+      bos.write(c)
+    }
+    bos.toByteArray
+  }
+
+  private def negOffset(off: Long): Array[Byte] = {
+    var v = off
+    var bytes = List((v & 0x7f).toInt)
+    v >>>= 7
+    while (v > 0) {
+      v -= 1
+      bytes = (0x80 | (v & 0x7f)).toInt :: bytes
+      v >>>= 7
+    }
+    bytes.map(_.toByte).toArray
+  }
+
+  private def lev7(v: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(6)
+    var rest = v
+    do {
+      var c = (rest & 0x7f).toInt
+      rest >>>= 7
+      if (rest != 0) c |= 0x80
+      bos.write(c)
+    } while (rest != 0)
+    bos.toByteArray
+  }
+
+  /** A simple valid delta: copy the common prefix, insert the rest. */
+  private[llm] def makeDelta(base: Array[Byte], target: Array[Byte]): Array[Byte] = {
+    var cp = 0
+    val lim = math.min(base.length, target.length)
+    while (cp < lim && base(cp) == target(cp)) cp += 1
+    val bos = new java.io.ByteArrayOutputStream(target.length - cp + 16)
+    bos.write(lev7(base.length), 0, lev7(base.length).length)
+    bos.write(lev7(target.length), 0, lev7(target.length).length)
+    var done = 0
+    while (done < cp) { // copy ops, ≤0xffffff each
+      val take = math.min(cp - done, 0xffffff)
+      var op = 0x80
+      val args = new java.io.ByteArrayOutputStream(7)
+      var bit = 0
+      var v = done.toLong
+      while (bit < 4) {
+        if ((v & 0xff) != 0) { op |= 1 << bit; args.write((v & 0xff).toInt) }
+        v >>>= 8; bit += 1
+      }
+      v = take.toLong
+      while (bit < 7) {
+        if ((v & 0xff) != 0) { op |= 1 << bit; args.write((v & 0xff).toInt) }
+        v >>>= 8; bit += 1
+      }
+      bos.write(op)
+      args.writeTo(bos)
+      done += take
+    }
+    var p = cp
+    while (p < target.length) { // insert ops, ≤127 each
+      val take = math.min(target.length - p, 127)
+      bos.write(take)
+      bos.write(target, p, take)
+      p += take
+    }
+    bos.toByteArray
+  }
+
+  /** Write a pack v2 file; deltas resolve against earlier list entries. */
+  def writePack(objs: Seq[WObj]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(4096)
+    bos.write('P'); bos.write('A'); bos.write('C'); bos.write('K')
+    writeBe32(bos, 2); writeBe32(bos, objs.length)
+    val offsets = new Array[Long](objs.length)
+    val contents = new Array[Array[Byte]](objs.length)
+    val types = new Array[Int](objs.length)
+    objs.zipWithIndex.foreach { case (o, i) =>
+      offsets(i) = bos.size()
+      o match {
+        case WFull(t, d) =>
+          types(i) = t; contents(i) = d
+          val h = typeSizeHeader(t, d.length)
+          bos.write(h, 0, h.length)
+          val z = deflate(d); bos.write(z, 0, z.length)
+        case WOfs(bi, tgt) =>
+          require(bi < i, "OFS_DELTA base must precede the delta")
+          types(i) = types(bi); contents(i) = tgt
+          val delta = makeDelta(contents(bi), tgt)
+          val h = typeSizeHeader(TOfsDelta, delta.length)
+          bos.write(h, 0, h.length)
+          val no = negOffset(offsets(i) - offsets(bi))
+          bos.write(no, 0, no.length)
+          val z = deflate(delta); bos.write(z, 0, z.length)
+        case WRef(bi, tgt) =>
+          require(bi < i, "REF_DELTA base must precede the delta")
+          types(i) = types(bi); contents(i) = tgt
+          val delta = makeDelta(contents(bi), tgt)
+          val h = typeSizeHeader(TRefDelta, delta.length)
+          bos.write(h, 0, h.length)
+          val baseOid = oidHex(types(bi), contents(bi))
+          var j = 0
+          while (j < 40) {
+            bos.write(Integer.parseInt(baseOid.substring(j, j + 2), 16)); j += 2
+          }
+          val z = deflate(delta); bos.write(z, 0, z.length)
+      }
+    }
+    val body = bos.toByteArray
+    val out = new java.io.ByteArrayOutputStream(body.length + 20)
+    out.write(body, 0, body.length)
+    val t = sha1(body)
+    out.write(t, 0, 20)
+    out.toByteArray
+  }
+
+  /** Derive the idx v2 file for a pack this writer (or git) produced. */
+  def writeIdx(pack: Array[Byte]): Array[Byte] = {
+    val pp = probePack(pack).getOrElse(
+      throw new IllegalArgumentException("writeIdx over an invalid pack"))
+    val sorted = pp.entries.sortBy(_.oid)
+    val bos = new java.io.ByteArrayOutputStream(1024 + sorted.size * 28)
+    bos.write(0xff); bos.write('t'); bos.write('O'); bos.write('c')
+    writeBe32(bos, 2)
+    var cum = 0
+    var fb = 0
+    var i = 0
+    while (fb < 256) {
+      while (i < sorted.size && Integer.parseInt(sorted(i).oid.substring(0, 2), 16) == fb) {
+        cum += 1; i += 1
+      }
+      writeBe32(bos, cum)
+      fb += 1
+    }
+    sorted.foreach { e =>
+      var j = 0
+      while (j < 40) { bos.write(Integer.parseInt(e.oid.substring(j, j + 2), 16)); j += 2 }
+    }
+    sorted.foreach(e => writeBe32(bos, e.crc.toInt))
+    val large = Vector.newBuilder[Long]
+    var nLarge = 0
+    sorted.foreach { e =>
+      if (e.offset < 0x80000000L) writeBe32(bos, e.offset.toInt)
+      else { writeBe32(bos, 0x80000000 | nLarge); large += e.offset; nLarge += 1 }
+    }
+    large.result().foreach(v => writeBe64(bos, v))
+    // pack sha
+    var j = 0
+    while (j < 40) { bos.write(Integer.parseInt(pp.packSha.substring(j, j + 2), 16)); j += 2 }
+    val body = bos.toByteArray
+    val out = new java.io.ByteArrayOutputStream(body.length + 20)
+    out.write(body, 0, body.length)
+    out.write(sha1(body), 0, 20)
+    out.toByteArray
+  }
+
+  // ---- byte helpers ----
+
+  private def be32(b: Array[Byte], p: Int): Int =
+    ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
+      ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+
+  private def be64(b: Array[Byte], p: Int): Long =
+    (be32(b, p).toLong << 32) | (be32(b, p + 4).toLong & 0xffffffffL)
+
+  private def writeBe32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    o.write((v >>> 24) & 0xff); o.write((v >>> 16) & 0xff)
+    o.write((v >>> 8) & 0xff); o.write(v & 0xff)
+  }
+
+  private def writeBe64(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    writeBe32(o, (v >>> 32).toInt); writeBe32(o, v.toInt)
+  }
+
+  private def crc32(b: Array[Byte], off: Int, len: Int): Long = {
+    val c = new CRC32
+    c.update(b, off, len)
+    c.getValue
+  }
+}

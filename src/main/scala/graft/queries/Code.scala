@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.util.Tables._
+
+/** Code-corpus gates: repository-dump ingestion through the native git
+  * packfile walk ([[graft.llm.GitPack]]). Per-key packs are written
+  * closed-form by the engine's own writer (blobs, an OFS/REF delta
+  * chain, a tree, a commit), decoded under every pack/idx law, and
+  * DuckDB replays the census from the size formulas. Executor-side
+  * maps over spread keys, zero shuffle — at corpus scale the key
+  * column is a shard list and the map cost is the pack decode itself.
+  * Refusal arms: truncation (k mod 13) and a mid-pack byte flip
+  * (k mod 19 — the trailer SHA-1 law). */
+object Code {
+
+  /** Git pack gate: build → decode → census. Every size below is
+    * closed-form so the oracle can rebuild it: blob i has
+    * `120 + (k*11 + i*29) % 240` bytes, the delta target appends
+    * `10 + k%17` to blob 0 (depth 2 adds 7 more when k%4=0), tree
+    * entries cost `7 + len(name) + 21` bytes, and the commit body is
+    * `116 + digits(k)` bytes (fixed ident, 10-digit epoch). */
+  def gitPack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.GitPack
+    import graft.llm.GitPack._
+    val keys = partKeys(s, d) // full-width spread: the decode map is the cost
+    val out = keys.map { k =>
+      val nb = (2 + k % 3).toInt
+      val deep = k % 4 == 0
+      val blobs = (0 until nb).map { i =>
+        Array.tabulate((120 + (k * 11 + i * 29) % 240).toInt)(j =>
+          ('a' + (j * 7 + k + i) % 23).toByte)
+      }
+      val tail = Array.tabulate((10 + k % 17).toInt)(j => ('0' + j % 10).toByte)
+      val target = blobs(0) ++ tail
+      val target2 = target ++ "seven b\n".getBytes.take(7)
+      val mkDelta: (Int, Array[Byte]) => WObj =
+        if (k % 6 == 0) WRef.apply else WOfs.apply
+      val objs = Vector.newBuilder[WObj]
+      blobs.foreach(b => objs += WFull(TBlob, b))
+      objs += mkDelta(0, target)          // index nb, depth 1
+      if (deep) objs += mkDelta(nb, target2) // depth 2
+      val treeEntries =
+        (0 until nb).map(i => ("100644", s"f$i.txt", oidHex(TBlob, blobs(i)))) ++
+          Seq(("100644", "d.txt", oidHex(TBlob, target))) ++
+          (if (deep) Seq(("100644", "e.txt", oidHex(TBlob, target2))) else Nil)
+      val tree = treeBody(treeEntries)
+      objs += WFull(TTree, tree)
+      val commit = commitBody(oidHex(TTree, tree), Nil, "a <a@a>",
+        1700000000L + k, s"c$k\n")
+      objs += WFull(TCommit, commit)
+      val pack = writePack(objs.result())
+      val idx = GitPack.writeIdx(pack)
+      val armed =
+        if (k % 13 == 0) java.util.Arrays.copyOf(pack, pack.length - 7)
+        else if (k % 19 == 0) { val t = pack.clone(); t(16) = (t(16) ^ 0x20).toByte; t }
+        else pack
+      GitPack.probePair(armed, idx) match {
+        case Some(p) =>
+          val headTree = p.entries.find(_.typ == TTree).get
+          val nTreeEntries = parseTree(headTree.data).map(_.size)
+          val msg = p.entries.find(_.typ == TCommit)
+            .flatMap(e => parseCommit(e.data)).map(_.message)
+          (k, true, Some(p.nObjects), Some(p.byType(TBlob)), Some(p.byType(TTree)),
+            Some(p.byType(TCommit)), Some(p.nDeltas), Some(p.maxDepth),
+            Some(p.inflatedBytes),
+            Some(p.entries.filter(_.typ == TBlob).map(_.size).sum),
+            nTreeEntries, msg)
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Long], None: Option[Long], None: Option[Int],
+            None: Option[String])
+      }
+    }.toDF("media_id", "git_ok", "n_objects", "n_blobs", "n_trees",
+      "n_commits", "n_deltas", "max_depth", "inflated_bytes", "blob_bytes",
+      "tree_entries", "head_msg")
+    out.orderBy($"media_id")
+  }
+
+  val gitPackSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, (k % 13 <> 0 AND k % 19 <> 0) AS ok,
+      |        CAST(2 + k % 3 AS INTEGER) AS nb,
+      |        (k % 4 = 0) AS deep,
+      |        120 + (k * 11) % 240 + 10 + k % 17 AS ld
+      |      FROM ks),
+      |blobs AS (
+      |  SELECT p.k, CAST(SUM(120 + (p.k * 11 + i.g * 29) % 240) AS BIGINT) AS bb
+      |  FROM p, generate_series(0, 4) i(g) WHERE i.g < p.nb GROUP BY p.k)
+      |SELECT p.k AS media_id, p.ok AS git_ok,
+      |  CASE WHEN p.ok THEN CAST(p.nb + 3 + CASE WHEN p.deep THEN 1 ELSE 0 END AS INTEGER) END AS n_objects,
+      |  CASE WHEN p.ok THEN CAST(p.nb + 1 + CASE WHEN p.deep THEN 1 ELSE 0 END AS INTEGER) END AS n_blobs,
+      |  CASE WHEN p.ok THEN 1 END AS n_trees,
+      |  CASE WHEN p.ok THEN 1 END AS n_commits,
+      |  CASE WHEN p.ok THEN CAST(1 + CASE WHEN p.deep THEN 1 ELSE 0 END AS INTEGER) END AS n_deltas,
+      |  CASE WHEN p.ok THEN CAST(CASE WHEN p.deep THEN 2 ELSE 1 END AS INTEGER) END AS max_depth,
+      |  CASE WHEN p.ok THEN CAST(
+      |    blobs.bb + p.ld + CASE WHEN p.deep THEN p.ld + 7 ELSE 0 END
+      |    + 34 * p.nb + 33 + CASE WHEN p.deep THEN 33 ELSE 0 END
+      |    + 116 + length(CAST(p.k AS VARCHAR)) AS BIGINT) END AS inflated_bytes,
+      |  CASE WHEN p.ok THEN CAST(
+      |    blobs.bb + p.ld + CASE WHEN p.deep THEN p.ld + 7 ELSE 0 END
+      |    AS BIGINT) END AS blob_bytes,
+      |  CASE WHEN p.ok THEN CAST(p.nb + 1 + CASE WHEN p.deep THEN 1 ELSE 0 END AS INTEGER) END AS tree_entries,
+      |  CASE WHEN p.ok THEN 'c' || CAST(p.k AS VARCHAR) || chr(10) END AS head_msg
+      |FROM p JOIN blobs ON blobs.k = p.k
+      |ORDER BY media_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_git_pack" -> (gitPack _))
+
+  def oracles: Map[String, String] = Map(
+    "q_git_pack" -> gitPackSql)
+}

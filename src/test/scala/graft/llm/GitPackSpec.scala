@@ -1,0 +1,277 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Git packfile decode: writer round trips (full objects, OFS/REF
+  * delta chains), the delta micro-laws, the refusal battery, tree and
+  * commit body laws — and cross-validation against packs produced by
+  * the REAL `git` binary installed in this container (`git repack -ad`
+  * then `git verify-pack -v` / `git cat-file` as the independent
+  * reference for every column we decode).
+  */
+class GitPackSpec extends AnyFunSuite {
+  import GitPack._
+
+  private def blob(n: Int, seed: Int): Array[Byte] =
+    Array.tabulate(n)(i => (('a' + (i * 7 + seed) % 23)).toByte)
+
+  // ---- writer round trips -------------------------------------------
+
+  test("full-object round trip: types, oids, sizes, trailer") {
+    val b0 = blob(300, 1); val b1 = blob(40, 2)
+    val tree = treeBody(Seq(("100644", "a.txt", oidHex(TBlob, b0)),
+      ("100644", "b.txt", oidHex(TBlob, b1))))
+    val commit = commitBody(oidHex(TTree, tree), Nil, "a <a@a>", 1700000000L, "m\n")
+    val pack = writePack(Seq(WFull(TBlob, b0), WFull(TBlob, b1),
+      WFull(TTree, tree), WFull(TCommit, commit)))
+    val p = probePack(pack).get
+    assert(p.version == 2 && p.nObjects == 4)
+    assert(p.byType(TBlob) == 2 && p.byType(TTree) == 1 && p.byType(TCommit) == 1)
+    assert(p.nDeltas == 0 && p.maxDepth == 0)
+    assert(p.entries(0).oid == oidHex(TBlob, b0))
+    assert(p.entries(0).data.sameElements(b0))
+    assert(p.inflatedBytes == b0.length + b1.length + tree.length + commit.length)
+  }
+
+  test("OFS_DELTA chain round trip: resolution, depth, base oids") {
+    val v1 = blob(2000, 3)
+    val v2 = v1.take(1800) ++ blob(300, 4) // shares an 1800-byte prefix
+    val v3 = v2.take(2000) ++ blob(50, 5)
+    val pack = writePack(Seq(WFull(TBlob, v1), WOfs(0, v2), WOfs(1, v3)))
+    val p = probePack(pack).get
+    assert(p.nObjects == 3 && p.byType(TBlob) == 3 && p.nDeltas == 2)
+    assert(p.maxDepth == 2)
+    assert(p.entries(1).data.sameElements(v2))
+    assert(p.entries(2).data.sameElements(v3))
+    assert(p.entries(1).baseOid.contains(p.entries(0).oid))
+    assert(p.entries(2).baseOid.contains(p.entries(1).oid))
+    assert(p.entries(1).oid == oidHex(TBlob, v2)) // delta resolves to the true oid
+  }
+
+  test("REF_DELTA round trip against an earlier in-pack base") {
+    val v1 = blob(900, 6)
+    val v2 = v1.take(700) ++ blob(100, 7)
+    val pack = writePack(Seq(WFull(TBlob, v1), WRef(0, v2)))
+    val p = probePack(pack).get
+    assert(p.entries(1).data.sameElements(v2))
+    assert(p.entries(1).repTyp == TRefDelta && p.entries(1).depth == 1)
+  }
+
+  test("idx round trip and the pack/idx cross-laws") {
+    val objs = (0 until 30).map(i => WFull(TBlob, blob(50 + i * 13, i)))
+    val pack = writePack(objs)
+    val idx = writeIdx(pack)
+    val ip = probeIdx(idx).get
+    assert(ip.n == 30)
+    assert(ip.oids == ip.oids.sorted)
+    val p = probePair(pack, idx).get
+    assert(p.nObjects == 30)
+  }
+
+  // ---- delta micro-laws ---------------------------------------------
+
+  test("delta laws: source-size, reserved opcode, copy bounds, target-size") {
+    val base = blob(100, 8)
+    val tgt = base.take(60) ++ blob(20, 9)
+    val d = makeDelta(base, tgt)
+    assert(applyDelta(base, d).get.sameElements(tgt))
+    // source-size law: wrong base length refuses
+    assert(applyDelta(base.take(99), d).isEmpty)
+    // reserved opcode 0x00
+    val res = Array[Byte](100, 3, 0)
+    assert(applyDelta(base, res).isEmpty)
+    // copy beyond the base
+    val over = Array[Byte](100, 10, (0x80 | 0x10 | 0x01).toByte, 90, 20)
+    assert(applyDelta(base, over).isEmpty)
+    // target-size law: produced bytes must equal the declared target
+    val short = Array[Byte](100, 10, 5, 1, 2, 3, 4, 5)
+    assert(applyDelta(base, short).isEmpty)
+  }
+
+  // ---- refusal battery ----------------------------------------------
+
+  test("refusal battery: magic, version, count, trailer, truncation, types") {
+    val good = writePack(Seq(WFull(TBlob, blob(200, 10)), WFull(TBlob, blob(90, 11))))
+    assert(probePack(good).isDefined)
+    val magic = good.clone(); magic(0) = 'Q'
+    assert(probePack(magic).isEmpty)
+    val ver = good.clone(); ver(7) = 3
+    assert(probePack(ver).isEmpty)
+    // count lies both ways
+    val over = good.clone(); over(11) = (over(11) + 1).toByte
+    assert(probePack(over).isEmpty)
+    val under = good.clone(); under(11) = (under(11) - 1).toByte
+    assert(probePack(under).isEmpty)
+    // trailer flip
+    val tr = good.clone(); tr(tr.length - 1) = (tr(tr.length - 1) ^ 1).toByte
+    assert(probePack(tr).isEmpty)
+    // a flipped byte ANYWHERE before the trailer trips the trailer law
+    val body = good.clone(); body(30) = (body(30) ^ 0x40).toByte
+    assert(probePack(body).isEmpty)
+    // truncations across the whole tail
+    for (cut <- Seq(1, 5, 19, 20, 21, 40, good.length - 13))
+      assert(probePack(java.util.Arrays.copyOf(good, good.length - cut)).isEmpty)
+    // reserved type 5 (rebuild the trailer so ONLY the type law trips)
+    val t5 = good.clone()
+    t5(12) = ((t5(12) & 0x8f) | (5 << 4)).toByte
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.update(t5, 0, t5.length - 20)
+    System.arraycopy(md.digest(), 0, t5, t5.length - 20, 20)
+    assert(probePack(t5).isEmpty)
+  }
+
+  test("size-header lie refuses even with a fixed trailer") {
+    val good = writePack(Seq(WFull(TBlob, blob(20, 12))))
+    // 20 = 0b10100 → header byte low nibble 4, one continuation byte 1.
+    // Lower the continuation byte → declared 4 ≠ inflated 20.
+    val lie = good.clone()
+    assert((lie(12) & 0x80) != 0 && lie(13) == 1)
+    lie(13) = 0
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.update(lie, 0, lie.length - 20)
+    System.arraycopy(md.digest(), 0, lie, lie.length - 20, 20)
+    assert(probePack(lie).isEmpty)
+  }
+
+  test("idx refusals: magic, fanout monotonicity, oid order, shas") {
+    val pack = writePack((0 until 8).map(i => WFull(TBlob, blob(64 + i, i))))
+    val idx = writeIdx(pack)
+    assert(probeIdx(idx).isDefined)
+    val magic = idx.clone(); magic(1) = 'u'
+    assert(probeIdx(magic).isEmpty)
+    // fanout decrease
+    val fan = idx.clone(); fan(8 + 255 * 4 + 3) = 0
+    assert(probeIdx(fan).isEmpty)
+    // swap two oids → order law (and the self-sha; break sha first)
+    val tail = idx.clone(); tail(tail.length - 2) = (tail(tail.length - 2) ^ 1).toByte
+    assert(probeIdx(tail).isEmpty)
+    // pack/idx cross-law: idx of a DIFFERENT pack refuses in probePair
+    val pack2 = writePack((0 until 8).map(i => WFull(TBlob, blob(64 + i, i + 99))))
+    assert(probePair(pack2, idx).isEmpty)
+  }
+
+  // ---- tree / commit laws -------------------------------------------
+
+  test("tree body round trip and the sort/name laws") {
+    val oid = oidHex(TBlob, blob(5, 13))
+    val t = treeBody(Seq(("100644", "b.txt", oid), ("100644", "a.txt", oid),
+      ("40000", "a.txt2", oid)))
+    val es = parseTree(t).get
+    assert(es.map(_.name) == Vector("a.txt", "a.txt2", "b.txt"))
+    // the dir quirk: "sub" as a tree sorts as "sub/" — after "sub.c"
+    val t2 = treeBody(Seq(("40000", "sub", oid), ("100644", "sub.c", oid)))
+    assert(parseTree(t2).get.map(_.name) == Vector("sub.c", "sub"))
+    // out-of-order refuses
+    val bad = t.take(t.length) // a.txt, a.txt2, b.txt — swap first two records
+    val rec = 7 + 5 + 1 + 20 // "100644 " + name + NUL + sha for a 5-char name
+    val swapped = bad.slice(rec, rec + 7 + 6 + 1 + 20) ++ bad.take(rec) ++
+      bad.drop(rec + 7 + 6 + 1 + 20)
+    assert(parseTree(swapped).isEmpty)
+    // slash in a name never parses (the NUL scan would mis-frame)
+    assert(parseTree("100644 a/b\u0000".getBytes ++ new Array[Byte](20)).isEmpty)
+  }
+
+  test("commit body round trip") {
+    val tree = "a" * 40
+    val c = commitBody(tree, Seq("b" * 40), "x <x@x>", 1700000000L, "subject\n\nbody\n")
+    val pc = parseCommit(c).get
+    assert(pc.tree == tree && pc.parents == Vector("b" * 40))
+    assert(pc.message == "subject\n\nbody\n")
+    assert(parseCommit("tree short\n\nmsg".getBytes).isEmpty)
+  }
+
+  // ---- the real-git cross-validation --------------------------------
+
+  /** Build a scratch repo with the system git, force delta compression,
+    * and verify our decode of its pack/idx against `git verify-pack -v`
+    * column by column and `git cat-file` byte by byte. */
+  test("cross-validation: decode a pack written by the real git binary") {
+    import scala.sys.process._
+    val dir = java.nio.file.Files.createTempDirectory("gitpack").toFile
+    def sh(cmd: Seq[String]): String = {
+      val out = new StringBuilder
+      val env = Seq("GIT_AUTHOR_NAME" -> "a", "GIT_AUTHOR_EMAIL" -> "a@a",
+        "GIT_COMMITTER_NAME" -> "a", "GIT_COMMITTER_EMAIL" -> "a@a",
+        "GIT_AUTHOR_DATE" -> "1700000000 +0000",
+        "GIT_COMMITTER_DATE" -> "1700000000 +0000")
+      val rc = Process(cmd, dir, env: _*).!(ProcessLogger(l => { out.append(l).append('\n') }, _ => ()))
+      assert(rc == 0, s"${cmd.mkString(" ")} failed:\n$out")
+      out.toString
+    }
+    try {
+      sh(Seq("git", "init", "-q", "."))
+      val base = Array.tabulate(3000)(i => ('a' + (i * 13 + i / 7) % 17).toChar).mkString
+      java.nio.file.Files.write(dir.toPath.resolve("big.txt"), base.getBytes)
+      java.nio.file.Files.write(dir.toPath.resolve("small.txt"), ("hello\n" * 30).getBytes)
+      sh(Seq("git", "add", "-A")); sh(Seq("git", "commit", "-qm", "one"))
+      java.nio.file.Files.write(dir.toPath.resolve("big.txt"), (base + "tail v2\n").getBytes)
+      sh(Seq("git", "add", "-A")); sh(Seq("git", "commit", "-qm", "two"))
+      java.nio.file.Files.write(dir.toPath.resolve("big.txt"), (base + "tail v2\ntail v3\n").getBytes)
+      sh(Seq("git", "add", "-A")); sh(Seq("git", "commit", "-qm", "three"))
+      sh(Seq("git", "repack", "-adq", "--depth=10", "--window=10"))
+      val packDir = new java.io.File(dir, ".git/objects/pack")
+      val packFile = packDir.listFiles.filter(_.getName.endsWith(".pack")).head
+      val idxFile = packDir.listFiles.filter(_.getName.endsWith(".idx")).head
+      val pack = java.nio.file.Files.readAllBytes(packFile.toPath)
+      val idx = java.nio.file.Files.readAllBytes(idxFile.toPath)
+
+      // our decode of git's pack, under every law INCLUDING the idx pair
+      val p = probePair(pack, idx).getOrElse(fail("git's own pack/idx refused"))
+      assert(p.nObjects >= 8)
+
+      // the pack name embeds its trailer sha
+      assert(packFile.getName == s"pack-${p.packSha}.pack")
+
+      // verify-pack -v: oid type stored-size packed-len offset [depth base]
+      val vp = sh(Seq("git", "verify-pack", "-v", idxFile.getAbsolutePath))
+      val rows = vp.linesIterator.filter(_.matches("^[0-9a-f]{40}\\s.*")).map { l =>
+        val f = l.trim.split("\\s+")
+        (f(0), f(1), f(2).toLong, f(3).toLong, f(4).toLong,
+          if (f.length > 5) Some((f(5).toInt, f(6))) else None)
+      }.toVector
+      assert(rows.size == p.nObjects)
+      val byOid = p.entries.map(e => e.oid -> e).toMap
+      val typeName = Map(TCommit -> "commit", TTree -> "tree", TBlob -> "blob", TTag -> "tag")
+      var deltas = 0
+      rows.foreach { case (oid, typ, stored, packed, off, chain) =>
+        val e = byOid.getOrElse(oid, fail(s"git object $oid missing from our decode"))
+        assert(typeName(e.typ) == typ, s"type mismatch at $oid")
+        assert(e.storedSize == stored, s"stored size mismatch at $oid")
+        assert(e.packedLen.toLong == packed, s"packed length mismatch at $oid")
+        assert(e.offset == off, s"offset mismatch at $oid")
+        chain.foreach { case (depth, baseOid) =>
+          deltas += 1
+          assert(e.depth == depth, s"delta depth mismatch at $oid")
+          assert(e.baseOid.contains(baseOid), s"base oid mismatch at $oid")
+        }
+      }
+      assert(deltas >= 2, "the fixture was built to delta-compress big.txt versions")
+
+      // blob contents byte-for-byte vs git cat-file
+      p.entries.filter(_.typ == TBlob).foreach { e =>
+        val bos = new java.io.ByteArrayOutputStream
+        val rc = Process(Seq("git", "cat-file", "blob", e.oid), dir)
+          .#>(bos).!(ProcessLogger(_ => ()))
+        assert(rc == 0)
+        assert(bos.toByteArray.sameElements(e.data), s"content mismatch at ${e.oid}")
+      }
+
+      // trees and commits parse under our laws; HEAD's tree lists both files
+      p.entries.filter(_.typ == TTree).foreach(e => assert(parseTree(e.data).isDefined))
+      val head = sh(Seq("git", "rev-parse", "HEAD")).trim
+      val hc = parseCommit(byOid(head).data).get
+      assert(hc.message == "three\n")
+      val names = parseTree(byOid(hc.tree).data).get.map(_.name)
+      assert(names == Vector("big.txt", "small.txt"))
+
+      // our idx writer reproduces git's idx BYTE-FOR-BYTE
+      assert(writeIdx(pack).sameElements(idx), "idx v2 regeneration diverged from git's")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+}
