@@ -1,0 +1,165 @@
+package graft.llm
+
+/** Source-file census for code-corpus curation (The-Stack-style):
+  * language identification, cloc-grade line classification, minified
+  * detection, and license detection — the per-file scalar battery a
+  * code pipeline filters and mixes on.
+  *
+  * Contract (pinned, deterministic):
+  *  - Binary sniff FIRST, git's own heuristic: a NUL byte in the first
+  *    8000 bytes → not text, census refuses (`None`).
+  *  - Language by extension, shebang as the fallback for bare paths.
+  *  - Line classes: `blank` (whitespace only), `comment` (nothing but
+  *    comment text), `code` (any non-comment, non-whitespace char).
+  *    Block comments are tracked across lines with a state machine;
+  *    string literals are NOT lexed (a quoted "//" counts as a comment
+  *    opener) — the standard cloc-grade approximation, documented
+  *    rather than half-fixed.
+  *  - `minified`: max line length > 500 (packed single-line JS/CSS/JSON
+  *    is the target; a 600-char literal in hand-written code trips it
+  *    too, by design — the curation filter wants exactly that).
+  *  - License: `SPDX-License-Identifier:` wins when present; else the
+  *    canonical phrase set (MIT grant sentence, Apache, GPL, BSD
+  *    redistribution clause) over the first 2000 chars; else `none`.
+  *
+  * Reference scope: terra-bonobo-nodes has no code-corpus operators;
+  * this is the beyond-reference curation front (SURVEY §2 LLM
+  * additions), the per-file sibling of the git packfile walk.
+  */
+object CodeCensus {
+
+  final case class Census(
+      lang: String, nLines: Int, nCode: Int, nComment: Int, nBlank: Int,
+      maxLineLen: Int, minified: Boolean, license: String)
+
+  /** Comment syntax families. */
+  private[llm] sealed trait Family
+  private[llm] case object Hash extends Family // #
+  private[llm] case object Slash extends Family // // and /* */
+  private[llm] case object DashSql extends Family // -- and /* */
+  private[llm] case object Xml extends Family // <!-- -->
+  private[llm] case object NoComment extends Family
+
+  private val extLang: Map[String, (String, Family)] = Map(
+    "py" -> ("python", Hash), "rb" -> ("ruby", Hash), "sh" -> ("shell", Hash),
+    "bash" -> ("shell", Hash), "yaml" -> ("yaml", Hash), "yml" -> ("yaml", Hash),
+    "toml" -> ("toml", Hash), "r" -> ("r", Hash), "pl" -> ("perl", Hash),
+    "js" -> ("javascript", Slash), "ts" -> ("typescript", Slash),
+    "jsx" -> ("javascript", Slash), "tsx" -> ("typescript", Slash),
+    "java" -> ("java", Slash), "c" -> ("c", Slash), "h" -> ("c", Slash),
+    "cpp" -> ("cpp", Slash), "cc" -> ("cpp", Slash), "hpp" -> ("cpp", Slash),
+    "go" -> ("go", Slash), "rs" -> ("rust", Slash), "scala" -> ("scala", Slash),
+    "kt" -> ("kotlin", Slash), "swift" -> ("swift", Slash),
+    "css" -> ("css", Slash), "php" -> ("php", Slash),
+    "sql" -> ("sql", DashSql),
+    "html" -> ("html", Xml), "htm" -> ("html", Xml), "xml" -> ("xml", Xml),
+    "json" -> ("json", NoComment), "md" -> ("markdown", NoComment),
+    "txt" -> ("text", NoComment), "csv" -> ("text", NoComment))
+
+  private val shebangLang: Seq[(String, (String, Family))] = Seq(
+    "python" -> ("python", Hash), "node" -> ("javascript", Slash),
+    "bash" -> ("shell", Hash), "sh" -> ("shell", Hash),
+    "ruby" -> ("ruby", Hash), "perl" -> ("perl", Hash))
+
+  private[llm] def detect(path: String, firstLine: String): (String, Family) = {
+    val dot = path.lastIndexOf('.')
+    val slash = path.lastIndexOf('/')
+    if (dot > slash && dot >= 0) {
+      extLang.get(path.substring(dot + 1).toLowerCase) match {
+        case Some(hit) => return hit
+        case None =>
+      }
+    }
+    if (firstLine.startsWith("#!")) {
+      val l = firstLine.toLowerCase
+      shebangLang.find { case (k, _) =>
+        // a word match: "#!/bin/sh" names sh, not the "sh" inside "shell"
+        l.split("[/\\s]").contains(k)
+      }.foreach { case (_, hit) => return hit }
+      return ("shell", Hash) // any other shebang: a script of some kind
+    }
+    ("unknown", NoComment)
+  }
+
+  /** Line class under the family's comment syntax. Returns the class
+    * and the updated in-block state. */
+  private def classify(line: String, fam: Family, inBlock0: Boolean): (Int, Boolean) = {
+    // 0 = blank, 1 = comment, 2 = code
+    var inBlock = inBlock0
+    var sawCode = false
+    var sawComment = inBlock0
+    val (open, close, lineMark) = fam match {
+      case Slash => ("/*", "*/", "//")
+      case DashSql => ("/*", "*/", "--")
+      case Xml => ("<!--", "-->", null)
+      case Hash => (null, null, "#")
+      case NoComment => (null, null, null)
+    }
+    var i = 0
+    val n = line.length
+    while (i < n) {
+      val c = line.charAt(i)
+      if (inBlock) {
+        sawComment = true
+        if (close != null && line.startsWith(close, i)) {
+          inBlock = false; i += close.length
+        } else i += 1
+      } else if (open != null && line.startsWith(open, i)) {
+        inBlock = true; sawComment = true; i += open.length
+      } else if (lineMark != null && line.startsWith(lineMark, i)) {
+        sawComment = true; i = n // rest of the line is comment
+      } else {
+        if (!Character.isWhitespace(c)) sawCode = true
+        i += 1
+      }
+    }
+    val cls = if (sawCode) 2 else if (sawComment) 1 else 0
+    (cls, inBlock)
+  }
+
+  private val SpdxRe = "SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)".r
+
+  private[llm] def detectLicense(head: String): String = {
+    SpdxRe.findFirstMatchIn(head) match {
+      case Some(m) => return m.group(1).toLowerCase
+      case None =>
+    }
+    if (head.contains("Permission is hereby granted, free of charge") ||
+      head.contains("MIT License")) "mit"
+    else if (head.contains("Apache License")) "apache-2.0"
+    else if (head.contains("GNU General Public License")) "gpl"
+    else if (head.contains("Redistribution and use in source and binary forms")) "bsd"
+    else "none"
+  }
+
+  /** Census a file; `None` = binary (NUL in the first 8000 bytes). */
+  def census(path: String, bytes: Array[Byte]): Option[Census] = {
+    val sniff = math.min(bytes.length, 8000)
+    var i = 0
+    while (i < sniff) {
+      if (bytes(i) == 0) return None
+      i += 1
+    }
+    val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    // split preserving a trailing newline's LAST empty segment dropped —
+    // "a\n" is one line, "a\n\n" is two (the second blank)
+    val lines = text.split("\n", -1)
+    val effective = if (lines.nonEmpty && lines.last.isEmpty) lines.dropRight(1) else lines
+    val (lang, fam) = detect(path, if (effective.nonEmpty) effective(0) else "")
+    var nCode = 0; var nComment = 0; var nBlank = 0; var maxLen = 0
+    var inBlock = false
+    effective.foreach { raw =>
+      val line = if (raw.endsWith("\r")) raw.dropRight(1) else raw
+      maxLen = math.max(maxLen, line.length)
+      val (cls, nb) = classify(line, fam, inBlock)
+      inBlock = nb
+      cls match {
+        case 0 => nBlank += 1
+        case 1 => nComment += 1
+        case _ => nCode += 1
+      }
+    }
+    Some(Census(lang, effective.length, nCode, nComment, nBlank, maxLen,
+      maxLen > 500, detectLicense(text.take(2000))))
+  }
+}

@@ -108,9 +108,111 @@ object Code {
       |FROM p JOIN blobs ON blobs.k = p.k
       |ORDER BY media_id""".stripMargin
 
+  /** Source-file census gate (see [[graft.llm.CodeCensus]]): per-key
+    * files in five languages with a closed-form line inventory —
+    * shebang/license/comment/block/code/blank counts and the per-lang
+    * constant line widths pinned by CodeCensusSpec. Refusal arm:
+    * k mod 13 embeds a NUL (git's binary heuristic). The k mod 11 arm
+    * adds a 600-char packed line (the minified detector). */
+  def codeCensus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.CodeCensus
+    val keys = partKeys(s, d) // full-width spread: the census map is the cost
+    val out = keys.map { k =>
+      val li = (k % 5).toInt
+      val (ext, hash) = li match {
+        case 0 => ("py", true)
+        case 1 => ("js", false)
+        case 2 => ("c", false)
+        case 3 => ("scala", false)
+        case _ => ("sh", true)
+      }
+      val lic = k % 3 == 0
+      val lng = k % 11 == 0
+      val nc = (2 + k % 7).toInt
+      val nb = (2 + k % 4).toInt
+      val ncode = (5 + k % 20).toInt
+      val nbl = (1 + k % 5).toInt
+      val lines = Vector.newBuilder[String]
+      if (li == 0) lines += "#!/usr/bin/env python"
+      if (li == 4) lines += "#!/bin/sh"
+      val cm = if (hash) "#" else "//"
+      if (lic) {
+        lines += s"$cm MIT License"
+        lines += s"$cm Permission is hereby granted, free of charge"
+        lines += s"$cm (see LICENSE)"
+      }
+      (0 until nc).foreach(i => lines += s"$cm c${i % 10}")
+      if (!hash) {
+        lines += "/*"
+        (0 until nb - 2).foreach(_ => lines += " b")
+        lines += "*/"
+      }
+      val codeLine: Int => String = li match {
+        case 0 => i => s"a${i % 10} = ${i % 10}"
+        case 1 => i => s"var a${i % 10} = ${i % 10};"
+        case 2 => i => s"int a${i % 10} = ${i % 10};"
+        case 3 => i => s"val a${i % 10} = ${i % 10}"
+        case _ => i => s"a${i % 10}=${i % 10}"
+      }
+      (0 until ncode).foreach(i => lines += codeLine(i))
+      if (lng) lines += "x=\"" + "a" * 595 + "\";"
+      (0 until nbl).foreach(_ => lines += "")
+      val text = lines.result().mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val armed =
+        if (k % 13 == 0) text.take(text.length / 2) ++ Array[Byte](0) ++
+          text.drop(text.length / 2)
+        else text
+      CodeCensus.census(s"src$k.$ext", armed) match {
+        case Some(r) =>
+          (k, true, Some(r.lang), Some(r.nLines), Some(r.nCode),
+            Some(r.nComment), Some(r.nBlank), Some(r.maxLineLen),
+            Some(r.minified), Some(r.license))
+        case None =>
+          (k, false, None: Option[String], None: Option[Int], None: Option[Int],
+            None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Boolean], None: Option[String])
+      }
+    }.toDF("media_id", "code_ok", "lang", "n_lines", "n_code", "n_comment",
+      "n_blank", "max_line_len", "minified", "license")
+    out.orderBy($"media_id")
+  }
+
+  val codeCensusSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, (k % 13 <> 0) AS ok, CAST(k % 5 AS INTEGER) AS li,
+      |        (k % 3 = 0) AS lic, (k % 11 = 0) AS lng,
+      |        CAST(2 + k % 7 AS INTEGER) AS nc, CAST(2 + k % 4 AS INTEGER) AS nb,
+      |        CAST(5 + k % 20 AS INTEGER) AS ncode, CAST(1 + k % 5 AS INTEGER) AS nbl
+      |      FROM ks),
+      |q AS (SELECT *,
+      |        CASE WHEN li IN (0, 4) THEN 1 ELSE 0 END
+      |          + CASE WHEN lic THEN 3 ELSE 0 END + nc
+      |          + CASE WHEN li IN (1, 2, 3) THEN nb ELSE 0 END AS ncomment,
+      |        ncode + CASE WHEN lng THEN 1 ELSE 0 END AS ncodeall
+      |      FROM p)
+      |SELECT k AS media_id, ok AS code_ok,
+      |  CASE WHEN ok THEN CASE li WHEN 0 THEN 'python' WHEN 1 THEN 'javascript'
+      |    WHEN 2 THEN 'c' WHEN 3 THEN 'scala' ELSE 'shell' END END AS lang,
+      |  CASE WHEN ok THEN CAST(ncomment + ncodeall + nbl AS INTEGER) END AS n_lines,
+      |  CASE WHEN ok THEN CAST(ncodeall AS INTEGER) END AS n_code,
+      |  CASE WHEN ok THEN CAST(ncomment AS INTEGER) END AS n_comment,
+      |  CASE WHEN ok THEN nbl END AS n_blank,
+      |  CASE WHEN ok THEN CAST(CASE WHEN lng THEN 600
+      |    WHEN lic THEN CASE WHEN li IN (0, 4) THEN 46 ELSE 47 END
+      |    ELSE CASE li WHEN 0 THEN 21 WHEN 1 THEN 11 WHEN 2 THEN 11
+      |      WHEN 3 THEN 10 ELSE 9 END END AS INTEGER) END AS max_line_len,
+      |  CASE WHEN ok THEN lng END AS minified,
+      |  CASE WHEN ok THEN CASE WHEN lic THEN 'mit' ELSE 'none' END END AS license
+      |FROM q
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_git_pack" -> (gitPack _))
+    "q_git_pack" -> (gitPack _),
+    "q_code_census" -> (codeCensus _))
 
   def oracles: Map[String, String] = Map(
-    "q_git_pack" -> gitPackSql)
+    "q_git_pack" -> gitPackSql,
+    "q_code_census" -> codeCensusSql)
 }

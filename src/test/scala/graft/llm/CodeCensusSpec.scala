@@ -1,0 +1,100 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Code census: language detection (extension, shebang word-match),
+  * the cloc-grade line classifier (inline comments, block spans,
+  * code-after-block-close), license detection (SPDX precedence),
+  * binary sniff, minified threshold, CRLF and trailing-newline
+  * framing. */
+class CodeCensusSpec extends AnyFunSuite {
+  import CodeCensus._
+
+  private def c(path: String, text: String): Census =
+    census(path, text.getBytes(java.nio.charset.StandardCharsets.UTF_8)).get
+
+  test("language detection: extension first, shebang fallback, word match") {
+    assert(c("a/b.py", "x = 1\n").lang == "python")
+    assert(c("B.SCALA", "val x = 1\n").lang == "scala")
+    assert(c("noext", "#!/usr/bin/env python\nx = 1\n").lang == "python")
+    assert(c("noext", "#!/bin/sh\necho hi\n").lang == "shell")
+    assert(c("noext", "#!/usr/bin/node\nlet x;\n").lang == "javascript")
+    // an unknown interpreter still reads as a script, not unknown
+    assert(c("noext", "#!/usr/bin/fancy\nhi\n").lang == "shell")
+    // extension beats shebang
+    assert(c("x.js", "#!/usr/bin/env python\nlet a;\n").lang == "javascript")
+    assert(c("README", "plain words\n").lang == "unknown")
+  }
+
+  test("hash family: shebang and full-line comments count, inline does not") {
+    val r = c("t.py", "#!/usr/bin/env python\n# top\nx = 1  # inline\n\ny = 2\n")
+    assert(r.nLines == 5)
+    assert(r.nComment == 2) // shebang + "# top"; the inline line is CODE
+    assert(r.nCode == 2 && r.nBlank == 1)
+  }
+
+  test("slash family: block comments span lines; close followed by code is code") {
+    val src = "int a;\n/* open\n   middle\n*/\n/* x */ int b;\n// tail\n"
+    val r = c("t.c", src)
+    assert(r.nLines == 6)
+    assert(r.nCode == 2)    // "int a;" and "/* x */ int b;"
+    assert(r.nComment == 4) // the 3 block lines + "// tail"
+    assert(r.nBlank == 0)
+  }
+
+  test("sql and xml families") {
+    val s = c("q.sql", "-- head\nSELECT 1;\n/* b\n*/\n")
+    assert(s.nComment == 3 && s.nCode == 1)
+    val x = c("p.html", "<!-- c -->\n<p>hi</p>\n<!-- a\nb -->\n")
+    assert(x.nComment == 3 && x.nCode == 1)
+  }
+
+  test("no-comment family: markdown prose is code-class lines") {
+    val r = c("r.md", "# heading\n\ntext\n")
+    // '#' is a heading, not a comment, in a NoComment family
+    assert(r.nCode == 2 && r.nBlank == 1 && r.nComment == 0)
+  }
+
+  test("license: SPDX wins over phrases; each phrase maps; else none") {
+    assert(c("a.py", "# SPDX-License-Identifier: Apache-2.0\n# MIT License\n").license == "apache-2.0")
+    assert(c("a.py", "# Permission is hereby granted, free of charge\n").license == "mit")
+    assert(c("a.py", "# Apache License, Version 2.0\n").license == "apache-2.0")
+    assert(c("a.py", "# GNU General Public License v3\n").license == "gpl")
+    assert(c("a.py", "# Redistribution and use in source and binary forms\n").license == "bsd")
+    assert(c("a.py", "# no license here\n").license == "none")
+    // only the first 2000 chars are searched
+    val far = ("x = 1\n" * 400) + "# MIT License\n"
+    assert(c("a.py", far).license == "none")
+  }
+
+  test("binary sniff refuses on an early NUL; minified threshold at 500") {
+    val bin = "text".getBytes ++ Array[Byte](0) ++ "more".getBytes
+    assert(census("a.py", bin).isEmpty)
+    assert(!c("a.js", "x" * 500 + "\n").minified)
+    assert(c("a.js", "x" * 501 + "\n").minified)
+    assert(c("a.js", "x" * 501 + "\n").maxLineLen == 501)
+  }
+
+  test("framing: CRLF stripped from lengths, trailing newline is not a line") {
+    val r = c("a.py", "abc\r\nde\r\n")
+    assert(r.nLines == 2 && r.maxLineLen == 3)
+    assert(c("a.py", "a\n").nLines == 1)
+    assert(c("a.py", "a\n\n").nLines == 2)
+    assert(c("a.py", "a").nLines == 1) // no trailing newline
+    assert(c("a.py", "").nLines == 0)
+  }
+
+  test("gate formulas: the closed-form lengths the oracle replays") {
+    // the q_code_census oracle hardcodes these; pin them here so the
+    // gate writer and the SQL cannot drift apart silently
+    assert("#!/usr/bin/env python".length == 21)
+    assert("#!/bin/sh".length == 9)
+    assert("# Permission is hereby granted, free of charge".length == 46)
+    assert("// Permission is hereby granted, free of charge".length == 47)
+    assert("var a0 = 0;".length == 11)
+    assert("int a0 = 0;".length == 11)
+    assert("val a0 = 0".length == 10)
+    assert("a0 = 0".length == 6)
+    assert("a0=0".length == 4)
+  }
+}
