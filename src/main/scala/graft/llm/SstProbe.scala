@@ -1,0 +1,338 @@
+package graft.llm
+
+/** RocksDB / LevelDB block-based table (`.sst`) decode — the on-disk
+  * format of the LSM world, including Structured Streaming's own
+  * RocksDB state store and every LevelDB-family key-value export.
+  * A curation pipeline meets these as state-store snapshots and as
+  * bulk-load artifacts (RocksDB `SstFileWriter` output).
+  *
+  * Laws walked (format per the public LevelDB `table_format.md` and
+  * RocksDB `block_based_table_reader`):
+  *  - footer: the 8-byte little-endian magic — RocksDB
+  *    `0x88e241b785f4cff7` (53-byte footer: checksum-type byte,
+  *    metaindex + index handles, 4-byte format version, magic) or
+  *    legacy LevelDB `0xdb4775248b80fb57` (48-byte footer, implied
+  *    CRC32C). Format versions 1..5 accepted; 6+ (footer-checksum
+  *    era) and unknown checksum types refuse — a pinned scope, not a
+  *    silent misread.
+  *  - every block carries a 5-byte trailer: compression byte + masked
+  *    CRC32C over the block bytes INCLUDING the compression byte
+  *    (LevelDB's mask, the same constant TFRecord borrowed). Verified
+  *    on every block read; compression 0 (none) and 1 (snappy, decoded
+  *    through [[SnappyCodec]]) supported, others refuse.
+  *  - block bodies: prefix-compressed entries (shared/non-shared/value
+  *    varints), a restart array, `num_restarts`; restart offsets must
+  *    start at 0 and entries must consume exactly the body.
+  *  - index entries' values are exact BlockHandles; data-block offsets
+  *    must strictly increase.
+  *  - data-block keys are internal keys (user key + 8-byte seq/type,
+  *    type Put/Delete) strictly increasing by user key.
+  *  - `rocksdb.properties` (when present): `rocksdb.num.entries` and
+  *    `rocksdb.num.data.blocks` are varint64s that must match the
+  *    walked counts — the file's own census cross-law.
+  *
+  * Cross-validated in SstProbeSpec against files written by the REAL
+  * RocksDB (`org.rocksdb.SstFileWriter`, the rocksdbjni on the Spark
+  * classpath) in both plain and snappy-compressed forms — the snappy
+  * lane doubles as an independent check of our snappy decoder against
+  * the C++ implementation.
+  *
+  * Reference scope: beyond terra-bonobo-nodes (no KV-store ingestion);
+  * part of the LLM-pipeline curation front alongside the git pack and
+  * code census lanes.
+  */
+object SstProbe {
+
+  import ByteIo.le32
+
+  private val RocksMagic = 0x88e241b785f4cff7L
+  private val LevelMagic = 0xdb4775248b80fb57L
+  private val MaxBlock = 1 << 26
+
+  final case class KV(key: Array[Byte], value: Array[Byte], kind: Int) // kind: 1 Put, 0 Delete
+  final case class Probe(
+      formatVersion: Int, nEntries: Int, nDataBlocks: Int,
+      firstKey: String, lastKey: String, kvBytes: Long,
+      compression: String, propEntries: Long, entries: Vector[KV])
+
+  private def varint64(b: Array[Byte], p0: Int, end: Int): Option[(Long, Int)] = {
+    var p = p0; var v = 0L; var shift = 0
+    while (p < end && shift <= 63) {
+      val c = b(p) & 0xff; p += 1
+      v |= (c & 0x7f).toLong << shift
+      if ((c & 0x80) == 0) return Some((v, p))
+      shift += 7
+    }
+    None
+  }
+
+  private def crc32c(b: Array[Byte], off: Int, len: Int): Long = {
+    val c = new java.util.zip.CRC32C()
+    c.update(b, off, len)
+    c.getValue
+  }
+
+  /** Read + verify a block at the handle; returns the decompressed body. */
+  private def readBlock(b: Array[Byte], off: Long, size: Long): Option[Array[Byte]] = {
+    if (off < 0 || size < 0 || size > MaxBlock) return None
+    if (off + size + 5 > b.length) return None
+    val o = off.toInt; val s = size.toInt
+    val comp = b(o + s) & 0xff
+    val want = le32(b, o + s + 1)
+    // the checksum covers the block bytes plus the compression byte
+    if (TfRecordCodec.mask(crc32c(b, o, s + 1)) != want) return None
+    comp match {
+      case 0 => Some(java.util.Arrays.copyOfRange(b, o, o + s))
+      case 1 => SnappyCodec.decompress(java.util.Arrays.copyOfRange(b, o, o + s))
+      case _ => None // zstd/lz4/etc: out of the pinned scope
+    }
+  }
+
+  /** Decode a block body's prefix-compressed entries. */
+  private def blockEntries(d: Array[Byte]): Option[Vector[(Array[Byte], Array[Byte])]] = {
+    if (d.length < 4) return None
+    val numRestarts = le32(d, d.length - 4).toInt
+    if (numRestarts <= 0 || numRestarts > d.length / 4) return None
+    val restartsOff = d.length - 4 - 4 * numRestarts
+    if (restartsOff < 0) return None
+    if (le32(d, restartsOff) != 0) return None // first restart at 0
+    val out = Vector.newBuilder[(Array[Byte], Array[Byte])]
+    var p = 0
+    var prev = Array.emptyByteArray
+    while (p < restartsOff) {
+      val (shared, p1) = varint64(d, p, restartsOff).getOrElse(return None)
+      val (nonShared, p2) = varint64(d, p1, restartsOff).getOrElse(return None)
+      val (valLen, p3) = varint64(d, p2, restartsOff).getOrElse(return None)
+      if (shared > prev.length || nonShared < 0 || valLen < 0) return None
+      if (p3 + nonShared + valLen > restartsOff) return None
+      val key = new Array[Byte]((shared + nonShared).toInt)
+      System.arraycopy(prev, 0, key, 0, shared.toInt)
+      System.arraycopy(d, p3, key, shared.toInt, nonShared.toInt)
+      val value = java.util.Arrays.copyOfRange(d, (p3 + nonShared).toInt,
+        (p3 + nonShared + valLen).toInt)
+      out += ((key, value))
+      prev = key
+      p = (p3 + nonShared + valLen).toInt
+    }
+    if (p != restartsOff) return None // exact-consumption law
+    Some(out.result())
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  def probe(b: Array[Byte]): Option[Probe] = {
+    if (b.length < 48) return None
+    val magic = ByteIo.le64(b, b.length - 8)
+    var metaH: (Long, Long) = null
+    var indexH: (Long, Long) = null
+    var version = 0
+    if (magic == RocksMagic) {
+      if (b.length < 53) return None
+      version = le32(b, b.length - 12).toInt
+      if (version < 1 || version > 5) return None // 6+ is the extended-footer era
+      val footer = b.length - 53
+      if ((b(footer) & 0xff) != 1) return None // CRC32C only (pinned)
+      val (mo, p1) = varint64(b, footer + 1, b.length - 12).getOrElse(return None)
+      val (ms, p2) = varint64(b, p1, b.length - 12).getOrElse(return None)
+      val (io, p3) = varint64(b, p2, b.length - 12).getOrElse(return None)
+      val (is, _) = varint64(b, p3, b.length - 12).getOrElse(return None)
+      metaH = (mo, ms); indexH = (io, is)
+    } else if (magic == LevelMagic) {
+      val footer = b.length - 48
+      val (mo, p1) = varint64(b, footer, b.length - 8).getOrElse(return None)
+      val (ms, p2) = varint64(b, p1, b.length - 8).getOrElse(return None)
+      val (io, p3) = varint64(b, p2, b.length - 8).getOrElse(return None)
+      val (is, _) = varint64(b, p3, b.length - 8).getOrElse(return None)
+      metaH = (mo, ms); indexH = (io, is)
+    } else return None
+
+    // index block → data block handles
+    val indexBody = readBlock(b, indexH._1, indexH._2).getOrElse(return None)
+    val indexEntries = blockEntries(indexBody).getOrElse(return None)
+    var prevOff = -1L
+    val handles = indexEntries.map { case (_, v) =>
+      val (off, q1) = varint64(v, 0, v.length).getOrElse(return None)
+      val (size, q2) = varint64(v, q1, v.length).getOrElse(return None)
+      if (q2 != v.length) return None // the handle must consume the value exactly
+      if (off <= prevOff) return None // strictly increasing data blocks
+      prevOff = off
+      (off, size)
+    }
+
+    var compression = "none"
+    val entries = Vector.newBuilder[KV]
+    var nEntries = 0
+    var kvBytes = 0L
+    var prevUser: Array[Byte] = null
+    handles.foreach { case (off, size) =>
+      val body = readBlock(b, off, size).getOrElse(return None)
+      // bounds proven by readBlock; the trailer byte names the codec
+      if ((b(off.toInt + size.toInt) & 0xff) == 1) compression = "snappy"
+      blockEntries(body).getOrElse(return None).foreach { case (ik, v) =>
+        if (ik.length < 8) return None // internal-key law
+        val user = java.util.Arrays.copyOf(ik, ik.length - 8)
+        val tail = ByteIo.le64(ik, ik.length - 8)
+        val kind = (tail & 0xff).toInt
+        if (kind != 0 && kind != 1) return None // Delete / Put only
+        if (prevUser != null && !unsignedLess(prevUser, user)) return None
+        prevUser = user
+        entries += KV(user, v, kind)
+        nEntries += 1
+        kvBytes += user.length + v.length
+      }
+    }
+
+    // metaindex → properties census cross-law (when present)
+    val metaBody = readBlock(b, metaH._1, metaH._2).getOrElse(return None)
+    val metaEntries = blockEntries(metaBody).getOrElse(return None)
+    var propEntries = -1L
+    metaEntries.foreach { case (k, v) =>
+      val name = new String(k, java.nio.charset.StandardCharsets.UTF_8)
+      if (name == "rocksdb.properties" || name == "rocksdb.stats") {
+        val (off, q1) = varint64(v, 0, v.length).getOrElse(return None)
+        val (size, _) = varint64(v, q1, v.length).getOrElse(return None)
+        val props = readBlock(b, off, size).getOrElse(return None)
+        blockEntries(props).getOrElse(return None).foreach { case (pk, pv) =>
+          val pname = new String(pk, java.nio.charset.StandardCharsets.UTF_8)
+          if (pname == "rocksdb.num.entries") {
+            propEntries = varint64(pv, 0, pv.length).getOrElse(return None)._1
+            if (propEntries != nEntries) return None // the file's own census law
+          }
+          if (pname == "rocksdb.num.data.blocks") {
+            val nb = varint64(pv, 0, pv.length).getOrElse(return None)._1
+            if (nb != handles.size) return None
+          }
+        }
+      }
+    }
+
+    val es = entries.result()
+    val firstKey = if (es.isEmpty) "" else
+      new String(es.head.key, java.nio.charset.StandardCharsets.UTF_8)
+    val lastKey = if (es.isEmpty) "" else
+      new String(es.last.key, java.nio.charset.StandardCharsets.UTF_8)
+    Some(Probe(version, nEntries, handles.size, firstKey, lastKey, kvBytes,
+      compression, propEntries, es))
+  }
+
+  // ---- writer (gate fixtures): format_version 2, CRC32C ----
+
+  private def putVarint(o: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    do {
+      var c = (v & 0x7f).toInt
+      v >>>= 7
+      if (v != 0) c |= 0x80
+      o.write(c)
+    } while (v != 0)
+  }
+
+  /** A block body from (key, value) pairs with a restart every 16. */
+  private def buildBlockBody(kvs: Seq[(Array[Byte], Array[Byte])]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream(256)
+    val restarts = Vector.newBuilder[Int]
+    var prev = Array.emptyByteArray
+    kvs.zipWithIndex.foreach { case ((k, v), i) =>
+      var shared = 0
+      if (i % 16 == 0) restarts += o.size()
+      else {
+        val lim = math.min(prev.length, k.length)
+        while (shared < lim && prev(shared) == k(shared)) shared += 1
+      }
+      putVarint(o, shared)
+      putVarint(o, k.length - shared)
+      putVarint(o, v.length)
+      o.write(k, shared, k.length - shared)
+      o.write(v, 0, v.length)
+      prev = k
+    }
+    val rs = restarts.result()
+    rs.foreach(r => writeLe32(o, r))
+    writeLe32(o, rs.length)
+    o.toByteArray
+  }
+
+  private def writeLe32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >>> 8) & 0xff)
+    o.write((v >>> 16) & 0xff); o.write((v >>> 24) & 0xff)
+  }
+
+  /** Append a block (with optional snappy) + trailer; returns its handle. */
+  private def appendBlock(out: java.io.ByteArrayOutputStream, body: Array[Byte],
+      snappy: Boolean): (Long, Long) = {
+    val (payload, comp) =
+      if (snappy) (SnappyCodec.compress(body), 1) else (body, 0)
+    val off = out.size().toLong
+    out.write(payload, 0, payload.length)
+    out.write(comp)
+    val withComp = new Array[Byte](payload.length + 1)
+    System.arraycopy(payload, 0, withComp, 0, payload.length)
+    withComp(payload.length) = comp.toByte
+    writeLe32(out, TfRecordCodec.mask(crc32c(withComp, 0, withComp.length)).toInt)
+    (off, payload.length.toLong)
+  }
+
+  private def internalKey(user: Array[Byte], seq: Long, kind: Int): Array[Byte] = {
+    val ik = java.util.Arrays.copyOf(user, user.length + 8)
+    val tail = (seq << 8) | kind
+    var i = 0
+    while (i < 8) { ik(user.length + i) = ((tail >>> (8 * i)) & 0xff).toByte; i += 1 }
+    ik
+  }
+
+  /** Write an SST: sorted user keys, Put entries, `blockEntries` keys
+    * per data block, format_version 2 footer, properties census. */
+  def write(kvs: Seq[(Array[Byte], Array[Byte])], snappy: Boolean,
+      blockEntryCount: Int = 8): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(4096)
+    val handles = kvs.grouped(blockEntryCount).map { group =>
+      val body = buildBlockBody(group.map { case (k, v) => (internalKey(k, 0, 1), v) })
+      val h = appendBlock(out, body, snappy)
+      (internalKey(group.last._1, 0, 1), h)
+    }.toVector
+    // properties block (the census cross-law payload)
+    val propKv = Vector(
+      ("rocksdb.num.data.blocks", { val o = new java.io.ByteArrayOutputStream(4)
+        putVarint(o, handles.size); o.toByteArray }),
+      ("rocksdb.num.entries", { val o = new java.io.ByteArrayOutputStream(4)
+        putVarint(o, kvs.size); o.toByteArray }))
+    val propsBody = buildBlockBody(propKv.sortBy(_._1).map { case (k, v) =>
+      (k.getBytes(java.nio.charset.StandardCharsets.UTF_8), v) })
+    val propsH = appendBlock(out, propsBody, snappy = false)
+    // metaindex block
+    val metaVal = { val o = new java.io.ByteArrayOutputStream(8)
+      putVarint(o, propsH._1); putVarint(o, propsH._2); o.toByteArray }
+    val metaBody = buildBlockBody(Vector(
+      ("rocksdb.properties".getBytes(java.nio.charset.StandardCharsets.UTF_8), metaVal)))
+    val metaH = appendBlock(out, metaBody, snappy = false)
+    // index block: last-key separators → handles
+    val indexBody = buildBlockBody(handles.map { case (sep, (off, size)) =>
+      val o = new java.io.ByteArrayOutputStream(8)
+      putVarint(o, off); putVarint(o, size)
+      (sep, o.toByteArray)
+    })
+    val indexH = appendBlock(out, indexBody, snappy = false)
+    // format_version 2 footer: checksum byte, handles, pad, version, magic
+    val f = new java.io.ByteArrayOutputStream(53)
+    f.write(1) // kCRC32c
+    putVarint(f, metaH._1); putVarint(f, metaH._2)
+    putVarint(f, indexH._1); putVarint(f, indexH._2)
+    while (f.size() < 41) f.write(0) // pad to 1 + 2*20
+    writeLe32(f, 2) // format_version
+    val m = RocksMagic
+    var i = 0
+    val mb = new Array[Byte](8)
+    while (i < 8) { mb(i) = ((m >>> (8 * i)) & 0xff).toByte; i += 1 }
+    f.write(mb, 0, 8)
+    out.write(f.toByteArray, 0, f.size())
+    out.toByteArray
+  }
+}

@@ -327,7 +327,65 @@ object Containers {
       |FROM p
       |ORDER BY media_id""".stripMargin
 
+  /** SST (RocksDB/LevelDB block-based table) probe gate (see
+    * [[graft.llm.SstProbe]]): per-key tables with 8-entry data blocks,
+    * alternating plain/snappy, decoded under the block-CRC, restart,
+    * ordering and properties-census laws. Refusal arms: truncation
+    * (k mod 13) and a flipped data-block byte (k mod 19 — the CRC law). */
+  def sstProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.SstProbe
+    val keys = partKeys(s, d).filter(_ % 8 == 1)
+    val out = keys.map { k =>
+      val nkv = (20 + k % 30).toInt
+      val data = (0 until nkv).map { i =>
+        (f"key$i%04d".getBytes,
+          Array.tabulate((10 + (k + i) % 40).toInt)(j => ((j * 11 + k + i) & 0xff).toByte))
+      }
+      val sst = SstProbe.write(data, snappy = k % 2 == 0)
+      val armed =
+        if (k % 13 == 0) java.util.Arrays.copyOf(sst, sst.length - 6)
+        else if (k % 19 == 0) { val t = sst.clone(); t(10) = (t(10) ^ 0x10).toByte; t }
+        else sst
+      SstProbe.probe(armed) match {
+        case Some(p) =>
+          (k, true, Some(p.formatVersion), Some(p.nEntries), Some(p.nDataBlocks),
+            Some(p.firstKey), Some(p.lastKey), Some(p.kvBytes),
+            Some(p.compression), Some(p.propEntries))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[String], None: Option[String], None: Option[Long],
+            None: Option[String], None: Option[Long])
+      }
+    }.toDF("media_id", "sst_ok", "fmt_ver", "n_entries", "n_blocks",
+      "first_key", "last_key", "kv_bytes", "codec", "prop_entries")
+    out.orderBy($"media_id")
+  }
+
+  /** kv_bytes replayed: each key is 7 bytes, value `10 + (k+i) % 40`. */
+  val sstProbeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part
+      |            WHERE p_partkey % 8 = 1),
+      |p AS (SELECT k, (k % 13 <> 0 AND k % 19 <> 0) AS ok,
+      |        CAST(20 + k % 30 AS INTEGER) AS nkv
+      |      FROM ks),
+      |sizes AS (
+      |  SELECT p.k, CAST(SUM(7 + 10 + (p.k + i.g) % 40) AS BIGINT) AS kvb
+      |  FROM p, generate_series(0, 49) i(g) WHERE i.g < p.nkv GROUP BY p.k)
+      |SELECT p.k AS media_id, p.ok AS sst_ok,
+      |  CASE WHEN p.ok THEN 2 END AS fmt_ver,
+      |  CASE WHEN p.ok THEN p.nkv END AS n_entries,
+      |  CASE WHEN p.ok THEN CAST((p.nkv + 7) // 8 AS INTEGER) END AS n_blocks,
+      |  CASE WHEN p.ok THEN 'key0000' END AS first_key,
+      |  CASE WHEN p.ok THEN 'key' || lpad(CAST(p.nkv - 1 AS VARCHAR), 4, '0') END AS last_key,
+      |  CASE WHEN p.ok THEN sizes.kvb END AS kv_bytes,
+      |  CASE WHEN p.ok THEN CASE WHEN p.k % 2 = 0 THEN 'snappy' ELSE 'none' END END AS codec,
+      |  CASE WHEN p.ok THEN CAST(p.nkv AS BIGINT) END AS prop_entries
+      |FROM p JOIN sizes ON sizes.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sst_probe" -> (sstProbe _),
     "q_mkv_probe" -> (mkvProbe _),
     "q_ts_probe" -> (tsProbe _),
     "q_ttf_probe" -> (ttfProbe _),
@@ -335,6 +393,7 @@ object Containers {
     "q_woff_probe" -> (woffProbe _))
 
   def oracles: Map[String, String] = Map(
+    "q_sst_probe" -> sstProbeSql,
     "q_mkv_probe" -> mkvProbeSql,
     "q_ts_probe" -> tsProbeSql,
     "q_ttf_probe" -> ttfProbeSql,

@@ -1,0 +1,126 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SST decode: writer round trips (plain + snappy, multi-block), the
+  * block micro-laws, the refusal battery, and cross-validation against
+  * files written by the REAL RocksDB (`org.rocksdb.SstFileWriter` from
+  * the rocksdbjni on the Spark classpath) — in both NO_COMPRESSION and
+  * SNAPPY form, the latter doubling as an independent check of our
+  * snappy decoder against the C++ implementation. */
+class SstProbeSpec extends AnyFunSuite {
+  import SstProbe._
+
+  private def kvs(n: Int, seed: Int): Seq[(Array[Byte], Array[Byte])] =
+    (0 until n).map { i =>
+      (f"key$i%04d".getBytes,
+        Array.tabulate(10 + (seed + i) % 40)(j => ((j * 11 + seed + i) & 0xff).toByte))
+    }
+
+  test("writer round trip: entries, order, blocks, properties law") {
+    for ((n, snappy) <- Seq((5, false), (30, true), (64, false))) {
+      val data = kvs(n, n)
+      val sst = write(data, snappy)
+      val p = probe(sst).getOrElse(fail(s"refused n=$n snappy=$snappy"))
+      assert(p.formatVersion == 2)
+      assert(p.nEntries == n)
+      assert(p.nDataBlocks == (n + 7) / 8)
+      assert(p.compression == (if (snappy) "snappy" else "none"))
+      assert(p.propEntries == n)
+      assert(p.firstKey == "key0000" && p.lastKey == f"key${n - 1}%04d")
+      assert(p.entries.map(e => new String(e.key)) == data.map(d => new String(d._1)).toVector)
+      p.entries.zip(data).foreach { case (e, (_, v)) =>
+        assert(e.value.sameElements(v) && e.kind == 1)
+      }
+      assert(p.kvBytes == data.map(d => d._1.length + d._2.length).sum)
+    }
+  }
+
+  test("refusal battery: truncation, block flip, magic, version, checksum type") {
+    val good = write(kvs(30, 3), snappy = false)
+    assert(probe(good).isDefined)
+    for (cut <- Seq(1, 7, 53, good.length - 60))
+      assert(probe(java.util.Arrays.copyOf(good, good.length - cut)).isEmpty)
+    // a flipped byte inside the first data block → its CRC law
+    val flip = good.clone(); flip(10) = (flip(10) ^ 0x10).toByte
+    assert(probe(flip).isEmpty)
+    // magic
+    val magic = good.clone(); magic(magic.length - 1) = 0x11
+    assert(probe(magic).isEmpty)
+    // format_version 6 (the extended-footer era we refuse, not misread)
+    val v6 = good.clone(); v6(v6.length - 12) = 6
+    assert(probe(v6).isEmpty)
+    // unknown checksum type
+    val ck = good.clone(); ck(ck.length - 53) = 3
+    assert(probe(ck).isEmpty)
+  }
+
+  test("block micro-laws: restart-zero, shared bound, exact consumption") {
+    // a minimal raw SST built around one hand-made data block is overkill;
+    // drive the laws through writer output surgery instead. The block
+    // body of a 1-entry file: entry + restart[0]=0 + num_restarts=1.
+    val one = write(kvs(1, 1), snappy = false)
+    val p = probe(one).get
+    assert(p.nEntries == 1 && p.nDataBlocks == 1)
+    // First block body, byte-exact: varints shared=0, nonShared=15
+    // (7-byte user key + 8-byte seq/type), valLen=11; then key(15),
+    // value(11) → 29 bytes; restart[0]=0 at 29; num_restarts at 33;
+    // body ends at 37; compression byte 37; CRC at 38..41.
+    val bodyLen = 3 + 15 + 11 + 4 + 4
+    assert(bodyLen == 37)
+    val bad = one.clone()
+    bad(33) = 9 // num_restarts lie → restart array larger than the body
+    // fix the block CRC so ONLY the restart law trips
+    val crc = {
+      val c = new java.util.zip.CRC32C(); c.update(bad, 0, bodyLen + 1); c.getValue
+    }
+    val masked = TfRecordCodec.mask(crc)
+    var i = 0
+    while (i < 4) { bad(bodyLen + 1 + i) = ((masked >>> (8 * i)) & 0xff).toByte; i += 1 }
+    assert(probe(bad).isEmpty)
+  }
+
+  test("cross-validation: decode files written by the real RocksDB") {
+    org.rocksdb.RocksDB.loadLibrary()
+    for (snappy <- Seq(false, true)) {
+      val dir = java.nio.file.Files.createTempDirectory("sst")
+      val path = dir.resolve(s"t-$snappy.sst").toString
+      val tableCfg = new org.rocksdb.BlockBasedTableConfig()
+        .setFormatVersion(2)
+        .setChecksumType(org.rocksdb.ChecksumType.kCRC32c)
+        .setBlockSize(256) // small blocks → a multi-block index
+      val opts = new org.rocksdb.Options()
+        .setCreateIfMissing(true)
+        .setTableFormatConfig(tableCfg)
+        .setCompressionType(
+          if (snappy) org.rocksdb.CompressionType.SNAPPY_COMPRESSION
+          else org.rocksdb.CompressionType.NO_COMPRESSION)
+      val env = new org.rocksdb.EnvOptions()
+      val w = new org.rocksdb.SstFileWriter(env, opts)
+      try {
+        w.open(path)
+        val data = kvs(120, 7)
+        data.foreach { case (k, v) => w.put(k, v) }
+        w.finish()
+        val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+        val p = probe(bytes).getOrElse(fail(s"refused a real RocksDB file (snappy=$snappy)"))
+        assert(p.formatVersion == 2)
+        assert(p.nEntries == 120)
+        assert(p.nDataBlocks > 1, "blockSize=256 must split 120 entries")
+        assert(p.propEntries == 120) // the file's own census law held
+        assert(p.compression == (if (snappy) "snappy" else "none"))
+        assert(p.entries.map(e => new String(e.key)) == data.map(d => new String(d._1)).toVector)
+        p.entries.zip(data).foreach { case (e, (_, v)) =>
+          assert(e.value.sameElements(v), "value mismatch vs RocksDB")
+        }
+        // tamper a real-RocksDB block: its CRC law must trip in OUR walk
+        val flip = bytes.clone(); flip(3) = (flip(3) ^ 1).toByte
+        assert(probe(flip).isEmpty)
+      } finally {
+        w.close(); opts.close(); env.close()
+        java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
+  }
+}
