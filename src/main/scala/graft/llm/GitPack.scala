@@ -624,6 +624,45 @@ object GitPack {
     out.toByteArray
   }
 
+  // ---- loose objects ----
+
+  private val NameTypes = TypeNames.map(_.swap)
+
+  /** A loose object (`.git/objects/ab/cd…`): one zlib stream holding
+    * the `<type> <len>` header, a NUL, then the body. Laws: known type name, the
+    * declared length must equal the body exactly, the stream must end
+    * with it. Returns (type, body, oid). */
+  def looseObject(b: Array[Byte]): Option[(Int, Array[Byte], String)] = {
+    val inf = MediaCodec.pooledInflater()
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length * 3 + 64, 1 << 16))
+    try {
+      inf.setInput(b)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        out.write(buf, 0, n)
+        if (out.size() > MaxObjectBytes) return None
+      }
+      if (inf.getRemaining != 0) return None // nothing after the stream
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    }
+    val all = out.toByteArray
+    var nul = 0
+    while (nul < all.length && all(nul) != 0) nul += 1
+    if (nul >= all.length) return None
+    val hdr = new String(all, 0, nul, java.nio.charset.StandardCharsets.US_ASCII)
+    val sp = hdr.indexOf(' ')
+    if (sp < 0) return None
+    val typ = NameTypes.getOrElse(hdr.substring(0, sp), return None)
+    val lenStr = hdr.substring(sp + 1)
+    if (lenStr.isEmpty || !lenStr.forall(_.isDigit) || lenStr.length > 9) return None
+    val body = java.util.Arrays.copyOfRange(all, nul + 1, all.length)
+    if (lenStr.toInt != body.length) return None // declared-length law
+    Some((typ, body, hex(sha1(all), 0, 20)))
+  }
+
   // ---- byte helpers ----
 
   private def be32(b: Array[Byte], p: Int): Int =

@@ -1,0 +1,119 @@
+package graft.llm
+
+/** Generic protobuf wire-format walk — schema-free census of the
+  * serialization that model metadata, event payloads, and tensor-
+  * pipeline sidecars (tf.Example, ONNX, checkpoints' proto headers)
+  * ride in. Without a schema a length-delimited field is opaque (a
+  * string and a submessage are indistinguishable by design), so the
+  * walk stays at ONE level and returns the raw records; callers who
+  * know the schema recurse by feeding a payload back in — which is
+  * exactly how ProtoWireSpec cross-validates against the tf.Example
+  * encoder level by level.
+  *
+  * Laws (the encoding's own, per the published wire-format spec):
+  *  - tag = varint(field << 3 | wire); field number ≥ 1;
+  *  - wire types 0 (varint) / 1 (fixed64) / 2 (length-delimited) /
+  *    5 (fixed32) accepted; 3/4 (the deprecated group markers) and
+  *    6/7 (reserved) refuse;
+  *  - varints are ≤ 10 bytes and the 10th byte ≤ 1 (64-bit overflow
+  *    law);
+  *  - a length-delimited field must fit the remaining extent;
+  *  - the message must consume its extent exactly.
+  */
+object ProtoWire {
+
+  /** One top-level record; `payload` only for wire 2, `value` the
+    * varint/fixed value otherwise. */
+  final case class Rec(field: Int, wire: Int, value: Long, payload: Array[Byte])
+
+  final case class Census(
+      nFields: Int, maxField: Int, nVarint: Int, nFixed64: Int,
+      nLen: Int, nFixed32: Int, varintSum: Long, lenBytes: Long)
+
+  private def varint(b: Array[Byte], p0: Int, end: Int): Option[(Long, Int)] = {
+    var p = p0; var v = 0L; var i = 0
+    while (p < end && i < 10) {
+      val c = b(p) & 0xff; p += 1
+      if (i == 9 && c > 1) return None // 64-bit overflow law
+      v |= (c & 0x7f).toLong << (7 * i)
+      if ((c & 0x80) == 0) return Some((v, p))
+      i += 1
+    }
+    None
+  }
+
+  def records(b: Array[Byte]): Option[Vector[Rec]] = {
+    val out = Vector.newBuilder[Rec]
+    var p = 0
+    val end = b.length
+    while (p < end) {
+      val (tag, p1) = varint(b, p, end).getOrElse(return None)
+      val field = (tag >>> 3)
+      val wire = (tag & 7).toInt
+      if (field < 1 || field > Int.MaxValue) return None
+      wire match {
+        case 0 =>
+          val (v, p2) = varint(b, p1, end).getOrElse(return None)
+          out += Rec(field.toInt, 0, v, null); p = p2
+        case 1 =>
+          if (p1 + 8 > end) return None
+          out += Rec(field.toInt, 1, ByteIo.le64(b, p1), null); p = p1 + 8
+        case 2 =>
+          val (len, p2) = varint(b, p1, end).getOrElse(return None)
+          if (len < 0 || p2 + len > end) return None
+          out += Rec(field.toInt, 2, len,
+            java.util.Arrays.copyOfRange(b, p2, (p2 + len).toInt))
+          p = (p2 + len).toInt
+        case 5 =>
+          if (p1 + 4 > end) return None
+          out += Rec(field.toInt, 5, ByteIo.le32(b, p1), null); p = p1 + 4
+        case _ => return None // groups (3/4) and reserved (6/7)
+      }
+    }
+    Some(out.result())
+  }
+
+  def probe(b: Array[Byte]): Option[Census] = records(b).map { rs =>
+    var sum = 0L; var lenB = 0L
+    rs.foreach { r =>
+      if (r.wire == 0) sum += r.value
+      if (r.wire == 2) lenB += r.value
+    }
+    Census(rs.size, if (rs.isEmpty) 0 else rs.map(_.field).max,
+      rs.count(_.wire == 0), rs.count(_.wire == 1), rs.count(_.wire == 2),
+      rs.count(_.wire == 5), sum, lenB)
+  }
+
+  // ---- writer (gate fixtures) ----
+
+  final class Writer {
+    private val o = new java.io.ByteArrayOutputStream(64)
+    private def putVarint(v0: Long): Unit = {
+      var v = v0
+      do {
+        var c = (v & 0x7f).toInt
+        v >>>= 7
+        if (v != 0) c |= 0x80
+        o.write(c)
+      } while (v != 0)
+    }
+    private def tag(field: Int, wire: Int): Unit = putVarint((field.toLong << 3) | wire)
+    def varintField(field: Int, v: Long): Writer = { tag(field, 0); putVarint(v); this }
+    def lenField(field: Int, payload: Array[Byte]): Writer = {
+      tag(field, 2); putVarint(payload.length); o.write(payload, 0, payload.length); this
+    }
+    def fixed32Field(field: Int, v: Long): Writer = {
+      tag(field, 5)
+      var i = 0
+      while (i < 4) { o.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+      this
+    }
+    def fixed64Field(field: Int, v: Long): Writer = {
+      tag(field, 1)
+      var i = 0
+      while (i < 8) { o.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+      this
+    }
+    def bytes: Array[Byte] = o.toByteArray
+  }
+}

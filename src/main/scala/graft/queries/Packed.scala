@@ -117,13 +117,77 @@ object Packed {
     "'dt(' || (1600000000000 + p.k * 1000 + p.k % 1000) || ')'",
     "bin(0):")
 
+  /** Generic protobuf wire census gate (see [[graft.llm.ProtoWire]]):
+    * per-key messages exercising every accepted wire type, a two-byte
+    * tag (field 200), and repeated fields; the census is closed-form.
+    * Refusal arms: truncation (k mod 13) and an injected reserved wire
+    * type 7 (k mod 19). */
+  def protoCensus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.ProtoWire
+    val keys = partKeys(s, d).filter(_ % 4 == 0)
+    val out = keys.map { k =>
+      val nrep = (k % 6).toInt
+      val w = new ProtoWire.Writer()
+        .varintField(1, k % 1000)
+        .lenField(2, Array.tabulate((5 + k % 20).toInt)(i => ('a' + i % 26).toByte))
+        .fixed32Field(3, k % 100000)
+        .fixed64Field(4, k * 2654435761L)
+        .varintField(200, (k * 7) % 90)
+      (0 until nrep).foreach(i => w.varintField(5, (k + i) % 50))
+      val bytes = w.bytes
+      val armed =
+        // cut ONE byte: two could delete a whole trailing 2-byte
+        // repeated field and leave a VALID shorter message
+        if (k % 13 == 0) java.util.Arrays.copyOf(bytes, bytes.length - 1)
+        else if (k % 19 == 0) Array[Byte](0x0f) ++ bytes // field 1, wire 7
+        else bytes
+      ProtoWire.probe(armed) match {
+        case Some(c) =>
+          (k, true, Some(c.nFields), Some(c.maxField), Some(c.nVarint),
+            Some(c.nFixed64), Some(c.nLen), Some(c.nFixed32),
+            Some(c.varintSum), Some(c.lenBytes))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Long], None: Option[Long])
+      }
+    }.toDF("media_id", "pb_ok", "n_fields", "max_field", "n_varint",
+      "n_fixed64", "n_len", "n_fixed32", "varint_sum", "len_bytes")
+    out.orderBy($"media_id")
+  }
+
+  val protoCensusSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part
+      |            WHERE p_partkey % 4 = 0),
+      |p AS (SELECT k, (k % 13 <> 0 AND k % 19 <> 0) AS ok,
+      |        CAST(k % 6 AS INTEGER) AS nrep
+      |      FROM ks),
+      |rep AS (
+      |  SELECT p.k, CAST(COALESCE(SUM(CASE WHEN i.g < p.nrep
+      |    THEN (p.k + i.g) % 50 END), 0) AS BIGINT) AS rsum
+      |  FROM p, generate_series(0, 5) i(g) GROUP BY p.k)
+      |SELECT p.k AS media_id, p.ok AS pb_ok,
+      |  CASE WHEN p.ok THEN CAST(5 + p.nrep AS INTEGER) END AS n_fields,
+      |  CASE WHEN p.ok THEN 200 END AS max_field,
+      |  CASE WHEN p.ok THEN CAST(2 + p.nrep AS INTEGER) END AS n_varint,
+      |  CASE WHEN p.ok THEN 1 END AS n_fixed64,
+      |  CASE WHEN p.ok THEN 1 END AS n_len,
+      |  CASE WHEN p.ok THEN 1 END AS n_fixed32,
+      |  CASE WHEN p.ok THEN CAST(p.k % 1000 + (p.k * 7) % 90 + rep.rsum AS BIGINT) END AS varint_sum,
+      |  CASE WHEN p.ok THEN CAST(5 + p.k % 20 AS BIGINT) END AS len_bytes
+      |FROM p JOIN rep ON rep.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_msgpack_read" -> (msgpackRead _),
     "q_cbor_read" -> (cborRead _),
-    "q_bson_read" -> (bsonRead _))
+    "q_bson_read" -> (bsonRead _),
+    "q_proto_census" -> (protoCensus _))
 
   def oracles: Map[String, String] = Map(
     "q_msgpack_read" -> msgpackReadSql,
     "q_cbor_read" -> cborReadSql,
-    "q_bson_read" -> bsonReadSql)
+    "q_bson_read" -> bsonReadSql,
+    "q_proto_census" -> protoCensusSql)
 }

@@ -180,6 +180,59 @@ class GitPackSpec extends AnyFunSuite {
     assert(parseCommit("tree short\n\nmsg".getBytes).isEmpty)
   }
 
+  // ---- loose objects --------------------------------------------------
+
+  test("loose objects: round trip, laws, and real git hash-object files") {
+    import scala.sys.process._
+    // a writer-shaped loose object: deflate("blob <n>\u0000" ++ body)
+    def loose(typ: String, body: Array[Byte]): Array[Byte] = {
+      val hdr = s"$typ ${body.length}\u0000".getBytes
+      val d = new java.util.zip.Deflater()
+      d.setInput(hdr ++ body); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+    val body = blob(321, 14)
+    val (t, b, oid) = looseObject(loose("blob", body)).get
+    assert(t == TBlob && b.sameElements(body) && oid == oidHex(TBlob, body))
+    // laws: unknown type, length lie, trailing bytes after the stream
+    assert(looseObject(loose("blobb", body)).isEmpty)
+    val lie = s"blob ${body.length + 1}\u0000".getBytes ++ body
+    val d2 = new java.util.zip.Deflater(); d2.setInput(lie); d2.finish()
+    val o2 = new java.io.ByteArrayOutputStream()
+    val buf2 = new Array[Byte](4096)
+    while (!d2.finished()) o2.write(buf2, 0, d2.deflate(buf2))
+    d2.end()
+    assert(looseObject(o2.toByteArray).isEmpty)
+    assert(looseObject(loose("blob", body) ++ Array[Byte](1)).isEmpty)
+    // real git: hash-object -w writes the loose file our walk must read
+    val dir = java.nio.file.Files.createTempDirectory("gitloose").toFile
+    try {
+      assert(Process(Seq("git", "init", "-q", "."), dir).! == 0)
+      java.nio.file.Files.write(dir.toPath.resolve("f.txt"), body)
+      val out = new StringBuilder
+      assert(Process(Seq("git", "hash-object", "-w", "f.txt"), dir)
+        .!(ProcessLogger(l => out.append(l))) == 0)
+      val gitOid = out.toString.trim
+      assert(gitOid == oidHex(TBlob, body)) // our oid law vs git's
+      val looseFile = new java.io.File(dir,
+        s".git/objects/${gitOid.take(2)}/${gitOid.drop(2)}")
+      val (t2, b2, oid2) = looseObject(
+        java.nio.file.Files.readAllBytes(looseFile.toPath)).getOrElse(
+        fail("git's own loose object refused"))
+      assert(t2 == TBlob && b2.sameElements(body) && oid2 == gitOid)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   // ---- the real-git cross-validation --------------------------------
 
   /** Build a scratch repo with the system git, force delta compression,

@@ -1,0 +1,89 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generic protobuf wire walk: the published-doc golden vectors, the
+  * varint/wire/extent laws, writer round trips, and a level-by-level
+  * structural cross-validation against the tf.Example encoder (the
+  * schema-knowing recursion the object's doc describes). */
+class ProtoWireSpec extends AnyFunSuite {
+  import ProtoWire._
+
+  test("golden vectors from the wire-format documentation") {
+    // field 1, varint 150 → 08 96 01
+    val v = records(Array[Byte](0x08, 0x96.toByte, 0x01)).get
+    assert(v.size == 1 && v(0).field == 1 && v(0).wire == 0 && v(0).value == 150)
+    // field 2, string "testing" → 12 07 74 65 73 74 69 6e 67
+    val s = records("testing".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)).get
+    assert(s.size == 1 && s(0).field == 2 && s(0).wire == 2)
+    assert(new String(s(0).payload) == "testing")
+  }
+
+  test("laws: varint overflow, groups, reserved wires, extent, field 0") {
+    // 10-byte varint with 10th byte ≤ 1 is legal (max uint64)
+    val max = Array.fill[Byte](9)(0xff.toByte) :+ 1.toByte
+    val ok = records(Array[Byte](0x08) ++ max).get
+    assert(ok(0).value == -1L) // 2^64-1 as the wrapped Long
+    // 10th byte > 1 refuses
+    assert(records(Array[Byte](0x08) ++ Array.fill[Byte](9)(0xff.toByte) :+ 2.toByte).isEmpty)
+    // group wires 3/4 and reserved 6/7 refuse
+    for (w <- Seq(3, 4, 6, 7))
+      assert(records(Array(((1 << 3) | w).toByte, 0)).isEmpty)
+    // field 0 refuses
+    assert(records(Array[Byte](0x00, 0x01)).isEmpty)
+    // length overrun refuses
+    assert(records(Array[Byte](0x0a, 0x05, 1, 2)).isEmpty)
+    // truncated tag / truncated fixed refuse
+    assert(records(Array[Byte](0x80.toByte)).isEmpty)
+    assert(records(Array[Byte](0x0d, 1, 2)).isEmpty) // fixed32 short
+    assert(records(Array[Byte](0x09, 1, 2, 3)).isEmpty) // fixed64 short
+  }
+
+  test("writer round trip and census") {
+    val b = new Writer()
+      .varintField(1, 7).varintField(5, 9).fixed32Field(3, 0xdeadL)
+      .fixed64Field(4, 0x1122334455667788L)
+      .lenField(2, "hello".getBytes)
+      .varintField(200, 42) // a two-byte tag
+      .bytes
+    val c = probe(b).get
+    assert(c.nFields == 6 && c.maxField == 200)
+    assert(c.nVarint == 3 && c.nLen == 1 && c.nFixed32 == 1 && c.nFixed64 == 1)
+    assert(c.varintSum == 7 + 9 + 42 && c.lenBytes == 5)
+    val rs = records(b).get
+    assert(rs(3).value == 0x1122334455667788L)
+  }
+
+  test("cross-validation: level-by-level walk of a tf.Example encoding") {
+    import TfExampleCodec._
+    val ex = encodeExample(Seq(
+      "ids" -> I64s(Seq(3, 5, 8), packed = false),
+      "score" -> F32s(Seq(java.lang.Float.floatToIntBits(1.5f)), packed = false),
+      "tok" -> Bs(Seq("ab".getBytes, "cde".getBytes))))
+    // level 0: Example { features = 1 }
+    val l0 = records(ex).get
+    assert(l0.size == 1 && l0(0).field == 1 && l0(0).wire == 2)
+    // level 1: Features { repeated map entries, field 1 }
+    val entries = records(l0(0).payload).get
+    assert(entries.size == 3 && entries.forall(e => e.field == 1 && e.wire == 2))
+    // level 2: each entry = { key = 1 (string), value = 2 (Feature) }
+    val byKey = entries.map { e =>
+      val kv = records(e.payload).get
+      assert(kv.map(_.field) == Vector(1, 2))
+      (new String(kv(0).payload), kv(1).payload)
+    }.toMap
+    assert(byKey.keySet == Set("ids", "score", "tok"))
+    // level 3: Feature oneof — int64_list=3, float_list=2, bytes_list=1
+    val ids = records(byKey("ids")).get
+    assert(ids.size == 1 && ids(0).field == 3)
+    // level 4: unpacked Int64List { repeated value = 1, varints }
+    val vals = records(records(byKey("ids")).get(0).payload).get
+    assert(vals.map(_.value) == Vector(3L, 5L, 8L))
+    assert(vals.forall(v => v.field == 1 && v.wire == 0))
+    val fl = records(records(byKey("score")).get(0).payload).get
+    assert(fl.size == 1 && fl(0).wire == 5 &&
+      java.lang.Float.intBitsToFloat(fl(0).value.toInt) == 1.5f)
+    val bs = records(records(byKey("tok")).get(0).payload).get
+    assert(bs.map(b => new String(b.payload)) == Vector("ab", "cde"))
+  }
+}
