@@ -1,0 +1,151 @@
+package graft.llm
+
+/** `ar` archive walk + Debian package (`.deb`) probe. Software-package
+  * payloads are a first-class corpus input (distro mirrors and vendored
+  * package caches ride along in large crawls), and `.deb` is `ar`
+  * holding `debian-binary`, `control.tar.*` and `data.tar.*` — the
+  * latter two decompressed through the engine's OWN gzip/xz/zstd
+  * decoders and walked by the ustar parser, the same chain-of-custody
+  * as the `.tar.*` gate family.
+  *
+  * ar laws (the common/GNU format both `ar` and `dpkg-deb` write):
+  *  - global magic `!<arch>` + LF;
+  *  - 60-byte member headers ending in backtick + LF; name(16)
+  *    space-padded, GNU's trailing `/` stripped; decimal mtime/uid/gid,
+  *    octal mode, decimal size — digit runs with space padding only;
+  *  - odd-sized members padded with ONE LF byte (value law);
+  *  - exact consumption to the archive end;
+  *  - the GNU long-name table `//` refuses (a pinned scope — names
+  *    beyond 15 chars can't be resolved honestly without it); the
+  *    symbol table `/` is accepted as a metadata member.
+  *
+  * deb laws: first member `debian-binary` with content `2.0` + LF;
+  * then `control.tar*` and `data.tar*` members (magic-sniffed codecs,
+  * never extensions), each walking as a valid ustar archive.
+  *
+  * Cross-validated in ArDebSpec against archives built by the REAL
+  * `ar` binary and a REAL `dpkg-deb --build` package (whose
+  * `data.tar.xz`/`control.tar.xz` exercise our XZ decoder on genuine
+  * dpkg output), with `dpkg-deb --contents` as the content reference.
+  */
+object ArDeb {
+
+  final case class Member(name: String, mtime: Long, size: Long, data: Array[Byte])
+
+  private def parseNum(b: Array[Byte], off: Int, len: Int, radix: Int): Option[Long] = {
+    var s = off; var e = off + len
+    while (s < e && b(s) == ' ') s += 1
+    while (e > s && (b(e - 1) == ' ' || b(e - 1) == 0)) e -= 1
+    if (s == e) return Some(0L) // blank field (dpkg writes blanks for uid/gid)
+    var v = 0L
+    var i = s
+    while (i < e) {
+      val c = b(i) - '0'
+      if (c < 0 || c >= radix) return None
+      v = v * radix + c
+      if (v < 0) return None
+      i += 1
+    }
+    Some(v)
+  }
+
+  def arMembers(b: Array[Byte]): Option[Vector[Member]] = {
+    if (b.length < 8) return None
+    if (new String(b, 0, 8, java.nio.charset.StandardCharsets.US_ASCII) != "!<arch>\n")
+      return None
+    val out = Vector.newBuilder[Member]
+    var p = 8
+    while (p < b.length) {
+      if (p + 60 > b.length) return None
+      if (!(b(p + 58) == '`' && b(p + 59) == '\n')) return None // header end law
+      var ne = p + 16
+      while (ne > p && (b(ne - 1) == ' ')) ne -= 1
+      var name = new String(b, p, ne - p, java.nio.charset.StandardCharsets.US_ASCII)
+      if (name == "//") return None // GNU long-name table: pinned refusal
+      if (name.length > 1 && name.endsWith("/")) name = name.dropRight(1)
+      if (name.isEmpty) return None
+      val mtime = parseNum(b, p + 16, 12, 10).getOrElse(return None)
+      if (parseNum(b, p + 28, 6, 10).isEmpty) return None // uid
+      if (parseNum(b, p + 34, 6, 10).isEmpty) return None // gid
+      if (parseNum(b, p + 40, 8, 8).isEmpty) return None // mode (octal)
+      val size = parseNum(b, p + 48, 10, 10).getOrElse(return None)
+      if (size > Int.MaxValue || p + 60 + size > b.length) return None
+      val data = java.util.Arrays.copyOfRange(b, p + 60, (p + 60 + size).toInt)
+      p += 60 + size.toInt
+      if (size % 2 == 1) {
+        if (p >= b.length || b(p) != '\n') return None // the pad-byte law
+        p += 1
+      }
+      out += Member(name, mtime, size, data)
+    }
+    Some(out.result())
+  }
+
+  /** Write a common-format archive (deb-style: no trailing slash). */
+  def arWrite(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream(256)
+    o.write("!<arch>\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0, 8)
+    members.foreach { case (name, data) =>
+      require(name.length <= 16, s"ar name too long: $name")
+      def pad(s: String, w: Int): Unit = {
+        val bs = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        o.write(bs, 0, bs.length)
+        var i = bs.length
+        while (i < w) { o.write(' '); i += 1 }
+      }
+      pad(name, 16)
+      pad("0", 12); pad("0", 6); pad("0", 6); pad("100644", 8)
+      pad(data.length.toString, 10)
+      o.write('`'); o.write('\n')
+      o.write(data, 0, data.length)
+      if (data.length % 2 == 1) o.write('\n')
+    }
+    o.toByteArray
+  }
+
+  // ---- deb ----
+
+  final case class DebProbe(
+      nMembers: Int, version: String, controlCodec: String, dataCodec: String,
+      controlFiles: Vector[String], dataFiles: Vector[(String, Int)],
+      dataBytes: Long)
+
+  /** Magic-sniffed decompression through the engine's own decoders;
+    * a bare (uncompressed) tar passes through. */
+  private def plainTar(payload: Array[Byte]): Option[(String, Array[Byte])] = {
+    if (payload.length >= 2 && (payload(0) & 0xff) == 0x1f && (payload(1) & 0xff) == 0x8b)
+      MediaCodec.gunzipMembers(payload).flatMap {
+        case Seq(m) => Some(("gzip", m.data))
+        case _ => None
+      }
+    else if (payload.length >= 6 && (payload(0) & 0xff) == 0xfd &&
+      payload(1) == '7' && payload(2) == 'z')
+      XzDecode.decompress(payload, maxOut = 1 << 24).map(d => ("xz", d._1))
+    else if (payload.length >= 4 && (payload(0) & 0xff) == 0x28 &&
+      (payload(1) & 0xff) == 0xb5 && (payload(2) & 0xff) == 0x2f &&
+      (payload(3) & 0xff) == 0xfd)
+      ZstdDecode.decompress(payload, maxOut = 1 << 24).map(d => ("zstd", d))
+    else if (payload.length >= 263 &&
+      new String(payload, 257, 5, java.nio.charset.StandardCharsets.US_ASCII) == "ustar")
+      Some(("none", payload))
+    else None
+  }
+
+  def debProbe(b: Array[Byte]): Option[DebProbe] = {
+    val ms = arMembers(b).getOrElse(return None)
+    if (ms.size < 3) return None
+    if (ms(0).name != "debian-binary") return None
+    if (new String(ms(0).data, java.nio.charset.StandardCharsets.US_ASCII) != "2.0\n")
+      return None // the version law
+    if (!ms(1).name.startsWith("control.tar")) return None
+    if (!ms(2).name.startsWith("data.tar")) return None
+    val (cCodec, cTar) = plainTar(ms(1).data).getOrElse(return None)
+    val (dCodec, dTar) = plainTar(ms(2).data).getOrElse(return None)
+    val cFiles = graft.ops.TarArchive.parseTar(cTar).getOrElse(return None)
+    val dFiles = graft.ops.TarArchive.parseTar(dTar).getOrElse(return None)
+    Some(DebProbe(ms.size, "2.0", cCodec, dCodec,
+      cFiles.map(_._1).toVector,
+      dFiles.map(f => (f._1, f._2.length)).toVector,
+      dFiles.map(_._2.length.toLong).sum))
+  }
+}

@@ -1,0 +1,188 @@
+package graft.llm
+
+/** ELF executable/object probe — binaries are everywhere in crawl and
+  * repository dumps (vendored .so files, compiled test fixtures,
+  * container layers), and a curation pipeline must identify and census
+  * them rather than feed them to text extractors. Native walk of the
+  * public ELF spec, both classes (ELF32/ELF64) and both byte orders:
+  *
+  *  - ident laws: `\x7fELF`, class ∈ {1,2}, data ∈ {1,2}, version 1;
+  *  - header-size laws: e_ehsize 52/64, e_phentsize 32/56, e_shentsize
+  *    40/64 by class;
+  *  - table bounds: program/section header tables must fit the file;
+  *  - section bounds: `sh_offset + sh_size` within the file for every
+  *    non-NOBITS section;
+  *  - the section-name string table: e_shstrndx < e_shnum, sh_name
+  *    offsets inside it, names NUL-terminated within it;
+  *  - extended numbering (e_shnum = 0 with a real section 0) is
+  *    refused — a pinned scope, not a misread.
+  *
+  * Cross-validated in ElfProbeSpec against REAL system binaries
+  * (`/bin/ls`, libc) with `readelf -h` / `readelf -S` as the
+  * independent reference for every censused fact.
+  *
+  * Reference scope: beyond terra-bonobo-nodes; the binary-asset
+  * sibling of the code census in the curation front.
+  */
+object ElfProbe {
+
+  final case class Section(name: String, typ: Long, offset: Long, size: Long)
+  final case class Probe(
+      is64: Boolean, littleEndian: Boolean, eType: Int, machine: Int,
+      entry: Long, nSegments: Int, nSections: Int,
+      sections: Vector[Section], sectionBytes: Long)
+
+  def probe(b: Array[Byte]): Option[Probe] = {
+    if (b.length < 52) return None
+    if (!(b(0) == 0x7f && b(1) == 'E' && b(2) == 'L' && b(3) == 'F')) return None
+    val cls = b(4) & 0xff
+    val data = b(5) & 0xff
+    if ((cls != 1 && cls != 2) || (data != 1 && data != 2)) return None
+    if ((b(6) & 0xff) != 1) return None // EV_CURRENT
+    val is64 = cls == 2
+    val le = data == 1
+
+    def u16(p: Int): Int = {
+      if (p + 2 > b.length) return -1
+      if (le) ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8))
+      else (((b(p) & 0xff) << 8) | (b(p + 1) & 0xff))
+    }
+    def u32(p: Int): Long = {
+      if (p + 4 > b.length) return -1
+      if (le) (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+      else ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+    }
+    def u64(p: Int): Long = {
+      if (p + 8 > b.length) return -1
+      if (le) u32(p) | (u32(p + 4) << 32) else (u32(p) << 32) | u32(p + 4)
+    }
+
+    val ehsize = if (is64) 64 else 52
+    if (b.length < ehsize) return None
+    val eType = u16(16)
+    val machine = u16(18)
+    if (u32(20) != 1) return None // e_version
+    val (entry, phoff, shoff) =
+      if (is64) (u64(24), u64(32), u64(40))
+      else (u32(24), u32(28), u32(32))
+    val base = if (is64) 48 else 36 // e_flags position
+    if (u16(base + 4) != ehsize) return None // e_ehsize law
+    val phentsize = u16(base + 6)
+    val phnum = u16(base + 8)
+    val shentsize = u16(base + 10)
+    val shnum = u16(base + 12)
+    val shstrndx = u16(base + 14)
+    if (phnum > 0 && phentsize != (if (is64) 56 else 32)) return None
+    if (shnum > 0 && shentsize != (if (is64) 64 else 40)) return None
+    if (phnum > 0 && (phoff < 0 || phoff + phnum.toLong * phentsize > b.length)) return None
+    if (shnum > 0 && (shoff < 0 || shoff + shnum.toLong * shentsize > b.length)) return None
+    if (shnum == 0 && shoff != 0) return None // extended numbering: pinned refusal
+    if (phnum == 0xffff) return None // PN_XNUM: same pin
+
+    // section headers
+    val SHT_NOBITS = 8L
+    var sections = Vector.empty[(Long, Long, Long, Long)] // name, type, offset, size
+    var i = 0
+    while (i < shnum) {
+      val p = (shoff + i.toLong * shentsize).toInt
+      val (nm, tp, off, sz) =
+        if (is64) (u32(p), u32(p + 4), u64(p + 24), u64(p + 32))
+        else (u32(p), u32(p + 4), u32(p + 16), u32(p + 20))
+      if (nm < 0 || tp < 0 || off < 0 || sz < 0) return None
+      if (tp != SHT_NOBITS && sz > 0 && off + sz > b.length) return None // bounds law
+      sections = sections :+ ((nm, tp, off, sz))
+      i += 1
+    }
+
+    // name resolution through the shstrtab
+    val named = if (shnum == 0) Vector.empty[Section] else {
+      if (shstrndx >= shnum) return None
+      val (_, strTyp, strOff, strSz) = sections(shstrndx)
+      if (strTyp != 3L) return None // SHT_STRTAB
+      sections.map { case (nm, tp, off, sz) =>
+        if (nm >= strSz) return None
+        var e = (strOff + nm).toInt
+        val lim = (strOff + strSz).toInt
+        while (e < lim && b(e) != 0) e += 1
+        if (e >= lim) return None // NUL-termination law
+        Section(new String(b, (strOff + nm).toInt, e - (strOff + nm).toInt,
+          java.nio.charset.StandardCharsets.UTF_8), tp, off, sz)
+      }
+    }
+
+    // program header bounds (the file-extent law)
+    i = 0
+    while (i < phnum) {
+      val p = (phoff + i.toLong * phentsize).toInt
+      val (off, fsz) =
+        if (is64) (u64(p + 8), u64(p + 32))
+        else (u32(p + 4), u32(p + 16))
+      if (off < 0 || fsz < 0 || off + fsz > b.length) return None
+      i += 1
+    }
+
+    val secBytes = named.filter(_.typ != SHT_NOBITS).map(_.size).sum
+    Some(Probe(is64, le, eType, machine, entry, phnum, shnum, named, secBytes))
+  }
+
+  // ---- writer (gate fixtures): minimal relocatable objects ----
+
+  /** Write a minimal ET_REL object (little-endian, both classes) with
+    * NULL / .text / .data / .shstrtab sections. */
+  def write(is64: Boolean, machine: Int, textSize: Int, dataSize: Int): Array[Byte] = {
+    // NUL-separated name table; offsets 0 "" / 1 ".text" / 7 ".data" / 13 ".shstrtab"
+    val names = {
+      val o = new java.io.ByteArrayOutputStream(24)
+      o.write(0)
+      for (nm <- Seq(".text", ".data", ".shstrtab")) {
+        val sb = nm.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        o.write(sb, 0, sb.length); o.write(0)
+      }
+      o.toByteArray
+    }
+    val ehsize = if (is64) 64 else 52
+    val shentsize = if (is64) 64 else 40
+    val textOff = ehsize
+    val dataOff = textOff + textSize
+    val strOff = dataOff + dataSize
+    val shoff = strOff + names.length
+    val total = shoff + 4 * shentsize
+    val out = new Array[Byte](total)
+    def w16(p: Int, v: Int): Unit = { out(p) = (v & 0xff).toByte; out(p + 1) = ((v >> 8) & 0xff).toByte }
+    def w32(p: Int, v: Long): Unit = { var i = 0; while (i < 4) { out(p + i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 } }
+    def w64(p: Int, v: Long): Unit = { var i = 0; while (i < 8) { out(p + i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 } }
+    out(0) = 0x7f; out(1) = 'E'; out(2) = 'L'; out(3) = 'F'
+    out(4) = if (is64) 2 else 1
+    out(5) = 1 // little-endian
+    out(6) = 1 // EV_CURRENT
+    w16(16, 1) // ET_REL
+    w16(18, machine)
+    w32(20, 1)
+    if (is64) { w64(32, 0); w64(40, shoff) } else { w32(28, 0); w32(32, shoff) }
+    val base = if (is64) 48 else 36
+    w16(base + 4, ehsize)
+    w16(base + 6, if (is64) 56 else 32)
+    w16(base + 8, 0) // no segments
+    w16(base + 10, shentsize)
+    w16(base + 12, 4)
+    w16(base + 14, 3) // shstrtab index
+    // deterministic section payloads
+    var i = 0
+    while (i < textSize) { out(textOff + i) = ((i * 7 + 0x90) & 0xff).toByte; i += 1 }
+    i = 0
+    while (i < dataSize) { out(dataOff + i) = ((i * 3 + 1) & 0xff).toByte; i += 1 }
+    System.arraycopy(names, 0, out, strOff, names.length)
+    def shdr(idx: Int, nm: Int, tp: Long, off: Long, sz: Long): Unit = {
+      val p = shoff + idx * shentsize
+      if (is64) { w32(p, nm); w32(p + 4, tp); w64(p + 24, off); w64(p + 32, sz) }
+      else { w32(p, nm); w32(p + 4, tp); w32(p + 16, off); w32(p + 20, sz) }
+    }
+    shdr(0, 0, 0, 0, 0) // SHT_NULL
+    shdr(1, 1, 1, textOff, textSize) // .text PROGBITS
+    shdr(2, 7, 1, dataOff, dataSize) // .data PROGBITS
+    shdr(3, 13, 3, strOff, names.length) // .shstrtab STRTAB
+    out
+  }
+}

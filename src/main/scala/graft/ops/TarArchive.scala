@@ -59,7 +59,10 @@ object TarArchive {
         while (j < p + 1024) { require(b(j) == 0, "garbage after end block"); j += 1 }
         done = true
       } else {
-        require(str(b, p + 257, 6) == "ustar", "missing ustar magic")
+        // POSIX writes "ustar" NUL "00"; the old-GNU format (dpkg,
+        // GNU tar default for years) writes "ustar  " NUL — accept both
+        require(str(b, p + 257, 6) == "ustar" ||
+          str(b, p + 257, 8) == "ustar  ", "missing ustar magic")
         // checksum: header summed with the chksum field (148..155) as spaces
         var sum = 0L
         i = p

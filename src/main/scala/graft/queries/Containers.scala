@@ -384,7 +384,156 @@ object Containers {
       |FROM p JOIN sizes ON sizes.k = p.k
       |ORDER BY media_id""".stripMargin
 
+  /** ELF binary probe gate (see [[graft.llm.ElfProbe]]): per-key
+    * relocatable objects in both classes and three machine ids, walked
+    * under the ident/size/bounds/strtab laws. Refusal arms: truncation
+    * (k mod 13) and a section-offset lie (k mod 19 — the bounds law). */
+  def elfProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.ElfProbe
+    val keys = partKeys(s, d).filter(_ % 8 == 3)
+    val out = keys.map { k =>
+      val is64 = k % 2 == 0
+      val machine = (k % 3) match {
+        case 0 => 62 // x86-64
+        case 1 => 183 // aarch64
+        case _ => 243 // riscv
+      }
+      val textSize = (64 + k % 256).toInt
+      val dataSize = (32 + k % 128).toInt
+      val bytes = ElfProbe.write(is64, machine, textSize, dataSize)
+      val armed =
+        if (k % 13 == 0) java.util.Arrays.copyOf(bytes, bytes.length - 5)
+        else if (k % 19 == 0) {
+          // lie in .text's sh_offset (shdr entry 1) → the bounds law
+          val t = bytes.clone()
+          val ehsize = if (is64) 64 else 52
+          val shentsize = if (is64) 64 else 40
+          val shoff = ehsize + textSize + dataSize + 23
+          val fieldOff = shoff + shentsize + (if (is64) 24 else 16)
+          t(fieldOff) = (bytes.length & 0xff).toByte
+          t(fieldOff + 1) = ((bytes.length >> 8) & 0xff).toByte
+          t
+        } else bytes
+      ElfProbe.probe(armed) match {
+        case Some(p) =>
+          (k, true, Some(if (p.is64) "ELF64" else "ELF32"), Some(p.machine),
+            Some(p.eType), Some(p.nSections), Some(p.nSegments),
+            Some(p.sections.map(_.name).mkString(",")), Some(p.sectionBytes))
+        case None =>
+          (k, false, None: Option[String], None: Option[Int], None: Option[Int],
+            None: Option[Int], None: Option[Int], None: Option[String],
+            None: Option[Long])
+      }
+    }.toDF("media_id", "elf_ok", "cls", "machine", "e_type", "n_sections",
+      "n_segments", "names", "section_bytes")
+    out.orderBy($"media_id")
+  }
+
+  /** section_bytes replayed: text + data + the 23-byte name table. */
+  val elfProbeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part
+      |            WHERE p_partkey % 8 = 3),
+      |p AS (SELECT k, (k % 13 <> 0 AND k % 19 <> 0) AS ok FROM ks)
+      |SELECT p.k AS media_id, p.ok AS elf_ok,
+      |  CASE WHEN p.ok THEN
+      |    CASE WHEN p.k % 2 = 0 THEN 'ELF64' ELSE 'ELF32' END END AS cls,
+      |  CASE WHEN p.ok THEN CAST(CASE p.k % 3 WHEN 0 THEN 62 WHEN 1 THEN 183
+      |    ELSE 243 END AS INTEGER) END AS machine,
+      |  CASE WHEN p.ok THEN 1 END AS e_type,
+      |  CASE WHEN p.ok THEN 4 END AS n_sections,
+      |  CASE WHEN p.ok THEN 0 END AS n_segments,
+      |  CASE WHEN p.ok THEN ',.text,.data,.shstrtab' END AS names,
+      |  CASE WHEN p.ok THEN CAST(64 + p.k % 256 + 32 + p.k % 128 + 23 AS BIGINT) END AS section_bytes
+      |FROM p
+      |ORDER BY media_id""".stripMargin
+
+  /** Debian-package gate (see [[graft.llm.ArDeb]]): per-key .deb files
+    * assembled by the engine's ar writer over inner tars compressed by
+    * the INDEPENDENT writers (JDK gzip, xz-java, zstd-jni), walked back
+    * through OUR gzip/xz/zstd decoders + the ustar parser. Refusal
+    * arms: truncation (k mod 13) and a debian-binary version flip
+    * (k mod 19 — the 2.0 law). */
+  def debProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.ArDeb
+    import graft.ops.TarArchive
+    val keys = partKeys(s, d).filter(_ % 8 == 7)
+    val out = keys.map { k =>
+      val control = TarArchive.encodeTar(Seq(
+        ("./control", s"Package: p$k\nVersion: 1.${k % 10}\n".getBytes)))
+      val nf = (1 + k % 4).toInt
+      val files = (0 until nf).map { i =>
+        (s"./usr/f$i.bin",
+          Array.tabulate((30 + (k + i * 17) % 80).toInt)(j => ((k + i + j * 3) % 256).toByte))
+      }
+      val data = TarArchive.encodeTar(files)
+      def gz(b: Array[Byte]): Array[Byte] = {
+        val o = new java.io.ByteArrayOutputStream()
+        val z = new java.util.zip.GZIPOutputStream(o)
+        z.write(b); z.close(); o.toByteArray
+      }
+      val dataComp = (k % 3) match {
+        case 0 => gz(data)
+        case 1 =>
+          val o = new java.io.ByteArrayOutputStream()
+          val z = new org.tukaani.xz.XZOutputStream(o, new org.tukaani.xz.LZMA2Options(1))
+          z.write(data); z.close(); o.toByteArray
+        case _ =>
+          val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+          try { ctx.setLevel(3); ctx.setChecksum(true); ctx.compress(data) }
+          finally ctx.close()
+      }
+      val deb = ArDeb.arWrite(Seq(
+        ("debian-binary", "2.0\n".getBytes),
+        ("control.tar.gz", gz(control)),
+        (s"data.tar", dataComp))) // the name's codec suffix is a LIE nobody reads
+      val armed =
+        if (k % 13 == 0) java.util.Arrays.copyOf(deb, deb.length - 5)
+        else if (k % 19 == 0) { val t = deb.clone(); t(68) = '3'; t } // "2.0" → "3.0"
+        else deb
+      ArDeb.debProbe(armed) match {
+        case Some(p) =>
+          (k, true, Some(p.nMembers), Some(p.version), Some(p.controlCodec),
+            Some(p.dataCodec), Some(p.controlFiles.size), Some(p.dataFiles.size),
+            Some(p.dataBytes), Some(p.dataFiles.map(_._1).mkString(",")))
+        case None =>
+          (k, false, None: Option[Int], None: Option[String], None: Option[String],
+            None: Option[String], None: Option[Int], None: Option[Int],
+            None: Option[Long], None: Option[String])
+      }
+    }.toDF("media_id", "deb_ok", "n_members", "version", "control_codec",
+      "data_codec", "n_control", "n_data", "data_bytes", "data_names")
+    out.orderBy($"media_id")
+  }
+
+  val debProbeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part
+      |            WHERE p_partkey % 8 = 7),
+      |p AS (SELECT k, (k % 13 <> 0 AND k % 19 <> 0) AS ok,
+      |        CAST(1 + k % 4 AS INTEGER) AS nf
+      |      FROM ks),
+      |fs AS (
+      |  SELECT p.k,
+      |    CAST(SUM(30 + (p.k + i.g * 17) % 80) AS BIGINT) AS db,
+      |    string_agg('./usr/f' || i.g || '.bin', ',' ORDER BY i.g) AS names
+      |  FROM p, generate_series(0, 3) i(g) WHERE i.g < p.nf GROUP BY p.k)
+      |SELECT p.k AS media_id, p.ok AS deb_ok,
+      |  CASE WHEN p.ok THEN 3 END AS n_members,
+      |  CASE WHEN p.ok THEN '2.0' END AS version,
+      |  CASE WHEN p.ok THEN 'gzip' END AS control_codec,
+      |  CASE WHEN p.ok THEN CASE p.k % 3 WHEN 0 THEN 'gzip' WHEN 1 THEN 'xz'
+      |    ELSE 'zstd' END END AS data_codec,
+      |  CASE WHEN p.ok THEN 1 END AS n_control,
+      |  CASE WHEN p.ok THEN p.nf END AS n_data,
+      |  CASE WHEN p.ok THEN fs.db END AS data_bytes,
+      |  CASE WHEN p.ok THEN fs.names END AS data_names
+      |FROM p JOIN fs ON fs.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_deb_probe" -> (debProbe _),
+    "q_elf_probe" -> (elfProbe _),
     "q_sst_probe" -> (sstProbe _),
     "q_mkv_probe" -> (mkvProbe _),
     "q_ts_probe" -> (tsProbe _),
@@ -393,6 +542,8 @@ object Containers {
     "q_woff_probe" -> (woffProbe _))
 
   def oracles: Map[String, String] = Map(
+    "q_deb_probe" -> debProbeSql,
+    "q_elf_probe" -> elfProbeSql,
     "q_sst_probe" -> sstProbeSql,
     "q_mkv_probe" -> mkvProbeSql,
     "q_ts_probe" -> tsProbeSql,

@@ -1,0 +1,127 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ar/.deb walk: writer round trips, the header/pad/consumption laws,
+  * and cross-validation against archives built by the REAL `ar` binary
+  * and a REAL `dpkg-deb --build` package (data.tar.xz + control.tar.xz
+  * through our XZ decoder, contents vs `dpkg-deb --contents`). */
+class ArDebSpec extends AnyFunSuite {
+  import ArDeb._
+
+  private def payload(n: Int, seed: Int): Array[Byte] =
+    Array.tabulate(n)(i => (('a' + (i * 5 + seed) % 19)).toByte)
+
+  test("ar round trip: names, sizes, odd-size padding") {
+    val ms = Seq(("alpha.txt", payload(101, 1)), ("b", payload(2, 2)),
+      ("sixteen-chars.xx", payload(33, 3)))
+    val a = arWrite(ms)
+    val got = arMembers(a).get
+    assert(got.map(_.name) == ms.map(_._1).toVector)
+    assert(got.map(_.size) == ms.map(_._2.length.toLong).toVector)
+    got.zip(ms).foreach { case (m, (_, d)) => assert(m.data.sameElements(d)) }
+  }
+
+  test("ar refusals: magic, header end, size lie, pad byte, long-name table") {
+    val good = arWrite(Seq(("a.txt", payload(11, 4)), ("b.txt", payload(8, 5))))
+    assert(arMembers(good).isDefined)
+    val magic = good.clone(); magic(0) = '?'
+    assert(arMembers(magic).isEmpty)
+    // header terminator of the first member (offset 8 + 58)
+    val term = good.clone(); term(66) = 'x'
+    assert(arMembers(term).isEmpty)
+    // size field grows past the archive (first size char at 8+48)
+    val size = good.clone(); size(56) = '9'
+    assert(arMembers(size).isEmpty)
+    // the pad byte after an odd member must be LF (member 1 is 11 bytes;
+    // its pad sits at 8 + 60 + 11)
+    val pad = good.clone(); pad(79) = 'Z'
+    assert(arMembers(pad).isEmpty)
+    // truncation inside the second header
+    assert(arMembers(java.util.Arrays.copyOf(good, good.length - 30)).isEmpty)
+    // a GNU long-name table refuses
+    val withTable = arWrite(Seq(("a.txt", payload(4, 6))))
+    val patched = withTable.clone()
+    patched(8) = '/'; patched(9) = '/'
+    var i = 10
+    while (i < 24) { patched(i) = ' '; i += 1 }
+    assert(arMembers(patched).isEmpty)
+  }
+
+  test("deb round trip through our gzip/xz/zstd decoders") {
+    import graft.ops.TarArchive
+    val control = TarArchive.encodeTar(Seq(("./control",
+      "Package: x\nVersion: 1\n".getBytes)))
+    val data = TarArchive.encodeTar(Seq(
+      ("./usr/f1.txt", payload(64, 7)), ("./usr/f2.bin", payload(33, 8))))
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.GZIPOutputStream(o)
+      z.write(b); z.close(); o.toByteArray
+    }
+    val deb = arWrite(Seq(
+      ("debian-binary", "2.0\n".getBytes),
+      ("control.tar.gz", gz(control)),
+      ("data.tar.gz", gz(data))))
+    val p = debProbe(deb).get
+    assert(p.nMembers == 3 && p.version == "2.0")
+    assert(p.controlCodec == "gzip" && p.dataCodec == "gzip")
+    assert(p.controlFiles == Vector("./control"))
+    assert(p.dataFiles.map(_._1) == Vector("./usr/f1.txt", "./usr/f2.bin"))
+    assert(p.dataBytes == 64 + 33)
+    // version lie refuses
+    val bad = arWrite(Seq(
+      ("debian-binary", "3.0\n".getBytes),
+      ("control.tar.gz", gz(control)),
+      ("data.tar.gz", gz(data))))
+    assert(debProbe(bad).isEmpty)
+  }
+
+  test("cross-validation: real ar archives and a real dpkg-deb package") {
+    import scala.sys.process._
+    val dir = java.nio.file.Files.createTempDirectory("ardeb").toFile
+    try {
+      // ---- real GNU ar ----
+      val f1 = payload(257, 9); val f2 = payload(40, 10)
+      java.nio.file.Files.write(dir.toPath.resolve("m1.bin"), f1)
+      java.nio.file.Files.write(dir.toPath.resolve("m2.bin"), f2)
+      assert(Process(Seq("ar", "rc", "t.a", "m1.bin", "m2.bin"), dir).! == 0)
+      val a = java.nio.file.Files.readAllBytes(dir.toPath.resolve("t.a"))
+      val ms = arMembers(a).getOrElse(fail("real ar archive refused"))
+      assert(ms.map(_.name) == Vector("m1.bin", "m2.bin")) // GNU '/' stripped
+      assert(ms(0).data.sameElements(f1) && ms(1).data.sameElements(f2))
+
+      // ---- real dpkg-deb ----
+      val pkg = new java.io.File(dir, "pkg/DEBIAN")
+      pkg.mkdirs()
+      new java.io.File(dir, "pkg/usr/share").mkdirs()
+      java.nio.file.Files.write(dir.toPath.resolve("pkg/DEBIAN/control"),
+        "Package: grafttest\nVersion: 1.0\nArchitecture: all\nMaintainer: a <a@a>\nDescription: t\n".getBytes)
+      val doc = payload(99, 11)
+      java.nio.file.Files.write(dir.toPath.resolve("pkg/usr/share/r.txt"), doc)
+      assert(Process(Seq("dpkg-deb", "--build", "pkg", "t.deb"), dir)
+        .!(ProcessLogger(_ => ())) == 0)
+      val deb = java.nio.file.Files.readAllBytes(dir.toPath.resolve("t.deb"))
+      val p = debProbe(deb).getOrElse(fail("real dpkg-deb output refused"))
+      assert(p.nMembers == 3 && p.version == "2.0")
+      assert(p.dataCodec == "xz" && p.controlCodec == "xz") // dpkg default
+      assert(p.controlFiles.exists(_.endsWith("control")))
+      // contents vs dpkg-deb --contents (regular files only)
+      val out = new StringBuilder
+      assert(Process(Seq("dpkg-deb", "--contents", "t.deb"), dir)
+        .!(ProcessLogger(l => out.append(l).append('\n'))) == 0)
+      val regular = out.toString.linesIterator
+        .filter(_.startsWith("-")).map(_.split("\\s+").last).toVector
+      assert(p.dataFiles.map(_._1) == regular)
+      assert(p.dataFiles.map(_._2).sum == doc.length)
+      val byName = p.dataFiles.toMap
+      assert(byName(regular.head) == doc.length)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+}

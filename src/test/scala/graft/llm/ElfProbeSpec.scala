@@ -1,0 +1,90 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ELF probe: writer round trips (both classes), the refusal battery,
+  * and cross-validation against REAL system binaries with readelf as
+  * the independent reference (header facts and the full section-name
+  * census). */
+class ElfProbeSpec extends AnyFunSuite {
+  import ElfProbe._
+
+  test("writer round trip: both classes, names, bytes") {
+    for (is64 <- Seq(true, false)) {
+      val b = write(is64, machine = 62, textSize = 100, dataSize = 40)
+      val p = probe(b).getOrElse(fail(s"refused is64=$is64"))
+      assert(p.is64 == is64 && p.littleEndian)
+      assert(p.eType == 1 && p.machine == 62)
+      assert(p.nSections == 4 && p.nSegments == 0)
+      assert(p.sections.map(_.name) == Vector("", ".text", ".data", ".shstrtab"))
+      assert(p.sections(1).size == 100 && p.sections(2).size == 40)
+      assert(p.sectionBytes == 100 + 40 + 23)
+    }
+  }
+
+  test("refusal battery: ident, sizes, bounds, strtab laws") {
+    val good = write(is64 = true, machine = 62, textSize = 50, dataSize = 20)
+    assert(probe(good).isDefined)
+    val magic = good.clone(); magic(1) = 'F'
+    assert(probe(magic).isEmpty)
+    val cls = good.clone(); cls(4) = 3
+    assert(probe(cls).isEmpty)
+    val ver = good.clone(); ver(6) = 2
+    assert(probe(ver).isEmpty)
+    // e_ehsize lie
+    val eh = good.clone(); eh(52) = 60
+    assert(probe(eh).isEmpty)
+    // truncations: header table cut, payload cut
+    for (cut <- Seq(1, 64, good.length - 60))
+      assert(probe(java.util.Arrays.copyOf(good, good.length - cut)).isEmpty)
+    // shstrndx out of range
+    val sx = good.clone(); sx(62) = 9
+    assert(probe(sx).isEmpty)
+    // section offset+size beyond the file: .text shdr is entry 1;
+    // shoff = 64 + 50 + 20 + 23 = 157; its sh_offset field at +64+24
+    val shoff = 64 + 50 + 20 + 23
+    val off = good.clone()
+    off(shoff + 64 + 24) = (good.length & 0xff).toByte
+    off(shoff + 64 + 25) = ((good.length >> 8) & 0xff).toByte
+    assert(probe(off).isEmpty)
+  }
+
+  test("cross-validation: real system binaries vs readelf") {
+    import scala.sys.process._
+    val candidates = Seq("/bin/ls", "/usr/bin/readelf")
+      .filter(f => new java.io.File(f).exists)
+    assert(candidates.nonEmpty)
+    candidates.foreach { path =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val p = probe(bytes).getOrElse(fail(s"refused real binary $path"))
+      val h = Process(Seq("readelf", "-h", path)).!!
+      def field(name: String): String =
+        h.linesIterator.find(_.trim.startsWith(name)).get.split(":", 2)(1).trim
+      assert(p.is64 == field("Class").contains("ELF64"))
+      assert(p.littleEndian == field("Data").contains("little endian"))
+      val typeWord = field("Type").split("\\s+")(0)
+      val expectType = Map("REL" -> 1, "EXEC" -> 2, "DYN" -> 3)(typeWord)
+      assert(p.eType == expectType, s"type mismatch for $path")
+      assert(p.entry == java.lang.Long.parseLong(
+        field("Entry point address").stripPrefix("0x"), 16))
+      assert(p.nSegments.toString ==
+        field("Number of program headers").split("\\s+")(0))
+      assert(p.nSections.toString ==
+        field("Number of section headers").split("\\s+")(0))
+      // the section-name census against readelf -S
+      val sOut = Process(Seq("readelf", "-S", "-W", path)).!! // -W: no name truncation
+      val re = "^\\s*\\[\\s*(\\d+)\\]\\s+(\\S*)".r
+      val gitNames = sOut.linesIterator.flatMap { l =>
+        re.findFirstMatchIn(l).map(m => (m.group(1).toInt, m.group(2)))
+      }.toVector.sortBy(_._1)
+      assert(gitNames.size == p.nSections)
+      gitNames.foreach { case (i, nm) =>
+        // readelf prints the NULL section's empty name as a gap; our
+        // empty string matches a non-name token ("NULL") never captured
+        val ours = p.sections(i).name
+        if (nm.nonEmpty && nm != "NULL") assert(ours == nm, s"section $i of $path")
+      }
+      assert(p.machine == 62) // x86-64 container; pinned by uname
+    }
+  }
+}
