@@ -145,7 +145,11 @@ object CodeCensus {
     // "a\n" is one line, "a\n\n" is two (the second blank)
     val lines = text.split("\n", -1)
     val effective = if (lines.nonEmpty && lines.last.isEmpty) lines.dropRight(1) else lines
-    val (lang, fam) = detect(path, if (effective.nonEmpty) effective(0) else "")
+    // CR-strip BEFORE detection: a CRLF shebang's trailing \r would
+    // poison the interpreter word match
+    val first0 = if (effective.nonEmpty) effective(0) else ""
+    val (lang, fam) = detect(path,
+      if (first0.endsWith("\r")) first0.dropRight(1) else first0)
     var nCode = 0; var nComment = 0; var nBlank = 0; var maxLen = 0
     var inBlock = false
     effective.foreach { raw =>

@@ -1,0 +1,133 @@
+package graft.llm
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Apache Hudi copy-on-write SNAPSHOT reconstruction — the third
+  * lakehouse table format next to [[DeltaLog]] and [[IcebergSnap]].
+  * A Hudi COW table's state is its `.hoodie` timeline: completed
+  * commit instants carry `HoodieCommitMetadata` JSON whose
+  * `partitionToWriteStats` lists the file slices each commit wrote;
+  * the NEWEST slice per (partition, fileId) is the live one.
+  *
+  * Laws (refuse, never garble):
+  *  - `hoodie.properties`: `hoodie.table.name` non-empty and
+  *    `hoodie.table.type` = COPY_ON_WRITE (MERGE_ON_READ has log files
+  *    and compaction semantics — a pinned refusal, not a misread);
+  *  - instants strictly increasing and unique (the timeline order the
+  *    filenames encode);
+  *  - commit JSON: `partitionToWriteStats` an object of arrays; every
+  *    stat needs a non-empty `fileId`, a `path` that lives under its
+  *    partition AND embeds the fileId (the base-file naming law),
+  *    `numWrites` ≥ 0, `totalWriteBytes` ≥ 0;
+  *  - `prevCommit` — when not "null" — must name an EARLIER instant of
+  *    this timeline (the file-slice lineage law).
+  */
+object HudiSnap {
+
+  private val mapper = new ObjectMapper()
+
+  /** A live file slice at the latest instant. */
+  final case class Slice(partition: String, fileId: String, path: String,
+      numWrites: Long, bytes: Long, instant: String)
+
+  final case class Snapshot(tableName: String, nCommits: Int,
+      lastInstant: String, slices: Vector[Slice])
+
+  /** Minimal java-properties parse (the subset hoodie.properties uses). */
+  private def props(text: String): Option[Map[String, String]] = {
+    val out = Map.newBuilder[String, String]
+    text.split("\n", -1).foreach { raw =>
+      val line = raw.trim
+      if (line.nonEmpty && !line.startsWith("#")) {
+        val eq = line.indexOf('=')
+        if (eq <= 0) return None
+        out += (line.substring(0, eq).trim -> line.substring(eq + 1).trim)
+      }
+    }
+    Some(out.result())
+  }
+
+  /** Replay completed commits (instant → HoodieCommitMetadata JSON),
+    * given in timeline order. */
+  def replay(propsText: String, commits: Seq[(String, String)]): Option[Snapshot] = try {
+    val ps = props(propsText).getOrElse(return None)
+    val name = ps.getOrElse("hoodie.table.name", return None)
+    if (name.isEmpty) return None
+    if (ps.getOrElse("hoodie.table.type", "") != "COPY_ON_WRITE") return None
+    if (commits.isEmpty) return None
+    var prev = ""
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    commits.foreach { case (ts, _) =>
+      if (ts.isEmpty || (prev.nonEmpty && ts <= prev)) return None // order law
+      prev = ts; seen += ts
+    }
+    val live = scala.collection.mutable.LinkedHashMap.empty[(String, String), Slice]
+    val past = scala.collection.mutable.HashSet.empty[String]
+    commits.foreach { case (ts, json) =>
+      val root = mapper.readTree(json)
+      if (root == null || !root.isObject) return None
+      val p2s = root.get("partitionToWriteStats")
+      if (p2s == null || !p2s.isObject) return None
+      val parts = p2s.fieldNames()
+      while (parts.hasNext) {
+        val partition = parts.next()
+        val arr = p2s.get(partition)
+        if (!arr.isArray) return None
+        val it = arr.elements()
+        while (it.hasNext) {
+          val st = it.next()
+          if (!st.isObject) return None
+          val fileId = Option(st.get("fileId")).filter(_.isTextual)
+            .map(_.asText).getOrElse(return None)
+          val path = Option(st.get("path")).filter(_.isTextual)
+            .map(_.asText).getOrElse(return None)
+          if (fileId.isEmpty || path.isEmpty) return None
+          if (!path.startsWith(partition + "/")) return None // placement law
+          if (!path.contains(fileId)) return None // base-file naming law
+          val nw = Option(st.get("numWrites")).filter(_.isNumber)
+            .map(_.asLong).getOrElse(return None)
+          val bytes = Option(st.get("totalWriteBytes")).filter(_.isNumber)
+            .map(_.asLong).getOrElse(return None)
+          if (nw < 0 || bytes < 0) return None
+          val prevCommit = Option(st.get("prevCommit")).filter(_.isTextual)
+            .map(_.asText).getOrElse("null")
+          if (prevCommit != "null" && !past.contains(prevCommit)) return None // lineage
+          live((partition, fileId)) = Slice(partition, fileId, path, nw, bytes, ts)
+        }
+      }
+      past += ts
+    }
+    if (live.isEmpty) return None
+    Some(Snapshot(name, commits.size, commits.last._1, live.values.toVector))
+  } catch {
+    case _: com.fasterxml.jackson.core.JacksonException => None
+  }
+
+  // ---- writers (gate fixtures) ----
+
+  def propsText(name: String, cow: Boolean): String =
+    s"""#Updated at 0
+       |hoodie.table.name=$name
+       |hoodie.table.type=${if (cow) "COPY_ON_WRITE" else "MERGE_ON_READ"}
+       |hoodie.table.version=6
+       |""".stripMargin
+
+  def commitJson(stats: Seq[(String, String, String, Long, Long, String)]): String = {
+    // (partition, fileId, path, numWrites, bytes, prevCommit)
+    val byPart = stats.groupBy(_._1)
+    val sb = new StringBuilder
+    sb.append("{\"partitionToWriteStats\":{")
+    byPart.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((part, ss), i) =>
+      if (i > 0) sb.append(',')
+      sb.append('"').append(part).append("\":[")
+      ss.zipWithIndex.foreach { case ((_, fid, path, nw, by, prev), j) =>
+        if (j > 0) sb.append(',')
+        sb.append(s"""{"fileId":"$fid","path":"$path","numWrites":$nw,""")
+        sb.append(s""""totalWriteBytes":$by,"prevCommit":"$prev"}""")
+      }
+      sb.append(']')
+    }
+    sb.append("},\"operationType\":\"UPSERT\"}")
+    sb.toString
+  }
+}

@@ -2081,6 +2081,73 @@ object Docs {
     * law in both directions). Refusal arms: a torn final commit
     * (k mod 13), a version gap (k mod 17 — the contiguity law), a
     * negative add size (k mod 19). */
+  /** Hudi COW snapshot gate (see [[graft.llm.HudiSnap]]): per-key
+    * timelines where commit i writes fileId `f(i%2)` in partition
+    * `p=(i%2)` — the newest slice per file group wins; lineage via
+    * prevCommit chains within the file group. Refusal arms: a
+    * reversed timeline (k mod 13 — the order law) and a
+    * MERGE_ON_READ properties file (k mod 19 — the type pin). */
+  def hudiSnap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.HudiSnap
+    val keys = partKeys(s, d) // full-width spread: the replay map is the cost
+    val decoded = keys.map { k =>
+      val nC = (2 + k % 3).toInt
+      def ts(i: Int) = s"2024010100000$i"
+      val commits = (0 until nC).map { i =>
+        val lane = i % 2
+        val prev = if (i < 2) "null" else ts(i - 2)
+        (ts(i), HudiSnap.commitJson(Seq(
+          (s"p=$lane", s"f$lane", s"p=$lane/f${lane}_0-0-0_${ts(i)}.parquet",
+            10L + (k + i) % 20, 1000L + (k * 7 + i * 13) % 500, prev))))
+      }
+      val armed = if (k % 13 == 0) commits.reverse else commits
+      val props = HudiSnap.propsText(s"tbl$k", cow = k % 19 != 0 || k % 13 == 0)
+      HudiSnap.replay(props, armed) match {
+        case Some(snap) =>
+          val text = snap.slices.sortBy(_.partition)
+            .map(sl => s"${sl.partition}/${sl.fileId}:${sl.numWrites}:${sl.bytes}")
+            .mkString("|")
+          (k, true, Some(snap.tableName), Some(snap.nCommits),
+            Some(snap.lastInstant), Some(snap.slices.size),
+            Some(snap.slices.map(_.numWrites).sum),
+            Some(snap.slices.map(_.bytes).sum), Some(text))
+        case None =>
+          (k, false, None: Option[String], None: Option[Int],
+            None: Option[String], None: Option[Int], None: Option[Long],
+            None: Option[Long], None: Option[String])
+      }
+    }.toDF("media_id", "hudi_ok", "table_name", "n_commits", "last_instant",
+      "n_live", "total_writes", "total_bytes", "slices")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The newest-wins reconciliation replayed closed-form: fileId f0's
+    * live slice is the last EVEN commit index, f1's the last ODD. */
+  val hudiSnapSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, (k % 13 <> 0 AND k % 19 <> 0) AS ok,
+      |        CAST(2 + k % 3 AS INTEGER) AS nc
+      |      FROM ks),
+      |q AS (SELECT *,
+      |        CASE WHEN (nc - 1) % 2 = 0 THEN nc - 1 ELSE nc - 2 END AS e0,
+      |        CASE WHEN (nc - 1) % 2 = 1 THEN nc - 1 ELSE nc - 2 END AS e1
+      |      FROM p)
+      |SELECT k AS media_id, ok AS hudi_ok,
+      |  CASE WHEN ok THEN 'tbl' || k END AS table_name,
+      |  CASE WHEN ok THEN nc END AS n_commits,
+      |  CASE WHEN ok THEN '2024010100000' || (nc - 1) END AS last_instant,
+      |  CASE WHEN ok THEN 2 END AS n_live,
+      |  CASE WHEN ok THEN CAST(10 + (k + e0) % 20 + 10 + (k + e1) % 20 AS BIGINT) END AS total_writes,
+      |  CASE WHEN ok THEN CAST(1000 + (k * 7 + e0 * 13) % 500
+      |    + 1000 + (k * 7 + e1 * 13) % 500 AS BIGINT) END AS total_bytes,
+      |  CASE WHEN ok THEN
+      |    'p=0/f0:' || (10 + (k + e0) % 20) || ':' || (1000 + (k * 7 + e0 * 13) % 500) ||
+      |    '|p=1/f1:' || (10 + (k + e1) % 20) || ':' || (1000 + (k * 7 + e1 * 13) % 500)
+      |  END AS slices
+      |FROM q
+      |ORDER BY media_id""".stripMargin
+
   def deltaLog(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.DeltaLog
@@ -3177,6 +3244,7 @@ object Docs {
     "q_parquet_read_native" -> (parquetReadNative _),
     "q_parquet_read_agg" -> (parquetReadAgg _),
     "q_iceberg_snap" -> (icebergSnap _),
+    "q_hudi_snap" -> (hudiSnap _),
     "q_safetensors_read" -> (safetensorsRead _),
     "q_npz_read" -> (npzRead _),
     "q_gguf_probe" -> (ggufProbe _),
@@ -3211,6 +3279,7 @@ object Docs {
     "q_parquet_read_native" -> parquetReadNativeSql,
     "q_parquet_read_agg" -> parquetReadAggSql,
     "q_iceberg_snap" -> icebergSnapSql,
+    "q_hudi_snap" -> hudiSnapSql,
     "q_safetensors_read" -> safetensorsReadSql,
     "q_npz_read" -> npzReadSql,
     "q_gguf_probe" -> ggufProbeSql,

@@ -78,6 +78,8 @@ class CodeCensusSpec extends AnyFunSuite {
   test("framing: CRLF stripped from lengths, trailing newline is not a line") {
     val r = c("a.py", "abc\r\nde\r\n")
     assert(r.nLines == 2 && r.maxLineLen == 3)
+    // a CRLF shebang still word-matches its interpreter
+    assert(c("noext", "#!/usr/bin/env python\r\nx = 1\r\n").lang == "python")
     assert(c("a.py", "a\n").nLines == 1)
     assert(c("a.py", "a\n\n").nLines == 2)
     assert(c("a.py", "a").nLines == 1) // no trailing newline

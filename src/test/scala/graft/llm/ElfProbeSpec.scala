@@ -49,6 +49,29 @@ class ElfProbeSpec extends AnyFunSuite {
     assert(probe(off).isEmpty)
   }
 
+  test("big-endian headers parse through the BE accessors") {
+    // a minimal stripped BE ELF64: ident, type/machine/version, zero
+    // tables — exercises every big-endian read path (u16/u32/u64)
+    val b = new Array[Byte](64)
+    b(0) = 0x7f; b(1) = 'E'; b(2) = 'L'; b(3) = 'F'
+    b(4) = 2; b(5) = 2; b(6) = 1 // ELF64, big-endian, EV_CURRENT
+    b(16) = 0; b(17) = 2 // ET_EXEC, BE
+    b(18) = 0; b(19) = 21 // EM_PPC64, BE
+    b(23) = 1 // e_version = 1 BE (bytes 20..23)
+    // entry BE at 24..31: 0x1122334455667788
+    val entry = 0x1122334455667788L
+    var i = 0
+    while (i < 8) { b(24 + i) = ((entry >>> (8 * (7 - i))) & 0xff).toByte; i += 1 }
+    b(52) = 0; b(53) = 64 // e_ehsize = 64 BE
+    val p = probe(b).getOrElse(fail("BE header refused"))
+    assert(!p.littleEndian && p.is64)
+    assert(p.eType == 2 && p.machine == 21 && p.entry == entry)
+    assert(p.nSections == 0 && p.nSegments == 0)
+    // and the ehsize law still bites in BE
+    val bad = b.clone(); bad(53) = 52
+    assert(probe(bad).isEmpty)
+  }
+
   test("cross-validation: real system binaries vs readelf") {
     import scala.sys.process._
     val candidates = Seq("/bin/ls", "/usr/bin/readelf")

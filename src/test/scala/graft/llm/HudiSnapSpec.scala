@@ -1,0 +1,62 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hudi COW snapshot replay: newest-slice-wins reconciliation, the
+  * properties/type laws, timeline order, lineage, placement and naming
+  * laws, stat-shape refusals. */
+class HudiSnapSpec extends AnyFunSuite {
+  import HudiSnap._
+
+  private def ts(i: Int) = s"2024010100000$i"
+
+  private def commit(i: Int, fid: String, part: String, prev: String): (String, String) =
+    (ts(i), commitJson(Seq(
+      (part, fid, s"$part/${fid}_0-0-0_${ts(i)}.parquet", 10L + i, 100L + i, prev))))
+
+  test("newest slice per (partition, fileId) wins") {
+    val commits = Seq(
+      commit(0, "f0", "p=0", "null"),
+      commit(1, "f1", "p=1", "null"),
+      commit(2, "f0", "p=0", ts(0))) // replaces commit 0's slice
+    val s = replay(propsText("t1", cow = true), commits).get
+    assert(s.tableName == "t1" && s.nCommits == 3 && s.lastInstant == ts(2))
+    assert(s.slices.size == 2)
+    val f0 = s.slices.find(_.fileId == "f0").get
+    assert(f0.instant == ts(2) && f0.numWrites == 12 && f0.path.contains(ts(2)))
+    assert(s.slices.find(_.fileId == "f1").get.instant == ts(1))
+  }
+
+  test("laws: table type, order, lineage, placement, naming, counts") {
+    val good = Seq(commit(0, "f0", "p=0", "null"), commit(1, "f0", "p=0", ts(0)))
+    assert(replay(propsText("t", cow = true), good).isDefined)
+    // MERGE_ON_READ refuses (pinned scope)
+    assert(replay(propsText("t", cow = false), good).isEmpty)
+    // a missing/empty name refuses
+    assert(replay("hoodie.table.type=COPY_ON_WRITE\n", good).isEmpty)
+    // out-of-order timeline refuses
+    assert(replay(propsText("t", cow = true), good.reverse).isEmpty)
+    // duplicate instants refuse
+    assert(replay(propsText("t", cow = true),
+      Seq(good(0), (ts(0), good(1)._2))).isEmpty)
+    // lineage: prevCommit naming a future/unknown instant refuses
+    val badPrev = Seq(commit(0, "f0", "p=0", "null"), commit(1, "f0", "p=0", ts(5)))
+    assert(replay(propsText("t", cow = true), badPrev).isEmpty)
+    // placement: a path outside its partition refuses
+    val stray = (ts(0), commitJson(Seq(
+      ("p=0", "f0", s"p=1/f0_0-0-0_${ts(0)}.parquet", 1L, 1L, "null"))))
+    assert(replay(propsText("t", cow = true), Seq(stray)).isEmpty)
+    // naming: a path that does not embed its fileId refuses
+    val noFid = (ts(0), commitJson(Seq(
+      ("p=0", "f0", s"p=0/other_0-0-0_${ts(0)}.parquet", 1L, 1L, "null"))))
+    assert(replay(propsText("t", cow = true), Seq(noFid)).isEmpty)
+    // negative counters refuse
+    val neg = (ts(0), commitJson(Seq(
+      ("p=0", "f0", s"p=0/f0_0-0-0_${ts(0)}.parquet", -1L, 1L, "null"))))
+    assert(replay(propsText("t", cow = true), Seq(neg)).isEmpty)
+    // malformed JSON refuses
+    assert(replay(propsText("t", cow = true), Seq((ts(0), "{not json"))).isEmpty)
+    // an empty timeline refuses
+    assert(replay(propsText("t", cow = true), Nil).isEmpty)
+  }
+}
