@@ -1,0 +1,232 @@
+package graft.llm
+
+/** Java class-file probe — JVM bytecode is a first-class code-corpus
+  * asset (jars and build trees ride along in every repository dump),
+  * and a curation pipeline censuses it rather than text-extracting it.
+  * Native walk of the public JVMS chapter-4 format:
+  *
+  *  - magic 0xCAFEBABE; major version 45..70 (beyond-current refuses
+  *    as a pin, not a misread);
+  *  - the constant pool with the long/double two-slot rule; every tag
+  *    known (1,3..20), MethodHandle ref kinds 1..9;
+  *  - Utf8 constants validated as MODIFIED UTF-8 (no 0x00 byte, no
+  *    0xf0..0xff lead, continuation-byte shape laws);
+  *  - a second resolution pass: Class→Utf8, String→Utf8,
+  *    ref→(Class, NameAndType), NameAndType→(Utf8, Utf8),
+  *    Module/Package→Utf8, this/super→Class (super 0 only lawful for
+  *    Object itself);
+  *  - fields/methods/attributes with name-index and length bounds;
+  *  - exact consumption to the class-file end.
+  *
+  * Cross-validated in ClassProbeSpec against REAL compiler output —
+  * every scalac/javac class under target/classes parses, and javap -v
+  * agrees on version, the interface/field/method/attribute counts and
+  * the resolved class name.
+  */
+object ClassProbe {
+
+  final case class Probe(
+      major: Int, minor: Int, cpCount: Int, flags: Int,
+      className: String, superName: String,
+      nInterfaces: Int, nFields: Int, nMethods: Int, nClassAttrs: Int,
+      utf8Bytes: Long)
+
+  /** Modified UTF-8 (JVMS 4.4.7): no NUL byte, no 0xf0..0xff, paired
+    * continuations. */
+  private def modUtf8Ok(b: Array[Byte], off: Int, len: Int): Boolean = {
+    var i = off
+    val end = off + len
+    while (i < end) {
+      val c = b(i) & 0xff
+      if (c == 0 || c >= 0xf0) return false
+      else if (c < 0x80) i += 1
+      else if ((c & 0xe0) == 0xc0) {
+        if (i + 1 >= end || (b(i + 1) & 0xc0) != 0x80) return false
+        i += 2
+      } else if ((c & 0xf0) == 0xe0) {
+        if (i + 2 >= end || (b(i + 1) & 0xc0) != 0x80 || (b(i + 2) & 0xc0) != 0x80)
+          return false
+        i += 3
+      } else return false
+    }
+    true
+  }
+
+  def probe(b: Array[Byte]): Option[Probe] = {
+    def u2(p: Int): Int = {
+      if (p + 2 > b.length) return -1
+      ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+    }
+    def u4(p: Int): Long = {
+      if (p + 4 > b.length) return -1
+      ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+    }
+    if (b.length < 24) return None
+    if (u4(0) != 0xcafebabeL) return None
+    val minor = u2(4)
+    val major = u2(6)
+    if (major < 45 || major > 70) return None
+    val cpCount = u2(8)
+    if (cpCount < 1) return None
+
+    // pass 1: walk the pool, record tags and Utf8 spans
+    val tags = new Array[Int](cpCount) // 0 = unusable slot
+    val refs = new Array[(Int, Int)](cpCount)
+    val utf8 = new Array[String](cpCount)
+    var utf8Bytes = 0L
+    var p = 10
+    var i = 1
+    while (i < cpCount) {
+      if (p >= b.length) return None
+      val tag = b(p) & 0xff
+      tags(i) = tag
+      tag match {
+        case 1 => // Utf8
+          val len = u2(p + 1)
+          if (len < 0 || p + 3 + len > b.length) return None
+          if (!modUtf8Ok(b, p + 3, len)) return None
+          utf8(i) = new String(b, p + 3, len, java.nio.charset.StandardCharsets.UTF_8)
+          utf8Bytes += len
+          p += 3 + len
+        case 3 | 4 => p += 5 // Integer / Float
+        case 5 | 6 => // Long / Double take TWO slots
+          p += 9; i += 1
+          if (i < cpCount) tags(i) = 0
+        case 7 | 8 | 16 | 19 | 20 => // Class / String / MethodType / Module / Package
+          refs(i) = (u2(p + 1), 0); p += 3
+        case 9 | 10 | 11 | 12 | 17 | 18 => // refs / NameAndType / (Invoke)Dynamic
+          refs(i) = (u2(p + 1), u2(p + 3)); p += 5
+        case 15 => // MethodHandle
+          val kind = b(p + 1) & 0xff
+          if (kind < 1 || kind > 9) return None
+          refs(i) = (u2(p + 2), 0); p += 4
+        case _ => return None // unknown tag
+      }
+      i += 1
+    }
+
+    // pass 2: resolution laws
+    def isUtf8(ix: Int): Boolean = ix >= 1 && ix < cpCount && tags(ix) == 1
+    def isClass(ix: Int): Boolean = ix >= 1 && ix < cpCount && tags(ix) == 7
+    i = 1
+    while (i < cpCount) {
+      tags(i) match {
+        case 7 | 19 | 20 => if (!isUtf8(refs(i)._1)) return None
+        case 8 => if (!isUtf8(refs(i)._1)) return None
+        case 9 | 10 | 11 =>
+          if (!isClass(refs(i)._1)) return None
+          if (!(refs(i)._2 >= 1 && refs(i)._2 < cpCount && tags(refs(i)._2) == 12)) return None
+        case 12 => if (!isUtf8(refs(i)._1) || !isUtf8(refs(i)._2)) return None
+        case 17 | 18 =>
+          if (!(refs(i)._2 >= 1 && refs(i)._2 < cpCount && tags(refs(i)._2) == 12)) return None
+        case _ =>
+      }
+      i += 1
+    }
+
+    val flags = u2(p)
+    val thisIx = u2(p + 2)
+    val superIx = u2(p + 4)
+    if (!isClass(thisIx)) return None
+    val className = utf8(refs(thisIx)._1)
+    val superName =
+      if (superIx == 0) {
+        if (className != "java/lang/Object") return None // only Object may lack a super
+        ""
+      } else {
+        if (!isClass(superIx)) return None
+        utf8(refs(superIx)._1)
+      }
+    val nIfaces = u2(p + 6)
+    if (nIfaces < 0) return None
+    p += 8
+    i = 0
+    while (i < nIfaces) {
+      if (!isClass(u2(p))) return None
+      p += 2; i += 1
+    }
+
+    /** fields/methods share one shape; returns the position after. */
+    def members(p0: Int, n: Int): Option[Int] = {
+      var q = p0
+      var j = 0
+      while (j < n) {
+        if (q + 8 > b.length) return None
+        if (!isUtf8(u2(q + 2)) || !isUtf8(u2(q + 4))) return None
+        val nAttrs = u2(q + 6)
+        q += 8
+        var a = 0
+        while (a < nAttrs) {
+          if (q + 6 > b.length) return None
+          if (!isUtf8(u2(q))) return None
+          val len = u4(q + 2)
+          if (len < 0 || q + 6 + len > b.length) return None
+          q += 6 + len.toInt
+          a += 1
+        }
+        j += 1
+      }
+      Some(q)
+    }
+
+    val nFields = u2(p)
+    if (nFields < 0) return None
+    var q = members(p + 2, nFields).getOrElse(return None)
+    val nMethods = u2(q)
+    if (nMethods < 0) return None
+    q = members(q + 2, nMethods).getOrElse(return None)
+    val nClassAttrs = u2(q)
+    if (nClassAttrs < 0) return None
+    q += 2
+    i = 0
+    while (i < nClassAttrs) {
+      if (q + 6 > b.length) return None
+      if (!isUtf8(u2(q))) return None
+      val len = u4(q + 2)
+      if (len < 0 || q + 6 + len > b.length) return None
+      q += 6 + len.toInt
+      i += 1
+    }
+    if (q != b.length) return None // exact consumption
+    Some(Probe(major, minor, cpCount, flags, className, superName,
+      nIfaces, nFields, nMethods, nClassAttrs, utf8Bytes))
+  }
+
+  // ---- writer (gate fixtures): minimal abstract classes ----
+
+  def write(className: String, major: Int, nMethods: Int, nFields: Int): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream(256)
+    def w2(v: Int): Unit = { o.write((v >> 8) & 0xff); o.write(v & 0xff) }
+    def w4(v: Long): Unit = { w2(((v >> 16) & 0xffff).toInt); w2((v & 0xffff).toInt) }
+    def utf8(s: String): Unit = {
+      val bs = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      o.write(1); w2(bs.length); o.write(bs, 0, bs.length)
+    }
+    w4(0xcafebabeL)
+    w2(0); w2(major)
+    // pool: #1 name, #2 Class(#1), #3 "java/lang/Object", #4 Class(#3),
+    // then per method (#5.. ) Utf8 name + Utf8 desc, per field likewise
+    val cpCount = 5 + 2 * (nMethods + nFields)
+    w2(cpCount)
+    utf8(className)
+    o.write(7); w2(1)
+    utf8("java/lang/Object")
+    o.write(7); w2(3)
+    (0 until nMethods).foreach { m => utf8(s"m$m"); utf8("()V") }
+    (0 until nFields).foreach { f => utf8(s"f$f"); utf8("I") }
+    w2(0x0421) // public abstract super
+    w2(2); w2(4) // this / super
+    w2(0) // interfaces
+    w2(nFields)
+    (0 until nFields).foreach { f =>
+      w2(0x0001); w2(5 + 2 * nMethods + 2 * f); w2(6 + 2 * nMethods + 2 * f); w2(0)
+    }
+    w2(nMethods)
+    (0 until nMethods).foreach { m =>
+      w2(0x0401); w2(5 + 2 * m); w2(6 + 2 * m); w2(0)
+    }
+    w2(0) // class attributes
+    o.toByteArray
+  }
+}

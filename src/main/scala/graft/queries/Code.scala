@@ -208,11 +208,65 @@ object Code {
       |FROM q
       |ORDER BY media_id""".stripMargin
 
+  /** Class-file probe gate (see [[graft.llm.ClassProbe]]): per-key
+    * minimal classes across ten major versions with k-dependent
+    * method/field pools; the census is closed-form pool math. Refusal
+    * arms: truncation (k mod 13) and a poisoned constant tag
+    * (k mod 19). */
+  def classProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.ClassProbe
+    val keys = partKeys(s, d) // full-width spread: the probe map is the cost
+    val out = keys.map { k =>
+      val nm = (k % 5).toInt
+      val nf = (k % 3).toInt
+      val major = (52 + k % 10).toInt
+      val bytes = ClassProbe.write(s"p/C$k", major, nm, nf)
+      val armed =
+        if (k % 13 == 0) java.util.Arrays.copyOf(bytes, bytes.length - 3)
+        else if (k % 19 == 0) { val t = bytes.clone(); t(10) = 99; t }
+        else bytes
+      ClassProbe.probe(armed) match {
+        case Some(p) =>
+          (k, true, Some(p.major), Some(p.cpCount), Some(p.className),
+            Some(p.superName), Some(p.nMethods), Some(p.nFields),
+            Some(p.utf8Bytes))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int], None: Option[String],
+            None: Option[String], None: Option[Int], None: Option[Int],
+            None: Option[Long])
+      }
+    }.toDF("media_id", "cls_ok", "major", "cp_count", "class_name",
+      "super_name", "n_methods", "n_fields", "utf8_bytes")
+    out.orderBy($"media_id")
+  }
+
+  /** utf8_bytes replayed: name 3+digits(k), Object 16, 5 per method
+    * ("mN" + "()V"), 3 per field ("fN" + "I"). */
+  val classProbeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, (k % 13 <> 0 AND k % 19 <> 0) AS ok,
+      |        CAST(k % 5 AS INTEGER) AS nm, CAST(k % 3 AS INTEGER) AS nf
+      |      FROM ks)
+      |SELECT k AS media_id, ok AS cls_ok,
+      |  CASE WHEN ok THEN CAST(52 + k % 10 AS INTEGER) END AS major,
+      |  CASE WHEN ok THEN CAST(5 + 2 * (nm + nf) AS INTEGER) END AS cp_count,
+      |  CASE WHEN ok THEN 'p/C' || k END AS class_name,
+      |  CASE WHEN ok THEN 'java/lang/Object' END AS super_name,
+      |  CASE WHEN ok THEN nm END AS n_methods,
+      |  CASE WHEN ok THEN nf END AS n_fields,
+      |  CASE WHEN ok THEN CAST(3 + length(CAST(k AS VARCHAR)) + 16
+      |    + nm * 5 + nf * 3 AS BIGINT) END AS utf8_bytes
+      |FROM p
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_git_pack" -> (gitPack _),
-    "q_code_census" -> (codeCensus _))
+    "q_code_census" -> (codeCensus _),
+    "q_class_probe" -> (classProbe _))
 
   def oracles: Map[String, String] = Map(
     "q_git_pack" -> gitPackSql,
-    "q_code_census" -> codeCensusSql)
+    "q_code_census" -> codeCensusSql,
+    "q_class_probe" -> classProbeSql)
 }
