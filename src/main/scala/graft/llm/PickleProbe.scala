@@ -1,0 +1,230 @@
+package graft.llm
+
+/** Python pickle stream probe — the ML world's checkpoint spine
+  * (PyTorch `.pt` files are zip archives whose `data.pkl` member IS a
+  * pickle; sklearn/joblib artifacts are pickles outright). Pickle is
+  * also the format a curation pipeline must treat as HOSTILE: loading
+  * one executes arbitrary imports. This probe walks the opcode stream
+  * WITHOUT any evaluation and censuses exactly the security-relevant
+  * fact — which `module.name` globals the stream would import — plus
+  * the structural inventory (ops, strings, collections, memo use).
+  *
+  * Scope: the binary protocols 2..5 (what every ML writer emits);
+  * the 1994 text protocols 0/1 refuse as a pin. Laws:
+  *  - the stream must open with PROTO 2..5 and end with STOP; nothing
+  *    may follow STOP;
+  *  - every opcode must be known, with its exact argument framing
+  *    (lengths bounded by the remaining extent);
+  *  - FRAME only under protocol 4+, and its declared length must
+  *    equal the bytes remaining before STOP (the framing law for the
+  *    single-frame streams real writers emit; multi-frame refuses);
+  *  - BINGET/LONG_BINGET must name a memo slot already PUT/MEMOIZEd;
+  *  - STACK_GLOBAL resolves when preceded by two tracked string
+  *    pushes (the shape protocol-4 picklers emit); otherwise refuses
+  *    — a pinned subset, never a guessed import;
+  *  - LONG1 length ≤ 16 (a CPython int beyond 128 bits in a
+  *    checkpoint is damage, not data).
+  *
+  * Cross-validated in PickleProbeSpec against pickles produced by the
+  * REAL python3 in this container, with `pickletools.dis` as the
+  * independent opcode-level reference.
+  */
+object PickleProbe {
+
+  final case class Census(
+      protocol: Int, nOps: Int, nStrings: Int, strBytes: Long,
+      nInts: Int, nFloats: Int, nCollections: Int, memoPuts: Int,
+      hasFrame: Boolean, globals: Vector[String])
+
+  import ByteIo.{le32, le64}
+
+  def probe(b: Array[Byte]): Option[Census] = {
+    if (b.length < 3) return None
+    if ((b(0) & 0xff) != 0x80) return None // PROTO first (binary-protocol pin)
+    val protocol = b(1) & 0xff
+    if (protocol < 2 || protocol > 5) return None
+    var p = 2
+    var nOps = 1 // PROTO
+    var nStrings = 0; var strBytes = 0L
+    var nInts = 0; var nFloats = 0; var nColl = 0
+    var memoPuts = 0
+    // memo slots carry their STRING value when the memoized top-of-stack
+    // was a string push — so a memo-get of a module name still resolves
+    // a later STACK_GLOBAL (the repeated-module shape real picklers emit)
+    val memoVal = scala.collection.mutable.HashMap.empty[Int, String]
+    var hasFrame = false
+    val globals = Vector.newBuilder[String]
+    // STACK_GLOBAL support: the last two string pushes, cleared by any
+    // other value push (memo ops are transparent)
+    var s1: String = null; var s2: String = null
+    var lastVal: String = null // the value of the last push IF it was a string
+    def pushString(v: String): Unit = { s1 = s2; s2 = v; lastVal = v }
+    def pushOther(): Unit = { s1 = null; s2 = null; lastVal = null }
+    var stopped = false
+
+    while (!stopped) {
+      if (p >= b.length) return None
+      val op = b(p) & 0xff; p += 1
+      nOps += 1
+      op match {
+        case 0x2e => // STOP
+          stopped = true
+        case 0x95 => // FRAME (u64le)
+          if (protocol < 4 || p + 8 > b.length) return None
+          val len = le64(b, p); p += 8
+          // single-frame law: the frame must reach exactly the STOP
+          if (len < 1 || p + len != b.length) return None
+          if (hasFrame) return None
+          hasFrame = true
+        case 0x7d | 0x5d | 0x29 | 0x28 => // EMPTY_DICT/LIST/TUPLE, MARK
+          if (op != 0x28) { nColl += 1; pushOther() }
+        case 0x85 | 0x86 | 0x87 | 0x74 | 0x6c | 0x64 | 0x8f | 0x91 => // TUPLEx/TUPLE/LIST/DICT/SETs
+          nColl += 1; pushOther()
+        case 0x61 | 0x65 | 0x73 | 0x75 | 0x90 => // APPEND(S)/SETITEM(S)/ADDITEMS
+        case 0x4e | 0x88 | 0x89 => // NONE/NEWTRUE/NEWFALSE
+          pushOther()
+        case 0x4a => // BININT i32le
+          if (p + 4 > b.length) return None
+          p += 4; nInts += 1; pushOther()
+        case 0x4b => // BININT1
+          if (p + 1 > b.length) return None
+          p += 1; nInts += 1; pushOther()
+        case 0x4d => // BININT2
+          if (p + 2 > b.length) return None
+          p += 2; nInts += 1; pushOther()
+        case 0x8a => // LONG1
+          if (p >= b.length) return None
+          val n = b(p) & 0xff; p += 1
+          if (n > 16 || p + n > b.length) return None
+          p += n; nInts += 1; pushOther()
+        case 0x47 => // BINFLOAT f64be
+          if (p + 8 > b.length) return None
+          p += 8; nFloats += 1; pushOther()
+        case 0x58 => // BINUNICODE u32le
+          if (p + 4 > b.length) return None
+          val n = le32(b, p); p += 4
+          if (n < 0 || p + n > b.length) return None
+          pushString(new String(b, p, n.toInt, java.nio.charset.StandardCharsets.UTF_8))
+          p += n.toInt; nStrings += 1; strBytes += n
+        case 0x8c => // SHORT_BINUNICODE u8
+          if (p >= b.length) return None
+          val n = b(p) & 0xff; p += 1
+          if (p + n > b.length) return None
+          pushString(new String(b, p, n, java.nio.charset.StandardCharsets.UTF_8))
+          p += n; nStrings += 1; strBytes += n
+        case 0x8d => // BINUNICODE8 u64le
+          if (p + 8 > b.length) return None
+          val n = le64(b, p); p += 8
+          if (n < 0 || n > Int.MaxValue || p + n > b.length) return None
+          pushString(new String(b, p, n.toInt, java.nio.charset.StandardCharsets.UTF_8))
+          p += n.toInt; nStrings += 1; strBytes += n
+        case 0x42 => // BINBYTES u32le
+          if (p + 4 > b.length) return None
+          val n = le32(b, p); p += 4
+          if (n < 0 || p + n > b.length) return None
+          p += n.toInt; nStrings += 1; strBytes += n; pushOther()
+        case 0x43 => // SHORT_BINBYTES u8
+          if (p >= b.length) return None
+          val n = b(p) & 0xff; p += 1
+          if (p + n > b.length) return None
+          p += n; nStrings += 1; strBytes += n; pushOther()
+        case 0x8e | 0x96 => // BINBYTES8 / BYTEARRAY8 u64le
+          if (protocol < (if (op == 0x96) 5 else 4)) return None
+          if (p + 8 > b.length) return None
+          val n = le64(b, p); p += 8
+          if (n < 0 || n > Int.MaxValue || p + n > b.length) return None
+          p += n.toInt; nStrings += 1; strBytes += n; pushOther()
+        case 0x71 => // BINPUT u8
+          if (p >= b.length) return None
+          memoVal((b(p) & 0xff)) = lastVal; p += 1; memoPuts += 1
+        case 0x72 => // LONG_BINPUT u32le
+          if (p + 4 > b.length) return None
+          val ix = le32(b, p); p += 4
+          if (ix < 0 || ix > (1 << 24)) return None
+          memoVal(ix.toInt) = lastVal; memoPuts += 1
+        case 0x94 => // MEMOIZE
+          memoVal(memoPuts) = lastVal; memoPuts += 1
+        case 0x68 => // BINGET u8
+          if (p >= b.length) return None
+          val v = memoVal.getOrElse(b(p) & 0xff, return None) // the memo law
+          p += 1
+          if (v != null) pushString(v) else pushOther()
+        case 0x6a => // LONG_BINGET u32le
+          if (p + 4 > b.length) return None
+          val ix = le32(b, p); p += 4
+          if (ix < 0) return None
+          val v = memoVal.getOrElse(ix.toInt, return None)
+          if (v != null) pushString(v) else pushOther()
+        case 0x63 => // GLOBAL: two newline-terminated text lines
+          val nl1 = b.indexOf('\n'.toByte, p)
+          if (nl1 < 0) return None
+          val nl2 = b.indexOf('\n'.toByte, nl1 + 1)
+          if (nl2 < 0) return None
+          val mod = new String(b, p, nl1 - p, java.nio.charset.StandardCharsets.US_ASCII)
+          val nm = new String(b, nl1 + 1, nl2 - nl1 - 1, java.nio.charset.StandardCharsets.US_ASCII)
+          if (mod.isEmpty || nm.isEmpty) return None
+          globals += s"$mod.$nm"
+          p = nl2 + 1; pushOther()
+        case 0x93 => // STACK_GLOBAL
+          if (s1 == null || s2 == null) return None // the tracked-strings pin
+          globals += s"$s1.$s2"
+          pushOther()
+        case 0x52 | 0x62 | 0x81 | 0x92 => // REDUCE/BUILD/NEWOBJ/NEWOBJ_EX
+          pushOther()
+        case 0x51 => // BINPERSID
+          pushOther()
+        case 0x97 | 0x98 => // NEXT_BUFFER / READONLY_BUFFER (protocol 5)
+          if (protocol < 5) return None
+          pushOther()
+        case _ => return None // unknown / text-protocol opcode
+      }
+    }
+    if (p != b.length) return None // nothing after STOP
+    Some(Census(protocol, nOps, nStrings, strBytes, nInts, nFloats, nColl,
+      memoPuts, hasFrame, globals.result()))
+  }
+
+  // ---- writer (gate fixtures): protocol-2 streams ----
+
+  /** Emit a protocol-2 dict {id: k, name: "...", vals: [floats],
+    * cls: GLOBAL} — the checkpoint-metadata shape. */
+  final class Writer {
+    private val o = new java.io.ByteArrayOutputStream(128)
+    o.write(0x80); o.write(2)
+    def int(v: Int): Writer = {
+      if (v >= 0 && v < 256) { o.write(0x4b); o.write(v) }
+      else { o.write(0x4a)
+        var i = 0
+        while (i < 4) { o.write((v >>> (8 * i)) & 0xff); i += 1 } }
+      this
+    }
+    def str(s: String): Writer = {
+      val bs = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      o.write(0x58)
+      var i = 0
+      while (i < 4) { o.write((bs.length >>> (8 * i)) & 0xff); i += 1 }
+      o.write(bs, 0, bs.length)
+      this
+    }
+    def float(d: Double): Writer = {
+      o.write(0x47)
+      val bits = java.lang.Double.doubleToLongBits(d)
+      var i = 7
+      while (i >= 0) { o.write(((bits >>> (8 * i)) & 0xff).toInt); i -= 1 }
+      this
+    }
+    def emptyDict(): Writer = { o.write(0x7d); this }
+    def emptyList(): Writer = { o.write(0x5d); this }
+    def mark(): Writer = { o.write(0x28); this }
+    def appends(): Writer = { o.write(0x65); this }
+    def setitems(): Writer = { o.write(0x75); this }
+    def global(mod: String, name: String): Writer = {
+      o.write(0x63)
+      o.write(mod.getBytes, 0, mod.length); o.write('\n')
+      o.write(name.getBytes, 0, name.length); o.write('\n')
+      this
+    }
+    def put(ix: Int): Writer = { o.write(0x71); o.write(ix & 0xff); this }
+    def stop(): Array[Byte] = { o.write(0x2e); o.toByteArray }
+  }
+}

@@ -458,7 +458,9 @@ object Containers {
     import s.implicits._
     import graft.llm.ArDeb
     import graft.ops.TarArchive
-    val keys = partKeys(s, d).filter(_ % 8 == 7)
+    // a 16th-lane: the INDEPENDENT xz/zstd writers dominate this gate
+    // (the q_tar_chain gate-sizing lesson; bench showed 3.6 s at sf0.1)
+    val keys = partKeys(s, d).filter(_ % 16 == 7)
     val out = keys.map { k =>
       val control = TarArchive.encodeTar(Seq(
         ("./control", s"Package: p$k\nVersion: 1.${k % 10}\n".getBytes)))
@@ -509,7 +511,7 @@ object Containers {
 
   val debProbeSql: String =
     """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part
-      |            WHERE p_partkey % 8 = 7),
+      |            WHERE p_partkey % 16 = 7),
       |p AS (SELECT k, (k % 13 <> 0 AND k % 19 <> 0) AS ok,
       |        CAST(1 + k % 4 AS INTEGER) AS nf
       |      FROM ks),

@@ -2081,6 +2081,64 @@ object Docs {
     * law in both directions). Refusal arms: a torn final commit
     * (k mod 13), a version gap (k mod 17 — the contiguity law), a
     * negative add size (k mod 19). */
+  /** Pickle census gate (see [[graft.llm.PickleProbe]]): per-key
+    * protocol-2 streams in the checkpoint-metadata shape — a dict of
+    * int fields, a float list and a class global — walked WITHOUT
+    * evaluation; the import census is the security-relevant output.
+    * Refusal arms: a missing STOP (k mod 13) and trailing bytes after
+    * STOP (k mod 19). */
+  def pickleProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.PickleProbe
+    val keys = partKeys(s, d) // full-width spread: the walk map is the cost
+    val out = keys.map { k =>
+      val nk = (2 + k % 4).toInt
+      val nf = (k % 3).toInt
+      val w = new PickleProbe.Writer().emptyDict().mark()
+      (0 until nk).foreach(i => w.str(s"k$i").int(((k + i) % 500).toInt))
+      w.str("vals").emptyList().mark()
+      (0 until nf).foreach(i => w.float(i + 0.5))
+      w.appends()
+      w.str("cls").global(s"m${k % 5}", "C")
+      val bytes = w.setitems().stop()
+      val armed =
+        if (k % 13 == 0) java.util.Arrays.copyOf(bytes, bytes.length - 1)
+        else if (k % 19 == 0) bytes ++ Array[Byte](0x4e)
+        else bytes
+      PickleProbe.probe(armed) match {
+        case Some(c) =>
+          (k, true, Some(c.protocol), Some(c.nOps), Some(c.nStrings),
+            Some(c.strBytes), Some(c.nInts), Some(c.nFloats),
+            Some(c.nCollections), Some(c.globals.mkString(",")))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Long], None: Option[Int], None: Option[Int],
+            None: Option[Int], None: Option[String])
+      }
+    }.toDF("media_id", "pkl_ok", "protocol", "n_ops", "n_strings",
+      "str_bytes", "n_ints", "n_floats", "n_collections", "imports")
+    out.orderBy($"media_id")
+  }
+
+  /** n_ops = PROTO + dict + mark + 2·nk + "vals" + list + mark + nf
+    * + appends + "cls" + global + setitems + STOP = 11 + 2·nk + nf. */
+  val pickleProbeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, (k % 13 <> 0 AND k % 19 <> 0) AS ok,
+      |        CAST(2 + k % 4 AS INTEGER) AS nk, CAST(k % 3 AS INTEGER) AS nf
+      |      FROM ks)
+      |SELECT k AS media_id, ok AS pkl_ok,
+      |  CASE WHEN ok THEN 2 END AS protocol,
+      |  CASE WHEN ok THEN CAST(11 + 2 * nk + nf AS INTEGER) END AS n_ops,
+      |  CASE WHEN ok THEN CAST(nk + 2 AS INTEGER) END AS n_strings,
+      |  CASE WHEN ok THEN CAST(2 * nk + 7 AS BIGINT) END AS str_bytes,
+      |  CASE WHEN ok THEN nk END AS n_ints,
+      |  CASE WHEN ok THEN nf END AS n_floats,
+      |  CASE WHEN ok THEN 2 END AS n_collections,
+      |  CASE WHEN ok THEN 'm' || (k % 5) || '.C' END AS imports
+      |FROM p
+      |ORDER BY media_id""".stripMargin
+
   /** Hudi COW snapshot gate (see [[graft.llm.HudiSnap]]): per-key
     * timelines where commit i writes fileId `f(i%2)` in partition
     * `p=(i%2)` — the newest slice per file group wins; lineage via
@@ -3245,6 +3303,7 @@ object Docs {
     "q_parquet_read_agg" -> (parquetReadAgg _),
     "q_iceberg_snap" -> (icebergSnap _),
     "q_hudi_snap" -> (hudiSnap _),
+    "q_pickle_probe" -> (pickleProbe _),
     "q_safetensors_read" -> (safetensorsRead _),
     "q_npz_read" -> (npzRead _),
     "q_gguf_probe" -> (ggufProbe _),
@@ -3280,6 +3339,7 @@ object Docs {
     "q_parquet_read_agg" -> parquetReadAggSql,
     "q_iceberg_snap" -> icebergSnapSql,
     "q_hudi_snap" -> hudiSnapSql,
+    "q_pickle_probe" -> pickleProbeSql,
     "q_safetensors_read" -> safetensorsReadSql,
     "q_npz_read" -> npzReadSql,
     "q_gguf_probe" -> ggufProbeSql,

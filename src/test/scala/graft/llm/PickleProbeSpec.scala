@@ -1,0 +1,104 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pickle probe: writer round trips, the framing/memo/STOP laws, and
+  * cross-validation against pickles produced by the REAL python3 with
+  * `pickletools.dis` as the independent opcode-level reference across
+  * protocols 2, 4 and 5. */
+class PickleProbeSpec extends AnyFunSuite {
+  import PickleProbe._
+
+  test("writer round trip: the checkpoint-metadata shape") {
+    val b = new Writer()
+      .emptyDict().mark()
+      .str("k0").int(7).str("k1").int(300)
+      .str("vals").emptyList().mark().float(1.5).float(-2.25).appends()
+      .str("cls").global("torch", "Tensor")
+      .setitems().stop()
+    val c = probe(b).get
+    assert(c.protocol == 2 && !c.hasFrame)
+    assert(c.nInts == 2 && c.nFloats == 2 && c.nCollections == 2)
+    assert(c.nStrings == 4 && c.strBytes == 2 + 2 + 4 + 3)
+    assert(c.globals == Vector("torch.Tensor"))
+  }
+
+  test("laws: proto pin, STOP, trailing bytes, memo, unknown opcodes") {
+    val good = new Writer().emptyDict().stop()
+    assert(probe(good).isDefined)
+    // text protocols refuse
+    assert(probe("(dp0\nS'a'\np1\n.".getBytes).isEmpty)
+    // protocol 6 refuses
+    val p6 = good.clone(); p6(1) = 6
+    assert(probe(p6).isEmpty)
+    // truncation (STOP missing)
+    assert(probe(java.util.Arrays.copyOf(good, good.length - 1)).isEmpty)
+    // trailing garbage after STOP
+    assert(probe(good ++ Array[Byte](0x4e)).isEmpty)
+    // BINGET of an unmemoized slot
+    assert(probe(Array[Byte](0x80.toByte, 2, 0x68, 3, 0x2e)).isEmpty)
+    // unknown opcode
+    assert(probe(Array[Byte](0x80.toByte, 2, 0x01, 0x2e)).isEmpty)
+    // LONG1 beyond 16 bytes
+    assert(probe(Array[Byte](0x80.toByte, 2, 0x8a.toByte, 17) ++
+      new Array[Byte](17) :+ 0x2e.toByte).isEmpty)
+  }
+
+  test("cross-validation: real python3 pickles, pickletools as reference") {
+    import scala.sys.process._
+    val dir = java.nio.file.Files.createTempDirectory("pkl")
+    def py(script: String): String = {
+      val out = new StringBuilder
+      val rc = Process(Seq("python3", "-c", script)).!(
+        ProcessLogger(l => { out.append(l).append('\n') }, l => { out.append(l).append('\n') }))
+      assert(rc == 0, s"python3 failed:\n$out")
+      out.toString
+    }
+    val cases = Seq(
+      (2, """{'a': 1, 'b': [1.5, 'x'], 'c': None, 'flag': True}"""),
+      (4, """__import__('collections').OrderedDict([('p', 3), ('q', 2.5)])"""),
+      (5, """{'payload': b'\x00\x01\x02' * 10, 'n': 12}"""))
+    cases.foreach { case (proto, expr) =>
+      val f = dir.resolve(s"t$proto.pkl")
+      py(s"""
+import pickle
+obj = $expr
+open('$f', 'wb').write(pickle.dumps(obj, protocol=$proto))
+""")
+      val bytes = java.nio.file.Files.readAllBytes(f)
+      val c = probe(bytes).getOrElse(fail(s"refused a real protocol-$proto pickle"))
+      assert(c.protocol == proto)
+      assert(c.hasFrame == (proto >= 4))
+      // pickletools.dis as the opcode-level oracle
+      val dis = py(s"""
+import pickletools
+pickletools.dis(open('$f', 'rb').read())
+""")
+      val ops = dis.linesIterator
+        .flatMap(l => "^\\s*\\d+: .\\S*\\s+([A-Z_0-9]+)".r.findFirstMatchIn(l).map(_.group(1)))
+        .toVector
+      assert(c.nOps == ops.size, s"op count vs pickletools at protocol $proto")
+      assert(c.nFloats == ops.count(_ == "BINFLOAT"))
+      assert(c.nInts == ops.count(o => o.startsWith("BININT") || o == "LONG1"))
+      assert(c.nStrings == ops.count(o =>
+        o.contains("BINUNICODE") || o.contains("BINBYTES") || o == "BYTEARRAY8"))
+      assert(c.memoPuts == ops.count(o => o == "MEMOIZE" || o.endsWith("BINPUT")))
+      if (proto == 4)
+        assert(c.globals == Vector("collections.OrderedDict"))
+      else
+        assert(c.globals.isEmpty)
+    }
+    // a reused class (memoized global object) still censuses ONE import
+    val f2 = dir.resolve("t4b.pkl")
+    py(s"""
+import pickle, collections
+obj = [collections.OrderedDict(), collections.OrderedDict()]
+open('$f2', 'wb').write(pickle.dumps(obj, protocol=4))
+""")
+    val c2 = probe(java.nio.file.Files.readAllBytes(f2)).getOrElse(
+      fail("refused the reused-global pickle"))
+    assert(c2.globals == Vector("collections.OrderedDict"))
+    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+}
