@@ -1,0 +1,76 @@
+package graft.llm
+
+/** PyTorch-style checkpoint probe — the `.pt`/`.pth` layout every
+  * torch.save since 1.6 emits: a zip archive holding one root
+  * directory with `version`, `data.pkl` (the pickle spine) and the
+  * raw tensor storages under `data/<n>`. This composes three walks
+  * the engine already proves independently: [[ZipWalk]] (container),
+  * [[PickleProbe]] (the metadata pickle, imports censused WITHOUT
+  * evaluation), and raw storage extents.
+  *
+  * Laws:
+  *  - every member shares ONE root prefix (`<root>/`);
+  *  - `<root>/version` present, ASCII digits (+ optional LF), 1..100;
+  *  - `<root>/byteorder` when present is `little` or `big`;
+  *  - `<root>/data.pkl` present and lawful under every PickleProbe
+  *    law;
+  *  - storages are `<root>/data/<digits>` with unique indices;
+  *  - `<root>/.data/...` members (serialization ids in newer writers)
+  *    are skipped; any OTHER member name refuses.
+  */
+object TorchCkpt {
+
+  final case class Probe(
+      root: String, version: Long, byteorder: String, protocol: Int,
+      pklOps: Int, imports: Vector[String], nStorages: Int,
+      storageBytes: Long)
+
+  def probe(zip: Array[Byte]): Option[Probe] = {
+    val es = ZipWalk.entries(zip).getOrElse(return None)
+    if (es.isEmpty) return None
+    val byName = es.toMap
+    if (byName.size != es.size) return None // duplicate names
+    val root = {
+      val slash = es.head._1.indexOf('/')
+      if (slash <= 0) return None
+      es.head._1.substring(0, slash)
+    }
+    if (!es.forall(_._1.startsWith(root + "/"))) return None // one-root law
+    val version = byName.get(s"$root/version") match {
+      case None => return None
+      case Some(v) =>
+        val s0 = new String(v, java.nio.charset.StandardCharsets.US_ASCII)
+        val s = if (s0.endsWith("\n")) s0.dropRight(1) else s0
+        if (s.isEmpty || s.length > 3 || !s.forall(_.isDigit)) return None
+        val n = s.toLong
+        if (n < 1 || n > 100) return None
+        n
+    }
+    val byteorder = byName.get(s"$root/byteorder") match {
+      case None => ""
+      case Some(v) =>
+        val s = new String(v, java.nio.charset.StandardCharsets.US_ASCII).trim
+        if (s != "little" && s != "big") return None
+        s
+    }
+    val pkl = byName.getOrElse(s"$root/data.pkl", return None)
+    val census = PickleProbe.probe(pkl).getOrElse(return None)
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    var nStorages = 0
+    var storageBytes = 0L
+    es.foreach { case (name, data) =>
+      val rest = name.substring(root.length + 1)
+      if (rest == "version" || rest == "byteorder" || rest == "data.pkl" ||
+        rest.startsWith(".data/")) ()
+      else if (rest.startsWith("data/")) {
+        val ix = rest.substring(5)
+        if (ix.isEmpty || ix.length > 9 || !ix.forall(_.isDigit)) return None
+        if (!seen.add(ix.toLong)) return None // unique storage indices
+        nStorages += 1
+        storageBytes += data.length
+      } else return None // an unknown member is damage, not data
+    }
+    Some(Probe(root, version, byteorder, census.protocol, census.nOps,
+      census.globals, nStorages, storageBytes))
+  }
+}

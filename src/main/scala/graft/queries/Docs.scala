@@ -2139,6 +2139,76 @@ object Docs {
       |FROM p
       |ORDER BY media_id""".stripMargin
 
+  /** Checkpoint-composition gate (see [[graft.llm.TorchCkpt]]):
+    * per-key torch-layout zips (JDK zip writer — independent) holding
+    * version, a pickle spine written by the engine's pickle writer,
+    * and digit-named storages; the probe composes ZipWalk +
+    * PickleProbe + the member-name laws. Refusal arms: container
+    * truncation (k mod 13) and a version-content poison (k mod 19). */
+  def ckptProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.{PickleProbe, TorchCkpt}
+    val keys = partKeys(s, d) // full-width spread: the composed walk is the cost
+    val out = keys.map { k =>
+      val nk = (1 + k % 3).toInt
+      val ns = (1 + k % 4).toInt
+      val w = new PickleProbe.Writer().emptyDict().mark()
+      (0 until nk).foreach(i => w.str(s"k$i").int(((k + i) % 300).toInt))
+      w.str("w").global("torch._utils", "_rebuild_tensor_v2")
+      val pkl = w.setitems().stop()
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      def put(n: String, d2: Array[Byte]): Unit = {
+        zos.putNextEntry(new java.util.zip.ZipEntry(n)); zos.write(d2); zos.closeEntry()
+      }
+      put("archive/version", (if (k % 19 == 0 && k % 13 != 0) "x\n" else "3\n").getBytes)
+      if (k % 2 == 0) put("archive/byteorder", "little".getBytes)
+      put("archive/data.pkl", pkl)
+      (0 until ns).foreach { i =>
+        put(s"archive/data/$i",
+          Array.tabulate((64 + (k + i * 31) % 200).toInt)(j => ((k + i + j) % 256).toByte))
+      }
+      zos.close()
+      val bytes = bos.toByteArray
+      val armed =
+        if (k % 13 == 0) java.util.Arrays.copyOf(bytes, bytes.length - 5)
+        else bytes
+      TorchCkpt.probe(armed) match {
+        case Some(p) =>
+          (k, true, Some(p.version), Some(p.byteorder), Some(p.protocol),
+            Some(p.pklOps), Some(p.imports.mkString(",")), Some(p.nStorages),
+            Some(p.storageBytes))
+        case None =>
+          (k, false, None: Option[Long], None: Option[String], None: Option[Int],
+            None: Option[Int], None: Option[String], None: Option[Int],
+            None: Option[Long])
+      }
+    }.toDF("media_id", "ckpt_ok", "version", "byteorder", "protocol",
+      "pkl_ops", "imports", "n_storages", "storage_bytes")
+    out.orderBy($"media_id")
+  }
+
+  /** pkl_ops = PROTO + dict + mark + 2·nk + "w" + global + setitems
+    * + STOP = 7 + 2·nk. */
+  val ckptProbeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, (k % 13 <> 0 AND k % 19 <> 0) AS ok,
+      |        CAST(1 + k % 3 AS INTEGER) AS nk, CAST(1 + k % 4 AS INTEGER) AS ns
+      |      FROM ks),
+      |st AS (
+      |  SELECT p.k, CAST(SUM(64 + (p.k + i.g * 31) % 200) AS BIGINT) AS sb
+      |  FROM p, generate_series(0, 3) i(g) WHERE i.g < p.ns GROUP BY p.k)
+      |SELECT p.k AS media_id, p.ok AS ckpt_ok,
+      |  CASE WHEN p.ok THEN CAST(3 AS BIGINT) END AS version,
+      |  CASE WHEN p.ok THEN CASE WHEN p.k % 2 = 0 THEN 'little' ELSE '' END END AS byteorder,
+      |  CASE WHEN p.ok THEN 2 END AS protocol,
+      |  CASE WHEN p.ok THEN CAST(7 + 2 * p.nk AS INTEGER) END AS pkl_ops,
+      |  CASE WHEN p.ok THEN 'torch._utils._rebuild_tensor_v2' END AS imports,
+      |  CASE WHEN p.ok THEN p.ns END AS n_storages,
+      |  CASE WHEN p.ok THEN st.sb END AS storage_bytes
+      |FROM p JOIN st ON st.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   /** Hudi COW snapshot gate (see [[graft.llm.HudiSnap]]): per-key
     * timelines where commit i writes fileId `f(i%2)` in partition
     * `p=(i%2)` — the newest slice per file group wins; lineage via
@@ -3304,6 +3374,7 @@ object Docs {
     "q_iceberg_snap" -> (icebergSnap _),
     "q_hudi_snap" -> (hudiSnap _),
     "q_pickle_probe" -> (pickleProbe _),
+    "q_ckpt_probe" -> (ckptProbe _),
     "q_safetensors_read" -> (safetensorsRead _),
     "q_npz_read" -> (npzRead _),
     "q_gguf_probe" -> (ggufProbe _),
@@ -3340,6 +3411,7 @@ object Docs {
     "q_iceberg_snap" -> icebergSnapSql,
     "q_hudi_snap" -> hudiSnapSql,
     "q_pickle_probe" -> pickleProbeSql,
+    "q_ckpt_probe" -> ckptProbeSql,
     "q_safetensors_read" -> safetensorsReadSql,
     "q_npz_read" -> npzReadSql,
     "q_gguf_probe" -> ggufProbeSql,

@@ -1,0 +1,95 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Checkpoint probe: a JDK-zip round trip, the member-name laws, and
+  * cross-validation against a checkpoint assembled by the REAL python3
+  * (zipfile + pickle — the exact modules torch.save drives). */
+class TorchCkptSpec extends AnyFunSuite {
+  import TorchCkpt._
+
+  private def zip(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(out)
+    members.foreach { case (n, d) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(n))
+      zos.write(d); zos.closeEntry()
+    }
+    zos.close()
+    out.toByteArray
+  }
+
+  private def pkl(): Array[Byte] =
+    new PickleProbe.Writer().emptyDict().mark()
+      .str("w").global("torch._utils", "_rebuild_tensor_v2")
+      .setitems().stop()
+
+  test("round trip: version, pickle imports, storages") {
+    val z = zip(Seq(
+      ("archive/version", "3\n".getBytes),
+      ("archive/byteorder", "little".getBytes),
+      ("archive/data.pkl", pkl()),
+      ("archive/data/0", Array.fill[Byte](100)(1)),
+      ("archive/data/1", Array.fill[Byte](40)(2)),
+      ("archive/.data/serialization_id", "abc".getBytes)))
+    val p = probe(z).get
+    assert(p.root == "archive" && p.version == 3 && p.byteorder == "little")
+    assert(p.protocol == 2)
+    assert(p.imports == Vector("torch._utils._rebuild_tensor_v2"))
+    assert(p.nStorages == 2 && p.storageBytes == 140)
+  }
+
+  test("laws: root, version, member names, pickle, storage indices") {
+    def base(over: Map[String, Array[Byte]] = Map.empty,
+        drop: Set[String] = Set.empty): Array[Byte] = {
+      val ms = Seq(
+        ("archive/version", "3\n".getBytes),
+        ("archive/data.pkl", pkl()),
+        ("archive/data/0", Array.fill[Byte](10)(1)))
+        .filterNot(m => drop(m._1)).map { case (n, d) => (n, over.getOrElse(n, d)) }
+      zip(ms ++ over.filterNot(o => ms.exists(_._1 == o._1)).toSeq)
+    }
+    assert(probe(base()).isDefined)
+    // missing version / data.pkl
+    assert(probe(base(drop = Set("archive/version"))).isEmpty)
+    assert(probe(base(drop = Set("archive/data.pkl"))).isEmpty)
+    // version content law
+    assert(probe(base(over = Map("archive/version" -> "x\n".getBytes))).isEmpty)
+    assert(probe(base(over = Map("archive/version" -> "0".getBytes))).isEmpty)
+    // a second root refuses
+    assert(probe(base(over = Map("other/stray" -> "z".getBytes))).isEmpty)
+    // an unknown member under the root refuses
+    assert(probe(base(over = Map("archive/extra.bin" -> "z".getBytes))).isEmpty)
+    // a non-numeric storage name refuses
+    assert(probe(base(over = Map("archive/data/x" -> "z".getBytes))).isEmpty)
+    // a torn pickle refuses through the composition
+    assert(probe(base(over = Map("archive/data.pkl" -> pkl().dropRight(1)))).isEmpty)
+    // container truncation refuses through ZipWalk
+    assert(probe(java.util.Arrays.copyOf(base(), base().length - 5)).isEmpty)
+  }
+
+  test("cross-validation: a checkpoint assembled by the real python3") {
+    import scala.sys.process._
+    val dir = java.nio.file.Files.createTempDirectory("ckpt")
+    val f = dir.resolve("m.pt")
+    val rc = Process(Seq("python3", "-c",
+      s"""
+import zipfile, pickle, collections
+meta = {'cls': collections.OrderedDict([('shape', [2, 3])]), 'n': 6}
+z = zipfile.ZipFile('$f', 'w', zipfile.ZIP_STORED)
+z.writestr('archive/version', '3\\n')
+z.writestr('archive/data.pkl', pickle.dumps(meta, protocol=4))
+z.writestr('archive/data/0', b'\\x00' * 24)
+z.writestr('archive/data/1', b'\\x01' * 8)
+z.close()
+""")).!(ProcessLogger(_ => ()))
+    assert(rc == 0)
+    val p = probe(java.nio.file.Files.readAllBytes(f)).getOrElse(
+      fail("refused the python-assembled checkpoint"))
+    assert(p.version == 3 && p.protocol == 4)
+    assert(p.imports == Vector("collections.OrderedDict"))
+    assert(p.nStorages == 2 && p.storageBytes == 32)
+    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(x => java.nio.file.Files.deleteIfExists(x))
+  }
+}
