@@ -1,0 +1,285 @@
+package graft.llm
+
+/** WebAssembly module probe — `.wasm` binaries are standard web-crawl
+  * assets (and increasingly plugin/runtime payloads in repository
+  * dumps). Native walk of the published binary format:
+  *
+  *  - magic `\0asm`, version 1 (u32le);
+  *  - sections: id u8 + LEB128 size within the remaining extent;
+  *    NON-custom sections must appear at most once and in the
+  *    canonical order (1,2,3,4,5,6,7,8,9,12,10,11); custom (0)
+  *    sections may appear anywhere and carry a UTF-8 name;
+  *  - LEB128 lengths bounded (u32: ≤ 5 bytes, final-byte bits law);
+  *  - type section: each entry opens 0x60 with lawful value types;
+  *  - function section indices must reference declared types;
+  *  - memory limits: max ≥ min when present, flag ∈ {0,1};
+  *  - export names unique, kinds ≤ 3, UTF-8;
+  *  - the code section's count must equal the function section's;
+  *  - exact consumption of every section and of the module.
+  *
+  * Cross-validated in WasmProbeSpec against the REAL V8 validator
+  * (`WebAssembly.validate` via the node binary in this container):
+  * the writer's modules validate, and the law arms that claim
+  * spec-invalidity are confirmed invalid by V8 too.
+  */
+object WasmProbe {
+
+  final case class Probe(
+      version: Long, sections: Vector[Int], nTypes: Int, nFuncs: Int,
+      nImports: Int, nExports: Int, exportNames: Vector[String],
+      codeBytes: Long, nCustom: Int)
+
+  private val Order = Vector(1, 2, 3, 4, 5, 6, 7, 8, 9, 12, 10, 11)
+
+  private def leb32(b: Array[Byte], p0: Int, end: Int): Option[(Long, Int)] = {
+    var p = p0; var v = 0L; var shift = 0
+    while (p < end && shift <= 28) {
+      val c = b(p) & 0xff; p += 1
+      v |= (c & 0x7f).toLong << shift
+      if ((c & 0x80) == 0) {
+        if (shift == 28 && (c & 0x70) != 0) return None // u32 overflow law
+        return Some((v, p))
+      }
+      shift += 7
+    }
+    None
+  }
+
+  private val ValTypes = Set(0x7f, 0x7e, 0x7d, 0x7c, 0x7b, 0x70, 0x6f)
+
+  def probe(b: Array[Byte]): Option[Probe] = {
+    if (b.length < 8) return None
+    if (!(b(0) == 0 && b(1) == 'a' && b(2) == 's' && b(3) == 'm')) return None
+    val version = ByteIo.le32(b, 4)
+    if (version != 1) return None
+    var p = 8
+    var lastOrder = -1
+    val sections = Vector.newBuilder[Int]
+    var nTypes = 0; var nFuncs = 0; var nImports = 0; var nExports = 0
+    var codeBytes = 0L; var nCustom = 0
+    var codeCount = -1
+    val exportNames = Vector.newBuilder[String]
+    val seenNames = scala.collection.mutable.HashSet.empty[String]
+
+    while (p < b.length) {
+      val id = b(p) & 0xff; p += 1
+      if (id > 12) return None
+      val (size, p1) = leb32(b, p, b.length).getOrElse(return None)
+      if (p1 + size > b.length) return None
+      val end = (p1 + size).toInt
+      p = p1
+      sections += id
+      if (id != 0) {
+        val ord = Order.indexOf(id)
+        if (ord < 0 || ord <= lastOrder) return None // once + canonical order
+        lastOrder = ord
+      }
+      id match {
+        case 0 => // custom: name then opaque bytes
+          nCustom += 1
+          val (nlen, q) = leb32(b, p, end).getOrElse(return None)
+          if (q + nlen > end) return None
+          p = end
+        case 1 => // type
+          val (n, q0) = leb32(b, p, end).getOrElse(return None)
+          var q = q0
+          var i = 0L
+          while (i < n) {
+            if (q >= end || (b(q) & 0xff) != 0x60) return None
+            q += 1
+            val (np, q1) = leb32(b, q, end).getOrElse(return None)
+            q = q1
+            var j = 0L
+            while (j < np) {
+              if (q >= end || !ValTypes.contains(b(q) & 0xff)) return None
+              q += 1; j += 1
+            }
+            val (nr, q2) = leb32(b, q, end).getOrElse(return None)
+            q = q2
+            j = 0L
+            while (j < nr) {
+              if (q >= end || !ValTypes.contains(b(q) & 0xff)) return None
+              q += 1; j += 1
+            }
+            i += 1
+          }
+          if (q != end) return None
+          nTypes = n.toInt
+          p = end
+        case 2 => // import: two names + kind + desc (typeidx law for funcs)
+          val (n, q0) = leb32(b, p, end).getOrElse(return None)
+          var q = q0
+          var i = 0L
+          while (i < n) {
+            var rep = 0
+            while (rep < 2) {
+              val (nl, q1) = leb32(b, q, end).getOrElse(return None)
+              if (q1 + nl > end) return None
+              q = (q1 + nl).toInt; rep += 1
+            }
+            if (q >= end) return None
+            val kind = b(q) & 0xff; q += 1
+            if (kind > 3) return None
+            kind match {
+              case 0 =>
+                val (tix, q2) = leb32(b, q, end).getOrElse(return None)
+                if (tix >= nTypes) return None
+                q = q2
+              case _ => // table/mem/global descriptors: skip structurally
+                // table: reftype + limits; mem: limits; global: valtype + mut
+                if (kind == 1) { if (q >= end) return None; q += 1 }
+                if (kind == 3) {
+                  if (q + 2 > end) return None
+                  if (!ValTypes.contains(b(q) & 0xff)) return None
+                  q += 2
+                } else {
+                  if (q >= end) return None
+                  val flag = b(q) & 0xff; q += 1
+                  if (flag > 1) return None
+                  val (mn, q2) = leb32(b, q, end).getOrElse(return None)
+                  q = q2
+                  if (flag == 1) {
+                    val (mx, q3) = leb32(b, q, end).getOrElse(return None)
+                    if (mx < mn) return None
+                    q = q3
+                  }
+                }
+            }
+            nImports += 1
+            i += 1
+          }
+          if (q != end) return None
+          p = end
+        case 3 => // function: type indices
+          val (n, q0) = leb32(b, p, end).getOrElse(return None)
+          var q = q0
+          var i = 0L
+          while (i < n) {
+            val (tix, q1) = leb32(b, q, end).getOrElse(return None)
+            if (tix >= nTypes) return None // type-index law
+            q = q1; i += 1
+          }
+          if (q != end) return None
+          nFuncs = n.toInt
+          p = end
+        case 5 => // memory: limits
+          val (n, q0) = leb32(b, p, end).getOrElse(return None)
+          var q = q0
+          var i = 0L
+          while (i < n) {
+            if (q >= end) return None
+            val flag = b(q) & 0xff; q += 1
+            if (flag > 1) return None
+            val (mn, q1) = leb32(b, q, end).getOrElse(return None)
+            q = q1
+            if (flag == 1) {
+              val (mx, q2) = leb32(b, q, end).getOrElse(return None)
+              if (mx < mn) return None // the limits law
+              q = q2
+            }
+            i += 1
+          }
+          if (q != end) return None
+          p = end
+        case 7 => // export: unique names, kind ≤ 3
+          val (n, q0) = leb32(b, p, end).getOrElse(return None)
+          var q = q0
+          var i = 0L
+          while (i < n) {
+            val (nl, q1) = leb32(b, q, end).getOrElse(return None)
+            if (q1 + nl > end) return None
+            val name = new String(b, q1, nl.toInt, java.nio.charset.StandardCharsets.UTF_8)
+            if (!seenNames.add(name)) return None // uniqueness law
+            exportNames += name
+            q = (q1 + nl).toInt
+            if (q >= end) return None
+            if ((b(q) & 0xff) > 3) return None
+            q += 1
+            val (_, q2) = leb32(b, q, end).getOrElse(return None)
+            q = q2
+            i += 1
+          }
+          if (q != end) return None
+          nExports = n.toInt
+          p = end
+        case 10 => // code: count law + body extents
+          val (n, q0) = leb32(b, p, end).getOrElse(return None)
+          codeCount = n.toInt
+          var q = q0
+          var i = 0L
+          while (i < n) {
+            val (sz, q1) = leb32(b, q, end).getOrElse(return None)
+            if (q1 + sz > end) return None
+            codeBytes += sz
+            q = (q1 + sz).toInt
+            i += 1
+          }
+          if (q != end) return None
+          p = end
+        case _ => // table/global/start/element/data/datacount: opaque skip
+          p = end
+      }
+    }
+    if (codeCount >= 0 && codeCount != nFuncs) return None // the count law
+    if (codeCount < 0 && nFuncs > 0) return None
+    Some(Probe(version, sections.result(), nTypes, nFuncs, nImports,
+      nExports, exportNames.result(), codeBytes, nCustom))
+  }
+
+  // ---- writer (gate fixtures): valid () -> () modules ----
+
+  def write(nTypes: Int, nFuncs: Int, memory: Boolean,
+      custom: Option[(String, Int)], dupSection: Boolean = false): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream(128)
+    def section(id: Int)(body: java.io.ByteArrayOutputStream => Unit): Unit = {
+      val s = new java.io.ByteArrayOutputStream(32)
+      body(s)
+      o.write(id)
+      val bs = s.toByteArray
+      var v = bs.length.toLong
+      do {
+        var c = (v & 0x7f).toInt
+        v >>>= 7
+        if (v != 0) c |= 0x80
+        o.write(c)
+      } while (v != 0)
+      o.write(bs, 0, bs.length)
+    }
+    o.write(0); o.write('a'); o.write('s'); o.write('m')
+    o.write(1); o.write(0); o.write(0); o.write(0)
+    def typeSection(): Unit = section(1) { s =>
+      s.write(nTypes)
+      (0 until nTypes).foreach { _ => s.write(0x60); s.write(0); s.write(0) }
+    }
+    typeSection()
+    if (nFuncs > 0) section(3) { s =>
+      s.write(nFuncs)
+      (0 until nFuncs).foreach(i => s.write(i % nTypes))
+    }
+    if (memory) section(5) { s => s.write(1); s.write(0); s.write(1) }
+    section(7) { s =>
+      s.write(nFuncs + (if (memory) 1 else 0))
+      (0 until nFuncs).foreach { i =>
+        val nm = s"f$i".getBytes
+        s.write(nm.length); s.write(nm, 0, nm.length); s.write(0); s.write(i)
+      }
+      if (memory) {
+        val nm = "mem".getBytes
+        s.write(nm.length); s.write(nm, 0, nm.length); s.write(2); s.write(0)
+      }
+    }
+    if (nFuncs > 0) section(10) { s =>
+      s.write(nFuncs)
+      (0 until nFuncs).foreach { _ => s.write(2); s.write(0); s.write(0x0b) }
+    }
+    custom.foreach { case (name, n) =>
+      section(0) { s =>
+        val nm = name.getBytes
+        s.write(nm.length); s.write(nm, 0, nm.length)
+        (0 until n).foreach(i => s.write(i & 0xff))
+      }
+    }
+    if (dupSection) typeSection() // the order/once law arm
+    o.toByteArray
+  }
+}

@@ -260,13 +260,79 @@ object Code {
       |FROM p
       |ORDER BY media_id""".stripMargin
 
+  /** WASM module gate (see [[graft.llm.WasmProbe]]): per-key modules
+    * with k-dependent type/function/memory/custom sections, walked
+    * under the section-order, LEB, type-index, export-name and
+    * code-count laws. Refusal arms: truncation (k mod 13) and a
+    * duplicated type section (k mod 19 — the once/order law, confirmed
+    * invalid by V8 in the spec). */
+  def wasmProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.WasmProbe
+    val keys = partKeys(s, d) // full-width spread: the walk map is the cost
+    val out = keys.map { k =>
+      val nt = (1 + k % 3).toInt
+      val nf = (k % 4).toInt
+      val mem = k % 2 == 0
+      val custom = if (k % 5 == 0) Some(("meta", (k % 7).toInt)) else None
+      val bytes = WasmProbe.write(nt, nf, mem, custom,
+        dupSection = k % 19 == 0 && k % 13 != 0)
+      val armed =
+        if (k % 13 == 0) java.util.Arrays.copyOf(bytes, bytes.length - 3)
+        else bytes
+      WasmProbe.probe(armed) match {
+        case Some(p) =>
+          (k, true, Some(p.nTypes), Some(p.nFuncs), Some(p.nExports),
+            Some(p.exportNames.mkString(",")), Some(p.codeBytes),
+            Some(p.nCustom), Some(p.sections.mkString(",")))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[String], None: Option[Long], None: Option[Int],
+            None: Option[String])
+      }
+    }.toDF("media_id", "wasm_ok", "n_types", "n_funcs", "n_exports",
+      "export_names", "code_bytes", "n_custom", "sections")
+    out.orderBy($"media_id")
+  }
+
+  val wasmProbeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, (k % 13 <> 0 AND k % 19 <> 0) AS ok,
+      |        CAST(1 + k % 3 AS INTEGER) AS nt, CAST(k % 4 AS INTEGER) AS nf,
+      |        (k % 2 = 0) AS mem, (k % 5 = 0) AS cust
+      |      FROM ks),
+      |ex AS (
+      |  SELECT p.k, string_agg('f' || i.g, ',' ORDER BY i.g) AS fnames
+      |  FROM p, generate_series(0, 3) i(g) WHERE i.g < p.nf GROUP BY p.k)
+      |SELECT p.k AS media_id, p.ok AS wasm_ok,
+      |  CASE WHEN p.ok THEN p.nt END AS n_types,
+      |  CASE WHEN p.ok THEN p.nf END AS n_funcs,
+      |  CASE WHEN p.ok THEN CAST(p.nf + CASE WHEN p.mem THEN 1 ELSE 0 END AS INTEGER) END AS n_exports,
+      |  CASE WHEN p.ok THEN
+      |    CASE WHEN p.nf > 0 AND p.mem THEN ex.fnames || ',mem'
+      |         WHEN p.nf > 0 THEN ex.fnames
+      |         WHEN p.mem THEN 'mem' ELSE '' END END AS export_names,
+      |  CASE WHEN p.ok THEN CAST(p.nf * 2 AS BIGINT) END AS code_bytes,
+      |  CASE WHEN p.ok THEN CASE WHEN p.cust THEN 1 ELSE 0 END END AS n_custom,
+      |  CASE WHEN p.ok THEN
+      |    '1' || CASE WHEN p.nf > 0 THEN ',3' ELSE '' END
+      |        || CASE WHEN p.mem THEN ',5' ELSE '' END
+      |        || ',7'
+      |        || CASE WHEN p.nf > 0 THEN ',10' ELSE '' END
+      |        || CASE WHEN p.cust THEN ',0' ELSE '' END
+      |  END AS sections
+      |FROM p LEFT JOIN ex ON ex.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_git_pack" -> (gitPack _),
     "q_code_census" -> (codeCensus _),
-    "q_class_probe" -> (classProbe _))
+    "q_class_probe" -> (classProbe _),
+    "q_wasm_probe" -> (wasmProbe _))
 
   def oracles: Map[String, String] = Map(
     "q_git_pack" -> gitPackSql,
     "q_code_census" -> codeCensusSql,
-    "q_class_probe" -> classProbeSql)
+    "q_class_probe" -> classProbeSql,
+    "q_wasm_probe" -> wasmProbeSql)
 }

@@ -1,0 +1,93 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WASM probe: writer round trips, the section/LEB/name laws, and
+  * cross-validation against the REAL V8 validator (node's
+  * WebAssembly.validate) — our lawful modules validate, and the
+  * modules our laws refuse as spec-invalid are invalid to V8 too. */
+class WasmProbeSpec extends AnyFunSuite {
+  import WasmProbe._
+
+  test("writer round trip: sections, counts, exports, code bytes") {
+    val b = write(nTypes = 2, nFuncs = 3, memory = true, custom = Some(("meta", 5)))
+    val p = probe(b).get
+    assert(p.version == 1)
+    assert(p.sections == Vector(1, 3, 5, 7, 10, 0))
+    assert(p.nTypes == 2 && p.nFuncs == 3 && p.nExports == 4)
+    assert(p.exportNames == Vector("f0", "f1", "f2", "mem"))
+    assert(p.codeBytes == 6 && p.nCustom == 1)
+    val tiny = write(1, 0, memory = false, custom = None)
+    val tp = probe(tiny).get
+    assert(tp.nFuncs == 0 && tp.nExports == 0 && tp.sections == Vector(1, 7))
+  }
+
+  test("refusal battery: magic, version, order, counts, names, extents") {
+    val good = write(2, 2, memory = false, custom = None)
+    assert(probe(good).isDefined)
+    val magic = good.clone(); magic(1) = 'b'
+    assert(probe(magic).isEmpty)
+    val ver = good.clone(); ver(4) = 2
+    assert(probe(ver).isEmpty)
+    // a duplicated (out-of-order) type section
+    assert(probe(write(2, 2, memory = false, custom = None, dupSection = true)).isEmpty)
+    // truncation
+    for (cut <- Seq(1, 5, good.length - 9))
+      assert(probe(java.util.Arrays.copyOf(good, good.length - cut)).isEmpty)
+    // section size beyond the module (type section size byte at offset 9)
+    val size = good.clone(); size(9) = 0x7f
+    assert(probe(size).isEmpty)
+    // function type index out of range: nTypes=2, func types at the
+    // function section; patch the first index to 9
+    // layout: 8 magic + [1, len, body...] — compute via a 1-type module
+    val one = write(1, 1, memory = false, custom = None)
+    // type section: 1, 4, 1, 0x60, 0, 0 → func section at 14: 3, 2, 1, 9←
+    assert((one(14) & 0xff) == 3)
+    val fidx = one.clone(); fidx(17) = 9
+    assert(probe(fidx).isEmpty)
+    // duplicate export names refuse
+    val dup = write(1, 2, memory = false, custom = None)
+    // find "f1" and rename to "f0"
+    val s = dup.indexOfSlice("f1".getBytes)
+    val dup2 = dup.clone(); dup2(s + 1) = '0'
+    assert(probe(dup2).isEmpty)
+  }
+
+  test("cross-validation: the real V8 validator agrees both ways") {
+    import scala.sys.process._
+    val dir = java.nio.file.Files.createTempDirectory("wasm")
+    def validate(b: Array[Byte]): Boolean = {
+      val f = dir.resolve("m.wasm")
+      java.nio.file.Files.write(f, b)
+      val out = new StringBuilder
+      val rc = Process(Seq("node", "-e",
+        s"console.log(WebAssembly.validate(require('fs').readFileSync('$f')))")).!(
+        ProcessLogger(l => out.append(l)))
+      assert(rc == 0)
+      out.toString.trim == "true"
+    }
+    try {
+      // our lawful modules validate under V8
+      for ((nt, nf, mem) <- Seq((1, 0, false), (2, 3, true), (3, 1, false))) {
+        val b = write(nt, nf, mem, custom = Some(("name", 3)))
+        assert(probe(b).isDefined)
+        assert(validate(b), s"V8 rejected our lawful module nt=$nt nf=$nf")
+      }
+      // the law arms that claim spec-invalidity are invalid to V8 too
+      val dup = write(2, 2, memory = false, custom = None, dupSection = true)
+      assert(probe(dup).isEmpty && !validate(dup))
+      val one = write(1, 1, memory = false, custom = None)
+      val fidx = one.clone(); fidx(17) = 9
+      assert(probe(fidx).isEmpty && !validate(fidx))
+      val dupNames = {
+        val d = write(1, 2, memory = false, custom = None)
+        val s = d.indexOfSlice("f1".getBytes)
+        val d2 = d.clone(); d2(s + 1) = '0'; d2
+      }
+      assert(probe(dupNames).isEmpty && !validate(dupNames))
+    } finally {
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(x => java.nio.file.Files.deleteIfExists(x))
+    }
+  }
+}
