@@ -1,0 +1,138 @@
+package graft.llm
+
+/** SQLite write-ahead-log (`-wal`) probe — the sibling of
+  * [[SqliteRead]]: captured database snapshots routinely ship with a
+  * hot WAL, and the WAL (not the main file) holds the newest committed
+  * state. The format checksums EVERYTHING it frames (the
+  * TFRecord-guarantee class), so the walk verifies every byte:
+  *
+  *  - 32-byte header: magic 0x377F0682 (little-endian checksum words)
+  *    or 0x377F0683 (big-endian), format version 3007000, page size a
+  *    power of two in 512..65536, checkpoint sequence, the two salts,
+  *    and the header's own cumulative checksum over its first 24
+  *    bytes;
+  *  - frames tile exactly: 24-byte header (page number ≥ 1, commit
+  *    size, the salts — which must MATCH the header's — and the
+  *    cumulative checksum) + one page of content;
+  *  - the checksum chain runs header → frame → frame (s1/s2 over
+  *    32-bit words in the magic's byte order, 8 bytes per step,
+  *    covering each frame's first 8 header bytes and its full page) —
+  *    any flipped byte anywhere refuses;
+  *  - frames after the last commit frame are lawful (an uncommitted
+  *    tail), censused separately.
+  *
+  * Cross-validated in WalProbeSpec against a WAL written by the REAL
+  * SQLite (python3's sqlite3 in WAL mode with checkpointing disabled).
+  */
+object WalProbe {
+
+  final case class Probe(
+      bigEndian: Boolean, pageSize: Int, ckptSeq: Long, nFrames: Int,
+      nCommitted: Int, dbPages: Long, distinctPages: Int, uncommitted: Int)
+
+  private def be32(b: Array[Byte], p: Int): Long =
+    ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+      ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+
+  /** The WAL checksum step: 8 bytes per iteration, word order by magic. */
+  private final class Chain(bigEndian: Boolean) {
+    var s1 = 0L
+    var s2 = 0L
+    def add(b: Array[Byte], off: Int, len: Int): Unit = {
+      var i = off
+      val end = off + len
+      while (i < end) {
+        val x0 =
+          if (bigEndian) be32(b, i)
+          else ByteIo.le32(b, i)
+        val x1 =
+          if (bigEndian) be32(b, i + 4)
+          else ByteIo.le32(b, i + 4)
+        s1 = (s1 + x0 + s2) & 0xffffffffL
+        s2 = (s2 + x1 + s1) & 0xffffffffL
+        i += 8
+      }
+    }
+  }
+
+  def probe(b: Array[Byte]): Option[Probe] = {
+    if (b.length < 32) return None
+    val magic = be32(b, 0)
+    val bigEndian = magic match {
+      case 0x377f0683L => true
+      case 0x377f0682L => false
+      case _ => return None
+    }
+    if (be32(b, 4) != 3007000L) return None // format version
+    val pageSize = be32(b, 8).toInt
+    if (pageSize < 512 || pageSize > 65536 || (pageSize & (pageSize - 1)) != 0)
+      return None
+    val ckptSeq = be32(b, 12)
+    val salt1 = be32(b, 16)
+    val salt2 = be32(b, 20)
+    val chain = new Chain(bigEndian)
+    chain.add(b, 0, 24)
+    if (chain.s1 != be32(b, 24) || chain.s2 != be32(b, 28)) return None // header law
+    val frameLen = 24 + pageSize
+    if ((b.length - 32) % frameLen != 0) return None // exact tiling
+    val nFrames = (b.length - 32) / frameLen
+    var nCommitted = 0
+    var dbPages = 0L
+    val pages = scala.collection.mutable.HashSet.empty[Long]
+    var i = 0
+    var p = 32
+    while (i < nFrames) {
+      val pgno = be32(b, p)
+      if (pgno < 1) return None
+      val commit = be32(b, p + 4)
+      if (be32(b, p + 8) != salt1 || be32(b, p + 12) != salt2) return None // salt law
+      chain.add(b, p, 8)
+      chain.add(b, p + 24, pageSize)
+      if (chain.s1 != be32(b, p + 16) || chain.s2 != be32(b, p + 20)) return None
+      pages += pgno
+      if (commit != 0) {
+        nCommitted = i + 1
+        dbPages = commit
+        if (commit < pgno) return None // the db must contain its own pages
+      }
+      p += frameLen
+      i += 1
+    }
+    Some(Probe(bigEndian, pageSize, ckptSeq, nFrames, nCommitted, dbPages,
+      pages.size, nFrames - nCommitted))
+  }
+
+  // ---- writer (gate fixtures) ----
+
+  /** Write a WAL: frames as (pgno, commitSize, pageFill); checksums
+    * computed by the same chain the probe verifies. */
+  def write(pageSize: Int, ckptSeq: Long, salt1: Long, salt2: Long,
+      frames: Seq[(Long, Long, Byte)], bigEndian: Boolean = false): Array[Byte] = {
+    val out = new Array[Byte](32 + frames.size * (24 + pageSize))
+    def w32(p: Int, v: Long): Unit = {
+      out(p) = ((v >>> 24) & 0xff).toByte; out(p + 1) = ((v >>> 16) & 0xff).toByte
+      out(p + 2) = ((v >>> 8) & 0xff).toByte; out(p + 3) = (v & 0xff).toByte
+    }
+    w32(0, if (bigEndian) 0x377f0683L else 0x377f0682L)
+    w32(4, 3007000L)
+    w32(8, pageSize)
+    w32(12, ckptSeq)
+    w32(16, salt1)
+    w32(20, salt2)
+    val chain = new Chain(bigEndian)
+    chain.add(out, 0, 24)
+    w32(24, chain.s1); w32(28, chain.s2)
+    var p = 32
+    frames.foreach { case (pgno, commit, fill) =>
+      w32(p, pgno); w32(p + 4, commit)
+      w32(p + 8, salt1); w32(p + 12, salt2)
+      var j = 0
+      while (j < pageSize) { out(p + 24 + j) = (fill + (j % 7)).toByte; j += 1 }
+      chain.add(out, p, 8)
+      chain.add(out, p + 24, pageSize)
+      w32(p + 16, chain.s1); w32(p + 20, chain.s2)
+      p += 24 + pageSize
+    }
+    out
+  }
+}

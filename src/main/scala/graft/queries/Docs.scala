@@ -2139,6 +2139,61 @@ object Docs {
       |FROM p
       |ORDER BY media_id""".stripMargin
 
+  /** SQLite WAL gate (see [[graft.llm.WalProbe]]): per-key logs over
+    * three page sizes and both checksum orders, with an uncommitted
+    * tail on odd keys; the cumulative checksum chain verifies every
+    * byte. Refusal arms: a ragged tail (k mod 13 — the tiling law) and
+    * a flipped frame salt (k mod 19). */
+  def walProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.WalProbe
+    val keys = partKeys(s, d) // full-width spread: the chain walk is the cost
+    val out = keys.map { k =>
+      val pageSize = 512 << (k % 3).toInt
+      val nFr = (2 + k % 4).toInt
+      val commitIx = nFr - 1 - (k % 2).toInt
+      val frames = (0 until nFr).map { i =>
+        (1L + i % 3, if (i == commitIx) 3L else 0L, (k + i).toByte)
+      }
+      val wal = WalProbe.write(pageSize, k % 100, k * 7 + 1, k * 13 + 2,
+        frames, bigEndian = k % 5 == 0)
+      val armed =
+        if (k % 13 == 0) java.util.Arrays.copyOf(wal, wal.length - 5)
+        else if (k % 19 == 0) { val t = wal.clone(); t(41) = (t(41) ^ 1).toByte; t }
+        else wal
+      WalProbe.probe(armed) match {
+        case Some(p) =>
+          (k, true, Some(p.bigEndian), Some(p.pageSize), Some(p.ckptSeq),
+            Some(p.nFrames), Some(p.nCommitted), Some(p.dbPages),
+            Some(p.distinctPages), Some(p.uncommitted))
+        case None =>
+          (k, false, None: Option[Boolean], None: Option[Int], None: Option[Long],
+            None: Option[Int], None: Option[Int], None: Option[Long],
+            None: Option[Int], None: Option[Int])
+      }
+    }.toDF("media_id", "wal_ok", "big_endian", "page_size", "ckpt_seq",
+      "n_frames", "n_committed", "db_pages", "distinct_pages", "uncommitted")
+    out.orderBy($"media_id")
+  }
+
+  val walProbeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, (k % 13 <> 0 AND k % 19 <> 0) AS ok,
+      |        CAST(2 + k % 4 AS INTEGER) AS nfr, CAST(k % 2 AS INTEGER) AS tail
+      |      FROM ks)
+      |SELECT k AS media_id, ok AS wal_ok,
+      |  CASE WHEN ok THEN (k % 5 = 0) END AS big_endian,
+      |  CASE WHEN ok THEN CAST(512 * CASE k % 3 WHEN 0 THEN 1 WHEN 1 THEN 2
+      |    ELSE 4 END AS INTEGER) END AS page_size,
+      |  CASE WHEN ok THEN CAST(k % 100 AS BIGINT) END AS ckpt_seq,
+      |  CASE WHEN ok THEN nfr END AS n_frames,
+      |  CASE WHEN ok THEN CAST(nfr - tail AS INTEGER) END AS n_committed,
+      |  CASE WHEN ok THEN CAST(3 AS BIGINT) END AS db_pages,
+      |  CASE WHEN ok THEN CAST(LEAST(nfr, 3) AS INTEGER) END AS distinct_pages,
+      |  CASE WHEN ok THEN tail END AS uncommitted
+      |FROM p
+      |ORDER BY media_id""".stripMargin
+
   /** Checkpoint-composition gate (see [[graft.llm.TorchCkpt]]):
     * per-key torch-layout zips (JDK zip writer — independent) holding
     * version, a pickle spine written by the engine's pickle writer,
@@ -3375,6 +3430,7 @@ object Docs {
     "q_hudi_snap" -> (hudiSnap _),
     "q_pickle_probe" -> (pickleProbe _),
     "q_ckpt_probe" -> (ckptProbe _),
+    "q_wal_probe" -> (walProbe _),
     "q_safetensors_read" -> (safetensorsRead _),
     "q_npz_read" -> (npzRead _),
     "q_gguf_probe" -> (ggufProbe _),
@@ -3412,6 +3468,7 @@ object Docs {
     "q_hudi_snap" -> hudiSnapSql,
     "q_pickle_probe" -> pickleProbeSql,
     "q_ckpt_probe" -> ckptProbeSql,
+    "q_wal_probe" -> walProbeSql,
     "q_safetensors_read" -> safetensorsReadSql,
     "q_npz_read" -> npzReadSql,
     "q_gguf_probe" -> ggufProbeSql,

@@ -1,0 +1,87 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WAL probe: writer round trips (both checksum orders), the
+  * header/salt/checksum/tiling laws, and cross-validation against a
+  * WAL written by the REAL SQLite (python3 sqlite3, WAL mode,
+  * checkpointing disabled; the live connection's page_count as the
+  * commit-size reference). */
+class WalProbeSpec extends AnyFunSuite {
+  import WalProbe._
+
+  test("writer round trip: both byte orders, commit census") {
+    for (be <- Seq(false, true)) {
+      val wal = write(512, 7, 0x11223344L, 0x55667788L,
+        Seq((1L, 0L, 1.toByte), (2L, 0L, 2.toByte), (3L, 3L, 3.toByte),
+          (2L, 0L, 4.toByte)), bigEndian = be)
+      val p = probe(wal).getOrElse(fail(s"refused be=$be"))
+      assert(p.bigEndian == be && p.pageSize == 512 && p.ckptSeq == 7)
+      assert(p.nFrames == 4 && p.nCommitted == 3 && p.uncommitted == 1)
+      assert(p.dbPages == 3 && p.distinctPages == 3)
+    }
+  }
+
+  test("refusal battery: magic, version, page size, salts, checksums, tiling") {
+    val good = write(512, 1, 1L, 2L, Seq((1L, 1L, 9.toByte)))
+    assert(probe(good).isDefined)
+    val magic = good.clone(); magic(3) = 0x84.toByte
+    assert(probe(magic).isEmpty)
+    val ver = good.clone(); ver(7) = 0x11
+    assert(probe(ver).isEmpty)
+    // page size 513 (not a power of two)
+    val ps = good.clone(); ps(10) = 2; ps(11) = 1
+    assert(probe(ps).isEmpty)
+    // header checksum flip
+    val hc = good.clone(); hc(25) = (hc(25) ^ 1).toByte
+    assert(probe(hc).isEmpty)
+    // a frame salt flip
+    val salt = good.clone(); salt(32 + 9) = (salt(32 + 9) ^ 1).toByte
+    assert(probe(salt).isEmpty)
+    // ANY flipped page byte trips the cumulative checksum
+    val page = good.clone(); page(32 + 24 + 100) = (page(32 + 24 + 100) ^ 0x20).toByte
+    assert(probe(page).isEmpty)
+    // ragged tail (tiling law)
+    assert(probe(java.util.Arrays.copyOf(good, good.length - 3)).isEmpty)
+    // a commit size smaller than its own page number
+    val bad = write(512, 1, 1L, 2L, Seq((5L, 2L, 9.toByte)))
+    assert(probe(bad).isEmpty)
+  }
+
+  test("cross-validation: a WAL written by the real SQLite") {
+    import scala.sys.process._
+    val dir = java.nio.file.Files.createTempDirectory("wal")
+    val db = dir.resolve("t.db")
+    val copy = dir.resolve("t.wal")
+    val out = new StringBuilder
+    val rc = Process(Seq("python3", "-c",
+      s"""
+import sqlite3, shutil
+c = sqlite3.connect('$db')
+c.execute('pragma journal_mode=WAL')
+c.execute('pragma wal_autocheckpoint=0')
+c.execute('pragma page_size')
+c.execute('create table t(a integer primary key, b text)')
+for i in range(40): c.execute('insert into t values (?, ?)', (i, 'x'*(i*3)))
+c.commit()
+print('pages', c.execute('pragma page_count').fetchone()[0])
+print('psize', c.execute('pragma page_size').fetchone()[0])
+shutil.copy('$db-wal', '$copy')
+c.close()
+""")).!(ProcessLogger(l => { out.append(l).append('\n') }, _ => ()))
+    assert(rc == 0, out.toString)
+    val stats = out.toString.linesIterator.map(_.split(" ")).map(a => a(0) -> a(1).toLong).toMap
+    val wal = java.nio.file.Files.readAllBytes(copy)
+    val p = probe(wal).getOrElse(fail("refused SQLite's own WAL"))
+    assert(p.pageSize.toLong == stats("psize"))
+    assert(p.dbPages == stats("pages")) // the last commit frame's size law
+    assert(p.nFrames == (wal.length - 32) / (24 + p.pageSize))
+    assert(p.nCommitted == p.nFrames) // everything was committed
+    assert(p.distinctPages >= 1 && p.dbPages >= p.distinctPages)
+    // a single flipped byte in a REAL page refuses through the chain
+    val flip = wal.clone(); flip(32 + 24 + 7) = (flip(32 + 24 + 7) ^ 1).toByte
+    assert(probe(flip).isEmpty)
+    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(x => java.nio.file.Files.deleteIfExists(x))
+  }
+}
