@@ -324,15 +324,162 @@ object Code {
       |FROM p LEFT JOIN ex ON ex.k = p.k
       |ORDER BY media_id""".stripMargin
 
+  /** Binary-asset dispatch capstone: NINE formats sniffed by magic
+    * (footer magic for SST — the one family whose signature lives at
+    * the END) and routed to their walks — the binary sibling of
+    * q_doc_zoo. The sniffed kind must MATCH the kind the writer chose
+    * (a mis-sniff is a failure, not a different answer). Refusal arm:
+    * truncation (k mod 13) under every format's own laws. */
+  def assetZoo(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm._
+    val keys = partKeys(s, d) // full-width spread: the dispatch map is the cost
+    val out = keys.map { k =>
+      val kindIx = (k % 9).toInt
+      val bytes: Array[Byte] = kindIx match {
+        case 0 => ElfProbe.write(is64 = true, 62, (100 + k % 50).toInt, 40)
+        case 1 => ClassProbe.write("Z", 52, (k % 4).toInt, (k % 2).toInt)
+        case 2 => WasmProbe.write((1 + k % 2).toInt, (k % 3).toInt,
+          memory = false, custom = None)
+        case 3 =>
+          import GitPack._
+          writePack(Seq(
+            WFull(TBlob, Array.tabulate((100 + k % 40).toInt)(i => ('a' + (i + k) % 20).toByte)),
+            WFull(TBlob, Array.tabulate(50)(i => ('b' + (i + k) % 18).toByte))))
+        case 4 =>
+          import graft.ops.TarArchive
+          def gz(b: Array[Byte]): Array[Byte] = {
+            val o = new java.io.ByteArrayOutputStream()
+            val z = new java.util.zip.GZIPOutputStream(o)
+            z.write(b); z.close(); o.toByteArray
+          }
+          ArDeb.arWrite(Seq(
+            ("debian-binary", "2.0\n".getBytes),
+            ("control.tar.gz", gz(TarArchive.encodeTar(Seq(("./control", "Package: z\n".getBytes))))),
+            ("data.tar.gz", gz(TarArchive.encodeTar(Seq(("./usr/a.bin",
+              Array.tabulate((30 + k % 20).toInt)(i => ((k + i) % 256).toByte))))))))
+        case 5 =>
+          WalProbe.write(512, k % 10, k + 1, k + 2,
+            (0 until (1 + k % 3).toInt).map(i =>
+              (1L + i % 2, if (i == (k % 3).toInt) 2L else 0L, (k + i).toByte)))
+        case 6 =>
+          val w = new PickleProbe.Writer().emptyDict().mark()
+          (0 until (1 + k % 3).toInt).foreach(i => w.str(s"k$i").int(((k + i) % 200).toInt))
+          w.str("w").global("torch._utils", "_rebuild_tensor_v2")
+          w.setitems().stop()
+        case 7 =>
+          SstProbe.write((0 until (5 + k % 5).toInt).map { i =>
+            (f"key$i%04d".getBytes,
+              Array.tabulate((10 + (k + i) % 40).toInt)(j => ((j + k) & 0xff).toByte))
+          }, snappy = false)
+        case _ =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val zos = new java.util.zip.ZipOutputStream(bos)
+          def put(n: String, d2: Array[Byte]): Unit = {
+            zos.putNextEntry(new java.util.zip.ZipEntry(n)); zos.write(d2); zos.closeEntry()
+          }
+          put("archive/version", "3\n".getBytes)
+          put("archive/data.pkl", new PickleProbe.Writer().emptyDict().mark()
+            .str("w").global("torch._utils", "_rebuild_tensor_v2").setitems().stop())
+          (0 until (1 + k % 2).toInt).foreach(i =>
+            put(s"archive/data/$i", Array.fill[Byte]((64 + k % 30).toInt)(1)))
+          zos.close()
+          bos.toByteArray
+      }
+      val armed =
+        if (k % 13 == 0) java.util.Arrays.copyOf(bytes, bytes.length - 5)
+        else bytes
+      // ---- the sniff: head magics, then the footer family ----
+      def sniff(b: Array[Byte]): String = {
+        if (b.length < 8) "unknown"
+        else if (b(0) == 0x7f && b(1) == 'E' && b(2) == 'L' && b(3) == 'F') "elf"
+        else if ((b(0) & 0xff) == 0xca && (b(1) & 0xff) == 0xfe &&
+          (b(2) & 0xff) == 0xba && (b(3) & 0xff) == 0xbe) "class"
+        else if (b(0) == 0 && b(1) == 'a' && b(2) == 's' && b(3) == 'm') "wasm"
+        else if (b(0) == 'P' && b(1) == 'A' && b(2) == 'C' && b(3) == 'K') "pack"
+        else if (b(0) == '!' && b(1) == '<' && b(2) == 'a' && b(3) == 'r') "deb"
+        else if ((b(0) & 0xff) == 0x37 && (b(1) & 0xff) == 0x7f &&
+          (b(2) & 0xff) == 0x06) "wal"
+        else if ((b(0) & 0xff) == 0x80 && b(1) >= 2 && b(1) <= 5) "pickle"
+        else if (b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4) "ckpt"
+        else if ({ // the SST footer magic, LE at the file END
+          var v = 0L
+          var i = 7
+          while (i >= 0) { v = (v << 8) | (b(b.length - 8 + i) & 0xffL); i -= 1 }
+          v == 0x88e241b785f4cff7L
+        }) "sst"
+        else "unknown"
+      }
+      val kind = sniff(armed)
+      val fact: Option[(Long, Long)] = kind match {
+        case "elf" => ElfProbe.probe(armed).map(p => (p.nSections.toLong, p.sectionBytes))
+        case "class" => ClassProbe.probe(armed).map(p => (p.cpCount.toLong, p.utf8Bytes))
+        case "wasm" => WasmProbe.probe(armed).map(p => (p.nFuncs.toLong, p.codeBytes))
+        case "pack" => GitPack.probePack(armed).map(p => (p.nObjects.toLong, p.inflatedBytes))
+        case "deb" => ArDeb.debProbe(armed).map(p => (p.nMembers.toLong, p.dataBytes))
+        case "wal" => WalProbe.probe(armed).map(p => (p.nFrames.toLong, p.pageSize.toLong))
+        case "pickle" => PickleProbe.probe(armed).map(c => (c.nOps.toLong, c.strBytes))
+        case "sst" => SstProbe.probe(armed).map(p => (p.nEntries.toLong, p.kvBytes))
+        case "ckpt" => TorchCkpt.probe(armed).map(p => (p.nStorages.toLong, p.storageBytes))
+        case _ => None
+      }
+      val expected = Seq("elf", "class", "wasm", "pack", "deb", "wal",
+        "pickle", "sst", "ckpt")(kindIx)
+      fact match {
+        case Some((n, by)) if kind == expected =>
+          (k, true, Some(kind), Some(n), Some(by))
+        case _ =>
+          (k, false, None: Option[String], None: Option[Long], None: Option[Long])
+      }
+    }.toDF("media_id", "zoo_ok", "kind", "n_items", "n_bytes")
+    out.orderBy($"media_id")
+  }
+
+  val assetZooSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, (k % 13 <> 0) AS ok, CAST(k % 9 AS INTEGER) AS ki FROM ks),
+      |sst AS (
+      |  SELECT p.k, CAST(SUM(7 + 10 + (p.k + i.g) % 40) AS BIGINT) AS kvb
+      |  FROM p, generate_series(0, 9) i(g) WHERE i.g < 5 + p.k % 5 GROUP BY p.k)
+      |SELECT p.k AS media_id, p.ok AS zoo_ok,
+      |  CASE WHEN p.ok THEN CASE p.ki WHEN 0 THEN 'elf' WHEN 1 THEN 'class'
+      |    WHEN 2 THEN 'wasm' WHEN 3 THEN 'pack' WHEN 4 THEN 'deb'
+      |    WHEN 5 THEN 'wal' WHEN 6 THEN 'pickle' WHEN 7 THEN 'sst'
+      |    ELSE 'ckpt' END END AS kind,
+      |  CASE WHEN p.ok THEN CAST(CASE p.ki
+      |    WHEN 0 THEN 4
+      |    WHEN 1 THEN 5 + 2 * (p.k % 4 + p.k % 2)
+      |    WHEN 2 THEN p.k % 3
+      |    WHEN 3 THEN 2
+      |    WHEN 4 THEN 3
+      |    WHEN 5 THEN 1 + p.k % 3
+      |    WHEN 6 THEN 9 + 2 * (p.k % 3)
+      |    WHEN 7 THEN 5 + p.k % 5
+      |    ELSE 1 + p.k % 2 END AS BIGINT) END AS n_items,
+      |  CASE WHEN p.ok THEN CAST(CASE p.ki
+      |    WHEN 0 THEN 163 + p.k % 50
+      |    WHEN 1 THEN 17 + 5 * (p.k % 4) + 3 * (p.k % 2)
+      |    WHEN 2 THEN 2 * (p.k % 3)
+      |    WHEN 3 THEN 150 + p.k % 40
+      |    WHEN 4 THEN 30 + p.k % 20
+      |    WHEN 5 THEN 512
+      |    WHEN 6 THEN 3 + 2 * (p.k % 3)
+      |    WHEN 7 THEN sst.kvb
+      |    ELSE (1 + p.k % 2) * (64 + p.k % 30) END AS BIGINT) END AS n_bytes
+      |FROM p JOIN sst ON sst.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_git_pack" -> (gitPack _),
     "q_code_census" -> (codeCensus _),
     "q_class_probe" -> (classProbe _),
-    "q_wasm_probe" -> (wasmProbe _))
+    "q_wasm_probe" -> (wasmProbe _),
+    "q_asset_zoo" -> (assetZoo _))
 
   def oracles: Map[String, String] = Map(
     "q_git_pack" -> gitPackSql,
     "q_code_census" -> codeCensusSql,
     "q_class_probe" -> classProbeSql,
-    "q_wasm_probe" -> wasmProbeSql)
+    "q_wasm_probe" -> wasmProbeSql,
+    "q_asset_zoo" -> assetZooSql)
 }
