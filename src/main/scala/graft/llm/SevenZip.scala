@@ -253,7 +253,7 @@ object SevenZip {
           var i = 0
           while (i < chars) {
             val c = ((data(1 + 2 * i) & 0xff) | ((data(2 + 2 * i) & 0xff) << 8)).toChar
-            if (c == ' ') {
+            if (c == '\u0000') {
               names :+= sb.toString
               sb.clear()
             } else sb.append(c)
