@@ -261,6 +261,7 @@ class GitPackSpec extends AnyFunSuite {
       sh(Seq("git", "add", "-A")); sh(Seq("git", "commit", "-qm", "two"))
       java.nio.file.Files.write(dir.toPath.resolve("big.txt"), (base + "tail v2\ntail v3\n").getBytes)
       sh(Seq("git", "add", "-A")); sh(Seq("git", "commit", "-qm", "three"))
+      sh(Seq("git", "tag", "-a", "-m", "release one", "v1")) // an annotated TAG object
       sh(Seq("git", "repack", "-adq", "--depth=10", "--window=10"))
       val packDir = new java.io.File(dir, ".git/objects/pack")
       val packFile = packDir.listFiles.filter(_.getName.endsWith(".pack")).head
@@ -271,6 +272,7 @@ class GitPackSpec extends AnyFunSuite {
       // our decode of git's pack, under every law INCLUDING the idx pair
       val p = probePair(pack, idx).getOrElse(fail("git's own pack/idx refused"))
       assert(p.nObjects >= 8)
+      assert(p.byType(TTag) == 1) // all FOUR object types covered
 
       // the pack name embeds its trailer sha
       assert(packFile.getName == s"pack-${p.packSha}.pack")
