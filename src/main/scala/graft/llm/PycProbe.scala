@@ -1,0 +1,66 @@
+package graft.llm
+
+/** CPython bytecode-cache (`.pyc`) probe — `__pycache__` directories
+  * ride along in every Python repository dump and must be censused as
+  * build artifacts, not text. The PEP-552 header walk:
+  *
+  *  - bytes 0..3: the magic — a little-endian version word followed by
+  *    the mandatory `\r\n` pair (the law that catches text-mode
+  *    transfer damage, its original purpose);
+  *  - bytes 4..7: the invalidation flags — bit 0 hash-based, bit 1
+  *    check-source; any higher bit set refuses (reserved);
+  *  - timestamp form: mtime u32le + source-size u32le; hash form: the
+  *    8-byte source hash;
+  *  - the marshal payload's first byte must be a TYPE_CODE (`c`,
+  *    usually with the REF flag 0x80) — the top object of a module
+  *    pyc is always a code object;
+  *  - at least one marshal byte must follow the 16-byte header.
+  *
+  * Cross-validated in PycProbeSpec against real `py_compile` output in
+  * BOTH invalidation modes, with `importlib.util.MAGIC_NUMBER` and the
+  * source length as the references.
+  */
+object PycProbe {
+
+  final case class Probe(
+      versionWord: Int, hashBased: Boolean, checkSource: Boolean,
+      mtime: Long, srcSize: Long, topRef: Boolean, marshalBytes: Int)
+
+  def probe(b: Array[Byte]): Option[Probe] = {
+    if (b.length < 17) return None
+    if (b(2) != '\r' || b(3) != '\n') return None // the text-damage law
+    val version = (b(0) & 0xff) | ((b(1) & 0xff) << 8)
+    val flags = ByteIo.le32(b, 4)
+    if ((flags & ~3L) != 0) return None // reserved invalidation bits
+    val hashBased = (flags & 1) != 0
+    val checkSource = (flags & 2) != 0
+    if (checkSource && !hashBased) return None // bit 1 implies bit 0
+    val (mtime, srcSize) =
+      if (hashBased) (0L, -1L)
+      else (ByteIo.le32(b, 8), ByteIo.le32(b, 12))
+    val top = b(16) & 0xff
+    if ((top & 0x7f) != 'c') return None // module top object is code
+    Some(Probe(version, hashBased, checkSource, mtime, srcSize,
+      (top & 0x80) != 0, b.length - 16))
+  }
+
+  /** Gate fixture writer (timestamp or hash form). */
+  def write(versionWord: Int, hashBased: Boolean, mtime: Long, srcSize: Long,
+      marshalLen: Int): Array[Byte] = {
+    val out = new Array[Byte](16 + marshalLen)
+    out(0) = (versionWord & 0xff).toByte
+    out(1) = ((versionWord >> 8) & 0xff).toByte
+    out(2) = '\r'; out(3) = '\n'
+    def w32(p: Int, v: Long): Unit = {
+      var i = 0
+      while (i < 4) { out(p + i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+    }
+    w32(4, if (hashBased) 1L else 0L)
+    if (!hashBased) { w32(8, mtime); w32(12, srcSize) }
+    else { w32(8, 0x11223344L); w32(12, 0x55667788L) }
+    out(16) = 0xe3.toByte // 'c' | REF
+    var i = 17
+    while (i < out.length) { out(i) = ((i * 7) & 0xff).toByte; i += 1 }
+    out
+  }
+}

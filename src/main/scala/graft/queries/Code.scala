@@ -469,17 +469,60 @@ object Code {
       |FROM p JOIN sst ON sst.k = p.k
       |ORDER BY media_id""".stripMargin
 
+  /** pyc gate (see [[graft.llm.PycProbe]]): per-key bytecode caches in
+    * both PEP-552 invalidation forms. Refusal arms: truncation under
+    * the 17-byte floor (k mod 13) and a flipped CRLF byte (k mod 19 —
+    * the text-damage law). */
+  def pycProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.PycProbe
+    val keys = partKeys(s, d) // full-width spread: the header walk is the cost
+    val out = keys.map { k =>
+      val hash = k % 2 == 0
+      val bytes = PycProbe.write((3400 + k % 300).toInt, hash,
+        1700000000L + k, 100 + k % 900, (10 + k % 50).toInt)
+      val armed =
+        if (k % 13 == 0) java.util.Arrays.copyOf(bytes, 12)
+        else if (k % 19 == 0) { val t = bytes.clone(); t(2) = 'x'; t }
+        else bytes
+      PycProbe.probe(armed) match {
+        case Some(p) =>
+          (k, true, Some(p.versionWord), Some(p.hashBased),
+            if (p.hashBased) None: Option[Long] else Some(p.srcSize),
+            Some(p.marshalBytes))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Boolean],
+            None: Option[Long], None: Option[Int])
+      }
+    }.toDF("media_id", "pyc_ok", "version", "hash_based", "src_size",
+      "marshal_bytes")
+    out.orderBy($"media_id")
+  }
+
+  val pycProbeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, (k % 13 <> 0 AND k % 19 <> 0) AS ok FROM ks)
+      |SELECT k AS media_id, ok AS pyc_ok,
+      |  CASE WHEN ok THEN CAST(3400 + k % 300 AS INTEGER) END AS version,
+      |  CASE WHEN ok THEN (k % 2 = 0) END AS hash_based,
+      |  CASE WHEN ok AND k % 2 <> 0 THEN CAST(100 + k % 900 AS BIGINT) END AS src_size,
+      |  CASE WHEN ok THEN CAST(10 + k % 50 AS INTEGER) END AS marshal_bytes
+      |FROM p
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_git_pack" -> (gitPack _),
     "q_code_census" -> (codeCensus _),
     "q_class_probe" -> (classProbe _),
     "q_wasm_probe" -> (wasmProbe _),
-    "q_asset_zoo" -> (assetZoo _))
+    "q_asset_zoo" -> (assetZoo _),
+    "q_pyc_probe" -> (pycProbe _))
 
   def oracles: Map[String, String] = Map(
     "q_git_pack" -> gitPackSql,
     "q_code_census" -> codeCensusSql,
     "q_class_probe" -> classProbeSql,
     "q_wasm_probe" -> wasmProbeSql,
-    "q_asset_zoo" -> assetZooSql)
+    "q_asset_zoo" -> assetZooSql,
+    "q_pyc_probe" -> pycProbeSql)
 }

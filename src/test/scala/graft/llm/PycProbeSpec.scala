@@ -1,0 +1,66 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** pyc probe: writer round trips, the header laws, and cross-
+  * validation against real py_compile output in both invalidation
+  * modes, with importlib.util.MAGIC_NUMBER and the source length as
+  * the independent references. */
+class PycProbeSpec extends AnyFunSuite {
+  import PycProbe._
+
+  test("writer round trip: both invalidation forms") {
+    val t = probe(write(3495, hashBased = false, 1700000000L, 512L, 30)).get
+    assert(t.versionWord == 3495 && !t.hashBased)
+    assert(t.mtime == 1700000000L && t.srcSize == 512L)
+    assert(t.topRef && t.marshalBytes == 30)
+    val h = probe(write(3600, hashBased = true, 0, 0, 12)).get
+    assert(h.hashBased && !h.checkSource && h.srcSize == -1L)
+  }
+
+  test("laws: CRLF, reserved flags, bit implication, top object, length") {
+    val good = write(3495, hashBased = false, 1L, 2L, 10)
+    assert(probe(good).isDefined)
+    val crlf = good.clone(); crlf(2) = 'x'
+    assert(probe(crlf).isEmpty)
+    val res = good.clone(); res(4) = 4 // a reserved flag bit
+    assert(probe(res).isEmpty)
+    val imp = good.clone(); imp(4) = 2 // check-source without hash-based
+    assert(probe(imp).isEmpty)
+    val top = good.clone(); top(16) = 'd'
+    assert(probe(top).isEmpty)
+    assert(probe(java.util.Arrays.copyOf(good, 16)).isEmpty)
+  }
+
+  test("cross-validation: real py_compile output in both modes") {
+    import scala.sys.process._
+    val dir = java.nio.file.Files.createTempDirectory("pyc")
+    val out = new StringBuilder
+    val rc = Process(Seq("python3", "-c",
+      s"""
+import py_compile, importlib.util, os
+src = '$dir/m.py'
+open(src, 'w').write('def f(x):\\n    return x * 2\\n\\nY = [f(i) for i in range(4)]\\n')
+py_compile.compile(src, cfile='$dir/ts.pyc')
+py_compile.compile(src, cfile='$dir/ck.pyc',
+    invalidation_mode=py_compile.PycInvalidationMode.CHECKED_HASH)
+m = importlib.util.MAGIC_NUMBER
+print('word', m[0] | (m[1] << 8))
+print('srclen', os.path.getsize(src))
+""")).!(ProcessLogger(l => { out.append(l).append('\n') }, l => { out.append(l).append('\n') }))
+    assert(rc == 0, out.toString)
+    val stats = out.toString.linesIterator.map(_.split(" "))
+      .map(a => a(0) -> a(1).toLong).toMap
+    val ts = probe(java.nio.file.Files.readAllBytes(dir.resolve("ts.pyc")))
+      .getOrElse(fail("refused a real timestamp pyc"))
+    assert(ts.versionWord.toLong == stats("word")) // MAGIC_NUMBER law
+    assert(!ts.hashBased && ts.srcSize == stats("srclen"))
+    assert(ts.marshalBytes > 20)
+    val ck = probe(java.nio.file.Files.readAllBytes(dir.resolve("ck.pyc")))
+      .getOrElse(fail("refused a real checked-hash pyc"))
+    assert(ck.hashBased && ck.checkSource)
+    assert(ck.versionWord.toLong == stats("word"))
+    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(x => java.nio.file.Files.deleteIfExists(x))
+  }
+}
