@@ -1,0 +1,283 @@
+package graft.llm
+
+/** cpio (SVR4 `newc`/`crc`) walk + RPM package probe — the other half
+  * of the packaging family next to [[ArDeb]]: RPM is a lead + two
+  * "header structures" + a compressed cpio payload, and distro dumps
+  * carry both forms wholesale.
+  *
+  * cpio laws (the `070701`/`070702` ASCII format):
+  *  - 110-byte headers: the magic, then thirteen 8-char lowercase-hex
+  *    fields (ino/mode/uid/gid/nlink/mtime/filesize/dev/rdev pairs/
+  *    namesize/check);
+  *  - names are NUL-terminated EXACTLY (namesize includes the NUL, no
+  *    interior NULs), header+name padded to 4 with ZERO bytes, data
+  *    padded to 4 with zero bytes;
+  *  - under `070702` the check field must equal the file bytes' sum
+  *    mod 2^32 (verified per entry); under `070701` it must be zero;
+  *  - the `TRAILER!!!` entry ends the walk; only NUL padding may
+  *    follow.
+  *
+  * RPM laws (the public rpm file format):
+  *  - lead: magic `ED AB EE DB`, version 3.x, type 0/1, the NUL-padded
+  *    name, signature type 5;
+  *  - each header structure: magic `8E AD E8 01`, reserved zero,
+  *    entry count and store size (BE32), 16-byte index entries with
+  *    known types (0..9) and store offsets in bounds; the signature
+  *    store pads to 8 before the main header;
+  *  - the main header must carry NAME/VERSION/RELEASE (STRING tags
+  *    1000/1001/1002), PAYLOADFORMAT "cpio" (1124) and a
+  *    PAYLOADCOMPRESSOR (1125) our decoders speak (gzip/xz/zstd);
+  *  - the payload decompresses (through the engine's OWN decoders)
+  *    into a lawful cpio archive.
+  */
+object CpioRpm {
+
+  // ---- cpio ----
+
+  final case class CpioEntry(name: String, mode: Long, size: Long, data: Array[Byte])
+  final case class CpioProbe(crcForm: Boolean, entries: Vector[CpioEntry]) {
+    def fileBytes: Long = entries.map(_.size).sum
+  }
+
+  private def hex8(b: Array[Byte], p: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      val c = b(p + i)
+      val d =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else return -1L
+      v = (v << 4) | d
+      i += 1
+    }
+    v
+  }
+
+  def cpio(b: Array[Byte]): Option[CpioProbe] = {
+    val out = Vector.newBuilder[CpioEntry]
+    var crcForm = false
+    var p = 0
+    var first = true
+    while (true) {
+      if (p + 110 > b.length) return None
+      val magic = new String(b, p, 6, java.nio.charset.StandardCharsets.US_ASCII)
+      val isCrc = magic == "070702"
+      if (!isCrc && magic != "070701") return None
+      if (first) { crcForm = isCrc; first = false }
+      else if (isCrc != crcForm) return None // one form per archive
+      val mode = hex8(b, p + 14)
+      val mtime = hex8(b, p + 46)
+      val fileSize = hex8(b, p + 54)
+      val nameSize = hex8(b, p + 94)
+      val check = hex8(b, p + 102)
+      if (mode < 0 || mtime < 0 || fileSize < 0 || nameSize < 0 || check < 0) return None
+      if (nameSize < 2 || nameSize > 4096 || fileSize > Int.MaxValue) return None
+      val nameEnd = p + 110 + nameSize
+      if (nameEnd > b.length) return None
+      if (b((nameEnd - 1).toInt) != 0) return None // the exact-NUL law
+      var i = p + 110
+      while (i < nameEnd - 1) {
+        if (b(i) == 0) return None // no interior NUL
+        i += 1
+      }
+      val name = new String(b, p + 110, (nameSize - 1).toInt,
+        java.nio.charset.StandardCharsets.UTF_8)
+      var q = nameEnd.toInt
+      while ((q - p) % 4 != 0) {
+        if (q >= b.length || b(q) != 0) return None // zero-pad law
+        q += 1
+      }
+      if (name == "TRAILER!!!") {
+        if (fileSize != 0) return None
+        while (q < b.length) {
+          if (b(q) != 0) return None // only NULs after the trailer
+          q += 1
+        }
+        return Some(CpioProbe(crcForm, out.result()))
+      }
+      if (q + fileSize > b.length) return None
+      val data = java.util.Arrays.copyOfRange(b, q, (q + fileSize).toInt)
+      if (crcForm) {
+        var sum = 0L
+        var j = 0
+        while (j < data.length) { sum = (sum + (data(j) & 0xff)) & 0xffffffffL; j += 1 }
+        if (sum != check) return None // the 070702 check law
+      } else if (check != 0) return None // 070701: check must be zero
+      q += fileSize.toInt
+      while (q % 4 != 0) { // data pads to 4 with zero bytes
+        if (q >= b.length || b(q) != 0) return None
+        q += 1
+      }
+      out += CpioEntry(name, mode, fileSize, data)
+      p = q
+    }
+    None // unreachable
+  }
+
+  /** cpio writer (newc or crc form). */
+  def cpioWrite(files: Seq[(String, Array[Byte])], crcForm: Boolean): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream(512)
+    def field(v: Long): Unit = {
+      val s = f"$v%08x"
+      o.write(s.getBytes, 0, 8)
+    }
+    def entry(name: String, data: Array[Byte], mode: Long): Unit = {
+      o.write((if (crcForm) "070702" else "070701").getBytes, 0, 6)
+      field(1); field(mode); field(0); field(0); field(1); field(0)
+      field(data.length)
+      field(0); field(0); field(0); field(0)
+      val nm = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      field(nm.length + 1)
+      field(if (crcForm && data.nonEmpty) {
+        var s = 0L; data.foreach(d => s = (s + (d & 0xff)) & 0xffffffffL); s
+      } else 0L)
+      o.write(nm, 0, nm.length); o.write(0)
+      while (o.size() % 4 != 0) o.write(0)
+      o.write(data, 0, data.length)
+      while (o.size() % 4 != 0) o.write(0)
+    }
+    files.foreach { case (n, d) => entry(n, d, 0x81a4L) } // 0100644
+    entry("TRAILER!!!", Array.emptyByteArray, 0L)
+    o.toByteArray
+  }
+
+  // ---- RPM ----
+
+  final case class RpmProbe(
+      name: String, version: String, release: String, rpmType: Int,
+      nSigEntries: Int, nHdrEntries: Int, compressor: String,
+      payloadFiles: Int, payloadBytes: Long)
+
+  private def be32(b: Array[Byte], p: Int): Long =
+    ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+      ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+
+  /** One header structure: returns (tag → (type, offset, count), store,
+    * position after). */
+  private def headerStruct(b: Array[Byte], p0: Int):
+      Option[(Map[Long, (Long, Long, Long)], Array[Byte], Int)] = {
+    if (p0 + 16 > b.length) return None
+    if (!((b(p0) & 0xff) == 0x8e && (b(p0 + 1) & 0xff) == 0xad &&
+      (b(p0 + 2) & 0xff) == 0xe8 && (b(p0 + 3) & 0xff) == 0x01)) return None
+    if (be32(b, p0 + 4) != 0) return None // reserved
+    val n = be32(b, p0 + 8)
+    val hsize = be32(b, p0 + 12)
+    if (n < 1 || n > 4096 || hsize < 0 || hsize > (1 << 26)) return None
+    val idxEnd = p0 + 16 + n.toInt * 16
+    val storeEnd = idxEnd + hsize.toInt
+    if (storeEnd > b.length) return None
+    val entries = Map.newBuilder[Long, (Long, Long, Long)]
+    var i = 0
+    while (i < n) {
+      val e = p0 + 16 + i * 16
+      val tag = be32(b, e)
+      val typ = be32(b, e + 4)
+      val off = be32(b, e + 8)
+      val cnt = be32(b, e + 12)
+      if (typ > 9) return None // known index types only
+      if (off < 0 || off > hsize) return None // store bounds
+      entries += (tag -> ((typ, off, cnt)))
+      i += 1
+    }
+    Some((entries.result(),
+      java.util.Arrays.copyOfRange(b, idxEnd, storeEnd), storeEnd))
+  }
+
+  private def storeString(store: Array[Byte], off: Long): Option[String] = {
+    if (off < 0 || off >= store.length) return None
+    var e = off.toInt
+    while (e < store.length && store(e) != 0) e += 1
+    if (e >= store.length) return None
+    Some(new String(store, off.toInt, e - off.toInt,
+      java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def rpm(b: Array[Byte]): Option[RpmProbe] = {
+    if (b.length < 96) return None
+    if (!((b(0) & 0xff) == 0xed && (b(1) & 0xff) == 0xab &&
+      (b(2) & 0xff) == 0xee && (b(3) & 0xff) == 0xdb)) return None
+    if ((b(4) & 0xff) != 3) return None // rpm v3 lead
+    val rpmType = ((b(6) & 0xff) << 8) | (b(7) & 0xff)
+    if (rpmType > 1) return None // binary / source only
+    val sigType = ((b(78) & 0xff) << 8) | (b(79) & 0xff)
+    if (sigType != 5) return None // header-style signature
+    val (sig, _, afterSig0) = headerStruct(b, 96).getOrElse(return None)
+    var p = afterSig0
+    while (p % 8 != 0) { // the signature store pads to 8
+      if (p >= b.length || b(p) != 0) return None
+      p += 1
+    }
+    val (hdr, store, afterHdr) = headerStruct(b, p).getOrElse(return None)
+    def str(tag: Long): Option[String] = hdr.get(tag).flatMap { case (typ, off, _) =>
+      if (typ != 6) None else storeString(store, off)
+    }
+    val name = str(1000).getOrElse(return None)
+    val version = str(1001).getOrElse(return None)
+    val release = str(1002).getOrElse(return None)
+    if (!str(1124).contains("cpio")) return None // payload format law
+    val compressor = str(1125).getOrElse(return None)
+    val payload = java.util.Arrays.copyOfRange(b, afterHdr, b.length)
+    val plain: Option[Array[Byte]] = compressor match {
+      case "gzip" => MediaCodec.gunzipMembers(payload).flatMap {
+        case Seq(m) => Some(m.data)
+        case _ => None
+      }
+      case "xz" => XzDecode.decompress(payload, maxOut = 1 << 24).map(_._1)
+      case "zstd" => ZstdDecode.decompress(payload, maxOut = 1 << 24)
+      case _ => None // a compressor we cannot verify refuses
+    }
+    val archive = plain.flatMap(cpio).getOrElse(return None)
+    Some(RpmProbe(name, version, release, rpmType, sig.size, hdr.size,
+      compressor, archive.entries.size, archive.fileBytes))
+  }
+
+  /** RPM writer (gate fixtures): lead + minimal signature + a header
+    * with NAME/VERSION/RELEASE/PAYLOADFORMAT/PAYLOADCOMPRESSOR + the
+    * compressed cpio payload. */
+  def rpmWrite(name: String, version: String, release: String,
+      compressor: String, payload: Array[Byte]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream(1024)
+    def w32(v: Long): Unit = {
+      o.write(((v >>> 24) & 0xff).toInt); o.write(((v >>> 16) & 0xff).toInt)
+      o.write(((v >>> 8) & 0xff).toInt); o.write((v & 0xff).toInt)
+    }
+    // lead
+    o.write(0xed); o.write(0xab); o.write(0xee); o.write(0xdb)
+    o.write(3); o.write(0) // version 3.0
+    o.write(0); o.write(0) // type binary
+    o.write(0); o.write(1) // arch
+    val nm = s"$name-$version-$release".getBytes
+    var i = 0
+    while (i < 66) { o.write(if (i < nm.length) nm(i) else 0); i += 1 }
+    o.write(0); o.write(1) // os
+    o.write(0); o.write(5) // signature type 5
+    (0 until 16).foreach(_ => o.write(0))
+    // signature header: one SIZE entry (tag 1000 in sig space, INT32)
+    o.write(0x8e); o.write(0xad); o.write(0xe8); o.write(0x01); w32(0)
+    w32(1); w32(4)
+    w32(1000); w32(4); w32(0); w32(1)
+    w32(payload.length)
+    while (o.size() % 8 != 0) o.write(0) // pad to 8
+    // main header: five STRING tags
+    val tags = Seq(1000L -> name, 1001L -> version, 1002L -> release,
+      1124L -> "cpio", 1125L -> compressor)
+    val storeB = new java.io.ByteArrayOutputStream(64)
+    val offs = tags.map { case (_, v) =>
+      val off = storeB.size()
+      val vb = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      storeB.write(vb, 0, vb.length); storeB.write(0)
+      off
+    }
+    val store = storeB.toByteArray
+    o.write(0x8e); o.write(0xad); o.write(0xe8); o.write(0x01); w32(0)
+    w32(tags.size); w32(store.length)
+    tags.zip(offs).foreach { case ((tag, _), off) =>
+      w32(tag); w32(6); w32(off); w32(1)
+    }
+    o.write(store, 0, store.length)
+    o.write(payload, 0, payload.length)
+    o.toByteArray
+  }
+}

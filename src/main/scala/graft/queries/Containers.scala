@@ -533,7 +533,82 @@ object Containers {
       |FROM p JOIN fs ON fs.k = p.k
       |ORDER BY media_id""".stripMargin
 
+  /** RPM + cpio gate (see [[graft.llm.CpioRpm]]): per-key packages
+    * over cpio payloads in both forms (newc / crc-checked 070702),
+    * compressed by the INDEPENDENT writers (JDK gzip, xz-java,
+    * zstd-jni) and decompressed by OUR decoders. Refusal arms:
+    * truncation (k mod 13) and a signature-type poison (k mod 19). */
+  def rpmProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.CpioRpm
+    // the other 16th of the deb lane: the independent writers dominate
+    val keys = partKeys(s, d).filter(_ % 16 == 15)
+    val out = keys.map { k =>
+      val nf = (1 + k % 3).toInt
+      val fs = (0 until nf).map { i =>
+        (s"./usr/f$i.bin",
+          Array.tabulate((40 + (k + i * 17) % 80).toInt)(j => ((j * 3 + k) % 256).toByte))
+      }
+      val plain = CpioRpm.cpioWrite(fs, crcForm = k % 2 == 0)
+      val payload = (k % 3) match {
+        case 0 =>
+          val o = new java.io.ByteArrayOutputStream()
+          val z = new java.util.zip.GZIPOutputStream(o)
+          z.write(plain); z.close(); o.toByteArray
+        case 1 =>
+          val o = new java.io.ByteArrayOutputStream()
+          val z = new org.tukaani.xz.XZOutputStream(o, new org.tukaani.xz.LZMA2Options(1))
+          z.write(plain); z.close(); o.toByteArray
+        case _ =>
+          val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+          try { ctx.setLevel(3); ctx.setChecksum(true); ctx.compress(plain) }
+          finally ctx.close()
+      }
+      val comp = Seq("gzip", "xz", "zstd")((k % 3).toInt)
+      val bytes = CpioRpm.rpmWrite(s"p$k", s"1.${k % 10}", s"${k % 5}", comp, payload)
+      val armed =
+        if (k % 13 == 0) java.util.Arrays.copyOf(bytes, bytes.length - 10)
+        else if (k % 19 == 0) { val t = bytes.clone(); t(79) = 4; t }
+        else bytes
+      CpioRpm.rpm(armed) match {
+        case Some(p) =>
+          (k, true, Some(p.name), Some(p.version), Some(p.release),
+            Some(p.compressor), Some(p.nSigEntries), Some(p.nHdrEntries),
+            Some(p.payloadFiles), Some(p.payloadBytes))
+        case None =>
+          (k, false, None: Option[String], None: Option[String],
+            None: Option[String], None: Option[String], None: Option[Int],
+            None: Option[Int], None: Option[Int], None: Option[Long])
+      }
+    }.toDF("media_id", "rpm_ok", "name", "version", "release", "compressor",
+      "n_sig", "n_hdr", "n_files", "payload_bytes")
+    out.orderBy($"media_id")
+  }
+
+  val rpmProbeSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part
+      |            WHERE p_partkey % 16 = 15),
+      |p AS (SELECT k, (k % 13 <> 0 AND k % 19 <> 0) AS ok,
+      |        CAST(1 + k % 3 AS INTEGER) AS nf
+      |      FROM ks),
+      |fs AS (
+      |  SELECT p.k, CAST(SUM(40 + (p.k + i.g * 17) % 80) AS BIGINT) AS pb
+      |  FROM p, generate_series(0, 2) i(g) WHERE i.g < p.nf GROUP BY p.k)
+      |SELECT p.k AS media_id, p.ok AS rpm_ok,
+      |  CASE WHEN p.ok THEN 'p' || p.k END AS name,
+      |  CASE WHEN p.ok THEN '1.' || (p.k % 10) END AS version,
+      |  CASE WHEN p.ok THEN CAST(p.k % 5 AS VARCHAR) END AS release,
+      |  CASE WHEN p.ok THEN CASE p.k % 3 WHEN 0 THEN 'gzip' WHEN 1 THEN 'xz'
+      |    ELSE 'zstd' END END AS compressor,
+      |  CASE WHEN p.ok THEN 1 END AS n_sig,
+      |  CASE WHEN p.ok THEN 5 END AS n_hdr,
+      |  CASE WHEN p.ok THEN p.nf END AS n_files,
+      |  CASE WHEN p.ok THEN fs.pb END AS payload_bytes
+      |FROM p JOIN fs ON fs.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rpm_probe" -> (rpmProbe _),
     "q_deb_probe" -> (debProbe _),
     "q_elf_probe" -> (elfProbe _),
     "q_sst_probe" -> (sstProbe _),
@@ -544,6 +619,7 @@ object Containers {
     "q_woff_probe" -> (woffProbe _))
 
   def oracles: Map[String, String] = Map(
+    "q_rpm_probe" -> rpmProbeSql,
     "q_deb_probe" -> debProbeSql,
     "q_elf_probe" -> elfProbeSql,
     "q_sst_probe" -> sstProbeSql,

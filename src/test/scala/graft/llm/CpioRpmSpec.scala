@@ -1,0 +1,118 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** cpio/RPM walk: round trips in both cpio forms and all three RPM
+  * payload compressors (independent writers: JDK gzip, xz-java,
+  * zstd-jni — decompressed by OUR decoders), plus the law batteries
+  * for both formats. */
+class CpioRpmSpec extends AnyFunSuite {
+  import CpioRpm._
+
+  private def files(seed: Int): Seq[(String, Array[Byte])] =
+    (0 until 3).map { i =>
+      (s"./usr/f$i-$seed.bin",
+        Array.tabulate(40 + (seed + i * 17) % 80)(j => ((j * 3 + seed) & 0xff).toByte))
+    }
+
+  test("cpio round trip: newc and crc forms") {
+    for (crc <- Seq(false, true)) {
+      val fs = files(5)
+      val a = cpioWrite(fs, crcForm = crc)
+      val p = cpio(a).getOrElse(fail(s"refused crc=$crc"))
+      assert(p.crcForm == crc)
+      assert(p.entries.map(_.name) == fs.map(_._1).toVector)
+      p.entries.zip(fs).foreach { case (e, (_, d)) => assert(e.data.sameElements(d)) }
+      assert(p.fileBytes == fs.map(_._2.length.toLong).sum)
+    }
+  }
+
+  test("cpio refusals: magic, hex, name NULs, pads, check laws, trailer") {
+    val good = cpioWrite(files(7), crcForm = true)
+    assert(cpio(good).isDefined)
+    val magic = good.clone(); magic(5) = '3'
+    assert(cpio(magic).isEmpty)
+    // a non-hex char in the mode field (offset 14..21 of entry 0)
+    val hx = good.clone(); hx(15) = 'z'
+    assert(cpio(hx).isEmpty)
+    // flip a data byte → the 070702 check law
+    val data = good.clone()
+    val dOff = 110 + "./usr/f0-7.bin".length + 1
+    val aligned = (dOff + 3) / 4 * 4
+    data(aligned + 5) = (data(aligned + 5) ^ 1).toByte
+    assert(cpio(data).isEmpty)
+    // 070701 requires a ZERO check field
+    val newc = cpioWrite(files(7), crcForm = false)
+    val ck = newc.clone(); ck(109) = '1'
+    assert(cpio(ck).isEmpty)
+    // garbage after the trailer refuses
+    assert(cpio(good ++ Array[Byte](7)).isEmpty)
+    // truncation
+    assert(cpio(java.util.Arrays.copyOf(good, good.length - 40)).isEmpty)
+  }
+
+  test("rpm round trip over all three compressors") {
+    for (comp <- Seq("gzip", "xz", "zstd")) {
+      val payloadPlain = cpioWrite(files(3), crcForm = false)
+      val payload = comp match {
+        case "gzip" =>
+          val o = new java.io.ByteArrayOutputStream()
+          val z = new java.util.zip.GZIPOutputStream(o)
+          z.write(payloadPlain); z.close(); o.toByteArray
+        case "xz" =>
+          val o = new java.io.ByteArrayOutputStream()
+          val z = new org.tukaani.xz.XZOutputStream(o, new org.tukaani.xz.LZMA2Options(1))
+          z.write(payloadPlain); z.close(); o.toByteArray
+        case _ =>
+          val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+          try { ctx.setLevel(3); ctx.setChecksum(true); ctx.compress(payloadPlain) }
+          finally ctx.close()
+      }
+      val r = rpmWrite("pkg", "1.2", "3", comp, payload)
+      val p = rpm(r).getOrElse(fail(s"refused compressor $comp"))
+      assert(p.name == "pkg" && p.version == "1.2" && p.release == "3")
+      assert(p.compressor == comp && p.rpmType == 0)
+      assert(p.nSigEntries == 1 && p.nHdrEntries == 5)
+      assert(p.payloadFiles == 3)
+      assert(p.payloadBytes == files(3).map(_._2.length.toLong).sum)
+    }
+  }
+
+  test("rpm refusals: lead, header magic, types, bounds, tags, payload") {
+    def mk(): Array[Byte] = {
+      val plain = cpioWrite(files(9), crcForm = false)
+      val o = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.GZIPOutputStream(o)
+      z.write(plain); z.close()
+      rpmWrite("a", "1", "1", "gzip", o.toByteArray)
+    }
+    val good = mk()
+    assert(rpm(good).isDefined)
+    val lead = good.clone(); lead(0) = 0x11
+    assert(rpm(lead).isEmpty)
+    val ver = good.clone(); ver(4) = 4
+    assert(rpm(ver).isEmpty)
+    val sig = good.clone(); sig(79) = 4 // signature type law
+    assert(rpm(sig).isEmpty)
+    // signature header magic
+    val hm = good.clone(); hm(96) = 0x11
+    assert(rpm(hm).isEmpty)
+    // an unknown compressor string refuses (patch "gzip" → "gzyp")
+    val comp = good.clone()
+    val ix = {
+      var i = 96
+      var found = -1
+      while (found < 0 && i < comp.length - 4) {
+        if (comp(i) == 'g' && comp(i + 1) == 'z' && comp(i + 2) == 'i' && comp(i + 3) == 'p')
+          found = i
+        i += 1
+      }
+      found
+    }
+    assert(ix > 0)
+    comp(ix + 2) = 'y'
+    assert(rpm(comp).isEmpty)
+    // payload truncation refuses through the gzip/cpio chain
+    assert(rpm(java.util.Arrays.copyOf(good, good.length - 10)).isEmpty)
+  }
+}
