@@ -1,0 +1,81 @@
+package graft.llm
+
+/** Secret detection + redaction for code-corpus curation — the
+  * pre-release scrub every public code dataset runs (leaked
+  * credentials must not survive into training data). Deterministic,
+  * documented rules — a pattern set in the public gitleaks/
+  * detect-secrets tradition plus an entropy gate:
+  *
+  *  - `aws-key`: `AKIA` + 16 uppercase alphanumerics on a word
+  *    boundary (the published AWS access-key-id shape);
+  *  - `github-pat`: `ghp_` + 36 alphanumerics;
+  *  - `slack-token`: `xox[baprs]-` + 10+ token chars;
+  *  - `private-key`: a PEM `-----BEGIN … PRIVATE KEY-----` header;
+  *  - `generic-secret`: a quoted value of 12+ chars assigned to a
+  *    secret-ish name (secret/token/passwd/password/api_key), KEPT
+  *    only when the value's Shannon entropy exceeds 3.5 bits/char —
+  *    `password = "aaaaaaaaaaaaaaaa"` is a placeholder, not a leak,
+  *    and flagging it would teach the pipeline to ignore the scanner.
+  *
+  * Redaction replaces each finding with `[SECRET]` (the generic rule
+  * redacts only the value, keeping the assignment shape parseable).
+  */
+object SecretScan {
+
+  final case class Finding(kind: String, start: Int, len: Int)
+  final case class Scan(findings: Vector[Finding], redacted: String) {
+    def count(kind: String): Int = findings.count(_.kind == kind)
+  }
+
+  private val AwsRe = "\\bAKIA[0-9A-Z]{16}\\b".r
+  private val GhpRe = "\\bghp_[A-Za-z0-9]{36}\\b".r
+  private val SlackRe = "\\bxox[baprs]-[0-9A-Za-z-]{10,}".r
+  private val PemRe = "-----BEGIN [A-Z ]*PRIVATE KEY-----".r
+  private val GenericRe =
+    "(?i)(?:secret|token|passwd|password|api_key)\\s*[:=]\\s*[\"']([^\"'\\n]{12,})[\"']".r
+
+  /** Shannon entropy in bits per char. */
+  private[llm] def entropy(s: String): Double = {
+    if (s.isEmpty) return 0.0
+    val counts = s.groupBy(identity).view.mapValues(_.length)
+    counts.values.map { c =>
+      val p = c.toDouble / s.length
+      -p * math.log(p) / math.log(2)
+    }.sum
+  }
+
+  def scan(text: String): Scan = {
+    val found = Vector.newBuilder[Finding]
+    AwsRe.findAllMatchIn(text).foreach(m =>
+      found += Finding("aws-key", m.start, m.end - m.start))
+    GhpRe.findAllMatchIn(text).foreach(m =>
+      found += Finding("github-pat", m.start, m.end - m.start))
+    SlackRe.findAllMatchIn(text).foreach(m =>
+      found += Finding("slack-token", m.start, m.end - m.start))
+    PemRe.findAllMatchIn(text).foreach(m =>
+      found += Finding("private-key", m.start, m.end - m.start))
+    GenericRe.findAllMatchIn(text).foreach { m =>
+      val v = m.group(1)
+      if (entropy(v) > 3.5)
+        found += Finding("generic-secret", m.start(1), v.length)
+    }
+    // non-overlapping, position-ordered redaction (first rule wins on overlap)
+    val ordered = found.result().sortBy(f => (f.start, -f.len))
+    val kept = Vector.newBuilder[Finding]
+    var lastEnd = -1
+    ordered.foreach { f =>
+      if (f.start >= lastEnd) { kept += f; lastEnd = f.start + f.len }
+    }
+    val ks = kept.result()
+    val sb = new StringBuilder
+    var p = 0
+    ks.foreach { f =>
+      // substring, not append(seq, from, to): Scala's StringBuilder
+      // auto-tuples the 3-arg form into append(Any)
+      sb.append(text.substring(p, f.start)).append("[SECRET]")
+      p = f.start + f.len
+    }
+    sb.append(text.substring(p))
+    Scan(ks, sb.toString)
+  }
+}
