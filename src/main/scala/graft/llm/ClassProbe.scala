@@ -98,6 +98,7 @@ object ClassProbe {
         case 9 | 10 | 11 | 12 | 17 | 18 => // refs / NameAndType / (Invoke)Dynamic
           refs(i) = (u2(p + 1), u2(p + 3)); p += 5
         case 15 => // MethodHandle
+          if (p + 4 > b.length) return None // the slot spans tag+kind+ref
           val kind = b(p + 1) & 0xff
           if (kind < 1 || kind > 9) return None
           refs(i) = (u2(p + 2), 0); p += 4

@@ -91,7 +91,9 @@ object ElfProbe {
         if (is64) (u32(p), u32(p + 4), u64(p + 24), u64(p + 32))
         else (u32(p), u32(p + 4), u32(p + 16), u32(p + 20))
       if (nm < 0 || tp < 0 || off < 0 || sz < 0) return None
-      if (tp != SHT_NOBITS && sz > 0 && off + sz > b.length) return None // bounds law
+      // off > len - sz instead of off + sz > len: the sum can wrap Long
+      // for crafted 64-bit section headers
+      if (tp != SHT_NOBITS && sz > 0 && off > b.length.toLong - sz) return None // bounds law
       sections = sections :+ ((nm, tp, off, sz))
       i += 1
     }

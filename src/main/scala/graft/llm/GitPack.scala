@@ -308,7 +308,11 @@ object GitPack {
       i += 1
     }
     val largeBase = offBase + n * 4
-    if (largeBase + nLarge * 8 + 40 != b.length) return None
+    // the extent math runs in Long (nLarge derives from attacker words up
+    // to 2^31, so nLarge * 8 wraps Int); and there cannot be more large
+    // offsets than objects
+    if (nLarge > n) return None
+    if (largeBase.toLong + nLarge.toLong * 8L + 40L != b.length.toLong) return None
     val offsets = Vector.newBuilder[Long]
     i = 0
     while (i < n) {

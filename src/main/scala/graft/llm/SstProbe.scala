@@ -111,7 +111,9 @@ object SstProbe {
   private def readBlock(b: Array[Byte], off: Long, size: Long,
       checksumType: Int): Option[Array[Byte]] = {
     if (off < 0 || size < 0 || size > MaxBlock) return None
-    if (off + size + 5 > b.length) return None
+    // operands checked apart: off + size + 5 can wrap Long for a
+    // crafted varint64 offset near Long.MaxValue
+    if (off > b.length.toLong - size - 5L) return None
     val o = off.toInt; val s = size.toInt
     val comp = b(o + s) & 0xff
     val want = le32(b, o + s + 1)
@@ -146,7 +148,9 @@ object SstProbe {
       val (nonShared, p2) = varint64(d, p1, restartsOff).getOrElse(return None)
       val (valLen, p3) = varint64(d, p2, restartsOff).getOrElse(return None)
       if (shared > prev.length || nonShared < 0 || valLen < 0) return None
-      if (p3 + nonShared + valLen > restartsOff) return None
+      // bound each length before summing: nonShared + valLen can wrap Long
+      if (nonShared > restartsOff.toLong - p3) return None
+      if (valLen > restartsOff.toLong - p3 - nonShared) return None
       val key = new Array[Byte]((shared + nonShared).toInt)
       System.arraycopy(prev, 0, key, 0, shared.toInt)
       System.arraycopy(d, p3, key, shared.toInt, nonShared.toInt)
