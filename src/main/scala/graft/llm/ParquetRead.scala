@@ -45,10 +45,15 @@ object ParquetRead {
   private final class Bad extends RuntimeException
   private def bad(): Nothing = throw new Bad
 
-  /** One schema leaf: physical type, levels, logical annotations. */
+  /** One schema leaf: physical type, levels, logical annotations.
+    * `path` is the full dotted address from the root (flat columns
+    * carry the single segment [name]) — leaf NAMES may repeat across
+    * groups (add.path / remove.path), paths may not. */
   final case class Leaf(name: String, typ: Int, typeLength: Int,
                         maxDef: Int, maxRep: Int,
-                        convertedType: Int, scale: Int, precision: Int)
+                        convertedType: Int, scale: Int, precision: Int,
+                        path: Vector[String] = Vector.empty,
+                        listDef: Int = 0)
   /** One column chunk inside a row group (offsets are absolute). */
   final case class Chunk(codec: Int, numValues: Long, totalCompressed: Long,
                          totalUncompressed: Long, dataOff: Long, dictOff: Long)
@@ -296,29 +301,35 @@ object ParquetRead {
     // ---- schema tree: pre-order consumption; leaves with level math ----
     val leaves = scala.collection.mutable.ArrayBuffer.empty[Leaf]
     var idx = 1
-    def walk(depth: Int, maxDef: Int, maxRep: Int, prefix: List[String]): Unit = {
+    def walk(depth: Int, maxDef: Int, maxRep: Int, prefix: List[String],
+             lastRepDef: Int): Unit = {
       if (depth > 32 || idx >= elems.length) bad()
       val e = elems(idx)
       idx += 1
       if (e.rep < 0 || e.rep > 2) bad()
       val d = maxDef + (if (e.rep == 0) 0 else 1) // OPTIONAL and REPEATED add a def level
       val r = maxRep + (if (e.rep == 2) 1 else 0)
+      // the def level AT the innermost repeated ancestor (for the
+      // empty-vs-null-list decode in assembleList)
+      val rd = if (e.rep == 2) d else lastRepDef
       if (e.children == 0) {
         if (e.typ < 0 || e.typ > 7) bad()
         if (e.typ == 7 && e.typeLen < 1) bad()
-        leaves += Leaf(e.name, e.typ, e.typeLen, d, r, e.conv, e.scale, e.prec)
+        leaves += Leaf(e.name, e.typ, e.typeLen, d, r, e.conv, e.scale, e.prec,
+          (e.name :: prefix).reverse.toVector, rd)
       } else {
         var j = 0
-        while (j < e.children) { walk(depth + 1, d, r, e.name :: prefix); j += 1 }
+        while (j < e.children) { walk(depth + 1, d, r, e.name :: prefix, rd); j += 1 }
       }
     }
     val rootChildren = elems.head.children
     if (rootChildren < 1) return None
     var i = 0
-    while (i < rootChildren) { walk(0, 0, 0, Nil); i += 1 }
+    while (i < rootChildren) { walk(0, 0, 0, Nil, 0); i += 1 }
     if (idx != elems.length) return None
-    // duplicate top-level leaf names refuse (the column address must be unique)
-    if (leaves.map(_.name).distinct.length != leaves.length) return None
+    // duplicate leaf PATHS refuse (the column address must be unique;
+    // same-named leaves under different groups are lawful)
+    if (leaves.map(_.path).distinct.length != leaves.length) return None
 
     // ---- per-row-group laws: one chunk per leaf, in leaf order;
     //      flat chunks carry one value per row ----
@@ -329,9 +340,8 @@ object ParquetRead {
       var c = 0
       while (c < paths.length) {
         val lf = leaves(c)
-        // the chunk's path must address this leaf; flat leaves have the
-        // single-segment path [name]
-        if (paths(c).isEmpty || paths(c).last != lf.name) return None
+        // the chunk's path_in_schema must address this leaf exactly
+        if (paths(c) != lf.path) return None
         if (lf.maxRep == 0 && rgs(g).chunks(c).numValues != rgs(g).numRows) return None
         c += 1
       }
@@ -705,24 +715,54 @@ object ParquetRead {
     } else vals
   }
 
+  @inline private def bitWidth(max: Int): Int =
+    32 - Integer.numberOfLeadingZeros(max) // max ≥ 1
+
   /** Decode one column chunk (one leaf of one row group) to boxed
     * values with nulls. The full page-walk law set from the header
-    * comment applies. */
+    * comment applies. FLAT columns only (max repetition 0, max
+    * definition ≤ 1) — the shape a lake fact table reads; nested
+    * leaves go through [[readColumnLevels]]. */
   def readColumn(b: Array[Byte], meta: Meta, rgIdx: Int, leafIdx: Int,
-                 maxVals: Int = 1 << 26): Option[Array[AnyRef]] = try {
+                 maxVals: Int = 1 << 26): Option[Array[AnyRef]] = {
+    if (rgIdx < 0 || rgIdx >= meta.rowGroups.length) return None
+    if (leafIdx < 0 || leafIdx >= meta.leaves.length) return None
+    val leaf = meta.leaves(leafIdx)
+    if (leaf.maxRep != 0 || leaf.maxDef > 1) return None // flat-only pin
+    readColumnLevels(b, meta, rgIdx, leafIdx, maxVals).map(_._1)
+  }
+
+  /** Decode one column chunk to its Dremel-shredded form: per level
+    * slot, (value or null, definition level, repetition level). A
+    * value is present exactly where def == maxDef; rep == 0 marks a
+    * record (row) boundary. Callers reassemble nested shapes from the
+    * level streams ([[assembleList]] for single-level LISTs, direct
+    * def-level reads for OPTIONAL group fields).
+    *
+    * Level laws on top of the page-walk set: level values ≤ their
+    * declared maxima; each page starts at a record boundary (first
+    * rep 0 — pages contain whole records); a v2 header's num_rows
+    * must equal the page's rep==0 census; Σ page record counts ==
+    * the row group's num_rows. */
+  def readColumnLevels(b: Array[Byte], meta: Meta, rgIdx: Int, leafIdx: Int,
+                       maxVals: Int = 1 << 26): Option[(Array[AnyRef], Array[Int], Array[Int])] = try {
     if (rgIdx < 0 || rgIdx >= meta.rowGroups.length) return None
     if (leafIdx < 0 || leafIdx >= meta.leaves.length) return None
     val leaf = meta.leaves(leafIdx)
     val chunk = meta.rowGroups(rgIdx).chunks(leafIdx)
-    if (leaf.maxRep != 0 || leaf.maxDef > 1) return None // flat-only pin
     if (chunk.numValues > maxVals) return None
     val n = chunk.numValues.toInt
     val start = (if (chunk.dictOff >= 0) chunk.dictOff else chunk.dataOff).toInt
     val endC = start + chunk.totalCompressed.toInt
     if (endC > b.length) return None
 
+    val defW = if (leaf.maxDef == 0) 0 else bitWidth(leaf.maxDef)
+    val repW = if (leaf.maxRep == 0) 0 else bitWidth(leaf.maxRep)
     var dict: Array[AnyRef] = null
     val out = new Array[AnyRef](n)
+    val defsOut = new Array[Int](n)
+    val repsOut = new Array[Int](n)
+    var rowsSeen = 0L
     var outN = 0
     var pos = start
     var sawData = false
@@ -809,51 +849,88 @@ object ParquetRead {
           if (v1Num < 0 || v1Num > n - outN) bad()
           val d = inflatePage(chunk.codec, b, payload, comp, uncomp)
           var p = 0
+          val reps = new Array[Int](v1Num)
+          if (leaf.maxRep > 0) { // repetition levels lead the payload
+            if (v1RepEnc != 3) bad() // RLE (BIT_PACKED legacy refuses)
+            if (p + 4 > d.length) bad()
+            val L = le32(d, p); p += 4
+            if (L < 0 || L > d.length - p) bad()
+            val consumed = rleHybrid(d, p, p + L, repW, v1Num, reps, 0)
+            if (consumed != p + L) bad() // the prefix states the exact bytes
+            p += L
+            var i = 0
+            while (i < v1Num) { if (reps(i) > leaf.maxRep) bad(); i += 1 }
+            if (v1Num > 0 && reps(0) != 0) bad() // pages hold whole records
+          }
           val levels = new Array[Int](v1Num)
-          if (leaf.maxDef == 1) {
+          if (leaf.maxDef > 0) {
             if (v1DefEnc != 3) bad() // RLE (BIT_PACKED legacy refuses)
             if (p + 4 > d.length) bad()
             val L = le32(d, p); p += 4
             if (L < 0 || L > d.length - p) bad()
-            val consumed = rleHybrid(d, p, p + L, 1, v1Num, levels, 0)
+            val consumed = rleHybrid(d, p, p + L, defW, v1Num, levels, 0)
             if (consumed != p + L) bad() // the prefix states the exact bytes
             p += L
-          } // maxDef == 0: REQUIRED, no def section; levels stay 0=present
-          val nonNull = if (leaf.maxDef == 1) levels.count(_ == 1) else v1Num
-          if (leaf.maxDef == 0) java.util.Arrays.fill(levels, 1)
+            var i = 0
+            while (i < v1Num) { if (levels(i) > leaf.maxDef) bad(); i += 1 }
+          } // maxDef == 0: REQUIRED, no def section; levels stay 0 == maxDef
+          var nonNull = 0
+          var li1 = 0
+          while (li1 < v1Num) { if (levels(li1) == leaf.maxDef) nonNull += 1; li1 += 1 }
           val vals = decodeDataValues(leaf, v1Enc, d, p, d.length, nonNull, dict, maxVals)
-          mergeLevels(out, outN, levels, v1Num, vals)
+          mergeLevels(out, outN, levels, leaf.maxDef, v1Num, vals)
+          System.arraycopy(levels, 0, defsOut, outN, v1Num)
+          System.arraycopy(reps, 0, repsOut, outN, v1Num)
+          rowsSeen += (if (leaf.maxRep == 0) v1Num.toLong else reps.count(_ == 0).toLong)
           outN += v1Num
         case 3 => // v2 data page
           sawData = true
           if (v2Num < 0 || v2Num > n - outN) bad()
           if (v2Nulls < 0 || v2Nulls > v2Num) bad()
           if (v2Rows < 0) bad()
-          if (v2RepLen != 0) bad() // flat: no repetition section
-          if (v2DefLen < 0 || payload + v2DefLen.toLong > endC) bad()
-          if (v2Rows != v2Num) bad() // flat: one value per row
+          if (leaf.maxRep == 0 && v2RepLen != 0) bad() // flat: no rep section
+          if (v2RepLen < 0 || v2DefLen < 0 ||
+            payload + v2RepLen.toLong + v2DefLen.toLong > endC) bad()
+          val reps = new Array[Int](v2Num)
+          if (leaf.maxRep > 0) {
+            val consumed = rleHybrid(b, payload, payload + v2RepLen, repW, v2Num, reps, 0)
+            if (consumed != payload + v2RepLen) bad()
+            var i = 0
+            while (i < v2Num) { if (reps(i) > leaf.maxRep) bad(); i += 1 }
+            if (v2Num > 0 && reps(0) != 0) bad() // pages hold whole records
+          }
+          val pageRows = if (leaf.maxRep == 0) v2Num else reps.count(_ == 0)
+          if (v2Rows != pageRows) bad() // the header's record census
+          val defOff = payload + v2RepLen
           val levels = new Array[Int](v2Num)
-          if (leaf.maxDef == 1) {
-            val consumed = rleHybrid(b, payload, payload + v2DefLen, 1, v2Num, levels, 0)
-            if (consumed != payload + v2DefLen) bad()
+          if (leaf.maxDef > 0) {
+            val consumed = rleHybrid(b, defOff, defOff + v2DefLen, defW, v2Num, levels, 0)
+            if (consumed != defOff + v2DefLen) bad()
+            var i = 0
+            while (i < v2Num) { if (levels(i) > leaf.maxDef) bad(); i += 1 }
           } else {
             if (v2DefLen != 0) bad()
-            java.util.Arrays.fill(levels, 1)
           }
-          val nonNull = levels.count(_ == 1)
+          var nonNull = 0
+          var li2 = 0
+          while (li2 < v2Num) { if (levels(li2) == leaf.maxDef) nonNull += 1; li2 += 1 }
           if (v2Num - nonNull != v2Nulls) bad() // the header's null census
-          val vRegionLen = comp - v2DefLen
+          val lvlLen = v2RepLen + v2DefLen
+          val vRegionLen = comp - lvlLen
           if (vRegionLen < 0) bad()
-          val vUncomp = uncomp - v2DefLen
+          val vUncomp = uncomp - lvlLen
           if (vUncomp < 0) bad()
           val d =
-            if (v2Compressed) inflatePage(chunk.codec, b, payload + v2DefLen, vRegionLen, vUncomp)
+            if (v2Compressed) inflatePage(chunk.codec, b, payload + lvlLen, vRegionLen, vUncomp)
             else {
               if (vRegionLen != vUncomp) bad()
-              java.util.Arrays.copyOfRange(b, payload + v2DefLen, payload + v2DefLen + vRegionLen)
+              java.util.Arrays.copyOfRange(b, payload + lvlLen, payload + lvlLen + vRegionLen)
             }
           val vals = decodeDataValues(leaf, v2Enc, d, 0, d.length, nonNull, dict, maxVals)
-          mergeLevels(out, outN, levels, v2Num, vals)
+          mergeLevels(out, outN, levels, leaf.maxDef, v2Num, vals)
+          System.arraycopy(levels, 0, defsOut, outN, v2Num)
+          System.arraycopy(reps, 0, repsOut, outN, v2Num)
+          rowsSeen += pageRows.toLong
           outN += v2Num
         case _ => bad() // index pages live at index_page_offset, not here
       }
@@ -862,7 +939,8 @@ object ParquetRead {
     if (pos != endC) bad() // the chunk region is consumed exactly
     if (outN != n) bad() // Σ page num_values == the chunk's census
     if (chunk.dictOff >= 0 && dict == null) bad()
-    Some(out)
+    if (rowsSeen != meta.rowGroups(rgIdx).numRows) bad() // record census law
+    Some((out, defsOut, repsOut))
   } catch {
     case _: Bad => None
     case _: ArrayIndexOutOfBoundsException => None
@@ -940,17 +1018,63 @@ object ParquetRead {
     case _ => bad() // BIT_PACKED(4) legacy and unknown encodings refuse
   }
 
-  /** Interleave nonNull values into the output per definition levels. */
+  /** Interleave nonNull values into the output per definition levels
+    * (a value lives exactly where def == maxDef). */
   private def mergeLevels(out: Array[AnyRef], outOff: Int, levels: Array[Int],
-                          n: Int, vals: Array[AnyRef]): Unit = {
+                          maxDef: Int, n: Int, vals: Array[AnyRef]): Unit = {
     var i = 0
     var v = 0
     while (i < n) {
-      if (levels(i) == 1) { out(outOff + i) = vals(v); v += 1 }
-      else if (levels(i) != 0) bad()
+      if (levels(i) == maxDef) { out(outOff + i) = vals(v); v += 1 }
       i += 1
     }
     if (v != vals.length) bad()
+  }
+
+  /** Reassemble a single-level LIST column (maxRep == 1) from its
+    * Dremel-shredded form ([[readColumnLevels]] output). Definition
+    * geometry, with dR = the def level at the repeated node
+    * (leaf.listDef):
+    *  - def <  dR - 1 → the list (or an ancestor) is null this row;
+    *  - def == dR - 1 → the list is present and EMPTY;
+    *  - def >= dR     → one element slot (null element unless
+    *                    def == maxDef).
+    * Row boundaries are rep == 0 slots; an absent/empty list occupies
+    * exactly one slot (a follow-up rep==1 slot after one refuses).
+    * Returns one entry per row: null, or an Array[AnyRef] of elements
+    * (null elements preserved). */
+  def assembleList(vals: Array[AnyRef], defs: Array[Int], reps: Array[Int],
+                   leaf: Leaf): Option[Array[AnyRef]] = {
+    if (leaf.maxRep != 1 || leaf.listDef < 1 || leaf.listDef > leaf.maxDef)
+      return None
+    val n = defs.length
+    if (vals.length != n || reps.length != n) return None
+    if (n == 0) return Some(new Array[AnyRef](0))
+    if (reps(0) != 0) return None
+    val dR = leaf.listDef
+    val rows = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    var i = 0
+    while (i < n) {
+      // the row spans [i, j): slots until the next rep == 0
+      var j = i + 1
+      while (j < n && reps(j) != 0) j += 1
+      if (defs(i) < dR) {
+        // null list (def < dR-1) or empty list (def == dR-1): one slot
+        if (j != i + 1) return None
+        rows += (if (defs(i) == dR - 1) new Array[AnyRef](0) else null)
+      } else {
+        val elems = new Array[AnyRef](j - i)
+        var k = i
+        while (k < j) {
+          if (defs(k) < dR) return None // a mid-list absent-list slot
+          elems(k - i) = vals(k) // null element where def < maxDef
+          k += 1
+        }
+        rows += elems
+      }
+      i = j
+    }
+    Some(rows.toArray)
   }
 
   /** Read whole columns by name across all row groups. Returns the

@@ -2532,6 +2532,65 @@ object Docs {
       |  epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Native parquet NESTED decode under the oracle (see
+    * [[graft.llm.ParquetRead.readColumnLevels]] /
+    * [[graft.llm.ParquetRead.assembleList]]): the embeddings table's
+    * `list<float>` column decodes through OUR repetition-level reader —
+    * RLE rep/def streams, Dremel record assembly under the
+    * page-boundary and record-census laws — exploded to one row per
+    * element, and DuckDB's own scan + unnest of the SAME pyarrow file
+    * is the oracle, value for value. Three independent decoders agree
+    * on the same bytes (ours, Spark's vectorized reader in the spec,
+    * DuckDB here). Scale shape: identical to q_parquet_read_native —
+    * (file, rowGroup) spread, each task assembles its row group alone. */
+  def parquetReadNested(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.ParquetRead
+    val path = s"$d/embeddings.parquet"
+    val rgs = s.createDataset(Seq(path)).flatMap { p =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      ParquetRead.parseMeta(bytes).toSeq
+        .flatMap(m => m.rowGroups.indices.map(i => (p, i)))
+    }
+    val out = rgs.repartition(8).flatMap { case (p, rg) =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      ParquetRead.parseMeta(bytes).toSeq.flatMap { meta =>
+        val idI = meta.leaves.indexWhere(_.name == "vec_id")
+        val lbI = meta.leaves.indexWhere(_.name == "label")
+        val emI = meta.leaves.indexWhere(_.path.headOption.contains("embedding"))
+        if (idI < 0 || lbI < 0 || emI < 0) Seq.empty
+        else {
+          val idsO = ParquetRead.readColumn(bytes, meta, rg, idI)
+          val lblO = ParquetRead.readColumn(bytes, meta, rg, lbI)
+          val embO = ParquetRead.readColumnLevels(bytes, meta, rg, emI)
+            .flatMap { case (v, dl, rl) =>
+              ParquetRead.assembleList(v, dl, rl, meta.leaves(emI))
+            }
+          (idsO, lblO, embO) match {
+            case (Some(ids), Some(lbl), Some(emb)) if emb.length == ids.length =>
+              ids.indices.flatMap { i =>
+                val arr = emb(i).asInstanceOf[Array[AnyRef]]
+                arr.indices.map { j =>
+                  (ids(i).asInstanceOf[Long], lbl(i).asInstanceOf[Int],
+                    arr.length, j, arr(j).asInstanceOf[Float].toDouble)
+                }
+              }
+            case _ => Seq.empty // refusal = missing rows, the gate flags it
+          }
+        }
+      }
+    }.toDF("vec_id", "label", "n_elems", "pos", "val")
+    out.orderBy($"vec_id", $"pos")
+  }
+
+  /** DuckDB unnests its own scan of the SAME file — per-element
+    * comparison against a third independent nested decoder. */
+  val parquetReadNestedSql: String =
+    """SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS n_elems,
+      |  CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+      |  CAST(unnest(embedding) AS DOUBLE) AS val
+      |FROM embeddings ORDER BY vec_id, pos""".stripMargin
+
   /** Native parquet decode feeding a Spark aggregation: lineitem's
     * five columns (INT32 linenumber included) decode through
     * [[graft.llm.ParquetRead]] per row group, then the engine
@@ -3426,6 +3485,7 @@ object Docs {
     "q_parquet_footer" -> (parquetFooter _),
     "q_parquet_read_native" -> (parquetReadNative _),
     "q_parquet_read_agg" -> (parquetReadAgg _),
+    "q_parquet_read_nested" -> (parquetReadNested _),
     "q_iceberg_snap" -> (icebergSnap _),
     "q_hudi_snap" -> (hudiSnap _),
     "q_pickle_probe" -> (pickleProbe _),
@@ -3464,6 +3524,7 @@ object Docs {
     "q_parquet_footer" -> parquetFooterSql,
     "q_parquet_read_native" -> parquetReadNativeSql,
     "q_parquet_read_agg" -> parquetReadAggSql,
+    "q_parquet_read_nested" -> parquetReadNestedSql,
     "q_iceberg_snap" -> icebergSnapSql,
     "q_hudi_snap" -> hudiSnapSql,
     "q_pickle_probe" -> pickleProbeSql,

@@ -222,6 +222,133 @@ class ParquetReadSpec extends SparkTestBase {
     assert(ParquetRead.readColumn(flip, m, 0, 0).isEmpty)
   }
 
+  // ---- nested columns: repetition levels + Dremel list assembly ----
+
+  test("nested: testdata embeddings list<float> assembles vs Spark scan") {
+    val path = s"$sfDir/embeddings.parquet"
+    val b = bytesOf(path)
+    val meta = ParquetRead.parseMeta(b).get
+    val li = meta.leaves.indexWhere(_.path.headOption.contains("embedding"))
+    assert(li >= 0)
+    val leaf = meta.leaves(li)
+    assert(leaf.maxRep == 1 && leaf.typ == 4) // repeated FLOAT leaf
+    assert(leaf.listDef >= 1)
+    val idIdx = meta.leaves.indexWhere(_.name == "vec_id")
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val rows = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    for (rg <- meta.rowGroups.indices) {
+      ids ++= ParquetRead.readColumn(b, meta, rg, idIdx).get
+        .map(_.asInstanceOf[Long])
+      val (v, dfs, rps) = ParquetRead.readColumnLevels(b, meta, rg, li).get
+      rows ++= ParquetRead.assembleList(v, dfs, rps, leaf).get
+    }
+    val exp = spark.read.parquet(path).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows.length == ids.length && rows.length == exp.size)
+    ids.zip(rows).foreach { case (id, arr) =>
+      val got = arr.asInstanceOf[Array[AnyRef]]
+        .map(_.asInstanceOf[Float]).toSeq
+      assert(got == exp(id), s"vec_id=$id")
+    }
+  }
+
+  test("nested: parquet-mr arrays with null/empty lists and null elements") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pqnest").toString
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 400).map { i =>
+      val arr: Option[Seq[Option[Int]]] =
+        if (i % 11 == 0) None
+        else if (i % 7 == 0) Some(Seq.empty)
+        else Some((0 until rnd.nextInt(6)).map(j =>
+          if ((i + j) % 5 == 0) None else Some(i * 31 + j)))
+      (i.toLong, arr)
+    }
+    var k = 0
+    for (ver <- Seq("v1", "v2"); codec <- Seq("none", "snappy")) {
+      val dir = s"$tmp/c$k"; k += 1
+      val b = writeOne(rows.toDF("id", "xs"), dir, Map(
+        "parquet.writer.version" -> ver, "compression" -> codec,
+        "parquet.page.size" -> "256", // multi-page: page-boundary rep laws ride
+        "parquet.page.row.count.limit" -> "50"))
+      val m = ParquetRead.parseMeta(b).get
+      val li = m.leaves.indexWhere(_.maxRep == 1)
+      withClue(s"ver=$ver codec=$codec: ") {
+        assert(li >= 0)
+        val leaf = m.leaves(li)
+        assert(leaf.maxDef == 3 && leaf.listDef == 2) // opt col + rep + opt elem
+        val idIdx = m.leaves.indexWhere(_.name == "id")
+        val got = scala.collection.mutable.ArrayBuffer.empty[(Long, AnyRef)]
+        for (rg <- m.rowGroups.indices) {
+          val ids = ParquetRead.readColumn(b, m, rg, idIdx).get
+          val (v, dfs, rps) = ParquetRead.readColumnLevels(b, m, rg, li).get
+          val asm = ParquetRead.assembleList(v, dfs, rps, leaf).get
+          assert(asm.length == ids.length)
+          got ++= ids.map(_.asInstanceOf[Long]).zip(asm)
+        }
+        assert(got.length == rows.length)
+        got.foreach { case (id, a) =>
+          val expect = rows(id.toInt)._2
+          if (expect.isEmpty) assert(a == null)
+          else {
+            val arr = a.asInstanceOf[Array[AnyRef]]
+              .map(x => Option(x).map(_.asInstanceOf[Int])).toSeq
+            assert(arr == expect.get, s"id=$id")
+          }
+        }
+      }
+    }
+  }
+
+  test("nested: struct fields decode through def levels") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pqstruct").toString
+    val df = (0 until 120).map { i =>
+      (i.toLong, if (i % 4 == 0) None else Some((i * 7L, s"v$i")))
+    }.toDF("id", "st")
+    val b = writeOne(df, s"$tmp/s", Map.empty)
+    val m = ParquetRead.parseMeta(b).get
+    // REQUIRED field under an optional group: def 1 == struct present
+    val fi = m.leaves.indexWhere(_.path == Vector("st", "_1"))
+    assert(fi >= 0)
+    val leaf = m.leaves(fi)
+    assert(leaf.maxRep == 0 && leaf.maxDef == 1)
+    val (v, dfs, _) = ParquetRead.readColumnLevels(b, m, 0, fi).get
+    assert(v.length == 120)
+    (0 until 120).foreach { i =>
+      if (i % 4 == 0) { assert(v(i) == null && dfs(i) == 0) }
+      else assert(v(i) == java.lang.Long.valueOf(i * 7L) && dfs(i) == 1)
+    }
+    // OPTIONAL field under the optional group: def 2 == value present
+    val si = m.leaves.indexWhere(_.path == Vector("st", "_2"))
+    assert(si >= 0 && m.leaves(si).maxDef == 2)
+    val (sv, sdf, _) = ParquetRead.readColumnLevels(b, m, 0, si).get
+    (0 until 120).foreach { i =>
+      if (i % 4 == 0) { assert(sv(i) == null && sdf(i) == 0) }
+      else assert(sv(i) == s"v$i" && sdf(i) == 2)
+    }
+  }
+
+  test("nested: assembleList refusal laws") {
+    val leaf = ParquetRead.Leaf("e", 1, -1, 3, 1, -1, 0, 0,
+      Vector("xs", "list", "e"), 2)
+    // a follow-up rep==1 slot after an absent list refuses
+    val bad1 = ParquetRead.assembleList(
+      Array[AnyRef](null, Integer.valueOf(1)), Array(0, 3), Array(0, 1), leaf)
+    assert(bad1.isEmpty)
+    // a mid-list slot with def below the repeated node refuses
+    val bad2 = ParquetRead.assembleList(
+      Array[AnyRef](Integer.valueOf(1), null), Array(3, 1), Array(0, 1), leaf)
+    assert(bad2.isEmpty)
+    // first slot must start a record
+    val bad3 = ParquetRead.assembleList(
+      Array[AnyRef](Integer.valueOf(1)), Array(3), Array(1), leaf)
+    assert(bad3.isEmpty)
+    // flat leaves refuse assembly
+    assert(ParquetRead.assembleList(Array.empty[AnyRef], Array.emptyIntArray,
+      Array.emptyIntArray, leaf.copy(maxRep = 0)).isEmpty)
+  }
+
   // ---- primitive fuzz: RLE/bit-packed hybrid round trip ----
 
   private def encodeHybrid(values: Array[Int], w: Int, rnd: scala.util.Random): Array[Byte] = {
