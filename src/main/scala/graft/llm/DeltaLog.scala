@@ -115,6 +115,175 @@ object DeltaLog {
     case _: com.fasterxml.jackson.core.JacksonException => None
   }
 
+  // ---- checkpoint parquet replay -------------------------------------------
+  // An aged Delta table (PROTOCOL.md: a checkpoint every ~10 commits)
+  // reads as `_last_checkpoint` → the checkpoint parquet (one row per
+  // action, one OPTIONAL action group per row) → the JSON commits
+  // AFTER the checkpoint version. The checkpoint decodes through the
+  // engine's own native page reader ([[ParquetRead]]) — the
+  // composition that flips the reader from toy to any real table.
+  //
+  // Laws on top of replay()'s set:
+  //  - `_last_checkpoint`: version ≥ 0 and size == the checkpoint's
+  //    action-row count (the size cross-law);
+  //  - the checkpoint carries the pinned leaf paths (protocol.*,
+  //    metaData.*, add.*, remove.path); each row has EXACTLY ONE
+  //    recognized action group present (txn/domainMetadata and other
+  //    forward actions refuse);
+  //  - group-presence is consistent across a group's leaves (add.path
+  //    present but add.size structurally absent is a torn writer);
+  //  - protocol exactly once (minReaderVersion 1), metaData exactly
+  //    once; add.dataChange must be FALSE in a checkpoint (the spec's
+  //    checkpoint law); a path both added and tombstoned inside one
+  //    checkpoint refuses (one file, one owner);
+  //  - post-checkpoint commits exactly contiguous from version+1; a
+  //    protocol or metaData action re-appearing there is a
+  //    capability/schema change — out of the reader-v1 scope, refuse.
+
+  /** path → (def-consistent) values of a leaf under its group. */
+  private def ckLeaf(bytes: Array[Byte], meta: ParquetRead.Meta,
+                     path: Vector[String]): Option[(Array[AnyRef], Array[Int])] = {
+    val li = meta.leaves.indexWhere(_.path == path)
+    if (li < 0) return None
+    if (meta.leaves(li).maxRep != 0 || meta.leaves(li).maxDef != 2) return None
+    if (meta.rowGroups.length != 1) return None // checkpoint scope: one row group
+    ParquetRead.readColumnLevels(bytes, meta, 0, li).map { case (v, d, _) => (v, d) }
+  }
+
+  def replayCheckpointed(lastCheckpointJson: String,
+                         checkpointBytes: Array[Byte],
+                         commits: Seq[(Long, String)]): Option[Snapshot] = try {
+    val lc = mapper.readTree(lastCheckpointJson)
+    if (lc == null || !lc.isObject) return None
+    val verN = lc.get("version")
+    val sizeN = lc.get("size")
+    if (verN == null || !verN.canConvertToLong || verN.asLong < 0L) return None
+    if (sizeN == null || !sizeN.canConvertToLong || sizeN.asLong < 1L) return None
+    val ckVersion = verN.asLong
+    val pm = ParquetRead.parseMeta(checkpointBytes).getOrElse(return None)
+    if (pm.numRows != sizeN.asLong) return None // the size cross-law
+    if (pm.numRows > (1 << 24)) return None
+    val n = pm.numRows.toInt
+    // pinned leaves (extra columns are lawful and ignored; a missing
+    // pinned leaf is not)
+    val (prV, prD) = ckLeaf(checkpointBytes, pm, Vector("protocol", "minReaderVersion")).getOrElse(return None)
+    val (pwV, pwD) = ckLeaf(checkpointBytes, pm, Vector("protocol", "minWriterVersion")).getOrElse(return None)
+    val (miV, miD) = ckLeaf(checkpointBytes, pm, Vector("metaData", "id")).getOrElse(return None)
+    val (msV, msD) = ckLeaf(checkpointBytes, pm, Vector("metaData", "schemaString")).getOrElse(return None)
+    val (apV, apD) = ckLeaf(checkpointBytes, pm, Vector("add", "path")).getOrElse(return None)
+    val (asV, asD) = ckLeaf(checkpointBytes, pm, Vector("add", "size")).getOrElse(return None)
+    val (adV, adD) = ckLeaf(checkpointBytes, pm, Vector("add", "dataChange")).getOrElse(return None)
+    val (atV, atD) = ckLeaf(checkpointBytes, pm, Vector("add", "stats")).getOrElse(return None)
+    val (rpV, rpD) = ckLeaf(checkpointBytes, pm, Vector("remove", "path")).getOrElse(return None)
+    @inline def grp(d: Array[Int], i: Int): Boolean = d(i) >= 1 // the group level
+    var sawProtocol = false
+    var sawMeta = false
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    val tombs = scala.collection.mutable.HashSet.empty[String]
+    var i = 0
+    while (i < n) {
+      val isP = grp(prD, i)
+      val isM = grp(miD, i)
+      val isA = grp(apD, i)
+      val isR = grp(rpD, i)
+      // group presence must be consistent across the group's leaves
+      if (isP != grp(pwD, i) || isM != grp(msD, i) || isR != (rpD(i) >= 1))
+        return None
+      if (isA != grp(asD, i) || isA != grp(adD, i) || isA != grp(atD, i))
+        return None
+      if (Seq(isP, isM, isA, isR).count(identity) != 1) return None // one action per row
+      if (isP) {
+        if (sawProtocol) return None
+        if (prD(i) != 2 || pwD(i) != 2) return None
+        if (prV(i).asInstanceOf[Integer].intValue != 1) return None // reader-v1 pin
+        if (pwV(i).asInstanceOf[Integer].intValue < 1) return None
+        sawProtocol = true
+      } else if (isM) {
+        if (sawMeta) return None
+        if (miD(i) != 2 || msD(i) != 2) return None
+        if (miV(i).asInstanceOf[String].isEmpty) return None
+        sawMeta = true
+      } else if (isA) {
+        if (apD(i) != 2 || asD(i) != 2 || adD(i) != 2) return None
+        val path = apV(i).asInstanceOf[String]
+        val size = asV(i).asInstanceOf[java.lang.Long].longValue
+        if (path.isEmpty || size < 0L) return None
+        if (adV(i).asInstanceOf[java.lang.Boolean].booleanValue) return None // checkpoint law
+        var rows = -1L
+        if (atD(i) == 2) {
+          val st = mapper.readTree(atV(i).asInstanceOf[String])
+          if (st == null || !st.isObject) return None
+          val nr = st.get("numRecords")
+          if (nr == null || !nr.canConvertToLong || nr.asLong < 0L) return None
+          rows = nr.asLong
+        }
+        if (live.contains(path)) return None // one file, one owner
+        live(path) = (size, rows)
+      } else {
+        if (rpD(i) != 2) return None
+        val path = rpV(i).asInstanceOf[String]
+        if (path.isEmpty) return None
+        tombs += path
+      }
+      i += 1
+    }
+    if (!sawProtocol || !sawMeta) return None
+    if (live.keysIterator.exists(tombs.contains)) return None // added AND tombstoned
+    // ---- the JSON commits on top ----
+    val versions = commits.map(_._1)
+    if (versions != (ckVersion + 1 until ckVersion + 1 + commits.length.toLong))
+      return None // contiguity from the checkpoint
+    commits.foreach { case (_, text) =>
+      text.split("\n", -1).filter(_.nonEmpty).foreach { line =>
+        val root = mapper.readTree(line)
+        if (root == null || !root.isObject || root.size != 1) return None
+        val key = root.fieldNames().next()
+        val a = root.get(key)
+        key match {
+          case "commitInfo" =>
+            if (!a.isObject) return None
+          case "add" =>
+            if (!a.isObject) return None
+            val path = a.get("path")
+            if (path == null || !path.isTextual || path.asText.isEmpty) return None
+            val size = a.get("size")
+            if (size == null || !size.canConvertToLong || size.asLong < 0L) return None
+            val dc = a.get("dataChange")
+            if (dc == null || !dc.isBoolean) return None
+            val pv = a.get("partitionValues")
+            if (pv == null || !pv.isObject) return None
+            var rows = -1L
+            val stats = a.get("stats")
+            if (stats != null) {
+              if (!stats.isTextual) return None
+              val st = mapper.readTree(stats.asText)
+              if (st == null || !st.isObject) return None
+              val nr = st.get("numRecords")
+              if (nr == null || !nr.canConvertToLong || nr.asLong < 0L) return None
+              rows = nr.asLong
+            }
+            live(path.asText) = (size.asLong, rows) // newest wins
+          case "remove" =>
+            if (!a.isObject) return None
+            val path = a.get("path")
+            if (path == null || !path.isTextual || path.asText.isEmpty) return None
+            val dc = a.get("dataChange")
+            if (dc == null || !dc.isBoolean) return None
+            live.remove(path.asText)
+          case "protocol" | "metaData" =>
+            return None // capability/schema change past the checkpoint: out of scope
+          case _ => return None // forward-version action under reader v1
+        }
+      }
+    }
+    if (live.isEmpty) return None
+    val last = if (commits.isEmpty) ckVersion else commits.last._1
+    Some(Snapshot(last,
+      live.toSeq.map { case (p, (s, r)) => (p, s, r) }.sortBy(_._1)))
+  } catch {
+    case _: com.fasterxml.jackson.core.JacksonException => None
+  }
+
   // ---- conformance writer -------------------------------------------------
 
   private def esc(s: String): String =
@@ -139,4 +308,46 @@ object DeltaLog {
   def remove(path: String): String =
     s"""{"remove":{"path":"${esc(path)}","deletionTimestamp":1700000001000,""" +
       s""""dataChange":true}}"""
+
+  // ---- checkpoint writers (gate fixtures, minted via ParquetWrite) --------
+
+  def lastCheckpoint(version: Long, size: Long): String =
+    s"""{"version":$version,"size":$size}"""
+
+  /** A checkpoint parquet: one protocol row, one metaData row, one row
+    * per live add (dataChange false per the spec), one row per retained
+    * remove tombstone. */
+  def checkpointBytes(tableId: String,
+                      adds: Seq[(String, Long, Long)],
+                      removes: Seq[String]): Array[Byte] = {
+    import ParquetWrite.WEl
+    val els = Seq(
+      WEl("protocol", 2, 1),
+      WEl("minReaderVersion", 0, 1, typ = 1), WEl("minWriterVersion", 0, 1, typ = 1),
+      WEl("metaData", 2, 1),
+      WEl("id", 0, 1, 6, 0), WEl("schemaString", 0, 1, 6, 0),
+      WEl("add", 4, 1),
+      WEl("path", 0, 1, 6, 0), WEl("size", 0, 1, typ = 2),
+      WEl("dataChange", 0, 1, typ = 0), WEl("stats", 0, 1, 6, 0),
+      WEl("remove", 1, 1),
+      WEl("path", 0, 1, 6, 0))
+    val n = 2 + adds.length + removes.length
+    def defsAt(rows: Seq[Int]): Array[Int] = {
+      val a = new Array[Int](n)
+      rows.foreach(i => a(i) = 2)
+      a
+    }
+    val addRows = adds.indices.map(_ + 2)
+    val remRows = removes.indices.map(_ + 2 + adds.length)
+    ParquetWrite.file(els, n.toLong, Seq(
+      (Array[AnyRef](Integer.valueOf(1)), defsAt(Seq(0))),
+      (Array[AnyRef](Integer.valueOf(2)), defsAt(Seq(0))),
+      (Array[AnyRef](tableId), defsAt(Seq(1))),
+      (Array[AnyRef]("""{"type":"struct","fields":[]}"""), defsAt(Seq(1))),
+      (adds.map(_._1: AnyRef).toArray, defsAt(addRows)),
+      (adds.map(a => java.lang.Long.valueOf(a._2): AnyRef).toArray, defsAt(addRows)),
+      (adds.map(_ => java.lang.Boolean.FALSE: AnyRef).toArray, defsAt(addRows)),
+      (adds.map(a => s"""{"numRecords":${a._3}}""": AnyRef).toArray, defsAt(addRows)),
+      (removes.map(r => r: AnyRef).toArray, defsAt(remRows))))
+  }
 }

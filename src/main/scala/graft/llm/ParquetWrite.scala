@@ -1,0 +1,250 @@
+package graft.llm
+
+/** Parquet conformance WRITER — the fixture mint for gates that need
+  * real parquet bytes in closed form (the Delta checkpoint lane), the
+  * inverse of [[ParquetRead]]'s honest subset: thrift compact-protocol
+  * footer and page headers, ONE row group, v1 data pages, PLAIN
+  * values, UNCOMPRESSED, RLE definition levels, no repeated fields
+  * (maxRep 0 — flat columns and OPTIONAL-group members). Format spec
+  * at parquet.apache.org; field ids match ParquetRead.parseMeta's
+  * walk, and the spec cross-validates the output against Spark's own
+  * parquet-mr reader and DuckDB, so the writer is pinned from both
+  * sides (our reader AND two independent readers).
+  *
+  * Inputs are Dremel-shredded per leaf: `(values, defs)` where values
+  * holds only the PRESENT slots in order and defs one level per row
+  * (def == the leaf's maxDef ⇔ present). The writer computes maxDef
+  * from the schema walk exactly as the reader does and refuses
+  * (IllegalArgumentException) on census mismatches — a gate writer
+  * bug should fail loudly, not mint garbage. */
+object ParquetWrite {
+
+  /** One pre-order schema element below the root: `children == 0`
+    * marks a leaf. rep: 0 REQUIRED, 1 OPTIONAL. typ/conv use parquet's
+    * physical / converted-type codes (typ -1 for groups; conv 0 =
+    * UTF8, -1 = none). */
+  final case class WEl(name: String, children: Int, rep: Int,
+                       typ: Int = -1, conv: Int = -1)
+
+  // ---- thrift compact-protocol writer ----
+  private final class TW {
+    private val out = new java.io.ByteArrayOutputStream(256)
+    private var lastFid = List(0)
+    def bytes: Array[Byte] = out.toByteArray
+    def raw(b: Array[Byte]): Unit = out.write(b, 0, b.length)
+    private def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0L) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    private def zigzag(v: Long): Unit = varint((v << 1) ^ (v >> 63))
+    private def fieldHeader(fid: Int, t: Int): Unit = {
+      val delta = fid - lastFid.head
+      if (delta > 0 && delta <= 15) out.write((delta << 4) | t)
+      else { out.write(t); zigzag(fid.toLong) }
+      lastFid = fid :: lastFid.tail
+    }
+    def i32(fid: Int, v: Int): Unit = { fieldHeader(fid, 5); zigzag(v.toLong) }
+    def i64(fid: Int, v: Long): Unit = { fieldHeader(fid, 6); zigzag(v) }
+    def bool(fid: Int, v: Boolean): Unit = fieldHeader(fid, if (v) 1 else 2)
+    def bin(fid: Int, b: Array[Byte]): Unit = {
+      fieldHeader(fid, 8); varint(b.length.toLong); raw(b)
+    }
+    def str(fid: Int, s: String): Unit =
+      bin(fid, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    /** open a struct field; body runs with a fresh field-id scope */
+    def struct(fid: Int)(body: => Unit): Unit = {
+      fieldHeader(fid, 12)
+      lastFid = 0 :: lastFid
+      body
+      out.write(0) // stop
+      lastFid = lastFid.tail
+    }
+    /** a list field of `n` elements of compact type `et` */
+    def list(fid: Int, n: Int, et: Int)(each: Int => Unit): Unit = {
+      fieldHeader(fid, 9)
+      if (n < 15) out.write((n << 4) | et)
+      else { out.write(0xf0 | et); varint(n.toLong) }
+      var i = 0
+      while (i < n) {
+        if (et == 12) lastFid = 0 :: lastFid
+        each(i)
+        if (et == 12) { out.write(0); lastFid = lastFid.tail }
+        i += 1
+      }
+    }
+    def listI32(fid: Int, vs: Seq[Int]): Unit =
+      list(fid, vs.length, 5)(i => zigzag(vs(i).toLong))
+    def listBin(fid: Int, vs: Seq[String]): Unit =
+      list(fid, vs.length, 8) { i =>
+        val b = vs(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        varint(b.length.toLong); raw(b)
+      }
+    def stop(): Unit = out.write(0)
+  }
+
+  private def le32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+    out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+  }
+  private def le64(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    le32(out, v.toInt); le32(out, (v >>> 32).toInt)
+  }
+
+  /** RLE-run encode `defs` at bit width `w` (the hybrid's RLE arm only
+    * — always lawful), with the v1 4-byte length prefix. */
+  private def rleSection(defs: Array[Int], w: Int): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream(32)
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0L) { body.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      body.write(v.toInt)
+    }
+    val byteW = (w + 7) >> 3
+    var i = 0
+    while (i < defs.length) {
+      var j = i + 1
+      while (j < defs.length && defs(j) == defs(i)) j += 1
+      varint(((j - i).toLong) << 1) // RLE run header
+      var v = defs(i)
+      var k = 0
+      while (k < byteW) { body.write(v & 0xff); v >>>= 8; k += 1 }
+      i = j
+    }
+    val out = new java.io.ByteArrayOutputStream(body.size + 4)
+    le32(out, body.size)
+    body.writeTo(out)
+    out.toByteArray
+  }
+
+  /** PLAIN-encode present values for physical type `typ`. */
+  private def plain(typ: Int, vals: Array[AnyRef]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(64)
+    typ match {
+      case 0 => // BOOLEAN bit-packed LSB-first
+        var acc = 0; var nb = 0
+        vals.foreach { v =>
+          if (v.asInstanceOf[java.lang.Boolean]) acc |= 1 << nb
+          nb += 1
+          if (nb == 8) { out.write(acc); acc = 0; nb = 0 }
+        }
+        if (nb > 0) out.write(acc)
+      case 1 => vals.foreach(v => le32(out, v.asInstanceOf[Integer].intValue))
+      case 2 => vals.foreach(v => le64(out, v.asInstanceOf[java.lang.Long].longValue))
+      case 5 => vals.foreach(v => le64(out,
+        java.lang.Double.doubleToLongBits(v.asInstanceOf[java.lang.Double].doubleValue)))
+      case 6 => vals.foreach { v =>
+        val b = v match {
+          case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          case a: Array[Byte] => a
+          case _ => throw new IllegalArgumentException("BYTE_ARRAY value")
+        }
+        le32(out, b.length); out.write(b, 0, b.length)
+      }
+      case _ => throw new IllegalArgumentException(s"unsupported typ $typ")
+    }
+    out.toByteArray
+  }
+
+  @inline private def bitWidth(max: Int): Int =
+    32 - Integer.numberOfLeadingZeros(max)
+
+  /** Assemble a one-row-group file. `els` is the pre-order schema
+    * below the root; `leafData` pairs one entry per leaf in that
+    * order: (present values, per-row def levels). */
+  def file(els: Seq[WEl], numRows: Long,
+           leafData: Seq[(Array[AnyRef], Array[Int])]): Array[Byte] = {
+    require(els.nonEmpty && numRows >= 0)
+    // walk: leaf maxDefs + full paths, mirroring ParquetRead.parseMeta
+    val leaves = scala.collection.mutable.ArrayBuffer.empty[(WEl, Int, Vector[String])]
+    var idx = 0
+    def walk(maxDef: Int, prefix: List[String]): Unit = {
+      require(idx < els.length, "schema tree truncated")
+      val e = els(idx); idx += 1
+      require(e.rep == 0 || e.rep == 1, "REPEATED is out of the writer's scope")
+      val d = maxDef + e.rep
+      if (e.children == 0) leaves += ((e, d, ((e.name :: prefix).reverse).toVector))
+      else (0 until e.children).foreach(_ => walk(d, e.name :: prefix))
+    }
+    // root children = number of top-level subtrees: walk until all consumed
+    var nTop = 0
+    while (idx < els.length) { walk(0, Nil); nTop += 1 }
+    require(leaves.length == leafData.length, "one (values, defs) per leaf")
+
+    val out = new java.io.ByteArrayOutputStream(4096)
+    out.write('P'); out.write('A'); out.write('R'); out.write('1')
+
+    // ---- column chunks: one v1 PLAIN page each ----
+    final case class Col(typ: Int, path: Vector[String], off: Long,
+                         size: Long, numValues: Long)
+    val cols = scala.collection.mutable.ArrayBuffer.empty[Col]
+    leaves.zip(leafData).foreach { case ((el, maxDef, path), (vals, defs)) =>
+      require(defs.length.toLong == numRows, s"defs census at ${path.mkString(".")}")
+      require(defs.forall(d => d >= 0 && d <= maxDef), "def level bound")
+      require(vals.length == defs.count(_ == maxDef), "present census")
+      val defSec = if (maxDef == 0) Array.emptyByteArray
+                   else rleSection(defs, bitWidth(maxDef))
+      val valSec = plain(el.typ, vals)
+      val payload = defSec ++ valSec
+      val h = new TW
+      h.i32(1, 0) // PageType DATA_PAGE
+      h.i32(2, payload.length) // uncompressed_page_size
+      h.i32(3, payload.length) // compressed_page_size (UNCOMPRESSED)
+      h.struct(5) { // DataPageHeader
+        h.i32(1, defs.length) // num_values
+        h.i32(2, 0) // PLAIN
+        h.i32(3, 3) // def levels RLE
+        h.i32(4, 3) // rep levels RLE (absent at maxRep 0)
+      }
+      h.stop()
+      val header = h.bytes
+      val off = out.size.toLong
+      out.write(header, 0, header.length)
+      out.write(payload, 0, payload.length)
+      cols += Col(el.typ, path, off, (header.length + payload.length).toLong,
+        numRows)
+    }
+
+    // ---- footer: FileMetaData ----
+    val fw = new TW
+    fw.i32(1, 1) // version
+    fw.list(2, els.length + 1, 12) { i =>
+      if (i == 0) { // root
+        fw.str(4, "root")
+        fw.i32(5, nTop)
+      } else {
+        val e = els(i - 1)
+        if (e.children == 0) fw.i32(1, e.typ)
+        fw.i32(3, e.rep)
+        fw.str(4, e.name)
+        if (e.children > 0) fw.i32(5, e.children)
+        if (e.conv >= 0) fw.i32(6, e.conv)
+      }
+    }
+    fw.i64(3, numRows)
+    fw.list(4, 1, 12) { _ => // one row group
+      fw.list(1, cols.length, 12) { c =>
+        val col = cols(c)
+        fw.i64(2, col.off) // file_offset
+        fw.struct(3) { // ColumnMetaData
+          fw.i32(1, col.typ)
+          fw.listI32(2, Seq(0, 3)) // encodings: PLAIN, RLE
+          fw.listBin(3, col.path)
+          fw.i32(4, 0) // codec UNCOMPRESSED
+          fw.i64(5, col.numValues)
+          fw.i64(6, col.size) // total_uncompressed_size
+          fw.i64(7, col.size) // total_compressed_size
+          fw.i64(9, col.off) // data_page_offset
+        }
+      }
+      fw.i64(2, cols.map(_.size).sum) // total_byte_size
+      fw.i64(3, numRows)
+    }
+    fw.stop()
+    val footer = fw.bytes
+    out.write(footer, 0, footer.length)
+    le32(out, footer.length)
+    out.write('P'); out.write('A'); out.write('R'); out.write('1')
+    out.toByteArray
+  }
+}

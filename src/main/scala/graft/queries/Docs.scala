@@ -2422,6 +2422,103 @@ object Docs {
       |FROM p LEFT JOIN agg ON agg.k = p.k
       |ORDER BY media_id""".stripMargin
 
+  /** Delta CHECKPOINT replay under the oracle (see
+    * [[graft.llm.DeltaLog.replayCheckpointed]]): per key, an aged
+    * table — `_last_checkpoint` → a checkpoint parquet minted through
+    * the engine's own [[graft.llm.ParquetWrite]] and decoded through
+    * its native page reader [[graft.llm.ParquetRead]] — then JSON
+    * commits replayed on top, including the tombstone of a
+    * checkpointed file and a newest-wins re-add. Refusal arms: torn
+    * checkpoint bytes (k mod 13 — the page/footer laws), a version gap
+    * after the checkpoint (k mod 17 — `_last_checkpoint` pointing past
+    * the log), a size lie in `_last_checkpoint` (k mod 19 — the size
+    * cross-law). DuckDB replays the reconciliation in closed form. */
+  def deltaCheckpoint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.DeltaLog
+    val keys = partKeys(s, d) // full-width spread: the replay map is the cost
+    val decoded = keys.map { k =>
+      val c = (1 + k % 3).toInt // checkpoint version
+      val t = (1 + k % 2).toInt // post-checkpoint commit count
+      val nCk = (2 + k % 3).toInt
+      val adds = (0 until nCk).map { j =>
+        (s"ck-$j-$k.parquet", 1000L + (k * 7 + j * 13) % 9000,
+          10L + (k + j) % 90)
+      }
+      val ckBytes0 = DeltaLog.checkpointBytes(s"tbl-$k", adds,
+        Seq(s"old-$k.parquet"))
+      val ckBytes = if (k % 13 == 0)
+        java.util.Arrays.copyOf(ckBytes0, ckBytes0.length - 7) else ckBytes0
+      val size = 2L + nCk + 1L
+      val lc = DeltaLog.lastCheckpoint(c.toLong,
+        if (k % 19 == 0) size + 1 else size)
+      val commits: Seq[(Long, String)] = (c + 1 to c + t).map { v =>
+        val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+        lines += DeltaLog.commitInfo("WRITE")
+        lines += DeltaLog.add(s"pc-$v-$k.parquet",
+          2000L + (k * 11 + v * 17) % 7000, 20L + (k + v) % 70)
+        if (v == c + 1) lines += DeltaLog.remove(s"ck-0-$k.parquet")
+        if (v == c + t && k % 5 == 0)
+          lines += DeltaLog.add(s"ck-1-$k.parquet", 500L + c, 5L + c)
+        (v.toLong, lines.mkString("\n"))
+      }
+      val armed = if (k % 17 == 0) commits.map { case (v, x) => (v + 1, x) }
+                  else commits
+      DeltaLog.replayCheckpointed(lc, ckBytes, armed) match {
+        case Some(snap) =>
+          val text = snap.files.map { case (p, sz, r) => s"$p:$sz:$r" }
+            .mkString("\n")
+          (k, true, Some(snap.version), Some(snap.files.length),
+            Some(snap.files.map(_._2).sum), Some(snap.files.map(_._3).sum),
+            Some(text))
+        case None =>
+          (k, false, None: Option[Long], None: Option[Int],
+            None: Option[Long], None: Option[Long], None: Option[String])
+      }
+    }.toDF("media_id", "dl_ok", "version", "n_files", "total_bytes",
+      "total_rows", "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The aged-table reconciliation in closed form: checkpoint adds
+    * minus the tombstoned first file, the k mod 5 newest-wins re-add,
+    * plus one post-checkpoint add per commit. */
+  val deltaCheckpointSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(1 + k % 3 AS BIGINT) AS c,
+      |        CAST(1 + k % 2 AS BIGINT) AS t, CAST(2 + k % 3 AS BIGINT) AS nck,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |live AS (
+      |  SELECT p.k, 'ck-' || j.g || '-' || p.k || '.parquet' AS path,
+      |    CAST(CASE WHEN j.g = 1 AND p.k % 5 = 0 THEN 500 + p.c
+      |         ELSE 1000 + (p.k * 7 + j.g * 13) % 9000 END AS BIGINT) AS sz,
+      |    CAST(CASE WHEN j.g = 1 AND p.k % 5 = 0 THEN 5 + p.c
+      |         ELSE 10 + (p.k + j.g) % 90 END AS BIGINT) AS nrec
+      |  FROM p, generate_series(1, 3) j(g)
+      |  WHERE p.ok AND j.g < p.nck
+      |  UNION ALL
+      |  SELECT p.k, 'pc-' || v.g || '-' || p.k || '.parquet' AS path,
+      |    CAST(2000 + (p.k * 11 + v.g * 17) % 7000 AS BIGINT) AS sz,
+      |    CAST(20 + (p.k + v.g) % 70 AS BIGINT) AS nrec
+      |  FROM p, generate_series(2, 5) v(g)
+      |  WHERE p.ok AND v.g > p.c AND v.g <= p.c + p.t),
+      |agg AS (
+      |  SELECT k, CAST(COUNT(*) AS INTEGER) AS n_files,
+      |    CAST(SUM(sz) AS BIGINT) AS total_bytes,
+      |    CAST(SUM(nrec) AS BIGINT) AS total_rows,
+      |    string_agg(path || ':' || sz || ':' || nrec, chr(10)
+      |      ORDER BY path) AS text
+      |  FROM live GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS dl_ok,
+      |  CASE WHEN p.ok THEN p.c + p.t END AS version,
+      |  CASE WHEN p.ok THEN agg.n_files END AS n_files,
+      |  CASE WHEN p.ok THEN agg.total_bytes END AS total_bytes,
+      |  CASE WHEN p.ok THEN agg.total_rows END AS total_rows,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p LEFT JOIN agg ON agg.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   /** Native parquet-footer walk under the oracle (see
     * [[graft.llm.ParquetFooter]]): the seven flat TPC-H testdata
     * files parse through OUR thrift compact-protocol reader — column
@@ -3482,6 +3579,7 @@ object Docs {
     "q_sqlite_read" -> (sqliteRead _),
     "q_arrow_read" -> (arrowRead _),
     "q_delta_log" -> (deltaLog _),
+    "q_delta_checkpoint" -> (deltaCheckpoint _),
     "q_parquet_footer" -> (parquetFooter _),
     "q_parquet_read_native" -> (parquetReadNative _),
     "q_parquet_read_agg" -> (parquetReadAgg _),
@@ -3521,6 +3619,7 @@ object Docs {
     "q_sqlite_read" -> sqliteReadSql,
     "q_arrow_read" -> arrowReadSql,
     "q_delta_log" -> deltaLogSql,
+    "q_delta_checkpoint" -> deltaCheckpointSql,
     "q_parquet_footer" -> parquetFooterSql,
     "q_parquet_read_native" -> parquetReadNativeSql,
     "q_parquet_read_agg" -> parquetReadAggSql,

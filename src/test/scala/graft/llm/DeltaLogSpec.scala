@@ -59,4 +59,88 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(replay(Seq(0L -> v0(("a.parquet", 1L, 1L)),
       1L -> remove("a.parquet"))).isEmpty)
   }
+
+  // ---- checkpoint parquet replay ----
+
+  private def ck(adds: Seq[(String, Long, Long)], removes: Seq[String] = Nil) =
+    checkpointBytes("tbl-ck", adds, removes)
+
+  test("checkpoint replay: adds survive, post-commits reconcile on top") {
+    val adds = Seq(("a.parquet", 100L, 10L), ("b.parquet", 200L, 20L),
+      ("c.parquet", 300L, 30L))
+    val bytes = ck(adds, Seq("old.parquet"))
+    val lc = lastCheckpoint(4L, 2 + adds.length + 1)
+    // no post-commits: the checkpoint IS the tip
+    val s0 = replayCheckpointed(lc, bytes, Nil).getOrElse(fail("refused"))
+    assert(s0.version == 4L && s0.files.map(_._1) ==
+      Seq("a.parquet", "b.parquet", "c.parquet"))
+    // post-commits: remove a checkpointed file, add a new one, re-add b
+    val commits = Seq(
+      5L -> Seq(commitInfo("WRITE"), add("d.parquet", 400L, 40L),
+        remove("a.parquet")).mkString("\n"),
+      6L -> Seq(commitInfo("OPTIMIZE"), add("b.parquet", 999L, 21L)).mkString("\n"))
+    val s = replayCheckpointed(lc, bytes, commits).getOrElse(fail("refused"))
+    assert(s.version == 6L)
+    assert(s.files == Seq(("b.parquet", 999L, 21L), ("c.parquet", 300L, 30L),
+      ("d.parquet", 400L, 40L)))
+  }
+
+  test("checkpoint refusals: size lie, gap, torn bytes, law violations") {
+    val adds = Seq(("a.parquet", 100L, 10L))
+    val bytes = ck(adds)
+    val n = 2 + adds.length
+    val lc = lastCheckpoint(3L, n.toLong)
+    assert(replayCheckpointed(lc, bytes, Nil).nonEmpty)
+    // _last_checkpoint size lie
+    assert(replayCheckpointed(lastCheckpoint(3L, n + 1L), bytes, Nil).isEmpty)
+    // commits must start at version+1 (a _last_checkpoint past the log
+    // shows up as this gap)
+    assert(replayCheckpointed(lc, bytes,
+      Seq(5L -> add("x.parquet", 1L, 1L))).isEmpty)
+    // torn checkpoint bytes
+    assert(replayCheckpointed(lc,
+      java.util.Arrays.copyOf(bytes, bytes.length - 7), Nil).isEmpty)
+    // protocol/metaData re-appearing after the checkpoint refuses
+    assert(replayCheckpointed(lc, bytes, Seq(4L -> protocol())).isEmpty)
+    assert(replayCheckpointed(lc, bytes, Seq(4L -> metaData("z"))).isEmpty)
+    // a path both added and tombstoned inside the checkpoint
+    assert(replayCheckpointed(lastCheckpoint(3L, (n + 1).toLong),
+      ck(adds, Seq("a.parquet")), Nil).isEmpty)
+    // dataChange true inside a checkpoint add violates the spec law
+    val trueDc = checkpointTamperDataChange(adds)
+    assert(replayCheckpointed(lc, trueDc, Nil).isEmpty)
+    // an empty live set refuses
+    assert(replayCheckpointed(lc, bytes,
+      Seq(4L -> remove("a.parquet"))).isEmpty)
+  }
+
+  /** a checkpoint whose add.dataChange is TRUE — minted directly. */
+  private def checkpointTamperDataChange(adds: Seq[(String, Long, Long)]): Array[Byte] = {
+    import ParquetWrite.WEl
+    val els = Seq(
+      WEl("protocol", 2, 1),
+      WEl("minReaderVersion", 0, 1, typ = 1), WEl("minWriterVersion", 0, 1, typ = 1),
+      WEl("metaData", 2, 1),
+      WEl("id", 0, 1, 6, 0), WEl("schemaString", 0, 1, 6, 0),
+      WEl("add", 4, 1),
+      WEl("path", 0, 1, 6, 0), WEl("size", 0, 1, typ = 2),
+      WEl("dataChange", 0, 1, typ = 0), WEl("stats", 0, 1, 6, 0),
+      WEl("remove", 1, 1),
+      WEl("path", 0, 1, 6, 0))
+    val n = 2 + adds.length
+    def defsAt(rows: Seq[Int]): Array[Int] = {
+      val a = new Array[Int](n); rows.foreach(i => a(i) = 2); a
+    }
+    val addRows = adds.indices.map(_ + 2)
+    ParquetWrite.file(els, n.toLong, Seq(
+      (Array[AnyRef](Integer.valueOf(1)), defsAt(Seq(0))),
+      (Array[AnyRef](Integer.valueOf(2)), defsAt(Seq(0))),
+      (Array[AnyRef]("tbl-ck"), defsAt(Seq(1))),
+      (Array[AnyRef]("{}"), defsAt(Seq(1))),
+      (adds.map(_._1: AnyRef).toArray, defsAt(addRows)),
+      (adds.map(a => java.lang.Long.valueOf(a._2): AnyRef).toArray, defsAt(addRows)),
+      (adds.map(_ => java.lang.Boolean.TRUE: AnyRef).toArray, defsAt(addRows)),
+      (adds.map(a => s"""{"numRecords":${a._3}}""": AnyRef).toArray, defsAt(addRows)),
+      (Array.empty[AnyRef], defsAt(Nil))))
+  }
 }

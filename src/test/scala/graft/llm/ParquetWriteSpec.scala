@@ -1,0 +1,128 @@
+package graft.llm
+
+import graft.SparkTestBase
+
+/** The conformance parquet writer pinned from both sides: our own
+  * ParquetRead decodes the bytes (values + def levels) and Spark's
+  * parquet-mr reader — an independent implementation — must agree on
+  * the same file, including OPTIONAL-group struct columns with
+  * duplicate leaf names (add.path / remove.path). */
+class ParquetWriteSpec extends SparkTestBase {
+
+  import ParquetWrite.WEl
+
+  private def checkpointEls: Seq[WEl] = Seq(
+    WEl("protocol", 2, 1),
+    WEl("minReaderVersion", 0, 1, typ = 1), WEl("minWriterVersion", 0, 1, typ = 1),
+    WEl("metaData", 2, 1),
+    WEl("id", 0, 1, 6, 0), WEl("schemaString", 0, 1, 6, 0),
+    WEl("add", 4, 1),
+    WEl("path", 0, 1, 6, 0), WEl("size", 0, 1, 2),
+    WEl("dataChange", 0, 1, 0), WEl("stats", 0, 1, 6, 0),
+    WEl("remove", 1, 1),
+    WEl("path", 0, 1, 6, 0))
+
+  test("checkpoint-shaped file: our reader and parquet-mr agree") {
+    // 4 rows: protocol, metaData, two adds; plus a remove tombstone row
+    val n = 5
+    def defs(present: Seq[Int], level: Int): Array[Int] = {
+      val a = new Array[Int](n)
+      present.foreach(i => a(i) = level)
+      a
+    }
+    val leafData: Seq[(Array[AnyRef], Array[Int])] = Seq(
+      (Array[AnyRef](Integer.valueOf(1)), defs(Seq(0), 2)), // protocol row 0
+      (Array[AnyRef](Integer.valueOf(2)), defs(Seq(0), 2)),
+      (Array[AnyRef]("tbl-1"), defs(Seq(1), 2)), // metaData row 1
+      (Array[AnyRef]("{}"), defs(Seq(1), 2)),
+      (Array[AnyRef]("a.parquet", "b.parquet"), defs(Seq(2, 3), 2)), // adds rows 2,3
+      (Array[AnyRef](java.lang.Long.valueOf(100L), java.lang.Long.valueOf(200L)),
+        defs(Seq(2, 3), 2)),
+      (Array[AnyRef](java.lang.Boolean.FALSE, java.lang.Boolean.FALSE),
+        defs(Seq(2, 3), 2)),
+      (Array[AnyRef]("""{"numRecords":7}""", """{"numRecords":9}"""),
+        defs(Seq(2, 3), 2)),
+      (Array[AnyRef]("gone.parquet"), defs(Seq(4), 2))) // remove row 4
+    val bytes = ParquetWrite.file(checkpointEls, n.toLong, leafData)
+
+    // ---- our own reader ----
+    val meta = ParquetRead.parseMeta(bytes).get
+    assert(meta.numRows == n && meta.leaves.length == 9)
+    assert(meta.leaves.map(_.path).contains(Vector("add", "path")))
+    assert(meta.leaves.map(_.path).contains(Vector("remove", "path")))
+    val addPath = meta.leaves.indexWhere(_.path == Vector("add", "path"))
+    val (v, d, _) = ParquetRead.readColumnLevels(bytes, meta, 0, addPath).get
+    assert(d.toSeq == Seq(0, 0, 2, 2, 0))
+    assert(v(2) == "a.parquet" && v(3) == "b.parquet" && v(0) == null)
+    val sz = meta.leaves.indexWhere(_.path == Vector("add", "size"))
+    val (sv, _, _) = ParquetRead.readColumnLevels(bytes, meta, 0, sz).get
+    assert(sv(2) == java.lang.Long.valueOf(100L) && sv(4) == null)
+
+    // ---- the independent reader: Spark's parquet-mr ----
+    val tmp = java.nio.file.Files.createTempDirectory("pqw").toString
+    val f = java.nio.file.Paths.get(tmp, "ck.parquet")
+    java.nio.file.Files.write(f, bytes)
+    val rows = spark.read.parquet(f.toString)
+      .selectExpr("protocol.minReaderVersion", "metaData.id", "add.path",
+        "add.size", "add.dataChange", "add.stats", "remove.path AS rpath")
+      .collect()
+    assert(rows.length == n)
+    val byAdd = rows.filter(!_.isNullAt(2)).map(r =>
+      (r.getString(2), r.getLong(3), r.getBoolean(4), r.getString(5))).sortBy(_._1)
+    assert(byAdd.toSeq == Seq(("a.parquet", 100L, false, """{"numRecords":7}"""),
+      ("b.parquet", 200L, false, """{"numRecords":9}""")))
+    assert(rows.count(r => !r.isNullAt(0)) == 1)
+    assert(rows.count(r => !r.isNullAt(6)) == 1)
+    assert(rows.filter(!_.isNullAt(6)).head.getString(6) == "gone.parquet")
+  }
+
+  test("flat file round trip incl. required columns and booleans") {
+    val n = 9
+    val els = Seq(
+      WEl("id", 0, 0, typ = 2), // REQUIRED INT64
+      WEl("name", 0, 1, 6, 0),
+      WEl("flag", 0, 1, typ = 0),
+      WEl("score", 0, 0, typ = 5)) // REQUIRED DOUBLE
+    val ids = (0 until n).map(i => java.lang.Long.valueOf(i * 3L): AnyRef).toArray
+    val names = (0 until n).filter(_ % 2 == 0)
+      .map(i => s"nm$i": AnyRef).toArray
+    val nameDefs = (0 until n).map(i => if (i % 2 == 0) 1 else 0).toArray
+    val flags = (0 until n).filter(_ % 3 != 0)
+      .map(i => java.lang.Boolean.valueOf(i % 2 == 0): AnyRef).toArray
+    val flagDefs = (0 until n).map(i => if (i % 3 != 0) 1 else 0).toArray
+    val scores = (0 until n).map(i => java.lang.Double.valueOf(i * 1.5): AnyRef).toArray
+    val b = ParquetWrite.file(els, n.toLong, Seq(
+      (ids, Array.fill(n)(0)), (names, nameDefs), (flags, flagDefs),
+      (scores, Array.fill(n)(0))))
+    val (leaves, cols) = ParquetRead.readTable(b, Seq("id", "name", "flag", "score")).get
+    assert(leaves.head.maxDef == 0)
+    assert(cols(0).map(_.asInstanceOf[Long]).toSeq == (0 until n).map(_ * 3L))
+    assert(cols(1)(1) == null && cols(1)(2) == "nm2")
+    assert(cols(2)(0) == null && cols(2)(1) == java.lang.Boolean.FALSE)
+    // parquet-mr agreement
+    val tmp = java.nio.file.Files.createTempDirectory("pqwf").toString
+    val f = java.nio.file.Paths.get(tmp, "flat.parquet")
+    java.nio.file.Files.write(f, b)
+    val back = spark.read.parquet(f.toString).orderBy("id").collect()
+    assert(back.length == n)
+    (0 until n).foreach { i =>
+      assert(back(i).getLong(0) == i * 3L)
+      if (i % 2 == 0) assert(back(i).getString(1) == s"nm$i")
+      else assert(back(i).isNullAt(1))
+      assert(back(i).getDouble(3) == i * 1.5)
+    }
+  }
+
+  test("writer census laws fail loudly") {
+    val els = Seq(WEl("x", 0, 1, typ = 2))
+    intercept[IllegalArgumentException] { // defs length != numRows
+      ParquetWrite.file(els, 3L, Seq((Array.empty[AnyRef], Array(0, 0))))
+    }
+    intercept[IllegalArgumentException] { // present census mismatch
+      ParquetWrite.file(els, 2L, Seq((Array.empty[AnyRef], Array(1, 0))))
+    }
+    intercept[IllegalArgumentException] { // def above maxDef
+      ParquetWrite.file(els, 1L, Seq((Array.empty[AnyRef], Array(2))))
+    }
+  }
+}
