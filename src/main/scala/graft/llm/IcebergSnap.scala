@@ -135,6 +135,193 @@ object IcebergSnap {
     case _: ArrayIndexOutOfBoundsException => None
   }
 
+  // ---- format-v2: positional deletes --------------------------------------
+  // The Iceberg v2 row-level delete layer (spec §Delete Formats): the
+  // manifest list gains `content` (0 data / 1 deletes) and a
+  // `sequence_number`; manifest entries carry their data sequence
+  // number; delete manifests name POSITIONAL delete files — Avro
+  // containers of (file_path, pos) rows sorted by (file_path, pos) —
+  // and a delete row applies to a data file exactly when the delete
+  // file's sequence number is ≥ the data file's (the spec's
+  // "data sequence number ≤ delete's" law). Equality deletes stay a
+  // pinned refusal: this schema cannot express them, and a table that
+  // needs them cannot be misread as one that doesn't.
+  //
+  // Laws on top of the v1 set (refuse, never garble):
+  //  - metadata format-version must be 2;
+  //  - manifest-list content ∈ {0, 1}; sequence numbers ≥ 0;
+  //  - a delete file's declared record_count must equal its actual
+  //    row count (the census cross-law);
+  //  - delete rows strictly sorted by (file_path, pos) within a file;
+  //  - every delete row must name a LIVE data file of this snapshot
+  //    and a position inside [0, record_count) — an orphan delete is
+  //    a torn table, not a smaller one;
+  //  - duplicate (path, pos) across delete files dedupe (two delete
+  //    files may lawfully tombstone the same row).
+
+  /** v2 manifest-list record: (manifest_path, manifest_length,
+    * content, sequence_number, added_snapshot_id). */
+  val MLSchemaV2: String =
+    """{"type":"record","name":"manifest_file","fields":[{"name":"manifest_path","type":"string"},{"name":"manifest_length","type":"long"},{"name":"content","type":"int"},{"name":"sequence_number","type":"long"},{"name":"added_snapshot_id","type":"long"}]}"""
+
+  /** v2 manifest-entry record: (status, snapshot_id, sequence_number,
+    * file_path, record_count, file_size_in_bytes). */
+  val MESchemaV2: String =
+    """{"type":"record","name":"manifest_entry","fields":[{"name":"status","type":"int"},{"name":"snapshot_id","type":"long"},{"name":"sequence_number","type":"long"},{"name":"file_path","type":"string"},{"name":"record_count","type":"long"},{"name":"file_size_in_bytes","type":"long"}]}"""
+
+  /** positional-delete record: (file_path, pos). */
+  val DelSchema: String =
+    """{"type":"record","name":"pos_delete","fields":[{"name":"file_path","type":"string"},{"name":"pos","type":"long"}]}"""
+
+  /** files: (path, liveRows, rawRows, size); deletesApplied is the
+    * distinct (path, pos) census that actually subtracted. */
+  final case class SnapshotV2(snapshotId: Long, nManifests: Int,
+                              nDeleteFiles: Int, deletesApplied: Long,
+                              files: Seq[(String, Long, Long, Long)])
+
+  def snapshotV2(metadataJson: String,
+                 files: Map[String, Array[Byte]]): Option[SnapshotV2] = try {
+    val root = mapper.readTree(metadataJson)
+    if (root == null || !root.isObject) return None
+    val fv = root.get("format-version")
+    if (fv == null || !fv.isInt || fv.asInt != 2) return None // the v2 lane
+    val uuid = root.get("table-uuid")
+    if (uuid == null || !uuid.isTextual || uuid.asText.isEmpty) return None
+    val cur = root.get("current-snapshot-id")
+    if (cur == null || !cur.canConvertToLong) return None
+    val curId = cur.asLong
+    val snaps = root.get("snapshots")
+    if (snaps == null || !snaps.isArray) return None
+    var mlPath: String = null
+    var matches = 0
+    val it = snaps.elements()
+    while (it.hasNext) {
+      val sn = it.next()
+      if (!sn.isObject) return None
+      val id = sn.get("snapshot-id")
+      val ml = sn.get("manifest-list")
+      if (id == null || !id.canConvertToLong || ml == null || !ml.isTextual)
+        return None
+      if (id.asLong == curId) { matches += 1; mlPath = ml.asText }
+    }
+    if (matches != 1) return None
+    val mlBytes = files.getOrElse(mlPath, return None)
+    // ---- the manifest list: (path, length, content, seq) ----
+    val manifests = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Int, Long)]
+    AvroCodec.ocfBlocks(mlBytes, MLSchemaV2).getOrElse(return None)
+      .foreach { case (cnt, data) =>
+        val c = new WireCur(data, 0, data.length)
+        var i = 0L
+        while (i < cnt) {
+          val path = readString(c)
+          val len = c.zigzag()
+          val content = c.zigzag()
+          val seq = c.zigzag()
+          c.zigzag() // added_snapshot_id (informational)
+          if (len < 0 || seq < 0) return None
+          if (content != 0L && content != 1L) return None
+          manifests += ((path, len, content.toInt, seq))
+          i += 1
+        }
+        if (c.p != data.length) return None
+      }
+    if (manifests.isEmpty) return None
+    // ---- pass 1: data manifests → live file census ----
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
+    // path → (rawRows, size, dataSeq)
+    manifests.foreach { case (path, declLen, content, _) =>
+      val mBytes = files.getOrElse(path, return None)
+      if (mBytes.length.toLong != declLen) return None
+      if (content == 0) {
+        AvroCodec.ocfBlocks(mBytes, MESchemaV2).getOrElse(return None)
+          .foreach { case (cnt, data) =>
+            val c = new WireCur(data, 0, data.length)
+            var i = 0L
+            while (i < cnt) {
+              val status = c.zigzag()
+              c.zigzag() // snapshot_id
+              val seq = c.zigzag()
+              val fp = readString(c)
+              val rec = c.zigzag()
+              val size = c.zigzag()
+              if (status < 0 || status > 2) return None
+              if (rec < 0 || size < 0 || seq < 0) return None
+              if (status != 2) {
+                if (live.contains(fp)) return None // one file, one owner
+                live(fp) = (rec, size, seq)
+              }
+              i += 1
+            }
+            if (c.p != data.length) return None
+          }
+      }
+    }
+    if (live.isEmpty) return None
+    // ---- pass 2: delete manifests → applied positions ----
+    val applied = scala.collection.mutable.HashSet.empty[(String, Long)]
+    var nDelFiles = 0
+    manifests.foreach { case (path, _, content, _) =>
+      if (content == 1) {
+        val mBytes = files(path) // presence + length verified in pass 1
+        AvroCodec.ocfBlocks(mBytes, MESchemaV2).getOrElse(return None)
+          .foreach { case (cnt, data) =>
+            val c = new WireCur(data, 0, data.length)
+            var i = 0L
+            while (i < cnt) {
+              val status = c.zigzag()
+              c.zigzag() // snapshot_id
+              val delSeq = c.zigzag()
+              val fp = readString(c)
+              val rec = c.zigzag()
+              val size = c.zigzag()
+              if (status < 0 || status > 2) return None
+              if (rec < 0 || size < 0 || delSeq < 0) return None
+              if (status != 2) {
+                nDelFiles += 1
+                val dBytes = files.getOrElse(fp, return None)
+                var rows = 0L
+                var prev: (String, Long) = null
+                AvroCodec.ocfBlocks(dBytes, DelSchema).getOrElse(return None)
+                  .foreach { case (dcnt, ddata) =>
+                    val dc = new WireCur(ddata, 0, ddata.length)
+                    var j = 0L
+                    while (j < dcnt) {
+                      val target = readString(dc)
+                      val pos = dc.zigzag()
+                      if (pos < 0) return None
+                      // strict (file_path, pos) order within the file
+                      if (prev != null && (target < prev._1 ||
+                        (target == prev._1 && pos <= prev._2))) return None
+                      prev = (target, pos)
+                      val (drec, _, dseq) = live.getOrElse(target, return None)
+                      if (pos >= drec) return None // the range law
+                      // the sequence-number law: applies iff the data
+                      // file's sequence number ≤ the delete file's
+                      if (dseq <= delSeq) applied += ((target, pos))
+                      rows += 1
+                      j += 1
+                    }
+                    if (dc.p != ddata.length) return None
+                  }
+                if (rows != rec) return None // the census cross-law
+              }
+              i += 1
+            }
+            if (c.p != data.length) return None
+          }
+      }
+    }
+    val byFile = applied.groupBy(_._1).map { case (p, s) => (p, s.size.toLong) }
+    val out = live.toSeq.map { case (p, (rec, size, _)) =>
+      (p, rec - byFile.getOrElse(p, 0L), rec, size)
+    }.sortBy(_._1)
+    Some(SnapshotV2(curId, manifests.length, nDelFiles, applied.size.toLong, out))
+  } catch {
+    case _: Refuse => None
+    case _: com.fasterxml.jackson.core.JacksonException => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
   // ---- conformance writers ------------------------------------------------
 
   private def encStr(out: java.io.ByteArrayOutputStream, s: String): Unit = {
@@ -166,6 +353,56 @@ object IcebergSnap {
       AvroCodec.writeVarintForTest(o, sid)
       o.toByteArray
     }, blockSize = 4, codec = codec, sync = sync, schema = MLSchema)
+
+  /** v2 manifest entries: (status, snapshotId, seq, path, rec, size). */
+  def encodeManifestV2(entries: Seq[(Int, Long, Long, String, Long, Long)],
+                       codec: String = "null",
+                       sync: Array[Byte]): Array[Byte] =
+    AvroCodec.encodeOcfRaw(entries.map { case (st, sid, seq, fp, rec, sz) =>
+      val o = new java.io.ByteArrayOutputStream
+      AvroCodec.writeVarintForTest(o, st.toLong)
+      AvroCodec.writeVarintForTest(o, sid)
+      AvroCodec.writeVarintForTest(o, seq)
+      encStr(o, fp)
+      AvroCodec.writeVarintForTest(o, rec)
+      AvroCodec.writeVarintForTest(o, sz)
+      o.toByteArray
+    }, blockSize = 3, codec = codec, sync = sync, schema = MESchemaV2)
+
+  /** v2 manifest list rows: (path, length, content, seq, snapshotId). */
+  def encodeManifestListV2(rows: Seq[(String, Long, Int, Long, Long)],
+                           codec: String = "null",
+                           sync: Array[Byte]): Array[Byte] =
+    AvroCodec.encodeOcfRaw(rows.map { case (p, len, content, seq, sid) =>
+      val o = new java.io.ByteArrayOutputStream
+      encStr(o, p)
+      AvroCodec.writeVarintForTest(o, len)
+      AvroCodec.writeVarintForTest(o, content.toLong)
+      AvroCodec.writeVarintForTest(o, seq)
+      AvroCodec.writeVarintForTest(o, sid)
+      o.toByteArray
+    }, blockSize = 4, codec = codec, sync = sync, schema = MLSchemaV2)
+
+  /** positional-delete file rows: (file_path, pos), given sorted. */
+  def encodeDeleteFile(rows: Seq[(String, Long)],
+                       codec: String = "null",
+                       sync: Array[Byte]): Array[Byte] =
+    AvroCodec.encodeOcfRaw(rows.map { case (fp, pos) =>
+      val o = new java.io.ByteArrayOutputStream
+      encStr(o, fp)
+      AvroCodec.writeVarintForTest(o, pos)
+      o.toByteArray
+    }, blockSize = 5, codec = codec, sync = sync, schema = DelSchema)
+
+  def metadataJsonV2(uuid: String, currentId: Long,
+                     snapshots: Seq[(Long, String)]): String = {
+    val snaps = snapshots.map { case (id, ml) =>
+      s"""{"snapshot-id":$id,"timestamp-ms":1700000000000,""" +
+        s""""manifest-list":"$ml","summary":{"operation":"overwrite"}}"""
+    }.mkString(",")
+    s"""{"format-version":2,"table-uuid":"$uuid","location":"file:///t",""" +
+      s""""current-snapshot-id":$currentId,"snapshots":[$snaps]}"""
+  }
 
   def metadataJson(uuid: String, currentId: Long,
                    snapshots: Seq[(Long, String)]): String = {

@@ -2829,6 +2829,108 @@ object Docs {
       |FROM p LEFT JOIN agg ON agg.k = p.k
       |ORDER BY media_id""".stripMargin
 
+  /** Iceberg v2 POSITIONAL DELETES under the oracle (see
+    * [[graft.llm.IcebergSnap.snapshotV2]]): per key, a v2 table of
+    * 2-4 data files (sequence numbers 1..n) plus one delete manifest
+    * naming a positional delete file whose rows tombstone two
+    * positions in every even-parity data file — applied only where
+    * the data file's sequence number is ≤ the delete file's (the
+    * spec's sequence-number law; higher-sequence files keep their
+    * rows even though the delete row names them). Refusal arms: a
+    * torn delete file (k mod 13 — the container laws), a record-count
+    * census lie in the delete manifest entry (k mod 17), an
+    * out-of-range position (k mod 19). DuckDB replays the live-row
+    * census in closed form. */
+  def icebergDeletes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.IcebergSnap
+    val keys = partKeys(s, d) // full-width spread: the replay map is the cost
+    val decoded = keys.map { k =>
+      val nData = (2 + k % 3).toInt
+      val sDel = 1 + k % 3
+      val sync = Array.tabulate(16)(i => ((k + i * 7) % 256).toByte)
+      val codec = if (k % 2 == 0) "null" else "deflate"
+      val dataEntries = (0 until nData).map { j =>
+        (if (j == 0) 1 else 0, 300L + k, (j + 1).toLong,
+          s"data/f-$j-$k.parquet", 50L + (k * 3 + j * 11) % 150,
+          1000L + (k + j * 29) % 9000)
+      }
+      val m1 = IcebergSnap.encodeManifestV2(dataEntries, codec, sync)
+      val delRows0 = (0 until nData).filter(j => (k + j) % 2 == 0).flatMap { j =>
+        Seq((s"data/f-$j-$k.parquet", 0L),
+          (s"data/f-$j-$k.parquet",
+            if (k % 19 == 0 && k % 13 != 0 && k % 17 != 0) 100000L
+            else 3L + k % 7))
+      }
+      val del0 = IcebergSnap.encodeDeleteFile(delRows0, codec, sync)
+      val del = if (k % 13 == 0) del0.dropRight(3) else del0
+      val recDecl = delRows0.length.toLong +
+        (if (k % 17 == 0 && k % 13 != 0) 2 else 0)
+      val m2 = IcebergSnap.encodeManifestV2(Seq(
+        (1, 301L + k, sDel, s"del/d-$k.avro", recDecl, del0.length.toLong)),
+        codec, sync)
+      val ml = IcebergSnap.encodeManifestListV2(Seq(
+        (s"meta/m1-$k.avro", m1.length.toLong, 0, nData.toLong, 300L + k),
+        (s"meta/m2-$k.avro", m2.length.toLong, 1, sDel, 301L + k)),
+        codec, sync)
+      val md = IcebergSnap.metadataJsonV2(s"uuid-$k", 300L + k,
+        Seq((299L + k, s"meta/ml-old-$k.avro"), (300L + k, s"meta/ml-$k.avro")))
+      val files = Map(s"meta/ml-$k.avro" -> ml, s"meta/m1-$k.avro" -> m1,
+        s"meta/m2-$k.avro" -> m2, s"del/d-$k.avro" -> del)
+      IcebergSnap.snapshotV2(md, files) match {
+        case Some(snap) =>
+          val text = snap.files.map { case (p, lv, raw, sz) => s"$p:$lv:$raw:$sz" }
+            .mkString("\n")
+          (k, true, Some(snap.snapshotId), Some(snap.nManifests),
+            Some(snap.nDeleteFiles), Some(snap.deletesApplied),
+            Some(snap.files.length), Some(snap.files.map(_._2).sum),
+            Some(text))
+        case None =>
+          (k, false, None: Option[Long], None: Option[Int],
+            None: Option[Int], None: Option[Long], None: Option[Int],
+            None: Option[Long], None: Option[String])
+      }
+    }.toDF("media_id", "ib_ok", "snapshot_id", "n_manifests",
+      "n_delete_files", "deletes_applied", "n_files", "total_live", "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The delete census in closed form: file j loses two rows iff its
+    * parity matches AND its sequence number j+1 is within the delete
+    * file's sequence 1 + k mod 3. */
+  val icebergDeletesSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(2 + k % 3 AS INTEGER) AS nd,
+      |        CAST(1 + k % 3 AS BIGINT) AS sdel,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |f AS (
+      |  SELECT p.k, j.g AS j,
+      |    'data/f-' || j.g || '-' || p.k || '.parquet' AS path,
+      |    CAST(50 + (p.k * 3 + j.g * 11) % 150 AS BIGINT) AS rec,
+      |    CAST(1000 + (p.k + j.g * 29) % 9000 AS BIGINT) AS sz,
+      |    CASE WHEN (p.k + j.g) % 2 = 0 AND j.g + 1 <= p.sdel
+      |      THEN 2 ELSE 0 END AS applied
+      |  FROM p, generate_series(0, 3) j(g)
+      |  WHERE p.ok AND j.g < p.nd),
+      |agg AS (
+      |  SELECT k, CAST(COUNT(*) AS INTEGER) AS n_files,
+      |    CAST(SUM(applied) AS BIGINT) AS deletes_applied,
+      |    CAST(SUM(rec - applied) AS BIGINT) AS total_live,
+      |    string_agg(path || ':' || (rec - applied) || ':' || rec || ':' || sz,
+      |      chr(10) ORDER BY path) AS text
+      |  FROM f GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS ib_ok,
+      |  CASE WHEN p.ok THEN 300 + p.k END AS snapshot_id,
+      |  CASE WHEN p.ok THEN 2 END AS n_manifests,
+      |  CASE WHEN p.ok THEN 1 END AS n_delete_files,
+      |  CASE WHEN p.ok THEN agg.deletes_applied END AS deletes_applied,
+      |  CASE WHEN p.ok THEN agg.n_files END AS n_files,
+      |  CASE WHEN p.ok THEN agg.total_live END AS total_live,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p LEFT JOIN agg ON agg.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   /** safetensors read under the oracle (see
     * [[graft.llm.TensorFormats]]): per-key weight files of 2-4
     * tensors rotating F32 / I64 / BOOL, serialized back to back under
@@ -3585,6 +3687,7 @@ object Docs {
     "q_parquet_read_agg" -> (parquetReadAgg _),
     "q_parquet_read_nested" -> (parquetReadNested _),
     "q_iceberg_snap" -> (icebergSnap _),
+    "q_iceberg_deletes" -> (icebergDeletes _),
     "q_hudi_snap" -> (hudiSnap _),
     "q_pickle_probe" -> (pickleProbe _),
     "q_ckpt_probe" -> (ckptProbe _),
@@ -3625,6 +3728,7 @@ object Docs {
     "q_parquet_read_agg" -> parquetReadAggSql,
     "q_parquet_read_nested" -> parquetReadNestedSql,
     "q_iceberg_snap" -> icebergSnapSql,
+    "q_iceberg_deletes" -> icebergDeletesSql,
     "q_hudi_snap" -> hudiSnapSql,
     "q_pickle_probe" -> pickleProbeSql,
     "q_ckpt_probe" -> ckptProbeSql,

@@ -63,4 +63,77 @@ class IcebergSnapSpec extends AnyFunSuite {
     assert(snapshot(md4.replace("\"format-version\":2",
       "\"format-version\":3"), files4).isEmpty)
   }
+
+  // ---- format-v2: positional deletes ----
+
+  private def v2Table(delSeq: Long = 5L,
+                      posOutOfRange: Boolean = false,
+                      unsorted: Boolean = false,
+                      censusLie: Boolean = false,
+                      orphan: Boolean = false,
+                      codec: String = "null") = {
+    // data: a (seq 1, 100 rows), b (seq 2, 200 rows), c (seq 6, 300 rows)
+    val m1 = encodeManifestV2(Seq(
+      (1, 10L, 1L, "data/a.parquet", 100L, 4096L),
+      (1, 10L, 2L, "data/b.parquet", 200L, 8192L),
+      (0, 10L, 6L, "data/c.parquet", 300L, 1024L)), codec, sync)
+    // deletes: rows against a (2), b (1), c (1) — c's seq 6 > delSeq 5
+    // so that row is checked but NOT applied
+    val delRows0 = Seq(
+      ("data/a.parquet", 3L), ("data/a.parquet", 7L),
+      ("data/b.parquet", if (posOutOfRange) 200L else 0L),
+      (if (orphan) "data/zz.parquet" else "data/c.parquet", 9L))
+    val delRows = if (unsorted) delRows0.reverse else delRows0
+    val del = encodeDeleteFile(delRows, codec, sync)
+    val m2 = encodeManifestV2(Seq(
+      (1, 11L, delSeq, "del/d1.avro",
+        if (censusLie) 5L else delRows.length.toLong, del.length.toLong)),
+      codec, sync)
+    val ml = encodeManifestListV2(Seq(
+      ("meta/m1.avro", m1.length.toLong, 0, 6L, 10L),
+      ("meta/m2.avro", m2.length.toLong, 1, delSeq, 11L)), codec, sync)
+    val md = metadataJsonV2("uuid-2", 11L,
+      Seq((10L, "meta/ml-old.avro"), (11L, "meta/ml.avro")))
+    (md, Map("meta/ml.avro" -> ml, "meta/m1.avro" -> m1,
+      "meta/m2.avro" -> m2, "del/d1.avro" -> del))
+  }
+
+  test("v2: positional deletes apply under the sequence-number law") {
+    for (codec <- Seq("null", "deflate")) {
+      val (md, files) = v2Table(codec = codec)
+      val s = snapshotV2(md, files).getOrElse(fail(s"refused codec=$codec"))
+      assert(s.snapshotId == 11L && s.nManifests == 2 && s.nDeleteFiles == 1)
+      // a loses 2, b loses 1; c's delete row does NOT apply (seq 6 > 5)
+      assert(s.deletesApplied == 3L)
+      assert(s.files == Seq(
+        ("data/a.parquet", 98L, 100L, 4096L),
+        ("data/b.parquet", 199L, 200L, 8192L),
+        ("data/c.parquet", 300L, 300L, 1024L)))
+      // raise the delete sequence past c: now it applies
+      val (md2, files2) = v2Table(delSeq = 6L, codec = codec)
+      val s2 = snapshotV2(md2, files2).get
+      assert(s2.deletesApplied == 4L)
+      assert(s2.files.find(_._1 == "data/c.parquet").get._2 == 299L)
+    }
+  }
+
+  test("v2 refusals: range, order, census lie, orphan, torn delete file") {
+    assert(snapshotV2(v2Table(posOutOfRange = true)._1,
+      v2Table(posOutOfRange = true)._2).isEmpty)
+    assert(snapshotV2(v2Table(unsorted = true)._1,
+      v2Table(unsorted = true)._2).isEmpty)
+    assert(snapshotV2(v2Table(censusLie = true)._1,
+      v2Table(censusLie = true)._2).isEmpty)
+    assert(snapshotV2(v2Table(orphan = true)._1,
+      v2Table(orphan = true)._2).isEmpty)
+    val (md, files) = v2Table()
+    val torn = files.updated("del/d1.avro", files("del/d1.avro").dropRight(3))
+    assert(snapshotV2(md, torn).isEmpty)
+    // a missing delete file refuses
+    assert(snapshotV2(md, files - "del/d1.avro").isEmpty)
+    // the v1 metadata (format-version pin) refuses on the v2 path
+    val (md1, files1) = table()
+    assert(snapshotV2(md1.replace("\"format-version\":2",
+      "\"format-version\":1"), files1).isEmpty)
+  }
 }
