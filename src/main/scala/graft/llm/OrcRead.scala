@@ -1,0 +1,606 @@
+package graft.llm
+
+/** ORC column VALUE decode — the read path that turns [[OrcTail]]'s
+  * structural walk into actual values, bringing ORC to parity with the
+  * native parquet reader ([[ParquetRead]]). Implemented from the
+  * public ORC v1 specification (orc.apache.org): the footer's type
+  * tree (kind + subtypes + fieldNames), per-stripe footers (stream
+  * directory + column encodings), and the value encodings real writers
+  * emit — RLEv2 in all four sub-encodings (SHORT_REPEAT / DIRECT /
+  * PATCHED_BASE / DELTA, big-endian bit packing, the 5-bit
+  * closest-fixed-bits width table, sign-magnitude patched bases,
+  * zigzag signed values), byte-RLE + bit-packed PRESENT streams,
+  * DIRECT_V2 and DICTIONARY_V2 strings, IEEE LE floats/doubles. Every
+  * stream decompresses through [[OrcTail.dechunk]] — the engine's own
+  * zlib/snappy/lz4/zstd decoders.
+  *
+  * Scope pin (honest subset, refuse beyond): a root STRUCT of
+  * primitive columns — SHORT/INT/LONG/DATE (RLEv2 signed), FLOAT/
+  * DOUBLE, STRING (both v2 encodings). BOOLEAN/BINARY/TIMESTAMP/
+  * DECIMAL/nested types and the v1 (pre-hive-0.12) integer RLE
+  * refuse. PRESENT streams decode (nullable columns work); ROW_INDEX
+  * and bloom streams are skipped by extent, never parsed.
+  *
+  * Laws (refuse, never garble):
+  *  - the stripe's stream directory must tile the index and data
+  *    regions exactly (index-kind streams first, the boundary at
+  *    indexLength, the final offset at indexLength + dataLength);
+  *  - every RLEv2 stream must produce exactly the declared value
+  *    count and consume its bytes exactly; runs may not straddle the
+  *    count; bit-packed headers may not declare impossible widths;
+  *  - PRESENT bits beyond the row count must be zero padding;
+  *  - dictionary indices bound by dictionarySize; LENGTH sums must
+  *    equal the DATA stream's byte length; strings validate as UTF-8;
+  *  - a column whose encoding/type pair is not in the table above
+  *    refuses (DIRECT for strings is the v1 encoding — refuse). */
+object OrcRead {
+
+  import OrcTail.{Pb, bad, dechunk, Bad}
+
+  /** column: 1-based type id, name, type kind. */
+  final case class OCol(typeId: Int, name: String, kind: Int)
+  final case class Stripe(offset: Long, indexLen: Long, dataLen: Long,
+                          footerLen: Long, rows: Long)
+  final case class OMeta(compression: Int, blockSize: Int, numRows: Long,
+                         cols: Vector[OCol], stripes: Vector[Stripe])
+
+  /** Footer parse with the type tree: the probe's laws plus the
+    * root-struct + named-children requirements. */
+  def parseMeta(b: Array[Byte]): Option[OMeta] = try {
+    if (b == null || b.length < 16) return None
+    if (!(b(0) == 'O' && b(1) == 'R' && b(2) == 'C')) return None
+    val psLen = b(b.length - 1) & 0xff
+    if (psLen < 1 || psLen + 1 > b.length - 3) return None
+    val psFrom = b.length - 1 - psLen
+    val ps = new Pb(b, psFrom, b.length - 1)
+    var footerLen = -1L
+    var kind = 0
+    var blockSize = 256 * 1024
+    var metaLen = 0L
+    var sawMagic = false
+    while (!ps.done) {
+      val (f, w) = ps.tag()
+      f match {
+        case 1 => footerLen = ps.varint()
+        case 2 => kind = ps.varint().toInt
+        case 3 =>
+          val bs = ps.varint()
+          if (bs <= 0 || bs > (1 << 26)) return None
+          blockSize = bs.toInt
+        case 5 => metaLen = ps.varint()
+        case 8000 =>
+          val (wf, wu) = ps.lenWindow()
+          if (wu - wf != 3 || b(wf) != 'O' || b(wf + 1) != 'R' || b(wf + 2) != 'C')
+            return None
+          sawMagic = true
+        case _ => ps.skip(w)
+      }
+    }
+    if (!sawMagic) return None
+    if (kind < 0 || kind > 5 || kind == 3) return None // LZO out of scope
+    if (footerLen <= 0 || metaLen < 0) return None
+    val footerFrom = psFrom - footerLen
+    if (footerFrom - metaLen < 3) return None
+    val footer: Array[Byte] =
+      if (kind == 0) java.util.Arrays.copyOfRange(b, footerFrom.toInt, psFrom)
+      else dechunk(b, footerFrom.toInt, psFrom, kind, blockSize)
+    val fb = new Pb(footer, 0, footer.length)
+    var rows = -1L
+    val stripes = Vector.newBuilder[Stripe]
+    // types: (kind, subtypes, fieldNames)
+    val types = scala.collection.mutable.ArrayBuffer.empty[(Int, Vector[Int], Vector[String])]
+    while (!fb.done) {
+      val (f, w) = fb.tag()
+      f match {
+        case 3 =>
+          val (sf, su) = fb.lenWindow()
+          val sp = new Pb(footer, sf, su)
+          var off = -1L; var idx = 0L; var dat = 0L; var sfl = 0L; var srows = -1L
+          while (!sp.done) {
+            val (f2, w2) = sp.tag()
+            f2 match {
+              case 1 => off = sp.varint()
+              case 2 => idx = sp.varint()
+              case 3 => dat = sp.varint()
+              case 4 => sfl = sp.varint()
+              case 5 => srows = sp.varint()
+              case _ => sp.skip(w2)
+            }
+          }
+          if (off < 3 || srows < 0 || idx < 0 || dat < 0 || sfl <= 0) return None
+          stripes += Stripe(off, idx, dat, sfl, srows)
+        case 4 =>
+          val (tf, tu) = fb.lenWindow()
+          val tp = new Pb(footer, tf, tu)
+          var kindT = -1
+          val subs = Vector.newBuilder[Int]
+          val names = Vector.newBuilder[String]
+          while (!tp.done) {
+            val (f2, w2) = tp.tag()
+            (f2, w2) match {
+              case (1, 0) => kindT = tp.varint().toInt
+              case (2, 0) => subs += tp.varint().toInt
+              case (2, 2) => // packed repeated uint32
+                val (pf, pu) = tp.lenWindow()
+                val pp = new Pb(footer, pf, pu)
+                while (!pp.done) subs += pp.varint().toInt
+              case (3, 2) =>
+                val (nf, nu) = tp.lenWindow()
+                val s = new String(footer, nf, nu - nf, java.nio.charset.StandardCharsets.UTF_8)
+                names += s
+              case _ => tp.skip(w2)
+            }
+          }
+          if (kindT < 0) return None
+          types += ((kindT, subs.result(), names.result()))
+        case 6 => rows = fb.varint()
+        case _ => fb.skip(w)
+      }
+    }
+    if (rows < 0 || types.isEmpty) return None
+    val root = types(0)
+    if (root._1 != 12) return None // root STRUCT
+    if (root._2.length != root._3.length) return None // one name per child
+    // scope pin: children must be primitive in-scope kinds with ids
+    // contiguous 1..n and NO further type nodes (nested types add them)
+    val inScope = Set(2, 3, 4, 5, 6, 7, 15) // SHORT INT LONG FLOAT DOUBLE STRING DATE
+    val cols = root._2.zip(root._3).map { case (tid, name) =>
+      if (tid < 1 || tid >= types.length) return None
+      if (!inScope.contains(types(tid)._1)) return None
+      OCol(tid, name, types(tid)._1)
+    }
+    if (cols.map(_.typeId) != (1 to cols.length)) return None
+    if (types.length != cols.length + 1) return None // nested subtree leak
+    val st = stripes.result()
+    if (st.map(_.rows).sum != rows) return None // the stripe row law
+    Some(OMeta(kind, blockSize, rows, cols, st))
+  } catch {
+    case _: Bad => None
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NegativeArraySizeException => None
+  }
+
+  // ---- RLEv2 ----
+
+  /** the 5-bit closest-fixed-bits width table (DIRECT/PATCHED/DELTA). */
+  private def decodeWidth(code: Int): Int =
+    if (code < 24) code + 1
+    else code match {
+      case 24 => 26; case 25 => 28; case 26 => 30; case 27 => 32
+      case 28 => 40; case 29 => 48; case 30 => 56; case _ => 64
+    }
+
+  /** read `count` big-endian bit-packed values of `w` bits from d
+    * starting at bit position bit0 (byte base `p`); w ≤ 64. */
+  private def readBits(d: Array[Byte], p: Int, end: Int, w: Int,
+                       count: Int, out: Array[Long], outOff: Int): Int = {
+    var bitPos = 0L
+    var i = 0
+    while (i < count) {
+      var v = 0L
+      var got = 0
+      while (got < w) {
+        val bytePos = p + ((bitPos + got) >> 3).toInt
+        if (bytePos >= end) bad()
+        val bitInByte = ((bitPos + got) & 7L).toInt
+        val avail = 8 - bitInByte
+        val take = math.min(avail, w - got)
+        val bits = (d(bytePos) >> (avail - take)) & ((1 << take) - 1)
+        v = (v << take) | (bits.toLong & 0xffL)
+        got += take
+      }
+      out(outOff + i) = v
+      bitPos += w
+      i += 1
+    }
+    p + ((bitPos + 7) >> 3).toInt // byte-aligned after the run
+  }
+
+  @inline private def zz(v: Long): Long = (v >>> 1) ^ -(v & 1L)
+
+  /** Decode an RLEv2 stream into exactly `n` longs, consuming d
+    * entirely. `signed` selects zigzag for SHORT_REPEAT/DIRECT and the
+    * base varint of DELTA (per the spec; PATCHED_BASE carries sign in
+    * the base's MSB). */
+  private[llm] def rlev2(d: Array[Byte], n: Int, signed: Boolean): Array[Long] = {
+    val out = new Array[Long](n)
+    var p = 0
+    var i = 0
+    def varint(): Long = {
+      var v = 0L; var sh = 0
+      while (true) {
+        if (p >= d.length) bad()
+        val x = d(p) & 0xff; p += 1
+        v |= (x & 0x7fL) << sh
+        if ((x & 0x80) == 0) return v
+        sh += 7
+        if (sh > 63) bad()
+      }
+      v
+    }
+    while (i < n) {
+      if (p >= d.length) bad()
+      val h = d(p) & 0xff
+      (h >>> 6) match {
+        case 0 => // SHORT_REPEAT: 00wwwrrr
+          val w = ((h >>> 3) & 7) + 1
+          val run = (h & 7) + 3
+          if (run > n - i) bad()
+          p += 1
+          if (p + w > d.length) bad()
+          var v = 0L
+          var k = 0
+          while (k < w) { v = (v << 8) | (d(p + k) & 0xffL); k += 1 }
+          p += w
+          val value = if (signed) zz(v) else v
+          var r = 0
+          while (r < run) { out(i) = value; i += 1; r += 1 }
+        case 1 => // DIRECT: 01wwwwwl llllllll
+          if (p + 2 > d.length) bad()
+          val w = decodeWidth((h >>> 1) & 0x1f)
+          val len = (((h & 1) << 8) | (d(p + 1) & 0xff)) + 1
+          if (len > n - i) bad()
+          p = readBits(d, p + 2, d.length, w, len, out, i)
+          if (signed) {
+            var k = 0
+            while (k < len) { out(i + k) = zz(out(i + k)); k += 1 }
+          }
+          i += len
+        case 2 => // PATCHED_BASE
+          if (p + 4 > d.length) bad()
+          val w = decodeWidth((h >>> 1) & 0x1f)
+          val len = (((h & 1) << 8) | (d(p + 1) & 0xff)) + 1
+          if (len > n - i) bad()
+          val b3 = d(p + 2) & 0xff
+          val bw = ((b3 >>> 5) & 7) + 1 // base bytes
+          val pw = decodeWidth(b3 & 0x1f) // patch width
+          val b4 = d(p + 3) & 0xff
+          val pgw = ((b4 >>> 5) & 7) + 1 // patch gap width
+          val pll = b4 & 0x1f // patch list length
+          p += 4
+          if (p + bw > d.length) bad()
+          var base = 0L
+          var k = 0
+          while (k < bw) { base = (base << 8) | (d(p + k) & 0xffL); k += 1 }
+          p += bw
+          // sign-magnitude: the MSB of the bw-byte window
+          val signBit = 1L << (bw * 8 - 1)
+          if ((base & signBit) != 0) base = -(base & (signBit - 1))
+          p = readBits(d, p, d.length, w, len, out, i)
+          if (pll > 0) {
+            val patchBits = {
+              val t = pgw + pw
+              // closest fixed bits for the combined entry
+              if (t <= 24) t
+              else if (t <= 26) 26 else if (t <= 28) 28 else if (t <= 30) 30
+              else if (t <= 32) 32 else if (t <= 40) 40 else if (t <= 48) 48
+              else if (t <= 56) 56 else 64
+            }
+            val patches = new Array[Long](pll)
+            p = readBits(d, p, d.length, patchBits, pll, patches, 0)
+            var idx = 0
+            var pi = 0
+            while (pi < pll) {
+              val gap = (patches(pi) >>> pw).toInt
+              val patch = patches(pi) & ((1L << pw) - 1L)
+              // a gap of 255 with a zero patch is a skip marker
+              idx += gap
+              if (patch != 0L) {
+                if (idx >= len) bad()
+                out(i + idx) |= patch << w
+              } else if (gap != 255) bad()
+              pi += 1
+            }
+          }
+          var j = 0
+          while (j < len) { out(i + j) += base; j += 1 }
+          i += len
+        case _ => // DELTA: 11wwwwwl llllllll
+          if (p + 2 > d.length) bad()
+          val code = (h >>> 1) & 0x1f
+          val w = if (code == 0) 0 else decodeWidth(code)
+          val len = (((h & 1) << 8) | (d(p + 1) & 0xff)) + 1
+          if (len > n - i || len < 2) bad()
+          p += 2
+          val base = if (signed) zz(varint()) else varint()
+          val deltaBase = zz(varint()) // always signed
+          out(i) = base
+          out(i + 1) = base + deltaBase
+          if (w == 0) {
+            var j = 2
+            while (j < len) { out(i + j) = out(i + j - 1) + deltaBase; j += 1 }
+          } else {
+            val deltas = new Array[Long](len - 2)
+            p = readBits(d, p, d.length, w, len - 2, deltas, 0)
+            var j = 2
+            while (j < len) {
+              val dd = deltas(j - 2)
+              out(i + j) = out(i + j - 1) + (if (deltaBase < 0) -dd else dd)
+              j += 1
+            }
+          }
+          i += len
+      }
+    }
+    if (p != d.length) bad() // the stream is consumed exactly
+    out
+  }
+
+  /** byte-RLE (boolean/PRESENT carrier): control 0..127 → run of
+    * control+3 copies; 128..255 → 256-control literals. */
+  private def byteRle(d: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(d.length * 2)
+    var p = 0
+    while (p < d.length) {
+      val c = d(p) & 0xff; p += 1
+      if (c < 128) {
+        if (p >= d.length) bad()
+        val v = d(p); p += 1
+        var r = 0
+        while (r < c + 3) { out.write(v); r += 1 }
+      } else {
+        val lit = 256 - c
+        if (p + lit > d.length) bad()
+        out.write(d, p, lit)
+        p += lit
+      }
+    }
+    out.toByteArray
+  }
+
+  /** PRESENT stream → n booleans (MSB-first bits; pad bits must be 0). */
+  private def presentBits(d: Array[Byte], n: Int): Array[Boolean] = {
+    val bytes = byteRle(d)
+    if (bytes.length.toLong * 8 < n) bad()
+    val out = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((bytes(i >> 3) >> (7 - (i & 7))) & 1) == 1
+      i += 1
+    }
+    var j = n
+    while (j < bytes.length * 8) { // zero padding law
+      if (((bytes(j >> 3) >> (7 - (j & 7))) & 1) != 0) bad()
+      j += 1
+    }
+    out
+  }
+
+  // ---- the stripe walk ----
+
+  private final case class Str(kind: Int, column: Int, length: Long, offset: Long)
+
+  /** Decode one column of one stripe to boxed values (null where the
+    * PRESENT stream says so). */
+  def readStripeColumn(b: Array[Byte], meta: OMeta, stripeIdx: Int,
+                       colIdx: Int, maxVals: Int = 1 << 26): Option[Array[AnyRef]] = try {
+    if (stripeIdx < 0 || stripeIdx >= meta.stripes.length) return None
+    if (colIdx < 0 || colIdx >= meta.cols.length) return None
+    val stripe = meta.stripes(stripeIdx)
+    if (stripe.rows > maxVals) return None
+    val col = meta.cols(colIdx)
+    val n = stripe.rows.toInt
+    // ---- stripe footer ----
+    val sfFrom = stripe.offset + stripe.indexLen + stripe.dataLen
+    val sfTo = sfFrom + stripe.footerLen
+    if (sfTo > b.length - 1) return None
+    val sf: Array[Byte] =
+      if (meta.compression == 0)
+        java.util.Arrays.copyOfRange(b, sfFrom.toInt, sfTo.toInt)
+      else dechunk(b, sfFrom.toInt, sfTo.toInt, meta.compression, meta.blockSize)
+    val fp = new Pb(sf, 0, sf.length)
+    val streams = scala.collection.mutable.ArrayBuffer.empty[Str]
+    val encodings = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    while (!fp.done) {
+      val (f, w) = fp.tag()
+      f match {
+        case 1 =>
+          val (s0, s1) = fp.lenWindow()
+          val sp = new Pb(sf, s0, s1)
+          var kind = -1; var column = -1; var length = -1L
+          while (!sp.done) {
+            val (f2, w2) = sp.tag()
+            f2 match {
+              case 1 => kind = sp.varint().toInt
+              case 2 => column = sp.varint().toInt
+              case 3 => length = sp.varint()
+              case _ => sp.skip(w2)
+            }
+          }
+          if (kind < 0 || column < 0 || length < 0) return None
+          streams += Str(kind, column, length, 0L)
+        case 2 =>
+          val (e0, e1) = fp.lenWindow()
+          val ep = new Pb(sf, e0, e1)
+          var kind = 0; var dictSize = 0
+          while (!ep.done) {
+            val (f2, w2) = ep.tag()
+            f2 match {
+              case 1 => kind = ep.varint().toInt
+              case 2 => dictSize = ep.varint().toInt
+              case _ => ep.skip(w2)
+            }
+          }
+          encodings += ((kind, dictSize))
+        case _ => fp.skip(w)
+      }
+    }
+    if (encodings.length != meta.cols.length + 1) return None // root + columns
+    // ---- stream offsets: index region then data region, tiled exactly ----
+    var pos = stripe.offset
+    var inData = false
+    val placed = streams.map { s =>
+      val isIndex = s.kind >= 4 // ROW_INDEX and bloom kinds
+      if (isIndex && inData) return None // index streams must lead
+      if (!isIndex && !inData) {
+        if (pos != stripe.offset + stripe.indexLen) return None // the boundary
+        inData = true
+      }
+      val out = s.copy(offset = pos)
+      pos += s.length
+      out
+    }
+    if (!inData) { // no data streams at all
+      if (pos != stripe.offset + stripe.indexLen) return None
+      pos = stripe.offset + stripe.indexLen
+    }
+    if (pos != stripe.offset + stripe.indexLen + stripe.dataLen) return None
+    val tid = col.typeId
+    def streamOf(kind: Int): Option[Str] = {
+      val hits = placed.filter(s => s.column == tid && s.kind == kind)
+      if (hits.length > 1) return None // duplicate stream for the column
+      hits.headOption
+    }
+    def bytesOf(s: Str): Array[Byte] = {
+      val from = s.offset
+      val to = s.offset + s.length
+      if (to > b.length - 1) bad()
+      if (meta.compression == 0)
+        java.util.Arrays.copyOfRange(b, from.toInt, to.toInt)
+      else dechunk(b, from.toInt, to.toInt, meta.compression, meta.blockSize)
+    }
+    val (encKind, dictSize) = encodings(tid)
+    // PRESENT → present flags; absent stream = all present
+    val present = streamOf(0) match {
+      case Some(s) => presentBits(bytesOf(s), n)
+      case None => null
+    }
+    val nPresent = if (present == null) n else present.count(identity)
+    val out = new Array[AnyRef](n)
+    def merge(vals: Array[AnyRef]): Array[AnyRef] = {
+      if (vals.length != nPresent) bad()
+      if (present == null) vals
+      else {
+        var i = 0; var v = 0
+        while (i < n) {
+          if (present(i)) { out(i) = vals(v); v += 1 }
+          i += 1
+        }
+        out
+      }
+    }
+    col.kind match {
+      case 2 | 3 | 4 | 15 => // SHORT / INT / LONG / DATE: RLEv2 signed
+        if (encKind != 2) return None // DIRECT_V2 only (v1 RLE refuses)
+        val data = streamOf(1).getOrElse(return None)
+        val longs = rlev2(bytesOf(data), nPresent, signed = true)
+        val vals = new Array[AnyRef](nPresent)
+        var i = 0
+        col.kind match {
+          case 2 =>
+            while (i < nPresent) {
+              if (longs(i) < Short.MinValue || longs(i) > Short.MaxValue) bad()
+              vals(i) = java.lang.Short.valueOf(longs(i).toShort); i += 1
+            }
+          case 3 | 15 =>
+            while (i < nPresent) {
+              if (longs(i) < Int.MinValue || longs(i) > Int.MaxValue) bad()
+              vals(i) = Integer.valueOf(longs(i).toInt); i += 1
+            }
+          case _ =>
+            while (i < nPresent) { vals(i) = java.lang.Long.valueOf(longs(i)); i += 1 }
+        }
+        Some(merge(vals))
+      case 5 | 6 => // FLOAT / DOUBLE: IEEE LE
+        if (encKind != 0 && encKind != 2) return None
+        val data = streamOf(1).getOrElse(return None)
+        val d = bytesOf(data)
+        val width = if (col.kind == 5) 4 else 8
+        if (d.length != width.toLong * nPresent) bad()
+        val vals = new Array[AnyRef](nPresent)
+        var i = 0
+        while (i < nPresent) {
+          var v = 0L
+          var k = width - 1
+          while (k >= 0) { v = (v << 8) | (d(i * width + k) & 0xffL); k -= 1 }
+          vals(i) = if (col.kind == 5) java.lang.Float.valueOf(java.lang.Float.intBitsToFloat(v.toInt))
+                    else java.lang.Double.valueOf(java.lang.Double.longBitsToDouble(v))
+          i += 1
+        }
+        Some(merge(vals))
+      case 7 => // STRING
+        encKind match {
+          case 2 => // DIRECT_V2: LENGTH + DATA
+            val lenS = streamOf(2).getOrElse(return None)
+            val dataS = streamOf(1).getOrElse(return None)
+            val lens = rlev2(bytesOf(lenS), nPresent, signed = false)
+            val d = bytesOf(dataS)
+            if (lens.exists(_ < 0) || lens.sum != d.length.toLong) bad()
+            val vals = new Array[AnyRef](nPresent)
+            var off = 0
+            var i = 0
+            while (i < nPresent) {
+              val L = lens(i).toInt
+              val s = new String(d, off, L, java.nio.charset.StandardCharsets.UTF_8)
+              if (!java.util.Arrays.equals(
+                s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                java.util.Arrays.copyOfRange(d, off, off + L))) bad()
+              vals(i) = s
+              off += L
+              i += 1
+            }
+            Some(merge(vals))
+          case 3 => // DICTIONARY_V2: DATA indices + DICTIONARY_DATA + LENGTH
+            val idxS = streamOf(1).getOrElse(return None)
+            val dictS = streamOf(3).getOrElse(return None)
+            val lenS = streamOf(2).getOrElse(return None)
+            val lens = rlev2(bytesOf(lenS), dictSize, signed = false)
+            val dd = bytesOf(dictS)
+            if (lens.exists(_ < 0) || lens.sum != dd.length.toLong) bad()
+            val dict = new Array[String](dictSize)
+            var off = 0
+            var i = 0
+            while (i < dictSize) {
+              val L = lens(i).toInt
+              val s = new String(dd, off, L, java.nio.charset.StandardCharsets.UTF_8)
+              if (!java.util.Arrays.equals(
+                s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                java.util.Arrays.copyOfRange(dd, off, off + L))) bad()
+              dict(i) = s
+              off += L
+              i += 1
+            }
+            val idxs = rlev2(bytesOf(idxS), nPresent, signed = false)
+            val vals = new Array[AnyRef](nPresent)
+            i = 0
+            while (i < nPresent) {
+              val j = idxs(i)
+              if (j < 0 || j >= dictSize) bad()
+              vals(i) = dict(j.toInt)
+              i += 1
+            }
+            Some(merge(vals))
+          case _ => None // v1 string encodings refuse
+        }
+      case _ => None // out of the pinned scope
+    }
+  } catch {
+    case _: Bad => None
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NegativeArraySizeException => None
+  }
+
+  /** Read whole columns by name across all stripes. */
+  def readTable(b: Array[Byte], names: Seq[String],
+                maxVals: Int = 1 << 26): Option[(Seq[OCol], Seq[Array[AnyRef]])] = {
+    val meta = parseMeta(b).getOrElse(return None)
+    if (meta.numRows > maxVals) return None
+    val idxs = names.map(nm => meta.cols.indexWhere(_.name == nm))
+    if (idxs.exists(_ < 0)) return None
+    val total = meta.numRows.toInt
+    val cols = idxs.map { ci =>
+      val col = new Array[AnyRef](total)
+      var at = 0
+      var st = 0
+      while (st < meta.stripes.length) {
+        val part = readStripeColumn(b, meta, st, ci, maxVals).getOrElse(return None)
+        System.arraycopy(part, 0, col, at, part.length)
+        at += part.length
+        st += 1
+      }
+      if (at != total) return None
+      col
+    }
+    Some((idxs.map(meta.cols), cols))
+  }
+}

@@ -27,13 +27,13 @@ package graft.llm
   * census pipeline must classify, not crash on. */
 object OrcTail {
 
-  private final class Bad extends RuntimeException(null, null, false, false)
-  @inline private def bad(): Nothing = throw new Bad
+  private[llm] final class Bad extends RuntimeException(null, null, false, false)
+  @inline private[llm] def bad(): Nothing = throw new Bad
 
   /** Minimal protobuf cursor over [from, until): tag iteration with
     * wire-type-correct skipping (reuses [[ByteIo.WireCur]] bounds
     * discipline via the same Long-before-Int validation). */
-  private final class Pb(b: Array[Byte], var p: Int, val end: Int) {
+  private[llm] final class Pb(val b: Array[Byte], var p: Int, val end: Int) {
     def done: Boolean = p >= end
     def varint(): Long = {
       var shift = 0
@@ -69,7 +69,7 @@ object OrcTail {
     }
   }
 
-  private def inflateRaw(b: Array[Byte], off: Int, len: Int, maxOut: Int): Array[Byte] = {
+  private[llm] def inflateRaw(b: Array[Byte], off: Int, len: Int, maxOut: Int): Array[Byte] = {
     val inf = new java.util.zip.Inflater(true) // ORC ZLIB is raw DEFLATE
     try {
       inf.setInput(b, off, len)
@@ -91,7 +91,7 @@ object OrcTail {
 
   /** De-chunk an ORC compressed stream: 3-byte LE headers, original or
     * codec-compressed chunks, each decompressed result ≤ blockSize. */
-  private def dechunk(b: Array[Byte], from: Int, until: Int, kind: Int,
+  private[llm] def dechunk(b: Array[Byte], from: Int, until: Int, kind: Int,
                       blockSize: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(until - from + 64)
     var p = from

@@ -2024,6 +2024,7 @@ object Llm {
     "q_bzip2_decode" -> (bzip2Decode _),
     "q_xz_decode" -> (xzDecode _),
     "q_orc_probe" -> (orcProbe _),
+    "q_orc_read" -> (orcRead _),
     "q_tfrecord_read" -> (tfrecordRead _),
     "q_tfexample_read" -> (tfexampleRead _),
     "q_avro_read" -> (avroRead _),
@@ -4265,6 +4266,71 @@ object Llm {
       |FROM probes p, n
       |ORDER BY probe_id""".stripMargin
 
+  /** ORC column VALUE decode under the oracle (see
+    * [[graft.llm.OrcRead]]): the orders table exports to ORC through
+    * the REAL Apache ORC writer (Spark's orc-core — the independent
+    * producer), then every column decodes back through OUR native
+    * reader — stripe footers, RLEv2 in its four sub-encodings, both
+    * string encodings, IEEE doubles, chunk decompression — and DuckDB
+    * scanning the ORIGINAL parquet is the oracle, row for row. A
+    * garbled decode cannot match: the ORC bytes never touch DuckDB.
+    * The int cast, the epoch-micros long, and the high-cardinality
+    * o_tag column steer the writer across DICTIONARY_V2 / DIRECT_V2 /
+    * DELTA / PATCHED_BASE lanes. Scale shape: stage 1 writes once;
+    * stage 2 spreads (file, stripe) pairs — the ORC split law (stripe
+    * = input split) a 1000-executor cluster relies on. */
+  def orcRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.OrcRead
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orcread").toString
+    orders(s, d).select($"o_orderkey",
+      $"o_custkey".cast("int").as("o_custkey_i"),
+      $"o_orderstatus", $"o_totalprice",
+      unix_micros($"o_orderdate".cast("timestamp")).as("o_orderdate_us"),
+      $"o_orderpriority",
+      concat(lit("ord-"), $"o_orderkey").as("o_tag"))
+      .repartition(1).write.mode("overwrite")
+      .option("compression", "zlib").orc(tmp)
+    val ls = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+    val file = try ls.toArray.map(_.toString).filter(_.endsWith(".orc")).head
+      finally ls.close()
+    val names = Seq("o_orderkey", "o_custkey_i", "o_orderstatus",
+      "o_totalprice", "o_orderdate_us", "o_orderpriority", "o_tag")
+    val stripes = s.createDataset(Seq(file)).flatMap { p =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      OrcRead.parseMeta(bytes).toSeq
+        .flatMap(m => m.stripes.indices.map(i => (p, i)))
+    }
+    val out = stripes.repartition(8).flatMap { case (p, st) =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      OrcRead.parseMeta(bytes).toSeq.flatMap { meta =>
+        val idxs = names.map(nm => meta.cols.indexWhere(_.name == nm))
+        val cols = idxs.map(ci =>
+          if (ci < 0) None else OrcRead.readStripeColumn(bytes, meta, st, ci))
+        if (cols.exists(_.isEmpty)) Seq.empty // refusal = missing rows, the gate flags it
+        else {
+          val cs = cols.map(_.get)
+          (0 until cs.head.length).map { i =>
+            (cs(0)(i).asInstanceOf[Long], cs(1)(i).asInstanceOf[Int],
+              cs(2)(i).asInstanceOf[String], cs(3)(i).asInstanceOf[Double],
+              cs(4)(i).asInstanceOf[Long], cs(5)(i).asInstanceOf[String],
+              cs(6)(i).asInstanceOf[String])
+          }
+        }
+      }
+    }.toDF("o_orderkey", "o_custkey_i", "o_orderstatus", "o_totalprice",
+      "o_orderdate_us", "o_orderpriority", "o_tag")
+    out.orderBy($"o_orderkey")
+  }
+
+  /** DuckDB scans the ORIGINAL parquet — the ORC bytes in between are
+    * proven by the round trip through two independent implementations. */
+  val orcReadSql: String =
+    """SELECT o_orderkey, CAST(o_custkey AS INTEGER) AS o_custkey_i,
+      |  o_orderstatus, o_totalprice, epoch_us(o_orderdate) AS o_orderdate_us,
+      |  o_orderpriority, 'ord-' || o_orderkey AS o_tag
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** Strict UTF-8 validity + mojibake census under the oracle — the
     * pre-decode gate a crawl pipeline runs over raw bytes BEFORE
     * trusting them as text (casting to string would already replace
@@ -6494,6 +6560,7 @@ object Llm {
     "q_bzip2_decode" -> bzip2DecodeSql,
     "q_xz_decode" -> xzDecodeSql,
     "q_orc_probe" -> orcProbeSql,
+    "q_orc_read" -> orcReadSql,
     "q_tfrecord_read" -> tfrecordReadSql,
     "q_tfexample_read" -> tfexampleReadSql,
     "q_avro_read" -> avroReadSql,
