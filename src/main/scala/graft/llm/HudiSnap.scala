@@ -103,6 +103,236 @@ object HudiSnap {
     case _: com.fasterxml.jackson.core.JacksonException => None
   }
 
+  // ---- MERGE_ON_READ: log-file replay ----
+  // A MOR file group is its base file plus `.log.N` files of framed
+  // blocks (the HoodieLogFormat shape, reduced to the honest subset
+  // below): data blocks carry Avro records to upsert, delete blocks
+  // carry keys to tombstone, and the merged view applies them in
+  // timeline order over the base — newest record wins. Compaction and
+  // rollback command blocks are a pinned refusal (a compacted group
+  // re-reads as COW).
+  //
+  // Block frame (all integers big-endian):
+  //   "#HUDI#" magic | u32 version (=1) | u32 blockType
+  //   (1 data / 2 delete) | u32 headerCount | headers (u32 key,
+  //   u32 len, bytes; key 1 = INSTANT_TIME) | u64 contentLength |
+  //   content | u64 totalBlockLength (magic → this field, inclusive)
+  //
+  // Laws (refuse, never garble):
+  //  - magic at every block start; version 1; blocks tile the log
+  //    file exactly; totalBlockLength must match the frame (the
+  //    reverse-seek law real readers rely on);
+  //  - every block's INSTANT_TIME must name a timeline instant
+  //    STRICTLY AFTER the group's base instant (an orphan or
+  //    time-travelling log refuses); instants non-decreasing across a
+  //    group's blocks (the shuffled-log-order arm);
+  //  - a (partition, fileId) group gets its base from EXACTLY ONE
+  //    commit (a second base write is compaction — out of scope);
+  //  - record keys are `r<digits>`; an update targets a live base/
+  //    inserted key, an insert introduces one at or past baseRows;
+  //    deleting a never-present key is a lawful no-op (Hudi delete
+  //    semantics); content record counts bounded.
+
+  val MorDataSchema: String =
+    """{"type":"record","name":"hudi_rec","fields":[{"name":"key","type":"string"},{"name":"val","type":"long"}]}"""
+  val MorDeleteSchema: String =
+    """{"type":"record","name":"hudi_del","fields":[{"name":"key","type":"string"}]}"""
+
+  final case class MorSlice(partition: String, fileId: String,
+      baseInstant: String, baseRows: Long, nLogBlocks: Int,
+      inserts: Long, updates: Long, deletes: Long, finalRows: Long,
+      logValSum: Long)
+  final case class MorSnapshot(tableName: String, nCommits: Int,
+      lastInstant: String, slices: Vector[MorSlice])
+
+  import ByteIo.Refuse
+
+  private def be32(b: Array[Byte], p: Int): Int = {
+    if (p + 4 > b.length) throw new Refuse
+    ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
+      ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+  }
+  private def be64(b: Array[Byte], p: Int): Long = {
+    if (p + 8 > b.length) throw new Refuse
+    ((be32(b, p).toLong & 0xffffffffL) << 32) | (be32(b, p + 4).toLong & 0xffffffffL)
+  }
+  private val Magic = "#HUDI#".getBytes("US-ASCII")
+
+  /** One parsed block: (type, instant, content). */
+  private def parseBlocks(b: Array[Byte]): Vector[(Int, String, Array[Byte])] = {
+    val out = Vector.newBuilder[(Int, String, Array[Byte])]
+    var p = 0
+    while (p < b.length) {
+      val start = p
+      if (p + 6 > b.length) throw new Refuse
+      var i = 0
+      while (i < 6) { if (b(p + i) != Magic(i)) throw new Refuse; i += 1 }
+      p += 6
+      val version = be32(b, p); p += 4
+      if (version != 1) throw new Refuse
+      val blockType = be32(b, p); p += 4
+      if (blockType != 1 && blockType != 2) throw new Refuse // commands refuse
+      val nHeaders = be32(b, p); p += 4
+      if (nHeaders < 0 || nHeaders > 16) throw new Refuse
+      var instant: String = null
+      var h = 0
+      while (h < nHeaders) {
+        val key = be32(b, p); p += 4
+        val len = be32(b, p); p += 4
+        if (len < 0 || len > 4096 || p + len > b.length) throw new Refuse
+        val v = new String(b, p, len, "UTF-8")
+        p += len
+        if (key == 1) instant = v
+        h += 1
+      }
+      if (instant == null || instant.isEmpty) throw new Refuse
+      val contentLen = be64(b, p); p += 8
+      if (contentLen < 0 || contentLen > b.length.toLong - p) throw new Refuse
+      val content = java.util.Arrays.copyOfRange(b, p, p + contentLen.toInt)
+      p += contentLen.toInt
+      val total = be64(b, p); p += 8
+      if (total != (p - start).toLong) throw new Refuse // the reverse-seek law
+      out += ((blockType, instant, content))
+    }
+    out.result()
+  }
+
+  private def readKey(s: String): Long = {
+    if (s.length < 2 || s.charAt(0) != 'r') throw new Refuse
+    var i = 1
+    var v = 0L
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < '0' || c > '9') throw new Refuse
+      v = v * 10 + (c - '0')
+      if (v > (1L << 40)) throw new Refuse
+      i += 1
+    }
+    v
+  }
+
+  /** Replay a MOR table: deltacommits establish base files (exactly
+    * once per group), logs merge on top in timeline order. */
+  def replayMor(propsText: String, commits: Seq[(String, String)],
+                logs: Map[(String, String), Array[Byte]]): Option[MorSnapshot] = try {
+    val ps = props(propsText).getOrElse(return None)
+    val name = ps.getOrElse("hoodie.table.name", return None)
+    if (name.isEmpty) return None
+    if (ps.getOrElse("hoodie.table.type", "") != "MERGE_ON_READ") return None
+    if (commits.isEmpty) return None
+    var prev = ""
+    val timeline = scala.collection.mutable.LinkedHashSet.empty[String]
+    commits.foreach { case (ts, _) =>
+      if (ts.isEmpty || (prev.nonEmpty && ts <= prev)) return None // order law
+      prev = ts; timeline += ts
+    }
+    // base files: (partition, fileId) → (path, numWrites, instant)
+    val base = scala.collection.mutable.LinkedHashMap.empty[(String, String), (String, Long, String)]
+    commits.foreach { case (ts, json) =>
+      val root = mapper.readTree(json)
+      if (root == null || !root.isObject) return None
+      val p2s = root.get("partitionToWriteStats")
+      if (p2s == null || !p2s.isObject) return None
+      val parts = p2s.fieldNames()
+      while (parts.hasNext) {
+        val partition = parts.next()
+        val arr = p2s.get(partition)
+        if (!arr.isArray) return None
+        val it = arr.elements()
+        while (it.hasNext) {
+          val st = it.next()
+          if (!st.isObject) return None
+          val fileId = Option(st.get("fileId")).filter(_.isTextual)
+            .map(_.asText).getOrElse(return None)
+          val path = Option(st.get("path")).filter(_.isTextual)
+            .map(_.asText).getOrElse(return None)
+          if (fileId.isEmpty || path.isEmpty) return None
+          if (!path.startsWith(partition + "/")) return None
+          if (!path.contains(fileId)) return None
+          val nw = Option(st.get("numWrites")).filter(_.isNumber)
+            .map(_.asLong).getOrElse(return None)
+          if (nw < 0) return None
+          if (base.contains((partition, fileId))) return None // compaction pin
+          base((partition, fileId)) = (path, nw, ts)
+        }
+      }
+    }
+    if (base.isEmpty) return None
+    // every log must belong to a known group
+    if (logs.keysIterator.exists(k => !base.contains(k))) return None
+    val slices = base.map { case ((partition, fileId), (_, baseRows, baseTs)) =>
+      val inserted = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+      val deleted = scala.collection.mutable.HashSet.empty[Long]
+      var nBlocks = 0
+      var updates = 0L
+      var logValSum = 0L
+      logs.get((partition, fileId)).foreach { bytes =>
+        val blocks = parseBlocks(bytes)
+        var prevInstant = ""
+        blocks.foreach { case (blockType, instant, content) =>
+          if (!timeline.contains(instant)) return None // orphan log
+          if (instant <= baseTs) return None // logs strictly after the base
+          if (prevInstant.nonEmpty && instant < prevInstant) return None // order
+          prevInstant = instant
+          nBlocks += 1
+          if (blockType == 1) { // data block: upserts
+            AvroCodec.ocfBlocks(content, MorDataSchema).getOrElse(return None)
+              .foreach { case (cnt, data) =>
+                val c = new ByteIo.WireCur(data, 0, data.length)
+                var i = 0L
+                while (i < cnt) {
+                  val key = readKey(readString(c))
+                  val v = c.zigzag()
+                  logValSum += v
+                  if (key < baseRows && !deleted.contains(key)) updates += 1
+                  else if (inserted.contains(key)) { inserted(key) = v; updates += 1 }
+                  else {
+                    // re-inserting a tombstoned base key needs payload
+                    // merge semantics — a pinned refusal, not a guess
+                    if (key < baseRows) throw new Refuse
+                    inserted(key) = v
+                  }
+                  i += 1
+                }
+                if (c.p != data.length) return None
+              }
+          } else { // delete block
+            AvroCodec.ocfBlocks(content, MorDeleteSchema).getOrElse(return None)
+              .foreach { case (cnt, data) =>
+                val c = new ByteIo.WireCur(data, 0, data.length)
+                var i = 0L
+                while (i < cnt) {
+                  val key = readKey(readString(c))
+                  if (key < baseRows) deleted += key
+                  else inserted.remove(key) // no-op if never present: lawful
+                  i += 1
+                }
+                if (c.p != data.length) return None
+              }
+          }
+        }
+      }
+      val finalRows = baseRows - deleted.size + inserted.size
+      MorSlice(partition, fileId, baseTs, baseRows, nBlocks,
+        inserted.size.toLong, updates, deleted.size.toLong, finalRows,
+        logValSum)
+    }.toVector
+    Some(MorSnapshot(name, commits.size, commits.last._1, slices))
+  } catch {
+    case _: Refuse => None
+    case _: com.fasterxml.jackson.core.JacksonException => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  private def readString(c: ByteIo.WireCur): String = {
+    val n = c.zigzag()
+    if (n < 0 || n > (1 << 20)) throw new Refuse
+    val bs = c.bytes(n)
+    val s = new String(bs, "UTF-8")
+    if (!java.util.Arrays.equals(s.getBytes("UTF-8"), bs)) throw new Refuse
+    s
+  }
+
   // ---- writers (gate fixtures) ----
 
   def propsText(name: String, cow: Boolean): String =
@@ -111,6 +341,52 @@ object HudiSnap {
        |hoodie.table.type=${if (cow) "COPY_ON_WRITE" else "MERGE_ON_READ"}
        |hoodie.table.version=6
        |""".stripMargin
+
+  private def encStr(o: java.io.ByteArrayOutputStream, s: String): Unit = {
+    val bs = s.getBytes("UTF-8")
+    AvroCodec.writeVarintForTest(o, bs.length.toLong)
+    o.write(bs, 0, bs.length)
+  }
+
+  def morDataContent(records: Seq[(String, Long)], codec: String,
+                     sync: Array[Byte]): Array[Byte] =
+    AvroCodec.encodeOcfRaw(records.map { case (k, v) =>
+      val o = new java.io.ByteArrayOutputStream
+      encStr(o, k)
+      AvroCodec.writeVarintForTest(o, v)
+      o.toByteArray
+    }, blockSize = 4, codec = codec, sync = sync, schema = MorDataSchema)
+
+  def morDeleteContent(keys: Seq[String], codec: String,
+                       sync: Array[Byte]): Array[Byte] =
+    AvroCodec.encodeOcfRaw(keys.map { k =>
+      val o = new java.io.ByteArrayOutputStream
+      encStr(o, k)
+      o.toByteArray
+    }, blockSize = 4, codec = codec, sync = sync, schema = MorDeleteSchema)
+
+  /** Frame one log block (big-endian fields per the shape above). */
+  def logBlock(blockType: Int, instant: String,
+               content: Array[Byte]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream(content.length + 64)
+    def w32(v: Int): Unit = {
+      o.write((v >>> 24) & 0xff); o.write((v >>> 16) & 0xff)
+      o.write((v >>> 8) & 0xff); o.write(v & 0xff)
+    }
+    def w64(v: Long): Unit = { w32((v >>> 32).toInt); w32(v.toInt) }
+    o.write(Magic, 0, Magic.length)
+    w32(1) // version
+    w32(blockType)
+    w32(1) // one header: INSTANT_TIME
+    w32(1)
+    val ib = instant.getBytes("UTF-8")
+    w32(ib.length)
+    o.write(ib, 0, ib.length)
+    w64(content.length.toLong)
+    o.write(content, 0, content.length)
+    w64(o.size.toLong + 8) // total including this trailer field
+    o.toByteArray
+  }
 
   def commitJson(stats: Seq[(String, String, String, Long, Long, String)]): String = {
     // (partition, fileId, path, numWrites, bytes, prevCommit)

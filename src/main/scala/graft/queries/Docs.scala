@@ -2331,6 +2331,119 @@ object Docs {
       |FROM q
       |ORDER BY media_id""".stripMargin
 
+  /** Hudi MERGE_ON_READ replay under the oracle (see
+    * [[graft.llm.HudiSnap.replayMor]]): per key, 1-2 file groups whose
+    * base deltacommits are followed by framed log blocks (the
+    * HoodieLogFormat shape) — a data block upserting U existing keys
+    * and inserting I new ones at t2, a delete block tombstoning D base
+    * keys at t3 — merged newest-wins into a per-group census. Refusal
+    * arms: a torn log block (k mod 13 — the framing laws), an orphan
+    * instant not on the timeline (k mod 17), shuffled log order
+    * (k mod 19 — descending instants). DuckDB replays the merged
+    * census in closed form. */
+  def hudiMor(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.HudiSnap
+    val keys = partKeys(s, d) // full-width spread: the replay map is the cost
+    val decoded = keys.map { k =>
+      def ts(i: Int) = s"2024010100000$i"
+      val nG = (1 + k % 2).toInt
+      val sync = Array.tabulate(16)(i => ((k + i * 7) % 256).toByte)
+      val empty = """{"partitionToWriteStats":{},"operationType":"UPSERT"}"""
+      val commits = (0 until nG).map { g =>
+        val fid = s"f$g-$k"
+        (ts(g), HudiSnap.commitJson(Seq(("dt=2024", fid,
+          s"dt=2024/${fid}_0.parquet", 10L + (k + g * 3) % 40, 100L, "null"))))
+      } ++ Seq((ts(2), empty), (ts(3), empty))
+      val logs = (0 until nG).map { g =>
+        val b = 10L + (k + g * 3) % 40
+        val u = (1 + (k + g) % 3).toInt
+        val ins = ((k + g) % 3).toInt
+        val del = (1 + (k + g + 1) % 2).toInt
+        val recs = (0 until u).map(j => (s"r$j", k * 3 + j * 7L)) ++
+          (0 until ins).map(j => (s"r${b + j}", k * 5 + j * 11L))
+        val d1 = HudiSnap.logBlock(1,
+          if (k % 17 == 0 && k % 13 != 0) "2099" else ts(2),
+          HudiSnap.morDataContent(recs, "null", sync))
+        val d2 = HudiSnap.logBlock(2, ts(3),
+          HudiSnap.morDeleteContent((0 until del).map(j => s"r${u + j}"),
+            "null", sync))
+        val bytes0 = if (k % 19 == 0 && k % 13 != 0 && k % 17 != 0) {
+          // shuffled order: the t3 delete before the t2 upsert
+          val d2b = HudiSnap.logBlock(2, ts(3),
+            HudiSnap.morDeleteContent(Seq(s"r$u"), "null", sync))
+          val d1b = HudiSnap.logBlock(1, ts(2),
+            HudiSnap.morDataContent(recs, "null", sync))
+          d2b ++ d1b
+        } else d1 ++ d2
+        val bytes = if (k % 13 == 0) bytes0.dropRight(3) else bytes0
+        (("dt=2024", s"f$g-$k"), bytes)
+      }.toMap
+      HudiSnap.replayMor(HudiSnap.propsText(s"tbl-$k", cow = false),
+        commits, logs) match {
+        case Some(snap) =>
+          val sl = snap.slices.sortBy(_.fileId)
+          val text = sl.map(x => s"${x.fileId}:${x.baseRows}:${x.inserts}:" +
+            s"${x.updates}:${x.deletes}:${x.finalRows}:${x.logValSum}")
+            .mkString("\n")
+          (k, true, Some(sl.length), Some(sl.map(_.baseRows).sum),
+            Some(sl.map(_.inserts).sum), Some(sl.map(_.updates).sum),
+            Some(sl.map(_.deletes).sum), Some(sl.map(_.finalRows).sum),
+            Some(sl.map(_.logValSum).sum), Some(text))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Long],
+            None: Option[Long], None: Option[Long], None: Option[Long],
+            None: Option[Long], None: Option[Long], None: Option[String])
+      }
+    }.toDF("media_id", "hm_ok", "n_groups", "base_rows", "inserts",
+      "updates", "deletes", "final_rows", "log_val_sum", "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The merged census in closed form: per group g, U updates at
+    * val k*3 + 7j, I inserts at k*5 + 11j, D deletes; final = B+I-D. */
+  val hudiMorSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(1 + k % 2 AS INTEGER) AS ng,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |grp AS (
+      |  SELECT p.k, g.g,
+      |    CAST(10 + (p.k + g.g * 3) % 40 AS BIGINT) AS b,
+      |    CAST(1 + (p.k + g.g) % 3 AS BIGINT) AS u,
+      |    CAST((p.k + g.g) % 3 AS BIGINT) AS ins,
+      |    CAST(1 + (p.k + g.g + 1) % 2 AS BIGINT) AS del
+      |  FROM p, generate_series(0, 1) g(g)
+      |  WHERE p.ok AND g.g < p.ng),
+      |cen AS (
+      |  SELECT k, g, b, u, ins, del, b + ins - del AS fin,
+      |    u * k * 3 + 7 * u * (u - 1) // 2
+      |      + ins * k * 5 + 11 * ins * (ins - 1) // 2 AS vs
+      |  FROM grp),
+      |agg AS (
+      |  SELECT k, CAST(COUNT(*) AS INTEGER) AS n_groups,
+      |    CAST(SUM(b) AS BIGINT) AS base_rows,
+      |    CAST(SUM(ins) AS BIGINT) AS inserts,
+      |    CAST(SUM(u) AS BIGINT) AS updates,
+      |    CAST(SUM(del) AS BIGINT) AS deletes,
+      |    CAST(SUM(fin) AS BIGINT) AS final_rows,
+      |    CAST(SUM(vs) AS BIGINT) AS log_val_sum,
+      |    string_agg('f' || g || '-' || k || ':' || b || ':' || ins || ':'
+      |      || u || ':' || del || ':' || fin || ':' || vs, chr(10)
+      |      ORDER BY g) AS text
+      |  FROM cen GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS hm_ok,
+      |  CASE WHEN p.ok THEN agg.n_groups END AS n_groups,
+      |  CASE WHEN p.ok THEN agg.base_rows END AS base_rows,
+      |  CASE WHEN p.ok THEN agg.inserts END AS inserts,
+      |  CASE WHEN p.ok THEN agg.updates END AS updates,
+      |  CASE WHEN p.ok THEN agg.deletes END AS deletes,
+      |  CASE WHEN p.ok THEN agg.final_rows END AS final_rows,
+      |  CASE WHEN p.ok THEN agg.log_val_sum END AS log_val_sum,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p LEFT JOIN agg ON agg.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   def deltaLog(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.DeltaLog
@@ -3689,6 +3802,7 @@ object Docs {
     "q_iceberg_snap" -> (icebergSnap _),
     "q_iceberg_deletes" -> (icebergDeletes _),
     "q_hudi_snap" -> (hudiSnap _),
+    "q_hudi_mor" -> (hudiMor _),
     "q_pickle_probe" -> (pickleProbe _),
     "q_ckpt_probe" -> (ckptProbe _),
     "q_wal_probe" -> (walProbe _),
@@ -3730,6 +3844,7 @@ object Docs {
     "q_iceberg_snap" -> icebergSnapSql,
     "q_iceberg_deletes" -> icebergDeletesSql,
     "q_hudi_snap" -> hudiSnapSql,
+    "q_hudi_mor" -> hudiMorSql,
     "q_pickle_probe" -> pickleProbeSql,
     "q_ckpt_probe" -> ckptProbeSql,
     "q_wal_probe" -> walProbeSql,

@@ -59,4 +59,76 @@ class HudiSnapSpec extends AnyFunSuite {
     // an empty timeline refuses
     assert(replay(propsText("t", cow = true), Nil).isEmpty)
   }
+
+  // ---- MERGE_ON_READ ----
+
+  private val sync = Array.tabulate(16)(i => (i * 31 + 5).toByte)
+
+  private def morCommits = Seq(
+    commit(0, "f0", "p=0", "null"), // base f0: 10 rows (keys r0..r9)
+    commit(1, "f1", "p=1", "null"), // base f1: 11 rows
+    (ts(2), """{"partitionToWriteStats":{},"operationType":"UPSERT"}"""),
+    (ts(3), """{"partitionToWriteStats":{},"operationType":"UPSERT"}"""))
+
+  private def dataBlock(instant: String, recs: (String, Long)*): Array[Byte] =
+    HudiSnap.logBlock(1, instant, morDataContent(recs, "null", sync))
+  private def delBlock(instant: String, keys: String*): Array[Byte] =
+    HudiSnap.logBlock(2, instant, morDeleteContent(keys, "null", sync))
+
+  test("MOR replay: upserts, deletes, merged census") {
+    val logs = Map(
+      ("p=0", "f0") -> (dataBlock(ts(2), ("r3", 30L), ("r10", 100L),
+        ("r11", 110L)) ++ delBlock(ts(3), "r0", "r11", "r999")),
+      ("p=1", "f1") -> dataBlock(ts(2), ("r12", 7L)))
+    val s = replayMor(propsText("t1", cow = false), morCommits, logs)
+      .getOrElse(fail("refused"))
+    assert(s.tableName == "t1" && s.slices.size == 2)
+    val f0 = s.slices.find(_.fileId == "f0").get
+    // base 10; r3 update; r10,r11 inserts; deletes: r0 (base), r11
+    // (inserted, removed), r999 no-op
+    assert(f0.baseRows == 10 && f0.nLogBlocks == 2)
+    assert(f0.updates == 1 && f0.inserts == 1 && f0.deletes == 1)
+    assert(f0.finalRows == 10L) // 10 - 1 + 1
+    assert(f0.logValSum == 240L)
+    val f1 = s.slices.find(_.fileId == "f1").get
+    assert(f1.baseRows == 11 && f1.inserts == 1 && f1.finalRows == 12L)
+    // a group with no logs is just its base
+    val s2 = replayMor(propsText("t1", cow = false), morCommits, Map.empty).get
+    assert(s2.slices.forall(sl => sl.finalRows == sl.baseRows && sl.nLogBlocks == 0))
+  }
+
+  test("MOR refusals: orphan/old/shuffled instants, framing, compaction pin") {
+    val p = propsText("t1", cow = false)
+    def one(bytes: Array[Byte]) = Map(("p=0", "f0") -> bytes)
+    // baseline sanity
+    assert(replayMor(p, morCommits, one(dataBlock(ts(2), ("r10", 1L)))).nonEmpty)
+    // COW table type on the MOR path refuses
+    assert(replayMor(propsText("t1", cow = true), morCommits,
+      one(dataBlock(ts(2), ("r10", 1L)))).isEmpty)
+    // orphan instant (not in the timeline)
+    assert(replayMor(p, morCommits, one(dataBlock("2099", ("r10", 1L)))).isEmpty)
+    // a log at or before its base instant
+    assert(replayMor(p, morCommits, one(dataBlock(ts(0), ("r10", 1L)))).isEmpty)
+    // shuffled log order (descending instants)
+    assert(replayMor(p, morCommits, one(
+      dataBlock(ts(3), ("r10", 1L)) ++ dataBlock(ts(2), ("r11", 1L)))).isEmpty)
+    // torn block, total-length lie, command block type
+    val good = dataBlock(ts(2), ("r10", 1L))
+    assert(replayMor(p, morCommits, one(good.dropRight(3))).isEmpty)
+    val lie = good.clone(); lie(lie.length - 1) = (lie(lie.length - 1) ^ 1).toByte
+    assert(replayMor(p, morCommits, one(lie)).isEmpty)
+    assert(replayMor(p, morCommits, one(
+      HudiSnap.logBlock(3, ts(2), Array.emptyByteArray))).isEmpty)
+    // an orphan log (unknown file group)
+    assert(replayMor(p, morCommits,
+      Map(("p=9", "zz") -> good)).isEmpty)
+    // a second base write for the same group = compaction, pinned out
+    assert(replayMor(p, morCommits :+ commit(4, "f0", "p=0", ts(0)),
+      Map.empty).isEmpty)
+    // re-inserting a tombstoned base key refuses
+    assert(replayMor(p, morCommits, one(
+      delBlock(ts(2), "r0") ++ dataBlock(ts(3), ("r0", 5L)))).isEmpty)
+    // malformed record keys refuse
+    assert(replayMor(p, morCommits, one(dataBlock(ts(2), ("x1", 1L)))).isEmpty)
+  }
 }
