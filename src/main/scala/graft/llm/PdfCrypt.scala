@@ -1,0 +1,334 @@
+package graft.llm
+
+/** PDF standard security handler — the EMPTY-user-password class
+  * (owner-restrictions-only files, the common encrypted slice of a
+  * real crawl): ISO 32000-1 §7.6.3. Supported: /V 1 (RC4-40),
+  * /V 2 (RC4 40-128), /V 4 with /StdCF /CFM /V2 (RC4) or /AESV2
+  * (AES-128-CBC). Out of scope (pinned refusals, never a guess):
+  * non-Standard handlers, /V 5 (AES-256, the R5/R6 hash chain),
+  * crypt-filter names other than /StdCF, a non-empty user password
+  * (key validation against /U fails → refuse — the wrong-password
+  * arm), and /EncryptMetadata false's plaintext-metadata carve-out
+  * (the flag only changes key derivation here, which is implemented).
+  *
+  * Algorithms implemented from the spec: 2 (file key: MD5 over
+  * pad ‖ O ‖ P-le32 ‖ ID₀ [‖ ffffffff], 50×MD5 when R ≥ 3), 4/5
+  * (user-password validation against /U for R2 / R3-4), 1 (per-object
+  * key: MD5(fileKey ‖ obj-le24 ‖ gen-le16 [‖ "sAlT"]), truncated to
+  * min(len+5, 16)). RC4 is implemented inline (16 lines — no
+  * provider dependency); AES-128-CBC rides the JRE-mandatory
+  * Cipher "AES/CBC/NoPadding" with manual PKCS#7 validation. */
+object PdfCrypt {
+
+  import PdfCodec.PDict
+
+  private val Pad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** RC4 (spec: symmetric — encrypt == decrypt). */
+  private[llm] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = new Array[Int](256)
+    var i = 0
+    while (i < 256) { s(i) = i; i += 1 }
+    var j = 0
+    i = 0
+    while (i < 256) {
+      j = (j + s(i) + (key(i % key.length) & 0xff)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var x = 0; var y = 0
+    var k = 0
+    while (k < data.length) {
+      x = (x + 1) & 0xff
+      y = (y + s(x)) & 0xff
+      val t = s(x); s(x) = s(y); s(y) = t
+      out(k) = (data(k) ^ s((s(x) + s(y)) & 0xff)).toByte
+      k += 1
+    }
+    out
+  }
+
+  /** Decode a PDF string token — `(...)` literal with escapes or
+    * `<...>` hex — to its bytes. The token arrives as the raw
+    * ISO-8859-1 text parseDict captured. */
+  private[llm] def stringBytes(token: String): Option[Array[Byte]] = {
+    if (token.length >= 2 && token.startsWith("(") && token.endsWith(")")) {
+      val out = new java.io.ByteArrayOutputStream(token.length)
+      var i = 1
+      val end = token.length - 1
+      while (i < end) {
+        val c = token.charAt(i)
+        if (c == '\\') {
+          if (i + 1 >= end) return None
+          val e = token.charAt(i + 1)
+          e match {
+            case 'n' => out.write('\n'); i += 2
+            case 'r' => out.write('\r'); i += 2
+            case 't' => out.write('\t'); i += 2
+            case 'b' => out.write('\b'); i += 2
+            case 'f' => out.write('\f'); i += 2
+            case '(' | ')' | '\\' => out.write(e); i += 2
+            case '\r' => // line continuation
+              i += 2; if (i < end && token.charAt(i) == '\n') i += 1
+            case '\n' => i += 2
+            case d if d >= '0' && d <= '7' =>
+              var v = 0; var n = 0; i += 1
+              while (n < 3 && i < end && token.charAt(i) >= '0' &&
+                token.charAt(i) <= '7') { v = v * 8 + (token.charAt(i) - '0'); i += 1; n += 1 }
+              out.write(v & 0xff)
+            case _ => out.write(e); i += 2 // spec: unknown escape = the char
+          }
+        } else { out.write(c & 0xff); i += 1 }
+      }
+      Some(out.toByteArray)
+    } else if (token.length >= 2 && token.startsWith("<") && token.endsWith(">")) {
+      val out = new java.io.ByteArrayOutputStream(token.length / 2)
+      var hi = -1
+      var i = 1
+      while (i < token.length - 1) {
+        val c = token.charAt(i)
+        val v = if (c >= '0' && c <= '9') c - '0'
+                else if (c >= 'a' && c <= 'f') c - 'a' + 10
+                else if (c >= 'A' && c <= 'F') c - 'A' + 10
+                else if (c == ' ' || c == '\r' || c == '\n' || c == '\t') -2
+                else return None
+        if (v >= 0) { if (hi < 0) hi = v else { out.write(hi * 16 + v); hi = -1 } }
+        i += 1
+      }
+      if (hi >= 0) out.write(hi * 16) // odd digit: trailing 0 nibble
+      Some(out.toByteArray)
+    } else None
+  }
+
+  /** The first element of the trailer's /ID array token. */
+  private[llm] def firstId(token: String): Option[Array[Byte]] = {
+    val t = token.trim
+    if (!(t.startsWith("[") && t.endsWith("]"))) return None
+    val inner = t.substring(1, t.length - 1).trim
+    val open = inner.indexOf('<')
+    if (open < 0) return None
+    val close = inner.indexOf('>', open)
+    if (close < 0) return None
+    stringBytes(inner.substring(open, close + 1))
+  }
+
+  final class Decryptor(fileKey: Array[Byte], aes: Boolean) {
+    private def objKey(objNum: Long, gen: Int): Array[Byte] = {
+      val ext = new Array[Byte](fileKey.length + (if (aes) 9 else 5))
+      System.arraycopy(fileKey, 0, ext, 0, fileKey.length)
+      var p = fileKey.length
+      ext(p) = (objNum & 0xff).toByte
+      ext(p + 1) = ((objNum >> 8) & 0xff).toByte
+      ext(p + 2) = ((objNum >> 16) & 0xff).toByte
+      ext(p + 3) = (gen & 0xff).toByte
+      ext(p + 4) = ((gen >> 8) & 0xff).toByte
+      if (aes) { // the AESV2 salt
+        ext(p + 5) = 0x73; ext(p + 6) = 0x41; ext(p + 7) = 0x6c; ext(p + 8) = 0x54
+      }
+      val h = md5(ext)
+      java.util.Arrays.copyOf(h, math.min(fileKey.length + 5, 16))
+    }
+
+    /** Decrypt a stream/string payload for object (objNum, gen). */
+    def decrypt(objNum: Long, gen: Int, data: Array[Byte]): Option[Array[Byte]] = {
+      val key = objKey(objNum, gen)
+      if (!aes) Some(rc4(key, data))
+      else try {
+        // AES-128-CBC: 16-byte IV prefix; payload a multiple of 16;
+        // PKCS#7 padding validated byte-for-byte
+        if (data.length < 32 || data.length % 16 != 0) return None
+        val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        cipher.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(key, "AES"),
+          new javax.crypto.spec.IvParameterSpec(data, 0, 16))
+        val plain = cipher.doFinal(data, 16, data.length - 16)
+        val pad = plain(plain.length - 1) & 0xff
+        if (pad < 1 || pad > 16 || pad > plain.length) return None
+        var i = plain.length - pad
+        while (i < plain.length) {
+          if ((plain(i) & 0xff) != pad) return None
+          i += 1
+        }
+        Some(java.util.Arrays.copyOf(plain, plain.length - pad))
+      } catch {
+        case _: java.security.GeneralSecurityException => None
+      }
+    }
+
+    /** Encrypt (gate-writer side): RC4 is symmetric; AES prepends the
+      * caller's IV and applies PKCS#7. */
+    def encrypt(objNum: Long, gen: Int, data: Array[Byte],
+                iv: Array[Byte] = null): Array[Byte] = {
+      val key = objKey(objNum, gen)
+      if (!aes) rc4(key, data)
+      else {
+        val theIv = if (iv != null) iv else new Array[Byte](16)
+        val pad = 16 - (data.length % 16)
+        val padded = java.util.Arrays.copyOf(data, data.length + pad)
+        java.util.Arrays.fill(padded, data.length, padded.length, pad.toByte)
+        val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(key, "AES"),
+          new javax.crypto.spec.IvParameterSpec(theIv))
+        theIv ++ cipher.doFinal(padded)
+      }
+    }
+  }
+
+  /** P is a SIGNED 32-bit integer and usually negative. */
+  private def signedInt(raw: String): Option[Long] = {
+    val t = raw.trim
+    val neg = t.startsWith("-")
+    val ds = if (neg) t.substring(1) else t
+    if (ds.isEmpty || !ds.forall(_.isDigit) || ds.length > 10) return None
+    val v = ds.toLong
+    Some(if (neg) -v else v)
+  }
+
+  /** Build a Decryptor from the /Encrypt dict and the first /ID
+    * element, validating the EMPTY user password. None = out of scope
+    * OR wrong password — either way the walk refuses. */
+  def build(enc: PDict, id0: Array[Byte]): Option[Decryptor] = {
+    if (!enc.nameVal("Filter").contains("Standard")) return None
+    val v = enc.intVal("V").getOrElse(return None).toInt
+    val r = enc.intVal("R").getOrElse(return None).toInt
+    val o = stringBytes(enc.entries.getOrElse("O", return None)).getOrElse(return None)
+    val u = stringBytes(enc.entries.getOrElse("U", return None)).getOrElse(return None)
+    val p = signedInt(enc.entries.getOrElse("P", return None)).getOrElse(return None)
+    if (o.length != 32 || u.length != 32) return None
+    val (keyLen, aes) = v match {
+      case 1 =>
+        if (r != 2) return None
+        (5, false)
+      case 2 =>
+        if (r != 3) return None
+        val bits = enc.intVal("Length").getOrElse(40L).toInt
+        if (bits < 40 || bits > 128 || bits % 8 != 0) return None
+        (bits / 8, false)
+      case 4 =>
+        if (r != 4) return None
+        val bits = enc.intVal("Length").getOrElse(128L).toInt
+        if (bits != 128) return None
+        // /CF << /StdCF << /CFM /AESV2|/V2 >> >> with both default
+        // filters pointing at /StdCF
+        if (!enc.nameVal("StmF").contains("StdCF")) return None
+        if (!enc.nameVal("StrF").contains("StdCF")) return None
+        val cfRaw = enc.entries.getOrElse("CF", return None)
+        val cfBytes = cfRaw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        val cf = PdfCodec.parseDict(cfBytes, 0).getOrElse(return None)
+        val stdRaw = cf.entries.getOrElse("StdCF", return None)
+        val std = PdfCodec.parseDict(
+          stdRaw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), 0)
+          .getOrElse(return None)
+        std.nameVal("CFM") match {
+          case Some("AESV2") => (16, true)
+          case Some("V2") => (16, false)
+          case _ => return None
+        }
+      case _ => return None // V5/AES-256 and unknown versions: pinned
+    }
+    val encMeta = enc.entries.get("EncryptMetadata").forall(_.trim == "true")
+    // Algorithm 2: the file key from the EMPTY user password (= the pad)
+    val pLe = Array[Byte]((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+      ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte)
+    val extra = if (r >= 4 && !encMeta)
+      Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)
+    else Array.emptyByteArray
+    var key = java.util.Arrays.copyOf(md5(Pad, o, pLe, id0, extra), keyLen)
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) {
+        key = java.util.Arrays.copyOf(md5(key), keyLen)
+        i += 1
+      }
+    }
+    // Algorithms 4/5: validate the EMPTY user password against /U
+    val ok = if (r == 2) {
+      java.util.Arrays.equals(rc4(key, Pad), u)
+    } else {
+      var x = rc4(key, md5(Pad, id0))
+      var i = 1
+      while (i <= 19) {
+        val k2 = new Array[Byte](key.length)
+        var j = 0
+        while (j < key.length) { k2(j) = (key(j) ^ i).toByte; j += 1 }
+        x = rc4(k2, x)
+        i += 1
+      }
+      java.util.Arrays.equals(x, java.util.Arrays.copyOf(u, 16))
+    }
+    if (!ok) return None // non-empty user password: the honest refusal
+    Some(new Decryptor(key, aes))
+  }
+
+  // ---- gate-writer side: mint /Encrypt dicts with consistent O/U ----
+
+  private def hex(b: Array[Byte]): String =
+    "<" + b.map(x => f"${x & 0xff}%02x").mkString + ">"
+
+  /** An /Encrypt dict (plus the Decryptor) for the empty user AND
+    * empty owner password at the given mode: "rc4v1" | "rc4v2" |
+    * "aesv2". O is computed per Algorithm 3 with the empty owner
+    * password; U per Algorithm 4/5. */
+  def mint(mode: String, id0: Array[Byte], p: Long = -3904L): (String, Decryptor) = {
+    val (v, r, keyLen, aes) = mode match {
+      case "rc4v1" => (1, 2, 5, false)
+      case "rc4v2" => (2, 3, 16, false)
+      case "aesv2" => (4, 4, 16, true)
+      case _ => throw new IllegalArgumentException(mode)
+    }
+    // Algorithm 3: O from the (empty) owner password
+    var oKey = md5(Pad)
+    if (r >= 3) { var i = 0; while (i < 50) { oKey = md5(oKey); i += 1 } }
+    val ok0 = java.util.Arrays.copyOf(oKey, keyLen)
+    var o = rc4(ok0, Pad)
+    if (r >= 3) {
+      var i = 1
+      while (i <= 19) {
+        val k2 = new Array[Byte](ok0.length)
+        var j = 0
+        while (j < ok0.length) { k2(j) = (ok0(j) ^ i).toByte; j += 1 }
+        o = rc4(k2, o)
+        i += 1
+      }
+    }
+    // Algorithm 2: the file key
+    val pLe = Array[Byte]((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+      ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte)
+    var key = java.util.Arrays.copyOf(md5(Pad, o, pLe, id0), keyLen)
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) { key = java.util.Arrays.copyOf(md5(key), keyLen); i += 1 }
+    }
+    // Algorithm 4/5: U
+    val u: Array[Byte] = if (r == 2) rc4(key, Pad) else {
+      var x = rc4(key, md5(Pad, id0))
+      var i = 1
+      while (i <= 19) {
+        val k2 = new Array[Byte](key.length)
+        var j = 0
+        while (j < key.length) { k2(j) = (key(j) ^ i).toByte; j += 1 }
+        x = rc4(k2, x)
+        i += 1
+      }
+      java.util.Arrays.copyOf(x, 32) // 16 meaningful + 16 arbitrary (zeros)
+    }
+    val cf = if (v == 4)
+      s"/CF << /StdCF << /CFM /${if (aes) "AESV2" else "V2"} /AuthEvent /DocOpen /Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+    else ""
+    val lengthPart = if (v == 2) "/Length 128 " else if (v == 4) "/Length 128 " else ""
+    val dict = s"<< /Filter /Standard /V $v /R $r $lengthPart$cf/O ${hex(o)} /U ${hex(u)} /P $p >>"
+    (dict, new Decryptor(key, aes))
+  }
+}

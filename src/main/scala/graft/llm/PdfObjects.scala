@@ -423,7 +423,20 @@ object PdfObjects {
                      val nUpdates: Int, val sizeDeclared: Int,
                      val rootObj: Long,
                      val live: scala.collection.mutable.LongMap[Loc],
-                     val hybrid: Boolean, val maxOut: Int) {
+                     val hybrid: Boolean, val maxOut: Int,
+                     val decryptor: Option[PdfCrypt.Decryptor] = None) {
+
+    /** A stream extent, decrypted when the document is encrypted
+      * (xref streams are never encrypted per spec — callers on that
+      * path do not come through here). Identity when plaintext. */
+    private def rawStream(objNum: Long, gen: Int, from: Int,
+                          len: Int): Option[(Array[Byte], Int, Int)] =
+      decryptor match {
+        case None => Some((bytes, from, len))
+        case Some(dcr) =>
+          val raw = java.util.Arrays.copyOfRange(bytes, from, from + len)
+          dcr.decrypt(objNum, gen, raw).map(d => (d, 0, d.length))
+      }
 
     private val stmCache =
       scala.collection.mutable.LongMap.empty[(Array[Byte], Int, Array[(Long, Int)])]
@@ -442,8 +455,10 @@ object PdfObjects {
             val n = ext.dict.intVal("N").getOrElse(return None)
             val first = ext.dict.intVal("First").getOrElse(return None)
             if (n <= 0 || n > (1 << 16) || first < 0) return None
-            val data = decodeStream(bytes, ext.dict, ext.streamFrom,
-              ext.streamLen, maxOut).getOrElse(return None)
+            val (sb, sf, sl) = rawStream(num, gen, ext.streamFrom,
+              ext.streamLen).getOrElse(return None)
+            val data = decodeStream(sb, ext.dict, sf, sl, maxOut)
+              .getOrElse(return None)
             if (first > data.length) return None
             val pairs = new Array[(Long, Int)](n.toInt)
             var hp = 0
@@ -490,7 +505,13 @@ object PdfObjects {
         case Direct(off, gen, _) =>
           objExtentAt(bytes, off, objNum, gen).flatMap { e =>
             if (!e.hasStream) None
-            else decodeStream(bytes, e.dict, e.streamFrom, e.streamLen, maxOut)
+            else if (e.dict.nameVal("Type").contains("XRef"))
+              // xref streams are NEVER encrypted (§7.5.8.2)
+              decodeStream(bytes, e.dict, e.streamFrom, e.streamLen, maxOut)
+            else rawStream(objNum, gen, e.streamFrom, e.streamLen)
+              .flatMap { case (sb, sf, sl) =>
+                decodeStream(sb, e.dict, sf, sl, maxOut)
+              }
           }
         case _ => None
       }
@@ -544,6 +565,11 @@ object PdfObjects {
     // but no section may be visited twice
     val seenOffsets = scala.collection.mutable.Set.empty[Long]
     var hybrid = false
+    // encryption: the NEWEST trailer's /Encrypt governs (older
+    // revisions repeat it); resolved to a Decryptor after the chain
+    // walk completes, empty-user-password class only (PdfCrypt)
+    var encryptRef = -1L
+    var idToken: Option[String] = None
     def bindStream(sec: XrefSection): Unit =
       sec.entries.foreach { e =>
         if (!live.contains(e.objNum) && !free.contains(e.objNum)) e.t match {
@@ -590,12 +616,16 @@ object PdfObjects {
         }
         p = skipWs(b, p)
         val dict = parseDict(b, p).getOrElse(return None)
-        if (dict.entries.contains("Encrypt")) return None // scope pin
+        if (nUpdates == 0 && dict.entries.contains("Encrypt")) {
+          // an inline /Encrypt dict is a pinned refusal; real writers
+          // emit an indirect reference
+          encryptRef = dict.refVal("Encrypt").getOrElse(return None)
+          idToken = dict.entries.get("ID")
+        }
         dict.intVal("XRefStm") match {
           case Some(stmOff) =>
             hybrid = true
             val sec = readXrefStreamSection(b, stmOff, maxOut).getOrElse(return None)
-            if (sec.dict.entries.contains("Encrypt")) return None
             // the TABLE chain is authoritative; a /Prev here would fork it
             if (sec.dict.entries.contains("Prev")) return None
             bindStream(sec)
@@ -619,7 +649,10 @@ object PdfObjects {
       } else {
         // ---- xref stream section (hybrids and classic tables refuse) ----
         val sec = readXrefStreamSection(b, xrefOff, maxOut).getOrElse(return None)
-        if (sec.dict.entries.contains("Encrypt")) return None
+        if (nUpdates == 0 && sec.dict.entries.contains("Encrypt")) {
+          encryptRef = sec.dict.refVal("Encrypt").getOrElse(return None)
+          idToken = sec.dict.entries.get("ID")
+        }
         bindStream(sec)
         if (nUpdates == 0) {
           size = sec.dict.intVal("Size").getOrElse(return None).toInt
@@ -637,7 +670,21 @@ object PdfObjects {
     // /Size law: covers every live object number
     val maxLive = if (live.isEmpty) -1L else live.keys.max
     if (maxLive < 0 || size.toLong < maxLive + 1) return None
-    Some(new PdfDoc(b, vMinor, nUpdates, size, rootObj, live, hybrid, maxOut))
+    val decryptor =
+      if (encryptRef < 0) None
+      else {
+        // /ID is REQUIRED when encrypted (the key derives from ID[0])
+        val id0 = idToken.flatMap(PdfCrypt.firstId).getOrElse(return None)
+        live.get(encryptRef) match {
+          case Some(Direct(off, gen, _)) =>
+            val ext = objExtentAt(b, off, encryptRef, gen).getOrElse(return None)
+            if (ext.hasStream) return None // the Encrypt dict is dict-only
+            Some(PdfCrypt.build(ext.dict, id0).getOrElse(return None))
+          case _ => return None // must resolve to a live DIRECT object
+        }
+      }
+    Some(new PdfDoc(b, vMinor, nUpdates, size, rootObj, live, hybrid, maxOut,
+      decryptor))
   }
 
   /** Census facts over a resolved document. */

@@ -1190,9 +1190,17 @@ object PdfText {
                     badGlyphArm: Boolean = false,
                     toUnicodeArm: Boolean = false,
                     xobjArm: Int = 0, hdrLine: String = "",
-                    inlineImgArm: Int = 0): Array[Byte] = {
+                    inlineImgArm: Int = 0,
+                    encryptArm: String = "",
+                    encryptBadPwArm: Boolean = false,
+                    encryptV5Arm: Boolean = false): Array[Byte] = {
     require(era >= 0 && era <= 2 && vMinor >= 0 && vMinor <= 7 && pages.nonEmpty)
     require(xobjArm >= 0 && xobjArm <= 3 && (xobjArm == 0 || hdrLine.nonEmpty))
+    // the encrypted lane: classic + modern eras, form/Type0 arms out of
+    // its scope (Type0's descendant dict carries literal strings, which
+    // this writer does not string-encrypt)
+    require(encryptArm.isEmpty ||
+      (xobjArm == 0 && !type0 && !type0NoUniArm && era <= 1))
     val nPages = pages.length
     val isType0 = type0 || type0NoUniArm
     val hasCmap = toUnicodeArm || type0
@@ -1203,6 +1211,33 @@ object PdfText {
     val cmapNum = if (hasCmap) alloc() else -1
     val form1Num = if (xobjArm > 0) alloc() else -1
     val form2Num = if (xobjArm == 3) alloc() else -1
+    val encNum = if (encryptArm.nonEmpty) alloc() else -1
+    val encId: Array[Byte] =
+      Array.tabulate(16)(i => ((i * 37 + pages.length * 11 + vMinor) % 256).toByte)
+    val encPair: Option[(String, PdfCrypt.Decryptor)] =
+      if (encryptArm.isEmpty) None else Some(PdfCrypt.mint(encryptArm, encId))
+    val encDict: String = encPair.map(_._1).map { d0 =>
+      if (encryptBadPwArm) { // flip the first /U hex digit: wrong password
+        val at = d0.indexOf("/U <") + 4
+        val c = d0.charAt(at)
+        d0.substring(0, at) + (if (c == 'f') 'e' else 'f') + d0.substring(at + 1)
+      } else if (encryptV5Arm) // AES-256 class: the pinned refusal
+        d0.replace("/V 4 /R 4", "/V 5 /R 6")
+      else d0
+    }.getOrElse("")
+    val idHex = encId.map(x => f"${x & 0xff}%02x").mkString
+    val encTrailer =
+      if (encryptArm.isEmpty) ""
+      else s" /Encrypt $encNum 0 R /ID [<$idHex> <$idHex>]"
+    def maybeEncrypt(objNum: Int, payload: Array[Byte]): Array[Byte] =
+      encPair match {
+        case None => payload
+        case Some((_, dcr)) =>
+          // a deterministic fixture IV: the gate's oracle replays text,
+          // not bytes, but the writer itself must be reproducible
+          val iv = Array.tabulate(16)(i => ((objNum * 7 + i * 13) % 256).toByte)
+          dcr.encrypt(objNum.toLong, 0, payload, iv)
+      }
     val cmapText =
       if (type0)
         identityCMap((pages.flatten.flatMap(_.toSeq) ++ hdrLine.toSeq).distinct)
@@ -1313,7 +1348,8 @@ object PdfText {
       (0 until nPages).foreach { i =>
         obj(3 + 2 * i) { w(pageDict(i) + "\n") }
         obj(4 + 2 * i) {
-          val (payload, filt) = encodePayload(pageOps(i))
+          val (payload0, filt) = encodePayload(pageOps(i))
+          val payload = maybeEncrypt(4 + 2 * i, payload0)
           w(s"<< /Length ${payload.length}$filt >>\nstream\n")
           out.write(payload, 0, payload.length)
           w("\nendstream\n")
@@ -1322,17 +1358,19 @@ object PdfText {
       obj(fontNum) { w(fontDict + "\n") }
       if (isType0) obj(descNum) { w(descDict + "\n") }
       if (hasCmap) obj(cmapNum) {
-        w(s"<< /Length ${cmapText.length} >>\nstream\n")
-        w(cmapText)
+        val payload = maybeEncrypt(cmapNum, cmapText.getBytes("ISO-8859-1"))
+        w(s"<< /Length ${payload.length} >>\nstream\n")
+        out.write(payload, 0, payload.length)
         w("\nendstream\n")
       }
       formContents.foreach { case (num, content, res) =>
         obj(num) { w(formObjBody(content, res)) }
       }
+      if (encNum > 0) obj(encNum) { w(encDict + "\n") }
       val xref = out.size().toLong
       w(s"xref\n0 $size\n0000000000 65535 f \n")
       (1 until size).foreach(n => w(f"${offsets(n)}%010d 00000 n \n"))
-      w(s"trailer\n<< /Size $size /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+      w(s"trailer\n<< /Size $size /Root 1 0 R$encTrailer >>\nstartxref\n$xref\n%%EOF\n")
       return out.toByteArray
     }
 
@@ -1345,20 +1383,26 @@ object PdfText {
     val directOff = scala.collection.mutable.Map.empty[Int, Long]
     (0 until nPages).foreach { i =>
       directOff(4 + 2 * i) = out.size().toLong
-      val (payload, filt) = encodePayload(pageOps(i))
+      val (payload0, filt) = encodePayload(pageOps(i))
+      val payload = maybeEncrypt(4 + 2 * i, payload0)
       w(s"${4 + 2 * i} 0 obj\n<< /Length ${payload.length}$filt >>\nstream\n")
       out.write(payload, 0, payload.length)
       w("\nendstream\nendobj\n")
     }
     if (hasCmap) {
       directOff(cmapNum) = out.size().toLong
-      w(s"$cmapNum 0 obj\n<< /Length ${cmapText.length} >>\nstream\n")
-      w(cmapText)
+      val payload = maybeEncrypt(cmapNum, cmapText.getBytes("ISO-8859-1"))
+      w(s"$cmapNum 0 obj\n<< /Length ${payload.length} >>\nstream\n")
+      out.write(payload, 0, payload.length)
       w("\nendstream\nendobj\n")
     }
     formContents.foreach { case (num, content, res) =>
       directOff(num) = out.size().toLong
       w(s"$num 0 obj\n" + formObjBody(content, res) + "endobj\n")
+    }
+    if (encNum > 0) { // the Encrypt dict is DIRECT and never encrypted
+      directOff(encNum) = out.size().toLong
+      w(s"$encNum 0 obj\n$encDict\nendobj\n")
     }
     val members: Seq[(Int, String)] =
       (Seq(1 -> catalogDict, 2 -> pagesDict) ++
@@ -1372,7 +1416,7 @@ object PdfText {
       s"$num $off"
     }.mkString(" ") + " "
     val stmPlain = pairsTxt.getBytes("ISO-8859-1") ++ bodies.toByteArray
-    val stmComp = PdfModern.flate(stmPlain)
+    val stmComp = maybeEncrypt(objStmNum, PdfModern.flate(stmPlain))
     val objStmOffset = out.size().toLong
     w(s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${members.length} " +
       s"/First ${pairsTxt.length} /Filter /FlateDecode /Length ${stmComp.length} >>\nstream\n")
@@ -1397,9 +1441,9 @@ object PdfText {
           case idx => row(2, objStmNum.toLong, idx.toLong)
         }
       }
-      val comp = PdfModern.flate(rows.toByteArray)
+      val comp = PdfModern.flate(rows.toByteArray) // xref streams: never encrypted
       w(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /W [1 2 1] /Root 1 0 R" +
-        s" /Filter /FlateDecode /Length ${comp.length} >>\nstream\n")
+        s"$encTrailer /Filter /FlateDecode /Length ${comp.length} >>\nstream\n")
       out.write(comp, 0, comp.length)
       w("\nendstream\nendobj\n")
       w(s"startxref\n$xrefOffset\n%%EOF\n")

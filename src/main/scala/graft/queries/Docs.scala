@@ -134,6 +134,98 @@ object Docs {
       |FROM p LEFT JOIN agg ON p.k = agg.k
       |ORDER BY media_id""".stripMargin
 
+  /** ENCRYPTED PDF text extraction under the oracle (see
+    * [[graft.llm.PdfCrypt]]): the standard security handler's
+    * empty-user-password class — the owner-restrictions-only files a
+    * real crawl actually carries. Per key the mode rotates RC4-40 /
+    * RC4-128 / AES-128-CBC (k mod 3) across classic and modern eras
+    * (k mod 2), with the filter arms riding beneath the cipher (the
+    * decrypt-then-decode order law). The ToUnicode CMap stream
+    * decrypts on every 23rd key. Refusal arms: truncation (k mod 13),
+    * a wrong user password (k mod 17 — /U validation fails, the
+    * honest refusal), the AES-256 /V 5 class (k mod 19 — pinned out
+    * of scope). DuckDB replays the extracted characters. */
+  def pdfEncrypted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.PdfText
+    val keys = partKeys(s, d) // full-width spread: the decrypt map is the cost
+    val decoded = keys.map { k =>
+      val mode = Seq("rc4v1", "rc4v2", "aesv2")((k % 3).toInt)
+      val era = (k % 2).toInt
+      val nPages = (1 + k % 3).toInt
+      val toUni = k % 23 == 0
+      val pages = (0 until nPages).map { i =>
+        val nLines = (1 + (k + i) % 4).toInt
+        (0 until nLines).map { j =>
+          s"enc$k pg$i ln$j w${(k + i * 3 + j * 7) % 10}" +
+            (if (toUni) " BxD" else "")
+        }
+      }
+      val bytes = PdfText.encodeTextPdf(era, (4 + k % 4).toInt, pages,
+        winAnsi = k % 2 == 0, filterArm = (k % 6).toInt,
+        hexStrings = k % 5 == 0, variant = (k % 4).toInt,
+        toUnicodeArm = toUni,
+        encryptArm = mode,
+        encryptBadPwArm = k % 17 == 0 && k % 13 != 0,
+        encryptV5Arm = k % 19 == 0 && k % 13 != 0 && k % 17 != 0 &&
+          mode == "aesv2")
+      // the /V 5 arm only exists on the AES dict shape; fold the other
+      // modes' 19-keys into the wrong-password arm for a uniform oracle
+      val bytes2 = if (k % 19 == 0 && k % 13 != 0 && k % 17 != 0 &&
+        mode != "aesv2")
+        PdfText.encodeTextPdf(era, (4 + k % 4).toInt, pages,
+          winAnsi = k % 2 == 0, filterArm = (k % 6).toInt,
+          hexStrings = k % 5 == 0, variant = (k % 4).toInt,
+          toUnicodeArm = toUni, encryptArm = mode, encryptBadPwArm = true)
+      else bytes
+      val payload = if (k % 13 == 0) bytes2.dropRight(6) else bytes2
+      PdfText.extract(payload) match {
+        case Some(r) =>
+          val text = r.pages.mkString("\n")
+          val nLines = r.pages.iterator.map(p => p.count(_ == '\n') + 1).sum
+          (k, true, Some(mode), Some(r.era), Some(r.nPages), Some(nLines),
+            Some(text.length.toLong), Some(text))
+        case None =>
+          (k, false, None: Option[String], None: Option[String],
+            None: Option[Int], None: Option[Int], None: Option[Long],
+            None: Option[String])
+      }
+    }.toDF("media_id", "enc_ok", "mode", "era", "n_pages", "n_lines",
+      "n_chars", "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The decrypt-then-extract replayed from the text formulas (the
+    * same line grammar as q_pdf_text, under the cipher). */
+  val pdfEncryptedSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(1 + k % 3 AS INTEGER) AS np,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |body AS (
+      |  SELECT p.k, i.g AS i, j.g AS j,
+      |    'enc' || p.k || ' pg' || i.g || ' ln' || j.g ||
+      |      ' w' || ((p.k + i.g * 3 + j.g * 7) % 10) ||
+      |      CASE WHEN p.k % 23 = 0 THEN ' ßΑffi' ELSE '' END AS line
+      |  FROM p, generate_series(0, 2) i(g), generate_series(0, 3) j(g)
+      |  WHERE i.g < p.np AND j.g < 1 + (p.k + i.g) % 4 AND p.ok),
+      |agg AS (
+      |  SELECT k, CAST(COUNT(*) AS INTEGER) AS n_lines,
+      |    string_agg(line, chr(10) ORDER BY i, j) AS text
+      |  FROM body GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS enc_ok,
+      |  CASE WHEN p.ok THEN
+      |    CASE p.k % 3 WHEN 0 THEN 'rc4v1' WHEN 1 THEN 'rc4v2'
+      |      ELSE 'aesv2' END END AS mode,
+      |  CASE WHEN p.ok THEN
+      |    CASE p.k % 2 WHEN 0 THEN 'classic' ELSE 'modern' END END AS era,
+      |  CASE WHEN p.ok THEN p.np END AS n_pages,
+      |  CASE WHEN p.ok THEN agg.n_lines END AS n_lines,
+      |  CASE WHEN p.ok THEN CAST(length(agg.text) AS BIGINT) END AS n_chars,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p LEFT JOIN agg ON p.k = agg.k
+      |ORDER BY media_id""".stripMargin
+
   /** DOCX text extraction under the oracle (see
     * [[graft.llm.DocxCodec]]): per-key OPC containers with 1-4 formula
     * paragraphs, text split across two runs (the boundary must be
@@ -3778,6 +3870,7 @@ object Docs {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pdf_text" -> (pdfText _),
+    "q_pdf_encrypted" -> (pdfEncrypted _),
     "q_docx_read" -> (docxRead _),
     "q_epub_read" -> (epubRead _),
     "q_rtf_read" -> (rtfRead _),
@@ -3820,6 +3913,7 @@ object Docs {
 
   def oracleSql: Map[String, String] = Map(
     "q_pdf_text" -> pdfTextSql,
+    "q_pdf_encrypted" -> pdfEncryptedSql,
     "q_docx_read" -> docxReadSql,
     "q_epub_read" -> epubReadSql,
     "q_rtf_read" -> rtfReadSql,

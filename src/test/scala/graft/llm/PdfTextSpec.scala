@@ -279,4 +279,52 @@ class PdfTextSpec extends AnyFunSuite {
         Array.fill(rnd.nextInt(120))((rnd.nextInt(94) + 32).toChar))).getBytes("ISO-8859-1"))
     }
   }
+
+  // ---- the standard security handler: empty-user-password class ----
+
+  test("encrypted: RC4 v1/v2 and AES-128 across eras and filter arms") {
+    for {
+      mode <- Seq("rc4v1", "rc4v2", "aesv2")
+      era <- Seq(0, 1)
+      filterArm <- Seq(0, 1, 3)
+      hexStrings <- Seq(false, true)
+    } {
+      val b = encodeTextPdf(era, 6, Seq(lines1, lines2),
+        filterArm = filterArm, hexStrings = hexStrings, encryptArm = mode)
+      val r = extract(b).getOrElse(
+        fail(s"refused mode=$mode era=$era filter=$filterArm hex=$hexStrings"))
+      assert(r.pages == Seq(lines1.mkString("\n"), lines2.mkString("\n")),
+        s"mode=$mode era=$era filter=$filterArm")
+    }
+  }
+
+  test("encrypted: the ToUnicode CMap stream decrypts too") {
+    val b = encodeTextPdf(0, 6, Seq(Seq("map BxD here")),
+      toUnicodeArm = true, encryptArm = "aesv2")
+    val r = extract(b).getOrElse(fail("refused"))
+    assert(r.pages.head == "map \u00df\u0391ffi here")
+  }
+
+  test("encrypted refusals: wrong password, V5, tamper") {
+    // a wrong (non-empty) user password: /U validation fails
+    for (mode <- Seq("rc4v1", "rc4v2", "aesv2")) {
+      val bad = encodeTextPdf(0, 6, Seq(lines1), encryptArm = mode,
+        encryptBadPwArm = true)
+      assert(extract(bad).isEmpty, s"bad-pw mode=$mode passed")
+    }
+    // the AES-256 class stays a pinned refusal
+    val v5 = encodeTextPdf(0, 6, Seq(lines1), encryptArm = "aesv2",
+      encryptV5Arm = true)
+    assert(extract(v5).isEmpty)
+    // a flipped byte inside an AES-encrypted content stream: CBC
+    // garbles a block, the padding or the content-op grammar refuses
+    val b = encodeTextPdf(0, 6, Seq(lines1), filterArm = 1,
+      encryptArm = "aesv2")
+    val at = new String(b, "ISO-8859-1").indexOf("stream\n") + 20
+    val flip = b.clone()
+    flip(at) = (flip(at) ^ 0x41).toByte
+    assert(extract(flip).isEmpty)
+    // truncation still refuses through the encrypted path
+    (2 to 40 by 7).foreach(d => assert(extract(b.dropRight(d)).isEmpty))
+  }
 }
