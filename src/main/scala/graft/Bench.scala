@@ -223,7 +223,28 @@ object Bench {
         "cpu_floor_sec" -> cpuFloor,
         "scan_floor_sec" -> scanFloor)
         .collect { case (k, v) if v >= 0 => s""","$k":${f"$v%.3f"}""" }.mkString
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw":$raw,"errors":$errs,"ok":${ok.size},"failed":${results.size - ok.size}$floorsFull,"sf":${jstr(sfDir)}}"""
+      // floor-normalized accounting (VERDICT r17 #7): subtract each
+      // query's machinery floor — the stream floor for the micro-batch
+      // family, the cpu floor for everything else — so round-over-round
+      // comparison separates machine drift from real regressions
+      // mechanically. Only emitted when both floors measured.
+      val floorNorm =
+        if (streamFloor >= 0 && cpuFloor >= 0)
+          ok.map { case (k, c, w) =>
+            val floor = if (k.startsWith("q_stream_")) streamFloor else cpuFloor
+            math.max(0.0, math.min(c, w) - floor)
+          }.sum
+        else -1.0
+      if (floorNorm >= 0) {
+        val nStream = ok.count(_._1.startsWith("q_stream_"))
+        System.err.println(f"[bench] floor_normalized_total: $floorNorm%.3f " +
+          f"(stream_n=$nStream, cpu_n=${ok.size - nStream}, " +
+          f"stream_floor=$streamFloor%.3f, cpu_floor=$cpuFloor%.3f)")
+      }
+      val floorNormPart =
+        if (floorNorm >= 0) s""","floor_normalized_total":${f"$floorNorm%.3f"}"""
+        else ""
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw":$raw,"errors":$errs,"ok":${ok.size},"failed":${results.size - ok.size}$floorsFull$floorNormPart,"sf":${jstr(sfDir)}}"""
       // Output ORDER is load-bearing: the driver merges stdout+stderr and
       // keeps only the last 2000 bytes. The full ~6 KB pairs line printed
       // AFTER the bounded line evicted it from the tail in rounds 5 AND 6
