@@ -187,8 +187,8 @@ object DeltaLog {
       val isA = grp(apD, i)
       val isR = grp(rpD, i)
       // group presence must be consistent across the group's leaves
-      if (isP != grp(pwD, i) || isM != grp(msD, i) || isR != (rpD(i) >= 1))
-        return None
+      // (remove has a single leaf — nothing to cross-check there)
+      if (isP != grp(pwD, i) || isM != grp(msD, i)) return None
       if (isA != grp(asD, i) || isA != grp(adD, i) || isA != grp(atD, i))
         return None
       if (Seq(isP, isM, isA, isR).count(identity) != 1) return None // one action per row

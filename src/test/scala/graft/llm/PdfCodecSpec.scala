@@ -69,7 +69,9 @@ class PdfCodecSpec extends AnyFunSuite {
     val aimed = s.substring(0, sx) +
       s.substring(sx).replaceFirst("\\d+", obj1.toString)
     assert(pdfProbe(aimed.getBytes("ISO-8859-1")).isEmpty)
-    // /Encrypt in the trailer refuses
+    // /Encrypt without the REQUIRED /ID (and no live encrypt dict)
+    // refuses — the r18 decryption path demands a resolvable standard
+    // security handler, not just the key's presence
     val enc = s.replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 9 0 R")
     assert(pdfProbe(enc.getBytes("ISO-8859-1")).isEmpty)
     // a /Prev pointing FORWARD (≥ current xref offset) is a cycle: refuse
