@@ -814,11 +814,19 @@ object Docs {
             (0 until nLines).map(j =>
               s"zoo$k f$fmt p$i l$j w${(k + 2 * i + 3 * j) % 7}")
           }
+          // every 8th arm-free classic/modern key ships ENCRYPTED (the
+          // r18 standard-handler lane) — text-neutral, so the oracle's
+          // closed form is untouched while the sniff route proves the
+          // decrypt-then-extract path inside the mixed corpus
+          val enc = fmt < 2 && k % 8 == 0 &&
+            k % 13 != 0 && k % 17 != 0 && k % 19 != 0
           PdfText.encodeTextPdf(fmt, (4 + k % 4).toInt, pages,
             winAnsi = true, filterArm = ((k / 4) % 6).toInt,
             hexStrings = k % 5 == 0, variant = (k % 6).toInt,
             resourcesOnPagesNode = k % 7 == 0,
-            type0NoUniArm = arm17, badGlyphArm = arm19)
+            type0NoUniArm = arm17, badGlyphArm = arm19,
+            encryptArm = if (enc)
+              Seq("rc4v1", "rc4v2", "aesv2")(((k / 8) % 3).toInt) else "")
         } else if (fmt == 3) {
           val nPars = (1 + k % 3).toInt
           DocxCodec.encodeDocx(
