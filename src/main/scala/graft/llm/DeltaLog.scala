@@ -17,9 +17,10 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   *    action (commitInfo / protocol / metaData / add / remove); under
   *    minReaderVersion 1 an unrecognized action is a forward-version
   *    leak and refuses;
-  *  - `protocol` exactly once, in version 0, minReaderVersion 1 (the
-  *    JSON-commit scope pin — checkpoints, column mapping and deletion
-  *    vectors live behind higher versions and refuse honestly);
+  *  - `protocol` exactly once, in version 0, minReaderVersion 1
+  *    (column mapping and deletion vectors live behind higher
+  *    versions and refuse honestly; CHECKPOINTED tables — the aged
+  *    production shape — go through [[replayCheckpointed]], r18);
   *  - `metaData` exactly once, in version 0, format.provider
   *    "parquet" (schema evolution is a later-round seam);
   *  - `add` requires path (non-empty), size ≥ 0, dataChange, and its

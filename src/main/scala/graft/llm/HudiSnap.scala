@@ -11,8 +11,10 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *
   * Laws (refuse, never garble):
   *  - `hoodie.properties`: `hoodie.table.name` non-empty and
-  *    `hoodie.table.type` = COPY_ON_WRITE (MERGE_ON_READ has log files
-  *    and compaction semantics — a pinned refusal, not a misread);
+  *    `hoodie.table.type` = COPY_ON_WRITE on this path
+  *    (MERGE_ON_READ tables replay through [[replayMor]] — r18 —
+  *    whose log-block merge laws live below; compaction stays a
+  *    pinned refusal on both paths);
   *  - instants strictly increasing and unique (the timeline order the
   *    filenames encode);
   *  - commit JSON: `partitionToWriteStats` an object of arrays; every

@@ -11,13 +11,16 @@ package graft.llm
   * decoders (snappy, gzip via Inflater, zstd, LZ4_RAW) — format spec
   * at parquet.apache.org, thrift compact-protocol spec.
   *
-  * Scope pin (honest subset, refuse beyond it): FLAT columns only —
-  * max repetition level 0 and max definition level ≤ 1 (a leaf
-  * directly under the root, REQUIRED or OPTIONAL). Nested/repeated
-  * schemas, INT96 timestamps, BIT_PACKED legacy levels, and the
-  * LZO/BROTLI/hadoop-framed-LZ4 codecs refuse. This matches the
-  * tabular shape a lake pipeline reads 99% of the time; nested reads
-  * stay with the engine's Spark scan.
+  * Scope (r18 widened the r17c flat pin): [[readColumn]] serves FLAT
+  * columns (max rep 0, max def ≤ 1 — the fact-table shape);
+  * [[readColumnLevels]] decodes ANY leaf's full Dremel shredding
+  * (repetition + definition level streams), and [[assembleList]]
+  * reassembles single-level LISTs (the crawl-schema array shape —
+  * token lists, link lists). Remaining pins: multi-level repetition
+  * (list-of-list, MAP-of-struct exotica) has no assembler (callers
+  * get the raw level streams), and INT96 timestamps, BIT_PACKED
+  * legacy levels, and the LZO/BROTLI/hadoop-framed-LZ4 codecs
+  * refuse.
   *
   * Laws (refuse, never garble):
   *  - the chunk's page walk must consume [start, start+total_compressed)
