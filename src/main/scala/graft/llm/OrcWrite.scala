@@ -1,0 +1,183 @@
+package graft.llm
+
+/** ORC conformance WRITER — the fixture mint for per-key ORC gates
+  * (the inverse of [[OrcRead]]'s honest subset): one stripe, no
+  * compression (postscript kind NONE, so no chunk framing anywhere),
+  * LONG columns as RLEv2 DIRECT (zigzag signed) and STRING columns as
+  * DIRECT_V2 (LENGTH + DATA), no PRESENT streams (all rows non-null),
+  * no row indexes. Protobuf messages are emitted with the exact field
+  * numbers [[OrcRead.parseMeta]] and the real Apache ORC reader
+  * consume — the spec cross-validates the output against Spark's own
+  * ORC scan, so the writer is pinned from both sides. */
+object OrcWrite {
+
+  sealed trait OCol { def name: String }
+  final case class LongCol(name: String, values: Array[Long]) extends OCol
+  final case class StrCol(name: String, values: Array[String]) extends OCol
+
+  // ---- protobuf writer ----
+  private final class PbW {
+    val out = new java.io.ByteArrayOutputStream(256)
+    def varintRaw(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0L) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    def varint(field: Int, v: Long): Unit = { varintRaw((field << 3).toLong); varintRaw(v) }
+    def bytes(field: Int, b: Array[Byte]): Unit = {
+      varintRaw(((field << 3) | 2).toLong); varintRaw(b.length.toLong)
+      out.write(b, 0, b.length)
+    }
+    def msg(field: Int)(body: PbW => Unit): Unit = {
+      val inner = new PbW; body(inner); bytes(field, inner.out.toByteArray)
+    }
+    def str(field: Int, s: String): Unit = bytes(field, s.getBytes("UTF-8"))
+  }
+
+  // ---- RLEv2 DIRECT encoder (runs of ≤ 512, lawful width table) ----
+  private def lawfulWidth(w0: Int): Int = {
+    val w = math.max(1, w0)
+    if (w <= 24) w
+    else if (w <= 26) 26 else if (w <= 28) 28 else if (w <= 30) 30
+    else if (w <= 32) 32 else if (w <= 40) 40 else if (w <= 48) 48
+    else if (w <= 56) 56 else 64
+  }
+  private def widthCode(w: Int): Int =
+    if (w <= 24) w - 1
+    else w match {
+      case 26 => 24; case 28 => 25; case 30 => 26; case 32 => 27
+      case 40 => 28; case 48 => 29; case 56 => 30; case _ => 31
+    }
+
+  /** Encode longs as RLEv2 DIRECT runs (zigzag when signed). */
+  private[llm] def rlev2Direct(values: Array[Long], signed: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(values.length * 3 + 16)
+    var i = 0
+    while (i < values.length) {
+      val len = math.min(512, values.length - i)
+      val enc = new Array[Long](len)
+      var maxBits = 1
+      var j = 0
+      while (j < len) {
+        val v = values(i + j)
+        val u = if (signed) (v << 1) ^ (v >> 63) else v
+        enc(j) = u
+        val bits = 64 - java.lang.Long.numberOfLeadingZeros(u | 1L)
+        if (bits > maxBits) maxBits = bits
+        j += 1
+      }
+      val w = lawfulWidth(maxBits)
+      val code = widthCode(w)
+      val l9 = len - 1
+      out.write(0x40 | (code << 1) | (l9 >>> 8)) // 01wwwwwl
+      out.write(l9 & 0xff)
+      // big-endian bit packing
+      var bitBuf = 0L
+      var nBits = 0
+      j = 0
+      while (j < len) {
+        var rem = w
+        val v = enc(j)
+        while (rem > 0) {
+          val take = math.min(8 - nBits, rem)
+          val chunk = (v >>> (rem - take)) & ((1L << take) - 1L)
+          bitBuf = (bitBuf << take) | chunk
+          nBits += take
+          rem -= take
+          if (nBits == 8) { out.write(bitBuf.toInt & 0xff); bitBuf = 0L; nBits = 0 }
+        }
+        j += 1
+      }
+      if (nBits > 0) out.write(((bitBuf << (8 - nBits)).toInt) & 0xff)
+      i += len
+    }
+    out.toByteArray
+  }
+
+  /** Assemble a one-stripe uncompressed file. */
+  def file(cols: Seq[OCol], rowsLieArm: Boolean = false,
+           streamLenLieArm: Boolean = false): Array[Byte] = {
+    require(cols.nonEmpty)
+    val n = cols.head match {
+      case LongCol(_, v) => v.length
+      case StrCol(_, v) => v.length
+    }
+    require(cols.forall {
+      case LongCol(_, v) => v.length == n
+      case StrCol(_, v) => v.length == n
+    }, "ragged columns")
+    val out = new java.io.ByteArrayOutputStream(1024)
+    out.write('O'); out.write('R'); out.write('C')
+    val stripeOff = out.size.toLong // == 3: headerLength
+    // ---- data streams, in column order ----
+    // (kind, columnId, bytes)
+    val streams = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Byte])]
+    cols.zipWithIndex.foreach { case (c, ci) =>
+      val tid = ci + 1
+      c match {
+        case LongCol(_, v) =>
+          streams += ((1, tid, rlev2Direct(v, signed = true)))
+        case StrCol(_, v) =>
+          val data = new java.io.ByteArrayOutputStream
+          v.foreach { s => val b = s.getBytes("UTF-8"); data.write(b, 0, b.length) }
+          streams += ((1, tid, data.toByteArray))
+          streams += ((2, tid,
+            rlev2Direct(v.map(_.getBytes("UTF-8").length.toLong).toArray,
+              signed = false)))
+      }
+    }
+    streams.foreach { case (_, _, b) => out.write(b, 0, b.length) }
+    val dataLen = (out.size - stripeOff).toInt
+    // ---- stripe footer ----
+    val sf = new PbW
+    streams.foreach { case (kind, col, b) =>
+      sf.msg(1) { m =>
+        m.varint(1, kind.toLong)
+        m.varint(2, col.toLong)
+        m.varint(3, b.length.toLong +
+          (if (streamLenLieArm && kind == 1 && col == 1) 3L else 0L))
+      }
+    }
+    // encodings: root DIRECT, every column DIRECT_V2
+    sf.msg(2) { m => m.varint(1, 0L) }
+    cols.foreach { _ => sf.msg(2) { m => m.varint(1, 2L) } }
+    val sfBytes = sf.out.toByteArray
+    out.write(sfBytes, 0, sfBytes.length)
+    // ---- footer ----
+    val declaredRows = n.toLong + (if (rowsLieArm) 1L else 0L)
+    val f = new PbW
+    f.varint(1, 3L) // headerLength (the magic)
+    f.varint(2, (dataLen + sfBytes.length).toLong) // contentLength
+    f.msg(3) { m => // one StripeInformation
+      m.varint(1, stripeOff)
+      m.varint(2, 0L) // indexLength
+      m.varint(3, dataLen.toLong)
+      m.varint(4, sfBytes.length.toLong)
+      m.varint(5, declaredRows)
+    }
+    f.msg(4) { m => // root STRUCT
+      m.varint(1, 12L)
+      cols.indices.foreach(ci => m.varint(2, (ci + 1).toLong))
+      cols.foreach(c => m.str(3, c.name))
+    }
+    cols.foreach { c =>
+      f.msg(4) { m =>
+        m.varint(1, c match { case _: LongCol => 4L; case _: StrCol => 7L })
+      }
+    }
+    f.varint(6, declaredRows) // numberOfRows
+    val fBytes = f.out.toByteArray
+    out.write(fBytes, 0, fBytes.length)
+    // ---- postscript (never compressed) ----
+    val ps = new PbW
+    ps.varint(1, fBytes.length.toLong) // footerLength
+    ps.varint(2, 0L) // compression NONE
+    ps.varint(5, 0L) // metadataLength
+    ps.bytes(8000, Array[Byte]('O', 'R', 'C'))
+    val psBytes = ps.out.toByteArray
+    require(psBytes.length < 256)
+    out.write(psBytes, 0, psBytes.length)
+    out.write(psBytes.length)
+    out.toByteArray
+  }
+}

@@ -2025,6 +2025,7 @@ object Llm {
     "q_xz_decode" -> (xzDecode _),
     "q_orc_probe" -> (orcProbe _),
     "q_orc_read" -> (orcRead _),
+    "q_orc_values" -> (orcValues _),
     "q_tfrecord_read" -> (tfrecordRead _),
     "q_tfexample_read" -> (tfexampleRead _),
     "q_avro_read" -> (avroRead _),
@@ -4331,6 +4332,72 @@ object Llm {
       |  o_orderpriority, 'ord-' || o_orderkey AS o_tag
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Per-key ORC value decode with REFUSAL ARMS (the lane q_orc_read's
+    * real-producer round trip cannot carry): tables minted through the
+    * engine's own [[graft.llm.OrcWrite]] — signed RLEv2 DIRECT longs,
+    * DIRECT_V2 strings — and decoded back through [[graft.llm.OrcRead]].
+    * Arms: truncation (k mod 13 — the postscript/footer bounds laws), a
+    * stream-directory length lie (k mod 17 — the region tiling law), a
+    * row-census lie (k mod 19 — RLEv2's exact-count law). DuckDB
+    * replays the value census in closed form. */
+  def orcValues(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.{OrcRead, OrcWrite}
+    val keys = partKeys(s, d) // full-width spread: the codec map is the cost
+    val decoded = keys.map { k =>
+      val n = (8 + k % 9).toInt
+      val ids = Array.tabulate(n)(r => k * 3 + r * 7L - 50L)
+      val vs = Array.tabulate(n)(r => (k * 11 + r * 13L) % 5000L - 2500L)
+      val names = Array.tabulate(n)(r => s"orc$k r$r w${(k + 2 * r) % 9}")
+      val bytes0 = OrcWrite.file(
+        Seq(OrcWrite.LongCol("id", ids), OrcWrite.LongCol("v", vs),
+          OrcWrite.StrCol("name", names)),
+        rowsLieArm = k % 19 == 0 && k % 13 != 0 && k % 17 != 0,
+        streamLenLieArm = k % 17 == 0 && k % 13 != 0)
+      val bytes = if (k % 13 == 0) java.util.Arrays.copyOf(bytes0,
+        bytes0.length - 4) else bytes0
+      OrcRead.readTable(bytes, Seq("id", "v", "name")) match {
+        case Some((_, cols)) =>
+          val text = cols(2).map(_.asInstanceOf[String]).mkString("\n")
+          (k, true, Some(cols(0).length),
+            Some(cols(0).map(_.asInstanceOf[Long]).sum),
+            Some(cols(1).map(_.asInstanceOf[Long]).sum), Some(text))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Long],
+            None: Option[Long], None: Option[String])
+      }
+    }.toDF("media_id", "orc_ok", "n_rows", "sum_id", "sum_v", "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The census replayed: n = 8 + k mod 9 rows of the id/v/name
+    * formulas; the arms refuse by construction. */
+  val orcValuesSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(8 + k % 9 AS INTEGER) AS n,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |rows_ AS (
+      |  SELECT p.k, r.g AS r,
+      |    CAST(p.k * 3 + r.g * 7 - 50 AS BIGINT) AS id,
+      |    CAST((p.k * 11 + r.g * 13) % 5000 - 2500 AS BIGINT) AS v,
+      |    'orc' || p.k || ' r' || r.g || ' w' || ((p.k + 2 * r.g) % 9) AS nm
+      |  FROM p, generate_series(0, 16) r(g)
+      |  WHERE p.ok AND r.g < p.n),
+      |agg AS (
+      |  SELECT k, CAST(COUNT(*) AS INTEGER) AS n_rows,
+      |    CAST(SUM(id) AS BIGINT) AS sum_id,
+      |    CAST(SUM(v) AS BIGINT) AS sum_v,
+      |    string_agg(nm, chr(10) ORDER BY r) AS text
+      |  FROM rows_ GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS orc_ok,
+      |  CASE WHEN p.ok THEN agg.n_rows END AS n_rows,
+      |  CASE WHEN p.ok THEN agg.sum_id END AS sum_id,
+      |  CASE WHEN p.ok THEN agg.sum_v END AS sum_v,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p LEFT JOIN agg ON agg.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   /** Strict UTF-8 validity + mojibake census under the oracle — the
     * pre-decode gate a crawl pipeline runs over raw bytes BEFORE
     * trusting them as text (casting to string would already replace
@@ -6561,6 +6628,7 @@ object Llm {
     "q_xz_decode" -> xzDecodeSql,
     "q_orc_probe" -> orcProbeSql,
     "q_orc_read" -> orcReadSql,
+    "q_orc_values" -> orcValuesSql,
     "q_tfrecord_read" -> tfrecordReadSql,
     "q_tfexample_read" -> tfexampleReadSql,
     "q_avro_read" -> avroReadSql,

@@ -1,0 +1,54 @@
+package graft.llm
+
+import graft.SparkTestBase
+
+/** The ORC conformance writer pinned from both sides: our OrcRead
+  * decodes the minted bytes AND the real Apache ORC reader (Spark's
+  * orc-core scan) must agree on the same file. */
+class OrcWriteSpec extends SparkTestBase {
+
+  import OrcWrite.{LongCol, StrCol}
+
+  private def mk(n: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    val ids = Array.tabulate(n)(i => i.toLong * 3 - 100)
+    val vals = Array.tabulate(n)(_ => rnd.nextLong() % 100000L)
+    val names = Array.tabulate(n)(i => s"row-$i-${rnd.nextInt(1000)}")
+    (ids, vals, names,
+      OrcWrite.file(Seq(LongCol("id", ids), LongCol("v", vals),
+        StrCol("name", names))))
+  }
+
+  test("round trip: our reader and orc-core agree") {
+    val (ids, vals, names, bytes) = mk(1300, 7) // > 512: multi-run RLEv2
+    val (cols, got) = OrcRead.readTable(bytes, Seq("id", "v", "name")).get
+    assert(cols.map(_.kind) == Seq(4, 4, 7))
+    assert(got(0).map(_.asInstanceOf[Long]).toSeq == ids.toSeq)
+    assert(got(1).map(_.asInstanceOf[Long]).toSeq == vals.toSeq)
+    assert(got(2).map(_.asInstanceOf[String]).toSeq == names.toSeq)
+    // the independent reader
+    val tmp = java.nio.file.Files.createTempDirectory("orcw").toString
+    val f = java.nio.file.Paths.get(tmp, "t.orc")
+    java.nio.file.Files.write(f, bytes)
+    val back = spark.read.orc(f.toString).orderBy("id").collect()
+    assert(back.length == ids.length)
+    val sorted = ids.zip(vals.zip(names)).sortBy(_._1)
+    back.zip(sorted).foreach { case (r, (id, (v, nm))) =>
+      assert(r.getLong(0) == id && r.getLong(1) == v && r.getString(2) == nm)
+    }
+  }
+
+  test("arms refuse: rows lie, stream-length lie, truncation") {
+    val (ids, vals, names, good) = mk(50, 9)
+    assert(OrcRead.readTable(good, Seq("id")).isDefined)
+    val rowsLie = OrcWrite.file(Seq(LongCol("id", ids), LongCol("v", vals),
+      StrCol("name", names)), rowsLieArm = true)
+    // the declared census exceeds the encoded values: rlev2 exactness
+    assert(OrcRead.readTable(rowsLie, Seq("id")).isEmpty)
+    val lenLie = OrcWrite.file(Seq(LongCol("id", ids), LongCol("v", vals),
+      StrCol("name", names)), streamLenLieArm = true)
+    // the stream directory no longer tiles the data region
+    assert(OrcRead.readTable(lenLie, Seq("id")).isEmpty)
+    assert(OrcRead.parseMeta(java.util.Arrays.copyOf(good, good.length - 4)).isEmpty)
+  }
+}
