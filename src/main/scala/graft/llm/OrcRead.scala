@@ -37,8 +37,9 @@ object OrcRead {
 
   import OrcTail.{Pb, bad, dechunk, Bad}
 
-  /** column: 1-based type id, name, type kind. */
-  final case class OCol(typeId: Int, name: String, kind: Int)
+  /** column: 1-based type id, name, type kind (+ decimal shape). */
+  final case class OCol(typeId: Int, name: String, kind: Int,
+                        precision: Int = 0, scale: Int = 0)
   final case class Stripe(offset: Long, indexLen: Long, dataLen: Long,
                           footerLen: Long, rows: Long)
   final case class OMeta(compression: Int, blockSize: Int, numRows: Long,
@@ -88,7 +89,7 @@ object OrcRead {
     var rows = -1L
     val stripes = Vector.newBuilder[Stripe]
     // types: (kind, subtypes, fieldNames)
-    val types = scala.collection.mutable.ArrayBuffer.empty[(Int, Vector[Int], Vector[String])]
+    val types = scala.collection.mutable.ArrayBuffer.empty[(Int, Vector[Int], Vector[String], Int, Int)]
     while (!fb.done) {
       val (f, w) = fb.tag()
       f match {
@@ -113,6 +114,8 @@ object OrcRead {
           val (tf, tu) = fb.lenWindow()
           val tp = new Pb(footer, tf, tu)
           var kindT = -1
+          var prec = 0
+          var scl = 0
           val subs = Vector.newBuilder[Int]
           val names = Vector.newBuilder[String]
           while (!tp.done) {
@@ -128,11 +131,13 @@ object OrcRead {
                 val (nf, nu) = tp.lenWindow()
                 val s = new String(footer, nf, nu - nf, java.nio.charset.StandardCharsets.UTF_8)
                 names += s
+              case (5, 0) => prec = tp.varint().toInt // DECIMAL precision
+              case (6, 0) => scl = tp.varint().toInt // DECIMAL scale
               case _ => tp.skip(w2)
             }
           }
           if (kindT < 0) return None
-          types += ((kindT, subs.result(), names.result()))
+          types += ((kindT, subs.result(), names.result(), prec, scl))
         case 6 => rows = fb.varint()
         case _ => fb.skip(w)
       }
@@ -143,11 +148,13 @@ object OrcRead {
     if (root._2.length != root._3.length) return None // one name per child
     // scope pin: children must be primitive in-scope kinds with ids
     // contiguous 1..n and NO further type nodes (nested types add them)
-    val inScope = Set(2, 3, 4, 5, 6, 7, 15) // SHORT INT LONG FLOAT DOUBLE STRING DATE
+    // SHORT INT LONG FLOAT DOUBLE STRING TIMESTAMP DECIMAL DATE
+    // TIMESTAMP_INSTANT (18 — the UTC-anchored kind Spark 4 writes)
+    val inScope = Set(2, 3, 4, 5, 6, 7, 9, 14, 15, 18)
     val cols = root._2.zip(root._3).map { case (tid, name) =>
       if (tid < 1 || tid >= types.length) return None
       if (!inScope.contains(types(tid)._1)) return None
-      OCol(tid, name, types(tid)._1)
+      OCol(tid, name, types(tid)._1, types(tid)._4, types(tid)._5)
     }
     if (cols.map(_.typeId) != (1 to cols.length)) return None
     if (types.length != cols.length + 1) return None // nested subtree leak
@@ -430,7 +437,9 @@ object OrcRead {
     var pos = stripe.offset
     var inData = false
     val placed = streams.map { s =>
-      val isIndex = s.kind >= 4 // ROW_INDEX and bloom kinds
+      // index region: ROW_INDEX (6) and the bloom kinds (7, 8);
+      // PRESENT/DATA/LENGTH/DICTIONARY*/SECONDARY (0-5) are data region
+      val isIndex = s.kind >= 6
       if (isIndex && inData) return None // index streams must lead
       if (!isIndex && !inData) {
         if (pos != stripe.offset + stripe.indexLen) return None // the boundary
@@ -572,6 +581,72 @@ object OrcRead {
             Some(merge(vals))
           case _ => None // v1 string encodings refuse
         }
+      case 9 | 18 => // TIMESTAMP[_INSTANT]: DATA = seconds from 2015-01-01 (signed),
+        // SECONDARY = nanos with the trailing-zero compression (spec
+        // §Timestamp). Surface: epoch MICROS as Long. Pre-1970 values
+        // sit in the writer's negative-truncation wart zone — pinned out.
+        if (encKind != 2) return None
+        val dataS = streamOf(1).getOrElse(return None)
+        val secS = streamOf(5).getOrElse(return None)
+        val secs = rlev2(bytesOf(dataS), nPresent, signed = true)
+        val nanosEnc = rlev2(bytesOf(secS), nPresent, signed = false)
+        val vals = new Array[AnyRef](nPresent)
+        var i = 0
+        while (i < nPresent) {
+          val zeros = (nanosEnc(i) & 7L).toInt
+          var nanos = nanosEnc(i) >>> 3
+          if (zeros != 0) {
+            // the writer strips z trailing zeros and stores z - 1 (the
+            // real orc-core encoding, arbitrated against its own bytes:
+            // 234 ms → 234 << 3 | 5, i.e. ×10^6)
+            var z = 0
+            while (z < zeros + 1) { nanos *= 10; z += 1 }
+          }
+          if (nanos < 0 || nanos > 999999999L) bad()
+          val epochSec = secs(i) + 1420070400L
+          if (epochSec < 0) bad() // pre-1970 pin
+          vals(i) = java.lang.Long.valueOf(epochSec * 1000000L + nanos / 1000L)
+          i += 1
+        }
+        Some(merge(vals))
+      case 14 => // DECIMAL: DATA = unbounded zigzag varints (unscaled),
+        // SECONDARY = per-value scale; normalized to the declared scale
+        // (a scale needing rounding is a torn writer — refuse)
+        if (encKind != 2) return None
+        if (col.precision < 1 || col.scale < 0 || col.scale > col.precision)
+          return None
+        val dataS = streamOf(1).getOrElse(return None)
+        val secS = streamOf(5).getOrElse(return None)
+        val scales = rlev2(bytesOf(secS), nPresent, signed = true)
+        val d = bytesOf(dataS)
+        val vals = new Array[AnyRef](nPresent)
+        var p = 0
+        var i = 0
+        while (i < nPresent) {
+          var acc = java.math.BigInteger.ZERO
+          var sh = 0
+          var more = true
+          while (more) {
+            if (p >= d.length) bad()
+            val x = d(p) & 0xff; p += 1
+            acc = acc.or(java.math.BigInteger.valueOf((x & 0x7f).toLong)
+              .shiftLeft(sh))
+            if ((x & 0x80) == 0) more = false
+            else { sh += 7; if (sh > 18 * 7) bad() } // 38 digits ≈ 127 bits
+          }
+          val unscaled =
+            if (acc.testBit(0)) acc.shiftRight(1).not() else acc.shiftRight(1)
+          if (scales(i) < 0 || scales(i) > 38) bad()
+          val bd0 = new java.math.BigDecimal(unscaled, scales(i).toInt)
+          val bd = try bd0.setScale(col.scale) catch {
+            case _: ArithmeticException => bad()
+          }
+          if (bd.unscaledValue.abs.toString.length > col.precision) bad()
+          vals(i) = bd
+          i += 1
+        }
+        if (p != d.length) bad() // the DATA stream is consumed exactly
+        Some(merge(vals))
       case _ => None // out of the pinned scope
     }
   } catch {

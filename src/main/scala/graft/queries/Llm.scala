@@ -4275,9 +4275,10 @@ object Llm {
     * string encodings, IEEE doubles, chunk decompression — and DuckDB
     * scanning the ORIGINAL parquet is the oracle, row for row. A
     * garbled decode cannot match: the ORC bytes never touch DuckDB.
-    * The int cast, the epoch-micros long, and the high-cardinality
-    * o_tag column steer the writer across DICTIONARY_V2 / DIRECT_V2 /
-    * DELTA / PATCHED_BASE lanes. Scale shape: stage 1 writes once;
+    * The int cast, the native TIMESTAMP (seconds + compressed-nanos
+    * streams) and DECIMAL(12,2) (varint mantissa + scale stream)
+    * columns, and the high-cardinality o_tag steer the writer across
+    * DICTIONARY_V2 / DIRECT_V2 / DELTA / PATCHED_BASE lanes. Scale shape: stage 1 writes once;
     * stage 2 spreads (file, stripe) pairs — the ORC split law (stripe
     * = input split) a 1000-executor cluster relies on. */
   def orcRead(s: SparkSession, d: String): DataFrame = {
@@ -4287,16 +4288,17 @@ object Llm {
     orders(s, d).select($"o_orderkey",
       $"o_custkey".cast("int").as("o_custkey_i"),
       $"o_orderstatus", $"o_totalprice",
-      unix_micros($"o_orderdate".cast("timestamp")).as("o_orderdate_us"),
+      $"o_orderdate".cast("timestamp").as("o_odate"), // native ORC TIMESTAMP
       $"o_orderpriority",
-      concat(lit("ord-"), $"o_orderkey").as("o_tag"))
+      concat(lit("ord-"), $"o_orderkey").as("o_tag"),
+      $"o_totalprice".cast("decimal(12,2)").as("o_price_dec")) // native DECIMAL
       .repartition(1).write.mode("overwrite")
       .option("compression", "zlib").orc(tmp)
     val ls = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
     val file = try ls.toArray.map(_.toString).filter(_.endsWith(".orc")).head
       finally ls.close()
     val names = Seq("o_orderkey", "o_custkey_i", "o_orderstatus",
-      "o_totalprice", "o_orderdate_us", "o_orderpriority", "o_tag")
+      "o_totalprice", "o_odate", "o_orderpriority", "o_tag", "o_price_dec")
     val stripes = s.createDataset(Seq(file)).flatMap { p =>
       val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
       OrcRead.parseMeta(bytes).toSeq
@@ -4315,12 +4317,13 @@ object Llm {
             (cs(0)(i).asInstanceOf[Long], cs(1)(i).asInstanceOf[Int],
               cs(2)(i).asInstanceOf[String], cs(3)(i).asInstanceOf[Double],
               cs(4)(i).asInstanceOf[Long], cs(5)(i).asInstanceOf[String],
-              cs(6)(i).asInstanceOf[String])
+              cs(6)(i).asInstanceOf[String],
+              cs(7)(i).asInstanceOf[java.math.BigDecimal].toPlainString)
           }
         }
       }
     }.toDF("o_orderkey", "o_custkey_i", "o_orderstatus", "o_totalprice",
-      "o_orderdate_us", "o_orderpriority", "o_tag")
+      "o_orderdate_us", "o_orderpriority", "o_tag", "o_price_str")
     out.orderBy($"o_orderkey")
   }
 
@@ -4329,7 +4332,8 @@ object Llm {
   val orcReadSql: String =
     """SELECT o_orderkey, CAST(o_custkey AS INTEGER) AS o_custkey_i,
       |  o_orderstatus, o_totalprice, epoch_us(o_orderdate) AS o_orderdate_us,
-      |  o_orderpriority, 'ord-' || o_orderkey AS o_tag
+      |  o_orderpriority, 'ord-' || o_orderkey AS o_tag,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS o_price_str
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   /** Per-key ORC value decode with REFUSAL ARMS (the lane q_orc_read's

@@ -1846,7 +1846,9 @@ object Relational {
     import s.implicits._
     val counts = events(s, d).groupBy($"event_type", $"user_id")
       .agg(count(lit(1)).as("cnt"))
-    counts.crossJoin(counts.agg(sum($"cnt").as("tot")))
+    // explicit broadcast of the 1-row total: AQE converts this anyway,
+    // but the hint pins the plan deterministically (VERDICT r17)
+    counts.crossJoin(broadcast(counts.agg(sum($"cnt").as("tot"))))
       .select($"event_type", $"user_id", $"cnt",
         expr(graft.util.ExactRound.ratio6("cnt", "tot")).as("share"))
       .orderBy($"cnt".desc, $"event_type", $"user_id")

@@ -118,6 +118,45 @@ class OrcReadSpec extends SparkTestBase {
     assert(bm.isEmpty || OrcRead.readStripeColumn(bb, bm.get, 0, 1).isEmpty)
   }
 
+  test("timestamp + decimal columns vs the real writer") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(55)
+    val rows = (0 until 700).map { i =>
+      // micros spanning 1970..2030 (pre-1970 is the pinned wart zone),
+      // with sub-second parts exercising the nanos compression
+      val micros = rnd.between(0L, 1_900_000_000_000_000L)
+      (i.toLong, new java.sql.Timestamp(micros / 1000) {
+        setNanos(((micros % 1000000L) * 1000L).toInt)
+      },
+        BigDecimal(rnd.nextLong() % 1000000000L, 4))
+    }
+    val df = rows.toDF("id", "ts", "dec")
+      .withColumn("dec", F.col("dec").cast("decimal(18,4)"))
+    for (codec <- Seq("none", "zlib")) {
+      val tmp = java.nio.file.Files.createTempDirectory("orcts").toString
+      val b = writeOne(df, tmp, Map("compression" -> codec))
+      val got = OrcRead.readTable(b, Seq("id", "ts", "dec"))
+      assert(got.isDefined, s"refused codec=$codec")
+      val (cols, vals) = got.get
+      assert(cols.map(_.kind) == Seq(4, 9, 14))
+      assert(cols(2).precision == 18 && cols(2).scale == 4)
+      val exp = spark.read.orc(tmp)
+        .select(F.col("id"), F.unix_micros(F.col("ts")).as("us"), F.col("dec"))
+        .orderBy("id").collect()
+      val order = vals(0).map(_.asInstanceOf[Long]).zipWithIndex
+        .sortBy(_._1).map(_._2)
+      var i = 0
+      while (i < exp.length) {
+        val j = order(i)
+        withClue(s"codec=$codec id=${exp(i).getLong(0)}: ") {
+          assert(vals(1)(j) == java.lang.Long.valueOf(exp(i).getLong(1)))
+          assert(vals(2)(j) == exp(i).getDecimal(2))
+        }
+        i += 1
+      }
+    }
+  }
+
   test("rlev2 primitive: spec examples round trip") {
     // the spec's own SHORT_REPEAT example: 10000 x 5 → 0x0a 0x27 0x10
     val sr = Array[Byte](0x0a, 0x27, 0x10)
