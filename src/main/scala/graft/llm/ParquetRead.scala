@@ -56,7 +56,8 @@ object ParquetRead {
                         maxDef: Int, maxRep: Int,
                         convertedType: Int, scale: Int, precision: Int,
                         path: Vector[String] = Vector.empty,
-                        listDef: Int = 0)
+                        listDef: Int = 0,
+                        repDefs: Vector[Int] = Vector.empty)
   /** One column chunk inside a row group (offsets are absolute). */
   final case class Chunk(codec: Int, numValues: Long, totalCompressed: Long,
                          totalUncompressed: Long, dataOff: Long, dictOff: Long)
@@ -305,30 +306,31 @@ object ParquetRead {
     val leaves = scala.collection.mutable.ArrayBuffer.empty[Leaf]
     var idx = 1
     def walk(depth: Int, maxDef: Int, maxRep: Int, prefix: List[String],
-             lastRepDef: Int): Unit = {
+             repDefs: Vector[Int]): Unit = {
       if (depth > 32 || idx >= elems.length) bad()
       val e = elems(idx)
       idx += 1
       if (e.rep < 0 || e.rep > 2) bad()
       val d = maxDef + (if (e.rep == 0) 0 else 1) // OPTIONAL and REPEATED add a def level
       val r = maxRep + (if (e.rep == 2) 1 else 0)
-      // the def level AT the innermost repeated ancestor (for the
-      // empty-vs-null-list decode in assembleList)
-      val rd = if (e.rep == 2) d else lastRepDef
+      // the def levels AT the repeated ancestors, outermost first (the
+      // empty-vs-null geometry assembleList/assembleNested decode by)
+      val rds = if (e.rep == 2) repDefs :+ d else repDefs
       if (e.children == 0) {
         if (e.typ < 0 || e.typ > 7) bad()
         if (e.typ == 7 && e.typeLen < 1) bad()
         leaves += Leaf(e.name, e.typ, e.typeLen, d, r, e.conv, e.scale, e.prec,
-          (e.name :: prefix).reverse.toVector, rd)
+          (e.name :: prefix).reverse.toVector,
+          if (rds.isEmpty) 0 else rds.last, rds)
       } else {
         var j = 0
-        while (j < e.children) { walk(depth + 1, d, r, e.name :: prefix, rd); j += 1 }
+        while (j < e.children) { walk(depth + 1, d, r, e.name :: prefix, rds); j += 1 }
       }
     }
     val rootChildren = elems.head.children
     if (rootChildren < 1) return None
     var i = 0
-    while (i < rootChildren) { walk(0, 0, 0, Nil, 0); i += 1 }
+    while (i < rootChildren) { walk(0, 0, 0, Nil, Vector.empty); i += 1 }
     if (idx != elems.length) return None
     // duplicate leaf PATHS refuse (the column address must be unique;
     // same-named leaves under different groups are lawful)
@@ -1075,6 +1077,62 @@ object ParquetRead {
         }
         rows += elems
       }
+      i = j
+    }
+    Some(rows.toArray)
+  }
+
+  /** Reassemble an ARBITRARY-depth repeated column (list-of-list-…)
+    * from its shredded form — the general Dremel record assembly
+    * [[assembleList]] special-cases at maxRep 1. Per row the result is
+    * null, or an Array[AnyRef] whose elements are (recursively) null /
+    * nested arrays / leaf values. At each depth d (1-based), with
+    * dR = leaf.repDefs(d-1):
+    *  - def <  dR - 1 → the list (or an ancestor above it) is null;
+    *  - def == dR - 1 → present and EMPTY (exactly one slot);
+    *  - def >= dR     → element slots, split where rep == d; at the
+    *    innermost depth a slot is a leaf value (null below maxDef).
+    * Laws: rep(0) == 0; an absent/empty node occupies one slot; a
+    * mid-list slot may not sink below its depth's dR. */
+  def assembleNested(vals: Array[AnyRef], defs: Array[Int], reps: Array[Int],
+                     leaf: Leaf): Option[Array[AnyRef]] = {
+    val maxRep = leaf.maxRep
+    if (maxRep < 1 || leaf.repDefs.length != maxRep) return None
+    if (leaf.repDefs.exists(d => d < 1 || d > leaf.maxDef)) return None
+    val n = defs.length
+    if (vals.length != n || reps.length != n) return None
+    if (n == 0) return Some(new Array[AnyRef](0))
+    if (reps(0) != 0) return None
+    var fail = false
+    // one node at `depth` spanning [from, until): null, empty, or elements
+    def node(depth: Int, from: Int, until: Int): AnyRef = {
+      val dR = leaf.repDefs(depth - 1)
+      if (defs(from) < dR) {
+        if (until != from + 1) { fail = true; return null }
+        if (defs(from) == dR - 1) new Array[AnyRef](0) else null
+      } else {
+        // split element spans at rep == depth
+        val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+        var i = from
+        while (i < until && !fail) {
+          var j = i + 1
+          while (j < until && reps(j) > depth) j += 1
+          if (j < until && reps(j) < depth) { fail = true; return null }
+          if (defs(i) < dR) { fail = true; return null } // mid-list sink
+          out += (if (depth == maxRep) vals(i) // leaf (null below maxDef)
+                  else node(depth + 1, i, j))
+          i = j
+        }
+        out.toArray
+      }
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && reps(j) != 0) j += 1
+      rows += node(1, i, j)
+      if (fail) return None
       i = j
     }
     Some(rows.toArray)

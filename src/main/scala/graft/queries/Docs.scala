@@ -2901,6 +2901,83 @@ object Docs {
       |  CAST(unnest(embedding) AS DOUBLE) AS val
       |FROM embeddings ORDER BY vec_id, pos""".stripMargin
 
+  /** Native parquet LIST-OF-LIST decode under the oracle (see
+    * [[graft.llm.ParquetRead.assembleNested]] — the general Dremel
+    * record assembly): a per-key nested formula (outer arity 1 + k mod
+    * 3, emptied on sevenths; inner arity (k+i) mod 3, so empty inner
+    * lists ride every third (k,i)) writes through parquet-mr (Spark —
+    * the independent producer), decodes back through the native level
+    * reader at max repetition 2, and explodes both levels; DuckDB
+    * replays the formula in closed form (a refusal or mis-assembly is
+    * missing/wrong rows). */
+  def parquetNestedDeep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.ParquetRead
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pqnn").toString
+    partKeys(s, d).toDF("k").select($"k", expr(
+      """transform(
+        |  slice(sequence(0, 3), 1,
+        |    CASE WHEN k % 7 = 0 THEN 0 ELSE int(1 + k % 3) END),
+        |  i -> transform(slice(sequence(0, 2), 1, int((k + i) % 3)),
+        |       j -> int(k * 100 + i * 10 + j)))""".stripMargin).as("xs"))
+      .repartition(1).write.mode("overwrite").parquet(tmp)
+    val ls = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+    val file = try ls.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+      finally ls.close()
+    val rgs = s.createDataset(Seq(file)).flatMap { p =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      ParquetRead.parseMeta(bytes).toSeq
+        .flatMap(m => m.rowGroups.indices.map(i => (p, i)))
+    }
+    val out = rgs.repartition(8).flatMap { case (p, rg) =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      ParquetRead.parseMeta(bytes).toSeq.flatMap { meta =>
+        val kI = meta.leaves.indexWhere(_.name == "k")
+        val xI = meta.leaves.indexWhere(_.maxRep == 2)
+        if (kI < 0 || xI < 0) Seq.empty
+        else {
+          val leaf = meta.leaves(xI)
+          (ParquetRead.readColumn(bytes, meta, rg, kI),
+            ParquetRead.readColumnLevels(bytes, meta, rg, xI).flatMap {
+              case (v, dl, rl) => ParquetRead.assembleNested(v, dl, rl, leaf)
+            }) match {
+            case (Some(keys), Some(asm)) if asm.length == keys.length =>
+              keys.indices.flatMap { r =>
+                val k = keys(r).asInstanceOf[Long]
+                val outer = asm(r).asInstanceOf[Array[AnyRef]]
+                outer.indices.flatMap { i =>
+                  val inner = outer(i).asInstanceOf[Array[AnyRef]]
+                  inner.indices.map { j =>
+                    (k, outer.length, i, j, inner(j).asInstanceOf[Int])
+                  }
+                }
+              }
+            case _ => Seq.empty // refusal = missing rows, the gate flags it
+          }
+        }
+      }
+    }.toDF("media_id", "n_outer", "i", "j", "val")
+    out.orderBy($"media_id", $"i", $"j")
+  }
+
+  /** The nested formula replayed: only (k, i, j) cells with a value
+    * produce rows, so empty inner/outer lists (and any refusal) surface
+    * as missing rows. */
+  val parquetNestedDeepSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |o AS (
+      |  SELECT k, CAST(1 + k % 3 AS INTEGER) AS n_outer, i.g AS i
+      |  FROM ks, generate_series(0, 3) i(g)
+      |  WHERE k % 7 <> 0 AND i.g < 1 + k % 3),
+      |cells AS (
+      |  SELECT k, n_outer, i, j.g AS j,
+      |    CAST(k * 100 + i * 10 + j.g AS INTEGER) AS val
+      |  FROM o, generate_series(0, 2) j(g)
+      |  WHERE j.g < (k + i) % 3)
+      |SELECT k AS media_id, n_outer, CAST(i AS INTEGER) AS i,
+      |  CAST(j AS INTEGER) AS j, val
+      |FROM cells ORDER BY media_id, i, j""".stripMargin
+
   /** Native parquet decode feeding a Spark aggregation: lineitem's
     * five columns (INT32 linenumber included) decode through
     * [[graft.llm.ParquetRead]] per row group, then the engine
@@ -3900,6 +3977,7 @@ object Docs {
     "q_parquet_read_native" -> (parquetReadNative _),
     "q_parquet_read_agg" -> (parquetReadAgg _),
     "q_parquet_read_nested" -> (parquetReadNested _),
+    "q_parquet_nested_deep" -> (parquetNestedDeep _),
     "q_iceberg_snap" -> (icebergSnap _),
     "q_iceberg_deletes" -> (icebergDeletes _),
     "q_hudi_snap" -> (hudiSnap _),
@@ -3943,6 +4021,7 @@ object Docs {
     "q_parquet_read_native" -> parquetReadNativeSql,
     "q_parquet_read_agg" -> parquetReadAggSql,
     "q_parquet_read_nested" -> parquetReadNestedSql,
+    "q_parquet_nested_deep" -> parquetNestedDeepSql,
     "q_iceberg_snap" -> icebergSnapSql,
     "q_iceberg_deletes" -> icebergDeletesSql,
     "q_hudi_snap" -> hudiSnapSql,

@@ -300,6 +300,64 @@ class ParquetReadSpec extends SparkTestBase {
     }
   }
 
+  test("nested: list-of-list assembles through the generic Dremel path") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pqnn").toString
+    val rnd = new scala.util.Random(23)
+    val rows: Seq[(Long, Option[Seq[Option[Seq[Option[Int]]]]])] =
+      (0 until 300).map { i =>
+        val outer =
+          if (i % 13 == 0) None
+          else if (i % 7 == 0) Some(Seq.empty)
+          else Some((0 until rnd.nextInt(4)).map { j =>
+            if ((i + j) % 9 == 0) None
+            else if ((i + j) % 6 == 0) Some(Seq.empty[Option[Int]])
+            else Some((0 until rnd.nextInt(3)).map(m =>
+              if ((i + j + m) % 5 == 0) None else Some(i * 100 + j * 10 + m)))
+          })
+        (i.toLong, outer)
+      }
+    for (ver <- Seq("v1", "v2")) {
+      val b = writeOne(rows.toDF("id", "xs"), s"$tmp/$ver", Map(
+        "parquet.writer.version" -> ver,
+        "parquet.page.size" -> "256", "parquet.page.row.count.limit" -> "40"))
+      val m = ParquetRead.parseMeta(b).get
+      val li = m.leaves.indexWhere(_.maxRep == 2)
+      withClue(s"ver=$ver: ") {
+        assert(li >= 0)
+        val leaf = m.leaves(li)
+        assert(leaf.repDefs.length == 2 && leaf.maxDef == 5)
+        val got = scala.collection.mutable.ArrayBuffer.empty[(Long, AnyRef)]
+        for (rg <- m.rowGroups.indices) {
+          val ids = ParquetRead.readColumn(b, m, rg,
+            m.leaves.indexWhere(_.name == "id")).get
+          val (v, dl, rl) = ParquetRead.readColumnLevels(b, m, rg, li).get
+          val asm = ParquetRead.assembleNested(v, dl, rl, leaf).get
+          assert(asm.length == ids.length)
+          got ++= ids.map(_.asInstanceOf[Long]).zip(asm)
+        }
+        def toScala(a: AnyRef, depth: Int): Any =
+          if (a == null) null
+          else if (depth == 2) a.asInstanceOf[java.lang.Integer]
+          else a.asInstanceOf[Array[AnyRef]].map(x => toScala(x, depth + 1)).toSeq
+        got.foreach { case (id, a) =>
+          val expect = rows(id.toInt)._2
+          val want: Any = expect match {
+            case None => null
+            case Some(outer) => outer.map {
+              case None => null
+              case Some(inner) => inner.map {
+                case None => null
+                case Some(v) => Integer.valueOf(v)
+              }
+            }
+          }
+          assert(toScala(a, 0) == want, s"id=$id")
+        }
+      }
+    }
+  }
+
   test("nested: struct fields decode through def levels") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("pqstruct").toString
