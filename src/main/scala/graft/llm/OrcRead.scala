@@ -15,9 +15,11 @@ package graft.llm
   * zlib/snappy/lz4/zstd decoders.
   *
   * Scope pin (honest subset, refuse beyond): a root STRUCT of
-  * primitive columns — SHORT/INT/LONG/DATE (RLEv2 signed), FLOAT/
-  * DOUBLE, STRING (both v2 encodings). BOOLEAN/BINARY/TIMESTAMP/
-  * DECIMAL/nested types and the v1 (pre-hive-0.12) integer RLE
+  * primitive columns — BOOLEAN (byte-RLE bits), SHORT/INT/LONG/DATE
+  * (RLEv2 signed), FLOAT/DOUBLE, STRING (both v2 encodings), BINARY,
+  * TIMESTAMP[_INSTANT] (seconds + compressed-nanos SECONDARY, pre-1970
+  * pinned out), DECIMAL (varint mantissa + scale stream). Nested
+  * types, CHAR/VARCHAR/UNION and the v1 (pre-hive-0.12) integer RLE
   * refuse. PRESENT streams decode (nullable columns work); ROW_INDEX
   * and bloom streams are skipped by extent, never parsed.
   *
@@ -148,9 +150,9 @@ object OrcRead {
     if (root._2.length != root._3.length) return None // one name per child
     // scope pin: children must be primitive in-scope kinds with ids
     // contiguous 1..n and NO further type nodes (nested types add them)
-    // SHORT INT LONG FLOAT DOUBLE STRING TIMESTAMP DECIMAL DATE
-    // TIMESTAMP_INSTANT (18 — the UTC-anchored kind Spark 4 writes)
-    val inScope = Set(2, 3, 4, 5, 6, 7, 9, 14, 15, 18)
+    // BOOLEAN SHORT INT LONG FLOAT DOUBLE STRING BINARY TIMESTAMP
+    // DECIMAL DATE, TIMESTAMP_INSTANT (18 — Spark 4's UTC-anchored kind)
+    val inScope = Set(0, 2, 3, 4, 5, 6, 7, 8, 9, 14, 15, 18)
     val cols = root._2.zip(root._3).map { case (tid, name) =>
       if (tid < 1 || tid >= types.length) return None
       if (!inScope.contains(types(tid)._1)) return None
@@ -489,6 +491,16 @@ object OrcRead {
       }
     }
     col.kind match {
+      case 0 => // BOOLEAN: bit-packed inside byte-RLE (MSB-first)
+        if (encKind != 0 && encKind != 2) return None
+        val data = streamOf(1).getOrElse(return None)
+        val bits = presentBits(bytesOf(data), nPresent)
+        val vals = new Array[AnyRef](nPresent)
+        var i = 0
+        while (i < nPresent) {
+          vals(i) = java.lang.Boolean.valueOf(bits(i)); i += 1
+        }
+        Some(merge(vals))
       case 2 | 3 | 4 | 15 => // SHORT / INT / LONG / DATE: RLEv2 signed
         if (encKind != 2) return None // DIRECT_V2 only (v1 RLE refuses)
         val data = streamOf(1).getOrElse(return None)
@@ -581,6 +593,23 @@ object OrcRead {
             Some(merge(vals))
           case _ => None // v1 string encodings refuse
         }
+      case 8 => // BINARY: DIRECT_V2 (LENGTH + DATA), no UTF-8 law
+        if (encKind != 2) return None
+        val lenS = streamOf(2).getOrElse(return None)
+        val dataS = streamOf(1).getOrElse(return None)
+        val lens = rlev2(bytesOf(lenS), nPresent, signed = false)
+        val d = bytesOf(dataS)
+        if (lens.exists(_ < 0) || lens.sum != d.length.toLong) bad()
+        val vals = new Array[AnyRef](nPresent)
+        var off = 0
+        var i = 0
+        while (i < nPresent) {
+          val L = lens(i).toInt
+          vals(i) = java.util.Arrays.copyOfRange(d, off, off + L)
+          off += L
+          i += 1
+        }
+        Some(merge(vals))
       case 9 | 18 => // TIMESTAMP[_INSTANT]: DATA = seconds from 2015-01-01 (signed),
         // SECONDARY = nanos with the trailing-zero compression (spec
         // §Timestamp). Surface: epoch MICROS as Long. Pre-1970 values

@@ -111,11 +111,11 @@ class OrcReadSpec extends SparkTestBase {
     val ndf = Seq((1L, Seq(1, 2, 3)), (2L, Seq(4))).toDF("id", "xs")
     val nb = writeOne(ndf, s"$tmp/n", Map.empty)
     assert(OrcRead.parseMeta(nb).isEmpty)
-    // boolean columns are a pinned refusal at read
-    val bdf = Seq((1L, true), (2L, false)).toDF("id", "flag")
-    val bb = writeOne(bdf, s"$tmp/b", Map.empty)
-    val bm = OrcRead.parseMeta(bb)
-    assert(bm.isEmpty || OrcRead.readStripeColumn(bb, bm.get, 0, 1).isEmpty)
+    // MAP columns stay a pinned refusal at parse (Spark keeps CHAR as
+    // plain STRING in ORC, so the nested kinds are the refusal class)
+    val cdf = Seq((1L, Map("a" -> 2)), (2L, Map("b" -> 3))).toDF("id", "m")
+    val cb = writeOne(cdf, s"$tmp/b", Map.empty)
+    assert(OrcRead.parseMeta(cb).isEmpty)
   }
 
   test("timestamp + decimal columns vs the real writer") {
@@ -128,20 +128,23 @@ class OrcReadSpec extends SparkTestBase {
       (i.toLong, new java.sql.Timestamp(micros / 1000) {
         setNanos(((micros % 1000000L) * 1000L).toInt)
       },
-        BigDecimal(rnd.nextLong() % 1000000000L, 4))
+        BigDecimal(rnd.nextLong() % 1000000000L, 4),
+        rnd.nextInt(3) != 0,
+        Array.fill(rnd.nextInt(9))(rnd.nextInt(256).toByte))
     }
-    val df = rows.toDF("id", "ts", "dec")
+    val df = rows.toDF("id", "ts", "dec", "flag", "bin")
       .withColumn("dec", F.col("dec").cast("decimal(18,4)"))
     for (codec <- Seq("none", "zlib")) {
       val tmp = java.nio.file.Files.createTempDirectory("orcts").toString
       val b = writeOne(df, tmp, Map("compression" -> codec))
-      val got = OrcRead.readTable(b, Seq("id", "ts", "dec"))
+      val got = OrcRead.readTable(b, Seq("id", "ts", "dec", "flag", "bin"))
       assert(got.isDefined, s"refused codec=$codec")
       val (cols, vals) = got.get
-      assert(cols.map(_.kind) == Seq(4, 9, 14))
+      assert(cols.map(_.kind) == Seq(4, 9, 14, 0, 8))
       assert(cols(2).precision == 18 && cols(2).scale == 4)
       val exp = spark.read.orc(tmp)
-        .select(F.col("id"), F.unix_micros(F.col("ts")).as("us"), F.col("dec"))
+        .select(F.col("id"), F.unix_micros(F.col("ts")).as("us"), F.col("dec"),
+          F.col("flag"), F.col("bin"))
         .orderBy("id").collect()
       val order = vals(0).map(_.asInstanceOf[Long]).zipWithIndex
         .sortBy(_._1).map(_._2)
@@ -151,6 +154,9 @@ class OrcReadSpec extends SparkTestBase {
         withClue(s"codec=$codec id=${exp(i).getLong(0)}: ") {
           assert(vals(1)(j) == java.lang.Long.valueOf(exp(i).getLong(1)))
           assert(vals(2)(j) == exp(i).getDecimal(2))
+          assert(vals(3)(j) == java.lang.Boolean.valueOf(exp(i).getBoolean(3)))
+          assert(java.util.Arrays.equals(vals(4)(j).asInstanceOf[Array[Byte]],
+            exp(i).getAs[Array[Byte]](4)))
         }
         i += 1
       }
