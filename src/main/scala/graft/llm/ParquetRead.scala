@@ -16,11 +16,11 @@ package graft.llm
   * [[readColumnLevels]] decodes ANY leaf's full Dremel shredding
   * (repetition + definition level streams), and [[assembleList]]
   * reassembles single-level LISTs (the crawl-schema array shape —
-  * token lists, link lists). Remaining pins: multi-level repetition
-  * (list-of-list, MAP-of-struct exotica) has no assembler (callers
-  * get the raw level streams), and INT96 timestamps, BIT_PACKED
-  * legacy levels, and the LZO/BROTLI/hadoop-framed-LZ4 codecs
-  * refuse.
+  * token lists, link lists), [[assembleNested]] the general
+  * arbitrary-depth case, and INT96 legacy timestamps decode to epoch
+  * micros (r18). Remaining pins: MAP reassembly (zip the key/value
+  * leaves yourself), BIT_PACKED legacy levels, and the
+  * LZO/BROTLI/hadoop-framed-LZ4 codecs refuse.
   *
   * Laws (refuse, never garble):
   *  - the chunk's page walk must consume [start, start+total_compressed)
@@ -528,7 +528,19 @@ object ParquetRead {
           out(i) = java.util.Arrays.copyOfRange(d, p, p + typeLen)
           p += typeLen; i += 1
         }
-      case _ => bad() // INT96 and unknown types refuse
+      case 3 => // INT96: the legacy Spark/Hive timestamp — 8-byte LE
+        // nanos-of-day + 4-byte LE Julian day; surfaced as epoch MICROS
+        if (p + 12L * n > end) bad()
+        var i = 0
+        while (i < n) {
+          val nanos = le64(d, p)
+          val julian = le32(d, p + 8)
+          if (nanos < 0L || nanos >= 86400000000000L) bad() // a day of nanos
+          val epochDay = julian.toLong - 2440588L // Julian → Unix epoch day
+          out(i) = java.lang.Long.valueOf(epochDay * 86400000000L + nanos / 1000L)
+          p += 12; i += 1
+        }
+      case _ => bad() // unknown physical types refuse
     }
     (out, p)
   }

@@ -194,16 +194,28 @@ class ParquetReadSpec extends SparkTestBase {
     // missing column name
     assert(ParquetRead.readTable(nb, Seq("nope")).isEmpty)
 
-    // INT96 timestamps refuse (the legacy layout)
+    // INT96 timestamps (the legacy Spark/Hive layout) decode to micros
     spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
     try {
-      val tdf = Seq((1L, java.sql.Timestamp.valueOf("2020-01-02 03:04:05")))
-        .toDF("id", "ts")
+      val stamps = Seq("2020-01-02 03:04:05.123456", "1969-07-20 20:17:40.5",
+        "1970-01-01 00:00:00.000001", "2038-01-19 03:14:07.999999")
+      val tdf = stamps.zipWithIndex.map { case (s, i) =>
+        (i.toLong, java.sql.Timestamp.valueOf(s))
+      }.toDF("id", "ts")
       val tb = writeOne(tdf, s"$tmp/int96", Map.empty)
       val tm = ParquetRead.parseMeta(tb).get
       val tsIdx = tm.leaves.indexWhere(_.name == "ts")
       assert(tm.leaves(tsIdx).typ == 3)
-      assert(ParquetRead.readColumn(tb, tm, 0, tsIdx).isEmpty)
+      val got = ParquetRead.readColumn(tb, tm, 0, tsIdx).get
+      val ids = ParquetRead.readColumn(tb, tm, 0,
+        tm.leaves.indexWhere(_.name == "id")).get
+      val exp = spark.read.parquet(s"$tmp/int96")
+        .selectExpr("id", "unix_micros(ts) AS us").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      ids.indices.foreach { i =>
+        assert(got(i) == java.lang.Long.valueOf(exp(ids(i).asInstanceOf[Long])),
+          s"row $i")
+      }
     } finally spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
     // truncation anywhere refuses at parse or read
