@@ -18,9 +18,9 @@ package graft.llm
   * reassembles single-level LISTs (the crawl-schema array shape —
   * token lists, link lists), [[assembleNested]] the general
   * arbitrary-depth case, and INT96 legacy timestamps decode to epoch
-  * micros (r18). Remaining pins: MAP reassembly (zip the key/value
-  * leaves yourself), BIT_PACKED legacy levels, and the
-  * LZO/BROTLI/hadoop-framed-LZ4 codecs refuse.
+  * micros (r18). [[assembleMap]] zips a MAP's key/value leaves under
+  * the shape and required-key laws. Remaining pins: BIT_PACKED legacy
+  * levels and the LZO/BROTLI/hadoop-framed-LZ4 codecs refuse.
   *
   * Laws (refuse, never garble):
   *  - the chunk's page walk must consume [start, start+total_compressed)
@@ -1148,6 +1148,30 @@ object ParquetRead {
       i = j
     }
     Some(rows.toArray)
+  }
+
+  /** Reassemble a MAP column from its two assembled leaves (key and
+    * value both live under the repeated key_value group, so each
+    * assembles as a list; the map is their zip). Laws: the two sides
+    * must agree exactly on null/length shape per row (a torn writer
+    * otherwise), and map KEYS are required — a null key refuses.
+    * Returns per row: null, or Array[(AnyRef, AnyRef)]. */
+  def assembleMap(keys: Array[AnyRef], values: Array[AnyRef]): Option[Array[AnyRef]] = {
+    if (keys.length != values.length) return None
+    val out = new Array[AnyRef](keys.length)
+    var i = 0
+    while (i < keys.length) {
+      (keys(i), values(i)) match {
+        case (null, null) => out(i) = null
+        case (k: Array[AnyRef], v: Array[AnyRef]) =>
+          if (k.length != v.length) return None // the shape law
+          if (k.exists(_ == null)) return None // keys are required
+          out(i) = k.zip(v)
+        case _ => return None // one side null, the other present
+      }
+      i += 1
+    }
+    Some(out)
   }
 
   /** Read whole columns by name across all row groups. Returns the

@@ -2978,6 +2978,82 @@ object Docs {
       |  CAST(j AS INTEGER) AS j, val
       |FROM cells ORDER BY media_id, i, j""".stripMargin
 
+  /** Native parquet MAP decode under the oracle (see
+    * [[graft.llm.ParquetRead.assembleMap]]): a per-key map formula
+    * (k mod 4 entries, so empty maps ride every fourth key; every
+    * (k+j) mod 5 value NULL) writes through parquet-mr, the key and
+    * value leaves assemble as lists and zip under the shape +
+    * required-key laws, and the entries explode; DuckDB replays the
+    * formula in closed form. */
+  def parquetReadMap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.ParquetRead
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pqmap").toString
+    partKeys(s, d).toDF("k").select($"k", expr(
+      """map_from_arrays(
+        |  transform(slice(sequence(0, 3), 1, int(k % 4)),
+        |    j -> concat('mk', j)),
+        |  transform(slice(sequence(0, 3), 1, int(k % 4)),
+        |    j -> CASE WHEN (k + j) % 5 = 0 THEN CAST(NULL AS INT)
+        |         ELSE int(k * 10 + j) END))""".stripMargin).as("m"))
+      .repartition(1).write.mode("overwrite").parquet(tmp)
+    val ls = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+    val file = try ls.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+      finally ls.close()
+    val rgs = s.createDataset(Seq(file)).flatMap { p =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      ParquetRead.parseMeta(bytes).toSeq
+        .flatMap(m => m.rowGroups.indices.map(i => (p, i)))
+    }
+    val out = rgs.repartition(8).flatMap { case (p, rg) =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      ParquetRead.parseMeta(bytes).toSeq.flatMap { meta =>
+        val kI = meta.leaves.indexWhere(_.name == "k")
+        val keyI = meta.leaves.indexWhere(_.path.lastOption.contains("key"))
+        val valI = meta.leaves.indexWhere(_.path.lastOption.contains("value"))
+        if (kI < 0 || keyI < 0 || valI < 0) Seq.empty
+        else {
+          def asm(li: Int): Option[Array[AnyRef]] =
+            ParquetRead.readColumnLevels(bytes, meta, rg, li).flatMap {
+              case (v, dl, rl) =>
+                ParquetRead.assembleList(v, dl, rl, meta.leaves(li))
+            }
+          (ParquetRead.readColumn(bytes, meta, rg, kI), asm(keyI), asm(valI)) match {
+            case (Some(ids), Some(ks), Some(vs)) =>
+              ParquetRead.assembleMap(ks, vs) match {
+                case Some(maps) if maps.length == ids.length =>
+                  ids.indices.flatMap { r =>
+                    val k = ids(r).asInstanceOf[Long]
+                    val entries = maps(r).asInstanceOf[Array[(AnyRef, AnyRef)]]
+                    entries.map { case (mk, mv) =>
+                      (k, entries.length, mk.asInstanceOf[String],
+                        Option(mv).map(_.asInstanceOf[Int]))
+                    }
+                  }
+                case _ => Seq.empty
+              }
+            case _ => Seq.empty // refusal = missing rows, the gate flags it
+          }
+        }
+      }
+    }.toDF("media_id", "n_entries", "mkey", "mval")
+    out.orderBy($"media_id", $"mkey")
+  }
+
+  /** The map formula replayed: keys with no entries produce no rows
+    * (empty maps and refusals surface as missing rows). */
+  val parquetReadMapSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |e AS (
+      |  SELECT k, CAST(k % 4 AS INTEGER) AS n_entries, j.g AS j,
+      |    'mk' || j.g AS mkey,
+      |    CASE WHEN (k + j.g) % 5 = 0 THEN NULL
+      |      ELSE CAST(k * 10 + j.g AS INTEGER) END AS mval
+      |  FROM ks, generate_series(0, 3) j(g)
+      |  WHERE j.g < k % 4)
+      |SELECT k AS media_id, n_entries, mkey, mval
+      |FROM e ORDER BY media_id, mkey""".stripMargin
+
   /** Native parquet decode feeding a Spark aggregation: lineitem's
     * five columns (INT32 linenumber included) decode through
     * [[graft.llm.ParquetRead]] per row group, then the engine
@@ -3978,6 +4054,7 @@ object Docs {
     "q_parquet_read_agg" -> (parquetReadAgg _),
     "q_parquet_read_nested" -> (parquetReadNested _),
     "q_parquet_nested_deep" -> (parquetNestedDeep _),
+    "q_parquet_read_map" -> (parquetReadMap _),
     "q_iceberg_snap" -> (icebergSnap _),
     "q_iceberg_deletes" -> (icebergDeletes _),
     "q_hudi_snap" -> (hudiSnap _),
@@ -4022,6 +4099,7 @@ object Docs {
     "q_parquet_read_agg" -> parquetReadAggSql,
     "q_parquet_read_nested" -> parquetReadNestedSql,
     "q_parquet_nested_deep" -> parquetNestedDeepSql,
+    "q_parquet_read_map" -> parquetReadMapSql,
     "q_iceberg_snap" -> icebergSnapSql,
     "q_iceberg_deletes" -> icebergDeletesSql,
     "q_hudi_snap" -> hudiSnapSql,

@@ -370,6 +370,53 @@ class ParquetReadSpec extends SparkTestBase {
     }
   }
 
+  test("nested: MAP columns assemble as zipped key/value leaves") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pqmap").toString
+    val rows: Seq[(Long, Option[Map[String, Option[Int]]])] =
+      (0 until 200).map { i =>
+        val m = if (i % 11 == 0) None
+        else if (i % 7 == 0) Some(Map.empty[String, Option[Int]])
+        else Some((0 until 1 + i % 3).map(j =>
+          s"k$j" -> (if ((i + j) % 5 == 0) None else Some(i * 10 + j))).toMap)
+        (i.toLong, m)
+      }
+    val b = writeOne(rows.toDF("id", "m"), tmp, Map.empty)
+    val meta = ParquetRead.parseMeta(b).get
+    val kI = meta.leaves.indexWhere(_.path.lastOption.contains("key"))
+    val vI = meta.leaves.indexWhere(_.path.lastOption.contains("value"))
+    assert(kI >= 0 && vI >= 0)
+    assert(meta.leaves(kI).maxRep == 1 && meta.leaves(kI).maxDef ==
+      meta.leaves(kI).listDef) // required keys: no def level past the group
+    val ids = ParquetRead.readColumn(b, meta, 0,
+      meta.leaves.indexWhere(_.name == "id")).get
+    val (kv, kd, kr) = ParquetRead.readColumnLevels(b, meta, 0, kI).get
+    val (vv, vd, vr) = ParquetRead.readColumnLevels(b, meta, 0, vI).get
+    val keys = ParquetRead.assembleList(kv, kd, kr, meta.leaves(kI)).get
+    val vals = ParquetRead.assembleList(vv, vd, vr, meta.leaves(vI)).get
+    val maps = ParquetRead.assembleMap(keys, vals).get
+    assert(maps.length == ids.length)
+    ids.map(_.asInstanceOf[Long]).zip(maps).foreach { case (id, m) =>
+      val expect = rows(id.toInt)._2
+      if (expect.isEmpty) assert(m == null, s"id=$id")
+      else {
+        val got = m.asInstanceOf[Array[(AnyRef, AnyRef)]]
+          .map { case (k, v) => k.asInstanceOf[String] ->
+            Option(v).map(_.asInstanceOf[Int]) }.toMap
+        assert(got == expect.get, s"id=$id")
+      }
+    }
+    // shape laws: ragged sides and null keys refuse
+    assert(ParquetRead.assembleMap(
+      Array[AnyRef](Array[AnyRef]("a", "b")),
+      Array[AnyRef](Array[AnyRef](Integer.valueOf(1)))).isEmpty)
+    assert(ParquetRead.assembleMap(
+      Array[AnyRef](Array[AnyRef](null)),
+      Array[AnyRef](Array[AnyRef](Integer.valueOf(1)))).isEmpty)
+    assert(ParquetRead.assembleMap(
+      Array[AnyRef](null), Array[AnyRef](new Array[AnyRef](0))).isEmpty)
+  }
+
   test("nested: struct fields decode through def levels") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("pqstruct").toString
