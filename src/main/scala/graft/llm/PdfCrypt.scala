@@ -2,14 +2,18 @@ package graft.llm
 
 /** PDF standard security handler — the EMPTY-user-password class
   * (owner-restrictions-only files, the common encrypted slice of a
-  * real crawl): ISO 32000-1 §7.6.3. Supported: /V 1 (RC4-40),
-  * /V 2 (RC4 40-128), /V 4 with /StdCF /CFM /V2 (RC4) or /AESV2
-  * (AES-128-CBC). Out of scope (pinned refusals, never a guess):
-  * non-Standard handlers, /V 5 (AES-256, the R5/R6 hash chain),
+  * real crawl): ISO 32000-1 §7.6.3 and ISO 32000-2 §7.6.4. Supported:
+  * /V 1 (RC4-40), /V 2 (RC4 40-128), /V 4 with /StdCF /CFM /V2 (RC4)
+  * or /AESV2 (AES-128-CBC), and /V 5 (AES-256) at R5 (single-pass
+  * SHA-256 salted hash) and R6 (the Algorithm 2.B hardened hash) —
+  * the file key recovered by AES-256-CBC decrypting /UE under the
+  * key-salt hash, per-object key == file key (AESV3). Out of scope
+  * (pinned refusals, never a guess): non-Standard handlers,
   * crypt-filter names other than /StdCF, a non-empty user password
-  * (key validation against /U fails → refuse — the wrong-password
-  * arm), and /EncryptMetadata false's plaintext-metadata carve-out
-  * (the flag only changes key derivation here, which is implemented).
+  * (hash/key validation against /U fails → refuse — the
+  * wrong-password arm), and /EncryptMetadata false's
+  * plaintext-metadata carve-out (the flag only changes key
+  * derivation here, which is implemented).
   *
   * Algorithms implemented from the spec: 2 (file key: MD5 over
   * pad ‖ O ‖ P-le32 ‖ ID₀ [‖ ffffffff], 50×MD5 when R ≥ 3), 4/5
@@ -32,6 +36,51 @@ object PdfCrypt {
     val d = java.security.MessageDigest.getInstance("MD5")
     parts.foreach(d.update)
     d.digest()
+  }
+
+  private def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance(alg)
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** ISO 32000-2 Algorithm 2.B — the R6 hardened hash (R5 is the
+    * single SHA-256 pass). 256 ≡ 1 (mod 3), so the spec's
+    * first-16-bytes-as-integer mod 3 equals their byte sum mod 3. */
+  private[llm] def hash2B(password: Array[Byte], salt: Array[Byte],
+                          udata: Array[Byte], r5: Boolean): Array[Byte] = {
+    var k = sha("SHA-256", password, salt, udata)
+    if (r5) return k
+    var round = 0
+    var lastE: Array[Byte] = null
+    var done = false
+    while (!done) {
+      val block = password ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      var i = 0
+      while (i < 64) {
+        System.arraycopy(block, 0, k1, i * block.length, block.length)
+        i += 1
+      }
+      val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k, 0, 16, "AES"),
+        new javax.crypto.spec.IvParameterSpec(k, 16, 16))
+      val e = cipher.doFinal(k1)
+      var sum = 0
+      i = 0
+      while (i < 16) { sum += e(i) & 0xff; i += 1 }
+      k = (sum % 3) match {
+        case 0 => sha("SHA-256", e)
+        case 1 => sha("SHA-384", e)
+        case _ => sha("SHA-512", e)
+      }
+      lastE = e
+      round += 1
+      if (round >= 64 && (lastE(lastE.length - 1) & 0xff) <= round - 32)
+        done = true
+    }
+    java.util.Arrays.copyOf(k, 32)
   }
 
   /** RC4 (spec: symmetric — encrypt == decrypt). */
@@ -123,8 +172,10 @@ object PdfCrypt {
     stringBytes(inner.substring(open, close + 1))
   }
 
-  final class Decryptor(fileKey: Array[Byte], aes: Boolean) {
+  final class Decryptor(fileKey: Array[Byte], aes: Boolean,
+                        v5: Boolean = false) {
     private def objKey(objNum: Long, gen: Int): Array[Byte] = {
+      if (v5) return fileKey // AESV3: the file key IS the object key
       val ext = new Array[Byte](fileKey.length + (if (aes) 9 else 5))
       System.arraycopy(fileKey, 0, ext, 0, fileKey.length)
       var p = fileKey.length
@@ -206,6 +257,38 @@ object PdfCrypt {
     val o = stringBytes(enc.entries.getOrElse("O", return None)).getOrElse(return None)
     val u = stringBytes(enc.entries.getOrElse("U", return None)).getOrElse(return None)
     val p = signedInt(enc.entries.getOrElse("P", return None)).getOrElse(return None)
+    if (v == 5) {
+      // ---- AES-256 (ISO 32000-2 §7.6.4): R5 single-pass / R6 2.B ----
+      if (r != 5 && r != 6) return None
+      if (enc.intVal("Length").exists(_ != 256L)) return None
+      if (!enc.nameVal("StmF").contains("StdCF")) return None
+      if (!enc.nameVal("StrF").contains("StdCF")) return None
+      val cfRaw = enc.entries.getOrElse("CF", return None)
+      val cf = PdfCodec.parseDict(
+        cfRaw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), 0)
+        .getOrElse(return None)
+      val std = PdfCodec.parseDict(
+        cf.entries.getOrElse("StdCF", return None)
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), 0)
+        .getOrElse(return None)
+      if (!std.nameVal("CFM").contains("AESV3")) return None
+      val ue = stringBytes(enc.entries.getOrElse("UE", return None)).getOrElse(return None)
+      if (o.length != 48 || u.length != 48 || ue.length != 32) return None
+      val hash = u.slice(0, 32)
+      val vSalt = u.slice(32, 40)
+      val kSalt = u.slice(40, 48)
+      // validate the EMPTY user password against the U hash
+      val got = hash2B(Array.emptyByteArray, vSalt, Array.emptyByteArray, r == 5)
+      if (!java.util.Arrays.equals(got, hash)) return None // wrong password
+      // the file key: AES-256-CBC decrypt of UE with the key-salt hash
+      val inter = hash2B(Array.emptyByteArray, kSalt, Array.emptyByteArray, r == 5)
+      val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      cipher.init(javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(inter, "AES"),
+        new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+      val fileKey = cipher.doFinal(ue)
+      return Some(new Decryptor(fileKey, aes = true, v5 = true))
+    }
     if (o.length != 32 || u.length != 32) return None
     val (keyLen, aes) = v match {
       case 1 =>
@@ -236,7 +319,7 @@ object PdfCrypt {
           case Some("V2") => (16, false)
           case _ => return None
         }
-      case _ => return None // V5/AES-256 and unknown versions: pinned
+      case _ => return None // unknown versions refuse (V5 handled above)
     }
     val encMeta = enc.entries.get("EncryptMetadata").forall(_.trim == "true")
     // Algorithm 2: the file key from the EMPTY user password (= the pad)
@@ -279,9 +362,40 @@ object PdfCrypt {
 
   /** An /Encrypt dict (plus the Decryptor) for the empty user AND
     * empty owner password at the given mode: "rc4v1" | "rc4v2" |
-    * "aesv2". O is computed per Algorithm 3 with the empty owner
-    * password; U per Algorithm 4/5. */
+    * "aesv2" | "aesv3" (V5 R6) | "aesv3r5". O is computed per
+    * Algorithm 3 (legacy) or the §7.6.4 owner lane; U per 4/5 or the
+    * salted hash. */
   def mint(mode: String, id0: Array[Byte], p: Long = -3904L): (String, Decryptor) = {
+    if (mode == "aesv3" || mode == "aesv3r5") {
+      val r5 = mode == "aesv3r5"
+      val r = if (r5) 5 else 6
+      def dbytes(n: Int, seed: Int): Array[Byte] =
+        Array.tabulate(n)(i => (((id0(i % id0.length) & 0xff) * 31 +
+          seed * 17 + i * 7) % 256).toByte)
+      val vSalt = dbytes(8, 1)
+      val kSalt = dbytes(8, 2)
+      val fileKey = sha("SHA-256", id0, Array[Byte](9, 9))
+      def aesEnc(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(key, "AES"),
+          new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+        c.doFinal(data)
+      }
+      val uHash = hash2B(Array.emptyByteArray, vSalt, Array.emptyByteArray, r5)
+      val u = uHash ++ vSalt ++ kSalt
+      val ue = aesEnc(hash2B(Array.emptyByteArray, kSalt, Array.emptyByteArray, r5), fileKey)
+      val oVSalt = dbytes(8, 3)
+      val oKSalt = dbytes(8, 4)
+      val oHash = hash2B(Array.emptyByteArray, oVSalt, u, r5)
+      val o = oHash ++ oVSalt ++ oKSalt
+      val oe = aesEnc(hash2B(Array.emptyByteArray, oKSalt, u, r5), fileKey)
+      val dict = s"<< /Filter /Standard /V 5 /R $r /Length 256 " +
+        "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> " +
+        s"/StmF /StdCF /StrF /StdCF /O ${hex(o)} /U ${hex(u)} " +
+        s"/OE ${hex(oe)} /UE ${hex(ue)} /P $p >>"
+      return (dict, new Decryptor(fileKey, aes = true, v5 = true))
+    }
     val (v, r, keyLen, aes) = mode match {
       case "rc4v1" => (1, 2, 5, false)
       case "rc4v2" => (2, 3, 16, false)

@@ -138,19 +138,22 @@ object Docs {
     * [[graft.llm.PdfCrypt]]): the standard security handler's
     * empty-user-password class — the owner-restrictions-only files a
     * real crawl actually carries. Per key the mode rotates RC4-40 /
-    * RC4-128 / AES-128-CBC (k mod 3) across classic and modern eras
-    * (k mod 2), with the filter arms riding beneath the cipher (the
-    * decrypt-then-decode order law). The ToUnicode CMap stream
-    * decrypts on every 23rd key. Refusal arms: truncation (k mod 13),
-    * a wrong user password (k mod 17 — /U validation fails, the
-    * honest refusal), the AES-256 /V 5 class (k mod 19 — pinned out
-    * of scope). DuckDB replays the extracted characters. */
+    * RC4-128 / AESV2 (AES-128-CBC) / AESV3 (AES-256, the R6 Algorithm
+    * 2.B hardened hash) / AESV3-R5 — (k div 3) mod 5 — across classic
+    * and modern eras (k mod 2), with the filter arms riding beneath
+    * the cipher (the decrypt-then-decode order law). The ToUnicode
+    * CMap stream decrypts on every 23rd key. Refusal arms: truncation
+    * (k mod 13), a wrong user password (k mod 17 — hash/U validation
+    * fails, the honest refusal), a TORN /V 5 dict (k mod 19 —
+    * V4-shaped fields under an AES-256 header). DuckDB replays the
+    * extracted characters. */
   def pdfEncrypted(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.PdfText
     val keys = partKeys(s, d) // full-width spread: the decrypt map is the cost
     val decoded = keys.map { k =>
-      val mode = Seq("rc4v1", "rc4v2", "aesv2")((k % 3).toInt)
+      val mode = Seq("rc4v1", "rc4v2", "aesv2", "aesv3", "aesv3r5")(
+        ((k / 3) % 5).toInt)
       val era = (k % 2).toInt
       val nPages = (1 + k % 3).toInt
       val toUni = k % 23 == 0
@@ -215,8 +218,9 @@ object Docs {
       |  FROM body GROUP BY k)
       |SELECT p.k AS media_id, p.ok AS enc_ok,
       |  CASE WHEN p.ok THEN
-      |    CASE p.k % 3 WHEN 0 THEN 'rc4v1' WHEN 1 THEN 'rc4v2'
-      |      ELSE 'aesv2' END END AS mode,
+      |    CASE (p.k // 3) % 5 WHEN 0 THEN 'rc4v1' WHEN 1 THEN 'rc4v2'
+      |      WHEN 2 THEN 'aesv2' WHEN 3 THEN 'aesv3'
+      |      ELSE 'aesv3r5' END END AS mode,
       |  CASE WHEN p.ok THEN
       |    CASE p.k % 2 WHEN 0 THEN 'classic' ELSE 'modern' END END AS era,
       |  CASE WHEN p.ok THEN p.np END AS n_pages,

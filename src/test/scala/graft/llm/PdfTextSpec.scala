@@ -284,7 +284,7 @@ class PdfTextSpec extends AnyFunSuite {
 
   test("encrypted: RC4 v1/v2 and AES-128 across eras and filter arms") {
     for {
-      mode <- Seq("rc4v1", "rc4v2", "aesv2")
+      mode <- Seq("rc4v1", "rc4v2", "aesv2", "aesv3", "aesv3r5")
       era <- Seq(0, 1)
       filterArm <- Seq(0, 1, 3)
       hexStrings <- Seq(false, true)
@@ -307,12 +307,13 @@ class PdfTextSpec extends AnyFunSuite {
 
   test("encrypted refusals: wrong password, V5, tamper") {
     // a wrong (non-empty) user password: /U validation fails
-    for (mode <- Seq("rc4v1", "rc4v2", "aesv2")) {
+    for (mode <- Seq("rc4v1", "rc4v2", "aesv2", "aesv3", "aesv3r5")) {
       val bad = encodeTextPdf(0, 6, Seq(lines1), encryptArm = mode,
         encryptBadPwArm = true)
       assert(extract(bad).isEmpty, s"bad-pw mode=$mode passed")
     }
-    // the AES-256 class stays a pinned refusal
+    // a TORN V5 dict (V4-shaped fields under a /V 5 /R 6 header:
+    // 32-byte U, no UE) refuses — the malformed-AES-256 arm
     val v5 = encodeTextPdf(0, 6, Seq(lines1), encryptArm = "aesv2",
       encryptV5Arm = true)
     assert(extract(v5).isEmpty)
