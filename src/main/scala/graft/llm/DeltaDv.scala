@@ -1,0 +1,282 @@
+package graft.llm
+
+/** Delta Lake DELETION VECTORS — the row-level tombstones modern Delta
+  * tables carry (PROTOCOL.md "Deletion Vectors", reader version 3):
+  * an `add` action's deletionVector descriptor names rows of the data
+  * file that are logically deleted. The INLINE storage type ("i") is
+  * the self-contained class this module decodes: `pathOrInlineDv` is
+  * the Z85 encoding (the ZeroMQ base-85 alphabet, 5 chars → 4 bytes)
+  * of the serialized DV — a 4-byte magic (1681511377 LE) followed by a
+  * 64-bit RoaringBitmapArray in its "portable" layout: u64 LE bucket
+  * count, then per bucket a u32 LE key and a standard 32-bit
+  * RoaringBitmap portable serialization (the format
+  * org.roaringbitmap.RoaringBitmap.serialize emits — the spec's
+  * cross-validation producer).
+  *
+  * Laws (refuse, never garble):
+  *  - Z85 text length ≡ 0 (mod 5), alphabet-only, no 32-bit overflow
+  *    per group; decoded padding beyond the declared size ≤ 3 bytes
+  *    and ZERO (the 4-alignment law);
+  *  - the DV magic; bucket keys strictly increasing; roaring cookies
+  *    only 12346/12347; container keys strictly increasing; array
+  *    containers sorted strictly; run containers non-overlapping and
+  *    ordered; bitmap containers exactly 8 KiB; every container's
+  *    declared cardinality matches its content; exact consumption;
+  *  - the descriptor's `cardinality` must equal the decoded bitmap's
+  *    (the census cross-law), and every position must sit below the
+  *    file's numRecords (the range law — enforced by the caller which
+  *    knows the stats). */
+object DeltaDv {
+
+  val Magic: Int = 1681511377
+
+  private val Z85 =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+  private val Z85Inv: Array[Int] = {
+    val a = Array.fill(128)(-1)
+    Z85.zipWithIndex.foreach { case (c, i) => a(c.toInt) = i }
+    a
+  }
+
+  def z85Encode(b: Array[Byte]): String = {
+    require(b.length % 4 == 0, "z85 encodes 4-byte groups")
+    val sb = new StringBuilder(b.length / 4 * 5)
+    var i = 0
+    while (i < b.length) {
+      var v = 0L
+      var k = 0
+      while (k < 4) { v = (v << 8) | (b(i + k) & 0xffL); k += 1 }
+      val out = new Array[Char](5)
+      var j = 4
+      while (j >= 0) { out(j) = Z85.charAt((v % 85).toInt); v /= 85; j -= 1 }
+      sb.appendAll(out)
+      i += 4
+    }
+    sb.toString
+  }
+
+  def z85Decode(s: String): Option[Array[Byte]] = {
+    if (s.length % 5 != 0) return None
+    val out = new Array[Byte](s.length / 5 * 4)
+    var i = 0
+    var o = 0
+    while (i < s.length) {
+      var v = 0L
+      var k = 0
+      while (k < 5) {
+        val c = s.charAt(i + k)
+        if (c >= 128 || Z85Inv(c) < 0) return None
+        v = v * 85 + Z85Inv(c)
+        k += 1
+      }
+      if (v > 0xffffffffL) return None // the group overflow law
+      out(o) = ((v >>> 24) & 0xff).toByte
+      out(o + 1) = ((v >>> 16) & 0xff).toByte
+      out(o + 2) = ((v >>> 8) & 0xff).toByte
+      out(o + 3) = (v & 0xff).toByte
+      i += 5
+      o += 4
+    }
+    Some(out)
+  }
+
+  private final class Bad extends RuntimeException(null, null, false, false)
+  @inline private def bad(): Nothing = throw new Bad
+
+  @inline private def le16(b: Array[Byte], p: Int): Int = {
+    if (p + 2 > b.length) bad()
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+  }
+  @inline private def le32(b: Array[Byte], p: Int): Int = {
+    if (p + 4 > b.length) bad()
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
+      ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+  }
+
+  /** Deserialize one 32-bit roaring bitmap (portable) at `p0`; appends
+    * (high32 << 32 | value) positions. Returns the end offset. */
+  private def roaring32(b: Array[Byte], p0: Int, high: Long,
+                        out: scala.collection.mutable.ArrayBuffer[Long],
+                        maxPositions: Int): Int = {
+    var p = p0
+    val cookie = le32(b, p); p += 4
+    var size = 0
+    var runFlags: Array[Byte] = null
+    if ((cookie & 0xffff) == 12347) { // SERIAL_COOKIE: run containers
+      size = (cookie >>> 16) + 1
+      val nb = (size + 7) / 8
+      if (p + nb > b.length) bad()
+      runFlags = java.util.Arrays.copyOfRange(b, p, p + nb)
+      p += nb
+    } else if (cookie == 12346) { // NO_RUN
+      size = le32(b, p); p += 4
+    } else bad()
+    if (size < 0 || size > 65536) bad()
+    val keys = new Array[Int](size)
+    val cards = new Array[Int](size)
+    var i = 0
+    while (i < size) {
+      keys(i) = le16(b, p)
+      cards(i) = le16(b, p + 2) + 1
+      if (i > 0 && keys(i) <= keys(i - 1)) bad() // strictly increasing
+      p += 4
+      i += 1
+    }
+    // the offset header: NO_RUN always, or run-cookie with size ≥ 4
+    if (runFlags == null || size >= 4) p += 4 * size // skippable by law
+    if (p > b.length) bad()
+    i = 0
+    while (i < size) {
+      val isRun = runFlags != null && ((runFlags(i >> 3) >> (i & 7)) & 1) == 1
+      val keyBase = high << 32 | (keys(i).toLong << 16)
+      if (isRun) {
+        val nRuns = le16(b, p); p += 2
+        var card = 0
+        var prevEnd = -1
+        var r = 0
+        while (r < nRuns) {
+          val start = le16(b, p)
+          val len = le16(b, p + 2) // length - 1
+          p += 4
+          if (start <= prevEnd) bad() // ordered, non-overlapping
+          if (start + len > 0xffff) bad()
+          var v = start
+          while (v <= start + len) {
+            out += (keyBase | v)
+            v += 1
+          }
+          card += len + 1
+          prevEnd = start + len
+          r += 1
+        }
+        if (card != cards(i)) bad() // the container census
+      } else if (cards(i) > 4096) { // bitmap container: 8 KiB
+        if (p + 8192 > b.length) bad()
+        var card = 0
+        var w = 0
+        while (w < 8192) {
+          val byte = b(p + w) & 0xff
+          if (byte != 0) {
+            var bit = 0
+            while (bit < 8) {
+              if (((byte >> bit) & 1) == 1) {
+                out += (keyBase | (w * 8 + bit))
+                card += 1
+              }
+              bit += 1
+            }
+          }
+          w += 1
+        }
+        if (card != cards(i)) bad()
+        p += 8192
+      } else { // array container: sorted u16s
+        var prev = -1
+        var v = 0
+        while (v < cards(i)) {
+          val x = le16(b, p); p += 2
+          if (x <= prev) bad() // strictly sorted
+          out += (keyBase | x)
+          prev = x
+          v += 1
+        }
+      }
+      if (out.length > maxPositions) bad()
+      i += 1
+    }
+    p
+  }
+
+  /** Decode a serialized DV (magic + RoaringBitmapArray) to its sorted
+    * positions. */
+  def decodeBitmap(b: Array[Byte], maxPositions: Int = 1 << 24): Option[Vector[Long]] = try {
+    if (b == null || b.length < 12) return None
+    if (le32(b, 0) != Magic) return None
+    val nBuckets = le32(b, 4).toLong & 0xffffffffL
+    val nBucketsHi = le32(b, 8).toLong & 0xffffffffL // u64 LE bucket count
+    if (nBucketsHi != 0 || nBuckets > 65536) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var p = 12
+    var prevKey = -1L
+    var i = 0L
+    while (i < nBuckets) {
+      val key = le32(b, p).toLong & 0xffffffffL
+      p += 4
+      if (key <= prevKey) return None // bucket keys strictly increasing
+      prevKey = key
+      p = roaring32(b, p, key, out, maxPositions)
+      i += 1
+    }
+    if (p != b.length) return None // exact consumption
+    Some(out.toVector)
+  } catch {
+    case _: Bad => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  /** Decode an INLINE descriptor's pathOrInlineDv (Z85) with the
+    * declared sizeInBytes: trailing 4-alignment padding must be ≤ 3
+    * ZERO bytes. */
+  def decodeInline(z85: String, sizeInBytes: Long,
+                   maxPositions: Int = 1 << 24): Option[Vector[Long]] = {
+    val raw = z85Decode(z85).getOrElse(return None)
+    if (sizeInBytes < 0 || sizeInBytes > raw.length ||
+      raw.length - sizeInBytes > 3) return None
+    var i = sizeInBytes.toInt
+    while (i < raw.length) { // the zero-padding law
+      if (raw(i) != 0) return None
+      i += 1
+    }
+    decodeBitmap(java.util.Arrays.copyOf(raw, sizeInBytes.toInt), maxPositions)
+  }
+
+  // ---- conformance writer (gate fixtures) ----
+
+  /** Serialize positions as a RoaringBitmapArray (NO_RUN cookies,
+    * array/bitmap containers) behind the DV magic. */
+  def encodeBitmap(positions: Seq[Long]): Array[Byte] = {
+    require(positions == positions.sorted && positions.distinct == positions,
+      "positions must be strictly increasing")
+    val out = new java.io.ByteArrayOutputStream(64)
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    w32(Magic)
+    val buckets = positions.groupBy(p => p >>> 32).toSeq.sortBy(_._1)
+    w32(buckets.length); w32(0) // u64 LE bucket count
+    buckets.foreach { case (high, ps) =>
+      require(high <= 0xffffffffL)
+      w32(high.toInt)
+      val containers = ps.map(_ & 0xffffffffL)
+        .groupBy(v => (v >>> 16).toInt).toSeq.sortBy(_._1)
+      w32(12346) // NO_RUN cookie
+      w32(containers.length)
+      containers.foreach { case (key, vs) => w16(key); w16(vs.length - 1) }
+      // the offset header (present for NO_RUN): running container offsets
+      // from the start of this bitmap's serialization
+      var off = 4 + 4 + 4 * containers.length + 4 * containers.length
+      containers.foreach { case (_, vs) =>
+        w32(off)
+        off += (if (vs.length > 4096) 8192 else 2 * vs.length)
+      }
+      containers.foreach { case (_, vs) =>
+        if (vs.length > 4096) {
+          val bits = new Array[Byte](8192)
+          vs.foreach { v =>
+            val x = (v & 0xffff).toInt
+            bits(x >> 3) = (bits(x >> 3) | (1 << (x & 7))).toByte
+          }
+          out.write(bits, 0, 8192)
+        } else vs.foreach(v => w16((v & 0xffff).toInt))
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Z85-wrap a serialized DV with zero padding to 4 alignment;
+    * returns (z85 text, sizeInBytes). */
+  def encodeInline(positions: Seq[Long]): (String, Long) = {
+    val raw = encodeBitmap(positions)
+    val padded = java.util.Arrays.copyOf(raw, (raw.length + 3) / 4 * 4)
+    (z85Encode(padded), raw.length.toLong)
+  }
+}

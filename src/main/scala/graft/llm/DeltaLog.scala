@@ -42,6 +42,7 @@ object DeltaLog {
     if (versions != (0L until commits.length.toLong)) return None // contiguity
     var sawProtocol = false
     var sawMeta = false
+    var dvAllowed = false // reader v3 + the deletionVectors feature
     val live = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
     commits.foreach { case (v, text) =>
       text.split("\n", -1).filter(_.nonEmpty).foreach { line =>
@@ -58,7 +59,22 @@ object DeltaLog {
             val r = a.get("minReaderVersion")
             val w = a.get("minWriterVersion")
             if (r == null || !r.isInt || w == null || !w.isInt) return None
-            if (r.asInt != 1) return None // checkpoint-free JSON scope pin
+            // reader v1 (the base JSON scope) or v3 whose readerFeatures
+            // carry ONLY deletionVectors (r18) — any other feature is a
+            // capability this reader does not have: refuse
+            r.asInt match {
+              case 1 => ()
+              case 3 =>
+                val rf = a.get("readerFeatures")
+                if (rf == null || !rf.isArray || rf.size == 0) return None
+                val fit = rf.elements()
+                while (fit.hasNext) {
+                  val f = fit.next()
+                  if (!f.isTextual || f.asText != "deletionVectors") return None
+                }
+                dvAllowed = true
+              case _ => return None
+            }
             if (w.asInt < 1) return None
             sawProtocol = true
           case "metaData" =>
@@ -94,6 +110,28 @@ object DeltaLog {
               if (nr == null || !nr.canConvertToLong || nr.asLong < 0L)
                 return None
               rows = nr.asLong
+            }
+            // inline deletion vector (r18): live rows = numRecords minus
+            // the DV cardinality, under the census + range laws
+            val dv = a.get("deletionVector")
+            if (dv != null) {
+              if (!dvAllowed) return None // a DV under reader v1 leaks
+              if (!dv.isObject) return None
+              val st = dv.get("storageType")
+              if (st == null || !st.isTextual) return None
+              if (st.asText != "i") return None // external DV files: pinned
+              val inline = dv.get("pathOrInlineDv")
+              val sz = dv.get("sizeInBytes")
+              val card = dv.get("cardinality")
+              if (inline == null || !inline.isTextual || sz == null ||
+                !sz.canConvertToLong || card == null ||
+                !card.canConvertToLong) return None
+              val positions = DeltaDv.decodeInline(inline.asText, sz.asLong)
+                .getOrElse(return None)
+              if (positions.length.toLong != card.asLong) return None // census
+              if (rows < 0) return None // a DV without stats cannot range-check
+              if (positions.nonEmpty && positions.last >= rows) return None // range
+              rows -= card.asLong
             }
             live(path.asText) = (size.asLong, rows) // newest wins
           case "remove" =>
@@ -253,6 +291,9 @@ object DeltaLog {
             if (dc == null || !dc.isBoolean) return None
             val pv = a.get("partitionValues")
             if (pv == null || !pv.isObject) return None
+            // the checkpoint lane is pinned to reader v1: a deletion
+            // vector here is a capability leak, not a smaller table
+            if (a.get("deletionVector") != null) return None
             var rows = -1L
             val stats = a.get("stats")
             if (stats != null) {
@@ -295,6 +336,24 @@ object DeltaLog {
 
   def protocol(reader: Int = 1, writer: Int = 2): String =
     s"""{"protocol":{"minReaderVersion":$reader,"minWriterVersion":$writer}}"""
+
+  def protocolV3(features: Seq[String] = Seq("deletionVectors")): String = {
+    val fs = features.map(f => s""""${esc(f)}"""").mkString(",")
+    s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      s""""readerFeatures":[$fs],"writerFeatures":[$fs]}}"""
+  }
+
+  /** An add carrying an INLINE deletion vector over `positions`. */
+  def addWithDv(path: String, size: Long, rows: Long,
+                positions: Seq[Long],
+                cardinalityLie: Long = 0L): String = {
+    val (z85, dvSize) = DeltaDv.encodeInline(positions)
+    s"""{"add":{"path":"${esc(path)}","partitionValues":{},"size":$size,""" +
+      s""""modificationTime":1700000000000,"dataChange":true,""" +
+      s""""stats":"{\\"numRecords\\":$rows}",""" +
+      s""""deletionVector":{"storageType":"i","pathOrInlineDv":"${esc(z85)}",""" +
+      s""""sizeInBytes":$dvSize,"cardinality":${positions.length + cardinalityLie}}}}"""
+  }
 
   def metaData(id: String): String =
     s"""{"metaData":{"id":"${esc(id)}","format":{"provider":"parquet","options":{}},""" +

@@ -830,7 +830,8 @@ object Docs {
             resourcesOnPagesNode = k % 7 == 0,
             type0NoUniArm = arm17, badGlyphArm = arm19,
             encryptArm = if (enc)
-              Seq("rc4v1", "rc4v2", "aesv2")(((k / 8) % 3).toInt) else "")
+              Seq("rc4v1", "rc4v2", "aesv2", "aesv3", "aesv3r5")(
+                ((k / 8) % 5).toInt) else "")
         } else if (fmt == 3) {
           val nPars = (1 + k % 3).toInt
           DocxCodec.encodeDocx(
@@ -2433,6 +2434,102 @@ object Docs {
       |    '|p=1/f1:' || (10 + (k + e1) % 20) || ':' || (1000 + (k * 7 + e1 * 13) % 500)
       |  END AS slices
       |FROM q
+      |ORDER BY media_id""".stripMargin
+
+  /** Delta DELETION VECTORS under the oracle (see
+    * [[graft.llm.DeltaDv]]): per key, a reader-v3 table
+    * (readerFeatures [deletionVectors]) whose adds carry INLINE DVs —
+    * Z85-wrapped RoaringBitmapArray bitmaps (the layer cross-validated
+    * against the real org.roaringbitmap in the spec) — so each file's
+    * live census is numRecords minus the DV cardinality; a second
+    * commit tombstones one file and, on fifths, re-adds file 0 with a
+    * fresh single-row DV (newest wins, DV state replaced). Refusal
+    * arms: a torn commit (k mod 13), a DV cardinality lie (k mod 17 —
+    * the census cross-law), a position at numRecords (k mod 19 — the
+    * range law). DuckDB replays the post-DV census in closed form. */
+  def deltaDv(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.DeltaLog
+    val keys = partKeys(s, d) // full-width spread: the replay map is the cost
+    val decoded = keys.map { k =>
+      val nF = (2 + k % 3).toInt
+      def rowsOf(j: Int) = 30L + (k + j * 5) % 70
+      val jDv = (k % 2).toInt // the first DV-carrying file: (k+j) even
+      val adds = (0 until nF).map { j =>
+        val path = s"dv-$j-$k.parquet"
+        val size = 1000L + (k * 7 + j * 13) % 9000
+        if ((k + j) % 2 == 0) {
+          val dCount = (1 + (k + j) % 4).toInt
+          val positions = (0 until dCount).map(i => i * 3L + k % 3)
+          val poisoned =
+            if (j == jDv && k % 19 == 0 && k % 13 != 0 && k % 17 != 0)
+              positions.init :+ rowsOf(j) // at numRecords: the range law
+            else positions
+          DeltaLog.addWithDv(path, size, rowsOf(j), poisoned,
+            cardinalityLie = if (j == jDv && k % 17 == 0 && k % 13 != 0) 1L else 0L)
+        } else DeltaLog.add(path, size, rowsOf(j))
+      }
+      val v0 = (Seq(DeltaLog.commitInfo("CREATE"), DeltaLog.protocolV3(),
+        DeltaLog.metaData(s"tbl-$k")) ++ adds).mkString("\n")
+      val v1Lines = scala.collection.mutable.ArrayBuffer(
+        DeltaLog.commitInfo("DELETE"),
+        DeltaLog.remove(s"dv-1-$k.parquet"))
+      if (k % 5 == 0)
+        v1Lines += DeltaLog.addWithDv(s"dv-0-$k.parquet", 600L + k % 100,
+          rowsOf(0), Seq(0L))
+      val commits = Seq(0L -> v0, 1L -> v1Lines.mkString("\n"))
+      val armed = if (k % 13 == 0)
+        commits.init :+ (commits.last._1, commits.last._2.dropRight(4))
+      else commits
+      DeltaLog.replay(armed) match {
+        case Some(snap) =>
+          val text = snap.files.map { case (p, sz, r) => s"$p:$sz:$r" }
+            .mkString("\n")
+          (k, true, Some(snap.version), Some(snap.files.length),
+            Some(snap.files.map(_._2).sum), Some(snap.files.map(_._3).sum),
+            Some(text))
+        case None =>
+          (k, false, None: Option[Long], None: Option[Int],
+            None: Option[Long], None: Option[Long], None: Option[String])
+      }
+    }.toDF("media_id", "dv_ok", "version", "n_files", "total_bytes",
+      "total_live", "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The post-DV census in closed form: file j keeps rows minus its DV
+    * cardinality (even parities), file 1 tombstones, file 0 re-adds
+    * with a single-row DV on fifths. */
+  val deltaDvSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(2 + k % 3 AS INTEGER) AS nf,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |f AS (
+      |  SELECT p.k, j.g AS j,
+      |    'dv-' || j.g || '-' || p.k || '.parquet' AS path,
+      |    CAST(CASE WHEN j.g = 0 AND p.k % 5 = 0 THEN 600 + p.k % 100
+      |      ELSE 1000 + (p.k * 7 + j.g * 13) % 9000 END AS BIGINT) AS sz,
+      |    CAST(30 + (p.k + j.g * 5) % 70
+      |      - CASE WHEN j.g = 0 AND p.k % 5 = 0 THEN 1
+      |          WHEN (p.k + j.g) % 2 = 0 THEN 1 + (p.k + j.g) % 4
+      |          ELSE 0 END AS BIGINT) AS live
+      |  FROM p, generate_series(0, 3) j(g)
+      |  WHERE p.ok AND j.g < p.nf AND j.g <> 1),
+      |agg AS (
+      |  SELECT k, CAST(COUNT(*) AS INTEGER) AS n_files,
+      |    CAST(SUM(sz) AS BIGINT) AS total_bytes,
+      |    CAST(SUM(live) AS BIGINT) AS total_live,
+      |    string_agg(path || ':' || sz || ':' || live, chr(10)
+      |      ORDER BY path) AS text
+      |  FROM f GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS dv_ok,
+      |  CASE WHEN p.ok THEN CAST(1 AS BIGINT) END AS version,
+      |  CASE WHEN p.ok THEN agg.n_files END AS n_files,
+      |  CASE WHEN p.ok THEN agg.total_bytes END AS total_bytes,
+      |  CASE WHEN p.ok THEN agg.total_live END AS total_live,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p LEFT JOIN agg ON agg.k = p.k
       |ORDER BY media_id""".stripMargin
 
   /** Hudi MERGE_ON_READ replay under the oracle (see
@@ -4053,6 +4150,7 @@ object Docs {
     "q_arrow_read" -> (arrowRead _),
     "q_delta_log" -> (deltaLog _),
     "q_delta_checkpoint" -> (deltaCheckpoint _),
+    "q_delta_dv" -> (deltaDv _),
     "q_parquet_footer" -> (parquetFooter _),
     "q_parquet_read_native" -> (parquetReadNative _),
     "q_parquet_read_agg" -> (parquetReadAgg _),
@@ -4098,6 +4196,7 @@ object Docs {
     "q_arrow_read" -> arrowReadSql,
     "q_delta_log" -> deltaLogSql,
     "q_delta_checkpoint" -> deltaCheckpointSql,
+    "q_delta_dv" -> deltaDvSql,
     "q_parquet_footer" -> parquetFooterSql,
     "q_parquet_read_native" -> parquetReadNativeSql,
     "q_parquet_read_agg" -> parquetReadAggSql,

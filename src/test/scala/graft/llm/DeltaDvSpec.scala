@@ -1,0 +1,122 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Delta deletion vectors: Z85 round trips, the 32-bit roaring layer
+  * CROSS-VALIDATED against the real org.roaringbitmap library in both
+  * directions (their serialize → our decode, incl. run containers from
+  * runOptimize; our encode → their deserialize), the 64-bit bucket
+  * wrapper's laws, and the DeltaLog v3 replay with census/range arms. */
+class DeltaDvSpec extends AnyFunSuite {
+
+  test("z85: round trips and refusals") {
+    val rnd = new scala.util.Random(3)
+    for (n <- Seq(0, 4, 8, 40, 400)) {
+      val b = Array.fill(n)(rnd.nextInt(256).toByte)
+      val s = DeltaDv.z85Encode(b)
+      assert(s.length == n / 4 * 5)
+      assert(DeltaDv.z85Decode(s).get.toSeq == b.toSeq)
+    }
+    assert(DeltaDv.z85Decode("abcd").isEmpty) // length law
+    assert(DeltaDv.z85Decode("abcd").isEmpty) // alphabet law
+    assert(DeltaDv.z85Decode("#####").isEmpty) // 32-bit group overflow
+  }
+
+  private def realSerialized(values: Seq[Int], optimize: Boolean): Array[Byte] = {
+    val bm = new org.roaringbitmap.RoaringBitmap()
+    values.foreach(bm.add)
+    if (optimize) bm.runOptimize()
+    val buf = java.nio.ByteBuffer.allocate(bm.serializedSizeInBytes())
+    buf.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bm.serialize(buf)
+    buf.array()
+  }
+
+  test("roaring32: the REAL library's bytes decode (arrays, bitmaps, runs)") {
+    val rnd = new scala.util.Random(11)
+    val shapes = Seq(
+      (0 until 100).map(_ * 7), // sparse array
+      (0 until 6000).map(_ * 2), // dense → bitmap container
+      (1000 until 1800) ++ (5000 until 5600), // runs after optimize
+      (0 until 300).map(_ => rnd.nextInt(1 << 20)).distinct.sorted, // multi-key
+      Seq(0, 65535, 65536, 131071, 1 << 19)) // container boundaries
+    for (vals <- shapes; optimize <- Seq(false, true)) {
+      val real = realSerialized(vals, optimize)
+      // wrap as a single-bucket RoaringBitmapArray behind the DV magic
+      val out = new java.io.ByteArrayOutputStream
+      def w32(v: Int): Unit = (0 until 4).foreach(i => out.write((v >>> (8 * i)) & 0xff))
+      w32(DeltaDv.Magic); w32(1); w32(0); w32(0) // one bucket, key 0
+      out.write(real, 0, real.length)
+      val got = DeltaDv.decodeBitmap(out.toByteArray)
+      assert(got.isDefined, s"refused optimize=$optimize n=${vals.length}")
+      assert(got.get == vals.map(_.toLong).sorted.toVector,
+        s"optimize=$optimize n=${vals.length}")
+    }
+  }
+
+  test("roaring32: OUR bytes deserialize in the REAL library") {
+    val positions = ((0 until 200).map(_ * 31L) ++
+      (100000L until 106000L) /* bitmap container */).distinct.sorted
+    val ours = DeltaDv.encodeBitmap(positions)
+    // strip magic + the single-bucket wrapper (count u64 + key u32)
+    assert(DeltaDv.decodeBitmap(ours).get == positions.toVector)
+    val inner = java.util.Arrays.copyOfRange(ours, 16, ours.length)
+    val bm = new org.roaringbitmap.RoaringBitmap()
+    bm.deserialize(java.nio.ByteBuffer.wrap(inner)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN))
+    assert(bm.getLongCardinality == positions.length.toLong)
+    positions.foreach(p => assert(bm.contains(p.toInt), s"missing $p"))
+  }
+
+  test("64-bit buckets: multi-bucket round trip and laws") {
+    val positions = Seq(5L, 100L, (1L << 32) + 7L, (1L << 32) + 9L,
+      (3L << 32) + 70000L)
+    val b = DeltaDv.encodeBitmap(positions)
+    assert(DeltaDv.decodeBitmap(b).get == positions.toVector)
+    // torn bytes refuse
+    assert(DeltaDv.decodeBitmap(java.util.Arrays.copyOf(b, b.length - 2)).isEmpty)
+    // a flipped magic refuses
+    val m = b.clone(); m(0) = (m(0) ^ 1).toByte
+    assert(DeltaDv.decodeBitmap(m).isEmpty)
+    // inline wrapper: padding law
+    val (z85, size) = DeltaDv.encodeInline(positions)
+    assert(DeltaDv.decodeInline(z85, size).get == positions.toVector)
+    assert(DeltaDv.decodeInline(z85, size + 9).isEmpty) // size past the data
+    assert(DeltaDv.decodeInline(z85.dropRight(5), size).isEmpty)
+  }
+
+  test("DeltaLog v3 replay: inline DVs subtract; the law arms refuse") {
+    import DeltaLog._
+    def v0(adds: String*): String =
+      (Seq(commitInfo("CREATE"), protocolV3(), metaData("t-dv")) ++ adds)
+        .mkString("\n")
+    val ok = replay(Seq(0L -> v0(
+      addWithDv("a.parquet", 1000L, 50L, Seq(0L, 3L, 9L)),
+      add("b.parquet", 500L, 20L)))).getOrElse(fail("refused"))
+    assert(ok.files == Seq(("a.parquet", 1000L, 47L), ("b.parquet", 500L, 20L)))
+    // a DV under reader v1 refuses (the capability leak)
+    assert(replay(Seq(0L -> (Seq(commitInfo("C"), protocol(), metaData("x"),
+      addWithDv("a", 1L, 5L, Seq(1L))).mkString("\n")))).isEmpty)
+    // an unknown reader feature refuses
+    assert(replay(Seq(0L -> (Seq(commitInfo("C"),
+      protocolV3(Seq("deletionVectors", "v2Checkpoint")), metaData("x"),
+      add("a", 1L, 1L)).mkString("\n")))).isEmpty)
+    // the cardinality census lie
+    assert(replay(Seq(0L -> v0(
+      addWithDv("a", 1L, 50L, Seq(0L, 3L), cardinalityLie = 1L)))).isEmpty)
+    // a position at/past numRecords (the range law)
+    assert(replay(Seq(0L -> v0(addWithDv("a", 1L, 5L, Seq(0L, 5L))))).isEmpty)
+    // a DV without stats cannot range-check
+    val noStats = addWithDv("a", 1L, 5L, Seq(0L))
+      .replace(""""stats":"{\"numRecords\":5}",""", "")
+    assert(replay(Seq(0L -> v0(noStats))).isEmpty)
+    // external DV storage stays pinned
+    assert(replay(Seq(0L -> v0(
+      addWithDv("a", 1L, 5L, Seq(0L)).replace("\"storageType\":\"i\"",
+        "\"storageType\":\"u\"")))).isEmpty)
+    // the checkpoint lane refuses DV adds (its reader-v1 pin)
+    val ck = checkpointBytes("t", Seq(("x.parquet", 10L, 5L)), Nil)
+    assert(replayCheckpointed(lastCheckpoint(1L, 3L), ck,
+      Seq(2L -> addWithDv("y", 1L, 5L, Seq(0L)))).isEmpty)
+  }
+}
