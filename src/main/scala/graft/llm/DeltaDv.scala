@@ -230,6 +230,84 @@ object DeltaDv {
     decodeBitmap(java.util.Arrays.copyOf(raw, sizeInBytes.toInt), maxPositions)
   }
 
+  // ---- external DV files (storageType "u") --------------------------------
+  // Large tables store DVs in sidecar `.bin` files: `pathOrInlineDv`
+  // is <random prefix><z85 of a 16-byte UUID>, the file is
+  // `deletion_vector_<uuid>.bin` under the prefix, format version 1,
+  // and each DV sits at `offset` as [u32 BE size][blob][u32 BE CRC-32
+  // of the blob]. Laws: version byte 1, the stored size must equal the
+  // descriptor's sizeInBytes (the size cross-law), the checksum must
+  // match (the integrity law), and the blob decodes under the inline
+  // laws above.
+
+  @inline private def be32(b: Array[Byte], p: Int): Int = {
+    if (p + 4 > b.length) bad()
+    ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
+      ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+  }
+
+  /** Derive the sidecar file's relative path from a "u" descriptor's
+    * pathOrInlineDv (the last 20 chars are the z85 UUID; anything
+    * before is the directory prefix). */
+  def externalPath(pathOrInlineDv: String): Option[String] = {
+    if (pathOrInlineDv.length < 20) return None
+    val z = pathOrInlineDv.takeRight(20)
+    val prefix = pathOrInlineDv.dropRight(20)
+    val bytes = z85Decode(z).getOrElse(return None)
+    if (bytes.length != 16) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+    Some((if (prefix.nonEmpty) prefix + "/" else "") +
+      s"deletion_vector_$uuid.bin")
+  }
+
+  /** Decode one DV out of a sidecar file at `offset`. */
+  def decodeExternal(file: Array[Byte], offset: Long, sizeInBytes: Long,
+                     maxPositions: Int = 1 << 24): Option[Vector[Long]] = try {
+    if (file == null || file.length < 1 || file(0) != 1) return None // version
+    if (offset < 1 || sizeInBytes < 4 ||
+      offset > file.length.toLong - sizeInBytes - 8) return None
+    val off = offset.toInt
+    if ((be32(file, off).toLong & 0xffffffffL) != sizeInBytes) return None // size cross-law
+    val blob = java.util.Arrays.copyOfRange(file, off + 4,
+      off + 4 + sizeInBytes.toInt)
+    val crc = new java.util.zip.CRC32
+    crc.update(blob)
+    val want = be32(file, off + 4 + sizeInBytes.toInt).toLong & 0xffffffffL
+    if (crc.getValue != want) return None // the integrity law
+    decodeBitmap(blob, maxPositions)
+  } catch {
+    case _: Bad => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  /** Mint a sidecar file holding the given DVs; returns (file bytes,
+    * per-DV (offset, sizeInBytes)). */
+  def encodeExternalFile(dvs: Seq[Seq[Long]]): (Array[Byte], Seq[(Long, Long)]) = {
+    val out = new java.io.ByteArrayOutputStream(64)
+    out.write(1) // format version
+    val spans = dvs.map { positions =>
+      val blob = encodeBitmap(positions)
+      val off = out.size.toLong
+      out.write((blob.length >>> 24) & 0xff); out.write((blob.length >>> 16) & 0xff)
+      out.write((blob.length >>> 8) & 0xff); out.write(blob.length & 0xff)
+      out.write(blob, 0, blob.length)
+      val crc = new java.util.zip.CRC32
+      crc.update(blob)
+      val c = crc.getValue
+      out.write(((c >>> 24) & 0xff).toInt); out.write(((c >>> 16) & 0xff).toInt)
+      out.write(((c >>> 8) & 0xff).toInt); out.write((c & 0xff).toInt)
+      (off, blob.length.toLong)
+    }
+    (out.toByteArray, spans)
+  }
+
+  /** A "u" descriptor's pathOrInlineDv for a deterministic UUID. */
+  def externalRef(uuidBytes: Array[Byte], prefix: String = ""): String = {
+    require(uuidBytes.length == 16)
+    prefix + z85Encode(uuidBytes)
+  }
+
   // ---- conformance writer (gate fixtures) ----
 
   /** Serialize positions as a RoaringBitmapArray (NO_RUN cookies,

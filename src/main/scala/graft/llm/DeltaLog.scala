@@ -36,7 +36,8 @@ object DeltaLog {
   final case class Snapshot(version: Long,
                             files: Seq[(String, Long, Long)])
 
-  def replay(commits: Seq[(Long, String)]): Option[Snapshot] = try {
+  def replay(commits: Seq[(Long, String)],
+             dvFiles: Map[String, Array[Byte]] = Map.empty): Option[Snapshot] = try {
     if (commits.isEmpty) return None
     val versions = commits.map(_._1)
     if (versions != (0L until commits.length.toLong)) return None // contiguity
@@ -119,15 +120,29 @@ object DeltaLog {
               if (!dv.isObject) return None
               val st = dv.get("storageType")
               if (st == null || !st.isTextual) return None
-              if (st.asText != "i") return None // external DV files: pinned
               val inline = dv.get("pathOrInlineDv")
               val sz = dv.get("sizeInBytes")
               val card = dv.get("cardinality")
               if (inline == null || !inline.isTextual || sz == null ||
                 !sz.canConvertToLong || card == null ||
                 !card.canConvertToLong) return None
-              val positions = DeltaDv.decodeInline(inline.asText, sz.asLong)
-                .getOrElse(return None)
+              val positions = st.asText match {
+                case "i" =>
+                  DeltaDv.decodeInline(inline.asText, sz.asLong)
+                    .getOrElse(return None)
+                case "u" => // the sidecar .bin file (r18)
+                  val rel = DeltaDv.externalPath(inline.asText)
+                    .getOrElse(return None)
+                  val fileBytes = dvFiles.getOrElse(rel, return None)
+                  val off = dv.get("offset")
+                  val offset =
+                    if (off == null) 1L // right after the version byte
+                    else if (!off.canConvertToLong) return None
+                    else off.asLong
+                  DeltaDv.decodeExternal(fileBytes, offset, sz.asLong)
+                    .getOrElse(return None)
+                case _ => return None // "p" absolute paths: pinned
+              }
               if (positions.length.toLong != card.asLong) return None // census
               if (rows < 0) return None // a DV without stats cannot range-check
               if (positions.nonEmpty && positions.last >= rows) return None // range
@@ -342,6 +357,16 @@ object DeltaLog {
     s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
       s""""readerFeatures":[$fs],"writerFeatures":[$fs]}}"""
   }
+
+  /** An add whose DV lives in a sidecar file ("u" storage). */
+  def addWithDvRef(path: String, size: Long, rows: Long,
+                   ref: String, offset: Long, dvSize: Long,
+                   cardinality: Long): String =
+    s"""{"add":{"path":"${esc(path)}","partitionValues":{},"size":$size,""" +
+      s""""modificationTime":1700000000000,"dataChange":true,""" +
+      s""""stats":"{\\"numRecords\\":$rows}",""" +
+      s""""deletionVector":{"storageType":"u","pathOrInlineDv":"${esc(ref)}",""" +
+      s""""offset":$offset,"sizeInBytes":$dvSize,"cardinality":$cardinality}}}"""
 
   /** An add carrying an INLINE deletion vector over `positions`. */
   def addWithDv(path: String, size: Long, rows: Long,

@@ -2455,18 +2455,40 @@ object Docs {
       val nF = (2 + k % 3).toInt
       def rowsOf(j: Int) = 30L + (k + j * 5) % 70
       val jDv = (k % 2).toInt // the first DV-carrying file: (k+j) even
+      // every third key stores its DVs in a SIDECAR .bin ("u" storage)
+      // instead of inline — the large-table shape; the census (and so
+      // the oracle) is identical either way
+      val external = k % 3 == 0
+      val dvFiles = scala.collection.mutable.Map.empty[String, Array[Byte]]
+      val uuid = Array.tabulate(16)(i => ((k * 11 + i * 29) % 256).toByte)
+      val ref = graft.llm.DeltaDv.externalRef(uuid)
+      val dvPositions = (0 until nF).map { j =>
+        if ((k + j) % 2 == 0) {
+          val dCount = (1 + (k + j) % 4).toInt
+          val positions = (0 until dCount).map(i => i * 3L + k % 3)
+          if (j == jDv && k % 19 == 0 && k % 13 != 0 && k % 17 != 0)
+            positions.init :+ rowsOf(j) // at numRecords: the range law
+          else positions
+        } else Seq.empty[Long]
+      }
+      val spans: Seq[(Long, Long)] = if (external) {
+        val withDv = dvPositions.zipWithIndex.filter(_._1.nonEmpty)
+        val (bytes, sp) = graft.llm.DeltaDv.encodeExternalFile(withDv.map(_._1))
+        dvFiles(graft.llm.DeltaDv.externalPath(ref).get) = bytes
+        val byIdx = withDv.map(_._2).zip(sp).toMap
+        dvPositions.indices.map(j => byIdx.getOrElse(j, (0L, 0L)))
+      } else dvPositions.indices.map(_ => (0L, 0L))
       val adds = (0 until nF).map { j =>
         val path = s"dv-$j-$k.parquet"
         val size = 1000L + (k * 7 + j * 13) % 9000
         if ((k + j) % 2 == 0) {
-          val dCount = (1 + (k + j) % 4).toInt
-          val positions = (0 until dCount).map(i => i * 3L + k % 3)
-          val poisoned =
-            if (j == jDv && k % 19 == 0 && k % 13 != 0 && k % 17 != 0)
-              positions.init :+ rowsOf(j) // at numRecords: the range law
-            else positions
-          DeltaLog.addWithDv(path, size, rowsOf(j), poisoned,
-            cardinalityLie = if (j == jDv && k % 17 == 0 && k % 13 != 0) 1L else 0L)
+          val lie = if (j == jDv && k % 17 == 0 && k % 13 != 0) 1L else 0L
+          if (external)
+            DeltaLog.addWithDvRef(path, size, rowsOf(j), ref,
+              spans(j)._1, spans(j)._2, dvPositions(j).length + lie)
+          else
+            DeltaLog.addWithDv(path, size, rowsOf(j), dvPositions(j),
+              cardinalityLie = lie)
         } else DeltaLog.add(path, size, rowsOf(j))
       }
       val v0 = (Seq(DeltaLog.commitInfo("CREATE"), DeltaLog.protocolV3(),
@@ -2481,7 +2503,7 @@ object Docs {
       val armed = if (k % 13 == 0)
         commits.init :+ (commits.last._1, commits.last._2.dropRight(4))
       else commits
-      DeltaLog.replay(armed) match {
+      DeltaLog.replay(armed, dvFiles.toMap) match {
         case Some(snap) =>
           val text = snap.files.map { case (p, sz, r) => s"$p:$sz:$r" }
             .mkString("\n")

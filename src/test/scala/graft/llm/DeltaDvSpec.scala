@@ -119,4 +119,42 @@ class DeltaDvSpec extends AnyFunSuite {
     assert(replayCheckpointed(lastCheckpoint(1L, 3L), ck,
       Seq(2L -> addWithDv("y", 1L, 5L, Seq(0L)))).isEmpty)
   }
+
+  test("external DV files: sidecar decode, laws, replay") {
+    import DeltaLog._
+    val uuid = Array.tabulate(16)(i => (i * 13 + 5).toByte)
+    val (file, spans) = DeltaDv.encodeExternalFile(
+      Seq(Seq(0L, 3L, 9L), Seq(1L, 2L)))
+    val ref = DeltaDv.externalRef(uuid, prefix = "ab")
+    val rel = DeltaDv.externalPath(ref).get
+    assert(rel.startsWith("ab/deletion_vector_") && rel.endsWith(".bin"))
+    // direct decode + laws
+    assert(DeltaDv.decodeExternal(file, spans(0)._1, spans(0)._2).get ==
+      Vector(0L, 3L, 9L))
+    assert(DeltaDv.decodeExternal(file, spans(1)._1, spans(1)._2).get ==
+      Vector(1L, 2L))
+    assert(DeltaDv.decodeExternal(file, spans(0)._1, spans(0)._2 + 1).isEmpty) // size lie
+    val flip = file.clone()
+    flip(spans(0)._1.toInt + 6) = (flip(spans(0)._1.toInt + 6) ^ 1).toByte
+    assert(DeltaDv.decodeExternal(flip, spans(0)._1, spans(0)._2).isEmpty) // CRC
+    val badVer = file.clone(); badVer(0) = 2
+    assert(DeltaDv.decodeExternal(badVer, spans(0)._1, spans(0)._2).isEmpty)
+    // replay with the sidecar map
+    def v0(adds: String*): String =
+      (Seq(commitInfo("CREATE"), protocolV3(), metaData("t-u")) ++ adds)
+        .mkString("\n")
+    val commits = Seq(0L -> v0(
+      addWithDvRef("a.parquet", 100L, 50L, ref, spans(0)._1, spans(0)._2, 3L),
+      addWithDvRef("b.parquet", 200L, 20L, ref, spans(1)._1, spans(1)._2, 2L)))
+    val s = replay(commits, Map(rel -> file)).getOrElse(fail("refused"))
+    assert(s.files == Seq(("a.parquet", 100L, 47L), ("b.parquet", 200L, 18L)))
+    // a missing sidecar refuses; a wrong cardinality refuses
+    assert(replay(commits, Map.empty).isEmpty)
+    assert(replay(Seq(0L -> v0(addWithDvRef("a", 1L, 50L, ref,
+      spans(0)._1, spans(0)._2, 4L))), Map(rel -> file)).isEmpty)
+    // absolute-path storage stays pinned
+    assert(replay(Seq(0L -> v0(addWithDvRef("a", 1L, 50L, ref,
+      spans(0)._1, spans(0)._2, 3L).replace("\"storageType\":\"u\"",
+      "\"storageType\":\"p\""))), Map(rel -> file)).isEmpty)
+  }
 }
