@@ -196,12 +196,33 @@ object DeltaLog {
 
   /** path → (def-consistent) values of a leaf under its group. */
   private def ckLeaf(bytes: Array[Byte], meta: ParquetRead.Meta,
-                     path: Vector[String]): Option[(Array[AnyRef], Array[Int])] = {
+                     path: Vector[String],
+                     wantDef: Int = 2): Option[(Array[AnyRef], Array[Int])] = {
     val li = meta.leaves.indexWhere(_.path == path)
     if (li < 0) return None
-    if (meta.leaves(li).maxRep != 0 || meta.leaves(li).maxDef != 2) return None
+    if (meta.leaves(li).maxRep != 0 || meta.leaves(li).maxDef != wantDef) return None
     if (meta.rowGroups.length != 1) return None // checkpoint scope: one row group
     ParquetRead.readColumnLevels(bytes, meta, 0, li).map { case (v, d, _) => (v, d) }
+  }
+
+  /** One inline-DV descriptor's lawful cardinality against the file's
+    * numRecords (census cross-law, range law; stats required). */
+  private def inlineDvCardinality(dv: com.fasterxml.jackson.databind.JsonNode,
+                                  rows: Long): Option[Long] = {
+    if (!dv.isObject) return None
+    val st = dv.get("storageType")
+    if (st == null || !st.isTextual || st.asText != "i") return None
+    val inline = dv.get("pathOrInlineDv")
+    val sz = dv.get("sizeInBytes")
+    val card = dv.get("cardinality")
+    if (inline == null || !inline.isTextual || sz == null ||
+      !sz.canConvertToLong || card == null || !card.canConvertToLong) return None
+    val positions = DeltaDv.decodeInline(inline.asText, sz.asLong)
+      .getOrElse(return None)
+    if (positions.length.toLong != card.asLong) return None
+    if (rows < 0) return None
+    if (positions.nonEmpty && positions.last >= rows) return None
+    Some(card.asLong)
   }
 
   def replayCheckpointed(lastCheckpointJson: String,
@@ -220,6 +241,12 @@ object DeltaLog {
     val n = pm.numRows.toInt
     // pinned leaves (extra columns are lawful and ignored; a missing
     // pinned leaf is not)
+    // the v3 shape (readerFeatures + deletionVector groups) is detected
+    // by schema; a v1 checkpoint carrying those leaves is a shape leak
+    val isV3 = pm.leaves.exists(
+      _.path == Vector("protocol", "readerFeatures", "list", "element"))
+    if (!isV3 && pm.leaves.exists(_.path.take(2) ==
+      Vector("add", "deletionVector"))) return None
     val (prV, prD) = ckLeaf(checkpointBytes, pm, Vector("protocol", "minReaderVersion")).getOrElse(return None)
     val (pwV, pwD) = ckLeaf(checkpointBytes, pm, Vector("protocol", "minWriterVersion")).getOrElse(return None)
     val (miV, miD) = ckLeaf(checkpointBytes, pm, Vector("metaData", "id")).getOrElse(return None)
@@ -229,6 +256,28 @@ object DeltaLog {
     val (adV, adD) = ckLeaf(checkpointBytes, pm, Vector("add", "dataChange")).getOrElse(return None)
     val (atV, atD) = ckLeaf(checkpointBytes, pm, Vector("add", "stats")).getOrElse(return None)
     val (rpV, rpD) = ckLeaf(checkpointBytes, pm, Vector("remove", "path")).getOrElse(return None)
+    // v3 extras: the feature lists and the add.deletionVector leaves
+    def featList(name: String): Option[Array[AnyRef]] = {
+      val li = pm.leaves.indexWhere(
+        _.path == Vector("protocol", name, "list", "element"))
+      if (li < 0) return None
+      val leaf = pm.leaves(li)
+      if (leaf.maxRep != 1) return None
+      ParquetRead.readColumnLevels(checkpointBytes, pm, 0, li).flatMap {
+        case (v, d, r) => ParquetRead.assembleList(v, d, r, leaf)
+      }
+    }
+    val (readerFeats, writerFeats) =
+      if (isV3) (featList("readerFeatures").getOrElse(return None),
+        featList("writerFeatures").getOrElse(return None))
+      else (null, null)
+    val dvLeaves =
+      if (isV3) Some((
+        ckLeaf(checkpointBytes, pm, Vector("add", "deletionVector", "storageType"), 3).getOrElse(return None),
+        ckLeaf(checkpointBytes, pm, Vector("add", "deletionVector", "pathOrInlineDv"), 3).getOrElse(return None),
+        ckLeaf(checkpointBytes, pm, Vector("add", "deletionVector", "sizeInBytes"), 3).getOrElse(return None),
+        ckLeaf(checkpointBytes, pm, Vector("add", "deletionVector", "cardinality"), 3).getOrElse(return None)))
+      else None
     @inline def grp(d: Array[Int], i: Int): Boolean = d(i) >= 1 // the group level
     var sawProtocol = false
     var sawMeta = false
@@ -246,11 +295,31 @@ object DeltaLog {
       if (isA != grp(asD, i) || isA != grp(adD, i) || isA != grp(atD, i))
         return None
       if (Seq(isP, isM, isA, isR).count(identity) != 1) return None // one action per row
+      if (isV3) { // the v3 extras live only under their owning rows
+        if (!isP && (readerFeats(i) != null || writerFeats(i) != null))
+          return None
+        dvLeaves.foreach { case ((_, stD), _, _, _) =>
+          if (!isA && stD(i) != 0) return None
+        }
+      }
       if (isP) {
         if (sawProtocol) return None
         if (prD(i) != 2 || pwD(i) != 2) return None
-        if (prV(i).asInstanceOf[Integer].intValue != 1) return None // reader-v1 pin
+        val want = if (isV3) 3 else 1
+        if (prV(i).asInstanceOf[Integer].intValue != want) return None
         if (pwV(i).asInstanceOf[Integer].intValue < 1) return None
+        if (isV3) {
+          // the feature lists live on the protocol row ONLY and may
+          // carry nothing but deletionVectors (any other feature is a
+          // capability this reader lacks)
+          Seq(readerFeats, writerFeats).foreach { feats =>
+            feats(i) match {
+              case arr: Array[AnyRef] if arr.nonEmpty =>
+                if (arr.exists(_ != "deletionVectors")) return None
+              case _ => return None
+            }
+          }
+        }
         sawProtocol = true
       } else if (isM) {
         if (sawMeta) return None
@@ -270,6 +339,24 @@ object DeltaLog {
           val nr = st.get("numRecords")
           if (nr == null || !nr.canConvertToLong || nr.asLong < 0L) return None
           rows = nr.asLong
+        }
+        dvLeaves.foreach { case ((stV, stD), (pdV, pdD), (szV, szD), (cdV, cdD)) =>
+          val present = stD(i) == 3
+          // group presence consistent across the DV leaves
+          if ((pdD(i) == 3) != present || (szD(i) == 3) != present ||
+            (cdD(i) == 3) != present) return None
+          if (present) {
+            if (stV(i).asInstanceOf[String] != "i") return None // inline pin
+            val positions = DeltaDv.decodeInline(
+              pdV(i).asInstanceOf[String],
+              szV(i).asInstanceOf[java.lang.Long].longValue)
+              .getOrElse(return None)
+            val card = cdV(i).asInstanceOf[java.lang.Long].longValue
+            if (positions.length.toLong != card) return None // census
+            if (rows < 0) return None // stats required for the range law
+            if (positions.nonEmpty && positions.last >= rows) return None
+            rows -= card
+          }
         }
         if (live.contains(path)) return None // one file, one owner
         live(path) = (size, rows)
@@ -306,9 +393,6 @@ object DeltaLog {
             if (dc == null || !dc.isBoolean) return None
             val pv = a.get("partitionValues")
             if (pv == null || !pv.isObject) return None
-            // the checkpoint lane is pinned to reader v1: a deletion
-            // vector here is a capability leak, not a smaller table
-            if (a.get("deletionVector") != null) return None
             var rows = -1L
             val stats = a.get("stats")
             if (stats != null) {
@@ -318,6 +402,14 @@ object DeltaLog {
               val nr = st.get("numRecords")
               if (nr == null || !nr.canConvertToLong || nr.asLong < 0L) return None
               rows = nr.asLong
+            }
+            // a DV add is lawful only under the v3 checkpoint shape (a
+            // v1 table seeing one is a capability leak); inline-only on
+            // this lane (the sidecar map lives on the JSON-replay path)
+            val dvNode = a.get("deletionVector")
+            if (dvNode != null) {
+              if (!isV3) return None
+              rows -= inlineDvCardinality(dvNode, rows).getOrElse(return None)
             }
             live(path.asText) = (size.asLong, rows) // newest wins
           case "remove" =>
@@ -398,6 +490,67 @@ object DeltaLog {
 
   def lastCheckpoint(version: Long, size: Long): String =
     s"""{"version":$version,"size":$size}"""
+
+  /** A reader-v3 checkpoint (readerFeatures/writerFeatures LISTs =
+    * [deletionVectors]) whose adds may carry INLINE deletion-vector
+    * descriptors — the aged-DV-table shape. */
+  def checkpointBytesV3(tableId: String,
+                        adds: Seq[(String, Long, Long, Seq[Long])],
+                        removes: Seq[String],
+                        dvCardinalityLie: Long = 0L,
+                        featurePoisonArm: Boolean = false): Array[Byte] = {
+    import ParquetWrite.WEl
+    val els = Seq(
+      WEl("protocol", 4, 1),
+      WEl("minReaderVersion", 0, 1, typ = 1), WEl("minWriterVersion", 0, 1, typ = 1),
+      WEl("readerFeatures", 1, 1, conv = 3),
+      WEl("list", 1, 2), WEl("element", 0, 1, 6, 0),
+      WEl("writerFeatures", 1, 1, conv = 3),
+      WEl("list", 1, 2), WEl("element", 0, 1, 6, 0),
+      WEl("metaData", 2, 1),
+      WEl("id", 0, 1, 6, 0), WEl("schemaString", 0, 1, 6, 0),
+      WEl("add", 5, 1),
+      WEl("path", 0, 1, 6, 0), WEl("size", 0, 1, typ = 2),
+      WEl("dataChange", 0, 1, typ = 0), WEl("stats", 0, 1, 6, 0),
+      WEl("deletionVector", 4, 1),
+      WEl("storageType", 0, 1, 6, 0), WEl("pathOrInlineDv", 0, 1, 6, 0),
+      WEl("sizeInBytes", 0, 1, typ = 2), WEl("cardinality", 0, 1, typ = 2),
+      WEl("remove", 1, 1),
+      WEl("path", 0, 1, 6, 0))
+    val n = 2 + adds.length + removes.length
+    def defsAt(rows: Seq[Int], level: Int = 2): Array[Int] = {
+      val a = new Array[Int](n); rows.foreach(i => a(i) = level); a
+    }
+    val addRows = adds.indices.map(_ + 2)
+    val dvRows = adds.zipWithIndex.filter(_._1._4.nonEmpty).map(_._2 + 2)
+    // feature lists: one element slot on the protocol row, one absent
+    // slot everywhere else (rep all 0 — single-element lists)
+    val featVals = Array[AnyRef](
+      if (featurePoisonArm) "v2Checkpoint" else "deletionVectors")
+    val featDefs = (0 until n).map(i => if (i == 0) 4 else 0).toArray
+    val featReps = new Array[Int](n)
+    val dvDescs = adds.filter(_._4.nonEmpty).map { case (_, _, _, ps) =>
+      DeltaDv.encodeInline(ps)
+    }
+    ParquetWrite.fileShredded(els, n.toLong, Seq(
+      (Array[AnyRef](Integer.valueOf(3)), defsAt(Seq(0)), new Array[Int](n)),
+      (Array[AnyRef](Integer.valueOf(7)), defsAt(Seq(0)), new Array[Int](n)),
+      (featVals, featDefs, featReps),
+      (featVals.clone(), featDefs.clone(), featReps.clone()),
+      (Array[AnyRef](tableId), defsAt(Seq(1)), new Array[Int](n)),
+      (Array[AnyRef]("""{"type":"struct","fields":[]}"""), defsAt(Seq(1)), new Array[Int](n)),
+      (adds.map(_._1: AnyRef).toArray, defsAt(addRows), new Array[Int](n)),
+      (adds.map(a => java.lang.Long.valueOf(a._2): AnyRef).toArray, defsAt(addRows), new Array[Int](n)),
+      (adds.map(_ => java.lang.Boolean.FALSE: AnyRef).toArray, defsAt(addRows), new Array[Int](n)),
+      (adds.map(a => s"""{"numRecords":${a._3}}""": AnyRef).toArray, defsAt(addRows), new Array[Int](n)),
+      (dvRows.map(_ => "i": AnyRef).toArray, defsAt(dvRows, 3), new Array[Int](n)),
+      (dvDescs.map(_._1: AnyRef).toArray, defsAt(dvRows, 3), new Array[Int](n)),
+      (dvDescs.map(d => java.lang.Long.valueOf(d._2): AnyRef).toArray, defsAt(dvRows, 3), new Array[Int](n)),
+      (adds.filter(_._4.nonEmpty).map(a => java.lang.Long.valueOf(
+        a._4.length + dvCardinalityLie): AnyRef).toArray, defsAt(dvRows, 3), new Array[Int](n)),
+      (removes.map(r => r: AnyRef).toArray,
+        defsAt(removes.indices.map(_ + 2 + adds.length)), new Array[Int](n))))
+  }
 
   /** A checkpoint parquet: one protocol row, one metaData row, one row
     * per live add (dataChange false per the spec), one row per retained

@@ -20,9 +20,9 @@ package graft.llm
 object ParquetWrite {
 
   /** One pre-order schema element below the root: `children == 0`
-    * marks a leaf. rep: 0 REQUIRED, 1 OPTIONAL. typ/conv use parquet's
-    * physical / converted-type codes (typ -1 for groups; conv 0 =
-    * UTF8, -1 = none). */
+    * marks a leaf. rep: 0 REQUIRED, 1 OPTIONAL, 2 REPEATED. typ/conv
+    * use parquet's physical / converted-type codes (typ -1 for
+    * groups; conv 0 = UTF8, -1 = none). */
   final case class WEl(name: String, children: Int, rep: Int,
                        typ: Int = -1, conv: Int = -1)
 
@@ -149,27 +149,37 @@ object ParquetWrite {
   @inline private def bitWidth(max: Int): Int =
     32 - Integer.numberOfLeadingZeros(max)
 
-  /** Assemble a one-row-group file. `els` is the pre-order schema
-    * below the root; `leafData` pairs one entry per leaf in that
-    * order: (present values, per-row def levels). */
+  /** Assemble a one-row-group file from per-row leaf data (the flat /
+    * OPTIONAL-group form: one def level per row, no repetition). */
   def file(els: Seq[WEl], numRows: Long,
-           leafData: Seq[(Array[AnyRef], Array[Int])]): Array[Byte] = {
+           leafData: Seq[(Array[AnyRef], Array[Int])]): Array[Byte] =
+    fileShredded(els, numRows,
+      leafData.map { case (v, d) => (v, d, new Array[Int](d.length)) })
+
+  /** Assemble a one-row-group file from fully Dremel-shredded leaf
+    * data: (present values, per-SLOT def levels, per-SLOT rep levels).
+    * REPEATED elements are lawful; each leaf's slot stream must start
+    * at a record boundary and carry exactly `numRows` rep==0 slots. */
+  def fileShredded(els: Seq[WEl], numRows: Long,
+                   leafData: Seq[(Array[AnyRef], Array[Int], Array[Int])]): Array[Byte] = {
     require(els.nonEmpty && numRows >= 0)
-    // walk: leaf maxDefs + full paths, mirroring ParquetRead.parseMeta
-    val leaves = scala.collection.mutable.ArrayBuffer.empty[(WEl, Int, Vector[String])]
+    // walk: leaf maxDef/maxRep + full paths, mirroring ParquetRead.parseMeta
+    val leaves = scala.collection.mutable.ArrayBuffer.empty[(WEl, Int, Int, Vector[String])]
     var idx = 0
-    def walk(maxDef: Int, prefix: List[String]): Unit = {
+    def walk(maxDef: Int, maxRep: Int, prefix: List[String]): Unit = {
       require(idx < els.length, "schema tree truncated")
       val e = els(idx); idx += 1
-      require(e.rep == 0 || e.rep == 1, "REPEATED is out of the writer's scope")
-      val d = maxDef + e.rep
-      if (e.children == 0) leaves += ((e, d, ((e.name :: prefix).reverse).toVector))
-      else (0 until e.children).foreach(_ => walk(d, e.name :: prefix))
+      require(e.rep >= 0 && e.rep <= 2, "bad repetition")
+      val d = maxDef + (if (e.rep == 0) 0 else 1)
+      val r = maxRep + (if (e.rep == 2) 1 else 0)
+      if (e.children == 0) leaves += ((e, d, r, ((e.name :: prefix).reverse).toVector))
+      else (0 until e.children).foreach(_ => walk(d, r, e.name :: prefix))
     }
     // root children = number of top-level subtrees: walk until all consumed
     var nTop = 0
-    while (idx < els.length) { walk(0, Nil); nTop += 1 }
-    require(leaves.length == leafData.length, "one (values, defs) per leaf")
+    while (idx < els.length) { walk(0, 0, Nil); nTop += 1 }
+    require(leaves.length == leafData.length,
+      s"one (values, defs, reps) per leaf: schema has ${leaves.length}, got ${leafData.length}")
 
     val out = new java.io.ByteArrayOutputStream(4096)
     out.write('P'); out.write('A'); out.write('R'); out.write('1')
@@ -178,23 +188,34 @@ object ParquetWrite {
     final case class Col(typ: Int, path: Vector[String], off: Long,
                          size: Long, numValues: Long)
     val cols = scala.collection.mutable.ArrayBuffer.empty[Col]
-    leaves.zip(leafData).foreach { case ((el, maxDef, path), (vals, defs)) =>
-      require(defs.length.toLong == numRows, s"defs census at ${path.mkString(".")}")
+    leaves.zip(leafData).foreach { case ((el, maxDef, maxRep, path), (vals, defs, reps)) =>
+      val where = path.mkString(".")
+      require(reps.length == defs.length, s"slot census at $where")
+      if (maxRep == 0) {
+        require(defs.length.toLong == numRows, s"defs census at $where")
+        require(reps.forall(_ == 0), s"rep levels on a non-repeated leaf at $where")
+      } else {
+        require(reps.forall(r => r >= 0 && r <= maxRep), s"rep bound at $where")
+        require(reps.count(_ == 0).toLong == numRows, s"record census at $where")
+        require(defs.isEmpty || reps(0) == 0, s"page record boundary at $where")
+      }
       require(defs.forall(d => d >= 0 && d <= maxDef), "def level bound")
       require(vals.length == defs.count(_ == maxDef), "present census")
+      val repSec = if (maxRep == 0) Array.emptyByteArray
+                   else rleSection(reps, bitWidth(maxRep))
       val defSec = if (maxDef == 0) Array.emptyByteArray
                    else rleSection(defs, bitWidth(maxDef))
       val valSec = plain(el.typ, vals)
-      val payload = defSec ++ valSec
+      val payload = repSec ++ defSec ++ valSec
       val h = new TW
       h.i32(1, 0) // PageType DATA_PAGE
       h.i32(2, payload.length) // uncompressed_page_size
       h.i32(3, payload.length) // compressed_page_size (UNCOMPRESSED)
       h.struct(5) { // DataPageHeader
-        h.i32(1, defs.length) // num_values
+        h.i32(1, defs.length) // num_values (slots)
         h.i32(2, 0) // PLAIN
         h.i32(3, 3) // def levels RLE
-        h.i32(4, 3) // rep levels RLE (absent at maxRep 0)
+        h.i32(4, 3) // rep levels RLE
       }
       h.stop()
       val header = h.bytes
@@ -202,7 +223,7 @@ object ParquetWrite {
       out.write(header, 0, header.length)
       out.write(payload, 0, payload.length)
       cols += Col(el.typ, path, off, (header.length + payload.length).toLong,
-        numRows)
+        defs.length.toLong)
     }
 
     // ---- footer: FileMetaData ----

@@ -2436,6 +2436,97 @@ object Docs {
       |FROM q
       |ORDER BY media_id""".stripMargin
 
+  /** The AGED DV TABLE — reader-v3 CHECKPOINT composition under the
+    * oracle (see [[graft.llm.DeltaLog.checkpointBytesV3]]): per key, a
+    * checkpoint whose protocol row carries the readerFeatures LIST
+    * (through ParquetWrite's REPEATED support) and whose add rows
+    * carry inline deletion-vector descriptor GROUPS — all decoded
+    * through the native page reader — then a JSON commit with a
+    * further DV add and a tombstone of a checkpointed file. Refusal
+    * arms: torn checkpoint bytes (k mod 13), a DV cardinality lie
+    * inside the checkpoint (k mod 17 — the census cross-law through
+    * the parquet path), a feature leak (k mod 19 — readerFeatures
+    * carrying a capability this reader lacks). DuckDB replays the
+    * post-DV census in closed form. */
+  def deltaCkptDv(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.DeltaLog
+    val keys = partKeys(s, d) // full-width spread: the replay map is the cost
+    val decoded = keys.map { k =>
+      val nCk = (2 + k % 2).toInt
+      def rowsOf(j: Int) = 40L + (k + j * 3) % 50
+      val adds = (0 until nCk).map { j =>
+        val dv: Seq[Long] =
+          if ((k + j) % 2 == 0)
+            (0 until (1 + (k + j) % 3).toInt).map(i => i * 2L + k % 2)
+          else Nil
+        (s"cd-$j-$k.parquet", 1000L + (k * 3 + j * 17) % 8000, rowsOf(j), dv)
+      }
+      val ck0 = DeltaLog.checkpointBytesV3(s"tbl-$k", adds, Nil,
+        dvCardinalityLie = if (k % 17 == 0 && k % 13 != 0) 1L else 0L,
+        featurePoisonArm = k % 19 == 0 && k % 13 != 0 && k % 17 != 0)
+      val ck = if (k % 13 == 0) java.util.Arrays.copyOf(ck0, ck0.length - 7)
+               else ck0
+      val lc = DeltaLog.lastCheckpoint(2L, (2 + nCk).toLong)
+      val rp = 25L + k % 40
+      val dp = (1 + k % 2).toInt
+      val commits = Seq(3L -> Seq(DeltaLog.commitInfo("DELETE"),
+        DeltaLog.addWithDv(s"pd-$k.parquet", 2000L + k % 500, rp,
+          (0 until dp).map(_.toLong)),
+        DeltaLog.remove(s"cd-0-$k.parquet")).mkString("\n"))
+      DeltaLog.replayCheckpointed(lc, ck, commits) match {
+        case Some(snap) =>
+          val text = snap.files.map { case (p, sz, r) => s"$p:$sz:$r" }
+            .mkString("\n")
+          (k, true, Some(snap.version), Some(snap.files.length),
+            Some(snap.files.map(_._2).sum), Some(snap.files.map(_._3).sum),
+            Some(text))
+        case None =>
+          (k, false, None: Option[Long], None: Option[Int],
+            None: Option[Long], None: Option[Long], None: Option[String])
+      }
+    }.toDF("media_id", "cv_ok", "version", "n_files", "total_bytes",
+      "total_live", "text")
+    decoded.orderBy($"media_id")
+  }
+
+  /** The aged-DV census in closed form: checkpointed file j (j ≥ 1 —
+    * file 0 tombstones) keeps rows minus its DV cardinality on even
+    * parities; the post-checkpoint add keeps rows minus 1 + k mod 2. */
+  val deltaCkptDvSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(2 + k % 2 AS INTEGER) AS nck,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |f AS (
+      |  SELECT p.k, 'cd-' || j.g || '-' || p.k || '.parquet' AS path,
+      |    CAST(1000 + (p.k * 3 + j.g * 17) % 8000 AS BIGINT) AS sz,
+      |    CAST(40 + (p.k + j.g * 3) % 50
+      |      - CASE WHEN (p.k + j.g) % 2 = 0 THEN 1 + (p.k + j.g) % 3
+      |        ELSE 0 END AS BIGINT) AS live
+      |  FROM p, generate_series(1, 2) j(g)
+      |  WHERE p.ok AND j.g < p.nck
+      |  UNION ALL
+      |  SELECT p.k, 'pd-' || p.k || '.parquet' AS path,
+      |    CAST(2000 + p.k % 500 AS BIGINT) AS sz,
+      |    CAST(25 + p.k % 40 - 1 - p.k % 2 AS BIGINT) AS live
+      |  FROM p WHERE p.ok),
+      |agg AS (
+      |  SELECT k, CAST(COUNT(*) AS INTEGER) AS n_files,
+      |    CAST(SUM(sz) AS BIGINT) AS total_bytes,
+      |    CAST(SUM(live) AS BIGINT) AS total_live,
+      |    string_agg(path || ':' || sz || ':' || live, chr(10)
+      |      ORDER BY path) AS text
+      |  FROM f GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS cv_ok,
+      |  CASE WHEN p.ok THEN CAST(3 AS BIGINT) END AS version,
+      |  CASE WHEN p.ok THEN agg.n_files END AS n_files,
+      |  CASE WHEN p.ok THEN agg.total_bytes END AS total_bytes,
+      |  CASE WHEN p.ok THEN agg.total_live END AS total_live,
+      |  CASE WHEN p.ok THEN agg.text END AS text
+      |FROM p LEFT JOIN agg ON agg.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   /** Delta DELETION VECTORS under the oracle (see
     * [[graft.llm.DeltaDv]]): per key, a reader-v3 table
     * (readerFeatures [deletionVectors]) whose adds carry INLINE DVs —
@@ -4173,6 +4264,7 @@ object Docs {
     "q_delta_log" -> (deltaLog _),
     "q_delta_checkpoint" -> (deltaCheckpoint _),
     "q_delta_dv" -> (deltaDv _),
+    "q_delta_ckpt_dv" -> (deltaCkptDv _),
     "q_parquet_footer" -> (parquetFooter _),
     "q_parquet_read_native" -> (parquetReadNative _),
     "q_parquet_read_agg" -> (parquetReadAgg _),
@@ -4219,6 +4311,7 @@ object Docs {
     "q_delta_log" -> deltaLogSql,
     "q_delta_checkpoint" -> deltaCheckpointSql,
     "q_delta_dv" -> deltaDvSql,
+    "q_delta_ckpt_dv" -> deltaCkptDvSql,
     "q_parquet_footer" -> parquetFooterSql,
     "q_parquet_read_native" -> parquetReadNativeSql,
     "q_parquet_read_agg" -> parquetReadAggSql,

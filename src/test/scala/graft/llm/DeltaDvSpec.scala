@@ -120,6 +120,39 @@ class DeltaDvSpec extends AnyFunSuite {
       Seq(2L -> addWithDv("y", 1L, 5L, Seq(0L)))).isEmpty)
   }
 
+  test("v3 checkpoints: DV adds inside the checkpoint and after it") {
+    import DeltaLog._
+    val ck = checkpointBytesV3("t-v3",
+      Seq(("a.parquet", 100L, 50L, Seq(0L, 3L, 9L)),
+        ("b.parquet", 200L, 20L, Nil)),
+      Seq("old.parquet"))
+    val lc = lastCheckpoint(4L, 5L)
+    // checkpoint tip: a loses 3 rows to its DV, b is untouched
+    val s0 = replayCheckpointed(lc, ck, Nil).getOrElse(fail("refused"))
+    assert(s0.files == Seq(("a.parquet", 100L, 47L), ("b.parquet", 200L, 20L)))
+    // a post-checkpoint DV add applies; a tombstone still lands
+    val commits = Seq(5L -> Seq(commitInfo("DELETE"),
+      addWithDv("c.parquet", 300L, 30L, Seq(1L, 2L)),
+      remove("b.parquet")).mkString("\n"))
+    val s1 = replayCheckpointed(lc, ck, commits).getOrElse(fail("refused"))
+    assert(s1.files == Seq(("a.parquet", 100L, 47L), ("c.parquet", 300L, 28L)))
+    // a v1 checkpoint followed by a DV add refuses (capability leak)
+    val ckV1 = checkpointBytes("t-v1", Seq(("x.parquet", 10L, 5L)), Nil)
+    assert(replayCheckpointed(lastCheckpoint(4L, 3L), ckV1,
+      Seq(5L -> addWithDv("y", 1L, 5L, Seq(0L)))).isEmpty)
+    // the DV cardinality lie inside the checkpoint refuses
+    val lied = checkpointBytesV3("t-v3",
+      Seq(("a.parquet", 100L, 50L, Seq(0L, 3L))), Nil, dvCardinalityLie = 1L)
+    assert(replayCheckpointed(lastCheckpoint(4L, 3L), lied, Nil).isEmpty)
+    // a DV position at numRecords inside the checkpoint refuses
+    val ranged = checkpointBytesV3("t-v3",
+      Seq(("a.parquet", 100L, 5L, Seq(0L, 5L))), Nil)
+    assert(replayCheckpointed(lastCheckpoint(4L, 3L), ranged, Nil).isEmpty)
+    // torn v3 checkpoint bytes refuse
+    assert(replayCheckpointed(lc, java.util.Arrays.copyOf(ck, ck.length - 7),
+      Nil).isEmpty)
+  }
+
   test("external DV files: sidecar decode, laws, replay") {
     import DeltaLog._
     val uuid = Array.tabulate(16)(i => (i * 13 + 5).toByte)

@@ -113,6 +113,48 @@ class ParquetWriteSpec extends SparkTestBase {
     }
   }
 
+  test("REPEATED fields: a shredded LIST column round trips both readers") {
+    // optional group xs (LIST) { repeated group list { optional int64 e } }
+    val els = Seq(
+      WEl("id", 0, 0, typ = 2),
+      WEl("xs", 1, 1, conv = 3), // the LIST annotation Spark infers by
+      WEl("list", 1, 2), WEl("element", 0, 1, typ = 2))
+    // rows: [10, 20] / null / [] / [30]
+    val ids = Array.tabulate(4)(i => java.lang.Long.valueOf(i.toLong): AnyRef)
+    val vals = Array[AnyRef](java.lang.Long.valueOf(10L),
+      java.lang.Long.valueOf(20L), java.lang.Long.valueOf(30L))
+    val defs = Array(3, 3, 0, 1, 3)
+    val reps = Array(0, 1, 0, 0, 0)
+    val b = ParquetWrite.fileShredded(els, 4L, Seq(
+      (ids, Array.fill(4)(0), Array.fill(4)(0)),
+      (vals, defs, reps)))
+    val m = ParquetRead.parseMeta(b).get
+    val li = m.leaves.indexWhere(_.maxRep == 1)
+    val (v, dl, rl) = ParquetRead.readColumnLevels(b, m, 0, li).get
+    val asm = ParquetRead.assembleList(v, dl, rl, m.leaves(li)).get
+    assert(asm(0).asInstanceOf[Array[AnyRef]].toSeq ==
+      Seq(java.lang.Long.valueOf(10L), java.lang.Long.valueOf(20L)))
+    assert(asm(1) == null)
+    assert(asm(2).asInstanceOf[Array[AnyRef]].isEmpty)
+    assert(asm(3).asInstanceOf[Array[AnyRef]].toSeq ==
+      Seq(java.lang.Long.valueOf(30L)))
+    // the independent reader agrees
+    val tmp = java.nio.file.Files.createTempDirectory("pqwrep").toString
+    val f = java.nio.file.Paths.get(tmp, "rep.parquet")
+    java.nio.file.Files.write(f, b)
+    val rows = spark.read.parquet(f.toString).orderBy("id").collect()
+    assert(rows(0).getSeq[Long](1) == Seq(10L, 20L))
+    assert(rows(1).isNullAt(1))
+    assert(rows(2).getSeq[Long](1) == Seq.empty)
+    assert(rows(3).getSeq[Long](1) == Seq(30L))
+    // record-census law: wrong rep==0 count fails loudly
+    intercept[IllegalArgumentException] {
+      ParquetWrite.fileShredded(els, 4L, Seq(
+        (ids, Array.fill(4)(0), Array.fill(4)(0)),
+        (vals, defs, Array(0, 1, 0, 1, 0))))
+    }
+  }
+
   test("writer census laws fail loudly") {
     val els = Seq(WEl("x", 0, 1, typ = 2))
     intercept[IllegalArgumentException] { // defs length != numRows
