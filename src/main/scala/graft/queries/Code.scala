@@ -324,18 +324,19 @@ object Code {
       |FROM p LEFT JOIN ex ON ex.k = p.k
       |ORDER BY media_id""".stripMargin
 
-  /** Binary-asset dispatch capstone: NINE formats sniffed by magic
+  /** Binary-asset dispatch capstone: TEN formats sniffed by magic
     * (footer magic for SST — the one family whose signature lives at
-    * the END) and routed to their walks — the binary sibling of
-    * q_doc_zoo. The sniffed kind must MATCH the kind the writer chose
-    * (a mis-sniff is a failure, not a different answer). Refusal arm:
-    * truncation (k mod 13) under every format's own laws. */
+    * the END; head magics for the rest, ORC included as of r18) and
+    * routed to their walks — the binary sibling of q_doc_zoo. The
+    * sniffed kind must MATCH the kind the writer chose (a mis-sniff is
+    * a failure, not a different answer). Refusal arm: truncation
+    * (k mod 13) under every format's own laws. */
   def assetZoo(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm._
     val keys = partKeys(s, d) // full-width spread: the dispatch map is the cost
     val out = keys.map { k =>
-      val kindIx = (k % 9).toInt
+      val kindIx = (k % 10).toInt
       val bytes: Array[Byte] = kindIx match {
         case 0 => ElfProbe.write(is64 = true, 62, (100 + k % 50).toInt, 40)
         case 1 => ClassProbe.write("Z", 52, (k % 4).toInt, (k % 2).toInt)
@@ -372,6 +373,11 @@ object Code {
             (f"key$i%04d".getBytes,
               Array.tabulate((10 + (k + i) % 40).toInt)(j => ((j + k) & 0xff).toByte))
           }, snappy = false)
+        case 9 => // ORC through the engine's own conformance writer
+          val n = (5 + k % 4).toInt
+          OrcWrite.file(Seq(
+            OrcWrite.LongCol("id", Array.tabulate(n)(r => k * 2 + r * 3L)),
+            OrcWrite.StrCol("s", Array.tabulate(n)(r => s"z$k-$r"))))
         case _ =>
           val bos = new java.io.ByteArrayOutputStream()
           val zos = new java.util.zip.ZipOutputStream(bos)
@@ -392,6 +398,7 @@ object Code {
       // ---- the sniff: head magics, then the footer family ----
       def sniff(b: Array[Byte]): String = {
         if (b.length < 8) "unknown"
+        else if (b(0) == 'O' && b(1) == 'R' && b(2) == 'C') "orc"
         else if (b(0) == 0x7f && b(1) == 'E' && b(2) == 'L' && b(3) == 'F') "elf"
         else if ((b(0) & 0xff) == 0xca && (b(1) & 0xff) == 0xfe &&
           (b(2) & 0xff) == 0xba && (b(3) & 0xff) == 0xbe) "class"
@@ -421,10 +428,13 @@ object Code {
         case "pickle" => PickleProbe.probe(armed).map(c => (c.nOps.toLong, c.strBytes))
         case "sst" => SstProbe.probe(armed).map(p => (p.nEntries.toLong, p.kvBytes))
         case "ckpt" => TorchCkpt.probe(armed).map(p => (p.nStorages.toLong, p.storageBytes))
+        case "orc" => OrcRead.readTable(armed, Seq("id")).map { case (_, cols) =>
+          (cols(0).length.toLong, cols(0).map(_.asInstanceOf[Long]).sum)
+        }
         case _ => None
       }
       val expected = Seq("elf", "class", "wasm", "pack", "deb", "wal",
-        "pickle", "sst", "ckpt")(kindIx)
+        "pickle", "sst", "ckpt", "orc")(kindIx)
       fact match {
         case Some((n, by)) if kind == expected =>
           (k, true, Some(kind), Some(n), Some(by))
@@ -437,7 +447,7 @@ object Code {
 
   val assetZooSql: String =
     """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
-      |p AS (SELECT k, (k % 13 <> 0) AS ok, CAST(k % 9 AS INTEGER) AS ki FROM ks),
+      |p AS (SELECT k, (k % 13 <> 0) AS ok, CAST(k % 10 AS INTEGER) AS ki FROM ks),
       |sst AS (
       |  SELECT p.k, CAST(SUM(7 + 10 + (p.k + i.g) % 40) AS BIGINT) AS kvb
       |  FROM p, generate_series(0, 9) i(g) WHERE i.g < 5 + p.k % 5 GROUP BY p.k)
@@ -445,7 +455,7 @@ object Code {
       |  CASE WHEN p.ok THEN CASE p.ki WHEN 0 THEN 'elf' WHEN 1 THEN 'class'
       |    WHEN 2 THEN 'wasm' WHEN 3 THEN 'pack' WHEN 4 THEN 'deb'
       |    WHEN 5 THEN 'wal' WHEN 6 THEN 'pickle' WHEN 7 THEN 'sst'
-      |    ELSE 'ckpt' END END AS kind,
+      |    WHEN 8 THEN 'ckpt' ELSE 'orc' END END AS kind,
       |  CASE WHEN p.ok THEN CAST(CASE p.ki
       |    WHEN 0 THEN 4
       |    WHEN 1 THEN 5 + 2 * (p.k % 4 + p.k % 2)
@@ -455,7 +465,8 @@ object Code {
       |    WHEN 5 THEN 1 + p.k % 3
       |    WHEN 6 THEN 9 + 2 * (p.k % 3)
       |    WHEN 7 THEN 5 + p.k % 5
-      |    ELSE 1 + p.k % 2 END AS BIGINT) END AS n_items,
+      |    WHEN 8 THEN 1 + p.k % 2
+      |    ELSE 5 + p.k % 4 END AS BIGINT) END AS n_items,
       |  CASE WHEN p.ok THEN CAST(CASE p.ki
       |    WHEN 0 THEN 163 + p.k % 50
       |    WHEN 1 THEN 17 + 5 * (p.k % 4) + 3 * (p.k % 2)
@@ -465,7 +476,9 @@ object Code {
       |    WHEN 5 THEN 512
       |    WHEN 6 THEN 3 + 2 * (p.k % 3)
       |    WHEN 7 THEN sst.kvb
-      |    ELSE (1 + p.k % 2) * (64 + p.k % 30) END AS BIGINT) END AS n_bytes
+      |    WHEN 8 THEN (1 + p.k % 2) * (64 + p.k % 30)
+      |    ELSE 2 * p.k * (5 + p.k % 4)
+      |      + 3 * (5 + p.k % 4) * (4 + p.k % 4) // 2 END AS BIGINT) END AS n_bytes
       |FROM p JOIN sst ON sst.k = p.k
       |ORDER BY media_id""".stripMargin
 
