@@ -12,9 +12,10 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * Laws (refuse, never garble):
   *  - `hoodie.properties`: `hoodie.table.name` non-empty and
   *    `hoodie.table.type` = COPY_ON_WRITE on this path
-  *    (MERGE_ON_READ tables replay through [[replayMor]] — r18 —
-  *    whose log-block merge laws live below; compaction stays a
-  *    pinned refusal on both paths);
+  *    (MERGE_ON_READ tables replay through [[replayMor]] /
+  *    [[replayMorTimeline]] — r18/r19 — whose log-block merge,
+  *    COMPACTION and ROLLBACK laws live below; compaction on the COW
+  *    path stays a pinned refusal);
   *  - instants strictly increasing and unique (the timeline order the
   *    filenames encode);
   *  - commit JSON: `partitionToWriteStats` an object of arrays; every
@@ -107,23 +108,33 @@ object HudiSnap {
 
   // ---- MERGE_ON_READ: log-file replay ----
   // A MOR file group is its base file plus `.log.N` files of framed
-  // blocks (the HoodieLogFormat shape, reduced to the honest subset
-  // below): data blocks carry Avro records to upsert, delete blocks
-  // carry keys to tombstone, and the merged view applies them in
-  // timeline order over the base — newest record wins. Compaction and
-  // rollback command blocks are a pinned refusal (a compacted group
-  // re-reads as COW).
+  // blocks (the HoodieLogFormat shape): data blocks carry Avro
+  // records to upsert, delete blocks carry keys to tombstone, and the
+  // merged view applies them in timeline order over the base — newest
+  // record wins. Compaction and rollback are handled at the TIMELINE
+  // level by [[replayMorTimeline]] (r19); in-log command blocks
+  // (type 0) remain a pinned refusal.
   //
-  // Block frame (all integers big-endian):
-  //   "#HUDI#" magic | u32 version (=1) | u32 blockType
-  //   (1 data / 2 delete) | u32 headerCount | headers (u32 key,
-  //   u32 len, bytes; key 1 = INSTANT_TIME) | u64 contentLength |
-  //   content | u64 totalBlockLength (magic → this field, inclusive)
+  // Block frame (all integers big-endian), field ORDER matching the
+  // public HoodieLogFormat v1 writer (magic, then the block-length
+  // word, then version/type/headers/content/footers/total):
+  //   "#HUDI#" magic | u64 blockLen (everything AFTER this field,
+  //   through the trailing total) | u32 version (=1) | u32 blockType
+  //   (upstream HoodieLogBlockType ordinals: 0 COMMAND, 1 DELETE,
+  //   2 CORRUPT, 3 AVRO_DATA — only 1 and 3 in scope) |
+  //   u32 headerCount | headers (u32 key, u32 len, bytes; key 0 =
+  //   INSTANT_TIME, the upstream HeaderMetadataType ordinal) |
+  //   u64 contentLength | content | u32 footerCount (empty-map-only
+  //   subset: must be 0) | u64 totalBlockLength (magic → this field,
+  //   inclusive — the reverse-seek word)
+  // The CONTENT encoding stays repo-local (Avro OCF, not upstream's
+  // versioned record block) — real Hudi .log content is out of scope;
+  // the frame itself is upstream-shaped.
   //
   // Laws (refuse, never garble):
   //  - magic at every block start; version 1; blocks tile the log
-  //    file exactly; totalBlockLength must match the frame (the
-  //    reverse-seek law real readers rely on);
+  //    file exactly; blockLen AND totalBlockLength must both match
+  //    the frame (forward and reverse seek laws);
   //  - every block's INSTANT_TIME must name a timeline instant
   //    STRICTLY AFTER the group's base instant (an orphan or
   //    time-travelling log refuses); instants non-decreasing across a
@@ -160,7 +171,9 @@ object HudiSnap {
   }
   private val Magic = "#HUDI#".getBytes("US-ASCII")
 
-  /** One parsed block: (type, instant, content). */
+  /** One parsed block: (type, instant, content). Types are the
+    * upstream ordinals — 1 DELETE, 3 AVRO_DATA; 0 COMMAND / 2 CORRUPT
+    * / 4+ (hfile, parquet, cdc) refuse. */
   private def parseBlocks(b: Array[Byte]): Vector[(Int, String, Array[Byte])] = {
     val out = Vector.newBuilder[(Int, String, Array[Byte])]
     var p = 0
@@ -170,10 +183,14 @@ object HudiSnap {
       var i = 0
       while (i < 6) { if (b(p + i) != Magic(i)) throw new Refuse; i += 1 }
       p += 6
+      // the upstream writer's field #2: total size of everything
+      // after this word (version through the trailing total word)
+      val blockLen = be64(b, p); p += 8
+      if (blockLen < 32 || blockLen > b.length.toLong - p) throw new Refuse
       val version = be32(b, p); p += 4
       if (version != 1) throw new Refuse
       val blockType = be32(b, p); p += 4
-      if (blockType != 1 && blockType != 2) throw new Refuse // commands refuse
+      if (blockType != 1 && blockType != 3) throw new Refuse // commands/corrupt refuse
       val nHeaders = be32(b, p); p += 4
       if (nHeaders < 0 || nHeaders > 16) throw new Refuse
       var instant: String = null
@@ -181,10 +198,10 @@ object HudiSnap {
       while (h < nHeaders) {
         val key = be32(b, p); p += 4
         val len = be32(b, p); p += 4
-        if (len < 0 || len > 4096 || p + len > b.length) throw new Refuse
+        if (len < 0 || len > 4096 || len > b.length - p) throw new Refuse
         val v = new String(b, p, len, "UTF-8")
         p += len
-        if (key == 1) instant = v
+        if (key == 0) instant = v // INSTANT_TIME = HeaderMetadataType 0
         h += 1
       }
       if (instant == null || instant.isEmpty) throw new Refuse
@@ -192,8 +209,11 @@ object HudiSnap {
       if (contentLen < 0 || contentLen > b.length.toLong - p) throw new Refuse
       val content = java.util.Arrays.copyOfRange(b, p, p + contentLen.toInt)
       p += contentLen.toInt
+      val nFooters = be32(b, p); p += 4 // footer map: empty-only subset
+      if (nFooters != 0) throw new Refuse
       val total = be64(b, p); p += 8
       if (total != (p - start).toLong) throw new Refuse // the reverse-seek law
+      if (blockLen != (p - start - 14).toLong) throw new Refuse // the forward law
       out += ((blockType, instant, content))
     }
     out.result()
@@ -213,113 +233,264 @@ object HudiSnap {
     v
   }
 
-  /** Replay a MOR table: deltacommits establish base files (exactly
-    * once per group), logs merge on top in timeline order. */
+  /** Replay a MOR table whose timeline carries only deltacommits —
+    * the r18 surface, kept as a thin wrapper over
+    * [[replayMorTimeline]] (all instants tagged `deltacommit`). */
   def replayMor(propsText: String, commits: Seq[(String, String)],
-                logs: Map[(String, String), Array[Byte]]): Option[MorSnapshot] = try {
+                logs: Map[(String, String), Array[Byte]]): Option[MorSnapshot] =
+    replayMorTimeline(propsText,
+      commits.map { case (ts, json) => (ts, "deltacommit", json) }, logs)
+      .map { s =>
+        MorSnapshot(s.tableName, s.nInstants, s.lastInstant,
+          s.slices.map(x => MorSlice(x.partition, x.fileId, x.baseInstant,
+            x.baseRows, x.nLogBlocks, x.inserts, x.updates, x.deletes,
+            x.finalRows, x.logValSum)))
+      }
+
+  /** A file slice after a timeline replay that may include
+    * compactions: `baseInstant`/`baseRows` describe the LIVE base
+    * (the last compaction's output when one ran), `nCompacted` counts
+    * log blocks consumed by compactions, `nVoided` blocks voided by
+    * rollbacks, and `inserts`/`deletes` are the final epoch's
+    * not-yet-materialised upserts/tombstones; `updates` and
+    * `logValSum` accumulate across the whole timeline. */
+  final case class MorSlice2(partition: String, fileId: String,
+      baseInstant: String, baseRows: Long, nLogBlocks: Int,
+      nCompacted: Int, nVoided: Int, inserts: Long, updates: Long,
+      deletes: Long, finalRows: Long, logValSum: Long)
+  final case class MorSnapshot2(tableName: String, nInstants: Int,
+      nCompactions: Int, nRollbacks: Int, lastInstant: String,
+      slices: Vector[MorSlice2])
+
+  /** Replay a MOR timeline with `deltacommit` (base + log writes),
+    * `commit` (COMPACTION — r19: rewrites existing groups' bases) and
+    * `rollback` instants.
+    *
+    * Compaction laws (refuse, never garble):
+    *  - a compaction stat may only name a group with a live base, and
+    *    its `prevCommit` must equal the slice it replaces (the
+    *    file-slice lineage law, checked from both sides);
+    *  - the declared `numWrites` must EQUAL the merged census of the
+    *    group at the compaction instant — base minus tombstones plus
+    *    inserts over every surviving log block at or before it (the
+    *    rows cross-law; a garbled compaction cannot pass);
+    *  - a compaction with no write stats refuses; log blocks after
+    *    the compaction merge onto the materialised base (tombstones
+    *    clear — a post-compaction re-insert of a once-deleted key is
+    *    a plain insert, per Hudi's snapshot semantics);
+    *  - a SECOND deltacommit base for a live group still refuses
+    *    (that is what compaction is for); `prevCommit` of a first
+    *    base must be the string "null".
+    *
+    * Rollback laws:
+    *  - `commitsRollback` names exactly ONE target (subset pin), which
+    *    must be the LATEST surviving write instant (the tail law —
+    *    Hudi rolls back from the head of the timeline) and a
+    *    deltacommit (rolling back a compaction needs restore
+    *    semantics — pinned out);
+    *  - a rolled-back instant's base writes vanish (a group whose only
+    *    base was rolled back does not exist; its logs are orphans) and
+    *    its log blocks are VOIDED — skipped, counted in `nVoided`;
+    *  - blocks citing instants absent from the timeline still refuse
+    *    (voiding is for rolled-back instants, not unknown ones). */
+  def replayMorTimeline(propsText: String,
+      instants: Seq[(String, String, String)],
+      logs: Map[(String, String), Array[Byte]]): Option[MorSnapshot2] = try {
     val ps = props(propsText).getOrElse(return None)
     val name = ps.getOrElse("hoodie.table.name", return None)
     if (name.isEmpty) return None
     if (ps.getOrElse("hoodie.table.type", "") != "MERGE_ON_READ") return None
-    if (commits.isEmpty) return None
+    if (instants.isEmpty) return None
+    // ---- pass 1: timeline order + rollback resolution (tail law) ----
     var prev = ""
-    val timeline = scala.collection.mutable.LinkedHashSet.empty[String]
-    commits.foreach { case (ts, _) =>
+    val actions = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    instants.foreach { case (ts, act, _) =>
       if (ts.isEmpty || (prev.nonEmpty && ts <= prev)) return None // order law
-      prev = ts; timeline += ts
+      if (act != "deltacommit" && act != "commit" && act != "rollback")
+        return None
+      prev = ts; actions(ts) = act
     }
-    // base files: (partition, fileId) → (path, numWrites, instant)
-    val base = scala.collection.mutable.LinkedHashMap.empty[(String, String), (String, Long, String)]
-    commits.foreach { case (ts, json) =>
-      val root = mapper.readTree(json)
-      if (root == null || !root.isObject) return None
-      val p2s = root.get("partitionToWriteStats")
-      if (p2s == null || !p2s.isObject) return None
-      val parts = p2s.fieldNames()
-      while (parts.hasNext) {
-        val partition = parts.next()
-        val arr = p2s.get(partition)
-        if (!arr.isArray) return None
-        val it = arr.elements()
-        while (it.hasNext) {
-          val st = it.next()
-          if (!st.isObject) return None
-          val fileId = Option(st.get("fileId")).filter(_.isTextual)
-            .map(_.asText).getOrElse(return None)
-          val path = Option(st.get("path")).filter(_.isTextual)
-            .map(_.asText).getOrElse(return None)
-          if (fileId.isEmpty || path.isEmpty) return None
-          if (!path.startsWith(partition + "/")) return None
-          if (!path.contains(fileId)) return None
-          val nw = Option(st.get("numWrites")).filter(_.isNumber)
-            .map(_.asLong).getOrElse(return None)
-          if (nw < 0) return None
-          if (base.contains((partition, fileId))) return None // compaction pin
-          base((partition, fileId)) = (path, nw, ts)
+    val rolledBack = scala.collection.mutable.HashSet.empty[String]
+    var liveWrites = List.empty[String] // surviving writes, newest first
+    var nRollbacks = 0
+    instants.foreach { case (ts, act, json) =>
+      if (act == "rollback") {
+        nRollbacks += 1
+        val root = mapper.readTree(json)
+        if (root == null || !root.isObject) return None
+        val arr = root.get("commitsRollback")
+        if (arr == null || !arr.isArray || arr.size != 1) return None
+        val t = arr.get(0)
+        if (!t.isTextual) return None
+        val target = t.asText
+        liveWrites match {
+          case head :: rest if head == target =>
+            if (actions(target) != "deltacommit") return None
+            rolledBack += target
+            liveWrites = rest
+          case _ => return None // not the timeline tail
         }
+      } else liveWrites = ts :: liveWrites
+    }
+    // ---- pass 2: surviving bases + per-group compaction points ----
+    val base = scala.collection.mutable.LinkedHashMap
+      .empty[(String, String), (String, Long)] // group → (instant, rows)
+    val compactions = scala.collection.mutable.LinkedHashMap
+      .empty[(String, String), Vector[(String, Long)]]
+    var nCompactions = 0
+    instants.foreach { case (ts, act, json) =>
+      if (act != "rollback" && !rolledBack.contains(ts)) {
+        val isCompact = act == "commit"
+        if (isCompact) nCompactions += 1
+        val root = mapper.readTree(json)
+        if (root == null || !root.isObject) return None
+        val p2s = root.get("partitionToWriteStats")
+        if (p2s == null || !p2s.isObject) return None
+        var sawStat = false
+        val parts = p2s.fieldNames()
+        while (parts.hasNext) {
+          val partition = parts.next()
+          val arr = p2s.get(partition)
+          if (!arr.isArray) return None
+          val it = arr.elements()
+          while (it.hasNext) {
+            val st = it.next()
+            if (!st.isObject) return None
+            sawStat = true
+            val fileId = Option(st.get("fileId")).filter(_.isTextual)
+              .map(_.asText).getOrElse(return None)
+            val path = Option(st.get("path")).filter(_.isTextual)
+              .map(_.asText).getOrElse(return None)
+            if (fileId.isEmpty || path.isEmpty) return None
+            if (!path.startsWith(partition + "/")) return None
+            if (!path.contains(fileId)) return None
+            val nw = Option(st.get("numWrites")).filter(_.isNumber)
+              .map(_.asLong).getOrElse(return None)
+            if (nw < 0) return None
+            val prevCommit = Option(st.get("prevCommit")).filter(_.isTextual)
+              .map(_.asText).getOrElse("null")
+            val g = (partition, fileId)
+            if (isCompact) {
+              val cur = base.getOrElse(g, return None) // compaction of nothing
+              val curInstant = compactions.getOrElse(g, Vector.empty)
+                .lastOption.map(_._1).getOrElse(cur._1)
+              if (prevCommit != curInstant) return None // lineage law
+              compactions(g) =
+                compactions.getOrElse(g, Vector.empty) :+ ((ts, nw))
+            } else {
+              if (prevCommit != "null") return None // first write of the group
+              if (base.contains(g)) return None // second base: compaction's job
+              base(g) = (ts, nw)
+            }
+          }
+        }
+        if (isCompact && !sawStat) return None // a stat-free compaction
       }
     }
     if (base.isEmpty) return None
-    // every log must belong to a known group
+    // every log must belong to a surviving group
     if (logs.keysIterator.exists(k => !base.contains(k))) return None
-    val slices = base.map { case ((partition, fileId), (_, baseRows, baseTs)) =>
+    // ---- pass 3: per-group merge with compaction materialisation ----
+    val slices = base.map { case (g @ (partition, fileId), (baseTs0, baseRows0)) =>
+      val comps = compactions.getOrElse(g, Vector.empty)
+      // live key model: epoch 0's base keys are the contiguous range
+      // [0, baseRows0) (never materialised — attacker row counts stay
+      // O(1)); a compaction materialises (base − tombstones + inserts)
+      // into an explicit set, bounded first by the census cross-law
+      var rangeBase = baseRows0
+      var setBase: scala.collection.mutable.HashSet[Long] = null
+      def inBase(k: Long): Boolean =
+        if (setBase == null) k >= 0 && k < rangeBase else setBase.contains(k)
+      def baseSize: Long =
+        if (setBase == null) rangeBase else setBase.size.toLong
       val inserted = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
       val deleted = scala.collection.mutable.HashSet.empty[Long]
-      var nBlocks = 0
+      var baseTs = baseTs0
+      var epochRows = baseRows0
+      var nBlocks = 0; var nCompacted = 0; var nVoided = 0
+      var epochApplied = 0
       var updates = 0L
       var logValSum = 0L
-      logs.get((partition, fileId)).foreach { bytes =>
+      var compIdx = 0
+      def applyCompaction(): Unit = {
+        val (cTs, cRows) = comps(compIdx)
+        val census = baseSize - deleted.size + inserted.size
+        if (cRows != census) throw new Refuse // the rows cross-law
+        if (census > (1 << 22)) throw new Refuse // materialisation bound
+        val nb = scala.collection.mutable.HashSet.empty[Long]
+        if (setBase == null) {
+          var k = 0L
+          while (k < rangeBase) { if (!deleted.contains(k)) nb += k; k += 1 }
+        } else setBase.foreach(k => if (!deleted.contains(k)) nb += k)
+        inserted.keysIterator.foreach(nb += _)
+        if (nb.size.toLong != census) throw new Refuse // disjointness sanity
+        setBase = nb; rangeBase = -1L
+        deleted.clear(); inserted.clear()
+        baseTs = cTs; epochRows = cRows
+        nCompacted += epochApplied; epochApplied = 0
+        compIdx += 1
+      }
+      logs.get(g).foreach { bytes =>
         val blocks = parseBlocks(bytes)
         var prevInstant = ""
         blocks.foreach { case (blockType, instant, content) =>
-          if (!timeline.contains(instant)) return None // orphan log
-          if (instant <= baseTs) return None // logs strictly after the base
+          if (!actions.contains(instant)) return None // orphan log
           if (prevInstant.nonEmpty && instant < prevInstant) return None // order
           prevInstant = instant
           nBlocks += 1
-          if (blockType == 1) { // data block: upserts
-            AvroCodec.ocfBlocks(content, MorDataSchema).getOrElse(return None)
-              .foreach { case (cnt, data) =>
-                val c = new ByteIo.WireCur(data, 0, data.length)
-                var i = 0L
-                while (i < cnt) {
-                  val key = readKey(readString(c))
-                  val v = c.zigzag()
-                  logValSum += v
-                  if (key < baseRows && !deleted.contains(key)) updates += 1
-                  else if (inserted.contains(key)) { inserted(key) = v; updates += 1 }
-                  else {
-                    // re-inserting a tombstoned base key needs payload
-                    // merge semantics — a pinned refusal, not a guess
-                    if (key < baseRows) throw new Refuse
-                    inserted(key) = v
+          // compactions strictly before this block materialise first
+          while (compIdx < comps.length && comps(compIdx)._1 < instant)
+            applyCompaction()
+          if (rolledBack.contains(instant)) nVoided += 1
+          else {
+            if (instant <= baseTs) return None // strictly after the live base
+            epochApplied += 1
+            if (blockType == 3) { // AVRO_DATA block: upserts
+              AvroCodec.ocfBlocks(content, MorDataSchema).getOrElse(return None)
+                .foreach { case (cnt, data) =>
+                  val c = new ByteIo.WireCur(data, 0, data.length)
+                  var i = 0L
+                  while (i < cnt) {
+                    val key = readKey(readString(c))
+                    val v = c.zigzag()
+                    logValSum += v
+                    if (inBase(key) && !deleted.contains(key)) updates += 1
+                    else if (inserted.contains(key)) { inserted(key) = v; updates += 1 }
+                    else {
+                      // re-inserting a tombstoned base key needs payload
+                      // merge semantics — a pinned refusal, not a guess
+                      if (inBase(key)) throw new Refuse
+                      inserted(key) = v
+                    }
+                    i += 1
                   }
-                  i += 1
+                  if (c.p != data.length) return None
                 }
-                if (c.p != data.length) return None
-              }
-          } else { // delete block
-            AvroCodec.ocfBlocks(content, MorDeleteSchema).getOrElse(return None)
-              .foreach { case (cnt, data) =>
-                val c = new ByteIo.WireCur(data, 0, data.length)
-                var i = 0L
-                while (i < cnt) {
-                  val key = readKey(readString(c))
-                  if (key < baseRows) deleted += key
-                  else inserted.remove(key) // no-op if never present: lawful
-                  i += 1
+            } else { // DELETE block
+              AvroCodec.ocfBlocks(content, MorDeleteSchema).getOrElse(return None)
+                .foreach { case (cnt, data) =>
+                  val c = new ByteIo.WireCur(data, 0, data.length)
+                  var i = 0L
+                  while (i < cnt) {
+                    val key = readKey(readString(c))
+                    if (inBase(key)) deleted += key
+                    else inserted.remove(key) // no-op if never present: lawful
+                    i += 1
+                  }
+                  if (c.p != data.length) return None
                 }
-                if (c.p != data.length) return None
-              }
+            }
           }
         }
       }
-      val finalRows = baseRows - deleted.size + inserted.size
-      MorSlice(partition, fileId, baseTs, baseRows, nBlocks,
-        inserted.size.toLong, updates, deleted.size.toLong, finalRows,
-        logValSum)
+      while (compIdx < comps.length) applyCompaction() // trailing compactions
+      val finalRows = baseSize - deleted.size + inserted.size
+      MorSlice2(partition, fileId, baseTs, epochRows, nBlocks, nCompacted,
+        nVoided, inserted.size.toLong, updates, deleted.size.toLong,
+        finalRows, logValSum)
     }.toVector
-    Some(MorSnapshot(name, commits.size, commits.last._1, slices))
+    Some(MorSnapshot2(name, instants.size, nCompactions, nRollbacks,
+      instants.last._1, slices))
   } catch {
     case _: Refuse => None
     case _: com.fasterxml.jackson.core.JacksonException => None
@@ -367,7 +538,9 @@ object HudiSnap {
       o.toByteArray
     }, blockSize = 4, codec = codec, sync = sync, schema = MorDeleteSchema)
 
-  /** Frame one log block (big-endian fields per the shape above). */
+  /** Frame one log block (big-endian fields, upstream HoodieLogFormat
+    * v1 field order; blockType uses the upstream ordinals — 3 for an
+    * Avro data block, 1 for a delete block). */
   def logBlock(blockType: Int, instant: String,
                content: Array[Byte]): Array[Byte] = {
     val o = new java.io.ByteArrayOutputStream(content.length + 64)
@@ -376,19 +549,28 @@ object HudiSnap {
       o.write((v >>> 8) & 0xff); o.write(v & 0xff)
     }
     def w64(v: Long): Unit = { w32((v >>> 32).toInt); w32(v.toInt) }
+    val ib = instant.getBytes("UTF-8")
+    val headerBytes = 4 + (4 + 4 + ib.length) // count word + one entry
     o.write(Magic, 0, Magic.length)
+    // everything after this word: version + type + headers +
+    // contentLen word + content + footer count word + total word
+    w64(4L + 4 + headerBytes + 8 + content.length + 4 + 8)
     w32(1) // version
     w32(blockType)
-    w32(1) // one header: INSTANT_TIME
-    w32(1)
-    val ib = instant.getBytes("UTF-8")
+    w32(1) // one header: INSTANT_TIME (ordinal 0)
+    w32(0)
     w32(ib.length)
     o.write(ib, 0, ib.length)
     w64(content.length.toLong)
     o.write(content, 0, content.length)
+    w32(0) // empty footer map
     w64(o.size.toLong + 8) // total including this trailer field
     o.toByteArray
   }
+
+  /** Rollback instant metadata (the HoodieRollbackMetadata subset). */
+  def rollbackJson(target: String): String =
+    s"""{"commitsRollback":["$target"],"totalFilesDeleted":0}"""
 
   def commitJson(stats: Seq[(String, String, String, Long, Long, String)]): String = {
     // (partition, fileId, path, numWrites, bytes, prevCommit)

@@ -111,6 +111,12 @@ object OrcRead {
             }
           }
           if (off < 3 || srows < 0 || idx < 0 || dat < 0 || sfl <= 0) return None
+          // operands apart: attacker varints go to 2^63-1, so bound each
+          // extent term against the file BEFORE any sum can wrap Long
+          if (off > b.length.toLong) return None
+          if (idx > b.length.toLong - off) return None
+          if (dat > b.length.toLong - off - idx) return None
+          if (sfl > b.length.toLong - off - idx - dat) return None
           stripes += Stripe(off, idx, dat, sfl, srows)
         case 4 =>
           val (tf, tu) = fb.lenWindow()
@@ -167,6 +173,7 @@ object OrcRead {
     case _: Bad => None
     case _: ArrayIndexOutOfBoundsException => None
     case _: NegativeArraySizeException => None
+    case _: IllegalArgumentException => None // copyOfRange(from > to) backstop
   }
 
   // ---- RLEv2 ----
@@ -447,6 +454,9 @@ object OrcRead {
         if (pos != stripe.offset + stripe.indexLen) return None // the boundary
         inData = true
       }
+      // per-stream bound before summing: a crafted length near 2^63
+      // could wrap pos and alias an in-bounds region (operands apart)
+      if (s.length > b.length.toLong - pos) return None
       val out = s.copy(offset = pos)
       pos += s.length
       out
@@ -682,6 +692,7 @@ object OrcRead {
     case _: Bad => None
     case _: ArrayIndexOutOfBoundsException => None
     case _: NegativeArraySizeException => None
+    case _: IllegalArgumentException => None // copyOfRange(from > to) backstop
   }
 
   /** Read whole columns by name across all stripes. */

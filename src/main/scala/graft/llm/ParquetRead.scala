@@ -286,8 +286,10 @@ object ParquetRead {
             // chunk offsets/sizes inside the data region [4, fStart)
             chunks.foreach { case (c, _) =>
               val start = if (c.dictOff >= 0) c.dictOff else c.dataOff
+              // operands apart: start + totalCompressed can wrap Long for
+              // crafted offsets near 2^63 and alias another file region
               if (start < 4 || c.totalCompressed < 1 ||
-                start + c.totalCompressed > fStart) bad()
+                c.totalCompressed > fStart.toLong - start) bad()
               if (c.dictOff >= 0 && c.dictOff >= c.dataOff) bad()
             }
             rgs += Rg(rows, chunks.map(_._1).toVector)
@@ -769,9 +771,14 @@ object ParquetRead {
     val chunk = meta.rowGroups(rgIdx).chunks(leafIdx)
     if (chunk.numValues > maxVals) return None
     val n = chunk.numValues.toInt
-    val start = (if (chunk.dictOff >= 0) chunk.dictOff else chunk.dataOff).toInt
+    // re-check the chunk extent against THIS buffer before any Int
+    // truncation (operands apart — no Long sums that can wrap)
+    val startL = if (chunk.dictOff >= 0) chunk.dictOff else chunk.dataOff
+    if (startL < 4 || startL > b.length.toLong) return None
+    if (chunk.totalCompressed < 1 ||
+      chunk.totalCompressed > b.length.toLong - startL) return None
+    val start = startL.toInt
     val endC = start + chunk.totalCompressed.toInt
-    if (endC > b.length) return None
 
     val defW = if (leaf.maxDef == 0) 0 else bitWidth(leaf.maxDef)
     val repW = if (leaf.maxRep == 0) 0 else bitWidth(leaf.maxRep)

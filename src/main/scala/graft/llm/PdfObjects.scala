@@ -622,6 +622,11 @@ object PdfObjects {
           encryptRef = dict.refVal("Encrypt").getOrElse(return None)
           idToken = dict.entries.get("ID")
         }
+        // torn chain: an OLDER revision was encrypted but the newest
+        // trailer claims plaintext — its unfiltered streams would
+        // surface as garbled ciphertext; refuse (never-garble law)
+        if (nUpdates > 0 && encryptRef < 0 && dict.entries.contains("Encrypt"))
+          return None
         dict.intVal("XRefStm") match {
           case Some(stmOff) =>
             hybrid = true
@@ -653,6 +658,10 @@ object PdfObjects {
           encryptRef = sec.dict.refVal("Encrypt").getOrElse(return None)
           idToken = sec.dict.entries.get("ID")
         }
+        // torn chain (see the classic branch): older-revision /Encrypt
+        // under a plaintext newest trailer refuses
+        if (nUpdates > 0 && encryptRef < 0 && sec.dict.entries.contains("Encrypt"))
+          return None
         bindStream(sec)
         if (nUpdates == 0) {
           size = sec.dict.intVal("Size").getOrElse(return None).toInt

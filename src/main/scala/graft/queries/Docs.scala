@@ -2676,17 +2676,17 @@ object Docs {
         val del = (1 + (k + g + 1) % 2).toInt
         val recs = (0 until u).map(j => (s"r$j", k * 3 + j * 7L)) ++
           (0 until ins).map(j => (s"r${b + j}", k * 5 + j * 11L))
-        val d1 = HudiSnap.logBlock(1,
+        val d1 = HudiSnap.logBlock(3,
           if (k % 17 == 0 && k % 13 != 0) "2099" else ts(2),
           HudiSnap.morDataContent(recs, "null", sync))
-        val d2 = HudiSnap.logBlock(2, ts(3),
+        val d2 = HudiSnap.logBlock(1, ts(3),
           HudiSnap.morDeleteContent((0 until del).map(j => s"r${u + j}"),
             "null", sync))
         val bytes0 = if (k % 19 == 0 && k % 13 != 0 && k % 17 != 0) {
           // shuffled order: the t3 delete before the t2 upsert
-          val d2b = HudiSnap.logBlock(2, ts(3),
+          val d2b = HudiSnap.logBlock(1, ts(3),
             HudiSnap.morDeleteContent(Seq(s"r$u"), "null", sync))
-          val d1b = HudiSnap.logBlock(1, ts(2),
+          val d1b = HudiSnap.logBlock(3, ts(2),
             HudiSnap.morDataContent(recs, "null", sync))
           d2b ++ d1b
         } else d1 ++ d2
@@ -2756,6 +2756,116 @@ object Docs {
       |  CASE WHEN p.ok THEN agg.log_val_sum END AS log_val_sum,
       |  CASE WHEN p.ok THEN agg.text END AS text
       |FROM p LEFT JOIN agg ON agg.k = p.k
+      |ORDER BY media_id""".stripMargin
+
+  /** Hudi MOR TIMELINE replay with compaction + rollback (r19; see
+    * [[graft.llm.HudiSnap.replayMorTimeline]]): per key one file
+    * group — base (B rows) at t0, an upsert block (U updates, I
+    * inserts) at t2, a delete block (D base tombstones) at t3, a
+    * COMPACTION commit at t4 whose declared numWrites must equal the
+    * merged census B+I−D (the rows cross-law), a post-compaction
+    * block at t5 (P inserts + one update of a materialised base key),
+    * a t6 block VOIDED by a t7 rollback. Refusal arms: a compaction
+    * row-count lie (k mod 13), a non-tail rollback target (k mod 17),
+    * a compaction prevCommit lineage lie (k mod 19). DuckDB replays
+    * the census in closed form. */
+  def hudiCompact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.HudiSnap
+    val keys = partKeys(s, d) // full-width spread: the replay map is the cost
+    val decoded = keys.map { k =>
+      def ts(i: Int) = s"2024010100000$i"
+      val sync = Array.tabulate(16)(i => ((k * 3 + i * 11) % 256).toByte)
+      val empty = """{"partitionToWriteStats":{},"operationType":"UPSERT"}"""
+      val fid = s"f0-$k"
+      val b = 10L + k % 40
+      val u = (1 + k % 3).toInt
+      val ins = (k % 3).toInt
+      val del = (1 + (k + 1) % 2).toInt
+      val post = (1 + k % 2).toInt
+      val w = b + ins - del // the lawful compacted row count
+      val wDecl = if (k % 13 == 0) w + 1 else w // the cross-law lie arm
+      val compactPrev = if (k % 19 == 0 && k % 13 != 0) ts(2) else ts(0)
+      val rbTarget = if (k % 17 == 0 && k % 13 != 0 && k % 19 != 0) ts(2)
+        else ts(6) // non-tail arm vs the lawful tail
+      val tl = Seq(
+        (ts(0), "deltacommit", HudiSnap.commitJson(Seq(("dt=2024", fid,
+          s"dt=2024/${fid}_0.parquet", b, 100L, "null")))),
+        (ts(2), "deltacommit", empty),
+        (ts(3), "deltacommit", empty),
+        (ts(4), "commit", HudiSnap.commitJson(Seq(("dt=2024", fid,
+          s"dt=2024/${fid}_c.parquet", wDecl, 100L, compactPrev)))),
+        (ts(5), "deltacommit", empty),
+        (ts(6), "deltacommit", empty),
+        (ts(7), "rollback", HudiSnap.rollbackJson(rbTarget)))
+      val recs2 = (0 until u).map(j => (s"r$j", k * 3 + j * 7L)) ++
+        (0 until ins).map(j => (s"r${b + j}", k * 5 + j * 11L))
+      val recs5 = (0 until post).map(j => (s"r${b + 10 + j}", k * 7 + j * 13L)) ++
+        Seq(("r0", k * 11L))
+      val bytes =
+        HudiSnap.logBlock(3, ts(2), HudiSnap.morDataContent(recs2, "null", sync)) ++
+        HudiSnap.logBlock(1, ts(3), HudiSnap.morDeleteContent(
+          (0 until del).map(j => s"r${u + j}"), "null", sync)) ++
+        HudiSnap.logBlock(3, ts(5), HudiSnap.morDataContent(recs5, "null", sync)) ++
+        HudiSnap.logBlock(3, ts(6), HudiSnap.morDataContent(
+          Seq(("r0", 999999L)), "null", sync)) // voided by the rollback
+      HudiSnap.replayMorTimeline(HudiSnap.propsText(s"tbl-$k", cow = false),
+        tl, Map(("dt=2024", fid) -> bytes)) match {
+        case Some(snap) =>
+          val sl = snap.slices.head
+          (k, true, Some(sl.baseInstant), Some(sl.baseRows),
+            Some(sl.nLogBlocks), Some(sl.nCompacted), Some(sl.nVoided),
+            Some(sl.inserts), Some(sl.updates), Some(sl.deletes),
+            Some(sl.finalRows), Some(sl.logValSum),
+            Some(snap.nCompactions), Some(snap.nRollbacks))
+        case None =>
+          (k, false, None: Option[String], None: Option[Long],
+            None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Long], None: Option[Long], None: Option[Long],
+            None: Option[Long], None: Option[Long], None: Option[Int],
+            None: Option[Int])
+      }
+    }.toDF("media_id", "hc_ok", "base_instant", "base_rows", "n_blocks",
+      "n_compacted", "n_voided", "inserts", "updates", "deletes",
+      "final_rows", "log_val_sum", "n_compactions", "n_rollbacks")
+    decoded.orderBy($"media_id")
+  }
+
+  /** Closed form: U = 1+k%3 updates (vals 3k+7j), I = k%3 inserts
+    * (5k+11j), D = 1+(k+1)%2 deletes, compacted W = B+I−D, P = 1+k%2
+    * post inserts (7k+13j) + one update (11k); the t6 block voids. */
+  val hudiCompactSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok,
+      |        CAST(10 + k % 40 AS BIGINT) AS b,
+      |        CAST(1 + k % 3 AS BIGINT) AS u,
+      |        CAST(k % 3 AS BIGINT) AS ins,
+      |        CAST(1 + (k + 1) % 2 AS BIGINT) AS del,
+      |        CAST(1 + k % 2 AS BIGINT) AS post
+      |      FROM ks),
+      |cen AS (
+      |  SELECT k, ok, b + ins - del AS w, post,
+      |    u + 1 AS upd, b + ins - del + post AS fin,
+      |    u * k * 3 + 7 * u * (u - 1) // 2
+      |      + ins * k * 5 + 11 * ins * (ins - 1) // 2
+      |      + post * k * 7 + 13 * post * (post - 1) // 2
+      |      + k * 11 AS vs
+      |  FROM p)
+      |SELECT k AS media_id, ok AS hc_ok,
+      |  CASE WHEN ok THEN '20240101000004' END AS base_instant,
+      |  CASE WHEN ok THEN w END AS base_rows,
+      |  CASE WHEN ok THEN 4 END AS n_blocks,
+      |  CASE WHEN ok THEN 2 END AS n_compacted,
+      |  CASE WHEN ok THEN 1 END AS n_voided,
+      |  CASE WHEN ok THEN post END AS inserts,
+      |  CASE WHEN ok THEN upd END AS updates,
+      |  CASE WHEN ok THEN CAST(0 AS BIGINT) END AS deletes,
+      |  CASE WHEN ok THEN fin END AS final_rows,
+      |  CASE WHEN ok THEN vs END AS log_val_sum,
+      |  CASE WHEN ok THEN 1 END AS n_compactions,
+      |  CASE WHEN ok THEN 1 END AS n_rollbacks
+      |FROM cen
       |ORDER BY media_id""".stripMargin
 
   def deltaLog(s: SparkSession, d: String): DataFrame = {
@@ -4275,6 +4385,7 @@ object Docs {
     "q_iceberg_deletes" -> (icebergDeletes _),
     "q_hudi_snap" -> (hudiSnap _),
     "q_hudi_mor" -> (hudiMor _),
+    "q_hudi_compact" -> (hudiCompact _),
     "q_pickle_probe" -> (pickleProbe _),
     "q_ckpt_probe" -> (ckptProbe _),
     "q_wal_probe" -> (walProbe _),
@@ -4322,6 +4433,7 @@ object Docs {
     "q_iceberg_deletes" -> icebergDeletesSql,
     "q_hudi_snap" -> hudiSnapSql,
     "q_hudi_mor" -> hudiMorSql,
+    "q_hudi_compact" -> hudiCompactSql,
     "q_pickle_probe" -> pickleProbeSql,
     "q_ckpt_probe" -> ckptProbeSql,
     "q_wal_probe" -> walProbeSql,

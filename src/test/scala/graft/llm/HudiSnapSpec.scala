@@ -70,10 +70,11 @@ class HudiSnapSpec extends AnyFunSuite {
     (ts(2), """{"partitionToWriteStats":{},"operationType":"UPSERT"}"""),
     (ts(3), """{"partitionToWriteStats":{},"operationType":"UPSERT"}"""))
 
+  // upstream HoodieLogBlockType ordinals: 3 = AVRO_DATA, 1 = DELETE
   private def dataBlock(instant: String, recs: (String, Long)*): Array[Byte] =
-    HudiSnap.logBlock(1, instant, morDataContent(recs, "null", sync))
+    HudiSnap.logBlock(3, instant, morDataContent(recs, "null", sync))
   private def delBlock(instant: String, keys: String*): Array[Byte] =
-    HudiSnap.logBlock(2, instant, morDeleteContent(keys, "null", sync))
+    HudiSnap.logBlock(1, instant, morDeleteContent(keys, "null", sync))
 
   test("MOR replay: upserts, deletes, merged census") {
     val logs = Map(
@@ -118,7 +119,9 @@ class HudiSnapSpec extends AnyFunSuite {
     val lie = good.clone(); lie(lie.length - 1) = (lie(lie.length - 1) ^ 1).toByte
     assert(replayMor(p, morCommits, one(lie)).isEmpty)
     assert(replayMor(p, morCommits, one(
-      HudiSnap.logBlock(3, ts(2), Array.emptyByteArray))).isEmpty)
+      HudiSnap.logBlock(0, ts(2), Array.emptyByteArray))).isEmpty) // COMMAND
+    assert(replayMor(p, morCommits, one(
+      HudiSnap.logBlock(2, ts(2), Array.emptyByteArray))).isEmpty) // CORRUPT
     // an orphan log (unknown file group)
     assert(replayMor(p, morCommits,
       Map(("p=9", "zz") -> good)).isEmpty)
@@ -130,5 +133,115 @@ class HudiSnapSpec extends AnyFunSuite {
       delBlock(ts(2), "r0") ++ dataBlock(ts(3), ("r0", 5L)))).isEmpty)
     // malformed record keys refuse
     assert(replayMor(p, morCommits, one(dataBlock(ts(2), ("x1", 1L)))).isEmpty)
+  }
+
+  // ---- timeline engine: compaction + rollback (r19) ----
+
+  private val p = propsText("t1", cow = false)
+  private val empty = """{"partitionToWriteStats":{},"operationType":"UPSERT"}"""
+  private def delta(i: Int, json: String) = (ts(i), "deltacommit", json)
+  private def compact(i: Int, fid: String, part: String, rows: Long,
+                      prev: String) =
+    (ts(i), "commit", commitJson(Seq(
+      (part, fid, s"$part/${fid}_c_${ts(i)}.parquet", rows, 100L, prev))))
+  private def rb(i: Int, target: String) =
+    (ts(i), "rollback", rollbackJson(target))
+
+  test("compaction: census cross-law, materialised base, post-compaction merge") {
+    val tl = Seq(
+      delta(0, commit(0, "f0", "p=0", "null")._2),
+      delta(2, empty), delta(3, empty),
+      compact(4, "f0", "p=0", 10L, ts(0)), // census: 10 − {r0} + {r10} = 10
+      delta(5, empty))
+    val logs = Map(("p=0", "f0") ->
+      (dataBlock(ts(2), ("r3", 30L), ("r10", 100L), ("r11", 110L)) ++
+        delBlock(ts(3), "r0", "r11", "r999") ++
+        // post-compaction: r0 was tombstoned THEN compacted away — a
+        // re-insert is now a plain insert; r10 is now a base key
+        dataBlock(ts(5), ("r0", 7L), ("r10", 101L))))
+    val s = replayMorTimeline(p, tl, logs).getOrElse(fail("refused"))
+    assert(s.nCompactions == 1 && s.nRollbacks == 0 && s.nInstants == 5)
+    val f0 = s.slices.head
+    assert(f0.baseInstant == ts(4) && f0.baseRows == 10)
+    assert(f0.nLogBlocks == 3 && f0.nCompacted == 2 && f0.nVoided == 0)
+    // updates: r3 (epoch 0) + r10 (post-compaction base key) = 2
+    assert(f0.updates == 2 && f0.inserts == 1 && f0.deletes == 0)
+    assert(f0.finalRows == 11)
+    assert(f0.logValSum == 30L + 100L + 110L + 7L + 101L)
+    // the wrapped census laws: wrong declared rows refuse (both sides)
+    val lieHi = tl.updated(3, compact(4, "f0", "p=0", 11L, ts(0)))
+    val lieLo = tl.updated(3, compact(4, "f0", "p=0", 9L, ts(0)))
+    assert(replayMorTimeline(p, lieHi, logs).isEmpty)
+    assert(replayMorTimeline(p, lieLo, logs).isEmpty)
+    // lineage: a compaction whose prevCommit is not the live slice
+    assert(replayMorTimeline(p,
+      tl.updated(3, compact(4, "f0", "p=0", 10L, ts(2))), logs).isEmpty)
+    // compaction of a group with no base refuses
+    assert(replayMorTimeline(p,
+      tl.updated(3, compact(4, "zz", "p=0", 10L, ts(0))), logs).isEmpty)
+    // a stat-free compaction refuses
+    assert(replayMorTimeline(p, tl.updated(3, (ts(4), "commit", empty)),
+      logs).isEmpty)
+    // a second deltacommit base still refuses (compaction's job)
+    assert(replayMorTimeline(p, tl :+ delta(6,
+      commitJson(Seq(("p=0", "f0", "p=0/f0_x.parquet", 5L, 1L, "null")))),
+      logs).isEmpty)
+    // trailing compaction with no post-blocks: census still enforced
+    val tl2 = tl.take(4)
+    val logs2 = Map(("p=0", "f0") ->
+      (dataBlock(ts(2), ("r3", 30L), ("r10", 100L), ("r11", 110L)) ++
+        delBlock(ts(3), "r0", "r11", "r999")))
+    val s2 = replayMorTimeline(p, tl2, logs2).getOrElse(fail("refused"))
+    assert(s2.slices.head.finalRows == 10 && s2.slices.head.nCompacted == 2)
+  }
+
+  test("rollback: tail law, voided blocks, vanished bases") {
+    // roll back the log-writing deltacommit: its blocks void
+    val tl = Seq(
+      delta(0, commit(0, "f0", "p=0", "null")._2),
+      delta(2, empty),
+      rb(3, ts(2)))
+    val logs = Map(("p=0", "f0") -> dataBlock(ts(2), ("r3", 30L), ("r10", 1L)))
+    val s = replayMorTimeline(p, tl, logs).getOrElse(fail("refused"))
+    assert(s.nRollbacks == 1)
+    val f0 = s.slices.head
+    assert(f0.nVoided == 1 && f0.nLogBlocks == 1)
+    assert(f0.updates == 0 && f0.inserts == 0 && f0.finalRows == 10)
+    assert(f0.logValSum == 0L)
+    // non-tail target refuses (ts(0) is not the latest write)
+    assert(replayMorTimeline(p, Seq(
+      delta(0, commit(0, "f0", "p=0", "null")._2),
+      delta(2, empty), rb(3, ts(0))), Map.empty).isEmpty)
+    // rolling back a compaction refuses
+    assert(replayMorTimeline(p, Seq(
+      delta(0, commit(0, "f0", "p=0", "null")._2),
+      compact(4, "f0", "p=0", 10L, ts(0)), rb(5, ts(4))), Map.empty).isEmpty)
+    // a target absent from the timeline refuses
+    assert(replayMorTimeline(p, Seq(
+      delta(0, commit(0, "f0", "p=0", "null")._2), rb(5, "2099")),
+      Map.empty).isEmpty)
+    // double rollback of the same target refuses
+    assert(replayMorTimeline(p, Seq(
+      delta(0, commit(0, "f0", "p=0", "null")._2),
+      delta(2, empty), rb(3, ts(2)), rb(4, ts(2))), Map.empty).isEmpty)
+    // a rolled-back base vanishes: its logs are orphans...
+    assert(replayMorTimeline(p, Seq(
+      delta(0, commit(0, "f0", "p=0", "null")._2), rb(1, ts(0)),
+      delta(2, commit(2, "f1", "p=0", "null")._2)),
+      Map(("p=0", "f0") -> dataBlock(ts(2), ("r0", 1L)))).isEmpty)
+    // ...and the group can be re-established by a later first write
+    val s2 = replayMorTimeline(p, Seq(
+      delta(0, commit(0, "f0", "p=0", "null")._2), rb(1, ts(0)),
+      delta(2, commit(2, "f0", "p=0", "null")._2)), Map.empty)
+      .getOrElse(fail("refused"))
+    assert(s2.slices.head.baseInstant == ts(2) && s2.slices.head.baseRows == 12)
+    // a rollback with two targets refuses (one-target subset)
+    assert(replayMorTimeline(p, Seq(
+      delta(0, commit(0, "f0", "p=0", "null")._2), delta(2, empty),
+      (ts(3), "rollback",
+        s"""{"commitsRollback":["${ts(2)}","${ts(0)}"]}""")), Map.empty).isEmpty)
+    // an unknown action refuses
+    assert(replayMorTimeline(p, Seq(
+      (ts(0), "clean", commit(0, "f0", "p=0", "null")._2)), Map.empty).isEmpty)
   }
 }
