@@ -49,9 +49,44 @@ object OrcRead {
 
   /** Footer parse with the type tree: the probe's laws plus the
     * root-struct + named-children requirements. */
-  def parseMeta(b: Array[Byte]): Option[OMeta] = try {
+  def parseMeta(b: Array[Byte]): Option[OMeta] = {
     if (b == null || b.length < 16) return None
     if (!(b(0) == 'O' && b(1) == 'R' && b(2) == 'C')) return None
+    parseMetaIn(b, b.length.toLong)
+  }
+
+  /** Footer parse from a TAIL read — the 100 TB entry point: a split
+    * planner fetches only the file tail ([[requiredTail]] +
+    * [[ExtentIo.orcTail]]) instead of the whole file. `fileLen` is the
+    * true file length; stripe-extent laws check against it. The head
+    * magic is not in a tail read, so it is not verified here. */
+  def parseMetaTail(tail: Array[Byte], fileLen: Long): Option[OMeta] = {
+    if (tail == null || tail.length < 16) return None
+    if (fileLen < tail.length) return None
+    parseMetaIn(tail, fileLen)
+  }
+
+  /** Given the LAST chunk of a file (≥ 257 bytes or the whole file),
+    * the tail length a reader must fetch to cover postscript + footer:
+    * 1 + psLen + footerLen. Refuses on a malformed postscript. */
+  def requiredTail(last: Array[Byte], fileLen: Long): Option[Long] = try {
+    if (last == null || last.length < 4) return None
+    val psLen = last(last.length - 1) & 0xff
+    if (psLen < 1 || psLen + 1 > last.length) return None
+    val ps = new Pb(last, last.length - 1 - psLen, last.length - 1)
+    var footerLen = -1L
+    while (!ps.done) {
+      val (f, w) = ps.tag()
+      if (f == 1) footerLen = ps.varint() else ps.skip(w)
+    }
+    if (footerLen <= 0 || footerLen > fileLen) return None
+    Some(1L + psLen + footerLen)
+  } catch {
+    case _: Bad => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  private def parseMetaIn(b: Array[Byte], fileLen: Long): Option[OMeta] = try {
     val psLen = b(b.length - 1) & 0xff
     if (psLen < 1 || psLen + 1 > b.length - 3) return None
     val psFrom = b.length - 1 - psLen
@@ -83,7 +118,9 @@ object OrcRead {
     if (kind < 0 || kind > 5 || kind == 3) return None // LZO out of scope
     if (footerLen <= 0 || metaLen < 0) return None
     val footerFrom = psFrom - footerLen
-    if (footerFrom - metaLen < 3) return None
+    if (footerFrom < 0) return None
+    // file-absolute: header magic (3) + metadata must fit before the footer
+    if ((fileLen - b.length + footerFrom) - metaLen < 3) return None
     val footer: Array[Byte] =
       if (kind == 0) java.util.Arrays.copyOfRange(b, footerFrom.toInt, psFrom)
       else dechunk(b, footerFrom.toInt, psFrom, kind, blockSize)
@@ -113,10 +150,10 @@ object OrcRead {
           if (off < 3 || srows < 0 || idx < 0 || dat < 0 || sfl <= 0) return None
           // operands apart: attacker varints go to 2^63-1, so bound each
           // extent term against the file BEFORE any sum can wrap Long
-          if (off > b.length.toLong) return None
-          if (idx > b.length.toLong - off) return None
-          if (dat > b.length.toLong - off - idx) return None
-          if (sfl > b.length.toLong - off - idx - dat) return None
+          if (off > fileLen) return None
+          if (idx > fileLen - off) return None
+          if (dat > fileLen - off - idx) return None
+          if (sfl > fileLen - off - idx - dat) return None
           stripes += Stripe(off, idx, dat, sfl, srows)
         case 4 =>
           val (tf, tu) = fb.lenWindow()
@@ -389,21 +426,61 @@ object OrcRead {
   /** Decode one column of one stripe to boxed values (null where the
     * PRESENT stream says so). */
   def readStripeColumn(b: Array[Byte], meta: OMeta, stripeIdx: Int,
-                       colIdx: Int, maxVals: Int = 1 << 26): Option[Array[AnyRef]] = try {
+                       colIdx: Int, maxVals: Int = 1 << 26): Option[Array[AnyRef]] =
+    readStripeColumnAt(b, 0L, meta, stripeIdx, colIdx, maxVals)
+
+  /** Footer-only metadata from a local file: two tail-ranged reads,
+    * never the whole file ([[ExtentIo.orcTail]]). */
+  def metaFromTail(path: String): Option[OMeta] =
+    ExtentIo.orcTail(path).flatMap { case (t, len) => parseMetaTail(t, len) }
+
+  /** One split task's whole fetch: footer tail + ONLY this stripe's
+    * extent — never the file. Returns (meta, slice, sliceBase) for
+    * [[readStripeColumnAt]]. */
+  def openSplit(path: String, stripeIdx: Int): Option[(OMeta, Array[Byte], Long)] =
+    for {
+      meta <- metaFromTail(path)
+      ext <- stripeExtent(meta, stripeIdx)
+      slice <- ExtentIo.readRange(path, ext._1, ext._2)
+    } yield (meta, slice, ext._1)
+
+  /** Byte extent [from, until) of one stripe — index + data + stripe
+    * footer; the bytes a split task must fetch. */
+  def stripeExtent(meta: OMeta, stripeIdx: Int): Option[(Long, Long)] = {
+    if (stripeIdx < 0 || stripeIdx >= meta.stripes.length) return None
+    val st = meta.stripes(stripeIdx)
+    Some((st.offset, st.offset + st.indexLen + st.dataLen + st.footerLen))
+  }
+
+  /** [[readStripeColumn]] over an EXTENT SLICE: `buf` holds file bytes
+    * [bufBase, bufBase + buf.length) — a split task reads only its
+    * stripe's extent ([[stripeExtent]]) instead of the whole file.
+    * `bufBase = 0` with the whole file degenerates to the classic
+    * path. */
+  def readStripeColumnAt(buf: Array[Byte], bufBase: Long, meta: OMeta,
+                         stripeIdx: Int, colIdx: Int,
+                         maxVals: Int = 1 << 26): Option[Array[AnyRef]] = try {
+    val b = buf
     if (stripeIdx < 0 || stripeIdx >= meta.stripes.length) return None
     if (colIdx < 0 || colIdx >= meta.cols.length) return None
+    if (bufBase < 0) return None
     val stripe = meta.stripes(stripeIdx)
     if (stripe.rows > maxVals) return None
+    if (stripe.offset < bufBase) return None // slice must cover the stripe
     val col = meta.cols(colIdx)
     val n = stripe.rows.toInt
+    // buffer-relative position of a file-absolute offset (extents were
+    // bounded against fileLen at parse; here only vs THIS slice)
+    def rel(abs: Long): Long = abs - bufBase
     // ---- stripe footer ----
     val sfFrom = stripe.offset + stripe.indexLen + stripe.dataLen
     val sfTo = sfFrom + stripe.footerLen
-    if (sfTo > b.length - 1) return None
+    if (rel(sfTo) > b.length.toLong) return None
     val sf: Array[Byte] =
       if (meta.compression == 0)
-        java.util.Arrays.copyOfRange(b, sfFrom.toInt, sfTo.toInt)
-      else dechunk(b, sfFrom.toInt, sfTo.toInt, meta.compression, meta.blockSize)
+        java.util.Arrays.copyOfRange(b, rel(sfFrom).toInt, rel(sfTo).toInt)
+      else dechunk(b, rel(sfFrom).toInt, rel(sfTo).toInt, meta.compression,
+        meta.blockSize)
     val fp = new Pb(sf, 0, sf.length)
     val streams = scala.collection.mutable.ArrayBuffer.empty[Str]
     val encodings = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
@@ -456,7 +533,7 @@ object OrcRead {
       }
       // per-stream bound before summing: a crafted length near 2^63
       // could wrap pos and alias an in-bounds region (operands apart)
-      if (s.length > b.length.toLong - pos) return None
+      if (s.length > bufBase + b.length.toLong - pos) return None
       val out = s.copy(offset = pos)
       pos += s.length
       out
@@ -473,9 +550,9 @@ object OrcRead {
       hits.headOption
     }
     def bytesOf(s: Str): Array[Byte] = {
-      val from = s.offset
-      val to = s.offset + s.length
-      if (to > b.length - 1) bad()
+      val from = rel(s.offset)
+      val to = rel(s.offset + s.length)
+      if (from < 0 || to > b.length.toLong) bad()
       if (meta.compression == 0)
         java.util.Arrays.copyOfRange(b, from.toInt, to.toInt)
       else dechunk(b, from.toInt, to.toInt, meta.compression, meta.blockSize)

@@ -167,15 +167,36 @@ object ParquetRead {
     * with per-chunk offsets. Shares [[ParquetFooter]]'s outer laws
     * (double magic, footer-length bound, exact consumption, the
     * schema tree law, the row-count identity). */
-  def parseMeta(b: Array[Byte], maxBytes: Int = 1 << 30): Option[Meta] = try {
+  def parseMeta(b: Array[Byte], maxBytes: Int = 1 << 30): Option[Meta] = {
     if (b == null || b.length < 12 || b.length > maxBytes) return None
+    if (!(b(0) == 'P' && b(1) == 'A' && b(2) == 'R' && b(3) == '1')) return None
+    parseMetaIn(b, b.length.toLong)
+  }
+
+  /** Footer parse from a TAIL read — the 100 TB entry point: a split
+    * planner fetches only the file tail (≥ footerLen + 12 bytes, see
+    * [[ExtentIo.parquetTail]]) instead of the whole file. `fileLen` is
+    * the true file length; the chunk-extent laws are checked against
+    * it. The head magic is not in a tail read, so only the trailing
+    * magic is verified here. */
+  def parseMetaTail(tail: Array[Byte], fileLen: Long,
+                    maxBytes: Int = 1 << 30): Option[Meta] = {
+    if (tail == null || tail.length < 12 || tail.length > maxBytes) return None
+    if (fileLen < tail.length) return None
+    parseMetaIn(tail, fileLen)
+  }
+
+  private def parseMetaIn(b: Array[Byte], fileLen: Long): Option[Meta] = try {
     def magicAt(p: Int): Boolean =
       b(p) == 'P' && b(p + 1) == 'A' && b(p + 2) == 'R' && b(p + 3) == '1'
-    if (!magicAt(0) || !magicAt(b.length - 4)) return None
+    if (!magicAt(b.length - 4)) return None
     val fLen = (b(b.length - 8) & 0xff) | ((b(b.length - 7) & 0xff) << 8) |
       ((b(b.length - 6) & 0xff) << 16) | ((b(b.length - 5) & 0xff) << 24)
     if (fLen < 1 || fLen > b.length - 12) return None
-    val fStart = b.length - 8 - fLen
+    if (fLen.toLong > fileLen - 12) return None
+    val fStart = b.length - 8 - fLen // buffer-relative footer start
+    // file-absolute data-region end, for the chunk-extent laws
+    val fStartFile = fileLen - 8 - fLen
     val tr = new TR(b, fStart, b.length - 8)
 
     // schema elements: (name, numChildren, repetition, type, typeLen,
@@ -289,7 +310,7 @@ object ParquetRead {
               // operands apart: start + totalCompressed can wrap Long for
               // crafted offsets near 2^63 and alias another file region
               if (start < 4 || c.totalCompressed < 1 ||
-                c.totalCompressed > fStart.toLong - start) bad()
+                c.totalCompressed > fStartFile - start) bad()
               if (c.dictOff >= 0 && c.dictOff >= c.dataOff) bad()
             }
             rgs += Rg(rows, chunks.map(_._1).toVector)
@@ -743,12 +764,47 @@ object ParquetRead {
     * definition ≤ 1) — the shape a lake fact table reads; nested
     * leaves go through [[readColumnLevels]]. */
   def readColumn(b: Array[Byte], meta: Meta, rgIdx: Int, leafIdx: Int,
-                 maxVals: Int = 1 << 26): Option[Array[AnyRef]] = {
+                 maxVals: Int = 1 << 26): Option[Array[AnyRef]] =
+    readColumnAt(b, 0L, meta, rgIdx, leafIdx, maxVals)
+
+  /** [[readColumn]] over an extent slice (see [[readColumnLevelsAt]]). */
+  def readColumnAt(buf: Array[Byte], bufBase: Long, meta: Meta, rgIdx: Int,
+                   leafIdx: Int, maxVals: Int = 1 << 26): Option[Array[AnyRef]] = {
     if (rgIdx < 0 || rgIdx >= meta.rowGroups.length) return None
     if (leafIdx < 0 || leafIdx >= meta.leaves.length) return None
     val leaf = meta.leaves(leafIdx)
     if (leaf.maxRep != 0 || leaf.maxDef > 1) return None // flat-only pin
-    readColumnLevels(b, meta, rgIdx, leafIdx, maxVals).map(_._1)
+    readColumnLevelsAt(buf, bufBase, meta, rgIdx, leafIdx, maxVals).map(_._1)
+  }
+
+  /** Footer-only metadata from a local file: two tail-ranged reads,
+    * never the whole file ([[ExtentIo.parquetTail]]). */
+  def metaFromTail(path: String, maxBytes: Int = 1 << 30): Option[Meta] =
+    ExtentIo.parquetTail(path).flatMap { case (t, len) =>
+      parseMetaTail(t, len, maxBytes)
+    }
+
+  /** One split task's whole fetch: footer tail + ONLY this row
+    * group's extent — never the file. Returns (meta, slice, sliceBase)
+    * for [[readColumnAt]] / [[readColumnLevelsAt]]. */
+  def openSplit(path: String, rgIdx: Int): Option[(Meta, Array[Byte], Long)] =
+    for {
+      meta <- metaFromTail(path)
+      ext <- rowGroupExtent(meta, rgIdx)
+      slice <- ExtentIo.readRange(path, ext._1, ext._2)
+    } yield (meta, slice, ext._1)
+
+  /** Byte extent [from, until) covering one row group's column chunks
+    * — the bytes a split task must fetch. The footer already carries
+    * every chunk's span, so planning is footer-only. */
+  def rowGroupExtent(meta: Meta, rgIdx: Int): Option[(Long, Long)] = {
+    if (rgIdx < 0 || rgIdx >= meta.rowGroups.length) return None
+    val cs = meta.rowGroups(rgIdx).chunks
+    if (cs.isEmpty) return None
+    val starts = cs.map(c => if (c.dictOff >= 0) c.dictOff else c.dataOff)
+    val ends = cs.map(c =>
+      (if (c.dictOff >= 0) c.dictOff else c.dataOff) + c.totalCompressed)
+    Some((starts.min, ends.max))
   }
 
   /** Decode one column chunk to its Dremel-shredded form: per level
@@ -764,7 +820,18 @@ object ParquetRead {
     * must equal the page's rep==0 census; Σ page record counts ==
     * the row group's num_rows. */
   def readColumnLevels(b: Array[Byte], meta: Meta, rgIdx: Int, leafIdx: Int,
-                       maxVals: Int = 1 << 26): Option[(Array[AnyRef], Array[Int], Array[Int])] = try {
+                       maxVals: Int = 1 << 26): Option[(Array[AnyRef], Array[Int], Array[Int])] =
+    readColumnLevelsAt(b, 0L, meta, rgIdx, leafIdx, maxVals)
+
+  /** [[readColumnLevels]] over an EXTENT SLICE: `buf` holds file bytes
+    * [bufBase, bufBase + buf.length) — a split task reads only its row
+    * group's extent ([[rowGroupExtent]]) instead of the whole file,
+    * killing per-split read amplification at scale. `bufBase = 0` with
+    * the whole file degenerates to the classic path. */
+  def readColumnLevelsAt(buf: Array[Byte], bufBase: Long, meta: Meta,
+                         rgIdx: Int, leafIdx: Int,
+                         maxVals: Int = 1 << 26): Option[(Array[AnyRef], Array[Int], Array[Int])] = try {
+    val b = buf
     if (rgIdx < 0 || rgIdx >= meta.rowGroups.length) return None
     if (leafIdx < 0 || leafIdx >= meta.leaves.length) return None
     val leaf = meta.leaves(leafIdx)
@@ -774,10 +841,12 @@ object ParquetRead {
     // re-check the chunk extent against THIS buffer before any Int
     // truncation (operands apart — no Long sums that can wrap)
     val startL = if (chunk.dictOff >= 0) chunk.dictOff else chunk.dataOff
-    if (startL < 4 || startL > b.length.toLong) return None
+    if (startL < 4 || bufBase < 0 || startL < bufBase) return None
+    val rel = startL - bufBase
+    if (rel > b.length.toLong) return None
     if (chunk.totalCompressed < 1 ||
-      chunk.totalCompressed > b.length.toLong - startL) return None
-    val start = startL.toInt
+      chunk.totalCompressed > b.length.toLong - rel) return None
+    val start = rel.toInt
     val endC = start + chunk.totalCompressed.toInt
 
     val defW = if (leaf.maxDef == 0) 0 else bitWidth(leaf.maxDef)

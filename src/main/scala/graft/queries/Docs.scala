@@ -3122,11 +3122,12 @@ object Docs {
     * dictionary pages, RLE_DICTIONARY indices — and DuckDB's own scan
     * of the SAME file is the oracle, row for row and value for value
     * (the timestamp column compares as raw epoch micros, its physical
-    * INT64). Scale shape: stage 1 reads only the footer to enumerate
-    * row groups; stage 2 spreads (file, rowGroup) pairs so each task
-    * decodes its row group's column chunks independently — the
-    * lake-scan split law (row group = input split) a 1000-executor
-    * cluster relies on. */
+    * INT64). Scale shape (r19: extent-addressed): stage 1 fetches only
+    * the footer TAIL to enumerate row groups; stage 2 spreads
+    * (file, rowGroup) pairs and each task fetches ONLY its row group's
+    * byte extent ([[graft.llm.ParquetRead.openSplit]]) — the lake-scan
+    * split law (row group = input split) with split-sized I/O, proven
+    * byte-counted in ExtentIoSpec. */
   def parquetReadNative(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.ParquetRead
@@ -3134,16 +3135,15 @@ object Docs {
       "o_totalprice", "o_orderdate", "o_orderpriority")
     val path = s"$d/orders.parquet"
     val rgs = s.createDataset(Seq(path)).flatMap { p =>
-      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
-      ParquetRead.parseMeta(bytes).toSeq
+      ParquetRead.metaFromTail(p).toSeq // footer-only tail read
         .flatMap(m => m.rowGroups.indices.map(i => (p, i)))
     }
     val out = rgs.repartition(8).flatMap { case (p, rg) =>
-      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
-      ParquetRead.parseMeta(bytes).toSeq.flatMap { meta =>
+      // extent-addressed: footer tail + ONLY this row group's bytes
+      ParquetRead.openSplit(p, rg).toSeq.flatMap { case (meta, bytes, base) =>
         val idxs = names.map(nm => meta.leaves.indexWhere(_.name == nm))
         val cols = idxs.map(li =>
-          if (li < 0) None else ParquetRead.readColumn(bytes, meta, rg, li))
+          if (li < 0) None else ParquetRead.readColumnAt(bytes, base, meta, rg, li))
         if (cols.exists(_.isEmpty)) Seq.empty // refusal = missing rows, the gate flags it
         else {
           val cs = cols.map(_.get)
@@ -3182,21 +3182,20 @@ object Docs {
     import graft.llm.ParquetRead
     val path = s"$d/embeddings.parquet"
     val rgs = s.createDataset(Seq(path)).flatMap { p =>
-      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
-      ParquetRead.parseMeta(bytes).toSeq
+      ParquetRead.metaFromTail(p).toSeq // footer-only tail read
         .flatMap(m => m.rowGroups.indices.map(i => (p, i)))
     }
     val out = rgs.repartition(8).flatMap { case (p, rg) =>
-      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
-      ParquetRead.parseMeta(bytes).toSeq.flatMap { meta =>
+      // extent-addressed: footer tail + ONLY this row group's bytes
+      ParquetRead.openSplit(p, rg).toSeq.flatMap { case (meta, bytes, base) =>
         val idI = meta.leaves.indexWhere(_.name == "vec_id")
         val lbI = meta.leaves.indexWhere(_.name == "label")
         val emI = meta.leaves.indexWhere(_.path.headOption.contains("embedding"))
         if (idI < 0 || lbI < 0 || emI < 0) Seq.empty
         else {
-          val idsO = ParquetRead.readColumn(bytes, meta, rg, idI)
-          val lblO = ParquetRead.readColumn(bytes, meta, rg, lbI)
-          val embO = ParquetRead.readColumnLevels(bytes, meta, rg, emI)
+          val idsO = ParquetRead.readColumnAt(bytes, base, meta, rg, idI)
+          val lblO = ParquetRead.readColumnAt(bytes, base, meta, rg, lbI)
+          val embO = ParquetRead.readColumnLevelsAt(bytes, base, meta, rg, emI)
             .flatMap { case (v, dl, rl) =>
               ParquetRead.assembleList(v, dl, rl, meta.leaves(emI))
             }
@@ -3249,20 +3248,19 @@ object Docs {
     val file = try ls.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
       finally ls.close()
     val rgs = s.createDataset(Seq(file)).flatMap { p =>
-      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
-      ParquetRead.parseMeta(bytes).toSeq
+      ParquetRead.metaFromTail(p).toSeq // footer-only tail read
         .flatMap(m => m.rowGroups.indices.map(i => (p, i)))
     }
     val out = rgs.repartition(8).flatMap { case (p, rg) =>
-      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
-      ParquetRead.parseMeta(bytes).toSeq.flatMap { meta =>
+      // extent-addressed: footer tail + ONLY this row group's bytes
+      ParquetRead.openSplit(p, rg).toSeq.flatMap { case (meta, bytes, base) =>
         val kI = meta.leaves.indexWhere(_.name == "k")
         val xI = meta.leaves.indexWhere(_.maxRep == 2)
         if (kI < 0 || xI < 0) Seq.empty
         else {
           val leaf = meta.leaves(xI)
-          (ParquetRead.readColumn(bytes, meta, rg, kI),
-            ParquetRead.readColumnLevels(bytes, meta, rg, xI).flatMap {
+          (ParquetRead.readColumnAt(bytes, base, meta, rg, kI),
+            ParquetRead.readColumnLevelsAt(bytes, base, meta, rg, xI).flatMap {
               case (v, dl, rl) => ParquetRead.assembleNested(v, dl, rl, leaf)
             }) match {
             case (Some(keys), Some(asm)) if asm.length == keys.length =>
@@ -3325,24 +3323,23 @@ object Docs {
     val file = try ls.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
       finally ls.close()
     val rgs = s.createDataset(Seq(file)).flatMap { p =>
-      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
-      ParquetRead.parseMeta(bytes).toSeq
+      ParquetRead.metaFromTail(p).toSeq // footer-only tail read
         .flatMap(m => m.rowGroups.indices.map(i => (p, i)))
     }
     val out = rgs.repartition(8).flatMap { case (p, rg) =>
-      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
-      ParquetRead.parseMeta(bytes).toSeq.flatMap { meta =>
+      // extent-addressed: footer tail + ONLY this row group's bytes
+      ParquetRead.openSplit(p, rg).toSeq.flatMap { case (meta, bytes, base) =>
         val kI = meta.leaves.indexWhere(_.name == "k")
         val keyI = meta.leaves.indexWhere(_.path.lastOption.contains("key"))
         val valI = meta.leaves.indexWhere(_.path.lastOption.contains("value"))
         if (kI < 0 || keyI < 0 || valI < 0) Seq.empty
         else {
           def asm(li: Int): Option[Array[AnyRef]] =
-            ParquetRead.readColumnLevels(bytes, meta, rg, li).flatMap {
+            ParquetRead.readColumnLevelsAt(bytes, base, meta, rg, li).flatMap {
               case (v, dl, rl) =>
                 ParquetRead.assembleList(v, dl, rl, meta.leaves(li))
             }
-          (ParquetRead.readColumn(bytes, meta, rg, kI), asm(keyI), asm(valI)) match {
+          (ParquetRead.readColumnAt(bytes, base, meta, rg, kI), asm(keyI), asm(valI)) match {
             case (Some(ids), Some(ks), Some(vs)) =>
               ParquetRead.assembleMap(ks, vs) match {
                 case Some(maps) if maps.length == ids.length =>
@@ -3391,16 +3388,15 @@ object Docs {
       "l_extendedprice", "l_orderkey", "l_linenumber")
     val path = s"$d/lineitem.parquet"
     val rgs = s.createDataset(Seq(path)).flatMap { p =>
-      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
-      ParquetRead.parseMeta(bytes).toSeq
+      ParquetRead.metaFromTail(p).toSeq // footer-only tail read
         .flatMap(m => m.rowGroups.indices.map(i => (p, i)))
     }
     val rows = rgs.repartition(8).flatMap { case (p, rg) =>
-      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
-      ParquetRead.parseMeta(bytes).toSeq.flatMap { meta =>
+      // extent-addressed: footer tail + ONLY this row group's bytes
+      ParquetRead.openSplit(p, rg).toSeq.flatMap { case (meta, bytes, base) =>
         val idxs = names.map(nm => meta.leaves.indexWhere(_.name == nm))
         val cols = idxs.map(li =>
-          if (li < 0) None else ParquetRead.readColumn(bytes, meta, rg, li))
+          if (li < 0) None else ParquetRead.readColumnAt(bytes, base, meta, rg, li))
         if (cols.exists(_.isEmpty)) Seq.empty
         else {
           val cs = cols.map(_.get)

@@ -4278,9 +4278,12 @@ object Llm {
     * The int cast, the native TIMESTAMP (seconds + compressed-nanos
     * streams) and DECIMAL(12,2) (varint mantissa + scale stream)
     * columns, and the high-cardinality o_tag steer the writer across
-    * DICTIONARY_V2 / DIRECT_V2 / DELTA / PATCHED_BASE lanes. Scale shape: stage 1 writes once;
-    * stage 2 spreads (file, stripe) pairs — the ORC split law (stripe
-    * = input split) a 1000-executor cluster relies on. */
+    * DICTIONARY_V2 / DIRECT_V2 / DELTA / PATCHED_BASE lanes. Scale shape (r19: extent-addressed):
+    * stage 1 writes once and plans from the footer TAIL; stage 2
+    * spreads (file, stripe) pairs and each task fetches ONLY its
+    * stripe's byte extent ([[graft.llm.OrcRead.openSplit]]) — the ORC
+    * split law (stripe = input split) with split-sized I/O, proven
+    * byte-counted in ExtentIoSpec. */
   def orcRead(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.OrcRead
@@ -4300,16 +4303,15 @@ object Llm {
     val names = Seq("o_orderkey", "o_custkey_i", "o_orderstatus",
       "o_totalprice", "o_odate", "o_orderpriority", "o_tag", "o_price_dec")
     val stripes = s.createDataset(Seq(file)).flatMap { p =>
-      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
-      OrcRead.parseMeta(bytes).toSeq
+      OrcRead.metaFromTail(p).toSeq // footer-only tail read
         .flatMap(m => m.stripes.indices.map(i => (p, i)))
     }
     val out = stripes.repartition(8).flatMap { case (p, st) =>
-      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
-      OrcRead.parseMeta(bytes).toSeq.flatMap { meta =>
+      // extent-addressed: footer tail + ONLY this stripe's bytes
+      OrcRead.openSplit(p, st).toSeq.flatMap { case (meta, bytes, base) =>
         val idxs = names.map(nm => meta.cols.indexWhere(_.name == nm))
         val cols = idxs.map(ci =>
-          if (ci < 0) None else OrcRead.readStripeColumn(bytes, meta, st, ci))
+          if (ci < 0) None else OrcRead.readStripeColumnAt(bytes, base, meta, st, ci))
         if (cols.exists(_.isEmpty)) Seq.empty // refusal = missing rows, the gate flags it
         else {
           val cs = cols.map(_.get)

@@ -1,0 +1,143 @@
+package graft.llm
+
+import graft.SparkTestBase
+
+/** Extent-addressed split reads: the counting proof that a split task
+  * fetches ONLY footer-tail + its row-group/stripe extent — never the
+  * whole file — and that extent decode equals whole-file decode byte
+  * for byte. This pins the r19 fix for the readAllBytes-per-split
+  * amplification (VERDICT r18 "What's wrong" #1). */
+class ExtentIoSpec extends SparkTestBase {
+
+  private def writeOne(df: org.apache.spark.sql.DataFrame, dir: String,
+                       opts: Map[String, String], ext: String): String = {
+    val w = df.coalesce(1).write.mode("overwrite")
+    opts.foreach { case (k, v) => w.option(k, v) }
+    if (ext == "orc") w.orc(dir) else w.parquet(dir)
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith("." + ext)).head.getAbsolutePath
+  }
+
+  private def fuzzDf(n: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    import spark.implicits._
+    (0 until n).map { i =>
+      (i.toLong, rnd.nextInt(1000).toLong, s"s-${rnd.nextInt(64)}",
+        rnd.nextDouble())
+    }.toDF("id", "v", "nm", "d")
+  }
+
+  test("parquet: split reads are extent-sized and equal the whole-file decode") {
+    val tmp = java.nio.file.Files.createTempDirectory("pqext").toString
+    val path = writeOne(fuzzDf(4000, 7L), tmp, Map(
+      "compression" -> "snappy", "parquet.block.size" -> "4096"), "parquet")
+    val whole = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val fileLen = whole.length.toLong
+    val metaW = ParquetRead.parseMeta(whole).get
+    // the tail parse sees the same metadata as the whole-file parse
+    val metaT = ParquetRead.metaFromTail(path).get
+    assert(metaT == metaW)
+    assert(metaW.rowGroups.length > 1, "fixture must be multi-row-group")
+    val idIdx = metaW.leaves.indexWhere(_.name == "id")
+    val nmIdx = metaW.leaves.indexWhere(_.name == "nm")
+    // parquetTail's I/O: the 8-byte trailer probe + footerLen + 12
+    val tailCost = {
+      ExtentIo.resetCounter()
+      ParquetRead.metaFromTail(path)
+      ExtentIo.bytesRead
+    }
+    var concatIds = Vector.empty[Long]
+    metaW.rowGroups.indices.foreach { rg =>
+      val (from, until) = ParquetRead.rowGroupExtent(metaW, rg).get
+      assert(until - from < fileLen / 2, "an extent must be a fraction of the file")
+      ExtentIo.resetCounter()
+      val (meta, slice, base) = OptGet(ParquetRead.openSplit(path, rg))
+      val delta = ExtentIo.bytesRead
+      // the counting law: one split fetch = footer tail + its extent
+      assert(delta == tailCost + (until - from),
+        s"split $rg read $delta bytes; extent ${until - from} + tail $tailCost")
+      assert(delta < fileLen, "a split fetch must never reach file size")
+      // extent decode == whole-file decode, value for value
+      Seq(idIdx, nmIdx).foreach { li =>
+        val got = ParquetRead.readColumnAt(slice, base, meta, rg, li).get
+        val exp = ParquetRead.readColumn(whole, metaW, rg, li).get
+        assert(got.toSeq == exp.toSeq)
+      }
+      concatIds ++= ParquetRead.readColumnAt(slice, base, meta, rg, idIdx)
+        .get.map(_.asInstanceOf[Long])
+      // refusal arms: a short slice (clipping the extent-FINAL chunk —
+      // earlier chunks are untouched by a 1-byte cut) and a wrong base
+      // refuse, never garble
+      val lastLeaf = meta.rowGroups(rg).chunks.zipWithIndex.maxBy { case (c, _) =>
+        (if (c.dictOff >= 0) c.dictOff else c.dataOff) + c.totalCompressed
+      }._2
+      val short = java.util.Arrays.copyOfRange(slice, 0, slice.length - 1)
+      assert(ParquetRead.readColumnAt(short, base, meta, rg, lastLeaf).isEmpty)
+      assert(ParquetRead.readColumnAt(slice, base + 1, meta, rg, idIdx).isEmpty)
+    }
+    assert(concatIds == (0L until 4000L).toVector)
+  }
+
+  test("orc: split reads are extent-sized and equal the whole-file decode") {
+    val tmp = java.nio.file.Files.createTempDirectory("orcext").toString
+    val path = writeOne(fuzzDf(6000, 11L), tmp, Map(
+      "compression" -> "zlib", "orc.stripe.size" -> "65536",
+      "orc.rows.between.memory.checks" -> "128"), "orc")
+    val whole = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val fileLen = whole.length.toLong
+    val metaW = OrcRead.parseMeta(whole).get
+    val metaT = OrcRead.metaFromTail(path).get
+    assert(metaT == metaW)
+    assert(metaW.stripes.length > 1, "fixture must be multi-stripe")
+    val idIdx = metaW.cols.indexWhere(_.name == "id")
+    val nmIdx = metaW.cols.indexWhere(_.name == "nm")
+    val tailCost = {
+      ExtentIo.resetCounter()
+      OrcRead.metaFromTail(path)
+      ExtentIo.bytesRead
+    }
+    var concatIds = Vector.empty[Long]
+    metaW.stripes.indices.foreach { st =>
+      val (from, until) = OrcRead.stripeExtent(metaW, st).get
+      ExtentIo.resetCounter()
+      val (meta, slice, base) = OptGet(OrcRead.openSplit(path, st))
+      val delta = ExtentIo.bytesRead
+      assert(delta == tailCost + (until - from),
+        s"stripe $st read $delta bytes; extent ${until - from} + tail $tailCost")
+      assert(delta < fileLen, "a split fetch must never reach file size")
+      Seq(idIdx, nmIdx).foreach { ci =>
+        val got = OrcRead.readStripeColumnAt(slice, base, meta, st, ci).get
+        val exp = OrcRead.readStripeColumn(whole, metaW, st, ci).get
+        assert(got.toSeq == exp.toSeq)
+      }
+      concatIds ++= OrcRead.readStripeColumnAt(slice, base, meta, st, idIdx)
+        .get.map(_.asInstanceOf[Long])
+      val short = java.util.Arrays.copyOfRange(slice, 0, slice.length - 1)
+      assert(OrcRead.readStripeColumnAt(short, base, meta, st, idIdx).isEmpty)
+      assert(OrcRead.readStripeColumnAt(slice, base + 1, meta, st, idIdx).isEmpty)
+    }
+    assert(concatIds == (0L until 6000L).toVector)
+    // aggregate law: all stripes' extents + one tail < the file — the
+    // whole scan never re-reads a byte of another split
+    val sumExtents = metaW.stripes.indices.map { st =>
+      val (f, u) = OrcRead.stripeExtent(metaW, st).get; u - f
+    }.sum
+    assert(sumExtents + tailCost <= fileLen)
+  }
+
+  test("readRange refuses out-of-file ranges; parquetTail/orcTail refuse junk") {
+    val tmp = java.nio.file.Files.createTempDirectory("extref")
+    val f = tmp.resolve("junk.bin")
+    java.nio.file.Files.write(f, Array.fill[Byte](64)(0x5a))
+    assert(ExtentIo.readRange(f.toString, -1, 4).isEmpty)
+    assert(ExtentIo.readRange(f.toString, 10, 9).isEmpty)
+    assert(ExtentIo.readRange(f.toString, 0, 65).isEmpty)
+    assert(ExtentIo.readRange(f.toString, 60, 64).get.length == 4)
+    assert(ExtentIo.parquetTail(f.toString).isEmpty)
+    assert(ExtentIo.orcTail(f.toString).isEmpty)
+    assert(ExtentIo.readRange(tmp.resolve("absent").toString, 0, 1).isEmpty)
+  }
+
+  private def OptGet[T](o: Option[T]): T =
+    o.getOrElse(fail("openSplit refused"))
+}
