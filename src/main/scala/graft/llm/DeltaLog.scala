@@ -32,19 +32,37 @@ object DeltaLog {
 
   private val mapper = new ObjectMapper()
 
+  /** Internal: a malformed minValues/maxValues shape. */
+  private final class Bounds extends RuntimeException
+
   /** path → (size, numRecords) for the live files at the final version. */
   final case class Snapshot(version: Long,
                             files: Seq[(String, Long, Long)])
 
+  /** One live file's stats census (r19): per-column minValues /
+    * maxValues from the add's `stats` JSON, typed Long / Double /
+    * String. Columns absent from a map simply carry no bound — file
+    * skipping ([[pruneFiles]]) fails open. */
+  final case class FileCensus(path: String, size: Long, rows: Long,
+                              minValues: Map[String, Any],
+                              maxValues: Map[String, Any])
+
   def replay(commits: Seq[(Long, String)],
-             dvFiles: Map[String, Array[Byte]] = Map.empty): Option[Snapshot] = try {
+             dvFiles: Map[String, Array[Byte]] = Map.empty): Option[Snapshot] =
+    replayStats(commits, dvFiles).map(_._1)
+
+  /** [[replay]] plus the live files' stats census — the input to
+    * file-level data skipping. */
+  def replayStats(commits: Seq[(Long, String)],
+                  dvFiles: Map[String, Array[Byte]] = Map.empty): Option[(Snapshot, Vector[FileCensus])] = try {
     if (commits.isEmpty) return None
     val versions = commits.map(_._1)
     if (versions != (0L until commits.length.toLong)) return None // contiguity
     var sawProtocol = false
     var sawMeta = false
     var dvAllowed = false // reader v3 + the deletionVectors feature
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    val live = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Long, Map[String, Any], Map[String, Any])]
     commits.foreach { case (v, text) =>
       text.split("\n", -1).filter(_.nonEmpty).foreach { line =>
         val root = mapper.readTree(line)
@@ -102,6 +120,8 @@ object DeltaLog {
             val pv = a.get("partitionValues")
             if (pv == null || !pv.isObject) return None
             var rows = -1L
+            var minVals = Map.empty[String, Any]
+            var maxVals = Map.empty[String, Any]
             val stats = a.get("stats")
             if (stats != null) {
               if (!stats.isTextual) return None
@@ -111,6 +131,30 @@ object DeltaLog {
               if (nr == null || !nr.canConvertToLong || nr.asLong < 0L)
                 return None
               rows = nr.asLong
+              // minValues / maxValues (r19): typed scalars only; a
+              // non-object shape refuses, a non-scalar value is simply
+              // not a bound (nested-column stats: fail open)
+              def bounds(key: String): Map[String, Any] = {
+                val node = st.get(key)
+                if (node == null) return Map.empty
+                if (!node.isObject) throw new Bounds
+                val out = Map.newBuilder[String, Any]
+                val it = node.fields()
+                while (it.hasNext) {
+                  val e = it.next()
+                  val v = e.getValue
+                  if (v.isIntegralNumber && v.canConvertToLong)
+                    out += (e.getKey -> v.asLong)
+                  else if (v.isFloatingPointNumber)
+                    out += (e.getKey -> v.asDouble)
+                  else if (v.isTextual) out += (e.getKey -> v.asText)
+                }
+                out.result()
+              }
+              try {
+                minVals = bounds("minValues")
+                maxVals = bounds("maxValues")
+              } catch { case _: Bounds => return None }
             }
             // inline deletion vector (r18): live rows = numRecords minus
             // the DV cardinality, under the census + range laws
@@ -148,7 +192,7 @@ object DeltaLog {
               if (positions.nonEmpty && positions.last >= rows) return None // range
               rows -= card.asLong
             }
-            live(path.asText) = (size.asLong, rows) // newest wins
+            live(path.asText) = (size.asLong, rows, minVals, maxVals) // newest wins
           case "remove" =>
             if (!a.isObject) return None
             val path = a.get("path")
@@ -163,10 +207,38 @@ object DeltaLog {
     }
     if (!sawProtocol || !sawMeta) return None
     if (live.isEmpty) return None
-    Some(Snapshot(versions.last,
-      live.toSeq.map { case (p, (s, r)) => (p, s, r) }.sortBy(_._1)))
+    val sorted = live.toSeq.sortBy(_._1)
+    Some((Snapshot(versions.last,
+      sorted.map { case (p, (s, r, _, _)) => (p, s, r) }),
+      sorted.map { case (p, (s, r, mn, mx)) =>
+        FileCensus(p, s, r, mn, mx)
+      }.toVector))
   } catch {
     case _: com.fasterxml.jackson.core.JacksonException => None
+  }
+
+  /** Survivor files for the range predicate lo ≤ col ≤ hi: a file is
+    * skipped ONLY when its census PROVES no value can match — maxValue
+    * < lo or minValue > hi. Files without a bound for the column (or
+    * with a type mismatch) survive: skipping is a planner optimization,
+    * never a correctness gate. The 100 TB lever at the FILE level,
+    * above [[ParquetRead.pruneRowGroups]]'s row-group level. */
+  def pruneFiles(census: Seq[FileCensus], col: String, lo: Option[Any],
+                 hi: Option[Any]): Seq[FileCensus] = {
+    if (lo.isEmpty && hi.isEmpty) return census
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+      case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case _ => None // type mismatch: fail open
+    }
+    census.filter { f =>
+      val aboveLo = lo.forall(l =>
+        f.maxValues.get(col).forall(mx => cmp(mx, l).forall(_ >= 0)))
+      val belowHi = hi.forall(h =>
+        f.minValues.get(col).forall(mn => cmp(mn, h).forall(_ <= 0)))
+      aboveLo && belowHi
+    }
   }
 
   // ---- checkpoint parquet replay -------------------------------------------
@@ -481,6 +553,24 @@ object DeltaLog {
     s"""{"add":{"path":"${esc(path)}","partitionValues":{},"size":$size,""" +
       s""""modificationTime":1700000000000,"dataChange":true,""" +
       s""""stats":"{\\"numRecords\\":$rows}"}}"""
+
+  /** An add with per-column min/max stats — the r19 skipping census.
+    * `poisonShape` mints minValues as an ARRAY (the malformed-shape
+    * refusal arm). */
+  def addWithStats(path: String, size: Long, rows: Long,
+                   minVals: Map[String, Long], maxVals: Map[String, Long],
+                   poisonShape: Boolean = false): String = {
+    def m(vals: Map[String, Long]): String =
+      vals.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"""\\"${esc(k)}\\":$v""" }.mkString(",")
+    val minPart =
+      if (poisonShape) s"""\\"minValues\\":[1,2]"""
+      else s"""\\"minValues\\":{${m(minVals)}}"""
+    s"""{"add":{"path":"${esc(path)}","partitionValues":{},"size":$size,""" +
+      s""""modificationTime":1700000000000,"dataChange":true,""" +
+      s""""stats":"{\\"numRecords\\":$rows,$minPart,""" +
+      s"""\\"maxValues\\":{${m(maxVals)}}}"}}"""
+  }
 
   def remove(path: String): String =
     s"""{"remove":{"path":"${esc(path)}","deletionTimestamp":1700000001000,""" +

@@ -179,8 +179,11 @@ object IcebergSnap {
                               nDeleteFiles: Int, deletesApplied: Long,
                               files: Seq[(String, Long, Long, Long)])
 
-  def snapshotV2(metadataJson: String,
-                 files: Map[String, Array[Byte]]): Option[SnapshotV2] = try {
+  /** Shared v2 head: metadata JSON → current snapshot id + the
+    * manifest list's (path, length, content, seq) rows, under the
+    * metadata and manifest-list laws. */
+  private def v2Manifests(metadataJson: String, files: Map[String, Array[Byte]]):
+      Option[(Long, Vector[(String, Long, Int, Long)])] = {
     val root = mapper.readTree(metadataJson)
     if (root == null || !root.isObject) return None
     val fv = root.get("format-version")
@@ -226,6 +229,13 @@ object IcebergSnap {
         if (c.p != data.length) return None
       }
     if (manifests.isEmpty) return None
+    Some((curId, manifests.toVector))
+  }
+
+  def snapshotV2(metadataJson: String,
+                 files: Map[String, Array[Byte]]): Option[SnapshotV2] = try {
+    val (curId, manifests) = v2Manifests(metadataJson, files)
+      .getOrElse(return None)
     // ---- pass 1: data manifests → live file census ----
     val live = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
     // path → (rawRows, size, dataSeq)
@@ -322,6 +332,188 @@ object IcebergSnap {
     case _: ArrayIndexOutOfBoundsException => None
   }
 
+  // ---- v2 + column bounds: manifest-level data skipping (r19) -------------
+  // The spec's data_file lower_bounds / upper_bounds maps, reduced to
+  // the honest subset: map<string, bytes> keyed by COLUMN NAME (the
+  // spec keys by field id; this schema-pinned subset keeps the census
+  // self-describing without carrying the schema), values in Iceberg's
+  // single-value binary serialization (little-endian) — 8 bytes reads
+  // as long, 4 bytes as int; any other width is an opaque non-bound
+  // (fail open). A column present in both maps with lower > upper is
+  // a lying manifest and REFUSES (it must never steer pruning).
+
+  /** v2 manifest-entry record WITH bounds. */
+  val MESchemaV2S: String =
+    """{"type":"record","name":"manifest_entry","fields":[{"name":"status","type":"int"},{"name":"snapshot_id","type":"long"},{"name":"sequence_number","type":"long"},{"name":"file_path","type":"string"},{"name":"record_count","type":"long"},{"name":"file_size_in_bytes","type":"long"},{"name":"lower_bounds","type":{"type":"map","values":"bytes"}},{"name":"upper_bounds","type":{"type":"map","values":"bytes"}}]}"""
+
+  /** One live data file with its typed column bounds. */
+  final case class FileV2S(path: String, liveRows: Long, rawRows: Long,
+                           size: Long, lower: Map[String, Long],
+                           upper: Map[String, Long])
+  final case class SnapshotV2S(snapshotId: Long, nManifests: Int,
+                               nDeleteFiles: Int, deletesApplied: Long,
+                               files: Seq[FileV2S])
+
+  /** Avro map<string, bytes>: blocks of (count, k/v pairs), 0-count
+    * terminated; negative (size-prefixed) counts are pinned out. */
+  private def readBoundsMap(c: WireCur): Map[String, Vector[Byte]] = {
+    val out = Map.newBuilder[String, Vector[Byte]]
+    var n = c.zigzag()
+    var guard = 0
+    while (n != 0) {
+      if (n < 0) throw new Refuse
+      var i = 0L
+      while (i < n) {
+        val k = readString(c)
+        val vlen = c.zigzag()
+        if (vlen < 0 || vlen > 4096) throw new Refuse
+        out += (k -> c.bytes(vlen).toVector)
+        i += 1
+      }
+      n = c.zigzag()
+      guard += 1
+      if (guard > 64) throw new Refuse
+    }
+    out.result()
+  }
+
+  /** Little-endian single-value decode: 8 → long, 4 → int; other
+    * widths are opaque (no bound). */
+  private def boundLong(v: Vector[Byte]): Option[Long] = v.length match {
+    case 8 => Some((0 until 8).map(i => (v(i).toLong & 0xffL) << (8 * i)).reduce(_ | _))
+    case 4 => Some((((v(0) & 0xff) | ((v(1) & 0xff) << 8) | ((v(2) & 0xff) << 16) |
+      ((v(3) & 0xff) << 24)).toLong))
+    case _ => None
+  }
+
+  /** [[snapshotV2]] over the bounds-carrying entry schema: the same
+    * positional-delete laws, plus a typed (lower, upper) census per
+    * live data file — the input to manifest-level skipping
+    * ([[pruneFilesV2]]). */
+  def snapshotV2Stats(metadataJson: String,
+                      files: Map[String, Array[Byte]]): Option[SnapshotV2S] = try {
+    val (curId, manifests) = v2Manifests(metadataJson, files)
+      .getOrElse(return None)
+    // ---- pass 1: data manifests → live census with bounds ----
+    val live = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Long, Long, Map[String, Long], Map[String, Long])]
+    manifests.foreach { case (path, declLen, content, _) =>
+      val mBytes = files.getOrElse(path, return None)
+      if (mBytes.length.toLong != declLen) return None
+      if (content == 0) {
+        AvroCodec.ocfBlocks(mBytes, MESchemaV2S).getOrElse(return None)
+          .foreach { case (cnt, data) =>
+            val c = new WireCur(data, 0, data.length)
+            var i = 0L
+            while (i < cnt) {
+              val status = c.zigzag()
+              c.zigzag() // snapshot_id
+              val seq = c.zigzag()
+              val fp = readString(c)
+              val rec = c.zigzag()
+              val size = c.zigzag()
+              val lowerRaw = readBoundsMap(c)
+              val upperRaw = readBoundsMap(c)
+              if (status < 0 || status > 2) return None
+              if (rec < 0 || size < 0 || seq < 0) return None
+              val lower = lowerRaw.flatMap { case (k, v) => boundLong(v).map(k -> _) }
+              val upper = upperRaw.flatMap { case (k, v) => boundLong(v).map(k -> _) }
+              // a lying manifest (lower > upper) must not steer pruning
+              lower.keySet.intersect(upper.keySet).foreach { k =>
+                if (lower(k) > upper(k)) return None
+              }
+              if (status != 2) {
+                if (live.contains(fp)) return None // one file, one owner
+                live(fp) = (rec, size, seq, lower, upper)
+              }
+              i += 1
+            }
+            if (c.p != data.length) return None
+          }
+      }
+    }
+    if (live.isEmpty) return None
+    // ---- pass 2: delete manifests → applied positions (same laws) ----
+    val applied = scala.collection.mutable.HashSet.empty[(String, Long)]
+    var nDelFiles = 0
+    manifests.foreach { case (path, _, content, _) =>
+      if (content == 1) {
+        val mBytes = files(path) // presence + length verified in pass 1
+        AvroCodec.ocfBlocks(mBytes, MESchemaV2S).getOrElse(return None)
+          .foreach { case (cnt, data) =>
+            val c = new WireCur(data, 0, data.length)
+            var i = 0L
+            while (i < cnt) {
+              val status = c.zigzag()
+              c.zigzag() // snapshot_id
+              val delSeq = c.zigzag()
+              val fp = readString(c)
+              val rec = c.zigzag()
+              val size = c.zigzag()
+              readBoundsMap(c) // bounds on a delete entry: parsed, unused
+              readBoundsMap(c)
+              if (status < 0 || status > 2) return None
+              if (rec < 0 || size < 0 || delSeq < 0) return None
+              if (status != 2) {
+                nDelFiles += 1
+                val dBytes = files.getOrElse(fp, return None)
+                var rows = 0L
+                var prev: (String, Long) = null
+                AvroCodec.ocfBlocks(dBytes, DelSchema).getOrElse(return None)
+                  .foreach { case (dcnt, ddata) =>
+                    val dc = new WireCur(ddata, 0, ddata.length)
+                    var j = 0L
+                    while (j < dcnt) {
+                      val target = readString(dc)
+                      val pos = dc.zigzag()
+                      if (pos < 0) return None
+                      if (prev != null && (target < prev._1 ||
+                        (target == prev._1 && pos <= prev._2))) return None
+                      prev = (target, pos)
+                      val (drec, _, dseq, _, _) = live.getOrElse(target, return None)
+                      if (pos >= drec) return None // the range law
+                      if (dseq <= delSeq) applied += ((target, pos))
+                      rows += 1
+                      j += 1
+                    }
+                    if (dc.p != ddata.length) return None
+                  }
+                if (rows != rec) return None // the census cross-law
+              }
+              i += 1
+            }
+            if (c.p != data.length) return None
+          }
+      }
+    }
+    val byFile = applied.groupBy(_._1).map { case (p, s) => (p, s.size.toLong) }
+    val out = live.toSeq.map { case (p, (rec, size, _, lo, hi)) =>
+      FileV2S(p, rec - byFile.getOrElse(p, 0L), rec, size, lo, hi)
+    }.sortBy(_.path)
+    Some(SnapshotV2S(curId, manifests.length, nDelFiles,
+      applied.size.toLong, out))
+  } catch {
+    case _: Refuse => None
+    case _: com.fasterxml.jackson.core.JacksonException => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  /** Survivor data files for the range predicate lo ≤ col ≤ hi: a
+    * file is skipped ONLY when its manifest bounds PROVE no value can
+    * match (upper < lo or lower > hi); files without a bound for the
+    * column survive — skipping is a planner optimization, never a
+    * correctness gate. The manifest-level 100 TB lever, above
+    * [[DeltaLog.pruneFiles]] (file stats) and
+    * [[ParquetRead.pruneRowGroups]] (row-group stats). */
+  def pruneFilesV2(files: Seq[FileV2S], col: String, lo: Option[Long],
+                   hi: Option[Long]): Seq[FileV2S] = {
+    if (lo.isEmpty && hi.isEmpty) return files
+    files.filter { f =>
+      lo.forall(l => f.upper.get(col).forall(_ >= l)) &&
+        hi.forall(h => f.lower.get(col).forall(_ <= h))
+    }
+  }
+
   // ---- conformance writers ------------------------------------------------
 
   private def encStr(out: java.io.ByteArrayOutputStream, s: String): Unit = {
@@ -368,6 +560,38 @@ object IcebergSnap {
       AvroCodec.writeVarintForTest(o, sz)
       o.toByteArray
     }, blockSize = 3, codec = codec, sync = sync, schema = MESchemaV2)
+
+  /** v2 + bounds manifest entries: (status, snapshotId, seq, path,
+    * rec, size, lowerBounds, upperBounds) — bounds as LE-long bytes. */
+  def encodeManifestV2S(entries: Seq[(Int, Long, Long, String, Long, Long,
+                          Map[String, Long], Map[String, Long])],
+                        codec: String = "null",
+                        sync: Array[Byte]): Array[Byte] = {
+    def encMap(o: java.io.ByteArrayOutputStream, m: Map[String, Long]): Unit = {
+      if (m.nonEmpty) {
+        AvroCodec.writeVarintForTest(o, m.size.toLong)
+        m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          encStr(o, k)
+          AvroCodec.writeVarintForTest(o, 8L)
+          var i = 0
+          while (i < 8) { o.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+        }
+      }
+      AvroCodec.writeVarintForTest(o, 0L) // map terminator
+    }
+    AvroCodec.encodeOcfRaw(entries.map { case (st, sid, seq, fp, rec, sz, lo, hi) =>
+      val o = new java.io.ByteArrayOutputStream
+      AvroCodec.writeVarintForTest(o, st.toLong)
+      AvroCodec.writeVarintForTest(o, sid)
+      AvroCodec.writeVarintForTest(o, seq)
+      encStr(o, fp)
+      AvroCodec.writeVarintForTest(o, rec)
+      AvroCodec.writeVarintForTest(o, sz)
+      encMap(o, lo)
+      encMap(o, hi)
+      o.toByteArray
+    }, blockSize = 3, codec = codec, sync = sync, schema = MESchemaV2S)
+  }
 
   /** v2 manifest list rows: (path, length, content, seq, snapshotId). */
   def encodeManifestListV2(rows: Seq[(String, Long, Int, Long, Long)],

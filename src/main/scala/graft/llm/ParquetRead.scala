@@ -58,9 +58,16 @@ object ParquetRead {
                         path: Vector[String] = Vector.empty,
                         listDef: Int = 0,
                         repDefs: Vector[Int] = Vector.empty)
-  /** One column chunk inside a row group (offsets are absolute). */
+  /** One column chunk inside a row group (offsets are absolute).
+    * `minV`/`maxV` are the footer's NEW-ORDER statistics (Statistics
+    * field 6/5 raw bytes, typed via [[chunkStats]]); `nullCount` is
+    * -1 when the writer emitted none. Stats power row-group pruning
+    * ([[pruneRowGroups]]) — absent stats always survive. */
   final case class Chunk(codec: Int, numValues: Long, totalCompressed: Long,
-                         totalUncompressed: Long, dataOff: Long, dictOff: Long)
+                         totalUncompressed: Long, dataOff: Long, dictOff: Long,
+                         minV: Option[Vector[Byte]] = None,
+                         maxV: Option[Vector[Byte]] = None,
+                         nullCount: Long = -1L)
   final case class Rg(numRows: Long, chunks: Vector[Chunk])
   final case class Meta(version: Int, numRows: Long, leaves: Vector[Leaf],
                         rowGroups: Vector[Rg])
@@ -268,6 +275,9 @@ object ParquetRead {
                     var dataOff = Long.MinValue
                     var dictOff = -1L
                     var path: Vector[String] = Vector.empty
+                    var minV: Option[Vector[Byte]] = None
+                    var maxV: Option[Vector[Byte]] = None
+                    var nullCount = -1L
                     tr.struct(2) { (cf, ct) =>
                       (cf, ct) match {
                         case (1, 8) => sawPath = true; tr.bin(); true
@@ -286,6 +296,18 @@ object ParquetRead {
                               case (7, 6) => totC = tr.zigzag(); true
                               case (9, 6) => dataOff = tr.zigzag(); true
                               case (11, 6) => dictOff = tr.zigzag(); true
+                              case (12, 12) => // Statistics
+                                tr.struct(4) { (sf2, st2) =>
+                                  (sf2, st2) match {
+                                    case (3, 6) => nullCount = tr.zigzag(); true
+                                    case (5, 8) => // max_value (new order)
+                                      maxV = Some(tr.bin().toVector); true
+                                    case (6, 8) => // min_value (new order)
+                                      minV = Some(tr.bin().toVector); true
+                                    case _ => false // 1/2 legacy min/max skip
+                                  }
+                                }
+                                true
                               case _ => false
                             }
                           }
@@ -295,7 +317,9 @@ object ParquetRead {
                     }
                     if (sawPath) bad()
                     if (codec < 0 || nVals < 0 || totC < 0 || totU < 0 || dataOff < 0) bad()
-                    chunks += ((Chunk(codec, nVals, totC, totU, dataOff, dictOff), path))
+                    if (nullCount < -1 || nullCount > nVals) bad() // the null-census law
+                    chunks += ((Chunk(codec, nVals, totC, totU, dataOff, dictOff,
+                      minV, maxV, nullCount), path))
                     j += 1
                   }
                   true
@@ -783,6 +807,83 @@ object ParquetRead {
     ExtentIo.parquetTail(path).flatMap { case (t, len) =>
       parseMetaTail(t, len, maxBytes)
     }
+
+  /** Typed (min, max, nullCount) of one chunk's new-order statistics:
+    * Long for INT32/INT64, Double for FLOAT/DOUBLE, String for
+    * BYTE_ARRAY whose bytes are pure ASCII (the one case where the
+    * stats' unsigned-byte order and String order provably agree).
+    * None when the writer emitted no new-order stats, the bytes have
+    * the wrong width, or the type is outside this table; a min > max
+    * footer lie also returns None (it must not steer pruning). */
+  def chunkStats(meta: Meta, rgIdx: Int, leafIdx: Int): Option[(Any, Any, Long)] = {
+    if (rgIdx < 0 || rgIdx >= meta.rowGroups.length) return None
+    if (leafIdx < 0 || leafIdx >= meta.leaves.length) return None
+    val c = meta.rowGroups(rgIdx).chunks(leafIdx)
+    val mn = c.minV.getOrElse(return None)
+    val mx = c.maxV.getOrElse(return None)
+    def le32(v: Vector[Byte]): Option[Long] =
+      if (v.length != 4) None
+      else Some(((v(0) & 0xff) | ((v(1) & 0xff) << 8) | ((v(2) & 0xff) << 16) |
+        ((v(3) & 0xff) << 24)).toLong)
+    def le64(v: Vector[Byte]): Option[Long] =
+      if (v.length != 8) None
+      else Some((0 until 8).map(i => (v(i).toLong & 0xffL) << (8 * i)).reduce(_ | _))
+    def ascii(v: Vector[Byte]): Option[String] =
+      if (v.forall(b => b >= 0x20 && b < 0x7f)) Some(new String(v.toArray, "US-ASCII"))
+      else None
+    val typed: Option[(Any, Any)] = meta.leaves(leafIdx).typ match {
+      case 1 => for (a <- le32(mn); b <- le32(mx)) yield (a, b)
+      case 2 => for (a <- le64(mn); b <- le64(mx)) yield (a, b)
+      case 4 => for (a <- le32(mn); b <- le32(mx))
+        yield (java.lang.Float.intBitsToFloat(a.toInt).toDouble,
+          java.lang.Float.intBitsToFloat(b.toInt).toDouble)
+      case 5 => for (a <- le64(mn); b <- le64(mx))
+        yield (java.lang.Double.longBitsToDouble(a),
+          java.lang.Double.longBitsToDouble(b))
+      case 6 => for (a <- ascii(mn); b <- ascii(mx)) yield (a, b)
+      case _ => None
+    }
+    typed.flatMap { case (a, b) =>
+      val ord = (a, b) match {
+        case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+        case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+        case (x: String, y: String) => x.compareTo(y)
+        case _ => 1
+      }
+      if (ord > 0) None else Some((a, b, c.nullCount))
+    }
+  }
+
+  /** Survivor row groups for the range predicate lo ≤ col ≤ hi
+    * (either bound optional): a group is pruned ONLY when its footer
+    * stats PROVE no non-null value can match — max < lo, min > hi, or
+    * every value null. Groups without stats (or with a type/width
+    * mismatch) always survive: pruning is a planner optimization and
+    * never a correctness gate — the decode path never trusts it. This
+    * is the 100 TB lever: a selective scan schedules only the
+    * survivors' extents ([[openSplit]]). */
+  def pruneRowGroups(meta: Meta, leafName: String, lo: Option[Any],
+                     hi: Option[Any]): Vector[Int] = {
+    val li = meta.leaves.indexWhere(_.name == leafName)
+    if (li < 0 || (lo.isEmpty && hi.isEmpty))
+      return meta.rowGroups.indices.toVector
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+      case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case _ => None // type mismatch: fail open
+    }
+    meta.rowGroups.indices.filter { rg =>
+      val c = meta.rowGroups(rg).chunks(li)
+      if (c.nullCount >= 0 && c.nullCount == c.numValues) false // all null
+      else chunkStats(meta, rg, li) match {
+        case Some((mn, mx, _)) =>
+          lo.forall(l => cmp(mx, l).forall(_ >= 0)) &&
+            hi.forall(h => cmp(mn, h).forall(_ <= 0))
+        case None => true // no stats: always survive
+      }
+    }.toVector
+  }
 
   /** One split task's whole fetch: footer tail + ONLY this row
     * group's extent — never the file. Returns (meta, slice, sliceBase)

@@ -2868,6 +2868,122 @@ object Docs {
       |FROM cen
       |ORDER BY media_id""".stripMargin
 
+  /** Stats-based DATA SKIPPING across the lakehouse planners (r19;
+    * see [[graft.llm.DeltaLog.pruneFiles]] and
+    * [[graft.llm.IcebergSnap.pruneFilesV2]]): per key, a Delta log
+    * whose adds carry minValues/maxValues (file j spans
+    * [j·100, j·100+99] on column v) and an Iceberg v2 table whose
+    * manifest entries carry lower/upper bounds (file j spans
+    * [j·10, j·10+9]); a range predicate prunes to the closed-form
+    * survivor set. Fail-open arms: a stats-free Delta file (k mod 7)
+    * and a bounds-free Iceberg file (k mod 17) always survive.
+    * Refusal arms: a malformed minValues shape (k mod 13 — Delta) and
+    * an Iceberg lower > upper lie (k mod 19). DuckDB replays the
+    * survivor census in closed form. */
+  def lakePrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.{DeltaLog, IcebergSnap}
+    val keys = partKeys(s, d) // full-width spread: the plan map is the cost
+    val decoded = keys.map { k =>
+      // ---- Delta: file-level skipping over the adds' stats ----
+      val nF = (4 + k % 3).toInt
+      val lo = (k % 4) * 100 + 30
+      val hi = lo + 189
+      val noStats = k % 7 == 0
+      val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+      lines += DeltaLog.commitInfo("CREATE TABLE")
+      lines += DeltaLog.protocol()
+      lines += DeltaLog.metaData(s"tbl-$k")
+      (0 until nF).foreach { j =>
+        val rows = 50L + (k + j) % 20
+        if (noStats && j == nF - 1)
+          lines += DeltaLog.add(s"f$j-$k.parquet", 1000L + j, rows)
+        else
+          lines += DeltaLog.addWithStats(s"f$j-$k.parquet", 1000L + j, rows,
+            Map("v" -> j * 100L), Map("v" -> (j * 100L + 99L)),
+            poisonShape = k % 13 == 0 && j == 0)
+      }
+      val dRes = DeltaLog.replayStats(Seq((0L, lines.mkString("\n"))))
+        .map { case (_, census) =>
+          val surv = DeltaLog.pruneFiles(census, "v", Some(lo), Some(hi))
+          (census.length, surv.length, surv.map(_.rows).sum)
+        }
+      // ---- Iceberg: manifest-level skipping over entry bounds ----
+      val nI = (3 + k % 2).toInt
+      val ilo = (k % 3) * 10L
+      val ihi = ilo + 14L
+      val sync = Array.tabulate(16)(i => ((k * 7 + i * 3) % 256).toByte)
+      val entries = (0 until nI).map { j =>
+        val lo0 = j * 10L
+        val hi0 = if (k % 19 == 0 && j == 0) lo0 - 5L else lo0 + 9L // the lie
+        val (bl, bu) =
+          if (k % 17 == 0 && j == 1)
+            (Map.empty[String, Long], Map.empty[String, Long]) // fail open
+          else (Map("v" -> lo0), Map("v" -> hi0))
+        (1, 900L, 1L, s"data/f$j-$k.parquet", 20L + j, 4096L, bl, bu)
+      }
+      val man = IcebergSnap.encodeManifestV2S(entries, "null", sync)
+      val ml = IcebergSnap.encodeManifestListV2(
+        Seq((s"m/m1-$k.avro", man.length.toLong, 0, 1L, 900L)), "null", sync)
+      val md = IcebergSnap.metadataJsonV2(s"uuid-$k", 900L,
+        Seq((900L, s"ml/list-$k.avro")))
+      val files = Map(s"ml/list-$k.avro" -> ml, s"m/m1-$k.avro" -> man)
+      val iRes = IcebergSnap.snapshotV2Stats(md, files).map { snap =>
+        val surv = IcebergSnap.pruneFilesV2(snap.files, "v", Some(ilo), Some(ihi))
+        (snap.files.length, surv.length, surv.map(_.liveRows).sum)
+      }
+      (k,
+        dRes.isDefined, dRes.map(_._1), dRes.map(_._2), dRes.map(_._3),
+        iRes.isDefined, iRes.map(_._1), iRes.map(_._2), iRes.map(_._3))
+    }.toDF("media_id", "d_ok", "d_files", "d_survivors", "d_surv_rows",
+      "i_ok", "i_files", "i_survivors", "i_surv_rows")
+    decoded.orderBy($"media_id")
+  }
+
+  /** Closed form: Delta survivors are j ∈ [k%4, k%4+2] plus the
+    * stats-free tail file; Iceberg survivors j ∈ [k%3, k%3+1] plus the
+    * bounds-free file 1. */
+  val lakePruneSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(4 + k % 3 AS INTEGER) AS nf, k % 4 AS q,
+      |        (k % 7 = 0) AS nostats, (k % 13 <> 0) AS dok,
+      |        CAST(3 + k % 2 AS INTEGER) AS ni, k % 3 AS iq,
+      |        (k % 19 <> 0) AS iok, (k % 17 = 0) AS inob
+      |      FROM ks),
+      |df AS (
+      |  SELECT p.k, j.j,
+      |    CAST(50 + (p.k + j.j) % 20 AS BIGINT) AS rws,
+      |    ((p.nostats AND j.j = p.nf - 1)
+      |      OR (j.j >= p.q AND j.j <= p.q + 2)) AS surv
+      |  FROM p, generate_series(0, 6) j(j) WHERE j.j < p.nf),
+      |dsurv AS (
+      |  SELECT k, CAST(COUNT(*) AS INTEGER) AS total,
+      |    CAST(SUM(CASE WHEN surv THEN 1 ELSE 0 END) AS INTEGER) AS surv,
+      |    CAST(SUM(CASE WHEN surv THEN rws ELSE 0 END) AS BIGINT) AS srows
+      |  FROM df GROUP BY k),
+      |ifl AS (
+      |  SELECT p.k, j.j, CAST(20 + j.j AS BIGINT) AS live,
+      |    ((p.inob AND j.j = 1)
+      |      OR (j.j >= p.iq AND j.j <= p.iq + 1)) AS surv
+      |  FROM p, generate_series(0, 3) j(j) WHERE j.j < p.ni),
+      |isurv AS (
+      |  SELECT k, CAST(COUNT(*) AS INTEGER) AS total,
+      |    CAST(SUM(CASE WHEN surv THEN 1 ELSE 0 END) AS INTEGER) AS surv,
+      |    CAST(SUM(CASE WHEN surv THEN live ELSE 0 END) AS BIGINT) AS srows
+      |  FROM ifl GROUP BY k)
+      |SELECT p.k AS media_id, p.dok AS d_ok,
+      |  CASE WHEN p.dok THEN dsurv.total END AS d_files,
+      |  CASE WHEN p.dok THEN dsurv.surv END AS d_survivors,
+      |  CASE WHEN p.dok THEN dsurv.srows END AS d_surv_rows,
+      |  p.iok AS i_ok,
+      |  CASE WHEN p.iok THEN isurv.total END AS i_files,
+      |  CASE WHEN p.iok THEN isurv.surv END AS i_survivors,
+      |  CASE WHEN p.iok THEN isurv.srows END AS i_surv_rows
+      |FROM p
+      |JOIN dsurv ON dsurv.k = p.k
+      |JOIN isurv ON isurv.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   def deltaLog(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.llm.DeltaLog
@@ -3430,6 +3546,78 @@ object Docs {
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Parquet ROW-GROUP pruning under the oracle (r19; see
+    * [[graft.llm.ParquetRead.pruneRowGroups]]): stage 1 writes orders
+    * sorted by o_orderkey into a multi-row-group file and plans from
+    * the footer TAIL — `pruneRowGroups` keeps only groups whose
+    * min/max stats can hold keys in [10000, 20000]; stage 2 decodes
+    * EVERY group from its extent (so the gate can prove the pruned
+    * answer equals the unpruned one: `prune_equal` asserts no
+    * matching row lives outside a survivor group, `pruned_some` that
+    * the planner really dropped groups). DuckDB replays the filtered
+    * aggregate from its own scan. */
+  def parquetPrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.ParquetRead
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pqprune").toString
+    orders(s, d).select($"o_orderkey", $"o_totalprice")
+      .coalesce(1).sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite")
+      .option("parquet.block.size", "32768").parquet(tmp)
+    val ls = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+    val file = try ls.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+      finally ls.close()
+    val lo = 10000L
+    val hi = 20000L
+    // stage 1: footer-tail plan — every group, tagged survivor or not
+    val rgs = s.createDataset(Seq(file)).flatMap { p =>
+      ParquetRead.metaFromTail(p).toSeq.flatMap { m =>
+        val surv = ParquetRead
+          .pruneRowGroups(m, "o_orderkey", Some(lo), Some(hi)).toSet
+        m.rowGroups.indices.map(i => (p, i, surv.contains(i), surv.size,
+          m.rowGroups.length))
+      }
+    }
+    // stage 2: extent decode; emit matching rows with their group's tag
+    val rows = rgs.repartition(8).flatMap { case (p, rg, surv, nSurv, nTot) =>
+      ParquetRead.openSplit(p, rg).toSeq.flatMap { case (meta, bytes, base) =>
+        val kI = meta.leaves.indexWhere(_.name == "o_orderkey")
+        val pI = meta.leaves.indexWhere(_.name == "o_totalprice")
+        if (kI < 0 || pI < 0) Seq.empty
+        else {
+          val ks = ParquetRead.readColumnAt(bytes, base, meta, rg, kI)
+          val ps = ParquetRead.readColumnAt(bytes, base, meta, rg, pI)
+          (ks, ps) match {
+            case (Some(kv), Some(pv)) =>
+              kv.indices.collect {
+                case i if kv(i).asInstanceOf[Long] >= lo &&
+                  kv(i).asInstanceOf[Long] <= hi =>
+                  (kv(i).asInstanceOf[Long], pv(i).asInstanceOf[Double],
+                    surv, nSurv, nTot)
+              }.toSeq
+            case _ => Seq.empty
+          }
+        }
+      }
+    }.toDF("k", "price", "surv", "n_surv", "n_tot")
+    rows.agg(
+      sum(when($"surv", 1L).otherwise(0L)).as("n_match"),
+      sum(when($"surv", $"k")).as("sum_key"),
+      sum(when($"surv", $"price".cast("decimal(18,4)")))
+        .cast("decimal(38,6)").cast("double").as("sum_price"),
+      (sum(when(!$"surv", 1L).otherwise(0L)) === 0L).as("prune_equal"),
+      (max($"n_surv") > 0 && max($"n_surv") < max($"n_tot")).as("pruned_some"))
+  }
+
+  /** The survivor aggregate must equal DuckDB's own filtered scan —
+    * and the booleans pin the prune-on/off identity. */
+  val parquetPruneSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_match,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price,
+      |  TRUE AS prune_equal, TRUE AS pruned_some
+      |FROM orders WHERE o_orderkey BETWEEN 10000 AND 20000""".stripMargin
 
   /** Iceberg snapshot reconstruction under the oracle (see
     * [[graft.llm.IcebergSnap]]): per-key tables of 1-3 manifests with
@@ -4382,6 +4570,8 @@ object Docs {
     "q_hudi_snap" -> (hudiSnap _),
     "q_hudi_mor" -> (hudiMor _),
     "q_hudi_compact" -> (hudiCompact _),
+    "q_lake_prune" -> (lakePrune _),
+    "q_parquet_prune" -> (parquetPrune _),
     "q_pickle_probe" -> (pickleProbe _),
     "q_ckpt_probe" -> (ckptProbe _),
     "q_wal_probe" -> (walProbe _),
@@ -4430,6 +4620,8 @@ object Docs {
     "q_hudi_snap" -> hudiSnapSql,
     "q_hudi_mor" -> hudiMorSql,
     "q_hudi_compact" -> hudiCompactSql,
+    "q_lake_prune" -> lakePruneSql,
+    "q_parquet_prune" -> parquetPruneSql,
     "q_pickle_probe" -> pickleProbeSql,
     "q_ckpt_probe" -> ckptProbeSql,
     "q_wal_probe" -> walProbeSql,

@@ -1,0 +1,143 @@
+package graft.llm
+
+import graft.SparkTestBase
+
+/** Stats-based data skipping across the three planner layers (r19):
+  * parquet row-group stats (chunkStats / pruneRowGroups), Delta file
+  * stats (replayStats / pruneFiles), Iceberg manifest bounds
+  * (snapshotV2Stats / pruneFilesV2). Every pruned answer must equal
+  * the unpruned one; absent/garbled stats fail OPEN (survive), lying
+  * stats that can be detected refuse. */
+class LakePruneSpec extends SparkTestBase {
+
+  test("parquet: real-writer stats parse, typed, and prune sorted row groups") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("lp_pq").toString
+    (0 until 3000).map(i => (i.toLong, i.toDouble / 2, s"k${"%05d".format(i)}"))
+      .toDF("id", "d", "s")
+      .coalesce(1).sortWithinPartitions("id")
+      .write.mode("overwrite").option("parquet.block.size", "4096").parquet(tmp)
+    val file = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
+    val meta = ParquetRead.parseMeta(bytes).get
+    assert(meta.rowGroups.length > 2, "need several row groups")
+    val idI = meta.leaves.indexWhere(_.name == "id")
+    val dI = meta.leaves.indexWhere(_.name == "d")
+    val sI = meta.leaves.indexWhere(_.name == "s")
+    // typed stats agree with the decoded values, group by group
+    meta.rowGroups.indices.foreach { rg =>
+      val (mnL, mxL, _) = ParquetRead.chunkStats(meta, rg, idI).get
+      val vals = ParquetRead.readColumn(bytes, meta, rg, idI).get
+        .map(_.asInstanceOf[Long])
+      assert(mnL == vals.min && mxL == vals.max)
+      val (mnD, mxD, _) = ParquetRead.chunkStats(meta, rg, dI).get
+      assert(mnD == vals.min.toDouble / 2 && mxD == vals.max.toDouble / 2)
+      val (mnS, mxS, _) = ParquetRead.chunkStats(meta, rg, sI).get
+      assert(mnS == s"k${"%05d".format(vals.min)}")
+      assert(mxS == s"k${"%05d".format(vals.max)}")
+    }
+    // pruning on the sort column drops groups and loses no rows
+    val lo = 1000L; val hi = 1400L
+    val surv = ParquetRead.pruneRowGroups(meta, "id", Some(lo), Some(hi))
+    assert(surv.nonEmpty && surv.length < meta.rowGroups.length)
+    val keptRows = surv.flatMap(rg =>
+      ParquetRead.readColumn(bytes, meta, rg, idI).get
+        .map(_.asInstanceOf[Long])).filter(v => v >= lo && v <= hi)
+    assert(keptRows.sorted == (lo to hi).toVector)
+    // dropped groups provably cannot match
+    meta.rowGroups.indices.filterNot(surv.contains).foreach { rg =>
+      val (mn, mx, _) = ParquetRead.chunkStats(meta, rg, idI).get
+      assert(mx.asInstanceOf[Long] < lo || mn.asInstanceOf[Long] > hi)
+    }
+    // string pruning (pure-ASCII lane)
+    val sSurv = ParquetRead.pruneRowGroups(meta, "s", Some("k01000"), Some("k01400"))
+    assert(sSurv == surv)
+    // an unknown column or an unbounded predicate never prunes
+    assert(ParquetRead.pruneRowGroups(meta, "nope", Some(lo), Some(hi)) ==
+      meta.rowGroups.indices.toVector)
+    assert(ParquetRead.pruneRowGroups(meta, "id", None, None) ==
+      meta.rowGroups.indices.toVector)
+    // a type-mismatched bound fails open
+    assert(ParquetRead.pruneRowGroups(meta, "id", Some("oops"), None) ==
+      meta.rowGroups.indices.toVector)
+    // a min > max footer lie yields no stats (must not steer pruning)
+    val rg0 = meta.rowGroups(0)
+    val lied = meta.copy(rowGroups = meta.rowGroups.updated(0,
+      rg0.copy(chunks = rg0.chunks.updated(idI,
+        rg0.chunks(idI).copy(minV = rg0.chunks(idI).maxV,
+          maxV = rg0.chunks(idI).minV)))))
+    assert(ParquetRead.chunkStats(lied, 0, idI).isEmpty)
+    assert(ParquetRead.pruneRowGroups(lied, "id", Some(999999L), None)
+      .contains(0)) // fails open: the lied group survives
+  }
+
+  test("delta: replayStats census + pruneFiles, fail-open and refusal arms") {
+    import graft.llm.{DeltaLog => D}
+    def table(poison: Boolean, withTail: Boolean) = {
+      val lines = Seq(D.commitInfo("C"), D.protocol(), D.metaData("t")) ++
+        (0 until 4).map(j => D.addWithStats(s"f$j.parquet", 100L, 10L + j,
+          Map("v" -> j * 100L, "s" -> 1L), Map("v" -> (j * 100L + 99L), "s" -> 9L),
+          poisonShape = poison && j == 0)) ++
+        (if (withTail) Seq(D.add("tail.parquet", 100L, 7L)) else Nil)
+      Seq((0L, lines.mkString("\n")))
+    }
+    val (_, census) = D.replayStats(table(poison = false, withTail = true)).get
+    assert(census.length == 5)
+    assert(census.find(_.path == "f2.parquet").get.minValues("v") == 200L)
+    // prune 130..280: f1 (100..199), f2 (200..299) + the stats-free tail
+    val surv = D.pruneFiles(census, "v", Some(130L), Some(280L))
+    assert(surv.map(_.path) == Seq("f1.parquet", "f2.parquet", "tail.parquet"))
+    assert(surv.map(_.rows).sum == 11L + 12L + 7L)
+    // unbounded predicate: everything survives
+    assert(D.pruneFiles(census, "v", None, None).length == 5)
+    // unknown column: everything survives (fail open)
+    assert(D.pruneFiles(census, "zz", Some(0L), Some(1L)).length == 5)
+    // type mismatch: fail open
+    assert(D.pruneFiles(census, "v", Some("x"), None).length == 5)
+    // a malformed minValues shape refuses the whole replay
+    assert(D.replayStats(table(poison = true, withTail = false)).isEmpty)
+    // replay() still agrees with the census's (path, size, rows)
+    val snap = D.replay(table(poison = false, withTail = true)).get
+    assert(snap.files.map(f => (f._1, f._2, f._3)) ==
+      census.map(c => (c.path, c.size, c.rows)))
+  }
+
+  test("iceberg: v2 bounds census + pruneFilesV2, lie refusal, fail-open") {
+    import graft.llm.{IcebergSnap => I}
+    val sync = Array.tabulate(16)(i => (i * 13 + 1).toByte)
+    def table(lie: Boolean, opaque: Boolean) = {
+      val entries = (0 until 4).map { j =>
+        val lo = j * 10L
+        val hi = if (lie && j == 0) lo - 1L else lo + 9L
+        val (bl, bu) =
+          if (opaque && j == 3) (Map.empty[String, Long], Map.empty[String, Long])
+          else (Map("v" -> lo), Map("v" -> hi))
+        (1, 5L, 1L, s"data/f$j.parquet", 20L + j, 512L, bl, bu)
+      }
+      val man = I.encodeManifestV2S(entries, "null", sync)
+      val ml = I.encodeManifestListV2(Seq(("m1.avro", man.length.toLong, 0, 1L, 5L)),
+        "null", sync)
+      (I.metadataJsonV2("u", 5L, Seq((5L, "ml.avro"))),
+        Map("ml.avro" -> ml, "m1.avro" -> man))
+    }
+    val (md, files) = table(lie = false, opaque = false)
+    val snap = I.snapshotV2Stats(md, files).get
+    assert(snap.files.length == 4 && snap.nDeleteFiles == 0)
+    assert(snap.files.find(_.path == "data/f2.parquet").get.lower("v") == 20L)
+    // prune 15..29: f1 (10..19) and f2 (20..29)
+    val surv = I.pruneFilesV2(snap.files, "v", Some(15L), Some(29L))
+    assert(surv.map(_.path) == Seq("data/f1.parquet", "data/f2.parquet"))
+    assert(surv.map(_.liveRows).sum == 21L + 22L)
+    // a bounds-free file always survives
+    val (md2, files2) = table(lie = false, opaque = true)
+    val snap2 = I.snapshotV2Stats(md2, files2).get
+    val surv2 = I.pruneFilesV2(snap2.files, "v", Some(0L), Some(5L))
+    assert(surv2.map(_.path) == Seq("data/f0.parquet", "data/f3.parquet"))
+    // a lower > upper lie refuses the snapshot
+    val (md3, files3) = table(lie = true, opaque = false)
+    assert(I.snapshotV2Stats(md3, files3).isEmpty)
+    // the plain v2 lane refuses the widened schema (byte-exact pin)
+    assert(I.snapshotV2(md, files).isEmpty)
+  }
+}
