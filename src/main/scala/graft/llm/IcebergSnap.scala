@@ -514,6 +514,225 @@ object IcebergSnap {
     }
   }
 
+  // ---- v2 equality deletes (r19) -------------------------------------------
+  // The spec's second delete format (content=2 in the data_file
+  // struct): an equality delete file carries the VALUES of its
+  // equality_ids columns, and a data row is deleted when those
+  // columns match — applying to data files whose data sequence number
+  // is STRICTLY LESS than the delete's (the spec's asymmetry:
+  // positional deletes use ≤, equality deletes use <; a writer's own
+  // commit can position-delete its own files but never
+  // equality-delete them). Streaming CDC upserts (Flink-style) write
+  // these; r18's positional-only lane refused such tables.
+  //
+  // Honest subset: data files are Avro OCF rows of (k long, v long)
+  // — the census here is ROW-level, unlike the count-level v1/v2
+  // lanes — equality_ids must be exactly ["k"] (an id naming a column
+  // the data schema lacks REFUSES: the table is unreadable, not
+  // smaller), and equality delete files are OCF rows of (k long).
+  //
+  // Laws on top of the v2 set (refuse, never garble):
+  //  - entry content ∈ {0 data, 1 position deletes, 2 equality
+  //    deletes}; a data manifest may carry only content=0 entries, a
+  //    delete manifest only 1/2; equality_ids must be empty unless
+  //    content=2 and non-empty when it is;
+  //  - every file's declared record_count must equal its decoded row
+  //    count (the census cross-law, data and delete files alike);
+  //  - positional rows keep the v2 laws (sorted, live target, in
+  //    range, applied iff dataSeq ≤ delSeq);
+  //  - equality keys may name absent values (a lawful no-op — CDC
+  //    streams delete keys they never saw) and apply iff
+  //    dataSeq < delSeq; a row killed by both mechanisms counts once.
+
+  /** v2 + content/equality_ids manifest-entry record. */
+  val MESchemaV2E: String =
+    """{"type":"record","name":"manifest_entry","fields":[{"name":"status","type":"int"},{"name":"snapshot_id","type":"long"},{"name":"sequence_number","type":"long"},{"name":"file_path","type":"string"},{"name":"record_count","type":"long"},{"name":"file_size_in_bytes","type":"long"},{"name":"content","type":"int"},{"name":"equality_ids","type":{"type":"array","items":"string"}}]}"""
+
+  /** Row-level data file: (k, v) long pairs. */
+  val EqDataSchema: String =
+    """{"type":"record","name":"ice_row","fields":[{"name":"k","type":"long"},{"name":"v","type":"long"}]}"""
+
+  /** Equality delete file: deleted k values. */
+  val EqDelSchema: String =
+    """{"type":"record","name":"eq_delete","fields":[{"name":"k","type":"long"}]}"""
+
+  /** Per data file: live/raw row counts and the live Σv (the
+    * row-level census equality deletes require). */
+  final case class FileV2E(path: String, liveRows: Long, rawRows: Long,
+                           liveVSum: Long)
+  final case class SnapshotV2E(snapshotId: Long, nManifests: Int,
+                               nPosFiles: Int, nEqFiles: Int,
+                               posApplied: Long, eqApplied: Long,
+                               files: Seq[FileV2E])
+
+  /** Avro array<string>: same block shape as the bounds map. */
+  private def readIdArray(c: WireCur): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var n = c.zigzag()
+    var guard = 0
+    while (n != 0) {
+      if (n < 0) throw new Refuse
+      var i = 0L
+      while (i < n) { out += readString(c); i += 1 }
+      n = c.zigzag()
+      guard += 1
+      if (guard > 64) throw new Refuse
+    }
+    out.result()
+  }
+
+  def snapshotV2Eq(metadataJson: String,
+                   files: Map[String, Array[Byte]]): Option[SnapshotV2E] = try {
+    val (curId, manifests) = v2Manifests(metadataJson, files)
+      .getOrElse(return None)
+    // one entry parse for both passes
+    final case class Ent(status: Long, seq: Long, path: String, rec: Long,
+                         content: Int, eqIds: Vector[String])
+    def entries(mBytes: Array[Byte]): Option[Vector[Ent]] = {
+      val out = Vector.newBuilder[Ent]
+      AvroCodec.ocfBlocks(mBytes, MESchemaV2E).getOrElse(return None)
+        .foreach { case (cnt, data) =>
+          val c = new WireCur(data, 0, data.length)
+          var i = 0L
+          while (i < cnt) {
+            val status = c.zigzag()
+            c.zigzag() // snapshot_id
+            val seq = c.zigzag()
+            val fp = readString(c)
+            val rec = c.zigzag()
+            val size = c.zigzag()
+            val content = c.zigzag()
+            val eqIds = readIdArray(c)
+            if (status < 0 || status > 2) return None
+            if (rec < 0 || size < 0 || seq < 0) return None
+            if (content < 0 || content > 2) return None
+            if ((content == 2) != eqIds.nonEmpty) return None // ids iff equality
+            out += Ent(status, seq, fp, rec, content.toInt, eqIds)
+            i += 1
+          }
+          if (c.p != data.length) return None
+        }
+      Some(out.result())
+    }
+    // ---- pass 1: data manifests → decoded rows per live file ----
+    // path → (seq, keys, vals)
+    val live = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Array[Long], Array[Long])]
+    manifests.foreach { case (path, declLen, content, _) =>
+      val mBytes = files.getOrElse(path, return None)
+      if (mBytes.length.toLong != declLen) return None
+      if (content == 0) {
+        entries(mBytes).getOrElse(return None).foreach { e =>
+          if (e.content != 0) return None // a delete entry in a data manifest
+          if (e.status != 2) {
+            if (live.contains(e.path)) return None // one file, one owner
+            if (e.rec > (1 << 22)) return None // row-level lane bound
+            val dBytes = files.getOrElse(e.path, return None)
+            val ks = Array.newBuilder[Long]
+            val vs = Array.newBuilder[Long]
+            var rows = 0L
+            AvroCodec.ocfBlocks(dBytes, EqDataSchema).getOrElse(return None)
+              .foreach { case (dcnt, ddata) =>
+                val dc = new WireCur(ddata, 0, ddata.length)
+                var j = 0L
+                while (j < dcnt) {
+                  ks += dc.zigzag(); vs += dc.zigzag(); rows += 1; j += 1
+                }
+                if (dc.p != ddata.length) return None
+              }
+            if (rows != e.rec) return None // data census cross-law
+            live(e.path) = (e.seq, ks.result(), vs.result())
+          }
+        }
+      }
+    }
+    if (live.isEmpty) return None
+    // ---- pass 2: delete manifests → positional + equality kills ----
+    val posDead = scala.collection.mutable.HashSet.empty[(String, Long)]
+    // per data file, the equality keys that apply to it
+    val eqKeys = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.HashSet[Long]]
+    var nPos = 0
+    var nEq = 0
+    manifests.foreach { case (path, _, content, _) =>
+      if (content == 1) {
+        val mBytes = files(path)
+        entries(mBytes).getOrElse(return None).foreach { e =>
+          if (e.content == 0) return None // a data entry in a delete manifest
+          if (e.status != 2) {
+            val dBytes = files.getOrElse(e.path, return None)
+            if (e.content == 1) { // positional (the v2 laws)
+              nPos += 1
+              var rows = 0L
+              var prev: (String, Long) = null
+              AvroCodec.ocfBlocks(dBytes, DelSchema).getOrElse(return None)
+                .foreach { case (dcnt, ddata) =>
+                  val dc = new WireCur(ddata, 0, ddata.length)
+                  var j = 0L
+                  while (j < dcnt) {
+                    val target = readString(dc)
+                    val pos = dc.zigzag()
+                    if (pos < 0) return None
+                    if (prev != null && (target < prev._1 ||
+                      (target == prev._1 && pos <= prev._2))) return None
+                    prev = (target, pos)
+                    val (dseq, tks, _) = live.getOrElse(target, return None)
+                    if (pos >= tks.length.toLong) return None // range law
+                    if (dseq <= e.seq) posDead += ((target, pos)) // ≤: positional
+                    rows += 1
+                    j += 1
+                  }
+                  if (dc.p != ddata.length) return None
+                }
+              if (rows != e.rec) return None // census cross-law
+            } else { // equality
+              nEq += 1
+              // the missing-column refusal: ids must be exactly ["k"]
+              if (e.eqIds != Vector("k")) return None
+              val keys = scala.collection.mutable.HashSet.empty[Long]
+              var rows = 0L
+              AvroCodec.ocfBlocks(dBytes, EqDelSchema).getOrElse(return None)
+                .foreach { case (dcnt, ddata) =>
+                  val dc = new WireCur(ddata, 0, ddata.length)
+                  var j = 0L
+                  while (j < dcnt) { keys += dc.zigzag(); rows += 1; j += 1 }
+                  if (dc.p != ddata.length) return None
+                }
+              if (rows != e.rec) return None // census cross-law
+              live.foreach { case (dp, (dseq, _, _)) =>
+                if (dseq < e.seq) // <: equality, strictly
+                  eqKeys.getOrElseUpdate(dp,
+                    scala.collection.mutable.HashSet.empty[Long]) ++= keys
+              }
+            }
+          }
+        }
+      }
+    }
+    // ---- the row-level merge: a row dies once, by either mechanism ----
+    var eqApplied = 0L
+    val out = live.toSeq.map { case (p, (_, ks, vs)) =>
+      val eqk = eqKeys.getOrElse(p, scala.collection.mutable.HashSet.empty[Long])
+      var liveRows = 0L
+      var vsum = 0L
+      var i = 0
+      while (i < ks.length) {
+        val posKilled = posDead.contains((p, i.toLong))
+        val eqKilled = eqk.contains(ks(i))
+        if (!posKilled && !eqKilled) { liveRows += 1; vsum += vs(i) }
+        else if (eqKilled && !posKilled) eqApplied += 1
+        i += 1
+      }
+      FileV2E(p, liveRows, ks.length.toLong, vsum)
+    }.sortBy(_.path)
+    Some(SnapshotV2E(curId, manifests.length, nPos, nEq,
+      posDead.size.toLong, eqApplied, out))
+  } catch {
+    case _: Refuse => None
+    case _: com.fasterxml.jackson.core.JacksonException => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
   // ---- conformance writers ------------------------------------------------
 
   private def encStr(out: java.io.ByteArrayOutputStream, s: String): Unit = {
@@ -606,6 +825,48 @@ object IcebergSnap {
       AvroCodec.writeVarintForTest(o, sid)
       o.toByteArray
     }, blockSize = 4, codec = codec, sync = sync, schema = MLSchemaV2)
+
+  /** v2 + content manifest entries: (status, snapshotId, seq, path,
+    * rec, size, content, equalityIds). */
+  def encodeManifestV2E(entries: Seq[(Int, Long, Long, String, Long, Long,
+                          Int, Seq[String])],
+                        codec: String = "null",
+                        sync: Array[Byte]): Array[Byte] =
+    AvroCodec.encodeOcfRaw(entries.map { case (st, sid, seq, fp, rec, sz, ct, ids) =>
+      val o = new java.io.ByteArrayOutputStream
+      AvroCodec.writeVarintForTest(o, st.toLong)
+      AvroCodec.writeVarintForTest(o, sid)
+      AvroCodec.writeVarintForTest(o, seq)
+      encStr(o, fp)
+      AvroCodec.writeVarintForTest(o, rec)
+      AvroCodec.writeVarintForTest(o, sz)
+      AvroCodec.writeVarintForTest(o, ct.toLong)
+      if (ids.nonEmpty) {
+        AvroCodec.writeVarintForTest(o, ids.length.toLong)
+        ids.foreach(encStr(o, _))
+      }
+      AvroCodec.writeVarintForTest(o, 0L) // array terminator
+      o.toByteArray
+    }, blockSize = 3, codec = codec, sync = sync, schema = MESchemaV2E)
+
+  /** Row-level data file: (k, v) rows. */
+  def encodeDataRows(rows: Seq[(Long, Long)], codec: String = "null",
+                     sync: Array[Byte]): Array[Byte] =
+    AvroCodec.encodeOcfRaw(rows.map { case (k, v) =>
+      val o = new java.io.ByteArrayOutputStream
+      AvroCodec.writeVarintForTest(o, k)
+      AvroCodec.writeVarintForTest(o, v)
+      o.toByteArray
+    }, blockSize = 5, codec = codec, sync = sync, schema = EqDataSchema)
+
+  /** Equality delete file: deleted k values. */
+  def encodeEqDeleteFile(keys: Seq[Long], codec: String = "null",
+                         sync: Array[Byte]): Array[Byte] =
+    AvroCodec.encodeOcfRaw(keys.map { k =>
+      val o = new java.io.ByteArrayOutputStream
+      AvroCodec.writeVarintForTest(o, k)
+      o.toByteArray
+    }, blockSize = 5, codec = codec, sync = sync, schema = EqDelSchema)
 
   /** positional-delete file rows: (file_path, pos), given sorted. */
   def encodeDeleteFile(rows: Seq[(String, Long)],

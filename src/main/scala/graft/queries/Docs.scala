@@ -3805,6 +3805,109 @@ object Docs {
       |FROM p LEFT JOIN agg ON agg.k = p.k
       |ORDER BY media_id""".stripMargin
 
+  /** Iceberg v2 EQUALITY deletes under the oracle (r19; see
+    * [[graft.llm.IcebergSnap.snapshotV2Eq]]): per key, two row-level
+    * data files — f0 at sequence 1, f1 at sequence 3 — a positional
+    * delete file at sequence 2 (hits f0's first P positions; its f1
+    * row is lawful but NOT applied: 3 ≤ 2 fails the ≤ law) and an
+    * equality delete file at sequence 3 on key column k (hits E fresh
+    * f0 keys + one already-positionally-dead key counted once + one
+    * absent key as a lawful no-op; its f1-range key is NOT applied:
+    * 3 < 3 fails the STRICT < law — the spec's positional/equality
+    * asymmetry tested in both directions). Refusal arms: equality_ids
+    * naming a missing column (k mod 13), an equality record_count lie
+    * (k mod 17), a data-file row-census lie (k mod 19). DuckDB
+    * replays the live row/Σv census in closed form. */
+  def icebergEqDeletes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.IcebergSnap
+    val keys = partKeys(s, d) // full-width spread: the replay map is the cost
+    val decoded = keys.map { k =>
+      val r0 = (10 + k % 5).toInt
+      val r1 = (8 + k % 3).toInt
+      val pDel = (1 + k % 3).toInt
+      val e = (1 + k % 2).toInt
+      val sync = Array.tabulate(16)(i => ((k * 11 + i * 5) % 256).toByte)
+      val f0 = s"data/f0-$k.avro"
+      val f1 = s"data/f1-$k.avro"
+      val d0 = IcebergSnap.encodeDataRows(
+        (0 until r0).map(i => (i.toLong, k * 3 + 7L * i)), "null", sync)
+      val d1 = IcebergSnap.encodeDataRows(
+        (0 until r1).map(i => (1000L + i, k * 5 + 11L * i)), "null", sync)
+      val pd = IcebergSnap.encodeDeleteFile(
+        (0 until pDel).map(p => (f0, p.toLong)) :+ ((f1, 0L)), "null", sync)
+      val eqKeys = Seq((pDel - 1).toLong) ++ // already positionally dead
+        (pDel until pDel + e).map(_.toLong) ++ // the fresh equality kills
+        Seq(1000L, 5000L + k) // f1's key (seq law blocks) + an absent key
+      val ed = IcebergSnap.encodeEqDeleteFile(eqKeys, "null", sync)
+      val ids = if (k % 13 == 0) Seq("zz") else Seq("k") // missing-column arm
+      val dataMan = IcebergSnap.encodeManifestV2E(Seq(
+        (1, 900L, 1L, f0,
+          if (k % 19 == 0 && k % 13 != 0 && k % 17 != 0) r0 + 1L else r0.toLong,
+          d0.length.toLong, 0, Nil),
+        (1, 900L, 3L, f1, r1.toLong, d1.length.toLong, 0, Nil)), "null", sync)
+      val delMan = IcebergSnap.encodeManifestV2E(Seq(
+        (1, 900L, 2L, s"del/pd-$k.avro", pDel + 1L, pd.length.toLong, 1, Nil),
+        (1, 900L, 3L, s"del/ed-$k.avro",
+          if (k % 17 == 0 && k % 13 != 0) eqKeys.length + 1L
+          else eqKeys.length.toLong,
+          ed.length.toLong, 2, ids)), "null", sync)
+      val ml = IcebergSnap.encodeManifestListV2(Seq(
+        (s"m/dm-$k.avro", dataMan.length.toLong, 0, 1L, 900L),
+        (s"m/xm-$k.avro", delMan.length.toLong, 1, 3L, 900L)), "null", sync)
+      val md = IcebergSnap.metadataJsonV2(s"uuid-$k", 900L,
+        Seq((900L, s"ml/l-$k.avro")))
+      val files = Map(s"ml/l-$k.avro" -> ml, s"m/dm-$k.avro" -> dataMan,
+        s"m/xm-$k.avro" -> delMan, f0 -> d0, f1 -> d1,
+        s"del/pd-$k.avro" -> pd, s"del/ed-$k.avro" -> ed)
+      IcebergSnap.snapshotV2Eq(md, files) match {
+        case Some(snap) =>
+          val s0 = snap.files.find(_.path == f0).get
+          val s1 = snap.files.find(_.path == f1).get
+          (k, true, Some(snap.nPosFiles), Some(snap.nEqFiles),
+            Some(snap.posApplied), Some(snap.eqApplied),
+            Some(s0.liveRows), Some(s0.liveVSum),
+            Some(s1.liveRows), Some(s1.liveVSum))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int],
+            None: Option[Long], None: Option[Long], None: Option[Long],
+            None: Option[Long], None: Option[Long], None: Option[Long])
+      }
+    }.toDF("media_id", "eq_ok", "n_pos", "n_eq", "pos_applied", "eq_applied",
+      "f0_live", "f0_vsum", "f1_live", "f1_vsum")
+    decoded.orderBy($"media_id")
+  }
+
+  /** Closed form: f0 keeps rows i ∈ [P+E, R0); f1 keeps everything
+    * (both delete files fail their sequence laws against it). */
+  val icebergEqDeletesSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(10 + k % 5 AS BIGINT) AS r0,
+      |        CAST(8 + k % 3 AS BIGINT) AS r1,
+      |        CAST(1 + k % 3 AS BIGINT) AS pd,
+      |        CAST(1 + k % 2 AS BIGINT) AS e,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |cen AS (
+      |  SELECT k, ok, pd, e,
+      |    r0 - pd - e AS f0_live,
+      |    (r0 - pd - e) * k * 3
+      |      + 7 * ((r0 - 1) * r0 // 2 - (pd + e - 1) * (pd + e) // 2) AS f0_vsum,
+      |    r1 AS f1_live,
+      |    r1 * k * 5 + 11 * r1 * (r1 - 1) // 2 AS f1_vsum
+      |  FROM p)
+      |SELECT k AS media_id, ok AS eq_ok,
+      |  CASE WHEN ok THEN 1 END AS n_pos,
+      |  CASE WHEN ok THEN 1 END AS n_eq,
+      |  CASE WHEN ok THEN pd END AS pos_applied,
+      |  CASE WHEN ok THEN e END AS eq_applied,
+      |  CASE WHEN ok THEN f0_live END AS f0_live,
+      |  CASE WHEN ok THEN f0_vsum END AS f0_vsum,
+      |  CASE WHEN ok THEN f1_live END AS f1_live,
+      |  CASE WHEN ok THEN f1_vsum END AS f1_vsum
+      |FROM cen
+      |ORDER BY media_id""".stripMargin
+
   /** safetensors read under the oracle (see
     * [[graft.llm.TensorFormats]]): per-key weight files of 2-4
     * tensors rotating F32 / I64 / BOOL, serialized back to back under
@@ -4567,6 +4670,7 @@ object Docs {
     "q_parquet_read_map" -> (parquetReadMap _),
     "q_iceberg_snap" -> (icebergSnap _),
     "q_iceberg_deletes" -> (icebergDeletes _),
+    "q_iceberg_eq_deletes" -> (icebergEqDeletes _),
     "q_hudi_snap" -> (hudiSnap _),
     "q_hudi_mor" -> (hudiMor _),
     "q_hudi_compact" -> (hudiCompact _),
@@ -4617,6 +4721,7 @@ object Docs {
     "q_parquet_read_map" -> parquetReadMapSql,
     "q_iceberg_snap" -> icebergSnapSql,
     "q_iceberg_deletes" -> icebergDeletesSql,
+    "q_iceberg_eq_deletes" -> icebergEqDeletesSql,
     "q_hudi_snap" -> hudiSnapSql,
     "q_hudi_mor" -> hudiMorSql,
     "q_hudi_compact" -> hudiCompactSql,

@@ -136,4 +136,84 @@ class IcebergSnapSpec extends AnyFunSuite {
     assert(snapshotV2(md1.replace("\"format-version\":2",
       "\"format-version\":1"), files1).isEmpty)
   }
+
+  // ---- format-v2: equality deletes (r19) ----
+
+  private def eqTable(ids: Seq[String] = Seq("k"),
+                      eqSeq: Long = 3L,
+                      dataCensusLie: Boolean = false,
+                      eqCensusLie: Boolean = false,
+                      dataEntryInDeleteManifest: Boolean = false) = {
+    // f0 (seq 1): keys 0..9, v = 7i; f1 (seq 3): keys 100..104, v = 11i
+    val d0 = encodeDataRows((0 until 10).map(i => (i.toLong, 7L * i)), "null", sync)
+    val d1 = encodeDataRows((0 until 5).map(i => (100L + i, 11L * i)), "null", sync)
+    // positional (seq 2): f0 positions 0,1 apply (1 ≤ 2); f1 pos 0 does not (3 ≤ 2 fails)
+    val pd = encodeDeleteFile(Seq(("data/f0.avro", 0L), ("data/f0.avro", 1L),
+      ("data/f1.avro", 0L)), "null", sync)
+    // equality (seq eqSeq): key 1 (already positionally dead), keys 2,3
+    // (fresh), key 100 (f1: strict < blocks at eqSeq=3), key 999 (absent)
+    val ed = encodeEqDeleteFile(Seq(1L, 2L, 3L, 100L, 999L), "null", sync)
+    val dm = encodeManifestV2E(Seq(
+      (1, 9L, 1L, "data/f0.avro", if (dataCensusLie) 11L else 10L,
+        d0.length.toLong, 0, Nil),
+      (1, 9L, 3L, "data/f1.avro", 5L, d1.length.toLong, 0, Nil)), "null", sync)
+    val xm = encodeManifestV2E(Seq(
+      (1, 9L, 2L, "del/pd.avro", 3L, pd.length.toLong, 1, Nil),
+      (1, 9L, eqSeq, "del/ed.avro", if (eqCensusLie) 6L else 5L,
+        ed.length.toLong, 2, ids)) ++
+      (if (dataEntryInDeleteManifest)
+        Seq((1, 9L, 1L, "data/f9.avro", 0L, 1L, 0, Nil)) else Nil),
+      "null", sync)
+    val ml = encodeManifestListV2(Seq(
+      ("m/dm.avro", dm.length.toLong, 0, 1L, 9L),
+      ("m/xm.avro", xm.length.toLong, 1, eqSeq, 9L)), "null", sync)
+    val md = metadataJsonV2("uuid-3", 9L, Seq((9L, "ml.avro")))
+    (md, Map("ml.avro" -> ml, "m/dm.avro" -> dm, "m/xm.avro" -> xm,
+      "data/f0.avro" -> d0, "data/f1.avro" -> d1,
+      "del/pd.avro" -> pd, "del/ed.avro" -> ed))
+  }
+
+  test("v2 equality deletes: strict-< law, once-only kill, no-op keys") {
+    val (md, files) = eqTable()
+    val s = snapshotV2Eq(md, files).getOrElse(fail("refused"))
+    assert(s.nPosFiles == 1 && s.nEqFiles == 1)
+    // positional: f0 pos 0,1; the f1 row checked but not applied (3 ≤ 2 fails)
+    assert(s.posApplied == 2L)
+    // equality: keys 2,3 fresh; key 1 already dead counts once; key 100
+    // blocked by strict <; key 999 absent no-op
+    assert(s.eqApplied == 2L)
+    val f0 = s.files.find(_.path == "data/f0.avro").get
+    assert(f0.liveRows == 6L && f0.rawRows == 10L)
+    assert(f0.liveVSum == (4 to 9).map(7L * _).sum)
+    val f1 = s.files.find(_.path == "data/f1.avro").get
+    assert(f1.liveRows == 5L && f1.liveVSum == (0 until 5).map(11L * _).sum)
+    // raise the equality sequence past f1: its key-100 row now dies
+    val (md2, files2) = eqTable(eqSeq = 4L)
+    val s2 = snapshotV2Eq(md2, files2).get
+    assert(s2.files.find(_.path == "data/f1.avro").get.liveRows == 4L)
+    assert(s2.eqApplied == 3L)
+  }
+
+  test("v2 equality-delete refusals: missing column, census lies, misplaced entries") {
+    // equality_ids naming a column the data schema lacks refuses
+    val (mdZ, filesZ) = eqTable(ids = Seq("zz"))
+    assert(snapshotV2Eq(mdZ, filesZ).isEmpty)
+    // multi-column ids are outside the pinned subset
+    val (mdM, filesM) = eqTable(ids = Seq("k", "v"))
+    assert(snapshotV2Eq(mdM, filesM).isEmpty)
+    // census cross-laws, both files
+    val (mdD, filesD) = eqTable(dataCensusLie = true)
+    assert(snapshotV2Eq(mdD, filesD).isEmpty)
+    val (mdE, filesE) = eqTable(eqCensusLie = true)
+    assert(snapshotV2Eq(mdE, filesE).isEmpty)
+    // a data entry inside a delete manifest refuses
+    val (mdX, filesX) = eqTable(dataEntryInDeleteManifest = true)
+    assert(snapshotV2Eq(mdX, filesX).isEmpty)
+    // a torn equality delete file refuses
+    val (md, files) = eqTable()
+    assert(snapshotV2Eq(md,
+      files.updated("del/ed.avro", files("del/ed.avro").dropRight(3))).isEmpty)
+    // the plain v2 lane refuses the widened schema (byte-exact pin)
+    assert(snapshotV2(md, files).isEmpty)
+  }
 }
