@@ -14,38 +14,53 @@ package graft.llm
   * stream decompresses through [[OrcTail.dechunk]] — the engine's own
   * zlib/snappy/lz4/zstd decoders.
   *
-  * Scope pin (honest subset, refuse beyond): a root STRUCT of
-  * primitive columns — BOOLEAN (byte-RLE bits), SHORT/INT/LONG/DATE
-  * (RLEv2 signed), FLOAT/DOUBLE, STRING (both v2 encodings), BINARY,
+  * Scope pin (honest subset, refuse beyond): a root STRUCT over the
+  * full nested tree (r19) — primitives BOOLEAN (byte-RLE bits),
+  * SHORT/INT/LONG/DATE (RLEv2 signed), FLOAT/DOUBLE, STRING/VARCHAR/
+  * CHAR (both v2 encodings, char-length law), BINARY,
   * TIMESTAMP[_INSTANT] (seconds + compressed-nanos SECONDARY, pre-1970
-  * pinned out), DECIMAL (varint mantissa + scale stream). Nested
-  * types, CHAR/VARCHAR/UNION and the v1 (pre-hive-0.12) integer RLE
-  * refuse. PRESENT streams decode (nullable columns work); ROW_INDEX
-  * and bloom streams are skipped by extent, never parsed.
+  * pinned out), DECIMAL (varint mantissa + scale stream); nested
+  * STRUCT / LIST / MAP through the PRESENT/LENGTH machinery (children
+  * sized by their parents). BYTE, UNION and the v1 (pre-hive-0.12)
+  * integer RLE refuse. PRESENT streams decode (nullable columns
+  * work); ROW_INDEX and bloom streams are skipped by extent, never
+  * parsed.
   *
   * Laws (refuse, never garble):
+  *  - the type tree's ids are PREORDER-contiguous with per-kind arity
+  *    (LIST one child, MAP two, STRUCT one name per child);
   *  - the stripe's stream directory must tile the index and data
   *    regions exactly (index-kind streams first, the boundary at
   *    indexLength, the final offset at indexLength + dataLength);
   *  - every RLEv2 stream must produce exactly the declared value
   *    count and consume its bytes exactly; runs may not straddle the
   *    count; bit-packed headers may not declare impossible widths;
-  *  - PRESENT bits beyond the row count must be zero padding;
+  *  - PRESENT bits beyond the row count must be zero padding; a
+  *    nested child's value count is its parent's present/length
+  *    census (a mismatch anywhere refuses);
   *  - dictionary indices bound by dictionarySize; LENGTH sums must
   *    equal the DATA stream's byte length; strings validate as UTF-8;
+  *    CHAR/VARCHAR values obey the declared maximumLength;
   *  - a column whose encoding/type pair is not in the table above
   *    refuses (DIRECT for strings is the v1 encoding — refuse). */
 object OrcRead {
 
   import OrcTail.{Pb, bad, dechunk, Bad}
 
-  /** column: 1-based type id, name, type kind (+ decimal shape). */
+  /** column: 1-based type id, name, type kind (+ decimal/char shape). */
   final case class OCol(typeId: Int, name: String, kind: Int,
-                        precision: Int = 0, scale: Int = 0)
+                        precision: Int = 0, scale: Int = 0,
+                        maxLength: Int = 0)
+  /** one node of the footer's type tree (r19: the full tree, nested
+    * kinds included — ids are preorder, checked at parse). */
+  final case class OType(kind: Int, subtypes: Vector[Int],
+                         names: Vector[String], precision: Int = 0,
+                         scale: Int = 0, maxLength: Int = 0)
   final case class Stripe(offset: Long, indexLen: Long, dataLen: Long,
                           footerLen: Long, rows: Long)
   final case class OMeta(compression: Int, blockSize: Int, numRows: Long,
-                         cols: Vector[OCol], stripes: Vector[Stripe])
+                         cols: Vector[OCol], stripes: Vector[Stripe],
+                         types: Vector[OType] = Vector.empty)
 
   /** Footer parse with the type tree: the probe's laws plus the
     * root-struct + named-children requirements. */
@@ -127,8 +142,8 @@ object OrcRead {
     val fb = new Pb(footer, 0, footer.length)
     var rows = -1L
     val stripes = Vector.newBuilder[Stripe]
-    // types: (kind, subtypes, fieldNames)
-    val types = scala.collection.mutable.ArrayBuffer.empty[(Int, Vector[Int], Vector[String], Int, Int)]
+    // types: (kind, subtypes, fieldNames, precision, scale, maxLength)
+    val types = scala.collection.mutable.ArrayBuffer.empty[(Int, Vector[Int], Vector[String], Int, Int, Int)]
     while (!fb.done) {
       val (f, w) = fb.tag()
       f match {
@@ -161,6 +176,7 @@ object OrcRead {
           var kindT = -1
           var prec = 0
           var scl = 0
+          var maxLen = 0
           val subs = Vector.newBuilder[Int]
           val names = Vector.newBuilder[String]
           while (!tp.done) {
@@ -176,36 +192,54 @@ object OrcRead {
                 val (nf, nu) = tp.lenWindow()
                 val s = new String(footer, nf, nu - nf, java.nio.charset.StandardCharsets.UTF_8)
                 names += s
+              case (4, 0) => maxLen = tp.varint().toInt // CHAR/VARCHAR length
               case (5, 0) => prec = tp.varint().toInt // DECIMAL precision
               case (6, 0) => scl = tp.varint().toInt // DECIMAL scale
               case _ => tp.skip(w2)
             }
           }
           if (kindT < 0) return None
-          types += ((kindT, subs.result(), names.result(), prec, scl))
+          types += ((kindT, subs.result(), names.result(), prec, scl, maxLen))
         case 6 => rows = fb.varint()
         case _ => fb.skip(w)
       }
     }
     if (rows < 0 || types.isEmpty) return None
-    val root = types(0)
-    if (root._1 != 12) return None // root STRUCT
-    if (root._2.length != root._3.length) return None // one name per child
-    // scope pin: children must be primitive in-scope kinds with ids
-    // contiguous 1..n and NO further type nodes (nested types add them)
-    // BOOLEAN SHORT INT LONG FLOAT DOUBLE STRING BINARY TIMESTAMP
-    // DECIMAL DATE, TIMESTAMP_INSTANT (18 — Spark 4's UTC-anchored kind)
-    val inScope = Set(0, 2, 3, 4, 5, 6, 7, 8, 9, 14, 15, 18)
-    val cols = root._2.zip(root._3).map { case (tid, name) =>
-      if (tid < 1 || tid >= types.length) return None
-      if (!inScope.contains(types(tid)._1)) return None
-      OCol(tid, name, types(tid)._1, types(tid)._4, types(tid)._5)
+    val tv = types.toVector.map(t => OType(t._1, t._2, t._3, t._4, t._5, t._6))
+    if (tv(0).kind != 12) return None // root STRUCT
+    // tree laws (r19: full nested tree): ids are PREORDER-contiguous —
+    // every node's children are the very next ids, each subtree owns a
+    // contiguous range, and every node is owned exactly once. Arity by
+    // kind: primitives childless, LIST one child, MAP two, STRUCT one
+    // name per child. In scope: BOOLEAN SHORT INT LONG FLOAT DOUBLE
+    // STRING BINARY TIMESTAMP[_INSTANT] DECIMAL DATE VARCHAR CHAR +
+    // LIST MAP STRUCT; BYTE and UNION stay pinned out.
+    val prim = Set(0, 2, 3, 4, 5, 6, 7, 8, 9, 14, 15, 16, 17, 18)
+    var nxt = 1
+    def walkT(tid: Int, depth: Int): Boolean = {
+      if (depth > 32) return false // runaway nesting
+      val t = tv(tid)
+      val arityOk = t.kind match {
+        case 12 => t.subtypes.length == t.names.length
+        case 10 => t.subtypes.length == 1
+        case 11 => t.subtypes.length == 2
+        case k if prim.contains(k) => t.subtypes.isEmpty
+        case _ => false // UNION / BYTE: pinned out
+      }
+      arityOk && t.subtypes.forall { c =>
+        if (c != nxt || c >= tv.length) false
+        else { nxt += 1; walkT(c, depth + 1) }
+      }
     }
-    if (cols.map(_.typeId) != (1 to cols.length)) return None
-    if (types.length != cols.length + 1) return None // nested subtree leak
+    if (!walkT(0, 0)) return None
+    if (nxt != tv.length) return None // every type node owned by the tree
+    val cols = tv(0).subtypes.zip(tv(0).names).map { case (tid, name) =>
+      OCol(tid, name, tv(tid).kind, tv(tid).precision, tv(tid).scale,
+        tv(tid).maxLength)
+    }
     val st = stripes.result()
     if (st.map(_.rows).sum != rows) return None // the stripe row law
-    Some(OMeta(kind, blockSize, rows, cols, st))
+    Some(OMeta(kind, blockSize, rows, cols, st, tv))
   } catch {
     case _: Bad => None
     case _: ArrayIndexOutOfBoundsException => None
@@ -518,7 +552,7 @@ object OrcRead {
         case _ => fp.skip(w)
       }
     }
-    if (encodings.length != meta.cols.length + 1) return None // root + columns
+    if (encodings.length != meta.types.length) return None // one per type node
     // ---- stream offsets: index region then data region, tiled exactly ----
     var pos = stripe.offset
     var inData = false
@@ -543,12 +577,6 @@ object OrcRead {
       pos = stripe.offset + stripe.indexLen
     }
     if (pos != stripe.offset + stripe.indexLen + stripe.dataLen) return None
-    val tid = col.typeId
-    def streamOf(kind: Int): Option[Str] = {
-      val hits = placed.filter(s => s.column == tid && s.kind == kind)
-      if (hits.length > 1) return None // duplicate stream for the column
-      hits.headOption
-    }
     def bytesOf(s: Str): Array[Byte] = {
       val from = rel(s.offset)
       val to = rel(s.offset + s.length)
@@ -557,214 +585,294 @@ object OrcRead {
         java.util.Arrays.copyOfRange(b, from.toInt, to.toInt)
       else dechunk(b, from.toInt, to.toInt, meta.compression, meta.blockSize)
     }
-    val (encKind, dictSize) = encodings(tid)
-    // PRESENT → present flags; absent stream = all present
-    val present = streamOf(0) match {
-      case Some(s) => presentBits(bytesOf(s), n)
-      case None => null
-    }
-    val nPresent = if (present == null) n else present.count(identity)
-    val out = new Array[AnyRef](n)
-    def merge(vals: Array[AnyRef]): Array[AnyRef] = {
-      if (vals.length != nPresent) bad()
-      if (present == null) vals
-      else {
-        var i = 0; var v = 0
-        while (i < n) {
-          if (present(i)) { out(i) = vals(v); v += 1 }
-          i += 1
+    /** Decode type node `tid` into `n` slots (nulls where its PRESENT
+      * stream says). Children are sized by their parents — the ORC
+      * nesting law: a STRUCT child carries one value per PRESENT
+      * struct slot, a LIST/MAP child one per summed LENGTH. */
+    def decodeNode(tid: Int, n: Int): Array[AnyRef] = {
+      if (n < 0 || n > maxVals) bad()
+      val t = meta.types(tid)
+      val (encKind, dictSize) = encodings(tid)
+      def streamOf(kind: Int): Option[Str] = {
+        val hits = placed.filter(s => s.column == tid && s.kind == kind)
+        if (hits.length > 1) bad() // duplicate stream for the column
+        hits.headOption
+      }
+      val present = streamOf(0) match {
+        case Some(s) => presentBits(bytesOf(s), n)
+        case None => null
+      }
+      val nPresent = if (present == null) n else present.count(identity)
+      val out = new Array[AnyRef](n)
+      def merge(vals: Array[AnyRef]): Array[AnyRef] = {
+        if (vals.length != nPresent) bad()
+        if (present == null) vals
+        else {
+          var i = 0; var v = 0
+          while (i < n) {
+            if (present(i)) { out(i) = vals(v); v += 1 }
+            i += 1
+          }
+          out
         }
-        out
+      }
+      def decodeStrings(count: Int): Array[AnyRef] = encKind match {
+        case 2 => // DIRECT_V2: LENGTH + DATA
+          val lenS = streamOf(2).getOrElse(bad())
+          val dataS = streamOf(1).getOrElse(bad())
+          val lens = rlev2(bytesOf(lenS), count, signed = false)
+          val d = bytesOf(dataS)
+          if (lens.exists(_ < 0) || lens.sum != d.length.toLong) bad()
+          val vals = new Array[AnyRef](count)
+          var off = 0
+          var i = 0
+          while (i < count) {
+            val L = lens(i).toInt
+            val s = new String(d, off, L, java.nio.charset.StandardCharsets.UTF_8)
+            if (!java.util.Arrays.equals(
+              s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              java.util.Arrays.copyOfRange(d, off, off + L))) bad()
+            vals(i) = s
+            off += L
+            i += 1
+          }
+          vals
+        case 3 => // DICTIONARY_V2: DATA indices + DICTIONARY_DATA + LENGTH
+          val idxS = streamOf(1).getOrElse(bad())
+          val dictS = streamOf(3).getOrElse(bad())
+          val lenS = streamOf(2).getOrElse(bad())
+          val lens = rlev2(bytesOf(lenS), dictSize, signed = false)
+          val dd = bytesOf(dictS)
+          if (lens.exists(_ < 0) || lens.sum != dd.length.toLong) bad()
+          val dict = new Array[String](dictSize)
+          var off = 0
+          var i = 0
+          while (i < dictSize) {
+            val L = lens(i).toInt
+            val s = new String(dd, off, L, java.nio.charset.StandardCharsets.UTF_8)
+            if (!java.util.Arrays.equals(
+              s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              java.util.Arrays.copyOfRange(dd, off, off + L))) bad()
+            dict(i) = s
+            off += L
+            i += 1
+          }
+          val idxs = rlev2(bytesOf(idxS), count, signed = false)
+          val vals = new Array[AnyRef](count)
+          i = 0
+          while (i < count) {
+            val j = idxs(i)
+            if (j < 0 || j >= dictSize) bad()
+            vals(i) = dict(j.toInt)
+            i += 1
+          }
+          vals
+        case _ => bad() // v1 string encodings refuse
+      }
+      /** LENGTH stream over the present slots of a LIST/MAP node. */
+      def lengths(): Array[Long] = {
+        if (encKind != 2) bad()
+        val lenS = streamOf(2).getOrElse(bad())
+        val lens = rlev2(bytesOf(lenS), nPresent, signed = false)
+        if (lens.exists(l => l < 0 || l > maxVals.toLong)) bad()
+        if (lens.sum > maxVals.toLong) bad()
+        lens
+      }
+      t.kind match {
+        case 0 => // BOOLEAN: bit-packed inside byte-RLE (MSB-first)
+          if (encKind != 0 && encKind != 2) bad()
+          val data = streamOf(1).getOrElse(bad())
+          val bits = presentBits(bytesOf(data), nPresent)
+          val vals = new Array[AnyRef](nPresent)
+          var i = 0
+          while (i < nPresent) {
+            vals(i) = java.lang.Boolean.valueOf(bits(i)); i += 1
+          }
+          merge(vals)
+        case 2 | 3 | 4 | 15 => // SHORT / INT / LONG / DATE: RLEv2 signed
+          if (encKind != 2) bad() // DIRECT_V2 only (v1 RLE refuses)
+          val data = streamOf(1).getOrElse(bad())
+          val longs = rlev2(bytesOf(data), nPresent, signed = true)
+          val vals = new Array[AnyRef](nPresent)
+          var i = 0
+          t.kind match {
+            case 2 =>
+              while (i < nPresent) {
+                if (longs(i) < Short.MinValue || longs(i) > Short.MaxValue) bad()
+                vals(i) = java.lang.Short.valueOf(longs(i).toShort); i += 1
+              }
+            case 3 | 15 =>
+              while (i < nPresent) {
+                if (longs(i) < Int.MinValue || longs(i) > Int.MaxValue) bad()
+                vals(i) = Integer.valueOf(longs(i).toInt); i += 1
+              }
+            case _ =>
+              while (i < nPresent) { vals(i) = java.lang.Long.valueOf(longs(i)); i += 1 }
+          }
+          merge(vals)
+        case 5 | 6 => // FLOAT / DOUBLE: IEEE LE
+          if (encKind != 0 && encKind != 2) bad()
+          val data = streamOf(1).getOrElse(bad())
+          val d = bytesOf(data)
+          val width = if (t.kind == 5) 4 else 8
+          if (d.length != width.toLong * nPresent) bad()
+          val vals = new Array[AnyRef](nPresent)
+          var i = 0
+          while (i < nPresent) {
+            var v = 0L
+            var k = width - 1
+            while (k >= 0) { v = (v << 8) | (d(i * width + k) & 0xffL); k -= 1 }
+            vals(i) = if (t.kind == 5) java.lang.Float.valueOf(java.lang.Float.intBitsToFloat(v.toInt))
+                      else java.lang.Double.valueOf(java.lang.Double.longBitsToDouble(v))
+            i += 1
+          }
+          merge(vals)
+        case 7 => // STRING
+          merge(decodeStrings(nPresent))
+        case 16 | 17 => // VARCHAR / CHAR: string lanes + the length law
+          val vals = decodeStrings(nPresent)
+          if (t.maxLength > 0) {
+            var i = 0
+            while (i < nPresent) {
+              val s = vals(i).asInstanceOf[String]
+              if (s.codePointCount(0, s.length) > t.maxLength) bad()
+              i += 1
+            }
+          }
+          merge(vals)
+        case 8 => // BINARY: DIRECT_V2 (LENGTH + DATA), no UTF-8 law
+          if (encKind != 2) bad()
+          val lenS = streamOf(2).getOrElse(bad())
+          val dataS = streamOf(1).getOrElse(bad())
+          val lens = rlev2(bytesOf(lenS), nPresent, signed = false)
+          val d = bytesOf(dataS)
+          if (lens.exists(_ < 0) || lens.sum != d.length.toLong) bad()
+          val vals = new Array[AnyRef](nPresent)
+          var off = 0
+          var i = 0
+          while (i < nPresent) {
+            val L = lens(i).toInt
+            vals(i) = java.util.Arrays.copyOfRange(d, off, off + L)
+            off += L
+            i += 1
+          }
+          merge(vals)
+        case 9 | 18 => // TIMESTAMP[_INSTANT]: DATA = seconds from 2015-01-01 (signed),
+          // SECONDARY = nanos with the trailing-zero compression (spec
+          // §Timestamp). Surface: epoch MICROS as Long. Pre-1970 values
+          // sit in the writer's negative-truncation wart zone — pinned out.
+          if (encKind != 2) bad()
+          val dataS = streamOf(1).getOrElse(bad())
+          val secS = streamOf(5).getOrElse(bad())
+          val secs = rlev2(bytesOf(dataS), nPresent, signed = true)
+          val nanosEnc = rlev2(bytesOf(secS), nPresent, signed = false)
+          val vals = new Array[AnyRef](nPresent)
+          var i = 0
+          while (i < nPresent) {
+            val zeros = (nanosEnc(i) & 7L).toInt
+            var nanos = nanosEnc(i) >>> 3
+            if (zeros != 0) {
+              // the writer strips z trailing zeros and stores z - 1 (the
+              // real orc-core encoding, arbitrated against its own bytes:
+              // 234 ms → 234 << 3 | 5, i.e. ×10^6)
+              var z = 0
+              while (z < zeros + 1) { nanos *= 10; z += 1 }
+            }
+            if (nanos < 0 || nanos > 999999999L) bad()
+            val epochSec = secs(i) + 1420070400L
+            if (epochSec < 0) bad() // pre-1970 pin
+            vals(i) = java.lang.Long.valueOf(epochSec * 1000000L + nanos / 1000L)
+            i += 1
+          }
+          merge(vals)
+        case 14 => // DECIMAL: DATA = unbounded zigzag varints (unscaled),
+          // SECONDARY = per-value scale; normalized to the declared scale
+          // (a scale needing rounding is a torn writer — refuse)
+          if (encKind != 2) bad()
+          if (t.precision < 1 || t.scale < 0 || t.scale > t.precision) bad()
+          val dataS = streamOf(1).getOrElse(bad())
+          val secS = streamOf(5).getOrElse(bad())
+          val scales = rlev2(bytesOf(secS), nPresent, signed = true)
+          val d = bytesOf(dataS)
+          val vals = new Array[AnyRef](nPresent)
+          var p = 0
+          var i = 0
+          while (i < nPresent) {
+            var acc = java.math.BigInteger.ZERO
+            var sh = 0
+            var more = true
+            while (more) {
+              if (p >= d.length) bad()
+              val x = d(p) & 0xff; p += 1
+              acc = acc.or(java.math.BigInteger.valueOf((x & 0x7f).toLong)
+                .shiftLeft(sh))
+              if ((x & 0x80) == 0) more = false
+              else { sh += 7; if (sh > 18 * 7) bad() } // 38 digits ≈ 127 bits
+            }
+            val unscaled =
+              if (acc.testBit(0)) acc.shiftRight(1).not() else acc.shiftRight(1)
+            if (scales(i) < 0 || scales(i) > 38) bad()
+            val bd0 = new java.math.BigDecimal(unscaled, scales(i).toInt)
+            val bd = try bd0.setScale(t.scale) catch {
+              case _: ArithmeticException => bad()
+            }
+            if (bd.unscaledValue.abs.toString.length > t.precision) bad()
+            vals(i) = bd
+            i += 1
+          }
+          if (p != d.length) bad() // the DATA stream is consumed exactly
+          merge(vals)
+        case 10 => // LIST (r19): LENGTH over present slots; one child
+          val lens = lengths()
+          val child = decodeNode(t.subtypes(0), lens.sum.toInt)
+          val vals = new Array[AnyRef](nPresent)
+          var off = 0
+          var i = 0
+          while (i < nPresent) {
+            val L = lens(i).toInt
+            val slot = new Array[AnyRef](L)
+            System.arraycopy(child, off, slot, 0, L)
+            vals(i) = slot.toVector
+            off += L
+            i += 1
+          }
+          merge(vals)
+        case 11 => // MAP (r19): LENGTH; key + value children, zipped in order
+          val lens = lengths()
+          val total = lens.sum.toInt
+          val ks = decodeNode(t.subtypes(0), total)
+          val vs = decodeNode(t.subtypes(1), total)
+          val vals = new Array[AnyRef](nPresent)
+          var off = 0
+          var i = 0
+          while (i < nPresent) {
+            val L = lens(i).toInt
+            val slot = Vector.newBuilder[(AnyRef, AnyRef)]
+            var j = 0
+            while (j < L) {
+              if (ks(off + j) == null) bad() // a null map key is a torn writer
+              slot += ((ks(off + j), vs(off + j)))
+              j += 1
+            }
+            vals(i) = slot.result()
+            off += L
+            i += 1
+          }
+          merge(vals)
+        case 12 => // STRUCT (r19): children carry one value per present slot
+          if (encKind != 0) bad() // DIRECT is the only struct encoding
+          val fields = t.subtypes.map(st => decodeNode(st, nPresent))
+          val vals = new Array[AnyRef](nPresent)
+          var i = 0
+          while (i < nPresent) {
+            vals(i) = fields.map(f => f(i))
+            i += 1
+          }
+          merge(vals)
+        case _ => bad() // out of the pinned scope
       }
     }
-    col.kind match {
-      case 0 => // BOOLEAN: bit-packed inside byte-RLE (MSB-first)
-        if (encKind != 0 && encKind != 2) return None
-        val data = streamOf(1).getOrElse(return None)
-        val bits = presentBits(bytesOf(data), nPresent)
-        val vals = new Array[AnyRef](nPresent)
-        var i = 0
-        while (i < nPresent) {
-          vals(i) = java.lang.Boolean.valueOf(bits(i)); i += 1
-        }
-        Some(merge(vals))
-      case 2 | 3 | 4 | 15 => // SHORT / INT / LONG / DATE: RLEv2 signed
-        if (encKind != 2) return None // DIRECT_V2 only (v1 RLE refuses)
-        val data = streamOf(1).getOrElse(return None)
-        val longs = rlev2(bytesOf(data), nPresent, signed = true)
-        val vals = new Array[AnyRef](nPresent)
-        var i = 0
-        col.kind match {
-          case 2 =>
-            while (i < nPresent) {
-              if (longs(i) < Short.MinValue || longs(i) > Short.MaxValue) bad()
-              vals(i) = java.lang.Short.valueOf(longs(i).toShort); i += 1
-            }
-          case 3 | 15 =>
-            while (i < nPresent) {
-              if (longs(i) < Int.MinValue || longs(i) > Int.MaxValue) bad()
-              vals(i) = Integer.valueOf(longs(i).toInt); i += 1
-            }
-          case _ =>
-            while (i < nPresent) { vals(i) = java.lang.Long.valueOf(longs(i)); i += 1 }
-        }
-        Some(merge(vals))
-      case 5 | 6 => // FLOAT / DOUBLE: IEEE LE
-        if (encKind != 0 && encKind != 2) return None
-        val data = streamOf(1).getOrElse(return None)
-        val d = bytesOf(data)
-        val width = if (col.kind == 5) 4 else 8
-        if (d.length != width.toLong * nPresent) bad()
-        val vals = new Array[AnyRef](nPresent)
-        var i = 0
-        while (i < nPresent) {
-          var v = 0L
-          var k = width - 1
-          while (k >= 0) { v = (v << 8) | (d(i * width + k) & 0xffL); k -= 1 }
-          vals(i) = if (col.kind == 5) java.lang.Float.valueOf(java.lang.Float.intBitsToFloat(v.toInt))
-                    else java.lang.Double.valueOf(java.lang.Double.longBitsToDouble(v))
-          i += 1
-        }
-        Some(merge(vals))
-      case 7 => // STRING
-        encKind match {
-          case 2 => // DIRECT_V2: LENGTH + DATA
-            val lenS = streamOf(2).getOrElse(return None)
-            val dataS = streamOf(1).getOrElse(return None)
-            val lens = rlev2(bytesOf(lenS), nPresent, signed = false)
-            val d = bytesOf(dataS)
-            if (lens.exists(_ < 0) || lens.sum != d.length.toLong) bad()
-            val vals = new Array[AnyRef](nPresent)
-            var off = 0
-            var i = 0
-            while (i < nPresent) {
-              val L = lens(i).toInt
-              val s = new String(d, off, L, java.nio.charset.StandardCharsets.UTF_8)
-              if (!java.util.Arrays.equals(
-                s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-                java.util.Arrays.copyOfRange(d, off, off + L))) bad()
-              vals(i) = s
-              off += L
-              i += 1
-            }
-            Some(merge(vals))
-          case 3 => // DICTIONARY_V2: DATA indices + DICTIONARY_DATA + LENGTH
-            val idxS = streamOf(1).getOrElse(return None)
-            val dictS = streamOf(3).getOrElse(return None)
-            val lenS = streamOf(2).getOrElse(return None)
-            val lens = rlev2(bytesOf(lenS), dictSize, signed = false)
-            val dd = bytesOf(dictS)
-            if (lens.exists(_ < 0) || lens.sum != dd.length.toLong) bad()
-            val dict = new Array[String](dictSize)
-            var off = 0
-            var i = 0
-            while (i < dictSize) {
-              val L = lens(i).toInt
-              val s = new String(dd, off, L, java.nio.charset.StandardCharsets.UTF_8)
-              if (!java.util.Arrays.equals(
-                s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-                java.util.Arrays.copyOfRange(dd, off, off + L))) bad()
-              dict(i) = s
-              off += L
-              i += 1
-            }
-            val idxs = rlev2(bytesOf(idxS), nPresent, signed = false)
-            val vals = new Array[AnyRef](nPresent)
-            i = 0
-            while (i < nPresent) {
-              val j = idxs(i)
-              if (j < 0 || j >= dictSize) bad()
-              vals(i) = dict(j.toInt)
-              i += 1
-            }
-            Some(merge(vals))
-          case _ => None // v1 string encodings refuse
-        }
-      case 8 => // BINARY: DIRECT_V2 (LENGTH + DATA), no UTF-8 law
-        if (encKind != 2) return None
-        val lenS = streamOf(2).getOrElse(return None)
-        val dataS = streamOf(1).getOrElse(return None)
-        val lens = rlev2(bytesOf(lenS), nPresent, signed = false)
-        val d = bytesOf(dataS)
-        if (lens.exists(_ < 0) || lens.sum != d.length.toLong) bad()
-        val vals = new Array[AnyRef](nPresent)
-        var off = 0
-        var i = 0
-        while (i < nPresent) {
-          val L = lens(i).toInt
-          vals(i) = java.util.Arrays.copyOfRange(d, off, off + L)
-          off += L
-          i += 1
-        }
-        Some(merge(vals))
-      case 9 | 18 => // TIMESTAMP[_INSTANT]: DATA = seconds from 2015-01-01 (signed),
-        // SECONDARY = nanos with the trailing-zero compression (spec
-        // §Timestamp). Surface: epoch MICROS as Long. Pre-1970 values
-        // sit in the writer's negative-truncation wart zone — pinned out.
-        if (encKind != 2) return None
-        val dataS = streamOf(1).getOrElse(return None)
-        val secS = streamOf(5).getOrElse(return None)
-        val secs = rlev2(bytesOf(dataS), nPresent, signed = true)
-        val nanosEnc = rlev2(bytesOf(secS), nPresent, signed = false)
-        val vals = new Array[AnyRef](nPresent)
-        var i = 0
-        while (i < nPresent) {
-          val zeros = (nanosEnc(i) & 7L).toInt
-          var nanos = nanosEnc(i) >>> 3
-          if (zeros != 0) {
-            // the writer strips z trailing zeros and stores z - 1 (the
-            // real orc-core encoding, arbitrated against its own bytes:
-            // 234 ms → 234 << 3 | 5, i.e. ×10^6)
-            var z = 0
-            while (z < zeros + 1) { nanos *= 10; z += 1 }
-          }
-          if (nanos < 0 || nanos > 999999999L) bad()
-          val epochSec = secs(i) + 1420070400L
-          if (epochSec < 0) bad() // pre-1970 pin
-          vals(i) = java.lang.Long.valueOf(epochSec * 1000000L + nanos / 1000L)
-          i += 1
-        }
-        Some(merge(vals))
-      case 14 => // DECIMAL: DATA = unbounded zigzag varints (unscaled),
-        // SECONDARY = per-value scale; normalized to the declared scale
-        // (a scale needing rounding is a torn writer — refuse)
-        if (encKind != 2) return None
-        if (col.precision < 1 || col.scale < 0 || col.scale > col.precision)
-          return None
-        val dataS = streamOf(1).getOrElse(return None)
-        val secS = streamOf(5).getOrElse(return None)
-        val scales = rlev2(bytesOf(secS), nPresent, signed = true)
-        val d = bytesOf(dataS)
-        val vals = new Array[AnyRef](nPresent)
-        var p = 0
-        var i = 0
-        while (i < nPresent) {
-          var acc = java.math.BigInteger.ZERO
-          var sh = 0
-          var more = true
-          while (more) {
-            if (p >= d.length) bad()
-            val x = d(p) & 0xff; p += 1
-            acc = acc.or(java.math.BigInteger.valueOf((x & 0x7f).toLong)
-              .shiftLeft(sh))
-            if ((x & 0x80) == 0) more = false
-            else { sh += 7; if (sh > 18 * 7) bad() } // 38 digits ≈ 127 bits
-          }
-          val unscaled =
-            if (acc.testBit(0)) acc.shiftRight(1).not() else acc.shiftRight(1)
-          if (scales(i) < 0 || scales(i) > 38) bad()
-          val bd0 = new java.math.BigDecimal(unscaled, scales(i).toInt)
-          val bd = try bd0.setScale(col.scale) catch {
-            case _: ArithmeticException => bad()
-          }
-          if (bd.unscaledValue.abs.toString.length > col.precision) bad()
-          vals(i) = bd
-          i += 1
-        }
-        if (p != d.length) bad() // the DATA stream is consumed exactly
-        Some(merge(vals))
-      case _ => None // out of the pinned scope
-    }
+    Some(decodeNode(col.typeId, n))
   } catch {
     case _: Bad => None
     case _: ArrayIndexOutOfBoundsException => None

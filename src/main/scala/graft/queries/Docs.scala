@@ -3231,6 +3231,63 @@ object Docs {
       |  's_suppkey,s_name,s_nationkey,s_acctbal' FROM supplier
       |ORDER BY tbl""".stripMargin
 
+  /** Native ORC NESTED decode under the oracle (r19; see
+    * [[graft.llm.OrcRead]]'s decodeNode): the embeddings table's
+    * `list<float>` column writes through orc-core (Spark — the
+    * independent producer) and decodes back through OUR nested reader
+    * — PRESENT/LENGTH machinery, children sized by parents — exploded
+    * to one row per element; DuckDB scans + unnests the ORIGINAL
+    * parquet, so a garbled ORC decode cannot pass (the ORC bytes never
+    * touch the oracle). Scale shape: extent-addressed (file, stripe)
+    * splits via [[graft.llm.OrcRead.openSplit]], same as q_orc_read. */
+  def orcReadNested(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.OrcRead
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orcnested").toString
+    embeddings(s, d).select($"vec_id", $"label", $"embedding")
+      .repartition(1).write.mode("overwrite")
+      .option("compression", "zstd")
+      .option("orc.stripe.size", "262144")
+      .option("orc.rows.between.memory.checks", "128").orc(tmp)
+    val ls = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+    val file = try ls.toArray.map(_.toString).filter(_.endsWith(".orc")).head
+      finally ls.close()
+    val stripes = s.createDataset(Seq(file)).flatMap { p =>
+      OrcRead.metaFromTail(p).toSeq // footer-only tail read
+        .flatMap(m => m.stripes.indices.map(i => (p, i)))
+    }
+    val out = stripes.repartition(8).flatMap { case (p, st) =>
+      // extent-addressed: footer tail + ONLY this stripe's bytes
+      OrcRead.openSplit(p, st).toSeq.flatMap { case (meta, bytes, base) =>
+        val idI = meta.cols.indexWhere(_.name == "vec_id")
+        val lbI = meta.cols.indexWhere(_.name == "label")
+        val emI = meta.cols.indexWhere(_.name == "embedding")
+        if (idI < 0 || lbI < 0 || emI < 0) Seq.empty
+        else {
+          val ids = OrcRead.readStripeColumnAt(bytes, base, meta, st, idI)
+          val lbs = OrcRead.readStripeColumnAt(bytes, base, meta, st, lbI)
+          val ems = OrcRead.readStripeColumnAt(bytes, base, meta, st, emI)
+          (ids, lbs, ems) match {
+            case (Some(iv), Some(lv), Some(ev)) =>
+              iv.indices.flatMap { i =>
+                if (ev(i) == null) Seq.empty
+                else {
+                  val vec = ev(i).asInstanceOf[Vector[AnyRef]]
+                  vec.indices.map { j =>
+                    (iv(i).asInstanceOf[Long], lv(i).asInstanceOf[Int],
+                      vec.length, j,
+                      vec(j).asInstanceOf[Float].toDouble)
+                  }
+                }
+              }
+            case _ => Seq.empty // refusal = missing rows, the gate flags it
+          }
+        }
+      }
+    }.toDF("vec_id", "label", "n_elems", "pos", "val")
+    out.orderBy($"vec_id", $"pos")
+  }
+
   /** Native parquet VALUE decode under the oracle (see
     * [[graft.llm.ParquetRead]]): the orders table's six columns decode
     * through OUR page decoder — thrift compact page headers, snappy
@@ -4666,6 +4723,7 @@ object Docs {
     "q_parquet_read_native" -> (parquetReadNative _),
     "q_parquet_read_agg" -> (parquetReadAgg _),
     "q_parquet_read_nested" -> (parquetReadNested _),
+    "q_orc_read_nested" -> (orcReadNested _),
     "q_parquet_nested_deep" -> (parquetNestedDeep _),
     "q_parquet_read_map" -> (parquetReadMap _),
     "q_iceberg_snap" -> (icebergSnap _),
@@ -4717,6 +4775,9 @@ object Docs {
     "q_parquet_read_native" -> parquetReadNativeSql,
     "q_parquet_read_agg" -> parquetReadAggSql,
     "q_parquet_read_nested" -> parquetReadNestedSql,
+    // the ORC nested gate replays the SAME oracle — DuckDB reads the
+    // original parquet, never the ORC bytes (garbling cannot pass)
+    "q_orc_read_nested" -> parquetReadNestedSql,
     "q_parquet_nested_deep" -> parquetNestedDeepSql,
     "q_parquet_read_map" -> parquetReadMapSql,
     "q_iceberg_snap" -> icebergSnapSql,

@@ -107,15 +107,91 @@ class OrcReadSpec extends SparkTestBase {
         assert(vs(0).toSeq != orig(0).toSeq || vs.zip(orig).forall {
           case (a, o) => a.toSeq == o.toSeq })
     }
-    // nested/out-of-scope schema refuses at parseMeta (non-primitive child)
-    val ndf = Seq((1L, Seq(1, 2, 3)), (2L, Seq(4))).toDF("id", "xs")
+    // BYTE (tinyint) stays the out-of-scope refusal class at parse
+    // (nested LIST/MAP/STRUCT decode since r19 — see the nested test)
+    val ndf = Seq((1L, 2.toByte), (2L, 3.toByte)).toDF("id", "tb")
     val nb = writeOne(ndf, s"$tmp/n", Map.empty)
     assert(OrcRead.parseMeta(nb).isEmpty)
-    // MAP columns stay a pinned refusal at parse (Spark keeps CHAR as
-    // plain STRING in ORC, so the nested kinds are the refusal class)
-    val cdf = Seq((1L, Map("a" -> 2)), (2L, Map("b" -> 3))).toDF("id", "m")
-    val cb = writeOne(cdf, s"$tmp/b", Map.empty)
-    assert(OrcRead.parseMeta(cb).isEmpty)
+  }
+
+  test("nested types vs the real writer: LIST, MAP, STRUCT, deep compositions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val tmp = java.nio.file.Files.createTempDirectory("orcnest").toString
+    val rows = (0 until 400).map { i =>
+      (i.toLong,
+        // LIST with nulls and empties
+        if (i % 11 == 0) null
+        else (0 until i % 4).map(j => i * 10L + j),
+        // MAP string → long
+        (0 until i % 3).map(j => (s"k$j", i * 100L + j)).toMap,
+        // STRUCT(long, string), with a null string arm
+        (i * 7L, if (i % 5 == 0) null else s"s$i"),
+        // LIST of STRUCT — the deep composition
+        (0 until i % 3).map(j => (j.toLong, s"e-$i-$j")))
+    }
+    val df = rows.toDF("id", "xs", "m", "st", "lst")
+    df.coalesce(1).write.mode("overwrite")
+      .option("compression", "zlib").orc(tmp)
+    val f = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".orc")).head
+    val b = java.nio.file.Files.readAllBytes(f.toPath)
+    val meta = OrcRead.parseMeta(b).getOrElse(fail("nested parse refused"))
+    assert(meta.cols.map(_.kind) == Vector(4, 10, 11, 12, 10))
+    val got = OrcRead.readTable(b, Seq("id", "xs", "m", "st", "lst"))
+      .getOrElse(fail("nested decode refused"))._2
+    val exp = spark.read.orc(tmp).orderBy("id").collect()
+    val order = got(0).map(_.asInstanceOf[Long]).zipWithIndex
+      .sortBy(_._1).map(_._2)
+    assert(exp.length == got(0).length)
+    var i = 0
+    while (i < exp.length) {
+      val r = exp(i)
+      val j = order(i)
+      // LIST
+      val xs = got(1)(j)
+      if (r.isNullAt(1)) assert(xs == null)
+      else assert(xs.asInstanceOf[Vector[AnyRef]].map(_.asInstanceOf[Long]) ==
+        r.getSeq[Long](1).toVector)
+      // MAP (order-free compare)
+      val m = got(2)(j).asInstanceOf[Vector[(AnyRef, AnyRef)]]
+        .map { case (k, v) => (k.asInstanceOf[String], v.asInstanceOf[Long]) }
+        .toMap
+      assert(m == r.getMap[String, Long](2).toMap)
+      // STRUCT
+      val st = got(3)(j).asInstanceOf[Vector[AnyRef]]
+      val rst = r.getStruct(3)
+      assert(st(0) == rst.getLong(0))
+      assert(st(1) == (if (rst.isNullAt(1)) null else rst.getString(1)))
+      // LIST of STRUCT
+      val lst = got(4)(j).asInstanceOf[Vector[AnyRef]]
+        .map(_.asInstanceOf[Vector[AnyRef]])
+        .map(v => (v(0).asInstanceOf[Long], v(1).asInstanceOf[String]))
+      val rlst = r.getSeq[org.apache.spark.sql.Row](4)
+        .map(x => (x.getLong(0), x.getString(1))).toVector
+      assert(lst == rlst)
+      i += 1
+    }
+    // multi-stripe nested: the per-stripe LENGTH/PRESENT censuses hold
+    val big = (0 until 20000).map(i =>
+      (i.toLong, (0 until i % 5).map(j => i * 3L + j),
+        s"pad-${rnd.nextLong()}")).toDF("id", "xs", "pad")
+    big.coalesce(1).write.mode("overwrite")
+      .option("orc.stripe.size", "65536")
+      .option("orc.rows.between.memory.checks", "128").orc(s"$tmp/big")
+    val bf = new java.io.File(s"$tmp/big").listFiles()
+      .filter(_.getName.endsWith(".orc")).head
+    val bb = java.nio.file.Files.readAllBytes(bf.toPath)
+    val bm = OrcRead.parseMeta(bb).get
+    assert(bm.stripes.length > 1)
+    val bGot = OrcRead.readTable(bb, Seq("id", "xs")).get._2
+    val sums = bGot(0).map(_.asInstanceOf[Long]).zip(bGot(1)).map {
+      case (id, xs) => (id, xs.asInstanceOf[Vector[AnyRef]]
+        .map(_.asInstanceOf[Long]).sum)
+    }.toMap
+    (0 until 20000).foreach { i =>
+      assert(sums(i.toLong) == (0 until i % 5).map(j => i * 3L + j).sum)
+    }
   }
 
   test("timestamp + decimal columns vs the real writer") {
