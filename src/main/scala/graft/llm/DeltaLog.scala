@@ -54,13 +54,73 @@ object DeltaLog {
   /** [[replay]] plus the live files' stats census — the input to
     * file-level data skipping. */
   def replayStats(commits: Seq[(Long, String)],
-                  dvFiles: Map[String, Array[Byte]] = Map.empty): Option[(Snapshot, Vector[FileCensus])] = try {
+                  dvFiles: Map[String, Array[Byte]] = Map.empty): Option[(Snapshot, Vector[FileCensus])] =
+    replayCore(commits, dvFiles, mapped = false).map { case (s, c, _) => (s, c) }
+
+  /** COLUMN MAPPING (name mode, r19): a renamed-column table under
+    * minReaderVersion 2 — schemaString fields carry
+    * `delta.columnMapping.physicalName` / `.id` metadata, the adds'
+    * stats are keyed by PHYSICAL names, and the reader translates them
+    * back to logical names. Returns the snapshot, the LOGICAL-keyed
+    * stats census, and the physical→logical mapping.
+    *
+    * Laws (refuse, never garble):
+    *  - the protocol must be exactly minReaderVersion 2 /
+    *    minWriterVersion ≥ 5 on this lane (a v1 reader seeing mapping
+    *    metadata refuses on [[replay]] — the capability-leak law — and
+    *    deletion vectors stay out of scope here);
+    *  - metaData.configuration must carry
+    *    `delta.columnMapping.mode = "name"`; every schema field needs
+    *    BOTH a physicalName and a positive id, physical names and ids
+    *    unique (a torn mapping refuses);
+    *  - a stats minValues/maxValues key that is not a known physical
+    *    name is a torn writer and refuses; an add with stats BEFORE
+    *    the metaData line has no mapping to decode under — refuse. */
+  def replayMapped(commits: Seq[(Long, String)],
+                   dvFiles: Map[String, Array[Byte]] = Map.empty): Option[(Snapshot, Vector[FileCensus], Map[String, String])] =
+    replayCore(commits, dvFiles, mapped = true)
+
+  /** physical → logical name mapping from a schemaString under
+    * columnMapping name mode. */
+  private def colMapping(schemaString: String): Option[Map[String, String]] = {
+    val sc = mapper.readTree(schemaString)
+    if (sc == null || !sc.isObject) return None
+    if (Option(sc.get("type")).filter(_.isTextual).map(_.asText)
+      .getOrElse("") != "struct") return None
+    val fields = sc.get("fields")
+    if (fields == null || !fields.isArray || fields.size == 0) return None
+    val out = Map.newBuilder[String, String]
+    val seenP = scala.collection.mutable.HashSet.empty[String]
+    val seenI = scala.collection.mutable.HashSet.empty[Long]
+    val it = fields.elements()
+    while (it.hasNext) {
+      val f = it.next()
+      if (!f.isObject) return None
+      val name = Option(f.get("name")).filter(_.isTextual).map(_.asText)
+        .getOrElse(return None)
+      val md = f.get("metadata")
+      if (md == null || !md.isObject) return None
+      val phys = Option(md.get("delta.columnMapping.physicalName"))
+        .filter(_.isTextual).map(_.asText).getOrElse(return None)
+      val id = Option(md.get("delta.columnMapping.id"))
+        .filter(_.canConvertToLong).map(_.asLong).getOrElse(return None)
+      if (name.isEmpty || phys.isEmpty || id < 1) return None
+      if (!seenP.add(phys) || !seenI.add(id)) return None // uniqueness
+      out += (phys -> name)
+    }
+    Some(out.result())
+  }
+
+  private def replayCore(commits: Seq[(Long, String)],
+                         dvFiles: Map[String, Array[Byte]],
+                         mapped: Boolean): Option[(Snapshot, Vector[FileCensus], Map[String, String])] = try {
     if (commits.isEmpty) return None
     val versions = commits.map(_._1)
     if (versions != (0L until commits.length.toLong)) return None // contiguity
     var sawProtocol = false
     var sawMeta = false
     var dvAllowed = false // reader v3 + the deletionVectors feature
+    var mapping = Map.empty[String, String] // physical → logical (mapped lane)
     val live = scala.collection.mutable.LinkedHashMap
       .empty[String, (Long, Long, Map[String, Any], Map[String, Any])]
     commits.foreach { case (v, text) =>
@@ -81,7 +141,10 @@ object DeltaLog {
             // reader v1 (the base JSON scope) or v3 whose readerFeatures
             // carry ONLY deletionVectors (r18) — any other feature is a
             // capability this reader does not have: refuse
-            r.asInt match {
+            if (mapped) {
+              // the column-mapping lane: exactly reader 2 / writer ≥ 5
+              if (r.asInt != 2 || w.asInt < 5) return None
+            } else r.asInt match {
               case 1 => ()
               case 3 =>
                 val rf = a.get("readerFeatures")
@@ -106,6 +169,17 @@ object DeltaLog {
             if (a.get("id") == null || !a.get("id").isTextual) return None
             if (a.get("schemaString") == null ||
               !a.get("schemaString").isTextual) return None
+            val conf = a.get("configuration")
+            val cmMode = Option(conf).filter(_.isObject)
+              .flatMap(c => Option(c.get("delta.columnMapping.mode")))
+              .filter(_.isTextual).map(_.asText).getOrElse("none")
+            if (mapped) {
+              if (cmMode != "name") return None // this lane IS name mode
+              mapping = colMapping(a.get("schemaString").asText)
+                .getOrElse(return None)
+            } else if (cmMode != "none") {
+              return None // mapping metadata under a v1 reader: capability leak
+            }
             sawMeta = true
           case "add" =>
             if (!a.isObject) return None
@@ -142,12 +216,18 @@ object DeltaLog {
                 val it = node.fields()
                 while (it.hasNext) {
                   val e = it.next()
+                  // mapped lane: stats keys are PHYSICAL names; an add
+                  // before metaData, or an unknown physical key, is a
+                  // torn writer (the mapping cannot decode it)
+                  val col =
+                    if (!mapped) e.getKey
+                    else mapping.getOrElse(e.getKey, throw new Bounds)
                   val v = e.getValue
                   if (v.isIntegralNumber && v.canConvertToLong)
-                    out += (e.getKey -> v.asLong)
+                    out += (col -> v.asLong)
                   else if (v.isFloatingPointNumber)
-                    out += (e.getKey -> v.asDouble)
-                  else if (v.isTextual) out += (e.getKey -> v.asText)
+                    out += (col -> v.asDouble)
+                  else if (v.isTextual) out += (col -> v.asText)
                 }
                 out.result()
               }
@@ -212,7 +292,8 @@ object DeltaLog {
       sorted.map { case (p, (s, r, _, _)) => (p, s, r) }),
       sorted.map { case (p, (s, r, mn, mx)) =>
         FileCensus(p, s, r, mn, mx)
-      }.toVector))
+      }.toVector,
+      mapping))
   } catch {
     case _: com.fasterxml.jackson.core.JacksonException => None
   }
@@ -542,6 +623,26 @@ object DeltaLog {
       s""""stats":"{\\"numRecords\\":$rows}",""" +
       s""""deletionVector":{"storageType":"i","pathOrInlineDv":"${esc(z85)}",""" +
       s""""sizeInBytes":$dvSize,"cardinality":${positions.length + cardinalityLie}}}}"""
+  }
+
+  /** Column-mapping-lane protocol: reader 2 / writer 5. */
+  def protocolV2(): String =
+    """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+
+  /** metaData under columnMapping name mode: cols are
+    * (logicalName, physicalName, fieldId). */
+  def metaDataMapped(id: String, cols: Seq[(String, String, Long)]): String = {
+    val fields = cols.map { case (logical, phys, fid) =>
+      s"""{\\"name\\":\\"${esc(logical)}\\",\\"type\\":\\"long\\",""" +
+        s"""\\"nullable\\":true,\\"metadata\\":{""" +
+        s"""\\"delta.columnMapping.physicalName\\":\\"${esc(phys)}\\",""" +
+        s"""\\"delta.columnMapping.id\\":$fid}}"""
+    }.mkString(",")
+    s"""{"metaData":{"id":"${esc(id)}","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":"{\\"type\\":\\"struct\\",\\"fields\\":[$fields]}",""" +
+      s""""partitionColumns":[],"configuration":{""" +
+      s""""delta.columnMapping.mode":"name",""" +
+      s""""delta.columnMapping.maxColumnId":"${cols.map(_._3).max}"}}}"""
   }
 
   def metaData(id: String): String =

@@ -2940,6 +2940,86 @@ object Docs {
     decoded.orderBy($"media_id")
   }
 
+  /** Delta COLUMN MAPPING (name mode, r19; see
+    * [[graft.llm.DeltaLog.replayMapped]]): per key, a renamed-column
+    * table — logical columns v/s carry physical names pv-k/ps-k in the
+    * schemaString metadata, the adds' stats are keyed by the PHYSICAL
+    * names, and the reader translates the census back to logical for
+    * skipping (pruneFiles on logical `v`). `v1_refuses` pins the
+    * capability-leak law: the v1 lane must refuse every one of these
+    * tables (mapping metadata under minReaderVersion 1/2-unaware
+    * readers never garbles). Refusal arms: a v1 protocol under mapped
+    * metadata (k mod 13), a duplicate physicalName (k mod 17), stats
+    * keyed by an unknown physical name (k mod 19). */
+  def deltaColmap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.DeltaLog
+    val keys = partKeys(s, d) // full-width spread: the replay map is the cost
+    val decoded = keys.map { k =>
+      val nF = (3 + k % 2).toInt
+      val lo = (k % 3) * 50L
+      val hi = lo + 74L
+      val pv = s"pv-$k"
+      val ps = if (k % 17 == 0 && k % 13 != 0) s"pv-$k" else s"ps-$k" // dup arm
+      val statsKey = if (k % 19 == 0 && k % 13 != 0 && k % 17 != 0) s"zz-$k"
+        else pv // unknown-physical arm
+      val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+      lines += DeltaLog.commitInfo("CREATE TABLE")
+      lines += (if (k % 13 == 0) DeltaLog.protocol() else DeltaLog.protocolV2())
+      lines += DeltaLog.metaDataMapped(s"tbl-$k",
+        Seq(("v", pv, 1L), ("s", ps, 2L)))
+      (0 until nF).foreach { j =>
+        lines += DeltaLog.addWithStats(s"f$j-$k.parquet", 1000L + j,
+          40L + (k + j) % 15,
+          Map(statsKey -> j * 50L, ps -> j.toLong),
+          Map(statsKey -> (j * 50L + 49L), ps -> j.toLong))
+      }
+      val commits = Seq((0L, lines.mkString("\n")))
+      // the capability-leak law: the v1 lane refuses ALL of these
+      val v1Refuses = DeltaLog.replay(commits).isEmpty
+      DeltaLog.replayMapped(commits) match {
+        case Some((snap, census, mapping)) =>
+          val surv = DeltaLog.pruneFiles(census, "v", Some(lo), Some(hi))
+          (k, true, v1Refuses, Some(snap.files.length), Some(mapping.size),
+            Some(census.map(_.minValues("v").asInstanceOf[Long]).sum),
+            Some(surv.length), Some(surv.map(_.rows).sum))
+        case None =>
+          (k, false, v1Refuses, None: Option[Int], None: Option[Int],
+            None: Option[Long], None: Option[Int], None: Option[Long])
+      }
+    }.toDF("media_id", "cm_ok", "v1_refuses", "n_files", "n_cols_mapped",
+      "sum_min_v", "survivors", "surv_rows")
+    decoded.orderBy($"media_id")
+  }
+
+  /** Closed form: file j spans [j·50, j·50+49] on logical v;
+    * survivors are j ∈ [k%3, k%3+1] clipped to the file count. */
+  val deltaColmapSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, CAST(3 + k % 2 AS INTEGER) AS nf, k % 3 AS q,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok
+      |      FROM ks),
+      |df AS (
+      |  SELECT p.k, j.j,
+      |    CAST(40 + (p.k + j.j) % 15 AS BIGINT) AS rws,
+      |    CAST(j.j * 50 AS BIGINT) AS minv,
+      |    (j.j >= p.q AND j.j <= p.q + 1) AS surv
+      |  FROM p, generate_series(0, 3) j(j) WHERE j.j < p.nf),
+      |agg AS (
+      |  SELECT k, CAST(COUNT(*) AS INTEGER) AS nf,
+      |    CAST(SUM(minv) AS BIGINT) AS sum_min_v,
+      |    CAST(SUM(CASE WHEN surv THEN 1 ELSE 0 END) AS INTEGER) AS surv,
+      |    CAST(SUM(CASE WHEN surv THEN rws ELSE 0 END) AS BIGINT) AS srows
+      |  FROM df GROUP BY k)
+      |SELECT p.k AS media_id, p.ok AS cm_ok, TRUE AS v1_refuses,
+      |  CASE WHEN p.ok THEN agg.nf END AS n_files,
+      |  CASE WHEN p.ok THEN 2 END AS n_cols_mapped,
+      |  CASE WHEN p.ok THEN agg.sum_min_v END AS sum_min_v,
+      |  CASE WHEN p.ok THEN agg.surv END AS survivors,
+      |  CASE WHEN p.ok THEN agg.srows END AS surv_rows
+      |FROM p JOIN agg ON agg.k = p.k
+      |ORDER BY media_id""".stripMargin
+
   /** Closed form: Delta survivors are j ∈ [k%4, k%4+2] plus the
     * stats-free tail file; Iceberg survivors j ∈ [k%3, k%3+1] plus the
     * bounds-free file 1. */
@@ -4733,6 +4813,7 @@ object Docs {
     "q_hudi_mor" -> (hudiMor _),
     "q_hudi_compact" -> (hudiCompact _),
     "q_lake_prune" -> (lakePrune _),
+    "q_delta_colmap" -> (deltaColmap _),
     "q_parquet_prune" -> (parquetPrune _),
     "q_pickle_probe" -> (pickleProbe _),
     "q_ckpt_probe" -> (ckptProbe _),
@@ -4787,6 +4868,7 @@ object Docs {
     "q_hudi_mor" -> hudiMorSql,
     "q_hudi_compact" -> hudiCompactSql,
     "q_lake_prune" -> lakePruneSql,
+    "q_delta_colmap" -> deltaColmapSql,
     "q_parquet_prune" -> parquetPruneSql,
     "q_pickle_probe" -> pickleProbeSql,
     "q_ckpt_probe" -> ckptProbeSql,

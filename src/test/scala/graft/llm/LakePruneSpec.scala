@@ -103,6 +103,40 @@ class LakePruneSpec extends SparkTestBase {
       census.map(c => (c.path, c.size, c.rows)))
   }
 
+  test("delta column mapping: physical stats translate to logical; leak laws") {
+    import graft.llm.{DeltaLog => D}
+    def table(proto: String, cols: Seq[(String, String, Long)],
+              statsKey: String) = Seq((0L, (Seq(
+      D.commitInfo("C"), proto, D.metaDataMapped("t", cols)) ++
+      (0 until 3).map(j => D.addWithStats(s"f$j.parquet", 100L, 10L + j,
+        Map(statsKey -> j * 100L), Map(statsKey -> (j * 100L + 99L)))))
+      .mkString("\n")))
+    val cols = Seq(("v", "p-aa", 1L), ("s", "p-bb", 2L))
+    val good = table(D.protocolV2(), cols, "p-aa")
+    val (snap, census, mapping) = D.replayMapped(good).get
+    assert(mapping == Map("p-aa" -> "v", "p-bb" -> "s"))
+    assert(snap.files.length == 3)
+    // the census is LOGICAL-keyed; pruning works on logical names
+    assert(census.forall(c => c.minValues.keySet == Set("v")))
+    val surv = D.pruneFiles(census, "v", Some(150L), Some(250L))
+    assert(surv.map(_.path) == Seq("f1.parquet", "f2.parquet"))
+    // the v1 lane refuses mapping metadata (capability leak)
+    assert(D.replay(good).isEmpty)
+    assert(D.replay(table(D.protocol(), cols, "p-aa")).isEmpty)
+    // the mapped lane refuses a v1 protocol
+    assert(D.replayMapped(table(D.protocol(), cols, "p-aa")).isEmpty)
+    // duplicate physical names / ids refuse
+    assert(D.replayMapped(table(D.protocolV2(),
+      Seq(("v", "p-aa", 1L), ("s", "p-aa", 2L)), "p-aa")).isEmpty)
+    assert(D.replayMapped(table(D.protocolV2(),
+      Seq(("v", "p-aa", 1L), ("s", "p-bb", 1L)), "p-aa")).isEmpty)
+    // stats keyed by an unknown physical name refuse
+    assert(D.replayMapped(table(D.protocolV2(), cols, "p-zz")).isEmpty)
+    // stats keyed by the LOGICAL name refuse too (the writer must key
+    // physically under name mode)
+    assert(D.replayMapped(table(D.protocolV2(), cols, "v")).isEmpty)
+  }
+
   test("iceberg: v2 bounds census + pruneFilesV2, lie refusal, fail-open") {
     import graft.llm.{IcebergSnap => I}
     val sync = Array.tabulate(16)(i => (i * 13 + 1).toByte)
