@@ -2437,7 +2437,7 @@ object Corpus {
       .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"),
         count(lit(1)).as("n_shards"))
     val exact = words.agg(count_distinct($"w").as("n_exact"))
-    merged.crossJoin(exact)
+    merged.crossJoin(broadcast(exact)) // 1-row side: pin the broadcast
       .select($"n_exact", $"n_shards",
         // empty corpus: hll_union_agg over zero sketches yields NULL, so
         // `est === 0` is NULL — coalesce keeps est_ok a real boolean

@@ -138,8 +138,11 @@ object Docs {
     * [[graft.llm.PdfCrypt]]): the standard security handler's
     * empty-user-password class — the owner-restrictions-only files a
     * real crawl actually carries. Per key the mode rotates RC4-40 /
-    * RC4-128 / AESV2 (AES-128-CBC) / AESV3 (AES-256, the R6 Algorithm
-    * 2.B hardened hash) / AESV3-R5 — (k div 3) mod 5 — across classic
+    * RC4-128 / AESV2 (AES-128-CBC) — (k div 3) mod 3 — while AESV3
+    * (AES-256, the R6 Algorithm 2.B hardened hash) and AESV3-R5 ride
+    * the 16th-lane (k mod 16, alternating — the KDF costs 64+ AES/SHA
+    * rounds per document; identical coverage classes at a fifth the
+    * suite cost, r19) — across classic
     * and modern eras (k mod 2), with the filter arms riding beneath
     * the cipher (the decrypt-then-decode order law). The ToUnicode
     * CMap stream decrypts on every 23rd key. Refusal arms: truncation
@@ -152,8 +155,12 @@ object Docs {
     import graft.llm.PdfText
     val keys = partKeys(s, d) // full-width spread: the decrypt map is the cost
     val decoded = keys.map { k =>
-      val mode = Seq("rc4v1", "rc4v2", "aesv2", "aesv3", "aesv3r5")(
-        ((k / 3) % 5).toInt)
+      // the R5/R6 KDF (Algorithm 2.B, 64+ AES/SHA rounds per document)
+      // rides a 16th-lane (the q_deb_probe precedent): identical mode
+      // coverage classes at ~1/5th the suite cost (r19 — VERDICT r18)
+      val mode =
+        if (k % 16 == 0) Seq("aesv3", "aesv3r5")(((k / 16) % 2).toInt)
+        else Seq("rc4v1", "rc4v2", "aesv2")(((k / 3) % 3).toInt)
       val era = (k % 2).toInt
       val nPages = (1 + k % 3).toInt
       val toUni = k % 23 == 0
@@ -218,9 +225,12 @@ object Docs {
       |  FROM body GROUP BY k)
       |SELECT p.k AS media_id, p.ok AS enc_ok,
       |  CASE WHEN p.ok THEN
-      |    CASE (p.k // 3) % 5 WHEN 0 THEN 'rc4v1' WHEN 1 THEN 'rc4v2'
-      |      WHEN 2 THEN 'aesv2' WHEN 3 THEN 'aesv3'
-      |      ELSE 'aesv3r5' END END AS mode,
+      |    CASE WHEN p.k % 16 = 0 THEN
+      |      CASE (p.k // 16) % 2 WHEN 0 THEN 'aesv3' ELSE 'aesv3r5' END
+      |    ELSE
+      |      CASE (p.k // 3) % 3 WHEN 0 THEN 'rc4v1' WHEN 1 THEN 'rc4v2'
+      |        ELSE 'aesv2' END
+      |    END END AS mode,
       |  CASE WHEN p.ok THEN
       |    CASE p.k % 2 WHEN 0 THEN 'classic' ELSE 'modern' END END AS era,
       |  CASE WHEN p.ok THEN p.np END AS n_pages,

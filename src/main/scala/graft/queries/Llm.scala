@@ -1706,7 +1706,7 @@ object Llm {
     val toks = docs.select(explode(NgramLM.tokens($"text")).as("w"))
     val uni = toks.groupBy($"w").agg(count(lit(1)).as("n"))
     val tot = toks.agg(count(lit(1)).as("big_n"))
-    nb.crossJoin(tot)
+    nb.crossJoin(broadcast(tot)) // 1-row side: pin the broadcast (plan determinism)
       .join(uni.select($"w".as("w1"), $"n".as("n1")), Seq("w1"))
       .join(uni.select($"w".as("w2"), $"n".as("n2")), Seq("w2"))
       .select($"w1", $"w2", $"n_ab",

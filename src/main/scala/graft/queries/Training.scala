@@ -69,7 +69,7 @@ object Training {
     val m = NgramLM.train(documents(s, d).filter($"lang" === "en"), $"text")
     m.bigram
       .join(m.context, Seq("w1"))
-      .crossJoin(m.vocab)
+      .crossJoin(org.apache.spark.sql.functions.broadcast(m.vocab)) // 1-row side: pin the broadcast
       .select($"w1", $"w2", $"c12", $"c1",
         round(log(($"c12" + 1).cast("double") / ($"c1" + $"v")), 6).as("logp"))
       .orderBy($"c12".desc, $"w1", $"w2")
