@@ -240,6 +240,58 @@ object ScaleBench {
             key = ("user_id", "c_user"), time = ("error_ts", "click_ts"),
             toleranceUs = Some(86400000000L), rightTie = Seq("click_id")).count())
 
+        // lakehouse replay scale (r19): per-key checkpoint-shaped Delta
+        // logs with stats + an inline deletion vector, replayed and
+        // PRUNED — replay cost tracks KEY COUNT (each key's table is
+        // constant-size); a pure executor map, zero shuffle
+        record("delta_stats_dv_replay", m)({
+          import graft.llm.DeltaLog
+          spark.range(0L, 2000L * m, 1L, 32)
+            .map { k =>
+              val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+              lines += DeltaLog.commitInfo("CREATE TABLE")
+              lines += DeltaLog.protocolV3()
+              lines += DeltaLog.metaData(s"tbl-$k")
+              (0 until 6).foreach { j =>
+                lines += DeltaLog.addWithStats(s"f$j-$k.parquet", 4096L,
+                  100L + (k + j) % 50,
+                  Map("v" -> j * 100L), Map("v" -> (j * 100L + 99L)))
+              }
+              lines += DeltaLog.addWithDv(s"fd-$k.parquet", 4096L, 80L,
+                Seq(1L, 5L, 11L, (k % 70) + 2L).distinct.sorted)
+              val res = DeltaLog.replayStats(Seq((0L, lines.mkString("\n"))))
+              res.map { case (_, census) =>
+                DeltaLog.pruneFiles(census, "v",
+                  Some((k % 4) * 100L), Some((k % 4) * 100L + 150L))
+                  .map(_.rows).sum
+              }.getOrElse(-1L)
+            }.agg(sum("value")).head().getLong(0)
+        })
+
+        // extent-addressed split decode (r19): the staged documents
+        // parquet decodes through the NATIVE reader — split tasks fetch
+        // footer tail + ONLY their row-group extent, never a whole
+        // file; wall time must track data volume, not file count ×
+        // file size (the read-amplification fix under measurement)
+        record("parquet_split_decode", m)({
+          import graft.llm.ParquetRead
+          val dl = Files.list(root.resolve("documents"))
+          val files = try dl.toArray.map(_.toString)
+            .filter(_.endsWith(".parquet")).toSeq finally dl.close()
+          val splits = spark.createDataset(files).flatMap { p =>
+            ParquetRead.metaFromTail(p).toSeq
+              .flatMap(mt => mt.rowGroups.indices.map(i => (p, i)))
+          }
+          splits.repartition(32).map { case (p, rg) =>
+            ParquetRead.openSplit(p, rg).flatMap { case (mt, bytes, base) =>
+              val li = mt.leaves.indexWhere(_.name == "doc_id")
+              if (li < 0) None
+              else ParquetRead.readColumnAt(bytes, base, mt, rg, li)
+                .map(_.length.toLong)
+            }.getOrElse(0L)
+          }.agg(sum("value")).head().getLong(0)
+        })
+
         // streaming state scale (VERDICT r10 #7): the salted events keep
         // per-key history CONSTANT while key count grows m× — so the
         // RocksDB ValueState ledger's state_rows must grow with m and
