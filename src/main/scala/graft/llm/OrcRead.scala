@@ -591,6 +591,10 @@ object OrcRead {
       * struct slot, a LIST/MAP child one per summed LENGTH. */
     def decodeNode(tid: Int, n: Int): Array[AnyRef] = {
       if (n < 0 || n > maxVals) bad()
+      // an empty column (every parent slot null, or every list/map
+      // empty) needs NO value streams — writers may lawfully omit
+      // them; the stripe tiling law already accounted any that exist
+      if (n == 0) return new Array[AnyRef](0)
       val t = meta.types(tid)
       val (encKind, dictSize) = encodings(tid)
       def streamOf(kind: Int): Option[Str] = {

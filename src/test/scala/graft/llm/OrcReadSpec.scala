@@ -172,6 +172,24 @@ class OrcReadSpec extends SparkTestBase {
       assert(lst == rlst)
       i += 1
     }
+    // all-empty children: a column whose lists are ALL empty (or all
+    // null) has zero child values — the writer may omit the child's
+    // value streams entirely; decode must not demand them
+    val emptyDf = (0 until 100).map(i =>
+      (i.toLong, Seq.empty[Long],
+        if (i % 2 == 0) null else Seq.empty[Long])).toDF("id", "xs", "ys")
+    emptyDf.coalesce(1).write.mode("overwrite").orc(s"$tmp/empty")
+    val ef = new java.io.File(s"$tmp/empty").listFiles()
+      .filter(_.getName.endsWith(".orc")).head
+    val eb = java.nio.file.Files.readAllBytes(ef.toPath)
+    val eGot = OrcRead.readTable(eb, Seq("id", "xs", "ys"))
+      .getOrElse(fail("all-empty nested decode refused"))._2
+    assert(eGot(1).forall(_ == Vector.empty))
+    assert(eGot(2).zipWithIndex.forall { case (v, i2) =>
+      val id = eGot(0)(i2).asInstanceOf[Long]
+      if (id % 2 == 0) v == null else v == Vector.empty
+    })
+
     // multi-stripe nested: the per-stripe LENGTH/PRESENT censuses hold
     val big = (0 until 20000).map(i =>
       (i.toLong, (0 until i % 5).map(j => i * 3L + j),
