@@ -35,6 +35,31 @@ object DeltaLog {
   /** Internal: a malformed minValues/maxValues shape. */
   private final class Bounds extends RuntimeException
 
+  /** minValues/maxValues from a parsed stats JSON — typed scalars
+    * only (Long / Double / String); a non-object shape throws
+    * [[Bounds]]; non-scalar values are simply not bounds (nested
+    * column stats: fail open). Shared by the JSON, mapped and
+    * checkpoint lanes. */
+  private def statsBounds(st: JsonNode): (Map[String, Any], Map[String, Any]) = {
+    def one(key: String): Map[String, Any] = {
+      val node = st.get(key)
+      if (node == null) return Map.empty
+      if (!node.isObject) throw new Bounds
+      val out = Map.newBuilder[String, Any]
+      val it = node.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        val v = e.getValue
+        if (v.isIntegralNumber && v.canConvertToLong)
+          out += (e.getKey -> v.asLong)
+        else if (v.isFloatingPointNumber) out += (e.getKey -> v.asDouble)
+        else if (v.isTextual) out += (e.getKey -> v.asText)
+      }
+      out.result()
+    }
+    (one("minValues"), one("maxValues"))
+  }
+
   /** path → (size, numRecords) for the live files at the final version. */
   final case class Snapshot(version: Long,
                             files: Seq[(String, Long, Long)])
@@ -205,35 +230,20 @@ object DeltaLog {
               if (nr == null || !nr.canConvertToLong || nr.asLong < 0L)
                 return None
               rows = nr.asLong
-              // minValues / maxValues (r19): typed scalars only; a
-              // non-object shape refuses, a non-scalar value is simply
-              // not a bound (nested-column stats: fail open)
-              def bounds(key: String): Map[String, Any] = {
-                val node = st.get(key)
-                if (node == null) return Map.empty
-                if (!node.isObject) throw new Bounds
-                val out = Map.newBuilder[String, Any]
-                val it = node.fields()
-                while (it.hasNext) {
-                  val e = it.next()
-                  // mapped lane: stats keys are PHYSICAL names; an add
-                  // before metaData, or an unknown physical key, is a
-                  // torn writer (the mapping cannot decode it)
-                  val col =
-                    if (!mapped) e.getKey
-                    else mapping.getOrElse(e.getKey, throw new Bounds)
-                  val v = e.getValue
-                  if (v.isIntegralNumber && v.canConvertToLong)
-                    out += (col -> v.asLong)
-                  else if (v.isFloatingPointNumber)
-                    out += (col -> v.asDouble)
-                  else if (v.isTextual) out += (col -> v.asText)
-                }
-                out.result()
-              }
+              // minValues / maxValues (r19): typed scalars via
+              // statsBounds; in the mapped lane stats keys are
+              // PHYSICAL names — an add before metaData, or an
+              // unknown physical key, is a torn writer (the mapping
+              // cannot decode it)
               try {
-                minVals = bounds("minValues")
-                maxVals = bounds("maxValues")
+                val (mn0, mx0) = statsBounds(st)
+                def xlat(m: Map[String, Any]): Map[String, Any] =
+                  if (!mapped) m
+                  else m.map { case (k2, v2) =>
+                    mapping.getOrElse(k2, throw new Bounds) -> v2
+                  }
+                minVals = xlat(mn0)
+                maxVals = xlat(mx0)
               } catch { case _: Bounds => return None }
             }
             // inline deletion vector (r18): live rows = numRecords minus
@@ -380,7 +390,17 @@ object DeltaLog {
 
   def replayCheckpointed(lastCheckpointJson: String,
                          checkpointBytes: Array[Byte],
-                         commits: Seq[(Long, String)]): Option[Snapshot] = try {
+                         commits: Seq[(Long, String)]): Option[Snapshot] =
+    replayCheckpointedStats(lastCheckpointJson, checkpointBytes, commits)
+      .map(_._1)
+
+  /** [[replayCheckpointed]] plus the live files' stats census (r19) —
+    * minValues/maxValues parse from BOTH origins (checkpoint add rows
+    * and post-checkpoint JSON adds; newest wins), so file skipping
+    * works on aged tables too. */
+  def replayCheckpointedStats(lastCheckpointJson: String,
+                              checkpointBytes: Array[Byte],
+                              commits: Seq[(Long, String)]): Option[(Snapshot, Vector[FileCensus])] = try {
     val lc = mapper.readTree(lastCheckpointJson)
     if (lc == null || !lc.isObject) return None
     val verN = lc.get("version")
@@ -434,7 +454,8 @@ object DeltaLog {
     @inline def grp(d: Array[Int], i: Int): Boolean = d(i) >= 1 // the group level
     var sawProtocol = false
     var sawMeta = false
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    val live = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Long, Map[String, Any], Map[String, Any])]
     val tombs = scala.collection.mutable.HashSet.empty[String]
     var i = 0
     while (i < n) {
@@ -486,12 +507,18 @@ object DeltaLog {
         if (path.isEmpty || size < 0L) return None
         if (adV(i).asInstanceOf[java.lang.Boolean].booleanValue) return None // checkpoint law
         var rows = -1L
+        var minVals = Map.empty[String, Any]
+        var maxVals = Map.empty[String, Any]
         if (atD(i) == 2) {
           val st = mapper.readTree(atV(i).asInstanceOf[String])
           if (st == null || !st.isObject) return None
           val nr = st.get("numRecords")
           if (nr == null || !nr.canConvertToLong || nr.asLong < 0L) return None
           rows = nr.asLong
+          try {
+            val (mn0, mx0) = statsBounds(st)
+            minVals = mn0; maxVals = mx0
+          } catch { case _: Bounds => return None }
         }
         dvLeaves.foreach { case ((stV, stD), (pdV, pdD), (szV, szD), (cdV, cdD)) =>
           val present = stD(i) == 3
@@ -512,7 +539,7 @@ object DeltaLog {
           }
         }
         if (live.contains(path)) return None // one file, one owner
-        live(path) = (size, rows)
+        live(path) = (size, rows, minVals, maxVals)
       } else {
         if (rpD(i) != 2) return None
         val path = rpV(i).asInstanceOf[String]
@@ -547,6 +574,8 @@ object DeltaLog {
             val pv = a.get("partitionValues")
             if (pv == null || !pv.isObject) return None
             var rows = -1L
+            var minVals = Map.empty[String, Any]
+            var maxVals = Map.empty[String, Any]
             val stats = a.get("stats")
             if (stats != null) {
               if (!stats.isTextual) return None
@@ -555,6 +584,10 @@ object DeltaLog {
               val nr = st.get("numRecords")
               if (nr == null || !nr.canConvertToLong || nr.asLong < 0L) return None
               rows = nr.asLong
+              try {
+                val (mn0, mx0) = statsBounds(st)
+                minVals = mn0; maxVals = mx0
+              } catch { case _: Bounds => return None }
             }
             // a DV add is lawful only under the v3 checkpoint shape (a
             // v1 table seeing one is a capability leak); inline-only on
@@ -564,7 +597,7 @@ object DeltaLog {
               if (!isV3) return None
               rows -= inlineDvCardinality(dvNode, rows).getOrElse(return None)
             }
-            live(path.asText) = (size.asLong, rows) // newest wins
+            live(path.asText) = (size.asLong, rows, minVals, maxVals) // newest wins
           case "remove" =>
             if (!a.isObject) return None
             val path = a.get("path")
@@ -580,8 +613,12 @@ object DeltaLog {
     }
     if (live.isEmpty) return None
     val last = if (commits.isEmpty) ckVersion else commits.last._1
-    Some(Snapshot(last,
-      live.toSeq.map { case (p, (s, r)) => (p, s, r) }.sortBy(_._1)))
+    val sorted = live.toSeq.sortBy(_._1)
+    Some((Snapshot(last,
+      sorted.map { case (p, (s, r, _, _)) => (p, s, r) }),
+      sorted.map { case (p, (s, r, mn, mx)) =>
+        FileCensus(p, s, r, mn, mx)
+      }.toVector))
   } catch {
     case _: com.fasterxml.jackson.core.JacksonException => None
   }
@@ -746,6 +783,57 @@ object DeltaLog {
   /** A checkpoint parquet: one protocol row, one metaData row, one row
     * per live add (dataChange false per the spec), one row per retained
     * remove tombstone. */
+  /** A raw stats JSON with bounds (checkpoint + gate fixtures).
+    * `poisonShape` mints minValues as an ARRAY (the malformed-shape
+    * refusal arm). */
+  def statsString(rows: Long, minVals: Map[String, Long],
+                  maxVals: Map[String, Long],
+                  poisonShape: Boolean = false): String = {
+    def m(vals: Map[String, Long]): String =
+      vals.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${esc(k)}":$v""" }.mkString(",")
+    val minPart =
+      if (poisonShape) """"minValues":[1,2]"""
+      else s""""minValues":{${m(minVals)}}"""
+    s"""{"numRecords":$rows,$minPart,"maxValues":{${m(maxVals)}}}"""
+  }
+
+  /** A v1 checkpoint whose adds carry ARBITRARY stats strings —
+    * (path, size, statsJson); the bounds-gate writer. */
+  def checkpointBytesStats(tableId: String,
+                           adds: Seq[(String, Long, String)],
+                           removes: Seq[String]): Array[Byte] = {
+    import ParquetWrite.WEl
+    val els = Seq(
+      WEl("protocol", 2, 1),
+      WEl("minReaderVersion", 0, 1, typ = 1), WEl("minWriterVersion", 0, 1, typ = 1),
+      WEl("metaData", 2, 1),
+      WEl("id", 0, 1, 6, 0), WEl("schemaString", 0, 1, 6, 0),
+      WEl("add", 4, 1),
+      WEl("path", 0, 1, 6, 0), WEl("size", 0, 1, typ = 2),
+      WEl("dataChange", 0, 1, typ = 0), WEl("stats", 0, 1, 6, 0),
+      WEl("remove", 1, 1),
+      WEl("path", 0, 1, 6, 0))
+    val n = 2 + adds.length + removes.length
+    def defsAt(rows: Seq[Int]): Array[Int] = {
+      val a = new Array[Int](n)
+      rows.foreach(i => a(i) = 2)
+      a
+    }
+    val addRows = adds.indices.map(_ + 2)
+    val remRows = removes.indices.map(_ + 2 + adds.length)
+    ParquetWrite.file(els, n.toLong, Seq(
+      (Array[AnyRef](Integer.valueOf(1)), defsAt(Seq(0))),
+      (Array[AnyRef](Integer.valueOf(2)), defsAt(Seq(0))),
+      (Array[AnyRef](tableId), defsAt(Seq(1))),
+      (Array[AnyRef]("""{"type":"struct","fields":[]}"""), defsAt(Seq(1))),
+      (adds.map(_._1: AnyRef).toArray, defsAt(addRows)),
+      (adds.map(a => java.lang.Long.valueOf(a._2): AnyRef).toArray, defsAt(addRows)),
+      (adds.map(_ => java.lang.Boolean.FALSE: AnyRef).toArray, defsAt(addRows)),
+      (adds.map(_._3: AnyRef).toArray, defsAt(addRows)),
+      (removes.map(r => r: AnyRef).toArray, defsAt(remRows))))
+  }
+
   def checkpointBytes(tableId: String,
                       adds: Seq[(String, Long, Long)],
                       removes: Seq[String]): Array[Byte] = {

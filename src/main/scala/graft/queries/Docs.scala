@@ -2950,6 +2950,78 @@ object Docs {
     decoded.orderBy($"media_id")
   }
 
+  /** Stats skipping on AGED (checkpointed) Delta tables (r19; see
+    * [[graft.llm.DeltaLog.replayCheckpointedStats]]): per key, a v1
+    * checkpoint whose add rows carry minValues/maxValues in their
+    * stats strings (f0..f2 spanning [j·100, j·100+99] on v), plus a
+    * post-checkpoint JSON commit that adds f3 ([300, 399]) AND
+    * re-adds f1 with NEW bounds ([1000, 1099]) — newest wins, so the
+    * census must show the re-added bounds and pruning must exclude f1
+    * from low predicates. Refusal arms: a malformed minValues shape
+    * in the CHECKPOINT stats (k mod 13), the same in the
+    * post-checkpoint add (k mod 17), a `_last_checkpoint` size lie
+    * (k mod 19 — the r18 cross-law still bites). DuckDB replays the
+    * survivor census in closed form. */
+  def deltaCkptPrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.DeltaLog
+    val keys = partKeys(s, d) // full-width spread: the replay map is the cost
+    val decoded = keys.map { k =>
+      def st(j: Int, lo: Long) = DeltaLog.statsString(30L + (k + j) % 10,
+        Map("v" -> lo), Map("v" -> (lo + 99L)),
+        poisonShape = k % 13 == 0 && j == 0)
+      val ck = DeltaLog.checkpointBytesStats(s"tbl-$k",
+        (0 until 3).map(j => (s"f$j-$k.parquet", 1000L + j, st(j, j * 100L))),
+        Nil)
+      val sizeLie = if (k % 19 == 0 && k % 13 != 0 && k % 17 != 0) 6L else 5L
+      val lc = DeltaLog.lastCheckpoint(4L, sizeLie)
+      val commits = Seq((5L, Seq(
+        DeltaLog.commitInfo("WRITE"),
+        DeltaLog.addWithStats(s"f3-$k.parquet", 1003L, 30L + (k + 3) % 10,
+          Map("v" -> 300L), Map("v" -> 399L),
+          poisonShape = k % 17 == 0 && k % 13 != 0),
+        DeltaLog.addWithStats(s"f1-$k.parquet", 2001L, 30L + (k + 1) % 10,
+          Map("v" -> 1000L), Map("v" -> 1099L)) // newest wins: re-bounds f1
+      ).mkString("\n")))
+      DeltaLog.replayCheckpointedStats(lc, ck, commits) match {
+        case Some((snap, census)) =>
+          val lo = (k % 3) * 100L + 20L
+          val hi = lo + 129L
+          val surv = DeltaLog.pruneFiles(census, "v", Some(lo), Some(hi))
+          val f1min = census.find(_.path == s"f1-$k.parquet")
+            .flatMap(_.minValues.get("v")).map(_.asInstanceOf[Long])
+          (k, true, Some(census.length), f1min,
+            Some(surv.length), Some(surv.map(_.rows).sum))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Long],
+            None: Option[Int], None: Option[Long])
+      }
+    }.toDF("media_id", "cp_ok", "n_files", "f1_min_v", "survivors",
+      "surv_rows")
+    decoded.orderBy($"media_id")
+  }
+
+  /** Closed form: effective ranges f0 [0,99], f1 [1000,1099] (the
+    * re-add), f2 [200,299], f3 [300,399]; predicate [q·100+20,
+    * q·100+149] for q = k mod 3. */
+  val deltaCkptPruneSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, k % 3 AS q,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS ok,
+      |        CAST(30 + k % 10 AS BIGINT) AS r0,
+      |        CAST(30 + (k + 2) % 10 AS BIGINT) AS r2,
+      |        CAST(30 + (k + 3) % 10 AS BIGINT) AS r3
+      |      FROM ks)
+      |SELECT k AS media_id, ok AS cp_ok,
+      |  CASE WHEN ok THEN 4 END AS n_files,
+      |  CASE WHEN ok THEN CAST(1000 AS BIGINT) END AS f1_min_v,
+      |  CASE WHEN ok THEN CASE q WHEN 2 THEN 2 ELSE 1 END END AS survivors,
+      |  CASE WHEN ok THEN
+      |    CASE q WHEN 0 THEN r0 WHEN 1 THEN r2 ELSE r2 + r3 END
+      |  END AS surv_rows
+      |FROM p
+      |ORDER BY media_id""".stripMargin
+
   /** Delta COLUMN MAPPING (name mode, r19; see
     * [[graft.llm.DeltaLog.replayMapped]]): per key, a renamed-column
     * table — logical columns v/s carry physical names pv-k/ps-k in the
@@ -4824,6 +4896,7 @@ object Docs {
     "q_hudi_compact" -> (hudiCompact _),
     "q_lake_prune" -> (lakePrune _),
     "q_delta_colmap" -> (deltaColmap _),
+    "q_delta_ckpt_prune" -> (deltaCkptPrune _),
     "q_parquet_prune" -> (parquetPrune _),
     "q_pickle_probe" -> (pickleProbe _),
     "q_ckpt_probe" -> (ckptProbe _),
@@ -4879,6 +4952,7 @@ object Docs {
     "q_hudi_compact" -> hudiCompactSql,
     "q_lake_prune" -> lakePruneSql,
     "q_delta_colmap" -> deltaColmapSql,
+    "q_delta_ckpt_prune" -> deltaCkptPruneSql,
     "q_parquet_prune" -> parquetPruneSql,
     "q_pickle_probe" -> pickleProbeSql,
     "q_ckpt_probe" -> ckptProbeSql,

@@ -103,6 +103,42 @@ class LakePruneSpec extends SparkTestBase {
       census.map(c => (c.path, c.size, c.rows)))
   }
 
+  test("delta checkpoint stats: bounds from both origins, newest wins, poison refusals") {
+    import graft.llm.{DeltaLog => D}
+    def table(ckPoison: Boolean, jsonPoison: Boolean) = {
+      val ck = D.checkpointBytesStats("t",
+        (0 until 3).map(j => (s"f$j.parquet", 100L + j,
+          D.statsString(10L + j, Map("v" -> j * 100L),
+            Map("v" -> (j * 100L + 99L)), poisonShape = ckPoison && j == 0))),
+        Nil)
+      val commits = Seq((5L, Seq(
+        D.commitInfo("W"),
+        D.addWithStats("f3.parquet", 103L, 13L, Map("v" -> 300L),
+          Map("v" -> 399L), poisonShape = jsonPoison),
+        D.addWithStats("f1.parquet", 201L, 11L, Map("v" -> 1000L),
+          Map("v" -> 1099L))).mkString("\n")))
+      (D.lastCheckpoint(4L, 5L), ck, commits)
+    }
+    val (lc, ck, commits) = table(ckPoison = false, jsonPoison = false)
+    val (snap, census) = D.replayCheckpointedStats(lc, ck, commits).get
+    assert(census.length == 4)
+    // bounds from the checkpoint rows...
+    assert(census.find(_.path == "f2.parquet").get.minValues("v") == 200L)
+    // ...and from the JSON re-add — newest wins
+    assert(census.find(_.path == "f1.parquet").get.minValues("v") == 1000L)
+    // pruning over the merged census
+    val surv = D.pruneFiles(census, "v", Some(250L), Some(350L))
+    assert(surv.map(_.path) == Seq("f2.parquet", "f3.parquet"))
+    // the wrapper agrees with the census rows
+    assert(D.replayCheckpointed(lc, ck, commits).get.files ==
+      census.map(c => (c.path, c.size, c.rows)))
+    // malformed bounds refuse from EITHER origin
+    val (lc2, ck2, c2) = table(ckPoison = true, jsonPoison = false)
+    assert(D.replayCheckpointedStats(lc2, ck2, c2).isEmpty)
+    val (lc3, ck3, c3) = table(ckPoison = false, jsonPoison = true)
+    assert(D.replayCheckpointedStats(lc3, ck3, c3).isEmpty)
+  }
+
   test("delta column mapping: physical stats translate to logical; leak laws") {
     import graft.llm.{DeltaLog => D}
     def table(proto: String, cols: Seq[(String, String, Long)],
