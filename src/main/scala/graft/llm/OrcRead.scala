@@ -18,8 +18,10 @@ package graft.llm
   * full nested tree (r19) — primitives BOOLEAN (byte-RLE bits),
   * SHORT/INT/LONG/DATE (RLEv2 signed), FLOAT/DOUBLE, STRING/VARCHAR/
   * CHAR (both v2 encodings, char-length law), BINARY,
-  * TIMESTAMP[_INSTANT] (seconds + compressed-nanos SECONDARY, pre-1970
-  * pinned out), DECIMAL (varint mantissa + scale stream); nested
+  * TIMESTAMP[_INSTANT] (seconds + compressed-nanos SECONDARY;
+  * pre-1970 decodes under orc-core's negative-truncation correction —
+  * r19 — with the (-1 s, 0) alias zone inherently unrepresentable),
+  * DECIMAL (varint mantissa + scale stream); nested
   * STRUCT / LIST / MAP through the PRESENT/LENGTH machinery (children
   * sized by their parents). BYTE, UNION and the v1 (pre-hive-0.12)
   * integer RLE refuse. PRESENT streams decode (nullable columns
@@ -783,8 +785,18 @@ object OrcRead {
               while (z < zeros + 1) { nanos *= 10; z += 1 }
             }
             if (nanos < 0 || nanos > 999999999L) bad()
-            val epochSec = secs(i) + 1420070400L
-            if (epochSec < 0) bad() // pre-1970 pin
+            var epochSec = secs(i) + 1420070400L
+            // pre-1970 (r19, arbitrated against orc-core's own bytes):
+            // the WRITER truncates the negative second toward zero, so
+            // it loses a second whenever the value carries ≥ 1 ms of
+            // sub-second part; the READER subtracts it back (orc-core's
+            // `millis < 0 && nanos > 999999` rule). Values in (-1 s, 0)
+            // store seconds = 0 and ALIAS (0, 1 s) — unrepresentable in
+            // the format; this decode matches orc-core's reader
+            // byte-for-byte (Spark reads them mirrored too).
+            if (epochSec < 0 && nanos >= 1000000L) epochSec -= 1
+            // ORC's year range is 1..9999 — bound before the multiply
+            if (epochSec < -62135596800L || epochSec > 253402300799L) bad()
             vals(i) = java.lang.Long.valueOf(epochSec * 1000000L + nanos / 1000L)
             i += 1
           }

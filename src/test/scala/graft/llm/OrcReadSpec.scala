@@ -215,12 +215,22 @@ class OrcReadSpec extends SparkTestBase {
   test("timestamp + decimal columns vs the real writer") {
     import spark.implicits._
     val rnd = new scala.util.Random(55)
+    // deterministic pre-1970 edges (r19): the writer's truncate-toward-
+    // zero second + the reader's millis<0/nanos>999999 correction,
+    // INCLUDING the (-1 s, 0) alias zone where orc-core itself reads
+    // values mirrored positive — the native decode must match
+    // orc-core's reader byte-for-byte, warts and all
+    val edges = Seq(-1L, -500000L, -999999L, -1000000L, -1500000L,
+      -86400L * 1000000L, -86400L * 1000000L + 123456L,
+      -31536000L * 1000000L + 987654L)
     val rows = (0 until 700).map { i =>
-      // micros spanning 1970..2030 (pre-1970 is the pinned wart zone),
-      // with sub-second parts exercising the nanos compression
-      val micros = rnd.between(0L, 1_900_000_000_000_000L)
-      (i.toLong, new java.sql.Timestamp(micros / 1000) {
-        setNanos(((micros % 1000000L) * 1000L).toInt)
+      // micros spanning ~1930..2030 with sub-second parts exercising
+      // the nanos compression and the pre-epoch correction
+      val micros =
+        if (i < edges.length) edges(i)
+        else rnd.between(-1_200_000_000_000_000L, 1_900_000_000_000_000L)
+      (i.toLong, new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L) {
+        setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
       },
         BigDecimal(rnd.nextLong() % 1000000000L, 4),
         rnd.nextInt(3) != 0,
