@@ -67,7 +67,9 @@ object ParquetRead {
                          totalUncompressed: Long, dataOff: Long, dictOff: Long,
                          minV: Option[Vector[Byte]] = None,
                          maxV: Option[Vector[Byte]] = None,
-                         nullCount: Long = -1L)
+                         nullCount: Long = -1L,
+                         oiOff: Long = -1L, oiLen: Int = -1,
+                         ciOff: Long = -1L, ciLen: Int = -1)
   final case class Rg(numRows: Long, chunks: Vector[Chunk])
   final case class Meta(version: Int, numRows: Long, leaves: Vector[Leaf],
                         rowGroups: Vector[Rg])
@@ -278,9 +280,15 @@ object ParquetRead {
                     var minV: Option[Vector[Byte]] = None
                     var maxV: Option[Vector[Byte]] = None
                     var nullCount = -1L
+                    var oiOff = -1L; var oiLen = -1
+                    var ciOff = -1L; var ciLen = -1
                     tr.struct(2) { (cf, ct) =>
                       (cf, ct) match {
                         case (1, 8) => sawPath = true; tr.bin(); true
+                        case (4, 6) => oiOff = tr.zigzag(); true // OffsetIndex
+                        case (5, 5) => oiLen = tr.i32(); true
+                        case (6, 6) => ciOff = tr.zigzag(); true // ColumnIndex
+                        case (7, 5) => ciLen = tr.i32(); true
                         case (3, 12) => // ColumnMetaData
                           tr.struct(3) { (mf, mt) =>
                             (mf, mt) match {
@@ -318,8 +326,16 @@ object ParquetRead {
                     if (sawPath) bad()
                     if (codec < 0 || nVals < 0 || totC < 0 || totU < 0 || dataOff < 0) bad()
                     if (nullCount < -1 || nullCount > nVals) bad() // the null-census law
+                    // index extents (when present) live in the gap
+                    // between data and footer — operands apart
+                    if ((oiOff >= 0) != (oiLen >= 0)) bad()
+                    if ((ciOff >= 0) != (ciLen >= 0)) bad()
+                    if (oiOff >= 0 && (oiOff < 4 || oiLen < 1 ||
+                      oiLen.toLong > fStartFile - oiOff)) bad()
+                    if (ciOff >= 0 && (ciOff < 4 || ciLen < 1 ||
+                      ciLen.toLong > fStartFile - ciOff)) bad()
                     chunks += ((Chunk(codec, nVals, totC, totU, dataOff, dictOff,
-                      minV, maxV, nullCount), path))
+                      minV, maxV, nullCount, oiOff, oiLen, ciOff, ciLen), path))
                     j += 1
                   }
                   true
@@ -819,39 +835,44 @@ object ParquetRead {
     if (rgIdx < 0 || rgIdx >= meta.rowGroups.length) return None
     if (leafIdx < 0 || leafIdx >= meta.leaves.length) return None
     val c = meta.rowGroups(rgIdx).chunks(leafIdx)
-    val mn = c.minV.getOrElse(return None)
-    val mx = c.maxV.getOrElse(return None)
-    def le32(v: Vector[Byte]): Option[Long] =
+    val typ = meta.leaves(leafIdx).typ
+    for {
+      mn <- c.minV.flatMap(typedStat(typ, _))
+      mx <- c.maxV.flatMap(typedStat(typ, _))
+      ord <- cmpStat(mn, mx)
+      if ord <= 0 // a min > max footer lie must not steer pruning
+    } yield (mn, mx, c.nullCount)
+  }
+
+  /** Typed decode of one stat value: Long for INT32/INT64, Double for
+    * FLOAT/DOUBLE, String for pure-ASCII BYTE_ARRAY (where unsigned
+    * byte order and String order provably agree). */
+  private def typedStat(typ: Int, v: Vector[Byte]): Option[Any] = {
+    def le32: Option[Long] =
       if (v.length != 4) None
       else Some(((v(0) & 0xff) | ((v(1) & 0xff) << 8) | ((v(2) & 0xff) << 16) |
         ((v(3) & 0xff) << 24)).toLong)
-    def le64(v: Vector[Byte]): Option[Long] =
+    def le64: Option[Long] =
       if (v.length != 8) None
       else Some((0 until 8).map(i => (v(i).toLong & 0xffL) << (8 * i)).reduce(_ | _))
-    def ascii(v: Vector[Byte]): Option[String] =
-      if (v.forall(b => b >= 0x20 && b < 0x7f)) Some(new String(v.toArray, "US-ASCII"))
-      else None
-    val typed: Option[(Any, Any)] = meta.leaves(leafIdx).typ match {
-      case 1 => for (a <- le32(mn); b <- le32(mx)) yield (a, b)
-      case 2 => for (a <- le64(mn); b <- le64(mx)) yield (a, b)
-      case 4 => for (a <- le32(mn); b <- le32(mx))
-        yield (java.lang.Float.intBitsToFloat(a.toInt).toDouble,
-          java.lang.Float.intBitsToFloat(b.toInt).toDouble)
-      case 5 => for (a <- le64(mn); b <- le64(mx))
-        yield (java.lang.Double.longBitsToDouble(a),
-          java.lang.Double.longBitsToDouble(b))
-      case 6 => for (a <- ascii(mn); b <- ascii(mx)) yield (a, b)
+    typ match {
+      case 1 => le32
+      case 2 => le64
+      case 4 => le32.map(a => java.lang.Float.intBitsToFloat(a.toInt).toDouble)
+      case 5 => le64.map(java.lang.Double.longBitsToDouble)
+      case 6 =>
+        if (v.forall(b => b >= 0x20 && b < 0x7f))
+          Some(new String(v.toArray, "US-ASCII"))
+        else None
       case _ => None
     }
-    typed.flatMap { case (a, b) =>
-      val ord = (a, b) match {
-        case (x: Long, y: Long) => java.lang.Long.compare(x, y)
-        case (x: Double, y: Double) => java.lang.Double.compare(x, y)
-        case (x: String, y: String) => x.compareTo(y)
-        case _ => 1
-      }
-      if (ord > 0) None else Some((a, b, c.nullCount))
-    }
+  }
+
+  private def cmpStat(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+    case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case _ => None
   }
 
   /** Survivor row groups for the range predicate lo ≤ col ≤ hi
@@ -883,6 +904,251 @@ object ParquetRead {
         case None => true // no stats: always survive
       }
     }.toVector
+  }
+
+  // ---- page-level skipping (r19): ColumnIndex + OffsetIndex ----
+  // The third rung of the pruning ladder (file stats → row-group stats
+  // → PAGE stats): parquet-mr writes both indexes by default, in the
+  // gap between the data and the footer. A selective scan fetches
+  // footer tail + the two index extents + ONLY the surviving pages —
+  // the point-lookup I/O shape (k pages instead of a row group).
+
+  final case class PageLoc(offset: Long, size: Int, firstRow: Long)
+  /** One chunk's page census: locations (OffsetIndex) + per-page
+    * null flags, raw min/max bytes and null counts (ColumnIndex;
+    * nullCounts empty when the writer omitted them). */
+  final case class PageIndex(locs: Vector[PageLoc],
+                             nullPages: Vector[Boolean],
+                             minV: Vector[Option[Vector[Byte]]],
+                             maxV: Vector[Option[Vector[Byte]]],
+                             nullCounts: Vector[Long])
+
+  /** OffsetIndex thrift: 1 = list<PageLocation(offset, size,
+    * first_row_index)>. Exact consumption; per-field sanity only —
+    * the cross-laws live in [[pageIndex]]. */
+  def parseOffsetIndex(b: Array[Byte]): Option[Vector[PageLoc]] = try {
+    if (b == null || b.length < 2) return None
+    val tr = new TR(b, 0, b.length)
+    val locs = Vector.newBuilder[PageLoc]
+    var saw = false
+    tr.struct(0) { (fid, t) =>
+      (fid, t) match {
+        case (1, 9) =>
+          saw = true
+          val n = tr.listHeader(12)
+          if (n < 1 || n > 1000000) bad()
+          var i = 0
+          while (i < n) {
+            var off = -1L; var sz = -1; var fr = -1L
+            tr.struct(1) { (f2, t2) =>
+              (f2, t2) match {
+                case (1, 6) => off = tr.zigzag(); true
+                case (2, 5) => sz = tr.i32(); true
+                case (3, 6) => fr = tr.zigzag(); true
+                case _ => false
+              }
+            }
+            if (off < 4 || sz < 1 || fr < 0) bad()
+            locs += PageLoc(off, sz, fr)
+            i += 1
+          }
+          true
+        case _ => false
+      }
+    }
+    if (!saw || tr.p != b.length) return None // consumed exactly
+    Some(locs.result())
+  } catch {
+    case _: Bad => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  /** ColumnIndex thrift: 1 null_pages list<bool>, 2 min_values
+    * list<binary>, 3 max_values list<binary>, 4 boundary_order,
+    * 5 null_counts list<i64>. Empty binaries (the writer's filler for
+    * null pages) surface as None bounds. */
+  def parseColumnIndex(b: Array[Byte]): Option[(Vector[Boolean],
+      Vector[Option[Vector[Byte]]], Vector[Option[Vector[Byte]]], Vector[Long])] = try {
+    if (b == null || b.length < 2) return None
+    val tr = new TR(b, 0, b.length)
+    var np: Vector[Boolean] = null
+    var mn: Vector[Option[Vector[Byte]]] = null
+    var mx: Vector[Option[Vector[Byte]]] = null
+    var nc: Vector[Long] = Vector.empty
+    def binList(): Vector[Option[Vector[Byte]]] = {
+      val n = tr.listHeader(8)
+      if (n < 1 || n > 1000000) bad()
+      val out = Vector.newBuilder[Option[Vector[Byte]]]
+      var i = 0
+      while (i < n) {
+        val bs = tr.bin()
+        out += (if (bs.isEmpty) None else Some(bs.toVector))
+        i += 1
+      }
+      out.result()
+    }
+    tr.struct(0) { (fid, t) =>
+      (fid, t) match {
+        case (1, 9) => // null_pages: compact bool list (one byte each)
+          val n = tr.listHeader(1)
+          if (n < 1 || n > 1000000) bad()
+          val out = Vector.newBuilder[Boolean]
+          var i = 0
+          while (i < n) {
+            tr.u8() match {
+              case 1 => out += true
+              case 2 => out += false
+              case _ => bad()
+            }
+            i += 1
+          }
+          np = out.result()
+          true
+        case (2, 9) => mn = binList(); true
+        case (3, 9) => mx = binList(); true
+        case (4, 5) => tr.i32(); true // boundary_order (informational)
+        case (5, 9) =>
+          val n = tr.listHeader(6)
+          if (n < 1 || n > 1000000) bad()
+          val out = Vector.newBuilder[Long]
+          var i = 0
+          while (i < n) {
+            val v = tr.zigzag()
+            if (v < 0) bad()
+            out += v
+            i += 1
+          }
+          nc = out.result()
+          true
+        case _ => false
+      }
+    }
+    if (np == null || mn == null || mx == null) return None
+    if (tr.p != b.length) return None // consumed exactly
+    Some((np, mn, mx, nc))
+  } catch {
+    case _: Bad => None
+    case _: ArrayIndexOutOfBoundsException => None
+  }
+
+  /** Fetch + parse one chunk's page index — two ranged reads, never
+    * the data.
+    *
+    * Cross-laws (refuse, never garble): list lengths agree across the
+    * two indexes; page locations TILE the data region exactly (first
+    * at data_page_offset, contiguous, the last ending at the chunk
+    * end); first_row_index strictly increasing from 0 and inside the
+    * row group; a null page must carry no bounds. None when the
+    * writer emitted no index — page skipping then simply is not
+    * available (callers fail open to the row-group level). */
+  def pageIndex(path: String, meta: Meta, rgIdx: Int,
+                leafIdx: Int): Option[PageIndex] = {
+    if (rgIdx < 0 || rgIdx >= meta.rowGroups.length) return None
+    if (leafIdx < 0 || leafIdx >= meta.leaves.length) return None
+    val c = meta.rowGroups(rgIdx).chunks(leafIdx)
+    if (c.oiOff < 0 || c.ciOff < 0) return None
+    val oiB = ExtentIo.readRange(path, c.oiOff, c.oiOff + c.oiLen)
+      .getOrElse(return None)
+    val ciB = ExtentIo.readRange(path, c.ciOff, c.ciOff + c.ciLen)
+      .getOrElse(return None)
+    val locs = parseOffsetIndex(oiB).getOrElse(return None)
+    val (np, mn, mx, nc) = parseColumnIndex(ciB).getOrElse(return None)
+    if (np.length != locs.length || mn.length != locs.length ||
+      mx.length != locs.length) return None
+    if (nc.nonEmpty && nc.length != locs.length) return None
+    // the tiling law over the data region
+    if (locs.head.offset != c.dataOff) return None
+    val chunkStart = if (c.dictOff >= 0) c.dictOff else c.dataOff
+    var i = 0
+    while (i < locs.length) {
+      val endI = locs(i).offset + locs(i).size
+      if (i + 1 < locs.length) {
+        if (endI != locs(i + 1).offset) return None // contiguity
+        if (locs(i + 1).firstRow <= locs(i).firstRow) return None
+      } else if (endI != chunkStart + c.totalCompressed) return None
+      i += 1
+    }
+    if (locs.head.firstRow != 0L) return None
+    if (locs.last.firstRow >= meta.rowGroups(rgIdx).numRows) return None
+    // a null page claiming bounds is a lying index
+    if (np.indices.exists(p => np(p) && (mn(p).nonEmpty || mx(p).nonEmpty)))
+      return None
+    Some(PageIndex(locs, np, mn, mx, nc))
+  }
+
+  /** Survivor page ordinals for lo ≤ col ≤ hi: a page is skipped ONLY
+    * when the index PROVES no non-null value can match — an all-null
+    * page, max < lo, or min > hi. Pages without usable bounds survive
+    * (the same fail-open discipline as [[pruneRowGroups]], one level
+    * down). */
+  def prunePages(meta: Meta, leafIdx: Int, pi: PageIndex, lo: Option[Any],
+                 hi: Option[Any]): Vector[Int] = {
+    if (leafIdx < 0 || leafIdx >= meta.leaves.length)
+      return pi.locs.indices.toVector
+    if (lo.isEmpty && hi.isEmpty) return pi.locs.indices.toVector
+    val typ = meta.leaves(leafIdx).typ
+    pi.locs.indices.filter { p =>
+      if (pi.nullPages(p)) false // all null: no value predicate matches
+      else {
+        val mnT = pi.minV(p).flatMap(typedStat(typ, _))
+        val mxT = pi.maxV(p).flatMap(typedStat(typ, _))
+        val ordered = (for (a <- mnT; b <- mxT; c <- cmpStat(a, b)) yield c <= 0)
+          .getOrElse(true) // unknown order: fail open
+        if (!ordered) true // a min > max index must not steer
+        else {
+          lo.forall(l => mxT.flatMap(cmpStat(_, l)).forall(_ >= 0)) &&
+            hi.forall(h => mnT.flatMap(cmpStat(_, h)).forall(_ <= 0))
+        }
+      }
+    }.toVector
+  }
+
+  /** Decode SELECTED data pages of a FLAT column — per-page extent
+    * fetches via the OffsetIndex (the point-lookup I/O shape: footer
+    * tail + index + k pages, never the row group). The dictionary
+    * page, when declared, is fetched once from its own extent.
+    *
+    * Laws per page (replacing the chunk-level Σ censuses, which a
+    * partial read cannot run): the page spans its extent EXACTLY (one
+    * header + payload per OffsetIndex entry); its value count equals
+    * the index's row span (flat columns: values == rows); levels
+    * bounded; payload consumed exactly. Nested leaves refuse (row
+    * alignment under repetition needs whole-group assembly).
+    * Returns (firstRow, values-with-nulls) per selected page. */
+  def readPagesSelective(path: String, meta: Meta, rgIdx: Int, leafIdx: Int,
+                         pi: PageIndex, pages: Seq[Int],
+                         maxVals: Int = 1 << 26): Option[Vector[(Long, Array[AnyRef])]] = try {
+    if (rgIdx < 0 || rgIdx >= meta.rowGroups.length) return None
+    if (leafIdx < 0 || leafIdx >= meta.leaves.length) return None
+    val leaf = meta.leaves(leafIdx)
+    if (leaf.maxRep != 0 || leaf.maxDef > 1) return None // flat-only pin
+    val chunk = meta.rowGroups(rgIdx).chunks(leafIdx)
+    val nRows = meta.rowGroups(rgIdx).numRows
+    if (pages.exists(p => p < 0 || p >= pi.locs.length)) return None
+    val dict: Array[AnyRef] =
+      if (chunk.dictOff >= 0) {
+        if (chunk.dataOff <= chunk.dictOff) return None
+        val dB = ExtentIo.readRange(path, chunk.dictOff, chunk.dataOff)
+          .getOrElse(return None)
+        decodeDictSegment(dB, leaf, chunk.codec, maxVals).getOrElse(return None)
+      } else null
+    val out = Vector.newBuilder[(Long, Array[AnyRef])]
+    pages.foreach { p =>
+      val loc = pi.locs(p)
+      val span = (if (p + 1 < pi.locs.length) pi.locs(p + 1).firstRow
+        else nRows) - loc.firstRow
+      if (span < 1 || span > maxVals) return None
+      val pB = ExtentIo.readRange(path, loc.offset, loc.offset + loc.size)
+        .getOrElse(return None)
+      val vals = decodeFlatDataPage(pB, leaf, chunk.codec, span.toInt, dict,
+        maxVals).getOrElse(return None)
+      out += ((loc.firstRow, vals))
+    }
+    Some(out.result())
+  } catch {
+    case _: Bad => None
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NegativeArraySizeException => None
   }
 
   /** One split task's whole fetch: footer tail + ONLY this row
@@ -1135,6 +1401,184 @@ object ParquetRead {
     if (chunk.dictOff >= 0 && dict == null) bad()
     if (rowsSeen != meta.rowGroups(rgIdx).numRows) bad() // record census law
     Some((out, defsOut, repsOut))
+  } catch {
+    case _: Bad => None
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NegativeArraySizeException => None
+  }
+
+  /** Parse one page header from b[0..): returns (pType, comp, uncomp,
+    * payloadOff, v1: (num, enc, defEnc, repEnc), dict: (num, enc),
+    * v2: (num, nulls, rows, enc, defLen, repLen, compressed)) with the
+    * CRC verified when present. */
+  private def parsePageHeader(b: Array[Byte]): (Int, Int, Int, Int,
+      (Int, Int, Int, Int), (Int, Int), (Int, Int, Int, Int, Int, Int, Boolean)) = {
+    val tr = new TR(b, 0, b.length)
+    var pType = -1
+    var uncomp = Int.MinValue
+    var comp = Int.MinValue
+    var crc = 0L
+    var hasCrc = false
+    var v1Num = -1; var v1Enc = -1; var v1DefEnc = -1; var v1RepEnc = -1
+    var dNum = -1; var dEnc = -1
+    var v2Num = -1; var v2Nulls = -1; var v2Rows = -1; var v2Enc = -1
+    var v2DefLen = -1; var v2RepLen = -1; var v2Compressed = true
+    tr.struct(0) { (fid, t) =>
+      (fid, t) match {
+        case (1, 5) => pType = tr.i32(); true
+        case (2, 5) => uncomp = tr.i32(); true
+        case (3, 5) => comp = tr.i32(); true
+        case (4, 5) => crc = tr.i32().toLong & 0xffffffffL; hasCrc = true; true
+        case (5, 12) =>
+          tr.struct(1) { (f2, t2) =>
+            (f2, t2) match {
+              case (1, 5) => v1Num = tr.i32(); true
+              case (2, 5) => v1Enc = tr.i32(); true
+              case (3, 5) => v1DefEnc = tr.i32(); true
+              case (4, 5) => v1RepEnc = tr.i32(); true
+              case _ => false
+            }
+          }
+          true
+        case (7, 12) =>
+          tr.struct(1) { (f2, t2) =>
+            (f2, t2) match {
+              case (1, 5) => dNum = tr.i32(); true
+              case (2, 5) => dEnc = tr.i32(); true
+              case _ => false
+            }
+          }
+          true
+        case (8, 12) =>
+          tr.struct(1) { (f2, t2) =>
+            (f2, t2) match {
+              case (1, 5) => v2Num = tr.i32(); true
+              case (2, 5) => v2Nulls = tr.i32(); true
+              case (3, 5) => v2Rows = tr.i32(); true
+              case (4, 5) => v2Enc = tr.i32(); true
+              case (5, 5) => v2DefLen = tr.i32(); true
+              case (6, 5) => v2RepLen = tr.i32(); true
+              case (7, 1) => v2Compressed = true; true
+              case (7, 2) => v2Compressed = false; true
+              case _ => false
+            }
+          }
+          true
+        case _ => false
+      }
+    }
+    val payload = tr.p
+    if (comp < 0 || uncomp < 0 || uncomp > (1 << 30)) bad()
+    if (payload + comp.toLong > b.length) bad()
+    if (hasCrc) {
+      val crc32 = new java.util.zip.CRC32
+      crc32.update(b, payload, comp)
+      if (crc32.getValue != crc) bad()
+    }
+    (pType, comp, uncomp, payload, (v1Num, v1Enc, v1DefEnc, v1RepEnc),
+      (dNum, dEnc), (v2Num, v2Nulls, v2Rows, v2Enc, v2DefLen, v2RepLen,
+        v2Compressed))
+  }
+
+  /** Decode the dictionary SEGMENT [dictOff, dataOff) — exactly one
+    * dictionary page filling the extent. */
+  private def decodeDictSegment(b: Array[Byte], leaf: Leaf, codec: Int,
+                                maxVals: Int): Option[Array[AnyRef]] = try {
+    val (pType, comp, uncomp, payload, _, (dNum, dEnc), _) = parsePageHeader(b)
+    if (pType != 2) return None
+    if (payload + comp != b.length) return None // the segment is one page
+    if (dNum < 0 || dNum > maxVals) return None
+    if (dEnc != 0 && dEnc != 2) return None // PLAIN / PLAIN_DICTIONARY
+    val d = inflatePage(codec, b, payload, comp, uncomp)
+    val (vals, consumed) = plainValues(leaf.typ, leaf.typeLength, d, 0,
+      d.length, dNum)
+    if (consumed != d.length) return None
+    Some(finishValues(leaf, vals))
+  } catch {
+    case _: Bad => None
+    case _: ArrayIndexOutOfBoundsException => None
+    case _: NegativeArraySizeException => None
+  }
+
+  /** Decode ONE flat data page from its own extent: the header +
+    * payload must fill the extent exactly, the value count must equal
+    * the OffsetIndex row span, levels bound by maxDef ≤ 1. Returns
+    * span values with nulls in place. */
+  private def decodeFlatDataPage(b: Array[Byte], leaf: Leaf, codec: Int,
+                                 span: Int, dict: Array[AnyRef],
+                                 maxVals: Int): Option[Array[AnyRef]] = try {
+    val (pType, comp, uncomp, payload,
+      (v1Num, v1Enc, v1DefEnc, _), _,
+      (v2Num, v2Nulls, v2Rows, v2Enc, v2DefLen, v2RepLen, v2Compressed)) =
+      parsePageHeader(b)
+    if (payload + comp != b.length) return None // the page fills its extent
+    val defW = if (leaf.maxDef == 0) 0 else bitWidth(leaf.maxDef)
+    val out = new Array[AnyRef](span)
+    def mergeNulls(levels: Array[Int], vals: Array[AnyRef]): Array[AnyRef] = {
+      var i = 0; var v = 0
+      while (i < span) {
+        if (levels(i) == leaf.maxDef) { out(i) = vals(v); v += 1 }
+        i += 1
+      }
+      out
+    }
+    pType match {
+      case 0 => // v1 data page
+        if (v1Num != span) return None // the index's row-span law
+        val d = inflatePage(codec, b, payload, comp, uncomp)
+        var p = 0
+        val levels = new Array[Int](span)
+        if (leaf.maxDef > 0) {
+          if (v1DefEnc != 3) return None // RLE (BIT_PACKED legacy refuses)
+          if (p + 4 > d.length) return None
+          val L = le32(d, p); p += 4
+          if (L < 0 || L > d.length - p) return None
+          val consumed = rleHybrid(d, p, p + L, defW, span, levels, 0)
+          if (consumed != p + L) return None
+          p += L
+          var i = 0
+          while (i < span) { if (levels(i) > leaf.maxDef) return None; i += 1 }
+        }
+        var nonNull = 0
+        var i = 0
+        while (i < span) { if (levels(i) == leaf.maxDef) nonNull += 1; i += 1 }
+        val vals = decodeDataValues(leaf, v1Enc, d, p, d.length, nonNull,
+          dict, maxVals)
+        Some(mergeNulls(levels, vals))
+      case 3 => // v2 data page
+        if (v2Num != span || v2Rows != span) return None // flat: values == rows
+        if (v2Nulls < 0 || v2Nulls > span) return None
+        if (v2RepLen != 0) return None // flat: no rep section
+        if (v2DefLen < 0 || payload + v2DefLen.toLong > b.length) return None
+        val levels = new Array[Int](span)
+        if (leaf.maxDef > 0) {
+          val consumed = rleHybrid(b, payload, payload + v2DefLen, defW,
+            span, levels, 0)
+          if (consumed != payload + v2DefLen) return None
+          var i = 0
+          while (i < span) { if (levels(i) > leaf.maxDef) return None; i += 1 }
+        } else if (v2DefLen != 0) return None
+        var nonNull = 0
+        var i = 0
+        while (i < span) { if (levels(i) == leaf.maxDef) nonNull += 1; i += 1 }
+        if (span - nonNull != v2Nulls) return None // the header's null census
+        val vRegionLen = comp - v2DefLen
+        if (vRegionLen < 0) return None
+        val vUncomp = uncomp - v2DefLen
+        if (vUncomp < 0) return None
+        val d =
+          if (v2Compressed) inflatePage(codec, b, payload + v2DefLen,
+            vRegionLen, vUncomp)
+          else {
+            if (vRegionLen != vUncomp) return None
+            java.util.Arrays.copyOfRange(b, payload + v2DefLen,
+              payload + v2DefLen + vRegionLen)
+          }
+        val vals = decodeDataValues(leaf, v2Enc, d, 0, d.length, nonNull,
+          dict, maxVals)
+        Some(mergeNulls(levels, vals))
+      case _ => None // a dictionary page inside the data region
+    }
   } catch {
     case _: Bad => None
     case _: ArrayIndexOutOfBoundsException => None

@@ -3829,6 +3829,94 @@ object Docs {
       (max($"n_surv") > 0 && max($"n_surv") < max($"n_tot")).as("pruned_some"))
   }
 
+  /** Parquet PAGE-level skipping under the oracle (r19; see
+    * [[graft.llm.ParquetRead.pageIndex]] / prunePages /
+    * readPagesSelective): the third rung of the pruning ladder. A
+    * sorted single-row-group orders file with ~1000-row pages plans
+    * from footer tail + the two index extents; surviving o_orderkey
+    * pages spread as splits, and each task fetches ONLY its key page
+    * plus the row-span-overlapping o_totalprice pages (the
+    * point-lookup I/O shape: k pages, never the row group). The
+    * oracle equality itself pins the on/off identity — a page wrongly
+    * pruned drops matching rows and fails the count; `page_pruned`
+    * asserts the planner really skipped pages. */
+  def parquetPagePrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.ParquetRead
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pqpageprune").toString
+    orders(s, d).select($"o_orderkey", $"o_totalprice")
+      .coalesce(1).sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite")
+      .option("parquet.page.row.count.limit", "1000")
+      .option("parquet.page.size", "4096").parquet(tmp)
+    val ls = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+    val file = try ls.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+      finally ls.close()
+    val lo = 5000L
+    val hi = 6500L
+    // stage 1: footer tail + index extents — survivor (rg, page) splits
+    val splits = s.createDataset(Seq(file)).flatMap { p =>
+      ParquetRead.metaFromTail(p).toSeq.flatMap { meta =>
+        val idI = meta.leaves.indexWhere(_.name == "o_orderkey")
+        if (idI < 0) Seq.empty
+        else meta.rowGroups.indices.flatMap { rg =>
+          ParquetRead.pageIndex(p, meta, rg, idI).toSeq.flatMap { pi =>
+            val surv = ParquetRead.prunePages(meta, idI, pi, Some(lo), Some(hi))
+            surv.map(pg => (p, rg, pg, surv.length, pi.locs.length))
+          }
+        }
+      }
+    }
+    val rows = splits.repartition(8).flatMap { case (p, rg, pg, nSurv, nTot) =>
+      ParquetRead.metaFromTail(p).toSeq.flatMap { meta =>
+        val idI = meta.leaves.indexWhere(_.name == "o_orderkey")
+        val prI = meta.leaves.indexWhere(_.name == "o_totalprice")
+        if (idI < 0 || prI < 0) Seq.empty
+        else (for {
+          pi <- ParquetRead.pageIndex(p, meta, rg, idI)
+          keyPages <- ParquetRead.readPagesSelective(p, meta, rg, idI, pi, Seq(pg))
+          (fr, keys) = keyPages.head
+          piP <- ParquetRead.pageIndex(p, meta, rg, prI)
+          overlap = piP.locs.indices.filter { q =>
+            val from = piP.locs(q).firstRow
+            val until = if (q + 1 < piP.locs.length) piP.locs(q + 1).firstRow
+              else meta.rowGroups(rg).numRows
+            from < fr + keys.length && until > fr
+          }
+          pricePages <- ParquetRead.readPagesSelective(p, meta, rg, prI, piP,
+            overlap)
+        } yield {
+          val priceAt = scala.collection.mutable.LongMap.empty[Double]
+          pricePages.foreach { case (pfr, vals) =>
+            vals.indices.foreach(i =>
+              priceAt(pfr + i) = vals(i).asInstanceOf[Double])
+          }
+          keys.indices.collect {
+            case i if keys(i).asInstanceOf[Long] >= lo &&
+              keys(i).asInstanceOf[Long] <= hi &&
+              priceAt.contains(fr + i) =>
+              (keys(i).asInstanceOf[Long], priceAt(fr + i), nSurv, nTot)
+          }.toSeq
+        }).getOrElse(Seq.empty)
+      }
+    }.toDF("k", "price", "n_surv", "n_tot")
+    rows.agg(
+      count(lit(1)).as("n_match"),
+      sum($"k").as("sum_key"),
+      sum($"price".cast("decimal(18,4)"))
+        .cast("decimal(38,6)").cast("double").as("sum_price"),
+      (max($"n_surv") > 0 && max($"n_surv") < max($"n_tot")).as("page_pruned"))
+  }
+
+  /** DuckDB's own filtered aggregate — identical counts prove no
+    * matching row lived in a pruned page. */
+  val parquetPagePruneSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_match,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price,
+      |  TRUE AS page_pruned
+      |FROM orders WHERE o_orderkey BETWEEN 5000 AND 6500""".stripMargin
+
   /** The survivor aggregate must equal DuckDB's own filtered scan —
     * and the booleans pin the prune-on/off identity. */
   val parquetPruneSql: String =
@@ -4898,6 +4986,7 @@ object Docs {
     "q_delta_colmap" -> (deltaColmap _),
     "q_delta_ckpt_prune" -> (deltaCkptPrune _),
     "q_parquet_prune" -> (parquetPrune _),
+    "q_parquet_page_prune" -> (parquetPagePrune _),
     "q_pickle_probe" -> (pickleProbe _),
     "q_ckpt_probe" -> (ckptProbe _),
     "q_wal_probe" -> (walProbe _),
@@ -4954,6 +5043,7 @@ object Docs {
     "q_delta_colmap" -> deltaColmapSql,
     "q_delta_ckpt_prune" -> deltaCkptPruneSql,
     "q_parquet_prune" -> parquetPruneSql,
+    "q_parquet_page_prune" -> parquetPagePruneSql,
     "q_pickle_probe" -> pickleProbeSql,
     "q_ckpt_probe" -> ckptProbeSql,
     "q_wal_probe" -> walProbeSql,
