@@ -60,9 +60,15 @@ object OrcRead {
                          scale: Int = 0, maxLength: Int = 0)
   final case class Stripe(offset: Long, indexLen: Long, dataLen: Long,
                           footerLen: Long, rows: Long)
+  /** One column's statistics from the metadata section (typed min/max
+    * under the int/double/string lanes; other lanes stay None — fail
+    * open; `numValues` excludes nulls per the ORC spec). */
+  final case class OStat(numValues: Long, hasNull: Boolean,
+                         min: Option[Any], max: Option[Any])
   final case class OMeta(compression: Int, blockSize: Int, numRows: Long,
                          cols: Vector[OCol], stripes: Vector[Stripe],
-                         types: Vector[OType] = Vector.empty)
+                         types: Vector[OType] = Vector.empty,
+                         stripeStats: Vector[Vector[OStat]] = Vector.empty)
 
   /** Footer parse with the type tree: the probe's laws plus the
     * root-struct + named-children requirements. */
@@ -92,12 +98,18 @@ object OrcRead {
     if (psLen < 1 || psLen + 1 > last.length) return None
     val ps = new Pb(last, last.length - 1 - psLen, last.length - 1)
     var footerLen = -1L
+    var metaLen = 0L
     while (!ps.done) {
       val (f, w) = ps.tag()
-      if (f == 1) footerLen = ps.varint() else ps.skip(w)
+      if (f == 1) footerLen = ps.varint()
+      else if (f == 5) metaLen = ps.varint()
+      else ps.skip(w)
     }
     if (footerLen <= 0 || footerLen > fileLen) return None
-    Some(1L + psLen + footerLen)
+    if (metaLen < 0 || metaLen > fileLen - footerLen) return None
+    // metadata (stripe statistics) rides the tail too — r19b stripe
+    // pruning plans from it without touching the data region
+    Some(1L + psLen + footerLen + metaLen)
   } catch {
     case _: Bad => None
     case _: ArrayIndexOutOfBoundsException => None
@@ -241,7 +253,25 @@ object OrcRead {
     }
     val st = stripes.result()
     if (st.map(_.rows).sum != rows) return None // the stripe row law
-    Some(OMeta(kind, blockSize, rows, cols, st, tv))
+    // ---- the metadata section: per-stripe statistics (r19b) ----
+    // [footerFrom − metaLen, footerFrom), same compression as the
+    // footer. ADVISORY: any anomaly (tail too short, torn section,
+    // count mismatch) yields EMPTY stats — pruning fails open, decode
+    // is untouched.
+    val sStats: Vector[Vector[OStat]] =
+      if (metaLen > 0 && footerFrom - metaLen >= 0 && metaLen <= (1 << 26)) {
+        try {
+          val mFrom = (footerFrom - metaLen).toInt
+          val sec =
+            if (kind == 0) java.util.Arrays.copyOfRange(b, mFrom, footerFrom.toInt)
+            else dechunk(b, mFrom, footerFrom.toInt, kind, blockSize)
+          parseStripeStats(sec, st.length, tv.length)
+        } catch {
+          case _: Bad => Vector.empty
+          case _: ArrayIndexOutOfBoundsException => Vector.empty
+        }
+      } else Vector.empty
+    Some(OMeta(kind, blockSize, rows, cols, st, tv, sStats))
   } catch {
     case _: Bad => None
     case _: ArrayIndexOutOfBoundsException => None
@@ -469,6 +499,143 @@ object OrcRead {
     * never the whole file ([[ExtentIo.orcTail]]). */
   def metaFromTail(path: String): Option[OMeta] =
     ExtentIo.orcTail(path).flatMap { case (t, len) => parseMetaTail(t, len) }
+
+  /** One ColumnStatistics message (orc_proto): field 1 numberOfValues,
+    * 2 intStatistics (sint64 min/max), 3 doubleStatistics (fixed64 LE
+    * doubles), 4 stringStatistics (UTF-8 min/max), 10 hasNull. A lane
+    * whose min > max is dropped — a lying section must not steer. */
+  private def parseColStats(buf: Array[Byte], from: Int, until: Int): OStat = {
+    val cp = new Pb(buf, from, until)
+    var nv = -1L
+    var hasNull = false
+    var mn: Option[Any] = None
+    var mx: Option[Any] = None
+    while (!cp.done) {
+      val (f, w) = cp.tag()
+      (f, w) match {
+        case (1, 0) => nv = cp.varint()
+        case (2, 2) => // IntegerStatistics: sint64 zigzag min/max
+          val (i0, i1) = cp.lenWindow()
+          val ip = new Pb(buf, i0, i1)
+          while (!ip.done) {
+            val (f2, w2) = ip.tag()
+            (f2, w2) match {
+              case (1, 0) =>
+                val v = ip.varint(); mn = Some((v >>> 1) ^ -(v & 1L))
+              case (2, 0) =>
+                val v = ip.varint(); mx = Some((v >>> 1) ^ -(v & 1L))
+              case _ => ip.skip(w2)
+            }
+          }
+        case (3, 2) => // DoubleStatistics: fixed64 LE doubles
+          val (d0, d1) = cp.lenWindow()
+          val dp = new Pb(buf, d0, d1)
+          def f64(): Double = {
+            if (dp.end - dp.p < 8) bad()
+            var v = 0L
+            var i = 7
+            while (i >= 0) { v = (v << 8) | (buf(dp.p + i) & 0xffL); i -= 1 }
+            dp.p += 8
+            java.lang.Double.longBitsToDouble(v)
+          }
+          while (!dp.done) {
+            val (f2, w2) = dp.tag()
+            (f2, w2) match {
+              case (1, 1) => mn = Some(f64())
+              case (2, 1) => mx = Some(f64())
+              case _ => dp.skip(w2)
+            }
+          }
+        case (4, 2) => // StringStatistics: UTF-8 min/max
+          val (s0, s1) = cp.lenWindow()
+          val sp = new Pb(buf, s0, s1)
+          while (!sp.done) {
+            val (f2, w2) = sp.tag()
+            (f2, w2) match {
+              case (1, 2) =>
+                val (a0, a1) = sp.lenWindow()
+                mn = Some(new String(buf, a0, a1 - a0,
+                  java.nio.charset.StandardCharsets.UTF_8))
+              case (2, 2) =>
+                val (a0, a1) = sp.lenWindow()
+                mx = Some(new String(buf, a0, a1 - a0,
+                  java.nio.charset.StandardCharsets.UTF_8))
+              case _ => sp.skip(w2)
+            }
+          }
+        case (10, 0) => hasNull = cp.varint() != 0
+        case _ => cp.skip(w)
+      }
+    }
+    val ordered = (for (a <- mn; b <- mx) yield (a, b) match {
+      case (x: Long, y: Long) => x <= y
+      case (x: Double, y: Double) => java.lang.Double.compare(x, y) <= 0
+      case (x: String, y: String) => x.compareTo(y) <= 0
+      case _ => false // mixed lanes: drop
+    }).getOrElse(mn.isEmpty && mx.isEmpty)
+    if (ordered) OStat(nv, hasNull, mn, mx)
+    else OStat(nv, hasNull, None, None)
+  }
+
+  /** Metadata section: repeated StripeStatistics, each a repeated
+    * ColumnStatistics — one per type node, one group per stripe. A
+    * count mismatch yields EMPTY (a lying section must not steer). */
+  private def parseStripeStats(sec: Array[Byte], nStripes: Int,
+                               nTypes: Int): Vector[Vector[OStat]] = try {
+    val mp = new Pb(sec, 0, sec.length)
+    val out = Vector.newBuilder[Vector[OStat]]
+    while (!mp.done) {
+      val (f, w) = mp.tag()
+      if (f == 1 && w == 2) {
+        val (s0, s1) = mp.lenWindow()
+        val sp = new Pb(sec, s0, s1)
+        val colsB = Vector.newBuilder[OStat]
+        while (!sp.done) {
+          val (f2, w2) = sp.tag()
+          if (f2 == 1 && w2 == 2) {
+            val (c0, c1) = sp.lenWindow()
+            colsB += parseColStats(sec, c0, c1)
+          } else sp.skip(w2)
+        }
+        out += colsB.result()
+      } else mp.skip(w)
+    }
+    val v = out.result()
+    if (v.length != nStripes || v.exists(_.length != nTypes)) Vector.empty
+    else v
+  } catch {
+    case _: Bad => Vector.empty
+    case _: ArrayIndexOutOfBoundsException => Vector.empty
+  }
+
+  /** Survivor stripes for lo ≤ col ≤ hi over the metadata section's
+    * per-stripe statistics — the ORC analog of
+    * [[ParquetRead.pruneRowGroups]], completing the pruning ladder on
+    * the second format. Identical fail-open discipline: a missing
+    * section, an un-statted column, a type mismatch or a dropped
+    * lying lane always SURVIVE; an all-null stripe (numValues == 0)
+    * is pruned for any value predicate. A selective scan then fetches
+    * only the survivors' extents ([[openSplit]]). */
+  def pruneStripes(meta: OMeta, colName: String, lo: Option[Any],
+                   hi: Option[Any]): Vector[Int] = {
+    val ci = meta.cols.indexWhere(_.name == colName)
+    if (ci < 0 || (lo.isEmpty && hi.isEmpty) || meta.stripeStats.isEmpty)
+      return meta.stripes.indices.toVector
+    val tid = meta.cols(ci).typeId
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+      case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case _ => None // type mismatch: fail open
+    }
+    meta.stripes.indices.filter { st =>
+      val stat = meta.stripeStats(st)(tid)
+      if (stat.numValues == 0) false // every value null: nothing matches
+      else
+        lo.forall(l => stat.max.flatMap(cmp(_, l)).forall(_ >= 0)) &&
+          hi.forall(h => stat.min.flatMap(cmp(_, h)).forall(_ <= 0))
+    }.toVector
+  }
 
   /** One split task's whole fetch: footer tail + ONLY this stripe's
     * extent — never the file. Returns (meta, slice, sliceBase) for

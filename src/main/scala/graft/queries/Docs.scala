@@ -3926,6 +3926,81 @@ object Docs {
       |  TRUE AS prune_equal, TRUE AS pruned_some
       |FROM orders WHERE o_orderkey BETWEEN 10000 AND 20000""".stripMargin
 
+  /** ORC STRIPE pruning under the oracle (r19b; see
+    * [[graft.llm.OrcRead.pruneStripes]]): the pruning ladder's second
+    * format — orders sorted by o_orderkey writes through orc-core
+    * into a multi-stripe file whose METADATA section carries
+    * per-stripe statistics; the planner reads only the footer tail
+    * (which now spans the metadata), prunes stripes whose stats
+    * exclude [5000, 6500], and every task decodes its surviving
+    * stripe from its extent. `prune_equal` asserts no matching row
+    * lived outside a survivor stripe, `pruned_some` that stripes
+    * really dropped; DuckDB replays the filtered aggregate from its
+    * own scan of the ORIGINAL parquet. */
+  def orcPrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.OrcRead
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orcprune").toString
+    orders(s, d).select($"o_orderkey", $"o_totalprice")
+      .coalesce(1).sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite")
+      .option("compression", "zlib")
+      .option("orc.stripe.size", "65536")
+      .option("orc.rows.between.memory.checks", "128").orc(tmp)
+    val ls = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+    val file = try ls.toArray.map(_.toString).filter(_.endsWith(".orc")).head
+      finally ls.close()
+    val lo = 5000L
+    val hi = 6500L
+    // stage 1: footer-tail plan — every stripe, tagged survivor or not
+    val stripes = s.createDataset(Seq(file)).flatMap { p =>
+      OrcRead.metaFromTail(p).toSeq.flatMap { m =>
+        val surv = OrcRead.pruneStripes(m, "o_orderkey",
+          Some(lo), Some(hi)).toSet
+        m.stripes.indices.map(st => (p, st, surv.contains(st), surv.size,
+          m.stripes.length))
+      }
+    }
+    // stage 2: extent decode; matching rows tagged with survivorship
+    val rows = stripes.repartition(8).flatMap { case (p, st, surv, nSurv, nTot) =>
+      OrcRead.openSplit(p, st).toSeq.flatMap { case (meta, bytes, base) =>
+        val kI = meta.cols.indexWhere(_.name == "o_orderkey")
+        val pI = meta.cols.indexWhere(_.name == "o_totalprice")
+        if (kI < 0 || pI < 0) Seq.empty
+        else {
+          val ks = OrcRead.readStripeColumnAt(bytes, base, meta, st, kI)
+          val ps = OrcRead.readStripeColumnAt(bytes, base, meta, st, pI)
+          (ks, ps) match {
+            case (Some(kv), Some(pv)) =>
+              kv.indices.collect {
+                case i if kv(i).asInstanceOf[Long] >= lo &&
+                  kv(i).asInstanceOf[Long] <= hi =>
+                  (kv(i).asInstanceOf[Long], pv(i).asInstanceOf[Double],
+                    surv, nSurv, nTot)
+              }.toSeq
+            case _ => Seq.empty
+          }
+        }
+      }
+    }.toDF("k", "price", "surv", "n_surv", "n_tot")
+    rows.agg(
+      sum(when($"surv", 1L).otherwise(0L)).as("n_match"),
+      sum(when($"surv", $"k")).as("sum_key"),
+      sum(when($"surv", $"price".cast("decimal(18,4)")))
+        .cast("decimal(38,6)").cast("double").as("sum_price"),
+      (sum(when(!$"surv", 1L).otherwise(0L)) === 0L).as("prune_equal"),
+      (max($"n_surv") > 0 && max($"n_surv") < max($"n_tot")).as("pruned_some"))
+  }
+
+  /** The survivor aggregate must equal DuckDB's own filtered scan of
+    * the ORIGINAL parquet — the ORC bytes never touch the oracle. */
+  val orcPruneSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_match,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price,
+      |  TRUE AS prune_equal, TRUE AS pruned_some
+      |FROM orders WHERE o_orderkey BETWEEN 5000 AND 6500""".stripMargin
+
   /** Iceberg snapshot reconstruction under the oracle (see
     * [[graft.llm.IcebergSnap]]): per-key tables of 1-3 manifests with
     * 2-4 entries each (every (k+m+e) mod 5 = 0 entry DELETED — the
@@ -4987,6 +5062,7 @@ object Docs {
     "q_delta_ckpt_prune" -> (deltaCkptPrune _),
     "q_parquet_prune" -> (parquetPrune _),
     "q_parquet_page_prune" -> (parquetPagePrune _),
+    "q_orc_prune" -> (orcPrune _),
     "q_pickle_probe" -> (pickleProbe _),
     "q_ckpt_probe" -> (ckptProbe _),
     "q_wal_probe" -> (walProbe _),
@@ -5044,6 +5120,7 @@ object Docs {
     "q_delta_ckpt_prune" -> deltaCkptPruneSql,
     "q_parquet_prune" -> parquetPruneSql,
     "q_parquet_page_prune" -> parquetPagePruneSql,
+    "q_orc_prune" -> orcPruneSql,
     "q_pickle_probe" -> pickleProbeSql,
     "q_ckpt_probe" -> ckptProbeSql,
     "q_wal_probe" -> walProbeSql,

@@ -103,6 +103,67 @@ class LakePruneSpec extends SparkTestBase {
       census.map(c => (c.path, c.size, c.rows)))
   }
 
+  test("orc: stripe statistics parse from real orc-core metadata and prune") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("lp_orc").toString
+    (0 until 20000).map(i => (i.toLong, s"k${"%06d".format(i)}",
+      i.toDouble / 2, s"pad-${i * 7919 % 99991}"))
+      .toDF("id", "s", "d", "pad")
+      .coalesce(1).sortWithinPartitions("id")
+      .write.mode("overwrite")
+      .option("compression", "zlib")
+      .option("orc.stripe.size", "65536")
+      .option("orc.rows.between.memory.checks", "128").orc(tmp)
+    val path = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".orc")).head.getAbsolutePath
+    val meta = OrcRead.metaFromTail(path).get
+    assert(meta.stripes.length > 2, "need several stripes")
+    assert(meta.stripeStats.length == meta.stripes.length,
+      "the metadata section must parse")
+    val idTid = meta.cols.find(_.name == "id").get.typeId
+    // per-stripe stats agree with the decoded values
+    meta.stripes.indices.foreach { st =>
+      val (m2, slice, base) = OrcRead.openSplit(path, st).get
+      val vals = OrcRead.readStripeColumnAt(slice, base, m2, st,
+        meta.cols.indexWhere(_.name == "id")).get.map(_.asInstanceOf[Long])
+      val stat = meta.stripeStats(st)(idTid)
+      assert(stat.min.contains(vals.min) && stat.max.contains(vals.max))
+      assert(stat.numValues == vals.length.toLong && !stat.hasNull)
+    }
+    // pruning on the sort column drops stripes and loses no rows
+    val lo = 8000L; val hi = 9000L
+    val surv = OrcRead.pruneStripes(meta, "id", Some(lo), Some(hi))
+    assert(surv.nonEmpty && surv.length < meta.stripes.length)
+    val kept = surv.flatMap { st =>
+      val (m2, slice, base) = OrcRead.openSplit(path, st).get
+      OrcRead.readStripeColumnAt(slice, base, m2, st,
+        meta.cols.indexWhere(_.name == "id")).get.map(_.asInstanceOf[Long])
+    }.filter(v => v >= lo && v <= hi)
+    assert(kept.sorted == (lo to hi).toVector)
+    // dropped stripes provably cannot match
+    meta.stripes.indices.filterNot(surv.contains).foreach { st =>
+      val stat = meta.stripeStats(st)(idTid)
+      assert(stat.max.get.asInstanceOf[Long] < lo ||
+        stat.min.get.asInstanceOf[Long] > hi)
+    }
+    // string + double lanes prune consistently with the id lane
+    assert(OrcRead.pruneStripes(meta, "s",
+      Some("k008000"), Some("k009000")) == surv)
+    assert(OrcRead.pruneStripes(meta, "d",
+      Some(4000.0d), Some(4500.0d)) == surv)
+    // unknown column / unbounded predicate / type mismatch: fail open
+    assert(OrcRead.pruneStripes(meta, "zz", Some(lo), Some(hi)) ==
+      meta.stripes.indices.toVector)
+    assert(OrcRead.pruneStripes(meta, "id", None, None) ==
+      meta.stripes.indices.toVector)
+    assert(OrcRead.pruneStripes(meta, "id", Some("oops"), None) ==
+      meta.stripes.indices.toVector)
+    // a lying section (count mismatch) must not steer: empty stats
+    val lied = meta.copy(stripeStats = meta.stripeStats.tail)
+    assert(OrcRead.pruneStripes(lied.copy(stripeStats = Vector.empty),
+      "id", Some(lo), Some(hi)) == meta.stripes.indices.toVector)
+  }
+
   test("delta checkpoint stats: bounds from both origins, newest wins, poison refusals") {
     import graft.llm.{DeltaLog => D}
     def table(ckPoison: Boolean, jsonPoison: Boolean) = {
