@@ -66,11 +66,14 @@ object DeltaLog {
 
   /** One live file's stats census (r19): per-column minValues /
     * maxValues from the add's `stats` JSON, typed Long / Double /
-    * String. Columns absent from a map simply carry no bound — file
-    * skipping ([[pruneFiles]]) fails open. */
+    * String, plus the add's partitionValues (string-typed per the
+    * protocol; a JSON null value — the hive default partition — is
+    * None). Columns absent from a map simply carry no bound — file
+    * skipping ([[pruneFiles]] / [[prunePartitions]]) fails open. */
   final case class FileCensus(path: String, size: Long, rows: Long,
                               minValues: Map[String, Any],
-                              maxValues: Map[String, Any])
+                              maxValues: Map[String, Any],
+                              partitionValues: Map[String, Option[String]] = Map.empty)
 
   def replay(commits: Seq[(Long, String)],
              dvFiles: Map[String, Array[Byte]] = Map.empty): Option[Snapshot] =
@@ -147,7 +150,8 @@ object DeltaLog {
     var dvAllowed = false // reader v3 + the deletionVectors feature
     var mapping = Map.empty[String, String] // physical → logical (mapped lane)
     val live = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Long, Long, Map[String, Any], Map[String, Any])]
+      .empty[String, (Long, Long, Map[String, Any], Map[String, Any],
+        Map[String, Option[String]])]
     commits.foreach { case (v, text) =>
       text.split("\n", -1).filter(_.nonEmpty).foreach { line =>
         val root = mapper.readTree(line)
@@ -218,6 +222,23 @@ object DeltaLog {
             if (dc == null || !dc.isBoolean) return None
             val pv = a.get("partitionValues")
             if (pv == null || !pv.isObject) return None
+            // partitionValues (r19b): string-typed per the protocol; a
+            // JSON null is the hive default partition; any other shape
+            // is a torn writer. Mapped lane: keys are PHYSICAL names.
+            val partVals: Map[String, Option[String]] = {
+              val out = Map.newBuilder[String, Option[String]]
+              val it2 = pv.fields()
+              while (it2.hasNext) {
+                val e = it2.next()
+                val col =
+                  if (!mapped) e.getKey
+                  else mapping.getOrElse(e.getKey, return None)
+                if (e.getValue.isTextual) out += (col -> Some(e.getValue.asText))
+                else if (e.getValue.isNull) out += (col -> None)
+                else return None
+              }
+              out.result()
+            }
             var rows = -1L
             var minVals = Map.empty[String, Any]
             var maxVals = Map.empty[String, Any]
@@ -282,7 +303,8 @@ object DeltaLog {
               if (positions.nonEmpty && positions.last >= rows) return None // range
               rows -= card.asLong
             }
-            live(path.asText) = (size.asLong, rows, minVals, maxVals) // newest wins
+            live(path.asText) =
+              (size.asLong, rows, minVals, maxVals, partVals) // newest wins
           case "remove" =>
             if (!a.isObject) return None
             val path = a.get("path")
@@ -299,14 +321,24 @@ object DeltaLog {
     if (live.isEmpty) return None
     val sorted = live.toSeq.sortBy(_._1)
     Some((Snapshot(versions.last,
-      sorted.map { case (p, (s, r, _, _)) => (p, s, r) }),
-      sorted.map { case (p, (s, r, mn, mx)) =>
-        FileCensus(p, s, r, mn, mx)
+      sorted.map { case (p, (s, r, _, _, _)) => (p, s, r) }),
+      sorted.map { case (p, (s, r, mn, mx, pvs)) =>
+        FileCensus(p, s, r, mn, mx, pvs)
       }.toVector,
       mapping))
   } catch {
     case _: com.fasterxml.jackson.core.JacksonException => None
   }
+
+  /** Survivor files for an EQUALITY predicate on a partition column —
+    * the pruning ladder's rung zero (coarsest, first-line at scale):
+    * a file is skipped only when it CARRIES the partition column with
+    * a different (or hive-default-null) value; files without the
+    * column survive (unpartitioned tables: fail open). `want = None`
+    * selects the hive default (null) partition. */
+  def prunePartitions(census: Seq[FileCensus], col: String,
+                      want: Option[String]): Seq[FileCensus] =
+    census.filter(f => f.partitionValues.get(col).forall(_ == want))
 
   /** Survivor files for the range predicate lo ≤ col ≤ hi: a file is
     * skipped ONLY when its census PROVES no value can match — maxValue
@@ -691,6 +723,29 @@ object DeltaLog {
     s"""{"add":{"path":"${esc(path)}","partitionValues":{},"size":$size,""" +
       s""""modificationTime":1700000000000,"dataChange":true,""" +
       s""""stats":"{\\"numRecords\\":$rows}"}}"""
+
+  /** An add with partitionValues (None = hive default null) and
+    * optional min/max stats — the rung-zero skipping census. */
+  def addPartitioned(path: String, size: Long, rows: Long,
+                     partVals: Map[String, Option[String]],
+                     minVals: Map[String, Long] = Map.empty,
+                     maxVals: Map[String, Long] = Map.empty): String = {
+    val pvs = partVals.toSeq.sortBy(_._1).map {
+      case (k, Some(v)) => s""""${esc(k)}":"${esc(v)}""""
+      case (k, None) => s""""${esc(k)}":null"""
+    }.mkString(",")
+    def m(vals: Map[String, Long]): String =
+      vals.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"""\\"${esc(k)}\\":$v""" }.mkString(",")
+    val statsPart =
+      if (minVals.isEmpty && maxVals.isEmpty)
+        s""""stats":"{\\"numRecords\\":$rows}""""
+      else
+        s""""stats":"{\\"numRecords\\":$rows,\\"minValues\\":{${m(minVals)}},""" +
+          s"""\\"maxValues\\":{${m(maxVals)}}}""""
+    s"""{"add":{"path":"${esc(path)}","partitionValues":{$pvs},"size":$size,""" +
+      s""""modificationTime":1700000000000,"dataChange":true,$statsPart}}"""
+  }
 
   /** An add with per-column min/max stats — the r19 skipping census.
     * `poisonShape` mints minValues as an ARRAY (the malformed-shape

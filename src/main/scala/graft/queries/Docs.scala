@@ -2950,6 +2950,99 @@ object Docs {
     decoded.orderBy($"media_id")
   }
 
+  /** Delta PARTITION pruning (r19b; see
+    * [[graft.llm.DeltaLog.prunePartitions]]) — the ladder's rung
+    * zero, COMPOSED with the stats rung: per key, three dt partitions
+    * of two files each (v-ranges [0,99] / [100,199]), a hive-NULL
+    * partition file, and (k mod 7) a partitionValues-free file that
+    * must survive any partition predicate (fail open). Normal keys
+    * select dt = d(k mod 3); every 17th selects the NULL partition
+    * (want = None). Survivors then range-prune on v ∈ [30, 80] —
+    * rung zero then rung one, the order a 100 TB planner runs them.
+    * Refusal arms: a numeric partition value (k mod 13 — the torn
+    * string-typing law), an add missing partitionValues entirely
+    * (k mod 19). DuckDB replays both survivor censuses in closed
+    * form. */
+  def deltaPartPrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.DeltaLog
+    val keys = partKeys(s, d) // full-width spread: the replay map is the cost
+    val decoded = keys.map { k =>
+      val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+      lines += DeltaLog.commitInfo("CREATE TABLE")
+      lines += DeltaLog.protocol()
+      lines += DeltaLog.metaData(s"tbl-$k")
+      (0 until 3).foreach { p =>
+        (0 until 2).foreach { j =>
+          lines += DeltaLog.addPartitioned(s"dt=d$p/f$j-$k.parquet",
+            1000L + p * 2 + j, 20L + (k + p * 2 + j) % 15,
+            Map("dt" -> Some(s"d$p")),
+            Map("v" -> j * 100L), Map("v" -> (j * 100L + 99L)))
+        }
+      }
+      lines += DeltaLog.addPartitioned(s"dt=null/fn-$k.parquet", 1100L, 17L,
+        Map("dt" -> None), Map("v" -> 0L), Map("v" -> 99L))
+      if (k % 7 == 0)
+        lines += DeltaLog.addPartitioned(s"nopart-$k.parquet", 1200L, 11L,
+          Map.empty) // no partition column: survives any rung-zero cut
+      if (k % 13 == 0)
+        lines += s"""{"add":{"path":"bad-$k.parquet","partitionValues":""" +
+          s"""{"dt":7},"size":1,"modificationTime":0,"dataChange":true}}"""
+      if (k % 19 == 0 && k % 13 != 0)
+        lines += s"""{"add":{"path":"bad2-$k.parquet","size":1,""" +
+          s""""modificationTime":0,"dataChange":true}}"""
+      val want: Option[String] =
+        if (k % 17 == 0 && k % 13 != 0 && k % 19 != 0) None
+        else Some(s"d${k % 3}")
+      DeltaLog.replayStats(Seq((0L, lines.mkString("\n")))) match {
+        case Some((_, census)) =>
+          val rung0 = DeltaLog.prunePartitions(census, "dt", want)
+          val rung1 = DeltaLog.pruneFiles(rung0, "v", Some(30L), Some(80L))
+          (k, true, Some(census.length), Some(rung0.length),
+            Some(rung0.map(_.rows).sum), Some(rung1.length),
+            Some(rung1.map(_.rows).sum))
+        case None =>
+          (k, false, None: Option[Int], None: Option[Int],
+            None: Option[Long], None: Option[Int], None: Option[Long])
+      }
+    }.toDF("media_id", "pp_ok", "n_files", "part_survivors",
+      "part_surv_rows", "both_survivors", "both_surv_rows")
+    decoded.orderBy($"media_id")
+  }
+
+  /** Closed form: the selected partition's two files (or the null
+    * file on 17ths) + the partition-free file on sevenths; the stats
+    * rung then keeps only j = 0 ranges (and the stats-free file). */
+  val deltaPartPruneSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k, k % 3 AS q,
+      |        (k % 13 <> 0 AND k % 19 <> 0) AS ok,
+      |        (k % 7 = 0) AS hasfree,
+      |        (k % 17 = 0 AND k % 13 <> 0 AND k % 19 <> 0) AS wantnull
+      |      FROM ks),
+      |cen AS (
+      |  SELECT k, ok, hasfree, wantnull,
+      |    CAST(7 + CASE WHEN hasfree THEN 1 ELSE 0 END AS INTEGER) AS nf,
+      |    CASE WHEN wantnull THEN CAST(17 AS BIGINT)
+      |      ELSE CAST(20 + (k + q * 2) % 15 AS BIGINT)
+      |        + CAST(20 + (k + q * 2 + 1) % 15 AS BIGINT) END AS psum,
+      |    CASE WHEN wantnull THEN 1 ELSE 2 END AS pcnt,
+      |    CASE WHEN wantnull THEN CAST(17 AS BIGINT)
+      |      ELSE CAST(20 + (k + q * 2) % 15 AS BIGINT) END AS bsum
+      |  FROM p)
+      |SELECT k AS media_id, ok AS pp_ok,
+      |  CASE WHEN ok THEN nf END AS n_files,
+      |  CASE WHEN ok THEN pcnt + CASE WHEN hasfree THEN 1 ELSE 0 END END
+      |    AS part_survivors,
+      |  CASE WHEN ok THEN psum + CASE WHEN hasfree THEN 11 ELSE 0 END END
+      |    AS part_surv_rows,
+      |  CASE WHEN ok THEN 1 + CASE WHEN hasfree THEN 1 ELSE 0 END END
+      |    AS both_survivors,
+      |  CASE WHEN ok THEN bsum + CASE WHEN hasfree THEN 11 ELSE 0 END END
+      |    AS both_surv_rows
+      |FROM cen
+      |ORDER BY media_id""".stripMargin
+
   /** Stats skipping on AGED (checkpointed) Delta tables (r19; see
     * [[graft.llm.DeltaLog.replayCheckpointedStats]]): per key, a v1
     * checkpoint whose add rows carry minValues/maxValues in their
@@ -5060,6 +5153,7 @@ object Docs {
     "q_lake_prune" -> (lakePrune _),
     "q_delta_colmap" -> (deltaColmap _),
     "q_delta_ckpt_prune" -> (deltaCkptPrune _),
+    "q_delta_part_prune" -> (deltaPartPrune _),
     "q_parquet_prune" -> (parquetPrune _),
     "q_parquet_page_prune" -> (parquetPagePrune _),
     "q_orc_prune" -> (orcPrune _),
@@ -5118,6 +5212,7 @@ object Docs {
     "q_lake_prune" -> lakePruneSql,
     "q_delta_colmap" -> deltaColmapSql,
     "q_delta_ckpt_prune" -> deltaCkptPruneSql,
+    "q_delta_part_prune" -> deltaPartPruneSql,
     "q_parquet_prune" -> parquetPruneSql,
     "q_parquet_page_prune" -> parquetPagePruneSql,
     "q_orc_prune" -> orcPruneSql,

@@ -97,6 +97,22 @@ class LakePruneSpec extends SparkTestBase {
     assert(D.pruneFiles(census, "v", Some("x"), None).length == 5)
     // a malformed minValues shape refuses the whole replay
     assert(D.replayStats(table(poison = true, withTail = false)).isEmpty)
+    // partition pruning (rung zero): equality, hive-null, fail-open
+    val pt = Seq((0L, Seq(D.commitInfo("C"), D.protocol(), D.metaData("t"),
+      D.addPartitioned("dt=a/f0.parquet", 1L, 5L, Map("dt" -> Some("a"))),
+      D.addPartitioned("dt=b/f1.parquet", 1L, 6L, Map("dt" -> Some("b"))),
+      D.addPartitioned("dt=null/f2.parquet", 1L, 7L, Map("dt" -> None)),
+      D.addPartitioned("free.parquet", 1L, 8L, Map.empty))
+      .mkString("\n")))
+    val (_, pc) = D.replayStats(pt).get
+    assert(D.prunePartitions(pc, "dt", Some("a")).map(_.rows) == Seq(5L, 8L))
+    assert(D.prunePartitions(pc, "dt", None).map(_.rows) == Seq(7L, 8L))
+    assert(D.prunePartitions(pc, "zz", Some("a")).length == 4) // fail open
+    // a numeric partition value is a torn writer
+    val bad = Seq((0L, Seq(D.commitInfo("C"), D.protocol(), D.metaData("t"),
+      """{"add":{"path":"x.parquet","partitionValues":{"dt":7},"size":1,""" +
+        """"modificationTime":0,"dataChange":true}}""").mkString("\n")))
+    assert(D.replayStats(bad).isEmpty)
     // replay() still agrees with the census's (path, size, rows)
     val snap = D.replay(table(poison = false, withTail = true)).get
     assert(snap.files.map(f => (f._1, f._2, f._3)) ==
