@@ -182,7 +182,8 @@ object IcebergSnap {
   /** Shared v2 head: metadata JSON → current snapshot id + the
     * manifest list's (path, length, content, seq) rows, under the
     * metadata and manifest-list laws. */
-  private def v2Manifests(metadataJson: String, files: Map[String, Array[Byte]]):
+  private def v2Manifests(metadataJson: String, files: Map[String, Array[Byte]],
+                          want: Option[Long] = None):
       Option[(Long, Vector[(String, Long, Int, Long)])] = {
     val root = mapper.readTree(metadataJson)
     if (root == null || !root.isObject) return None
@@ -197,6 +198,8 @@ object IcebergSnap {
     if (snaps == null || !snaps.isArray) return None
     var mlPath: String = null
     var matches = 0
+    var curMatches = 0
+    val target = want.getOrElse(curId) // time travel: any LISTED id
     val it = snaps.elements()
     while (it.hasNext) {
       val sn = it.next()
@@ -205,9 +208,10 @@ object IcebergSnap {
       val ml = sn.get("manifest-list")
       if (id == null || !id.canConvertToLong || ml == null || !ml.isTextual)
         return None
-      if (id.asLong == curId) { matches += 1; mlPath = ml.asText }
+      if (id.asLong == curId) curMatches += 1
+      if (id.asLong == target) { matches += 1; mlPath = ml.asText }
     }
-    if (matches != 1) return None
+    if (matches != 1 || curMatches != 1) return None // both resolve uniquely
     val mlBytes = files.getOrElse(mlPath, return None)
     // ---- the manifest list: (path, length, content, seq) ----
     val manifests = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Int, Long)]
@@ -229,12 +233,27 @@ object IcebergSnap {
         if (c.p != data.length) return None
       }
     if (manifests.isEmpty) return None
-    Some((curId, manifests.toVector))
+    Some((target, manifests.toVector))
   }
 
   def snapshotV2(metadataJson: String,
-                 files: Map[String, Array[Byte]]): Option[SnapshotV2] = try {
-    val (curId, manifests) = v2Manifests(metadataJson, files)
+                 files: Map[String, Array[Byte]]): Option[SnapshotV2] =
+    snapshotV2Core(metadataJson, files, None)
+
+  /** TIME TRAVEL (r19b): replay the table AS OF any snapshot the
+    * metadata still lists — superseded snapshots keep their manifest
+    * lists until expiration, so a listed id replays exactly as it did
+    * when current. An id absent from the snapshots array refuses (an
+    * expired snapshot is unreadable, not empty); the current id must
+    * still resolve (the metadata law holds regardless of the target). */
+  def snapshotV2At(metadataJson: String, snapshotId: Long,
+                   files: Map[String, Array[Byte]]): Option[SnapshotV2] =
+    snapshotV2Core(metadataJson, files, Some(snapshotId))
+
+  private def snapshotV2Core(metadataJson: String,
+                             files: Map[String, Array[Byte]],
+                             want: Option[Long]): Option[SnapshotV2] = try {
+    val (curId, manifests) = v2Manifests(metadataJson, files, want)
       .getOrElse(return None)
     // ---- pass 1: data manifests → live file census ----
     val live = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]

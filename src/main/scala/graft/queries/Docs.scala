@@ -4383,6 +4383,84 @@ object Docs {
       |FROM cen
       |ORDER BY media_id""".stripMargin
 
+  /** Iceberg TIME TRAVEL under the oracle (r19b; see
+    * [[graft.llm.IcebergSnap.snapshotV2At]]): per key, a two-snapshot
+    * table — s1 (two data files) superseded by the current s2 (a
+    * third file + a positional delete on f0, manifest m1 REUSED
+    * across both manifest lists, the real writer pattern). The
+    * current replay sees the delete; the AS-OF-s1 replay must see the
+    * pre-delete censuses exactly as they were. Refusal arms: an
+    * UNLISTED snapshot id (k mod 13 — an expired snapshot is
+    * unreadable, not empty), a torn old manifest list (k mod 17), an
+    * old manifest-length lie (k mod 19) — each breaks ONLY the
+    * time-travel lane; the current lane stays green, proving lane
+    * isolation. DuckDB replays both censuses in closed form. */
+  def icebergTimeTravel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.IcebergSnap
+    val keys = partKeys(s, d) // full-width spread: the replay map is the cost
+    val decoded = keys.map { k =>
+      val sync = Array.tabulate(16)(i => ((k * 13 + i * 7) % 256).toByte)
+      val r0 = 10L + k % 10
+      val r1 = 8L + k % 5
+      val r2 = 12L + k % 7
+      val f0 = s"data/f0-$k.parquet"
+      val m1 = IcebergSnap.encodeManifestV2(Seq(
+        (1, 800L + k, 1L, f0, r0, 512L),
+        (1, 800L + k, 1L, s"data/f1-$k.parquet", r1, 512L)), "null", sync)
+      val m2 = IcebergSnap.encodeManifestV2(Seq(
+        (1, 900L + k, 2L, s"data/f2-$k.parquet", r2, 512L)), "null", sync)
+      val pd = IcebergSnap.encodeDeleteFile(Seq((f0, 0L)), "null", sync)
+      val dm = IcebergSnap.encodeManifestV2(Seq(
+        (1, 900L + k, 2L, s"del/pd-$k.avro", 1L, pd.length.toLong)),
+        "null", sync)
+      val m1Len = if (k % 19 == 0 && k % 13 != 0 && k % 17 != 0)
+        m1.length.toLong + 3 else m1.length.toLong
+      val ml1raw = IcebergSnap.encodeManifestListV2(Seq(
+        (s"m/m1-$k.avro", m1Len, 0, 1L, 800L + k)), "null", sync)
+      val ml1 = if (k % 17 == 0 && k % 13 != 0) ml1raw.dropRight(3) else ml1raw
+      val ml2 = IcebergSnap.encodeManifestListV2(Seq(
+        (s"m/m1-$k.avro", m1.length.toLong, 0, 1L, 800L + k),
+        (s"m/m2-$k.avro", m2.length.toLong, 0, 2L, 900L + k),
+        (s"m/dm-$k.avro", dm.length.toLong, 1, 2L, 900L + k)), "null", sync)
+      val md = IcebergSnap.metadataJsonV2(s"uuid-$k", 900L + k,
+        Seq((800L + k, s"ml/l1-$k.avro"), (900L + k, s"ml/l2-$k.avro")))
+      val files = Map(s"ml/l1-$k.avro" -> ml1, s"ml/l2-$k.avro" -> ml2,
+        s"m/m1-$k.avro" -> m1, s"m/m2-$k.avro" -> m2, s"m/dm-$k.avro" -> dm,
+        s"del/pd-$k.avro" -> pd)
+      val cur = IcebergSnap.snapshotV2(md, files)
+      val asOfId = if (k % 13 == 0) 999L else 800L + k
+      val old = IcebergSnap.snapshotV2At(md, asOfId, files)
+      (k,
+        cur.isDefined, cur.map(_.files.length),
+        cur.map(_.files.map(_._2).sum), cur.map(_.deletesApplied),
+        old.isDefined, old.map(_.files.length),
+        old.map(_.files.map(_._2).sum))
+    }.toDF("media_id", "cur_ok", "cur_files", "cur_live", "cur_deletes",
+      "tt_ok", "old_files", "old_live")
+    decoded.orderBy($"media_id")
+  }
+
+  /** Closed form: the current snapshot sees the f0 delete; AS OF s1
+    * the censuses read exactly as before it. */
+  val icebergTimeTravelSql: String =
+    """WITH ks AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |p AS (SELECT k,
+      |        CAST(10 + k % 10 AS BIGINT) AS r0,
+      |        CAST(8 + k % 5 AS BIGINT) AS r1,
+      |        CAST(12 + k % 7 AS BIGINT) AS r2,
+      |        (k % 13 <> 0 AND k % 17 <> 0 AND k % 19 <> 0) AS tok
+      |      FROM ks)
+      |SELECT k AS media_id, TRUE AS cur_ok,
+      |  3 AS cur_files,
+      |  r0 - 1 + r1 + r2 AS cur_live,
+      |  CAST(1 AS BIGINT) AS cur_deletes,
+      |  tok AS tt_ok,
+      |  CASE WHEN tok THEN 2 END AS old_files,
+      |  CASE WHEN tok THEN r0 + r1 END AS old_live
+      |FROM p
+      |ORDER BY media_id""".stripMargin
+
   /** safetensors read under the oracle (see
     * [[graft.llm.TensorFormats]]): per-key weight files of 2-4
     * tensors rotating F32 / I64 / BOOL, serialized back to back under
@@ -5147,6 +5225,7 @@ object Docs {
     "q_iceberg_snap" -> (icebergSnap _),
     "q_iceberg_deletes" -> (icebergDeletes _),
     "q_iceberg_eq_deletes" -> (icebergEqDeletes _),
+    "q_iceberg_time_travel" -> (icebergTimeTravel _),
     "q_hudi_snap" -> (hudiSnap _),
     "q_hudi_mor" -> (hudiMor _),
     "q_hudi_compact" -> (hudiCompact _),
@@ -5206,6 +5285,7 @@ object Docs {
     "q_iceberg_snap" -> icebergSnapSql,
     "q_iceberg_deletes" -> icebergDeletesSql,
     "q_iceberg_eq_deletes" -> icebergEqDeletesSql,
+    "q_iceberg_time_travel" -> icebergTimeTravelSql,
     "q_hudi_snap" -> hudiSnapSql,
     "q_hudi_mor" -> hudiMorSql,
     "q_hudi_compact" -> hudiCompactSql,

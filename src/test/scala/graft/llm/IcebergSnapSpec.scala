@@ -173,6 +173,17 @@ class IcebergSnapSpec extends AnyFunSuite {
       "del/pd.avro" -> pd, "del/ed.avro" -> ed))
   }
 
+  test("v2 time travel: a listed id replays; unlisted/unfetchable refuse") {
+    val (md, files) = v2Table()
+    // AS OF the current id == the plain replay
+    assert(snapshotV2At(md, 11L, files) == snapshotV2(md, files))
+    // the old snapshot is listed but its manifest list is not in the
+    // store — unreadable, not empty
+    assert(snapshotV2At(md, 10L, files).isEmpty)
+    // an id the metadata does not list refuses
+    assert(snapshotV2At(md, 999L, files).isEmpty)
+  }
+
   test("v2 equality deletes: strict-< law, once-only kill, no-op keys") {
     val (md, files) = eqTable()
     val s = snapshotV2Eq(md, files).getOrElse(fail("refused"))
