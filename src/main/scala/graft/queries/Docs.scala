@@ -3043,6 +3043,124 @@ object Docs {
       |FROM cen
       |ORDER BY media_id""".stripMargin
 
+  /** The COMPOSED lake scan, end to end (r19b): a Delta table over
+    * REAL parquet files descends the whole skipping ladder —
+    * partition rung ([[graft.llm.DeltaLog.prunePartitions]]) → file
+    * stats ([[graft.llm.DeltaLog.pruneFiles]], with the census
+    * DERIVED from each file's own footer stats via
+    * [[graft.llm.ParquetRead.chunkStats]], not asserted) → page rung
+    * ([[graft.llm.ParquetRead.prunePages]]) → native per-page extent
+    * decode. Stage 1 writes orders into four range-partitioned sorted
+    * parquet files and mints the _delta_log from their own footers;
+    * stage 2 replays, prunes all three rungs for
+    * dt = bucket(5000..6500) ∧ v ∈ [5000, 6500], and decodes ONLY
+    * surviving pages. DuckDB's filtered aggregate pins the identity;
+    * the boolean columns pin that every rung really cut. */
+  def lakeScanE2e(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.{DeltaLog, ParquetRead}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lakescan").toString
+    // disjoint key buckets, each a sorted parquet file with pages
+    orders(s, d).select($"o_orderkey", $"o_totalprice",
+      ($"o_orderkey" / 4000).cast("int").as("bkt"))
+      .repartition(1).sortWithinPartitions($"bkt", $"o_orderkey")
+      .write.mode("overwrite")
+      .option("parquet.page.row.count.limit", "500")
+      .option("parquet.page.size", "4096")
+      .partitionBy("bkt").parquet(tmp)
+    val bucketFiles = new java.io.File(tmp).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
+      .sortBy(_.getName)
+      .flatMap { dir =>
+        val b = dir.getName.drop(4)
+        dir.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (b, f.getAbsolutePath))
+      }.toSeq
+    // mint the _delta_log from each file's OWN footer stats (the
+    // census is derived, never asserted)
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += DeltaLog.commitInfo("CREATE TABLE")
+    lines += DeltaLog.protocol()
+    lines += DeltaLog.metaData("lake-scan-e2e")
+    bucketFiles.foreach { case (b, path) =>
+      val meta = ParquetRead.metaFromTail(path).get
+      val kI = meta.leaves.indexWhere(_.name == "o_orderkey")
+      val stats = meta.rowGroups.indices
+        .flatMap(rg => ParquetRead.chunkStats(meta, rg, kI))
+      val mn = stats.map(_._1.asInstanceOf[Long]).min
+      val mx = stats.map(_._2.asInstanceOf[Long]).max
+      lines += DeltaLog.addPartitioned(path, 1L, meta.numRows,
+        Map("bkt" -> Some(b)),
+        Map("v" -> mn), Map("v" -> mx))
+    }
+    val lo = 5000L
+    val hi = 6500L
+    val wantBkt = (lo / 4000).toString // 5000..6500 lives in bucket 1
+    val (_, census) = DeltaLog
+      .replayStats(Seq((0L, lines.mkString("\n")))).get
+    val rung0 = DeltaLog.prunePartitions(census, "bkt", Some(wantBkt))
+    val rung1 = DeltaLog.pruneFiles(rung0, "v", Some(lo), Some(hi))
+    val filesPruned = rung1.length < census.length && rung1.nonEmpty
+    // stage 2: surviving files spread; each task walks the page rung
+    val rows = s.createDataset(rung1.map(_.path))
+      .repartition(math.max(1, rung1.length)).flatMap { p =>
+        ParquetRead.metaFromTail(p).toSeq.flatMap { meta =>
+          val kI = meta.leaves.indexWhere(_.name == "o_orderkey")
+          val prI = meta.leaves.indexWhere(_.name == "o_totalprice")
+          if (kI < 0 || prI < 0) Seq.empty
+          else meta.rowGroups.indices.flatMap { rg =>
+            (for {
+              pi <- ParquetRead.pageIndex(p, meta, rg, kI)
+              surv = ParquetRead.prunePages(meta, kI, pi, Some(lo), Some(hi))
+              keyPages <- ParquetRead.readPagesSelective(p, meta, rg, kI, pi,
+                surv)
+              piP <- ParquetRead.pageIndex(p, meta, rg, prI)
+              overlap = piP.locs.indices.filter { q =>
+                val from = piP.locs(q).firstRow
+                val until = if (q + 1 < piP.locs.length) piP.locs(q + 1).firstRow
+                  else meta.rowGroups(rg).numRows
+                keyPages.exists { case (fr, vals) =>
+                  from < fr + vals.length && until > fr
+                }
+              }
+              pricePages <- ParquetRead.readPagesSelective(p, meta, rg, prI,
+                piP, overlap)
+            } yield {
+              val priceAt = scala.collection.mutable.LongMap.empty[Double]
+              pricePages.foreach { case (pfr, vals) =>
+                vals.indices.foreach(i =>
+                  priceAt(pfr + i) = vals(i).asInstanceOf[Double])
+              }
+              keyPages.flatMap { case (fr, keys) =>
+                keys.indices.collect {
+                  case i if keys(i).asInstanceOf[Long] >= lo &&
+                    keys(i).asInstanceOf[Long] <= hi &&
+                    priceAt.contains(fr + i) =>
+                    (keys(i).asInstanceOf[Long], priceAt(fr + i),
+                      surv.length < pi.locs.length)
+                }
+              }
+            }).getOrElse(Seq.empty)
+          }
+        }
+      }.toDF("k", "price", "pages_cut")
+    rows.agg(
+      count(lit(1)).as("n_match"),
+      sum($"k").as("sum_key"),
+      sum($"price".cast("decimal(18,4)"))
+        .cast("decimal(38,6)").cast("double").as("sum_price"),
+      lit(filesPruned).as("files_pruned"),
+      min($"pages_cut").as("pages_pruned"))
+  }
+
+  /** DuckDB's filtered aggregate pins the whole ladder's identity. */
+  val lakeScanE2eSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_match,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price,
+      |  TRUE AS files_pruned, TRUE AS pages_pruned
+      |FROM orders WHERE o_orderkey BETWEEN 5000 AND 6500""".stripMargin
+
   /** Stats skipping on AGED (checkpointed) Delta tables (r19; see
     * [[graft.llm.DeltaLog.replayCheckpointedStats]]): per key, a v1
     * checkpoint whose add rows carry minValues/maxValues in their
@@ -5233,6 +5351,7 @@ object Docs {
     "q_delta_colmap" -> (deltaColmap _),
     "q_delta_ckpt_prune" -> (deltaCkptPrune _),
     "q_delta_part_prune" -> (deltaPartPrune _),
+    "q_lake_scan_e2e" -> (lakeScanE2e _),
     "q_parquet_prune" -> (parquetPrune _),
     "q_parquet_page_prune" -> (parquetPagePrune _),
     "q_orc_prune" -> (orcPrune _),
@@ -5293,6 +5412,7 @@ object Docs {
     "q_delta_colmap" -> deltaColmapSql,
     "q_delta_ckpt_prune" -> deltaCkptPruneSql,
     "q_delta_part_prune" -> deltaPartPruneSql,
+    "q_lake_scan_e2e" -> lakeScanE2eSql,
     "q_parquet_prune" -> parquetPruneSql,
     "q_parquet_page_prune" -> parquetPagePruneSql,
     "q_orc_prune" -> orcPruneSql,
