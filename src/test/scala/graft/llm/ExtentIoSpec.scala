@@ -117,12 +117,20 @@ class ExtentIoSpec extends SparkTestBase {
       assert(OrcRead.readStripeColumnAt(slice, base + 1, meta, st, idIdx).isEmpty)
     }
     assert(concatIds == (0L until 6000L).toVector)
-    // aggregate law: all stripes' extents + one tail < the file — the
-    // whole scan never re-reads a byte of another split
+    // aggregate law: all stripes' extents + one tail cover the file at
+    // most once, up to the BOUNDED discovery I/O (the 257-byte
+    // postscript probe + 16 bytes of slack) — the tail spans
+    // postscript + footer + the METADATA section (r19b stripe stats),
+    // and no stripe byte is ever read twice
     val sumExtents = metaW.stripes.indices.map { st =>
       val (f, u) = OrcRead.stripeExtent(metaW, st).get; u - f
     }.sum
-    assert(sumExtents + tailCost <= fileLen)
+    assert(sumExtents + tailCost <= fileLen + 257 + 16)
+    // disjointness proper: the stripes end before the tail begins
+    val lastEnd = metaW.stripes.indices.map(st =>
+      OrcRead.stripeExtent(metaW, st).get._2).max
+    val tailLen = ExtentIo.orcTail(path).get._1.length.toLong
+    assert(lastEnd <= fileLen - tailLen + 16)
   }
 
   test("readRange refuses out-of-file ranges; parquetTail/orcTail refuse junk") {
