@@ -435,6 +435,12 @@ object HudiSnap {
         var prevInstant = ""
         blocks.foreach { case (blockType, instant, content) =>
           if (!actions.contains(instant)) return None // orphan log
+          // only deltacommits write log blocks (r20, ADVICE r19): a
+          // block citing a rollback or compaction (commit) instant is a
+          // torn/forged log, not an upsert — refuse it. Voided blocks
+          // stay separate: rollback TARGETS are deltacommits by the
+          // pass-1 law, so they pass here and void below.
+          if (actions(instant) != "deltacommit") return None
           if (prevInstant.nonEmpty && instant < prevInstant) return None // order
           prevInstant = instant
           nBlocks += 1

@@ -213,6 +213,11 @@ object OrcRead {
             }
           }
           if (kindT < 0) return None
+          // CHAR/VARCHAR must declare a positive maximumLength (r20,
+          // ADVICE r19): a footer omitting it would otherwise parse
+          // with maxLength 0 and silently disable the decoder's
+          // declared-length law — refuse the torn footer here instead.
+          if ((kindT == 16 || kindT == 17) && maxLen < 1) return None
           types += ((kindT, subs.result(), names.result(), prec, scl, maxLen))
         case 6 => rows = fb.varint()
         case _ => fb.skip(w)
