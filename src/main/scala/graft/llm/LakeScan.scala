@@ -1,0 +1,435 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types._
+
+/** The unified predicate-pushdown lake scan (r20) — ONE user-facing
+  * entry point over the skipping machinery the r19 gates composed by
+  * hand (reference analogue: the pushed-down WHERE built per call
+  * site, terra.py:60-61). `scan(table, col, lo, hi, select)` detects
+  * the table kind from the directory itself and descends every rung
+  * the table offers:
+  *
+  *   - **Delta** (`_delta_log/` present): JSON commits — or
+  *     `_last_checkpoint` + checkpoint parquet + post-checkpoint
+  *     commits — replay to the live-file census
+  *     ([[DeltaLog.replayStats]] / [[DeltaLog.replayCheckpointedStats]]);
+  *     partition rung ([[DeltaLog.prunePartitions]]) then file-stats
+  *     rung ([[DeltaLog.pruneFiles]]) run on table metadata alone.
+  *   - **Bare parquet / ORC directory**: hive-style `col=value`
+  *     segments form the partition rung; there is no file-level stats
+  *     census (that rung reports kept == total, honestly).
+  *
+  * Surviving files then ride the executor rungs: the footer-tail plan
+  * prunes row groups ([[ParquetRead.pruneRowGroups]]) or stripes
+  * ([[OrcRead.pruneStripes]]); surviving parquet splits descend to the
+  * page rung ([[ParquetRead.prunePages]]) when every needed column
+  * carries a usable ColumnIndex/OffsetIndex, fetching ONLY the key
+  * pages plus the row-span-overlapping pages of each selected column
+  * ([[ParquetRead.readPagesSelective]]); otherwise the split decodes
+  * its whole extent ([[ParquetRead.openSplit]] / [[OrcRead.openSplit]])
+  * — pruning fails OPEN to the stronger read, never to a wrong answer.
+  * The exact predicate lo ≤ col ≤ hi is applied to decoded values
+  * row-by-row, so every rung is an optimization, never a correctness
+  * gate.
+  *
+  * Scale shape: the driver touches ONLY table metadata (the delta log,
+  * directory listings) plus one footer tail for schema inference; all
+  * footer/index/page/extent I/O happens in executor tasks, one task
+  * per (file, rowGroup|stripe) split, spread by a single repartition —
+  * the 1000-executor shape, byte-counted by [[ExtentIo]].
+  *
+  * I/O census: every emitted row carries its split's
+  * `_chunks_total`/`_chunks_kept` (row groups or stripes in its file)
+  * and `_pages_total`/`_pages_kept` (key-column pages in its split; 0/0
+  * off the page path), plus the plan literals `_kind`, `_parts_total`,
+  * `_parts_kept`, `_files_total`, `_files_kept` — the columns a gate
+  * (or a user) aggregates to prove each rung actually cut.
+  *
+  * Honest subset (throws IllegalArgumentException — API misuse, not a
+  * torn table): selected columns must be flat BOOLEAN/INT32/INT64/
+  * FLOAT/DOUBLE/BYTE_ARRAY-string (parquet) or BOOLEAN/INT/LONG/FLOAT/
+  * DOUBLE/STRING/VARCHAR/CHAR (ORC), or partition columns (typed
+  * STRING, hive-null as SQL null). Torn data follows the library's
+  * refuse-never-garble discipline: a split whose bytes refuse emits no
+  * rows. */
+object LakeScan {
+
+  /** Driver-side plan: the metadata rungs' outcome. `partsTotal` /
+    * `partsKept` count distinct partition-value tuples before/after
+    * the partition predicate; `filesTotal` is the stats rung's INPUT
+    * (files in kept partitions) and `filesKept` its survivors (equal
+    * on bare directories — they carry no file-level stats census).
+    * `sample` is any live file (pre-prune), kept for schema inference
+    * when every file prunes away. */
+  final case class Plan(kind: String, partsTotal: Int, partsKept: Int,
+                        filesTotal: Int, filesKept: Int,
+                        files: Vector[(String, Map[String, Option[String]])],
+                        sample: Option[(String, Map[String, Option[String]])])
+
+  /** One executor split: a surviving (file, rowGroup|stripe) with its
+    * file's chunk-rung census. */
+  final case class Split(path: String, pvals: Map[String, Option[String]],
+                         idx: Int, chunksTotal: Int, chunksKept: Int)
+
+  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  // ---- table-kind detection + the metadata rungs (driver) -----------------
+
+  def planTable(table: String, col: String, lo: Option[Any], hi: Option[Any],
+                partPred: Map[String, String] = Map.empty): Option[Plan] = {
+    val root = new java.io.File(table)
+    if (!root.isDirectory) None
+    else if (new java.io.File(root, "_delta_log").isDirectory)
+      planDelta(root, col, lo, hi, partPred)
+    else planBare(root, col, lo, hi, partPred)
+  }
+
+  private def planDelta(root: java.io.File, col: String, lo: Option[Any],
+                        hi: Option[Any],
+                        partPred: Map[String, String]): Option[Plan] = try {
+    val logDir = new java.io.File(root, "_delta_log")
+    val listed = Option(logDir.listFiles()).getOrElse(Array.empty[java.io.File])
+    val commits = listed.toSeq
+      .filter(f => f.isFile && f.getName.matches("\\d{20}\\.json"))
+      .sortBy(_.getName)
+      .map(f => (f.getName.stripSuffix(".json").toLong,
+        java.nio.file.Files.readString(f.toPath)))
+    val lastCkpt = new java.io.File(logDir, "_last_checkpoint")
+    val censusOpt: Option[Vector[DeltaLog.FileCensus]] =
+      if (lastCkpt.isFile) {
+        val lcJson = java.nio.file.Files.readString(lastCkpt.toPath)
+        val verN = Option(mapper.readTree(lcJson)).filter(_.isObject)
+          .map(_.get("version")).filter(v => v != null && v.canConvertToLong)
+        verN.flatMap { v =>
+          val ver = v.asLong
+          val ck = new java.io.File(logDir, f"$ver%020d.checkpoint.parquet")
+          if (!ck.isFile) None
+          else DeltaLog.replayCheckpointedStats(lcJson,
+            java.nio.file.Files.readAllBytes(ck.toPath),
+            commits.filter(_._1 > ver)).map(_._2)
+        }
+      } else if (commits.nonEmpty) DeltaLog.replayStats(commits).map(_._2)
+      else None
+    censusOpt.flatMap { census =>
+      if (census.isEmpty) None
+      else {
+        def nparts(c: Seq[DeltaLog.FileCensus]): Int =
+          c.map(_.partitionValues).distinct.size
+        val afterPart = partPred.foldLeft(census: Seq[DeltaLog.FileCensus]) {
+          case (acc, (k, v)) => DeltaLog.prunePartitions(acc, k, Some(v))
+        }
+        val afterStats = DeltaLog.pruneFiles(afterPart, col, lo, hi)
+        def abs(p: String): String =
+          if (new java.io.File(p).isAbsolute) p
+          else new java.io.File(root, p).getPath
+        Some(Plan("delta", nparts(census), nparts(afterPart),
+          afterPart.size, afterStats.size,
+          afterStats.toVector.map(f => (abs(f.path), f.partitionValues)),
+          census.headOption.map(f => (abs(f.path), f.partitionValues))))
+      }
+    }
+  } catch {
+    case _: com.fasterxml.jackson.core.JacksonException => None
+    case _: java.io.IOException => None
+  }
+
+  private def planBare(root: java.io.File, col: String, lo: Option[Any],
+                       hi: Option[Any],
+                       partPred: Map[String, String]): Option[Plan] = {
+    val out = Vector.newBuilder[(String, Map[String, Option[String]])]
+    def walk(dir: java.io.File, pvals: Map[String, Option[String]]): Unit =
+      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .sortBy(_.getName).foreach { f =>
+          val n = f.getName
+          if (f.isDirectory) {
+            val eq = n.indexOf('=')
+            if (eq > 0) {
+              val v = n.substring(eq + 1)
+              walk(f, pvals + (n.substring(0, eq) ->
+                (if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v))))
+            } else if (!n.startsWith("_") && !n.startsWith(".")) walk(f, pvals)
+          } else if (n.endsWith(".parquet") || n.endsWith(".orc"))
+            out += ((f.getPath, pvals))
+        }
+    walk(root, Map.empty)
+    val files = out.result()
+    if (files.isEmpty) None
+    else {
+      val orcN = files.count(_._1.endsWith(".orc"))
+      if (orcN != 0 && orcN != files.length) None // a mixed directory is torn
+      else {
+        val kind = if (orcN > 0) "orc" else "parquet"
+        // a partPred column the layout doesn't carry fails OPEN (kept)
+        val kept = files.filter { case (_, pv) =>
+          partPred.forall { case (k, v) => pv.get(k).forall(_.contains(v)) }
+        }
+        Some(Plan(kind, files.map(_._2).distinct.size,
+          kept.map(_._2).distinct.size, kept.size, kept.size,
+          kept, files.headOption))
+      }
+    }
+  }
+
+  // ---- the executor rungs -------------------------------------------------
+
+  private def splitsOfFile(path: String, pvals: Map[String, Option[String]],
+                           isOrc: Boolean, col: String, lo: Option[Any],
+                           hi: Option[Any]): Seq[Split] =
+    if (isOrc)
+      OrcRead.metaFromTail(path).toSeq.flatMap { m =>
+        val surv = OrcRead.pruneStripes(m, col, lo, hi)
+        surv.map(st => Split(path, pvals, st, m.stripes.length, surv.length))
+      }
+    else
+      ParquetRead.metaFromTail(path).toSeq.flatMap { m =>
+        val surv = ParquetRead.pruneRowGroups(m, col, lo, hi)
+        surv.map(rg => Split(path, pvals, rg, m.rowGroups.length, surv.length))
+      }
+
+  /** Exact row-level predicate on decoded values: Int widens to Long,
+    * Float to Double; a null or type-mismatched value never matches. */
+  private def inRange(v: AnyRef, lo: Option[Any], hi: Option[Any]): Boolean = {
+    def norm(a: Any): Any = a match {
+      case i: Int => i.toLong
+      case f: Float => f.toDouble
+      case x => x
+    }
+    def cmp(a: Any, b: Any): Option[Int] = (norm(a), norm(b)) match {
+      case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+      case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case _ => None
+    }
+    v != null &&
+      lo.forall(l => cmp(v, l).exists(_ >= 0)) &&
+      hi.forall(h => cmp(v, h).exists(_ <= 0))
+  }
+
+  /** Decode one split to Rows: select values in order (partition
+    * columns from the path/census, data columns from the native
+    * decoders), then the split census ints. */
+  private def rowsOfSplit(sp: Split, isOrc: Boolean, col: String,
+                          lo: Option[Any], hi: Option[Any],
+                          select: Seq[String]): Seq[Row] = {
+    val decoded: Seq[(Seq[AnyRef], Int, Int)] = // (data col values per row, pagesTotal, pagesKept)
+      if (isOrc) orcSplitRows(sp, col, lo, hi, select)
+      else pqSplitRows(sp, col, lo, hi, select)
+    decoded.map { case (vals, pt, pk) =>
+      Row.fromSeq(vals ++ Seq(Integer.valueOf(sp.chunksTotal),
+        Integer.valueOf(sp.chunksKept), Integer.valueOf(pt),
+        Integer.valueOf(pk)))
+    }
+  }
+
+  private def orcSplitRows(sp: Split, col: String, lo: Option[Any],
+                           hi: Option[Any],
+                           select: Seq[String]): Seq[(Seq[AnyRef], Int, Int)] =
+    OrcRead.openSplit(sp.path, sp.idx).toSeq.flatMap { case (meta, bytes, base) =>
+      val kI = meta.cols.indexWhere(_.name == col)
+      if (kI < 0) Seq.empty
+      else {
+        val dataSel = select.filter(n => !sp.pvals.contains(n))
+        val need = (dataSel :+ col).distinct
+        val arrs = need.map { n =>
+          val ci = meta.cols.indexWhere(_.name == n)
+          if (ci < 0) None
+          else OrcRead.readStripeColumnAt(bytes, base, meta, sp.idx, ci)
+        }
+        if (arrs.exists(_.isEmpty)) Seq.empty // refusal = missing rows
+        else {
+          val byName = need.zip(arrs.map(_.get)).toMap
+          val keys = byName(col)
+          keys.indices.collect {
+            case i if inRange(keys(i), lo, hi) =>
+              (select.map(n => sp.pvals.get(n) match {
+                case Some(pv) => pv.orNull: AnyRef
+                case None => byName.get(n).map(_(i)).orNull
+              }), 0, 0)
+          }.toSeq
+        }
+      }
+    }
+
+  private def pqSplitRows(sp: Split, col: String, lo: Option[Any],
+                          hi: Option[Any],
+                          select: Seq[String]): Seq[(Seq[AnyRef], Int, Int)] =
+    ParquetRead.metaFromTail(sp.path).toSeq.flatMap { meta =>
+      val kI = meta.leaves.indexWhere(_.name == col)
+      if (kI < 0) Seq.empty
+      else {
+        val dataSel = select.filter(n => !sp.pvals.contains(n))
+        val need = (dataSel :+ col).distinct
+        val leafOf = need.map(n => n -> meta.leaves.indexWhere(_.name == n)).toMap
+        if (leafOf.valuesIterator.exists(_ < 0)) Seq.empty
+        else pagePath(sp, meta, col, kI, lo, hi, select, need, leafOf)
+          .getOrElse(wholeChunkPath(sp, col, lo, hi, select, need))
+      }
+    }
+
+  /** The page rung: usable only when EVERY needed column carries a
+    * page index. Returns None to fall open to the whole-extent read
+    * (absent or refusing indexes/pages must widen the I/O, never
+    * narrow the answer). Some(rows) is authoritative. */
+  private def pagePath(sp: Split, meta: ParquetRead.Meta, col: String,
+                       kI: Int, lo: Option[Any], hi: Option[Any],
+                       select: Seq[String], need: Seq[String],
+                       leafOf: Map[String, Int]): Option[Seq[(Seq[AnyRef], Int, Int)]] = {
+    val pis = need.flatMap(n =>
+      ParquetRead.pageIndex(sp.path, meta, sp.idx, leafOf(n)).map(n -> _)).toMap
+    if (pis.size != need.size) None
+    else {
+      val piK = pis(col)
+      val surv = ParquetRead.prunePages(meta, kI, piK, lo, hi)
+      val pagesTotal = piK.locs.length
+      ParquetRead.readPagesSelective(sp.path, meta, sp.idx, kI, piK, surv)
+        .flatMap { keyPages =>
+          val matches = keyPages.flatMap { case (fr, vals) =>
+            vals.indices.collect { case i if inRange(vals(i), lo, hi) => fr + i }
+          }.sorted.toArray
+          if (matches.isEmpty) Some(Seq.empty)
+          else {
+            val rgRows = meta.rowGroups(sp.idx).numRows
+            def overlapping(pi: ParquetRead.PageIndex): Seq[Int] =
+              pi.locs.indices.filter { q =>
+                val from = pi.locs(q).firstRow
+                val until = if (q + 1 < pi.locs.length) pi.locs(q + 1).firstRow
+                  else rgRows
+                // any match inside [from, until)? binary search the hull
+                val ip = java.util.Arrays.binarySearch(matches, from)
+                val at = if (ip >= 0) ip else -ip - 1
+                at < matches.length && matches(at) < until
+              }
+            // per needed column: pos → value, from its own selected pages
+            val valueMaps: Seq[Option[(String, collection.Map[Long, AnyRef])]] =
+              need.map { n =>
+                if (n == col)
+                  Some(n -> keyPages.flatMap { case (fr, vals) =>
+                    vals.indices.map(i => (fr + i) -> vals(i))
+                  }.toMap)
+                else
+                  ParquetRead.readPagesSelective(sp.path, meta, sp.idx,
+                    leafOf(n), pis(n), overlapping(pis(n))).map { pages =>
+                      n -> pages.flatMap { case (fr, vals) =>
+                        vals.indices.map(i => (fr + i) -> vals(i))
+                      }.toMap
+                    }
+              }
+            if (valueMaps.exists(_.isEmpty)) None // refusing pages: fall open
+            else {
+              val byName = valueMaps.flatten.toMap
+              // a selected page set must cover every match (the index
+              // tiling law guarantees it; a miss would be a torn index)
+              if (matches.exists(p => byName.valuesIterator.exists(m => !m.contains(p))))
+                None
+              else Some(matches.toSeq.map { p =>
+                (select.map(n => sp.pvals.get(n) match {
+                  case Some(pv) => pv.orNull: AnyRef
+                  case None => byName(n)(p)
+                }), pagesTotal, surv.length)
+              })
+            }
+          }
+        }
+    }
+  }
+
+  private def wholeChunkPath(sp: Split, col: String, lo: Option[Any],
+                             hi: Option[Any], select: Seq[String],
+                             need: Seq[String]): Seq[(Seq[AnyRef], Int, Int)] =
+    ParquetRead.openSplit(sp.path, sp.idx).toSeq.flatMap { case (meta, bytes, base) =>
+      val arrs = need.map { n =>
+        val li = meta.leaves.indexWhere(_.name == n)
+        if (li < 0) None
+        else ParquetRead.readColumnAt(bytes, base, meta, sp.idx, li)
+      }
+      if (arrs.exists(_.isEmpty)) Seq.empty // refusal = missing rows
+      else {
+        val byName = need.zip(arrs.map(_.get)).toMap
+        val keys = byName(col)
+        keys.indices.collect {
+          case i if inRange(keys(i), lo, hi) =>
+            (select.map(n => sp.pvals.get(n) match {
+              case Some(pv) => pv.orNull: AnyRef
+              case None => byName.get(n).map(_(i)).orNull
+            }), 0, 0)
+        }.toSeq
+      }
+    }
+
+  // ---- schema inference (driver; one footer tail) -------------------------
+
+  private def sparkTypeOf(name: String, isOrc: Boolean, samplePath: String,
+                          sampleParts: Map[String, Option[String]]): DataType =
+    if (sampleParts.contains(name)) StringType
+    else if (isOrc) {
+      val m = OrcRead.metaFromTail(samplePath).getOrElse(
+        throw new IllegalArgumentException(s"LakeScan: unreadable footer $samplePath"))
+      val c = m.cols.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"LakeScan: no column $name"))
+      c.kind match {
+        case 0 => BooleanType
+        case 3 => IntegerType
+        case 4 => LongType
+        case 5 => FloatType
+        case 6 => DoubleType
+        case 7 | 16 | 17 => StringType
+        case k => throw new IllegalArgumentException(
+          s"LakeScan: unsupported ORC column kind $k for $name")
+      }
+    } else {
+      val m = ParquetRead.metaFromTail(samplePath).getOrElse(
+        throw new IllegalArgumentException(s"LakeScan: unreadable footer $samplePath"))
+      val l = m.leaves.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"LakeScan: no column $name"))
+      if (l.maxRep > 0) throw new IllegalArgumentException(
+        s"LakeScan: nested column $name not in the flat-scan subset")
+      l.typ match {
+        case 0 => BooleanType
+        case 1 => IntegerType
+        case 2 => LongType
+        case 4 => FloatType
+        case 5 => DoubleType
+        case 6 => StringType
+        case t => throw new IllegalArgumentException(
+          s"LakeScan: unsupported parquet type $t for $name")
+      }
+    }
+
+  // ---- the operator -------------------------------------------------------
+
+  /** Scan `table` for rows with lo ≤ col ≤ hi, descending every rung
+    * the table offers; returns the selected columns plus the I/O
+    * census columns (see the object doc). */
+  def scan(s: SparkSession, table: String, col: String,
+           lo: Option[Any], hi: Option[Any], select: Seq[String],
+           partPred: Map[String, String] = Map.empty): DataFrame = {
+    require(select.nonEmpty, "LakeScan: empty select")
+    val plan = planTable(table, col, lo, hi, partPred).getOrElse(
+      throw new IllegalArgumentException(s"LakeScan: unreadable table at $table"))
+    val (samplePath, sampleParts) = plan.files.headOption.orElse(plan.sample)
+      .getOrElse(throw new IllegalArgumentException("LakeScan: empty table"))
+    val isOrc = plan.kind == "orc"
+    val schema = StructType(
+      select.map(n => StructField(n,
+        sparkTypeOf(n, isOrc, samplePath, sampleParts), nullable = true)) ++
+        Seq(StructField("_chunks_total", IntegerType, nullable = false),
+          StructField("_chunks_kept", IntegerType, nullable = false),
+          StructField("_pages_total", IntegerType, nullable = false),
+          StructField("_pages_kept", IntegerType, nullable = false)))
+    val files = plan.files
+    val spread = math.max(8, math.min(files.size, 1024))
+    val rdd = s.sparkContext
+      .parallelize(files, math.max(1, files.size))
+      .flatMap { case (p, pv) => splitsOfFile(p, pv, isOrc, col, lo, hi) }
+      .repartition(spread)
+      .flatMap(sp => rowsOfSplit(sp, isOrc, col, lo, hi, select))
+    s.createDataFrame(rdd, schema)
+      .withColumn("_kind", lit(plan.kind))
+      .withColumn("_parts_total", lit(plan.partsTotal))
+      .withColumn("_parts_kept", lit(plan.partsKept))
+      .withColumn("_files_total", lit(plan.filesTotal))
+      .withColumn("_files_kept", lit(plan.filesKept))
+  }
+}

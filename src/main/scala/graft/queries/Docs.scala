@@ -3179,6 +3179,130 @@ object Docs {
       |  TRUE AS files_pruned, TRUE AS pages_pruned
       |FROM orders WHERE o_orderkey BETWEEN 5000 AND 6500""".stripMargin
 
+  /** The UNIFIED lake scan under the oracle (r20; see
+    * [[graft.llm.LakeScan]]): the r19 hand-composed ladder behind ONE
+    * user-facing entry point — `scan(table, col, lo, hi, select,
+    * partPred)` detects the table kind and descends every rung the
+    * table offers. Three arms over the same orders slice, same
+    * predicate [5000, 5400]:
+    *
+    *   - **delta**: a `(bkt, half)`-partitioned tree whose
+    *     `_delta_log` is minted from each file's OWN footer stats
+    *     (derived, never asserted); partPred pins bkt, so the
+    *     partition rung cuts to bkt=1's two halves, the FILE-STATS
+    *     rung cuts half=1 (keys 6000+), and the page rung cuts
+    *     within half=0's 100-row pages;
+    *   - **parquet**: the SAME tree bare (no log) — the partition
+    *     rung reads hive `k=v` segments, there is no file-stats
+    *     census (kept == total, honestly), the chunk rung kills
+    *     half=1 from its footer stats (invisible in the census
+    *     booleans: a fully-pruned file emits no rows to report it),
+    *     the page rung cuts again;
+    *   - **orc**: one multi-stripe sorted file — the stripe (chunk)
+    *     rung cuts; no partitions, no page rung.
+    *
+    * Between them the three arms prove every rung cuts somewhere:
+    * partition (delta+parquet), file stats (delta), chunk (orc),
+    * page (delta+parquet) — pinned by the per-arm census booleans,
+    * while DuckDB's filtered aggregate pins the answer identity
+    * (a rung that over-cuts drops rows and fails the count). */
+  def lakeScanApi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.{DeltaLog, LakeScan, ParquetRead}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lakeapi").toString
+    cleanedAfter(s, tmp) {
+    val lo = 5000L
+    val hi = 5400L
+    val wantBkt = (lo / 4000).toString
+    // --- stage: (bkt, half)-partitioned sorted parquet tree ---
+    def stageTree(dst: String): Unit =
+      orders(s, d).select($"o_orderkey", $"o_totalprice",
+        ($"o_orderkey" / 4000).cast("int").as("bkt"),
+        (($"o_orderkey" % 4000) / 2000).cast("int").as("half"))
+        .repartition(1).sortWithinPartitions($"bkt", $"half", $"o_orderkey")
+        .write.mode("overwrite")
+        .option("parquet.page.row.count.limit", "100")
+        .option("parquet.page.size", "1024")
+        .partitionBy("bkt", "half").parquet(dst)
+    val deltaDir = s"$tmp/delta"
+    val bareDir = s"$tmp/bare"
+    val orcDir = s"$tmp/orc"
+    stageTree(deltaDir)
+    stageTree(bareDir)
+    orders(s, d).select($"o_orderkey", $"o_totalprice")
+      .coalesce(1).sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite")
+      .option("compression", "zlib")
+      .option("orc.stripe.size", "65536")
+      .option("orc.rows.between.memory.checks", "128").orc(orcDir)
+    // --- mint deltaDir's log from each file's OWN footer stats ---
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += DeltaLog.commitInfo("CREATE TABLE")
+    lines += DeltaLog.protocol()
+    lines += DeltaLog.metaData("lake-scan-api")
+    val rootF = new java.io.File(deltaDir)
+    rootF.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bkt="))
+      .sortBy(_.getName).foreach { bdir =>
+        val b = bdir.getName.drop(4)
+        bdir.listFiles().filter(_.isDirectory).sortBy(_.getName).foreach { hdir =>
+          val h = hdir.getName.drop(5)
+          hdir.listFiles().filter(_.getName.endsWith(".parquet"))
+            .sortBy(_.getName).foreach { f =>
+              val meta = ParquetRead.metaFromTail(f.getAbsolutePath).get
+              val kI = meta.leaves.indexWhere(_.name == "o_orderkey")
+              val stats = meta.rowGroups.indices
+                .flatMap(rg => ParquetRead.chunkStats(meta, rg, kI))
+              val mn = stats.map(_._1.asInstanceOf[Long]).min
+              val mx = stats.map(_._2.asInstanceOf[Long]).max
+              lines += DeltaLog.addPartitioned(
+                s"bkt=$b/half=$h/${f.getName}", f.length(), meta.numRows,
+                Map("bkt" -> Some(b), "half" -> Some(h)),
+                Map("o_orderkey" -> mn), Map("o_orderkey" -> mx))
+            }
+        }
+      }
+    val logDir = new java.io.File(deltaDir, "_delta_log")
+    logDir.mkdirs()
+    java.nio.file.Files.writeString(
+      logDir.toPath.resolve("00000000000000000000.json"),
+      lines.mkString("\n"))
+    // --- the one entry point, three table kinds ---
+    def armAgg(df: DataFrame, arm: String): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_match"),
+        sum($"o_orderkey").as("sum_key"),
+        sum($"o_totalprice".cast("decimal(18,4)"))
+          .cast("decimal(38,6)").cast("double").as("sum_price"),
+        (max($"_parts_kept") < max($"_parts_total")).as("parts_cut"),
+        (max($"_files_kept") < max($"_files_total")).as("files_cut"),
+        (min($"_chunks_kept") < max($"_chunks_total")).as("chunks_cut"),
+        (max($"_pages_kept") > 0 &&
+          min($"_pages_kept") < max($"_pages_total")).as("pages_cut"))
+        .select(lit(arm).as("arm"), col("*"))
+    val sel = Seq("o_orderkey", "o_totalprice")
+    armAgg(LakeScan.scan(s, deltaDir, "o_orderkey", Some(lo), Some(hi),
+      sel, Map("bkt" -> wantBkt)), "delta")
+      .unionByName(armAgg(LakeScan.scan(s, bareDir, "o_orderkey",
+        Some(lo), Some(hi), sel, Map("bkt" -> wantBkt)), "parquet"))
+      .unionByName(armAgg(LakeScan.scan(s, orcDir, "o_orderkey",
+        Some(lo), Some(hi), sel), "orc"))
+      .orderBy($"arm")
+    }
+  }
+
+  /** DuckDB's filtered aggregate pins every arm's identity; the
+    * booleans pin which rung cut where. */
+  val lakeScanApiSql: String =
+    """WITH m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_match,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price
+      |  FROM orders WHERE o_orderkey BETWEEN 5000 AND 5400)
+      |SELECT 'delta' AS arm, n_match, sum_key, sum_price,
+      |  TRUE AS parts_cut, TRUE AS files_cut, FALSE AS chunks_cut, TRUE AS pages_cut FROM m
+      |UNION ALL SELECT 'orc', n_match, sum_key, sum_price, FALSE, FALSE, TRUE, FALSE FROM m
+      |UNION ALL SELECT 'parquet', n_match, sum_key, sum_price, TRUE, FALSE, FALSE, TRUE FROM m
+      |ORDER BY arm""".stripMargin
+
   /** Stats skipping on AGED (checkpointed) Delta tables (r19; see
     * [[graft.llm.DeltaLog.replayCheckpointedStats]]): per key, a v1
     * checkpoint whose add rows carry minValues/maxValues in their
@@ -5382,6 +5506,7 @@ object Docs {
     "q_delta_ckpt_prune" -> (deltaCkptPrune _),
     "q_delta_part_prune" -> (deltaPartPrune _),
     "q_lake_scan_e2e" -> (lakeScanE2e _),
+    "q_lake_scan_api" -> (lakeScanApi _),
     "q_parquet_prune" -> (parquetPrune _),
     "q_parquet_page_prune" -> (parquetPagePrune _),
     "q_orc_prune" -> (orcPrune _),
@@ -5443,6 +5568,7 @@ object Docs {
     "q_delta_ckpt_prune" -> deltaCkptPruneSql,
     "q_delta_part_prune" -> deltaPartPruneSql,
     "q_lake_scan_e2e" -> lakeScanE2eSql,
+    "q_lake_scan_api" -> lakeScanApiSql,
     "q_parquet_prune" -> parquetPruneSql,
     "q_parquet_page_prune" -> parquetPagePruneSql,
     "q_orc_prune" -> orcPruneSql,

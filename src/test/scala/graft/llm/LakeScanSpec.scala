@@ -1,0 +1,194 @@
+package graft.llm
+
+import graft.SparkTestBase
+import java.nio.file.{Files, Path}
+
+/** The unified lake scan: kind detection, every rung's census, exact
+  * answers vs Spark's own reader, and the API-misuse/torn-table
+  * boundaries the gate arms don't reach (checkpointed delta, the
+  * whole-chunk fallback for index-less files, mixed directories). */
+class LakeScanSpec extends SparkTestBase {
+
+  private def withTmp[A](f: Path => A): A = {
+    val p = Files.createTempDirectory("lakescan_spec")
+    try f(p) finally graft.util.Staging.deleteTree(p)
+  }
+
+  /** One sorted parquet file of (k, v=k*2.0) for k in [from, to],
+    * moved to `dest` (Spark writes into its own directory layout). */
+  private def mintFile(from: Long, to: Long, dest: Path): Long = {
+    import spark.implicits._
+    val stage = Files.createTempDirectory("lakescan_mint")
+    try {
+      (from to to).map(k => (k, k * 2.0)).toDF("k", "v")
+        .repartition(1).sortWithinPartitions("k")
+        .write.mode("overwrite")
+        .option("parquet.page.row.count.limit", "25")
+        .parquet(stage.toString)
+      val part = Files.list(stage).toArray.map(_.asInstanceOf[Path])
+        .filter(_.toString.endsWith(".parquet")).head
+      Files.createDirectories(dest.getParent)
+      Files.move(part, dest)
+      Files.size(dest)
+    } finally graft.util.Staging.deleteTree(stage)
+  }
+
+  test("bare partitioned parquet: partition + page rungs, exact rows") {
+    withTmp { root =>
+      import spark.implicits._
+      val dir = root.resolve("t").toString
+      (0L to 1599L).map(k => (k, k * 2.0, (k / 400).toInt)).toDF("k", "v", "p")
+        .repartition(1).sortWithinPartitions("p", "k")
+        .write.option("parquet.page.row.count.limit", "100")
+        .option("parquet.page.size", "1024")
+        .partitionBy("p").parquet(dir)
+      val plan = LakeScan.planTable(dir, "k", Some(430L), Some(440L),
+        Map("p" -> "1")).get
+      assert(plan.kind == "parquet")
+      assert(plan.partsTotal == 4 && plan.partsKept == 1)
+      assert(plan.filesTotal == plan.filesKept) // bare: no file-stats census
+      val df = LakeScan.scan(spark, dir, "k", Some(430L), Some(440L),
+        Seq("k", "v", "p"), Map("p" -> "1"))
+      val got = df.select("k", "v", "p").orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+      assert(got == (430L to 440L).map(k => (k, k * 2.0, "1")))
+      val c = df.select("_pages_total", "_pages_kept").head
+      assert(c.getInt(1) > 0 && c.getInt(1) < c.getInt(0)) // page rung cut
+    }
+  }
+
+  test("bare ORC directory: stripe rung, exact rows") {
+    withTmp { root =>
+      import spark.implicits._
+      val dir = root.resolve("t").toString
+      (1L to 20000L).map(k => (k, s"s$k")).toDF("k", "v")
+        .repartition(1).sortWithinPartitions("k")
+        .write.option("orc.stripe.size", "65536")
+        .option("orc.rows.between.memory.checks", "128").orc(dir)
+      val df = LakeScan.scan(spark, dir, "k", Some(7000L), Some(7010L),
+        Seq("k", "v"))
+      val got = df.select("k", "v").orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == (7000L to 7010L).map(k => (k, s"s$k")))
+      assert(df.select("_kind").head.getString(0) == "orc")
+      val c = df.select("_chunks_total", "_chunks_kept").head
+      assert(c.getInt(1) > 0 && c.getInt(1) < c.getInt(0)) // stripe rung cut
+    }
+  }
+
+  test("delta JSON log: the file-stats rung cuts, relative paths resolve") {
+    withTmp { root =>
+      val table = root.resolve("t")
+      val szA = mintFile(1L, 100L, table.resolve("a.parquet"))
+      val szB = mintFile(101L, 200L, table.resolve("b.parquet"))
+      val log = Seq(
+        DeltaLog.commitInfo("CREATE"), DeltaLog.protocol(),
+        DeltaLog.metaData("lakescan-spec"),
+        DeltaLog.addWithStats("a.parquet", szA, 100L,
+          Map("k" -> 1L), Map("k" -> 100L)),
+        DeltaLog.addWithStats("b.parquet", szB, 100L,
+          Map("k" -> 101L), Map("k" -> 200L)))
+      Files.createDirectories(table.resolve("_delta_log"))
+      Files.writeString(
+        table.resolve("_delta_log/00000000000000000000.json"),
+        log.mkString("\n"))
+      val plan = LakeScan.planTable(table.toString, "k",
+        Some(150L), Some(160L)).get
+      assert(plan.kind == "delta")
+      assert(plan.filesTotal == 2 && plan.filesKept == 1)
+      val df = LakeScan.scan(spark, table.toString, "k",
+        Some(150L), Some(160L), Seq("k", "v"))
+      val got = df.select("k", "v").orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == (150L to 160L).map(k => (k, k * 2.0)))
+      assert(df.select("_files_total", "_files_kept").head match {
+        case r => r.getInt(0) == 2 && r.getInt(1) == 1
+      })
+    }
+  }
+
+  test("delta with _last_checkpoint: checkpoint + post-commit replay") {
+    withTmp { root =>
+      val table = root.resolve("t")
+      val szA = mintFile(1L, 100L, table.resolve("a.parquet"))
+      val szB = mintFile(101L, 200L, table.resolve("b.parquet"))
+      val szC = mintFile(201L, 300L, table.resolve("c.parquet"))
+      val logDir = table.resolve("_delta_log")
+      Files.createDirectories(logDir)
+      val ck = DeltaLog.checkpointBytesStats("lakescan-ckpt", Seq(
+        ("a.parquet", szA, DeltaLog.statsString(100L,
+          Map("k" -> 1L), Map("k" -> 100L))),
+        ("b.parquet", szB, DeltaLog.statsString(100L,
+          Map("k" -> 101L), Map("k" -> 200L)))), Nil)
+      Files.write(logDir.resolve("00000000000000000003.checkpoint.parquet"), ck)
+      Files.writeString(logDir.resolve("_last_checkpoint"),
+        DeltaLog.lastCheckpoint(3L, 4L)) // 2 adds + protocol + metaData rows
+      Files.writeString(logDir.resolve("00000000000000000004.json"),
+        DeltaLog.addWithStats("c.parquet", szC, 100L,
+          Map("k" -> 201L), Map("k" -> 300L)))
+      val plan = LakeScan.planTable(table.toString, "k",
+        Some(250L), Some(255L)).get
+      assert(plan.filesTotal == 3 && plan.filesKept == 1)
+      val got = LakeScan.scan(spark, table.toString, "k",
+        Some(250L), Some(255L), Seq("k", "v"))
+        .select("k", "v").orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == (250L to 255L).map(k => (k, k * 2.0)))
+    }
+  }
+
+  test("whole-chunk fallback: an index-less file scans exactly, pages 0/0") {
+    withTmp { root =>
+      val table = root.resolve("t")
+      Files.createDirectories(table)
+      import ParquetWrite.WEl
+      val n = 100
+      val ks = (1 to n).map(k => java.lang.Long.valueOf(k.toLong): AnyRef).toArray
+      val vs = (1 to n).map(k => java.lang.Long.valueOf(k * 10L): AnyRef).toArray
+      val defs = Array.fill(n)(1)
+      val bytes = ParquetWrite.file(
+        Seq(WEl("k", 0, 1, typ = 2), WEl("v", 0, 1, typ = 2)),
+        n.toLong, Seq((ks, defs), (vs, defs)))
+      Files.write(table.resolve("data.parquet"), bytes)
+      val df = LakeScan.scan(spark, table.toString, "k",
+        Some(10L), Some(20L), Seq("k", "v"))
+      val got = df.select("k", "v").orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == (10L to 20L).map(k => (k, k * 10L)))
+      val c = df.select("_pages_total", "_pages_kept").head
+      assert(c.getInt(0) == 0 && c.getInt(1) == 0) // off the page path
+    }
+  }
+
+  test("torn tables and API misuse refuse at the right layer") {
+    withTmp { root =>
+      // a mixed parquet+ORC directory is torn: no plan
+      import spark.implicits._
+      val mixed = root.resolve("mixed")
+      mintFile(1L, 10L, mixed.resolve("a.parquet"))
+      val orcStage = root.resolve("orcstage")
+      Seq((1L, "x")).toDF("k", "v").coalesce(1).write.orc(orcStage.toString)
+      val orcPart = Files.list(orcStage).toArray.map(_.asInstanceOf[Path])
+        .filter(_.toString.endsWith(".orc")).head
+      Files.move(orcPart, mixed.resolve("b.orc"))
+      assert(LakeScan.planTable(mixed.toString, "k", Some(1L), None).isEmpty)
+      // a missing table path
+      assert(LakeScan.planTable(root.resolve("absent").toString, "k",
+        None, None).isEmpty)
+      // an unknown select column is API misuse, not a torn table
+      val ok = root.resolve("ok")
+      mintFile(1L, 50L, ok.resolve("a.parquet"))
+      intercept[IllegalArgumentException] {
+        LakeScan.scan(spark, ok.toString, "k", Some(1L), Some(5L),
+          Seq("k", "nope"))
+      }
+      // an empty select is API misuse
+      intercept[IllegalArgumentException] {
+        LakeScan.scan(spark, ok.toString, "k", None, None, Seq.empty)
+      }
+      // no predicate: every row comes back (pruning is optional)
+      val all = LakeScan.scan(spark, ok.toString, "k", None, None, Seq("k"))
+      assert(all.count() == 50L)
+    }
+  }
+}
