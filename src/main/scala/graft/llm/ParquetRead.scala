@@ -69,7 +69,8 @@ object ParquetRead {
                          maxV: Option[Vector[Byte]] = None,
                          nullCount: Long = -1L,
                          oiOff: Long = -1L, oiLen: Int = -1,
-                         ciOff: Long = -1L, ciLen: Int = -1)
+                         ciOff: Long = -1L, ciLen: Int = -1,
+                         bloomOff: Long = -1L, bloomLen: Int = -1)
   final case class Rg(numRows: Long, chunks: Vector[Chunk])
   final case class Meta(version: Int, numRows: Long, leaves: Vector[Leaf],
                         rowGroups: Vector[Rg])
@@ -282,6 +283,7 @@ object ParquetRead {
                     var nullCount = -1L
                     var oiOff = -1L; var oiLen = -1
                     var ciOff = -1L; var ciLen = -1
+                    var bloomOff = -1L; var bloomLen = -1
                     tr.struct(2) { (cf, ct) =>
                       (cf, ct) match {
                         case (1, 8) => sawPath = true; tr.bin(); true
@@ -316,6 +318,11 @@ object ParquetRead {
                                   }
                                 }
                                 true
+                              // bloom filter extent (r20): ADVISORY —
+                              // validated (and failed open) in
+                              // [[bloomFilter]], never a footer refusal
+                              case (14, 6) => bloomOff = tr.zigzag(); true
+                              case (15, 5) => bloomLen = tr.i32(); true
                               case _ => false
                             }
                           }
@@ -335,7 +342,8 @@ object ParquetRead {
                     if (ciOff >= 0 && (ciOff < 4 || ciLen < 1 ||
                       ciLen.toLong > fStartFile - ciOff)) bad()
                     chunks += ((Chunk(codec, nVals, totC, totU, dataOff, dictOff,
-                      minV, maxV, nullCount, oiOff, oiLen, ciOff, ciLen), path))
+                      minV, maxV, nullCount, oiOff, oiLen, ciOff, ciLen,
+                      bloomOff, bloomLen), path))
                     j += 1
                   }
                   true
@@ -904,6 +912,158 @@ object ParquetRead {
         case None => true // no stats: always survive
       }
     }.toVector
+  }
+
+  // ---- bloom-filter skipping (r20): split-block bloom filters -------------
+  // The point-lookup rung stats cannot provide: on a high-cardinality
+  // UNSORTED column every row group's min/max spans the whole domain,
+  // so the stats rung keeps everything — but parquet-mr (on demand,
+  // `parquet.bloom.filter.enabled#col`) writes one split-block bloom
+  // filter (SBBF) per column chunk, addressed by ColumnMetaData's
+  // bloom_filter_offset/_length. The spec's scheme: XXH64(seed 0) of
+  // the PLAIN-encoded value; the upper 32 hash bits pick one 32-byte
+  // block (8 little-endian words), the lower 32 set one bit per word
+  // via the 8 salt multipliers. A bloom filter may KEEP an absent key
+  // (false positive) but NEVER drops a present one — and every
+  // anomaly here (truncated extent, torn header, unknown algorithm/
+  // hash/compression, bad sizing) fails OPEN: the rung is advisory,
+  // the decode never trusts it.
+
+  /** One chunk's SBBF bitset as little-endian words (8 per block). */
+  final case class Sbbf(words: Array[Int])
+
+  private val SbbfSalt = Array(0x47b6137b, 0x44974d91, 0x8824ad5b,
+    0xa2b7289d, 0x705495c7, 0x2df1424b, 0x9efc4947, 0x5c6bfb31)
+
+  /** BloomFilterHeader (thrift compact): numBytes + the three one-of
+    * unions, all pinned to the spec's only defined members (BLOCK /
+    * XXHASH / UNCOMPRESSED). Returns (numBytes, headerLen) or None. */
+  private def parseBloomHeader(b: Array[Byte]): Option[(Int, Int)] = try {
+    val tr = new TR(b, 0, b.length)
+    var numBytes = -1
+    var algo = -1; var hash = -1; var comp = -1
+    def union(set: Int => Unit): Unit = tr.struct(1) { (f2, t2) =>
+      (f2, t2) match {
+        case (1, 12) => tr.struct(2)((_, _) => false); set(1); true
+        case _ => false
+      }
+    }
+    tr.struct(0) { (f, t) =>
+      (f, t) match {
+        case (1, 5) => numBytes = tr.i32(); true
+        case (2, 12) => union(algo = _); true
+        case (3, 12) => union(hash = _); true
+        case (4, 12) => union(comp = _); true
+        case _ => false
+      }
+    }
+    if (numBytes < 32 || numBytes % 32 != 0 || numBytes > (1 << 28)) None
+    else if (algo != 1 || hash != 1 || comp != 1) None
+    else Some((numBytes, tr.p))
+  } catch { case _: Bad => None }
+
+  /** Fetch + validate one chunk's SBBF from its own extent (header
+    * window first when the footer omitted bloom_filter_length). Every
+    * anomaly returns None — the caller keeps the group. */
+  def bloomFilter(path: String, meta: Meta, rgIdx: Int,
+                  leafIdx: Int): Option[Sbbf] = {
+    if (rgIdx < 0 || rgIdx >= meta.rowGroups.length) return None
+    if (leafIdx < 0 || leafIdx >= meta.rowGroups(rgIdx).chunks.length)
+      return None
+    val c = meta.rowGroups(rgIdx).chunks(leafIdx)
+    if (c.bloomOff < 4) return None
+    val parsed: Option[(Array[Byte], Int, Int)] = // (bitset buf, start, numBytes)
+      if (c.bloomLen > 0)
+        ExtentIo.readRange(path, c.bloomOff, c.bloomOff + c.bloomLen)
+          .flatMap { buf =>
+            parseBloomHeader(buf).flatMap { case (nb, hlen) =>
+              // the extent cross-law: header + bitset fill it exactly
+              if (hlen + nb != buf.length) None else Some((buf, hlen, nb))
+            }
+          }
+      else // pre-2.9 writers omit the length: header window, then bitset
+        ExtentIo.fileLen(path).flatMap { flen =>
+          val winEnd = math.min(c.bloomOff + 64L, flen)
+          ExtentIo.readRange(path, c.bloomOff, winEnd).flatMap { win =>
+            parseBloomHeader(win).flatMap { case (nb, hlen) =>
+              val from = c.bloomOff + hlen
+              if (from + nb > flen) None
+              else ExtentIo.readRange(path, from, from + nb)
+                .map(bs => (bs, 0, nb))
+            }
+          }
+        }
+    parsed.map { case (buf, start, nb) =>
+      val words = new Array[Int](nb / 4)
+      var i = 0
+      while (i < words.length) {
+        val p = start + i * 4
+        words(i) = (buf(p) & 0xff) | ((buf(p + 1) & 0xff) << 8) |
+          ((buf(p + 2) & 0xff) << 16) | ((buf(p + 3) & 0xff) << 24)
+        i += 1
+      }
+      Sbbf(words)
+    }
+  }
+
+  /** XXH64(seed 0) over the spec's plain encoding of a lookup key;
+    * None for types outside the bloom subset (the caller fails open). */
+  def bloomHash(typ: Int, key: Any): Option[Long] = {
+    def le(v: Long, n: Int): Array[Byte] = {
+      val b = new Array[Byte](n)
+      var i = 0
+      while (i < n) { b(i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+      b
+    }
+    val bytes: Option[Array[Byte]] = (typ, key) match {
+      case (2, v: Long) => Some(le(v, 8))
+      case (1, v: Int) => Some(le(v.toLong, 4))
+      case (1, v: Long) if v >= Int.MinValue && v <= Int.MaxValue =>
+        Some(le(v, 4)) // a Long lookup against an INT32 column
+      case (4, v: Float) => Some(le(java.lang.Float.floatToIntBits(v).toLong, 4))
+      case (5, v: Double) => Some(le(java.lang.Double.doubleToLongBits(v), 8))
+      case (6, s: String) => Some(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case _ => None
+    }
+    bytes.map(b => ZstdDecode.xxh64(b, 0, b.length))
+  }
+
+  /** The spec's block-check: true = maybe present, false = provably
+    * absent. */
+  def bloomMightContain(f: Sbbf, h: Long): Boolean = {
+    val numBlocks = f.words.length / 8
+    if (numBlocks < 1) return true // unusable: never prune on it
+    val block = (((h >>> 32) * numBlocks.toLong) >>> 32).toInt
+    val key = h.toInt
+    var i = 0
+    var ok = true
+    while (i < 8 && ok) {
+      val bit = (key * SbbfSalt(i)) >>> 27
+      ok = (f.words(block * 8 + i) & (1 << bit)) != 0
+      i += 1
+    }
+    ok
+  }
+
+  /** Survivor row groups for the POINT predicate col == key: a group
+    * is pruned ONLY when its bloom filter PROVES the key absent;
+    * groups without a (readable) filter, and key types outside the
+    * bloom subset, always survive. The planner composes this with
+    * [[pruneRowGroups]] — stats first, bloom on the stats survivors. */
+  def pruneRowGroupsBloom(path: String, meta: Meta, leafName: String,
+                          key: Any): Vector[Int] = {
+    val li = meta.leaves.indexWhere(_.name == leafName)
+    if (li < 0) return meta.rowGroups.indices.toVector
+    bloomHash(meta.leaves(li).typ, key) match {
+      case None => meta.rowGroups.indices.toVector
+      case Some(h) =>
+        meta.rowGroups.indices.filter { rg =>
+          bloomFilter(path, meta, rg, li) match {
+            case None => true // absent/torn filter: fail open
+            case Some(f) => bloomMightContain(f, h)
+          }
+        }.toVector
+    }
   }
 
   // ---- page-level skipping (r19): ColumnIndex + OffsetIndex ----

@@ -4190,6 +4190,129 @@ object Docs {
     }
   }
 
+  /** Parquet BLOOM-FILTER skipping under the oracle (r20; see
+    * [[graft.llm.ParquetRead.pruneRowGroupsBloom]]): the point-lookup
+    * rung stats cannot provide. Orders writes HASH-ORDERED (sorted by
+    * xxhash64(o_orderkey)) into a multi-row-group file with parquet-mr
+    * writing an SBBF per chunk (`parquet.bloom.filter.enabled#col` —
+    * the independent producer; ParquetBloomSpec arbitrates the block
+    * check bit-for-bit against parquet-mr's own BlockSplitBloomFilter).
+    * Sixteen point lookups — eight PRESENT keys nearest the key-space
+    * midpoint on the %97=3 lattice, eight provably ABSENT mid-range
+    * keys — plan stats-then-bloom; the census booleans pin that the
+    * stats rung kept every group on every lookup (`stats_blind` — the
+    * hash layout makes every group span the domain) while the bloom
+    * rung cut (`bloom_cut`), and that a POISONED bloom header fails
+    * open (`torn_fail_open`: the filter refuses to parse and its group
+    * survives every lookup). The never-drops law is the oracle
+    * equality itself: a bloom that dropped a present key loses that
+    * row and fails the DuckDB count. */
+  def parquetBloom(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.ParquetRead
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pqbloom").toString
+    cleanedAfter(s, tmp) {
+    // the staged key is o_orderkey * 2 — sparse BY CONSTRUCTION, so
+    // present+1 lookups are provably absent yet mid-range (orderkey
+    // itself is dense in this testdata; beyond-max absents would let
+    // the stats rung cut, which is exactly what this gate forbids)
+    orders(s, d).select(($"o_orderkey" * 2).as("k"), $"o_totalprice")
+      .repartition(1)
+      .sortWithinPartitions(xxhash64($"k")) // stats-blind layout
+      .write.mode("overwrite")
+      .option("parquet.block.size", "32768")
+      .option("parquet.bloom.filter.enabled#k", "true")
+      .option("parquet.bloom.filter.expected.ndv#k", "200000")
+      .parquet(tmp)
+    val ls = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+    val file = try ls.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+      finally ls.close()
+    // the sixteen lookups, derived identically in the oracle
+    val maxK = orders(s, d).agg(max($"o_orderkey")).head.getLong(0)
+    val mid = maxK / 2
+    val present = orders(s, d).filter($"o_orderkey" % 97 === 3)
+      .select($"o_orderkey")
+      .orderBy(abs($"o_orderkey" - lit(mid)), $"o_orderkey")
+      .limit(8).as[Long].collect().toSeq.map(_ * 2)
+    val absent = present.map(_ + 1) // odd: never in the even-keyed file
+    val lookups = (present ++ absent).sorted
+    // plan: stats first, bloom on the stats survivors
+    val meta = ParquetRead.metaFromTail(file).get
+    val nRg = meta.rowGroups.length
+    val plans = lookups.map { k =>
+      val stats = ParquetRead.pruneRowGroups(meta, "k", Some(k), Some(k))
+      val bloom = ParquetRead.pruneRowGroupsBloom(file, meta, "k", k).toSet
+      (k, stats, stats.filter(bloom))
+    }
+    val statsBlind = plans.forall(_._2.length == nRg)
+    val bloomCut = plans.map(_._3.length).sum < plans.map(_._2.length).sum
+    // the poisoned-header arm: torn bloom must fail open, never steer
+    val torn = s"$tmp/torn.parquet"
+    java.nio.file.Files.copy(java.nio.file.Paths.get(file),
+      java.nio.file.Paths.get(torn))
+    val kI = meta.leaves.indexWhere(_.name == "k")
+    val raf = new java.io.RandomAccessFile(torn, "rw")
+    try {
+      raf.seek(meta.rowGroups.head.chunks(kI).bloomOff)
+      raf.writeByte(0xff)
+    } finally raf.close()
+    val meta2 = ParquetRead.metaFromTail(torn).get
+    val tornFailOpen =
+      ParquetRead.bloomFilter(torn, meta2, 0, kI).isEmpty &&
+        ParquetRead.bloomFilter(file, meta, 0, kI).nonEmpty &&
+        absent.forall(k => ParquetRead
+          .pruneRowGroupsBloom(torn, meta2, "k", k).contains(0))
+    // decode ONLY the bloom survivors, spread as (key, rowGroup) splits
+    val splits = plans.flatMap { case (k, _, kept) => kept.map(rg => (k, rg)) }
+    val found = s.createDataset(splits)
+      .repartition(math.max(1, math.min(32, splits.length))).flatMap {
+        case (k, rg) =>
+          ParquetRead.openSplit(file, rg).toSeq.flatMap { case (m, bytes, base) =>
+            val ki = m.leaves.indexWhere(_.name == "k")
+            val pi = m.leaves.indexWhere(_.name == "o_totalprice")
+            if (ki < 0 || pi < 0) Seq.empty
+            else (ParquetRead.readColumnAt(bytes, base, m, rg, ki),
+              ParquetRead.readColumnAt(bytes, base, m, rg, pi)) match {
+              case (Some(ks), Some(ps)) =>
+                ks.indices.collect {
+                  case i if ks(i).asInstanceOf[Long] == k =>
+                    (k, ps(i).asInstanceOf[Double])
+                }.toSeq
+              case _ => Seq.empty
+            }
+          }
+      }.toDF("k", "price")
+    val agg = found.groupBy($"k").agg(
+      count(lit(1)).as("n_found"),
+      sum($"price".cast("decimal(18,4)")).as("psum"))
+    s.createDataset(lookups).toDF("k")
+      .join(agg, Seq("k"), "left")
+      .select($"k",
+        coalesce($"n_found", lit(0L)).as("n_found"),
+        coalesce($"psum", lit(java.math.BigDecimal.ZERO).cast("decimal(28,4)"))
+          .cast("decimal(38,6)").cast("double").as("sum_price"),
+        lit(statsBlind).as("stats_blind"),
+        lit(bloomCut).as("bloom_cut"),
+        lit(tornFailOpen).as("torn_fail_open"))
+      .orderBy($"k")
+    }
+  }
+
+  /** DuckDB replays the sixteen lookups from its own scan — a bloom
+    * that drops a present key loses its row here. */
+  val parquetBloomSql: String =
+    """WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+      |pres AS (SELECT o_orderkey * 2 AS k FROM orders, mx
+      |         WHERE o_orderkey % 97 = 3
+      |         ORDER BY ABS(o_orderkey - m // 2), o_orderkey LIMIT 8),
+      |keys AS (SELECT k FROM pres UNION ALL SELECT k + 1 FROM pres)
+      |SELECT ks.k, COUNT(o.o_orderkey) AS n_found,
+      |  CAST(CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 0)
+      |    AS DECIMAL(38,6)) AS DOUBLE) AS sum_price,
+      |  TRUE AS stats_blind, TRUE AS bloom_cut, TRUE AS torn_fail_open
+      |FROM keys ks LEFT JOIN orders o ON o.o_orderkey * 2 = ks.k
+      |GROUP BY ks.k ORDER BY ks.k""".stripMargin
+
   /** Parquet PAGE-level skipping under the oracle (r19; see
     * [[graft.llm.ParquetRead.pageIndex]] / prunePages /
     * readPagesSelective): the third rung of the pruning ladder. A
@@ -5508,6 +5631,7 @@ object Docs {
     "q_lake_scan_e2e" -> (lakeScanE2e _),
     "q_lake_scan_api" -> (lakeScanApi _),
     "q_parquet_prune" -> (parquetPrune _),
+    "q_parquet_bloom" -> (parquetBloom _),
     "q_parquet_page_prune" -> (parquetPagePrune _),
     "q_orc_prune" -> (orcPrune _),
     "q_pickle_probe" -> (pickleProbe _),
@@ -5570,6 +5694,7 @@ object Docs {
     "q_lake_scan_e2e" -> lakeScanE2eSql,
     "q_lake_scan_api" -> lakeScanApiSql,
     "q_parquet_prune" -> parquetPruneSql,
+    "q_parquet_bloom" -> parquetBloomSql,
     "q_parquet_page_prune" -> parquetPagePruneSql,
     "q_orc_prune" -> orcPruneSql,
     "q_pickle_probe" -> pickleProbeSql,

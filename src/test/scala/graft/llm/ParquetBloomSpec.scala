@@ -1,0 +1,124 @@
+package graft.llm
+
+import graft.SparkTestBase
+import java.nio.file.{Files, Path}
+
+/** The SBBF bloom rung: block-check and hash semantics arbitrated
+  * against parquet-mr's OWN BlockSplitBloomFilter (the reference
+  * implementation on the Spark classpath), then the end-to-end rung
+  * over a Spark-written file — stats-blind layout, bloom pruning,
+  * the never-drops law, and the torn-header fail-open. */
+class ParquetBloomSpec extends SparkTestBase {
+
+  private def withTmp[A](f: Path => A): A = {
+    val p = Files.createTempDirectory("bloom_spec")
+    try f(p) finally graft.util.Staging.deleteTree(p)
+  }
+
+  private def wordsOf(bitset: Array[Byte]): Array[Int] = {
+    val words = new Array[Int](bitset.length / 4)
+    var i = 0
+    while (i < words.length) {
+      val p = i * 4
+      words(i) = (bitset(p) & 0xff) | ((bitset(p + 1) & 0xff) << 8) |
+        ((bitset(p + 2) & 0xff) << 16) | ((bitset(p + 3) & 0xff) << 24)
+      i += 1
+    }
+    words
+  }
+
+  test("block-check + hash arbitrated against parquet-mr bit for bit") {
+    import org.apache.parquet.column.values.bloomfilter.BlockSplitBloomFilter
+    val ref = new BlockSplitBloomFilter(4096)
+    (0L until 3000L by 3L).foreach(k => ref.insertHash(ref.hash(k)))
+    val out = new java.io.ByteArrayOutputStream()
+    ref.writeTo(out)
+    val ours = ParquetRead.Sbbf(wordsOf(out.toByteArray))
+    // the hash law: XXH64(seed 0, plain encoding) == parquet-mr's hash
+    (0L until 3000L).foreach { k =>
+      assert(ParquetRead.bloomHash(2, k).contains(ref.hash(k)),
+        s"hash mismatch at $k")
+    }
+    // the block-check law: identical verdicts on every probe, and
+    // every inserted key maybe-present (never drops)
+    (0L until 3000L).foreach { k =>
+      val h = ref.hash(k)
+      assert(ParquetRead.bloomMightContain(ours, h) == ref.findHash(h),
+        s"verdict mismatch at $k")
+      if (k % 3 == 0) assert(ParquetRead.bloomMightContain(ours, h))
+    }
+    // string + int32 hash laws too
+    import org.apache.parquet.io.api.Binary
+    Seq("", "a", "graft-bloom", "ünïcode-Ω").foreach { s =>
+      assert(ParquetRead.bloomHash(6, s)
+        .contains(ref.hash(Binary.fromString(s))), s"string hash: $s")
+    }
+    Seq(0, 1, -1, 12345, Int.MinValue, Int.MaxValue).foreach { i =>
+      assert(ParquetRead.bloomHash(1, i).contains(ref.hash(i)), s"int32: $i")
+    }
+  }
+
+  test("spark-written file: stats blind, bloom prunes, never drops; torn header fails open") {
+    withTmp { root =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.xxhash64
+      val dir = root.resolve("t").toString
+      (1L to 20000L).map(k => (k, k * 3.0)).toDF("k", "v")
+        .repartition(1)
+        .sortWithinPartitions(xxhash64($"k")) // hash order: stats blind
+        .write
+        .option("parquet.block.size", "65536")
+        .option("parquet.bloom.filter.enabled#k", "true")
+        .option("parquet.bloom.filter.expected.ndv#k", "20000")
+        .parquet(dir)
+      val file = Files.list(root.resolve("t")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val meta = ParquetRead.metaFromTail(file).get
+      val kI = meta.leaves.indexWhere(_.name == "k")
+      val nRg = meta.rowGroups.length
+      assert(nRg >= 3, s"want a multi-row-group file, got $nRg")
+      assert(meta.rowGroups.forall(_.chunks(kI).bloomOff >= 0),
+        "writer did not emit bloom filters")
+      // mid-range present keys: the stats rung keeps EVERYTHING
+      val present = (5000L to 15000L by 1000L).toSeq
+      present.foreach { k =>
+        assert(ParquetRead.pruneRowGroups(meta, "k", Some(k), Some(k))
+          .length == nRg, s"stats not blind at $k")
+      }
+      // never-drops: the group really holding k must survive
+      val keyAt = meta.rowGroups.indices.map { rg =>
+        rg -> ParquetRead.openSplit(file, rg).flatMap {
+          case (m, bytes, base) =>
+            ParquetRead.readColumnAt(bytes, base, m, rg, kI)
+        }.get.map(_.asInstanceOf[Long]).toSet
+      }.toMap
+      present.foreach { k =>
+        val kept = ParquetRead.pruneRowGroupsBloom(file, meta, "k", k).toSet
+        val holder = keyAt.collect { case (rg, ks) if ks(k) => rg }
+        assert(holder.nonEmpty && holder.forall(kept), s"bloom dropped $k")
+      }
+      // absent keys: the bloom rung cuts where stats cannot
+      val absent = (20001L to 20032L).toSeq
+      val keptAbsent = absent.map(k =>
+        ParquetRead.pruneRowGroupsBloom(file, meta, "k", k).length).sum
+      assert(keptAbsent < absent.length * nRg / 2,
+        s"bloom barely cut: $keptAbsent of ${absent.length * nRg}")
+      // a torn header fails OPEN: poison the first chunk's header byte
+      val torn = root.resolve("torn.parquet")
+      Files.copy(java.nio.file.Paths.get(file), torn)
+      val raf = new java.io.RandomAccessFile(torn.toFile, "rw")
+      try {
+        raf.seek(meta.rowGroups.head.chunks(kI).bloomOff)
+        raf.writeByte(0xff)
+      } finally raf.close()
+      val meta2 = ParquetRead.metaFromTail(torn.toString).get
+      assert(ParquetRead.bloomFilter(torn.toString, meta2, 0, kI).isEmpty)
+      assert(ParquetRead.bloomFilter(file, meta, 0, kI).nonEmpty)
+      // the poisoned group survives every lookup on the torn file
+      absent.foreach { k =>
+        assert(ParquetRead.pruneRowGroupsBloom(torn.toString, meta2, "k", k)
+          .contains(0), s"torn filter steered pruning at $k")
+      }
+    }
+  }
+}
