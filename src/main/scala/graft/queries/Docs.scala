@@ -5631,7 +5631,10 @@ object Docs {
     "q_lake_scan_e2e" -> (lakeScanE2e _),
     "q_lake_scan_api" -> (lakeScanApi _),
     "q_parquet_prune" -> (parquetPrune _),
-    "q_parquet_bloom" -> (parquetBloom _),
+    // named q_parquet_bloom_point: "q_parquet_bloom" is Corpus's long-
+    // declared gate, and a later map in SparkEntry's ++ would shadow it —
+    // declared queries must never change meaning between rounds
+    "q_parquet_bloom_point" -> (parquetBloom _),
     "q_parquet_page_prune" -> (parquetPagePrune _),
     "q_orc_prune" -> (orcPrune _),
     "q_pickle_probe" -> (pickleProbe _),
@@ -5694,7 +5697,7 @@ object Docs {
     "q_lake_scan_e2e" -> lakeScanE2eSql,
     "q_lake_scan_api" -> lakeScanApiSql,
     "q_parquet_prune" -> parquetPruneSql,
-    "q_parquet_bloom" -> parquetBloomSql,
+    "q_parquet_bloom_point" -> parquetBloomSql,
     "q_parquet_page_prune" -> parquetPagePruneSql,
     "q_orc_prune" -> orcPruneSql,
     "q_pickle_probe" -> pickleProbeSql,
