@@ -715,7 +715,7 @@ object Llm {
       val half = docs.agg(max($"doc_id")).head.getLong(0) / 2
       (docs.filter($"doc_id" <= half), docs.filter($"doc_id" > half))
     }
-    graft.util.Staging.withStreamPartitions(s, 8) {
+    graft.util.Staging.withStreamPartitions(s, graft.util.Staging.streamPartitionsFor(s, dataDir)) {
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
         .select(md5($"text").as("fp"))
@@ -758,7 +758,7 @@ object Llm {
     graft.util.Staging.withConfs(s,
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
-      graft.util.Staging.withStreamPartitions(s, 8) {
+      graft.util.Staging.withStreamPartitions(s, graft.util.Staging.streamPartitionsFor(s, dataDir)) {
         val sh = org.apache.spark.sql.graftshim.Shim
         import org.apache.spark.sql.catalyst.expressions.Literal
         val stream = s.readStream.schema(docs.schema)
@@ -839,7 +839,7 @@ object Llm {
       (docs.filter($"doc_id" <= half), docs.filter($"doc_id" > half))
     }
     val idxEn = graft.exprs.Stopwords.sortedLangs.indexOf("en")
-    graft.util.Staging.withStreamPartitions(s, 8) {
+    graft.util.Staging.withStreamPartitions(s, graft.util.Staging.streamPartitionsFor(s, dataDir)) {
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
         .select($"source", md5($"text").as("fp"),

@@ -1484,7 +1484,7 @@ object Relational {
     java.nio.file.Files.createSymbolicLink(
       srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(d, "events.parquet"))
-    withStreamPartitions(s, 8) {
+    withStreamPartitions(s, graft.util.Staging.streamPartitionsFor(s, srcDir)) {
       val evs = graft.util.Tables.normalizeEventsTs(
         s.readStream.schema(schema).parquet(srcDir.toString))
       val agg = evs
@@ -1573,7 +1573,7 @@ object Relational {
     import s.implicits._
     val ev = graft.util.Tables.events(s, d)
     val dataDir = stagedEventsDir(s, d)
-    withStreamPartitions(s, 8) {
+    withStreamPartitions(s, graft.util.Staging.streamPartitionsFor(s, dataDir)) {
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
       val agg = stream.withWatermark("ts", "1 hour")
@@ -1602,7 +1602,7 @@ object Relational {
     import s.implicits._
     val ev = graft.util.Tables.events(s, d)
     val dataDir = stagedEventsDir(s, d)
-    withStreamPartitions(s, 8) {
+    withStreamPartitions(s, graft.util.Staging.streamPartitionsFor(s, dataDir)) {
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
       val sessions = graft.streaming.StreamOps
@@ -1881,7 +1881,7 @@ object Relational {
     val dataDir = stagedEventsDir(s, d)
     val outDir = java.nio.file.Files.createTempDirectory("graft-recover-out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-recover-ckpt").toString
-    withStreamPartitions(s, 8) {
+    withStreamPartitions(s, graft.util.Staging.streamPartitionsFor(s, dataDir)) {
       def src = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
         .select($"event_type", $"value")
@@ -2080,7 +2080,7 @@ object Relational {
     import s.implicits._
     val ev = graft.util.Tables.events(s, d)
     val dataDir = stagedEventsDir(s, d)
-    withStreamPartitions(s, 8) {
+    withStreamPartitions(s, graft.util.Staging.streamPartitionsFor(s, dataDir)) {
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
       val clicks = stream.filter($"event_type" === "click")
@@ -2130,7 +2130,7 @@ object Relational {
     val deny = customer(s, d).filter($"c_nationkey" === 3)
       .select($"c_custkey")
     val dataDir = stagedEventsDir(s, d)
-    withStreamPartitions(s, 8) {
+    withStreamPartitions(s, graft.util.Staging.streamPartitionsFor(s, dataDir)) {
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
       val agg = stream.join(broadcast(deny), $"user_id" === $"c_custkey", "left_anti")
@@ -2285,7 +2285,7 @@ object Relational {
     import s.implicits._
     val ev = graft.util.Tables.events(s, d)
     val dataDir = stagedEventsDir(s, d)
-    withStreamPartitions(s, 8) {
+    withStreamPartitions(s, graft.util.Staging.streamPartitionsFor(s, dataDir)) {
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
       val clicks = stream.filter($"event_type" === "click")
@@ -2355,7 +2355,7 @@ object Relational {
         $"c_nationkey" === $"n_nationkey")
       .select($"c_custkey", $"n_name")
     val dataDir = stagedEventsDir(s, d)
-    withStreamPartitions(s, 8) {
+    withStreamPartitions(s, graft.util.Staging.streamPartitionsFor(s, dataDir)) {
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
       val agg = stream.join(broadcast(dim), $"user_id" === $"c_custkey")
@@ -2401,7 +2401,7 @@ object Relational {
         expr("timestamp_micros(4102444800000000)").as("valid_to"), // 2100-01-01Z
         lit("gold").as("tier")))
     val dataDir = stagedEventsDir(s, d)
-    withStreamPartitions(s, 8) {
+    withStreamPartitions(s, graft.util.Staging.streamPartitionsFor(s, dataDir)) {
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
       val joined = stream.join(broadcast(dim),
@@ -2856,7 +2856,7 @@ object Relational {
     import s.implicits._
     val ev = graft.util.Tables.events(s, d)
     val dataDir = stagedEventsDir(s, d)
-    withStreamPartitions(s, 8) {
+    withStreamPartitions(s, graft.util.Staging.streamPartitionsFor(s, dataDir)) {
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
       val clicks = stream.filter($"event_type" === "click")
@@ -2946,7 +2946,7 @@ object Relational {
     import s.implicits._
     val ev = graft.util.Tables.events(s, d)
     val dataDir = stagedEventsDir(s, d)
-    withStreamPartitions(s, 8) {
+    withStreamPartitions(s, graft.util.Staging.streamPartitionsFor(s, dataDir)) {
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
       val deduped = stream
@@ -3036,7 +3036,7 @@ object Relational {
     val batches = withConfs(s,
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
-      withStreamPartitions(s, 8) {
+      withStreamPartitions(s, graft.util.Staging.streamPartitionsFor(s, dataDir)) {
         graft.util.Staging.twoPhaseStream(s, dataDir, "graft-tws") { raw =>
           raw.select($"user_id", unix_micros($"ts").as("ts_us"))
             .as[TwsEvent]
@@ -3103,7 +3103,7 @@ object Relational {
     val batches = withConfs(s,
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
-      withStreamPartitions(s, 8) {
+      withStreamPartitions(s, graft.util.Staging.streamPartitionsFor(s, dataDir)) {
         graft.util.Staging.twoPhaseStream(s, dataDir, "graft-tws-map") { raw =>
           raw.select($"user_id", $"event_type", unix_micros($"ts").as("ts_us"))
             .as[TwsTypedEvent]
@@ -3184,7 +3184,7 @@ object Relational {
     import s.implicits._
     val ev = graft.util.Tables.events(s, d)
     val dataDir = stagedEventsDir(s, d)
-    withStreamPartitions(s, 8) {
+    withStreamPartitions(s, graft.util.Staging.streamPartitionsFor(s, dataDir)) {
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
       val agg = stream
@@ -3226,7 +3226,7 @@ object Relational {
     withConfs(s,
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
-      withStreamPartitions(s, 8) {
+      withStreamPartitions(s, graft.util.Staging.streamPartitionsFor(s, dataDir)) {
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
           .select($"user_id", $"event_id")
@@ -3288,7 +3288,7 @@ object Relational {
     withConfs(s,
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
-      withStreamPartitions(s, 8) {
+      withStreamPartitions(s, graft.util.Staging.streamPartitionsFor(s, dataDir)) {
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
           .withWatermark("ts", "1 hour")

@@ -237,7 +237,7 @@ object Web {
     graft.functions.Graft.init(s)
     import s.implicits._
     val dir = stagedWarcDir(s, d)
-    graft.util.Staging.withStreamPartitions(s, 8) {
+    graft.util.Staging.withStreamPartitions(s, graft.util.Staging.streamPartitionsFor(s, dir)) {
       val binSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("path",
           org.apache.spark.sql.types.StringType),

@@ -1,0 +1,77 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Timing harness for optimization work: `runMain graft.tools.Prof q_a q_b`
+  * runs each named query N times (PROF_RUNS, default 3) through the noop
+  * sink with the same session shape as [[graft.Bench]], printing per-run
+  * seconds and the min. A streaming-query listener dumps every
+  * micro-batch's `durationMs` breakdown (planning, addBatch, state
+  * commit, ...) to stderr so streaming-query time can be attributed
+  * without instrumenting the query bodies.
+  */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("PROF_RUNS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        System.err.println(s"[prof-stream] batch=${e.progress.batchId} " +
+          s"rows=${e.progress.numInputRows} durationMs=${e.progress.durationMs} " +
+          s"stateOps=${e.progress.stateOperators.mkString("; ")}")
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    })
+    // warmup (JVM + codegen), same as Bench
+    try graft.SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable => System.err.println(s"[prof] warmup failed: $e") }
+    try graft.queries.Relational.stagedEventsDir(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[prof] stage warmup failed: $e") }
+    // Variant spec: `q_name@k=v,k=v` sets session confs for that run.
+    // All variants are swept ROUND-ROBIN `runs` times so that A/B
+    // comparisons share the machine-contention window instead of each
+    // variant monopolizing a (possibly noisy) stretch.
+    final case class Variant(label: String, name: String, confs: Seq[(String, String)])
+    val variants = args.toSeq.map { a =>
+      val (name, confStr) = a.span(_ != '@')
+      val confs = if (confStr.isEmpty) Seq.empty
+        else confStr.drop(1).split(',').toSeq.map { kv =>
+          val Array(k, v) = kv.split("=", 2); (k, v) }
+      Variant(a, name, confs)
+    }
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (i <- 1 to runs; v <- variants) {
+      graft.SparkEntry.queries.get(v.name) match {
+        case Some(fn) =>
+          spark.sparkContext.setJobDescription(s"prof:${v.label}#$i")
+          val old = v.confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+          v.confs.foreach { case (k, value) => spark.conf.set(k, value) }
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+          catch { case e: Throwable => System.err.println(s"[prof] ${v.label} FAILED: $e") }
+          finally old.foreach {
+            case (k, Some(value)) => spark.conf.set(k, value)
+            case (k, None) => spark.conf.unset(k)
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[prof] ${v.label} run$i: $dt%.3f s")
+          times(v.label) = times.getOrElse(v.label, Nil) :+ dt
+        case None => if (i == 1) println(s"[prof] unknown query: ${v.name}")
+      }
+    }
+    variants.foreach { v => times.get(v.label).foreach { ts =>
+      println(f"[prof] ${v.label} min=${ts.min}%.3f med=${ts.sorted.apply(ts.size / 2)}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }}
+    spark.stop()
+  }
+}

@@ -35,13 +35,50 @@ object Staging {
   /** Run `body` with `spark.sql.shuffle.partitions` lowered for a bounded
     * streaming query, restoring the session value after: per-partition
     * state-store commit files are a fixed per-batch cost, so state
-    * partitions should track state size, not scan parallelism. */
+    * partitions should track state size, not scan parallelism. The
+    * `graft.stream.partitions` session conf overrides the computed value
+    * — the production knob for clusters where state size per partition,
+    * not per-batch commit overhead, is the binding constraint. */
   def withStreamPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
+    val nEff = s.conf.getOption("graft.stream.partitions").map(_.toInt).getOrElse(n)
+    s.conf.set(key, nEff.toString)
     try body finally s.conf.set(key, prev)
   }
+
+  /** Scale-adaptive state-partition count for a bounded streaming query
+    * whose staged source lives under `dir`: one state partition per
+    * ~64 MB of staged input, clamped to [2, defaultParallelism]. Each
+    * state partition costs a fixed per-batch commit (delta file write +
+    * store load) PER STATE STORE — a stream-stream join carries four
+    * stores per partition — so partition count must track input size,
+    * not a constant tuned for either local mode or a cluster (guide
+    * §2.2/§2.4: fewer, larger partitions until data size demands more).
+    * Deterministic per directory, so checkpoint-recovery queries see the
+    * same count on restart. Fail-open to 2 on an unreadable dir. */
+  def streamPartitionsFor(s: SparkSession, dir: Path): Int = {
+    val bytes =
+      try Files.walk(dir).filter(Files.isRegularFile(_))
+        .mapToLong(Files.size(_)).sum()
+      catch { case _: Exception => 0L }
+    val perPartition = 64L << 20
+    val n = ((bytes + perPartition - 1) / perPartition).toInt
+    math.max(2, math.min(s.sparkContext.defaultParallelism, n))
+  }
+
+  /** Scoped conf for a bounded micro-batch run whose OUTPUT is emitted
+    * entirely in data batches (inner joins, dropDuplicates): skips the
+    * trailing no-data micro-batch, which exists only to evict state that
+    * a bounded (AvailableNow) query discards on stop anyway — one full
+    * batch of pure machinery (state-store load/commit across every
+    * partition) for zero rows. NOT safe for append-mode aggregations,
+    * outer joins, or timer-driven transformWithState: their FINAL
+    * emissions happen in the no-data batch after the watermark advances
+    * past the last data. */
+  def withoutNoDataBatch[T](s: SparkSession)(body: => T): T =
+    withConfs(s,
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")(body)
 
   /** Public tree delete for query-scoped temp roots. */
   def deleteTree(p: Path): Unit = deleteRecursively(p)

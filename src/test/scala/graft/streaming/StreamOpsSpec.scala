@@ -175,13 +175,27 @@ class StreamOpsSpec extends SparkTestBase {
           .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
         try {
           // see the CumulProcessor TTL test: ProcessingTime mode never
-          // idles, so poll the sink instead of processAllAvailable
-          def settle(): Unit = Thread.sleep(1500)
+          // idles, so processAllAvailable would block forever. A fixed
+          // sleep lost to machine contention (batch 1 not yet committed
+          // when batch 2's data arrived), so wait for the DATA batch to
+          // commit: poll recentProgress for a batch with input rows and
+          // a higher batchId than the previous data batch.
+          def awaitDataBatch(after: Long): Long = {
+            val deadline = System.currentTimeMillis() + 60000
+            var latest = -1L
+            while (latest <= after && System.currentTimeMillis() < deadline) {
+              Thread.sleep(100)
+              latest = q.recentProgress.filter(_.numInputRows > 0)
+                .map(_.batchId).foldLeft(-1L)(math.max)
+            }
+            assert(latest > after, s"no data batch committed after batch $after within 60 s")
+            latest
+          }
           input.addData(bandRows(1L): _*)
-          settle()
+          val b1 = awaitDataBatch(-1L)
           Thread.sleep(sleepMs)
           input.addData(bandRows(2L): _*)
-          settle()
+          awaitDataBatch(b1)
           spark.table(name).select($"doc_id", $"partner_id").distinct().count()
         } finally q.stop()
       }
