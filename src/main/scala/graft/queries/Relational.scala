@@ -2080,6 +2080,12 @@ object Relational {
     import s.implicits._
     val ev = graft.util.Tables.events(s, d)
     val dataDir = stagedEventsDir(s, d)
+    // inner join: every pair is emitted in the data batch where both
+    // rows are present, so the trailing no-data batch would only evict
+    // state this bounded run discards anyway — skip it (one full batch
+    // of state-store machinery saved; NOT applicable to the outer-join
+    // twins, whose unmatched rows emit in that batch)
+    graft.util.Staging.withoutNoDataBatch(s) {
     withStreamPartitions(s, graft.util.Staging.streamPartitionsFor(s, dataDir)) {
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
@@ -2103,6 +2109,7 @@ object Relational {
         .start()
       q.awaitTermination()
       s.table(name).orderBy($"user_id", $"error_id", $"click_id")
+    }
     }
   }
 
@@ -2946,6 +2953,10 @@ object Relational {
     import s.implicits._
     val ev = graft.util.Tables.events(s, d)
     val dataDir = stagedEventsDir(s, d)
+    // dropDuplicatesWithinWatermark emits each first-seen key in its
+    // data batch; the trailing no-data batch only evicts expired state,
+    // which this bounded run discards on stop — skip it
+    graft.util.Staging.withoutNoDataBatch(s) {
     withStreamPartitions(s, graft.util.Staging.streamPartitionsFor(s, dataDir)) {
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(dataDir.toString)
@@ -2960,6 +2971,7 @@ object Relational {
         .start()
       q.awaitTermination()
       s.table(name).orderBy($"user_id", $"event_type")
+    }
     }
   }
 
