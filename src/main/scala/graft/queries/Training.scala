@@ -348,10 +348,16 @@ object Training {
   def dsirSelect(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d)
-    val per = docs.select($"doc_id", $"lang")
-      .join(graft.llm.Dsir.importanceWeights(docs, "doc_id", "text",
-          isTarget = col("lang") === "en", nBuckets = 4096)
-        .withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+    // lang rides INSIDE the scorer's id (struct), the same trick as the
+    // doremi rollup: importanceWeights computes per-doc weights in-row
+    // off the scan, so joining the corpus back to itself just to
+    // re-attach lang was a corpus-sized shuffle join for a column the
+    // scan already had (guide §2.4: remove shuffles outright)
+    val per = graft.llm.Dsir.importanceWeights(
+        docs.withColumn("did", struct($"doc_id", $"lang")), "did", "text",
+        isTarget = col("lang") === "en", nBuckets = 4096)
+      .select($"id.doc_id".as("doc_id"), $"id.lang".as("lang"),
+        $"n_feats", $"log_w")
       .persist()
     val n = per.count()
     val keepCount = (n + 3) / 4
@@ -446,9 +452,20 @@ object Training {
     val dom = per.groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"n_bigrams").as("n_d"),
         sum($"sc".cast("decimal(38,0)")).as("s_d"))
-      .persist()
-    val tot = dom.agg(sum($"s_d").as("s_all"), sum($"n_d").as("n_all"))
-    val withW = dom.crossJoin(broadcast(tot))
+    // the domain table is ≤ #domains rows by contract, so the corpus
+    // totals and the weight normalization are whole-frame WINDOW
+    // aggregates over it: one job end to end, where persist + two
+    // broadcast-agg crossJoins + unpersist scheduled four extra jobs
+    // (each re-reading the cached domain table) for identical arithmetic
+    // — window sum carries the same DECIMAL(38,0) accumulation law as
+    // the aggregate sum it replaces (guide §1.2: fix the job shape
+    // before the per-task work)
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val withW = dom
+      .withColumn("s_all", sum($"s_d").over(all))
+      .withColumn("n_all", sum($"n_d").over(all))
       .withColumn("nll",
         expr("(2 * s_d + n_d) div (2 * n_d)").cast("double") / lit(1000000.0))
       .withColumn("excess", greatest(lit(0.0),
@@ -456,14 +473,12 @@ object Training {
           / lit(1000000.0)))
       .withColumn("weight", round(exp($"excess"), 6))
       .withColumn("w_mu", round($"weight" * 1000000, 0).cast("long"))
-    val result = graft.util.Local.materialize(
-      withW.crossJoin(broadcast(withW.agg(sum($"w_mu").as("w_tot"))))
+    graft.util.Local.materialize(
+      withW.withColumn("w_tot", sum($"w_mu").over(all))
         .withColumn("share", expr(graft.util.ExactRound.ratio6("w_mu", "w_tot")))
         .select($"source", $"n_docs", $"n_d".as("n_bigrams"), $"nll",
           $"excess", $"weight", $"share")
         .orderBy($"source"))
-    dom.unpersist()
-    result
   }
 
   val doremiWeightsSql: String = lmCtes +

@@ -1,0 +1,48 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throwaway phase-split profiling for optimization work; not part of
+  * the driver contract. */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val s = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    import s.implicits._
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // warmup
+    graft.SparkEntry.entry(s).write.format("noop").mode("overwrite").save()
+
+    val docs = graft.util.Tables.documents(s, d)
+    time("docs count")(docs.count())
+    for (_ <- 1 to 2) {
+      time("tokenize+explode bigram census (en)") {
+        noop(docs.filter($"lang" === "en")
+          .select(explode(graft.llm.NgramLM.bigrams(graft.llm.NgramLM.tokens($"text"))).as("b"))
+          .groupBy($"b.w1", $"b.w2").agg(count(lit(1)).as("c12")))
+      }
+      val m = time("NgramLM.train full")(
+        graft.llm.NgramLM.train(docs.filter($"lang" === "en"), $"text"))
+      time("vocab job")(noop(m.vocab))
+      time("score all docs") {
+        noop(graft.llm.NgramLM.score(
+          docs.withColumn("did", struct($"doc_id", $"source")), "did", $"text", m))
+      }
+      time("doremi full")(noop(graft.queries.Training.doremiWeights(s, d)))
+    }
+    s.stop()
+  }
+}
