@@ -3211,15 +3211,38 @@ object Docs {
     import graft.llm.{DeltaLog, LakeScan, ParquetRead}
     val tmp = java.nio.file.Files.createTempDirectory("graft_lakeapi").toString
     cleanedAfter(s, tmp) {
-    val lo = 5000L
-    val hi = 5400L
-    val wantBkt = (lo / 4000).toString
+    // [1, 90] matches rows at EVERY test SF — the original [5000, 5400]
+    // matched nothing at sf0.001 (orderkeys are dense 0..n−1, max 1499
+    // there), so the scan emitted zero rows and the census aggregates
+    // went NULL against the oracle's hardcoded rung booleans (inherited
+    // r20 mid-build bug, found+fixed this round). Bucket/half widths are
+    // 400/200 so the smallest SF still has ≥2 buckets, 2 half-files per
+    // bucket, and ≥2 pages per file — every hardcoded rung boolean keeps
+    // its structural reason at every SF.
+    val lo = 1L
+    val hi = 90L
+    // ~16 buckets at every SF (width a multiple of 400, floor 400): a
+    // fixed 400-wide bucket meant 375 buckets / 750 files at sf0.1 and
+    // the driver-side delta-log minting read 750 footers sequentially —
+    // the file COUNT, not the file bytes, was the cost. [1, 90] sits in
+    // bkt 0 / half 0 at any width ≥ 400, so the rung booleans and the
+    // matched row set are width-invariant.
+    val maxKey = orders(s, d).agg(max($"o_orderkey")).head.getLong(0)
+    val bktW = math.max(400L, ((maxKey + 1) / 16 + 399) / 400 * 400)
+    val wantBkt = (lo / bktW).toString
     // --- stage: (bkt, half)-partitioned sorted parquet tree ---
+    // hash-repartition on the partition columns so the ~#buckets×2
+    // partition files write in PARALLEL (each (bkt, half) group lands
+    // wholly in one task; rows sorted by the partition cols within the
+    // task, so the writer still emits exactly one sorted file per
+    // directory) — repartition(1) serialized the whole tiny-page write
+    // through a single task and was 80% of this gate's runtime
     def stageTree(dst: String): Unit =
       orders(s, d).select($"o_orderkey", $"o_totalprice",
-        ($"o_orderkey" / 4000).cast("int").as("bkt"),
-        (($"o_orderkey" % 4000) / 2000).cast("int").as("half"))
-        .repartition(1).sortWithinPartitions($"bkt", $"half", $"o_orderkey")
+        ($"o_orderkey" / bktW).cast("int").as("bkt"),
+        (($"o_orderkey" % bktW) / (bktW / 2)).cast("int").as("half"))
+        .repartition($"bkt", $"half")
+        .sortWithinPartitions($"bkt", $"half", $"o_orderkey")
         .write.mode("overwrite")
         .option("parquet.page.row.count.limit", "100")
         .option("parquet.page.size", "1024")
@@ -3228,12 +3251,23 @@ object Docs {
     val bareDir = s"$tmp/bare"
     val orcDir = s"$tmp/orc"
     stageTree(deltaDir)
-    stageTree(bareDir)
+    // the bare arm scans byte-identical content: copy the staged files
+    // instead of running the whole write a second time
+    locally {
+      val src = java.nio.file.Paths.get(deltaDir)
+      val dst = java.nio.file.Paths.get(bareDir)
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
     orders(s, d).select($"o_orderkey", $"o_totalprice")
       .coalesce(1).sortWithinPartitions("o_orderkey")
       .write.mode("overwrite")
       .option("compression", "zlib")
-      .option("orc.stripe.size", "65536")
+      .option("orc.stripe.size", "4096")
       .option("orc.rows.between.memory.checks", "128").orc(orcDir)
     // --- mint deltaDir's log from each file's OWN footer stats ---
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -3296,7 +3330,7 @@ object Docs {
     """WITH m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_match,
       |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
       |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price
-      |  FROM orders WHERE o_orderkey BETWEEN 5000 AND 5400)
+      |  FROM orders WHERE o_orderkey BETWEEN 1 AND 90)
       |SELECT 'delta' AS arm, n_match, sum_key, sum_price,
       |  TRUE AS parts_cut, TRUE AS files_cut, FALSE AS chunks_cut, TRUE AS pages_cut FROM m
       |UNION ALL SELECT 'orc', n_match, sum_key, sum_price, FALSE, FALSE, TRUE, FALSE FROM m

@@ -21,27 +21,75 @@ object Scratch {
       val t0 = System.nanoTime(); val r = f
       println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    // warmup
     graft.SparkEntry.entry(s).write.format("noop").mode("overwrite").save()
+    graft.functions.Graft.init(s)
 
-    val docs = graft.util.Tables.documents(s, d)
-    time("docs count")(docs.count())
+    import graft.llm.{LakeScan, ParquetRead, DeltaLog}
+    val orders = graft.util.Tables.orders(s, d)
     for (_ <- 1 to 2) {
-      time("tokenize+explode bigram census (en)") {
-        noop(docs.filter($"lang" === "en")
-          .select(explode(graft.llm.NgramLM.bigrams(graft.llm.NgramLM.tokens($"text"))).as("b"))
-          .groupBy($"b.w1", $"b.w2").agg(count(lit(1)).as("c12")))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_scr").toString
+      def stageTree(dst: String): Unit =
+        orders.select($"o_orderkey", $"o_totalprice",
+          ($"o_orderkey" / 4000).cast("int").as("bkt"),
+          (($"o_orderkey" % 4000) / 2000).cast("int").as("half"))
+          .repartition(1).sortWithinPartitions($"bkt", $"half", $"o_orderkey")
+          .write.mode("overwrite")
+          .option("parquet.page.row.count.limit", "100")
+          .option("parquet.page.size", "1024")
+          .partitionBy("bkt", "half").parquet(dst)
+      time("stageTree delta")(stageTree(s"$tmp/delta"))
+      time("stageTree bare")(stageTree(s"$tmp/bare"))
+      time("orc write") {
+        orders.select($"o_orderkey", $"o_totalprice")
+          .coalesce(1).sortWithinPartitions("o_orderkey")
+          .write.mode("overwrite")
+          .option("compression", "zlib")
+          .option("orc.stripe.size", "65536")
+          .option("orc.rows.between.memory.checks", "128").orc(s"$tmp/orc")
       }
-      val m = time("NgramLM.train full")(
-        graft.llm.NgramLM.train(docs.filter($"lang" === "en"), $"text"))
-      time("vocab job")(noop(m.vocab))
-      time("score all docs") {
-        noop(graft.llm.NgramLM.score(
-          docs.withColumn("did", struct($"doc_id", $"source")), "did", $"text", m))
+      time("delta log minting") {
+        val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+        lines += DeltaLog.commitInfo("CREATE TABLE")
+        lines += DeltaLog.protocol()
+        lines += DeltaLog.metaData("lake-scan-api")
+        val rootF = new java.io.File(s"$tmp/delta")
+        rootF.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bkt="))
+          .sortBy(_.getName).foreach { bdir =>
+            val b = bdir.getName.drop(4)
+            bdir.listFiles().filter(_.isDirectory).sortBy(_.getName).foreach { hdir =>
+              val h = hdir.getName.drop(5)
+              hdir.listFiles().filter(_.getName.endsWith(".parquet"))
+                .sortBy(_.getName).foreach { f =>
+                  val meta = ParquetRead.metaFromTail(f.getAbsolutePath).get
+                  val kI = meta.leaves.indexWhere(_.name == "o_orderkey")
+                  val stats = meta.rowGroups.indices
+                    .flatMap(rg => ParquetRead.chunkStats(meta, rg, kI))
+                  val mn = stats.map(_._1.asInstanceOf[Long]).min
+                  val mx = stats.map(_._2.asInstanceOf[Long]).max
+                  lines += DeltaLog.addPartitioned(
+                    s"bkt=$b/half=$h/${f.getName}", f.length(), meta.numRows,
+                    Map("bkt" -> Some(b), "half" -> Some(h)),
+                    Map("o_orderkey" -> mn), Map("o_orderkey" -> mx))
+                }
+            }
+          }
+        val logDir = new java.io.File(s"$tmp/delta", "_delta_log")
+        logDir.mkdirs()
+        java.nio.file.Files.writeString(
+          logDir.toPath.resolve("00000000000000000000.json"),
+          lines.mkString("\n"))
       }
-      time("doremi full")(noop(graft.queries.Training.doremiWeights(s, d)))
+      val sel = Seq("o_orderkey", "o_totalprice")
+      time("scan delta")(
+        LakeScan.scan(s, s"$tmp/delta", "o_orderkey", Some(5000L), Some(5400L),
+          sel, Map("bkt" -> "1")).write.format("noop").mode("overwrite").save())
+      time("scan bare")(
+        LakeScan.scan(s, s"$tmp/bare", "o_orderkey", Some(5000L), Some(5400L),
+          sel, Map("bkt" -> "1")).write.format("noop").mode("overwrite").save())
+      time("scan orc")(
+        LakeScan.scan(s, s"$tmp/orc", "o_orderkey", Some(5000L), Some(5400L),
+          sel).write.format("noop").mode("overwrite").save())
+      graft.util.Staging.deleteTree(java.nio.file.Paths.get(tmp))
     }
     s.stop()
   }
