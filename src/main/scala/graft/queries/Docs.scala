@@ -3077,13 +3077,22 @@ object Docs {
     import graft.llm.{DeltaLog, ParquetRead}
     val tmp = java.nio.file.Files.createTempDirectory("graft_lakescan").toString
     cleanedAfter(s, tmp) {
-    // disjoint key buckets, each a sorted parquet file with pages
+    // disjoint key buckets, each a sorted parquet file with pages.
+    // Bucket width derives from the key range (~8 buckets at every SF,
+    // floor 400) and the width stays out of the oracle: the original
+    // fixed 4000-wide bucket left sf0.001 (max key 1499) with a single
+    // bucket 0, so the wanted bucket 1 pruned to NOTHING and the gate's
+    // censuses went NULL against the oracle's hardcoded booleans
+    // (latent small-SF bug, found+fixed r20). Hash-repartition on bkt
+    // writes the ~8 sorted files in parallel (was repartition(1)).
+    val maxKey = orders(s, d).agg(max($"o_orderkey")).head.getLong(0)
+    val bktW = math.max(400L, ((maxKey + 1) / 8 + 399) / 400 * 400)
     orders(s, d).select($"o_orderkey", $"o_totalprice",
-      ($"o_orderkey" / 4000).cast("int").as("bkt"))
-      .repartition(1).sortWithinPartitions($"bkt", $"o_orderkey")
+      ($"o_orderkey" / bktW).cast("int").as("bkt"))
+      .repartition($"bkt").sortWithinPartitions($"bkt", $"o_orderkey")
       .write.mode("overwrite")
       .option("parquet.page.row.count.limit", "500")
-      .option("parquet.page.size", "4096")
+      .option("parquet.page.size", "1024")
       .partitionBy("bkt").parquet(tmp)
     val bucketFiles = new java.io.File(tmp).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
@@ -3110,9 +3119,14 @@ object Docs {
         Map("bkt" -> Some(b)),
         Map("v" -> mn), Map("v" -> mx))
     }
-    val lo = 5000L
-    val hi = 6500L
-    val wantBkt = (lo / 4000).toString // 5000..6500 lives in bucket 1
+    // [100, 150] matches rows at every SF (keys are dense 0..n−1) and
+    // sits inside bucket 0 at any width ≥ 400; the upper bound stays
+    // under every possible page split of sf0.001's 400-row bucket file
+    // (the writer's size check can land the first page break anywhere
+    // from row 100 to 200), so the page rung provably cuts at every SF
+    val lo = 100L
+    val hi = 150L
+    val wantBkt = (lo / bktW).toString
     val (_, census) = DeltaLog
       .replayStats(Seq((0L, lines.mkString("\n")))).get
     val rung0 = DeltaLog.prunePartitions(census, "bkt", Some(wantBkt))
@@ -3177,7 +3191,7 @@ object Docs {
       |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
       |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price,
       |  TRUE AS files_pruned, TRUE AS pages_pruned
-      |FROM orders WHERE o_orderkey BETWEEN 5000 AND 6500""".stripMargin
+      |FROM orders WHERE o_orderkey BETWEEN 100 AND 150""".stripMargin
 
   /** The UNIFIED lake scan under the oracle (r20; see
     * [[graft.llm.LakeScan]]): the r19 hand-composed ladder behind ONE
@@ -4177,12 +4191,17 @@ object Docs {
     orders(s, d).select($"o_orderkey", $"o_totalprice")
       .coalesce(1).sortWithinPartitions("o_orderkey")
       .write.mode("overwrite")
-      .option("parquet.block.size", "32768").parquet(tmp)
+      .option("parquet.block.size", "8192").parquet(tmp)
     val ls = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
     val file = try ls.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
       finally ls.close()
-    val lo = 10000L
-    val hi = 20000L
+    // [100, 250] matches rows at every SF (keys dense 0..n−1); 8 KB row
+    // groups keep the file multi-group even at sf0.001 (1500 rows) —
+    // the original [10000, 20000] over 32 KB groups matched nothing
+    // there and the census aggregates went NULL against the oracle's
+    // hardcoded booleans (latent small-SF bug, found+fixed r20)
+    val lo = 100L
+    val hi = 250L
     // stage 1: footer-tail plan — every group, tagged survivor or not
     val rgs = s.createDataset(Seq(file)).flatMap { p =>
       ParquetRead.metaFromTail(p).toSeq.flatMap { m =>
@@ -4371,8 +4390,12 @@ object Docs {
     val ls = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
     val file = try ls.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
       finally ls.close()
-    val lo = 5000L
-    val hi = 6500L
+    // [100, 250] matches rows at every SF (keys dense 0..n−1; the
+    // original [5000, 6500] matched nothing at sf0.001 and the census
+    // aggregates went NULL — latent small-SF bug, found+fixed r20);
+    // 4 KB pages give ~3 pages even on sf0.001's 1500 rows
+    val lo = 100L
+    val hi = 250L
     // stage 1: footer tail + index extents — survivor (rg, page) splits
     val splits = s.createDataset(Seq(file)).flatMap { p =>
       ParquetRead.metaFromTail(p).toSeq.flatMap { meta =>
@@ -4435,7 +4458,7 @@ object Docs {
       |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
       |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price,
       |  TRUE AS page_pruned
-      |FROM orders WHERE o_orderkey BETWEEN 5000 AND 6500""".stripMargin
+      |FROM orders WHERE o_orderkey BETWEEN 100 AND 250""".stripMargin
 
   /** The survivor aggregate must equal DuckDB's own filtered scan —
     * and the booleans pin the prune-on/off identity. */
@@ -4444,7 +4467,7 @@ object Docs {
       |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
       |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price,
       |  TRUE AS prune_equal, TRUE AS pruned_some
-      |FROM orders WHERE o_orderkey BETWEEN 10000 AND 20000""".stripMargin
+      |FROM orders WHERE o_orderkey BETWEEN 100 AND 250""".stripMargin
 
   /** ORC STRIPE pruning under the oracle (r19b; see
     * [[graft.llm.OrcRead.pruneStripes]]): the pruning ladder's second
@@ -4466,13 +4489,17 @@ object Docs {
       .coalesce(1).sortWithinPartitions("o_orderkey")
       .write.mode("overwrite")
       .option("compression", "zlib")
-      .option("orc.stripe.size", "65536")
+      .option("orc.stripe.size", "8192")
       .option("orc.rows.between.memory.checks", "128").orc(tmp)
     val ls = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
     val file = try ls.toArray.map(_.toString).filter(_.endsWith(".orc")).head
       finally ls.close()
-    val lo = 5000L
-    val hi = 6500L
+    // [100, 250] matches rows at every SF (keys dense 0..n−1; the
+    // original [5000, 6500] matched nothing at sf0.001 and the census
+    // aggregates went NULL — latent small-SF bug, found+fixed r20);
+    // 8 KB stripes keep the file multi-stripe even on sf0.001's rows
+    val lo = 100L
+    val hi = 250L
     // stage 1: footer-tail plan — every stripe, tagged survivor or not
     val stripes = s.createDataset(Seq(file)).flatMap { p =>
       OrcRead.metaFromTail(p).toSeq.flatMap { m =>
@@ -4521,7 +4548,7 @@ object Docs {
       |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
       |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price,
       |  TRUE AS prune_equal, TRUE AS pruned_some
-      |FROM orders WHERE o_orderkey BETWEEN 5000 AND 6500""".stripMargin
+      |FROM orders WHERE o_orderkey BETWEEN 100 AND 250""".stripMargin
 
   /** Iceberg snapshot reconstruction under the oracle (see
     * [[graft.llm.IcebergSnap]]): per-key tables of 1-3 manifests with
