@@ -195,6 +195,41 @@ object Dedup {
     var edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct().localCheckpoint()
+    // Bounded local fast path: when the DISTINCT edge set is small
+    // enough to hold on the driver (16 bytes/edge; the default 1M cap
+    // is ~16 MB), union-find resolves the components in one pass
+    // instead of an O(log n)-round star loop whose every round costs
+    // two window shuffles + a distinct + a checkpoint job — on a
+    // 256-edge near-dup graph the loop was ~1 s of pure scheduling.
+    // The count rides the already-checkpointed edges (one cheap job);
+    // above the cap the distributed loop below runs unchanged, so the
+    // 100 TB shape is untouched. Labels are identical by construction:
+    // both assign every node the MINIMUM id of its component.
+    val localEdgeLimit = pairs.sparkSession.conf
+      .getOption("graft.cc.localEdgeLimit").map(_.toLong).getOrElse(1L << 20)
+    val nEdges = edges.count()
+    if (nEdges <= localEdgeLimit) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // smaller root becomes the parent, so every tree's root IS the
+        // component minimum — find(id) returns the label directly
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return parent.keys.toSeq.sorted
+        .map(id => (id, find(id))).toDF("id", "component")
+    }
     // derived lazily from the CHECKPOINTED initial edge set (the var is
     // reassigned below; this val captures the first checkpoint), so no
     // materialization of its own is needed — recomputing it at the end

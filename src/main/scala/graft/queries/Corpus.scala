@@ -243,14 +243,34 @@ object Corpus {
       .filter($"w".rlike("^[a-z]{2,}$"))
       .groupBy($"w").agg(count(lit(1)).as("cnt"))
       .persist()
+    // Winner resolution runs on the DRIVER over the collected type
+    // census: the word-type table is vocabulary-bounded by construction
+    // (the bounded-collect contract of the IVF centroids), and the
+    // previous shape paid one census shuffle + driver round-trip PER
+    // MERGE — #markers sequential jobs whose whole input fits in a map.
+    // The local census replicates char_pairs (adjacent UTF-16 2-char
+    // substrings) and the (count DESC, pair ASC) tie-break exactly —
+    // pairs are BMP-only, where UTF-8 binary order (Spark) equals
+    // UTF-16 order (here) — and the q_bpe_* oracles recompute every
+    // winner independently, so any divergence fails the hash gate. The
+    // DataFrame merge chain over the persisted census is kept for
+    // `visit`, whose aggregates all evaluate in the caller's final job.
+    var cur: Array[(String, Long)] =
+      wc0.collect().map(r => (r.getString(0), r.getLong(1)))
     var wc = wc0
     val out = markers.zipWithIndex.map { case (mark, i) =>
-      val top = wc
-        .select(explode(call_function("char_pairs", $"w")).as("pair"), $"cnt")
-        .groupBy($"pair").agg(sum($"cnt").as("c"))
-        .orderBy($"c".desc, $"pair").limit(1)
-        .head().getString(0)
+      val census = scala.collection.mutable.HashMap.empty[String, Long]
+      cur.foreach { case (w, c) =>
+        var j = 0
+        while (j < w.length - 1) {
+          val p = w.substring(j, j + 2)
+          census.update(p, census.getOrElse(p, 0L) + c)
+          j += 1
+        }
+      }
+      val top = census.minBy { case (p, c) => (-c, p) }._1
       val t = visit(wc, top, mark, i + 1)
+      cur = cur.map { case (w, c) => (w.replace(top, mark), c) }
       wc = wc.select(call_function("replace", $"w", lit(top), lit(mark)).as("w"), $"cnt")
       (t, (top, mark))
     }

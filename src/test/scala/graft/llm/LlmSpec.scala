@@ -114,6 +114,26 @@ class LlmSpec extends SparkTestBase {
     assert(comps == expected)
   }
 
+  test("connected components: distributed star loop equals the bounded local path") {
+    import spark.implicits._
+    // graft.cc.localEdgeLimit=0 forces the large-star/small-star loop —
+    // the 100 TB path — which the local union-find fast path otherwise
+    // shadows for every test-sized edge set; both must label every node
+    // with its component minimum
+    val rnd = new scala.util.Random(7)
+    val raw = (Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong)) ++
+      (1L until 40L).map(i => (i, i + 1))) // long chain rides along
+      .filter { case (a, b) => a != b }
+    val local = Dedup.connectedComponents(raw.toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val distributed = graft.util.Staging.withConfs(spark,
+      "graft.cc.localEdgeLimit" -> "0") {
+      Dedup.connectedComponents(raw.toDF("id_a", "id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    }
+    assert(distributed == local)
+  }
+
   test("jaccard is exact on known shingle overlap") {
     import spark.implicits._
     val df = Seq(("a b c d", "b c d e")).toDF("t1", "t2")
