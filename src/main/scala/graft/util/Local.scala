@@ -11,7 +11,22 @@ object Local {
     * for the JVM's lifetime (they accumulate across a 182-query bench
     * run) or recompute the cached subtree at action time. The
     * driver-side footprint is the result itself, which callers bound. */
-  def materialize(df: DataFrame): DataFrame =
+  def materialize(df: DataFrame): DataFrame = {
+    // Plan-evidence hook (optimization rounds): materialized results
+    // plan as LocalTableScan, hiding the pipeline the optimization work
+    // actually changed — with GRAFT_PLAN_DUMP_DIR set, the REAL internal
+    // plan is written out before collecting. No effect otherwise.
+    sys.env.get("GRAFT_PLAN_DUMP_DIR").foreach { dir =>
+      try {
+        val d = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.createDirectories(d)
+        val n = java.nio.file.Files.list(d).count()
+        java.nio.file.Files.writeString(d.resolve(f"plan_$n%02d.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      } catch { case _: Exception => }
+    }
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(df.collect(): _*), df.schema)
+  }
 }
