@@ -94,8 +94,14 @@ object Training {
     import s.implicits._
     val docs = documents(s, d)
     val m = NgramLM.train(docs.filter($"lang" === "en"), $"text")
-    docs.select($"doc_id", $"lang")
-      .join(NgramLM.score(docs, "doc_id", $"text", m), Seq("doc_id"))
+    // lang rides INSIDE the scorer's struct id (the doremi/dsir trick):
+    // the old shape joined the corpus back to the score rollup on
+    // doc_id — a corpus-keyed shuffle join for a column the scan
+    // already had (guide §2.4)
+    NgramLM.score(docs.withColumn("did", struct($"doc_id", $"lang")),
+        "did", $"text", m)
+      .select($"did.doc_id".as("doc_id"), $"did.lang".as("lang"),
+        $"n_bigrams", $"sum_logp")
       .filter($"n_bigrams" > 0)
       // sum_logp is DECIMAL(28,6): ×1e6 and negate is an exact long.
       // The 6-decimal nll rounding then runs in EXACT INTEGER
@@ -589,10 +595,16 @@ object Training {
     import graft.llm.{TextAnalysis => TA}
     val docs = documents(s, d)
     val idxEn = graft.exprs.Stopwords.sortedLangs.indexOf("en")
-    val qual = docs
-      .select($"doc_id", TA.stats($"text").as("st"),
+    // q_score rides INSIDE the scorer's struct id (the doremi/dsir
+    // trick): the old shape ran a SECOND corpus scan for the quality
+    // columns and shuffle-joined it back on doc_id; here one scan
+    // computes both and the join disappears (guide §2.4)
+    val withQ = docs
+      .select($"doc_id", $"text", TA.stats($"text").as("st"),
         TA.stopwordScores($"text").getItem(idxEn).as("sw"))
-      .select($"doc_id", TA.qualityScoreFused($"st", $"sw").as("q_score"))
+      .select($"doc_id", $"text",
+        TA.qualityScoreFused($"st", $"sw").as("q_score"))
+      .withColumn("did", struct($"doc_id", $"q_score"))
     // decile fractions are fixed (~i/10 to within 1/n), so the boundary
     // sketch rides the cache-materializing count — the same job fusion
     // as lmPplFilter (VERDICT r10 #3), here saving the 9-probe
@@ -601,8 +613,18 @@ object Training {
     val fracs = (1 to 9).flatMap(i =>
       Seq(math.max(0.0, i / 10.0 - 3 * eps), math.min(1.0, i / 10.0 + 3 * eps)))
     val obs = org.apache.spark.sql.Observation()
-    val per = perDocPpl(s, d).select($"doc_id", $"ppl")
-      .join(qual, Seq("doc_id"))
+    // same exact-integer nll/ppl laws as perDocPpl (×1e6 long, half-up
+    // (2a+n) div (2n), round(exp, 6)) — only the lang column (unused
+    // here) and the join are gone
+    val m = NgramLM.train(docs.filter($"lang" === "en"), $"text")
+    val per = NgramLM.score(withQ, "did", $"text", m)
+      .filter($"n_bigrams" > 0)
+      .withColumn("s", (-$"sum_logp" * 1000000).cast("long"))
+      .withColumn("nll",
+        expr("(2 * s + n_bigrams) div (2 * n_bigrams)").cast("double")
+          / lit(1000000.0))
+      .select($"did.doc_id".as("doc_id"), round(exp($"nll"), 6).as("ppl"),
+        $"did.q_score".as("q_score"))
       .observe(obs, percentile_approx($"ppl",
         array(fracs.map(lit): _*), lit((2 / eps).toInt)).as("qs"))
       .persist()
