@@ -128,8 +128,15 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         } finally graft.util.Staging.deleteTree(root)
       }
+      // raw triple on stderr (min alone can't attribute run-to-run floor
+      // drift — VERDICT r20 #7); stdout contract unchanged
       val streamFloor =
-        try (1 to 3).map(_ => streamFloorOnce()).min
+        try {
+          val raw = (1 to 3).map(_ => streamFloorOnce())
+          System.err.println(
+            s"[bench] stream_floor_raw: ${raw.map(v => f"$v%.3f").mkString(",")}")
+          raw.min
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] stream floor measurement failed: $e"); -1.0 }
       System.err.println(f"[bench] stream_floor_sec: $streamFloor%.3f")
@@ -154,7 +161,12 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val cpuFloor =
-        try (1 to 3).map(_ => cpuFloorOnce()).min
+        try {
+          val raw = (1 to 3).map(_ => cpuFloorOnce())
+          System.err.println(
+            s"[bench] cpu_floor_raw: ${raw.map(v => f"$v%.3f").mkString(",")}")
+          raw.min
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] cpu floor measurement failed: $e"); -1.0 }
       System.err.println(f"[bench] cpu_floor_sec: $cpuFloor%.3f")
@@ -165,7 +177,12 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val scanFloor =
-        try (1 to 3).map(_ => scanFloorOnce()).min
+        try {
+          val raw = (1 to 3).map(_ => scanFloorOnce())
+          System.err.println(
+            s"[bench] scan_floor_raw: ${raw.map(v => f"$v%.3f").mkString(",")}")
+          raw.min
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] scan floor measurement failed: $e"); -1.0 }
       System.err.println(f"[bench] scan_floor_sec: $scanFloor%.3f")

@@ -244,33 +244,54 @@ object Corpus {
       .groupBy($"w").agg(count(lit(1)).as("cnt"))
       .persist()
     // Winner resolution runs on the DRIVER over the collected type
-    // census: the word-type table is vocabulary-bounded by construction
-    // (the bounded-collect contract of the IVF centroids), and the
-    // previous shape paid one census shuffle + driver round-trip PER
-    // MERGE — #markers sequential jobs whose whole input fits in a map.
+    // census WHEN THE VOCABULARY FITS: the word-type table is usually
+    // vocabulary-bounded, but Heaps' law makes "usually" an assumption,
+    // not a bound — above `graft.bpe.localTypeLimit` distinct types
+    // (default 1M ≈ tens of MB driver-side, the graft.cc.localEdgeLimit
+    // pattern) winner resolution falls back to the previous per-merge
+    // distributed census (one vocabulary-keyed shuffle + 1-row
+    // round-trip per merge), so a 100 TB corpus can never OOM the
+    // driver here. The count rides the already-persisted census.
     // The local census replicates char_pairs (adjacent UTF-16 2-char
     // substrings) and the (count DESC, pair ASC) tie-break exactly —
     // pairs are BMP-only, where UTF-8 binary order (Spark) equals
     // UTF-16 order (here) — and the q_bpe_* oracles recompute every
-    // winner independently, so any divergence fails the hash gate. The
-    // DataFrame merge chain over the persisted census is kept for
-    // `visit`, whose aggregates all evaluate in the caller's final job.
+    // winner independently, so any divergence fails the hash gate; a
+    // forced-fallback test (CorpusSpec) pins distributed == local
+    // winners. The DataFrame merge chain over the persisted census is
+    // kept for `visit`, whose aggregates all evaluate in the caller's
+    // final job.
+    val localTypeLimit = s.conf.getOption("graft.bpe.localTypeLimit")
+      .map(_.toLong).getOrElse(1L << 20)
+    val nTypes = wc0.count()
+    val useLocal = nTypes <= localTypeLimit
     var cur: Array[(String, Long)] =
-      wc0.collect().map(r => (r.getString(0), r.getLong(1)))
+      if (useLocal) wc0.collect().map(r => (r.getString(0), r.getLong(1)))
+      else null
     var wc = wc0
     val out = markers.zipWithIndex.map { case (mark, i) =>
-      val census = scala.collection.mutable.HashMap.empty[String, Long]
-      cur.foreach { case (w, c) =>
-        var j = 0
-        while (j < w.length - 1) {
-          val p = w.substring(j, j + 2)
-          census.update(p, census.getOrElse(p, 0L) + c)
-          j += 1
+      val top = if (useLocal) {
+        val census = scala.collection.mutable.HashMap.empty[String, Long]
+        cur.foreach { case (w, c) =>
+          var j = 0
+          while (j < w.length - 1) {
+            val p = w.substring(j, j + 2)
+            census.update(p, census.getOrElse(p, 0L) + c)
+            j += 1
+          }
         }
+        census.minBy { case (p, c) => (-c, p) }._1
+      } else {
+        // distributed argmax over the merged census: token-weighted
+        // adjacent-pair counts (Σ_types cnt·pairs_in_type), tie-broken
+        // (count DESC, pair ASC) — the exact law of the local path
+        graft.functions.Graft.init(s)
+        wc.select(explode(call_function("char_pairs", $"w")).as("p"), $"cnt")
+          .groupBy($"p").agg(sum($"cnt").as("c"))
+          .orderBy($"c".desc, $"p").limit(1).head().getString(0)
       }
-      val top = census.minBy { case (p, c) => (-c, p) }._1
       val t = visit(wc, top, mark, i + 1)
-      cur = cur.map { case (w, c) => (w.replace(top, mark), c) }
+      if (useLocal) cur = cur.map { case (w, c) => (w.replace(top, mark), c) }
       wc = wc.select(call_function("replace", $"w", lit(top), lit(mark)).as("w"), $"cnt")
       (t, (top, mark))
     }

@@ -3131,6 +3131,16 @@ object Docs {
       .replayStats(Seq((0L, lines.mkString("\n")))).get
     val rung0 = DeltaLog.prunePartitions(census, "bkt", Some(wantBkt))
     val rung1 = DeltaLog.pruneFiles(rung0, "v", Some(lo), Some(hi))
+    // gate preconditions, asserted loudly (VERDICT r20 #5): the ladder
+    // must have >= 2 files to cut between, a non-empty matched range,
+    // and each rung must keep something — else the census goes NULL
+    // and only the oracle's hardcoded booleans would notice
+    require(maxKey >= hi, s"lake_scan_e2e gate: predicate [$lo,$hi] exceeds " +
+      s"max key $maxKey — zero-match census")
+    require(census.length >= 2, s"lake_scan_e2e gate: delta log lists " +
+      s"${census.length} file(s); the ladder needs >= 2 to be able to cut")
+    require(rung0.nonEmpty && rung1.nonEmpty, s"lake_scan_e2e gate: rung emptied " +
+      s"(partition kept ${rung0.length}, stats kept ${rung1.length}) — zero-match census")
     val filesPruned = rung1.length < census.length && rung1.nonEmpty
     // stage 2: surviving files spread; each task walks the page rung
     val rows = s.createDataset(rung1.map(_.path))
@@ -3244,6 +3254,13 @@ object Docs {
     val maxKey = orders(s, d).agg(max($"o_orderkey")).head.getLong(0)
     val bktW = math.max(400L, ((maxKey + 1) / 16 + 399) / 400 * 400)
     val wantBkt = (lo / bktW).toString
+    // gate preconditions, asserted loudly (VERDICT r20 #5): non-empty
+    // matched range and >= 2 bkt partitions (else the partition rung
+    // structurally cannot cut and the hardcoded oracle booleans lie)
+    require(maxKey >= hi, s"lake_scan_api gate: predicate [$lo,$hi] exceeds " +
+      s"max key $maxKey — zero-match census")
+    require(maxKey / bktW >= 1, s"lake_scan_api gate: bucket width $bktW over " +
+      s"max key $maxKey yields a single bkt partition — the partition rung cannot cut")
     // --- stage: (bkt, half)-partitioned sorted parquet tree ---
     // hash-repartition on the partition columns so the ~#buckets×2
     // partition files write in PARALLEL (each (bkt, half) group lands
@@ -3270,12 +3287,13 @@ object Docs {
     locally {
       val src = java.nio.file.Paths.get(deltaDir)
       val dst = java.nio.file.Paths.get(bareDir)
-      java.nio.file.Files.walk(src).forEach { p =>
+      val st = java.nio.file.Files.walk(src)
+      try st.forEach { p =>
         val t = dst.resolve(src.relativize(p).toString)
         if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
         else java.nio.file.Files.copy(p, t,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+      } finally st.close()
     }
     orders(s, d).select($"o_orderkey", $"o_totalprice")
       .coalesce(1).sortWithinPartitions("o_orderkey")
@@ -4202,6 +4220,23 @@ object Docs {
     // hardcoded booleans (latent small-SF bug, found+fixed r20)
     val lo = 100L
     val hi = 250L
+    // gate preconditions, asserted LOUDLY (VERDICT r20 #5): without
+    // them a zero-match predicate or a single-unit staging silently
+    // NULLs the census aggregates and only the oracle's hardcoded
+    // booleans catch it — the r20 latent-bug disease, three range
+    // families deep. Footer read is driver-side, one local tmp file.
+    locally {
+      import graft.llm.ParquetRead
+      val m = ParquetRead.metaFromTail(file).getOrElse(throw new IllegalStateException(
+        s"parquet_prune gate: unreadable footer in $file"))
+      require(m.rowGroups.length >= 2, s"parquet_prune gate: staged file has " +
+        s"${m.rowGroups.length} row group(s); the stats rung needs >= 2 to be able to cut")
+      val surv = ParquetRead.pruneRowGroups(m, "o_orderkey", Some(lo), Some(hi))
+      require(surv.nonEmpty, s"parquet_prune gate: predicate [$lo,$hi] overlaps no " +
+        "row group — zero-match census")
+      require(surv.length < m.rowGroups.length, s"parquet_prune gate: stats rung kept " +
+        s"all ${m.rowGroups.length} groups — nothing prunable")
+    }
     // stage 1: footer-tail plan — every group, tagged survivor or not
     val rgs = s.createDataset(Seq(file)).flatMap { p =>
       ParquetRead.metaFromTail(p).toSeq.flatMap { m =>
@@ -4292,6 +4327,12 @@ object Docs {
     // plan: stats first, bloom on the stats survivors
     val meta = ParquetRead.metaFromTail(file).get
     val nRg = meta.rowGroups.length
+    // gate preconditions, asserted loudly (VERDICT r20 #5): non-empty
+    // present-key lookups (each also mints its absent twin — the bloom
+    // rung can cut even on a SINGLE row group, by dropping it for the
+    // absent keys, so unlike the stats gates no multi-unit floor exists)
+    require(present.nonEmpty, "parquet_bloom_point gate: no present keys on the " +
+      "%97=3 lattice — zero-match lookups")
     val plans = lookups.map { k =>
       val stats = ParquetRead.pruneRowGroups(meta, "k", Some(k), Some(k))
       val bloom = ParquetRead.pruneRowGroupsBloom(file, meta, "k", k).toSet
@@ -4396,6 +4437,28 @@ object Docs {
     // 4 KB pages give ~3 pages even on sf0.001's 1500 rows
     val lo = 100L
     val hi = 250L
+    // gate preconditions, asserted loudly (VERDICT r20 #5): multi-page
+    // staging + non-empty-and-proper page survivor set, or fail with a
+    // structural message instead of a NULL census
+    locally {
+      import graft.llm.ParquetRead
+      val m = ParquetRead.metaFromTail(file).getOrElse(throw new IllegalStateException(
+        s"parquet_page_prune gate: unreadable footer in $file"))
+      val idI = m.leaves.indexWhere(_.name == "o_orderkey")
+      require(idI >= 0, "parquet_page_prune gate: no o_orderkey column")
+      val perRg = m.rowGroups.indices.flatMap(rg =>
+        ParquetRead.pageIndex(file, m, rg, idI).toSeq.map(pi =>
+          (ParquetRead.prunePages(m, idI, pi, Some(lo), Some(hi)).length,
+            pi.locs.length)))
+      val nSurv = perRg.map(_._1).sum
+      val nTot = perRg.map(_._2).sum
+      require(nTot >= 2, s"parquet_page_prune gate: staged file has $nTot page(s); " +
+        "the page rung needs >= 2 to be able to cut")
+      require(nSurv > 0, s"parquet_page_prune gate: predicate [$lo,$hi] overlaps no " +
+        "page — zero-match census")
+      require(nSurv < nTot, s"parquet_page_prune gate: page rung kept all $nTot " +
+        "pages — nothing prunable")
+    }
     // stage 1: footer tail + index extents — survivor (rg, page) splits
     val splits = s.createDataset(Seq(file)).flatMap { p =>
       ParquetRead.metaFromTail(p).toSeq.flatMap { meta =>
@@ -4500,6 +4563,19 @@ object Docs {
     // 8 KB stripes keep the file multi-stripe even on sf0.001's rows
     val lo = 100L
     val hi = 250L
+    // gate preconditions, asserted loudly (VERDICT r20 #5): multi-stripe
+    // staging + non-empty-and-proper stripe survivor set
+    locally {
+      val m = OrcRead.metaFromTail(file).getOrElse(throw new IllegalStateException(
+        s"orc_prune gate: unreadable tail in $file"))
+      require(m.stripes.length >= 2, s"orc_prune gate: staged file has " +
+        s"${m.stripes.length} stripe(s); the stripe rung needs >= 2 to be able to cut")
+      val surv = OrcRead.pruneStripes(m, "o_orderkey", Some(lo), Some(hi))
+      require(surv.nonEmpty, s"orc_prune gate: predicate [$lo,$hi] overlaps no " +
+        "stripe — zero-match census")
+      require(surv.length < m.stripes.length, s"orc_prune gate: stripe rung kept " +
+        s"all ${m.stripes.length} stripes — nothing prunable")
+    }
     // stage 1: footer-tail plan — every stripe, tagged survivor or not
     val stripes = s.createDataset(Seq(file)).flatMap { p =>
       OrcRead.metaFromTail(p).toSeq.flatMap { m =>

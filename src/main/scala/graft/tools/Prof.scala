@@ -57,15 +57,20 @@ object Prof {
           val old = v.confs.map { case (k, _) => k -> spark.conf.getOption(k) }
           v.confs.foreach { case (k, value) => spark.conf.set(k, value) }
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+          // a run whose body throws must NOT enter the recorded times —
+          // its (fast) elapsed would masquerade as the min of a working run
+          var succeeded = false
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+                succeeded = true }
           catch { case e: Throwable => System.err.println(s"[prof] ${v.label} FAILED: $e") }
           finally old.foreach {
             case (k, Some(value)) => spark.conf.set(k, value)
             case (k, None) => spark.conf.unset(k)
           }
           val dt = (System.nanoTime() - t0) / 1e9
-          System.err.println(f"[prof] ${v.label} run$i: $dt%.3f s")
-          times(v.label) = times.getOrElse(v.label, Nil) :+ dt
+          System.err.println(f"[prof] ${v.label} run$i: $dt%.3f s" +
+            (if (succeeded) "" else " (FAILED — excluded)"))
+          if (succeeded) times(v.label) = times.getOrElse(v.label, Nil) :+ dt
         case None => if (i == 1) println(s"[prof] unknown query: ${v.name}")
       }
     }

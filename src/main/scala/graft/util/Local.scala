@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 
 object Local {
 
+  private val planDumpCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Eagerly materialize a result that is BOUNDED by contract (a
     * limit, or a small fixed grouping cardinality) as a LocalRelation,
     * so a cache the plan still references can be released immediately —
@@ -20,11 +22,15 @@ object Local {
       try {
         val d = java.nio.file.Paths.get(dir)
         java.nio.file.Files.createDirectories(d)
-        val n = java.nio.file.Files.list(d).count()
+        // atomic counter, not a directory count: Files.list leaked its
+        // stream and two concurrent dumps could race to the same name
+        val n = Local.planDumpCounter.getAndIncrement()
         java.nio.file.Files.writeString(d.resolve(f"plan_$n%02d.txt"),
           df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode))
-      } catch { case _: Exception => }
+      } catch { case e: Exception =>
+        System.err.println(s"[plan-dump] failed: $e")
+      }
     }
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(df.collect(): _*), df.schema)

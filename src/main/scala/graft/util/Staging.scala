@@ -58,10 +58,15 @@ object Staging {
     * Deterministic per directory, so checkpoint-recovery queries see the
     * same count on restart. Fail-open to 2 on an unreadable dir. */
   def streamPartitionsFor(s: SparkSession, dir: Path): Int = {
+    // the walk stream holds directory handles — close it (try/finally,
+    // not try-with-resources sugar) or a 182-query bench leaks one per
+    // bounded streaming query in this long-lived JVM
     val bytes =
-      try Files.walk(dir).filter(Files.isRegularFile(_))
-        .mapToLong(Files.size(_)).sum()
-      catch { case _: Exception => 0L }
+      try {
+        val st = Files.walk(dir)
+        try st.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+        finally st.close()
+      } catch { case _: Exception => 0L }
     val perPartition = 64L << 20
     val n = ((bytes + perPartition - 1) / perPartition).toInt
     math.max(2, math.min(s.sparkContext.defaultParallelism, n))
@@ -85,8 +90,10 @@ object Staging {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+      val st = Files.walk(p)
+      try st.sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.deleteIfExists(f))
+      finally st.close()
     }
 
   /** Checked admission-mtime stamp. `File.setLastModified` signals
@@ -110,8 +117,11 @@ object Staging {
     * Runs on every staging fetch — a cached directory staged by an older
     * buggy writer fails loudly here instead of flaking downstream. */
   def assertAdmissionOrder(dataDir: Path): Unit = {
-    val files = Files.list(dataDir).iterator().asScala
-      .filter(Files.isRegularFile(_)).toSeq.sortBy(_.getFileName.toString)
+    val st = Files.list(dataDir)
+    val files =
+      try st.iterator().asScala
+        .filter(Files.isRegularFile(_)).toSeq.sortBy(_.getFileName.toString)
+      finally st.close()
     val mtimes = files.map(f => Files.getLastModifiedTime(f).toMillis)
     mtimes.zip(mtimes.drop(1)).zipWithIndex.foreach { case ((a, b), i) =>
       if (a >= b) throw new IllegalStateException(

@@ -91,6 +91,29 @@ class CorpusSpec extends SparkTestBase {
     assert(res.nonEmpty)
   }
 
+  test("bpe winner loop: forced distributed fallback equals the local path") {
+    // the driver fast path collects the word-type census; above
+    // graft.bpe.localTypeLimit the per-merge distributed argmax must
+    // produce the IDENTICAL merge chain (count DESC, pair ASC tie-break)
+    val rnd = new scala.util.Random(11)
+    val texts = (0 until 40).map { _ =>
+      (0 until (3 + rnd.nextInt(12))).map(_ =>
+        (0 until (2 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString
+      ).mkString(" ")
+    }
+    val df = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "s0", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_fb_spec").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val local = Corpus.bpeTrain(spark, dir).collect().toSeq
+    spark.conf.set("graft.bpe.localTypeLimit", "0")
+    try {
+      val distributed = Corpus.bpeTrain(spark, dir).collect().toSeq
+      assert(distributed === local)
+    } finally spark.conf.unset("graft.bpe.localTypeLimit")
+  }
+
   test("fused bpe_pairs matches the composed split/rlike/transform form") {
     val rnd = new scala.util.Random(7)
     // words over a wider alphabet incl. non-alpha junk, unicode, empties
