@@ -68,10 +68,20 @@ case class MinHashSig(left: Expression, right: Expression)
 case class MinHashWords(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(tIn: Any, nIn: Any, hIn: Any): Any = {
-    val trimmed = tIn.asInstanceOf[UTF8String].toLowerCase.trim()
-    val n = nIn.asInstanceOf[Int]
-    val numHashes = hIn.asInstanceOf[Int]
+  override def nullSafeEval(tIn: Any, nIn: Any, hIn: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      MinHashWords.compute(tIn.asInstanceOf[UTF8String],
+        nIn.asInstanceOf[Int], hIn.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "minhash_words"
+}
+
+object MinHashWords {
+  /** The fused tokenize→shingle→minhash loop, shared with
+    * [[MinHashBands]] (bit-for-bit the same signature). */
+  private[exprs] def compute(tIn: UTF8String, n: Int, numHashes: Int): Array[Long] = {
+    val trimmed = tIn.toLowerCase.trim()
     val toks = trimmed.toString.split("\\s+", -1)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     def update(shingle: String): Unit = {
@@ -99,11 +109,64 @@ case class MinHashWords(first: Expression, second: Expression, third: Expression
         i += 1
       }
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+    mins
   }
-  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
-    copy(first = f, second = s, third = t)
-  override def prettyName: String = "minhash_words"
+}
+
+/** minhash_bands(text, n, H, B) — fused tokenize → shingle → MinHash →
+  * LSH banding in ONE evaluation per row: emits an array of B structs
+  * (band, key, sig) where `sig` is the [[MinHashWords]] signature
+  * (computed exactly once and SHARED by reference across the B structs)
+  * and `key` replicates `xxhash64(concat_ws(",", slice(sig, b·r+1, r)),
+  * b)` bit-for-bit (longs rendered in decimal, joined by ',', hashed
+  * with Spark's XXH64 seed chain: bytes at seed 42, then the band int).
+  * Exploding this array replaces the signature-projection + explode
+  * pair whose protection against CollapseProject re-inlining (a
+  * measured 30× sig recompute per band row) was a full
+  * `repartition(id)` exchange — the generator boundary provides the
+  * evaluate-once guarantee without shuffling a byte. */
+case class MinHashBands(first: Expression, second: Expression,
+                        third: Expression, fourth: Expression)
+    extends QuaternaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("band", IntegerType, nullable = false),
+      StructField("key", LongType, nullable = false),
+      StructField("sig", ArrayType(LongType, containsNull = false),
+        nullable = false))), containsNull = false)
+  override def nullSafeEval(tIn: Any, nIn: Any, hIn: Any, bIn: Any): Any = {
+    val numHashes = hIn.asInstanceOf[Int]
+    val numBands = bIn.asInstanceOf[Int]
+    val rowsPerBand = numHashes / numBands
+    // signature: the exact MinHashWords loop (same seed-42 base, same
+    // affine mix) — computed ONCE for all bands and shared by reference
+    val mins = MinHashWords.compute(tIn.asInstanceOf[UTF8String],
+      nIn.asInstanceOf[Int], numHashes)
+    val sigData = new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+    val out = new Array[Any](numBands)
+    val sb = new java.lang.StringBuilder(24 * rowsPerBand)
+    var b = 0
+    while (b < numBands) {
+      sb.setLength(0)
+      var j = 0
+      while (j < rowsPerBand) {
+        if (j > 0) sb.append(',')
+        sb.append(mins(b * rowsPerBand + j))
+        j += 1
+      }
+      val u = UTF8String.fromString(sb.toString)
+      val h1 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+      val key = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(b, h1)
+      out(b) = org.apache.spark.sql.catalyst.InternalRow(b, key, sigData)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(first = a, second = b, third = c, fourth = d)
+  override def prettyName: String = "minhash_bands"
 }
 
 /** shingle_hashes(text, n) — fused tokenize → word-n-gram shingle →
@@ -524,6 +587,54 @@ object HashedNgramScore {
     while (j < 8) { h |= (d(8 + j).toLong & 0xFFL) << (8 * j); j += 1 }
     java.lang.Long.remainderUnsigned(h, 2001L) - 1000L
   }
+}
+
+/** word_bigrams(text, withWords) — fused lower → trim → `\s+` tokenize →
+  * adjacent-bigram structs in one JVM pass, replacing the interpreted
+  * `transform(sequence, element_at)` HOF chain of [[graft.llm.NgramLM
+  * .bigrams]] (bit-identical tokens: UTF8String.toLowerCase/trim and
+  * java-regex split are exactly the Lower/StringTrim/StringSplit
+  * runtimes the composed form calls). With `withWords=true` it
+  * additionally emits one (w, null) entry per token, so one explode +
+  * one (w1, w2) hash aggregate yields the bigram census AND the
+  * distinct-word vocabulary (null-w2 groups) — one corpus pass where
+  * the composed form needed two. Empty/short docs: `""` tokenizes to
+  * [""], one word entry, no bigram — matching `unnest`/`explode` of the
+  * token array on the oracle side. */
+case class WordBigrams(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("w1", StringType, nullable = false),
+      StructField("w2", StringType, nullable = true))), containsNull = false)
+  override def nullSafeEval(tIn: Any, wIn: Any): Any = {
+    val toks = tIn.asInstanceOf[UTF8String].toLowerCase.trim().toString
+      .split("\\s+", -1)
+    val withWords = wIn.asInstanceOf[Boolean]
+    val n = toks.length
+    val nBig = math.max(n - 1, 0)
+    val total = if (withWords) nBig + n else nBig
+    val us = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { us(i) = UTF8String.fromString(toks(i)); i += 1 }
+    val out = new Array[Any](total)
+    i = 0
+    while (i < nBig) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(us(i), us(i + 1))
+      i += 1
+    }
+    if (withWords) {
+      var j = 0
+      while (j < n) {
+        out(nBig + j) = org.apache.spark.sql.catalyst.InternalRow(us(j), null)
+        j += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "word_bigrams"
 }
 
 /** nfc_normalize(s) — Unicode NFC canonical composition

@@ -100,26 +100,43 @@ object Dedup {
                           numHashes: Int = 64, numBands: Int = 16,
                           shingleSize: Int = 3,
                           threshold: Double = 0.8): DataFrame = {
-    val withSig = df
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-      // fused tokenize→shingle→minhash native expression; bit-identical
-      // to minhashSignature(wordShingles(...)) but ~30× faster (the HOF
-      // shingling dominated the whole pipeline)
-      .withColumn("sig", {
-        val sh = org.apache.spark.sql.graftshim.Shim
-        import org.apache.spark.sql.catalyst.expressions.Literal
-        sh.column(graft.exprs.MinHashWords(sh.expression(col("text")),
-          Literal(shingleSize), Literal(numHashes)))
-      })
-      .select(col("id"), col("sig"))
-      // Exchange barrier: without it CollapseProject inlines `sig` into the
-      // band explode and the 64-hash signature (and its shingle array) is
-      // recomputed per band row — a measured 30× blowup. One shuffle of
-      // (id, 64×long) is the cheap side of that trade at any scale.
-      .repartition(col("id"))
-      .withColumn("bandrow", explode(lshBands(col("sig"), numHashes, numBands)))
-      .select(col("id"), col("sig"),
-        col("bandrow.band").as("band"), col("bandrow.key").as("key"))
+    require(numHashes % numBands == 0,
+      s"numHashes=$numHashes not divisible by numBands=$numBands — the " +
+        "trailing signature components would silently drop out of every " +
+        "band key, shifting the LSH S-curve")
+    val sh = org.apache.spark.sql.graftshim.Shim
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // Fused band generator (default): minhash_bands evaluates the
+    // 64-hash signature ONCE per row inside the generator and emits the
+    // B (band, key, sig) rows — bit-identical sigs and keys to the
+    // composed sig-projection + lshBands explode. The old composed form
+    // needed a full repartition(id) EXCHANGE as its evaluate-once
+    // barrier (CollapseProject otherwise re-inlined the signature into
+    // the band explode: a measured 30× recompute); the generator
+    // boundary gives the same guarantee without shuffling a byte
+    // (guide §2.4 — remove the shuffle outright).
+    // `graft.minhash.barrier=repartition` restores the r20 shape (kept
+    // for A/B evidence and the parity test).
+    val barrier = df.sparkSession.conf
+      .getOption("graft.minhash.barrier").getOrElse("fused")
+    val withSig = if (barrier == "repartition") {
+      df.select(col(idCol).as("id"), col(textCol).as("text"))
+        .withColumn("sig",
+          sh.column(graft.exprs.MinHashWords(sh.expression(col("text")),
+            Literal(shingleSize), Literal(numHashes))))
+        .select(col("id"), col("sig"))
+        .repartition(col("id"))
+        .withColumn("bandrow", explode(lshBands(col("sig"), numHashes, numBands)))
+        .select(col("id"), col("sig"),
+          col("bandrow.band").as("band"), col("bandrow.key").as("key"))
+    } else {
+      df.select(col(idCol).as("id"), col(textCol).as("text"))
+        .select(col("id"), explode(sh.column(graft.exprs.MinHashBands(
+          sh.expression(col("text")), Literal(shingleSize),
+          Literal(numHashes), Literal(numBands)))).as("bandrow"))
+        .select(col("id"), col("bandrow.sig").as("sig"),
+          col("bandrow.band").as("band"), col("bandrow.key").as("key"))
+    }
     val a = withSig.select(col("id").as("id_a"), col("sig").as("sig_a"),
       col("band"), col("key"))
     val b = withSig.select(col("id").as("id_b"), col("sig").as("sig_b"),
@@ -146,9 +163,17 @@ object Dedup {
     // internal names are __-prefixed: joining on a bare "id"/"min_nb"
     // is an AMBIGUOUS_REFERENCE (or silently drops the caller's column)
     // when df carries a column of the same name — the hazard the
-    // converged twin's __cc_id rename already dodges
-    val neighbors = pairs.select(col("id_a").as("__nd_id"), col("id_b").as("nb"))
-      .unionByName(pairs.select(col("id_b").as("__nd_id"), col("id_a").as("nb")))
+    // converged twin's __cc_id rename already dodges.
+    // Symmetrize via ONE explode, not union-of-two-selects: the union
+    // form plans the whole LSH pair pipeline (signature pass included)
+    // as two separate subtrees — every doc's 64-hash signature computed
+    // and shuffled twice (guide §2.4: don't compute things twice when
+    // one generator emits both directions)
+    val neighbors = pairs
+      .select(explode(array(
+        struct(col("id_a").as("__nd_id"), col("id_b").as("nb")),
+        struct(col("id_b").as("__nd_id"), col("id_a").as("nb")))).as("e"))
+      .select(col("e.__nd_id").as("__nd_id"), col("e.nb").as("nb"))
       .groupBy("__nd_id").agg(min(col("nb")).as("__nd_min"))
     df.join(neighbors, col(idCol) === col("__nd_id"), "left")
       .withColumn("dup_group", least(coalesce(col("__nd_min"), col(idCol)), col(idCol)))

@@ -66,24 +66,61 @@ object NgramLM {
     * counts are derived from the CAPPED table so the published model is
     * self-consistent after pruning. */
   def train(docs: DataFrame, textCol: Column, maxBigrams: Int = 2000000): Model = {
-    val toks = docs.select(tokens(textCol).as("ws"))
+    val spark = docs.sparkSession
+    // ONE corpus pass for bigram census AND vocabulary (guide §2.3 —
+    // the vocab used to be a second full scan+tokenize+explode with its
+    // own distinct-aggregate shuffle): the fused word_bigrams generator
+    // tokenizes once per doc and emits every adjacent bigram PLUS one
+    // (w, null) entry per token, so after the (w1, w2) hash aggregate
+    // the null-w2 groups are exactly the distinct words — their count
+    // (= COUNT(DISTINCT w), including the "" token an empty doc
+    // tokenizes to) rides the census job as an `observe` metric.
+    // Shuffle partials grow by the distinct-word census (map-side
+    // combine collapses repeats), far cheaper than the corpus re-scan
+    // they replace; the generator also replaces the interpreted
+    // transform/element_at HOF chain (guide: keep the hot path out of
+    // interpreted expressions).
+    val sh = org.apache.spark.sql.graftshim.Shim
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val pairsAndWords = sh.column(graft.exprs.WordBigrams(
+      sh.expression(textCol), Literal(true)))
+    // `graft.lm.fusedVocab=false` restores the two-pass r20 shape
+    // (separate vocab scan) — kept for A/B evidence and the parity test
+    if (spark.conf.getOption("graft.lm.fusedVocab").contains("false")) {
+      val toks = docs.select(tokens(textCol).as("ws"))
+      val bg0 = topKByCount(
+        toks.select(explode(bigrams(col("ws"))).as("b"))
+          .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .agg(count(lit(1)).as("c12")),
+        maxBigrams).localCheckpoint()
+      val ctx0 = bg0.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val v0 = toks.select(explode(col("ws")).as("w"))
+        .agg(count_distinct(col("w")).as("v"))
+      return Model(bg0, ctx0, v0)
+    }
+    val census = docs
+      .select(explode(pairsAndWords).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val obs = new org.apache.spark.sql.Observation()
     // localCheckpoint the capped table (≤ maxBigrams rows by contract):
     // every derived frame — the context counts here, plus the separate
     // broadcast exchanges scoring builds for bigram and context — would
     // otherwise RE-RUN the corpus-wide explode+aggregate per use; the
-    // checkpoint makes the corpus pay for the bigram census exactly once.
+    // checkpoint makes the corpus pay for the census exactly once, and
+    // its eager job is the action the vocab observation rides.
     // (Executor-local storage: on a multi-tenant cluster with executor
     // loss, persist the model to reliable storage instead — it is a
     // broadcastable table by the cap's contract.)
     val bg = topKByCount(
-      toks
-        .select(explode(bigrams(col("ws"))).as("b"))
-        .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
-        .agg(count(lit(1)).as("c12")),
+      census
+        .observe(obs, count(when(col("w2").isNull, 1)).as("v"))
+        .filter(col("w2").isNotNull),
       maxBigrams).localCheckpoint()
     val ctx = bg.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    val v = toks.select(explode(col("ws")).as("w"))
-      .agg(count_distinct(col("w")).as("v"))
+    val vocabCount = obs.get("v") match { case n: Number => n.longValue() }
+    import spark.implicits._
+    val v = Seq(vocabCount).toDF("v")
     Model(bg, ctx, v)
   }
 
@@ -128,8 +165,15 @@ object NgramLM {
     * so the caller decides their fate. Map-side probes of the broadcast
     * model; the only shuffle is the partial-aggregated per-doc rollup. */
   def score(docs: DataFrame, idCol: String, textCol: Column, m: Model): DataFrame = {
+    // fused word_bigrams (bigrams only): same rows as
+    // explode_outer(bigrams(tokens(text))) — bit-identical tokenization,
+    // short docs yield the empty array and survive via explode_outer —
+    // without the interpreted transform/element_at HOF per document
+    val sh = org.apache.spark.sql.graftshim.Shim
+    import org.apache.spark.sql.catalyst.expressions.Literal
     val exploded = docs
-      .select(col(idCol), explode_outer(bigrams(tokens(textCol))).as("b"))
+      .select(col(idCol), explode_outer(sh.column(graft.exprs.WordBigrams(
+        sh.expression(textCol), Literal(false)))).as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val logp = round(
       log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /

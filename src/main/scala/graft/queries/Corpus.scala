@@ -2106,8 +2106,15 @@ object Corpus {
     graft.functions.Graft.init(s)
     import s.implicits._
     val docs = documents(s, d)
+    // the candidate set is bounded (LSH-linear) and read FIVE times by
+    // this plan without materialization (itself + the two id-union
+    // sides + inside each of the two set semi-join subtrees) — the
+    // whole LSH pipeline re-planned per read. localCheckpoint truncates
+    // the plan so the pipeline runs once (guide §3.3); within-query
+    // materialization, recomputed on every invocation.
     val cand = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.8)
       .select($"id_a", $"id_b", $"jaccard".as("est"))
+      .localCheckpoint()
     // build shingle SETS only for docs that appear in a candidate pair —
     // the interpreted shingling over the whole corpus dominated the query
     // (4.4 s at sf0.1 for ~500 relevant docs out of 5000). The sets are
@@ -2115,8 +2122,8 @@ object Corpus {
     // scan-side pass per doc, and the pair-wise intersect runs over
     // primitive longs (a cross-doc xxhash64 collision inflating `inter`
     // is ~n²/2⁶⁴ — far below the oracle gate's radar).
-    val candIds = cand.select($"id_a".as("doc_id"))
-      .unionByName(cand.select($"id_b".as("doc_id"))).distinct()
+    val candIds = cand
+      .select(explode(array($"id_a", $"id_b")).as("doc_id")).distinct()
     val sets = docs.join(candIds, Seq("doc_id"), "left_semi")
       .select($"doc_id", call_function("shingle_hashes", $"text", lit(3)).as("sh"))
     cand

@@ -667,8 +667,13 @@ object Llm {
     val split = docs.select($"doc_id",
       when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"))
     val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.8)
-    val sym = pairs.select($"id_a".as("id"), $"id_b".as("other"))
-      .unionByName(pairs.select($"id_b".as("id"), $"id_a".as("other")))
+    // one explode, not union-of-two-selects: the union form planned the
+    // whole LSH pipeline twice (see Dedup.minhashDupGroups)
+    val sym = pairs
+      .select(explode(array(
+        struct($"id_a".as("id"), $"id_b".as("other")),
+        struct($"id_b".as("id"), $"id_a".as("other")))).as("e"))
+      .select($"e.id".as("id"), $"e.other".as("other"))
     val trainIds = split.filter($"split" === "train").select($"doc_id".as("other"))
     val leaks = sym.join(trainIds, Seq("other"))
       .groupBy($"id").agg(min($"other").as("leak_from"))

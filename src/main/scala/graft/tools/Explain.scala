@@ -18,13 +18,26 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val names = if (args.nonEmpty) args.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
-    names.foreach { name =>
+    // `q_name@k=v,k=v` scopes session confs to that plan (the Prof
+    // variant syntax) — lets before/after plan evidence come from one
+    // build when the shape change sits behind a conf switch
+    names.foreach { arg =>
+      val (name, confStr) = arg.span(_ != '@')
+      val confs = if (confStr.isEmpty) Seq.empty[(String, String)]
+        else confStr.drop(1).split(',').toSeq.map { kv =>
+          val Array(k, v) = kv.split("=", 2); (k, v) }
       graft.SparkEntry.queries.get(name) match {
         case Some(fn) =>
-          println(s"\n======== $name ========")
+          println(s"\n======== $arg ========")
+          val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+          confs.foreach { case (k, v) => spark.conf.set(k, v) }
           try println(fn(spark, d).queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode))
           catch { case e: Exception => println(s"failed: ${e.getMessage}") }
+          finally old.foreach {
+            case (k, Some(v)) => spark.conf.set(k, v)
+            case (k, None) => spark.conf.unset(k)
+          }
         case None => println(s"unknown query: $name")
       }
     }

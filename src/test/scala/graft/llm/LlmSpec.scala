@@ -38,6 +38,43 @@ class LlmSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated not paired")
   }
 
+  test("fused minhash_bands equals the composed sig-projection + lshBands explode") {
+    import spark.implicits._
+    // 1) key parity, bit-for-bit: the generator's key must equal
+    //    xxhash64(concat_ws(',', slice(sig, b*r+1, r)), b) over the
+    //    SAME signature — the exact composed expression it replaces
+    val docs = corpus.unionByName(Seq(
+      (5L, ""), (6L, "one"), (7L, "  spaced   out   tokens  here  ")
+    ).toDF("doc_id", "text"))
+    val sh = org.apache.spark.sql.graftshim.Shim
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val composed = docs
+      .withColumn("sig", sh.column(graft.exprs.MinHashWords(
+        sh.expression(col("text")), Literal(3), Literal(64))))
+      .withColumn("bandrow", explode(Dedup.lshBands(col("sig"), 64, 16)))
+      .select($"doc_id", $"bandrow.band".as("band"), $"bandrow.key".as("key"),
+        $"sig")
+    val fused = docs
+      .select($"doc_id", explode(sh.column(graft.exprs.MinHashBands(
+        sh.expression(col("text")), Literal(3), Literal(64), Literal(16))))
+        .as("b"))
+      .select($"doc_id", $"b.band".as("band"), $"b.key".as("key"),
+        $"b.sig".as("sig"))
+    val a = composed.orderBy("doc_id", "band").collect().toSeq
+    val b = fused.orderBy("doc_id", "band").collect().toSeq
+    assert(a.map(_.toSeq) === b.map(_.toSeq))
+    // 2) end-to-end parity: the pair set under the fused default shape
+    //    equals the r20 repartition-barrier shape
+    val fusedPairs = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+      threshold = 0.5).orderBy("id_a", "id_b").collect().toSeq
+    spark.conf.set("graft.minhash.barrier", "repartition")
+    try {
+      val barrierPairs = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+        threshold = 0.5).orderBy("id_a", "id_b").collect().toSeq
+      assert(fusedPairs.map(_.toSeq) === barrierPairs.map(_.toSeq))
+    } finally spark.conf.unset("graft.minhash.barrier")
+  }
+
   test("minhash dup groups assign canonical min id") {
     val out = Dedup.minhashDupGroups(corpus, "doc_id", "text", threshold = 0.5)
       .select("doc_id", "dup_group").orderBy("doc_id").collect()

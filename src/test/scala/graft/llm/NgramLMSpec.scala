@@ -29,6 +29,47 @@ class NgramLMSpec extends SparkTestBase {
     assert(m.vocab.collect().head.getLong(0) == 3L)
   }
 
+  test("word_bigrams matches the composed bigrams(tokens(...)) HOF on fuzzed text") {
+    val rnd = new scala.util.Random(23)
+    val junk = Seq("", " ", "\t", "Hello", "déjà", "a  b", "x y", "ONE two THREE")
+    val texts = (0 until 60).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ =>
+        if (rnd.nextInt(3) == 0) junk(rnd.nextInt(junk.size))
+        else (0 until (1 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      ).mkString(" ")
+    } ++ junk
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val sh = org.apache.spark.sql.graftshim.Shim
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val composed = df.select($"id",
+        explode_outer(NgramLM.bigrams(NgramLM.tokens($"text"))).as("b"))
+      .select($"id", $"b.w1", $"b.w2").orderBy("id", "w1", "w2").collect().toSeq
+    val fused = df.select($"id",
+        explode_outer(sh.column(graft.exprs.WordBigrams(
+          sh.expression($"text"), Literal(false)))).as("b"))
+      .select($"id", $"b.w1", $"b.w2").orderBy("id", "w1", "w2").collect().toSeq
+    assert(fused.map(_.toSeq) === composed.map(_.toSeq))
+  }
+
+  test("train: fused single-pass vocab equals the two-pass shape (incl. empty/single-token docs)") {
+    // empty text tokenizes to [""] — the "" token must count in vocab;
+    // a single-token doc contributes a word but no bigram
+    val tricky = Seq((1L, "a b a b"), (2L, "a b c"), (3L, ""), (4L, "solo"))
+      .toDF("id", "text")
+    val fused = NgramLM.train(tricky, col("text"))
+    spark.conf.set("graft.lm.fusedVocab", "false")
+    val twoPass = try NgramLM.train(tricky, col("text"))
+      finally spark.conf.unset("graft.lm.fusedVocab")
+    assert(fused.bigram.orderBy("w1", "w2").collect().map(_.toSeq).toSeq ===
+      twoPass.bigram.orderBy("w1", "w2").collect().map(_.toSeq).toSeq)
+    assert(fused.context.orderBy("w1").collect().map(_.toSeq).toSeq ===
+      twoPass.context.orderBy("w1").collect().map(_.toSeq).toSeq)
+    assert(fused.vocab.collect().head.getLong(0) ===
+      twoPass.vocab.collect().head.getLong(0))
+    // 5 distinct words: a, b, c, "", solo
+    assert(fused.vocab.collect().head.getLong(0) === 5L)
+  }
+
   test("train: maxBigrams cap keeps the most frequent rows") {
     val m = NgramLM.train(corpus, col("text"), maxBigrams = 1)
     val bgRows = m.bigram.collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
